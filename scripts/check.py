@@ -1,0 +1,92 @@
+#!/usr/bin/env python3
+"""Local (dev-only) oracle pre-check emulating the driver's DuckDB compare.
+
+Usage: python3 scripts/check.py <sfDir> <verifyOutDir> [query ...]
+
+Registers each testdata parquet as a DuckDB view under its bare table
+name, runs every SQL in <verifyOutDir>/oracle_sql.json, and compares the
+result with the Spark-written parquet at <verifyOutDir>/<name>/ —
+columns sorted by name, row order as produced (queries must ORDER BY).
+NOT part of the shipped library; the driver owns the real gate.
+"""
+import sys, json, glob
+import duckdb
+import pandas as pd
+import numpy as np
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].reset_index(drop=True)
+    for c in df.columns:
+        s = df[c]
+        if pd.api.types.is_datetime64_any_dtype(s):
+            df[c] = s.astype("datetime64[us]")
+        elif pd.api.types.is_float_dtype(s):
+            df[c] = s.astype("float64")
+        elif pd.api.types.is_integer_dtype(s):
+            df[c] = s.astype("int64")
+    return df
+
+
+def main():
+    sfdir, outdir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
+    with open(f"{outdir}/oracle_sql.json") as f:
+        oracle = json.load(f)
+    n_pass = n_fail = 0
+    for name in sorted(oracle):
+        if only and name not in only:
+            continue
+        sql = oracle[name]
+        try:
+            exp = canon(con.execute(sql).fetchdf())
+        except Exception as e:
+            print(f"FAIL {name}: oracle SQL error: {e}")
+            n_fail += 1
+            continue
+        files = glob.glob(f"{outdir}/{name}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no spark output at {outdir}/{name}")
+            n_fail += 1
+            continue
+        got = canon(pd.read_parquet(f"{outdir}/{name}"))
+        if list(exp.columns) != list(got.columns):
+            print(f"FAIL {name}: columns exp={list(exp.columns)} got={list(got.columns)}")
+            n_fail += 1
+            continue
+        if exp.shape != got.shape:
+            print(f"FAIL {name}: shape exp={exp.shape} got={got.shape}")
+            n_fail += 1
+            continue
+        bad = []
+        for c in exp.columns:
+            e, g = exp[c], got[c]
+            if pd.api.types.is_float_dtype(e):
+                ok = ((e.isna() & g.isna()) | (e == g) |
+                      (np.isclose(e, g, rtol=0, atol=1e-9, equal_nan=True))).all()
+            else:
+                ok = ((e.isna() & g.isna()) | (e.astype(str) == g.astype(str))).all() \
+                    if e.isna().any() or g.isna().any() else (e == g).all()
+            if not ok:
+                mism = (~((e.isna() & g.isna()) | (e == g))).idxmax() if len(e) else -1
+                bad.append((c, mism, e.iloc[mism] if mism >= 0 else None,
+                            g.iloc[mism] if mism >= 0 else None))
+        if bad:
+            print(f"FAIL {name}: value mismatch {bad[:3]}")
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({exp.shape[0]} rows, {exp.shape[1]} cols)")
+            n_pass += 1
+    print(f"== {n_pass} pass, {n_fail} fail ==")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()

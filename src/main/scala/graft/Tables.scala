@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loaders for the driver-generated parquet fixtures (TESTDATA.md).
+  * One parquet file per table; same schemas at every scale factor.
+  */
+object Tables {
+  val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+}
+
+/** Cross-engine determinism helpers (SURVEY.md §1.3).
+  *
+  * Money-like fixture columns carry exactly 2 decimal digits, so products of
+  * up to three of them carry ≤6: casting to DECIMAL(38,6) is lossless, and
+  * decimal SUM is exact — independent of partition merge order (a raw
+  * SUM(double) differs in the last ulps between runs and engines, which the
+  * driver's hash compare would flag). AVG divides the exact decimal sum by
+  * the count in one double division, which is IEEE-deterministic.
+  */
+object Det {
+  val D = "decimal(38,6)"
+
+  /** Exact, order-independent SUM of a money-like double, rounded to 4dp. */
+  def dsum(c: Column): Column = round(sum(c.cast(D)), 4).cast("double")
+
+  /** Order-independent AVG: exact decimal sum, one double division, 4dp. */
+  def davg(c: Column): Column =
+    round(sum(c.cast(D)).cast("double") / count(lit(1)), 4)
+
+  /** Deterministic per-row 4dp round of an exact-decimal-valued double. */
+  def r4(c: Column): Column = round(c.cast(D), 4).cast("double")
+
+  /** Oracle-side (DuckDB) SQL spellings of the same three helpers. */
+  def sqlSum(e: String): String =
+    s"CAST(ROUND(SUM(CAST($e AS DECIMAL(38,6))),4) AS DOUBLE)"
+  def sqlAvg(e: String): String =
+    s"ROUND(CAST(SUM(CAST($e AS DECIMAL(38,6))) AS DOUBLE)/COUNT(*),4)"
+  def sqlR4(e: String): String =
+    s"CAST(ROUND(CAST($e AS DECIMAL(38,6)),4) AS DOUBLE)"
+}
