@@ -10,9 +10,11 @@ object SparkEntry {
     JoinQueries.queries("join_star_multiway")(spark, "/root/testdata/sf0.001")
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    AggQueries.queries ++ JoinQueries.queries
+    ScanQueries.queries ++ FilterQueries.queries ++ JoinQueries.queries ++
+      AggQueries.queries ++ WindowQueries.queries ++ SortSetQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    AggQueries.oracle ++ JoinQueries.oracle
+    ScanQueries.oracle ++ FilterQueries.oracle ++ JoinQueries.oracle ++
+      AggQueries.oracle ++ WindowQueries.oracle ++ SortSetQueries.oracle
 }

@@ -12,6 +12,17 @@ object Tables {
 
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
+
+  /** `events.ts` is parquet TIMESTAMP(NANOS) which Spark 4 refuses to read
+    * natively; read it as raw nanos (legacy conf) and convert to a µs
+    * TIMESTAMP_NTZ. Lossless: the fixture carries no sub-µs digits
+    * (verified; SURVEY §1.3), and NTZ matches DuckDB's naive reading.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(spark, dir, "events").withColumn("ts",
+      timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+  }
 }
 
 /** Cross-engine determinism helpers (SURVEY.md §1.3).

@@ -1,23 +1,42 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.Tables.t
+import graft.Tables.{t, events}
 import graft.Det._
+import graft.functions.WeightedAvg
 
 /** §2.4 Aggregation operators (SURVEY.md). All groupBy/agg plans get
   * Spark's two-phase HashAggregate (partial map-side combine + final) for
   * free — at 100 TB the partial agg bounds shuffle volume by group count,
-  * not row count.
+  * not row count. Exact count-distinct expands + reshuffles by (group,
+  * value); the HLL variant (`agg_approx_distinct`) is the 100 TB path.
+  *
+  * Determinism: every floating aggregate goes through the exact-decimal
+  * helpers in [[graft.Det]]; stddev/variance are computed from exact
+  * decimal moments (Σx, Σx²) rather than Spark's order-sensitive
+  * single-pass accumulators.
   */
 object AggQueries {
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
+    "agg_global" -> ((s, dir) => {
+      t(s, dir, "lineitem").agg(
+        count(lit(1)).as("n_rows"),
+        dsum(col("l_quantity")).as("sum_qty"),
+        davg(col("l_extendedprice")).as("avg_price"),
+        min(col("l_quantity")).as("min_qty"),
+        max(col("l_quantity")).as("max_qty"),
+        min(col("l_shipdate")).cast("date").as("min_ship"),
+        max(col("l_shipdate")).cast("date").as("max_ship"))
+    }),
+
     // Flagship — TPC-H Q1-style pricing summary.
     "agg_groupby_pricing" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
-      li.groupBy(col("l_returnflag"), col("l_linestatus"))
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
           dsum(col("l_quantity")).as("sum_qty"),
           dsum(col("l_extendedprice")).as("sum_base_price"),
@@ -30,10 +49,132 @@ object AggQueries {
           davg(col("l_discount")).as("avg_disc"),
           count(lit(1)).as("count_order"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    "agg_count_distinct" -> ((s, dir) => {
+      events(s, dir)
+        .groupBy(col("ts").cast("date").as("day"))
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          countDistinct(col("event_type")).as("n_types"),
+          count(lit(1)).as("n_events"))
+        .orderBy(col("day"))
+    }),
+
+    // HLL sketch — no oracle (estimates are engine-specific); §5 property
+    // test asserts estimate within 5% of exact.
+    "agg_approx_distinct" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          count(lit(1)).as("n_rows"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // Nations with above-average customer count (HAVING via post-agg filter).
+    "agg_having" -> ((s, dir) => {
+      val per = t(s, dir, "customer")
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name")).agg(count(lit(1)).as("n_cust"))
+      per.withColumn("avg_c", avg(col("n_cust")).over(Window.partitionBy()))
+        .filter(col("n_cust") > col("avg_c"))
+        .select(col("n_name"), col("n_cust"))
+        .orderBy(col("n_name"))
+    }),
+
+    "agg_rollup" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_cust"))
+        .select(coalesce(col("r_name"), lit("ALL")).as("region"),
+          coalesce(col("n_name"), lit("ALL")).as("nation"), col("n_cust"))
+        .orderBy(col("region"), col("nation"))
+    }),
+
+    "agg_cube" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n_rows"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+          col("sum_qty"), col("n_rows"))
+        .orderBy(col("returnflag"), col("linestatus"))
+    }),
+
+    // Explicit grouping sets via the SQL surface (spark.sql path).
+    "agg_grouping_sets" -> ((s, dir) => {
+      s.sql(
+        s"""SELECT coalesce(o_orderstatus, 'ALL') AS status,
+           |  coalesce(o_orderpriority, 'ALL') AS priority,
+           |  count(*) AS n,
+           |  ${sqlSum("o_totalprice")} AS sum_total
+           |FROM parquet.`$dir/orders.parquet`
+           |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+           |ORDER BY status, priority""".stripMargin)
+    }),
+
+    // Per-order sorted list of linenumbers, stringified deterministically.
+    "agg_collect_sorted" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(array_join(
+          transform(array_sort(collect_list(col("l_linenumber"))), _.cast("string")),
+          ",").as("lines"))
+        .orderBy(col("l_orderkey"))
+    }),
+
+    // First/last event per user by (ts, event_id) via min_by/max_by on a
+    // synthetic total-order key (epoch_ms·10⁶ + event_id).
+    "agg_first_last" -> ((s, dir) => {
+      val ord = unix_millis(col("ts").cast("timestamp")) * 1000000L + col("event_id")
+      events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(min_by(col("event_type"), ord).as("first_type"),
+          max_by(col("event_type"), ord).as("last_type"),
+          min_by(col("value"), ord).as("first_value"),
+          max_by(col("value"), ord).as("last_value"))
+        .orderBy(col("user_id"))
+    }),
+
+    // Sample stddev/variance from exact decimal moments + exact median.
+    "agg_stats" -> ((s, dir) => {
+      val e = events(s, dir)
+      val n = col("n").cast("double")
+      val s1 = col("s1d").cast("double")
+      val s2 = col("s2d").cast("double")
+      e.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(D)).as("s1d"),
+          sum((col("value") * col("value")).cast(D)).as("s2d"),
+          expr("percentile(value, 0.5D)").as("med"))
+        .select(col("event_type"), col("n"),
+          round((s2 - s1 * s1 / n) / (n - lit(1.0)), 4).as("var_samp"),
+          round(sqrt((s2 - s1 * s1 / n) / (n - lit(1.0))), 4).as("stddev_samp"),
+          round(col("med"), 4).as("median"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Custom typed Aggregator UDAF: quantity-weighted average price.
+    "custom_udaf_wavg" -> ((s, dir) => {
+      val wavg = udaf(WeightedAvg)
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(wavg(col("l_extendedprice"), col("l_quantity")).as("wavg_price"),
+          count(lit(1)).as("n_rows"))
+        .orderBy(col("l_returnflag"))
     })
   )
 
   val oracle: Map[String, String] = Map(
+    "agg_global" ->
+      s"""SELECT count(*) AS n_rows,
+         |${sqlSum("l_quantity")} AS sum_qty,
+         |${sqlAvg("l_extendedprice")} AS avg_price,
+         |min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+         |CAST(min(l_shipdate) AS DATE) AS min_ship,
+         |CAST(max(l_shipdate) AS DATE) AS max_ship
+         |FROM lineitem""".stripMargin,
     "agg_groupby_pricing" ->
       s"""SELECT l_returnflag, l_linestatus,
          |${sqlSum("l_quantity")} AS sum_qty,
@@ -45,6 +186,65 @@ object AggQueries {
          |${sqlAvg("l_discount")} AS avg_disc,
          |COUNT(*) AS count_order
          |FROM lineitem GROUP BY l_returnflag, l_linestatus
-         |ORDER BY l_returnflag, l_linestatus""".stripMargin
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "agg_count_distinct" ->
+      """SELECT CAST(ts AS DATE) AS day, count(DISTINCT user_id) AS n_users,
+        |count(DISTINCT event_type) AS n_types, count(*) AS n_events
+        |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
+    "agg_having" ->
+      """SELECT n_name, n_cust FROM (
+        |  SELECT n_name, count(*) AS n_cust, avg(count(*)) OVER () AS avg_c
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY n_name)
+        |WHERE n_cust > avg_c ORDER BY n_name""".stripMargin,
+    "agg_rollup" ->
+      """SELECT coalesce(r_name, 'ALL') AS region,
+        |  coalesce(n_name, 'ALL') AS nation, count(*) AS n_cust
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP(r_name, n_name)
+        |ORDER BY region, nation""".stripMargin,
+    "agg_cube" ->
+      s"""SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+         |  coalesce(l_linestatus, 'ALL') AS linestatus,
+         |  ${sqlSum("l_quantity")} AS sum_qty, count(*) AS n_rows
+         |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+         |ORDER BY returnflag, linestatus""".stripMargin,
+    "agg_grouping_sets" ->
+      s"""SELECT coalesce(o_orderstatus, 'ALL') AS status,
+         |  coalesce(o_orderpriority, 'ALL') AS priority,
+         |  count(*) AS n,
+         |  ${sqlSum("o_totalprice")} AS sum_total
+         |FROM orders
+         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+         |ORDER BY status, priority""".stripMargin,
+    "agg_collect_sorted" ->
+      """SELECT l_orderkey, string_agg(l_linenumber, ',' ORDER BY l_linenumber) AS lines
+        |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
+    "agg_first_last" ->
+      """SELECT user_id,
+        |  arg_min(event_type, epoch_ms(ts)*1000000 + event_id) AS first_type,
+        |  arg_max(event_type, epoch_ms(ts)*1000000 + event_id) AS last_type,
+        |  arg_min(value, epoch_ms(ts)*1000000 + event_id) AS first_value,
+        |  arg_max(value, epoch_ms(ts)*1000000 + event_id) AS last_value
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "agg_stats" ->
+      """SELECT event_type, n,
+        |  ROUND((s2 - s1*s1/n)/(n - 1.0), 4) AS var_samp,
+        |  ROUND(sqrt((s2 - s1*s1/n)/(n - 1.0)), 4) AS stddev_samp,
+        |  ROUND(med, 4) AS median
+        |FROM (
+        |  SELECT event_type, count(*) AS n,
+        |    CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS s1,
+        |    CAST(SUM(CAST(value*value AS DECIMAL(38,6))) AS DOUBLE) AS s2,
+        |    quantile_cont(value, 0.5) AS med
+        |  FROM events GROUP BY event_type)
+        |ORDER BY event_type""".stripMargin,
+    "custom_udaf_wavg" ->
+      """SELECT l_returnflag,
+        |  ROUND(CAST(SUM(CAST(l_extendedprice*l_quantity AS DECIMAL(38,6))) AS DOUBLE)
+        |    / CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE), 4) AS wavg_price,
+        |  count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
   )
 }

@@ -1,20 +1,116 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.Tables.t
+import graft.Tables.{t, events}
 import graft.Det._
 
-/** §2.3 Join operators (SURVEY.md). Dimension tables (region/nation/
-  * customer/supplier/part at TPC-H ratios) are broadcast explicitly — at
-  * 100 TB the fact table never shuffles for a dim join; only fact⋈fact
-  * (lineitem⋈orders) shuffles, on the join key, where AQE picks
-  * sort-merge or shuffled-hash and handles skew splitting.
+/** §2.3 Join operators (SURVEY.md).
+  *
+  * Scale design: dimension tables (region/nation/customer/supplier/part at
+  * TPC-H ratios) are broadcast explicitly, so the fact table never shuffles
+  * for a dim join. Only fact⋈fact (lineitem⋈orders, self-joins) shuffles,
+  * on the join key, where AQE picks sort-merge vs shuffled-hash and splits
+  * skewed partitions. The as-of join is expressed as equi-join + per-key
+  * window dedup — the shuffle is on the equi key, so it scales like any
+  * keyed join rather than a range cross product.
   */
 object JoinQueries {
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
+    "join_broadcast_inner" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("p_name"), col("p_retailprice"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    "join_shuffle_inner" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("o_orderstatus"), col("o_totalprice"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // Left outer with a join-side predicate: unmatched order rows survive.
+    "join_left_outer" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      o.join(broadcast(c),
+          col("o_custkey") === col("c_custkey") && col("c_acctbal") > 5000, "left")
+        .select(col("o_orderkey"), col("o_custkey"),
+          when(col("c_custkey").isNull, 0L).otherwise(1L).as("matched"),
+          coalesce(col("c_name"), lit("NONE")).as("c_name"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    "join_full_outer" -> ((s, dir) => {
+      val cc = t(s, dir, "customer").groupBy(col("c_nationkey").as("nk_c"))
+        .agg(count(lit(1)).as("n_cust"))
+      val sc = t(s, dir, "supplier").groupBy(col("s_nationkey").as("nk_s"))
+        .agg(count(lit(1)).as("n_supp"))
+      cc.join(sc, col("nk_c") === col("nk_s"), "full_outer")
+        .select(coalesce(col("nk_c"), col("nk_s")).as("nationkey"),
+          coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+          coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+        .orderBy(col("nationkey"))
+    }),
+
+    // Orders with ≥1 lineitem shipped after a date (≡ WHERE EXISTS).
+    "join_left_semi" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") > lit("1998-06-30").cast("timestamp_ntz"))
+      o.join(li, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // Customers with no big-ticket order (≡ NOT EXISTS).
+    "join_left_anti" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders").filter(col("o_totalprice") > 400000)
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    "join_cross" -> ((s, dir) => {
+      t(s, dir, "region").crossJoin(t(s, dir, "nation"))
+        .select(col("r_name"), col("n_name"))
+        .orderBy(col("r_name"), col("n_name"))
+    }),
+
+    // Non-equi: shipdate within ±30 days of the order's orderdate. The
+    // equi key carries the shuffle; the range predicate is a post-filter.
+    "join_theta_range" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      li.join(o, col("l_orderkey") === col("o_orderkey")
+          && col("l_shipdate") >= col("o_orderdate") - expr("INTERVAL 30 DAYS")
+          && col("l_shipdate") <= col("o_orderdate") + expr("INTERVAL 30 DAYS"))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          datediff(col("l_shipdate").cast("date"), col("o_orderdate").cast("date"))
+            .cast("long").as("lag_days"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // As-of: for each event, the latest order (orderdate ≤ ts) of the
+    // mapped customer (o_custkey = user_id + 1); equi-join + rank=1 dedup.
+    "join_asof" -> ((s, dir) => {
+      val e = events(s, dir).select(col("event_id"), col("ts"), col("user_id"))
+      val o = t(s, dir, "orders")
+      val w = Window.partitionBy(col("event_id"))
+        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+      e.join(o, col("o_custkey") === col("user_id") + 1 && col("o_orderdate") <= col("ts"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("event_id"), col("o_orderkey"),
+          col("o_orderdate").cast("date").as("o_orderdate"))
+        .orderBy(col("event_id"))
+    }),
+
     "join_star_multiway" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
       val o = t(s, dir, "orders")
@@ -27,14 +123,77 @@ object JoinQueries {
         .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("r_name"))
         .agg(
-          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-            .as("revenue"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
           count(lit(1)).as("n_items"))
         .orderBy(col("r_name"))
+    }),
+
+    // Order pairs of the same customer placed within 7 days (k1 < k2).
+    "join_self" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val o1 = o.select(col("o_orderkey").as("k1"), col("o_custkey").as("ck1"),
+        col("o_orderdate").cast("date").as("d1"))
+      val o2 = o.select(col("o_orderkey").as("k2"), col("o_custkey").as("ck2"),
+        col("o_orderdate").cast("date").as("d2"))
+      o1.join(o2, col("ck1") === col("ck2") && col("k1") < col("k2")
+          && abs(datediff(col("d2"), col("d1"))) <= 7)
+        .select(col("ck1").as("o_custkey"), col("k1"), col("k2"),
+          datediff(col("d2"), col("d1")).cast("long").as("day_gap"))
+        .orderBy(col("k1"), col("k2"))
     })
   )
 
   val oracle: Map[String, String] = Map(
+    "join_broadcast_inner" ->
+      """SELECT l_orderkey, l_linenumber, p_name, p_retailprice
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "join_shuffle_inner" ->
+      """SELECT l_orderkey, l_linenumber, o_orderstatus, o_totalprice
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "join_left_outer" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CASE WHEN c_custkey IS NULL THEN 0 ELSE 1 END AS matched,
+        |  COALESCE(c_name, 'NONE') AS c_name
+        |FROM orders LEFT JOIN customer
+        |  ON o_custkey = c_custkey AND c_acctbal > 5000
+        |ORDER BY o_orderkey""".stripMargin,
+    "join_full_outer" ->
+      """SELECT COALESCE(nk_c, nk_s) AS nationkey,
+        |  COALESCE(n_cust, 0) AS n_cust, COALESCE(n_supp, 0) AS n_supp
+        |FROM (SELECT c_nationkey AS nk_c, count(*) AS n_cust FROM customer GROUP BY 1) cc
+        |FULL OUTER JOIN (SELECT s_nationkey AS nk_s, count(*) AS n_supp FROM supplier GROUP BY 1) sc
+        |  ON nk_c = nk_s
+        |ORDER BY nationkey""".stripMargin,
+    "join_left_semi" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey
+        |  AND l_shipdate > TIMESTAMP '1998-06-30 00:00:00')
+        |ORDER BY o_orderkey""".stripMargin,
+    "join_left_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |  AND o_totalprice > 400000)
+        |ORDER BY c_custkey""".stripMargin,
+    "join_cross" ->
+      """SELECT r_name, n_name FROM region CROSS JOIN nation
+        |ORDER BY r_name, n_name""".stripMargin,
+    "join_theta_range" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) AS lag_days
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  AND l_shipdate >= o_orderdate - INTERVAL 30 DAY
+        |  AND l_shipdate <= o_orderdate + INTERVAL 30 DAY
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "join_asof" ->
+      """SELECT event_id, o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate FROM (
+        |  SELECT event_id, o_orderkey, o_orderdate,
+        |    row_number() OVER (PARTITION BY event_id
+        |      ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |  FROM events JOIN orders
+        |    ON o_custkey = user_id + 1 AND o_orderdate <= ts)
+        |WHERE rn = 1 ORDER BY event_id""".stripMargin,
     "join_star_multiway" ->
       s"""SELECT r_name,
          |${sqlSum("l_extendedprice*(1-l_discount)")} AS revenue,
@@ -44,6 +203,13 @@ object JoinQueries {
          |JOIN customer ON o_custkey = c_custkey
          |JOIN nation ON c_nationkey = n_nationkey
          |JOIN region ON n_regionkey = r_regionkey
-         |GROUP BY r_name ORDER BY r_name""".stripMargin
+         |GROUP BY r_name ORDER BY r_name""".stripMargin,
+    "join_self" ->
+      """SELECT o1.o_custkey, o1.o_orderkey AS k1, o2.o_orderkey AS k2,
+        |  date_diff('day', CAST(o1.o_orderdate AS DATE), CAST(o2.o_orderdate AS DATE)) AS day_gap
+        |FROM orders o1 JOIN orders o2
+        |  ON o1.o_custkey = o2.o_custkey AND o1.o_orderkey < o2.o_orderkey
+        |  AND abs(date_diff('day', CAST(o1.o_orderdate AS DATE), CAST(o2.o_orderdate AS DATE))) <= 7
+        |ORDER BY k1, k2""".stripMargin
   )
 }

@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.t
+
+/** §2.1 Scans / sources / sinks (SURVEY.md). Parquet is the native format
+  * (vectorized scan, predicate pushdown, column pruning all free); CSV and
+  * JSON roundtrips exercise the schema-explicit text sources. At 100 TB the
+  * scan plan matters more than anything: these queries keep projections
+  * narrow so `ReadSchema` in explain() shows only referenced columns.
+  */
+object ScanQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val liCols = Seq("l_orderkey", "l_partkey", "l_suppkey",
+    "l_linenumber", "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+    "l_returnflag", "l_linestatus")
+
+  val queries: Map[String, Q] = Map(
+    "scan_parquet" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .select(liCols.map(col) :+ col("l_shipdate").cast("date").as("l_shipdate"): _*)
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    "scan_schema_prune" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // Write→read roundtrip through a schema-explicit CSV source.
+    "scan_csv_roundtrip" -> ((s, dir) => {
+      val tmp = "/tmp/graft_scratch/csv_nation"
+      t(s, dir, "nation").write.mode("overwrite").option("header", "true").csv(tmp)
+      s.read.schema("n_nationkey INT, n_name STRING, n_regionkey INT")
+        .option("header", "true").csv(tmp)
+        .orderBy(col("n_nationkey"))
+    }),
+
+    // Same roundtrip via JSON lines.
+    "scan_json_roundtrip" -> ((s, dir) => {
+      val tmp = "/tmp/graft_scratch/json_region"
+      t(s, dir, "region").write.mode("overwrite").json(tmp)
+      s.read.schema("r_regionkey INT, r_name STRING").json(tmp)
+        .orderBy(col("r_regionkey"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "scan_parquet" ->
+      s"""SELECT ${liCols.mkString(", ")}, CAST(l_shipdate AS DATE) AS l_shipdate
+         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "scan_schema_prune" ->
+      "SELECT l_orderkey, l_linenumber FROM lineitem ORDER BY l_orderkey, l_linenumber",
+    // Roundtrips are lossless → oracle reads the parquet directly.
+    "scan_csv_roundtrip" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+    "scan_json_roundtrip" ->
+      "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey"
+  )
+}

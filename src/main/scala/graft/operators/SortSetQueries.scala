@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables.{t, events}
+
+/** §2.6 Sort / limit / top-k / set ops (SURVEY.md). Global sorts use
+  * Spark's range-partitioned exchange (sampled split points → parallel
+  * sort, no single-node bottleneck); `orderBy(...).limit(k)` collapses to
+  * TakeOrderedAndProject (per-partition top-k + driver merge of k·p rows —
+  * the 100 TB-safe top-k). Keyed dedup is window rank=1, never
+  * `dropDuplicates` (whose survivor choice is nondeterministic).
+  */
+object SortSetQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    "sort_multikey" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+        .orderBy(col("o_orderpriority").asc, col("o_totalprice").desc,
+          col("o_orderkey").asc)
+    }),
+
+    "sort_limit_topk" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+        .limit(20)
+    }),
+
+    "set_union_all" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+        .select(lit("C").as("side"), col("c_custkey").as("id"),
+          col("c_nationkey").as("nationkey"))
+      val sp = t(s, dir, "supplier")
+        .select(lit("S").as("side"), col("s_suppkey").as("id"),
+          col("s_nationkey").as("nationkey"))
+      c.unionByName(sp).orderBy(col("side"), col("id"))
+    }),
+
+    "set_union_distinct" -> ((s, dir) => {
+      t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+        .union(t(s, dir, "supplier").select(col("s_nationkey")))
+        .distinct()
+        .orderBy(col("nationkey"))
+    }),
+
+    "set_intersect" -> ((s, dir) => {
+      t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+        .intersect(t(s, dir, "supplier").select(col("s_nationkey")))
+        .orderBy(col("nationkey"))
+    }),
+
+    // Nations with a high-balance customer but no high-balance supplier
+    // (thresholded so the difference is non-degenerate at every SF).
+    "set_except" -> ((s, dir) => {
+      t(s, dir, "customer").filter(col("c_acctbal") > 8000)
+        .select(col("c_nationkey").as("nationkey"))
+        .except(t(s, dir, "supplier").filter(col("s_acctbal") > 8000)
+          .select(col("s_nationkey")))
+        .orderBy(col("nationkey"))
+    }),
+
+    // Keyed dedup keeping the lowest event_id — deterministic via rank=1.
+    "dedup_dropduplicates" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("event_id"))
+      events(s, dir)
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type"), col("event_id"), col("value"))
+        .orderBy(col("user_id"), col("event_type"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "sort_multikey" ->
+      """SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders
+        |ORDER BY o_orderpriority ASC, o_totalprice DESC, o_orderkey ASC""".stripMargin,
+    "sort_limit_topk" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+        |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 20""".stripMargin,
+    "set_union_all" ->
+      """SELECT * FROM (
+        |  SELECT 'C' AS side, c_custkey AS id, c_nationkey AS nationkey FROM customer
+        |  UNION ALL
+        |  SELECT 'S', s_suppkey, s_nationkey FROM supplier
+        |) ORDER BY side, id""".stripMargin,
+    "set_union_distinct" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |UNION SELECT s_nationkey FROM supplier ORDER BY nationkey""".stripMargin,
+    "set_intersect" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |INTERSECT SELECT s_nationkey FROM supplier ORDER BY nationkey""".stripMargin,
+    "set_except" ->
+      """SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 8000
+        |EXCEPT SELECT s_nationkey FROM supplier WHERE s_acctbal > 8000
+        |ORDER BY nationkey""".stripMargin,
+    "dedup_dropduplicates" ->
+      """SELECT user_id, event_type, event_id, value FROM (
+        |  SELECT user_id, event_type, event_id, value,
+        |    row_number() OVER (PARTITION BY user_id, event_type
+        |      ORDER BY event_id) AS rn
+        |  FROM events)
+        |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin
+  )
+}

@@ -1,0 +1,187 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables.{t, events}
+import graft.Det._
+
+/** §2.5 Window functions (SURVEY.md). Every window is PARTITION BY + a
+  * totally-ordered ORDER BY (unique tie-break), per the determinism
+  * contract. Partitioned windows scale: one shuffle on the partition key,
+  * then per-partition sort. `win_percent_cume` is the one global window —
+  * single-partition by construction (documented; at 100 TB you'd
+  * range-partition like a global sort and stitch rank offsets).
+  */
+object WindowQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  // Canonical windows: orders per customer, events per user.
+  private def wOrd = Window.partitionBy(col("o_custkey"))
+    .orderBy(col("o_orderdate"), col("o_orderkey"))
+  private val ordSql = "PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey"
+
+  val queries: Map[String, Q] = Map(
+    "win_row_number" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          row_number().over(wOrd).cast("long").as("rn"))
+        .orderBy(col("o_custkey"), col("rn"))
+    }),
+
+    // rank/dense_rank over price alone (ties share ranks); output order
+    // fully tie-broken separately.
+    "win_rank_dense" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_totalprice").desc)
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          rank().over(w).cast("long").as("rnk"),
+          dense_rank().over(w).cast("long").as("drnk"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
+    "win_ntile" -> ((s, dir) => {
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal"), col("c_custkey"))
+      t(s, dir, "customer")
+        .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"),
+          ntile(4).over(w).cast("long").as("quartile"))
+        .orderBy(col("c_mktsegment"), col("c_custkey"))
+    }),
+
+    "win_lag_lead" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          coalesce(datediff(col("o_orderdate").cast("date"),
+            lag(col("o_orderdate"), 1).over(wOrd).cast("date")).cast("long"),
+            lit(-1L)).as("gap_days"),
+          coalesce(lead(col("o_orderpriority"), 1).over(wOrd), lit("NONE"))
+            .as("next_priority"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
+    "win_running_sum" -> ((s, dir) => {
+      val w = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          round(sum(col("o_totalprice").cast(D)).over(w), 4).cast("double")
+            .as("run_total"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
+    "win_moving_avg" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id")).rowsBetween(-2, 0)
+      events(s, dir)
+        .select(col("user_id"), col("event_id"),
+          round(sum(col("value").cast(D)).over(w).cast("double")
+            / count(lit(1)).over(w), 4).as("mavg3"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
+    // RANGE frame over epoch-day: orders within the 30 preceding days.
+    "win_range_frame" -> ((s, dir) => {
+      val eday = datediff(col("o_orderdate").cast("date"),
+        lit("1970-01-01").cast("date"))
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("eday"))
+        .rangeBetween(-30, 0)
+      t(s, dir, "orders").withColumn("eday", eday)
+        .select(col("o_custkey"), col("o_orderkey"),
+          round(sum(col("o_totalprice").cast(D)).over(w), 4).cast("double")
+            .as("sum_30d"),
+          count(lit(1)).over(w).as("n_30d"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
+    "win_percent_cume" -> ((s, dir) => {
+      val w = Window.orderBy(col("o_totalprice"))
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"),
+          round(percent_rank().over(w), 4).as("pr"),
+          round(cume_dist().over(w), 4).as("cd"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    "win_first_last_value" -> ((s, dir) => {
+      val w = wOrd.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          first(col("o_totalprice")).over(w).as("first_price"),
+          last(col("o_totalprice")).over(w).as("last_price"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
+    "topk_per_group" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          col("rn").cast("long").as("rn"))
+        .orderBy(col("o_custkey"), col("rn"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "win_row_number" ->
+      s"""SELECT o_custkey, o_orderkey, row_number() OVER ($ordSql) AS rn
+         |FROM orders ORDER BY o_custkey, rn""".stripMargin,
+    "win_rank_dense" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |  rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS rnk,
+        |  dense_rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS drnk
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "win_ntile" ->
+      """SELECT c_mktsegment, c_custkey, c_acctbal,
+        |  ntile(4) OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey) AS quartile
+        |FROM customer ORDER BY c_mktsegment, c_custkey""".stripMargin,
+    "win_lag_lead" ->
+      s"""SELECT o_custkey, o_orderkey,
+         |  coalesce(date_diff('day',
+         |    CAST(lag(o_orderdate, 1) OVER ($ordSql) AS DATE),
+         |    CAST(o_orderdate AS DATE)), -1) AS gap_days,
+         |  coalesce(lead(o_orderpriority, 1) OVER ($ordSql), 'NONE') AS next_priority
+         |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "win_running_sum" ->
+      s"""SELECT o_custkey, o_orderkey,
+         |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,6))) OVER ($ordSql
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS DOUBLE) AS run_total
+         |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "win_moving_avg" ->
+      """SELECT user_id, event_id,
+        |  ROUND(CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE)
+        |    / COUNT(*) OVER w, 4) AS mavg3
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_id""".stripMargin,
+    "win_range_frame" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,6))) OVER w, 4) AS DOUBLE) AS sum_30d,
+        |  COUNT(*) OVER w AS n_30d
+        |FROM (SELECT *, date_diff('day', DATE '1970-01-01',
+        |    CAST(o_orderdate AS DATE)) AS eday FROM orders)
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY eday
+        |  RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "win_percent_cume" ->
+      """SELECT o_orderkey, o_totalprice,
+        |  ROUND(percent_rank() OVER (ORDER BY o_totalprice), 4) AS pr,
+        |  ROUND(cume_dist() OVER (ORDER BY o_totalprice), 4) AS cd
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "win_first_last_value" ->
+      s"""SELECT o_custkey, o_orderkey,
+         |  first_value(o_totalprice) OVER ($ordSql
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_price,
+         |  last_value(o_totalprice) OVER ($ordSql
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_price
+         |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "topk_per_group" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders)
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin
+  )
+}
