@@ -1,6 +1,7 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 import graft.operators._
+import graft.functions.{ScalarQueries, SemiStructuredQueries}
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
@@ -11,10 +12,12 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ScanQueries.queries ++ FilterQueries.queries ++ JoinQueries.queries ++
-      AggQueries.queries ++ WindowQueries.queries ++ SortSetQueries.queries
+      AggQueries.queries ++ WindowQueries.queries ++ SortSetQueries.queries ++
+      ScalarQueries.queries ++ SemiStructuredQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     ScanQueries.oracle ++ FilterQueries.oracle ++ JoinQueries.oracle ++
-      AggQueries.oracle ++ WindowQueries.oracle ++ SortSetQueries.oracle
+      AggQueries.oracle ++ WindowQueries.oracle ++ SortSetQueries.oracle ++
+      ScalarQueries.oracle ++ SemiStructuredQueries.oracle
 }

@@ -1,0 +1,157 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.t
+import graft.Det._
+
+/** §2.7 Scalar function suites (SURVEY.md). Everything is
+  * `org.apache.spark.sql.functions._` / built-in SQL functions — codegen'd
+  * end-to-end, no lambda UDFs — except `custom_udf_expr`, which exercises
+  * the native Catalyst Expression surface ([[DiscountBand]]).
+  *
+  * Cross-engine spellings (verified against DuckDB 1.0): Spark `dayofweek`
+  * = DuckDB `dayofweek + 1` (Sun=1 vs Sun=0); Spark `ceil(double)` is
+  * BIGINT, DuckDB's needs a cast; DuckDB `sign` is TINYINT; `pmod(a,b)` =
+  * `((a % b) + b) % b`; `date_format` ↔ `strftime`.
+  */
+object ScalarQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    "fn_string_suite" -> ((s, dir) => {
+      t(s, dir, "part").select(
+        col("p_partkey"),
+        upper(col("p_name")).as("up"),
+        lower(col("p_brand")).as("lo"),
+        trim(concat(lit("  "), col("p_name"), lit(" "))).as("tr"),
+        length(col("p_name")).cast("long").as("len"),
+        substring(col("p_name"), 2, 5).as("sub"),
+        concat_ws("|", col("p_name"), col("p_type")).as("cw"),
+        lpad(col("p_brand"), 10, "*").as("lp"),
+        expr("replace(p_name, 'widget', 'gizmo')").as("rep"),
+        element_at(split(col("p_name"), " "), 1).as("first_word"),
+        regexp_extract(col("p_brand"), "Brand#(\\d+)", 1).cast("long").as("brand_num"),
+        translate(col("p_type"), "AEO", "aeo").as("tl"))
+        .orderBy(col("p_partkey"))
+    }),
+
+    "fn_date_suite" -> ((s, dir) => {
+      val d = col("o_orderdate").cast("date")
+      t(s, dir, "orders").select(
+        col("o_orderkey"),
+        year(d).cast("long").as("y"),
+        month(d).cast("long").as("m"),
+        dayofmonth(d).cast("long").as("dom"),
+        quarter(d).cast("long").as("q"),
+        dayofweek(d).cast("long").as("dow"),
+        date_add(d, 30).as("d_plus30"),
+        datediff(d, lit("2000-01-01").cast("date")).cast("long").as("days_from_y2k"),
+        date_trunc("month", col("o_orderdate")).cast("date").as("month_start"),
+        last_day(d).as("month_end"),
+        date_format(d, "yyyy-MM").as("ym"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    "fn_math_suite" -> ((s, dir) => {
+      t(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        round(abs(col("l_quantity") - 25), 4).as("a"),
+        ceil(col("l_extendedprice")).as("c"),
+        floor(col("l_extendedprice")).as("f"),
+        round(sqrt(col("l_quantity")), 4).as("sq"),
+        round(pow(col("l_discount") + 1, 2), 4).as("pw"),
+        round(log(col("l_extendedprice")), 4).as("ln_"),
+        round(log10(col("l_extendedprice")), 4).as("lg"),
+        round(exp(negate(col("l_discount"))), 4).as("ex"),
+        signum(col("l_quantity") - 25).cast("long").as("sg"),
+        round(greatest(col("l_quantity"), col("l_discount") * 100), 4).as("gr"),
+        round(least(col("l_quantity"), col("l_tax") * 100), 4).as("ls"),
+        pmod(col("l_orderkey"), lit(7)).as("pm"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    "fn_conditional" -> ((s, dir) => {
+      t(s, dir, "orders").select(
+        col("o_orderkey"),
+        when(col("o_orderpriority") === "1-URGENT", 1L)
+          .when(col("o_orderpriority") === "2-HIGH", 2L)
+          .when(col("o_orderpriority") === "3-MEDIUM", 3L)
+          .when(col("o_orderpriority") === "4-NOT SPECIFIED", 4L)
+          .otherwise(5L).as("pri_num"),
+        coalesce(expr("nullif(o_orderstatus, 'P')"), lit("pending")).as("status_np"),
+        expr("ifnull(nullif(o_orderstatus, 'O'), 'was_open')").as("status_no"),
+        round(col("o_totalprice").cast("string").cast("double"), 4).as("price_rt"),
+        col("o_orderkey").cast("string").cast("long").as("key_rt"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // Custom Catalyst Expression with codegen (see DiscountBand).
+    "custom_udf_expr" -> ((s, dir) => {
+      DiscountBand.register(s)
+      t(s, dir, "lineitem")
+        .groupBy(expr("discount_band(l_discount)").as("band"))
+        .agg(count(lit(1)).as("n_rows"), dsum(col("l_discount")).as("sum_disc"))
+        .orderBy(col("band"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "fn_string_suite" ->
+      """SELECT p_partkey,
+        |  upper(p_name) AS up, lower(p_brand) AS lo,
+        |  trim('  ' || p_name || ' ') AS tr,
+        |  length(p_name) AS len,
+        |  substring(p_name, 2, 5) AS sub,
+        |  concat_ws('|', p_name, p_type) AS cw,
+        |  lpad(p_brand, 10, '*') AS lp,
+        |  replace(p_name, 'widget', 'gizmo') AS rep,
+        |  string_split(p_name, ' ')[1] AS first_word,
+        |  CAST(regexp_extract(p_brand, 'Brand#(\d+)', 1) AS BIGINT) AS brand_num,
+        |  translate(p_type, 'AEO', 'aeo') AS tl
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "fn_date_suite" ->
+      """SELECT o_orderkey,
+        |  year(CAST(o_orderdate AS DATE)) AS y,
+        |  month(CAST(o_orderdate AS DATE)) AS m,
+        |  dayofmonth(CAST(o_orderdate AS DATE)) AS dom,
+        |  quarter(CAST(o_orderdate AS DATE)) AS q,
+        |  dayofweek(CAST(o_orderdate AS DATE)) + 1 AS dow,
+        |  CAST(o_orderdate AS DATE) + 30 AS d_plus30,
+        |  date_diff('day', DATE '2000-01-01', CAST(o_orderdate AS DATE)) AS days_from_y2k,
+        |  CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+        |  last_day(CAST(o_orderdate AS DATE)) AS month_end,
+        |  strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS ym
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "fn_math_suite" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  round(abs(l_quantity - 25), 4) AS a,
+        |  CAST(ceil(l_extendedprice) AS BIGINT) AS c,
+        |  CAST(floor(l_extendedprice) AS BIGINT) AS f,
+        |  round(sqrt(l_quantity), 4) AS sq,
+        |  round(pow(l_discount + 1, 2), 4) AS pw,
+        |  round(ln(l_extendedprice), 4) AS ln_,
+        |  round(log10(l_extendedprice), 4) AS lg,
+        |  round(exp(-l_discount), 4) AS ex,
+        |  CAST(sign(l_quantity - 25) AS BIGINT) AS sg,
+        |  round(greatest(l_quantity, l_discount * 100), 4) AS gr,
+        |  round(least(l_quantity, l_tax * 100), 4) AS ls,
+        |  ((l_orderkey % 7) + 7) % 7 AS pm
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "fn_conditional" ->
+      """SELECT o_orderkey,
+        |  CASE o_orderpriority WHEN '1-URGENT' THEN 1 WHEN '2-HIGH' THEN 2
+        |    WHEN '3-MEDIUM' THEN 3 WHEN '4-NOT SPECIFIED' THEN 4 ELSE 5 END AS pri_num,
+        |  coalesce(nullif(o_orderstatus, 'P'), 'pending') AS status_np,
+        |  ifnull(nullif(o_orderstatus, 'O'), 'was_open') AS status_no,
+        |  round(CAST(CAST(o_totalprice AS VARCHAR) AS DOUBLE), 4) AS price_rt,
+        |  CAST(CAST(o_orderkey AS VARCHAR) AS BIGINT) AS key_rt
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "custom_udf_expr" ->
+      s"""SELECT CASE WHEN l_discount < 0.03 THEN 'LOW'
+         |  WHEN l_discount < 0.07 THEN 'MID' ELSE 'HIGH' END AS band,
+         |count(*) AS n_rows,
+         |${sqlSum("l_discount")} AS sum_disc
+         |FROM lineitem GROUP BY 1 ORDER BY band""".stripMargin
+  )
+}
