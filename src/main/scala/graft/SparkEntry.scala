@@ -2,6 +2,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 import graft.operators._
 import graft.functions.{ScalarQueries, SemiStructuredQueries}
+import graft.streaming.StreamQueries
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
@@ -13,11 +14,13 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ScanQueries.queries ++ FilterQueries.queries ++ JoinQueries.queries ++
       AggQueries.queries ++ WindowQueries.queries ++ SortSetQueries.queries ++
-      ScalarQueries.queries ++ SemiStructuredQueries.queries
+      ScalarQueries.queries ++ SemiStructuredQueries.queries ++
+      TextQueries.queries ++ SimQueries.queries ++ StreamQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     ScanQueries.oracle ++ FilterQueries.oracle ++ JoinQueries.oracle ++
       AggQueries.oracle ++ WindowQueries.oracle ++ SortSetQueries.oracle ++
-      ScalarQueries.oracle ++ SemiStructuredQueries.oracle
+      ScalarQueries.oracle ++ SemiStructuredQueries.oracle ++
+      TextQueries.oracle ++ SimQueries.oracle ++ StreamQueries.oracle
 }

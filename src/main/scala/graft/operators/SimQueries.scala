@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables.t
+
+/** §2.9 Similarity search over `embeddings` (SURVEY.md).
+  *
+  * Brute-force cosine against a bounded probe set: probes are broadcast
+  * (tiny), so the scan over the full vector table stays shuffle-free and
+  * embarrassingly parallel — at 100 TB this is one pass over the
+  * embedding column per probe batch. The computation is `zip_with` +
+  * `aggregate` higher-order functions in double; an IVF-bucketed variant
+  * (`sim_ann_ivf`, §extras) is the at-scale ANN path that prunes the
+  * scanned fraction.
+  */
+object SimQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, e) => acc + e)
+
+  /** (probe_id, vec_id, cos) for probes vec_id < 10 against all vectors. */
+  private def cosinePairs(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val probes = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("v").as("p"))
+    emb.crossJoin(broadcast(probes))
+      .select(col("probe_id"), col("vec_id"),
+        (dot(col("p"), col("v"))
+          / (sqrt(dot(col("p"), col("p"))) * sqrt(dot(col("v"), col("v")))))
+          .as("cos"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "sim_cosine_pairs" -> ((s, dir) => {
+      cosinePairs(s, dir)
+        .select(col("probe_id"), col("vec_id"), round(col("cos"), 4).as("cos"))
+        .orderBy("probe_id", "vec_id")
+    }),
+
+    // Top-5 neighbors per probe by cosine (excluding self), ties → vec_id.
+    "sim_knn_topk" -> ((s, dir) => {
+      val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("vec_id"))
+      cosinePairs(s, dir)
+        .filter(col("vec_id") =!= col("probe_id"))
+        .withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
+        .select(col("probe_id"), col("vec_id"), round(col("cos"), 4).as("cos"),
+          col("rk").cast("long").as("rk"))
+        .orderBy("probe_id", "rk")
+    }),
+
+    // Per-label elementwise mean of the first 8 dims (exact decimal sums
+    // at scale 12 — lossless for float inputs, order-independent).
+    "sim_centroid_per_label" -> ((s, dir) => {
+      t(s, dir, "embeddings")
+        .select(col("label"), posexplode(slice(col("embedding"), 1, 8)))
+        .groupBy(col("label"), col("pos"))
+        .agg(round(sum(col("col").cast("double").cast("decimal(38,12)"))
+          .cast("double") / count(lit(1)), 4).as("mean"))
+        .select(col("label"), col("pos").cast("long").as("pos"), col("mean"))
+        .orderBy("label", "pos")
+    }),
+
+    // The "multimodal columns" surface: text metadata + vector in one row.
+    "multimodal_join" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .join(t(s, dir, "embeddings"), col("doc_id") === col("vec_id"))
+        .groupBy(col("lang"), col("label")).agg(count(lit(1)).as("n"))
+        .orderBy("lang", "label")
+    })
+  )
+
+  private val cosSql =
+    """pairs AS (
+      |  SELECT p.vec_id AS probe_id, e.vec_id AS vec_id,
+      |    list_dot_product(CAST(p.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))
+      |      / (sqrt(list_dot_product(CAST(p.embedding AS DOUBLE[]), CAST(p.embedding AS DOUBLE[])))
+      |       * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))) AS cos
+      |  FROM embeddings e CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 10) p)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "sim_cosine_pairs" ->
+      s"""WITH $cosSql
+         |SELECT probe_id, vec_id, ROUND(cos, 4) AS cos FROM pairs
+         |ORDER BY probe_id, vec_id""".stripMargin,
+    "sim_knn_topk" ->
+      s"""WITH $cosSql
+         |SELECT probe_id, vec_id, ROUND(cos, 4) AS cos, rk FROM (
+         |  SELECT probe_id, vec_id, cos,
+         |    row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rk
+         |  FROM pairs WHERE vec_id <> probe_id)
+         |WHERE rk <= 5 ORDER BY probe_id, rk""".stripMargin,
+    "sim_centroid_per_label" ->
+      """SELECT label, pos,
+        |  ROUND(CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE)
+        |    / COUNT(*), 4) AS mean
+        |FROM (SELECT label, unnest(range(8)) AS pos, unnest(embedding[1:8]) AS x
+        |      FROM embeddings)
+        |GROUP BY label, pos ORDER BY label, pos""".stripMargin,
+    "multimodal_join" ->
+      """SELECT lang, label, count(*) AS n
+        |FROM documents JOIN embeddings ON doc_id = vec_id
+        |GROUP BY lang, label ORDER BY lang, label""".stripMargin
+  )
+}

@@ -1,0 +1,203 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables.t
+
+/** §2.9 Text analysis & deduplication (SURVEY.md) — the LLM-data-pipeline
+  * operators over `documents`.
+  *
+  * Scale design: tokenization is per-row (no shuffle); frequency ops are
+  * one hash-agg each. Exact near-dup Jaccard uses the token inverted
+  * index (explode → self-join on token → pair-intersection counts) —
+  * O(pairs-sharing-a-token), bounded here to doc_id < 1000 because this
+  * corpus' 31-word vocabulary makes *every* pair share tokens; the 100 TB
+  * path is `dedup_minhash_lsh`, whose cost is O(docs × bands) shuffle
+  * with exact verification only on LSH candidates.
+  */
+object TextQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Exact pairwise token-set Jaccard for doc_id < `cap`, threshold `th`. */
+  private def exactJaccard(s: SparkSession, dir: String, cap: Int, th: Double): DataFrame = {
+    val toks = t(s, dir, "documents").filter(col("doc_id") < cap)
+      .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("tok"))
+    val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter = toks.select(col("doc_id").as("i"), col("tok"))
+      .join(toks.select(col("doc_id").as("j"), col("tok")), Seq("tok"))
+      .filter(col("i") < col("j"))
+      .groupBy("i", "j").agg(count(lit(1)).as("c"))
+    inter
+      .join(sizes.select(col("doc_id").as("i"), col("sz").as("sa")), Seq("i"))
+      .join(sizes.select(col("doc_id").as("j"), col("sz").as("sb")), Seq("j"))
+      .withColumn("jac", col("c").cast("double") / (col("sa") + col("sb") - col("c")))
+      .filter(col("jac") >= th)
+      .select(col("i").as("doc_i"), col("j").as("doc_j"), round(col("jac"), 4).as("jac"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "text_token_counts" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("n"))
+        .orderBy("token")
+    }),
+
+    "text_doc_stats" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          round(sum(col("n_chars")).cast("double") / count(lit(1)), 4).as("avg_chars"),
+          round(sum(size(split(col("text"), " ")).cast("long")).cast("double")
+            / count(lit(1)), 4).as("avg_tokens"))
+        .orderBy("lang")
+    }),
+
+    // Bigrams via an index-HOF over the token array — no per-doc shuffle.
+    "text_ngrams" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(split(col("text"), " ").as("toks"))
+        .filter(size(col("toks")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(0, size(toks)-2), i -> concat(toks[i], ' ', toks[i+1]))"))
+          .as("bigram"))
+        .groupBy("bigram").agg(count(lit(1)).as("n"))
+        .orderBy("bigram")
+    }),
+
+    "text_tf" -> ((s, dir) => {
+      val cnt = t(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+        .groupBy("doc_id", "token").agg(count(lit(1)).as("cnt"))
+      cnt.withColumn("total", sum(col("cnt")).over(Window.partitionBy("doc_id")))
+        .select(col("doc_id"), col("token"), col("cnt"),
+          round(col("cnt") / col("total"), 4).as("tf"))
+        .orderBy("doc_id", "token")
+    }),
+
+    // tf-idf with idf = ln(N/df); top term per doc, ties → token asc.
+    "text_tfidf_topterm" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val cnt = docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+        .groupBy("doc_id", "token").agg(count(lit(1)).as("cnt"))
+      val tf = cnt.withColumn("total",
+        sum(col("cnt")).over(Window.partitionBy("doc_id")))
+        .withColumn("tf", col("cnt") / col("total"))
+      val dfreq = cnt.groupBy("token").agg(count(lit(1)).as("df"))
+      val nd = docs.agg(count(lit(1)).as("n_docs"))
+      val scored = tf.join(dfreq, "token").crossJoin(broadcast(nd))
+        .withColumn("score", col("tf") * log(col("n_docs") / col("df")))
+      val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("token"))
+      scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("doc_id"), col("token"), round(col("score"), 4).as("score"))
+        .orderBy("doc_id")
+    }),
+
+    // Exact duplicate groups on the canonical token-set fingerprint (the
+    // raw corpus has zero byte-identical dups; normalization finds real
+    // content-equal groups).
+    "dedup_exact_text" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          md5(concat_ws(" ", array_sort(array_distinct(split(col("text"), " ")))))
+            .as("h"))
+        .groupBy("h")
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("canon_doc"))
+        .filter(col("n_docs") > 1)
+        .orderBy("h")
+    }),
+
+    "dedup_near_jaccard" -> ((s, dir) =>
+      exactJaccard(s, dir, 1000, 0.8).orderBy("doc_i", "doc_j")),
+
+    // MinHash (k=32, seeded murmur3) + banded LSH (16 bands × 2 rows →
+    // recall ≈ 1 − (1 − J²)¹⁶, ~0.9999999 at J = 0.8), candidates then
+    // verified with exact Jaccard. No oracle (engine-pinned hash); the
+    // scalatest property suite asserts output == dedup_near_jaccard.
+    "dedup_minhash_lsh" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 1000)
+        .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("toks"))
+      val sig = docs.withColumn("sig",
+        expr("transform(sequence(0, 31), i -> array_min(transform(toks, t -> hash(t, i))))"))
+      val bands = sig.select(col("doc_id"), col("toks"),
+        posexplode(expr(
+          "transform(sequence(0, 15), b -> hash(sig[2*b], sig[2*b+1]))")))
+        .select(col("doc_id"), col("toks"), col("pos").as("band"), col("col").as("bh"))
+      val cand = bands.select(col("band"), col("bh"), col("doc_id").as("i"), col("toks").as("ta"))
+        .join(bands.select(col("band"), col("bh"), col("doc_id").as("j"), col("toks").as("tb")),
+          Seq("band", "bh"))
+        .filter(col("i") < col("j"))
+        .select("i", "j", "ta", "tb").distinct()
+      cand
+        .withColumn("c", size(array_intersect(col("ta"), col("tb"))))
+        .withColumn("jac", col("c").cast("double")
+          / (size(col("ta")) + size(col("tb")) - col("c")))
+        .filter(col("jac") >= 0.8)
+        .select(col("i").as("doc_i"), col("j").as("doc_j"), round(col("jac"), 4).as("jac"))
+        .orderBy("doc_i", "doc_j")
+    })
+  )
+
+  private val tokCte =
+    """toks AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+      |  FROM documents WHERE doc_id < 1000),
+      |sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY 1),
+      |inter AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS c
+      |  FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "text_token_counts" ->
+      """SELECT token, count(*) AS n
+        |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |GROUP BY token ORDER BY token""".stripMargin,
+    "text_doc_stats" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  ROUND(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 4) AS avg_chars,
+        |  ROUND(CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) / COUNT(*), 4) AS avg_tokens
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "text_ngrams" ->
+      """SELECT bigram, count(*) AS n FROM (
+        |  SELECT token || ' ' || lead(token) OVER (PARTITION BY doc_id ORDER BY pos) AS bigram
+        |  FROM (SELECT doc_id, unnest(range(len(toks))) AS pos, unnest(toks) AS token
+        |        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)))
+        |WHERE bigram IS NOT NULL GROUP BY bigram ORDER BY bigram""".stripMargin,
+    "text_tf" ->
+      """SELECT doc_id, token, cnt,
+        |  ROUND(CAST(cnt AS DOUBLE) / SUM(cnt) OVER (PARTITION BY doc_id), 4) AS tf
+        |FROM (SELECT doc_id, token, count(*) AS cnt
+        |      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+        |      GROUP BY 1, 2)
+        |ORDER BY doc_id, token""".stripMargin,
+    "text_tfidf_topterm" ->
+      """WITH cnt AS (SELECT doc_id, token, count(*) AS cnt
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+        |  GROUP BY 1, 2),
+        |tf AS (SELECT doc_id, token,
+        |  CAST(cnt AS DOUBLE) / SUM(cnt) OVER (PARTITION BY doc_id) AS tf FROM cnt),
+        |dfreq AS (SELECT token, count(*) AS df FROM cnt GROUP BY 1),
+        |nd AS (SELECT count(*) AS n_docs FROM documents)
+        |SELECT doc_id, token, ROUND(score, 4) AS score FROM (
+        |  SELECT doc_id, tf.token AS token,
+        |    tf.tf * ln(CAST(n_docs AS DOUBLE) / df) AS score,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY tf.tf * ln(CAST(n_docs AS DOUBLE) / df) DESC, tf.token) AS rn
+        |  FROM tf JOIN dfreq ON tf.token = dfreq.token CROSS JOIN nd)
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "dedup_exact_text" ->
+      """SELECT h, count(*) AS n_docs, min(doc_id) AS canon_doc FROM (
+        |  SELECT doc_id,
+        |    md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS h
+        |  FROM documents)
+        |GROUP BY h HAVING count(*) > 1 ORDER BY h""".stripMargin,
+    "dedup_near_jaccard" ->
+      s"""WITH $tokCte
+         |SELECT i AS doc_i, j AS doc_j, ROUND(jac, 4) AS jac FROM (
+         |  SELECT i, j, CAST(c AS DOUBLE) / (sa.sz + sb.sz - c) AS jac
+         |  FROM inter JOIN sizes sa ON i = sa.doc_id JOIN sizes sb ON j = sb.doc_id)
+         |WHERE jac >= 0.8 ORDER BY doc_i, doc_j""".stripMargin
+    // dedup_minhash_lsh: intentionally no oracle (SURVEY §2.11).
+  )
+}

@@ -1,0 +1,118 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables.events
+import graft.Det._
+
+/** §2.10 Streaming operators, batch-declared face (SURVEY.md).
+  *
+  * Each op here is the oracle-verified BATCH query over `events`; the
+  * Structured Streaming variant (readStream + watermark / session_window /
+  * flatMapGroupsWithState) lives in the scalatest parity suite
+  * (`graft.StreamingParitySpec`), asserted to produce identical results.
+  * Batch windowing uses the same `window()` expression streaming uses, so
+  * the logical semantics are shared by construction.
+  *
+  * Scale: tumbling/sliding windows are hash-aggs keyed by (window, type) —
+  * partial agg bounds shuffle by group count. Sessionization shuffles once
+  * on user_id; state per key is O(1) (`max`/`sum` accumulators), matching
+  * what the streaming state store would hold.
+  */
+object StreamQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def wUser = Window.partitionBy(col("user_id"))
+    .orderBy(col("ts"), col("event_id"))
+
+  val queries: Map[String, Q] = Map(
+    // Per 1-day tumbling window × event_type.
+    "stream_tumbling_counts" -> ((s, dir) => {
+      events(s, dir)
+        .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .select(col("w.start").cast("date").as("day"), col("event_type"),
+          col("n"), col("sum_value"))
+        .orderBy("day", "event_type")
+    }),
+
+    // 24h-wide window sliding every 6h (epoch-aligned, 4 windows/event).
+    "stream_sliding_avg" -> ((s, dir) => {
+      events(s, dir)
+        .groupBy(window(col("ts"), "1 day", "6 hours").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), davg(col("value")).as("avg_value"))
+        .select(unix_millis(col("w.start").cast("timestamp")).as("start_ms"),
+          col("event_type"), col("n"), col("avg_value"))
+        .orderBy("start_ms", "event_type")
+    }),
+
+    // Gap-based sessions (gap > 30 min splits), lag + cumulative-sum form.
+    "stream_session_windows" -> ((s, dir) => {
+      val ms = unix_millis(col("ts").cast("timestamp"))
+      val gapMs = 30L * 60 * 1000
+      val newSession = when(
+        ms - lag(ms, 1).over(wUser) > gapMs || lag(ms, 1).over(wUser).isNull, 1L)
+        .otherwise(0L)
+      events(s, dir)
+        .withColumn("ms", ms)
+        .withColumn("sess", sum(newSession).over(
+          wUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("sess"))
+        .agg(min(col("ms")).as("start_ms"), max(col("ms")).as("end_ms"),
+          count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+        .orderBy("user_id", "sess")
+    }),
+
+    // Dedup on event_id (streaming face: watermark + dropDuplicates).
+    "stream_dedup_watermark" -> ((s, dir) => {
+      events(s, dir)
+        .dropDuplicates("event_id")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          unix_millis(col("ts").cast("timestamp")).as("ts_ms"))
+        .orderBy("event_id")
+    }),
+
+    // Per-user running max emitted per event (streaming face:
+    // flatMapGroupsWithState with a max register per key).
+    "stream_stateful_runningmax" -> ((s, dir) => {
+      events(s, dir)
+        .select(col("user_id"), col("event_id"),
+          max(col("value")).over(
+            wUser.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .as("running_max"))
+        .orderBy("user_id", "event_id")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "stream_tumbling_counts" ->
+      s"""SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+         |count(*) AS n, ${sqlSum("value")} AS sum_value
+         |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
+    "stream_sliding_avg" ->
+      s"""SELECT (epoch_ms(ts) - epoch_ms(ts) % 21600000) - 21600000 * k AS start_ms,
+         |  event_type, count(*) AS n, ${sqlAvg("value")} AS avg_value
+         |FROM events CROSS JOIN (SELECT unnest(range(4)) AS k) ks
+         |GROUP BY 1, 2 ORDER BY start_ms, event_type""".stripMargin,
+    "stream_session_windows" ->
+      s"""WITH e AS (SELECT user_id, event_id, value, epoch_ms(ts) AS ms FROM events),
+         |flagged AS (SELECT *, CASE WHEN ms - lag(ms, 1) OVER w > 1800000
+         |    OR lag(ms, 1) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
+         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)),
+         |sessions AS (SELECT *, SUM(new_sess) OVER (PARTITION BY user_id
+         |    ORDER BY ms, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+         |  FROM flagged)
+         |SELECT user_id, sess, min(ms) AS start_ms, max(ms) AS end_ms,
+         |  count(*) AS n_events, ${sqlSum("value")} AS sum_value
+         |FROM sessions GROUP BY user_id, sess ORDER BY user_id, sess""".stripMargin,
+    "stream_dedup_watermark" ->
+      """SELECT event_id, user_id, event_type, epoch_ms(ts) AS ts_ms
+        |FROM events ORDER BY event_id""".stripMargin,
+    "stream_stateful_runningmax" ->
+      """SELECT user_id, event_id,
+        |  max(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_max
+        |FROM events ORDER BY user_id, event_id""".stripMargin
+  )
+}

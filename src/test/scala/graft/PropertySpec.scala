@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop}
+
+/** §5 property tests: invariants the DuckDB oracle can't express
+  * (engine-pinned sketches, algebraic laws).
+  */
+class PropertySpec extends SparkSpec {
+
+  /** Run a scalacheck property and assert it holds (scalatestplus bridge
+    * isn't on the offline classpath — drive scalacheck directly). */
+  private def check(prop: Prop): Unit = {
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(30), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("approx_count_distinct within 5% of exact on fixtures") {
+    val li = Tables.t(spark, sf, "lineitem")
+    val rows = li.groupBy("l_returnflag")
+      .agg(approx_count_distinct(col("l_partkey")).as("approx"),
+        countDistinct(col("l_partkey")).as("exact"))
+      .collect()
+    rows.foreach { r =>
+      val (a, e) = (r.getLong(1).toDouble, r.getLong(2).toDouble)
+      assert(math.abs(a - e) / e <= 0.05, s"HLL off by >5%: approx=$a exact=$e")
+    }
+  }
+
+  test("minhash LSH output equals exact jaccard dedup at threshold 0.8") {
+    val exact = SparkEntry.queries("dedup_near_jaccard")(spark, sf).collect().toSeq
+    val lsh = SparkEntry.queries("dedup_minhash_lsh")(spark, sf).collect().toSeq
+    assert(exact == lsh, s"exact=${exact.size} pairs, lsh=${lsh.size} pairs")
+  }
+
+  test("minhash candidate recall covers all pairs with J >= 0.9") {
+    // All high-similarity pairs from the exact op must appear in LSH output.
+    val exact = SparkEntry.queries("dedup_near_jaccard")(spark, sf)
+      .filter(col("jac") >= 0.9).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = SparkEntry.queries("dedup_minhash_lsh")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.subsetOf(lsh), s"missed ${(exact -- lsh).size} high-J pairs")
+  }
+
+  test("jaccard is symmetric and within [0,1] on generated token sets") {
+    def jac(a: Set[String], b: Set[String]): Double =
+      if (a.isEmpty && b.isEmpty) 1.0
+      else (a & b).size.toDouble / (a | b).size
+    val genSet = Gen.containerOf[Set, String](Gen.oneOf("a", "b", "c", "d", "e", "f"))
+    check(Prop.forAll(genSet, genSet) { (a, b) =>
+      val j = jac(a, b)
+      j == jac(b, a) && j >= 0.0 && j <= 1.0 && (a != b || j == 1.0)
+    })
+  }
+
+  test("window running sum equals scan-left fold on generated micro-tables") {
+    import spark.implicits._
+    val gen = Gen.listOfN(40, Gen.zip(Gen.choose(1, 4), Gen.choose(-100, 100)))
+    check(Prop.forAll(gen) { rows =>
+      val indexed = rows.zipWithIndex.map { case ((k, v), i) => (k, i.toLong, v.toLong) }
+      if (indexed.isEmpty) true
+      else {
+        val df = indexed.toDF("k", "seq", "v")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("k").orderBy("seq")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+        val got = df.withColumn("rs", sum(col("v")).over(w))
+          .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(3)).toMap
+        val expect = indexed.groupBy(_._1).flatMap { case (k, g) =>
+          val sorted = g.sortBy(_._2)
+          sorted.zip(sorted.scanLeft(0L)(_ + _._3).tail).map {
+            case ((_, seq, _), rs) => (k, seq) -> rs
+          }
+        }
+        got == expect
+      }
+    })
+  }
+
+  test("set algebra: distinct-union idempotent, intersect/except bounds") {
+    val c = Tables.t(spark, sf, "customer").select(col("c_nationkey").as("k"))
+    val su = Tables.t(spark, sf, "supplier").select(col("s_nationkey").as("k"))
+    val a = c.distinct()
+    assert(a.union(a).distinct().count() == a.count())
+    val inter = c.intersect(su).collect().map(_.getInt(0)).toSet
+    val cSet = a.collect().map(_.getInt(0)).toSet
+    val sSet = su.distinct().collect().map(_.getInt(0)).toSet
+    assert(inter.subsetOf(cSet) && inter.subsetOf(sSet))
+    val exc = c.except(su).collect().map(_.getInt(0)).toSet
+    assert(exc.subsetOf(cSet) && (exc & sSet).isEmpty)
+  }
+
+  test("weighted average UDAF matches plain-SQL weighted mean") {
+    val li = Tables.t(spark, sf, "lineitem")
+    val wavg = udaf(graft.functions.WeightedAvg)
+    val got = li.groupBy("l_returnflag")
+      .agg(wavg(col("l_extendedprice"), col("l_quantity")).as("w")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val exp = li.groupBy("l_returnflag")
+      .agg((sum(col("l_extendedprice") * col("l_quantity")) / sum(col("l_quantity")))
+        .as("w")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    got.foreach { case (k, v) => assert(math.abs(v - exp(k)) < 1e-3, s"$k: $v vs ${exp(k)}") }
+  }
+}

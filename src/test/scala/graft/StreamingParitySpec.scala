@@ -1,0 +1,172 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** §2.10(b): Structured Streaming variants of the batch-declared stream
+  * ops, asserted to match the batch results after stream completion
+  * (SURVEY §5). Streams replay the `events` fixture through MemoryStream.
+  */
+case class Ev(event_id: Long, ts_ms: Long, user_id: Long,
+    event_type: String, value: Double)
+
+class StreamingParitySpec extends SparkSpec {
+
+  private lazy val evRows: Seq[Ev] = {
+    val df = Tables.events(spark, sf)
+      .select(col("event_id"), unix_millis(col("ts").cast("timestamp")).as("ts_ms"),
+        col("user_id"), col("event_type"), col("value"))
+    df.collect().toSeq.map(r => Ev(r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getString(3), r.getDouble(4)))
+  }
+
+  /** Run a streaming query over the events replayed in `nBatches` chunks,
+    * complete it, and return the materialized result.
+    */
+  private def runStream(name: String, nBatches: Int, outputMode: OutputMode)(
+      q: DataFrame => DataFrame): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val src = q(mem.toDF().withColumn("ts", timestamp_millis(col("ts_ms"))))
+    val query = src.writeStream.format("memory").queryName(name)
+      .outputMode(outputMode).start()
+    evRows.grouped(math.max(1, evRows.size / nBatches)).foreach { chunk =>
+      mem.addData(chunk)
+      query.processAllAvailable()
+    }
+    query.stop()
+    spark.table(name)
+  }
+
+  private def assertSameRows(a: DataFrame, b: DataFrame, sortCols: Seq[String]): Unit = {
+    val left = a.orderBy(sortCols.map(col): _*).collect().toSeq
+    val right = b.orderBy(sortCols.map(col): _*).collect().toSeq
+    assert(left == right, s"streaming vs batch mismatch: ${left.size} vs ${right.size} rows")
+  }
+
+  test("tumbling window counts: stream == batch") {
+    val streamed = runStream("tumble", 4, OutputMode.Complete()) { df =>
+      df.withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), Det.dsum(col("value")).as("sum_value"))
+        .select(col("w.start").cast("date").as("day"), col("event_type"),
+          col("n"), col("sum_value"))
+    }
+    val batch = StreamQueriesRef.tumbling(spark, sf)
+    assertSameRows(streamed, batch, Seq("day", "event_type"))
+  }
+
+  test("sliding window avg: stream == batch") {
+    val streamed = runStream("slide", 4, OutputMode.Complete()) { df =>
+      df.withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "1 day", "6 hours").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), Det.davg(col("value")).as("avg_value"))
+        .select(unix_millis(col("w.start").cast("timestamp")).as("start_ms"),
+          col("event_type"), col("n"), col("avg_value"))
+    }
+    val batch = StreamQueriesRef.sliding(spark, sf)
+    assertSameRows(streamed, batch, Seq("start_ms", "event_type"))
+  }
+
+  test("session windows: stream session_window == batch lag-sessionization") {
+    val streamed = runStream("sess", 4, OutputMode.Complete()) { df =>
+      df.groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+        .agg(min(unix_millis(col("ts").cast("timestamp"))).as("start_ms"),
+          max(unix_millis(col("ts").cast("timestamp"))).as("end_ms"),
+          count(lit(1)).as("n_events"), Det.dsum(col("value")).as("sum_value"))
+        .drop("w")
+    }
+    // Batch query keys sessions by ordinal; compare on (user, start, end, n, sum).
+    val batch = StreamQueriesRef.sessions(spark, sf).drop("sess")
+    assertSameRows(streamed, batch, Seq("user_id", "start_ms"))
+  }
+
+  test("dedup with watermark drops injected duplicates") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val deduped = mem.toDF().withColumn("ts", timestamp_millis(col("ts_ms")))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("event_id")
+      .select(col("event_id"), col("user_id"))
+    val query = deduped.writeStream.format("memory").queryName("dedup")
+      .outputMode(OutputMode.Append()).start()
+    val half = evRows.take(500)
+    mem.addData(half); query.processAllAvailable()
+    mem.addData(half) // exact duplicates, inside watermark state
+    mem.addData(evRows.drop(500)); query.processAllAvailable()
+    query.stop()
+    val got = spark.table("dedup").count()
+    assert(got == evRows.size, s"expected ${evRows.size} deduped rows, got $got")
+  }
+
+  test("stateful running max via flatMapGroupsWithState == batch window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val out = mem.toDS().groupByKey(_.user_id)
+      .flatMapGroupsWithState[Double, (Long, Long, Double)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (uid, events, state: GroupState[Double]) =>
+          var cur = state.getOption.getOrElse(Double.MinValue)
+          val rows = events.toSeq.sortBy(e => (e.ts_ms, e.event_id)).map { e =>
+            cur = math.max(cur, e.value)
+            (uid, e.event_id, cur)
+          }
+          state.update(cur)
+          rows.iterator
+      }.toDF("user_id", "event_id", "running_max")
+    val query = out.writeStream.format("memory").queryName("runmax")
+      .outputMode(OutputMode.Append()).start()
+    // Chronological chunks so state sees events in ts order across triggers.
+    evRows.sortBy(e => (e.ts_ms, e.event_id)).grouped(250).foreach { c =>
+      mem.addData(c); query.processAllAvailable()
+    }
+    query.stop()
+    val batch = StreamQueriesRef.runningMax(spark, sf)
+    assertSameRows(spark.table("runmax"), batch, Seq("user_id", "event_id"))
+  }
+
+  test("late data beyond watermark is dropped from append output") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val agg = mem.toDF().withColumn("ts", timestamp_millis(col("ts_ms")))
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour").as("w")).agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("ws"), col("n"))
+    val query = agg.writeStream.format("memory").queryName("late")
+      .outputMode(OutputMode.Append()).start()
+    val t0 = 1700000000000L // hour-aligned-ish base
+    def ev(id: Long, ms: Long) = Ev(id, ms, 1L, "click", 1.0)
+    mem.addData(ev(1, t0), ev(2, t0 + 60000)); query.processAllAvailable()
+    // Advance watermark far past the first window's end → it finalizes.
+    mem.addData(ev(3, t0 + 4 * 3600 * 1000L)); query.processAllAvailable()
+    val afterClose = spark.table("late").collect().map(r => r.getLong(1)).toSeq
+    // A late event for the (closed) first window must be discarded.
+    mem.addData(ev(4, t0 + 120000)); query.processAllAvailable()
+    mem.addData(ev(5, t0 + 5 * 3600 * 1000L)); query.processAllAvailable()
+    query.stop()
+    val finalRows = spark.table("late").collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1))).toMap
+    val firstWindowCounts = finalRows.filter(_._1.getTime <= t0).values
+    assert(afterClose.sum == firstWindowCounts.sum,
+      s"late row leaked into closed window: $finalRows")
+  }
+}
+
+/** Batch-side references shared with the declared queries. */
+object StreamQueriesRef {
+  import graft.streaming.StreamQueries
+  def tumbling(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    StreamQueries.queries("stream_tumbling_counts")(s, dir)
+  def sliding(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    StreamQueries.queries("stream_sliding_avg")(s, dir)
+  def sessions(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    StreamQueries.queries("stream_session_windows")(s, dir)
+  def runningMax(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    StreamQueries.queries("stream_stateful_runningmax")(s, dir)
+}
