@@ -15,12 +15,14 @@ object SparkEntry {
     ScanQueries.queries ++ FilterQueries.queries ++ JoinQueries.queries ++
       AggQueries.queries ++ WindowQueries.queries ++ SortSetQueries.queries ++
       ScalarQueries.queries ++ SemiStructuredQueries.queries ++
-      TextQueries.queries ++ SimQueries.queries ++ StreamQueries.queries
+      TextQueries.queries ++ SimQueries.queries ++ StreamQueries.queries ++
+      PipelineQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     ScanQueries.oracle ++ FilterQueries.oracle ++ JoinQueries.oracle ++
       AggQueries.oracle ++ WindowQueries.oracle ++ SortSetQueries.oracle ++
       ScalarQueries.oracle ++ SemiStructuredQueries.oracle ++
-      TextQueries.oracle ++ SimQueries.oracle ++ StreamQueries.oracle
+      TextQueries.oracle ++ SimQueries.oracle ++ StreamQueries.oracle ++
+      PipelineQueries.oracle
 }

@@ -40,9 +40,19 @@ object Det {
   /** Exact, order-independent SUM of a money-like double, rounded to 4dp. */
   def dsum(c: Column): Column = round(sum(c.cast(D)), 4).cast("double")
 
+  /** 4dp round of a DOUBLE that is bit-identical to DuckDB's
+    * `ROUND(x, 4)`: DuckDB computes `round(x·10⁴)/10⁴` (one extra double
+    * multiply), which near an exact decimal tie (e.g. an average landing
+    * on …5) can round the opposite way from Spark's BigDecimal-exact
+    * `round(x, 4)`. Reproducing the multiply on the Spark side makes both
+    * engines take the same branch on every input (both round scale-0
+    * half-away-from-zero).
+    */
+  def r4d(c: Column): Column = round(c * lit(10000.0)) / lit(10000.0)
+
   /** Order-independent AVG: exact decimal sum, one double division, 4dp. */
   def davg(c: Column): Column =
-    round(sum(c.cast(D)).cast("double") / count(lit(1)), 4)
+    r4d(sum(c.cast(D)).cast("double") / count(lit(1)))
 
   /** Deterministic per-row 4dp round of an exact-decimal-valued double. */
   def r4(c: Column): Column = round(c.cast(D), 4).cast("double")

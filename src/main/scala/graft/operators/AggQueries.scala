@@ -149,9 +149,9 @@ object AggQueries {
           sum((col("value") * col("value")).cast(D)).as("s2d"),
           expr("percentile(value, 0.5D)").as("med"))
         .select(col("event_type"), col("n"),
-          round((s2 - s1 * s1 / n) / (n - lit(1.0)), 4).as("var_samp"),
-          round(sqrt((s2 - s1 * s1 / n) / (n - lit(1.0))), 4).as("stddev_samp"),
-          round(col("med"), 4).as("median"))
+          r4d((s2 - s1 * s1 / n) / (n - lit(1.0))).as("var_samp"),
+          r4d(sqrt((s2 - s1 * s1 / n) / (n - lit(1.0)))).as("stddev_samp"),
+          r4d(col("med")).as("median"))
         .orderBy(col("event_type"))
     }),
 

@@ -1,0 +1,320 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables.t
+import graft.Det.r4d
+
+/** Training-data-pipeline operators beyond SURVEY §2's reference surface
+  * (declared in SURVEY §2.12): language ID, quality scoring, token
+  * counting, fingerprinting, n-gram/simhash/embedding near-dup, IVF ANN,
+  * and multimodal binary-column plumbing.
+  *
+  * Scale notes per op are inline; the common theme: per-doc ops are
+  * shuffle-free HOFs; corpus-level models (lang profiles, centroids) are
+  * tiny aggregates broadcast back — the big table never shuffles twice.
+  */
+object PipelineQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, e) => acc + e)
+
+  private val STOPWORDS = Seq("the", "a", "of", "to", "and", "in")
+
+  val queries: Map[String, Q] = Map(
+    // Naive-Bayes language ID: per-lang token profiles (Laplace-smoothed,
+    // learned from the corpus itself), per-doc argmax score. The profile
+    // is |vocab|×|langs| rows — broadcast; docs shuffle once on doc_id.
+    "text_langid" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val tok = docs.select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("token"))
+      val lt = tok.groupBy(col("lang").as("p_lang"), col("token"))
+        .agg(count(lit(1)).as("ct"))
+      val tot = tok.groupBy(col("lang").as("p_lang")).agg(count(lit(1)).as("tot"))
+      val vocab = tok.agg(countDistinct(col("token")).as("v"))
+      val prof = tok.select("token").distinct()
+        .crossJoin(docs.select(col("lang").as("p_lang")).distinct())
+        .join(lt, Seq("p_lang", "token"), "left")
+        .join(tot, Seq("p_lang")).crossJoin(broadcast(vocab))
+        .select(col("p_lang"), col("token"),
+          log((coalesce(col("ct"), lit(0L)) + 1).cast("double")
+            / (col("tot") + col("v"))).cast("decimal(38,8)").as("lnp"))
+      val scored = tok.join(broadcast(prof), Seq("token"))
+        .groupBy(col("doc_id"), col("lang"), col("p_lang"))
+        .agg(sum(col("lnp")).as("score"))
+      val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("p_lang"))
+      scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("doc_id"), col("lang"), col("p_lang").as("pred_lang"),
+          when(col("lang") === col("p_lang"), 1L).otherwise(0L).as("correct"),
+          r4d(col("score").cast("double")).as("score"))
+        .orderBy("doc_id")
+    }),
+
+    // Composite quality score: length, stopword ratio, lexical diversity.
+    "text_quality_score" -> ((s, dir) => {
+      val toks = split(col("text"), " ")
+      val nt = size(toks).cast("double")
+      val nStop = size(filter(toks, tk => tk.isin(STOPWORDS: _*))).cast("double")
+      val nd = size(array_distinct(toks)).cast("double")
+      val stopRatio = nStop / nt
+      val diversity = nd / nt
+      val lenScore = least(lit(1.0), nt / 50.0)
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        nt.cast("long").as("n_tokens"),
+        nd.cast("long").as("n_distinct"),
+        r4d(stopRatio).as("stop_ratio"),
+        r4d(diversity).as("diversity"),
+        r4d(lit(0.4) * lenScore + lit(0.3) * (lit(1.0) - stopRatio)
+          + lit(0.3) * diversity).as("quality"))
+        .orderBy("doc_id")
+    }),
+
+    // Token counting: whitespace, regex word-piece-ish, and a bytes/3.5
+    // BPE-budget estimate.
+    "text_token_count_bpe" -> ((s, dir) => {
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_ws"),
+        expr("regexp_count(text, '[a-z]+')").cast("long").as("n_re"),
+        ceil(col("n_chars") / 3.5).as("est_bpe"))
+        .orderBy("doc_id")
+    }),
+
+    // Content fingerprint: md5 over normalized tokens + 3-gram shingle
+    // stats (the shingle set is the input to minhash-style sketches).
+    "text_fingerprint" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .filter(size(col("toks")) >= 3)
+        .select(col("doc_id"),
+          md5(concat_ws(" ", col("toks"))).as("fp"),
+          expr("array_distinct(transform(sequence(0, size(toks)-3), " +
+            "i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])))").as("sh"))
+        .select(col("doc_id"), col("fp"),
+          size(col("sh")).cast("long").as("n_shingles"),
+          array_min(col("sh")).as("min_shingle"))
+        .orderBy("doc_id")
+    }),
+
+    // Near-dup on 3-gram shingle Jaccard (more discriminative than
+    // unigram sets); same inverted-index shape as dedup_near_jaccard.
+    "dedup_ngram_jaccard" -> ((s, dir) => {
+      val sh = t(s, dir, "documents").filter(col("doc_id") < 1000)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .filter(size(col("toks")) >= 3)
+        .select(col("doc_id"), explode(expr(
+          "array_distinct(transform(sequence(0, size(toks)-3), " +
+            "i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])))")).as("tok"))
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      val inter = sh.select(col("doc_id").as("i"), col("tok"))
+        .join(sh.select(col("doc_id").as("j"), col("tok")), Seq("tok"))
+        .filter(col("i") < col("j"))
+        .groupBy("i", "j").agg(count(lit(1)).as("c"))
+      inter
+        .join(sizes.select(col("doc_id").as("i"), col("sz").as("sa")), Seq("i"))
+        .join(sizes.select(col("doc_id").as("j"), col("sz").as("sb")), Seq("j"))
+        .withColumn("jac", col("c").cast("double") / (col("sa") + col("sb") - col("c")))
+        .filter(col("jac") >= 0.5)
+        .select(col("i").as("doc_i"), col("j").as("doc_j"), r4d(col("jac")).as("jac"))
+        .orderBy("doc_i", "doc_j")
+    }),
+
+    // 64-bit SimHash over the token set (xxhash64 bit votes), pairs with
+    // hamming ≤ 10. Engine-pinned hash → no oracle; property-tested.
+    // At 100 TB you'd LSH-band the 64 bits (4×16-bit blocks) instead of
+    // the all-pairs join used at this bounded size.
+    "dedup_simhash" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 1000)
+        .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("toks"))
+      val sh = docs.withColumn("sim", expr(
+        "aggregate(sequence(0, 63), 0L, (acc, b) -> acc + " +
+          "if(aggregate(toks, 0L, (a, t) -> a + " +
+          "if(((xxhash64(t) >> b) & 1) = 1, 1L, -1L)) > 0, shiftleft(1L, b), 0L))"))
+        .select(col("doc_id"), col("sim"))
+      sh.select(col("doc_id").as("i"), col("sim").as("si"))
+        .join(sh.select(col("doc_id").as("j"), col("sim").as("sj")), col("i") < col("j"))
+        .withColumn("hamming", expr("bit_count(si ^ sj)").cast("long"))
+        .filter(col("hamming") <= 10)
+        .select(col("i").as("doc_i"), col("j").as("doc_j"), col("hamming"))
+        .orderBy("doc_i", "doc_j")
+    }),
+
+    // Embedding-cosine near-dup (threshold tuned to this corpus' cosine
+    // distribution: max pairwise ≈ 0.51).
+    "dedup_embedding_cosine" -> ((s, dir) => {
+      // Pre-normalize once per vector (O(n) norms) so the O(n²) pair loop
+      // does a single dot product — mirrored in the oracle SQL so both
+      // engines run the identical float sequence.
+      val normed = t(s, dir, "embeddings").filter(col("vec_id") < 1000)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+        .select(col("vec_id"), expr("transform(v, x -> x / nrm)").as("u"))
+      normed.select(col("vec_id").as("i"), col("u").as("ui"))
+        .join(normed.select(col("vec_id").as("j"), col("u").as("uj")), col("i") < col("j"))
+        .withColumn("cos", dot(col("ui"), col("uj")))
+        .filter(col("cos") >= 0.35)
+        .select(col("i"), col("j"), round(col("cos"), 4).as("cos"))
+        .orderBy("i", "j")
+    }),
+
+    // IVF ANN: label = coarse cluster, centroids = exact per-label means,
+    // nprobe=2 closest centroids per probe, exhaustive search only inside
+    // those clusters. The at-scale path: centroid table broadcast, vector
+    // table pre-partitioned by cluster → each probe touches nprobe
+    // partitions instead of a full scan.
+    "sim_ann_ivf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cent = emb.select(col("label"), posexplode(col("embedding")))
+        .groupBy("label", "pos")
+        .agg((sum(col("col").cast("double").cast("decimal(38,12)")).cast("double")
+          / count(lit(1))).as("m"))
+      val cv = cent.groupBy("label")
+        .agg(expr("transform(array_sort(collect_list(struct(pos, m))), x -> x.m)").as("cv"))
+      val probes = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("probe_id"), col("embedding").cast("array<double>").as("p"))
+      val pc = probes.crossJoin(broadcast(cv))
+        .withColumn("cosc", dot(col("p"), col("cv"))
+          / (sqrt(dot(col("p"), col("p"))) * sqrt(dot(col("cv"), col("cv")))))
+      val wLab = Window.partitionBy("probe_id").orderBy(col("cosc").desc, col("label"))
+      val topLab = pc.withColumn("rn", row_number().over(wLab)).filter(col("rn") <= 2)
+        .select(col("probe_id"), col("p"), col("label"))
+      val wK = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("vec_id"))
+      topLab.join(emb.select(col("vec_id"), col("label"),
+          col("embedding").cast("array<double>").as("v")), Seq("label"))
+        .filter(col("vec_id") =!= col("probe_id"))
+        .withColumn("cos", dot(col("p"), col("v"))
+          / (sqrt(dot(col("p"), col("p"))) * sqrt(dot(col("v"), col("v")))))
+        .withColumn("rk", row_number().over(wK)).filter(col("rk") <= 5)
+        .select(col("probe_id"), col("vec_id"), round(col("cos"), 4).as("cos"),
+          col("rk").cast("long").as("rk"))
+        .orderBy("probe_id", "rk")
+    }),
+
+    // Multimodal binary-column plumbing: opaque bytes + typed metadata.
+    // The real decode (image/audio libs absent here) is a deterministic
+    // stub; the Spark-side schema/derivations are real. See
+    // MultimodalSpec for the mapPartitions batch-decode pipeline.
+    "multimodal_stub" -> ((s, dir) => {
+      val bytes = encode(col("text"), "utf-8")
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        length(bytes).cast("long").as("byte_len"),
+        (pmod(col("n_chars"), lit(640)) + 1).as("width"),
+        (pmod(col("doc_id"), lit(480)) + 1).as("height"),
+        lit(3L).as("channels"),
+        md5(bytes).as("content_md5"),
+        ascii(substring(col("text"), 1, 1)).cast("long").as("first_byte"),
+        ceil(length(bytes) / lit(1024.0)).as("est_kb"))
+        .orderBy("doc_id")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "text_langid" ->
+      """WITH tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token FROM documents),
+        |lt AS (SELECT lang AS p_lang, token, count(*) AS ct FROM tok GROUP BY 1, 2),
+        |tot AS (SELECT lang AS p_lang, count(*) AS tot FROM tok GROUP BY 1),
+        |v AS (SELECT count(DISTINCT token) AS v FROM tok),
+        |prof AS (SELECT l.p_lang, tkn.token,
+        |    CAST(ln(CAST(COALESCE(ct, 0) + 1 AS DOUBLE) / (tot + v)) AS DECIMAL(38,8)) AS lnp
+        |  FROM (SELECT DISTINCT token FROM tok) tkn
+        |  CROSS JOIN (SELECT DISTINCT lang AS p_lang FROM documents) l
+        |  JOIN tot ON tot.p_lang = l.p_lang CROSS JOIN v
+        |  LEFT JOIN lt ON lt.p_lang = l.p_lang AND lt.token = tkn.token),
+        |scored AS (SELECT doc_id, lang, p_lang, SUM(lnp) AS score
+        |  FROM tok JOIN prof ON tok.token = prof.token GROUP BY 1, 2, 3)
+        |SELECT doc_id, lang, p_lang AS pred_lang,
+        |  CASE WHEN lang = p_lang THEN 1 ELSE 0 END AS correct,
+        |  ROUND(CAST(score AS DOUBLE), 4) AS score
+        |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY score DESC, p_lang) AS rn FROM scored)
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "text_quality_score" ->
+      """SELECT doc_id,
+        |  len(toks) AS n_tokens, len(list_distinct(toks)) AS n_distinct,
+        |  ROUND(nstop / nt, 4) AS stop_ratio,
+        |  ROUND(nd / nt, 4) AS diversity,
+        |  ROUND(0.4 * least(1.0, nt / 50.0) + 0.3 * (1.0 - nstop / nt)
+        |    + 0.3 * (nd / nt), 4) AS quality
+        |FROM (SELECT doc_id, toks,
+        |    CAST(len(toks) AS DOUBLE) AS nt,
+        |    CAST(len(list_filter(toks,
+        |      t -> t IN ('the','a','of','to','and','in'))) AS DOUBLE) AS nstop,
+        |    CAST(len(list_distinct(toks)) AS DOUBLE) AS nd
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents))
+        |ORDER BY doc_id""".stripMargin,
+    "text_token_count_bpe" ->
+      """SELECT doc_id, len(string_split(text, ' ')) AS n_ws,
+        |  len(regexp_extract_all(text, '[a-z]+')) AS n_re,
+        |  CAST(ceil(n_chars / 3.5) AS BIGINT) AS est_bpe
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_fingerprint" ->
+      """SELECT doc_id, md5(array_to_string(toks, ' ')) AS fp,
+        |  len(sh) AS n_shingles, list_min(sh) AS min_shingle
+        |FROM (SELECT doc_id, toks,
+        |    list_distinct(list_transform(range(len(toks) - 2),
+        |      i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS sh
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+        |  WHERE len(toks) >= 3)
+        |ORDER BY doc_id""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      """WITH sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(len(toks) - 2), i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))) AS tok
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |        WHERE doc_id < 1000) WHERE len(toks) >= 3),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+        |inter AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS c
+        |  FROM sh a JOIN sh b ON a.tok = b.tok AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT i AS doc_i, j AS doc_j, ROUND(jac, 4) AS jac FROM (
+        |  SELECT i, j, CAST(c AS DOUBLE) / (sa.sz + sb.sz - c) AS jac
+        |  FROM inter JOIN sizes sa ON i = sa.doc_id JOIN sizes sb ON j = sb.doc_id)
+        |WHERE jac >= 0.5 ORDER BY doc_i, doc_j""".stripMargin,
+    "dedup_embedding_cosine" ->
+      """WITH normed AS (SELECT vec_id,
+        |    list_transform(CAST(embedding AS DOUBLE[]),
+        |      x -> x / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+        |                                     CAST(embedding AS DOUBLE[])))) AS u
+        |  FROM embeddings WHERE vec_id < 1000)
+        |SELECT i, j, ROUND(cos, 4) AS cos FROM (
+        |  SELECT a.vec_id AS i, b.vec_id AS j, list_dot_product(a.u, b.u) AS cos
+        |  FROM normed a JOIN normed b ON a.vec_id < b.vec_id)
+        |WHERE cos >= 0.35 ORDER BY i, j""".stripMargin,
+    "sim_ann_ivf" ->
+      """WITH cent AS (SELECT label, pos,
+        |    CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS m
+        |  FROM (SELECT label, unnest(range(64)) AS pos, unnest(embedding) AS x FROM embeddings)
+        |  GROUP BY 1, 2),
+        |cv AS (SELECT label, list(m ORDER BY pos) AS cv FROM cent GROUP BY 1),
+        |probes AS (SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS p
+        |  FROM embeddings WHERE vec_id < 10),
+        |pc AS (SELECT probe_id, p, label,
+        |    list_dot_product(p, cv) / (sqrt(list_dot_product(p, p))
+        |      * sqrt(list_dot_product(cv, cv))) AS cosc
+        |  FROM probes CROSS JOIN cv),
+        |toplab AS (SELECT probe_id, p, label FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY probe_id
+        |    ORDER BY cosc DESC, label) AS rn FROM pc) WHERE rn <= 2),
+        |cand AS (SELECT probe_id, e.vec_id,
+        |    list_dot_product(p, CAST(e.embedding AS DOUBLE[]))
+        |    / (sqrt(list_dot_product(p, p))
+        |     * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))) AS cos
+        |  FROM toplab JOIN embeddings e ON toplab.label = e.label
+        |  WHERE e.vec_id <> probe_id)
+        |SELECT probe_id, vec_id, ROUND(cos, 4) AS cos, rk FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY probe_id
+        |    ORDER BY cos DESC, vec_id) AS rk FROM cand)
+        |WHERE rk <= 5 ORDER BY probe_id, rk""".stripMargin,
+    "multimodal_stub" ->
+      """SELECT doc_id, length(text) AS byte_len,
+        |  (n_chars % 640) + 1 AS width, (doc_id % 480) + 1 AS height,
+        |  3 AS channels, md5(text) AS content_md5,
+        |  ascii(substring(text, 1, 1)) AS first_byte,
+        |  CAST(ceil(length(text) / 1024.0) AS BIGINT) AS est_kb
+        |FROM documents ORDER BY doc_id""".stripMargin
+    // dedup_simhash: engine-pinned xxhash64 → property-tested, no oracle.
+  )
+}

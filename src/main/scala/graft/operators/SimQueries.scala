@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables.t
+import graft.Det.r4d
 
 /** §2.9 Similarity search over `embeddings` (SURVEY.md).
   *
@@ -58,8 +59,8 @@ object SimQueries {
       t(s, dir, "embeddings")
         .select(col("label"), posexplode(slice(col("embedding"), 1, 8)))
         .groupBy(col("label"), col("pos"))
-        .agg(round(sum(col("col").cast("double").cast("decimal(38,12)"))
-          .cast("double") / count(lit(1)), 4).as("mean"))
+        .agg(r4d(sum(col("col").cast("double").cast("decimal(38,12)"))
+          .cast("double") / count(lit(1))).as("mean"))
         .select(col("label"), col("pos").cast("long").as("pos"), col("mean"))
         .orderBy("label", "pos")
     }),

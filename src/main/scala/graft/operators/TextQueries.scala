@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables.t
+import graft.Det.r4d
 
 /** §2.9 Text analysis & deduplication (SURVEY.md) — the LLM-data-pipeline
   * operators over `documents`.
@@ -33,7 +34,7 @@ object TextQueries {
       .join(sizes.select(col("doc_id").as("j"), col("sz").as("sb")), Seq("j"))
       .withColumn("jac", col("c").cast("double") / (col("sa") + col("sb") - col("c")))
       .filter(col("jac") >= th)
-      .select(col("i").as("doc_i"), col("j").as("doc_j"), round(col("jac"), 4).as("jac"))
+      .select(col("i").as("doc_i"), col("j").as("doc_j"), r4d(col("jac")).as("jac"))
   }
 
   val queries: Map[String, Q] = Map(
@@ -48,9 +49,9 @@ object TextQueries {
       t(s, dir, "documents")
         .groupBy("lang")
         .agg(count(lit(1)).as("n_docs"),
-          round(sum(col("n_chars")).cast("double") / count(lit(1)), 4).as("avg_chars"),
-          round(sum(size(split(col("text"), " ")).cast("long")).cast("double")
-            / count(lit(1)), 4).as("avg_tokens"))
+          r4d(sum(col("n_chars")).cast("double") / count(lit(1))).as("avg_chars"),
+          r4d(sum(size(split(col("text"), " ")).cast("long")).cast("double")
+            / count(lit(1))).as("avg_tokens"))
         .orderBy("lang")
     }),
 
@@ -72,7 +73,7 @@ object TextQueries {
         .groupBy("doc_id", "token").agg(count(lit(1)).as("cnt"))
       cnt.withColumn("total", sum(col("cnt")).over(Window.partitionBy("doc_id")))
         .select(col("doc_id"), col("token"), col("cnt"),
-          round(col("cnt") / col("total"), 4).as("tf"))
+          r4d(col("cnt") / col("total")).as("tf"))
         .orderBy("doc_id", "token")
     }),
 
@@ -91,7 +92,7 @@ object TextQueries {
         .withColumn("score", col("tf") * log(col("n_docs") / col("df")))
       val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("token"))
       scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-        .select(col("doc_id"), col("token"), round(col("score"), 4).as("score"))
+        .select(col("doc_id"), col("token"), r4d(col("score")).as("score"))
         .orderBy("doc_id")
     }),
 
@@ -121,21 +122,25 @@ object TextQueries {
         .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("toks"))
       val sig = docs.withColumn("sig",
         expr("transform(sequence(0, 31), i -> array_min(transform(toks, t -> hash(t, i))))"))
-      val bands = sig.select(col("doc_id"), col("toks"),
+      // Narrow (doc_id, band, band_hash) triples through the shuffle; the
+      // token arrays rejoin (broadcast) only after candidate pairs dedup.
+      val bands = sig.select(col("doc_id"),
         posexplode(expr(
           "transform(sequence(0, 15), b -> hash(sig[2*b], sig[2*b+1]))")))
-        .select(col("doc_id"), col("toks"), col("pos").as("band"), col("col").as("bh"))
-      val cand = bands.select(col("band"), col("bh"), col("doc_id").as("i"), col("toks").as("ta"))
-        .join(bands.select(col("band"), col("bh"), col("doc_id").as("j"), col("toks").as("tb")),
+        .select(col("doc_id"), col("pos").as("band"), col("col").as("bh"))
+      val cand = bands.select(col("band"), col("bh"), col("doc_id").as("i"))
+        .join(bands.select(col("band"), col("bh"), col("doc_id").as("j")),
           Seq("band", "bh"))
         .filter(col("i") < col("j"))
-        .select("i", "j", "ta", "tb").distinct()
+        .select("i", "j").distinct()
       cand
+        .join(broadcast(docs.select(col("doc_id").as("i"), col("toks").as("ta"))), Seq("i"))
+        .join(broadcast(docs.select(col("doc_id").as("j"), col("toks").as("tb"))), Seq("j"))
         .withColumn("c", size(array_intersect(col("ta"), col("tb"))))
         .withColumn("jac", col("c").cast("double")
           / (size(col("ta")) + size(col("tb")) - col("c")))
         .filter(col("jac") >= 0.8)
-        .select(col("i").as("doc_i"), col("j").as("doc_j"), round(col("jac"), 4).as("jac"))
+        .select(col("i").as("doc_i"), col("j").as("doc_j"), r4d(col("jac")).as("jac"))
         .orderBy("doc_i", "doc_j")
     })
   )

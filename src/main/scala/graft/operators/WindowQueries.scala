@@ -74,8 +74,8 @@ object WindowQueries {
         .orderBy(col("ts"), col("event_id")).rowsBetween(-2, 0)
       events(s, dir)
         .select(col("user_id"), col("event_id"),
-          round(sum(col("value").cast(D)).over(w).cast("double")
-            / count(lit(1)).over(w), 4).as("mavg3"))
+          r4d(sum(col("value").cast(D)).over(w).cast("double")
+            / count(lit(1)).over(w)).as("mavg3"))
         .orderBy(col("user_id"), col("event_id"))
     }),
 
@@ -97,8 +97,8 @@ object WindowQueries {
       val w = Window.orderBy(col("o_totalprice"))
       t(s, dir, "orders")
         .select(col("o_orderkey"), col("o_totalprice"),
-          round(percent_rank().over(w), 4).as("pr"),
-          round(cume_dist().over(w), 4).as("cd"))
+          r4d(percent_rank().over(w)).as("pr"),
+          r4d(cume_dist().over(w)).as("cd"))
         .orderBy(col("o_orderkey"))
     }),
 
