@@ -19,7 +19,7 @@ object PipelineQueries {
   type Q = (SparkSession, String) => DataFrame
 
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, e) => acc + e)
+    graft.functions.ArrayDot(a, b)
 
   private val STOPWORDS = Seq("the", "a", "of", "to", "and", "in")
 
@@ -130,11 +130,16 @@ object PipelineQueries {
     "dedup_simhash" -> ((s, dir) => {
       val docs = t(s, dir, "documents").filter(col("doc_id") < 1000)
         .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("toks"))
-      val sh = docs.withColumn("sim", expr(
-        "aggregate(sequence(0, 63), 0L, (acc, b) -> acc + " +
-          "if(aggregate(toks, 0L, (a, t) -> a + " +
-          "if(((xxhash64(t) >> b) & 1) = 1, 1L, -1L)) > 0, shiftleft(1L, b), 0L))"))
-        .select(col("doc_id"), col("sim"))
+      // 64 bit-votes as codegen'd SUM aggregates over exploded tokens
+      // (hash each token once, not 64× inside a nested interpreted HOF).
+      val voteCols = (0 until 64).map(b =>
+        sum(when(expr(s"(h >> $b) & 1") === 1, 1L).otherwise(-1L)).as(s"b$b"))
+      val sh = docs.select(col("doc_id"), explode(col("toks")).as("tok"))
+        .withColumn("h", expr("xxhash64(tok)"))
+        .groupBy("doc_id").agg(voteCols.head, voteCols.tail: _*)
+        .select(col("doc_id"),
+          (0 until 64).map(b => expr(s"if(b$b > 0, ${1L << b}L, 0L)"))
+            .reduce(_ + _).as("sim"))
       sh.select(col("doc_id").as("i"), col("sim").as("si"))
         .join(sh.select(col("doc_id").as("j"), col("sim").as("sj")), col("i") < col("j"))
         .withColumn("hamming", expr("bit_count(si ^ sj)").cast("long"))

@@ -20,7 +20,7 @@ object SimQueries {
   type Q = (SparkSession, String) => DataFrame
 
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, e) => acc + e)
+    graft.functions.ArrayDot(a, b)
 
   /** (probe_id, vec_id, cos) for probes vec_id < 10 against all vectors. */
   private def cosinePairs(s: SparkSession, dir: String): DataFrame = {

@@ -1,0 +1,14 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Minimal bridge into Spark's classic backend: `Column ⇄ Expression`
+  * conversion is `private[sql]` in Spark 4 (the Column API became
+  * backend-agnostic), so custom Catalyst expressions need this one-hop
+  * shim to surface as user-facing Columns. Standard extension-library
+  * technique; nothing else in the engine lives in Spark's namespace.
+  */
+package object graftshim {
+  def toColumn(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def toExpression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}
