@@ -1,0 +1,29 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+import graft.functions.{ArrayDot, DiscountBand, Tokenize}
+
+/** SparkSessionExtensions entry point: registers the engine's custom
+  * Catalyst expressions as permanent SQL functions, so a user can enable
+  * the whole surface with
+  * `--conf spark.sql.extensions=graft.GraftExtensions` (no per-session
+  * registration calls). The query modules also self-register via the
+  * FunctionRegistry for plain sessions; this class is the
+  * deployment-grade path.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((new FunctionIdentifier("array_dot"),
+      new ExpressionInfo(classOf[ArrayDot].getName, "array_dot"),
+      exprs => ArrayDot(exprs(0), exprs(1))))
+    e.injectFunction((new FunctionIdentifier("discount_band"),
+      new ExpressionInfo(classOf[DiscountBand].getName, "discount_band"),
+      exprs => DiscountBand(exprs.head)))
+    e.injectFunction((new FunctionIdentifier("tokenize"),
+      new ExpressionInfo(classOf[Tokenize].getName, "tokenize"),
+      exprs => Tokenize(exprs.head)))
+  }
+}

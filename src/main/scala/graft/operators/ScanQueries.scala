@@ -32,7 +32,7 @@ object ScanQueries {
 
     // Write→read roundtrip through a schema-explicit CSV source.
     "scan_csv_roundtrip" -> ((s, dir) => {
-      val tmp = "/tmp/graft_scratch/csv_nation"
+      val tmp = s"/tmp/graft_scratch/${dir.replaceAll("[^A-Za-z0-9.]", "_")}/csv_nation"
       t(s, dir, "nation").write.mode("overwrite").option("header", "true").csv(tmp)
       s.read.schema("n_nationkey INT, n_name STRING, n_regionkey INT")
         .option("header", "true").csv(tmp)
@@ -41,7 +41,7 @@ object ScanQueries {
 
     // Same roundtrip via JSON lines.
     "scan_json_roundtrip" -> ((s, dir) => {
-      val tmp = "/tmp/graft_scratch/json_region"
+      val tmp = s"/tmp/graft_scratch/${dir.replaceAll("[^A-Za-z0-9.]", "_")}/json_region"
       t(s, dir, "region").write.mode("overwrite").json(tmp)
       s.read.schema("r_regionkey INT, r_name STRING").json(tmp)
         .orderBy(col("r_regionkey"))

@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The spark.sql.extensions deployment path: a fresh session configured
+  * with GraftExtensions exposes the custom expressions as SQL functions
+  * without any registration calls.
+  */
+class ExtensionsSpec extends AnyFunSuite {
+
+  test("GraftExtensions injects array_dot, discount_band, tokenize") {
+    val s = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-ext-test")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try {
+      val dot = s.sql("SELECT array_dot(array(1.0D, 2.0D), array(3.0D, 4.0D))")
+        .head().getDouble(0)
+      assert(dot == 11.0)
+      val band = s.sql("SELECT discount_band(0.05D)").head().getString(0)
+      assert(band == "MID")
+      val toks = s.sql(
+        "SELECT pos, token FROM (SELECT 'a b c' AS t) LATERAL VIEW tokenize(t) x AS pos, token")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      assert(toks == Seq((0L, "a"), (1L, "b"), (2L, "c")))
+    } finally s.close()
+  }
+}

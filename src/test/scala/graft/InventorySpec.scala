@@ -1,0 +1,58 @@
+package graft
+
+/** Pins the declared query keys to the SURVEY §2 inventory (the binding
+  * contract, §0/§2): a key disappearing or being renamed must fail loudly
+  * here, not at the driver's gate.
+  */
+class InventorySpec extends SparkSpec {
+
+  private val inventory: Set[String] = Set(
+    // §2.1 scans
+    "scan_parquet", "scan_schema_prune", "scan_csv_roundtrip", "scan_json_roundtrip",
+    // §2.2 filter/project
+    "filter_simple", "filter_compound", "filter_like", "filter_null_semantics",
+    "project_expressions",
+    // §2.3 joins
+    "join_broadcast_inner", "join_shuffle_inner", "join_left_outer",
+    "join_full_outer", "join_left_semi", "join_left_anti", "join_cross",
+    "join_theta_range", "join_asof", "join_star_multiway", "join_self",
+    // §2.4 aggregation
+    "agg_global", "agg_groupby_pricing", "agg_count_distinct",
+    "agg_approx_distinct", "agg_having", "agg_rollup", "agg_cube",
+    "agg_grouping_sets", "agg_collect_sorted", "agg_first_last", "agg_stats",
+    "custom_udaf_wavg",
+    // §2.5 windows
+    "win_row_number", "win_rank_dense", "win_ntile", "win_lag_lead",
+    "win_running_sum", "win_moving_avg", "win_range_frame", "win_percent_cume",
+    "win_first_last_value", "topk_per_group",
+    // §2.6 sort/set
+    "sort_multikey", "sort_limit_topk", "set_union_all", "set_union_distinct",
+    "set_intersect", "set_except", "dedup_dropduplicates",
+    // §2.7 scalar fns
+    "fn_string_suite", "fn_date_suite", "fn_math_suite", "fn_conditional",
+    "custom_udf_expr",
+    // §2.8 semi-structured
+    "json_get_path", "json_construct", "array_basics", "array_explode",
+    "array_higher_order", "map_ops", "custom_udtf_generator",
+    // §2.9 text/dedup/sim
+    "text_token_counts", "text_doc_stats", "text_ngrams", "text_tf",
+    "text_tfidf_topterm", "dedup_exact_text", "dedup_near_jaccard",
+    "dedup_minhash_lsh", "sim_cosine_pairs", "sim_knn_topk",
+    "sim_centroid_per_label", "multimodal_join",
+    // §2.10 streaming (batch-declared)
+    "stream_tumbling_counts", "stream_sliding_avg", "stream_session_windows",
+    "stream_dedup_watermark", "stream_stateful_runningmax",
+    // §2.12 training-pipeline extras
+    "text_langid", "text_quality_score", "text_token_count_bpe",
+    "text_fingerprint", "dedup_ngram_jaccard", "dedup_simhash",
+    "dedup_embedding_cosine", "sim_ann_ivf", "multimodal_stub")
+
+  test("declared queries cover SURVEY §2 + §2.12 exactly (87 keys)") {
+    assert(inventory.size == 87)
+    val declared = SparkEntry.queries.keySet
+    val missing = inventory -- declared
+    val extra = declared -- inventory
+    assert(missing.isEmpty, s"inventory keys not implemented: $missing")
+    assert(extra.isEmpty, s"implemented keys not in inventory (amend SURVEY §2): $extra")
+  }
+}

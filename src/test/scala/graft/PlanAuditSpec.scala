@@ -1,0 +1,56 @@
+package graft
+
+/** Physical-plan audits: the plans the 100 TB design depends on must stay
+  * the plans Catalyst actually picks. Guards against silent regressions
+  * (a dropped broadcast hint, a filter that stops pushing down) that
+  * correctness tests can't see.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private def plan(name: String): String = {
+    // AQE hides join strategies until execution; disable for inspection.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+    finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("star join broadcasts all four dimension tables") {
+    val p = plan("join_star_multiway")
+    assert("BroadcastHashJoin".r.findAllIn(p).size == 4, p.take(2000))
+  }
+
+  test("simple filter pushes down to the parquet scan") {
+    val p = plan("filter_simple")
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,45.0)]"),
+      p.take(2000))
+  }
+
+  test("schema-pruned scan reads only the two projected columns") {
+    val p = plan("scan_schema_prune")
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int>"),
+      p.take(2000))
+  }
+
+  test("global top-k collapses to TakeOrderedAndProject") {
+    val p = plan("sort_limit_topk")
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+  }
+
+  test("semi/anti joins stay semi/anti (no materialized full join)") {
+    assert(plan("join_left_semi").contains("LeftSemi"), "left_semi lost")
+    assert(plan("join_left_anti").contains("LeftAnti"), "left_anti lost")
+  }
+
+  test("flagship aggregation is two-phase hash aggregate") {
+    val p = plan("agg_groupby_pricing")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(2000))
+  }
+
+  test("no accidental cartesian products in equi-join queries") {
+    for (q <- Seq("join_shuffle_inner", "join_broadcast_inner", "join_self",
+      "text_tfidf_topterm", "agg_having")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
+    }
+  }
+}
