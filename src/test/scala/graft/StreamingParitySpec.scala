@@ -84,6 +84,30 @@ class StreamingParitySpec extends SparkSpec {
     assertSameRows(streamed, batch, Seq("user_id", "start_ms"))
   }
 
+  test("file-source replay of events.parquet matches batch tumbling counts") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // The file stream source lists a directory; stage the fixture into one.
+    val stage = java.nio.file.Files.createTempDirectory("graft_stream_src")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      stage.resolve("events.parquet"))
+    val schema = "event_id LONG, ts LONG, user_id LONG, event_type STRING, " +
+      "value DOUBLE, props STRING"
+    val streamed = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(stage.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), Det.dsum(col("value")).as("sum_value"))
+      .select(col("w.start").cast("date").as("day"), col("event_type"),
+        col("n"), col("sum_value"))
+    val query = streamed.writeStream.format("memory").queryName("filetumble")
+      .outputMode(OutputMode.Complete()).start()
+    query.processAllAvailable()
+    query.stop()
+    assertSameRows(spark.table("filetumble"),
+      StreamQueriesRef.tumbling(spark, sf), Seq("day", "event_type"))
+  }
+
   test("dedup with watermark drops injected duplicates") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
