@@ -109,18 +109,7 @@ object PipelineQueries {
         .select(col("doc_id"), explode(expr(
           "array_distinct(transform(sequence(0, size(toks)-3), " +
             "i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])))")).as("tok"))
-      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-      val inter = sh.select(col("doc_id").as("i"), col("tok"))
-        .join(sh.select(col("doc_id").as("j"), col("tok")), Seq("tok"))
-        .filter(col("i") < col("j"))
-        .groupBy("i", "j").agg(count(lit(1)).as("c"))
-      inter
-        .join(sizes.select(col("doc_id").as("i"), col("sz").as("sa")), Seq("i"))
-        .join(sizes.select(col("doc_id").as("j"), col("sz").as("sb")), Seq("j"))
-        .withColumn("jac", col("c").cast("double") / (col("sa") + col("sb") - col("c")))
-        .filter(col("jac") >= 0.5)
-        .select(col("i").as("doc_i"), col("j").as("doc_j"), r4d(col("jac")).as("jac"))
-        .orderBy("doc_i", "doc_j")
+      Jaccard.pairs(sh, 0.5).orderBy("doc_i", "doc_j")
     }),
 
     // 64-bit SimHash over the token set (xxhash64 bit votes), pairs with

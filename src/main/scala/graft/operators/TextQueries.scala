@@ -21,21 +21,11 @@ object TextQueries {
   type Q = (SparkSession, String) => DataFrame
 
   /** Exact pairwise token-set Jaccard for doc_id < `cap`, threshold `th`. */
-  private def exactJaccard(s: SparkSession, dir: String, cap: Int, th: Double): DataFrame = {
-    val toks = t(s, dir, "documents").filter(col("doc_id") < cap)
-      .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("tok"))
-    val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val inter = toks.select(col("doc_id").as("i"), col("tok"))
-      .join(toks.select(col("doc_id").as("j"), col("tok")), Seq("tok"))
-      .filter(col("i") < col("j"))
-      .groupBy("i", "j").agg(count(lit(1)).as("c"))
-    inter
-      .join(sizes.select(col("doc_id").as("i"), col("sz").as("sa")), Seq("i"))
-      .join(sizes.select(col("doc_id").as("j"), col("sz").as("sb")), Seq("j"))
-      .withColumn("jac", col("c").cast("double") / (col("sa") + col("sb") - col("c")))
-      .filter(col("jac") >= th)
-      .select(col("i").as("doc_i"), col("j").as("doc_j"), r4d(col("jac")).as("jac"))
-  }
+  private def exactJaccard(s: SparkSession, dir: String, cap: Int, th: Double): DataFrame =
+    Jaccard.pairs(
+      t(s, dir, "documents").filter(col("doc_id") < cap)
+        .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("tok")),
+      th)
 
   val queries: Map[String, Q] = Map(
     "text_token_counts" -> ((s, dir) => {
