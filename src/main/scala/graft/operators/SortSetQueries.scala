@@ -53,14 +53,15 @@ object SortSetQueries {
         .orderBy(col("nationkey"))
     }),
 
-    // Nations with a high-balance customer but no high-balance supplier
-    // (thresholded so the difference is non-degenerate at every SF).
+    // 'F'-status orders with no returned lineitem. Both sides scale with
+    // the data, so the difference stays non-degenerate at every SF (a
+    // nationkey-based variant saturated all 25 nations at sf0.1).
     "set_except" -> ((s, dir) => {
-      t(s, dir, "customer").filter(col("c_acctbal") > 8000)
-        .select(col("c_nationkey").as("nationkey"))
-        .except(t(s, dir, "supplier").filter(col("s_acctbal") > 8000)
-          .select(col("s_nationkey")))
-        .orderBy(col("nationkey"))
+      t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey").as("orderkey"))
+        .except(t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+          .select(col("l_orderkey")))
+        .orderBy(col("orderkey"))
     }),
 
     // Keyed dedup keeping the lowest event_id — deterministic via rank=1.
@@ -94,9 +95,9 @@ object SortSetQueries {
       """SELECT c_nationkey AS nationkey FROM customer
         |INTERSECT SELECT s_nationkey FROM supplier ORDER BY nationkey""".stripMargin,
     "set_except" ->
-      """SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 8000
-        |EXCEPT SELECT s_nationkey FROM supplier WHERE s_acctbal > 8000
-        |ORDER BY nationkey""".stripMargin,
+      """SELECT o_orderkey AS orderkey FROM orders WHERE o_orderstatus = 'F'
+        |EXCEPT SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R'
+        |ORDER BY orderkey""".stripMargin,
     "dedup_dropduplicates" ->
       """SELECT user_id, event_type, event_id, value FROM (
         |  SELECT user_id, event_type, event_id, value,
