@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.plans.TopKPerGroup
+
+/** The custom LogicalPlan + Strategy + SparkPlan operator must return
+  * exactly the window-based top-k (the oracle-checked `topk_per_group`
+  * semantics) while planning as partial→exchange→final bounded heaps.
+  */
+class TopKSpec extends SparkSpec {
+
+  test("TopKPerGroup == window row_number top-3, planned as 2-phase heaps") {
+    val o = Tables.t(spark, sf, "orders")
+    val got = TopKPerGroup(o, 3,
+      Seq("o_custkey"), Seq(("o_totalprice", false), ("o_orderkey", true)))
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_custkey"), col("o_totalprice").desc, col("o_orderkey"))
+      .collect().toSeq
+    val expected = SparkEntry.queries("topk_per_group")(spark, sf)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .collect().toSeq
+    assert(got == expected, s"${got.size} vs ${expected.size} rows")
+
+    val plan = TopKPerGroup(o, 3,
+      Seq("o_custkey"), Seq(("o_totalprice", false), ("o_orderkey", true)))
+      .queryExecution.executedPlan.toString
+    assert("TopKPerGroup 3".r.findAllIn(plan).size == 2, plan.take(1500))
+    assert(plan.contains("Exchange hashpartitioning"), plan.take(1500))
+  }
+
+  test("TopKPerGroup with k=1 matches min_by per group") {
+    val e = Tables.events(spark, sf)
+    val got = TopKPerGroup(e.select(col("user_id"), col("event_id"), col("value")),
+      1, Seq("user_id"), Seq(("event_id", true)))
+      .select(col("user_id"), col("event_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val expected = e.groupBy("user_id").agg(min(col("event_id")).as("m"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == expected)
+  }
+}
