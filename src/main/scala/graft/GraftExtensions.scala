@@ -16,6 +16,7 @@ import graft.functions.{ArrayDot, DiscountBand, Tokenize}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
     e.injectFunction((new FunctionIdentifier("array_dot"),
       new ExpressionInfo(classOf[ArrayDot].getName, "array_dot"),
       exprs => ArrayDot(exprs(0), exprs(1))))

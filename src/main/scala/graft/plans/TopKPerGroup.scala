@@ -18,10 +18,16 @@ import org.apache.spark.sql.graftshim
   * Why not `row_number().over(w) <= k`? The window form shuffles and
   * sorts EVERY row of every group. This operator runs a bounded-heap
   * partial pass before the exchange, so only ≤ k rows per (group ×
-  * input-partition) are shuffled, then a final heap pass per group — at
-  * 100 TB the shuffle shrinks from |rows| to ~k·|groups|·p fragments,
-  * and nothing is globally sorted. Ties must be broken by the caller's
-  * ordering (same contract as the window form).
+  * input-partition) are shuffled, then a final heap pass per group — the
+  * shuffle shrinks from |rows| to ~k·|groups|·p fragments, and nothing
+  * is globally sorted. Ties must be broken by the caller's ordering
+  * (same contract as the window form).
+  *
+  * Memory model: each task holds O(k · |groups in its partition|) rows
+  * on-heap with no spilling — right when the group key is a bounded
+  * entity (customers, users). For near-unique group keys prefer the
+  * window rank ≤ k form, whose sort spills via UnsafeExternalSorter;
+  * a spillable-map variant is the known follow-up.
   */
 case class TopKPerGroupNode(k: Int, part: Seq[Expression],
     order: Seq[SortOrder], child: LogicalPlan) extends UnaryNode {
@@ -40,20 +46,33 @@ case class TopKPerGroupExec(k: Int, part: Seq[Expression],
     if (partial) UnspecifiedDistribution :: Nil
     else ClusteredDistribution(part) :: Nil
 
+  // Rows pass through unchanged, so the child's (post-exchange)
+  // clustering survives — without this, a downstream groupBy on the same
+  // key would re-shuffle rows that are already clustered.
+  override def outputPartitioning: org.apache.spark.sql.catalyst.plans.physical.Partitioning =
+    child.outputPartitioning
+
   override protected def doExecute(): RDD[InternalRow] = {
     val kk = k
     val partExprs = part
     val orderExprs = order
     val childOutput = child.output
     val emitSorted = !partial
+    if (kk <= 0) return child.execute().mapPartitions(_ => Iterator.empty)
     child.execute().mapPartitions({ iter =>
       val baseOrd = GenerateOrdering.generate(orderExprs, childOutput)
       // PriorityQueue head = MAX by cmp = the worst row currently kept.
       val cmp: Ordering[UnsafeRow] = (a: UnsafeRow, b: UnsafeRow) => baseOrd.compare(a, b)
       val keyProj = UnsafeProjection.create(partExprs, childOutput)
+      // Children emit UnsafeRow in practice; don't assume it (a custom
+      // upstream operator may emit generic rows).
+      val toUnsafe = UnsafeProjection.create(childOutput, childOutput)
       val heaps = mutable.LinkedHashMap.empty[UnsafeRow, mutable.PriorityQueue[UnsafeRow]]
       iter.foreach { r =>
-        val row = r.asInstanceOf[UnsafeRow]
+        val row = r match {
+          case u: UnsafeRow => u
+          case other => toUnsafe(other)
+        }
         val key = keyProj(row)
         val heap = heaps.get(key) match {
           case Some(h) => h
@@ -96,12 +115,26 @@ object TopKPerGroup {
     */
   def apply(df: DataFrame, k: Int, partNames: Seq[String],
       orderSpec: Seq[(String, Boolean)]): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(partNames.nonEmpty,
+      "partNames must be non-empty (for global top-k use orderBy(...).limit(k))")
+    require(orderSpec.nonEmpty, "orderSpec must be non-empty")
     val spark: SparkSession = df.sparkSession
     graftshim.addStrategy(spark, TopKStrategy)
     val analyzed = df.queryExecution.analyzed
-    def attr(n: String): Attribute = analyzed.output.find(_.name == n)
-      .getOrElse(throw new IllegalArgumentException(
-        s"column $n not in ${analyzed.output.map(_.name).mkString(", ")}"))
+    val caseSensitive =
+      spark.conf.get("spark.sql.caseSensitive", "false").toBoolean
+    def attr(n: String): Attribute = {
+      val matches = analyzed.output.filter(a =>
+        if (caseSensitive) a.name == n else a.name.equalsIgnoreCase(n))
+      matches match {
+        case Seq(one) => one
+        case Seq() => throw new IllegalArgumentException(
+          s"column $n not in ${analyzed.output.map(_.name).mkString(", ")}")
+        case many => throw new IllegalArgumentException(
+          s"column $n is ambiguous: ${many.mkString(", ")}")
+      }
+    }
     val order = orderSpec.map { case (n, asc) =>
       SortOrder(attr(n), if (asc) Ascending else Descending)
     }

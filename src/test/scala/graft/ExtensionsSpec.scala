@@ -10,6 +10,10 @@ import org.scalatest.funsuite.AnyFunSuite
 class ExtensionsSpec extends AnyFunSuite {
 
   test("GraftExtensions injects array_dot, discount_band, tokenize") {
+    // Extensions apply at session creation; getOrCreate would silently
+    // reuse another suite's session — force a fresh one (shared context).
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
     val s = SparkSession.builder()
       .master("local[2]")
       .appName("graft-ext-test")
@@ -27,6 +31,11 @@ class ExtensionsSpec extends AnyFunSuite {
         "SELECT pos, token FROM (SELECT 'a b c' AS t) LATERAL VIEW tokenize(t) x AS pos, token")
         .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
       assert(toks == Seq((0L, "a"), (1L, "b"), (2L, "c")))
-    } finally s.close()
+      assert(s.sessionState.planner.strategies.exists(_.toString.contains("TopKStrategy"))
+        || s.sessionState.planner.extraPlanningStrategies.nonEmpty)
+    } finally {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+    }
   }
 }
