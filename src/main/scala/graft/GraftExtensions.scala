@@ -15,16 +15,27 @@ import graft.functions.{ArrayDot, DiscountBand, Tokenize}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
+  private def arity(name: String, n: Int)(
+      f: Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+        org.apache.spark.sql.catalyst.expressions.Expression):
+      Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+        org.apache.spark.sql.catalyst.expressions.Expression =
+    exprs => {
+      if (exprs.length != n) throw new IllegalArgumentException(
+        s"$name expects $n argument(s), got ${exprs.length}")
+      f(exprs)
+    }
+
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
     e.injectFunction((new FunctionIdentifier("array_dot"),
       new ExpressionInfo(classOf[ArrayDot].getName, "array_dot"),
-      exprs => ArrayDot(exprs(0), exprs(1))))
+      arity("array_dot", 2)(exprs => ArrayDot(exprs(0), exprs(1)))))
     e.injectFunction((new FunctionIdentifier("discount_band"),
       new ExpressionInfo(classOf[DiscountBand].getName, "discount_band"),
-      exprs => DiscountBand(exprs.head)))
+      arity("discount_band", 1)(exprs => DiscountBand(exprs.head))))
     e.injectFunction((new FunctionIdentifier("tokenize"),
       new ExpressionInfo(classOf[Tokenize].getName, "tokenize"),
-      exprs => Tokenize(exprs.head)))
+      arity("tokenize", 1)(exprs => Tokenize(exprs.head))))
   }
 }

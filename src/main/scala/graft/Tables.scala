@@ -17,6 +17,12 @@ object Tables {
     * natively; read it as raw nanos (legacy conf) and convert to a µs
     * TIMESTAMP_NTZ. Lossless: the fixture carries no sub-µs digits
     * (verified; SURVEY §1.3), and NTZ matches DuckDB's naive reading.
+    *
+    * Deliberate side effect: the session keeps nanosAsLong enabled after
+    * this call (restoring it mid-plan risks executor-side schema
+    * re-conversion under the old conf). Consequence: other NANOS parquet
+    * columns read later in the same session surface as LONG nanos —
+    * visible in the schema, not silently wrong timestamps.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

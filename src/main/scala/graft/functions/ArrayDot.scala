@@ -32,13 +32,24 @@ case class ArrayDot(left: Expression, right: Expression) extends BinaryExpressio
   override def dataType: DataType = DoubleType
   override def prettyName: String = "array_dot"
 
+  // Mismatched lengths are a data error (fail loudly, like DuckDB's
+  // list_dot_product); a null element nulls the result (like the
+  // aggregate/zip_with HOF form, where null propagates through the fold).
+  override def nullable: Boolean = true
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (y.numElements() != n) throw new IllegalArgumentException(
+      s"array_dot: length mismatch ($n vs ${y.numElements()})")
     var sum = 0.0
     var k = 0
-    while (k < n) { sum += x.getDouble(k) * y.getDouble(k); k += 1 }
+    while (k < n) {
+      if (x.isNullAt(k) || y.isNullAt(k)) return null
+      sum += x.getDouble(k) * y.getDouble(k)
+      k += 1
+    }
     sum
   }
 
@@ -48,9 +59,14 @@ case class ArrayDot(left: Expression, right: Expression) extends BinaryExpressio
       val k = ctx.freshName("k")
       val sum = ctx.freshName("sum")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
+         |if ($b.numElements() != $n) {
+         |  throw new IllegalArgumentException(
+         |    "array_dot: length mismatch (" + $n + " vs " + $b.numElements() + ")");
+         |}
          |double $sum = 0.0;
          |for (int $k = 0; $k < $n; $k++) {
+         |  if ($a.isNullAt($k) || $b.isNullAt($k)) { ${ev.isNull} = true; break; }
          |  $sum += $a.getDouble($k) * $b.getDouble($k);
          |}
          |${ev.value} = $sum;

@@ -29,7 +29,9 @@ case class Tokenize(child: Expression) extends Generator with CodegenFallback {
     val s = child.eval(input)
     if (s == null) Iterator.empty
     else {
-      val toks = s.asInstanceOf[UTF8String].toString.split(' ')
+      // limit = -1 keeps trailing empty tokens, matching Spark's split()
+      // and DuckDB's string_split (Java's 1-arg split drops them).
+      val toks = s.asInstanceOf[UTF8String].toString.split(" ", -1)
       toks.iterator.zipWithIndex.map { case (tok, i) =>
         InternalRow(i.toLong, UTF8String.fromString(tok))
       }

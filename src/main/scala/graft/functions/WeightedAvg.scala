@@ -31,8 +31,14 @@ object WeightedAvg
 
   override def finish(b: (BigDecimal, BigDecimal)): Double =
     if (b._2.signum == 0) 0.0
-    else BigDecimal(b._1.toDouble / b._2.toDouble)
-      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    else {
+      // Multiply-form 4dp rounding, matching DuckDB ROUND(double, 4) and
+      // Det.r4d bit-for-bit (BigDecimal-exact rounding of the quotient
+      // takes the opposite branch near decimal ties).
+      val q = b._1.toDouble / b._2.toDouble
+      BigDecimal(q * 10000.0)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble / 10000.0
+    }
 
   override def bufferEncoder: Encoder[(BigDecimal, BigDecimal)] =
     ExpressionEncoder[(BigDecimal, BigDecimal)]()

@@ -125,9 +125,11 @@ object AggQueries {
     }),
 
     // First/last event per user by (ts, event_id) via min_by/max_by on a
-    // synthetic total-order key (epoch_ms·10⁶ + event_id).
+    // synthetic total-order key: epoch_ms·2²² + event_id. Valid while
+    // event_id < 4,194,304 (≈ sf40 for this fixture family); beyond that
+    // use a row_number formulation — the ordinal would alias.
     "agg_first_last" -> ((s, dir) => {
-      val ord = unix_millis(col("ts").cast("timestamp")) * 1000000L + col("event_id")
+      val ord = unix_millis(col("ts").cast("timestamp")) * 4194304L + col("event_id")
       events(s, dir)
         .groupBy(col("user_id"))
         .agg(min_by(col("event_type"), ord).as("first_type"),

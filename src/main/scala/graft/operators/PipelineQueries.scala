@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables.t
 import graft.Det.r4d
+import graft.functions.ArrayDot
 
 /** Training-data-pipeline operators beyond SURVEY §2's reference surface
   * (declared in SURVEY §2.12): language ID, quality scoring, token
@@ -17,9 +18,6 @@ import graft.Det.r4d
   */
 object PipelineQueries {
   type Q = (SparkSession, String) => DataFrame
-
-  private def dot(a: Column, b: Column): Column =
-    graft.functions.ArrayDot(a, b)
 
   private val STOPWORDS = Seq("the", "a", "of", "to", "and", "in")
 
@@ -145,11 +143,11 @@ object PipelineQueries {
       // engines run the identical float sequence.
       val normed = t(s, dir, "embeddings").filter(col("vec_id") < 1000)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-        .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+        .withColumn("nrm", sqrt(ArrayDot(col("v"), col("v"))))
         .select(col("vec_id"), expr("transform(v, x -> x / nrm)").as("u"))
       normed.select(col("vec_id").as("i"), col("u").as("ui"))
         .join(normed.select(col("vec_id").as("j"), col("u").as("uj")), col("i") < col("j"))
-        .withColumn("cos", dot(col("ui"), col("uj")))
+        .withColumn("cos", ArrayDot(col("ui"), col("uj")))
         .filter(col("cos") >= 0.35)
         .select(col("i"), col("j"), round(col("cos"), 4).as("cos"))
         .orderBy("i", "j")
@@ -171,8 +169,8 @@ object PipelineQueries {
       val probes = emb.filter(col("vec_id") < 10)
         .select(col("vec_id").as("probe_id"), col("embedding").cast("array<double>").as("p"))
       val pc = probes.crossJoin(broadcast(cv))
-        .withColumn("cosc", dot(col("p"), col("cv"))
-          / (sqrt(dot(col("p"), col("p"))) * sqrt(dot(col("cv"), col("cv")))))
+        .withColumn("cosc", ArrayDot(col("p"), col("cv"))
+          / (sqrt(ArrayDot(col("p"), col("p"))) * sqrt(ArrayDot(col("cv"), col("cv")))))
       val wLab = Window.partitionBy("probe_id").orderBy(col("cosc").desc, col("label"))
       val topLab = pc.withColumn("rn", row_number().over(wLab)).filter(col("rn") <= 2)
         .select(col("probe_id"), col("p"), col("label"))
@@ -180,8 +178,8 @@ object PipelineQueries {
       topLab.join(emb.select(col("vec_id"), col("label"),
           col("embedding").cast("array<double>").as("v")), Seq("label"))
         .filter(col("vec_id") =!= col("probe_id"))
-        .withColumn("cos", dot(col("p"), col("v"))
-          / (sqrt(dot(col("p"), col("p"))) * sqrt(dot(col("v"), col("v")))))
+        .withColumn("cos", ArrayDot(col("p"), col("v"))
+          / (sqrt(ArrayDot(col("p"), col("p"))) * sqrt(ArrayDot(col("v"), col("v")))))
         .withColumn("rk", row_number().over(wK)).filter(col("rk") <= 5)
         .select(col("probe_id"), col("vec_id"), round(col("cos"), 4).as("cos"),
           col("rk").cast("long").as("rk"))

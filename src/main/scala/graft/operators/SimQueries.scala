@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables.t
 import graft.Det.r4d
+import graft.functions.ArrayDot
 
 /** §2.9 Similarity search over `embeddings` (SURVEY.md).
   *
@@ -19,9 +20,6 @@ import graft.Det.r4d
 object SimQueries {
   type Q = (SparkSession, String) => DataFrame
 
-  private def dot(a: Column, b: Column): Column =
-    graft.functions.ArrayDot(a, b)
-
   /** (probe_id, vec_id, cos) for probes vec_id < 10 against all vectors. */
   private def cosinePairs(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
@@ -30,8 +28,8 @@ object SimQueries {
       .select(col("vec_id").as("probe_id"), col("v").as("p"))
     emb.crossJoin(broadcast(probes))
       .select(col("probe_id"), col("vec_id"),
-        (dot(col("p"), col("v"))
-          / (sqrt(dot(col("p"), col("p"))) * sqrt(dot(col("v"), col("v")))))
+        (ArrayDot(col("p"), col("v"))
+          / (sqrt(ArrayDot(col("p"), col("p"))) * sqrt(ArrayDot(col("v"), col("v")))))
           .as("cos"))
   }
 

@@ -65,9 +65,13 @@ object StreamQueries {
     }),
 
     // Dedup on event_id (streaming face: watermark + dropDuplicates).
+    // Batch face uses window rank=1 — dropDuplicates' survivor choice is
+    // nondeterministic if the key ever carries conflicting payloads.
     "stream_dedup_watermark" -> ((s, dir) => {
+      val w = Window.partitionBy(col("event_id"))
+        .orderBy(col("user_id"), col("event_type"), col("ts"))
       events(s, dir)
-        .dropDuplicates("event_id")
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
         .select(col("event_id"), col("user_id"), col("event_type"),
           unix_millis(col("ts").cast("timestamp")).as("ts_ms"))
         .orderBy("event_id")
@@ -107,8 +111,12 @@ object StreamQueries {
          |  count(*) AS n_events, ${sqlSum("value")} AS sum_value
          |FROM sessions GROUP BY user_id, sess ORDER BY user_id, sess""".stripMargin,
     "stream_dedup_watermark" ->
-      """SELECT event_id, user_id, event_type, epoch_ms(ts) AS ts_ms
-        |FROM events ORDER BY event_id""".stripMargin,
+      """SELECT event_id, user_id, event_type, ts_ms FROM (
+        |  SELECT event_id, user_id, event_type, epoch_ms(ts) AS ts_ms,
+        |    row_number() OVER (PARTITION BY event_id
+        |      ORDER BY user_id, event_type, ts) AS rn
+        |  FROM events)
+        |WHERE rn = 1 ORDER BY event_id""".stripMargin,
     "stream_stateful_runningmax" ->
       """SELECT user_id, event_id,
         |  max(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
