@@ -110,11 +110,12 @@ object TextQueries {
     "dedup_minhash_lsh" -> ((s, dir) => {
       val docs = t(s, dir, "documents").filter(col("doc_id") < 1000)
         .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("toks"))
-      // k=32 signature via the HOF fold, computed scan-side per row — an
-      // explode + 32-way MIN-agg variant was measured ~50% slower (extra
-      // shuffle before the band join); keep the shuffle-free form.
+      // k=32 signature via the tight-loop MinHashSig expression, computed
+      // scan-side per row (shuffle-free; an explode + 32-way MIN-agg
+      // variant was measured ~50% slower — extra shuffle before the band
+      // join; the interpreted nested-HOF form cost ~2 s in dispatch).
       val sig = docs.withColumn("sig",
-        expr("transform(sequence(0, 31), i -> array_min(transform(toks, t -> hash(t, i))))"))
+        graft.functions.MinHashSig(col("toks"), 32))
       // Narrow (doc_id, band, band_hash) triples through the shuffle; the
       // token arrays rejoin (broadcast) only after candidate pairs dedup.
       val bands = sig.select(col("doc_id"),
