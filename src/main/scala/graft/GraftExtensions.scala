@@ -14,17 +14,7 @@ import graft.functions.{ArrayDot, DiscountBand, Tokenize}
   * deployment-grade path.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-
-  private def arity(name: String, n: Int)(
-      f: Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
-        org.apache.spark.sql.catalyst.expressions.Expression):
-      Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
-        org.apache.spark.sql.catalyst.expressions.Expression =
-    exprs => {
-      if (exprs.length != n) throw new IllegalArgumentException(
-        s"$name expects $n argument(s), got ${exprs.length}")
-      f(exprs)
-    }
+  import GraftExtensions.arity
 
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
@@ -38,4 +28,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[Tokenize].getName, "tokenize"),
       arity("tokenize", 1)(exprs => Tokenize(exprs.head))))
   }
+}
+
+object GraftExtensions {
+  /** Arity-validating builder wrapper, shared with the per-session
+    * `register()` helpers so `tokenize()` in SQL fails with a clear
+    * message instead of a raw NoSuchElementException (and extra args are
+    * rejected instead of silently dropped). */
+  private[graft] def arity(name: String, n: Int)(
+      f: Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+        org.apache.spark.sql.catalyst.expressions.Expression):
+      Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+        org.apache.spark.sql.catalyst.expressions.Expression =
+    exprs => {
+      if (exprs.length != n) throw new IllegalArgumentException(
+        s"$name expects $n argument(s), got ${exprs.length}")
+      f(exprs)
+    }
 }

@@ -1,8 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftshim
@@ -19,15 +18,14 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * to the HOF form and to DuckDB's `list_dot_product` — swapping it in
   * does not disturb the oracle contract.
   */
-case class ArrayDot(left: Expression, right: Expression) extends BinaryExpression {
+case class ArrayDot(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
 
-  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
-    case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
-      TypeCheckResult.TypeCheckSuccess
-    case (l, r) => TypeCheckResult.TypeCheckFailure(
-      s"array_dot expects (ARRAY<DOUBLE>, ARRAY<DOUBLE>), got " +
-        s"(${l.catalogString}, ${r.catalogString})")
-  }
+  // ImplicitCastInputTypes lets Catalyst coerce array<float>/array<int>
+  // arguments (e.g. the raw embedding column from SQL callers) instead of
+  // hard-failing type check like the round-1 version did. (Return type
+  // inferred: AbstractDataType is private[sql] and unnameable here.)
+  override def inputTypes = Seq(ArrayType(DoubleType), ArrayType(DoubleType))
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "array_dot"

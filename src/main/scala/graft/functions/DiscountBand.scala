@@ -49,5 +49,7 @@ object DiscountBand {
   /** Expose to SQL/DataFrame via the session function registry. */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "discount_band", exprs => DiscountBand(exprs.head), "built-in")
+      "discount_band",
+      graft.GraftExtensions.arity("discount_band", 1)(exprs => DiscountBand(exprs.head)),
+      "built-in")
 }

@@ -45,5 +45,7 @@ case class Tokenize(child: Expression) extends Generator with CodegenFallback {
 object Tokenize {
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "tokenize", exprs => Tokenize(exprs.head), "built-in")
+      "tokenize",
+      graft.GraftExtensions.arity("tokenize", 1)(exprs => Tokenize(exprs.head)),
+      "built-in")
 }

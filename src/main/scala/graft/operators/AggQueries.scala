@@ -125,11 +125,12 @@ object AggQueries {
     }),
 
     // First/last event per user by (ts, event_id) via min_by/max_by on a
-    // synthetic total-order key: epoch_ms·2²² + event_id. Valid while
-    // event_id < 4,194,304 (≈ sf40 for this fixture family); beyond that
-    // use a row_number formulation — the ordinal would alias.
+    // STRUCT ordinal — lexicographic, so no arithmetic-encoding aliasing or
+    // overflow at any scale factor (the former epoch_ms·2²²+event_id key
+    // aliased past 4.2M events). DuckDB's arg_min can't take a composite
+    // key, so the oracle uses an equivalent row_number formulation.
     "agg_first_last" -> ((s, dir) => {
-      val ord = unix_millis(col("ts").cast("timestamp")) * 4194304L + col("event_id")
+      val ord = struct(unix_millis(col("ts").cast("timestamp")), col("event_id"))
       events(s, dir)
         .groupBy(col("user_id"))
         .agg(min_by(col("event_type"), ord).as("first_type"),
@@ -224,12 +225,16 @@ object AggQueries {
       """SELECT l_orderkey, string_agg(l_linenumber, ',' ORDER BY l_linenumber) AS lines
         |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
     "agg_first_last" ->
-      """SELECT user_id,
-        |  arg_min(event_type, epoch_ms(ts)*1000000 + event_id) AS first_type,
-        |  arg_max(event_type, epoch_ms(ts)*1000000 + event_id) AS last_type,
-        |  arg_min(value, epoch_ms(ts)*1000000 + event_id) AS first_value,
-        |  arg_max(value, epoch_ms(ts)*1000000 + event_id) AS last_value
-        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+      """WITH r AS (SELECT user_id, event_type, value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS ra,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rd
+        |  FROM events)
+        |SELECT user_id,
+        |  max(CASE WHEN ra = 1 THEN event_type END) AS first_type,
+        |  max(CASE WHEN rd = 1 THEN event_type END) AS last_type,
+        |  max(CASE WHEN ra = 1 THEN value END) AS first_value,
+        |  max(CASE WHEN rd = 1 THEN value END) AS last_value
+        |FROM r GROUP BY user_id ORDER BY user_id""".stripMargin,
     "agg_stats" ->
       """SELECT event_type, n,
         |  ROUND((s2 - s1*s1/n)/(n - 1.0), 4) AS var_samp,

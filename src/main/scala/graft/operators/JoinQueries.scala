@@ -98,16 +98,19 @@ object JoinQueries {
     }),
 
     // As-of: for each event, the latest order (orderdate ≤ ts) of the
-    // mapped customer (o_custkey = user_id + 1); equi-join + rank=1 dedup.
+    // mapped customer (o_custkey = user_id + 1). Equi-join on the customer
+    // key, then ONE aggregation: max of struct(o_orderdate, o_orderkey) is
+    // the lexicographic argmax, so the join's per-customer fan-out is
+    // collapsed by map-side partial agg before the shuffle — no window
+    // pass over the inflated join (was rank=1 over every joined row).
     "join_asof" -> ((s, dir) => {
       val e = events(s, dir).select(col("event_id"), col("ts"), col("user_id"))
       val o = t(s, dir, "orders")
-      val w = Window.partitionBy(col("event_id"))
-        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
       e.join(o, col("o_custkey") === col("user_id") + 1 && col("o_orderdate") <= col("ts"))
-        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-        .select(col("event_id"), col("o_orderkey"),
-          col("o_orderdate").cast("date").as("o_orderdate"))
+        .groupBy(col("event_id"))
+        .agg(max(struct(col("o_orderdate"), col("o_orderkey"))).as("m"))
+        .select(col("event_id"), col("m.o_orderkey").as("o_orderkey"),
+          col("m.o_orderdate").cast("date").as("o_orderdate"))
         .orderBy(col("event_id"))
     }),
 

@@ -21,6 +21,57 @@ object PipelineQueries {
 
   private val STOPWORDS = Seq("the", "a", "of", "to", "and", "in")
 
+  /** 64-bit simhash signatures (doc_id, sim) from (doc_id, toks) rows:
+    * 64 bit-votes as codegen'd SUM aggregates over exploded tokens (hash
+    * each token once, not 64× inside a nested interpreted HOF). */
+  private[graft] def simhashSigs(docs: DataFrame): DataFrame = {
+    val voteCols = (0 until 64).map(b =>
+      sum(when(expr(s"(h >> $b) & 1") === 1, 1L).otherwise(-1L)).as(s"b$b"))
+    docs.select(col("doc_id"), explode(col("toks")).as("tok"))
+      .withColumn("h", expr("xxhash64(tok)"))
+      .groupBy("doc_id").agg(voteCols.head, voteCols.tail: _*)
+      .select(col("doc_id"),
+        (0 until 64).map(b => expr(s"if(b$b > 0, ${1L << b}L, 0L)"))
+          .reduce(_ + _).as("sim"))
+  }
+
+  /** Banded simhash candidate pairs + exact hamming verify over
+    * (doc_id, sim: long) rows.
+    *
+    * The 64 bits split into 12 blocks (4×6 + 8×5 bits). A pair with
+    * hamming ≤ `maxHamming` (≤ 10) differs in at most 10 blocks, so at
+    * least 2 blocks are bit-identical, so at least one of the C(12,2)=66
+    * two-block combo keys matches — recall is 1.0 by pigeonhole (needs
+    * 12 − maxHamming ≥ 2), not probabilistic. Precision is restored by
+    * the exact bit_count verify on the candidate set.
+    */
+  private[graft] def simhashBandedPairs(sh: DataFrame, maxHamming: Int): DataFrame = {
+    require(maxHamming <= 10, s"12-block banding guarantees recall only for hamming <= 10, got $maxHamming")
+    val widths = Seq(6, 6, 6, 6, 5, 5, 5, 5, 5, 5, 5, 5)
+    val offsets = widths.scanLeft(0)(_ + _).init
+    // shiftright() function form: the `>>` operator fails to parse inside
+    // a multi-element array(named_struct(...)) expression (Spark 4.1
+    // lexer quirk — fine standalone, PARSE_SYNTAX_ERROR there).
+    val blocks = offsets.zip(widths).map { case (o, w) =>
+      s"(shiftright(sim, $o) & ${(1L << w) - 1}L)" }
+    val combos = for { i <- 0 until 12; j <- (i + 1) until 12 } yield (i, j)
+    val keys = combos.zipWithIndex.map { case ((i, j), k) =>
+      s"named_struct('ck', $k, 'kv', ${blocks(i)} * 64L + ${blocks(j)})" }
+    // Only (doc_id, sim, combo, key) longs cross the shuffle; sims ride
+    // along so the verify needs no re-join against the signature table.
+    val keyed = sh.select(col("doc_id"), col("sim"),
+        explode(expr(s"array(${keys.mkString(", ")})")).as("k"))
+      .select(col("doc_id"), col("sim"), col("k.ck").as("ck"), col("k.kv").as("kv"))
+    keyed.select(col("ck"), col("kv"), col("doc_id").as("i"), col("sim").as("si"))
+      .join(keyed.select(col("ck"), col("kv"), col("doc_id").as("j"), col("sim").as("sj")),
+        Seq("ck", "kv"))
+      .filter(col("i") < col("j"))
+      .select("i", "j", "si", "sj").distinct()
+      .withColumn("hamming", expr("bit_count(si ^ sj)").cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("i").as("doc_i"), col("j").as("doc_j"), col("hamming"))
+  }
+
   val queries: Map[String, Q] = Map(
     // Naive-Bayes language ID: per-lang token profiles (Laplace-smoothed,
     // learned from the corpus itself), per-doc argmax score. The profile
@@ -111,45 +162,61 @@ object PipelineQueries {
     }),
 
     // 64-bit SimHash over the token set (xxhash64 bit votes), pairs with
-    // hamming ≤ 10. Engine-pinned hash → no oracle; property-tested.
-    // At 100 TB you'd LSH-band the 64 bits (4×16-bit blocks) instead of
-    // the all-pairs join used at this bounded size.
+    // hamming ≤ 10. Engine-pinned hash → no oracle; property-tested
+    // (incl. parity vs the all-pairs reference form in SimhashBandSpec).
+    //
+    // Candidate generation is BANDED (Manku et al., WWW'07 shape): the 64
+    // bits split into 12 blocks (4×6 + 8×5 bits); a pair within hamming
+    // ≤ 10 can dirty at most 10 blocks, so ≥ 2 blocks are bit-identical
+    // and the pair shares at least one of the C(12,2)=66 two-block keys —
+    // recall 1.0 by pigeonhole, NOT probabilistic. The plan is a 66-way
+    // narrow explode + equi-join on (combo, key) + exact hamming verify:
+    // shuffle volume is O(docs·66) slim rows, never O(docs²).
     "dedup_simhash" -> ((s, dir) => {
       val docs = t(s, dir, "documents").filter(col("doc_id") < 1000)
         .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("toks"))
-      // 64 bit-votes as codegen'd SUM aggregates over exploded tokens
-      // (hash each token once, not 64× inside a nested interpreted HOF).
-      val voteCols = (0 until 64).map(b =>
-        sum(when(expr(s"(h >> $b) & 1") === 1, 1L).otherwise(-1L)).as(s"b$b"))
-      val sh = docs.select(col("doc_id"), explode(col("toks")).as("tok"))
-        .withColumn("h", expr("xxhash64(tok)"))
-        .groupBy("doc_id").agg(voteCols.head, voteCols.tail: _*)
-        .select(col("doc_id"),
-          (0 until 64).map(b => expr(s"if(b$b > 0, ${1L << b}L, 0L)"))
-            .reduce(_ + _).as("sim"))
-      sh.select(col("doc_id").as("i"), col("sim").as("si"))
-        .join(sh.select(col("doc_id").as("j"), col("sim").as("sj")), col("i") < col("j"))
-        .withColumn("hamming", expr("bit_count(si ^ sj)").cast("long"))
-        .filter(col("hamming") <= 10)
-        .select(col("i").as("doc_i"), col("j").as("doc_j"), col("hamming"))
+      simhashBandedPairs(simhashSigs(docs), maxHamming = 10)
         .orderBy("doc_i", "doc_j")
     }),
 
     // Embedding-cosine near-dup (threshold tuned to this corpus' cosine
-    // distribution: max pairwise ≈ 0.51).
+    // distribution: max pairwise ≈ 0.51). Candidates come from random-
+    // hyperplane LSH (SimHash for vectors, Charikar STOC'02): 64 sign
+    // bits against deterministic ±1 hyperplanes (murmur3-derived), banded
+    // 32×2 bits, equi-join on (band, value), exact-dot verify. At the
+    // cos ≥ 0.35 boundary p(bit agree) = 1 − θ/π ≈ 0.614 → per-pair miss
+    // ≤ (1 − 0.614²)³² ≈ 3e-7; the DuckDB all-pairs oracle is the exact
+    // parity check. No O(n²) nested-loop join anywhere in the plan —
+    // shuffle volume is O(vectors·32) narrow band keys + candidate pairs.
     "dedup_embedding_cosine" -> ((s, dir) => {
-      // Pre-normalize once per vector (O(n) norms) so the O(n²) pair loop
-      // does a single dot product — mirrored in the oracle SQL so both
-      // engines run the identical float sequence.
+      // Pre-normalize once per vector so the verify step is a single dot
+      // product — mirrored in the oracle SQL so both engines run the
+      // identical float sequence.
       val normed = t(s, dir, "embeddings").filter(col("vec_id") < 1000)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
         .withColumn("nrm", sqrt(ArrayDot(col("v"), col("v"))))
         .select(col("vec_id"), expr("transform(v, x -> x / nrm)").as("u"))
-      normed.select(col("vec_id").as("i"), col("u").as("ui"))
-        .join(normed.select(col("vec_id").as("j"), col("u").as("uj")), col("i") < col("j"))
+      // Sign bit k of vec u = sign(Σ_d u[d]·s(k,d)), s(k,d) = ±1 from
+      // murmur3(k, d) — data-independent and identical across runs.
+      val sig = normed.withColumn("sig", expr(
+        """transform(sequence(0, 63), k ->
+          |  aggregate(sequence(0, size(u) - 1), cast(0.0 as double),
+          |    (acc, d) -> acc + u[d] * if(pmod(hash(k, d), 2) = 0, 1.0D, -1.0D))
+          |  >= 0.0D)""".stripMargin))
+      val bands = sig.select(col("vec_id"), posexplode(expr(
+          "transform(sequence(0, 31), b -> int(sig[2*b]) * 2 + int(sig[2*b+1]))")))
+        .select(col("vec_id"), col("pos").as("band"), col("col").as("bv"))
+      val cand = bands.select(col("band"), col("bv"), col("vec_id").as("i"))
+        .join(bands.select(col("band"), col("bv"), col("vec_id").as("j")),
+          Seq("band", "bv"))
+        .filter(col("i") < col("j"))
+        .select("i", "j").distinct()
+      cand
+        .join(normed.select(col("vec_id").as("i"), col("u").as("ui")), Seq("i"))
+        .join(normed.select(col("vec_id").as("j"), col("u").as("uj")), Seq("j"))
         .withColumn("cos", ArrayDot(col("ui"), col("uj")))
         .filter(col("cos") >= 0.35)
-        .select(col("i"), col("j"), round(col("cos"), 4).as("cos"))
+        .select(col("i"), col("j"), r4d(col("cos")).as("cos"))
         .orderBy("i", "j")
     }),
 
@@ -181,7 +248,7 @@ object PipelineQueries {
         .withColumn("cos", ArrayDot(col("p"), col("v"))
           / (sqrt(ArrayDot(col("p"), col("p"))) * sqrt(ArrayDot(col("v"), col("v")))))
         .withColumn("rk", row_number().over(wK)).filter(col("rk") <= 5)
-        .select(col("probe_id"), col("vec_id"), round(col("cos"), 4).as("cos"),
+        .select(col("probe_id"), col("vec_id"), r4d(col("cos")).as("cos"),
           col("rk").cast("long").as("rk"))
         .orderBy("probe_id", "rk")
     }),
@@ -271,7 +338,7 @@ object PipelineQueries {
         |      x -> x / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
         |                                     CAST(embedding AS DOUBLE[])))) AS u
         |  FROM embeddings WHERE vec_id < 1000)
-        |SELECT i, j, ROUND(cos, 4) AS cos FROM (
+        |SELECT i, j, ROUND(cos, 4) + 0.0 AS cos FROM (
         |  SELECT a.vec_id AS i, b.vec_id AS j, list_dot_product(a.u, b.u) AS cos
         |  FROM normed a JOIN normed b ON a.vec_id < b.vec_id)
         |WHERE cos >= 0.35 ORDER BY i, j""".stripMargin,
@@ -296,16 +363,19 @@ object PipelineQueries {
         |     * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))) AS cos
         |  FROM toplab JOIN embeddings e ON toplab.label = e.label
         |  WHERE e.vec_id <> probe_id)
-        |SELECT probe_id, vec_id, ROUND(cos, 4) AS cos, rk FROM (
+        |SELECT probe_id, vec_id, ROUND(cos, 4) + 0.0 AS cos, rk FROM (
         |  SELECT *, row_number() OVER (PARTITION BY probe_id
         |    ORDER BY cos DESC, vec_id) AS rk FROM cand)
         |WHERE rk <= 5 ORDER BY probe_id, rk""".stripMargin,
+    // octet_length(encode(..)) counts UTF-8 BYTES like Spark's
+    // length(encode(text,'utf-8')) — char-counting length(text) only
+    // agreed by ASCII-fixture luck.
     "multimodal_stub" ->
-      """SELECT doc_id, length(text) AS byte_len,
+      """SELECT doc_id, octet_length(encode(text)) AS byte_len,
         |  (n_chars % 640) + 1 AS width, (doc_id % 480) + 1 AS height,
         |  3 AS channels, md5(text) AS content_md5,
         |  ascii(substring(text, 1, 1)) AS first_byte,
-        |  CAST(ceil(length(text) / 1024.0) AS BIGINT) AS est_kb
+        |  CAST(ceil(octet_length(encode(text)) / 1024.0) AS BIGINT) AS est_kb
         |FROM documents ORDER BY doc_id""".stripMargin
     // dedup_simhash: engine-pinned xxhash64 → property-tested, no oracle.
   )

@@ -17,6 +17,13 @@ object ScanQueries {
     "l_linenumber", "l_quantity", "l_extendedprice", "l_discount", "l_tax",
     "l_returnflag", "l_linestatus")
 
+  /** Per-session scratch dir: applicationId keeps concurrent runs over the
+    * same sfDir (e.g. bench alongside the correctness check) from racing
+    * on an overwrite-then-read of a shared path. */
+  private def scratch(s: SparkSession, dir: String): String =
+    s"/tmp/graft_scratch/${s.sparkContext.applicationId}/" +
+      dir.replaceAll("[^A-Za-z0-9.]", "_")
+
   val queries: Map[String, Q] = Map(
     "scan_parquet" -> ((s, dir) => {
       t(s, dir, "lineitem")
@@ -32,7 +39,7 @@ object ScanQueries {
 
     // Write→read roundtrip through a schema-explicit CSV source.
     "scan_csv_roundtrip" -> ((s, dir) => {
-      val tmp = s"/tmp/graft_scratch/${dir.replaceAll("[^A-Za-z0-9.]", "_")}/csv_nation"
+      val tmp = s"${scratch(s, dir)}/csv_nation"
       t(s, dir, "nation").write.mode("overwrite").option("header", "true").csv(tmp)
       s.read.schema("n_nationkey INT, n_name STRING, n_regionkey INT")
         .option("header", "true").csv(tmp)
@@ -41,7 +48,7 @@ object ScanQueries {
 
     // Same roundtrip via JSON lines.
     "scan_json_roundtrip" -> ((s, dir) => {
-      val tmp = s"/tmp/graft_scratch/${dir.replaceAll("[^A-Za-z0-9.]", "_")}/json_region"
+      val tmp = s"${scratch(s, dir)}/json_region"
       t(s, dir, "region").write.mode("overwrite").json(tmp)
       s.read.schema("r_regionkey INT, r_name STRING").json(tmp)
         .orderBy(col("r_regionkey"))

@@ -36,7 +36,7 @@ object SimQueries {
   val queries: Map[String, Q] = Map(
     "sim_cosine_pairs" -> ((s, dir) => {
       cosinePairs(s, dir)
-        .select(col("probe_id"), col("vec_id"), round(col("cos"), 4).as("cos"))
+        .select(col("probe_id"), col("vec_id"), r4d(col("cos")).as("cos"))
         .orderBy("probe_id", "vec_id")
     }),
 
@@ -46,7 +46,7 @@ object SimQueries {
       cosinePairs(s, dir)
         .filter(col("vec_id") =!= col("probe_id"))
         .withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
-        .select(col("probe_id"), col("vec_id"), round(col("cos"), 4).as("cos"),
+        .select(col("probe_id"), col("vec_id"), r4d(col("cos")).as("cos"),
           col("rk").cast("long").as("rk"))
         .orderBy("probe_id", "rk")
     }),
@@ -81,13 +81,16 @@ object SimQueries {
       |  FROM embeddings e CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 10) p)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // `ROUND(x,4) + 0.0` normalizes IEEE -0.0 (DuckDB's multiply-form ROUND
+    // preserves the sign bit of a tiny negative cosine; Spark's BigDecimal
+    // path cannot produce -0.0, and the driver's hash is bit-sensitive).
     "sim_cosine_pairs" ->
       s"""WITH $cosSql
-         |SELECT probe_id, vec_id, ROUND(cos, 4) AS cos FROM pairs
+         |SELECT probe_id, vec_id, ROUND(cos, 4) + 0.0 AS cos FROM pairs
          |ORDER BY probe_id, vec_id""".stripMargin,
     "sim_knn_topk" ->
       s"""WITH $cosSql
-         |SELECT probe_id, vec_id, ROUND(cos, 4) AS cos, rk FROM (
+         |SELECT probe_id, vec_id, ROUND(cos, 4) + 0.0 AS cos, rk FROM (
          |  SELECT probe_id, vec_id, cos,
          |    row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rk
          |  FROM pairs WHERE vec_id <> probe_id)

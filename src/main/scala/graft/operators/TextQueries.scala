@@ -117,7 +117,11 @@ object TextQueries {
       val sig = docs.withColumn("sig",
         graft.functions.MinHashSig(col("toks"), 32))
       // Narrow (doc_id, band, band_hash) triples through the shuffle; the
-      // token arrays rejoin (broadcast) only after candidate pairs dedup.
+      // token arrays rejoin only after candidate pairs dedup. The re-join
+      // is KEYED, not hint-broadcast: at fixture scale Catalyst/AQE will
+      // still pick broadcast from stats, but at 100 TB (doc set ≫
+      // autoBroadcastJoinThreshold) the same plan degrades gracefully to
+      // a shuffled join on doc_id instead of OOMing the driver.
       val bands = sig.select(col("doc_id"),
         posexplode(expr(
           "transform(sequence(0, 15), b -> hash(sig[2*b], sig[2*b+1]))")))
@@ -128,8 +132,8 @@ object TextQueries {
         .filter(col("i") < col("j"))
         .select("i", "j").distinct()
       cand
-        .join(broadcast(docs.select(col("doc_id").as("i"), col("toks").as("ta"))), Seq("i"))
-        .join(broadcast(docs.select(col("doc_id").as("j"), col("toks").as("tb"))), Seq("j"))
+        .join(docs.select(col("doc_id").as("i"), col("toks").as("ta")), Seq("i"))
+        .join(docs.select(col("doc_id").as("j"), col("toks").as("tb")), Seq("j"))
         .withColumn("c", size(array_intersect(col("ta"), col("tb"))))
         .withColumn("jac", col("c").cast("double")
           / (size(col("ta")) + size(col("tb")) - col("c")))

@@ -111,11 +111,23 @@ object WindowQueries {
         .orderBy(col("o_custkey"), col("o_orderkey"))
     }),
 
+    // Runs through the custom TopKPerGroup LogicalPlan/SparkStrategy
+    // operator (plans/TopKPerGroup.scala): bounded-heap partial pass
+    // before the exchange shuffles ≤ k rows per (group × partition)
+    // instead of window-sorting every row. The trailing row_number only
+    // ranks the ≤ 3 surviving rows per group, and the operator preserves
+    // the exchange's clustering, so it adds a sort but no new shuffle.
+    // Proven equal to the window form in TopKSpec; plan pinned in
+    // PlanAuditSpec.
     "topk_per_group" -> ((s, dir) => {
+      val top = graft.plans.TopKPerGroup(
+        t(s, dir, "orders")
+          .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice")),
+        k = 3, partNames = Seq("o_custkey"),
+        orderSpec = Seq(("o_totalprice", false), ("o_orderkey", true)))
       val w = Window.partitionBy(col("o_custkey"))
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
-      t(s, dir, "orders")
-        .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+      top.withColumn("rn", row_number().over(w))
         .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
           col("rn").cast("long").as("rn"))
         .orderBy(col("o_custkey"), col("rn"))

@@ -107,7 +107,7 @@ object StreamQueries {
          |sessions AS (SELECT *, SUM(new_sess) OVER (PARTITION BY user_id
          |    ORDER BY ms, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
          |  FROM flagged)
-         |SELECT user_id, sess, min(ms) AS start_ms, max(ms) AS end_ms,
+         |SELECT user_id, CAST(sess AS BIGINT) AS sess, min(ms) AS start_ms, max(ms) AS end_ms,
          |  count(*) AS n_events, ${sqlSum("value")} AS sum_value
          |FROM sessions GROUP BY user_id, sess ORDER BY user_id, sess""".stripMargin,
     "stream_dedup_watermark" ->

@@ -10,8 +10,13 @@ import org.scalatest.funsuite.AnyFunSuite
 class ExtensionsSpec extends AnyFunSuite {
 
   test("GraftExtensions injects array_dot, discount_band, tokenize") {
-    // Extensions apply at session creation; getOrCreate would silently
-    // reuse another suite's session — force a fresh one (shared context).
+    // spark.sql.extensions is a STATIC conf: it only takes effect when the
+    // session also creates the SparkContext. Another suite's shared
+    // session (SparkSpec) may have created one already — stop it so this
+    // test exercises the real deployment path; later suites' lazy
+    // getOrCreate transparently builds a fresh context afterwards.
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      .foreach(_.sparkContext.stop())
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
     val s = SparkSession.builder()
@@ -34,6 +39,9 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(s.sessionState.planner.strategies.exists(_.toString.contains("TopKStrategy"))
         || s.sessionState.planner.extraPlanningStrategies.nonEmpty)
     } finally {
+      // Tear down this context too: a later suite's session must not
+      // silently inherit the extension-configured context.
+      s.sparkContext.stop()
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
     }

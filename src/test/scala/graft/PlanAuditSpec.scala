@@ -53,4 +53,35 @@ class PlanAuditSpec extends SparkSpec {
       assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
     }
   }
+
+  test("dedup candidate generation is banded: no O(n²) join in any dedup plan") {
+    // The round-1 all-pairs forms planned BroadcastNestedLoopJoin; the
+    // banded/LSH rewrites must keep every join an equi-join.
+    for (q <- Seq("dedup_simhash", "dedup_embedding_cosine",
+      "dedup_minhash_lsh", "dedup_near_jaccard", "dedup_ngram_jaccard")) {
+      val p = plan(q)
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q has a nested-loop join")
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
+    }
+  }
+
+  test("topk_per_group executes through the custom TopKPerGroupExec operator") {
+    val p = plan("topk_per_group")
+    // partial + final instances
+    assert("TopKPerGroup".r.findAllIn(p).size >= 2, p.take(2000))
+  }
+
+  test("dedup joins are keyed, not hint-broadcast: survive threshold = -1") {
+    // With auto-broadcast off, a hint-free plan degrades to shuffle joins;
+    // a lingering broadcast() hint (round-1 minhash re-join) would still
+    // plan BroadcastHashJoin and OOM the driver at 100 TB doc sets.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      for (q <- Seq("dedup_minhash_lsh", "dedup_simhash", "dedup_embedding_cosine")) {
+        val p = plan(q)
+        assert(!p.contains("BroadcastHashJoin"), s"$q still hint-broadcasts a side")
+        assert(!p.contains("BroadcastNestedLoopJoin"), s"$q has a nested-loop join")
+      }
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
 }
