@@ -198,13 +198,12 @@ object PipelineQueries {
         .select(col("vec_id"), expr("transform(v, x -> x / nrm)").as("u"))
       // Sign bit k of vec u = sign(Σ_d u[d]·s(k,d)), s(k,d) = ±1 from
       // murmur3(k, d) — data-independent and identical across runs.
-      val sig = normed.withColumn("sig", expr(
-        """transform(sequence(0, 63), k ->
-          |  aggregate(sequence(0, size(u) - 1), cast(0.0 as double),
-          |    (acc, d) -> acc + u[d] * if(pmod(hash(k, d), 2) = 0, 1.0D, -1.0D))
-          |  >= 0.0D)""".stripMargin))
+      // Computed scan-side by the tight-loop HyperplaneSig expression
+      // (the interpreted 64×64 HOF form cost ~2 s at fixture scale).
+      val sig = normed.withColumn("sig",
+        graft.functions.HyperplaneSig(col("u")))
       val bands = sig.select(col("vec_id"), posexplode(expr(
-          "transform(sequence(0, 31), b -> int(sig[2*b]) * 2 + int(sig[2*b+1]))")))
+          "transform(sequence(0, 31), b -> shiftright(sig, 2*b) & 3L)")))
         .select(col("vec_id"), col("pos").as("band"), col("col").as("bv"))
       val cand = bands.select(col("band"), col("bv"), col("vec_id").as("i"))
         .join(bands.select(col("band"), col("bv"), col("vec_id").as("j")),

@@ -3,22 +3,24 @@ package graft
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.streaming.{Event, GraftStreams}
 
 /** §2.10(b): Structured Streaming variants of the batch-declared stream
   * ops, asserted to match the batch results after stream completion
-  * (SURVEY §5). Streams replay the `events` fixture through MemoryStream.
+  * (SURVEY §5). Streams replay the `events` fixture through MemoryStream,
+  * driving the PUBLIC GraftStreams entry points so the deployable API is
+  * what gets verified.
   */
-case class Ev(event_id: Long, ts_ms: Long, user_id: Long,
-    event_type: String, value: Double)
 
 class StreamingParitySpec extends SparkSpec {
 
-  private lazy val evRows: Seq[Ev] = {
+  private lazy val evRows: Seq[Event] = {
     val df = Tables.events(spark, sf)
       .select(col("event_id"), unix_millis(col("ts").cast("timestamp")).as("ts_ms"),
         col("user_id"), col("event_type"), col("value"))
-    df.collect().toSeq.map(r => Ev(r.getLong(0), r.getLong(1), r.getLong(2),
+    df.collect().toSeq.map(r => Event(r.getLong(0), r.getLong(1), r.getLong(2),
       r.getString(3), r.getDouble(4)))
   }
 
@@ -29,7 +31,7 @@ class StreamingParitySpec extends SparkSpec {
       q: DataFrame => DataFrame): DataFrame = {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
-    val mem = MemoryStream[Ev]
+    val mem = MemoryStream[Event]
     val src = q(mem.toDF().withColumn("ts", timestamp_millis(col("ts_ms"))))
     val query = src.writeStream.format("memory").queryName(name)
       .outputMode(outputMode).start()
@@ -48,58 +50,35 @@ class StreamingParitySpec extends SparkSpec {
   }
 
   test("tumbling window counts: stream == batch") {
-    val streamed = runStream("tumble", 4, OutputMode.Complete()) { df =>
-      df.withWatermark("ts", "10 minutes")
-        .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
-        .agg(count(lit(1)).as("n"), Det.dsum(col("value")).as("sum_value"))
-        .select(col("w.start").cast("date").as("day"), col("event_type"),
-          col("n"), col("sum_value"))
-    }
+    val streamed = runStream("tumble", 4, OutputMode.Complete())(
+      GraftStreams.tumblingCounts(_))
     val batch = StreamQueriesRef.tumbling(spark, sf)
     assertSameRows(streamed, batch, Seq("day", "event_type"))
   }
 
   test("sliding window avg: stream == batch") {
-    val streamed = runStream("slide", 4, OutputMode.Complete()) { df =>
-      df.withWatermark("ts", "10 minutes")
-        .groupBy(window(col("ts"), "1 day", "6 hours").as("w"), col("event_type"))
-        .agg(count(lit(1)).as("n"), Det.davg(col("value")).as("avg_value"))
-        .select(unix_millis(col("w.start").cast("timestamp")).as("start_ms"),
-          col("event_type"), col("n"), col("avg_value"))
-    }
+    val streamed = runStream("slide", 4, OutputMode.Complete())(
+      GraftStreams.slidingAvg(_))
     val batch = StreamQueriesRef.sliding(spark, sf)
     assertSameRows(streamed, batch, Seq("start_ms", "event_type"))
   }
 
   test("session windows: stream session_window == batch lag-sessionization") {
-    val streamed = runStream("sess", 4, OutputMode.Complete()) { df =>
-      df.groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
-        .agg(min(unix_millis(col("ts").cast("timestamp"))).as("start_ms"),
-          max(unix_millis(col("ts").cast("timestamp"))).as("end_ms"),
-          count(lit(1)).as("n_events"), Det.dsum(col("value")).as("sum_value"))
-        .drop("w")
-    }
+    val streamed = runStream("sess", 4, OutputMode.Complete())(
+      GraftStreams.sessionWindows(_))
     // Batch query keys sessions by ordinal; compare on (user, start, end, n, sum).
     val batch = StreamQueriesRef.sessions(spark, sf).drop("sess")
     assertSameRows(streamed, batch, Seq("user_id", "start_ms"))
   }
 
   test("file-source replay of events.parquet matches batch tumbling counts") {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // The file stream source lists a directory; stage the fixture into one.
     val stage = java.nio.file.Files.createTempDirectory("graft_stream_src")
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$sf/events.parquet"),
       stage.resolve("events.parquet"))
-    val schema = "event_id LONG, ts LONG, user_id LONG, event_type STRING, " +
-      "value DOUBLE, props STRING"
-    val streamed = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "1").parquet(stage.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
-      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
-      .agg(count(lit(1)).as("n"), Det.dsum(col("value")).as("sum_value"))
-      .select(col("w.start").cast("date").as("day"), col("event_type"),
-        col("n"), col("sum_value"))
+    val streamed = GraftStreams.tumblingCounts(
+      GraftStreams.eventsFromParquetDir(spark, stage.toString))
     val query = streamed.writeStream.format("memory").queryName("filetumble")
       .outputMode(OutputMode.Complete()).start()
     query.processAllAvailable()
@@ -111,10 +90,9 @@ class StreamingParitySpec extends SparkSpec {
   test("dedup with watermark drops injected duplicates") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
-    val mem = MemoryStream[Ev]
-    val deduped = mem.toDF().withColumn("ts", timestamp_millis(col("ts_ms")))
-      .withWatermark("ts", "1 hour")
-      .dropDuplicates("event_id")
+    val mem = MemoryStream[Event]
+    val deduped = GraftStreams.dedupByEventId(
+        mem.toDF().withColumn("ts", timestamp_millis(col("ts_ms"))))
       .select(col("event_id"), col("user_id"))
     val query = deduped.writeStream.format("memory").queryName("dedup")
       .outputMode(OutputMode.Append()).start()
@@ -130,19 +108,8 @@ class StreamingParitySpec extends SparkSpec {
   test("stateful running max via flatMapGroupsWithState == batch window") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
-    val mem = MemoryStream[Ev]
-    val out = mem.toDS().groupByKey(_.user_id)
-      .flatMapGroupsWithState[Double, (Long, Long, Double)](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        case (uid, events, state: GroupState[Double]) =>
-          var cur = state.getOption.getOrElse(Double.MinValue)
-          val rows = events.toSeq.sortBy(e => (e.ts_ms, e.event_id)).map { e =>
-            cur = math.max(cur, e.value)
-            (uid, e.event_id, cur)
-          }
-          state.update(cur)
-          rows.iterator
-      }.toDF("user_id", "event_id", "running_max")
+    val mem = MemoryStream[Event]
+    val out = GraftStreams.runningMax(mem.toDS())
     val query = out.writeStream.format("memory").queryName("runmax")
       .outputMode(OutputMode.Append()).start()
     // Chronological chunks so state sees events in ts order across triggers.
@@ -157,7 +124,7 @@ class StreamingParitySpec extends SparkSpec {
   test("late data beyond watermark is dropped from append output") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
-    val mem = MemoryStream[Ev]
+    val mem = MemoryStream[Event]
     val agg = mem.toDF().withColumn("ts", timestamp_millis(col("ts_ms")))
       .withWatermark("ts", "10 minutes")
       .groupBy(window(col("ts"), "1 hour").as("w")).agg(count(lit(1)).as("n"))
@@ -165,7 +132,7 @@ class StreamingParitySpec extends SparkSpec {
     val query = agg.writeStream.format("memory").queryName("late")
       .outputMode(OutputMode.Append()).start()
     val t0 = 1700000000000L // hour-aligned-ish base
-    def ev(id: Long, ms: Long) = Ev(id, ms, 1L, "click", 1.0)
+    def ev(id: Long, ms: Long) = Event(id, ms, 1L, "click", 1.0)
     mem.addData(ev(1, t0), ev(2, t0 + 60000)); query.processAllAvailable()
     // Advance watermark far past the first window's end → it finalizes.
     mem.addData(ev(3, t0 + 4 * 3600 * 1000L)); query.processAllAvailable()
