@@ -21,19 +21,15 @@ object PipelineQueries {
 
   private val STOPWORDS = Seq("the", "a", "of", "to", "and", "in")
 
-  /** 64-bit simhash signatures (doc_id, sim) from (doc_id, toks) rows:
-    * 64 bit-votes as codegen'd SUM aggregates over exploded tokens (hash
-    * each token once, not 64× inside a nested interpreted HOF). */
-  private[graft] def simhashSigs(docs: DataFrame): DataFrame = {
-    val voteCols = (0 until 64).map(b =>
-      sum(when(expr(s"(h >> $b) & 1") === 1, 1L).otherwise(-1L)).as(s"b$b"))
-    docs.select(col("doc_id"), explode(col("toks")).as("tok"))
-      .withColumn("h", expr("xxhash64(tok)"))
-      .groupBy("doc_id").agg(voteCols.head, voteCols.tail: _*)
-      .select(col("doc_id"),
-        (0 until 64).map(b => expr(s"if(b$b > 0, ${1L << b}L, 0L)"))
-          .reduce(_ + _).as("sim"))
-  }
+  /** 64-bit simhash signatures (doc_id, sim) from (doc_id, toks) rows,
+    * computed scan-side by the tight-loop SimHashSig expression — no
+    * token explode, no shuffle, no 64 aggregation buffers (the agg form
+    * cost ~2 s and one corpus-wide token shuffle at fixture scale).
+    * Docs with an empty token array are excluded, matching the agg
+    * form's explode semantics (no tokens → no group → no signature). */
+  private[graft] def simhashSigs(docs: DataFrame): DataFrame =
+    docs.filter(size(col("toks")) > 0)
+      .select(col("doc_id"), graft.functions.SimHashSig(col("toks")).as("sim"))
 
   /** Banded simhash candidate pairs + exact hamming verify over
     * (doc_id, sim: long) rows.
