@@ -1,0 +1,86 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** One media item: opaque content bytes + typed metadata. At 100 TB the
+  * `bytes` column is the dominant I/O cost; everything else is metadata
+  * that should be readable WITHOUT touching the blobs (parquet column
+  * pruning does exactly that when a query needs only metadata). */
+case class MediaRow(doc_id: Long, bytes: Array[Byte], width: Int, height: Int)
+
+/** Decoded per-item features (the stub's schema: real decoders would add
+  * embedding/frame columns the same way). */
+case class MediaFeatures(doc_id: Long, byte_len: Long, checksum: Long,
+    n_patches: Long)
+
+/** Per-partition decode contract: `open()` runs ONCE per partition (codec
+  * or native-library init — the expensive part a per-row UDF would pay
+  * per row), `features` per item, `close()` after the partition drains.
+  */
+trait MediaDecoder extends Serializable {
+  def open(): Unit = ()
+  def features(row: MediaRow): MediaFeatures
+  def close(): Unit = ()
+}
+
+/** STUB decoder — image/audio codecs are absent in this environment, so
+  * the "decode" is a deterministic fake (rolling checksum + 16×16 patch
+  * count). The Spark-side contract around it (binary column, partition
+  * batching, one init per partition, streamed rows) is the real
+  * production shape; swap this object for a codec-backed implementation
+  * and nothing else changes. */
+object StubDecoder extends MediaDecoder {
+  override def features(r: MediaRow): MediaFeatures = {
+    val checksum =
+      r.bytes.foldLeft(0L)((a, b) => (a * 31 + (b & 0xff)) & 0xffffffffL)
+    val patches = (r.width.toLong / 16) * (r.height.toLong / 16)
+    MediaFeatures(r.doc_id, r.bytes.length.toLong, checksum, patches)
+  }
+}
+
+/** Multimodal binary-column plumbing (§2.12): typed media rows through a
+  * partition-batched decode. */
+object MediaPipeline {
+
+  /** The fixture's stand-in media table: document text bytes as the blob,
+    * derived dims as metadata (real datasets carry true image/audio
+    * bytes in a parquet BINARY column with the same schema shape). */
+  def fromDocuments(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    implicit val enc = Encoders.product[MediaRow]
+    Tables.t(spark, dir, "documents")
+      .select(col("doc_id"), encode(col("text"), "utf-8").as("bytes"),
+        (pmod(col("n_chars"), lit(640)) + 1).cast("int").as("width"),
+        (pmod(col("doc_id"), lit(480)) + 1).cast("int").as("height"))
+      .as[MediaRow]
+  }
+
+  /** Decode features with one decoder init per partition, rows streamed
+    * (never materialized — memory is O(1) in partition size, which is
+    * what lets a 100 TB blob column flow through a bounded executor).
+    * `parallelism > 0` repartitions by doc_id first — use it to spread
+    * decode cost when upstream partitioning reflects file layout, not
+    * decode cost. */
+  def decodeFeatures(media: Dataset[MediaRow],
+      decoder: MediaDecoder = StubDecoder,
+      parallelism: Int = 0): Dataset[MediaFeatures] = {
+    implicit val enc = Encoders.product[MediaFeatures]
+    val part =
+      if (parallelism > 0) media.repartition(parallelism, col("doc_id"))
+      else media
+    part.mapPartitions { rows =>
+      decoder.open()
+      val mapped = rows.map(decoder.features)
+      new Iterator[MediaFeatures] {
+        private var closed = false
+        override def hasNext: Boolean = {
+          val h = mapped.hasNext
+          if (!h && !closed) { closed = true; decoder.close() }
+          h
+        }
+        override def next(): MediaFeatures = mapped.next()
+      }
+    }
+  }
+}

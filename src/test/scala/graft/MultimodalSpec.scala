@@ -1,40 +1,22 @@
 package graft
 
 import org.apache.spark.sql.functions._
+import graft.multimodal.{MediaFeatures, MediaPipeline, MediaRow, StubDecoder}
 
-case class MediaRow(doc_id: Long, bytes: Array[Byte], width: Int, height: Int)
-case class MediaFeatures(doc_id: Long, byte_len: Long, checksum: Long,
-    n_patches: Long)
-
-/** Multimodal binary-column plumbing: opaque bytes + typed metadata flow
-  * through a partition-batched "decode" step. The decode itself is a
-  * deterministic STUB (image/audio codecs are absent in this container);
-  * everything Spark-side — schema, batching shape, partition preservation
-  * — is real, mirroring how a decode UDF over binary columns runs at
-  * scale (one library init per partition, streamed rows).
+/** Multimodal binary-column plumbing, driven through the PUBLIC
+  * `graft.multimodal.MediaPipeline` API: opaque bytes + typed metadata
+  * flow through a partition-batched decode with one decoder init per
+  * partition. The decode itself is a deterministic STUB (image/audio
+  * codecs are absent in this container); everything Spark-side — schema,
+  * batching shape, partition preservation, open/close lifecycle — is
+  * real, mirroring how a decode step over binary columns runs at scale.
   */
 class MultimodalSpec extends SparkSpec {
 
   test("binary column + metadata survive a partition-batched decode stub") {
-    import spark.implicits._
-    val media = Tables.t(spark, sf, "documents")
-      .select(col("doc_id"), encode(col("text"), "utf-8").as("bytes"),
-        (pmod(col("n_chars"), lit(640)) + 1).cast("int").as("width"),
-        (pmod(col("doc_id"), lit(480)) + 1).cast("int").as("height"))
-      .as[MediaRow]
-      .repartition(4, col("doc_id"))
+    val media = MediaPipeline.fromDocuments(spark, sf)
+    val out = MediaPipeline.decodeFeatures(media, parallelism = 4).toDF()
 
-    val decoded = media.mapPartitions { rows =>
-      // STUB: a real implementation would init a codec here, once per
-      // partition, then decode each frame. The fake is deterministic.
-      rows.map { r =>
-        val checksum = r.bytes.foldLeft(0L)((a, b) => (a * 31 + (b & 0xff)) & 0xffffffffL)
-        val patches = (r.width.toLong / 16) * (r.height.toLong / 16)
-        MediaFeatures(r.doc_id, r.bytes.length.toLong, checksum, patches)
-      }
-    }
-
-    val out = decoded.toDF()
     assert(out.columns.toSeq == Seq("doc_id", "byte_len", "checksum", "n_patches"))
     assert(out.count() == 500)
     assert(out.rdd.getNumPartitions == 4, "decode must preserve partitioning")
@@ -43,12 +25,25 @@ class MultimodalSpec extends SparkSpec {
       .filter(col("byte_len") =!= col("n_chars")).count()
     assert(mismatch == 0)
     // Deterministic across runs.
-    val second = media.mapPartitions { rows =>
-      rows.map(r => MediaFeatures(r.doc_id, r.bytes.length.toLong,
-        r.bytes.foldLeft(0L)((a, b) => (a * 31 + (b & 0xff)) & 0xffffffffL),
-        (r.width.toLong / 16) * (r.height.toLong / 16)))
-    }.toDF()
+    val second = MediaPipeline.decodeFeatures(media, parallelism = 4).toDF()
     assert(out.orderBy("doc_id").collect().toSeq ==
       second.orderBy("doc_id").collect().toSeq)
+  }
+
+  test("decoder lifecycle: open/close called once per partition") {
+    // Counters must survive serialization to the (local-mode) executor;
+    // use a JVM-global accumulator-ish holder keyed by partition.
+    val opens = spark.sparkContext.longAccumulator("opens")
+    val closes = spark.sparkContext.longAccumulator("closes")
+    val counting = new graft.multimodal.MediaDecoder {
+      override def open(): Unit = opens.add(1)
+      override def features(r: MediaRow): MediaFeatures = StubDecoder.features(r)
+      override def close(): Unit = closes.add(1)
+    }
+    val n = MediaPipeline.decodeFeatures(
+      MediaPipeline.fromDocuments(spark, sf), counting, parallelism = 4).count()
+    assert(n == 500)
+    assert(opens.value == 4, s"expected 4 opens, got ${opens.value}")
+    assert(closes.value == 4, s"expected 4 closes, got ${closes.value}")
   }
 }
