@@ -131,10 +131,15 @@ object TextQueries {
           Seq("band", "bh"))
         .filter(col("i") < col("j"))
         .select("i", "j").distinct()
+      // Verify with a two-pointer merge over pre-sorted token arrays
+      // (SortedIntersectCount) — array_intersect builds a hash set per
+      // candidate pair, ~2.5 s over the ~477k candidates at bench scale.
+      val sorted = docs.select(col("doc_id"), array_sort(col("toks")).as("toks"))
       cand
-        .join(docs.select(col("doc_id").as("i"), col("toks").as("ta")), Seq("i"))
-        .join(docs.select(col("doc_id").as("j"), col("toks").as("tb")), Seq("j"))
-        .withColumn("c", size(array_intersect(col("ta"), col("tb"))))
+        .join(sorted.select(col("doc_id").as("i"), col("toks").as("ta")), Seq("i"))
+        .join(sorted.select(col("doc_id").as("j"), col("toks").as("tb")), Seq("j"))
+        .withColumn("c",
+          graft.functions.SortedIntersectCount(col("ta"), col("tb")))
         .withColumn("jac", col("c").cast("double")
           / (size(col("ta")) + size(col("tb")) - col("c")))
         .filter(col("jac") >= 0.8)
