@@ -41,11 +41,19 @@ object SimQueries {
     }),
 
     // Top-5 neighbors per probe by cosine (excluding self), ties → vec_id.
+    // Runs through the custom TopKPerGroup operator: the bounded-heap
+    // partial pass ships ≤ 5 rows per (probe × scan partition) into the
+    // exchange instead of window-sorting every scored pair — the shape
+    // that holds when the probe set is large. The trailing row_number
+    // only ranks the ≤ 5 survivors per probe.
     "sim_knn_topk" -> ((s, dir) => {
-      val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("vec_id"))
-      cosinePairs(s, dir)
+      val scored = cosinePairs(s, dir)
         .filter(col("vec_id") =!= col("probe_id"))
-        .withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
+      val top = graft.plans.TopKPerGroup(scored, k = 5,
+        partNames = Seq("probe_id"),
+        orderSpec = Seq(("cos", false), ("vec_id", true)))
+      val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("vec_id"))
+      top.withColumn("rk", row_number().over(w))
         .select(col("probe_id"), col("vec_id"), r4d(col("cos")).as("cos"),
           col("rk").cast("long").as("rk"))
         .orderBy("probe_id", "rk")

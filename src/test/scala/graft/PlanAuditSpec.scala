@@ -65,10 +65,12 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
-  test("topk_per_group executes through the custom TopKPerGroupExec operator") {
-    val p = plan("topk_per_group")
-    // partial + final instances
-    assert("TopKPerGroup".r.findAllIn(p).size >= 2, p.take(2000))
+  test("topk_per_group and sim_knn_topk execute through TopKPerGroupExec") {
+    for (q <- Seq("topk_per_group", "sim_knn_topk")) {
+      val p = plan(q)
+      // partial + final instances
+      assert("TopKPerGroup".r.findAllIn(p).size >= 2, s"$q: ${p.take(2000)}")
+    }
   }
 
   test("dedup joins are keyed, not hint-broadcast: survive threshold = -1") {
