@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{ArrayDot, DiscountBand, Tokenize}
+import graft.functions.{ArrayDot, DiscountBand, HyperplaneSig, MinHashSig, SimHashSig, SortedIntersectCount, Tokenize}
 
 /** SparkSessionExtensions entry point: registers the engine's custom
   * Catalyst expressions as permanent SQL functions, so a user can enable
@@ -27,6 +27,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((new FunctionIdentifier("tokenize"),
       new ExpressionInfo(classOf[Tokenize].getName, "tokenize"),
       arity("tokenize", 1)(exprs => Tokenize(exprs.head))))
+    // Sketch signatures + LSH verify helper — the dedup/similarity SQL
+    // surface. minhash_sig takes (toks, k) with a foldable int k.
+    e.injectFunction((new FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
+      arity("minhash_sig", 2)(exprs => MinHashSig(exprs.head, {
+        val k = exprs(1)
+        require(k.foldable, "minhash_sig: k must be a literal")
+        k.eval().asInstanceOf[Number].intValue()
+      }))))
+    e.injectFunction((new FunctionIdentifier("simhash_sig"),
+      new ExpressionInfo(classOf[SimHashSig].getName, "simhash_sig"),
+      arity("simhash_sig", 1)(exprs => SimHashSig(exprs.head))))
+    e.injectFunction((new FunctionIdentifier("hyperplane_sig"),
+      new ExpressionInfo(classOf[HyperplaneSig].getName, "hyperplane_sig"),
+      arity("hyperplane_sig", 1)(exprs => HyperplaneSig(exprs.head))))
+    e.injectFunction((new FunctionIdentifier("sorted_intersect_count"),
+      new ExpressionInfo(classOf[SortedIntersectCount].getName, "sorted_intersect_count"),
+      arity("sorted_intersect_count", 2)(exprs =>
+        SortedIntersectCount(exprs(0), exprs(1)))))
   }
 }
 

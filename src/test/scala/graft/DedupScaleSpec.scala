@@ -44,6 +44,64 @@ class DedupScaleSpec extends SparkSpec {
     }
   }
 
+  test("SimHashSig bit-matches the explode + 64-vote aggregation form") {
+    val docs = Tables.t(spark, sf, "documents")
+      .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("toks"))
+    val agg = {
+      val voteCols = (0 until 64).map(b =>
+        sum(when(expr(s"(h >> $b) & 1") === 1, 1L).otherwise(-1L)).as(s"b$b"))
+      docs.select(col("doc_id"), explode(col("toks")).as("tok"))
+        .withColumn("h", expr("xxhash64(tok)"))
+        .groupBy("doc_id").agg(voteCols.head, voteCols.tail: _*)
+        .select(col("doc_id"),
+          (0 until 64).map(b => expr(s"if(b$b > 0, ${1L << b}L, 0L)"))
+            .reduce(_ + _).as("sim"))
+    }.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val tight = PipelineQueries.simhashSigs(docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(tight == agg, s"${tight.size} vs ${agg.size} sigs; " +
+      s"diff=${(agg.toSet -- tight.toSet).take(3)}")
+  }
+
+  test("HyperplaneSig bit-matches the interpreted HOF form") {
+    val normed = Tables.t(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(ArrayDot(col("v"), col("v"))))
+      .select(col("vec_id"), expr("transform(v, x -> x / nrm)").as("u"))
+    val hof = normed.withColumn("bits", expr(
+      """transform(sequence(0, 63), k ->
+        |  aggregate(sequence(0, size(u) - 1), cast(0.0 as double),
+        |    (acc, d) -> acc + u[d] * if(pmod(hash(k, d), 2) = 0, 1.0D, -1.0D))
+        |  >= 0.0D)""".stripMargin))
+      .select(col("vec_id"), expr(
+        "aggregate(sequence(0, 63), 0L, (acc, k) -> acc + if(bits[k], shiftleft(1L, k), 0L))")
+        .as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val tight = normed
+      .select(col("vec_id"), graft.functions.HyperplaneSig(col("u")).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(tight == hof, s"diff=${(hof.toSet -- tight.toSet).take(3)}")
+  }
+
+  test("SortedIntersectCount == set intersection on sorted distinct arrays") {
+    import org.scalacheck.{Gen, Prop}
+    def arrCol(xs: Seq[String]) =
+      if (xs.isEmpty) array().cast("array<string>")
+      else array(xs.map(lit): _*)
+    val genSet = Gen.containerOf[Set, String](
+      Gen.oneOf("a", "b", "c", "d", "e", "f", "g", "h", "", "zz"))
+    val prop = Prop.forAll(genSet, genSet) { (a, b) =>
+      val got = spark.range(1).select(
+        graft.functions.SortedIntersectCount(
+          arrCol(a.toSeq.sorted), arrCol(b.toSeq.sorted)).as("c"))
+        .head().getInt(0)
+      got == (a & b).size
+    }
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(30), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("LSH-bucketed embedding dedup == all-pairs reference") {
     val normed = Tables.t(spark, sf, "embeddings").filter(col("vec_id") < 1000)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))

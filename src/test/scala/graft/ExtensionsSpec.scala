@@ -38,6 +38,17 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(toks == Seq((0L, "a"), (1L, "b"), (2L, "c")))
       assert(s.sessionState.planner.strategies.exists(_.toString.contains("TopKStrategy"))
         || s.sessionState.planner.extraPlanningStrategies.nonEmpty)
+      // Sketch-signature surface.
+      assert(s.sql("SELECT size(minhash_sig(array('a','b'), 8))")
+        .head().getInt(0) == 8)
+      assert(s.sql("SELECT simhash_sig(array('a','b')) = simhash_sig(array('b','a'))")
+        .head().getBoolean(0), "simhash must be token-order independent")
+      assert(s.sql("SELECT sorted_intersect_count(array('a','b','c'), array('b','c','d'))")
+        .head().getInt(0) == 2)
+      // hyperplane_sig coerces array<int> via ImplicitCastInputTypes? No —
+      // it type-checks strictly; pass doubles.
+      val hp = s.sql("SELECT hyperplane_sig(array(1.0D, -2.0D, 0.5D))").head().getLong(0)
+      assert(hp == s.sql("SELECT hyperplane_sig(array(1.0D, -2.0D, 0.5D))").head().getLong(0))
     } finally {
       // Tear down this context too: a later suite's session must not
       // silently inherit the extension-configured context.
