@@ -1,8 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftshim
@@ -20,13 +19,11 @@ import org.apache.spark.unsafe.hash.Murmur3_x86_32
   * at one call per vector row.
   */
 case class HyperplaneSig(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with CodegenFallback with ImplicitCastInputTypes {
 
-  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
-    case t => TypeCheckResult.TypeCheckFailure(
-      s"hyperplane_sig expects ARRAY<DOUBLE>, got ${t.catalogString}")
-  }
+  // Coerce array<float>/array<int> args (e.g. a raw embedding column
+  // from SQL) instead of hard-failing, like ArrayDot.
+  override def inputTypes = Seq(ArrayType(DoubleType))
 
   override def dataType: DataType = LongType
   override def prettyName: String = "hyperplane_sig"

@@ -90,8 +90,11 @@ object PipelineQueries {
       val scored = tok.join(broadcast(prof), Seq("token"))
         .groupBy(col("doc_id"), col("lang"), col("p_lang"))
         .agg(sum(col("lnp")).as("score"))
-      val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("p_lang"))
-      scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      // Per-doc argmax via TopKPerGroup (k=1): one surviving row per doc
+      // straight out of the bounded heap — no window sort over the
+      // |docs|×|langs| scored table.
+      graft.plans.TopKPerGroup(scored, k = 1, partNames = Seq("doc_id"),
+          orderSpec = Seq(("score", false), ("p_lang", true)))
         .select(col("doc_id"), col("lang"), col("p_lang").as("pred_lang"),
           when(col("lang") === col("p_lang"), 1L).otherwise(0L).as("correct"),
           r4d(col("score").cast("double")).as("score"))

@@ -68,6 +68,9 @@ object TextQueries {
     }),
 
     // tf-idf with idf = ln(N/df); top term per doc, ties → token asc.
+    // The per-doc argmax runs through TopKPerGroup (k=1): the bounded
+    // heap ships one row per (doc × partition) into the exchange, and
+    // with k=1 each group's surviving row IS rank 1 — no window pass.
     "text_tfidf_topterm" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val cnt = docs
@@ -79,9 +82,10 @@ object TextQueries {
       val dfreq = cnt.groupBy("token").agg(count(lit(1)).as("df"))
       val nd = docs.agg(count(lit(1)).as("n_docs"))
       val scored = tf.join(dfreq, "token").crossJoin(broadcast(nd))
-        .withColumn("score", col("tf") * log(col("n_docs") / col("df")))
-      val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("token"))
-      scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("doc_id"), col("token"),
+          (col("tf") * log(col("n_docs") / col("df"))).as("score"))
+      graft.plans.TopKPerGroup(scored, k = 1, partNames = Seq("doc_id"),
+          orderSpec = Seq(("score", false), ("token", true)))
         .select(col("doc_id"), col("token"), r4d(col("score")).as("score"))
         .orderBy("doc_id")
     }),

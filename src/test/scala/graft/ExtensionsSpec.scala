@@ -45,10 +45,9 @@ class ExtensionsSpec extends AnyFunSuite {
         .head().getBoolean(0), "simhash must be token-order independent")
       assert(s.sql("SELECT sorted_intersect_count(array('a','b','c'), array('b','c','d'))")
         .head().getInt(0) == 2)
-      // hyperplane_sig coerces array<int> via ImplicitCastInputTypes? No —
-      // it type-checks strictly; pass doubles.
-      val hp = s.sql("SELECT hyperplane_sig(array(1.0D, -2.0D, 0.5D))").head().getLong(0)
-      assert(hp == s.sql("SELECT hyperplane_sig(array(1.0D, -2.0D, 0.5D))").head().getLong(0))
+      // Implicit coercion: integer-array input is cast to array<double>.
+      assert(s.sql("SELECT hyperplane_sig(array(1, -2)) = hyperplane_sig(array(1.0D, -2.0D))")
+        .head().getBoolean(0))
     } finally {
       // Tear down this context too: a later suite's session must not
       // silently inherit the extension-configured context.
