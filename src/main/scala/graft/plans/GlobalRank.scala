@@ -1,0 +1,87 @@
+package graft.plans
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions.{col, count, spark_partition_id}
+import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
+
+/** Scalable `percent_rank()` / `cume_dist()` over a GLOBAL ordering.
+  *
+  * The window form (`Window.orderBy(key)`) funnels every row through ONE
+  * partition — correct, and what the declared `win_percent_cume` query
+  * uses at fixture scale, but a non-starter at 100 TB. This operator is
+  * the two-pass shape Spark itself uses for global sort:
+  *
+  *   1. `repartitionByRange(key)` + sort within partitions — parallel
+  *      range exchange; equal keys land in one partition, so tie groups
+  *      never straddle a boundary;
+  *   2. count rows per partition (tiny: one long per partition),
+  *      broadcast the cumulative offsets;
+  *   3. stream each sorted partition once, assigning
+  *      rank = offset + local-rank (ties share the rank of their first
+  *      row) and cume = (offset + end-of-tie-run) / N.
+  *
+  * percent_rank = (rank − 1)/(N − 1), cume_dist = cume — identical to
+  * SQL window semantics including ties (proven equal to the window form
+  * in GlobalRankSpec). Memory per task is O(largest tie run), not O(N).
+  */
+object GlobalRank {
+
+  /** Append `pr` (percent_rank) and `cd` (cume_dist) of `keyCol` to
+    * `df`, computed without a single-partition window. `numPartitions`
+    * controls the range exchange (default: spark.sql.shuffle.partitions).
+    */
+  def percentCume(df: DataFrame, keyCol: String,
+      numPartitions: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    val parts =
+      if (numPartitions > 0) numPartitions
+      else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val keyIdx = df.schema.fieldIndex(keyCol)
+    val ranged = df.repartitionByRange(parts, col(keyCol))
+      .sortWithinPartitions(keyCol)
+    // Pass 1: per-partition row counts → cumulative offsets (p longs on
+    // the driver — independent of data size).
+    val counts = ranged.groupBy(spark_partition_id().as("pid"))
+      .agg(count("*").as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val nParts = ranged.rdd.getNumPartitions
+    val offsets = new Array[Long](nParts + 1)
+    (0 until nParts).foreach(i => offsets(i + 1) = offsets(i) + counts.getOrElse(i, 0L))
+    val total = offsets(nParts)
+    val outSchema = StructType(df.schema.fields ++ Seq(
+      StructField("pr", DoubleType, nullable = false),
+      StructField("cd", DoubleType, nullable = false)))
+    val prDenom = math.max(total - 1L, 1L).toDouble
+    val bOffsets = spark.sparkContext.broadcast(offsets)
+    // Pass 2: one streamed scan per sorted partition. Rows are buffered
+    // only within a tie run (rank/cume are per-run constants).
+    val out = ranged.rdd.mapPartitionsWithIndex { (pid, rows) =>
+      val base = bOffsets.value(pid)
+      new Iterator[Row] {
+        private var pos = base // global 0-based index of next unread row
+        private var run: Array[Row] = Array.empty
+        private var runStart = 0L
+        private var emitted = 0
+        private val buf = rows.buffered
+        private def sameKey(a: Row, b: Row): Boolean = {
+          val (x, y) = (a.get(keyIdx), b.get(keyIdx))
+          if (x == null || y == null) x == null && y == null else x == y
+        }
+        override def hasNext: Boolean = emitted < run.length || buf.hasNext
+        override def next(): Row = {
+          if (emitted == run.length) {
+            val first = buf.next()
+            val b = scala.collection.mutable.ArrayBuffer(first)
+            while (buf.hasNext && sameKey(buf.head, first)) b += buf.next()
+            run = b.toArray; runStart = pos; pos += run.length; emitted = 0
+          }
+          val r = run(emitted); emitted += 1
+          val pr = runStart.toDouble / prDenom
+          val cd = (runStart + run.length).toDouble / total
+          Row.fromSeq(r.toSeq ++ Seq(pr, cd))
+        }
+      }
+    }
+    spark.createDataFrame(out, outSchema)
+  }
+}

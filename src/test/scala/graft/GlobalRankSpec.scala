@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.plans.GlobalRank
+
+/** The scalable two-pass percent_rank/cume_dist must agree exactly with
+  * the single-partition window form — including tie groups — while
+  * actually running on multiple range partitions.
+  */
+class GlobalRankSpec extends SparkSpec {
+
+  test("two-pass percent_rank/cume_dist == window form on orders") {
+    val orders = Tables.t(spark, sf, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val w = Window.orderBy(col("o_totalprice"))
+    val windowed = orders
+      .select(col("o_orderkey"),
+        percent_rank().over(w).as("pr"), cume_dist().over(w).as("cd"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val twoPass = GlobalRank.percentCume(orders, "o_totalprice", numPartitions = 7)
+      .select(col("o_orderkey"), col("pr"), col("cd"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(twoPass.size == windowed.size)
+    val bad = windowed.collect {
+      case (k, v) if twoPass(k) != v => (k, v, twoPass(k))
+    }
+    assert(bad.isEmpty, s"${bad.size} mismatches, first: ${bad.headOption}")
+  }
+
+  test("ties share percent_rank and cume_dist across partition boundaries") {
+    import spark.implicits._
+    // Heavy ties: 1000 rows over 5 distinct keys, forced through many
+    // partitions — every tie group must still get one (pr, cd) pair.
+    val df = spark.range(1000)
+      .select(col("id"), (col("id") % 5).cast("double").as("k"))
+    val got = GlobalRank.percentCume(df, "k", numPartitions = 13)
+    val perKey = got.groupBy("k")
+      .agg(countDistinct(col("pr")).as("nPr"), countDistinct(col("cd")).as("nCd"),
+        count(lit(1)).as("n"))
+      .collect()
+    perKey.foreach { r =>
+      assert(r.getLong(1) == 1 && r.getLong(2) == 1,
+        s"tie group ${r.getDouble(0)} split: $r")
+      assert(r.getLong(3) == 200)
+    }
+    // Spot-check exact values: key 0 ranks rows 0..199 → pr = 0.
+    val k0 = got.filter(col("k") === 0.0).select("pr", "cd").head()
+    assert(k0.getDouble(0) == 0.0 && k0.getDouble(1) == 200.0 / 1000.0)
+  }
+}
