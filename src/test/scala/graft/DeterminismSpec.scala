@@ -1,0 +1,30 @@
+package graft
+
+import org.apache.spark.sql.Row
+
+/** The engine's reproducibility claim (SURVEY §1.3): results are
+  * independent of partition count and merge order, because every float
+  * aggregate routes through exact decimal sums and every query ends in
+  * a totally-ordered sort. This spec pins it in CI by running the most
+  * float-sensitive queries under different shuffle-partition counts —
+  * a raw SUM(double) would diverge in final ulps here.
+  */
+class DeterminismSpec extends SparkSpec {
+
+  private def rows(q: String, parts: String): Seq[Row] = {
+    spark.conf.set("spark.sql.shuffle.partitions", parts)
+    try SparkEntry.queries(q)(spark, sf).collect().toSeq
+    finally spark.conf.set("spark.sql.shuffle.partitions", "4")
+  }
+
+  test("float-sensitive queries are bit-identical across partition counts") {
+    for (q <- Seq("agg_groupby_pricing", "agg_stats", "sim_cosine_pairs",
+      "stream_session_windows", "text_tfidf_topterm",
+      "dedup_embedding_cosine", "win_moving_avg")) {
+      val a = rows(q, "3")
+      val b = rows(q, "17")
+      assert(a == b, s"$q diverged between 3 and 17 shuffle partitions " +
+        s"(${a.size} vs ${b.size} rows)")
+    }
+  }
+}
