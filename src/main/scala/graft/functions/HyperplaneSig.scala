@@ -31,6 +31,13 @@ case class HyperplaneSig(child: Expression)
   override def nullSafeEval(input: Any): Any = {
     val u = input.asInstanceOf[ArrayData]
     val n = u.numElements()
+    // A null element nulls the HOF form's aggregate, making every bit's
+    // `>= 0.0` comparison null → false → signature 0; reproduce that.
+    var d0 = 0
+    while (d0 < n) {
+      if (u.isNullAt(d0)) return 0L
+      d0 += 1
+    }
     var sig = 0L
     var k = 0
     while (k < 64) {
@@ -39,11 +46,9 @@ case class HyperplaneSig(child: Expression)
       var acc = 0.0
       var d = 0
       while (d < n) {
-        if (!u.isNullAt(d)) {
-          val h = Murmur3_x86_32.hashInt(d, seedK)
-          val s = if ((h & 1) == 0) 1.0 else -1.0
-          acc += u.getDouble(d) * s
-        }
+        val h = Murmur3_x86_32.hashInt(d, seedK)
+        val s = if ((h & 1) == 0) 1.0 else -1.0
+        acc += u.getDouble(d) * s
         d += 1
       }
       if (acc >= 0.0) sig |= 1L << k

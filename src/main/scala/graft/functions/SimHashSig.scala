@@ -37,10 +37,11 @@ case class SimHashSig(child: Expression)
     val votes = new Array[Int](64)
     var t = 0
     while (t < n) {
-      // A null token hashes as 0 (all bits clear → −1 vote per bit),
-      // matching the aggregation form's null-condition → otherwise(−1).
+      // A null token hashes to the seed, exactly like xxhash64(NULL) in
+      // the reference aggregation form (Spark hash functions pass the
+      // seed through on null input).
       val h =
-        if (toks.isNullAt(t)) 0L
+        if (toks.isNullAt(t)) 42L
         else {
           val s = toks.getUTF8String(t)
           XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)

@@ -71,16 +71,12 @@ object MediaPipeline {
       else media
     part.mapPartitions { rows =>
       decoder.open()
-      val mapped = rows.map(decoder.features)
-      new Iterator[MediaFeatures] {
-        private var closed = false
-        override def hasNext: Boolean = {
-          val h = mapped.hasNext
-          if (!h && !closed) { closed = true; decoder.close() }
-          h
-        }
-        override def next(): MediaFeatures = mapped.next()
-      }
+      // close() via the task-completion listener, not iterator
+      // exhaustion: a limit/take never drains the iterator, and a
+      // decode failure aborts it — both would otherwise leak the codec.
+      val ctx = org.apache.spark.TaskContext.get()
+      if (ctx != null) ctx.addTaskCompletionListener[Unit](_ => decoder.close())
+      rows.map(decoder.features)
     }
   }
 }

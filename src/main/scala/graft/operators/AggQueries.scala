@@ -130,7 +130,11 @@ object AggQueries {
     // aliased past 4.2M events). DuckDB's arg_min can't take a composite
     // key, so the oracle uses an equivalent row_number formulation.
     "agg_first_last" -> ((s, dir) => {
-      val ord = struct(unix_millis(col("ts").cast("timestamp")), col("event_id"))
+      // Null ordinal when ts is null, so min_by/max_by SKIP such rows —
+      // a bare struct ordinal is never null, would sort nulls-first in
+      // Spark, and diverge from the oracle's NULLS LAST row_number.
+      val ms = unix_millis(col("ts").cast("timestamp"))
+      val ord = when(ms.isNotNull, struct(ms, col("event_id")))
       events(s, dir)
         .groupBy(col("user_id"))
         .agg(min_by(col("event_type"), ord).as("first_type"),

@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.{DataFrame, Row}
-import org.apache.spark.sql.functions.{col, count, spark_partition_id}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
 
 /** Scalable `percent_rank()` / `cume_dist()` over a GLOBAL ordering.
@@ -29,6 +29,10 @@ object GlobalRank {
   /** Append `pr` (percent_rank) and `cd` (cume_dist) of `keyCol` to
     * `df`, computed without a single-partition window. `numPartitions`
     * controls the range exchange (default: spark.sql.shuffle.partitions).
+    * The ranged input is persisted (MEMORY_AND_DISK) for the lifetime of
+    * the returned DataFrame so both passes see one partitioning; call
+    * `spark.sharedState.cacheManager`/unpersist semantics apply as for
+    * any cached intermediate.
     */
   def percentCume(df: DataFrame, keyCol: String,
       numPartitions: Int = 0): DataFrame = {
@@ -37,14 +41,22 @@ object GlobalRank {
       if (numPartitions > 0) numPartitions
       else spark.conf.get("spark.sql.shuffle.partitions").toInt
     val keyIdx = df.schema.fieldIndex(keyCol)
-    val ranged = df.repartitionByRange(parts, col(keyCol))
+    // ONE materialized range partitioning serves both passes: a second
+    // execution of repartitionByRange re-samples boundaries (reservoir
+    // order depends on upstream shuffle order), and offsets counted
+    // against one partitioning but applied to another would silently
+    // misrank. Persisting pins partition contents; the count job below
+    // materializes the cache before the ranking pass reads it.
+    val rangedRdd = df.repartitionByRange(parts, col(keyCol))
       .sortWithinPartitions(keyCol)
+      .rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Pass 1: per-partition row counts → cumulative offsets (p longs on
     // the driver — independent of data size).
-    val counts = ranged.groupBy(spark_partition_id().as("pid"))
-      .agg(count("*").as("n"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val nParts = ranged.rdd.getNumPartitions
+    val counts = rangedRdd
+      .mapPartitionsWithIndex((pid, it) =>
+        Iterator((pid, it.foldLeft(0L)((n, _) => n + 1))))
+      .collect().toMap
+    val nParts = rangedRdd.getNumPartitions
     val offsets = new Array[Long](nParts + 1)
     (0 until nParts).foreach(i => offsets(i + 1) = offsets(i) + counts.getOrElse(i, 0L))
     val total = offsets(nParts)
@@ -55,7 +67,7 @@ object GlobalRank {
     val bOffsets = spark.sparkContext.broadcast(offsets)
     // Pass 2: one streamed scan per sorted partition. Rows are buffered
     // only within a tie run (rank/cume are per-run constants).
-    val out = ranged.rdd.mapPartitionsWithIndex { (pid, rows) =>
+    val out = rangedRdd.mapPartitionsWithIndex { (pid, rows) =>
       val base = bOffsets.value(pid)
       new Iterator[Row] {
         private var pos = base // global 0-based index of next unread row

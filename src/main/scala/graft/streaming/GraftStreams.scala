@@ -58,9 +58,12 @@ object GraftStreams {
 
   /** Gap-based sessions per user via the native session_window state
     * (merging windows); emits (user_id, start_ms, end_ms, n_events,
-    * sum_value) per closed-or-current session. */
-  def sessionWindows(events: DataFrame, gap: String = "30 minutes"): DataFrame =
-    events
+    * sum_value) per closed-or-current session. The watermark is what
+    * lets closed sessions leave the state store (and is REQUIRED for
+    * Append-mode output). */
+  def sessionWindows(events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "30 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
       .groupBy(col("user_id"), session_window(col("ts"), gap).as("w"))
       .agg(min(unix_millis(col("ts").cast("timestamp"))).as("start_ms"),
         max(unix_millis(col("ts").cast("timestamp"))).as("end_ms"),
@@ -69,9 +72,13 @@ object GraftStreams {
 
   /** Exactly-once-per-event_id stream: duplicates arriving within the
     * watermark horizon are dropped; state for an id is reclaimed once the
-    * watermark passes it. */
+    * watermark passes it. Uses dropDuplicatesWithinWatermark — plain
+    * dropDuplicates("event_id") would never evict (Spark only builds the
+    * eviction predicate when the event-time column is in the key set),
+    * growing state by every id ever seen. */
   def dedupByEventId(events: DataFrame, watermark: String = "1 hour"): DataFrame =
-    events.withWatermark("ts", watermark).dropDuplicates("event_id")
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
 
   /** Per-user running maximum emitted per event — the custom-state
     * surface (flatMapGroupsWithState, one double register per user).
