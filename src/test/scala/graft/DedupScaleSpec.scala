@@ -83,6 +83,35 @@ class DedupScaleSpec extends SparkSpec {
     assert(tight == hof, s"diff=${(hof.toSet -- tight.toSet).take(3)}")
   }
 
+  test("sketch signatures keep parity with reference forms on null elements") {
+    import org.apache.spark.sql.functions.{expr => e}
+    // SimHashSig: null token hashes to the seed, like xxhash64(NULL).
+    val simNull = spark.range(1)
+      .select(graft.functions.SimHashSig(e("array('a', cast(null as string))")).as("s"),
+        graft.functions.SimHashSig(e("array('a')")).as("ref"))
+      .head()
+    val aggForm = {
+      val voteCols = (0 until 64).map(b =>
+        sum(when(e(s"(h >> $b) & 1") === 1, 1L).otherwise(-1L)).as(s"b$b"))
+      spark.range(1)
+        .select(explode(e("array('a', cast(null as string))")).as("tok"))
+        .withColumn("h", e("xxhash64(tok)"))
+        .agg(voteCols.head, voteCols.tail: _*)
+        .select((0 until 64).map(b => e(s"if(b$b > 0, ${1L << b}L, 0L)"))
+          .reduce(_ + _).as("sim"))
+        .head().getLong(0)
+    }
+    assert(simNull.getLong(0) == aggForm,
+      s"SimHashSig null parity: ${simNull.getLong(0)} vs agg $aggForm")
+    // HyperplaneSig: a null element zeroes the signature, like the HOF
+    // form's null propagation through aggregate().
+    val hpNull = spark.range(1)
+      .select(graft.functions.HyperplaneSig(
+        e("array(1.0D, cast(null as double), -2.0D)")).as("s"))
+      .head().getLong(0)
+    assert(hpNull == 0L, s"HyperplaneSig null-bearing vector: $hpNull")
+  }
+
   test("SortedIntersectCount == set intersection on sorted distinct arrays") {
     import org.scalacheck.{Gen, Prop}
     def arrCol(xs: Seq[String]) =

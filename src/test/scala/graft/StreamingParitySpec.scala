@@ -121,6 +121,29 @@ class StreamingParitySpec extends SparkSpec {
     assertSameRows(spark.table("runmax"), batch, Seq("user_id", "event_id"))
   }
 
+  test("session windows run in Append mode once the watermark closes them") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    // Append mode REQUIRES the watermark sessionWindows now applies —
+    // this start() threw AnalysisException before the fix.
+    val query = GraftStreams.sessionWindows(
+        mem.toDF().withColumn("ts", timestamp_millis(col("ts_ms"))))
+      .writeStream.format("memory").queryName("sessappend")
+      .outputMode(OutputMode.Append()).start()
+    val t0 = 1700000000000L
+    def ev(id: Long, ms: Long) = Event(id, ms, 7L, "click", 1.0)
+    // One session (two events 1 min apart), then an event 3 h later that
+    // advances the watermark far past the session's close.
+    mem.addData(ev(1, t0), ev(2, t0 + 60000)); query.processAllAvailable()
+    mem.addData(ev(3, t0 + 3 * 3600 * 1000L)); query.processAllAvailable()
+    query.stop()
+    val rows = spark.table("sessappend")
+      .select("user_id", "start_ms", "end_ms", "n_events").collect()
+    assert(rows.exists(r => r.getLong(1) == t0 && r.getLong(2) == t0 + 60000
+      && r.getLong(3) == 2), s"closed session not emitted: ${rows.toSeq}")
+  }
+
   test("late data beyond watermark is dropped from append output") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
