@@ -33,8 +33,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
       arity("minhash_sig", 2)(exprs => MinHashSig(exprs.head, {
         val k = exprs(1)
-        require(k.foldable, "minhash_sig: k must be a literal")
-        k.eval().asInstanceOf[Number].intValue()
+        if (!k.foldable) throw new IllegalArgumentException(
+          "minhash_sig: k must be a literal integer")
+        k.eval() match {
+          case n: Number => n.intValue()
+          case other => throw new IllegalArgumentException(
+            s"minhash_sig: k must be a literal integer, got ${if (other == null) "NULL" else other}")
+        }
       }))))
     e.injectFunction((new FunctionIdentifier("simhash_sig"),
       new ExpressionInfo(classOf[SimHashSig].getName, "simhash_sig"),

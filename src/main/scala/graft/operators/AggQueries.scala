@@ -130,12 +130,13 @@ object AggQueries {
     // aliased past 4.2M events). DuckDB's arg_min can't take a composite
     // key, so the oracle uses an equivalent row_number formulation.
     "agg_first_last" -> ((s, dir) => {
-      // Null ordinal when ts is null, so min_by/max_by SKIP such rows —
-      // a bare struct ordinal is never null, would sort nulls-first in
-      // Spark, and diverge from the oracle's NULLS LAST row_number.
-      val ms = unix_millis(col("ts").cast("timestamp"))
-      val ord = when(ms.isNotNull, struct(ms, col("event_id")))
+      // Null-ts rows are excluded EXPLICITLY on both engine and oracle
+      // sides: a null min_by/max_by ordinal would skip them in Spark
+      // while DuckDB's row_number (NULLS LAST) would still rank an
+      // all-null group — divergent semantics the fixture never shows.
+      val ord = struct(unix_millis(col("ts").cast("timestamp")), col("event_id"))
       events(s, dir)
+        .filter(col("ts").isNotNull)
         .groupBy(col("user_id"))
         .agg(min_by(col("event_type"), ord).as("first_type"),
           max_by(col("event_type"), ord).as("last_type"),
@@ -232,7 +233,7 @@ object AggQueries {
       """WITH r AS (SELECT user_id, event_type, value,
         |    row_number() OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS ra,
         |    row_number() OVER (PARTITION BY user_id ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rd
-        |  FROM events)
+        |  FROM events WHERE ts IS NOT NULL)
         |SELECT user_id,
         |  max(CASE WHEN ra = 1 THEN event_type END) AS first_type,
         |  max(CASE WHEN rd = 1 THEN event_type END) AS last_type,

@@ -19,10 +19,25 @@ object ScanQueries {
 
   /** Per-session scratch dir: applicationId keeps concurrent runs over the
     * same sfDir (e.g. bench alongside the correctness check) from racing
-    * on an overwrite-then-read of a shared path. */
-  private def scratch(s: SparkSession, dir: String): String =
-    s"/tmp/graft_scratch/${s.sparkContext.applicationId}/" +
-      dir.replaceAll("[^A-Za-z0-9.]", "_")
+    * on an overwrite-then-read of a shared path. Each application deletes
+    * its own directory at JVM exit, so repeated runs don't accumulate
+    * dumps in /tmp (the pre-round-2 fixed path was self-overwriting). */
+  private val cleanupRegistered = new java.util.concurrent.atomic.AtomicBoolean(false)
+
+  private def scratch(s: SparkSession, dir: String): String = {
+    val root = s"/tmp/graft_scratch/${s.sparkContext.applicationId}"
+    if (cleanupRegistered.compareAndSet(false, true)) {
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def del(f: java.io.File): Unit = {
+          val kids = f.listFiles()
+          if (kids != null) kids.foreach(del)
+          f.delete(): Unit
+        }
+        del(new java.io.File(root))
+      }))
+    }
+    s"$root/${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
+  }
 
   val queries: Map[String, Q] = Map(
     "scan_parquet" -> ((s, dir) => {

@@ -29,10 +29,12 @@ object GlobalRank {
   /** Append `pr` (percent_rank) and `cd` (cume_dist) of `keyCol` to
     * `df`, computed without a single-partition window. `numPartitions`
     * controls the range exchange (default: spark.sql.shuffle.partitions).
-    * The ranged input is persisted (MEMORY_AND_DISK) for the lifetime of
-    * the returned DataFrame so both passes see one partitioning; call
-    * `spark.sharedState.cacheManager`/unpersist semantics apply as for
-    * any cached intermediate.
+    * The ranged input is persisted (MEMORY_AND_DISK) so both passes see
+    * one partitioning; the cache lives as long as the returned
+    * DataFrame's lineage is reachable on the driver, after which Spark's
+    * ContextCleaner unpersists it (standard GC-based RDD cleanup —
+    * repeated calls do not pin storage forever, but a caller holding
+    * many results holds their caches too).
     */
   def percentCume(df: DataFrame, keyCol: String,
       numPartitions: Int = 0): DataFrame = {
@@ -75,10 +77,12 @@ object GlobalRank {
         private var runStart = 0L
         private var emitted = 0
         private val buf = rows.buffered
-        private def sameKey(a: Row, b: Row): Boolean = {
-          val (x, y) = (a.get(keyIdx), b.get(keyIdx))
-          if (x == null || y == null) x == null && y == null else x == y
-        }
+        // deepEquals: element-wise for array keys (Scala == on Array is
+        // reference equality and would split a tie run); boxed
+        // Double/Float equals already matches sort semantics
+        // (-0.0 ≠ 0.0, NaN = NaN — exactly java.lang.Double.compare).
+        private def sameKey(a: Row, b: Row): Boolean =
+          java.util.Objects.deepEquals(a.get(keyIdx), b.get(keyIdx))
         override def hasNext: Boolean = emitted < run.length || buf.hasNext
         override def next(): Row = {
           if (emitted == run.length) {

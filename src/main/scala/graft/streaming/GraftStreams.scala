@@ -30,7 +30,13 @@ object GraftStreams {
     * convert to a µs TIMESTAMP — same recipe as the batch loader
     * (graft.Tables.events) except TIMESTAMP instead of NTZ, because
     * event-time watermarks require TIMESTAMP (equal values under the
-    * engine's pinned UTC session timezone). */
+    * engine's pinned UTC session timezone).
+    *
+    * Deliberate documented side effect (same contract as Tables.events):
+    * nanosAsLong stays set for the session — restoring it mid-plan risks
+    * executor-side re-reads under the old conf, so later NANOS parquet
+    * columns surface as LONG nanos (visible in the schema, never a
+    * silently wrong timestamp). */
   def eventsFromParquetDir(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = "event_id LONG, ts LONG, user_id LONG, event_type STRING, " +
