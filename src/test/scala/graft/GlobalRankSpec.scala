@@ -48,4 +48,20 @@ class GlobalRankSpec extends SparkSpec {
     val k0 = got.filter(col("k") === 0.0).select("pr", "cd").head()
     assert(k0.getDouble(0) == 0.0 && k0.getDouble(1) == 200.0 / 1000.0)
   }
+
+  test("array-typed keys tie correctly (deep equality, not reference)") {
+    // Scala == on Array is reference equality; external Row values for a
+    // binary/array key must still form one tie run per value.
+    val df = spark.range(100)
+      .select(col("id"), expr("array(cast(id % 4 AS STRING))").as("k"))
+    val got = GlobalRank.percentCume(df, "k", numPartitions = 5)
+    val perKey = got.selectExpr("k[0] AS k0", "pr", "cd")
+      .groupBy("k0")
+      .agg(countDistinct(col("pr")).as("nPr"), countDistinct(col("cd")).as("nCd"))
+      .collect()
+    perKey.foreach { r =>
+      assert(r.getLong(1) == 1 && r.getLong(2) == 1,
+        s"array-key tie group ${r.getString(0)} split: $r")
+    }
+  }
 }
