@@ -107,6 +107,64 @@ object TextQueries {
     "dedup_near_jaccard" -> ((s, dir) =>
       exactJaccard(s, dir, 1000, 0.8).orderBy("doc_i", "doc_j")),
 
+    // The survivor-selection half of a dedup pipeline: connected
+    // components over the J ≥ 0.8 pair graph, canonical doc = min id in
+    // the component. Iterative min-label propagation — Pregel-style
+    // supersteps where each round is ONE distributed join+agg over
+    // cached edges and the driver only reads a convergence count;
+    // rounds needed = component diameter (tiny for near-dup graphs,
+    // hard-capped). At 100 TB this is the standard label-propagation
+    // connected-components shape (GraphX/Pregel equivalent) — state per
+    // round is one (doc, label) table partitioned by doc.
+    "dedup_cluster_canon" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 1000)
+        .select(col("doc_id"))
+      val pairs = exactJaccard(s, dir, 1000, 0.8)
+        .select(col("doc_i"), col("doc_j")).cache()
+      val edges = pairs
+        .union(pairs.select(col("doc_j").as("doc_i"), col("doc_i").as("doc_j")))
+        .cache()
+      // localCheckpoint (eager) after every superstep CUTS THE LINEAGE:
+      // cache alone only short-circuits execution — Catalyst still
+      // re-analyzes the full logical tree, which grows ~4× per round
+      // (each step references labels several times) and turned round 3
+      // into a 30 s analysis stall. With truncation every round's plan
+      // is constant-size.
+      var labels = docs.select(col("doc_id"), col("doc_id").as("canon"))
+        .localCheckpoint(true)
+      // Min-label sum decreases monotonically; fixpoint ⇔ sum unchanged.
+      def labelSum(df: DataFrame): Long =
+        df.agg(sum(col("canon"))).head().getLong(0)
+      var prevSum = labelSum(labels)
+      var converged = false
+      var iter = 0
+      while (!converged && iter < 50) {
+        val nbrMin = edges.join(labels, edges("doc_j") === labels("doc_id"))
+          .groupBy(edges("doc_i").as("nid")).agg(min(col("canon")).as("nc"))
+        val stepped = labels.join(nbrMin, labels("doc_id") === nbrMin("nid"), "left")
+          .select(labels("doc_id"),
+            least(col("canon"), coalesce(col("nc"), col("canon"))).as("canon"))
+          .localCheckpoint(true)
+        // Pointer jumping: canon := canon's canon. Halves the remaining
+        // distance to the component minimum every round → O(log diameter)
+        // rounds instead of O(diameter).
+        val jump = stepped.select(col("doc_id").as("jd"), col("canon").as("jc"))
+        val next = stepped
+          .join(jump, stepped("canon") === jump("jd"), "left")
+          .select(stepped("doc_id"),
+            least(stepped("canon"), coalesce(col("jc"), stepped("canon"))).as("canon"))
+          .localCheckpoint(true)
+        val curSum = labelSum(next)
+        converged = curSum == prevSum
+        prevSum = curSum
+        labels = next
+        iter += 1
+      }
+      edges.unpersist()
+      pairs.unpersist()
+      labels.orderBy("doc_id")
+    }),
+
     // MinHash (k=32, seeded murmur3) + banded LSH (16 bands × 2 rows →
     // recall ≈ 1 − (1 − J²)¹⁶, ~0.9999999 at J = 0.8), candidates then
     // verified with exact Jaccard. No oracle (engine-pinned hash); the
@@ -209,7 +267,24 @@ object TextQueries {
          |SELECT i AS doc_i, j AS doc_j, ROUND(jac, 4) AS jac FROM (
          |  SELECT i, j, CAST(c AS DOUBLE) / (sa.sz + sb.sz - c) AS jac
          |  FROM inter JOIN sizes sa ON i = sa.doc_id JOIN sizes sb ON j = sb.doc_id)
-         |WHERE jac >= 0.8 ORDER BY doc_i, doc_j""".stripMargin
+         |WHERE jac >= 0.8 ORDER BY doc_i, doc_j""".stripMargin,
+    // Connected components as a recursive label-reachability CTE:
+    // reach(doc, lab) = transitive closure of "lab reaches doc" over the
+    // undirected pair graph; canon = min reachable label.
+    "dedup_cluster_canon" ->
+      s"""WITH RECURSIVE $tokCte,
+         |p AS (SELECT i, j FROM (
+         |    SELECT i, j, CAST(c AS DOUBLE) / (sa.sz + sb.sz - c) AS jac
+         |    FROM inter JOIN sizes sa ON i = sa.doc_id JOIN sizes sb ON j = sb.doc_id)
+         |  WHERE jac >= 0.8),
+         |edges AS (SELECT i, j FROM p UNION ALL SELECT j AS i, i AS j FROM p),
+         |reach(doc, lab) AS (
+         |  SELECT doc_id, doc_id FROM (SELECT DISTINCT doc_id FROM documents
+         |                              WHERE doc_id < 1000)
+         |  UNION
+         |  SELECT e.j, r.lab FROM reach r JOIN edges e ON e.i = r.doc)
+         |SELECT doc AS doc_id, min(lab) AS canon FROM reach
+         |GROUP BY doc ORDER BY doc_id""".stripMargin
     // dedup_minhash_lsh: intentionally no oracle (SURVEY §2.11).
   )
 }

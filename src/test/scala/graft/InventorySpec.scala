@@ -45,10 +45,12 @@ class InventorySpec extends SparkSpec {
     // §2.12 training-pipeline extras
     "text_langid", "text_quality_score", "text_token_count_bpe",
     "text_fingerprint", "dedup_ngram_jaccard", "dedup_simhash",
-    "dedup_embedding_cosine", "sim_ann_ivf", "multimodal_stub")
+    "dedup_embedding_cosine", "sim_ann_ivf", "multimodal_stub",
+    // §2.13 round-2 amendment
+    "dedup_cluster_canon")
 
-  test("declared queries cover SURVEY §2 + §2.12 exactly (87 keys)") {
-    assert(inventory.size == 87)
+  test("declared queries cover SURVEY §2 + §2.12-13 exactly (88 keys)") {
+    assert(inventory.size == 88)
     val declared = SparkEntry.queries.keySet
     val missing = inventory -- declared
     val extra = declared -- inventory
