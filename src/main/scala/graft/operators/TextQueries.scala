@@ -144,10 +144,11 @@ object TextQueries {
         val stepped = labels.join(nbrMin, labels("doc_id") === nbrMin("nid"), "left")
           .select(labels("doc_id"),
             least(col("canon"), coalesce(col("nc"), col("canon"))).as("canon"))
-          .localCheckpoint(true)
         // Pointer jumping: canon := canon's canon. Halves the remaining
         // distance to the component minimum every round → O(log diameter)
-        // rounds instead of O(diameter).
+        // rounds instead of O(diameter). `stepped` is deliberately NOT
+        // checkpointed: recomputing it twice inside the one fused round
+        // job is cheaper than a second materialization job per round.
         val jump = stepped.select(col("doc_id").as("jd"), col("canon").as("jc"))
         val next = stepped
           .join(jump, stepped("canon") === jump("jd"), "left")
