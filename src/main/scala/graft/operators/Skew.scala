@@ -27,6 +27,11 @@ object Skew {
   def saltedJoin(left: DataFrame, right: DataFrame, key: String,
       saltBy: Column, buckets: Int): DataFrame = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
+    // withColumn REPLACES an existing column of the same name — that
+    // would silently clobber caller data, so refuse loudly instead.
+    require(!left.columns.contains("__graft_salt")
+      && !right.columns.contains("__graft_salt"),
+      "saltedJoin: inputs must not already contain a __graft_salt column")
     val l = left.withColumn("__graft_salt", pmod(hash(saltBy), lit(buckets)))
     val r = right.withColumn("__graft_salt",
       explode(sequence(lit(0), lit(buckets - 1))))

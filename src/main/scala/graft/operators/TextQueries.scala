@@ -124,19 +124,26 @@ object TextQueries {
       val edges = pairs
         .union(pairs.select(col("doc_j").as("doc_i"), col("doc_i").as("doc_j")))
         .cache()
-      // localCheckpoint (eager) after every superstep CUTS THE LINEAGE:
-      // cache alone only short-circuits execution — Catalyst still
-      // re-analyzes the full logical tree, which grows ~4× per round
-      // (each step references labels several times) and turned round 3
-      // into a 30 s analysis stall. With truncation every round's plan
-      // is constant-size.
-      var labels = docs.select(col("doc_id"), col("doc_id").as("canon"))
-        .localCheckpoint(true)
+      // Eager checkpoint after every superstep CUTS THE LINEAGE: cache
+      // alone only short-circuits execution — Catalyst still re-analyzes
+      // the full logical tree, which grows ~4× per round (each step
+      // references labels several times) and turned round 3 into a 30 s
+      // analysis stall. With truncation every round's plan is
+      // constant-size. When a checkpoint dir is configured (a real
+      // cluster should set one) the checkpoint is RELIABLE — executor
+      // loss mid-loop recovers from storage; localCheckpoint is the
+      // local-mode fallback with no fault tolerance.
+      def materialize(df: DataFrame): DataFrame =
+        if (s.sparkContext.getCheckpointDir.isDefined) df.checkpoint(true)
+        else df.localCheckpoint(true)
+      var labels = materialize(docs.select(col("doc_id"), col("doc_id").as("canon")))
       // Min-label sum decreases monotonically; fixpoint ⇔ sum unchanged.
+      // (coalesce: sum over zero rows is NULL — an empty doc set must
+      // yield an empty result, not an NPE.)
       def labelSum(df: DataFrame): Long =
-        df.agg(sum(col("canon"))).head().getLong(0)
+        df.agg(coalesce(sum(col("canon")), lit(0L))).head().getLong(0)
       var prevSum = labelSum(labels)
-      var converged = false
+      var converged = labels.isEmpty
       var iter = 0
       while (!converged && iter < 50) {
         val nbrMin = edges.join(labels, edges("doc_j") === labels("doc_id"))
@@ -150,12 +157,14 @@ object TextQueries {
         // checkpointed: recomputing it twice inside the one fused round
         // job is cheaper than a second materialization job per round.
         val jump = stepped.select(col("doc_id").as("jd"), col("canon").as("jc"))
-        val next = stepped
+        val next = materialize(stepped
           .join(jump, stepped("canon") === jump("jd"), "left")
           .select(stepped("doc_id"),
-            least(stepped("canon"), coalesce(col("jc"), stepped("canon"))).as("canon"))
-          .localCheckpoint(true)
+            least(stepped("canon"), coalesce(col("jc"), stepped("canon"))).as("canon")))
         val curSum = labelSum(next)
+        // Release the PREVIOUS round's pinned blocks — without this the
+        // loop holds one full labels copy per superstep until driver GC.
+        org.apache.spark.sql.graftshim.unpersistCheckpoint(labels)
         converged = curSum == prevSum
         prevSum = curSum
         labels = next

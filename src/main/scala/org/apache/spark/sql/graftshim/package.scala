@@ -27,4 +27,16 @@ package object graftshim {
         exp.extraStrategies = exp.extraStrategies :+ strategy
     }
   }
+
+  /** Release the storage blocks behind a (local)checkpointed DataFrame.
+    * `df.unpersist` only touches the plan cache, not the RDD-level
+    * persistence a checkpoint pins — iterative loops need this to avoid
+    * holding one labels copy per superstep (LogicalRDD is private[sql],
+    * hence the shim). No-op for non-checkpoint-backed frames. */
+  def unpersistCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.optimizedPlan.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ =>
+    }
 }

@@ -49,13 +49,14 @@ class GlobalRankSpec extends SparkSpec {
     assert(k0.getDouble(0) == 0.0 && k0.getDouble(1) == 200.0 / 1000.0)
   }
 
-  test("array-typed keys tie correctly (deep equality, not reference)") {
-    // Scala == on Array is reference equality; external Row values for a
-    // binary/array key must still form one tie run per value.
+  test("binary-typed keys tie correctly (deep equality, not reference)") {
+    // BINARY keys surface as Array[Byte] in external Rows, where == is
+    // REFERENCE equality — the case that genuinely requires deepEquals
+    // (ArrayType keys deserialize to Seq, whose == is already by value).
     val df = spark.range(100)
-      .select(col("id"), expr("array(cast(id % 4 AS STRING))").as("k"))
+      .select(col("id"), expr("cast(cast(id % 4 AS STRING) AS BINARY)").as("k"))
     val got = GlobalRank.percentCume(df, "k", numPartitions = 5)
-    val perKey = got.selectExpr("k[0] AS k0", "pr", "cd")
+    val perKey = got.selectExpr("cast(k AS STRING) AS k0", "pr", "cd")
       .groupBy("k0")
       .agg(countDistinct(col("pr")).as("nPr"), countDistinct(col("cd")).as("nCd"))
       .collect()

@@ -16,15 +16,17 @@ class SkewSpec extends SparkSpec {
       .select(col("id"), when(col("id") % 10 < 9, 0L).otherwise(col("id") % 20).as("k"))
     val right = spark.range(20)
       .select(col("id").as("k"), concat(lit("v"), col("id")).as("payload"))
-    val plain = left.join(right, Seq("k"))
+    // Multiset comparison (sorted seqs), NOT sets: the classic salted-
+    // join failure mode is duplicated rows (e.g. joining on key alone
+    // against the replicated side), which a set compare would mask.
+    def rows(df: org.apache.spark.sql.DataFrame) = df
       .select("k", "id", "payload")
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
-    val salted = Skew.saltedJoin(left, right, "k", col("id"), buckets = 8)
-      .select("k", "id", "payload")
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .toSeq.sorted
+    val plain = rows(left.join(right, Seq("k")))
+    val salted = rows(Skew.saltedJoin(left, right, "k", col("id"), buckets = 8))
     assert(salted == plain,
-      s"salted=${salted.size} plain=${plain.size}, " +
-        s"diff=${(plain -- salted).take(3)} extra=${(salted -- plain).take(3)}")
+      s"salted=${salted.size} rows, plain=${plain.size} rows")
   }
 
   test("salting spreads the hot key across all buckets") {
