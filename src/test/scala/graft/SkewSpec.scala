@@ -29,6 +29,28 @@ class SkewSpec extends SparkSpec {
       s"salted=${salted.size} rows, plain=${plain.size} rows")
   }
 
+  test("saltedJoin == plain join on random distributions and bucket counts") {
+    import org.scalacheck.{Gen, Prop}
+    import spark.implicits._
+    val genLeft = Gen.listOfN(60, Gen.zip(Gen.choose(0L, 5L), Gen.choose(0L, 1000L)))
+    val genRight = Gen.listOfN(12, Gen.zip(Gen.choose(0L, 5L), Gen.choose(0L, 100L)))
+    val genBuckets = Gen.choose(1, 9)
+    val prop = Prop.forAll(genLeft, genRight, genBuckets) { (ls, rs, b) =>
+      val left = ls.zipWithIndex.map { case ((k, v), i) => (k, v, i.toLong) }
+        .toDF("k", "lv", "rowid")
+      val right = rs.toDF("k", "rv")
+      def rows(df: org.apache.spark.sql.DataFrame) = df
+        .select("k", "lv", "rowid", "rv")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSeq.sorted
+      rows(Skew.saltedJoin(left, right, "k", col("rowid"), b)) ==
+        rows(left.join(right, Seq("k")))
+    }
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(15), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("salting spreads the hot key across all buckets") {
     val left = spark.range(10000).select(col("id"), lit(0L).as("k"))
     val nSalts = left
