@@ -10,19 +10,38 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    GraftSession.ensureCheckpointDir(spark)
     // Warm the session (executor threads, codegen compiler, parquet
     // footer caches) so the first measured query isn't startup noise.
     spark.range(1000000).selectExpr("sum(id)").collect()
     SparkEntry.entry(spark).count()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Optional subset for local iteration: comma-separated query names.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter { case (k, _) => names(k) }
+      case None => SparkEntry.queries
+    }
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 3-decimal seconds keep the one-line JSON short enough that a
+    // tail-capturing driver doesn't truncate the leading queries (the
+    // round-2 report lost ~25 entries to full-precision doubles).
+    def f(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // Belt and braces: the same JSON goes to a file, so a truncated
+    // stdout capture never loses the per-query map.
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      new java.io.File("BENCH_LOCAL.json").getAbsolutePath)
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")
+    catch { case _: Throwable => () }
+    println(json)
     spark.stop()
   }
 }

@@ -70,12 +70,16 @@ object AggQueries {
         .orderBy(col("l_returnflag"))
     }),
 
-    // Nations with above-average customer count (HAVING via post-agg filter).
+    // Nations with above-average customer count (HAVING via post-agg
+    // filter). The global average arrives as a 1-row broadcast cross
+    // join, not `avg().over(Window.partitionBy())` — the empty-partition
+    // window funnels its whole input through one task, and the two-phase
+    // agg + broadcast shape stays flat no matter how many groups.
     "agg_having" -> ((s, dir) => {
       val per = t(s, dir, "customer")
         .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
         .groupBy(col("n_name")).agg(count(lit(1)).as("n_cust"))
-      per.withColumn("avg_c", avg(col("n_cust")).over(Window.partitionBy()))
+      per.crossJoin(broadcast(per.agg(avg(col("n_cust")).as("avg_c"))))
         .filter(col("n_cust") > col("avg_c"))
         .select(col("n_name"), col("n_cust"))
         .orderBy(col("n_name"))

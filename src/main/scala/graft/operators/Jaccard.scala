@@ -46,8 +46,12 @@ object Jaccard {
       .join(pref.select(col("tok"), col("doc_id").as("j")), Seq("tok"))
       .filter(col("i") < col("j"))
       .select("i", "j").distinct()
+    // array_sort (nulls LAST), not sort_array (nulls FIRST): the
+    // two-pointer SortedIntersectCount contract assumes array_sort
+    // ordering and stops at the first null — a leading null would
+    // silently truncate the intersection count to 0.
     val arrs = toks.groupBy("doc_id")
-      .agg(sort_array(collect_list(col("tok"))).as("ts"),
+      .agg(array_sort(collect_list(col("tok"))).as("ts"),
         count(lit(1)).as("sz"))
     cand
       .join(arrs.select(col("doc_id").as("i"), col("ts").as("ta"),

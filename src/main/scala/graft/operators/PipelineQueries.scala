@@ -70,8 +70,12 @@ object PipelineQueries {
 
   val queries: Map[String, Q] = Map(
     // Naive-Bayes language ID: per-lang token profiles (Laplace-smoothed,
-    // learned from the corpus itself), per-doc argmax score. The profile
-    // is |vocab|×|langs| rows — broadcast; docs shuffle once on doc_id.
+    // learned from the corpus itself), per-doc argmax score. The
+    // profile join is KEYED, not hint-broadcast: on a bounded vocabulary
+    // Catalyst/AQE still picks broadcast from stats, but an open
+    // 100 TB-corpus vocabulary degrades gracefully to a shuffled join on
+    // token instead of OOMing the driver (same pattern as the minhash
+    // candidate re-join in TextQueries).
     "text_langid" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val tok = docs.select(col("doc_id"), col("lang"),
@@ -87,7 +91,7 @@ object PipelineQueries {
         .select(col("p_lang"), col("token"),
           log((coalesce(col("ct"), lit(0L)) + 1).cast("double")
             / (col("tot") + col("v"))).cast("decimal(38,8)").as("lnp"))
-      val scored = tok.join(broadcast(prof), Seq("token"))
+      val scored = tok.join(prof, Seq("token"))
         .groupBy(col("doc_id"), col("lang"), col("p_lang"))
         .agg(sum(col("lnp")).as("score"))
       // Per-doc argmax via TopKPerGroup (k=1): one surviving row per doc

@@ -22,10 +22,17 @@ object ScanQueries {
     * on an overwrite-then-read of a shared path. Each application deletes
     * its own directory at JVM exit, so repeated runs don't accumulate
     * dumps in /tmp (the pre-round-2 fixed path was self-overwriting). */
+  // Every application root that handed out a scratch path, swept by ONE
+  // shutdown hook — a per-registration boolean would leak the roots of
+  // any second/third SparkSession created in the same JVM (e.g. the
+  // fresh-context pattern in ExtensionsSpec).
+  private val scratchRoots =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   private val cleanupRegistered = new java.util.concurrent.atomic.AtomicBoolean(false)
 
   private def scratch(s: SparkSession, dir: String): String = {
     val root = s"/tmp/graft_scratch/${s.sparkContext.applicationId}"
+    scratchRoots.add(root)
     if (cleanupRegistered.compareAndSet(false, true)) {
       Runtime.getRuntime.addShutdownHook(new Thread(() => {
         def del(f: java.io.File): Unit = {
@@ -33,7 +40,7 @@ object ScanQueries {
           if (kids != null) kids.foreach(del)
           f.delete(): Unit
         }
-        del(new java.io.File(root))
+        scratchRoots.forEach(r => del(new java.io.File(r)))
       }))
     }
     s"$root/${dir.replaceAll("[^A-Za-z0-9.]", "_")}"

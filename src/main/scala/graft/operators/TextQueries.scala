@@ -109,70 +109,19 @@ object TextQueries {
 
     // The survivor-selection half of a dedup pipeline: connected
     // components over the J ≥ 0.8 pair graph, canonical doc = min id in
-    // the component. Iterative min-label propagation — Pregel-style
-    // supersteps where each round is ONE distributed join+agg over
-    // cached edges and the driver only reads a convergence count;
-    // rounds needed = component diameter (tiny for near-dup graphs,
-    // hard-capped). At 100 TB this is the standard label-propagation
-    // connected-components shape (GraphX/Pregel equivalent) — state per
-    // round is one (doc, label) table partitioned by doc.
+    // the component. Runs through the shared ConnectedComponents
+    // operator: per-partition union-find contracts the graph first, the
+    // min-label loop touches ONLY edge-incident docs (isolated docs —
+    // the majority — bypass it), and loop-state partitioning follows
+    // |edges| instead of spark.sql.shuffle.partitions, so fixture-scale
+    // supersteps are single-task and the fixpoint arrives in one
+    // verification round.
     "dedup_cluster_canon" -> ((s, dir) => {
       val docs = t(s, dir, "documents").filter(col("doc_id") < 1000)
         .select(col("doc_id"))
       val pairs = exactJaccard(s, dir, 1000, 0.8)
-        .select(col("doc_i"), col("doc_j")).cache()
-      val edges = pairs
-        .union(pairs.select(col("doc_j").as("doc_i"), col("doc_i").as("doc_j")))
-        .cache()
-      // Eager checkpoint after every superstep CUTS THE LINEAGE: cache
-      // alone only short-circuits execution — Catalyst still re-analyzes
-      // the full logical tree, which grows ~4× per round (each step
-      // references labels several times) and turned round 3 into a 30 s
-      // analysis stall. With truncation every round's plan is
-      // constant-size. When a checkpoint dir is configured (a real
-      // cluster should set one) the checkpoint is RELIABLE — executor
-      // loss mid-loop recovers from storage; localCheckpoint is the
-      // local-mode fallback with no fault tolerance.
-      def materialize(df: DataFrame): DataFrame =
-        if (s.sparkContext.getCheckpointDir.isDefined) df.checkpoint(true)
-        else df.localCheckpoint(true)
-      var labels = materialize(docs.select(col("doc_id"), col("doc_id").as("canon")))
-      // Min-label sum decreases monotonically; fixpoint ⇔ sum unchanged.
-      // (coalesce: sum over zero rows is NULL — an empty doc set must
-      // yield an empty result, not an NPE.)
-      def labelSum(df: DataFrame): Long =
-        df.agg(coalesce(sum(col("canon")), lit(0L))).head().getLong(0)
-      var prevSum = labelSum(labels)
-      var converged = labels.isEmpty
-      var iter = 0
-      while (!converged && iter < 50) {
-        val nbrMin = edges.join(labels, edges("doc_j") === labels("doc_id"))
-          .groupBy(edges("doc_i").as("nid")).agg(min(col("canon")).as("nc"))
-        val stepped = labels.join(nbrMin, labels("doc_id") === nbrMin("nid"), "left")
-          .select(labels("doc_id"),
-            least(col("canon"), coalesce(col("nc"), col("canon"))).as("canon"))
-        // Pointer jumping: canon := canon's canon. Halves the remaining
-        // distance to the component minimum every round → O(log diameter)
-        // rounds instead of O(diameter). `stepped` is deliberately NOT
-        // checkpointed: recomputing it twice inside the one fused round
-        // job is cheaper than a second materialization job per round.
-        val jump = stepped.select(col("doc_id").as("jd"), col("canon").as("jc"))
-        val next = materialize(stepped
-          .join(jump, stepped("canon") === jump("jd"), "left")
-          .select(stepped("doc_id"),
-            least(stepped("canon"), coalesce(col("jc"), stepped("canon"))).as("canon")))
-        val curSum = labelSum(next)
-        // Release the PREVIOUS round's pinned blocks — without this the
-        // loop holds one full labels copy per superstep until driver GC.
-        org.apache.spark.sql.graftshim.unpersistCheckpoint(labels)
-        converged = curSum == prevSum
-        prevSum = curSum
-        labels = next
-        iter += 1
-      }
-      edges.unpersist()
-      pairs.unpersist()
-      labels.orderBy("doc_id")
+        .select(col("doc_i"), col("doc_j"))
+      ConnectedComponents.canonLabels(docs, pairs).orderBy("doc_id")
     }),
 
     // MinHash (k=32, seeded murmur3) + banded LSH (16 bands × 2 rows →

@@ -93,12 +93,18 @@ object WindowQueries {
         .orderBy(col("o_custkey"), col("o_orderkey"))
     }),
 
+    // Global percent_rank/cume_dist via the two-pass GlobalRank operator
+    // (plans/GlobalRank.scala): range exchange + per-partition offsets
+    // instead of `Window.orderBy(price)`'s single-partition funnel —
+    // same results (parity proven in GlobalRankSpec), but every task
+    // holds O(largest tie run) rather than O(N). PlanAuditSpec pins the
+    // absence of a partition-less Window in the executed plan.
     "win_percent_cume" -> ((s, dir) => {
-      val w = Window.orderBy(col("o_totalprice"))
-      t(s, dir, "orders")
+      graft.plans.GlobalRank.percentCume(
+          t(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice")),
+          "o_totalprice")
         .select(col("o_orderkey"), col("o_totalprice"),
-          r4d(percent_rank().over(w)).as("pr"),
-          r4d(cume_dist().over(w)).as("cd"))
+          r4d(col("pr")).as("pr"), r4d(col("cd")).as("cd"))
         .orderBy(col("o_orderkey"))
     }),
 

@@ -21,7 +21,10 @@ case class Event(event_id: Long, ts_ms: Long, user_id: Long,
   *
   * Scale: every transform keys its state by a bounded entity
   * (window×type, user, event_id under a watermark), so state-store size
-  * is O(active keys), and watermarks bound how long a key stays live.
+  * is O(active keys), and watermarks bound how long a key stays live —
+  * except [[runningMax]], whose lifetime-max state is inherently
+  * per-user-forever unless its `idleTimeout` eviction is enabled (see
+  * its scaladoc for the trade-off).
   */
 object GraftStreams {
 
@@ -43,7 +46,12 @@ object GraftStreams {
       "value DOUBLE, props STRING"
     spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
       .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      // FLOOR division nanos→micros: `ts div 1000` truncates toward
+      // zero, which would round pre-epoch (negative) timestamps 1 µs
+      // UP. Integer-only floor-div (no double cast — 1e18 nanos is past
+      // double's 2^53 exact range).
+      .withColumn("ts",
+        timestamp_micros(expr("(ts - ((ts % 1000) + 1000) % 1000) div 1000")))
   }
 
   /** Per-(1-day tumbling window × event_type) counts and exact sums. */
@@ -90,20 +98,37 @@ object GraftStreams {
     * surface (flatMapGroupsWithState, one double register per user).
     * Within a trigger, a group's rows are processed in (ts_ms, event_id)
     * order; cross-trigger order is the stream's delivery order, as for
-    * any per-key streaming state machine. */
-  def runningMax(events: Dataset[Event]): DataFrame = {
+    * any per-key streaming state machine.
+    *
+    * State note — the EXCEPTION to this object's watermark-bounded
+    * rule: a lifetime running max is inherently O(total users ever
+    * seen). With the default `idleTimeout = None` state never evicts —
+    * right when the user-id domain is bounded. On an unbounded domain
+    * pass `Some("2 hours")`-style processing-time idleness: a user idle
+    * that long is evicted (and a later return RESTARTS their max — the
+    * documented trade of exactness for bounded state). */
+  def runningMax(events: Dataset[Event],
+      idleTimeout: Option[String] = None): DataFrame = {
     import events.sparkSession.implicits._
+    val timeoutConf = if (idleTimeout.isDefined)
+      GroupStateTimeout.ProcessingTimeTimeout() else GroupStateTimeout.NoTimeout()
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState[Double, (Long, Long, Double)](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), timeoutConf) {
         case (uid, evs, state: GroupState[Double]) =>
-          var cur = state.getOption.getOrElse(Double.MinValue)
-          val rows = evs.toSeq.sortBy(e => (e.ts_ms, e.event_id)).map { e =>
-            cur = math.max(cur, e.value)
-            (uid, e.event_id, cur)
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var cur = state.getOption.getOrElse(Double.MinValue)
+            val rows = evs.toSeq.sortBy(e => (e.ts_ms, e.event_id)).map { e =>
+              cur = math.max(cur, e.value)
+              (uid, e.event_id, cur)
+            }
+            state.update(cur)
+            idleTimeout.foreach(state.setTimeoutDuration)
+            rows.iterator
           }
-          state.update(cur)
-          rows.iterator
       }.toDF("user_id", "event_id", "running_max")
   }
 }

@@ -73,6 +73,28 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("win_percent_cume executes without any Window operator") {
+    // The two-pass GlobalRank operator replaces Window.orderBy(price),
+    // whose empty partition spec funnels EVERY row through one task.
+    // The executed plan must contain no Window node at all (ranks come
+    // from the range-exchanged RDD passes).
+    val p = plan("win_percent_cume")
+    assert(!p.contains("Window"), p.take(2000))
+  }
+
+  test("text_langid profile join is keyed, not hint-broadcast") {
+    // threshold = -1 kills stats-based broadcast; a lingering hint on
+    // the |vocab|×|langs| profile would still plan BroadcastHashJoin
+    // (the surviving 1-row broadcast(vocab) cross join plans
+    // BroadcastNestedLoopJoin, which is fine — it is one row by
+    // construction).
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = plan("text_langid")
+      assert(!p.contains("BroadcastHashJoin"), p.take(2000))
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
   test("dedup joins are keyed, not hint-broadcast: survive threshold = -1") {
     // With auto-broadcast off, a hint-free plan degrades to shuffle joins;
     // a lingering broadcast() hint (round-1 minhash re-join) would still
