@@ -17,17 +17,22 @@ import org.apache.spark.sql.graftshim
   *
   * Why not `row_number().over(w) <= k`? The window form shuffles and
   * sorts EVERY row of every group. This operator runs a bounded-heap
-  * partial pass before the exchange, so only ≤ k rows per (group ×
-  * input-partition) are shuffled, then a final heap pass per group — the
-  * shuffle shrinks from |rows| to ~k·|groups|·p fragments, and nothing
-  * is globally sorted. Ties must be broken by the caller's ordering
-  * (same contract as the window form).
+  * partial pass before the exchange, so only ~k rows per (group ×
+  * input-partition) are shuffled, then a final streaming pass per group.
+  * Ties must be broken by the caller's ordering (same contract as the
+  * window form).
   *
-  * Memory model: each task holds O(k · |groups in its partition|) rows
-  * on-heap with no spilling — right when the group key is a bounded
-  * entity (customers, users). For near-unique group keys prefer the
-  * window rank ≤ k form, whose sort spills via UnsafeExternalSorter;
-  * a spillable-map variant is the known follow-up.
+  * Memory model — SPILL-SAFE at both stages:
+  *   - partial: the heap map tracks its retained bytes and, past
+  *     `spark.graft.topk.maxPartialBytes` (default 64 MB), FLUSHES its
+  *     contents downstream and restarts empty. Extra emitted rows are
+  *     harmless (the final stage re-filters), so a near-unique group key
+  *     degrades the partial pass to ~pass-through instead of OOM.
+  *   - final: declares `requiredChildOrdering` = (group keys, caller
+  *     order), so EnsureRequirements plants a SortExec — which spills
+  *     through UnsafeExternalSorter — after the exchange, and the
+  *     operator itself just streams each sorted partition emitting the
+  *     first k rows per group: O(1) memory beyond the sort.
   */
 case class TopKPerGroupNode(k: Int, part: Seq[Expression],
     order: Seq[SortOrder], child: LogicalPlan) extends UnaryNode {
@@ -37,8 +42,8 @@ case class TopKPerGroupNode(k: Int, part: Seq[Expression],
 }
 
 case class TopKPerGroupExec(k: Int, part: Seq[Expression],
-    order: Seq[SortOrder], partial: Boolean, child: SparkPlan)
-    extends UnaryExecNode {
+    order: Seq[SortOrder], partial: Boolean, maxPartialBytes: Long,
+    child: SparkPlan) extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output
 
@@ -46,19 +51,72 @@ case class TopKPerGroupExec(k: Int, part: Seq[Expression],
     if (partial) UnspecifiedDistribution :: Nil
     else ClusteredDistribution(part) :: Nil
 
+  // Final pass: rows must arrive grouped AND ordered — EnsureRequirements
+  // inserts the (spillable) SortExec that makes the streaming scan valid.
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] =
+    if (partial) Seq(Nil)
+    else Seq(part.map(SortOrder(_, Ascending)) ++ order)
+
   // Rows pass through unchanged, so the child's (post-exchange)
   // clustering survives — without this, a downstream groupBy on the same
   // key would re-shuffle rows that are already clustered.
   override def outputPartitioning: org.apache.spark.sql.catalyst.plans.physical.Partitioning =
     child.outputPartitioning
 
+  // The final pass preserves its child's sort too, so a downstream
+  // window over the same (partition, order) spec skips its sort.
+  override def outputOrdering: Seq[SortOrder] =
+    if (partial) Nil else child.outputOrdering
+
   override protected def doExecute(): RDD[InternalRow] = {
+    if (k <= 0) return child.execute().mapPartitions(_ => Iterator.empty)
+    if (partial) doExecutePartial() else doExecuteFinal()
+  }
+
+  /** Streaming final pass over (group, order)-sorted input: count rows
+    * per group-key run, emit the first k of each. Group equality is byte
+    * equality of the projected UnsafeRow key — consistent with sort
+    * order (UnsafeRow writes normalize -0.0 and NaN). */
+  private def doExecuteFinal(): RDD[InternalRow] = {
+    val kk = k
+    val partExprs = part
+    val childOutput = child.output
+    child.execute().mapPartitions({ iter =>
+      val keyProj = UnsafeProjection.create(partExprs, childOutput)
+      new Iterator[InternalRow] {
+        private var curKey: UnsafeRow = null
+        private var emittedInGroup = 0
+        private var pending: InternalRow = null
+        // Fetch lazily (inside hasNext), NEVER ahead of handing out the
+        // previous row: the upstream sort iterator reuses one row
+        // buffer, so prefetching in next() would overwrite the row the
+        // consumer is about to read.
+        private def fetch(): Unit =
+          while (pending == null && iter.hasNext) {
+            val r = iter.next()
+            val key = keyProj(r)
+            if (curKey == null || key != curKey) {
+              curKey = key.copy(); emittedInGroup = 0
+            }
+            if (emittedInGroup < kk) { emittedInGroup += 1; pending = r }
+          }
+        override def hasNext: Boolean = { fetch(); pending != null }
+        override def next(): InternalRow = {
+          fetch()
+          if (pending == null) throw new NoSuchElementException
+          val r = pending; pending = null; r
+        }
+      }
+    }, preservesPartitioning = true)
+  }
+
+  /** Bounded-heap partial pass with size-tracked flushing. */
+  private def doExecutePartial(): RDD[InternalRow] = {
     val kk = k
     val partExprs = part
     val orderExprs = order
     val childOutput = child.output
-    val emitSorted = !partial
-    if (kk <= 0) return child.execute().mapPartitions(_ => Iterator.empty)
+    val capBytes = maxPartialBytes
     child.execute().mapPartitions({ iter =>
       val baseOrd = GenerateOrdering.generate(orderExprs, childOutput)
       // PriorityQueue head = MAX by cmp = the worst row currently kept.
@@ -67,28 +125,55 @@ case class TopKPerGroupExec(k: Int, part: Seq[Expression],
       // Children emit UnsafeRow in practice; don't assume it (a custom
       // upstream operator may emit generic rows).
       val toUnsafe = UnsafeProjection.create(childOutput, childOutput)
-      val heaps = mutable.LinkedHashMap.empty[UnsafeRow, mutable.PriorityQueue[UnsafeRow]]
-      iter.foreach { r =>
-        val row = r match {
-          case u: UnsafeRow => u
-          case other => toUnsafe(other)
+      new Iterator[InternalRow] {
+        private val heaps =
+          mutable.LinkedHashMap.empty[UnsafeRow, mutable.PriorityQueue[UnsafeRow]]
+        // Retained bytes across all heaps (+ ~64 B map overhead per
+        // entry); crossing capBytes drains everything downstream — the
+        // final stage re-filters, so over-emitting is safe and a
+        // near-unique key column can never OOM this task.
+        private var retained = 0L
+        private var out: Iterator[InternalRow] = Iterator.empty
+        private def drain(): Iterator[InternalRow] = {
+          val rows = heaps.valuesIterator.flatMap(_.iterator).toArray
+          heaps.clear(); retained = 0L
+          rows.iterator.map(_.asInstanceOf[InternalRow])
         }
-        val key = keyProj(row)
-        val heap = heaps.get(key) match {
-          case Some(h) => h
-          case None =>
-            val h = new mutable.PriorityQueue[UnsafeRow]()(cmp)
-            heaps.put(key.copy(), h)
-            h
+        private def consume(): Unit = {
+          while (iter.hasNext && retained <= capBytes) {
+            val r = iter.next()
+            val row = r match {
+              case u: UnsafeRow => u
+              case other => toUnsafe(other)
+            }
+            val key = keyProj(row)
+            val heap = heaps.get(key) match {
+              case Some(h) => h
+              case None =>
+                val h = new mutable.PriorityQueue[UnsafeRow]()(cmp)
+                val kc = key.copy()
+                heaps.put(kc, h)
+                retained += kc.getSizeInBytes + 64L
+                h
+            }
+            if (heap.size < kk) {
+              val rc = row.copy(); heap += rc; retained += rc.getSizeInBytes
+            } else if (cmp.compare(row, heap.head) < 0) {
+              retained -= heap.dequeue().getSizeInBytes
+              val rc = row.copy(); heap += rc; retained += rc.getSizeInBytes
+            }
+          }
+          if (retained > capBytes || (!iter.hasNext && heaps.nonEmpty)) out = drain()
         }
-        if (heap.size < kk) heap += row.copy()
-        else if (cmp.compare(row, heap.head) < 0) { heap.dequeue(); heap += row.copy() }
+        override def hasNext: Boolean = {
+          while (!out.hasNext && (iter.hasNext || heaps.nonEmpty)) consume()
+          out.hasNext
+        }
+        override def next(): InternalRow = {
+          if (!hasNext) throw new NoSuchElementException
+          out.next()
+        }
       }
-      heaps.valuesIterator.flatMap { h =>
-        val rows = h.toArray
-        if (emitSorted) { java.util.Arrays.sort(rows, cmp); rows.iterator }
-        else rows.iterator
-      }.map(_.asInstanceOf[InternalRow])
     }, preservesPartitioning = true)
   }
 
@@ -96,13 +181,17 @@ case class TopKPerGroupExec(k: Int, part: Seq[Expression],
     copy(child = c)
 }
 
-/** Plans the logical node as partial → (exchange inserted by
+/** Plans the logical node as partial → (exchange + sort inserted by
   * EnsureRequirements) → final. */
 object TopKStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case TopKPerGroupNode(k, part, order, child) =>
-      TopKPerGroupExec(k, part, order, partial = false,
-        TopKPerGroupExec(k, part, order, partial = true, planLater(child))) :: Nil
+      val cap = java.lang.Long.parseLong(
+        org.apache.spark.sql.internal.SQLConf.get.getConfString(
+          "spark.graft.topk.maxPartialBytes", (64L * 1024 * 1024).toString))
+      TopKPerGroupExec(k, part, order, partial = false, cap,
+        TopKPerGroupExec(k, part, order, partial = true, cap,
+          planLater(child))) :: Nil
     case _ => Nil
   }
 }
