@@ -11,6 +11,7 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     GraftSession.ensureCheckpointDir(spark)
+    graft.plans.TopKPushdown.install(spark)
     // Warm the session (executor threads, codegen compiler, parquet
     // footer caches) so the first measured query isn't startup noise.
     spark.range(1000000).selectExpr("sum(id)").collect()

@@ -18,6 +18,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
+    // Top-k pushdown (rank-limit → TopKPerGroupNode). Injected into the
+    // operator-optimization batch, so here it fires before the native
+    // InferWindowGroupLimit and downstream pruning still cleans up.
+    e.injectOptimizerRule(_ => graft.plans.TopKPushdownRule)
     e.injectFunction((new FunctionIdentifier("array_dot"),
       new ExpressionInfo(classOf[ArrayDot].getName, "array_dot"),
       arity("array_dot", 2)(exprs => ArrayDot(exprs(0), exprs(1)))))

@@ -125,6 +125,24 @@ object WindowQueries {
     // the exchange's clustering, so it adds a sort but no new shuffle.
     // Proven equal to the window form in TopKSpec; plan pinned in
     // PlanAuditSpec.
+    // Same result as the window rank-limit idiom a user would write —
+    // and that IS what this declares. The TopKPushdownRule optimizer
+    // rule (plans/TopKPushdown.scala) rewrites the Filter(rn <= 2) over
+    // the Window into TopKPerGroupNode, so the plan is the bounded-heap
+    // two-phase operator + a re-window over ≤ 2 rows per group (no extra
+    // exchange or sort — the operator passes both through). Plan pinned
+    // in PlanAuditSpec; rule unit-tested in TopKPushdownSpec.
+    "topk_pushdown_rank" -> ((s, dir) => {
+      graft.plans.TopKPushdown.install(s)
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("value").desc, col("event_id"))
+      events(s, dir)
+        .select(col("user_id"), col("event_id"), col("value"),
+          row_number().over(w).cast("long").as("rn"))
+        .filter(col("rn") <= 2)
+        .orderBy(col("user_id"), col("rn"))
+    }),
+
     "topk_per_group" -> ((s, dir) => {
       val top = graft.plans.TopKPerGroup(
         t(s, dir, "orders")
@@ -194,6 +212,13 @@ object WindowQueries {
          |  last_value(o_totalprice) OVER ($ordSql
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_price
          |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "topk_pushdown_rank" ->
+      """SELECT user_id, event_id, value, rn FROM (
+        |  SELECT user_id, event_id, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY value DESC, event_id) AS rn
+        |  FROM events)
+        |WHERE rn <= 2 ORDER BY user_id, rn""".stripMargin,
     "topk_per_group" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,

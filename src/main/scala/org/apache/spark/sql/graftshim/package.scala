@@ -28,6 +28,20 @@ package object graftshim {
     }
   }
 
+  /** Register an extra optimizer rule on a live session (idempotent,
+    * synchronized like addStrategy). Runs in the "User Provided
+    * Optimizers" batch after the default batches — rules must tolerate
+    * already-optimized shapes (e.g. an inserted WindowGroupLimit). */
+  def addOptimizerRule(spark: SparkSession,
+      rule: org.apache.spark.sql.catalyst.rules.Rule[
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]): Unit = {
+    val exp = spark.asInstanceOf[classic.SparkSession].experimental
+    exp.synchronized {
+      if (!exp.extraOptimizations.contains(rule))
+        exp.extraOptimizations = exp.extraOptimizations :+ rule
+    }
+  }
+
   /** Release the storage blocks behind a (local)checkpointed DataFrame.
     * `df.unpersist` only touches the plan cache, not the RDD-level
     * persistence a checkpoint pins — iterative loops need this to avoid

@@ -47,10 +47,12 @@ class InventorySpec extends SparkSpec {
     "text_fingerprint", "dedup_ngram_jaccard", "dedup_simhash",
     "dedup_embedding_cosine", "sim_ann_ivf", "multimodal_stub",
     // §2.13 round-2 amendment
-    "dedup_cluster_canon")
+    "dedup_cluster_canon",
+    // §2.14 round-3 amendment
+    "topk_pushdown_rank")
 
-  test("declared queries cover SURVEY §2 + §2.12-13 exactly (88 keys)") {
-    assert(inventory.size == 88)
+  test("declared queries cover SURVEY §2 + §2.12-14 exactly (89 keys)") {
+    assert(inventory.size == 89)
     val declared = SparkEntry.queries.keySet
     val missing = inventory -- declared
     val extra = declared -- inventory

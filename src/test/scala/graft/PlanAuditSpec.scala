@@ -73,6 +73,16 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("topk_pushdown_rank: rank-limit filter rewritten to two-phase TopKPerGroup") {
+    val p = plan("topk_pushdown_rank")
+    // partial + final instances of the custom operator, the native
+    // WindowGroupLimit subsumed, and the re-window over the survivors
+    // reusing the operator's sort + partitioning (exactly one exchange).
+    assert("TopKPerGroup 2".r.findAllIn(p).size == 2, p.take(2000))
+    assert(!p.contains("WindowGroupLimit"), p.take(2000))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p.take(2000))
+  }
+
   test("win_percent_cume executes without any Window operator") {
     // The two-pass GlobalRank operator replaces Window.orderBy(price),
     // whose empty partition spec funnels EVERY row through one task.

@@ -44,10 +44,14 @@ class TopKSpec extends SparkSpec {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("o_orderkey"))
         .orderBy(col("o_totalprice").desc, col("o_custkey"))
-      val expected = o.withColumn("rn", row_number().over(w))
+      // Keep the baseline a genuine window plan even if another suite
+      // installed the TopKPushdownRule on this shared session.
+      spark.conf.set("spark.graft.topk.pushdown.enabled", "false")
+      val expected = try o.withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 2).drop("rn")
         .orderBy(col("o_orderkey"), col("o_totalprice").desc, col("o_custkey"))
         .collect().toSeq
+      finally spark.conf.unset("spark.graft.topk.pushdown.enabled")
       assert(got == expected, s"${got.size} vs ${expected.size} rows")
     } finally spark.conf.unset("spark.graft.topk.maxPartialBytes")
   }
