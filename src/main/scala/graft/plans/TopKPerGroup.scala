@@ -116,7 +116,10 @@ case class TopKPerGroupExec(k: Int, part: Seq[Expression],
     val partExprs = part
     val orderExprs = order
     val childOutput = child.output
-    val capBytes = maxPartialBytes
+    // Guard against direct construction with a negative cap: the consume
+    // loop's `retained <= capBytes` would then never admit a row while
+    // hasNext spins forever on a non-empty input.
+    val capBytes = math.max(maxPartialBytes, 0L)
     child.execute().mapPartitions({ iter =>
       val baseOrd = GenerateOrdering.generate(orderExprs, childOutput)
       // PriorityQueue head = MAX by cmp = the worst row currently kept.
@@ -128,10 +131,14 @@ case class TopKPerGroupExec(k: Int, part: Seq[Expression],
       new Iterator[InternalRow] {
         private val heaps =
           mutable.LinkedHashMap.empty[UnsafeRow, mutable.PriorityQueue[UnsafeRow]]
-        // Retained bytes across all heaps (+ ~64 B map overhead per
-        // entry); crossing capBytes drains everything downstream — the
-        // final stage re-filters, so over-emitting is safe and a
-        // near-unique key column can never OOM this task.
+        // Retained bytes across all heaps; crossing capBytes drains
+        // everything downstream — the final stage re-filters, so
+        // over-emitting is safe and a near-unique key column can never
+        // OOM this task. Accounting adds ~48 B of JVM overhead per row
+        // (UnsafeRow + byte[] headers, queue slot) and ~64 B per map
+        // entry on top of getSizeInBytes, so narrow rows can't blow the
+        // real heap a large multiple past the cap.
+        private val rowOverhead = 48L
         private var retained = 0L
         private var out: Iterator[InternalRow] = Iterator.empty
         private def drain(): Iterator[InternalRow] = {
@@ -157,10 +164,12 @@ case class TopKPerGroupExec(k: Int, part: Seq[Expression],
                 h
             }
             if (heap.size < kk) {
-              val rc = row.copy(); heap += rc; retained += rc.getSizeInBytes
+              val rc = row.copy(); heap += rc
+              retained += rc.getSizeInBytes + rowOverhead
             } else if (cmp.compare(row, heap.head) < 0) {
-              retained -= heap.dequeue().getSizeInBytes
-              val rc = row.copy(); heap += rc; retained += rc.getSizeInBytes
+              retained -= heap.dequeue().getSizeInBytes + rowOverhead
+              val rc = row.copy(); heap += rc
+              retained += rc.getSizeInBytes + rowOverhead
             }
           }
           if (retained > capBytes || (!iter.hasNext && heaps.nonEmpty)) out = drain()
@@ -186,9 +195,15 @@ case class TopKPerGroupExec(k: Int, part: Seq[Expression],
 object TopKStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case TopKPerGroupNode(k, part, order, child) =>
-      val cap = java.lang.Long.parseLong(
-        org.apache.spark.sql.internal.SQLConf.get.getConfString(
-          "spark.graft.topk.maxPartialBytes", (64L * 1024 * 1024).toString))
+      val default = 64L * 1024 * 1024
+      // Malformed or negative conf must not crash planning or (worse)
+      // wedge the partial iterator: clamp to ≥ 0 (0 = flush-per-row,
+      // i.e. pass-through).
+      val cap = math.max(0L,
+        try java.lang.Long.parseLong(
+          org.apache.spark.sql.internal.SQLConf.get.getConfString(
+            "spark.graft.topk.maxPartialBytes", default.toString))
+        catch { case _: NumberFormatException => default })
       TopKPerGroupExec(k, part, order, partial = false, cap,
         TopKPerGroupExec(k, part, order, partial = true, cap,
           planLater(child))) :: Nil

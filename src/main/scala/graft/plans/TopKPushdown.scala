@@ -53,14 +53,21 @@ object TopKPushdownRule extends Rule[LogicalPlan] with PredicateHelper {
     * UnwrapCastInBinaryComparison usually beats us to it, but this rule
     * must not depend on batch order. Widening casts on an int attribute
     * are injective + monotone, so comparisons see through them. */
-  private def integral(t: DataType): Boolean = t match {
-    case ByteType | ShortType | IntegerType | LongType => true
-    case _ => false
+  private def integralWidth(t: DataType): Int = t match {
+    case ByteType => 1
+    case ShortType => 2
+    case IntegerType => 3
+    case LongType => 4
+    case _ => 0
   }
 
+  /** Only WIDENING integral casts are injective + monotone; a narrowing
+    * cast (`cast(rn as byte)`) wraps (or throws under ANSI) and must not
+    * be seen through. */
   @scala.annotation.tailrec
   private def stripIntegralCast(e: Expression): Expression = e match {
-    case c: Cast if integral(c.dataType) && integral(c.child.dataType) =>
+    case c: Cast if integralWidth(c.child.dataType) > 0 &&
+        integralWidth(c.dataType) >= integralWidth(c.child.dataType) =>
       stripIntegralCast(c.child)
     case other => other
   }
@@ -79,13 +86,18 @@ object TopKPushdownRule extends Rule[LogicalPlan] with PredicateHelper {
     case _ => None
   }
 
+  /** `rn < Long.MinValue` is always false; plain `k - 1` would wrap to
+    * Long.MaxValue and turn it into a droppable no-op bound instead of
+    * the correct empty result. */
+  private def minus1(k: Long): Long = if (k == Long.MinValue) k else k - 1
+
   /** (upper bound on rn, conjunct is implied by keeping top `bound`). */
   private def bound(c: Expression, rn: Attribute): Option[(Long, Boolean)] =
     c match {
       case LessThanOrEqual(a, l) if isRn(a, rn) => litLong(l).map(k => (k, true))
-      case LessThan(a, l) if isRn(a, rn) => litLong(l).map(k => (k - 1, true))
+      case LessThan(a, l) if isRn(a, rn) => litLong(l).map(k => (minus1(k), true))
       case GreaterThanOrEqual(l, a) if isRn(a, rn) => litLong(l).map(k => (k, true))
-      case GreaterThan(l, a) if isRn(a, rn) => litLong(l).map(k => (k - 1, true))
+      case GreaterThan(l, a) if isRn(a, rn) => litLong(l).map(k => (minus1(k), true))
       // rn = k bounds the scan to top-k but still needs the equality
       // re-checked — except k = 1, where every survivor has rn = 1.
       case EqualTo(a, l) if isRn(a, rn) => litLong(l).map(k => (k, k == 1L))
