@@ -131,40 +131,13 @@ object TextQueries {
     "dedup_minhash_lsh" -> ((s, dir) => {
       val docs = t(s, dir, "documents").filter(col("doc_id") < 1000)
         .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("toks"))
-      // k=32 signature via the tight-loop MinHashSig expression, computed
-      // scan-side per row (shuffle-free; an explode + 32-way MIN-agg
-      // variant was measured ~50% slower — extra shuffle before the band
-      // join; the interpreted nested-HOF form cost ~2 s in dispatch).
-      val sig = docs.withColumn("sig",
-        graft.functions.MinHashSig(col("toks"), 32))
-      // Narrow (doc_id, band, band_hash) triples through the shuffle; the
-      // token arrays rejoin only after candidate pairs dedup. The re-join
-      // is KEYED, not hint-broadcast: at fixture scale Catalyst/AQE will
-      // still pick broadcast from stats, but at 100 TB (doc set ≫
-      // autoBroadcastJoinThreshold) the same plan degrades gracefully to
-      // a shuffled join on doc_id instead of OOMing the driver.
-      val bands = sig.select(col("doc_id"),
-        posexplode(expr(
-          "transform(sequence(0, 15), b -> hash(sig[2*b], sig[2*b+1]))")))
-        .select(col("doc_id"), col("pos").as("band"), col("col").as("bh"))
-      val cand = bands.select(col("band"), col("bh"), col("doc_id").as("i"))
-        .join(bands.select(col("band"), col("bh"), col("doc_id").as("j")),
-          Seq("band", "bh"))
-        .filter(col("i") < col("j"))
-        .select("i", "j").distinct()
-      // Verify with a two-pointer merge over pre-sorted token arrays
-      // (SortedIntersectCount) — array_intersect builds a hash set per
-      // candidate pair, ~2.5 s over the ~477k candidates at bench scale.
-      val sorted = docs.select(col("doc_id"), array_sort(col("toks")).as("toks"))
-      cand
-        .join(sorted.select(col("doc_id").as("i"), col("toks").as("ta")), Seq("i"))
-        .join(sorted.select(col("doc_id").as("j"), col("toks").as("tb")), Seq("j"))
-        .withColumn("c",
-          graft.functions.SortedIntersectCount(col("ta"), col("tb")))
-        .withColumn("jac", col("c").cast("double")
-          / (size(col("ta")) + size(col("tb")) - col("c")))
-        .filter(col("jac") >= 0.8)
-        .select(col("i").as("doc_i"), col("j").as("doc_j"), r4d(col("jac")).as("jac"))
+      // Declares through the public SimilarityJoin surface: scan-side
+      // MinHashSig (k=32), 16×2 banding with narrow (doc_id, band, hash)
+      // triples through the candidate shuffle, exact SortedIntersectCount
+      // verification, keyed (not hint-broadcast) array re-join. See
+      // SimilarityJoin.scala for the 100 TB plan-shape rationale.
+      SimilarityJoin.minhash(docs, "doc_id", "toks",
+          threshold = 0.8, numHashes = 32, bands = 16)
         .orderBy("doc_i", "doc_j")
     })
   )

@@ -10,6 +10,23 @@ import graft.Det
 case class Event(event_id: Long, ts_ms: Long, user_id: Long,
     event_type: String, value: Double)
 
+/** Document record for the streaming near-dup API: id, epoch-millis
+  * arrival/event time, distinct tokens. */
+case class Doc(doc_id: Long, ts_ms: Long, toks: Seq[String])
+
+/** Candidate near-duplicate pair emitted by
+  * [[GraftStreams.nearDupCandidates]]: `doc_i < doc_j`, `est_jac` =
+  * fraction of agreeing MinHash components (4-dp, same rounding as the
+  * batch `SimilarityJoin.minhashCandidates`), `ts_ms` = the later doc's
+  * event time. */
+case class NearDupCand(doc_i: Long, doc_j: Long, est_jac: Double, ts_ms: Long)
+
+// Internal shapes for the banded-LSH state machine.
+private[streaming] case class DocSig(band: Int, bh: Int, doc_id: Long,
+    ts_ms: Long, sig: Seq[Int], ts: java.sql.Timestamp)
+private[streaming] case class BucketDoc(doc_id: Long, ts_ms: Long, sig: Seq[Int])
+private[streaming] case class Bucket(docs: Seq[BucketDoc])
+
 /** Deployable Structured Streaming entry points (§2.10).
   *
   * Each transform takes a STREAMING DataFrame/Dataset of events (any
@@ -93,6 +110,126 @@ object GraftStreams {
   def dedupByEventId(events: DataFrame, watermark: String = "1 hour"): DataFrame =
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
+
+  /** STREAMING near-duplicate detection — banded MinHash LSH over an
+    * unbounded doc stream (the incremental twin of
+    * `SimilarityJoin.minhashCandidates`). Each arriving doc is
+    * signature-hashed scan-side (`MinHashSig`, no shuffle), exploded
+    * into `bands` LSH keys, and matched via per-bucket state against
+    * docs whose event time is still within the watermark horizon. Emits
+    * each candidate pair EXACTLY ONCE with its estimated Jaccard
+    * (agreeing-component fraction): of all band buckets a pair shares,
+    * only the LOWEST-indexed one emits — each bucket recomputes both
+    * docs' band keys locally from the stored signatures, so no
+    * cross-bucket coordination or second stateful stage is needed.
+    *
+    * Scale/state: a bucket holds (id, ts, k-int signature) per live doc
+    * — tokens are NOT stored, which is what bounds state on an unbounded
+    * stream; the price is estimated (not exact-verified) similarity.
+    * Docs leave state once the watermark passes their event time, and a
+    * whole bucket idle past the watermark is reclaimed via event-time
+    * timeout. Late rows (event time behind the watermark) are dropped,
+    * matching aggregate-watermark semantics. Pairing window ≈ the
+    * watermark delay: two near-dup docs arriving further apart than
+    * `watermark` are not reported — pick the horizon accordingly (a
+    * crawl pipeline dedups the recent window here and the full corpus in
+    * the nightly batch join).
+    */
+  def nearDupCandidates(docs: Dataset[Doc], numHashes: Int = 32,
+      bands: Int = 16, watermark: String = "1 hour"): DataFrame = {
+    require(numHashes > 0 && bands > 0 && numHashes % bands == 0,
+      s"numHashes ($numHashes) must be a positive multiple of bands ($bands)")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val r = numHashes / bands
+    val sigd = docs.toDF()
+      .withColumn("ts", timestamp_millis(col("ts_ms")))
+      .withWatermark("ts", watermark)
+      .withColumn("sig", graft.functions.MinHashSig(col("toks"), numHashes))
+      .select(
+        posexplode(expr(
+          s"transform(sequence(0, ${bands - 1}), b -> hash(slice(sig, b * $r + 1, $r)))")),
+        col("doc_id"), col("ts_ms"), col("sig"), col("ts"))
+      .select(col("pos").as("band"), col("col").as("bh"),
+        col("doc_id"), col("ts_ms"), col("sig"), col("ts"))
+      .as[DocSig]
+    sigd.groupByKey(d => (d.band, d.bh))
+      .flatMapGroupsWithState[Bucket, NearDupCand](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case ((band, _), rows, state: GroupState[Bucket]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val wm = state.getCurrentWatermarkMs()
+            var live = state.getOption.map(_.docs).getOrElse(Seq.empty)
+              .filter(_.ts_ms >= wm).toVector
+            // Deterministic within-trigger order; drop late arrivals.
+            val fresh = rows.filter(_.ts_ms >= wm).toSeq
+              .sortBy(d => (d.ts_ms, d.doc_id))
+            val out = Vector.newBuilder[NearDupCand]
+            fresh.foreach { d =>
+              // Re-delivery of a live doc_id (at-least-once source) must
+              // not re-emit its pairs.
+              if (!live.exists(_.doc_id == d.doc_id)) {
+                live.foreach { x =>
+                  if (firstSharedBand(x.sig, d.sig, bands, r) == band) {
+                    val lo = math.min(x.doc_id, d.doc_id)
+                    val hi = math.max(x.doc_id, d.doc_id)
+                    out += NearDupCand(lo, hi, estJaccard(x.sig, d.sig),
+                      math.max(x.ts_ms, d.ts_ms))
+                  }
+                }
+                live :+= BucketDoc(d.doc_id, d.ts_ms, d.sig)
+              }
+            }
+            if (live.isEmpty) state.remove()
+            else {
+              state.update(Bucket(live))
+              // Wake once every stored doc is past the horizon, so idle
+              // buckets release their state.
+              state.setTimeoutTimestamp(
+                math.max(live.map(_.ts_ms).max, wm) + 1)
+            }
+            out.result().iterator
+          }
+      }.toDF("doc_i", "doc_j", "est_jac", "ts_ms")
+  }
+
+  /** Band key of `sig`'s b-th r-slice, bit-identical to the Spark-side
+    * `hash(slice(sig, b*r+1, r))` used for bucketing: murmur3 folded
+    * over the elements from seed 42 (Spark's array-hash contract). */
+  private[graft] def bandKey(sig: Seq[Int], b: Int, r: Int): Int = {
+    var h = 42
+    var i = b * r
+    val end = i + r
+    while (i < end) {
+      h = org.apache.spark.unsafe.hash.Murmur3_x86_32.hashInt(sig(i), h)
+      i += 1
+    }
+    h
+  }
+
+  /** Lowest band index whose keys agree — the one bucket allowed to emit
+    * a shared pair. -1 if none (unreachable when both docs really share
+    * the caller's bucket). */
+  private[graft] def firstSharedBand(a: Seq[Int], b: Seq[Int],
+      bands: Int, r: Int): Int = {
+    var i = 0
+    while (i < bands) {
+      if (bandKey(a, i, r) == bandKey(b, i, r)) return i
+      i += 1
+    }
+    -1
+  }
+
+  /** Agreeing-component fraction, rounded like the batch est_jac
+    * (r4d = HALF_UP at 4 dp; k/numHashes · 10⁴ is exact in double for
+    * power-of-two hash counts, so math.round matches Spark's round). */
+  private[graft] def estJaccard(a: Seq[Int], b: Seq[Int]): Double = {
+    var m = 0
+    var i = 0
+    while (i < a.length) { if (a(i) == b(i)) m += 1; i += 1 }
+    math.round(m.toDouble / a.length * 10000.0) / 10000.0
+  }
 
   /** Per-user running maximum emitted per event — the custom-state
     * surface (flatMapGroupsWithState, one double register per user).
