@@ -3,7 +3,6 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.Det.r4d
 
 /** Shared EXACT pairwise-Jaccard machinery via prefix filtering
   * (AllPairs / PPJoin family, Bayardo et al. WWW'07; Xiao et al.
@@ -49,20 +48,11 @@ object Jaccard {
     // array_sort (nulls LAST), not sort_array (nulls FIRST): the
     // two-pointer SortedIntersectCount contract assumes array_sort
     // ordering and stops at the first null — a leading null would
-    // silently truncate the intersection count to 0.
+    // silently truncate the intersection count to 0. Verification
+    // itself is the shared SimilarityJoin.verify tail (one
+    // implementation for the exact and LSH surfaces).
     val arrs = toks.groupBy("doc_id")
-      .agg(array_sort(collect_list(col("tok"))).as("ts"),
-        count(lit(1)).as("sz"))
-    cand
-      .join(arrs.select(col("doc_id").as("i"), col("ts").as("ta"),
-        col("sz").as("sa")), Seq("i"))
-      .join(arrs.select(col("doc_id").as("j"), col("ts").as("tb"),
-        col("sz").as("sb")), Seq("j"))
-      .withColumn("c",
-        graft.functions.SortedIntersectCount(col("ta"), col("tb")).cast("long"))
-      .withColumn("jac",
-        col("c").cast("double") / (col("sa") + col("sb") - col("c")))
-      .filter(col("jac") >= th)
-      .select(col("i").as("doc_i"), col("j").as("doc_j"), r4d(col("jac")).as("jac"))
+      .agg(array_sort(collect_list(col("tok"))).as("toks"))
+    SimilarityJoin.verify(cand, arrs, th)
   }
 }

@@ -37,6 +37,38 @@ object SimilarityJoin {
     Jaccard.pairs(toks, threshold)
   }
 
+  /** Drop docs that cannot participate in similarity: null or empty
+    * token sets. Without this, every empty doc gets the same sentinel
+    * MinHash signature — they'd all collide into ONE hot bucket, pair
+    * quadratically with est_jac = 1.0 despite sharing zero tokens, and
+    * (under ANSI mode) crash exact verification with a 0/0 Jaccard. The
+    * exact path drops them structurally (no token rows → no candidates);
+    * this keeps the LSH and streaming paths consistent with it. */
+  private[graft] def nonEmptyDocs(in: DataFrame): DataFrame =
+    in.filter(col("toks").isNotNull && size(col("toks")) > 0)
+
+  /** The banded LSH key derivation, shared by the batch candidate join
+    * and the streaming transform: element `b` is the murmur3 hash of the
+    * signature's b-th r-slice. [[bandKey]] is the bit-identical Scala
+    * twin the streaming state machine uses — change BOTH together
+    * (NearDupStreamSpec pins their agreement). */
+  private[graft] def bandKeysExpr(sigCol: String, bands: Int, r: Int) =
+    expr(s"transform(sequence(0, ${bands - 1}), " +
+      s"b -> hash(slice($sigCol, b * $r + 1, $r)))")
+
+  /** Scala twin of [[bandKeysExpr]]'s per-band hash: murmur3 folded over
+    * the slice's elements from seed 42 (Spark's array-hash contract). */
+  private[graft] def bandKey(sig: Seq[Int], b: Int, r: Int): Int = {
+    var h = 42
+    var i = b * r
+    val end = i + r
+    while (i < end) {
+      h = org.apache.spark.unsafe.hash.Murmur3_x86_32.hashInt(sig(i), h)
+      i += 1
+    }
+    h
+  }
+
   /** MinHash signatures + banded LSH candidates + exact verification.
     * Probabilistic candidate RECALL (≈ 1 − (1 − t^r)^bands where
     * r = numHashes/bands; ~0.9999999 at t = 0.8 with 32 hashes × 16
@@ -51,9 +83,11 @@ object SimilarityJoin {
       threshold: Double, numHashes: Int = 32, bands: Int = 16): DataFrame = {
     require(numHashes > 0 && bands > 0 && numHashes % bands == 0,
       s"numHashes ($numHashes) must be a positive multiple of bands ($bands)")
-    val in = docs.select(col(idCol).as("doc_id"), col(tokensCol).as("toks"))
+    val in = nonEmptyDocs(
+      docs.select(col(idCol).as("doc_id"), col(tokensCol).as("toks")))
     val cand = minhashCandidates(in, numHashes, bands)
-    verify(cand, in, threshold)
+    verify(cand, in.select(col("doc_id"),
+      array_sort(col("toks")).as("toks")), threshold)
   }
 
   /** Candidate pairs only — (i, j) with i < j for pairs sharing ≥ 1 LSH
@@ -72,14 +106,13 @@ object SimilarityJoin {
     require(numHashes > 0 && bands > 0 && numHashes % bands == 0,
       s"numHashes ($numHashes) must be a positive multiple of bands ($bands)")
     val r = numHashes / bands
-    val sig = in.select(col("doc_id"),
+    val sig = nonEmptyDocs(in).select(col("doc_id"),
       graft.functions.MinHashSig(col("toks"), numHashes).as("sig"))
     // Band key = murmur3 of the band's r-slice (array hash). Collisions
     // only ADD candidates (removed by verification/est); equal slices
     // always collide, so banding recall is unaffected by the hash.
     val bandCols = sig.select(col("doc_id"),
-      posexplode(expr(
-        s"transform(sequence(0, ${bands - 1}), b -> hash(slice(sig, b * $r + 1, $r)))")))
+      posexplode(bandKeysExpr("sig", bands, r)))
       .select(col("doc_id"), col("pos").as("band"), col("col").as("bh"))
     val cand = bandCols.select(col("band"), col("bh"), col("doc_id").as("i"))
       .join(bandCols.select(col("band"), col("bh"), col("doc_id").as("j")),
@@ -96,13 +129,17 @@ object SimilarityJoin {
       .select("i", "j", "est_jac")
   }
 
-  /** Exact verification of candidate (i, j) pairs against the real token
-    * sets: two-pointer merge intersection over array_sort'ed tokens
-    * (array_sort, NOT sort_array — SortedIntersectCount's contract is
-    * nulls-last ordering). */
-  private def verify(cand: DataFrame, in: DataFrame,
-      threshold: Double): DataFrame = {
-    val sorted = in.select(col("doc_id"), array_sort(col("toks")).as("toks"))
+  /** THE exact verification tail, shared by every candidate generator
+    * (banded LSH here, prefix filtering in [[Jaccard.pairs]]): keyed
+    * join of candidate (i, j) pairs to pre-SORTED token arrays, then a
+    * two-pointer merge intersection (SortedIntersectCount — its contract
+    * is array_sort's nulls-LAST ordering, NOT sort_array's) and the
+    * Jaccard threshold filter. `sorted` must be (doc_id, toks) with
+    * non-empty array_sort'ed arrays — non-empty keeps the denominator
+    * ≥ 1, so no ANSI 0/0 (callers route through [[nonEmptyDocs]] or
+    * aggregate from token rows, which cannot produce empty arrays). */
+  private[graft] def verify(cand: DataFrame, sorted: DataFrame,
+      threshold: Double): DataFrame =
     cand
       .join(sorted.select(col("doc_id").as("i"), col("toks").as("ta")), Seq("i"))
       .join(sorted.select(col("doc_id").as("j"), col("toks").as("tb")), Seq("j"))
@@ -112,5 +149,4 @@ object SimilarityJoin {
         / (size(col("ta")) + size(col("tb")) - col("c")))
       .filter(col("jac") >= threshold)
       .select(col("i").as("doc_i"), col("j").as("doc_j"), r4d(col("jac")).as("jac"))
-  }
 }

@@ -24,7 +24,8 @@ case class NearDupCand(doc_i: Long, doc_j: Long, est_jac: Double, ts_ms: Long)
 // Internal shapes for the banded-LSH state machine.
 private[streaming] case class DocSig(band: Int, bh: Int, doc_id: Long,
     ts_ms: Long, sig: Seq[Int], ts: java.sql.Timestamp)
-private[streaming] case class BucketDoc(doc_id: Long, ts_ms: Long, sig: Seq[Int])
+private[streaming] case class BucketDoc(doc_id: Long, ts_ms: Long,
+    sig: Seq[Int], keys: Seq[Int])
 private[streaming] case class Bucket(docs: Seq[BucketDoc])
 
 /** Deployable Structured Streaming entry points (§2.10).
@@ -142,13 +143,13 @@ object GraftStreams {
     val spark = docs.sparkSession
     import spark.implicits._
     val r = numHashes / bands
-    val sigd = docs.toDF()
+    val sigd = graft.operators.SimilarityJoin.nonEmptyDocs(docs.toDF())
       .withColumn("ts", timestamp_millis(col("ts_ms")))
       .withWatermark("ts", watermark)
       .withColumn("sig", graft.functions.MinHashSig(col("toks"), numHashes))
       .select(
-        posexplode(expr(
-          s"transform(sequence(0, ${bands - 1}), b -> hash(slice(sig, b * $r + 1, $r)))")),
+        posexplode(
+          graft.operators.SimilarityJoin.bandKeysExpr("sig", bands, r)),
         col("doc_id"), col("ts_ms"), col("sig"), col("ts"))
       .select(col("pos").as("band"), col("col").as("bh"),
         col("doc_id"), col("ts_ms"), col("sig"), col("ts"))
@@ -170,15 +171,19 @@ object GraftStreams {
               // Re-delivery of a live doc_id (at-least-once source) must
               // not re-emit its pairs.
               if (!live.exists(_.doc_id == d.doc_id)) {
+                // All band keys once per arriving doc; stored docs carry
+                // theirs — pair checks are O(bands) comparisons, not
+                // O(bands·r) re-hashes per pair.
+                val dKeys = allBandKeys(d.sig, bands, r)
                 live.foreach { x =>
-                  if (firstSharedBand(x.sig, d.sig, bands, r) == band) {
+                  if (firstSharedBand(x.keys, dKeys) == band) {
                     val lo = math.min(x.doc_id, d.doc_id)
                     val hi = math.max(x.doc_id, d.doc_id)
                     out += NearDupCand(lo, hi, estJaccard(x.sig, d.sig),
                       math.max(x.ts_ms, d.ts_ms))
                   }
                 }
-                live :+= BucketDoc(d.doc_id, d.ts_ms, d.sig)
+                live :+= BucketDoc(d.doc_id, d.ts_ms, d.sig, dKeys)
               }
             }
             if (live.isEmpty) state.remove()
@@ -194,28 +199,24 @@ object GraftStreams {
       }.toDF("doc_i", "doc_j", "est_jac", "ts_ms")
   }
 
-  /** Band key of `sig`'s b-th r-slice, bit-identical to the Spark-side
-    * `hash(slice(sig, b*r+1, r))` used for bucketing: murmur3 folded
-    * over the elements from seed 42 (Spark's array-hash contract). */
-  private[graft] def bandKey(sig: Seq[Int], b: Int, r: Int): Int = {
-    var h = 42
-    var i = b * r
-    val end = i + r
-    while (i < end) {
-      h = org.apache.spark.unsafe.hash.Murmur3_x86_32.hashInt(sig(i), h)
-      i += 1
+  /** All band keys of a signature (SimilarityJoin.bandKey per band). */
+  private[graft] def allBandKeys(sig: Seq[Int], bands: Int, r: Int): Seq[Int] = {
+    val out = new Array[Int](bands)
+    var b = 0
+    while (b < bands) {
+      out(b) = graft.operators.SimilarityJoin.bandKey(sig, b, r)
+      b += 1
     }
-    h
+    scala.collection.immutable.ArraySeq.unsafeWrapArray(out)
   }
 
-  /** Lowest band index whose keys agree — the one bucket allowed to emit
-    * a shared pair. -1 if none (unreachable when both docs really share
-    * the caller's bucket). */
-  private[graft] def firstSharedBand(a: Seq[Int], b: Seq[Int],
-      bands: Int, r: Int): Int = {
+  /** Lowest band index whose precomputed keys agree — the one bucket
+    * allowed to emit a shared pair. -1 if none (unreachable when both
+    * docs really share the caller's bucket). */
+  private[graft] def firstSharedBand(a: Seq[Int], b: Seq[Int]): Int = {
     var i = 0
-    while (i < bands) {
-      if (bandKey(a, i, r) == bandKey(b, i, r)) return i
+    while (i < a.length) {
+      if (a(i) == b(i)) return i
       i += 1
     }
     -1

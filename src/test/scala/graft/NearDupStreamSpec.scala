@@ -105,7 +105,7 @@ class NearDupStreamSpec extends SparkSpec {
     for (b <- 0 until 4) {
       val sparkSide = df.select(expr(s"hash(slice(sig, ${b * 2 + 1}, 2))"))
         .collect().map(_.getInt(0)).toSeq
-      val scalaSide = sigs.map(s => GraftStreams.bandKey(s, b, 2))
+      val scalaSide = sigs.map(s => SimilarityJoin.bandKey(s, b, 2))
       assert(sparkSide == scalaSide, s"band $b: $sparkSide vs $scalaSide")
     }
   }
