@@ -178,7 +178,7 @@ object PipelineQueries {
     "dedup_simhash" -> ((s, dir) => {
       val docs = t(s, dir, "documents").filter(col("doc_id") < 1000)
         .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("toks"))
-      simhashBandedPairs(simhashSigs(docs), maxHamming = 10)
+      SimilarityJoin.simhash(docs, "doc_id", "toks", maxHamming = 10)
         .orderBy("doc_i", "doc_j")
     }),
 
@@ -192,33 +192,14 @@ object PipelineQueries {
     // parity check. No O(n²) nested-loop join anywhere in the plan —
     // shuffle volume is O(vectors·32) narrow band keys + candidate pairs.
     "dedup_embedding_cosine" -> ((s, dir) => {
-      // Pre-normalize once per vector so the verify step is a single dot
-      // product — mirrored in the oracle SQL so both engines run the
-      // identical float sequence.
-      val normed = t(s, dir, "embeddings").filter(col("vec_id") < 1000)
-        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-        .withColumn("nrm", sqrt(ArrayDot(col("v"), col("v"))))
-        .select(col("vec_id"), expr("transform(v, x -> x / nrm)").as("u"))
-      // Sign bit k of vec u = sign(Σ_d u[d]·s(k,d)), s(k,d) = ±1 from
-      // murmur3(k, d) — data-independent and identical across runs.
-      // Computed scan-side by the tight-loop HyperplaneSig expression
-      // (the interpreted 64×64 HOF form cost ~2 s at fixture scale).
-      val sig = normed.withColumn("sig",
-        graft.functions.HyperplaneSig(col("u")))
-      val bands = sig.select(col("vec_id"), posexplode(expr(
-          "transform(sequence(0, 31), b -> shiftright(sig, 2*b) & 3L)")))
-        .select(col("vec_id"), col("pos").as("band"), col("col").as("bv"))
-      val cand = bands.select(col("band"), col("bv"), col("vec_id").as("i"))
-        .join(bands.select(col("band"), col("bv"), col("vec_id").as("j")),
-          Seq("band", "bv"))
-        .filter(col("i") < col("j"))
-        .select("i", "j").distinct()
-      cand
-        .join(normed.select(col("vec_id").as("i"), col("u").as("ui")), Seq("i"))
-        .join(normed.select(col("vec_id").as("j"), col("u").as("uj")), Seq("j"))
-        .withColumn("cos", ArrayDot(col("ui"), col("uj")))
-        .filter(col("cos") >= 0.35)
-        .select(col("i"), col("j"), r4d(col("cos")).as("cos"))
+      // Declares through SimilarityJoin.embeddingCosine: scan-side
+      // HyperplaneSig, 32×2-bit banding, pre-normalized exact-dot verify
+      // (the normalization is mirrored in the oracle SQL so both engines
+      // run the identical float sequence).
+      SimilarityJoin.embeddingCosine(
+          t(s, dir, "embeddings").filter(col("vec_id") < 1000),
+          "vec_id", "embedding", threshold = 0.35)
+        .select(col("vec_i").as("i"), col("vec_j").as("j"), col("cos"))
         .orderBy("i", "j")
     }),
 

@@ -129,6 +129,54 @@ object SimilarityJoin {
       .select("i", "j", "est_jac")
   }
 
+  /** SimHash near-dup: 64-bit scan-side signatures, Manku-style
+    * 12-block/C(12,2)=66-key banding (recall 1.0 by pigeonhole for
+    * `maxHamming` ≤ 10 — NOT probabilistic), exact bit_count verify.
+    * Emits (doc_i, doc_j, hamming). Token-less docs are excluded, like
+    * every similarity surface here. */
+  def simhash(docs: DataFrame, idCol: String, tokensCol: String,
+      maxHamming: Int = 10): DataFrame =
+    PipelineQueries.simhashBandedPairs(
+      PipelineQueries.simhashSigs(docs.select(col(idCol).as("doc_id"),
+        col(tokensCol).as("toks"))), maxHamming)
+
+  /** Embedding near-dup: cosine ≥ `threshold` via 64-bit random-
+    * hyperplane signatures (Charikar STOC'02) banded 32×2 bits, exact
+    * normalized-dot verify (codegen'd ArrayDot). Emits
+    * (vec_i, vec_j, cos). Per-pair candidate miss at the threshold
+    * boundary is (1 − p²)³² with p = 1 − θ/π — ~3e-7 at cos 0.35.
+    * Null/empty/zero-norm vectors are excluded (a zero vector has no
+    * direction; normalizing it would poison signatures with NaN). */
+  def embeddingCosine(vecs: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    // Pre-normalize once per vector so verification is a single dot.
+    val normed = vecs
+      .select(col(idCol).as("vec_id"), col(vecCol).cast("array<double>").as("v"))
+      .filter(col("v").isNotNull && size(col("v")) > 0)
+      .withColumn("nrm", sqrt(graft.functions.ArrayDot(col("v"), col("v"))))
+      .filter(col("nrm") > 0)
+      .select(col("vec_id"), expr("transform(v, x -> x / nrm)").as("u"))
+    // Sign bit k of u = sign(Σ_d u[d]·s(k,d)), s(k,d) = ±1 from
+    // murmur3(k, d) — data-independent, identical across runs; computed
+    // scan-side by the tight-loop HyperplaneSig expression.
+    val sig = normed.withColumn("sig",
+      graft.functions.HyperplaneSig(col("u")))
+    val bands = sig.select(col("vec_id"), posexplode(expr(
+        "transform(sequence(0, 31), b -> shiftright(sig, 2*b) & 3L)")))
+      .select(col("vec_id"), col("pos").as("band"), col("col").as("bv"))
+    val cand = bands.select(col("band"), col("bv"), col("vec_id").as("i"))
+      .join(bands.select(col("band"), col("bv"), col("vec_id").as("j")),
+        Seq("band", "bv"))
+      .filter(col("i") < col("j"))
+      .select("i", "j").distinct()
+    cand
+      .join(normed.select(col("vec_id").as("i"), col("u").as("ui")), Seq("i"))
+      .join(normed.select(col("vec_id").as("j"), col("u").as("uj")), Seq("j"))
+      .withColumn("cos", graft.functions.ArrayDot(col("ui"), col("uj")))
+      .filter(col("cos") >= threshold)
+      .select(col("i").as("vec_i"), col("j").as("vec_j"), r4d(col("cos")).as("cos"))
+  }
+
   /** THE exact verification tail, shared by every candidate generator
     * (banded LSH here, prefix filtering in [[Jaccard.pairs]]): keyed
     * join of candidate (i, j) pairs to pre-SORTED token arrays, then a
