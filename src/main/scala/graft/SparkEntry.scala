@@ -16,7 +16,7 @@ object SparkEntry {
       AggQueries.queries ++ WindowQueries.queries ++ SortSetQueries.queries ++
       ScalarQueries.queries ++ SemiStructuredQueries.queries ++
       TextQueries.queries ++ SimQueries.queries ++ StreamQueries.queries ++
-      PipelineQueries.queries
+      PipelineQueries.queries ++ ReshapeQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -24,5 +24,5 @@ object SparkEntry {
       AggQueries.oracle ++ WindowQueries.oracle ++ SortSetQueries.oracle ++
       ScalarQueries.oracle ++ SemiStructuredQueries.oracle ++
       TextQueries.oracle ++ SimQueries.oracle ++ StreamQueries.oracle ++
-      PipelineQueries.oracle
+      PipelineQueries.oracle ++ ReshapeQueries.oracle
 }

@@ -143,6 +143,21 @@ object JoinQueries {
         .select(col("ck1").as("o_custkey"), col("k1"), col("k2"),
           datediff(col("d2"), col("d1")).cast("long").as("day_gap"))
         .orderBy(col("k1"), col("k2"))
+    }),
+
+    // Facts joined to a 5-row per-type dim on a pathologically hot key
+    // (every event carries one of 5 types) through Skew.saltedJoin: the
+    // fact side salts on hash(event_id) % 8, the dim replicates 8×, so
+    // each hot key spreads over 8 reducers instead of flooding one. The
+    // salt is engine-internal — results are row-identical to the plain
+    // join the oracle runs.
+    "join_skew_salted" -> ((s, dir) => {
+      val e = events(s, dir).select(col("event_id"), col("event_type"), col("value"))
+      val d = e.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_type"), davg(col("value")).as("avg_value"))
+      Skew.saltedJoin(e, d, "event_type", saltBy = col("event_id"), buckets = 8)
+        .select(col("event_id"), col("event_type"), col("n_type"), col("avg_value"))
+        .orderBy(col("event_id"))
     })
   )
 
@@ -213,6 +228,13 @@ object JoinQueries {
         |FROM orders o1 JOIN orders o2
         |  ON o1.o_custkey = o2.o_custkey AND o1.o_orderkey < o2.o_orderkey
         |  AND abs(date_diff('day', CAST(o1.o_orderdate AS DATE), CAST(o2.o_orderdate AS DATE))) <= 7
-        |ORDER BY k1, k2""".stripMargin
+        |ORDER BY k1, k2""".stripMargin,
+    // The salt must be invisible: the oracle is the PLAIN join.
+    "join_skew_salted" ->
+      s"""WITH d AS (SELECT event_type, COUNT(*) AS n_type,
+         |  ${graft.Det.sqlAvg("value")} AS avg_value FROM events GROUP BY event_type)
+         |SELECT event_id, event_type, n_type, avg_value
+         |FROM events JOIN d USING (event_type)
+         |ORDER BY event_id""".stripMargin
   )
 }

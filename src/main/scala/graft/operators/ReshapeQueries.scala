@@ -1,0 +1,123 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.t
+import graft.Det._
+import graft.plans.TopKPerGroup
+
+/** §2.15 Reshape / percentile / sampling operators (round-3 amendment).
+  *
+  * The relational-reshape surface (pivot/unpivot), exact distribution
+  * statistics, and deterministic data selection a training-data pipeline
+  * needs for corpus mixing. Scale notes per key:
+  *
+  *  - `pivot_wide`: a pinned value list keeps the schema static (no
+  *    driver-side distinct scan) and the plan a plain two-phase hash
+  *    aggregate — grouped rows × fixed columns, shuffle bounded by group
+  *    count.
+  *  - `unpivot_long`: Expand emits one row per (row × metric) map-side —
+  *    no shuffle at all; the only exchange below the final presentation
+  *    sort is the scan itself.
+  *  - `agg_percentiles`: exact interpolated percentiles; Spark's
+  *    `percentile` buffers per-group values — acceptable for bounded
+  *    group counts (3 here). For open-ended groups at 100 TB you'd move
+  *    to `approx_percentile` (t-digest, mergeable sketch) and lose the
+  *    cross-engine oracle, so the exact form is the declared key.
+  *  - `sample_stratified_hash`: deterministic per-stratum downsampling —
+  *    order docs inside each language by a salted content-independent
+  *    hash (md5 of the id) and keep the first k. Unlike `TABLESAMPLE` /
+  *    `rand()`, re-runs and retried tasks pick the SAME rows (SURVEY
+  *    §1.3 determinism contract), and unlike a window rank≤k it runs on
+  *    the bounded-heap `TopKPerGroupExec`: partial heaps cap each map
+  *    task's output at k rows per stratum, so the shuffle carries
+  *    O(k · strata · partitions) rows, not the corpus.
+  */
+object ReshapeQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // Orders: priority × status revenue matrix. Decimal-exact sums; the
+    // 4dp round happens AFTER the pivot on the decimal cells (exact, so
+    // engine-independent), cast to double last.
+    "pivot_wide" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(sum(col("o_totalprice").cast(D)))
+        .select(col("o_orderpriority"),
+          round(col("F"), 4).cast("double").as("F"),
+          round(col("O"), 4).cast("double").as("O"),
+          round(col("P"), 4).cast("double").as("P"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // Lineitem measures to long form: raw parquet doubles pass through
+    // untouched (no arithmetic → bit-identical to the UNION ALL oracle).
+    "unpivot_long" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+          "metric", "val")
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("metric"))
+    }),
+
+    // Exact interpolated quartiles of quantity + median price per flag.
+    "agg_percentiles" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      li.groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          r4d(percentile(col("l_quantity"), lit(0.25))).as("p25"),
+          r4d(percentile(col("l_quantity"), lit(0.5))).as("p50"),
+          r4d(percentile(col("l_quantity"), lit(0.75))).as("p75"),
+          r4d(percentile(col("l_extendedprice"), lit(0.5))).as("med_price"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // k docs per language, chosen by md5(doc_id) order — a deterministic
+    // pseudo-random stratified sample through TopKPerGroupExec.
+    "sample_stratified_hash" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("lang"), col("doc_id"),
+          md5(col("doc_id").cast("string").cast("binary")).as("skey"))
+      TopKPerGroup(d, k = 20, partNames = Seq("lang"),
+          orderSpec = Seq(("skey", true), ("doc_id", true)))
+        .orderBy(col("lang"), col("doc_id"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "pivot_wide" ->
+      """SELECT o_orderpriority,
+        |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,6))) FILTER (WHERE o_orderstatus = 'F'), 4) AS DOUBLE) AS "F",
+        |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,6))) FILTER (WHERE o_orderstatus = 'O'), 4) AS DOUBLE) AS "O",
+        |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,6))) FILTER (WHERE o_orderstatus = 'P'), 4) AS DOUBLE) AS "P"
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    "unpivot_long" ->
+      """SELECT * FROM (
+        |  SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS val FROM lineitem
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem)
+        |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin,
+    "agg_percentiles" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |  ROUND(quantile_cont(l_quantity, 0.25) * 10000) / 10000 AS p25,
+        |  ROUND(quantile_cont(l_quantity, 0.5) * 10000) / 10000 AS p50,
+        |  ROUND(quantile_cont(l_quantity, 0.75) * 10000) / 10000 AS p75,
+        |  ROUND(quantile_cont(l_extendedprice, 0.5) * 10000) / 10000 AS med_price
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+    "sample_stratified_hash" ->
+      """WITH r AS (
+        |  SELECT lang, doc_id, md5(CAST(doc_id AS VARCHAR)) AS skey,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents)
+        |SELECT lang, doc_id, skey FROM r WHERE rn <= 20
+        |ORDER BY lang, doc_id""".stripMargin
+  )
+}

@@ -74,6 +74,22 @@ object ScanQueries {
       t(s, dir, "region").write.mode("overwrite").json(tmp)
       s.read.schema("r_regionkey INT, r_name STRING").json(tmp)
         .orderBy(col("r_regionkey"))
+    }),
+
+    // Hive-style partitioned layout: write documents partitioned by lang,
+    // read back with a partition-key filter. The filter is satisfied by
+    // directory listing alone (PartitionFilters in the scan, zero
+    // non-matching files opened — pinned in PlanAuditSpec); at 100 TB
+    // this is the difference between scanning one language and the whole
+    // corpus.
+    "scan_partition_prune" -> ((s, dir) => {
+      val tmp = s"${scratch(s, dir)}/part_docs"
+      t(s, dir, "documents").write.mode("overwrite")
+        .partitionBy("lang").parquet(tmp)
+      s.read.parquet(tmp)
+        .filter(col("lang") === "en")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -87,6 +103,8 @@ object ScanQueries {
     "scan_csv_roundtrip" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
     "scan_json_roundtrip" ->
-      "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey"
+      "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
+    "scan_partition_prune" ->
+      "SELECT doc_id, lang, n_chars FROM documents WHERE lang = 'en' ORDER BY doc_id"
   )
 }

@@ -49,10 +49,13 @@ class InventorySpec extends SparkSpec {
     // §2.13 round-2 amendment
     "dedup_cluster_canon",
     // §2.14 round-3 amendment
-    "topk_pushdown_rank")
+    "topk_pushdown_rank",
+    // §2.15 reshape / percentile / sampling / layout (round-3 amendment)
+    "pivot_wide", "unpivot_long", "agg_percentiles", "sample_stratified_hash",
+    "join_skew_salted", "scan_partition_prune")
 
-  test("declared queries cover SURVEY §2 + §2.12-14 exactly (89 keys)") {
-    assert(inventory.size == 89)
+  test("declared queries cover SURVEY §2 + §2.12-15 exactly (95 keys)") {
+    assert(inventory.size == 95)
     val declared = SparkEntry.queries.keySet
     val missing = inventory -- declared
     val extra = declared -- inventory

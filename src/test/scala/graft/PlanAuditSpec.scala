@@ -118,4 +118,28 @@ class PlanAuditSpec extends SparkSpec {
       }
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
+
+  test("partitioned scan prunes by partition key (filter satisfied by listing)") {
+    val p = plan("scan_partition_prune")
+    // The lang predicate must land in PartitionFilters (directory-level
+    // pruning), NOT PushedFilters (row-group level) — and the scan must
+    // not read the partition column from file data.
+    assert(p.contains("PartitionFilters:") && p.contains("isnotnull(lang"),
+      p.take(2000))
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,n_chars:bigint>"),
+      p.take(2000))
+  }
+
+  test("unpivot expands map-side: no exchange below the presentation sort") {
+    val p = plan("unpivot_long")
+    assert(p.contains("Expand"), p.take(2000))
+    // Exactly one exchange — the range partitioning for the final sort.
+    assert("Exchange".r.findAllIn(p).size == 1, p.take(2000))
+  }
+
+  test("stratified sample executes through TopKPerGroupExec") {
+    val p = plan("sample_stratified_hash")
+    assert(p.contains("TopKPerGroup"), p.take(2000))
+    assert(!p.contains("Window"), "sample fell back to a window rank")
+  }
 }
