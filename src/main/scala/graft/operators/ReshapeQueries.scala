@@ -17,16 +17,16 @@ import graft.plans.TopKPerGroup
   *    aggregate — grouped rows × fixed columns, shuffle bounded by group
   *    count.
   *  - `unpivot_long`: Expand emits one row per (row × metric) map-side —
-  *    no shuffle at all; the only exchange below the final presentation
-  *    sort is the scan itself.
+  *    the reshape itself never shuffles; the plan's single exchange is
+  *    the range partitioning for the final presentation sort.
   *  - `agg_percentiles`: exact interpolated percentiles; Spark's
   *    `percentile` buffers per-group values — acceptable for bounded
   *    group counts (3 here). For open-ended groups at 100 TB you'd move
   *    to `approx_percentile` (t-digest, mergeable sketch) and lose the
   *    cross-engine oracle, so the exact form is the declared key.
   *  - `sample_stratified_hash`: deterministic per-stratum downsampling —
-  *    order docs inside each language by a salted content-independent
-  *    hash (md5 of the id) and keep the first k. Unlike `TABLESAMPLE` /
+  *    order docs inside each language by a content-independent hash
+  *    (md5 of the id) and keep the first k. Unlike `TABLESAMPLE` /
   *    `rand()`, re-runs and retried tasks pick the SAME rows (SURVEY
   *    §1.3 determinism contract), and unlike a window rank≤k it runs on
   *    the bounded-heap `TopKPerGroupExec`: partial heaps cap each map
@@ -37,18 +37,13 @@ object ReshapeQueries {
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
-    // Orders: priority × status revenue matrix. Decimal-exact sums; the
-    // 4dp round happens AFTER the pivot on the decimal cells (exact, so
-    // engine-independent), cast to double last.
+    // Orders: priority × status revenue matrix. Each cell is the shared
+    // Det.dsum recipe (exact decimal sum, 4dp round, double cast).
     "pivot_wide" -> ((s, dir) => {
       t(s, dir, "orders")
         .groupBy(col("o_orderpriority"))
         .pivot("o_orderstatus", Seq("F", "O", "P"))
-        .agg(sum(col("o_totalprice").cast(D)))
-        .select(col("o_orderpriority"),
-          round(col("F"), 4).cast("double").as("F"),
-          round(col("O"), 4).cast("double").as("O"),
-          round(col("P"), 4).cast("double").as("P"))
+        .agg(dsum(col("o_totalprice")))
         .orderBy(col("o_orderpriority"))
     }),
 
@@ -88,13 +83,15 @@ object ReshapeQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // Each cell reuses Det.sqlSum verbatim over a CASE (SUM ignores the
+    // NULLs of non-matching rows — identical to FILTER).
     "pivot_wide" ->
-      """SELECT o_orderpriority,
-        |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,6))) FILTER (WHERE o_orderstatus = 'F'), 4) AS DOUBLE) AS "F",
-        |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,6))) FILTER (WHERE o_orderstatus = 'O'), 4) AS DOUBLE) AS "O",
-        |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,6))) FILTER (WHERE o_orderstatus = 'P'), 4) AS DOUBLE) AS "P"
-        |FROM orders GROUP BY o_orderpriority
-        |ORDER BY o_orderpriority""".stripMargin,
+      s"""SELECT o_orderpriority,
+         |  ${sqlSum("CASE WHEN o_orderstatus = 'F' THEN o_totalprice END")} AS "F",
+         |  ${sqlSum("CASE WHEN o_orderstatus = 'O' THEN o_totalprice END")} AS "O",
+         |  ${sqlSum("CASE WHEN o_orderstatus = 'P' THEN o_totalprice END")} AS "P"
+         |FROM orders GROUP BY o_orderpriority
+         |ORDER BY o_orderpriority""".stripMargin,
     "unpivot_long" ->
       """SELECT * FROM (
         |  SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS val FROM lineitem
