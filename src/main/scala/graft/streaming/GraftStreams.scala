@@ -112,6 +112,37 @@ object GraftStreams {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream interval join: each `left` row matched to the `right`
+    * rows with the same `key` whose event time falls in
+    * [left.ts, left.ts + within]. Emits (l_id, r_id, key, lag_ms).
+    *
+    * Both sides need a watermark plus the time-range condition — that is
+    * what lets Spark bound join state: a left row leaves the state store
+    * once the watermark passes `ts + within` (no right match can still
+    * arrive), a right row once the watermark passes its own `ts`. An
+    * inner stream-stream join emits matches immediately (Append mode);
+    * only rows arriving behind the watermark are dropped. On a batch
+    * frame the watermark node is eliminated by the analyzer
+    * (EliminateEventTimeWatermark), so the SAME function is the batch
+    * declaration — batch/stream parity by construction, asserted in
+    * StreamingParitySpec.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+      within: String = "1 hour", watermark: String = "1 hour"): DataFrame = {
+    val l = left.withWatermark("ts", watermark)
+      .select(col("event_id").as("l_id"), col(key).as("l_key"),
+        col("ts").as("l_ts"))
+    val r = right.withWatermark("ts", watermark)
+      .select(col("event_id").as("r_id"), col(key).as("r_key"),
+        col("ts").as("r_ts"))
+    l.join(r, col("l_key") === col("r_key")
+        && col("r_ts") >= col("l_ts")
+        && col("r_ts") <= col("l_ts") + expr(s"INTERVAL $within"))
+      .select(col("l_id"), col("r_id"), col("l_key").as(key),
+        (unix_millis(col("r_ts").cast("timestamp"))
+          - unix_millis(col("l_ts").cast("timestamp"))).as("lag_ms"))
+  }
+
   /** STREAMING near-duplicate detection — banded MinHash LSH over an
     * unbounded doc stream (the incremental twin of
     * `SimilarityJoin.minhashCandidates`). Each arriving doc is

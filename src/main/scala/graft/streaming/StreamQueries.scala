@@ -77,6 +77,19 @@ object StreamQueries {
         .orderBy("event_id")
     }),
 
+    // Stream-stream interval join: purchases within 1h after a click by
+    // the same user. Batch and streaming run the SAME GraftStreams
+    // .intervalJoin (the watermark node is analyzer-eliminated on batch
+    // frames), so this declared key IS the streaming logical plan.
+    "stream_interval_join" -> ((s, dir) => {
+      val e = events(s, dir)
+      GraftStreams.intervalJoin(
+          e.filter(col("event_type") === "click"),
+          e.filter(col("event_type") === "purchase"),
+          key = "user_id", within = "1 hour")
+        .orderBy("l_id", "r_id")
+    }),
+
     // Per-user running max emitted per event (streaming face:
     // flatMapGroupsWithState with a max register per key).
     "stream_stateful_runningmax" -> ((s, dir) => {
@@ -121,6 +134,13 @@ object StreamQueries {
       """SELECT user_id, event_id,
         |  max(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_max
-        |FROM events ORDER BY user_id, event_id""".stripMargin
+        |FROM events ORDER BY user_id, event_id""".stripMargin,
+    "stream_interval_join" ->
+      """SELECT c.event_id AS l_id, p.event_id AS r_id, c.user_id,
+        |  epoch_ms(p.ts) - epoch_ms(c.ts) AS lag_ms
+        |FROM events c JOIN events p ON c.user_id = p.user_id
+        |  AND c.event_type = 'click' AND p.event_type = 'purchase'
+        |  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+        |ORDER BY l_id, r_id""".stripMargin
   )
 }

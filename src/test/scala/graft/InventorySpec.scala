@@ -52,10 +52,12 @@ class InventorySpec extends SparkSpec {
     "topk_pushdown_rank",
     // §2.15 reshape / percentile / sampling / layout (round-3 amendment)
     "pivot_wide", "unpivot_long", "agg_percentiles", "sample_stratified_hash",
-    "join_skew_salted", "scan_partition_prune")
+    "join_skew_salted", "scan_partition_prune",
+    // §2.10 round-3 addition: stream-stream join
+    "stream_interval_join")
 
-  test("declared queries cover SURVEY §2 + §2.12-15 exactly (95 keys)") {
-    assert(inventory.size == 95)
+  test("declared queries cover SURVEY §2 + §2.12-15 exactly (96 keys)") {
+    assert(inventory.size == 96)
     val declared = SparkEntry.queries.keySet
     val missing = inventory -- declared
     val extra = declared -- inventory

@@ -144,6 +144,61 @@ class StreamingParitySpec extends SparkSpec {
       && r.getLong(3) == 2), s"closed session not emitted: ${rows.toSeq}")
   }
 
+  test("stream-stream interval join: two MemoryStreams == batch declared key") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val memL = MemoryStream[Event]
+    val memR = MemoryStream[Event]
+    def withTs(df: DataFrame) = df.withColumn("ts", timestamp_millis(col("ts_ms")))
+    val joined = GraftStreams.intervalJoin(
+      withTs(memL.toDF()), withTs(memR.toDF()), key = "user_id",
+      within = "1 hour")
+    val query = joined.writeStream.format("memory").queryName("ivjoin")
+      .outputMode(OutputMode.Append()).start()
+    // Chronological chunks on BOTH sides: no row ever arrives behind the
+    // watermark, so the inner join must emit every qualifying pair.
+    val clicks = evRows.filter(_.event_type == "click").sortBy(e => (e.ts_ms, e.event_id))
+    val purchases = evRows.filter(_.event_type == "purchase").sortBy(e => (e.ts_ms, e.event_id))
+    val chunks = math.max(clicks.size / 4, 1)
+    clicks.grouped(chunks).zipAll(purchases.grouped(chunks), Nil, Nil).foreach {
+      case (lc, rc) =>
+        if (lc.nonEmpty) memL.addData(lc)
+        if (rc.nonEmpty) memR.addData(rc)
+        query.processAllAvailable()
+    }
+    query.stop()
+    val batch = StreamQueriesRef.intervalJoin(spark, sf)
+    assertSameRows(spark.table("ivjoin"), batch, Seq("l_id", "r_id"))
+  }
+
+  test("interval join state is bounded: left rows evict past ts + within") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val memL = MemoryStream[Event]
+    val memR = MemoryStream[Event]
+    def withTs(df: DataFrame) = df.withColumn("ts", timestamp_millis(col("ts_ms")))
+    val joined = GraftStreams.intervalJoin(
+      withTs(memL.toDF()), withTs(memR.toDF()), key = "user_id",
+      within = "1 hour", watermark = "10 minutes")
+    val query = joined.writeStream.format("memory").queryName("ivevict")
+      .outputMode(OutputMode.Append()).start()
+    val t0 = 1700000000000L
+    def ev(id: Long, ms: Long, et: String) = Event(id, ms, 9L, et, 1.0)
+    // Click at t0; advance both watermarks 6 h past it.
+    memL.addData(ev(1, t0, "click")); query.processAllAvailable()
+    memL.addData(ev(2, t0 + 6 * 3600 * 1000L, "click"))
+    memR.addData(ev(3, t0 + 6 * 3600 * 1000L, "purchase"))
+    query.processAllAvailable()
+    // A purchase inside the click's interval but behind the watermark:
+    // the evicted left row must NOT produce a pair.
+    memR.addData(ev(4, t0 + 1800 * 1000L, "purchase")); query.processAllAvailable()
+    query.stop()
+    val pairs = spark.table("ivevict").select("l_id", "r_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((2L, 3L)), s"in-window pair missing: $pairs")
+    assert(!pairs.contains((1L, 4L)), s"evicted-state pair leaked: $pairs")
+  }
+
   test("late data beyond watermark is dropped from append output") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
@@ -183,4 +238,6 @@ object StreamQueriesRef {
     StreamQueries.queries("stream_session_windows")(s, dir)
   def runningMax(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
     StreamQueries.queries("stream_stateful_runningmax")(s, dir)
+  def intervalJoin(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    StreamQueries.queries("stream_interval_join")(s, dir)
 }
