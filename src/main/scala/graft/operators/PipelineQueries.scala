@@ -252,6 +252,45 @@ object PipelineQueries {
         ascii(substring(col("text"), 1, 1)).cast("long").as("first_byte"),
         ceil(length(bytes) / lit(1024.0)).as("est_kb"))
         .orderBy("doc_id")
+    }),
+
+    // Weighted corpus mixing: keep each source at its own sampling rate,
+    // decided per doc by a content-independent hash threshold (first 4
+    // hex digits of md5(doc_id) compared against the rate's hex cut —
+    // fixed-width lowercase hex compares like the number it encodes).
+    // Retry/replay-deterministic unlike rand(); pure map-side filter, no
+    // shuffle below the presentation sort; at 100 TB rates come from a
+    // config table instead of a literal CASE (same plan shape).
+    "sample_weighted_mix" -> ((s, dir) => {
+      // Tiers: src0-3 at 80% ('cccc'/65536), src4-9 at 50%, rest at 15%.
+      val thresh = when(col("source").isin("src0", "src1", "src2", "src3"),
+          lit("cccc"))
+        .when(col("source").isin("src4", "src5", "src6", "src7", "src8",
+          "src9"), lit("8000"))
+        .otherwise(lit("2666"))
+      t(s, dir, "documents")
+        .withColumn("hkey",
+          substring(md5(col("doc_id").cast("string").cast("binary")), 1, 4))
+        .filter(col("hkey") < thresh)
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Fuzzy dedup of a VALUE DICTIONARY: distinct names (64 here — value
+    // dictionaries stay small even when the fact table is 100 TB), then
+    // blocked all-pairs edit distance within the first-token block. The
+    // distinct() is the scale move — running levenshtein over raw rows
+    // would square the fact-table cardinality for identical output.
+    "dedup_edit_distance" -> ((s, dir) => {
+      val names = t(s, dir, "part").select(col("p_name")).distinct()
+        .withColumn("blk", split(col("p_name"), " ").getItem(0))
+      val a = names.select(col("blk"), col("p_name").as("name_a"))
+      val b = names.select(col("blk"), col("p_name").as("name_b"))
+      a.join(b, Seq("blk")).filter(col("name_a") < col("name_b"))
+        .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+        .filter(col("dist") <= 4)
+        .select(col("name_a"), col("name_b"), col("dist").cast("long").as("dist"))
+        .orderBy(col("name_a"), col("name_b"))
     })
   )
 
@@ -359,7 +398,22 @@ object PipelineQueries {
         |  3 AS channels, md5(text) AS content_md5,
         |  ascii(substring(text, 1, 1)) AS first_byte,
         |  CAST(ceil(octet_length(encode(text)) / 1024.0) AS BIGINT) AS est_kb
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "sample_weighted_mix" ->
+      """SELECT doc_id, source FROM documents
+        |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < CASE
+        |  WHEN source IN ('src0', 'src1', 'src2', 'src3') THEN 'cccc'
+        |  WHEN source IN ('src4', 'src5', 'src6', 'src7', 'src8', 'src9') THEN '8000'
+        |  ELSE '2666' END
+        |ORDER BY doc_id""".stripMargin,
+    "dedup_edit_distance" ->
+      """WITH n AS (SELECT DISTINCT p_name FROM part),
+        |b AS (SELECT p_name, split_part(p_name, ' ', 1) AS blk FROM n)
+        |SELECT a.p_name AS name_a, b2.p_name AS name_b,
+        |  CAST(levenshtein(a.p_name, b2.p_name) AS BIGINT) AS dist
+        |FROM b a JOIN b b2 ON a.blk = b2.blk AND a.p_name < b2.p_name
+        |WHERE levenshtein(a.p_name, b2.p_name) <= 4
+        |ORDER BY name_a, name_b""".stripMargin
     // dedup_simhash: engine-pinned xxhash64 → property-tested, no oracle.
   )
 }

@@ -70,6 +70,23 @@ object ReshapeQueries {
         .orderBy(col("l_returnflag"))
     }),
 
+    // The sketch path agg_percentiles' scaladoc points at: mergeable
+    // approximate quantiles (Greenwald-Khanna summaries) whose state is
+    // O(accuracy), not O(group rows) — the form that survives open-ended
+    // group counts at 100 TB. Engine-pinned sketch (merge order shifts
+    // the estimate within the error bound) → no DuckDB oracle;
+    // PropertySpec asserts each estimate is within the rank-error bound
+    // of the exact percentile.
+    "agg_approx_quantile" -> ((s, dir) => {
+      t(s, dir, "lineitem").groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
+            .as("p50_approx"),
+          percentile_approx(col("l_extendedprice"), lit(0.95), lit(1000))
+            .as("p95_approx"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // k docs per language, chosen by md5(doc_id) order — a deterministic
     // pseudo-random stratified sample through TopKPerGroupExec.
     "sample_stratified_hash" -> ((s, dir) => {

@@ -54,10 +54,12 @@ class InventorySpec extends SparkSpec {
     "pivot_wide", "unpivot_long", "agg_percentiles", "sample_stratified_hash",
     "join_skew_salted", "scan_partition_prune",
     // §2.10 round-3 addition: stream-stream join
-    "stream_interval_join")
+    "stream_interval_join",
+    // §2.15 second wave: mixing / fuzzy dictionary dedup / sketch quantiles
+    "sample_weighted_mix", "dedup_edit_distance", "agg_approx_quantile")
 
-  test("declared queries cover SURVEY §2 + §2.12-15 exactly (96 keys)") {
-    assert(inventory.size == 96)
+  test("declared queries cover SURVEY §2 + §2.12-15 exactly (99 keys)") {
+    assert(inventory.size == 99)
     val declared = SparkEntry.queries.keySet
     val missing = inventory -- declared
     val extra = declared -- inventory

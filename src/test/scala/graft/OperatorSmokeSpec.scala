@@ -15,7 +15,8 @@ class OperatorSmokeSpec extends SparkSpec {
 
   test("every query key has oracle SQL or a documented exemption") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(noOracle == Set("agg_approx_distinct", "dedup_minhash_lsh", "dedup_simhash"),
+    assert(noOracle == Set("agg_approx_distinct", "dedup_minhash_lsh",
+      "dedup_simhash", "agg_approx_quantile"),
       s"unexpected oracle-less keys: $noOracle")
   }
 

@@ -28,6 +28,29 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("approx_quantile within rank-error bound of exact percentile") {
+    // accuracy=1000 → base rank error 1/1000, but merging per-partition
+    // GK summaries (32 partials here) degrades the guarantee, and the
+    // sketch returns an actual data value rather than an interpolated
+    // one — so assert a 5× band: estimate between the exact (p − ε) and
+    // (p + ε) percentiles with ε = 5/accuracy. Checked per group for
+    // both declared fractions.
+    val li = Tables.t(spark, sf, "lineitem")
+    val eps = 5.0 / 1000
+    for (p <- Seq(0.5, 0.95)) {
+      val rows = li.groupBy("l_returnflag")
+        .agg(percentile_approx(col("l_extendedprice"), lit(p), lit(1000)).as("a"),
+          percentile(col("l_extendedprice"), lit(math.max(p - eps, 0.0))).as("lo"),
+          percentile(col("l_extendedprice"), lit(math.min(p + eps, 1.0))).as("hi"))
+        .collect()
+      rows.foreach { r =>
+        val (a, lo, hi) = (r.getDouble(1), r.getDouble(2), r.getDouble(3))
+        assert(a >= lo && a <= hi,
+          s"p=$p approx=$a outside exact band [$lo, $hi] for ${r.getString(0)}")
+      }
+    }
+  }
+
   test("minhash LSH output equals exact jaccard dedup at threshold 0.8") {
     val exact = SparkEntry.queries("dedup_near_jaccard")(spark, sf).collect().toSeq
     val lsh = SparkEntry.queries("dedup_minhash_lsh")(spark, sf).collect().toSeq
