@@ -21,9 +21,10 @@ import graft.plans.TopKPerGroup
   *    the range partitioning for the final presentation sort.
   *  - `agg_percentiles`: exact interpolated percentiles; Spark's
   *    `percentile` buffers per-group values — acceptable for bounded
-  *    group counts (3 here). For open-ended groups at 100 TB you'd move
-  *    to `approx_percentile` (t-digest, mergeable sketch) and lose the
-  *    cross-engine oracle, so the exact form is the declared key.
+  *    group counts (3 here). The open-ended-groups scale path is the
+  *    separate `agg_approx_quantile` key below (mergeable
+  *    Greenwald-Khanna summaries, property-tested — the sketch has no
+  *    cross-engine oracle).
   *  - `sample_stratified_hash`: deterministic per-stratum downsampling —
   *    order docs inside each language by a content-independent hash
   *    (md5 of the id) and keep the first k. Unlike `TABLESAMPLE` /

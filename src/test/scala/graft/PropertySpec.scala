@@ -30,11 +30,12 @@ class PropertySpec extends SparkSpec {
 
   test("approx_quantile within rank-error bound of exact percentile") {
     // accuracy=1000 → base rank error 1/1000, but merging per-partition
-    // GK summaries (32 partials here) degrades the guarantee, and the
-    // sketch returns an actual data value rather than an interpolated
-    // one — so assert a 5× band: estimate between the exact (p − ε) and
-    // (p + ε) percentiles with ε = 5/accuracy. Checked per group for
-    // both declared fractions.
+    // GK summaries degrades the guarantee (the partial count varies with
+    // the session's parallelism — this must hold from 1 to local[32]),
+    // and the sketch returns an actual data value rather than an
+    // interpolated one — so assert a 5× band: estimate between the exact
+    // (p − ε) and (p + ε) percentiles with ε = 5/accuracy. Checked per
+    // group for both declared fractions.
     val li = Tables.t(spark, sf, "lineitem")
     val eps = 5.0 / 1000
     for (p <- Seq(0.5, 0.95)) {
