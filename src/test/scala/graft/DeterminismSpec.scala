@@ -20,7 +20,8 @@ class DeterminismSpec extends SparkSpec {
   test("float-sensitive queries are bit-identical across partition counts") {
     for (q <- Seq("agg_groupby_pricing", "agg_stats", "sim_cosine_pairs",
       "stream_session_windows", "text_tfidf_topterm",
-      "dedup_embedding_cosine", "win_moving_avg")) {
+      "dedup_embedding_cosine", "win_moving_avg",
+      "agg_percentiles", "pivot_wide")) {
       val a = rows(q, "3")
       val b = rows(q, "17")
       assert(a == b, s"$q diverged between 3 and 17 shuffle partitions " +
