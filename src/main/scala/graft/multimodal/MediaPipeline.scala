@@ -15,6 +15,9 @@ case class MediaRow(doc_id: Long, bytes: Array[Byte], width: Int, height: Int)
 case class MediaFeatures(doc_id: Long, byte_len: Long, checksum: Long,
     n_patches: Long)
 
+/** One sampled frame of a (video-like) media item. */
+case class MediaFrame(doc_id: Long, frame_idx: Long, frame_bytes: Array[Byte])
+
 /** Per-partition decode contract: `open()` runs ONCE per partition (codec
   * or native-library init — the expensive part a per-row UDF would pay
   * per row), `features` per item, `close()` after the partition drains.
@@ -23,6 +26,27 @@ trait MediaDecoder extends Serializable {
   def open(): Unit = ()
   def features(row: MediaRow): MediaFeatures
   def close(): Unit = ()
+}
+
+/** Frame-extraction contract (video/audio): same per-partition lifecycle
+  * as [[MediaDecoder]]; `frames` must return a LAZY iterator so a long
+  * medium never materializes all its frames at once. */
+trait FrameDecoder extends Serializable {
+  def open(): Unit = ()
+  def frames(row: MediaRow): Iterator[MediaFrame]
+  def close(): Unit = ()
+}
+
+/** STUB frame decoder — a real one would hand chunks to a video codec;
+  * this one treats the blob as fixed-size 64-byte "frames" (grouped
+  * iterator: lazy, O(frame) memory). The sampling/plumbing around it is
+  * the production shape. */
+object StubFrameDecoder extends FrameDecoder {
+  val frameBytes = 64
+  override def frames(r: MediaRow): Iterator[MediaFrame] =
+    r.bytes.grouped(frameBytes).zipWithIndex.map { case (b, i) =>
+      MediaFrame(r.doc_id, i.toLong, b)
+    }
 }
 
 /** STUB decoder — image/audio codecs are absent in this environment, so
@@ -77,6 +101,29 @@ object MediaPipeline {
       val ctx = org.apache.spark.TaskContext.get()
       if (ctx != null) ctx.addTaskCompletionListener[Unit](_ => decoder.close())
       rows.map(decoder.features)
+    }
+  }
+
+  /** Every-`every`-th frame of each media item, decoder inited once per
+    * partition (lifecycle identical to [[decodeFeatures]]). The frame
+    * iterator is lazy end-to-end: a 2-hour video and a 2-second clip
+    * both cost O(one frame) of executor memory at any instant. Sampling
+    * happens INSIDE the partition before anything is buffered — at
+    * `every = 30` (1 fps from 30 fps media) the downstream sees 1/30th
+    * of the frame volume. */
+  def sampleFrames(media: Dataset[MediaRow], every: Int,
+      decoder: FrameDecoder = StubFrameDecoder,
+      parallelism: Int = 0): Dataset[MediaFrame] = {
+    require(every > 0, s"every must be positive, got $every")
+    implicit val enc = Encoders.product[MediaFrame]
+    val part =
+      if (parallelism > 0) media.repartition(parallelism, col("doc_id"))
+      else media
+    part.mapPartitions { rows =>
+      decoder.open()
+      val ctx = org.apache.spark.TaskContext.get()
+      if (ctx != null) ctx.addTaskCompletionListener[Unit](_ => decoder.close())
+      rows.flatMap(r => decoder.frames(r).filter(_.frame_idx % every == 0))
     }
   }
 }

@@ -254,6 +254,27 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // Frame sampling, declared face: every 2nd 64-CHAR frame of each
+    // doc with per-frame byte length + md5. Chars (not bytes) because
+    // both engines' substring is character-based — exact parity for any
+    // UTF-8 text, no ASCII-fixture luck. The production byte-frame path
+    // is MediaPipeline.sampleFrames (lazy per-partition codec contract,
+    // MultimodalSpec); this key pins the frame-index/sampling arithmetic
+    // against the oracle. Expand is map-side — no shuffle below the
+    // presentation sort.
+    "multimodal_frame_sample" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("text"), explode(expr(
+          "filter(sequence(0, cast(ceil(length(text) / 64.0) as int) - 1)," +
+            " i -> i % 2 = 0)")).as("frame_idx"))
+        .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+          expr("encode(substring(text, frame_idx * 64 + 1, 64), 'utf-8')").as("fb"))
+        .select(col("doc_id"), col("frame_idx"),
+          length(col("fb")).cast("long").as("frame_len"),
+          md5(col("fb")).as("frame_md5"))
+        .orderBy(col("doc_id"), col("frame_idx"))
+    }),
+
     // Weighted corpus mixing: keep each source at its own sampling rate,
     // decided per doc by a content-independent hash threshold (first 4
     // hex digits of md5(doc_id) compared against the rate's hex cut —
@@ -399,6 +420,16 @@ object PipelineQueries {
         |  ascii(substring(text, 1, 1)) AS first_byte,
         |  CAST(ceil(octet_length(encode(text)) / 1024.0) AS BIGINT) AS est_kb
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "multimodal_frame_sample" ->
+      """WITH f AS (
+        |  SELECT doc_id, CAST(k AS BIGINT) AS frame_idx,
+        |    substring(text, CAST(k AS INT) * 64 + 1, 64) AS fs
+        |  FROM documents,
+        |    LATERAL (SELECT unnest(range(CAST(ceil(length(text) / 64.0) AS BIGINT))) AS k)
+        |  WHERE k % 2 = 0)
+        |SELECT doc_id, frame_idx, octet_length(encode(fs)) AS frame_len,
+        |  md5(fs) AS frame_md5
+        |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
     "sample_weighted_mix" ->
       """SELECT doc_id, source FROM documents
         |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < CASE

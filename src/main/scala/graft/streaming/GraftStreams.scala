@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
 import graft.Det
 
 /** Event record for the typed streaming APIs — the `events` table schema
@@ -111,6 +111,30 @@ object GraftStreams {
   def dedupByEventId(events: DataFrame, watermark: String = "1 hour"): DataFrame =
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
+
+  /** One epoch's idempotent write: a fixed per-batch directory with mode
+    * Overwrite, so re-running the same batch id replaces its own output
+    * instead of appending duplicates. */
+  private[graft] def writeEpoch(batch: DataFrame, dir: String, id: Long): Unit =
+    batch.write.mode("overwrite").parquet(s"$dir/epoch=$id")
+
+  /** Exactly-once parquet sink via foreachBatch. Structured Streaming
+    * guarantees at-least-once delivery of each micro-batch to
+    * foreachBatch; after a failure the restarted query REPLAYS the last
+    * uncommitted batch id. [[writeEpoch]] makes that replay idempotent
+    * (same id → same directory, overwritten), which upgrades the sink to
+    * exactly-once end-to-end given the source-side replay the
+    * `checkpoint` directory provides. Readers see the result as one
+    * hive-partitioned dataset (`epoch=` becomes a partition column —
+    * drop it or prune by it for incremental consumption). */
+  def sinkToParquet(df: DataFrame, dir: String,
+      checkpoint: String): StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append())
+      .foreachBatch((batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        writeEpoch(batch.toDF(), dir, id))
+      .start()
 
   /** Stream-stream interval join: each `left` row matched to the `right`
     * rows with the same `key` whose event time falls in

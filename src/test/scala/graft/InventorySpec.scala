@@ -56,10 +56,12 @@ class InventorySpec extends SparkSpec {
     // §2.10 round-3 addition: stream-stream join
     "stream_interval_join",
     // §2.15 second wave: mixing / fuzzy dictionary dedup / sketch quantiles
-    "sample_weighted_mix", "dedup_edit_distance", "agg_approx_quantile")
+    "sample_weighted_mix", "dedup_edit_distance", "agg_approx_quantile",
+    // §2.12 round-3 addition: multimodal frame sampling (declared face)
+    "multimodal_frame_sample")
 
-  test("declared queries cover SURVEY §2 + §2.12-15 exactly (99 keys)") {
-    assert(inventory.size == 99)
+  test("declared queries cover SURVEY §2 + §2.12-15 exactly (100 keys)") {
+    assert(inventory.size == 100)
     val declared = SparkEntry.queries.keySet
     val missing = inventory -- declared
     val extra = declared -- inventory

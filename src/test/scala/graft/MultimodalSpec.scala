@@ -46,4 +46,46 @@ class MultimodalSpec extends SparkSpec {
     assert(opens.value == 4, s"expected 4 opens, got ${opens.value}")
     assert(closes.value == 4, s"expected 4 closes, got ${closes.value}")
   }
+
+  test("frame sampling keeps every nth frame with correct count and bytes") {
+    val media = MediaPipeline.fromDocuments(spark, sf)
+    val frames = MediaPipeline.sampleFrames(media, every = 2, parallelism = 4)
+    val byDoc = frames.toDF().groupBy("doc_id")
+      .agg(count(lit(1)).as("n_frames"), max(col("frame_idx")).as("max_idx"))
+      .join(Tables.t(spark, sf, "documents"), "doc_id")
+      // ASCII fixture: bytes == chars, so total frames = ceil(n_chars/64),
+      // sampled = ceil(total/2); max sampled idx = largest even < total.
+      .withColumn("total", ceil(col("n_chars") / 64.0))
+      .filter(col("n_frames") =!= ceil(col("total") / 2.0)
+        || col("max_idx") =!= (ceil(col("total") / 2.0) - 1) * 2)
+    assert(byDoc.count() == 0, "frame count or sampled indices wrong")
+    // Only even frame indices survive every=2, and bytes slice correctly.
+    import spark.implicits._
+    val bad = frames.filter(f => f.frame_idx % 2 != 0).count()
+    assert(bad == 0)
+    val one = frames.filter(_.doc_id == 0L).collect().sortBy(_.frame_idx)
+    val text = Tables.t(spark, sf, "documents")
+      .filter(col("doc_id") === 0L).select("text").head().getString(0)
+    val expected = text.getBytes("UTF-8").grouped(64).zipWithIndex
+      .filter(_._2 % 2 == 0).map(_._1.toSeq).toSeq
+    assert(one.map(_.frame_bytes.toSeq).toSeq == expected)
+  }
+
+  test("frame decoder lifecycle matches partition count and is lazy-safe under limit") {
+    val opens = spark.sparkContext.longAccumulator("fopens")
+    val closes = spark.sparkContext.longAccumulator("fcloses")
+    val counting = new graft.multimodal.FrameDecoder {
+      override def open(): Unit = opens.add(1)
+      override def frames(r: MediaRow) = graft.multimodal.StubFrameDecoder.frames(r)
+      override def close(): Unit = closes.add(1)
+    }
+    // limit() abandons iterators mid-partition — close must still fire
+    // (via the task-completion listener, not iterator exhaustion).
+    val got = MediaPipeline.sampleFrames(
+      MediaPipeline.fromDocuments(spark, sf), every = 2, counting,
+      parallelism = 4).limit(3).count()
+    assert(got == 3)
+    assert(closes.value == opens.value,
+      s"decoder leak: ${opens.value} opens vs ${closes.value} closes")
+  }
 }

@@ -199,6 +199,36 @@ class StreamingParitySpec extends SparkSpec {
     assert(!pairs.contains((1L, 4L)), s"evicted-state pair leaked: $pairs")
   }
 
+  test("parquet sink: streamed epochs reassemble to the batch result, replays idempotent") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_sink").toString
+    val mem = MemoryStream[Event]
+    val deduped = GraftStreams.dedupByEventId(
+        mem.toDF().withColumn("ts", timestamp_millis(col("ts_ms"))))
+      .select(col("event_id"), col("user_id"), col("value"))
+    val query = GraftStreams.sinkToParquet(deduped, s"$root/data", s"$root/ckpt")
+    evRows.grouped(math.max(1, evRows.size / 3)).foreach { c =>
+      mem.addData(c); query.processAllAvailable()
+    }
+    query.stop()
+    val sunk = spark.read.parquet(s"$root/data").drop("epoch")
+    assert(sunk.count() == evRows.size,
+      s"expected ${evRows.size} rows across epochs, got ${sunk.count()}")
+    // Replay idempotence: re-writing an existing epoch id with different
+    // content must replace, not append.
+    val epochs = spark.read.parquet(s"$root/data").select("epoch")
+      .distinct().as[Int].collect().sorted
+    val replayId = epochs.head.toLong
+    val replayed = sunk.limit(7)
+    GraftStreams.writeEpoch(replayed, s"$root/data", replayId)
+    val after = spark.read.parquet(s"$root/data")
+    assert(after.filter(col("epoch") === replayId).count() == 7,
+      "replayed epoch did not overwrite its directory")
+    assert(after.select("epoch").distinct().count() == epochs.length.toLong,
+      "replay changed the epoch set")
+  }
+
   test("late data beyond watermark is dropped from append output") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
