@@ -43,6 +43,10 @@ object Bench {
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")
     catch { case _: Throwable => () }
     println(json)
+    // The driver captures a bounded TAIL of stdout and the long per-query
+    // line has been truncated past parsing three rounds running — a short
+    // total-only line printed LAST always survives the capture.
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","sf":"$sfDir","queries_in_file":"$out"}""")
     spark.stop()
   }
 }

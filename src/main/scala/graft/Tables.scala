@@ -26,8 +26,13 @@ object Tables {
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // FLOOR division nanos→micros, same recipe as the streaming loader
+    // (GraftStreams.eventsFromParquetDir): plain `div` truncates toward
+    // zero, which would round pre-epoch (negative) timestamps 1 µs up.
+    // Integer-only (no double cast — 1e18 ns is past 2^53 exact range).
     t(spark, dir, "events").withColumn("ts",
-      timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+      timestamp_micros(expr("(ts - ((ts % 1000) + 1000) % 1000) div 1000"))
+        .cast("timestamp_ntz"))
   }
 }
 

@@ -9,9 +9,10 @@ import graft.Det._
 /** §2.5 Window functions (SURVEY.md). Every window is PARTITION BY + a
   * totally-ordered ORDER BY (unique tie-break), per the determinism
   * contract. Partitioned windows scale: one shuffle on the partition key,
-  * then per-partition sort. `win_percent_cume` is the one global window —
-  * single-partition by construction (documented; at 100 TB you'd
-  * range-partition like a global sort and stitch rank offsets).
+  * then per-partition sort. `win_percent_cume` is the one GLOBAL ranking —
+  * it routes through plans/GlobalRank (two-pass range-partitioned ranks +
+  * stitched per-partition offsets), so no single-partition window exists
+  * anywhere in the declared surface (pinned in PlanAuditSpec).
   */
 object WindowQueries {
   type Q = (SparkSession, String) => DataFrame
