@@ -43,6 +43,18 @@ object PipelineQueries {
     */
   private[graft] def simhashBandedPairs(sh: DataFrame, maxHamming: Int): DataFrame = {
     require(maxHamming <= 10, s"12-block banding guarantees recall only for hamming <= 10, got $maxHamming")
+    simhashCandidates(sh)
+      .withColumn("hamming", expr("bit_count(si ^ sj)").cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("i").as("doc_i"), col("j").as("doc_j"), col("hamming"))
+  }
+
+  /** Candidate half of [[simhashBandedPairs]]: distinct (i, j, si, sj)
+    * pairs sharing ≥ 1 of the 66 two-block keys, BEFORE the hamming
+    * verify. Exposed so SelectivitySpec can pin the banded candidate
+    * fraction (≈ Σ 2^-blockpairwidth ≈ 3.5% of C(n,2) on random
+    * signatures) independently of the verify filter. */
+  private[graft] def simhashCandidates(sh: DataFrame): DataFrame = {
     val widths = Seq(6, 6, 6, 6, 5, 5, 5, 5, 5, 5, 5, 5)
     val offsets = widths.scanLeft(0)(_ + _).init
     // shiftright() function form: the `>>` operator fails to parse inside
@@ -63,9 +75,6 @@ object PipelineQueries {
         Seq("ck", "kv"))
       .filter(col("i") < col("j"))
       .select("i", "j", "si", "sj").distinct()
-      .withColumn("hamming", expr("bit_count(si ^ sj)").cast("long"))
-      .filter(col("hamming") <= maxHamming)
-      .select(col("i").as("doc_i"), col("j").as("doc_j"), col("hamming"))
   }
 
   val queries: Map[String, Q] = Map(
@@ -183,19 +192,19 @@ object PipelineQueries {
     }),
 
     // Embedding-cosine near-dup (threshold tuned to this corpus' cosine
-    // distribution: max pairwise ≈ 0.51). Candidates come from random-
-    // hyperplane LSH (SimHash for vectors, Charikar STOC'02): 64 sign
-    // bits against deterministic ±1 hyperplanes (murmur3-derived), banded
-    // 32×2 bits, equi-join on (band, value), exact-dot verify. At the
-    // cos ≥ 0.35 boundary p(bit agree) = 1 − θ/π ≈ 0.614 → per-pair miss
-    // ≤ (1 − 0.614²)³² ≈ 3e-7; the DuckDB all-pairs oracle is the exact
-    // parity check. No O(n²) nested-loop join anywhere in the plan —
-    // shuffle volume is O(vectors·32) narrow band keys + candidate pairs.
+    // distribution: max pairwise ≈ 0.51). EXACT pivot blocking, not LSH:
+    // deterministic hash-sampled pivots, nearest-pivot assignment via
+    // codegen'd ArrayDots, spherical triangle-inequality admissibility
+    // (θ_ab − α_x − maxα_b ≤ arccos 0.35 keeps recall 1.0 by metric
+    // geometry — hyperplane banding at this loose a threshold admits
+    // ~every pair, so the exact bound replaced it in round 4). The DuckDB
+    // all-pairs oracle is the exact parity check; SelectivitySpec pins
+    // sub-quadratic candidates on a clusterable corpus (this near-
+    // isotropic fixture is the documented degrade-to-all-pairs case).
     "dedup_embedding_cosine" -> ((s, dir) => {
-      // Declares through SimilarityJoin.embeddingCosine: scan-side
-      // HyperplaneSig, 32×2-bit banding, pre-normalized exact-dot verify
-      // (the normalization is mirrored in the oracle SQL so both engines
-      // run the identical float sequence).
+      // Declares through SimilarityJoin.embeddingCosine: pre-normalized
+      // exact-dot verify (the normalization is mirrored in the oracle
+      // SQL so both engines run the identical float sequence).
       SimilarityJoin.embeddingCosine(
           t(s, dir, "embeddings").filter(col("vec_id") < 1000),
           "vec_id", "embedding", threshold = 0.35)

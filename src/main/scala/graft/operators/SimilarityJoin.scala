@@ -140,32 +140,146 @@ object SimilarityJoin {
       PipelineQueries.simhashSigs(docs.select(col(idCol).as("doc_id"),
         col(tokensCol).as("toks"))), maxHamming)
 
-  /** Embedding near-dup: cosine ≥ `threshold` via 64-bit random-
-    * hyperplane signatures (Charikar STOC'02) banded 32×2 bits, exact
-    * normalized-dot verify (codegen'd ArrayDot). Emits
-    * (vec_i, vec_j, cos). Per-pair candidate miss at the threshold
-    * boundary is (1 − p²)³² with p = 1 − θ/π — ~3e-7 at cos 0.35.
-    * Null/empty/zero-norm vectors are excluded (a zero vector has no
-    * direction; normalizing it would poison signatures with NaN). */
-  def embeddingCosine(vecs: DataFrame, idCol: String, vecCol: String,
-      threshold: Double): DataFrame = {
-    // Pre-normalize once per vector so verification is a single dot.
-    val normed = vecs
+  /** (vec_id, u) with u = the L2-normalized vector, so every later
+    * similarity is a single dot. Null/empty/zero-norm vectors are
+    * excluded (a zero vector has no direction; normalizing it would
+    * poison downstream math with NaN). */
+  private[graft] def normalized(vecs: DataFrame, idCol: String,
+      vecCol: String): DataFrame =
+    vecs
       .select(col(idCol).as("vec_id"), col(vecCol).cast("array<double>").as("v"))
       .filter(col("v").isNotNull && size(col("v")) > 0)
       .withColumn("nrm", sqrt(graft.functions.ArrayDot(col("v"), col("v"))))
       .filter(col("nrm") > 0)
       .select(col("vec_id"), expr("transform(v, x -> x / nrm)").as("u"))
-    // Sign bit k of u = sign(Σ_d u[d]·s(k,d)), s(k,d) = ±1 from
-    // murmur3(k, d) — data-independent, identical across runs; computed
-    // scan-side by the tight-loop HyperplaneSig expression.
+
+  /** Embedding near-dup, EXACT: every pair with cosine ≥ `threshold`,
+    * recall 1.0 by construction (not LSH). Emits (vec_i, vec_j, cos).
+    *
+    * Candidate generation is pivot blocking with a spherical
+    * triangle-inequality bound (the metric trick behind IVF / pivot-based
+    * metric joins, cf. the `sim_ann_ivf` machinery): sample `numPivots`
+    * vectors deterministically (md5 hash order — replay-stable), assign
+    * each vector to its nearest pivot (argmax dot over codegen'd
+    * ArrayDots against literal pivots — map-side, no shuffle), record its
+    * pivot angle α. For clusters a, b with pivot angle θ_ab and member
+    * angles bounded by maxα: any cross pair satisfies
+    * θ(x,y) ≥ θ_ab − α_x − α_y, so a cluster pair — and, tighter, an
+    * individual x against cluster b — can be SKIPPED outright when
+    * θ_ab − α_x − maxα_b > arccos(threshold) (+1e-6 slack so fp rounding
+    * only ever ADDS candidates). Surviving cluster pairs equi-join on the
+    * cluster-pair key (each unordered vector pair generated exactly once
+    * — no distinct) and are verified with the exact dot.
+    *
+    * Scale shape: pivot sample is O(numPivots) driver rows, cluster
+    * stats are one O(n)→K-row pass (the same bounded-stats pattern as
+    * IVF training), and the candidate volume is Σ|a|·|b| over ADMISSIBLE
+    * cluster pairs only — sub-quadratic whenever the corpus clusters at
+    * the threshold's angular scale (SelectivitySpec pins this on a
+    * clustered random corpus). On an adversarially isotropic corpus no
+    * exact method can prune (all C(n,2) angles concentrate at 90°, so
+    * every bound degenerates) and this degrades to verified all-pairs —
+    * the honest worst case; route genuinely isotropic data through
+    * [[embeddingCosineLsh]] and accept probabilistic recall, or tighten
+    * the threshold. Skewed cluster sizes are AQE's skew-join case (the
+    * candidate join is a plain equi-shuffle). */
+  def embeddingCosine(vecs: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, numPivots: Int = 16): DataFrame =
+    pivotBlockedCandidates(normalized(vecs, idCol, vecCol), threshold,
+        numPivots)
+      .withColumn("cos", graft.functions.ArrayDot(col("ui"), col("uj")))
+      .filter(col("cos") >= threshold)
+      .select(least(col("i"), col("j")).as("vec_i"),
+        greatest(col("i"), col("j")).as("vec_j"), r4d(col("cos")).as("cos"))
+
+  /** Candidate half of [[embeddingCosine]] — (i, j, ui, uj) pairs that
+    * survive the triangle-inequality pruning, each unordered pair exactly
+    * once (i < j within a cluster, cluster order across). Exposed so
+    * SelectivitySpec can assert the candidate count is sub-quadratic on a
+    * clusterable corpus independently of the verify filter. */
+  private[graft] def pivotBlockedCandidates(normed: DataFrame,
+      threshold: Double, numPivots: Int): DataFrame = {
+    require(numPivots > 0, s"numPivots must be positive, got $numPivots")
+    val spark = normed.sparkSession
+    // Deterministic O(numPivots) pivot sample: hash order, not rand().
+    val pivots: Array[Seq[Double]] = normed
+      .orderBy(md5(concat(lit("pivot"), col("vec_id").cast("string"))),
+        col("vec_id"))
+      .limit(numPivots)
+      .collect().map(_.getSeq[Double](1))
+    if (pivots.isEmpty)
+      return normed.select(col("vec_id").as("i"), col("vec_id").as("j"),
+        col("u").as("ui"), col("u").as("uj")).limit(0)
+    val acosTau =
+      math.acos(math.max(-1.0, math.min(1.0, threshold))) + 1e-6
+    // Nearest-pivot assignment: one codegen'd dot per pivot, argmax via
+    // struct ordering (tie → lowest pivot id). Map-side only.
+    val best = array_max(array(pivots.toSeq.zipWithIndex.map { case (p, k) =>
+      struct(graft.functions.ArrayDot(col("u"), typedLit(p)).as("c"),
+        lit(-k).as("np"))
+    }: _*))
+    val assigned = normed.withColumn("b", best)
+      .select(col("vec_id"), col("u"), (-col("b.np")).as("g"),
+        acos(least(lit(1.0), greatest(lit(-1.0), col("b.c")))).as("alpha"))
+    // Per-cluster max pivot angle: K bounded rows to the driver (the
+    // only collect — same shape as an IVF centroid table).
+    val stats = assigned.groupBy("g").agg(max(col("alpha")).as("ma"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    def ddot(a: Seq[Double], b: Seq[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val ks = stats.keys.toSeq.sorted
+    val admRows = for {
+      ai <- ks.indices
+      a = ks(ai)
+      b <- ks.drop(ai) // ordered pairs a <= b, diagonal included
+      th = if (a == b) 0.0
+        else math.acos(math.max(-1.0, math.min(1.0, ddot(pivots(a), pivots(b)))))
+      if th - stats(a) - stats(b) <= acosTau // cluster-level prune
+    } yield (a, b, th, stats(a), stats(b))
+    val adm = spark.createDataFrame(admRows)
+      .toDF("ga", "gb", "th", "ma", "mb")
+    val left = assigned.select(col("g").as("ga"), col("vec_id").as("i"),
+      col("u").as("ui"), col("alpha").as("ai"))
+    val right = assigned.select(col("g").as("gb"), col("vec_id").as("j"),
+      col("u").as("uj"), col("alpha").as("aj"))
+    left.join(broadcast(adm), Seq("ga"))
+      .filter(col("th") - col("ai") - col("mb") <= acosTau) // per-point prune
+      .join(right, Seq("gb"))
+      .filter(col("th") - col("aj") - col("ma") <= acosTau)
+      .filter(col("ga") < col("gb") || col("i") < col("j"))
+      .select(col("i"), col("j"), col("ui"), col("uj"))
+  }
+
+  /** Embedding near-dup via banded random-hyperplane LSH (Charikar
+    * STOC'02): 64 sign bits against deterministic murmur3-derived ±1
+    * hyperplanes (scan-side HyperplaneSig), banded `bands` × (64/bands)
+    * bits, exact normalized-dot verify. PROBABILISTIC recall:
+    * 1 − (1 − p^(64/bands))^bands with p = 1 − θ/π — useful only for
+    * TIGHT thresholds (p near 1), e.g. ~0.93 at cos 0.9 with the default
+    * 8×8 banding. For loose thresholds hyperplane banding cannot prune
+    * (at cos 0.35, p ≈ 0.61 barely beats a random pair's 0.5) — use the
+    * exact [[embeddingCosine]] there. Kept as the isotropic-corpus
+    * escape hatch: candidate volume is data-independent
+    * (≈ n²·(1−(1−2^(64/bands))…) random-collision bound, 1/256 per band
+    * at 8×8), where the exact path's bound is distribution-dependent. */
+  def embeddingCosineLsh(vecs: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, bands: Int = 8): DataFrame = {
+    require(bands >= 2 && bands <= 32 && 64 % bands == 0,
+      s"bands must divide 64 and lie in [2, 32], got $bands")
+    val width = 64 / bands
+    val mask = (1L << width) - 1
+    val normed = normalized(vecs, idCol, vecCol)
     val sig = normed.withColumn("sig",
       graft.functions.HyperplaneSig(col("u")))
-    val bands = sig.select(col("vec_id"), posexplode(expr(
-        "transform(sequence(0, 31), b -> shiftright(sig, 2*b) & 3L)")))
+    val keyed = sig.select(col("vec_id"), posexplode(expr(
+        s"transform(sequence(0, ${bands - 1}), " +
+          s"b -> shiftright(sig, $width * b) & ${mask}L)")))
       .select(col("vec_id"), col("pos").as("band"), col("col").as("bv"))
-    val cand = bands.select(col("band"), col("bv"), col("vec_id").as("i"))
-      .join(bands.select(col("band"), col("bv"), col("vec_id").as("j")),
+    val cand = keyed.select(col("band"), col("bv"), col("vec_id").as("i"))
+      .join(keyed.select(col("band"), col("bv"), col("vec_id").as("j")),
         Seq("band", "bv"))
       .filter(col("i") < col("j"))
       .select("i", "j").distinct()

@@ -131,7 +131,7 @@ class DedupScaleSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
-  test("LSH-bucketed embedding dedup == all-pairs reference") {
+  test("pivot-blocked embedding dedup == all-pairs reference") {
     val normed = Tables.t(spark, sf, "embeddings").filter(col("vec_id") < 1000)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm", sqrt(ArrayDot(col("v"), col("v"))))

@@ -111,11 +111,24 @@ class PlanAuditSpec extends SparkSpec {
     // plan BroadcastHashJoin and OOM the driver at 100 TB doc sets.
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
-      for (q <- Seq("dedup_minhash_lsh", "dedup_simhash", "dedup_embedding_cosine")) {
+      for (q <- Seq("dedup_minhash_lsh", "dedup_simhash")) {
         val p = plan(q)
         assert(!p.contains("BroadcastHashJoin"), s"$q still hint-broadcasts a side")
         assert(!p.contains("BroadcastNestedLoopJoin"), s"$q has a nested-loop join")
       }
+      // dedup_embedding_cosine legitimately broadcasts ONE relation: the
+      // driver-built admissibility table, bounded at numPivots² rows by
+      // construction (a LocalTableScan, never a data table). The
+      // vector-vector candidate join must stay a keyed shuffle join.
+      val p = plan("dedup_embedding_cosine")
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        "embedding dedup has a nested-loop join")
+      val broadcasts = "BroadcastExchange".r.findAllIn(p).size
+      assert(broadcasts <= 1, s"embedding dedup broadcasts $broadcasts relations")
+      assert(p.contains("LocalTableScan"),
+        "the one broadcast should feed from the driver-built admissibility rows")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        "vector-side candidate join is not a keyed shuffle join:\n" + p.take(2000))
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 

@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.ArrayDot
+import graft.operators.{PipelineQueries, SimilarityJoin}
+
+/** Candidate-set selectivity locks for every banded/blocked dedup path
+  * (round-4 verdict item: the scaladocs claim "bucketed, not all-pairs" —
+  * this suite makes the claim falsifiable). Each test builds a
+  * deterministic NON-duplicate (or clustered) corpus, counts the
+  * candidate pairs the generator emits BEFORE exact verification, and
+  * asserts the fraction of C(n,2) is genuinely sub-quadratic. The
+  * round-3 hyperplane 32×2-bit banding fails the embedding assert
+  * (candidate fraction ≈ 0.9999 on any data) — its replacement, exact
+  * pivot blocking, must pass it AND keep brute-force parity.
+  */
+class SelectivitySpec extends SparkSpec {
+
+  private def pairs(n: Long): Double = n.toDouble * (n - 1) / 2
+
+  test("minhash banding: near-zero candidates on a disjoint-token corpus") {
+    // 300 docs × 20 tokens from a 5000-token vocabulary (deterministic
+    // murmur3 draws): expected pairwise Jaccard ≈ 0.004 — nothing should
+    // band together but rare collisions.
+    val docs = spark.range(300).select(col("id").as("doc_id"),
+      expr("array_distinct(transform(sequence(0, 19), " +
+        "t -> concat('tok', pmod(hash(id, t, 7), 5000))))").as("toks"))
+    val n = docs.count()
+    val cand = SimilarityJoin.minhashCandidates(docs).count()
+    val frac = cand / pairs(n)
+    assert(frac < 0.02, s"minhash candidates $cand of ${pairs(n)} ($frac)")
+  }
+
+  test("simhash banding: bounded candidate fraction on random signatures") {
+    // Uniform random 64-bit signatures (xxhash64 of the id): two-block
+    // keys are 10-12 bits wide, so P(pair collides on >= 1 of 66 keys)
+    // ~= 4*2^-12 + 62*2^-10ish ~= 0.035 -- candidates must stay within a
+    // small multiple of that, nowhere near all-pairs.
+    val sigs = spark.range(500).select(col("id").as("doc_id"),
+      expr("xxhash64(id, 99)").as("sim"))
+    val n = sigs.count()
+    val cand = PipelineQueries.simhashCandidates(sigs).count()
+    val frac = cand / pairs(n)
+    assert(frac < 0.08, s"simhash candidates $cand of ${pairs(n)} ($frac)")
+  }
+
+  /** Clustered corpus: `c` EXACTLY ORTHOGONAL cluster directions in
+    * dim 64 (center k is 1/√8 on its own 8-dim support, 0 elsewhere),
+    * `per` members each = normalize(center + 0.05·noise), all
+    * deterministic (murmur3-derived). Within-cluster cos ≈ 0.95,
+    * cross-cluster ≈ 0 ± noise — a corpus that clusters at the
+    * threshold's angular scale, i.e. the case the exact pivot blocking
+    * is supposed to prune. (With noise 3× larger the member→pivot
+    * angles reach ~0.6 rad and the triangle bound CORRECTLY admits
+    * everything — the prune is honest, it needs angular structure.) */
+  private def clustered(c: Int, per: Int): DataFrame =
+    spark.range(c.toLong * per).select(col("id").as("vec_id"),
+      expr(s"""transform(sequence(0, 63), d ->
+        |  if(d >= 8 * cast(id % $c as int)
+        |     and d < 8 * cast(id % $c as int) + 8, 0.35355D, 0.0D)
+        |  + 0.05D * (pmod(hash(cast(id as int), d, 13), 1000) / 500.0D - 1.0D)
+        |)""".stripMargin).as("embedding"))
+
+  test("embedding pivot blocking: sub-quadratic candidates on a clustered corpus") {
+    val vecs = clustered(6, 40)
+    val normed = SimilarityJoin.normalized(vecs, "vec_id", "embedding")
+    val n = normed.count()
+    val cand = SimilarityJoin
+      .pivotBlockedCandidates(normed, threshold = 0.8, numPivots = 32)
+      .count()
+    val frac = cand / pairs(n)
+    // Within-cluster pairs are ~1/6 of all pairs; admissibility must
+    // prune the cross-cluster 5/6 (the round-3 banding admitted ~100%).
+    assert(frac < 0.3, s"pivot candidates $cand of ${pairs(n)} ($frac)")
+    assert(cand >= pairs(40) * 6,
+      s"pruned below the within-cluster floor: $cand") // sanity: no over-prune
+  }
+
+  test("embedding pivot blocking: exact parity with brute force on the clustered corpus") {
+    val vecs = clustered(6, 40)
+    val normed = SimilarityJoin.normalized(vecs, "vec_id", "embedding")
+    val brute = normed.select(col("vec_id").as("i"), col("u").as("ui"))
+      .join(normed.select(col("vec_id").as("j"), col("u").as("uj")),
+        col("i") < col("j"))
+      .withColumn("cos", ArrayDot(col("ui"), col("uj")))
+      .filter(col("cos") >= 0.8)
+      .select("i", "j")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = SimilarityJoin
+      .embeddingCosine(vecs, "vec_id", "embedding", 0.8, numPivots = 32)
+      .select("vec_i", "vec_j")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.nonEmpty, "degenerate corpus: no qualifying pairs")
+    assert(got == brute,
+      s"blocked=${got.size} brute=${brute.size}, " +
+        s"missed=${(brute -- got).size} extra=${(got -- brute).size}")
+  }
+
+  test("embedding LSH (tight threshold): sub-quadratic candidates, exact precision") {
+    val vecs = clustered(6, 40)
+    val lsh = SimilarityJoin
+      .embeddingCosineLsh(vecs, "vec_id", "embedding", 0.95, bands = 8)
+      .select("vec_i", "vec_j")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = SimilarityJoin
+      .embeddingCosine(vecs, "vec_id", "embedding", 0.95, numPivots = 32)
+      .select("vec_i", "vec_j")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // LSH recall is probabilistic (documented); precision is exact, so
+    // its results must be a subset of the exact join's.
+    assert(lsh.subsetOf(exact),
+      s"LSH emitted non-pairs: ${(lsh -- exact).take(3)}")
+  }
+}
