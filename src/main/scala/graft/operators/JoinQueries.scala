@@ -131,6 +131,29 @@ object JoinQueries {
         .orderBy(col("r_name"))
     }),
 
+    // The same star join UNHINTED: no broadcast() anywhere — the
+    // planner's stats (and AQE's runtime re-plan) must pick broadcast
+    // for the dimensions on their own. Proves the engine doesn't need
+    // manual hints at fixture scale (pinned in PlanAuditSpec); the
+    // hinted join_star_multiway stays as the belt-and-braces form for
+    // clusters where dim-table stats are missing or stale.
+    "join_star_aqe" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      val r = t(s, dir, "region")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(n, col("c_nationkey") === col("n_nationkey"))
+        .join(r, col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("r_name"))
+    }),
+
     // Order pairs of the same customer placed within 7 days (k1 < k2).
     "join_self" -> ((s, dir) => {
       val o = t(s, dir, "orders")
@@ -213,6 +236,18 @@ object JoinQueries {
         |    ON o_custkey = user_id + 1 AND o_orderdate <= ts)
         |WHERE rn = 1 ORDER BY event_id""".stripMargin,
     "join_star_multiway" ->
+      s"""SELECT r_name,
+         |${sqlSum("l_extendedprice*(1-l_discount)")} AS revenue,
+         |COUNT(*) AS n_items
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY r_name ORDER BY r_name""".stripMargin,
+    // Identical semantics to the hinted form — only the Spark-side plan
+    // differs (planner-chosen joins instead of broadcast() hints).
+    "join_star_aqe" ->
       s"""SELECT r_name,
          |${sqlSum("l_extendedprice*(1-l_discount)")} AS revenue,
          |COUNT(*) AS n_items

@@ -90,6 +90,62 @@ object ScanQueries {
         .filter(col("lang") === "en")
         .select(col("doc_id"), col("lang"), col("n_chars"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Bucketed-table layout — the OTHER half of storage design at 100 TB
+    // (scan_partition_prune covers directory pruning): both fact tables
+    // persisted bucketed + sorted on the join key, so the sort-merge join
+    // reads co-located buckets with NO shuffle exchange on either side
+    // (pinned in PlanAuditSpec). Tables are per-(application, sfDir)
+    // external tables in the scratch dir — idempotent within a session,
+    // isolated across concurrent runs. At 100 TB the write is the
+    // one-off layout cost that every subsequent join amortizes.
+    "scan_bucket_join" -> ((s, dir) => {
+      val root = scratch(s, dir)
+      val suf = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val li = s"graft_li_bkt_$suf"
+      val ord = s"graft_ord_bkt_$suf"
+      if (!s.catalog.tableExists(li))
+        t(s, dir, "lineitem")
+          .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+          .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+          .option("path", s"$root/$li").mode("overwrite").saveAsTable(li)
+      if (!s.catalog.tableExists(ord))
+        t(s, dir, "orders")
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+          .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+          .option("path", s"$root/$ord").mode("overwrite").saveAsTable(ord)
+      s.table(li).join(s.table(ord), col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("o_custkey"), col("o_totalprice"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // Dynamic partition pruning: the partitioned fact side is pruned at
+    // RUNTIME by the dim side's filter (no literal lang predicate
+    // anywhere on the fact side) — the scan's PartitionFilters must
+    // carry a dynamicpruning expression fed from the dim join key
+    // (pinned in PlanAuditSpec). At 100 TB this reads two languages'
+    // directories instead of the corpus because a DIMENSION said so.
+    "scan_dpp_join" -> ((s, dir) => {
+      val tmp = s"${scratch(s, dir)}/dpp_docs"
+      t(s, dir, "documents").write.mode("overwrite")
+        .partitionBy("lang").parquet(tmp)
+      // The dim must be a STORAGE table, not a driver LocalRelation: the
+      // optimizer folds a Filter over LocalRelation into the relation
+      // itself, and with no Filter node left the DPP rule sees no
+      // selective predicate to feed the fact scan from.
+      val dimPath = s"${scratch(s, dir)}/dpp_lang_dim"
+      s.createDataFrame(Seq(
+          ("en", "germanic"), ("de", "germanic"), ("es", "romance"),
+          ("fr", "romance"), ("zh", "sinitic")))
+        .toDF("lang", "family")
+        .write.mode("overwrite").parquet(dimPath)
+      val dim = s.read.parquet(dimPath)
+      s.read.parquet(tmp)
+        .join(dim.filter(col("family") === "romance"), Seq("lang"))
+        .select(col("doc_id"), col("lang"), col("family"), col("n_chars"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -105,6 +161,19 @@ object ScanQueries {
     "scan_json_roundtrip" ->
       "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
     "scan_partition_prune" ->
-      "SELECT doc_id, lang, n_chars FROM documents WHERE lang = 'en' ORDER BY doc_id"
+      "SELECT doc_id, lang, n_chars FROM documents WHERE lang = 'en' ORDER BY doc_id",
+    // The layout is lossless → oracle joins the plain tables.
+    "scan_bucket_join" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, o_custkey, o_totalprice
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "scan_dpp_join" ->
+      """SELECT d.doc_id, d.lang, f.family, d.n_chars
+        |FROM documents d
+        |JOIN (VALUES ('en', 'germanic'), ('de', 'germanic'), ('es', 'romance'),
+        |             ('fr', 'romance'), ('zh', 'sinitic')) AS f(lang, family)
+        |  ON d.lang = f.lang
+        |WHERE f.family = 'romance'
+        |ORDER BY d.doc_id""".stripMargin
   )
 }

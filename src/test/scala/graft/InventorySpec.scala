@@ -58,10 +58,12 @@ class InventorySpec extends SparkSpec {
     // §2.15 second wave: mixing / fuzzy dictionary dedup / sketch quantiles
     "sample_weighted_mix", "dedup_edit_distance", "agg_approx_quantile",
     // §2.12 round-3 addition: multimodal frame sampling (declared face)
-    "multimodal_frame_sample")
+    "multimodal_frame_sample",
+    // §2.16 round-4 amendment: storage layout + planner autonomy
+    "scan_bucket_join", "scan_dpp_join", "join_star_aqe")
 
-  test("declared queries cover SURVEY §2 + §2.12-15 exactly (100 keys)") {
-    assert(inventory.size == 100)
+  test("declared queries cover SURVEY §2 + §2.12-16 exactly (103 keys)") {
+    assert(inventory.size == 103)
     val declared = SparkEntry.queries.keySet
     val missing = inventory -- declared
     val extra = declared -- inventory

@@ -132,6 +132,43 @@ class PlanAuditSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("bucketed join runs with no shuffle exchange on either side") {
+    // Force the shuffle-join path (no broadcast, no AQE): over bucketed
+    // tables the sort-merge join must read co-located buckets directly —
+    // the ONLY exchange left is the presentation sort's range partition.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = plan("scan_bucket_join")
+      assert(p.contains("SortMergeJoin"), p.take(2000))
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"bucketed join still shuffles:\n${p.take(2000)}")
+      assert(p.contains("SelectedBucketsCount"), p.take(2000))
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
+  test("dim filter drives dynamic partition pruning of the fact scan") {
+    // No literal lang predicate exists on the fact side — the scan's
+    // PartitionFilters must carry a dynamicpruning expression fed from
+    // the dimension's filtered join keys.
+    val p = plan("scan_dpp_join")
+    assert("PartitionFilters:[^\\]]*dynamicpruning".r.findFirstIn(p).isDefined,
+      s"fact scan not dynamically pruned:\n${p.take(3000)}")
+  }
+
+  test("unhinted star join: the planner picks broadcast for all dims on its own") {
+    // Deliberately NOT via plan() — this is the one pin that must hold
+    // WITH adaptive execution live, since AQE is what re-plans joins
+    // from runtime stats on a real cluster.
+    val df = SparkEntry.queries("join_star_aqe")(spark, sf)
+    df.collect()
+    // The adaptive plan string prints final AND initial plans — count
+    // broadcasts in the final section only.
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert("BroadcastHashJoin".r.findAllIn(p).size == 4,
+      s"planner/AQE did not broadcast all four dims:\n${p.take(3000)}")
+  }
+
   test("partitioned scan prunes by partition key (filter satisfied by listing)") {
     val p = plan("scan_partition_prune")
     // The lang predicate must land INSIDE the PartitionFilters list
