@@ -30,6 +30,11 @@ object ScanQueries {
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   private val cleanupRegistered = new java.util.concurrent.atomic.AtomicBoolean(false)
 
+  /** ONE sanitizer for everything derived from an sfDir: scratch
+    * sub-paths and catalog table-name suffixes (the latter forbid '.',
+    * so the shared class keeps only [A-Za-z0-9]). */
+  private def ident(s: String): String = s.replaceAll("[^A-Za-z0-9]", "_")
+
   private def scratch(s: SparkSession, dir: String): String = {
     val root = s"/tmp/graft_scratch/${s.sparkContext.applicationId}"
     scratchRoots.add(root)
@@ -43,8 +48,16 @@ object ScanQueries {
         scratchRoots.forEach(r => del(new java.io.File(r)))
       }))
     }
-    s"$root/${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
+    s"$root/${ident(dir)}"
   }
+
+  /** Idempotent scratch-layout write: run `w` only if `path` has no
+    * completed write yet (_SUCCESS is committed last). Scratch dirs are
+    * per-application and the query map runs sequentially within one, so
+    * a completed marker means OUR earlier identical write — bench
+    * iterations and repeated spec plan() calls skip the re-write. */
+  private def writeOnce(path: String)(w: => Unit): Unit =
+    if (!new java.io.File(path, "_SUCCESS").exists()) w
 
   val queries: Map[String, Q] = Map(
     "scan_parquet" -> ((s, dir) => {
@@ -84,8 +97,10 @@ object ScanQueries {
     // corpus.
     "scan_partition_prune" -> ((s, dir) => {
       val tmp = s"${scratch(s, dir)}/part_docs"
-      t(s, dir, "documents").write.mode("overwrite")
-        .partitionBy("lang").parquet(tmp)
+      writeOnce(tmp) {
+        t(s, dir, "documents").write.mode("overwrite")
+          .partitionBy("lang").parquet(tmp)
+      }
       s.read.parquet(tmp)
         .filter(col("lang") === "en")
         .select(col("doc_id"), col("lang"), col("n_chars"))
@@ -102,7 +117,7 @@ object ScanQueries {
     // one-off layout cost that every subsequent join amortizes.
     "scan_bucket_join" -> ((s, dir) => {
       val root = scratch(s, dir)
-      val suf = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val suf = ident(dir)
       val li = s"graft_li_bkt_$suf"
       val ord = s"graft_ord_bkt_$suf"
       if (!s.catalog.tableExists(li))
@@ -129,18 +144,22 @@ object ScanQueries {
     // directories instead of the corpus because a DIMENSION said so.
     "scan_dpp_join" -> ((s, dir) => {
       val tmp = s"${scratch(s, dir)}/dpp_docs"
-      t(s, dir, "documents").write.mode("overwrite")
-        .partitionBy("lang").parquet(tmp)
+      writeOnce(tmp) {
+        t(s, dir, "documents").write.mode("overwrite")
+          .partitionBy("lang").parquet(tmp)
+      }
       // The dim must be a STORAGE table, not a driver LocalRelation: the
       // optimizer folds a Filter over LocalRelation into the relation
       // itself, and with no Filter node left the DPP rule sees no
       // selective predicate to feed the fact scan from.
       val dimPath = s"${scratch(s, dir)}/dpp_lang_dim"
-      s.createDataFrame(Seq(
-          ("en", "germanic"), ("de", "germanic"), ("es", "romance"),
-          ("fr", "romance"), ("zh", "sinitic")))
-        .toDF("lang", "family")
-        .write.mode("overwrite").parquet(dimPath)
+      writeOnce(dimPath) {
+        s.createDataFrame(Seq(
+            ("en", "germanic"), ("de", "germanic"), ("es", "romance"),
+            ("fr", "romance"), ("zh", "sinitic")))
+          .toDF("lang", "family")
+          .write.mode("overwrite").parquet(dimPath)
+      }
       val dim = s.read.parquet(dimPath)
       s.read.parquet(tmp)
         .join(dim.filter(col("family") === "romance"), Seq("lang"))

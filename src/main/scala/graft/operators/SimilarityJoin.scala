@@ -172,8 +172,10 @@ object SimilarityJoin {
     * — no distinct) and are verified with the exact dot.
     *
     * Scale shape: pivot sample is O(numPivots) driver rows, cluster
-    * stats are one O(n)→K-row pass (the same bounded-stats pattern as
-    * IVF training), and the candidate volume is Σ|a|·|b| over ADMISSIBLE
+    * stats are one O(n)→K-row pass over a persisted assignment that the
+    * candidate join then reuses (the same bounded-stats pattern as IVF
+    * training; both bounded jobs run at query-CONSTRUCTION time, like
+    * GlobalRank's count pass), and the candidate volume is Σ|a|·|b| over ADMISSIBLE
     * cluster pairs only — sub-quadratic whenever the corpus clusters at
     * the threshold's angular scale (SelectivitySpec pins this on a
     * clustered random corpus). On an adversarially isotropic corpus no
@@ -218,9 +220,18 @@ object SimilarityJoin {
       struct(graft.functions.ArrayDot(col("u"), typedLit(p)).as("c"),
         lit(-k).as("np"))
     }: _*))
-    val assigned = normed.withColumn("b", best)
+    val assignedPlan = normed.withColumn("b", best)
       .select(col("vec_id"), col("u"), (-col("b.np")).as("g"),
         acos(least(lit(1.0), greatest(lit(-1.0), col("b.c")))).as("alpha"))
+    // ONE materialized assignment pass serves the stats collect AND both
+    // sides of the candidate join (otherwise the O(n·K·dim) dot loop
+    // re-runs three times). RDD persist, not DataFrame cache, for the
+    // same reason as GlobalRank: the ContextCleaner GC-unpersists it once
+    // the returned frame's lineage is unreachable — no storage pinned
+    // across queries. The stats collect below materializes the cache.
+    val assignedRdd = assignedPlan.rdd
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val assigned = spark.createDataFrame(assignedRdd, assignedPlan.schema)
     // Per-cluster max pivot angle: K bounded rows to the driver (the
     // only collect — same shape as an IVF centroid table).
     val stats = assigned.groupBy("g").agg(max(col("alpha")).as("ma"))
@@ -263,32 +274,41 @@ object SimilarityJoin {
     * (at cos 0.35, p ≈ 0.61 barely beats a random pair's 0.5) — use the
     * exact [[embeddingCosine]] there. Kept as the isotropic-corpus
     * escape hatch: candidate volume is data-independent
-    * (≈ n²·(1−(1−2^(64/bands))…) random-collision bound, 1/256 per band
-    * at 8×8), where the exact path's bound is distribution-dependent. */
+    * (≈ n²·(1−(1−2^−(64/bands))^bands) random-collision bound, 1/256 per
+    * band at 8×8 — pinned in SelectivitySpec on an isotropic corpus),
+    * where the exact path's bound is distribution-dependent. */
   def embeddingCosineLsh(vecs: DataFrame, idCol: String, vecCol: String,
       threshold: Double, bands: Int = 8): DataFrame = {
+    val normed = normalized(vecs, idCol, vecCol)
+    lshBandedCandidates(normed, bands)
+      .join(normed.select(col("vec_id").as("i"), col("u").as("ui")), Seq("i"))
+      .join(normed.select(col("vec_id").as("j"), col("u").as("uj")), Seq("j"))
+      .withColumn("cos", graft.functions.ArrayDot(col("ui"), col("uj")))
+      .filter(col("cos") >= threshold)
+      .select(col("i").as("vec_i"), col("j").as("vec_j"), r4d(col("cos")).as("cos"))
+  }
+
+  /** Candidate half of [[embeddingCosineLsh]]: distinct (i, j) pairs
+    * sharing ≥ 1 hyperplane-signature band. Exposed so SelectivitySpec
+    * can pin the data-independent random-collision bound
+    * (1 − (1 − 2^−(64/bands))^bands of C(n,2) on isotropic vectors). */
+  private[graft] def lshBandedCandidates(normed: DataFrame,
+      bands: Int): DataFrame = {
     require(bands >= 2 && bands <= 32 && 64 % bands == 0,
       s"bands must divide 64 and lie in [2, 32], got $bands")
     val width = 64 / bands
     val mask = (1L << width) - 1
-    val normed = normalized(vecs, idCol, vecCol)
     val sig = normed.withColumn("sig",
       graft.functions.HyperplaneSig(col("u")))
     val keyed = sig.select(col("vec_id"), posexplode(expr(
         s"transform(sequence(0, ${bands - 1}), " +
           s"b -> shiftright(sig, $width * b) & ${mask}L)")))
       .select(col("vec_id"), col("pos").as("band"), col("col").as("bv"))
-    val cand = keyed.select(col("band"), col("bv"), col("vec_id").as("i"))
+    keyed.select(col("band"), col("bv"), col("vec_id").as("i"))
       .join(keyed.select(col("band"), col("bv"), col("vec_id").as("j")),
         Seq("band", "bv"))
       .filter(col("i") < col("j"))
       .select("i", "j").distinct()
-    cand
-      .join(normed.select(col("vec_id").as("i"), col("u").as("ui")), Seq("i"))
-      .join(normed.select(col("vec_id").as("j"), col("u").as("uj")), Seq("j"))
-      .withColumn("cos", graft.functions.ArrayDot(col("ui"), col("uj")))
-      .filter(col("cos") >= threshold)
-      .select(col("i").as("vec_i"), col("j").as("vec_j"), r4d(col("cos")).as("cos"))
   }
 
   /** THE exact verification tail, shared by every candidate generator

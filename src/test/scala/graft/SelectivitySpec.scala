@@ -97,6 +97,22 @@ class SelectivitySpec extends SparkSpec {
         s"missed=${(brute -- got).size} extra=${(got -- brute).size}")
   }
 
+  test("embedding LSH banding: bounded candidates on an ISOTROPIC corpus") {
+    // Uniform random vectors — the case where the exact pivot blocking
+    // honestly cannot prune. The 8×8 banding's collision bound is
+    // data-INDEPENDENT: P(candidate) = 1 − (1 − 2⁻⁸)⁸ ≈ 0.031 per pair.
+    // The round-3 32×2 banding scored ≈ 0.9999 here.
+    val iso = spark.range(300).select(col("id").as("vec_id"),
+      expr("transform(sequence(0, 63), d -> " +
+        "pmod(hash(cast(id as int), d, 17), 1000) / 500.0D - 1.0D)")
+        .as("embedding"))
+    val normed = SimilarityJoin.normalized(iso, "vec_id", "embedding")
+    val n = normed.count()
+    val cand = SimilarityJoin.lshBandedCandidates(normed, bands = 8).count()
+    val frac = cand / pairs(n)
+    assert(frac < 0.1, s"LSH candidates $cand of ${pairs(n)} ($frac)")
+  }
+
   test("embedding LSH (tight threshold): sub-quadratic candidates, exact precision") {
     val vecs = clustered(6, 40)
     val lsh = SimilarityJoin
