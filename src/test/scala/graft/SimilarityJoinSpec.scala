@@ -68,4 +68,47 @@ class SimilarityJoinSpec extends SparkSpec {
     assert(ex.nonEmpty, "fixture slice produced no exact pairs — test is vacuous")
     assert(ex == mh)
   }
+
+  private def vecsDf = {
+    import spark.implicits._
+    Seq(
+      (1L, Seq(1.0, 0.0, 0.0, 0.0)),
+      (2L, Seq(2.0, 0.0, 0.0, 0.0)),   // same direction as 1 → cos 1.0
+      (3L, Seq(0.0, 1.0, 0.0, 0.0)),   // orthogonal
+      (4L, Seq(0.0, 0.0, 0.0, 0.0)),   // zero norm: no direction
+      (5L, null.asInstanceOf[Seq[Double]]),
+      (6L, Seq.empty[Double])
+    ).toDF("vec_id", "embedding")
+  }
+
+  test("embeddingCosine: degenerate vectors excluded, scaled duplicates pair at cos 1.0") {
+    val got = SimilarityJoin
+      .embeddingCosine(vecsDf, "vec_id", "embedding", threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == Seq((1L, 2L, 1.0)), got.toString)
+  }
+
+  test("embeddingCosine: numPivots larger than the corpus still exact") {
+    // More pivots than vectors → every vector is its own pivot (α = 0);
+    // the diagonal-admissible cluster pairs alone must reproduce the
+    // brute-force answer.
+    val got = SimilarityJoin
+      .embeddingCosine(vecsDf, "vec_id", "embedding", threshold = -1.0,
+        numPivots = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(got == Seq((1L, 2L), (1L, 3L), (2L, 3L)), got.toString)
+  }
+
+  test("embeddingCosine: no valid vectors → empty result, correct schema") {
+    val empty = SimilarityJoin.embeddingCosine(
+      vecsDf.filter(col("vec_id") >= 4), "vec_id", "embedding", 0.5)
+    assert(empty.columns.toSeq == Seq("vec_i", "vec_j", "cos"))
+    assert(empty.count() == 0)
+  }
+
+  test("embeddingCosine: single vector → no pairs") {
+    assert(SimilarityJoin.embeddingCosine(
+      vecsDf.filter(col("vec_id") === 1), "vec_id", "embedding", 0.0)
+      .count() == 0)
+  }
 }
