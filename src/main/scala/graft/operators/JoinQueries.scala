@@ -19,6 +19,36 @@ import graft.Det._
 object JoinQueries {
   type Q = (SparkSession, String) => DataFrame
 
+  /** The star join behind `join_star_multiway` (dims hint-broadcast) and
+    * `join_star_aqe` (identical, unhinted — planner stats + AQE must
+    * pick broadcast on their own, pinned in PlanAuditSpec). */
+  private def starJoin(s: SparkSession, dir: String,
+      hinted: Boolean): DataFrame = {
+    val dim = (df: DataFrame) => if (hinted) broadcast(df) else df
+    t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(dim(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+      .join(dim(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(dim(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("r_name"))
+  }
+
+  /** One oracle serves both star keys — the hint changes only the plan. */
+  private val starSql =
+    s"""SELECT r_name,
+       |${sqlSum("l_extendedprice*(1-l_discount)")} AS revenue,
+       |COUNT(*) AS n_items
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation ON c_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |GROUP BY r_name ORDER BY r_name""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "join_broadcast_inner" -> ((s, dir) => {
       t(s, dir, "lineitem")
@@ -114,45 +144,13 @@ object JoinQueries {
         .orderBy(col("event_id"))
     }),
 
-    "join_star_multiway" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
-      val o = t(s, dir, "orders")
-      val c = t(s, dir, "customer")
-      val n = t(s, dir, "nation")
-      val r = t(s, dir, "region")
-      li.join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
-        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
-        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
-        .groupBy(col("r_name"))
-        .agg(
-          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
-          count(lit(1)).as("n_items"))
-        .orderBy(col("r_name"))
-    }),
+    "join_star_multiway" -> ((s, dir) => starJoin(s, dir, hinted = true)),
 
-    // The same star join UNHINTED: no broadcast() anywhere — the
-    // planner's stats (and AQE's runtime re-plan) must pick broadcast
-    // for the dimensions on their own. Proves the engine doesn't need
-    // manual hints at fixture scale (pinned in PlanAuditSpec); the
-    // hinted join_star_multiway stays as the belt-and-braces form for
-    // clusters where dim-table stats are missing or stale.
-    "join_star_aqe" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
-      val o = t(s, dir, "orders")
-      val c = t(s, dir, "customer")
-      val n = t(s, dir, "nation")
-      val r = t(s, dir, "region")
-      li.join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(c, col("o_custkey") === col("c_custkey"))
-        .join(n, col("c_nationkey") === col("n_nationkey"))
-        .join(r, col("n_regionkey") === col("r_regionkey"))
-        .groupBy(col("r_name"))
-        .agg(
-          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
-          count(lit(1)).as("n_items"))
-        .orderBy(col("r_name"))
-    }),
+    // The same star join UNHINTED — proves the engine doesn't need
+    // manual hints at fixture scale; the hinted form stays as the
+    // belt-and-braces path for clusters where dim-table stats are
+    // missing or stale.
+    "join_star_aqe" -> ((s, dir) => starJoin(s, dir, hinted = false)),
 
     // Order pairs of the same customer placed within 7 days (k1 < k2).
     "join_self" -> ((s, dir) => {
@@ -235,28 +233,8 @@ object JoinQueries {
         |  FROM events JOIN orders
         |    ON o_custkey = user_id + 1 AND o_orderdate <= ts)
         |WHERE rn = 1 ORDER BY event_id""".stripMargin,
-    "join_star_multiway" ->
-      s"""SELECT r_name,
-         |${sqlSum("l_extendedprice*(1-l_discount)")} AS revenue,
-         |COUNT(*) AS n_items
-         |FROM lineitem
-         |JOIN orders ON l_orderkey = o_orderkey
-         |JOIN customer ON o_custkey = c_custkey
-         |JOIN nation ON c_nationkey = n_nationkey
-         |JOIN region ON n_regionkey = r_regionkey
-         |GROUP BY r_name ORDER BY r_name""".stripMargin,
-    // Identical semantics to the hinted form — only the Spark-side plan
-    // differs (planner-chosen joins instead of broadcast() hints).
-    "join_star_aqe" ->
-      s"""SELECT r_name,
-         |${sqlSum("l_extendedprice*(1-l_discount)")} AS revenue,
-         |COUNT(*) AS n_items
-         |FROM lineitem
-         |JOIN orders ON l_orderkey = o_orderkey
-         |JOIN customer ON o_custkey = c_custkey
-         |JOIN nation ON c_nationkey = n_nationkey
-         |JOIN region ON n_regionkey = r_regionkey
-         |GROUP BY r_name ORDER BY r_name""".stripMargin,
+    "join_star_multiway" -> starSql,
+    "join_star_aqe" -> starSql,
     "join_self" ->
       """SELECT o1.o_custkey, o1.o_orderkey AS k1, o2.o_orderkey AS k2,
         |  date_diff('day', CAST(o1.o_orderdate AS DATE), CAST(o2.o_orderdate AS DATE)) AS day_gap
