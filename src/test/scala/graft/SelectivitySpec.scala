@@ -113,6 +113,40 @@ class SelectivitySpec extends SparkSpec {
     assert(frac < 0.1, s"LSH candidates $cand of ${pairs(n)} ($frac)")
   }
 
+  test("embeddingCosine == brute force across random corpora, thresholds, pivot counts") {
+    import org.scalacheck.{Gen, Prop}
+    val genVec = Gen.listOfN(6, Gen.chooseNum(-1.0, 1.0))
+    val genCase = for {
+      n <- Gen.chooseNum(2, 25)
+      vecs <- Gen.listOfN(n, genVec)
+      th <- Gen.oneOf(-0.5, 0.0, 0.3, 0.7, 0.95)
+      k <- Gen.chooseNum(1, 8)
+    } yield (vecs, th, k)
+    val prop = Prop.forAll(genCase) { case (vecs, th, k) =>
+      import spark.implicits._
+      val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("vec_id", "embedding")
+      // Brute force with the SAME ArrayDot expression, so the boundary
+      // comparison is bit-identical — any set difference is a real
+      // recall/precision bug, never a last-ulp artifact.
+      val normed = SimilarityJoin.normalized(df, "vec_id", "embedding")
+      val brute = normed.select(col("vec_id").as("i"), col("u").as("ui"))
+        .join(normed.select(col("vec_id").as("j"), col("u").as("uj")),
+          col("i") < col("j"))
+        .filter(ArrayDot(col("ui"), col("uj")) >= th)
+        .select("i", "j")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val got = SimilarityJoin
+        .embeddingCosine(df, "vec_id", "embedding", th, numPivots = k)
+        .select("vec_i", "vec_j")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      got == brute
+    }
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(12), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("embedding LSH (tight threshold): sub-quadratic candidates, exact precision") {
     val vecs = clustered(6, 40)
     val lsh = SimilarityJoin
