@@ -114,7 +114,10 @@ object ScanQueries {
     // (pinned in PlanAuditSpec). Tables are per-(application, sfDir)
     // external tables in the scratch dir — idempotent within a session,
     // isolated across concurrent runs. At 100 TB the write is the
-    // one-off layout cost that every subsequent join amortizes.
+    // one-off layout cost that every subsequent join amortizes; bucket
+    // count then comes from data volume (≈ table bytes / target file
+    // size, and EQUAL on both sides or Spark shuffles the smaller one)
+    // — 8 is the fixture-scale stand-in.
     "scan_bucket_join" -> ((s, dir) => {
       val root = scratch(s, dir)
       val suf = ident(dir)

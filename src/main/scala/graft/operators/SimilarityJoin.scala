@@ -184,7 +184,11 @@ object SimilarityJoin {
     * the honest worst case; route genuinely isotropic data through
     * [[embeddingCosineLsh]] and accept probabilistic recall, or tighten
     * the threshold. Skewed cluster sizes are AQE's skew-join case (the
-    * candidate join is a plain equi-shuffle). */
+    * candidate join is a plain equi-shuffle). `numPivots` trades
+    * admissibility-table size (K², broadcast) against cluster radius:
+    * more pivots → smaller maxα → sharper pruning; scale it toward the
+    * corpus' expected cluster count (K ≈ √n is the classic IVF default)
+    * — 16 is sized to the fixtures. */
   def embeddingCosine(vecs: DataFrame, idCol: String, vecCol: String,
       threshold: Double, numPivots: Int = 16): DataFrame =
     pivotBlockedCandidates(normalized(vecs, idCol, vecCol), threshold,
