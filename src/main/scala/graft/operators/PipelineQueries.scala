@@ -91,9 +91,13 @@ object PipelineQueries {
         explode(split(col("text"), " ")).as("token"))
       val lt = tok.groupBy(col("lang").as("p_lang"), col("token"))
         .agg(count(lit(1)).as("ct"))
-      val tot = tok.groupBy(col("lang").as("p_lang")).agg(count(lit(1)).as("tot"))
-      val vocab = tok.agg(countDistinct(col("token")).as("v"))
-      val prof = tok.select("token").distinct()
+      // tot / vocab / the distinct token list all derive from `lt` (the
+      // small grouped table) — bit-identical to re-aggregating `tok`,
+      // but the exploded corpus-wide token table is scanned ONCE for the
+      // model (plus once for scoring) instead of four times.
+      val tot = lt.groupBy(col("p_lang")).agg(sum(col("ct")).as("tot"))
+      val vocab = lt.agg(countDistinct(col("token")).as("v"))
+      val prof = lt.select("token").distinct()
         .crossJoin(docs.select(col("lang").as("p_lang")).distinct())
         .join(lt, Seq("p_lang", "token"), "left")
         .join(tot, Seq("p_lang")).crossJoin(broadcast(vocab))
