@@ -81,6 +81,20 @@ object ScanQueries {
         .orderBy(col("n_nationkey"))
     }),
 
+    // Columnar-alternative roundtrip: ORC (built into spark-sql, same
+    // vectorized reader + predicate pushdown family as parquet). A
+    // double survives bit-exactly, so the oracle reads the plain table.
+    "scan_orc_roundtrip" -> ((s, dir) => {
+      val tmp = s"${scratch(s, dir)}/orc_supplier"
+      writeOnce(tmp) {
+        t(s, dir, "supplier").write.mode("overwrite").orc(tmp)
+      }
+      s.read.schema(
+          "s_suppkey LONG, s_name STRING, s_nationkey INT, s_acctbal DOUBLE")
+        .orc(tmp)
+        .orderBy(col("s_suppkey"))
+    }),
+
     // Same roundtrip via JSON lines.
     "scan_json_roundtrip" -> ((s, dir) => {
       val tmp = s"${scratch(s, dir)}/json_region"
@@ -182,6 +196,8 @@ object ScanQueries {
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
     "scan_json_roundtrip" ->
       "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
+    "scan_orc_roundtrip" ->
+      "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier ORDER BY s_suppkey",
     "scan_partition_prune" ->
       "SELECT doc_id, lang, n_chars FROM documents WHERE lang = 'en' ORDER BY doc_id",
     // The layout is lossless → oracle joins the plain tables.

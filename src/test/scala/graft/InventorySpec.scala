@@ -59,11 +59,12 @@ class InventorySpec extends SparkSpec {
     "sample_weighted_mix", "dedup_edit_distance", "agg_approx_quantile",
     // §2.12 round-3 addition: multimodal frame sampling (declared face)
     "multimodal_frame_sample",
-    // §2.16 round-4 amendment: storage layout + planner autonomy
-    "scan_bucket_join", "scan_dpp_join", "join_star_aqe")
+    // §2.16 round-4 amendment: storage layout + planner autonomy + ORC
+    "scan_bucket_join", "scan_dpp_join", "join_star_aqe",
+    "scan_orc_roundtrip")
 
-  test("declared queries cover SURVEY §2 + §2.12-16 exactly (103 keys)") {
-    assert(inventory.size == 103)
+  test("declared queries cover SURVEY §2 + §2.12-16 exactly (104 keys)") {
+    assert(inventory.size == 104)
     val declared = SparkEntry.queries.keySet
     val missing = inventory -- declared
     val extra = declared -- inventory
