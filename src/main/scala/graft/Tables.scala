@@ -24,15 +24,19 @@ object Tables {
     * columns read later in the same session surface as LONG nanos —
     * visible in the schema, not silently wrong timestamps.
     */
+  /** FLOOR-division nanos→micros for a LONG nanosecond column — THE one
+    * conversion both event loaders share (batch here, streaming in
+    * GraftStreams.eventsFromParquetDir). Plain `div` truncates toward
+    * zero, which would round pre-epoch (negative) timestamps 1 µs up;
+    * integer-only arithmetic because 1e18 ns is past double's 2^53
+    * exact range. */
+  private[graft] def nanosFloorDivMicros(c: String): Column =
+    expr(s"($c - (($c % 1000) + 1000) % 1000) div 1000")
+
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // FLOOR division nanos→micros, same recipe as the streaming loader
-    // (GraftStreams.eventsFromParquetDir): plain `div` truncates toward
-    // zero, which would round pre-epoch (negative) timestamps 1 µs up.
-    // Integer-only (no double cast — 1e18 ns is past 2^53 exact range).
     t(spark, dir, "events").withColumn("ts",
-      timestamp_micros(expr("(ts - ((ts % 1000) + 1000) % 1000) div 1000"))
-        .cast("timestamp_ntz"))
+      timestamp_micros(nanosFloorDivMicros("ts")).cast("timestamp_ntz"))
   }
 }
 

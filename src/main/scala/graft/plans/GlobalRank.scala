@@ -38,6 +38,9 @@ object GlobalRank {
     */
   def percentCume(df: DataFrame, keyCol: String,
       numPartitions: Int = 0): DataFrame = {
+    require(!df.columns.contains("pr") && !df.columns.contains("cd"),
+      "percentCume appends columns 'pr' and 'cd' — rename the input's " +
+        s"clashing column first (input: ${df.columns.mkString(", ")})")
     val spark = df.sparkSession
     val parts =
       if (numPartitions > 0) numPartitions

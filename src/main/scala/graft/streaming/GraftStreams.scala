@@ -64,12 +64,9 @@ object GraftStreams {
       "value DOUBLE, props STRING"
     spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
       .parquet(dir)
-      // FLOOR division nanos→micros: `ts div 1000` truncates toward
-      // zero, which would round pre-epoch (negative) timestamps 1 µs
-      // UP. Integer-only floor-div (no double cast — 1e18 nanos is past
-      // double's 2^53 exact range).
-      .withColumn("ts",
-        timestamp_micros(expr("(ts - ((ts % 1000) + 1000) % 1000) div 1000")))
+      // Shared floor-division nanos→micros (see its scaladoc for why
+      // plain `div` is wrong pre-epoch).
+      .withColumn("ts", timestamp_micros(graft.Tables.nanosFloorDivMicros("ts")))
   }
 
   /** Per-(1-day tumbling window × event_type) counts and exact sums. */

@@ -27,25 +27,19 @@ object StreamQueries {
     .orderBy(col("ts"), col("event_id"))
 
   val queries: Map[String, Q] = Map(
-    // Per 1-day tumbling window × event_type.
-    "stream_tumbling_counts" -> ((s, dir) => {
-      events(s, dir)
-        .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
-        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
-        .select(col("w.start").cast("date").as("day"), col("event_type"),
-          col("n"), col("sum_value"))
-        .orderBy("day", "event_type")
-    }),
+    // Per 1-day tumbling window × event_type. Batch and streaming run
+    // the SAME GraftStreams.tumblingCounts (the watermark node is
+    // analyzer-eliminated on batch frames) — parity by construction,
+    // not by copy, like stream_interval_join below.
+    "stream_tumbling_counts" -> ((s, dir) =>
+      GraftStreams.tumblingCounts(events(s, dir))
+        .orderBy("day", "event_type")),
 
-    // 24h-wide window sliding every 6h (epoch-aligned, 4 windows/event).
-    "stream_sliding_avg" -> ((s, dir) => {
-      events(s, dir)
-        .groupBy(window(col("ts"), "1 day", "6 hours").as("w"), col("event_type"))
-        .agg(count(lit(1)).as("n"), davg(col("value")).as("avg_value"))
-        .select(unix_millis(col("w.start").cast("timestamp")).as("start_ms"),
-          col("event_type"), col("n"), col("avg_value"))
-        .orderBy("start_ms", "event_type")
-    }),
+    // 24h-wide window sliding every 6h (epoch-aligned, 4 windows/event);
+    // same shared-declaration pattern.
+    "stream_sliding_avg" -> ((s, dir) =>
+      GraftStreams.slidingAvg(events(s, dir))
+        .orderBy("start_ms", "event_type")),
 
     // Gap-based sessions (gap > 30 min splits), lag + cumulative-sum form.
     "stream_session_windows" -> ((s, dir) => {
