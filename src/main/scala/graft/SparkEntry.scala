@@ -16,7 +16,8 @@ object SparkEntry {
       AggQueries.queries ++ WindowQueries.queries ++ SortSetQueries.queries ++
       ScalarQueries.queries ++ SemiStructuredQueries.queries ++
       TextQueries.queries ++ SimQueries.queries ++ StreamQueries.queries ++
-      PipelineQueries.queries ++ ReshapeQueries.queries
+      PipelineQueries.queries ++ ReshapeQueries.queries ++
+      CurationQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -24,5 +25,6 @@ object SparkEntry {
       AggQueries.oracle ++ WindowQueries.oracle ++ SortSetQueries.oracle ++
       ScalarQueries.oracle ++ SemiStructuredQueries.oracle ++
       TextQueries.oracle ++ SimQueries.oracle ++ StreamQueries.oracle ++
-      PipelineQueries.oracle ++ ReshapeQueries.oracle
+      PipelineQueries.oracle ++ ReshapeQueries.oracle ++
+      CurationQueries.oracle
 }

@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.t
+
+/** §2.17 Corpus-curation operators (SURVEY.md, round-4 amendment) — the
+  * two training-data steps the §2.9/§2.12 dedup stack doesn't cover:
+  * benchmark DECONTAMINATION (drop training docs that leak evaluation
+  * data, the n-gram-overlap rule used by every published LLM data
+  * pipeline) and SUBSTRING-level duplication stats (shared long token
+  * windows ACROSS documents — doc-level dedup keeps both copies of two
+  * different pages quoting the same boilerplate; window-level detection
+  * is what finds it).
+  *
+  * Scale design: both ops reduce the corpus to narrow (doc_id, window)
+  * rows before any shuffle. Decontamination probes a broadcast benchmark
+  * shingle set (benchmark suites are ~10⁶ shingles — trivially
+  * broadcastable next to a 100 TB corpus), so the corpus side never
+  * shuffles to discover overlaps; only the per-doc verdict aggregation
+  * and the final doc_id-keyed join move data. The window-dup scan
+  * shuffles one slim row per window position; at 100 TB the window
+  * STRING would be replaced by its xxhash64 (64-bit key through the
+  * exchange, collision odds ~n²/2⁶⁴ — a false dup-window per ~10⁹ TB),
+  * kept as the raw string here so the DuckDB oracle is exact.
+  */
+object CurationQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Distinct word `n`-gram shingles per doc: (doc_id, sh). */
+  private def shingles(docs: DataFrame, n: Int): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= n)
+      .select(col("doc_id"), explode(expr(
+        s"array_distinct(transform(sequence(0, size(toks)-$n), " +
+          s"i -> concat_ws(' ', slice(toks, i+1, $n))))")).as("sh"))
+
+  val queries: Map[String, Q] = Map(
+    // Benchmark decontamination verdict: for every non-benchmark doc,
+    // how many of its distinct 5-gram shingles appear anywhere in the
+    // benchmark set (docs with doc_id % 97 == 0 stand in for an eval
+    // suite; a real deployment feeds the suite as a second table).
+    // n_overlap = 0 → clean; > 0 → quarantine. The probe is a broadcast
+    // semi-ish join (inner join + count) against the benchmark shingle
+    // set, so contamination discovery is map-side; the left join that
+    // attaches zeros is doc_id-keyed.
+    "text_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val sh = shingles(docs, 5)
+      val bench = sh.filter(col("doc_id") % 97 === 0).select("sh").distinct()
+      val hits = sh.filter(col("doc_id") % 97 =!= 0)
+        .join(broadcast(bench), Seq("sh"))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
+      docs.filter(col("doc_id") % 97 =!= 0).select("doc_id")
+        .join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
+        .orderBy("doc_id")
+    }),
+
+    // Cross-document duplicated-substring stats: an 8-token window that
+    // occurs in more than one document marks boilerplate / quotation
+    // overlap doc-level dedup cannot see. Emits, per offending doc, the
+    // count of duplicated window instances and the first/last 0-based
+    // window position (the span bounds a removal pass would cut).
+    // Windows are NOT array_distinct'ed — a doc repeating a duplicated
+    // window counts each instance, and positions must survive for the
+    // span bounds (hence posexplode, not the shingle helper above).
+    "dedup_substring_spans" -> ((s, dir) => {
+      val w = t(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .filter(size(col("toks")) >= 8)
+        .select(col("doc_id"), posexplode(expr(
+          "transform(sequence(0, size(toks)-8), " +
+            "i -> concat_ws(' ', slice(toks, i+1, 8)))")))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"),
+          col("col").as("w"))
+      val dup = w.groupBy("w").agg(countDistinct(col("doc_id")).as("nd"))
+        .filter(col("nd") > 1).select("w")
+      w.join(dup, Seq("w"))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_dup_win"),
+          min("pos").as("first_pos"), max("pos").as("last_pos"))
+        .orderBy("doc_id")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "text_decontaminate" ->
+      """WITH sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(len(toks) - 4), i -> array_to_string(toks[i+1:i+5], ' ')))) AS sh
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+        |  WHERE len(toks) >= 5),
+        |bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 97 = 0),
+        |hits AS (SELECT doc_id, count(*) AS n_overlap FROM sh JOIN bench USING (sh)
+        |         WHERE doc_id % 97 <> 0 GROUP BY 1)
+        |SELECT d.doc_id, coalesce(n_overlap, 0) AS n_overlap
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) d
+        |LEFT JOIN hits USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "dedup_substring_spans" ->
+      """WITH w AS (SELECT doc_id, unnest(range(len(toks) - 7)) AS pos,
+        |    unnest(list_transform(range(len(toks) - 7),
+        |      i -> array_to_string(toks[i+1:i+8], ' '))) AS w
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+        |  WHERE len(toks) >= 8),
+        |dup AS (SELECT w FROM w GROUP BY w HAVING count(DISTINCT doc_id) > 1)
+        |SELECT doc_id, count(*) AS n_dup_win, min(pos) AS first_pos,
+        |  max(pos) AS last_pos
+        |FROM w JOIN dup USING (w) GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  )
+}

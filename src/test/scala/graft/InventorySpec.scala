@@ -61,10 +61,12 @@ class InventorySpec extends SparkSpec {
     "multimodal_frame_sample",
     // §2.16 round-4 amendment: storage layout + planner autonomy + ORC
     "scan_bucket_join", "scan_dpp_join", "join_star_aqe",
-    "scan_orc_roundtrip")
+    "scan_orc_roundtrip",
+    // §2.17 round-4 amendment: corpus curation
+    "text_decontaminate", "dedup_substring_spans")
 
-  test("declared queries cover SURVEY §2 + §2.12-16 exactly (104 keys)") {
-    assert(inventory.size == 104)
+  test("declared queries cover SURVEY §2 + §2.12-17 exactly (106 keys)") {
+    assert(inventory.size == 106)
     val declared = SparkEntry.queries.keySet
     val missing = inventory -- declared
     val extra = declared -- inventory

@@ -146,6 +146,16 @@ class PlanAuditSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("decontamination probes the benchmark shingle set via broadcast") {
+    // The corpus side must never shuffle to discover benchmark overlap:
+    // the benchmark shingle set (tiny next to any real corpus) is the
+    // broadcast side of the probe join.
+    val p = plan("text_decontaminate")
+    assert(p.contains("BroadcastHashJoin"),
+      s"benchmark probe is not a broadcast join:\n${p.take(2000)}")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
   test("dim filter drives dynamic partition pruning of the fact scan") {
     // No literal lang predicate exists on the fact side — the scan's
     // PartitionFilters must carry a dynamicpruning expression fed from
