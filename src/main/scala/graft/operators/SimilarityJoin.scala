@@ -190,21 +190,37 @@ object SimilarityJoin {
     * corpus' expected cluster count (K ≈ √n is the classic IVF default)
     * — 16 is sized to the fixtures. */
   def embeddingCosine(vecs: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, numPivots: Int = 16): DataFrame =
-    pivotBlockedCandidates(normalized(vecs, idCol, vecCol), threshold,
-        numPivots)
+      threshold: Double, numPivots: Int = 16): DataFrame = {
+    val (cand, keyed) =
+      pivotBlocked(normalized(vecs, idCol, vecCol), threshold, numPivots)
+    cand
+      .join(keyed.select(col("vec_id").as("i"), col("u").as("ui")), Seq("i"))
+      .join(keyed.select(col("vec_id").as("j"), col("u").as("uj")), Seq("j"))
       .withColumn("cos", graft.functions.ArrayDot(col("ui"), col("uj")))
       .filter(col("cos") >= threshold)
       .select(least(col("i"), col("j")).as("vec_i"),
         greatest(col("i"), col("j")).as("vec_j"), r4d(col("cos")).as("cos"))
+  }
 
-  /** Candidate half of [[embeddingCosine]] — (i, j, ui, uj) pairs that
+  /** Candidate half of [[embeddingCosine]] — slim (i, j) pairs that
     * survive the triangle-inequality pruning, each unordered pair exactly
     * once (i < j within a cluster, cluster order across). Exposed so
     * SelectivitySpec can assert the candidate count is sub-quadratic on a
     * clusterable corpus independently of the verify filter. */
   private[graft] def pivotBlockedCandidates(normed: DataFrame,
-      threshold: Double, numPivots: Int): DataFrame = {
+      threshold: Double, numPivots: Int): DataFrame =
+    pivotBlocked(normed, threshold, numPivots)._1
+
+  /** [[pivotBlockedCandidates]] plus the (vec_id, u) frame the verify
+    * re-join should use — it reads the SAME persisted assignment that fed
+    * candidate generation, so the normalization never recomputes. Only
+    * narrow (cluster, id, alpha) rows travel through the candidate
+    * exchange — the 64-double vectors re-join KEYED on i and j afterwards,
+    * the exact shape [[minhashCandidates]] uses (arrays through the band
+    * shuffle were measured ~50% slower there; here the wide form also
+    * duplicated every left vector once per admissible cluster pair). */
+  private def pivotBlocked(normed: DataFrame,
+      threshold: Double, numPivots: Int): (DataFrame, DataFrame) = {
     require(numPivots > 0, s"numPivots must be positive, got $numPivots")
     val spark = normed.sparkSession
     // Deterministic O(numPivots) pivot sample: hash order, not rand().
@@ -214,8 +230,8 @@ object SimilarityJoin {
       .limit(numPivots)
       .collect().map(_.getSeq[Double](1))
     if (pivots.isEmpty)
-      return normed.select(col("vec_id").as("i"), col("vec_id").as("j"),
-        col("u").as("ui"), col("u").as("uj")).limit(0)
+      return (normed.select(col("vec_id").as("i"), col("vec_id").as("j"))
+        .limit(0), normed)
     val acosTau =
       math.acos(math.max(-1.0, math.min(1.0, threshold))) + 1e-6
     // Nearest-pivot assignment: one codegen'd dot per pivot, argmax via
@@ -257,15 +273,16 @@ object SimilarityJoin {
     val adm = spark.createDataFrame(admRows)
       .toDF("ga", "gb", "th", "ma", "mb")
     val left = assigned.select(col("g").as("ga"), col("vec_id").as("i"),
-      col("u").as("ui"), col("alpha").as("ai"))
+      col("alpha").as("ai"))
     val right = assigned.select(col("g").as("gb"), col("vec_id").as("j"),
-      col("u").as("uj"), col("alpha").as("aj"))
-    left.join(broadcast(adm), Seq("ga"))
+      col("alpha").as("aj"))
+    val cand = left.join(broadcast(adm), Seq("ga"))
       .filter(col("th") - col("ai") - col("mb") <= acosTau) // per-point prune
       .join(right, Seq("gb"))
       .filter(col("th") - col("aj") - col("ma") <= acosTau)
       .filter(col("ga") < col("gb") || col("i") < col("j"))
-      .select(col("i"), col("j"), col("ui"), col("uj"))
+      .select(col("i"), col("j"))
+    (cand, assigned.select(col("vec_id"), col("u")))
   }
 
   /** Embedding near-dup via banded random-hyperplane LSH (Charikar
