@@ -216,6 +216,26 @@ object PipelineQueries {
         .orderBy("i", "j")
     }),
 
+    // Tight-threshold companion (round-5 verdict item): same operator,
+    // cos ≥ 0.5 — the strictest threshold this corpus can answer
+    // non-vacuously (measured this session: the fixture is isotropic
+    // even within labels — mean same-label cos 0.002 vs cross 0.000,
+    // max pairwise 0.513 — so exactly one pair survives at 0.5 and
+    // NONE at the 0.9 the verdict sketched, which would pin an empty
+    // result). The exact pivot path keeps recall 1.0 by construction,
+    // so the oracle row can never flake the way a probabilistic-recall
+    // LSH declaration would; the fixture candidate-fraction pin that
+    // motivated this key lives in SelectivitySpec ("real fixture"
+    // tests), where the LSH generator — the documented tight-threshold
+    // scale path on isotropic data — is bounded on THIS table.
+    "dedup_embedding_cosine_tight" -> ((s, dir) => {
+      SimilarityJoin.embeddingCosine(
+          t(s, dir, "embeddings").filter(col("vec_id") < 1000),
+          "vec_id", "embedding", threshold = 0.5)
+        .select(col("vec_i").as("i"), col("vec_j").as("j"), col("cos"))
+        .orderBy("i", "j")
+    }),
+
     // IVF ANN: label = coarse cluster, centroids = exact per-label means,
     // nprobe=2 closest centroids per probe, exhaustive search only inside
     // those clusters. The at-scale path: centroid table broadcast, vector
@@ -398,6 +418,16 @@ object PipelineQueries {
         |  SELECT a.vec_id AS i, b.vec_id AS j, list_dot_product(a.u, b.u) AS cos
         |  FROM normed a JOIN normed b ON a.vec_id < b.vec_id)
         |WHERE cos >= 0.35 ORDER BY i, j""".stripMargin,
+    "dedup_embedding_cosine_tight" ->
+      """WITH normed AS (SELECT vec_id,
+        |    list_transform(CAST(embedding AS DOUBLE[]),
+        |      x -> x / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+        |                                     CAST(embedding AS DOUBLE[])))) AS u
+        |  FROM embeddings WHERE vec_id < 1000)
+        |SELECT i, j, ROUND(cos, 4) + 0.0 AS cos FROM (
+        |  SELECT a.vec_id AS i, b.vec_id AS j, list_dot_product(a.u, b.u) AS cos
+        |  FROM normed a JOIN normed b ON a.vec_id < b.vec_id)
+        |WHERE cos >= 0.5 ORDER BY i, j""".stripMargin,
     "sim_ann_ivf" ->
       """WITH cent AS (SELECT label, pos,
         |    CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS m

@@ -63,10 +63,12 @@ class InventorySpec extends SparkSpec {
     "scan_bucket_join", "scan_dpp_join", "join_star_aqe",
     "scan_orc_roundtrip",
     // §2.17 round-4 amendment: corpus curation
-    "text_decontaminate", "dedup_substring_spans")
+    "text_decontaminate", "dedup_substring_spans",
+    // §2.18 round-5 amendment: tight-threshold embedding companion
+    "dedup_embedding_cosine_tight")
 
-  test("declared queries cover SURVEY §2 + §2.12-17 exactly (106 keys)") {
-    assert(inventory.size == 106)
+  test("declared queries cover SURVEY §2 + §2.12-18 exactly (107 keys)") {
+    assert(inventory.size == 107)
     val declared = SparkEntry.queries.keySet
     val missing = inventory -- declared
     val extra = declared -- inventory
