@@ -64,11 +64,11 @@ class InventorySpec extends SparkSpec {
     "scan_orc_roundtrip",
     // §2.17 round-4 amendment: corpus curation
     "text_decontaminate", "dedup_substring_spans",
-    // §2.18 round-5 amendment: tight-threshold embedding companion
-    "dedup_embedding_cosine_tight")
+    // §2.18 round-5 amendment
+    "dedup_embedding_cosine_tight", "join_skew_aqe")
 
-  test("declared queries cover SURVEY §2 + §2.12-18 exactly (107 keys)") {
-    assert(inventory.size == 107)
+  test("declared queries cover SURVEY §2 + §2.12-18 exactly (108 keys)") {
+    assert(inventory.size == 108)
     val declared = SparkEntry.queries.keySet
     val missing = inventory -- declared
     val extra = declared -- inventory

@@ -179,6 +179,40 @@ class PlanAuditSpec extends SparkSpec {
       s"planner/AQE did not broadcast all four dims:\n${p.take(3000)}")
   }
 
+  test("AQE splits a hot shuffle partition at runtime (OptimizeSkewedJoin)") {
+    // The join_skew_aqe contract: at cluster scale a hot key's shuffle
+    // partition crosses the skew thresholds and AQE splits it with no
+    // query rewrite. Fixture shuffles can't reach the 256 MB production
+    // threshold, so this pin scales the thresholds down (own cloned
+    // session — runtime SQLConf is per-session, nothing leaks) and runs
+    // the same unsalted hot-key join shape: 200k facts, 99.5% on one
+    // key, against a multi-row-per-key dim too big to matter.
+    val s = spark.newSession()
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+    s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16k")
+    s.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16k")
+    import org.apache.spark.sql.functions._
+    val facts = s.range(200000).select(
+      col("id").as("event_id"),
+      when(pmod(col("id"), lit(200)) === 0, concat(lit("t"), pmod(col("id"), lit(5))))
+        .otherwise(lit("hot")).as("event_type"),
+      (col("id") % 97).cast("double").as("value"))
+    val dim = s.range(5).select(concat(lit("t"), col("id")).as("event_type"))
+      .union(s.range(1).select(lit("hot").as("event_type")))
+    // Downstream must NOT require the join key's partitioning (a
+    // groupBy(event_type) would make the split cost an extra exchange,
+    // which AQE's cost evaluator rightly refuses); a global aggregate
+    // has no required distribution, like a sink write.
+    val df = facts.join(dim, Seq("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("s"))
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(p.contains("skew=true"),
+      s"AQE did not mark the hot partition skewed:\n${p.take(3000)}")
+  }
+
   test("partitioned scan prunes by partition key (filter satisfied by listing)") {
     val p = plan("scan_partition_prune")
     // The lang predicate must land INSIDE the PartitionFilters list
