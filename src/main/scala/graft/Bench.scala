@@ -36,17 +36,23 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val json = s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    // Belt and braces: the same JSON goes to a file, so a truncated
-    // stdout capture never loses the per-query map.
+    // Belt and braces: the same JSON goes to a TRACKED file (BENCH_FULL
+    // .json — not gitignored), so the complete per-query map survives as
+    // a committed artifact every round even though the driver's bounded
+    // stdout tail truncates ~30 of the ~108 entries. Full runs (no
+    // SPARK_GRAFT_BENCH_ONLY subset) never land in the tracked file
+    // under a subset run's numbers because subsets redirect to scratch.
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-      new java.io.File("BENCH_LOCAL.json").getAbsolutePath)
+      new java.io.File(
+        if (only.isEmpty) "BENCH_FULL.json" else "BENCH_LOCAL.json").getAbsolutePath)
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")
     catch { case _: Throwable => () }
     println(json)
     // The driver captures a bounded TAIL of stdout and the long per-query
     // line has been truncated past parsing three rounds running — a short
-    // total-only line printed LAST always survives the capture.
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","sf":"$sfDir","queries_in_file":"$out"}""")
+    // line printed LAST always survives the capture. Distinct metric name
+    // so line-by-line JSON consumers can't double-count the total.
+    println(s"""{"metric":"total_tail","value":${f(total)},"unit":"sec","sf":"$sfDir","queries_in_file":"$out"}""")
     spark.stop()
   }
 }
