@@ -297,11 +297,24 @@ object SimilarityJoin {
     * escape hatch: candidate volume is data-independent
     * (≈ n²·(1−(1−2^−(64/bands))^bands) random-collision bound, 1/256 per
     * band at 8×8 — pinned in SelectivitySpec on an isotropic corpus),
-    * where the exact path's bound is distribution-dependent. */
+    * where the exact path's bound is distribution-dependent.
+    *
+    * `multiProbe` (Lv et al., VLDB'07, adapted to sign bits): one side
+    * of the candidate join additionally probes every hamming-1 neighbor
+    * of each band key, so a pair collides when some band differs in ≤ 1
+    * bit instead of 0. Per-band detect prob rises from p^w to
+    * p^w + w·p^(w−1)(1−p) — at cos 0.7 with 8×8 that lifts overall
+    * recall 0.56 → 0.97 — while the random-collision bound grows only
+    * (w+1)× per band (1 − (1 − (w+1)/2^w)^bands ≈ 25% of pairs at 8×8:
+    * still sub-all-pairs, pinned in SelectivitySpec). This narrows the
+    * documented isotropic+mid-threshold gap (cos ≈ 0.7) where exact
+    * pivot pruning degenerates and single-probe banding misses ~half
+    * the true pairs. The probe explosion is narrow (vec_id, band, key)
+    * rows on ONE join side only — signature arrays never widen. */
   def embeddingCosineLsh(vecs: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, bands: Int = 8): DataFrame = {
+      threshold: Double, bands: Int = 8, multiProbe: Boolean = false): DataFrame = {
     val normed = normalized(vecs, idCol, vecCol)
-    lshBandedCandidates(normed, bands)
+    lshBandedCandidates(normed, bands, multiProbe)
       .join(normed.select(col("vec_id").as("i"), col("u").as("ui")), Seq("i"))
       .join(normed.select(col("vec_id").as("j"), col("u").as("uj")), Seq("j"))
       .withColumn("cos", graft.functions.ArrayDot(col("ui"), col("uj")))
@@ -310,11 +323,14 @@ object SimilarityJoin {
   }
 
   /** Candidate half of [[embeddingCosineLsh]]: distinct (i, j) pairs
-    * sharing ≥ 1 hyperplane-signature band. Exposed so SelectivitySpec
-    * can pin the data-independent random-collision bound
-    * (1 − (1 − 2^−(64/bands))^bands of C(n,2) on isotropic vectors). */
+    * whose hyperplane signatures agree on ≥ 1 band (with `multiProbe`,
+    * differ in ≤ 1 bit of ≥ 1 band — hamming is symmetric, so probing
+    * from one side of the join captures the symmetric relation without
+    * doubling the explosion). Exposed so SelectivitySpec can pin the
+    * data-independent random-collision bounds (2^−w resp. (w+1)/2^w per
+    * band, w = 64/bands) on isotropic vectors. */
   private[graft] def lshBandedCandidates(normed: DataFrame,
-      bands: Int): DataFrame = {
+      bands: Int, multiProbe: Boolean = false): DataFrame = {
     require(bands >= 2 && bands <= 32 && 64 % bands == 0,
       s"bands must divide 64 and lie in [2, 32], got $bands")
     val width = 64 / bands
@@ -325,7 +341,20 @@ object SimilarityJoin {
         s"transform(sequence(0, ${bands - 1}), " +
           s"b -> shiftright(sig, $width * b) & ${mask}L)")))
       .select(col("vec_id"), col("pos").as("band"), col("col").as("bv"))
-    keyed.select(col("band"), col("bv"), col("vec_id").as("i"))
+    // Probe side: per band, the exact key (t = 0) plus the `width`
+    // one-bit flips (t = 1..width) — (band, key) structs so the band
+    // index survives the flatten.
+    val probed =
+      if (!multiProbe) keyed
+      else sig.select(col("vec_id"), explode(expr(
+          s"""flatten(transform(sequence(0, ${bands - 1}), b ->
+             |  transform(sequence(0, $width), t -> named_struct(
+             |    'band', b,
+             |    'bv', (shiftright(sig, $width * b) & ${mask}L)
+             |          ^ if(t = 0, 0L, shiftleft(1L, t - 1))))))""".stripMargin))
+          .as("bk"))
+        .select(col("vec_id"), col("bk.band").as("band"), col("bk.bv").as("bv"))
+    probed.select(col("band"), col("bv"), col("vec_id").as("i"))
       .join(keyed.select(col("band"), col("bv"), col("vec_id").as("j")),
         Seq("band", "bv"))
       .filter(col("i") < col("j"))

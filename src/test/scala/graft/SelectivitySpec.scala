@@ -177,6 +177,63 @@ class SelectivitySpec extends SparkSpec {
       s"fixture unexpectedly prunable: $cand of ${pairs(n)} — revisit dedup_embedding_cosine_tight")
   }
 
+  /** Isotropic base corpus (ids 0..n−1) plus one planted near-dup
+    * partner (id n+k) for each of the first `planted` base vectors:
+    * partner = base + 0.85·independent-noise, giving cos ≈ 0.75 ± 0.05
+    * after normalization — squarely in the mid-threshold regime where
+    * exact pivot pruning degenerates AND single-probe 8×8 banding
+    * misses ~half the true pairs. All murmur3-deterministic. */
+  private def isoWithPlantedPairs(n: Int, planted: Int): DataFrame =
+    spark.range(n.toLong + planted).select(col("id").as("vec_id"),
+      expr(s"""transform(sequence(0, 63), d ->
+        |  pmod(hash(cast(if(id < $n, id, id - $n) as int), d, 17),
+        |       1000) / 500.0D - 1.0D
+        |  + if(id < $n, 0.0D,
+        |       0.85D * (pmod(hash(cast(id as int), d, 23), 1000)
+        |                / 500.0D - 1.0D))
+        |)""".stripMargin).as("embedding"))
+
+  test("embedding LSH multi-probe: recall ≥ 0.85 at cos ≥ 0.7 on an isotropic corpus, sub-all-pairs candidates") {
+    // The round-5 verdict's done-bar for the multi-probe work: on the
+    // corpus where NEITHER exact pruning (isotropic → all bounds
+    // degenerate) nor single-probe banding (mid threshold → p^8 tiny)
+    // helps, hamming-1 probing must recover the true pairs while staying
+    // sub-all-pairs ((w+1)/2^w = 9/256 per band ⇒ ≈ 25% of C(n,2)).
+    val vecs = isoWithPlantedPairs(240, 60)
+    val normed = SimilarityJoin.normalized(vecs, "vec_id", "embedding")
+    val n = normed.count()
+    val truth = normed.select(col("vec_id").as("i"), col("u").as("ui"))
+      .join(normed.select(col("vec_id").as("j"), col("u").as("uj")),
+        col("i") < col("j"))
+      .filter(ArrayDot(col("ui"), col("uj")) >= 0.7)
+      .select("i", "j")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.size >= 40, s"degenerate plant: only ${truth.size} true pairs")
+    def recallOf(cand: Set[(Long, Long)]): Double =
+      (truth & cand).size.toDouble / truth.size
+    val multi = SimilarityJoin
+      .lshBandedCandidates(normed, bands = 8, multiProbe = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val single = SimilarityJoin
+      .lshBandedCandidates(normed, bands = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(multi.size < 0.5 * pairs(n),
+      s"multi-probe candidates not sub-all-pairs: ${multi.size} of ${pairs(n)}")
+    assert(recallOf(multi) >= 0.85,
+      s"multi-probe recall ${recallOf(multi)} (${(truth & multi).size}/${truth.size})")
+    assert(recallOf(multi) > recallOf(single),
+      s"probing added nothing: multi ${recallOf(multi)} vs single ${recallOf(single)}")
+    // End-to-end: the public surface at the same threshold returns a
+    // subset of truth (exact precision) covering ≥ 0.85 of it.
+    val e2e = SimilarityJoin
+      .embeddingCosineLsh(vecs, "vec_id", "embedding", 0.7,
+        bands = 8, multiProbe = true)
+      .select("vec_i", "vec_j")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(e2e.subsetOf(truth), s"non-pairs emitted: ${(e2e -- truth).take(3)}")
+    assert(recallOf(e2e) >= 0.85, s"e2e recall ${recallOf(e2e)}")
+  }
+
   test("embedding LSH (tight threshold): sub-quadratic candidates, exact precision") {
     val vecs = clustered(6, 40)
     val lsh = SimilarityJoin
