@@ -81,6 +81,33 @@ object CurationQueries {
         .groupBy("doc_id").agg(count(lit(1)).as("n_dup_win"),
           min("pos").as("first_pos"), max("pos").as("last_pos"))
         .orderBy("doc_id")
+    }),
+
+    // The 100 TB shuffle shape the raw-string variant's scaladoc
+    // describes, as its own declared key: the dup-count exchange and the
+    // membership join both key on xxhash64(window), so only slim
+    // (doc_id, pos, h:long) rows ever shuffle — the window STRINGS never
+    // leave the scan stage. A hash collision could merge two distinct
+    // windows' doc counts (odds ≈ n²/2⁶⁴ ≈ 10⁻⁸ at fixture scale, and
+    // deterministic — xxhash64 is seed-fixed, so the oracle row can
+    // never flake); the raw-string key stays declared above for the
+    // collision-impossible exact form. Same output shape and, absent a
+    // collision, identical answer — hence the identical oracle SQL.
+    "dedup_substring_spans_hashed" -> ((s, dir) => {
+      val w = t(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .filter(size(col("toks")) >= 8)
+        .select(col("doc_id"), posexplode(expr(
+          "transform(sequence(0, size(toks)-8), " +
+            "i -> concat_ws(' ', slice(toks, i+1, 8)))")))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"),
+          xxhash64(col("col")).as("h"))
+      val dup = w.groupBy("h").agg(countDistinct(col("doc_id")).as("nd"))
+        .filter(col("nd") > 1).select("h")
+      w.join(dup, Seq("h"))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_dup_win"),
+          min("pos").as("first_pos"), max("pos").as("last_pos"))
+        .orderBy("doc_id")
     })
   )
 
@@ -96,6 +123,19 @@ object CurationQueries {
         |SELECT d.doc_id, coalesce(n_overlap, 0) AS n_overlap
         |FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) d
         |LEFT JOIN hits USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // The hashed variant's oracle is the SAME windowed CTE: xxhash64 is
+    // an internal shuffle key, invisible in the output, and collision-
+    // free on the fixture corpus (checked by this very row).
+    "dedup_substring_spans_hashed" ->
+      """WITH w AS (SELECT doc_id, unnest(range(len(toks) - 7)) AS pos,
+        |    unnest(list_transform(range(len(toks) - 7),
+        |      i -> array_to_string(toks[i+1:i+8], ' '))) AS w
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+        |  WHERE len(toks) >= 8),
+        |dup AS (SELECT w FROM w GROUP BY w HAVING count(DISTINCT doc_id) > 1)
+        |SELECT doc_id, count(*) AS n_dup_win, min(pos) AS first_pos,
+        |  max(pos) AS last_pos
+        |FROM w JOIN dup USING (w) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "dedup_substring_spans" ->
       """WITH w AS (SELECT doc_id, unnest(range(len(toks) - 7)) AS pos,
         |    unnest(list_transform(range(len(toks) - 7),

@@ -65,10 +65,11 @@ class InventorySpec extends SparkSpec {
     // §2.17 round-4 amendment: corpus curation
     "text_decontaminate", "dedup_substring_spans",
     // §2.18 round-5 amendment
-    "dedup_embedding_cosine_tight", "join_skew_aqe")
+    "dedup_embedding_cosine_tight", "join_skew_aqe",
+    "dedup_substring_spans_hashed")
 
-  test("declared queries cover SURVEY §2 + §2.12-18 exactly (108 keys)") {
-    assert(inventory.size == 108)
+  test("declared queries cover SURVEY §2 + §2.12-18 exactly (109 keys)") {
+    assert(inventory.size == 109)
     val declared = SparkEntry.queries.keySet
     val missing = inventory -- declared
     val extra = declared -- inventory
