@@ -55,9 +55,28 @@ object ScanQueries {
     * completed write yet (_SUCCESS is committed last). Scratch dirs are
     * per-application and the query map runs sequentially within one, so
     * a completed marker means OUR earlier identical write — bench
-    * iterations and repeated spec plan() calls skip the re-write. */
+    * iterations and repeated spec plan() calls skip the re-write.
+    * Assumption (fine for short-lived bench/verify apps): the SOURCE
+    * fixtures under sfDir don't change within one application's
+    * lifetime — a mid-run fixture regeneration would keep serving the
+    * layout derived from the old data. Long-lived services would key the
+    * sub-path on a fixture content fingerprint instead. */
   private def writeOnce(path: String)(w: => Unit): Unit =
     if (!new java.io.File(path, "_SUCCESS").exists()) w
+
+  /** Failure-safe idempotent bucketed-TABLE write: `tableExists` alone
+    * is not enough — a saveAsTable that dies mid-write can leave the
+    * catalog entry registered over partial bucket files, after which
+    * every later call in the session would silently read partial data.
+    * Require the data path's _SUCCESS marker too (committed last, like
+    * [[writeOnce]]), and drop-and-rewrite when either is missing. */
+  private def writeTableOnce(s: SparkSession, name: String, path: String)(
+      w: => Unit): Unit =
+    if (!s.catalog.tableExists(name) ||
+        !new java.io.File(path, "_SUCCESS").exists()) {
+      s.sql(s"DROP TABLE IF EXISTS $name")
+      w
+    }
 
   val queries: Map[String, Q] = Map(
     "scan_parquet" -> ((s, dir) => {
@@ -137,16 +156,18 @@ object ScanQueries {
       val suf = ident(dir)
       val li = s"graft_li_bkt_$suf"
       val ord = s"graft_ord_bkt_$suf"
-      if (!s.catalog.tableExists(li))
+      writeTableOnce(s, li, s"$root/$li") {
         t(s, dir, "lineitem")
           .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
           .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
           .option("path", s"$root/$li").mode("overwrite").saveAsTable(li)
-      if (!s.catalog.tableExists(ord))
+      }
+      writeTableOnce(s, ord, s"$root/$ord") {
         t(s, dir, "orders")
           .select("o_orderkey", "o_custkey", "o_totalprice")
           .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
           .option("path", s"$root/$ord").mode("overwrite").saveAsTable(ord)
+      }
       s.table(li).join(s.table(ord), col("l_orderkey") === col("o_orderkey"))
         .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
           col("o_custkey"), col("o_totalprice"))

@@ -7,7 +7,13 @@ package graft
   */
 class OperatorSmokeSpec extends SparkSpec {
 
-  private val mayBeEmpty = Set[String]()
+  // dedup_embedding_cosine_tight: the threshold (cos >= 0.5) is pinned
+  // to sf0.01, where exactly one fixture pair survives (max pairwise
+  // cos 0.513 — the strictest non-vacuous declarable value, SURVEY
+  // §2.18); the sf0.001 corpus tops out at cos 0.479, so the key is
+  // LEGITIMATELY empty here and its non-vacuity is pinned by the sf0.01
+  // oracle row instead (a 0-row sf0.01 result would hash-mismatch).
+  private val mayBeEmpty = Set[String]("dedup_embedding_cosine_tight")
 
   test("entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
