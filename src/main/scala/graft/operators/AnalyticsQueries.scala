@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.events
+import graft.Det.{dsum, sqlSum}
+
+/** §2.19 Event-analytics operators (SURVEY.md, round-5 amendment): the
+  * two product-analytics staples the §2.10 event stack doesn't cover —
+  * ordered conversion FUNNELS and value-distribution HISTOGRAMS.
+  *
+  * Scale design: the funnel is a chain of user_id-keyed min-aggregations
+  * where each stage's frame is a strict subset of the previous stage's
+  * users — the shuffles shrink monotonically, and once a stage drops
+  * under the broadcast threshold AQE turns every later stage join into a
+  * broadcast (no hint needed). The histogram is a map-side bucket
+  * projection + partial agg: one shuffle of at most `buckets` rows per
+  * partition, the cheapest possible distribution profile at 100 TB.
+  *
+  * Timestamps: stage ordering compares epoch-MILLIS longs on both the
+  * Spark and oracle sides (`unix_millis` vs `epoch_ms`). The engines
+  * store different native precisions (Spark µs after the loader's
+  * ns-floor-div, DuckDB ns) — flooring both to ms makes every strict->
+  * comparison take the same branch, the same convention the §2.10
+  * streaming oracles use.
+  */
+object AnalyticsQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** First time each user reached `tp` strictly AFTER their time in
+    * `prev` (user_id, t) — the per-stage funnel step. */
+  private def stage(e: DataFrame, tp: String, prev: DataFrame): DataFrame =
+    e.filter(col("event_type") === tp)
+      .join(prev, Seq("user_id"))
+      .filter(col("ms") > col("t"))
+      .groupBy("user_id").agg(min(col("ms")).as("t"))
+
+  val queries: Map[String, Q] = Map(
+    // Ordered conversion funnel view → click → purchase: a user counts
+    // for stage k only with a stage-k event strictly after their first
+    // qualifying stage-(k−1) event. Emits one row per stage with the
+    // surviving user count — the shape every growth dashboard draws.
+    "funnel_stages" -> ((s, dir) => {
+      val e = events(s, dir).select(col("user_id"), col("event_type"),
+        unix_millis(col("ts").cast("timestamp")).as("ms"))
+      val v = e.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("ms")).as("t"))
+      val c = stage(e, "click", v)
+      val p = stage(e, "purchase", c)
+      def cnt(st: Int, tp: String, df: DataFrame): DataFrame =
+        df.agg(count(lit(1)).as("n_users"))
+          .select(lit(st).as("stage"), lit(tp).as("event_type"),
+            col("n_users"))
+      cnt(1, "view", v).unionAll(cnt(2, "click", c))
+        .unionAll(cnt(3, "purchase", p))
+        .orderBy("stage")
+    }),
+
+    // Fixed-width value histogram: 20 buckets of width 10 over [0, 200),
+    // under/overflow clamped to the edge buckets. Explicit floor + clamp
+    // arithmetic (not width_bucket — absent from DuckDB 1.0) so both
+    // engines evaluate the identical IEEE expression. Per bucket: count
+    // and exact-decimal value sum.
+    "hist_values" -> ((s, dir) => {
+      events(s, dir)
+        .select(least(greatest(floor(col("value") / 10.0), lit(0L)),
+          lit(19L)).cast("int").as("bucket"), col("value"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .orderBy("bucket")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "funnel_stages" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ms FROM events),
+        |v AS (SELECT user_id, min(ms) AS t FROM e
+        |      WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(ms) AS t FROM e JOIN v USING (user_id)
+        |      WHERE event_type = 'click' AND e.ms > v.t GROUP BY 1),
+        |p AS (SELECT e.user_id, min(ms) AS t FROM e JOIN c USING (user_id)
+        |      WHERE event_type = 'purchase' AND e.ms > c.t GROUP BY 1)
+        |SELECT * FROM (
+        |  SELECT 1 AS stage, 'view' AS event_type, count(*) AS n_users FROM v
+        |  UNION ALL SELECT 2, 'click', count(*) FROM c
+        |  UNION ALL SELECT 3, 'purchase', count(*) FROM p)
+        |ORDER BY stage""".stripMargin,
+    "hist_values" ->
+      s"""SELECT CAST(least(greatest(floor(value / 10.0), 0), 19) AS INT) AS bucket,
+         |count(*) AS n, ${sqlSum("value")} AS sum_value
+         |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin
+  )
+}

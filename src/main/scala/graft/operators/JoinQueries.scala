@@ -200,6 +200,30 @@ object JoinQueries {
       e.join(d, Seq("event_type"))
         .select(col("event_id"), col("event_type"), col("n_type"), col("avg_value"))
         .orderBy(col("event_id"))
+    }),
+
+    // Runtime bloom-filter pushdown — the NON-partition-column
+    // counterpart of scan_dpp_join: a selective dim predicate
+    // (p_retailprice < 905 keeps ~5% of parts) that partition layout
+    // can't exploit because l_partkey isn't a partition key. At cluster
+    // scale Catalyst's InjectRuntimeFilter builds a bloom filter over
+    // the filtered dim's join keys and ANDs `might_contain(l_partkey)`
+    // into the fact scan, discarding ~95% of fact rows BEFORE the join
+    // shuffle. Declared as the plain join (at fixture scale the dim
+    // broadcasts and the scan-size threshold — 10 GB default — rightly
+    // suppresses the filter); the injection is pinned in PlanAuditSpec
+    // with the thresholds scaled down in a cloned session, like the AQE
+    // skew pin above.
+    "join_bloom_runtime" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity",
+          "l_extendedprice")
+      val pt = t(s, dir, "part").filter(col("p_retailprice") < 905.0)
+        .select("p_partkey", "p_name", "p_retailprice")
+      li.join(pt, col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("p_name"),
+          col("l_quantity"), col("p_retailprice"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
     })
   )
 
@@ -276,6 +300,11 @@ object JoinQueries {
          |  ${graft.Det.sqlAvg("value")} AS avg_value FROM events GROUP BY event_type)
          |SELECT event_id, event_type, n_type, avg_value
          |FROM events JOIN d USING (event_type)
-         |ORDER BY event_id""".stripMargin
+         |ORDER BY event_id""".stripMargin,
+    "join_bloom_runtime" ->
+      """SELECT l_orderkey, l_linenumber, p_name, l_quantity, p_retailprice
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_retailprice < 905.0
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin
   )
 }

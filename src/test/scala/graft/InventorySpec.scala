@@ -66,10 +66,12 @@ class InventorySpec extends SparkSpec {
     "text_decontaminate", "dedup_substring_spans",
     // §2.18 round-5 amendment
     "dedup_embedding_cosine_tight", "join_skew_aqe",
-    "dedup_substring_spans_hashed")
+    "dedup_substring_spans_hashed",
+    // §2.19 round-5 amendment: event analytics + runtime filtering
+    "funnel_stages", "hist_values", "join_bloom_runtime")
 
-  test("declared queries cover SURVEY §2 + §2.12-18 exactly (109 keys)") {
-    assert(inventory.size == 109)
+  test("declared queries cover SURVEY §2 + §2.12-19 exactly (112 keys)") {
+    assert(inventory.size == 112)
     val declared = SparkEntry.queries.keySet
     val missing = inventory -- declared
     val extra = declared -- inventory

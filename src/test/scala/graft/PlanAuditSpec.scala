@@ -213,6 +213,26 @@ class PlanAuditSpec extends SparkSpec {
       s"AQE did not mark the hot partition skewed:\n${p.take(3000)}")
   }
 
+  test("runtime bloom filter reaches the fact side (InjectRuntimeFilter)") {
+    // The join_bloom_runtime contract: at cluster scale the selective
+    // dim predicate becomes a bloom filter ANDed into the fact scan
+    // (might_contain on l_partkey), discarding non-joining fact rows
+    // before the shuffle. The injection rule requires the application
+    // side to scan > 10 GB by default and skips broadcast-able joins —
+    // both rightly suppress it at fixture scale — so the pin scales the
+    // thresholds down in a cloned session, like the AQE skew pin above.
+    val s = spark.newSession()
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    s.conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    val p = operators.JoinQueries.queries("join_bloom_runtime")(s, sf)
+      .queryExecution.optimizedPlan.toString
+    assert(p.contains("might_contain"),
+      s"no runtime bloom filter injected:\n${p.take(3000)}")
+  }
+
   test("partitioned scan prunes by partition key (filter satisfied by listing)") {
     val p = plan("scan_partition_prune")
     // The lang predicate must land INSIDE the PartitionFilters list
