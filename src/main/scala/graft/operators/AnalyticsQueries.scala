@@ -68,6 +68,48 @@ object AnalyticsQueries {
         .groupBy("bucket")
         .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
         .orderBy("bucket")
+    }),
+
+    // Equi-DEPTH quartiles (the complement of hist_values' equi-width
+    // buckets): bucket = clamp(floor(cume_dist·4)) over the global value
+    // ordering, computed by the two-pass distributed GlobalRank — NOT a
+    // single-partition Window — so the global ordering scales like a
+    // range-partitioned sort (the win_percent_cume scale story, reused).
+    // Ties share a cume value in both engines (cume_dist groups ties),
+    // and cume = p/N is one double division — bit-identical floors.
+    "hist_equidepth" -> ((s, dir) => {
+      val e = events(s, dir).select(col("value"))
+      graft.plans.GlobalRank.percentCume(e, "value")
+        .select(least(floor(col("cd") * 4), lit(3L)).cast("int").as("bucket"),
+          col("value"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"), min(col("value")).as("lo"),
+          max(col("value")).as("hi"))
+        .orderBy("bucket")
+    }),
+
+    // TPC-H Q3 (shipping priority) through the PURE SQL surface —
+    // `spark.sql` over `parquet.`path`` direct queries, no DataFrame
+    // combinators and no temp-view registration (view names would
+    // collide across sfDirs in one session). Proves the engine's SQL
+    // entry point plans the same broadcast-dim star the DataFrame keys
+    // pin, on the canonical analytics query shape: selective dim filter,
+    // fact⋈fact join, grouped revenue agg, ordered top-10. Revenue uses
+    // the shared exact-decimal SUM spelling (valid in both engines);
+    // the extra ORDER BY keys break revenue ties deterministically.
+    "sql_tpch_q3" -> ((s, dir) => {
+      s.sql(s"""SELECT l_orderkey,
+        |  ${sqlSum("l_extendedprice * (1 - l_discount)")} AS revenue,
+        |  CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority
+        |FROM parquet.`$dir/customer.parquet`
+        |JOIN parquet.`$dir/orders.parquet` ON c_custkey = o_custkey
+        |JOIN parquet.`$dir/lineitem.parquet` ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < DATE '1997-03-15'
+        |  AND l_shipdate > DATE '1997-03-15'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, o_orderdate, l_orderkey
+        |LIMIT 10""".stripMargin)
     })
   )
 
@@ -88,6 +130,25 @@ object AnalyticsQueries {
     "hist_values" ->
       s"""SELECT CAST(least(greatest(floor(value / 10.0), 0), 19) AS INT) AS bucket,
          |count(*) AS n, ${sqlSum("value")} AS sum_value
-         |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin
+         |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "hist_equidepth" ->
+      """SELECT bucket, count(*) AS n, min(value) AS lo, max(value) AS hi
+        |FROM (SELECT value,
+        |  CAST(least(floor(cume_dist() OVER (ORDER BY value) * 4), 3) AS INT)
+        |    AS bucket FROM events)
+        |GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "sql_tpch_q3" ->
+      s"""SELECT l_orderkey,
+         |  ${sqlSum("l_extendedprice * (1 - l_discount)")} AS revenue,
+         |  CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority
+         |FROM customer
+         |JOIN orders ON c_custkey = o_custkey
+         |JOIN lineitem ON l_orderkey = o_orderkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |  AND o_orderdate < DATE '1997-03-15'
+         |  AND l_shipdate > DATE '1997-03-15'
+         |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+         |ORDER BY revenue DESC, o_orderdate, l_orderkey
+         |LIMIT 10""".stripMargin
   )
 }

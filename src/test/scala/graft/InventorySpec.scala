@@ -68,10 +68,11 @@ class InventorySpec extends SparkSpec {
     "dedup_embedding_cosine_tight", "join_skew_aqe",
     "dedup_substring_spans_hashed",
     // §2.19 round-5 amendment: event analytics + runtime filtering
-    "funnel_stages", "hist_values", "join_bloom_runtime")
+    "funnel_stages", "hist_values", "join_bloom_runtime",
+    "hist_equidepth", "sql_tpch_q3")
 
-  test("declared queries cover SURVEY §2 + §2.12-19 exactly (112 keys)") {
-    assert(inventory.size == 112)
+  test("declared queries cover SURVEY §2 + §2.12-19 exactly (114 keys)") {
+    assert(inventory.size == 114)
     val declared = SparkEntry.queries.keySet
     val missing = inventory -- declared
     val extra = declared -- inventory
