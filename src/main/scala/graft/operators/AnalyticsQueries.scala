@@ -70,6 +70,24 @@ object AnalyticsQueries {
         .orderBy("bucket")
     }),
 
+    // Cohort retention — the other product-analytics staple next to the
+    // funnel: users grouped by first-activity DAY (the cohort), counted
+    // distinct per whole days elapsed since their cohort day. Two
+    // user_id-keyed aggs (first-activity, then per-(cohort, offset)
+    // distinct users); the cohort table is one row per user, so the
+    // attach-back join shuffles on user_id and AQE broadcasts it when a
+    // day's cohort is small. Day arithmetic on epoch-ms longs (the §2.10
+    // convention) — floor division to days is engine-identical.
+    "cohort_retention" -> ((s, dir) => {
+      val e = events(s, dir).select(col("user_id"),
+        expr("unix_millis(cast(ts as timestamp)) div 86400000").as("day"))
+      val cohort = e.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
+      e.join(cohort, Seq("user_id"))
+        .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy("cohort_day", "day_offset")
+    }),
+
     // Equi-DEPTH quartiles (the complement of hist_values' equi-width
     // buckets): bucket = clamp(floor(cume_dist·4)) over the global value
     // ordering, computed by the two-pass distributed GlobalRank — NOT a
@@ -131,6 +149,13 @@ object AnalyticsQueries {
       s"""SELECT CAST(least(greatest(floor(value / 10.0), 0), 19) AS INT) AS bucket,
          |count(*) AS n, ${sqlSum("value")} AS sum_value
          |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "cohort_retention" ->
+      """WITH e AS (SELECT user_id, epoch_ms(ts) // 86400000 AS day FROM events),
+        |c AS (SELECT user_id, min(day) AS cohort_day FROM e GROUP BY 1)
+        |SELECT cohort_day, day - cohort_day AS day_offset,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM e JOIN c USING (user_id)
+        |GROUP BY 1, 2 ORDER BY cohort_day, day_offset""".stripMargin,
     "hist_equidepth" ->
       """SELECT bucket, count(*) AS n, min(value) AS lo, max(value) AS hi
         |FROM (SELECT value,

@@ -69,10 +69,10 @@ class InventorySpec extends SparkSpec {
     "dedup_substring_spans_hashed",
     // §2.19 round-5 amendment: event analytics + runtime filtering
     "funnel_stages", "hist_values", "join_bloom_runtime",
-    "hist_equidepth", "sql_tpch_q3")
+    "hist_equidepth", "sql_tpch_q3", "cohort_retention")
 
-  test("declared queries cover SURVEY §2 + §2.12-19 exactly (114 keys)") {
-    assert(inventory.size == 114)
+  test("declared queries cover SURVEY §2 + §2.12-19 exactly (115 keys)") {
+    assert(inventory.size == 115)
     val declared = SparkEntry.queries.keySet
     val missing = inventory -- declared
     val extra = declared -- inventory
