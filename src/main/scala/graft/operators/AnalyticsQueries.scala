@@ -106,6 +106,29 @@ object AnalyticsQueries {
         .orderBy("bucket")
     }),
 
+    // Time-series gap fill (resample): daily count + exact sum of a
+    // SPARSE event slice (purchases with a rare json prop, ~2% of rows
+    // — genuinely gappy at sf0.001), left-joined onto a generated
+    // day spine covering [min_day, max_day] so missing days surface as
+    // explicit zeros. The spine derives from a one-row bounds agg and
+    // is |days| rows — always broadcast-scale no matter the corpus
+    // size; the only real shuffle is the daily aggregation.
+    "ts_gapfill_daily" -> ((s, dir) => {
+      val e = events(s, dir).select(
+        expr("unix_millis(cast(ts as timestamp)) div 86400000").as("day"),
+        col("event_type"), col("value"), col("props"))
+      val hv = e.filter(col("event_type") === "purchase" &&
+          get_json_object(col("props"), "$.k").cast("long") < 10)
+        .groupBy("day")
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      val spine = e.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"))).as("day"))
+      spine.join(hv, Seq("day"), "left")
+        .select(col("day"), coalesce(col("n"), lit(0L)).as("n"),
+          coalesce(col("sum_value"), lit(0.0)).as("sum_value"))
+        .orderBy("day")
+    }),
+
     // TPC-H Q3 (shipping priority) through the PURE SQL surface —
     // `spark.sql` over `parquet.`path`` direct queries, no DataFrame
     // combinators and no temp-view registration (view names would
@@ -162,6 +185,17 @@ object AnalyticsQueries {
         |  CAST(least(floor(cume_dist() OVER (ORDER BY value) * 4), 3) AS INT)
         |    AS bucket FROM events)
         |GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "ts_gapfill_daily" ->
+      s"""WITH e AS (SELECT epoch_ms(ts) // 86400000 AS day, event_type,
+         |    value, props FROM events),
+         |hv AS (SELECT day, count(*) AS n, ${sqlSum("value")} AS sum_value
+         |  FROM e WHERE event_type = 'purchase'
+         |    AND CAST(json_extract_string(props, '$$.k') AS BIGINT) < 10
+         |  GROUP BY 1),
+         |b AS (SELECT min(day) AS lo, max(day) AS hi FROM e),
+         |days AS (SELECT unnest(range(lo, hi + 1)) AS day FROM b)
+         |SELECT day, coalesce(n, 0) AS n, coalesce(sum_value, 0.0) AS sum_value
+         |FROM days LEFT JOIN hv USING (day) ORDER BY day""".stripMargin,
     "sql_tpch_q3" ->
       s"""SELECT l_orderkey,
          |  ${sqlSum("l_extendedprice * (1 - l_discount)")} AS revenue,

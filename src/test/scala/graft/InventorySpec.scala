@@ -69,10 +69,11 @@ class InventorySpec extends SparkSpec {
     "dedup_substring_spans_hashed",
     // §2.19 round-5 amendment: event analytics + runtime filtering
     "funnel_stages", "hist_values", "join_bloom_runtime",
-    "hist_equidepth", "sql_tpch_q3", "cohort_retention")
+    "hist_equidepth", "sql_tpch_q3", "cohort_retention",
+    "ts_gapfill_daily")
 
-  test("declared queries cover SURVEY §2 + §2.12-19 exactly (115 keys)") {
-    assert(inventory.size == 115)
+  test("declared queries cover SURVEY §2 + §2.12-19 exactly (116 keys)") {
+    assert(inventory.size == 116)
     val declared = SparkEntry.queries.keySet
     val missing = inventory -- declared
     val extra = declared -- inventory
