@@ -179,6 +179,36 @@ class PlanAuditSpec extends SparkSpec {
       s"planner/AQE did not broadcast all four dims:\n${p.take(3000)}")
   }
 
+  test("SQL surface (sql_tpch_q3): broadcast star, no cartesian, ordered top-10 collapses") {
+    // The pure-SQL entry point must reach the same physical shapes the
+    // DataFrame keys pin: dims broadcast, equi-joins only, and the
+    // ORDER BY ... LIMIT 10 planned as TakeOrderedAndProject (never a
+    // global sort of the aggregated set).
+    val df = SparkEntry.queries("sql_tpch_q3")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(p.contains("BroadcastHashJoin"),
+      s"no broadcast join in the SQL star:\n${p.take(3000)}")
+    assert(!p.contains("CartesianProduct"), "SQL star planned a cartesian")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-10 did not collapse to TakeOrderedAndProject:\n${p.take(3000)}")
+  }
+
+  test("gap-fill spine join broadcasts one side (AQE final plan)") {
+    // The ts_gapfill_daily contract: the generated day spine is |days|
+    // rows regardless of corpus size, so the fill join must never
+    // shuffle the daily aggregate — AQE sees the tiny runtime size and
+    // broadcasts. Like the unhinted star, pinned against the adaptive
+    // FINAL plan.
+    val df = SparkEntry.queries("ts_gapfill_daily")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(p.contains("BroadcastHashJoin"),
+      s"spine fill join not broadcast:\n${p.take(3000)}")
+  }
+
   test("AQE splits a hot shuffle partition at runtime (OptimizeSkewedJoin)") {
     // The join_skew_aqe contract: at cluster scale a hot key's shuffle
     // partition crosses the skew thresholds and AQE splits it with no
