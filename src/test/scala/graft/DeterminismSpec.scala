@@ -18,10 +18,14 @@ class DeterminismSpec extends SparkSpec {
   }
 
   test("float-sensitive queries are bit-identical across partition counts") {
+    // hist_equidepth is the sharpest case here: its buckets come from
+    // GlobalRank's range exchange, whose partition COUNT changes with
+    // this conf — cume = p/N must stay identical anyway.
     for (q <- Seq("agg_groupby_pricing", "agg_stats", "sim_cosine_pairs",
       "stream_session_windows", "text_tfidf_topterm",
       "dedup_embedding_cosine", "win_moving_avg",
-      "agg_percentiles", "pivot_wide")) {
+      "agg_percentiles", "pivot_wide",
+      "hist_equidepth", "ts_gapfill_daily", "funnel_stages")) {
       val a = rows(q, "3")
       val b = rows(q, "17")
       assert(a == b, s"$q diverged between 3 and 17 shuffle partitions " +
