@@ -17,7 +17,8 @@ object SparkEntry {
       ScalarQueries.queries ++ SemiStructuredQueries.queries ++
       TextQueries.queries ++ SimQueries.queries ++ StreamQueries.queries ++
       PipelineQueries.queries ++ ReshapeQueries.queries ++
-      CurationQueries.queries ++ AnalyticsQueries.queries
+      CurationQueries.queries ++ AnalyticsQueries.queries ++
+      EtlQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -26,5 +27,6 @@ object SparkEntry {
       ScalarQueries.oracle ++ SemiStructuredQueries.oracle ++
       TextQueries.oracle ++ SimQueries.oracle ++ StreamQueries.oracle ++
       PipelineQueries.oracle ++ ReshapeQueries.oracle ++
-      CurationQueries.oracle ++ AnalyticsQueries.oracle
+      CurationQueries.oracle ++ AnalyticsQueries.oracle ++
+      EtlQueries.oracle
 }

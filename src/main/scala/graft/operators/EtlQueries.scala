@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables.{t, events}
+import graft.Det.{dsum, r4d, sqlSum}
+
+/** §2.20 ETL mutation & history operators (SURVEY.md, round-5
+  * amendment): the two mutation-shaped staples of an ETL engine that
+  * the relational §2.2–§2.6 surface doesn't express directly —
+  * MERGE/upsert semantics (no transactional table format in scope, so
+  * the engine composes it the canonical Spark way: full-outer join +
+  * per-branch resolution, producing the post-merge snapshot a sink
+  * would atomically swap in) and change-history derivation
+  * (gaps-and-islands: maximal runs of unchanged state per key, the
+  * primitive under SCD-type-2 validity ranges).
+  *
+  * Scale: the upsert is ONE key-equi full-outer join (AQE handles a
+  * skewed/small side; at 100 TB both sides bucket on the merge key and
+  * the join is exchange-free like scan_bucket_join). Islands use a
+  * user_id-partitioned window — per-key state, no global ordering
+  * anywhere.
+  */
+object EtlQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // MERGE INTO semantics without a table format: base = customer,
+    // updates = per-customer order spend where 10% of keys are shifted
+    // to unseen ids (the INSERT branch — order keys are otherwise a
+    // subset of customer keys and the not-matched-by-source branch
+    // would be vacuous). when-matched → updated balance;
+    // when-not-matched-by-source → row kept verbatim; when-not-matched
+    // → inserted with a synthesized name. `op` tags the branch so the
+    // oracle pins each path's row count, not just the union.
+    "etl_upsert_type1" -> ((s, dir) => {
+      val base = t(s, dir, "customer")
+        .select(col("c_custkey").as("key"), col("c_name").as("name"),
+          col("c_acctbal").as("acctbal"))
+      val upd = t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(dsum(col("o_totalprice")).as("spend"))
+        .select(when(pmod(col("o_custkey"), lit(10)) === 0,
+            col("o_custkey") + 1000000).otherwise(col("o_custkey")).as("key"),
+          col("spend"))
+      base.join(upd, Seq("key"), "full_outer")
+        .select(col("key"),
+          coalesce(col("name"),
+            concat(lit("new-"), col("key").cast("string"))).as("name"),
+          when(col("spend").isNull, col("acctbal"))
+            .otherwise(r4d(col("spend") / 100.0)).as("acctbal"),
+          when(col("spend").isNull, lit("keep"))
+            .when(col("name").isNull, lit("insert"))
+            .otherwise(lit("update")).as("op"))
+        .orderBy("key")
+    }),
+
+    // Gaps-and-islands: per user, maximal runs of consecutive events
+    // with the SAME event_type (ordered by ms, event_id) — the
+    // change-detection primitive under SCD2 validity ranges and state
+    // timelines. lag() flags changes (first row flags 1 via null
+    // semantics), a running sum numbers islands, and one grouped agg
+    // emits each island's span and size.
+    "etl_gaps_islands" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ms"), col("event_id"))
+      val e = events(s, dir).select(col("user_id"), col("event_id"),
+        col("event_type"),
+        unix_millis(col("ts").cast("timestamp")).as("ms"))
+      e.withColumn("chg",
+          when(lag(col("event_type"), 1).over(w) === col("event_type"), 0)
+            .otherwise(1))
+        .withColumn("island", sum(col("chg"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("island"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"), min(col("ms")).as("start_ms"),
+          max(col("ms")).as("end_ms"))
+        .orderBy("user_id", "island")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "etl_upsert_type1" ->
+      s"""WITH upd AS (
+         |  SELECT CASE WHEN o_custkey % 10 = 0 THEN o_custkey + 1000000
+         |              ELSE o_custkey END AS key, spend
+         |  FROM (SELECT o_custkey, ${sqlSum("o_totalprice")} AS spend
+         |        FROM orders GROUP BY 1)),
+         |base AS (SELECT c_custkey AS key, c_name AS name,
+         |         c_acctbal AS acctbal FROM customer)
+         |SELECT key,
+         |  coalesce(name, 'new-' || CAST(key AS VARCHAR)) AS name,
+         |  CASE WHEN spend IS NULL THEN acctbal
+         |       ELSE ROUND(spend / 100.0 * 10000) / 10000 END AS acctbal,
+         |  CASE WHEN spend IS NULL THEN 'keep'
+         |       WHEN name IS NULL THEN 'insert'
+         |       ELSE 'update' END AS op
+         |FROM base FULL OUTER JOIN upd USING (key)
+         |ORDER BY key""".stripMargin,
+    "etl_gaps_islands" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_ms(ts) AS ms
+        |  FROM events),
+        |flagged AS (SELECT *, CASE WHEN lag(event_type, 1) OVER w = event_type
+        |    THEN 0 ELSE 1 END AS chg
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)),
+        |isl AS (SELECT *, SUM(chg) OVER (PARTITION BY user_id
+        |    ORDER BY ms, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM flagged)
+        |SELECT user_id, CAST(island AS BIGINT) AS island, event_type,
+        |  count(*) AS n_events, min(ms) AS start_ms, max(ms) AS end_ms
+        |FROM isl GROUP BY 1, 2, 3 ORDER BY user_id, island""".stripMargin
+  )
+}

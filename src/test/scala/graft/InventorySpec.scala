@@ -70,10 +70,12 @@ class InventorySpec extends SparkSpec {
     // §2.19 round-5 amendment: event analytics + runtime filtering
     "funnel_stages", "hist_values", "join_bloom_runtime",
     "hist_equidepth", "sql_tpch_q3", "cohort_retention",
-    "ts_gapfill_daily")
+    "ts_gapfill_daily",
+    // §2.20 round-5 amendment: ETL mutation & history
+    "etl_upsert_type1", "etl_gaps_islands")
 
-  test("declared queries cover SURVEY §2 + §2.12-19 exactly (116 keys)") {
-    assert(inventory.size == 116)
+  test("declared queries cover SURVEY §2 + §2.12-20 exactly (118 keys)") {
+    assert(inventory.size == 118)
     val declared = SparkEntry.queries.keySet
     val missing = inventory -- declared
     val extra = declared -- inventory
