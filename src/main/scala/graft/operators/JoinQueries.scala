@@ -202,6 +202,41 @@ object JoinQueries {
         .orderBy(col("event_id"))
     }),
 
+    // PURE range join (no equi key anywhere — the case join_theta_range
+    // does NOT cover, since its range predicate rides on an orderkey
+    // equi-join): count lineitems shipped within [o_orderdate,
+    // o_orderdate + 7 days] of ANY sampled order. A naive non-equi join
+    // is a nested-loop O(n·m) — the classic 100 TB killer. The binned
+    // rewrite makes it an EQUI join: work in whole days, bin width 8
+    // (= the 8-day inclusive span, so every interval covers at most 2
+    // bins and every point exactly 1 — each qualifying pair meets in
+    // the point's bin exactly once, no dedup needed), explode intervals
+    // to their ≤2 distinct bins, hash-join on bin, verify the precise
+    // BETWEEN as a residual filter. Pinned in PlanAuditSpec to stay an
+    // equi join (no BroadcastNestedLoopJoin) even with broadcast
+    // disabled. Generalizes to any interval length L: bin width ≥ L ⇒
+    // ≤2 bins per interval.
+    "join_range_binned" -> ((s, dir) => {
+      val iv = t(s, dir, "orders")
+        .filter(pmod(col("o_custkey"), lit(20)) === 0)
+        .select(col("o_orderkey"),
+          expr("unix_millis(cast(o_orderdate as timestamp)) div 86400000")
+            .as("sd"))
+      val ivb = iv.select(col("o_orderkey"), col("sd"),
+        explode(array_distinct(array(expr("sd div 8"), expr("(sd + 7) div 8"))))
+          .as("bin"))
+      val pts = t(s, dir, "lineitem")
+        .select(expr("unix_millis(cast(l_shipdate as timestamp)) div 86400000")
+          .as("d"))
+        .withColumn("bin", expr("d div 8"))
+      ivb.join(pts, Seq("bin"))
+        .filter(col("d") >= col("sd") && col("d") <= col("sd") + 7)
+        .groupBy(col("o_orderkey"))
+        .agg(count(lit(1)).as("n_lines"), min(col("d")).as("first_day"),
+          max(col("d")).as("last_day"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // Runtime bloom-filter pushdown — the NON-partition-column
     // counterpart of scan_dpp_join: a selective dim predicate
     // (p_retailprice < 905 keeps ~5% of parts) that partition layout
@@ -301,6 +336,17 @@ object JoinQueries {
          |SELECT event_id, event_type, n_type, avg_value
          |FROM events JOIN d USING (event_type)
          |ORDER BY event_id""".stripMargin,
+    // The oracle is the NAIVE non-equi join — the binned rewrite must
+    // be answer-identical to the thing it replaces.
+    "join_range_binned" ->
+      """WITH iv AS (SELECT o_orderkey,
+        |    epoch_ms(o_orderdate) // 86400000 AS sd
+        |  FROM orders WHERE o_custkey % 20 = 0),
+        |p AS (SELECT epoch_ms(l_shipdate) // 86400000 AS d FROM lineitem)
+        |SELECT o_orderkey, count(*) AS n_lines, min(d) AS first_day,
+        |  max(d) AS last_day
+        |FROM iv JOIN p ON p.d >= iv.sd AND p.d <= iv.sd + 7
+        |GROUP BY 1 ORDER BY o_orderkey""".stripMargin,
     "join_bloom_runtime" ->
       """SELECT l_orderkey, l_linenumber, p_name, l_quantity, p_retailprice
         |FROM lineitem JOIN part ON l_partkey = p_partkey

@@ -72,10 +72,12 @@ class InventorySpec extends SparkSpec {
     "hist_equidepth", "sql_tpch_q3", "cohort_retention",
     "ts_gapfill_daily",
     // §2.20 round-5 amendment: ETL mutation & history
-    "etl_upsert_type1", "etl_gaps_islands")
+    "etl_upsert_type1", "etl_gaps_islands",
+    // §2.19 addendum: pure (no-equi-key) range join, binned
+    "join_range_binned")
 
-  test("declared queries cover SURVEY §2 + §2.12-20 exactly (118 keys)") {
-    assert(inventory.size == 118)
+  test("declared queries cover SURVEY §2 + §2.12-20 exactly (119 keys)") {
+    assert(inventory.size == 119)
     val declared = SparkEntry.queries.keySet
     val missing = inventory -- declared
     val extra = declared -- inventory

@@ -179,6 +179,22 @@ class PlanAuditSpec extends SparkSpec {
       s"planner/AQE did not broadcast all four dims:\n${p.take(3000)}")
   }
 
+  test("binned range join stays an equi join even with broadcast disabled") {
+    // The join_range_binned contract: the bin key makes the pure range
+    // join hash-partitionable — it must never degrade to the O(n·m)
+    // BroadcastNestedLoopJoin the naive non-equi form plans. Threshold
+    // −1 removes the broadcast escape hatch, like the dedup-join pin.
+    val s = spark.newSession()
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    val p = operators.JoinQueries.queries("join_range_binned")(s, sf)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"binned range join degraded to a nested loop:\n${p.take(3000)}")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+      s"no keyed join found:\n${p.take(3000)}")
+  }
+
   test("SQL surface (sql_tpch_q3): broadcast star, no cartesian, ordered top-10 collapses") {
     // The pure-SQL entry point must reach the same physical shapes the
     // DataFrame keys pin: dims broadcast, equi-joins only, and the
