@@ -222,15 +222,11 @@ object JoinQueries {
         .select(col("o_orderkey"),
           expr("unix_millis(cast(o_orderdate as timestamp)) div 86400000")
             .as("sd"))
-      val ivb = iv.select(col("o_orderkey"), col("sd"),
-        explode(array_distinct(array(expr("sd div 8"), expr("(sd + 7) div 8"))))
-          .as("bin"))
+        .withColumn("ed", col("sd") + 7)
       val pts = t(s, dir, "lineitem")
         .select(expr("unix_millis(cast(l_shipdate as timestamp)) div 86400000")
           .as("d"))
-        .withColumn("bin", expr("d div 8"))
-      ivb.join(pts, Seq("bin"))
-        .filter(col("d") >= col("sd") && col("d") <= col("sd") + 7)
+      RangeJoin.pointInInterval(pts, "d", iv, "sd", "ed", binWidth = 8)
         .groupBy(col("o_orderkey"))
         .agg(count(lit(1)).as("n_lines"), min(col("d")).as("first_day"),
           max(col("d")).as("last_day"))

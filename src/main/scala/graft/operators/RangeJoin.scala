@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** First-class pure-range-join surface (the no-equi-key case): rewrite
+  * a point-in-interval join into an EQUI join by binning both sides to
+  * fixed-width buckets, so Catalyst plans a hash-partitionable join
+  * instead of the O(n·m) BroadcastNestedLoopJoin the naive `s ≤ d ≤ e`
+  * predicate produces. The declared `join_range_binned` key runs
+  * through here; RangeJoinSpec property-tests binned ≡ naive on random
+  * corpora (negative values included).
+  *
+  * Shape: every point lands in exactly ONE bin, every interval is
+  * exploded to EVERY bin its span touches (⌈span/width⌉+1 ≤ 2 rows for
+  * width ≥ span) — so each qualifying pair meets in the point's bin
+  * exactly once and no post-join dedup is needed. The exact BETWEEN
+  * stays as a residual filter on the equi-join output. Candidate
+  * volume is Σ_bins |points_b|·|intervals_b| — shuffle-partitionable,
+  * AQE-skew-splittable, and sub-quadratic whenever points and
+  * intervals spread over many bins. Pick `binWidth` ≥ the typical span
+  * (fewer interval duplicates) but small enough that a bin holds a
+  * bounded point count; hot bins are ordinary AQE skew.
+  */
+object RangeJoin {
+
+  /** SQL spelling of a floor division that stays in INTEGER space (the
+    * Column-API `/` on longs routes through double, which rounds keys
+    * past 2^53 — e.g. epoch-nanos) and floors toward −∞ for negative
+    * keys: pmod is always non-negative, so subtracting it lands exactly
+    * on a bin boundary, where `div`'s truncation-toward-zero alone
+    * would misalign negative keys by one bin. On that exact multiple,
+    * truncation and floor agree. */
+  private def fdivSql(name: String, w: Long): String =
+    s"(`$name` - pmod(`$name`, ${w}L)) div ${w}L"
+
+  /** All (interval × point) rows with `startCol ≤ pointCol ≤ endCol`,
+    * as an equi join on the bin key. Inputs may carry any other
+    * columns; both frames must not already contain `__bin`. Intervals
+    * with end < start yield nothing (empty ranges, like the naive
+    * predicate). `binWidth` > 0. */
+  def pointInInterval(points: DataFrame, pointCol: String,
+      intervals: DataFrame, startCol: String, endCol: String,
+      binWidth: Long): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    require(!points.columns.contains("__bin") &&
+      !intervals.columns.contains("__bin"),
+      "pointInInterval reserves column '__bin' — rename the input's")
+    val ivb = intervals
+      .filter(col(endCol) >= col(startCol))
+      .withColumn("__bin", explode(expr(
+        s"sequence(${fdivSql(startCol, binWidth)}, ${fdivSql(endCol, binWidth)})")))
+    val ptb = points.withColumn("__bin", expr(fdivSql(pointCol, binWidth)))
+    ivb.join(ptb, Seq("__bin"))
+      .filter(col(pointCol) >= col(startCol) && col(pointCol) <= col(endCol))
+      .drop("__bin")
+  }
+}
