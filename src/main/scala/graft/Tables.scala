@@ -33,6 +33,17 @@ object Tables {
   private[graft] def nanosFloorDivMicros(c: String): Column =
     expr(s"($c - (($c % 1000) + 1000) % 1000) div 1000")
 
+  /** THE epoch-day convention for fixture timestamps, shared by every
+    * declared query that buckets by day (cohort, gap fill, islands,
+    * binned range join) and mirrored by [[Det.sqlEpochDay]] on the
+    * oracle side: cast to µs TIMESTAMP under the UTC-pinned session,
+    * epoch millis, integer division to whole days. Fixture timestamps
+    * are post-epoch, where `div`'s truncation equals floor; a pre-epoch
+    * corpus would need the pmod floor-div treatment
+    * [[nanosFloorDivMicros]] documents. */
+  def epochDay(colName: String): Column =
+    expr(s"unix_millis(cast(`$colName` as timestamp)) div 86400000")
+
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     t(spark, dir, "events").withColumn("ts",
@@ -71,6 +82,11 @@ object Det {
 
   /** Deterministic per-row 4dp round of an exact-decimal-valued double. */
   def r4(c: Column): Column = round(c.cast(D), 4).cast("double")
+
+  /** Oracle-side (DuckDB) spelling of [[Tables.epochDay]]: `//` is
+    * DuckDB's integer division, truncating like Spark's `div` — equal
+    * on the post-epoch fixture domain. */
+  def sqlEpochDay(e: String): String = s"epoch_ms($e) // 86400000"
 
   /** Oracle-side (DuckDB) SQL spellings of the same three helpers. */
   def sqlSum(e: String): String =

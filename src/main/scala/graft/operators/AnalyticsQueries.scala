@@ -2,8 +2,8 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.Tables.events
-import graft.Det.{dsum, sqlSum}
+import graft.Tables.{epochDay, events}
+import graft.Det.{dsum, sqlEpochDay, sqlSum}
 
 /** §2.19 Event-analytics operators (SURVEY.md, round-5 amendment): the
   * two product-analytics staples the §2.10 event stack doesn't cover —
@@ -80,7 +80,7 @@ object AnalyticsQueries {
     // convention) — floor division to days is engine-identical.
     "cohort_retention" -> ((s, dir) => {
       val e = events(s, dir).select(col("user_id"),
-        expr("unix_millis(cast(ts as timestamp)) div 86400000").as("day"))
+        epochDay("ts").as("day"))
       val cohort = e.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
       e.join(cohort, Seq("user_id"))
         .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
@@ -115,7 +115,7 @@ object AnalyticsQueries {
     // size; the only real shuffle is the daily aggregation.
     "ts_gapfill_daily" -> ((s, dir) => {
       val e = events(s, dir).select(
-        expr("unix_millis(cast(ts as timestamp)) div 86400000").as("day"),
+        epochDay("ts").as("day"),
         col("event_type"), col("value"), col("props"))
       val hv = e.filter(col("event_type") === "purchase" &&
           get_json_object(col("props"), "$.k").cast("long") < 10)
@@ -173,7 +173,7 @@ object AnalyticsQueries {
          |count(*) AS n, ${sqlSum("value")} AS sum_value
          |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin,
     "cohort_retention" ->
-      """WITH e AS (SELECT user_id, epoch_ms(ts) // 86400000 AS day FROM events),
+      s"""WITH e AS (SELECT user_id, ${sqlEpochDay("ts")} AS day FROM events),
         |c AS (SELECT user_id, min(day) AS cohort_day FROM e GROUP BY 1)
         |SELECT cohort_day, day - cohort_day AS day_offset,
         |  count(DISTINCT user_id) AS n_users
@@ -186,7 +186,7 @@ object AnalyticsQueries {
         |    AS bucket FROM events)
         |GROUP BY bucket ORDER BY bucket""".stripMargin,
     "ts_gapfill_daily" ->
-      s"""WITH e AS (SELECT epoch_ms(ts) // 86400000 AS day, event_type,
+      s"""WITH e AS (SELECT ${sqlEpochDay("ts")} AS day, event_type,
          |    value, props FROM events),
          |hv AS (SELECT day, count(*) AS n, ${sqlSum("value")} AS sum_value
          |  FROM e WHERE event_type = 'purchase'

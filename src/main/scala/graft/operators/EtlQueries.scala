@@ -27,10 +27,15 @@ object EtlQueries {
 
   val queries: Map[String, Q] = Map(
     // MERGE INTO semantics without a table format: base = customer,
-    // updates = per-customer order spend where 10% of keys are shifted
-    // to unseen ids (the INSERT branch — order keys are otherwise a
-    // subset of customer keys and the not-matched-by-source branch
-    // would be vacuous). when-matched → updated balance;
+    // updates = per-customer order spend where 10% of keys are remapped
+    // to ids OUTSIDE the base domain (the INSERT branch — order keys
+    // are otherwise a subset of customer keys and the
+    // not-matched-by-source branch would be vacuous). The remap is
+    // NEGATION (−key − 1), not an offset: custkeys are non-negative at
+    // every scale factor, so a negative id can never collide with a
+    // real customer — an offset like +1e6 would silently turn inserts
+    // into wrong-row updates once keys outgrow it, and the oracle
+    // (same arithmetic) couldn't catch it. when-matched → updated balance;
     // when-not-matched-by-source → row kept verbatim; when-not-matched
     // → inserted with a synthesized name. `op` tags the branch so the
     // oracle pins each path's row count, not just the union.
@@ -42,7 +47,7 @@ object EtlQueries {
         .groupBy(col("o_custkey"))
         .agg(dsum(col("o_totalprice")).as("spend"))
         .select(when(pmod(col("o_custkey"), lit(10)) === 0,
-            col("o_custkey") + 1000000).otherwise(col("o_custkey")).as("key"),
+            -col("o_custkey") - 1).otherwise(col("o_custkey")).as("key"),
           col("spend"))
       base.join(upd, Seq("key"), "full_outer")
         .select(col("key"),
@@ -83,7 +88,7 @@ object EtlQueries {
   val oracle: Map[String, String] = Map(
     "etl_upsert_type1" ->
       s"""WITH upd AS (
-         |  SELECT CASE WHEN o_custkey % 10 = 0 THEN o_custkey + 1000000
+         |  SELECT CASE WHEN o_custkey % 10 = 0 THEN -o_custkey - 1
          |              ELSE o_custkey END AS key, spend
          |  FROM (SELECT o_custkey, ${sqlSum("o_totalprice")} AS spend
          |        FROM orders GROUP BY 1)),

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.Tables.{t, events}
+import graft.Tables.{epochDay, events, t}
 import graft.Det._
 
 /** §2.3 Join operators (SURVEY.md).
@@ -220,12 +220,10 @@ object JoinQueries {
       val iv = t(s, dir, "orders")
         .filter(pmod(col("o_custkey"), lit(20)) === 0)
         .select(col("o_orderkey"),
-          expr("unix_millis(cast(o_orderdate as timestamp)) div 86400000")
-            .as("sd"))
+          epochDay("o_orderdate").as("sd"))
         .withColumn("ed", col("sd") + 7)
       val pts = t(s, dir, "lineitem")
-        .select(expr("unix_millis(cast(l_shipdate as timestamp)) div 86400000")
-          .as("d"))
+        .select(epochDay("l_shipdate").as("d"))
       RangeJoin.pointInInterval(pts, "d", iv, "sd", "ed", binWidth = 8)
         .groupBy(col("o_orderkey"))
         .agg(count(lit(1)).as("n_lines"), min(col("d")).as("first_day"),
@@ -335,10 +333,10 @@ object JoinQueries {
     // The oracle is the NAIVE non-equi join — the binned rewrite must
     // be answer-identical to the thing it replaces.
     "join_range_binned" ->
-      """WITH iv AS (SELECT o_orderkey,
-        |    epoch_ms(o_orderdate) // 86400000 AS sd
+      s"""WITH iv AS (SELECT o_orderkey,
+        |    ${sqlEpochDay("o_orderdate")} AS sd
         |  FROM orders WHERE o_custkey % 20 = 0),
-        |p AS (SELECT epoch_ms(l_shipdate) // 86400000 AS d FROM lineitem)
+        |p AS (SELECT ${sqlEpochDay("l_shipdate")} AS d FROM lineitem)
         |SELECT o_orderkey, count(*) AS n_lines, min(d) AS first_day,
         |  max(d) AS last_day
         |FROM iv JOIN p ON p.d >= iv.sd AND p.d <= iv.sd + 7

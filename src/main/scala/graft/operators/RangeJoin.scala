@@ -46,6 +46,13 @@ object RangeJoin {
     require(!points.columns.contains("__bin") &&
       !intervals.columns.contains("__bin"),
       "pointInInterval reserves column '__bin' — rename the input's")
+    // The residual filter references both sides by name, so shared
+    // names would fail analysis with AMBIGUOUS_REFERENCE — reject them
+    // up front with an actionable message instead.
+    val shared = points.columns.toSet intersect intervals.columns.toSet
+    require(shared.isEmpty,
+      s"points and intervals share column names ${shared.mkString(", ")} — " +
+        "rename one side before joining")
     val ivb = intervals
       .filter(col(endCol) >= col(startCol))
       .withColumn("__bin", explode(expr(

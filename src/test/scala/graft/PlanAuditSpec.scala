@@ -242,7 +242,10 @@ class PlanAuditSpec extends SparkSpec {
     import org.apache.spark.sql.functions._
     val facts = s.range(200000).select(
       col("id").as("event_id"),
-      when(pmod(col("id"), lit(200)) === 0, concat(lit("t"), pmod(col("id"), lit(5))))
+      // id div 200 (not id % 5, which is constant 0 whenever
+      // id % 200 == 0) so the cold rows really spread over t0..t4.
+      when(pmod(col("id"), lit(200)) === 0,
+          concat(lit("t"), pmod(expr("id div 200"), lit(5))))
         .otherwise(lit("hot")).as("event_type"),
       (col("id") % 97).cast("double").as("value"))
     val dim = s.range(5).select(concat(lit("t"), col("id")).as("event_type"))

@@ -150,7 +150,8 @@ class SelectivitySpec extends SparkSpec {
   test("REAL fixture: LSH banding bounds candidates ≪ all-pairs on the embeddings table") {
     // The round-5 verdict asked for a fixture-pinned candidate fraction.
     // Measured this session: the fixture corpus is isotropic even within
-    // labels (mean same-label cos 0.002, max pairwise 0.513), so NO exact
+    // labels (mean same-label cos 0.002; max pairwise cos 0.513 at
+    // sf0.01, 0.479 on the sf0.001 corpus this test reads), so NO exact
     // method can prune it — the pivot path honestly degrades to verified
     // all-pairs at any declarable threshold (SURVEY §2.16). The bounded
     // generator on real data is therefore the hyperplane LSH path, whose
