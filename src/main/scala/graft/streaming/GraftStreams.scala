@@ -284,6 +284,48 @@ object GraftStreams {
     math.round(m.toDouble / a.length * 10000.0) / 10000.0
   }
 
+  /** Streaming ordered-funnel state machine — the stateful counterpart
+    * of the batch `funnel_stages` key: per user, advance through
+    * `stages` (stage k+1 needs an event of stages(k)'s type STRICTLY
+    * after the stage-k time; stage 1 needs any event of stages(0)'s
+    * type), emitting one (user_id, stage, event_type, ms) row per
+    * newly-reached stage. Because each stage records the FIRST
+    * qualifying event in time order, an in-order replay produces
+    * exactly the batch chain-of-min-aggs result (asserted both ways in
+    * StreamingParitySpec).
+    *
+    * Within a trigger a user's rows process in (ts_ms, event_id) order;
+    * cross-trigger disorder follows the no-retroactivity rule of any
+    * streaming state machine: a stage-k event arriving AFTER a later
+    * trigger already passed its window is not revisited — the exactness
+    * trade every incremental funnel makes. State is ≤ |stages| longs
+    * per user, bounded by construction, so NoTimeout is the right
+    * lifetime on a bounded user domain (the runningMax eviction notes
+    * apply on unbounded ones). */
+  def funnelTransitions(events: Dataset[Event],
+      stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "funnelTransitions needs at least one stage")
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[Seq[Long], (Long, Int, String, Long)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (uid, evs, state: GroupState[Seq[Long]]) =>
+          var times = state.getOption.getOrElse(Seq.empty[Long])
+          val out = Seq.newBuilder[(Long, Int, String, Long)]
+          evs.toSeq.sortBy(e => (e.ts_ms, e.event_id)).foreach { e =>
+            val k = times.length
+            if (k < stages.length && e.event_type == stages(k) &&
+                (k == 0 || e.ts_ms > times.last)) {
+              times = times :+ e.ts_ms
+              out += ((uid, k + 1, stages(k), e.ts_ms))
+            }
+          }
+          val rows = out.result()
+          if (rows.nonEmpty) state.update(times)
+          rows.iterator
+      }.toDF("user_id", "stage", "event_type", "ms")
+  }
+
   /** Per-user running maximum emitted per event — the custom-state
     * surface (flatMapGroupsWithState, one double register per user).
     * Within a trigger, a group's rows are processed in (ts_ms, event_id)

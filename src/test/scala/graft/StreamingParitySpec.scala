@@ -105,6 +105,47 @@ class StreamingParitySpec extends SparkSpec {
     assert(got == evRows.size, s"expected ${evRows.size} deduped rows, got $got")
   }
 
+  test("streaming funnel transitions == batch funnel_stages counts") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stages = Seq("view", "click", "purchase")
+    val mem = MemoryStream[Event]
+    val out = GraftStreams.funnelTransitions(mem.toDS(), stages)
+    val query = out.writeStream.format("memory").queryName("funnel")
+      .outputMode(OutputMode.Append()).start()
+    // Chronological chunks: in-order replay is the exactness contract
+    // (the scaladoc's no-retroactivity rule covers disorder).
+    evRows.sortBy(e => (e.ts_ms, e.event_id)).grouped(250).foreach { c =>
+      mem.addData(c); query.processAllAvailable()
+    }
+    query.stop()
+    val got = spark.table("funnel")
+    // Angle 1: per-stage user counts equal the independently-implemented
+    // batch chain-of-min-aggs (the declared funnel_stages key).
+    val streamCounts = got.groupBy("stage")
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val batchCounts = SparkEntry.queries("funnel_stages")(spark, sf)
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(batchCounts.values.forall(_ > 0), s"degenerate fixture: $batchCounts")
+    for ((st, n) <- batchCounts)
+      assert(streamCounts.getOrElse(st, 0L) == n,
+        s"stage $st: stream ${streamCounts.get(st)} vs batch $n")
+    // Angle 2: each transition advances a real state machine — per user,
+    // stages are 1,2,3… with strictly increasing times.
+    val perUser = got.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(3)))
+      .groupBy(_._1).values
+    perUser.foreach { ts =>
+      val sorted = ts.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1 to sorted.length),
+        s"non-contiguous stages: ${sorted.toSeq}")
+      assert(sorted.map(_._3).toSeq == sorted.map(_._3).sorted.toSeq &&
+        sorted.map(_._3).distinct.length == sorted.length,
+        s"non-increasing stage times: ${sorted.toSeq}")
+    }
+  }
+
   test("stateful running max via flatMapGroupsWithState == batch window") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
