@@ -45,6 +45,27 @@ object TextQueries {
         .orderBy("lang")
     }),
 
+    // Heavy hitters by DOCUMENT frequency (stopword / boilerplate-token
+    // mining — the corpus-statistics input to the §2.13 quality stack):
+    // tokens present in > 25% of documents, with their doc counts and
+    // corpus-wide share. Per-doc distinct explode (map-side) → one
+    // token-keyed count — the exact two-phase-agg form; the map-side
+    // partial bounds shuffle rows by |vocab| per partition, so at
+    // 100 TB this is one narrow-shuffle pass regardless of corpus
+    // size. The doc-count denominator is a one-row broadcast agg.
+    "text_heavy_hitters" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+      docs.select(col("doc_id"),
+          explode(array_distinct(split(col("text"), " "))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("n_docs_with"))
+        .crossJoin(broadcast(nDocs))
+        .filter(col("n_docs_with") * 4 > col("n_docs"))
+        .select(col("token"), col("n_docs_with"),
+          r4d(col("n_docs_with").cast("double") / col("n_docs")).as("doc_frac"))
+        .orderBy("token")
+    }),
+
     // Bigrams via an index-HOF over the token array — no per-doc shuffle.
     "text_ngrams" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -160,6 +181,15 @@ object TextQueries {
         |  ROUND(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 4) AS avg_chars,
         |  ROUND(CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) / COUNT(*), 4) AS avg_tokens
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "text_heavy_hitters" ->
+      """WITH tok AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
+        |  FROM documents),
+        |n AS (SELECT count(*) AS n_docs FROM documents)
+        |SELECT token, count(*) AS n_docs_with,
+        |  ROUND(CAST(count(*) AS DOUBLE) / n_docs * 10000) / 10000 AS doc_frac
+        |FROM tok CROSS JOIN n
+        |GROUP BY token, n_docs HAVING count(*) * 4 > n_docs
+        |ORDER BY token""".stripMargin,
     "text_ngrams" ->
       """SELECT bigram, count(*) AS n FROM (
         |  SELECT token || ' ' || lead(token) OVER (PARTITION BY doc_id ORDER BY pos) AS bigram

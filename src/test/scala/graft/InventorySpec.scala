@@ -74,10 +74,12 @@ class InventorySpec extends SparkSpec {
     // §2.20 round-5 amendment: ETL mutation & history
     "etl_upsert_type1", "etl_gaps_islands",
     // §2.19 addendum: pure (no-equi-key) range join, binned
-    "join_range_binned")
+    "join_range_binned",
+    // §2.20 addendum: corpus heavy hitters by document frequency
+    "text_heavy_hitters")
 
-  test("declared queries cover SURVEY §2 + §2.12-20 exactly (119 keys)") {
-    assert(inventory.size == 119)
+  test("declared queries cover SURVEY §2 + §2.12-20 exactly (120 keys)") {
+    assert(inventory.size == 120)
     val declared = SparkEntry.queries.keySet
     val missing = inventory -- declared
     val extra = declared -- inventory
