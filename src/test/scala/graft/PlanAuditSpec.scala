@@ -211,6 +211,21 @@ class PlanAuditSpec extends SparkSpec {
       s"top-10 did not collapse to TakeOrderedAndProject:\n${p.take(3000)}")
   }
 
+  test("funnel stage joins and cohort attach-back broadcast under AQE") {
+    // The §2.19 scale claims: funnel stage frames shrink monotonically
+    // and the cohort table is one row per user, so AQE's runtime stats
+    // must broadcast those joins with no hint — falsifiable here, not
+    // just scaladoc prose.
+    for (q <- Seq("funnel_stages", "cohort_retention")) {
+      val df = SparkEntry.queries(q)(spark, sf)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      assert(p.contains("BroadcastHashJoin"),
+        s"$q: no broadcast join in AQE final plan:\n${p.take(3000)}")
+    }
+  }
+
   test("gap-fill spine join broadcasts one side (AQE final plan)") {
     // The ts_gapfill_daily contract: the generated day spine is |days|
     // rows regardless of corpus size, so the fill join must never
