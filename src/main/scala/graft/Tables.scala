@@ -34,8 +34,8 @@ object Tables {
     expr(s"($c - (($c % 1000) + 1000) % 1000) div 1000")
 
   /** THE epoch-day convention for fixture timestamps, shared by every
-    * declared query that buckets by day (cohort, gap fill, islands,
-    * binned range join) and mirrored by [[Det.sqlEpochDay]] on the
+    * declared query that buckets by day (cohort, gap fill, binned
+    * range join) and mirrored by [[Det.sqlEpochDay]] on the
     * oracle side: cast to µs TIMESTAMP under the UTC-pinned session,
     * epoch millis, integer division to whole days. Fixture timestamps
     * are post-epoch, where `div`'s truncation equals floor; a pre-epoch

@@ -46,12 +46,16 @@ object RangeJoin {
     require(!points.columns.contains("__bin") &&
       !intervals.columns.contains("__bin"),
       "pointInInterval reserves column '__bin' — rename the input's")
-    // The residual filter references both sides by name, so shared
-    // names would fail analysis with AMBIGUOUS_REFERENCE — reject them
-    // up front with an actionable message instead.
-    val shared = points.columns.toSet intersect intervals.columns.toSet
+    // The residual filter references pointCol/startCol/endCol by name,
+    // so those specific names shared across sides would fail analysis
+    // with AMBIGUOUS_REFERENCE — reject them up front with an
+    // actionable message. Other shared names pass through as
+    // duplicate-named output columns (the caller's naming to resolve),
+    // same as any DataFrame join.
+    val shared = (points.columns.toSet intersect intervals.columns.toSet)
+      .intersect(Set(pointCol, startCol, endCol))
     require(shared.isEmpty,
-      s"points and intervals share column names ${shared.mkString(", ")} — " +
+      s"points and intervals share filter column names ${shared.mkString(", ")} — " +
         "rename one side before joining")
     val ivb = intervals
       .filter(col(endCol) >= col(startCol))

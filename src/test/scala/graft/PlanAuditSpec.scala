@@ -165,16 +165,22 @@ class PlanAuditSpec extends SparkSpec {
       s"fact scan not dynamically pruned:\n${p.take(3000)}")
   }
 
+  /** Execute a declared query with AQE live and return the FINAL
+    * adaptive plan string (the section before "== Initial Plan ==") —
+    * the plan AQE actually ran after runtime re-planning. */
+  private def aqeFinalPlan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.collect()
+    df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+  }
+
   test("unhinted star join: the planner picks broadcast for all dims on its own") {
     // Deliberately NOT via plan() — this is the one pin that must hold
     // WITH adaptive execution live, since AQE is what re-plans joins
     // from runtime stats on a real cluster.
-    val df = SparkEntry.queries("join_star_aqe")(spark, sf)
-    df.collect()
     // The adaptive plan string prints final AND initial plans — count
     // broadcasts in the final section only.
-    val p = df.queryExecution.executedPlan.toString
-      .split("== Initial Plan ==")(0)
+    val p = aqeFinalPlan("join_star_aqe")
     assert("BroadcastHashJoin".r.findAllIn(p).size == 4,
       s"planner/AQE did not broadcast all four dims:\n${p.take(3000)}")
   }
@@ -200,10 +206,7 @@ class PlanAuditSpec extends SparkSpec {
     // DataFrame keys pin: dims broadcast, equi-joins only, and the
     // ORDER BY ... LIMIT 10 planned as TakeOrderedAndProject (never a
     // global sort of the aggregated set).
-    val df = SparkEntry.queries("sql_tpch_q3")(spark, sf)
-    df.collect()
-    val p = df.queryExecution.executedPlan.toString
-      .split("== Initial Plan ==")(0)
+    val p = aqeFinalPlan("sql_tpch_q3")
     assert(p.contains("BroadcastHashJoin"),
       s"no broadcast join in the SQL star:\n${p.take(3000)}")
     assert(!p.contains("CartesianProduct"), "SQL star planned a cartesian")
@@ -216,14 +219,15 @@ class PlanAuditSpec extends SparkSpec {
     // and the cohort table is one row per user, so AQE's runtime stats
     // must broadcast those joins with no hint — falsifiable here, not
     // just scaladoc prose.
-    for (q <- Seq("funnel_stages", "cohort_retention")) {
-      val df = SparkEntry.queries(q)(spark, sf)
-      df.collect()
-      val p = df.queryExecution.executedPlan.toString
-        .split("== Initial Plan ==")(0)
-      assert(p.contains("BroadcastHashJoin"),
-        s"$q: no broadcast join in AQE final plan:\n${p.take(3000)}")
-    }
+    // funnel_stages has TWO stage joins (click→view, purchase→click);
+    // both must broadcast, so count them — contains() would let one
+    // silently degrade to a sort-merge join.
+    val pf = aqeFinalPlan("funnel_stages")
+    assert("BroadcastHashJoin".r.findAllIn(pf).size >= 2,
+      s"funnel stage joins not all broadcast:\n${pf.take(3000)}")
+    val pc = aqeFinalPlan("cohort_retention")
+    assert(pc.contains("BroadcastHashJoin"),
+      s"cohort attach-back not broadcast:\n${pc.take(3000)}")
   }
 
   test("gap-fill spine join broadcasts one side (AQE final plan)") {
@@ -232,10 +236,7 @@ class PlanAuditSpec extends SparkSpec {
     // shuffle the daily aggregate — AQE sees the tiny runtime size and
     // broadcasts. Like the unhinted star, pinned against the adaptive
     // FINAL plan.
-    val df = SparkEntry.queries("ts_gapfill_daily")(spark, sf)
-    df.collect()
-    val p = df.queryExecution.executedPlan.toString
-      .split("== Initial Plan ==")(0)
+    val p = aqeFinalPlan("ts_gapfill_daily")
     assert(p.contains("BroadcastHashJoin"),
       s"spine fill join not broadcast:\n${p.take(3000)}")
   }
