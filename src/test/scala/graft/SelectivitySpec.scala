@@ -235,6 +235,33 @@ class SelectivitySpec extends SparkSpec {
     assert(recallOf(e2e) >= 0.85, s"e2e recall ${recallOf(e2e)}")
   }
 
+  test("multi-probe candidates are a superset of single-probe, at every band count") {
+    import org.scalacheck.{Gen, Prop}
+    // Monotonicity law: hamming-1 probing can only ADD candidates
+    // (single-probe collisions are the t=0 probe key), so for any
+    // corpus and any valid banding the single-probe pair set must be
+    // contained in the multi-probe one.
+    val genCase = for {
+      n <- Gen.chooseNum(2, 40)
+      seed <- Gen.chooseNum(1, 1000)
+      bands <- Gen.oneOf(4, 8, 16)
+    } yield (n, seed, bands)
+    val prop = Prop.forAll(genCase) { case (n, seed, bands) =>
+      val vecs = spark.range(n.toLong).select(col("id").as("vec_id"),
+        expr(s"transform(sequence(0, 63), d -> " +
+          s"pmod(hash(cast(id as int), d, $seed), 1000) / 500.0D - 1.0D)")
+          .as("embedding"))
+      val normed = SimilarityJoin.normalized(vecs, "vec_id", "embedding")
+      def pairsOf(multi: Boolean) = SimilarityJoin
+        .lshBandedCandidates(normed, bands, multiProbe = multi)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      pairsOf(false).subsetOf(pairsOf(true))
+    }
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(8), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("embedding LSH (tight threshold): sub-quadratic candidates, exact precision") {
     val vecs = clustered(6, 40)
     val lsh = SimilarityJoin
