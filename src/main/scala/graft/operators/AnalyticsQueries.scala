@@ -95,6 +95,10 @@ object AnalyticsQueries {
     // range-partitioned sort (the win_percent_cume scale story, reused).
     // Ties share a cume value in both engines (cume_dist groups ties),
     // and cume = p/N is one double division — bit-identical floors.
+    // This is the EXACT formulation (oracle-comparable); when only the
+    // bucket boundaries matter at extreme scale, the cheaper path is
+    // approx_percentile cutpoints + a map-side bucket projection — the
+    // declared agg_approx_quantile key demonstrates that sketch.
     "hist_equidepth" -> ((s, dir) => {
       val e = events(s, dir).select(col("value"))
       graft.plans.GlobalRank.percentCume(e, "value")
