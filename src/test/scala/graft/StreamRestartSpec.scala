@@ -45,4 +45,42 @@ class StreamRestartSpec extends SparkSpec {
     assert(emitted.values.forall(_ == 1L),
       s"a pair was emitted more than once across the restart: $emitted")
   }
+
+  test("funnelTransitions: restart recovers stage state, re-emits nothing") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_funnel_rs").toString
+    val mem = MemoryStream[graft.streaming.Event]
+    val t0 = 1700000000000L
+    val stages = Seq("view", "click", "purchase")
+    def ev(id: Long, ms: Long, uid: Long, tp: String) =
+      graft.streaming.Event(id, ms, uid, tp, 1.0)
+    def start() = GraftStreams.sinkToParquet(
+      GraftStreams.funnelTransitions(mem.toDS(), stages),
+      s"$root/data", s"$root/ckpt")
+
+    // Run 1: user 7 reaches view + click; user 8 purchases without
+    // viewing (must never emit).
+    val q1 = start()
+    mem.addData(ev(1, t0, 7, "view"), ev(2, t0 + 1000, 7, "click"),
+      ev(3, t0 + 500, 8, "purchase"))
+    q1.processAllAvailable()
+    q1.stop()
+
+    // Run 2 from the SAME checkpoint: user 7's purchase must advance to
+    // stage 3 (the recovered state knows the click time), stages 1-2
+    // must not re-emit, and a pre-click-time purchase for user 8's
+    // fresh view chain must respect strict ordering.
+    val q2 = start()
+    mem.addData(ev(4, t0 + 2000, 7, "purchase"), ev(5, t0 + 3000, 8, "view"))
+    q2.processAllAvailable()
+    q2.stop()
+
+    val rows = spark.read.parquet(s"$root/data")
+      .select("user_id", "stage", "ms")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(rows == Set((7L, 1, t0), (7L, 2, t0 + 1000), (7L, 3, t0 + 2000),
+      (8L, 1, t0 + 3000)),
+      s"wrong transitions across restart: $rows")
+  }
 }
