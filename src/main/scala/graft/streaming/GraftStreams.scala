@@ -299,30 +299,40 @@ object GraftStreams {
     * streaming state machine: a stage-k event arriving AFTER a later
     * trigger already passed its window is not revisited — the exactness
     * trade every incremental funnel makes. State is ≤ |stages| longs
-    * per user, bounded by construction, so NoTimeout is the right
-    * lifetime on a bounded user domain (the runningMax eviction notes
-    * apply on unbounded ones). */
-  def funnelTransitions(events: Dataset[Event],
-      stages: Seq[String]): DataFrame = {
+    * per user, bounded by construction, so the default NoTimeout is
+    * right on a bounded user domain; on an unbounded one pass
+    * `idleTimeout` (same contract as [[runningMax]]): a user idle that
+    * long is evicted, and a later return RESTARTS their funnel from
+    * stage one — the documented trade of exactness for bounded state. */
+  def funnelTransitions(events: Dataset[Event], stages: Seq[String],
+      idleTimeout: Option[String] = None): DataFrame = {
     require(stages.nonEmpty, "funnelTransitions needs at least one stage")
     import events.sparkSession.implicits._
+    val timeoutConf = if (idleTimeout.isDefined)
+      GroupStateTimeout.ProcessingTimeTimeout() else GroupStateTimeout.NoTimeout()
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState[Seq[Long], (Long, Int, String, Long)](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), timeoutConf) {
         case (uid, evs, state: GroupState[Seq[Long]]) =>
-          var times = state.getOption.getOrElse(Seq.empty[Long])
-          val out = Seq.newBuilder[(Long, Int, String, Long)]
-          evs.toSeq.sortBy(e => (e.ts_ms, e.event_id)).foreach { e =>
-            val k = times.length
-            if (k < stages.length && e.event_type == stages(k) &&
-                (k == 0 || e.ts_ms > times.last)) {
-              times = times :+ e.ts_ms
-              out += ((uid, k + 1, stages(k), e.ts_ms))
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var times = state.getOption.getOrElse(Seq.empty[Long])
+            val out = Seq.newBuilder[(Long, Int, String, Long)]
+            evs.toSeq.sortBy(e => (e.ts_ms, e.event_id)).foreach { e =>
+              val k = times.length
+              if (k < stages.length && e.event_type == stages(k) &&
+                  (k == 0 || e.ts_ms > times.last)) {
+                times = times :+ e.ts_ms
+                out += ((uid, k + 1, stages(k), e.ts_ms))
+              }
             }
+            val rows = out.result()
+            if (rows.nonEmpty) state.update(times)
+            idleTimeout.foreach(state.setTimeoutDuration)
+            rows.iterator
           }
-          val rows = out.result()
-          if (rows.nonEmpty) state.update(times)
-          rows.iterator
       }.toDF("user_id", "stage", "event_type", "ms")
   }
 
