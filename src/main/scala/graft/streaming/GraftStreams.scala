@@ -308,32 +308,73 @@ object GraftStreams {
       idleTimeout: Option[String] = None): DataFrame = {
     require(stages.nonEmpty, "funnelTransitions needs at least one stage")
     import events.sparkSession.implicits._
+    idleEvictingByUser[Seq[Long], (Long, Int, String, Long)](
+      events, idleTimeout)(funnelFold(stages)).toDF(
+      "user_id", "stage", "event_type", "ms")
+  }
+
+  /** The pure per-trigger funnel fold — package-visible so the
+    * eviction/state contract is unit-testable via TestGroupState
+    * without a live query (a ProcessingTimeTimeout query schedules
+    * continuous no-data batches, which makes wall-clock eviction tests
+    * spin). Returning None for a user who never matched stage one
+    * stores nothing and arms no timeout — noise users on an unbounded
+    * domain cost zero state rows. */
+  private[graft] def funnelFold(stages: Seq[String])(
+      uid: Long, sortedEvs: Seq[Event],
+      prior: Option[Seq[Long]]): (Option[Seq[Long]], Seq[(Long, Int, String, Long)]) = {
+    var times = prior.getOrElse(Seq.empty[Long])
+    val out = Seq.newBuilder[(Long, Int, String, Long)]
+    sortedEvs.foreach { e =>
+      val k = times.length
+      if (k < stages.length && e.event_type == stages(k) &&
+          (k == 0 || e.ts_ms > times.last)) {
+        times = times :+ e.ts_ms
+        out += ((uid, k + 1, stages(k), e.ts_ms))
+      }
+    }
+    (if (times.nonEmpty) Some(times) else None, out.result())
+  }
+
+  /** THE shared idle-eviction plumbing behind [[funnelTransitions]] and
+    * [[runningMax]] — one copy of the contract both scaladocs describe.
+    * `fold` sees the user's trigger rows pre-sorted by (ts_ms,
+    * event_id) plus the prior state and returns (next state, output
+    * rows); returning None stores nothing and arms no timeout (the
+    * key leaves no state-store row). With `idleTimeout` set, a key
+    * idle that long is evicted on a later trigger (hasTimedOut →
+    * remove) and a returning user starts from empty state. */
+  private def idleEvictingByUser[S: org.apache.spark.sql.Encoder,
+      O: org.apache.spark.sql.Encoder](events: Dataset[Event],
+      idleTimeout: Option[String])(
+      fold: (Long, Seq[Event], Option[S]) => (Option[S], Seq[O])): Dataset[O] = {
+    import events.sparkSession.implicits._
     val timeoutConf = if (idleTimeout.isDefined)
       GroupStateTimeout.ProcessingTimeTimeout() else GroupStateTimeout.NoTimeout()
     events.groupByKey(_.user_id)
-      .flatMapGroupsWithState[Seq[Long], (Long, Int, String, Long)](
-        OutputMode.Append(), timeoutConf) {
-        case (uid, evs, state: GroupState[Seq[Long]]) =>
-          if (state.hasTimedOut) {
-            state.remove()
-            Iterator.empty
-          } else {
-            var times = state.getOption.getOrElse(Seq.empty[Long])
-            val out = Seq.newBuilder[(Long, Int, String, Long)]
-            evs.toSeq.sortBy(e => (e.ts_ms, e.event_id)).foreach { e =>
-              val k = times.length
-              if (k < stages.length && e.event_type == stages(k) &&
-                  (k == 0 || e.ts_ms > times.last)) {
-                times = times :+ e.ts_ms
-                out += ((uid, k + 1, stages(k), e.ts_ms))
-              }
-            }
-            val rows = out.result()
-            if (rows.nonEmpty) state.update(times)
-            idleTimeout.foreach(state.setTimeoutDuration)
-            rows.iterator
-          }
-      }.toDF("user_id", "stage", "event_type", "ms")
+      .flatMapGroupsWithState[S, O](OutputMode.Append(), timeoutConf)(
+        idleEvictingFunc(idleTimeout)(fold))
+  }
+
+  /** The per-key GroupState handler [[idleEvictingByUser]] installs —
+    * package-visible for TestGroupState unit tests of the timeout /
+    * remove / no-state-no-timeout contract. */
+  private[graft] def idleEvictingFunc[S, O](idleTimeout: Option[String])(
+      fold: (Long, Seq[Event], Option[S]) => (Option[S], Seq[O]))
+      : (Long, Iterator[Event], GroupState[S]) => Iterator[O] = {
+    case (uid, evs, state: GroupState[S]) =>
+      if (state.hasTimedOut) {
+        state.remove()
+        Iterator.empty
+      } else {
+        val (next, rows) = fold(uid,
+          evs.toSeq.sortBy(e => (e.ts_ms, e.event_id)), state.getOption)
+        next.foreach { ns =>
+          state.update(ns)
+          idleTimeout.foreach(state.setTimeoutDuration)
+        }
+        rows.iterator
+      }
   }
 
   /** Per-user running maximum emitted per event — the custom-state
@@ -352,25 +393,14 @@ object GraftStreams {
   def runningMax(events: Dataset[Event],
       idleTimeout: Option[String] = None): DataFrame = {
     import events.sparkSession.implicits._
-    val timeoutConf = if (idleTimeout.isDefined)
-      GroupStateTimeout.ProcessingTimeTimeout() else GroupStateTimeout.NoTimeout()
-    events.groupByKey(_.user_id)
-      .flatMapGroupsWithState[Double, (Long, Long, Double)](
-        OutputMode.Append(), timeoutConf) {
-        case (uid, evs, state: GroupState[Double]) =>
-          if (state.hasTimedOut) {
-            state.remove()
-            Iterator.empty
-          } else {
-            var cur = state.getOption.getOrElse(Double.MinValue)
-            val rows = evs.toSeq.sortBy(e => (e.ts_ms, e.event_id)).map { e =>
-              cur = math.max(cur, e.value)
-              (uid, e.event_id, cur)
-            }
-            state.update(cur)
-            idleTimeout.foreach(state.setTimeoutDuration)
-            rows.iterator
-          }
-      }.toDF("user_id", "event_id", "running_max")
+    idleEvictingByUser[Double, (Long, Long, Double)](events, idleTimeout) {
+      (uid, sortedEvs, prior) =>
+        var cur = prior.getOrElse(Double.MinValue)
+        val rows = sortedEvs.map { e =>
+          cur = math.max(cur, e.value)
+          (uid, e.event_id, cur)
+        }
+        (Some(cur), rows)
+    }.toDF("user_id", "event_id", "running_max")
   }
 }

@@ -69,10 +69,11 @@ class StreamRestartSpec extends SparkSpec {
 
     // Run 2 from the SAME checkpoint: user 7's purchase must advance to
     // stage 3 (the recovered state knows the click time), stages 1-2
-    // must not re-emit, and a pre-click-time purchase for user 8's
-    // fresh view chain must respect strict ordering.
+    // must not re-emit, and user 8's click at the SAME ms as their
+    // fresh view must be rejected by the strict (>) stage ordering.
     val q2 = start()
-    mem.addData(ev(4, t0 + 2000, 7, "purchase"), ev(5, t0 + 3000, 8, "view"))
+    mem.addData(ev(4, t0 + 2000, 7, "purchase"), ev(5, t0 + 3000, 8, "view"),
+      ev(6, t0 + 3000, 8, "click"))
     q2.processAllAvailable()
     q2.stop()
 
@@ -82,5 +83,52 @@ class StreamRestartSpec extends SparkSpec {
     assert(rows == Set((7L, 1, t0), (7L, 2, t0 + 1000), (7L, 3, t0 + 2000),
       (8L, 1, t0 + 3000)),
       s"wrong transitions across restart: $rows")
+  }
+
+  test("funnelTransitions idle eviction contract (TestGroupState — no live query)") {
+    // A ProcessingTimeTimeout query schedules continuous no-data
+    // batches to fire timeouts, so a wall-clock eviction test spins;
+    // instead drive the exact per-key handler the query installs
+    // through Spark's TestGroupState harness.
+    import org.apache.spark.api.java.Optional
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    val t0 = 1700000000000L
+    val stages = Seq("view", "click")
+    val fn = GraftStreams.idleEvictingFunc[Seq[Long], (Long, Int, String, Long)](
+      Some("1 second"))(GraftStreams.funnelFold(stages))
+    def ev(id: Long, ms: Long, tp: String) =
+      graft.streaming.Event(id, ms, 7L, tp, 1.0)
+
+    // 1: fresh user reaches stage 1 → state written, idle timeout armed.
+    val s1 = TestGroupState.create[Seq[Long]](Optional.empty(),
+      GroupStateTimeout.ProcessingTimeTimeout(), 1000L, Optional.empty(), false)
+    val out1 = fn(7L, Iterator(ev(1, t0, "view")), s1).toSeq
+    assert(out1 == Seq((7L, 1, "view", t0)), s"stage-1 emit: $out1")
+    assert(s1.isUpdated && s1.getTimeoutTimestampMs.get == 2000L,
+      "state not written or timeout not armed at batch time + 1s")
+
+    // 2: noise user (no stage-1 match) → NO state row, NO timeout —
+    // unbounded domains don't accumulate entries for funnel-less users.
+    val s2 = TestGroupState.create[Seq[Long]](Optional.empty(),
+      GroupStateTimeout.ProcessingTimeTimeout(), 1000L, Optional.empty(), false)
+    val out2 = fn(8L, Iterator(ev(2, t0, "click")), s2).toSeq
+    assert(out2.isEmpty && !s2.isUpdated && !s2.getTimeoutTimestampMs.isPresent,
+      "noise user leaked state or a timeout registration")
+
+    // 3: timed-out invocation → state removed, nothing emitted.
+    val s3 = TestGroupState.create[Seq[Long]](Optional.of(Seq(t0)),
+      GroupStateTimeout.ProcessingTimeTimeout(), 5000L, Optional.empty(), true)
+    val out3 = fn(7L, Iterator.empty, s3).toSeq
+    assert(out3.isEmpty && s3.isRemoved, "timed-out state not removed")
+
+    // 4: the user returns AFTER eviction: a click (stage 2 of the old
+    // funnel) emits nothing from empty state; a later view restarts
+    // the funnel at stage 1.
+    val s4 = TestGroupState.create[Seq[Long]](Optional.empty(),
+      GroupStateTimeout.ProcessingTimeTimeout(), 9000L, Optional.empty(), false)
+    val out4 = fn(7L, Iterator(ev(3, t0 + 2000, "click"), ev(4, t0 + 3000, "view")),
+      s4).toSeq
+    assert(out4 == Seq((7L, 1, "view", t0 + 3000)),
+      s"post-eviction funnel did not restart at stage one: $out4")
   }
 }
