@@ -82,6 +82,47 @@ object EtlQueries {
         .agg(count(lit(1)).as("n_events"), min(col("ms")).as("start_ms"),
           max(col("ms")).as("end_ms"))
         .orderBy("user_id", "island")
+    }),
+
+    // SCD Type-2 history build (the round-5 verdict's ranked ask #2): the
+    // gaps-islands change runs above, composed one window further into
+    // validity intervals — per user, each maximal run of the same
+    // event_type becomes a versioned history row with
+    // [effective_from, effective_to) bounds and an is_current flag
+    // (effective_to = next version's effective_from via lead(); NULL =
+    // open interval = current). This is the standard warehouse Type-2
+    // shape: an upsert against it closes the current row and appends the
+    // new version — exactly what `etl_upsert_type1` + this key compose
+    // to.
+    //
+    // Scale: both windows and the island agg partition by user_id only —
+    // per-key state, no global ordering; ONE shuffle on user_id serves
+    // the change-flag window, the island agg, and the lead() window
+    // (same partitioning reused across stages).
+    "etl_scd2_history" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ms"), col("event_id"))
+      val wv = Window.partitionBy(col("user_id")).orderBy(col("version"))
+      val e = events(s, dir).select(col("user_id"), col("event_id"),
+        col("event_type"),
+        unix_millis(col("ts").cast("timestamp")).as("ms"))
+      e.withColumn("chg",
+          when(lag(col("event_type"), 1).over(w) === col("event_type"), 0)
+            .otherwise(1))
+        .withColumn("version", sum(col("chg"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("version"),
+          col("event_type").as("state"))
+        .agg(min(col("ms")).as("effective_from"),
+          count(lit(1)).as("n_events"))
+        .withColumn("effective_to",
+          lead(col("effective_from"), 1).over(wv))
+        .withColumn("is_current",
+          when(col("effective_to").isNull, 1L).otherwise(0L))
+        .select(col("user_id"), col("version"), col("state"),
+          col("effective_from"), col("effective_to"), col("is_current"),
+          col("n_events"))
+        .orderBy("user_id", "version")
     })
   )
 
@@ -115,6 +156,26 @@ object EtlQueries {
         |  FROM flagged)
         |SELECT user_id, CAST(island AS BIGINT) AS island, event_type,
         |  count(*) AS n_events, min(ms) AS start_ms, max(ms) AS end_ms
-        |FROM isl GROUP BY 1, 2, 3 ORDER BY user_id, island""".stripMargin
+        |FROM isl GROUP BY 1, 2, 3 ORDER BY user_id, island""".stripMargin,
+    "etl_scd2_history" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_ms(ts) AS ms
+        |  FROM events),
+        |flagged AS (SELECT *, CASE WHEN lag(event_type, 1) OVER w = event_type
+        |    THEN 0 ELSE 1 END AS chg
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)),
+        |isl AS (SELECT *, SUM(chg) OVER (PARTITION BY user_id
+        |    ORDER BY ms, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS version
+        |  FROM flagged),
+        |hist AS (SELECT user_id, CAST(version AS BIGINT) AS version,
+        |    event_type AS state, min(ms) AS effective_from,
+        |    count(*) AS n_events
+        |  FROM isl GROUP BY 1, 2, 3)
+        |SELECT user_id, version, state, effective_from,
+        |  lead(effective_from, 1) OVER w2 AS effective_to,
+        |  CASE WHEN lead(effective_from, 1) OVER w2 IS NULL THEN 1 ELSE 0
+        |    END AS is_current, n_events
+        |FROM hist WINDOW w2 AS (PARTITION BY user_id ORDER BY version)
+        |ORDER BY user_id, version""".stripMargin
   )
 }

@@ -147,9 +147,22 @@ object GraftStreams {
     * (EliminateEventTimeWatermark), so the SAME function is the batch
     * declaration — batch/stream parity by construction, asserted in
     * StreamingParitySpec.
+    *
+    * `joinType = "left_outer"` adds the semantics people actually debug
+    * in production stream-stream joins: a left row with NO in-interval
+    * right match is emitted null-padded (r_id, lag_ms = NULL) — but only
+    * once the watermark passes `l_ts + within`, because until then a
+    * match could still arrive. Matched rows still emit immediately; the
+    * padded row is the thing that waits for expiry. State bounds are the
+    * inner join's (the outer form holds no extra state — it emits the
+    * padding at exactly the moment the inner form would have discarded
+    * the row). On a batch frame this is a plain left-outer range join,
+    * so the padded rows appear with no delay — same result set, parity
+    * asserted incl. padding in StreamingParitySpec.
     */
   def intervalJoin(left: DataFrame, right: DataFrame, key: String,
-      within: String = "1 hour", watermark: String = "1 hour"): DataFrame = {
+      within: String = "1 hour", watermark: String = "1 hour",
+      joinType: String = "inner"): DataFrame = {
     val l = left.withWatermark("ts", watermark)
       .select(col("event_id").as("l_id"), col(key).as("l_key"),
         col("ts").as("l_ts"))
@@ -158,7 +171,7 @@ object GraftStreams {
         col("ts").as("r_ts"))
     l.join(r, col("l_key") === col("r_key")
         && col("r_ts") >= col("l_ts")
-        && col("r_ts") <= col("l_ts") + expr(s"INTERVAL $within"))
+        && col("r_ts") <= col("l_ts") + expr(s"INTERVAL $within"), joinType)
       .select(col("l_id"), col("r_id"), col("l_key").as(key),
         (unix_millis(col("r_ts").cast("timestamp"))
           - unix_millis(col("l_ts").cast("timestamp"))).as("lag_ms"))
@@ -340,10 +353,13 @@ object GraftStreams {
     * [[runningMax]] — one copy of the contract both scaladocs describe.
     * `fold` sees the user's trigger rows pre-sorted by (ts_ms,
     * event_id) plus the prior state and returns (next state, output
-    * rows); returning None stores nothing and arms no timeout (the
-    * key leaves no state-store row). With `idleTimeout` set, a key
-    * idle that long is evicted on a later trigger (hasTimedOut →
-    * remove) and a returning user starts from empty state. */
+    * rows); returning None means "keep no state for this key" — it
+    * stores nothing, arms no timeout, and REMOVES any state a prior
+    * trigger stored (without the remove, stale state would survive
+    * under its old timeout timestamp and could be evicted
+    * mid-activity). With `idleTimeout` set, a key idle that long is
+    * evicted on a later trigger (hasTimedOut → remove) and a returning
+    * user starts from empty state. */
   private def idleEvictingByUser[S: org.apache.spark.sql.Encoder,
       O: org.apache.spark.sql.Encoder](events: Dataset[Event],
       idleTimeout: Option[String])(
@@ -369,9 +385,15 @@ object GraftStreams {
       } else {
         val (next, rows) = fold(uid,
           evs.toSeq.sortBy(e => (e.ts_ms, e.event_id)), state.getOption)
-        next.foreach { ns =>
-          state.update(ns)
-          idleTimeout.foreach(state.setTimeoutDuration)
+        next match {
+          case Some(ns) =>
+            state.update(ns)
+            idleTimeout.foreach(state.setTimeoutDuration)
+          case None =>
+            // Fold contract: None = keep no state. Drop a prior
+            // trigger's state rather than leaving it live under a stale
+            // timeout (it would otherwise evict mid-activity later).
+            if (state.exists) state.remove()
         }
         rows.iterator
       }

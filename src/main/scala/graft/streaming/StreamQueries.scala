@@ -84,6 +84,22 @@ object StreamQueries {
         .orderBy("l_id", "r_id")
     }),
 
+    // LEFT-OUTER stream-stream interval join (round-5 verdict ask #3):
+    // same GraftStreams.intervalJoin, joinType = left_outer — clicks
+    // with no purchase within the hour surface null-padded instead of
+    // vanishing. In streaming the padded row emits only after the
+    // watermark passes click.ts + 1h (a match could still arrive until
+    // then); on this batch frame the padding is immediate — identical
+    // result set, parity incl. the padded rows in StreamingParitySpec.
+    "stream_interval_join_outer" -> ((s, dir) => {
+      val e = events(s, dir)
+      GraftStreams.intervalJoin(
+          e.filter(col("event_type") === "click"),
+          e.filter(col("event_type") === "purchase"),
+          key = "user_id", within = "1 hour", joinType = "left_outer")
+        .orderBy(col("l_id"), col("r_id"))
+    }),
+
     // Per-user running max emitted per event (streaming face:
     // flatMapGroupsWithState with a max register per key).
     "stream_stateful_runningmax" -> ((s, dir) => {
@@ -135,6 +151,16 @@ object StreamQueries {
         |FROM events c JOIN events p ON c.user_id = p.user_id
         |  AND c.event_type = 'click' AND p.event_type = 'purchase'
         |  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
-        |ORDER BY l_id, r_id""".stripMargin
+        |ORDER BY l_id, r_id""".stripMargin,
+    // NULLS FIRST pins DuckDB's null placement to Spark's asc default
+    // (nulls first) — a padded row and a matched row can share an l_id.
+    "stream_interval_join_outer" ->
+      """SELECT c.event_id AS l_id, p.event_id AS r_id, c.user_id,
+        |  epoch_ms(p.ts) - epoch_ms(c.ts) AS lag_ms
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  ON c.user_id = p.user_id
+        |  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+        |ORDER BY l_id, r_id NULLS FIRST""".stripMargin
   )
 }

@@ -130,5 +130,18 @@ class StreamRestartSpec extends SparkSpec {
       s4).toSeq
     assert(out4 == Seq((7L, 1, "view", t0 + 3000)),
       s"post-eviction funnel did not restart at stage one: $out4")
+
+    // 5: a fold returning None for a key WITH stored state must remove
+    // it — not leave it live under the old timeout timestamp (where it
+    // would be evicted mid-activity later). The shipped folds never hit
+    // this branch (they return Some whenever prior state exists), so
+    // drive it with a state-dropping fold directly.
+    val dropAll = GraftStreams.idleEvictingFunc[Seq[Long], (Long, Int, String, Long)](
+      Some("1 second"))((_, _, _) => (None, Seq.empty))
+    val s5 = TestGroupState.create[Seq[Long]](Optional.of(Seq(t0)),
+      GroupStateTimeout.ProcessingTimeTimeout(), 5000L, Optional.of(6000L), false)
+    val out5 = dropAll(7L, Iterator(ev(5, t0 + 4000, "view")), s5).toSeq
+    assert(out5.isEmpty && s5.isRemoved,
+      "fold returning None with existing state must remove the stale state row")
   }
 }

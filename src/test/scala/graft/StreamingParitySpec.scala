@@ -212,6 +212,54 @@ class StreamingParitySpec extends SparkSpec {
     assertSameRows(spark.table("ivjoin"), batch, Seq("l_id", "r_id"))
   }
 
+  test("LEFT-OUTER interval join: padded rows emit on watermark expiry, == batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val memL = MemoryStream[Event]
+    val memR = MemoryStream[Event]
+    def withTs(df: DataFrame) = df.withColumn("ts", timestamp_millis(col("ts_ms")))
+    val joined = GraftStreams.intervalJoin(
+      withTs(memL.toDF()), withTs(memR.toDF()), key = "user_id",
+      within = "1 hour", joinType = "left_outer")
+    val query = joined.writeStream.format("memory").queryName("ivouter")
+      .outputMode(OutputMode.Append()).start()
+    val clicks = evRows.filter(_.event_type == "click").sortBy(e => (e.ts_ms, e.event_id))
+    val purchases = evRows.filter(_.event_type == "purchase").sortBy(e => (e.ts_ms, e.event_id))
+    val chunks = math.max(clicks.size / 4, 1)
+    clicks.grouped(chunks).zipAll(purchases.grouped(chunks), Nil, Nil).foreach {
+      case (lc, rc) =>
+        if (lc.nonEmpty) memL.addData(lc)
+        if (rc.nonEmpty) memR.addData(rc)
+        query.processAllAvailable()
+    }
+    // Padded rows for expired clicks need the GLOBAL watermark (min over
+    // both inputs) past click.ts + 1h: push BOTH sides far past the last
+    // fixture event with sentinel rows, twice so the watermark advance
+    // from the first sentinel batch is acted on by a later batch.
+    val far = evRows.map(_.ts_ms).max + 7L * 24 * 3600 * 1000
+    Seq(far, far + 3600 * 1000L).zipWithIndex.foreach { case (ts, i) =>
+      memL.addData(Event(900000L + i, ts, 999999L, "click", 0.0))
+      memR.addData(Event(910000L + i, ts, 999999L, "purchase", 0.0))
+      query.processAllAvailable()
+    }
+    query.stop()
+    // The sentinel user's own rows (and any pairs among them) are not in
+    // the fixture batch — compare the fixture rows only.
+    val streamed = spark.table("ivouter").filter(col("user_id") =!= 999999L)
+    val batch = graft.streaming.StreamQueries
+      .queries("stream_interval_join_outer")(spark, sf)
+    assertSameRows(streamed, batch, Seq("l_id", "r_id"))
+    // The outer form must actually pad: unmatched clicks surface with a
+    // null r_id, and every padded l_id is absent from the inner result.
+    val padded = streamed.filter(col("r_id").isNull)
+    assert(padded.count() > 0, "no null-padded rows emitted after expiry")
+    val innerIds = StreamQueriesRef.intervalJoin(spark, sf)
+      .select("l_id").distinct().collect().map(_.getLong(0)).toSet
+    val paddedIds = padded.select("l_id").collect().map(_.getLong(0)).toSet
+    assert(paddedIds.intersect(innerIds).isEmpty,
+      "a click with a real match also emitted a padded row")
+  }
+
   test("interval join state is bounded: left rows evict past ts + within") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
