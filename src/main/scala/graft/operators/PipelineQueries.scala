@@ -269,6 +269,42 @@ object PipelineQueries {
         .orderBy("probe_id", "rk")
     }),
 
+    // UNSUPERVISED IVF ANN (round-6, the r5 verdict's top ask): same
+    // probe-pruning shape as sim_ann_ivf, but the coarse clusters come
+    // from deterministic k-means (graft.operators.KMeans: hash-sampled
+    // init, 5 fixed Lloyd iterations, decimal-exact means) instead of
+    // the fixture's label column — the honest path for a real corpus,
+    // which has no labels. nprobe=2 of k=8 learned cells per probe;
+    // exhaustive cosine only inside those cells. Assignment and probe
+    // routing are MAP-SIDE (centroids fold in as literals); the one
+    // data shuffle is the c-keyed candidate join, against a vector
+    // table that at 100 TB is pre-partitioned by cell. Deterministic
+    // end-to-end but not SQL-expressible (iterative Lloyd) → no oracle
+    // per the §2.11 sketch convention; KMeansSpec pins determinism
+    // across partitionings + recall vs exact kNN, SelectivitySpec the
+    // candidate fraction.
+    "sim_ann_kmeans" -> ((s, dir) => {
+      val vecs = t(s, dir, "embeddings")
+        .select(col("vec_id").as("id"),
+          col("embedding").cast("array<double>").as("v"))
+      val cents = KMeans.fit(vecs, k = 8, iters = 5)
+      val assigned = KMeans.assign(vecs, cents)
+        .select(col("id").as("vec_id"), col("c"), col("v"))
+      val probes = vecs.filter(col("id") < 10)
+        .select(col("id").as("probe_id"), col("v").as("p"),
+          explode(KMeans.nearestK(cents, col("v"), 2)).as("c"))
+      val wK = Window.partitionBy("probe_id")
+        .orderBy(col("cos").desc, col("vec_id"))
+      probes.join(assigned, Seq("c"))
+        .filter(col("vec_id") =!= col("probe_id"))
+        .withColumn("cos", ArrayDot(col("p"), col("v"))
+          / (sqrt(ArrayDot(col("p"), col("p"))) * sqrt(ArrayDot(col("v"), col("v")))))
+        .withColumn("rk", row_number().over(wK)).filter(col("rk") <= 5)
+        .select(col("probe_id"), col("vec_id"), r4d(col("cos")).as("cos"),
+          col("rk").cast("long").as("rk"))
+        .orderBy("probe_id", "rk")
+    }),
+
     // Multimodal binary-column plumbing: opaque bytes + typed metadata.
     // The real decode (image/audio libs absent here) is a deterministic
     // stub; the Spark-side schema/derivations are real. See

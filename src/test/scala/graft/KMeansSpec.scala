@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.ArrayDot
+import graft.operators.KMeans
+
+/** Contract locks for the deterministic k-means IVF path (SURVEY §2.21,
+  * the round-5 verdict's top ask): replayability across partitionings,
+  * cluster recovery on a corpus with real angular structure, and ANN
+  * recall vs exact kNN on both the clustered corpus and the REAL
+  * fixture.
+  */
+class KMeansSpec extends SparkSpec {
+
+  /** 6 exactly-orthogonal cluster directions in dim 64 (same
+    * construction as SelectivitySpec's clustered corpus): center k is
+    * 1/√8 on its own 8-dim support, members = center + 0.05·hash-noise. */
+  private def clustered(c: Int, per: Int): DataFrame =
+    spark.range(c.toLong * per).select(col("id"),
+      expr(s"""transform(sequence(0, 63), d ->
+        |  if(d >= 8 * cast(id % $c as int)
+        |     and d < 8 * cast(id % $c as int) + 8, 0.35355D, 0.0D)
+        |  + 0.05D * (pmod(hash(cast(id as int), d, 13), 1000) / 500.0D - 1.0D)
+        |)""".stripMargin).as("v"))
+
+  private def fixtureVecs: DataFrame =
+    Tables.t(spark, sf, "embeddings")
+      .select(col("vec_id").as("id"),
+        col("embedding").cast("array<double>").as("v"))
+
+  test("fit is deterministic across partitionings (replayable index)") {
+    val base = clustered(6, 40)
+    val a = KMeans.fit(base.repartition(3), k = 6, iters = 4)
+    val b = KMeans.fit(base.repartition(11), k = 6, iters = 4)
+    assert(a == b, "k-means centroids depend on the physical partitioning")
+    val c = KMeans.fit(base.repartition(7), k = 6, iters = 4)
+    assert(a == c, "k-means centroids differ across a third partitioning")
+  }
+
+  test("clustered corpus: no generating cluster is torn across cells") {
+    val vecs = clustered(6, 40)
+    val cents = KMeans.fit(vecs, k = 6, iters = 5)
+    // Cohesion: every generating cluster must land (almost) wholly in
+    // ONE learned cell. Merging two whole clusters into a cell would be
+    // benign for IVF (probes still find the whole cluster in one
+    // place); TEARING a tight orthogonal cluster across cells is what
+    // would break the probe-pruning contract — and is exactly what the
+    // pre-Gonzalez hash-draw init did (cohesion 0.55, two seeds in one
+    // cluster). Farthest-first seeding is the fix this test pins.
+    val cohesion = KMeans.assign(vecs, cents)
+      .withColumn("truth", col("id") % 6)
+      .groupBy("truth", "c").count()
+      .groupBy("truth").agg((max("count") / sum("count")).as("share"))
+      .agg(min("share")).head().getDouble(0)
+    assert(cohesion > 0.95, s"a generating cluster is torn across cells: $cohesion")
+  }
+
+  /** IVF search through the learned cells: nprobe nearest cells per
+    * probe, exhaustive cosine inside, top-k. Returns (probe_id, vec_id)
+    * result pairs. */
+  private def ivfTopK(vecs: DataFrame, cents: Seq[Seq[Double]],
+      nprobe: Int, k: Int): Set[(Long, Long)] = {
+    val assigned = KMeans.assign(vecs, cents)
+      .select(col("id").as("vec_id"), col("c"), col("v").as("w"))
+    val probes = vecs.filter(col("id") < 10)
+      .select(col("id").as("probe_id"), col("v").as("p"),
+        explode(KMeans.nearestK(cents, col("v"), nprobe)).as("c"))
+    val wK = org.apache.spark.sql.expressions.Window
+      .partitionBy("probe_id").orderBy(col("cos").desc, col("vec_id"))
+    probes.join(assigned, Seq("c"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("cos", ArrayDot(col("p"), col("w"))
+        / (sqrt(ArrayDot(col("p"), col("p"))) * sqrt(ArrayDot(col("w"), col("w")))))
+      .withColumn("rk", row_number().over(wK)).filter(col("rk") <= k)
+      .select("probe_id", "vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+  }
+
+  private def exactTopK(vecs: DataFrame, k: Int): Set[(Long, Long)] = {
+    val wK = org.apache.spark.sql.expressions.Window
+      .partitionBy("probe_id").orderBy(col("cos").desc, col("vec_id"))
+    vecs.filter(col("id") < 10)
+      .select(col("id").as("probe_id"), col("v").as("p"))
+      .crossJoin(vecs.select(col("id").as("vec_id"), col("v").as("w")))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("cos", ArrayDot(col("p"), col("w"))
+        / (sqrt(ArrayDot(col("p"), col("p"))) * sqrt(ArrayDot(col("w"), col("w")))))
+      .withColumn("rk", row_number().over(wK)).filter(col("rk") <= k)
+      .select("probe_id", "vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+  }
+
+  test("clustered corpus: IVF(nprobe=2 of 6) recall vs exact kNN >= 0.9") {
+    val vecs = clustered(6, 40)
+    val cents = KMeans.fit(vecs, k = 6, iters = 5)
+    val got = ivfTopK(vecs, cents, nprobe = 2, k = 5)
+    val want = exactTopK(vecs, k = 5)
+    val recall = got.intersect(want).size.toDouble / want.size
+    assert(recall >= 0.9, s"clustered IVF recall $recall (${got.size} vs ${want.size})")
+  }
+
+  test("REAL fixture: sim_ann_kmeans recall vs exact kNN (isotropic floor)") {
+    // The fixture embeddings are near-isotropic (max pairwise cos 0.51,
+    // SURVEY §2.18): learned cells carry little angular signal, so
+    // nprobe=2 of 8 approaches its 25%-of-corpus floor. The pin is the
+    // honest contract — ANN on unclusterable data degrades to ~scan
+    // fraction, and beats it only by what little structure exists.
+    val vecs = fixtureVecs
+    val cents = KMeans.fit(vecs, k = 8, iters = 5)
+    val got = ivfTopK(vecs, cents, nprobe = 2, k = 5)
+    val want = exactTopK(vecs, k = 5)
+    val recall = got.intersect(want).size.toDouble / want.size
+    // Measured 0.62 on this fixture (deterministic; farthest-first
+    // init — the hash-draw init scored 0.46) — comfortably above the
+    // ~25% blind-scan floor, pinned with margin for regeneration.
+    assert(recall >= 0.5, s"fixture IVF recall $recall below the measured 0.62 pin")
+    info(s"fixture recall: $recall")
+  }
+
+  test("declared key shape: 5 neighbors per probe, deterministic re-run") {
+    val q = graft.operators.PipelineQueries.queries("sim_ann_kmeans")
+    val a = q(spark, sf).collect()
+    assert(a.length == 50, s"expected 10 probes x 5 neighbors, got ${a.length}")
+    val b = q(spark, sf).collect()
+    assert(a.toSeq == b.toSeq, "sim_ann_kmeans not replay-deterministic")
+  }
+}

@@ -277,4 +277,38 @@ class SelectivitySpec extends SparkSpec {
     assert(lsh.subsetOf(exact),
       s"LSH emitted non-pairs: ${(lsh -- exact).take(3)}")
   }
+
+  test("k-means IVF: candidate fraction ≪ all-pairs (clustered corpus + REAL fixture)") {
+    import graft.operators.KMeans
+    // Candidates scanned per probe = the population of its nprobe=2
+    // probed cells — the IVF prune the sim_ann_kmeans key rides on.
+    def scanFraction(vecs: DataFrame, k: Int): Double = {
+      val cents = KMeans.fit(vecs, k, iters = 5)
+      val sizes = KMeans.assign(vecs, cents).groupBy("c").count()
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val n = vecs.count()
+      val probed = vecs.filter(col("id") < 10)
+        .select(explode(KMeans.nearestK(cents, col("v"), 2)).as("c"),
+          col("id"))
+        .collect().groupBy(_.getLong(1))
+        .map { case (_, rows) => rows.map(r => sizes(r.getInt(0))).sum }
+      probed.sum.toDouble / (probed.size * n)
+    }
+    val clusteredVecs = spark.range(240).select(col("id"),
+      expr("""transform(sequence(0, 63), d ->
+        |  if(d >= 8 * cast(id % 6 as int)
+        |     and d < 8 * cast(id % 6 as int) + 8, 0.35355D, 0.0D)
+        |  + 0.05D * (pmod(hash(cast(id as int), d, 13), 1000) / 500.0D - 1.0D)
+        |)""".stripMargin).as("v"))
+    val fc = scanFraction(clusteredVecs, k = 6)
+    assert(fc < 0.5, s"clustered k-means IVF scans $fc of the corpus per probe")
+    val fixture = Tables.t(spark, sf, "embeddings")
+      .select(col("vec_id").as("id"),
+        col("embedding").cast("array<double>").as("v"))
+    val ff = scanFraction(fixture, k = 8)
+    // Isotropic fixture: cells are balanced-ish, so nprobe/k = 25% is
+    // the natural scan fraction; the pin allows skewed cells but keeps
+    // the claim "a probe touches a fraction, not the corpus" honest.
+    assert(ff < 0.6, s"fixture k-means IVF scans $ff of the corpus per probe")
+  }
 }
