@@ -1,8 +1,10 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables.t
+import graft.Det.r4d
 
 /** §2.17 Corpus-curation operators (SURVEY.md, round-4 amendment) — the
   * two training-data steps the §2.9/§2.12 dedup stack doesn't cover:
@@ -83,6 +85,57 @@ object CurationQueries {
         .orderBy("doc_id")
     }),
 
+    // THE query a real curation user runs (round-5 verdict ask #4): one
+    // plan composing language ID + quality score + exact-dup survivor
+    // selection + benchmark decontamination into a per-doc keep/drop
+    // verdict with the first failing rule as the reason. Rules, in
+    // precedence order: (1) exact duplicate loser (canonical token-set
+    // fingerprint, survivor = min doc_id — dedup_exact_text's
+    // definition); (2) contaminated (any 5-gram shared with the
+    // benchmark set, text_decontaminate's rule); (3) low quality
+    // (composite score < 0.65 — drops the bottom ~6% of this corpus);
+    // (4) off-target language (pipeline targets an English corpus:
+    // pred_lang ≠ 'en'). Every branch is non-vacuous at sf0.001/0.01/
+    // 0.1 (measured: 60/54/1056 dup, 2/1/14 contam, 36/29/364 quality,
+    // 325/318/2951 lang, 71/92/563 keep).
+    //
+    // Plan shape (PlanAuditSpec pins no-cartesian + broadcast probe):
+    // quality is map-side; the dup rank is one fp-keyed window; the
+    // contamination probe is the broadcast semi-join of
+    // text_decontaminate; langid is the shared keyed-join core; and
+    // every verdict column attaches back by doc_id-keyed joins — no
+    // join tree pathology, the whole thing is one linear plan over the
+    // documents scan.
+    "pipeline_curation_verdict" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val isBench = col("doc_id") % 97 === 0
+      val corpus = docs.filter(!isBench)
+      val wDup = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
+      val base = corpus.select(col("doc_id"), col("lang"),
+          r4d(PipelineQueries.qualityExpr(col("text"))).as("quality"),
+          md5(concat_ws(" ",
+            array_sort(array_distinct(split(col("text"), " "))))).as("fp"))
+        .withColumn("dup_rn", row_number().over(wDup))
+      val sh = shingles(docs, 5)
+      val bench = sh.filter(col("doc_id") % 97 === 0).select("sh").distinct()
+      val hits = sh.filter(col("doc_id") % 97 =!= 0)
+        .join(broadcast(bench), Seq("sh"))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
+      val pred = PipelineQueries.langidPred(docs)
+        .select(col("doc_id"), col("pred_lang"))
+      base.join(pred, Seq("doc_id"))
+        .join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("pred_lang"), col("quality"),
+          when(col("dup_rn") > 1, 1L).otherwise(0L).as("is_dup"),
+          coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+          when(col("dup_rn") > 1, "drop:dup")
+            .when(coalesce(col("n_overlap"), lit(0L)) > 0, "drop:contam")
+            .when(col("quality") < 0.65, "drop:quality")
+            .when(col("pred_lang") =!= "en", "drop:lang")
+            .otherwise("keep").as("verdict"))
+        .orderBy("doc_id")
+    }),
+
     // The 100 TB shuffle shape the raw-string variant's scaladoc
     // describes, as its own declared key: the dup-count exchange and the
     // membership join both key on xxhash64(window), so only slim
@@ -112,6 +165,56 @@ object CurationQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // The verdict oracle is the same CTE chain: the langid CTEs are
+    // text_langid's verbatim, the quality arithmetic
+    // text_quality_score's, the shingle CTEs text_decontaminate's, and
+    // the dup rank dedup_exact_text's fingerprint — so a divergence in
+    // any composed stage surfaces here even if the per-stage keys pass.
+    "pipeline_curation_verdict" ->
+      """WITH tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token FROM documents),
+        |lt AS (SELECT lang AS p_lang, token, count(*) AS ct FROM tok GROUP BY 1, 2),
+        |tot AS (SELECT lang AS p_lang, count(*) AS tot FROM tok GROUP BY 1),
+        |v AS (SELECT count(DISTINCT token) AS v FROM tok),
+        |prof AS (SELECT l.p_lang, tkn.token,
+        |    CAST(ln(CAST(COALESCE(ct, 0) + 1 AS DOUBLE) / (tot + v)) AS DECIMAL(38,8)) AS lnp
+        |  FROM (SELECT DISTINCT token FROM tok) tkn
+        |  CROSS JOIN (SELECT DISTINCT lang AS p_lang FROM documents) l
+        |  JOIN tot ON tot.p_lang = l.p_lang CROSS JOIN v
+        |  LEFT JOIN lt ON lt.p_lang = l.p_lang AND lt.token = tkn.token),
+        |scored AS (SELECT doc_id, lang, p_lang, SUM(lnp) AS score
+        |  FROM tok JOIN prof ON tok.token = prof.token GROUP BY 1, 2, 3),
+        |pred AS (SELECT doc_id, p_lang AS pred_lang FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY score DESC, p_lang) AS rn FROM scored) WHERE rn = 1),
+        |corpus AS (SELECT doc_id, lang, text FROM documents WHERE doc_id % 97 <> 0),
+        |q AS (SELECT doc_id, ROUND((0.4 * least(1.0, nt / 50.0)
+        |    + 0.3 * (1.0 - nstop / nt) + 0.3 * (nd / nt)) * 10000) / 10000 AS quality
+        |  FROM (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS nt,
+        |      CAST(len(list_filter(toks,
+        |        t -> t IN ('the','a','of','to','and','in'))) AS DOUBLE) AS nstop,
+        |      CAST(len(list_distinct(toks)) AS DOUBLE) AS nd
+        |    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus))),
+        |dup AS (SELECT doc_id, row_number() OVER (PARTITION BY
+        |    md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+        |    ORDER BY doc_id) AS dup_rn FROM corpus),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(len(toks) - 4), i -> array_to_string(toks[i+1:i+5], ' ')))) AS sh
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+        |  WHERE len(toks) >= 5),
+        |bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 97 = 0),
+        |hits AS (SELECT doc_id, count(*) AS n_overlap FROM sh JOIN bench USING (sh)
+        |         WHERE doc_id % 97 <> 0 GROUP BY 1)
+        |SELECT c.doc_id, pred_lang, quality,
+        |  CASE WHEN dup_rn > 1 THEN 1 ELSE 0 END AS is_dup,
+        |  coalesce(n_overlap, 0) AS n_overlap,
+        |  CASE WHEN dup_rn > 1 THEN 'drop:dup'
+        |       WHEN coalesce(n_overlap, 0) > 0 THEN 'drop:contam'
+        |       WHEN quality < 0.65 THEN 'drop:quality'
+        |       WHEN pred_lang <> 'en' THEN 'drop:lang'
+        |       ELSE 'keep' END AS verdict
+        |FROM corpus c JOIN pred USING (doc_id) JOIN q USING (doc_id)
+        |JOIN dup USING (doc_id) LEFT JOIN hits USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "text_decontaminate" ->
       """WITH sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
         |    range(len(toks) - 4), i -> array_to_string(toks[i+1:i+5], ' ')))) AS sh

@@ -77,43 +77,64 @@ object PipelineQueries {
       .select("i", "j", "si", "sj").distinct()
   }
 
+  /** Naive-Bayes language-prediction core shared by `text_langid` and
+    * `pipeline_curation_verdict`: per-lang Laplace-smoothed token
+    * profiles learned from the corpus itself, per-doc argmax. Returns
+    * (doc_id, lang, pred_lang, score: decimal). The profile join is
+    * KEYED, not hint-broadcast: on a bounded vocabulary Catalyst/AQE
+    * still picks broadcast from stats, but an open 100 TB-corpus
+    * vocabulary degrades gracefully to a shuffled join on token instead
+    * of OOMing the driver (same pattern as the minhash candidate
+    * re-join in TextQueries). */
+  private[graft] def langidPred(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"), col("lang"),
+      explode(split(col("text"), " ")).as("token"))
+    val lt = tok.groupBy(col("lang").as("p_lang"), col("token"))
+      .agg(count(lit(1)).as("ct"))
+    // tot / vocab / the distinct token list all derive from `lt` (the
+    // small grouped table) — bit-identical to re-aggregating `tok`,
+    // but the exploded corpus-wide token table is scanned ONCE for the
+    // model (plus once for scoring) instead of four times.
+    val tot = lt.groupBy(col("p_lang")).agg(sum(col("ct")).as("tot"))
+    val vocab = lt.agg(countDistinct(col("token")).as("v"))
+    val prof = lt.select("token").distinct()
+      .crossJoin(docs.select(col("lang").as("p_lang")).distinct())
+      .join(lt, Seq("p_lang", "token"), "left")
+      .join(tot, Seq("p_lang")).crossJoin(broadcast(vocab))
+      .select(col("p_lang"), col("token"),
+        log((coalesce(col("ct"), lit(0L)) + 1).cast("double")
+          / (col("tot") + col("v"))).cast("decimal(38,8)").as("lnp"))
+    val scored = tok.join(prof, Seq("token"))
+      .groupBy(col("doc_id"), col("lang"), col("p_lang"))
+      .agg(sum(col("lnp")).as("score"))
+    // Per-doc argmax via TopKPerGroup (k=1): one surviving row per doc
+    // straight out of the bounded heap — no window sort over the
+    // |docs|×|langs| scored table.
+    graft.plans.TopKPerGroup(scored, k = 1, partNames = Seq("doc_id"),
+        orderSpec = Seq(("score", false), ("p_lang", true)))
+      .select(col("doc_id"), col("lang"), col("p_lang").as("pred_lang"),
+        col("score"))
+  }
+
+  /** The composite quality score of `text_quality_score` as a reusable
+    * column (length + stopword-ratio + lexical-diversity mix), UNrounded
+    * — callers apply r4d at the output/decision edge. */
+  private[graft] def qualityExpr(text: Column): Column = {
+    val toks = split(text, " ")
+    val nt = size(toks).cast("double")
+    val nStop = size(filter(toks, tk => tk.isin(STOPWORDS: _*))).cast("double")
+    val nd = size(array_distinct(toks)).cast("double")
+    lit(0.4) * least(lit(1.0), nt / 50.0) +
+      lit(0.3) * (lit(1.0) - nStop / nt) + lit(0.3) * (nd / nt)
+  }
+
   val queries: Map[String, Q] = Map(
-    // Naive-Bayes language ID: per-lang token profiles (Laplace-smoothed,
-    // learned from the corpus itself), per-doc argmax score. The
-    // profile join is KEYED, not hint-broadcast: on a bounded vocabulary
-    // Catalyst/AQE still picks broadcast from stats, but an open
-    // 100 TB-corpus vocabulary degrades gracefully to a shuffled join on
-    // token instead of OOMing the driver (same pattern as the minhash
-    // candidate re-join in TextQueries).
+    // Naive-Bayes language ID over the shared prediction core (scale
+    // notes on langidPred above).
     "text_langid" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val tok = docs.select(col("doc_id"), col("lang"),
-        explode(split(col("text"), " ")).as("token"))
-      val lt = tok.groupBy(col("lang").as("p_lang"), col("token"))
-        .agg(count(lit(1)).as("ct"))
-      // tot / vocab / the distinct token list all derive from `lt` (the
-      // small grouped table) — bit-identical to re-aggregating `tok`,
-      // but the exploded corpus-wide token table is scanned ONCE for the
-      // model (plus once for scoring) instead of four times.
-      val tot = lt.groupBy(col("p_lang")).agg(sum(col("ct")).as("tot"))
-      val vocab = lt.agg(countDistinct(col("token")).as("v"))
-      val prof = lt.select("token").distinct()
-        .crossJoin(docs.select(col("lang").as("p_lang")).distinct())
-        .join(lt, Seq("p_lang", "token"), "left")
-        .join(tot, Seq("p_lang")).crossJoin(broadcast(vocab))
-        .select(col("p_lang"), col("token"),
-          log((coalesce(col("ct"), lit(0L)) + 1).cast("double")
-            / (col("tot") + col("v"))).cast("decimal(38,8)").as("lnp"))
-      val scored = tok.join(prof, Seq("token"))
-        .groupBy(col("doc_id"), col("lang"), col("p_lang"))
-        .agg(sum(col("lnp")).as("score"))
-      // Per-doc argmax via TopKPerGroup (k=1): one surviving row per doc
-      // straight out of the bounded heap — no window sort over the
-      // |docs|×|langs| scored table.
-      graft.plans.TopKPerGroup(scored, k = 1, partNames = Seq("doc_id"),
-          orderSpec = Seq(("score", false), ("p_lang", true)))
-        .select(col("doc_id"), col("lang"), col("p_lang").as("pred_lang"),
-          when(col("lang") === col("p_lang"), 1L).otherwise(0L).as("correct"),
+      langidPred(t(s, dir, "documents"))
+        .select(col("doc_id"), col("lang"), col("pred_lang"),
+          when(col("lang") === col("pred_lang"), 1L).otherwise(0L).as("correct"),
           r4d(col("score").cast("double")).as("score"))
         .orderBy("doc_id")
     }),
@@ -126,15 +147,13 @@ object PipelineQueries {
       val nd = size(array_distinct(toks)).cast("double")
       val stopRatio = nStop / nt
       val diversity = nd / nt
-      val lenScore = least(lit(1.0), nt / 50.0)
       t(s, dir, "documents").select(
         col("doc_id"),
         nt.cast("long").as("n_tokens"),
         nd.cast("long").as("n_distinct"),
         r4d(stopRatio).as("stop_ratio"),
         r4d(diversity).as("diversity"),
-        r4d(lit(0.4) * lenScore + lit(0.3) * (lit(1.0) - stopRatio)
-          + lit(0.3) * diversity).as("quality"))
+        r4d(qualityExpr(col("text"))).as("quality"))
         .orderBy("doc_id")
     }),
 

@@ -74,15 +74,16 @@ class InventorySpec extends SparkSpec {
     // §2.20 round-5 amendment: ETL mutation & history
     "etl_upsert_type1", "etl_gaps_islands",
     // §2.21 round-6 amendment: SCD2 history + outer interval join +
-    // unsupervised k-means IVF
+    // unsupervised k-means IVF + end-to-end curation verdict
     "etl_scd2_history", "stream_interval_join_outer", "sim_ann_kmeans",
+    "pipeline_curation_verdict",
     // §2.19 addendum: pure (no-equi-key) range join, binned
     "join_range_binned",
     // §2.20 addendum: corpus heavy hitters by document frequency
     "text_heavy_hitters")
 
-  test("declared queries cover SURVEY §2 + §2.12-21 exactly (123 keys)") {
-    assert(inventory.size == 123)
+  test("declared queries cover SURVEY §2 + §2.12-21 exactly (124 keys)") {
+    assert(inventory.size == 124)
     val declared = SparkEntry.queries.keySet
     val missing = inventory -- declared
     val extra = declared -- inventory

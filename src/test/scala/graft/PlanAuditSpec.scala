@@ -156,6 +156,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(2000))
   }
 
+  test("curation verdict composes in one linear plan: broadcast probe, no cartesian") {
+    // Four curation stages in one plan must not produce a pathological
+    // join tree: every verdict column attaches back doc_id-keyed, the
+    // benchmark probe stays broadcast, and nothing degenerates to a
+    // cartesian / nested-loop join (the langid crossJoins are one-row
+    // or 5-row broadcast frames — BroadcastNestedLoopJoin over a
+    // single-row side is the intended plan, a CartesianProduct never).
+    val p = plan("pipeline_curation_verdict")
+    assert(p.contains("BroadcastHashJoin"),
+      s"benchmark probe is not a broadcast join:\n${p.take(2000)}")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
   test("dim filter drives dynamic partition pruning of the fact scan") {
     // No literal lang predicate exists on the fact side — the scan's
     // PartitionFilters must carry a dynamicpruning expression fed from
