@@ -55,6 +55,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[SortedIntersectCount].getName, "sorted_intersect_count"),
       arity("sorted_intersect_count", 2)(exprs =>
         SortedIntersectCount(exprs(0), exprs(1)))))
+    // t-digest sketch aggregate: tdigest_quantile(x, q [, compression]).
+    e.injectFunction((new FunctionIdentifier("tdigest_quantile"),
+      new ExpressionInfo(classOf[graft.functions.TDigestQuantile].getName,
+        "tdigest_quantile"),
+      exprs => exprs.length match {
+        case 2 => new graft.functions.TDigestQuantile(exprs(0), exprs(1))
+        case 3 => graft.functions.TDigestQuantile(exprs(0), exprs(1), exprs(2))
+        case n => throw new IllegalArgumentException(
+          s"tdigest_quantile expects 2 or 3 arguments, got $n")
+      }))
   }
 }
 

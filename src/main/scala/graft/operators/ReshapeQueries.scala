@@ -88,6 +88,24 @@ object ReshapeQueries {
         .orderBy(col("l_returnflag"))
     }),
 
+    // The same sketch-quantile shape through the engine's OWN custom
+    // TypedImperativeAggregate (round-6): t-digest with the k₁ scale
+    // function, registered as SQL `tdigest_quantile` via
+    // GraftExtensions. Same two-phase plan as percentile_approx —
+    // O(δ)-centroid buffers per partition, kilobytes per group through
+    // the shuffle. Sketch ⇒ no oracle (§2.11 convention); TDigestSpec
+    // pins the rank-error band across partitionings, merge-order
+    // invariance, and run-to-run determinism.
+    "agg_tdigest_quantile" -> ((s, dir) => {
+      t(s, dir, "lineitem").groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          graft.functions.TDigestQuantile(col("l_extendedprice"), 0.5)
+            .as("p50_td"),
+          graft.functions.TDigestQuantile(col("l_extendedprice"), 0.95)
+            .as("p95_td"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // k docs per language, chosen by md5(doc_id) order — a deterministic
     // pseudo-random stratified sample through TopKPerGroupExec.
     "sample_stratified_hash" -> ((s, dir) => {

@@ -48,6 +48,14 @@ class ExtensionsSpec extends AnyFunSuite {
       // Implicit coercion: integer-array input is cast to array<double>.
       assert(s.sql("SELECT hyperplane_sig(array(1, -2)) = hyperplane_sig(array(1.0D, -2.0D))")
         .head().getBoolean(0))
+      // t-digest aggregate: exact on a set small enough to never merge
+      // centroids; 2-arg (default compression) and 3-arg forms.
+      val med = s.sql("SELECT tdigest_quantile(CAST(id AS DOUBLE), 0.5D) " +
+        "FROM range(0, 101)").head().getDouble(0)
+      assert(math.abs(med - 50.0) <= 1.0, s"tdigest median of 0..100: $med")
+      val med3 = s.sql("SELECT tdigest_quantile(CAST(id AS DOUBLE), 0.5D, 50) " +
+        "FROM range(0, 101)").head().getDouble(0)
+      assert(math.abs(med3 - 50.0) <= 2.0, s"tdigest(δ=50) median: $med3")
     } finally {
       // Tear down this context too: a later suite's session must not
       // silently inherit the extension-configured context.

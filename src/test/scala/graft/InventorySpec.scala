@@ -76,14 +76,14 @@ class InventorySpec extends SparkSpec {
     // §2.21 round-6 amendment: SCD2 history + outer interval join +
     // unsupervised k-means IVF + end-to-end curation verdict
     "etl_scd2_history", "stream_interval_join_outer", "sim_ann_kmeans",
-    "pipeline_curation_verdict",
+    "pipeline_curation_verdict", "agg_tdigest_quantile",
     // §2.19 addendum: pure (no-equi-key) range join, binned
     "join_range_binned",
     // §2.20 addendum: corpus heavy hitters by document frequency
     "text_heavy_hitters")
 
-  test("declared queries cover SURVEY §2 + §2.12-21 exactly (124 keys)") {
-    assert(inventory.size == 124)
+  test("declared queries cover SURVEY §2 + §2.12-21 exactly (125 keys)") {
+    assert(inventory.size == 125)
     val declared = SparkEntry.queries.keySet
     val missing = inventory -- declared
     val extra = declared -- inventory

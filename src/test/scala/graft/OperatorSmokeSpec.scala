@@ -25,7 +25,10 @@ class OperatorSmokeSpec extends SparkSpec {
       "dedup_simhash", "agg_approx_quantile",
       // iterative Lloyd is not SQL-expressible; KMeansSpec pins
       // determinism + recall, SelectivitySpec the candidate fraction
-      "sim_ann_kmeans"),
+      "sim_ann_kmeans",
+      // engine-pinned sketch (§2.11 convention); TDigestSpec pins the
+      // rank-error band, merge invariance, and determinism
+      "agg_tdigest_quantile"),
       s"unexpected oracle-less keys: $noOracle")
   }
 
