@@ -77,6 +77,20 @@ object KMeans {
       initSample: Int = 4096): Seq[Seq[Double]] = {
     require(k > 0 && iters >= 0, s"need k > 0, iters >= 0 (got $k, $iters)")
     require(initSample >= k, s"initSample ($initSample) must be >= k ($k)")
+    // The working set is read once per Lloyd iteration plus once for the
+    // init sample — cache the narrow (id, v) projection for the fit's
+    // lifetime (the standard iterative-ML pattern; MEMORY_AND_DISK so a
+    // corpus larger than cluster memory spills instead of OOMing, and
+    // uncached re-scan is only a performance cliff, never a correctness
+    // one). Released before returning.
+    val cached = vecs.select(col("id"), col("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try fitCached(cached, k, iters, initSample)
+    finally cached.unpersist(false)
+  }
+
+  private def fitCached(vecs: DataFrame, k: Int, iters: Int,
+      initSample: Int): Seq[Seq[Double]] = {
     val sample: Array[(Long, Array[Double])] = vecs
       .withColumn("h", xxhash64(col("id")))
       .orderBy(col("h"), col("id")).limit(initSample)

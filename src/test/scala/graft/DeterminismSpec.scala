@@ -21,11 +21,18 @@ class DeterminismSpec extends SparkSpec {
     // hist_equidepth is the sharpest case here: its buckets come from
     // GlobalRank's range exchange, whose partition COUNT changes with
     // this conf — cume = p/N must stay identical anyway.
+    // (agg_tdigest_quantile is deliberately absent: its estimate is
+    // partition-layout-DEPENDENT by design — different partials compress
+    // to different centroids; TDigestSpec pins the rank-error band
+    // across partitionings instead. sim_ann_kmeans covers the decimal
+    // centroid means + literal-folded assignment; the curation verdict
+    // covers the composed quality doubles + langid decimal scores.)
     for (q <- Seq("agg_groupby_pricing", "agg_stats", "sim_cosine_pairs",
       "stream_session_windows", "text_tfidf_topterm",
       "dedup_embedding_cosine", "win_moving_avg",
       "agg_percentiles", "pivot_wide",
-      "hist_equidepth", "ts_gapfill_daily", "funnel_stages")) {
+      "hist_equidepth", "ts_gapfill_daily", "funnel_stages",
+      "sim_ann_kmeans", "pipeline_curation_verdict")) {
       val a = rows(q, "3")
       val b = rows(q, "17")
       assert(a == b, s"$q diverged between 3 and 17 shuffle partitions " +
