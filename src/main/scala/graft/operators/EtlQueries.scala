@@ -123,6 +123,80 @@ object EtlQueries {
           col("effective_from"), col("effective_to"), col("is_current"),
           col("n_events"))
         .orderBy("user_id", "version")
+    }),
+
+    // INCREMENTAL SCD2 apply — the production form of the key above: a
+    // nightly batch does NOT re-window history, it reads the stored
+    // Type-2 table and applies only the new change slice. Composition:
+    // split the log at a cutoff (median timestamp here, a broadcast
+    // one-row agg); build history for the old slice; collapse each
+    // user's OPEN row into one weighted synthetic event (state,
+    // effective_from, weight = n_events — all an apply step needs from
+    // stored history); re-run gaps-islands over synthetic + new events
+    // only; renumber by the open row's version offset; closed rows pass
+    // through untouched. The oracle is the FULL-recompute CTE (same SQL
+    // as etl_scd2_history): incremental ≡ recompute is exactly the
+    // equivalence a production apply job must guarantee, and here the
+    // driver's hash compare pins it every round.
+    //
+    // Scale: closed history never re-shuffles beyond the final lead()
+    // window; the island re-window runs over open-rows + the new batch
+    // only (O(batch) rows, not O(history)); everything stays under the
+    // one user_id partitioning.
+    "etl_scd2_incremental" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ms"), col("event_id"))
+      val wv = Window.partitionBy(col("user_id")).orderBy(col("version"))
+      val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val e = events(s, dir).select(col("user_id"), col("event_id"),
+        col("event_type"),
+        unix_millis(col("ts").cast("timestamp")).as("ms"))
+      val bounds = e.agg(((min(col("ms")) + max(col("ms"))) / 2)
+        .cast("long").as("cut"))
+      val ec = e.crossJoin(broadcast(bounds))
+      val old = ec.filter(col("ms") <= col("cut")).drop("cut")
+      val fresh = ec.filter(col("ms") > col("cut")).drop("cut")
+      val hist = old
+        .withColumn("chg",
+          when(lag(col("event_type"), 1).over(w) === col("event_type"), 0)
+            .otherwise(1))
+        .withColumn("version", sum(col("chg")).over(run))
+        .groupBy(col("user_id"), col("version"),
+          col("event_type").as("state"))
+        .agg(min(col("ms")).as("effective_from"),
+          count(lit(1)).as("n_events"))
+        .withColumn("vmax",
+          max(col("version")).over(Window.partitionBy(col("user_id"))))
+      val open = hist.filter(col("version") === col("vmax"))
+      val closed = hist.filter(col("version") =!= col("vmax"))
+        .select(col("user_id"), col("version"), col("state"),
+          col("effective_from"), col("n_events"))
+      val synth = open.select(col("user_id"), lit(-1L).as("event_id"),
+        col("state").as("event_type"), col("effective_from").as("ms"),
+        col("n_events").as("wt"))
+      val replay = synth.unionByName(fresh.withColumn("wt", lit(1L)))
+        .withColumn("chg",
+          when(lag(col("event_type"), 1).over(w) === col("event_type"), 0)
+            .otherwise(1))
+        .withColumn("island", sum(col("chg")).over(run))
+        .groupBy(col("user_id"), col("island"),
+          col("event_type").as("state"))
+        .agg(min(col("ms")).as("effective_from"),
+          sum(col("wt")).as("n_events"))
+      val voff = open.select(col("user_id"), (col("version") - 1).as("voff"))
+      val rec = replay.join(voff, Seq("user_id"), "left")
+        .select(col("user_id"),
+          (col("island") + coalesce(col("voff"), lit(0L))).as("version"),
+          col("state"), col("effective_from"), col("n_events"))
+      closed.unionByName(rec)
+        .withColumn("effective_to",
+          lead(col("effective_from"), 1).over(wv))
+        .withColumn("is_current",
+          when(col("effective_to").isNull, 1L).otherwise(0L))
+        .select(col("user_id"), col("version"), col("state"),
+          col("effective_from"), col("effective_to"), col("is_current"),
+          col("n_events"))
+        .orderBy("user_id", "version")
     })
   )
 
@@ -158,6 +232,30 @@ object EtlQueries {
         |  count(*) AS n_events, min(ms) AS start_ms, max(ms) AS end_ms
         |FROM isl GROUP BY 1, 2, 3 ORDER BY user_id, island""".stripMargin,
     "etl_scd2_history" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_ms(ts) AS ms
+        |  FROM events),
+        |flagged AS (SELECT *, CASE WHEN lag(event_type, 1) OVER w = event_type
+        |    THEN 0 ELSE 1 END AS chg
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)),
+        |isl AS (SELECT *, SUM(chg) OVER (PARTITION BY user_id
+        |    ORDER BY ms, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS version
+        |  FROM flagged),
+        |hist AS (SELECT user_id, CAST(version AS BIGINT) AS version,
+        |    event_type AS state, min(ms) AS effective_from,
+        |    count(*) AS n_events
+        |  FROM isl GROUP BY 1, 2, 3)
+        |SELECT user_id, version, state, effective_from,
+        |  lead(effective_from, 1) OVER w2 AS effective_to,
+        |  CASE WHEN lead(effective_from, 1) OVER w2 IS NULL THEN 1 ELSE 0
+        |    END AS is_current, n_events
+        |FROM hist WINDOW w2 AS (PARTITION BY user_id ORDER BY version)
+        |ORDER BY user_id, version""".stripMargin,
+    // The incremental apply's oracle IS the full recompute — identical
+    // SQL to etl_scd2_history. That identity is the point: the
+    // incremental composition must be indistinguishable from
+    // re-windowing all of history.
+    "etl_scd2_incremental" ->
       """WITH e AS (SELECT user_id, event_id, event_type, epoch_ms(ts) AS ms
         |  FROM events),
         |flagged AS (SELECT *, CASE WHEN lag(event_type, 1) OVER w = event_type
