@@ -169,6 +169,37 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(2000))
   }
 
+  test("SCD2 history runs on ONE user_id hash exchange (windows + agg + lead reuse it)") {
+    // The scaladoc's scale claim, made falsifiable: the change-flag
+    // window, the island agg and the lead() window must all reuse the
+    // same user_id partitioning — HashPartitioning(user_id) satisfies
+    // the agg's ClusteredDistribution(user_id, version, state) because
+    // the expressions are a subset of the clustering. Only the final
+    // presentation sort may add its range exchange.
+    val p = plan("etl_scd2_history")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx == 1, s"expected 1 user_id hash exchange, got $hashEx:\n" +
+      p.split("\n").filter(_.contains("Exchange")).mkString("\n"))
+  }
+
+  test("incremental SCD2 apply: keyed joins only, no cartesian") {
+    // The one-row cutoff bound rides a broadcast nested loop (intended);
+    // a CartesianProduct would mean the version-offset or union joins
+    // degenerated.
+    val p = plan("etl_scd2_incremental")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("k-means ANN: assignment is literal-folded (no broadcast exchange feeds it), no cartesian") {
+    // fit() runs at plan-construction time; the declared key's PLAN is
+    // the probe search. Assignment/routing fold centroids in as
+    // literals, so the only joins are the c-keyed candidate join and
+    // the probes' — never a cartesian.
+    val p = plan("sim_ann_kmeans")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+  }
+
   test("dim filter drives dynamic partition pruning of the fact scan") {
     // No literal lang predicate exists on the fact side — the scan's
     // PartitionFilters must carry a dynamicpruning expression fed from
