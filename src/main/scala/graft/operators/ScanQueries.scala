@@ -174,6 +174,42 @@ object ScanQueries {
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     }),
 
+    // Z-ORDER layout (§2.21) — the third leg of storage design next to
+    // directory partitioning (scan_partition_prune) and bucketing
+    // (scan_bucket_join): lineitem rewritten range-partitioned + sorted
+    // on the Morton interleave of quantized (l_orderkey, l_partkey), so
+    // every file's min/max envelope is bounded in BOTH dimensions and a
+    // 2-D box predicate prunes files/row-groups on both columns — a
+    // single-column sort can only ever prune one (ZOrderSpec measures
+    // the per-file envelopes; PlanAuditSpec pins both columns' pushed
+    // filters on the read-back). The curve is a pure bit expression
+    // (ZOrder.zval) — the one-off layout write pays one range exchange,
+    // the same amortized cost model as the bucketed tables. Correctness
+    // is layout-independent by construction: the oracle runs the same
+    // box on the unsorted original.
+    "scan_zorder_prune" -> ((s, dir) => {
+      val zdir = s"${scratch(s, dir)}/zorder_li"
+      writeOnce(zdir) {
+        val li = t(s, dir, "lineitem")
+          .select("l_orderkey", "l_partkey", "l_quantity")
+        val b = li.agg(min("l_orderkey").as("omn"), max("l_orderkey").as("omx"),
+          min("l_partkey").as("pmn"), max("l_partkey").as("pmx"))
+        li.crossJoin(broadcast(b))
+          .withColumn("z", ZOrder.zval(
+            ZOrder.quantize(col("l_orderkey"), col("omn"), col("omx"), 16),
+            ZOrder.quantize(col("l_partkey"), col("pmn"), col("pmx"), 16),
+            16))
+          .repartitionByRange(8, col("z"))
+          .sortWithinPartitions("z")
+          .select("l_orderkey", "l_partkey", "l_quantity")
+          .write.mode("overwrite").parquet(zdir)
+      }
+      s.read.parquet(zdir)
+        .filter(col("l_orderkey").between(100, 700)
+          && col("l_partkey").between(20, 120))
+        .orderBy("l_orderkey", "l_partkey", "l_quantity")
+    }),
+
     // Dynamic partition pruning: the partitioned fact side is pruned at
     // RUNTIME by the dim side's filter (no literal lang predicate
     // anywhere on the fact side) — the scan's PartitionFilters must
@@ -212,6 +248,12 @@ object ScanQueries {
          |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "scan_schema_prune" ->
       "SELECT l_orderkey, l_linenumber FROM lineitem ORDER BY l_orderkey, l_linenumber",
+    // Layout-independent by construction: the same box over the
+    // unsorted original must equal the z-ordered read-back.
+    "scan_zorder_prune" ->
+      """SELECT l_orderkey, l_partkey, l_quantity FROM lineitem
+        |WHERE l_orderkey BETWEEN 100 AND 700 AND l_partkey BETWEEN 20 AND 120
+        |ORDER BY l_orderkey, l_partkey, l_quantity""".stripMargin,
     // Roundtrips are lossless → oracle reads the parquet directly.
     "scan_csv_roundtrip" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",

@@ -169,6 +169,24 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(2000))
   }
 
+  test("z-order read-back pushes both box predicates to the parquet scan") {
+    // Both dimensions' bounds must reach the scan as PushedFilters —
+    // that is what lets parquet file/row-group stats prune against the
+    // z-layout's bounded per-file envelopes. Formatted explain: the
+    // simple-string plan TRUNCATES long filter lists.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val p = try SparkEntry.queries("scan_zorder_prune")(spark, sf)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+    finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    for (f <- Seq("GreaterThanOrEqual(l_orderkey,100)",
+        "LessThanOrEqual(l_orderkey,700)",
+        "GreaterThanOrEqual(l_partkey,20)",
+        "LessThanOrEqual(l_partkey,120)")) {
+      assert(p.contains(f), s"missing pushed filter $f:\n${p.take(2000)}")
+    }
+  }
+
   test("SCD2 history runs on ONE user_id hash exchange (windows + agg + lead reuse it)") {
     // The scaladoc's scale claim, made falsifiable: the change-flag
     // window, the island agg and the lead() window must all reuse the
