@@ -167,6 +167,22 @@ object AggQueries {
         .orderBy(col("event_type"))
     }),
 
+    // MODE per group (round-6): each user's dominant event type, with a
+    // DETERMINISTIC tie-break (higher count, then lexicographic type) —
+    // the built-in mode() leaves ties unspecified, which would flake the
+    // oracle. Shape: one two-phase (user, type) count, then the
+    // TopKPerGroup bounded-heap argmax (k=1) — the same no-window-sort
+    // path as text_tfidf_topterm; shuffle bounded by distinct
+    // (user, type) pairs, never raw events.
+    "agg_mode_per_group" -> ((s, dir) => {
+      val c = events(s, dir).groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      graft.plans.TopKPerGroup(c, k = 1, partNames = Seq("user_id"),
+          orderSpec = Seq(("n", false), ("event_type", true)))
+        .select(col("user_id"), col("event_type").as("mode_type"), col("n"))
+        .orderBy(col("user_id"))
+    }),
+
     // Custom typed Aggregator UDAF: quantity-weighted average price.
     "custom_udaf_wavg" -> ((s, dir) => {
       val wavg = udaf(WeightedAvg)
@@ -179,6 +195,13 @@ object AggQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "agg_mode_per_group" ->
+      """WITH c AS (SELECT user_id, event_type, count(*) AS n
+        |  FROM events GROUP BY 1, 2)
+        |SELECT user_id, event_type AS mode_type, n FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id
+        |    ORDER BY n DESC, event_type) AS rn FROM c)
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
     "agg_global" ->
       s"""SELECT count(*) AS n_rows,
          |${sqlSum("l_quantity")} AS sum_qty,

@@ -144,6 +144,27 @@ object JoinQueries {
         .orderBy(col("event_id"))
     }),
 
+    // NEAREST as-of (round-6): the bidirectional member of the ASOF
+    // family — for each event, the order of the mapped customer nearest
+    // in time (either direction), tie → earlier date, then lower key.
+    // Same scale shape as join_asof: equi-join on the customer key, then
+    // ONE min-of-struct partial agg collapses the per-customer fan-out
+    // map-side — lexicographic (distance, date, key) min IS the
+    // deterministic argmin, no window over the inflated join.
+    "join_asof_nearest" -> ((s, dir) => {
+      val e = events(s, dir).select(col("event_id"), col("ts"), col("user_id"))
+      val o = t(s, dir, "orders")
+      e.join(o, col("o_custkey") === col("user_id") + 1)
+        .withColumn("d", abs(unix_millis(col("o_orderdate").cast("timestamp"))
+          - unix_millis(col("ts").cast("timestamp"))))
+        .groupBy(col("event_id"))
+        .agg(min(struct(col("d"), col("o_orderdate"), col("o_orderkey"))).as("m"))
+        .select(col("event_id"), col("m.o_orderkey").as("o_orderkey"),
+          col("m.o_orderdate").cast("date").as("o_orderdate"),
+          col("m.d").as("dist_ms"))
+        .orderBy(col("event_id"))
+    }),
+
     "join_star_multiway" -> ((s, dir) => starJoin(s, dir, hinted = true)),
 
     // The same star join UNHINTED — proves the engine doesn't need
@@ -306,6 +327,16 @@ object JoinQueries {
         |      ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
         |  FROM events JOIN orders
         |    ON o_custkey = user_id + 1 AND o_orderdate <= ts)
+        |WHERE rn = 1 ORDER BY event_id""".stripMargin,
+    "join_asof_nearest" ->
+      """SELECT event_id, o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+        |  dist_ms FROM (
+        |  SELECT event_id, o_orderkey, o_orderdate,
+        |    abs(epoch_ms(o_orderdate) - epoch_ms(ts)) AS dist_ms,
+        |    row_number() OVER (PARTITION BY event_id
+        |      ORDER BY abs(epoch_ms(o_orderdate) - epoch_ms(ts)),
+        |        o_orderdate, o_orderkey) AS rn
+        |  FROM events JOIN orders ON o_custkey = user_id + 1)
         |WHERE rn = 1 ORDER BY event_id""".stripMargin,
     "join_star_multiway" -> starSql,
     "join_star_aqe" -> starSql,

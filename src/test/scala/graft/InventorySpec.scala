@@ -78,13 +78,14 @@ class InventorySpec extends SparkSpec {
     "etl_scd2_history", "stream_interval_join_outer", "sim_ann_kmeans",
     "pipeline_curation_verdict", "agg_tdigest_quantile",
     "etl_scd2_incremental", "scan_zorder_prune",
+    "agg_mode_per_group", "join_asof_nearest",
     // §2.19 addendum: pure (no-equi-key) range join, binned
     "join_range_binned",
     // §2.20 addendum: corpus heavy hitters by document frequency
     "text_heavy_hitters")
 
-  test("declared queries cover SURVEY §2 + §2.12-21 exactly (127 keys)") {
-    assert(inventory.size == 127)
+  test("declared queries cover SURVEY §2 + §2.12-21 exactly (129 keys)") {
+    assert(inventory.size == 129)
     val declared = SparkEntry.queries.keySet
     val missing = inventory -- declared
     val extra = declared -- inventory
