@@ -85,6 +85,57 @@ class StreamRestartSpec extends SparkSpec {
       s"wrong transitions across restart: $rows")
   }
 
+  test("left-outer intervalJoin: restart recovers join state, pads unmatched after expiry") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_ivj_rs").toString
+    val memL = MemoryStream[graft.streaming.Event]
+    val memR = MemoryStream[graft.streaming.Event]
+    val t0 = 1700000000000L
+    def ev(id: Long, ms: Long, uid: Long, tp: String) =
+      graft.streaming.Event(id, ms, uid, tp, 1.0)
+    def withTs(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("ts", timestamp_millis(col("ts_ms")))
+    def start() = GraftStreams.sinkToParquet(
+      GraftStreams.intervalJoin(withTs(memL.toDF()), withTs(memR.toDF()),
+        key = "user_id", within = "1 hour", joinType = "left_outer"),
+      s"$root/data", s"$root/ckpt")
+
+    // Run 1: clicks for users 9 (will match) and 5 (never matches);
+    // one in-window purchase for user 9 → (1, 3) emits.
+    val q1 = start()
+    memL.addData(ev(1, t0, 9, "click"), ev(2, t0, 5, "click"))
+    memR.addData(ev(3, t0 + 600 * 1000, 9, "purchase"))
+    q1.processAllAvailable()
+    q1.stop()
+
+    // Run 2 from the SAME checkpoint: a second in-window purchase must
+    // pair with the RECOVERED click state (1, 4) without re-emitting
+    // (1, 3); then far-future sentinels on BOTH inputs advance the
+    // watermark past t0 + 1h so user 5's recovered unmatched click
+    // emits its null padding — state AND outer semantics survive the
+    // restart.
+    val q2 = start()
+    memR.addData(ev(4, t0 + 1800 * 1000, 9, "purchase"))
+    q2.processAllAvailable()
+    val far = t0 + 7L * 24 * 3600 * 1000
+    Seq(far, far + 3600 * 1000L).zipWithIndex.foreach { case (ts, i) =>
+      memL.addData(ev(900 + i, ts, 999, "click"))
+      memR.addData(ev(910 + i, ts, 999, "purchase"))
+      q2.processAllAvailable()
+    }
+    q2.stop()
+
+    val rows = spark.read.parquet(s"$root/data")
+      .filter(col("user_id") =!= 999)
+      .select("l_id", "r_id")
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+    assert(rows.toSet == Set((1L, 3L), (1L, 4L), (2L, -1L)),
+      s"wrong pairs across restart: ${rows.toSeq.sorted}")
+    assert(rows.length == 3,
+      s"a pair or padding row re-emitted across the restart: ${rows.toSeq.sorted}")
+  }
+
   test("funnelTransitions idle eviction contract (TestGroupState — no live query)") {
     // A ProcessingTimeTimeout query schedules continuous no-data
     // batches to fire timeouts, so a wall-clock eviction test spins;
