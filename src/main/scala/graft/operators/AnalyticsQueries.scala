@@ -133,6 +133,34 @@ object AnalyticsQueries {
         .orderBy("day")
     }),
 
+    // SESSIONIZATION — the gap-based complement of etl_gaps_islands'
+    // change-based runs, and THE event-analytics primitive under every
+    // engagement metric: per user, maximal event runs where consecutive
+    // gaps stay ≤ 30 min; a longer silence starts a new session. Same
+    // lag-flag → running-sum machinery, keyed on TIME GAPS instead of
+    // type changes. One user_id shuffle serves the lag window, the
+    // running-sum window and the per-session agg (all three share the
+    // partitioning — Catalyst plans a single exchange); no global
+    // ordering anywhere. Epoch-ms longs per the §2.10 convention;
+    // (ms, event_id) ordering makes simultaneous events deterministic.
+    "ts_sessionize" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ms"), col("event_id"))
+      events(s, dir)
+        .select(col("user_id"), col("event_id"),
+          unix_millis(col("ts").cast("timestamp")).as("ms"))
+        .withColumn("prev_ms", lag(col("ms"), 1).over(w))
+        .withColumn("new_s", when(col("prev_ms").isNull ||
+          col("ms") - col("prev_ms") > 1800000L, 1L).otherwise(0L))
+        .withColumn("session_id", sum(col("new_s")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"), min(col("ms")).as("start_ms"),
+          max(col("ms")).as("end_ms"))
+        .orderBy(col("user_id"), col("session_id"))
+    }),
+
     // TPC-H Q3 (shipping priority) through the PURE SQL surface —
     // `spark.sql` over `parquet.`path`` direct queries, no DataFrame
     // combinators and no temp-view registration (view names would
@@ -200,6 +228,18 @@ object AnalyticsQueries {
          |days AS (SELECT unnest(range(lo, hi + 1)) AS day FROM b)
          |SELECT day, coalesce(n, 0) AS n, coalesce(sum_value, 0.0) AS sum_value
          |FROM days LEFT JOIN hv USING (day) ORDER BY day""".stripMargin,
+    "ts_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events),
+        |f AS (SELECT user_id, event_id, ms,
+        |  CASE WHEN lag(ms) OVER w IS NULL
+        |       OR ms - lag(ms) OVER w > 1800000 THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)),
+        |s AS (SELECT user_id, ms, sum(new_s) OVER (PARTITION BY user_id
+        |  ORDER BY ms, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM f)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |  min(ms) AS start_ms, max(ms) AS end_ms
+        |FROM s GROUP BY 1, 2 ORDER BY user_id, session_id""".stripMargin,
     "sql_tpch_q3" ->
       s"""SELECT l_orderkey,
          |  ${sqlSum("l_extendedprice * (1 - l_discount)")} AS revenue,

@@ -161,6 +161,74 @@ object CurationQueries {
         .groupBy("doc_id").agg(count(lit(1)).as("n_dup_win"),
           min("pos").as("first_pos"), max("pos").as("last_pos"))
         .orderBy("doc_id")
+    }),
+
+    // PII redaction — the compliance pass every released corpus runs:
+    // count and replace emails / URLs / phone numbers with typed
+    // placeholder tokens, entirely map-side (regexp_count +
+    // regexp_replace are codegen'd built-ins — no UDF, no shuffle
+    // before the presentation sort). The fixture corpus carries no PII,
+    // so deterministic synthetic PII derived from doc_id is appended
+    // IDENTICALLY on both engines before scrubbing (the non-vacuous-
+    // branch convention of etl_upsert_type1): docs ≡0 mod 5 gain an
+    // email, mod 7 a URL, mod 11 a phone — all three regex classes hit
+    // at every scale factor, and docs hit 0–3 times. Patterns restrict
+    // to RE2-safe syntax (no lookaround/backrefs) so the Java-regex and
+    // RE2 engines match identical spans.
+    "text_pii_scrub" -> ((s, dir) => {
+      val email = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+      val url = "https?://[^ ]+"
+      val phone = "\\+1-[0-9]{3}-[0-9]{3}-[0-9]{4}"
+      val aug = concat(col("text"),
+        when(col("doc_id") % 5 === 0, concat(lit(" contact user"),
+          col("doc_id").cast("string"), lit("@example.com now")))
+          .otherwise(""),
+        when(col("doc_id") % 7 === 0, concat(lit(" see https://site"),
+          col("doc_id").cast("string"), lit(".example.org/p?q=1 ok")))
+          .otherwise(""),
+        when(col("doc_id") % 11 === 0, concat(lit(" call +1-555-"),
+          lpad(pmod(col("doc_id"), lit(1000)).cast("string"), 3, "0"),
+          lit("-0199"))).otherwise(""))
+      t(s, dir, "documents")
+        .select(col("doc_id"), aug.as("text"))
+        .select(col("doc_id"),
+          regexp_count(col("text"), lit(email)).cast("long").as("n_email"),
+          regexp_count(col("text"), lit(url)).cast("long").as("n_url"),
+          regexp_count(col("text"), lit(phone)).cast("long").as("n_phone"),
+          regexp_replace(regexp_replace(regexp_replace(col("text"),
+            email, "<EMAIL>"), url, "<URL>"), phone, "<PHONE>")
+            .as("clean_text"))
+        .orderBy("doc_id")
+    }),
+
+    // Intra-document repetition filter (the Gopher/C4 quality family's
+    // repetition signals, next to text_quality_score's length/stopword
+    // composite): duplicate-TOKEN fraction (1 − distinct/total) and
+    // duplicate-BIGRAM fraction per doc, flagged past measured
+    // thresholds (token > 0.6 ∨ bigram > 0.08 — 181/500 docs flag at
+    // sf0.01, both branches non-vacuous). Thresholds compare the
+    // SHARED-ROUNDED value (Det.r4d both engines) so a boundary doc
+    // can't flip between engines. Entirely map-side HOF arithmetic —
+    // per-doc, no shuffle before the presentation sort; at 100 TB this
+    // runs in the scan stage like the other quality signals.
+    "text_repetition_filter" -> ((s, dir) => {
+      val base = t(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .filter(size(col("toks")) >= 2)
+        .select(col("doc_id"),
+          size(col("toks")).cast("double").as("nt"),
+          size(array_distinct(col("toks"))).cast("double").as("ndt"),
+          (size(col("toks")) - 1).cast("double").as("nb"),
+          size(array_distinct(expr("transform(sequence(0, size(toks)-2), " +
+            "i -> concat(toks[i], ' ', toks[i+1]))"))).cast("double")
+            .as("ndb"))
+      base.select(col("doc_id"),
+          r4d(lit(1.0) - col("ndt") / col("nt")).as("rep_token"),
+          r4d(lit(1.0) - col("ndb") / col("nb")).as("rep_bigram"))
+        .withColumn("flagged",
+          when(col("rep_token") > 0.6 || col("rep_bigram") > 0.08, 1L)
+            .otherwise(0L))
+        .orderBy("doc_id")
     })
   )
 
@@ -248,6 +316,41 @@ object CurationQueries {
         |dup AS (SELECT w FROM w GROUP BY w HAVING count(DISTINCT doc_id) > 1)
         |SELECT doc_id, count(*) AS n_dup_win, min(pos) AS first_pos,
         |  max(pos) AS last_pos
-        |FROM w JOIN dup USING (w) GROUP BY doc_id ORDER BY doc_id""".stripMargin
+        |FROM w JOIN dup USING (w) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // Triple-quoted on the Scala side so the single backslashes below
+    // reach DuckDB verbatim (its standard strings don't process escape
+    // sequences); 'g' flags because DuckDB regexp_replace is first-match
+    // by default where Spark's replaces all.
+    "text_pii_scrub" ->
+      """WITH aug AS (SELECT doc_id,
+        |  text || CASE WHEN doc_id % 5 = 0 THEN ' contact user' || doc_id || '@example.com now' ELSE '' END
+        |       || CASE WHEN doc_id % 7 = 0 THEN ' see https://site' || doc_id || '.example.org/p?q=1 ok' ELSE '' END
+        |       || CASE WHEN doc_id % 11 = 0 THEN ' call +1-555-' || lpad((doc_id % 1000)::varchar, 3, '0') || '-0199' ELSE '' END AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS n_email,
+        |  len(regexp_extract_all(text, 'https?://[^ ]+')) AS n_url,
+        |  len(regexp_extract_all(text, '\+1-[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS n_phone,
+        |  regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+        |    'https?://[^ ]+', '<URL>', 'g'),
+        |    '\+1-[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS clean_text
+        |FROM aug ORDER BY doc_id""".stripMargin,
+    "text_repetition_filter" ->
+      """WITH g AS (SELECT doc_id,
+        |    CAST(len(toks) AS DOUBLE) AS nt,
+        |    CAST(len(list_distinct(toks)) AS DOUBLE) AS ndt,
+        |    CAST(len(toks) - 1 AS DOUBLE) AS nb,
+        |    CAST(len(list_distinct(list_transform(range(len(toks)-1),
+        |      i -> toks[i+1] || ' ' || toks[i+2]))) AS DOUBLE) AS ndb
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+        |  WHERE len(toks) >= 2),
+        |r AS (SELECT doc_id,
+        |    ROUND((1.0 - ndt / nt) * 10000) / 10000 AS rep_token,
+        |    ROUND((1.0 - ndb / nb) * 10000) / 10000 AS rep_bigram FROM g)
+        |SELECT doc_id, rep_token, rep_bigram,
+        |  CASE WHEN rep_token > 0.6 OR rep_bigram > 0.08
+        |    THEN 1 ELSE 0 END AS flagged
+        |FROM r ORDER BY doc_id""".stripMargin
   )
 }

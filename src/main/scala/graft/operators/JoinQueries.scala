@@ -252,6 +252,33 @@ object JoinQueries {
         .orderBy(col("o_orderkey"))
     }),
 
+    // INTERVAL×INTERVAL overlap join — the family member
+    // join_range_binned's point×interval form doesn't cover (temporal
+    // validity joins, ad attribution windows, availability ranges): each
+    // sampled order's 8-day window against each sampled lineitem's
+    // variable 2–11-day ship window, overlap = `a_sd ≤ b_ed AND b_sd ≤
+    // a_ed`. Naively a BroadcastNestedLoopJoin; RangeJoin.intervalOverlap
+    // rewrites it to an equi join on 11-day bins (width ≥ both spans ⇒
+    // ≤2 bins per side) with pair-uniqueness by the greatest-start bin
+    // rule — no post-join dedup shuffle. The variable b-side span makes
+    // the multi-bin explode non-vacuous at every scale factor.
+    "join_interval_overlap" -> ((s, dir) => {
+      val a = t(s, dir, "orders")
+        .filter(pmod(col("o_custkey"), lit(20)) === 0)
+        .select(col("o_orderkey"), epochDay("o_orderdate").as("a_sd"))
+        .withColumn("a_ed", col("a_sd") + 7)
+      val b = t(s, dir, "lineitem")
+        .filter(pmod(col("l_partkey"), lit(50)) === 0)
+        .select(col("l_orderkey"), epochDay("l_shipdate").as("b_sd"))
+        .withColumn("b_ed", col("b_sd") + 1 + pmod(col("l_orderkey"), lit(10)))
+      RangeJoin.intervalOverlap(a, "a_sd", "a_ed", b, "b_sd", "b_ed",
+          binWidth = 11)
+        .groupBy(col("o_orderkey"))
+        .agg(count(lit(1)).as("n_overlap"), min(col("b_sd")).as("first_sd"),
+          max(col("b_ed")).as("last_ed"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // Runtime bloom-filter pushdown — the NON-partition-column
     // counterpart of scan_dpp_join: a selective dim predicate
     // (p_retailprice < 905 keeps ~5% of parts) that partition layout
@@ -371,6 +398,21 @@ object JoinQueries {
         |SELECT o_orderkey, count(*) AS n_lines, min(d) AS first_day,
         |  max(d) AS last_day
         |FROM iv JOIN p ON p.d >= iv.sd AND p.d <= iv.sd + 7
+        |GROUP BY 1 ORDER BY o_orderkey""".stripMargin,
+    // The oracle is the naive non-equi overlap join the binned rewrite
+    // must equal — same convention as join_range_binned.
+    "join_interval_overlap" ->
+      s"""WITH a AS (SELECT o_orderkey,
+        |    ${sqlEpochDay("o_orderdate")} AS a_sd,
+        |    ${sqlEpochDay("o_orderdate")} + 7 AS a_ed
+        |  FROM orders WHERE o_custkey % 20 = 0),
+        |b AS (SELECT l_orderkey,
+        |    ${sqlEpochDay("l_shipdate")} AS b_sd,
+        |    ${sqlEpochDay("l_shipdate")} + 1 + l_orderkey % 10 AS b_ed
+        |  FROM lineitem WHERE l_partkey % 50 = 0)
+        |SELECT o_orderkey, count(*) AS n_overlap, min(b_sd) AS first_sd,
+        |  max(b_ed) AS last_ed
+        |FROM a JOIN b ON a_sd <= b_ed AND b_sd <= a_ed
         |GROUP BY 1 ORDER BY o_orderkey""".stripMargin,
     "join_bloom_runtime" ->
       """SELECT l_orderkey, l_linenumber, p_name, l_quantity, p_retailprice

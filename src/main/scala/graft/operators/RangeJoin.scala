@@ -31,8 +31,11 @@ object RangeJoin {
     * on a bin boundary, where `div`'s truncation-toward-zero alone
     * would misalign negative keys by one bin. On that exact multiple,
     * truncation and floor agree. */
+  private def fdivExpr(e: String, w: Long): String =
+    s"(($e) - pmod(($e), ${w}L)) div ${w}L"
+
   private def fdivSql(name: String, w: Long): String =
-    s"(`$name` - pmod(`$name`, ${w}L)) div ${w}L"
+    fdivExpr(s"`$name`", w)
 
   /** All (interval × point) rows with `startCol ≤ pointCol ≤ endCol`,
     * as an equi join on the bin key. Inputs may carry any other
@@ -64,6 +67,41 @@ object RangeJoin {
     val ptb = points.withColumn("__bin", expr(fdivSql(pointCol, binWidth)))
     ivb.join(ptb, Seq("__bin"))
       .filter(col(pointCol) >= col(startCol) && col(pointCol) <= col(endCol))
+      .drop("__bin")
+  }
+
+  /** All (a × b) rows whose inclusive intervals OVERLAP
+    * (`aStart ≤ bEnd AND bStart ≤ aEnd`) — the interval×interval member
+    * of the family, next to [[pointInInterval]]'s point×interval. Both
+    * sides explode to every bin their span touches, so an overlapping
+    * pair can meet in SEVERAL shared bins; instead of a post-join
+    * dedup (an extra shuffle over the candidate set), each pair is
+    * emitted exactly once by keeping only the bin that contains
+    * `greatest(aStart, bStart)` — the overlap's left edge, which by the
+    * overlap predicate lies inside BOTH intervals and therefore inside
+    * both sides' exploded bin ranges. Empty ranges (end < start) on
+    * either side yield nothing, like the naive predicate. Candidate
+    * volume is Σ_bins |a_b|·|b_b| — equi-shuffle-partitionable and
+    * AQE-skew-splittable; pick `binWidth` ≥ the typical span so each
+    * interval explodes to ≤2 rows. */
+  def intervalOverlap(a: DataFrame, aStart: String, aEnd: String,
+      b: DataFrame, bStart: String, bEnd: String,
+      binWidth: Long): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    require(!a.columns.contains("__bin") && !b.columns.contains("__bin"),
+      "intervalOverlap reserves column '__bin' — rename the input's")
+    val shared = (a.columns.toSet intersect b.columns.toSet)
+      .intersect(Set(aStart, aEnd, bStart, bEnd))
+    require(shared.isEmpty,
+      s"sides share filter column names ${shared.mkString(", ")} — " +
+        "rename one side before joining")
+    def binned(df: DataFrame, s: String, e: String): DataFrame = df
+      .filter(col(e) >= col(s))
+      .withColumn("__bin", explode(expr(
+        s"sequence(${fdivSql(s, binWidth)}, ${fdivSql(e, binWidth)})")))
+    binned(a, aStart, aEnd).join(binned(b, bStart, bEnd), Seq("__bin"))
+      .filter(col(aStart) <= col(bEnd) && col(bStart) <= col(aEnd))
+      .filter(expr(s"__bin = ${fdivExpr(s"greatest(`$aStart`, `$bStart`)", binWidth)}"))
       .drop("__bin")
   }
 }

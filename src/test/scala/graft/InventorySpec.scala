@@ -82,10 +82,14 @@ class InventorySpec extends SparkSpec {
     // §2.19 addendum: pure (no-equi-key) range join, binned
     "join_range_binned",
     // §2.20 addendum: corpus heavy hitters by document frequency
-    "text_heavy_hitters")
+    "text_heavy_hitters",
+    // §2.22 round-6 second wave: interval algebra + sessionization +
+    // PII redaction + repetition quality filter
+    "join_interval_overlap", "ts_sessionize", "text_pii_scrub",
+    "text_repetition_filter")
 
-  test("declared queries cover SURVEY §2 + §2.12-21 exactly (129 keys)") {
-    assert(inventory.size == 129)
+  test("declared queries cover SURVEY §2 + §2.12-22 exactly (133 keys)") {
+    assert(inventory.size == 133)
     val declared = SparkEntry.queries.keySet
     val missing = inventory -- declared
     val extra = declared -- inventory

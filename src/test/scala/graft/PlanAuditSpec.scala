@@ -200,6 +200,17 @@ class PlanAuditSpec extends SparkSpec {
       p.split("\n").filter(_.contains("Exchange")).mkString("\n"))
   }
 
+  test("sessionize runs on ONE user_id hash exchange (lag + running sum + agg reuse it)") {
+    // Same falsifiable scale claim as the SCD2 pin: the gap-flag lag
+    // window, the running-sum session-id window and the per-session agg
+    // all share HashPartitioning(user_id); only the presentation sort
+    // adds its range exchange.
+    val p = plan("ts_sessionize")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx == 1, s"expected 1 user_id hash exchange, got $hashEx:\n" +
+      p.split("\n").filter(_.contains("Exchange")).mkString("\n"))
+  }
+
   test("incremental SCD2 apply: keyed joins only, no cartesian") {
     // The one-row cutoff bound rides a broadcast nested loop (intended);
     // a CartesianProduct would mean the version-offset or union joins
@@ -259,6 +270,21 @@ class PlanAuditSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
       s"binned range join degraded to a nested loop:\n${p.take(3000)}")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+      s"no keyed join found:\n${p.take(3000)}")
+  }
+
+  test("binned interval-overlap join stays an equi join even with broadcast disabled") {
+    // Same contract as the point-in-interval pin above, for the
+    // interval×interval member: the bin equi-key must carry the join —
+    // never a BroadcastNestedLoopJoin over the raw overlap predicate.
+    val s = spark.newSession()
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    val p = operators.JoinQueries.queries("join_interval_overlap")(s, sf)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"binned interval overlap degraded to a nested loop:\n${p.take(3000)}")
     assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
       s"no keyed join found:\n${p.take(3000)}")
   }

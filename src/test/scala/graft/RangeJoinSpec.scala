@@ -43,6 +43,43 @@ class RangeJoinSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("binned == naive interval overlap across random corpora and widths") {
+    import org.scalacheck.{Gen, Prop}
+    // Narrow bins (w down to 1) force intervals across MANY bins, so a
+    // pair shares several — the emit-once greatest-start rule is what's
+    // under test, alongside negatives, empty ranges and containment.
+    val genIv = for {
+      s <- Gen.chooseNum(-50L, 50L)
+      len <- Gen.chooseNum(-3L, 20L) // negative → empty range
+    } yield (s, s + len)
+    val genCase = for {
+      nA <- Gen.chooseNum(0, 15)
+      as <- Gen.listOfN(nA, genIv)
+      nB <- Gen.chooseNum(0, 15)
+      bs <- Gen.listOfN(nB, genIv)
+      w <- Gen.chooseNum(1L, 25L)
+    } yield (as, bs, w)
+    val prop = Prop.forAll(genCase) { case (as, bs, w) =>
+      import spark.implicits._
+      val a = as.zipWithIndex
+        .map { case ((s, e), i) => (i.toLong, s, e) }.toDF("aid", "as", "ae")
+      val b = bs.zipWithIndex
+        .map { case ((s, e), i) => (i.toLong, s, e) }.toDF("bid", "bs", "be")
+      val naive = a
+        .join(b, col("as") <= col("be") && col("bs") <= col("ae"))
+        .filter(col("ae") >= col("as") && col("be") >= col("bs"))
+        .select("aid", "bid")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+      val binned = RangeJoin.intervalOverlap(a, "as", "ae", b, "bs", "be", w)
+        .select("aid", "bid")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+      binned == naive // Seq equality: each pair exactly once, no dups
+    }
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(15), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("integer bin arithmetic survives keys past double precision (2^53)") {
     import spark.implicits._
     // Epoch-nanos-scale keys: a double round-trip would corrupt the low
