@@ -35,7 +35,9 @@ object ScanQueries {
     * so the shared class keeps only [A-Za-z0-9]). */
   private def ident(s: String): String = s.replaceAll("[^A-Za-z0-9]", "_")
 
-  private def scratch(s: SparkSession, dir: String): String = {
+  // package-visible so LayoutMaintenanceSpec can locate the scratch
+  // layouts it pins file-level invariants on.
+  private[graft] def scratch(s: SparkSession, dir: String): String = {
     val root = s"/tmp/graft_scratch/${s.sparkContext.applicationId}"
     scratchRoots.add(root)
     if (cleanupRegistered.compareAndSet(false, true)) {
@@ -210,6 +212,71 @@ object ScanQueries {
         .orderBy("l_orderkey", "l_partkey", "l_quantity")
     }),
 
+    // Small-file COMPACTION — the maintenance operation every
+    // long-lived 100 TB table needs: streaming ingests and per-batch
+    // writes fragment a table into thousands of tiny files, and scan
+    // cost degrades to file-open overhead (listing, footers, one
+    // row-group per file kills vectorization amortization). The key
+    // fabricates the problem (documents scattered over 64 shuffle-sized
+    // files), then compacts: repartitionByRange on doc_id to a byte-
+    // budgeted file count + sortWithinPartitions, so the compacted
+    // files carry non-overlapping doc_id ranges — compaction doubles as
+    // clustering, and id-ranged reads prune files afterwards (same
+    // min/max-envelope mechanics as scan_zorder_prune, one dimension).
+    // At 100 TB the target count comes from bytes/128 MB per partition
+    // range; 4 is the fixture stand-in. LayoutMaintenanceSpec pins the
+    // file counts (≥32 before, ≤4 data files after). Correctness is
+    // layout-independent: the oracle reads the original table.
+    "scan_compact_smallfiles" -> ((s, dir) => {
+      val frag = s"${scratch(s, dir)}/frag_docs"
+      val compact = s"${scratch(s, dir)}/compact_docs"
+      writeOnce(frag) {
+        t(s, dir, "documents").repartition(64)
+          .write.mode("overwrite").parquet(frag)
+      }
+      writeOnce(compact) {
+        s.read.parquet(frag)
+          .repartitionByRange(4, col("doc_id"))
+          .sortWithinPartitions("doc_id")
+          .write.mode("overwrite").parquet(compact)
+      }
+      s.read.parquet(compact)
+        .select("doc_id", "text", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    }),
+
+    // DYNAMIC PARTITION OVERWRITE — the other mutation primitive next
+    // to etl_upsert_type1's row-level merge: replace exactly the
+    // partitions an update batch touches (the nightly "re-land one
+    // day/one source" job), leaving every other partition's files
+    // physically untouched. The batch (all 'en' docs, n_chars bumped
+    // by 1e6) derives from the ORIGINAL fixture, so re-running the
+    // query is idempotent; partitionOverwriteMode=dynamic is scoped as
+    // a write option, not session-wide. At 100 TB static overwrite
+    // would truncate the whole table; dynamic rewrites |batch
+    // partitions| directories and the swap is a directory rename.
+    // LayoutMaintenanceSpec pins the physical contract: non-targeted
+    // partitions keep their exact file set across a re-run while the
+    // targeted partition's files are replaced. The oracle composes the
+    // same update arithmetic over the original table.
+    "etl_partition_overwrite" -> ((s, dir) => {
+      val base = s"${scratch(s, dir)}/po_docs"
+      writeOnce(base) {
+        t(s, dir, "documents")
+          .select(col("doc_id"), col("n_chars"), col("lang"))
+          .write.partitionBy("lang").mode("overwrite").parquet(base)
+      }
+      t(s, dir, "documents").filter(col("lang") === "en")
+        .select(col("doc_id"), (col("n_chars") + 1000000L).as("n_chars"),
+          col("lang"))
+        .write.partitionBy("lang").mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(base)
+      s.read.parquet(base)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy("doc_id")
+    }),
+
     // Dynamic partition pruning: the partitioned fact side is pruned at
     // RUNTIME by the dim side's filter (no literal lang predicate
     // anywhere on the fact side) — the scan's PartitionFilters must
@@ -263,6 +330,16 @@ object ScanQueries {
       "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier ORDER BY s_suppkey",
     "scan_partition_prune" ->
       "SELECT doc_id, lang, n_chars FROM documents WHERE lang = 'en' ORDER BY doc_id",
+    // Compaction is content-preserving by contract → oracle reads the
+    // original table.
+    "scan_compact_smallfiles" ->
+      "SELECT doc_id, text, lang, source, n_chars FROM documents ORDER BY doc_id",
+    // Same update arithmetic over the original table: only 'en' rows
+    // carry the bump, everything else passes through.
+    "etl_partition_overwrite" ->
+      """SELECT doc_id, lang,
+        |  n_chars + CASE WHEN lang = 'en' THEN 1000000 ELSE 0 END AS n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // The layout is lossless → oracle joins the plain tables.
     "scan_bucket_join" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, o_custkey, o_totalprice

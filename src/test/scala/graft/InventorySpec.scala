@@ -84,12 +84,13 @@ class InventorySpec extends SparkSpec {
     // §2.20 addendum: corpus heavy hitters by document frequency
     "text_heavy_hitters",
     // §2.22 round-6 second wave: interval algebra + sessionization +
-    // PII redaction + repetition quality filter
+    // PII redaction + repetition quality filter + layout maintenance
     "join_interval_overlap", "ts_sessionize", "text_pii_scrub",
-    "text_repetition_filter")
+    "text_repetition_filter", "scan_compact_smallfiles",
+    "etl_partition_overwrite")
 
-  test("declared queries cover SURVEY §2 + §2.12-22 exactly (133 keys)") {
-    assert(inventory.size == 133)
+  test("declared queries cover SURVEY §2 + §2.12-22 exactly (135 keys)") {
+    assert(inventory.size == 135)
     val declared = SparkEntry.queries.keySet
     val missing = inventory -- declared
     val extra = declared -- inventory
