@@ -70,6 +70,31 @@ object AggQueries {
         .orderBy(col("l_returnflag"))
     }),
 
+    // MERGEABLE sketch tables — the pattern approx_count_distinct's
+    // one-shot form doesn't show: materialize one DataSketches HLL
+    // sketch per source (the per-partition stats table a 100 TB
+    // pipeline stores alongside the data), then answer the GLOBAL
+    // distinct question by UNIONING the stored sketches — no corpus
+    // re-scan, sketches compose under any grouping rollup. This is how
+    // per-day/per-source distinct dashboards work at scale: the
+    // expensive pass runs once per partition at ingest; every later
+    // query is a byte-sized merge. Engine-pinned sketch bytes → no
+    // oracle (§2.11); PropertySpec pins union AND single-pass estimates
+    // within 5% of exact (measured: they differ slightly — DataSketches
+    // unions merge at a different internal precision than a directly
+    // built sketch — so exact equality is not asserted), plus
+    // partitioning invariance of the union estimate.
+    "agg_hll_partitioned_union" -> ((s, dir) => {
+      val per = t(s, dir, "documents")
+        .groupBy(col("source"))
+        .agg(hll_sketch_agg(col("doc_id")).as("sk"),
+          count(lit(1)).as("n_docs"))
+      per.agg(count(lit(1)).as("n_sources"),
+        sum(col("n_docs")).as("n_docs"),
+        hll_sketch_estimate(hll_union_agg(col("sk")))
+          .as("approx_distinct_docs"))
+    }),
+
     // Nations with above-average customer count (HAVING via post-agg
     // filter). The global average arrives as a 1-row broadcast cross
     // join, not `avg().over(Window.partitionBy())` — the empty-partition

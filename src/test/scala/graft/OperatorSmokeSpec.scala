@@ -28,7 +28,10 @@ class OperatorSmokeSpec extends SparkSpec {
       "sim_ann_kmeans",
       // engine-pinned sketch (§2.11 convention); TDigestSpec pins the
       // rank-error band, merge invariance, and determinism
-      "agg_tdigest_quantile"),
+      "agg_tdigest_quantile",
+      // engine-pinned DataSketches HLL bytes; PropertySpec pins the
+      // 5% band, merge transparency, and partitioning invariance
+      "agg_hll_partitioned_union"),
       s"unexpected oracle-less keys: $noOracle")
   }
 
