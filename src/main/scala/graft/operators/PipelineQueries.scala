@@ -412,6 +412,32 @@ object PipelineQueries {
         .filter(col("dist") <= 4)
         .select(col("name_a"), col("name_b"), col("dist").cast("long").as("dist"))
         .orderBy(col("name_a"), col("name_b"))
+    }),
+
+    // SEQUENCE PACKING — the last step of pretraining data prep: docs
+    // are concatenated in a deterministic content-independent order
+    // (md5(doc_id), the sample_stratified_hash device = a replayable
+    // shuffle) and the token stream is chunked into fixed-budget
+    // training sequences; a doc's bin is the chunk its START offset
+    // lands in (concat-then-chunk, the standard pretraining packing).
+    // The global running token count comes from GlobalRank.runningSum —
+    // the two-pass range-exchange prefix sum, NOT a single-partition
+    // window, so packing a 100 TB corpus parallelizes like a global
+    // sort; integer arithmetic end-to-end makes bins exact and
+    // replay-stable. Budget 2048 is the fixture stand-in for a model's
+    // context length.
+    "pipeline_pack_sequences" -> ((s, dir) => {
+      val budget = 2048L
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"),
+          md5(col("doc_id").cast("string").cast("binary")).as("skey"))
+      graft.plans.GlobalRank.runningSum(
+          docs, Seq("skey", "doc_id"), "n_tokens", "cum")
+        .select(col("doc_id"), col("n_tokens"),
+          (col("cum") - col("n_tokens")).as("start_off"),
+          expr(s"(cum - n_tokens) div ${budget}L").as("bin"))
+        .orderBy("doc_id")
     })
   )
 
@@ -554,7 +580,19 @@ object PipelineQueries {
         |  CAST(levenshtein(a.p_name, b2.p_name) AS BIGINT) AS dist
         |FROM b a JOIN b b2 ON a.blk = b2.blk AND a.p_name < b2.p_name
         |WHERE levenshtein(a.p_name, b2.p_name) <= 4
-        |ORDER BY name_a, name_b""".stripMargin
+        |ORDER BY name_a, name_b""".stripMargin,
+    // The packing oracle is the single-window form the two-pass
+    // runningSum must equal: one global cumsum over (skey, doc_id).
+    "pipeline_pack_sequences" ->
+      """WITH d AS (SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    md5(CAST(doc_id AS VARCHAR)) AS skey FROM documents),
+        |c AS (SELECT doc_id, n_tokens,
+        |    sum(n_tokens) OVER (ORDER BY skey, doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS cum FROM d)
+        |SELECT doc_id, n_tokens, cum - n_tokens AS start_off,
+        |  (cum - n_tokens) // 2048 AS bin
+        |FROM c ORDER BY doc_id""".stripMargin
     // dedup_simhash: engine-pinned xxhash64 → property-tested, no oracle.
   )
 }

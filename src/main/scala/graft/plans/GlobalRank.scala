@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions.col
-import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
+import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
 
 /** Scalable `percent_rank()` / `cume_dist()` over a GLOBAL ordering.
   *
@@ -100,6 +100,56 @@ object GlobalRank {
           Row.fromSeq(r.toSeq ++ Seq(pr, cd))
         }
       }
+    }
+    spark.createDataFrame(out, outSchema)
+  }
+
+  /** Append `outCol` = INCLUSIVE running sum of LONG `valueCol` over the
+    * global `orderCols` ordering — the same two-pass shape as
+    * [[percentCume]] (range exchange → per-partition partial sums,
+    * O(partitions) longs on the driver → streamed prefix pass), i.e. a
+    * global `sum() OVER (ORDER BY ... ROWS UNBOUNDED PRECEDING)` without
+    * the single-partition window. Integer arithmetic throughout, so the
+    * result is exact and partition-split independent: unlike tie-run
+    * ranks, a prefix sum over a UNIQUE total order doesn't care where
+    * range boundaries land — callers must therefore pass orderCols that
+    * form a unique key (append a row id) or rows tying on the full key
+    * get a stream-order-dependent interleaving (GlobalRankSpec pins
+    * window equivalence + partitioning invariance on unique keys).
+    */
+  def runningSum(df: DataFrame, orderCols: Seq[String], valueCol: String,
+      outCol: String = "cum", numPartitions: Int = 0): DataFrame = {
+    require(orderCols.nonEmpty, "runningSum needs at least one order column")
+    require(!df.columns.contains(outCol),
+      s"runningSum appends column '$outCol' — rename the input's clashing " +
+        s"column first (input: ${df.columns.mkString(", ")})")
+    require(df.schema(valueCol).dataType == LongType,
+      s"exact prefix sums need a LONG value column, got " +
+        s"${df.schema(valueCol).dataType.simpleString} for '$valueCol'")
+    val spark = df.sparkSession
+    val parts =
+      if (numPartitions > 0) numPartitions
+      else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val vIdx = df.schema.fieldIndex(valueCol)
+    // Same persist-one-partitioning rule as percentCume: the offsets are
+    // counted against exactly the partitioning the prefix pass reads.
+    val rangedRdd = df.repartitionByRange(parts, orderCols.map(col): _*)
+      .sortWithinPartitions(orderCols.head, orderCols.tail: _*)
+      .rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sums = rangedRdd
+      .mapPartitionsWithIndex((pid, it) =>
+        Iterator((pid, it.foldLeft(0L)((acc, r) => acc + r.getLong(vIdx)))))
+      .collect().toMap
+    val nParts = rangedRdd.getNumPartitions
+    val offsets = new Array[Long](nParts + 1)
+    (0 until nParts).foreach(i =>
+      offsets(i + 1) = offsets(i) + sums.getOrElse(i, 0L))
+    val outSchema = StructType(df.schema.fields :+
+      StructField(outCol, LongType, nullable = false))
+    val bOffsets = spark.sparkContext.broadcast(offsets)
+    val out = rangedRdd.mapPartitionsWithIndex { (pid, rows) =>
+      var acc = bOffsets.value(pid)
+      rows.map { r => acc += r.getLong(vIdx); Row.fromSeq(r.toSeq :+ acc) }
     }
     spark.createDataFrame(out, outSchema)
   }

@@ -65,4 +65,35 @@ class GlobalRankSpec extends SparkSpec {
         s"array-key tie group ${r.getString(0)} split: $r")
     }
   }
+
+  test("two-pass runningSum == window cumsum, invariant across partitionings") {
+    val docs = Tables.t(spark, sf, "documents")
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n"),
+        md5(col("doc_id").cast("string").cast("binary")).as("skey"))
+    val w = Window.orderBy(col("skey"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val windowed = docs.select(col("doc_id"), sum(col("n")).over(w).as("cum"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (parts <- Seq(1, 7, 32)) {
+      val twoPass = GlobalRank
+        .runningSum(docs, Seq("skey", "doc_id"), "n", "cum", numPartitions = parts)
+        .select(col("doc_id"), col("cum"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(twoPass == windowed, s"prefix sums diverge at $parts partitions")
+    }
+  }
+
+  test("runningSum rejects non-long values and clashing output columns") {
+    val df = Tables.t(spark, sf, "documents")
+      .select(col("doc_id"), col("n_chars").cast("int").as("v"))
+    intercept[IllegalArgumentException] {
+      GlobalRank.runningSum(df, Seq("doc_id"), "v")
+    }
+    val dfl = df.select(col("doc_id"), col("v").cast("long").as("v"),
+      lit(0L).as("cum"))
+    intercept[IllegalArgumentException] {
+      GlobalRank.runningSum(dfl, Seq("doc_id"), "v")
+    }
+  }
 }

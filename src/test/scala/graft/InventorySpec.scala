@@ -87,10 +87,11 @@ class InventorySpec extends SparkSpec {
     // PII redaction + repetition quality filter + layout maintenance
     "join_interval_overlap", "ts_sessionize", "text_pii_scrub",
     "text_repetition_filter", "scan_compact_smallfiles",
-    "etl_partition_overwrite", "agg_hll_partitioned_union")
+    "etl_partition_overwrite", "agg_hll_partitioned_union",
+    "pipeline_pack_sequences")
 
-  test("declared queries cover SURVEY §2 + §2.12-22 exactly (136 keys)") {
-    assert(inventory.size == 136)
+  test("declared queries cover SURVEY §2 + §2.12-22 exactly (137 keys)") {
+    assert(inventory.size == 137)
     val declared = SparkEntry.queries.keySet
     val missing = inventory -- declared
     val extra = declared -- inventory
