@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables.{epochDay, events}
-import graft.Det.{dsum, sqlEpochDay, sqlSum}
+import graft.Det.{dsum, r4d, sqlEpochDay, sqlSum}
 
 /** §2.19 Event-analytics operators (SURVEY.md, round-5 amendment): the
   * two product-analytics staples the §2.10 event stack doesn't cover —
@@ -183,6 +183,60 @@ object AnalyticsQueries {
         |GROUP BY l_orderkey, o_orderdate, o_orderpriority
         |ORDER BY revenue DESC, o_orderdate, l_orderkey
         |LIMIT 10""".stripMargin)
+    }),
+
+    // OHLC downsampling — the time-series resample every metrics store
+    // ships (candlestick bars): per (event_type, day), the value at the
+    // first and last event plus the min/max/count/volume of the bar.
+    // Open/close are argmin/argmax over the UNIQUE (ms, event_id) order,
+    // expressed as min/max over a (ms, event_id, value) struct — a
+    // two-phase hash agg (partial min/max per partition), NOT a window,
+    // so a 100 TB resample is one shuffle of (type, day) groups with
+    // map-side combine. Volume uses the exact-decimal SUM (values carry
+    // 2dp, lossless).
+    "ts_resample_ohlc" -> ((s, dir) => {
+      events(s, dir)
+        .select(col("event_type"), epochDay("ts").as("day"),
+          unix_millis(col("ts").cast("timestamp")).as("ms"),
+          col("event_id"), col("value"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(
+          min(struct(col("ms"), col("event_id"), col("value")))
+            .getField("value").as("open"),
+          max(col("value")).as("high"),
+          min(col("value")).as("low"),
+          max(struct(col("ms"), col("event_id"), col("value")))
+            .getField("value").as("close"),
+          count(lit(1)).as("n"),
+          dsum(col("value")).as("volume"))
+        .orderBy("event_type", "day")
+    }),
+
+    // Linearly-weighted moving average (WMA) per user over the trailing
+    // 20 events — the recency-weighted smoother next to win_moving_avg's
+    // uniform frame. Weights are DISTANCE-based integers (current row
+    // 20, 19 steps back 1), so the weighted sum stays in exact decimal
+    // arithmetic (2dp values × integer weights — order-independent,
+    // cross-engine identical); only the final normalize divides in
+    // doubles, through the shared r4d round. collect_list over the
+    // (ms, event_id)-ordered frame feeds an index-weighted aggregate
+    // HOF — ONE user_id exchange serves both the window and the HOF
+    // (map-side), no self-join despite the oracle spelling one.
+    "ts_wma" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ms"), col("event_id")).rowsBetween(-19, 0)
+      events(s, dir)
+        .select(col("user_id"), col("event_id"),
+          unix_millis(col("ts").cast("timestamp")).as("ms"), col("value"))
+        .withColumn("vals", collect_list(col("value")).over(w))
+        .select(col("user_id"), col("event_id"),
+          r4d(expr(
+            "aggregate(sequence(0, size(vals) - 1), cast(0 as decimal(38,6)), " +
+              "(acc, i) -> acc + cast(element_at(vals, i + 1) as decimal(38,6)) " +
+              "* (21 - size(vals) + i))").cast("double")
+            / expr("size(vals) * (41 - size(vals)) div 2")).as("wma"))
+        .orderBy("user_id", "event_id")
     })
   )
 
@@ -252,6 +306,38 @@ object AnalyticsQueries {
          |  AND l_shipdate > DATE '1997-03-15'
          |GROUP BY l_orderkey, o_orderdate, o_orderpriority
          |ORDER BY revenue DESC, o_orderdate, l_orderkey
-         |LIMIT 10""".stripMargin
+         |LIMIT 10""".stripMargin,
+    // Open/close spelled as rank-1 rows over the same unique
+    // (ms, event_id) order the Spark struct-min/max encodes.
+    "ts_resample_ohlc" ->
+      s"""WITH e AS (SELECT event_type, ${sqlEpochDay("ts")} AS day,
+         |    epoch_ms(ts) AS ms, event_id, value FROM events),
+         |r AS (SELECT *,
+         |  row_number() OVER (PARTITION BY event_type, day
+         |    ORDER BY ms, event_id) AS ra,
+         |  row_number() OVER (PARTITION BY event_type, day
+         |    ORDER BY ms DESC, event_id DESC) AS rd FROM e)
+         |SELECT event_type, day,
+         |  max(CASE WHEN ra = 1 THEN value END) AS open,
+         |  max(value) AS high, min(value) AS low,
+         |  max(CASE WHEN rd = 1 THEN value END) AS close,
+         |  count(*) AS n, ${sqlSum("value")} AS volume
+         |FROM r GROUP BY 1, 2 ORDER BY event_type, day""".stripMargin,
+    // The self-join form of the distance-weighted trailing window the
+    // Spark side computes map-side; integer weights keep the weighted
+    // sum in exact decimals on both engines.
+    "ts_wma" ->
+      """WITH e AS (SELECT user_id, event_id, value, epoch_ms(ts) AS ms,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY ms, event_id)
+        |    AS rn FROM events),
+        |j AS (SELECT a.user_id, a.event_id, b.value AS bv,
+        |    20 - (a.rn - b.rn) AS wt
+        |  FROM e a JOIN e b ON a.user_id = b.user_id
+        |    AND b.rn BETWEEN a.rn - 19 AND a.rn)
+        |SELECT user_id, event_id,
+        |  ROUND(CAST(SUM(CAST(bv AS DECIMAL(38,6)) * wt) AS DOUBLE)
+        |    / (COUNT(*) * (41 - COUNT(*)) // 2), 4) AS wma
+        |FROM j GROUP BY user_id, event_id
+        |ORDER BY user_id, event_id""".stripMargin
   )
 }

@@ -229,6 +229,47 @@ object CurationQueries {
           when(col("rep_token") > 0.6 || col("rep_bigram") > 0.08, 1L)
             .otherwise(0L))
         .orderBy("doc_id")
+    }),
+
+    // Per-source document cap — the Common-Crawl-style curation rule
+    // that no single domain dominates the corpus: keep at most 10 docs
+    // per source, chosen by the deterministic content-independent
+    // md5(doc_id) order (the replayable-shuffle device of
+    // sample_stratified_hash — a re-run or a backfill picks the SAME
+    // survivors, unlike rand()). One row_number window partitioned by
+    // source — per-key state, no global ordering; at 100 TB this is a
+    // single source-keyed exchange, AQE-splittable when one domain is
+    // 10⁶× another (the exact skew this rule exists to cut).
+    "sample_domain_cap" -> ((s, dir) => {
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("skey"), col("doc_id"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          md5(col("doc_id").cast("string").cast("binary")).as("skey"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 10)
+        .select(col("doc_id"), col("source"), col("rk"))
+        .orderBy("source", "rk")
+    }),
+
+    // Dataset card — the per-(source, lang) release summary every
+    // published corpus ships: doc/token counts, exact-dup text count
+    // (distinct md5), and mean doc length. ONE two-phase hash agg over
+    // a map-side projection (countDistinct plans as the standard
+    // two-shuffle expand, everything else partial-aggregates); the
+    // whole 100 TB card costs a single scan.
+    "pipeline_dataset_card" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("source"), col("lang"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"),
+          md5(col("text").cast("binary")).as("h"))
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("n_tokens"),
+          countDistinct(col("h")).as("n_unique_texts"),
+          r4d(sum(col("n_tok")).cast("double") / count(lit(1)))
+            .as("avg_tokens"))
+        .orderBy("source", "lang")
     })
   )
 
@@ -351,6 +392,21 @@ object CurationQueries {
         |SELECT doc_id, rep_token, rep_bigram,
         |  CASE WHEN rep_token > 0.6 OR rep_bigram > 0.08
         |    THEN 1 ELSE 0 END AS flagged
-        |FROM r ORDER BY doc_id""".stripMargin
+        |FROM r ORDER BY doc_id""".stripMargin,
+    "sample_domain_cap" ->
+      """WITH d AS (SELECT doc_id, source,
+        |    md5(CAST(doc_id AS VARCHAR)) AS skey FROM documents),
+        |r AS (SELECT doc_id, source, row_number() OVER (
+        |    PARTITION BY source ORDER BY skey, doc_id) AS rk FROM d)
+        |SELECT doc_id, source, CAST(rk AS BIGINT) AS rk
+        |FROM r WHERE rk <= 10 ORDER BY source, rk""".stripMargin,
+    "pipeline_dataset_card" ->
+      """SELECT source, lang, count(*) AS n_docs,
+        |  SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS n_tokens,
+        |  count(DISTINCT md5(text)) AS n_unique_texts,
+        |  ROUND(CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT))
+        |      AS DOUBLE) / count(*) * 10000) / 10000 AS avg_tokens
+        |FROM documents GROUP BY source, lang
+        |ORDER BY source, lang""".stripMargin
   )
 }

@@ -197,6 +197,46 @@ object EtlQueries {
           col("effective_from"), col("effective_to"), col("is_current"),
           col("n_events"))
         .orderBy("user_id", "version")
+    }),
+
+    // CDC APPLY — the log-structured cousin of etl_upsert_type1's
+    // two-table MERGE: the input is a CHANGE LOG (op ∈ {U, D} tagged,
+    // versioned, many entries per key) and only each key's LATEST entry
+    // may touch the snapshot — upsert resolves two current states, CDC
+    // apply first resolves the log against itself. Orders stand in for
+    // the log (o_orderkey = the monotone version; %7 entries are
+    // deletes, %10 custkeys remap negative so the insert branch is
+    // non-vacuous, the upsert key's device). Latest-wins is a
+    // max(struct(version, …)) partial agg — ONE key shuffle, no window,
+    // map-side combine shrinks each partition to one row per key before
+    // the exchange (the right shape when a day's CDC log has 10⁹
+    // entries over 10⁶ hot keys); then one full-outer join applies it.
+    "etl_cdc_apply" -> ((s, dir) => {
+      val base = t(s, dir, "customer")
+        .select(col("c_custkey").as("key"), col("c_name").as("name"),
+          col("c_acctbal").as("acctbal"))
+      val cdc = t(s, dir, "orders").select(
+        when(pmod(col("o_custkey"), lit(10)) === 0,
+          -col("o_custkey") - 1).otherwise(col("o_custkey")).as("key"),
+        col("o_orderkey").as("version"),
+        when(col("o_orderkey") % 7 === 0, "D").otherwise("U").as("op"),
+        r4d(col("o_totalprice") / 100.0).as("new_bal"))
+      val latest = cdc.groupBy(col("key"))
+        .agg(max(struct(col("version"), col("op"), col("new_bal"))).as("m"))
+        .select(col("key"), col("m.version").as("version"),
+          col("m.op").as("op"), col("m.new_bal").as("new_bal"))
+      base.join(latest, Seq("key"), "full_outer")
+        .filter(col("op").isNull || col("op") =!= "D")
+        .select(col("key"),
+          coalesce(col("name"),
+            concat(lit("new-"), col("key").cast("string"))).as("name"),
+          when(col("op") === "U", col("new_bal"))
+            .otherwise(col("acctbal")).as("acctbal"),
+          when(col("op").isNull, "keep")
+            .when(col("acctbal").isNull, "insert")
+            .otherwise("update").as("action"),
+          col("version"))
+        .orderBy("key")
     })
   )
 
@@ -274,6 +314,29 @@ object EtlQueries {
         |  CASE WHEN lead(effective_from, 1) OVER w2 IS NULL THEN 1 ELSE 0
         |    END AS is_current, n_events
         |FROM hist WINDOW w2 AS (PARTITION BY user_id ORDER BY version)
-        |ORDER BY user_id, version""".stripMargin
+        |ORDER BY user_id, version""".stripMargin,
+    "etl_cdc_apply" ->
+      """WITH base AS (SELECT c_custkey AS key, c_name AS name,
+        |    c_acctbal AS acctbal FROM customer),
+        |cdc AS (SELECT
+        |    CASE WHEN o_custkey % 10 = 0 THEN -o_custkey - 1
+        |         ELSE o_custkey END AS key,
+        |    o_orderkey AS version,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN 'D' ELSE 'U' END AS op,
+        |    ROUND(o_totalprice / 100.0 * 10000) / 10000 AS new_bal
+        |  FROM orders),
+        |latest AS (SELECT key, version, op, new_bal FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY key
+        |      ORDER BY version DESC) AS rn FROM cdc) WHERE rn = 1)
+        |SELECT coalesce(b.key, l.key) AS key,
+        |  coalesce(b.name, 'new-' || coalesce(b.key, l.key)) AS name,
+        |  CASE WHEN l.op = 'U' THEN l.new_bal ELSE b.acctbal END AS acctbal,
+        |  CASE WHEN l.op IS NULL THEN 'keep'
+        |       WHEN b.acctbal IS NULL THEN 'insert'
+        |       ELSE 'update' END AS action,
+        |  l.version AS version
+        |FROM base b FULL OUTER JOIN latest l ON b.key = l.key
+        |WHERE l.op IS NULL OR l.op <> 'D'
+        |ORDER BY key""".stripMargin
   )
 }

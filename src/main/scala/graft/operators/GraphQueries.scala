@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.t
+
+/** §2.23 Graph analytics (SURVEY.md, round-6 second amendment):
+  * fixed-point PageRank — the second distributed-iteration primitive
+  * next to dedup_cluster_canon's connected components (label
+  * propagation finds WHICH rows relate; PageRank ranks HOW CENTRAL each
+  * one is — the dedup survivor-selection and seed-page weighting step
+  * of web-corpus curation pipelines).
+  *
+  * Determinism is the design driver: float PageRank sums contributions
+  * in shuffle arrival order, so two runs (or two engines) differ in
+  * final ulps and an exact oracle is impossible. Ranks here are SCALED
+  * LONGS (1.0 ≡ 1,000,000) and every update is integer arithmetic —
+  * `new = 150000 + 85·Σ(rank div deg) div 100`, the damping-0.85
+  * update with truncating division on non-negative operands, identical
+  * in Spark (`div`) and DuckDB (`//`). Replay-stable to the bit, which
+  * is what an incremental 100 TB re-crawl diff actually needs; the
+  * truncation bias (< 1e-6 per hop) is the documented price.
+  *
+  * Scale: each of the 5 fixed iterations is one edge⋈rank equi-join +
+  * one dst-keyed partial-agg shuffle — the textbook Pregel round as
+  * plain DataFrame ops. The edge list appears once per iteration but
+  * Catalyst's ReuseExchange dedupes the repeated edge/degree scans
+  * within the single plan; a long-running production loop would
+  * persist the edge table and checkpoint ranks per superstep exactly
+  * as ConnectedComponents.scala does (same shuffle shape, unbounded
+  * iterations). Graph: the part↔supplier bipartite graph of distinct
+  * lineitem pairs, both directions, so every node has out-degree ≥ 1
+  * and the dangling-mass term vanishes by construction.
+  */
+object GraphQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val Iters = 5
+
+  val queries: Map[String, Q] = Map(
+    "graph_pagerank" -> ((s, dir) => {
+      val pairs = t(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey")).distinct()
+      val edges = pairs
+        .select((col("l_partkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+        .unionAll(pairs.select((col("l_suppkey") * 2 + 1).as("src"),
+          (col("l_partkey") * 2).as("dst")))
+      val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      var ranks = deg.select(col("src").as("node"),
+        lit(1000000L).as("rank"))
+      for (_ <- 1 to Iters) {
+        ranks = edges.join(deg, Seq("src"))
+          .join(ranks, col("src") === col("node"))
+          .select(col("dst"), expr("rank div deg").as("c"))
+          .groupBy(col("dst")).agg(sum(col("c")).as("sc"))
+          .select(col("dst").as("node"),
+            (lit(150000L) + expr("85 * sc div 100")).as("rank"))
+      }
+      ranks.orderBy("node")
+    })
+  )
+
+  /** The same 5 integer-arithmetic supersteps, unrolled as CTEs. */
+  val oracle: Map[String, String] = Map(
+    "graph_pagerank" -> {
+      val prelude =
+        """WITH pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+          |edges AS (SELECT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+          |    FROM pairs
+          |  UNION ALL
+          |  SELECT l_suppkey * 2 + 1, l_partkey * 2 FROM pairs),
+          |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+          |r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS rank
+          |  FROM deg)""".stripMargin
+      val steps = (1 to Iters).map { i =>
+        s"""r$i AS (SELECT e.dst AS node,
+           |  150000 + (85 * SUM(r.rank // d.deg)) // 100 AS rank
+           |  FROM edges e JOIN deg d ON e.src = d.src
+           |  JOIN r${i - 1} r ON e.src = r.node GROUP BY e.dst)""".stripMargin
+      }.mkString(",\n")
+      s"$prelude,\n$steps\nSELECT node, rank FROM r$Iters ORDER BY node"
+    }
+  )
+}

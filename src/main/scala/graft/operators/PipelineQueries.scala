@@ -438,6 +438,31 @@ object PipelineQueries {
           (col("cum") - col("n_tokens")).as("start_off"),
           expr(s"(cum - n_tokens) div ${budget}L").as("bin"))
         .orderBy("doc_id")
+    }),
+
+    // RAG chunking — overlapping fixed-size token windows (size 32,
+    // stride 24, so consecutive chunks share 8 tokens), the retrieval-
+    // corpus prep step next to pack_sequences' training prep: packing
+    // concatenates ACROSS docs, chunking splits WITHIN them, boundaries
+    // never cross a doc. Entirely map-side (sequence → explode → slice
+    // HOFs in the scan stage — a 100 TB corpus chunks with zero
+    // shuffle before the presentation sort); chunk_id = start/stride
+    // keeps ids stable under re-runs and partial backfills. The last
+    // chunk keeps its natural short length (n_chunk_tokens < 32)
+    // rather than padding — padding is the embedder's concern.
+    "pipeline_rag_chunking" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"),
+          explode(expr("sequence(0, size(toks) - 1, 24)")).as("start"),
+          col("toks"))
+        .select(col("doc_id"),
+          expr("start div 24").cast("long").as("chunk_id"),
+          col("start").cast("long").as("start"),
+          least(lit(32L), col("n_tokens") - col("start")).cast("long")
+            .as("n_chunk_tokens"),
+          expr("concat_ws(' ', slice(toks, start + 1, 32))").as("chunk"))
+        .orderBy("doc_id", "chunk_id")
     })
   )
 
@@ -592,7 +617,17 @@ object PipelineQueries {
         |      ROWS UNBOUNDED PRECEDING) AS cum FROM d)
         |SELECT doc_id, n_tokens, cum - n_tokens AS start_off,
         |  (cum - n_tokens) // 2048 AS bin
-        |FROM c ORDER BY doc_id""".stripMargin
+        |FROM c ORDER BY doc_id""".stripMargin,
+    "pipeline_rag_chunking" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |  FROM documents),
+        |c AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+        |    unnest(range(0, len(toks), 24)) AS start, toks FROM d)
+        |SELECT doc_id, start // 24 AS chunk_id,
+        |  CAST(start AS BIGINT) AS start,
+        |  least(32, n_tokens - start) AS n_chunk_tokens,
+        |  array_to_string(toks[start + 1 : start + 32], ' ') AS chunk
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin
     // dedup_simhash: engine-pinned xxhash64 → property-tested, no oracle.
   )
 }

@@ -88,10 +88,15 @@ class InventorySpec extends SparkSpec {
     "join_interval_overlap", "ts_sessionize", "text_pii_scrub",
     "text_repetition_filter", "scan_compact_smallfiles",
     "etl_partition_overwrite", "agg_hll_partitioned_union",
-    "pipeline_pack_sequences")
+    "pipeline_pack_sequences",
+    // round-6 third wave: OHLC resample + weighted MA, per-domain cap,
+    // dataset card, RAG chunking, CDC apply, integer PageRank
+    "ts_resample_ohlc", "ts_wma", "sample_domain_cap",
+    "pipeline_dataset_card", "pipeline_rag_chunking", "etl_cdc_apply",
+    "graph_pagerank")
 
-  test("declared queries cover SURVEY §2 + §2.12-22 exactly (137 keys)") {
-    assert(inventory.size == 137)
+  test("declared queries cover SURVEY §2 + §2.12-23 exactly (144 keys)") {
+    assert(inventory.size == 144)
     val declared = SparkEntry.queries.keySet
     val missing = inventory -- declared
     val extra = declared -- inventory
