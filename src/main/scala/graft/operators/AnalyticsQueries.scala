@@ -161,6 +161,42 @@ object AnalyticsQueries {
         .orderBy(col("user_id"), col("session_id"))
     }),
 
+    // FIRST-TOUCH ATTRIBUTION — the marketing-analytics composition of
+    // ts_sessionize: every purchase is credited to the event that
+    // OPENED its session (the "first touch"). Session boundaries are
+    // the same 30-min-gap rule; the first-touch columns are computed as
+    // a running IGNORE-NULLS last() over the session-start markers
+    // (rows where new_s = 1) so the whole query — lag flag, running
+    // session id, first-touch carry-forward, purchase filter — rides
+    // ONE user_id exchange. The naive spelling (a second window
+    // partitioned by (user, session)) would re-shuffle; the
+    // carry-forward trick is what keeps a 100 TB attribution job at a
+    // single exchange. (ms, event_id) ordering per the sessionize
+    // convention.
+    "attribution_first_touch" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ms"), col("event_id"))
+      val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      events(s, dir)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_millis(col("ts").cast("timestamp")).as("ms"))
+        .withColumn("prev_ms", lag(col("ms"), 1).over(w))
+        .withColumn("new_s", when(col("prev_ms").isNull ||
+          col("ms") - col("prev_ms") > 1800000L, 1L).otherwise(0L))
+        .withColumn("session_id", sum(col("new_s")).over(run))
+        .withColumn("first_touch", last(
+          when(col("new_s") === 1, col("event_type")), ignoreNulls = true)
+          .over(run))
+        .withColumn("sess_start_ms", last(
+          when(col("new_s") === 1, col("ms")), ignoreNulls = true)
+          .over(run))
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("session_id"),
+          col("first_touch"), col("sess_start_ms"))
+        .orderBy("event_id")
+    }),
+
     // TPC-H Q3 (shipping priority) through the PURE SQL surface —
     // `spark.sql` over `parquet.`path`` direct queries, no DataFrame
     // combinators and no temp-view registration (view names would
@@ -294,6 +330,29 @@ object AnalyticsQueries {
         |SELECT user_id, session_id, count(*) AS n_events,
         |  min(ms) AS start_ms, max(ms) AS end_ms
         |FROM s GROUP BY 1, 2 ORDER BY user_id, session_id""".stripMargin,
+    // The oracle takes the join spelling (first event per session via
+    // row_number, attached back) — different shape, same answer, which
+    // is exactly what makes the carry-forward trick worth pinning.
+    "attribution_first_touch" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_ms(ts) AS ms
+        |  FROM events),
+        |f AS (SELECT user_id, event_id, event_type, ms,
+        |  CASE WHEN lag(ms) OVER w IS NULL
+        |       OR ms - lag(ms) OVER w > 1800000 THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)),
+        |s AS (SELECT user_id, event_id, event_type, ms,
+        |  CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ms, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |  FROM f),
+        |fs AS (SELECT user_id, session_id, event_type AS first_touch,
+        |    ms AS sess_start_ms
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY user_id, session_id
+        |      ORDER BY ms, event_id) AS rn FROM s)
+        |  WHERE rn = 1)
+        |SELECT s.event_id, s.user_id, s.session_id, fs.first_touch,
+        |  fs.sess_start_ms
+        |FROM s JOIN fs USING (user_id, session_id)
+        |WHERE s.event_type = 'purchase' ORDER BY event_id""".stripMargin,
     "sql_tpch_q3" ->
       s"""SELECT l_orderkey,
          |  ${sqlSum("l_extendedprice * (1 - l_discount)")} AS revenue,

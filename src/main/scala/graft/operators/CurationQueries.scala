@@ -252,6 +252,88 @@ object CurationQueries {
         .orderBy("source", "rk")
     }),
 
+    // URL canonicalization + dedup — the FIRST dedup pass of every
+    // web-corpus pipeline (cheaper than any content hash: two crawls of
+    // the same page differ by tracking params, scheme and host case
+    // long before their bodies differ). The fixture has no URL column,
+    // so deterministic synthetic URLs derived from doc_id are built
+    // IDENTICALLY on both engines (the text_pii_scrub convention), with
+    // all four real-world noise classes live at every SF: http vs https
+    // (mod 2), host case (mod 3), trailing slash (mod 4), utm_*
+    // tracking params (mod 5). Canonical form = https + lowercase host
+    // + slash-stripped path + query with utm_* params removed; the
+    // canonical survivor is the lowest doc_id (dedup_exact_text's
+    // rule). Canonicalization is pure codegen'd regexp work in the scan
+    // stage; the only shuffle is the canonical-key window — at 100 TB
+    // one url-keyed exchange, and the regexps are RE2-safe with NO
+    // capture-group replacements (Spark spells them $1, DuckDB \1 —
+    // extract-and-rebuild sidesteps the incompatibility).
+    "text_url_normalize" -> ((s, dir) => {
+      val d = col("doc_id")
+      val hostRaw = concat(lit("site"), (d % 50).cast("string"),
+        lit(".example.com"))
+      val url = concat(
+        when(d % 2 === 0, "https").otherwise("http"), lit("://"),
+        when(d % 3 === 0, upper(hostRaw)).otherwise(hostRaw),
+        lit("/a/item"), (d % 20).cast("string"),
+        when(d % 4 === 0, "/").otherwise(""),
+        when(d % 5 === 0,
+          concat(lit("?utm_source=feed&id="), (d % 10).cast("string")))
+          .when(d % 5 === 1, concat(lit("?id="), (d % 10).cast("string")))
+          .when(d % 5 === 2, lit("?utm_campaign=x"))
+          .otherwise(lit("")))
+      val host = lower(regexp_extract(col("url"), "^https?://([^/?]+)", 1))
+      val path = regexp_replace(
+        regexp_extract(col("url"), "^https?://[^/?]+([^?]*)", 1), "/$", "")
+      val q = regexp_replace(regexp_replace(
+        regexp_extract(col("url"), "\\?(.*)$", 1),
+        "utm_[a-z]+=[^&]*&?", ""), "&$", "")
+      val w = Window.partitionBy(col("canon_url")).orderBy(col("doc_id"))
+      t(s, dir, "documents").select(d.as("doc_id"), url.as("url"))
+        .select(col("doc_id"), col("url"),
+          concat(lit("https://"), host, path,
+            when(q === "", "").otherwise(concat(lit("?"), q)))
+            .as("canon_url"))
+        .withColumn("keep",
+          when(row_number().over(w) === 1, 1L).otherwise(0L))
+        .orderBy("doc_id")
+    }),
+
+    // TEMPERATURE-based corpus mixing — the multilingual rebalancing
+    // rule (target share ∝ n^α, here α = 0.5) every multilingual
+    // pretraining mix applies so head languages stop drowning tail
+    // ones. Unlike sample_weighted_mix's GIVEN per-source rates, the
+    // rates here are DERIVED from the corpus's own per-language counts:
+    // k_lang = min(n, floor(N·√n / Σ√n)) — head langs downsample, tail
+    // langs cap at full size (the keep-everything branch; en is the
+    // only downsampled lang at every SF, so both branches are live).
+    // Determinism: Σ√n is summed in EXACT decimal (order-independent —
+    // a double sum would vary with aggregation order), the k arithmetic
+    // is then identical double ops from identical inputs on both
+    // engines, and survivors are the first k in the replayable
+    // md5(doc_id) order (sample_domain_cap's device). Scale: the count
+    // table is |langs| rows (broadcast), the rank one lang-keyed
+    // window exchange — same shape as the domain cap.
+    "sample_temperature_mix" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      val tot = counts.agg(sum(col("n")).as("nn"),
+        sum(sqrt(col("n").cast("double")).cast("decimal(38,8)")).as("ss"))
+      val k = counts.crossJoin(tot).select(col("lang"),
+        least(col("n"), floor(col("nn").cast("double") *
+          sqrt(col("n").cast("double")) / col("ss").cast("double")))
+          .as("k_keep"))
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("skey"), col("doc_id"))
+      docs.select(col("doc_id"), col("lang"),
+          md5(col("doc_id").cast("string").cast("binary")).as("skey"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .join(broadcast(k), Seq("lang"))
+        .filter(col("rk") <= col("k_keep"))
+        .select(col("lang"), col("doc_id"), col("rk"), col("k_keep"))
+        .orderBy("lang", "rk")
+    }),
+
     // Dataset card — the per-(source, lang) release summary every
     // published corpus ships: doc/token counts, exact-dup text count
     // (distinct md5), and mean doc length. ONE two-phase hash agg over
@@ -400,6 +482,53 @@ object CurationQueries {
         |    PARTITION BY source ORDER BY skey, doc_id) AS rk FROM d)
         |SELECT doc_id, source, CAST(rk AS BIGINT) AS rk
         |FROM r WHERE rk <= 10 ORDER BY source, rk""".stripMargin,
+    // Exact-decimal Σ√n per the Spark side; the k arithmetic repeats
+    // the same double ops in the same order.
+    "sample_temperature_mix" ->
+      """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+        |t AS (SELECT SUM(n) AS nn,
+        |    SUM(CAST(sqrt(CAST(n AS DOUBLE)) AS DECIMAL(38,8))) AS ss FROM c),
+        |k AS (SELECT lang, least(n, CAST(floor(CAST(nn AS DOUBLE)
+        |    * sqrt(CAST(n AS DOUBLE)) / CAST(ss AS DOUBLE)) AS BIGINT))
+        |    AS k_keep
+        |  FROM c CROSS JOIN t),
+        |r AS (SELECT doc_id, lang, CAST(row_number() OVER (
+        |    PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+        |    AS BIGINT) AS rk
+        |  FROM documents)
+        |SELECT lang, doc_id, rk, k_keep FROM r JOIN k USING (lang)
+        |WHERE rk <= k_keep ORDER BY lang, rk""".stripMargin,
+    // Same synthetic-URL construction and extract-and-rebuild
+    // canonicalization; 'g' on the utm strip (DuckDB regexp_replace is
+    // first-match by default) and single-backslash `\?` per the
+    // standard-string convention above.
+    "text_url_normalize" ->
+      """WITH u AS (SELECT doc_id,
+        |  (CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'http' END) || '://'
+        |  || (CASE WHEN doc_id % 3 = 0
+        |        THEN upper('site' || (doc_id % 50) || '.example.com')
+        |        ELSE 'site' || (doc_id % 50) || '.example.com' END)
+        |  || '/a/item' || (doc_id % 20)
+        |  || (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END)
+        |  || (CASE WHEN doc_id % 5 = 0 THEN '?utm_source=feed&id=' || (doc_id % 10)
+        |           WHEN doc_id % 5 = 1 THEN '?id=' || (doc_id % 10)
+        |           WHEN doc_id % 5 = 2 THEN '?utm_campaign=x'
+        |           ELSE '' END) AS url
+        |  FROM documents),
+        |p AS (SELECT doc_id, url,
+        |    lower(regexp_extract(url, '^https?://([^/?]+)', 1)) AS host,
+        |    regexp_replace(regexp_extract(url, '^https?://[^/?]+([^?]*)', 1),
+        |      '/$', '') AS path,
+        |    regexp_replace(regexp_replace(regexp_extract(url, '\?(.*)$', 1),
+        |      'utm_[a-z]+=[^&]*&?', '', 'g'), '&$', '') AS q
+        |  FROM u),
+        |c AS (SELECT doc_id, url, 'https://' || host || path ||
+        |    (CASE WHEN q = '' THEN '' ELSE '?' || q END) AS canon_url
+        |  FROM p)
+        |SELECT doc_id, url, canon_url,
+        |  CASE WHEN row_number() OVER (PARTITION BY canon_url
+        |    ORDER BY doc_id) = 1 THEN 1 ELSE 0 END AS keep
+        |FROM c ORDER BY doc_id""".stripMargin,
     "pipeline_dataset_card" ->
       """SELECT source, lang, count(*) AS n_docs,
         |  SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS n_tokens,

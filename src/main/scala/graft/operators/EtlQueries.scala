@@ -237,10 +237,93 @@ object EtlQueries {
             .otherwise("update").as("action"),
           col("version"))
         .orderBy("key")
-    })
+    }),
+
+    // SNAPSHOT DIFF — the reconciliation report between two versions of
+    // a table (last night's landing vs today's): which keys were added,
+    // removed, or changed, and for changed rows WHICH columns moved.
+    // The new snapshot is derived deterministically from the original
+    // (the upsert convention, all four branches live at every SF):
+    // mod-13 keys deleted, mod-7 balances bumped, mod-21 segments
+    // moved (⊂ mod-7 → multi-column change rows exist), mod-11 keys
+    // re-inserted under the negation device (−key−1 can never collide
+    // with a real key). One key-equi full-outer join + map-side
+    // column-by-column IS DISTINCT FROM comparison; unchanged rows are
+    // dropped so the output is the delta, not the table. At 100 TB both
+    // snapshots bucket on the key and the join is exchange-free; the
+    // changed-column list is concat_ws over per-column null-safe
+    // comparisons — no UDF, no second pass.
+    "etl_snapshot_diff" -> ((s, dir) => {
+      val base = t(s, dir, "customer")
+        .select(col("c_custkey").as("key"), col("c_name").as("name"),
+          col("c_mktsegment").as("seg"), col("c_acctbal").as("bal"))
+      val nw = base.filter(pmod(col("key"), lit(13)) =!= 0)
+        .select(col("key"), col("name"),
+          when(pmod(col("key"), lit(21)) === 0, lit("MOVED"))
+            .otherwise(col("seg")).as("seg"),
+          when(pmod(col("key"), lit(7)) === 0, col("bal") + 100.0)
+            .otherwise(col("bal")).as("bal"))
+        .unionAll(base.filter(pmod(col("key"), lit(11)) === 0)
+          .select((-col("key") - 1).as("key"),
+            concat(lit("new-"), col("key").cast("string")).as("name"),
+            col("seg"), col("bal")))
+      val o = base.select(col("key"), col("name").as("o_name"),
+        col("seg").as("o_seg"), col("bal").as("o_bal"))
+      val n = nw.select(col("key"), col("name").as("n_name"),
+        col("seg").as("n_seg"), col("bal").as("n_bal"))
+      val diffName = !(col("o_name") <=> col("n_name"))
+      val diffSeg = !(col("o_seg") <=> col("n_seg"))
+      val diffBal = !(col("o_bal") <=> col("n_bal"))
+      o.join(n, Seq("key"), "full_outer")
+        .withColumn("change_type",
+          when(col("o_name").isNull, "added")
+            .when(col("n_name").isNull, "removed")
+            .when(diffName || diffSeg || diffBal, "changed")
+            .otherwise("same"))
+        .filter(col("change_type") =!= "same")
+        .select(col("key"), col("change_type"),
+          concat_ws(",",
+            when(col("change_type") === "changed" && diffName, "name"),
+            when(col("change_type") === "changed" && diffSeg, "seg"),
+            when(col("change_type") === "changed" && diffBal, "bal"))
+            .as("changed_cols"),
+          col("o_bal"), col("n_bal"))
+        .orderBy("key")
+    }),
   )
 
   val oracle: Map[String, String] = Map(
+    "etl_snapshot_diff" ->
+      """WITH old AS (SELECT c_custkey AS key, c_name AS name,
+        |    c_mktsegment AS seg, c_acctbal AS bal FROM customer),
+        |nw AS (
+        |  SELECT key, name,
+        |    CASE WHEN key % 21 = 0 THEN 'MOVED' ELSE seg END AS seg,
+        |    CASE WHEN key % 7 = 0 THEN bal + 100.0 ELSE bal END AS bal
+        |  FROM old WHERE key % 13 <> 0
+        |  UNION ALL
+        |  SELECT -key - 1, 'new-' || key, seg, bal FROM old
+        |  WHERE key % 11 = 0),
+        |j AS (SELECT coalesce(o.key, n.key) AS key,
+        |    o.name AS o_name, o.seg AS o_seg, o.bal AS o_bal,
+        |    n.name AS n_name, n.seg AS n_seg, n.bal AS n_bal
+        |  FROM old o FULL OUTER JOIN nw n ON o.key = n.key),
+        |c AS (SELECT *, CASE WHEN o_name IS NULL THEN 'added'
+        |    WHEN n_name IS NULL THEN 'removed'
+        |    WHEN o_name IS DISTINCT FROM n_name
+        |      OR o_seg IS DISTINCT FROM n_seg
+        |      OR o_bal IS DISTINCT FROM n_bal THEN 'changed'
+        |    ELSE 'same' END AS change_type FROM j)
+        |SELECT key, change_type,
+        |  concat_ws(',',
+        |    CASE WHEN change_type = 'changed'
+        |      AND o_name IS DISTINCT FROM n_name THEN 'name' END,
+        |    CASE WHEN change_type = 'changed'
+        |      AND o_seg IS DISTINCT FROM n_seg THEN 'seg' END,
+        |    CASE WHEN change_type = 'changed'
+        |      AND o_bal IS DISTINCT FROM n_bal THEN 'bal' END) AS changed_cols,
+        |  o_bal, n_bal
+        |FROM c WHERE change_type <> 'same' ORDER BY key""".stripMargin,
     "etl_upsert_type1" ->
       s"""WITH upd AS (
          |  SELECT CASE WHEN o_custkey % 10 = 0 THEN -o_custkey - 1

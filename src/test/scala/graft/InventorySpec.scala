@@ -93,10 +93,13 @@ class InventorySpec extends SparkSpec {
     // dataset card, RAG chunking, CDC apply, integer PageRank
     "ts_resample_ohlc", "ts_wma", "sample_domain_cap",
     "pipeline_dataset_card", "pipeline_rag_chunking", "etl_cdc_apply",
-    "graph_pagerank")
+    "graph_pagerank",
+    // §2.24 fourth wave
+    "text_url_normalize", "sample_temperature_mix", "attribution_first_touch",
+    "etl_snapshot_diff")
 
-  test("declared queries cover SURVEY §2 + §2.12-23 exactly (144 keys)") {
-    assert(inventory.size == 144)
+  test("declared queries cover SURVEY §2 + §2.12-24 exactly (148 keys)") {
+    assert(inventory.size == 148)
     val declared = SparkEntry.queries.keySet
     val missing = inventory -- declared
     val extra = declared -- inventory
