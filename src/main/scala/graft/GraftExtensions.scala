@@ -65,6 +65,30 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case n => throw new IllegalArgumentException(
           s"tdigest_quantile expects 2 or 3 arguments, got $n")
       }))
+    // Bloom + Count-Min — the stored-filter/stored-sketch SQL surface:
+    // bloom_build(key, bits, hashes) / bloom_might_contain(bits, key,
+    // hashes); countmin_build(key, depth, width) /
+    // countmin_estimate(bytes, key, depth).
+    e.injectFunction((new FunctionIdentifier("bloom_build"),
+      new ExpressionInfo(classOf[graft.functions.BloomBuildAgg].getName,
+        "bloom_build"),
+      arity("bloom_build", 3)(exprs =>
+        graft.functions.BloomBuildAgg(exprs(0), exprs(1), exprs(2)))))
+    e.injectFunction((new FunctionIdentifier("bloom_might_contain"),
+      new ExpressionInfo(classOf[graft.functions.BloomMightContain].getName,
+        "bloom_might_contain"),
+      arity("bloom_might_contain", 3)(exprs =>
+        graft.functions.BloomMightContain(exprs(0), exprs(1), exprs(2)))))
+    e.injectFunction((new FunctionIdentifier("countmin_build"),
+      new ExpressionInfo(classOf[graft.functions.CountMinAgg].getName,
+        "countmin_build"),
+      arity("countmin_build", 3)(exprs =>
+        graft.functions.CountMinAgg(exprs(0), exprs(1), exprs(2)))))
+    e.injectFunction((new FunctionIdentifier("countmin_estimate"),
+      new ExpressionInfo(classOf[graft.functions.CountMinEstimate].getName,
+        "countmin_estimate"),
+      arity("countmin_estimate", 3)(exprs =>
+        graft.functions.CountMinEstimate(exprs(0), exprs(1), exprs(2)))))
   }
 }
 

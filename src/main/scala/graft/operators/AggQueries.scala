@@ -95,6 +95,34 @@ object AggQueries {
           .as("approx_distinct_docs"))
     }),
 
+    // COUNT-MIN sketch — the third mergeable-sketch surface (HLL =
+    // distinct above, t-digest = quantiles): sublinear-space FREQUENCY
+    // estimation through the engine's own TypedImperativeAggregate
+    // (graft.functions.CountMinAgg — counter matrices add element-wise,
+    // so per-partition sketches compose under any rollup like the HLL
+    // stats table). The declared query stores ONE corpus-wide sketch
+    // (80 KiB — the bloom-prebuilt legitimacy class of driver state,
+    // standing in for "read the stored sketch") and answers the top-30
+    // tokens' frequencies from it next to the exact counts, the
+    // frequency dashboard a 100 TB corpus serves without re-scanning.
+    // est ≥ exact ALWAYS (collisions only add); engine-pinned hashing
+    // → no oracle (§2.11); CountMinSpec pins the one-sided error, the
+    // εN overshoot bound, bit-image partitioning invariance and
+    // merge-under-rollup transparency.
+    "agg_countmin_freq" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("token"))
+        .select(col("token"), xxhash64(col("token")).as("h"))
+      val sketch = toks.agg(graft.functions.CountMin.build(col("h"), 5, 2048)
+        .as("cm")).head().getAs[Array[Byte]](0)
+      toks.groupBy("token").agg(count(lit(1)).as("exact_n"))
+        .orderBy(col("exact_n").desc, col("token")).limit(30)
+        .withColumn("est_n", graft.functions.CountMin.estimate(
+          lit(sketch), xxhash64(col("token")), 5))
+        .select(col("token"), col("exact_n"), col("est_n"))
+        .orderBy(col("token"))
+    }),
+
     // Nations with above-average customer count (HAVING via post-agg
     // filter). The global average arrives as a 1-row broadcast cross
     // join, not `avg().over(Window.partitionBy())` — the empty-partition

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables.{epochDay, events, t}
 import graft.Det._
+import graft.functions.Bloom
 
 /** §2.3 Join operators (SURVEY.md).
   *
@@ -301,10 +302,52 @@ object JoinQueries {
         .select(col("l_orderkey"), col("l_linenumber"), col("p_name"),
           col("l_quantity"), col("p_retailprice"))
         .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // PREBUILT bloom prefilter — the case InjectRuntimeFilter above
+    // CANNOT cover: the key set is built in a different job (a stored
+    // blocklist, another pipeline's output), so no single plan ever
+    // holds both sides and the optimizer has nothing to inject. The
+    // engine's own surfaces (graft.functions.Bloom): a mergeable
+    // bitset TypedImperativeAggregate reduces the selected dim keys to
+    // an 8 KiB image (partials OR — order-independent), the driver
+    // holds O(bytes) state (the pivot-sample legitimacy class, here
+    // standing in for "read the stored filter"), and a codegen
+    // might-contain probes it per fact row INSIDE the scan stage —
+    // ~95% of fact rows die before any join machinery. The exact
+    // left-semi join then kills the ~3×10⁻⁶ false positives, so the
+    // answer is exact and the oracle is the plain IN-subquery (a wrong
+    // bit anywhere → dropped or phantom rows → hash mismatch).
+    // BloomSpec pins no-false-negatives, the FP bound and bit-image
+    // partitioning invariance; PlanAuditSpec pins the probe's
+    // placement inside the fact scan's filter.
+    "join_bloom_prebuilt" -> ((s, dir) => {
+      val sel = t(s, dir, "part").filter(col("p_brand") === "Brand#4")
+        .select(col("p_partkey"))
+      val bits = sel.agg(Bloom.build(col("p_partkey"), 1 << 16, 5)
+        .as("bf")).head().getAs[Array[Byte]](0)
+      t(s, dir, "lineitem")
+        .filter(Bloom.mightContain(lit(bits), col("l_partkey"), 5))
+        .join(sel, col("l_partkey") === col("p_partkey"), "left_semi")
+        .groupBy(col("l_partkey"))
+        .agg(count(lit(1)).as("n_lines"),
+          dsum(col("l_extendedprice")).as("sum_price"))
+        .orderBy(col("l_partkey"))
     })
   )
 
   val oracle: Map[String, String] = Map(
+    // The bloom bits are an internal prefilter, invisible in the
+    // output — the oracle is the exact semi-join aggregate, which any
+    // false NEGATIVE (the one failure a bloom must never have) would
+    // flunk by dropping that key's row.
+    "join_bloom_prebuilt" ->
+      s"""SELECT l_partkey, count(*) AS n_lines,
+         |  ${sqlSum("l_extendedprice")} AS sum_price
+         |FROM lineitem
+         |WHERE l_partkey IN (SELECT p_partkey FROM part
+         |                    WHERE p_brand = 'Brand#4')
+         |GROUP BY l_partkey ORDER BY l_partkey""".stripMargin,
     "join_broadcast_inner" ->
       """SELECT l_orderkey, l_linenumber, p_name, p_retailprice
         |FROM lineitem JOIN part ON l_partkey = p_partkey

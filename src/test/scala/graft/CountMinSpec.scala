@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.CountMin
+
+/** Contract tests for the Count-Min sketch surfaces behind
+  * `agg_countmin_freq` (the §2.11 property coverage standing in for an
+  * oracle):
+  *
+  *  - ONE-SIDED error — est ≥ exact for every key, always (collisions
+  *    only add; the property the sketch's consumers rely on when they
+  *    use it as an admission prefilter).
+  *  - Overshoot within the εN bound (ε = e/width) at the declared
+  *    key's sizing, on the real fixture corpus.
+  *  - Bit-image invariance under repartitioning — a stored sketch must
+  *    not depend on how the build side was partitioned.
+  *  - Merge-under-rollup transparency: per-source sketches summed
+  *    element-wise ≡ the directly-built corpus sketch (the stored
+  *    stats-table deployment), bit-identical — unlike DataSketches HLL
+  *    unions, CMS matrix addition is exactly associative.
+  */
+class CountMinSpec extends SparkSpec {
+
+  private lazy val toks = spark.read.parquet(s"$sf/documents.parquet")
+    .select(explode(split(col("text"), " ")).as("token"))
+    .select(col("token"), xxhash64(col("token")).as("h"))
+
+  test("estimates are one-sided: est >= exact for every token") {
+    val sketch = toks.agg(CountMin.build(col("h"), 5, 2048)).head()
+      .getAs[Array[Byte]](0)
+    val under = toks.groupBy("token", "h").agg(count(lit(1)).as("exact"))
+      .withColumn("est", CountMin.estimate(lit(sketch), col("h"), 5))
+      .filter(col("est") < col("exact")).count()
+    assert(under == 0, s"$under tokens underestimated")
+  }
+
+  test("overshoot within the eps*N analytic bound") {
+    val w = 2048
+    val sketch = toks.agg(CountMin.build(col("h"), 5, w)).head()
+      .getAs[Array[Byte]](0)
+    val n = toks.count()
+    val eps = math.E / w
+    val over = toks.groupBy("token", "h").agg(count(lit(1)).as("exact"))
+      .withColumn("est", CountMin.estimate(lit(sketch), col("h"), 5))
+      .filter(col("est") > col("exact") + lit(eps * n)).count()
+    assert(over == 0,
+      s"$over tokens exceed the eps*N = ${eps * n} overshoot bound")
+  }
+
+  test("sketch image is invariant under build-side partitioning") {
+    def img(parts: Int): Seq[Byte] =
+      toks.repartition(parts).agg(CountMin.build(col("h"), 3, 256))
+        .head().getAs[Array[Byte]](0).toSeq
+    assert(img(1) == img(5), "sketch depends on partition count")
+    assert(img(5) == img(32), "sketch depends on partition count")
+  }
+
+  test("per-source sketches sum to the directly-built corpus sketch") {
+    val perSource = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("source"), explode(split(col("text"), " ")).as("token"))
+      .select(col("source"), xxhash64(col("token")).as("h"))
+      .groupBy("source").agg(CountMin.build(col("h"), 3, 256).as("sk"))
+      .collect().map(_.getAs[Array[Byte]]("sk"))
+    val summed = perSource.map(CountMin.fromBytes)
+      .reduce { (a, b) =>
+        val out = a.clone(); var i = 0
+        while (i < out.length) { out(i) += b(i); i += 1 }; out
+      }
+    val direct = CountMin.fromBytes(
+      toks.agg(CountMin.build(col("h"), 3, 256)).head()
+        .getAs[Array[Byte]](0))
+    assert(summed.toSeq == direct.toSeq,
+      "rolled-up per-source sketches differ from the direct sketch")
+  }
+
+  test("declared key: exact top-30 carries sane estimates") {
+    val rows = SparkEntry.queries("agg_countmin_freq")(spark, sf).collect()
+    assert(rows.length == 30)
+    rows.foreach { r =>
+      val exact = r.getAs[Long]("exact_n")
+      val est = r.getAs[Long]("est_n")
+      assert(est >= exact, s"${r.getAs[String]("token")}: est $est < exact $exact")
+    }
+  }
+}

@@ -56,6 +56,20 @@ class ExtensionsSpec extends AnyFunSuite {
       val med3 = s.sql("SELECT tdigest_quantile(CAST(id AS DOUBLE), 0.5D, 50) " +
         "FROM range(0, 101)").head().getDouble(0)
       assert(math.abs(med3 - 50.0) <= 2.0, s"tdigest(δ=50) median: $med3")
+      // Bloom build + probe round-trip through pure SQL: every inserted
+      // key probes true, and a disjoint key probes false at this sizing.
+      assert(s.sql(
+        """WITH bf AS (SELECT bloom_build(id, 4096, 5) AS b FROM range(0, 100))
+          |SELECT count(*) FROM range(0, 100), bf
+          |WHERE bloom_might_contain(b, id, 5)""".stripMargin)
+        .head().getLong(0) == 100L)
+      // Count-Min: exact on a collision-free sizing (100 keys, 2048 slots
+      // per row — est == exact unless two keys collide in EVERY row).
+      assert(s.sql(
+        """WITH cm AS (SELECT countmin_build(id % 10, 5, 2048) AS b
+          |            FROM range(0, 100))
+          |SELECT countmin_estimate(b, 3, 5) FROM cm""".stripMargin)
+        .head().getLong(0) == 10L)
     } finally {
       // Tear down this context too: a later suite's session must not
       // silently inherit the extension-configured context.

@@ -31,7 +31,10 @@ class OperatorSmokeSpec extends SparkSpec {
       "agg_tdigest_quantile",
       // engine-pinned DataSketches HLL bytes; PropertySpec pins the
       // 5% band, merge transparency, and partitioning invariance
-      "agg_hll_partitioned_union"),
+      "agg_hll_partitioned_union",
+      // engine-pinned CMS hashing (§2.11); CountMinSpec pins the
+      // one-sided error, the εN bound, and partitioning invariance
+      "agg_countmin_freq"),
       s"unexpected oracle-less keys: $noOracle")
   }
 

@@ -386,6 +386,19 @@ class PlanAuditSpec extends SparkSpec {
       s"no runtime bloom filter injected:\n${p.take(3000)}")
   }
 
+  test("prebuilt bloom probe prefilters the fact side below the semi join") {
+    val p = plan("join_bloom_prebuilt")
+    val probeIdx = p.indexOf("bloom_might_contain")
+    assert(probeIdx >= 0, s"no bloom probe in plan:\n${p.take(2000)}")
+    // In the plan string children print after (= below) their parent:
+    // the probe must sit on the fact side UNDER the semi join — a probe
+    // above the join would mean the prefilter ran after the shuffle it
+    // exists to shrink.
+    val joinIdx = p.indexOf("LeftSemi")
+    assert(joinIdx >= 0 && probeIdx > joinIdx,
+      s"bloom probe not below the semi join:\n${p.take(3000)}")
+  }
+
   test("partitioned scan prunes by partition key (filter satisfied by listing)") {
     val p = plan("scan_partition_prune")
     // The lang predicate must land INSIDE the PartitionFilters list
