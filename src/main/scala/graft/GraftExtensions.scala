@@ -89,6 +89,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "countmin_estimate"),
       arity("countmin_estimate", 3)(exprs =>
         graft.functions.CountMinEstimate(exprs(0), exprs(1), exprs(2)))))
+    // Exact bitmap distinct for bounded dense domains:
+    // bitmap_distinct(key, domain).
+    e.injectFunction((new FunctionIdentifier("bitmap_distinct"),
+      new ExpressionInfo(classOf[graft.functions.BitmapDistinctAgg].getName,
+        "bitmap_distinct"),
+      arity("bitmap_distinct", 2)(exprs =>
+        graft.functions.BitmapDistinctAgg(exprs(0), exprs(1)))))
   }
 }
 

@@ -95,6 +95,26 @@ object AggQueries {
           .as("approx_distinct_docs"))
     }),
 
+    // EXACT bitmap distinct — the bitmap-index pattern (ClickHouse
+    // groupBitmap / Druid segment bitmaps) for bounded dense domains:
+    // count(DISTINCT) plans an Expand + second shuffle whose volume
+    // grows with the distinct pair count, while a bitmap partial is
+    // FIXED SIZE (domain/8 bytes) however many rows hit it, ORs
+    // exactly, and popcounts to the EXACT answer — the oracle is
+    // count(DISTINCT) itself, making this the one custom imperative
+    // aggregate the DuckDB gate verifies bit-for-bit (the sketch trio
+    // above is property-covered). Domain 2²⁰ bits = 128 KiB partials
+    // covers the user domain at every SF with headroom; out-of-domain
+    // keys fail loudly rather than degrade to approximate.
+    "agg_bitmap_distinct" -> ((s, dir) => {
+      events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(graft.functions.BitmapDistinctAgg(col("user_id"), 1 << 20)
+          .as("n_users"),
+          count(lit(1)).as("n_events"))
+        .orderBy(col("event_type"))
+    }),
+
     // COUNT-MIN sketch — the third mergeable-sketch surface (HLL =
     // distinct above, t-digest = quantiles): sublinear-space FREQUENCY
     // estimation through the engine's own TypedImperativeAggregate
@@ -248,6 +268,12 @@ object AggQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // The strongest claim a custom aggregate can make: the bitmap's
+    // popcount must equal count(DISTINCT) exactly, row for row.
+    "agg_bitmap_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users,
+        |  count(*) AS n_events
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "agg_mode_per_group" ->
       """WITH c AS (SELECT user_id, event_type, count(*) AS n
         |  FROM events GROUP BY 1, 2)

@@ -215,12 +215,9 @@ object EtlQueries {
       val base = t(s, dir, "customer")
         .select(col("c_custkey").as("key"), col("c_name").as("name"),
           col("c_acctbal").as("acctbal"))
-      val cdc = t(s, dir, "orders").select(
-        when(pmod(col("o_custkey"), lit(10)) === 0,
-          -col("o_custkey") - 1).otherwise(col("o_custkey")).as("key"),
-        col("o_orderkey").as("version"),
-        when(col("o_orderkey") % 7 === 0, "D").otherwise("U").as("op"),
-        r4d(col("o_totalprice") / 100.0).as("new_bal"))
+      // The log derivation is the shared Cdc core (also behind
+      // stream_cdc_apply and CdcStreamSpec) — one definition, no drift.
+      val cdc = Cdc.log(t(s, dir, "orders"))
       val latest = cdc.groupBy(col("key"))
         .agg(max(struct(col("version"), col("op"), col("new_bal"))).as("m"))
         .select(col("key"), col("m.version").as("version"),

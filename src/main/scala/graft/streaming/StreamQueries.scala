@@ -109,6 +109,20 @@ object StreamQueries {
             wUser.rowsBetween(Window.unboundedPreceding, Window.currentRow))
             .as("running_max"))
         .orderBy("user_id", "event_id")
+    }),
+
+    // STREAMING CDC APPLY, batch face: one Cdc.merge of the whole
+    // change log into the base snapshot (≡ etl_cdc_apply's latest-wins
+    // by the tombstone-carry argument in graft.operators.Cdc — the
+    // merge is the SAME function CdcStreamSpec drives one micro-batch
+    // at a time through foreachBatch, pinning incremental ≡ one-shot
+    // including the delete-then-update reactivation case that breaks
+    // physical-delete merges).
+    "stream_cdc_apply" -> ((s, dir) => {
+      import graft.operators.Cdc
+      import graft.Tables.t
+      Cdc.present(Cdc.merge(Cdc.base(t(s, dir, "customer")),
+        Cdc.log(t(s, dir, "orders"))))
     })
   )
 
@@ -152,6 +166,28 @@ object StreamQueries {
         |  AND c.event_type = 'click' AND p.event_type = 'purchase'
         |  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
         |ORDER BY l_id, r_id""".stripMargin,
+    // etl_cdc_apply's CTE without the action tag (the streaming state
+    // does not carry it) — same latest-wins, same branches.
+    "stream_cdc_apply" ->
+      """WITH base AS (SELECT c_custkey AS key, c_name AS name,
+        |    c_acctbal AS acctbal FROM customer),
+        |cdc AS (SELECT
+        |    CASE WHEN o_custkey % 10 = 0 THEN -o_custkey - 1
+        |         ELSE o_custkey END AS key,
+        |    o_orderkey AS version,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN 'D' ELSE 'U' END AS op,
+        |    ROUND(o_totalprice / 100.0 * 10000) / 10000 AS new_bal
+        |  FROM orders),
+        |latest AS (SELECT key, version, op, new_bal FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY key
+        |      ORDER BY version DESC) AS rn FROM cdc) WHERE rn = 1)
+        |SELECT coalesce(b.key, l.key) AS key,
+        |  coalesce(b.name, 'new-' || coalesce(b.key, l.key)) AS name,
+        |  CASE WHEN l.op = 'U' THEN l.new_bal ELSE b.acctbal END AS acctbal,
+        |  l.version AS version
+        |FROM base b FULL OUTER JOIN latest l ON b.key = l.key
+        |WHERE l.op IS NULL OR l.op <> 'D'
+        |ORDER BY key""".stripMargin,
     // NULLS FIRST pins DuckDB's null placement to Spark's asc default
     // (nulls first) — a padded row and a matched row can share an l_id.
     "stream_interval_join_outer" ->

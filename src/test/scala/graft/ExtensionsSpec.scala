@@ -70,6 +70,9 @@ class ExtensionsSpec extends AnyFunSuite {
           |            FROM range(0, 100))
           |SELECT countmin_estimate(b, 3, 5) FROM cm""".stripMargin)
         .head().getLong(0) == 10L)
+      // Exact bitmap distinct: 100 rows over 25 distinct keys.
+      assert(s.sql("SELECT bitmap_distinct(id % 25, 1024) FROM range(0, 100)")
+        .head().getLong(0) == 25L)
     } finally {
       // Tear down this context too: a later suite's session must not
       // silently inherit the extension-configured context.
