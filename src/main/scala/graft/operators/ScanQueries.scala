@@ -245,6 +245,43 @@ object ScanQueries {
         .orderBy("doc_id")
     }),
 
+    // SCHEMA EVOLUTION — the storage reality of every long-lived
+    // table: files written before a column existed never carry it, and
+    // the reader (not a rewrite job) reconciles the generations. Gen-1
+    // files hold the v1 schema (doc_id, text, lang); gen-2 files add
+    // (source, n_chars); the read passes the CURRENT schema explicitly
+    // (`.schema(v2)`) — per-file column resolution is by name, missing
+    // columns surface as null, and the projection backfills defaults.
+    // The explicit-schema form IS the 100 TB path: `mergeSchema=true`
+    // reconciles footers at O(files) planning cost, while a
+    // metastore-pinned schema plans in O(1) — same per-file null
+    // semantics, none of the footer sweep (documented trade, the
+    // production default for a table with 10⁷ files). Rewriting old
+    // files to the new schema — the alternative this key exists to
+    // avoid — would be a full-table write.
+    "scan_schema_evolution" -> ((s, dir) => {
+      val gen1 = s"${scratch(s, dir)}/evo_gen1"
+      val gen2 = s"${scratch(s, dir)}/evo_gen2"
+      val docs = t(s, dir, "documents")
+      writeOnce(gen1) {
+        docs.filter(col("doc_id") % 2 === 0)
+          .select("doc_id", "text", "lang")
+          .write.mode("overwrite").parquet(gen1)
+      }
+      writeOnce(gen2) {
+        docs.filter(col("doc_id") % 2 =!= 0)
+          .select("doc_id", "text", "lang", "source", "n_chars")
+          .write.mode("overwrite").parquet(gen2)
+      }
+      val v2 = docs.select("doc_id", "text", "lang", "source", "n_chars")
+        .schema
+      s.read.schema(v2).parquet(gen1, gen2)
+        .select(col("doc_id"), col("lang"),
+          coalesce(col("source"), lit("unknown")).as("source"),
+          coalesce(col("n_chars"), lit(-1L)).as("n_chars"))
+        .orderBy("doc_id")
+    }),
+
     // DYNAMIC PARTITION OVERWRITE — the other mutation primitive next
     // to etl_upsert_type1's row-level merge: replace exactly the
     // partitions an update batch touches (the nightly "re-land one
@@ -334,6 +371,14 @@ object ScanQueries {
     // original table.
     "scan_compact_smallfiles" ->
       "SELECT doc_id, text, lang, source, n_chars FROM documents ORDER BY doc_id",
+    // The generation split and the backfill defaults composed over the
+    // original table — the layout (two schema generations) must be
+    // invisible modulo the declared defaults.
+    "scan_schema_evolution" ->
+      """SELECT doc_id, lang,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'unknown' ELSE source END AS source,
+        |  CASE WHEN doc_id % 2 = 0 THEN -1 ELSE n_chars END AS n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // Same update arithmetic over the original table: only 'en' rows
     // carry the bump, everything else passes through.
     "etl_partition_overwrite" ->

@@ -109,6 +109,31 @@ object WindowQueries {
         .orderBy(col("o_orderkey"))
     }),
 
+    // MATCH_RECOGNIZE-lite: CONSECUTIVE event-sequence detection (the
+    // complement of funnel_stages, whose stages may be arbitrarily far
+    // apart): every run of exactly (view, click, purchase) in a user's
+    // timeline, reported with its span. Two lead() columns over ONE
+    // user-keyed window — the row-pattern automaton for a fixed-length
+    // pattern compiles to leads, so detection costs a single exchange
+    // and no self-joins (the naive 3-way self-join would shuffle the
+    // event table three times). Non-vacuous at every SF (7/76/771
+    // matches); (ms, event_id) ordering per the determinism contract.
+    "win_pattern_match" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ms"), col("event_id"))
+      events(s, dir)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_millis(col("ts").cast("timestamp")).as("ms"))
+        .withColumn("t1", lead(col("event_type"), 1).over(w))
+        .withColumn("t2", lead(col("event_type"), 2).over(w))
+        .withColumn("ms2", lead(col("ms"), 2).over(w))
+        .filter(col("event_type") === "view" && col("t1") === "click" &&
+          col("t2") === "purchase")
+        .select(col("user_id"), col("event_id").as("start_event_id"),
+          col("ms").as("start_ms"), (col("ms2") - col("ms")).as("span_ms"))
+        .orderBy("user_id", "start_event_id")
+    }),
+
     "win_first_last_value" -> ((s, dir) => {
       val w = wOrd.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
       t(s, dir, "orders")
@@ -160,6 +185,17 @@ object WindowQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "win_pattern_match" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_ms(ts) AS ms
+        |  FROM events),
+        |w AS (SELECT *, lead(event_type, 1) OVER w AS t1,
+        |    lead(event_type, 2) OVER w AS t2, lead(ms, 2) OVER w AS ms2
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id))
+        |SELECT user_id, event_id AS start_event_id, ms AS start_ms,
+        |  ms2 - ms AS span_ms
+        |FROM w WHERE event_type = 'view' AND t1 = 'click'
+        |  AND t2 = 'purchase'
+        |ORDER BY user_id, start_event_id""".stripMargin,
     "win_row_number" ->
       s"""SELECT o_custkey, o_orderkey, row_number() OVER ($ordSql) AS rn
          |FROM orders ORDER BY o_custkey, rn""".stripMargin,

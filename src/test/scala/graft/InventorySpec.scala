@@ -97,10 +97,11 @@ class InventorySpec extends SparkSpec {
     // §2.24 fourth wave
     "text_url_normalize", "sample_temperature_mix", "attribution_first_touch",
     "etl_snapshot_diff", "join_bloom_prebuilt", "agg_countmin_freq",
-    "agg_bitmap_distinct", "stream_cdc_apply")
+    "agg_bitmap_distinct", "stream_cdc_apply", "scan_schema_evolution",
+    "win_pattern_match")
 
-  test("declared queries cover SURVEY §2 + §2.12-24 exactly (152 keys)") {
-    assert(inventory.size == 152)
+  test("declared queries cover SURVEY §2 + §2.12-24 exactly (154 keys)") {
+    assert(inventory.size == 154)
     val declared = SparkEntry.queries.keySet
     val missing = inventory -- declared
     val extra = declared -- inventory
