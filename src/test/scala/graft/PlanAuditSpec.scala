@@ -386,6 +386,33 @@ class PlanAuditSpec extends SparkSpec {
       s"no runtime bloom filter injected:\n${p.take(3000)}")
   }
 
+  test("first-touch attribution rides a single user_id exchange") {
+    val p = plan("attribution_first_touch")
+    // The carry-forward claim: lag flag, running session id, ignore-nulls
+    // last() AND the purchase filter all share one hash exchange on
+    // user_id. A second hashpartitioning would mean the naive
+    // (user, session) window snuck back in. (The final orderBy adds one
+    // rangepartitioning — presentation, not computation.)
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx == 1, s"expected 1 hash exchange, got $hashEx:\n${p.take(3000)}")
+    assert(p.contains("hashpartitioning(user_id"), p.take(2000))
+  }
+
+  test("temperature mix broadcasts the derived per-lang rate table") {
+    val p = plan("sample_temperature_mix")
+    assert(p.contains("BroadcastHashJoin"),
+      s"rate table not broadcast:\n${p.take(3000)}")
+    // Survivor ranking stays one lang-keyed window exchange.
+    assert(p.contains("hashpartitioning(lang"), p.take(2000))
+  }
+
+  test("URL canonicalization shuffles only on the canonical key") {
+    val p = plan("text_url_normalize")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx == 1, s"expected 1 hash exchange, got $hashEx:\n${p.take(3000)}")
+    assert(p.contains("hashpartitioning(canon_url"), p.take(2000))
+  }
+
   test("prebuilt bloom probe prefilters the fact side below the semi join") {
     val p = plan("join_bloom_prebuilt")
     val probeIdx = p.indexOf("bloom_might_contain")
