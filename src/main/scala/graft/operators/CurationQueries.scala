@@ -163,6 +163,42 @@ object CurationQueries {
         .orderBy("doc_id")
     }),
 
+    // SUBSTRING-DEDUP REMOVAL — the step after dedup_substring_spans'
+    // report: actually CUT the duplicated windows out of the text (the
+    // published train-data dedup recipe removes repeated spans, not
+    // whole documents — doc-level survivors still carry the shared
+    // boilerplate). A token position is removed iff some cross-document
+    // duplicated 8-token window covers it; the cleaned text is the
+    // uncovered tokens re-joined. The cover set comes back as ONE
+    // sorted int array per doc (bounded by doc length) and the rebuild
+    // is a map-side index-filter HOF — no per-token shuffle; the dup
+    // discovery shuffles the same slim (doc_id, pos, window) rows as
+    // the spans keys. Docs under 8 tokens and clean docs pass through
+    // with n_removed = 0.
+    "dedup_substring_removal" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      val w = toks.filter(size(col("toks")) >= 8)
+        .select(col("doc_id"), posexplode(expr(
+          "transform(sequence(0, size(toks)-8), " +
+            "i -> concat_ws(' ', slice(toks, i+1, 8)))")))
+        .select(col("doc_id"), col("pos"), col("col").as("w"))
+      val dup = w.groupBy("w").agg(countDistinct(col("doc_id")).as("nd"))
+        .filter(col("nd") > 1).select("w")
+      val cov = w.join(dup, Seq("w"))
+        .select(col("doc_id"),
+          explode(expr("sequence(pos, pos + 7)")).as("p"))
+        .distinct()
+        .groupBy("doc_id").agg(collect_set(col("p")).as("cov"))
+      toks.join(cov, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(size(col("cov")), lit(0)).cast("long").as("n_removed"),
+          concat_ws(" ", expr(
+            "filter(toks, (t, i) -> NOT array_contains(coalesce(cov, array()), i))"))
+            .as("clean_text"))
+        .orderBy("doc_id")
+    }),
+
     // PII redaction — the compliance pass every released corpus runs:
     // count and replace emails / URLs / phone numbers with typed
     // placeholder tokens, entirely map-side (regexp_count +
@@ -482,6 +518,33 @@ object CurationQueries {
         |    PARTITION BY source ORDER BY skey, doc_id) AS rk FROM d)
         |SELECT doc_id, source, CAST(rk AS BIGINT) AS rk
         |FROM r WHERE rk <= 10 ORDER BY source, rk""".stripMargin,
+    // Rebuild via tokens-with-position anti-join + ordered string_agg —
+    // a different shape from Spark's index-filter HOF, same answer
+    // (both reconstruct from the token array, so split/join roundtrip
+    // quirks cancel).
+    "dedup_substring_removal" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |  FROM documents),
+        |w AS (SELECT doc_id, unnest(range(len(toks) - 7)) AS pos,
+        |    unnest(list_transform(range(len(toks) - 7),
+        |      i -> array_to_string(toks[i+1:i+8], ' '))) AS w
+        |  FROM t WHERE len(toks) >= 8),
+        |dup AS (SELECT w FROM w GROUP BY w HAVING count(DISTINCT doc_id) > 1),
+        |cov AS (SELECT DISTINCT doc_id, pos + k AS p
+        |  FROM w JOIN dup USING (w)
+        |  CROSS JOIN (SELECT unnest(range(8)) AS k)),
+        |tok AS (SELECT doc_id, unnest(range(len(toks))) AS p,
+        |    unnest(toks) AS tk FROM t),
+        |clean AS (SELECT tok.doc_id,
+        |    string_agg(tk, ' ' ORDER BY tok.p) AS clean_text
+        |  FROM tok LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.p = cov.p
+        |  WHERE cov.p IS NULL GROUP BY tok.doc_id),
+        |nr AS (SELECT doc_id, count(*) AS n_removed FROM cov GROUP BY 1)
+        |SELECT d.doc_id, coalesce(nr.n_removed, 0) AS n_removed,
+        |  coalesce(clean.clean_text, '') AS clean_text
+        |FROM documents d LEFT JOIN nr USING (doc_id)
+        |LEFT JOIN clean USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
     // Exact-decimal Σ√n per the Spark side; the k arithmetic repeats
     // the same double ops in the same order.
     "sample_temperature_mix" ->

@@ -65,6 +65,25 @@ class CdcStreamSpec extends SparkSpec {
     assert(rows(Cdc.present(state)) == rows(oneShot))
   }
 
+  test("re-applying a batch is a no-op (foreachBatch restart idempotence)") {
+    // After a crash between state write and offset commit, Structured
+    // Streaming re-delivers the last micro-batch — the merge must
+    // absorb the replay. Latest-wins over already-applied versions
+    // changes nothing, so apply-twice ≡ apply-once.
+    val customer = spark.read.parquet(s"$sf/customer.parquet")
+    val log = Cdc.log(spark.read.parquet(s"$sf/orders.parquet"))
+    val cut = log.stat.approxQuantile("version", Array(0.5), 0.0)(0)
+    val b1 = log.filter(col("version") <= cut)
+    val b2 = log.filter(col("version") > cut)
+    var once = Cdc.base(customer)
+    Seq(b1, b2).foreach { b => once = Cdc.merge(once, b).localCheckpoint(true) }
+    var twice = Cdc.base(customer)
+    Seq(b1, b1, b2, b2).foreach { b =>
+      twice = Cdc.merge(twice, b).localCheckpoint(true)
+    }
+    assert(rows(Cdc.present(twice)) == rows(Cdc.present(once)))
+  }
+
   test("delete-then-update across batches reactivates the base row (tombstone contract)") {
     import spark.implicits._
     val base = Seq((1L, "alice", 10.0)).toDF("c_custkey", "c_name", "c_acctbal")
