@@ -245,6 +245,39 @@ object ScanQueries {
         .orderBy("doc_id")
     }),
 
+    // MALFORMED-RECORD QUARANTINE — the ingestion surface the clean
+    // roundtrips above skip: real landed CSV carries rows that don't
+    // parse, and a production reader must QUARANTINE them (keep the
+    // raw line for replay/debugging) rather than crash the 100 TB job
+    // (FAILFAST) or silently drop them (DROPMALFORMED). PERMISSIVE
+    // mode + columnNameOfCorruptRecord does exactly that: a type-cast
+    // failure nulls the offending field and captures the raw line in
+    // the quarantine column, map-side in the scan — no separate
+    // validation pass. Corruption is deterministic (mod-7 keys get a
+    // non-numeric key field), so the oracle reconstructs both the
+    // surviving fields AND the quarantined raw lines from the original
+    // table.
+    "scan_csv_permissive" -> ((s, dir) => {
+      val raw = s"${scratch(s, dir)}/dirty_csv"
+      writeOnce(raw) {
+        t(s, dir, "nation")
+          .select(concat_ws(",",
+            when(col("n_nationkey") % 7 === 0,
+              concat(lit("x"), col("n_nationkey").cast("string")))
+              .otherwise(col("n_nationkey").cast("string")),
+            col("n_name")).as("value"))
+          .coalesce(1).write.mode("overwrite").text(raw)
+      }
+      s.read
+        .schema("key INT, name STRING, _corrupt_record STRING")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(raw)
+        .select(col("key").cast("long").as("key"), col("name"),
+          col("_corrupt_record").as("quarantined"))
+        .orderBy(asc_nulls_first("key"), col("name"))
+    }),
+
     // SCHEMA EVOLUTION — the storage reality of every long-lived
     // table: files written before a column existed never carry it, and
     // the reader (not a rewrite job) reconciles the generations. Gen-1
@@ -371,6 +404,18 @@ object ScanQueries {
     // original table.
     "scan_compact_smallfiles" ->
       "SELECT doc_id, text, lang, source, n_chars FROM documents ORDER BY doc_id",
+    // Reconstructs both branches from the original table: clean rows
+    // keep their fields, mod-7 rows surface null key + the exact raw
+    // line the writer produced.
+    "scan_csv_permissive" ->
+      """WITH good AS (SELECT CAST(n_nationkey AS BIGINT) AS key,
+        |    n_name AS name, CAST(NULL AS VARCHAR) AS quarantined
+        |  FROM nation WHERE n_nationkey % 7 <> 0),
+        |bad AS (SELECT CAST(NULL AS BIGINT) AS key, n_name AS name,
+        |    'x' || n_nationkey || ',' || n_name AS quarantined
+        |  FROM nation WHERE n_nationkey % 7 = 0)
+        |SELECT * FROM good UNION ALL SELECT * FROM bad
+        |ORDER BY key NULLS FIRST, name""".stripMargin,
     // The generation split and the backfill defaults composed over the
     // original table — the layout (two schema generations) must be
     // invisible modulo the declared defaults.
