@@ -65,18 +65,10 @@ object CountMin {
     est
   }
 
-  def toBytes(counts: Array[Long]): Array[Byte] = {
-    val bb = java.nio.ByteBuffer.allocate(8 * counts.length)
-      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    counts.foreach(bb.putLong)
-    bb.array()
-  }
-
-  def fromBytes(bytes: Array[Byte]): Array[Long] = {
-    val bb = java.nio.ByteBuffer.wrap(bytes)
-      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    Array.fill(bytes.length / 8)(bb.getLong)
-  }
+  /** Same little-endian long[] image as [[Bloom]] — one codec for all
+    * three byte-buffer sketch surfaces. */
+  def toBytes(counts: Array[Long]): Array[Byte] = Bloom.toBytes(counts)
+  def fromBytes(bytes: Array[Byte]): Array[Long] = Bloom.fromBytes(bytes)
 }
 
 /** Counter-matrix-building aggregate: update bumps one slot per row,

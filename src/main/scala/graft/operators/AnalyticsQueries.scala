@@ -221,6 +221,32 @@ object AnalyticsQueries {
         |LIMIT 10""".stripMargin)
     }),
 
+    // TPC-H Q18 (large-volume customer) through the pure SQL surface —
+    // the NESTED-SUBQUERY planning shape q3's flat star doesn't
+    // exercise: an IN (GROUP BY … HAVING) subquery over the same fact
+    // table the outer query aggregates. Catalyst rewrites the IN to a
+    // left-semi join and the fact scans dedupe via exchange reuse; at
+    // 100 TB both aggregations key on l_orderkey so the semi join
+    // co-partitions with the outer group-by. The HAVING threshold and
+    // the output sum both use the exact-decimal spelling — a double
+    // sum landing exactly on the 200 boundary must take the same
+    // branch on both engines. o_orderkey breaks total-price ties.
+    "sql_tpch_q18" -> ((s, dir) => {
+      s.sql(s"""SELECT c_name, c_custkey, o_orderkey,
+        |  CAST(o_orderdate AS DATE) AS o_orderdate, o_totalprice,
+        |  ${sqlSum("l_quantity")} AS sum_qty
+        |FROM parquet.`$dir/customer.parquet`
+        |JOIN parquet.`$dir/orders.parquet` ON c_custkey = o_custkey
+        |JOIN parquet.`$dir/lineitem.parquet` ON o_orderkey = l_orderkey
+        |WHERE o_orderkey IN (
+        |  SELECT l_orderkey FROM parquet.`$dir/lineitem.parquet`
+        |  GROUP BY l_orderkey
+        |  HAVING SUM(CAST(l_quantity AS DECIMAL(38,6))) > 200)
+        |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+        |ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+        |LIMIT 100""".stripMargin)
+    }),
+
     // OHLC downsampling — the time-series resample every metrics store
     // ships (candlestick bars): per (event_type, day), the value at the
     // first and last event plus the min/max/count/volume of the bar.
@@ -353,6 +379,20 @@ object AnalyticsQueries {
         |  fs.sess_start_ms
         |FROM s JOIN fs USING (user_id, session_id)
         |WHERE s.event_type = 'purchase' ORDER BY event_id""".stripMargin,
+    "sql_tpch_q18" ->
+      s"""SELECT c_name, c_custkey, o_orderkey,
+         |  CAST(o_orderdate AS DATE) AS o_orderdate, o_totalprice,
+         |  ${sqlSum("l_quantity")} AS sum_qty
+         |FROM customer
+         |JOIN orders ON c_custkey = o_custkey
+         |JOIN lineitem ON o_orderkey = l_orderkey
+         |WHERE o_orderkey IN (
+         |  SELECT l_orderkey FROM lineitem
+         |  GROUP BY l_orderkey
+         |  HAVING SUM(CAST(l_quantity AS DECIMAL(38,6))) > 200)
+         |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+         |ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+         |LIMIT 100""".stripMargin,
     "sql_tpch_q3" ->
       s"""SELECT l_orderkey,
          |  ${sqlSum("l_extendedprice * (1 - l_discount)")} AS revenue,

@@ -98,10 +98,11 @@ class InventorySpec extends SparkSpec {
     "text_url_normalize", "sample_temperature_mix", "attribution_first_touch",
     "etl_snapshot_diff", "join_bloom_prebuilt", "agg_countmin_freq",
     "agg_bitmap_distinct", "stream_cdc_apply", "scan_schema_evolution",
-    "win_pattern_match", "dedup_substring_removal", "scan_csv_permissive")
+    "win_pattern_match", "dedup_substring_removal", "scan_csv_permissive",
+    "sql_tpch_q18")
 
-  test("declared queries cover SURVEY §2 + §2.12-24 exactly (156 keys)") {
-    assert(inventory.size == 156)
+  test("declared queries cover SURVEY §2 + §2.12-24 exactly (157 keys)") {
+    assert(inventory.size == 157)
     val declared = SparkEntry.queries.keySet
     val missing = inventory -- declared
     val extra = declared -- inventory
