@@ -225,9 +225,12 @@ object AnalyticsQueries {
     // the NESTED-SUBQUERY planning shape q3's flat star doesn't
     // exercise: an IN (GROUP BY … HAVING) subquery over the same fact
     // table the outer query aggregates. Catalyst rewrites the IN to a
-    // left-semi join and the fact scans dedupe via exchange reuse; at
-    // 100 TB both aggregations key on l_orderkey so the semi join
-    // co-partitions with the outer group-by. The HAVING threshold and
+    // LEFT-SEMI join whose build side is the HAVING aggregate — a
+    // heavy-hitter key set orders of magnitude smaller than the fact
+    // table (874 of 15k orders at sf0.01), so it broadcasts (verified
+    // in the executed plan) and the fact side never shuffles for the
+    // filter; past broadcast size both sides of the semi join key on
+    // l_orderkey/o_orderkey and co-partition. The HAVING threshold and
     // the output sum both use the exact-decimal spelling — a double
     // sum landing exactly on the 200 boundary must take the same
     // branch on both engines. o_orderkey breaks total-price ties.
