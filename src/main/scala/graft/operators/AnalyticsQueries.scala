@@ -221,6 +221,29 @@ object AnalyticsQueries {
         |LIMIT 10""".stripMargin)
     }),
 
+    // DAILY TRENDING TOP-K — the dashboard staple composing three of
+    // the engine's own surfaces in one plan: JSON path extraction
+    // (scan-side), a (day, value) two-phase count, and the custom
+    // TopKPerGroup operator for the per-day top-3 — so the exchange
+    // after the count carries ≤3 rows per day per partition instead of
+    // the full value distribution (the bounded-heap contract, pinned
+    // for the base key in PlanAuditSpec). The trailing row_number
+    // ranks the ≤3 survivors; (n desc, kv) fully tie-broken.
+    "topk_trending_daily" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val counts = events(s, dir)
+        .select(epochDay("ts").as("day"),
+          get_json_object(col("props"), "$.k").cast("long").as("kv"))
+        .groupBy(col("day"), col("kv")).agg(count(lit(1)).as("n"))
+      val top = graft.plans.TopKPerGroup(counts, k = 3,
+        partNames = Seq("day"), orderSpec = Seq(("n", false), ("kv", true)))
+      val w = Window.partitionBy(col("day"))
+        .orderBy(col("n").desc, col("kv"))
+      top.withColumn("rk", row_number().over(w).cast("long"))
+        .select(col("day"), col("kv"), col("n"), col("rk"))
+        .orderBy("day", "rk")
+    }),
+
     // TPC-H Q18 (large-volume customer) through the pure SQL surface —
     // the NESTED-SUBQUERY planning shape q3's flat star doesn't
     // exercise: an IN (GROUP BY … HAVING) subquery over the same fact
@@ -382,6 +405,15 @@ object AnalyticsQueries {
         |  fs.sess_start_ms
         |FROM s JOIN fs USING (user_id, session_id)
         |WHERE s.event_type = 'purchase' ORDER BY event_id""".stripMargin,
+    "topk_trending_daily" ->
+      s"""WITH c AS (SELECT ${sqlEpochDay("ts")} AS day,
+         |    CAST(json_extract_string(props, '$$.k') AS BIGINT) AS kv,
+         |    count(*) AS n
+         |  FROM events GROUP BY 1, 2)
+         |SELECT day, kv, n, rk FROM (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY day
+         |    ORDER BY n DESC, kv) AS BIGINT) AS rk FROM c)
+         |WHERE rk <= 3 ORDER BY day, rk""".stripMargin,
     "sql_tpch_q18" ->
       s"""SELECT c_name, c_custkey, o_orderkey,
          |  CAST(o_orderdate AS DATE) AS o_orderdate, o_totalprice,
