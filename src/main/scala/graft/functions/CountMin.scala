@@ -97,6 +97,10 @@ case class CountMinAgg(child: Expression, depth: Expression,
     require(width.foldable, "countmin_build: width must be a literal")
     val v = width.eval().asInstanceOf[Number].intValue()
     require(v >= 16, s"countmin_build: width too small: $v")
+    // Bound the buffer like depth is bounded: 2²⁴ slots × 16 rows =
+    // 2 GiB of longs is already far past any sane sketch — beyond it
+    // d·w overflows Int and the allocation fails uncleanly.
+    require(v <= (1 << 24), s"countmin_build: width too large: $v")
     v
   }
 

@@ -50,19 +50,26 @@ object Cdc {
       when(col("o_orderkey") % 7 === 0, "D").otherwise("U").as("op"),
       r4d(col("o_totalprice") / 100.0).as("new_bal"))
 
+  /** Latest-wins collapse of a change log: one max(version-led struct)
+    * partial agg per key — THE semantic both `etl_cdc_apply` and
+    * [[merge]] must share (the tie-break/struct ordering lives here
+    * only, so the two apply surfaces cannot drift). */
+  def latest(changes: DataFrame): DataFrame =
+    changes.groupBy(col("key"))
+      .agg(max(struct(col("version"), col("op"), col("new_bal"))).as("m"))
+      .select(col("key"), col("m.version").as("version"),
+        col("m.op").as("op"), col("m.new_bal").as("new_bal"))
+
   /** Apply a change log (or one micro-batch of it) to a merge-state
     * snapshot: latest-wins within the log, tombstone on D, reactivate
     * on U, untouched keys carry through. Output schema = input state
     * schema, so applications CHAIN. */
   def merge(state: DataFrame, changes: DataFrame): DataFrame = {
-    val latest = changes.groupBy(col("key"))
-      .agg(max(struct(col("version"), col("op"), col("new_bal"))).as("m"))
-      .select(col("key"), col("m.version").as("v_new"),
-        col("m.op").as("op"), col("m.new_bal").as("new_bal"))
+    val lw = latest(changes).withColumnRenamed("version", "v_new")
     state
       .withColumnRenamed("version", "v_old")
       .withColumnRenamed("deleted", "del_old")
-      .join(latest, Seq("key"), "full_outer")
+      .join(lw, Seq("key"), "full_outer")
       .select(col("key"), col("name"),
         when(col("op") === "U", col("new_bal"))
           .otherwise(col("acctbal")).as("acctbal"),

@@ -185,10 +185,12 @@ object CurationQueries {
         .select(col("doc_id"), col("pos"), col("col").as("w"))
       val dup = w.groupBy("w").agg(countDistinct(col("doc_id")).as("nd"))
         .filter(col("nd") > 1).select("w")
+      // No .distinct() before collect_set: the set dedupes, and its
+      // PARTIAL aggregation already dedupes map-side — a distinct here
+      // would add a second full exchange over the largest intermediate.
       val cov = w.join(dup, Seq("w"))
         .select(col("doc_id"),
           explode(expr("sequence(pos, pos + 7)")).as("p"))
-        .distinct()
         .groupBy("doc_id").agg(collect_set(col("p")).as("cov"))
       toks.join(cov, Seq("doc_id"), "left")
         .select(col("doc_id"),

@@ -215,13 +215,11 @@ object EtlQueries {
       val base = t(s, dir, "customer")
         .select(col("c_custkey").as("key"), col("c_name").as("name"),
           col("c_acctbal").as("acctbal"))
-      // The log derivation is the shared Cdc core (also behind
-      // stream_cdc_apply and CdcStreamSpec) — one definition, no drift.
-      val cdc = Cdc.log(t(s, dir, "orders"))
-      val latest = cdc.groupBy(col("key"))
-        .agg(max(struct(col("version"), col("op"), col("new_bal"))).as("m"))
-        .select(col("key"), col("m.version").as("version"),
-          col("m.op").as("op"), col("m.new_bal").as("new_bal"))
+      // Log derivation AND the latest-wins collapse are the shared Cdc
+      // core (also behind stream_cdc_apply and CdcStreamSpec) — the
+      // tie-break semantic has one definition, so the surfaces cannot
+      // drift.
+      val latest = Cdc.latest(Cdc.log(t(s, dir, "orders")))
       base.join(latest, Seq("key"), "full_outer")
         .filter(col("op").isNull || col("op") =!= "D")
         .select(col("key"),
