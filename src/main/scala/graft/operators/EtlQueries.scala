@@ -234,6 +234,56 @@ object EtlQueries {
         .orderBy("key")
     }),
 
+    // DATA-QUALITY REPORT — the Deequ/dbt-test staple: run a suite of
+    // declared checks (not-null, value range, key uniqueness,
+    // referential integrity, plus a passing control) over a landed
+    // batch and emit one row per check with violation counts and a
+    // pass/fail verdict. The fixture is clean by construction, so a
+    // DIRTY batch derives deterministically from orders (the
+    // text_pii_scrub convention — every check non-vacuous at every
+    // SF): mod-37 statuses nulled, mod-41 prices negated, mod-43 keys
+    // collided onto their predecessor, mod-31 custkeys negated (an id
+    // no customer can have → FK orphans). Cost shape: the four scalar
+    // checks are ONE map-side CASE-count aggregation pass; uniqueness
+    // is count − countDistinct in the same pass; only the FK check
+    // joins (left-anti against the broadcast-able key side) — a 100 TB
+    // DQ suite costs one scan plus one semi-structured join, not one
+    // pass per check.
+    "etl_dq_report" -> ((s, dir) => {
+      val k = col("o_orderkey")
+      val dirty = t(s, dir, "orders").select(
+        when(pmod(k, lit(43)) === 0, k - 1).otherwise(k).as("key"),
+        when(pmod(k, lit(31)) === 0, -col("o_custkey") - 1)
+          .otherwise(col("o_custkey")).as("cust"),
+        when(pmod(k, lit(37)) === 0, lit(null).cast("string"))
+          .otherwise(col("o_orderstatus")).as("status"),
+        when(pmod(k, lit(41)) === 0, -col("o_totalprice"))
+          .otherwise(col("o_totalprice")).as("price"))
+      val orphans = dirty.join(t(s, dir, "customer")
+          .select(col("c_custkey")), col("cust") === col("c_custkey"),
+          "left_anti")
+        .agg(count(lit(1)).as("v")).select(lit("fk_cust_exists").as("check"),
+          col("v").as("n_violations"))
+      val scalars = dirty.agg(
+        count(lit(1)).as("n"),
+        sum(when(col("status").isNull, 1L).otherwise(0L)).as("v_null"),
+        sum(when(col("price") < 0, 1L).otherwise(0L)).as("v_range"),
+        (count(lit(1)) - countDistinct(col("key"))).as("v_dup"),
+        sum(when(col("cust").isNull, 1L).otherwise(0L)).as("v_cust"))
+      val rep = scalars.select(explode(map(
+          lit("status_not_null"), col("v_null"),
+          lit("price_non_negative"), col("v_range"),
+          lit("key_unique"), col("v_dup"),
+          lit("cust_not_null"), col("v_cust"))).as(Seq("check", "n_violations")))
+        .unionByName(orphans)
+      val n = dirty.agg(count(lit(1)).as("n_rows"))
+      rep.crossJoin(broadcast(n))
+        .select(col("check"), col("n_violations"), col("n_rows"),
+          when(col("n_violations") === 0, "pass").otherwise("fail")
+            .as("status"))
+        .orderBy("check")
+    }),
+
     // SNAPSHOT DIFF — the reconciliation report between two versions of
     // a table (last night's landing vs today's): which keys were added,
     // removed, or changed, and for changed rows WHICH columns moved.
@@ -288,6 +338,34 @@ object EtlQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // Same dirty-batch derivation; each check spelled as its own CTE.
+    "etl_dq_report" ->
+      """WITH dirty AS (SELECT
+        |    CASE WHEN o_orderkey % 43 = 0 THEN o_orderkey - 1
+        |         ELSE o_orderkey END AS key,
+        |    CASE WHEN o_orderkey % 31 = 0 THEN -o_custkey - 1
+        |         ELSE o_custkey END AS cust,
+        |    CASE WHEN o_orderkey % 37 = 0 THEN NULL
+        |         ELSE o_orderstatus END AS status,
+        |    CASE WHEN o_orderkey % 41 = 0 THEN -o_totalprice
+        |         ELSE o_totalprice END AS price
+        |  FROM orders),
+        |n AS (SELECT count(*) AS n_rows FROM dirty),
+        |checks AS (
+        |  SELECT 'status_not_null' AS "check",
+        |    count(*) FILTER (status IS NULL) AS n_violations FROM dirty
+        |  UNION ALL
+        |  SELECT 'price_non_negative', count(*) FILTER (price < 0) FROM dirty
+        |  UNION ALL
+        |  SELECT 'key_unique', count(*) - count(DISTINCT key) FROM dirty
+        |  UNION ALL
+        |  SELECT 'cust_not_null', count(*) FILTER (cust IS NULL) FROM dirty
+        |  UNION ALL
+        |  SELECT 'fk_cust_exists', count(*) FROM dirty
+        |  WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = cust))
+        |SELECT "check", n_violations, n_rows,
+        |  CASE WHEN n_violations = 0 THEN 'pass' ELSE 'fail' END AS status
+        |FROM checks CROSS JOIN n ORDER BY "check"""".stripMargin,
     "etl_snapshot_diff" ->
       """WITH old AS (SELECT c_custkey AS key, c_name AS name,
         |    c_mktsegment AS seg, c_acctbal AS bal FROM customer),

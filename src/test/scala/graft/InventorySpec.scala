@@ -99,10 +99,10 @@ class InventorySpec extends SparkSpec {
     "etl_snapshot_diff", "join_bloom_prebuilt", "agg_countmin_freq",
     "agg_bitmap_distinct", "stream_cdc_apply", "scan_schema_evolution",
     "win_pattern_match", "dedup_substring_removal", "scan_csv_permissive",
-    "sql_tpch_q18", "topk_trending_daily")
+    "sql_tpch_q18", "topk_trending_daily", "etl_dq_report")
 
-  test("declared queries cover SURVEY §2 + §2.12-24 exactly (158 keys)") {
-    assert(inventory.size == 158)
+  test("declared queries cover SURVEY §2 + §2.12-24 exactly (159 keys)") {
+    assert(inventory.size == 159)
     val declared = SparkEntry.queries.keySet
     val missing = inventory -- declared
     val extra = declared -- inventory
