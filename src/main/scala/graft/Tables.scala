@@ -13,17 +13,6 @@ object Tables {
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS) which Spark 4 refuses to read
-    * natively; read it as raw nanos (legacy conf) and convert to a µs
-    * TIMESTAMP_NTZ. Lossless: the fixture carries no sub-µs digits
-    * (verified; SURVEY §1.3), and NTZ matches DuckDB's naive reading.
-    *
-    * Deliberate side effect: the session keeps nanosAsLong enabled after
-    * this call (restoring it mid-plan risks executor-side schema
-    * re-conversion under the old conf). Consequence: other NANOS parquet
-    * columns read later in the same session surface as LONG nanos —
-    * visible in the schema, not silently wrong timestamps.
-    */
   /** FLOOR-division nanos→micros for a LONG nanosecond column — THE one
     * conversion both event loaders share (batch here, streaming in
     * GraftStreams.eventsFromParquetDir). Plain `div` truncates toward
@@ -44,10 +33,30 @@ object Tables {
   def epochDay(colName: String): Column =
     expr(s"unix_millis(cast(`$colName` as timestamp)) div 86400000")
 
+  /** `events.ts` has shipped in two parquet encodings across fixture
+    * generations: TIMESTAMP(NANOS) (which Spark 4 refuses to read
+    * natively — read as raw nanos under the legacy conf and
+    * floor-divide to µs) and plain TIMESTAMP(MICROS). The loader
+    * branches on the OBSERVED read schema so either generation
+    * normalizes to the same µs TIMESTAMP_NTZ (matches DuckDB's naive
+    * reading; lossless — no fixture generation carries sub-µs digits).
+    *
+    * Deliberate side effect: the session keeps nanosAsLong enabled after
+    * this call (restoring it mid-plan risks executor-side schema
+    * re-conversion under the old conf). Consequence: other NANOS parquet
+    * columns read later in the same session surface as LONG nanos —
+    * visible in the schema, not silently wrong timestamps.
+    */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(spark, dir, "events").withColumn("ts",
-      timestamp_micros(nanosFloorDivMicros("ts")).cast("timestamp_ntz"))
+    val raw = t(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts",
+          timestamp_micros(nanosFloorDivMicros("ts")).cast("timestamp_ntz"))
+      case _ =>
+        raw.withColumn("ts", col("ts").cast("timestamp_ntz"))
+    }
   }
 }
 

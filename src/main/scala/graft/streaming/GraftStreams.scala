@@ -46,12 +46,15 @@ private[streaming] case class Bucket(docs: Seq[BucketDoc])
   */
 object GraftStreams {
 
-  /** File-source replay of an `events.parquet` directory. Spark 4 refuses
-    * parquet TIMESTAMP(NANOS); read nanos as long (legacy conf) and
-    * convert to a µs TIMESTAMP — same recipe as the batch loader
-    * (graft.Tables.events) except TIMESTAMP instead of NTZ, because
-    * event-time watermarks require TIMESTAMP (equal values under the
-    * engine's pinned UTC session timezone).
+  /** File-source replay of an `events.parquet` directory. The fixture's
+    * `ts` has shipped as both TIMESTAMP(NANOS) and TIMESTAMP(MICROS)
+    * across generations (see graft.Tables.events); a streaming read
+    * needs the schema UP FRONT, so probe it with a one-off batch read
+    * (planning-time only, reads footers not data) and declare `ts`
+    * accordingly — LONG nanos floor-divided to µs for the NANOS
+    * generation, native TIMESTAMP otherwise. TIMESTAMP instead of NTZ
+    * because event-time watermarks require TIMESTAMP (equal values
+    * under the engine's pinned UTC session timezone).
     *
     * Deliberate documented side effect (same contract as Tables.events):
     * nanosAsLong stays set for the session — restoring it mid-plan risks
@@ -60,13 +63,19 @@ object GraftStreams {
     * silently wrong timestamp). */
   def eventsFromParquetDir(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = "event_id LONG, ts LONG, user_id LONG, event_type STRING, " +
-      "value DOUBLE, props STRING"
-    spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+    val tsIsNanosLong = spark.read.parquet(dir).schema("ts").dataType ==
+      org.apache.spark.sql.types.LongType
+    val tsDecl = if (tsIsNanosLong) "ts LONG" else "ts TIMESTAMP"
+    val schema = s"event_id LONG, $tsDecl, user_id LONG, " +
+      "event_type STRING, value DOUBLE, props STRING"
+    val raw = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
       .parquet(dir)
+    if (tsIsNanosLong)
       // Shared floor-division nanos→micros (see its scaladoc for why
       // plain `div` is wrong pre-epoch).
-      .withColumn("ts", timestamp_micros(graft.Tables.nanosFloorDivMicros("ts")))
+      raw.withColumn("ts",
+        timestamp_micros(graft.Tables.nanosFloorDivMicros("ts")))
+    else raw
   }
 
   /** Per-(1-day tumbling window × event_type) counts and exact sums. */
