@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables.{epochDay, events}
-import graft.Det.{dsum, r4d, sqlEpochDay, sqlSum}
+import graft.Det.{davg, dsum, r4d, sqlAvg, sqlEpochDay, sqlSum}
 
 /** §2.19 Event-analytics operators (SURVEY.md, round-5 amendment): the
   * two product-analytics staples the §2.10 event stack doesn't cover —
@@ -325,6 +325,131 @@ object AnalyticsQueries {
               "* (21 - size(vals) + i))").cast("double")
             / expr("size(vals) * (41 - size(vals)) div 2")).as("wma"))
         .orderBy("user_id", "event_id")
+    }),
+
+    // MAX-CONCURRENCY SWEEP-LINE — peak simultaneous 30-min activity
+    // windows (the "peak concurrent sessions/connections" metric every
+    // capacity dashboard needs). Classic sweep-line: each window emits a
+    // +1 at its start and a −1 at its end, and peak concurrency is the
+    // max of the running sum over the GLOBAL endpoint order. The running
+    // sum is `GlobalRank.runningSum` (range exchange → O(partitions)
+    // partial sums → streamed prefix pass) — NOT a single-partition
+    // window, so the sweep parallelizes like a global sort at 100 TB.
+    // Half-open [s, e) semantics: at equal timestamps the −1 sorts
+    // before the +1 (d asc in the order key), so a window ending exactly
+    // when another starts never counts as overlap; event_id completes
+    // the unique total order runningSum requires. Output = one row,
+    // (peak, first ms reaching it) — the argmin rides a lexicographic
+    // max-of-struct with negated t, no second pass.
+    "ts_concurrency_max" -> ((s, dir) => {
+      val p = events(s, dir).select(
+        unix_millis(col("ts").cast("timestamp")).as("ms"), col("event_id"))
+      val ends = p.select(explode(array(
+          struct(col("ms").as("t"), lit(1L).as("d"), col("event_id")),
+          struct((col("ms") + 1800000L).as("t"), lit(-1L).as("d"),
+            col("event_id")))).as("e"))
+        .select(col("e.t").as("t"), col("e.d").as("d"),
+          col("e.event_id").as("event_id"))
+      graft.plans.GlobalRank.runningSum(ends, Seq("t", "d", "event_id"),
+          "d", "cum")
+        .agg(max(struct(col("cum"), (-col("t")).as("negt"))).as("m"))
+        .select(col("m.cum").as("max_concurrent"),
+          (-col("m.negt")).as("at_ms"))
+    }),
+
+    // Z-SCORE ANOMALY FLAGS — events whose value deviates > 2.5σ from
+    // their type's mean (the data-quality outlier sweep next to
+    // etl_dq_report's rule checks). The per-type moments are ONE
+    // two-phase agg with decimal-EXACT sums (2dp values ⇒ v² carries
+    // 4dp ⇒ decimal(18,4) sums are lossless and order-independent);
+    // variance comes from the numerator form (n·Σv² − (Σv)²)/(n(n−1))
+    // computed exactly in decimals, with sqrt and the per-row z the only
+    // double ops — IEEE-identical on both engines. The 5-row stats
+    // table broadcasts; the verdict is map-side in the scan stage. The
+    // threshold compares the shared r4d-rounded z (the
+    // text_repetition_filter convention) so boundary events can't flip
+    // between engines.
+    "ts_anomaly_zscore" -> ((s, dir) => {
+      val e = events(s, dir)
+        .select(col("event_id"), col("event_type"), col("value"))
+      val dv = col("value").cast("decimal(18,2)")
+      val st = e.groupBy("event_type").agg(
+          count(lit(1)).as("n"),
+          sum(dv).cast("decimal(18,2)").as("s"),
+          sum(dv * dv).cast("decimal(18,4)").as("ss"))
+        .select(col("event_type"),
+          (col("s").cast("double") / col("n")).as("mean"),
+          sqrt((col("n") * col("ss") - col("s") * col("s")).cast("double") /
+            (col("n") * (col("n") - lit(1L)))).as("std"))
+      e.join(broadcast(st), Seq("event_type"))
+        .withColumn("z", r4d((col("value") - col("mean")) / col("std")))
+        .filter(abs(col("z")) > 2.5)
+        .select(col("event_id"), col("event_type"), col("value"), col("z"))
+        .orderBy("event_id")
+    }),
+
+    // LINEAR INTERPOLATION over daily gaps — the time-series repair next
+    // to ts_gapfill_daily's zero-fill: missing days take the straight
+    // line between their nearest observed neighbors, edges carry the
+    // single available neighbor. The fixture's daily series is complete,
+    // so dropout is SYNTHESIZED deterministically (day % 3 = 1 withheld
+    // — the text_pii_scrub convention; 50 gap rows incl. 5 edge rows at
+    // every SF, both branches live). Daily means are exact-decimal davg;
+    // both neighbor carries are IGNORE-NULLS window functions over the
+    // SAME event_type partitioning the daily agg shuffles on — Catalyst
+    // plans one exchange for the agg + both windows. The spine is
+    // |types|×|days| rows — broadcast-scale regardless of corpus size.
+    "ts_interpolate_linear" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = events(s, dir)
+        .select(col("event_type"), epochDay("ts").as("day"), col("value"))
+      val daily = e.filter(col("day") % 3 =!= 1)
+        .groupBy("event_type", "day").agg(davg(col("value")).as("v"))
+      val spine = e.groupBy("event_type")
+        .agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+        .select(col("event_type"),
+          explode(sequence(col("lo"), col("hi"))).as("day"))
+      val wp = Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wn = Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      spine.join(daily, Seq("event_type", "day"), "left")
+        .withColumn("vp", last(col("v"), ignoreNulls = true).over(wp))
+        .withColumn("dp", last(when(col("v").isNotNull, col("day")),
+          ignoreNulls = true).over(wp))
+        .withColumn("vn", first(col("v"), ignoreNulls = true).over(wn))
+        .withColumn("dn", first(when(col("v").isNotNull, col("day")),
+          ignoreNulls = true).over(wn))
+        .select(col("event_type"), col("day"),
+          r4d(when(col("v").isNotNull, col("v"))
+            .when(col("vp").isNull, col("vn"))
+            .when(col("vn").isNull, col("vp"))
+            .otherwise(col("vp") + (col("vn") - col("vp")) *
+              (col("day") - col("dp")) / (col("dn") - col("dp"))))
+            .as("v_filled"),
+          col("v").isNull.as("was_gap"))
+        .orderBy("event_type", "day")
+    }),
+
+    // CUMULATIVE DISTINCT USERS BY DAY — the growth-dashboard "total
+    // unique users to date" curve. COUNT(DISTINCT) per day would
+    // re-scan every prior day; instead distinct-ness collapses to each
+    // user's FIRST-SEEN day (one user_id-keyed min-agg — map-side
+    // combine shrinks it before the exchange), daily first-seen counts
+    // ride a |days|-sized agg, and the cumulative curve is
+    // `GlobalRank.runningSum` over the day spine. Quiet days surface
+    // with n_new = 0 and a flat curve (the gapfill spine convention).
+    "agg_cumulative_distinct_daily" -> ((s, dir) => {
+      val e = events(s, dir).select(col("user_id"), epochDay("ts").as("day"))
+      val firstSeen = e.groupBy("user_id").agg(min(col("day")).as("day"))
+      val dayNew = firstSeen.groupBy("day").agg(count(lit(1)).as("n_new"))
+      val spine = e.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"))).as("day"))
+      val joined = spine.join(dayNew, Seq("day"), "left")
+        .select(col("day"), coalesce(col("n_new"), lit(0L)).as("n_new"))
+      graft.plans.GlobalRank.runningSum(joined, Seq("day"), "n_new",
+          "cum_users")
+        .orderBy("day")
     })
   )
 
@@ -472,6 +597,75 @@ object AnalyticsQueries {
         |  ROUND(CAST(SUM(CAST(bv AS DECIMAL(38,6)) * wt) AS DOUBLE)
         |    / (COUNT(*) * (41 - COUNT(*)) // 2), 4) AS wma
         |FROM j GROUP BY user_id, event_id
-        |ORDER BY user_id, event_id""".stripMargin
+        |ORDER BY user_id, event_id""".stripMargin,
+    // Same sweep: −1 sorts before +1 at equal t (half-open windows),
+    // event_id completes the unique order; the oracle's window cumsum
+    // is the spelling GlobalRank.runningSum avoids at scale.
+    "ts_concurrency_max" ->
+      """WITH p AS (SELECT epoch_ms(ts) AS ms, event_id FROM events),
+        |ends AS (SELECT ms AS t, CAST(1 AS BIGINT) AS d, event_id FROM p
+        |  UNION ALL
+        |  SELECT ms + 1800000, CAST(-1 AS BIGINT), event_id FROM p),
+        |c AS (SELECT t, CAST(sum(d) OVER (ORDER BY t, d, event_id
+        |  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM ends),
+        |m AS (SELECT max(cum) AS mc FROM c)
+        |SELECT mc AS max_concurrent, min(t) AS at_ms
+        |FROM c, m WHERE cum = mc GROUP BY mc""".stripMargin,
+    // Identical exact-decimal moment arithmetic; sqrt and the per-row z
+    // are the only double ops, in the same expression order.
+    "ts_anomaly_zscore" ->
+      """WITH s AS (SELECT event_type, count(*) AS n,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS s,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2)))
+        |      AS DECIMAL(18,4)) AS ss
+        |  FROM events GROUP BY 1),
+        |st AS (SELECT event_type, CAST(s AS DOUBLE) / n AS mean,
+        |    sqrt(CAST(n * ss - s * s AS DOUBLE) / (n * (n - 1))) AS std
+        |  FROM s),
+        |z AS (SELECT event_id, e.event_type, value,
+        |    ROUND((value - mean) / std, 4) AS z
+        |  FROM events e JOIN st ON e.event_type = st.event_type)
+        |SELECT event_id, event_type, value, z FROM z
+        |WHERE abs(z) > 2.5 ORDER BY event_id""".stripMargin,
+    "ts_interpolate_linear" ->
+      s"""WITH e AS (SELECT event_type, ${sqlEpochDay("ts")} AS day, value
+         |  FROM events),
+         |daily AS (SELECT event_type, day, ${sqlAvg("value")} AS v
+         |  FROM e WHERE day % 3 != 1 GROUP BY 1, 2),
+         |b AS (SELECT event_type, min(day) AS lo, max(day) AS hi
+         |  FROM e GROUP BY 1),
+         |spine AS (SELECT event_type, unnest(range(lo, hi + 1)) AS day FROM b),
+         |j AS (SELECT s.event_type, s.day, d.v
+         |  FROM spine s LEFT JOIN daily d USING (event_type, day)),
+         |w AS (SELECT event_type, day, v,
+         |  last_value(v IGNORE NULLS) OVER wp AS vp,
+         |  last_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS)
+         |    OVER wp AS dp,
+         |  first_value(v IGNORE NULLS) OVER wn AS vn,
+         |  first_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS)
+         |    OVER wn AS dn
+         |  FROM j WINDOW
+         |  wp AS (PARTITION BY event_type ORDER BY day
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         |  wn AS (PARTITION BY event_type ORDER BY day
+         |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+         |SELECT event_type, day,
+         |  ROUND(CASE WHEN v IS NOT NULL THEN v
+         |    WHEN vp IS NULL THEN vn
+         |    WHEN vn IS NULL THEN vp
+         |    ELSE vp + (vn - vp) * (day - dp) / (dn - dp) END, 4) AS v_filled,
+         |  v IS NULL AS was_gap
+         |FROM w ORDER BY event_type, day""".stripMargin,
+    "agg_cumulative_distinct_daily" ->
+      s"""WITH e AS (SELECT user_id, ${sqlEpochDay("ts")} AS day FROM events),
+         |f AS (SELECT user_id, min(day) AS day FROM e GROUP BY 1),
+         |dn AS (SELECT day, count(*) AS n_new FROM f GROUP BY 1),
+         |b AS (SELECT min(day) AS lo, max(day) AS hi FROM e),
+         |days AS (SELECT unnest(range(lo, hi + 1)) AS day FROM b),
+         |j AS (SELECT day, coalesce(n_new, 0) AS n_new
+         |  FROM days LEFT JOIN dn USING (day))
+         |SELECT day, n_new, CAST(sum(n_new) OVER (ORDER BY day
+         |  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
+         |FROM j ORDER BY day""".stripMargin
   )
 }

@@ -463,6 +463,28 @@ object PipelineQueries {
             .as("n_chunk_tokens"),
           expr("concat_ws(' ', slice(toks, start + 1, 32))").as("chunk"))
         .orderBy("doc_id", "chunk_id")
+    }),
+
+    // TRAIN/VAL/TEST SPLIT — the PARTITION complement of the sampling
+    // keys (weighted mix / domain cap / temperature keep-or-drop):
+    // every doc lands in EXACTLY one split, disjoint and exhaustive by
+    // construction (one CASE over one hash — no rate can double-assign
+    // or leak). 80/10/10 via the md5(doc_id) hex device
+    // (sample_weighted_mix's replayable shuffle): the same doc lands in
+    // the same split on every re-run and backfill, which is what keeps
+    // eval contamination out when the corpus is rebuilt incrementally.
+    // Thresholds on the first 2 hex chars ('cc' = 204/256 ≈ 79.7%,
+    // 'e6' = 230/256 ≈ 89.8%). Output = the per-(split, lang) audit
+    // card (counts + chars), one map-side CASE + one two-phase agg.
+    "pipeline_train_test_split" -> ((s, dir) => {
+      val h = substring(md5(col("doc_id").cast("string").cast("binary")),
+        1, 2)
+      t(s, dir, "documents")
+        .withColumn("split", when(h < "cc", "train")
+          .when(h < "e6", "val").otherwise("test"))
+        .groupBy("split", "lang")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
+        .orderBy("split", "lang")
     })
   )
 
@@ -627,7 +649,18 @@ object PipelineQueries {
         |  CAST(start AS BIGINT) AS start,
         |  least(32, n_tokens - start) AS n_chunk_tokens,
         |  array_to_string(toks[start + 1 : start + 32], ' ') AS chunk
-        |FROM c ORDER BY doc_id, chunk_id""".stripMargin
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+    "pipeline_train_test_split" ->
+      """WITH s AS (SELECT lang, n_chars,
+        |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc'
+        |         THEN 'train'
+        |       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+        |         THEN 'val'
+        |       ELSE 'test' END AS split
+        |  FROM documents)
+        |SELECT split, lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS n_chars
+        |FROM s GROUP BY 1, 2 ORDER BY split, lang""".stripMargin
     // dedup_simhash: engine-pinned xxhash64 → property-tested, no oracle.
   )
 }

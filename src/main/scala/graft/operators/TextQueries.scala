@@ -160,6 +160,30 @@ object TextQueries {
       SimilarityJoin.minhash(docs, "doc_id", "toks",
           threshold = 0.8, numHashes = 32, bands = 16)
         .orderBy("doc_i", "doc_j")
+    }),
+
+    // BPE PAIR COUNTS — the inner loop of byte-pair-encoding tokenizer
+    // training: the corpus-weighted frequency of every adjacent
+    // character pair, whose argmax is the first merge rule. The scale
+    // move is the dedup_edit_distance dictionary trick: count WORDS
+    // first (one token-keyed two-phase agg over the corpus — the only
+    // corpus-sized shuffle), then explode character pairs over the
+    // DISTINCT-word dictionary (vocabulary-sized, not corpus-sized) and
+    // weight each pair by its word's count. A 100 TB corpus with a
+    // 10⁷-word vocabulary pays the pair explosion on 10⁷ rows, not
+    // 10¹³. Pairs via an index HOF in the scan stage (the text_ngrams
+    // device); full total order (n desc, pair) — no limit, the pair
+    // alphabet is bounded.
+    "text_bpe_pair_counts" -> ((s, dir) => {
+      val wc = t(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("word"))
+        .filter(length(col("word")) >= 2)
+        .groupBy("word").agg(count(lit(1)).as("wn"))
+      wc.select(col("wn"), explode(expr(
+          "transform(sequence(1, length(word) - 1), " +
+            "i -> substring(word, i, 2))")).as("pair"))
+        .groupBy("pair").agg(sum(col("wn")).as("n"))
+        .orderBy(col("n").desc, col("pair"))
     })
   )
 
@@ -246,7 +270,17 @@ object TextQueries {
          |  UNION
          |  SELECT e.j, r.lab FROM reach r JOIN edges e ON e.i = r.doc)
          |SELECT doc AS doc_id, min(lab) AS canon FROM reach
-         |GROUP BY doc ORDER BY doc_id""".stripMargin
+         |GROUP BY doc ORDER BY doc_id""".stripMargin,
+    // Same dictionary shape: word counts first, pairs exploded over the
+    // distinct-word dictionary only. 1-based substr on both engines.
+    "text_bpe_pair_counts" ->
+      """WITH wc AS (SELECT word, count(*) AS wn
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |  WHERE length(word) >= 2 GROUP BY word),
+        |p AS (SELECT wn, word, unnest(range(1, length(word))) AS i FROM wc)
+        |SELECT substr(word, CAST(i AS INT), 2) AS pair,
+        |  CAST(sum(wn) AS BIGINT) AS n
+        |FROM p GROUP BY 1 ORDER BY n DESC, pair""".stripMargin
     // dedup_minhash_lsh: intentionally no oracle (SURVEY §2.11).
   )
 }

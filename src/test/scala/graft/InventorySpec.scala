@@ -99,10 +99,16 @@ class InventorySpec extends SparkSpec {
     "etl_snapshot_diff", "join_bloom_prebuilt", "agg_countmin_freq",
     "agg_bitmap_distinct", "stream_cdc_apply", "scan_schema_evolution",
     "win_pattern_match", "dedup_substring_removal", "scan_csv_permissive",
-    "sql_tpch_q18", "topk_trending_daily", "etl_dq_report")
+    "sql_tpch_q18", "topk_trending_daily", "etl_dq_report",
+    // §2.25 fifth wave: sweep-line concurrency, z-score anomalies,
+    // linear interpolation, cumulative distinct, BPE pair counts,
+    // train/val/test split
+    "ts_concurrency_max", "ts_anomaly_zscore", "ts_interpolate_linear",
+    "agg_cumulative_distinct_daily", "text_bpe_pair_counts",
+    "pipeline_train_test_split")
 
-  test("declared queries cover SURVEY §2 + §2.12-24 exactly (159 keys)") {
-    assert(inventory.size == 159)
+  test("declared queries cover SURVEY §2 + §2.12-25 exactly (165 keys)") {
+    assert(inventory.size == 165)
     val declared = SparkEntry.queries.keySet
     val missing = inventory -- declared
     val extra = declared -- inventory
