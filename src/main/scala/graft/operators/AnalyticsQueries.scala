@@ -450,6 +450,57 @@ object AnalyticsQueries {
       graft.plans.GlobalRank.runningSum(joined, Seq("day"), "n_new",
           "cum_users")
         .orderBy("day")
+    }),
+
+    // 7-DAY SLIDING DISTINCT USERS (WAU by day) — the windowed
+    // complement of agg_cumulative_distinct_daily's to-date curve, and
+    // the one distinct-count shape a running window CANNOT express
+    // (distinctness doesn't decompose over frames). The scalable
+    // spelling: collapse to distinct (user, day) pairs first (map-side
+    // partial dedup), CONTRIBUTE each pair to the ≤7 window-days it
+    // serves (a map-side explode — rows grow 7×|user-days|, bounded by
+    // the window width, never 7×|events|), dedup (window_day, user) and
+    // count. Two keyed shuffles total, no per-day re-scan of prior days
+    // — the naive correlated form scans the corpus once per day. Days
+    // whose trailing window is empty surface as 0 via the spine.
+    "agg_wau_sliding_distinct" -> ((s, dir) => {
+      val e = events(s, dir).select(col("user_id"), epochDay("ts").as("day"))
+      val bounds = e.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+      val userDays = e.distinct()
+      val contrib = userDays
+        .select(col("user_id"),
+          explode(sequence(col("day"), col("day") + 6)).as("wday"))
+      val wau = contrib.distinct()
+        .groupBy("wday").agg(count(lit(1)).as("wau"))
+      val spine = bounds
+        .select(explode(sequence(col("lo"), col("hi"))).as("wday"))
+      spine.join(wau, Seq("wday"), "left")
+        .select(col("wday").as("day"),
+          coalesce(col("wau"), lit(0L)).as("wau"))
+        .orderBy("day")
+    }),
+
+    // LONGEST DAILY-ACTIVITY STREAK per user — the gaps-islands
+    // composition every engagement system ships (complement of
+    // etl_gaps_islands' change-runs and ts_sessionize's time-gap runs:
+    // here the island key is CALENDAR consecutiveness, day − rn). One
+    // user_id exchange serves the distinct, the row_number window and
+    // both aggs; the per-user argmax (longest streak, earliest start on
+    // ties) is a lexicographic max-of-struct with negated start — one
+    // partial-aggregating pass, no second window.
+    "win_streak_longest" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("day")
+      events(s, dir).select(col("user_id"), epochDay("ts").as("day"))
+        .distinct()
+        .withColumn("island", col("day") - row_number().over(w))
+        .groupBy("user_id", "island")
+        .agg(count(lit(1)).as("len"), min(col("day")).as("start"))
+        .groupBy("user_id")
+        .agg(max(struct(col("len"), (-col("start")).as("negs"))).as("m"))
+        .select(col("user_id"), col("m.len").as("longest_days"),
+          (-col("m.negs")).as("start_day"))
+        .orderBy("user_id")
     })
   )
 
@@ -666,6 +717,29 @@ object AnalyticsQueries {
          |  FROM days LEFT JOIN dn USING (day))
          |SELECT day, n_new, CAST(sum(n_new) OVER (ORDER BY day
          |  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
-         |FROM j ORDER BY day""".stripMargin
+         |FROM j ORDER BY day""".stripMargin,
+    // The correlated range-join spelling of the same window counts —
+    // fine at oracle scale, exactly what the contribute-explode avoids.
+    "agg_wau_sliding_distinct" ->
+      s"""WITH d0 AS (SELECT user_id, ${sqlEpochDay("ts")} AS day FROM events),
+         |e AS (SELECT DISTINCT user_id, day FROM d0),
+         |b AS (SELECT min(day) AS lo, max(day) AS hi FROM d0),
+         |days AS (SELECT unnest(range(lo, hi + 1)) AS day FROM b),
+         |w AS (SELECT d.day, count(DISTINCT e.user_id) AS wau
+         |  FROM days d JOIN e ON e.day BETWEEN d.day - 6 AND d.day
+         |  GROUP BY 1)
+         |SELECT day, coalesce(wau, 0) AS wau
+         |FROM days LEFT JOIN w USING (day) ORDER BY day""".stripMargin,
+    "win_streak_longest" ->
+      s"""WITH e AS (SELECT DISTINCT user_id, ${sqlEpochDay("ts")} AS day
+         |  FROM events),
+         |r AS (SELECT user_id, day, day - row_number() OVER
+         |  (PARTITION BY user_id ORDER BY day) AS island FROM e),
+         |i AS (SELECT user_id, island, count(*) AS len, min(day) AS start
+         |  FROM r GROUP BY 1, 2),
+         |x AS (SELECT user_id, len, start, row_number() OVER
+         |  (PARTITION BY user_id ORDER BY len DESC, start) AS rk FROM i)
+         |SELECT user_id, len AS longest_days, start AS start_day
+         |FROM x WHERE rk = 1 ORDER BY user_id""".stripMargin
   )
 }

@@ -485,6 +485,36 @@ object PipelineQueries {
         .groupBy("split", "lang")
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
         .orderBy("split", "lang")
+    }),
+
+    // VOCAB DICTIONARY-ENCODE — the tokenize-to-ids step between BPE
+    // training (text_bpe_pair_counts) and sequence packing
+    // (pipeline_pack_sequences): every token becomes its dense vocab id
+    // (rank by count desc, word — the frequency-sorted id assignment
+    // real tokenizers ship). Scale shape: the corpus pays ONE
+    // token-keyed agg (vocab counts) and one word-keyed encode join
+    // (AQE broadcasts bounded vocabs); the dense-id assignment runs
+    // over the DICTIONARY only, through GlobalRank.runningSum of ones
+    // (= row_number over a global order WITHOUT a single-partition
+    // window — a 10⁸-entry vocab still ranks in parallel). Per-doc
+    // reassembly is one doc_id exchange: collect (pos, id) structs,
+    // array_sort, join to a string.
+    "pipeline_vocab_encode" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
+      val counts = toks.groupBy("word").agg(count(lit(1)).as("n"))
+        .select(col("word"), (-col("n")).as("negn"), lit(1L).as("one"))
+      val vocab = graft.plans.GlobalRank
+        .runningSum(counts, Seq("negn", "word"), "one", "id")
+        .select(col("word"), col("id"))
+      toks.join(vocab, Seq("word"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          concat_ws(" ", transform(
+            array_sort(collect_list(struct(col("pos"), col("id")))),
+            x => x.getField("id").cast("string"))).as("ids"))
+        .orderBy("doc_id")
     })
   )
 
@@ -660,7 +690,21 @@ object PipelineQueries {
         |  FROM documents)
         |SELECT split, lang, count(*) AS n_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS n_chars
-        |FROM s GROUP BY 1, 2 ORDER BY split, lang""".stripMargin
+        |FROM s GROUP BY 1, 2 ORDER BY split, lang""".stripMargin,
+    // row_number over the dictionary is the single-window spelling the
+    // runningSum-of-ones form must equal.
+    "pipeline_vocab_encode" ->
+      """WITH tok AS (SELECT doc_id, unnest(range(len(toks))) AS pos,
+        |    unnest(toks) AS word
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks
+        |        FROM documents)),
+        |c AS (SELECT word, count(*) AS n FROM tok GROUP BY 1),
+        |v AS (SELECT word, CAST(row_number() OVER (ORDER BY n DESC, word)
+        |  AS BIGINT) AS id FROM c),
+        |j AS (SELECT doc_id, pos, id FROM tok JOIN v USING (word))
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  string_agg(CAST(id AS VARCHAR), ' ' ORDER BY pos) AS ids
+        |FROM j GROUP BY 1 ORDER BY doc_id""".stripMargin
     // dedup_simhash: engine-pinned xxhash64 → property-tested, no oracle.
   )
 }

@@ -105,10 +105,14 @@ class InventorySpec extends SparkSpec {
     // train/val/test split
     "ts_concurrency_max", "ts_anomaly_zscore", "ts_interpolate_linear",
     "agg_cumulative_distinct_daily", "text_bpe_pair_counts",
-    "pipeline_train_test_split")
+    "pipeline_train_test_split",
+    // §2.26 sixth wave: sliding distinct (WAU), activity streaks,
+    // vocab dictionary-encode
+    "agg_wau_sliding_distinct", "win_streak_longest",
+    "pipeline_vocab_encode")
 
-  test("declared queries cover SURVEY §2 + §2.12-25 exactly (165 keys)") {
-    assert(inventory.size == 165)
+  test("declared queries cover SURVEY §2 + §2.12-26 exactly (168 keys)") {
+    assert(inventory.size == 168)
     val declared = SparkEntry.queries.keySet
     val missing = inventory -- declared
     val extra = declared -- inventory
