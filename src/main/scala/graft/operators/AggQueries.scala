@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.Tables.{t, events}
+import graft.Tables.{t, events, epochDay}
 import graft.Det._
 import graft.functions.WeightedAvg
 
@@ -93,6 +93,34 @@ object AggQueries {
         sum(col("n_docs")).as("n_docs"),
         hll_sketch_estimate(hll_union_agg(col("sk")))
           .as("approx_distinct_docs"))
+    }),
+
+    // SKETCHED SLIDING WAU — the 100 TB form of
+    // agg_wau_sliding_distinct: per-day HLL sketches built ONCE (the
+    // stored per-partition stats table of agg_hll_partitioned_union,
+    // keyed by day), then every 7-day window is answered by UNIONING
+    // seven daily sketches — |days|×7 sketch-sized rows through the
+    // window shuffle instead of 7×|user-days| id rows, and the corpus
+    // is never re-scanned when the window width changes (a 30-day MAU
+    // reads the SAME daily sketches). Each daily sketch contributes to
+    // its ≤7 trailing window-days via a map-side explode, clipped to
+    // the observed day range by a broadcast one-row bounds agg.
+    // Engine-pinned sketch bytes → no oracle (§2.11); PropertySpec
+    // pins the estimate within 5% of the exact declared key per day
+    // and partitioning invariance.
+    "agg_wau_hll_sliding" -> ((s, dir) => {
+      val e = events(s, dir).select(col("user_id"), epochDay("ts").as("day"))
+      val dailySk = e.groupBy("day")
+        .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      val bounds = e.agg(max(col("day")).as("hi"))
+      dailySk
+        .select(col("sk"),
+          explode(sequence(col("day"), col("day") + 6)).as("wday"))
+        .join(broadcast(bounds), col("wday") <= col("hi"))
+        .groupBy("wday")
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("wau_est"))
+        .select(col("wday").as("day"), col("wau_est"))
+        .orderBy("day")
     }),
 
     // EXACT bitmap distinct — the bitmap-index pattern (ClickHouse

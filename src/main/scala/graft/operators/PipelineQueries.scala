@@ -207,6 +207,37 @@ object PipelineQueries {
       Jaccard.pairs(sh, 0.5).orderBy("doc_i", "doc_j")
     }),
 
+    // CONTAINMENT dedup — the ASYMMETRIC near-dup measure Jaccard
+    // misses: C(A→B) = |A∩B| / |A| finds docs mostly CONTAINED in a
+    // larger one (quoted posts, boilerplate-wrapped bodies, page
+    // snapshots with added chrome) whose Jaccard is diluted by the
+    // larger side's extra content. Same 3-gram shingle space as
+    // dedup_ngram_jaccard; ORDERED pairs (both directions kept — A in
+    // B and B in A are different findings), threshold on the shared
+    // r4d-rounded fraction. The inverted-index join is the fixture
+    // shape (doc_id < 1000, the near_jaccard cap); at 100 TB the
+    // candidate set comes from the shared banded-LSH generator
+    // (SimilarityJoin) with exact containment verified per candidate —
+    // same plan family, asymmetric verify.
+    "dedup_containment" -> ((s, dir) => {
+      val sh = t(s, dir, "documents").filter(col("doc_id") < 1000)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .filter(size(col("toks")) >= 3)
+        .select(col("doc_id"), explode(expr(
+          "array_distinct(transform(sequence(0, size(toks)-3), " +
+            "i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])))")).as("g"))
+      val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      val inter = sh.as("a").join(sh.as("b"),
+          col("a.g") === col("b.g") && col("a.doc_id") =!= col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("c"))
+      inter.join(sz.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"))
+        .withColumn("containment", r4d(col("c").cast("double") / col("sz")))
+        .filter(col("containment") >= 0.9)
+        .select(col("doc_a"), col("doc_b"), col("containment"))
+        .orderBy("doc_a", "doc_b")
+    }),
+
     // 64-bit SimHash over the token set (xxhash64 bit votes), pairs with
     // hamming ≤ 10. Engine-pinned hash → no oracle; property-tested
     // (incl. parity vs the all-pairs reference form in SimhashBandSpec).
@@ -578,6 +609,22 @@ object PipelineQueries {
         |  SELECT i, j, CAST(c AS DOUBLE) / (sa.sz + sb.sz - c) AS jac
         |  FROM inter JOIN sizes sa ON i = sa.doc_id JOIN sizes sb ON j = sb.doc_id)
         |WHERE jac >= 0.5 ORDER BY doc_i, doc_j""".stripMargin,
+    // Ordered pairs (both directions), size of the CONTAINED side only.
+    "dedup_containment" ->
+      """WITH sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(len(toks) - 2),
+        |    i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))) AS g
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |        WHERE doc_id < 1000) WHERE len(toks) >= 3),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+        |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id != b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, containment FROM (
+        |  SELECT doc_a, doc_b,
+        |    ROUND(CAST(c AS DOUBLE) / sz, 4) AS containment
+        |  FROM inter JOIN sizes ON doc_a = sizes.doc_id)
+        |WHERE containment >= 0.9 ORDER BY doc_a, doc_b""".stripMargin,
     "dedup_embedding_cosine" ->
       """WITH normed AS (SELECT vec_id,
         |    list_transform(CAST(embedding AS DOUBLE[]),

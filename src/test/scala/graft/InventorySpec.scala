@@ -109,10 +109,12 @@ class InventorySpec extends SparkSpec {
     // §2.26 sixth wave: sliding distinct (WAU), activity streaks,
     // vocab dictionary-encode
     "agg_wau_sliding_distinct", "win_streak_longest",
-    "pipeline_vocab_encode")
+    "pipeline_vocab_encode",
+    // §2.26 addenda: sketched sliding WAU, asymmetric containment dedup
+    "agg_wau_hll_sliding", "dedup_containment")
 
-  test("declared queries cover SURVEY §2 + §2.12-26 exactly (168 keys)") {
-    assert(inventory.size == 168)
+  test("declared queries cover SURVEY §2 + §2.12-26 exactly (170 keys)") {
+    assert(inventory.size == 170)
     val declared = SparkEntry.queries.keySet
     val missing = inventory -- declared
     val extra = declared -- inventory

@@ -34,7 +34,11 @@ class OperatorSmokeSpec extends SparkSpec {
       "agg_hll_partitioned_union",
       // engine-pinned CMS hashing (§2.11); CountMinSpec pins the
       // one-sided error, the εN bound, and partitioning invariance
-      "agg_countmin_freq"),
+      "agg_countmin_freq",
+      // engine-pinned HLL bytes again (the sliding-WAU reuse);
+      // PropertySpec pins est within 5% of the exact declared key per
+      // day plus partitioning invariance
+      "agg_wau_hll_sliding"),
       s"unexpected oracle-less keys: $noOracle")
   }
 

@@ -56,6 +56,34 @@ class PropertySpec extends SparkSpec {
       s"estimate varies with partitioning: $repart vs $union")
   }
 
+  test("sketched sliding WAU within 5% of the exact declared key per day") {
+    val exact = SparkEntry.queries("agg_wau_sliding_distinct")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val est = SparkEntry.queries("agg_wau_hll_sliding")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // The sketch key emits only days with a contributing daily sketch;
+    // every emitted day must exist in the exact spine and hold the band.
+    assert(est.nonEmpty)
+    est.foreach { case (day, e) =>
+      val x = exact(day).toDouble
+      assert(x > 0 && math.abs(e - x) / x <= 0.05,
+        s"HLL WAU off at day $day: est=$e exact=$x")
+    }
+    // Partitioning invariance: daily sketches (and their unions) can't
+    // depend on how rows were split across tasks.
+    val e2 = Tables.events(spark, sf).repartition(13)
+      .select(col("user_id"), Tables.epochDay("ts").as("day"))
+      .groupBy("day")
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      .select(col("sk"),
+        explode(sequence(col("day"), col("day") + 6)).as("wday"))
+      .groupBy("wday")
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("w"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    est.foreach { case (day, e) => assert(e2(day) == e,
+      s"WAU estimate varies with partitioning at day $day: ${e2(day)} vs $e") }
+  }
+
   test("approx_quantile within rank-error bound of exact percentile") {
     // accuracy=1000 → base rank error 1/1000, but merging per-partition
     // GK summaries degrades the guarantee (the partial count varies with
