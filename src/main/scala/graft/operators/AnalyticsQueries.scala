@@ -395,10 +395,13 @@ object AnalyticsQueries {
     // so dropout is SYNTHESIZED deterministically (day % 3 = 1 withheld
     // — the text_pii_scrub convention; 50 gap rows incl. 5 edge rows at
     // every SF, both branches live). Daily means are exact-decimal davg;
-    // both neighbor carries are IGNORE-NULLS window functions over the
-    // SAME event_type partitioning the daily agg shuffles on — Catalyst
-    // plans one exchange for the agg + both windows. The spine is
-    // |types|×|days| rows — broadcast-scale regardless of corpus size.
+    // the |types|×|days| daily table broadcasts onto the spine (itself
+    // partitioned by event_type from the bounds agg), and all four
+    // IGNORE-NULLS neighbor carries reuse THAT partitioning — the plan
+    // carries exactly two hash exchanges (bounds agg, daily agg) and no
+    // window-induced exchange at all (pinned in PlanAuditSpec). Both
+    // per-type tables are bounded by the calendar regardless of corpus
+    // size.
     "ts_interpolate_linear" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val e = events(s, dir)
@@ -460,9 +463,11 @@ object AnalyticsQueries {
     // partial dedup), CONTRIBUTE each pair to the ≤7 window-days it
     // serves (a map-side explode — rows grow 7×|user-days|, bounded by
     // the window width, never 7×|events|), dedup (window_day, user) and
-    // count. Two keyed shuffles total, no per-day re-scan of prior days
-    // — the naive correlated form scans the corpus once per day. Days
-    // whose trailing window is empty surface as 0 via the spine.
+    // count. Three keyed exchanges, each volume-bounded (user-days,
+    // 7×user-days, then ≤|days| partial counts per partition) — no
+    // per-day re-scan of prior days, where the naive correlated form
+    // scans the corpus once per day. Days whose trailing window is
+    // empty surface as 0 via the spine.
     "agg_wau_sliding_distinct" -> ((s, dir) => {
       val e = events(s, dir).select(col("user_id"), epochDay("ts").as("day"))
       val bounds = e.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
@@ -483,10 +488,12 @@ object AnalyticsQueries {
     // LONGEST DAILY-ACTIVITY STREAK per user — the gaps-islands
     // composition every engagement system ships (complement of
     // etl_gaps_islands' change-runs and ts_sessionize's time-gap runs:
-    // here the island key is CALENDAR consecutiveness, day − rn). One
-    // user_id exchange serves the distinct, the row_number window and
-    // both aggs; the per-user argmax (longest streak, earliest start on
-    // ties) is a lexicographic max-of-struct with negated start — one
+    // here the island key is CALENDAR consecutiveness, day − rn). The
+    // distinct pre-pass keys on (user, day); the row_number window, the
+    // island agg and the per-user argmax then share ONE user_id
+    // exchange (two hash exchanges total, pinned in PlanAuditSpec).
+    // The argmax (longest streak, earliest start on ties) is a
+    // lexicographic max-of-struct with negated start — one
     // partial-aggregating pass, no second window.
     "win_streak_longest" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window

@@ -450,4 +450,50 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("TopKPerGroup"), p.take(2000))
     assert(!p.contains("Window"), "sample fell back to a window rank")
   }
+
+  test("anomaly z-score: broadcast stats join, verdict in the scan stage") {
+    // The 5-row moments table must broadcast and the threshold filter
+    // ride the join condition — one hash exchange total (the stats
+    // agg); the event side never shuffles.
+    val p = plan("ts_anomaly_zscore")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx == 1, s"expected 1 hash exchange (stats agg), got $hashEx")
+  }
+
+  test("interpolation: daily table broadcasts, windows reuse the spine partitioning") {
+    // Two hash exchanges (bounds agg, daily agg) and NO window-induced
+    // exchange: all four IGNORE-NULLS carries reuse the spine's
+    // event_type partitioning behind the broadcast join.
+    val p = plan("ts_interpolate_linear")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(p.contains("Window"), "carries lost their window form")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx == 2, s"expected 2 hash exchanges, got $hashEx:\n" +
+      p.split("\n").filter(_.contains("Exchange")).mkString("\n"))
+  }
+
+  test("sweep-line and cumulative-distinct run without any Window operator") {
+    // Both global running sums go through GlobalRank.runningSum's
+    // two-pass range-exchange form — a Window node here would mean the
+    // single-partition fallback crept back in.
+    assert(!plan("ts_concurrency_max").contains("Window"))
+    assert(!plan("agg_cumulative_distinct_daily").contains("Window"))
+  }
+
+  test("vocab encode ranks the dictionary without any Window operator") {
+    // Dense ids come from runningSum-of-ones (parallel row_number);
+    // the reassembly is a straight two-phase ObjectHashAggregate.
+    val p = plan("pipeline_vocab_encode")
+    assert(!p.contains("Window"), p.take(2000))
+  }
+
+  test("streak detection: distinct pre-pass + ONE shared user_id exchange") {
+    // (user, day) dedup keys its own exchange; the row_number window,
+    // island agg and per-user argmax all reuse hashpartitioning(user_id).
+    val p = plan("win_streak_longest")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx == 2, s"expected 2 hash exchanges, got $hashEx:\n" +
+      p.split("\n").filter(_.contains("Exchange")).mkString("\n"))
+  }
 }
