@@ -95,6 +95,39 @@ object AggQueries {
           .as("approx_distinct_docs"))
     }),
 
+    // CORRELATION / COVARIANCE per group — the bivariate member of the
+    // §2.4 stats family (agg_stats covers the univariate moments):
+    // does event value track hour-of-day, per type. The built-in
+    // corr()/covar_samp() sum doubles in shuffle order (cross-engine
+    // hash-unstable), so both are computed from decimal-EXACT raw
+    // moments (Σx, Σy, Σx², Σy², Σxy — 2dp values and integer hours
+    // make every product exact at ≤4dp) in ONE two-phase agg; the
+    // numerator/denominator forms n·Σxy − ΣxΣy etc. stay exact and the
+    // only double ops are the final divide/sqrt, IEEE-identical on
+    // both engines. Integer-moment longs hold to ~10¹⁸ — Σy² here is
+    // bounded by 23²·n, fine past sf100; a wider y domain would move
+    // those two moments to decimals too.
+    "agg_corr_value_hour" -> ((s, dir) => {
+      val e = events(s, dir).select(col("event_type"),
+        col("value").cast("decimal(18,2)").as("x"),
+        expr("unix_millis(cast(ts as timestamp)) div 3600000 % 24").as("y"))
+      e.groupBy("event_type").agg(
+          count(lit(1)).as("n"),
+          sum(col("x")).cast("decimal(18,2)").as("sx"),
+          sum(col("y")).as("sy"),
+          sum(col("x") * col("x")).cast("decimal(18,4)").as("sxx"),
+          sum(col("y") * col("y")).as("syy"),
+          sum(col("x") * col("y")).cast("decimal(18,2)").as("sxy"))
+        .select(col("event_type"),
+          r4d((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") *
+              (col("n") * col("syy") - col("sy") * col("sy")).cast("double")))
+            .as("corr"),
+          r4d((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (col("n") * (col("n") - lit(1L)))).as("covar"))
+        .orderBy("event_type")
+    }),
+
     // SKETCHED SLIDING WAU — the 100 TB form of
     // agg_wau_sliding_distinct: per-day HLL sketches built ONCE (the
     // stored per-partition stats table of agg_hll_partitioned_union,
@@ -391,6 +424,23 @@ object AggQueries {
         |  ROUND(CAST(SUM(CAST(l_extendedprice*l_quantity AS DECIMAL(38,6))) AS DOUBLE)
         |    / CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE), 4) AS wavg_price,
         |  count(*) AS n_rows
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // Identical exact-decimal moment arithmetic; divide and sqrt are
+    // the only double ops, in the same expression order.
+    "agg_corr_value_hour" ->
+      """WITH e AS (SELECT event_type, CAST(value AS DECIMAL(18,2)) AS x,
+        |    CAST(epoch_ms(ts) // 3600000 % 24 AS BIGINT) AS y FROM events),
+        |m AS (SELECT event_type, count(*) AS n,
+        |    CAST(sum(x) AS DECIMAL(18,2)) AS sx, sum(y) AS sy,
+        |    CAST(sum(x*x) AS DECIMAL(18,4)) AS sxx, sum(y*y) AS syy,
+        |    CAST(sum(x*y) AS DECIMAL(18,2)) AS sxy
+        |  FROM e GROUP BY 1)
+        |SELECT event_type,
+        |  ROUND(CAST(n*sxy - sx*sy AS DOUBLE) /
+        |    sqrt(CAST(n*sxx - sx*sx AS DOUBLE) *
+        |         CAST(n*syy - sy*sy AS DOUBLE)), 4) AS corr,
+        |  ROUND(CAST(n*sxy - sx*sy AS DOUBLE)
+        |    / (CAST(n AS BIGINT) * (n - 1)), 4) AS covar
+        |FROM m ORDER BY event_type""".stripMargin
   )
 }

@@ -455,6 +455,27 @@ object AnalyticsQueries {
         .orderBy("day")
     }),
 
+    // LATERAL correlated subquery through the pure SQL surface — the
+    // third planning shape next to q3's flat star and q18's nested IN:
+    // a per-row dependent subquery with ORDER BY + LIMIT. Catalyst
+    // DECORRELATES it (DecorrelateInnerQuery rewrites the correlated
+    // limit into a partitioned rank over the join) rather than
+    // executing one subquery per outer row — the plan this key pins is
+    // "no nested-loop re-execution", which is exactly what makes
+    // lateral SQL survive a 10⁹-row outer side. Top-2 orders per
+    // high-balance customer; inner lateral drops order-less customers.
+    "sql_lateral_topn" -> ((s, dir) => {
+      val q = (t: String) => s"parquet.`$dir/$t.parquet`"
+      s.sql(
+        s"""SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+           |FROM ${q("customer")} c,
+           |LATERAL (SELECT o_orderkey, o_totalprice FROM ${q("orders")}
+           |         WHERE o_custkey = c.c_custkey
+           |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+           |WHERE c.c_acctbal > 5000
+           |ORDER BY c.c_custkey, o.o_totalprice DESC, o.o_orderkey""".stripMargin)
+    }),
+
     // 7-DAY SLIDING DISTINCT USERS (WAU by day) — the windowed
     // complement of agg_cumulative_distinct_daily's to-date curve, and
     // the one distinct-count shape a running window CANNOT express
@@ -714,6 +735,14 @@ object AnalyticsQueries {
          |    ELSE vp + (vn - vp) * (day - dp) / (dn - dp) END, 4) AS v_filled,
          |  v IS NULL AS was_gap
          |FROM w ORDER BY event_type, day""".stripMargin,
+    "sql_lateral_topn" ->
+      """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+        |FROM customer c,
+        |LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+        |         WHERE o_custkey = c.c_custkey
+        |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+        |WHERE c.c_acctbal > 5000
+        |ORDER BY c.c_custkey, o.o_totalprice DESC, o.o_orderkey""".stripMargin,
     "agg_cumulative_distinct_daily" ->
       s"""WITH e AS (SELECT user_id, ${sqlEpochDay("ts")} AS day FROM events),
          |f AS (SELECT user_id, min(day) AS day FROM e GROUP BY 1),

@@ -110,11 +110,13 @@ class InventorySpec extends SparkSpec {
     // vocab dictionary-encode
     "agg_wau_sliding_distinct", "win_streak_longest",
     "pipeline_vocab_encode",
-    // §2.26 addenda: sketched sliding WAU, asymmetric containment dedup
-    "agg_wau_hll_sliding", "dedup_containment")
+    // §2.26 addenda: sketched sliding WAU, asymmetric containment
+    // dedup, exact-moment correlation, lateral SQL surface
+    "agg_wau_hll_sliding", "dedup_containment",
+    "agg_corr_value_hour", "sql_lateral_topn")
 
-  test("declared queries cover SURVEY §2 + §2.12-26 exactly (170 keys)") {
-    assert(inventory.size == 170)
+  test("declared queries cover SURVEY §2 + §2.12-26 exactly (172 keys)") {
+    assert(inventory.size == 172)
     val declared = SparkEntry.queries.keySet
     val missing = inventory -- declared
     val extra = declared -- inventory

@@ -488,6 +488,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Window"), p.take(2000))
   }
 
+  test("SQL LATERAL LIMIT decorrelates onto TopKPerGroupExec, no nested loop") {
+    // Catalyst must rewrite the correlated ORDER BY + LIMIT subquery
+    // into a partitioned rank (DecorrelateInnerQuery) — executed once
+    // over the inner table, not once per outer row — and the engine's
+    // TopKPushdownRule then collapses that rank into the two-phase
+    // bounded-heap operator. A BroadcastNestedLoopJoin here would mean
+    // per-row re-execution came back.
+    val p = plan("sql_lateral_topn")
+    assert(p.contains("TopKPerGroup"), p.take(2500))
+    assert(!p.contains("NestedLoop"), p.take(2500))
+  }
+
   test("streak detection: distinct pre-pass + ONE shared user_id exchange") {
     // (user, day) dedup keys its own exchange; the row_number window,
     // island agg and per-user argmax all reuse hashpartitioning(user_id).
