@@ -156,6 +156,30 @@ object AggQueries {
         .orderBy("day")
     }),
 
+    // BITMAP SLIDING WAU — the third form of the sliding-distinct
+    // triad, and the best exact plan: where the dedup-chain key pays
+    // three keyed exchanges and the HLL key trades exactness for
+    // sketch bytes, the engine's own BitmapDistinctAgg collapses the
+    // whole computation to ONE wday-keyed exchange with FIXED-SIZE
+    // partials (domain/8 bytes per (wday × partition) however many
+    // contribution rows hit it — no pre-dedup needed, duplicate
+    // (user, wday) rows OR into the same bit). The 7× contribution
+    // explode stays map-side; the answer is exact, so this one is
+    // oracle-checked (count DISTINCT itself), not property-covered.
+    // Pinned in PlanAuditSpec: exactly one hash exchange.
+    "agg_wau_bitmap_sliding" -> ((s, dir) => {
+      val e = events(s, dir).select(col("user_id"), epochDay("ts").as("day"))
+      val bounds = e.agg(max(col("day")).as("hi"))
+      e.select(col("user_id"),
+          explode(sequence(col("day"), col("day") + 6)).as("wday"))
+        .join(broadcast(bounds), col("wday") <= col("hi"))
+        .groupBy("wday")
+        .agg(graft.functions.BitmapDistinctAgg(col("user_id"), 1 << 20)
+          .as("wau"))
+        .select(col("wday").as("day"), col("wau"))
+        .orderBy("day")
+    }),
+
     // EXACT bitmap distinct — the bitmap-index pattern (ClickHouse
     // groupBitmap / Druid segment bitmaps) for bounded dense domains:
     // count(DISTINCT) plans an Expand + second shuffle whose volume
@@ -425,6 +449,15 @@ object AggQueries {
         |    / CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE), 4) AS wavg_price,
         |  count(*) AS n_rows
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // The bitmap WAU is EXACT, so unlike the HLL form it oracles
+    // directly against count(DISTINCT) over the same contribution set.
+    "agg_wau_bitmap_sliding" ->
+      s"""WITH d0 AS (SELECT user_id, ${graft.Det.sqlEpochDay("ts")} AS day
+         |  FROM events),
+         |b AS (SELECT max(day) AS hi FROM d0),
+         |x AS (SELECT user_id, unnest(range(day, day + 7)) AS wday FROM d0)
+         |SELECT wday AS day, count(DISTINCT user_id) AS wau
+         |FROM x, b WHERE wday <= hi GROUP BY 1 ORDER BY day""".stripMargin,
     // Identical exact-decimal moment arithmetic; divide and sqrt are
     // the only double ops, in the same expression order.
     "agg_corr_value_hour" ->

@@ -113,10 +113,11 @@ class InventorySpec extends SparkSpec {
     // §2.26 addenda: sketched sliding WAU, asymmetric containment
     // dedup, exact-moment correlation, lateral SQL surface
     "agg_wau_hll_sliding", "dedup_containment",
-    "agg_corr_value_hour", "sql_lateral_topn")
+    "agg_corr_value_hour", "sql_lateral_topn",
+    "agg_wau_bitmap_sliding")
 
-  test("declared queries cover SURVEY §2 + §2.12-26 exactly (172 keys)") {
-    assert(inventory.size == 172)
+  test("declared queries cover SURVEY §2 + §2.12-26 exactly (173 keys)") {
+    assert(inventory.size == 173)
     val declared = SparkEntry.queries.keySet
     val missing = inventory -- declared
     val extra = declared -- inventory

@@ -488,6 +488,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Window"), p.take(2000))
   }
 
+  test("bitmap sliding WAU: ONE hash exchange, fixed-size partials") {
+    // The whole sliding-distinct computation must collapse to a single
+    // wday-keyed exchange carrying bitmap partials — the contribution
+    // explode stays map-side and no pre-dedup exchange exists.
+    val p = plan("agg_wau_bitmap_sliding")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx == 1, s"expected 1 hash exchange, got $hashEx:\n" +
+      p.split("\n").filter(_.contains("Exchange")).mkString("\n"))
+  }
+
   test("SQL LATERAL LIMIT decorrelates onto TopKPerGroupExec, no nested loop") {
     // Catalyst must rewrite the correlated ORDER BY + LIMIT subquery
     // into a partitioned rank (DecorrelateInnerQuery) — executed once
