@@ -26,8 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // 16g default: the bench/verify surface is 165 queries in one JVM at
-  // local[32]; 8g left the late queries GC-bound once persisted
-  // intermediates accumulated (the box has 128 GiB).
+  // 16g default: the bench/verify surface runs the full declared query
+  // set (170+ keys, see InventorySpec) in one JVM at local[32]; 8g left
+  // the late queries GC-bound once persisted intermediates accumulated
+  // (the box has 128 GiB).
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )

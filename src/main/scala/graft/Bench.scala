@@ -29,26 +29,18 @@ object Bench {
     // min-of-2 discards a one-off scheduler stall while still charging
     // real plan cost, so round-over-round comparison stops being
     // load-dominated. Documented in BASELINE.md §"Bench protocol".
-    // Per-query block hygiene: several operators persist intermediates
-    // whose lifetime Spark's ContextCleaner only reclaims on GC (the
-    // two-pass GlobalRank partitioning pin, iterative supersteps, pivot
-    // samples). Across 165 × 2 query runs those leaked blocks fill the
-    // unified region and the LATE queries pay the eviction/GC thrash —
-    // graph_pagerank read 18.8 s in-run vs 6.6 s solo before this
-    // cleanup. Dropping leftovers between queries makes each timing
-    // reflect the query's own cost. No positive-interference risk: each
-    // run rebuilds its DataFrames, so old blocks were never reusable.
-    def dropLeftoverBlocks(): Unit = {
-      spark.sharedState.cacheManager.clearCache()
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
-    }
+    // Per-query block hygiene (see GraftSession.dropLeftoverBlocks for
+    // the full rationale): sweep AFTER the timer stops so each timing
+    // reflects the query's own cost, with blocking eviction so the
+    // sweep can't race into the next timed region. No
+    // positive-interference risk: each run rebuilds its DataFrames, so
+    // old blocks were never reusable.
     val results = selected.map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
         val t = (System.nanoTime() - t0) / 1e9
-        dropLeftoverBlocks()
+        GraftSession.dropLeftoverBlocks(spark)
         t
       }
       name -> math.min(once(), once())

@@ -36,4 +36,23 @@ object GraftSession {
         }))
       }
     }
+
+  /** Drop cached relations and any leftover persisted RDDs — the ONE
+    * copy of the per-query block hygiene both harness drivers (Bench,
+    * Verify) run between queries. Several operators pin blocks whose
+    * lifetime Spark's ContextCleaner only reclaims on GC
+    * (GlobalRank's two-pass partitioning pin, iterative superstep
+    * checkpoints, pivot samples); across a 170+-query run those dead
+    * blocks fill the unified region and the LATE queries pay the
+    * eviction/GC thrash (graph_pagerank read 18.8 s in-run vs 6.6 s
+    * solo before this sweep existed). Blocking eviction on purpose:
+    * an async unpersist races into the NEXT query's timed region,
+    * which is exactly the cross-query interference the sweep removes.
+    * Long-lived library sessions composing these operators should
+    * call this at their own unit-of-work boundaries. */
+  def dropLeftoverBlocks(spark: SparkSession): Unit = {
+    spark.sharedState.cacheManager.clearCache()
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = true))
+  }
 }

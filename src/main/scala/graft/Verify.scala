@@ -29,13 +29,9 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      // Same per-query block hygiene as Bench: operators that persist
-      // intermediates (GlobalRank's pinned partitioning, iterative
-      // supersteps) otherwise accumulate dead blocks across the
-      // 165-query dump and the late queries pay the eviction thrash.
-      spark.sharedState.cacheManager.clearCache()
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
+      // Same per-query block hygiene as Bench — one shared
+      // implementation, see its scaladoc for the rationale.
+      GraftSession.dropLeftoverBlocks(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -104,27 +104,34 @@ object AggQueries {
     // make every product exact at ≤4dp) in ONE two-phase agg; the
     // numerator/denominator forms n·Σxy − ΣxΣy etc. stay exact and the
     // only double ops are the final divide/sqrt, IEEE-identical on
-    // both engines. Integer-moment longs hold to ~10¹⁸ — Σy² here is
-    // bounded by 23²·n, fine past sf100; a wider y domain would move
-    // those two moments to decimals too.
+    // both engines. ALL five moments live in decimals (long y-moments
+    // would overflow n·Σy² past ~1.3×10⁸ rows per group — silently
+    // wrong or ANSI-throwing where the oracle's HUGEINT sums survive);
+    // degenerate groups (n ≤ 1 or zero variance) emit NULL via an
+    // exact-decimal denominator test instead of a NaN that compares
+    // engine-dependently.
     "agg_corr_value_hour" -> ((s, dir) => {
       val e = events(s, dir).select(col("event_type"),
         col("value").cast("decimal(18,2)").as("x"),
-        expr("unix_millis(cast(ts as timestamp)) div 3600000 % 24").as("y"))
+        expr("unix_millis(cast(ts as timestamp)) div 3600000 % 24")
+          .cast("decimal(18,0)").as("y"))
       e.groupBy("event_type").agg(
           count(lit(1)).as("n"),
           sum(col("x")).cast("decimal(18,2)").as("sx"),
-          sum(col("y")).as("sy"),
+          sum(col("y")).cast("decimal(18,0)").as("sy"),
           sum(col("x") * col("x")).cast("decimal(18,4)").as("sxx"),
-          sum(col("y") * col("y")).as("syy"),
+          sum(col("y") * col("y")).cast("decimal(18,0)").as("syy"),
           sum(col("x") * col("y")).cast("decimal(18,2)").as("sxy"))
+        .withColumn("vx", col("n") * col("sxx") - col("sx") * col("sx"))
+        .withColumn("vy", col("n") * col("syy") - col("sy") * col("sy"))
         .select(col("event_type"),
-          r4d((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
-            sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") *
-              (col("n") * col("syy") - col("sy") * col("sy")).cast("double")))
+          when(col("vx") > 0 && col("vy") > 0,
+            r4d((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+              sqrt(col("vx").cast("double") * col("vy").cast("double"))))
             .as("corr"),
-          r4d((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
-            (col("n") * (col("n") - lit(1L)))).as("covar"))
+          when(col("n") > 1,
+            r4d((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+              (col("n") * (col("n") - lit(1L))))).as("covar"))
         .orderBy("event_type")
     }),
 
@@ -462,18 +469,23 @@ object AggQueries {
     // the only double ops, in the same expression order.
     "agg_corr_value_hour" ->
       """WITH e AS (SELECT event_type, CAST(value AS DECIMAL(18,2)) AS x,
-        |    CAST(epoch_ms(ts) // 3600000 % 24 AS BIGINT) AS y FROM events),
+        |    CAST(epoch_ms(ts) // 3600000 % 24 AS DECIMAL(18,0)) AS y
+        |  FROM events),
         |m AS (SELECT event_type, count(*) AS n,
-        |    CAST(sum(x) AS DECIMAL(18,2)) AS sx, sum(y) AS sy,
-        |    CAST(sum(x*x) AS DECIMAL(18,4)) AS sxx, sum(y*y) AS syy,
+        |    CAST(sum(x) AS DECIMAL(18,2)) AS sx,
+        |    CAST(sum(y) AS DECIMAL(18,0)) AS sy,
+        |    CAST(sum(x*x) AS DECIMAL(18,4)) AS sxx,
+        |    CAST(sum(y*y) AS DECIMAL(18,0)) AS syy,
         |    CAST(sum(x*y) AS DECIMAL(18,2)) AS sxy
-        |  FROM e GROUP BY 1)
+        |  FROM e GROUP BY 1),
+        |v AS (SELECT *, n*sxx - sx*sx AS vx, n*syy - sy*sy AS vy FROM m)
         |SELECT event_type,
-        |  ROUND(CAST(n*sxy - sx*sy AS DOUBLE) /
-        |    sqrt(CAST(n*sxx - sx*sx AS DOUBLE) *
-        |         CAST(n*syy - sy*sy AS DOUBLE)), 4) AS corr,
-        |  ROUND(CAST(n*sxy - sx*sy AS DOUBLE)
-        |    / (CAST(n AS BIGINT) * (n - 1)), 4) AS covar
-        |FROM m ORDER BY event_type""".stripMargin
+        |  CASE WHEN vx > 0 AND vy > 0 THEN
+        |    ROUND(CAST(n*sxy - sx*sy AS DOUBLE) /
+        |      sqrt(CAST(vx AS DOUBLE) * CAST(vy AS DOUBLE)), 4) END AS corr,
+        |  CASE WHEN n > 1 THEN
+        |    ROUND(CAST(n*sxy - sx*sy AS DOUBLE)
+        |      / (CAST(n AS BIGINT) * (n - 1)), 4) END AS covar
+        |FROM v ORDER BY event_type""".stripMargin
   )
 }

@@ -377,9 +377,15 @@ object AnalyticsQueries {
           count(lit(1)).as("n"),
           sum(dv).cast("decimal(18,2)").as("s"),
           sum(dv * dv).cast("decimal(18,4)").as("ss"))
+        // Degenerate groups (n ≤ 1 or constant values) have no defined
+        // z — drop them via the EXACT decimal variance numerator, so no
+        // NaN std ever reaches the comparison (Spark and DuckDB order
+        // NaN differently enough around > to flake the gate otherwise).
+        .withColumn("num", col("n") * col("ss") - col("s") * col("s"))
+        .filter(col("n") > 1 && col("num") > 0)
         .select(col("event_type"),
           (col("s").cast("double") / col("n")).as("mean"),
-          sqrt((col("n") * col("ss") - col("s") * col("s")).cast("double") /
+          sqrt(col("num").cast("double") /
             (col("n") * (col("n") - lit(1L)))).as("std"))
       e.join(broadcast(st), Seq("event_type"))
         .withColumn("z", r4d((col("value") - col("mean")) / col("std")))
@@ -493,9 +499,15 @@ object AnalyticsQueries {
       val e = events(s, dir).select(col("user_id"), epochDay("ts").as("day"))
       val bounds = e.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
       val userDays = e.distinct()
+      // Clip phantom window-days past the corpus max BEFORE the two
+      // dedup exchanges (the bitmap/HLL siblings' broadcast-bounds
+      // device) — without it every user active near the max day ships
+      // up to 6 (user, wday) rows the spine join would only discard.
       val contrib = userDays
         .select(col("user_id"),
           explode(sequence(col("day"), col("day") + 6)).as("wday"))
+        .join(broadcast(bounds.select(col("hi"))), col("wday") <= col("hi"))
+        .drop("hi")
       val wau = contrib.distinct()
         .groupBy("wday").agg(count(lit(1)).as("wau"))
       val spine = bounds
@@ -700,7 +712,7 @@ object AnalyticsQueries {
         |  FROM events GROUP BY 1),
         |st AS (SELECT event_type, CAST(s AS DOUBLE) / n AS mean,
         |    sqrt(CAST(n * ss - s * s AS DOUBLE) / (n * (n - 1))) AS std
-        |  FROM s),
+        |  FROM s WHERE n > 1 AND n * ss - s * s > 0),
         |z AS (SELECT event_id, e.event_type, value,
         |    ROUND((value - mean) / std, 4) AS z
         |  FROM events e JOIN st ON e.event_type = st.event_type)

@@ -116,6 +116,15 @@ object GlobalRank {
     * form a unique key (append a row id) or rows tying on the full key
     * get a stream-order-dependent interleaving (GlobalRankSpec pins
     * window equivalence + partitioning invariance on unique keys).
+    *
+    * Memory contract: the ranged RDD stays persisted for the OUTPUT's
+    * lifetime — the offsets were counted against exactly that
+    * partitioning, and releasing it early would let a recompute
+    * re-sample range boundaries out from under them. ContextCleaner
+    * reclaims the blocks once the result is unreferenced; long-lived
+    * sessions running many queries should sweep leftovers at
+    * unit-of-work boundaries via GraftSession.dropLeftoverBlocks (the
+    * harness drivers do this between queries).
     */
   def runningSum(df: DataFrame, orderCols: Seq[String], valueCol: String,
       outCol: String = "cum", numPartitions: Int = 0): DataFrame = {

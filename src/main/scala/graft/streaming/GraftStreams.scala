@@ -63,8 +63,15 @@ object GraftStreams {
     * silently wrong timestamp). */
   def eventsFromParquetDir(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val tsIsNanosLong = spark.read.parquet(dir).schema("ts").dataType ==
-      org.apache.spark.sql.types.LongType
+    // The probe reads footers only. A still-EMPTY staging dir (create
+    // dir → build stream → start copying files, the standard
+    // file-source pattern) can't be probed — fall back to the current
+    // generation's native TIMESTAMP declaration rather than failing
+    // stream construction.
+    val tsIsNanosLong =
+      try spark.read.parquet(dir).schema("ts").dataType ==
+        org.apache.spark.sql.types.LongType
+      catch { case _: org.apache.spark.sql.AnalysisException => false }
     val tsDecl = if (tsIsNanosLong) "ts LONG" else "ts TIMESTAMP"
     val schema = s"event_id LONG, $tsDecl, user_id LONG, " +
       "event_type STRING, value DOUBLE, props STRING"
