@@ -85,6 +85,46 @@ object GraftStreams {
     else raw
   }
 
+  /** Per-day HLL user sketches of one events frame — the stored
+    * stats-table row the sliding-distinct dashboards read (the
+    * `agg_wau_hll_sliding` input shape). Works on a full batch frame
+    * or a single micro-batch. */
+  def dailyUserSketches(events: Dataset[Event]): DataFrame =
+    events.toDF()
+      .select(expr("ts_ms div 86400000").as("day"), col("user_id"))
+      .groupBy("day").agg(hll_sketch_agg(col("user_id")).as("sk"))
+
+  /** Fold one day-sketch delta into the stored table. HLL unions are
+    * associative and commutative over the sketch bytes, so any batch
+    * split of the same events converges to the same table a given fold
+    * ORDER produces, and every fold's ESTIMATES sit in the same error
+    * band as a one-shot build (exact byte equality between union-built
+    * and directly-built sketches is NOT a DataSketches guarantee — the
+    * agg_hll_partitioned_union property documents the same fact). This
+    * is the foreachBatch maintenance step: the corpus is scanned once
+    * per micro-batch, never re-scanned, and the table grows by
+    * O(new days) sketch rows. SketchTableSpec pins incremental ≡
+    * replay and the estimate band vs exact. */
+  def mergeDailySketches(state: DataFrame, delta: DataFrame): DataFrame =
+    state.unionByName(delta).groupBy("day")
+      .agg(hll_union_agg(col("sk")).as("sk"))
+
+  /** The trailing-window distinct-user curve answered FROM the stored
+    * sketches — no raw-event access, any window width reads the same
+    * table (the agg_wau_hll_sliding read path, parameterized). */
+  def slidingDistinctFromSketches(table: DataFrame,
+      windowDays: Int = 7): DataFrame = {
+    val bounds = table.agg(max(col("day")).as("hi"))
+    table
+      .select(col("sk"), explode(sequence(col("day"),
+        col("day") + (windowDays - 1))).as("wday"))
+      .join(broadcast(bounds), col("wday") <= col("hi"))
+      .groupBy("wday")
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("wau_est"))
+      .select(col("wday").as("day"), col("wau_est"))
+      .orderBy("day")
+  }
+
   /** Per-(1-day tumbling window × event_type) counts and exact sums. */
   def tumblingCounts(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
     events.withWatermark("ts", watermark)

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.{Event, GraftStreams}
+
+/** The incrementally-maintained daily-sketch table (GraftStreams
+  * dailyUserSketches / mergeDailySketches / slidingDistinctFromSketches):
+  * a foreachBatch fold over micro-batches must land within the sketch
+  * error band of exact, replay deterministically, and match the manual
+  * batch-split fold — the stored-stats-table story behind
+  * agg_wau_hll_sliding, driven end to end.
+  */
+class SketchTableSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def allEvents = Tables.events(spark, sf)
+    .select(col("event_id"), unix_millis(col("ts").cast("timestamp")).as("ts_ms"),
+      col("user_id"), col("event_type"), col("value"))
+    .as[Event]
+
+  private def estimates(table: DataFrame): Map[Long, Long] =
+    GraftStreams.slidingDistinctFromSketches(table)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  private def exactWau: Map[Long, Long] =
+    SparkEntry.queries("agg_wau_sliding_distinct")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  private def batches: Seq[DataFrame] = {
+    val ids = allEvents.toDF().stat.approxQuantile("event_id", Array(0.33, 0.66), 0.0)
+    Seq(allEvents.filter(col("event_id") <= ids(0)).toDF(),
+      allEvents.filter(col("event_id") > ids(0) && col("event_id") <= ids(1)).toDF(),
+      allEvents.filter(col("event_id") > ids(1)).toDF())
+  }
+
+  private def fold(bs: Seq[DataFrame]): DataFrame =
+    bs.tail.foldLeft(GraftStreams.dailyUserSketches(bs.head.as[Event])) {
+      (st, b) => GraftStreams.mergeDailySketches(st,
+        GraftStreams.dailyUserSketches(b.as[Event])).localCheckpoint(true)
+    }
+
+  test("incremental 3-batch fold: estimates within 5% of exact, replay-identical") {
+    val exact = exactWau
+    val est = estimates(fold(batches))
+    assert(est.nonEmpty)
+    est.foreach { case (day, e) =>
+      val x = exact(day).toDouble
+      assert(x > 0 && math.abs(e - x) / x <= 0.05,
+        s"sketch-table WAU off at day $day: est=$e exact=$x")
+    }
+    // Same batches folded again must give bit-identical estimates —
+    // a backfill replay cannot move the dashboard.
+    assert(estimates(fold(batches)) == est)
+  }
+
+  test("foreachBatch streaming maintenance == the manual batch-split fold") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    var state: DataFrame = null
+    val q = mem.toDS().writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Event], _: Long) =>
+        val delta = GraftStreams.dailyUserSketches(batch)
+        state = (if (state == null) delta
+          else GraftStreams.mergeDailySketches(state, delta))
+          .localCheckpoint(true)
+        ()
+      }.start()
+    try {
+      batches.foreach { b =>
+        mem.addData(b.as[Event].collect().toIndexedSeq)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    assert(estimates(state) == estimates(fold(batches)))
+  }
+}
