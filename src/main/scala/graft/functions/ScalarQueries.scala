@@ -86,6 +86,25 @@ object ScalarQueries {
         .orderBy(col("o_orderkey"))
     }),
 
+    // Bitwise scalar suite — the remaining operator family of §2.7
+    // (hash bucketing, flag fields, bitmap addressing all live on
+    // these): AND/OR/XOR/shifts/popcount over the key columns, pure
+    // integer codegen in the scan stage. XOR spelled as the function
+    // on the oracle side (DuckDB's ^ is POWER — the one operator-token
+    // divergence worth a comment).
+    "fn_bitwise_suite" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_linenumber") === 1 && col("l_orderkey") < 5000)
+        .select(col("l_orderkey"),
+          expr("l_orderkey & 255").as("band"),
+          expr("l_orderkey | 4096").as("ored"),
+          expr("l_orderkey ^ l_partkey").as("xored"),
+          expr("shiftleft(l_orderkey, 3)").as("shl"),
+          expr("shiftright(l_partkey, 4)").as("shr"),
+          expr("cast(bit_count(l_partkey) as bigint)").as("pop"))
+        .orderBy(col("l_orderkey"))
+    }),
+
     // Custom Catalyst Expression with codegen (see DiscountBand).
     "custom_udf_expr" -> ((s, dir) => {
       DiscountBand.register(s)
@@ -147,6 +166,16 @@ object ScalarQueries {
         |  round(CAST(CAST(o_totalprice AS VARCHAR) AS DOUBLE), 4) AS price_rt,
         |  CAST(CAST(o_orderkey AS VARCHAR) AS BIGINT) AS key_rt
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "fn_bitwise_suite" ->
+      """SELECT l_orderkey,
+        |  l_orderkey & 255 AS band,
+        |  l_orderkey | 4096 AS ored,
+        |  xor(l_orderkey, l_partkey) AS xored,
+        |  l_orderkey << 3 AS shl,
+        |  l_partkey >> 4 AS shr,
+        |  CAST(bit_count(l_partkey) AS BIGINT) AS pop
+        |FROM lineitem WHERE l_linenumber = 1 AND l_orderkey < 5000
+        |ORDER BY l_orderkey""".stripMargin,
     "custom_udf_expr" ->
       s"""SELECT CASE WHEN l_discount < 0.03 THEN 'LOW'
          |  WHEN l_discount < 0.07 THEN 'MID' ELSE 'HIGH' END AS band,

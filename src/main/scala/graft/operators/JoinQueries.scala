@@ -188,6 +188,32 @@ object JoinQueries {
         .orderBy(col("k1"), col("k2"))
     }),
 
+    // NULL-SAFE equality join (<=>) — the one join predicate semantics
+    // the §2.3 family doesn't cover: NULL keys MATCH each other instead
+    // of vanishing (how dimension joins on optional attributes behave
+    // after a lossy enrichment). NULLs injected deterministically on
+    // both sides (nationkey nullified on a mod — the
+    // filter_null_semantics device), sparse enough that the NULL×NULL
+    // match group stays bounded at every SF. Output aggregates pair
+    // counts per (possibly NULL) key: under plain `=` the NULL group
+    // would be absent, which is exactly what the oracle's
+    // IS NOT DISTINCT FROM spelling pins. Planner note: <=> is still an
+    // EQUI key (EqualNullSafe) — Spark hashes it, no nested loop.
+    "join_null_safe" -> ((s, dir) => {
+      val c = t(s, dir, "customer").select(
+        nullif(col("c_nationkey"), pmod(col("c_custkey"), lit(7)))
+          .as("nk_c"), col("c_custkey"))
+      val su = t(s, dir, "supplier").select(
+        nullif(col("s_nationkey"), pmod(col("s_suppkey"), lit(7)))
+          .as("nk_s"), col("s_suppkey"))
+      c.join(su, col("nk_c") <=> col("nk_s"))
+        .groupBy(col("nk_c").as("nationkey"))
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct(col("c_custkey")).as("n_cust"),
+          countDistinct(col("s_suppkey")).as("n_supp"))
+        .orderBy(col("nationkey").asc_nulls_first)
+    }),
+
     // Facts joined to a 5-row per-type dim on a pathologically hot key
     // (every event carries one of 5 types) through Skew.saltedJoin: the
     // fact side salts on hash(event_id) % 8, the dim replicates 8×, so
@@ -424,6 +450,18 @@ object JoinQueries {
          |SELECT event_id, event_type, n_type, avg_value
          |FROM events JOIN d USING (event_type)
          |ORDER BY event_id""".stripMargin,
+    // The NULL group must be PRESENT — that's the semantic difference
+    // IS NOT DISTINCT FROM pins vs plain equality.
+    "join_null_safe" ->
+      """WITH c AS (SELECT nullif(c_nationkey, c_custkey % 7) AS nk,
+        |    c_custkey FROM customer),
+        |s AS (SELECT nullif(s_nationkey, s_suppkey % 7) AS nk,
+        |    s_suppkey FROM supplier)
+        |SELECT c.nk AS nationkey, count(*) AS n_pairs,
+        |  count(DISTINCT c_custkey) AS n_cust,
+        |  count(DISTINCT s_suppkey) AS n_supp
+        |FROM c JOIN s ON c.nk IS NOT DISTINCT FROM s.nk
+        |GROUP BY 1 ORDER BY nationkey NULLS FIRST""".stripMargin,
     // Unsalted variant: identical answer by definition.
     "join_skew_aqe" ->
       s"""WITH d AS (SELECT event_type, COUNT(*) AS n_type,

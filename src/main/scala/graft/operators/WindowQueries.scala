@@ -143,6 +143,19 @@ object WindowQueries {
         .orderBy(col("o_custkey"), col("o_orderkey"))
     }),
 
+    // nth_value over the full frame — the remaining member of the
+    // value-window family next to first/last: each customer's 2nd
+    // order price by date (NULL for single-order customers — both
+    // engines agree 1-based, NULL past the frame end). Same shared
+    // (o_custkey × date, key) window spec, same single exchange.
+    "win_nth_value" -> ((s, dir) => {
+      val w = wOrd.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          nth_value(col("o_totalprice"), 2).over(w).as("second_price"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
     // Runs through the custom TopKPerGroup LogicalPlan/SparkStrategy
     // operator (plans/TopKPerGroup.scala): bounded-heap partial pass
     // before the exchange shuffles ≤ k rows per (group × partition)
@@ -248,6 +261,12 @@ object WindowQueries {
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_price,
          |  last_value(o_totalprice) OVER ($ordSql
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_price
+         |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "win_nth_value" ->
+      s"""SELECT o_custkey, o_orderkey,
+         |  nth_value(o_totalprice, 2) OVER ($ordSql
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         |    AS second_price
          |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
     "topk_pushdown_rank" ->
       """SELECT user_id, event_id, value, rn FROM (

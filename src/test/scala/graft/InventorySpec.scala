@@ -114,10 +114,13 @@ class InventorySpec extends SparkSpec {
     // dedup, exact-moment correlation, lateral SQL surface
     "agg_wau_hll_sliding", "dedup_containment",
     "agg_corr_value_hour", "sql_lateral_topn",
-    "agg_wau_bitmap_sliding")
+    "agg_wau_bitmap_sliding",
+    // §2.26 final addenda: null-safe equi join, nth_value window,
+    // bitwise scalar suite
+    "join_null_safe", "win_nth_value", "fn_bitwise_suite")
 
-  test("declared queries cover SURVEY §2 + §2.12-26 exactly (173 keys)") {
-    assert(inventory.size == 173)
+  test("declared queries cover SURVEY §2 + §2.12-26 exactly (176 keys)") {
+    assert(inventory.size == 176)
     val declared = SparkEntry.queries.keySet
     val missing = inventory -- declared
     val extra = declared -- inventory
