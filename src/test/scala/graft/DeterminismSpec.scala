@@ -32,7 +32,12 @@ class DeterminismSpec extends SparkSpec {
       "dedup_embedding_cosine", "win_moving_avg",
       "agg_percentiles", "pivot_wide",
       "hist_equidepth", "ts_gapfill_daily", "funnel_stages",
-      "sim_ann_kmeans", "pipeline_curation_verdict")) {
+      "sim_ann_kmeans", "pipeline_curation_verdict",
+      // Round-6 continuation: the decimal-moment keys (z / corr), the
+      // double interpolation arithmetic, and the two runningSum
+      // consumers whose range-exchange partition count tracks this conf
+      "ts_anomaly_zscore", "agg_corr_value_hour", "ts_interpolate_linear",
+      "ts_concurrency_max", "pipeline_vocab_encode")) {
       val a = rows(q, "3")
       val b = rows(q, "17")
       assert(a == b, s"$q diverged between 3 and 17 shuffle partitions " +
