@@ -149,18 +149,19 @@ object AggQueries {
     // pins the estimate within 5% of the exact declared key per day
     // and partitioning invariance.
     "agg_wau_hll_sliding" -> ((s, dir) => {
-      val e = events(s, dir).select(col("user_id"), epochDay("ts").as("day"))
-      val dailySk = e.groupBy("day")
-        .agg(hll_sketch_agg(col("user_id")).as("sk"))
-      val bounds = e.agg(max(col("day")).as("hi"))
-      dailySk
-        .select(col("sk"),
-          explode(sequence(col("day"), col("day") + 6)).as("wday"))
-        .join(broadcast(bounds), col("wday") <= col("hi"))
-        .groupBy("wday")
-        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("wau_est"))
-        .select(col("wday").as("day"), col("wau_est"))
-        .orderBy("day")
+      import s.implicits._
+      // ONE implementation of the sketch build and the window read —
+      // the declared key IS the GraftStreams stored-sketch-table path
+      // (dailyUserSketches builds the stats table, the foreachBatch
+      // fold maintains it incrementally, slidingDistinctFromSketches
+      // answers any window width from it), so the batch face and the
+      // streaming maintenance cannot drift.
+      val ev = events(s, dir).select(col("event_id"),
+        unix_millis(col("ts").cast("timestamp")).as("ts_ms"),
+        col("user_id"), col("event_type"), col("value"))
+        .as[graft.streaming.Event]
+      graft.streaming.GraftStreams.slidingDistinctFromSketches(
+        graft.streaming.GraftStreams.dailyUserSketches(ev), windowDays = 7)
     }),
 
     // BITMAP SLIDING WAU — the third form of the sliding-distinct

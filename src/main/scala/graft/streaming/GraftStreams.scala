@@ -114,6 +114,10 @@ object GraftStreams {
     * table (the agg_wau_hll_sliding read path, parameterized). */
   def slidingDistinctFromSketches(table: DataFrame,
       windowDays: Int = 7): DataFrame = {
+    // Guard, not clamp: sequence(start, stop) steps BACKWARD when
+    // stop < start, so windowDays <= 0 would silently produce a bogus
+    // reversed window with plausible-looking estimates.
+    require(windowDays >= 1, s"windowDays must be >= 1, got $windowDays")
     val bounds = table.agg(max(col("day")).as("hi"))
     table
       .select(col("sk"), explode(sequence(col("day"),

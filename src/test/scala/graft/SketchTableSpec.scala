@@ -28,7 +28,10 @@ class SketchTableSpec extends SparkSpec {
     SparkEntry.queries("agg_wau_sliding_distinct")(spark, sf)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
 
-  private def batches: Seq[DataFrame] = {
+  // lazy val: the exact-quantile split job runs once per suite; the
+  // DataFrames stay lazy plans, so each fold still re-executes them
+  // (which is what the replay-determinism check needs).
+  private lazy val batches: Seq[DataFrame] = {
     val ids = allEvents.toDF().stat.approxQuantile("event_id", Array(0.33, 0.66), 0.0)
     Seq(allEvents.filter(col("event_id") <= ids(0)).toDF(),
       allEvents.filter(col("event_id") > ids(0) && col("event_id") <= ids(1)).toDF(),
