@@ -18,6 +18,22 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
+def type_gate(con, name, sql):
+    """Fail fast on oracle output types the driver's hash is sensitive to.
+
+    canon() below coerces every integer dtype to int64 before comparing,
+    which masked the round-6 HUGEINT bug: DuckDB types an uncast
+    SUM(BIGINT) as HUGEINT (int128) while Spark emits BIGINT, so the
+    driver's type-sensitive hash diverged although values matched. Any
+    HUGEINT/UHUGEINT output column is therefore an oracle bug by
+    construction — the fix is CAST(... AS BIGINT) in the oracle SQL.
+    Returns a list of (column, duckdb_type) offenders.
+    """
+    desc = con.execute(f"DESCRIBE ({sql})").fetchall()
+    return [(col, typ) for col, typ, *_ in desc
+            if "HUGEINT" in typ.upper()]
+
+
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].reset_index(drop=True)
     for c in df.columns:
@@ -46,6 +62,12 @@ def main():
             continue
         sql = oracle[name]
         try:
+            offenders = type_gate(con, name, sql)
+            if offenders:
+                print(f"FAIL {name}: HUGEINT oracle columns {offenders} "
+                      f"(driver hash-diverges; CAST to BIGINT in the oracle)")
+                n_fail += 1
+                continue
             exp = canon(con.execute(sql).fetchdf())
         except Exception as e:
             print(f"FAIL {name}: oracle SQL error: {e}")

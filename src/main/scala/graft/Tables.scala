@@ -92,6 +92,22 @@ object Det {
   /** Deterministic per-row 4dp round of an exact-decimal-valued double. */
   def r4(c: Column): Column = round(c.cast(D), 4).cast("double")
 
+  /** Loud scale guard for the decimal-EXACT moment keys
+    * (`agg_corr_value_hour`, `ts_anomaly_zscore`): their per-group sums
+    * deliberately stay at decimal(18,x) so the n·Σv² − (Σv)² numerators
+    * fit decimal(38) EXACTLY (widening the sums to 38 would make Spark
+    * cap/round the products, losing the exactness the degenerate-group
+    * tests rely on). The price is a row-count bound: Σv² is exact only
+    * while n·max(|v|)² < 10¹⁴. Past it, a silent NULL (non-ANSI) or
+    * throw (ANSI) would diverge from the oracle's HUGEINT sums — so the
+    * caller passes the bound as `cond` and every downstream use of n
+    * goes through the checked column, turning overflow into an
+    * immediate, attributable `raise_error` instead. `when/otherwise`
+    * keeps the guard in the value path, so column pruning can't drop
+    * it. */
+  def checkedN(n: Column, cond: Column, msg: String): Column =
+    when(cond, n).otherwise(raise_error(lit(msg)).cast("bigint"))
+
   /** Oracle-side (DuckDB) spelling of [[Tables.epochDay]]: `//` is
     * DuckDB's integer division, truncating like Spark's `div` — equal
     * on the post-epoch fixture domain. */

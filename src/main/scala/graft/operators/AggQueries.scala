@@ -109,7 +109,12 @@ object AggQueries {
     // wrong or ANSI-throwing where the oracle's HUGEINT sums survive);
     // degenerate groups (n ≤ 1 or zero variance) emit NULL via an
     // exact-decimal denominator test instead of a NaN that compares
-    // engine-dependently.
+    // engine-dependently. The decimal(18,x) sums are exact only while
+    // n·(max|x|+24)² < 10¹⁴ (covers Σx², Σxy, Σy² at once since hour
+    // y ≤ 23) — deliberate, see Det.checkedN's scaladoc for why
+    // widening to decimal(38) breaks the numerators' exactness; the
+    // agg takes max(|x|) and threads n through checkedN so past the
+    // bound the key fails LOUDLY instead of silently diverging.
     "agg_corr_value_hour" -> ((s, dir) => {
       val e = events(s, dir).select(col("event_type"),
         col("value").cast("decimal(18,2)").as("x"),
@@ -121,16 +126,22 @@ object AggQueries {
           sum(col("y")).cast("decimal(18,0)").as("sy"),
           sum(col("x") * col("x")).cast("decimal(18,4)").as("sxx"),
           sum(col("y") * col("y")).cast("decimal(18,0)").as("syy"),
-          sum(col("x") * col("y")).cast("decimal(18,2)").as("sxy"))
-        .withColumn("vx", col("n") * col("sxx") - col("sx") * col("sx"))
-        .withColumn("vy", col("n") * col("syy") - col("sy") * col("sy"))
+          sum(col("x") * col("y")).cast("decimal(18,2)").as("sxy"),
+          max(abs(col("x"))).as("mx"))
+        .withColumn("nc", graft.Det.checkedN(col("n"),
+          col("n").cast("double") *
+            pow(col("mx").cast("double") + lit(24.0), lit(2)) < lit(9e13),
+          "agg_corr_value_hour: n*(max|x|+24)^2 exceeds decimal(18) " +
+            "exact range — moment sums no longer lossless"))
+        .withColumn("vx", col("nc") * col("sxx") - col("sx") * col("sx"))
+        .withColumn("vy", col("nc") * col("syy") - col("sy") * col("sy"))
         .select(col("event_type"),
           when(col("vx") > 0 && col("vy") > 0,
-            r4d((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            r4d((col("nc") * col("sxy") - col("sx") * col("sy")).cast("double") /
               sqrt(col("vx").cast("double") * col("vy").cast("double"))))
             .as("corr"),
           when(col("n") > 1,
-            r4d((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            r4d((col("nc") * col("sxy") - col("sx") * col("sy")).cast("double") /
               (col("n") * (col("n") - lit(1L))))).as("covar"))
         .orderBy("event_type")
     }),

@@ -361,7 +361,13 @@ object AnalyticsQueries {
     // their type's mean (the data-quality outlier sweep next to
     // etl_dq_report's rule checks). The per-type moments are ONE
     // two-phase agg with decimal-EXACT sums (2dp values ⇒ v² carries
-    // 4dp ⇒ decimal(18,4) sums are lossless and order-independent);
+    // 4dp ⇒ decimal(18,4) sums are lossless WHILE n·max(v)² < 10¹⁴ —
+    // ~10⁹ rows/group at the fixture's |v|≲300, a real bound a 100 TB
+    // group can exceed, so the agg also takes max(|v|) and every use
+    // of n goes through Det.checkedN: past the bound the key FAILS
+    // LOUDLY via raise_error instead of silently NULLing groups where
+    // the oracle's HUGEINT sums survive. decimal(18) is deliberate —
+    // see checkedN's scaladoc for why widening to 38 breaks exactness);
     // variance comes from the numerator form (n·Σv² − (Σv)²)/(n(n−1))
     // computed exactly in decimals, with sqrt and the per-row z the only
     // double ops — IEEE-identical on both engines. The 5-row stats
@@ -376,12 +382,18 @@ object AnalyticsQueries {
       val st = e.groupBy("event_type").agg(
           count(lit(1)).as("n"),
           sum(dv).cast("decimal(18,2)").as("s"),
-          sum(dv * dv).cast("decimal(18,4)").as("ss"))
+          sum(dv * dv).cast("decimal(18,4)").as("ss"),
+          max(abs(dv)).as("mx"))
+        .withColumn("nc", graft.Det.checkedN(col("n"),
+          col("n").cast("double") *
+            pow(col("mx").cast("double"), lit(2)) < lit(9e13),
+          "ts_anomaly_zscore: n*max(v)^2 exceeds decimal(18,4) exact " +
+            "range — moment sums no longer lossless"))
         // Degenerate groups (n ≤ 1 or constant values) have no defined
         // z — drop them via the EXACT decimal variance numerator, so no
         // NaN std ever reaches the comparison (Spark and DuckDB order
         // NaN differently enough around > to flake the gate otherwise).
-        .withColumn("num", col("n") * col("ss") - col("s") * col("s"))
+        .withColumn("num", col("nc") * col("ss") - col("s") * col("s"))
         .filter(col("n") > 1 && col("num") > 0)
         .select(col("event_type"),
           (col("s").cast("double") / col("n")).as("mean"),
@@ -592,8 +604,8 @@ object AnalyticsQueries {
         |  CASE WHEN lag(ms) OVER w IS NULL
         |       OR ms - lag(ms) OVER w > 1800000 THEN 1 ELSE 0 END AS new_s
         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)),
-        |s AS (SELECT user_id, ms, sum(new_s) OVER (PARTITION BY user_id
-        |  ORDER BY ms, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+        |s AS (SELECT user_id, ms, CAST(sum(new_s) OVER (PARTITION BY user_id
+        |  ORDER BY ms, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
         |  FROM f)
         |SELECT user_id, session_id, count(*) AS n_events,
         |  min(ms) AS start_ms, max(ms) AS end_ms

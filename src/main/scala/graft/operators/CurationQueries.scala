@@ -596,7 +596,7 @@ object CurationQueries {
         |FROM c ORDER BY doc_id""".stripMargin,
     "pipeline_dataset_card" ->
       """SELECT source, lang, count(*) AS n_docs,
-        |  SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS n_tokens,
+        |  CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT) AS n_tokens,
         |  count(DISTINCT md5(text)) AS n_unique_texts,
         |  ROUND(CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT))
         |      AS DOUBLE) / count(*) * 10000) / 10000 AS avg_tokens

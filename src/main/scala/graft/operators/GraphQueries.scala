@@ -88,7 +88,7 @@ object GraphQueries {
           |  FROM deg)""".stripMargin
       val steps = (1 to Iters).map { i =>
         s"""r$i AS (SELECT e.dst AS node,
-           |  150000 + (85 * SUM(r.rank // d.deg)) // 100 AS rank
+           |  CAST(150000 + (85 * SUM(r.rank // d.deg)) // 100 AS BIGINT) AS rank
            |  FROM edges e JOIN deg d ON e.src = d.src
            |  JOIN r${i - 1} r ON e.src = r.node GROUP BY e.dst)""".stripMargin
       }.mkString(",\n")

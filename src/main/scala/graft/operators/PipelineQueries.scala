@@ -712,8 +712,8 @@ object PipelineQueries {
         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
         |    md5(CAST(doc_id AS VARCHAR)) AS skey FROM documents),
         |c AS (SELECT doc_id, n_tokens,
-        |    sum(n_tokens) OVER (ORDER BY skey, doc_id
-        |      ROWS UNBOUNDED PRECEDING) AS cum FROM d)
+        |    CAST(sum(n_tokens) OVER (ORDER BY skey, doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM d)
         |SELECT doc_id, n_tokens, cum - n_tokens AS start_off,
         |  (cum - n_tokens) // 2048 AS bin
         |FROM c ORDER BY doc_id""".stripMargin,

@@ -315,6 +315,45 @@ object ScanQueries {
         .orderBy("doc_id")
     }),
 
+    // WRITER-SIDE SCHEMA MIGRATION (round-7 verdict ask #5) —
+    // scan_schema_evolution's convention REVERSED: there the READER
+    // reconciles old files; here the WRITE path reconciles an incoming
+    // batch whose schema drifted (new `source` column, `n_chars` gone,
+    // columns reordered) into the existing layout and MATERIALIZES the
+    // widened v2 table. `unionByName(allowMissingColumns = true)` is
+    // the by-name alignment — a positional union would silently put
+    // lang under doc_id; the absent columns surface as null and the
+    // projection pins the declared defaults BEFORE the write, so every
+    // v2 file carries the full schema and downstream readers need no
+    // per-file reconciliation at all. At 100 TB this is the schema-
+    // change job run ONCE at migration time (O(table) rewrite,
+    // embarrassingly parallel, no shuffle — the union is a read-
+    // concat); the alternative, leaving generations in place, taxes
+    // every future scan with footer reconciliation instead
+    // (scan_schema_evolution documents that trade from the reader
+    // side). Idempotent via writeOnce on both layouts.
+    "etl_schema_migrate" -> ((s, dir) => {
+      val base = s"${scratch(s, dir)}/mig_base"
+      val v2dir = s"${scratch(s, dir)}/mig_v2"
+      val docs = t(s, dir, "documents")
+      writeOnce(base) {
+        docs.filter(col("doc_id") % 2 =!= 0)
+          .select("doc_id", "lang", "n_chars")
+          .write.mode("overwrite").parquet(base)
+      }
+      val batch = docs.filter(col("doc_id") % 2 === 0)
+        .select("source", "lang", "doc_id")
+      val migrated = s.read.parquet(base)
+        .unionByName(batch, allowMissingColumns = true)
+        .select(col("doc_id"), col("lang"),
+          coalesce(col("n_chars"), lit(-1L)).as("n_chars"),
+          coalesce(col("source"), lit("unknown")).as("source"))
+      writeOnce(v2dir) {
+        migrated.write.mode("overwrite").parquet(v2dir)
+      }
+      s.read.parquet(v2dir).orderBy("doc_id")
+    }),
+
     // DYNAMIC PARTITION OVERWRITE — the other mutation primitive next
     // to etl_upsert_type1's row-level merge: replace exactly the
     // partitions an update batch touches (the nightly "re-land one
@@ -423,6 +462,14 @@ object ScanQueries {
       """SELECT doc_id, lang,
         |  CASE WHEN doc_id % 2 = 0 THEN 'unknown' ELSE source END AS source,
         |  CASE WHEN doc_id % 2 = 0 THEN -1 ELSE n_chars END AS n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // The migrated v2 table == the declared defaults composed over the
+    // original, with the generation parity REVERSED vs
+    // scan_schema_evolution (odd rows are the old layout here).
+    "etl_schema_migrate" ->
+      """SELECT doc_id, lang,
+        |  CASE WHEN doc_id % 2 = 0 THEN -1 ELSE n_chars END AS n_chars,
+        |  CASE WHEN doc_id % 2 = 0 THEN source ELSE 'unknown' END AS source
         |FROM documents ORDER BY doc_id""".stripMargin,
     // Same update arithmetic over the original table: only 'en' rows
     // carry the bump, everything else passes through.

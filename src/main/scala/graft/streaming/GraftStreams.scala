@@ -61,17 +61,27 @@ object GraftStreams {
     * executor-side re-reads under the old conf, so later NANOS parquet
     * columns surface as LONG nanos (visible in the schema, never a
     * silently wrong timestamp). */
-  def eventsFromParquetDir(spark: SparkSession, dir: String): DataFrame = {
+  def eventsFromParquetDir(spark: SparkSession, dir: String,
+      tsIsNanos: Option[Boolean] = None): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // The probe reads footers only. A still-EMPTY staging dir (create
     // dir → build stream → start copying files, the standard
     // file-source pattern) can't be probed — fall back to the current
     // generation's native TIMESTAMP declaration rather than failing
-    // stream construction.
-    val tsIsNanosLong =
+    // stream construction. CHECKPOINT/RESTART IMPLICATION: the probe
+    // freezes the ts declaration at STREAM-CONSTRUCTION time. If
+    // NANOS-generation files land in a dir that probed empty (or
+    // TIMESTAMP files in one that probed NANOS), the declared schema
+    // mismatches the files and the read fails mid-stream; and a query
+    // restarted from a checkpoint re-probes, so a restart AFTER files
+    // arrived can resolve a different declaration than its first run.
+    // Long-lived mixed-generation streams should not depend on probe
+    // timing — pass the generation explicitly via `tsIsNanos`.
+    val tsIsNanosLong = tsIsNanos.getOrElse {
       try spark.read.parquet(dir).schema("ts").dataType ==
         org.apache.spark.sql.types.LongType
       catch { case _: org.apache.spark.sql.AnalysisException => false }
+    }
     val tsDecl = if (tsIsNanosLong) "ts LONG" else "ts TIMESTAMP"
     val schema = s"event_id LONG, $tsDecl, user_id LONG, " +
       "event_type STRING, value DOUBLE, props STRING"
@@ -111,7 +121,20 @@ object GraftStreams {
 
   /** The trailing-window distinct-user curve answered FROM the stored
     * sketches — no raw-event access, any window width reads the same
-    * table (the agg_wau_hll_sliding read path, parameterized). */
+    * table (the agg_wau_hll_sliding read path, parameterized).
+    *
+    * EMITTED-DAYS CONTRACT: a day appears in the output only if some
+    * daily sketch CONTRIBUTES to its trailing window (i.e. the table
+    * has a row within the preceding `windowDays` days). The exact
+    * sibling `agg_wau_sliding_distinct` instead zero-fills a complete
+    * lo..hi calendar spine, so the two keys disagree on fully-quiet
+    * days: the exact key emits them as 0, this one omits them. A
+    * dashboard swapping the exact key for this sketch key must join
+    * onto its own spine with coalesce(0) if it needs the zero days
+    * (deliberate here: the sketch table is the only input, and
+    * fabricating a spine wider than the table's day range would guess
+    * at corpus bounds the sketches don't record). PropertySpec pins
+    * the estimate band on the days both keys emit. */
   def slidingDistinctFromSketches(table: DataFrame,
       windowDays: Int = 7): DataFrame = {
     // Guard, not clamp: sequence(start, stop) steps BACKWARD when
@@ -158,6 +181,59 @@ object GraftStreams {
         max(unix_millis(col("ts").cast("timestamp"))).as("end_ms"),
         count(lit(1)).as("n_events"), Det.dsum(col("value")).as("sum_value"))
       .drop("w")
+
+  /** SESSIONIZED FIRST-TOUCH ATTRIBUTION as a stateful streaming op —
+    * the production form of the batch `attribution_first_touch`
+    * carry-forward: every session is credited to the event that OPENED
+    * it, with the session's purchase activity summarized alongside.
+    * One session_window aggregation carries the whole computation, so
+    * the streaming state per (user, open session) is a handful of
+    * registers (min/max/count + two min_by pairs) — no event log is
+    * retained, and a closed session's state leaves the store once the
+    * watermark passes its end (which is also what lets Append mode
+    * emit it exactly once, finalized).
+    *
+    * first_touch / first_purchase_id use `min_by` over the
+    * (event-ms, event_id) struct: event_id uniqueness makes the
+    * ordering total, so the "first" is deterministic under ANY arrival
+    * order — batch, shuffled micro-batches, or replay. `min_by` skips
+    * rows whose ordering expression is null, which is what scopes
+    * first_purchase_id to purchase rows only (null when the session
+    * has none).
+    *
+    * GAP SEMANTICS: session_window merges an event into the previous
+    * session iff its gap is STRICTLY LESS than `gap` (windows
+    * [t,t+gap) merge on overlap), i.e. a gap of exactly 30 min SPLITS
+    * — whereas the lag-rule batch keys (`ts_sessionize`,
+    * `stream_session_windows`) split only on gap > 30 min. The oracle
+    * for the declared key encodes the `>=` rule; the fixture has no
+    * exact-30-min same-user gap at any SF, so the two rules agree
+    * there (StreamingParitySpec ties the lag-rule keys to each other;
+    * this key is the native-session_window face).
+    *
+    * On a batch frame the watermark node is analyzer-eliminated and
+    * this SAME function is the declared batch key — parity by
+    * construction, asserted incl. late-data drops in
+    * StreamingParitySpec. */
+  def sessionFirstTouch(events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "30 minutes"): DataFrame = {
+    val ms = unix_millis(col("ts").cast("timestamp"))
+    events.withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("w"))
+      .agg(
+        min(ms).as("start_ms"),
+        max(ms).as("end_ms"),
+        min_by(col("event_type"), struct(ms, col("event_id")))
+          .as("first_touch"),
+        count(lit(1)).as("n_events"),
+        count(when(col("event_type") === "purchase", lit(1)))
+          .as("n_purchases"),
+        min_by(col("event_id"),
+          when(col("event_type") === "purchase",
+            struct(ms, col("event_id"))))
+          .as("first_purchase_id"))
+      .drop("w")
+  }
 
   /** Exactly-once-per-event_id stream: duplicates arriving within the
     * watermark horizon are dropped; state for an id is reclaimed once the

@@ -58,6 +58,17 @@ object StreamQueries {
         .orderBy("user_id", "sess")
     }),
 
+    // SESSIONIZED FIRST-TOUCH ATTRIBUTION (round-7 verdict ask #4):
+    // batch and streaming run the SAME GraftStreams.sessionFirstTouch
+    // (watermark analyzer-eliminated on batch) — one session_window agg
+    // whose per-key state is O(1) registers, the production streaming
+    // form of attribution_first_touch. Native session_window gap rule
+    // (exact-30-min gap SPLITS; see the function's scaladoc — the
+    // fixture has no such gap, and the oracle encodes >= to match).
+    "stream_attribution_first_touch" -> ((s, dir) =>
+      GraftStreams.sessionFirstTouch(events(s, dir))
+        .orderBy("user_id", "start_ms")),
+
     // Dedup on event_id (streaming face: watermark + dropDuplicates).
     // Batch face uses window rank=1 — dropDuplicates' survivor choice is
     // nondeterministic if the key ever carries conflicting payloads.
@@ -147,6 +158,34 @@ object StreamQueries {
          |SELECT user_id, CAST(sess AS BIGINT) AS sess, min(ms) AS start_ms, max(ms) AS end_ms,
          |  count(*) AS n_events, ${sqlSum("value")} AS sum_value
          |FROM sessions GROUP BY user_id, sess ORDER BY user_id, sess""".stripMargin,
+    // Native session_window rule: gap >= 30 min splits (strict-overlap
+    // merge), unlike the lag-rule keys' >. first_touch/first_purchase_id
+    // via IGNORE-NULLS first_value windows (DuckDB arg_min can't order
+    // by a struct); (ms, event_id) is a total order so both are
+    // deterministic. CASTs keep every output column BIGINT (the round-6
+    // HUGEINT lesson).
+    "stream_attribution_first_touch" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_ms(ts) AS ms
+        |  FROM events),
+        |f AS (SELECT *, CASE WHEN lag(ms) OVER w IS NULL
+        |    OR ms - lag(ms) OVER w >= 1800000 THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)),
+        |s AS (SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id
+        |    ORDER BY ms, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess
+        |  FROM f),
+        |g AS (SELECT *,
+        |  first_value(event_type) OVER ws AS first_touch,
+        |  first_value(CASE WHEN event_type = 'purchase' THEN event_id END
+        |    IGNORE NULLS) OVER ws AS first_purchase_id
+        |  FROM s WINDOW ws AS (PARTITION BY user_id, sess
+        |    ORDER BY ms, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+        |SELECT user_id, min(ms) AS start_ms, max(ms) AS end_ms,
+        |  min(first_touch) AS first_touch, count(*) AS n_events,
+        |  CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT)
+        |    AS n_purchases,
+        |  min(first_purchase_id) AS first_purchase_id
+        |FROM g GROUP BY user_id, sess ORDER BY user_id, start_ms""".stripMargin,
     "stream_dedup_watermark" ->
       """SELECT event_id, user_id, event_type, ts_ms FROM (
         |  SELECT event_id, user_id, event_type, epoch_ms(ts) AS ts_ms,

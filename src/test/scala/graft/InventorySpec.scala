@@ -117,10 +117,13 @@ class InventorySpec extends SparkSpec {
     "agg_wau_bitmap_sliding",
     // §2.26 final addenda: null-safe equi join, nth_value window,
     // bitwise scalar suite
-    "join_null_safe", "win_nth_value", "fn_bitwise_suite")
+    "join_null_safe", "win_nth_value", "fn_bitwise_suite",
+    // §2.27 round-7 wave: streaming sessionized first-touch
+    // attribution + writer-side schema migration
+    "stream_attribution_first_touch", "etl_schema_migrate")
 
-  test("declared queries cover SURVEY §2 + §2.12-26 exactly (176 keys)") {
-    assert(inventory.size == 176)
+  test("declared queries cover SURVEY §2 + §2.12-27 exactly (178 keys)") {
+    assert(inventory.size == 178)
     val declared = SparkEntry.queries.keySet
     val missing = inventory -- declared
     val extra = declared -- inventory

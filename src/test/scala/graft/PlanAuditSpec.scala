@@ -398,6 +398,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("hashpartitioning(user_id"), p.take(2000))
   }
 
+  test("streaming first-touch attribution batch face: one hash exchange, no window") {
+    // The whole computation must stay ONE session_window aggregation —
+    // per-key state is O(1) registers. A Window operator or a second
+    // hashpartitioning would mean the carry-forward/ordinal form snuck
+    // back in (that shape needs a per-user sort + window pass the
+    // streaming state store can't host).
+    val p = plan("stream_attribution_first_touch")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx == 1, s"expected 1 hash exchange, got $hashEx:\n" +
+      p.split("\n").filter(_.contains("Exchange")).mkString("\n"))
+    assert(!p.contains("Window"), s"window operator leaked in:\n${p.take(3000)}")
+  }
+
   test("temperature mix broadcasts the derived per-lang rate table") {
     val p = plan("sample_temperature_mix")
     assert(p.contains("BroadcastHashJoin"),

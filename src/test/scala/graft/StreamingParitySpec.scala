@@ -318,6 +318,68 @@ class StreamingParitySpec extends SparkSpec {
       "replay changed the epoch set")
   }
 
+  test("sessionized first-touch attribution: stream == batch declared key") {
+    val streamed = runStream("attrib", 4, OutputMode.Complete())(
+      GraftStreams.sessionFirstTouch(_))
+    val batch = graft.streaming.StreamQueries
+      .queries("stream_attribution_first_touch")(spark, sf)
+    assertSameRows(streamed, batch, Seq("user_id", "start_ms"))
+  }
+
+  test("first-touch attribution: closed sessions emit once in Append, late events dropped") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val query = GraftStreams.sessionFirstTouch(
+        mem.toDF().withColumn("ts", timestamp_millis(col("ts_ms"))))
+      .writeStream.format("memory").queryName("attriblate")
+      .outputMode(OutputMode.Append()).start()
+    val t0 = 1700000000000L
+    def ev(id: Long, ms: Long, et: String) = Event(id, ms, 7L, et, 1.0)
+    // Session A: click then purchase 1 min later. Then an event 3 h on
+    // that advances the watermark far past A's close → A finalizes.
+    mem.addData(ev(1, t0, "click"), ev(2, t0 + 60000, "purchase"))
+    query.processAllAvailable()
+    mem.addData(ev(3, t0 + 3 * 3600 * 1000L, "view"))
+    query.processAllAvailable()
+    // LATE: inside session A's time range but behind the watermark —
+    // must be dropped, not reopen/extend the already-emitted session.
+    mem.addData(ev(4, t0 + 90000, "purchase"))
+    query.processAllAvailable()
+    // Advance the watermark again so any (wrong) state from the late
+    // row would have been flushed before we assert.
+    mem.addData(ev(5, t0 + 9 * 3600 * 1000L, "view"))
+    query.processAllAvailable()
+    query.stop()
+    val rows = spark.table("attriblate")
+      .select("user_id", "start_ms", "end_ms", "first_touch",
+        "n_events", "n_purchases", "first_purchase_id").collect()
+    val a = rows.filter(r => r.getLong(1) == t0)
+    assert(a.length == 1, s"session A emitted ${a.length} times: ${rows.toSeq}")
+    assert(a(0).getLong(2) == t0 + 60000 && a(0).getString(3) == "click"
+      && a(0).getLong(4) == 2 && a(0).getLong(5) == 1
+      && a(0).getLong(6) == 2L,
+      s"session A wrong: ${a(0)}")
+    // The late purchase must appear nowhere — not as its own session,
+    // not folded into A's counts.
+    assert(!rows.exists(r => r.getLong(1) == t0 + 90000),
+      s"late event opened a session: ${rows.toSeq}")
+  }
+
+  test("lag-rule session boundaries: ts_sessionize == stream_session_windows") {
+    // Round-7 verdict ask #7: the two keys encode the 30-min gap rule
+    // independently (AnalyticsQueries vs StreamQueries) — pin them to
+    // IDENTICAL session boundaries AND identical per-user ordinals so
+    // a future edit to either gap rule fails here, not at the driver.
+    val tsz = SparkEntry.queries("ts_sessionize")(spark, sf)
+      .select(col("user_id"), col("session_id").as("ordinal"),
+        col("start_ms"), col("end_ms"), col("n_events"))
+    val ssw = SparkEntry.queries("stream_session_windows")(spark, sf)
+      .select(col("user_id"), col("sess").as("ordinal"),
+        col("start_ms"), col("end_ms"), col("n_events"))
+    assertSameRows(tsz, ssw, Seq("user_id", "ordinal"))
+  }
+
   test("late data beyond watermark is dropped from append output") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
