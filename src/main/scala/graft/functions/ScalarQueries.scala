@@ -105,6 +105,27 @@ object ScalarQueries {
         .orderBy(col("l_orderkey"))
     }),
 
+    // REGEXP surface: global replace, extract-all counting, rlike
+    // flags, anchored alternation. Patterns stay in the
+    // character-class / alternation subset where Java regex (Spark)
+    // and RE2 (DuckDB) agree — no backreferences, no lookaround (RE2
+    // has neither, and a pattern outside the common subset would make
+    // the oracle compare two different languages). All per-row
+    // codegen'd projection — no shuffle at all beyond the output sort.
+    "fn_regexp_suite" -> ((s, dir) => {
+      t(s, dir, "part")
+        .select(col("p_partkey"),
+          regexp_replace(col("p_name"), "[aeiou]", "*").as("masked"),
+          size(expr("regexp_extract_all(p_name, '[a-z]+', 0)"))
+            .cast("long").as("n_words"),
+          regexp_extract(col("p_type"), "^(ECONOMY|PROMO|LARGE)", 1)
+            .as("tier"),
+          when(col("p_name").rlike("(bolt|widget)$"), 1L).otherwise(0L)
+            .as("hw_suffix"),
+          regexp_replace(col("p_brand"), "[0-9]", "#").as("brand_masked"))
+        .orderBy(col("p_partkey"))
+    }),
+
     // Custom Catalyst Expression with codegen (see DiscountBand).
     "custom_udf_expr" -> ((s, dir) => {
       DiscountBand.register(s)
@@ -176,6 +197,17 @@ object ScalarQueries {
         |  CAST(bit_count(l_partkey) AS BIGINT) AS pop
         |FROM lineitem WHERE l_linenumber = 1 AND l_orderkey < 5000
         |ORDER BY l_orderkey""".stripMargin,
+    // DuckDB regexp_replace is FIRST-match unless the 'g' flag is set;
+    // Spark's is global by default — the flag is load-bearing.
+    "fn_regexp_suite" ->
+      """SELECT p_partkey,
+        |  regexp_replace(p_name, '[aeiou]', '*', 'g') AS masked,
+        |  len(regexp_extract_all(p_name, '[a-z]+')) AS n_words,
+        |  regexp_extract(p_type, '^(ECONOMY|PROMO|LARGE)', 1) AS tier,
+        |  CAST(CASE WHEN regexp_matches(p_name, '(bolt|widget)$')
+        |    THEN 1 ELSE 0 END AS BIGINT) AS hw_suffix,
+        |  regexp_replace(p_brand, '[0-9]', '#', 'g') AS brand_masked
+        |FROM part ORDER BY p_partkey""".stripMargin,
     "custom_udf_expr" ->
       s"""SELECT CASE WHEN l_discount < 0.03 THEN 'LOW'
          |  WHEN l_discount < 0.07 THEN 'MID' ELSE 'HIGH' END AS band,

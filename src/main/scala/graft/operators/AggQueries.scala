@@ -368,6 +368,64 @@ object AggQueries {
         .agg(wavg(col("l_extendedprice"), col("l_quantity")).as("wavg_price"),
           count(lit(1)).as("n_rows"))
         .orderBy(col("l_returnflag"))
+    }),
+
+    // SHANNON ENTROPY of each user's event-type mix (bits, 4dp) — the
+    // behavioral-diversity profile bot detection and corpus-mixing
+    // dashboards read (a user hammering one endpoint scores ~0; a
+    // uniform 5-type mix scores log2(5)). Identity used: H = log2(n) −
+    // (Σ cᵢ·log2 cᵢ)/n over the per-type counts, so only counts reach
+    // the float domain.
+    //
+    // Determinism: the Σ cᵢ·log2 cᵢ term is a DOUBLE sum, and a plain
+    // sum() would be partition-merge-order dependent — so the counts
+    // are collected, array_sort'ed, and folded left-to-right with the
+    // aggregate() HOF: bit-identical across partition counts (pinned
+    // in DeterminismSpec) and the same ascending fold the oracle's
+    // list_sort + list_transform + list sum evaluates. Residual
+    // cross-engine risk is libm log2 ulps only — the text_tfidf
+    // precedent, absorbed by the final r4d. The collected array is ≤
+    // |event types| (5) elements per group, bounded by the domain, not
+    // the corpus: this is NOT a collect-the-rows anti-pattern — the
+    // rows were already reduced to per-(user, type) counts by a
+    // partial-aggregating exchange.
+    "agg_entropy_mix" -> ((s, dir) => {
+      val c = events(s, dir).groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("c"))
+      c.groupBy(col("user_id"))
+        .agg(sum(col("c")).as("n_events"), count(lit(1)).as("n_types"),
+          array_sort(collect_list(col("c"))).as("cs"))
+        .select(col("user_id"), col("n_events"), col("n_types"),
+          r4d(log2(col("n_events"))
+            - aggregate(col("cs"), lit(0.0), (acc, x) =>
+                acc + x.cast("double") * log2(x.cast("double")))
+              / col("n_events")).as("entropy_bits"))
+        .orderBy("user_id")
+    }),
+
+    // HERFINDAHL–HIRSCHMAN concentration of each language's SOURCE mix
+    // — the corpus-curation twin of the entropy key: HHI in basis
+    // points = 10⁴·Σ(cᵢ/n)², flagging languages dominated by one crawl
+    // source (a monoculture a temperature/cap mix must correct;
+    // sample_domain_cap is the fix whose need this key measures). The
+    // whole computation is INTEGER arithmetic — 10⁴·Σcᵢ² div n² with
+    // truncating division — so the result is exact and
+    // engine-identical with no float rounding anywhere (Σc² ≤ n² ≤
+    // ~4·10⁹ at sf0.1, and the 10⁴ scale keeps everything far inside
+    // long range at any declared SF; the 100 TB bound is n < ~10¹⁵
+    // docs per language — see SCALE.md).
+    //
+    // Scale: two partial-aggregating exchanges, the second carrying ≤
+    // |langs|·|sources| pre-reduced rows per partition.
+    "agg_hhi_share" -> ((s, dir) => {
+      val c = t(s, dir, "documents").groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("c"))
+      c.groupBy(col("lang"))
+        .agg(sum(col("c")).as("n_docs"), count(lit(1)).as("n_sources"),
+          sum(col("c") * col("c")).as("ss"))
+        .select(col("lang"), col("n_docs"), col("n_sources"),
+          expr("10000 * ss div (n_docs * n_docs)").as("hhi_bp"))
+        .orderBy("lang")
     })
   )
 
@@ -498,6 +556,32 @@ object AggQueries {
         |  CASE WHEN n > 1 THEN
         |    ROUND(CAST(n*sxy - sx*sy AS DOUBLE)
         |      / (CAST(n AS BIGINT) * (n - 1)), 4) END AS covar
-        |FROM v ORDER BY event_type""".stripMargin
+        |FROM v ORDER BY event_type""".stripMargin,
+    // Same ascending fold: list_sort then an in-order list sum of
+    // c·log2(c) — matches Spark's array_sort + aggregate() HOF term
+    // for term. n_events is an uncast SUM(BIGINT) → CAST (HUGEINT
+    // lesson).
+    "agg_entropy_mix" ->
+      """WITH c AS (SELECT user_id, event_type, count(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |g AS (SELECT user_id, CAST(sum(c) AS BIGINT) AS n_events,
+        |    count(*) AS n_types, list_sort(list(c)) AS cs
+        |  FROM c GROUP BY 1)
+        |SELECT user_id, n_events, n_types,
+        |  ROUND(log2(n_events)
+        |    - list_aggregate(list_transform(cs, x -> x * log2(x)), 'sum')
+        |      / n_events, 4) AS entropy_bits
+        |FROM g ORDER BY user_id""".stripMargin,
+    // Pure integer HHI; the sums go HUGEINT in DuckDB — CAST before
+    // the division keeps // in BIGINT and the output hash-aligned.
+    "agg_hhi_share" ->
+      """WITH c AS (SELECT lang, source, count(*) AS c
+        |  FROM documents GROUP BY 1, 2),
+        |g AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n_docs,
+        |    count(*) AS n_sources, CAST(sum(c * c) AS BIGINT) AS ss
+        |  FROM c GROUP BY 1)
+        |SELECT lang, n_docs, n_sources,
+        |  CAST((10000 * ss) // (n_docs * n_docs) AS BIGINT) AS hhi_bp
+        |FROM g ORDER BY lang""".stripMargin
   )
 }

@@ -553,6 +553,80 @@ object AnalyticsQueries {
         .select(col("user_id"), col("m.len").as("longest_days"),
           (-col("m.negs")).as("start_day"))
         .orderBy("user_id")
+    }),
+
+    // EVENT-PATH TRANSITION MATRIX — the Markov-chain view of user
+    // journeys (the input of next-action prediction, Sankey "flow"
+    // dashboards, and bot detection by improbable transitions): for
+    // every consecutive event pair per user (ordered by ms, event_id —
+    // total order via the unique id), count occurrences and distinct
+    // users per (from_type → to_type) edge.
+    //
+    // Scale: ONE user_id hash exchange feeds the lead() window; the
+    // transition agg then reduces to ≤ |types|² rows via partial
+    // (map-side) aggregation, so the second exchange carries at most
+    // 25 rows per partition regardless of corpus size. No global sort
+    // anywhere except the bounded final output.
+    "path_transitions" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ms"), col("event_id"))
+      events(s, dir)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_millis(col("ts").cast("timestamp")).as("ms"))
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"),
+          col("next_type").as("to_type"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy("from_type", "to_type")
+    }),
+
+    // INTERVAL-COVERAGE (merge overlapping intervals) — the third
+    // member of the interval-algebra family: ts_concurrency_max counts
+    // simultaneous intervals (sweep line), etl_gaps_islands merges
+    // equal-STATE runs, this merges time-OVERLAPPING intervals into
+    // maximal covered spans per user and reports n_intervals /
+    // covered_ms / longest_ms (SLA uptime, machine-busy time, total
+    // session coverage). Each event spans [ms, ms + value minutes);
+    // the duration is derived as round(value·100)·600 ms — integer
+    // once rounded, so the interval bounds (and everything after) are
+    // exact longs in both engines. Touching intervals (next.start ==
+    // running max end) MERGE — the closed-interval convention,
+    // documented here because the strictness choice changes island
+    // counts.
+    //
+    // Scale: the island numbering is the standard prev-running-max
+    // trick — ONE user_id exchange serves the running-max window, the
+    // island numbering, the per-island agg, and the per-user rollup
+    // (same partitioning throughout, no re-shuffle); per-key state in
+    // the window is one long. This is the merge-intervals shape that
+    // survives 100 TB: no interval self-join (quadratic per user), no
+    // driver-side merge.
+    "ts_interval_coverage" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("start_ms"), col("event_id"))
+      val e = events(s, dir)
+        .select(col("user_id"), col("event_id"),
+          unix_millis(col("ts").cast("timestamp")).as("start_ms"),
+          (round(col("value") * 100) * 600).cast("long").as("dur_ms"))
+        .withColumn("end_ms", col("start_ms") + col("dur_ms"))
+      e.withColumn("prev_max", max(col("end_ms"))
+          .over(w.rowsBetween(Window.unboundedPreceding, -1)))
+        .withColumn("new_iv",
+          when(col("prev_max") >= col("start_ms"), 0L).otherwise(1L))
+        .withColumn("island", sum(col("new_iv"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("island"))
+        .agg(min(col("start_ms")).as("iv_start"),
+          max(col("end_ms")).as("iv_end"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_intervals"),
+          sum(col("iv_end") - col("iv_start")).as("covered_ms"),
+          max(col("iv_end") - col("iv_start")).as("longest_ms"))
+        .orderBy("user_id")
     })
   )
 
@@ -800,6 +874,39 @@ object AnalyticsQueries {
          |x AS (SELECT user_id, len, start, row_number() OVER
          |  (PARTITION BY user_id ORDER BY len DESC, start) AS rk FROM i)
          |SELECT user_id, len AS longest_days, start AS start_day
-         |FROM x WHERE rk = 1 ORDER BY user_id""".stripMargin
+         |FROM x WHERE rk = 1 ORDER BY user_id""".stripMargin,
+    "path_transitions" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_ms(ts) AS ms
+        |  FROM events),
+        |p AS (SELECT user_id, event_type,
+        |  lead(event_type) OVER (PARTITION BY user_id ORDER BY ms, event_id)
+        |    AS next_type FROM e)
+        |SELECT event_type AS from_type, next_type AS to_type,
+        |  count(*) AS n, count(DISTINCT user_id) AS n_users
+        |FROM p WHERE next_type IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY from_type, to_type""".stripMargin,
+    // Same prev-running-max island spelling; the covered_ms sum is an
+    // uncast SUM(BIGINT) in DuckDB (HUGEINT) — CAST keeps the driver's
+    // type-sensitive hash aligned (the round-6 lesson, SURVEY §2.20).
+    "ts_interval_coverage" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS start_ms,
+        |    epoch_ms(ts) + CAST(round(value * 100) AS BIGINT) * 600 AS end_ms
+        |  FROM events),
+        |f AS (SELECT user_id, event_id, start_ms, end_ms,
+        |  CASE WHEN max(end_ms) OVER (PARTITION BY user_id
+        |      ORDER BY start_ms, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) >= start_ms
+        |    THEN 0 ELSE 1 END AS new_iv FROM e),
+        |s AS (SELECT user_id, start_ms, end_ms,
+        |  CAST(sum(new_iv) OVER (PARTITION BY user_id
+        |    ORDER BY start_ms, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |    AS island FROM f),
+        |iv AS (SELECT user_id, island, min(start_ms) AS iv_start,
+        |    max(end_ms) AS iv_end
+        |  FROM s GROUP BY 1, 2)
+        |SELECT user_id, count(*) AS n_intervals,
+        |  CAST(sum(iv_end - iv_start) AS BIGINT) AS covered_ms,
+        |  max(iv_end - iv_start) AS longest_ms
+        |FROM iv GROUP BY 1 ORDER BY user_id""".stripMargin
   )
 }

@@ -335,6 +335,57 @@ object EtlQueries {
           col("o_bal"), col("n_bal"))
         .orderBy("key")
     }),
+
+    // POINT-IN-TIME (as-of-history) JOIN — the lookup every SCD2 table
+    // exists FOR: credit each fact to the dimension version that was
+    // valid AT the fact's time, not the current one. State log = the
+    // non-purchase events (the user's browsing state timeline, built
+    // into [effective_from, effective_to) versions with the
+    // etl_scd2_history windowing); facts = purchases. A purchase
+    // matches version v iff eff_from ≤ ms and (eff_to IS NULL or
+    // ms < eff_to) — the half-open convention makes the match UNIQUE
+    // by construction (versions partition the timeline from the first
+    // state event). LEFT join: purchases before any state event (or
+    // from state-less users) surface as state='none', version=0
+    // rather than vanishing — the miss path an audit needs to see.
+    //
+    // Scale: Spark extracts the user_id equality as the join key, so
+    // this is a plain hash/sort-merge EQUI join with the interval
+    // predicate as residual filter (pinned in PlanAuditSpec — NOT a
+    // nested-loop over facts × history); the per-key blowup is
+    // bounded by that user's version count. Both windows and the
+    // fact join share the one user_id partitioning. At 100 TB the
+    // history side buckets on user_id like scan_bucket_join and the
+    // probe is exchange-free.
+    "etl_pit_join" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ms"), col("event_id"))
+      val e = events(s, dir).select(col("user_id"), col("event_id"),
+        col("event_type"),
+        unix_millis(col("ts").cast("timestamp")).as("ms"))
+      val hist = e.filter(col("event_type") =!= "purchase")
+        .withColumn("chg",
+          when(lag(col("event_type"), 1).over(w) === col("event_type"), 0)
+            .otherwise(1))
+        .withColumn("version", sum(col("chg"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id").as("h_uid"), col("version"),
+          col("event_type").as("state"))
+        .agg(min(col("ms")).as("eff_from"))
+        .withColumn("eff_to", lead(col("eff_from"), 1)
+          .over(Window.partitionBy(col("h_uid")).orderBy(col("version"))))
+      val facts = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("ms"))
+      facts.join(hist,
+          facts("user_id") === hist("h_uid")
+            && facts("ms") >= hist("eff_from")
+            && (hist("eff_to").isNull || facts("ms") < hist("eff_to")),
+          "left")
+        .select(col("event_id"), col("user_id"), col("ms"),
+          coalesce(col("state"), lit("none")).as("state"),
+          coalesce(col("version"), lit(0L)).as("version"))
+        .orderBy("event_id")
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -493,6 +544,33 @@ object EtlQueries {
         |  l.version AS version
         |FROM base b FULL OUTER JOIN latest l ON b.key = l.key
         |WHERE l.op IS NULL OR l.op <> 'D'
-        |ORDER BY key""".stripMargin
+        |ORDER BY key""".stripMargin,
+    // History CTE = the scd2 windowing over non-purchase events; the
+    // join spells the half-open interval predicate directly.
+    "etl_pit_join" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_ms(ts) AS ms
+        |  FROM events),
+        |st AS (SELECT user_id, event_id, event_type, ms,
+        |  CASE WHEN lag(event_type) OVER w = event_type THEN 0 ELSE 1
+        |    END AS chg
+        |  FROM e WHERE event_type <> 'purchase'
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)),
+        |v AS (SELECT user_id, event_type, ms,
+        |  CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY ms, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS version FROM st),
+        |hist AS (SELECT user_id, version, event_type AS state,
+        |    min(ms) AS eff_from
+        |  FROM v GROUP BY 1, 2, 3),
+        |hist2 AS (SELECT *, lead(eff_from) OVER (PARTITION BY user_id
+        |    ORDER BY version) AS eff_to FROM hist),
+        |p AS (SELECT user_id, event_id, ms FROM e
+        |  WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id, p.ms,
+        |  coalesce(h.state, 'none') AS state,
+        |  coalesce(h.version, 0) AS version
+        |FROM p LEFT JOIN hist2 h ON p.user_id = h.user_id
+        |  AND p.ms >= h.eff_from
+        |  AND (h.eff_to IS NULL OR p.ms < h.eff_to)
+        |ORDER BY event_id""".stripMargin
   )
 }

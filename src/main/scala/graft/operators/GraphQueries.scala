@@ -71,6 +71,51 @@ object GraphQueries {
       }
       ed.unpersist()
       ranks.orderBy("node")
+    }),
+
+    // TRIANGLE COUNTING over a hash-sparsified co-occurrence graph —
+    // the clustering-structure primitive next to PageRank's centrality
+    // (community detection, link-spam scoring, graph feature
+    // engineering). Graph: parts co-purchased in the same order
+    // (distinct a<b pairs), DOULION-style deterministically sparsified
+    // — keep an edge iff md5(a_b) starts in '0'..'3' (p = 1/4), the
+    // same replayable md5 convention the sampling keys use (no rand()
+    // anywhere; Tsourakakis et al., KDD'09: count/p³ estimates the
+    // full-graph total). Counting uses the oriented-wedge form: on
+    // a<b edges, wedge (a<b<c) via e1.b = e2.a, closed by an exact
+    // (a,c) edge probe — each triangle found exactly once, then
+    // credited to all three corners.
+    //
+    // Scale: orientation (a<b) caps wedge generation by the SQUARE of
+    // the out-degree of the MIDDLE node under the total order — the
+    // standard trick that tames power-law hubs (a hub's wedges split
+    // across its lower neighbors instead of deg² at one node). The
+    // sparsification pushes to the scan side (p² of wedges survive),
+    // and all three legs are equi-joins on edge keys — shuffle-bounded
+    // by |E|, never |V|². The three self-join legs are the same
+    // distinct-edge subplan, so the exchange is built once and reused
+    // (ReusedExchange, pinned in PlanAuditSpec).
+    "graph_triangle_count" -> ((s, dir) => {
+      val pp = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+        .distinct()
+      val e = pp.as("x").join(pp.as("y"),
+          col("x.ok") === col("y.ok") && col("x.p") < col("y.p"))
+        .select(col("x.p").as("a"), col("y.p").as("b")).distinct()
+        .filter(substring(md5(concat(col("a").cast("string"), lit("_"),
+          col("b").cast("string")).cast("binary")), 1, 1)
+          .isin("0", "1", "2", "3"))
+      // Closing-edge probe under renamed columns (ea, eb) — same
+      // underlying distinct-edge subplan, so the exchange still reuses.
+      val closing = e.select(col("a").as("ea"), col("b").as("eb"))
+      val tri = e.as("e1").join(e.as("e2"), col("e1.b") === col("e2.a"))
+        .select(col("e1.a").as("a"), col("e1.b").as("b"),
+          col("e2.b").as("c"))
+        .join(closing, col("a") === col("ea") && col("c") === col("eb"))
+        .select(col("a"), col("b"), col("c"))
+      tri.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+        .groupBy("node").agg(count(lit(1)).as("n_tri"))
+        .orderBy("node")
     })
   )
 
@@ -93,6 +138,22 @@ object GraphQueries {
            |  JOIN r${i - 1} r ON e.src = r.node GROUP BY e.dst)""".stripMargin
       }.mkString(",\n")
       s"$prelude,\n$steps\nSELECT node, rank FROM r$Iters ORDER BY node"
-    }
+    },
+    "graph_triangle_count" ->
+      """WITH pp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+        |  FROM lineitem),
+        |e0 AS (SELECT DISTINCT x.p AS a, y.p AS b
+        |  FROM pp x JOIN pp y ON x.ok = y.ok AND x.p < y.p),
+        |e AS (SELECT a, b FROM e0
+        |  WHERE substring(md5(CAST(a AS VARCHAR) || '_'
+        |    || CAST(b AS VARCHAR)), 1, 1) IN ('0', '1', '2', '3')),
+        |tri AS (SELECT e1.a AS a, e1.b AS b, e2.b AS c
+        |  FROM e e1 JOIN e e2 ON e1.b = e2.a
+        |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |n AS (SELECT a AS node FROM tri
+        |  UNION ALL SELECT b FROM tri
+        |  UNION ALL SELECT c FROM tri)
+        |SELECT node, count(*) AS n_tri FROM n
+        |GROUP BY 1 ORDER BY node""".stripMargin
   )
 }

@@ -546,6 +546,49 @@ object PipelineQueries {
             array_sort(collect_list(struct(col("pos"), col("id")))),
             x => x.getField("id").cast("string"))).as("ids"))
         .orderBy("doc_id")
+    }),
+
+    // PREFERENCE-PAIR MINING — the DPO/RLHF data-prep step: within
+    // each (lang, source) stratum, pair the highest-quality document
+    // (chosen) with the lowest (rejected) under the shared
+    // text_quality_score, plus the quality gap a trainer thresholds
+    // on. Single-doc strata are dropped (a pair needs two sides);
+    // strata where every doc ties still emit (gap 0) — the caller's
+    // filter, not silently ours.
+    //
+    // Determinism: argmax/argmin via min_by/max_by over a
+    // (quality, doc_id) struct — doc_id uniqueness makes the ordering
+    // total, so ties break identically in both engines; quality
+    // values are ratios of small token counts, so cross-engine float
+    // deltas are zero at equal inputs (same IEEE expression — the
+    // curation-verdict convention).
+    //
+    // Scale: ONE partial-aggregating hash exchange keyed on the
+    // stratum — min_by/max_by reduce map-side, so the shuffle carries
+    // ≤ |strata| rows per partition and there is NO per-stratum
+    // window sort anywhere (pinned in PlanAuditSpec). This is the
+    // 100 TB shape: the oracle's row_number spelling would sort every
+    // stratum; the lexicographic-struct aggregate doesn't.
+    "pipeline_preference_pairs" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("lang"),
+        col("source"), qualityExpr(col("text")).as("q"))
+      d.groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          max_by(col("doc_id"), struct(col("q"), -col("doc_id")))
+            .as("chosen_id"),
+          max(struct(col("q"), -col("doc_id"))).getField("q").as("cq"),
+          // Rejected ties break to the HIGHEST doc_id (chosen to the
+          // lowest), so an all-tied stratum still pairs two DISTINCT
+          // docs rather than the same one twice.
+          min_by(col("doc_id"), struct(col("q"), -col("doc_id")))
+            .as("rejected_id"),
+          min(struct(col("q"), -col("doc_id"))).getField("q").as("rq"))
+        .filter(col("n_docs") >= 2)
+        .select(col("lang"), col("source"), col("n_docs"),
+          col("chosen_id"), col("rejected_id"),
+          r4d(col("cq")).as("chosen_q"), r4d(col("rq")).as("rejected_q"),
+          r4d(col("cq") - col("rq")).as("q_gap"))
+        .orderBy("lang", "source")
     })
   )
 
@@ -751,7 +794,36 @@ object PipelineQueries {
         |j AS (SELECT doc_id, pos, id FROM tok JOIN v USING (word))
         |SELECT doc_id, count(*) AS n_tokens,
         |  string_agg(CAST(id AS VARCHAR), ' ' ORDER BY pos) AS ids
-        |FROM j GROUP BY 1 ORDER BY doc_id""".stripMargin
+        |FROM j GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    // The row_number spelling of the same argmax/argmin (sorts every
+    // stratum — exactly what the Spark side's struct-aggregates avoid).
+    "pipeline_preference_pairs" ->
+      """WITH q AS (SELECT doc_id, lang, source,
+        |    0.4 * least(1.0, nt / 50.0) + 0.3 * (1.0 - nstop / nt)
+        |      + 0.3 * (nd / nt) AS q
+        |  FROM (SELECT doc_id, lang, source,
+        |      CAST(len(toks) AS DOUBLE) AS nt,
+        |      CAST(len(list_filter(toks,
+        |        t -> t IN ('the','a','of','to','and','in'))) AS DOUBLE)
+        |        AS nstop,
+        |      CAST(len(list_distinct(toks)) AS DOUBLE) AS nd
+        |    FROM (SELECT doc_id, lang, source,
+        |        string_split(text, ' ') AS toks FROM documents))),
+        |r AS (SELECT *,
+        |  row_number() OVER (PARTITION BY lang, source
+        |    ORDER BY q DESC, doc_id) AS rc,
+        |  row_number() OVER (PARTITION BY lang, source
+        |    ORDER BY q ASC, doc_id DESC) AS rr,
+        |  count(*) OVER (PARTITION BY lang, source) AS n_docs FROM q),
+        |c AS (SELECT lang, source, n_docs, doc_id AS chosen_id, q AS cq
+        |  FROM r WHERE rc = 1),
+        |j AS (SELECT lang, source, doc_id AS rejected_id, q AS rq
+        |  FROM r WHERE rr = 1)
+        |SELECT lang, source, n_docs, chosen_id, rejected_id,
+        |  ROUND(cq, 4) AS chosen_q, ROUND(rq, 4) AS rejected_q,
+        |  ROUND(cq - rq, 4) AS q_gap
+        |FROM c JOIN j USING (lang, source)
+        |WHERE n_docs >= 2 ORDER BY lang, source""".stripMargin
     // dedup_simhash: engine-pinned xxhash64 → property-tested, no oracle.
   )
 }

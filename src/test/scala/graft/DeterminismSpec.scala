@@ -37,7 +37,12 @@ class DeterminismSpec extends SparkSpec {
       // double interpolation arithmetic, and the two runningSum
       // consumers whose range-exchange partition count tracks this conf
       "ts_anomaly_zscore", "agg_corr_value_hour", "ts_interpolate_linear",
-      "ts_concurrency_max", "pipeline_vocab_encode")) {
+      "ts_concurrency_max", "pipeline_vocab_encode",
+      // Round-7 wave: entropy's sorted-fold double sum (collect_list
+      // arrival order varies with partitioning — array_sort must fully
+      // absorb it) and the preference pairs' struct-argmax over
+      // quality doubles
+      "agg_entropy_mix", "pipeline_preference_pairs")) {
       val a = rows(q, "3")
       val b = rows(q, "17")
       assert(a == b, s"$q diverged between 3 and 17 shuffle partitions " +

@@ -120,10 +120,16 @@ class InventorySpec extends SparkSpec {
     "join_null_safe", "win_nth_value", "fn_bitwise_suite",
     // §2.27 round-7 wave: streaming sessionized first-touch
     // attribution + writer-side schema migration
-    "stream_attribution_first_touch", "etl_schema_migrate")
+    "stream_attribution_first_touch", "etl_schema_migrate",
+    // §2.28 round-7 second wave: path transitions, interval coverage,
+    // point-in-time SCD2 lookup, preference-pair mining, entropy/HHI
+    // mix profiles, sampled triangle counting, regexp surface
+    "path_transitions", "ts_interval_coverage", "etl_pit_join",
+    "pipeline_preference_pairs", "agg_entropy_mix", "agg_hhi_share",
+    "graph_triangle_count", "fn_regexp_suite")
 
-  test("declared queries cover SURVEY §2 + §2.12-27 exactly (178 keys)") {
-    assert(inventory.size == 178)
+  test("declared queries cover SURVEY §2 + §2.12-28 exactly (186 keys)") {
+    assert(inventory.size == 186)
     val declared = SparkEntry.queries.keySet
     val missing = inventory -- declared
     val extra = declared -- inventory

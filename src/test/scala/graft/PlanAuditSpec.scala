@@ -531,4 +531,75 @@ class PlanAuditSpec extends SparkSpec {
     assert(hashEx == 2, s"expected 2 hash exchanges, got $hashEx:\n" +
       p.split("\n").filter(_.contains("Exchange")).mkString("\n"))
   }
+
+  test("interval coverage: windows and both rollups ride ONE user_id exchange") {
+    // Running-max window, island numbering, per-island agg and per-user
+    // rollup all reuse hashpartitioning(user_id) — a second hash
+    // exchange would mean an interval self-join or re-partition crept in.
+    val p = plan("ts_interval_coverage")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx == 1, s"expected 1 hash exchange, got $hashEx:\n" +
+      p.split("\n").filter(_.contains("Exchange")).mkString("\n"))
+  }
+
+  test("path transitions: lead window + distinct agg = two hash exchanges") {
+    // user_id exchange for the window; ONE (from, to)-keyed exchange for
+    // count + count-distinct (the per-(from,to,user) partial dedup runs
+    // map-side on the window's partitioning — no third exchange).
+    val p = plan("path_transitions")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx == 2, s"expected 2 hash exchanges, got $hashEx:\n" +
+      p.split("\n").filter(_.contains("Exchange")).mkString("\n"))
+  }
+
+  test("PIT join stays an equi join with the interval as residual") {
+    // The user_id equality must be extracted as the join key (hash or
+    // sort-merge with the [from, to) predicate as condition) — a
+    // nested-loop/cartesian here would re-scan history per fact row.
+    val p = plan("etl_pit_join")
+    assert(p.contains("LeftOuter"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), "PIT join fell to NLJ")
+    assert(!p.contains("CartesianProduct"), "PIT join is cartesian")
+  }
+
+  test("preference pairs: ONE stratum exchange, no per-stratum window sort") {
+    // min_by/max_by over (q, id) structs partial-aggregate map-side
+    // (SortAggregate — struct extremes are sort-based, still two-phase);
+    // a Window operator would mean the row_number spelling snuck in,
+    // sorting every stratum.
+    val p = plan("pipeline_preference_pairs")
+    assert(!p.contains("Window"), s"window rank leaked in:\n${p.take(3000)}")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx == 1, s"expected 1 hash exchange, got $hashEx:\n" +
+      p.split("\n").filter(_.contains("Exchange")).mkString("\n"))
+  }
+
+  test("entropy mix: two exchanges, sorted-fold stays in the projection") {
+    // (user, type) count exchange + user_id collect exchange; the
+    // entropy fold is a per-row HOF over the collected array — no
+    // Window, no third exchange.
+    val p = plan("agg_entropy_mix")
+    assert(!p.contains("Window"), p.take(2000))
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx == 2, s"expected 2 hash exchanges, got $hashEx:\n" +
+      p.split("\n").filter(_.contains("Exchange")).mkString("\n"))
+  }
+
+  test("triangle count: three join legs reuse ONE distinct-edge exchange") {
+    // The wedge join's two sides and the closing-edge probe are the
+    // same distinct-edge subplan — Catalyst must build that exchange
+    // once and reference it (ReusedExchange) at least twice; and every
+    // leg stays an equi join.
+    val p = plan("graph_triangle_count")
+    val reused = "ReusedExchange".r.findAllIn(p).size
+    assert(reused >= 2, s"expected >=2 ReusedExchange, got $reused:\n" +
+      p.split("\n").filter(_.contains("Exchange")).mkString("\n"))
+    assert(!p.contains("CartesianProduct"), "triangle legs went cartesian")
+  }
+
+  test("regexp suite is a pure scan-stage projection (no computation shuffle)") {
+    val p = plan("fn_regexp_suite")
+    assert("Exchange".r.findAllIn(p).size == 1, // presentation sort only
+      p.split("\n").filter(_.contains("Exchange")).mkString("\n"))
+  }
 }
