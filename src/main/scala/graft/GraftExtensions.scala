@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{ArrayDot, DiscountBand, HyperplaneSig, MinHashSig, SimHashSig, SortedIntersectCount, Tokenize}
+import graft.functions.{ArrayDot, DiscountBand, HyperplaneSig, MinHashSig, NfcNormalize, SimHashSig, SortedIntersectCount, Tokenize}
 
 /** SparkSessionExtensions entry point: registers the engine's custom
   * Catalyst expressions as permanent SQL functions, so a user can enable
@@ -31,6 +31,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((new FunctionIdentifier("tokenize"),
       new ExpressionInfo(classOf[Tokenize].getName, "tokenize"),
       arity("tokenize", 1)(exprs => Tokenize(exprs.head))))
+    e.injectFunction((new FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
+      arity("nfc_normalize", 1)(exprs => NfcNormalize(exprs.head))))
     // Sketch signatures + LSH verify helper — the dedup/similarity SQL
     // surface. minhash_sig takes (toks, k) with a foldable int k.
     e.injectFunction((new FunctionIdentifier("minhash_sig"),

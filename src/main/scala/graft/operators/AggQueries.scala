@@ -426,6 +426,111 @@ object AggQueries {
         .select(col("lang"), col("n_docs"), col("n_sources"),
           expr("10000 * ss div (n_docs * n_docs)").as("hhi_bp"))
         .orderBy("lang")
+    }),
+
+    // DAILY-VOLUME TREND (least-squares slope + intercept) per event
+    // type — the regression member of the exact-moment family
+    // (agg_corr = strength, this = magnitude): y = events/day over
+    // x = epoch day, b = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²). Both
+    // variables are INTEGERS (day, count), so all five moments are
+    // exact — summed as decimal(38,0) (a raw long Σxy overflows
+    // around 10¹² events/day at current epoch days; decimal and the
+    // oracle's HUGEINT don't). Only the final slope/intercept
+    // divisions are doubles, IEEE-identical both engines. Degenerate
+    // single-day groups drop via the exact integer variance test.
+    //
+    // Scale: the daily pre-agg bounds everything by |types|×|days|;
+    // two partial-aggregating exchanges, no window, no join.
+    "agg_trend_slope" -> ((s, dir) => {
+      val d = events(s, dir)
+        .select(col("event_type"), epochDay("ts").as("day"))
+        .groupBy("event_type", "day").agg(count(lit(1)).as("y"))
+      d.groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("day").cast("decimal(38,0)")).as("sx"),
+          sum(col("y").cast("decimal(38,0)")).as("sy"),
+          sum((col("day") * col("day")).cast("decimal(38,0)")).as("sxx"),
+          sum((col("day") * col("y")).cast("decimal(38,0)")).as("sxy"))
+        .filter(col("n") > 1 &&
+          col("n") * col("sxx") > col("sx") * col("sx"))
+        .withColumn("b",
+          (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+            / (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+        .select(col("event_type"), col("n"),
+          r4d(col("b")).as("slope_per_day"),
+          r4d((col("sy").cast("double") - col("b") * col("sx").cast("double"))
+            / col("n")).as("intercept"))
+        .orderBy("event_type")
+    }),
+
+    // SKEWNESS / EXCESS KURTOSIS per group from ANCHORED exact moments
+    // — the 3rd/4th-moment extension of agg_stats (2nd) and
+    // agg_corr_value_hour (bivariate). The built-ins sum doubles in
+    // shuffle order (hash-unstable cross-engine); raw integer moments
+    // would need S1⁴ exact — overflowing int128 around 10⁵ rows/group
+    // at this value scale. The ANCHOR trick fixes both: pass 1 takes
+    // each group's integer cent sum and anchors a = S1 div n (within
+    // 1 cent of the mean); pass 2 sums powers of the CENTERED
+    // d = cents − a, so magnitudes follow the per-group SPREAD, not
+    // the absolute values — Σd⁴ stays exact in decimal(38)/HUGEINT up
+    // to ~10²¹ rows per group (SCALE.md). Central moments then follow
+    // from the anchored sums and δ = mean − a ∈ [0, 1) cent via the
+    // binomial shift (m2 = Σd²/n − δ², m3, m4 likewise) — a handful
+    // of IEEE-identical double ops on exact integers, r4d at the
+    // edge. Skew/kurtosis are scale-free, so the cent unit cancels.
+    //
+    // Guard: per-row d⁴ is LONG arithmetic — exact only while
+    // max|d| < 55,000 cents (spread ≤ $550; 55000⁴ ≈ 0.99·2⁶³). The
+    // checkedN guard turns a wider spread into a loud raise_error
+    // instead of silent overflow (the agg_corr convention). Groups
+    // with n ≤ 2 or zero variance have no defined skew — dropped via
+    // the exact integer variance numerator, never a NaN reaching the
+    // compare.
+    "agg_skew_kurtosis" -> ((s, dir) => {
+      val e = events(s, dir).select(col("event_type"),
+        round(col("value") * 100).cast("long").as("c"))
+      val s1 = e.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("c")).as("s1"))
+        .select(col("event_type"), col("n"), col("s1"),
+          expr("s1 div n").as("a"))
+      val d = e.join(broadcast(s1), Seq("event_type"))
+        .withColumn("sp", abs(col("c") - col("a")).cast("double"))
+        .withColumn("nchk", graft.Det.checkedN(col("n"),
+          col("sp") < lit(55000.0),
+          "agg_skew_kurtosis: anchored spread exceeds the long-exact " +
+            "d^4 range — widen to decimal powers"))
+        .withColumn("d", col("c") - col("a"))
+      val m = d.groupBy(col("event_type"))
+        .agg(max(col("nchk")).as("n"),
+          sum((col("d") * col("d")).cast("decimal(38,0)")).as("sd2"),
+          sum((col("d") * col("d") * col("d")).cast("decimal(38,0)"))
+            .as("sd3"),
+          sum((col("d") * col("d") * col("d") * col("d"))
+            .cast("decimal(38,0)")).as("sd4"),
+          sum(col("d")).as("sd1"))
+        // δ = Sd1/n ∈ [0, 1): the exact gap between mean and anchor.
+        .withColumn("nn", col("n").cast("double"))
+        .withColumn("dl", col("sd1").cast("double") / col("nn"))
+        .withColumn("m2", col("sd2").cast("double") / col("nn")
+          - col("dl") * col("dl"))
+        .withColumn("m3", col("sd3").cast("double") / col("nn")
+          - lit(3.0) * col("dl") * (col("sd2").cast("double") / col("nn"))
+          + lit(2.0) * col("dl") * col("dl") * col("dl"))
+        .withColumn("m4", col("sd4").cast("double") / col("nn")
+          - lit(4.0) * col("dl") * (col("sd3").cast("double") / col("nn"))
+          + lit(6.0) * col("dl") * col("dl")
+            * (col("sd2").cast("double") / col("nn"))
+          - lit(3.0) * col("dl") * col("dl") * col("dl") * col("dl"))
+      // Exact degeneracy test: n·Σd² > Σd·Σd ⇔ variance > 0.
+      m.filter(col("n") > 2 &&
+          col("n") * col("sd2") > (col("sd1") * col("sd1")).cast("decimal(38,0)"))
+        .select(col("event_type"), col("n"),
+          // m2^1.5 as m2·√m2: sqrt is correctly-rounded IEEE (identical
+          // both engines); pow(x, 1.5) is libm-dependent ulps.
+          r4d(col("m3") / (col("m2") * sqrt(col("m2")))).as("skewness"),
+          r4d(col("m4") / (col("m2") * col("m2")) - lit(3.0))
+            .as("kurtosis_excess"))
+        .orderBy("event_type")
     })
   )
 
@@ -582,6 +687,58 @@ object AggQueries {
         |  FROM c GROUP BY 1)
         |SELECT lang, n_docs, n_sources,
         |  CAST((10000 * ss) // (n_docs * n_docs) AS BIGINT) AS hhi_bp
-        |FROM g ORDER BY lang""".stripMargin
+        |FROM g ORDER BY lang""".stripMargin,
+    "agg_trend_slope" ->
+      s"""WITH d AS (SELECT event_type, ${sqlEpochDay("ts")} AS day,
+         |    count(*) AS y FROM events GROUP BY 1, 2),
+         |m AS (SELECT event_type, count(*) AS n,
+         |    CAST(sum(day) AS HUGEINT) AS sx,
+         |    CAST(sum(y) AS HUGEINT) AS sy,
+         |    CAST(sum(day * day) AS HUGEINT) AS sxx,
+         |    CAST(sum(day * y) AS HUGEINT) AS sxy
+         |  FROM d GROUP BY 1),
+         |f AS (SELECT event_type, n, sx, sy,
+         |    CAST(n * sxy - sx * sy AS DOUBLE)
+         |      / CAST(n * sxx - sx * sx AS DOUBLE) AS b
+         |  FROM m WHERE n > 1 AND n * sxx > sx * sx)
+         |SELECT event_type, n,
+         |  ROUND(b * 10000.0) / 10000.0 AS slope_per_day,
+         |  ROUND(((CAST(sy AS DOUBLE) - b * CAST(sx AS DOUBLE)) / n)
+         |    * 10000.0) / 10000.0 AS intercept
+         |FROM f ORDER BY event_type""".stripMargin,
+    // Same anchored sums in HUGEINT (DuckDB BIGINT ops error on
+    // overflow, so the d-powers run in int128 explicitly); the double
+    // expressions mirror the Spark side term for term, same left
+    // association, sqrt not pow.
+    "agg_skew_kurtosis" ->
+      """WITH e AS (SELECT event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS c FROM events),
+        |s AS (SELECT event_type, count(*) AS n,
+        |    CAST(sum(c) AS BIGINT) AS s1 FROM e GROUP BY 1),
+        |sa AS (SELECT *, s1 // n AS a FROM s),
+        |d AS (SELECT e.event_type, n, CAST(e.c - a AS HUGEINT) AS d
+        |  FROM e JOIN sa USING (event_type)),
+        |m AS (SELECT event_type, max(n) AS n,
+        |    CAST(sum(d) AS HUGEINT) AS sd1,
+        |    CAST(sum(d * d) AS HUGEINT) AS sd2,
+        |    CAST(sum(d * d * d) AS HUGEINT) AS sd3,
+        |    CAST(sum(d * d * d * d) AS HUGEINT) AS sd4
+        |  FROM d GROUP BY 1),
+        |f AS (SELECT event_type, n, sd1, sd2,
+        |    CAST(sd1 AS DOUBLE) / n AS dl,
+        |    CAST(sd2 AS DOUBLE) / n AS r2,
+        |    CAST(sd3 AS DOUBLE) / n AS r3,
+        |    CAST(sd4 AS DOUBLE) / n AS r4 FROM m),
+        |g AS (SELECT event_type, n, sd1, sd2, dl, r2, r3, r4,
+        |    r2 - dl * dl AS m2,
+        |    r3 - 3.0 * dl * r2 + 2.0 * dl * dl * dl AS m3,
+        |    r4 - 4.0 * dl * r3 + 6.0 * dl * dl * r2
+        |      - 3.0 * dl * dl * dl * dl AS m4 FROM f)
+        |SELECT event_type, n,
+        |  ROUND((m3 / (m2 * sqrt(m2))) * 10000.0) / 10000.0 AS skewness,
+        |  ROUND((m4 / (m2 * m2) - 3.0) * 10000.0) / 10000.0
+        |    AS kurtosis_excess
+        |FROM g WHERE n > 2 AND n * sd2 > sd1 * sd1
+        |ORDER BY event_type""".stripMargin
   )
 }

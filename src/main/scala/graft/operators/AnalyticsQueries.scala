@@ -604,6 +604,53 @@ object AnalyticsQueries {
     // the window is one long. This is the merge-intervals shape that
     // survives 100 TB: no interval self-join (quadratic per user), no
     // driver-side merge.
+    // LEVEL-SHIFT (changepoint) SCAN — the LOCAL complement of
+    // ts_anomaly_zscore's global outlier filter: for every day, compare
+    // the mean of the 7 prior daily means against the 7 following
+    // (two-window CUSUM-lite; the recursive CUSUM statistic itself is
+    // not window-expressible — this two-sided scan is the standard
+    // distributed spelling). Emits every day with its shift estimate;
+    // `shift` is NULL until both windows are full (edges), and the
+    // flag thresholds the r4d-ROUNDED shift (the repetition-filter
+    // convention) so boundary days can't flip between engines.
+    //
+    // Determinism: daily means are exact-decimal davg; the rolling
+    // sums run over decimal(18,4) — Spark recomputes sliding frames
+    // while DuckDB uses segment-tree combines, so a DOUBLE rolling
+    // sum would differ in ulps (different summation trees); decimal
+    // addition is associative, immune to both. ROWS frames = trailing
+    // observations; the fixture's daily series is dense per type (no
+    // calendar gaps at any SF) — on gappy data compose with
+    // ts_gapfill_daily first.
+    //
+    // Scale: one (type, day) agg exchange, then ONE event_type window
+    // partitioning serves all four frames; per-day state is bounded
+    // by the 7-day frames. The daily table is calendar-bounded
+    // regardless of corpus size.
+    "ts_level_shift" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = events(s, dir)
+        .select(col("event_type"), epochDay("ts").as("day"), col("value"))
+        .groupBy("event_type", "day")
+        .agg(davg(col("value")).as("v"))
+        .withColumn("dv", col("v").cast("decimal(18,4)"))
+      val wb = Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(-7, -1)
+      val wa = Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(1, 7)
+      daily
+        .withColumn("nb", count(col("dv")).over(wb))
+        .withColumn("na", count(col("dv")).over(wa))
+        .withColumn("shift",
+          when(col("nb") === 7 && col("na") === 7,
+            r4d(sum(col("dv")).over(wa).cast("double") / col("na")
+              - sum(col("dv")).over(wb).cast("double") / col("nb"))))
+        .select(col("event_type"), col("day"), col("v"), col("shift"),
+          when(col("shift").isNotNull,
+            (abs(col("shift")) > 1.0).cast("long")).as("is_shift"))
+        .orderBy("event_type", "day")
+    }),
+
     "ts_interval_coverage" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy(col("user_id"))
@@ -885,6 +932,29 @@ object AnalyticsQueries {
         |  count(*) AS n, count(DISTINCT user_id) AS n_users
         |FROM p WHERE next_type IS NOT NULL
         |GROUP BY 1, 2 ORDER BY from_type, to_type""".stripMargin,
+    "ts_level_shift" ->
+      s"""WITH daily AS (SELECT event_type, ${sqlEpochDay("ts")} AS day,
+         |    ${sqlAvg("value")} AS v
+         |  FROM events GROUP BY 1, 2),
+         |d AS (SELECT event_type, day, v,
+         |    CAST(v AS DECIMAL(18,4)) AS dv FROM daily),
+         |w AS (SELECT event_type, day, v,
+         |  count(dv) OVER wb AS nb, count(dv) OVER wa AS na,
+         |  sum(dv) OVER wb AS sb, sum(dv) OVER wa AS sa
+         |  FROM d WINDOW
+         |  wb AS (PARTITION BY event_type ORDER BY day
+         |    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING),
+         |  wa AS (PARTITION BY event_type ORDER BY day
+         |    ROWS BETWEEN 1 FOLLOWING AND 7 FOLLOWING)),
+         |f AS (SELECT event_type, day, v,
+         |  CASE WHEN nb = 7 AND na = 7 THEN
+         |    ROUND((CAST(sa AS DOUBLE) / na - CAST(sb AS DOUBLE) / nb)
+         |      * 10000.0) / 10000.0 END AS shift
+         |  FROM w)
+         |SELECT event_type, day, v, shift,
+         |  CASE WHEN shift IS NOT NULL THEN
+         |    CAST(abs(shift) > 1.0 AS BIGINT) END AS is_shift
+         |FROM f ORDER BY event_type, day""".stripMargin,
     // Same prev-running-max island spelling; the covered_ms sum is an
     // uncast SUM(BIGINT) in DuckDB (HUGEINT) — CAST keeps the driver's
     // type-sensitive hash aligned (the round-6 lesson, SURVEY §2.20).

@@ -386,6 +386,51 @@ object EtlQueries {
           coalesce(col("version"), lit(0L)).as("version"))
         .orderBy("event_id")
     }),
+
+    // REFERENTIAL-INTEGRITY (FK orphan) AUDIT — the cross-TABLE data-
+    // quality check etl_dq_report's single-table rules don't cover:
+    // per foreign-key relation, how many fact rows point at a missing
+    // dimension row. The fixture's integrity holds by construction,
+    // so orphans are INJECTED deterministically (mod-19/23/29 key
+    // negation — the etl_upsert convention: negatives can never
+    // collide with real keys, and the oracle replays the same
+    // corruption) so every relation's count is live at every SF.
+    //
+    // Scale: ONE pass over the fact table — all three dims join as
+    // broadcast key-lists in the same stage and the three orphan
+    // counts come out of a single partial-aggregating count, then
+    // stack() reshapes the one-row result map-side. An anti-join per
+    // relation would scan the fact table three times. At 100 TB a
+    // non-broadcastable dim (orders here) swaps its leg for the
+    // join_bloom_prebuilt shape: bloom prefilter + exact confirm on
+    // the survivors, same one-scan audit.
+    "etl_orphan_audit" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(
+        when(pmod(col("l_orderkey"), lit(19)) === 0, -col("l_partkey") - 1)
+          .otherwise(col("l_partkey")).as("fk_part"),
+        when(pmod(col("l_orderkey"), lit(23)) === 0, -col("l_suppkey") - 1)
+          .otherwise(col("l_suppkey")).as("fk_supp"),
+        when(pmod(col("l_orderkey"), lit(29)) === 0, -col("l_orderkey") - 1)
+          .otherwise(col("l_orderkey")).as("fk_order"))
+      val joined = li
+        .join(broadcast(t(s, dir, "part").select(col("p_partkey"))),
+          col("fk_part") === col("p_partkey"), "left")
+        .join(broadcast(t(s, dir, "supplier").select(col("s_suppkey"))),
+          col("fk_supp") === col("s_suppkey"), "left")
+        .join(broadcast(t(s, dir, "orders").select(col("o_orderkey"))),
+          col("fk_order") === col("o_orderkey"), "left")
+      joined.agg(count(lit(1)).as("n_rows"),
+          count(when(col("p_partkey").isNull, 1)).as("o_part"),
+          count(when(col("s_suppkey").isNull, 1)).as("o_supp"),
+          count(when(col("o_orderkey").isNull, 1)).as("o_ord"))
+        .select(expr("stack(3, 'lineitem->part', o_part, " +
+            "'lineitem->supplier', o_supp, 'lineitem->orders', o_ord) " +
+            "AS (relation, n_orphans)"),
+          col("n_rows"))
+        .select(col("relation"), col("n_rows"), col("n_orphans"),
+          r4d(col("n_orphans") / col("n_rows")).as("orphan_pct"))
+        .orderBy("relation")
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -571,6 +616,32 @@ object EtlQueries {
         |FROM p LEFT JOIN hist2 h ON p.user_id = h.user_id
         |  AND p.ms >= h.eff_from
         |  AND (h.eff_to IS NULL OR p.ms < h.eff_to)
-        |ORDER BY event_id""".stripMargin
+        |ORDER BY event_id""".stripMargin,
+    // Same injected corruption; the three orphan counts from one pass
+    // of left joins, unpivoted to relation rows.
+    "etl_orphan_audit" ->
+      """WITH c AS (SELECT
+        |    CASE WHEN l_orderkey % 19 = 0 THEN -l_partkey - 1
+        |         ELSE l_partkey END AS fk_part,
+        |    CASE WHEN l_orderkey % 23 = 0 THEN -l_suppkey - 1
+        |         ELSE l_suppkey END AS fk_supp,
+        |    CASE WHEN l_orderkey % 29 = 0 THEN -l_orderkey - 1
+        |         ELSE l_orderkey END AS fk_order
+        |  FROM lineitem),
+        |a AS (SELECT count(*) AS n_rows,
+        |    count(CASE WHEN p.p_partkey IS NULL THEN 1 END) AS o_part,
+        |    count(CASE WHEN s.s_suppkey IS NULL THEN 1 END) AS o_supp,
+        |    count(CASE WHEN o.o_orderkey IS NULL THEN 1 END) AS o_ord
+        |  FROM c
+        |  LEFT JOIN part p ON c.fk_part = p.p_partkey
+        |  LEFT JOIN supplier s ON c.fk_supp = s.s_suppkey
+        |  LEFT JOIN orders o ON c.fk_order = o.o_orderkey),
+        |u AS (SELECT 'lineitem->part' AS relation, n_rows,
+        |    o_part AS n_orphans FROM a
+        |  UNION ALL SELECT 'lineitem->supplier', n_rows, o_supp FROM a
+        |  UNION ALL SELECT 'lineitem->orders', n_rows, o_ord FROM a)
+        |SELECT relation, n_rows, n_orphans,
+        |  ROUND((n_orphans / n_rows) * 10000.0) / 10000.0 AS orphan_pct
+        |FROM u ORDER BY relation""".stripMargin
   )
 }

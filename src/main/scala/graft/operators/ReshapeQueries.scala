@@ -71,6 +71,34 @@ object ReshapeQueries {
         .orderBy(col("l_returnflag"))
     }),
 
+    // MEDIAN ABSOLUTE DEVIATION per group — the robust dispersion
+    // member of the stats family (agg_stats' stddev moves with every
+    // outlier; MAD = median(|x − median|) is breakdown-point-0.5
+    // robust, the spread estimate anomaly thresholds should use when
+    // the data has heavy tails). Two exact interpolated percentiles:
+    // pass 1 takes each group's median, broadcasts the |groups|-row
+    // table back, pass 2 takes the median of the absolute deviations
+    // — both order-independent aggregates over exact multisets, so
+    // the result is partition-layout-free. At open-ended group
+    // cardinalities the exact percentile state is O(group); the
+    // sketch path is agg_approx_quantile/agg_tdigest_quantile (same
+    // trade documented there).
+    "agg_mad" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_extendedprice"))
+      val med = li.groupBy("l_returnflag")
+        .agg(percentile(col("l_extendedprice"), lit(0.5)).as("med"))
+      li.join(broadcast(med), Seq("l_returnflag"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          max(col("med")).as("med0"),
+          percentile(abs(col("l_extendedprice") - col("med")), lit(0.5))
+            .as("mad0"))
+        .select(col("l_returnflag"), col("n"), r4d(col("med0")).as("median"),
+          r4d(col("mad0")).as("mad"))
+        .orderBy("l_returnflag")
+    }),
+
     // The sketch path agg_percentiles' scaladoc points at: mergeable
     // approximate quantiles (Greenwald-Khanna summaries) whose state is
     // O(accuracy), not O(group rows) — the form that survives open-ended
@@ -144,6 +172,16 @@ object ReshapeQueries {
         |  ROUND(quantile_cont(l_extendedprice, 0.5) * 10000) / 10000 AS med_price
         |FROM lineitem GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+    "agg_mad" ->
+      """WITH med AS (SELECT l_returnflag,
+        |    quantile_cont(l_extendedprice, 0.5) AS med
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l.l_returnflag, count(*) AS n,
+        |  ROUND(max(m.med) * 10000) / 10000 AS median,
+        |  ROUND(quantile_cont(abs(l.l_extendedprice - m.med), 0.5)
+        |    * 10000) / 10000 AS mad
+        |FROM lineitem l JOIN med m USING (l_returnflag)
+        |GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
     "sample_stratified_hash" ->
       """WITH r AS (
         |  SELECT lang, doc_id, md5(CAST(doc_id AS VARCHAR)) AS skey,

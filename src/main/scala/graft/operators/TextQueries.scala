@@ -184,6 +184,44 @@ object TextQueries {
             "i -> substring(word, i, 2))")).as("pair"))
         .groupBy("pair").agg(sum(col("wn")).as("n"))
         .orderBy(col("n").desc, col("pair"))
+    }),
+
+    // UNICODE NFC NORMALIZATION (§2.29) — the canonical-composition
+    // pass that must run BEFORE any byte-level dedup: crawled corpora
+    // mix precomposed ("é" U+00E9) and decomposed ("e"+U+0301)
+    // encodings of the same text, and md5 fingerprints / exact-hash
+    // groups / substring spans treat them as different documents. The
+    // fixture corpus is pure ASCII, so the mixed plane is SYNTHESIZED
+    // deterministically (even doc_ids get a decomposed prefix, odd the
+    // precomposed same text — both branches live at every SF; the
+    // pii_scrub injection convention). After NFC the two prefixes are
+    // byte-identical, so even/odd docs with equal text converge to the
+    // same norm_fp — exactly the dedup-repair this op exists for.
+    //
+    // Engine surface: graft.functions.NfcNormalize, a native codegen
+    // Expression (a UDF here would break whole-stage codegen and box
+    // every row of a 100 TB scan); its isNormalized fast path makes
+    // the pass ~free on the ASCII majority. Pure scan-stage map work —
+    // zero computation shuffle.
+    "text_unicode_normalize" -> ((s, dir) => {
+      // The two literals RENDER identically but differ in bytes: the
+      // even branch is decomposed (e + U+0301 combining acute), the
+      // odd branch precomposed (U+00E9) — NFC composes both to the
+      // same bytes.
+      val mixed = t(s, dir, "documents").select(col("doc_id"),
+        concat(
+          when(pmod(col("doc_id"), lit(2)) === 0,
+            lit("résumé ")).otherwise(lit("résumé ")),
+          col("text")).as("raw"))
+      mixed.select(col("doc_id"),
+          length(col("raw")).as("raw_len"),
+          graft.functions.NfcNormalize(col("raw")).as("norm"),
+          col("raw"))
+        .select(col("doc_id"), col("raw_len"),
+          length(col("norm")).as("norm_len"),
+          (col("raw") =!= col("norm")).cast("long").as("changed"),
+          md5(col("norm").cast("binary")).as("norm_fp"))
+        .orderBy("doc_id")
     })
   )
 
@@ -280,7 +318,19 @@ object TextQueries {
         |p AS (SELECT wn, word, unnest(range(1, length(word))) AS i FROM wc)
         |SELECT substr(word, CAST(i AS INT), 2) AS pair,
         |  CAST(sum(wn) AS BIGINT) AS n
-        |FROM p GROUP BY 1 ORDER BY n DESC, pair""".stripMargin
+        |FROM p GROUP BY 1 ORDER BY n DESC, pair""".stripMargin,
+    // Same byte-distinct prefixes (decomposed then precomposed);
+    // DuckDB's nfc_normalize mirrors java.text.Normalizer NFC.
+    "text_unicode_normalize" ->
+      """WITH m AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 2 = 0 THEN 'résumé '
+        |         ELSE 'résumé ' END || text AS raw
+        |  FROM documents)
+        |SELECT doc_id, length(raw) AS raw_len,
+        |  length(nfc_normalize(raw)) AS norm_len,
+        |  CAST(raw <> nfc_normalize(raw) AS BIGINT) AS changed,
+        |  md5(nfc_normalize(raw)) AS norm_fp
+        |FROM m ORDER BY doc_id""".stripMargin
     // dedup_minhash_lsh: intentionally no oracle (SURVEY §2.11).
   )
 }

@@ -42,7 +42,12 @@ class DeterminismSpec extends SparkSpec {
       // arrival order varies with partitioning — array_sort must fully
       // absorb it) and the preference pairs' struct-argmax over
       // quality doubles
-      "agg_entropy_mix", "pipeline_preference_pairs")) {
+      "agg_entropy_mix", "pipeline_preference_pairs",
+      // Round-7 third wave: anchored decimal moments, percentile-of-
+      // percentile, decimal rolling window sums, decimal regression
+      // moments
+      "agg_skew_kurtosis", "agg_mad", "ts_level_shift",
+      "agg_trend_slope")) {
       val a = rows(q, "3")
       val b = rows(q, "17")
       assert(a == b, s"$q diverged between 3 and 17 shuffle partitions " +

@@ -73,6 +73,9 @@ class ExtensionsSpec extends AnyFunSuite {
       // Exact bitmap distinct: 100 rows over 25 distinct keys.
       assert(s.sql("SELECT bitmap_distinct(id % 25, 1024) FROM range(0, 100)")
         .head().getLong(0) == 25L)
+      // NFC normalization: decomposed e+U+0301 composes to U+00E9.
+      assert(s.sql("SELECT nfc_normalize('é') = 'é'")
+        .head().getBoolean(0))
     } finally {
       // Tear down this context too: a later suite's session must not
       // silently inherit the extension-configured context.

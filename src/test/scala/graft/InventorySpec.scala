@@ -126,10 +126,16 @@ class InventorySpec extends SparkSpec {
     // mix profiles, sampled triangle counting, regexp surface
     "path_transitions", "ts_interval_coverage", "etl_pit_join",
     "pipeline_preference_pairs", "agg_entropy_mix", "agg_hhi_share",
-    "graph_triangle_count", "fn_regexp_suite")
+    "graph_triangle_count", "fn_regexp_suite",
+    // §2.29 round-7 third wave: robust/higher-moment stats, level-shift
+    // changepoint scan, FK orphan audit
+    "agg_skew_kurtosis", "agg_mad", "ts_level_shift", "etl_orphan_audit",
+    // §2.29 addenda: exact regression trend + NFC normalization through
+    // the new codegen Expression
+    "agg_trend_slope", "text_unicode_normalize")
 
-  test("declared queries cover SURVEY §2 + §2.12-28 exactly (186 keys)") {
-    assert(inventory.size == 186)
+  test("declared queries cover SURVEY §2 + §2.12-29 exactly (192 keys)") {
+    assert(inventory.size == 192)
     val declared = SparkEntry.queries.keySet
     val missing = inventory -- declared
     val extra = declared -- inventory

@@ -602,4 +602,70 @@ class PlanAuditSpec extends SparkSpec {
     assert("Exchange".r.findAllIn(p).size == 1, // presentation sort only
       p.split("\n").filter(_.contains("Exchange")).mkString("\n"))
   }
+
+  test("skew/kurtosis: broadcast anchor, two hash exchanges, no window") {
+    // Pass-1 anchor table broadcasts back onto the fact scan; the
+    // moment sums are one partial-aggregating exchange. No Window, no
+    // third exchange — the anchored form stays a two-agg plan.
+    val p = plan("agg_skew_kurtosis")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("Window"), p.take(2000))
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx == 2, s"expected 2 hash exchanges, got $hashEx:\n" +
+      p.split("\n").filter(_.contains("Exchange")).mkString("\n"))
+  }
+
+  test("MAD: median table broadcasts; both percentiles two-phase") {
+    val p = plan("agg_mad")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert("partial_percentile".r.findAllIn(p).size == 2,
+      s"percentiles not two-phase:\n${p.take(3000)}")
+  }
+
+  test("level shift: one window node hosts all four frames") {
+    // (type, day) agg exchange + ONE event_type window partitioning;
+    // all four ROWS frames (2 counts + 2 sums) must land in a single
+    // Window operator over one sort — four separate windows would
+    // re-sort per frame.
+    val p = plan("ts_level_shift")
+    assert("Window \\[".r.findAllIn(p).size == 1,
+      s"frames split across windows:\n${p.take(3000)}")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx == 2, s"expected 2 hash exchanges, got $hashEx:\n" +
+      p.split("\n").filter(_.contains("Exchange")).mkString("\n"))
+  }
+
+  test("trend slope: two agg exchanges, no window, no join") {
+    val p = plan("agg_trend_slope")
+    assert(!p.contains("Window") && !p.contains("Join"), p.take(2000))
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx == 2, s"expected 2 hash exchanges, got $hashEx:\n" +
+      p.split("\n").filter(_.contains("Exchange")).mkString("\n"))
+  }
+
+  test("unicode normalize stays a scan-stage codegen projection") {
+    // The custom Expression must not break whole-stage codegen: the
+    // whole computation is one codegen'd project over the scan, the
+    // only exchange the presentation sort.
+    val p = plan("text_unicode_normalize")
+    assert("Exchange".r.findAllIn(p).size == 1,
+      p.split("\n").filter(_.contains("Exchange")).mkString("\n"))
+    // The nfc_normalize projection must carry the `*(n)` whole-stage-
+    // codegen marker — an interpreted fallback (UDF-style) would print
+    // a bare Project.
+    assert(p.split("\n").exists(l =>
+      l.contains("nfc_normalize") && l.trim.matches("^[+:\\-\\s]*\\*\\(\\d+\\) Project.*")),
+      s"nfc_normalize not in a codegen'd Project:\n${p.take(2000)}")
+  }
+
+  test("orphan audit: ONE fact scan, three broadcast legs, no anti-join re-scans") {
+    // All three dim probes ride the same scan stage as broadcast left
+    // joins; the counts partial-aggregate. Three anti joins would scan
+    // the fact table three times.
+    val p = plan("etl_orphan_audit")
+    assert("BroadcastHashJoin".r.findAllIn(p).size == 3, p.take(3000))
+    assert("FileScan parquet".r.findAllIn(p).size == 4, // fact + 3 dims
+      s"unexpected scan count:\n" +
+        p.split("\n").filter(_.contains("FileScan parquet")).mkString("\n"))
+  }
 }
