@@ -531,6 +531,105 @@ object AggQueries {
           r4d(col("m4") / (col("m2") * col("m2")) - lit(3.0))
             .as("kurtosis_excess"))
         .orderBy("event_type")
+    }),
+
+    // GINI COEFFICIENT of each event type's per-user volume — the
+    // inequality member of the concentration family (agg_hhi_share is
+    // the few-big-players view over squared shares; Gini measures the
+    // whole Lorenz curve, the metric corpus-balance and whale-detection
+    // dashboards actually plot). Sorted-rank identity on ascending
+    // per-user counts c₁≤…≤cₙ: G = (2·Σi·cᵢ − (n+1)·Σc)/(n·Σc) — one
+    // pass over PRE-REDUCED rows, and tie-order-free (within a tie
+    // block Σi·c = c·Σi whatever the permutation), so the user_id
+    // tie-break is for rank determinism only, never the value.
+    //
+    // Scale: the raw corpus collapses to ≤|users|·|types| rows in the
+    // first partial-aggregating exchange; only that reduced table pays
+    // the rank window (second exchange on event_type), and the moment
+    // sums live in decimal(38)/HUGEINT — i·c products are long-exact
+    // to ~10⁹ users × 10⁹ events each, the sums far beyond. The only
+    // double ops are the final divide, r4d at the edge.
+    "agg_gini" -> ((s, dir) => {
+      val d = events(s, dir).groupBy(col("event_type"), col("user_id"))
+        .agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("c"), col("user_id"))
+      d.withColumn("i", row_number().over(w).cast("long"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_users"),
+          sum(col("c").cast("decimal(38,0)")).as("sc"),
+          sum((col("i") * col("c")).cast("decimal(38,0)")).as("swc"))
+        .select(col("event_type"), col("n_users"),
+          col("sc").cast("long").as("total_events"),
+          r4d((lit(2) * col("swc")
+              - (col("n_users") + 1).cast("decimal(38,0)") * col("sc"))
+              .cast("double")
+            / (col("n_users").cast("decimal(38,0)") * col("sc"))
+              .cast("double")).as("gini"))
+        .orderBy("event_type")
+    }),
+
+    // WELCH TWO-SAMPLE T-TEST on event value between two deterministic
+    // md5 user arms — the experimentation primitive (unequal variances,
+    // unequal n — Student's pooled test is wrong the moment a variant
+    // shifts dispersion, which price/engagement metrics always do).
+    // Arms reuse the train_test_split md5 convention (first hex digit
+    // < '8' → A, else B): replayable, join-free, and stable under
+    // re-runs/backfills where rand() would reshuffle the cohorts.
+    //
+    // Moments use the agg_skew_kurtosis ANCHOR trick: pass 1 takes each
+    // (type, arm)'s integer cent sum and anchors a = S1 div n; pass 2
+    // sums centered d and d² exactly in decimal(38)/HUGEINT — exact to
+    // ~10²¹ rows/arm where raw decimal(18) Σc² dies at ~4×10⁴ rows at
+    // this value scale. Mean/variance then recompose from the anchored
+    // sums (mean = a + Σd/n; s² = (n·Σd² − (Σd)²)/(n·(n−1)), the
+    // numerator exact); t and the Welch–Satterthwaite df are a handful
+    // of IEEE-identical double ops, r4d at the edge. Degenerate arms
+    // (n ≤ 1 or zero variance, by the exact integer test) drop.
+    "ab_test_welch" -> ((s, dir) => {
+      val e = events(s, dir).select(col("event_type"),
+        when(substring(md5(col("user_id").cast("string").cast("binary")),
+          1, 1) < "8", "A").otherwise("B").as("arm"),
+        round(col("value") * 100).cast("long").as("c"))
+      val p1 = e.groupBy("event_type", "arm")
+        .agg(count(lit(1)).as("n"), sum(col("c")).as("s1"))
+        .select(col("event_type"), col("arm"), col("n"),
+          expr("s1 div n").as("a"))
+      val m = e.join(broadcast(p1), Seq("event_type", "arm"))
+        .withColumn("d", col("c") - col("a"))
+        .groupBy("event_type", "arm")
+        .agg(max(col("n")).as("n"), max(col("a")).as("a"),
+          sum(col("d").cast("decimal(38,0)")).as("d1"),
+          sum((col("d") * col("d")).cast("decimal(38,0)")).as("d2"))
+        .withColumn("nn", col("n").cast("double"))
+        .withColumn("mean",
+          col("a").cast("double") + col("d1").cast("double") / col("nn"))
+        // Sample variance: exact decimal numerator, one double divide.
+        .withColumn("v",
+          (col("n") * col("d2") - col("d1") * col("d1")).cast("double")
+            / (col("nn") * (col("nn") - lit(1.0))))
+      val a = m.filter(col("arm") === "A").select(col("event_type"),
+        col("n").as("na"), col("nn").as("nna"), col("mean").as("ma"),
+        col("v").as("va"), col("d1").as("d1a"), col("d2").as("d2a"))
+      val b = m.filter(col("arm") === "B").select(col("event_type"),
+        col("n").as("nb"), col("nn").as("nnb"), col("mean").as("mb"),
+        col("v").as("vb"), col("d1").as("d1b"), col("d2").as("d2b"))
+      a.join(b, Seq("event_type"))
+        .filter(col("na") > 1 && col("nb") > 1 &&
+          col("na") * col("d2a") > col("d1a") * col("d1a") &&
+          col("nb") * col("d2b") > col("d1b") * col("d1b"))
+        .withColumn("sea", col("va") / col("nna"))
+        .withColumn("seb", col("vb") / col("nnb"))
+        .withColumn("se2", col("sea") + col("seb"))
+        .select(col("event_type"), col("na"), col("nb"),
+          r4d(col("ma") / lit(100.0)).as("mean_a"),
+          r4d(col("mb") / lit(100.0)).as("mean_b"),
+          r4d((col("ma") - col("mb")) / sqrt(col("se2"))).as("t_stat"),
+          r4d(col("se2") * col("se2")
+            / (col("sea") * col("sea") / (col("nna") - lit(1.0))
+              + col("seb") * col("seb") / (col("nnb") - lit(1.0))))
+            .as("df_welch"))
+        .orderBy("event_type")
     })
   )
 
@@ -739,6 +838,64 @@ object AggQueries {
         |  ROUND((m4 / (m2 * m2) - 3.0) * 10000.0) / 10000.0
         |    AS kurtosis_excess
         |FROM g WHERE n > 2 AND n * sd2 > sd1 * sd1
-        |ORDER BY event_type""".stripMargin
+        |ORDER BY event_type""".stripMargin,
+    // Same sorted-rank identity; HUGEINT mirrors the decimal(38) sums,
+    // and the tie-block argument makes the (c, user_id) rank order
+    // value-equivalent to any other tie order.
+    "agg_gini" ->
+      """WITH d AS (SELECT event_type, user_id, count(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT event_type, c,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY c, user_id) AS i
+        |  FROM d),
+        |m AS (SELECT event_type, count(*) AS n_users,
+        |    CAST(sum(c) AS HUGEINT) AS sc,
+        |    CAST(sum(i * c) AS HUGEINT) AS swc
+        |  FROM r GROUP BY 1)
+        |SELECT event_type, n_users, CAST(sc AS BIGINT) AS total_events,
+        |  ROUND(CAST(2 * swc - (n_users + 1) * sc AS DOUBLE)
+        |    / CAST(n_users * sc AS DOUBLE) * 10000.0) / 10000.0 AS gini
+        |FROM m ORDER BY event_type""".stripMargin,
+    // Anchored two-pass mirror (the skew oracle's shape), doubles only
+    // at the t/df edge in the same op order as the Spark side.
+    "ab_test_welch" ->
+      """WITH e AS (SELECT event_type,
+        |    CASE WHEN substring(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8'
+        |      THEN 'A' ELSE 'B' END AS arm,
+        |    CAST(round(value * 100) AS BIGINT) AS c FROM events),
+        |p1 AS (SELECT event_type, arm, count(*) AS n,
+        |    CAST(sum(c) AS BIGINT) // count(*) AS a
+        |  FROM e GROUP BY 1, 2),
+        |m0 AS (SELECT e.event_type, e.arm, n, a,
+        |    CAST(e.c - a AS HUGEINT) AS d
+        |  FROM e JOIN p1 USING (event_type, arm)),
+        |m AS (SELECT event_type, arm, max(n) AS n, max(a) AS a,
+        |    CAST(sum(d) AS HUGEINT) AS d1,
+        |    CAST(sum(d * d) AS HUGEINT) AS d2
+        |  FROM m0 GROUP BY 1, 2),
+        |v AS (SELECT event_type, arm, n, d1, d2,
+        |    CAST(n AS DOUBLE) AS nn,
+        |    CAST(a AS DOUBLE) + CAST(d1 AS DOUBLE) / CAST(n AS DOUBLE)
+        |      AS mean,
+        |    CAST(n * d2 - d1 * d1 AS DOUBLE)
+        |      / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) AS var
+        |  FROM m),
+        |j AS (SELECT a.event_type, a.n AS na, b.n AS nb,
+        |    a.nn AS nna, b.nn AS nnb, a.mean AS ma, b.mean AS mb,
+        |    a.var / a.nn AS sea, b.var / b.nn AS seb
+        |  FROM v a JOIN v b ON a.event_type = b.event_type
+        |  WHERE a.arm = 'A' AND b.arm = 'B'
+        |    AND a.n > 1 AND b.n > 1
+        |    AND a.n * a.d2 > a.d1 * a.d1 AND b.n * b.d2 > b.d1 * b.d1),
+        |f AS (SELECT event_type, na, nb, ma, mb, nna, nnb,
+        |    sea, seb, sea + seb AS se2 FROM j)
+        |SELECT event_type, na, nb,
+        |  ROUND(ma / 100.0 * 10000.0) / 10000.0 AS mean_a,
+        |  ROUND(mb / 100.0 * 10000.0) / 10000.0 AS mean_b,
+        |  ROUND((ma - mb) / sqrt(se2) * 10000.0) / 10000.0 AS t_stat,
+        |  ROUND(se2 * se2 / (sea * sea / (nna - 1.0)
+        |    + seb * seb / (nnb - 1.0)) * 10000.0) / 10000.0 AS df_welch
+        |FROM f ORDER BY event_type""".stripMargin
   )
 }

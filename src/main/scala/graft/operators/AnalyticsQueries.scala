@@ -674,6 +674,177 @@ object AnalyticsQueries {
           sum(col("iv_end") - col("iv_start")).as("covered_ms"),
           max(col("iv_end") - col("iv_start")).as("longest_ms"))
         .orderBy("user_id")
+    }),
+
+    // LAG-k AUTOCORRELATION of daily event volume per type — the
+    // seasonality detector next to ts_level_shift's changepoints and
+    // agg_trend_slope's drift: lag-1 reads day-over-day persistence,
+    // lag-7 the weekly cycle. Computed over the ZERO-FILLED calendar
+    // spine (ts_gapfill's convention) — quiet days are real signal; an
+    // acf over observed-days-only would overstate persistence exactly
+    // where traffic is sparsest. Pearson corr of (xₜ, xₜ₋ₖ) from
+    // decimal-EXACT integer moments (the agg_corr family), doubles only
+    // at the final divide/sqrt; degenerate series (constant either
+    // margin) drop via the exact integer variance tests. Per-row long
+    // products cap daily volume at ~3×10⁹ events/day (long-exact y²);
+    // beyond that, pre-bucket or widen — the agg_trend_slope bound.
+    //
+    // Scale: the corpus collapses to |types|×|days| rows in the first
+    // partial-aggregating exchange; ONE window node (partition by type,
+    // order by day) hosts both lag frames, and the pair explode is
+    // map-side — the whole key after the pre-agg is calendar-bounded,
+    // never corpus-bounded.
+    "ts_autocorr" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = events(s, dir)
+        .select(col("event_type"), epochDay("ts").as("day"))
+      val d = e.groupBy("event_type", "day").agg(count(lit(1)).as("y"))
+      val spine = e.select("event_type").distinct()
+        .crossJoin(broadcast(
+          e.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))))
+        .select(col("event_type"),
+          explode(sequence(col("lo"), col("hi"))).as("day"))
+      val full = spine.join(d, Seq("event_type", "day"), "left")
+        .select(col("event_type"), col("day"),
+          coalesce(col("y"), lit(0L)).as("y"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      val pairs = full
+        .select(col("event_type"), col("y"),
+          lag(col("y"), 1).over(w).as("y1"),
+          lag(col("y"), 7).over(w).as("y7"))
+        .select(col("event_type"), explode(array(
+          struct(lit(1L).as("lag_k"), col("y1").as("x"), col("y").as("yv")),
+          struct(lit(7L).as("lag_k"), col("y7").as("x"), col("y").as("yv"))))
+          .as("p"))
+        .select(col("event_type"), col("p.lag_k").as("lag_k"),
+          col("p.x").as("x"), col("p.yv").as("yy"))
+        .filter(col("x").isNotNull)
+      pairs.groupBy("event_type", "lag_k")
+        .agg(count(lit(1)).as("n"),
+          sum(col("x").cast("decimal(38,0)")).as("sx"),
+          sum(col("yy").cast("decimal(38,0)")).as("sy"),
+          sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"),
+          sum((col("yy") * col("yy")).cast("decimal(38,0)")).as("syy"),
+          sum((col("x") * col("yy")).cast("decimal(38,0)")).as("sxy"))
+        .filter(col("n") > 1 &&
+          col("n") * col("sxx") > col("sx") * col("sx") &&
+          col("n") * col("syy") > col("sy") * col("sy"))
+        .select(col("event_type"), col("lag_k"), col("n"),
+          r4d((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+            / (sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+                .cast("double"))
+              * sqrt((col("n") * col("syy") - col("sy") * col("sy"))
+                .cast("double")))).as("acf"))
+        .orderBy("event_type", "lag_k")
+    }),
+
+    // TIME-BOUNDED FUNNEL — funnel_stages with conversion DEADLINES,
+    // the form growth teams actually ship (click within 24 h of the
+    // first view, purchase within 72 h of that click; an unbounded
+    // funnel credits conversions months later). Stage anchors chain —
+    // each window opens at the PREVIOUS stage's qualifying event — so
+    // this is not expressible as three independent min-filters.
+    //
+    // Scale shape: ONE user_id exchange. Each user folds to (first
+    // view, sorted click-ms list, sorted purchase-ms list) in a single
+    // partial-aggregating groupBy; the chained deadlines then resolve
+    // map-side with array filter/min higher-order functions (codegen,
+    // no UDF), and the final global roll-up is a handful of rows. The
+    // per-user arrays are bounded by that user's event count — the
+    // same per-entity bound every sessionize/funnel key carries; the
+    // oracle spells the identical semantics as three dependent
+    // min-joins. All timestamps integer ms; counts exact.
+    "funnel_conversion_window" -> ((s, dir) => {
+      val e = events(s, dir).select(col("user_id"), col("event_type"),
+        unix_millis(col("ts").cast("timestamp")).as("ms"))
+      val u = e.groupBy("user_id").agg(
+        min(when(col("event_type") === "view", col("ms"))).as("v"),
+        sort_array(collect_list(
+          when(col("event_type") === "click", col("ms")))).as("cs"),
+        sort_array(collect_list(
+          when(col("event_type") === "purchase", col("ms")))).as("ps"))
+      val staged = u
+        .withColumn("c", array_min(filter(col("cs"),
+          x => x >= col("v") && x <= col("v") + lit(86400000L))))
+        .withColumn("p", array_min(filter(col("ps"),
+          x => x >= col("c") && x <= col("c") + lit(259200000L))))
+      staged.agg(
+          count(col("v")).as("n_view"),
+          count(col("c")).as("n_click_24h"),
+          count(col("p")).as("n_purchase_72h"))
+        .select(col("n_view"), col("n_click_24h"), col("n_purchase_72h"),
+          r4d(col("n_click_24h").cast("double")
+            / col("n_view").cast("double")).as("cvr_click"),
+          r4d(col("n_purchase_72h").cast("double")
+            / col("n_view").cast("double")).as("cvr_purchase"))
+    }),
+
+    // DAY-OF-WEEK SEASONALITY INDEX per event type — the cyclic
+    // profile that complements ts_autocorr's lag-7 scalar (autocorr
+    // says THAT a weekly cycle exists; this says WHICH days carry it):
+    // idx(dow) = (events/day on that weekday) ÷ (events/day overall),
+    // over the ZERO-FILLED spine so quiet weekdays read < 1.0 instead
+    // of vanishing. The ratio-of-rates is computed as one exact
+    // integer cross-product ratio (ne·td)/(nd·te) — no intermediate
+    // float rates, one double divide at the edge, r4d. Weekday from
+    // pure modular arithmetic on the epoch day ((day+4) % 7, 0 =
+    // Sunday — day 0 is a Thursday): identical in both engines, no
+    // timezone-sensitive date functions in the compare path.
+    //
+    // Scale: calendar-bounded after the first partial-aggregating
+    // exchange (|types|×|days| rows); the per-type totals ride a
+    // 7-row/partition window — no second scan, no join.
+    "ts_dow_seasonality" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = events(s, dir)
+        .select(col("event_type"), epochDay("ts").as("day"))
+      val d = e.groupBy("event_type", "day").agg(count(lit(1)).as("y"))
+      val spine = e.select("event_type").distinct()
+        .crossJoin(broadcast(
+          e.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))))
+        .select(col("event_type"),
+          explode(sequence(col("lo"), col("hi"))).as("day"))
+      val full = spine.join(d, Seq("event_type", "day"), "left")
+        .select(col("event_type"), col("day"),
+          coalesce(col("y"), lit(0L)).as("y"),
+          ((col("day") + 4) % 7).as("dow"))
+      val g = full.groupBy("event_type", "dow")
+        .agg(count(lit(1)).as("n_days"),
+          sum(col("y").cast("decimal(38,0)")).as("ne"))
+      val w = Window.partitionBy(col("event_type"))
+      g.withColumn("td", sum(col("n_days")).over(w))
+        .withColumn("te", sum(col("ne")).over(w))
+        .filter(col("te") > 0)
+        .select(col("event_type"), col("dow"), col("n_days"),
+          col("ne").cast("long").as("n_events"),
+          r4d((col("ne") * col("td")).cast("double")
+            / (col("n_days") * col("te")).cast("double")).as("idx"))
+        .orderBy("event_type", "dow")
+    }),
+
+    // TPC-H Q5 — the classic six-table star with the CO-LOCATION twist
+    // (customer and supplier must share a nation): two independent
+    // broadcast-dim legs (nation⋈region on both sides) plus the
+    // c_nationkey = s_nationkey residual folded into the supplier join
+    // key, so Catalyst plans it as equi-joins end to end — no theta
+    // join, dims broadcast, the orders date range and r_name filter
+    // pushed to the scans. Complements q3 (one-dim star) and q18
+    // (semi-join on a grouped HAVING) in the declared SQL surface.
+    "sql_tpch_q5" -> ((s, dir) => {
+      s.sql(s"""SELECT n_name,
+        |  ${sqlSum("l_extendedprice * (1 - l_discount)")} AS revenue
+        |FROM parquet.`$dir/customer.parquet`
+        |JOIN parquet.`$dir/orders.parquet` ON c_custkey = o_custkey
+        |JOIN parquet.`$dir/lineitem.parquet` ON l_orderkey = o_orderkey
+        |JOIN parquet.`$dir/supplier.parquet` ON l_suppkey = s_suppkey
+        |  AND c_nationkey = s_nationkey
+        |JOIN parquet.`$dir/nation.parquet` ON s_nationkey = n_nationkey
+        |JOIN parquet.`$dir/region.parquet` ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= DATE '1996-01-01'
+        |  AND o_orderdate < DATE '1997-01-01'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin)
     })
   )
 
@@ -977,6 +1148,104 @@ object AnalyticsQueries {
         |SELECT user_id, count(*) AS n_intervals,
         |  CAST(sum(iv_end - iv_start) AS BIGINT) AS covered_ms,
         |  max(iv_end - iv_start) AS longest_ms
-        |FROM iv GROUP BY 1 ORDER BY user_id""".stripMargin
+        |FROM iv GROUP BY 1 ORDER BY user_id""".stripMargin,
+    // Same zero-filled spine, same lag frames, same exact moments;
+    // HUGEINT mirrors decimal(38), sqrt·sqrt in the same op order.
+    "ts_autocorr" ->
+      s"""WITH e AS (SELECT event_type, ${sqlEpochDay("ts")} AS day
+         |  FROM events),
+         |d AS (SELECT event_type, day, count(*) AS y FROM e GROUP BY 1, 2),
+         |b AS (SELECT min(day) AS lo, max(day) AS hi FROM e),
+         |ty AS (SELECT DISTINCT event_type FROM e),
+         |spine AS (SELECT event_type, unnest(range(lo, hi + 1)) AS day
+         |  FROM ty CROSS JOIN b),
+         |fl AS (SELECT s.event_type, s.day, coalesce(y, 0) AS y
+         |  FROM spine s LEFT JOIN d
+         |    ON s.event_type = d.event_type AND s.day = d.day),
+         |l AS (SELECT event_type, y,
+         |    lag(y, 1) OVER (PARTITION BY event_type ORDER BY day) AS y1,
+         |    lag(y, 7) OVER (PARTITION BY event_type ORDER BY day) AS y7
+         |  FROM fl),
+         |p AS (SELECT event_type, CAST(1 AS BIGINT) AS lag_k,
+         |    y1 AS x, y AS yy FROM l WHERE y1 IS NOT NULL
+         |  UNION ALL SELECT event_type, CAST(7 AS BIGINT), y7, y
+         |    FROM l WHERE y7 IS NOT NULL),
+         |m AS (SELECT event_type, lag_k, count(*) AS n,
+         |    CAST(sum(x) AS HUGEINT) AS sx,
+         |    CAST(sum(yy) AS HUGEINT) AS sy,
+         |    CAST(sum(x * x) AS HUGEINT) AS sxx,
+         |    CAST(sum(yy * yy) AS HUGEINT) AS syy,
+         |    CAST(sum(x * yy) AS HUGEINT) AS sxy
+         |  FROM p GROUP BY 1, 2)
+         |SELECT event_type, lag_k, n,
+         |  ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+         |    / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+         |      * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+         |    * 10000.0) / 10000.0 AS acf
+         |FROM m WHERE n > 1 AND n * sxx > sx * sx AND n * syy > sy * sy
+         |ORDER BY event_type, lag_k""".stripMargin,
+    // The funnel_stages CTE chain with deadlines: each stage's min is
+    // taken over events inside the window opened by the previous
+    // stage's qualifying minimum — dependent joins, same semantics as
+    // the Spark side's per-user array fold.
+    "funnel_conversion_window" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ms
+        |  FROM events),
+        |v AS (SELECT user_id, min(ms) AS v FROM e
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(ms) AS c FROM e JOIN v USING (user_id)
+        |  WHERE event_type = 'click'
+        |    AND ms >= v AND ms <= v + 86400000 GROUP BY 1),
+        |p AS (SELECT e.user_id, min(ms) AS p FROM e JOIN c USING (user_id)
+        |  WHERE event_type = 'purchase'
+        |    AND ms >= c AND ms <= c + 259200000 GROUP BY 1)
+        |SELECT (SELECT count(*) FROM v) AS n_view,
+        |  (SELECT count(*) FROM c) AS n_click_24h,
+        |  (SELECT count(*) FROM p) AS n_purchase_72h,
+        |  ROUND(CAST((SELECT count(*) FROM c) AS DOUBLE)
+        |    / CAST((SELECT count(*) FROM v) AS DOUBLE) * 10000.0)
+        |    / 10000.0 AS cvr_click,
+        |  ROUND(CAST((SELECT count(*) FROM p) AS DOUBLE)
+        |    / CAST((SELECT count(*) FROM v) AS DOUBLE) * 10000.0)
+        |    / 10000.0 AS cvr_purchase""".stripMargin,
+    // Same spine, same modular weekday, same integer cross-product
+    // ratio; the per-type totals ride the same 7-row window.
+    "ts_dow_seasonality" ->
+      s"""WITH e AS (SELECT event_type, ${sqlEpochDay("ts")} AS day
+         |  FROM events),
+         |d AS (SELECT event_type, day, count(*) AS y FROM e GROUP BY 1, 2),
+         |b AS (SELECT min(day) AS lo, max(day) AS hi FROM e),
+         |ty AS (SELECT DISTINCT event_type FROM e),
+         |spine AS (SELECT event_type, unnest(range(lo, hi + 1)) AS day
+         |  FROM ty CROSS JOIN b),
+         |fl AS (SELECT s.event_type, s.day, coalesce(y, 0) AS y,
+         |    (s.day + 4) % 7 AS dow
+         |  FROM spine s LEFT JOIN d
+         |    ON s.event_type = d.event_type AND s.day = d.day),
+         |g AS (SELECT event_type, dow, count(*) AS n_days,
+         |    CAST(sum(y) AS HUGEINT) AS ne
+         |  FROM fl GROUP BY 1, 2),
+         |t AS (SELECT event_type, dow, n_days, ne,
+         |    sum(n_days) OVER (PARTITION BY event_type) AS td,
+         |    sum(ne) OVER (PARTITION BY event_type) AS te FROM g)
+         |SELECT event_type, dow, n_days, CAST(ne AS BIGINT) AS n_events,
+         |  ROUND(CAST(ne * td AS DOUBLE) / CAST(n_days * te AS DOUBLE)
+         |    * 10000.0) / 10000.0 AS idx
+         |FROM t WHERE te > 0 ORDER BY event_type, dow""".stripMargin,
+    "sql_tpch_q5" ->
+      s"""SELECT n_name,
+         |  ${sqlSum("l_extendedprice * (1 - l_discount)")} AS revenue
+         |FROM customer
+         |JOIN orders ON c_custkey = o_custkey
+         |JOIN lineitem ON l_orderkey = o_orderkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |  AND c_nationkey = s_nationkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |WHERE r_name = 'ASIA'
+         |  AND o_orderdate >= DATE '1996-01-01'
+         |  AND o_orderdate < DATE '1997-01-01'
+         |GROUP BY n_name
+         |ORDER BY revenue DESC, n_name""".stripMargin
   )
 }

@@ -47,7 +47,13 @@ class DeterminismSpec extends SparkSpec {
       // percentile, decimal rolling window sums, decimal regression
       // moments
       "agg_skew_kurtosis", "agg_mad", "ts_level_shift",
-      "agg_trend_slope")) {
+      "agg_trend_slope",
+      // Round-7 fourth wave: rank-sum Gini (window ranks must absorb
+      // partitioning through the tie-block identity), Welch's anchored
+      // two-pass moments, the exact-moment acf/seasonality pair, and
+      // the funnel's collect-sort-fold arrays
+      "agg_gini", "ab_test_welch", "ts_autocorr", "ts_dow_seasonality",
+      "funnel_conversion_window")) {
       val a = rows(q, "3")
       val b = rows(q, "17")
       assert(a == b, s"$q diverged between 3 and 17 shuffle partitions " +

@@ -132,10 +132,14 @@ class InventorySpec extends SparkSpec {
     "agg_skew_kurtosis", "agg_mad", "ts_level_shift", "etl_orphan_audit",
     // §2.29 addenda: exact regression trend + NFC normalization through
     // the new codegen Expression
-    "agg_trend_slope", "text_unicode_normalize")
+    "agg_trend_slope", "text_unicode_normalize",
+    // §2.30 round-7 fourth wave: concentration/experimentation stats,
+    // seasonality pair, deadline funnel, TPC-H Q5
+    "agg_gini", "ab_test_welch", "ts_autocorr", "ts_dow_seasonality",
+    "funnel_conversion_window", "sql_tpch_q5")
 
-  test("declared queries cover SURVEY §2 + §2.12-29 exactly (192 keys)") {
-    assert(inventory.size == 192)
+  test("declared queries cover SURVEY §2 + §2.12-30 exactly (198 keys)") {
+    assert(inventory.size == 198)
     val declared = SparkEntry.queries.keySet
     val missing = inventory -- declared
     val extra = declared -- inventory

@@ -668,4 +668,55 @@ class PlanAuditSpec extends SparkSpec {
       s"unexpected scan count:\n" +
         p.split("\n").filter(_.contains("FileScan parquet")).mkString("\n"))
   }
+
+  test("gini: rank window rides the pre-reduced table, final agg reuses its partitioning") {
+    // (type, user) partial-agg exchange + event_type window exchange;
+    // the final per-type agg is already partitioned by event_type, so
+    // NO third exchange — the window's partitioning is reused.
+    val p = plan("agg_gini")
+    assert("Window \\[".r.findAllIn(p).size == 1, p.take(3000))
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx == 2, s"expected 2 hash exchanges, got $hashEx:\n" +
+      p.split("\n").filter(_.contains("Exchange")).mkString("\n"))
+  }
+
+  test("Welch t-test: broadcast anchor pass, no window, no cartesian") {
+    val p = plan("ab_test_welch")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("Window"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("autocorr: ONE window node hosts both lag frames") {
+    // The spine join, both lag() frames in one Window over one sort,
+    // then the moment agg — a per-lag window pair would re-sort twice.
+    val p = plan("ts_autocorr")
+    assert("Window \\[".r.findAllIn(p).size == 1,
+      s"lag frames split across windows:\n${p.take(3000)}")
+  }
+
+  test("dow seasonality: ONE window node for the per-type totals") {
+    val p = plan("ts_dow_seasonality")
+    assert("Window \\[".r.findAllIn(p).size == 1, p.take(3000))
+  }
+
+  test("deadline funnel: ONE user_id exchange, no window, no join") {
+    // The per-user fold is a single partial-aggregating hash exchange;
+    // the chained deadlines resolve map-side in the projection and the
+    // global roll-up rides a SinglePartition exchange.
+    val p = plan("funnel_conversion_window")
+    assert(!p.contains("Window") && !p.contains("Join"), p.take(3000))
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx == 1, s"expected 1 hash exchange, got $hashEx:\n" +
+      p.split("\n").filter(_.contains("Exchange")).mkString("\n"))
+  }
+
+  test("TPC-H Q5: all dim legs broadcast, no cartesian") {
+    // supplier/nation/region broadcast (the c_nationkey = s_nationkey
+    // residual folds into the supplier leg's equi keys); only the
+    // customer⋈orders⋈lineitem spine shuffles.
+    val p = plan("sql_tpch_q5")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
 }
