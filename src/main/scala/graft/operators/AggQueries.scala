@@ -630,6 +630,43 @@ object AggQueries {
               + col("seb") * col("seb") / (col("nnb") - lit(1.0))))
             .as("df_welch"))
         .orderBy("event_type")
+    }),
+
+    // PARETO 80/20 — how many of a type's heaviest users cover 80% of
+    // its volume, the operational reading of agg_gini's curve (gini
+    // scores the WHOLE Lorenz curve; this reads one actionable point
+    // off it — capacity planning, whale review, abuse triage all ask
+    // exactly this number). Per type: rank users by volume desc,
+    // running cumsum, first rank where 100·cum ≥ 80·total — ALL
+    // integer arithmetic (no float percentage thresholds), one double
+    // divide for the share at the edge.
+    //
+    // Scale: same shape as gini — corpus collapses to per-user counts
+    // in the first partial-agg exchange; ONE event_type window hosts
+    // the rank, the running sum and the partition total; final agg
+    // reuses the window partitioning. The 100·cum product caps volume
+    // at ~9×10¹⁶ events per type inside long — past that, widen the
+    // comparison to decimal (documented, not guarded: the bound is 5
+    // orders past 100 TB row counts).
+    "agg_pareto_8020" -> ((s, dir) => {
+      val d = events(s, dir).groupBy(col("event_type"), col("user_id"))
+        .agg(count(lit(1)).as("c"))
+      val wo = Window.partitionBy(col("event_type"))
+        .orderBy(col("c").desc, col("user_id"))
+      val wa = Window.partitionBy(col("event_type"))
+      d.withColumn("i", row_number().over(wo).cast("long"))
+        .withColumn("cum", sum(col("c"))
+          .over(wo.rowsBetween(Window.unboundedPreceding,
+            Window.currentRow)))
+        .withColumn("total", sum(col("c")).over(wa))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_users"),
+          min(when(col("cum") * 100 >= col("total") * 80, col("i")))
+            .as("n_users_80"))
+        .select(col("event_type"), col("n_users"), col("n_users_80"),
+          r4d(col("n_users_80").cast("double")
+            / col("n_users").cast("double")).as("user_share_80"))
+        .orderBy("event_type")
     })
   )
 
@@ -896,6 +933,27 @@ object AggQueries {
         |  ROUND((ma - mb) / sqrt(se2) * 10000.0) / 10000.0 AS t_stat,
         |  ROUND(se2 * se2 / (sea * sea / (nna - 1.0)
         |    + seb * seb / (nnb - 1.0)) * 10000.0) / 10000.0 AS df_welch
-        |FROM f ORDER BY event_type""".stripMargin
+        |FROM f ORDER BY event_type""".stripMargin,
+    // Same integer threshold test; DuckDB's window sums go HUGEINT,
+    // which only feeds the internal comparison — the output columns
+    // are count/min BIGINTs.
+    "agg_pareto_8020" ->
+      """WITH d AS (SELECT event_type, user_id, count(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT event_type, c,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY c DESC, user_id) AS i,
+        |    sum(c) OVER (PARTITION BY event_type
+        |      ORDER BY c DESC, user_id ROWS UNBOUNDED PRECEDING) AS cum,
+        |    sum(c) OVER (PARTITION BY event_type) AS total
+        |  FROM d),
+        |g AS (SELECT event_type, count(*) AS n_users,
+        |    min(CASE WHEN cum * 100 >= total * 80 THEN i END)
+        |      AS n_users_80
+        |  FROM r GROUP BY 1)
+        |SELECT event_type, n_users, n_users_80,
+        |  ROUND(CAST(n_users_80 AS DOUBLE) / CAST(n_users AS DOUBLE)
+        |    * 10000.0) / 10000.0 AS user_share_80
+        |FROM g ORDER BY event_type""".stripMargin
   )
 }

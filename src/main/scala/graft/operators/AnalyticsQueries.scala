@@ -779,6 +779,105 @@ object AnalyticsQueries {
             / col("n_view").cast("double")).as("cvr_purchase"))
     }),
 
+    // SESSION DURATION/DEPTH STATS per user — the engagement rollup on
+    // top of ts_sessionize's raw sessions (product dashboards read
+    // "avg session length" and "events per session", not session
+    // rows). Sessions come from the SAME 30-min lag rule — one user_id
+    // exchange hosts the lag flag, the running session id, and both
+    // rollup levels (session agg reuses the window partitioning; the
+    // user agg reuses the session agg's). Durations are integer ms end
+    // to end, so every sum is exact; the two averages are single
+    // double divisions, r4d at the edge.
+    "ts_session_stats" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ms"), col("event_id"))
+      val sess = events(s, dir)
+        .select(col("user_id"), col("event_id"),
+          unix_millis(col("ts").cast("timestamp")).as("ms"))
+        .withColumn("prev_ms", lag(col("ms"), 1).over(w))
+        .withColumn("new_s", when(col("prev_ms").isNull ||
+          col("ms") - col("prev_ms") > 1800000L, 1L).otherwise(0L))
+        .withColumn("session_id", sum(col("new_s")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("ne"),
+          (max(col("ms")) - min(col("ms"))).as("dur"))
+      sess.groupBy("user_id")
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(col("ne")).as("n_events"),
+          max(col("dur")).as("max_dur_ms"),
+          sum(col("dur")).as("sum_dur"))
+        .select(col("user_id"), col("n_sessions"), col("n_events"),
+          col("max_dur_ms"),
+          r4d(col("sum_dur").cast("double")
+            / col("n_sessions").cast("double")).as("avg_dur_ms"),
+          r4d(col("n_events").cast("double")
+            / col("n_sessions").cast("double")).as("events_per_session"))
+        .orderBy("user_id")
+    }),
+
+    // INTER-EVENT GAP PERCENTILES per user — the cadence profile under
+    // every engagement/churn model (median gap = typical rhythm, p95 =
+    // the silence that predicts drop-off; sessionize's 30-min constant
+    // should really be read off this table). Gaps are integer ms from
+    // one lag() on the sessionize ordering; the two percentiles are
+    // exact interpolated (the agg_percentiles convention — Spark
+    // percentile() ≡ DuckDB quantile_cont, r4d at the edge). Per-user
+    // exact percentile state is bounded by that user's event count —
+    // the per-entity bound; open-ended groups swap to the
+    // tdigest/GK sketch keys (the agg_mad note).
+    "ts_gap_percentiles" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ms"), col("event_id"))
+      events(s, dir)
+        .select(col("user_id"), col("event_id"),
+          unix_millis(col("ts").cast("timestamp")).as("ms"))
+        .withColumn("gap", col("ms") - lag(col("ms"), 1).over(w))
+        .filter(col("gap").isNotNull)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_gaps"),
+          r4d(percentile(col("gap"), lit(0.5))).as("p50_gap_ms"),
+          r4d(percentile(col("gap"), lit(0.95))).as("p95_gap_ms"))
+        .orderBy("user_id")
+    }),
+
+    // BURST DAYS — one-sided spike detection next to ts_level_shift's
+    // two-sided mean shifts: a day bursts when its volume more than
+    // doubles the trailing-week average, the standard ops-alerting
+    // rule. The comparison is ALL integers (7·y > 2·Σprev7 — no float
+    // rate, no threshold ulps), the trailing frame EXCLUDES the
+    // current day (a spike must not dilute its own baseline), and
+    // days without a full 7-day history emit flag 0 via the frame
+    // count — never a NULL reaching the compare. Zero-filled spine so
+    // a quiet week before a spike reads as the burst it is; one
+    // (type, day) agg + ONE window node hosting both frames.
+    "ts_burst_days" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = events(s, dir)
+        .select(col("event_type"), epochDay("ts").as("day"))
+      val d = e.groupBy("event_type", "day").agg(count(lit(1)).as("y"))
+      val spine = e.select("event_type").distinct()
+        .crossJoin(broadcast(
+          e.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))))
+        .select(col("event_type"),
+          explode(sequence(col("lo"), col("hi"))).as("day"))
+      val full = spine.join(d, Seq("event_type", "day"), "left")
+        .select(col("event_type"), col("day"),
+          coalesce(col("y"), lit(0L)).as("y"))
+      val wf = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        .rowsBetween(-7, -1)
+      full
+        .withColumn("s7", sum(col("y")).over(wf))
+        .withColumn("n7", count(col("y")).over(wf))
+        .select(col("event_type"), col("day"), col("y"),
+          coalesce(col("s7"), lit(0L)).as("sum_prev7"),
+          when(col("n7") === 7 && col("y") * 7 > col("s7") * 2, 1L)
+            .otherwise(0L).as("burst"))
+        .orderBy("event_type", "day")
+    }),
+
     // DAY-OF-WEEK SEASONALITY INDEX per event type — the cyclic
     // profile that complements ts_autocorr's lag-7 scalar (autocorr
     // says THAT a weekly cycle exists; this says WHICH days carry it):
@@ -820,6 +919,30 @@ object AnalyticsQueries {
           r4d((col("ne") * col("td")).cast("double")
             / (col("n_days") * col("te")).cast("double")).as("idx"))
         .orderBy("event_type", "dow")
+    }),
+
+    // TPC-H Q1 — THE scan-aggregate benchmark staple: one lineitem
+    // pass, a date residual, eight aggregates over two grouping
+    // columns. Every money aggregate routes through Det.dsum/davg
+    // (exact decimal sums, §1.3) — the three-factor charge product
+    // carries ≤6 decimal digits, exactly the bound decimal(38,6) was
+    // chosen for. The plan is the ideal shape already: pushed date
+    // filter, two-phase partial agg, no shuffle beyond |groups|.
+    "sql_tpch_q1" -> ((s, dir) => {
+      s.sql(s"""SELECT l_returnflag, l_linestatus,
+        |  ${sqlSum("l_quantity")} AS sum_qty,
+        |  ${sqlSum("l_extendedprice")} AS sum_base_price,
+        |  ${sqlSum("l_extendedprice * (1 - l_discount)")} AS sum_disc_price,
+        |  ${sqlSum("l_extendedprice * (1 - l_discount) * (1 + l_tax)")}
+        |    AS sum_charge,
+        |  ${sqlAvg("l_quantity")} AS avg_qty,
+        |  ${sqlAvg("l_extendedprice")} AS avg_price,
+        |  ${sqlAvg("l_discount")} AS avg_disc,
+        |  count(*) AS count_order
+        |FROM parquet.`$dir/lineitem.parquet`
+        |WHERE l_shipdate <= DATE '2000-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin)
     }),
 
     // TPC-H Q5 — the classic six-table star with the CO-LOCATION twist
@@ -1149,6 +1272,69 @@ object AnalyticsQueries {
         |  CAST(sum(iv_end - iv_start) AS BIGINT) AS covered_ms,
         |  max(iv_end - iv_start) AS longest_ms
         |FROM iv GROUP BY 1 ORDER BY user_id""".stripMargin,
+    // The ts_sessionize CTE chain + two exact integer rollups; only
+    // the final two averages divide, in the same double op order.
+    "ts_session_stats" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events),
+        |f AS (SELECT user_id, event_id, ms,
+        |  CASE WHEN lag(ms) OVER w IS NULL
+        |       OR ms - lag(ms) OVER w > 1800000 THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)),
+        |s AS (SELECT user_id, ms, CAST(sum(new_s) OVER (PARTITION BY user_id
+        |  ORDER BY ms, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |    AS session_id
+        |  FROM f),
+        |sess AS (SELECT user_id, session_id, count(*) AS ne,
+        |    max(ms) - min(ms) AS dur
+        |  FROM s GROUP BY 1, 2),
+        |u AS (SELECT user_id, count(*) AS n_sessions,
+        |    CAST(sum(ne) AS BIGINT) AS n_events,
+        |    max(dur) AS max_dur_ms,
+        |    CAST(sum(dur) AS BIGINT) AS sum_dur
+        |  FROM sess GROUP BY 1)
+        |SELECT user_id, n_sessions, n_events, max_dur_ms,
+        |  ROUND(CAST(sum_dur AS DOUBLE) / CAST(n_sessions AS DOUBLE)
+        |    * 10000.0) / 10000.0 AS avg_dur_ms,
+        |  ROUND(CAST(n_events AS DOUBLE) / CAST(n_sessions AS DOUBLE)
+        |    * 10000.0) / 10000.0 AS events_per_session
+        |FROM u ORDER BY user_id""".stripMargin,
+    "ts_gap_percentiles" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events),
+        |g AS (SELECT user_id,
+        |    ms - lag(ms) OVER (PARTITION BY user_id
+        |      ORDER BY ms, event_id) AS gap
+        |  FROM e)
+        |SELECT user_id, count(*) AS n_gaps,
+        |  ROUND(quantile_cont(gap, 0.5) * 10000.0) / 10000.0
+        |    AS p50_gap_ms,
+        |  ROUND(quantile_cont(gap, 0.95) * 10000.0) / 10000.0
+        |    AS p95_gap_ms
+        |FROM g WHERE gap IS NOT NULL
+        |GROUP BY 1 ORDER BY user_id""".stripMargin,
+    // Same spine, same EXCLUDING-current frame, same all-integer
+    // threshold; DuckDB's HUGEINT window sum only feeds the compare.
+    "ts_burst_days" ->
+      s"""WITH e AS (SELECT event_type, ${sqlEpochDay("ts")} AS day
+         |  FROM events),
+         |d AS (SELECT event_type, day, count(*) AS y FROM e GROUP BY 1, 2),
+         |b AS (SELECT min(day) AS lo, max(day) AS hi FROM e),
+         |ty AS (SELECT DISTINCT event_type FROM e),
+         |spine AS (SELECT event_type, unnest(range(lo, hi + 1)) AS day
+         |  FROM ty CROSS JOIN b),
+         |fl AS (SELECT s.event_type, s.day, coalesce(y, 0) AS y
+         |  FROM spine s LEFT JOIN d
+         |    ON s.event_type = d.event_type AND s.day = d.day),
+         |w AS (SELECT event_type, day, y,
+         |    sum(y) OVER (PARTITION BY event_type ORDER BY day
+         |      ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS s7,
+         |    count(y) OVER (PARTITION BY event_type ORDER BY day
+         |      ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS n7
+         |  FROM fl)
+         |SELECT event_type, day, y,
+         |  CAST(coalesce(s7, 0) AS BIGINT) AS sum_prev7,
+         |  CASE WHEN n7 = 7 AND y * 7 > s7 * 2 THEN CAST(1 AS BIGINT)
+         |    ELSE CAST(0 AS BIGINT) END AS burst
+         |FROM w ORDER BY event_type, day""".stripMargin,
     // Same zero-filled spine, same lag frames, same exact moments;
     // HUGEINT mirrors decimal(38), sqrt·sqrt in the same op order.
     "ts_autocorr" ->
@@ -1232,6 +1418,21 @@ object AnalyticsQueries {
          |  ROUND(CAST(ne * td AS DOUBLE) / CAST(n_days * te AS DOUBLE)
          |    * 10000.0) / 10000.0 AS idx
          |FROM t WHERE te > 0 ORDER BY event_type, dow""".stripMargin,
+    "sql_tpch_q1" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  ${sqlSum("l_quantity")} AS sum_qty,
+         |  ${sqlSum("l_extendedprice")} AS sum_base_price,
+         |  ${sqlSum("l_extendedprice * (1 - l_discount)")} AS sum_disc_price,
+         |  ${sqlSum("l_extendedprice * (1 - l_discount) * (1 + l_tax)")}
+         |    AS sum_charge,
+         |  ${sqlAvg("l_quantity")} AS avg_qty,
+         |  ${sqlAvg("l_extendedprice")} AS avg_price,
+         |  ${sqlAvg("l_discount")} AS avg_disc,
+         |  count(*) AS count_order
+         |FROM lineitem
+         |WHERE l_shipdate <= DATE '2000-09-02'
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "sql_tpch_q5" ->
       s"""SELECT n_name,
          |  ${sqlSum("l_extendedprice * (1 - l_discount)")} AS revenue

@@ -431,6 +431,48 @@ object EtlQueries {
           r4d(col("n_orphans") / col("n_rows")).as("orphan_pct"))
         .orderBy("relation")
     }),
+
+    // SCD TYPE 3 — the "current + one previous" dimension shape
+    // completing the slowly-changing family (type 1 = overwrite
+    // [etl_upsert_type1], type 2 = full history [etl_scd2_history];
+    // type 3 is what dashboards use when ONE look-back column answers
+    // "what changed" without a history join). Tracked attribute: each
+    // user's activity state = the event_type of their latest run under
+    // the gaps-islands change rule. The last island is the current
+    // value, the one before it the prev column, the island count the
+    // change counter.
+    //
+    // Scale: ONE user_id exchange end to end — the change flag, the
+    // island numbering, the per-island agg (clustering (user, island)
+    // is satisfied by the user_id partitioning), the island-ordered
+    // lag AND the final filter all ride it; no second shuffle, no
+    // join.
+    "etl_scd3_prev_value" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ms"), col("event_id"))
+      val st = events(s, dir)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_millis(col("ts").cast("timestamp")).as("ms"))
+        .withColumn("chg",
+          when(lag(col("event_type"), 1).over(w).isNull ||
+            col("event_type") =!= lag(col("event_type"), 1).over(w), 1L)
+            .otherwise(0L))
+        .withColumn("island", sum(col("chg")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val isl = st.groupBy(col("user_id"), col("island"))
+        .agg(min(col("ms")).as("start_ms"),
+          max(col("event_type")).as("state")) // constant within island
+      val wi = Window.partitionBy(col("user_id")).orderBy(col("island"))
+      isl
+        .withColumn("prev_state", lag(col("state"), 1).over(wi))
+        .withColumn("nmax",
+          max(col("island")).over(Window.partitionBy(col("user_id"))))
+        .filter(col("island") === col("nmax"))
+        .select(col("user_id"), col("state").as("cur_state"),
+          col("start_ms").as("cur_since_ms"), col("prev_state"),
+          col("nmax").as("n_changes"))
+        .orderBy("user_id")
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -642,6 +684,31 @@ object EtlQueries {
         |  UNION ALL SELECT 'lineitem->orders', n_rows, o_ord FROM a)
         |SELECT relation, n_rows, n_orphans,
         |  ROUND((n_orphans / n_rows) * 10000.0) / 10000.0 AS orphan_pct
-        |FROM u ORDER BY relation""".stripMargin
+        |FROM u ORDER BY relation""".stripMargin,
+    // The gaps-islands CTE chain, island-ordered lag, last-island
+    // filter — same total (ms, event_id) order throughout.
+    "etl_scd3_prev_value" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_ms(ts) AS ms
+        |  FROM events),
+        |f AS (SELECT user_id, event_id, event_type, ms,
+        |  CASE WHEN lag(event_type) OVER w IS NULL
+        |       OR event_type <> lag(event_type) OVER w
+        |    THEN 1 ELSE 0 END AS chg
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)),
+        |s AS (SELECT user_id, event_type, ms,
+        |  CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY ms, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS island
+        |  FROM f),
+        |i AS (SELECT user_id, island, min(ms) AS start_ms,
+        |    max(event_type) AS state
+        |  FROM s GROUP BY 1, 2),
+        |x AS (SELECT user_id, island, start_ms, state,
+        |    lag(state) OVER (PARTITION BY user_id ORDER BY island)
+        |      AS prev_state,
+        |    max(island) OVER (PARTITION BY user_id) AS nmax
+        |  FROM i)
+        |SELECT user_id, state AS cur_state, start_ms AS cur_since_ms,
+        |  prev_state, nmax AS n_changes
+        |FROM x WHERE island = nmax ORDER BY user_id""".stripMargin
   )
 }

@@ -39,6 +39,7 @@ object GraphQueries {
   type Q = (SparkSession, String) => DataFrame
 
   private val Iters = 5
+  private val KcoreRounds = 5
 
   val queries: Map[String, Q] = Map(
     "graph_pagerank" -> ((s, dir) => {
@@ -116,6 +117,89 @@ object GraphQueries {
       tri.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
         .groupBy("node").agg(count(lit(1)).as("n_tri"))
         .orderBy("node")
+    }),
+
+    // DEGREE DISTRIBUTION of the co-purchase part graph in log₂
+    // buckets — the power-law health check that decides every other
+    // graph key's cost model (pagerank's hub mass, triangle counting's
+    // wedge bound, skew-join salting thresholds all hinge on the
+    // degree tail). Bucketing is INTEGER-EXACT via the binary-string
+    // trick: floor(log₂ deg) = length(bin(deg)) − 1 — identical in
+    // both engines, immune to the float-log ulp-at-power-of-two edge
+    // that floor(log2(x)) risks.
+    //
+    // Scale: distinct edges (one exchange, the triangle key's subplan
+    // without sampling — degrees must be exact), endpoint explode is
+    // map-side on the edge partitioning, then a node-keyed count and a
+    // ≤64-row bucket agg. Output is domain-bounded (≤64 buckets); the
+    // shuffles are |E| slim pairs and |V| counts — never quadratic.
+    "graph_degree_hist" -> ((s, dir) => {
+      val pp = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+        .distinct()
+      val e = pp.as("x").join(pp.as("y"),
+          col("x.ok") === col("y.ok") && col("x.p") < col("y.p"))
+        .select(col("x.p").as("a"), col("y.p").as("b")).distinct()
+      val deg = e.select(explode(array(col("a"), col("b"))).as("node"))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+      deg.groupBy((length(bin(col("deg"))) - 1).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n_nodes"), min(col("deg")).as("min_deg"),
+          max(col("deg")).as("max_deg"),
+          sum(col("deg").cast("decimal(38,0)")).cast("long").as("sum_deg"))
+        .orderBy("bucket")
+    }),
+
+    // 2-CORE PEELING — the third distributed-iteration primitive
+    // (connected components find WHO relates, PageRank HOW centrally;
+    // the k-core strips the tree-like periphery that inflates both):
+    // repeatedly drop nodes of degree < 2 and the edges they carried.
+    // FIVE fixed peel rounds — a defined, replayable contract like
+    // PageRank's five supersteps (a converge-to-fixpoint loop has
+    // data-dependent round counts, which an unrolled oracle cannot
+    // mirror). The graph is the md5-sparsified co-purchase edge set
+    // (prefix '0', p = 1/16 — the triangle key's DOULION convention):
+    // the FULL co-purchase graph has min degree ≈ 40 at every SF, so
+    // a 2-core peel would be a no-op; the sparsified graph grows a
+    // real low-degree periphery, and the peel (including its cascade
+    // — a removal can drag a neighbor below 2 next round) converges
+    // inside the contract at all fixture SFs.
+    //
+    // Scale: each round is one endpoint-count agg + two BROADCAST
+    // semi-join prunes on the survivor set (|V|-row node lists — tiny
+    // next to |E|; a non-broadcastable survivor set swaps to the
+    // bloom-prefilter shape). The ConnectedComponents materialization
+    // discipline applies: each round's edge set eagerly checkpoints
+    // (lineage truncation) and the previous round's blocks release, so
+    // state is one |E| copy regardless of rounds.
+    "graph_kcore" -> ((s, dir) => {
+      def materialize(df: DataFrame): DataFrame =
+        if (s.sparkContext.getCheckpointDir.isDefined) df.checkpoint(true)
+        else df.localCheckpoint(true)
+      val pp = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+        .distinct()
+      var e = materialize(pp.as("x").join(pp.as("y"),
+          col("x.ok") === col("y.ok") && col("x.p") < col("y.p"))
+        .select(col("x.p").as("a"), col("y.p").as("b")).distinct()
+        .filter(substring(md5(concat(col("a").cast("string"), lit("_"),
+          col("b").cast("string")).cast("binary")), 1, 1) === "0"))
+      for (_ <- 1 to KcoreRounds) {
+        val keep = e.select(explode(array(col("a"), col("b"))).as("node"))
+          .groupBy("node").agg(count(lit(1)).as("deg"))
+          .filter(col("deg") >= 2).select("node")
+        val next = materialize(e
+          .join(broadcast(keep.withColumnRenamed("node", "a")),
+            Seq("a"), "left_semi")
+          .join(broadcast(keep.withColumnRenamed("node", "b")),
+            Seq("b"), "left_semi")
+          .select(col("a"), col("b")))
+        org.apache.spark.sql.graftshim.unpersistCheckpoint(e)
+        e = next
+      }
+      val core = e.select(explode(array(col("a"), col("b"))).as("node"))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+        .orderBy("node")
+      core
     })
   )
 
@@ -154,6 +238,49 @@ object GraphQueries {
         |  UNION ALL SELECT b FROM tri
         |  UNION ALL SELECT c FROM tri)
         |SELECT node, count(*) AS n_tri FROM n
-        |GROUP BY 1 ORDER BY node""".stripMargin
+        |GROUP BY 1 ORDER BY node""".stripMargin,
+    // Same unsampled distinct-edge subplan; bin()-length bucketing is
+    // the identical integer spelling in DuckDB.
+    "graph_degree_hist" ->
+      """WITH pp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+        |  FROM lineitem),
+        |e AS (SELECT DISTINCT x.p AS a, y.p AS b
+        |  FROM pp x JOIN pp y ON x.ok = y.ok AND x.p < y.p),
+        |n AS (SELECT a AS node FROM e UNION ALL SELECT b FROM e),
+        |deg AS (SELECT node, count(*) AS deg FROM n GROUP BY 1)
+        |SELECT length(bin(deg)) - 1 AS bucket, count(*) AS n_nodes,
+        |  min(deg) AS min_deg, max(deg) AS max_deg,
+        |  CAST(sum(deg) AS BIGINT) AS sum_deg
+        |FROM deg GROUP BY 1 ORDER BY bucket""".stripMargin,
+    // The same five peel rounds, unrolled as CTEs (the PageRank
+    // convention for iterative oracles). Every round CTE is
+    // MATERIALIZED: DuckDB inlines plain CTEs at every reference, and
+    // each round reads its predecessor three times — unmaterialized,
+    // e5 expands 3⁵-fold and the oracle never finishes.
+    "graph_kcore" -> {
+      val prelude =
+        """WITH pp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+          |  FROM lineitem),
+          |ef AS (SELECT DISTINCT x.p AS a, y.p AS b
+          |  FROM pp x JOIN pp y ON x.ok = y.ok AND x.p < y.p),
+          |e0 AS MATERIALIZED (SELECT a, b FROM ef
+          |  WHERE substring(md5(CAST(a AS VARCHAR) || '_'
+          |    || CAST(b AS VARCHAR)), 1, 1) = '0')""".stripMargin
+      val rounds = (1 to KcoreRounds).map { i =>
+        s"""k$i AS MATERIALIZED (SELECT node FROM (
+           |    SELECT node, count(*) AS deg FROM (
+           |      SELECT a AS node FROM e${i - 1}
+           |      UNION ALL SELECT b FROM e${i - 1})
+           |    GROUP BY 1) WHERE deg >= 2),
+           |e$i AS MATERIALIZED (SELECT a, b FROM e${i - 1}
+           |  WHERE a IN (SELECT node FROM k$i)
+           |    AND b IN (SELECT node FROM k$i))""".stripMargin
+      }.mkString(",\n")
+      s"$prelude,\n$rounds\n" +
+        s"""SELECT node, count(*) AS deg FROM (
+           |  SELECT a AS node FROM e$KcoreRounds
+           |  UNION ALL SELECT b FROM e$KcoreRounds)
+           |GROUP BY 1 ORDER BY node""".stripMargin
+    }
   )
 }

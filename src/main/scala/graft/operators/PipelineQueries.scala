@@ -589,6 +589,33 @@ object PipelineQueries {
           r4d(col("cq")).as("chosen_q"), r4d(col("rq")).as("rejected_q"),
           r4d(col("cq") - col("rq")).as("q_gap"))
         .orderBy("lang", "source")
+    }),
+
+    // TOKENIZER FERTILITY per language — tokens-per-word, THE metric
+    // tokenizer teams watch per language (a fertility of 2× for one
+    // lang means its speakers pay twice the context window; the
+    // standard argument for vocabulary rebalancing). Token counts
+    // reuse the text_token_count_bpe surface (regexp tokens vs
+    // whitespace words); everything aggregates as exact integer sums
+    // — one partial-aggregating exchange on lang — and the two ratios
+    // are single double divisions, r4d. Corpus-sized work is the scan
+    // projection; the shuffle carries |langs| rows of longs.
+    "text_tokenizer_fertility" -> ((s, dir) => {
+      t(s, dir, "documents").select(col("lang"),
+          size(split(col("text"), " ")).cast("long").as("nw"),
+          expr("regexp_count(text, '[a-z]+')").cast("long").as("nt"),
+          col("n_chars").cast("long").as("nc"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum(col("nw")).as("n_words"),
+          sum(col("nt")).as("n_tokens"), sum(col("nc")).as("n_chars"))
+        .filter(col("n_words") > 0 && col("n_tokens") > 0)
+        .select(col("lang"), col("n_docs"), col("n_words"),
+          col("n_tokens"),
+          r4d(col("n_tokens").cast("double")
+            / col("n_words").cast("double")).as("fertility"),
+          r4d(col("n_chars").cast("double")
+            / col("n_tokens").cast("double")).as("chars_per_token"))
+        .orderBy("lang")
     })
   )
 
@@ -823,7 +850,27 @@ object PipelineQueries {
         |  ROUND(cq, 4) AS chosen_q, ROUND(rq, 4) AS rejected_q,
         |  ROUND(cq - rq, 4) AS q_gap
         |FROM c JOIN j USING (lang, source)
-        |WHERE n_docs >= 2 ORDER BY lang, source""".stripMargin
+        |WHERE n_docs >= 2 ORDER BY lang, source""".stripMargin,
+    // Same token spellings as text_token_count_bpe's oracle; exact
+    // integer sums, two double divisions in the same op order.
+    "text_tokenizer_fertility" ->
+      """WITH d AS (SELECT lang,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS nw,
+        |    CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS nt,
+        |    CAST(n_chars AS BIGINT) AS nc
+        |  FROM documents),
+        |g AS (SELECT lang, count(*) AS n_docs,
+        |    CAST(sum(nw) AS BIGINT) AS n_words,
+        |    CAST(sum(nt) AS BIGINT) AS n_tokens,
+        |    CAST(sum(nc) AS BIGINT) AS n_chars
+        |  FROM d GROUP BY 1)
+        |SELECT lang, n_docs, n_words, n_tokens,
+        |  ROUND(CAST(n_tokens AS DOUBLE) / CAST(n_words AS DOUBLE)
+        |    * 10000.0) / 10000.0 AS fertility,
+        |  ROUND(CAST(n_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+        |    * 10000.0) / 10000.0 AS chars_per_token
+        |FROM g WHERE n_words > 0 AND n_tokens > 0
+        |ORDER BY lang""".stripMargin
     // dedup_simhash: engine-pinned xxhash64 → property-tested, no oracle.
   )
 }

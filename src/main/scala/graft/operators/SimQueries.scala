@@ -77,6 +77,40 @@ object SimQueries {
         .join(t(s, dir, "embeddings"), col("doc_id") === col("vec_id"))
         .groupBy(col("lang"), col("label")).agg(count(lit(1)).as("n"))
         .orderBy("lang", "label")
+    }),
+
+    // INT8 SCALAR QUANTIZATION reconstruction error — the storage-cost
+    // lever of every vector index (a 64-dim float corpus drops 4× when
+    // codes go int8; whether recall survives is exactly this key's
+    // per-vector MSE). Min-max affine quantization: q = round((x −
+    // lo)/scale) ∈ [0, 255], reconstruction lo + q·scale, error summed
+    // per vector — entirely map-side scan-stage HOFs, no UDF, no
+    // shuffle before the presentation sort, so at 100 TB it costs one
+    // linear pass like the fingerprint keys.
+    //
+    // Determinism: float→double casts are exact, the fold runs in
+    // ARRAY order on both engines (in-index aggregate() here, in-order
+    // list sum in DuckDB — the entropy convention), and every IEEE op
+    // is spelled identically. MSE surfaces ×10⁶ so r4d keeps signal at
+    // this embedding magnitude; constant vectors (scale 0) emit 0
+    // error via an explicit guard instead of a NaN.
+    "sim_vector_quantize_error" -> ((s, dir) => {
+      val v = t(s, dir, "embeddings").select(col("vec_id"),
+        col("embedding"),
+        array_min(col("embedding")).cast("double").as("lo"),
+        array_max(col("embedding")).cast("double").as("hi"))
+      v.withColumn("scale", (col("hi") - col("lo")) / lit(255.0))
+        .withColumn("sse", when(col("scale") === 0.0, lit(0.0))
+          .otherwise(aggregate(col("embedding"), lit(0.0), (acc, x) => {
+            val xd = x.cast("double")
+            val dq = col("lo") +
+              round((xd - col("lo")) / col("scale")) * col("scale")
+            acc + (xd - dq) * (xd - dq)
+          })))
+        .select(col("vec_id"), col("lo"), col("hi"),
+          r4d(col("sse") / size(col("embedding")).cast("double")
+            * lit(1000000.0)).as("mse_x1e6"))
+        .orderBy("vec_id")
     })
   )
 
@@ -113,6 +147,29 @@ object SimQueries {
     "multimodal_join" ->
       """SELECT lang, label, count(*) AS n
         |FROM documents JOIN embeddings ON doc_id = vec_id
-        |GROUP BY lang, label ORDER BY lang, label""".stripMargin
+        |GROUP BY lang, label ORDER BY lang, label""".stripMargin,
+    // Identical IEEE op order; list sums run in list order (the
+    // entropy convention), float→double casts exact.
+    "sim_vector_quantize_error" ->
+      """WITH v AS (SELECT vec_id, embedding,
+        |    CAST(list_min(embedding) AS DOUBLE) AS lo,
+        |    CAST(list_max(embedding) AS DOUBLE) AS hi
+        |  FROM embeddings),
+        |s AS (SELECT vec_id, embedding, lo, hi,
+        |    (hi - lo) / 255.0 AS scale FROM v),
+        |e AS (SELECT vec_id, lo, hi,
+        |    CASE WHEN scale = 0.0 THEN 0.0 ELSE
+        |      list_aggregate(list_transform(embedding, x ->
+        |        (CAST(x AS DOUBLE)
+        |          - (lo + round((CAST(x AS DOUBLE) - lo) / scale) * scale))
+        |        * (CAST(x AS DOUBLE)
+        |          - (lo + round((CAST(x AS DOUBLE) - lo) / scale) * scale))),
+        |        'sum') END AS sse,
+        |    len(embedding) AS dim
+        |  FROM s)
+        |SELECT vec_id, lo, hi,
+        |  ROUND(sse / CAST(dim AS DOUBLE) * 1000000.0 * 10000.0)
+        |    / 10000.0 AS mse_x1e6
+        |FROM e ORDER BY vec_id""".stripMargin
   )
 }

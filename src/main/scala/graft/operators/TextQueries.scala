@@ -222,6 +222,85 @@ object TextQueries {
           (col("raw") =!= col("norm")).cast("long").as("changed"),
           md5(col("norm").cast("binary")).as("norm_fp"))
         .orderBy("doc_id")
+    }),
+
+    // ZIPF SLOPE of the corpus vocabulary — the one-number distribution
+    // health check next to text_heavy_hitters' head inspection: natural
+    // corpora run slope ≈ −1 on the log-rank/log-frequency line; a much
+    // flatter fit flags synthetic/templated text, a much steeper one a
+    // collapsed vocabulary — both reasons to quarantine a crawl slice
+    // before it trains. Least squares over the TOP-1000 terms only: the
+    // head is where Zipf holds and what bounds the fit state — the
+    // collected arrays are ≤1000 elements by construction, never
+    // vocabulary-sized (which IS corpus-scale state).
+    //
+    // Determinism: ln() terms are libm ulps (the tfidf/entropy
+    // precedent, absorbed by r4d); what must NOT float is the SUM
+    // order, so all four moment sums fold over rank-sorted arrays —
+    // bit-identical to DuckDB's in-order list sums. Scale: one
+    // token-keyed two-phase count (the only corpus-sized shuffle), a
+    // TakeOrderedAndProject top-1000, and a 1000-row tail.
+    "text_zipf_slope" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val top = t(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("token")).limit(1000)
+      val w = Window.orderBy(col("c").desc, col("token"))
+      val ranked = top.withColumn("i", row_number().over(w).cast("long"))
+        .select(col("i"), log(col("i").cast("double")).as("x"),
+          log(col("c").cast("double")).as("y"))
+      def fsum(ps: org.apache.spark.sql.Column,
+          f: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+        aggregate(ps, lit(0.0), (acc, p) => acc + f(p))
+      ranked
+        .agg(count(lit(1)).as("n_terms"),
+          array_sort(collect_list(struct(col("i"), col("x"), col("y"))))
+            .as("ps"))
+        .withColumn("nn", col("n_terms").cast("double"))
+        .withColumn("sx", fsum(col("ps"), p => p.getField("x")))
+        .withColumn("sy", fsum(col("ps"), p => p.getField("y")))
+        .withColumn("sxx",
+          fsum(col("ps"), p => p.getField("x") * p.getField("x")))
+        .withColumn("sxy",
+          fsum(col("ps"), p => p.getField("x") * p.getField("y")))
+        .withColumn("b", (col("nn") * col("sxy") - col("sx") * col("sy"))
+          / (col("nn") * col("sxx") - col("sx") * col("sx")))
+        .filter(col("n_terms") > 1)
+        .select(col("n_terms"), r4d(col("b")).as("zipf_slope"),
+          r4d((col("sy") - col("b") * col("sx")) / col("nn"))
+            .as("intercept"))
+    }),
+
+    // FLESCH READING-EASE per document — the readability member of the
+    // quality family (text_quality_score reads surface hygiene; this
+    // reads sentence/word shape): 206.835 − 1.015·(words/sentences) −
+    // 84.6·(syllables/words), with syllables approximated by vowel-group
+    // counts — the standard cheap estimator, and a pure regexp
+    // projection (fn_regexp_suite's Java∩RE2 common-subset discipline;
+    // no UDF, no shuffle before the presentation sort). The fixture
+    // corpus carries no sentence punctuation, so n_sentences clamps to
+    // ≥1 — the divide-by-zero guard any real crawl needs for
+    // fragment-only documents (titles, alt text). All three counts are
+    // exact integers; the formula is three IEEE double ops, r4d at the
+    // edge.
+    "text_readability" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        size(regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0)))
+          .cast("long").as("n_words"),
+        greatest(size(regexp_extract_all(lower(col("text")),
+          lit("[.!?]+"), lit(0))).cast("long"), lit(1L)).as("n_sentences"),
+        size(regexp_extract_all(lower(col("text")), lit("[aeiouy]+"),
+          lit(0))).cast("long").as("n_syllables"))
+      d.filter(col("n_words") > 0)
+        .select(col("doc_id"), col("n_words"), col("n_sentences"),
+          col("n_syllables"),
+          r4d(lit(206.835)
+            - lit(1.015) * (col("n_words").cast("double")
+              / col("n_sentences").cast("double"))
+            - lit(84.6) * (col("n_syllables").cast("double")
+              / col("n_words").cast("double"))).as("flesch"))
+        .orderBy("doc_id")
     })
   )
 
@@ -330,7 +409,53 @@ object TextQueries {
         |  length(nfc_normalize(raw)) AS norm_len,
         |  CAST(raw <> nfc_normalize(raw) AS BIGINT) AS changed,
         |  md5(nfc_normalize(raw)) AS norm_fp
-        |FROM m ORDER BY doc_id""".stripMargin
+        |FROM m ORDER BY doc_id""".stripMargin,
+    // Same top-1000 head; the four moment sums run over rank-ORDERED
+    // lists so the double fold order matches the Spark side's sorted
+    // aggregate() exactly (the entropy-key convention).
+    "text_zipf_slope" ->
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |c AS (SELECT token, count(*) AS c FROM tok GROUP BY 1),
+        |r AS (SELECT token, c,
+        |    row_number() OVER (ORDER BY c DESC, token) AS i FROM c),
+        |top AS (SELECT * FROM r WHERE i <= 1000),
+        |l AS (SELECT count(*) AS n_terms,
+        |    list(ln(CAST(i AS DOUBLE)) ORDER BY i) AS xs,
+        |    list(ln(CAST(c AS DOUBLE)) ORDER BY i) AS ys,
+        |    list(ln(CAST(i AS DOUBLE)) * ln(CAST(i AS DOUBLE))
+        |      ORDER BY i) AS xxs,
+        |    list(ln(CAST(i AS DOUBLE)) * ln(CAST(c AS DOUBLE))
+        |      ORDER BY i) AS xys
+        |  FROM top),
+        |m AS (SELECT n_terms, CAST(n_terms AS DOUBLE) AS nn,
+        |    list_aggregate(xs, 'sum') AS sx,
+        |    list_aggregate(ys, 'sum') AS sy,
+        |    list_aggregate(xxs, 'sum') AS sxx,
+        |    list_aggregate(xys, 'sum') AS sxy FROM l),
+        |f AS (SELECT n_terms, nn, sx, sy,
+        |    (nn * sxy - sx * sy) / (nn * sxx - sx * sx) AS b
+        |  FROM m WHERE n_terms > 1)
+        |SELECT n_terms,
+        |  ROUND(b * 10000.0) / 10000.0 AS zipf_slope,
+        |  ROUND((sy - b * sx) / nn * 10000.0) / 10000.0 AS intercept
+        |FROM f""".stripMargin,
+    "text_readability" ->
+      """WITH d AS (SELECT doc_id,
+        |    CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT)
+        |      AS n_words,
+        |    greatest(CAST(len(regexp_extract_all(lower(text), '[.!?]+'))
+        |      AS BIGINT), 1) AS n_sentences,
+        |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+        |      AS BIGINT) AS n_syllables
+        |  FROM documents)
+        |SELECT doc_id, n_words, n_sentences, n_syllables,
+        |  ROUND((206.835
+        |    - 1.015 * (CAST(n_words AS DOUBLE)
+        |      / CAST(n_sentences AS DOUBLE))
+        |    - 84.6 * (CAST(n_syllables AS DOUBLE)
+        |      / CAST(n_words AS DOUBLE))) * 10000.0) / 10000.0 AS flesch
+        |FROM d WHERE n_words > 0 ORDER BY doc_id""".stripMargin
     // dedup_minhash_lsh: intentionally no oracle (SURVEY §2.11).
   )
 }

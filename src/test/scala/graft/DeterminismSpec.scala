@@ -53,7 +53,16 @@ class DeterminismSpec extends SparkSpec {
       // two-pass moments, the exact-moment acf/seasonality pair, and
       // the funnel's collect-sort-fold arrays
       "agg_gini", "ab_test_welch", "ts_autocorr", "ts_dow_seasonality",
-      "funnel_conversion_window")) {
+      "funnel_conversion_window",
+      // Round-7 fifth wave: the zipf log-moment sorted folds, the
+      // readability double formula, the quantization in-array fold,
+      // and the pareto share division
+      "text_zipf_slope", "text_readability", "sim_vector_quantize_error",
+      "agg_pareto_8020",
+      // Round-7 sixth wave: session averages, exact gap percentiles
+      // (interpolation doubles), fertility ratios
+      "ts_session_stats", "ts_gap_percentiles",
+      "text_tokenizer_fertility")) {
       val a = rows(q, "3")
       val b = rows(q, "17")
       assert(a == b, s"$q diverged between 3 and 17 shuffle partitions " +

@@ -136,10 +136,19 @@ class InventorySpec extends SparkSpec {
     // §2.30 round-7 fourth wave: concentration/experimentation stats,
     // seasonality pair, deadline funnel, TPC-H Q5
     "agg_gini", "ab_test_welch", "ts_autocorr", "ts_dow_seasonality",
-    "funnel_conversion_window", "sql_tpch_q5")
+    "funnel_conversion_window", "sql_tpch_q5",
+    // §2.31 round-7 fifth wave: vocabulary/readability profiling,
+    // degree distribution, Pareto point, int8 quantization error,
+    // TPC-H Q1
+    "text_zipf_slope", "text_readability", "graph_degree_hist",
+    "agg_pareto_8020", "sim_vector_quantize_error", "sql_tpch_q1",
+    // §2.32 round-7 sixth wave: session/cadence analytics, burst
+    // detection, tokenizer fertility, SCD type 3, k-core peeling
+    "ts_session_stats", "ts_gap_percentiles", "ts_burst_days",
+    "text_tokenizer_fertility", "etl_scd3_prev_value", "graph_kcore")
 
-  test("declared queries cover SURVEY §2 + §2.12-30 exactly (198 keys)") {
-    assert(inventory.size == 198)
+  test("declared queries cover SURVEY §2 + §2.12-32 exactly (210 keys)") {
+    assert(inventory.size == 210)
     val declared = SparkEntry.queries.keySet
     val missing = inventory -- declared
     val extra = declared -- inventory

@@ -719,4 +719,82 @@ class PlanAuditSpec extends SparkSpec {
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, p.take(3000))
     assert(!p.contains("CartesianProduct"), p.take(2000))
   }
+
+  test("zipf slope: top-1000 head via TakeOrderedAndProject, never a full sort") {
+    val p = plan("text_zipf_slope")
+    assert(p.contains("TakeOrderedAndProject"), p.take(3000))
+  }
+
+  test("readability: pure scan projection — one presentation exchange, no join") {
+    val p = plan("text_readability")
+    assert(!p.contains("Join"), p.take(2000))
+    assert("Exchange".r.findAllIn(p).size == 1,
+      p.split("\n").filter(_.contains("Exchange")).mkString("\n"))
+  }
+
+  test("pareto 80/20: rank/cumsum/total share the event_type partitioning") {
+    // Same contract as gini: per-user pre-agg exchange + ONE
+    // event_type exchange feeding the window stack AND the final agg.
+    val p = plan("agg_pareto_8020")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx == 2, s"expected 2 hash exchanges, got $hashEx:\n" +
+      p.split("\n").filter(_.contains("Exchange")).mkString("\n"))
+  }
+
+  test("quantization error: map-side HOF fold, one presentation exchange") {
+    val p = plan("sim_vector_quantize_error")
+    assert(!p.contains("Join") && !p.contains("HashAggregate"), p.take(2000))
+    assert("Exchange".r.findAllIn(p).size == 1,
+      p.split("\n").filter(_.contains("Exchange")).mkString("\n"))
+  }
+
+  test("TPC-H Q1: date filter pushes to the scan, two-phase agg") {
+    val p = plan("sql_tpch_q1")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      p.split("\n").filter(_.contains("PushedFilters")).mkString("\n"))
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(2000))
+  }
+
+  test("degree histogram: no cartesian, bucket agg is domain-bounded") {
+    val p = plan("graph_degree_hist")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("session stats: sessionize + both rollups ride ONE user_id exchange") {
+    // The lag flag, running session id, session agg ((user, session)
+    // clustering satisfied by the user_id partitioning) and user agg
+    // all share the window's exchange.
+    val p = plan("ts_session_stats")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx == 1, s"expected 1 hash exchange, got $hashEx:\n" +
+      p.split("\n").filter(_.contains("Exchange")).mkString("\n"))
+  }
+
+  test("gap percentiles: lag window and percentile agg share the exchange") {
+    val p = plan("ts_gap_percentiles")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx == 1, s"expected 1 hash exchange, got $hashEx:\n" +
+      p.split("\n").filter(_.contains("Exchange")).mkString("\n"))
+  }
+
+  test("burst days: ONE window node hosts both trailing frames") {
+    val p = plan("ts_burst_days")
+    assert("Window \\[".r.findAllIn(p).size == 1, p.take(3000))
+  }
+
+  test("tokenizer fertility: scan-side counting, one agg exchange, no join") {
+    val p = plan("text_tokenizer_fertility")
+    assert(!p.contains("Join") && !p.contains("Window"), p.take(2000))
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx == 1, s"expected 1 hash exchange, got $hashEx:\n" +
+      p.split("\n").filter(_.contains("Exchange")).mkString("\n"))
+  }
+
+  test("SCD3: change flag, islands, both windows and the agg share ONE exchange") {
+    val p = plan("etl_scd3_prev_value")
+    assert(!p.contains("Join"), p.take(2000))
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx == 1, s"expected 1 hash exchange, got $hashEx:\n" +
+      p.split("\n").filter(_.contains("Exchange")).mkString("\n"))
+  }
 }
