@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{ArrayDot, DiscountBand, HyperplaneSig, MinHashSig, NfcNormalize, SimHashSig, SortedIntersectCount, Tokenize}
+import graft.functions.{ArrayDot, DiscountBand, HyperplaneSig, JaroWinkler, MinHashSig, NfcNormalize, SimHashSig, SortedIntersectCount, Tokenize}
 
 /** SparkSessionExtensions entry point: registers the engine's custom
   * Catalyst expressions as permanent SQL functions, so a user can enable
@@ -34,6 +34,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((new FunctionIdentifier("nfc_normalize"),
       new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
       arity("nfc_normalize", 1)(exprs => NfcNormalize(exprs.head))))
+    e.injectFunction((new FunctionIdentifier("jaro_winkler"),
+      new ExpressionInfo(classOf[JaroWinkler].getName, "jaro_winkler"),
+      arity("jaro_winkler", 2)(exprs =>
+        JaroWinkler(exprs.head, exprs(1)))))
     // Sketch signatures + LSH verify helper — the dedup/similarity SQL
     // surface. minhash_sig takes (toks, k) with a foldable int k.
     e.injectFunction((new FunctionIdentifier("minhash_sig"),

@@ -779,6 +779,41 @@ object AnalyticsQueries {
             / col("n_view").cast("double")).as("cvr_purchase"))
     }),
 
+    // COHORT LTV CURVE — cumulative purchase revenue by signup cohort
+    // × account age, the money companion of cohort_retention (retention
+    // reads WHO came back; LTV reads what coming back was WORTH — the
+    // payback-period curve growth finance actually plots). Cohort =
+    // each user's first-seen day; age = event day − cohort day.
+    // Everything is INTEGER-EXACT: revenue in cents (long), per-cell
+    // sums exact, and the cumulative-over-age running sum is a long
+    // window sum — no decimal frames, no float accumulation; one
+    // double division to dollars at the edge (r4d). Ages with no
+    // purchases don't emit a row (observed-ages contract, like the
+    // sketch WAU's emitted-days note); the curve is still monotone
+    // because cum carries across the gap.
+    //
+    // Scale: one user_id exchange for the first-seen day, the join
+    // back rides the same key, then the (cohort, age) cells are
+    // calendar²-bounded — the window stage never sees raw events.
+    "agg_cohort_ltv" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = events(s, dir).select(col("user_id"),
+        epochDay("ts").as("day"), col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"))
+      val first = e.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
+      val cells = e.join(first, Seq("user_id"))
+        .filter(col("event_type") === "purchase")
+        .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("age_days"))
+        .agg(count(lit(1)).as("n_purchases"), sum(col("cents")).as("rev"))
+      val w = Window.partitionBy(col("cohort_day")).orderBy(col("age_days"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      cells.withColumn("cum_cents", sum(col("rev")).over(w))
+        .select(col("cohort_day"), col("age_days"), col("n_purchases"),
+          r4d(col("cum_cents").cast("double") / lit(100.0))
+            .as("cum_revenue"))
+        .orderBy("cohort_day", "age_days")
+    }),
+
     // SESSION DURATION/DEPTH STATS per user — the engagement rollup on
     // top of ts_sessionize's raw sessions (product dashboards read
     // "avg session length" and "events per session", not session
@@ -943,6 +978,29 @@ object AnalyticsQueries {
         |WHERE l_shipdate <= DATE '2000-09-02'
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin)
+    }),
+
+    // TPC-H Q10 — returned-item revenue: which customers sent the most
+    // money back last quarter. The fourth TPC-H member: q1 = scan-agg,
+    // q5 = co-located star, q18 = grouped-HAVING semi-join, q10 = the
+    // high-cardinality group-by (|customers| groups, not 6) with a
+    // top-k tail — the case where the ORDER BY + LIMIT must collapse
+    // to TakeOrderedAndProject instead of a full sort of every
+    // customer. Date range and returnflag push to the scans; revenue
+    // through Det.dsum; (revenue DESC, c_custkey) totally ordered.
+    "sql_tpch_q10" -> ((s, dir) => {
+      s.sql(s"""SELECT c_custkey, c_name, n_name,
+        |  ${sqlSum("l_extendedprice * (1 - l_discount)")} AS revenue
+        |FROM parquet.`$dir/customer.parquet`
+        |JOIN parquet.`$dir/orders.parquet` ON c_custkey = o_custkey
+        |JOIN parquet.`$dir/lineitem.parquet` ON l_orderkey = o_orderkey
+        |JOIN parquet.`$dir/nation.parquet` ON c_nationkey = n_nationkey
+        |WHERE o_orderdate >= DATE '1996-01-01'
+        |  AND o_orderdate < DATE '1996-04-01'
+        |  AND l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY revenue DESC, c_custkey
+        |LIMIT 20""".stripMargin)
     }),
 
     // TPC-H Q5 — the classic six-table star with the CO-LOCATION twist
@@ -1272,6 +1330,25 @@ object AnalyticsQueries {
         |  CAST(sum(iv_end - iv_start) AS BIGINT) AS covered_ms,
         |  max(iv_end - iv_start) AS longest_ms
         |FROM iv GROUP BY 1 ORDER BY user_id""".stripMargin,
+    // Same first-seen join, integer cents, HUGEINT-backed running sum
+    // cast only at the dollars edge.
+    "agg_cohort_ltv" ->
+      s"""WITH e AS (SELECT user_id, ${sqlEpochDay("ts")} AS day,
+         |    event_type, CAST(round(value * 100) AS BIGINT) AS cents
+         |  FROM events),
+         |f AS (SELECT user_id, min(day) AS cohort_day FROM e GROUP BY 1),
+         |cells AS (SELECT cohort_day, day - cohort_day AS age_days,
+         |    count(*) AS n_purchases, CAST(sum(cents) AS BIGINT) AS rev
+         |  FROM e JOIN f USING (user_id)
+         |  WHERE event_type = 'purchase' GROUP BY 1, 2),
+         |c AS (SELECT cohort_day, age_days, n_purchases,
+         |    sum(rev) OVER (PARTITION BY cohort_day ORDER BY age_days
+         |      ROWS UNBOUNDED PRECEDING) AS cum_cents
+         |  FROM cells)
+         |SELECT cohort_day, age_days, n_purchases,
+         |  ROUND(CAST(cum_cents AS DOUBLE) / 100.0 * 10000.0) / 10000.0
+         |    AS cum_revenue
+         |FROM c ORDER BY cohort_day, age_days""".stripMargin,
     // The ts_sessionize CTE chain + two exact integer rollups; only
     // the final two averages divide, in the same double op order.
     "ts_session_stats" ->
@@ -1418,6 +1495,19 @@ object AnalyticsQueries {
          |  ROUND(CAST(ne * td AS DOUBLE) / CAST(n_days * te AS DOUBLE)
          |    * 10000.0) / 10000.0 AS idx
          |FROM t WHERE te > 0 ORDER BY event_type, dow""".stripMargin,
+    "sql_tpch_q10" ->
+      s"""SELECT c_custkey, c_name, n_name,
+         |  ${sqlSum("l_extendedprice * (1 - l_discount)")} AS revenue
+         |FROM customer
+         |JOIN orders ON c_custkey = o_custkey
+         |JOIN lineitem ON l_orderkey = o_orderkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |WHERE o_orderdate >= DATE '1996-01-01'
+         |  AND o_orderdate < DATE '1996-04-01'
+         |  AND l_returnflag = 'R'
+         |GROUP BY c_custkey, c_name, n_name
+         |ORDER BY revenue DESC, c_custkey
+         |LIMIT 20""".stripMargin,
     "sql_tpch_q1" ->
       s"""SELECT l_returnflag, l_linestatus,
          |  ${sqlSum("l_quantity")} AS sum_qty,

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.Tables.{t, events}
+import graft.Tables.{t, events, epochDay}
 import graft.Det.{dsum, r4d, sqlSum}
 
 /** §2.20 ETL mutation & history operators (SURVEY.md, round-5
@@ -432,6 +432,41 @@ object EtlQueries {
         .orderBy("relation")
     }),
 
+    // INCREMENTAL AGGREGATE MAINTENANCE — the stored-partials pattern
+    // that keeps a 100 TB daily rollup current without re-scanning
+    // history: the corpus splits at the midpoint day into a "stored"
+    // half and an arriving "delta", each reduces to per-(type, day)
+    // partials INDEPENDENTLY, and the serving table is the MERGE of
+    // the two partial sets — the same mergeable-aggregate discipline
+    // the sketch tables use (SURVEY §2.26), here with exact counts and
+    // decimal sums. Load-bearing detail: the partial money sums stay
+    // UNROUNDED decimal(38,6) through the merge and round once at the
+    // edge — rounding partials first would break the merge identity
+    // (merged ≠ full recompute) in the last decimal place.
+    //
+    // Scale: each half is one partial-aggregating exchange over its
+    // slice; the merge is an exchange over |types|×|days| partial
+    // rows — never the corpus. In production the "stored" side is a
+    // table read, not a re-scan; the oracle IS the full recompute, so
+    // the driver gate proves merge ≡ recompute.
+    "etl_incremental_agg_merge" -> ((s, dir) => {
+      val e = events(s, dir).select(col("event_type"),
+        epochDay("ts").as("day"), col("value"))
+      val cut = broadcast(e.groupBy().agg(
+        expr("min(day) + (max(day) - min(day)) div 2").as("cut")))
+      val ec = e.crossJoin(cut)
+      def part(f: org.apache.spark.sql.Column) = ec.filter(f)
+        .groupBy("event_type", "day")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(graft.Det.D)).as("sv"))
+      part(col("day") <= col("cut"))
+        .unionByName(part(col("day") > col("cut")))
+        .groupBy("event_type", "day")
+        .agg(sum(col("n")).as("n"),
+          round(sum(col("sv")), 4).cast("double").as("sum_value"))
+        .orderBy("event_type", "day")
+    }),
+
     // SCD TYPE 3 — the "current + one previous" dimension shape
     // completing the slowly-changing family (type 1 = overwrite
     // [etl_upsert_type1], type 2 = full history [etl_scd2_history];
@@ -709,6 +744,13 @@ object EtlQueries {
         |  FROM i)
         |SELECT user_id, state AS cur_state, start_ms AS cur_since_ms,
         |  prev_state, nmax AS n_changes
-        |FROM x WHERE island = nmax ORDER BY user_id""".stripMargin
+        |FROM x WHERE island = nmax ORDER BY user_id""".stripMargin,
+    // The oracle is the FULL single-pass recompute — passing proves
+    // the stored-partials merge is exactly the recomputed table.
+    "etl_incremental_agg_merge" ->
+      s"""SELECT event_type, ${graft.Det.sqlEpochDay("ts")} AS day,
+         |  count(*) AS n, ${graft.Det.sqlSum("value")} AS sum_value
+         |FROM events GROUP BY 1, 2
+         |ORDER BY event_type, day""".stripMargin
   )
 }

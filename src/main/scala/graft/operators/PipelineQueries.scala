@@ -406,6 +406,31 @@ object PipelineQueries {
         .orderBy(col("doc_id"), col("frame_idx"))
     }),
 
+    // BYTE-RANGE CHUNK MANIFEST — the planning table a distributed
+    // media decoder reads INSTEAD of the blobs: each document's byte
+    // span splits into fixed 1 KiB ranges (doc_id, chunk_idx,
+    // [start_off, end_off)), so executors fetch ranges independently
+    // (S3/HDFS ranged reads), a failed chunk retries alone, and skew
+    // from one 10 GB video is capped at chunk granularity — the
+    // multimodal sibling of pipeline_pack_sequences' token budgeting.
+    // Pure integer arithmetic on the stored length; the explode is
+    // map-side (no shuffle below the presentation sort), and the
+    // manifest is what MediaPipeline's per-partition decoder would
+    // consume.
+    "multimodal_byte_chunks" -> ((s, dir) => {
+      val chunk = 1024L
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars").cast("long").as("nb"))
+        .filter(col("nb") > 0)
+        .select(col("doc_id"), col("nb"),
+          explode(sequence(lit(0L), expr("(nb - 1) div 1024")))
+            .as("chunk_idx"))
+        .select(col("doc_id"), col("chunk_idx"),
+          (col("chunk_idx") * chunk).as("start_off"),
+          least(col("chunk_idx") * chunk + chunk, col("nb")).as("end_off"))
+        .orderBy("doc_id", "chunk_idx")
+    }),
+
     // Weighted corpus mixing: keep each source at its own sampling rate,
     // decided per doc by a content-independent hash threshold (first 4
     // hex digits of md5(doc_id) compared against the rate's hex cut —
@@ -433,6 +458,32 @@ object PipelineQueries {
     // blocked all-pairs edit distance within the first-token block. The
     // distinct() is the scale move — running levenshtein over raw rows
     // would square the fact-table cardinality for identical output.
+    // Fuzzy dedup of the same VALUE DICTIONARY by JARO-WINKLER — the
+    // short-string/name-matching complement of dedup_edit_distance
+    // (levenshtein over-penalizes transpositions and ignores the
+    // strong-prefix signal typo'd names carry; JW is the entity-
+    // resolution standard for exactly this shape). Scored by the NEW
+    // native codegen Expression graft.functions.JaroWinkler —
+    // bit-identical to DuckDB's jaro_winkler_similarity
+    // (JaroWinklerSpec pins 44 pairs incl. the floor-halved
+    // transposition and empty-string edges), so the raw-double
+    // threshold selects the SAME pair set in both engines and r4d only
+    // touches the reported score. Same dictionary-trick scale shape:
+    // distinct names first, first-token blocking, all-pairs within
+    // the block only.
+    "dedup_jaro_names" -> ((s, dir) => {
+      val names = t(s, dir, "part").select(col("p_name")).distinct()
+        .withColumn("blk", split(col("p_name"), " ").getItem(0))
+      val a = names.select(col("blk"), col("p_name").as("name_a"))
+      val b = names.select(col("blk"), col("p_name").as("name_b"))
+      a.join(b, Seq("blk")).filter(col("name_a") < col("name_b"))
+        .withColumn("jw",
+          graft.functions.JaroWinkler(col("name_a"), col("name_b")))
+        .filter(col("jw") >= 0.8)
+        .select(col("name_a"), col("name_b"), r4d(col("jw")).as("jw"))
+        .orderBy("name_a", "name_b")
+    }),
+
     "dedup_edit_distance" -> ((s, dir) => {
       val names = t(s, dir, "part").select(col("p_name")).distinct()
         .withColumn("blk", split(col("p_name"), " ").getItem(0))
@@ -870,7 +921,30 @@ object PipelineQueries {
         |  ROUND(CAST(n_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE)
         |    * 10000.0) / 10000.0 AS chars_per_token
         |FROM g WHERE n_words > 0 AND n_tokens > 0
-        |ORDER BY lang""".stripMargin
+        |ORDER BY lang""".stripMargin,
+    // Same integer chunk arithmetic; range() is exclusive-upper like
+    // the Spark sequence's computed bound + 1.
+    "multimodal_byte_chunks" ->
+      """WITH d AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS nb
+        |  FROM documents WHERE n_chars > 0),
+        |c AS (SELECT doc_id, nb,
+        |    unnest(range((nb - 1) // 1024 + 1)) AS chunk_idx FROM d)
+        |SELECT doc_id, chunk_idx, chunk_idx * 1024 AS start_off,
+        |  least(chunk_idx * 1024 + 1024, nb) AS end_off
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+    // DuckDB's native jaro_winkler_similarity IS the reference the
+    // Spark Expression reproduces bit-for-bit; the threshold filters
+    // on the raw double, so both engines keep the identical pair set.
+    "dedup_jaro_names" ->
+      """WITH names AS (SELECT DISTINCT p_name FROM part),
+        |n AS (SELECT p_name, string_split(p_name, ' ')[1] AS blk
+        |  FROM names)
+        |SELECT a.p_name AS name_a, b.p_name AS name_b,
+        |  ROUND(jaro_winkler_similarity(a.p_name, b.p_name) * 10000.0)
+        |    / 10000.0 AS jw
+        |FROM n a JOIN n b ON a.blk = b.blk AND a.p_name < b.p_name
+        |WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.8
+        |ORDER BY name_a, name_b""".stripMargin
     // dedup_simhash: engine-pinned xxhash64 → property-tested, no oracle.
   )
 }

@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.Tables.t
+import graft.Tables.{t, events}
 
 /** §2.1 Scans / sources / sinks (SURVEY.md). Parquet is the native format
   * (vectorized scan, predicate pushdown, column pruning all free); CSV and
@@ -254,6 +254,30 @@ object ScanQueries {
     // failure nulls the offending field and captures the raw line in
     // the quarantine column, map-side in the scan — no separate
     // validation pass. Corruption is deterministic (mod-7 keys get a
+    // NESTED-COLUMN PRUNING roundtrip — flat-column pruning
+    // (scan_schema_prune) is table stakes; what dies at 100 TB is a
+    // reader that fetches a WHOLE struct to answer one leaf (event
+    // payloads, ML feature bundles and telemetry all ship as nested
+    // structs). Write events as two structs, aggregate over one leaf,
+    // and the scan must read struct<who:struct<event_type>> ONLY —
+    // neither who.user_id nor the payload struct (Spark's
+    // SchemaPruning rule; ReadSchema pinned in PlanAuditSpec). The
+    // oracle reads the flat original, so values prove the roundtrip
+    // too.
+    "scan_nested_prune" -> ((s, dir) => {
+      val tmp = s"${scratch(s, dir)}/nested_events_${math.abs(dir.hashCode)}"
+      writeOnce(tmp) {
+        events(s, dir).select(col("event_id"),
+          struct(col("user_id"), col("event_type")).as("who"),
+          struct(col("value"), col("props")).as("payload"))
+          .write.mode("overwrite").parquet(tmp)
+      }
+      s.read.parquet(tmp)
+        .groupBy(col("who.event_type").as("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("event_type")
+    }),
+
     // non-numeric key field), so the oracle reconstructs both the
     // surviving fields AND the quarantined raw lines from the original
     // table.
@@ -430,6 +454,11 @@ object ScanQueries {
       """SELECT l_orderkey, l_partkey, l_quantity FROM lineitem
         |WHERE l_orderkey BETWEEN 100 AND 700 AND l_partkey BETWEEN 20 AND 120
         |ORDER BY l_orderkey, l_partkey, l_quantity""".stripMargin,
+    // The flat original — values prove the nested roundtrip, the plan
+    // pin proves the leaf-only read.
+    "scan_nested_prune" ->
+      """SELECT event_type, count(*) AS n FROM events
+        |GROUP BY 1 ORDER BY event_type""".stripMargin,
     // Roundtrips are lossless → oracle reads the parquet directly.
     "scan_csv_roundtrip" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",

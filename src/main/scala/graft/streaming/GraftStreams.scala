@@ -168,6 +168,23 @@ object GraftStreams {
       .select(unix_millis(col("w.start").cast("timestamp")).as("start_ms"),
         col("event_type"), col("n"), col("avg_value"))
 
+  /** Per tumbling hour × event_type counts — the STREAMING AGGREGATE
+    * half of an hourly top-k dashboard. Ranking is deliberately NOT
+    * here: a rank over a streaming agg isn't Append-expressible (a new
+    * row re-ranks its whole window), so the production shape is this
+    * windowed agg feeding a downstream rank (foreachBatch or a batch
+    * view over the sink table) — exactly what the declared
+    * `stream_hourly_topk` key and its parity test compose. State per
+    * (hour, type) is one count register; the watermark retires closed
+    * hours from the store. */
+  def hourlyTypeCounts(events: DataFrame,
+      watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_millis(col("w.start").cast("timestamp")).as("hour_ms"),
+        col("event_type"), col("n"))
+
   /** Gap-based sessions per user via the native session_window state
     * (merging windows); emits (user_id, start_ms, end_ms, n_events,
     * sum_value) per closed-or-current session. The watermark is what

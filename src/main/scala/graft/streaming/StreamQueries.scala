@@ -69,6 +69,26 @@ object StreamQueries {
       GraftStreams.sessionFirstTouch(events(s, dir))
         .orderBy("user_id", "start_ms")),
 
+    // HOURLY TOP-K TRENDING — the dashboard composition over a
+    // STREAMING aggregate: GraftStreams.hourlyTypeCounts is the
+    // watermarked windowed agg (shared declaration — the watermark
+    // node analyzer-eliminates on this batch frame), and the top-2
+    // rank runs DOWNSTREAM of it through the custom TopKPerGroup
+    // operator + row_number — the foreachBatch/sink-view pattern,
+    // because Append mode cannot re-rank a window when a late row
+    // lands (see hourlyTypeCounts' scaladoc). StreamingParitySpec
+    // replays the fixture through a MemoryStream, ranks the sink
+    // table, and pins stream == this batch face.
+    "stream_hourly_topk" -> ((s, dir) => {
+      val counts = GraftStreams.hourlyTypeCounts(events(s, dir))
+      val w = Window.partitionBy(col("hour_ms"))
+        .orderBy(col("n").desc, col("event_type"))
+      graft.plans.TopKPerGroup(counts, k = 2, partNames = Seq("hour_ms"),
+          orderSpec = Seq(("n", false), ("event_type", true)))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .orderBy("hour_ms", "rk")
+    }),
+
     // Dedup on event_id (streaming face: watermark + dropDuplicates).
     // Batch face uses window rank=1 — dropDuplicates' survivor choice is
     // nondeterministic if the key ever carries conflicting payloads.
@@ -142,6 +162,16 @@ object StreamQueries {
       s"""SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
          |count(*) AS n, ${sqlSum("value")} AS sum_value
          |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
+    "stream_hourly_topk" ->
+      """WITH c AS (SELECT epoch_ms(ts) - epoch_ms(ts) % 3600000 AS hour_ms,
+        |    event_type, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT hour_ms, event_type, n,
+        |    row_number() OVER (PARTITION BY hour_ms
+        |      ORDER BY n DESC, event_type) AS rk
+        |  FROM c)
+        |SELECT hour_ms, event_type, n, rk FROM r
+        |WHERE rk <= 2 ORDER BY hour_ms, rk""".stripMargin,
     "stream_sliding_avg" ->
       s"""SELECT (epoch_ms(ts) - epoch_ms(ts) % 21600000) - 21600000 * k AS start_ms,
          |  event_type, count(*) AS n, ${sqlAvg("value")} AS avg_value

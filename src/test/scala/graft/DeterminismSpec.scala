@@ -62,7 +62,12 @@ class DeterminismSpec extends SparkSpec {
       // Round-7 sixth wave: session averages, exact gap percentiles
       // (interpolation doubles), fertility ratios
       "ts_session_stats", "ts_gap_percentiles",
-      "text_tokenizer_fertility")) {
+      "text_tokenizer_fertility",
+      // Round-7 seventh wave: the JW double threshold and the
+      // decimal partial-merge identity
+      "dedup_jaro_names", "etl_incremental_agg_merge",
+      // Round-7 eighth wave: the cohort running sum's dollars edge
+      "agg_cohort_ltv")) {
       val a = rows(q, "3")
       val b = rows(q, "17")
       assert(a == b, s"$q diverged between 3 and 17 shuffle partitions " +

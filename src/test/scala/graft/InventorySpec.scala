@@ -145,10 +145,18 @@ class InventorySpec extends SparkSpec {
     // §2.32 round-7 sixth wave: session/cadence analytics, burst
     // detection, tokenizer fertility, SCD type 3, k-core peeling
     "ts_session_stats", "ts_gap_percentiles", "ts_burst_days",
-    "text_tokenizer_fertility", "etl_scd3_prev_value", "graph_kcore")
+    "text_tokenizer_fertility", "etl_scd3_prev_value", "graph_kcore",
+    // §2.33 round-7 seventh wave: Jaro-Winkler fuzzy names (new
+    // codegen Expression), incremental aggregate maintenance, TPC-H
+    // Q10
+    "dedup_jaro_names", "etl_incremental_agg_merge", "sql_tpch_q10",
+    // §2.34 round-7 eighth wave: streaming top-k composition, cohort
+    // LTV, nested-column pruning, multimodal chunk manifest
+    "stream_hourly_topk", "agg_cohort_ltv", "scan_nested_prune",
+    "multimodal_byte_chunks")
 
-  test("declared queries cover SURVEY §2 + §2.12-32 exactly (210 keys)") {
-    assert(inventory.size == 210)
+  test("declared queries cover SURVEY §2 + §2.12-34 exactly (217 keys)") {
+    assert(inventory.size == 217)
     val declared = SparkEntry.queries.keySet
     val missing = inventory -- declared
     val extra = declared -- inventory

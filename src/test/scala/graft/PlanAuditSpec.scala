@@ -797,4 +797,55 @@ class PlanAuditSpec extends SparkSpec {
     assert(hashEx == 1, s"expected 1 hash exchange, got $hashEx:\n" +
       p.split("\n").filter(_.contains("Exchange")).mkString("\n"))
   }
+
+  test("jaro names: the custom Expression stays inside whole-stage codegen") {
+    // The JW score must ride a codegen'd operator (the `*(n)` marker),
+    // not an interpreted fallback — a UDF here would box every pair.
+    val p = plan("dedup_jaro_names")
+    assert(p.split("\n").exists(l => l.contains("jaro_winkler") &&
+      l.trim.matches("^[+:\\-\\s]*\\*\\(\\d+\\).*")),
+      s"jaro_winkler not in a codegen'd operator:\n${p.take(3000)}")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("incremental agg merge: two partial halves union, no window, no row join") {
+    // The only join is the broadcast-scalar cut; the halves are
+    // filtered partial aggs merged through a Union + final agg.
+    val p = plan("etl_incremental_agg_merge")
+    assert(p.contains("Union"), p.take(3000))
+    assert(!p.contains("Window") && !p.contains("SortMergeJoin"),
+      p.take(2000))
+  }
+
+  test("TPC-H Q10: top-20 tail collapses to TakeOrderedAndProject") {
+    val p = plan("sql_tpch_q10")
+    assert(p.contains("TakeOrderedAndProject"), p.take(3000))
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+  }
+
+  test("nested prune: the scan reads ONLY the aggregated struct leaf") {
+    // SchemaPruning must narrow the read to who.event_type — neither
+    // who.user_id nor the payload struct may appear in ReadSchema.
+    val p = plan("scan_nested_prune")
+    assert(p.contains("ReadSchema: struct<who:struct<event_type:string>>"),
+      p.split("\n").filter(_.contains("ReadSchema")).mkString("\n"))
+  }
+
+  test("hourly top-k ranks through TopKPerGroupExec above the windowed agg") {
+    val p = plan("stream_hourly_topk")
+    assert(p.contains("TopKPerGroup"), p.take(3000))
+  }
+
+  test("cohort LTV: ONE window over calendar-bounded cells, no cartesian") {
+    val p = plan("agg_cohort_ltv")
+    assert("Window \\[".r.findAllIn(p).size == 1, p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("byte chunks: map-side explode, one presentation exchange, no join") {
+    val p = plan("multimodal_byte_chunks")
+    assert(!p.contains("Join") && !p.contains("HashAggregate"), p.take(2000))
+    assert("Exchange".r.findAllIn(p).size == 1,
+      p.split("\n").filter(_.contains("Exchange")).mkString("\n"))
+  }
 }

@@ -63,6 +63,22 @@ class StreamingParitySpec extends SparkSpec {
     assertSameRows(streamed, batch, Seq("start_ms", "event_type"))
   }
 
+  test("hourly top-k: rank over the streamed agg sink == batch declared key") {
+    // The streaming half is hourlyTypeCounts; the rank runs over the
+    // SINK table (the foreachBatch/downstream-view pattern the
+    // declared key documents) — not inside the streaming plan.
+    import org.apache.spark.sql.expressions.Window
+    val streamed = runStream("hourcnt", 4, OutputMode.Complete())(
+      GraftStreams.hourlyTypeCounts(_))
+    val w = Window.partitionBy(col("hour_ms"))
+      .orderBy(col("n").desc, col("event_type"))
+    val ranked = streamed.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 2)
+    val batch = graft.streaming.StreamQueries.queries("stream_hourly_topk")(
+      spark, sf)
+    assertSameRows(ranked, batch, Seq("hour_ms", "rk"))
+  }
+
   test("session windows: stream session_window == batch lag-sessionization") {
     val streamed = runStream("sess", 4, OutputMode.Complete())(
       GraftStreams.sessionWindows(_))
