@@ -779,6 +779,217 @@ object AnalyticsQueries {
             / col("n_view").cast("double")).as("cvr_purchase"))
     }),
 
+    // DAILY GROWTH RATES — day-over-day and week-over-week percent
+    // change of daily volume per type, the first derivative every
+    // metrics page shows next to the raw series (DoD reads momentum,
+    // WoW cancels the weekly cycle ts_dow_seasonality profiles). Over
+    // the zero-filled spine; a zero baseline emits NULL (growth from
+    // nothing is undefined, not infinite); both lags ride ONE window
+    // node. The ratio is one double division + r4d — numerator and
+    // denominator are exact integer counts.
+    "ts_growth_rates" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = events(s, dir)
+        .select(col("event_type"), epochDay("ts").as("day"))
+      val d = e.groupBy("event_type", "day").agg(count(lit(1)).as("y"))
+      val spine = e.select("event_type").distinct()
+        .crossJoin(broadcast(
+          e.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))))
+        .select(col("event_type"),
+          explode(sequence(col("lo"), col("hi"))).as("day"))
+      val full = spine.join(d, Seq("event_type", "day"), "left")
+        .select(col("event_type"), col("day"),
+          coalesce(col("y"), lit(0L)).as("y"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      def pct(prev: org.apache.spark.sql.Column) =
+        when(prev > 0, r4d((col("y") - prev).cast("double")
+          * lit(100.0) / prev.cast("double")))
+      full
+        .withColumn("y1", lag(col("y"), 1).over(w))
+        .withColumn("y7", lag(col("y"), 7).over(w))
+        .select(col("event_type"), col("day"), col("y"),
+          pct(col("y1")).as("dod_pct"), pct(col("y7")).as("wow_pct"))
+        .orderBy("event_type", "day")
+    }),
+
+    // RFM SEGMENTATION — recency/frequency/monetary scoring, the
+    // marketing-analytics classic that buckets every customer 1–5 on
+    // each axis and reads the concatenated code as a segment
+    // ("5-5-5" = champions, "1-4-5" = at-risk big spender). Scores
+    // come from THRESHOLD assignment against the four exact
+    // 20/40/60/80 percentiles of each metric (broadcast back — one
+    // |1|-row statistics table), NOT from a global ntile window: ntile
+    // is a single-partition sort of every customer, the one shape that
+    // cannot scale (the GlobalRank scaladoc's argument); thresholds
+    // keep scoring map-side. Boundary contract: score = 1 + #(metric >
+    // threshold_k) — ties on a threshold take the lower bucket,
+    // identical in both engines on these integer metrics. Recency
+    // inverts (smaller days-since = better = 5).
+    "agg_rfm_segments" -> ((s, dir) => {
+      val e = events(s, dir).select(col("user_id"),
+        epochDay("ts").as("day"),
+        when(col("event_type") === "purchase",
+          round(col("value") * 100).cast("long")).as("cents"))
+      val hi = broadcast(e.agg(max(col("day")).as("hi")))
+      val u = e.crossJoin(hi).groupBy("user_id")
+        .agg(min(col("hi") - col("day")).as("recency"),
+          count(lit(1)).as("frequency"),
+          coalesce(sum(col("cents")), lit(0L)).as("monetary"))
+      def q(c: String) = Seq(0.2, 0.4, 0.6, 0.8).zipWithIndex.map {
+        case (p, i) => percentile(col(c), lit(p)).as(s"${c}_q${i + 1}")
+      }
+      val th = broadcast(u.agg(q("recency").head,
+        q("recency").tail ++ q("frequency") ++ q("monetary"): _*))
+      def score(c: String, invert: Boolean) = {
+        val raw = (1 to 4).map(i =>
+          when(col(c).cast("double") > col(s"${c}_q$i"), 1L)
+            .otherwise(0L)).reduce(_ + _) + 1L
+        if (invert) lit(6L) - raw else raw
+      }
+      u.crossJoin(th)
+        .select(col("user_id"), col("recency"), col("frequency"),
+          r4d(col("monetary").cast("double") / lit(100.0)).as("monetary"),
+          score("recency", invert = true).as("r_score"),
+          score("frequency", invert = false).as("f_score"),
+          score("monetary", invert = false).as("m_score"))
+        .withColumn("segment", concat_ws("-", col("r_score"),
+          col("f_score"), col("m_score")))
+        .orderBy("user_id")
+    }),
+
+    // MAD-BASED ANOMALY DAYS — the ROBUST member of the anomaly family
+    // (ts_anomaly_zscore thresholds on mean/stddev, which the anomaly
+    // itself inflates — one 100× spike day drags the mean up and can
+    // mask a second spike; median/MAD have breakdown point 0.5, so the
+    // threshold barely moves). Flag days where |y − median| > 3·MAD
+    // over the ZERO-FILLED spine. Both statistics are exact
+    // interpolated percentiles (the agg_mad machinery applied to the
+    // calendar-bounded daily table — group state is |days|, not
+    // corpus); the deviation, threshold product and compare are
+    // spelled identically in both engines. MAD = 0 (constant series)
+    // flags nothing via the explicit guard rather than dividing.
+    //
+    // Scale: corpus → |types|×|days| in one partial-agg exchange; the
+    // two percentile aggs and both broadcast join-backs operate on
+    // that bounded table only.
+    "ts_anomaly_mad" -> ((s, dir) => {
+      val e = events(s, dir)
+        .select(col("event_type"), epochDay("ts").as("day"))
+      val d = e.groupBy("event_type", "day").agg(count(lit(1)).as("y"))
+      val spine = e.select("event_type").distinct()
+        .crossJoin(broadcast(
+          e.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))))
+        .select(col("event_type"),
+          explode(sequence(col("lo"), col("hi"))).as("day"))
+      val full = spine.join(d, Seq("event_type", "day"), "left")
+        .select(col("event_type"), col("day"),
+          coalesce(col("y"), lit(0L)).as("y"))
+      val med = full.groupBy("event_type")
+        .agg(percentile(col("y"), lit(0.5)).as("med"))
+      val dev = full.join(broadcast(med), Seq("event_type"))
+        .withColumn("dev", abs(col("y").cast("double") - col("med")))
+      val mad = dev.groupBy("event_type")
+        .agg(percentile(col("dev"), lit(0.5)).as("mad"))
+      dev.join(broadcast(mad), Seq("event_type"))
+        .select(col("event_type"), col("day"), col("y"),
+          r4d(col("dev")).as("dev"),
+          when(col("mad") > 0.0 && col("dev") > lit(3.0) * col("mad"), 1L)
+            .otherwise(0L).as("outlier"))
+        .orderBy("event_type", "day")
+    }),
+
+    // NEW vs RETURNING split of daily actives — the growth-accounting
+    // identity (DAU = acquisition + retention) every product dashboard
+    // leads with. A user's first-seen day assigns NEW exactly once;
+    // everything after is RETURNING. All integer counts off the
+    // distinct (user, day) grid; one double share at the edge.
+    //
+    // Scale: ONE user_id exchange — each user folds to their distinct
+    // day SET (collect_set partial-aggregates map-side; per-entity
+    // bounded, the funnel convention), first-seen is the array min,
+    // and the explode back out is map-side on the same partitioning.
+    // The join spelling (distinct grid ⋈ first-seen) would cost two
+    // more exchanges for identical output — the oracle spells it that
+    // way, which is exactly why the fold is worth pinning (2 hash
+    // exchanges total).
+    "ts_new_vs_returning" -> ((s, dir) => {
+      val u = events(s, dir)
+        .select(col("user_id"), epochDay("ts").as("day"))
+        .groupBy("user_id").agg(collect_set(col("day")).as("days"))
+      u.select(array_min(col("days")).as("fday"),
+          explode(col("days")).as("day"))
+        .groupBy("day")
+        .agg(count(lit(1)).as("n_active"),
+          sum(when(col("day") === col("fday"), 1L).otherwise(0L))
+            .as("n_new"))
+        .select(col("day"), col("n_active"), col("n_new"),
+          (col("n_active") - col("n_new")).as("n_returning"),
+          r4d(col("n_new").cast("double") / col("n_active").cast("double"))
+            .as("new_share"))
+        .orderBy("day")
+    }),
+
+    // DAU/WAU STICKINESS — the engagement-frequency ratio (what share
+    // of a week's actives show up on a given day) composing the two
+    // exact distinct surfaces: DAU off the (user, day) grid, WAU by
+    // the agg_wau_sliding_distinct trailing-window contribution
+    // explode (each active day contributes to its ≤7 trailing
+    // window-days, clipped by the broadcast corpus bound BEFORE the
+    // dedup exchanges — the sibling key's device). Emitted on the
+    // full lo..hi spine with DAU 0 ⇒ stickiness 0.0; WAU = 0 (fully
+    // quiet week) emits NULL stickiness rather than a division.
+    "ts_stickiness_ratio" -> ((s, dir) => {
+      val e = events(s, dir)
+        .select(col("user_id"), epochDay("ts").as("day"))
+      val bounds = e.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+      val ud = e.distinct()
+      val dau = ud.groupBy("day").agg(count(lit(1)).as("dau"))
+      val wau = ud
+        .select(col("user_id"),
+          explode(sequence(col("day"), col("day") + 6)).as("wday"))
+        .join(broadcast(bounds.select(col("hi"))), col("wday") <= col("hi"))
+        .drop("hi")
+        .distinct()
+        .groupBy("wday").agg(count(lit(1)).as("wau"))
+      val spine = bounds
+        .select(explode(sequence(col("lo"), col("hi"))).as("day"))
+      spine
+        .join(dau, Seq("day"), "left")
+        .join(wau.withColumnRenamed("wday", "day"), Seq("day"), "left")
+        .select(col("day"), coalesce(col("dau"), lit(0L)).as("dau"),
+          coalesce(col("wau"), lit(0L)).as("wau"),
+          when(col("wau") > 0, r4d(coalesce(col("dau"), lit(0L))
+            .cast("double") / col("wau").cast("double"))).as("stickiness"))
+        .orderBy("day")
+    }),
+
+    // TIME-TO-CONVERT PERCENTILES — the funnel family's latency view
+    // (funnel_conversion_window counts WHO converts inside a deadline;
+    // this reads HOW LONG conversion takes — the number that sets the
+    // deadline). Per user: first view, then the first purchase AT OR
+    // AFTER it via the funnel key's sorted-array fold (ONE user_id
+    // exchange, chained stages map-side); the global p50/p95 of the
+    // integer-ms latencies are exact interpolated percentiles over
+    // |converted users| rows, reported in minutes (one division
+    // INSIDE the percentile input is avoided — percentile runs on raw
+    // ms, the minutes conversion is the final double op, r4d).
+    "agg_time_to_convert" -> ((s, dir) => {
+      val e = events(s, dir).select(col("user_id"), col("event_type"),
+        unix_millis(col("ts").cast("timestamp")).as("ms"))
+      val u = e.groupBy("user_id").agg(
+        min(when(col("event_type") === "view", col("ms"))).as("v"),
+        sort_array(collect_list(
+          when(col("event_type") === "purchase", col("ms")))).as("ps"))
+      u.withColumn("p", array_min(filter(col("ps"), x => x >= col("v"))))
+        .filter(col("p").isNotNull)
+        .withColumn("lat", col("p") - col("v"))
+        .agg(count(lit(1)).as("n_converted"),
+          r4d(percentile(col("lat"), lit(0.5)) / lit(60000.0))
+            .as("p50_minutes"),
+          r4d(percentile(col("lat"), lit(0.95)) / lit(60000.0))
+            .as("p95_minutes"))
+    }),
+
     // COHORT LTV CURVE — cumulative purchase revenue by signup cohort
     // × account age, the money companion of cohort_retention (retention
     // reads WHO came back; LTV reads what coming back was WORTH — the
@@ -1330,6 +1541,137 @@ object AnalyticsQueries {
         |  CAST(sum(iv_end - iv_start) AS BIGINT) AS covered_ms,
         |  max(iv_end - iv_start) AS longest_ms
         |FROM iv GROUP BY 1 ORDER BY user_id""".stripMargin,
+    "ts_growth_rates" ->
+      s"""WITH e AS (SELECT event_type, ${sqlEpochDay("ts")} AS day
+         |  FROM events),
+         |d AS (SELECT event_type, day, count(*) AS y FROM e GROUP BY 1, 2),
+         |b AS (SELECT min(day) AS lo, max(day) AS hi FROM e),
+         |ty AS (SELECT DISTINCT event_type FROM e),
+         |spine AS (SELECT event_type, unnest(range(lo, hi + 1)) AS day
+         |  FROM ty CROSS JOIN b),
+         |fl AS (SELECT s.event_type, s.day, coalesce(y, 0) AS y
+         |  FROM spine s LEFT JOIN d
+         |    ON s.event_type = d.event_type AND s.day = d.day),
+         |l AS (SELECT event_type, day, y,
+         |    lag(y, 1) OVER (PARTITION BY event_type ORDER BY day) AS y1,
+         |    lag(y, 7) OVER (PARTITION BY event_type ORDER BY day) AS y7
+         |  FROM fl)
+         |SELECT event_type, day, y,
+         |  CASE WHEN y1 > 0 THEN ROUND(CAST(y - y1 AS DOUBLE) * 100.0
+         |    / CAST(y1 AS DOUBLE) * 10000.0) / 10000.0 END AS dod_pct,
+         |  CASE WHEN y7 > 0 THEN ROUND(CAST(y - y7 AS DOUBLE) * 100.0
+         |    / CAST(y7 AS DOUBLE) * 10000.0) / 10000.0 END AS wow_pct
+         |FROM l ORDER BY event_type, day""".stripMargin,
+    // Same exact quantile thresholds broadcast conceptually via a
+    // scalar-subquery CROSS JOIN; score = 1 + #(metric > q_k), recency
+    // inverted.
+    "agg_rfm_segments" -> {
+      def qs(c: String) = (1 to 4).map(i =>
+        s"quantile_cont($c, 0.${i * 2}) AS ${c}_q$i").mkString(", ")
+      def sc(c: String, inv: Boolean) = {
+        val raw = (1 to 4).map(i =>
+          s"(CASE WHEN CAST($c AS DOUBLE) > ${c}_q$i THEN 1 ELSE 0 END)")
+          .mkString(" + ")
+        val e = s"CAST(1 + $raw AS BIGINT)"
+        if (inv) s"6 - $e" else e
+      }
+      s"""WITH e AS (SELECT user_id, ${sqlEpochDay("ts")} AS day,
+         |    CASE WHEN event_type = 'purchase'
+         |      THEN CAST(round(value * 100) AS BIGINT) END AS cents
+         |  FROM events),
+         |b AS (SELECT max(day) AS hi FROM e),
+         |u AS (SELECT user_id, min(hi - day) AS recency,
+         |    count(*) AS frequency,
+         |    coalesce(CAST(sum(cents) AS BIGINT), 0) AS monetary
+         |  FROM e CROSS JOIN b GROUP BY 1),
+         |th AS (SELECT ${qs("recency")}, ${qs("frequency")},
+         |    ${qs("monetary")} FROM u),
+         |s AS (SELECT user_id, recency, frequency, monetary,
+         |    ${sc("recency", inv = true)} AS r_score,
+         |    ${sc("frequency", inv = false)} AS f_score,
+         |    ${sc("monetary", inv = false)} AS m_score
+         |  FROM u CROSS JOIN th)
+         |SELECT user_id, recency, frequency,
+         |  ROUND(CAST(monetary AS DOUBLE) / 100.0 * 10000.0) / 10000.0
+         |    AS monetary,
+         |  r_score, f_score, m_score,
+         |  CAST(r_score AS VARCHAR) || '-' || CAST(f_score AS VARCHAR)
+         |    || '-' || CAST(m_score AS VARCHAR) AS segment
+         |FROM s ORDER BY user_id""".stripMargin
+    },
+    // Same spine, same two quantile_cont statistics, same threshold
+    // spelling — the MAD-0 guard mirrors exactly.
+    "ts_anomaly_mad" ->
+      s"""WITH e AS (SELECT event_type, ${sqlEpochDay("ts")} AS day
+         |  FROM events),
+         |d AS (SELECT event_type, day, count(*) AS y FROM e GROUP BY 1, 2),
+         |b AS (SELECT min(day) AS lo, max(day) AS hi FROM e),
+         |ty AS (SELECT DISTINCT event_type FROM e),
+         |spine AS (SELECT event_type, unnest(range(lo, hi + 1)) AS day
+         |  FROM ty CROSS JOIN b),
+         |fl AS (SELECT s.event_type, s.day, coalesce(y, 0) AS y
+         |  FROM spine s LEFT JOIN d
+         |    ON s.event_type = d.event_type AND s.day = d.day),
+         |med AS (SELECT event_type, quantile_cont(y, 0.5) AS med
+         |  FROM fl GROUP BY 1),
+         |dv AS (SELECT fl.event_type, day, y,
+         |    abs(CAST(y AS DOUBLE) - med) AS dev
+         |  FROM fl JOIN med ON fl.event_type = med.event_type),
+         |mad AS (SELECT event_type, quantile_cont(dev, 0.5) AS mad
+         |  FROM dv GROUP BY 1)
+         |SELECT dv.event_type AS event_type, day, y,
+         |  ROUND(dev * 10000.0) / 10000.0 AS dev,
+         |  CASE WHEN mad > 0.0 AND dev > 3.0 * mad THEN CAST(1 AS BIGINT)
+         |    ELSE CAST(0 AS BIGINT) END AS outlier
+         |FROM dv JOIN mad ON dv.event_type = mad.event_type
+         |ORDER BY dv.event_type, day""".stripMargin,
+    "ts_new_vs_returning" ->
+      s"""WITH ud AS (SELECT DISTINCT user_id, ${sqlEpochDay("ts")} AS day
+         |  FROM events),
+         |f AS (SELECT user_id, min(day) AS fday FROM ud GROUP BY 1),
+         |g AS (SELECT day, count(*) AS n_active,
+         |    CAST(sum(CASE WHEN day = fday THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_new
+         |  FROM ud JOIN f USING (user_id) GROUP BY 1)
+         |SELECT day, n_active, n_new, n_active - n_new AS n_returning,
+         |  ROUND(CAST(n_new AS DOUBLE) / CAST(n_active AS DOUBLE)
+         |    * 10000.0) / 10000.0 AS new_share
+         |FROM g ORDER BY day""".stripMargin,
+    "ts_stickiness_ratio" ->
+      s"""WITH e AS (SELECT user_id, ${sqlEpochDay("ts")} AS day
+         |  FROM events),
+         |b AS (SELECT min(day) AS lo, max(day) AS hi FROM e),
+         |ud AS (SELECT DISTINCT user_id, day FROM e),
+         |dau AS (SELECT day, count(*) AS dau FROM ud GROUP BY 1),
+         |contrib AS (SELECT DISTINCT user_id, day + k AS wday
+         |  FROM ud CROSS JOIN (SELECT unnest(range(7)) AS k) ks
+         |  WHERE day + k <= (SELECT hi FROM b)),
+         |wau AS (SELECT wday AS day, count(*) AS wau
+         |  FROM contrib GROUP BY 1),
+         |spine AS (SELECT unnest(range(lo, hi + 1)) AS day FROM b)
+         |SELECT s.day, coalesce(dau, 0) AS dau, coalesce(wau, 0) AS wau,
+         |  CASE WHEN coalesce(wau, 0) > 0 THEN
+         |    ROUND(CAST(coalesce(dau, 0) AS DOUBLE) / CAST(wau AS DOUBLE)
+         |      * 10000.0) / 10000.0 END AS stickiness
+         |FROM spine s LEFT JOIN dau ON s.day = dau.day
+         |LEFT JOIN wau ON s.day = wau.day
+         |ORDER BY s.day""".stripMargin,
+    // Dependent-min CTEs mirror the sorted-array fold; percentiles on
+    // raw ms, minutes conversion at the edge.
+    "agg_time_to_convert" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ms
+        |  FROM events),
+        |v AS (SELECT user_id, min(ms) AS v FROM e
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |p AS (SELECT e.user_id, min(ms) AS p FROM e JOIN v USING (user_id)
+        |  WHERE event_type = 'purchase' AND ms >= v GROUP BY 1),
+        |l AS (SELECT p.user_id, p - v AS lat FROM p JOIN v USING (user_id))
+        |SELECT count(*) AS n_converted,
+        |  ROUND(quantile_cont(lat, 0.5) / 60000.0 * 10000.0) / 10000.0
+        |    AS p50_minutes,
+        |  ROUND(quantile_cont(lat, 0.95) / 60000.0 * 10000.0) / 10000.0
+        |    AS p95_minutes
+        |FROM l""".stripMargin,
     // Same first-seen join, integer cents, HUGEINT-backed running sum
     // cast only at the dollars edge.
     "agg_cohort_ltv" ->

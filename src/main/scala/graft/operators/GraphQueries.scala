@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables.t
+import graft.Det.r4d
 
 /** §2.23 Graph analytics (SURVEY.md, round-6 second amendment):
   * fixed-point PageRank — the second distributed-iteration primitive
@@ -40,6 +41,7 @@ object GraphQueries {
 
   private val Iters = 5
   private val KcoreRounds = 5
+  private val BfsRounds = 3
 
   val queries: Map[String, Q] = Map(
     "graph_pagerank" -> ((s, dir) => {
@@ -116,6 +118,112 @@ object GraphQueries {
         .select(col("a"), col("b"), col("c"))
       tri.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
         .groupBy("node").agg(count(lit(1)).as("n_tri"))
+        .orderBy("node")
+    }),
+
+    // ALSO-BOUGHT TOP-K — the recommendation staple: for every part,
+    // the 3 parts most often co-purchased with it (weighted bipartite
+    // projection of the order⋈part graph + per-node top-k). The
+    // co-occurrence count partial-aggregates off the per-order pair
+    // expand (fan-out bounded by order size², never corpus²), and the
+    // per-part ranking runs through the custom TopKPerGroup operator —
+    // ≤3 rows per (part × partition) into the exchange instead of a
+    // window sort of every neighbor list (pinned). Full total order
+    // (n_co desc, other) for replay-stable recommendations.
+    "graph_also_bought_topk" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val pp = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+        .distinct()
+      val co = pp.as("x").join(pp.as("y"),
+          col("x.ok") === col("y.ok") && col("x.p") =!= col("y.p"))
+        .groupBy(col("x.p").as("part"), col("y.p").as("other"))
+        .agg(count(lit(1)).as("n_co"))
+      val w = Window.partitionBy(col("part"))
+        .orderBy(col("n_co").desc, col("other"))
+      graft.plans.TopKPerGroup(co, k = 3, partNames = Seq("part"),
+          orderSpec = Seq(("n_co", false), ("other", true)))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .orderBy("part", "rk")
+    }),
+
+    // MULTI-SOURCE BFS — hop distance from a deterministic seed set
+    // (parts ≡ 0 mod 97), THREE fixed relaxation rounds: the
+    // reachability/blast-radius primitive (which catalog items sit
+    // within k recommendation hops of a recalled product; which
+    // accounts within k payment hops of a flagged one). Each round is
+    // one edge⋈frontier equi-join + a min-distance partial agg — the
+    // Pregel round as plain DataFrame ops under the
+    // ConnectedComponents materialization discipline (per-round eager
+    // checkpoint, previous blocks released). Fixed rounds, not
+    // fixpoint, so the unrolled MATERIALIZED oracle mirrors exactly
+    // (the kcore lesson); unreached nodes simply don't appear.
+    "graph_bfs_distance" -> ((s, dir) => {
+      def materialize(df: DataFrame): DataFrame =
+        if (s.sparkContext.getCheckpointDir.isDefined) df.checkpoint(true)
+        else df.localCheckpoint(true)
+      val pp = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+        .distinct()
+      val half = pp.as("x").join(pp.as("y"),
+          col("x.ok") === col("y.ok") && col("x.p") < col("y.p"))
+        .select(col("x.p").as("a"), col("y.p").as("b")).distinct()
+      val ed = half.select(col("a").as("src"), col("b").as("dst"))
+        .unionAll(half.select(col("b").as("src"), col("a").as("dst")))
+        .persist()
+      var dist = materialize(pp.select(col("p").as("node")).distinct()
+        .filter(pmod(col("node"), lit(97)) === 0)
+        .withColumn("dist", lit(0L)))
+      for (_ <- 1 to BfsRounds) {
+        val next = materialize(ed
+          .join(dist, col("src") === col("node"))
+          .select(col("dst").as("node"), (col("dist") + 1).as("dist"))
+          .unionByName(dist)
+          .groupBy("node").agg(min(col("dist")).as("dist")))
+        org.apache.spark.sql.graftshim.unpersistCheckpoint(dist)
+        dist = next
+      }
+      ed.unpersist()
+      dist.orderBy("node")
+    }),
+
+    // LOCAL CLUSTERING COEFFICIENT — triangles normalized by wedge
+    // capacity, cc(v) = 2·T(v)/(deg·(deg−1)): the per-node community
+    // density score on top of graph_triangle_count's raw counts (high
+    // cc = tight community, hub with cc ≈ 0 = spam/aggregator shape —
+    // the feature link-spam classifiers read). Both T(v) and deg come
+    // from the SAME Doulion-sparsified edge set (p = ¼ md5 prefix —
+    // ratios on the sparsified graph are the estimator; mixing a
+    // sampled numerator with the full-graph degree would bias cc by
+    // p²). Same oriented-wedge counting, same reused distinct-edge
+    // subplan; nodes below 2 sampled degrees have no defined cc and
+    // drop; triangle-free nodes emit 0 via the left join.
+    "graph_clustering_coeff" -> ((s, dir) => {
+      val pp = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+        .distinct()
+      val e = pp.as("x").join(pp.as("y"),
+          col("x.ok") === col("y.ok") && col("x.p") < col("y.p"))
+        .select(col("x.p").as("a"), col("y.p").as("b")).distinct()
+        .filter(substring(md5(concat(col("a").cast("string"), lit("_"),
+          col("b").cast("string")).cast("binary")), 1, 1)
+          .isin("0", "1", "2", "3"))
+      val deg = e.select(explode(array(col("a"), col("b"))).as("node"))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+      val closing = e.select(col("a").as("ea"), col("b").as("eb"))
+      val tri = e.as("e1").join(e.as("e2"), col("e1.b") === col("e2.a"))
+        .select(col("e1.a").as("a"), col("e1.b").as("b"),
+          col("e2.b").as("c"))
+        .join(closing, col("a") === col("ea") && col("c") === col("eb"))
+        .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+        .groupBy("node").agg(count(lit(1)).as("n_tri"))
+      deg.join(tri, Seq("node"), "left")
+        .filter(col("deg") >= 2)
+        .select(col("node"), col("deg"),
+          coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+          r4d(lit(2.0) * coalesce(col("n_tri"), lit(0L)).cast("double")
+            / (col("deg").cast("double")
+              * (col("deg").cast("double") - lit(1.0)))).as("coeff"))
         .orderBy("node")
     }),
 
@@ -239,6 +347,66 @@ object GraphQueries {
         |  UNION ALL SELECT c FROM tri)
         |SELECT node, count(*) AS n_tri FROM n
         |GROUP BY 1 ORDER BY node""".stripMargin,
+    "graph_also_bought_topk" ->
+      """WITH pp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+        |  FROM lineitem),
+        |co AS (SELECT x.p AS part, y.p AS other, count(*) AS n_co
+        |  FROM pp x JOIN pp y ON x.ok = y.ok AND x.p <> y.p
+        |  GROUP BY 1, 2),
+        |r AS (SELECT part, other, n_co,
+        |    row_number() OVER (PARTITION BY part
+        |      ORDER BY n_co DESC, other) AS rk
+        |  FROM co)
+        |SELECT part, other, n_co, rk FROM r
+        |WHERE rk <= 3 ORDER BY part, rk""".stripMargin,
+    // Unrolled MATERIALIZED relaxation rounds (the kcore lesson: each
+    // round reads its predecessor twice).
+    "graph_bfs_distance" -> {
+      val prelude =
+        """WITH pp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+          |  FROM lineitem),
+          |half AS (SELECT DISTINCT x.p AS a, y.p AS b
+          |  FROM pp x JOIN pp y ON x.ok = y.ok AND x.p < y.p),
+          |ed AS MATERIALIZED (SELECT a AS src, b AS dst FROM half
+          |  UNION ALL SELECT b, a FROM half),
+          |d0 AS MATERIALIZED (SELECT DISTINCT p AS node,
+          |    CAST(0 AS BIGINT) AS dist
+          |  FROM pp WHERE p % 97 = 0)""".stripMargin
+      val rounds = (1 to BfsRounds).map { i =>
+        s"""d$i AS MATERIALIZED (SELECT node, min(dist) AS dist FROM (
+           |    SELECT ed.dst AS node, d.dist + 1 AS dist
+           |    FROM ed JOIN d${i - 1} d ON ed.src = d.node
+           |    UNION ALL SELECT node, dist FROM d${i - 1})
+           |  GROUP BY 1)""".stripMargin
+      }.mkString(",\n")
+      s"$prelude,\n$rounds\n" +
+        s"SELECT node, dist FROM d$BfsRounds ORDER BY node"
+    },
+    // Triangle chain + sampled degrees, identical double spelling for
+    // the normalization.
+    "graph_clustering_coeff" ->
+      """WITH pp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+        |  FROM lineitem),
+        |e0 AS (SELECT DISTINCT x.p AS a, y.p AS b
+        |  FROM pp x JOIN pp y ON x.ok = y.ok AND x.p < y.p),
+        |e AS MATERIALIZED (SELECT a, b FROM e0
+        |  WHERE substring(md5(CAST(a AS VARCHAR) || '_'
+        |    || CAST(b AS VARCHAR)), 1, 1) IN ('0', '1', '2', '3')),
+        |deg AS (SELECT node, count(*) AS deg FROM (
+        |  SELECT a AS node FROM e UNION ALL SELECT b FROM e) GROUP BY 1),
+        |tri AS (SELECT e1.a AS a, e1.b AS b, e2.b AS c
+        |  FROM e e1 JOIN e e2 ON e1.b = e2.a
+        |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |nt AS (SELECT node, count(*) AS n_tri FROM (
+        |  SELECT a AS node FROM tri
+        |  UNION ALL SELECT b FROM tri
+        |  UNION ALL SELECT c FROM tri) GROUP BY 1)
+        |SELECT deg.node, deg, coalesce(n_tri, 0) AS n_tri,
+        |  ROUND(2.0 * CAST(coalesce(n_tri, 0) AS DOUBLE)
+        |    / (CAST(deg AS DOUBLE) * (CAST(deg AS DOUBLE) - 1.0))
+        |    * 10000.0) / 10000.0 AS coeff
+        |FROM deg LEFT JOIN nt ON deg.node = nt.node
+        |WHERE deg >= 2 ORDER BY deg.node""".stripMargin,
     // Same unsampled distinct-edge subplan; bin()-length bucketing is
     // the identical integer spelling in DuckDB.
     "graph_degree_hist" ->

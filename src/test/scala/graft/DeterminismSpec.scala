@@ -67,7 +67,13 @@ class DeterminismSpec extends SparkSpec {
       // decimal partial-merge identity
       "dedup_jaro_names", "etl_incremental_agg_merge",
       // Round-7 eighth wave: the cohort running sum's dollars edge
-      "agg_cohort_ltv")) {
+      "agg_cohort_ltv",
+      // Round-7 ninth wave: MAD percentile doubles, conversion-latency
+      // percentiles, stickiness/new-share ratios
+      "ts_anomaly_mad", "agg_time_to_convert", "ts_stickiness_ratio",
+      "ts_new_vs_returning",
+      // Round-7 tenth wave: growth ratios, RFM percentile thresholds
+      "ts_growth_rates", "agg_rfm_segments")) {
       val a = rows(q, "3")
       val b = rows(q, "17")
       assert(a == b, s"$q diverged between 3 and 17 shuffle partitions " +

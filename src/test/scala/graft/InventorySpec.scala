@@ -153,10 +153,19 @@ class InventorySpec extends SparkSpec {
     // §2.34 round-7 eighth wave: streaming top-k composition, cohort
     // LTV, nested-column pruning, multimodal chunk manifest
     "stream_hourly_topk", "agg_cohort_ltv", "scan_nested_prune",
-    "multimodal_byte_chunks")
+    "multimodal_byte_chunks",
+    // §2.35 round-7 ninth wave: robust anomaly days, growth
+    // accounting, stickiness, conversion latency, clustering
+    // coefficient
+    "ts_anomaly_mad", "ts_new_vs_returning", "ts_stickiness_ratio",
+    "agg_time_to_convert", "graph_clustering_coeff",
+    // §2.36 round-7 tenth wave: growth rates, RFM segmentation,
+    // also-bought recommendations, multi-source BFS
+    "ts_growth_rates", "agg_rfm_segments", "graph_also_bought_topk",
+    "graph_bfs_distance")
 
-  test("declared queries cover SURVEY §2 + §2.12-34 exactly (217 keys)") {
-    assert(inventory.size == 217)
+  test("declared queries cover SURVEY §2 + §2.12-36 exactly (226 keys)") {
+    assert(inventory.size == 226)
     val declared = SparkEntry.queries.keySet
     val missing = inventory -- declared
     val extra = declared -- inventory

@@ -848,4 +848,55 @@ class PlanAuditSpec extends SparkSpec {
     assert("Exchange".r.findAllIn(p).size == 1,
       p.split("\n").filter(_.contains("Exchange")).mkString("\n"))
   }
+
+  test("MAD anomaly days: statistics broadcast back, no window, no SMJ") {
+    // Every join in the plan is broadcast-built (the daily table and
+    // the two |types|-row statistics) — nothing row-shuffles for a
+    // join and no window node appears.
+    val p = plan("ts_anomaly_mad")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p.take(3000))
+    assert(!p.contains("SortMergeJoin") && !p.contains("Window"),
+      p.take(2000))
+  }
+
+  test("new-vs-returning: day-set fold keeps it at two hash exchanges") {
+    // user fold + day rollup; the join spelling would add two more.
+    val p = plan("ts_new_vs_returning")
+    assert(!p.contains("Join"), p.take(2000))
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx == 2, s"expected 2 hash exchanges, got $hashEx:\n" +
+      p.split("\n").filter(_.contains("Exchange")).mkString("\n"))
+  }
+
+  test("time-to-convert: ONE user_id exchange, chained mins map-side") {
+    val p = plan("agg_time_to_convert")
+    assert(!p.contains("Join") && !p.contains("Window"), p.take(2000))
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx == 1, s"expected 1 hash exchange, got $hashEx:\n" +
+      p.split("\n").filter(_.contains("Exchange")).mkString("\n"))
+  }
+
+  test("clustering coefficient: wedge legs reuse the distinct-edge exchange") {
+    val p = plan("graph_clustering_coeff")
+    assert(p.contains("ReusedExchange"), p.take(3000))
+  }
+
+  test("growth rates: both lag frames share ONE window node") {
+    val p = plan("ts_growth_rates")
+    assert("Window \\[".r.findAllIn(p).size == 1, p.take(3000))
+  }
+
+  test("RFM: threshold scoring — no window, no sort-merge join anywhere") {
+    // The point of the percentile-threshold design: scoring is
+    // map-side against a broadcast 1-row statistics table; a global
+    // ntile would be a single-partition sort of every customer.
+    val p = plan("agg_rfm_segments")
+    assert(!p.contains("Window") && !p.contains("SortMergeJoin"),
+      p.take(3000))
+  }
+
+  test("also-bought ranks through TopKPerGroupExec") {
+    val p = plan("graph_also_bought_topk")
+    assert(p.contains("TopKPerGroup"), p.take(3000))
+  }
 }
