@@ -779,6 +779,61 @@ object AnalyticsQueries {
             / col("n_view").cast("double")).as("cvr_purchase"))
     }),
 
+    // DAILY ERROR RATE with WILSON INTERVAL — the SLO/reliability
+    // read: raw error share per day PLUS the 95% Wilson score bounds,
+    // which stay honest at small n where the naive ±1.96·√(p(1−p)/n)
+    // interval collapses or escapes [0, 1] (the reason SRE burn-rate
+    // alerts use Wilson). Counts are exact integers; the interval is
+    // a fixed sequence of IEEE double ops (z = 1.96 literal) spelled
+    // identically in both engines, r4d at the edge. One day-keyed
+    // two-phase agg — nothing but the calendar leaves the first
+    // exchange.
+    "ts_error_rate_wilson" -> ((s, dir) => {
+      val z = 1.96
+      val d = events(s, dir)
+        .select(epochDay("ts").as("day"),
+          (col("event_type") === "error").cast("long").as("is_err"))
+        .groupBy("day")
+        .agg(count(lit(1)).as("n"), sum(col("is_err")).as("e"))
+        .withColumn("nn", col("n").cast("double"))
+        .withColumn("p", col("e").cast("double") / col("nn"))
+        .withColumn("den", lit(1.0) + lit(z * z) / col("nn"))
+        .withColumn("ctr", col("p") + lit(z * z) / (lit(2.0) * col("nn")))
+        .withColumn("rad", lit(z) * sqrt(
+          col("p") * (lit(1.0) - col("p")) / col("nn")
+            + lit(z * z) / (lit(4.0) * col("nn") * col("nn"))))
+      d.select(col("day"), col("n").as("n_events"), col("e").as("n_errors"),
+          r4d(col("p")).as("err_rate"),
+          r4d((col("ctr") - col("rad")) / col("den")).as("wilson_lo"),
+          r4d((col("ctr") + col("rad")) / col("den")).as("wilson_hi"))
+        .orderBy("day")
+    }),
+
+    // TPC-H Q7 — volume shipping between two nations: the DISJUNCTIVE
+    // join-predicate member of the TPC-H set ((n1, n2) ∈ {(A, B),
+    // (B, A)} — a filter Catalyst must keep as a residual over the
+    // two broadcast nation legs, not a cartesian); supplier and
+    // customer nations resolve through separate copies of the same
+    // dim. Fixture nations are synthetic (NATION_12 / NATION_10 stand
+    // in for the spec's FRANCE/GERMANY).
+    "sql_tpch_q7" -> ((s, dir) => {
+      s.sql(s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        |  ${sqlSum("l_extendedprice * (1 - l_discount)")} AS revenue
+        |FROM parquet.`$dir/supplier.parquet`
+        |JOIN parquet.`$dir/lineitem.parquet` ON s_suppkey = l_suppkey
+        |JOIN parquet.`$dir/orders.parquet` ON o_orderkey = l_orderkey
+        |JOIN parquet.`$dir/customer.parquet` ON c_custkey = o_custkey
+        |JOIN parquet.`$dir/nation.parquet` n1 ON s_nationkey = n1.n_nationkey
+        |JOIN parquet.`$dir/nation.parquet` n2 ON c_nationkey = n2.n_nationkey
+        |WHERE ((n1.n_name = 'NATION_12' AND n2.n_name = 'NATION_10')
+        |    OR (n1.n_name = 'NATION_10' AND n2.n_name = 'NATION_12'))
+        |  AND l_shipdate >= DATE '1996-01-01'
+        |  AND l_shipdate < DATE '1998-01-01'
+        |GROUP BY n1.n_name, n2.n_name, year(l_shipdate)
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin)
+    }),
+
     // DAILY GROWTH RATES — day-over-day and week-over-week percent
     // change of daily volume per type, the first derivative every
     // metrics page shows next to the raw series (DoD reads momentum,
@@ -1541,6 +1596,43 @@ object AnalyticsQueries {
         |  CAST(sum(iv_end - iv_start) AS BIGINT) AS covered_ms,
         |  max(iv_end - iv_start) AS longest_ms
         |FROM iv GROUP BY 1 ORDER BY user_id""".stripMargin,
+    // Same z = 1.96 literal, same op sequence — center, radius and
+    // denominator divide in the identical order.
+    "ts_error_rate_wilson" ->
+      s"""WITH d AS (SELECT ${sqlEpochDay("ts")} AS day, count(*) AS n,
+         |    CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS e
+         |  FROM events GROUP BY 1),
+         |w AS (SELECT day, n, e,
+         |    CAST(n AS DOUBLE) AS nn,
+         |    CAST(e AS DOUBLE) / CAST(n AS DOUBLE) AS p FROM d),
+         |x AS (SELECT day, n, e, nn, p,
+         |    1.0 + (1.96 * 1.96) / nn AS den,
+         |    p + (1.96 * 1.96) / (2.0 * nn) AS ctr,
+         |    1.96 * sqrt(p * (1.0 - p) / nn
+         |      + (1.96 * 1.96) / (4.0 * nn * nn)) AS rad
+         |  FROM w)
+         |SELECT day, n AS n_events, e AS n_errors,
+         |  ROUND(p * 10000.0) / 10000.0 AS err_rate,
+         |  ROUND((ctr - rad) / den * 10000.0) / 10000.0 AS wilson_lo,
+         |  ROUND((ctr + rad) / den * 10000.0) / 10000.0 AS wilson_hi
+         |FROM x ORDER BY day""".stripMargin,
+    "sql_tpch_q7" ->
+      s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
+         |  ${sqlSum("l_extendedprice * (1 - l_discount)")} AS revenue
+         |FROM supplier
+         |JOIN lineitem ON s_suppkey = l_suppkey
+         |JOIN orders ON o_orderkey = l_orderkey
+         |JOIN customer ON c_custkey = o_custkey
+         |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         |WHERE ((n1.n_name = 'NATION_12' AND n2.n_name = 'NATION_10')
+         |    OR (n1.n_name = 'NATION_10' AND n2.n_name = 'NATION_12'))
+         |  AND l_shipdate >= DATE '1996-01-01'
+         |  AND l_shipdate < DATE '1998-01-01'
+         |GROUP BY n1.n_name, n2.n_name, year(l_shipdate)
+         |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
     "ts_growth_rates" ->
       s"""WITH e AS (SELECT event_type, ${sqlEpochDay("ts")} AS day
          |  FROM events),

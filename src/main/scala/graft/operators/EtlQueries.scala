@@ -432,6 +432,28 @@ object EtlQueries {
         .orderBy("relation")
     }),
 
+    // PARTITION PROFILE — the per-day health row a data-observability
+    // system diffs after every load (row count, distinct entities,
+    // value mass, id range): drops, duplicates, schema-level rot and
+    // late loads all surface as profile deltas before any consumer
+    // breaks. One exact pass: counts and id ranges are integers, the
+    // value mass rides Det.dsum, the distinct-user count is the exact
+    // declared form (the HLL sketch key is the open-cardinality swap).
+    // Scale: one (day)-keyed two-phase agg; distinct-user is the one
+    // expand, bounded by |users| per day.
+    "etl_partition_profile" -> ((s, dir) => {
+      events(s, dir)
+        .select(epochDay("ts").as("day"), col("user_id"),
+          col("event_id"), col("value"))
+        .groupBy("day")
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("user_id")).as("n_users"),
+          dsum(col("value")).as("sum_value"),
+          min(col("event_id")).as("min_event_id"),
+          max(col("event_id")).as("max_event_id"))
+        .orderBy("day")
+    }),
+
     // INCREMENTAL AGGREGATE MAINTENANCE — the stored-partials pattern
     // that keeps a 100 TB daily rollup current without re-scanning
     // history: the corpus splits at the midpoint day into a "stored"
@@ -745,6 +767,14 @@ object EtlQueries {
         |SELECT user_id, state AS cur_state, start_ms AS cur_since_ms,
         |  prev_state, nmax AS n_changes
         |FROM x WHERE island = nmax ORDER BY user_id""".stripMargin,
+    "etl_partition_profile" ->
+      s"""SELECT ${graft.Det.sqlEpochDay("ts")} AS day,
+         |  count(*) AS n_rows,
+         |  count(DISTINCT user_id) AS n_users,
+         |  ${sqlSum("value")} AS sum_value,
+         |  min(event_id) AS min_event_id,
+         |  max(event_id) AS max_event_id
+         |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
     // The oracle is the FULL single-pass recompute — passing proves
     // the stored-partials merge is exactly the recomputed table.
     "etl_incremental_agg_merge" ->

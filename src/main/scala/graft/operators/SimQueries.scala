@@ -79,6 +79,48 @@ object SimQueries {
         .orderBy("lang", "label")
     }),
 
+    // NEAREST-CENTROID CLASSIFICATION + CONFUSION MATRIX — the eval
+    // step downstream of sim_centroid_per_label: fit per-label mean
+    // vectors, assign every embedding to its nearest centroid
+    // (squared L2), and emit the label × predicted confusion counts —
+    // the first-line "are these embeddings separable" check every
+    // labeling/distillation pipeline runs. Centroids are exact
+    // decimal(38,12) means over ALL 64 dims (order-independent, the
+    // sibling key's device) divided once to doubles; distances fold in
+    // DIMENSION order via zip_with + aggregate (in-order, the entropy
+    // convention), so the argmin sees bit-identical d² in both
+    // engines; argmin tie-breaks on label via the lexicographic
+    // struct.
+    //
+    // Scale: centroids are a |labels|×|dims| table — broadcast as
+    // |labels| rows of arrays; scoring is one map-side pass over the
+    // vector table (the IVF routing shape), and the confusion output
+    // is |labels|² rows.
+    "sim_centroid_classify" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cent = emb
+        .select(col("label"), posexplode(col("embedding")))
+        .groupBy(col("label"), col("pos"))
+        .agg((sum(col("col").cast("double").cast("decimal(38,12)"))
+          .cast("double") / count(lit(1))).as("c"))
+      val carr = cent.groupBy("label")
+        .agg(array_sort(collect_list(struct(col("pos"), col("c"))))
+          .as("ps"))
+        .select(col("label").as("clabel"),
+          expr("transform(ps, p -> p.c)").as("cvec"))
+      emb.crossJoin(broadcast(carr))
+        .withColumn("d2", aggregate(
+          zip_with(col("embedding"), col("cvec"),
+            (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
+          lit(0.0), (acc, e) => acc + e))
+        .groupBy(col("vec_id"), col("label"))
+        .agg(min_by(col("clabel"), struct(col("d2"), col("clabel")))
+          .as("pred"))
+        .groupBy(col("label"), col("pred"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("label", "pred")
+    }),
+
     // INT8 SCALAR QUANTIZATION reconstruction error — the storage-cost
     // lever of every vector index (a 64-dim float corpus drops 4× when
     // codes go int8; whether recall survives is exactly this key's
@@ -148,6 +190,32 @@ object SimQueries {
       """SELECT lang, label, count(*) AS n
         |FROM documents JOIN embeddings ON doc_id = vec_id
         |GROUP BY lang, label ORDER BY lang, label""".stripMargin,
+    // Parallel unnests zip positionally (the centroid key's device);
+    // per-dim squares fold in index order; argmin via row_number with
+    // the same (d2, label) tie order.
+    "sim_centroid_classify" ->
+      """WITH u AS (SELECT label, unnest(range(len(embedding))) AS pos,
+        |    unnest(embedding) AS x
+        |  FROM embeddings),
+        |cent AS (SELECT label, pos,
+        |    CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE)
+        |      / COUNT(*) AS c
+        |  FROM u GROUP BY 1, 2),
+        |carr AS (SELECT label AS clabel, list(c ORDER BY pos) AS cvec
+        |  FROM cent GROUP BY 1),
+        |sc AS (SELECT e.vec_id, e.label, c.clabel,
+        |    list_aggregate(list_transform(range(1, len(e.embedding) + 1),
+        |      i -> (CAST(e.embedding[i] AS DOUBLE) - c.cvec[i])
+        |        * (CAST(e.embedding[i] AS DOUBLE) - c.cvec[i])), 'sum')
+        |      AS d2
+        |  FROM embeddings e CROSS JOIN carr c),
+        |r AS (SELECT vec_id, label, clabel,
+        |    row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY d2, clabel) AS rk
+        |  FROM sc),
+        |pred AS (SELECT vec_id, label, clabel AS pred FROM r WHERE rk = 1)
+        |SELECT label, pred, count(*) AS n FROM pred
+        |GROUP BY 1, 2 ORDER BY label, pred""".stripMargin,
     // Identical IEEE op order; list sums run in list order (the
     // entropy convention), float→double casts exact.
     "sim_vector_quantize_error" ->

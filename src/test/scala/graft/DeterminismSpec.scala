@@ -73,7 +73,10 @@ class DeterminismSpec extends SparkSpec {
       "ts_anomaly_mad", "agg_time_to_convert", "ts_stickiness_ratio",
       "ts_new_vs_returning",
       // Round-7 tenth wave: growth ratios, RFM percentile thresholds
-      "ts_growth_rates", "agg_rfm_segments")) {
+      "ts_growth_rates", "agg_rfm_segments",
+      // Round-7 eleventh wave: Wilson interval doubles, the centroid
+      // argmin over folded distances
+      "ts_error_rate_wilson", "sim_centroid_classify")) {
       val a = rows(q, "3")
       val b = rows(q, "17")
       assert(a == b, s"$q diverged between 3 and 17 shuffle partitions " +

@@ -162,10 +162,14 @@ class InventorySpec extends SparkSpec {
     // §2.36 round-7 tenth wave: growth rates, RFM segmentation,
     // also-bought recommendations, multi-source BFS
     "ts_growth_rates", "agg_rfm_segments", "graph_also_bought_topk",
-    "graph_bfs_distance")
+    "graph_bfs_distance",
+    // §2.37 round-7 eleventh wave: partition observability, Wilson
+    // error bounds, TPC-H Q7, nearest-centroid classification
+    "etl_partition_profile", "ts_error_rate_wilson", "sql_tpch_q7",
+    "sim_centroid_classify")
 
-  test("declared queries cover SURVEY §2 + §2.12-36 exactly (226 keys)") {
-    assert(inventory.size == 226)
+  test("declared queries cover SURVEY §2 + §2.12-37 exactly (230 keys)") {
+    assert(inventory.size == 230)
     val declared = SparkEntry.queries.keySet
     val missing = inventory -- declared
     val extra = declared -- inventory

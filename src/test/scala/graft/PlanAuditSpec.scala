@@ -899,4 +899,33 @@ class PlanAuditSpec extends SparkSpec {
     val p = plan("graph_also_bought_topk")
     assert(p.contains("TopKPerGroup"), p.take(3000))
   }
+
+  test("partition profile: one day-keyed agg, the distinct expand is the only extra") {
+    val p = plan("etl_partition_profile")
+    assert(!p.contains("Join") && !p.contains("Window"), p.take(2000))
+  }
+
+  test("Wilson error rate: single two-phase agg, interval math in the projection") {
+    val p = plan("ts_error_rate_wilson")
+    assert(!p.contains("Join") && !p.contains("Window"), p.take(2000))
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx == 1, s"expected 1 hash exchange, got $hashEx:\n" +
+      p.split("\n").filter(_.contains("Exchange")).mkString("\n"))
+  }
+
+  test("TPC-H Q7: disjunctive nation predicate stays a residual, no cartesian") {
+    val p = plan("sql_tpch_q7")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p.take(3000))
+  }
+
+  test("centroid classify: scoring is a broadcast map pass over the vectors") {
+    // The |labels|-row centroid table broadcasts; the per-vector
+    // argmin partial-aggregates — no shuffle of scored pairs beyond
+    // the (vec, label) agg.
+    val p = plan("sim_centroid_classify")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+  }
 }
