@@ -667,6 +667,26 @@ object AggQueries {
           r4d(col("n_users_80").cast("double")
             / col("n_users").cast("double")).as("user_share_80"))
         .orderBy("event_type")
+    }),
+
+    // BASKET-SIZE DISTRIBUTION — items-per-order histogram with
+    // shares: the commerce merchandising staple (pricing tiers, free-
+    // shipping thresholds and bundle design all read this curve), and
+    // the shape that tells the planner whether per-order explodes are
+    // bounded (every per-order key in this engine assumes they are —
+    // this table IS that assumption, measured). Two partial-agg
+    // exchanges collapse the corpus to |distinct sizes| rows; the
+    // total rides a broadcast 1-row cross join (never a global
+    // window); one double share at the edge.
+    "agg_basket_size_dist" -> ((s, dir) => {
+      val d = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey")).agg(count(lit(1)).as("basket"))
+        .groupBy("basket").agg(count(lit(1)).as("n_orders"))
+      d.crossJoin(broadcast(d.agg(sum(col("n_orders")).as("total"))))
+        .select(col("basket"), col("n_orders"),
+          r4d(col("n_orders").cast("double")
+            / col("total").cast("double")).as("share"))
+        .orderBy("basket")
     })
   )
 
@@ -954,6 +974,15 @@ object AggQueries {
         |SELECT event_type, n_users, n_users_80,
         |  ROUND(CAST(n_users_80 AS DOUBLE) / CAST(n_users AS DOUBLE)
         |    * 10000.0) / 10000.0 AS user_share_80
-        |FROM g ORDER BY event_type""".stripMargin
+        |FROM g ORDER BY event_type""".stripMargin,
+    "agg_basket_size_dist" ->
+      """WITH b AS (SELECT l_orderkey, count(*) AS basket
+        |  FROM lineitem GROUP BY 1),
+        |d AS (SELECT basket, count(*) AS n_orders FROM b GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_orders) AS BIGINT) AS total FROM d)
+        |SELECT basket, n_orders,
+        |  ROUND(CAST(n_orders AS DOUBLE) / CAST(total AS DOUBLE)
+        |    * 10000.0) / 10000.0 AS share
+        |FROM d CROSS JOIN t ORDER BY basket""".stripMargin
   )
 }

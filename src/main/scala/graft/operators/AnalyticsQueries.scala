@@ -779,6 +779,86 @@ object AnalyticsQueries {
             / col("n_view").cast("double")).as("cvr_purchase"))
     }),
 
+    // BASELINE FORECAST BACKTEST — MAE of the two canonical naive
+    // forecasters (ŷₜ = yₜ₋₁ and the seasonal ŷₜ = yₜ₋₇) per type:
+    // the floor every real forecasting model must beat, and the
+    // cheapest quantitative answer to "is this series momentum-driven
+    // or weekly-cyclic" (ts_autocorr's question, in forecast-error
+    // units). Scored only on days where BOTH predictors are defined —
+    // same n, so the winner comparison is on EXACT integer error
+    // sums, no division involved; the MAEs themselves are one double
+    // division each, r4d. Zero-filled spine; both lags in ONE window
+    // node.
+    "ts_forecast_baseline_mae" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = events(s, dir)
+        .select(col("event_type"), epochDay("ts").as("day"))
+      val d = e.groupBy("event_type", "day").agg(count(lit(1)).as("y"))
+      val spine = e.select("event_type").distinct()
+        .crossJoin(broadcast(
+          e.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))))
+        .select(col("event_type"),
+          explode(sequence(col("lo"), col("hi"))).as("day"))
+      val full = spine.join(d, Seq("event_type", "day"), "left")
+        .select(col("event_type"), col("day"),
+          coalesce(col("y"), lit(0L)).as("y"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      full
+        .withColumn("y1", lag(col("y"), 1).over(w))
+        .withColumn("y7", lag(col("y"), 7).over(w))
+        .filter(col("y1").isNotNull && col("y7").isNotNull)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_scored"),
+          sum(abs(col("y") - col("y1"))).as("se1"),
+          sum(abs(col("y") - col("y7"))).as("se7"))
+        .select(col("event_type"), col("n_scored"),
+          r4d(col("se1").cast("double") / col("n_scored").cast("double"))
+            .as("mae_naive"),
+          r4d(col("se7").cast("double") / col("n_scored").cast("double"))
+            .as("mae_seasonal"),
+          when(col("se7") < col("se1"), lit("seasonal"))
+            .otherwise(lit("naive")).as("winner"))
+        .orderBy("event_type")
+    }),
+
+    // TOP EVENT TRIGRAMS — the 3-step extension of path_transitions'
+    // Markov matrix: the most common (a → b → c) user journeys, the
+    // sequence-mining-lite view UX funnels and bot-detection rules
+    // read. Both leads ride ONE user_id window; the path count
+    // partial-aggregates to ≤ |types|³ rows per partition
+    // (domain-bounded), and the top-10 tail collapses to
+    // TakeOrderedAndProject under the full (n desc, path) total
+    // order.
+    "path_trigrams_topk" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ms"), col("event_id"))
+      events(s, dir)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_millis(col("ts").cast("timestamp")).as("ms"))
+        .withColumn("t2", lead(col("event_type"), 1).over(w))
+        .withColumn("t3", lead(col("event_type"), 2).over(w))
+        .filter(col("t2").isNotNull && col("t3").isNotNull)
+        .groupBy(col("event_type").as("t1"), col("t2"), col("t3"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("t1"), col("t2"), col("t3"))
+        .limit(10)
+    }),
+
+    // TPC-H Q6 — the forecasting-revenue-change flat scan: no join,
+    // no group — the benchmark's pure predicate-pushdown/codegen
+    // measure (every predicate must reach the parquet scan, pinned).
+    // The discount band compares 2dp doubles against literals —
+    // identical IEEE comparisons in both engines.
+    "sql_tpch_q6" -> ((s, dir) => {
+      s.sql(s"""SELECT ${sqlSum("l_extendedprice * l_discount")} AS revenue
+        |FROM parquet.`$dir/lineitem.parquet`
+        |WHERE l_shipdate >= DATE '1996-01-01'
+        |  AND l_shipdate < DATE '1997-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin)
+    }),
+
     // DAILY ERROR RATE with WILSON INTERVAL — the SLO/reliability
     // read: raw error share per day PLUS the 95% Wilson score bounds,
     // which stay honest at small n where the naive ±1.96·√(p(1−p)/n)
@@ -1596,6 +1676,53 @@ object AnalyticsQueries {
         |  CAST(sum(iv_end - iv_start) AS BIGINT) AS covered_ms,
         |  max(iv_end - iv_start) AS longest_ms
         |FROM iv GROUP BY 1 ORDER BY user_id""".stripMargin,
+    // Same spine, same single-window lags, winner on exact integer
+    // error sums (HUGEINT-cast before nothing — the sums only feed
+    // the compare and the divisions).
+    "ts_forecast_baseline_mae" ->
+      s"""WITH e AS (SELECT event_type, ${sqlEpochDay("ts")} AS day
+         |  FROM events),
+         |d AS (SELECT event_type, day, count(*) AS y FROM e GROUP BY 1, 2),
+         |b AS (SELECT min(day) AS lo, max(day) AS hi FROM e),
+         |ty AS (SELECT DISTINCT event_type FROM e),
+         |spine AS (SELECT event_type, unnest(range(lo, hi + 1)) AS day
+         |  FROM ty CROSS JOIN b),
+         |fl AS (SELECT s.event_type, s.day, coalesce(y, 0) AS y
+         |  FROM spine s LEFT JOIN d
+         |    ON s.event_type = d.event_type AND s.day = d.day),
+         |l AS (SELECT event_type, day, y,
+         |    lag(y, 1) OVER (PARTITION BY event_type ORDER BY day) AS y1,
+         |    lag(y, 7) OVER (PARTITION BY event_type ORDER BY day) AS y7
+         |  FROM fl),
+         |m AS (SELECT event_type, count(*) AS n_scored,
+         |    CAST(sum(abs(y - y1)) AS BIGINT) AS se1,
+         |    CAST(sum(abs(y - y7)) AS BIGINT) AS se7
+         |  FROM l WHERE y1 IS NOT NULL AND y7 IS NOT NULL GROUP BY 1)
+         |SELECT event_type, n_scored,
+         |  ROUND(CAST(se1 AS DOUBLE) / CAST(n_scored AS DOUBLE)
+         |    * 10000.0) / 10000.0 AS mae_naive,
+         |  ROUND(CAST(se7 AS DOUBLE) / CAST(n_scored AS DOUBLE)
+         |    * 10000.0) / 10000.0 AS mae_seasonal,
+         |  CASE WHEN se7 < se1 THEN 'seasonal' ELSE 'naive' END AS winner
+         |FROM m ORDER BY event_type""".stripMargin,
+    "path_trigrams_topk" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |    epoch_ms(ts) AS ms FROM events),
+        |l AS (SELECT event_type AS t1,
+        |    lead(event_type, 1) OVER w AS t2,
+        |    lead(event_type, 2) OVER w AS t3
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id))
+        |SELECT t1, t2, t3, count(*) AS n FROM l
+        |WHERE t2 IS NOT NULL AND t3 IS NOT NULL
+        |GROUP BY 1, 2, 3
+        |ORDER BY n DESC, t1, t2, t3 LIMIT 10""".stripMargin,
+    "sql_tpch_q6" ->
+      s"""SELECT ${sqlSum("l_extendedprice * l_discount")} AS revenue
+         |FROM lineitem
+         |WHERE l_shipdate >= DATE '1996-01-01'
+         |  AND l_shipdate < DATE '1997-01-01'
+         |  AND l_discount BETWEEN 0.05 AND 0.07
+         |  AND l_quantity < 24""".stripMargin,
     // Same z = 1.96 literal, same op sequence — center, radius and
     // denominator divide in the identical order.
     "ts_error_rate_wilson" ->

@@ -76,7 +76,9 @@ class DeterminismSpec extends SparkSpec {
       "ts_growth_rates", "agg_rfm_segments",
       // Round-7 eleventh wave: Wilson interval doubles, the centroid
       // argmin over folded distances
-      "ts_error_rate_wilson", "sim_centroid_classify")) {
+      "ts_error_rate_wilson", "sim_centroid_classify",
+      // Round-7 twelfth wave: MAE divisions, basket shares
+      "ts_forecast_baseline_mae", "agg_basket_size_dist")) {
       val a = rows(q, "3")
       val b = rows(q, "17")
       assert(a == b, s"$q diverged between 3 and 17 shuffle partitions " +

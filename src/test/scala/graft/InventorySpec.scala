@@ -166,10 +166,14 @@ class InventorySpec extends SparkSpec {
     // §2.37 round-7 eleventh wave: partition observability, Wilson
     // error bounds, TPC-H Q7, nearest-centroid classification
     "etl_partition_profile", "ts_error_rate_wilson", "sql_tpch_q7",
-    "sim_centroid_classify")
+    "sim_centroid_classify",
+    // §2.38 round-7 twelfth wave: forecast backtest, journey trigrams,
+    // TPC-H Q6, basket-size distribution
+    "ts_forecast_baseline_mae", "path_trigrams_topk", "sql_tpch_q6",
+    "agg_basket_size_dist")
 
-  test("declared queries cover SURVEY §2 + §2.12-37 exactly (230 keys)") {
-    assert(inventory.size == 230)
+  test("declared queries cover SURVEY §2 + §2.12-38 exactly (234 keys)") {
+    assert(inventory.size == 234)
     val declared = SparkEntry.queries.keySet
     val missing = inventory -- declared
     val extra = declared -- inventory

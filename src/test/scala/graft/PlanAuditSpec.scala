@@ -919,6 +919,35 @@ class PlanAuditSpec extends SparkSpec {
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p.take(3000))
   }
 
+  test("forecast backtest: both predictor lags share ONE window node") {
+    val p = plan("ts_forecast_baseline_mae")
+    assert("Window \\[".r.findAllIn(p).size == 1, p.take(3000))
+  }
+
+  test("trigram top-10 collapses to TakeOrderedAndProject") {
+    val p = plan("path_trigrams_topk")
+    assert(p.contains("TakeOrderedAndProject"), p.take(3000))
+    assert("Window \\[".r.findAllIn(p).size == 1, p.take(3000))
+  }
+
+  test("TPC-H Q6: every predicate reaches the parquet scan") {
+    val p = plan("sql_tpch_q6")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), IsNotNull(l_discount), IsNotNull(l_quantity)"),
+      p.split("\n").filter(_.contains("PushedFilters")).mkString("\n"))
+    assert(!p.contains("Join"), p.take(2000))
+  }
+
+  test("basket distribution: broadcast total, no window, no row-join shuffle") {
+    // The 1-row total rides a broadcast nested-loop cross; the share
+    // never needs a global window or a sort-merge join. (The total's
+    // subtree re-derives the distribution — 3 hash exchanges on
+    // |orders|-then-|sizes| keys, all partial-aggregating.)
+    val p = plan("agg_basket_size_dist")
+    assert(!p.contains("Window") && !p.contains("SortMergeJoin"),
+      p.take(2000))
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+  }
+
   test("centroid classify: scoring is a broadcast map pass over the vectors") {
     // The |labels|-row centroid table broadcasts; the per-vector
     // argmin partial-aggregates — no shuffle of scored pairs beyond
