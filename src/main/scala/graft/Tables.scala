@@ -104,9 +104,17 @@ object Det {
     * goes through the checked column, turning overflow into an
     * immediate, attributable `raise_error` instead. `when/otherwise`
     * keeps the guard in the value path, so column pruning can't drop
-    * it. */
+    * it.
+    *
+    * NULL-safety: a group whose measured column is NULL on every row
+    * makes the caller's max/abs statistic NULL, so `cond` evaluates
+    * NULL — which must mean "no finite magnitude observed, nothing can
+    * overflow", NOT "guard fired". The coalesce keeps such groups on
+    * the pass branch (they then flow to the same NULL outputs the
+    * oracle produces) instead of aborting the whole query. */
   def checkedN(n: Column, cond: Column, msg: String): Column =
-    when(cond, n).otherwise(raise_error(lit(msg)).cast("bigint"))
+    when(coalesce(cond, lit(true)), n)
+      .otherwise(raise_error(lit(msg)).cast("bigint"))
 
   /** Oracle-side (DuckDB) spelling of [[Tables.epochDay]]: `//` is
     * DuckDB's integer division, truncating like Spark's `div` — equal

@@ -507,7 +507,11 @@ object AggQueries {
             .as("sd3"),
           sum((col("d") * col("d") * col("d") * col("d"))
             .cast("decimal(38,0)")).as("sd4"),
-          sum(col("d")).as("sd1"))
+          // Σd rides decimal too (the ab_test_welch convention): a raw
+          // long sum would wrap past ~3×10⁹ rows/group and feed the
+          // degeneracy test garbage — the one place the "exact to
+          // 10²¹ rows" claim would otherwise silently break first.
+          sum(col("d").cast("decimal(38,0)")).as("sd1"))
         // δ = Sd1/n ∈ [0, 1): the exact gap between mean and anchor.
         .withColumn("nn", col("n").cast("double"))
         .withColumn("dl", col("sd1").cast("double") / col("nn"))
@@ -523,7 +527,7 @@ object AggQueries {
           - lit(3.0) * col("dl") * col("dl") * col("dl") * col("dl"))
       // Exact degeneracy test: n·Σd² > Σd·Σd ⇔ variance > 0.
       m.filter(col("n") > 2 &&
-          col("n") * col("sd2") > (col("sd1") * col("sd1")).cast("decimal(38,0)"))
+          col("n") * col("sd2") > col("sd1") * col("sd1"))
         .select(col("event_type"), col("n"),
           // m2^1.5 as m2·√m2: sqrt is correctly-rounded IEEE (identical
           // both engines); pow(x, 1.5) is libm-dependent ulps.

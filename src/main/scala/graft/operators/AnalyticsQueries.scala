@@ -35,6 +35,30 @@ object AnalyticsQueries {
       .filter(col("ms") > col("t"))
       .groupBy("user_id").agg(min(col("ms")).as("t"))
 
+  /** Zero-filled (event_type, day, y) daily grid over the corpus
+    * lo..hi calendar — THE shared spine of every calendar-indexed key
+    * (autocorr, dow seasonality, burst days, MAD anomaly, growth
+    * rates, forecast backtest). One partial-aggregating exchange
+    * collapses the corpus to |types|×|days| cells; the spine itself is
+    * GENERATED (types × sequence(lo, hi)), never scanned; quiet days
+    * emit y = 0 — the contract those keys' oracles each mirror as the
+    * same CTE chain. Kept in one place so a spine change (e.g.
+    * per-type day bounds) cannot silently desynchronize the family.
+    */
+  private def zeroFilledDaily(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir)
+      .select(col("event_type"), epochDay("ts").as("day"))
+    val d = e.groupBy("event_type", "day").agg(count(lit(1)).as("y"))
+    val spine = e.select("event_type").distinct()
+      .crossJoin(broadcast(
+        e.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))))
+      .select(col("event_type"),
+        explode(sequence(col("lo"), col("hi"))).as("day"))
+    spine.join(d, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day"),
+        coalesce(col("y"), lit(0L)).as("y"))
+  }
+
   val queries: Map[String, Q] = Map(
     // Ordered conversion funnel view → click → purchase: a user counts
     // for stage k only with a stage-k event strictly after their first
@@ -696,17 +720,7 @@ object AnalyticsQueries {
     // never corpus-bounded.
     "ts_autocorr" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val e = events(s, dir)
-        .select(col("event_type"), epochDay("ts").as("day"))
-      val d = e.groupBy("event_type", "day").agg(count(lit(1)).as("y"))
-      val spine = e.select("event_type").distinct()
-        .crossJoin(broadcast(
-          e.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))))
-        .select(col("event_type"),
-          explode(sequence(col("lo"), col("hi"))).as("day"))
-      val full = spine.join(d, Seq("event_type", "day"), "left")
-        .select(col("event_type"), col("day"),
-          coalesce(col("y"), lit(0L)).as("y"))
+      val full = zeroFilledDaily(s, dir)
       val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
       val pairs = full
         .select(col("event_type"), col("y"),
@@ -791,17 +805,7 @@ object AnalyticsQueries {
     // node.
     "ts_forecast_baseline_mae" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val e = events(s, dir)
-        .select(col("event_type"), epochDay("ts").as("day"))
-      val d = e.groupBy("event_type", "day").agg(count(lit(1)).as("y"))
-      val spine = e.select("event_type").distinct()
-        .crossJoin(broadcast(
-          e.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))))
-        .select(col("event_type"),
-          explode(sequence(col("lo"), col("hi"))).as("day"))
-      val full = spine.join(d, Seq("event_type", "day"), "left")
-        .select(col("event_type"), col("day"),
-          coalesce(col("y"), lit(0L)).as("y"))
+      val full = zeroFilledDaily(s, dir)
       val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
       full
         .withColumn("y1", lag(col("y"), 1).over(w))
@@ -924,17 +928,7 @@ object AnalyticsQueries {
     // denominator are exact integer counts.
     "ts_growth_rates" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val e = events(s, dir)
-        .select(col("event_type"), epochDay("ts").as("day"))
-      val d = e.groupBy("event_type", "day").agg(count(lit(1)).as("y"))
-      val spine = e.select("event_type").distinct()
-        .crossJoin(broadcast(
-          e.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))))
-        .select(col("event_type"),
-          explode(sequence(col("lo"), col("hi"))).as("day"))
-      val full = spine.join(d, Seq("event_type", "day"), "left")
-        .select(col("event_type"), col("day"),
-          coalesce(col("y"), lit(0L)).as("y"))
+      val full = zeroFilledDaily(s, dir)
       val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
       def pct(prev: org.apache.spark.sql.Column) =
         when(prev > 0, r4d((col("y") - prev).cast("double")
@@ -1008,17 +1002,7 @@ object AnalyticsQueries {
     // two percentile aggs and both broadcast join-backs operate on
     // that bounded table only.
     "ts_anomaly_mad" -> ((s, dir) => {
-      val e = events(s, dir)
-        .select(col("event_type"), epochDay("ts").as("day"))
-      val d = e.groupBy("event_type", "day").agg(count(lit(1)).as("y"))
-      val spine = e.select("event_type").distinct()
-        .crossJoin(broadcast(
-          e.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))))
-        .select(col("event_type"),
-          explode(sequence(col("lo"), col("hi"))).as("day"))
-      val full = spine.join(d, Seq("event_type", "day"), "left")
-        .select(col("event_type"), col("day"),
-          coalesce(col("y"), lit(0L)).as("y"))
+      val full = zeroFilledDaily(s, dir)
       val med = full.groupBy("event_type")
         .agg(percentile(col("y"), lit(0.5)).as("med"))
       val dev = full.join(broadcast(med), Seq("event_type"))
@@ -1236,17 +1220,7 @@ object AnalyticsQueries {
     // (type, day) agg + ONE window node hosting both frames.
     "ts_burst_days" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val e = events(s, dir)
-        .select(col("event_type"), epochDay("ts").as("day"))
-      val d = e.groupBy("event_type", "day").agg(count(lit(1)).as("y"))
-      val spine = e.select("event_type").distinct()
-        .crossJoin(broadcast(
-          e.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))))
-        .select(col("event_type"),
-          explode(sequence(col("lo"), col("hi"))).as("day"))
-      val full = spine.join(d, Seq("event_type", "day"), "left")
-        .select(col("event_type"), col("day"),
-          coalesce(col("y"), lit(0L)).as("y"))
+      val full = zeroFilledDaily(s, dir)
       val wf = Window.partitionBy(col("event_type")).orderBy(col("day"))
         .rowsBetween(-7, -1)
       full
@@ -1276,18 +1250,8 @@ object AnalyticsQueries {
     // 7-row/partition window — no second scan, no join.
     "ts_dow_seasonality" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val e = events(s, dir)
-        .select(col("event_type"), epochDay("ts").as("day"))
-      val d = e.groupBy("event_type", "day").agg(count(lit(1)).as("y"))
-      val spine = e.select("event_type").distinct()
-        .crossJoin(broadcast(
-          e.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))))
-        .select(col("event_type"),
-          explode(sequence(col("lo"), col("hi"))).as("day"))
-      val full = spine.join(d, Seq("event_type", "day"), "left")
-        .select(col("event_type"), col("day"),
-          coalesce(col("y"), lit(0L)).as("y"),
-          ((col("day") + 4) % 7).as("dow"))
+      val full = zeroFilledDaily(s, dir)
+        .withColumn("dow", (col("day") + 4) % 7)
       val g = full.groupBy("event_type", "dow")
         .agg(count(lit(1)).as("n_days"),
           sum(col("y").cast("decimal(38,0)")).as("ne"))

@@ -39,6 +39,44 @@ import graft.Det.r4d
 object GraphQueries {
   type Q = (SparkSession, String) => DataFrame
 
+  /** Distinct (order, part) incidence pairs — the bipartite base of
+    * every co-purchase graph key. */
+  private def orderParts(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+      .distinct()
+
+  /** Oriented (a < b) distinct co-purchase edges — ONE definition so
+    * triangle counting, clustering coefficient, degree histogram,
+    * k-core and BFS all iterate literally the same graph. */
+  private def orientedEdges(pp: DataFrame): DataFrame =
+    pp.as("x").join(pp.as("y"),
+        col("x.ok") === col("y.ok") && col("x.p") < col("y.p"))
+      .select(col("x.p").as("a"), col("y.p").as("b")).distinct()
+
+  /** Doulion md5 edge sampling at the given hex-prefix set (Σ 1/16
+    * each) — shared by the sampled-graph keys so their "SAME edge
+    * set" invariants hold by construction, not by copy. */
+  private def doulionSample(e: DataFrame, prefixes: Seq[String]): DataFrame =
+    e.filter(substring(md5(concat(col("a").cast("string"), lit("_"),
+      col("b").cast("string")).cast("binary")), 1, 1)
+      .isin(prefixes: _*))
+
+  /** Per-node triangle corner counts over oriented a<b edges: wedge
+    * on the middle node + exact closing-edge probe (each triangle
+    * once), credited to all three corners. The three join legs are
+    * the same edge subplan, so the exchange builds once
+    * (ReusedExchange, pinned). */
+  private def triangleCorners(e: DataFrame): DataFrame = {
+    val closing = e.select(col("a").as("ea"), col("b").as("eb"))
+    e.as("e1").join(e.as("e2"), col("e1.b") === col("e2.a"))
+      .select(col("e1.a").as("a"), col("e1.b").as("b"),
+        col("e2.b").as("c"))
+      .join(closing, col("a") === col("ea") && col("c") === col("eb"))
+      .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_tri"))
+  }
+
   private val Iters = 5
   private val KcoreRounds = 5
   private val BfsRounds = 3
@@ -99,26 +137,9 @@ object GraphQueries {
     // distinct-edge subplan, so the exchange is built once and reused
     // (ReusedExchange, pinned in PlanAuditSpec).
     "graph_triangle_count" -> ((s, dir) => {
-      val pp = t(s, dir, "lineitem")
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
-        .distinct()
-      val e = pp.as("x").join(pp.as("y"),
-          col("x.ok") === col("y.ok") && col("x.p") < col("y.p"))
-        .select(col("x.p").as("a"), col("y.p").as("b")).distinct()
-        .filter(substring(md5(concat(col("a").cast("string"), lit("_"),
-          col("b").cast("string")).cast("binary")), 1, 1)
-          .isin("0", "1", "2", "3"))
-      // Closing-edge probe under renamed columns (ea, eb) — same
-      // underlying distinct-edge subplan, so the exchange still reuses.
-      val closing = e.select(col("a").as("ea"), col("b").as("eb"))
-      val tri = e.as("e1").join(e.as("e2"), col("e1.b") === col("e2.a"))
-        .select(col("e1.a").as("a"), col("e1.b").as("b"),
-          col("e2.b").as("c"))
-        .join(closing, col("a") === col("ea") && col("c") === col("eb"))
-        .select(col("a"), col("b"), col("c"))
-      tri.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
-        .groupBy("node").agg(count(lit(1)).as("n_tri"))
-        .orderBy("node")
+      val e = doulionSample(orientedEdges(orderParts(s, dir)),
+        Seq("0", "1", "2", "3"))
+      triangleCorners(e).orderBy("node")
     }),
 
     // ALSO-BOUGHT TOP-K — the recommendation staple: for every part,
@@ -132,9 +153,7 @@ object GraphQueries {
     // (n_co desc, other) for replay-stable recommendations.
     "graph_also_bought_topk" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val pp = t(s, dir, "lineitem")
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
-        .distinct()
+      val pp = orderParts(s, dir)
       val co = pp.as("x").join(pp.as("y"),
           col("x.ok") === col("y.ok") && col("x.p") =!= col("y.p"))
         .groupBy(col("x.p").as("part"), col("y.p").as("other"))
@@ -162,12 +181,8 @@ object GraphQueries {
       def materialize(df: DataFrame): DataFrame =
         if (s.sparkContext.getCheckpointDir.isDefined) df.checkpoint(true)
         else df.localCheckpoint(true)
-      val pp = t(s, dir, "lineitem")
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
-        .distinct()
-      val half = pp.as("x").join(pp.as("y"),
-          col("x.ok") === col("y.ok") && col("x.p") < col("y.p"))
-        .select(col("x.p").as("a"), col("y.p").as("b")).distinct()
+      val pp = orderParts(s, dir)
+      val half = orientedEdges(pp)
       val ed = half.select(col("a").as("src"), col("b").as("dst"))
         .unionAll(half.select(col("b").as("src"), col("a").as("dst")))
         .persist()
@@ -199,25 +214,11 @@ object GraphQueries {
     // subplan; nodes below 2 sampled degrees have no defined cc and
     // drop; triangle-free nodes emit 0 via the left join.
     "graph_clustering_coeff" -> ((s, dir) => {
-      val pp = t(s, dir, "lineitem")
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
-        .distinct()
-      val e = pp.as("x").join(pp.as("y"),
-          col("x.ok") === col("y.ok") && col("x.p") < col("y.p"))
-        .select(col("x.p").as("a"), col("y.p").as("b")).distinct()
-        .filter(substring(md5(concat(col("a").cast("string"), lit("_"),
-          col("b").cast("string")).cast("binary")), 1, 1)
-          .isin("0", "1", "2", "3"))
+      val pp = orderParts(s, dir)
+      val e = doulionSample(orientedEdges(pp), Seq("0", "1", "2", "3"))
       val deg = e.select(explode(array(col("a"), col("b"))).as("node"))
         .groupBy("node").agg(count(lit(1)).as("deg"))
-      val closing = e.select(col("a").as("ea"), col("b").as("eb"))
-      val tri = e.as("e1").join(e.as("e2"), col("e1.b") === col("e2.a"))
-        .select(col("e1.a").as("a"), col("e1.b").as("b"),
-          col("e2.b").as("c"))
-        .join(closing, col("a") === col("ea") && col("c") === col("eb"))
-        .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
-        .groupBy("node").agg(count(lit(1)).as("n_tri"))
-      deg.join(tri, Seq("node"), "left")
+      deg.join(triangleCorners(e), Seq("node"), "left")
         .filter(col("deg") >= 2)
         .select(col("node"), col("deg"),
           coalesce(col("n_tri"), lit(0L)).as("n_tri"),
@@ -242,12 +243,8 @@ object GraphQueries {
     // ≤64-row bucket agg. Output is domain-bounded (≤64 buckets); the
     // shuffles are |E| slim pairs and |V| counts — never quadratic.
     "graph_degree_hist" -> ((s, dir) => {
-      val pp = t(s, dir, "lineitem")
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
-        .distinct()
-      val e = pp.as("x").join(pp.as("y"),
-          col("x.ok") === col("y.ok") && col("x.p") < col("y.p"))
-        .select(col("x.p").as("a"), col("y.p").as("b")).distinct()
+      val pp = orderParts(s, dir)
+      val e = orientedEdges(pp)
       val deg = e.select(explode(array(col("a"), col("b"))).as("node"))
         .groupBy("node").agg(count(lit(1)).as("deg"))
       deg.groupBy((length(bin(col("deg"))) - 1).cast("long").as("bucket"))
@@ -283,14 +280,8 @@ object GraphQueries {
       def materialize(df: DataFrame): DataFrame =
         if (s.sparkContext.getCheckpointDir.isDefined) df.checkpoint(true)
         else df.localCheckpoint(true)
-      val pp = t(s, dir, "lineitem")
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
-        .distinct()
-      var e = materialize(pp.as("x").join(pp.as("y"),
-          col("x.ok") === col("y.ok") && col("x.p") < col("y.p"))
-        .select(col("x.p").as("a"), col("y.p").as("b")).distinct()
-        .filter(substring(md5(concat(col("a").cast("string"), lit("_"),
-          col("b").cast("string")).cast("binary")), 1, 1) === "0"))
+      val pp = orderParts(s, dir)
+      var e = materialize(doulionSample(orientedEdges(pp), Seq("0")))
       for (_ <- 1 to KcoreRounds) {
         val keep = e.select(explode(array(col("a"), col("b"))).as("node"))
           .groupBy("node").agg(count(lit(1)).as("deg"))

@@ -453,12 +453,7 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
-    // Fuzzy dedup of a VALUE DICTIONARY: distinct names (64 here — value
-    // dictionaries stay small even when the fact table is 100 TB), then
-    // blocked all-pairs edit distance within the first-token block. The
-    // distinct() is the scale move — running levenshtein over raw rows
-    // would square the fact-table cardinality for identical output.
-    // Fuzzy dedup of the same VALUE DICTIONARY by JARO-WINKLER — the
+    // Fuzzy dedup of the VALUE DICTIONARY by JARO-WINKLER — the
     // short-string/name-matching complement of dedup_edit_distance
     // (levenshtein over-penalizes transpositions and ignores the
     // strong-prefix signal typo'd names carry; JW is the entity-
@@ -484,6 +479,12 @@ object PipelineQueries {
         .orderBy("name_a", "name_b")
     }),
 
+    // Fuzzy dedup of the same VALUE DICTIONARY by EDIT DISTANCE:
+    // distinct names (64 here — value dictionaries stay small even
+    // when the fact table is 100 TB), then blocked all-pairs
+    // levenshtein within the first-token block. The distinct() is the
+    // scale move — running levenshtein over raw rows would square the
+    // fact-table cardinality for identical output.
     "dedup_edit_distance" -> ((s, dir) => {
       val names = t(s, dir, "part").select(col("p_name")).distinct()
         .withColumn("blk", split(col("p_name"), " ").getItem(0))

@@ -245,15 +245,6 @@ object ScanQueries {
         .orderBy("doc_id")
     }),
 
-    // MALFORMED-RECORD QUARANTINE — the ingestion surface the clean
-    // roundtrips above skip: real landed CSV carries rows that don't
-    // parse, and a production reader must QUARANTINE them (keep the
-    // raw line for replay/debugging) rather than crash the 100 TB job
-    // (FAILFAST) or silently drop them (DROPMALFORMED). PERMISSIVE
-    // mode + columnNameOfCorruptRecord does exactly that: a type-cast
-    // failure nulls the offending field and captures the raw line in
-    // the quarantine column, map-side in the scan — no separate
-    // validation pass. Corruption is deterministic (mod-7 keys get a
     // NESTED-COLUMN PRUNING roundtrip — flat-column pruning
     // (scan_schema_prune) is table stakes; what dies at 100 TB is a
     // reader that fetches a WHOLE struct to answer one leaf (event
@@ -278,6 +269,15 @@ object ScanQueries {
         .orderBy("event_type")
     }),
 
+    // MALFORMED-RECORD QUARANTINE — the ingestion surface the clean
+    // roundtrips above skip: real landed CSV carries rows that don't
+    // parse, and a production reader must QUARANTINE them (keep the
+    // raw line for replay/debugging) rather than crash the 100 TB job
+    // (FAILFAST) or silently drop them (DROPMALFORMED). PERMISSIVE
+    // mode + columnNameOfCorruptRecord does exactly that: a type-cast
+    // failure nulls the offending field and captures the raw line in
+    // the quarantine column, map-side in the scan — no separate
+    // validation pass. Corruption is deterministic (mod-7 keys get a
     // non-numeric key field), so the oracle reconstructs both the
     // surviving fields AND the quarantined raw lines from the original
     // table.
