@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.Tables.{epochDay, events}
+import graft.Tables.{epochDay, events, t}
 import graft.Det.{davg, dsum, r4d, sqlAvg, sqlEpochDay, sqlSum}
 
 /** §2.19 Event-analytics operators (SURVEY.md, round-5 amendment): the
@@ -791,6 +791,96 @@ object AnalyticsQueries {
             / col("n_view").cast("double")).as("cvr_click"),
           r4d(col("n_purchase_72h").cast("double")
             / col("n_view").cast("double")).as("cvr_purchase"))
+    }),
+
+    // WEEKLY RANK MOVERS — part revenue rank this week vs last, the
+    // "movers and shakers" dashboard (merchandising watches rank
+    // DELTAS, not raw revenue — a #40 → #12 jump is the signal). Ranks
+    // are per-week dense orderings (revenue cents desc, part — total
+    // order, integer exact); the delta joins consecutive weeks via a
+    // lag over the part timeline with an explicit week-continuity
+    // check (a part absent last week has no delta, not a fake one).
+    // Restricted to this-week rank ≤ 20 — the list a human reads.
+    // Two window partitionings (week for the rank, part for the lag),
+    // each over the |weeks|×|parts| pre-agg, never raw lineitem.
+    "topk_rank_delta" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val wk = t(s, dir, "lineitem")
+        .select(col("l_partkey").as("part"),
+          expr("unix_millis(cast(l_shipdate as timestamp)) div 86400000" +
+            " div 7").as("week"),
+          round(col("l_extendedprice") * 100).cast("long").as("cents"))
+        .groupBy("week", "part").agg(sum(col("cents")).as("rev"))
+      val rw = Window.partitionBy(col("week"))
+        .orderBy(col("rev").desc, col("part"))
+      val pw = Window.partitionBy(col("part")).orderBy(col("week"))
+      wk.withColumn("rnk", row_number().over(rw).cast("long"))
+        .withColumn("prev_rnk", lag(col("rnk"), 1).over(pw))
+        .withColumn("prev_week", lag(col("week"), 1).over(pw))
+        .filter(col("rnk") <= 20)
+        .select(col("week"), col("part"), col("rnk"),
+          when(col("prev_week") === col("week") - 1, col("prev_rnk"))
+            .as("prev_rnk"),
+          when(col("prev_week") === col("week") - 1,
+            col("prev_rnk") - col("rnk")).as("rank_delta"))
+        .orderBy("week", "rnk")
+    }),
+
+    // SURVIVAL CURVE — share of users still active k days after first
+    // being seen (activity-span Kaplan-Meier without censoring: the
+    // fixture window is closed, so lifespan = last − first is fully
+    // observed). THE churn curve retention teams plot; its k = 7 point
+    // is cohort_retention's week-1 number. Per-user span is one
+    // exchange; survivors(k) is a SUFFIX SUM over the |lifespans|
+    // histogram (domain-bounded — never a per-user × per-k explode),
+    // zero-filled onto the k spine so the curve has no holes. All
+    // integers until the final share.
+    "agg_survival_curve" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val lif = events(s, dir)
+        .select(col("user_id"), epochDay("ts").as("day"))
+        .groupBy("user_id")
+        .agg((max(col("day")) - min(col("day"))).as("lifespan"))
+      val hist = lif.groupBy("lifespan").agg(count(lit(1)).as("c"))
+      val bounds = lif.agg(max(col("lifespan")).as("mx"),
+        count(lit(1)).as("n_users"))
+      val spine = bounds.select(col("n_users"),
+        explode(sequence(lit(0L), col("mx"))).as("k"))
+      val wsuf = Window.orderBy(col("k").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      spine.join(hist, col("k") === col("lifespan"), "left")
+        .select(col("n_users"), col("k"),
+          coalesce(col("c"), lit(0L)).as("c"))
+        .withColumn("n_survivors", sum(col("c")).over(wsuf))
+        .select(col("k"), col("n_survivors"),
+          r4d(col("n_survivors").cast("double")
+            / col("n_users").cast("double")).as("survival"))
+        .orderBy("k")
+    }),
+
+    // DORMANCY BUCKETS — users by days since last activity in weekly
+    // bands (the reactivation-campaign segmentation: 0-6 = active,
+    // 28+ = churned-for-practical-purposes). Recency measured against
+    // the corpus max day (the RFM convention); bucket edges are
+    // integer comparisons, shares one double each.
+    "agg_dormancy_buckets" -> ((s, dir) => {
+      val e = events(s, dir)
+        .select(col("user_id"), epochDay("ts").as("day"))
+      val u = e.crossJoin(broadcast(e.agg(max(col("day")).as("hi"))))
+        .groupBy("user_id")
+        .agg(min(col("hi") - col("day")).as("dormant_days"))
+      val b = u.select(
+        when(col("dormant_days") <= 6, "0-6")
+          .when(col("dormant_days") <= 13, "7-13")
+          .when(col("dormant_days") <= 20, "14-20")
+          .when(col("dormant_days") <= 27, "21-27")
+          .otherwise("28+").as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("n_users"))
+      b.crossJoin(broadcast(b.agg(sum(col("n_users")).as("total"))))
+        .select(col("bucket"), col("n_users"),
+          r4d(col("n_users").cast("double")
+            / col("total").cast("double")).as("share"))
+        .orderBy("bucket")
     }),
 
     // BASELINE FORECAST BACKTEST — MAE of the two canonical naive
@@ -1643,6 +1733,61 @@ object AnalyticsQueries {
     // Same spine, same single-window lags, winner on exact integer
     // error sums (HUGEINT-cast before nothing — the sums only feed
     // the compare and the divisions).
+    "topk_rank_delta" ->
+      """WITH wk AS (SELECT l_partkey AS part,
+        |    (epoch_ms(l_shipdate) // 86400000) // 7 AS week,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+        |  FROM lineitem),
+        |rev AS (SELECT week, part, CAST(sum(cents) AS BIGINT) AS rev
+        |  FROM wk GROUP BY 1, 2),
+        |r AS (SELECT week, part, rev,
+        |    row_number() OVER (PARTITION BY week
+        |      ORDER BY rev DESC, part) AS rnk
+        |  FROM rev),
+        |l AS (SELECT week, part, rnk,
+        |    lag(rnk) OVER w AS prev_rnk,
+        |    lag(week) OVER w AS prev_week
+        |  FROM r WINDOW w AS (PARTITION BY part ORDER BY week))
+        |SELECT week, part, rnk,
+        |  CASE WHEN prev_week = week - 1 THEN prev_rnk END AS prev_rnk,
+        |  CASE WHEN prev_week = week - 1 THEN prev_rnk - rnk END
+        |    AS rank_delta
+        |FROM l WHERE rnk <= 20 ORDER BY week, rnk""".stripMargin,
+    "agg_survival_curve" ->
+      s"""WITH lif AS (SELECT user_id,
+         |    max(${sqlEpochDay("ts")}) - min(${sqlEpochDay("ts")})
+         |      AS lifespan
+         |  FROM events GROUP BY 1),
+         |h AS (SELECT lifespan, count(*) AS c FROM lif GROUP BY 1),
+         |b AS (SELECT max(lifespan) AS mx, count(*) AS n_users FROM lif),
+         |spine AS (SELECT n_users, unnest(range(0, mx + 1)) AS k FROM b),
+         |j AS (SELECT n_users, k, coalesce(c, 0) AS c
+         |  FROM spine LEFT JOIN h ON k = lifespan),
+         |s AS (SELECT n_users, k,
+         |    CAST(sum(c) OVER (ORDER BY k DESC
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_survivors
+         |  FROM j)
+         |SELECT k, n_survivors,
+         |  ROUND(CAST(n_survivors AS DOUBLE) / CAST(n_users AS DOUBLE)
+         |    * 10000.0) / 10000.0 AS survival
+         |FROM s ORDER BY k""".stripMargin,
+    "agg_dormancy_buckets" ->
+      s"""WITH e AS (SELECT user_id, ${sqlEpochDay("ts")} AS day
+         |  FROM events),
+         |b AS (SELECT max(day) AS hi FROM e),
+         |u AS (SELECT user_id, min(hi - day) AS dormant_days
+         |  FROM e CROSS JOIN b GROUP BY 1),
+         |k AS (SELECT CASE WHEN dormant_days <= 6 THEN '0-6'
+         |    WHEN dormant_days <= 13 THEN '7-13'
+         |    WHEN dormant_days <= 20 THEN '14-20'
+         |    WHEN dormant_days <= 27 THEN '21-27'
+         |    ELSE '28+' END AS bucket FROM u),
+         |g AS (SELECT bucket, count(*) AS n_users FROM k GROUP BY 1),
+         |t AS (SELECT CAST(sum(n_users) AS BIGINT) AS total FROM g)
+         |SELECT bucket, n_users,
+         |  ROUND(CAST(n_users AS DOUBLE) / CAST(total AS DOUBLE)
+         |    * 10000.0) / 10000.0 AS share
+         |FROM g CROSS JOIN t ORDER BY bucket""".stripMargin,
     "ts_forecast_baseline_mae" ->
       s"""WITH e AS (SELECT event_type, ${sqlEpochDay("ts")} AS day
          |  FROM events),

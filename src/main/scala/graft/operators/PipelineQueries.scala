@@ -643,6 +643,34 @@ object PipelineQueries {
         .orderBy("lang", "source")
     }),
 
+    // SHARD BALANCE AUDIT — token mass per hash shard and its ratio to
+    // the ideal even split: the pre-flight check before a distributed
+    // tokenization/training run commits to a sharding (a 1.3× hot
+    // shard is a 1.3× slower epoch — stragglers are the whole story).
+    // Shards by the replayable md5 first-hex-band convention (2 hex
+    // values per shard × 8 — pure string comparisons, no engine hash);
+    // counts exact; the ratio is tokens·n_shards/total — one double
+    // per shard, 1.0 = perfectly even.
+    "pipeline_shard_balance" -> ((s, dir) => {
+      val h = substring(md5(col("doc_id").cast("string").cast("binary")),
+        1, 1)
+      val shard = when(h < "2", 0L).when(h < "4", 1L).when(h < "6", 2L)
+        .when(h < "8", 3L).when(h < "a", 4L).when(h < "c", 5L)
+        .when(h < "e", 6L).otherwise(7L)
+      val g = t(s, dir, "documents")
+        .select(shard.as("shard"),
+          size(split(col("text"), " ")).cast("long").as("nt"))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
+      g.crossJoin(broadcast(g.agg(sum(col("n_tokens")).as("total"),
+          count(lit(1)).as("n_shards"))))
+        .select(col("shard"), col("n_docs"), col("n_tokens"),
+          r4d(col("n_tokens").cast("double")
+            * col("n_shards").cast("double")
+            / col("total").cast("double")).as("balance_ratio"))
+        .orderBy("shard")
+    }),
+
     // TOKENIZER FERTILITY per language — tokens-per-word, THE metric
     // tokenizer teams watch per language (a fertility of 2× for one
     // lang means its speakers pay twice the context window; the
@@ -903,6 +931,28 @@ object PipelineQueries {
         |  ROUND(cq - rq, 4) AS q_gap
         |FROM c JOIN j USING (lang, source)
         |WHERE n_docs >= 2 ORDER BY lang, source""".stripMargin,
+    "pipeline_shard_balance" ->
+      """WITH d AS (SELECT CASE
+        |    WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '2' THEN 0
+        |    WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '4' THEN 1
+        |    WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '6' THEN 2
+        |    WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '8' THEN 3
+        |    WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'a' THEN 4
+        |    WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'c' THEN 5
+        |    WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'e' THEN 6
+        |    ELSE 7 END AS shard,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+        |  FROM documents),
+        |g AS (SELECT CAST(shard AS BIGINT) AS shard, count(*) AS n_docs,
+        |    CAST(sum(nt) AS BIGINT) AS n_tokens
+        |  FROM d GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total,
+        |    count(*) AS n_shards FROM g)
+        |SELECT shard, n_docs, n_tokens,
+        |  ROUND(CAST(n_tokens AS DOUBLE) * CAST(n_shards AS DOUBLE)
+        |    / CAST(total AS DOUBLE) * 10000.0) / 10000.0
+        |    AS balance_ratio
+        |FROM g CROSS JOIN t ORDER BY shard""".stripMargin,
     // Same token spellings as text_token_count_bpe's oracle; exact
     // integer sums, two double divisions in the same op order.
     "text_tokenizer_fertility" ->

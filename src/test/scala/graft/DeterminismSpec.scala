@@ -78,7 +78,10 @@ class DeterminismSpec extends SparkSpec {
       // argmin over folded distances
       "ts_error_rate_wilson", "sim_centroid_classify",
       // Round-7 twelfth wave: MAE divisions, basket shares
-      "ts_forecast_baseline_mae", "agg_basket_size_dist")) {
+      "ts_forecast_baseline_mae", "agg_basket_size_dist",
+      // Round-7 thirteenth wave: survival/dormancy/balance shares
+      "agg_survival_curve", "agg_dormancy_buckets",
+      "pipeline_shard_balance")) {
       val a = rows(q, "3")
       val b = rows(q, "17")
       assert(a == b, s"$q diverged between 3 and 17 shuffle partitions " +

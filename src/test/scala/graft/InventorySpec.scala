@@ -170,10 +170,14 @@ class InventorySpec extends SparkSpec {
     // §2.38 round-7 twelfth wave: forecast backtest, journey trigrams,
     // TPC-H Q6, basket-size distribution
     "ts_forecast_baseline_mae", "path_trigrams_topk", "sql_tpch_q6",
-    "agg_basket_size_dist")
+    "agg_basket_size_dist",
+    // §2.39 round-7 thirteenth wave: rank movers, survival curve,
+    // dormancy segmentation, shard balance
+    "topk_rank_delta", "agg_survival_curve", "agg_dormancy_buckets",
+    "pipeline_shard_balance")
 
-  test("declared queries cover SURVEY §2 + §2.12-38 exactly (234 keys)") {
-    assert(inventory.size == 234)
+  test("declared queries cover SURVEY §2 + §2.12-39 exactly (238 keys)") {
+    assert(inventory.size == 238)
     val declared = SparkEntry.queries.keySet
     val missing = inventory -- declared
     val extra = declared -- inventory

@@ -948,6 +948,26 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin"), p.take(2000))
   }
 
+  test("rank movers: week-rank and part-lag windows over the pre-agg only") {
+    val p = plan("topk_rank_delta")
+    assert("Window \\[".r.findAllIn(p).size == 2, p.take(3000))
+    assert(!p.contains("Join"), p.take(2000))
+  }
+
+  test("survival curve: suffix sum rides ONE window over the bounded spine") {
+    val p = plan("agg_survival_curve")
+    assert("Window \\[".r.findAllIn(p).size == 1, p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+  }
+
+  test("dormancy buckets and shard balance: window-free, broadcast totals") {
+    for (q <- Seq("agg_dormancy_buckets", "pipeline_shard_balance")) {
+      val p = plan(q)
+      assert(!p.contains("Window") && !p.contains("SortMergeJoin"),
+        s"$q:\n${p.take(2000)}")
+    }
+  }
+
   test("centroid classify: scoring is a broadcast map pass over the vectors") {
     // The |labels|-row centroid table broadcasts; the per-vector
     // argmin partial-aggregates — no shuffle of scored pairs beyond
