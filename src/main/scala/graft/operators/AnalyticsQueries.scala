@@ -939,6 +939,40 @@ object AnalyticsQueries {
         .limit(10)
     }),
 
+    // TPC-H Q14 — promotion effect: the CONDITIONAL-AGGREGATE-RATIO
+    // member (promo share of revenue in a month — two Det.dsum
+    // branches over one fact⋈dim join, then one ratio). Both sums are
+    // already 4dp-exact doubles, so the ratio is a single
+    // IEEE-identical division; part broadcasts (pinned).
+    "sql_tpch_q14" -> ((s, dir) => {
+      s.sql(s"""SELECT
+        |  ROUND(100.0 * promo / total * 10000.0) / 10000.0
+        |    AS promo_revenue_pct,
+        |  promo AS promo_revenue, total AS total_revenue
+        |FROM (SELECT
+        |  ${sqlSum("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) END")}
+        |    AS promo,
+        |  ${sqlSum("l_extendedprice * (1 - l_discount)")} AS total
+        |FROM parquet.`$dir/lineitem.parquet`
+        |JOIN parquet.`$dir/part.parquet` ON l_partkey = p_partkey
+        |WHERE l_shipdate >= DATE '1996-09-01'
+        |  AND l_shipdate < DATE '1996-10-01')""".stripMargin)
+    }),
+
+    // CORRELATED EXISTS — the SQL-surface form of the semi join (the
+    // DataFrame left_semi key proves the operator; this proves the
+    // PARSER/DECORRELATION path: a correlated EXISTS subquery must
+    // rewrite to a semi join, pinned — naive per-row execution of the
+    // subquery is the quadratic trap). NOT EXISTS rides the same plan
+    // as anti; one key covers the EXISTS side.
+    "sql_exists_correlated" -> ((s, dir) => {
+      s.sql(s"""SELECT c_custkey, c_name
+        |FROM parquet.`$dir/customer.parquet`
+        |WHERE EXISTS (SELECT 1 FROM parquet.`$dir/orders.parquet`
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+        |ORDER BY c_custkey""".stripMargin)
+    }),
+
     // TPC-H Q6 — the forecasting-revenue-change flat scan: no join,
     // no group — the benchmark's pure predicate-pushdown/codegen
     // measure (every predicate must reach the parquet scan, pinned).
@@ -1825,6 +1859,25 @@ object AnalyticsQueries {
         |WHERE t2 IS NOT NULL AND t3 IS NOT NULL
         |GROUP BY 1, 2, 3
         |ORDER BY n DESC, t1, t2, t3 LIMIT 10""".stripMargin,
+    "sql_tpch_q14" ->
+      s"""SELECT
+         |  ROUND(100.0 * promo / total * 10000.0) / 10000.0
+         |    AS promo_revenue_pct,
+         |  promo AS promo_revenue, total AS total_revenue
+         |FROM (SELECT
+         |  ${sqlSum("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) END")}
+         |    AS promo,
+         |  ${sqlSum("l_extendedprice * (1 - l_discount)")} AS total
+         |FROM lineitem
+         |JOIN part ON l_partkey = p_partkey
+         |WHERE l_shipdate >= DATE '1996-09-01'
+         |  AND l_shipdate < DATE '1996-10-01')""".stripMargin,
+    "sql_exists_correlated" ->
+      """SELECT c_custkey, c_name
+        |FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+        |ORDER BY c_custkey""".stripMargin,
     "sql_tpch_q6" ->
       s"""SELECT ${sqlSum("l_extendedprice * l_discount")} AS revenue
          |FROM lineitem

@@ -174,10 +174,13 @@ class InventorySpec extends SparkSpec {
     // §2.39 round-7 thirteenth wave: rank movers, survival curve,
     // dormancy segmentation, shard balance
     "topk_rank_delta", "agg_survival_curve", "agg_dormancy_buckets",
-    "pipeline_shard_balance")
+    "pipeline_shard_balance",
+    // §2.40 round-7 fourteenth wave: promo-share ratio, correlated
+    // EXISTS decorrelation
+    "sql_tpch_q14", "sql_exists_correlated")
 
-  test("declared queries cover SURVEY §2 + §2.12-39 exactly (238 keys)") {
-    assert(inventory.size == 238)
+  test("declared queries cover SURVEY §2 + §2.12-40 exactly (240 keys)") {
+    assert(inventory.size == 240)
     val declared = SparkEntry.queries.keySet
     val missing = inventory -- declared
     val extra = declared -- inventory

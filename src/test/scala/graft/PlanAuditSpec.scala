@@ -968,6 +968,18 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("TPC-H Q14: part broadcasts, single two-phase conditional agg") {
+    val p = plan("sql_tpch_q14")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(2000))
+  }
+
+  test("correlated EXISTS decorrelates to a semi join (no per-row subquery)") {
+    val p = plan("sql_exists_correlated")
+    assert(p.contains("LeftSemi"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
   test("centroid classify: scoring is a broadcast map pass over the vectors") {
     // The |labels|-row centroid table broadcasts; the per-vector
     // argmin partial-aggregates — no shuffle of scored pairs beyond
