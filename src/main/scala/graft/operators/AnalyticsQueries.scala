@@ -1460,6 +1460,94 @@ object AnalyticsQueries {
         |  AND o_orderdate < DATE '1997-01-01'
         |GROUP BY n_name
         |ORDER BY revenue DESC, n_name""".stripMargin)
+    }),
+
+    // TPC-H Q17 — small-quantity-order revenue: the CORRELATED SCALAR
+    // SUBQUERY member (`l_quantity < 0.2 × the part's own average`) —
+    // the one classic Catalyst decorrelation surface the SQL family
+    // (flat stars, IN+HAVING, LATERAL, EXISTS) doesn't prove. The
+    // planner MUST rewrite the per-row subquery into one per-part
+    // aggregate joined back (pinned in PlanAuditSpec: no subquery
+    // node survives, no cartesian) — naive re-execution per probe row
+    // is the quadratic trap. Determinism: l_quantity is integral, so
+    // SUM/AVG over doubles is exact (every partial sum an exact
+    // integer < 2⁵³, order-independent); the 0.2× threshold and the
+    // final ÷7 are single IEEE ops spelled identically in the oracle.
+    // Spec container/brand filter adapted to the fixture dims.
+    "sql_tpch_q17" -> ((s, dir) => {
+      s.sql(s"""SELECT
+        |  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6)))
+        |    AS DOUBLE) / 7.0 * 10000.0) / 10000.0 AS avg_yearly,
+        |  count(*) AS n_lines
+        |FROM parquet.`$dir/lineitem.parquet`
+        |JOIN parquet.`$dir/part.parquet` ON p_partkey = l_partkey
+        |WHERE p_brand = 'Brand#23' AND p_type = 'MEDIUM'
+        |  AND l_quantity < (
+        |    SELECT 0.2 * avg(l2.l_quantity)
+        |    FROM parquet.`$dir/lineitem.parquet` l2
+        |    WHERE l2.l_partkey = p_partkey)""".stripMargin)
+    }),
+
+    // TPC-H Q21 — suppliers who kept orders waiting: the MULTI-EXISTS
+    // composition (a correlated EXISTS and a correlated NOT EXISTS
+    // over two more aliases of the same fact table, both carrying a
+    // NON-EQUALITY correlated predicate `l2.l_suppkey <> l1.l_suppkey`
+    // — plus the NOT EXISTS referencing an outer column from a THIRD
+    // table, o_orderdate). Both must decorrelate to one semi and one
+    // anti join on l_orderkey with the inequalities as residuals
+    // (pinned: LeftSemi + LeftAnti, no cartesian). "Late" adapts the
+    // spec's receipt>commit to the fixture's shipdate > orderdate+365d
+    // (timestamp + interval, identical in both engines); (numwait
+    // DESC, s_name) is a total order — s_name is unique.
+    "sql_tpch_q21" -> ((s, dir) => {
+      s.sql(s"""SELECT s_name, count(*) AS numwait
+        |FROM parquet.`$dir/supplier.parquet`
+        |JOIN parquet.`$dir/lineitem.parquet` l1 ON s_suppkey = l1.l_suppkey
+        |JOIN parquet.`$dir/orders.parquet` ON o_orderkey = l1.l_orderkey
+        |WHERE o_orderstatus = 'F'
+        |  AND l1.l_shipdate > o_orderdate + INTERVAL 365 DAY
+        |  AND EXISTS (
+        |    SELECT 1 FROM parquet.`$dir/lineitem.parquet` l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey
+        |      AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM parquet.`$dir/lineitem.parquet` l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey
+        |      AND l3.l_suppkey <> l1.l_suppkey
+        |      AND l3.l_shipdate > o_orderdate + INTERVAL 365 DAY)
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name
+        |LIMIT 20""".stripMargin)
+    }),
+
+    // TPC-H Q22 — global-sales-opportunity: the ANTI JOIN + UNCORRELATED
+    // SCALAR AVERAGE composition (positive-balance average as a 1-row
+    // subquery every probe row compares against, NOT EXISTS orders →
+    // anti join; with q17 and q21 this closes the structurally
+    // distinct TPC-H planner-shape set). The spec's phone-prefix
+    // country codes adapt to a 7-key c_nationkey IN list (same
+    // selectivity role). Determinism: the scalar average is spelled as
+    // the exact decimal sum ÷ count in ONE double division in both
+    // engines — a raw AVG(double) differs in the last ulp with
+    // partial-agg order, which a threshold comparison would amplify
+    // into row membership flips.
+    "sql_tpch_q22" -> ((s, dir) => {
+      s.sql(s"""SELECT CAST(c_nationkey AS BIGINT) AS cntrycode,
+        |  count(*) AS numcust,
+        |  ${sqlSum("c_acctbal")} AS totacctbal
+        |FROM parquet.`$dir/customer.parquet`
+        |WHERE c_nationkey IN (3, 7, 11, 13, 17, 19, 23)
+        |  AND c_acctbal > (
+        |    SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE)
+        |      / COUNT(*)
+        |    FROM parquet.`$dir/customer.parquet`
+        |    WHERE c_acctbal > 0.0
+        |      AND c_nationkey IN (3, 7, 11, 13, 17, 19, 23))
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM parquet.`$dir/orders.parquet`
+        |    WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+        |GROUP BY c_nationkey
+        |ORDER BY cntrycode""".stripMargin)
     })
   )
 
@@ -2260,6 +2348,56 @@ object AnalyticsQueries {
          |  AND o_orderdate >= DATE '1996-01-01'
          |  AND o_orderdate < DATE '1997-01-01'
          |GROUP BY n_name
-         |ORDER BY revenue DESC, n_name""".stripMargin
+         |ORDER BY revenue DESC, n_name""".stripMargin,
+    // count(*) stays BIGINT; the ÷7 ratio divides the exact decimal
+    // sum as a double exactly as the Spark spelling does.
+    "sql_tpch_q17" ->
+      """SELECT
+        |  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6)))
+        |    AS DOUBLE) / 7.0 * 10000.0) / 10000.0 AS avg_yearly,
+        |  count(*) AS n_lines
+        |FROM lineitem
+        |JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand = 'Brand#23' AND p_type = 'MEDIUM'
+        |  AND l_quantity < (
+        |    SELECT 0.2 * avg(l2.l_quantity)
+        |    FROM lineitem l2
+        |    WHERE l2.l_partkey = p_partkey)""".stripMargin,
+    "sql_tpch_q21" ->
+      """SELECT s_name, count(*) AS numwait
+        |FROM supplier
+        |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        |JOIN orders ON o_orderkey = l1.l_orderkey
+        |WHERE o_orderstatus = 'F'
+        |  AND l1.l_shipdate > o_orderdate + INTERVAL 365 DAY
+        |  AND EXISTS (
+        |    SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey
+        |      AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM lineitem l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey
+        |      AND l3.l_suppkey <> l1.l_suppkey
+        |      AND l3.l_shipdate > o_orderdate + INTERVAL 365 DAY)
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name
+        |LIMIT 20""".stripMargin,
+    "sql_tpch_q22" ->
+      s"""SELECT CAST(c_nationkey AS BIGINT) AS cntrycode,
+         |  count(*) AS numcust,
+         |  ${sqlSum("c_acctbal")} AS totacctbal
+         |FROM customer
+         |WHERE c_nationkey IN (3, 7, 11, 13, 17, 19, 23)
+         |  AND c_acctbal > (
+         |    SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE)
+         |      / COUNT(*)
+         |    FROM customer
+         |    WHERE c_acctbal > 0.0
+         |      AND c_nationkey IN (3, 7, 11, 13, 17, 19, 23))
+         |  AND NOT EXISTS (
+         |    SELECT 1 FROM orders
+         |    WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+         |GROUP BY c_nationkey
+         |ORDER BY cntrycode""".stripMargin
   )
 }

@@ -359,6 +359,47 @@ object JoinQueries {
         .agg(count(lit(1)).as("n_lines"),
           dsum(col("l_extendedprice")).as("sum_price"))
         .orderBy(col("l_partkey"))
+    }),
+
+    // NULL-AWARE ANTI JOIN — `NOT IN (subquery)` over a NULLABLE key:
+    // semantically AND physically distinct from left_anti (NOT
+    // EXISTS). Three-valued logic makes `x NOT IN S` NULL (row
+    // dropped) when S contains any NULL — one NULL in the subquery
+    // POISONS the whole probe side — so the planner cannot use a
+    // plain hash anti join; Spark plans a null-aware anti join
+    // (build-side NULL existence checked before the hash probe,
+    // pinned in PlanAuditSpec). Three scenarios, one row each:
+    // `a_null_free` (non-nullable subquery → behaves like anti),
+    // `b_nullable_type` (nullif that never fires — VALUES identical
+    // to a, but the nullable type forces the NAAJ plan), and
+    // `c_null_poisoned` (a CASE injects a guaranteed NULL → count 0,
+    // the semantics a plain anti join would get wrong by returning
+    // scenario a's count). The o_totalprice filter keeps every build
+    // side a few hundred keys — broadcastable at any SF since high
+    // outliers don't grow with data volume... they do here (uniform
+    // fixture prices), but the NAAJ build side is a SET of keys and
+    // Spark's NAAJ requires a broadcastable build by construction;
+    // the fallback at genuinely non-broadcastable scale is the
+    // two-branch rewrite (anti join ∪ null-existence check) noted in
+    // the scaladoc so callers know the escape hatch.
+    "join_null_aware_anti" -> ((s, dir) => {
+      val cust = s"parquet.`$dir/customer.parquet`"
+      val ords = s"parquet.`$dir/orders.parquet`"
+      s.sql(s"""SELECT 'a_null_free' AS scenario, count(*) AS n_cust
+        |FROM $cust WHERE c_custkey NOT IN (
+        |  SELECT o_custkey FROM $ords WHERE o_totalprice > 400000)
+        |UNION ALL
+        |SELECT 'b_nullable_type', count(*)
+        |FROM $cust WHERE c_custkey NOT IN (
+        |  SELECT nullif(o_custkey, -1) FROM $ords
+        |  WHERE o_totalprice > 400000)
+        |UNION ALL
+        |SELECT 'c_null_poisoned', count(*)
+        |FROM $cust WHERE c_custkey NOT IN (
+        |  SELECT CASE WHEN o_orderkey % 2 = 0 THEN NULL
+        |              ELSE o_custkey END
+        |  FROM $ords WHERE o_totalprice > 400000)
+        |ORDER BY scenario""".stripMargin)
     })
   )
 
@@ -406,6 +447,25 @@ object JoinQueries {
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
         |  AND o_totalprice > 400000)
         |ORDER BY c_custkey""".stripMargin,
+    // Same NOT IN spellings — DuckDB evaluates the identical
+    // three-valued semantics, so a Spark plan that degraded NAAJ to a
+    // plain anti join would flunk scenario c (1500 vs 0).
+    "join_null_aware_anti" ->
+      """SELECT 'a_null_free' AS scenario, count(*) AS n_cust
+        |FROM customer WHERE c_custkey NOT IN (
+        |  SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+        |UNION ALL
+        |SELECT 'b_nullable_type', count(*)
+        |FROM customer WHERE c_custkey NOT IN (
+        |  SELECT nullif(o_custkey, -1) FROM orders
+        |  WHERE o_totalprice > 400000)
+        |UNION ALL
+        |SELECT 'c_null_poisoned', count(*)
+        |FROM customer WHERE c_custkey NOT IN (
+        |  SELECT CASE WHEN o_orderkey % 2 = 0 THEN NULL
+        |              ELSE o_custkey END
+        |  FROM orders WHERE o_totalprice > 400000)
+        |ORDER BY scenario""".stripMargin,
     "join_cross" ->
       """SELECT r_name, n_name FROM region CROSS JOIN nation
         |ORDER BY r_name, n_name""".stripMargin,

@@ -177,10 +177,15 @@ class InventorySpec extends SparkSpec {
     "pipeline_shard_balance",
     // §2.40 round-7 fourteenth wave: promo-share ratio, correlated
     // EXISTS decorrelation
-    "sql_tpch_q14", "sql_exists_correlated")
+    "sql_tpch_q14", "sql_exists_correlated",
+    // §2.41 round-8 first wave: the remaining structurally distinct
+    // TPC-H planner shapes — correlated scalar subquery, multi-EXISTS
+    // lateness, anti+scalar-avg — plus the null-aware anti join
+    "sql_tpch_q17", "sql_tpch_q21", "sql_tpch_q22",
+    "join_null_aware_anti")
 
-  test("declared queries cover SURVEY §2 + §2.12-40 exactly (240 keys)") {
-    assert(inventory.size == 240)
+  test("declared queries cover SURVEY §2 + §2.12-41 exactly (244 keys)") {
+    assert(inventory.size == 244)
     val declared = SparkEntry.queries.keySet
     val missing = inventory -- declared
     val extra = declared -- inventory

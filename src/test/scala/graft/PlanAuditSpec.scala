@@ -302,6 +302,52 @@ class PlanAuditSpec extends SparkSpec {
       s"top-10 did not collapse to TakeOrderedAndProject:\n${p.take(3000)}")
   }
 
+  test("q17 correlated scalar subquery decorrelates: aggregate+join, no per-row subquery") {
+    // The correlated `l_quantity < 0.2×(that part's avg)` must rewrite
+    // to ONE per-part aggregate joined back with the threshold as a
+    // join residual — a surviving scalar-subquery node would mean
+    // Catalyst fell back to per-row re-execution (the quadratic trap),
+    // and a cartesian would mean the correlation was lost.
+    val p = plan("sql_tpch_q17")
+    assert(!p.contains("Subquery"),
+      s"scalar subquery survived decorrelation:\n${p.take(3000)}")
+    assert(p.contains("HashAggregate(keys=[l_partkey"),
+      s"no per-part aggregate for the threshold:\n${p.take(3000)}")
+    assert(p.contains("(0.2 * avg(l_quantity))"),
+      s"threshold not a join residual:\n${p.take(3000)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"q17 planned a product join:\n${p.take(3000)}")
+  }
+
+  test("q21 multi-EXISTS decorrelates to one semi + one anti join with inequality residuals") {
+    // Both correlated subqueries carry the non-equality predicate
+    // l2.l_suppkey <> l1.l_suppkey (and the NOT EXISTS references
+    // o_orderdate from a third table): they must still plan as keyed
+    // semi/anti joins on l_orderkey with the inequalities as residuals
+    // — never a nested loop — and the ORDER BY/LIMIT 20 must collapse.
+    val p = plan("sql_tpch_q21")
+    assert(p.contains("LeftSemi"), s"EXISTS lost its semi join:\n${p.take(3000)}")
+    assert(p.contains("LeftAnti"), s"NOT EXISTS lost its anti join:\n${p.take(3000)}")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-20 did not collapse:\n${p.take(3000)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"q21 planned a product join:\n${p.take(3000)}")
+  }
+
+  test("null-aware anti join: NOT IN plans as NAAJ, never a plain anti or nested loop") {
+    // BroadcastHashJoinExec prints its isNullAwareAntiJoin flag as the
+    // trailing boolean: all three NOT IN branches must carry `true`
+    // (o_custkey is nullable in the parquet schema even where no NULL
+    // occurs — the planner must be conservative; scenario c's injected
+    // NULL is what a plain LeftAnti would get wrong). A nested-loop
+    // fallback here would mean the build side stopped broadcasting.
+    val p = plan("join_null_aware_anti")
+    val naaj = "LeftAnti, BuildRight, true".r.findAllIn(p).size
+    assert(naaj == 3, s"expected 3 null-aware anti joins, got $naaj:\n${p.take(4000)}")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"NAAJ degraded to a nested loop:\n${p.take(3000)}")
+  }
+
   test("funnel stage joins and cohort attach-back broadcast under AQE") {
     // The §2.19 scale claims: funnel stage frames shrink monotonically
     // and the cohort table is one row per user, so AQE's runtime stats
