@@ -29,8 +29,17 @@ import org.apache.spark.unsafe.types.UTF8String
   * common prefix ℓ capped at 4. ANY empty side ⇒ 0 (including
   * both-empty — DuckDB's convention, checked empirically; the
   * textbook 1.0-for-equal does NOT apply to two empties there).
-  * Comparison is per Unicode code point (String chars here; the fixture
-  * domain is ASCII, where code units and code points coincide).
+  * Comparison is per UTF-8 BYTE — DuckDB's unit, verified empirically
+  * on accented/CJK/astral pairs (its similarity differs from the
+  * per-code-point value on e.g. 'héllo'/'hello': 0.84 byte-wise vs
+  * 0.88 code-point-wise, and DuckDB returns 0.84). Iterating the
+  * UTF8String's own bytes therefore matches the oracle on EVERY
+  * input, not just ASCII, and skips the String decode entirely.
+  * Multi-byte sequences of a shared script share lead bytes, which
+  * inflates byte-level m slightly versus code-point JW — acceptable
+  * and oracle-identical; callers wanting code-point semantics should
+  * normalize upstream ([[NfcNormalize]]) and treat scores as
+  * byte-granular.
   */
 case class JaroWinkler(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -59,10 +68,11 @@ object JaroWinkler {
   /** Shared by interpreted eval and generated code. One boolean array
     * per side, O(len1·len2) worst case on the match scan — short-string
     * territory by contract (names, titles), like every JW
-    * implementation. */
+    * implementation. Operates directly on the UTF-8 bytes (DuckDB's
+    * comparison unit, see class scaladoc) — no String decode. */
   def sim(u1: UTF8String, u2: UTF8String): Double = {
-    val s1 = u1.toString
-    val s2 = u2.toString
+    val s1 = u1.getBytes
+    val s2 = u2.getBytes
     val l1 = s1.length
     val l2 = s2.length
     if (l1 == 0 || l2 == 0) return 0.0
@@ -77,7 +87,7 @@ object JaroWinkler {
       var j = lo
       var found = false
       while (j <= hi && !found) {
-        if (!m2(j) && s1.charAt(i) == s2.charAt(j)) {
+        if (!m2(j) && s1(i) == s2(j)) {
           m1(i) = true; m2(j) = true; matches += 1; found = true
         }
         j += 1
@@ -94,7 +104,7 @@ object JaroWinkler {
     while (i < l1) {
       if (m1(i)) {
         while (!m2(j)) j += 1
-        if (s1.charAt(i) != s2.charAt(j)) k += 1
+        if (s1(i) != s2(j)) k += 1
         j += 1
       }
       i += 1
@@ -104,7 +114,7 @@ object JaroWinkler {
     if (jaro <= 0.7) return jaro
     var prefix = 0
     val maxPrefix = math.min(4, math.min(l1, l2))
-    while (prefix < maxPrefix && s1.charAt(prefix) == s2.charAt(prefix))
+    while (prefix < maxPrefix && s1(prefix) == s2(prefix))
       prefix += 1
     jaro + prefix * 0.1 * (1.0 - jaro)
   }

@@ -560,9 +560,20 @@ object AggQueries {
         .orderBy(col("c"), col("user_id"))
       d.withColumn("i", row_number().over(w).cast("long"))
         .groupBy("event_type")
-        .agg(count(lit(1)).as("n_users"),
+        .agg(count(lit(1)).as("n_raw"),
           sum(col("c").cast("decimal(38,0)")).as("sc"),
-          sum((col("i") * col("c")).cast("decimal(38,0)")).as("swc"))
+          sum((col("i") * col("c")).cast("decimal(38,0)")).as("swc"),
+          max(col("c")).as("mc"))
+        // Loud bound (the agg_skew_kurtosis convention): i·c is a LONG
+        // product before the decimal cast — n_users·max(c) ≥ 2⁶³ means
+        // some product may have wrapped silently under non-ANSI while
+        // the oracle's HUGEINT kept going. The check multiplies in
+        // double (a long test product would itself wrap).
+        .withColumn("n_users", graft.Det.checkedN(col("n_raw"),
+          col("n_raw").cast("double") * col("mc").cast("double")
+            < lit(9.0e18),
+          "agg_gini: rank×count exceeds the long-exact product range " +
+            "— widen i*c to decimal"))
         .select(col("event_type"), col("n_users"),
           col("sc").cast("long").as("total_events"),
           r4d((lit(2) * col("swc")
@@ -601,8 +612,16 @@ object AggQueries {
           expr("s1 div n").as("a"))
       val m = e.join(broadcast(p1), Seq("event_type", "arm"))
         .withColumn("d", col("c") - col("a"))
+        // Loud bound (the agg_skew_kurtosis convention): d·d is a LONG
+        // product before the decimal cast — past |d| ≈ 3.03×10⁹ cents
+        // from the arm anchor it would wrap silently under non-ANSI
+        // while the oracle's HUGEINT keeps going. raise_error instead.
+        .withColumn("nchk", graft.Det.checkedN(col("n"),
+          abs(col("d")).cast("double") < lit(3.0e9),
+          "ab_test_welch: anchored spread exceeds the long-exact d^2 " +
+            "range — widen to decimal products"))
         .groupBy("event_type", "arm")
-        .agg(max(col("n")).as("n"), max(col("a")).as("a"),
+        .agg(max(col("nchk")).as("n"), max(col("a")).as("a"),
           sum(col("d").cast("decimal(38,0)")).as("d1"),
           sum((col("d") * col("d")).cast("decimal(38,0)")).as("d2"))
         .withColumn("nn", col("n").cast("double"))

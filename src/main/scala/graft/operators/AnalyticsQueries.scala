@@ -734,12 +734,21 @@ object AnalyticsQueries {
           col("p.x").as("x"), col("p.yv").as("yy"))
         .filter(col("x").isNotNull)
       pairs.groupBy("event_type", "lag_k")
-        .agg(count(lit(1)).as("n"),
+        .agg(count(lit(1)).as("n_raw"),
           sum(col("x").cast("decimal(38,0)")).as("sx"),
           sum(col("yy").cast("decimal(38,0)")).as("sy"),
           sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"),
           sum((col("yy") * col("yy")).cast("decimal(38,0)")).as("syy"),
-          sum((col("x") * col("yy")).cast("decimal(38,0)")).as("sxy"))
+          sum((col("x") * col("yy")).cast("decimal(38,0)")).as("sxy"),
+          max(greatest(col("x"), col("yy"))).as("mxy"))
+        // Loud bound (the agg_skew_kurtosis convention): x·x / y·y /
+        // x·y are LONG products before the decimal casts — a daily
+        // count past ~3.03×10⁹ would wrap them silently under
+        // non-ANSI while the oracle's HUGEINT keeps going.
+        .withColumn("n", graft.Det.checkedN(col("n_raw"),
+          col("mxy").cast("double") < lit(3.0e9),
+          "ts_autocorr: daily volume exceeds the long-exact y^2 range " +
+            "— pre-bucket or widen to decimal products"))
         .filter(col("n") > 1 &&
           col("n") * col("sxx") > col("sx") * col("sx") &&
           col("n") * col("syy") > col("sy") * col("sy"))

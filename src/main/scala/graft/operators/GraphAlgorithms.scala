@@ -1,0 +1,167 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Shared distributed-iteration loops behind the §2 graph keys — the
+  * public, parameterized faces of `graph_bfs_distance`,
+  * `graph_pagerank` and `graph_kcore` (which stay FIXED-ROUND by
+  * contract so their unrolled DuckDB oracles mirror exactly; callers
+  * who want convergence use these directly).
+  *
+  * All three run under the ConnectedComponents materialization
+  * discipline: per-round eager checkpoint (lineage truncation — the
+  * alternative single lazy plan re-scans the base relation once per
+  * round with zero exchange reuse, measured in BASELINE.md), previous
+  * round's blocks released as soon as the next is materialized, so
+  * executor state is one iterate copy + any persisted edge cache
+  * regardless of round count. Driver state per round is ONE long (the
+  * convergence/frontier count) — never a row collection.
+  *
+  * BFS is FRONTIER-DELTA (the round-7 verdict's improvement over full
+  * re-aggregation): each round joins edges against only the rows whose
+  * distance changed last round, then min-merges the newly discovered
+  * nodes into the state. In level-synchronous unweighted BFS a node's
+  * distance never improves after first discovery, so the delta is
+  * exactly the new frontier and the merge is a strict union — on a
+  * large-diameter 100 TB graph round k shuffles O(|frontier_k| ⋈ E)
+  * instead of O(|V| ⋈ E), the difference between a long-tail BFS
+  * finishing and not.
+  */
+object GraphAlgorithms {
+
+  private def materialize(s: SparkSession, df: DataFrame): DataFrame =
+    if (s.sparkContext.getCheckpointDir.isDefined) df.checkpoint(true)
+    else df.localCheckpoint(true)
+
+  private def release(df: DataFrame): Unit =
+    org.apache.spark.sql.graftshim.unpersistCheckpoint(df)
+
+  /** Multi-source BFS over directed `edges` (`src`, `dst`) from
+    * `seeds` (`node`), frontier-delta form. Runs at most `maxRounds`
+    * relaxation rounds, stopping EARLY when a round discovers nothing
+    * (the fixed-round contract is unaffected: an empty frontier means
+    * every later round is a no-op, so "3 rounds" and "stopped at 2"
+    * are the same table). Returns (distances `node`, `dist`; unreached
+    * nodes absent by contract, and `roundsRun`).
+    */
+  def bfsFrontierDelta(s: SparkSession, edges: DataFrame, seeds: DataFrame,
+      maxRounds: Int): (DataFrame, Int) = {
+    require(maxRounds >= 0, s"maxRounds must be >= 0, got $maxRounds")
+    var dist = materialize(s, seeds.select(col("node")).distinct()
+      .withColumn("dist", lit(0L)))
+    // The delta IS the state in round 1 — every seed is newly found.
+    var delta = dist
+    var rounds = 0
+    var frontier = delta.count()
+    while (rounds < maxRounds && frontier > 0) {
+      // Candidates: one hop out of the delta only. The per-key min
+      // collapses duplicate discoveries inside the frontier expansion
+      // before the state join (partial agg — only distinct candidate
+      // nodes cross the exchange).
+      val cand = edges
+        .join(delta.withColumnRenamed("dist", "fd").withColumnRenamed("node", "fn"),
+          col("src") === col("fn"))
+        .select(col("dst").as("node"), (col("fd") + 1).as("cdist"))
+        .groupBy("node").agg(min(col("cdist")).as("cdist"))
+      // Newly discovered = candidates absent from (or — defensively,
+      // for non-BFS edge weights a caller might graft on — better
+      // than) the state.
+      val next = materialize(s, cand.join(dist, Seq("node"), "left_outer")
+        .filter(col("dist").isNull || col("cdist") < col("dist"))
+        .select(col("node"), col("cdist").as("dist")))
+      frontier = next.count()
+      if (frontier > 0) {
+        val merged = materialize(s,
+          dist.unionByName(next).groupBy("node")
+            .agg(min(col("dist")).as("dist")))
+        if (!(delta eq dist)) release(delta)
+        release(dist)
+        dist = merged
+        delta = next
+      } else release(next)
+      rounds += 1
+    }
+    (dist, rounds)
+  }
+
+  /** Integer-arithmetic PageRank (scaled longs, 1.0 ≡ 1,000,000;
+    * damping 0.85 as `150000 + 85·Σ(rank div deg) div 100` — the
+    * graph_pagerank update, bit-replayable in both engines). Runs
+    * `iters` supersteps, or with `untilFixpoint` stops as soon as a
+    * superstep changes NO rank (exact long equality — the reason the
+    * ranks are integers; a float fixpoint test needs an epsilon that
+    * any reducer reorder can cross). Every node needs out-degree ≥ 1
+    * (the callers' bipartite both-directions construction guarantees
+    * it); dangling nodes would leak rank mass silently.
+    * Returns (ranks `node`, `rank`, supersteps actually run).
+    */
+  def pageRank(s: SparkSession, edges: DataFrame, iters: Int,
+      untilFixpoint: Boolean = false): (DataFrame, Int) = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val ed = edges.join(deg, Seq("src")).persist()
+    var ranks = materialize(s, deg.select(col("src").as("node"),
+      lit(1000000L).as("rank")))
+    var rounds = 0
+    var converged = false
+    while (rounds < iters && !converged) {
+      val next = materialize(s, ed
+        .join(ranks, col("src") === col("node"))
+        .select(col("dst"), expr("rank div deg").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("sc"))
+        .select(col("dst").as("node"),
+          (lit(150000L) + expr("85 * sc div 100")).as("rank")))
+      if (untilFixpoint) {
+        // One long to the driver: count of moved ranks. The node SET
+        // is stable after round 1 (every node has in-degree ≥ 1 in
+        // the both-directions construction), so an inner join reads
+        // every pair.
+        val moved = next.withColumnRenamed("rank", "r2")
+          .join(ranks, Seq("node"))
+          .filter(col("r2") =!= col("rank")).count()
+        converged = moved == 0L
+      }
+      release(ranks)
+      ranks = next
+      rounds += 1
+    }
+    ed.unpersist()
+    (ranks, rounds)
+  }
+
+  /** k-core peel over undirected oriented edges (`a`, `b`): drop
+    * nodes with (sampled) degree < k and the edges they carry, at most
+    * `maxRounds` times; with `untilFixpoint` keeps peeling until a
+    * round removes nothing — the true k-core, whose every node has
+    * degree ≥ k BY the fixpoint test itself. The fixed-round declared
+    * key is always a SUPERSET of this fixpoint (peeling is monotone:
+    * rounds only remove). Survivor prunes broadcast (|V|-row node
+    * lists; swap to a bloom prefilter where survivors outgrow the
+    * broadcast threshold). Returns (surviving edges, rounds run).
+    */
+  def kcorePeel(s: SparkSession, edges: DataFrame, k: Int, maxRounds: Int,
+      untilFixpoint: Boolean = false): (DataFrame, Int) = {
+    require(k >= 1 && maxRounds >= 1)
+    var e = materialize(s, edges)
+    var rounds = 0
+    var stable = false
+    while (rounds < maxRounds && !stable) {
+      val before = if (untilFixpoint) e.count() else -1L
+      val keep = e.select(explode(array(col("a"), col("b"))).as("node"))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select("node")
+      val next = materialize(s, e
+        .join(broadcast(keep.withColumnRenamed("node", "a")),
+          Seq("a"), "left_semi")
+        .join(broadcast(keep.withColumnRenamed("node", "b")),
+          Seq("b"), "left_semi")
+        .select(col("a"), col("b")))
+      if (untilFixpoint) stable = next.count() == before
+      release(e)
+      e = next
+      rounds += 1
+    }
+    (e, rounds)
+  }
+}

@@ -83,9 +83,13 @@ object GraphQueries {
 
   val queries: Map[String, Q] = Map(
     "graph_pagerank" -> ((s, dir) => {
-      def materialize(df: DataFrame): DataFrame =
-        if (s.sparkContext.getCheckpointDir.isDefined) df.checkpoint(true)
-        else df.localCheckpoint(true)
+      // The loop lives in GraphAlgorithms.pageRank (one cached
+      // (src, dst, deg) copy serves every superstep; per-superstep
+      // checkpoint truncates lineage so iteration N's plan is one join
+      // + one agg, never a replay of rounds 1..N−1). Fixed 5 rounds
+      // here — the unrolled-oracle contract; the convergence read is
+      // the public untilFixpoint face, pinned ≡ this prefix in
+      // GraphAlgorithmsSpec.
       val pairs = t(s, dir, "lineitem")
         .select(col("l_partkey"), col("l_suppkey")).distinct()
       val edges = pairs
@@ -93,25 +97,7 @@ object GraphQueries {
           (col("l_suppkey") * 2 + 1).as("dst"))
         .unionAll(pairs.select((col("l_suppkey") * 2 + 1).as("src"),
           (col("l_partkey") * 2).as("dst")))
-      val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-      // One cached copy of (src, dst, deg) serves every superstep; the
-      // per-superstep checkpoint truncates lineage so iteration N's
-      // plan is one join + one agg, never a replay of rounds 1..N−1.
-      val ed = edges.join(deg, Seq("src")).persist()
-      var ranks = materialize(deg.select(col("src").as("node"),
-        lit(1000000L).as("rank")))
-      for (_ <- 1 to Iters) {
-        val next = materialize(ed
-          .join(ranks, col("src") === col("node"))
-          .select(col("dst"), expr("rank div deg").as("c"))
-          .groupBy(col("dst")).agg(sum(col("c")).as("sc"))
-          .select(col("dst").as("node"),
-            (lit(150000L) + expr("85 * sc div 100")).as("rank")))
-        org.apache.spark.sql.graftshim.unpersistCheckpoint(ranks)
-        ranks = next
-      }
-      ed.unpersist()
-      ranks.orderBy("node")
+      GraphAlgorithms.pageRank(s, edges, Iters)._1.orderBy("node")
     }),
 
     // TRIANGLE COUNTING over a hash-sparsified co-occurrence graph —
@@ -178,26 +164,22 @@ object GraphQueries {
     // fixpoint, so the unrolled MATERIALIZED oracle mirrors exactly
     // (the kcore lesson); unreached nodes simply don't appear.
     "graph_bfs_distance" -> ((s, dir) => {
-      def materialize(df: DataFrame): DataFrame =
-        if (s.sparkContext.getCheckpointDir.isDefined) df.checkpoint(true)
-        else df.localCheckpoint(true)
+      // Delegates to the FRONTIER-DELTA loop (round-8): round k joins
+      // edges against only the nodes discovered in round k−1 and
+      // min-merges the new ones in, instead of re-aggregating the full
+      // distance table every round — same table by the BFS monotonicity
+      // argument in GraphAlgorithms' scaladoc (pinned ≡ the full
+      // re-agg form in GraphAlgorithmsSpec), but round k's shuffle is
+      // O(|frontier_k| ⋈ E), the shape that survives a large-diameter
+      // 100 TB graph. Fixed 3 rounds — the unrolled-oracle contract.
       val pp = orderParts(s, dir)
       val half = orientedEdges(pp)
       val ed = half.select(col("a").as("src"), col("b").as("dst"))
         .unionAll(half.select(col("b").as("src"), col("a").as("dst")))
         .persist()
-      var dist = materialize(pp.select(col("p").as("node")).distinct()
+      val seeds = pp.select(col("p").as("node")).distinct()
         .filter(pmod(col("node"), lit(97)) === 0)
-        .withColumn("dist", lit(0L)))
-      for (_ <- 1 to BfsRounds) {
-        val next = materialize(ed
-          .join(dist, col("src") === col("node"))
-          .select(col("dst").as("node"), (col("dist") + 1).as("dist"))
-          .unionByName(dist)
-          .groupBy("node").agg(min(col("dist")).as("dist")))
-        org.apache.spark.sql.graftshim.unpersistCheckpoint(dist)
-        dist = next
-      }
+      val dist = GraphAlgorithms.bfsFrontierDelta(s, ed, seeds, BfsRounds)._1
       ed.unpersist()
       dist.orderBy("node")
     }),
@@ -277,28 +259,17 @@ object GraphQueries {
     // (lineage truncation) and the previous round's blocks release, so
     // state is one |E| copy regardless of rounds.
     "graph_kcore" -> ((s, dir) => {
-      def materialize(df: DataFrame): DataFrame =
-        if (s.sparkContext.getCheckpointDir.isDefined) df.checkpoint(true)
-        else df.localCheckpoint(true)
+      // Peel loop shared with GraphAlgorithms.kcorePeel; fixed 5
+      // rounds here (unrolled-oracle contract) — the true-fixpoint
+      // read is the public untilFixpoint face, pinned monotone-subset
+      // of this in GraphAlgorithmsSpec.
       val pp = orderParts(s, dir)
-      var e = materialize(doulionSample(orientedEdges(pp), Seq("0")))
-      for (_ <- 1 to KcoreRounds) {
-        val keep = e.select(explode(array(col("a"), col("b"))).as("node"))
-          .groupBy("node").agg(count(lit(1)).as("deg"))
-          .filter(col("deg") >= 2).select("node")
-        val next = materialize(e
-          .join(broadcast(keep.withColumnRenamed("node", "a")),
-            Seq("a"), "left_semi")
-          .join(broadcast(keep.withColumnRenamed("node", "b")),
-            Seq("b"), "left_semi")
-          .select(col("a"), col("b")))
-        org.apache.spark.sql.graftshim.unpersistCheckpoint(e)
-        e = next
-      }
-      val core = e.select(explode(array(col("a"), col("b"))).as("node"))
+      val e = GraphAlgorithms.kcorePeel(s,
+        doulionSample(orientedEdges(pp), Seq("0")), k = 2,
+        maxRounds = KcoreRounds)._1
+      e.select(explode(array(col("a"), col("b"))).as("node"))
         .groupBy("node").agg(count(lit(1)).as("deg"))
         .orderBy("node")
-      core
     })
   )
 

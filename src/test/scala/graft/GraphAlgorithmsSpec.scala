@@ -1,0 +1,132 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.operators.GraphAlgorithms
+
+/** The shared iteration loops behind the fixed-round §2.23 graph keys:
+  * frontier-delta BFS must equal the full-re-aggregation form it
+  * replaced, and the untilFixpoint faces of PageRank / k-core must
+  * relate to the declared fixed-round prefixes exactly as their
+  * scaladocs claim (prefix equality; monotone superset).
+  */
+class GraphAlgorithmsSpec extends SparkSpec {
+
+  // The graph_bfs_distance graph: undirected co-purchase edges in both
+  // directions, seeds ≡ 0 mod 97.
+  private lazy val (edges, seeds) = {
+    val pp = Tables.t(spark, sf, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+      .distinct()
+    val half = pp.as("x").join(pp.as("y"),
+        col("x.ok") === col("y.ok") && col("x.p") < col("y.p"))
+      .select(col("x.p").as("a"), col("y.p").as("b")).distinct()
+    val ed = half.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(half.select(col("b").as("src"), col("a").as("dst")))
+    val se = pp.select(col("p").as("node")).distinct()
+      .filter(pmod(col("node"), lit(97)) === 0)
+    (ed, se)
+  }
+
+  private def asMap(df: DataFrame): Map[Long, Long] =
+    df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  /** The pre-round-8 full-re-aggregation BFS, kept here as the
+    * reference semantics the frontier-delta form must reproduce. */
+  private def bfsFullReagg(rounds: Int): Map[Long, Long] = {
+    var dist = seeds.withColumn("dist", lit(0L))
+    for (_ <- 1 to rounds) {
+      dist = edges.join(dist, col("src") === col("node"))
+        .select(col("dst").as("node"), (col("dist") + 1).as("dist"))
+        .unionByName(dist)
+        .groupBy("node").agg(min(col("dist")).as("dist"))
+        .localCheckpoint(true)
+    }
+    asMap(dist)
+  }
+
+  test("frontier-delta BFS == full re-aggregation at the declared 3 rounds") {
+    val (got, rounds) = GraphAlgorithms.bfsFrontierDelta(spark, edges, seeds, 3)
+    assert(rounds <= 3)
+    assert(asMap(got) == bfsFullReagg(3))
+  }
+
+  test("frontier-delta BFS run long: early exit at the diameter, result is a fixpoint") {
+    val (got, rounds) = GraphAlgorithms.bfsFrontierDelta(spark, edges, seeds, 50)
+    // The co-purchase graph is dense (diameter ~2-3 from the mod-97
+    // seed set at every fixture SF) — the frontier must drain LONG
+    // before 50 rounds; rounds == 50 would mean early exit is broken.
+    assert(rounds < 50, s"frontier never drained: ran $rounds rounds")
+    val m = asMap(got)
+    // Fixpoint: one more full relaxation discovers nothing and
+    // improves nothing.
+    val one = edges.join(got, col("src") === col("node"))
+      .select(col("dst").as("node"), (col("dist") + 1).as("dist"))
+      .unionByName(got)
+      .groupBy("node").agg(min(col("dist")).as("dist"))
+    assert(asMap(one) == m, "a further relaxation changed the BFS fixpoint")
+    // And the declared 3-round prefix agrees wherever it has a row.
+    val three = bfsFullReagg(3)
+    three.foreach { case (n, d) =>
+      assert(m(n) == d, s"node $n: fixpoint ${m(n)} vs 3-round $d")
+    }
+  }
+
+  test("pageRank: the declared fixed-5 prefix equals the key; untilFixpoint converges and is stable") {
+    val declared = asMap(
+      SparkEntry.queries("graph_pagerank")(spark, sf))
+    // The bipartite graph the key builds.
+    val pairs = Tables.t(spark, sf, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey")).distinct()
+    val bip = pairs
+      .select((col("l_partkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
+      .unionAll(pairs.select((col("l_suppkey") * 2 + 1).as("src"),
+        (col("l_partkey") * 2).as("dst")))
+    val (five, n5) = GraphAlgorithms.pageRank(spark, bip, iters = 5)
+    assert(n5 == 5)
+    assert(asMap(five) == declared, "public fixed-5 API diverged from the declared key")
+    val (fix, n) = GraphAlgorithms.pageRank(spark, bip, iters = 80,
+      untilFixpoint = true)
+    if (n < 80) {
+      // Genuinely converged: the same number of fixed rounds — and one
+      // more — reproduce the fixpoint bit-for-bit (integer ranks; no
+      // epsilon anywhere).
+      val m = asMap(fix)
+      assert(asMap(GraphAlgorithms.pageRank(spark, bip, iters = n)._1) == m)
+      assert(asMap(GraphAlgorithms.pageRank(spark, bip, iters = n + 1)._1) == m)
+    } else {
+      // Truncating integer updates CAN settle into a period-2 cycle
+      // instead of a point — the cap is the documented behavior then.
+      assert(n == 80)
+    }
+  }
+
+  test("kcore: untilFixpoint result is a true 2-core and a subset of the fixed-5 peel") {
+    val pp = Tables.t(spark, sf, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+      .distinct()
+    val oriented = pp.as("x").join(pp.as("y"),
+        col("x.ok") === col("y.ok") && col("x.p") < col("y.p"))
+      .select(col("x.p").as("a"), col("y.p").as("b")).distinct()
+    val sampled = oriented.filter(
+      substring(md5(concat(col("a").cast("string"), lit("_"),
+        col("b").cast("string")).cast("binary")), 1, 1) === "0")
+    val (five, _) = GraphAlgorithms.kcorePeel(spark, sampled, k = 2,
+      maxRounds = 5)
+    val (fix, rounds) = GraphAlgorithms.kcorePeel(spark, sampled, k = 2,
+      maxRounds = 40, untilFixpoint = true)
+    assert(rounds < 40, "2-core peel failed to reach a fixpoint in 40 rounds")
+    val fiveSet = five.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fixSet = fix.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // Peeling is monotone — more rounds only remove.
+    assert(fixSet.subsetOf(fiveSet))
+    // True fixpoint: every endpoint degree in the surviving edge set
+    // is ≥ 2 (the property the fixed-round key can only approximate).
+    val deg = fix.select(explode(array(col("a"), col("b"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+      .agg(min(col("deg"))).collect()(0)
+    assert(fix.count() == 0 || deg.getLong(0) >= 2,
+      s"fixpoint has a degree-${deg} node")
+  }
+}

@@ -62,7 +62,16 @@ class JaroWinklerSpec extends SparkSpec {
     ("facabeg", "abg", 0.4920634920634921),
     ("f fdae", "fcaf", 0.6388888888888888),
     ("db cg", "hceca ", 0.45555555555555555),
-    ("g c  adbaac", "fbgh aa dhe", 0.6414141414141414))
+    ("g c  adbaac", "fbgh aa dhe", 0.6414141414141414),
+    // Non-ASCII: DuckDB compares per UTF-8 BYTE (not code point) —
+    // these pins fail under UTF-16 charAt OR code-point iteration
+    // (e.g. héllo/hello is 0.88 code-point-wise) and pass byte-wise.
+    ("héllo", "hello", 0.8400000000000001),
+    ("mañana", "manana", 0.8793650793650793),
+    ("日本語", "語本日", 0.5462962962962963),
+    ("日本語テスト", "日本語テスト", 1.0),
+    ("ünïcödé", "unicode", 0.5670995670995671),
+    ("𝔘nicode", "Unicode", 0.8190476190476191))
 
   test("JaroWinkler matches DuckDB jaro_winkler_similarity bit-for-bit") {
     for ((a, b, want) <- cases) {

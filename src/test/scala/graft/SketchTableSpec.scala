@@ -58,6 +58,31 @@ class SketchTableSpec extends SparkSpec {
     assert(estimates(fold(batches)) == est)
   }
 
+  test("emitted-days contract: fully-quiet windows are OMITTED, where the exact sibling emits 0") {
+    // Two activity islands ten days apart. A day-d sketch contributes
+    // to trailing windows of days d..d+6 and the output clamps at the
+    // table's max day, so days 7-9 (whose trailing windows contain no
+    // sketch at all) must be ABSENT — the slidingDistinctFromSketches
+    // scaladoc's contract, and the exact spot a dashboard swapping
+    // agg_wau_sliding_distinct (which zero-fills its lo..hi spine and
+    // emits those days as 0) for the sketch key would silently change
+    // output shape without joining onto its own spine.
+    val ev = Seq(
+      Event(1L, 0L * 86400000L + 5L, 100L, "view", 1.0),
+      Event(2L, 1L * 86400000L + 5L, 101L, "view", 1.0),
+      Event(3L, 10L * 86400000L + 5L, 200L, "view", 1.0))
+      .toDS()
+    val out = GraftStreams.slidingDistinctFromSketches(
+      GraftStreams.dailyUserSketches(ev), windowDays = 7)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.keySet == Set(0L, 1L, 2L, 3L, 4L, 5L, 6L, 7L, 10L),
+      s"emitted days changed: ${out.keySet.toSeq.sorted}")
+    // Days 8-9 omitted (quiet), day 7 still served by day-1's sketch;
+    // estimates on tiny exact-size sets are exact.
+    assert(out(0L) == 1L && out(1L) == 2L && out(7L) == 1L && out(10L) == 1L,
+      s"estimates moved: $out")
+  }
+
   test("foreachBatch streaming maintenance == the manual batch-split fold") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]

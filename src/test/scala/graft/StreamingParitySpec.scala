@@ -103,6 +103,37 @@ class StreamingParitySpec extends SparkSpec {
       StreamQueriesRef.tumbling(spark, sf), Seq("day", "event_type"))
   }
 
+  test("explicit tsIsNanos overrides the empty-dir probe (the checkpoint-restart escape hatch)") {
+    // The eventsFromParquetDir scaladoc's CHECKPOINT/RESTART
+    // IMPLICATION, driven for real: the stream is constructed while
+    // the staging dir is EMPTY — the probe sees nothing and would
+    // declare native TIMESTAMP — but the files that later land are
+    // NANOS-generation (ts stored as LONG nanos). Passing the
+    // generation explicitly via tsIsNanos=Some(true) is the
+    // documented fix for probe-timing dependence; the read must then
+    // decode nanos→micros and match batch tumbling counts exactly.
+    val stage = java.nio.file.Files.createTempDirectory("graft_nanos_stage")
+    val streamed = GraftStreams.tumblingCounts(
+      GraftStreams.eventsFromParquetDir(spark, stage.toString,
+        tsIsNanos = Some(true)))
+    val query = streamed.writeStream.format("memory").queryName("nanostumble")
+      .outputMode(OutputMode.Complete()).start()
+    // Only now do the nanos-generation files land.
+    val tmp = java.nio.file.Files.createTempDirectory("graft_nanos_gen")
+    Tables.events(spark, sf)
+      .select(col("event_id"),
+        (unix_micros(col("ts").cast("timestamp")) * 1000L).as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/out")
+    val part = new java.io.File(s"$tmp/out").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.copy(part.toPath, stage.resolve("events.parquet"))
+    query.processAllAvailable()
+    query.stop()
+    assertSameRows(spark.table("nanostumble"),
+      StreamQueriesRef.tumbling(spark, sf), Seq("day", "event_type"))
+  }
+
   test("dedup with watermark drops injected duplicates") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
