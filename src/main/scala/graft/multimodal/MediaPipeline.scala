@@ -49,18 +49,95 @@ object StubFrameDecoder extends FrameDecoder {
     }
 }
 
-/** STUB decoder — image/audio codecs are absent in this environment, so
-  * the "decode" is a deterministic fake (rolling checksum + 16×16 patch
-  * count). The Spark-side contract around it (binary column, partition
-  * batching, one init per partition, streamed rows) is the real
-  * production shape; swap this object for a codec-backed implementation
-  * and nothing else changes. */
+/** STUB decoder — external image/audio codec LIBRARIES are absent in
+  * this environment, so this "decode" is a deterministic fake (rolling
+  * checksum + 16×16 patch count) usable on arbitrary bytes. The
+  * Spark-side contract around it (binary column, partition batching,
+  * one init per partition, streamed rows) is the real production shape;
+  * [[ImageIoDecoder]] is the proof — the JDK-built-in codec path behind
+  * the identical contract, tested on real PNG bytes in MultimodalSpec. */
 object StubDecoder extends MediaDecoder {
   override def features(r: MediaRow): MediaFeatures = {
     val checksum =
       r.bytes.foldLeft(0L)((a, b) => (a * 31 + (b & 0xff)) & 0xffffffffL)
     val patches = (r.width.toLong / 16) * (r.height.toLong / 16)
     MediaFeatures(r.doc_id, r.bytes.length.toLong, checksum, patches)
+  }
+}
+
+/** REAL pure-JVM image decode behind the same [[MediaDecoder]] contract
+  * the stub documents — javax.imageio (PNG/BMP/GIF/JPEG, whatever the
+  * JVM's ImageIO registry carries; PNG is the guaranteed-lossless one
+  * this repo tests). Nothing else in the pipeline changes: swap
+  * `StubDecoder` for `ImageIoDecoder` in [[MediaPipeline.decodeFeatures]]
+  * and the same binary column, partition batching and task-completion
+  * close discipline now run a real codec.
+  *
+  * Features from the DECODED pixels, not the container bytes: width ×
+  * height come from the decoded raster (so n_patches is the real 16×16
+  * patch count a ViT-style tokenizer would produce — the MediaRow's
+  * metadata dims are NOT trusted), and checksum is the stub's rolling
+  * hash over the row-major ARGB pixels — deterministic across JVMs for
+  * the same pixel data because PNG decode is exact by spec. Undecodable
+  * bytes raise with the doc_id (loud, attributable — the multimodal
+  * equivalent of Det.checkedN; a silent skip would make corpus counts
+  * drift from manifest counts).
+  *
+  * Scale note: pixels are read through one bulk `getRGB(x0,y0,w,h,...)`
+  * per ROW-STRIP, not per pixel (the per-pixel accessor pays a color
+  * model dispatch per call), strip-sized buffer — O(width) extra memory
+  * per item regardless of height. */
+class ImageIoDecoder extends MediaDecoder {
+  override def open(): Unit =
+    // No file-backed scratch cache: decode fully in memory (the bytes
+    // already are), and nothing to clean on close.
+    javax.imageio.ImageIO.setUseCache(false)
+  override def features(r: MediaRow): MediaFeatures = {
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(r.bytes))
+    require(img != null,
+      s"doc ${r.doc_id}: bytes are not a decodable image")
+    val w = img.getWidth
+    val h = img.getHeight
+    val strip = new Array[Int](w)
+    var cs = 0L
+    var y = 0
+    while (y < h) {
+      img.getRGB(0, y, w, 1, strip, 0, w)
+      var x = 0
+      while (x < w) {
+        cs = (cs * 31 + (strip(x).toLong & 0xffffffffL)) & 0xffffffffL
+        x += 1
+      }
+      y += 1
+    }
+    MediaFeatures(r.doc_id, r.bytes.length.toLong, cs,
+      (w.toLong / 16) * (h.toLong / 16))
+  }
+}
+
+object ImageIoDecoder {
+  /** Deterministic synthetic PNG (seed-keyed RGB gradient) — the test
+    * fixture generator, and a template for backfilling a media column
+    * where real blobs are absent. Lossless round-trip: decoding this
+    * PNG returns exactly the pixels written. */
+  def syntheticPng(seed: Long, width: Int, height: Int): Array[Byte] = {
+    require(width > 0 && height > 0)
+    val img = new java.awt.image.BufferedImage(width, height,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val v = seed * 1103515245L + x * 65537L + y * 257L
+        img.setRGB(x, y, (v & 0xffffff).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
   }
 }
 
