@@ -29,21 +29,33 @@ object Bench {
     // min-of-2 discards a one-off scheduler stall while still charging
     // real plan cost, so round-over-round comparison stops being
     // load-dominated. Documented in BASELINE.md §"Bench protocol".
+    //
+    // Round-8 change: the two runs are TEMPORALLY DECORRELATED — two
+    // full passes over the key list, min across passes — instead of
+    // back-to-back. Root cause of the r7 driver-run "stall clusters"
+    // (BASELINE.md round-8 anchor): the stalled keys were CONTIGUOUS
+    // in this map's iteration order, so one co-tenant load burst of
+    // 10-30 s covered both back-to-back runs of several adjacent
+    // sub-second keys and the min absorbed nothing. With the runs a
+    // full pass apart, a burst must persist for minutes to poison
+    // both readings of any key.
+    //
     // Per-query block hygiene (see GraftSession.dropLeftoverBlocks for
     // the full rationale): sweep AFTER the timer stops so each timing
     // reflects the query's own cost, with blocking eviction so the
     // sweep can't race into the next timed region. No
     // positive-interference risk: each run rebuilds its DataFrames, so
     // old blocks were never reusable.
+    def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+      val t = (System.nanoTime() - t0) / 1e9
+      GraftSession.dropLeftoverBlocks(spark)
+      t
+    }
+    val pass1 = selected.map { case (name, fn) => name -> once(fn) }
     val results = selected.map { case (name, fn) =>
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-        val t = (System.nanoTime() - t0) / 1e9
-        GraftSession.dropLeftoverBlocks(spark)
-        t
-      }
-      name -> math.min(once(), once())
+      name -> math.min(pass1(name), once(fn))
     }
     // 3-decimal seconds keep the one-line JSON short enough that a
     // tail-capturing driver doesn't truncate the leading queries (the

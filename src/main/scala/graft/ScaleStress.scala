@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-8 scale-stress harness (dev artifact, not a driver surface):
+  * measures how the heaviest declared keys actually scale, turning the
+  * scaladocs' 100 TB design claims into fitted curves (SCALE.md).
+  *
+  * Two instruments:
+  *
+  * 1. SF-series: times each key at sf0.01 and sf0.1 (the fixtures'
+  *    10× step; sf0.001 is too small to clear fixed costs) and fits
+  *    the per-decade exponent b in t ∝ n^b.
+  * 2. A ~10× synthetic corpus ABOVE sf0.1 for the lineitem-derived
+  *    graph keys: `copies` key-shifted disjoint copies of sf0.1's
+  *    lineitem (order/part/supp keys offset per copy), i.e. a graph
+  *    with 10× the nodes and edges and the same per-order local
+  *    structure — copy-shifting is distribution-preserving exactly
+  *    because every co-purchase edge lives inside one order. The
+  *    text/embedding dedup keys are deliberately NOT copy-scaled:
+  *    duplicating documents multiplies cross-copy (near-)duplicate
+  *    pairs ~copies² (merged CC clusters, exploding candidate sets),
+  *    and no small deterministic perturbation escapes a near-dup
+  *    detector that is BY DESIGN robust to small perturbations — a
+  *    faithful 10× text corpus needs the upstream generator, which is
+  *    driver-side. Their exponents come from instrument 1.
+  *
+  * Usage: runMain graft.ScaleStress [outJson]
+  * Env: SPARK_GRAFT_CPUS (default 4), SPARK_GRAFT_SCALE_COPIES (10).
+  */
+object ScaleStress {
+  // The quiet-heaviest keys of BENCH_FULL.json, round 8.
+  private val SfSeriesKeys = Seq(
+    "graph_pagerank", "graph_bfs_distance", "graph_kcore",
+    "graph_triangle_count", "graph_clustering_coeff",
+    "dedup_cluster_canon", "dedup_minhash_lsh", "dedup_near_jaccard",
+    "sim_ann_kmeans", "text_bpe_pair_counts")
+  // Keys whose only input is lineitem — copy-scalable (see scaladoc).
+  private val TenXKeys = Seq(
+    "graph_pagerank", "graph_bfs_distance", "graph_kcore",
+    "graph_triangle_count", "graph_clustering_coeff")
+
+  private def timeKey(s: SparkSession, key: String, dir: String): Double = {
+    def once(): Double = {
+      val t0 = System.nanoTime()
+      SparkEntry.queries(key)(s, dir).count()
+      val t = (System.nanoTime() - t0) / 1e9
+      GraftSession.dropLeftoverBlocks(s)
+      t
+    }
+    math.min(once(), once())
+  }
+
+  /** `copies` disjoint key-shifted unions of sf's lineitem, written as
+    * one parquet dir layout the queries can read as `$out`. Key offsets
+    * use the source max+1 so copies can never collide. */
+  def buildTenX(s: SparkSession, sfDir: String, out: String,
+      copies: Int): Unit = {
+    val li = s.read.parquet(s"$sfDir/lineitem.parquet")
+    val mx = li.agg(max("l_orderkey"), max("l_partkey"), max("l_suppkey"))
+      .head()
+    val (mo, mp, ms) = (mx.getLong(0) + 1, mx.getLong(1) + 1,
+      mx.getLong(2) + 1)
+    val shifted: Seq[DataFrame] = (0 until copies).map { i =>
+      li.select(
+        (col("l_orderkey") + lit(i * mo)).as("l_orderkey"),
+        (col("l_partkey") + lit(i * mp)).as("l_partkey"),
+        (col("l_suppkey") + lit(i * ms)).as("l_suppkey"),
+        col("l_linenumber"), col("l_quantity"), col("l_extendedprice"),
+        col("l_discount"), col("l_tax"), col("l_returnflag"),
+        col("l_linestatus"), col("l_shipdate"))
+    }
+    shifted.reduce(_ unionAll _).write.mode("overwrite")
+      .parquet(s"$out/lineitem.parquet")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val outJson = args.headOption.getOrElse("SCALE_STRESS.json")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val copies = sys.env.getOrElse("SPARK_GRAFT_SCALE_COPIES", "10").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    GraftSession.ensureCheckpointDir(spark)
+    graft.plans.TopKPushdown.install(spark)
+    spark.range(1000000).selectExpr("sum(id)").collect()
+
+    val sf001 = "/root/testdata/sf0.01"
+    val sf01 = "/root/testdata/sf0.1"
+    val tenXDir = java.nio.file.Files
+      .createTempDirectory("graft_scale10").toString
+    println(s"[scale] building ${copies}x lineitem corpus at $tenXDir")
+    buildTenX(spark, sf01, tenXDir, copies)
+
+    val rows = new scala.collection.mutable.ArrayBuffer[String]
+    for (k <- SfSeriesKeys) {
+      val tA = timeKey(spark, k, sf001)
+      val tB = timeKey(spark, k, sf01)
+      val exp = math.log(tB / tA) / math.log(10.0)
+      val tenX = if (TenXKeys.contains(k)) {
+        val tC = timeKey(spark, k, tenXDir)
+        val e2 = math.log(tC / tB) / math.log(copies.toDouble)
+        f""","t_10x":$tC%.3f,"exp_10x":$e2%.3f"""
+      } else ""
+      rows += f"""{"key":"$k","t_sf001":$tA%.3f,"t_sf01":$tB%.3f,"exp_sf":$exp%.3f$tenX}"""
+      println(s"[scale] ${rows.last}")
+    }
+    val json = rows.mkString("[\n", ",\n", "\n]\n")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outJson), json)
+    println(s"[scale] wrote $outJson")
+    spark.stop()
+  }
+}

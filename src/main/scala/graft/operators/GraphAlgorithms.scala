@@ -38,12 +38,40 @@ object GraphAlgorithms {
     org.apache.spark.sql.graftshim.unpersistCheckpoint(df)
 
   /** Multi-source BFS over directed `edges` (`src`, `dst`) from
-    * `seeds` (`node`), frontier-delta form. Runs at most `maxRounds`
-    * relaxation rounds, stopping EARLY when a round discovers nothing
-    * (the fixed-round contract is unaffected: an empty frontier means
-    * every later round is a no-op, so "3 rounds" and "stopped at 2"
-    * are the same table). Returns (distances `node`, `dist`; unreached
-    * nodes absent by contract, and `roundsRun`).
+    * `seeds` (`node`), full-re-aggregation form: each round relaxes
+    * the ENTIRE distance table (one edge⋈state join + one min agg).
+    * On a dense small-diameter graph — the fixture co-purchase graph,
+    * where the frontier reaches most nodes by round 2 — this is the
+    * CHEAPER form: one aggregation per round, no frontier bookkeeping
+    * (measured: the delta form's extra merge + count actions cost
+    * ~25% here, BASELINE.md round-8 anchor). [[bfsFrontierDelta]] is
+    * the long-diameter/100 TB shape; GraphAlgorithmsSpec pins the two
+    * equal round-for-round. */
+  def bfsFullReagg(s: SparkSession, edges: DataFrame, seeds: DataFrame,
+      rounds: Int): DataFrame = {
+    require(rounds >= 0, s"rounds must be >= 0, got $rounds")
+    var dist = materialize(s, seeds.select(col("node")).distinct()
+      .withColumn("dist", lit(0L)))
+    for (_ <- 1 to rounds) {
+      val next = materialize(s, edges
+        .join(dist, col("src") === col("node"))
+        .select(col("dst").as("node"), (col("dist") + 1).as("dist"))
+        .unionByName(dist)
+        .groupBy("node").agg(min(col("dist")).as("dist")))
+      release(dist)
+      dist = next
+    }
+    dist
+  }
+
+  /** Multi-source BFS, FRONTIER-DELTA form (see object scaladoc).
+    * Runs at most `maxRounds` relaxation rounds, stopping EARLY when a
+    * round discovers nothing (an empty frontier means every later
+    * round is a no-op, so "3 rounds" and "stopped at 2" are the same
+    * table). Returns (distances `node`, `dist`; unreached nodes absent
+    * by contract, and `roundsRun`). Prefer this over
+    * [[bfsFullReagg]] whenever |frontier| ≪ |reached|: the per-round
+    * cost follows the frontier, not the accumulated state.
     */
   def bfsFrontierDelta(s: SparkSession, edges: DataFrame, seeds: DataFrame,
       maxRounds: Int): (DataFrame, Int) = {

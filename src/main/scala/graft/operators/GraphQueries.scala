@@ -164,14 +164,14 @@ object GraphQueries {
     // fixpoint, so the unrolled MATERIALIZED oracle mirrors exactly
     // (the kcore lesson); unreached nodes simply don't appear.
     "graph_bfs_distance" -> ((s, dir) => {
-      // Delegates to the FRONTIER-DELTA loop (round-8): round k joins
-      // edges against only the nodes discovered in round k−1 and
-      // min-merges the new ones in, instead of re-aggregating the full
-      // distance table every round — same table by the BFS monotonicity
-      // argument in GraphAlgorithms' scaladoc (pinned ≡ the full
-      // re-agg form in GraphAlgorithmsSpec), but round k's shuffle is
+      // Delegates to GraphAlgorithms.bfsFullReagg — on this DENSE
+      // co-purchase graph (diameter ~2-3 from the mod-97 seeds) the
+      // one-agg-per-round form is the cheaper one; the round-8
+      // FRONTIER-DELTA variant (bfsFrontierDelta — round k shuffles
       // O(|frontier_k| ⋈ E), the shape that survives a large-diameter
-      // 100 TB graph. Fixed 3 rounds — the unrolled-oracle contract.
+      // 100 TB graph) is the public scale path, pinned ≡ this form in
+      // GraphAlgorithmsSpec. Fixed 3 rounds — the unrolled-oracle
+      // contract.
       val pp = orderParts(s, dir)
       val half = orientedEdges(pp)
       val ed = half.select(col("a").as("src"), col("b").as("dst"))
@@ -179,7 +179,7 @@ object GraphQueries {
         .persist()
       val seeds = pp.select(col("p").as("node")).distinct()
         .filter(pmod(col("node"), lit(97)) === 0)
-      val dist = GraphAlgorithms.bfsFrontierDelta(s, ed, seeds, BfsRounds)._1
+      val dist = GraphAlgorithms.bfsFullReagg(s, ed, seeds, BfsRounds)
       ed.unpersist()
       dist.orderBy("node")
     }),

@@ -31,19 +31,10 @@ class GraphAlgorithmsSpec extends SparkSpec {
   private def asMap(df: DataFrame): Map[Long, Long] =
     df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
 
-  /** The pre-round-8 full-re-aggregation BFS, kept here as the
-    * reference semantics the frontier-delta form must reproduce. */
-  private def bfsFullReagg(rounds: Int): Map[Long, Long] = {
-    var dist = seeds.withColumn("dist", lit(0L))
-    for (_ <- 1 to rounds) {
-      dist = edges.join(dist, col("src") === col("node"))
-        .select(col("dst").as("node"), (col("dist") + 1).as("dist"))
-        .unionByName(dist)
-        .groupBy("node").agg(min(col("dist")).as("dist"))
-        .localCheckpoint(true)
-    }
-    asMap(dist)
-  }
+  /** The declared key's form — the reference semantics the
+    * frontier-delta variant must reproduce round-for-round. */
+  private def bfsFullReagg(rounds: Int): Map[Long, Long] =
+    asMap(GraphAlgorithms.bfsFullReagg(spark, edges, seeds, rounds))
 
   test("frontier-delta BFS == full re-aggregation at the declared 3 rounds") {
     val (got, rounds) = GraphAlgorithms.bfsFrontierDelta(spark, edges, seeds, 3)
