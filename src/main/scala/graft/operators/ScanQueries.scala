@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables.{t, events}
+import graft.Det.sqlSum
 
 /** §2.1 Scans / sources / sinks (SURVEY.md). Parquet is the native format
   * (vectorized scan, predicate pushdown, column pruning all free); CSV and
@@ -439,6 +440,82 @@ object ScanQueries {
         .join(dim.filter(col("family") === "romance"), Seq("lang"))
         .select(col("doc_id"), col("lang"), col("family"), col("n_chars"))
         .orderBy(col("doc_id"))
+    }),
+
+    // TIME TRAVEL — "the table AS OF version N" through the
+    // VersionedTable commit log (§2.42): three commits (overwrite,
+    // append, overwrite) and a read pinned at version 1, which must see
+    // v0 ∪ v1 and be BLIND to v2 — the snapshot-isolation face the ETL
+    // family's snapshot DIFF key assumes someone else provides. Old
+    // files are immutable, so the historical read costs the same as a
+    // current one; the oracle is the equivalent predicate on the raw
+    // fixture (v0 ∪ v1 ≡ orders before 1997).
+    "etl_time_travel" -> ((s, dir) => {
+      import graft.sources.VersionedTable
+      val root = s"${scratch(s, dir)}/vtab_orders"
+      val o = t(s, dir, "orders")
+      // Idempotent build: exactly versions 0..2, else rebuild from
+      // scratch (a crashed half-build has fewer commits; version
+      // inflation across reruns would break the pinned AS-OF number).
+      if (VersionedTable.latestVersion(root) != 2L) {
+        def del(f: java.io.File): Unit = {
+          val k = f.listFiles(); if (k != null) k.foreach(del)
+          f.delete(): Unit
+        }
+        del(new java.io.File(root))
+        VersionedTable.commit(s, root,
+          o.filter(col("o_orderdate") < lit("1996-01-01").cast("timestamp")),
+          "overwrite")
+        VersionedTable.commit(s, root,
+          o.filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp")
+            && col("o_orderdate") < lit("1997-01-01").cast("timestamp")),
+          "append")
+        VersionedTable.commit(s, root,
+          o.filter(col("o_totalprice") > 300000), "overwrite")
+      }
+      VersionedTable.readVersion(s, root, 1L)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"),
+          graft.Det.dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy("o_orderstatus")
+    }),
+
+    // MANIFEST-STATS FILE PRUNING — data skipping from the commit
+    // log's per-file min/max (§2.42): lineitem range-partitioned on
+    // l_orderkey into a VersionedTable whose manifest records each
+    // file's key range, then a range read that hands the parquet
+    // reader ONLY the overlapping files (~2 of 8; the skip count is
+    // pinned in VersionedTableSpec — the oracle can't see I/O, only
+    // that pruning never changed the answer). The probed range is
+    // RELATIVE (first quarter of the key space, integer arithmetic
+    // from the manifest's own global min/max) so the prune bites
+    // identically at every SF; the oracle derives the same bounds with
+    // a scalar subquery.
+    "scan_manifest_prune" -> ((s, dir) => {
+      import graft.sources.VersionedTable
+      val root = s"${scratch(s, dir)}/vtab_lineitem"
+      if (VersionedTable.latestVersion(root) != 0L) {
+        def del(f: java.io.File): Unit = {
+          val k = f.listFiles(); if (k != null) k.foreach(del)
+          f.delete(): Unit
+        }
+        del(new java.io.File(root))
+        VersionedTable.commit(s, root,
+          t(s, dir, "lineitem")
+            .repartitionByRange(8, col("l_orderkey")),
+          "overwrite", statsCols = Seq("l_orderkey"))
+      }
+      // Global bounds from the manifest itself (metadata, no data I/O).
+      val fileRanges = VersionedTable.fileRangesFor(s, root, 0L, "l_orderkey")
+      val lo = fileRanges.map(_._2).min.toLong
+      val hiAll = fileRanges.map(_._3).max.toLong
+      val hi = lo + (hiAll - lo) / 4
+      VersionedTable.prunedRead(s, root, 0L, "l_orderkey",
+          lo.toDouble, hi.toDouble)._1
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_lines"),
+          graft.Det.dsum(col("l_extendedprice")).as("sum_price"))
+        .orderBy("l_returnflag")
     })
   )
 
@@ -518,6 +595,28 @@ object ScanQueries {
         |             ('fr', 'romance'), ('zh', 'sinitic')) AS f(lang, family)
         |  ON d.lang = f.lang
         |WHERE f.family = 'romance'
-        |ORDER BY d.doc_id""".stripMargin
+        |ORDER BY d.doc_id""".stripMargin,
+    // AS OF version 1 = v0 ∪ v1 = orders before 1997; the v2 overwrite
+    // (high-price orders) must be invisible — an oracle mismatch here
+    // means the snapshot resolution read the wrong commit chain.
+    "etl_time_travel" ->
+      s"""SELECT o_orderstatus, count(*) AS n_orders,
+         |  ${sqlSum("o_totalprice")} AS sum_price
+         |FROM orders
+         |WHERE o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // Pruning is invisible I/O — the oracle derives the same relative
+    // bounds (first quarter of the key space, integer arithmetic) and
+    // checks the ANSWER; VersionedTableSpec pins the files-skipped
+    // count the SQL can't see.
+    "scan_manifest_prune" ->
+      s"""WITH b AS (SELECT min(l_orderkey) AS lo,
+         |    min(l_orderkey) + (max(l_orderkey) - min(l_orderkey)) // 4 AS hi
+         |  FROM lineitem)
+         |SELECT l_returnflag, count(*) AS n_lines,
+         |  ${sqlSum("l_extendedprice")} AS sum_price
+         |FROM lineitem, b
+         |WHERE l_orderkey >= lo AND l_orderkey <= hi
+         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
   )
 }

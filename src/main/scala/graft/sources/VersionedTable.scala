@@ -1,0 +1,224 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Minimal commit-log table format: snapshot-isolated, versioned
+  * parquet with manifest-level file statistics — the missing §2 storage
+  * face (the ETL family covers merge, CDC, dynamic partition overwrite
+  * and snapshot DIFF; this adds "the table AS OF version N" and
+  * manifest min/max file pruning), re-expressed with only the pieces
+  * Spark ships.
+  *
+  * Layout:
+  * {{{
+  *   <root>/data/v<N>/part-*.parquet   immutable — one dir per commit
+  *   <root>/_commits/<N>.json          the commit point (atomic rename)
+  * }}}
+  *
+  * Each manifest records the commit's op (`overwrite` | `append`), its
+  * data dir, and per-FILE row counts + min/max of the writer-declared
+  * stats columns. Version N's snapshot = the data dirs of the latest
+  * overwrite ≤ N plus every append after it up to N — old files are
+  * never mutated, so any historical version stays readable (time
+  * travel) and a reader holding version N is isolated from later
+  * commits by construction.
+  *
+  * Commit protocol: data files land first, then the manifest is
+  * written to a temp name and ATOMICALLY renamed to `_commits/N.json`
+  * with create-new semantics — the rename IS the commit. A racing
+  * second writer loses the rename (file exists), re-reads the log and
+  * retries at N+1: single-table optimistic concurrency, the
+  * Delta-style protocol reduced to one primitive. (No multi-table
+  * transactions, no compaction — see scaladoc on [[compactHint]].)
+  *
+  * Scale: manifests are O(files) driver-side metadata — reading the
+  * log is a few KB per commit, never a data scan; per-file min/max
+  * lets [[prunedRead]] hand the parquet reader ONLY the files whose
+  * range overlaps the predicate (the Iceberg/Delta data-skipping
+  * trick), which at 100 TB is the difference between opening 40 files
+  * and 40,000. Stats are computed in ONE Spark job over the
+  * just-written files (`input_file_name()` group-by), not per-file
+  * driver loops.
+  */
+object VersionedTable {
+
+  private val Ops = Set("overwrite", "append")
+
+  private def fs(p: String) = java.nio.file.Paths.get(p)
+
+  private def listVersions(root: String): Seq[Long] = {
+    val d = new java.io.File(s"$root/_commits")
+    val kids = d.listFiles()
+    if (kids == null) Seq.empty
+    else kids.map(_.getName).filter(_.endsWith(".json"))
+      .map(_.stripSuffix(".json").toLong).sorted.toSeq
+  }
+
+  /** Latest committed version, or -1 for an empty/absent table. */
+  def latestVersion(root: String): Long =
+    listVersions(root).lastOption.getOrElse(-1L)
+
+  private def esc(s: String): String =
+    s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+
+  /** Commit `df` as the next version. `statsCols` declares the numeric
+    * columns whose per-file min/max land in the manifest (choose the
+    * columns queries range-filter on — sort/range-partition the frame
+    * by them first so file ranges are tight and pruning bites).
+    * Returns the committed version. */
+  def commit(spark: SparkSession, root: String, df: DataFrame, op: String,
+      statsCols: Seq[String] = Seq.empty): Long = {
+    require(Ops(op), s"op must be one of $Ops, got '$op'")
+    java.nio.file.Files.createDirectories(fs(s"$root/_commits"))
+    var attempt = latestVersion(root) + 1
+    // Data dir is keyed by the attempted version; on a lost race the
+    // retry rewrites under the new version (old attempt dir is
+    // orphaned, never referenced — a vacuum concern, not a correctness
+    // one).
+    var committed = -1L
+    while (committed < 0) {
+      val dataDir = s"$root/data/v$attempt"
+      df.write.mode("overwrite").parquet(dataDir)
+      // One job: per-file row counts + min/max of the stats columns.
+      val aggs = count(lit(1)).cast("long").as("rows") +:
+        statsCols.flatMap(c => Seq(
+          min(col(c)).cast("double").as(s"min_$c"),
+          max(col(c)).cast("double").as(s"max_$c")))
+      val stats = spark.read.parquet(dataDir)
+        .groupBy(input_file_name().as("path"))
+        .agg(aggs.head, aggs.tail: _*)
+        .collect()
+      val files = stats.map { r =>
+        val mm = statsCols.map { c =>
+          s""""$c":[${r.getAs[Double](s"min_$c")},${r.getAs[Double](s"max_$c")}]"""
+        }.mkString(",")
+        s"""{"path":"${esc(r.getString(0))}","rows":${r.getAs[Long]("rows")},"range":{$mm}}"""
+      }.mkString("[", ",", "]")
+      val manifest =
+        s"""{"version":$attempt,"op":"$op","dir":"${esc(dataDir)}","stats_cols":[${
+          statsCols.map(c => s""""${esc(c)}"""").mkString(",")}],"files":$files}"""
+      val tmp = fs(s"$root/_commits/.$attempt.json.tmp")
+      java.nio.file.Files.writeString(tmp, manifest + "\n")
+      try {
+        // Create-new atomic rename: succeeding means WE own version N.
+        java.nio.file.Files.move(tmp, fs(s"$root/_commits/$attempt.json"),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        if (new java.io.File(s"$root/_commits/$attempt.json").length() == 0)
+          throw new IllegalStateException("empty manifest after move")
+        committed = attempt
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          java.nio.file.Files.deleteIfExists(tmp)
+          attempt = latestVersion(root) + 1 // lost the race — retry
+      }
+    }
+    committed
+  }
+
+  private case class Manifest(version: Long, op: String, dir: String,
+      files: Seq[(String, Long, Map[String, (Double, Double)])])
+
+  /** Parse manifests 0..v. Metadata-sized: Spark's JSON reader over
+    * the commit files, one collect of O(files) slim rows. */
+  private def manifests(spark: SparkSession, root: String,
+      v: Long): Seq[Manifest] = {
+    val versions = listVersions(root).filter(_ <= v)
+    require(versions.nonEmpty, s"no committed version <= $v at $root")
+    val paths = versions.map(n => s"$root/_commits/$n.json")
+    val schema = "version LONG, op STRING, dir STRING, " +
+      "stats_cols ARRAY<STRING>, files ARRAY<STRUCT<path: STRING, " +
+      "rows: LONG, range: MAP<STRING, ARRAY<DOUBLE>>>>"
+    spark.read.schema(schema).json(paths: _*)
+      .collect().map { r =>
+        // Row accessors hand back RUNTIME collections (mutable
+        // ArraySeq / map wrappers) — type them as collection.Seq, not
+        // the 2.13 immutable default, or the erased cast blows up at
+        // first use.
+        val files = r.getSeq[org.apache.spark.sql.Row](4).toSeq.map { f =>
+          val ranges =
+            Option(f.getMap[String, scala.collection.Seq[Double]](2))
+              .map(_.toMap.map { case (k, ab) => k -> (ab(0), ab(1)) })
+              .getOrElse(Map.empty[String, (Double, Double)])
+          (f.getString(0), f.getLong(1), ranges)
+        }
+        Manifest(r.getLong(0), r.getString(1), r.getString(2), files)
+      }.sortBy(_.version).toSeq
+  }
+
+  /** The manifests whose data participates in version `v`'s snapshot:
+    * the latest overwrite ≤ v and every append after it. */
+  private def snapshot(spark: SparkSession, root: String,
+      v: Long): Seq[Manifest] = {
+    val ms = manifests(spark, root, v)
+    val lastOverwrite = ms.filter(_.op == "overwrite")
+      .lastOption.map(_.version).getOrElse(0L)
+    ms.filter(_.version >= lastOverwrite)
+  }
+
+  /** The table AS OF version `v` — time travel. */
+  def readVersion(spark: SparkSession, root: String, v: Long): DataFrame = {
+    val dirs = snapshot(spark, root, v).map(_.dir)
+    spark.read.parquet(dirs: _*)
+  }
+
+  def readLatest(spark: SparkSession, root: String): DataFrame =
+    readVersion(spark, root, latestVersion(root))
+
+  /** Version history as a DataFrame (version, op, n_files, n_rows) —
+    * answered from manifests alone, zero data I/O. */
+  def history(spark: SparkSession, root: String): DataFrame = {
+    import spark.implicits._
+    manifests(spark, root, Long.MaxValue)
+      .map(m => (m.version, m.op, m.files.size.toLong,
+        m.files.map(_._2).sum))
+      .toDF("version", "op", "n_files", "n_rows")
+  }
+
+  /** Per-file (path, min, max) of `column` in version `v`'s snapshot —
+    * the manifest's recorded ranges, pure metadata (no data I/O).
+    * Files without a recorded range for `column` are absent here
+    * (prunedRead keeps them conservatively). */
+  def fileRangesFor(spark: SparkSession, root: String, v: Long,
+      column: String): Seq[(String, Double, Double)] =
+    snapshot(spark, root, v).flatMap(_.files).collect {
+      case (path, _, ranges) if ranges.contains(column) =>
+        (path, ranges(column)._1, ranges(column)._2)
+    }
+
+  /** Manifest-pruned read of version `v`: hand the reader only the
+    * files whose recorded [min, max] of `column` overlaps [lo, hi],
+    * with the exact predicate kept as a residual (stats admit, the
+    * filter confirms — pruning can only SKIP files, never change the
+    * answer). Files with no recorded range for `column` are
+    * conservatively kept. Returns the frame and the chosen file list
+    * (observability + the spec's files-skipped pin). */
+  def prunedRead(spark: SparkSession, root: String, v: Long, column: String,
+      lo: Double, hi: Double): (DataFrame, Seq[String]) = {
+    require(lo <= hi, s"empty range [$lo, $hi]")
+    val files = snapshot(spark, root, v).flatMap(_.files)
+    val chosen = files.collect {
+      case (path, _, ranges) if ranges.get(column)
+        .forall { case (mn, mx) => mx >= lo && mn <= hi } => path
+    }
+    val df =
+      if (chosen.isEmpty)
+        readVersion(spark, root, v).limit(0)
+      else spark.read.parquet(chosen: _*)
+    (df.filter(col(column) >= lo && col(column) <= hi), chosen)
+  }
+
+  /** Not implemented, deliberately: file compaction / vacuum of
+    * orphaned attempt dirs is a maintenance job OVER this layout
+    * (rewrite small files as a new overwrite commit of the same rows —
+    * `scan_compact_smallfiles` is exactly that shape), not a read-path
+    * concern. Kept as a named hook so the omission is a documented
+    * decision, not an oversight. */
+  def compactHint: String =
+    "compact = commit(readLatest.repartitionByRange(...), op=overwrite)"
+}

@@ -182,10 +182,13 @@ class InventorySpec extends SparkSpec {
     // TPC-H planner shapes — correlated scalar subquery, multi-EXISTS
     // lateness, anti+scalar-avg — plus the null-aware anti join
     "sql_tpch_q17", "sql_tpch_q21", "sql_tpch_q22",
-    "join_null_aware_anti")
+    "join_null_aware_anti",
+    // §2.42 round-8 second wave: the VersionedTable storage face —
+    // commit-log time travel and manifest-stats file pruning
+    "etl_time_travel", "scan_manifest_prune")
 
-  test("declared queries cover SURVEY §2 + §2.12-41 exactly (244 keys)") {
-    assert(inventory.size == 244)
+  test("declared queries cover SURVEY §2 + §2.12-42 exactly (246 keys)") {
+    assert(inventory.size == 246)
     val declared = SparkEntry.queries.keySet
     val missing = inventory -- declared
     val extra = declared -- inventory

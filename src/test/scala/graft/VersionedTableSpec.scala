@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.VersionedTable
+
+/** The commit-log table format behind etl_time_travel /
+  * scan_manifest_prune: snapshot resolution, time travel, history from
+  * metadata alone, and the files-skipped invariant the SQL oracle
+  * cannot see.
+  */
+class VersionedTableSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshRoot(): String =
+    java.nio.file.Files.createTempDirectory("graft_vtab").toString
+
+  test("overwrite/append chain: every version stays readable, snapshots isolate") {
+    val root = freshRoot()
+    assert(VersionedTable.latestVersion(root) == -1L)
+    val v0 = VersionedTable.commit(spark, root,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v"), "overwrite")
+    val v1 = VersionedTable.commit(spark, root,
+      Seq((3L, "c")).toDF("id", "v"), "append")
+    val v2 = VersionedTable.commit(spark, root,
+      Seq((9L, "z")).toDF("id", "v"), "overwrite")
+    val v3 = VersionedTable.commit(spark, root,
+      Seq((10L, "y")).toDF("id", "v"), "append")
+    assert((v0, v1, v2, v3) == (0L, 1L, 2L, 3L))
+    def ids(v: Long): Set[Long] =
+      VersionedTable.readVersion(spark, root, v)
+        .select("id").collect().map(_.getLong(0)).toSet
+    assert(ids(0) == Set(1L, 2L))
+    assert(ids(1) == Set(1L, 2L, 3L)) // append accumulates
+    assert(ids(2) == Set(9L))         // overwrite resets the chain
+    assert(ids(3) == Set(9L, 10L))
+    assert(VersionedTable.readLatest(spark, root)
+      .count() == 2L)
+    // History is manifest-only metadata and matches the commits.
+    val h = VersionedTable.history(spark, root)
+      .orderBy("version").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(3)))
+    assert(h.toSeq == Seq((0L, "overwrite", 2L), (1L, "append", 1L),
+      (2L, "overwrite", 1L), (3L, "append", 1L)))
+  }
+
+  test("a foreign manifest landing at the attempted version triggers a retry, not a clobber") {
+    val root = freshRoot()
+    VersionedTable.commit(spark, root, Seq((1L, "a")).toDF("id", "v"),
+      "overwrite")
+    // Simulate a concurrent writer owning version 1: its manifest is
+    // already committed when our writer computes attempt = 1.
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$root/_commits/0.json"),
+      java.nio.file.Paths.get(s"$root/_commits/1.json"))
+    val got = VersionedTable.commit(spark, root,
+      Seq((2L, "b")).toDF("id", "v"), "append")
+    assert(got == 2L, s"should have retried past the taken slot, got $got")
+    assert(VersionedTable.readVersion(spark, root, 2L)
+      .select("id").collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+  }
+
+  test("manifest pruning skips non-overlapping files and never changes the answer") {
+    val root = freshRoot()
+    // 8 range-partitioned files over id 0..7999 — tight disjoint ranges.
+    VersionedTable.commit(spark, root,
+      spark.range(8000).select(col("id"), (col("id") % 97).as("x"))
+        .repartitionByRange(8, col("id")),
+      "overwrite", statsCols = Seq("id"))
+    val ranges = VersionedTable.fileRangesFor(spark, root, 0L, "id")
+    assert(ranges.size == 8)
+    val (pruned, chosen) =
+      VersionedTable.prunedRead(spark, root, 0L, "id", 100.0, 900.0)
+    assert(chosen.size < 8,
+      s"pruning skipped nothing: ${chosen.size} of 8 files chosen")
+    // Answer identical to the unpruned filtered read.
+    val full = VersionedTable.readVersion(spark, root, 0L)
+      .filter(col("id") >= 100 && col("id") <= 900)
+    assert(pruned.count() == full.count())
+    assert(pruned.agg(sum("x")).head().getLong(0) ==
+      full.agg(sum("x")).head().getLong(0))
+    // A range beyond every file: zero files, empty frame, same schema.
+    val (none, zero) =
+      VersionedTable.prunedRead(spark, root, 0L, "id", 1.0e9, 2.0e9)
+    assert(zero.isEmpty && none.count() == 0L)
+    assert(none.columns.toSeq == full.columns.toSeq)
+  }
+
+  test("files without recorded stats are kept conservatively") {
+    val root = freshRoot()
+    VersionedTable.commit(spark, root,
+      spark.range(100).toDF("id"), "overwrite") // NO statsCols
+    val (df, chosen) =
+      VersionedTable.prunedRead(spark, root, 0L, "id", 0.0, 10.0)
+    assert(chosen.nonEmpty, "stat-less files must be admitted, not skipped")
+    assert(df.count() == 11L)
+  }
+
+  test("declared scan_manifest_prune really skips files at the fixture") {
+    // The oracle validates the answer; this pins the I/O invariant —
+    // the first-quarter range must touch a strict subset of the 8
+    // range-partitioned files. Run the declared key first so the
+    // scratch table exists.
+    SparkEntry.queries("scan_manifest_prune")(spark, sf).collect()
+    val root =
+      s"${graft.operators.ScanQueries.scratch(spark, sf)}/vtab_lineitem"
+    val ranges = VersionedTable.fileRangesFor(spark, root, 0L, "l_orderkey")
+    val lo = ranges.map(_._2).min
+    val hi = lo + ((ranges.map(_._3).max - lo).toLong / 4).toDouble
+    val chosen = VersionedTable.prunedRead(spark, root, 0L, "l_orderkey",
+      lo, hi)._2
+    assert(chosen.size < ranges.size,
+      s"no skip: ${chosen.size} of ${ranges.size}")
+  }
+}
