@@ -1529,6 +1529,76 @@ object AnalyticsQueries {
         |LIMIT 20""".stripMargin)
     }),
 
+    // ANSI FILTER-CLAUSE AGGREGATES + bool_and/bool_or — the
+    // conditional-aggregation SQL surface (`agg(...) FILTER (WHERE p)`)
+    // that replaces the CASE-WHEN-inside-SUM idiom (sql_tpch_q14's
+    // spelling) with the standard form, plus the boolean reducers.
+    // Catalyst compiles FILTER into the aggregate's input predicate —
+    // still one two-phase hash agg, no extra pass (same plan family as
+    // the flagship). Money sums ride the decimal convention INSIDE the
+    // filter; counts stay BIGINT.
+    "agg_filter_clause" -> ((s, dir) => {
+      s.sql(s"""SELECT l_returnflag,
+        |  count(*) AS n_all,
+        |  count(*) FILTER (WHERE l_quantity > 25) AS n_heavy,
+        |  CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+        |      AS DECIMAL(38,6))) FILTER (WHERE l_discount > 0.05), 4)
+        |    AS DOUBLE) AS deep_disc_revenue,
+        |  bool_and(l_quantity >= 1) AS all_qty_positive,
+        |  bool_or(l_discount > 0.09) AS any_deep_discount
+        |FROM parquet.`$dir/lineitem.parquet`
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+    }),
+
+    // ROLLING MEDIAN — exact 7-day trailing median of daily volume per
+    // type over the zero-filled spine: the robust baseline next to
+    // win_moving_avg's mean (one outlier day drags a mean for a week;
+    // the median shrugs — the difference ts_anomaly_mad exploits
+    // corpus-wide, here as a windowed series). percentile() as a
+    // WINDOW aggregate over a ROWS frame; counts are integers, so the
+    // only float op is the midpoint interpolation on even windows —
+    // (a+b)/2 on integer-valued doubles, exact in both engines (the
+    // agg_stats percentile≡quantile_cont parity, now in a frame).
+    // Leading edge keeps the partial window (n < 7) — same contract as
+    // win_moving_avg.
+    //
+    // Scale: the corpus collapses to |types|×|days| rows in the
+    // pre-agg exchange; ONE window node hosts the frame; the per-row
+    // sort cost is bounded by the 7-row frame.
+    "win_rolling_median" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        .rowsBetween(-6, 0)
+      zeroFilledDaily(s, dir)
+        .select(col("event_type"), col("day"), col("y"),
+          r4d(expr("percentile(y, 0.5)").over(w)).as("med7"))
+        .orderBy("event_type", "day")
+    }),
+
+    // RECURSIVE CTE — the iterative SQL surface (Spark 4's
+    // WITH RECURSIVE): every supplier walks the synthetic binary-tree
+    // hierarchy parent(n) = ⌊n/2⌋ to the root, emitting one row per
+    // ancestor — transitive closure with a data-dependent depth no
+    // UNION chain can express statically, planned as Spark's
+    // UnionLoop (pinned). Spelling identical in both engines:
+    // CAST(floor(node / 2) AS BIGINT) — `div`/`//` differ between
+    // dialects and a bare CAST of n/2 rounds half-AWAY in DuckDB but
+    // truncates in Spark, exactly the .5 trap floor() removes. Depth
+    // caps at ⌈log₂ max(s_suppkey)⌉ ≈ 11 — far under Spark's
+    // recursion limit; outputs are exact integers (path sum CAST
+    // before the HUGEINT divergence).
+    "sql_recursive_cte" -> ((s, dir) => {
+      s.sql(s"""WITH RECURSIVE walk(k, node, depth) AS (
+        |  SELECT s_suppkey, CAST(s_suppkey AS BIGINT), 0
+        |  FROM parquet.`$dir/supplier.parquet`
+        |  UNION ALL
+        |  SELECT k, CAST(floor(node / 2) AS BIGINT), depth + 1
+        |  FROM walk WHERE node > 1)
+        |SELECT k AS s_suppkey, CAST(max(depth) AS BIGINT) AS n_hops,
+        |  CAST(sum(node) AS BIGINT) AS path_sum
+        |FROM walk GROUP BY k ORDER BY s_suppkey""".stripMargin)
+    }),
+
     // TPC-H Q22 — global-sales-opportunity: the ANTI JOIN + UNCORRELATED
     // SCALAR AVERAGE composition (positive-balance average as a 1-row
     // subquery every probe row compares against, NOT EXISTS orders →
@@ -2391,6 +2461,45 @@ object AnalyticsQueries {
         |GROUP BY s_name
         |ORDER BY numwait DESC, s_name
         |LIMIT 20""".stripMargin,
+    "agg_filter_clause" ->
+      s"""SELECT l_returnflag,
+         |  count(*) AS n_all,
+         |  count(*) FILTER (WHERE l_quantity > 25) AS n_heavy,
+         |  CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+         |      AS DECIMAL(38,6))) FILTER (WHERE l_discount > 0.05), 4)
+         |    AS DOUBLE) AS deep_disc_revenue,
+         |  bool_and(l_quantity >= 1) AS all_qty_positive,
+         |  bool_or(l_discount > 0.09) AS any_deep_discount
+         |FROM lineitem
+         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // quantile_cont is DuckDB's exact interpolating percentile — the
+    // agg_stats parity, here as a window aggregate over the same
+    // 6-PRECEDING frame; zero-filled spine CTE mirrors the Spark side.
+    "win_rolling_median" ->
+      s"""WITH e AS (SELECT event_type, ${sqlEpochDay("ts")} AS day
+         |  FROM events),
+         |d AS (SELECT event_type, day, count(*) AS y FROM e GROUP BY 1, 2),
+         |b AS (SELECT min(day) AS lo, max(day) AS hi FROM e),
+         |ty AS (SELECT DISTINCT event_type FROM e),
+         |spine AS (SELECT event_type, unnest(range(lo, hi + 1)) AS day
+         |  FROM ty CROSS JOIN b),
+         |f AS (SELECT s.event_type, s.day, COALESCE(d.y, 0) AS y
+         |  FROM spine s LEFT JOIN d USING (event_type, day))
+         |SELECT event_type, day, CAST(y AS BIGINT) AS y,
+         |  ROUND(quantile_cont(y, 0.5) OVER (PARTITION BY event_type
+         |    ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+         |    * 10000.0) / 10000.0 AS med7
+         |FROM f ORDER BY event_type, day""".stripMargin,
+    "sql_recursive_cte" ->
+      """WITH RECURSIVE walk(k, node, depth) AS (
+        |  SELECT s_suppkey, CAST(s_suppkey AS BIGINT), 0
+        |  FROM supplier
+        |  UNION ALL
+        |  SELECT k, CAST(floor(node / 2) AS BIGINT), depth + 1
+        |  FROM walk WHERE node > 1)
+        |SELECT k AS s_suppkey, CAST(max(depth) AS BIGINT) AS n_hops,
+        |  CAST(sum(node) AS BIGINT) AS path_sum
+        |FROM walk GROUP BY k ORDER BY s_suppkey""".stripMargin,
     "sql_tpch_q22" ->
       s"""SELECT CAST(c_nationkey AS BIGINT) AS cntrycode,
          |  count(*) AS numcust,

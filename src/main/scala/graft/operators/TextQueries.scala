@@ -301,6 +301,43 @@ object TextQueries {
             - lit(84.6) * (col("n_syllables").cast("double")
               / col("n_words").cast("double"))).as("flesch"))
         .orderBy("doc_id")
+    }),
+
+    // UNIGRAM LOG-LIKELIHOOD QUALITY SCORE — per-doc mean −log₂ p(w)
+    // under the corpus's own unigram model (the CCNet/perplexity
+    //-filter shape, with the n-gram LM reduced to unigrams so the
+    // model IS one aggregation): low bits ≡ stereotypical token mix,
+    // high bits ≡ rare-token soup — the standard cheap signal next to
+    // text_quality_score's surface heuristics. Identity used:
+    // mean −log₂ p = log₂ T − (Σ log₂ cf_w)/n, so only integer corpus
+    // counts reach the log. Determinism: the per-doc Σ log₂ cf is a
+    // DOUBLE sum — order-dependent — so it folds over
+    // array_sort(collect_list(cf)) in ascending order, mirrored by the
+    // oracle's list_sort + in-order list sum (the agg_entropy_mix
+    // convention); libm log2 ulps are the only cross-engine surface,
+    // already relied on by the entropy/zipf keys.
+    //
+    // Scale: vocab is one token-keyed partial-agg exchange; the
+    // tokens⋈vocab join shuffles on token (broadcast once vocab fits,
+    // which a capped vocab does); the per-doc collect_list is bounded
+    // by doc length — the same per-doc-bounded explode every text key
+    // makes. T is a 1-row broadcast.
+    "text_perplexity_unigram" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      val vocab = toks.groupBy("tok").agg(count(lit(1)).as("cf"))
+      val total = toks.agg(count(lit(1)).as("t"))
+      toks.join(vocab, Seq("tok"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          array_sort(collect_list(col("cf"))).as("cs"))
+        .crossJoin(broadcast(total))
+        .select(col("doc_id"), col("n_tokens"),
+          r4d(log2(col("t"))
+            - aggregate(col("cs"), lit(0.0), (acc, x) =>
+                acc + log2(x.cast("double")))
+              / col("n_tokens")).as("nll_bits"))
+        .orderBy("doc_id")
     })
   )
 
@@ -455,7 +492,21 @@ object TextQueries {
         |      / CAST(n_sentences AS DOUBLE))
         |    - 84.6 * (CAST(n_syllables AS DOUBLE)
         |      / CAST(n_words AS DOUBLE))) * 10000.0) / 10000.0 AS flesch
-        |FROM d WHERE n_words > 0 ORDER BY doc_id""".stripMargin
+        |FROM d WHERE n_words > 0 ORDER BY doc_id""".stripMargin,
+    // Same ascending fold as the entropy oracle: list_sort, in-order
+    // list sum of log2(cf); T cast (HUGEINT lesson).
+    "text_perplexity_unigram" ->
+      """WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |cf AS (SELECT tok, count(*) AS cf FROM tk GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS t FROM tk),
+        |d AS (SELECT doc_id, count(*) AS n, list_sort(list(cf)) AS cs
+        |  FROM tk JOIN cf USING (tok) GROUP BY doc_id)
+        |SELECT doc_id, n AS n_tokens,
+        |  ROUND((log2(t)
+        |    - list_aggregate(list_transform(cs, x -> log2(x)), 'sum') / n)
+        |    * 10000.0) / 10000.0 AS nll_bits
+        |FROM d, tot ORDER BY doc_id""".stripMargin
     // dedup_minhash_lsh: intentionally no oracle (SURVEY §2.11).
   )
 }

@@ -185,10 +185,14 @@ class InventorySpec extends SparkSpec {
     "join_null_aware_anti",
     // §2.42 round-8 second wave: the VersionedTable storage face —
     // commit-log time travel and manifest-stats file pruning
-    "etl_time_travel", "scan_manifest_prune")
+    "etl_time_travel", "scan_manifest_prune",
+    // §2.43 round-8 third wave: unigram LM quality score, recursive
+    // CTE, ANSI FILTER-clause aggregates, rolling median
+    "text_perplexity_unigram", "sql_recursive_cte", "agg_filter_clause",
+    "win_rolling_median")
 
-  test("declared queries cover SURVEY §2 + §2.12-42 exactly (246 keys)") {
-    assert(inventory.size == 246)
+  test("declared queries cover SURVEY §2 + §2.12-43 exactly (250 keys)") {
+    assert(inventory.size == 250)
     val declared = SparkEntry.queries.keySet
     val missing = inventory -- declared
     val extra = declared -- inventory

@@ -348,6 +348,27 @@ class PlanAuditSpec extends SparkSpec {
       s"NAAJ degraded to a nested loop:\n${p.take(3000)}")
   }
 
+  test("recursive CTE plans as UnionLoop; filter-clause aggregates stay one two-phase agg") {
+    val r = plan("sql_recursive_cte")
+    // The iterative SQL surface must plan as Spark's recursion operator
+    // (anchor + UnionLoopRef back-edge) — a statically unrolled UNION
+    // would mean the recursion was silently bounded at parse time.
+    assert(r.contains("UnionLoop") && r.contains("UnionLoopRef"),
+      s"recursion not planned as UnionLoop:\n${r.take(3000)}")
+    val f = plan("agg_filter_clause")
+    // FILTER compiles into the aggregate's input predicate: one
+    // partial+final hash agg pair, the predicate visible on the
+    // partial — not an extra scan or join per conditional aggregate.
+    assert("HashAggregate".r.findAllIn(f).size == 2, f.take(2000))
+    assert(f.contains("FILTER (WHERE"),
+      s"filter clause not inside the aggregate:\n${f.take(2000)}")
+  }
+
+  test("rolling median rides ONE window node over the pre-aggregated spine") {
+    val p = plan("win_rolling_median")
+    assert("Window \\[".r.findAllIn(p).size == 1, p.take(3000))
+  }
+
   test("funnel stage joins and cohort attach-back broadcast under AQE") {
     // The §2.19 scale claims: funnel stage frames shrink monotonically
     // and the cohort table is one row per user, so AQE's runtime stats
