@@ -1529,6 +1529,39 @@ object AnalyticsQueries {
         |LIMIT 20""".stripMargin)
     }),
 
+    // EWMA — exponentially weighted moving average of daily volume per
+    // type over the zero-filled spine, α = ½ truncated at 8 taps: the
+    // exponential sibling of ts_wma's linear decay (recency-weighted
+    // smoothing where last week barely counts). The α = ½ choice is
+    // the determinism trick: every weight is a POWER OF TWO, so each
+    // y·2⁻ᵏ term is an EXACT double (scaling by 2⁻ᵏ only shifts the
+    // exponent), the 8-term numerator/denominator sums are exact
+    // rationals with denominator 128 far inside the 53-bit mantissa,
+    // and the result is bit-identical in ANY summation order and both
+    // engines — no sorted-fold machinery needed (contrast
+    // text_perplexity_unigram, whose log terms are irrational). One
+    // double division at the edge, r4d. Partial leading windows
+    // renormalize over the present taps (the win_moving_avg contract).
+    //
+    // Scale: corpus collapses to |types|×|days| in the pre-agg
+    // exchange; all 8 lags ride ONE window node (pinned).
+    "ts_ewma" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      val full = zeroFilledDaily(s, dir)
+      def tap(k: Int): org.apache.spark.sql.Column =
+        if (k == 0) col("y") else lag(col("y"), k).over(w)
+      val num = (0 to 7).map(k =>
+        coalesce(tap(k).cast("double") * lit(1.0 / (1 << k)), lit(0.0)))
+        .reduce(_ + _)
+      val den = (0 to 7).map(k =>
+        when(tap(k).isNotNull, lit(1.0 / (1 << k))).otherwise(lit(0.0)))
+        .reduce(_ + _)
+      full.select(col("event_type"), col("day"), col("y"),
+          r4d(num / den).as("ewma"))
+        .orderBy("event_type", "day")
+    }),
+
     // ANSI FILTER-CLAUSE AGGREGATES + bool_and/bool_or — the
     // conditional-aggregation SQL surface (`agg(...) FILTER (WHERE p)`)
     // that replaces the CASE-WHEN-inside-SUM idiom (sql_tpch_q14's
@@ -2461,6 +2494,33 @@ object AnalyticsQueries {
         |GROUP BY s_name
         |ORDER BY numwait DESC, s_name
         |LIMIT 20""".stripMargin,
+    // Same 8 power-of-two taps: every term and both sums are exact
+    // doubles (see the Spark side's scaladoc), so the spelling only
+    // has to match arithmetically, not in fold order.
+    "ts_ewma" -> {
+      val num = (0 to 7).map { k =>
+        if (k == 0) s"CAST(y AS DOUBLE) * ${1.0 / (1 << k)}"
+        else s"COALESCE(CAST(lag(y, $k) OVER w AS DOUBLE) * ${1.0 / (1 << k)}, 0.0)"
+      }.mkString("\n         |    + ")
+      val den = (0 to 7).map { k =>
+        if (k == 0) s"${1.0 / (1 << k)}"
+        else s"CASE WHEN lag(y, $k) OVER w IS NOT NULL THEN ${1.0 / (1 << k)} ELSE 0.0 END"
+      }.mkString("\n         |    + ")
+      s"""WITH e AS (SELECT event_type, ${sqlEpochDay("ts")} AS day
+         |  FROM events),
+         |d AS (SELECT event_type, day, count(*) AS y FROM e GROUP BY 1, 2),
+         |b AS (SELECT min(day) AS lo, max(day) AS hi FROM e),
+         |ty AS (SELECT DISTINCT event_type FROM e),
+         |spine AS (SELECT event_type, unnest(range(lo, hi + 1)) AS day
+         |  FROM ty CROSS JOIN b),
+         |f AS (SELECT s.event_type, s.day, COALESCE(d.y, 0) AS y
+         |  FROM spine s LEFT JOIN d USING (event_type, day))
+         |SELECT event_type, day, CAST(y AS BIGINT) AS y,
+         |  ROUND(($num)
+         |   / ($den) * 10000.0) / 10000.0 AS ewma
+         |FROM f WINDOW w AS (PARTITION BY event_type ORDER BY day)
+         |ORDER BY event_type, day""".stripMargin
+    },
     "agg_filter_clause" ->
       s"""SELECT l_returnflag,
          |  count(*) AS n_all,

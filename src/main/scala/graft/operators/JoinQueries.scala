@@ -166,6 +166,34 @@ object JoinQueries {
         .orderBy(col("event_id"))
     }),
 
+    // FORWARD as-of — the third direction of the ASOF family (backward
+    // = latest at-or-before, nearest = either side; forward = EARLIEST
+    // strictly-after — "the next purchase after this error", the
+    // recovery/conversion-lag read; trading's next-quote). Runs inside
+    // the events table where the time domains genuinely overlap (the
+    // orders fixture predates every event, which would make an
+    // order-anchored forward asof vacuously empty). Same scale shape
+    // as the siblings: equi-join on the user key with the time
+    // residual, ONE min-of-struct partial agg collapses the fan-out
+    // map-side — lexicographic (ms, event_id) min IS the
+    // deterministic argmin, no window over the inflated join.
+    "join_asof_forward" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val err = ev.filter(col("event_type") === "error")
+        .select(col("event_id"), col("user_id"),
+          unix_millis(col("ts").cast("timestamp")).as("ms"))
+      val pur = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("pu"),
+          col("event_id").as("p_event_id"),
+          unix_millis(col("ts").cast("timestamp")).as("pms"))
+      err.join(pur, col("pu") === col("user_id") && col("pms") > col("ms"))
+        .groupBy(col("event_id"), col("ms"))
+        .agg(min(struct(col("pms"), col("p_event_id"))).as("m"))
+        .select(col("event_id"), col("m.p_event_id").as("next_purchase_id"),
+          (col("m.pms") - col("ms")).as("gap_ms"))
+        .orderBy(col("event_id"))
+    }),
+
     "join_star_multiway" -> ((s, dir) => starJoin(s, dir, hinted = true)),
 
     // The same star join UNHINTED — proves the engine doesn't need
@@ -483,6 +511,19 @@ object JoinQueries {
         |      ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
         |  FROM events JOIN orders
         |    ON o_custkey = user_id + 1 AND o_orderdate <= ts)
+        |WHERE rn = 1 ORDER BY event_id""".stripMargin,
+    "join_asof_forward" ->
+      """WITH err AS (SELECT event_id, user_id, epoch_ms(ts) AS ms
+        |  FROM events WHERE event_type = 'error'),
+        |pur AS (SELECT user_id AS pu, event_id AS p_event_id,
+        |    epoch_ms(ts) AS pms
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT event_id, p_event_id AS next_purchase_id,
+        |  pms - ms AS gap_ms FROM (
+        |  SELECT event_id, p_event_id, ms, pms,
+        |    row_number() OVER (PARTITION BY event_id
+        |      ORDER BY pms ASC, p_event_id ASC) AS rn
+        |  FROM err JOIN pur ON pu = user_id AND pms > ms)
         |WHERE rn = 1 ORDER BY event_id""".stripMargin,
     "join_asof_nearest" ->
       """SELECT event_id, o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,

@@ -64,6 +64,32 @@ object SortSetQueries {
         .orderBy(col("orderkey"))
     }),
 
+    // INTERSECT ALL — MULTISET intersection (each key survives
+    // min(count_left, count_right) times): the bag semantics the
+    // DISTINCT set_intersect key can't express, with its own physical
+    // rewrite (Catalyst lowers it to a count-compare generate over a
+    // two-sided aggregate, not a semi join). Returned vs accepted
+    // lineitem part keys: both multiplicities scale with data, so the
+    // min stays non-degenerate at every SF.
+    "set_intersect_all" -> ((s, dir) => {
+      t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+        .select(col("l_partkey").as("partkey"))
+        .intersectAll(t(s, dir, "lineitem")
+          .filter(col("l_returnflag") === "A").select(col("l_partkey")))
+        .orderBy(col("partkey"))
+    }),
+
+    // EXCEPT ALL — multiset difference (count_left − count_right
+    // survivors per key): the bag sibling of set_except. 'F'-order
+    // lineitem part keys minus returned ones.
+    "set_except_all" -> ((s, dir) => {
+      t(s, dir, "lineitem").filter(col("l_linestatus") === "F")
+        .select(col("l_partkey").as("partkey"))
+        .exceptAll(t(s, dir, "lineitem")
+          .filter(col("l_returnflag") === "R").select(col("l_partkey")))
+        .orderBy(col("partkey"))
+    }),
+
     // Keyed dedup keeping the lowest event_id — deterministic via rank=1.
     "dedup_dropduplicates" -> ((s, dir) => {
       val w = Window.partitionBy(col("user_id"), col("event_type"))
@@ -98,6 +124,16 @@ object SortSetQueries {
       """SELECT o_orderkey AS orderkey FROM orders WHERE o_orderstatus = 'F'
         |EXCEPT SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R'
         |ORDER BY orderkey""".stripMargin,
+    "set_intersect_all" ->
+      """SELECT l_partkey AS partkey FROM lineitem WHERE l_returnflag = 'R'
+        |INTERSECT ALL
+        |SELECT l_partkey FROM lineitem WHERE l_returnflag = 'A'
+        |ORDER BY partkey""".stripMargin,
+    "set_except_all" ->
+      """SELECT l_partkey AS partkey FROM lineitem WHERE l_linestatus = 'F'
+        |EXCEPT ALL
+        |SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'
+        |ORDER BY partkey""".stripMargin,
     "dedup_dropduplicates" ->
       """SELECT user_id, event_type, event_id, value FROM (
         |  SELECT user_id, event_type, event_id, value,

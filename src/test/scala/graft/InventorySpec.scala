@@ -189,10 +189,14 @@ class InventorySpec extends SparkSpec {
     // §2.43 round-8 third wave: unigram LM quality score, recursive
     // CTE, ANSI FILTER-clause aggregates, rolling median
     "text_perplexity_unigram", "sql_recursive_cte", "agg_filter_clause",
-    "win_rolling_median")
+    "win_rolling_median",
+    // §2.44 round-8 fourth wave: multiset set ops, forward as-of,
+    // exact power-of-two EWMA
+    "set_intersect_all", "set_except_all", "join_asof_forward",
+    "ts_ewma")
 
-  test("declared queries cover SURVEY §2 + §2.12-43 exactly (250 keys)") {
-    assert(inventory.size == 250)
+  test("declared queries cover SURVEY §2 + §2.12-44 exactly (254 keys)") {
+    assert(inventory.size == 254)
     val declared = SparkEntry.queries.keySet
     val missing = inventory -- declared
     val extra = declared -- inventory
