@@ -442,6 +442,33 @@ object ScanQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // LINE-ORIENTED TEXT SOURCE — the raw-corpus ingest format
+    // (one record per line, fields split in the query): documents
+    // round-trip through `write.text` / `read.text` as
+    // `doc_id<TAB>text` lines and parse back with split-at-first-tab.
+    // The fixture corpus is newline/tab-free (asserted by the
+    // roundtrip equality itself — an embedded separator would shear a
+    // row and flunk the oracle). At 100 TB the text source is the
+    // cheapest possible scan (no footer, no row groups, trivially
+    // splittable on line boundaries) — what makes it the standard
+    // landing format crawls hand to the first parse stage.
+    "scan_text_lines" -> ((s, dir) => {
+      val tmp = s"${scratch(s, dir)}/text_docs"
+      writeOnce(tmp) {
+        t(s, dir, "documents")
+          .select(concat(col("doc_id").cast("string"), lit("\t"),
+            col("text")).as("value"))
+          .write.mode("overwrite").text(tmp)
+      }
+      s.read.text(tmp)
+        .select(
+          substring_index(col("value"), "\t", 1).cast("long").as("doc_id"),
+          expr("substring(value, instr(value, '\t') + 1)").as("text"))
+        .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        .orderBy("doc_id")
+    }),
+
     // TIME TRAVEL — "the table AS OF version N" through the
     // VersionedTable commit log (§2.42): three commits (overwrite,
     // append, overwrite) and a read pinned at version 1, which must see
@@ -596,6 +623,12 @@ object ScanQueries {
         |  ON d.lang = f.lang
         |WHERE f.family = 'romance'
         |ORDER BY d.doc_id""".stripMargin,
+    // The oracle reads the parquet original — the text roundtrip must
+    // be lossless for every row or the per-doc stats shear.
+    "scan_text_lines" ->
+      """SELECT doc_id, length(text) AS n_chars,
+        |  len(string_split(text, ' ')) AS n_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // AS OF version 1 = v0 ∪ v1 = orders before 1997; the v2 overwrite
     // (high-price orders) must be invisible — an oracle mismatch here
     // means the snapshot resolution read the wrong commit chain.

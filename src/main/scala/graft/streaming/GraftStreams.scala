@@ -152,6 +152,27 @@ object GraftStreams {
       .orderBy("day")
   }
 
+  /** Stream-STATIC broadcast enrichment + tumbling counts — the most
+    * common production streaming pattern: every micro-batch joins
+    * against a static dimension snapshot (no watermark needed on the
+    * dim side — it is not a stream; Spark re-plans the broadcast per
+    * batch, which is also why a periodically-reloaded dim table picks
+    * up changes between batches without restarts). The enriched rows
+    * then flow into the same 1-day tumbling agg as
+    * [[tumblingCounts]]. `dim` must carry `dim_user_id` and the
+    * attribute columns; rows with no dim match drop (inner join — the
+    * enrichment contract; left-join with a sentinel is the caller's
+    * one-line variant). Batch and streaming run THIS one declaration —
+    * parity by construction (StreamingParitySpec). */
+  def enrichedTumblingCounts(events: DataFrame, dim: DataFrame,
+      watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .join(broadcast(dim), col("user_id") === col("dim_user_id"))
+      .groupBy(window(col("ts"), "1 day").as("w"), col("n_name"))
+      .agg(count(lit(1)).as("n"), Det.dsum(col("value")).as("sum_value"))
+      .select(col("w.start").cast("date").as("day"), col("n_name"),
+        col("n"), col("sum_value"))
+
   /** Per-(1-day tumbling window × event_type) counts and exact sums. */
   def tumblingCounts(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
     events.withWatermark("ts", watermark)

@@ -35,6 +35,21 @@ object StreamQueries {
       GraftStreams.tumblingCounts(events(s, dir))
         .orderBy("day", "event_type")),
 
+    // STREAM-STATIC broadcast enrichment (the deploy-anywhere
+    // streaming pattern: facts stream, dimensions are a table) — the
+    // batch face of GraftStreams.enrichedTumblingCounts; the
+    // MemoryStream parity test drives the same declaration. Dim =
+    // customer⋈nation keyed by the fixture's user_id + 1 = c_custkey
+    // convention; daily nation-level counts out.
+    "stream_enrich_static" -> ((s, dir) => {
+      val dim = graft.Tables.t(s, dir, "customer")
+        .join(graft.Tables.t(s, dir, "nation"),
+          col("c_nationkey") === col("n_nationkey"))
+        .select((col("c_custkey") - 1).as("dim_user_id"), col("n_name"))
+      GraftStreams.enrichedTumblingCounts(events(s, dir), dim)
+        .orderBy("day", "n_name")
+    }),
+
     // 24h-wide window sliding every 6h (epoch-aligned, 4 windows/event);
     // same shared-declaration pattern.
     "stream_sliding_avg" -> ((s, dir) =>
@@ -162,6 +177,13 @@ object StreamQueries {
       s"""SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
          |count(*) AS n, ${sqlSum("value")} AS sum_value
          |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
+    "stream_enrich_static" ->
+      s"""SELECT CAST(date_trunc('day', ts) AS DATE) AS day, n_name,
+         |  count(*) AS n, ${sqlSum("value")} AS sum_value
+         |FROM events
+         |JOIN customer ON c_custkey = user_id + 1
+         |JOIN nation ON n_nationkey = c_nationkey
+         |GROUP BY 1, 2 ORDER BY day, n_name""".stripMargin,
     "stream_hourly_topk" ->
       """WITH c AS (SELECT epoch_ms(ts) - epoch_ms(ts) % 3600000 AS hour_ms,
         |    event_type, count(*) AS n

@@ -193,10 +193,12 @@ class InventorySpec extends SparkSpec {
     // §2.44 round-8 fourth wave: multiset set ops, forward as-of,
     // exact power-of-two EWMA
     "set_intersect_all", "set_except_all", "join_asof_forward",
-    "ts_ewma")
+    "ts_ewma",
+    // §2.45 round-8 fifth wave: stream-static enrichment, line text src
+    "stream_enrich_static", "scan_text_lines")
 
-  test("declared queries cover SURVEY §2 + §2.12-44 exactly (254 keys)") {
-    assert(inventory.size == 254)
+  test("declared queries cover SURVEY §2 + §2.12-45 exactly (256 keys)") {
+    assert(inventory.size == 256)
     val declared = SparkEntry.queries.keySet
     val missing = inventory -- declared
     val extra = declared -- inventory

@@ -87,6 +87,18 @@ class StreamingParitySpec extends SparkSpec {
     assertSameRows(streamed, batch, Seq("user_id", "start_ms"))
   }
 
+  test("stream-static enrichment: broadcast dim join in-stream == batch declared key") {
+    val dim = Tables.t(spark, sf, "customer")
+      .join(Tables.t(spark, sf, "nation"),
+        col("c_nationkey") === col("n_nationkey"))
+      .select((col("c_custkey") - 1).as("dim_user_id"), col("n_name"))
+    val streamed = runStream("enrich", 4, OutputMode.Complete())(
+      GraftStreams.enrichedTumblingCounts(_, dim))
+    val batch = graft.streaming.StreamQueries
+      .queries("stream_enrich_static")(spark, sf)
+    assertSameRows(streamed, batch, Seq("day", "n_name"))
+  }
+
   test("file-source replay of events.parquet matches batch tumbling counts") {
     // The file stream source lists a directory; stage the fixture into one.
     val stage = java.nio.file.Files.createTempDirectory("graft_stream_src")
