@@ -351,6 +351,70 @@ object AggQueries {
     // TopKPerGroup bounded-heap argmax (k=1) — the same no-window-sort
     // path as text_tfidf_topterm; shuffle bounded by distinct
     // (user, type) pairs, never raw events.
+    // WEIGHTED MEDIAN — the quantity-weighted middle unit price per
+    // return flag: the robust "typical traded price" (an unweighted
+    // median treats a 1-unit and a 50-unit line the same; percentile()
+    // has no weight parameter in either engine, so this is a genuinely
+    // new aggregate, not a respelling). Definition: min price p with
+    // W(≤ p) ≥ W/2 — a pure order statistic, no interpolation, so
+    // every compared quantity is an exact integer and the answer is a
+    // data value (2dp-exact double). The corpus first collapses to
+    // (flag, price) → weight rows — the running sum then rides a
+    // UNIQUE key order, fully deterministic, and the window input is
+    // |distinct prices| per flag, not |rows|.
+    "agg_weighted_median" -> ((s, dir) => {
+      val d = t(s, dir, "lineitem")
+        .select(col("l_returnflag"),
+          col("l_extendedprice").as("price"),
+          col("l_quantity").cast("long").as("q"))
+        .groupBy(col("l_returnflag"), col("price"))
+        .agg(sum(col("q")).as("w"))
+      val wc = Window.partitionBy(col("l_returnflag")).orderBy(col("price"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wt = Window.partitionBy(col("l_returnflag"))
+      d.withColumn("cw", sum(col("w")).over(wc))
+        .withColumn("tw", sum(col("w")).over(wt))
+        .filter(col("cw") * 2 >= col("tw"))
+        .groupBy(col("l_returnflag"))
+        .agg(min(col("price")).as("weighted_median_price"),
+          max(col("tw")).as("total_weight"))
+        .orderBy("l_returnflag")
+    }),
+
+    // WINSORIZED MEAN — mean of values clamped to the [p5, p95] ORDER
+    // STATISTICS per event type: the outlier-robust average ops
+    // dashboards quote next to the raw one (one fat-finger value drags
+    // a mean; winsorizing caps its leverage without dropping the row,
+    // unlike a trimmed mean). Clamp bounds are the ACTUAL data values
+    // at ranks ⌈n/20⌉ and ⌈19n/20⌉ — integer rank arithmetic, no
+    // interpolated percentile — so every clamped value stays a
+    // 2dp-exact double and the mean is an exact decimal sum ÷ count
+    // (interpolated bounds would be full-precision doubles whose
+    // decimal cast rounds differently per engine). Value at a rank is
+    // tie-safe: any tie order puts the same VALUE at position k.
+    "agg_winsorized_mean" -> ((s, dir) => {
+      val w = Window.partitionBy(col("event_type")).orderBy(col("value"))
+      val e = events(s, dir).select(col("event_type"), col("value"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(
+          Window.partitionBy(col("event_type"))))
+      val bounds = e.groupBy(col("event_type"))
+        .agg(max(col("n")).as("n"),
+          max(when(col("rn").cast("long") === expr("(n + 19) div 20"),
+            col("value"))).as("lo"),
+          max(when(col("rn").cast("long") === expr("(n * 19 + 19) div 20"),
+            col("value"))).as("hi"))
+      events(s, dir).select(col("event_type"), col("value"))
+        .join(broadcast(bounds), Seq("event_type"))
+        .groupBy(col("event_type"))
+        .agg(max(col("n")).as("n_events"), max(col("lo")).as("p05"),
+          max(col("hi")).as("p95"),
+          davg(least(greatest(col("value"), col("lo")), col("hi")))
+            .as("winsorized_mean"),
+          davg(col("value")).as("raw_mean"))
+        .orderBy("event_type")
+    }),
+
     "agg_mode_per_group" -> ((s, dir) => {
       val c = events(s, dir).groupBy(col("user_id"), col("event_type"))
         .agg(count(lit(1)).as("n"))
@@ -720,6 +784,38 @@ object AggQueries {
       """SELECT event_type, count(DISTINCT user_id) AS n_users,
         |  count(*) AS n_events
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // cw*2 vs tw may go HUGEINT inside the comparison — only OUTPUT
+    // columns need the BIGINT casts.
+    "agg_weighted_median" ->
+      """WITH d AS (SELECT l_returnflag, l_extendedprice AS price,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+        |  FROM lineitem GROUP BY 1, 2),
+        |c AS (SELECT l_returnflag, price, w,
+        |    sum(w) OVER (PARTITION BY l_returnflag ORDER BY price
+        |      ROWS UNBOUNDED PRECEDING) AS cw,
+        |    sum(w) OVER (PARTITION BY l_returnflag) AS tw FROM d)
+        |SELECT l_returnflag, min(price) AS weighted_median_price,
+        |  CAST(max(tw) AS BIGINT) AS total_weight
+        |FROM c WHERE cw * 2 >= tw
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "agg_winsorized_mean" -> {
+      val wavg = graft.Det.sqlAvg("least(greatest(value, lo), hi)")
+      val ravg = graft.Det.sqlAvg("value")
+      s"""WITH r AS (SELECT event_type, value,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY value)
+         |      AS rn,
+         |    count(*) OVER (PARTITION BY event_type) AS n FROM events),
+         |b AS (SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+         |    max(CASE WHEN rn = (n + 19) // 20 THEN value END) AS lo,
+         |    max(CASE WHEN rn = (n * 19 + 19) // 20 THEN value END) AS hi
+         |  FROM r GROUP BY 1)
+         |SELECT event_type, max(n) AS n_events, max(lo) AS p05,
+         |  max(hi) AS p95,
+         |  $wavg AS winsorized_mean,
+         |  $ravg AS raw_mean
+         |FROM events JOIN b USING (event_type)
+         |GROUP BY event_type ORDER BY event_type""".stripMargin
+    },
     "agg_mode_per_group" ->
       """WITH c AS (SELECT user_id, event_type, count(*) AS n
         |  FROM events GROUP BY 1, 2)

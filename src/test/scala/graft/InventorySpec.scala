@@ -195,10 +195,12 @@ class InventorySpec extends SparkSpec {
     "set_intersect_all", "set_except_all", "join_asof_forward",
     "ts_ewma",
     // §2.45 round-8 fifth wave: stream-static enrichment, line text src
-    "stream_enrich_static", "scan_text_lines")
+    "stream_enrich_static", "scan_text_lines",
+    // §2.46 round-8 sixth wave: weighted median, winsorized mean
+    "agg_weighted_median", "agg_winsorized_mean")
 
-  test("declared queries cover SURVEY §2 + §2.12-45 exactly (256 keys)") {
-    assert(inventory.size == 256)
+  test("declared queries cover SURVEY §2 + §2.12-46 exactly (258 keys)") {
+    assert(inventory.size == 258)
     val declared = SparkEntry.queries.keySet
     val missing = inventory -- declared
     val extra = declared -- inventory
