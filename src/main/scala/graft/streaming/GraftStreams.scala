@@ -599,4 +599,48 @@ object GraftStreams {
         (Some(cur), rows)
     }.toDF("user_id", "event_id", "running_max")
   }
+
+  /** [[runningMax]] on Spark 4's transformWithState — the successor
+    * arbitrary-state API (SPARK-46815): named, individually-typed
+    * state variables on a StatefulProcessorHandle instead of one
+    * opaque GroupState blob, lifecycle hooks, per-variable TTL, and
+    * state readable offline through the state data source. Semantics
+    * here are IDENTICAL to the flatMapGroupsWithState form (pinned in
+    * StreamingParitySpec) — one double register per user — so the two
+    * faces document the migration path. Requires the RocksDB state
+    * store provider (`spark.sql.streaming.stateStore.providerClass` =
+    * ...RocksDBStateStoreProvider); the HDFS-backed default does not
+    * implement the TWS operator's column-family layout. */
+  class RunningMaxProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, Event, (Long, Long, Double)] {
+    @transient private var maxState:
+      org.apache.spark.sql.streaming.ValueState[Double] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      maxState = getHandle.getValueState[Double]("max",
+        org.apache.spark.sql.Encoders.scalaDouble,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        tv: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[(Long, Long, Double)] = {
+      var cur = if (maxState.exists()) maxState.get() else Double.MinValue
+      // Same deterministic within-trigger order as the fMGWS form.
+      val out = rows.toSeq.sortBy(e => (e.ts_ms, e.event_id)).map { e =>
+        cur = math.max(cur, e.value)
+        (key, e.event_id, cur)
+      }
+      maxState.update(cur)
+      out.iterator
+    }
+  }
+
+  def runningMaxTws(events: Dataset[Event]): DataFrame = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new RunningMaxProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append())
+      .toDF("user_id", "event_id", "running_max")
+  }
 }

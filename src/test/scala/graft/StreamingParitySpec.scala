@@ -221,6 +221,37 @@ class StreamingParitySpec extends SparkSpec {
     assertSameRows(spark.table("runmax"), batch, Seq("user_id", "event_id"))
   }
 
+  test("running max via transformWithState (Spark 4 API) == fMGWS form == batch") {
+    // The successor arbitrary-state API must reproduce the
+    // flatMapGroupsWithState semantics exactly — the documented
+    // migration path. TWS requires the RocksDB state store provider;
+    // set it for this stream only and restore the session default.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[Event]
+      val out = GraftStreams.runningMaxTws(mem.toDS())
+      val query = out.writeStream.format("memory").queryName("runmaxtws")
+        .outputMode(OutputMode.Append()).start()
+      evRows.sortBy(e => (e.ts_ms, e.event_id)).grouped(250).foreach { c =>
+        mem.addData(c); query.processAllAvailable()
+      }
+      query.stop()
+      val batch = StreamQueriesRef.runningMax(spark, sf)
+      assertSameRows(spark.table("runmaxtws"), batch,
+        Seq("user_id", "event_id"))
+    } finally {
+      prior match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("session windows run in Append mode once the watermark closes them") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
