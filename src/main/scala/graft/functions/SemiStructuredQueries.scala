@@ -23,6 +23,25 @@ object SemiStructuredQueries {
         .orderBy(col("event_id"))
     }),
 
+    // VARIANT — Spark 4's open-schema semi-structured type:
+    // parse_json materializes a binary-encoded variant ONCE and typed
+    // variant_get probes navigate it without re-parsing the string per
+    // field (the reason VARIANT replaces get_json_object chains at
+    // scale — one parse, many reads, with shredding-friendly storage).
+    // The variant itself never reaches the output (its binary encoding
+    // is engine-internal); the oracle compares the EXTRACTED values,
+    // which DuckDB reaches through its own json_extract.
+    "json_variant_extract" -> ((s, dir) => {
+      events(s, dir)
+        .select(col("event_id"), parse_json(col("props")).as("v"))
+        .select(col("event_id"),
+          expr("variant_get(v, '$.k', 'bigint')").as("k"))
+        .filter(col("k").isNotNull)
+        .groupBy(pmod(col("k"), lit(10)).as("k_mod"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
+        .orderBy("k_mod")
+    }),
+
     "json_construct" -> ((s, dir) => {
       events(s, dir)
         .groupBy(col("user_id")).agg(count(lit(1)).as("n_events"))
@@ -88,6 +107,12 @@ object SemiStructuredQueries {
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         |FROM events WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
         |ORDER BY event_id""".stripMargin,
+    "json_variant_extract" ->
+      """WITH x AS (SELECT CAST(json_extract_string(props, '$.k') AS BIGINT)
+        |    AS k FROM events)
+        |SELECT k % 10 AS k_mod, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k
+        |FROM x WHERE k IS NOT NULL
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "json_construct" ->
       """SELECT user_id,
         |  CAST(to_json(struct_pack(user_id := user_id, n_events := n_events)) AS VARCHAR) AS j

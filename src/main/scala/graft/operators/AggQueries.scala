@@ -351,6 +351,25 @@ object AggQueries {
     // TopKPerGroup bounded-heap argmax (k=1) — the same no-window-sort
     // path as text_tfidf_topterm; shuffle bounded by distinct
     // (user, type) pairs, never raw events.
+    // GROUPING DISAMBIGUATION — agg_cube emits subtotal rows whose
+    // grouping columns are NULL, indistinguishable from a GENUINE NULL
+    // group when the column is nullable; grouping() is the standard
+    // fix (1 = this NULL means "all values", 0 = it's a data NULL).
+    // Spelled as the portable grouping(a)*2 + grouping(b) composite in
+    // BOTH engines (grouping_id()'s bit order is engine-defined —
+    // exactly the cross-engine trap the composite spelling avoids).
+    "agg_grouping_id" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          (grouping(col("o_orderstatus")).cast("long") * 2
+            + grouping(col("o_orderpriority")).cast("long")).as("gid"))
+        .select(col("o_orderstatus"), col("o_orderpriority"), col("gid"),
+          col("n"))
+        .orderBy(col("gid"), col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)
+    }),
+
     // WEIGHTED MEDIAN — the quantity-weighted middle unit price per
     // return flag: the robust "typical traded price" (an unweighted
     // median treats a 1-unit and a 50-unit line the same; percentile()
@@ -784,6 +803,15 @@ object AggQueries {
       """SELECT event_type, count(DISTINCT user_id) AS n_users,
         |  count(*) AS n_events
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "agg_grouping_id" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority)
+        |    AS BIGINT) AS gid,
+        |  count(*) AS n
+        |FROM orders
+        |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY gid, o_orderstatus ASC NULLS FIRST,
+        |  o_orderpriority ASC NULLS FIRST""".stripMargin,
     // cw*2 vs tw may go HUGEINT inside the comparison — only OUTPUT
     // columns need the BIGINT casts.
     "agg_weighted_median" ->

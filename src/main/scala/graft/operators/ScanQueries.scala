@@ -442,6 +442,33 @@ object ScanQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // DROPMALFORMED — the other malformed-record policy (PERMISSIVE
+    // quarantines into _corrupt_record; DROPMALFORMED silently sheds):
+    // same deterministic dirty file as scan_csv_permissive (every
+    // nationkey ≡ 0 mod 7 row corrupted), survivors only. The policy
+    // choice is a real pipeline decision — quarantine feeds a
+    // reprocess queue, drop is for sources whose garbage is known
+    // noise — so both readers are declared keys; the oracle is the
+    // clean subset of the original, which pins that DROPMALFORMED
+    // drops EXACTLY the corrupted rows.
+    "scan_csv_dropmalformed" -> ((s, dir) => {
+      val raw = s"${scratch(s, dir)}/dirty_csv"
+      writeOnce(raw) {
+        t(s, dir, "nation")
+          .select(concat_ws(",",
+            when(col("n_nationkey") % 7 === 0,
+              concat(lit("x"), col("n_nationkey").cast("string")))
+              .otherwise(col("n_nationkey").cast("string")),
+            col("n_name")).as("value"))
+          .coalesce(1).write.mode("overwrite").text(raw)
+      }
+      s.read
+        .schema("key INT, name STRING")
+        .option("mode", "DROPMALFORMED")
+        .csv(raw)
+        .orderBy("key")
+    }),
+
     // LINE-ORIENTED TEXT SOURCE — the raw-corpus ingest format
     // (one record per line, fields split in the query): documents
     // round-trip through `write.text` / `read.text` as
@@ -623,6 +650,9 @@ object ScanQueries {
         |  ON d.lang = f.lang
         |WHERE f.family = 'romance'
         |ORDER BY d.doc_id""".stripMargin,
+    "scan_csv_dropmalformed" ->
+      """SELECT n_nationkey AS key, n_name AS name FROM nation
+        |WHERE n_nationkey % 7 <> 0 ORDER BY key""".stripMargin,
     // The oracle reads the parquet original — the text roundtrip must
     // be lossless for every row or the per-doc stats shear.
     "scan_text_lines" ->

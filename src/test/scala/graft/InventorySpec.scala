@@ -197,10 +197,12 @@ class InventorySpec extends SparkSpec {
     // §2.45 round-8 fifth wave: stream-static enrichment, line text src
     "stream_enrich_static", "scan_text_lines",
     // §2.46 round-8 sixth wave: weighted median, winsorized mean
-    "agg_weighted_median", "agg_winsorized_mean")
+    "agg_weighted_median", "agg_winsorized_mean",
+    // §2.47 round-8 seventh wave: VARIANT, DROPMALFORMED, grouping id
+    "json_variant_extract", "scan_csv_dropmalformed", "agg_grouping_id")
 
-  test("declared queries cover SURVEY §2 + §2.12-46 exactly (258 keys)") {
-    assert(inventory.size == 258)
+  test("declared queries cover SURVEY §2 + §2.12-47 exactly (261 keys)") {
+    assert(inventory.size == 261)
     val declared = SparkEntry.queries.keySet
     val missing = inventory -- declared
     val extra = declared -- inventory
