@@ -81,6 +81,35 @@ object ScanQueries {
       w
     }
 
+  /** The three-commit versioned orders table etl_time_travel and
+    * scan_dsv2_history share: v0 = overwrite (orders before 1996),
+    * v1 = append (1996), v2 = overwrite (high-price orders). Idempotent
+    * build — exactly versions 0..2 or a full rebuild (a crashed
+    * half-build has fewer commits; version inflation across reruns
+    * would break the pinned AS-OF number). Returns the table root. */
+  private def timeTravelTable(s: SparkSession, dir: String): String = {
+    import graft.sources.VersionedTable
+    val root = s"${scratch(s, dir)}/vtab_orders"
+    if (VersionedTable.latestVersion(root) != 2L) {
+      def del(f: java.io.File): Unit = {
+        val k = f.listFiles(); if (k != null) k.foreach(del)
+        f.delete(): Unit
+      }
+      del(new java.io.File(root))
+      val o = t(s, dir, "orders")
+      VersionedTable.commit(s, root,
+        o.filter(col("o_orderdate") < lit("1996-01-01").cast("timestamp")),
+        "overwrite")
+      VersionedTable.commit(s, root,
+        o.filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp")
+          && col("o_orderdate") < lit("1997-01-01").cast("timestamp")),
+        "append")
+      VersionedTable.commit(s, root,
+        o.filter(col("o_totalprice") > 300000), "overwrite")
+    }
+    root
+  }
+
   val queries: Map[String, Q] = Map(
     "scan_parquet" -> ((s, dir) => {
       t(s, dir, "lineitem")
@@ -506,32 +535,27 @@ object ScanQueries {
     // fixture (v0 ∪ v1 ≡ orders before 1997).
     "etl_time_travel" -> ((s, dir) => {
       import graft.sources.VersionedTable
-      val root = s"${scratch(s, dir)}/vtab_orders"
-      val o = t(s, dir, "orders")
-      // Idempotent build: exactly versions 0..2, else rebuild from
-      // scratch (a crashed half-build has fewer commits; version
-      // inflation across reruns would break the pinned AS-OF number).
-      if (VersionedTable.latestVersion(root) != 2L) {
-        def del(f: java.io.File): Unit = {
-          val k = f.listFiles(); if (k != null) k.foreach(del)
-          f.delete(): Unit
-        }
-        del(new java.io.File(root))
-        VersionedTable.commit(s, root,
-          o.filter(col("o_orderdate") < lit("1996-01-01").cast("timestamp")),
-          "overwrite")
-        VersionedTable.commit(s, root,
-          o.filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp")
-            && col("o_orderdate") < lit("1997-01-01").cast("timestamp")),
-          "append")
-        VersionedTable.commit(s, root,
-          o.filter(col("o_totalprice") > 300000), "overwrite")
-      }
+      val root = timeTravelTable(s, dir)
       VersionedTable.readVersion(s, root, 1L)
         .groupBy(col("o_orderstatus"))
         .agg(count(lit(1)).as("n_orders"),
           graft.Det.dsum(col("o_totalprice")).as("sum_price"))
         .orderBy("o_orderstatus")
+    }),
+
+    // DSv2 CONNECTOR READ — the commit HISTORY of the time-travel
+    // table through the custom DataSource V2 connector
+    // (`format("graft.sources.HistoryDataSource")`): TableProvider →
+    // ScanBuilder → one InputPartition per manifest → executor-side
+    // PartitionReader parsing the writer's own grammar with no
+    // SparkSession. n_files is layout-dependent (partition counts) so
+    // the declared output is (version, op, n_rows) — counts the oracle
+    // derives from the raw orders predicates the three commits used.
+    "scan_dsv2_history" -> ((s, dir) => {
+      val root = timeTravelTable(s, dir)
+      s.read.format("graft.sources.HistoryDataSource").load(root)
+        .select(col("version"), col("op"), col("n_rows"))
+        .orderBy("version")
     }),
 
     // MANIFEST-STATS FILE PRUNING — data skipping from the commit
@@ -668,6 +692,17 @@ object ScanQueries {
          |FROM orders
          |WHERE o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
          |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "scan_dsv2_history" ->
+      """SELECT CAST(0 AS BIGINT) AS version, 'overwrite' AS op,
+        |  (SELECT count(*) FROM orders
+        |   WHERE o_orderdate < TIMESTAMP '1996-01-01 00:00:00') AS n_rows
+        |UNION ALL SELECT 1, 'append',
+        |  (SELECT count(*) FROM orders
+        |   WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |     AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00')
+        |UNION ALL SELECT 2, 'overwrite',
+        |  (SELECT count(*) FROM orders WHERE o_totalprice > 300000)
+        |ORDER BY version""".stripMargin,
     // Pruning is invisible I/O — the oracle derives the same relative
     // bounds (first quarter of the key space, integer arithmetic) and
     // checks the ANSWER; VersionedTableSpec pins the files-skipped

@@ -121,6 +121,30 @@ object VersionedTable {
     committed
   }
 
+  /** Summary row of one manifest, extracted without a SparkSession. */
+  case class ManifestMeta(version: Long, op: String, nFiles: Long,
+      nRows: Long)
+
+  /** SparkSession-free manifest summary parser for executor-side
+    * readers ([[HistoryDataSource]]'s PartitionReader runs where no
+    * session exists). Safe BECAUSE this module wrote the bytes with a
+    * fixed grammar (`commit` above): keys appear exactly once per
+    * scope, `"rows":` once per file entry. NOT a general JSON parser —
+    * the Spark JSON reader path ([[history]]) remains the lenient
+    * API. */
+  def parseManifestMeta(manifest: String): ManifestMeta = {
+    def field(re: scala.util.matching.Regex): String =
+      re.findFirstMatchIn(manifest).map(_.group(1)).getOrElse(
+        throw new IllegalArgumentException(
+          s"not a graft manifest: ${manifest.take(120)}"))
+    val rowCounts = "\"rows\":(\\d+)".r.findAllMatchIn(manifest)
+      .map(_.group(1).toLong).toSeq
+    ManifestMeta(
+      field("\"version\":(\\d+)".r).toLong,
+      field("\"op\":\"(overwrite|append)\"".r),
+      rowCounts.size.toLong, rowCounts.sum)
+  }
+
   private case class Manifest(version: Long, op: String, dir: String,
       files: Seq[(String, Long, Map[String, (Double, Double)])])
 

@@ -199,10 +199,12 @@ class InventorySpec extends SparkSpec {
     // §2.46 round-8 sixth wave: weighted median, winsorized mean
     "agg_weighted_median", "agg_winsorized_mean",
     // §2.47 round-8 seventh wave: VARIANT, DROPMALFORMED, grouping id
-    "json_variant_extract", "scan_csv_dropmalformed", "agg_grouping_id")
+    "json_variant_extract", "scan_csv_dropmalformed", "agg_grouping_id",
+    // §2.48 round-8 eighth wave: the DSv2 connector read
+    "scan_dsv2_history")
 
-  test("declared queries cover SURVEY §2 + §2.12-47 exactly (261 keys)") {
-    assert(inventory.size == 261)
+  test("declared queries cover SURVEY §2 + §2.12-48 exactly (262 keys)") {
+    assert(inventory.size == 262)
     val declared = SparkEntry.queries.keySet
     val missing = inventory -- declared
     val extra = declared -- inventory

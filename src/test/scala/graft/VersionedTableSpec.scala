@@ -95,6 +95,27 @@ class VersionedTableSpec extends SparkSpec {
     assert(df.count() == 11L)
   }
 
+  test("DSv2 history connector == the session-side history API") {
+    val root = freshRoot()
+    VersionedTable.commit(spark, root,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v"), "overwrite")
+    VersionedTable.commit(spark, root, Seq((3L, "c")).toDF("id", "v"),
+      "append")
+    val viaConnector = spark.read
+      .format("graft.sources.HistoryDataSource").load(root)
+      .orderBy("version").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val viaApi = VersionedTable.history(spark, root)
+      .orderBy("version").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(viaConnector.toSeq == viaApi.toSeq)
+    assert(viaConnector.map(_._4).sum == 3L)
+    // The executor-side parser rejects non-manifest bytes loudly.
+    intercept[IllegalArgumentException] {
+      VersionedTable.parseManifestMeta("""{"hello": 1}""")
+    }
+  }
+
   test("declared scan_manifest_prune really skips files at the fixture") {
     // The oracle validates the answer; this pins the I/O invariant —
     // the first-quarter range must touch a strict subset of the 8
