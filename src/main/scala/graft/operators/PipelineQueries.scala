@@ -696,10 +696,85 @@ object PipelineQueries {
           r4d(col("n_chars").cast("double")
             / col("n_tokens").cast("double")).as("chars_per_token"))
         .orderBy("lang")
+    }),
+
+    // EPOCH SHUFFLE MANIFEST — the reproducible per-epoch permutation
+    // every training run needs: position = rank of md5(epoch ‖ doc_id)
+    // within the epoch (a NEW deterministic order each epoch, the same
+    // order on every replay/backfill — rand() would reshuffle;
+    // re-using one order across epochs is the correlated-batch bug
+    // this op exists to prevent). Ranks come from GlobalRank's exact
+    // distributed prefix sums — NEVER a single-partition global
+    // window; epochs are contiguous blocks under the (epoch, key)
+    // order, so within-epoch position = global_rank − (epoch−1)·N
+    // with N a 1-row broadcast.
+    "pipeline_epoch_shuffle" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val epochs = docs.sparkSession.range(1, 3)
+        .select(col("id").as("epoch"))
+      val keyed = docs.crossJoin(broadcast(epochs))
+        .select(col("epoch"), col("doc_id"),
+          md5(concat(col("epoch").cast("string"), lit("_"),
+            col("doc_id").cast("string")).cast("binary")).as("k"),
+          lit(1L).as("one"))
+      val ranked = graft.plans.GlobalRank.runningSum(keyed,
+        Seq("epoch", "k", "doc_id"), "one", "cum")
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      ranked.crossJoin(broadcast(n))
+        .select(col("epoch"),
+          (col("cum") - (col("epoch") - 1) * col("n_docs")).as("pos"),
+          col("doc_id"))
+        .orderBy("epoch", "pos")
+    }),
+
+    // DATASET INTERLEAVE — the deterministic 3:1 round-robin schedule
+    // a sequential data loader consumes when composing two corpora
+    // (every 4th slot from B): A's i-th doc sits at i + ⌊i/3⌋, B's
+    // j-th at 4j + 3 — disjoint by construction (A skips exactly the
+    // ≡3 mod 4 slots), integer-exact, replay-stable. Contrast
+    // sample_weighted_mix (which docs) — this fixes the ORDER.
+    // Per-source indices via GlobalRank prefix sums, no global window.
+    "pipeline_interleave_datasets" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          (substring(col("source"), 4, 10).cast("int") % 2).as("par"),
+          lit(1L).as("one"))
+      def ranks(par: Int) = graft.plans.GlobalRank.runningSum(
+        d.filter(col("par") === par).select(col("doc_id"), col("one")),
+        Seq("doc_id"), "one", "cum")
+      val a = ranks(0).select(
+        (col("cum") - 1 + expr("(cum - 1) div 3")).as("pos"),
+        lit("A").as("grp"), col("doc_id"))
+      val b = ranks(1).select(
+        ((col("cum") - 1) * 4 + 3).as("pos"),
+        lit("B").as("grp"), col("doc_id"))
+      a.unionByName(b).orderBy("pos")
     })
   )
 
   val oracle: Map[String, String] = Map(
+    "pipeline_epoch_shuffle" ->
+      """WITH e AS (SELECT epoch, doc_id,
+        |    md5(CAST(epoch AS VARCHAR) || '_' || CAST(doc_id AS VARCHAR))
+        |      AS k
+        |  FROM documents, (SELECT unnest([1, 2]) AS epoch) ep)
+        |SELECT CAST(epoch AS BIGINT) AS epoch,
+        |  CAST(row_number() OVER (PARTITION BY epoch ORDER BY k, doc_id)
+        |    AS BIGINT) AS pos,
+        |  doc_id
+        |FROM e ORDER BY epoch, pos""".stripMargin,
+    "pipeline_interleave_datasets" ->
+      """WITH d AS (SELECT doc_id,
+        |    CAST(substring(source, 4, 10) AS INT) % 2 AS par
+        |  FROM documents),
+        |a AS (SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS i
+        |  FROM d WHERE par = 0),
+        |b AS (SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS j
+        |  FROM d WHERE par = 1)
+        |SELECT CAST(i + i // 3 AS BIGINT) AS pos, 'A' AS grp, doc_id FROM a
+        |UNION ALL
+        |SELECT CAST(4 * j + 3 AS BIGINT), 'B', doc_id FROM b
+        |ORDER BY pos""".stripMargin,
     "text_langid" ->
       """WITH tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token FROM documents),
         |lt AS (SELECT lang AS p_lang, token, count(*) AS ct FROM tok GROUP BY 1, 2),

@@ -201,10 +201,12 @@ class InventorySpec extends SparkSpec {
     // §2.47 round-8 seventh wave: VARIANT, DROPMALFORMED, grouping id
     "json_variant_extract", "scan_csv_dropmalformed", "agg_grouping_id",
     // §2.48 round-8 eighth wave: the DSv2 connector read
-    "scan_dsv2_history")
+    "scan_dsv2_history",
+    // §2.49 round-8 ninth wave: epoch shuffle, dataset interleave
+    "pipeline_epoch_shuffle", "pipeline_interleave_datasets")
 
-  test("declared queries cover SURVEY §2 + §2.12-48 exactly (262 keys)") {
-    assert(inventory.size == 262)
+  test("declared queries cover SURVEY §2 + §2.12-49 exactly (264 keys)") {
+    assert(inventory.size == 264)
     val declared = SparkEntry.queries.keySet
     val missing = inventory -- declared
     val extra = declared -- inventory
