@@ -258,6 +258,40 @@ object GraphQueries {
     // discipline applies: each round's edge set eagerly checkpoints
     // (lineage truncation) and the previous round's blocks release, so
     // state is one |E| copy regardless of rounds.
+    // JACCARD LINK PREDICTION — score NON-adjacent part pairs by
+    // neighbor overlap, J = |N(x)∩N(y)| / |N(x)∪N(y)|: the classic
+    // "products likely to be co-purchased next" baseline
+    // (also-bought ranks EXISTING edges; this ranks MISSING ones —
+    // the recommendation candidate generator). Common-neighbor counts
+    // come from the same middle-node wedge generation as the triangle
+    // key (cost Σdeg(b)² on the p=¼ Doulion-sampled graph, hub-tamed
+    // by the a<b orientation); actual edges drop via ONE anti join;
+    // degrees join back keyed. Integers until the one Jaccard
+    // division (|union| = dx+dy−common, exact), r4d; top-20 under a
+    // (score, x, y) total order.
+    "graph_jaccard_linkpred" -> ((s, dir) => {
+      val pp = orderParts(s, dir)
+      val e = doulionSample(orientedEdges(pp), Seq("0", "1", "2", "3"))
+      val nb = e.select(col("a").as("v"), col("b").as("n"))
+        .unionAll(e.select(col("b").as("v"), col("a").as("n")))
+      val deg = nb.groupBy(col("v")).agg(count(lit(1)).as("deg"))
+      val common = nb.as("p").join(nb.as("q"),
+          col("p.v") === col("q.v") && col("p.n") < col("q.n"))
+        .select(col("p.n").as("x"), col("q.n").as("y"))
+        .groupBy("x", "y").agg(count(lit(1)).as("common"))
+      common
+        .join(e, col("x") === col("a") && col("y") === col("b"),
+          "left_anti")
+        .join(deg.select(col("v").as("x"), col("deg").as("dx")), Seq("x"))
+        .join(deg.select(col("v").as("y"), col("deg").as("dy")), Seq("y"))
+        .select(col("x"), col("y"), col("common"),
+          r4d(col("common").cast("double")
+            / (col("dx") + col("dy") - col("common")).cast("double"))
+            .as("jaccard"))
+        .orderBy(col("jaccard").desc, col("x"), col("y"))
+        .limit(20)
+    }),
+
     "graph_kcore" -> ((s, dir) => {
       // Peel loop shared with GraphAlgorithms.kcorePeel; fixed 5
       // rounds here (unrolled-oracle contract) — the true-fixpoint
@@ -371,6 +405,31 @@ object GraphQueries {
         |WHERE deg >= 2 ORDER BY deg.node""".stripMargin,
     // Same unsampled distinct-edge subplan; bin()-length bucketing is
     // the identical integer spelling in DuckDB.
+    "graph_jaccard_linkpred" ->
+      """WITH pp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+        |  FROM lineitem),
+        |e0 AS (SELECT DISTINCT x.p AS a, y.p AS b
+        |  FROM pp x JOIN pp y ON x.ok = y.ok AND x.p < y.p),
+        |e AS MATERIALIZED (SELECT a, b FROM e0
+        |  WHERE substring(md5(CAST(a AS VARCHAR) || '_'
+        |    || CAST(b AS VARCHAR)), 1, 1) IN ('0', '1', '2', '3')),
+        |nb AS MATERIALIZED (SELECT a AS v, b AS n FROM e
+        |  UNION ALL SELECT b, a FROM e),
+        |deg AS (SELECT v, count(*) AS deg FROM nb GROUP BY 1),
+        |cm AS (SELECT p.n AS x, q.n AS y, count(*) AS common
+        |  FROM nb p JOIN nb q ON p.v = q.v AND p.n < q.n
+        |  GROUP BY 1, 2),
+        |ne AS (SELECT cm.* FROM cm
+        |  WHERE NOT EXISTS (SELECT 1 FROM e
+        |    WHERE e.a = cm.x AND e.b = cm.y))
+        |SELECT x, y, CAST(common AS BIGINT) AS common,
+        |  ROUND(CAST(common AS DOUBLE)
+        |    / CAST(dx.deg + dy.deg - common AS DOUBLE) * 10000.0)
+        |    / 10000.0 AS jaccard
+        |FROM ne
+        |JOIN deg dx ON dx.v = ne.x
+        |JOIN deg dy ON dy.v = ne.y
+        |ORDER BY jaccard DESC, x, y LIMIT 20""".stripMargin,
     "graph_degree_hist" ->
       """WITH pp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
         |  FROM lineitem),

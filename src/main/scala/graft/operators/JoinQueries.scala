@@ -194,6 +194,29 @@ object JoinQueries {
         .orderBy(col("event_id"))
     }),
 
+    // EXISTENCE JOIN — EXISTS as a SELECT-LIST boolean instead of a
+    // WHERE filter: "flag every customer, keep them all" (the feature
+    // column a churn model reads) rather than "keep matching
+    // customers". Catalyst plans this as its FOURTH join flavor,
+    // ExistenceJoin (pinned) — a semi join would LOSE the non-matching
+    // rows, an outer join + dedup would multiply them; the existence
+    // join emits exactly one boolean per probe row. Second flag rides
+    // the same pattern with a different predicate — two existence
+    // joins, one pass.
+    "join_existence_flag" -> ((s, dir) => {
+      val cust = s"parquet.`$dir/customer.parquet`"
+      val ords = s"parquet.`$dir/orders.parquet`"
+      s.sql(s"""SELECT c_custkey, c_name,
+        |  EXISTS (SELECT 1 FROM $ords
+        |    WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+        |    AS has_big_order,
+        |  EXISTS (SELECT 1 FROM $ords
+        |    WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+        |    AS has_f_order
+        |FROM $cust
+        |ORDER BY c_custkey""".stripMargin)
+    }),
+
     "join_star_multiway" -> ((s, dir) => starJoin(s, dir, hinted = true)),
 
     // The same star join UNHINTED — proves the engine doesn't need
@@ -512,6 +535,16 @@ object JoinQueries {
         |  FROM events JOIN orders
         |    ON o_custkey = user_id + 1 AND o_orderdate <= ts)
         |WHERE rn = 1 ORDER BY event_id""".stripMargin,
+    "join_existence_flag" ->
+      """SELECT c_custkey, c_name,
+        |  EXISTS (SELECT 1 FROM orders
+        |    WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+        |    AS has_big_order,
+        |  EXISTS (SELECT 1 FROM orders
+        |    WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+        |    AS has_f_order
+        |FROM customer
+        |ORDER BY c_custkey""".stripMargin,
     "join_asof_forward" ->
       """WITH err AS (SELECT event_id, user_id, epoch_ms(ts) AS ms
         |  FROM events WHERE event_type = 'error'),

@@ -203,10 +203,12 @@ class InventorySpec extends SparkSpec {
     // §2.48 round-8 eighth wave: the DSv2 connector read
     "scan_dsv2_history",
     // §2.49 round-8 ninth wave: epoch shuffle, dataset interleave
-    "pipeline_epoch_shuffle", "pipeline_interleave_datasets")
+    "pipeline_epoch_shuffle", "pipeline_interleave_datasets",
+    // §2.50 round-8 tenth wave: existence join, link prediction
+    "join_existence_flag", "graph_jaccard_linkpred")
 
-  test("declared queries cover SURVEY §2 + §2.12-49 exactly (264 keys)") {
-    assert(inventory.size == 264)
+  test("declared queries cover SURVEY §2 + §2.12-50 exactly (266 keys)") {
+    assert(inventory.size == 266)
     val declared = SparkEntry.queries.keySet
     val missing = inventory -- declared
     val extra = declared -- inventory

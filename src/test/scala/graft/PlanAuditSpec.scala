@@ -364,6 +364,16 @@ class PlanAuditSpec extends SparkSpec {
       s"filter clause not inside the aggregate:\n${f.take(2000)}")
   }
 
+  test("select-list EXISTS plans as ExistenceJoin — all probe rows kept, one boolean each") {
+    // Catalyst's fourth join flavor: a semi join would LOSE
+    // non-matching customers, an outer join + dedup would multiply
+    // matched ones. Two flags = two existence joins, zero cartesians.
+    val p = plan("join_existence_flag")
+    val n = "ExistenceJoin".r.findAllIn(p).size
+    assert(n == 2, s"expected 2 existence joins, got $n:\n${p.take(3000)}")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
   test("rolling median rides ONE window node over the pre-aggregated spine") {
     val p = plan("win_rolling_median")
     assert("Window \\[".r.findAllIn(p).size == 1, p.take(3000))
