@@ -351,6 +351,26 @@ object AggQueries {
     // TopKPerGroup bounded-heap argmax (k=1) — the same no-window-sort
     // path as text_tfidf_topterm; shuffle bounded by distinct
     // (user, type) pairs, never raw events.
+    // MULTI-DISTINCT — several COUNT(DISTINCT ·) over DIFFERENT
+    // columns in one aggregation: physically its own plan family
+    // (Catalyst EXPANDs each row once per distinct column with a
+    // grouping id, then two aggregate phases dedup and count — pinned
+    // in PlanAuditSpec), not a respelling of agg_count_distinct's
+    // single-column form. The shape matters at scale: Expand
+    // multiplies the shuffle by the number of distinct columns —
+    // which is why wide multi-distinct dashboards pre-aggregate or
+    // take the sketch path (agg_hll_partitioned_union) instead; this
+    // key is the exact baseline those trade against.
+    "agg_multi_distinct" -> ((s, dir) => {
+      events(s, dir)
+        .select(col("event_type"), col("user_id"), epochDay("ts").as("day"))
+        .groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          countDistinct(col("day")).as("n_days"),
+          count(lit(1)).as("n_events"))
+        .orderBy("event_type")
+    }),
+
     // GROUPING DISAMBIGUATION — agg_cube emits subtotal rows whose
     // grouping columns are NULL, indistinguishable from a GENUINE NULL
     // group when the column is nullable; grouping() is the standard
@@ -803,6 +823,14 @@ object AggQueries {
       """SELECT event_type, count(DISTINCT user_id) AS n_users,
         |  count(*) AS n_events
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "agg_multi_distinct" -> {
+      val day = graft.Det.sqlEpochDay("ts")
+      s"""SELECT event_type,
+         |  count(DISTINCT user_id) AS n_users,
+         |  count(DISTINCT $day) AS n_days,
+         |  count(*) AS n_events
+         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+    },
     "agg_grouping_id" ->
       """SELECT o_orderstatus, o_orderpriority,
         |  CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority)

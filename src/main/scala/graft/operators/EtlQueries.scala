@@ -530,9 +530,95 @@ object EtlQueries {
           col("nmax").as("n_changes"))
         .orderBy("user_id")
     }),
+
+    // FK CONTAINMENT PROFILE — the schema-discovery statistic behind
+    // "which column references which": for each candidate (child,
+    // parent) pair, |distinct(child) ∩ distinct(parent)| /
+    // |distinct(child)| plus the cardinality ratio — containment ≈ 1
+    // with |child-distinct| ≤ |parent-distinct| is the FK signature
+    // profilers flag (etl_orphan_audit then VERIFIES a declared FK
+    // row-by-row; this key DISCOVERS candidates from data alone — the
+    // two halves of referential tooling). A deliberate NON-key pair
+    // (l_quantity vs p_partkey) anchors the negative reading. Each
+    // side collapses to its distinct set FIRST (partial-agg
+    // exchanges); the intersection is a semi join of slim key sets —
+    // never a row-level join.
+    "etl_fk_containment" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      def side(pair: String, isChild: Boolean, keys: DataFrame) =
+        keys.toDF("k").distinct()
+          .select(lit(pair).as("pair"), col("k"),
+            lit(if (isChild) 1L else 0L).as("c"),
+            lit(if (isChild) 0L else 1L).as("p"))
+      // ONE distributed plan: per pair, each side collapses to its
+      // distinct key set map-side, the union groups by (pair, key) to
+      // mark membership, and a final per-pair agg counts the three
+      // set sizes — no driver-side count loops, one result row per
+      // candidate pair.
+      val tagged = Seq(
+        side("lineitem.l_orderkey->orders.o_orderkey", isChild = true,
+          li.select(col("l_orderkey"))),
+        side("lineitem.l_orderkey->orders.o_orderkey", isChild = false,
+          t(s, dir, "orders").select(col("o_orderkey"))),
+        side("lineitem.l_partkey->part.p_partkey", isChild = true,
+          li.select(col("l_partkey"))),
+        side("lineitem.l_partkey->part.p_partkey", isChild = false,
+          t(s, dir, "part").select(col("p_partkey"))),
+        side("orders.o_custkey->customer.c_custkey", isChild = true,
+          t(s, dir, "orders").select(col("o_custkey"))),
+        side("orders.o_custkey->customer.c_custkey", isChild = false,
+          t(s, dir, "customer").select(col("c_custkey"))),
+        side("lineitem.l_quantity->part.p_partkey", isChild = true,
+          li.select(col("l_quantity").cast("long"))),
+        side("lineitem.l_quantity->part.p_partkey", isChild = false,
+          t(s, dir, "part").select(col("p_partkey"))))
+        .reduce(_ unionByName _)
+      tagged.groupBy(col("pair"), col("k"))
+        .agg(max(col("c")).as("inc"), max(col("p")).as("inp"))
+        .groupBy(col("pair"))
+        .agg(sum(col("inc")).as("n_child"), sum(col("inp")).as("n_parent"),
+          sum(col("inc") * col("inp")).as("n_common"))
+        .select(col("pair"), col("n_child"), col("n_parent"),
+          col("n_common"),
+          r4d(col("n_common").cast("double")
+            / col("n_child").cast("double")).as("containment"))
+        .orderBy("pair")
+    }),
   )
 
   val oracle: Map[String, String] = Map(
+    "etl_fk_containment" ->
+      """WITH u AS (
+        |  SELECT 'lineitem.l_orderkey->orders.o_orderkey' AS pair, k,
+        |      max(c) AS inc, max(p) AS inp FROM (
+        |    SELECT DISTINCT l_orderkey AS k, 1 AS c, 0 AS p FROM lineitem
+        |    UNION ALL
+        |    SELECT DISTINCT o_orderkey, 0, 1 FROM orders) GROUP BY 2
+        |  UNION ALL
+        |  SELECT 'lineitem.l_partkey->part.p_partkey', k,
+        |      max(c), max(p) FROM (
+        |    SELECT DISTINCT l_partkey AS k, 1 AS c, 0 AS p FROM lineitem
+        |    UNION ALL
+        |    SELECT DISTINCT p_partkey, 0, 1 FROM part) GROUP BY 2
+        |  UNION ALL
+        |  SELECT 'orders.o_custkey->customer.c_custkey', k,
+        |      max(c), max(p) FROM (
+        |    SELECT DISTINCT o_custkey AS k, 1 AS c, 0 AS p FROM orders
+        |    UNION ALL
+        |    SELECT DISTINCT c_custkey, 0, 1 FROM customer) GROUP BY 2
+        |  UNION ALL
+        |  SELECT 'lineitem.l_quantity->part.p_partkey', k,
+        |      max(c), max(p) FROM (
+        |    SELECT DISTINCT CAST(l_quantity AS BIGINT) AS k, 1 AS c, 0 AS p
+        |    FROM lineitem
+        |    UNION ALL
+        |    SELECT DISTINCT p_partkey, 0, 1 FROM part) GROUP BY 2)
+        |SELECT pair, CAST(sum(inc) AS BIGINT) AS n_child,
+        |  CAST(sum(inp) AS BIGINT) AS n_parent,
+        |  CAST(sum(inc * inp) AS BIGINT) AS n_common,
+        |  ROUND(CAST(sum(inc * inp) AS DOUBLE) / CAST(sum(inc) AS DOUBLE)
+        |    * 10000.0) / 10000.0 AS containment
+        |FROM u GROUP BY pair ORDER BY pair""".stripMargin,
     // Same dirty-batch derivation; each check spelled as its own CTE.
     "etl_dq_report" ->
       """WITH dirty AS (SELECT

@@ -205,10 +205,12 @@ class InventorySpec extends SparkSpec {
     // §2.49 round-8 ninth wave: epoch shuffle, dataset interleave
     "pipeline_epoch_shuffle", "pipeline_interleave_datasets",
     // §2.50 round-8 tenth wave: existence join, link prediction
-    "join_existence_flag", "graph_jaccard_linkpred")
+    "join_existence_flag", "graph_jaccard_linkpred",
+    // §2.51 round-8 eleventh wave: multi-distinct, FK containment
+    "agg_multi_distinct", "etl_fk_containment")
 
-  test("declared queries cover SURVEY §2 + §2.12-50 exactly (266 keys)") {
-    assert(inventory.size == 266)
+  test("declared queries cover SURVEY §2 + §2.12-51 exactly (268 keys)") {
+    assert(inventory.size == 268)
     val declared = SparkEntry.queries.keySet
     val missing = inventory -- declared
     val extra = declared -- inventory

@@ -374,6 +374,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(2000))
   }
 
+  test("multi-distinct plans through Expand (one replica per distinct column)") {
+    // Two COUNT(DISTINCT ·) over different columns must take
+    // Catalyst's Expand-based multi-distinct plan — the baseline the
+    // sketch keys trade against; losing Expand would mean a silent
+    // fallback to repeated self-joins.
+    val p = plan("agg_multi_distinct")
+    assert(p.contains("Expand"), s"no Expand in multi-distinct:\n${p.take(2500)}")
+  }
+
   test("rolling median rides ONE window node over the pre-aggregated spine") {
     val p = plan("win_rolling_median")
     assert("Window \\[".r.findAllIn(p).size == 1, p.take(3000))
