@@ -303,6 +303,45 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // PMI COLLOCATIONS — pointwise mutual information of adjacent
+    // token pairs, PMI = log₂(n_ab·T / (n_a·n_b)): the association
+    // statistic behind phrase induction and tokenizer-merge curricula
+    // (raw bigram counts — text_ngrams — rank "the the" first; PMI
+    // ranks pairs that co-occur MORE than their unigram frequencies
+    // predict). n_a/n_b are ADJACENCY-SLOT marginals (first/second
+    // position counts over the same bigram universe), so the ratio is
+    // a proper probability ratio over one sample space. All counts
+    // integer; ONE log₂ of an exact rational per surviving pair
+    // (libm-identical both engines, the entropy-key precedent), r4d;
+    // min-count floor 5 kills the noise tail; top-25 under a total
+    // order.
+    //
+    // Scale: bigram generation is the text_ngrams map-side transform;
+    // marginals are two more partial-agg collapses of the SAME bigram
+    // table; the joins are slim key-keyed. T is a 1-row broadcast.
+    "text_cooccurrence_pmi" -> ((s, dir) => {
+      val bi = t(s, dir, "documents")
+        .select(split(col("text"), " ").as("toks"))
+        .filter(size(col("toks")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(0, size(toks)-2), i -> struct(toks[i] AS a, toks[i+1] AS b))"))
+          .as("p"))
+        .select(col("p.a").as("a"), col("p.b").as("b"))
+      val pairs = bi.groupBy("a", "b").agg(count(lit(1)).as("nab"))
+      val left = bi.groupBy("a").agg(count(lit(1)).as("na"))
+      val right = bi.groupBy("b").agg(count(lit(1)).as("nb"))
+      val total = bi.agg(count(lit(1)).as("t"))
+      pairs.filter(col("nab") >= 5)
+        .join(left, Seq("a")).join(right, Seq("b"))
+        .crossJoin(broadcast(total))
+        .select(col("a"), col("b"), col("nab"),
+          r4d(log2(col("nab").cast("double") * col("t").cast("double")
+            / (col("na").cast("double") * col("nb").cast("double"))))
+            .as("pmi"))
+        .orderBy(col("pmi").desc, col("a"), col("b"))
+        .limit(25)
+    }),
+
     // UNIGRAM LOG-LIKELIHOOD QUALITY SCORE — per-doc mean −log₂ p(w)
     // under the corpus's own unigram model (the CCNet/perplexity
     //-filter shape, with the n-gram LM reduced to unigrams so the
@@ -493,6 +532,27 @@ object TextQueries {
         |    - 84.6 * (CAST(n_syllables AS DOUBLE)
         |      / CAST(n_words AS DOUBLE))) * 10000.0) / 10000.0 AS flesch
         |FROM d WHERE n_words > 0 ORDER BY doc_id""".stripMargin,
+    // One log2 of an exact integer rational per pair — the fold-order
+    // machinery is unnecessary here (no sum of irrationals).
+    "text_cooccurrence_pmi" ->
+      """WITH bi AS (
+        |  SELECT tok AS a, lead(tok) OVER (PARTITION BY doc_id
+        |      ORDER BY pos) AS b
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+        |        generate_subscripts(string_split(text, ' '), 1) AS pos
+        |      FROM documents)),
+        |bb AS (SELECT a, b FROM bi WHERE b IS NOT NULL),
+        |pr AS (SELECT a, b, count(*) AS nab FROM bb GROUP BY 1, 2),
+        |la AS (SELECT a, count(*) AS na FROM bb GROUP BY 1),
+        |rb AS (SELECT b, count(*) AS nb FROM bb GROUP BY 1),
+        |tt AS (SELECT CAST(count(*) AS BIGINT) AS t FROM bb)
+        |SELECT a, b, CAST(nab AS BIGINT) AS nab,
+        |  ROUND(log2(CAST(nab AS DOUBLE) * CAST(t AS DOUBLE)
+        |    / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))) * 10000.0)
+        |    / 10000.0 AS pmi
+        |FROM pr JOIN la USING (a) JOIN rb USING (b), tt
+        |WHERE nab >= 5
+        |ORDER BY pmi DESC, a, b LIMIT 25""".stripMargin,
     // Same ascending fold as the entropy oracle: list_sort, in-order
     // list sum of log2(cf); T cast (HUGEINT lesson).
     "text_perplexity_unigram" ->

@@ -207,10 +207,12 @@ class InventorySpec extends SparkSpec {
     // §2.50 round-8 tenth wave: existence join, link prediction
     "join_existence_flag", "graph_jaccard_linkpred",
     // §2.51 round-8 eleventh wave: multi-distinct, FK containment
-    "agg_multi_distinct", "etl_fk_containment")
+    "agg_multi_distinct", "etl_fk_containment",
+    // §2.52 round-8 twelfth wave: PMI collocations
+    "text_cooccurrence_pmi")
 
-  test("declared queries cover SURVEY §2 + §2.12-51 exactly (268 keys)") {
-    assert(inventory.size == 268)
+  test("declared queries cover SURVEY §2 + §2.12-52 exactly (269 keys)") {
+    assert(inventory.size == 269)
     val declared = SparkEntry.queries.keySet
     val missing = inventory -- declared
     val extra = declared -- inventory
