@@ -110,6 +110,11 @@ object GraphAlgorithms {
       } else release(next)
       rounds += 1
     }
+    // The last productive round's delta is no longer needed once the
+    // loop exits (the state table is the result) — releasing it here
+    // keeps the "one iterate copy" promise for callers that invoke
+    // this repeatedly. On a zero-round exit delta IS dist; keep it.
+    if (!(delta eq dist)) release(delta)
     (dist, rounds)
   }
 

@@ -236,28 +236,6 @@ object GraphQueries {
         .orderBy("bucket")
     }),
 
-    // 2-CORE PEELING — the third distributed-iteration primitive
-    // (connected components find WHO relates, PageRank HOW centrally;
-    // the k-core strips the tree-like periphery that inflates both):
-    // repeatedly drop nodes of degree < 2 and the edges they carried.
-    // FIVE fixed peel rounds — a defined, replayable contract like
-    // PageRank's five supersteps (a converge-to-fixpoint loop has
-    // data-dependent round counts, which an unrolled oracle cannot
-    // mirror). The graph is the md5-sparsified co-purchase edge set
-    // (prefix '0', p = 1/16 — the triangle key's DOULION convention):
-    // the FULL co-purchase graph has min degree ≈ 40 at every SF, so
-    // a 2-core peel would be a no-op; the sparsified graph grows a
-    // real low-degree periphery, and the peel (including its cascade
-    // — a removal can drag a neighbor below 2 next round) converges
-    // inside the contract at all fixture SFs.
-    //
-    // Scale: each round is one endpoint-count agg + two BROADCAST
-    // semi-join prunes on the survivor set (|V|-row node lists — tiny
-    // next to |E|; a non-broadcastable survivor set swaps to the
-    // bloom-prefilter shape). The ConnectedComponents materialization
-    // discipline applies: each round's edge set eagerly checkpoints
-    // (lineage truncation) and the previous round's blocks release, so
-    // state is one |E| copy regardless of rounds.
     // JACCARD LINK PREDICTION — score NON-adjacent part pairs by
     // neighbor overlap, J = |N(x)∩N(y)| / |N(x)∪N(y)|: the classic
     // "products likely to be co-purchased next" baseline
@@ -292,6 +270,28 @@ object GraphQueries {
         .limit(20)
     }),
 
+    // 2-CORE PEELING — the third distributed-iteration primitive
+    // (connected components find WHO relates, PageRank HOW centrally;
+    // the k-core strips the tree-like periphery that inflates both):
+    // repeatedly drop nodes of degree < 2 and the edges they carried.
+    // FIVE fixed peel rounds — a defined, replayable contract like
+    // PageRank's five supersteps (a converge-to-fixpoint loop has
+    // data-dependent round counts, which an unrolled oracle cannot
+    // mirror). The graph is the md5-sparsified co-purchase edge set
+    // (prefix '0', p = 1/16 — the triangle key's DOULION convention):
+    // the FULL co-purchase graph has min degree ≈ 40 at every SF, so
+    // a 2-core peel would be a no-op; the sparsified graph grows a
+    // real low-degree periphery, and the peel (including its cascade
+    // — a removal can drag a neighbor below 2 next round) converges
+    // inside the contract at all fixture SFs.
+    //
+    // Scale: each round is one endpoint-count agg + two BROADCAST
+    // semi-join prunes on the survivor set (|V|-row node lists — tiny
+    // next to |E|; a non-broadcastable survivor set swaps to the
+    // bloom-prefilter shape). The ConnectedComponents materialization
+    // discipline applies: each round's edge set eagerly checkpoints
+    // (lineage truncation) and the previous round's blocks release, so
+    // state is one |E| copy regardless of rounds.
     "graph_kcore" -> ((s, dir) => {
       // Peel loop shared with GraphAlgorithms.kcorePeel; fixed 5
       // rounds here (unrolled-oracle contract) — the true-fixpoint

@@ -36,20 +36,22 @@ object ScanQueries {
     * so the shared class keeps only [A-Za-z0-9]). */
   private def ident(s: String): String = s.replaceAll("[^A-Za-z0-9]", "_")
 
+  /** One recursive delete for the scratch shutdown hook and the
+    * rebuild-from-scratch versioned-table sites. */
+  private def deleteRecursively(f: java.io.File): Unit = {
+    val kids = f.listFiles()
+    if (kids != null) kids.foreach(deleteRecursively)
+    f.delete(): Unit
+  }
+
   // package-visible so LayoutMaintenanceSpec can locate the scratch
   // layouts it pins file-level invariants on.
   private[graft] def scratch(s: SparkSession, dir: String): String = {
     val root = s"/tmp/graft_scratch/${s.sparkContext.applicationId}"
     scratchRoots.add(root)
     if (cleanupRegistered.compareAndSet(false, true)) {
-      Runtime.getRuntime.addShutdownHook(new Thread(() => {
-        def del(f: java.io.File): Unit = {
-          val kids = f.listFiles()
-          if (kids != null) kids.foreach(del)
-          f.delete(): Unit
-        }
-        scratchRoots.forEach(r => del(new java.io.File(r)))
-      }))
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        scratchRoots.forEach(r => deleteRecursively(new java.io.File(r)))))
     }
     s"$root/${ident(dir)}"
   }
@@ -91,11 +93,7 @@ object ScanQueries {
     import graft.sources.VersionedTable
     val root = s"${scratch(s, dir)}/vtab_orders"
     if (VersionedTable.latestVersion(root) != 2L) {
-      def del(f: java.io.File): Unit = {
-        val k = f.listFiles(); if (k != null) k.foreach(del)
-        f.delete(): Unit
-      }
-      del(new java.io.File(root))
+      deleteRecursively(new java.io.File(root))
       val o = t(s, dir, "orders")
       VersionedTable.commit(s, root,
         o.filter(col("o_orderdate") < lit("1996-01-01").cast("timestamp")),
@@ -573,11 +571,7 @@ object ScanQueries {
       import graft.sources.VersionedTable
       val root = s"${scratch(s, dir)}/vtab_lineitem"
       if (VersionedTable.latestVersion(root) != 0L) {
-        def del(f: java.io.File): Unit = {
-          val k = f.listFiles(); if (k != null) k.foreach(del)
-          f.delete(): Unit
-        }
-        del(new java.io.File(root))
+        deleteRecursively(new java.io.File(root))
         VersionedTable.commit(s, root,
           t(s, dir, "lineitem")
             .repartitionByRange(8, col("l_orderkey")),

@@ -67,17 +67,13 @@ private[sources] class HistoryTable(root: String) extends Table
       override def build(): Scan = this
       override def readSchema(): StructType = HistoryDataSource.schema
       override def toBatch: Batch = this
-      // Planning (driver): list the commit files; one partition each.
-      override def planInputPartitions(): Array[InputPartition] = {
-        val d = new java.io.File(s"$root/_commits")
-        val kids = d.listFiles()
-        val versions =
-          if (kids == null) Array.empty[Long]
-          else kids.map(_.getName).filter(_.endsWith(".json"))
-            .map(_.stripSuffix(".json").toLong).sorted
-        versions.map(v =>
+      // Planning (driver): the same commit-log listing the session API
+      // uses — one partition per manifest (a private fork here would
+      // let the connector and latestVersion drift on naming rules).
+      override def planInputPartitions(): Array[InputPartition] =
+        VersionedTable.listVersions(root).map(v =>
           HistoryPartition(s"$root/_commits/$v.json"): InputPartition)
-      }
+          .toArray
       override def createReaderFactory(): PartitionReaderFactory =
         new HistoryReaderFactory
     }

@@ -12,8 +12,8 @@ import org.apache.spark.sql.functions._
   *
   * Layout:
   * {{{
-  *   <root>/data/v<N>/part-*.parquet   immutable — one dir per commit
-  *   <root>/_commits/<N>.json          the commit point (atomic rename)
+  *   <root>/data/v<N>-<writer>/part-*.parquet  immutable — one dir/commit
+  *   <root>/_commits/<N>.json                  the commit point (link(2))
   * }}}
   *
   * Each manifest records the commit's op (`overwrite` | `append`), its
@@ -24,13 +24,15 @@ import org.apache.spark.sql.functions._
   * travel) and a reader holding version N is isolated from later
   * commits by construction.
   *
-  * Commit protocol: data files land first, then the manifest is
-  * written to a temp name and ATOMICALLY renamed to `_commits/N.json`
-  * with create-new semantics — the rename IS the commit. A racing
-  * second writer loses the rename (file exists), re-reads the log and
-  * retries at N+1: single-table optimistic concurrency, the
-  * Delta-style protocol reduced to one primitive. (No multi-table
-  * transactions, no compaction — see scaladoc on [[compactHint]].)
+  * Commit protocol: data files land first in a WRITER-UNIQUE staging
+  * dir, then the manifest publishes to `_commits/N.json` via
+  * `Files.createLink` — link(2)'s genuine create-new atomicity (NOT
+  * rename, which silently replaces on POSIX). The link IS the commit.
+  * A racing second writer's link fails (file exists, winner's bytes
+  * untouched), so it re-reads the log and retries at N+1:
+  * single-table optimistic concurrency, the Delta-style protocol
+  * reduced to one primitive. (No multi-table transactions, no
+  * compaction — see scaladoc on [[compactHint]].)
   *
   * Scale: manifests are O(files) driver-side metadata — reading the
   * log is a few KB per commit, never a data scan; per-file min/max
@@ -47,7 +49,7 @@ object VersionedTable {
 
   private def fs(p: String) = java.nio.file.Paths.get(p)
 
-  private def listVersions(root: String): Seq[Long] = {
+  private[sources] def listVersions(root: String): Seq[Long] = {
     val d = new java.io.File(s"$root/_commits")
     val kids = d.listFiles()
     if (kids == null) Seq.empty
@@ -67,6 +69,32 @@ object VersionedTable {
       case c => c.toString
     }
 
+  /** Atomically claim commit slot `attempt` with `manifest`. True =
+    * this writer owns the version; false = the slot was already taken
+    * (lost race) and the existing manifest is UNTOUCHED. Uses
+    * `Files.createLink` — link(2) fails with FileAlreadyExistsException
+    * when the target exists, which is genuine create-new atomicity.
+    * (`Files.move(…, ATOMIC_MOVE)` is NOT that: POSIX rename(2)
+    * silently REPLACES an existing target, so a loser would clobber
+    * the winner's manifest — verified on this host, and the round-8
+    * review caught the original protocol doing exactly that.)
+    * Package-visible so the race branch is unit-testable without a
+    * second process. */
+  private[graft] def tryPublish(root: String, attempt: Long,
+      manifest: String): Boolean = {
+    val tmp = fs(s"$root/_commits/.$attempt.${ProcessHandle.current.pid}" +
+      s".${Thread.currentThread.getId}.tmp")
+    java.nio.file.Files.writeString(tmp, manifest + "\n")
+    try {
+      java.nio.file.Files.createLink(fs(s"$root/_commits/$attempt.json"), tmp)
+      true
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException => false
+    } finally {
+      java.nio.file.Files.deleteIfExists(tmp): Unit
+    }
+  }
+
   /** Commit `df` as the next version. `statsCols` declares the numeric
     * columns whose per-file min/max land in the manifest (choose the
     * columns queries range-filter on — sort/range-partition the frame
@@ -77,13 +105,17 @@ object VersionedTable {
     require(Ops(op), s"op must be one of $Ops, got '$op'")
     java.nio.file.Files.createDirectories(fs(s"$root/_commits"))
     var attempt = latestVersion(root) + 1
-    // Data dir is keyed by the attempted version; on a lost race the
-    // retry rewrites under the new version (old attempt dir is
-    // orphaned, never referenced — a vacuum concern, not a correctness
-    // one).
+    // The staging dir is WRITER-UNIQUE, not keyed by the attempt alone:
+    // two racers sharing data/v<N> would have the loser's
+    // mode("overwrite") delete the winner's already-committed files
+    // out from under its manifest. A lost race orphans the loser's
+    // uniquely-named dir (a vacuum concern, never a correctness one —
+    // no manifest references it).
+    val writerTag =
+      s"${ProcessHandle.current.pid}-${Thread.currentThread.getId}"
     var committed = -1L
     while (committed < 0) {
-      val dataDir = s"$root/data/v$attempt"
+      val dataDir = s"$root/data/v$attempt-$writerTag"
       df.write.mode("overwrite").parquet(dataDir)
       // One job: per-file row counts + min/max of the stats columns.
       val aggs = count(lit(1)).cast("long").as("rows") +:
@@ -103,20 +135,8 @@ object VersionedTable {
       val manifest =
         s"""{"version":$attempt,"op":"$op","dir":"${esc(dataDir)}","stats_cols":[${
           statsCols.map(c => s""""${esc(c)}"""").mkString(",")}],"files":$files}"""
-      val tmp = fs(s"$root/_commits/.$attempt.json.tmp")
-      java.nio.file.Files.writeString(tmp, manifest + "\n")
-      try {
-        // Create-new atomic rename: succeeding means WE own version N.
-        java.nio.file.Files.move(tmp, fs(s"$root/_commits/$attempt.json"),
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-        if (new java.io.File(s"$root/_commits/$attempt.json").length() == 0)
-          throw new IllegalStateException("empty manifest after move")
-        committed = attempt
-      } catch {
-        case _: java.nio.file.FileAlreadyExistsException =>
-          java.nio.file.Files.deleteIfExists(tmp)
-          attempt = latestVersion(root) + 1 // lost the race — retry
-      }
+      if (tryPublish(root, attempt, manifest)) committed = attempt
+      else attempt = latestVersion(root) + 1 // lost the race — retry
     }
     committed
   }

@@ -59,6 +59,32 @@ class VersionedTableSpec extends SparkSpec {
       .select("id").collect().map(_.getLong(0)).toSet == Set(1L, 2L))
   }
 
+  test("tryPublish: the LOSING branch itself — slot taken => false, winner's bytes untouched") {
+    // The round-8 review caught the original protocol using
+    // Files.move(ATOMIC_MOVE), whose POSIX rename silently REPLACES an
+    // existing target — the race branch was dead code and a loser
+    // clobbered the winner. This drives the publish primitive at the
+    // exact interleaving commit() cannot reach from the public API
+    // (foreign manifest appearing AFTER the attempt number was
+    // chosen): the second publish to the same slot must FAIL and must
+    // NOT rewrite the winner's manifest.
+    val root = freshRoot()
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$root/_commits"))
+    val winner = """{"version":5,"op":"append","dir":"w","stats_cols":[],"files":[]}"""
+    val loser = """{"version":5,"op":"overwrite","dir":"l","stats_cols":[],"files":[]}"""
+    assert(VersionedTable.tryPublish(root, 5L, winner))
+    assert(!VersionedTable.tryPublish(root, 5L, loser),
+      "second publish to a taken slot must lose")
+    val onDisk = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$root/_commits/5.json")).trim
+    assert(onDisk == winner, s"winner's manifest was clobbered: $onDisk")
+    // No temp litter left behind by either attempt.
+    val leftovers = new java.io.File(s"$root/_commits").listFiles()
+      .map(_.getName).filter(_.endsWith(".tmp"))
+    assert(leftovers.isEmpty, s"temp files leaked: ${leftovers.toSeq}")
+  }
+
   test("manifest pruning skips non-overlapping files and never changes the answer") {
     val root = freshRoot()
     // 8 range-partitioned files over id 0..7999 — tight disjoint ranges.
