@@ -34,12 +34,14 @@ object ScaleStress {
   private val SfSeriesKeys = Seq(
     "graph_pagerank", "graph_bfs_distance", "graph_kcore",
     "graph_triangle_count", "graph_clustering_coeff",
+    "graph_jaccard_linkpred",
     "dedup_cluster_canon", "dedup_minhash_lsh", "dedup_near_jaccard",
     "sim_ann_kmeans", "text_bpe_pair_counts")
   // Keys whose only input is lineitem — copy-scalable (see scaladoc).
   private val TenXKeys = Seq(
     "graph_pagerank", "graph_bfs_distance", "graph_kcore",
-    "graph_triangle_count", "graph_clustering_coeff")
+    "graph_triangle_count", "graph_clustering_coeff",
+    "graph_jaccard_linkpred")
 
   private def timeKey(s: SparkSession, key: String, dir: String): Double = {
     def once(): Double = {
