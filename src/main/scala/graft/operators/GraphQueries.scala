@@ -242,14 +242,18 @@ object GraphQueries {
     // (also-bought ranks EXISTING edges; this ranks MISSING ones —
     // the recommendation candidate generator). Common-neighbor counts
     // come from the same middle-node wedge generation as the triangle
-    // key (cost Σdeg(b)² on the p=¼ Doulion-sampled graph, hub-tamed
-    // by the a<b orientation); actual edges drop via ONE anti join;
+    // key (cost Σdeg(b)² on the Doulion-sampled graph, hub-tamed
+    // by the a<b orientation) — at p=⅛, HARDER than the triangle
+    // key's ¼: the round-8 scale measurement (SCALE.md addendum) put
+    // the p=¼ wedge-PAIR volume on the suite's steepest curve
+    // (b≈0.7/decade), and halving p quarters it; actual edges drop
+    // via ONE anti join;
     // degrees join back keyed. Integers until the one Jaccard
     // division (|union| = dx+dy−common, exact), r4d; top-20 under a
     // (score, x, y) total order.
     "graph_jaccard_linkpred" -> ((s, dir) => {
       val pp = orderParts(s, dir)
-      val e = doulionSample(orientedEdges(pp), Seq("0", "1", "2", "3"))
+      val e = doulionSample(orientedEdges(pp), Seq("0", "1"))
       val nb = e.select(col("a").as("v"), col("b").as("n"))
         .unionAll(e.select(col("b").as("v"), col("a").as("n")))
       val deg = nb.groupBy(col("v")).agg(count(lit(1)).as("deg"))
@@ -412,7 +416,7 @@ object GraphQueries {
         |  FROM pp x JOIN pp y ON x.ok = y.ok AND x.p < y.p),
         |e AS MATERIALIZED (SELECT a, b FROM e0
         |  WHERE substring(md5(CAST(a AS VARCHAR) || '_'
-        |    || CAST(b AS VARCHAR)), 1, 1) IN ('0', '1', '2', '3')),
+        |    || CAST(b AS VARCHAR)), 1, 1) IN ('0', '1')),
         |nb AS MATERIALIZED (SELECT a AS v, b AS n FROM e
         |  UNION ALL SELECT b, a FROM e),
         |deg AS (SELECT v, count(*) AS deg FROM nb GROUP BY 1),
