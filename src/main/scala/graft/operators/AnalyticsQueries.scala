@@ -1529,6 +1529,41 @@ object AnalyticsQueries {
         |LIMIT 20""".stripMargin)
     }),
 
+    // MTD/YoY KPI TABLE — the BI staple row: monthly order revenue
+    // with the year-to-date running total and the same-month-last-year
+    // percent change (month vs its own seasonal anchor — the
+    // ts_growth_rates WoW idea at fiscal granularity). Exactness: the
+    // running YTD and the YoY delta are computed over the EXACT
+    // DECIMAL monthly sums and rounded once at the edge — a running
+    // sum of already-rounded doubles would drift in the last ulp with
+    // frame evaluation order. The YoY lag carries an explicit
+    // month-continuity check (prev = month − 12 months exactly, else
+    // NULL — a gap year must not fake a comparison). The global month
+    // window is calendar-bounded (≤ |months| rows — the documented
+    // bounded-input exception to the no-global-window rule).
+    "ts_mtd_yoy" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val m = t(s, dir, "orders")
+        .groupBy(date_trunc("month", col("o_orderdate")).cast("date")
+          .as("month"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast(graft.Det.D)).as("rev_dec"))
+      val wy = Window.partitionBy(year(col("month"))).orderBy(col("month"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wall = Window.orderBy(col("month"))
+      m.withColumn("ytd_dec", sum(col("rev_dec")).over(wy))
+        .withColumn("prev_dec", lag(col("rev_dec"), 12).over(wall))
+        .withColumn("prev_month", lag(col("month"), 12).over(wall))
+        .select(col("month"), col("n_orders"),
+          round(col("rev_dec"), 4).cast("double").as("revenue"),
+          round(col("ytd_dec"), 4).cast("double").as("ytd_revenue"),
+          when(col("prev_month") === add_months(col("month"), -12),
+            r4d((col("rev_dec") - col("prev_dec")).cast("double")
+              * lit(100.0) / col("prev_dec").cast("double")))
+            .as("yoy_pct"))
+        .orderBy("month")
+    }),
+
     // EWMA — exponentially weighted moving average of daily volume per
     // type over the zero-filled spine, α = ½ truncated at 8 taps: the
     // exponential sibling of ts_wma's linear decay (recency-weighted
@@ -2494,6 +2529,27 @@ object AnalyticsQueries {
         |GROUP BY s_name
         |ORDER BY numwait DESC, s_name
         |LIMIT 20""".stripMargin,
+    // Same exact-decimal discipline: YTD and YoY over the DECIMAL
+    // monthly sums, one round at the edge; same continuity CASE.
+    "ts_mtd_yoy" ->
+      """WITH m AS (SELECT CAST(date_trunc('month', o_orderdate) AS DATE)
+        |    AS month, count(*) AS n_orders,
+        |    sum(CAST(o_totalprice AS DECIMAL(38,6))) AS rev_dec
+        |  FROM orders GROUP BY 1),
+        |w AS (SELECT month, n_orders, rev_dec,
+        |    sum(rev_dec) OVER (PARTITION BY year(month) ORDER BY month
+        |      ROWS UNBOUNDED PRECEDING) AS ytd_dec,
+        |    lag(rev_dec, 12) OVER (ORDER BY month) AS prev_dec,
+        |    lag(month, 12) OVER (ORDER BY month) AS prev_month
+        |  FROM m)
+        |SELECT month, n_orders,
+        |  CAST(ROUND(rev_dec, 4) AS DOUBLE) AS revenue,
+        |  CAST(ROUND(ytd_dec, 4) AS DOUBLE) AS ytd_revenue,
+        |  CASE WHEN prev_month = month - INTERVAL 12 MONTH THEN
+        |    ROUND(CAST(rev_dec - prev_dec AS DOUBLE) * 100.0
+        |      / CAST(prev_dec AS DOUBLE) * 10000.0) / 10000.0
+        |  END AS yoy_pct
+        |FROM w ORDER BY month""".stripMargin,
     // Same 8 power-of-two taps: every term and both sums are exact
     // doubles (see the Spark side's scaladoc), so the spelling only
     // has to match arithmetically, not in fold order.

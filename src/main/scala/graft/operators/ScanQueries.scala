@@ -469,6 +469,27 @@ object ScanQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // PARTITION-VALUES-ONLY SCAN — a query answered entirely from the
+    // directory structure: selecting only the partition column makes
+    // the file scan read ZERO data columns (pinned: ReadSchema is the
+    // empty struct — row counts come from footers, values from the
+    // hive paths). At 100 TB "which languages exist" costs a LISTING,
+    // not a scan — the cheapest query the layout can answer, and the
+    // reason partition columns are chosen from enumeration-shaped
+    // dimensions. Reuses scan_partition_prune's layout (writeOnce —
+    // whichever key runs first pays the write).
+    "scan_partition_values" -> ((s, dir) => {
+      val tmp = s"${scratch(s, dir)}/part_docs"
+      writeOnce(tmp) {
+        t(s, dir, "documents")
+          .select(col("doc_id"), col("n_chars"), col("lang"))
+          .write.partitionBy("lang").mode("overwrite").parquet(tmp)
+      }
+      s.read.parquet(tmp)
+        .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+        .orderBy("lang")
+    }),
+
     // DROPMALFORMED — the other malformed-record policy (PERMISSIVE
     // quarantines into _corrupt_record; DROPMALFORMED silently sheds):
     // same deterministic dirty file as scan_csv_permissive (every
@@ -671,6 +692,9 @@ object ScanQueries {
     "scan_csv_dropmalformed" ->
       """SELECT n_nationkey AS key, n_name AS name FROM nation
         |WHERE n_nationkey % 7 <> 0 ORDER BY key""".stripMargin,
+    "scan_partition_values" ->
+      """SELECT lang, count(*) AS n_docs FROM documents
+        |GROUP BY 1 ORDER BY lang""".stripMargin,
     // The oracle reads the parquet original — the text roundtrip must
     // be lossless for every row or the per-doc stats shear.
     "scan_text_lines" ->

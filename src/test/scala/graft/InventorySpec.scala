@@ -209,10 +209,12 @@ class InventorySpec extends SparkSpec {
     // §2.51 round-8 eleventh wave: multi-distinct, FK containment
     "agg_multi_distinct", "etl_fk_containment",
     // §2.52 round-8 twelfth wave: PMI collocations
-    "text_cooccurrence_pmi")
+    "text_cooccurrence_pmi",
+    // §2.53 round-8 thirteenth wave: MTD/YoY KPIs, metadata-only scan
+    "ts_mtd_yoy", "scan_partition_values")
 
-  test("declared queries cover SURVEY §2 + §2.12-52 exactly (269 keys)") {
-    assert(inventory.size == 269)
+  test("declared queries cover SURVEY §2 + §2.12-53 exactly (271 keys)") {
+    assert(inventory.size == 271)
     val declared = SparkEntry.queries.keySet
     val missing = inventory -- declared
     val extra = declared -- inventory

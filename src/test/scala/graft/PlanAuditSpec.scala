@@ -374,6 +374,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(2000))
   }
 
+  test("partition-values query reads ZERO data columns") {
+    // Selecting only the partition column + count must leave the file
+    // scan's ReadSchema EMPTY — values come from the hive paths, row
+    // counts from footers; any data column here means the layout's
+    // cheapest query started paying for a real scan.
+    val p = plan("scan_partition_values")
+    assert(p.contains("ReadSchema: struct<>"),
+      s"partition-values scan read data columns:\n${p.take(2500)}")
+  }
+
   test("multi-distinct plans through Expand (one replica per distinct column)") {
     // Two COUNT(DISTINCT ·) over different columns must take
     // Catalyst's Expand-based multi-distinct plan — the baseline the
