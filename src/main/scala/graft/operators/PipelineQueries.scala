@@ -698,6 +698,34 @@ object PipelineQueries {
         .orderBy("lang")
     }),
 
+    // TOKEN-BUDGET TRIM — greedy quality-ranked selection under a
+    // token budget (here ¼ of the corpus): the "data budget" decision
+    // every training run makes — keep the best documents until the
+    // budget is spent, deterministically. Rank = the SHARED
+    // qualityExpr (unrounded for ordering — both engines compute the
+    // identical IEEE sequence; doc_id breaks ties), running token sum
+    // via GlobalRank's exact distributed prefix sums (never a
+    // single-partition window over the corpus), keep while cum ≤
+    // budget. The relative budget (tot div 4) keeps the selection
+    // non-degenerate at every SF.
+    "pipeline_token_budget_trim" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"),
+          qualityExpr(col("text")).as("q"))
+      val ranked = graft.plans.GlobalRank.runningSum(
+        d.select(col("doc_id"), col("n_tokens"), col("q"),
+          (-col("q")).as("negq")),
+        Seq("negq", "doc_id"), "n_tokens", "cum_tokens")
+      val budget = d.agg((sum(col("n_tokens")) / 4).cast("long")
+        .as("budget"))
+      ranked.crossJoin(broadcast(budget))
+        .filter(col("cum_tokens") <= col("budget"))
+        .select(col("doc_id"), col("n_tokens"),
+          r4d(col("q")).as("quality"), col("cum_tokens"))
+        .orderBy(col("quality").desc, col("doc_id"))
+    }),
+
     // EPOCH SHUFFLE MANIFEST — the reproducible per-epoch permutation
     // every training run needs: position = rank of md5(epoch ‖ doc_id)
     // within the epoch (a NEW deterministic order each epoch, the same
@@ -753,6 +781,30 @@ object PipelineQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // Quality ordering uses the UNROUNDED expression (identical IEEE
+    // sequence both engines); the output column is rounded at the edge
+    // and the final ORDER BY runs on the rounded value + doc_id.
+    "pipeline_token_budget_trim" ->
+      """WITH d AS (SELECT doc_id,
+        |    CAST(len(toks) AS BIGINT) AS n_tokens,
+        |    0.4 * least(1.0, nt / 50.0) + 0.3 * (1.0 - nstop / nt)
+        |      + 0.3 * (nd / nt) AS q
+        |  FROM (SELECT doc_id, toks,
+        |      CAST(len(toks) AS DOUBLE) AS nt,
+        |      CAST(len(list_filter(toks,
+        |        t -> t IN ('the','a','of','to','and','in'))) AS DOUBLE)
+        |        AS nstop,
+        |      CAST(len(list_distinct(toks)) AS DOUBLE) AS nd
+        |    FROM (SELECT doc_id, string_split(text, ' ') AS toks
+        |      FROM documents))),
+        |b AS (SELECT CAST(sum(n_tokens) AS BIGINT) // 4 AS budget FROM d),
+        |r AS (SELECT doc_id, n_tokens, q,
+        |    CAST(sum(n_tokens) OVER (ORDER BY -q, doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+        |  FROM d)
+        |SELECT doc_id, n_tokens, ROUND(q, 4) AS quality, cum_tokens
+        |FROM r, b WHERE cum_tokens <= budget
+        |ORDER BY quality DESC, doc_id""".stripMargin,
     "pipeline_epoch_shuffle" ->
       """WITH e AS (SELECT epoch, doc_id,
         |    md5(CAST(epoch AS VARCHAR) || '_' || CAST(doc_id AS VARCHAR))

@@ -211,10 +211,12 @@ class InventorySpec extends SparkSpec {
     // §2.52 round-8 twelfth wave: PMI collocations
     "text_cooccurrence_pmi",
     // §2.53 round-8 thirteenth wave: MTD/YoY KPIs, metadata-only scan
-    "ts_mtd_yoy", "scan_partition_values")
+    "ts_mtd_yoy", "scan_partition_values",
+    // §2.54 round-8 fourteenth wave: token-budget trim
+    "pipeline_token_budget_trim")
 
-  test("declared queries cover SURVEY §2 + §2.12-53 exactly (271 keys)") {
-    assert(inventory.size == 271)
+  test("declared queries cover SURVEY §2 + §2.12-54 exactly (272 keys)") {
+    assert(inventory.size == 272)
     val declared = SparkEntry.queries.keySet
     val missing = inventory -- declared
     val extra = declared -- inventory
