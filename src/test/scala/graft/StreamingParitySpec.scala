@@ -87,6 +87,40 @@ class StreamingParitySpec extends SparkSpec {
     assertSameRows(streamed, batch, Seq("user_id", "start_ms"))
   }
 
+  test("Update output mode: latest emission per group == batch (the third mode)") {
+    // Complete re-emits everything, Append emits once-final; UPDATE
+    // emits only the groups a trigger changed. The memory sink then
+    // holds a HISTORY of per-group versions — the consumer contract is
+    // "latest row per key wins", and that latest must equal batch.
+    // Asserting intermediate emissions exist (> final group count for
+    // multi-batch input) pins that Update mode actually streamed
+    // incrementally rather than buffering to the end.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val counts = GraftStreams.tumblingCounts(
+      mem.toDF().withColumn("ts", timestamp_millis(col("ts_ms"))))
+    val query = counts.writeStream.format("memory").queryName("updmode")
+      .outputMode(OutputMode.Update()).start()
+    evRows.grouped(math.max(1, evRows.size / 4)).foreach { c =>
+      mem.addData(c); query.processAllAvailable()
+    }
+    query.stop()
+    val hist = spark.table("updmode")
+    val batch = StreamQueriesRef.tumbling(spark, sf)
+    assert(hist.count() > batch.count(),
+      "no intermediate Update emissions — did this buffer to the end?")
+    // Latest version per (day, type): the counts are cumulative across
+    // triggers, so the MAX-n emission IS the last one — no reliance on
+    // sink row order (which is partition-layout dependent).
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("day"), col("event_type"))
+      .orderBy(col("n").desc)
+    val latest = hist.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+    assertSameRows(latest, batch, Seq("day", "event_type"))
+  }
+
   test("stream-static enrichment: broadcast dim join in-stream == batch declared key") {
     val dim = Tables.t(spark, sf, "customer")
       .join(Tables.t(spark, sf, "nation"),
