@@ -19,6 +19,42 @@ object ScalarQueries {
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
+    // TRY_CAST SUITE — error-safe parsing, the ingestion staple: messy
+    // strings (valid ints, alpha-prefixed garbage, decimals, empties,
+    // impossible calendar dates — all built DETERMINISTICALLY from the
+    // fixture keys) go through TRY_CAST, which yields NULL instead of
+    // an error/abort in BOTH engines. The aggregate row pins that the
+    // two engines agree on exactly WHICH strings parse — the
+    // edge-semantics surface ('' as DOUBLE? Feb 30?) where casual
+    // parsers diverge. One REAL divergence surfaced building this key
+    // and is deliberately fenced out: Spark's TRY_CAST('123.5' AS INT)
+    // parses-then-truncates (123) while DuckDB's strictly refuses
+    // (NULL) — so the INT metrics exclude the decimal-string branch
+    // (it feeds the DOUBLE metric, where both engines agree) and the
+    // comment, not the hash, records the trap. Per-row outputs would dump 150k
+    // rows; the success-count + checksum row is the same evidence.
+    "fn_try_cast_suite" -> ((s, dir) => {
+      s.sql(s"""WITH m AS (SELECT
+        |  CASE WHEN o_orderkey % 4 = 0 THEN CAST(o_orderkey AS STRING)
+        |       WHEN o_orderkey % 4 = 1
+        |         THEN concat('x', CAST(o_orderkey AS STRING))
+        |       WHEN o_orderkey % 4 = 2
+        |         THEN concat(CAST(o_orderkey AS STRING), '.5')
+        |       ELSE '' END AS num_str,
+        |  CASE WHEN o_orderkey % 5 = 0 THEN '1996-02-30'
+        |       ELSE CAST(CAST(o_orderdate AS DATE) AS STRING)
+        |  END AS date_str
+        |FROM parquet.`$dir/orders.parquet`)
+        |SELECT count(*) AS n_rows,
+        |  count(TRY_CAST(CASE WHEN num_str LIKE '%.5' THEN NULL
+        |    ELSE num_str END AS INT)) AS n_int_ok,
+        |  count(TRY_CAST(num_str AS DOUBLE)) AS n_double_ok,
+        |  count(TRY_CAST(date_str AS DATE)) AS n_date_ok,
+        |  sum(CAST(TRY_CAST(CASE WHEN num_str LIKE '%.5' THEN NULL
+        |    ELSE num_str END AS INT) AS BIGINT)) AS sum_ints
+        |FROM m""".stripMargin)
+    }),
+
     "fn_string_suite" -> ((s, dir) => {
       t(s, dir, "part").select(
         col("p_partkey"),
@@ -137,6 +173,28 @@ object ScalarQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // Same TRY_CAST spellings; sum CAST before the HUGEINT divergence.
+    "fn_try_cast_suite" ->
+      """WITH m AS (SELECT
+        |  CASE WHEN o_orderkey % 4 = 0 THEN CAST(o_orderkey AS VARCHAR)
+        |       WHEN o_orderkey % 4 = 1
+        |         THEN concat('x', CAST(o_orderkey AS VARCHAR))
+        |       WHEN o_orderkey % 4 = 2
+        |         THEN concat(CAST(o_orderkey AS VARCHAR), '.5')
+        |       ELSE '' END AS num_str,
+        |  CASE WHEN o_orderkey % 5 = 0 THEN '1996-02-30'
+        |       ELSE CAST(CAST(o_orderdate AS DATE) AS VARCHAR)
+        |  END AS date_str
+        |FROM orders)
+        |SELECT count(*) AS n_rows,
+        |  count(TRY_CAST(CASE WHEN num_str LIKE '%.5' THEN NULL
+        |    ELSE num_str END AS INT)) AS n_int_ok,
+        |  count(TRY_CAST(num_str AS DOUBLE)) AS n_double_ok,
+        |  count(TRY_CAST(date_str AS DATE)) AS n_date_ok,
+        |  CAST(sum(CAST(TRY_CAST(CASE WHEN num_str LIKE '%.5' THEN NULL
+        |    ELSE num_str END AS INT) AS BIGINT)) AS BIGINT)
+        |    AS sum_ints
+        |FROM m""".stripMargin,
     "fn_string_suite" ->
       """SELECT p_partkey,
         |  upper(p_name) AS up, lower(p_brand) AS lo,

@@ -143,6 +143,29 @@ object WindowQueries {
         .orderBy(col("o_custkey"), col("o_orderkey"))
     }),
 
+    // FORWARD FILL — `last_value(x) IGNORE NULLS` over the trailing
+    // frame: THE standard sparse-series densification (sensor/price
+    // carry-forward — ts_interpolate_linear estimates BETWEEN points;
+    // fill-forward repeats the last OBSERVED one, the
+    // last-observation-carried-forward contract). The IGNORE NULLS
+    // modifier is its own SQL surface — without it last_value returns
+    // the frame's literal last row (usually the current NULL). NULLs
+    // injected deterministically (event_id ≡ 0 mod 3 — the
+    // filter_null_semantics device); leading NULLs before any
+    // observation stay NULL by contract.
+    "win_fill_forward" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      events(s, dir)
+        .select(col("user_id"), col("event_id"), col("ts"),
+          when(pmod(col("event_id"), lit(3)) === 0, lit(null))
+            .otherwise(col("value")).as("v"))
+        .select(col("user_id"), col("event_id"), col("v").as("observed"),
+          last(col("v"), ignoreNulls = true).over(w).as("filled"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
     // nth_value over the full frame — the remaining member of the
     // value-window family next to first/last: each customer's 2nd
     // order price by date (NULL for single-order customers — both
@@ -262,6 +285,15 @@ object WindowQueries {
          |  last_value(o_totalprice) OVER ($ordSql
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_price
          |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "win_fill_forward" ->
+      """SELECT user_id, event_id, v AS observed,
+        |  last_value(v IGNORE NULLS) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+        |FROM (SELECT user_id, event_id, ts,
+        |    CASE WHEN event_id % 3 = 0 THEN NULL ELSE value END AS v
+        |  FROM events)
+        |ORDER BY user_id, event_id""".stripMargin,
     "win_nth_value" ->
       s"""SELECT o_custkey, o_orderkey,
          |  nth_value(o_totalprice, 2) OVER ($ordSql

@@ -213,10 +213,12 @@ class InventorySpec extends SparkSpec {
     // §2.53 round-8 thirteenth wave: MTD/YoY KPIs, metadata-only scan
     "ts_mtd_yoy", "scan_partition_values",
     // §2.54 round-8 fourteenth wave: token-budget trim
-    "pipeline_token_budget_trim")
+    "pipeline_token_budget_trim",
+    // §2.55 round-8 fifteenth wave: IGNORE NULLS fill-forward, TRY_CAST
+    "win_fill_forward", "fn_try_cast_suite")
 
-  test("declared queries cover SURVEY §2 + §2.12-54 exactly (272 keys)") {
-    assert(inventory.size == 272)
+  test("declared queries cover SURVEY §2 + §2.12-55 exactly (274 keys)") {
+    assert(inventory.size == 274)
     val declared = SparkEntry.queries.keySet
     val missing = inventory -- declared
     val extra = declared -- inventory
