@@ -66,9 +66,12 @@ object StubDecoder extends MediaDecoder {
 }
 
 /** REAL pure-JVM image decode behind the same [[MediaDecoder]] contract
-  * the stub documents — javax.imageio (PNG/BMP/GIF/JPEG, whatever the
-  * JVM's ImageIO registry carries; PNG is the guaranteed-lossless one
-  * this repo tests). Nothing else in the pipeline changes: swap
+  * the stub documents — javax.imageio, gated to LOSSLESS containers
+  * (PNG/BMP/GIF via magic bytes — see
+  * [[ImageIoDecoder.isLosslessContainer]]; lossy codecs like JPEG are
+  * rejected because their decode is implementation-defined and would
+  * break cross-executor checksum determinism). Nothing else in the
+  * pipeline changes: swap
   * `StubDecoder` for `ImageIoDecoder` in [[MediaPipeline.decodeFeatures]]
   * and the same binary column, partition batching and task-completion
   * close discipline now run a real codec.
@@ -93,6 +96,17 @@ class ImageIoDecoder extends MediaDecoder {
     // already are), and nothing to clean on close.
     javax.imageio.ImageIO.setUseCache(false)
   override def features(r: MediaRow): MediaFeatures = {
+    // Container gate BEFORE decode: the determinism claim (checksum
+    // stable across JVMs/executors) holds only for LOSSLESS codecs
+    // whose decode is exact by spec — PNG, BMP, GIF. JPEG decode is
+    // implementation-defined (IDCT rounding differs across
+    // JRE/libjpeg builds), so the same bytes could yield different
+    // checksums on different executors: rejected loudly here, same
+    // doc_id-attributable contract as undecodable bytes.
+    require(ImageIoDecoder.isLosslessContainer(r.bytes),
+      s"doc ${r.doc_id}: container is not a lossless format " +
+        "(PNG/BMP/GIF) — decode would not be checksum-deterministic " +
+        "across executors")
     val img = javax.imageio.ImageIO.read(
       new java.io.ByteArrayInputStream(r.bytes))
     require(img != null,
@@ -117,6 +131,17 @@ class ImageIoDecoder extends MediaDecoder {
 }
 
 object ImageIoDecoder {
+  /** Magic-byte check for the lossless containers whose decode is
+    * exact by spec (PNG / BMP / GIF — what the determinism contract
+    * requires). A format gate on BYTES, not on ImageIO's registry:
+    * the registry happily hands back a JPEG reader, and lossy decode
+    * is exactly what must not reach the checksum. */
+  def isLosslessContainer(b: Array[Byte]): Boolean =
+    b.length >= 6 && (
+      (b(0) == 0x89.toByte && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') ||
+      (b(0) == 'B' && b(1) == 'M') ||
+      (b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8'))
+
   /** Deterministic synthetic PNG (seed-keyed RGB gradient) — the test
     * fixture generator, and a template for backfilling a media column
     * where real blobs are absent. Lossless round-trip: decoding this

@@ -413,7 +413,13 @@ object AggQueries {
       val wt = Window.partitionBy(col("l_returnflag"))
       d.withColumn("cw", sum(col("w")).over(wc))
         .withColumn("tw", sum(col("w")).over(wt))
-        .filter(col("cw") * 2 >= col("tw"))
+        // cw ≥ ⌈tw/2⌉ spelled as cw >= tw - tw DIV 2: equivalent to
+        // cw*2 >= tw over non-negative integers, but with NO product —
+        // cw*2 wraps silently under non-ANSI Spark once total weight
+        // passes 2^62 while the DuckDB oracle promotes to HUGEINT
+        // (the same silent-wrap class Det.checkedN fences elsewhere).
+        // tw - tw DIV 2 cannot overflow for any non-negative long.
+        .filter(expr("cw >= tw - tw DIV 2"))
         .groupBy(col("l_returnflag"))
         .agg(min(col("price")).as("weighted_median_price"),
           max(col("tw")).as("total_weight"))

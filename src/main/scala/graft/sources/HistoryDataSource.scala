@@ -34,6 +34,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * path stays the API for ad-hoc reads). One partition per commit keeps
   * the read trivially parallel and each task O(one manifest) — history
   * is metadata-sized, but the shape is the honest DSv2 shape.
+  *
+  * FILESYSTEM CONSTRAINT (explicit, inherited from [[VersionedTable]]):
+  * the PartitionReader reads manifests with `java.nio.file.Files`, so
+  * EXECUTORS must see the same POSIX filesystem as the driver (local
+  * mode, or a shared POSIX mount). Object-store deployment means
+  * swapping this read for Hadoop `FileSystem.open` — one line here —
+  * after the commit protocol itself is ported (see VersionedTable's
+  * filesystem-constraint scaladoc).
   */
 class HistoryDataSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =

@@ -42,6 +42,18 @@ import org.apache.spark.sql.functions._
   * and 40,000. Stats are computed in ONE Spark job over the
   * just-written files (`input_file_name()` group-by), not per-file
   * driver loops.
+  *
+  * FILESYSTEM CONSTRAINT (explicit): manifest IO and the commit
+  * primitive use local-filesystem `java.nio` APIs — `Files.createLink`
+  * is link(2), which exists only on a POSIX filesystem the DRIVER (and,
+  * for [[HistoryDataSource]], every executor) can reach: local disk,
+  * or a shared POSIX mount (NFS with proper link semantics). It does
+  * NOT run against S3/HDFS-style object stores. Porting = routing
+  * manifest IO through Hadoop `FileSystem` and replacing the link(2)
+  * commit with the store's conditional-create primitive (HDFS
+  * create-no-overwrite, S3 if-none-match PUT) — the protocol's shape
+  * (stage uniquely, publish one manifest atomically, loser retries) is
+  * unchanged; only the atomic-create primitive is store-specific.
   */
 object VersionedTable {
 
@@ -108,11 +120,14 @@ object VersionedTable {
     // The staging dir is WRITER-UNIQUE, not keyed by the attempt alone:
     // two racers sharing data/v<N> would have the loser's
     // mode("overwrite") delete the winner's already-committed files
-    // out from under its manifest. A lost race orphans the loser's
-    // uniquely-named dir (a vacuum concern, never a correctness one —
-    // no manifest references it).
-    val writerTag =
-      s"${ProcessHandle.current.pid}-${Thread.currentThread.getId}"
+    // out from under its manifest. Uniqueness comes from a per-commit
+    // random UUID — NOT pid+tid, which is only unique per host (two
+    // writers on different machines sharing the filesystem can collide
+    // on pid/tid, and Thread.getId is documented as reusable after
+    // thread death). A lost race orphans the loser's uniquely-named
+    // dir (a [[vacuum]] concern, never a correctness one — no manifest
+    // references it).
+    val writerTag = java.util.UUID.randomUUID.toString
     var committed = -1L
     while (committed < 0) {
       val dataDir = s"$root/data/v$attempt-$writerTag"
@@ -127,8 +142,16 @@ object VersionedTable {
         .agg(aggs.head, aggs.tail: _*)
         .collect()
       val files = stats.map { r =>
-        val mm = statsCols.map { c =>
-          s""""$c":[${r.getAs[Double](s"min_$c")},${r.getAs[Double](s"max_$c")}]"""
+        // A stats column that is all-NULL in a file has NULL min/max —
+        // record NO range for it (prunedRead keeps rangeless files
+        // conservatively) rather than a fabricated [0.0, 0.0]. NaN is
+        // rejected the same way: it has no meaningful order, and bare
+        // NaN is not a legal JSON token.
+        val mm = statsCols.flatMap { c =>
+          val (iMin, iMax) = (r.fieldIndex(s"min_$c"), r.fieldIndex(s"max_$c"))
+          if (r.isNullAt(iMin) || r.isNullAt(iMax) ||
+              r.getDouble(iMin).isNaN || r.getDouble(iMax).isNaN) None
+          else Some(s""""$c":[${r.getDouble(iMin)},${r.getDouble(iMax)}]""")
         }.mkString(",")
         s"""{"path":"${esc(r.getString(0))}","rows":${r.getAs[Long]("rows")},"range":{$mm}}"""
       }.mkString("[", ",", "]")

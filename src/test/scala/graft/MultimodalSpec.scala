@@ -137,4 +137,23 @@ class MultimodalSpec extends SparkSpec {
     }
     assert(err.getMessage != null)
   }
+
+  test("lossy containers are rejected before decode (checksum determinism gate)") {
+    // Round-9 advice fix: JPEG decode is implementation-defined across
+    // JRE/libjpeg builds, so the same bytes could checksum differently
+    // on different executors. The magic-byte gate rejects it loudly.
+    import graft.multimodal.ImageIoDecoder
+    val png = ImageIoDecoder.syntheticPng(7L, 32, 32)
+    assert(ImageIoDecoder.isLosslessContainer(png))
+    // A real JPEG byte stream (SOI + JFIF marker prefix) must be refused
+    // even though javax.imageio could decode it.
+    val jpegMagic = Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte,
+      0xe0.toByte, 0, 0x10, 'J', 'F', 'I', 'F', 0)
+    assert(!ImageIoDecoder.isLosslessContainer(jpegMagic))
+    val err = intercept[Exception] {
+      new ImageIoDecoder().features(MediaRow(42L, jpegMagic, 1, 1))
+    }
+    assert(err.getMessage.contains("42") &&
+      err.getMessage.contains("lossless"))
+  }
 }

@@ -121,6 +121,32 @@ class VersionedTableSpec extends SparkSpec {
     assert(df.count() == 11L)
   }
 
+  test("all-NULL / NaN stats columns record NO range, never [0,0]") {
+    // Round-9 advice fix: null min/max used to null-unbox to 0.0 and
+    // fabricate a [0.0, 0.0] range; NaN emitted non-JSON tokens. Both
+    // now skip the range entry, so fileRangesFor reports nothing and
+    // prunedRead keeps the files conservatively.
+    val root = freshRoot()
+    VersionedTable.commit(spark, root,
+      spark.range(50).select(col("id"),
+        lit(null).cast("double").as("allnull"),
+        when(col("id") === 0, lit(Double.NaN)).otherwise(col("id") * 1.0)
+          .as("hasnan"))
+        .coalesce(1),
+      "overwrite", statsCols = Seq("allnull", "hasnan"))
+    assert(VersionedTable.fileRangesFor(spark, root, 0L, "allnull").isEmpty,
+      "all-NULL column must have no recorded range")
+    assert(VersionedTable.fileRangesFor(spark, root, 0L, "hasnan").isEmpty,
+      "NaN-containing min/max must have no recorded range")
+    // Rangeless ⇒ conservatively kept; residual filter still correct.
+    val (df, chosen) =
+      VersionedTable.prunedRead(spark, root, 0L, "hasnan", 10.0, 20.0)
+    assert(chosen.nonEmpty)
+    assert(df.count() == 11L)
+    // The manifest is still valid JSON for the lenient reader path.
+    assert(VersionedTable.history(spark, root).count() == 1L)
+  }
+
   test("DSv2 history connector == the session-side history API") {
     val root = freshRoot()
     VersionedTable.commit(spark, root,
