@@ -215,10 +215,15 @@ class InventorySpec extends SparkSpec {
     // §2.54 round-8 fourteenth wave: token-budget trim
     "pipeline_token_budget_trim",
     // §2.55 round-8 fifteenth wave: IGNORE NULLS fill-forward, TRY_CAST
-    "win_fill_forward", "fn_try_cast_suite")
+    "win_fill_forward", "fn_try_cast_suite",
+    // §2.56 round-9 first wave: the remaining 11 TPC-H planner shapes —
+    // the suite is complete at 22/22
+    "sql_tpch_q2", "sql_tpch_q4", "sql_tpch_q8", "sql_tpch_q9",
+    "sql_tpch_q11", "sql_tpch_q12", "sql_tpch_q13", "sql_tpch_q15",
+    "sql_tpch_q16", "sql_tpch_q19", "sql_tpch_q20")
 
-  test("declared queries cover SURVEY §2 + §2.12-55 exactly (274 keys)") {
-    assert(inventory.size == 274)
+  test("declared queries cover SURVEY §2 + §2.12-56 exactly (285 keys)") {
+    assert(inventory.size == 285)
     val declared = SparkEntry.queries.keySet
     val missing = inventory -- declared
     val extra = declared -- inventory

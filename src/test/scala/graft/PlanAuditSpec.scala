@@ -334,6 +334,80 @@ class PlanAuditSpec extends SparkSpec {
       s"q21 planned a product join:\n${p.take(3000)}")
   }
 
+  test("q19 disjunction pushes its per-table residues to BOTH scans") {
+    // The OR-of-ANDs mixes columns from both join sides. The planner
+    // must keep the equi key out of the disjunction and push each
+    // table's residue of the OR to its scan — part gets the
+    // brand∧size bands, lineitem the quantity envelopes — with the full
+    // cross-table OR kept as the join residual. A scan with empty
+    // PushedFilters would read everything and evaluate the OR post-join.
+    val p = plan("sql_tpch_q19")
+    assert(p.contains("PushedFilters: [IsNotNull(p_size), GreaterThanOrEqual(p_size,1), IsNotNull(p_partkey), Or(Or(And(EqualTo(p_brand"),
+      s"part scan lost the pushed disjunction:\n${p.take(4000)}")
+    assert(p.contains("Or(Or(And(GreaterThanOrEqual(l_quantity,1.0),LessThanOrEqual(l_quantity,11"),
+      s"lineitem scan lost the quantity envelope:\n${p.take(4000)}")
+    assert(" OR ".r.findAllIn(p).nonEmpty && p.contains("BroadcastHashJoin"),
+      s"cross-table OR not a broadcast-join residual:\n${p.take(4000)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"q19 planned a product join:\n${p.take(3000)}")
+  }
+
+  test("q13 keeps the LEFT OUTER (ON-filter pushed to orders, never to customer)") {
+    // The o_orderpriority filter lives in the ON clause: it must push
+    // to the ORDERS scan only — pushing it as a post-join WHERE (or
+    // filtering customer) would silently drop the zero-order customers
+    // whose c_count = 0 bucket is the point of the query. Then the
+    // distribution is a group-by OVER the per-customer group-by: two
+    // distinct aggregate keys in one plan.
+    val p = plan("sql_tpch_q13")
+    assert(p.contains("LeftOuter"), s"outer join lost:\n${p.take(3000)}")
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderpriority), Not(EqualTo(o_orderpriority,3-MEDIUM))"),
+      s"ON filter not pushed to the orders scan:\n${p.take(4000)}")
+    assert(p.contains("HashAggregate(keys=[c_custkey") &&
+      p.contains("HashAggregate(keys=[c_count"),
+      s"missing one of the two aggregate levels:\n${p.take(4000)}")
+  }
+
+  test("q20 nested semi chain: two semi joins, correlated threshold decorrelated") {
+    // Three nesting levels must collapse without any per-row execution:
+    // supplier IN (...) → LeftSemi; ps_partkey IN (name-filtered parts)
+    // → LeftSemi with the 'red%' pushed as StringStartsWith; and the
+    // correlated 0.5×Σqty scalar → a per-(partkey, suppkey) aggregate
+    // joined back with the threshold as a join residual.
+    val p = plan("sql_tpch_q20")
+    assert("LeftSemi".r.findAllIn(p).size >= 2,
+      s"semi chain collapsed to fewer than 2 semi joins:\n${p.take(4000)}")
+    assert(p.contains("0.5 * sum(l_quantity))"),
+      s"correlated threshold not a decorrelated join residual:\n${p.take(4000)}")
+    assert(p.contains("StringStartsWith(p_name,red)"),
+      s"part-name prefix not pushed:\n${p.take(4000)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"q20 planned a product join:\n${p.take(3000)}")
+  }
+
+  test("q2 correlated MIN over the dim chain decorrelates to aggregate+join") {
+    // The inner query repeats the 4-way chain: it must become ONE
+    // per-part MIN aggregate joined back on (supplycost, partkey) —
+    // the q17 rewrite at dim-chain width. A surviving subquery node or
+    // a product join = per-row re-execution of a 4-way join.
+    val p = plan("sql_tpch_q2")
+    assert(p.contains("functions=[min(ps_supplycost"),
+      s"no decorrelated per-part MIN aggregate:\n${p.take(4000)}")
+    assert(!p.contains("Subquery"),
+      s"scalar subquery survived decorrelation:\n${p.take(4000)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"q2 planned a product join:\n${p.take(3000)}")
+  }
+
+  test("q16 NOT IN plans as a null-aware anti join") {
+    // s_acctbal < 0 suppliers via NOT IN: the build side must carry the
+    // isNullAwareAntiJoin flag (the trailing `true`) — a plain LeftAnti
+    // would be wrong the day the subquery column admits a NULL.
+    val p = plan("sql_tpch_q16")
+    assert("LeftAnti, BuildRight, true".r.findAllIn(p).size == 1,
+      s"NOT IN did not plan as NAAJ:\n${p.take(4000)}")
+  }
+
   test("null-aware anti join: NOT IN plans as NAAJ, never a plain anti or nested loop") {
     // BroadcastHashJoinExec prints its isNullAwareAntiJoin flag as the
     // trailing boolean: all three NOT IN branches must carry `true`
