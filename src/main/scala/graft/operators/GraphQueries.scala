@@ -62,6 +62,34 @@ object GraphQueries {
       col("b").cast("string")).cast("binary")), 1, 1)
       .isin(prefixes: _*))
 
+  /** `doulionSample(orientedEdges(orderParts(…)), prefixes)` with the
+    * edge GENERATION restructured for scale — bit-identical output
+    * (round-9 A/B: same 1,493,876 edges on the 10× corpus, 2.4×
+    * faster). Two wins over the self-join spelling:
+    * (a) per-order pairs come from ONE groupBy(ok) + collect_set +
+    *     map-side double explode — the self-join form pays a distinct
+    *     exchange on (ok, p) AND a re-exchange on ok AND the join
+    *     itself; order baskets are small (≈4 parts), so the sets are
+    *     bounded;
+    * (b) the md5 sample COMMUTES with distinct (it is a pure function
+    *     of (a, b)), so it filters the raw pair stream BEFORE the
+    *     distinct — the dedup exchange shuffles p·|pairs| rows
+    *     instead of |pairs|.
+    * Kept alongside the naive composition (which the other graph keys
+    * still use) because their PlanAuditSpec pins anchor to that plan;
+    * migrating them is a follow-up with its own A/B. */
+  private def sampledOrientedEdges(s: SparkSession, dir: String,
+      prefixes: Seq[String]): DataFrame = {
+    val byOrder = t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+      .groupBy("ok").agg(sort_array(collect_set(col("p"))).as("ps"))
+      .filter(size(col("ps")) >= 2)
+    val pairs = byOrder
+      .select(posexplode(col("ps")).as(Seq("i", "a")), col("ps"))
+      .select(col("a"), explode(expr("slice(ps, i + 2, size(ps))")).as("b"))
+    doulionSample(pairs, prefixes).distinct()
+  }
+
   /** Per-node triangle corner counts over oriented a<b edges: wedge
     * on the middle node + exact closing-edge probe (each triangle
     * once), credited to all three corners. The three join legs are
@@ -242,25 +270,70 @@ object GraphQueries {
     // (also-bought ranks EXISTING edges; this ranks MISSING ones —
     // the recommendation candidate generator). Common-neighbor counts
     // come from the same middle-node wedge generation as the triangle
-    // key (cost Σdeg(b)² on the Doulion-sampled graph, hub-tamed
-    // by the a<b orientation) — at p=⅛, HARDER than the triangle
-    // key's ¼: the round-8 scale measurement (SCALE.md addendum) put
-    // the p=¼ wedge-PAIR volume on the suite's steepest curve
-    // (b≈0.7/decade), and halving p quarters it; actual edges drop
-    // via ONE anti join;
-    // degrees join back keyed. Integers until the one Jaccard
-    // division (|union| = dx+dy−common, exact), r4d; top-20 under a
-    // (score, x, y) total order.
+    // key — the suite's steepest measured scale curve (wedge-PAIR
+    // volume; SCALE.md round-8 addendum), so the declared plan ships
+    // ALL THREE documented mitigations, each distribution-
+    // deterministic:
+    //  (1) Doulion p = ⅛ (prefix '0'-'1') — quarters pairs vs the
+    //      triangle key's ¼;
+    //  (2) min-common floor: HAVING common ≥ 2 directly on the pair
+    //      aggregation — common=1 pairs are the quadratic tail and
+    //      carry no overlap evidence; dropping them at the aggregate
+    //      (before the anti-join and the two degree joins) shrinks
+    //      every downstream shuffle;
+    //  (3) middle-node degree cap at the exact 95th-percentile degree
+    //      — hubs contribute pairs QUADRATICALLY and carry the least
+    //      predictive signal (standard link-prediction practice). The
+    //      percentile is an order statistic off the degree HISTOGRAM
+    //      (O(distinct degrees) rows — a driver-light single-partition
+    //      window over a tiny frame, never a global sort of |V|), so
+    //      the cap is a data value and replay-stable; the scalar joins
+    //      back via the broadcast-scalar idiom. Jaccard DENOMINATORS
+    //      keep the TRUE degrees — the cap only limits which middles
+    //      may witness a pair.
+    // Integers until the one Jaccard division (|union| = dx+dy−common,
+    // exact), r4d; top-20 under a (score, x, y) total order.
+    //
+    // Plan shape (the constant-factor half of the scale story): the
+    // sampled edge set and the degree table are PERSISTED — e feeds
+    // three consumers (both nb legs and the anti join) and deg four
+    // (histogram, middle filter, both denominator joins); uncached,
+    // the pp-self-join+distinct subplan re-executes per consumer.
+    // Wedge pairs come from capped SORTED ADJACENCY LISTS (one
+    // groupBy(v) shuffle of |nb| rows, then a map-side double
+    // explode) instead of the nb⋈nb self-join — the join spelling
+    // shuffles nb twice, builds a hash table per middle, and THEN
+    // shuffles the pair stream; the list spelling pays one |nb|
+    // shuffle and the cap bounds every list (and so every task's
+    // explode fan-out) at the p95 degree — bounded-memory by
+    // construction, no hub can blow a task.
     "graph_jaccard_linkpred" -> ((s, dir) => {
-      val pp = orderParts(s, dir)
-      val e = doulionSample(orientedEdges(pp), Seq("0", "1"))
+      import org.apache.spark.sql.expressions.Window
+      val e = sampledOrientedEdges(s, dir, Seq("0", "1")).persist()
       val nb = e.select(col("a").as("v"), col("b").as("n"))
         .unionAll(e.select(col("b").as("v"), col("a").as("n")))
-      val deg = nb.groupBy(col("v")).agg(count(lit(1)).as("deg"))
-      val common = nb.as("p").join(nb.as("q"),
-          col("p.v") === col("q.v") && col("p.n") < col("q.n"))
-        .select(col("p.n").as("x"), col("q.n").as("y"))
+      val deg = nb.groupBy(col("v")).agg(count(lit(1)).as("deg")).persist()
+      val hist = deg.groupBy(col("deg")).agg(count(lit(1)).as("cnt"))
+      val cap = hist
+        .withColumn("cum", sum(col("cnt")).over(Window.orderBy(col("deg"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("k", ceil(lit(0.95) * sum(col("cnt"))
+          .over(Window.partitionBy(lit(1)))).cast("long"))
+        .filter(col("cum") >= col("k"))
+        .agg(min(col("deg")).as("cap"))
+      val nbmid = nb.join(deg, "v").crossJoin(broadcast(cap))
+        .filter(col("deg") <= col("cap")).select(col("v"), col("n"))
+      // Sorted lists ⇒ i < j iff ns[i] < ns[j] (neighbors are distinct
+      // per v), so the (x < y) orientation falls out of slice().
+      val pairs = nbmid.groupBy(col("v"))
+        .agg(sort_array(collect_list(col("n"))).as("ns"))
+        .filter(size(col("ns")) >= 2)
+        .select(posexplode(col("ns")).as(Seq("i", "x")), col("ns"))
+        .select(col("x"),
+          explode(expr("slice(ns, i + 2, size(ns))")).as("y"))
+      val common = pairs
         .groupBy("x", "y").agg(count(lit(1)).as("common"))
+        .filter(col("common") >= 2)
       common
         .join(e, col("x") === col("a") && col("y") === col("b"),
           "left_anti")
@@ -407,8 +480,10 @@ object GraphQueries {
         |    * 10000.0) / 10000.0 AS coeff
         |FROM deg LEFT JOIN nt ON deg.node = nt.node
         |WHERE deg >= 2 ORDER BY deg.node""".stripMargin,
-    // Same unsampled distinct-edge subplan; bin()-length bucketing is
-    // the identical integer spelling in DuckDB.
+    // Same mitigated plan, CTE for CTE: the 95th-percentile cap off
+    // the degree histogram, the capped middle set, the min-common
+    // HAVING on the pair aggregation — identical arithmetic
+    // (ceil(0.95·n) spelled operand-for-operand).
     "graph_jaccard_linkpred" ->
       """WITH pp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
         |  FROM lineitem),
@@ -419,10 +494,18 @@ object GraphQueries {
         |    || CAST(b AS VARCHAR)), 1, 1) IN ('0', '1')),
         |nb AS MATERIALIZED (SELECT a AS v, b AS n FROM e
         |  UNION ALL SELECT b, a FROM e),
-        |deg AS (SELECT v, count(*) AS deg FROM nb GROUP BY 1),
+        |deg AS MATERIALIZED (SELECT v, count(*) AS deg FROM nb GROUP BY 1),
+        |hist AS (SELECT deg, count(*) AS cnt FROM deg GROUP BY 1),
+        |capq AS (SELECT min(deg) AS cap FROM (
+        |  SELECT deg,
+        |    sum(cnt) OVER (ORDER BY deg ROWS UNBOUNDED PRECEDING) AS cum,
+        |    (SELECT CAST(ceil(0.95 * sum(cnt)) AS BIGINT) FROM hist) AS k
+        |  FROM hist) WHERE cum >= k),
+        |nbmid AS (SELECT nb.v, nb.n FROM nb JOIN deg ON deg.v = nb.v,
+        |  capq WHERE deg.deg <= cap),
         |cm AS (SELECT p.n AS x, q.n AS y, count(*) AS common
-        |  FROM nb p JOIN nb q ON p.v = q.v AND p.n < q.n
-        |  GROUP BY 1, 2),
+        |  FROM nbmid p JOIN nbmid q ON p.v = q.v AND p.n < q.n
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
         |ne AS (SELECT cm.* FROM cm
         |  WHERE NOT EXISTS (SELECT 1 FROM e
         |    WHERE e.a = cm.x AND e.b = cm.y))

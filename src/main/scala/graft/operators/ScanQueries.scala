@@ -108,6 +108,60 @@ object ScanQueries {
     root
   }
 
+  /** The merged versioned table behind etl_merge_into: v0 = overwrite
+    * (pre-2000 orders, slim projection), v1 = MERGE of the urgent
+    * orders with a 5% price bump — replacing the matched pre-2000
+    * urgent rows and INSERTING the post-2000 urgent ones. Idempotent
+    * build like [[timeTravelTable]]. */
+  private def mergeTable(s: SparkSession, dir: String): String = {
+    import graft.sources.VersionedTable
+    val root = s"${scratch(s, dir)}/vtab_merge"
+    if (VersionedTable.latestVersion(root) != 1L) {
+      deleteRecursively(new java.io.File(root))
+      val o = t(s, dir, "orders")
+      VersionedTable.commit(s, root,
+        o.filter(col("o_orderdate") < lit("2000-01-01").cast("timestamp"))
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            col("o_totalprice").as("price")),
+        "overwrite")
+      VersionedTable.merge(s, root,
+        o.filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            (col("o_totalprice") * 1.05).as("price")),
+        keys = Seq("o_orderkey"))
+    }
+    root
+  }
+
+  /** The vacuumed versioned table behind scan_vacuum_current: four
+    * commits (overwrite, append, overwrite, append), a checkpoint,
+    * then vacuum retaining the last TWO versions — versions 0/1 and
+    * their data files are gone, 2/3 stay byte-identical. grace=0 is
+    * safe here: single writer, nothing in flight. */
+  private def vacuumTable(s: SparkSession, dir: String): String = {
+    import graft.sources.VersionedTable
+    val root = s"${scratch(s, dir)}/vtab_vac"
+    if (VersionedTable.latestVersion(root) != 3L ||
+        VersionedTable.listVersions(root).size != 2) {
+      deleteRecursively(new java.io.File(root))
+      val o = t(s, dir, "orders")
+      VersionedTable.commit(s, root,
+        o.filter(col("o_orderdate") < lit("1996-01-01").cast("timestamp")),
+        "overwrite")
+      VersionedTable.commit(s, root,
+        o.filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp")
+          && col("o_orderdate") < lit("1997-01-01").cast("timestamp")),
+        "append")
+      VersionedTable.commit(s, root,
+        o.filter(col("o_totalprice") > 300000), "overwrite")
+      VersionedTable.commit(s, root,
+        o.filter(col("o_totalprice") <= 100000), "append")
+      VersionedTable.checkpoint(s, root)
+      VersionedTable.vacuum(s, root, retainLast = 2, orphanGraceMs = 0L)
+    }
+    root
+  }
+
   val queries: Map[String, Q] = Map(
     "scan_parquet" -> ((s, dir) => {
       t(s, dir, "lineitem")
@@ -577,6 +631,41 @@ object ScanQueries {
         .orderBy("version")
     }),
 
+    // MERGE INTO — type-1 upsert AS A COMMIT: updates replace matched
+    // keys, unmatched updates insert, everything else carries over —
+    // etl_upsert_type1's semantics composed with the VersionedTable
+    // protocol (stage uniquely, one atomic link(2) publish, and a
+    // LOST RACE RE-READS AND RE-MERGES rather than blind-retrying the
+    // slot, because the merged frame depends on the snapshot it was
+    // computed against — the lost-update hazard commitIf exists for).
+    // The oracle is the same anti-join CTE over (updates ∪ original).
+    "etl_merge_into" -> ((s, dir) => {
+      import graft.sources.VersionedTable
+      val root = mergeTable(s, dir)
+      VersionedTable.readLatest(s, root)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"),
+          graft.Det.dsum(col("price")).as("sum_price"))
+        .orderBy("o_orderstatus")
+    }),
+
+    // POST-VACUUM CURRENT READ — snapshot expiration proves itself:
+    // four commits, a checkpoint, then vacuum(retain 2) deletes
+    // versions 0/1's manifests AND data files; the current read must
+    // be byte-identical to the never-vacuumed table (the retained
+    // chain is intact) while time travel past retention now fails
+    // loudly (pinned in VersionedTableSpec — the oracle can only see
+    // the surviving answer, which is exactly the point).
+    "scan_vacuum_current" -> ((s, dir) => {
+      import graft.sources.VersionedTable
+      val root = vacuumTable(s, dir)
+      VersionedTable.readLatest(s, root)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"),
+          graft.Det.dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy("o_orderstatus")
+    }),
+
     // MANIFEST-STATS FILE PRUNING — data skipping from the commit
     // log's per-file min/max (§2.42): lineitem range-partitioned on
     // l_orderkey into a VersionedTable whose manifest records each
@@ -709,6 +798,33 @@ object ScanQueries {
          |  ${sqlSum("o_totalprice")} AS sum_price
          |FROM orders
          |WHERE o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // The merge result re-derived relationally: updates win on key
+    // collision (anti join), unmatched base rows carry over. The 1.05
+    // bump is the identical double product in both engines.
+    "etl_merge_into" ->
+      s"""WITH upd AS (SELECT o_orderkey, o_orderstatus,
+         |    o_totalprice * 1.05 AS price
+         |  FROM orders WHERE o_orderpriority = '1-URGENT'),
+         |base AS (SELECT o_orderkey, o_orderstatus,
+         |    o_totalprice AS price
+         |  FROM orders
+         |  WHERE o_orderdate < TIMESTAMP '2000-01-01 00:00:00'),
+         |m AS (SELECT * FROM upd
+         |  UNION ALL
+         |  SELECT * FROM base WHERE NOT EXISTS (
+         |    SELECT 1 FROM upd WHERE upd.o_orderkey = base.o_orderkey))
+         |SELECT o_orderstatus, count(*) AS n_orders,
+         |  ${sqlSum("price")} AS sum_price
+         |FROM m GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // The surviving snapshot: the v2 overwrite (high-price) plus the
+    // v3 append (low-price) — the vacuumed history is invisible to
+    // the answer, which is the invariant under test.
+    "scan_vacuum_current" ->
+      s"""SELECT o_orderstatus, count(*) AS n_orders,
+         |  ${sqlSum("o_totalprice")} AS sum_price
+         |FROM orders
+         |WHERE o_totalprice > 300000 OR o_totalprice <= 100000
          |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "scan_dsv2_history" ->
       """SELECT CAST(0 AS BIGINT) AS version, 'overwrite' AS op,

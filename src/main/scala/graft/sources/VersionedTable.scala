@@ -61,11 +61,12 @@ object VersionedTable {
 
   private def fs(p: String) = java.nio.file.Paths.get(p)
 
-  private[sources] def listVersions(root: String): Seq[Long] = {
+  private[graft] def listVersions(root: String): Seq[Long] = {
     val d = new java.io.File(s"$root/_commits")
     val kids = d.listFiles()
     if (kids == null) Seq.empty
-    else kids.map(_.getName).filter(_.endsWith(".json"))
+    else kids.map(_.getName)
+      .filter(n => n.endsWith(".json") && !n.endsWith(".ckpt.json"))
       .map(_.stripSuffix(".json").toLong).sorted.toSeq
   }
 
@@ -107,16 +108,19 @@ object VersionedTable {
     }
   }
 
-  /** Commit `df` as the next version. `statsCols` declares the numeric
-    * columns whose per-file min/max land in the manifest (choose the
-    * columns queries range-filter on — sort/range-partition the frame
-    * by them first so file ranges are tight and pruning bites).
-    * Returns the committed version. */
-  def commit(spark: SparkSession, root: String, df: DataFrame, op: String,
-      statsCols: Seq[String] = Seq.empty): Long = {
+  /** ONE attempt to commit `df` at version `expectedLatest + 1`.
+    * Returns the committed version, or -1 if another writer took the
+    * slot first (the staged data dir is removed; nothing references
+    * it). This is the primitive for read-modify-write transactions
+    * ([[merge]]): a caller whose new state DEPENDS on the current
+    * snapshot must not blind-retry at N+2 — it must re-read and
+    * re-derive, which only the caller can do. Plain [[commit]] (state
+    * independent of the log) keeps its internal retry loop. */
+  def commitIf(spark: SparkSession, root: String, df: DataFrame, op: String,
+      statsCols: Seq[String], expectedLatest: Long): Long = {
     require(Ops(op), s"op must be one of $Ops, got '$op'")
     java.nio.file.Files.createDirectories(fs(s"$root/_commits"))
-    var attempt = latestVersion(root) + 1
+    val attempt = expectedLatest + 1
     // The staging dir is WRITER-UNIQUE, not keyed by the attempt alone:
     // two racers sharing data/v<N> would have the loser's
     // mode("overwrite") delete the winner's already-committed files
@@ -124,42 +128,89 @@ object VersionedTable {
     // random UUID — NOT pid+tid, which is only unique per host (two
     // writers on different machines sharing the filesystem can collide
     // on pid/tid, and Thread.getId is documented as reusable after
-    // thread death). A lost race orphans the loser's uniquely-named
-    // dir (a [[vacuum]] concern, never a correctness one — no manifest
-    // references it).
+    // thread death). A lost race's uniquely-named dir is deleted
+    // below; a crashed writer's orphan is a [[vacuum]] concern, never
+    // a correctness one — no manifest references it.
     val writerTag = java.util.UUID.randomUUID.toString
+    val dataDir = s"$root/data/v$attempt-$writerTag"
+    df.write.mode("overwrite").parquet(dataDir)
+    // One job: per-file row counts + min/max of the stats columns.
+    val aggs = count(lit(1)).cast("long").as("rows") +:
+      statsCols.flatMap(c => Seq(
+        min(col(c)).cast("double").as(s"min_$c"),
+        max(col(c)).cast("double").as(s"max_$c")))
+    val stats = spark.read.parquet(dataDir)
+      .groupBy(input_file_name().as("path"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+    val files = stats.map { r =>
+      // A stats column that is all-NULL in a file has NULL min/max —
+      // record NO range for it (prunedRead keeps rangeless files
+      // conservatively) rather than a fabricated [0.0, 0.0]. NaN is
+      // rejected the same way: it has no meaningful order, and bare
+      // NaN is not a legal JSON token.
+      val mm = statsCols.flatMap { c =>
+        val (iMin, iMax) = (r.fieldIndex(s"min_$c"), r.fieldIndex(s"max_$c"))
+        if (r.isNullAt(iMin) || r.isNullAt(iMax) ||
+            r.getDouble(iMin).isNaN || r.getDouble(iMax).isNaN) None
+        else Some(s""""$c":[${r.getDouble(iMin)},${r.getDouble(iMax)}]""")
+      }.mkString(",")
+      s"""{"path":"${esc(r.getString(0))}","rows":${r.getAs[Long]("rows")},"range":{$mm}}"""
+    }.mkString("[", ",", "]")
+    val manifest =
+      s"""{"version":$attempt,"op":"$op","dir":"${esc(dataDir)}","stats_cols":[${
+        statsCols.map(c => s""""${esc(c)}"""").mkString(",")}],"files":$files}"""
+    if (tryPublish(root, attempt, manifest)) attempt
+    else {
+      deleteDirRecursively(new java.io.File(dataDir))
+      -1L
+    }
+  }
+
+  /** Commit `df` as the next version. `statsCols` declares the numeric
+    * columns whose per-file min/max land in the manifest (choose the
+    * columns queries range-filter on — sort/range-partition the frame
+    * by them first so file ranges are tight and pruning bites).
+    * Returns the committed version. Retries internally on a lost race
+    * — safe because `df` does not depend on the table's own state
+    * (use [[commitIf]] / [[merge]] when it does). */
+  def commit(spark: SparkSession, root: String, df: DataFrame, op: String,
+      statsCols: Seq[String] = Seq.empty): Long = {
+    var committed = -1L
+    while (committed < 0)
+      committed = commitIf(spark, root, df, op, statsCols,
+        latestVersion(root))
+    committed
+  }
+
+  /** Type-1 MERGE (upsert) as a read-modify-write transaction: rows of
+    * `updates` REPLACE current rows sharing the same `keys` values;
+    * unmatched update rows insert; all other current rows carry over —
+    * exactly `updates ∪ (current ⟕anti updates)`, the etl_upsert_type1
+    * whole-row semantics composed with the commit protocol.
+    *
+    * Optimistic concurrency at the TRANSACTION level: the merge is
+    * computed against snapshot N and committed with [[commitIf]] at
+    * N+1. If another writer got there first, the merged frame is
+    * STALE (it does not contain the winner's rows) — a blind slot
+    * retry would silently drop them (lost update), so the loop
+    * re-reads the new latest and re-derives the merge. Retries are
+    * bounded by writer contention, not table size; each retry costs
+    * one snapshot read + one write of the merged state.
+    *
+    * Returns the committed version. */
+  def merge(spark: SparkSession, root: String, updates: DataFrame,
+      keys: Seq[String], statsCols: Seq[String] = Seq.empty): Long = {
+    require(keys.nonEmpty, "merge needs at least one key column")
     var committed = -1L
     while (committed < 0) {
-      val dataDir = s"$root/data/v$attempt-$writerTag"
-      df.write.mode("overwrite").parquet(dataDir)
-      // One job: per-file row counts + min/max of the stats columns.
-      val aggs = count(lit(1)).cast("long").as("rows") +:
-        statsCols.flatMap(c => Seq(
-          min(col(c)).cast("double").as(s"min_$c"),
-          max(col(c)).cast("double").as(s"max_$c")))
-      val stats = spark.read.parquet(dataDir)
-        .groupBy(input_file_name().as("path"))
-        .agg(aggs.head, aggs.tail: _*)
-        .collect()
-      val files = stats.map { r =>
-        // A stats column that is all-NULL in a file has NULL min/max —
-        // record NO range for it (prunedRead keeps rangeless files
-        // conservatively) rather than a fabricated [0.0, 0.0]. NaN is
-        // rejected the same way: it has no meaningful order, and bare
-        // NaN is not a legal JSON token.
-        val mm = statsCols.flatMap { c =>
-          val (iMin, iMax) = (r.fieldIndex(s"min_$c"), r.fieldIndex(s"max_$c"))
-          if (r.isNullAt(iMin) || r.isNullAt(iMax) ||
-              r.getDouble(iMin).isNaN || r.getDouble(iMax).isNaN) None
-          else Some(s""""$c":[${r.getDouble(iMin)},${r.getDouble(iMax)}]""")
-        }.mkString(",")
-        s"""{"path":"${esc(r.getString(0))}","rows":${r.getAs[Long]("rows")},"range":{$mm}}"""
-      }.mkString("[", ",", "]")
-      val manifest =
-        s"""{"version":$attempt,"op":"$op","dir":"${esc(dataDir)}","stats_cols":[${
-          statsCols.map(c => s""""${esc(c)}"""").mkString(",")}],"files":$files}"""
-      if (tryPublish(root, attempt, manifest)) committed = attempt
-      else attempt = latestVersion(root) + 1 // lost the race — retry
+      val expected = latestVersion(root)
+      val merged =
+        if (expected < 0) updates
+        else updates.unionByName(
+          readVersion(spark, root, expected).join(updates, keys, "left_anti"))
+      committed = commitIf(spark, root, merged, "overwrite", statsCols,
+        expected)
     }
     committed
   }
@@ -188,16 +239,117 @@ object VersionedTable {
       rowCounts.size.toLong, rowCounts.sum)
   }
 
+  private def deleteDirRecursively(f: java.io.File): Unit = {
+    val kids = f.listFiles()
+    if (kids != null) kids.foreach(deleteDirRecursively)
+    f.delete(): Unit
+  }
+
   private case class Manifest(version: Long, op: String, dir: String,
       files: Seq[(String, Long, Map[String, (Double, Double)])])
 
-  /** Parse manifests 0..v. Metadata-sized: Spark's JSON reader over
-    * the commit files, one collect of O(files) slim rows. */
+  /** Checkpoints on disk: `_commits/<N>.ckpt.json`, ascending. */
+  private[graft] def listCheckpoints(root: String): Seq[Long] = {
+    val d = new java.io.File(s"$root/_commits")
+    val kids = d.listFiles()
+    if (kids == null) Seq.empty
+    else kids.map(_.getName).filter(_.endsWith(".ckpt.json"))
+      .map(_.stripSuffix(".ckpt.json").toLong).sorted.toSeq
+  }
+
+  /** Write a planning CHECKPOINT at the current latest version N:
+    * `_commits/<N>.ckpt.json` holds the snapshot chain's manifests
+    * (latest overwrite ≤ N plus appends after it), one manifest per
+    * line — the same grammar and Spark-JSON schema as the per-commit
+    * files, so the reader needs no second parser. Snapshot planning
+    * ([[readVersion]]/[[prunedRead]]) then opens ONE checkpoint file
+    * plus only the commits AFTER it — O(delta) instead of an
+    * O(commits) log replay, the Delta/Iceberg checkpoint idea on this
+    * layout. Published with the same link(2) create-new primitive; a
+    * racing duplicate at the same N simply loses (identical content).
+    * Returns the checkpointed version. */
+  def checkpoint(spark: SparkSession, root: String): Long = {
+    val v = latestVersion(root)
+    require(v >= 0, s"nothing to checkpoint at $root")
+    val lines = snapshot(spark, root, v).map(m =>
+      java.nio.file.Files.readString(
+        fs(s"$root/_commits/${m.version}.json")).trim)
+    val tmp = fs(s"$root/_commits/.$v.ckpt.${
+      java.util.UUID.randomUUID}.tmp")
+    java.nio.file.Files.writeString(tmp, lines.mkString("", "\n", "\n"))
+    try java.nio.file.Files.createLink(
+      fs(s"$root/_commits/$v.ckpt.json"), tmp)
+    catch { case _: java.nio.file.FileAlreadyExistsException => () }
+    finally java.nio.file.Files.deleteIfExists(tmp): Unit
+    v
+  }
+
+  /** Snapshot expiration + orphan sweep. Retains the last
+    * `retainLast` versions: every manifest participating in a
+    * RETAINED version's snapshot (which pulls in the overwrite each
+    * chain starts from) survives; all other manifests, their data
+    * dirs, and checkpoints at dropped versions are deleted. Data dirs
+    * referenced by NO manifest at all (a crashed writer's staging —
+    * lost races clean up after themselves) are deleted only when
+    * older than `orphanGraceMs`, because a LIVE writer's staging dir
+    * is indistinguishable from a crash's: the grace must exceed the
+    * longest plausible write (pass 0 only when no writer can be
+    * in-flight, e.g. tests).
+    *
+    * After vacuum: reads at retained versions are byte-identical to
+    * before (their chains are intact); a read past retention fails
+    * loudly ("no committed version <= v"); [[history]] shows only the
+    * retained log. Returns (dropped versions, deleted data dirs). */
+  def vacuum(spark: SparkSession, root: String, retainLast: Int,
+      orphanGraceMs: Long = 24L * 3600 * 1000): (Seq[Long], Seq[String]) = {
+    require(retainLast >= 1, "must retain at least the current version")
+    val versions = listVersions(root)
+    if (versions.isEmpty) return (Seq.empty, Seq.empty)
+    val retained = versions.takeRight(retainLast)
+    val keep = retained.flatMap(v =>
+      snapshot(spark, root, v).map(_.version)).toSet
+    val keepDirs = manifests(spark, root, Long.MaxValue)
+      .filter(m => keep(m.version))
+      .map(m => new java.io.File(m.dir).getCanonicalPath).toSet
+    val dropped = versions.filterNot(keep)
+    // Manifests first: once the manifest is gone no reader can plan
+    // over the dir it referenced, so the dir delete below can't race
+    // a NEW read. (A reader already holding the old file list is the
+    // documented retention hazard, as in Delta/Iceberg.)
+    dropped.foreach { n =>
+      java.nio.file.Files.deleteIfExists(fs(s"$root/_commits/$n.json")): Unit
+    }
+    listCheckpoints(root).filterNot(keep).foreach { n =>
+      java.nio.file.Files.deleteIfExists(
+        fs(s"$root/_commits/$n.ckpt.json")): Unit
+    }
+    val now = System.currentTimeMillis
+    val dataKids = Option(new java.io.File(s"$root/data").listFiles())
+      .getOrElse(Array.empty[java.io.File])
+    val deleted = dataKids.filter { d =>
+      !keepDirs(d.getCanonicalPath) && (now - d.lastModified) >= orphanGraceMs
+    }.map { d => deleteDirRecursively(d); d.getPath }.toSeq
+    (dropped, deleted)
+  }
+
+  /** Parse the manifests that plan version `v`. Metadata-sized:
+    * Spark's JSON reader over the commit files, one collect of
+    * O(files) slim rows. With `useCheckpoint` the read starts from the
+    * newest checkpoint ≤ v (one multi-line file) plus only the commits
+    * after it — the O(delta) snapshot-planning path; without it, the
+    * full raw log (the audit face [[history]] wants every commit). */
   private def manifests(spark: SparkSession, root: String,
-      v: Long): Seq[Manifest] = {
+      v: Long, useCheckpoint: Boolean = false): Seq[Manifest] = {
     val versions = listVersions(root).filter(_ <= v)
     require(versions.nonEmpty, s"no committed version <= $v at $root")
-    val paths = versions.map(n => s"$root/_commits/$n.json")
+    val ckpt =
+      if (useCheckpoint) listCheckpoints(root).filter(_ <= v).lastOption
+      else None
+    val paths = ckpt match {
+      case Some(n) => s"$root/_commits/$n.ckpt.json" +:
+        versions.filter(_ > n).map(m => s"$root/_commits/$m.json")
+      case None => versions.map(n => s"$root/_commits/$n.json")
+    }
     val schema = "version LONG, op STRING, dir STRING, " +
       "stats_cols ARRAY<STRING>, files ARRAY<STRUCT<path: STRING, " +
       "rows: LONG, range: MAP<STRING, ARRAY<DOUBLE>>>>"
@@ -219,10 +371,13 @@ object VersionedTable {
   }
 
   /** The manifests whose data participates in version `v`'s snapshot:
-    * the latest overwrite ≤ v and every append after it. */
+    * the latest overwrite ≤ v and every append after it. Plans through
+    * the newest checkpoint when one exists (a checkpoint's content is
+    * itself a snapshot chain, so the overwrite filter composes: any
+    * overwrite AFTER the checkpoint supersedes it naturally). */
   private def snapshot(spark: SparkSession, root: String,
       v: Long): Seq[Manifest] = {
-    val ms = manifests(spark, root, v)
+    val ms = manifests(spark, root, v, useCheckpoint = true)
     val lastOverwrite = ms.filter(_.op == "overwrite")
       .lastOption.map(_.version).getOrElse(0L)
     ms.filter(_.version >= lastOverwrite)
@@ -280,12 +435,13 @@ object VersionedTable {
     (df.filter(col(column) >= lo && col(column) <= hi), chosen)
   }
 
-  /** Not implemented, deliberately: file compaction / vacuum of
-    * orphaned attempt dirs is a maintenance job OVER this layout
-    * (rewrite small files as a new overwrite commit of the same rows —
-    * `scan_compact_smallfiles` is exactly that shape), not a read-path
-    * concern. Kept as a named hook so the omission is a documented
-    * decision, not an oversight. */
+  /** File COMPACTION stays a job over the layout, not a primitive:
+    * rewrite small files as a new overwrite commit of the same rows
+    * (`scan_compact_smallfiles` is exactly that shape) — then
+    * [[vacuum]] reclaims the superseded files once they leave
+    * retention. Round 9 added the other two maintenance primitives:
+    * [[vacuum]] (snapshot expiration + orphan sweep) and
+    * [[checkpoint]] (O(delta) planning). */
   def compactHint: String =
     "compact = commit(readLatest.repartitionByRange(...), op=overwrite)"
 }

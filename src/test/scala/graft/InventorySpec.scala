@@ -220,10 +220,13 @@ class InventorySpec extends SparkSpec {
     // the suite is complete at 22/22
     "sql_tpch_q2", "sql_tpch_q4", "sql_tpch_q8", "sql_tpch_q9",
     "sql_tpch_q11", "sql_tpch_q12", "sql_tpch_q13", "sql_tpch_q15",
-    "sql_tpch_q16", "sql_tpch_q19", "sql_tpch_q20")
+    "sql_tpch_q16", "sql_tpch_q19", "sql_tpch_q20",
+    // §2.57 round-9 second wave: VersionedTable maintenance — MERGE
+    // INTO as a read-modify-write transaction, vacuum + checkpoint
+    "etl_merge_into", "scan_vacuum_current")
 
-  test("declared queries cover SURVEY §2 + §2.12-56 exactly (285 keys)") {
-    assert(inventory.size == 285)
+  test("declared queries cover SURVEY §2 + §2.12-57 exactly (287 keys)") {
+    assert(inventory.size == 287)
     val declared = SparkEntry.queries.keySet
     val missing = inventory -- declared
     val extra = declared -- inventory

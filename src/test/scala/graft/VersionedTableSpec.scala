@@ -147,6 +147,116 @@ class VersionedTableSpec extends SparkSpec {
     assert(VersionedTable.history(spark, root).count() == 1L)
   }
 
+  test("vacuum: retained reads identical, past-retention fails loudly, files gone") {
+    val root = freshRoot()
+    VersionedTable.commit(spark, root,
+      spark.range(100).toDF("id"), "overwrite")                  // v0
+    VersionedTable.commit(spark, root,
+      spark.range(100, 150).toDF("id"), "append")                // v1
+    VersionedTable.commit(spark, root,
+      spark.range(1000, 1080).toDF("id"), "overwrite")           // v2
+    VersionedTable.commit(spark, root,
+      spark.range(2000, 2020).toDF("id"), "append")              // v3
+    val beforeV2 = VersionedTable.readVersion(spark, root, 2L)
+      .agg(sum("id")).head().getLong(0)
+    val beforeV3 = VersionedTable.readVersion(spark, root, 3L)
+      .agg(sum("id")).head().getLong(0)
+    val dataDirsBefore = new java.io.File(s"$root/data").listFiles().length
+    val (dropped, deleted) =
+      VersionedTable.vacuum(spark, root, retainLast = 2, orphanGraceMs = 0L)
+    assert(dropped == Seq(0L, 1L), s"dropped $dropped")
+    assert(deleted.size == 2, s"deleted dirs: $deleted")
+    assert(new java.io.File(s"$root/data").listFiles().length ==
+      dataDirsBefore - 2)
+    // Retained versions answer byte-identically.
+    assert(VersionedTable.readVersion(spark, root, 2L)
+      .agg(sum("id")).head().getLong(0) == beforeV2)
+    assert(VersionedTable.readVersion(spark, root, 3L)
+      .agg(sum("id")).head().getLong(0) == beforeV3)
+    // Past retention: loud failure, not silent empties.
+    val err = intercept[IllegalArgumentException] {
+      VersionedTable.readVersion(spark, root, 1L)
+    }
+    assert(err.getMessage.contains("no committed version"))
+    // The audit face shows only the surviving log.
+    assert(VersionedTable.history(spark, root).count() == 2L)
+    // Vacuum keeps the whole retained CHAIN: retaining 1 from {2,3}
+    // must still keep v2 (v3's snapshot starts at the v2 overwrite).
+    val (dropped2, _) =
+      VersionedTable.vacuum(spark, root, retainLast = 1, orphanGraceMs = 0L)
+    assert(dropped2.isEmpty, "v2 is in v3's chain and must survive")
+  }
+
+  test("checkpoint: O(delta) planning reads the same snapshot, composes with commits after") {
+    val root = freshRoot()
+    VersionedTable.commit(spark, root,
+      spark.range(10).toDF("id"), "overwrite")                   // v0
+    VersionedTable.commit(spark, root,
+      spark.range(10, 30).toDF("id"), "append")                  // v1
+    assert(VersionedTable.checkpoint(spark, root) == 1L)
+    assert(VersionedTable.listCheckpoints(root) == Seq(1L))
+    // Snapshot planned THROUGH the checkpoint == the raw-log answer.
+    assert(VersionedTable.readVersion(spark, root, 1L).count() == 30L)
+    // Commits after the checkpoint compose: an append adds to it...
+    VersionedTable.commit(spark, root,
+      spark.range(100, 105).toDF("id"), "append")                // v2
+    assert(VersionedTable.readLatest(spark, root).count() == 35L)
+    // ...and a later overwrite supersedes it entirely.
+    VersionedTable.commit(spark, root,
+      spark.range(7).toDF("id"), "overwrite")                    // v3
+    assert(VersionedTable.readLatest(spark, root).count() == 7L)
+    // Time travel to pre-checkpoint versions still works (raw log).
+    assert(VersionedTable.readVersion(spark, root, 0L).count() == 10L)
+    // Checkpointing is idempotent at a version (racing dup loses).
+    VersionedTable.checkpoint(spark, root)
+    VersionedTable.checkpoint(spark, root)
+    assert(VersionedTable.listCheckpoints(root) == Seq(1L, 3L))
+  }
+
+  test("merge: updates replace matched keys, insert unmatched, carry the rest") {
+    import spark.implicits._
+    val root = freshRoot()
+    VersionedTable.commit(spark, root,
+      Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+        .toDF("k", "tag", "x"), "overwrite")
+    val v = VersionedTable.merge(spark, root,
+      Seq((2L, "B", 200.0), (9L, "new", 90.0)).toDF("k", "tag", "x"),
+      keys = Seq("k"))
+    assert(v == 1L)
+    val got = VersionedTable.readLatest(spark, root)
+      .orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(got == Seq((1L, "a", 10.0), (2L, "B", 200.0),
+      (3L, "c", 30.0), (9L, "new", 90.0)))
+  }
+
+  test("commitIf: stale expected version loses WITHOUT clobbering, staging cleaned") {
+    import spark.implicits._
+    val root = freshRoot()
+    VersionedTable.commit(spark, root,
+      Seq((1L, 1.0)).toDF("k", "x"), "overwrite")                // v0
+    // A merge computed against v0...
+    val stale = Seq((1L, 99.0)).toDF("k", "x")
+    // ...while a foreign writer lands v1 first.
+    VersionedTable.commit(spark, root,
+      Seq((2L, 2.0)).toDF("k", "x"), "append")                   // v1
+    // The stale transaction must FAIL (not blind-take slot 2 and
+    // silently drop the foreign row from its merged view)...
+    assert(VersionedTable.commitIf(spark, root, stale, "overwrite",
+      Seq.empty, expectedLatest = 0L) == -1L)
+    assert(VersionedTable.latestVersion(root) == 1L)
+    assert(VersionedTable.readLatest(spark, root).count() == 2L)
+    // ...and its staged dir is cleaned up (only v0+v1 dirs remain).
+    assert(new java.io.File(s"$root/data").listFiles().length == 2)
+    // The merge LOOP then converges re-reading the winner's state:
+    // the re-derived merge sees both the foreign row and the update.
+    VersionedTable.merge(spark, root,
+      Seq((1L, 99.0)).toDF("k", "x"), keys = Seq("k"))
+    val got = VersionedTable.readLatest(spark, root).orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == Seq((1L, 99.0), (2L, 2.0)))
+  }
+
   test("DSv2 history connector == the session-side history API") {
     val root = freshRoot()
     VersionedTable.commit(spark, root,
