@@ -173,6 +173,51 @@ object GraphAlgorithms {
     * lists; swap to a bloom prefilter where survivors outgrow the
     * broadcast threshold). Returns (surviving edges, rounds run).
     */
+  /** Synchronous LABEL PROPAGATION over undirected (a, b) edges:
+    * every node starts as its own label; each superstep every node
+    * adopts the most frequent label among its NEIGHBORS, ties broken
+    * by the MINIMUM label — fully deterministic (the async/random
+    * variants of LPA are not replayable; the sync+min-tie-break form
+    * is, at the cost of possible 2-cycles on bipartite structures,
+    * which is why the declared key runs a FIXED round count and the
+    * fixpoint variant carries a maxRounds cap instead of trusting
+    * convergence). Same per-round materialize/release discipline as
+    * the other loops: state is one (node, label) iterate.
+    *
+    * Returns (labels(v, label), roundsRun). With `untilFixpoint`,
+    * stops early once a round changes no label (one long-count per
+    * round, the kcorePeel convention). */
+  def labelPropagation(s: SparkSession, edges: DataFrame, rounds: Int,
+      untilFixpoint: Boolean = false): (DataFrame, Int) = {
+    require(rounds >= 1)
+    import org.apache.spark.sql.expressions.Window
+    val nb = edges.select(col("a").as("v"), col("b").as("n"))
+      .unionAll(edges.select(col("b").as("v"), col("a").as("n")))
+      .persist()
+    var labels = materialize(s,
+      nb.select(col("v")).distinct().select(col("v"), col("v").as("label")))
+    var r = 0
+    var stable = false
+    while (r < rounds && !stable) {
+      val w = Window.partitionBy(col("v"))
+        .orderBy(col("c").desc, col("label"))
+      val next = materialize(s,
+        nb.join(labels.withColumnRenamed("v", "n"), Seq("n"))
+          .groupBy(col("v"), col("label")).agg(count(lit(1)).as("c"))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") === 1)
+          .select(col("v"), col("label")))
+      if (untilFixpoint)
+        stable = next.join(labels, Seq("v", "label"), "left_anti")
+          .isEmpty
+      release(labels)
+      labels = next
+      r += 1
+    }
+    nb.unpersist()
+    (labels, r)
+  }
+
   def kcorePeel(s: SparkSession, edges: DataFrame, k: Int, maxRounds: Int,
       untilFixpoint: Boolean = false): (DataFrame, Int) = {
     require(k >= 1 && maxRounds >= 1)

@@ -107,6 +107,7 @@ object GraphQueries {
 
   private val Iters = 5
   private val KcoreRounds = 5
+  private val LpaRounds = 5
   private val BfsRounds = 3
 
   val queries: Map[String, Q] = Map(
@@ -381,6 +382,26 @@ object GraphQueries {
       e.select(explode(array(col("a"), col("b"))).as("node"))
         .groupBy("node").agg(count(lit(1)).as("deg"))
         .orderBy("node")
+    }),
+
+    // LABEL-PROPAGATION COMMUNITIES (§2.58) — the community-detection
+    // complement of the iteration family (CC finds WHO connects,
+    // PageRank HOW centrally, k-core the cohesive core; LPA finds the
+    // DENSE GROUPS): synchronous LPA, every node adopts its neighbors'
+    // most frequent label, MIN-label tie-break — the deterministic,
+    // replayable variant (async/random LPA is neither). FIXED 5
+    // supersteps like PageRank/k-core, because the unrolled
+    // MATERIALIZED oracle mirrors rounds, not convergence; the
+    // fixpoint face (with its oscillation cap) is the public
+    // GraphAlgorithms.labelPropagation(untilFixpoint = true), pinned
+    // prefix-equal in GraphAlgorithmsSpec. Same '0'-prefix Doulion
+    // graph as k-core (the sparsified periphery makes communities
+    // non-trivial); integer counts, total (node) order.
+    "graph_label_prop" -> ((s, dir) => {
+      val e = doulionSample(orientedEdges(orderParts(s, dir)), Seq("0"))
+      GraphAlgorithms.labelPropagation(s, e, rounds = LpaRounds)._1
+        .select(col("v").as("node"), col("label"))
+        .orderBy("node")
     })
   )
 
@@ -557,6 +578,33 @@ object GraphQueries {
            |  SELECT a AS node FROM e$KcoreRounds
            |  UNION ALL SELECT b FROM e$KcoreRounds)
            |GROUP BY 1 ORDER BY node""".stripMargin
+    },
+    // The same five synchronous supersteps, unrolled as MATERIALIZED
+    // CTEs (the k-core convention); the (count DESC, label ASC)
+    // row_number is the identical tie-break spelling.
+    "graph_label_prop" -> {
+      val prelude =
+        """WITH pp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+          |  FROM lineitem),
+          |ef AS (SELECT DISTINCT x.p AS a, y.p AS b
+          |  FROM pp x JOIN pp y ON x.ok = y.ok AND x.p < y.p),
+          |e AS MATERIALIZED (SELECT a, b FROM ef
+          |  WHERE substring(md5(CAST(a AS VARCHAR) || '_'
+          |    || CAST(b AS VARCHAR)), 1, 1) = '0'),
+          |nb AS MATERIALIZED (SELECT a AS v, b AS n FROM e
+          |  UNION ALL SELECT b, a FROM e),
+          |l0 AS MATERIALIZED (SELECT DISTINCT v, v AS label FROM nb)""".stripMargin
+      val rounds = (1 to LpaRounds).map { i =>
+        s"""l$i AS MATERIALIZED (SELECT v, label FROM (
+           |  SELECT nb.v, l.label, count(*) AS c,
+           |    row_number() OVER (PARTITION BY nb.v
+           |      ORDER BY count(*) DESC, l.label) AS rk
+           |  FROM nb JOIN l${i - 1} l ON l.v = nb.n
+           |  GROUP BY nb.v, l.label) WHERE rk = 1)""".stripMargin
+      }.mkString(",\n")
+      s"$prelude,\n$rounds\n" +
+        s"""SELECT v AS node, label FROM l$LpaRounds
+           |ORDER BY node""".stripMargin
     }
   )
 }

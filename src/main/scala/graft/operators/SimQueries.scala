@@ -136,6 +136,53 @@ object SimQueries {
     // is spelled identically. MSE surfaces ×10⁶ so r4d keeps signal at
     // this embedding magnitude; constant vectors (scale 0) emit 0
     // error via an explicit guard instead of a NaN.
+    // PRODUCT QUANTIZATION (§2.58) — the second lever of the
+    // vector-storage trade (sim_vector_quantize_error is the int8
+    // SCALAR lever): split the 64-dim vector into 4 × 16-dim
+    // subspaces, encode each against a 16-entry per-subspace codebook
+    // (4 × 4 bits/vector vs 64 × 8 for int8), reconstruction error =
+    // distance to the chosen codeword. The declared key uses the 16
+    // deterministic ANCHOR vectors (vec_id < 16) as the codebook —
+    // the random-codebook PQ baseline — because that is exactly
+    // oracle-expressible; Lloyd-refined codebooks via the existing
+    // deterministic KMeans are the production upgrade and are
+    // property-pinned in KMeansSpec (refinement never increases the
+    // error this key measures).
+    //
+    // Determinism: d² = ⟨s,s⟩ + ⟨a,a⟩ − 2⟨s,a⟩ over index-ordered
+    // codegen dot products (ArrayDot ≡ list_dot_product, the cosine
+    // keys' contract); argmin tie-broken by (d², aid) row_number; NO
+    // cross-row double sums — the output is per (vector, subspace),
+    // like the scalar key's per-vector rows.
+    //
+    // Scale: the codebook is O(k·dim) and BROADCAST; encoding is one
+    // map-side pass over the vector table (16 dot products per
+    // subspace per row), embarrassingly parallel, shuffle only for
+    // the 4-row-per-vector argmin window — at 100 TB this is the
+    // standard massive-encode shape (IVF-PQ's encode half).
+    "sim_pq_error" -> ((s, dir) => {
+      val v = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      val sub = v.select(col("vec_id"),
+          explode(array((0 until 4).map(j =>
+            struct(lit(j).as("j"),
+              slice(col("emb"), j * 16 + 1, 16).as("s"))): _*)).as("e"))
+        .select(col("vec_id"), col("e.j").as("j"), col("e.s").as("s"))
+      val anch = sub.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("aid"), col("j"), col("s").as("a"))
+      val d = sub.join(broadcast(anch), Seq("j"))
+        .select(col("vec_id"), col("j"), col("aid"),
+          (ArrayDot(col("s"), col("s")) + ArrayDot(col("a"), col("a"))
+            - lit(2) * ArrayDot(col("s"), col("a"))).as("d2"))
+      val w = Window.partitionBy(col("vec_id"), col("j"))
+        .orderBy(col("d2"), col("aid"))
+      d.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+        .select(col("vec_id"), col("j").cast("long").as("subspace"),
+          col("aid").as("code"),
+          r4d(col("d2") / lit(16.0) * lit(1000000.0)).as("sub_mse_x1e6"))
+        .orderBy("vec_id", "subspace")
+    }),
+
     "sim_vector_quantize_error" -> ((s, dir) => {
       val v = t(s, dir, "embeddings").select(col("vec_id"),
         col("embedding"),
@@ -218,6 +265,27 @@ object SimQueries {
         |GROUP BY 1, 2 ORDER BY label, pred""".stripMargin,
     // Identical IEEE op order; list sums run in list order (the
     // entropy convention), float→double casts exact.
+    // DuckDB 1-based list slice emb[a:b]; the d² spelling and the
+    // (d², aid) tie-break are operand-for-operand the Spark side.
+    "sim_pq_error" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+        |  FROM embeddings),
+        |sub AS (SELECT vec_id, j, emb[j * 16 + 1 : j * 16 + 16] AS s
+        |  FROM v CROSS JOIN (SELECT unnest(range(4)) AS j)),
+        |anch AS (SELECT vec_id AS aid, j, s AS a FROM sub
+        |  WHERE vec_id < 16),
+        |d AS (SELECT sub.vec_id, sub.j, anch.aid,
+        |    list_dot_product(s, s) + list_dot_product(a, a)
+        |      - 2 * list_dot_product(s, a) AS d2
+        |  FROM sub JOIN anch ON sub.j = anch.j),
+        |best AS (SELECT vec_id, j, aid, d2,
+        |    row_number() OVER (PARTITION BY vec_id, j
+        |      ORDER BY d2, aid) AS rk
+        |  FROM d)
+        |SELECT vec_id, CAST(j AS BIGINT) AS subspace, aid AS code,
+        |  ROUND(d2 / 16.0 * 1000000.0 * 10000.0) / 10000.0
+        |    AS sub_mse_x1e6
+        |FROM best WHERE rk = 1 ORDER BY vec_id, subspace""".stripMargin,
     "sim_vector_quantize_error" ->
       """WITH v AS (SELECT vec_id, embedding,
         |    CAST(list_min(embedding) AS DOUBLE) AS lo,

@@ -361,6 +361,56 @@ object TextQueries {
     // which a capped vocab does); the per-doc collect_list is bounded
     // by doc length — the same per-doc-bounded explode every text key
     // makes. T is a 1-row broadcast.
+    // INTERPOLATED BIGRAM LM PERPLEXITY (§2.58) — the unigram key at
+    // the order real CCNet-style quality filters actually use:
+    // per-token surprisal under a Jelinek-Mercer-interpolated bigram
+    // model, p(w|prev) = λ·c(prev,w)/c(prev·) + (1−λ)·cf(w)/T with
+    // λ = 0.75 (interpolation, not backoff: the unigram floor keeps
+    // every seen-token position finite even for unseen CONTEXTS —
+    // c(prev,w) ≥ 1 whenever the position exists, so the bigram leg
+    // is defined, but the mixture is what a held-out corpus needs).
+    //
+    // Determinism: every count is an exact integer; each position's
+    // mixture probability is ONE double expression spelled
+    // operand-for-operand in the oracle, and the per-doc fold rides
+    // the sorted-list convention (array_sort the term list, THEN fold
+    // log2 — identical IEEE sequence in both engines, the
+    // text_perplexity_unigram discipline).
+    //
+    // Scale: bg/ctx/cf are |bigram-type|-bounded model tables (the
+    // dictionary trick — model size is vocab², not corpus); the
+    // per-position joins broadcast once the model fits, and the
+    // per-doc collect_list is doc-length-bounded like every text key.
+    "text_perplexity_bigram" -> ((s, dir) => {
+      val tk = t(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      val seq = tk.withColumn("prev",
+        lag(col("tok"), 1).over(
+          Window.partitionBy("doc_id").orderBy("pos")))
+      val bg = seq.filter(col("prev").isNotNull)
+        .groupBy("prev", "tok").agg(count(lit(1)).as("nb"))
+      val ctx = bg.groupBy("prev").agg(sum(col("nb")).cast("long").as("np"))
+      val cf = tk.groupBy("tok").agg(count(lit(1)).as("cf"))
+      val tot = tk.agg(count(lit(1)).as("t"))
+      seq.filter(col("prev").isNotNull)
+        .join(bg, Seq("prev", "tok"))
+        .join(ctx, Seq("prev"))
+        .join(cf, Seq("tok"))
+        .crossJoin(broadcast(tot))
+        .select(col("doc_id"),
+          (lit(0.75) * (col("nb").cast("double") / col("np").cast("double"))
+            + lit(0.25) * (col("cf").cast("double") / col("t").cast("double")))
+            .as("p"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          array_sort(collect_list(col("p"))).as("ps"))
+        .select(col("doc_id"), col("n_bigrams"),
+          r4d((-aggregate(col("ps"), lit(0.0), (acc, x) =>
+              acc + log2(x))) / col("n_bigrams")).as("nll_bits"))
+        .orderBy("doc_id")
+    }),
+
     "text_perplexity_unigram" -> ((s, dir) => {
       val toks = t(s, dir, "documents")
         .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
@@ -555,6 +605,38 @@ object TextQueries {
         |ORDER BY pmi DESC, a, b LIMIT 25""".stripMargin,
     // Same ascending fold as the entropy oracle: list_sort, in-order
     // list sum of log2(cf); T cast (HUGEINT lesson).
+    // Position-aligned unnest (the text_ngrams convention) + lag for
+    // the context; the mixture expression and the sorted-fold are
+    // operand-for-operand the Spark spelling.
+    "text_perplexity_bigram" ->
+      """WITH tk AS (SELECT doc_id, unnest(range(len(toks))) AS pos,
+        |    unnest(toks) AS tok
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks
+        |        FROM documents)),
+        |seq AS (SELECT doc_id, pos, tok,
+        |    lag(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        |  FROM tk),
+        |bg AS (SELECT prev, tok, count(*) AS nb FROM seq
+        |  WHERE prev IS NOT NULL GROUP BY 1, 2),
+        |ctx AS (SELECT prev, CAST(sum(nb) AS BIGINT) AS np
+        |  FROM bg GROUP BY 1),
+        |cf AS (SELECT tok, count(*) AS cf FROM tk GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS t FROM tk),
+        |terms AS (SELECT s.doc_id,
+        |    0.75 * (CAST(nb AS DOUBLE) / CAST(np AS DOUBLE))
+        |      + 0.25 * (CAST(cf AS DOUBLE) / CAST(t AS DOUBLE)) AS p
+        |  FROM seq s
+        |  JOIN bg ON bg.prev = s.prev AND bg.tok = s.tok
+        |  JOIN ctx ON ctx.prev = s.prev
+        |  JOIN cf ON cf.tok = s.tok
+        |  CROSS JOIN tot
+        |  WHERE s.prev IS NOT NULL),
+        |d AS (SELECT doc_id, count(*) AS n, list_sort(list(p)) AS ps
+        |  FROM terms GROUP BY doc_id)
+        |SELECT doc_id, n AS n_bigrams,
+        |  ROUND(((-(list_aggregate(list_transform(ps, x -> log2(x)),
+        |    'sum'))) / n) * 10000.0) / 10000.0 AS nll_bits
+        |FROM d ORDER BY doc_id""".stripMargin,
     "text_perplexity_unigram" ->
       """WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
         |  FROM documents),

@@ -223,10 +223,13 @@ class InventorySpec extends SparkSpec {
     "sql_tpch_q16", "sql_tpch_q19", "sql_tpch_q20",
     // §2.57 round-9 second wave: VersionedTable maintenance — MERGE
     // INTO as a read-modify-write transaction, vacuum + checkpoint
-    "etl_merge_into", "scan_vacuum_current")
+    "etl_merge_into", "scan_vacuum_current",
+    // §2.58 round-9 third wave: interpolated bigram LM perplexity,
+    // product quantization, label-propagation communities
+    "text_perplexity_bigram", "sim_pq_error", "graph_label_prop")
 
-  test("declared queries cover SURVEY §2 + §2.12-57 exactly (287 keys)") {
-    assert(inventory.size == 287)
+  test("declared queries cover SURVEY §2 + §2.12-58 exactly (290 keys)") {
+    assert(inventory.size == 290)
     val declared = SparkEntry.queries.keySet
     val missing = inventory -- declared
     val extra = declared -- inventory

@@ -125,4 +125,30 @@ class KMeansSpec extends SparkSpec {
     val b = q(spark, sf).collect()
     assert(a.toSeq == b.toSeq, "sim_ann_kmeans not replay-deterministic")
   }
+
+  test("PQ: Lloyd-refined per-subspace codebooks never lose to the anchor codebook") {
+    // The declared sim_pq_error key uses the 16 anchor vectors as
+    // each subspace's codebook (oracle-expressible); the production
+    // upgrade is KMeans.fit per subspace. Lloyd from the anchor-like
+    // init can only decrease total assignment distance — pinned here
+    // so the upgrade path stays justified by measurement.
+    def sse(sub: DataFrame, cents: Seq[Seq[Double]]): Double =
+      KMeans.assign(sub, cents)
+        .select(aggregate(zip_with(col("v"),
+            element_at(typedLit(cents.map(_.toArray)), col("c") + 1),
+            (x, c) => (x - c) * (x - c)), lit(0.0),
+          (acc, d) => acc + d).as("d2"))
+        .collect().map(_.getDouble(0)).sum
+    for (j <- 0 until 4) {
+      val sub = fixtureVecs.select(col("id"),
+        slice(col("v"), j * 16 + 1, 16).as("v"))
+      val anchors: Seq[Seq[Double]] = sub.filter(col("id") < 16)
+        .orderBy("id").collect()
+        .map(_.getSeq[Double](1).toSeq).toSeq
+      val refined = KMeans.fit(sub, k = 16, iters = 3)
+      val (a, r) = (sse(sub, anchors), sse(sub, refined))
+      assert(r <= a * 1.0001,
+        s"subspace $j: refined SSE $r worse than anchor SSE $a")
+    }
+  }
 }
