@@ -530,6 +530,60 @@ class StreamingParitySpec extends SparkSpec {
     assert(afterClose.sum == firstWindowCounts.sum,
       s"late row leaked into closed window: $finalRows")
   }
+
+  test("state size is O(open sessions): 10x users => ~10x state rows, never O(events)") {
+    // Round-9 verdict item: turn the "O(1) registers per open session"
+    // scaladoc claim into a measured number. Replay the corpus 1x and
+    // 10x (user-shifted disjoint copies — identical session structure
+    // per copy, 10x the users), run the session-window queries in
+    // Append mode (watermark evicts closed sessions), and read the
+    // state-store metrics of the LAST batch. O(open sessions) means:
+    // state scales with the copies (≈10x), and both readings stay far
+    // below the event count — an O(events) leak (e.g. a missing
+    // watermark) would hold every event's session forever.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def stateRows(copies: Int, name: String)(
+        q: DataFrame => DataFrame): Long = {
+      val mem = MemoryStream[Event]
+      val src = q(mem.toDF().withColumn("ts", timestamp_millis(col("ts_ms"))))
+      val query = src.writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).start()
+      val rows = (0 until copies).flatMap(i => evRows.map(e => e.copy(
+        event_id = e.event_id + i * 10000000L,
+        user_id = e.user_id + i * 100000L)))
+        .sortBy(e => (e.ts_ms, e.event_id))
+      rows.grouped(math.max(1, rows.size / 8)).foreach { chunk =>
+        mem.addData(chunk)
+        query.processAllAvailable()
+      }
+      // The newest progress entry that actually carries state metrics.
+      val n = query.recentProgress.reverse
+        .find(_.stateOperators.nonEmpty)
+        .map(_.stateOperators.map(_.numRowsTotal).sum)
+        .getOrElse(-1L)
+      query.stop()
+      n
+    }
+    val nEvents = evRows.size.toLong
+    for ((label, q) <- Seq[(String, DataFrame => DataFrame)](
+      "sessions" -> (GraftStreams.sessionWindows(_)),
+      "firsttouch" -> (GraftStreams.sessionFirstTouch(_)))) {
+      val s1 = stateRows(1, s"strows_${label}_1")(q)
+      val s10 = stateRows(10, s"strows_${label}_10")(q)
+      assert(s1 > 0, s"$label: no state metrics surfaced")
+      // Copies are structurally identical, so open sessions scale
+      // exactly with users; allow slack for batch-boundary effects.
+      assert(s10 <= 10 * s1, s"$label: superlinear state $s1 -> $s10")
+      assert(s10 >= 5 * s1, s"$label: state did not scale with users " +
+        s"($s1 -> $s10) — is the metric real?")
+      // The leak pin: state is bounded by open sessions at the
+      // watermark horizon, far below the replayed event count.
+      assert(s10 < nEvents,
+        s"$label: state $s10 ~ O(events) for ${10 * nEvents} replayed " +
+          "events — closed sessions are not being evicted")
+    }
+  }
 }
 
 /** Batch-side references shared with the declared queries. */
