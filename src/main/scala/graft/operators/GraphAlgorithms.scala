@@ -30,9 +30,15 @@ import org.apache.spark.sql.functions._
   */
 object GraphAlgorithms {
 
+  // dropOriginConstraints: the checkpoint keeps the origin plan's
+  // constraint set, and the loop shape (iterate unioned with a plan
+  // derived from it) trips Union's constraint rewrite when the origin
+  // lineage carries a generator — see the shim's scaladoc. Constraints
+  // on an already-materialized iterate buy nothing.
   private def materialize(s: SparkSession, df: DataFrame): DataFrame =
-    if (s.sparkContext.getCheckpointDir.isDefined) df.checkpoint(true)
-    else df.localCheckpoint(true)
+    org.apache.spark.sql.graftshim.dropOriginConstraints(
+      if (s.sparkContext.getCheckpointDir.isDefined) df.checkpoint(true)
+      else df.localCheckpoint(true))
 
   private def release(df: DataFrame): Unit =
     org.apache.spark.sql.graftshim.unpersistCheckpoint(df)

@@ -62,32 +62,35 @@ object GraphQueries {
       col("b").cast("string")).cast("binary")), 1, 1)
       .isin(prefixes: _*))
 
-  /** `doulionSample(orientedEdges(orderParts(…)), prefixes)` with the
-    * edge GENERATION restructured for scale — bit-identical output
-    * (round-9 A/B: same 1,493,876 edges on the 10× corpus, 2.4×
-    * faster). Two wins over the self-join spelling:
-    * (a) per-order pairs come from ONE groupBy(ok) + collect_set +
-    *     map-side double explode — the self-join form pays a distinct
-    *     exchange on (ok, p) AND a re-exchange on ok AND the join
-    *     itself; order baskets are small (≈4 parts), so the sets are
-    *     bounded;
-    * (b) the md5 sample COMMUTES with distinct (it is a pure function
-    *     of (a, b)), so it filters the raw pair stream BEFORE the
-    *     distinct — the dedup exchange shuffles p·|pairs| rows
-    *     instead of |pairs|.
-    * Kept alongside the naive composition (which the other graph keys
-    * still use) because their PlanAuditSpec pins anchor to that plan;
-    * migrating them is a follow-up with its own A/B. */
-  private def sampledOrientedEdges(s: SparkSession, dir: String,
-      prefixes: Seq[String]): DataFrame = {
-    val byOrder = t(s, dir, "lineitem")
+  /** Per-order part SETS — the shared first stage of the restructured
+    * edge builds: ONE groupBy(ok) + collect_set (order baskets are
+    * small, ≈4 parts, so the sets are bounded) instead of the
+    * distinct-then-self-join spelling, which pays a distinct exchange
+    * on (ok, p) AND a re-exchange on ok AND the join build. */
+  private def partSetsByOrder(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
       .groupBy("ok").agg(sort_array(collect_set(col("p"))).as("ps"))
       .filter(size(col("ps")) >= 2)
-    val pairs = byOrder
+
+  /** `[doulionSample∘]orientedEdges(orderParts(…))` with the edge
+    * GENERATION restructured for scale — bit-identical output
+    * (round-9 A/B: same 1,493,876 edges on the 10× corpus, 2.4×
+    * faster). Two wins over the self-join spelling: (a) the
+    * [[partSetsByOrder]] build above, with per-order a<b pairs a
+    * MAP-SIDE double explode off the sorted set; (b) the md5 sample
+    * COMMUTES with distinct (it is a pure function of (a, b)), so it
+    * filters the raw pair stream BEFORE the distinct — the dedup
+    * exchange shuffles p·|pairs| rows instead of |pairs|. All the
+    * co-purchase graph keys ride this build (round-9 migration); the
+    * naive orientedEdges composition stays for spec-side reference
+    * constructions. */
+  private def sampledOrientedEdges(s: SparkSession, dir: String,
+      prefixes: Option[Seq[String]]): DataFrame = {
+    val pairs = partSetsByOrder(s, dir)
       .select(posexplode(col("ps")).as(Seq("i", "a")), col("ps"))
       .select(col("a"), explode(expr("slice(ps, i + 2, size(ps))")).as("b"))
-    doulionSample(pairs, prefixes).distinct()
+    prefixes.fold(pairs)(p => doulionSample(pairs, p)).distinct()
   }
 
   /** Per-node triangle corner counts over oriented a<b edges: wedge
@@ -152,8 +155,7 @@ object GraphQueries {
     // distinct-edge subplan, so the exchange is built once and reused
     // (ReusedExchange, pinned in PlanAuditSpec).
     "graph_triangle_count" -> ((s, dir) => {
-      val e = doulionSample(orientedEdges(orderParts(s, dir)),
-        Seq("0", "1", "2", "3"))
+      val e = sampledOrientedEdges(s, dir, Some(Seq("0", "1", "2", "3")))
       triangleCorners(e).orderBy("node")
     }),
 
@@ -168,10 +170,16 @@ object GraphQueries {
     // (n_co desc, other) for replay-stable recommendations.
     "graph_also_bought_topk" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val pp = orderParts(s, dir)
-      val co = pp.as("x").join(pp.as("y"),
-          col("x.ok") === col("y.ok") && col("x.p") =!= col("y.p"))
-        .groupBy(col("x.p").as("part"), col("y.p").as("other"))
+      // Round-9: co-occurrence pairs off the per-order part SETS (one
+      // groupBy(ok) shuffle + map-side double explode) instead of the
+      // pp self-join — same bit-identical pair multiset, the
+      // sampledOrientedEdges build rationale; both directions kept
+      // (part ≠ other), no a<b orientation here.
+      val co = partSetsByOrder(s, dir)
+        .select(explode(col("ps")).as("part"), col("ps"))
+        .select(col("part"), explode(col("ps")).as("other"))
+        .filter(col("part") =!= col("other"))
+        .groupBy(col("part"), col("other"))
         .agg(count(lit(1)).as("n_co"))
       val w = Window.partitionBy(col("part"))
         .orderBy(col("n_co").desc, col("other"))
@@ -201,12 +209,20 @@ object GraphQueries {
       // 100 TB graph) is the public scale path, pinned ≡ this form in
       // GraphAlgorithmsSpec. Fixed 3 rounds — the unrolled-oracle
       // contract.
-      val pp = orderParts(s, dir)
-      val half = orientedEdges(pp)
+      // localCheckpoint truncates the explode-derived lineage BEFORE
+      // the direction-union: Union constraint rewriting trips over
+      // generator attributes shared across both legs when the union
+      // later joins the checkpointed distance table (Catalyst
+      // "key not found" in rewriteConstraints) — and the loop re-reads
+      // the edges every round anyway, so eager materialization is the
+      // right cost model, not just a workaround.
+      val half = org.apache.spark.sql.graftshim.dropOriginConstraints(
+        sampledOrientedEdges(s, dir, None).localCheckpoint(true))
       val ed = half.select(col("a").as("src"), col("b").as("dst"))
         .unionAll(half.select(col("b").as("src"), col("a").as("dst")))
         .persist()
-      val seeds = pp.select(col("p").as("node")).distinct()
+      val seeds = t(s, dir, "lineitem")
+        .select(col("l_partkey").as("node")).distinct()
         .filter(pmod(col("node"), lit(97)) === 0)
       val dist = GraphAlgorithms.bfsFullReagg(s, ed, seeds, BfsRounds)
       ed.unpersist()
@@ -225,8 +241,7 @@ object GraphQueries {
     // subplan; nodes below 2 sampled degrees have no defined cc and
     // drop; triangle-free nodes emit 0 via the left join.
     "graph_clustering_coeff" -> ((s, dir) => {
-      val pp = orderParts(s, dir)
-      val e = doulionSample(orientedEdges(pp), Seq("0", "1", "2", "3"))
+      val e = sampledOrientedEdges(s, dir, Some(Seq("0", "1", "2", "3")))
       val deg = e.select(explode(array(col("a"), col("b"))).as("node"))
         .groupBy("node").agg(count(lit(1)).as("deg"))
       deg.join(triangleCorners(e), Seq("node"), "left")
@@ -254,8 +269,7 @@ object GraphQueries {
     // ≤64-row bucket agg. Output is domain-bounded (≤64 buckets); the
     // shuffles are |E| slim pairs and |V| counts — never quadratic.
     "graph_degree_hist" -> ((s, dir) => {
-      val pp = orderParts(s, dir)
-      val e = orientedEdges(pp)
+      val e = sampledOrientedEdges(s, dir, None)
       val deg = e.select(explode(array(col("a"), col("b"))).as("node"))
         .groupBy("node").agg(count(lit(1)).as("deg"))
       deg.groupBy((length(bin(col("deg"))) - 1).cast("long").as("bucket"))
@@ -310,7 +324,7 @@ object GraphQueries {
     // construction, no hub can blow a task.
     "graph_jaccard_linkpred" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val e = sampledOrientedEdges(s, dir, Seq("0", "1")).persist()
+      val e = sampledOrientedEdges(s, dir, Some(Seq("0", "1"))).persist()
       val nb = e.select(col("a").as("v"), col("b").as("n"))
         .unionAll(e.select(col("b").as("v"), col("a").as("n")))
       val deg = nb.groupBy(col("v")).agg(count(lit(1)).as("deg")).persist()
@@ -375,9 +389,8 @@ object GraphQueries {
       // rounds here (unrolled-oracle contract) — the true-fixpoint
       // read is the public untilFixpoint face, pinned monotone-subset
       // of this in GraphAlgorithmsSpec.
-      val pp = orderParts(s, dir)
       val e = GraphAlgorithms.kcorePeel(s,
-        doulionSample(orientedEdges(pp), Seq("0")), k = 2,
+        sampledOrientedEdges(s, dir, Some(Seq("0"))), k = 2,
         maxRounds = KcoreRounds)._1
       e.select(explode(array(col("a"), col("b"))).as("node"))
         .groupBy("node").agg(count(lit(1)).as("deg"))
@@ -398,7 +411,7 @@ object GraphQueries {
     // graph as k-core (the sparsified periphery makes communities
     // non-trivial); integer counts, total (node) order.
     "graph_label_prop" -> ((s, dir) => {
-      val e = doulionSample(orientedEdges(orderParts(s, dir)), Seq("0"))
+      val e = sampledOrientedEdges(s, dir, Some(Seq("0")))
       GraphAlgorithms.labelPropagation(s, e, rounds = LpaRounds)._1
         .select(col("v").as("node"), col("label"))
         .orderBy("node")

@@ -42,6 +42,31 @@ package object graftshim {
     }
   }
 
+  /** Rebuild a (local)checkpointed DataFrame's LogicalRDD WITHOUT its
+    * `originConstraints`. A checkpoint preserves the origin plan's
+    * constraint set verbatim; when the checkpointed frame is then
+    * unioned with a plan derived FROM it (the iterative-loop shape:
+    * `relaxed.unionByName(dist)`), Union's constraint rewrite can hit
+    * an origin attribute that is in neither child's output and dies
+    * with `key not found: <attr>` inside AttributeMap — observed on
+    * Spark 4.1 when the origin lineage contains a generator
+    * (posexplode) feeding the loop. Constraints on a materialized
+    * iterate buy nothing (filters were already applied to produce the
+    * data), so dropping them is free. No-op for frames that are not
+    * LogicalRDD-rooted. */
+  def dropOriginConstraints(df: DataFrame): DataFrame =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        classic.Dataset.ofRows(
+          df.sparkSession.asInstanceOf[classic.SparkSession],
+          new org.apache.spark.sql.execution.LogicalRDD(
+            lr.output, lr.rdd, lr.outputPartitioning, lr.outputOrdering,
+            lr.isStreaming, lr.stream)(
+            df.sparkSession.asInstanceOf[classic.SparkSession],
+            None, None))
+      case _ => df
+    }
+
   /** Release the storage blocks behind a (local)checkpointed DataFrame.
     * `df.unpersist` only touches the plan cache, not the RDD-level
     * persistence a checkpoint pins — iterative loops need this to avoid
