@@ -145,6 +145,36 @@ object JoinQueries {
         .orderBy(col("event_id"))
     }),
 
+    // TOLERANCE as-of (§2.59) — the staleness-bounded member of the
+    // ASOF family (pandas merge_asof's `tolerance`, every feature
+    // store's max-staleness contract): latest order at-or-before the
+    // event, but ONLY within 365 days — an older match is worse than
+    // no match (serving a year-stale feature silently corrupts
+    // training), so out-of-tolerance events keep NULLs via the LEFT
+    // face (join_asof is inner: its events without any prior order
+    // simply drop). Shape: inner equi-join + max-of-struct argmax like
+    // the siblings, then one LEFT join back on the unique event key to
+    // restore the no-match rows — the tolerance predicate prunes the
+    // join fan-out BEFORE the aggregate (a post-agg filter would carry
+    // the full history through the shuffle).
+    "join_asof_tolerance" -> ((s, dir) => {
+      val e = events(s, dir).select(col("event_id"), col("ts"), col("user_id"))
+      val o = t(s, dir, "orders")
+      val matched = e.join(o,
+          col("o_custkey") === col("user_id") + 1
+            && col("o_orderdate") <= col("ts")
+            && col("o_orderdate") >= col("ts") - expr("INTERVAL 365 DAY"))
+        .groupBy(col("event_id"))
+        .agg(max(struct(col("o_orderdate"), col("o_orderkey"))).as("m"))
+      e.select(col("event_id"), col("ts"))
+        .join(matched, Seq("event_id"), "left")
+        .select(col("event_id"), col("m.o_orderkey").as("o_orderkey"),
+          col("m.o_orderdate").cast("date").as("o_orderdate"),
+          datediff(col("ts").cast("date"), col("m.o_orderdate").cast("date"))
+            .cast("long").as("staleness_days"))
+        .orderBy(col("event_id"))
+    }),
+
     // NEAREST as-of (round-6): the bidirectional member of the ASOF
     // family — for each event, the order of the mapped customer nearest
     // in time (either direction), tie → earlier date, then lower key.
@@ -535,6 +565,24 @@ object JoinQueries {
         |  FROM events JOIN orders
         |    ON o_custkey = user_id + 1 AND o_orderdate <= ts)
         |WHERE rn = 1 ORDER BY event_id""".stripMargin,
+    // LEFT face restores no-match events as NULL rows; the 365-day
+    // bound is the same interval arithmetic both engines run on the
+    // event timestamp.
+    "join_asof_tolerance" ->
+      """SELECT e.event_id, m.o_orderkey,
+        |  CAST(m.o_orderdate AS DATE) AS o_orderdate,
+        |  CAST(date_diff('day', CAST(m.o_orderdate AS DATE),
+        |    CAST(e.ts AS DATE)) AS BIGINT) AS staleness_days
+        |FROM events e LEFT JOIN (
+        |  SELECT event_id, o_orderkey, o_orderdate FROM (
+        |    SELECT event_id, o_orderkey, o_orderdate,
+        |      row_number() OVER (PARTITION BY event_id
+        |        ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |    FROM events JOIN orders
+        |      ON o_custkey = user_id + 1 AND o_orderdate <= ts
+        |        AND o_orderdate >= ts - INTERVAL 365 DAY)
+        |  WHERE rn = 1) m ON m.event_id = e.event_id
+        |ORDER BY e.event_id""".stripMargin,
     "join_existence_flag" ->
       """SELECT c_custkey, c_name,
         |  EXISTS (SELECT 1 FROM orders

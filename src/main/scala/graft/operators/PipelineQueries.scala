@@ -708,6 +708,35 @@ object PipelineQueries {
     // single-partition window over the corpus), keep while cum ≤
     // budget. The relative budget (tot div 4) keeps the selection
     // non-degenerate at every SF.
+    // LENGTH BUCKETING (§2.59) — pad-waste accounting for batch
+    // assembly: documents bucketed to the next power-of-two token
+    // length (the dynamic-batching convention — fixed bucket shapes
+    // keep compiled kernels reusable while bounding pad waste at <50%;
+    // pack_sequences is the zero-waste alternative with ragged
+    // batches). The bucket is INTEGER-EXACT via the degree_hist
+    // binary-string trick — 2^(length(bin(n))−1) is n rounded DOWN to
+    // a power of two, promoted when n isn't exactly one — immune to
+    // float-log ulp at the powers themselves. Per-bucket: doc count,
+    // real vs pad tokens (exact integer sums), waste ratio as ONE
+    // double division, r4d. Scale: one scan, map-side bucket
+    // projection, ≤ ~15 output groups — the cheapest possible profile,
+    // same cost model as hist_values.
+    "pipeline_length_bucketing" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n"))
+      d.withColumn("p",
+          expr("cast(pow(2, length(bin(n)) - 1) as bigint)"))
+        .withColumn("bucket",
+          when(col("p") === col("n"), col("n")).otherwise(col("p") * 2))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n")).cast("long").as("real_tokens"),
+          sum(col("bucket") - col("n")).cast("long").as("pad_tokens"),
+          r4d(sum(col("bucket") - col("n")).cast("double")
+            / sum(col("bucket")).cast("double")).as("waste_ratio"))
+        .orderBy("bucket")
+    }),
+
     "pipeline_token_budget_trim" -> ((s, dir) => {
       val d = t(s, dir, "documents")
         .select(col("doc_id"),
@@ -781,6 +810,24 @@ object PipelineQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // Same binary-string power-of-two spelling; HUGEINT sums cast.
+    "pipeline_length_bucketing" ->
+      """WITH d AS (SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+        |  FROM documents),
+        |b AS (SELECT doc_id, n,
+        |    CASE WHEN CAST(pow(2, length(bin(n)) - 1) AS BIGINT) = n
+        |      THEN n
+        |      ELSE CAST(pow(2, length(bin(n)) - 1) AS BIGINT) * 2 END
+        |      AS bucket
+        |  FROM d)
+        |SELECT bucket, count(*) AS n_docs,
+        |  CAST(sum(n) AS BIGINT) AS real_tokens,
+        |  CAST(sum(bucket - n) AS BIGINT) AS pad_tokens,
+        |  ROUND(CAST(sum(bucket - n) AS DOUBLE)
+        |    / CAST(sum(bucket) AS DOUBLE) * 10000.0) / 10000.0
+        |    AS waste_ratio
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
     // Quality ordering uses the UNROUNDED expression (identical IEEE
     // sequence both engines); the output column is rounded at the edge
     // and the final ORDER BY runs on the rounded value + doc_id.

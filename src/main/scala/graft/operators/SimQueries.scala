@@ -59,6 +59,36 @@ object SimQueries {
         .orderBy("probe_id", "rk")
     }),
 
+    // MAX-INNER-PRODUCT top-5 (§2.59) — the retrieval scoring the
+    // cosine keys deliberately don't cover: two-tower recommenders and
+    // learned retrieval rank by RAW dot product, where a vector's NORM
+    // is part of its score (popular items learn long embeddings;
+    // cosine normalization erases exactly that signal, so MIPS and
+    // kNN return genuinely different neighbors). Same scale shape as
+    // sim_knn_topk: broadcast probes, one scan, TopKPerGroup bounded
+    // heap (≤5 rows per probe × partition into the exchange) — and the
+    // classic MIPS-to-cosine reductions (norm-augmented dimension)
+    // stay unnecessary while the probe side broadcasts.
+    "sim_mips_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val probes = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("probe_id"), col("v").as("p"))
+      val scored = emb.crossJoin(broadcast(probes))
+        .filter(col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("vec_id"),
+          ArrayDot(col("p"), col("v")).as("dot"))
+      val top = graft.plans.TopKPerGroup(scored, k = 5,
+        partNames = Seq("probe_id"),
+        orderSpec = Seq(("dot", false), ("vec_id", true)))
+      val w = Window.partitionBy("probe_id")
+        .orderBy(col("dot").desc, col("vec_id"))
+      top.withColumn("rk", row_number().over(w))
+        .select(col("probe_id"), col("vec_id"), r4d(col("dot")).as("dot"),
+          col("rk").cast("long").as("rk"))
+        .orderBy("probe_id", "rk")
+    }),
+
     // Per-label elementwise mean of the first 8 dims (exact decimal sums
     // at scale 12 — lossless for float inputs, order-independent).
     "sim_centroid_per_label" -> ((s, dir) => {
@@ -265,6 +295,21 @@ object SimQueries {
         |GROUP BY 1, 2 ORDER BY label, pred""".stripMargin,
     // Identical IEEE op order; list sums run in list order (the
     // entropy convention), float→double casts exact.
+    // Raw dot, no normalization; same -0.0-safe round as the cosine
+    // keys.
+    "sim_mips_topk" ->
+      """WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |scored AS (SELECT p.vec_id AS probe_id, e.vec_id AS vec_id,
+        |    list_dot_product(p.v, e.v) AS dot
+        |  FROM emb e CROSS JOIN (SELECT * FROM emb WHERE vec_id < 10) p
+        |  WHERE e.vec_id <> p.vec_id)
+        |SELECT probe_id, vec_id, ROUND(dot, 4) + 0.0 AS dot, rk FROM (
+        |  SELECT probe_id, vec_id, dot,
+        |    row_number() OVER (PARTITION BY probe_id
+        |      ORDER BY dot DESC, vec_id) AS rk
+        |  FROM scored)
+        |WHERE rk <= 5 ORDER BY probe_id, rk""".stripMargin,
     // DuckDB 1-based list slice emb[a:b]; the d² spelling and the
     // (d², aid) tie-break are operand-for-operand the Spark side.
     "sim_pq_error" ->

@@ -226,10 +226,13 @@ class InventorySpec extends SparkSpec {
     "etl_merge_into", "scan_vacuum_current",
     // §2.58 round-9 third wave: interpolated bigram LM perplexity,
     // product quantization, label-propagation communities
-    "text_perplexity_bigram", "sim_pq_error", "graph_label_prop")
+    "text_perplexity_bigram", "sim_pq_error", "graph_label_prop",
+    // §2.59 round-9 fourth wave: tolerance as-of, MIPS top-k,
+    // power-of-two length bucketing
+    "join_asof_tolerance", "sim_mips_topk", "pipeline_length_bucketing")
 
-  test("declared queries cover SURVEY §2 + §2.12-58 exactly (290 keys)") {
-    assert(inventory.size == 290)
+  test("declared queries cover SURVEY §2 + §2.12-59 exactly (293 keys)") {
+    assert(inventory.size == 293)
     val declared = SparkEntry.queries.keySet
     val missing = inventory -- declared
     val extra = declared -- inventory
