@@ -1399,6 +1399,47 @@ object AnalyticsQueries {
         .orderBy("event_type", "dow")
     }),
 
+    // ROLLING CORRELATION (§2.60) — trailing-14-day Pearson correlation
+    // between the click and purchase daily series on the shared
+    // zero-filled spine: the metric-covariation read (are purchases
+    // tracking clicks this fortnight, or decoupling?) that pairs-trading
+    // and funnel-health dashboards both draw. EXACT integer moments:
+    // the five windowed sums (Σx, Σy, Σxy, Σx², Σy²) are integer
+    // counts, the n·Σxy − Σx·Σy numerators stay integers (bounded far
+    // below 2⁶³ by the 14-day frame), and the ONE double op is the
+    // final ÷√ — r4d at the edge; zero-variance frames emit NULL.
+    // Calendar-bounded global window (documented exception, the
+    // ts_ewma convention).
+    "ts_rolling_corr" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = zeroFilledDaily(s, dir)
+        .filter(col("event_type").isin("click", "purchase"))
+        .groupBy("day")
+        .agg(sum(when(col("event_type") === "click", col("y"))
+            .otherwise(0L)).cast("long").as("cx"),
+          sum(when(col("event_type") === "purchase", col("y"))
+            .otherwise(0L)).cast("long").as("cy"))
+      val w = Window.orderBy(col("day")).rowsBetween(-13, 0)
+      val m = d
+        .withColumn("n", count(lit(1)).over(w))
+        .withColumn("sx", sum(col("cx")).over(w))
+        .withColumn("sy", sum(col("cy")).over(w))
+        .withColumn("sxy", sum(col("cx") * col("cy")).over(w))
+        .withColumn("sxx", sum(col("cx") * col("cx")).over(w))
+        .withColumn("syy", sum(col("cy") * col("cy")).over(w))
+      m.select(col("day"), col("cx"), col("cy"),
+          when(col("n") * col("sxx") - col("sx") * col("sx") > 0
+              && col("n") * col("syy") - col("sy") * col("sy") > 0,
+            r4d((col("n") * col("sxy") - col("sx") * col("sy"))
+              .cast("double")
+              / sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+                  .cast("double")
+                * (col("n") * col("syy") - col("sy") * col("sy"))
+                  .cast("double"))))
+            .as("corr14"))
+        .orderBy("day")
+    }),
+
     // TPC-H Q1 — THE scan-aggregate benchmark staple: one lineitem
     // pass, a date residual, eight aggregates over two grouping
     // columns. Every money aggregate routes through Det.dsum/davg
@@ -2496,6 +2537,37 @@ object AnalyticsQueries {
          |  AND o_orderdate < DATE '1997-01-01'
          |GROUP BY n_name
          |ORDER BY revenue DESC, n_name""".stripMargin,
+    // Same exact-integer moments on the same zero-filled day spine;
+    // FILTER counts ≡ the Spark side's conditional sums of the
+    // zero-filled per-type series.
+    "ts_rolling_corr" ->
+      s"""WITH e AS (SELECT event_type, ${sqlEpochDay("ts")} AS day
+         |  FROM events),
+         |b AS (SELECT min(day) AS lo, max(day) AS hi FROM e),
+         |spine AS (SELECT unnest(range(lo, hi + 1)) AS day FROM b),
+         |d AS (SELECT day,
+         |    count(*) FILTER (WHERE event_type = 'click') AS cx,
+         |    count(*) FILTER (WHERE event_type = 'purchase') AS cy
+         |  FROM e GROUP BY day),
+         |f AS (SELECT s.day, COALESCE(cx, 0) AS cx, COALESCE(cy, 0) AS cy
+         |  FROM spine s LEFT JOIN d USING (day)),
+         |m AS (SELECT day, cx, cy,
+         |    count(*) OVER w AS n,
+         |    CAST(sum(cx) OVER w AS BIGINT) AS sx,
+         |    CAST(sum(cy) OVER w AS BIGINT) AS sy,
+         |    CAST(sum(cx * cy) OVER w AS BIGINT) AS sxy,
+         |    CAST(sum(cx * cx) OVER w AS BIGINT) AS sxx,
+         |    CAST(sum(cy * cy) OVER w AS BIGINT) AS syy
+         |  FROM f WINDOW w AS (ORDER BY day
+         |    ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+         |SELECT day, CAST(cx AS BIGINT) AS cx, CAST(cy AS BIGINT) AS cy,
+         |  CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 THEN
+         |    ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+         |      / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+         |           * CAST(n * syy - sy * sy AS DOUBLE)) * 10000.0)
+         |      / 10000.0
+         |  END AS corr14
+         |FROM m ORDER BY day""".stripMargin,
     // count(*) stays BIGINT; the ÷7 ratio divides the exact decimal
     // sum as a double exactly as the Spark spelling does.
     "sql_tpch_q17" ->

@@ -81,6 +81,30 @@ object WindowQueries {
     }),
 
     // RANGE frame over epoch-day: orders within the 30 preceding days.
+    // TIME-INTERVAL RANGE FRAME (§2.60) — the frame win_range_frame
+    // deliberately approximates away: a TRUE `RANGE BETWEEN INTERVAL 7
+    // DAYS PRECEDING` over the raw TIMESTAMP ordering (the epoch-day
+    // integer range there quantizes to midnight boundaries; the
+    // interval frame is event-time-exact, the "trailing 7×24h spend"
+    // a risk engine actually means). Interval range frames are their
+    // own SQL/Catalyst surface (calendar-interval bound resolution on
+    // the ORDER BY type), only reachable through SQL text — the
+    // DataFrame Window API takes long bounds only. RANGE semantics
+    // also include ts-PEERS of the current row, so ties need no
+    // tie-break: the frame is identical for every peer. Decimal-exact
+    // sum, one round at the edge.
+    "win_range_time_frame" -> ((s, dir) => {
+      events(s, dir).createOrReplaceTempView("graft_ev_rtf")
+      s.sql("""SELECT event_id,
+        |  count(*) OVER w AS n_7d,
+        |  CAST(ROUND(sum(CAST(value AS DECIMAL(38,6))) OVER w, 4)
+        |    AS DOUBLE) AS sum_7d
+        |FROM graft_ev_rtf
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+        |  RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin)
+    }),
+
     "win_range_frame" -> ((s, dir) => {
       val eday = datediff(col("o_orderdate").cast("date"),
         lit("1970-01-01").cast("date"))
@@ -264,6 +288,16 @@ object WindowQueries {
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
         |  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
         |ORDER BY user_id, event_id""".stripMargin,
+    // Same interval frame over the raw timestamp ordering.
+    "win_range_time_frame" ->
+      """SELECT event_id,
+        |  count(*) OVER w AS n_7d,
+        |  CAST(ROUND(sum(CAST(value AS DECIMAL(38,6))) OVER w, 4)
+        |    AS DOUBLE) AS sum_7d
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+        |  RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
     "win_range_frame" ->
       """SELECT o_custkey, o_orderkey,
         |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,6))) OVER w, 4) AS DOUBLE) AS sum_30d,

@@ -229,10 +229,12 @@ class InventorySpec extends SparkSpec {
     "text_perplexity_bigram", "sim_pq_error", "graph_label_prop",
     // §2.59 round-9 fourth wave: tolerance as-of, MIPS top-k,
     // power-of-two length bucketing
-    "join_asof_tolerance", "sim_mips_topk", "pipeline_length_bucketing")
+    "join_asof_tolerance", "sim_mips_topk", "pipeline_length_bucketing",
+    // §2.60 round-9 fifth wave: interval RANGE frame, rolling corr
+    "win_range_time_frame", "ts_rolling_corr")
 
-  test("declared queries cover SURVEY §2 + §2.12-59 exactly (293 keys)") {
-    assert(inventory.size == 293)
+  test("declared queries cover SURVEY §2 + §2.12-60 exactly (295 keys)") {
+    assert(inventory.size == 295)
     val declared = SparkEntry.queries.keySet
     val missing = inventory -- declared
     val extra = declared -- inventory
