@@ -390,6 +390,30 @@ object AggQueries {
           col("o_orderpriority").asc_nulls_first)
     }),
 
+    // LISTAGG (§2.61) — ordered string aggregation, the SQL:2016
+    // LISTAGG ... WITHIN GROUP surface Spark 4 added (the report
+    // column every BI export wants: "which market segments does this
+    // nation's customer base span"). Deterministic BY the WITHIN GROUP
+    // order; the distinct-set semantics run as a pre-DISTINCT subquery
+    // — FENCED TRAP: Spark 4.1's `listagg(DISTINCT x, d) WITHIN GROUP
+    // (ORDER BY x)` throws a ClassCastException
+    // (AttributeReference→SortOrder) at analysis, so the DISTINCT
+    // must happen below the aggregate; DuckDB's string_agg(DISTINCT …
+    // ORDER BY …) handles both in one call and the oracle uses the
+    // subquery spelling to stay structurally aligned. Scale: |groups|
+    // × |distinct segments| cells — group-bounded state like
+    // agg_collect_sorted.
+    "agg_listagg" -> ((s, dir) => {
+      s.sql(s"""SELECT n_name,
+        |  listagg(seg, '|') WITHIN GROUP (ORDER BY seg) AS segments,
+        |  count(*) AS n_segments
+        |FROM (SELECT DISTINCT n_name, c_mktsegment AS seg
+        |      FROM parquet.`$dir/customer.parquet`
+        |      JOIN parquet.`$dir/nation.parquet`
+        |        ON c_nationkey = n_nationkey)
+        |GROUP BY n_name ORDER BY n_name""".stripMargin)
+    }),
+
     // WEIGHTED MEDIAN — the quantity-weighted middle unit price per
     // return flag: the robust "typical traded price" (an unweighted
     // median treats a 1-unit and a 50-unit line the same; percentile()
@@ -846,6 +870,14 @@ object AggQueries {
         |GROUP BY CUBE (o_orderstatus, o_orderpriority)
         |ORDER BY gid, o_orderstatus ASC NULLS FIRST,
         |  o_orderpriority ASC NULLS FIRST""".stripMargin,
+    // Same pre-DISTINCT subquery + ordered string_agg.
+    "agg_listagg" ->
+      """SELECT n_name,
+        |  string_agg(seg, '|' ORDER BY seg) AS segments,
+        |  count(*) AS n_segments
+        |FROM (SELECT DISTINCT n_name, c_mktsegment AS seg
+        |      FROM customer JOIN nation ON c_nationkey = n_nationkey)
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
     // cw*2 vs tw may go HUGEINT inside the comparison — only OUTPUT
     // columns need the BIGINT casts.
     "agg_weighted_median" ->

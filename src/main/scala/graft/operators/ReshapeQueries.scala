@@ -48,6 +48,43 @@ object ReshapeQueries {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // SQL PIVOT (§2.61) — the PARSER/PLANNER surface behind
+    // pivot_wide's DataFrame form: the dedicated `PIVOT (agg FOR col
+    // IN (...))` clause with MULTIPLE aggregates per cell (count +
+    // decimal revenue — the DataFrame .pivot takes one agg per call)
+    // and NAMED pivot values controlling the generated column names.
+    // The outer projection rounds the decimal cells at the edge and
+    // pins the output schema; rows outside the pinned value list are
+    // excluded by PIVOT semantics (the oracle's FILTER mirrors that).
+    // Plans to the same two-phase hash aggregate as pivot_wide.
+    "sql_pivot" -> ((s, dir) => {
+      s.sql(s"""SELECT o_orderstatus,
+        |  urgent_n, CAST(ROUND(urgent_rev, 4) AS DOUBLE) AS urgent_rev,
+        |  high_n, CAST(ROUND(high_rev, 4) AS DOUBLE) AS high_rev,
+        |  low_n, CAST(ROUND(low_rev, 4) AS DOUBLE) AS low_rev
+        |FROM (SELECT o_orderstatus, o_orderpriority,
+        |    CAST(o_totalprice AS DECIMAL(38,6)) AS p
+        |  FROM parquet.`$dir/orders.parquet`)
+        |PIVOT (count(*) AS n, sum(p) AS rev
+        |  FOR o_orderpriority IN ('1-URGENT' AS urgent, '2-HIGH' AS high,
+        |    '5-LOW' AS low))
+        |ORDER BY o_orderstatus""".stripMargin)
+    }),
+
+    // SQL UNPIVOT (§2.61) — the inverse clause, over a grouped metrics
+    // table (per-status count/max/min as uniform DOUBLEs): `UNPIVOT
+    // (val FOR metric IN (...))` is its own parser surface distinct
+    // from the DataFrame .unpivot the long-form key uses; default
+    // EXCLUDE NULLS semantics documented (all cells non-null here).
+    "sql_unpivot" -> ((s, dir) => {
+      s.sql(s"""SELECT o_orderstatus, metric, val FROM (
+        |  SELECT o_orderstatus, CAST(count(*) AS DOUBLE) AS n_orders,
+        |    max(o_totalprice) AS max_price, min(o_totalprice) AS min_price
+        |  FROM parquet.`$dir/orders.parquet` GROUP BY o_orderstatus)
+        |UNPIVOT (val FOR metric IN (n_orders, max_price, min_price))
+        |ORDER BY o_orderstatus, metric""".stripMargin)
+    }),
+
     // Lineitem measures to long form: raw parquet doubles pass through
     // untouched (no arithmetic → bit-identical to the UNION ALL oracle).
     "unpivot_long" -> ((s, dir) => {
@@ -156,6 +193,41 @@ object ReshapeQueries {
          |  ${sqlSum("CASE WHEN o_orderstatus = 'P' THEN o_totalprice END")} AS "P"
          |FROM orders GROUP BY o_orderpriority
          |ORDER BY o_orderpriority""".stripMargin,
+    // PIVOT cells re-derived as FILTER aggregates (≡ PIVOT's implicit
+    // value filtering); empty cells are NULL in both engines.
+    "sql_pivot" ->
+      """SELECT o_orderstatus,
+        |  count(*) FILTER (WHERE o_orderpriority = '1-URGENT')
+        |    AS urgent_n,
+        |  CAST(ROUND(sum(CAST(o_totalprice AS DECIMAL(38,6)))
+        |    FILTER (WHERE o_orderpriority = '1-URGENT'), 4) AS DOUBLE)
+        |    AS urgent_rev,
+        |  count(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS high_n,
+        |  CAST(ROUND(sum(CAST(o_totalprice AS DECIMAL(38,6)))
+        |    FILTER (WHERE o_orderpriority = '2-HIGH'), 4) AS DOUBLE)
+        |    AS high_rev,
+        |  count(*) FILTER (WHERE o_orderpriority = '5-LOW') AS low_n,
+        |  CAST(ROUND(sum(CAST(o_totalprice AS DECIMAL(38,6)))
+        |    FILTER (WHERE o_orderpriority = '5-LOW'), 4) AS DOUBLE)
+        |    AS low_rev
+        |FROM orders GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
+    // UNION ALL spelling of the metric stack (the unpivot_long
+    // convention), over the same grouped metrics.
+    "sql_unpivot" ->
+      """WITH g AS (SELECT o_orderstatus,
+        |    CAST(count(*) AS DOUBLE) AS n_orders,
+        |    max(o_totalprice) AS max_price,
+        |    min(o_totalprice) AS min_price
+        |  FROM orders GROUP BY o_orderstatus)
+        |SELECT * FROM (
+        |  SELECT o_orderstatus, 'n_orders' AS metric, n_orders AS val
+        |    FROM g
+        |  UNION ALL
+        |  SELECT o_orderstatus, 'max_price', max_price FROM g
+        |  UNION ALL
+        |  SELECT o_orderstatus, 'min_price', min_price FROM g)
+        |ORDER BY o_orderstatus, metric""".stripMargin,
     "unpivot_long" ->
       """SELECT * FROM (
         |  SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS val FROM lineitem

@@ -231,10 +231,12 @@ class InventorySpec extends SparkSpec {
     // power-of-two length bucketing
     "join_asof_tolerance", "sim_mips_topk", "pipeline_length_bucketing",
     // §2.60 round-9 fifth wave: interval RANGE frame, rolling corr
-    "win_range_time_frame", "ts_rolling_corr")
+    "win_range_time_frame", "ts_rolling_corr",
+    // §2.61 round-9 sixth wave: SQL PIVOT/UNPIVOT clauses, LISTAGG
+    "sql_pivot", "sql_unpivot", "agg_listagg")
 
-  test("declared queries cover SURVEY §2 + §2.12-60 exactly (295 keys)") {
-    assert(inventory.size == 295)
+  test("declared queries cover SURVEY §2 + §2.12-61 exactly (298 keys)") {
+    assert(inventory.size == 298)
     val declared = SparkEntry.queries.keySet
     val missing = inventory -- declared
     val extra = declared -- inventory
