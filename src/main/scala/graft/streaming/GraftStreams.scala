@@ -307,6 +307,38 @@ object GraftStreams {
         writeEpoch(batch.toDF(), dir, id))
       .start()
 
+  /** Streaming UPSERT MAINTENANCE of a [[graft.sources.VersionedTable]]:
+    * every micro-batch MERGEs into the table (type-1 whole-row upsert
+    * on `keys`), so the table's LATEST version is always the
+    * up-to-date materialization of the stream — the
+    * foreachBatch-into-a-lakehouse-table pattern (Delta's
+    * `foreachBatch + MERGE` idiom on this repo's commit-log format).
+    *
+    * Delivery semantics, stated precisely: foreachBatch is
+    * at-least-once (a batch can REPLAY after a crash), and this sink
+    * is IDEMPOTENT under replay at the TABLE level — re-merging the
+    * same batch produces an identical current snapshot (upsert is
+    * idempotent), though it commits a new version (the history
+    * records the replay; readers of `latest` never see duplicates).
+    * That is exactly-once RESULTS without exactly-once version
+    * numbering — the honest contract, pinned in VersionedTableSpec.
+    *
+    * Concurrency: merge's optimistic loop means a co-writer (e.g. a
+    * batch backfill) can interleave between micro-batches safely —
+    * a lost race re-reads and re-merges.
+    */
+  def mergeSink(df: DataFrame, root: String, keys: Seq[String],
+      checkpoint: String): StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Update())
+      .foreachBatch((batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) {
+          graft.sources.VersionedTable.merge(
+            batch.sparkSession, root, batch.toDF(), keys): Unit
+        })
+      .start()
+
   /** Stream-stream interval join: each `left` row matched to the `right`
     * rows with the same `key` whose event time falls in
     * [left.ts, left.ts + within]. Emits (l_id, r_id, key, lag_ms).

@@ -257,6 +257,45 @@ class VersionedTableSpec extends SparkSpec {
     assert(got == Seq((1L, 99.0), (2L, 2.0)))
   }
 
+  test("streaming mergeSink: table latest == batch aggregate; batch replay is snapshot-idempotent") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.{Event, GraftStreams}
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = freshRoot()
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_msink").toString
+    // Deterministic synthetic stream: 120 events over 8 users.
+    val evs = (0 until 120).map(i => Event(i.toLong, 1700000000000L + i * 60000L,
+      (i % 8).toLong, if (i % 5 == 0) "purchase" else "click", (i % 13) * 1.5))
+    val mem = MemoryStream[Event]
+    // Per-user running profile in Update mode: merge replaces the
+    // user's row each time their group changes.
+    val agg = mem.toDF().groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"), max(col("value")).as("mx"))
+    val q = GraftStreams.mergeSink(agg, root, Seq("user_id"), ckpt)
+    evs.grouped(40).foreach { chunk =>
+      mem.addData(chunk)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val got = VersionedTable.readLatest(spark, root).orderBy("user_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val want = evs.groupBy(_.user_id).toSeq.sortBy(_._1).map { case (u, es) =>
+      (u, es.size.toLong, es.map(_.value).max)
+    }
+    assert(got == want, s"stream-maintained table != batch aggregate")
+    // At-least-once replay: re-merging the LAST batch's groups again
+    // commits a new version but the current snapshot is unchanged —
+    // the sink's exactly-once-RESULTS contract.
+    val vBefore = VersionedTable.latestVersion(root)
+    VersionedTable.merge(spark, root,
+      VersionedTable.readLatest(spark, root), keys = Seq("user_id"))
+    assert(VersionedTable.latestVersion(root) == vBefore + 1)
+    val replayed = VersionedTable.readLatest(spark, root).orderBy("user_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(replayed == want, "replayed merge changed the snapshot")
+  }
+
   test("DSv2 history connector == the session-side history API") {
     val root = freshRoot()
     VersionedTable.commit(spark, root,
