@@ -414,6 +414,70 @@ object AggQueries {
         |GROUP BY n_name ORDER BY n_name""".stripMargin)
     }),
 
+    // GROUP BY ALL + ORDER BY ALL (§2.62) — the modern-SQL ergonomic
+    // surface (DuckDB popularized it; Spark 3.4+ adopted both): the
+    // grouping keys are INFERRED as every non-aggregate select-list
+    // item, and ORDER BY ALL sorts by the whole select list
+    // left-to-right — so the query text has no column repeated three
+    // times, and adding a grouped column cannot silently desync the
+    // GROUP BY list. Deterministic because the inferred sort prefix
+    // (flag, status) is the full grouping key. Plans to the identical
+    // two-phase hash aggregate as the explicit spelling — the clause
+    // is pure analysis sugar, zero runtime cost.
+    "sql_groupby_all" -> ((s, dir) => {
+      s.sql(s"""SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  CAST(ROUND(sum(CAST(l_quantity AS DECIMAL(38,6))),4) AS DOUBLE)
+        |    AS sum_qty,
+        |  CAST(ROUND(sum(CAST(l_extendedprice AS DECIMAL(38,6))),4)
+        |    AS DOUBLE) AS sum_price
+        |FROM parquet.`$dir/lineitem.parquet`
+        |GROUP BY ALL
+        |ORDER BY ALL""".stripMargin)
+    }),
+
+    // BOOLEAN AGGREGATES (§2.62) — bool_and / bool_or / count_if: the
+    // data-quality assertion aggregates ("EVERY order in this status
+    // clears the floor", "ANY outlier present", "how many urgent").
+    // Genuinely distinct from min/max respellings at the NULL level:
+    // bool_and skips NULL predicates rather than poisoning the group
+    // (neither fixture column is NULL here, so both engines agree by
+    // construction). count_if is the FILTER-clause ergonomic twin —
+    // one pass, partial-aggregated map-side like any hash agg.
+    "agg_bool_ops" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          bool_and(col("o_totalprice") > 1000).as("all_over_1k"),
+          bool_or(col("o_totalprice") > 400000).as("any_over_400k"),
+          count_if(col("o_orderpriority") === "1-URGENT").as("n_urgent"))
+        .orderBy("o_orderstatus")
+    }),
+
+    // MAX_BY / MIN_BY (§2.62) — argmax/argmin as a single-pass
+    // aggregate: "which order is the priciest per status" WITHOUT the
+    // window-rank detour (rank() materializes and sorts every group
+    // member; max_by carries one candidate per partial aggregate —
+    // O(groups) state, map-side combinable, the 100 TB shape).
+    // DETERMINISM is the load-bearing detail: on a tied ordering key
+    // both engines pick an arbitrary winner, so the ordering key is a
+    // composite UNIQUE bigint (price cents · 10¹⁰ + orderkey — cents
+    // ≤ 6·10⁷ keeps the product < 2⁶³ with 10-digit key headroom; the
+    // cents conversion goes through ROUND in BOTH engines because a
+    // bare CAST truncates in Spark but rounds in DuckDB). min_by on
+    // the same composite resolves price ties toward the smaller
+    // orderkey, symmetrically.
+    "agg_max_by_min_by" -> ((s, dir) => {
+      val ord = expr(
+        "cast(round(o_totalprice * 100) as bigint) * 10000000000 + o_orderkey")
+      t(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(max_by(col("o_orderkey"), ord).as("top_orderkey"),
+          max(col("o_totalprice")).as("top_price"),
+          min_by(col("o_orderkey"), ord).as("bottom_orderkey"),
+          min(col("o_totalprice")).as("bottom_price"))
+        .orderBy("o_orderstatus")
+    }),
+
     // WEIGHTED MEDIAN — the quantity-weighted middle unit price per
     // return flag: the robust "typical traded price" (an unweighted
     // median treats a 1-unit and a 50-unit line the same; percentile()
@@ -878,6 +942,37 @@ object AggQueries {
         |FROM (SELECT DISTINCT n_name, c_mktsegment AS seg
         |      FROM customer JOIN nation ON c_nationkey = n_nationkey)
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    // Same inferred grouping/sort clauses — DuckDB is where the syntax
+    // originated; the text is identical modulo table spelling.
+    "sql_groupby_all" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  CAST(ROUND(sum(CAST(l_quantity AS DECIMAL(38,6))),4) AS DOUBLE)
+        |    AS sum_qty,
+        |  CAST(ROUND(sum(CAST(l_extendedprice AS DECIMAL(38,6))),4)
+        |    AS DOUBLE) AS sum_price
+        |FROM lineitem
+        |GROUP BY ALL
+        |ORDER BY ALL""".stripMargin,
+    "agg_bool_ops" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  bool_and(o_totalprice > 1000) AS all_over_1k,
+        |  bool_or(o_totalprice > 400000) AS any_over_400k,
+        |  CAST(count_if(o_orderpriority = '1-URGENT') AS BIGINT)
+        |    AS n_urgent
+        |FROM orders GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
+    // arg_max/arg_min with the SAME composite unique ordering key
+    // (ROUND, not CAST — see the Spark-side comment).
+    "agg_max_by_min_by" ->
+      """SELECT o_orderstatus,
+        |  arg_max(o_orderkey, CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)
+        |    * 10000000000 + o_orderkey) AS top_orderkey,
+        |  max(o_totalprice) AS top_price,
+        |  arg_min(o_orderkey, CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)
+        |    * 10000000000 + o_orderkey) AS bottom_orderkey,
+        |  min(o_totalprice) AS bottom_price
+        |FROM orders GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
     // cw*2 vs tw may go HUGEINT inside the comparison — only OUTPUT
     // columns need the BIGINT casts.
     "agg_weighted_median" ->

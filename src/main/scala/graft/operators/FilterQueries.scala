@@ -62,6 +62,22 @@ object FilterQueries {
         .orderBy(col("c_custkey"))
     }),
 
+    // SELECT * EXCEPT (§2.62) — subtractive projection: wide tables
+    // (hundreds of telemetry/feature columns) are projected by what to
+    // DROP, not an unmaintainable keep-list. Parser-level surface
+    // (Spark spells it EXCEPT, DuckDB EXCLUDE — same semantics);
+    // resolves at analysis to a plain named projection, so column
+    // pruning to the scan (ReadSchema minus the excluded columns) is
+    // identical to an explicit select — zero runtime cost. The
+    // timestamp column is among the dropped ones, which also keeps the
+    // compared surface tz-free.
+    "sql_star_except" -> ((s, dir) => {
+      s.sql(s"""SELECT * EXCEPT (o_orderpriority, o_orderdate)
+        |FROM parquet.`$dir/orders.parquet`
+        |WHERE o_totalprice > 300000
+        |ORDER BY o_orderkey""".stripMargin)
+    }),
+
     "project_expressions" -> ((s, dir) => {
       t(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_linenumber"),
@@ -105,6 +121,12 @@ object FilterQueries {
         |  CASE WHEN bal_n IS NULL THEN 'null'
         |       WHEN bal_n <= 5000 THEN 'true' ELSE 'false' END AS le_s
         |FROM t ORDER BY c_custkey""".stripMargin,
+    // DuckDB's spelling of the same clause is EXCLUDE.
+    "sql_star_except" ->
+      """SELECT * EXCLUDE (o_orderpriority, o_orderdate)
+        |FROM orders
+        |WHERE o_totalprice > 300000
+        |ORDER BY o_orderkey""".stripMargin,
     "project_expressions" ->
       s"""SELECT l_orderkey, l_linenumber,
          |${sqlR4("l_extendedprice*(1-l_discount)*(1+l_tax)")} AS charge,

@@ -247,6 +247,24 @@ object JoinQueries {
         |ORDER BY c_custkey""".stripMargin)
     }),
 
+    // INLINE VALUES dim join (§2.62) — the literal lookup table every
+    // report query carries (code → label mappings too small and too
+    // query-local for a stored dimension): `JOIN VALUES ... AS
+    // m(flag, descr)` is its own parser surface (Spark allows the
+    // unparenthesized form; DuckDB requires parentheses — semantics
+    // identical). The planner sees a LocalRelation with known tiny
+    // stats, so the join broadcasts by construction — the fact scan
+    // never shuffles, exactly the scalar-dim shape at 100 TB.
+    "sql_values_inline" -> ((s, dir) => {
+      s.sql(s"""SELECT m.descr AS flag_descr, count(*) AS n,
+        |  CAST(ROUND(sum(CAST(l_extendedprice AS DECIMAL(38,6))),4)
+        |    AS DOUBLE) AS revenue
+        |FROM parquet.`$dir/lineitem.parquet`
+        |JOIN VALUES ('A','accepted'),('R','returned'),('N','none')
+        |  AS m(flag, descr) ON l_returnflag = m.flag
+        |GROUP BY m.descr ORDER BY m.descr""".stripMargin)
+    }),
+
     "join_star_multiway" -> ((s, dir) => starJoin(s, dir, hinted = true)),
 
     // The same star join UNHINTED — proves the engine doesn't need
@@ -496,6 +514,15 @@ object JoinQueries {
          |WHERE l_partkey IN (SELECT p_partkey FROM part
          |                    WHERE p_brand = 'Brand#4')
          |GROUP BY l_partkey ORDER BY l_partkey""".stripMargin,
+    // Parenthesized VALUES — DuckDB's required spelling of the clause.
+    "sql_values_inline" ->
+      """SELECT m.descr AS flag_descr, count(*) AS n,
+        |  CAST(ROUND(sum(CAST(l_extendedprice AS DECIMAL(38,6))),4)
+        |    AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN (VALUES ('A','accepted'),('R','returned'),('N','none'))
+        |  AS m(flag, descr) ON l_returnflag = m.flag
+        |GROUP BY m.descr ORDER BY m.descr""".stripMargin,
     "join_broadcast_inner" ->
       """SELECT l_orderkey, l_linenumber, p_name, p_retailprice
         |FROM lineitem JOIN part ON l_partkey = p_partkey

@@ -233,10 +233,15 @@ class InventorySpec extends SparkSpec {
     // §2.60 round-9 fifth wave: interval RANGE frame, rolling corr
     "win_range_time_frame", "ts_rolling_corr",
     // §2.61 round-9 sixth wave: SQL PIVOT/UNPIVOT clauses, LISTAGG
-    "sql_pivot", "sql_unpivot", "agg_listagg")
+    "sql_pivot", "sql_unpivot", "agg_listagg",
+    // §2.62 round-9 seventh wave: inferred grouping/sort clauses,
+    // subtractive projection, inline VALUES dims, boolean aggregates,
+    // deterministic argmax/argmin
+    "sql_groupby_all", "sql_star_except", "sql_values_inline",
+    "agg_bool_ops", "agg_max_by_min_by")
 
-  test("declared queries cover SURVEY §2 + §2.12-61 exactly (298 keys)") {
-    assert(inventory.size == 298)
+  test("declared queries cover SURVEY §2 + §2.12-62 exactly (303 keys)") {
+    assert(inventory.size == 303)
     val declared = SparkEntry.queries.keySet
     val missing = inventory -- declared
     val extra = declared -- inventory
