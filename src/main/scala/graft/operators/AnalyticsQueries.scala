@@ -1410,6 +1410,96 @@ object AnalyticsQueries {
     // final ÷√ — r4d at the edge; zero-variance frames emit NULL.
     // Calendar-bounded global window (documented exception, the
     // ts_ewma convention).
+    // CUSUM CHANGE-POINT (§2.63) — where did the daily level SHIFT?
+    // Page's classic cumulative-sum statistic on the zero-filled
+    // per-type series, argmax form: C_t = n·P_t − t·S (P_t = prefix
+    // sum, S = total, n = days) is n× the centered cusum
+    // Σ_{i≤t}(y_i − ȳ), kept INTEGER by never dividing — every
+    // compared statistic is an exact decimal(38,0) product of longs
+    // (HUGEINT on the oracle side), so the argmax day is
+    // bit-deterministic; |C| ties break to the EARLIEST day. The two
+    // double divisions (before/after means) happen once per group at
+    // the edge, r4d'd; a change point on the last day leaves no
+    // "after" regime → NULL, spelled CASE-identically in both
+    // engines. Scale: windows over the AGGREGATED day series
+    // (O(days) per type), not events; products bounded by
+    // days·total — the checkedN regime only nears 2⁶³ past ~10⁹
+    // events/day · century spans, far beyond the decimal(38) range
+    // used here.
+    "ts_cusum_changepoint" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val full = zeroFilledDaily(s, dir)
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      val wt = Window.partitionBy(col("event_type"))
+      val c = full
+        .withColumn("t", row_number().over(w).cast("long"))
+        .withColumn("p", sum(col("y")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("n", count(lit(1)).over(wt))
+        .withColumn("stot", sum(col("y")).over(wt))
+        .withColumn("c",
+          col("n").cast("decimal(38,0)") * col("p").cast("decimal(38,0)")
+            - col("t").cast("decimal(38,0)") * col("stot").cast("decimal(38,0)"))
+      val pick = Window.partitionBy(col("event_type"))
+        .orderBy(abs(col("c")).desc, col("day"))
+      c.withColumn("rk", row_number().over(pick)).filter(col("rk") === 1)
+        .select(col("event_type"), col("day").as("cp_day"),
+          abs(col("c")).cast("long").as("cusum_abs"),
+          r4d(col("p").cast("double") / col("t").cast("double"))
+            .as("mean_before"),
+          when(col("n") > col("t"),
+            r4d((col("stot") - col("p")).cast("double")
+              / (col("n") - col("t")).cast("double"))).as("mean_after"))
+        .orderBy("event_type")
+    }),
+
+    // PEAK DETECTION (§2.63) — strict local maxima of the daily
+    // series (y above BOTH neighbors; plateau shoulders and the
+    // endpoints are not peaks — lag/lead NULLs fail the strict
+    // comparison in both engines identically). Prominence here is the
+    // simple one-lag margin y − max(neighbors) — an exact integer.
+    // One windowed pass over the aggregated day spine; O(days)/type.
+    "ts_peak_detect" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      zeroFilledDaily(s, dir)
+        .withColumn("py", lag(col("y"), 1).over(w))
+        .withColumn("ny", lead(col("y"), 1).over(w))
+        .filter(col("y") > col("py") && col("y") > col("ny"))
+        .select(col("event_type"), col("day"), col("y"),
+          (col("y") - greatest(col("py"), col("ny"))).as("prominence"))
+        .orderBy("event_type", "day")
+    }),
+
+    // THEIL-SEN ROBUST TREND (§2.63) — the median of all pairwise
+    // slopes (y_j−y_i)/(day_j−day_i): breakdown point 29%, the
+    // robust complement of agg_trend_slope's OLS line (one corrupted
+    // burst day drags OLS arbitrarily; Theil-Sen shrugs until a third
+    // of the series is bad). Pairs are generated from the AGGREGATED
+    // daily series — O(days²) per type (a ~60-day fixture span makes
+    // ~1.8k pairs), never O(rows²); a 100 TB corpus changes the y
+    // magnitudes, not the pair count, which is the whole point of
+    // aggregating first. Each slope is one IEEE double division of
+    // exact integers; the median interpolates two doubles max
+    // (percentile ≡ quantile_cont), r4d at the edge.
+    "ts_theil_sen" -> ((s, dir) => {
+      val fl = zeroFilledDaily(s, dir)
+      val a = fl.select(col("event_type"), col("day").as("d1"), col("y").as("y1"))
+      val b = fl.select(col("event_type"), col("day").as("d2"), col("y").as("y2"))
+      val pairs = a.join(b, Seq("event_type")).filter(col("d1") < col("d2"))
+        .select(col("event_type"),
+          ((col("y2") - col("y1")).cast("double")
+            / (col("d2") - col("d1")).cast("double")).as("slope"))
+      val days = fl.groupBy("event_type").agg(count(lit(1)).as("n_days"))
+      pairs.groupBy("event_type")
+        .agg(count(lit(1)).as("n_pairs"),
+          r4d(percentile(col("slope"), lit(0.5))).as("theil_slope"))
+        .join(broadcast(days), Seq("event_type"))
+        .select(col("event_type"), col("n_days"), col("n_pairs"),
+          col("theil_slope"))
+        .orderBy("event_type")
+    }),
+
     "ts_rolling_corr" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val d = zeroFilledDaily(s, dir)
@@ -2537,6 +2627,81 @@ object AnalyticsQueries {
          |  AND o_orderdate < DATE '1997-01-01'
          |GROUP BY n_name
          |ORDER BY revenue DESC, n_name""".stripMargin,
+    // Same integer cusum statistic; HUGEINT products, CASE for the
+    // no-after-regime NULL, abs-desc/day-asc argmax tie-break.
+    "ts_cusum_changepoint" ->
+      s"""WITH e AS (SELECT event_type, ${sqlEpochDay("ts")} AS day
+         |  FROM events),
+         |d AS (SELECT event_type, day, count(*) AS y FROM e GROUP BY 1, 2),
+         |b AS (SELECT min(day) AS lo, max(day) AS hi FROM e),
+         |ty AS (SELECT DISTINCT event_type FROM e),
+         |spine AS (SELECT event_type, unnest(range(lo, hi + 1)) AS day
+         |  FROM ty CROSS JOIN b),
+         |fl AS (SELECT s.event_type, s.day, coalesce(y, 0) AS y
+         |  FROM spine s LEFT JOIN d
+         |    ON s.event_type = d.event_type AND s.day = d.day),
+         |c AS (SELECT event_type, day,
+         |    row_number() OVER w AS t,
+         |    sum(y) OVER (PARTITION BY event_type ORDER BY day
+         |      ROWS UNBOUNDED PRECEDING) AS p,
+         |    count(*) OVER (PARTITION BY event_type) AS n,
+         |    sum(y) OVER (PARTITION BY event_type) AS stot
+         |  FROM fl WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+         |m AS (SELECT event_type, day, t, p, n, stot,
+         |    CAST(n AS HUGEINT) * p - CAST(t AS HUGEINT) * stot AS c
+         |  FROM c),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+         |    ORDER BY abs(c) DESC, day) AS rk FROM m)
+         |SELECT event_type, day AS cp_day,
+         |  CAST(abs(c) AS BIGINT) AS cusum_abs,
+         |  ROUND(CAST(p AS DOUBLE) / t * 10000) / 10000 AS mean_before,
+         |  CASE WHEN n > t THEN
+         |    ROUND(CAST(stot - p AS DOUBLE) / (n - t) * 10000) / 10000
+         |  END AS mean_after
+         |FROM r WHERE rk = 1 ORDER BY event_type""".stripMargin,
+    // Strict neighbors comparison — NULL lag/lead rows drop in the
+    // WHERE exactly as on the Spark side.
+    "ts_peak_detect" ->
+      s"""WITH e AS (SELECT event_type, ${sqlEpochDay("ts")} AS day
+         |  FROM events),
+         |d AS (SELECT event_type, day, count(*) AS y FROM e GROUP BY 1, 2),
+         |b AS (SELECT min(day) AS lo, max(day) AS hi FROM e),
+         |ty AS (SELECT DISTINCT event_type FROM e),
+         |spine AS (SELECT event_type, unnest(range(lo, hi + 1)) AS day
+         |  FROM ty CROSS JOIN b),
+         |fl AS (SELECT s.event_type, s.day, coalesce(y, 0) AS y
+         |  FROM spine s LEFT JOIN d
+         |    ON s.event_type = d.event_type AND s.day = d.day),
+         |l AS (SELECT event_type, day, y,
+         |    lag(y, 1) OVER w AS py, lead(y, 1) OVER w AS ny
+         |  FROM fl WINDOW w AS (PARTITION BY event_type ORDER BY day))
+         |SELECT event_type, day, y,
+         |  CAST(y - greatest(py, ny) AS BIGINT) AS prominence
+         |FROM l WHERE y > py AND y > ny
+         |ORDER BY event_type, day""".stripMargin,
+    // Same pair generation over the aggregated series; quantile_cont
+    // ≡ percentile interpolation on doubles.
+    "ts_theil_sen" ->
+      s"""WITH e AS (SELECT event_type, ${sqlEpochDay("ts")} AS day
+         |  FROM events),
+         |d AS (SELECT event_type, day, count(*) AS y FROM e GROUP BY 1, 2),
+         |b AS (SELECT min(day) AS lo, max(day) AS hi FROM e),
+         |ty AS (SELECT DISTINCT event_type FROM e),
+         |spine AS (SELECT event_type, unnest(range(lo, hi + 1)) AS day
+         |  FROM ty CROSS JOIN b),
+         |fl AS (SELECT s.event_type, s.day, coalesce(y, 0) AS y
+         |  FROM spine s LEFT JOIN d
+         |    ON s.event_type = d.event_type AND s.day = d.day),
+         |pairs AS (SELECT a.event_type,
+         |    CAST(b2.y - a.y AS DOUBLE) / (b2.day - a.day) AS slope
+         |  FROM fl a JOIN fl b2 ON a.event_type = b2.event_type
+         |    AND a.day < b2.day),
+         |nd AS (SELECT event_type, count(*) AS n_days FROM fl GROUP BY 1)
+         |SELECT p.event_type, nd.n_days, count(*) AS n_pairs,
+         |  ROUND(quantile_cont(slope, 0.5) * 10000) / 10000 AS theil_slope
+         |FROM pairs p JOIN nd ON p.event_type = nd.event_type
+         |GROUP BY p.event_type, nd.n_days
+         |ORDER BY p.event_type""".stripMargin,
     // Same exact-integer moments on the same zero-filled day spine;
     // FILTER counts ≡ the Spark side's conditional sums of the
     // zero-filled per-type series.

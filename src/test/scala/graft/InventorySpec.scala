@@ -238,10 +238,12 @@ class InventorySpec extends SparkSpec {
     // subtractive projection, inline VALUES dims, boolean aggregates,
     // deterministic argmax/argmin
     "sql_groupby_all", "sql_star_except", "sql_values_inline",
-    "agg_bool_ops", "agg_max_by_min_by")
+    "agg_bool_ops", "agg_max_by_min_by",
+    // §2.63 round-9 eighth wave: change-point, peaks, robust trend
+    "ts_cusum_changepoint", "ts_peak_detect", "ts_theil_sen")
 
-  test("declared queries cover SURVEY §2 + §2.12-62 exactly (303 keys)") {
-    assert(inventory.size == 303)
+  test("declared queries cover SURVEY §2 + §2.12-63 exactly (306 keys)") {
+    assert(inventory.size == 306)
     val declared = SparkEntry.queries.keySet
     val missing = inventory -- declared
     val extra = declared -- inventory
