@@ -352,6 +352,64 @@ object CurationQueries {
     // md5(doc_id) order (sample_domain_cap's device). Scale: the count
     // table is |langs| rows (broadcast), the rank one lang-keyed
     // window exchange — same shape as the domain cap.
+    // MIXTURE REWEIGHTING (§2.64) — the domain-weights computation
+    // upstream of every weighted sampler (the DoReMi/Pile recipe's
+    // bookkeeping step): given a TARGET mixture (uniform over the k
+    // sources here — a real run feeds target shares as a second
+    // table), compare it with the corpus's ACTUAL token share per
+    // source and emit the sampling weight target/actual — i.e. how
+    // many epochs of each domain one pass at the target mixture
+    // consumes (weight > 1 = the domain repeats, the overfit-risk
+    // number dataset cards report). Token counts are exact integers;
+    // the two divisions are spelled operand-for-operand in both
+    // engines, r4d at the edge. One narrow aggregate per source plus
+    // a broadcast scalar join — O(sources) state, never row-bound.
+    "sample_mixture_weights" -> ((s, dir) => {
+      val per = t(s, dir, "documents")
+        .select(col("source"),
+          size(split(col("text"), " ")).cast("long").as("ntok"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("n_tokens"))
+      val tot = per.agg(sum(col("n_tokens")).as("tot_tokens"),
+        count(lit(1)).as("k"))
+      per.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          r4d(col("n_tokens").cast("double") / col("tot_tokens").cast("double"))
+            .as("token_share"),
+          r4d(col("tot_tokens").cast("double")
+            / (col("k").cast("double") * col("n_tokens").cast("double")))
+            .as("weight"))
+        .orderBy("source")
+    }),
+
+    // DEDUP SURVIVORSHIP REPORT (§2.64) — the before/after accounting
+    // every dedup stage prints: per source, how many docs survive
+    // exact-text dedup and what fraction of the token volume was
+    // duplicate mass. Within-source grouping (cross-source dups are
+    // the cluster keys' business); groups by the full text here —
+    // at 100 TB the group key would be xxhash64(text) (the
+    // CurationQueries header's standard substitution), kept raw so
+    // the oracle is exact. All-integer outputs except the one r4d
+    // ratio.
+    "dedup_survivorship_report" -> ((s, dir) => {
+      val g = t(s, dir, "documents")
+        .select(col("source"), col("text"),
+          size(split(col("text"), " ")).cast("long").as("ntok"))
+        .groupBy(col("source"), col("text"))
+        .agg(count(lit(1)).as("n"), first(col("ntok")).as("ntok"))
+      g.groupBy("source")
+        .agg(sum(col("n")).as("n_docs"),
+          count(lit(1)).as("n_unique"),
+          (sum(col("n")) - count(lit(1))).as("n_dup_docs"),
+          sum(col("ntok") * col("n")).as("tokens_total"),
+          sum(col("ntok")).as("tokens_after"))
+        .select(col("source"), col("n_docs"), col("n_unique"),
+          col("n_dup_docs"), col("tokens_total"), col("tokens_after"),
+          r4d(col("n_dup_docs").cast("double") / col("n_docs").cast("double"))
+            .as("dup_ratio"))
+        .orderBy("source")
+    }),
+
     "sample_temperature_mix" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
@@ -549,6 +607,37 @@ object CurationQueries {
         |ORDER BY d.doc_id""".stripMargin,
     // Exact-decimal Σ√n per the Spark side; the k arithmetic repeats
     // the same double ops in the same order.
+    // Same exact token totals; divisions operand-for-operand.
+    "sample_mixture_weights" ->
+      """WITH d AS (SELECT source, len(string_split(text, ' ')) AS ntok
+        |  FROM documents),
+        |per AS (SELECT source, count(*) AS n_docs,
+        |    CAST(sum(ntok) AS BIGINT) AS n_tokens
+        |  FROM d GROUP BY source),
+        |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot_tokens,
+        |    count(*) AS k FROM per)
+        |SELECT source, n_docs, n_tokens,
+        |  ROUND(CAST(n_tokens AS DOUBLE) / CAST(tot_tokens AS DOUBLE)
+        |    * 10000) / 10000 AS token_share,
+        |  ROUND(CAST(tot_tokens AS DOUBLE)
+        |    / (CAST(k AS DOUBLE) * CAST(n_tokens AS DOUBLE))
+        |    * 10000) / 10000 AS weight
+        |FROM per CROSS JOIN tot ORDER BY source""".stripMargin,
+    // Per-(source, text) groups first — any per-group ntok is the same
+    // value (identical text), matching Spark's first().
+    "dedup_survivorship_report" ->
+      """WITH g AS (SELECT source, text, count(*) AS n,
+        |    len(string_split(text, ' ')) AS ntok
+        |  FROM documents GROUP BY source, text)
+        |SELECT source,
+        |  CAST(sum(n) AS BIGINT) AS n_docs,
+        |  count(*) AS n_unique,
+        |  CAST(sum(n) - count(*) AS BIGINT) AS n_dup_docs,
+        |  CAST(sum(ntok * n) AS BIGINT) AS tokens_total,
+        |  CAST(sum(ntok) AS BIGINT) AS tokens_after,
+        |  ROUND(CAST(sum(n) - count(*) AS DOUBLE) / CAST(sum(n) AS DOUBLE)
+        |    * 10000) / 10000 AS dup_ratio
+        |FROM g GROUP BY source ORDER BY source""".stripMargin,
     "sample_temperature_mix" ->
       """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
         |t AS (SELECT SUM(n) AS nn,

@@ -559,6 +559,67 @@ object PipelineQueries {
     // Thresholds on the first 2 hex chars ('cc' = 204/256 ≈ 79.7%,
     // 'e6' = 230/256 ≈ 89.8%). Output = the per-(split, lang) audit
     // card (counts + chars), one map-side CASE + one two-phase agg.
+    // T5-STYLE SPAN CORRUPTION (§2.64) — the denoising-objective data
+    // prep: ~19% of tokens (deterministic hash gate, 3/16 of the md5
+    // first-hex-char space — replay/retry-stable, the pipeline
+    // family's no-rand() rule) are masked, CONSECUTIVE masked tokens
+    // merge into one span (the gaps-islands pos−row_number device),
+    // and each span is replaced by a numbered sentinel in the input
+    // while the target lists sentinel + original tokens — exactly the
+    // (input, target) pair seq2seq denoisers train on. Ordered string
+    // assembly is sort_array(collect_list(struct(pos, tok))) — order
+    // recovered by the SORT, so shuffle/collect order can't leak into
+    // results. Scale: token rows shuffle once on doc_id; windows are
+    // O(doc length) per doc; no corpus-global state at all.
+    "pipeline_span_corruption" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val toks = docs.select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "tk")))
+      val flagged = toks.withColumn("m",
+        substring(md5(concat_ws(":", col("doc_id"), col("pos"))
+          .cast("binary")), 1, 1).isin("0", "1", "2"))
+      val wm = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val masked = flagged.filter(col("m"))
+        .withColumn("isl", col("pos") - row_number().over(wm))
+        .withColumn("idx", (dense_rank().over(
+          Window.partitionBy(col("doc_id")).orderBy(col("isl"))) - 1)
+          .cast("long"))
+        .withColumn("head_pos", min(col("pos")).over(
+          Window.partitionBy(col("doc_id"), col("isl"))))
+      val inp = flagged
+        .join(masked.select(col("doc_id"), col("pos"), col("idx"),
+          col("head_pos")), Seq("doc_id", "pos"), "left")
+        .withColumn("out",
+          when(col("idx").isNull, col("tk"))
+            .when(col("pos") === col("head_pos"),
+              concat(lit("<extra_id_"), col("idx").cast("string"),
+                lit(">"))))
+        .filter(col("out").isNotNull)
+        .groupBy("doc_id")
+        .agg(array_join(
+          transform(sort_array(collect_list(struct(col("pos"), col("out")))),
+            x => x.getField("out")), " ").as("input_text"))
+      val tgt = masked
+        .withColumn("otk", when(col("pos") === col("head_pos"),
+          concat(lit("<extra_id_"), col("idx").cast("string"), lit("> "),
+            col("tk"))).otherwise(col("tk")))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_masked"),
+          (max(col("idx")) + 1).as("n_spans"),
+          array_join(
+            transform(sort_array(collect_list(struct(col("pos"), col("otk")))),
+              x => x.getField("otk")), " ").as("target_text"))
+      docs.select(col("doc_id"), col("text"))
+        .join(inp, Seq("doc_id"), "left")
+        .join(tgt, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_masked"), lit(0L)).as("n_masked"),
+          coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+          coalesce(col("input_text"), col("text")).as("input_text"),
+          coalesce(col("target_text"), lit("")).as("target_text"))
+        .orderBy("doc_id")
+    }),
+
     "pipeline_train_test_split" -> ((s, dir) => {
       val h = substring(md5(col("doc_id").cast("string").cast("binary")),
         1, 2)
@@ -1051,6 +1112,47 @@ object PipelineQueries {
         |  least(32, n_tokens - start) AS n_chunk_tokens,
         |  array_to_string(toks[start + 1 : start + 32], ' ') AS chunk
         |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+    // Same hash gate / islands / sentinel numbering; string_agg with
+    // ORDER BY pos is DuckDB's ordered-assembly face of the Spark
+    // side's sort_array(collect_list).
+    "pipeline_span_corruption" ->
+      """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks
+        |  FROM documents),
+        |tok AS (SELECT doc_id, unnest(range(len(toks))) AS pos,
+        |    unnest(toks) AS tk FROM t),
+        |f AS (SELECT doc_id, pos, tk,
+        |    substr(md5(doc_id || ':' || pos), 1, 1) IN ('0','1','2') AS m
+        |  FROM tok),
+        |mk AS (SELECT doc_id, pos, tk,
+        |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+        |      AS isl
+        |  FROM f WHERE m),
+        |sp AS (SELECT doc_id, pos, tk, isl,
+        |    CAST(dense_rank() OVER (PARTITION BY doc_id ORDER BY isl) - 1
+        |      AS BIGINT) AS idx,
+        |    min(pos) OVER (PARTITION BY doc_id, isl) AS head_pos
+        |  FROM mk),
+        |inp AS (SELECT f.doc_id,
+        |    string_agg(CASE WHEN sp.pos IS NULL THEN f.tk
+        |      WHEN sp.pos = sp.head_pos
+        |        THEN '<extra_id_' || sp.idx || '>' END, ' ' ORDER BY f.pos)
+        |      AS input_text
+        |  FROM f LEFT JOIN sp ON f.doc_id = sp.doc_id AND f.pos = sp.pos
+        |  WHERE sp.pos IS NULL OR sp.pos = sp.head_pos
+        |  GROUP BY f.doc_id),
+        |tgt AS (SELECT doc_id, count(*) AS n_masked,
+        |    CAST(max(idx) + 1 AS BIGINT) AS n_spans,
+        |    string_agg(CASE WHEN pos = head_pos
+        |      THEN '<extra_id_' || idx || '> ' || tk ELSE tk END,
+        |      ' ' ORDER BY pos) AS target_text
+        |  FROM sp GROUP BY doc_id)
+        |SELECT t.doc_id,
+        |  coalesce(n_masked, 0) AS n_masked,
+        |  coalesce(n_spans, 0) AS n_spans,
+        |  coalesce(input_text, t.text) AS input_text,
+        |  coalesce(target_text, '') AS target_text
+        |FROM t LEFT JOIN inp USING (doc_id) LEFT JOIN tgt USING (doc_id)
+        |ORDER BY t.doc_id""".stripMargin,
     "pipeline_train_test_split" ->
       """WITH s AS (SELECT lang, n_chars,
         |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc'

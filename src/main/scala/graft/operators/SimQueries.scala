@@ -89,6 +89,38 @@ object SimQueries {
         .orderBy("probe_id", "rk")
     }),
 
+    // HARD-NEGATIVE MINING (§2.64) — for each probe, the top-3 most
+    // similar vectors with a DIFFERENT label: the contrastive-training
+    // data step (random negatives are too easy; the informative ones
+    // are the near-misses this query surfaces — the standard
+    // bi-encoder fine-tuning recipe). Same scale shape as
+    // sim_knn_topk: broadcast probes, one scan, label filter applied
+    // BEFORE scoring ships into the bounded TopKPerGroup heap (≤3
+    // rows per probe × partition into the exchange). Ties → vec_id.
+    "sim_hard_negative_mine" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"),
+          col("embedding").cast("array<double>").as("v"))
+      val probes = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("probe_id"), col("label").as("plabel"),
+          col("v").as("p"))
+      val scored = emb.crossJoin(broadcast(probes))
+        .filter(col("label") =!= col("plabel"))
+        .select(col("probe_id"), col("vec_id"),
+          (ArrayDot(col("p"), col("v"))
+            / (sqrt(ArrayDot(col("p"), col("p")))
+              * sqrt(ArrayDot(col("v"), col("v"))))).as("cos"))
+      val top = graft.plans.TopKPerGroup(scored, k = 3,
+        partNames = Seq("probe_id"),
+        orderSpec = Seq(("cos", false), ("vec_id", true)))
+      val w = Window.partitionBy("probe_id")
+        .orderBy(col("cos").desc, col("vec_id"))
+      top.withColumn("rk", row_number().over(w))
+        .select(col("probe_id"), col("vec_id"), r4d(col("cos")).as("cos"),
+          col("rk").cast("long").as("rk"))
+        .orderBy("probe_id", "rk")
+    }),
+
     // Per-label elementwise mean of the first 8 dims (exact decimal sums
     // at scale 12 — lossless for float inputs, order-independent).
     "sim_centroid_per_label" -> ((s, dir) => {
@@ -256,6 +288,27 @@ object SimQueries {
          |    row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rk
          |  FROM pairs WHERE vec_id <> probe_id)
          |WHERE rk <= 5 ORDER BY probe_id, rk""".stripMargin,
+    // Label-filtered variant of the kNN oracle: the label inequality
+    // lands in the pair CTE, before ranking — same as the Spark side's
+    // pre-heap filter.
+    "sim_hard_negative_mine" ->
+      """WITH pairs AS (
+        |  SELECT p.vec_id AS probe_id, e.vec_id AS vec_id,
+        |    list_dot_product(CAST(p.embedding AS DOUBLE[]),
+        |        CAST(e.embedding AS DOUBLE[]))
+        |      / (sqrt(list_dot_product(CAST(p.embedding AS DOUBLE[]),
+        |          CAST(p.embedding AS DOUBLE[])))
+        |       * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+        |          CAST(e.embedding AS DOUBLE[])))) AS cos
+        |  FROM embeddings e
+        |  CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 10) p
+        |  WHERE e.label <> p.label)
+        |SELECT probe_id, vec_id, ROUND(cos, 4) + 0.0 AS cos, rk FROM (
+        |  SELECT probe_id, vec_id, cos,
+        |    row_number() OVER (PARTITION BY probe_id
+        |      ORDER BY cos DESC, vec_id) AS rk
+        |  FROM pairs)
+        |WHERE rk <= 3 ORDER BY probe_id, rk""".stripMargin,
     "sim_centroid_per_label" ->
       """SELECT label, pos,
         |  ROUND(CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE)

@@ -240,10 +240,14 @@ class InventorySpec extends SparkSpec {
     "sql_groupby_all", "sql_star_except", "sql_values_inline",
     "agg_bool_ops", "agg_max_by_min_by",
     // §2.63 round-9 eighth wave: change-point, peaks, robust trend
-    "ts_cusum_changepoint", "ts_peak_detect", "ts_theil_sen")
+    "ts_cusum_changepoint", "ts_peak_detect", "ts_theil_sen",
+    // §2.64 round-9 ninth wave: mixture weights, dedup survivorship,
+    // hard negatives, span corruption
+    "sample_mixture_weights", "dedup_survivorship_report",
+    "sim_hard_negative_mine", "pipeline_span_corruption")
 
-  test("declared queries cover SURVEY §2 + §2.12-63 exactly (306 keys)") {
-    assert(inventory.size == 306)
+  test("declared queries cover SURVEY §2 + §2.12-64 exactly (310 keys)") {
+    assert(inventory.size == 310)
     val declared = SparkEntry.queries.keySet
     val missing = inventory -- declared
     val extra = declared -- inventory
