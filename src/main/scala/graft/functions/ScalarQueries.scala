@@ -162,6 +162,58 @@ object ScalarQueries {
         .orderBy(col("p_partkey"))
     }),
 
+    // CRYPTOGRAPHIC HASH SUITE (§2.65) — md5 / sha2-256 over fixture
+    // strings: the content-addressing primitives every dedup /
+    // partitioning / cache-key scheme builds on (this repo's own
+    // deterministic-sampling keys ride md5 ordering). Both engines
+    // emit lowercase hex; DuckDB 1.0 carries exactly md5 + sha256
+    // (no sha1/crc32 — fenced out of the suite). The bucket column
+    // shows the standard hash-partitioning use: first hex char
+    // → 16-way split, compared as a string so no engine parses hex.
+    "fn_hash_suite" -> ((s, dir) => {
+      t(s, dir, "part")
+        .select(col("p_partkey"),
+          md5(col("p_name").cast("binary")).as("md5_hex"),
+          sha2(col("p_name").cast("binary"), 256).as("sha256_hex"),
+          substring(md5(col("p_name").cast("binary")), 1, 1).as("bucket"),
+          length(sha2(col("p_name").cast("binary"), 256)).cast("long")
+            .as("hex_len"))
+        .orderBy("p_partkey")
+    }),
+
+    // URL PARSING (§2.65) — Spark's parse_url component extractor
+    // (PROTOCOL/HOST/PATH/QUERY and single-parameter lookup) over the
+    // same synthetic URL family text_url_normalize builds: the log /
+    // clickstream sessionization primitive. Semantics pinned by the
+    // oracle: missing query and missing parameter are NULL (DuckDB has
+    // no parse_url — regexp_extract spellings with NULLIF('') mirror
+    // the NULL contract); host CASE is PRESERVED (normalization is
+    // the other key's job). Pure codegen'd row-local functions —
+    // shuffle-free.
+    "fn_parse_url" -> ((s, dir) => {
+      val d = col("doc_id")
+      val hostRaw = concat(lit("site"), (d % 50).cast("string"),
+        lit(".example.com"))
+      val url = concat(
+        when(d % 2 === 0, "https").otherwise("http"), lit("://"),
+        when(d % 3 === 0, upper(hostRaw)).otherwise(hostRaw),
+        lit("/a/item"), (d % 20).cast("string"),
+        when(d % 4 === 0, "/").otherwise(""),
+        when(d % 5 === 0,
+          concat(lit("?utm_source=feed&id="), (d % 10).cast("string")))
+          .when(d % 5 === 1, concat(lit("?id="), (d % 10).cast("string")))
+          .when(d % 5 === 2, lit("?utm_campaign=x"))
+          .otherwise(lit("")))
+      t(s, dir, "documents").select(d.as("doc_id"), url.as("url"))
+        .select(col("doc_id"), col("url"),
+          parse_url(col("url"), lit("PROTOCOL")).as("proto"),
+          parse_url(col("url"), lit("HOST")).as("host"),
+          parse_url(col("url"), lit("PATH")).as("path"),
+          parse_url(col("url"), lit("QUERY")).as("query"),
+          parse_url(col("url"), lit("QUERY"), lit("id")).as("id_param"))
+        .orderBy("doc_id")
+    }),
+
     // Custom Catalyst Expression with codegen (see DiscountBand).
     "custom_udf_expr" -> ((s, dir) => {
       DiscountBand.register(s)
@@ -195,6 +247,35 @@ object ScalarQueries {
         |    ELSE num_str END AS INT) AS BIGINT)) AS BIGINT)
         |    AS sum_ints
         |FROM m""".stripMargin,
+    "fn_hash_suite" ->
+      """SELECT p_partkey,
+        |  md5(p_name) AS md5_hex,
+        |  sha256(p_name) AS sha256_hex,
+        |  substr(md5(p_name), 1, 1) AS bucket,
+        |  CAST(length(sha256(p_name)) AS BIGINT) AS hex_len
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    // regexp_extract component spellings; NULLIF('') mirrors Spark's
+    // NULL-on-missing contract for query and parameter.
+    "fn_parse_url" ->
+      """WITH u AS (SELECT doc_id,
+        |  (CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'http' END) || '://'
+        |  || (CASE WHEN doc_id % 3 = 0
+        |        THEN upper('site' || (doc_id % 50) || '.example.com')
+        |        ELSE 'site' || (doc_id % 50) || '.example.com' END)
+        |  || '/a/item' || (doc_id % 20)
+        |  || (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END)
+        |  || (CASE WHEN doc_id % 5 = 0 THEN '?utm_source=feed&id=' || (doc_id % 10)
+        |           WHEN doc_id % 5 = 1 THEN '?id=' || (doc_id % 10)
+        |           WHEN doc_id % 5 = 2 THEN '?utm_campaign=x'
+        |           ELSE '' END) AS url
+        |  FROM documents)
+        |SELECT doc_id, url,
+        |  regexp_extract(url, '^([a-z]+)://', 1) AS proto,
+        |  regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS host,
+        |  regexp_extract(url, '^[a-z]+://[^/?#]+([^?#]*)', 1) AS path,
+        |  NULLIF(regexp_extract(url, '\?([^#]*)', 1), '') AS query,
+        |  NULLIF(regexp_extract(url, '[?&]id=([^&#]*)', 1), '') AS id_param
+        |FROM u ORDER BY doc_id""".stripMargin,
     "fn_string_suite" ->
       """SELECT p_partkey,
         |  upper(p_name) AS up, lower(p_brand) AS lo,

@@ -37,8 +37,9 @@ object ScanQueries {
   private def ident(s: String): String = s.replaceAll("[^A-Za-z0-9]", "_")
 
   /** One recursive delete for the scratch shutdown hook and the
-    * rebuild-from-scratch versioned-table sites. */
-  private def deleteRecursively(f: java.io.File): Unit = {
+    * rebuild-from-scratch versioned-table sites (package-visible: the
+    * streaming merge-sink key rebuilds its scratch table the same way). */
+  private[graft] def deleteRecursively(f: java.io.File): Unit = {
     val kids = f.listFiles()
     if (kids != null) kids.foreach(deleteRecursively)
     f.delete(): Unit

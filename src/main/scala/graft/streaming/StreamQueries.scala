@@ -169,10 +169,76 @@ object StreamQueries {
       import graft.Tables.t
       Cdc.present(Cdc.merge(Cdc.base(t(s, dir, "customer")),
         Cdc.log(t(s, dir, "orders"))))
-    })
+    }),
+
+    // STREAMING MERGE SINK (§2.65) — the foreachBatch + MERGE
+    // lakehouse-maintenance pattern as a DECLARED key: a stream of
+    // per-user "latest state" rows upserts into a VersionedTable every
+    // micro-batch, so the table's current version is always the
+    // materialized latest-event-per-user. The batch face replays the
+    // fixture in THREE ts-ordered slices through the SAME
+    // VersionedTable.merge the streaming sink calls (the §2.10
+    // batch-declaration convention — GraftStreams.mergeSink over a
+    // MemoryStream is pinned ≡ this result in StreamingParitySpec);
+    // last-write-wins across ordered slices ≡ global argmax, which is
+    // exactly what the oracle computes. Replay-idempotent at the
+    // table level (re-merging a slice changes nothing but the version
+    // count — the mergeSink scaladoc's exactly-once-results
+    // contract).
+    "stream_vtab_merge" -> ((s, dir) =>
+      graft.sources.VersionedTable
+        .readLatest(s, streamMergeTable(s, dir))
+        .select(col("user_id"), col("last_day"), col("last_type"),
+          col("last_value"))
+        .orderBy("user_id"))
   )
 
+  /** Scratch VersionedTable maintained by three ordered merge "batches"
+    * (the mergeSink fold, driven manually — same Session-memoized
+    * rebuild discipline as ScanQueries' versioned scratch tables). */
+  private def streamMergeTable(s: SparkSession, dir: String): String = {
+    import graft.sources.VersionedTable
+    import graft.operators.ScanQueries
+    val root = s"${ScanQueries.scratch(s, dir)}/vtab_stream_merge"
+    if (VersionedTable.latestVersion(root) != 2L) {
+      ScanQueries.deleteRecursively(new java.io.File(root))
+      val e = events(s, dir).select(col("user_id"), col("event_type"),
+        col("value"), col("ts"), col("event_id"),
+        graft.Tables.epochDay("ts").as("day"))
+      val b = e.agg(min(col("day")), max(col("day"))).head()
+      val (lo, hi) = (b.getLong(0), b.getLong(1))
+      val (c1, c2) = (lo + (hi - lo) / 3, lo + 2 * (hi - lo) / 3)
+      def latest(df: DataFrame): DataFrame = {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").desc, col("event_id").desc)
+        df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .select(col("user_id"), col("day").as("last_day"),
+            col("event_type").as("last_type"),
+            col("value").as("last_value"))
+      }
+      VersionedTable.commit(s, root,
+        latest(e.filter(col("day") <= c1)), "overwrite")
+      VersionedTable.merge(s, root,
+        latest(e.filter(col("day") > c1 && col("day") <= c2)),
+        keys = Seq("user_id"))
+      VersionedTable.merge(s, root,
+        latest(e.filter(col("day") > c2)), keys = Seq("user_id")): Unit
+    }
+    root
+  }
+
   val oracle: Map[String, String] = Map(
+    // Global argmax per user ≡ last-write-wins over ts-ordered merges.
+    "stream_vtab_merge" ->
+      s"""WITH e AS (SELECT user_id, event_type, value, ts, event_id,
+         |    ${sqlEpochDay("ts")} AS day FROM events),
+         |r AS (SELECT user_id, day AS last_day, event_type AS last_type,
+         |    value AS last_value,
+         |    row_number() OVER (PARTITION BY user_id
+         |      ORDER BY ts DESC, event_id DESC) AS rn
+         |  FROM e)
+         |SELECT user_id, last_day, last_type, last_value
+         |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin,
     "stream_tumbling_counts" ->
       s"""SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
          |count(*) AS n, ${sqlSum("value")} AS sum_value

@@ -244,10 +244,13 @@ class InventorySpec extends SparkSpec {
     // §2.64 round-9 ninth wave: mixture weights, dedup survivorship,
     // hard negatives, span corruption
     "sample_mixture_weights", "dedup_survivorship_report",
-    "sim_hard_negative_mine", "pipeline_span_corruption")
+    "sim_hard_negative_mine", "pipeline_span_corruption",
+    // §2.65 round-9 tenth wave: hash suite, URL parsing, streaming
+    // VersionedTable merge sink
+    "fn_hash_suite", "fn_parse_url", "stream_vtab_merge")
 
-  test("declared queries cover SURVEY §2 + §2.12-64 exactly (310 keys)") {
-    assert(inventory.size == 310)
+  test("declared queries cover SURVEY §2 + §2.12-65 exactly (313 keys)") {
+    assert(inventory.size == 313)
     val declared = SparkEntry.queries.keySet
     val missing = inventory -- declared
     val extra = declared -- inventory

@@ -584,6 +584,39 @@ class StreamingParitySpec extends SparkSpec {
           "events — closed sessions are not being evicted")
     }
   }
+
+  test("vtab merge sink: MemoryStream mergeSink == declared stream_vtab_merge") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_vtabstream").toString + "/t"
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_vtabstream_ck").toString
+    val mem = MemoryStream[Event]
+    // Per-user latest row as a streaming Update-mode aggregate:
+    // max(struct(ts, event_id, ...)) IS the argmax the declared key
+    // computes — O(1) state per user; mergeSink then upserts each
+    // changed user row per micro-batch.
+    val upd = mem.toDF()
+      .groupBy(col("user_id"))
+      .agg(max(struct(col("ts_ms"), col("event_id"),
+        expr("ts_ms div 86400000").as("day"),
+        col("event_type"), col("value"))).as("m"))
+      .select(col("user_id"), col("m.day").as("last_day"),
+        col("m.event_type").as("last_type"),
+        col("m.value").as("last_value"))
+    val q = GraftStreams.mergeSink(upd, root, Seq("user_id"), ckpt)
+    evRows.grouped(math.max(1, evRows.size / 4)).foreach { chunk =>
+      mem.addData(chunk)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = graft.sources.VersionedTable.readLatest(spark, root)
+      .select("user_id", "last_day", "last_type", "last_value")
+    val batch = graft.streaming.StreamQueries
+      .queries("stream_vtab_merge")(spark, sf)
+    assertSameRows(streamed, batch, Seq("user_id"))
+  }
 }
 
 /** Batch-side references shared with the declared queries. */
