@@ -1159,4 +1159,55 @@ class PlanAuditSpec extends SparkSpec {
       p.contains("BroadcastHashJoin"), p.take(3000))
     assert(!p.contains("SortMergeJoin"), p.take(2000))
   }
+
+  test("inline VALUES dim broadcasts (LocalRelation stats seen by planner)") {
+    val p = plan("sql_values_inline")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+  }
+
+  test("star-EXCEPT prunes the dropped columns out of the scan") {
+    val p = plan("sql_star_except")
+    assert(p.contains("ReadSchema: struct<o_orderkey:bigint,o_custkey:bigint," +
+      "o_orderstatus:string,o_totalprice:double>"), p.take(2000))
+    assert(p.contains("GreaterThan(o_totalprice,300000.0)"), p.take(2000))
+  }
+
+  test("GROUP BY ALL plans the same two-phase hash aggregate") {
+    val p = plan("sql_groupby_all")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(2000))
+  }
+
+  test("max_by/min_by is one two-phase aggregate — no window detour") {
+    val p = plan("agg_max_by_min_by")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(2000))
+    assert(!p.contains("Window"), p.take(2000))
+  }
+
+  test("hard negatives rank through TopKPerGroupExec, probes broadcast") {
+    val p = plan("sim_hard_negative_mine")
+    assert(p.contains("TopKPerGroup"), p.take(3000))
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p.take(3000))
+  }
+
+  test("Theil-Sen pairs ride the event_type hash join — no cartesian") {
+    val p = plan("ts_theil_sen")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("span corruption and cusum plans stay cartesian-free") {
+    for (q <- Seq("pipeline_span_corruption", "ts_cusum_changepoint",
+      "ts_peak_detect")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
+    }
+  }
+
+  test("hash/URL function suites are join-free row-local projections") {
+    for (q <- Seq("fn_hash_suite", "fn_parse_url")) {
+      val p = plan(q)
+      assert(!p.contains("Join"), s"$q plans a join: ${p.take(1500)}")
+    }
+  }
 }
