@@ -162,6 +162,25 @@ object ScalarQueries {
         .orderBy(col("p_partkey"))
     }),
 
+    // TRY ARITHMETIC (§2.66) — error-safe arithmetic, the TRY_CAST
+    // suite's sibling: try_divide returns NULL on a zero divisor and
+    // try_add/try_multiply return NULL on bigint overflow instead of
+    // wrapping (non-ANSI) or aborting the job (ANSI) — the ingest
+    // posture for arithmetic over untrusted numbers. Divisor/overflow
+    // cases are built deterministically from the key. DuckDB has no
+    // try_* arithmetic: NULLIF guards the divisor and CASE guards the
+    // overflow margin BEFORE the native (erroring) operator runs —
+    // the NULL pattern must agree row-for-row, which is the pin.
+    "fn_try_arith_suite" -> ((s, dir) => {
+      val k = col("p_partkey")
+      t(s, dir, "part")
+        .select(k,
+          try_divide(col("p_retailprice"), (k % 5).cast("double")).as("td"),
+          try_add(lit(Long.MaxValue) - (k % 3), k % 2).as("ta"),
+          try_multiply(lit(4611686018427387904L), (k % 4) - 1).as("tm"))
+        .orderBy("p_partkey")
+    }),
+
     // CRYPTOGRAPHIC HASH SUITE (§2.65) — md5 / sha2-256 over fixture
     // strings: the content-addressing primitives every dedup /
     // partitioning / cache-key scheme builds on (this repo's own
@@ -247,6 +266,19 @@ object ScalarQueries {
         |    ELSE num_str END AS INT) AS BIGINT)) AS BIGINT)
         |    AS sum_ints
         |FROM m""".stripMargin,
+    // NULLIF/CASE guards replace try_*: the zero divisor becomes NULL
+    // before the divide; the overflow branches are excluded before the
+    // erroring native operator evaluates.
+    "fn_try_arith_suite" ->
+      """SELECT p_partkey,
+        |  p_retailprice / NULLIF(CAST(p_partkey % 5 AS DOUBLE), 0.0) AS td,
+        |  CASE WHEN (p_partkey % 2) > (p_partkey % 3) THEN NULL
+        |       ELSE CAST((9223372036854775807 - p_partkey % 3)
+        |         + (p_partkey % 2) AS BIGINT) END AS ta,
+        |  CASE WHEN (p_partkey % 4) - 1 >= 2 THEN NULL
+        |       ELSE CAST(4611686018427387904 * ((p_partkey % 4) - 1)
+        |         AS BIGINT) END AS tm
+        |FROM part ORDER BY p_partkey""".stripMargin,
     "fn_hash_suite" ->
       """SELECT p_partkey,
         |  md5(p_name) AS md5_hex,

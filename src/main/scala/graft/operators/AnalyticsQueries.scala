@@ -1410,6 +1410,56 @@ object AnalyticsQueries {
     // final ÷√ — r4d at the edge; zero-variance frames emit NULL.
     // Calendar-bounded global window (documented exception, the
     // ts_ewma convention).
+    // LTTB DOWNSAMPLING (§2.66) — Largest-Triangle-Three-Buckets, the
+    // standard dashboard decimation: keep ONE day per weekly bucket,
+    // the one forming the largest triangle against the NEIGHBOR BUCKET
+    // MEAN points — peaks and cliffs survive where naive every-7th-day
+    // sampling flattens them. This is the PARALLEL variant (anchors
+    // are the prev/next bucket means, not the previously-selected
+    // point): classic LTTB's selected-point anchor is a sequential
+    // fold, which is exactly what a distributed engine must not do —
+    // the mean-anchor form is embarrassingly parallel and visually
+    // equivalent. First/last buckets keep their endpoint days (LTTB
+    // convention). Bucket means are exact-integer sums divided once;
+    // the 2×area score is a fixed double expression spelled
+    // operand-for-operand in both engines; ties → earliest day. Scale:
+    // O(days) windows over the per-bucket stats, one broadcast-size
+    // join back to the daily series.
+    "ts_downsample_lttb" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val fl = zeroFilledDaily(s, dir)
+        .withColumn("bucket", expr("day div 7"))
+      val bs = fl.groupBy(col("event_type"), col("bucket"))
+        .agg(count(lit(1)).as("n"), sum(col("day")).as("sx"),
+          sum(col("y")).as("sy"))
+        .select(col("event_type"), col("bucket"),
+          (col("sx").cast("double") / col("n").cast("double")).as("mx"),
+          (col("sy").cast("double") / col("n").cast("double")).as("my"))
+      val wb = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
+      val bm = bs
+        .withColumn("pmx", lag(col("mx"), 1).over(wb))
+        .withColumn("pmy", lag(col("my"), 1).over(wb))
+        .withColumn("nmx", lead(col("mx"), 1).over(wb))
+        .withColumn("nmy", lead(col("my"), 1).over(wb))
+        .select(col("event_type"), col("bucket"), col("pmx"), col("pmy"),
+          col("nmx"), col("nmy"))
+      val scored = fl.join(bm, Seq("event_type", "bucket"))
+        .withColumn("score",
+          when(col("pmx").isNull, -col("day").cast("double"))
+            .when(col("nmx").isNull, col("day").cast("double"))
+            .otherwise(abs(
+              (col("pmx") - col("nmx"))
+                * (col("y").cast("double") - col("pmy"))
+                - (col("pmx") - col("day").cast("double"))
+                  * (col("nmy") - col("pmy")))))
+      val wr = Window.partitionBy(col("event_type"), col("bucket"))
+        .orderBy(col("score").desc, col("day"))
+      scored.withColumn("rk", row_number().over(wr)).filter(col("rk") === 1)
+        .select(col("event_type"), col("bucket"), col("day").as("sel_day"),
+          col("y"))
+        .orderBy("event_type", "bucket")
+    }),
+
     // CUSUM CHANGE-POINT (§2.63) — where did the daily level SHIFT?
     // Page's classic cumulative-sum statistic on the zero-filled
     // per-type series, argmax form: C_t = n·P_t − t·S (P_t = prefix
@@ -2627,6 +2677,40 @@ object AnalyticsQueries {
          |  AND o_orderdate < DATE '1997-01-01'
          |GROUP BY n_name
          |ORDER BY revenue DESC, n_name""".stripMargin,
+    // Same bucket means, neighbor anchors, and 2×area score; '//' is
+    // DuckDB's floor division (post-epoch days ⇒ ≡ Spark div).
+    "ts_downsample_lttb" ->
+      s"""WITH e AS (SELECT event_type, ${sqlEpochDay("ts")} AS day
+         |  FROM events),
+         |d AS (SELECT event_type, day, count(*) AS y FROM e GROUP BY 1, 2),
+         |b AS (SELECT min(day) AS lo, max(day) AS hi FROM e),
+         |ty AS (SELECT DISTINCT event_type FROM e),
+         |spine AS (SELECT event_type, unnest(range(lo, hi + 1)) AS day
+         |  FROM ty CROSS JOIN b),
+         |fl AS (SELECT s.event_type, s.day, coalesce(y, 0) AS y,
+         |    s.day // 7 AS bucket
+         |  FROM spine s LEFT JOIN d
+         |    ON s.event_type = d.event_type AND s.day = d.day),
+         |bs AS (SELECT event_type, bucket,
+         |    CAST(sum(day) AS DOUBLE) / count(*) AS mx,
+         |    CAST(sum(y) AS DOUBLE) / count(*) AS my
+         |  FROM fl GROUP BY 1, 2),
+         |bm AS (SELECT event_type, bucket,
+         |    lag(mx) OVER w AS pmx, lag(my) OVER w AS pmy,
+         |    lead(mx) OVER w AS nmx, lead(my) OVER w AS nmy
+         |  FROM bs WINDOW w AS (PARTITION BY event_type ORDER BY bucket)),
+         |c AS (SELECT f.event_type, f.bucket, f.day, f.y,
+         |    CASE WHEN pmx IS NULL THEN -CAST(f.day AS DOUBLE)
+         |         WHEN nmx IS NULL THEN CAST(f.day AS DOUBLE)
+         |         ELSE abs((pmx - nmx) * (CAST(f.y AS DOUBLE) - pmy)
+         |           - (pmx - CAST(f.day AS DOUBLE)) * (nmy - pmy))
+         |    END AS score
+         |  FROM fl f JOIN bm ON f.event_type = bm.event_type
+         |    AND f.bucket = bm.bucket),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY event_type, bucket
+         |    ORDER BY score DESC, day) AS rk FROM c)
+         |SELECT event_type, bucket, day AS sel_day, y
+         |FROM r WHERE rk = 1 ORDER BY event_type, bucket""".stripMargin,
     // Same integer cusum statistic; HUGEINT products, CASE for the
     // no-after-regime NULL, abs-desc/day-asc argmax tie-break.
     "ts_cusum_changepoint" ->

@@ -415,6 +415,51 @@ object GraphQueries {
       GraphAlgorithms.labelPropagation(s, e, rounds = LpaRounds)._1
         .select(col("v").as("node"), col("label"))
         .orderBy("node")
+    }),
+
+    // MODULARITY (§2.66) — did label propagation find REAL structure?
+    // Newman's per-community contribution Q_c = e_in/m − (Σdeg/2m)²
+    // over the same '0'-prefix Doulion graph and the same 5-superstep
+    // LPA labels: the standard community-quality score (ΣQ_c > 0 ⇒
+    // better than random given the degree sequence). Every count
+    // (m, e_in, Σdeg) is an exact integer; the two divisions and one
+    // product are spelled operand-for-operand in both engines, r4d at
+    // the edge. Scale: labels come from the declared LPA loop
+    // (checkpoint discipline inside labelPropagation); the scoring
+    // itself is two label-keyed joins on the edge list + O(|labels|)
+    // aggregates with a broadcast scalar m — nothing quadratic.
+    "graph_modularity" -> ((s, dir) => {
+      val e = sampledOrientedEdges(s, dir, Some(Seq("0"))).persist()
+      val labels = GraphAlgorithms.labelPropagation(s, e, rounds = LpaRounds)._1
+      val degs = e.select(col("a").as("v"))
+        .unionAll(e.select(col("b").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("deg"))
+      val m = e.agg(count(lit(1)).as("m"))
+      val ein = e
+        .join(labels.select(col("v").as("a"), col("label").as("la")), Seq("a"))
+        .join(labels.select(col("v").as("b"), col("label").as("lb")), Seq("b"))
+        .filter(col("la") === col("lb"))
+        .groupBy(col("la").as("label")).agg(count(lit(1)).as("e_in"))
+      val dc = labels.join(degs, Seq("v"))
+        .groupBy("label")
+        .agg(sum(col("deg")).as("deg_sum"), count(lit(1)).as("n_nodes"))
+      val out = dc.join(ein, Seq("label"), "left")
+        .crossJoin(broadcast(m))
+        .select(col("label").as("community"), col("n_nodes"),
+          coalesce(col("e_in"), lit(0L)).as("internal_edges"),
+          col("deg_sum"),
+          graft.Det.r4d(
+            coalesce(col("e_in"), lit(0L)).cast("double")
+              / col("m").cast("double")
+              - (col("deg_sum").cast("double")
+                  / (col("m") * 2).cast("double"))
+                * (col("deg_sum").cast("double")
+                  / (col("m") * 2).cast("double"))).as("q_contrib"))
+        .orderBy("community")
+      // e stays persisted through execution (degs/m/ein reuse it);
+      // the harness's dropLeftoverBlocks sweep reclaims it after the
+      // query, same as the other graph keys' loop state.
+      out
     })
   )
 
@@ -595,29 +640,58 @@ object GraphQueries {
     // The same five synchronous supersteps, unrolled as MATERIALIZED
     // CTEs (the k-core convention); the (count DESC, label ASC)
     // row_number is the identical tie-break spelling.
-    "graph_label_prop" -> {
-      val prelude =
-        """WITH pp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
-          |  FROM lineitem),
-          |ef AS (SELECT DISTINCT x.p AS a, y.p AS b
-          |  FROM pp x JOIN pp y ON x.ok = y.ok AND x.p < y.p),
-          |e AS MATERIALIZED (SELECT a, b FROM ef
-          |  WHERE substring(md5(CAST(a AS VARCHAR) || '_'
-          |    || CAST(b AS VARCHAR)), 1, 1) = '0'),
-          |nb AS MATERIALIZED (SELECT a AS v, b AS n FROM e
-          |  UNION ALL SELECT b, a FROM e),
-          |l0 AS MATERIALIZED (SELECT DISTINCT v, v AS label FROM nb)""".stripMargin
-      val rounds = (1 to LpaRounds).map { i =>
-        s"""l$i AS MATERIALIZED (SELECT v, label FROM (
-           |  SELECT nb.v, l.label, count(*) AS c,
-           |    row_number() OVER (PARTITION BY nb.v
-           |      ORDER BY count(*) DESC, l.label) AS rk
-           |  FROM nb JOIN l${i - 1} l ON l.v = nb.n
-           |  GROUP BY nb.v, l.label) WHERE rk = 1)""".stripMargin
-      }.mkString(",\n")
-      s"$prelude,\n$rounds\n" +
+    "graph_label_prop" ->
+      (s"$LpaCtes\n" +
         s"""SELECT v AS node, label FROM l$LpaRounds
-           |ORDER BY node""".stripMargin
-    }
+           |ORDER BY node""".stripMargin),
+    // Same LPA unroll feeding Newman's per-community contribution;
+    // every count exact, divisions operand-for-operand with the Spark
+    // spelling, multiply-form 4dp round.
+    "graph_modularity" ->
+      (s"$LpaCtes,\n" +
+        s"""lab AS (SELECT v, label FROM l$LpaRounds),
+           |mm AS (SELECT count(*) AS m FROM e),
+           |degs AS (SELECT v, count(*) AS deg FROM nb GROUP BY v),
+           |ein AS (SELECT l1.label AS label, count(*) AS e_in
+           |  FROM e JOIN lab l1 ON e.a = l1.v JOIN lab l2 ON e.b = l2.v
+           |  WHERE l1.label = l2.label GROUP BY 1),
+           |dc AS (SELECT lab.label, CAST(sum(deg) AS BIGINT) AS deg_sum,
+           |    count(*) AS n_nodes
+           |  FROM lab JOIN degs ON lab.v = degs.v GROUP BY 1)
+           |SELECT dc.label AS community, n_nodes,
+           |  CAST(coalesce(e_in, 0) AS BIGINT) AS internal_edges, deg_sum,
+           |  ROUND((CAST(coalesce(e_in, 0) AS DOUBLE) / CAST(m AS DOUBLE)
+           |    - (CAST(deg_sum AS DOUBLE) / CAST(m * 2 AS DOUBLE))
+           |      * (CAST(deg_sum AS DOUBLE) / CAST(m * 2 AS DOUBLE)))
+           |    * 10000) / 10000 AS q_contrib
+           |FROM dc LEFT JOIN ein ON dc.label = ein.label
+           |CROSS JOIN mm
+           |ORDER BY community""".stripMargin)
   )
+
+  /** Shared LPA oracle CTEs: the '0'-prefix Doulion edge set, the
+    * undirected adjacency, and the 5 unrolled min-tie-break supersteps
+    * (consumed by both graph_label_prop and graph_modularity). */
+  private lazy val LpaCtes: String = {
+    val prelude =
+      """WITH pp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+        |  FROM lineitem),
+        |ef AS (SELECT DISTINCT x.p AS a, y.p AS b
+        |  FROM pp x JOIN pp y ON x.ok = y.ok AND x.p < y.p),
+        |e AS MATERIALIZED (SELECT a, b FROM ef
+        |  WHERE substring(md5(CAST(a AS VARCHAR) || '_'
+        |    || CAST(b AS VARCHAR)), 1, 1) = '0'),
+        |nb AS MATERIALIZED (SELECT a AS v, b AS n FROM e
+        |  UNION ALL SELECT b, a FROM e),
+        |l0 AS MATERIALIZED (SELECT DISTINCT v, v AS label FROM nb)""".stripMargin
+    val rounds = (1 to LpaRounds).map { i =>
+      s"""l$i AS MATERIALIZED (SELECT v, label FROM (
+         |  SELECT nb.v, l.label, count(*) AS c,
+         |    row_number() OVER (PARTITION BY nb.v
+         |      ORDER BY count(*) DESC, l.label) AS rk
+         |  FROM nb JOIN l${i - 1} l ON l.v = nb.n
+         |  GROUP BY nb.v, l.label) WHERE rk = 1)""".stripMargin
+    }.mkString(",\n")
+    s"$prelude,\n$rounds"
+  }
 }

@@ -247,10 +247,13 @@ class InventorySpec extends SparkSpec {
     "sim_hard_negative_mine", "pipeline_span_corruption",
     // §2.65 round-9 tenth wave: hash suite, URL parsing, streaming
     // VersionedTable merge sink
-    "fn_hash_suite", "fn_parse_url", "stream_vtab_merge")
+    "fn_hash_suite", "fn_parse_url", "stream_vtab_merge",
+    // §2.66 round-9 eleventh wave: try-arithmetic, LTTB downsampling,
+    // community modularity
+    "fn_try_arith_suite", "ts_downsample_lttb", "graph_modularity")
 
-  test("declared queries cover SURVEY §2 + §2.12-65 exactly (313 keys)") {
-    assert(inventory.size == 313)
+  test("declared queries cover SURVEY §2 + §2.12-66 exactly (316 keys)") {
+    assert(inventory.size == 316)
     val declared = SparkEntry.queries.keySet
     val missing = inventory -- declared
     val extra = declared -- inventory
