@@ -352,6 +352,45 @@ object CurationQueries {
     // md5(doc_id) order (sample_domain_cap's device). Scale: the count
     // table is |langs| rows (broadcast), the rank one lang-keyed
     // window exchange — same shape as the domain cap.
+    // CONSISTENT PSEUDONYMIZATION (§2.67) — pii_scrub's sibling with
+    // REFERENTIAL INTEGRITY: instead of collapsing every email to one
+    // <EMAIL> tag (which destroys "same sender across documents"
+    // joins), each PII token maps to a STABLE pseudonym derived from
+    // its own hash (EMAIL_ + md5-prefix) — the same entity gets the
+    // same pseudonym corpus-wide with no lookup table to secure, the
+    // GDPR-grade anonymization that keeps analytics joinable. PII
+    // here are whole whitespace tokens (the fixture's injected
+    // emails/phones are), so the rewrite is a per-token HOF —
+    // shuffle-free, no regexp_replace callback needed (neither engine
+    // has one). 8 hex chars = 32 bits; collisions only matter within
+    // the PSEUDONYM namespace (~65k entities per birthday-bound),
+    // documented trade.
+    "text_pseudonymize" -> ((s, dir) => {
+      val d = col("doc_id")
+      val aug = concat(col("text"),
+        when(d % 5 === 0, concat(lit(" contact user"),
+          d.cast("string"), lit("@example.com now"))).otherwise(""),
+        when(d % 11 === 0, concat(lit(" call +1-555-"),
+          lpad(pmod(d, lit(1000)).cast("string"), 3, "0"),
+          lit("-0199"))).otherwise(""))
+      val email = "^[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}$"
+      val phone = "^\\+1-[0-9]{3}-[0-9]{3}-[0-9]{4}$"
+      val toks = split(col("text"), " ")
+      val out = transform(toks, tk =>
+        when(regexp_like(tk, lit(email)),
+          concat(lit("EMAIL_"), substring(md5(tk.cast("binary")), 1, 8)))
+          .when(regexp_like(tk, lit(phone)),
+            concat(lit("PHONE_"), substring(md5(tk.cast("binary")), 1, 8)))
+          .otherwise(tk))
+      val nPii = size(filter(toks, tk =>
+        regexp_like(tk, lit(email)) || regexp_like(tk, lit(phone))))
+      t(s, dir, "documents")
+        .select(d.as("doc_id"), aug.as("text"))
+        .select(col("doc_id"), nPii.cast("long").as("n_pseudo"),
+          array_join(out, " ").as("pseudo_text"))
+        .orderBy("doc_id")
+    }),
+
     // MIXTURE REWEIGHTING (§2.64) — the domain-weights computation
     // upstream of every weighted sampler (the DoReMi/Pile recipe's
     // bookkeeping step): given a TARGET mixture (uniform over the k
@@ -607,6 +646,30 @@ object CurationQueries {
         |ORDER BY d.doc_id""".stripMargin,
     // Exact-decimal Σ√n per the Spark side; the k arithmetic repeats
     // the same double ops in the same order.
+    // Same augmentation, token-anchored regexes, md5-prefix pseudonyms.
+    "text_pseudonymize" ->
+      """WITH aug AS (SELECT doc_id,
+        |  text || CASE WHEN doc_id % 5 = 0
+        |      THEN ' contact user' || doc_id || '@example.com now'
+        |      ELSE '' END
+        |       || CASE WHEN doc_id % 11 = 0
+        |      THEN ' call +1-555-' || lpad((doc_id % 1000)::varchar, 3, '0')
+        |        || '-0199' ELSE '' END AS text
+        |  FROM documents),
+        |t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM aug)
+        |SELECT doc_id,
+        |  CAST(len(list_filter(toks, tk ->
+        |    regexp_matches(tk, '^[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}$')
+        |    OR regexp_matches(tk, '^\+1-[0-9]{3}-[0-9]{3}-[0-9]{4}$')))
+        |    AS BIGINT) AS n_pseudo,
+        |  array_to_string(list_transform(toks, tk ->
+        |    CASE WHEN regexp_matches(tk,
+        |        '^[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}$')
+        |      THEN 'EMAIL_' || substr(md5(tk), 1, 8)
+        |    WHEN regexp_matches(tk, '^\+1-[0-9]{3}-[0-9]{3}-[0-9]{4}$')
+        |      THEN 'PHONE_' || substr(md5(tk), 1, 8)
+        |    ELSE tk END), ' ') AS pseudo_text
+        |FROM t ORDER BY doc_id""".stripMargin,
     // Same exact token totals; divisions operand-for-operand.
     "sample_mixture_weights" ->
       """WITH d AS (SELECT source, len(string_split(text, ' ')) AS ntok

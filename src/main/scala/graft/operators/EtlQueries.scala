@@ -584,9 +584,45 @@ object EtlQueries {
             / col("n_child").cast("double")).as("containment"))
         .orderBy("pair")
     }),
+
+    // TABLE CHECKSUM (§2.67) — replica reconciliation: a per-row md5
+    // fingerprint folded into order-independent per-group digests
+    // (count, distinct count, min/max hash) that two copies of a table
+    // can compare WITHOUT shipping rows — the standard cross-cluster /
+    // post-migration integrity check. The fingerprint renders every
+    // field deterministically — money goes through the cents-integer
+    // convention, because double→string formatting is engine-specific
+    // (scientific-notation thresholds differ) while integer rendering
+    // is universal. min/max/count-distinct are order-independent, so
+    // shuffle layout can't leak into the digest; any single-row
+    // difference flips n_distinct or an extreme with probability
+    // 1 − 2⁻¹²⁸.
+    "etl_table_checksum" -> ((s, dir) => {
+      val rh = md5(concat_ws("|",
+        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        round(col("o_totalprice") * 100).cast("long")).cast("binary"))
+      t(s, dir, "orders")
+        .select(col("o_orderstatus"), rh.as("rh"))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("rh")).as("n_distinct"),
+          min(col("rh")).as("min_hash"),
+          max(col("rh")).as("max_hash"))
+        .orderBy("o_orderstatus")
+    }),
   )
 
   val oracle: Map[String, String] = Map(
+    // Same pipe-joined integer rendering under md5.
+    "etl_table_checksum" ->
+      """WITH r AS (SELECT o_orderstatus,
+        |    md5(o_orderkey || '|' || o_custkey || '|' || o_orderstatus
+        |      || '|' || CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS rh
+        |  FROM orders)
+        |SELECT o_orderstatus, count(*) AS n_rows,
+        |  count(DISTINCT rh) AS n_distinct,
+        |  min(rh) AS min_hash, max(rh) AS max_hash
+        |FROM r GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "etl_fk_containment" ->
       """WITH u AS (
         |  SELECT 'lineitem.l_orderkey->orders.o_orderkey' AS pair, k,

@@ -870,6 +870,30 @@ object PipelineQueries {
     })
   )
 
+  /** IVF candidate-search oracle CTEs (through `cand`), shared with
+    * sim_recall_eval's oracle in [[SimQueries]]. */
+  private[operators] val IvfCtes: String =
+    """cent AS (SELECT label, pos,
+      |    CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS m
+      |  FROM (SELECT label, unnest(range(64)) AS pos, unnest(embedding) AS x FROM embeddings)
+      |  GROUP BY 1, 2),
+      |cv AS (SELECT label, list(m ORDER BY pos) AS cv FROM cent GROUP BY 1),
+      |probes AS (SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS p
+      |  FROM embeddings WHERE vec_id < 10),
+      |pc AS (SELECT probe_id, p, label,
+      |    list_dot_product(p, cv) / (sqrt(list_dot_product(p, p))
+      |      * sqrt(list_dot_product(cv, cv))) AS cosc
+      |  FROM probes CROSS JOIN cv),
+      |toplab AS (SELECT probe_id, p, label FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY probe_id
+      |    ORDER BY cosc DESC, label) AS rn FROM pc) WHERE rn <= 2),
+      |cand AS (SELECT probe_id, e.vec_id,
+      |    list_dot_product(p, CAST(e.embedding AS DOUBLE[]))
+      |    / (sqrt(list_dot_product(p, p))
+      |     * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))) AS cos
+      |  FROM toplab JOIN embeddings e ON toplab.label = e.label
+      |  WHERE e.vec_id <> probe_id)""".stripMargin
+
   val oracle: Map[String, String] = Map(
     // Same binary-string power-of-two spelling; HUGEINT sums cast.
     "pipeline_length_bucketing" ->
@@ -1031,30 +1055,11 @@ object PipelineQueries {
         |  FROM normed a JOIN normed b ON a.vec_id < b.vec_id)
         |WHERE cos >= 0.5 ORDER BY i, j""".stripMargin,
     "sim_ann_ivf" ->
-      """WITH cent AS (SELECT label, pos,
-        |    CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS m
-        |  FROM (SELECT label, unnest(range(64)) AS pos, unnest(embedding) AS x FROM embeddings)
-        |  GROUP BY 1, 2),
-        |cv AS (SELECT label, list(m ORDER BY pos) AS cv FROM cent GROUP BY 1),
-        |probes AS (SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS p
-        |  FROM embeddings WHERE vec_id < 10),
-        |pc AS (SELECT probe_id, p, label,
-        |    list_dot_product(p, cv) / (sqrt(list_dot_product(p, p))
-        |      * sqrt(list_dot_product(cv, cv))) AS cosc
-        |  FROM probes CROSS JOIN cv),
-        |toplab AS (SELECT probe_id, p, label FROM (
-        |  SELECT *, row_number() OVER (PARTITION BY probe_id
-        |    ORDER BY cosc DESC, label) AS rn FROM pc) WHERE rn <= 2),
-        |cand AS (SELECT probe_id, e.vec_id,
-        |    list_dot_product(p, CAST(e.embedding AS DOUBLE[]))
-        |    / (sqrt(list_dot_product(p, p))
-        |     * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))) AS cos
-        |  FROM toplab JOIN embeddings e ON toplab.label = e.label
-        |  WHERE e.vec_id <> probe_id)
-        |SELECT probe_id, vec_id, ROUND(cos, 4) + 0.0 AS cos, rk FROM (
-        |  SELECT *, row_number() OVER (PARTITION BY probe_id
-        |    ORDER BY cos DESC, vec_id) AS rk FROM cand)
-        |WHERE rk <= 5 ORDER BY probe_id, rk""".stripMargin,
+      (s"WITH $IvfCtes\n" +
+        """SELECT probe_id, vec_id, ROUND(cos, 4) + 0.0 AS cos, rk FROM (
+          |  SELECT *, row_number() OVER (PARTITION BY probe_id
+          |    ORDER BY cos DESC, vec_id) AS rk FROM cand)
+          |WHERE rk <= 5 ORDER BY probe_id, rk""".stripMargin),
     // octet_length(encode(..)) counts UTF-8 BYTES like Spark's
     // length(encode(text,'utf-8')) — char-counting length(text) only
     // agreed by ASCII-fixture luck.

@@ -121,6 +121,27 @@ object SimQueries {
         .orderBy("probe_id", "rk")
     }),
 
+    // RECALL@5 EVALUATION (§2.67) — the metric every ANN deployment
+    // reports: per probe, what fraction of the EXACT top-5 does the
+    // IVF (nprobe=2) candidate search return? Pure composition of the
+    // two declared retrieval keys (shared implementations — eval and
+    // production cannot drift), joined on (probe, neighbor): recall
+    // = |ivf ∩ exact| / 5. The join is over 5-row-per-probe sets —
+    // metadata-sized regardless of corpus scale; the cost is the two
+    // searches themselves, already accounted by their own keys.
+    "sim_recall_eval" -> ((s, dir) => {
+      val exact = SimQueries.queries("sim_knn_topk")(s, dir)
+        .select(col("probe_id"), col("vec_id"))
+      val ivf = PipelineQueries.queries("sim_ann_ivf")(s, dir)
+        .select(col("probe_id"), col("vec_id"), lit(1L).as("hit"))
+      exact.join(ivf, Seq("probe_id", "vec_id"), "left")
+        .groupBy("probe_id")
+        .agg(count(col("hit")).as("n_match"))
+        .select(col("probe_id"), col("n_match"),
+          r4d(col("n_match").cast("double") / lit(5.0)).as("recall_at_5"))
+        .orderBy("probe_id")
+    }),
+
     // Per-label elementwise mean of the first 8 dims (exact decimal sums
     // at scale 12 — lossless for float inputs, order-independent).
     "sim_centroid_per_label" -> ((s, dir) => {
@@ -288,6 +309,25 @@ object SimQueries {
          |    row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rk
          |  FROM pairs WHERE vec_id <> probe_id)
          |WHERE rk <= 5 ORDER BY probe_id, rk""".stripMargin,
+    // Exact top-5 (the kNN pairs CTE) vs the IVF candidate CTEs
+    // (shared text with sim_ann_ivf's oracle — eval and production
+    // cannot drift); left join counts the intersection.
+    "sim_recall_eval" ->
+      (s"WITH $cosSql,\n${PipelineQueries.IvfCtes},\n" +
+        """exact AS (SELECT probe_id, vec_id FROM (
+          |  SELECT probe_id, vec_id, row_number() OVER (
+          |    PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rk
+          |  FROM pairs WHERE vec_id <> probe_id) WHERE rk <= 5),
+          |ivf AS (SELECT probe_id, vec_id FROM (
+          |  SELECT probe_id, vec_id, row_number() OVER (
+          |    PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rk
+          |  FROM cand) WHERE rk <= 5)
+          |SELECT e.probe_id, count(i.vec_id) AS n_match,
+          |  ROUND(CAST(count(i.vec_id) AS DOUBLE) / 5.0 * 10000) / 10000
+          |    AS recall_at_5
+          |FROM exact e LEFT JOIN ivf i
+          |  ON e.probe_id = i.probe_id AND e.vec_id = i.vec_id
+          |GROUP BY e.probe_id ORDER BY e.probe_id""".stripMargin),
     // Label-filtered variant of the kNN oracle: the label inequality
     // lands in the pair CTE, before ranking — same as the Spark side's
     // pre-heap filter.

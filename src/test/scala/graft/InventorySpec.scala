@@ -250,10 +250,13 @@ class InventorySpec extends SparkSpec {
     "fn_hash_suite", "fn_parse_url", "stream_vtab_merge",
     // §2.66 round-9 eleventh wave: try-arithmetic, LTTB downsampling,
     // community modularity
-    "fn_try_arith_suite", "ts_downsample_lttb", "graph_modularity")
+    "fn_try_arith_suite", "ts_downsample_lttb", "graph_modularity",
+    // §2.67 round-9 twelfth wave: consistent pseudonymization, ANN
+    // recall eval, table checksum
+    "text_pseudonymize", "sim_recall_eval", "etl_table_checksum")
 
-  test("declared queries cover SURVEY §2 + §2.12-66 exactly (316 keys)") {
-    assert(inventory.size == 316)
+  test("declared queries cover SURVEY §2 + §2.12-67 exactly (319 keys)") {
+    assert(inventory.size == 319)
     val declared = SparkEntry.queries.keySet
     val missing = inventory -- declared
     val extra = declared -- inventory
