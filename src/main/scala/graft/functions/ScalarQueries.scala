@@ -162,6 +162,27 @@ object ScalarQueries {
         .orderBy(col("p_partkey"))
     }),
 
+    // MONTH ARITHMETIC (§2.68) — the calendar edge semantics
+    // fn_date_suite's day-grain functions don't touch: add_months
+    // CLAMPS to month-end (Jan 31 + 1 month = Feb 29, not Mar 2 —
+    // the billing-cycle convention both engines share, pinned here
+    // including the month-end→month-end case), negative offsets, and
+    // next_day's strictly-after contract (a Monday's next Monday is
+    // +7). DuckDB has neither add_months nor next_day — INTERVAL
+    // arithmetic clamps identically, and the isodow offset expression
+    // reproduces strictly-after exactly. Row-local, codegen'd,
+    // shuffle-free.
+    "fn_month_arith_suite" -> ((s, dir) => {
+      val d = col("o_orderdate").cast("date")
+      t(s, dir, "orders").select(
+        col("o_orderkey"),
+        add_months(d, 1).as("am1"),
+        add_months(last_day(d), 1).as("am_end"),
+        add_months(d, -2).as("am_neg"),
+        next_day(d, "MO").as("next_mon"))
+        .orderBy("o_orderkey")
+    }),
+
     // TRY ARITHMETIC (§2.66) — error-safe arithmetic, the TRY_CAST
     // suite's sibling: try_divide returns NULL on a zero divisor and
     // try_add/try_multiply return NULL on bigint overflow instead of
@@ -266,6 +287,19 @@ object ScalarQueries {
         |    ELSE num_str END AS INT) AS BIGINT)) AS BIGINT)
         |    AS sum_ints
         |FROM m""".stripMargin,
+    // INTERVAL arithmetic clamps like add_months; last_day = month-end
+    // via trunc-to-next-month minus one day; next-Monday via isodow.
+    "fn_month_arith_suite" ->
+      """WITH d0 AS (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d
+        |  FROM orders)
+        |SELECT o_orderkey,
+        |  CAST(d + INTERVAL 1 MONTH AS DATE) AS am1,
+        |  CAST(CAST(date_trunc('month', d) + INTERVAL 1 MONTH AS DATE) - 1
+        |    + INTERVAL 1 MONTH AS DATE) AS am_end,
+        |  CAST(d + INTERVAL (-2) MONTH AS DATE) AS am_neg,
+        |  d + CAST(CASE WHEN isodow(d) = 1 THEN 7
+        |    ELSE 8 - isodow(d) END AS INTEGER) AS next_mon
+        |FROM d0 ORDER BY o_orderkey""".stripMargin,
     // NULLIF/CASE guards replace try_*: the zero divisor becomes NULL
     // before the divide; the overflow branches are excluded before the
     // erroring native operator evaluates.

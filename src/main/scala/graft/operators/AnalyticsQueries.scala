@@ -1410,6 +1410,41 @@ object AnalyticsQueries {
     // final ÷√ — r4d at the edge; zero-variance frames emit NULL.
     // Calendar-bounded global window (documented exception, the
     // ts_ewma convention).
+    // WAPE / sMAPE (§2.68) — the other two forecast-accuracy metrics
+    // ops teams quote next to ts_forecast_baseline_mae (MAE is
+    // scale-bound; WAPE = Σ|e|/Σy normalizes by volume, sMAPE bounds
+    // each day's contribution at 2). Seasonal-naive lag-7 forecast on
+    // the shared zero-filled spine. Determinism: WAPE is a ratio of
+    // exact integer sums (one double division); sMAPE's per-row terms
+    // are doubles, so each term is FIXED to decimal(38,12) before the
+    // sum — the decimal sum is order-independent where a raw double
+    // sum would drift with shuffle order (the Det.davg device at
+    // 12dp). Both-zero days contribute 0 by the standard convention
+    // (|e| is 0 too), CASE-identical in both engines; Σy = 0 → NULL
+    // WAPE via the raw division.
+    "ts_forecast_wape_smape" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      val sc = zeroFilledDaily(s, dir)
+        .withColumn("f", lag(col("y"), 7).over(w))
+        .filter(col("f").isNotNull)
+        .withColumn("term",
+          when(col("y") + col("f") === 0, lit(0.0))
+            .otherwise(lit(2.0) * abs(col("y") - col("f")).cast("double")
+              / (col("y") + col("f")).cast("double")))
+      sc.groupBy("event_type")
+        .agg(count(lit(1)).as("n_scored"),
+          sum(abs(col("y") - col("f"))).as("sae"),
+          sum(col("y")).as("sy"),
+          sum(col("term").cast("decimal(38,12)")).as("st"))
+        .select(col("event_type"), col("n_scored"),
+          r4d(col("sae").cast("double") / col("sy").cast("double"))
+            .as("wape"),
+          r4d(col("st").cast("double") / col("n_scored").cast("double"))
+            .as("smape"))
+        .orderBy("event_type")
+    }),
+
     // LTTB DOWNSAMPLING (§2.66) — Largest-Triangle-Three-Buckets, the
     // standard dashboard decimation: keep ONE day per weekly bucket,
     // the one forming the largest triangle against the NEIGHBOR BUCKET
@@ -2677,6 +2712,34 @@ object AnalyticsQueries {
          |  AND o_orderdate < DATE '1997-01-01'
          |GROUP BY n_name
          |ORDER BY revenue DESC, n_name""".stripMargin,
+    // Same lag-7 scoring; sMAPE terms fixed to DECIMAL(38,12) before
+    // the sum, WAPE a ratio of integer sums.
+    "ts_forecast_wape_smape" ->
+      s"""WITH e AS (SELECT event_type, ${sqlEpochDay("ts")} AS day
+         |  FROM events),
+         |d AS (SELECT event_type, day, count(*) AS y FROM e GROUP BY 1, 2),
+         |b AS (SELECT min(day) AS lo, max(day) AS hi FROM e),
+         |ty AS (SELECT DISTINCT event_type FROM e),
+         |spine AS (SELECT event_type, unnest(range(lo, hi + 1)) AS day
+         |  FROM ty CROSS JOIN b),
+         |fl AS (SELECT s.event_type, s.day, coalesce(y, 0) AS y
+         |  FROM spine s LEFT JOIN d
+         |    ON s.event_type = d.event_type AND s.day = d.day),
+         |l AS (SELECT event_type, day, y,
+         |    lag(y, 7) OVER (PARTITION BY event_type ORDER BY day) AS f
+         |  FROM fl),
+         |sc AS (SELECT event_type, y, f,
+         |    CASE WHEN y + f = 0 THEN 0.0
+         |         ELSE 2.0 * CAST(abs(y - f) AS DOUBLE)
+         |           / CAST(y + f AS DOUBLE) END AS term
+         |  FROM l WHERE f IS NOT NULL)
+         |SELECT event_type, count(*) AS n_scored,
+         |  ROUND(CAST(CAST(sum(abs(y - f)) AS BIGINT) AS DOUBLE)
+         |    / CAST(CAST(sum(y) AS BIGINT) AS DOUBLE) * 10000) / 10000
+         |    AS wape,
+         |  ROUND(CAST(sum(CAST(term AS DECIMAL(38,12))) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE) * 10000) / 10000 AS smape
+         |FROM sc GROUP BY event_type ORDER BY event_type""".stripMargin,
     // Same bucket means, neighbor anchors, and 2×area score; '//' is
     // DuckDB's floor division (post-epoch days ⇒ ≡ Spark div).
     "ts_downsample_lttb" ->

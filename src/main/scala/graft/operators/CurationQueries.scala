@@ -352,6 +352,35 @@ object CurationQueries {
     // md5(doc_id) order (sample_domain_cap's device). Scale: the count
     // table is |langs| rows (broadcast), the rank one lang-keyed
     // window exchange — same shape as the domain cap.
+    // NOVELTY RATIO (§2.68) — what fraction of each document's
+    // distinct 5-gram shingles appears for the FIRST time in this
+    // document (first = smallest doc_id, the corpus's deterministic
+    // arrival order)? The curation metric between exact dedup and
+    // quality scoring: boilerplate-heavy docs score near 0 even when
+    // no single earlier document matches them (cross-doc dedup's
+    // blind spot — the duplication is diffuse). Shares the shingles()
+    // device with decontaminate/containment; attribution is one
+    // shuffle keyed by shingle (min doc_id = map-side combinable),
+    // then one doc_id-keyed join back. Docs under 5 tokens have no
+    // shingles → NULL novelty, spelled identically in both engines.
+    "text_novelty_ratio" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val sh = shingles(docs, 5)
+      val fd = sh.groupBy("sh").agg(min(col("doc_id")).as("first_doc"))
+      val per = sh.join(fd, Seq("sh"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+            .as("n_novel"))
+      docs.select(col("doc_id")).join(per, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+          coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+          r4d(col("n_novel").cast("double")
+            / col("n_shingles").cast("double")).as("novelty"))
+        .orderBy("doc_id")
+    }),
+
     // CONSISTENT PSEUDONYMIZATION (§2.67) — pii_scrub's sibling with
     // REFERENTIAL INTEGRITY: instead of collapsing every email to one
     // <EMAIL> tag (which destroys "same sender across documents"
@@ -646,6 +675,27 @@ object CurationQueries {
         |ORDER BY d.doc_id""".stripMargin,
     // Exact-decimal Σ√n per the Spark side; the k arithmetic repeats
     // the same double ops in the same order.
+    // Same distinct-shingle extraction and min-doc attribution; the
+    // novelty division rides the raw (nullable) counts so a
+    // shingle-less doc emits NULL in both engines.
+    "text_novelty_ratio" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |  FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |    unnest(list_transform(range(len(toks) - 4),
+        |      i -> array_to_string(toks[i+1:i+5], ' '))) AS sh
+        |  FROM t WHERE len(toks) >= 5),
+        |fd AS (SELECT sh, min(doc_id) AS first_doc FROM sh GROUP BY sh),
+        |per AS (SELECT s.doc_id, count(*) AS n_shingles,
+        |    CAST(count_if(fd.first_doc = s.doc_id) AS BIGINT) AS n_novel
+        |  FROM sh s JOIN fd USING (sh) GROUP BY s.doc_id)
+        |SELECT d.doc_id,
+        |  coalesce(per.n_shingles, 0) AS n_shingles,
+        |  coalesce(per.n_novel, 0) AS n_novel,
+        |  ROUND(CAST(per.n_novel AS DOUBLE)
+        |    / CAST(per.n_shingles AS DOUBLE) * 10000) / 10000 AS novelty
+        |FROM documents d LEFT JOIN per USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
     // Same augmentation, token-anchored regexes, md5-prefix pseudonyms.
     "text_pseudonymize" ->
       """WITH aug AS (SELECT doc_id,

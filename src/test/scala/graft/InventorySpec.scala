@@ -253,10 +253,14 @@ class InventorySpec extends SparkSpec {
     "fn_try_arith_suite", "ts_downsample_lttb", "graph_modularity",
     // §2.67 round-9 twelfth wave: consistent pseudonymization, ANN
     // recall eval, table checksum
-    "text_pseudonymize", "sim_recall_eval", "etl_table_checksum")
+    "text_pseudonymize", "sim_recall_eval", "etl_table_checksum",
+    // §2.68 round-9 thirteenth wave: novelty ratio, WAPE/sMAPE,
+    // month arithmetic
+    "text_novelty_ratio", "ts_forecast_wape_smape",
+    "fn_month_arith_suite")
 
-  test("declared queries cover SURVEY §2 + §2.12-67 exactly (319 keys)") {
-    assert(inventory.size == 319)
+  test("declared queries cover SURVEY §2 + §2.12-68 exactly (322 keys)") {
+    assert(inventory.size == 322)
     val declared = SparkEntry.queries.keySet
     val missing = inventory -- declared
     val extra = declared -- inventory
