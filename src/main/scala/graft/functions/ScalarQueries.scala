@@ -162,6 +162,28 @@ object ScalarQueries {
         .orderBy(col("p_partkey"))
     }),
 
+    // COLLATION-AWARE GROUPING (§2.69) — Spark 4's COLLATE surface:
+    // grouping under UTF8_LCASE merges case variants AT THE ENGINE
+    // level (no lower() rewrite in the query — collation rides the
+    // type, so every comparison/join/agg downstream inherits it).
+    // Case variants injected deterministically; the group
+    // REPRESENTATIVE must be pinned (the engine surfaces an arbitrary
+    // member's casing) — min(raw) is the binary-deterministic choice,
+    // and the presentation sort uses that pinned value, never the
+    // collated key. Oracle: lower()-keyed grouping is the portable
+    // equivalent on this ASCII domain.
+    "fn_collation_group" -> ((s, dir) => {
+      s.sql(s"""WITH v AS (SELECT p_partkey,
+        |  CASE WHEN p_partkey % 2 = 0 THEN upper(p_brand)
+        |       ELSE p_brand END AS b
+        |  FROM parquet.`$dir/part.parquet`)
+        |SELECT min(b) AS rep, count(*) AS n,
+        |  count(DISTINCT p_partkey % 10) AS n_mod
+        |FROM v
+        |GROUP BY b COLLATE UTF8_LCASE
+        |ORDER BY rep""".stripMargin)
+    }),
+
     // MONTH ARITHMETIC (§2.68) — the calendar edge semantics
     // fn_date_suite's day-grain functions don't touch: add_months
     // CLAMPS to month-end (Jan 31 + 1 month = Feb 29, not Mar 2 —
@@ -287,6 +309,15 @@ object ScalarQueries {
         |    ELSE num_str END AS INT) AS BIGINT)) AS BIGINT)
         |    AS sum_ints
         |FROM m""".stripMargin,
+    // lower()-keyed grouping ≡ UTF8_LCASE on the ASCII brand domain.
+    "fn_collation_group" ->
+      """WITH v AS (SELECT p_partkey,
+        |  CASE WHEN p_partkey % 2 = 0 THEN upper(p_brand)
+        |       ELSE p_brand END AS b
+        |  FROM part)
+        |SELECT min(b) AS rep, count(*) AS n,
+        |  count(DISTINCT p_partkey % 10) AS n_mod
+        |FROM v GROUP BY lower(b) ORDER BY rep""".stripMargin,
     // INTERVAL arithmetic clamps like add_months; last_day = month-end
     // via trunc-to-next-month minus one day; next-Monday via isodow.
     "fn_month_arith_suite" ->

@@ -514,6 +514,36 @@ object AggQueries {
         .orderBy("l_returnflag")
     }),
 
+    // WEIGHTED QUARTILES (§2.69) — agg_weighted_median generalized to
+    // p25/p50/p75: min price p with W(≤p) ≥ ⌈q·W⌉, each threshold
+    // spelled in overflow-proof integer arithmetic (⌈n/4⌉ = n div 4
+    // + (n mod 4 > 0), ⌈n/2⌉ = n − n div 2, ⌈3n/4⌉ = n − n div 4 —
+    // no q·W product ever forms, the weighted-median convention). One
+    // pass over the SAME |distinct prices|-bounded running-sum frame;
+    // the three thresholds are conditional mins over it, so adding
+    // quartiles costs zero extra shuffles.
+    "agg_weighted_percentiles" -> ((s, dir) => {
+      val d = t(s, dir, "lineitem")
+        .select(col("l_returnflag"),
+          col("l_extendedprice").as("price"),
+          col("l_quantity").cast("long").as("q"))
+        .groupBy(col("l_returnflag"), col("price"))
+        .agg(sum(col("q")).as("w"))
+      val wc = Window.partitionBy(col("l_returnflag")).orderBy(col("price"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wt = Window.partitionBy(col("l_returnflag"))
+      d.withColumn("cw", sum(col("w")).over(wc))
+        .withColumn("tw", sum(col("w")).over(wt))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          min(when(expr("cw >= tw div 4 + (CASE WHEN tw % 4 > 0 THEN 1 " +
+            "ELSE 0 END)"), col("price"))).as("wp25"),
+          min(when(expr("cw >= tw - tw div 2"), col("price"))).as("wp50"),
+          min(when(expr("cw >= tw - tw div 4"), col("price"))).as("wp75"),
+          max(col("tw")).as("total_weight"))
+        .orderBy("l_returnflag")
+    }),
+
     // WINSORIZED MEAN — mean of values clamped to the [p5, p95] ORDER
     // STATISTICS per event type: the outlier-robust average ops
     // dashboards quote next to the raw one (one fat-finger value drags
@@ -987,6 +1017,23 @@ object AggQueries {
         |  CAST(max(tw) AS BIGINT) AS total_weight
         |FROM c WHERE cw * 2 >= tw
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Same integer ceil spellings over the same running-sum frame.
+    "agg_weighted_percentiles" ->
+      """WITH d AS (SELECT l_returnflag, l_extendedprice AS price,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+        |  FROM lineitem GROUP BY 1, 2),
+        |c AS (SELECT l_returnflag, price, w,
+        |    sum(w) OVER (PARTITION BY l_returnflag ORDER BY price
+        |      ROWS UNBOUNDED PRECEDING) AS cw,
+        |    sum(w) OVER (PARTITION BY l_returnflag) AS tw FROM d)
+        |SELECT l_returnflag,
+        |  min(CASE WHEN cw >= tw // 4
+        |    + (CASE WHEN tw % 4 > 0 THEN 1 ELSE 0 END)
+        |    THEN price END) AS wp25,
+        |  min(CASE WHEN cw >= tw - tw // 2 THEN price END) AS wp50,
+        |  min(CASE WHEN cw >= tw - tw // 4 THEN price END) AS wp75,
+        |  CAST(max(tw) AS BIGINT) AS total_weight
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
     "agg_winsorized_mean" -> {
       val wavg = graft.Det.sqlAvg("least(greatest(value, lo), hi)")
       val ravg = graft.Det.sqlAvg("value")

@@ -257,10 +257,13 @@ class InventorySpec extends SparkSpec {
     // §2.68 round-9 thirteenth wave: novelty ratio, WAPE/sMAPE,
     // month arithmetic
     "text_novelty_ratio", "ts_forecast_wape_smape",
-    "fn_month_arith_suite")
+    "fn_month_arith_suite",
+    // §2.69 round-9 fourteenth wave: collation grouping, SQL CTAS,
+    // weighted quartiles
+    "fn_collation_group", "sql_ctas_read", "agg_weighted_percentiles")
 
-  test("declared queries cover SURVEY §2 + §2.12-68 exactly (322 keys)") {
-    assert(inventory.size == 322)
+  test("declared queries cover SURVEY §2 + §2.12-69 exactly (325 keys)") {
+    assert(inventory.size == 325)
     val declared = SparkEntry.queries.keySet
     val missing = inventory -- declared
     val extra = declared -- inventory
