@@ -23,6 +23,29 @@ object SemiStructuredQueries {
         .orderBy(col("event_id"))
     }),
 
+    // JSON_TUPLE / LATERAL VIEW (§2.70) — the multi-field JSON
+    // extractor as a GENERATOR: one json_tuple call parses the string
+    // ONCE and emits all requested fields as columns (a
+    // get_json_object chain re-parses per field — json_tuple is the
+    // row-wise batch read, LATERAL VIEW its parser surface). The JSON
+    // is built in-engine from fixture fields (each engine round-trips
+    // its OWN construction, so only the extracted VALUES are
+    // compared — construction formatting is engine-local). Numbers
+    // come back as strings by json_tuple's contract, cast at the
+    // edge.
+    "fn_json_tuple" -> ((s, dir) => {
+      s.sql(s"""WITH j AS (SELECT o_orderkey,
+        |  to_json(named_struct('status', o_orderstatus,
+        |    'cents', CAST(round(o_totalprice * 100) AS BIGINT),
+        |    'prio', o_orderpriority)) AS js
+        |  FROM parquet.`$dir/orders.parquet`)
+        |SELECT o_orderkey, s AS status, CAST(c AS BIGINT) AS cents,
+        |  p AS prio
+        |FROM j LATERAL VIEW json_tuple(js, 'status', 'cents', 'prio') jt
+        |  AS s, c, p
+        |ORDER BY o_orderkey""".stripMargin)
+    }),
+
     // VARIANT — Spark 4's open-schema semi-structured type:
     // parse_json materializes a binary-encoded variant ONCE and typed
     // variant_get probes navigate it without re-parsing the string per
@@ -103,6 +126,19 @@ object SemiStructuredQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // DuckDB builds its own JSON (struct → to_json) and probes with
+    // json_extract_string — each engine round-trips its own bytes.
+    "fn_json_tuple" ->
+      """WITH j AS (SELECT o_orderkey,
+        |  to_json({'status': o_orderstatus,
+        |    'cents': CAST(round(o_totalprice * 100, 0) AS BIGINT),
+        |    'prio': o_orderpriority}) AS js
+        |  FROM orders)
+        |SELECT o_orderkey,
+        |  json_extract_string(js, '$.status') AS status,
+        |  CAST(json_extract_string(js, '$.cents') AS BIGINT) AS cents,
+        |  json_extract_string(js, '$.prio') AS prio
+        |FROM j ORDER BY o_orderkey""".stripMargin,
     "json_get_path" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         |FROM events WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50

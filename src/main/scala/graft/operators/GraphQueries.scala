@@ -417,6 +417,42 @@ object GraphQueries {
         .orderBy("node")
     }),
 
+    // DEGREE ASSORTATIVITY (§2.70) — Newman's r: the Pearson
+    // correlation of endpoint degrees over the edge list, the one
+    // structural scalar that says whether hubs link to hubs (r > 0,
+    // social-style) or to leaves (r < 0, hub-and-spoke) — what it
+    // means for partitioning strategy at 100 TB (disassortative
+    // graphs are the skew-join case). Each undirected edge
+    // contributes BOTH orderings (the standard treatment, making
+    // Σx = Σy); every moment is an exact integer summed in
+    // decimal(38,0) (HUGEINT oracle-side), one double division at
+    // the edge; zero-variance degenerates to NULL via the raw
+    // division in both engines. Cost: one self-join of the edge list
+    // against the O(nodes) degree table — linear in edges.
+    "graph_assortativity" -> ((s, dir) => {
+      val e = sampledOrientedEdges(s, dir, Some(Seq("0"))).persist()
+      val deg = e.select(col("a").as("v"))
+        .unionAll(e.select(col("b").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("deg"))
+      val pairs = e
+        .join(deg.select(col("v").as("a"), col("deg").as("da")), Seq("a"))
+        .join(deg.select(col("v").as("b"), col("deg").as("db")), Seq("b"))
+        .select(col("da").as("x"), col("db").as("y"))
+        .unionAll(e
+          .join(deg.select(col("v").as("a"), col("deg").as("da")), Seq("a"))
+          .join(deg.select(col("v").as("b"), col("deg").as("db")), Seq("b"))
+          .select(col("db").as("x"), col("da").as("y")))
+      pairs.agg(count(lit(1)).as("m"),
+          sum(col("x").cast("decimal(38,0)")).as("sx"),
+          sum((col("x") * col("y")).cast("decimal(38,0)")).as("sxy"),
+          sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"))
+        .select(col("m"),
+          graft.Det.r4d(
+            (col("m") * col("sxy") - col("sx") * col("sx")).cast("double")
+              / (col("m") * col("sxx") - col("sx") * col("sx"))
+                .cast("double")).as("assortativity"))
+    }),
+
     // MODULARITY (§2.66) — did label propagation find REAL structure?
     // Newman's per-community contribution Q_c = e_in/m − (Σdeg/2m)²
     // over the same '0'-prefix Doulion graph and the same 5-superstep
@@ -640,6 +676,34 @@ object GraphQueries {
     // The same five synchronous supersteps, unrolled as MATERIALIZED
     // CTEs (the k-core convention); the (count DESC, label ASC)
     // row_number is the identical tie-break spelling.
+    // Same doubled edge orderings and HUGEINT moments; Σx = Σy by
+    // construction so the numerator/denominator spellings collapse.
+    "graph_assortativity" ->
+      """WITH pp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+        |  FROM lineitem),
+        |ef AS (SELECT DISTINCT x.p AS a, y.p AS b
+        |  FROM pp x JOIN pp y ON x.ok = y.ok AND x.p < y.p),
+        |e AS (SELECT a, b FROM ef
+        |  WHERE substring(md5(CAST(a AS VARCHAR) || '_'
+        |    || CAST(b AS VARCHAR)), 1, 1) = '0'),
+        |deg AS (SELECT v, count(*) AS deg FROM (
+        |  SELECT a AS v FROM e UNION ALL SELECT b FROM e) GROUP BY v),
+        |pairs AS (
+        |  SELECT da.deg AS x, db.deg AS y FROM e
+        |    JOIN deg da ON e.a = da.v JOIN deg db ON e.b = db.v
+        |  UNION ALL
+        |  SELECT db.deg, da.deg FROM e
+        |    JOIN deg da ON e.a = da.v JOIN deg db ON e.b = db.v),
+        |mo AS (SELECT count(*) AS m,
+        |    CAST(sum(x) AS HUGEINT) AS sx,
+        |    CAST(sum(x * y) AS HUGEINT) AS sxy,
+        |    CAST(sum(x * x) AS HUGEINT) AS sxx
+        |  FROM pairs)
+        |SELECT m,
+        |  ROUND(CAST(m * sxy - sx * sx AS DOUBLE)
+        |    / CAST(m * sxx - sx * sx AS DOUBLE) * 10000) / 10000
+        |    AS assortativity
+        |FROM mo""".stripMargin,
     "graph_label_prop" ->
       (s"$LpaCtes\n" +
         s"""SELECT v AS node, label FROM l$LpaRounds

@@ -121,6 +121,44 @@ object SimQueries {
         .orderBy("probe_id", "rk")
     }),
 
+    // MATRYOSHKA PREFIX RECALL (§2.70) — how much ranking quality do
+    // the first 16 of 64 dimensions retain? recall@5 of the
+    // prefix-dimension exact search vs the full-dimension exact
+    // search, per probe — the evaluation behind Matryoshka/truncated
+    // embeddings (store 4× less, rerank the shortlist with full
+    // vectors only). Same broadcast-probe scan shape twice; the
+    // 5-row-per-probe set join is metadata-sized.
+    "sim_prefix_dim_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"),
+          slice(col("embedding").cast("array<double>"), 1, 16).as("v16"))
+      val probes = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("probe_id"), col("v").as("p"),
+          col("v16").as("p16"))
+      def top5(scoreCol: Column): DataFrame = {
+        val w = Window.partitionBy("probe_id")
+          .orderBy(col("cos").desc, col("vec_id"))
+        emb.crossJoin(broadcast(probes))
+          .filter(col("vec_id") =!= col("probe_id"))
+          .withColumn("cos", scoreCol)
+          .withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
+          .select(col("probe_id"), col("vec_id"))
+      }
+      val full = top5(ArrayDot(col("p"), col("v"))
+        / (sqrt(ArrayDot(col("p"), col("p")))
+          * sqrt(ArrayDot(col("v"), col("v")))))
+      val prefix = top5(ArrayDot(col("p16"), col("v16"))
+        / (sqrt(ArrayDot(col("p16"), col("p16")))
+          * sqrt(ArrayDot(col("v16"), col("v16")))))
+        .withColumn("hit", lit(1L))
+      full.join(prefix, Seq("probe_id", "vec_id"), "left")
+        .groupBy("probe_id")
+        .agg(count(col("hit")).as("n_match"))
+        .select(col("probe_id"), col("n_match"),
+          r4d(col("n_match").cast("double") / lit(5.0)).as("recall_at_5"))
+        .orderBy("probe_id")
+    }),
+
     // RECALL@5 EVALUATION (§2.67) — the metric every ANN deployment
     // reports: per probe, what fraction of the EXACT top-5 does the
     // IVF (nprobe=2) candidate search return? Pure composition of the
@@ -309,6 +347,37 @@ object SimQueries {
          |    row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rk
          |  FROM pairs WHERE vec_id <> probe_id)
          |WHERE rk <= 5 ORDER BY probe_id, rk""".stripMargin,
+    // Full vs 16-dim-prefix exact rankings; list slicing is DuckDB's
+    // 1-based inclusive [1:16].
+    "sim_prefix_dim_recall" ->
+      """WITH pr AS (SELECT vec_id AS probe_id,
+        |    CAST(embedding AS DOUBLE[]) AS p,
+        |    CAST(embedding AS DOUBLE[])[1:16] AS p16
+        |  FROM embeddings WHERE vec_id < 10),
+        |sc AS (SELECT pr.probe_id, e.vec_id,
+        |    list_dot_product(p, CAST(e.embedding AS DOUBLE[]))
+        |      / (sqrt(list_dot_product(p, p))
+        |       * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+        |           CAST(e.embedding AS DOUBLE[])))) AS cosf,
+        |    list_dot_product(p16, CAST(e.embedding AS DOUBLE[])[1:16])
+        |      / (sqrt(list_dot_product(p16, p16))
+        |       * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[])[1:16],
+        |           CAST(e.embedding AS DOUBLE[])[1:16]))) AS cosp
+        |  FROM embeddings e CROSS JOIN pr WHERE e.vec_id <> pr.probe_id),
+        |fullk AS (SELECT probe_id, vec_id FROM (
+        |  SELECT probe_id, vec_id, row_number() OVER (
+        |    PARTITION BY probe_id ORDER BY cosf DESC, vec_id) AS rk
+        |  FROM sc) WHERE rk <= 5),
+        |pref AS (SELECT probe_id, vec_id FROM (
+        |  SELECT probe_id, vec_id, row_number() OVER (
+        |    PARTITION BY probe_id ORDER BY cosp DESC, vec_id) AS rk
+        |  FROM sc) WHERE rk <= 5)
+        |SELECT f.probe_id, count(p.vec_id) AS n_match,
+        |  ROUND(CAST(count(p.vec_id) AS DOUBLE) / 5.0 * 10000) / 10000
+        |    AS recall_at_5
+        |FROM fullk f LEFT JOIN pref p
+        |  ON f.probe_id = p.probe_id AND f.vec_id = p.vec_id
+        |GROUP BY f.probe_id ORDER BY f.probe_id""".stripMargin,
     // Exact top-5 (the kNN pairs CTE) vs the IVF candidate CTEs
     // (shared text with sim_ann_ivf's oracle — eval and production
     // cannot drift); left join counts the intersection.

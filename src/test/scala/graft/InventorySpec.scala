@@ -260,10 +260,13 @@ class InventorySpec extends SparkSpec {
     "fn_month_arith_suite",
     // §2.69 round-9 fourteenth wave: collation grouping, SQL CTAS,
     // weighted quartiles
-    "fn_collation_group", "sql_ctas_read", "agg_weighted_percentiles")
+    "fn_collation_group", "sql_ctas_read", "agg_weighted_percentiles",
+    // §2.70 round-9 fifteenth wave: assortativity, json_tuple lateral
+    // view, Matryoshka prefix recall
+    "graph_assortativity", "fn_json_tuple", "sim_prefix_dim_recall")
 
-  test("declared queries cover SURVEY §2 + §2.12-69 exactly (325 keys)") {
-    assert(inventory.size == 325)
+  test("declared queries cover SURVEY §2 + §2.12-70 exactly (328 keys)") {
+    assert(inventory.size == 328)
     val declared = SparkEntry.queries.keySet
     val missing = inventory -- declared
     val extra = declared -- inventory
