@@ -514,6 +514,26 @@ object AggQueries {
         .orderBy("l_returnflag")
     }),
 
+    // SUM/AVG DISTINCT (§2.71) — distinct aggregation beyond COUNT:
+    // sum(DISTINCT) mixed with plain aggregates in one GROUP BY is
+    // its own planner shape (Catalyst rewrites it through an Expand —
+    // each input row fans into per-aggregate branches — then
+    // two-phase aggregation de-duplicates per branch; naive
+    // per-aggregate subqueries would scan the fact N times). Money
+    // rides the cents-integer convention so the distinct SET — not
+    // just the sum — is exactly equal cross-engine.
+    "agg_sum_distinct" -> ((s, dir) => {
+      val cents = round(col("o_totalprice") * 100).cast("long")
+      t(s, dir, "orders")
+        .select(col("o_orderstatus"), cents.as("cents"))
+        .groupBy("o_orderstatus")
+        .agg(sum_distinct(col("cents")).as("sum_distinct_cents"),
+          sum(col("cents")).as("sum_cents"),
+          countDistinct(col("cents")).as("n_distinct"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderstatus")
+    }),
+
     // WEIGHTED QUARTILES (§2.69) — agg_weighted_median generalized to
     // p25/p50/p75: min price p with W(≤p) ≥ ⌈q·W⌉, each threshold
     // spelled in overflow-proof integer arithmetic (⌈n/4⌉ = n div 4
@@ -1017,6 +1037,16 @@ object AggQueries {
         |  CAST(max(tw) AS BIGINT) AS total_weight
         |FROM c WHERE cw * 2 >= tw
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "agg_sum_distinct" ->
+      """WITH c AS (SELECT o_orderstatus,
+        |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+        |  FROM orders)
+        |SELECT o_orderstatus,
+        |  CAST(sum(DISTINCT cents) AS BIGINT) AS sum_distinct_cents,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  count(DISTINCT cents) AS n_distinct,
+        |  count(*) AS n
+        |FROM c GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     // Same integer ceil spellings over the same running-sum frame.
     "agg_weighted_percentiles" ->
       """WITH d AS (SELECT l_returnflag, l_extendedprice AS price,

@@ -559,6 +559,34 @@ object PipelineQueries {
     // Thresholds on the first 2 hex chars ('cc' = 204/256 ≈ 79.7%,
     // 'e6' = 230/256 ≈ 89.8%). Output = the per-(split, lang) audit
     // card (counts + chars), one map-side CASE + one two-phase agg.
+    // CHAT TEMPLATE RENDERING (§2.71) — the SFT data-prep step:
+    // (instruction, response) pairs rendered into the single training
+    // string with role markers, plus the token accounting the loss
+    // mask needs (response tokens are the trainable ones; the
+    // instruction + markers are masked out). Pairs are derived
+    // deterministically from the fixture (first 12 tokens =
+    // instruction, rest = response); rendering is pure per-row array
+    // slicing — shuffle-free, and the template is applied ONCE here
+    // rather than at training time (the reproducibility argument for
+    // materializing rendered prompts).
+    "pipeline_chat_format" -> ((s, dir) => {
+      val toks = split(col("text"), " ")
+      val instr = array_join(slice(toks, 1, 12), " ")
+      val resp = array_join(
+        expr("slice(split(text, ' '), 13, greatest(size(split(text, ' ')) - 12, 0))"),
+        " ")
+      val nTok = size(toks).cast("long")
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(lit("<|user|> "), instr, lit(" <|assistant|> "), resp)
+            .as("rendered"),
+          least(nTok, lit(12L)).as("n_prompt_tokens"),
+          greatest(nTok - 12, lit(0L)).as("n_response_tokens"),
+          r4d(greatest(nTok - 12, lit(0L)).cast("double")
+            / nTok.cast("double")).as("trainable_frac"))
+        .orderBy("doc_id")
+    }),
+
     // T5-STYLE SPAN CORRUPTION (§2.64) — the denoising-objective data
     // prep: ~19% of tokens (deterministic hash gate, 3/16 of the md5
     // first-hex-char space — replay/retry-stable, the pipeline
@@ -1117,6 +1145,22 @@ object PipelineQueries {
         |  least(32, n_tokens - start) AS n_chunk_tokens,
         |  array_to_string(toks[start + 1 : start + 32], ' ') AS chunk
         |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+    // Same first-12/rest split; DuckDB list slices are 1-based
+    // inclusive and clamp to the list length.
+    "pipeline_chat_format" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |  FROM documents)
+        |SELECT doc_id,
+        |  '<|user|> ' || array_to_string(toks[1:12], ' ')
+        |    || ' <|assistant|> '
+        |    || coalesce(array_to_string(toks[13:len(toks)], ' '), '')
+        |    AS rendered,
+        |  CAST(least(len(toks), 12) AS BIGINT) AS n_prompt_tokens,
+        |  CAST(greatest(len(toks) - 12, 0) AS BIGINT) AS n_response_tokens,
+        |  ROUND(CAST(greatest(len(toks) - 12, 0) AS DOUBLE)
+        |    / CAST(len(toks) AS DOUBLE) * 10000) / 10000
+        |    AS trainable_frac
+        |FROM t ORDER BY doc_id""".stripMargin,
     // Same hash gate / islands / sentinel numbering; string_agg with
     // ORDER BY pos is DuckDB's ordered-assembly face of the Spark
     // side's sort_array(collect_list).

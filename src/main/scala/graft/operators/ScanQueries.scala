@@ -701,6 +701,26 @@ object ScanQueries {
         .orderBy("l_returnflag")
     }),
 
+    // FILE METADATA COLUMNS (§2.71) — the `_metadata` hidden struct
+    // every file source carries (file_name / file_path / file_size /
+    // row_index): per-input-file lineage WITHOUT a custom reader —
+    // what incident response uses to trace a bad row back to the
+    // object-store key. The fixture table is a single parquet file,
+    // so the per-file aggregate is layout-stable and the oracle
+    // re-derives the one (name, count) row; the declared value is
+    // the hidden-column plumbing itself (constant-folded projection,
+    // zero data-column cost).
+    "scan_file_metadata" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .select(col("_metadata.file_name").as("file_name"),
+          col("l_orderkey"))
+        .groupBy("file_name")
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("l_orderkey")).as("min_key"),
+          max(col("l_orderkey")).as("max_key"))
+        .orderBy("file_name")
+    }),
+
     // SQL CTAS + CATALOG READ (§2.69) — the DDL face of the layout
     // keys' saveAsTable: `CREATE TABLE ... USING PARQUET LOCATION ...
     // AS SELECT` materializes a pre-aggregated summary table in the
@@ -732,6 +752,11 @@ object ScanQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // Single-file fixture table → the file name is a constant.
+    "scan_file_metadata" ->
+      """SELECT 'lineitem.parquet' AS file_name, count(*) AS n_rows,
+        |  min(l_orderkey) AS min_key, max(l_orderkey) AS max_key
+        |FROM lineitem GROUP BY 1 ORDER BY file_name""".stripMargin,
     // The stored summary is derivable: oracle re-aggregates the fixture.
     "sql_ctas_read" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n,

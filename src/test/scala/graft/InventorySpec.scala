@@ -263,10 +263,13 @@ class InventorySpec extends SparkSpec {
     "fn_collation_group", "sql_ctas_read", "agg_weighted_percentiles",
     // §2.70 round-9 fifteenth wave: assortativity, json_tuple lateral
     // view, Matryoshka prefix recall
-    "graph_assortativity", "fn_json_tuple", "sim_prefix_dim_recall")
+    "graph_assortativity", "fn_json_tuple", "sim_prefix_dim_recall",
+    // §2.71 round-9 sixteenth wave: sum-distinct planner shape, file
+    // metadata columns, chat template rendering
+    "agg_sum_distinct", "scan_file_metadata", "pipeline_chat_format")
 
-  test("declared queries cover SURVEY §2 + §2.12-70 exactly (328 keys)") {
-    assert(inventory.size == 328)
+  test("declared queries cover SURVEY §2 + §2.12-71 exactly (331 keys)") {
+    assert(inventory.size == 331)
     val declared = SparkEntry.queries.keySet
     val missing = inventory -- declared
     val extra = declared -- inventory
