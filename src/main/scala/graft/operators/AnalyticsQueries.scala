@@ -1410,6 +1410,34 @@ object AnalyticsQueries {
     // final ÷√ — r4d at the edge; zero-variance frames emit NULL.
     // Calendar-bounded global window (documented exception, the
     // ts_ewma convention).
+    // ROLLING OLS SLOPE (§2.72) — the trailing-14-day trend per type:
+    // "is this metric accelerating RIGHT NOW", the dashboard
+    // complement of the global agg_trend_slope and the trailing
+    // window sibling of ts_rolling_corr. Five integer window sums on
+    // the zero-filled spine, integer numerator/denominator
+    // (nΣxy − ΣxΣy over nΣxx − Σx²), one double division at the
+    // edge; n = 1 frames have zero x-variance → NULL by the guard,
+    // identically in both engines. Per-type windows over O(days)
+    // rows — never the event table.
+    "ts_rolling_slope" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        .rowsBetween(-13, 0)
+      zeroFilledDaily(s, dir)
+        .withColumn("n", count(lit(1)).over(w))
+        .withColumn("sx", sum(col("day")).over(w))
+        .withColumn("sy", sum(col("y")).over(w))
+        .withColumn("sxy", sum(col("day") * col("y")).over(w))
+        .withColumn("sxx", sum(col("day") * col("day")).over(w))
+        .select(col("event_type"), col("day"), col("y"),
+          when(col("n") * col("sxx") - col("sx") * col("sx") > 0,
+            r4d((col("n") * col("sxy") - col("sx") * col("sy"))
+              .cast("double")
+              / (col("n") * col("sxx") - col("sx") * col("sx"))
+                .cast("double"))).as("slope14"))
+        .orderBy("event_type", "day")
+    }),
+
     // WAPE / sMAPE (§2.68) — the other two forecast-accuracy metrics
     // ops teams quote next to ts_forecast_baseline_mae (MAE is
     // scale-bound; WAPE = Σ|e|/Σy normalizes by volume, sMAPE bounds
@@ -2712,6 +2740,32 @@ object AnalyticsQueries {
          |  AND o_orderdate < DATE '1997-01-01'
          |GROUP BY n_name
          |ORDER BY revenue DESC, n_name""".stripMargin,
+    // Same five integer window sums and guard on the x-variance.
+    "ts_rolling_slope" ->
+      s"""WITH e AS (SELECT event_type, ${sqlEpochDay("ts")} AS day
+         |  FROM events),
+         |d AS (SELECT event_type, day, count(*) AS y FROM e GROUP BY 1, 2),
+         |b AS (SELECT min(day) AS lo, max(day) AS hi FROM e),
+         |ty AS (SELECT DISTINCT event_type FROM e),
+         |spine AS (SELECT event_type, unnest(range(lo, hi + 1)) AS day
+         |  FROM ty CROSS JOIN b),
+         |fl AS (SELECT s.event_type, s.day, coalesce(y, 0) AS y
+         |  FROM spine s LEFT JOIN d
+         |    ON s.event_type = d.event_type AND s.day = d.day),
+         |m AS (SELECT event_type, day, y,
+         |    count(*) OVER w AS n,
+         |    CAST(sum(day) OVER w AS BIGINT) AS sx,
+         |    CAST(sum(y) OVER w AS BIGINT) AS sy,
+         |    CAST(sum(day * y) OVER w AS BIGINT) AS sxy,
+         |    CAST(sum(day * day) OVER w AS BIGINT) AS sxx
+         |  FROM fl WINDOW w AS (PARTITION BY event_type ORDER BY day
+         |    ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+         |SELECT event_type, day, y,
+         |  CASE WHEN n * sxx - sx * sx > 0 THEN
+         |    ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+         |      / CAST(n * sxx - sx * sx AS DOUBLE) * 10000) / 10000
+         |  END AS slope14
+         |FROM m ORDER BY event_type, day""".stripMargin,
     // Same lag-7 scoring; sMAPE terms fixed to DECIMAL(38,12) before
     // the sum, WAPE a ratio of integer sums.
     "ts_forecast_wape_smape" ->

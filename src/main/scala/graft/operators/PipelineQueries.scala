@@ -559,6 +559,35 @@ object PipelineQueries {
     // Thresholds on the first 2 hex chars ('cc' = 204/256 ≈ 79.7%,
     // 'e6' = 230/256 ≈ 89.8%). Output = the per-(split, lang) audit
     // card (counts + chars), one map-side CASE + one two-phase agg.
+    // GROUP REWARD NORMALIZATION (§2.72) — the GRPO/RLOO data-prep
+    // step: responses are sampled in GROUPS per prompt and each one's
+    // advantage is its reward standardized WITHIN the group,
+    // (r − μ)/σ — the group mean is the learned baseline. Groups of 4
+    // by doc_id div 4 (the fixture's stand-in for per-prompt
+    // samples), reward = n_chars. The z-score is computed as
+    // (r·n − S)/√(n·Σr² − S²) — exact integer numerator and radicand,
+    // ONE sqrt + ONE division per row; zero-variance groups emit
+    // advantage 0 (no signal ⇒ no gradient — the GRPO convention),
+    // CASE-identical in both engines. One windowed pass, O(group)
+    // state.
+    "pipeline_reward_normalize" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val g = Window.partitionBy(col("grp"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), expr("doc_id div 4").as("grp"),
+          col("n_chars").as("reward"))
+        .withColumn("n", count(lit(1)).over(g))
+        .withColumn("sr", sum(col("reward")).over(g))
+        .withColumn("sq", sum(col("reward") * col("reward")).over(g))
+        .select(col("doc_id"), col("grp"), col("reward"),
+          when(col("n") * col("sq") - col("sr") * col("sr") > 0,
+            r4d((col("reward") * col("n") - col("sr")).cast("double")
+              / sqrt((col("n") * col("sq") - col("sr") * col("sr"))
+                .cast("double"))))
+            .otherwise(lit(0.0)).as("advantage"))
+        .orderBy("doc_id")
+    }),
+
     // CHAT TEMPLATE RENDERING (§2.71) — the SFT data-prep step:
     // (instruction, response) pairs rendered into the single training
     // string with role markers, plus the token accounting the loss
@@ -1145,6 +1174,21 @@ object PipelineQueries {
         |  least(32, n_tokens - start) AS n_chunk_tokens,
         |  array_to_string(toks[start + 1 : start + 32], ' ') AS chunk
         |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+    // Same integer z-score; '//' floor division on non-negative ids.
+    "pipeline_reward_normalize" ->
+      """WITH d AS (SELECT doc_id, doc_id // 4 AS grp, n_chars AS reward
+        |  FROM documents),
+        |m AS (SELECT doc_id, grp, reward,
+        |    count(*) OVER w AS n,
+        |    CAST(sum(reward) OVER w AS BIGINT) AS sr,
+        |    CAST(sum(reward * reward) OVER w AS BIGINT) AS sq
+        |  FROM d WINDOW w AS (PARTITION BY grp))
+        |SELECT doc_id, grp, reward,
+        |  CASE WHEN n * sq - sr * sr > 0 THEN
+        |    ROUND(CAST(reward * n - sr AS DOUBLE)
+        |      / sqrt(CAST(n * sq - sr * sr AS DOUBLE)) * 10000) / 10000
+        |  ELSE 0.0 END AS advantage
+        |FROM m ORDER BY doc_id""".stripMargin,
     // Same first-12/rest split; DuckDB list slices are 1-based
     // inclusive and clamp to the list length.
     "pipeline_chat_format" ->

@@ -701,6 +701,33 @@ object ScanQueries {
         .orderBy("l_returnflag")
     }),
 
+    // MULTI-LINE JSON READ (§2.72) — the OTHER JSON file shape: one
+    // document spanning the whole file (an API export / config dump —
+    // a JSON ARRAY of records), which the default line-oriented
+    // reader cannot parse (`multiLine=true` makes the file the unit
+    // of parallelism instead of the line: one task per file, the
+    // documented scale trade vs JSONL). The document is rendered
+    // in-engine (to_json over a key-sorted struct array — the 5-row
+    // region dim, driver-held by design) and written once to scratch;
+    // the roundtrip is lossless so the oracle reads the fixture
+    // directly.
+    "scan_json_multiline" -> ((s, dir) => {
+      val path = s"${scratch(s, dir)}/json_multiline"
+      val f = new java.io.File(path, "region.json")
+      if (!f.exists()) {
+        new java.io.File(path).mkdirs()
+        val doc = t(s, dir, "region")
+          .agg(to_json(expr(
+            "array_sort(collect_list(struct(r_regionkey, r_name)))"))
+            .as("j"))
+          .head().getString(0)
+        java.nio.file.Files.writeString(f.toPath, doc): Unit
+      }
+      s.read.option("multiLine", "true").json(f.getPath)
+        .select(col("r_regionkey"), col("r_name"))
+        .orderBy("r_regionkey")
+    }),
+
     // FILE METADATA COLUMNS (§2.71) — the `_metadata` hidden struct
     // every file source carries (file_name / file_path / file_size /
     // row_index): per-input-file lineage WITHOUT a custom reader —
@@ -752,6 +779,9 @@ object ScanQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // Lossless roundtrip → oracle reads the fixture.
+    "scan_json_multiline" ->
+      "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
     // Single-file fixture table → the file name is a constant.
     "scan_file_metadata" ->
       """SELECT 'lineitem.parquet' AS file_name, count(*) AS n_rows,

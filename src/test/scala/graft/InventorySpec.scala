@@ -266,10 +266,14 @@ class InventorySpec extends SparkSpec {
     "graph_assortativity", "fn_json_tuple", "sim_prefix_dim_recall",
     // §2.71 round-9 sixteenth wave: sum-distinct planner shape, file
     // metadata columns, chat template rendering
-    "agg_sum_distinct", "scan_file_metadata", "pipeline_chat_format")
+    "agg_sum_distinct", "scan_file_metadata", "pipeline_chat_format",
+    // §2.72 round-9 seventeenth wave: rolling slope, GRPO reward
+    // normalization, multi-line JSON
+    "ts_rolling_slope", "pipeline_reward_normalize",
+    "scan_json_multiline")
 
-  test("declared queries cover SURVEY §2 + §2.12-71 exactly (331 keys)") {
-    assert(inventory.size == 331)
+  test("declared queries cover SURVEY §2 + §2.12-72 exactly (334 keys)") {
+    assert(inventory.size == 334)
     val declared = SparkEntry.queries.keySet
     val missing = inventory -- declared
     val extra = declared -- inventory
