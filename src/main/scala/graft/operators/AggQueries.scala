@@ -514,6 +514,33 @@ object AggQueries {
         .orderBy("l_returnflag")
     }),
 
+    // IQR OUTLIER FENCES (§2.73) — Tukey's 1.5·IQR rule per group:
+    // the box-plot outlier count every data-quality report carries
+    // (z-scores assume normality; the IQR fence is the distribution-
+    // free default). Quartiles are the interpolated exact percentiles
+    // (≡ quantile_cont); the fences and comparisons are double
+    // arithmetic spelled operand-for-operand, so the OUTLIER SET —
+    // not just the counts — agrees cross-engine. Two-pass shape
+    // shared with winsorized mean: tiny per-group bounds broadcast
+    // back, counts map-side.
+    "agg_iqr_outliers" -> ((s, dir) => {
+      val e = events(s, dir).select(col("event_type"), col("value"))
+      val bounds = e.groupBy("event_type")
+        .agg(percentile(col("value"), lit(0.25)).as("q1"),
+          percentile(col("value"), lit(0.75)).as("q3"))
+        .select(col("event_type"),
+          (col("q1") - lit(1.5) * (col("q3") - col("q1"))).as("lo"),
+          (col("q3") + lit(1.5) * (col("q3") - col("q1"))).as("hi"))
+      e.join(broadcast(bounds), Seq("event_type"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          count_if(col("value") < col("lo")).as("n_low"),
+          count_if(col("value") > col("hi")).as("n_high"),
+          r4d(first(col("lo"))).as("fence_lo"),
+          r4d(first(col("hi"))).as("fence_hi"))
+        .orderBy("event_type")
+    }),
+
     // SUM/AVG DISTINCT (§2.71) — distinct aggregation beyond COUNT:
     // sum(DISTINCT) mixed with plain aggregates in one GROUP BY is
     // its own planner shape (Catalyst rewrites it through an Expand —
@@ -1037,6 +1064,22 @@ object AggQueries {
         |  CAST(max(tw) AS BIGINT) AS total_weight
         |FROM c WHERE cw * 2 >= tw
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Same interpolated quartiles, fences operand-for-operand.
+    "agg_iqr_outliers" ->
+      """WITH b AS (SELECT event_type,
+        |    quantile_cont(value, 0.25) AS q1,
+        |    quantile_cont(value, 0.75) AS q3
+        |  FROM events GROUP BY event_type),
+        |f AS (SELECT event_type,
+        |    q1 - 1.5 * (q3 - q1) AS lo, q3 + 1.5 * (q3 - q1) AS hi
+        |  FROM b)
+        |SELECT e.event_type, count(*) AS n,
+        |  CAST(count_if(value < lo) AS BIGINT) AS n_low,
+        |  CAST(count_if(value > hi) AS BIGINT) AS n_high,
+        |  ROUND(min(lo) * 10000) / 10000 AS fence_lo,
+        |  ROUND(min(hi) * 10000) / 10000 AS fence_hi
+        |FROM events e JOIN f ON e.event_type = f.event_type
+        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
     "agg_sum_distinct" ->
       """WITH c AS (SELECT o_orderstatus,
         |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents

@@ -701,6 +701,33 @@ object ScanQueries {
         .orderBy("l_returnflag")
     }),
 
+    // CSV QUOTING ROUNDTRIP (§2.73) — the delimiter-collision edge
+    // the plain CSV roundtrip never exercises: fields CONTAINING the
+    // separator and embedded quotes, under a non-default '|'
+    // separator. The writer must quote-and-escape exactly what the
+    // reader unescapes (Spark's default backslash escape — a
+    // writer/reader option mismatch here silently shears columns,
+    // the classic ingest bug this key pins). Embedded newlines are
+    // deliberately excluded: they force multiLine=true and kill
+    // line-splittable parallel reads (scan_json_multiline documents
+    // that trade). Oracle reconstructs the gnarly field from the
+    // fixture directly — the CSV bytes are Spark-internal.
+    "scan_csv_quoted_roundtrip" -> ((s, dir) => {
+      val path = s"${scratch(s, dir)}/csv_quoted"
+      val schema = "n_nationkey LONG, n_name STRING, tricky STRING"
+      writeOnce(path) {
+        t(s, dir, "nation")
+          .select(col("n_nationkey"), col("n_name"),
+            concat(col("n_name"), lit(", \"quoted\" |x|")).as("tricky"))
+          .coalesce(1).write.option("header", "true").option("sep", "|")
+          .mode("overwrite").csv(path)
+      }
+      s.read.option("header", "true").option("sep", "|").schema(schema)
+        .csv(path)
+        .select(col("n_nationkey"), col("n_name"), col("tricky"))
+        .orderBy("n_nationkey")
+    }),
+
     // MULTI-LINE JSON READ (§2.72) — the OTHER JSON file shape: one
     // document spanning the whole file (an API export / config dump —
     // a JSON ARRAY of records), which the default line-oriented
@@ -779,6 +806,12 @@ object ScanQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // The gnarly field is fixture-derivable; single backslash-quote in
+    // the SQL literal renders the embedded double quotes.
+    "scan_csv_quoted_roundtrip" ->
+      """SELECT n_nationkey, n_name,
+        |  n_name || ', "quoted" |x|' AS tricky
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
     // Lossless roundtrip → oracle reads the fixture.
     "scan_json_multiline" ->
       "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
