@@ -1286,9 +1286,9 @@ object AggQueries {
          |      / CAST(n * sxx - sx * sx AS DOUBLE) AS b
          |  FROM m WHERE n > 1 AND n * sxx > sx * sx)
          |SELECT event_type, n,
-         |  ROUND(b * 10000.0) / 10000.0 AS slope_per_day,
+         |  ROUND(b * 10000.0) / 10000.0 + 0.0 AS slope_per_day,
          |  ROUND(((CAST(sy AS DOUBLE) - b * CAST(sx AS DOUBLE)) / n)
-         |    * 10000.0) / 10000.0 AS intercept
+         |    * 10000.0) / 10000.0 + 0.0 AS intercept
          |FROM f ORDER BY event_type""".stripMargin,
     // Same anchored sums in HUGEINT (DuckDB BIGINT ops error on
     // overflow, so the d-powers run in int128 explicitly); the double
@@ -1319,8 +1319,8 @@ object AggQueries {
         |    r4 - 4.0 * dl * r3 + 6.0 * dl * dl * r2
         |      - 3.0 * dl * dl * dl * dl AS m4 FROM f)
         |SELECT event_type, n,
-        |  ROUND((m3 / (m2 * sqrt(m2))) * 10000.0) / 10000.0 AS skewness,
-        |  ROUND((m4 / (m2 * m2) - 3.0) * 10000.0) / 10000.0
+        |  ROUND((m3 / (m2 * sqrt(m2))) * 10000.0) / 10000.0 + 0.0 AS skewness,
+        |  ROUND((m4 / (m2 * m2) - 3.0) * 10000.0) / 10000.0 + 0.0
         |    AS kurtosis_excess
         |FROM g WHERE n > 2 AND n * sd2 > sd1 * sd1
         |ORDER BY event_type""".stripMargin,
@@ -1378,7 +1378,7 @@ object AggQueries {
         |SELECT event_type, na, nb,
         |  ROUND(ma / 100.0 * 10000.0) / 10000.0 AS mean_a,
         |  ROUND(mb / 100.0 * 10000.0) / 10000.0 AS mean_b,
-        |  ROUND((ma - mb) / sqrt(se2) * 10000.0) / 10000.0 AS t_stat,
+        |  ROUND((ma - mb) / sqrt(se2) * 10000.0) / 10000.0 + 0.0 AS t_stat,
         |  ROUND(se2 * se2 / (sea * sea / (nna - 1.0)
         |    + seb * seb / (nnb - 1.0)) * 10000.0) / 10000.0 AS df_welch
         |FROM f ORDER BY event_type""".stripMargin,

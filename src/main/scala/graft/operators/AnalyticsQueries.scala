@@ -1615,13 +1615,21 @@ object AnalyticsQueries {
 
     "ts_rolling_corr" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val d = zeroFilledDaily(s, dir)
-        .filter(col("event_type").isin("click", "purchase"))
-        .groupBy("day")
-        .agg(sum(when(col("event_type") === "click", col("y"))
-            .otherwise(0L)).cast("long").as("cx"),
-          sum(when(col("event_type") === "purchase", col("y"))
-            .otherwise(0L)).cast("long").as("cy"))
+      // Day spine is the GLOBAL lo..hi range over all events — never
+      // derived from the click/purchase subset, so a corpus missing
+      // either type still yields the full zero-filled series the
+      // oracle's unconditional spine + COALESCE-0 produces.
+      val e = events(s, dir)
+        .select(col("event_type"), epochDay("ts").as("day"))
+      val perDay = e.groupBy("day")
+        .agg(count(when(col("event_type") === "click", 1)).as("cx0"),
+          count(when(col("event_type") === "purchase", 1)).as("cy0"))
+      val spine = e
+        .agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"))).as("day"))
+      val d = spine.join(perDay, Seq("day"), "left")
+        .select(col("day"), coalesce(col("cx0"), lit(0L)).as("cx"),
+          coalesce(col("cy0"), lit(0L)).as("cy"))
       val w = Window.orderBy(col("day")).rowsBetween(-13, 0)
       val m = d
         .withColumn("n", count(lit(1)).over(w))
@@ -2214,7 +2222,7 @@ object AnalyticsQueries {
          |f AS (SELECT event_type, day, v,
          |  CASE WHEN nb = 7 AND na = 7 THEN
          |    ROUND((CAST(sa AS DOUBLE) / na - CAST(sb AS DOUBLE) / nb)
-         |      * 10000.0) / 10000.0 END AS shift
+         |      * 10000.0) / 10000.0 + 0.0 END AS shift
          |  FROM w)
          |SELECT event_type, day, v, shift,
          |  CASE WHEN shift IS NOT NULL THEN
@@ -2899,7 +2907,8 @@ object AnalyticsQueries {
          |    AND a.day < b2.day),
          |nd AS (SELECT event_type, count(*) AS n_days FROM fl GROUP BY 1)
          |SELECT p.event_type, nd.n_days, count(*) AS n_pairs,
-         |  ROUND(quantile_cont(slope, 0.5) * 10000) / 10000 AS theil_slope
+         |  ROUND(quantile_cont(slope, 0.5) * 10000) / 10000 + 0.0
+         |    AS theil_slope
          |FROM pairs p JOIN nd ON p.event_type = nd.event_type
          |GROUP BY p.event_type, nd.n_days
          |ORDER BY p.event_type""".stripMargin,
@@ -2931,7 +2940,7 @@ object AnalyticsQueries {
          |    ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
          |      / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
          |           * CAST(n * syy - sy * sy AS DOUBLE)) * 10000.0)
-         |      / 10000.0
+         |      / 10000.0 + 0.0
          |  END AS corr14
          |FROM m ORDER BY day""".stripMargin,
     // count(*) stays BIGINT; the ÷7 ratio divides the exact decimal

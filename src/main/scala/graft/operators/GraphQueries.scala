@@ -702,7 +702,7 @@ object GraphQueries {
         |SELECT m,
         |  ROUND(CAST(m * sxy - sx * sx AS DOUBLE)
         |    / CAST(m * sxx - sx * sx AS DOUBLE) * 10000) / 10000
-        |    AS assortativity
+        |    + 0.0 AS assortativity
         |FROM mo""".stripMargin,
     "graph_label_prop" ->
       (s"$LpaCtes\n" +
@@ -727,7 +727,7 @@ object GraphQueries {
            |  ROUND((CAST(coalesce(e_in, 0) AS DOUBLE) / CAST(m AS DOUBLE)
            |    - (CAST(deg_sum AS DOUBLE) / CAST(m * 2 AS DOUBLE))
            |      * (CAST(deg_sum AS DOUBLE) / CAST(m * 2 AS DOUBLE)))
-           |    * 10000) / 10000 AS q_contrib
+           |    * 10000) / 10000 + 0.0 AS q_contrib
            |FROM dc LEFT JOIN ein ON dc.label = ein.label
            |CROSS JOIN mm
            |ORDER BY community""".stripMargin)

@@ -1187,6 +1187,7 @@ object PipelineQueries {
         |  CASE WHEN n * sq - sr * sr > 0 THEN
         |    ROUND(CAST(reward * n - sr AS DOUBLE)
         |      / sqrt(CAST(n * sq - sr * sr AS DOUBLE)) * 10000) / 10000
+        |    + 0.0
         |  ELSE 0.0 END AS advantage
         |FROM m ORDER BY doc_id""".stripMargin,
     // Same first-12/rest split; DuckDB list slices are 1-based

@@ -288,13 +288,15 @@ object VersionedTable {
     * `retainLast` versions: every manifest participating in a
     * RETAINED version's snapshot (which pulls in the overwrite each
     * chain starts from) survives; all other manifests, their data
-    * dirs, and checkpoints at dropped versions are deleted. Data dirs
-    * referenced by NO manifest at all (a crashed writer's staging —
-    * lost races clean up after themselves) are deleted only when
-    * older than `orphanGraceMs`, because a LIVE writer's staging dir
-    * is indistinguishable from a crash's: the grace must exceed the
-    * longest plausible write (pass 0 only when no writer can be
-    * in-flight, e.g. tests).
+    * dirs, and checkpoints at dropped versions are deleted. A dir
+    * referenced by a just-dropped manifest is known-expired — it is
+    * deleted unconditionally, regardless of age. The grace window
+    * applies only to dirs referenced by NO manifest at all (a crashed
+    * writer's staging — lost races clean up after themselves): those
+    * are deleted only when older than `orphanGraceMs`, because a LIVE
+    * writer's staging dir is indistinguishable from a crash's — the
+    * grace must exceed the longest plausible write (pass 0 only when
+    * no writer can be in-flight, e.g. tests).
     *
     * After vacuum: reads at retained versions are byte-identical to
     * before (their chains are intact); a read past retention fails
@@ -308,9 +310,15 @@ object VersionedTable {
     val retained = versions.takeRight(retainLast)
     val keep = retained.flatMap(v =>
       snapshot(spark, root, v).map(_.version)).toSet
-    val keepDirs = manifests(spark, root, Long.MaxValue)
-      .filter(m => keep(m.version))
+    val allManifests = manifests(spark, root, Long.MaxValue)
+    val keepDirs = allManifests.filter(m => keep(m.version))
       .map(m => new java.io.File(m.dir).getCanonicalPath).toSet
+    // Dirs referenced only by manifests being dropped: known-expired,
+    // reclaimed below regardless of age (the grace window is reserved
+    // for true orphans no manifest ever referenced).
+    val expiredDirs = allManifests.filterNot(m => keep(m.version))
+      .map(m => new java.io.File(m.dir).getCanonicalPath)
+      .toSet -- keepDirs
     val dropped = versions.filterNot(keep)
     // Manifests first: once the manifest is gone no reader can plan
     // over the dir it referenced, so the dir delete below can't race
@@ -327,7 +335,9 @@ object VersionedTable {
     val dataKids = Option(new java.io.File(s"$root/data").listFiles())
       .getOrElse(Array.empty[java.io.File])
     val deleted = dataKids.filter { d =>
-      !keepDirs(d.getCanonicalPath) && (now - d.lastModified) >= orphanGraceMs
+      val cp = d.getCanonicalPath
+      !keepDirs(cp) &&
+        (expiredDirs(cp) || (now - d.lastModified) >= orphanGraceMs)
     }.map { d => deleteDirRecursively(d); d.getPath }.toSeq
     (dropped, deleted)
   }

@@ -270,10 +270,13 @@ class InventorySpec extends SparkSpec {
     // §2.72 round-9 seventeenth wave: rolling slope, GRPO reward
     // normalization, multi-line JSON
     "ts_rolling_slope", "pipeline_reward_normalize",
-    "scan_json_multiline")
+    "scan_json_multiline",
+    // §2.73 round-9 eighteenth wave (landed in the end-of-round
+    // snapshot): IQR fence outliers, quoted-CSV roundtrip
+    "agg_iqr_outliers", "scan_csv_quoted_roundtrip")
 
-  test("declared queries cover SURVEY §2 + §2.12-72 exactly (334 keys)") {
-    assert(inventory.size == 334)
+  test("declared queries cover SURVEY §2 + §2.12-73 exactly (336 keys)") {
+    assert(inventory.size == 336)
     val declared = SparkEntry.queries.keySet
     val missing = inventory -- declared
     val extra = declared -- inventory
