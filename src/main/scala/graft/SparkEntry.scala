@@ -18,7 +18,8 @@ object SparkEntry {
       TextQueries.queries ++ SimQueries.queries ++ StreamQueries.queries ++
       PipelineQueries.queries ++ ReshapeQueries.queries ++
       CurationQueries.queries ++ AnalyticsQueries.queries ++
-      EtlQueries.queries ++ GraphQueries.queries ++ TpchQueries.queries
+      EtlQueries.queries ++ GraphQueries.queries ++ TpchQueries.queries ++
+      StatQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -28,5 +29,6 @@ object SparkEntry {
       TextQueries.oracle ++ SimQueries.oracle ++ StreamQueries.oracle ++
       PipelineQueries.oracle ++ ReshapeQueries.oracle ++
       CurationQueries.oracle ++ AnalyticsQueries.oracle ++
-      EtlQueries.oracle ++ GraphQueries.oracle ++ TpchQueries.oracle
+      EtlQueries.oracle ++ GraphQueries.oracle ++ TpchQueries.oracle ++
+      StatQueries.oracle
 }

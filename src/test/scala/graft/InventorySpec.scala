@@ -273,10 +273,13 @@ class InventorySpec extends SparkSpec {
     "scan_json_multiline",
     // §2.73 round-9 eighteenth wave (landed in the end-of-round
     // snapshot): IQR fence outliers, quoted-CSV roundtrip
-    "agg_iqr_outliers", "scan_csv_quoted_roundtrip")
+    "agg_iqr_outliers", "scan_csv_quoted_roundtrip",
+    // §2.74 round-10 first wave: statistical inference — chi-square
+    // independence, Kendall tau-b, Benford digit forensics
+    "agg_chi2_independence", "agg_kendall_tau", "agg_benford_digits")
 
-  test("declared queries cover SURVEY §2 + §2.12-73 exactly (336 keys)") {
-    assert(inventory.size == 336)
+  test("declared queries cover SURVEY §2 + §2.12-74 exactly (339 keys)") {
+    assert(inventory.size == 339)
     val declared = SparkEntry.queries.keySet
     val missing = inventory -- declared
     val extra = declared -- inventory
