@@ -146,6 +146,102 @@ object StatQueries {
             - log10(lit(1.0) + lit(1.0) / col("digit").cast("double")))
             .as("excess"))
         .orderBy("digit")
+    }),
+
+    // CONFUSION-MATRIX SWEEP (§2.75) — the classifier evaluation
+    // table: label = purchase event, score = value, one row per
+    // decision threshold (20..180 step 20) with exact TP/FP/FN/TN
+    // counts and the derived precision / recall / F1 / accuracy.
+    // One corpus pass: the 9-row threshold spine broadcast-crosses
+    // the events ONCE and the counts reduce map-side per threshold
+    // (9× the scan's rows into the partial agg, zero extra shuffles).
+    // Undefined ratios (empty prediction class) stay NULL via guards
+    // spelled identically in both engines; F1 is computed from the
+    // RAW ratios and rounded once, so no double-rounding drift.
+    "eval_confusion_binary" -> ((s, dir) => {
+      val e = events(s, dir).select(col("value"),
+        (col("event_type") === "purchase").as("pos"))
+      val thresholds = s.range(1, 10)
+        .select((col("id") * 20).cast("double").as("threshold"))
+      val m = e.crossJoin(broadcast(thresholds))
+        .groupBy("threshold")
+        .agg(count_if(col("pos") && col("value") >= col("threshold")).as("tp"),
+          count_if(!col("pos") && col("value") >= col("threshold")).as("fp"),
+          count_if(col("pos") && col("value") < col("threshold")).as("fn"),
+          count_if(!col("pos") && col("value") < col("threshold")).as("tn"))
+      val prec =
+        col("tp").cast("double") / (col("tp") + col("fp")).cast("double")
+      val rec =
+        col("tp").cast("double") / (col("tp") + col("fn")).cast("double")
+      m.select(col("threshold"), col("tp"), col("fp"), col("fn"), col("tn"),
+          when(col("tp") + col("fp") > 0, r4d(prec)).as("precision"),
+          when(col("tp") + col("fn") > 0, r4d(rec)).as("recall"),
+          when(col("tp") + col("fp") > 0 && col("tp") + col("fn") > 0
+              && col("tp") > 0,
+            r4d(lit(2.0) * prec * rec / (prec + rec))).as("f1"),
+          r4d((col("tp") + col("tn")).cast("double")
+            / (col("tp") + col("fp") + col("fn") + col("tn")).cast("double"))
+            .as("accuracy"))
+        .orderBy("threshold")
+    }),
+
+    // EXACT AUC VIA RANK SUM (§2.75) — the Mann-Whitney identity:
+    // AUC = (Σ_pos rank − n₊(n₊+1)/2) / (n₊·n₋) with average ranks
+    // over ties. Ranks are kept EXACT by doubling: the average rank
+    // of a tie group is (2·cum − n_v + 1)/2, so the DOUBLED rank is
+    // the integer 2·cum − n_v + 1 and the whole statistic reduces to
+    // one integer numerator over one integer denominator — a single
+    // IEEE division, no floating accumulation at all. Shape: one
+    // group-by on score (exact 2dp doubles), one ordered prefix sum
+    // over the |distinct scores| table (driver-scale here; the
+    // distributed form is pack_sequences' two-pass prefix sum), one
+    // global fold.
+    "eval_auc_rank" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val byScore = events(s, dir)
+        .select(col("value"), (col("event_type") === "purchase").as("pos"))
+        .groupBy("value")
+        .agg(count(lit(1)).as("n_v"), count_if(col("pos")).as("p_v"))
+      val w = Window.orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val ranked = byScore
+        .withColumn("cum", sum(col("n_v")).over(w))
+        .withColumn("dr", lit(2) * col("cum") - col("n_v") + 1)
+      ranked.agg(
+          sum(col("p_v")).as("n_pos"),
+          sum(col("n_v") - col("p_v")).as("n_neg"),
+          sum(col("p_v") * col("dr")).as("sum_dr_pos"))
+        .select(col("n_pos"), col("n_neg"),
+          r4d((col("sum_dr_pos") - col("n_pos") * (col("n_pos") + 1))
+            .cast("double")
+            / (lit(2) * col("n_pos") * col("n_neg")).cast("double"))
+            .as("auc"))
+    }),
+
+    // CALIBRATION TABLE (§2.75) — reliability diagram data: score
+    // mapped to a pseudo-probability (value/200 clamped to 1), 10
+    // equal-width bins, each with exact n / positives, the mean
+    // predicted probability (exact decimal sum of a 2dp column — the
+    // davg discipline), and the observed positive rate; gap =
+    // observed − predicted is the per-bin calibration error (ECE's
+    // summand). One group-by on a derived int key — pure map-side
+    // until the 10-row reduce.
+    "eval_calibration_bins" -> ((s, dir) => {
+      val e = events(s, dir).select(
+        least(floor(col("value") / 20).cast("int"), lit(9)).as("bin"),
+        least(col("value"), lit(200.0)).as("vc"),
+        (col("event_type") === "purchase").as("pos"))
+      e.groupBy("bin")
+        .agg(count(lit(1)).as("n"), count_if(col("pos")).as("n_pos"),
+          // exact decimal sum of the clamped 2dp score; the /200
+          // probability mapping happens AFTER aggregation so no
+          // inexact per-row double ever enters the sum
+          r4d(sum(col("vc").cast(graft.Det.D)).cast("double")
+            / count(lit(1)) / lit(200.0)).as("mean_pred"),
+          r4d(count_if(col("pos")).cast("double")
+            / count(lit(1)).cast("double")).as("frac_pos"))
+        .withColumn("gap", r4d(col("frac_pos") - col("mean_pred")))
+        .orderBy("bin")
     }))
 
   val oracle: Map[String, String] = Map(
@@ -207,5 +303,66 @@ object StatQueries {
         |  ROUND((CAST(n AS DOUBLE) / CAST(total AS DOUBLE)
         |    - log10(1.0 + 1.0 / CAST(digit AS DOUBLE))) * 10000)
         |    / 10000 + 0.0 AS excess
-        |FROM tt ORDER BY digit""".stripMargin)
+        |FROM tt ORDER BY digit""".stripMargin,
+    "eval_confusion_binary" ->
+      """WITH th AS (SELECT CAST(i * 20 AS DOUBLE) AS threshold
+        |  FROM (SELECT unnest(range(1, 10)) AS i)),
+        |e AS (SELECT value, event_type = 'purchase' AS pos FROM events),
+        |m AS (SELECT threshold,
+        |    count(*) FILTER (WHERE pos AND value >= threshold) AS tp,
+        |    count(*) FILTER (WHERE NOT pos AND value >= threshold) AS fp,
+        |    count(*) FILTER (WHERE pos AND value < threshold) AS fn,
+        |    count(*) FILTER (WHERE NOT pos AND value < threshold) AS tn
+        |  FROM e CROSS JOIN th GROUP BY threshold),
+        |r AS (SELECT *, CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) AS p,
+        |    CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) AS rc
+        |  FROM m)
+        |SELECT threshold, tp, fp, fn, tn,
+        |  CASE WHEN tp + fp > 0 THEN ROUND(p * 10000) / 10000 + 0.0 END
+        |    AS precision,
+        |  CASE WHEN tp + fn > 0 THEN ROUND(rc * 10000) / 10000 + 0.0 END
+        |    AS recall,
+        |  CASE WHEN tp + fp > 0 AND tp + fn > 0 AND tp > 0 THEN
+        |    ROUND(2.0 * p * rc / (p + rc) * 10000) / 10000 + 0.0 END
+        |    AS f1,
+        |  ROUND(CAST(tp + tn AS DOUBLE)
+        |    / CAST(tp + fp + fn + tn AS DOUBLE) * 10000) / 10000 + 0.0
+        |    AS accuracy
+        |FROM r ORDER BY threshold""".stripMargin,
+    "eval_auc_rank" ->
+      """WITH bys AS (SELECT value, count(*) AS n_v,
+        |    count(*) FILTER (WHERE event_type = 'purchase') AS p_v
+        |  FROM events GROUP BY value),
+        |rk AS (SELECT n_v, p_v,
+        |    CAST(sum(n_v) OVER (ORDER BY value
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum
+        |  FROM bys),
+        |m AS (SELECT CAST(sum(p_v) AS BIGINT) AS n_pos,
+        |    CAST(sum(n_v - p_v) AS BIGINT) AS n_neg,
+        |    CAST(sum(p_v * (2 * cum - n_v + 1)) AS BIGINT) AS sum_dr_pos
+        |  FROM rk)
+        |SELECT n_pos, n_neg,
+        |  ROUND(CAST(sum_dr_pos - n_pos * (n_pos + 1) AS DOUBLE)
+        |    / CAST(2 * n_pos * n_neg AS DOUBLE) * 10000) / 10000 + 0.0
+        |    AS auc
+        |FROM m""".stripMargin,
+    "eval_calibration_bins" ->
+      """WITH e AS (SELECT
+        |    least(CAST(floor(value / 20) AS INT), 9) AS bin,
+        |    least(value, 200.0) AS vc,
+        |    event_type = 'purchase' AS pos
+        |  FROM events)
+        |SELECT bin, count(*) AS n,
+        |  count(*) FILTER (WHERE pos) AS n_pos,
+        |  ROUND(CAST(SUM(CAST(vc AS DECIMAL(38,6))) AS DOUBLE)
+        |    / count(*) / 200.0 * 10000) / 10000 + 0.0 AS mean_pred,
+        |  ROUND(CAST(count(*) FILTER (WHERE pos) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) * 10000) / 10000 + 0.0 AS frac_pos,
+        |  ROUND((ROUND(CAST(count(*) FILTER (WHERE pos) AS DOUBLE)
+        |      / CAST(count(*) AS DOUBLE) * 10000) / 10000
+        |    - ROUND(CAST(SUM(CAST(vc AS DECIMAL(38,6))) AS DOUBLE)
+        |      / count(*) / 200.0 * 10000) / 10000) * 10000) / 10000 + 0.0
+        |    AS gap
+        |FROM e GROUP BY bin ORDER BY bin""".stripMargin)
 }

@@ -276,10 +276,13 @@ class InventorySpec extends SparkSpec {
     "agg_iqr_outliers", "scan_csv_quoted_roundtrip",
     // §2.74 round-10 first wave: statistical inference — chi-square
     // independence, Kendall tau-b, Benford digit forensics
-    "agg_chi2_independence", "agg_kendall_tau", "agg_benford_digits")
+    "agg_chi2_independence", "agg_kendall_tau", "agg_benford_digits",
+    // §2.75 round-10 second wave: model evaluation — confusion sweep,
+    // exact rank-sum AUC, calibration table
+    "eval_confusion_binary", "eval_auc_rank", "eval_calibration_bins")
 
-  test("declared queries cover SURVEY §2 + §2.12-74 exactly (339 keys)") {
-    assert(inventory.size == 339)
+  test("declared queries cover SURVEY §2 + §2.12-75 exactly (342 keys)") {
+    assert(inventory.size == 342)
     val declared = SparkEntry.queries.keySet
     val missing = inventory -- declared
     val extra = declared -- inventory
