@@ -362,6 +362,59 @@ object GraphQueries {
         .limit(20)
     }),
 
+    // ADAMIC-ADAR LINK PREDICTION (§2.76) — the degree-weighted
+    // refinement of graph_jaccard_linkpred on the SAME capped wedge
+    // machinery: a common neighbor contributes 1/ln(deg) instead of
+    // 1, so rare shared neighbors count more than hub co-membership
+    // (the standard fix for Jaccard's hub bias). Determinism device:
+    // each middle's contribution is snapped to an INTEGER grid —
+    // round(10¹²/ln(deg)) units — so the per-pair score is an exact
+    // BIGINT sum (shuffle-order-free; a last-ulp libm ln divergence
+    // moves one unit in 10¹², invisible at 4dp) divided once at the
+    // edge. Middles have deg ≥ 2 by the wedge filter, so ln > 0.
+    // Plan shape identical to the Jaccard key: persisted sampled
+    // edges + degrees, p95 degree cap off the histogram, sorted
+    // capped adjacency lists, map-side double explode, anti join
+    // against existing edges.
+    "graph_adamic_adar" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = sampledOrientedEdges(s, dir, Some(Seq("0", "1"))).persist()
+      val nb = e.select(col("a").as("v"), col("b").as("n"))
+        .unionAll(e.select(col("b").as("v"), col("a").as("n")))
+      val deg = nb.groupBy(col("v")).agg(count(lit(1)).as("deg")).persist()
+      val hist = deg.groupBy(col("deg")).agg(count(lit(1)).as("cnt"))
+      val cap = hist
+        .withColumn("cum", sum(col("cnt")).over(Window.orderBy(col("deg"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("k", ceil(lit(0.95) * sum(col("cnt"))
+          .over(Window.partitionBy(lit(1)))).cast("long"))
+        .filter(col("cum") >= col("k"))
+        .agg(min(col("deg")).as("cap"))
+      val nbmid = nb.join(deg, "v").crossJoin(broadcast(cap))
+        .filter(col("deg") <= col("cap"))
+        .select(col("v"), col("n"), col("deg"))
+      val pairs = nbmid.groupBy(col("v"))
+        .agg(sort_array(collect_list(col("n"))).as("ns"),
+          first(col("deg")).as("degv"))
+        .filter(size(col("ns")) >= 2)
+        .withColumn("w",
+          round(lit(1e12) / log(col("degv").cast("double"))).cast("long"))
+        .select(posexplode(col("ns")).as(Seq("i", "x")), col("ns"), col("w"))
+        .select(col("x"),
+          explode(expr("slice(ns, i + 2, size(ns))")).as("y"), col("w"))
+      val scored = pairs
+        .groupBy("x", "y")
+        .agg(count(lit(1)).as("common"), sum(col("w")).as("aa_units"))
+        .filter(col("common") >= 2)
+      scored
+        .join(e, col("x") === col("a") && col("y") === col("b"),
+          "left_anti")
+        .select(col("x"), col("y"), col("common"),
+          r4d(col("aa_units").cast("double") / lit(1e12)).as("adamic_adar"))
+        .orderBy(col("adamic_adar").desc, col("x"), col("y"))
+        .limit(20)
+    }),
+
     // 2-CORE PEELING — the third distributed-iteration primitive
     // (connected components find WHO relates, PageRank HOW centrally;
     // the k-core strips the tree-like periphery that inflates both):
@@ -632,6 +685,42 @@ object GraphQueries {
         |JOIN deg dx ON dx.v = ne.x
         |JOIN deg dy ON dy.v = ne.y
         |ORDER BY jaccard DESC, x, y LIMIT 20""".stripMargin,
+    // Same capped wedge CTEs as the Jaccard key; the middle's
+    // contribution snapped to BIGINT 10⁻¹²-units of 1/ln(deg) before
+    // the sum, exactly as the Spark side spells it.
+    "graph_adamic_adar" ->
+      """WITH pp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+        |  FROM lineitem),
+        |e0 AS (SELECT DISTINCT x.p AS a, y.p AS b
+        |  FROM pp x JOIN pp y ON x.ok = y.ok AND x.p < y.p),
+        |e AS MATERIALIZED (SELECT a, b FROM e0
+        |  WHERE substring(md5(CAST(a AS VARCHAR) || '_'
+        |    || CAST(b AS VARCHAR)), 1, 1) IN ('0', '1')),
+        |nb AS MATERIALIZED (SELECT a AS v, b AS n FROM e
+        |  UNION ALL SELECT b, a FROM e),
+        |deg AS MATERIALIZED (SELECT v, count(*) AS deg FROM nb GROUP BY 1),
+        |hist AS (SELECT deg, count(*) AS cnt FROM deg GROUP BY 1),
+        |capq AS (SELECT min(deg) AS cap FROM (
+        |  SELECT deg,
+        |    sum(cnt) OVER (ORDER BY deg ROWS UNBOUNDED PRECEDING) AS cum,
+        |    (SELECT CAST(ceil(0.95 * sum(cnt)) AS BIGINT) FROM hist) AS k
+        |  FROM hist) WHERE cum >= k),
+        |nbmid AS (SELECT nb.v, nb.n,
+        |    CASE WHEN deg.deg >= 2 THEN CAST(ROUND(1e12
+        |      / ln(CAST(deg.deg AS DOUBLE))) AS BIGINT) ELSE 0 END AS w
+        |  FROM nb JOIN deg ON deg.v = nb.v, capq
+        |  WHERE deg.deg <= cap),
+        |cm AS (SELECT p.n AS x, q.n AS y, count(*) AS common,
+        |    CAST(sum(p.w) AS BIGINT) AS aa_units
+        |  FROM nbmid p JOIN nbmid q ON p.v = q.v AND p.n < q.n
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |ne AS (SELECT cm.* FROM cm
+        |  WHERE NOT EXISTS (SELECT 1 FROM e
+        |    WHERE e.a = cm.x AND e.b = cm.y))
+        |SELECT x, y, CAST(common AS BIGINT) AS common,
+        |  ROUND(CAST(aa_units AS DOUBLE) / 1e12 * 10000.0) / 10000.0
+        |    AS adamic_adar
+        |FROM ne ORDER BY adamic_adar DESC, x, y LIMIT 20""".stripMargin,
     "graph_degree_hist" ->
       """WITH pp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
         |  FROM lineitem),

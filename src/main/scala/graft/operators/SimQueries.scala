@@ -180,6 +180,64 @@ object SimQueries {
         .orderBy("probe_id")
     }),
 
+    // NDCG@10 BY LABEL MATCH (§2.76) — graded retrieval quality, one
+    // step past sim_recall_eval's set-overlap: the top-10 cosine
+    // neighbors are scored by POSITION (a same-label hit at rank 1 is
+    // worth 1/log₂2, at rank 10 only 1/log₂11), normalized by the
+    // ideal ordering of everything reachable (min(10, |same-label
+    // corpus| − self)). Determinism device: the 10 discount weights
+    // are snapped to an integer grid — round(10¹²/log₂(i+1)) per rank
+    // i, with their prefix sums as the IDCG lookup — so DCG/IDCG is
+    // an exact BIGINT ratio and the one division happens at the edge.
+    // Scale shape: broadcast probes + the tiny 10-row weight spine;
+    // one corpus scan through the bounded TopKPerGroup heap; the
+    // label-count table reduces map-side.
+    "eval_ndcg_label" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"),
+          col("label"))
+      val probes = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("probe_id"), col("v").as("p"),
+          col("label").as("plabel"))
+      val scored = emb.crossJoin(broadcast(probes))
+        .filter(col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("plabel"), col("vec_id"), col("label"),
+          (ArrayDot(col("p"), col("v"))
+            / (sqrt(ArrayDot(col("p"), col("p")))
+              * sqrt(ArrayDot(col("v"), col("v"))))).as("cos"))
+      val top = graft.plans.TopKPerGroup(scored, k = 10,
+        partNames = Seq("probe_id"),
+        orderSpec = Seq(("cos", false), ("vec_id", true)))
+      val w = Window.partitionBy("probe_id")
+        .orderBy(col("cos").desc, col("vec_id"))
+      val wtab = s.range(1, 11).select(col("id").as("rk"),
+          round(lit(1e12) / log2(col("id").cast("double") + 1))
+            .cast("long").as("wu"))
+        .withColumn("cumw", sum(col("wu")).over(
+          org.apache.spark.sql.expressions.Window.orderBy("rk")
+            .rowsBetween(org.apache.spark.sql.expressions.Window
+              .unboundedPreceding,
+              org.apache.spark.sql.expressions.Window.currentRow)))
+      val ranked = top.withColumn("rk", row_number().over(w).cast("long"))
+        .join(broadcast(wtab.select("rk", "wu")), Seq("rk"))
+      val perProbe = ranked.groupBy("probe_id")
+        .agg(first(col("plabel")).as("plabel"),
+          count_if(col("label") === col("plabel")).as("rel_in_top10"),
+          sum(when(col("label") === col("plabel"), col("wu"))
+            .otherwise(0L)).as("dcg_units"))
+      val labelCnt = emb.groupBy(col("label").as("plabel"))
+        .agg(count(lit(1)).as("n_label"))
+      perProbe
+        .join(broadcast(labelCnt), Seq("plabel"))
+        .withColumn("ideal_k", least(lit(10L), col("n_label") - 1))
+        .join(broadcast(wtab.select(col("rk").as("ideal_k"),
+          col("cumw").as("idcg_units"))), Seq("ideal_k"))
+        .select(col("probe_id"), col("rel_in_top10"), col("ideal_k"),
+          r4d(col("dcg_units").cast("double")
+            / col("idcg_units").cast("double")).as("ndcg_at_10"))
+        .orderBy("probe_id")
+    }),
+
     // Per-label elementwise mean of the first 8 dims (exact decimal sums
     // at scale 12 — lossless for float inputs, order-independent).
     "sim_centroid_per_label" -> ((s, dir) => {
@@ -347,6 +405,42 @@ object SimQueries {
          |    row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rk
          |  FROM pairs WHERE vec_id <> probe_id)
          |WHERE rk <= 5 ORDER BY probe_id, rk""".stripMargin,
+    // Same integer-grid discount weights (BIGINT 10⁻¹² units of
+    // 1/log₂(rank+1)) and prefix-sum IDCG lookup as the Spark side.
+    "eval_ndcg_label" ->
+      s"""WITH $cosSql,
+         |lab AS (SELECT vec_id, label FROM embeddings),
+         |sc AS (SELECT p.probe_id, pl.label AS plabel, p.vec_id,
+         |    nl.label, p.cos
+         |  FROM pairs p
+         |  JOIN lab pl ON pl.vec_id = p.probe_id
+         |  JOIN lab nl ON nl.vec_id = p.vec_id
+         |  WHERE p.vec_id <> p.probe_id),
+         |rkd AS (SELECT *, row_number() OVER (PARTITION BY probe_id
+         |    ORDER BY cos DESC, vec_id) AS rk FROM sc),
+         |wt AS (SELECT i AS rk,
+         |    CAST(ROUND(1e12 / log2(CAST(i AS DOUBLE) + 1)) AS BIGINT)
+         |      AS wu,
+         |    CAST(sum(CAST(ROUND(1e12 / log2(CAST(i AS DOUBLE) + 1))
+         |      AS BIGINT)) OVER (ORDER BY i ROWS UNBOUNDED PRECEDING)
+         |      AS BIGINT) AS cumw
+         |  FROM (SELECT unnest(range(1, 11)) AS i)),
+         |tp AS (SELECT r.probe_id, r.plabel, r.label, w.wu
+         |  FROM rkd r JOIN wt w ON r.rk = w.rk WHERE r.rk <= 10),
+         |pp AS (SELECT probe_id, max(plabel) AS plabel,
+         |    count(*) FILTER (WHERE label = plabel) AS rel_in_top10,
+         |    CAST(sum(CASE WHEN label = plabel THEN wu ELSE 0 END)
+         |      AS BIGINT) AS dcg_units
+         |  FROM tp GROUP BY probe_id),
+         |lc AS (SELECT label AS plabel, count(*) AS n_label
+         |  FROM lab GROUP BY 1)
+         |SELECT pp.probe_id, rel_in_top10,
+         |  least(10, n_label - 1) AS ideal_k,
+         |  ROUND(CAST(dcg_units AS DOUBLE) / CAST(w2.cumw AS DOUBLE)
+         |    * 10000) / 10000 + 0.0 AS ndcg_at_10
+         |FROM pp JOIN lc ON lc.plabel = pp.plabel
+         |JOIN wt w2 ON w2.rk = least(10, n_label - 1)
+         |ORDER BY pp.probe_id""".stripMargin,
     // Full vs 16-dim-prefix exact rankings; list slicing is DuckDB's
     // 1-based inclusive [1:16].
     "sim_prefix_dim_recall" ->

@@ -242,6 +242,46 @@ object StatQueries {
             / count(lit(1)).cast("double")).as("frac_pos"))
         .withColumn("gap", r4d(col("frac_pos") - col("mean_pred")))
         .orderBy("bin")
+    }),
+
+    // SPEARMAN RANK CORRELATION (§2.76) — Pearson on average ranks of
+    // the daily click/purchase series: the monotone-robust sibling of
+    // agg_kendall_tau on literally the same zero-filled spine.
+    // Exactness device: DOUBLED average ranks (2·cum − n_v + 1) are
+    // integers, and scaling both variables by 2 cancels in ρ, so
+    // every moment is an exact decimal(38,0) integer (the
+    // graph_assortativity convention — HUGEINT on the DuckDB side)
+    // and the only floating steps are two sqrts and one division.
+    // Shape: two tiny rank tables off value-grouped prefix sums, two
+    // broadcast joins back to the spine, one global fold.
+    "agg_spearman_corr" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = dailyXY(s, dir)
+      def dranks(src: DataFrame, c: String): DataFrame = {
+        val w = Window.orderBy(c)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        src.groupBy(c).agg(count(lit(1)).as("n_v"))
+          .withColumn("cum", sum(col("n_v")).over(w))
+          .select(col(c), (lit(2) * col("cum") - col("n_v") + 1).as(s"dr_$c"))
+      }
+      val ranked = d
+        .join(broadcast(dranks(d, "cx")), Seq("cx"))
+        .join(broadcast(dranks(d, "cy")), Seq("cy"))
+      val D0 = "decimal(38,0)"
+      val m = ranked.agg(count(lit(1)).as("n"),
+        sum(col("dr_cx").cast(D0)).as("sx"),
+        sum(col("dr_cy").cast(D0)).as("sy"),
+        sum((col("dr_cx") * col("dr_cy")).cast(D0)).as("sxy"),
+        sum((col("dr_cx") * col("dr_cx")).cast(D0)).as("sxx"),
+        sum((col("dr_cy") * col("dr_cy")).cast(D0)).as("syy"))
+      m.select(col("n").as("n_days"),
+        when(col("n") * col("sxx") > col("sx") * col("sx")
+            && col("n") * col("syy") > col("sy") * col("sy"),
+          r4d((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+            / (sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+                .cast("double"))
+              * sqrt((col("n") * col("syy") - col("sy") * col("sy"))
+                .cast("double"))))).as("rho"))
     }))
 
   val oracle: Map[String, String] = Map(
@@ -364,5 +404,40 @@ object StatQueries {
         |    - ROUND(CAST(SUM(CAST(vc AS DECIMAL(38,6))) AS DOUBLE)
         |      / count(*) / 200.0 * 10000) / 10000) * 10000) / 10000 + 0.0
         |    AS gap
-        |FROM e GROUP BY bin ORDER BY bin""".stripMargin)
+        |FROM e GROUP BY bin ORDER BY bin""".stripMargin,
+    "agg_spearman_corr" ->
+      s"""WITH e AS (SELECT event_type, ${sqlEpochDay("ts")} AS day
+         |  FROM events),
+         |b AS (SELECT min(day) AS lo, max(day) AS hi FROM e),
+         |spine AS (SELECT unnest(range(lo, hi + 1)) AS day FROM b),
+         |d0 AS (SELECT day,
+         |    count(*) FILTER (WHERE event_type = 'click') AS cx,
+         |    count(*) FILTER (WHERE event_type = 'purchase') AS cy
+         |  FROM e GROUP BY day),
+         |d AS (SELECT s.day, COALESCE(cx, 0) AS cx, COALESCE(cy, 0) AS cy
+         |  FROM spine s LEFT JOIN d0 USING (day)),
+         |rx AS (SELECT cx, 2 * CAST(sum(n_v) OVER (ORDER BY cx
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS BIGINT) - n_v + 1 AS dr_cx
+         |  FROM (SELECT cx, count(*) AS n_v FROM d GROUP BY cx)),
+         |ry AS (SELECT cy, 2 * CAST(sum(n_v) OVER (ORDER BY cy
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS BIGINT) - n_v + 1 AS dr_cy
+         |  FROM (SELECT cy, count(*) AS n_v FROM d GROUP BY cy)),
+         |rk AS (SELECT dr_cx, dr_cy FROM d
+         |  JOIN rx USING (cx) JOIN ry USING (cy)),
+         |m AS (SELECT count(*) AS n,
+         |    CAST(sum(dr_cx) AS HUGEINT) AS sx,
+         |    CAST(sum(dr_cy) AS HUGEINT) AS sy,
+         |    CAST(sum(dr_cx * dr_cy) AS HUGEINT) AS sxy,
+         |    CAST(sum(dr_cx * dr_cx) AS HUGEINT) AS sxx,
+         |    CAST(sum(dr_cy * dr_cy) AS HUGEINT) AS syy
+         |  FROM rk)
+         |SELECT n AS n_days,
+         |  CASE WHEN n * sxx > sx * sx AND n * syy > sy * sy THEN
+         |    ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+         |      / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+         |        * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) * 10000)
+         |      / 10000 + 0.0 END AS rho
+         |FROM m""".stripMargin)
 }

@@ -279,10 +279,13 @@ class InventorySpec extends SparkSpec {
     "agg_chi2_independence", "agg_kendall_tau", "agg_benford_digits",
     // §2.75 round-10 second wave: model evaluation — confusion sweep,
     // exact rank-sum AUC, calibration table
-    "eval_confusion_binary", "eval_auc_rank", "eval_calibration_bins")
+    "eval_confusion_binary", "eval_auc_rank", "eval_calibration_bins",
+    // §2.76 round-10 third wave: Spearman rho, Adamic-Adar link
+    // prediction, NDCG@10 retrieval quality
+    "agg_spearman_corr", "graph_adamic_adar", "eval_ndcg_label")
 
-  test("declared queries cover SURVEY §2 + §2.12-75 exactly (342 keys)") {
-    assert(inventory.size == 342)
+  test("declared queries cover SURVEY §2 + §2.12-76 exactly (345 keys)") {
+    assert(inventory.size == 345)
     val declared = SparkEntry.queries.keySet
     val missing = inventory -- declared
     val extra = declared -- inventory
