@@ -427,6 +427,99 @@ object TextQueries {
                 acc + log2(x.cast("double")))
               / col("n_tokens")).as("nll_bits"))
         .orderBy("doc_id")
+    }),
+
+    // HAPAX RICHNESS (§2.77) — corpus-level vocabulary statistics per
+    // language: vocabulary size, hapax legomena (once-only terms),
+    // type-token ratio, hapax share. The per-DOC diversity lives in
+    // text_quality_score; this is the CORPUS face — the
+    // lexical-richness profile that flags template-generated or
+    // over-deduplicated slices (real corpora run ~40-60% hapax; a
+    // collapsed slice shows near zero). One explode → one
+    // (lang, token) two-phase agg → one |vocab|-row reduce per lang.
+    // All exact integers; two divisions r4d'd.
+    "text_hapax_richness" -> ((s, dir) => {
+      val tc = t(s, dir, "documents")
+        .select(col("lang"), explode(split(col("text"), " ")).as("token"))
+        .groupBy("lang", "token").agg(count(lit(1)).as("c"))
+      tc.groupBy("lang")
+        .agg(sum(col("c")).as("n_tokens"),
+          count(lit(1)).as("vocab"),
+          count_if(col("c") === 1).as("hapax"),
+          count_if(col("c") === 2).as("dis"))
+        .select(col("lang"), col("n_tokens"), col("vocab"), col("hapax"),
+          col("dis"),
+          r4d(col("vocab").cast("double") / col("n_tokens").cast("double"))
+            .as("type_token_ratio"),
+          r4d(col("hapax").cast("double") / col("vocab").cast("double"))
+            .as("hapax_share"))
+        .orderBy("lang")
+    }),
+
+    // VOCAB GROWTH / HEAPS CURVE (§2.77) — cumulative vocabulary size
+    // at each decile of the doc_id-ordered corpus: the V(N) ∝ N^β
+    // curve whose early plateau is the classic duplicate-corpus
+    // signature (fresh text keeps minting new types; replayed text
+    // stops). Distributed form: a token's contribution is its FIRST
+    // occurrence rank — min(doc rank) per token, one agg — and each
+    // decile boundary counts tokens with first_rn ≤ bound via a
+    // broadcast 10-row boundary spine + conditional sums; no
+    // per-prefix rescan, no quadratic anything. The doc-rank window
+    // is driver-scale here; at 100 TB it becomes the two-pass
+    // distributed prefix sum pack_sequences uses.
+    "text_vocab_growth" -> ((s, dir) => {
+      val w = Window.orderBy("doc_id")
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("tcount", size(col("toks")).cast("long"))
+      val n = docs.agg(count(lit(1)).as("n"))
+      val bounds = s.range(1, 11).crossJoin(broadcast(n))
+        .select(col("id").as("decile"),
+          expr("(n * id) div 10").as("bound"))
+      val firstRn = docs
+        .select(col("rn"), explode(col("toks")).as("token"))
+        .groupBy("token").agg(min(col("rn")).as("first_rn"))
+      val vocabAt = firstRn.crossJoin(broadcast(bounds))
+        .groupBy("decile", "bound")
+        .agg(count_if(col("first_rn") <= col("bound")).as("cum_vocab"))
+      val toksAt = docs.crossJoin(broadcast(bounds))
+        .groupBy("decile")
+        .agg(sum(when(col("rn") <= col("bound"), col("tcount"))
+          .otherwise(0L)).as("cum_tokens"))
+      vocabAt.join(toksAt, Seq("decile"))
+        .select(col("decile"), col("bound").as("n_docs"),
+          col("cum_tokens"), col("cum_vocab"))
+        .orderBy("decile")
+    }),
+
+    // TOKEN BURSTINESS (§2.77) — Fano dispersion (variance-to-mean of
+    // per-doc counts, zero-inflated over ALL docs) for the 20 most
+    // frequent tokens: uniform filler distributes evenly (index ≈ 1
+    // or below); topical/boilerplate terms clump (index ≫ 1) — the
+    // corpus-linguistics complement to plain frequency that separates
+    // function words from burst terms. Dispersion is computed from
+    // EXACT integer moments via (N·Σc² − S²)/(N·S), so the only
+    // floating step is one division. Two-phase aggs end to end; the
+    // top-20 pick is a 20-row ordered limit off the term totals.
+    "text_token_burstiness" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+      val perDoc = docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+        .groupBy("token", "doc_id").agg(count(lit(1)).as("c"))
+      val stats = perDoc.groupBy("token")
+        .agg(count(lit(1)).as("docs_with"),
+          sum(col("c")).as("total"),
+          sum(col("c") * col("c")).as("ss"))
+      stats.orderBy(col("total").desc, col("token")).limit(20)
+        .crossJoin(broadcast(nDocs))
+        .select(col("token"), col("total"), col("docs_with"),
+          r4d((col("n_docs") * col("ss") - col("total") * col("total"))
+            .cast("double")
+            / (col("n_docs") * col("total")).cast("double"))
+            .as("dispersion"))
+        .orderBy(col("total").desc, col("token"))
     })
   )
 
@@ -439,6 +532,54 @@ object TextQueries {
       |  GROUP BY 1, 2)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "text_hapax_richness" ->
+      """WITH tc AS (SELECT lang, token, count(*) AS c
+        |  FROM (SELECT lang, unnest(string_split(text, ' ')) AS token
+        |    FROM documents) GROUP BY 1, 2)
+        |SELECT lang, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |  count(*) AS vocab,
+        |  count(*) FILTER (WHERE c = 1) AS hapax,
+        |  count(*) FILTER (WHERE c = 2) AS dis,
+        |  ROUND(CAST(count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE)
+        |    * 10000) / 10000 AS type_token_ratio,
+        |  ROUND(CAST(count(*) FILTER (WHERE c = 1) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) * 10000) / 10000 AS hapax_share
+        |FROM tc GROUP BY lang ORDER BY lang""".stripMargin,
+    "text_vocab_growth" ->
+      """WITH docs AS (SELECT doc_id,
+        |    string_split(text, ' ') AS toks,
+        |    row_number() OVER (ORDER BY doc_id) AS rn
+        |  FROM documents),
+        |nn AS (SELECT count(*) AS n FROM docs),
+        |bounds AS (SELECT i AS decile, (n * i) // 10 AS bound
+        |  FROM (SELECT unnest(range(1, 11)) AS i), nn),
+        |fr AS (SELECT token, min(rn) AS first_rn
+        |  FROM (SELECT rn, unnest(toks) AS token FROM docs) GROUP BY 1),
+        |va AS (SELECT decile, bound,
+        |    count(*) FILTER (WHERE first_rn <= bound) AS cum_vocab
+        |  FROM fr CROSS JOIN bounds GROUP BY 1, 2),
+        |ta AS (SELECT decile,
+        |    CAST(sum(CASE WHEN rn <= bound THEN len(toks) ELSE 0 END)
+        |      AS BIGINT) AS cum_tokens
+        |  FROM docs CROSS JOIN bounds GROUP BY 1)
+        |SELECT va.decile, bound AS n_docs, cum_tokens, cum_vocab
+        |FROM va JOIN ta ON va.decile = ta.decile
+        |ORDER BY va.decile""".stripMargin,
+    "text_token_burstiness" ->
+      """WITH nd AS (SELECT count(*) AS n_docs FROM documents),
+        |pd AS (SELECT token, doc_id, count(*) AS c
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |    FROM documents) GROUP BY 1, 2),
+        |st AS (SELECT token, count(*) AS docs_with,
+        |    CAST(sum(c) AS BIGINT) AS total,
+        |    CAST(sum(c * c) AS BIGINT) AS ss
+        |  FROM pd GROUP BY 1),
+        |top AS (SELECT * FROM st ORDER BY total DESC, token LIMIT 20)
+        |SELECT token, total, docs_with,
+        |  ROUND(CAST(n_docs * ss - total * total AS DOUBLE)
+        |    / CAST(n_docs * total AS DOUBLE) * 10000) / 10000
+        |    AS dispersion
+        |FROM top, nd ORDER BY total DESC, token""".stripMargin,
     "text_token_counts" ->
       """SELECT token, count(*) AS n
         |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)

@@ -282,10 +282,13 @@ class InventorySpec extends SparkSpec {
     "eval_confusion_binary", "eval_auc_rank", "eval_calibration_bins",
     // §2.76 round-10 third wave: Spearman rho, Adamic-Adar link
     // prediction, NDCG@10 retrieval quality
-    "agg_spearman_corr", "graph_adamic_adar", "eval_ndcg_label")
+    "agg_spearman_corr", "graph_adamic_adar", "eval_ndcg_label",
+    // §2.77 round-10 fourth wave: corpus lexicography — hapax
+    // richness, Heaps vocab growth, token burstiness
+    "text_hapax_richness", "text_vocab_growth", "text_token_burstiness")
 
-  test("declared queries cover SURVEY §2 + §2.12-76 exactly (345 keys)") {
-    assert(inventory.size == 345)
+  test("declared queries cover SURVEY §2 + §2.12-77 exactly (348 keys)") {
+    assert(inventory.size == 348)
     val declared = SparkEntry.queries.keySet
     val missing = inventory -- declared
     val extra = declared -- inventory
