@@ -688,6 +688,35 @@ object PipelineQueries {
         .orderBy("split", "lang")
     }),
 
+    // GROUP K-FOLD ASSIGNMENT (§2.78) — cross-validation folds at the
+    // USER grain: every event of a user lands in the same fold BY
+    // CONSTRUCTION (the fold is a pure function of user_id), which is
+    // the leakage guarantee row-level splits silently break when a
+    // user's events straddle train and eval. Same deterministic
+    // md5-prefix device as pipeline_train_test_split, cut into 5
+    // near-even hex ranges; replay-stable across engines and runs.
+    // Shape: one user-grain agg, the 5-row fold summary, broadcast
+    // scalar totals for the shares.
+    "pipeline_kfold_group" -> ((s, dir) => {
+      val h = substring(md5(col("user_id").cast("string").cast("binary")),
+        1, 2)
+      val perUser = graft.Tables.events(s, dir)
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n_ev"))
+        .withColumn("fold", when(h < "33", 0).when(h < "66", 1)
+          .when(h < "99", 2).when(h < "cc", 3).otherwise(4))
+      val tot = perUser.agg(count(lit(1)).as("t_users"),
+        sum(col("n_ev")).as("t_events"))
+      perUser.groupBy("fold")
+        .agg(count(lit(1)).as("n_users"), sum(col("n_ev")).as("n_events"))
+        .crossJoin(broadcast(tot))
+        .select(col("fold"), col("n_users"), col("n_events"),
+          r4d(col("n_users").cast("double") / col("t_users").cast("double"))
+            .as("user_share"),
+          r4d(col("n_events").cast("double")
+            / col("t_events").cast("double")).as("event_share"))
+        .orderBy("fold")
+    }),
+
     // VOCAB DICTIONARY-ENCODE — the tokenize-to-ids step between BPE
     // training (text_bpe_pair_counts) and sequence packing
     // (pipeline_pack_sequences): every token becomes its dense vocab id
@@ -1258,6 +1287,32 @@ object PipelineQueries {
         |SELECT split, lang, count(*) AS n_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS n_chars
         |FROM s GROUP BY 1, 2 ORDER BY split, lang""".stripMargin,
+    // Same md5-prefix fold function at the user grain; HUGEINT-dodged
+    // BIGINT casts on the window-free sums.
+    "pipeline_kfold_group" ->
+      """WITH pu AS (SELECT user_id, count(*) AS n_ev
+        |  FROM events GROUP BY 1),
+        |f AS (SELECT user_id, n_ev,
+        |  CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 2) < '33'
+        |         THEN 0
+        |       WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 2) < '66'
+        |         THEN 1
+        |       WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 2) < '99'
+        |         THEN 2
+        |       WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 2) < 'cc'
+        |         THEN 3
+        |       ELSE 4 END AS fold
+        |  FROM pu),
+        |tot AS (SELECT count(*) AS t_users,
+        |    CAST(sum(n_ev) AS BIGINT) AS t_events FROM pu)
+        |SELECT fold, count(*) AS n_users,
+        |  CAST(sum(n_ev) AS BIGINT) AS n_events,
+        |  ROUND(CAST(count(*) AS DOUBLE) / CAST(t_users AS DOUBLE)
+        |    * 10000) / 10000 AS user_share,
+        |  ROUND(CAST(sum(n_ev) AS DOUBLE) / CAST(t_events AS DOUBLE)
+        |    * 10000) / 10000 AS event_share
+        |FROM f, tot GROUP BY fold, t_users, t_events
+        |ORDER BY fold""".stripMargin,
     // row_number over the dictionary is the single-window spelling the
     // runningSum-of-ones form must equal.
     "pipeline_vocab_encode" ->

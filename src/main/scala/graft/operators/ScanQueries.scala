@@ -163,6 +163,21 @@ object ScanQueries {
     root
   }
 
+  /** The deleted versioned table behind etl_delete_where: v0 = the
+    * full orders table, v1 = copy-on-write DELETE of the low-value
+    * finished orders. Idempotent build like [[timeTravelTable]]. */
+  private def deleteTable(s: SparkSession, dir: String): String = {
+    import graft.sources.VersionedTable
+    val root = s"${scratch(s, dir)}/vtab_delete"
+    if (VersionedTable.latestVersion(root) != 1L) {
+      deleteRecursively(new java.io.File(root))
+      VersionedTable.commit(s, root, t(s, dir, "orders"), "overwrite")
+      VersionedTable.deleteWhere(s, root,
+        col("o_orderstatus") === "F" && col("o_totalprice") < 100000)
+    }
+    root
+  }
+
   val queries: Map[String, Q] = Map(
     "scan_parquet" -> ((s, dir) => {
       t(s, dir, "lineitem")
@@ -667,6 +682,24 @@ object ScanQueries {
         .orderBy("o_orderstatus")
     }),
 
+    // DELETE WHERE — GDPR-class row deletion AS A COMMIT (§2.78): the
+    // new VersionedTable.deleteWhere commits an overwrite holding
+    // every current row NOT matching the predicate, via the same
+    // commitIf read-modify-write loop as MERGE (a lost race re-reads
+    // and re-filters — blind retry could resurrect a concurrent
+    // committer's rows). The current read must equal the fixture
+    // minus the deleted class; version 0 still sees every row
+    // (logical delete until vacuum — pinned in VersionedTableSpec).
+    "etl_delete_where" -> ((s, dir) => {
+      import graft.sources.VersionedTable
+      val root = deleteTable(s, dir)
+      VersionedTable.readLatest(s, root)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"),
+          graft.Det.dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy("o_orderstatus")
+    }),
+
     // MANIFEST-STATS FILE PRUNING — data skipping from the commit
     // log's per-file min/max (§2.42): lineitem range-partitioned on
     // l_orderkey into a VersionedTable whose manifest records each
@@ -942,6 +975,14 @@ object ScanQueries {
          |SELECT o_orderstatus, count(*) AS n_orders,
          |  ${sqlSum("price")} AS sum_price
          |FROM m GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // The fixture minus the deleted class — the copy-on-write DELETE
+    // must be exactly set difference on the predicate.
+    "etl_delete_where" ->
+      s"""SELECT o_orderstatus, count(*) AS n_orders,
+         |  ${sqlSum("o_totalprice")} AS sum_price
+         |FROM orders
+         |WHERE NOT (o_orderstatus = 'F' AND o_totalprice < 100000)
+         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     // The surviving snapshot: the v2 overwrite (high-price) plus the
     // v3 append (low-price) — the vacuumed history is invisible to
     // the answer, which is the invariant under test.

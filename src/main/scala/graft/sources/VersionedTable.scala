@@ -215,6 +215,29 @@ object VersionedTable {
     committed
   }
 
+  /** Copy-on-write DELETE: commit a new overwrite version holding
+    * every current row NOT matching `cond`. Read-modify-write like
+    * [[merge]] — the surviving row set depends on the snapshot it was
+    * filtered from, so a lost race re-reads the new latest and
+    * re-filters instead of blind-retrying the slot (blind retry could
+    * resurrect rows a concurrent committer just added-and-deleted).
+    * Deletion is logical for history: older versions still read the
+    * rows until [[vacuum]] expires their chain. Returns the committed
+    * version. */
+  def deleteWhere(spark: SparkSession, root: String,
+      cond: org.apache.spark.sql.Column,
+      statsCols: Seq[String] = Seq.empty): Long = {
+    var committed = -1L
+    while (committed < 0) {
+      val expected = latestVersion(root)
+      require(expected >= 0, s"nothing to delete at $root")
+      val remaining = readVersion(spark, root, expected).filter(!cond)
+      committed = commitIf(spark, root, remaining, "overwrite", statsCols,
+        expected)
+    }
+    committed
+  }
+
   /** Summary row of one manifest, extracted without a SparkSession. */
   case class ManifestMeta(version: Long, op: String, nFiles: Long,
       nRows: Long)

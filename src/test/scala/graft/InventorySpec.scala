@@ -285,10 +285,12 @@ class InventorySpec extends SparkSpec {
     "agg_spearman_corr", "graph_adamic_adar", "eval_ndcg_label",
     // §2.77 round-10 fourth wave: corpus lexicography — hapax
     // richness, Heaps vocab growth, token burstiness
-    "text_hapax_richness", "text_vocab_growth", "text_token_burstiness")
+    "text_hapax_richness", "text_vocab_growth", "text_token_burstiness",
+    // §2.78 round-10 fifth wave: versioned DELETE WHERE, group k-fold
+    "etl_delete_where", "pipeline_kfold_group")
 
-  test("declared queries cover SURVEY §2 + §2.12-77 exactly (348 keys)") {
-    assert(inventory.size == 348)
+  test("declared queries cover SURVEY §2 + §2.12-78 exactly (350 keys)") {
+    assert(inventory.size == 350)
     val declared = SparkEntry.queries.keySet
     val missing = inventory -- declared
     val extra = declared -- inventory

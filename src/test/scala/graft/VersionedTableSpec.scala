@@ -230,6 +230,42 @@ class VersionedTableSpec extends SparkSpec {
       (3L, "c", 30.0), (9L, "new", 90.0)))
   }
 
+  test("deleteWhere: survivors exact, pre-delete version still sees every row") {
+    val root = freshRoot()
+    VersionedTable.commit(spark, root,
+      Seq((1L, "keep"), (2L, "drop"), (3L, "keep"), (4L, "drop"))
+        .toDF("id", "v"), "overwrite")
+    val dv = VersionedTable.deleteWhere(spark, root, col("v") === "drop")
+    assert(dv == 1L)
+    val now = VersionedTable.readLatest(spark, root)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(now == Set(1L, 3L), "delete must be exact set difference")
+    // Logical delete: the pre-delete snapshot is untouched until vacuum.
+    val before = VersionedTable.readVersion(spark, root, 0L).count()
+    assert(before == 4L, "version 0 must still see the deleted rows")
+    // Deleting everything leaves an empty (but readable) version.
+    VersionedTable.deleteWhere(spark, root, lit(true))
+    assert(VersionedTable.readLatest(spark, root).count() == 0L)
+  }
+
+  test("vacuum reclaims a just-dropped version's data dir regardless of age") {
+    val root = freshRoot()
+    VersionedTable.commit(spark, root,
+      Seq((1L, "a")).toDF("id", "v"), "overwrite")
+    VersionedTable.commit(spark, root,
+      Seq((9L, "z")).toDF("id", "v"), "overwrite")
+    // Default-grace vacuum: the v0 dir was JUST written (age ≈ 0) but
+    // is referenced by a dropped manifest — known-expired, so it must
+    // be reclaimed even under the 24h orphan grace.
+    val (dropped, deleted) =
+      VersionedTable.vacuum(spark, root, retainLast = 1)
+    assert(dropped == Seq(0L))
+    assert(deleted.nonEmpty,
+      "expired data dir must be deleted under the default grace")
+    assert(VersionedTable.readLatest(spark, root)
+      .select("id").collect().map(_.getLong(0)).toSet == Set(9L))
+  }
+
   test("commitIf: stale expected version loses WITHOUT clobbering, staging cleaned") {
     import spark.implicits._
     val root = freshRoot()
