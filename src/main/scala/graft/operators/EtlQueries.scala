@@ -432,6 +432,34 @@ object EtlQueries {
         .orderBy("relation")
     }),
 
+    // FK REPAIR VIA UNKNOWN MEMBER (§2.79) — the remediation step
+    // downstream of etl_orphan_audit (same corrupted-FK convention:
+    // every 19th order's part key is broken): facts whose part FK
+    // resolves nowhere are remapped to the classic data-warehouse
+    // sentinel dimension row (key −1, brand 'UNKNOWN') instead of
+    // being dropped — revenue totals stay complete, and the UNKNOWN
+    // row's share IS the data-quality metric. One broadcast left
+    // join; coalesce does the repair; per-brand rollup with exact
+    // decimal revenue. A dropped-row repair would silently shrink
+    // the fact table — the bug this operator exists to prevent.
+    "etl_fk_repair" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(
+        when(pmod(col("l_orderkey"), lit(19)) === 0, -col("l_partkey") - 1)
+          .otherwise(col("l_partkey")).as("fk_part"),
+        col("l_extendedprice"))
+      li.join(broadcast(t(s, dir, "part")
+            .select(col("p_partkey"), col("p_brand"))),
+          col("fk_part") === col("p_partkey"), "left")
+        .select(coalesce(col("p_brand"), lit("UNKNOWN")).as("brand"),
+          col("p_partkey").isNull.as("repaired"),
+          col("l_extendedprice"))
+        .groupBy("brand")
+        .agg(count(lit(1)).as("n_lines"),
+          count_if(col("repaired")).as("n_repaired"),
+          dsum(col("l_extendedprice")).as("revenue"))
+        .orderBy("brand")
+    }),
+
     // PARTITION PROFILE — the per-day health row a data-observability
     // system diffs after every load (row count, distinct entities,
     // value mass, id range): drops, duplicates, schema-level rot and
@@ -864,6 +892,18 @@ object EtlQueries {
         |SELECT relation, n_rows, n_orphans,
         |  ROUND((n_orphans / n_rows) * 10000.0) / 10000.0 AS orphan_pct
         |FROM u ORDER BY relation""".stripMargin,
+    "etl_fk_repair" ->
+      s"""WITH c AS (SELECT
+         |    CASE WHEN l_orderkey % 19 = 0 THEN -l_partkey - 1
+         |         ELSE l_partkey END AS fk_part,
+         |    l_extendedprice
+         |  FROM lineitem)
+         |SELECT COALESCE(p.p_brand, 'UNKNOWN') AS brand,
+         |  count(*) AS n_lines,
+         |  count(CASE WHEN p.p_partkey IS NULL THEN 1 END) AS n_repaired,
+         |  ${sqlSum("l_extendedprice")} AS revenue
+         |FROM c LEFT JOIN part p ON c.fk_part = p.p_partkey
+         |GROUP BY 1 ORDER BY brand""".stripMargin,
     // The gaps-islands CTE chain, island-ordered lag, last-island
     // filter — same total (ms, event_id) order throughout.
     "etl_scd3_prev_value" ->

@@ -238,6 +238,39 @@ object SimQueries {
         .orderBy("probe_id")
     }),
 
+    // MEAN-RECIPROCAL-RANK BY LABEL (§2.79) — "how deep is the first
+    // relevant hit": per probe, the rank of the first same-label
+    // neighbor in the FULL cosine ordering and its reciprocal — the
+    // metric that punishes a retrieval stack whose first screen is
+    // wrong even when recall@k is fine. The ranking window partitions
+    // by probe (parallel across probes); first_rank is one min() per
+    // probe; rr = one exact integer reciprocal, r4d'd. NDCG grades
+    // the whole page; MRR grades the first hit — both faces declared.
+    "eval_mrr_label" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"),
+          col("label"))
+      val probes = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("probe_id"), col("v").as("p"),
+          col("label").as("plabel"))
+      val scored = emb.crossJoin(broadcast(probes))
+        .filter(col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("plabel"), col("vec_id"), col("label"),
+          (ArrayDot(col("p"), col("v"))
+            / (sqrt(ArrayDot(col("p"), col("p")))
+              * sqrt(ArrayDot(col("v"), col("v"))))).as("cos"))
+      val w = Window.partitionBy("probe_id")
+        .orderBy(col("cos").desc, col("vec_id"))
+      scored.withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("label") === col("plabel"))
+        .groupBy("probe_id")
+        .agg(min(col("rk")).as("first_hit_rank"))
+        .select(col("probe_id"), col("first_hit_rank"),
+          r4d(lit(1.0) / col("first_hit_rank").cast("double"))
+            .as("reciprocal_rank"))
+        .orderBy("probe_id")
+    }),
+
     // Per-label elementwise mean of the first 8 dims (exact decimal sums
     // at scale 12 — lossless for float inputs, order-independent).
     "sim_centroid_per_label" -> ((s, dir) => {
@@ -441,6 +474,22 @@ object SimQueries {
          |FROM pp JOIN lc ON lc.plabel = pp.plabel
          |JOIN wt w2 ON w2.rk = least(10, n_label - 1)
          |ORDER BY pp.probe_id""".stripMargin,
+    "eval_mrr_label" ->
+      s"""WITH $cosSql,
+         |lab AS (SELECT vec_id, label FROM embeddings),
+         |sc AS (SELECT p.probe_id, pl.label AS plabel, p.vec_id,
+         |    nl.label, p.cos
+         |  FROM pairs p
+         |  JOIN lab pl ON pl.vec_id = p.probe_id
+         |  JOIN lab nl ON nl.vec_id = p.vec_id
+         |  WHERE p.vec_id <> p.probe_id),
+         |rkd AS (SELECT *, row_number() OVER (PARTITION BY probe_id
+         |    ORDER BY cos DESC, vec_id) AS rk FROM sc)
+         |SELECT probe_id, CAST(min(rk) AS BIGINT) AS first_hit_rank,
+         |  ROUND(1.0 / CAST(min(rk) AS DOUBLE) * 10000) / 10000
+         |    AS reciprocal_rank
+         |FROM rkd WHERE label = plabel GROUP BY probe_id
+         |ORDER BY probe_id""".stripMargin,
     // Full vs 16-dim-prefix exact rankings; list slicing is DuckDB's
     // 1-based inclusive [1:16].
     "sim_prefix_dim_recall" ->

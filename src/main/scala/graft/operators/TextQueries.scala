@@ -493,6 +493,44 @@ object TextQueries {
         .orderBy("decile")
     }),
 
+    // SOURCE-DRIFT JS DIVERGENCE (§2.79) — Jensen-Shannon divergence
+    // (log₂, so ∈ [0,1]) between each source's unigram distribution
+    // and the corpus distribution: the drift monitor a mixed-corpus
+    // pipeline runs per ingest batch — a source whose JS jumps is
+    // shipping different text than the blend it was weighted for.
+    // Absent-token handling without a vocab×sources blowup: a token
+    // the source lacks (p=0) contributes exactly 0.5·q·log₂(q/(q/2))
+    // = 0.5·q, so the whole absent mass folds into the closed form
+    // 0.5·(1 − Σ_present q) and the join stays O(source's own vocab).
+    // The probability ratios are IEEE-exact divisions of exact
+    // counts; the per-term log₂ sum is order-tolerant at 4dp (the
+    // entropy-key precedent).
+    "text_js_drift" -> ((s, dir) => {
+      val tok = t(s, dir, "documents")
+        .select(col("source"), explode(split(col("text"), " ")).as("token"))
+      val glob = tok.groupBy("token").agg(count(lit(1)).as("cg"))
+      val nGlob = tok.agg(count(lit(1)).as("ng"))
+      val src = tok.groupBy("source", "token").agg(count(lit(1)).as("cs"))
+      val nSrc = tok.groupBy("source").agg(count(lit(1)).as("ns"))
+      val joined = src.join(broadcast(glob), Seq("token"))
+        .join(broadcast(nSrc), Seq("source"))
+        .crossJoin(broadcast(nGlob))
+        .select(col("source"), col("ns"),
+          (col("cs").cast("double") / col("ns").cast("double")).as("p"),
+          (col("cg").cast("double") / col("ng").cast("double")).as("q"))
+      joined
+        .withColumn("m", (col("p") + col("q")) / 2)
+        .groupBy("source")
+        .agg(first(col("ns")).as("n_tokens"),
+          sum(lit(0.5) * col("p") * log2(col("p") / col("m"))
+            + lit(0.5) * col("q") * log2(col("q") / col("m"))).as("core"),
+          sum(col("q")).as("q_present"))
+        .select(col("source"), col("n_tokens"),
+          r4d(col("core") + lit(0.5) * (lit(1.0) - col("q_present")))
+            .as("js_div"))
+        .orderBy("source")
+    }),
+
     // TOKEN BURSTINESS (§2.77) — Fano dispersion (variance-to-mean of
     // per-doc counts, zero-inflated over ALL docs) for the 20 most
     // frequent tokens: uniform filler distributes evenly (index ≈ 1
@@ -580,6 +618,23 @@ object TextQueries {
         |    / CAST(n_docs * total AS DOUBLE) * 10000) / 10000
         |    AS dispersion
         |FROM top, nd ORDER BY total DESC, token""".stripMargin,
+    "text_js_drift" ->
+      """WITH tok AS (SELECT source,
+        |    unnest(string_split(text, ' ')) AS token FROM documents),
+        |gl AS (SELECT token, count(*) AS cg FROM tok GROUP BY 1),
+        |ng AS (SELECT count(*) AS ng FROM tok),
+        |sr AS (SELECT source, token, count(*) AS cs FROM tok GROUP BY 1, 2),
+        |nsr AS (SELECT source, count(*) AS ns FROM tok GROUP BY 1),
+        |j AS (SELECT sr.source, nsr.ns,
+        |    CAST(cs AS DOUBLE) / CAST(ns AS DOUBLE) AS p,
+        |    CAST(cg AS DOUBLE) / CAST(ng AS DOUBLE) AS q
+        |  FROM sr JOIN gl USING (token)
+        |  JOIN nsr ON nsr.source = sr.source, ng),
+        |k AS (SELECT source, ns, p, q, (p + q) / 2 AS m FROM j)
+        |SELECT source, CAST(max(ns) AS BIGINT) AS n_tokens,
+        |  ROUND((sum(0.5 * p * log2(p / m) + 0.5 * q * log2(q / m))
+        |    + 0.5 * (1.0 - sum(q))) * 10000) / 10000 AS js_div
+        |FROM k GROUP BY source ORDER BY source""".stripMargin,
     "text_token_counts" ->
       """SELECT token, count(*) AS n
         |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)

@@ -287,10 +287,13 @@ class InventorySpec extends SparkSpec {
     // richness, Heaps vocab growth, token burstiness
     "text_hapax_richness", "text_vocab_growth", "text_token_burstiness",
     // §2.78 round-10 fifth wave: versioned DELETE WHERE, group k-fold
-    "etl_delete_where", "pipeline_kfold_group")
+    "etl_delete_where", "pipeline_kfold_group",
+    // §2.79 round-10 sixth wave: MRR retrieval depth, JS source
+    // drift, FK repair via unknown member
+    "eval_mrr_label", "text_js_drift", "etl_fk_repair")
 
-  test("declared queries cover SURVEY §2 + §2.12-78 exactly (350 keys)") {
-    assert(inventory.size == 350)
+  test("declared queries cover SURVEY §2 + §2.12-79 exactly (353 keys)") {
+    assert(inventory.size == 353)
     val declared = SparkEntry.queries.keySet
     val missing = inventory -- declared
     val extra = declared -- inventory
