@@ -417,6 +417,48 @@ object PipelineQueries {
     // map-side (no shuffle below the presentation sort), and the
     // manifest is what MediaPipeline's per-partition decoder would
     // consume.
+    // BOUNDING-BOX IoU MATCHING (§2.80) — the detection-ETL join a
+    // wildlife-survey pipeline runs daily: predicted boxes matched to
+    // ground-truth annotations by intersection-over-union. Boxes are
+    // synthesized DETERMINISTICALLY from fixture integers (ground
+    // truth from the part key's residues; the prediction is the same
+    // box jittered by size/price residues), so every coordinate is an
+    // exact integer, the intersection/union AREAS are exact BIGINTs,
+    // and the IoU ≥ 0.5 match decision is the INTEGER comparison
+    // 2·inter ≥ union — no float enters the decision path; the
+    // reported IoU is one division r4d'd. Pure per-row map work: zero
+    // shuffles before the output sort, embarrassingly parallel at any
+    // corpus size.
+    "multimodal_bbox_iou" -> ((s, dir) => {
+      val p = t(s, dir, "part").select(col("p_partkey"),
+        col("p_size").cast("long").as("sz"),
+        (round(col("p_retailprice") * 100).cast("long") % 11 - 5).as("dy"),
+        (col("p_size").cast("long") % 9 - 4).as("dx"))
+      val boxed = p
+        .withColumn("gx1", (col("p_partkey") % 50) * 20)
+        .withColumn("gy1", (col("p_partkey") % 31) * 25)
+        .withColumn("gx2", col("gx1") + 40 + col("sz"))
+        .withColumn("gy2", col("gy1") + 60)
+        .withColumn("px1", col("gx1") + col("dx"))
+        .withColumn("py1", col("gy1") + col("dy"))
+        .withColumn("px2", col("gx2") + col("dx"))
+        .withColumn("py2", col("gy2") + col("dy"))
+      val iw = greatest(lit(0L),
+        least(col("gx2"), col("px2")) - greatest(col("gx1"), col("px1")))
+      val ih = greatest(lit(0L),
+        least(col("gy2"), col("py2")) - greatest(col("gy1"), col("py1")))
+      boxed
+        .withColumn("inter", iw * ih)
+        .withColumn("ga", (col("gx2") - col("gx1"))
+          * (col("gy2") - col("gy1")))
+        .withColumn("uni", col("ga") * 2 - col("inter"))
+        .select(col("p_partkey"), col("inter"), col("uni"),
+          r4d(col("inter").cast("double") / col("uni").cast("double"))
+            .as("iou"),
+          (col("inter") * 2 >= col("uni")).as("matched"))
+        .orderBy("p_partkey")
+    }),
+
     "multimodal_byte_chunks" -> ((s, dir) => {
       val chunk = 1024L
       t(s, dir, "documents")
@@ -1156,6 +1198,29 @@ object PipelineQueries {
         |  ascii(substring(text, 1, 1)) AS first_byte,
         |  CAST(ceil(octet_length(encode(text)) / 1024.0) AS BIGINT) AS est_kb
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "multimodal_bbox_iou" ->
+      """WITH p AS (SELECT p_partkey,
+        |    CAST(p_size AS BIGINT) AS sz,
+        |    CAST(ROUND(p_retailprice * 100) AS BIGINT) % 11 - 5 AS dy,
+        |    CAST(p_size AS BIGINT) % 9 - 4 AS dx
+        |  FROM part),
+        |b AS (SELECT p_partkey, dx, dy, sz,
+        |    (p_partkey % 50) * 20 AS gx1, (p_partkey % 31) * 25 AS gy1
+        |  FROM p),
+        |bb AS (SELECT p_partkey, dx, dy, gx1, gy1,
+        |    gx1 + 40 + sz AS gx2, gy1 + 60 AS gy2 FROM b),
+        |j AS (SELECT p_partkey, gx1, gy1, gx2, gy2,
+        |    gx1 + dx AS px1, gy1 + dy AS py1,
+        |    gx2 + dx AS px2, gy2 + dy AS py2 FROM bb),
+        |a AS (SELECT p_partkey,
+        |    greatest(0, least(gx2, px2) - greatest(gx1, px1))
+        |      * greatest(0, least(gy2, py2) - greatest(gy1, py1)) AS inter,
+        |    (gx2 - gx1) * (gy2 - gy1) AS ga FROM j)
+        |SELECT p_partkey, inter, ga * 2 - inter AS uni,
+        |  ROUND(CAST(inter AS DOUBLE) / CAST(ga * 2 - inter AS DOUBLE)
+        |    * 10000) / 10000 AS iou,
+        |  inter * 2 >= ga * 2 - inter AS matched
+        |FROM a ORDER BY p_partkey""".stripMargin,
     "multimodal_frame_sample" ->
       """WITH f AS (
         |  SELECT doc_id, CAST(k AS BIGINT) AS frame_idx,

@@ -108,6 +108,26 @@ object ReshapeQueries {
         .orderBy(col("l_returnflag"))
     }),
 
+    // DISCRETE PERCENTILES (§2.80) — PERCENTILE_DISC beside
+    // agg_percentiles' interpolated CONT: the inverse-distribution
+    // form that returns an ACTUAL data value (the smallest value at
+    // cumulative frequency ≥ p), which is what SLO/latency reporting
+    // wants — an interpolated "p99" that no request ever experienced
+    // is a fabrication. Returned values are exact 2dp fixture doubles,
+    // so no rounding is needed at all — the cross-engine contract is
+    // value identity, not arithmetic agreement. WITHIN GROUP syntax
+    // through the pure spark.sql surface.
+    "agg_percentile_disc" -> ((s, dir) => {
+      graft.Tables.events(s, dir).createOrReplaceTempView("events_pd")
+      s.sql("""SELECT event_type, count(*) AS n,
+        |  percentile_disc(0.25) WITHIN GROUP (ORDER BY value) AS p25_disc,
+        |  percentile_disc(0.5) WITHIN GROUP (ORDER BY value) AS p50_disc,
+        |  percentile_disc(0.75) WITHIN GROUP (ORDER BY value) AS p75_disc,
+        |  percentile_disc(0.99) WITHIN GROUP (ORDER BY value) AS p99_disc
+        |FROM events_pd GROUP BY event_type
+        |ORDER BY event_type""".stripMargin)
+    }),
+
     // MEDIAN ABSOLUTE DEVIATION per group — the robust dispersion
     // member of the stats family (agg_stats' stddev moves with every
     // outlier; MAD = median(|x − median|) is breakdown-point-0.5
@@ -244,6 +264,17 @@ object ReshapeQueries {
         |  ROUND(quantile_cont(l_extendedprice, 0.5) * 10000) / 10000 AS med_price
         |FROM lineitem GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+    // Identical WITHIN GROUP spelling in both engines — the
+    // SQL-standard "smallest value at cumulative frequency ≥ p", and
+    // the output is a raw data value, so no rounding anywhere.
+    "agg_percentile_disc" ->
+      """SELECT event_type, count(*) AS n,
+        |  percentile_disc(0.25) WITHIN GROUP (ORDER BY value) AS p25_disc,
+        |  percentile_disc(0.5) WITHIN GROUP (ORDER BY value) AS p50_disc,
+        |  percentile_disc(0.75) WITHIN GROUP (ORDER BY value) AS p75_disc,
+        |  percentile_disc(0.99) WITHIN GROUP (ORDER BY value) AS p99_disc
+        |FROM events GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
     "agg_mad" ->
       """WITH med AS (SELECT l_returnflag,
         |    quantile_cont(l_extendedprice, 0.5) AS med

@@ -30,6 +30,20 @@ object SortSetQueries {
         .limit(20)
     }),
 
+    // LIMIT/OFFSET PAGINATION (§2.80) — page 2 of the price leaderboard
+    // under a TOTAL order (price desc, key): the API-pagination shape.
+    // OFFSET in a distributed engine is as cheap as the limit only
+    // because the sort is bounded by LIMIT+OFFSET rows (Spark plans
+    // TakeOrderedAndProject with offset); a deep page would degrade to
+    // a full sort — the documented trade keyset pagination avoids.
+    "sort_limit_offset_page" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders_pg")
+      s.sql("""SELECT o_orderkey, o_orderpriority, o_totalprice
+        |FROM orders_pg
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 10 OFFSET 10""".stripMargin)
+    }),
+
     "set_union_all" -> ((s, dir) => {
       val c = t(s, dir, "customer")
         .select(lit("C").as("side"), col("c_custkey").as("id"),
@@ -108,6 +122,10 @@ object SortSetQueries {
     "sort_limit_topk" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
         |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 20""".stripMargin,
+    "sort_limit_offset_page" ->
+      """SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 10 OFFSET 10""".stripMargin,
     "set_union_all" ->
       """SELECT * FROM (
         |  SELECT 'C' AS side, c_custkey AS id, c_nationkey AS nationkey FROM customer

@@ -290,10 +290,13 @@ class InventorySpec extends SparkSpec {
     "etl_delete_where", "pipeline_kfold_group",
     // §2.79 round-10 sixth wave: MRR retrieval depth, JS source
     // drift, FK repair via unknown member
-    "eval_mrr_label", "text_js_drift", "etl_fk_repair")
+    "eval_mrr_label", "text_js_drift", "etl_fk_repair",
+    // §2.80 round-10 seventh wave: bbox IoU matching, discrete
+    // percentiles, LIMIT/OFFSET pagination
+    "multimodal_bbox_iou", "agg_percentile_disc", "sort_limit_offset_page")
 
-  test("declared queries cover SURVEY §2 + §2.12-79 exactly (353 keys)") {
-    assert(inventory.size == 353)
+  test("declared queries cover SURVEY §2 + §2.12-80 exactly (356 keys)") {
+    assert(inventory.size == 356)
     val declared = SparkEntry.queries.keySet
     val missing = inventory -- declared
     val extra = declared -- inventory
