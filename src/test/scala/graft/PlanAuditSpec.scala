@@ -1210,4 +1210,49 @@ class PlanAuditSpec extends SparkSpec {
       assert(!p.contains("Join"), s"$q plans a join: ${p.take(1500)}")
     }
   }
+
+  // ---- round-10 waves ----
+
+  test("LIMIT/OFFSET page collapses to a bounded TakeOrderedAndProject") {
+    val p = plan("sort_limit_offset_page")
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"offset page must not global-sort: ${p.take(2000)}")
+  }
+
+  test("bbox IoU is shuffle-free map work before the output sort") {
+    val p = plan("multimodal_bbox_iou")
+    assert(!p.contains("Join"), s"bbox plans a join: ${p.take(1500)}")
+    // Exactly the one range exchange the deterministic output order needs.
+    assert("Exchange".r.findAllIn(p).size == 1, p.take(2000))
+  }
+
+  test("confusion sweep: one corpus scan, threshold spine broadcast") {
+    val p = plan("eval_confusion_binary")
+    assert("FileScan parquet".r.findAllIn(p).size == 1,
+      s"events must scan once: ${p.take(2000)}")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"threshold spine must broadcast: ${p.take(2000)}")
+  }
+
+  test("NDCG ranks through the bounded TopKPerGroup heap, cartesian-free") {
+    val p = plan("eval_ndcg_label")
+    assert(p.contains("TopKPerGroup"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("Adamic-Adar keeps the Jaccard key's equi-join-only wedge plan") {
+    val p = plan("graph_adamic_adar")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    // The wedge explode must come from sorted lists, not an nb⋈nb join:
+    // the only joins are the capped-middle/deg and anti-join legs.
+    assert(p.contains("Generate"), s"wedge explode missing: ${p.take(2000)}")
+  }
+
+  test("chi-square cells: one events scan feeding the window totals") {
+    val p = plan("agg_chi2_independence")
+    assert("FileScan parquet".r.findAllIn(p).size == 1,
+      s"events must scan once: ${p.take(2000)}")
+    assert(!p.contains("Join"), s"chi2 must be join-free: ${p.take(1500)}")
+  }
 }
