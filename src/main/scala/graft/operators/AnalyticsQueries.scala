@@ -1613,6 +1613,37 @@ object AnalyticsQueries {
         .orderBy("event_type")
     }),
 
+    // WEEKLY CHURN (§2.81) — the subscription-health table: per epoch
+    // week, how many active users did NOT return the following week.
+    // Complement of cohort_retention's cohort×offset matrix: this is
+    // the period-over-period operational read (one row per week, the
+    // number an on-call dashboard alarms on). One distinct
+    // (user, week) reduce, one self-join shifted by a week (equi on
+    // user+week — broadcast-or-shuffle hash, never quadratic), exact
+    // counts; the final week's churn is NULL (its successor hasn't
+    // happened), never a fake zero.
+    "ts_churn_weekly" -> ((s, dir) => {
+      val uw = events(s, dir)
+        .select(col("user_id"), (epochDay("ts") / 7).cast("long").as("week"))
+        .distinct()
+      val nxt = uw.select(col("user_id"), (col("week") - 1).as("week"),
+        lit(1).as("nx"))
+      val mx = uw.agg(max(col("week")).as("maxw"))
+      uw.join(nxt, Seq("user_id", "week"), "left")
+        .groupBy("week")
+        .agg(count(lit(1)).as("n_active"), count(col("nx")).as("n_retained"))
+        .crossJoin(broadcast(mx))
+        .select(col("week"), col("n_active"),
+          when(col("week") < col("maxw"), col("n_retained"))
+            .as("n_retained"),
+          when(col("week") < col("maxw"),
+            col("n_active") - col("n_retained")).as("n_churned"),
+          when(col("week") < col("maxw"),
+            r4d((col("n_active") - col("n_retained")).cast("double")
+              / col("n_active").cast("double"))).as("churn_rate"))
+        .orderBy("week")
+    }),
+
     "ts_rolling_corr" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       // Day spine is the GLOBAL lo..hi range over all events — never
@@ -2915,6 +2946,24 @@ object AnalyticsQueries {
     // Same exact-integer moments on the same zero-filled day spine;
     // FILTER counts ≡ the Spark side's conditional sums of the
     // zero-filled per-type series.
+    "ts_churn_weekly" ->
+      s"""WITH uw AS (SELECT DISTINCT user_id,
+         |    (${sqlEpochDay("ts")}) // 7 AS week FROM events),
+         |ag AS (SELECT w.week, count(*) AS n_active,
+         |    count(n.user_id) AS n_retained
+         |  FROM uw w LEFT JOIN uw n
+         |    ON n.user_id = w.user_id AND n.week = w.week + 1
+         |  GROUP BY w.week),
+         |mx AS (SELECT max(week) AS maxw FROM uw)
+         |SELECT week, n_active,
+         |  CASE WHEN week < maxw THEN n_retained END AS n_retained,
+         |  CASE WHEN week < maxw THEN n_active - n_retained END
+         |    AS n_churned,
+         |  CASE WHEN week < maxw THEN
+         |    ROUND(CAST(n_active - n_retained AS DOUBLE)
+         |      / CAST(n_active AS DOUBLE) * 10000) / 10000 END
+         |    AS churn_rate
+         |FROM ag, mx ORDER BY week""".stripMargin,
     "ts_rolling_corr" ->
       s"""WITH e AS (SELECT event_type, ${sqlEpochDay("ts")} AS day
          |  FROM events),

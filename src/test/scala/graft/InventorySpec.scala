@@ -293,10 +293,12 @@ class InventorySpec extends SparkSpec {
     "eval_mrr_label", "text_js_drift", "etl_fk_repair",
     // §2.80 round-10 seventh wave: bbox IoU matching, discrete
     // percentiles, LIMIT/OFFSET pagination
-    "multimodal_bbox_iou", "agg_percentile_disc", "sort_limit_offset_page")
+    "multimodal_bbox_iou", "agg_percentile_disc", "sort_limit_offset_page",
+    // §2.81 round-10 eighth wave: survey geospatial + weekly churn
+    "geo_grid_density", "geo_track_length", "ts_churn_weekly")
 
-  test("declared queries cover SURVEY §2 + §2.12-80 exactly (356 keys)") {
-    assert(inventory.size == 356)
+  test("declared queries cover SURVEY §2 + §2.12-81 exactly (359 keys)") {
+    assert(inventory.size == 359)
     val declared = SparkEntry.queries.keySet
     val missing = inventory -- declared
     val extra = declared -- inventory
