@@ -244,6 +244,92 @@ object StatQueries {
         .orderBy("bin")
     }),
 
+    // TWO-SAMPLE KOLMOGOROV-SMIRNOV (§2.82) — are click and purchase
+    // value distributions the same? The D statistic is kept EXACT by
+    // cross-multiplication: D = max|c₁/n₁ − c₂/n₂| over the pooled
+    // value grid ≡ max|c₁·n₂ − c₂·n₁| / (n₁·n₂), an integer max over
+    // cumulative counts divided once at the edge. The asymptotic 5%
+    // critical value 1.36·√((n₁+n₂)/(n₁·n₂)) is the only libm step.
+    // Shape: one value-grouped reduce, one ordered prefix sum over
+    // the |distinct values| grid (driver-scale here; distributed =
+    // the two-pass prefix sum), one global max.
+    "agg_ks_test" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = events(s, dir)
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(col("value"),
+          (col("event_type") === "click").as("isx"))
+      val byV = e.groupBy("value")
+        .agg(count_if(col("isx")).as("a"), count_if(!col("isx")).as("b"))
+      val w = Window.orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = byV
+        .withColumn("c1", sum(col("a")).over(w))
+        .withColumn("c2", sum(col("b")).over(w))
+        .withColumn("n1", sum(col("a")).over(Window.partitionBy()))
+        .withColumn("n2", sum(col("b")).over(Window.partitionBy()))
+      cum.agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
+          max(abs(col("c1") * col("n2") - col("c2") * col("n1")))
+            .as("dnum"))
+        .select(col("n1"), col("n2"),
+          r4d(col("dnum").cast("double")
+            / (col("n1") * col("n2")).cast("double")).as("d_stat"),
+          r4d(lit(1.36) * sqrt((col("n1") + col("n2")).cast("double")
+            / (col("n1") * col("n2")).cast("double"))).as("crit_05"))
+    }),
+
+    // WALD-WOLFOWITZ RUNS TEST (§2.82) — is the daily volume's
+    // up/down sequence random, or trending/oscillating? Signs come
+    // from consecutive-day deltas on the zero-filled spine (equal
+    // days drop, the standard treatment); the run count and the
+    // +/− tallies are exact integers, and the normal approximation
+    // z = (R − μ)/σ is assembled from those integers in one double
+    // expression, r4d'd (negative-capable → oracle carries the
+    // +0.0 normalizer).
+    "agg_runs_test" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = dailyXY(s, dir)
+        .select(col("day"), (col("cx") + col("cy")).as("y"))
+      val w = Window.orderBy("day")
+      val signs = d
+        .withColumn("py", lag(col("y"), 1).over(w))
+        .filter(col("py").isNotNull && col("y") =!= col("py"))
+        .withColumn("sg", when(col("y") > col("py"), 1).otherwise(-1))
+        .withColumn("psg", lag(col("sg"), 1).over(Window.orderBy("day")))
+      val m = signs.agg(
+        count_if(col("sg") === 1).as("n_plus"),
+        count_if(col("sg") === -1).as("n_minus"),
+        (count_if(col("psg").isNotNull && col("sg") =!= col("psg")) + 1)
+          .as("n_runs"))
+      val np = col("n_plus").cast("double")
+      val nm = col("n_minus").cast("double")
+      val nn = np + nm
+      val mu = lit(1.0) + lit(2.0) * np * nm / nn
+      val sig2 = lit(2.0) * np * nm * (lit(2.0) * np * nm - nn)
+      m.select(col("n_plus"), col("n_minus"), col("n_runs"),
+        when(col("n_plus") > 0 && col("n_minus") > 0,
+          r4d((col("n_runs").cast("double") - mu)
+            / sqrt(sig2 / (nn * nn * (nn - 1))))).as("z"))
+    }),
+
+    // GEOMETRIC + HARMONIC MEANS (§2.82) — the two Pythagorean means
+    // agg_stats omits: the geometric mean (exp∘avg∘ln — the right
+    // average for multiplicative quantities like growth factors) and
+    // the harmonic mean (n/Σ(1/x) — the right average for rates).
+    // value > 0 on this corpus by construction; the per-row ln/1/x
+    // are IEEE-deterministic, the sums order-tolerant at 4dp (the
+    // entropy precedent), and AM ≥ GM ≥ HM holds as a free sanity
+    // invariant.
+    "agg_geo_harmonic_mean" -> ((s, dir) => {
+      events(s, dir).groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          r4d(exp(avg(log(col("value"))))).as("geo_mean"),
+          r4d(count(lit(1)).cast("double")
+            / sum(lit(1.0) / col("value"))).as("harm_mean"),
+          graft.Det.davg(col("value")).as("arith_mean"))
+        .orderBy("event_type")
+    }),
+
     // SPEARMAN RANK CORRELATION (§2.76) — Pearson on average ranks of
     // the daily click/purchase series: the monotone-robust sibling of
     // agg_kendall_tau on literally the same zero-filled spine.
