@@ -33,6 +33,29 @@ object GeoQueries {
       ((col("user_id") * 997 + col("event_id") * 31) % 11520)
         .cast("double").divide(32).minus(180).as("lon"))
 
+  /** One haversine leg in km, shared by the track keys. Radian
+    * conversion spelled (x · π) / 180 / 2 operand-for-operand with
+    * the oracle — x · (π/180) differs in the last ulp. 1 − a is
+    * clamped at 0: floating point can push a infinitesimally past 1.0
+    * on near-antipodal legs (the fixture grid admits exact
+    * antipodes), where sqrt(negative) → NaN — and a last-ulp libm
+    * divergence near a = 1 could NaN on one engine only. Same
+    * greatest(0, ·) spelled in the oracle. R = 6371 km. */
+  private def legKm(lat: org.apache.spark.sql.Column,
+      lon: org.apache.spark.sql.Column,
+      plat: org.apache.spark.sql.Column,
+      plon: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    def halfRad(c: org.apache.spark.sql.Column) =
+      c * lit(math.Pi) / 180 / 2
+    def rad(c: org.apache.spark.sql.Column) = c * lit(math.Pi) / 180
+    val dphi = halfRad(lat - plat)
+    val dlam = halfRad(lon - plon)
+    val a = sin(dphi) * sin(dphi) +
+      cos(rad(plat)) * cos(rad(lat)) * sin(dlam) * sin(dlam)
+    lit(2.0 * 6371.0) * atan2(sqrt(a),
+      sqrt(greatest(lit(0.0), lit(1.0) - a)))
+  }
+
   val queries: Map[String, Q] = Map(
     // GRID DENSITY MAP (§2.81) — sightings binned to a 2°×2° integer
     // grid: the survey-effort heatmap (where did we look, how often,
@@ -65,23 +88,57 @@ object GeoQueries {
         .withColumn("plat", lag(col("lat"), 1).over(w))
         .withColumn("plon", lag(col("lon"), 1).over(w))
         .filter(col("plat").isNotNull)
-      // Radian conversion spelled (x · π) / 180 / 2 operand-for-operand
-      // with the oracle — x · (π/180) differs in the last ulp.
-      def halfRad(c: org.apache.spark.sql.Column) =
-        c * lit(math.Pi) / 180 / 2
-      def rad(c: org.apache.spark.sql.Column) = c * lit(math.Pi) / 180
-      val dphi = halfRad(col("lat") - col("plat"))
-      val dlam = halfRad(col("lon") - col("plon"))
-      val a = sin(dphi) * sin(dphi) +
-        cos(rad(col("plat"))) * cos(rad(col("lat"))) *
-          sin(dlam) * sin(dlam)
       legs
         .withColumn("leg_km",
-          lit(2.0 * 6371.0) * atan2(sqrt(a), sqrt(lit(1.0) - a)))
+          legKm(col("lat"), col("lon"), col("plat"), col("plon")))
         .groupBy("user_id")
         .agg(count(lit(1)).as("n_legs"),
           r4d(sum(col("leg_km"))).as("track_km"))
         .orderBy("user_id")
+    }),
+
+    // ON-EFFORT TRACK SEGMENTATION (§2.83) — split each platform's
+    // track into survey segments wherever the inter-sighting gap
+    // exceeds 24 h OR the leg exceeds 15 000 km (ferry/transit, not
+    // survey effort): ts_sessionize's lag-flag machinery over the
+    // sightings with haversine leg distances, emitting the
+    // per-segment effort unit (sighting count, time span, on-effort
+    // km) every aerial-survey analysis groups by. The breaking leg
+    // belongs to NEITHER segment — only brk = 0 legs sum into seg_km.
+    //
+    // Determinism of the DISCRETE split: the time rule compares exact
+    // integer milliseconds; the distance rule compares a libm double
+    // against 15000.0, safe here by measured margin — the closest
+    // fixture leg is 0.148 km from the threshold at sf0.1 (1.9 km at
+    // sf0.01), ~10 orders of magnitude above cross-engine libm ulp
+    // noise, and the fixture is deterministic so any future erosion
+    // hash-flags loudly. Scale shape: one user-keyed exchange for the
+    // lag/running-sum windows, then a partial-aggregating (user, seg)
+    // reduce — parallel across platforms at any corpus size.
+    "geo_track_sessions" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ms", "event_id")
+      val legged = sightings(s, dir)
+        .withColumn("pms", lag(col("ms"), 1).over(w))
+        .withColumn("plat", lag(col("lat"), 1).over(w))
+        .withColumn("plon", lag(col("lon"), 1).over(w))
+        .withColumn("leg_km",
+          when(col("pms").isNull, lit(null).cast("double"))
+            .otherwise(
+              legKm(col("lat"), col("lon"), col("plat"), col("plon"))))
+        .withColumn("brk",
+          when(col("pms").isNull
+            || (col("ms") - col("pms")) > 86400000L
+            || col("leg_km") > 15000.0, 1).otherwise(0))
+      legged
+        .withColumn("seg", sum(col("brk")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "seg")
+        .agg(count(lit(1)).as("n_sightings"),
+          min(col("ms")).as("start_ms"), max(col("ms")).as("end_ms"),
+          r4d(coalesce(sum(when(col("brk") === 0, col("leg_km"))),
+            lit(0.0))).as("seg_km"))
+        .orderBy("user_id", "seg")
     }))
 
   val oracle: Map[String, String] = Map(
@@ -115,7 +172,51 @@ object GeoQueries {
         |      * sin((lon - plon) * pi() / 180 / 2) AS a
         |  FROM lg WHERE plat IS NOT NULL)
         |SELECT user_id, count(*) AS n_legs,
-        |  ROUND(sum(2.0 * 6371.0 * atan2(sqrt(a), sqrt(1.0 - a)))
+        |  ROUND(sum(2.0 * 6371.0
+        |      * atan2(sqrt(a), sqrt(greatest(0.0, 1.0 - a))))
         |    * 10000) / 10000 AS track_km
-        |FROM k GROUP BY user_id ORDER BY user_id""".stripMargin)
+        |FROM k GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // Same lag-flag segmentation: window sums of the integer brk flag
+    // go HUGEINT in DuckDB → CAST back; the breaking leg is excluded
+    // from seg_km on both engines; empty leg sets coalesce to 0.0.
+    "geo_track_sessions" ->
+      """WITH p AS (SELECT event_id, user_id, epoch_ms(ts) AS ms,
+        |    CAST(event_id % 1440 AS DOUBLE) / 8 - 90 AS lat,
+        |    CAST((user_id * 997 + event_id * 31) % 11520 AS DOUBLE)
+        |      / 32 - 180 AS lon
+        |  FROM events),
+        |lg AS (SELECT event_id, user_id, ms, lat, lon,
+        |    lag(ms) OVER w AS pms,
+        |    lag(lat) OVER w AS plat, lag(lon) OVER w AS plon
+        |  FROM p WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)),
+        |k AS (SELECT event_id, user_id, ms, pms,
+        |    sin((lat - plat) * pi() / 180 / 2)
+        |      * sin((lat - plat) * pi() / 180 / 2)
+        |    + cos(plat * pi() / 180) * cos(lat * pi() / 180)
+        |      * sin((lon - plon) * pi() / 180 / 2)
+        |      * sin((lon - plon) * pi() / 180 / 2) AS a
+        |  FROM lg),
+        |b AS (SELECT event_id, user_id, ms,
+        |    CASE WHEN pms IS NULL THEN CAST(NULL AS DOUBLE)
+        |      ELSE 2.0 * 6371.0
+        |        * atan2(sqrt(a), sqrt(greatest(0.0, 1.0 - a))) END
+        |      AS leg_km,
+        |    CASE WHEN pms IS NULL OR ms - pms > 86400000
+        |      OR 2.0 * 6371.0
+        |        * atan2(sqrt(a), sqrt(greatest(0.0, 1.0 - a)))
+        |        > 15000.0
+        |      THEN 1 ELSE 0 END AS brk
+        |  FROM k),
+        |s AS (SELECT user_id, ms, leg_km, brk,
+        |    CAST(sum(brk) OVER (PARTITION BY user_id
+        |      ORDER BY ms, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS seg
+        |  FROM b)
+        |SELECT user_id, seg, count(*) AS n_sightings,
+        |  min(ms) AS start_ms, max(ms) AS end_ms,
+        |  ROUND(COALESCE(sum(CASE WHEN brk = 0 THEN leg_km END), 0.0)
+        |    * 10000) / 10000 AS seg_km
+        |FROM s GROUP BY user_id, seg
+        |ORDER BY user_id, seg""".stripMargin)
 }

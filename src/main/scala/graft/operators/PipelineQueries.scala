@@ -459,6 +459,61 @@ object PipelineQueries {
         .orderBy("p_partkey")
     }),
 
+    // GREEDY PER-IMAGE NMS (§2.83) — the detection-ETL step that runs
+    // BEFORE multimodal_bbox_iou's truth matching in every
+    // survey-imagery pipeline: within each image, walk detections in
+    // (score DESC, det_id) order and suppress any box whose IoU with
+    // an already-KEPT box exceeds 0.5. Greedy NMS is order-dependent
+    // (a suppressed box must not suppress others — the A>B>C chain),
+    // so the pairwise "overlaps any higher-scored box" shortcut is
+    // WRONG; the real sequential fold runs per image via
+    // aggregate(array_sort(collect_list(...))) — parallel ACROSS
+    // images, sequential WITHIN an image, which is exactly how NMS
+    // distributes at 100 TB (per-image detection counts are bounded
+    // by the detector's own top-k, not the corpus). All coordinates/
+    // scores are exact integers from fixture residues and the IoU >
+    // 0.5 decision is the integer comparison 2·inter > union — no
+    // float anywhere. Oracle: the same greedy rule as a recursive CTE
+    // walking ranks with a kept-boxes LIST accumulator (validated
+    // against an independent imperative reference).
+    "multimodal_nms" -> ((s, dir) => {
+      val det = t(s, dir, "part").select(
+        (col("p_partkey") % 50).as("image_id"),
+        col("p_partkey").as("det_id"),
+        ((col("p_partkey") % 7) * 15).as("x1"),
+        ((col("p_partkey") % 5) * 20).as("y1"),
+        ((col("p_partkey") % 7) * 15 + 40
+          + col("p_size").cast("long") % 10).as("x2"),
+        ((col("p_partkey") % 5) * 20 + 60).as("y2"),
+        (round(col("p_retailprice") * 100).cast("long") % 10000)
+          .as("score_c"))
+      // nscore first in the struct → array_sort's lexicographic field
+      // order IS (score DESC, det_id ASC), the greedy rank order.
+      val packed = det.select(col("image_id"), struct(
+          (-col("score_c")).as("nscore"), col("det_id"),
+          col("x1"), col("y1"), col("x2"), col("y2")).as("d"))
+        .groupBy("image_id").agg(array_sort(collect_list(col("d"))).as("ds"))
+      packed.withColumn("kept", expr(
+        """CASE WHEN size(ds) <= 1 THEN ds ELSE
+          |aggregate(slice(ds, 2, size(ds) - 1), slice(ds, 1, 1),
+          |  (acc, d) -> IF(exists(acc, k ->
+          |      2 * (greatest(0L, least(k.x2, d.x2) - greatest(k.x1, d.x1))
+          |         * greatest(0L, least(k.y2, d.y2) - greatest(k.y1, d.y1)))
+          |      > ((k.x2 - k.x1) * (k.y2 - k.y1)
+          |         + (d.x2 - d.x1) * (d.y2 - d.y1)
+          |         - greatest(0L, least(k.x2, d.x2) - greatest(k.x1, d.x1))
+          |           * greatest(0L,
+          |               least(k.y2, d.y2) - greatest(k.y1, d.y1)))),
+          |    acc, array_append(acc, d)))
+          |END""".stripMargin))
+        .select(col("image_id"), explode(col("kept")).as("k"))
+        .select(col("image_id"), col("k.det_id").as("det_id"),
+          (-col("k.nscore")).as("score_c"),
+          col("k.x1").as("x1"), col("k.y1").as("y1"),
+          col("k.x2").as("x2"), col("k.y2").as("y2"))
+        .orderBy("image_id", "det_id")
+    }),
+
     "multimodal_byte_chunks" -> ((s, dir) => {
       val chunk = 1024L
       t(s, dir, "documents")
@@ -1221,6 +1276,52 @@ object PipelineQueries {
         |    * 10000) / 10000 AS iou,
         |  inter * 2 >= ga * 2 - inter AS matched
         |FROM a ORDER BY p_partkey""".stripMargin,
+    // The SAME greedy rule as a recursive CTE: rank detections per
+    // image, walk ranks carrying the kept-boxes LIST, suppress when
+    // any kept box passes the integer 2·inter > union test.
+    "multimodal_nms" ->
+      """WITH RECURSIVE det AS (
+        |  SELECT p_partkey % 50 AS image_id, p_partkey AS det_id,
+        |    (p_partkey % 7) * 15 AS x1, (p_partkey % 5) * 20 AS y1,
+        |    (p_partkey % 7) * 15 + 40 + p_size % 10 AS x2,
+        |    (p_partkey % 5) * 20 + 60 AS y2,
+        |    CAST(round(p_retailprice * 100) AS BIGINT) % 10000 AS score_c
+        |  FROM part),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY image_id
+        |         ORDER BY score_c DESC, det_id) AS r FROM det),
+        |nms AS (
+        |  SELECT image_id, r, det_id, score_c, x1, y1, x2, y2,
+        |    TRUE AS kept,
+        |    [{'x1': x1, 'y1': y1, 'x2': x2, 'y2': y2}] AS boxes
+        |  FROM rk WHERE r = 1
+        |  UNION ALL
+        |  SELECT d.image_id, d.r, d.det_id, d.score_c,
+        |    d.x1, d.y1, d.x2, d.y2,
+        |    len(list_filter(n.boxes, k ->
+        |      2 * (GREATEST(0, LEAST(k.x2, d.x2) - GREATEST(k.x1, d.x1))
+        |         * GREATEST(0, LEAST(k.y2, d.y2) - GREATEST(k.y1, d.y1)))
+        |      > ((k.x2 - k.x1) * (k.y2 - k.y1)
+        |         + (d.x2 - d.x1) * (d.y2 - d.y1)
+        |         - GREATEST(0, LEAST(k.x2, d.x2) - GREATEST(k.x1, d.x1))
+        |           * GREATEST(0,
+        |               LEAST(k.y2, d.y2) - GREATEST(k.y1, d.y1))))) = 0
+        |      AS kept,
+        |    CASE WHEN len(list_filter(n.boxes, k ->
+        |      2 * (GREATEST(0, LEAST(k.x2, d.x2) - GREATEST(k.x1, d.x1))
+        |         * GREATEST(0, LEAST(k.y2, d.y2) - GREATEST(k.y1, d.y1)))
+        |      > ((k.x2 - k.x1) * (k.y2 - k.y1)
+        |         + (d.x2 - d.x1) * (d.y2 - d.y1)
+        |         - GREATEST(0, LEAST(k.x2, d.x2) - GREATEST(k.x1, d.x1))
+        |           * GREATEST(0,
+        |               LEAST(k.y2, d.y2) - GREATEST(k.y1, d.y1))))) = 0
+        |      THEN list_append(n.boxes,
+        |        {'x1': d.x1, 'y1': d.y1, 'x2': d.x2, 'y2': d.y2})
+        |      ELSE n.boxes END
+        |  FROM nms n JOIN rk d
+        |    ON d.image_id = n.image_id AND d.r = n.r + 1)
+        |SELECT image_id, det_id, score_c, x1, y1, x2, y2
+        |FROM nms WHERE kept
+        |ORDER BY image_id, det_id""".stripMargin,
     "multimodal_frame_sample" ->
       """WITH f AS (
         |  SELECT doc_id, CAST(k AS BIGINT) AS frame_idx,

@@ -178,6 +178,28 @@ object ScanQueries {
     root
   }
 
+  /** The compacted versioned table behind etl_optimize_compact: v0 =
+    * overwrite of pre-1996 orders shattered into 16 small files, v1 =
+    * append of the rest in 8 more, v2 = OPTIMIZE range-clustering the
+    * full snapshot into 2 files on o_totalprice. Idempotent build
+    * like [[timeTravelTable]]. */
+  private def optimizeTable(s: SparkSession, dir: String): String = {
+    import graft.sources.VersionedTable
+    val root = s"${scratch(s, dir)}/vtab_optimize"
+    if (VersionedTable.latestVersion(root) != 2L) {
+      deleteRecursively(new java.io.File(root))
+      val o = t(s, dir, "orders")
+      VersionedTable.commit(s, root,
+        o.filter(col("o_orderdate") < lit("1996-01-01").cast("timestamp"))
+          .repartition(16), "overwrite", Seq("o_totalprice"))
+      VersionedTable.commit(s, root,
+        o.filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp"))
+          .repartition(8), "append", Seq("o_totalprice"))
+      VersionedTable.optimize(s, root, "o_totalprice", 2)
+    }
+    root
+  }
+
   val queries: Map[String, Q] = Map(
     "scan_parquet" -> ((s, dir) => {
       t(s, dir, "lineitem")
@@ -700,6 +722,27 @@ object ScanQueries {
         .orderBy("o_orderstatus")
     }),
 
+    // OPTIMIZE — compaction AS A COMMIT (§2.83): v0 overwrite
+    // deliberately shattered into 16 small files + v1 append in 8
+    // more, then VersionedTable.optimize range-clusters the whole
+    // snapshot into 2 files on o_totalprice through the commitIf loop
+    // (op "optimize" = a snapshot base, like overwrite). Rows are BY
+    // CONSTRUCTION unchanged — the oracle is the pre-compaction
+    // content, which is exactly the invariant compaction must hold;
+    // the layout faces (file count 24 → 2, tight non-overlapping
+    // ranges, old versions still planning old manifests, pruning
+    // biting post-optimize) are pinned in VersionedTableSpec where
+    // I/O is observable.
+    "etl_optimize_compact" -> ((s, dir) => {
+      import graft.sources.VersionedTable
+      val root = optimizeTable(s, dir)
+      VersionedTable.readLatest(s, root)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"),
+          graft.Det.dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy("o_orderstatus")
+    }),
+
     // MANIFEST-STATS FILE PRUNING — data skipping from the commit
     // log's per-file min/max (§2.42): lineitem range-partitioned on
     // l_orderkey into a VersionedTable whose manifest records each
@@ -982,6 +1025,13 @@ object ScanQueries {
          |  ${sqlSum("o_totalprice")} AS sum_price
          |FROM orders
          |WHERE NOT (o_orderstatus = 'F' AND o_totalprice < 100000)
+         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // Compaction must not change content: the oracle is the FULL
+    // fixture aggregate — identical rows before and after OPTIMIZE.
+    "etl_optimize_compact" ->
+      s"""SELECT o_orderstatus, count(*) AS n_orders,
+         |  ${sqlSum("o_totalprice")} AS sum_price
+         |FROM orders
          |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     // The surviving snapshot: the v2 overwrite (high-price) plus the
     // v3 append (low-price) — the vacuumed history is invisible to

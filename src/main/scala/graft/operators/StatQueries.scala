@@ -296,11 +296,15 @@ object StatQueries {
         .filter(col("py").isNotNull && col("y") =!= col("py"))
         .withColumn("sg", when(col("y") > col("py"), 1).otherwise(-1))
         .withColumn("psg", lag(col("sg"), 1).over(Window.orderBy("day")))
+      // A completely flat series has an EMPTY sign sequence → zero
+      // runs, not one; the +1 (first run) only exists once a first
+      // sign exists.
       val m = signs.agg(
         count_if(col("sg") === 1).as("n_plus"),
         count_if(col("sg") === -1).as("n_minus"),
-        (count_if(col("psg").isNotNull && col("sg") =!= col("psg")) + 1)
-          .as("n_runs"))
+        when(count(lit(1)) > 0,
+          count_if(col("psg").isNotNull && col("sg") =!= col("psg")) + 1)
+          .otherwise(lit(0L)).as("n_runs"))
       val np = col("n_plus").cast("double")
       val nm = col("n_minus").cast("double")
       val nn = np + nm
@@ -316,17 +320,46 @@ object StatQueries {
     // agg_stats omits: the geometric mean (exp∘avg∘ln — the right
     // average for multiplicative quantities like growth factors) and
     // the harmonic mean (n/Σ(1/x) — the right average for rates).
-    // value > 0 on this corpus by construction; the per-row ln/1/x
-    // are IEEE-deterministic, the sums order-tolerant at 4dp (the
-    // entropy precedent), and AM ≥ GM ≥ HM holds as a free sanity
-    // invariant.
+    // Both means require value > 0 (ln/reciprocal undefined at 0, and
+    // the sf0.1 fixture DOES contain value = 0.0 rows), so the
+    // zero rows are filtered explicitly — standard treatment, spelled
+    // identically in the oracle.
+    //
+    // Determinism device: a raw avg(ln x) / sum(1/x) would accumulate
+    // doubles in partition-merge order. Instead the corpus is first
+    // reduced to the CENTS GRID — value carries exactly 2 decimals,
+    // so round(value·100) is the exact integer the double encodes and
+    // the (event_type, cents) → n_v reduce is all-integer — then the
+    // ≤|distinct cents| subtotals are collected, sorted, and folded
+    // left-to-right with the aggregate() HOF (the agg_entropy_mix
+    // convention): bit-identical across partition counts, and the
+    // same ascending fold the oracle's list_sort + list_transform +
+    // list_aggregate('sum') evaluates. The collected array is bounded
+    // by the VALUE DOMAIN (≤ ~56k cents values at any SF), not the
+    // corpus — not the collect-the-rows anti-pattern. AM ≥ GM ≥ HM
+    // holds as a free sanity invariant.
     "agg_geo_harmonic_mean" -> ((s, dir) => {
-      events(s, dir).groupBy("event_type")
-        .agg(count(lit(1)).as("n"),
-          r4d(exp(avg(log(col("value"))))).as("geo_mean"),
-          r4d(count(lit(1)).cast("double")
-            / sum(lit(1.0) / col("value"))).as("harm_mean"),
-          graft.Det.davg(col("value")).as("arith_mean"))
+      val byV = events(s, dir).filter(col("value") > 0)
+        .select(col("event_type"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .groupBy("event_type", "cents").agg(count(lit(1)).as("n_v"))
+      byV.groupBy("event_type")
+        .agg(sum(col("n_v")).as("n"),
+          sum(col("cents") * col("n_v")).as("sc"),
+          array_sort(collect_list(struct(col("cents"), col("n_v"))))
+            .as("vs"))
+        .select(col("event_type"), col("n"),
+          r4d(exp(aggregate(col("vs"), lit(0.0), (acc, x) =>
+            acc + x.getField("n_v").cast("double")
+              * log(x.getField("cents").cast("double") / lit(100.0)))
+            / col("n").cast("double"))).as("geo_mean"),
+          r4d(col("n").cast("double")
+            / aggregate(col("vs"), lit(0.0), (acc, x) =>
+              acc + x.getField("n_v").cast("double")
+                / (x.getField("cents").cast("double") / lit(100.0))))
+            .as("harm_mean"),
+          r4d(col("sc").cast("double") / lit(100.0)
+            / col("n").cast("double")).as("arith_mean"))
         .orderBy("event_type")
     }),
 
@@ -491,6 +524,109 @@ object StatQueries {
         |      / count(*) / 200.0 * 10000) / 10000) * 10000) / 10000 + 0.0
         |    AS gap
         |FROM e GROUP BY bin ORDER BY bin""".stripMargin,
+    // KS: exact integer cross-multiplied D over the pooled value
+    // grid; windowed cumulative sums of BIGINT counts go HUGEINT in
+    // DuckDB → CAST back (the HUGEINT lesson). Only the two final
+    // divisions and the sqrt touch the float domain.
+    "agg_ks_test" ->
+      """WITH e AS (SELECT value, event_type = 'click' AS isx
+        |  FROM events WHERE event_type IN ('click', 'purchase')),
+        |byv AS (SELECT value,
+        |    count(*) FILTER (WHERE isx) AS a,
+        |    count(*) FILTER (WHERE NOT isx) AS b
+        |  FROM e GROUP BY value),
+        |cum AS (SELECT
+        |    CAST(sum(a) OVER (ORDER BY value
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS c1,
+        |    CAST(sum(b) OVER (ORDER BY value
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS c2,
+        |    CAST(sum(a) OVER () AS BIGINT) AS n1,
+        |    CAST(sum(b) OVER () AS BIGINT) AS n2
+        |  FROM byv)
+        |SELECT max(n1) AS n1, max(n2) AS n2,
+        |  ROUND(CAST(max(abs(c1 * n2 - c2 * n1)) AS DOUBLE)
+        |    / CAST(max(n1) * max(n2) AS DOUBLE) * 10000) / 10000
+        |    AS d_stat,
+        |  ROUND(1.36 * sqrt(CAST(max(n1) + max(n2) AS DOUBLE)
+        |    / CAST(max(n1) * max(n2) AS DOUBLE)) * 10000) / 10000
+        |    AS crit_05
+        |FROM cum""".stripMargin,
+    // Runs: all-integer run/sign tallies on the zero-filled spine;
+    // z is assembled from those integers operand-for-operand with
+    // the Spark expression and carries the +0.0 normalizer
+    // (negative-capable statistic).
+    "agg_runs_test" ->
+      s"""WITH e AS (SELECT event_type, ${sqlEpochDay("ts")} AS day
+         |  FROM events),
+         |b AS (SELECT min(day) AS lo, max(day) AS hi FROM e),
+         |spine AS (SELECT unnest(range(lo, hi + 1)) AS day FROM b),
+         |d0 AS (SELECT day,
+         |    count(*) FILTER (WHERE event_type = 'click') AS cx,
+         |    count(*) FILTER (WHERE event_type = 'purchase') AS cy
+         |  FROM e GROUP BY day),
+         |d AS (SELECT s.day,
+         |    COALESCE(cx, 0) + COALESCE(cy, 0) AS y
+         |  FROM spine s LEFT JOIN d0 USING (day)),
+         |lg AS (SELECT day, y, lag(y) OVER (ORDER BY day) AS py
+         |  FROM d),
+         |sg AS (SELECT day,
+         |    CASE WHEN y > py THEN 1 ELSE -1 END AS sg
+         |  FROM lg WHERE py IS NOT NULL AND y <> py),
+         |sq AS (SELECT sg, lag(sg) OVER (ORDER BY day) AS psg FROM sg),
+         |m AS (SELECT
+         |    count(*) FILTER (WHERE sg = 1) AS n_plus,
+         |    count(*) FILTER (WHERE sg = -1) AS n_minus,
+         |    CASE WHEN count(*) > 0 THEN
+         |      count(*) FILTER (WHERE psg IS NOT NULL AND sg <> psg)
+         |        + 1 ELSE 0 END AS n_runs
+         |  FROM sq)
+         |SELECT n_plus, n_minus, n_runs,
+         |  CASE WHEN n_plus > 0 AND n_minus > 0 THEN
+         |    ROUND((CAST(n_runs AS DOUBLE)
+         |      - (1.0 + 2.0 * CAST(n_plus AS DOUBLE)
+         |        * CAST(n_minus AS DOUBLE)
+         |        / (CAST(n_plus AS DOUBLE) + CAST(n_minus AS DOUBLE))))
+         |      / sqrt(2.0 * CAST(n_plus AS DOUBLE)
+         |          * CAST(n_minus AS DOUBLE)
+         |          * (2.0 * CAST(n_plus AS DOUBLE)
+         |            * CAST(n_minus AS DOUBLE)
+         |            - (CAST(n_plus AS DOUBLE)
+         |              + CAST(n_minus AS DOUBLE)))
+         |        / ((CAST(n_plus AS DOUBLE) + CAST(n_minus AS DOUBLE))
+         |          * (CAST(n_plus AS DOUBLE) + CAST(n_minus AS DOUBLE))
+         |          * ((CAST(n_plus AS DOUBLE)
+         |            + CAST(n_minus AS DOUBLE)) - 1)))
+         |      * 10000) / 10000 + 0.0 END AS z
+         |FROM m""".stripMargin,
+    // Pythagorean means: integer cents-grid reduce, then the same
+    // ascending (cents, n_v) fold Spark evaluates — list_sort on the
+    // struct orders by cents (first field), list_aggregate('sum')
+    // folds left-to-right (the entropy-key precedent).
+    "agg_geo_harmonic_mean" ->
+      """WITH pos AS (SELECT event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE value > 0),
+        |byv AS (SELECT event_type, cents, count(*) AS n_v
+        |  FROM pos GROUP BY 1, 2),
+        |g AS (SELECT event_type, CAST(sum(n_v) AS BIGINT) AS n,
+        |    CAST(sum(cents * n_v) AS BIGINT) AS sc,
+        |    list_sort(list({'cents': cents, 'n_v': n_v})) AS vs
+        |  FROM byv GROUP BY 1)
+        |SELECT event_type, n,
+        |  ROUND(exp(list_aggregate(list_transform(vs,
+        |      x -> CAST(x.n_v AS DOUBLE)
+        |        * ln(CAST(x.cents AS DOUBLE) / 100.0)), 'sum')
+        |    / CAST(n AS DOUBLE)) * 10000) / 10000 AS geo_mean,
+        |  ROUND(CAST(n AS DOUBLE)
+        |    / list_aggregate(list_transform(vs,
+        |      x -> CAST(x.n_v AS DOUBLE)
+        |        / (CAST(x.cents AS DOUBLE) / 100.0)), 'sum')
+        |    * 10000) / 10000 AS harm_mean,
+        |  ROUND(CAST(sc AS DOUBLE) / 100.0 / CAST(n AS DOUBLE)
+        |    * 10000) / 10000 AS arith_mean
+        |FROM g ORDER BY event_type""".stripMargin,
     "agg_spearman_corr" ->
       s"""WITH e AS (SELECT event_type, ${sqlEpochDay("ts")} AS day
          |  FROM events),

@@ -57,7 +57,7 @@ import org.apache.spark.sql.functions._
   */
 object VersionedTable {
 
-  private val Ops = Set("overwrite", "append")
+  private val Ops = Set("overwrite", "append", "optimize")
 
   private def fs(p: String) = java.nio.file.Paths.get(p)
 
@@ -231,7 +231,12 @@ object VersionedTable {
     while (committed < 0) {
       val expected = latestVersion(root)
       require(expected >= 0, s"nothing to delete at $root")
-      val remaining = readVersion(spark, root, expected).filter(!cond)
+      // DELETE only where cond is TRUE (SQL three-valued logic): a
+      // bare !cond maps NULL → NULL and would silently DELETE rows
+      // whose predicate columns are NULL — the Delta-style
+      // coalesce(cond, false) keeps them.
+      val remaining = readVersion(spark, root, expected)
+        .filter(!coalesce(cond, lit(false)))
       committed = commitIf(spark, root, remaining, "overwrite", statsCols,
         expected)
     }
@@ -411,7 +416,10 @@ object VersionedTable {
   private def snapshot(spark: SparkSession, root: String,
       v: Long): Seq[Manifest] = {
     val ms = manifests(spark, root, v, useCheckpoint = true)
-    val lastOverwrite = ms.filter(_.op == "overwrite")
+    // Both "overwrite" and "optimize" are SNAPSHOT BASES: each rewrote
+    // the full content as of its commit, so everything earlier is
+    // superseded. "append" layers on top of the nearest base.
+    val lastOverwrite = ms.filter(m => m.op == "overwrite" || m.op == "optimize")
       .lastOption.map(_.version).getOrElse(0L)
     ms.filter(_.version >= lastOverwrite)
   }
@@ -468,13 +476,46 @@ object VersionedTable {
     (df.filter(col(column) >= lo && col(column) <= hi), chosen)
   }
 
-  /** File COMPACTION stays a job over the layout, not a primitive:
-    * rewrite small files as a new overwrite commit of the same rows
-    * (`scan_compact_smallfiles` is exactly that shape) — then
-    * [[vacuum]] reclaims the superseded files once they leave
-    * retention. Round 9 added the other two maintenance primitives:
-    * [[vacuum]] (snapshot expiration + orphan sweep) and
-    * [[checkpoint]] (O(delta) planning). */
+  /** OPTIMIZE — compaction AS A COMMIT (§2.83): rewrite the current
+    * snapshot's (possibly many small) data files into `targetFiles`
+    * RANGE-CLUSTERED files on `clusterCol` (repartitionByRange + a
+    * within-partition sort → tight, non-overlapping per-file min/max
+    * in the manifest, so [[prunedRead]] bites maximally), committed
+    * through the [[commitIf]] read-modify-write loop — a lost race
+    * re-reads the new latest and re-clusters it, because blindly
+    * retrying would resurrect the pre-race content and drop the
+    * winner's rows.
+    *
+    * The commit carries op "optimize", which [[snapshot]] treats as a
+    * base exactly like an overwrite: readers at the NEW version plan
+    * only the compacted files; readers pinned at any OLD version
+    * still plan against the old manifests and old (immutable) files —
+    * compaction is invisible to time travel until [[vacuum]] expires
+    * the superseded chain. Row content is BY CONSTRUCTION unchanged
+    * (the declared key's oracle is the pre-compaction table).
+    *
+    * Stats columns default to the cluster column (the point of
+    * clustering is range pruning on it); pass `statsCols` to record
+    * more. Returns the committed version. */
+  def optimize(spark: SparkSession, root: String, clusterCol: String,
+      targetFiles: Int, statsCols: Seq[String] = Seq.empty): Long = {
+    require(targetFiles > 0, s"targetFiles must be positive: $targetFiles")
+    var committed = -1L
+    while (committed < 0) {
+      val expected = latestVersion(root)
+      require(expected >= 0, s"nothing to optimize at $root")
+      val clustered = readVersion(spark, root, expected)
+        .repartitionByRange(targetFiles, col(clusterCol))
+        .sortWithinPartitions(clusterCol)
+      committed = commitIf(spark, root, clustered, "optimize",
+        if (statsCols.isEmpty) Seq(clusterCol) else statsCols, expected)
+    }
+    committed
+  }
+
+  /** Superseded by [[optimize]] (round 11) — kept for the round-8/9
+    * docs that cite it: compaction HAS a primitive now, and it is the
+    * same shape this hint described. */
   def compactHint: String =
     "compact = commit(readLatest.repartitionByRange(...), op=overwrite)"
 }

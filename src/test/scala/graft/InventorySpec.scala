@@ -295,14 +295,46 @@ class InventorySpec extends SparkSpec {
     // percentiles, LIMIT/OFFSET pagination
     "multimodal_bbox_iou", "agg_percentile_disc", "sort_limit_offset_page",
     // §2.81 round-10 eighth wave: survey geospatial + weekly churn
-    "geo_grid_density", "geo_track_length", "ts_churn_weekly")
+    "geo_grid_density", "geo_track_length", "ts_churn_weekly",
+    // §2.82 round-11 first wave (legalizing the round-10 snapshot
+    // stowaways): two-sample KS, Wald-Wolfowitz runs, Pythagorean
+    // means
+    "agg_ks_test", "agg_runs_test", "agg_geo_harmonic_mean",
+    // §2.83 round-11 second wave: detection NMS, on-effort track
+    // segmentation, OPTIMIZE compaction-as-a-commit
+    "multimodal_nms", "geo_track_sessions", "etl_optimize_compact")
 
-  test("declared queries cover SURVEY §2 + §2.12-81 exactly (359 keys)") {
-    assert(inventory.size == 359)
+  test("declared queries cover SURVEY §2 + §2.12-83 exactly (365 keys)") {
+    assert(inventory.size == 365)
     val declared = SparkEntry.queries.keySet
     val missing = inventory -- declared
     val extra = declared -- inventory
     assert(missing.isEmpty, s"inventory keys not implemented: $missing")
     assert(extra.isEmpty, s"implemented keys not in inventory (amend SURVEY §2): $extra")
+  }
+
+  // README drifted stale in rounds 8, 9 AND 10 (VERDICT "what's wrong"
+  // each time) — prose doesn't self-update, so pin it: the two bold
+  // counts in the Status section must equal the real declared surface.
+  test("README counts match the declared surface") {
+    // Explicit UTF-8: the JVM default charset here is POSIX/ASCII and
+    // README carries multibyte punctuation.
+    val readme = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get("README.md")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val declaredRe = """\*\*(\d+) operator keys\*\*""".r
+    val oracleRe = """\*\*(\d+)/(\d+) oracle-checked keys""".r
+    val declaredInReadme = declaredRe.findFirstMatchIn(readme)
+      .map(_.group(1).toInt)
+    assert(declaredInReadme.contains(SparkEntry.queries.size),
+      s"README declared-key count $declaredInReadme != " +
+        s"${SparkEntry.queries.size} actual (update README Status)")
+    val oracleCount = SparkEntry.queries.keySet
+      .intersect(SparkEntry.oracleSql.keySet).size
+    val oracleInReadme = oracleRe.findFirstMatchIn(readme)
+      .map(m => (m.group(1).toInt, m.group(2).toInt))
+    assert(oracleInReadme.contains((oracleCount, oracleCount)),
+      s"README oracle-sweep count $oracleInReadme != " +
+        s"$oracleCount/$oracleCount actual (update README Status)")
   }
 }

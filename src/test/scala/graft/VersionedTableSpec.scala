@@ -248,6 +248,59 @@ class VersionedTableSpec extends SparkSpec {
     assert(VersionedTable.readLatest(spark, root).count() == 0L)
   }
 
+  test("optimize: compacts + clusters; old versions untouched; pruning bites") {
+    val root = freshRoot()
+    VersionedTable.commit(spark, root,
+      spark.range(0, 1000).select(col("id"), (col("id") % 7).as("k"))
+        .repartition(12), "overwrite", Seq("id"))
+    VersionedTable.commit(spark, root,
+      spark.range(1000, 2000).select(col("id"), (col("id") % 7).as("k"))
+        .repartition(6), "append", Seq("id"))
+    val filesBefore =
+      VersionedTable.fileRangesFor(spark, root, 1L, "id").size
+    assert(filesBefore > 10, s"fixture must start fragmented: $filesBefore")
+    val ov = VersionedTable.optimize(spark, root, "id", 2)
+    assert(ov == 2L)
+    // Content is IDENTICAL (count + checksum), just re-laid-out.
+    val after = VersionedTable.readVersion(spark, root, 2L)
+    assert(after.count() == 2000L)
+    assert(after.agg(sum("id")).head.getLong(0) == 1999000L)
+    // 2 files with tight, non-overlapping id ranges.
+    val ranges = VersionedTable.fileRangesFor(spark, root, 2L, "id")
+      .map { case (_, lo, hi) => (lo, hi) }.sorted
+    assert(ranges.size == 2, s"expected 2 clustered files: $ranges")
+    assert(ranges(0)._2 < ranges(1)._1,
+      s"ranges must not overlap after clustering: $ranges")
+    // Time travel still plans the OLD manifests/files, untouched.
+    assert(VersionedTable.fileRangesFor(spark, root, 1L, "id")
+      .size == filesBefore)
+    assert(VersionedTable.readVersion(spark, root, 1L).count() == 2000L)
+    // Manifest pruning now reads 1 of the 2 files for a low range.
+    val (pdf, chosen) =
+      VersionedTable.prunedRead(spark, root, 2L, "id", 0.0, 100.0)
+    assert(chosen.size == 1, s"prune should pick 1 file: $chosen")
+    assert(pdf.count() == 101L)
+    // History records the op distinctly.
+    val ops = VersionedTable.history(spark, root)
+      .orderBy("version").select("op").collect().map(_.getString(0)).toSeq
+    assert(ops == Seq("overwrite", "append", "optimize"))
+  }
+
+  test("deleteWhere: NULL predicate rows are KEPT (delete only where TRUE)") {
+    val root = freshRoot()
+    // Row 2 has v = NULL → cond (v = 'drop') evaluates NULL; SQL
+    // three-valued DELETE semantics keep it (a bare filter(!cond)
+    // would silently drop it — the round-10 ADVICE finding).
+    VersionedTable.commit(spark, root,
+      Seq((1L, Some("keep")), (2L, None), (3L, Some("drop")))
+        .toDF("id", "v"), "overwrite")
+    VersionedTable.deleteWhere(spark, root, col("v") === "drop")
+    val now = VersionedTable.readLatest(spark, root)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(now == Set(1L, 2L),
+      "NULL-predicate row must survive a DELETE WHERE")
+  }
+
   test("vacuum reclaims a just-dropped version's data dir regardless of age") {
     val root = freshRoot()
     VersionedTable.commit(spark, root,
