@@ -30,18 +30,26 @@ import org.apache.spark.sql.functions._
   * Env: SPARK_GRAFT_CPUS (default 4), SPARK_GRAFT_SCALE_COPIES (10).
   */
 object ScaleStress {
-  // The quiet-heaviest keys of BENCH_FULL.json, round 8.
+  // The quiet-heaviest keys of BENCH_FULL.json, round 8 — plus the
+  // round-10 heavies the round-10 verdict flagged as unmeasured:
+  // Adamic-Adar (the 4th-most-expensive key), the two
+  // embedding-ranking evals, and the global-first-occurrence-rank
+  // vocab-growth shuffle shape.
   private val SfSeriesKeys = Seq(
     "graph_pagerank", "graph_bfs_distance", "graph_kcore",
     "graph_triangle_count", "graph_clustering_coeff",
-    "graph_jaccard_linkpred",
+    "graph_jaccard_linkpred", "graph_adamic_adar",
     "dedup_cluster_canon", "dedup_minhash_lsh", "dedup_near_jaccard",
-    "sim_ann_kmeans", "text_bpe_pair_counts")
+    "sim_ann_kmeans", "text_bpe_pair_counts",
+    "eval_ndcg_label", "sim_recall_eval", "text_vocab_growth")
   // Keys whose only input is lineitem — copy-scalable (see scaladoc).
+  // The embeddings/documents keys are NOT copy-scalable for the same
+  // reason the dedup keys aren't (cross-copy duplicate geometry);
+  // their exponents come from the SF series.
   private val TenXKeys = Seq(
     "graph_pagerank", "graph_bfs_distance", "graph_kcore",
     "graph_triangle_count", "graph_clustering_coeff",
-    "graph_jaccard_linkpred")
+    "graph_jaccard_linkpred", "graph_adamic_adar")
 
   private def timeKey(s: SparkSession, key: String, dir: String): Double = {
     def once(): Double = {

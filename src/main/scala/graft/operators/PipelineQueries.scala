@@ -514,6 +514,36 @@ object PipelineQueries {
         .orderBy("image_id", "det_id")
     }),
 
+    // LETTERBOX GEOMETRY (§2.84) — the resize-with-padding plan every
+    // detector preprocessing stage computes (YOLO-style): scale each
+    // image to fit 640×640 preserving aspect ratio, pad the short
+    // side symmetrically. Dimensions come from multimodal_stub's
+    // typed metadata convention ((n_chars % 640)+1 × (doc_id % 480)+1)
+    // and the ENTIRE geometry is integer arithmetic — the aspect-fit
+    // scale is 640/max(w,h), so new_w = (w·640) div max(w,h) is an
+    // exact truncating division and pads are exact differences; only
+    // the reported scale factor is one IEEE division r4d'd. Pure
+    // map-side work below the presentation sort (the bbox_iou shape):
+    // embarrassingly parallel at any corpus size.
+    "multimodal_letterbox" -> ((s, dir) => {
+      val m = t(s, dir, "documents").select(col("doc_id"),
+        ((col("n_chars") % 640) + 1).cast("long").as("width"),
+        ((col("doc_id") % 480) + 1).cast("long").as("height"))
+      val mx = greatest(col("width"), col("height"))
+      m.select(col("doc_id"), col("width"), col("height"),
+          expr("(width * 640) div greatest(width, height)").as("new_w"),
+          expr("(height * 640) div greatest(width, height)").as("new_h"),
+          r4d(lit(640.0) / mx.cast("double")).as("scale"))
+        .select(col("doc_id"), col("width"), col("height"),
+          col("new_w"), col("new_h"),
+          expr("(640 - new_w) div 2").as("pad_left"),
+          expr("640 - new_w - ((640 - new_w) div 2)").as("pad_right"),
+          expr("(640 - new_h) div 2").as("pad_top"),
+          expr("640 - new_h - ((640 - new_h) div 2)").as("pad_bottom"),
+          col("scale"))
+        .orderBy("doc_id")
+    }),
+
     "multimodal_byte_chunks" -> ((s, dir) => {
       val chunk = 1024L
       t(s, dir, "documents")
@@ -1322,6 +1352,26 @@ object PipelineQueries {
         |SELECT image_id, det_id, score_c, x1, y1, x2, y2
         |FROM nms WHERE kept
         |ORDER BY image_id, det_id""".stripMargin,
+    // All-integer letterbox: `//` is DuckDB's truncating division,
+    // equal to Spark's `div` on the non-negative domain.
+    "multimodal_letterbox" ->
+      """WITH m AS (SELECT doc_id,
+        |    CAST((n_chars % 640) + 1 AS BIGINT) AS width,
+        |    CAST((doc_id % 480) + 1 AS BIGINT) AS height
+        |  FROM documents),
+        |g AS (SELECT doc_id, width, height,
+        |    (width * 640) // greatest(width, height) AS new_w,
+        |    (height * 640) // greatest(width, height) AS new_h,
+        |    ROUND(640.0 / CAST(greatest(width, height) AS DOUBLE)
+        |      * 10000) / 10000 AS scale
+        |  FROM m)
+        |SELECT doc_id, width, height, new_w, new_h,
+        |  (640 - new_w) // 2 AS pad_left,
+        |  640 - new_w - ((640 - new_w) // 2) AS pad_right,
+        |  (640 - new_h) // 2 AS pad_top,
+        |  640 - new_h - ((640 - new_h) // 2) AS pad_bottom,
+        |  scale
+        |FROM g ORDER BY doc_id""".stripMargin,
     "multimodal_frame_sample" ->
       """WITH f AS (
         |  SELECT doc_id, CAST(k AS BIGINT) AS frame_idx,

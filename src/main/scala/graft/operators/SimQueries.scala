@@ -271,6 +271,57 @@ object SimQueries {
         .orderBy("probe_id")
     }),
 
+    // AVERAGE PRECISION @10 BY LABEL (§2.84) — the third face of the
+    // retrieval-eval triad: NDCG grades the whole page with graded
+    // discounts, MRR grades the first hit, AP@10 grades EVERY hit by
+    // the precision at its position — Σ_{hit k} P@k / min(10, n_rel).
+    // Exactness device: P@k = cumrel/k has denominators k ∈ 1..10
+    // only, so scaling by lcm(1..10) = 2520 makes every summand the
+    // exact integer cumrel·(2520 div k) — the whole statistic is one
+    // integer sum over one integer denominator, a single IEEE
+    // division r4d'd at the edge (the eval_auc_rank doubled-rank
+    // trick with a different common denominator). Shape: the shared
+    // bounded-heap TopKPerGroup(10) per probe, a 10-row window per
+    // probe, broadcast label counts.
+    "eval_ap_retrieval" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"),
+          col("label"))
+      val probes = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("probe_id"), col("v").as("p"),
+          col("label").as("plabel"))
+      val scored = emb.crossJoin(broadcast(probes))
+        .filter(col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("plabel"), col("vec_id"), col("label"),
+          (ArrayDot(col("p"), col("v"))
+            / (sqrt(ArrayDot(col("p"), col("p")))
+              * sqrt(ArrayDot(col("v"), col("v"))))).as("cos"))
+      val top = graft.plans.TopKPerGroup(scored, k = 10,
+        partNames = Seq("probe_id"),
+        orderSpec = Seq(("cos", false), ("vec_id", true)))
+      val w = Window.partitionBy("probe_id")
+        .orderBy(col("cos").desc, col("vec_id"))
+      val ranked = top.withColumn("rk", row_number().over(w).cast("long"))
+        .withColumn("rel", (col("label") === col("plabel")).cast("long"))
+        .withColumn("cumrel", sum(col("rel")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val perProbe = ranked.groupBy("probe_id")
+        .agg(first(col("plabel")).as("plabel"),
+          count_if(col("rel") === 1).as("hits10"),
+          coalesce(sum(when(col("rel") === 1,
+            col("cumrel") * expr("2520 div rk"))), lit(0L)).as("ap_units"))
+      val labelCnt = emb.groupBy(col("label").as("plabel"))
+        .agg(count(lit(1)).as("n_label"))
+      perProbe.join(broadcast(labelCnt), Seq("plabel"))
+        .withColumn("ideal_k", least(lit(10L), col("n_label") - 1))
+        .select(col("probe_id"), col("hits10"), col("ideal_k"),
+          when(col("ideal_k") > 0,
+            r4d(col("ap_units").cast("double")
+              / (lit(2520.0) * col("ideal_k").cast("double"))))
+            .as("ap_at_10"))
+        .orderBy("probe_id")
+    }),
+
     // Per-label elementwise mean of the first 8 dims (exact decimal sums
     // at scale 12 — lossless for float inputs, order-independent).
     "sim_centroid_per_label" -> ((s, dir) => {
@@ -473,6 +524,42 @@ object SimQueries {
          |    * 10000) / 10000 + 0.0 AS ndcg_at_10
          |FROM pp JOIN lc ON lc.plabel = pp.plabel
          |JOIN wt w2 ON w2.rk = least(10, n_label - 1)
+         |ORDER BY pp.probe_id""".stripMargin,
+    // Same ranked grid as NDCG; the 2520-unit summands make ap_units
+    // an exact BIGINT (CAST — the HUGEINT lesson), one division at
+    // the edge.
+    "eval_ap_retrieval" ->
+      s"""WITH $cosSql,
+         |lab AS (SELECT vec_id, label FROM embeddings),
+         |sc AS (SELECT p.probe_id, pl.label AS plabel, p.vec_id,
+         |    nl.label, p.cos
+         |  FROM pairs p
+         |  JOIN lab pl ON pl.vec_id = p.probe_id
+         |  JOIN lab nl ON nl.vec_id = p.vec_id
+         |  WHERE p.vec_id <> p.probe_id),
+         |rkd AS (SELECT *, row_number() OVER (PARTITION BY probe_id
+         |    ORDER BY cos DESC, vec_id) AS rk FROM sc),
+         |tp AS (SELECT probe_id, plabel, rk,
+         |    CASE WHEN label = plabel THEN 1 ELSE 0 END AS rel
+         |  FROM rkd WHERE rk <= 10),
+         |cr AS (SELECT probe_id, plabel, rk, rel,
+         |    CAST(sum(rel) OVER (PARTITION BY probe_id ORDER BY rk
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumrel
+         |  FROM tp),
+         |pp AS (SELECT probe_id, max(plabel) AS plabel,
+         |    count(*) FILTER (WHERE rel = 1) AS hits10,
+         |    CAST(COALESCE(sum(CASE WHEN rel = 1
+         |      THEN cumrel * (2520 // rk) END), 0) AS BIGINT) AS ap_units
+         |  FROM cr GROUP BY probe_id),
+         |lc AS (SELECT label AS plabel, count(*) AS n_label
+         |  FROM lab GROUP BY 1)
+         |SELECT pp.probe_id, hits10,
+         |  least(10, n_label - 1) AS ideal_k,
+         |  CASE WHEN least(10, n_label - 1) > 0 THEN
+         |    ROUND(CAST(ap_units AS DOUBLE)
+         |      / (2520.0 * CAST(least(10, n_label - 1) AS DOUBLE))
+         |      * 10000) / 10000 END AS ap_at_10
+         |FROM pp JOIN lc ON lc.plabel = pp.plabel
          |ORDER BY pp.probe_id""".stripMargin,
     "eval_mrr_label" ->
       s"""WITH $cosSql,

@@ -244,6 +244,45 @@ object StatQueries {
         .orderBy("bin")
     }),
 
+    // PR-AUC / AVERAGE PRECISION (§2.84) — the ranking-quality
+    // companion of eval_auc_rank for IMBALANCED classes (ROC-AUC
+    // flatters a classifier when negatives dominate; AP does not):
+    // AP = Σ_v ΔR·P over the distinct-score grid walked in DESCENDING
+    // score order, where at score v, P = cumP/cumN (precision of the
+    // "predict positive at ≥ v" rule) and ΔR = p_v/n_pos. Exactness:
+    // scores reduce to the integer CENTS grid, the cumulative counts
+    // are exact window integers, and the ≤|distinct cents| rational
+    // terms p_v·(cumP/cumN) fold LEFT-TO-RIGHT over the sorted
+    // (descending-score) list — the agg_geo_harmonic_mean device, so
+    // the double sum is bit-stable across partitionings and engines
+    // (per-term IEEE divisions, libm-free). One /n_pos at the edge,
+    // r4d'd.
+    "eval_pr_auc" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val byScore = events(s, dir)
+        .select(round(col("value") * 100).cast("long").as("cents"),
+          (col("event_type") === "purchase").as("pos"))
+        .groupBy("cents")
+        .agg(count(lit(1)).as("n_v"), count_if(col("pos")).as("p_v"))
+      val w = Window.orderBy(col("cents").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = byScore
+        .withColumn("cumn", sum(col("n_v")).over(w))
+        .withColumn("cump", sum(col("p_v")).over(w))
+        .select((-col("cents")).as("nscore"), col("p_v"),
+          col("cump"), col("cumn"))
+      cum.agg(
+          sum(col("p_v")).as("n_pos"),
+          array_sort(collect_list(struct(col("nscore"), col("p_v"),
+            col("cump"), col("cumn")))).as("vs"))
+        .select(col("n_pos"),
+          r4d(aggregate(col("vs"), lit(0.0), (acc, x) =>
+            acc + x.getField("p_v").cast("double")
+              * (x.getField("cump").cast("double")
+                / x.getField("cumn").cast("double")))
+            / col("n_pos").cast("double")).as("ap"))
+    }),
+
     // TWO-SAMPLE KOLMOGOROV-SMIRNOV (§2.82) — are click and purchase
     // value distributions the same? The D statistic is kept EXACT by
     // cross-multiplication: D = max|c₁/n₁ − c₂/n₂| over the pooled
@@ -524,6 +563,33 @@ object StatQueries {
         |      / count(*) / 200.0 * 10000) / 10000) * 10000) / 10000 + 0.0
         |    AS gap
         |FROM e GROUP BY bin ORDER BY bin""".stripMargin,
+    // PR-AUC: same cents-grid + descending cumulative counts, with
+    // the sorted-list fold (list_sort orders by nscore, the first
+    // struct field) — window sums CAST back from HUGEINT.
+    "eval_pr_auc" ->
+      """WITH e AS (SELECT CAST(round(value * 100) AS BIGINT) AS cents,
+        |    event_type = 'purchase' AS pos FROM events),
+        |byv AS (SELECT cents, count(*) AS n_v,
+        |    count(*) FILTER (WHERE pos) AS p_v
+        |  FROM e GROUP BY cents),
+        |cum AS (SELECT -cents AS nscore, p_v,
+        |    CAST(sum(n_v) OVER (ORDER BY cents DESC
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumn,
+        |    CAST(sum(p_v) OVER (ORDER BY cents DESC
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cump
+        |  FROM byv),
+        |g AS (SELECT CAST(sum(p_v) AS BIGINT) AS n_pos,
+        |    list_sort(list(
+        |      {'nscore': nscore, 'p_v': p_v, 'cump': cump, 'cumn': cumn}))
+        |      AS vs
+        |  FROM cum)
+        |SELECT n_pos,
+        |  ROUND(list_aggregate(list_transform(vs,
+        |      x -> CAST(x.p_v AS DOUBLE)
+        |        * (CAST(x.cump AS DOUBLE) / CAST(x.cumn AS DOUBLE))),
+        |      'sum')
+        |    / CAST(n_pos AS DOUBLE) * 10000) / 10000 AS ap
+        |FROM g""".stripMargin,
     // KS: exact integer cross-multiplied D over the pooled value
     // grid; windowed cumulative sums of BIGINT counts go HUGEINT in
     // DuckDB → CAST back (the HUGEINT lesson). Only the two final

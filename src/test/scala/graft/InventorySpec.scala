@@ -302,10 +302,13 @@ class InventorySpec extends SparkSpec {
     "agg_ks_test", "agg_runs_test", "agg_geo_harmonic_mean",
     // §2.83 round-11 second wave: detection NMS, on-effort track
     // segmentation, OPTIMIZE compaction-as-a-commit
-    "multimodal_nms", "geo_track_sessions", "etl_optimize_compact")
+    "multimodal_nms", "geo_track_sessions", "etl_optimize_compact",
+    // §2.84 round-11 third wave: retrieval AP@10, classifier PR-AUC,
+    // letterbox resize geometry
+    "eval_ap_retrieval", "eval_pr_auc", "multimodal_letterbox")
 
-  test("declared queries cover SURVEY §2 + §2.12-83 exactly (365 keys)") {
-    assert(inventory.size == 365)
+  test("declared queries cover SURVEY §2 + §2.12-84 exactly (368 keys)") {
+    assert(inventory.size == 368)
     val declared = SparkEntry.queries.keySet
     val missing = inventory -- declared
     val extra = declared -- inventory

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
-import graft.streaming.{Doc, GraftStreams}
+import graft.streaming.{Doc, Event, GraftStreams}
 
 /** Checkpoint-recovery lock for the stateful streaming surface: the
   * near-dup scaladoc promises each candidate pair EXACTLY ONCE — that
@@ -134,6 +134,64 @@ class StreamRestartSpec extends SparkSpec {
       s"wrong pairs across restart: ${rows.toSeq.sorted}")
     assert(rows.length == 3,
       s"a pair or padding row re-emitted across the restart: ${rows.toSeq.sorted}")
+  }
+
+  test("sessionFirstTouch: restart recovers session state, emits each session exactly once") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root =
+      java.nio.file.Files.createTempDirectory("graft_attrib_rs").toString
+    val mem = MemoryStream[Event]
+    val t0 = 1700000000000L
+    val H = 3600 * 1000L
+    def ev(id: Long, ms: Long, uid: Long, et: String) =
+      Event(id, ms, uid, et, 1.0)
+    def start() = GraftStreams.sinkToParquet(
+      GraftStreams.sessionFirstTouch(
+        mem.toDF().withColumn("ts", timestamp_millis(col("ts_ms")))),
+      s"$root/data", s"$root/ckpt")
+
+    // Run 1: user 7's session A (click → purchase) finalizes when
+    // user 8's event 3 h on pushes the watermark past A's end; user
+    // 8's session B is still OPEN (un-emitted state) at stop.
+    val q1 = start()
+    mem.addData(ev(1, t0, 7, "click"), ev(2, t0 + 60000, 7, "purchase"))
+    q1.processAllAvailable()
+    val t8 = t0 + 3 * H
+    mem.addData(ev(3, t8, 8, "view"))
+    q1.processAllAvailable()
+    q1.stop()
+
+    // Run 2 from the SAME checkpoint: user 8's purchase 1 min after
+    // their view must MERGE into recovered session B (one session,
+    // not two), session A must not re-emit, and two watermark pushes
+    // finalize B and then user 7's new session C.
+    val q2 = start()
+    mem.addData(ev(4, t8 + 60000, 8, "purchase"))
+    q2.processAllAvailable()
+    mem.addData(ev(5, t0 + 9 * H, 7, "view")) // closes B, opens C
+    q2.processAllAvailable()
+    mem.addData(ev(6, t0 + 15 * H, 9, "view")) // closes C; stays open
+    q2.processAllAvailable()
+    q2.stop()
+
+    val rows = spark.read.parquet(s"$root/data")
+      .select("user_id", "start_ms", "end_ms", "first_touch",
+        "n_events", "n_purchases")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3), r.getLong(4), r.getLong(5)))
+    // Exactly once per session — no (user, start) appears twice.
+    val keys = rows.map(r => (r._1, r._2)).toSeq
+    assert(keys.distinct.size == keys.size,
+      s"a session emitted more than once across the restart: ${rows.toSeq}")
+    // A emitted in run 1 and ONLY run 1; B merged across the restart
+    // (2 events incl. the purchase); C finalized; 9's session open.
+    assert(rows.toSet == Set(
+      (7L, t0, t0 + 60000, "click", 2L, 1L),
+      (8L, t8, t8 + 60000, "view", 2L, 1L),
+      (7L, t0 + 9 * H, t0 + 9 * H, "view", 1L, 0L)),
+      s"wrong sessions across restart: ${rows.toSeq.sortBy(r => (r._1, r._2))}")
   }
 
   test("funnelTransitions idle eviction contract (TestGroupState — no live query)") {
