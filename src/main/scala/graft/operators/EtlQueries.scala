@@ -442,6 +442,28 @@ object EtlQueries {
     // join; coalesce does the repair; per-brand rollup with exact
     // decimal revenue. A dropped-row repair would silently shrink
     // the fact table — the bug this operator exists to prevent.
+    // SURROGATE-KEY ASSIGNMENT (§2.85) — the dimension-build step
+    // every warehouse load runs: dense, gapless, deterministic
+    // surrogate ids for the distinct (part, supplier) pairs observed
+    // in the fact table, ordered by natural key. The ranking runs
+    // through GlobalRank.runningSum of ones over the DISTINCT-pair
+    // table — row_number over a global order WITHOUT the
+    // single-partition window collapse (a 10⁹-pair dim at 100 TB
+    // still ranks in parallel: range-partition, per-partition counts,
+    // O(partitions) offsets to the driver, map-side add). The fact
+    // count rides along from the same reduce.
+    "etl_surrogate_keys" -> ((s, dir) => {
+      val pairs = t(s, dir, "lineitem")
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(count(lit(1)).as("n_facts"))
+        .withColumn("one", lit(1L))
+      graft.plans.GlobalRank
+        .runningSum(pairs, Seq("l_partkey", "l_suppkey"), "one", "sk")
+        .select(col("sk"), col("l_partkey"), col("l_suppkey"),
+          col("n_facts"))
+        .orderBy("sk")
+    }),
+
     "etl_fk_repair" -> ((s, dir) => {
       val li = t(s, dir, "lineitem").select(
         when(pmod(col("l_orderkey"), lit(19)) === 0, -col("l_partkey") - 1)
@@ -892,6 +914,12 @@ object EtlQueries {
         |SELECT relation, n_rows, n_orphans,
         |  ROUND((n_orphans / n_rows) * 10000.0) / 10000.0 AS orphan_pct
         |FROM u ORDER BY relation""".stripMargin,
+    "etl_surrogate_keys" ->
+      """WITH p AS (SELECT l_partkey, l_suppkey, count(*) AS n_facts
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT row_number() OVER (ORDER BY l_partkey, l_suppkey) AS sk,
+        |  l_partkey, l_suppkey, n_facts
+        |FROM p ORDER BY sk""".stripMargin,
     "etl_fk_repair" ->
       s"""WITH c AS (SELECT
          |    CASE WHEN l_orderkey % 19 = 0 THEN -l_partkey - 1

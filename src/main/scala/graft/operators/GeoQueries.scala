@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.Tables.{events, epochDay}
+import graft.Tables.{events, epochDay, t}
 import graft.Det.r4d
 
 /** §2.81 Geospatial survey operators (SURVEY.md, round-10 amendment):
@@ -139,6 +139,50 @@ object GeoQueries {
           r4d(coalesce(sum(when(col("brk") === 0, col("leg_km"))),
             lit(0.0))).as("seg_km"))
         .orderBy("user_id", "seg")
+    }),
+
+    // ZONE CONTAINMENT JOIN (§2.85) — sightings matched to
+    // rectangular survey zones (10°×20° boxes synthesized from nation
+    // keys): the point-in-polygon workhorse as a GRID-BUCKETED
+    // equi-join — zones explode onto the 15° cells they overlap
+    // (bounded ≤ 2×3 cells each), points key to their cell, the join
+    // is a plain equi-join on (cell_lat, cell_lon), and an EXACT
+    // containment filter confirms (the bucket can only admit false
+    // candidates, never lose true ones — truncating division can
+    // over-cover by one cell on negative bounds, which the filter
+    // prunes). This shape survives a MILLION zones where the naive
+    // theta-join (point × zone range predicates) degenerates to a
+    // nested loop; zones with zero sightings are kept by the final
+    // left join. All comparisons are exact: zone bounds are integers,
+    // coordinates exact binary fractions.
+    "geo_zone_join" -> ((s, dir) => {
+      val zones = t(s, dir, "nation").select(
+        col("n_nationkey").cast("long").as("zone_id"),
+        ((col("n_nationkey") % 12) * 15 - 90).cast("long").as("lat_lo"),
+        ((col("n_nationkey") * 7 % 24) * 15 - 180).cast("long")
+          .as("lon_lo"))
+        .withColumn("lat_hi", col("lat_lo") + 10)
+        .withColumn("lon_hi", col("lon_lo") + 20)
+      val zcells = zones
+        .withColumn("cell_lat", explode(sequence(
+          expr("lat_lo div 15"), expr("(lat_hi * 8 - 1) div 120"))))
+        .withColumn("cell_lon", explode(sequence(
+          expr("lon_lo div 15"), expr("(lon_hi * 32 - 1) div 480"))))
+      val pts = sightings(s, dir).select(col("event_id"), col("user_id"),
+        col("lat"), col("lon"),
+        floor(col("lat") / 15).cast("long").as("cell_lat"),
+        floor(col("lon") / 15).cast("long").as("cell_lon"))
+      val matched = zcells.join(pts, Seq("cell_lat", "cell_lon"))
+        .filter(col("lat") >= col("lat_lo") && col("lat") < col("lat_hi")
+          && col("lon") >= col("lon_lo") && col("lon") < col("lon_hi"))
+        .groupBy("zone_id")
+        .agg(count(lit(1)).as("ns"),
+          countDistinct(col("user_id")).as("np"))
+      zones.join(matched, Seq("zone_id"), "left")
+        .select(col("zone_id"), col("lat_lo"), col("lon_lo"),
+          coalesce(col("ns"), lit(0L)).as("n_sightings"),
+          coalesce(col("np"), lit(0L)).as("n_platforms"))
+        .orderBy("zone_id")
     }))
 
   val oracle: Map[String, String] = Map(
@@ -218,5 +262,27 @@ object GeoQueries {
         |  ROUND(COALESCE(sum(CASE WHEN brk = 0 THEN leg_km END), 0.0)
         |    * 10000) / 10000 AS seg_km
         |FROM s GROUP BY user_id, seg
-        |ORDER BY user_id, seg""".stripMargin)
+        |ORDER BY user_id, seg""".stripMargin,
+    // The oracle takes the DIRECT theta join (25 zones × points is
+    // oracle-scale); the declared key's grid bucketing must give the
+    // identical answer — that equivalence IS the test.
+    "geo_zone_join" ->
+      """WITH z AS (SELECT CAST(n_nationkey AS BIGINT) AS zone_id,
+        |    CAST((n_nationkey % 12) * 15 - 90 AS BIGINT) AS lat_lo,
+        |    CAST((n_nationkey * 7 % 24) * 15 - 180 AS BIGINT) AS lon_lo
+        |  FROM nation),
+        |zz AS (SELECT zone_id, lat_lo, lon_lo,
+        |    lat_lo + 10 AS lat_hi, lon_lo + 20 AS lon_hi FROM z),
+        |p AS (SELECT event_id, user_id,
+        |    CAST(event_id % 1440 AS DOUBLE) / 8 - 90 AS lat,
+        |    CAST((user_id * 997 + event_id * 31) % 11520 AS DOUBLE)
+        |      / 32 - 180 AS lon
+        |  FROM events)
+        |SELECT zone_id, lat_lo, lon_lo,
+        |  count(p.event_id) AS n_sightings,
+        |  count(DISTINCT p.user_id) AS n_platforms
+        |FROM zz LEFT JOIN p
+        |  ON p.lat >= lat_lo AND p.lat < lat_hi
+        |  AND p.lon >= lon_lo AND p.lon < lon_hi
+        |GROUP BY 1, 2, 3 ORDER BY zone_id""".stripMargin)
 }

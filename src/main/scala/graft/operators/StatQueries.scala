@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables.{t, events, epochDay}
-import graft.Det.{r4d, sqlEpochDay}
+import graft.Det.{r4d, sqlAvg, sqlEpochDay}
 
 /** §2.74+ Statistical inference + evaluation-metric operators
   * (SURVEY.md, round-10 amendment): the hypothesis-test and
@@ -402,6 +402,56 @@ object StatQueries {
         .orderBy("event_type")
     }),
 
+    // POISSON-BOOTSTRAP CONFIDENCE INTERVAL (§2.85) — the
+    // distributed-scale bootstrap: instead of materializing B
+    // resampled datasets (impossible at 100 TB), each row draws a
+    // Poisson(1) REPLICATION COUNT per replicate — the standard
+    // streaming/MapReduce bootstrap approximation (multinomial →
+    // Poisson for large n) — so one scan feeds all B=48 replicate
+    // means and the 95% CI of the mean is the (2nd, 47th) order
+    // statistics of the sorted replicate means (ceil(q·B) selection,
+    // the PERCENTILE_DISC convention).
+    //
+    // Determinism: the "random" count is the md5-prefix device
+    // (pipeline_kfold_group's) keyed by (event_id, replicate) — a
+    // 16-bit hex prefix compared against the Poisson(1) CDF cut
+    // points floor(CDF·2¹⁶) — so both engines draw the IDENTICAL
+    // resample. Replicate sums are exact decimals (cnt·value carries
+    // 2dp), each mean is one IEEE division, and the 48 doubles sort
+    // and select identically; r4d only at the CI edge.
+    "agg_bootstrap_ci" -> ((s, dir) => {
+      val B = 48
+      val e = events(s, dir)
+        .select(col("event_id"), col("event_type"), col("value"))
+        .withColumn("b", explode(sequence(lit(1), lit(B))))
+      val h4 = substring(md5(concat(col("event_id").cast("string"),
+        lit(":"), col("b").cast("string")).cast("binary")), 1, 4)
+      val cnt = when(h4 < "5e2d", 0).when(h4 < "bc5a", 1)
+        .when(h4 < "eb71", 2).when(h4 < "fb23", 3)
+        .when(h4 < "ff10", 4).when(h4 < "ffd9", 5).otherwise(6)
+      val rep = e.withColumn("cnt", cnt)
+        .groupBy(col("event_type"), col("b"))
+        .agg(sum(col("cnt")).as("m"),
+          sum((col("cnt") * col("value")).cast(graft.Det.D)).as("sv"))
+        .filter(col("m") > 0)
+        .select(col("event_type"),
+          (col("sv").cast("double") / col("m").cast("double"))
+            .as("mean_b"))
+      val full = events(s, dir).groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          graft.Det.davg(col("value")).as("mean_value"))
+      val ci = rep.groupBy("event_type")
+        .agg(count(lit(1)).as("n_replicates"),
+          array_sort(collect_list(col("mean_b"))).as("ms"))
+        .select(col("event_type"), col("n_replicates"),
+          r4d(element_at(col("ms"), 2)).as("ci_lo"),
+          r4d(element_at(col("ms"), 47)).as("ci_hi"))
+      full.join(ci, Seq("event_type"))
+        .select(col("event_type"), col("n"), col("mean_value"),
+          col("n_replicates"), col("ci_lo"), col("ci_hi"))
+        .orderBy("event_type")
+    }),
+
     // SPEARMAN RANK CORRELATION (§2.76) — Pearson on average ranks of
     // the daily click/purchase series: the monotone-robust sibling of
     // agg_kendall_tau on literally the same zero-filled spine.
@@ -563,6 +613,37 @@ object StatQueries {
         |      / count(*) / 200.0 * 10000) / 10000) * 10000) / 10000 + 0.0
         |    AS gap
         |FROM e GROUP BY bin ORDER BY bin""".stripMargin,
+    // Bootstrap: identical md5-prefix Poisson draws, exact decimal
+    // replicate sums, 1-based list index selection after list_sort.
+    "agg_bootstrap_ci" ->
+      s"""WITH r AS (SELECT event_id, event_type, value,
+         |    CAST(b AS INT) AS b
+         |  FROM events, LATERAL (SELECT unnest(range(1, 49)) AS b)),
+         |c AS (SELECT event_type, b, value,
+         |    CASE WHEN h < '5e2d' THEN 0 WHEN h < 'bc5a' THEN 1
+         |         WHEN h < 'eb71' THEN 2 WHEN h < 'fb23' THEN 3
+         |         WHEN h < 'ff10' THEN 4 WHEN h < 'ffd9' THEN 5
+         |         ELSE 6 END AS cnt
+         |  FROM (SELECT *, substr(md5(CAST(event_id AS VARCHAR)
+         |      || ':' || CAST(b AS VARCHAR)), 1, 4) AS h FROM r)),
+         |rep AS (SELECT event_type, b,
+         |    CAST(sum(cnt) AS BIGINT) AS m,
+         |    sum(CAST(cnt * value AS DECIMAL(38,6))) AS sv
+         |  FROM c GROUP BY 1, 2),
+         |mb AS (SELECT event_type,
+         |    CAST(sv AS DOUBLE) / CAST(m AS DOUBLE) AS mean_b
+         |  FROM rep WHERE m > 0),
+         |ci AS (SELECT event_type, count(*) AS n_replicates,
+         |    list_sort(list(mean_b)) AS ms
+         |  FROM mb GROUP BY 1),
+         |f AS (SELECT event_type, count(*) AS n,
+         |    ${sqlAvg("value")} AS mean_value
+         |  FROM events GROUP BY 1)
+         |SELECT f.event_type, n, mean_value, n_replicates,
+         |  ROUND(ms[2] * 10000) / 10000 AS ci_lo,
+         |  ROUND(ms[47] * 10000) / 10000 AS ci_hi
+         |FROM f JOIN ci USING (event_type)
+         |ORDER BY event_type""".stripMargin,
     // PR-AUC: same cents-grid + descending cumulative counts, with
     // the sorted-list fold (list_sort orders by nscore, the first
     // struct field) — window sums CAST back from HUGEINT.

@@ -305,10 +305,13 @@ class InventorySpec extends SparkSpec {
     "multimodal_nms", "geo_track_sessions", "etl_optimize_compact",
     // §2.84 round-11 third wave: retrieval AP@10, classifier PR-AUC,
     // letterbox resize geometry
-    "eval_ap_retrieval", "eval_pr_auc", "multimodal_letterbox")
+    "eval_ap_retrieval", "eval_pr_auc", "multimodal_letterbox",
+    // §2.85 round-11 fourth wave: Poisson-bootstrap CI, surrogate-key
+    // assignment, grid-bucketed zone containment join
+    "agg_bootstrap_ci", "etl_surrogate_keys", "geo_zone_join")
 
-  test("declared queries cover SURVEY §2 + §2.12-84 exactly (368 keys)") {
-    assert(inventory.size == 368)
+  test("declared queries cover SURVEY §2 + §2.12-85 exactly (371 keys)") {
+    assert(inventory.size == 371)
     val declared = SparkEntry.queries.keySet
     val missing = inventory -- declared
     val extra = declared -- inventory

@@ -1255,4 +1255,29 @@ class PlanAuditSpec extends SparkSpec {
       s"events must scan once: ${p.take(2000)}")
     assert(!p.contains("Join"), s"chi2 must be join-free: ${p.take(1500)}")
   }
+
+  test("greedy NMS is join-free: per-image fold, no pairwise join at all") {
+    val p = plan("multimodal_nms")
+    assert(!p.contains("Join"), s"NMS must not join: ${p.take(2000)}")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("zone containment joins on grid cells, never a nested loop") {
+    val p = plan("geo_zone_join")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"zone join degenerated to a nested loop: ${p.take(2000)}")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("track sessions pay ONE user-keyed hash exchange for windows + reduce") {
+    val p = plan("geo_track_sessions")
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).size == 1,
+      s"expected exactly one user_id exchange: ${p.take(3000)}")
+  }
+
+  test("surrogate keys rank with NO Window operator (GlobalRank path)") {
+    val p = plan("etl_surrogate_keys")
+    assert(!p.contains("Window"),
+      s"surrogate ranking fell back to a window: ${p.take(2000)}")
+  }
 }
