@@ -1880,6 +1880,46 @@ object AnalyticsQueries {
         .orderBy("event_type", "day")
     }),
 
+    // STL-STYLE SEASONAL DECOMPOSITION (§2.86) — the classic additive
+    // trend/seasonal/residual split of the per-type daily series:
+    // trend = centered 7-day moving average, seasonal = per-day-of-week
+    // mean of the detrended series, residual = what's left — the
+    // decomposition every capacity/anomaly dashboard starts from (the
+    // moving-average STL core; LOESS refinement is a fitting loop, not
+    // a query, and deliberately out of scope).
+    //
+    // Exactness device: everything is computed in UNITS OF 1/7 —
+    // trend7 = the 7-day window SUM (exact integer), detrended7 =
+    // 7·y − trend7 (exact integer), seasonal7 = one davg-style
+    // integer-sum division per (type, dow) — so no inexact double is
+    // ever summed; each output is its integer (or one-division)
+    // numerator divided by 7 once, r4d'd. Edge days (incomplete
+    // 7-day window) emit NULL trend/residual, never a fake value.
+    // Scale: the corpus reduces to |types|×|days| before any window;
+    // the seasonal table is ≤ |types|×7 rows, broadcast back.
+    "ts_stl_decompose" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w7 = Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(-3, 3)
+      val d = zeroFilledDaily(s, dir)
+        .withColumn("nwin", count(lit(1)).over(w7))
+        .withColumn("trend7",
+          when(col("nwin") === 7, sum(col("y")).over(w7)))
+        .withColumn("dow", col("day") % 7)
+        .withColumn("detr7", lit(7) * col("y") - col("trend7"))
+      val seasonal = d.filter(col("detr7").isNotNull)
+        .groupBy("event_type", "dow")
+        .agg((sum(col("detr7")).cast("double")
+          / count(lit(1)).cast("double")).as("seasonal7"))
+      d.join(broadcast(seasonal), Seq("event_type", "dow"), "left")
+        .select(col("event_type"), col("day"), col("y"),
+          r4d(col("trend7").cast("double") / lit(7.0)).as("trend"),
+          r4d(col("seasonal7") / lit(7.0)).as("seasonal"),
+          r4d((col("detr7").cast("double") - col("seasonal7")) / lit(7.0))
+            .as("residual"))
+        .orderBy("event_type", "day")
+    }),
+
     // ANSI FILTER-CLAUSE AGGREGATES + bool_and/bool_or — the
     // conditional-aggregation SQL surface (`agg(...) FILTER (WHERE p)`)
     // that replaces the CASE-WHEN-inside-SUM idiom (sql_tpch_q14's
@@ -3073,6 +3113,35 @@ object AnalyticsQueries {
          |FROM f WINDOW w AS (PARTITION BY event_type ORDER BY day)
          |ORDER BY event_type, day""".stripMargin
     },
+    // STL: the same 1/7-unit integers; negative-capable outputs carry
+    // the +0.0 normalizer, NULL edge trends stay NULL through it.
+    "ts_stl_decompose" ->
+      s"""WITH e AS (SELECT event_type, ${sqlEpochDay("ts")} AS day
+         |  FROM events),
+         |d AS (SELECT event_type, day, count(*) AS y FROM e GROUP BY 1, 2),
+         |b AS (SELECT min(day) AS lo, max(day) AS hi FROM e),
+         |ty AS (SELECT DISTINCT event_type FROM e),
+         |spine AS (SELECT event_type, unnest(range(lo, hi + 1)) AS day
+         |  FROM ty CROSS JOIN b),
+         |f AS (SELECT s.event_type, s.day, COALESCE(d.y, 0) AS y
+         |  FROM spine s LEFT JOIN d USING (event_type, day)),
+         |t7 AS (SELECT event_type, day, y, day % 7 AS dow,
+         |    CASE WHEN count(*) OVER w7 = 7
+         |      THEN CAST(sum(y) OVER w7 AS BIGINT) END AS trend7
+         |  FROM f WINDOW w7 AS (PARTITION BY event_type ORDER BY day
+         |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+         |dt AS (SELECT *, 7 * y - trend7 AS detr7 FROM t7),
+         |se AS (SELECT event_type, dow,
+         |    CAST(sum(detr7) AS DOUBLE) / count(*) AS seasonal7
+         |  FROM dt WHERE detr7 IS NOT NULL GROUP BY 1, 2)
+         |SELECT dt.event_type, dt.day, CAST(dt.y AS BIGINT) AS y,
+         |  ROUND(CAST(trend7 AS DOUBLE) / 7.0 * 10000) / 10000 + 0.0
+         |    AS trend,
+         |  ROUND(seasonal7 / 7.0 * 10000) / 10000 + 0.0 AS seasonal,
+         |  ROUND((CAST(detr7 AS DOUBLE) - seasonal7) / 7.0 * 10000)
+         |    / 10000 + 0.0 AS residual
+         |FROM dt LEFT JOIN se USING (event_type, dow)
+         |ORDER BY event_type, day""".stripMargin,
     "agg_filter_clause" ->
       s"""SELECT l_returnflag,
          |  count(*) AS n_all,

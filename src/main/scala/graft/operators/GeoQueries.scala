@@ -183,6 +183,35 @@ object GeoQueries {
           coalesce(col("ns"), lit(0L)).as("n_sightings"),
           coalesce(col("np"), lit(0L)).as("n_platforms"))
         .orderBy("zone_id")
+    }),
+
+    // NEIGHBORHOOD-SMOOTHED DENSITY (§2.86) — the 3×3 box-kernel pass
+    // over the geo_grid_density surface (a raw per-cell heatmap of
+    // sparse survey data is speckle; every density product smooths):
+    // computed as SCATTER, not gather — each occupied cell explodes
+    // its count onto its 9 neighbor positions and a second
+    // partial-aggregating reduce sums contributions per target, so
+    // the work is O(occupied cells × 9) with NO self-join and no
+    // neighbor lookups (the map-reduce stencil shape; a join-based
+    // gather would shuffle the cell table twice for the same answer).
+    // Output keeps only OCCUPIED cells (inner join back) so the
+    // surface stays bounded by data, not by the world grid. All
+    // integer counts — exact everywhere.
+    "geo_grid_smooth" -> ((s, dir) => {
+      val base = sightings(s, dir)
+        .select(floor(col("lat") / 2).cast("long").as("cell_lat"),
+          floor(col("lon") / 2).cast("long").as("cell_lon"))
+        .groupBy("cell_lat", "cell_lon").agg(count(lit(1)).as("n_raw"))
+      val spread = base
+        .withColumn("di", explode(sequence(lit(-1L), lit(1L))))
+        .withColumn("dj", explode(sequence(lit(-1L), lit(1L))))
+        .groupBy((col("cell_lat") + col("di")).as("cell_lat"),
+          (col("cell_lon") + col("dj")).as("cell_lon"))
+        .agg(sum(col("n_raw")).as("n_smooth"))
+      base.join(spread, Seq("cell_lat", "cell_lon"))
+        .select(col("cell_lat"), col("cell_lon"), col("n_raw"),
+          col("n_smooth"))
+        .orderBy("cell_lat", "cell_lon")
     }))
 
   val oracle: Map[String, String] = Map(
@@ -284,5 +313,24 @@ object GeoQueries {
         |FROM zz LEFT JOIN p
         |  ON p.lat >= lat_lo AND p.lat < lat_hi
         |  AND p.lon >= lon_lo AND p.lon < lon_hi
-        |GROUP BY 1, 2, 3 ORDER BY zone_id""".stripMargin)
+        |GROUP BY 1, 2, 3 ORDER BY zone_id""".stripMargin,
+    // The oracle gathers (self-join on |Δ| ≤ 1); the declared key
+    // scatters — identical answers, different scale shapes.
+    "geo_grid_smooth" ->
+      """WITH p AS (SELECT
+        |    CAST(event_id % 1440 AS DOUBLE) / 8 - 90 AS lat,
+        |    CAST((user_id * 997 + event_id * 31) % 11520 AS DOUBLE)
+        |      / 32 - 180 AS lon
+        |  FROM events),
+        |base AS (SELECT CAST(floor(lat / 2) AS BIGINT) AS cell_lat,
+        |    CAST(floor(lon / 2) AS BIGINT) AS cell_lon,
+        |    count(*) AS n_raw
+        |  FROM p GROUP BY 1, 2)
+        |SELECT b.cell_lat, b.cell_lon, b.n_raw,
+        |  CAST(sum(n.n_raw) AS BIGINT) AS n_smooth
+        |FROM base b JOIN base n
+        |  ON abs(n.cell_lat - b.cell_lat) <= 1
+        |  AND abs(n.cell_lon - b.cell_lon) <= 1
+        |GROUP BY 1, 2, 3
+        |ORDER BY b.cell_lat, b.cell_lon""".stripMargin)
 }

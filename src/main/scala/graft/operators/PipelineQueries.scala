@@ -544,6 +544,38 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // OVERLAPPED TILE GRID (§2.86) — SAHI-style tiling for
+    // small-object detection on large survey frames: 320×320 tiles at
+    // stride 256 (64 px overlap so no object is split at every
+    // boundary), with the last tile per axis clamped flush to the
+    // image edge. Tile counts and positions are pure integer
+    // arithmetic on the multimodal_stub metadata dims — nx = 1 +
+    // max(0, ⌈(W−320)/256⌉) via the (x + 255) div 256 ceiling trick,
+    // and only the LAST tile per axis can clamp, so positions are
+    // duplicate-free by construction. Map-side explode (the
+    // byte-chunks shape): the tile manifest is what a distributed
+    // decoder fans out over, one executor per tile, skew capped at
+    // tile granularity.
+    "multimodal_tiling" -> ((s, dir) => {
+      val m = t(s, dir, "documents").select(col("doc_id"),
+        ((col("n_chars") % 640) + 1).cast("long").as("width"),
+        ((col("doc_id") % 480) + 1).cast("long").as("height"))
+      m.withColumn("nx",
+          lit(1L) + greatest(lit(0L), expr("(width - 320 + 255) div 256")))
+        .withColumn("ny",
+          lit(1L) + greatest(lit(0L), expr("(height - 320 + 255) div 256")))
+        .withColumn("ti", explode(sequence(lit(0L), col("nx") - 1)))
+        .withColumn("tj", explode(sequence(lit(0L), col("ny") - 1)))
+        .withColumn("x",
+          least(col("ti") * 256, greatest(lit(0L), col("width") - 320)))
+        .withColumn("y",
+          least(col("tj") * 256, greatest(lit(0L), col("height") - 320)))
+        .select(col("doc_id"), col("ti"), col("tj"), col("x"), col("y"),
+          least(lit(320L), col("width") - col("x")).as("tw"),
+          least(lit(320L), col("height") - col("y")).as("th"))
+        .orderBy("doc_id", "ti", "tj")
+    }),
+
     "multimodal_byte_chunks" -> ((s, dir) => {
       val chunk = 1024L
       t(s, dir, "documents")
@@ -1372,6 +1404,26 @@ object PipelineQueries {
         |  640 - new_h - ((640 - new_h) // 2) AS pad_bottom,
         |  scale
         |FROM g ORDER BY doc_id""".stripMargin,
+    // Tiling: all-integer; `//` truncation equals Spark's div here
+    // (the one negative operand is swallowed by greatest(0, ·)).
+    "multimodal_tiling" ->
+      """WITH m AS (SELECT doc_id,
+        |    CAST((n_chars % 640) + 1 AS BIGINT) AS width,
+        |    CAST((doc_id % 480) + 1 AS BIGINT) AS height
+        |  FROM documents),
+        |n AS (SELECT *,
+        |    1 + greatest(0, (width - 320 + 255) // 256) AS nx,
+        |    1 + greatest(0, (height - 320 + 255) // 256) AS ny
+        |  FROM m),
+        |tiles AS (SELECT doc_id, width, height, ti, tj,
+        |    least(ti * 256, greatest(0, width - 320)) AS x,
+        |    least(tj * 256, greatest(0, height - 320)) AS y
+        |  FROM n,
+        |    LATERAL (SELECT unnest(range(nx)) AS ti),
+        |    LATERAL (SELECT unnest(range(ny)) AS tj))
+        |SELECT doc_id, ti, tj, x, y,
+        |  least(320, width - x) AS tw, least(320, height - y) AS th
+        |FROM tiles ORDER BY doc_id, ti, tj""".stripMargin,
     "multimodal_frame_sample" ->
       """WITH f AS (
         |  SELECT doc_id, CAST(k AS BIGINT) AS frame_idx,

@@ -308,10 +308,13 @@ class InventorySpec extends SparkSpec {
     "eval_ap_retrieval", "eval_pr_auc", "multimodal_letterbox",
     // §2.85 round-11 fourth wave: Poisson-bootstrap CI, surrogate-key
     // assignment, grid-bucketed zone containment join
-    "agg_bootstrap_ci", "etl_surrogate_keys", "geo_zone_join")
+    "agg_bootstrap_ci", "etl_surrogate_keys", "geo_zone_join",
+    // §2.86 round-11 fifth wave: STL decomposition, SAHI tile grid,
+    // box-kernel density smoothing
+    "ts_stl_decompose", "multimodal_tiling", "geo_grid_smooth")
 
-  test("declared queries cover SURVEY §2 + §2.12-85 exactly (371 keys)") {
-    assert(inventory.size == 371)
+  test("declared queries cover SURVEY §2 + §2.12-86 exactly (374 keys)") {
+    assert(inventory.size == 374)
     val declared = SparkEntry.queries.keySet
     val missing = inventory -- declared
     val extra = declared -- inventory
