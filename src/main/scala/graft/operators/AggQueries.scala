@@ -984,10 +984,56 @@ object AggQueries {
           r4d(col("n_orders").cast("double")
             / col("total").cast("double")).as("share"))
         .orderBy("basket")
+    }),
+
+    // LOG2 (HDR-STYLE) HISTOGRAM (§2.87) — power-of-two buckets over
+    // order totals in cents: the latency/size-distribution shape
+    // observability systems use when linear bins can't span 6 decades.
+    // Determinism device: the bucket is NOT floor(log2(x)) — libm log2
+    // can land a hair under an integer at exact powers of two — but
+    // the BIT LENGTH of the cents integer (length(bin(x)) − 1),
+    // identical in both engines by integer-string construction; bucket
+    // bounds come from shiftleft, never pow(). One map-side derive +
+    // one ≤64-row reduce; shares are exact-count divisions.
+    "agg_log2_histogram" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val b = t(s, dir, "orders")
+        .select(round(col("o_totalprice") * 100).cast("long").as("cents"))
+        .select((length(bin(col("cents"))) - 1).cast("long").as("bucket"),
+          col("cents"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"), min(col("cents")).as("min_cents"),
+          max(col("cents")).as("max_cents"))
+      b.withColumn("total", sum(col("n")).over(Window.partitionBy()))
+        .select(col("bucket"),
+          expr("shiftleft(1L, cast(bucket as int))").as("lo_cents"),
+          expr("shiftleft(1L, cast(bucket as int) + 1) - 1")
+            .as("hi_cents"),
+          col("n"), col("min_cents"), col("max_cents"),
+          r4d(col("n").cast("double") / col("total").cast("double"))
+            .as("share"))
+        .orderBy("bucket")
     })
   )
 
   val oracle: Map[String, String] = Map(
+    // Bit-length bucket via the same bin()-string device; bounds via
+    // << on BIGINT, never pow().
+    "agg_log2_histogram" ->
+      """WITH c AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT)
+        |    AS cents FROM orders),
+        |b AS (SELECT length(bin(cents)) - 1 AS bucket,
+        |    count(*) AS n,
+        |    min(cents) AS min_cents, max(cents) AS max_cents
+        |  FROM c GROUP BY 1),
+        |t AS (SELECT *, CAST(sum(n) OVER () AS BIGINT) AS total FROM b)
+        |SELECT CAST(bucket AS BIGINT) AS bucket,
+        |  CAST(1 AS BIGINT) << bucket AS lo_cents,
+        |  (CAST(1 AS BIGINT) << (bucket + 1)) - 1 AS hi_cents,
+        |  n, min_cents, max_cents,
+        |  ROUND(CAST(n AS DOUBLE) / CAST(total AS DOUBLE) * 10000)
+        |    / 10000 AS share
+        |FROM t ORDER BY bucket""".stripMargin,
     // The strongest claim a custom aggregate can make: the bitmap's
     // popcount must equal count(DISTINCT) exactly, row for row.
     "agg_bitmap_distinct" ->

@@ -229,6 +229,49 @@ object GraphQueries {
       dist.orderBy("node")
     }),
 
+    // HARMONIC CENTRALITY, 3-HOP (§2.87) — per-seed Σ 1/d(s,v) over
+    // the BFS ball (the closeness variant that handles disconnected
+    // graphs; truncated at the same 3 rounds as graph_bfs_distance —
+    // the unrolled-oracle contract). The BFS state carries a
+    // COMPOSITE (seed, node) key so ALL ~|V|/997 seeds run in ONE
+    // 3-round loop — per round one equi-join frontier expansion + one
+    // (seed, node)-keyed min reduce, exactly bfsFullReagg's plan with
+    // the seed column riding along (a per-seed driver loop would pay
+    // 3·|seeds| joins). Same eager-materialization discipline as the
+    // other fixed-round graph keys. Exactness: distances are 1..3,
+    // so 1/d in SIXTHS (6 div d ∈ {6,3,2}) is an exact integer sum;
+    // one division at the edge.
+    "graph_closeness" -> ((s, dir) => {
+      val half = org.apache.spark.sql.graftshim.dropOriginConstraints(
+        sampledOrientedEdges(s, dir, None).localCheckpoint(true))
+      val ed = half.select(col("a").as("src"), col("b").as("dst"))
+        .unionAll(half.select(col("b").as("src"), col("a").as("dst")))
+        .persist()
+      val seeds = t(s, dir, "lineitem")
+        .select(col("l_partkey").as("node")).distinct()
+        .filter(pmod(col("node"), lit(997)) === 0)
+      var dist = seeds.select(col("node").as("seed"), col("node"),
+        lit(0L).as("dist")).localCheckpoint(true)
+      for (r <- 1 to BfsRounds) {
+        val nxt = dist.filter(col("dist") === (r - 1).toLong)
+          .join(ed, col("node") === col("src"))
+          .select(col("seed"), col("dst").as("node"),
+            lit(r.toLong).as("dist"))
+        dist = dist.unionAll(nxt)
+          .groupBy("seed", "node").agg(min(col("dist")).as("dist"))
+          .localCheckpoint(true)
+      }
+      val res = dist.filter(col("dist") > 0)
+        .groupBy("seed")
+        .agg(count(lit(1)).as("n_reached"),
+          sum(expr("6 div dist")).as("h6"))
+        .select(col("seed"), col("n_reached"),
+          r4d(col("h6").cast("double") / lit(6.0)).as("harmonic_3hop"))
+        .orderBy("seed")
+      ed.unpersist()
+      res
+    }),
+
     // LOCAL CLUSTERING COEFFICIENT — triangles normalized by wedge
     // capacity, cc(v) = 2·T(v)/(deg·(deg−1)): the per-node community
     // density score on top of graph_triangle_count's raw counts (high
@@ -622,6 +665,34 @@ object GraphQueries {
       }.mkString(",\n")
       s"$prelude,\n$rounds\n" +
         s"SELECT node, dist FROM d$BfsRounds ORDER BY node"
+    },
+    // Same unrolled BFS with the (seed, node) composite key; sixths
+    // keep the harmonic sum integer (CAST — the HUGEINT lesson).
+    "graph_closeness" -> {
+      val prelude =
+        """WITH pp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+          |  FROM lineitem),
+          |half AS (SELECT DISTINCT x.p AS a, y.p AS b
+          |  FROM pp x JOIN pp y ON x.ok = y.ok AND x.p < y.p),
+          |ed AS MATERIALIZED (SELECT a AS src, b AS dst FROM half
+          |  UNION ALL SELECT b, a FROM half),
+          |d0 AS MATERIALIZED (SELECT p AS seed, p AS node,
+          |    CAST(0 AS BIGINT) AS dist
+          |  FROM (SELECT DISTINCT p FROM pp WHERE p % 997 = 0))""".stripMargin
+      val rounds = (1 to BfsRounds).map { i =>
+        s"""d$i AS MATERIALIZED (SELECT seed, node, min(dist) AS dist
+           |  FROM (
+           |    SELECT d.seed, ed.dst AS node, d.dist + 1 AS dist
+           |    FROM ed JOIN d${i - 1} d ON ed.src = d.node
+           |    UNION ALL SELECT seed, node, dist FROM d${i - 1})
+           |  GROUP BY 1, 2)""".stripMargin
+      }.mkString(",\n")
+      s"$prelude,\n$rounds\n" +
+        s"""SELECT seed, count(*) AS n_reached,
+           |  ROUND(CAST(CAST(sum(6 // dist) AS BIGINT) AS DOUBLE)
+           |    / 6.0 * 10000) / 10000 AS harmonic_3hop
+           |FROM d$BfsRounds WHERE dist > 0
+           |GROUP BY seed ORDER BY seed""".stripMargin
     },
     // Triangle chain + sampled degrees, identical double spelling for
     // the normalization.

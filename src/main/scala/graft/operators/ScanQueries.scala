@@ -213,6 +213,30 @@ object ScanQueries {
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     }),
 
+    // GZIP-COMPRESSED CSV roundtrip (§2.87) — the codec face of the
+    // CSV source: write with compression=gzip (one .csv.gz part per
+    // partition; gzip is NOT splittable, so at 100 TB each file is
+    // one task's read — the layout must keep files small, which is
+    // why the writer coalesces deliberately here), read back with the
+    // explicit schema. Content must be codec-invariant — the oracle
+    // is the raw fixture.
+    "scan_csv_gzip_roundtrip" -> ((s, dir) => {
+      val tmp = s"${scratch(s, dir)}/csv_gz_customer"
+      writeOnce(tmp) {
+        t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+            col("c_acctbal"))
+          .coalesce(1).write.mode("overwrite")
+          .option("header", "true").option("compression", "gzip")
+          .csv(tmp)
+      }
+      s.read.schema(
+          "c_custkey BIGINT, c_name STRING, c_nationkey BIGINT, " +
+            "c_acctbal DOUBLE")
+        .option("header", "true").csv(tmp)
+        .orderBy(col("c_custkey"))
+    }),
+
     // Write→read roundtrip through a schema-explicit CSV source.
     "scan_csv_roundtrip" -> ((s, dir) => {
       val tmp = s"${scratch(s, dir)}/csv_nation"
@@ -922,6 +946,9 @@ object ScanQueries {
     // Roundtrips are lossless → oracle reads the parquet directly.
     "scan_csv_roundtrip" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+    "scan_csv_gzip_roundtrip" ->
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal
+        |FROM customer ORDER BY c_custkey""".stripMargin,
     "scan_json_roundtrip" ->
       "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
     "scan_orc_roundtrip" ->

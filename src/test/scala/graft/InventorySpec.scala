@@ -311,10 +311,13 @@ class InventorySpec extends SparkSpec {
     "agg_bootstrap_ci", "etl_surrogate_keys", "geo_zone_join",
     // §2.86 round-11 fifth wave: STL decomposition, SAHI tile grid,
     // box-kernel density smoothing
-    "ts_stl_decompose", "multimodal_tiling", "geo_grid_smooth")
+    "ts_stl_decompose", "multimodal_tiling", "geo_grid_smooth",
+    // §2.87 round-11 sixth wave: harmonic centrality, log2 histogram,
+    // gzip CSV codec roundtrip
+    "graph_closeness", "agg_log2_histogram", "scan_csv_gzip_roundtrip")
 
-  test("declared queries cover SURVEY §2 + §2.12-86 exactly (374 keys)") {
-    assert(inventory.size == 374)
+  test("declared queries cover SURVEY §2 + §2.12-87 exactly (377 keys)") {
+    assert(inventory.size == 377)
     val declared = SparkEntry.queries.keySet
     val missing = inventory -- declared
     val extra = declared -- inventory
