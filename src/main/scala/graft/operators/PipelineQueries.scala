@@ -576,6 +576,169 @@ object PipelineQueries {
         .orderBy("doc_id", "ti", "tj")
     }),
 
+    // DETECTION MATCHING EVAL (§2.88) — per-image precision/recall of
+    // predictions against ground truth by IoU-mutual-best matching
+    // (each gt's best pred AND each pred's best gt, IoU ≥ 0.5): the
+    // one-to-one matcher tracking benchmarks use, and the evaluation
+    // table a survey-detector regression suite reports per flight.
+    // Fixture: 64 gt boxes per image on an 8×8 100-px grid (image_id
+    // = p_partkey div 64 — images SCALE WITH the corpus while the
+    // per-image detection count stays the grid constant, which is how
+    // detector output actually scales); predictions drop every
+    // 13th gt (misses), shift every 17th by +30 px (localization
+    // failures below the IoU gate), and add a spurious off-grid box
+    // every 11th (false positives). The candidate join is on image_id
+    // alone — per-image pairs are bounded by the 64-box grid, not the
+    // corpus — and the match decision is the exact-integer 2·inter ≥
+    // union test; ranks order by the IEEE-exact iou division (same
+    // int operands → same double on both engines) with integer
+    // tie-breaks. Two window ranks + one reduce per image.
+    "eval_det_match" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val base = t(s, dir, "part").select(col("p_partkey").as("k"),
+        col("p_size").cast("long").as("sz"),
+        round(col("p_retailprice") * 100).cast("long").as("cents"))
+        .select(col("k"), col("sz"), col("cents"),
+          expr("k div 64").as("image_id"),
+          ((col("k") % 8) * 100).as("gx1"),
+          (expr("(k % 64) div 8") * 100).as("gy1"))
+        .withColumn("gx2", col("gx1") + 40 + col("sz") % 20)
+        .withColumn("gy2", col("gy1") + 60 + col("k") % 13)
+      val gt = base.select(col("image_id"), col("k").as("gt_id"),
+        col("gx1"), col("gy1"), col("gx2"), col("gy2"))
+      val jit = base.filter(col("k") % 13 =!= 0)
+        .withColumn("dx", col("sz") % 9 - 4
+          + when(col("k") % 17 === 0, 30).otherwise(0))
+        .withColumn("dy", col("cents") % 11 - 5)
+        .select(col("image_id"), col("k").as("det_id"),
+          (col("gx1") + col("dx")).as("px1"),
+          (col("gy1") + col("dy")).as("py1"),
+          (col("gx2") + col("dx")).as("px2"),
+          (col("gy2") + col("dy")).as("py2"))
+      val fp = base.filter(col("k") % 11 === 0)
+        .select(col("image_id"), (col("k") + 100000000L).as("det_id"),
+          (col("gx1") + 50).as("px1"), (col("gy1") + 50).as("py1"),
+          (col("gx1") + 90).as("px2"), (col("gy1") + 110).as("py2"))
+      val pred = jit.unionAll(fp)
+      val pairs = gt.join(pred, Seq("image_id"))
+        .withColumn("inter",
+          greatest(lit(0L), least(col("gx2"), col("px2"))
+            - greatest(col("gx1"), col("px1")))
+          * greatest(lit(0L), least(col("gy2"), col("py2"))
+            - greatest(col("gy1"), col("py1"))))
+        .withColumn("uni",
+          (col("gx2") - col("gx1")) * (col("gy2") - col("gy1"))
+          + (col("px2") - col("px1")) * (col("py2") - col("py1"))
+          - col("inter"))
+        .filter(col("inter") * 2 >= col("uni"))
+        .withColumn("iou",
+          col("inter").cast("double") / col("uni").cast("double"))
+      val wg = Window.partitionBy("image_id", "gt_id")
+        .orderBy(col("iou").desc, col("det_id"))
+      val wd = Window.partitionBy("image_id", "det_id")
+        .orderBy(col("iou").desc, col("gt_id"))
+      val nm = pairs.withColumn("rg", row_number().over(wg))
+        .withColumn("rd", row_number().over(wd))
+        .filter(col("rg") === 1 && col("rd") === 1)
+        .groupBy("image_id").agg(count(lit(1)).as("nm"))
+      val ng = gt.groupBy("image_id").agg(count(lit(1)).as("n_gt"))
+      val np = pred.groupBy("image_id").agg(count(lit(1)).as("n_pred"))
+      ng.join(np, Seq("image_id"), "left")
+        .join(nm, Seq("image_id"), "left")
+        .select(col("image_id"), col("n_gt"),
+          coalesce(col("n_pred"), lit(0L)).as("n_pred"),
+          coalesce(col("nm"), lit(0L)).as("n_match"))
+        .select(col("image_id"), col("n_gt"), col("n_pred"),
+          col("n_match"),
+          when(col("n_pred") > 0, r4d(col("n_match").cast("double")
+            / col("n_pred").cast("double"))).as("precision"),
+          r4d(col("n_match").cast("double")
+            / col("n_gt").cast("double")).as("recall"),
+          when(col("n_gt") + col("n_pred") > 0,
+            r4d(lit(2.0) * col("n_match").cast("double")
+              / (col("n_gt") + col("n_pred")).cast("double"))).as("f1"))
+        .orderBy("image_id")
+    }),
+
+    // TRAINING-CHIP CROP MANIFEST (§2.89) — the crop windows a
+    // chip-extraction job cuts around each annotated box (the step
+    // that turns survey frames + annotations into a classifier
+    // training set): 16-px context pad on every side, origin/extent
+    // aligned DOWN/UP to the 8-px tensor grid, clamped to the 800×800
+    // frame, with the box's offset re-expressed in chip-local
+    // coordinates. Shares eval_det_match's gt fixture (images scale
+    // with the corpus, 64 boxes each); all-integer ceiling/clamp
+    // arithmetic (the letterbox/tiling device), pure map-side work
+    // below the presentation sort — embarrassingly parallel at any
+    // corpus size.
+    "multimodal_crop_chips" -> ((s, dir) => {
+      val base = t(s, dir, "part").select(col("p_partkey").as("k"),
+        col("p_size").cast("long").as("sz"))
+        .select(col("k"), expr("k div 64").as("image_id"),
+          ((col("k") % 8) * 100).as("gx1"),
+          (expr("(k % 64) div 8") * 100).as("gy1"),
+          col("sz"))
+        .withColumn("gx2", col("gx1") + 40 + col("sz") % 20)
+        .withColumn("gy2", col("gy1") + 60 + col("k") % 13)
+      base
+        .withColumn("cx1",
+          expr("(greatest(0L, gx1 - 16) div 8) * 8"))
+        .withColumn("cy1",
+          expr("(greatest(0L, gy1 - 16) div 8) * 8"))
+        .withColumn("cx2",
+          least(lit(800L), expr("((gx2 + 16 + 7) div 8) * 8")))
+        .withColumn("cy2",
+          least(lit(800L), expr("((gy2 + 16 + 7) div 8) * 8")))
+        .select(col("k").as("gt_id"), col("image_id"),
+          col("cx1"), col("cy1"),
+          (col("cx2") - col("cx1")).as("chip_w"),
+          (col("cy2") - col("cy1")).as("chip_h"),
+          (col("gx1") - col("cx1")).as("box_x"),
+          (col("gy1") - col("cy1")).as("box_y"),
+          (col("gx2") - col("gx1")).as("box_w"),
+          (col("gy2") - col("gy1")).as("box_h"))
+        .orderBy("gt_id")
+    }),
+
+    // CURRICULUM ORDERING (§2.89) — the staged training schedule
+    // curriculum-learning loaders consume: difficulty = exact token
+    // count, stage = quartile of difficulty (cuts are exact
+    // PERCENTILE_DISC order statistics, a 1-row broadcast — not a
+    // global NTILE window, which would single-partition the corpus),
+    // and WITHIN a stage the order is the deterministic md5 shuffle
+    // (pipeline_epoch_shuffle's device) so each stage streams in
+    // content-independent random order. The global curriculum
+    // position comes from GlobalRank's distributed running count over
+    // the (stage, hash, doc_id) total order — no single-partition
+    // window anywhere. Complements pipeline_length_bucketing (packing
+    // efficiency) and epoch_shuffle (flat order): this is the
+    // easy-to-hard schedule.
+    "pipeline_curriculum" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      d.createOrReplaceTempView("curr_docs")
+      val cuts = s.sql(
+        """SELECT
+          |  percentile_disc(0.25) WITHIN GROUP (ORDER BY n_tokens) AS c1,
+          |  percentile_disc(0.5)  WITHIN GROUP (ORDER BY n_tokens) AS c2,
+          |  percentile_disc(0.75) WITHIN GROUP (ORDER BY n_tokens) AS c3
+          |FROM curr_docs""".stripMargin)
+      val staged = d.crossJoin(broadcast(cuts))
+        .select(col("doc_id"), col("n_tokens"),
+          (lit(1L) + when(col("n_tokens") > col("c1"), 1L).otherwise(0L)
+            + when(col("n_tokens") > col("c2"), 1L).otherwise(0L)
+            + when(col("n_tokens") > col("c3"), 1L).otherwise(0L))
+            .as("stage"),
+          md5(concat(lit("curr_"), col("doc_id").cast("string"))
+            .cast("binary")).as("h"),
+          lit(1L).as("one"))
+      graft.plans.GlobalRank.runningSum(staged,
+          Seq("stage", "h", "doc_id"), "one", "pos")
+        .select(col("pos"), col("doc_id"), col("n_tokens"), col("stage"))
+        .orderBy("pos")
+    }),
+
     "multimodal_byte_chunks" -> ((s, dir) => {
       val chunk = 1024L
       t(s, dir, "documents")
@@ -1384,6 +1547,114 @@ object PipelineQueries {
         |SELECT image_id, det_id, score_c, x1, y1, x2, y2
         |FROM nms WHERE kept
         |ORDER BY image_id, det_id""".stripMargin,
+    // Same gt fixture as eval_det_match; clamp-before-divide keeps
+    // `//` on the non-negative domain where it equals Spark's div.
+    "multimodal_crop_chips" ->
+      """WITH base AS (SELECT p_partkey AS k,
+        |    p_partkey // 64 AS image_id,
+        |    (p_partkey % 8) * 100 AS gx1,
+        |    ((p_partkey % 64) // 8) * 100 AS gy1,
+        |    CAST(p_size AS BIGINT) AS sz
+        |  FROM part),
+        |bb AS (SELECT *, gx1 + 40 + sz % 20 AS gx2,
+        |    gy1 + 60 + k % 13 AS gy2 FROM base),
+        |c AS (SELECT k, image_id, gx1, gy1, gx2, gy2,
+        |    (greatest(0, gx1 - 16) // 8) * 8 AS cx1,
+        |    (greatest(0, gy1 - 16) // 8) * 8 AS cy1,
+        |    least(800, ((gx2 + 16 + 7) // 8) * 8) AS cx2,
+        |    least(800, ((gy2 + 16 + 7) // 8) * 8) AS cy2
+        |  FROM bb)
+        |SELECT k AS gt_id, image_id, cx1, cy1,
+        |  cx2 - cx1 AS chip_w, cy2 - cy1 AS chip_h,
+        |  gx1 - cx1 AS box_x, gy1 - cy1 AS box_y,
+        |  gx2 - gx1 AS box_w, gy2 - gy1 AS box_h
+        |FROM c ORDER BY gt_id""".stripMargin,
+    // Quartile cuts via the same PERCENTILE_DISC order statistics;
+    // the stage/hash/doc total order is engine-neutral (fixed-width
+    // lowercase hex), so row_number IS GlobalRank's running count.
+    "pipeline_curriculum" ->
+      """WITH d AS (SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |cuts AS (SELECT
+        |    percentile_disc(0.25) WITHIN GROUP (ORDER BY n_tokens) AS c1,
+        |    percentile_disc(0.5)  WITHIN GROUP (ORDER BY n_tokens) AS c2,
+        |    percentile_disc(0.75) WITHIN GROUP (ORDER BY n_tokens) AS c3
+        |  FROM d),
+        |st AS (SELECT doc_id, n_tokens,
+        |    CAST(1 + CASE WHEN n_tokens > c1 THEN 1 ELSE 0 END
+        |      + CASE WHEN n_tokens > c2 THEN 1 ELSE 0 END
+        |      + CASE WHEN n_tokens > c3 THEN 1 ELSE 0 END AS BIGINT)
+        |      AS stage,
+        |    md5('curr_' || CAST(doc_id AS VARCHAR)) AS h
+        |  FROM d CROSS JOIN cuts)
+        |SELECT CAST(row_number() OVER (ORDER BY stage, h, doc_id)
+        |    AS BIGINT) AS pos,
+        |  doc_id, n_tokens, stage
+        |FROM st ORDER BY pos""".stripMargin,
+    // Same fixture residues and exact-integer IoU gate; mutual-best
+    // via two row_number ranks over the IEEE-exact iou division.
+    "eval_det_match" ->
+      """WITH base AS (SELECT p_partkey AS k,
+        |    CAST(p_size AS BIGINT) AS sz,
+        |    CAST(round(p_retailprice * 100) AS BIGINT) AS cents,
+        |    p_partkey // 64 AS image_id,
+        |    (p_partkey % 8) * 100 AS gx1,
+        |    ((p_partkey % 64) // 8) * 100 AS gy1
+        |  FROM part),
+        |bb AS (SELECT *, gx1 + 40 + sz % 20 AS gx2,
+        |    gy1 + 60 + k % 13 AS gy2 FROM base),
+        |gt AS (SELECT image_id, k AS gt_id, gx1, gy1, gx2, gy2 FROM bb),
+        |jit AS (SELECT image_id, k AS det_id,
+        |    gx1 + sz % 9 - 4 + CASE WHEN k % 17 = 0 THEN 30 ELSE 0 END
+        |      AS px1,
+        |    gy1 + cents % 11 - 5 AS py1,
+        |    gx2 + sz % 9 - 4 + CASE WHEN k % 17 = 0 THEN 30 ELSE 0 END
+        |      AS px2,
+        |    gy2 + cents % 11 - 5 AS py2
+        |  FROM bb WHERE k % 13 <> 0),
+        |fp AS (SELECT image_id, k + 100000000 AS det_id,
+        |    gx1 + 50 AS px1, gy1 + 50 AS py1,
+        |    gx1 + 90 AS px2, gy1 + 110 AS py2
+        |  FROM bb WHERE k % 11 = 0),
+        |pred AS (SELECT * FROM jit UNION ALL SELECT * FROM fp),
+        |pr AS (SELECT g.image_id, g.gt_id, p.det_id,
+        |    greatest(0, least(g.gx2, p.px2) - greatest(g.gx1, p.px1))
+        |      * greatest(0, least(g.gy2, p.py2) - greatest(g.gy1, p.py1))
+        |      AS inter,
+        |    (g.gx2 - g.gx1) * (g.gy2 - g.gy1)
+        |      + (p.px2 - p.px1) * (p.py2 - p.py1) AS areas
+        |  FROM gt g JOIN pred p USING (image_id)),
+        |pairs AS (SELECT image_id, gt_id, det_id,
+        |    CAST(inter AS DOUBLE) / CAST(areas - inter AS DOUBLE) AS iou
+        |  FROM pr WHERE inter * 2 >= areas - inter),
+        |rk AS (SELECT image_id, gt_id, det_id,
+        |    row_number() OVER (PARTITION BY image_id, gt_id
+        |      ORDER BY iou DESC, det_id) AS rg,
+        |    row_number() OVER (PARTITION BY image_id, det_id
+        |      ORDER BY iou DESC, gt_id) AS rd
+        |  FROM pairs),
+        |nm AS (SELECT image_id, count(*) AS nm FROM rk
+        |  WHERE rg = 1 AND rd = 1 GROUP BY image_id),
+        |ng AS (SELECT image_id, count(*) AS n_gt FROM gt
+        |  GROUP BY image_id),
+        |np AS (SELECT image_id, count(*) AS n_pred FROM pred
+        |  GROUP BY image_id),
+        |j AS (SELECT ng.image_id, n_gt,
+        |    COALESCE(n_pred, 0) AS n_pred, COALESCE(nm, 0) AS n_match
+        |  FROM ng LEFT JOIN np USING (image_id)
+        |  LEFT JOIN nm USING (image_id))
+        |SELECT image_id, n_gt, n_pred, n_match,
+        |  CASE WHEN n_pred > 0 THEN
+        |    ROUND(CAST(n_match AS DOUBLE) / CAST(n_pred AS DOUBLE)
+        |      * 10000) / 10000 END AS precision,
+        |  ROUND(CAST(n_match AS DOUBLE) / CAST(n_gt AS DOUBLE)
+        |    * 10000) / 10000 AS recall,
+        |  CASE WHEN n_gt + n_pred > 0 THEN
+        |    ROUND(2.0 * CAST(n_match AS DOUBLE)
+        |      / CAST(n_gt + n_pred AS DOUBLE) * 10000) / 10000
+        |  END AS f1
+        |FROM j ORDER BY image_id""".stripMargin,
     // All-integer letterbox: `//` is DuckDB's truncating division,
     // equal to Spark's `div` on the non-negative domain.
     "multimodal_letterbox" ->

@@ -490,6 +490,83 @@ object StatQueries {
                 .cast("double"))
               * sqrt((col("n") * col("syy") - col("sy") * col("sy"))
                 .cast("double"))))).as("rho"))
+    }),
+
+    // ONE-WAY ANOVA (§2.88) — does mean quantity differ across the
+    // three return-flag populations? The F-test every experiment
+    // platform reports when the comparison has MORE than two arms
+    // (ab_test_welch's k-group generalization). Exactness: per-group
+    // n/Σq/Σq² are exact BIGINTs on the rounded-integer quantity
+    // grid, so SSB = Σ S_g²/n_g − S²/n and SSW = Q − Σ S_g²/n_g are
+    // assembled from integers; the only order-sensitive double step,
+    // Σ_g S_g²/n_g, folds over the group-key-sorted collected list
+    // (the agg_geo_harmonic_mean device — k groups, driver-scale) so
+    // the summation order is pinned on both engines. Shape: one
+    // O(rows) partial-agg reduce to k rows, then a 1-row fold —
+    // nothing downstream of the first shuffle depends on corpus size.
+    "agg_anova_oneway" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(col("l_returnflag").as("g"),
+        round(col("l_quantity")).cast("long").as("q"))
+      val grp = li.groupBy("g").agg(count(lit(1)).as("n_g"),
+        sum(col("q")).as("s_g"), sum(col("q") * col("q")).as("q2_g"))
+      val one = grp.agg(
+        array_sort(collect_list(struct(col("g"), col("n_g"), col("s_g"),
+          col("q2_g")))).as("gs"))
+        .select(expr("size(gs)").cast("long").as("k"),
+          expr("aggregate(gs, 0L, (a, x) -> a + x.n_g)").as("n"),
+          expr("aggregate(gs, 0L, (a, x) -> a + x.s_g)").as("s"),
+          expr("aggregate(gs, 0L, (a, x) -> a + x.q2_g)").as("q2"),
+          expr("aggregate(gs, cast(0.0 as double), (a, x) -> " +
+            "a + cast(x.s_g * x.s_g as double) / cast(x.n_g as double))")
+            .as("bs"))
+      val ssb = col("bs") - (col("s").cast("double")
+        * col("s").cast("double") / col("n").cast("double"))
+      val ssw = col("q2").cast("double") - col("bs")
+      one.select(col("k"), col("n"), r4d(ssb).as("ss_between"),
+        r4d(ssw).as("ss_within"),
+        when(col("k") > 1 && col("n") > col("k") && ssw > 0,
+          r4d((ssb / (col("k") - 1).cast("double"))
+            / (ssw / (col("n") - col("k")).cast("double"))))
+          .as("f_stat"))
+    }),
+
+    // LAGGED CROSS-CORRELATION (§2.88) — Pearson r between the daily
+    // click series and the purchase series shifted by k ∈ [−7, 7]
+    // days, on the shared zero-filled spine: the lead–lag diagnostic
+    // (does activity today predict conversions in three days?) that
+    // sits beside ts_autocorr exactly as cross-correlation sits
+    // beside autocorrelation. Each lag's moments (n, Σx, Σy, Σxy,
+    // Σx², Σy²) are exact integer sums over the overlap window (the
+    // inner join drops boundary days — the standard treatment), kept
+    // in decimal(38,0) (agg_spearman_corr's convention; HUGEINT on
+    // the DuckDB side) so no double is summed; r is one guarded
+    // expression per lag row. Shape: spine × 15 lags is a map-side
+    // explode, the shifted self-join is an equi-join on the derived
+    // day+lag key, and the reduce is a 15-row partial agg — O(days)
+    // work regardless of corpus size once the spine exists.
+    "ts_cross_corr" -> ((s, dir) => {
+      val d = dailyXY(s, dir)
+      val x = d.select(col("day"), col("cx"))
+        .withColumn("lag", explode(sequence(lit(-7L), lit(7L))))
+      val y2 = d.select(col("day").as("yday"), col("cy"))
+      val D0 = "decimal(38,0)"
+      val m = x.join(y2, col("yday") === col("day") + col("lag"))
+        .groupBy("lag").agg(count(lit(1)).as("n"),
+          sum(col("cx").cast(D0)).as("sx"),
+          sum(col("cy").cast(D0)).as("sy"),
+          sum((col("cx") * col("cy")).cast(D0)).as("sxy"),
+          sum((col("cx") * col("cx")).cast(D0)).as("sxx"),
+          sum((col("cy") * col("cy")).cast(D0)).as("syy"))
+      m.select(col("lag"), col("n"),
+          when(col("n") * col("sxx") > col("sx") * col("sx")
+              && col("n") * col("syy") > col("sy") * col("sy"),
+            r4d((col("n") * col("sxy") - col("sx") * col("sy"))
+              .cast("double")
+              / (sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+                  .cast("double"))
+                * sqrt((col("n") * col("syy") - col("sy") * col("sy"))
+                  .cast("double"))))).as("r"))
+        .orderBy("lag")
     }))
 
   val oracle: Map[String, String] = Map(
@@ -808,5 +885,71 @@ object StatQueries {
          |      / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
          |        * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) * 10000)
          |      / 10000 + 0.0 END AS rho
-         |FROM m""".stripMargin)
+         |FROM m""".stripMargin,
+    // Same group-key-sorted list fold for the order-sensitive
+    // Σ S_g²/n_g; every other moment is an exact BIGINT.
+    "agg_anova_oneway" ->
+      """WITH li AS (SELECT l_returnflag AS g,
+        |    CAST(round(l_quantity) AS BIGINT) AS q FROM lineitem),
+        |grp AS (SELECT g, count(*) AS n_g,
+        |    CAST(sum(q) AS BIGINT) AS s_g,
+        |    CAST(sum(q * q) AS BIGINT) AS q2_g
+        |  FROM li GROUP BY 1),
+        |one AS (SELECT list_sort(list({'g': g, 'n_g': n_g, 's_g': s_g,
+        |      'q2_g': q2_g})) AS gs FROM grp),
+        |m AS (SELECT CAST(len(gs) AS BIGINT) AS k,
+        |    CAST(list_aggregate(list_transform(gs, x -> x.n_g), 'sum')
+        |      AS BIGINT) AS n,
+        |    CAST(list_aggregate(list_transform(gs, x -> x.s_g), 'sum')
+        |      AS BIGINT) AS s,
+        |    CAST(list_aggregate(list_transform(gs, x -> x.q2_g), 'sum')
+        |      AS BIGINT) AS q2,
+        |    list_aggregate(list_transform(gs,
+        |      x -> CAST(x.s_g * x.s_g AS DOUBLE)
+        |        / CAST(x.n_g AS DOUBLE)), 'sum') AS bs
+        |  FROM one),
+        |f AS (SELECT k, n,
+        |    bs - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+        |      / CAST(n AS DOUBLE) AS ssb,
+        |    CAST(q2 AS DOUBLE) - bs AS ssw
+        |  FROM m)
+        |SELECT k, n,
+        |  ROUND(ssb * 10000) / 10000 AS ss_between,
+        |  ROUND(ssw * 10000) / 10000 AS ss_within,
+        |  CASE WHEN k > 1 AND n > k AND ssw > 0 THEN
+        |    ROUND((ssb / CAST(k - 1 AS DOUBLE))
+        |      / (ssw / CAST(n - k AS DOUBLE)) * 10000) / 10000
+        |  END AS f_stat
+        |FROM f""".stripMargin,
+    // The spine CTE is agg_spearman_corr's; moments per lag go
+    // HUGEINT internally, r is negative-capable → +0.0 normalizer.
+    "ts_cross_corr" ->
+      s"""WITH e AS (SELECT event_type, ${sqlEpochDay("ts")} AS day
+         |  FROM events),
+         |b AS (SELECT min(day) AS lo, max(day) AS hi FROM e),
+         |spine AS (SELECT unnest(range(lo, hi + 1)) AS day FROM b),
+         |d0 AS (SELECT day,
+         |    count(*) FILTER (WHERE event_type = 'click') AS cx,
+         |    count(*) FILTER (WHERE event_type = 'purchase') AS cy
+         |  FROM e GROUP BY day),
+         |d AS (SELECT s.day, COALESCE(cx, 0) AS cx, COALESCE(cy, 0) AS cy
+         |  FROM spine s LEFT JOIN d0 USING (day)),
+         |lags AS (SELECT unnest(range(-7, 8)) AS lag),
+         |j AS (SELECT l.lag, x.cx, y.cy
+         |  FROM d x CROSS JOIN lags l
+         |  JOIN d y ON y.day = x.day + l.lag),
+         |m AS (SELECT lag, count(*) AS n,
+         |    CAST(sum(cx) AS HUGEINT) AS sx,
+         |    CAST(sum(cy) AS HUGEINT) AS sy,
+         |    CAST(sum(cx * cy) AS HUGEINT) AS sxy,
+         |    CAST(sum(cx * cx) AS HUGEINT) AS sxx,
+         |    CAST(sum(cy * cy) AS HUGEINT) AS syy
+         |  FROM j GROUP BY lag)
+         |SELECT lag, n,
+         |  CASE WHEN n * sxx > sx * sx AND n * syy > sy * sy THEN
+         |    ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+         |      / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+         |        * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) * 10000)
+         |      / 10000 + 0.0 END AS r
+         |FROM m ORDER BY lag""".stripMargin)
 }

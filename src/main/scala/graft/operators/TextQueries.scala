@@ -111,6 +111,52 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // BM25 RANKED RETRIEVAL (§2.89) — Okapi BM25 (k1=1.2, b=0.75,
+    // Lucene's ln(1 + (N−df+½)/(df+½)) idf) of every document against
+    // a 3-term query, top-20 docs per term. The full-text relevance
+    // scorer of the curation stack (tf-idf's retrieval-grade sibling:
+    // tf saturates at k1+1 and long docs are penalized through
+    // dl/avgdl). Every input is an exact integer (tf, dl, df, N) or
+    // one broadcast scalar (avgdl = Σdl/N, a single IEEE division),
+    // so each (doc, term) score is one deterministic double
+    // expression — no double is ever summed. Shape: one (doc, token)
+    // hash-agg + one doc-length agg, a 3-row broadcast df join, and
+    // the per-term top-20 through TopKPerGroup's bounded heap (one
+    // surviving row per group × partition enters the exchange) —
+    // rank on the RAW score (IEEE-identical across engines), round
+    // only the reported value.
+    "text_bm25" -> ((s, dir) => {
+      val qterms = Seq("merge", "window", "spark")
+      val tok = t(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      val tfd = tok.filter(col("token").isin(qterms: _*))
+        .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      val dfq = tfd.groupBy("token").agg(count(lit(1)).as("df"))
+      val nstats = dl.agg(count(lit(1)).as("n_docs"),
+        sum(col("dl")).as("sum_dl"))
+      val scored = tfd.join(dl, Seq("doc_id"))
+        .join(broadcast(dfq), Seq("token"))
+        .crossJoin(broadcast(nstats))
+        .withColumn("idf", log(lit(1.0)
+          + (col("n_docs") - col("df") + lit(0.5)).cast("double")
+            / (col("df") + lit(0.5)).cast("double")))
+        .withColumn("score", col("idf")
+          * (col("tf").cast("double") * lit(2.2))
+          / (col("tf").cast("double") + lit(1.2)
+            * (lit(0.25) + lit(0.75) * col("dl").cast("double")
+              / (col("sum_dl").cast("double")
+                / col("n_docs").cast("double")))))
+      graft.plans.TopKPerGroup(
+          scored.select(col("token"), col("doc_id"), col("tf"),
+            col("dl"), col("score")),
+          k = 20, partNames = Seq("token"),
+          orderSpec = Seq(("score", false), ("doc_id", true)))
+        .orderBy(col("token"), col("score").desc, col("doc_id"))
+        .select(col("token"), col("doc_id"), col("tf"), col("dl"),
+          r4d(col("score")).as("bm25"))
+    }),
+
     // Exact duplicate groups on the canonical token-set fingerprint (the
     // raw corpus has zero byte-identical dups; normalization finds real
     // content-equal groups).
@@ -681,6 +727,33 @@ object TextQueries {
         |      ORDER BY tf.tf * ln(CAST(n_docs AS DOUBLE) / df) DESC, tf.token) AS rn
         |  FROM tf JOIN dfreq ON tf.token = dfreq.token CROSS JOIN nd)
         |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    // Rank on the RAW score (identical IEEE doubles from identical
+    // integer operands); round only the reported bm25.
+    "text_bm25" ->
+      """WITH tok AS (SELECT doc_id,
+        |    unnest(string_split(text, ' ')) AS token FROM documents),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+        |tfd AS (SELECT doc_id, token, count(*) AS tf FROM tok
+        |  WHERE token IN ('merge', 'window', 'spark') GROUP BY 1, 2),
+        |dfq AS (SELECT token, count(*) AS df FROM tfd GROUP BY 1),
+        |ns AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT)
+        |    AS sum_dl FROM dl),
+        |sc AS (SELECT token, doc_id, tf, dl,
+        |    ln(1.0 + CAST(n_docs - df + 0.5 AS DOUBLE)
+        |        / CAST(df + 0.5 AS DOUBLE))
+        |      * (CAST(tf AS DOUBLE) * 2.2)
+        |      / (CAST(tf AS DOUBLE) + 1.2
+        |        * (0.25 + 0.75 * CAST(dl AS DOUBLE)
+        |          / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))
+        |      AS score
+        |  FROM tfd JOIN dl USING (doc_id) JOIN dfq USING (token)
+        |  CROSS JOIN ns),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY token
+        |    ORDER BY score DESC, doc_id) AS rn FROM sc)
+        |SELECT token, doc_id, tf, dl,
+        |  ROUND(score * 10000) / 10000 AS bm25
+        |FROM rk WHERE rn <= 20
+        |ORDER BY token, score DESC, doc_id""".stripMargin,
     "dedup_exact_text" ->
       """SELECT h, count(*) AS n_docs, min(doc_id) AS canon_doc FROM (
         |  SELECT doc_id,

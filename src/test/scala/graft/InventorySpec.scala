@@ -314,10 +314,16 @@ class InventorySpec extends SparkSpec {
     "ts_stl_decompose", "multimodal_tiling", "geo_grid_smooth",
     // §2.87 round-11 sixth wave: harmonic centrality, log2 histogram,
     // gzip CSV codec roundtrip
-    "graph_closeness", "agg_log2_histogram", "scan_csv_gzip_roundtrip")
+    "graph_closeness", "agg_log2_histogram", "scan_csv_gzip_roundtrip",
+    // §2.88 round-11 seventh wave: one-way ANOVA, lagged cross-corr,
+    // detection mutual-best matching eval
+    "agg_anova_oneway", "ts_cross_corr", "eval_det_match",
+    // §2.89 round-11 eighth wave: BM25 retrieval, chip crops,
+    // curriculum ordering
+    "text_bm25", "multimodal_crop_chips", "pipeline_curriculum")
 
-  test("declared queries cover SURVEY §2 + §2.12-87 exactly (377 keys)") {
-    assert(inventory.size == 377)
+  test("declared queries cover SURVEY §2 + §2.12-89 exactly (383 keys)") {
+    assert(inventory.size == 383)
     val declared = SparkEntry.queries.keySet
     val missing = inventory -- declared
     val extra = declared -- inventory
