@@ -290,6 +290,33 @@ object CurationQueries {
         .orderBy("source", "rk")
     }),
 
+    // CLASS-BALANCED UNDERSAMPLING (§2.94) — equalize every language's
+    // share by down-sampling each class to the MINORITY class's size:
+    // the classifier-training counterpart of sample_domain_cap (whose
+    // cap is a fixed constant; here the cap is an order statistic of
+    // the data — min over per-class counts, a 1-row broadcast). Within
+    // a class the survivors are the first m docs in deterministic
+    // md5(doc_id) order (the epoch-shuffle device), so the kept set is
+    // content-independent and engine-neutral. Shape: one ≤|classes|
+    // reduce → 1-row min broadcast; one class-keyed exchange for the
+    // per-class rank window (parallel across classes; the largest
+    // class bounds a partition exactly as sample_domain_cap's cap
+    // window does). No global window, no second pass over the corpus.
+    "sample_balanced_undersample" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          md5(col("doc_id").cast("string").cast("binary")).as("skey"))
+      val mcnt = d.groupBy("lang").agg(count(lit(1)).as("c"))
+        .agg(min(col("c")).as("m"))
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("skey"), col("doc_id"))
+      d.withColumn("rk", row_number().over(w).cast("long"))
+        .crossJoin(broadcast(mcnt))
+        .filter(col("rk") <= col("m"))
+        .select(col("lang"), col("rk"), col("doc_id"))
+        .orderBy("lang", "rk")
+    }),
+
     // URL canonicalization + dedup — the FIRST dedup pass of every
     // web-corpus pipeline (cheaper than any content hash: two crawls of
     // the same page differ by tracking params, scheme and host case
@@ -646,6 +673,16 @@ object CurationQueries {
         |    PARTITION BY source ORDER BY skey, doc_id) AS rk FROM d)
         |SELECT doc_id, source, CAST(rk AS BIGINT) AS rk
         |FROM r WHERE rk <= 10 ORDER BY source, rk""".stripMargin,
+    // Same md5-order rank; the cap is the min per-class count.
+    "sample_balanced_undersample" ->
+      """WITH d AS (SELECT doc_id, lang,
+        |    md5(CAST(doc_id AS VARCHAR)) AS skey FROM documents),
+        |mc AS (SELECT min(c) AS m FROM (
+        |    SELECT lang, count(*) AS c FROM d GROUP BY lang)),
+        |r AS (SELECT doc_id, lang, row_number() OVER (
+        |    PARTITION BY lang ORDER BY skey, doc_id) AS rk FROM d)
+        |SELECT lang, CAST(rk AS BIGINT) AS rk, doc_id
+        |FROM r CROSS JOIN mc WHERE rk <= m ORDER BY lang, rk""".stripMargin,
     // Rebuild via tokens-with-position anti-join + ordered string_agg —
     // a different shape from Spark's index-filter HOF, same answer
     // (both reconstruct from the token array, so split/join roundtrip

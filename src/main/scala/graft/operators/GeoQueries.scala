@@ -212,6 +212,49 @@ object GeoQueries {
         .select(col("cell_lat"), col("cell_lon"), col("n_raw"),
           col("n_smooth"))
         .orderBy("cell_lat", "cell_lon")
+    }),
+
+    // GETIS-ORD Gi* HOTSPOTS (§2.93) — geo_grid_smooth shows WHERE
+    // density concentrates; Gi* says whether a cell's 3×3
+    // neighborhood is significantly hotter than the survey-wide
+    // baseline — the statistic behind every "hotspot map" a survey
+    // program publishes. Study frame = the OCCUPIED cells (n, Σx, Σx²
+    // over them — exact BIGINTs); neighborhood sums S_i and occupied-
+    // neighbor counts W_i come from the same scatter stencil as the
+    // smoother (each cell scatters (count, 1) onto 9 targets — no
+    // self-join, no gather lookups). The z-score is n-scaled so every
+    // operand is an exact integer: z = (n·S_i − W_i·Σx) /
+    // (√(n·Σx² − (Σx)²) · √((n·W_i − W_i²)/(n−1))) — two sqrts + one
+    // division per cell, operand-for-operand on both engines, r4d at
+    // the edge. Shape: O(rows) reduce to occupied cells, O(cells·9)
+    // scatter, 1-row global broadcast — corpus-size-free downstream.
+    "geo_hotspot_gi" -> ((s, dir) => {
+      val base = sightings(s, dir)
+        .select(floor(col("lat") / 2).cast("long").as("cell_lat"),
+          floor(col("lon") / 2).cast("long").as("cell_lon"))
+        .groupBy("cell_lat", "cell_lon").agg(count(lit(1)).as("x"))
+      val spread = base
+        .withColumn("di", explode(sequence(lit(-1L), lit(1L))))
+        .withColumn("dj", explode(sequence(lit(-1L), lit(1L))))
+        .groupBy((col("cell_lat") + col("di")).as("cell_lat"),
+          (col("cell_lon") + col("dj")).as("cell_lon"))
+        .agg(sum(col("x")).as("s_i"), count(lit(1)).as("w_i"))
+      val glob = base.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("sxx"))
+      base.join(spread, Seq("cell_lat", "cell_lon"))
+        .crossJoin(broadcast(glob))
+        .select(col("cell_lat"), col("cell_lon"), col("x"), col("w_i"),
+          col("s_i"),
+          when(col("n") > 1 && col("n") * col("sxx") > col("sx") * col("sx")
+              && col("n") * col("w_i") > col("w_i") * col("w_i"),
+            r4d((col("n") * col("s_i") - col("w_i") * col("sx"))
+              .cast("double")
+              / (sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+                  .cast("double"))
+                * sqrt((col("n") * col("w_i") - col("w_i") * col("w_i"))
+                  .cast("double") / (col("n") - 1).cast("double")))))
+            .as("z_gi"))
+        .orderBy("cell_lat", "cell_lon")
     }))
 
   val oracle: Map[String, String] = Map(
@@ -332,5 +375,37 @@ object GeoQueries {
         |  ON abs(n.cell_lat - b.cell_lat) <= 1
         |  AND abs(n.cell_lon - b.cell_lon) <= 1
         |GROUP BY 1, 2, 3
-        |ORDER BY b.cell_lat, b.cell_lon""".stripMargin)
+        |ORDER BY b.cell_lat, b.cell_lon""".stripMargin,
+    // Gather-form neighborhood sums; the n-scaled z uses only exact
+    // integer operands, sqrt/division spelled identically.
+    "geo_hotspot_gi" ->
+      """WITH p AS (SELECT
+        |    CAST(event_id % 1440 AS DOUBLE) / 8 - 90 AS lat,
+        |    CAST((user_id * 997 + event_id * 31) % 11520 AS DOUBLE)
+        |      / 32 - 180 AS lon
+        |  FROM events),
+        |base AS (SELECT CAST(floor(lat / 2) AS BIGINT) AS cell_lat,
+        |    CAST(floor(lon / 2) AS BIGINT) AS cell_lon,
+        |    count(*) AS x
+        |  FROM p GROUP BY 1, 2),
+        |nb AS (SELECT b.cell_lat, b.cell_lon, b.x,
+        |    CAST(sum(n.x) AS BIGINT) AS s_i,
+        |    count(*) AS w_i
+        |  FROM base b JOIN base n
+        |    ON abs(n.cell_lat - b.cell_lat) <= 1
+        |    AND abs(n.cell_lon - b.cell_lon) <= 1
+        |  GROUP BY 1, 2, 3),
+        |g AS (SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS sx,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx
+        |  FROM base)
+        |SELECT cell_lat, cell_lon, x, w_i, s_i,
+        |  CASE WHEN n > 1 AND n * sxx > sx * sx
+        |      AND n * w_i > w_i * w_i THEN
+        |    ROUND(CAST(n * s_i - w_i * sx AS DOUBLE)
+        |      / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+        |        * sqrt(CAST(n * w_i - w_i * w_i AS DOUBLE)
+        |          / CAST(n - 1 AS DOUBLE))) * 10000) / 10000 + 0.0
+        |  END AS z_gi
+        |FROM nb CROSS JOIN g
+        |ORDER BY cell_lat, cell_lon""".stripMargin)
 }

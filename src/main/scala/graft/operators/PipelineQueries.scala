@@ -700,6 +700,296 @@ object PipelineQueries {
         .orderBy("gt_id")
     }),
 
+    // COUNT-CONCORDANCE CCC (§2.94) — Lin's concordance correlation
+    // between per-image MATCHED and PREDICTED detection counts: the
+    // "can I trust the detector's raw counts?" figure an abundance
+    // pipeline needs before detector counts replace manual counts
+    // (Pearson r rewards a biased-but-linear counter; CCC penalizes
+    // the bias too). Fully rational: over the per-image count table
+    // the n-scaled identity CCC = 2(nΣxy−ΣxΣy) / (nΣx²−(Σx)² +
+    // nΣy²−(Σy)² + (Σx−Σy)²) holds with EVERY operand an exact
+    // integer (moments in decimal(38,0)), so the statistic is ONE
+    // division — no double fold anywhere. Shape: eval_det_match's
+    // per-image reduce (windows partition per image/box), then a
+    // 1-row moment fold.
+    "eval_count_ccc" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val D0 = "decimal(38,0)"
+      val base = t(s, dir, "part").select(col("p_partkey").as("k"),
+        col("p_size").cast("long").as("sz"),
+        round(col("p_retailprice") * 100).cast("long").as("cents"))
+        .select(col("k"), col("sz"), col("cents"),
+          expr("k div 64").as("image_id"),
+          ((col("k") % 8) * 100).as("gx1"),
+          (expr("(k % 64) div 8") * 100).as("gy1"))
+        .withColumn("gx2", col("gx1") + 40 + col("sz") % 20)
+        .withColumn("gy2", col("gy1") + 60 + col("k") % 13)
+      val gt = base.select(col("image_id"), col("k").as("gt_id"),
+        col("gx1"), col("gy1"), col("gx2"), col("gy2"))
+      val jit = base.filter(col("k") % 13 =!= 0)
+        .withColumn("dx", col("sz") % 9 - 4
+          + when(col("k") % 17 === 0, 30).otherwise(0))
+        .withColumn("dy", col("cents") % 11 - 5)
+        .select(col("image_id"), col("k").as("det_id"),
+          (col("gx1") + col("dx")).as("px1"),
+          (col("gy1") + col("dy")).as("py1"),
+          (col("gx2") + col("dx")).as("px2"),
+          (col("gy2") + col("dy")).as("py2"))
+      val fp = base.filter(col("k") % 11 === 0)
+        .select(col("image_id"), (col("k") + 100000000L).as("det_id"),
+          (col("gx1") + 50).as("px1"), (col("gy1") + 50).as("py1"),
+          (col("gx1") + 90).as("px2"), (col("gy1") + 110).as("py2"))
+      val pred = jit.unionAll(fp)
+      val pairs = gt.join(pred, Seq("image_id"))
+        .withColumn("inter",
+          greatest(lit(0L), least(col("gx2"), col("px2"))
+            - greatest(col("gx1"), col("px1")))
+          * greatest(lit(0L), least(col("gy2"), col("py2"))
+            - greatest(col("gy1"), col("py1"))))
+        .withColumn("uni",
+          (col("gx2") - col("gx1")) * (col("gy2") - col("gy1"))
+          + (col("px2") - col("px1")) * (col("py2") - col("py1"))
+          - col("inter"))
+        .filter(col("inter") * 2 >= col("uni"))
+        .withColumn("iou",
+          col("inter").cast("double") / col("uni").cast("double"))
+      val wg = Window.partitionBy("image_id", "gt_id")
+        .orderBy(col("iou").desc, col("det_id"))
+      val wd = Window.partitionBy("image_id", "det_id")
+        .orderBy(col("iou").desc, col("gt_id"))
+      val nm = pairs.withColumn("rg", row_number().over(wg))
+        .withColumn("rd", row_number().over(wd))
+        .filter(col("rg") === 1 && col("rd") === 1)
+        .groupBy("image_id").agg(count(lit(1)).as("nm"))
+      val np = pred.groupBy("image_id").agg(count(lit(1)).as("np"))
+      val per = gt.select(col("image_id")).distinct()
+        .join(np, Seq("image_id"), "left")
+        .join(nm, Seq("image_id"), "left")
+        .select(coalesce(col("nm"), lit(0L)).as("x"),
+          coalesce(col("np"), lit(0L)).as("y"))
+      val mom = per.agg(count(lit(1)).as("n"),
+        sum(col("x").cast(D0)).as("sx"), sum(col("y").cast(D0)).as("sy"),
+        sum((col("x") * col("y")).cast(D0)).as("sxy"),
+        sum((col("x") * col("x")).cast(D0)).as("sxx"),
+        sum((col("y") * col("y")).cast(D0)).as("syy"))
+      val den = (col("n") * col("sxx") - col("sx") * col("sx")) +
+        (col("n") * col("syy") - col("sy") * col("sy")) +
+        (col("sx") - col("sy")) * (col("sx") - col("sy"))
+      mom.select(col("n").as("n_images"),
+        col("sx").cast("long").as("sum_matched"),
+        col("sy").cast("long").as("sum_predicted"),
+        when(den > 0,
+          r4d((lit(2L) * (col("n") * col("sxy")
+            - col("sx") * col("sy"))).cast("double")
+            / den.cast("double"))).as("ccc"))
+    }),
+
+    // TILE→FRAME DETECTION RE-PROJECTION (§2.92) — the SAHI fusion
+    // step that follows multimodal_tiling's per-tile inference: shift
+    // each tile-local detection back to frame coordinates and resolve
+    // the overlap-region duplicates by CORE OWNERSHIP — a detection
+    // survives iff its center lies in the tile's core band (the tile
+    // minus half the 64-px overlap on each interior side; edge tiles
+    // own out to the frame edge). This replaces cross-tile NMS with a
+    // pure per-row predicate: the bands tile the frame EXACTLY, so
+    // each center has one owner by construction — no join between
+    // tiles, no window, no shuffle; the whole fusion is map-side
+    // explode + filter, embarrassingly parallel at any corpus size.
+    // One synthetic 24×24 detection per tile (doc/tile-residue
+    // placement), every coordinate exact integer arithmetic.
+    "multimodal_tile_remap" -> ((s, dir) => {
+      val m = t(s, dir, "documents").select(col("doc_id"),
+        ((col("n_chars") % 640) + 1).cast("long").as("width"),
+        ((col("doc_id") % 480) + 1).cast("long").as("height"))
+      val tiles = m.withColumn("nx",
+          lit(1L) + greatest(lit(0L), expr("(width - 320 + 255) div 256")))
+        .withColumn("ny",
+          lit(1L) + greatest(lit(0L), expr("(height - 320 + 255) div 256")))
+        .withColumn("ti", explode(sequence(lit(0L), col("nx") - 1)))
+        .withColumn("tj", explode(sequence(lit(0L), col("ny") - 1)))
+        .withColumn("x",
+          least(col("ti") * 256, greatest(lit(0L), col("width") - 320)))
+        .withColumn("y",
+          least(col("tj") * 256, greatest(lit(0L), col("height") - 320)))
+        .withColumn("tw", least(lit(320L), col("width") - col("x")))
+        .withColumn("th", least(lit(320L), col("height") - col("y")))
+      val det = tiles
+        .withColumn("bw", least(lit(24L), col("tw")))
+        .withColumn("bh", least(lit(24L), col("th")))
+        .withColumn("dx", (col("doc_id") + col("ti") * 31
+          + col("tj") * 17) % greatest(lit(1L), col("tw") - col("bw") + 1))
+        .withColumn("dy", (col("doc_id") * 3 + col("ti") * 13
+          + col("tj") * 29) % greatest(lit(1L), col("th") - col("bh") + 1))
+        .withColumn("gx1", col("x") + col("dx"))
+        .withColumn("gy1", col("y") + col("dy"))
+        .withColumn("ctx", col("gx1") + expr("bw div 2"))
+        .withColumn("cty", col("gy1") + expr("bh div 2"))
+      det
+        .withColumn("core_x_lo",
+          when(col("ti") === 0, 0L).otherwise(col("x") + 32))
+        .withColumn("core_x_hi", when(col("ti") === col("nx") - 1,
+          col("width")).otherwise(col("x") + 320 - 32))
+        .withColumn("core_y_lo",
+          when(col("tj") === 0, 0L).otherwise(col("y") + 32))
+        .withColumn("core_y_hi", when(col("tj") === col("ny") - 1,
+          col("height")).otherwise(col("y") + 320 - 32))
+        .filter(col("ctx") >= col("core_x_lo")
+          && col("ctx") < col("core_x_hi")
+          && col("cty") >= col("core_y_lo")
+          && col("cty") < col("core_y_hi"))
+        .select(col("doc_id"), col("ti"), col("tj"),
+          col("gx1"), col("gy1"),
+          (col("gx1") + col("bw")).as("gx2"),
+          (col("gy1") + col("bh")).as("gy2"))
+        .orderBy("doc_id", "ti", "tj")
+    }),
+
+    // 11-POINT INTERPOLATED DETECTION AP (§2.90) — the PASCAL-VOC
+    // precision-recall summary for eval_det_match's detector fixture:
+    // every prediction gets a deterministic integer confidence
+    // (a Knuth-hash residue of det_id — 1000 distinct score values by
+    // construction), TP = the same IoU-mutual-best one-to-one matches,
+    // and the PR curve is evaluated at score-BLOCK boundaries (the
+    // standard tie treatment: all equal-score detections enter
+    // together). Determinism: the curve lives on exact integers —
+    // cum_tp/cum_det per block are BIGINTs, the recall gate
+    // 10·cum_tp ≥ t·n_gt is integer, and p_interp(t) = max over
+    // per-block precisions each computed IEEE-identically from the
+    // same integer operands (max is order-free, so no double is ever
+    // SUMMED). Shape: the corpus reduces to ≤1000 score blocks before
+    // the only global window; the matcher's windows partition per
+    // (image, box) exactly as eval_det_match — nothing global scales
+    // with the corpus.
+    "eval_det_ap" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val base = t(s, dir, "part").select(col("p_partkey").as("k"),
+        col("p_size").cast("long").as("sz"),
+        round(col("p_retailprice") * 100).cast("long").as("cents"))
+        .select(col("k"), col("sz"), col("cents"),
+          expr("k div 64").as("image_id"),
+          ((col("k") % 8) * 100).as("gx1"),
+          (expr("(k % 64) div 8") * 100).as("gy1"))
+        .withColumn("gx2", col("gx1") + 40 + col("sz") % 20)
+        .withColumn("gy2", col("gy1") + 60 + col("k") % 13)
+      val gt = base.select(col("image_id"), col("k").as("gt_id"),
+        col("gx1"), col("gy1"), col("gx2"), col("gy2"))
+      val jit = base.filter(col("k") % 13 =!= 0)
+        .withColumn("dx", col("sz") % 9 - 4
+          + when(col("k") % 17 === 0, 30).otherwise(0))
+        .withColumn("dy", col("cents") % 11 - 5)
+        .select(col("image_id"), col("k").as("det_id"),
+          (col("gx1") + col("dx")).as("px1"),
+          (col("gy1") + col("dy")).as("py1"),
+          (col("gx2") + col("dx")).as("px2"),
+          (col("gy2") + col("dy")).as("py2"))
+      val fp = base.filter(col("k") % 11 === 0)
+        .select(col("image_id"), (col("k") + 100000000L).as("det_id"),
+          (col("gx1") + 50).as("px1"), (col("gy1") + 50).as("py1"),
+          (col("gx1") + 90).as("px2"), (col("gy1") + 110).as("py2"))
+      val pred = jit.unionAll(fp)
+        .withColumn("score", (col("det_id") * 2654435761L) % 1000)
+      val pairs = gt.join(pred, Seq("image_id"))
+        .withColumn("inter",
+          greatest(lit(0L), least(col("gx2"), col("px2"))
+            - greatest(col("gx1"), col("px1")))
+          * greatest(lit(0L), least(col("gy2"), col("py2"))
+            - greatest(col("gy1"), col("py1"))))
+        .withColumn("uni",
+          (col("gx2") - col("gx1")) * (col("gy2") - col("gy1"))
+          + (col("px2") - col("px1")) * (col("py2") - col("py1"))
+          - col("inter"))
+        .filter(col("inter") * 2 >= col("uni"))
+        .withColumn("iou",
+          col("inter").cast("double") / col("uni").cast("double"))
+      val wg = Window.partitionBy("image_id", "gt_id")
+        .orderBy(col("iou").desc, col("det_id"))
+      val wd = Window.partitionBy("image_id", "det_id")
+        .orderBy(col("iou").desc, col("gt_id"))
+      val tpDet = pairs.withColumn("rg", row_number().over(wg))
+        .withColumn("rd", row_number().over(wd))
+        .filter(col("rg") === 1 && col("rd") === 1)
+        .select(col("image_id"), col("det_id"), lit(1L).as("is_tp"))
+      val scored = pred.join(tpDet, Seq("image_id", "det_id"), "left")
+        .groupBy("score").agg(count(lit(1)).as("n_det_s"),
+          coalesce(sum(col("is_tp")), lit(0L)).as("n_tp_s"))
+      val wCum = Window.orderBy(col("score").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val blocks = scored
+        .withColumn("cum_det", sum(col("n_det_s")).over(wCum))
+        .withColumn("cum_tp", sum(col("n_tp_s")).over(wCum))
+      val nGt = gt.agg(count(lit(1)).as("n_gt"))
+      val curve = blocks.crossJoin(broadcast(nGt))
+        .select(col("cum_det"), col("cum_tp"), col("n_gt"),
+          (col("cum_tp").cast("double") / col("cum_det").cast("double"))
+            .as("prec"))
+      val thr = s.range(0, 11).select(col("id").as("t10"))
+      thr.join(curve, lit(10L) * col("cum_tp")
+            >= col("t10") * col("n_gt"), "left")
+        .groupBy("t10")
+        .agg(coalesce(max(col("prec")), lit(0.0)).as("p_raw"))
+        .select(col("t10"),
+          r4d(col("t10").cast("double") / lit(10.0)).as("recall_thresh"),
+          r4d(col("p_raw")).as("p_interp"))
+        .orderBy("t10")
+    }),
+
+    // ANCHOR-BOX ASSIGNMENT (§2.90) — the label-assignment step an
+    // anchor-based detector's training pipeline runs per ground-truth
+    // box: score a fixed anchor menu (3 scales × square/tall/wide, all
+    // even-sided so half-extents are exact) centered on the box's grid
+    // cell, keep the argmax-IoU anchor, flag it positive at the 0.5
+    // gate. Determinism: the WINNER is picked on the exact integer key
+    // ⌊inter·2⁴⁰/union⌋ — a faithful total order on these rationals
+    // (union ≤ 13 464, so distinct fractions differ by ≥ 2⁴⁰/13 464²
+    // ≈ 6·10³ key units; no double ever enters the ranking) with the
+    // anchor id as tie-break; iou/positive are reported after the
+    // pick. Shape: the 6-anchor menu is folded ENTIRELY map-side —
+    // two nested transform()s + one array_sort over a 6-element
+    // struct array per row, no explode, no join, no window — so the
+    // assignment is embarrassingly parallel at any corpus size (the
+    // eval_det_match fixture scales images with the corpus).
+    "multimodal_anchor_assign" -> ((s, dir) => {
+      val base = t(s, dir, "part").select(col("p_partkey").as("k"),
+        col("p_size").cast("long").as("sz"))
+        .select(col("k"), expr("k div 64").as("image_id"),
+          ((col("k") % 8) * 100).as("gx1"),
+          (expr("(k % 64) div 8") * 100).as("gy1"),
+          col("sz"))
+        .withColumn("gx2", col("gx1") + 40 + col("sz") % 20)
+        .withColumn("gy2", col("gy1") + 60 + col("k") % 13)
+        .withColumn("cx", col("gx1") + 50)
+        .withColumn("cy", col("gy1") + 50)
+      base.withColumn("best", expr(
+        """element_at(array_sort(transform(
+          |  transform(array(
+          |      named_struct('aid', 0L, 'aw', 32L, 'ah', 32L),
+          |      named_struct('aid', 1L, 'aw', 64L, 'ah', 64L),
+          |      named_struct('aid', 2L, 'aw', 96L, 'ah', 96L),
+          |      named_struct('aid', 3L, 'aw', 32L, 'ah', 64L),
+          |      named_struct('aid', 4L, 'aw', 64L, 'ah', 32L),
+          |      named_struct('aid', 5L, 'aw', 48L, 'ah', 96L)),
+          |    a -> named_struct('aid', a.aid, 'aw', a.aw, 'ah', a.ah,
+          |      'ix', greatest(0L, least(gx2, cx + a.aw div 2)
+          |               - greatest(gx1, cx - a.aw div 2)),
+          |      'iy', greatest(0L, least(gy2, cy + a.ah div 2)
+          |               - greatest(gy1, cy - a.ah div 2)))),
+          |  b -> named_struct(
+          |    'negkey', -((b.ix * b.iy * 1099511627776L)
+          |      div ((gx2 - gx1) * (gy2 - gy1) + b.aw * b.ah
+          |           - b.ix * b.iy)),
+          |    'aid', b.aid, 'aw', b.aw, 'ah', b.ah,
+          |    'inter', b.ix * b.iy,
+          |    'uni', (gx2 - gx1) * (gy2 - gy1) + b.aw * b.ah
+          |           - b.ix * b.iy))), 1)""".stripMargin))
+        .select(col("k").as("gt_id"), col("image_id"),
+          col("best.aid").as("anchor_id"),
+          col("best.aw").as("anchor_w"), col("best.ah").as("anchor_h"),
+          r4d(col("best.inter").cast("double")
+            / col("best.uni").cast("double")).as("iou"),
+          (col("best.inter") * 2 >= col("best.uni")).as("positive"))
+        .orderBy("gt_id")
+    }),
+
     // CURRICULUM ORDERING (§2.89) — the staged training schedule
     // curriculum-learning loaders consume: difficulty = exact token
     // count, stage = quartile of difficulty (cuts are exact
@@ -1569,6 +1859,220 @@ object PipelineQueries {
         |  gx1 - cx1 AS box_x, gy1 - cy1 AS box_y,
         |  gx2 - gx1 AS box_w, gy2 - gy1 AS box_h
         |FROM c ORDER BY gt_id""".stripMargin,
+    // Same per-image matcher; the n-scaled CCC identity keeps every
+    // operand an exact integer (HUGEINT moments), one division.
+    "eval_count_ccc" ->
+      """WITH base AS (SELECT p_partkey AS k,
+        |    CAST(p_size AS BIGINT) AS sz,
+        |    CAST(round(p_retailprice * 100) AS BIGINT) AS cents,
+        |    p_partkey // 64 AS image_id,
+        |    (p_partkey % 8) * 100 AS gx1,
+        |    ((p_partkey % 64) // 8) * 100 AS gy1
+        |  FROM part),
+        |bb AS (SELECT *, gx1 + 40 + sz % 20 AS gx2,
+        |    gy1 + 60 + k % 13 AS gy2 FROM base),
+        |gt AS (SELECT image_id, k AS gt_id, gx1, gy1, gx2, gy2 FROM bb),
+        |jit AS (SELECT image_id, k AS det_id,
+        |    gx1 + sz % 9 - 4 + CASE WHEN k % 17 = 0 THEN 30 ELSE 0 END
+        |      AS px1,
+        |    gy1 + cents % 11 - 5 AS py1,
+        |    gx2 + sz % 9 - 4 + CASE WHEN k % 17 = 0 THEN 30 ELSE 0 END
+        |      AS px2,
+        |    gy2 + cents % 11 - 5 AS py2
+        |  FROM bb WHERE k % 13 <> 0),
+        |fpd AS (SELECT image_id, k + 100000000 AS det_id,
+        |    gx1 + 50 AS px1, gy1 + 50 AS py1,
+        |    gx1 + 90 AS px2, gy1 + 110 AS py2
+        |  FROM bb WHERE k % 11 = 0),
+        |pred AS (SELECT * FROM jit UNION ALL SELECT * FROM fpd),
+        |pr AS (SELECT g.image_id, g.gt_id, p.det_id,
+        |    greatest(0, least(g.gx2, p.px2) - greatest(g.gx1, p.px1))
+        |      * greatest(0, least(g.gy2, p.py2) - greatest(g.gy1, p.py1))
+        |      AS inter,
+        |    (g.gx2 - g.gx1) * (g.gy2 - g.gy1)
+        |      + (p.px2 - p.px1) * (p.py2 - p.py1) AS areas
+        |  FROM gt g JOIN pred p USING (image_id)),
+        |pairs AS (SELECT image_id, gt_id, det_id,
+        |    CAST(inter AS DOUBLE) / CAST(areas - inter AS DOUBLE) AS iou
+        |  FROM pr WHERE inter * 2 >= areas - inter),
+        |rk AS (SELECT image_id, gt_id, det_id,
+        |    row_number() OVER (PARTITION BY image_id, gt_id
+        |      ORDER BY iou DESC, det_id) AS rg,
+        |    row_number() OVER (PARTITION BY image_id, det_id
+        |      ORDER BY iou DESC, gt_id) AS rd
+        |  FROM pairs),
+        |nm AS (SELECT image_id, count(*) AS nm FROM rk
+        |  WHERE rg = 1 AND rd = 1 GROUP BY image_id),
+        |np AS (SELECT image_id, count(*) AS np FROM pred
+        |  GROUP BY image_id),
+        |per AS (SELECT COALESCE(nm, 0) AS x, COALESCE(np, 0) AS y
+        |  FROM (SELECT DISTINCT image_id FROM gt) i
+        |  LEFT JOIN np USING (image_id)
+        |  LEFT JOIN nm USING (image_id)),
+        |mom AS (SELECT count(*) AS n,
+        |    CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+        |    CAST(sum(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+        |    CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+        |    CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+        |    CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+        |  FROM per),
+        |f AS (SELECT n, sx, sy, sxy, sxx, syy,
+        |    (n * sxx - sx * sx) + (n * syy - sy * sy)
+        |      + (sx - sy) * (sx - sy) AS den
+        |  FROM mom)
+        |SELECT n AS n_images, CAST(sx AS BIGINT) AS sum_matched,
+        |  CAST(sy AS BIGINT) AS sum_predicted,
+        |  CASE WHEN den > 0 THEN
+        |    ROUND(CAST(2 * (n * sxy - sx * sy) AS DOUBLE)
+        |      / CAST(den AS DOUBLE) * 10000) / 10000 + 0.0 END AS ccc
+        |FROM f""".stripMargin,
+    // Same tiling grammar as multimodal_tiling; the ownership bands
+    // are pure integer predicates, `//` on the non-negative domain.
+    "multimodal_tile_remap" ->
+      """WITH m AS (SELECT doc_id,
+        |    CAST((n_chars % 640) + 1 AS BIGINT) AS width,
+        |    CAST((doc_id % 480) + 1 AS BIGINT) AS height
+        |  FROM documents),
+        |n AS (SELECT *,
+        |    1 + greatest(0, (width - 320 + 255) // 256) AS nx,
+        |    1 + greatest(0, (height - 320 + 255) // 256) AS ny
+        |  FROM m),
+        |tiles AS (SELECT doc_id, width, height, nx, ny, ti, tj,
+        |    least(ti * 256, greatest(0, width - 320)) AS x,
+        |    least(tj * 256, greatest(0, height - 320)) AS y
+        |  FROM n,
+        |    LATERAL (SELECT unnest(range(nx)) AS ti),
+        |    LATERAL (SELECT unnest(range(ny)) AS tj)),
+        |tt AS (SELECT *, least(320, width - x) AS tw,
+        |    least(320, height - y) AS th
+        |  FROM tiles),
+        |det AS (SELECT *, least(24, tw) AS bw, least(24, th) AS bh,
+        |    x + (doc_id + ti * 31 + tj * 17)
+        |      % greatest(1, tw - least(24, tw) + 1) AS gx1,
+        |    y + (doc_id * 3 + ti * 13 + tj * 29)
+        |      % greatest(1, th - least(24, th) + 1) AS gy1
+        |  FROM tt),
+        |own AS (SELECT *,
+        |    gx1 + bw // 2 AS ctx, gy1 + bh // 2 AS cty,
+        |    CASE WHEN ti = 0 THEN 0 ELSE x + 32 END AS core_x_lo,
+        |    CASE WHEN ti = nx - 1 THEN width ELSE x + 288 END
+        |      AS core_x_hi,
+        |    CASE WHEN tj = 0 THEN 0 ELSE y + 32 END AS core_y_lo,
+        |    CASE WHEN tj = ny - 1 THEN height ELSE y + 288 END
+        |      AS core_y_hi
+        |  FROM det)
+        |SELECT doc_id, ti, tj, gx1, gy1,
+        |  gx1 + bw AS gx2, gy1 + bh AS gy2
+        |FROM own
+        |WHERE ctx >= core_x_lo AND ctx < core_x_hi
+        |  AND cty >= core_y_lo AND cty < core_y_hi
+        |ORDER BY doc_id, ti, tj""".stripMargin,
+    // Same fixture + matcher as eval_det_match; the PR curve is
+    // block-boundary-exact integers, p_interp an order-free MAX of
+    // per-block doubles computed from identical operands.
+    "eval_det_ap" ->
+      """WITH base AS (SELECT p_partkey AS k,
+        |    CAST(p_size AS BIGINT) AS sz,
+        |    CAST(round(p_retailprice * 100) AS BIGINT) AS cents,
+        |    p_partkey // 64 AS image_id,
+        |    (p_partkey % 8) * 100 AS gx1,
+        |    ((p_partkey % 64) // 8) * 100 AS gy1
+        |  FROM part),
+        |bb AS (SELECT *, gx1 + 40 + sz % 20 AS gx2,
+        |    gy1 + 60 + k % 13 AS gy2 FROM base),
+        |gt AS (SELECT image_id, k AS gt_id, gx1, gy1, gx2, gy2 FROM bb),
+        |jit AS (SELECT image_id, k AS det_id,
+        |    gx1 + sz % 9 - 4 + CASE WHEN k % 17 = 0 THEN 30 ELSE 0 END
+        |      AS px1,
+        |    gy1 + cents % 11 - 5 AS py1,
+        |    gx2 + sz % 9 - 4 + CASE WHEN k % 17 = 0 THEN 30 ELSE 0 END
+        |      AS px2,
+        |    gy2 + cents % 11 - 5 AS py2
+        |  FROM bb WHERE k % 13 <> 0),
+        |fpd AS (SELECT image_id, k + 100000000 AS det_id,
+        |    gx1 + 50 AS px1, gy1 + 50 AS py1,
+        |    gx1 + 90 AS px2, gy1 + 110 AS py2
+        |  FROM bb WHERE k % 11 = 0),
+        |pred AS (SELECT *, (det_id * 2654435761) % 1000 AS score
+        |  FROM (SELECT * FROM jit UNION ALL SELECT * FROM fpd)),
+        |pr AS (SELECT g.image_id, g.gt_id, p.det_id,
+        |    greatest(0, least(g.gx2, p.px2) - greatest(g.gx1, p.px1))
+        |      * greatest(0, least(g.gy2, p.py2) - greatest(g.gy1, p.py1))
+        |      AS inter,
+        |    (g.gx2 - g.gx1) * (g.gy2 - g.gy1)
+        |      + (p.px2 - p.px1) * (p.py2 - p.py1) AS areas
+        |  FROM gt g JOIN pred p USING (image_id)),
+        |pairs AS (SELECT image_id, gt_id, det_id,
+        |    CAST(inter AS DOUBLE) / CAST(areas - inter AS DOUBLE) AS iou
+        |  FROM pr WHERE inter * 2 >= areas - inter),
+        |rk AS (SELECT image_id, gt_id, det_id,
+        |    row_number() OVER (PARTITION BY image_id, gt_id
+        |      ORDER BY iou DESC, det_id) AS rg,
+        |    row_number() OVER (PARTITION BY image_id, det_id
+        |      ORDER BY iou DESC, gt_id) AS rd
+        |  FROM pairs),
+        |tp AS (SELECT image_id, det_id FROM rk WHERE rg = 1 AND rd = 1),
+        |sc AS (SELECT score, count(*) AS n_det_s,
+        |    count(t.det_id) AS n_tp_s
+        |  FROM pred p LEFT JOIN tp t
+        |    ON t.image_id = p.image_id AND t.det_id = p.det_id
+        |  GROUP BY score),
+        |blocks AS (SELECT score,
+        |    CAST(sum(n_det_s) OVER (ORDER BY score DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum_det,
+        |    CAST(sum(n_tp_s) OVER (ORDER BY score DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum_tp
+        |  FROM sc),
+        |ng AS (SELECT count(*) AS n_gt FROM gt),
+        |curve AS (SELECT cum_det, cum_tp, n_gt,
+        |    CAST(cum_tp AS DOUBLE) / CAST(cum_det AS DOUBLE) AS prec
+        |  FROM blocks CROSS JOIN ng),
+        |thr AS (SELECT CAST(unnest(range(0, 11)) AS BIGINT) AS t10)
+        |SELECT t10,
+        |  ROUND(CAST(t10 AS DOUBLE) / 10.0 * 10000) / 10000 + 0.0
+        |    AS recall_thresh,
+        |  ROUND(COALESCE(max(prec), 0.0) * 10000) / 10000 + 0.0
+        |    AS p_interp
+        |FROM thr LEFT JOIN curve ON 10 * cum_tp >= t10 * n_gt
+        |GROUP BY t10 ORDER BY t10""".stripMargin,
+    // Same gt fixture + cell-centered anchor menu; the winner rank
+    // reproduces Spark's ⌊inter·2⁴⁰/union⌋ exact-integer key (`//`
+    // truncation equals Spark's div on the non-negative domain).
+    "multimodal_anchor_assign" ->
+      """WITH base AS (SELECT p_partkey AS k,
+        |    CAST(p_size AS BIGINT) AS sz,
+        |    p_partkey // 64 AS image_id,
+        |    (p_partkey % 8) * 100 AS gx1,
+        |    ((p_partkey % 64) // 8) * 100 AS gy1
+        |  FROM part),
+        |bb AS (SELECT *, gx1 + 40 + sz % 20 AS gx2,
+        |    gy1 + 60 + k % 13 AS gy2,
+        |    gx1 + 50 AS cx, gy1 + 50 AS cy FROM base),
+        |an AS (SELECT CAST(aid AS BIGINT) AS aid,
+        |    CAST(aw AS BIGINT) AS aw, CAST(ah AS BIGINT) AS ah
+        |  FROM (VALUES (0, 32, 32), (1, 64, 64), (2, 96, 96),
+        |    (3, 32, 64), (4, 64, 32), (5, 48, 96)) t(aid, aw, ah)),
+        |cand AS (SELECT b.k AS gt_id, b.image_id, a.aid, a.aw, a.ah,
+        |    greatest(0, least(b.gx2, b.cx + a.aw // 2)
+        |      - greatest(b.gx1, b.cx - a.aw // 2))
+        |    * greatest(0, least(b.gy2, b.cy + a.ah // 2)
+        |      - greatest(b.gy1, b.cy - a.ah // 2)) AS inter,
+        |    (b.gx2 - b.gx1) * (b.gy2 - b.gy1) + a.aw * a.ah AS areas
+        |  FROM bb b CROSS JOIN an a),
+        |rk AS (SELECT gt_id, image_id, aid, aw, ah, inter,
+        |    areas - inter AS uni,
+        |    row_number() OVER (PARTITION BY gt_id
+        |      ORDER BY (inter * 1099511627776) // (areas - inter) DESC,
+        |        aid) AS r
+        |  FROM cand)
+        |SELECT gt_id, image_id, aid AS anchor_id, aw AS anchor_w,
+        |  ah AS anchor_h,
+        |  ROUND(CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE) * 10000)
+        |    / 10000 + 0.0 AS iou,
+        |  inter * 2 >= uni AS positive
+        |FROM rk WHERE r = 1 ORDER BY gt_id""".stripMargin,
     // Quartile cuts via the same PERCENTILE_DISC order statistics;
     // the stage/hash/doc total order is engine-neutral (fixed-width
     // lowercase hex), so row_number IS GlobalRank's running count.

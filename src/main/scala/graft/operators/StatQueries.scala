@@ -567,6 +567,380 @@ object StatQueries {
                 * sqrt((col("n") * col("syy") - col("sy") * col("sy"))
                   .cast("double"))))).as("r"))
         .orderBy("lag")
+    }),
+
+    // COHEN'S KAPPA (§2.90) — chance-corrected agreement between two
+    // annotators labeling the same corpus: the QA statistic every
+    // labeling effort reports before its annotations become training
+    // data (raw agreement flatters whenever the label marginals are
+    // skewed; kappa subtracts what agreement chance alone would buy).
+    // Fixture: annotator A = the 5-bucket n_chars residue; annotator B
+    // agrees except every 7th doc, which shifts by a doc_id-dependent
+    // offset — a realistic ~0.86 raw / lower-kappa disagreement
+    // pattern. Exactness: kappa = (po−pe)/(1−pe) reduces over the
+    // common n² denominator to (n·agree − Σ_k ra_k·rb_k) /
+    // (n² − Σ_k ra_k·rb_k) — EVERY operand an exact integer (the
+    // marginal products summed in decimal(38,0) so a trillion-doc
+    // corpus can't overflow the k≤5 fold), so the statistic is ONE
+    // guarded division, r4d'd with po/pe beside it. Shape: two
+    // O(rows) marginal reduces to ≤5 rows each + one count pass —
+    // nothing after the first shuffle depends on corpus size.
+    "eval_cohen_kappa" -> ((s, dir) => {
+      val D0 = "decimal(38,0)"
+      val d = t(s, dir, "documents").select(col("doc_id"),
+          (col("n_chars") % 5).cast("long").as("la"))
+        .withColumn("lb", when(col("doc_id") % 7 === 0,
+          (col("la") + 1 + col("doc_id") % 3) % 5).otherwise(col("la")))
+      val ma = d.groupBy("la").agg(count(lit(1)).as("ra"))
+      val mb = d.groupBy("lb").agg(count(lit(1)).as("rb"))
+      val pe = ma.join(mb, col("la") === col("lb"))
+        .agg(sum(col("ra").cast(D0) * col("rb")).as("pe_num"))
+      val tot = d.agg(count(lit(1)).as("n"),
+        count_if(col("la") === col("lb")).as("n_agree"))
+      val nn = col("n").cast(D0) * col("n")
+      val kNum = col("n").cast(D0) * col("n_agree") - col("pe_num")
+      val kDen = nn - col("pe_num")
+      tot.crossJoin(pe).select(col("n"), col("n_agree"),
+        col("pe_num").cast("long").as("pe_num"),
+        r4d(col("n_agree").cast("double") / col("n").cast("double"))
+          .as("po"),
+        r4d(col("pe_num").cast("double") / nn.cast("double")).as("pe"),
+        when(kDen > 0, r4d(kNum.cast("double") / kDen.cast("double")))
+          .as("kappa"))
+    }),
+
+    // MANN-KENDALL TREND TEST (§2.91) — is the daily purchase series
+    // monotonically trending? The nonparametric trend screen
+    // monitoring stacks run before fitting any slope (agg_trend_slope
+    // assumes linearity; MK only asks "up or down more often than
+    // chance"). S = Σ_{i<j} sign(v_j − v_i) and the tie-corrected
+    // variance 18·Var = n(n−1)(2n+5) − Σ_t t(t−1)(2t+5) are EXACT
+    // BIGINTs (pair counts and tie-group cubes); the continuity-
+    // corrected z = (S∓1)/√(var18/18) is the only floating step,
+    // operand-order pinned and r4d'd. Shape: aggregate-first — the
+    // corpus reduces to the zero-filled day spine, THEN the O(days²)
+    // pair join (Kendall's device: days², not rows², regardless of
+    // corpus size) plus one ≤|values|-row tie reduce.
+    "ts_mann_kendall" -> ((s, dir) => {
+      val d = dailyXY(s, dir).select(col("day"), col("cy").as("v"))
+      val a = d.select(col("day").as("d1"), col("v").as("v1"))
+      val b = d.select(col("day").as("d2"), col("v").as("v2"))
+      val sAgg = a.join(b, col("d1") < col("d2"))
+        .agg((count_if(col("v2") > col("v1"))
+          - count_if(col("v2") < col("v1"))).as("s_stat"))
+      val nn = d.agg(count(lit(1)).as("n"))
+      val ties = d.groupBy("v").agg(count(lit(1)).as("t"))
+        .filter(col("t") > 1)
+        .agg(coalesce(sum(col("t") * (col("t") - 1)
+          * (lit(2L) * col("t") + 5)), lit(0L)).as("tie_term"))
+      nn.crossJoin(sAgg).crossJoin(ties)
+        .select(col("n"), col("s_stat"), col("tie_term"),
+          (col("n") * (col("n") - 1) * (lit(2L) * col("n") + 5)
+            - col("tie_term")).as("var18"))
+        .select(col("n"), col("s_stat"), col("tie_term"), col("var18"),
+          when(col("var18") > 0 && col("s_stat") =!= 0,
+            r4d((col("s_stat").cast("double")
+              - when(col("s_stat") > 0, lit(1.0)).otherwise(lit(-1.0)))
+              / sqrt(col("var18").cast("double") / lit(18.0))))
+            .otherwise(when(col("var18") > 0, lit(0.0))).as("z"))
+    }),
+
+    // BROWN-FORSYTHE LEVENE TEST (§2.91) — do the return-flag groups
+    // differ in SPREAD, not just mean? The variance-homogeneity check
+    // that decides whether agg_anova_oneway's equal-variance F is even
+    // admissible, in the robust median-centered form. Exactness
+    // inherits the whole ANOVA device: the group median of the integer
+    // quantity grid is an exact PERCENTILE_DISC order statistic (a
+    // k-row broadcast), so z = |q − med_g| is an exact BIGINT and the
+    // F over z is assembled from exact n/Σz/Σz² with the one
+    // order-sensitive double (Σ S_g²/n_g) folded over the group-sorted
+    // list. Shape: one broadcast join + one O(rows) reduce to k rows.
+    "agg_levene_test" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(col("l_returnflag").as("g"),
+        round(col("l_quantity")).cast("long").as("q"))
+      li.createOrReplaceTempView("lev_q")
+      val med = s.sql("""SELECT g,
+        |  CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY q)
+        |    AS BIGINT) AS med
+        |FROM lev_q GROUP BY g""".stripMargin)
+      val z = li.join(broadcast(med), Seq("g"))
+        .select(col("g"), abs(col("q") - col("med")).as("z"))
+      val grp = z.groupBy("g").agg(count(lit(1)).as("n_g"),
+        sum(col("z")).as("s_g"), sum(col("z") * col("z")).as("q2_g"))
+      val one = grp.agg(
+        array_sort(collect_list(struct(col("g"), col("n_g"), col("s_g"),
+          col("q2_g")))).as("gs"))
+        .select(expr("size(gs)").cast("long").as("k"),
+          expr("aggregate(gs, 0L, (a, x) -> a + x.n_g)").as("n"),
+          expr("aggregate(gs, 0L, (a, x) -> a + x.s_g)").as("s"),
+          expr("aggregate(gs, 0L, (a, x) -> a + x.q2_g)").as("q2"),
+          expr("aggregate(gs, cast(0.0 as double), (a, x) -> " +
+            "a + cast(x.s_g * x.s_g as double) / cast(x.n_g as double))")
+            .as("bs"))
+      val ssb = col("bs") - (col("s").cast("double")
+        * col("s").cast("double") / col("n").cast("double"))
+      val ssw = col("q2").cast("double") - col("bs")
+      one.select(col("k"), col("n"), r4d(ssb).as("ss_between"),
+        r4d(ssw).as("ss_within"),
+        when(col("k") > 1 && col("n") > col("k") && ssw > 0,
+          r4d((ssb / (col("k") - 1).cast("double"))
+            / (ssw / (col("n") - col("k")).cast("double"))))
+          .as("w_stat"))
+    }),
+
+    // CRAMÉR'S V (§2.91) — the effect size agg_chi2_independence's
+    // drill-down table omits: how STRONG is the event-mix ↔
+    // day-of-week association once significance is a given at scale
+    // (at 100 TB everything is "significant"; V ∈ [0,1] is what's
+    // actually comparable across breakdowns). The χ² total is the one
+    // order-sensitive double sum — each cell's (o−e)²/e is
+    // IEEE-identical cross-engine (same exact-integer operands), and
+    // the 35-cell sum folds over the (type, dow)-sorted contribution
+    // list. V = √(χ²/(n·min(r−1,c−1))) is two libm steps on pinned
+    // operands. Shape: one O(rows) reduce to the cell table, then a
+    // 1-row fold — r and c are count_distincts over ≤35 rows.
+    "agg_cramers_v" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val cells = events(s, dir)
+        .select(col("event_type"), dow(epochDay("ts")).as("dw"))
+        .groupBy("event_type", "dw").agg(count(lit(1)).as("obs"))
+      val wr = Window.partitionBy("event_type")
+      val wc = Window.partitionBy("dw")
+      val wn = Window.partitionBy()
+      val contrib = cells
+        .withColumn("r", sum(col("obs")).over(wr))
+        .withColumn("c", sum(col("obs")).over(wc))
+        .withColumn("n", sum(col("obs")).over(wn))
+        .withColumn("e",
+          (col("r") * col("c")).cast("double") / col("n").cast("double"))
+        .withColumn("contrib",
+          (col("obs").cast("double") - col("e"))
+            * (col("obs").cast("double") - col("e")) / col("e"))
+      val folded = contrib.agg(
+        count(lit(1)).as("n_cells"),
+        max(col("n")).as("n"),
+        countDistinct(col("event_type")).as("r_cat"),
+        countDistinct(col("dw")).as("c_cat"),
+        expr("aggregate(array_sort(collect_list(" +
+          "struct(event_type, dw, contrib))), cast(0.0 as double), " +
+          "(a, x) -> a + x.contrib)").as("chi2"))
+      folded.select(col("n_cells"), col("n"), col("r_cat"), col("c_cat"),
+        ((col("r_cat") - 1) * (col("c_cat") - 1)).as("dof"),
+        r4d(col("chi2")).as("chi2"),
+        when(col("n") > 0 && least(col("r_cat"), col("c_cat")) > 1,
+          r4d(sqrt(col("chi2") / (col("n")
+            * least(col("r_cat") - 1, col("c_cat") - 1)).cast("double"))))
+          .as("v"))
+    }),
+
+    // LJUNG-BOX WHITENESS TEST (§2.92) — are the daily purchase
+    // series' autocorrelations at lags 1..7 jointly zero? The
+    // residual-diagnostic ts_stl_decompose's remainder should pass if
+    // the seasonal fit is honest, and the standard portmanteau screen
+    // before trusting any forecast baseline. Exactness: each lag's
+    // autocorrelation is the ratio of two EXACT BIGINTs — multiplying
+    // the mean-centered products through by n² turns
+    // Σ(x_t−x̄)(x_{t+k}−x̄) into Σ(n·x_t−S)(n·x_{t+k}−S), integer
+    // arithmetic end-to-end (spine days × counts keep every product
+    // far under 2^63) — and the cumulative Q_k = n(n+2)·Σ_{j≤k}
+    // r_j²/(n−j) accumulates over the lag-ORDERED 7-row window, so
+    // the double fold order is pinned on both engines. Shape:
+    // aggregate-first to the zero-filled spine, one 15-way explode
+    // equi-join (the cross-corr device), a 7-row reduce + window.
+    "ts_ljung_box" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = dailyXY(s, dir).select(col("day"), col("cy").as("v"))
+      val m0 = d.agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+      val cen = d.crossJoin(broadcast(m0))
+        .select(col("day"), col("n"), col("sv"),
+          (col("n") * col("v") - col("sv")).as("c"))
+      val D0 = "decimal(38,0)"
+      val den = cen.agg(max(col("n")).as("n"),
+        sum(col("c").cast(D0) * col("c")).as("den"))
+      val x = cen.select(col("day"), col("c"))
+        .withColumn("lag", explode(sequence(lit(1L), lit(7L))))
+      val y2 = cen.select(col("day").as("yday"), col("c").as("c2"))
+      val nums = x.join(y2, col("yday") === col("day") + col("lag"))
+        .groupBy("lag").agg(sum(col("c").cast(D0) * col("c2")).as("num"))
+      val wQ = Window.orderBy("lag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      nums.crossJoin(broadcast(den))
+        .withColumn("r", col("num").cast("double")
+          / col("den").cast("double"))
+        .withColumn("term", col("r") * col("r")
+          / (col("n") - col("lag")).cast("double"))
+        .withColumn("q_cum",
+          (col("n") * (col("n") + 2)).cast("double")
+            * sum(col("term")).over(wQ))
+        .select(col("lag"), col("n"), r4d(col("r")).as("r"),
+          r4d(col("q_cum")).as("q_cum"))
+        .orderBy("lag")
+    }),
+
+    // FLEISS' KAPPA (§2.92) — eval_cohen_kappa's r-rater
+    // generalization for the triple-annotation pass a labeling QA
+    // round runs on contested images: agreement among THREE fixed
+    // raters, chance-corrected by the pooled label marginals. This
+    // statistic is FULLY RATIONAL: with r=3 raters, each item's
+    // Σ_k n_ik² collapses to the equality pattern (all-agree 9 /
+    // two-agree 5 / all-distinct 3), so P̄'s numerator and P̄e's
+    // Σ C_k² are exact integers, and kappa = (P̄−P̄e)/(1−P̄e) clears
+    // to ONE division of two decimal(38,0) operands (scaled through
+    // by (Nr)²(r−1) — no intermediate double, no fold, no rounding
+    // anywhere but the reported edge). Shape: one O(rows) map-side
+    // pattern classify + a ≤5-row marginal reduce.
+    "eval_fleiss_kappa" -> ((s, dir) => {
+      val D0 = "decimal(38,0)"
+      val d = t(s, dir, "documents").select(col("doc_id"),
+          (col("n_chars") % 5).cast("long").as("la"))
+        .withColumn("lb", when(col("doc_id") % 7 === 0,
+          (col("la") + 1 + col("doc_id") % 3) % 5).otherwise(col("la")))
+        .withColumn("lc", when(col("doc_id") % 11 === 0,
+          (col("la") + 2 + col("doc_id") % 2) % 5).otherwise(col("la")))
+      val pat = d.select(col("doc_id"), col("la"), col("lb"), col("lc"),
+        when(col("la") === col("lb") && col("lb") === col("lc"), 9L)
+          .when(col("la") =!= col("lb") && col("lb") =!= col("lc")
+            && col("la") =!= col("lc"), 3L)
+          .otherwise(5L).as("sq"))
+      val items = pat.agg(count(lit(1)).as("n_items"),
+        count_if(col("sq") === 9).as("n_all3"),
+        count_if(col("sq") === 5).as("n_two"),
+        count_if(col("sq") === 3).as("n_dist"),
+        sum(col("sq")).as("sum_sq"))
+      val marg = d.select(explode(array(col("la"), col("lb"), col("lc")))
+          .as("lab"))
+        .groupBy("lab").agg(count(lit(1)).as("ck"))
+        .agg(sum(col("ck").cast(D0) * col("ck")).as("sum_ck2"))
+      // P̄  = (Σsq − N·r) / (N·r·(r−1));  P̄e = ΣC_k² / (N·r)²
+      // κ = (P̄−P̄e)/(1−P̄e)
+      //   = ((Σsq−Nr)·(Nr)² − ΣC²·Nr(r−1)) / ((Nr(r−1))·((Nr)²−ΣC²))
+      val r = lit(3L)
+      items.crossJoin(marg).select(
+          col("n_items"), col("n_all3"), col("n_two"), col("n_dist"),
+          (col("n_items").cast(D0) * r).as("nr"),
+          col("sum_sq").cast(D0).as("ssq"), col("sum_ck2"))
+        .select(col("n_items"), col("n_all3"), col("n_two"),
+          col("n_dist"),
+          r4d((col("ssq") - col("nr")).cast("double")
+            / (col("nr") * (r - 1)).cast("double")).as("p_bar"),
+          r4d(col("sum_ck2").cast("double")
+            / (col("nr") * col("nr")).cast("double")).as("p_e"),
+          when(col("nr") * col("nr") - col("sum_ck2") > 0,
+            r4d(((col("ssq") - col("nr")) * col("nr") * col("nr")
+              - col("sum_ck2") * col("nr") * (r - 1)).cast("double")
+              / ((col("nr") * (r - 1))
+                * (col("nr") * col("nr") - col("sum_ck2")))
+                .cast("double"))).as("kappa"))
+    }),
+
+    // TUKEY HSD PAIRWISE q (§2.93) — the post-hoc step after
+    // agg_anova_oneway rejects: WHICH return-flag pairs differ? The
+    // studentized-range statistic q = |x̄ᵢ−x̄ⱼ| / √((MSW/2)(1/nᵢ+1/nⱼ))
+    // per unordered group pair, with MSW from the same exact device —
+    // n/Σq/Σq² per group are exact BIGINTs on the integer quantity
+    // grid and the one order-sensitive double (Σ S_g²/n_g) folds over
+    // the group-key-sorted list. Every downstream double (means,
+    // MSW, se, q) is spelled operand-for-operand on both engines.
+    // Shape: O(rows) reduce to k rows, then a k²/2 self-join — 3
+    // pairs here, k² driver-scale always.
+    "agg_tukey_hsd" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(col("l_returnflag").as("g"),
+        round(col("l_quantity")).cast("long").as("q"))
+      val grp = li.groupBy("g").agg(count(lit(1)).as("n_g"),
+        sum(col("q")).as("s_g"), sum(col("q") * col("q")).as("q2_g"))
+      val one = grp.agg(
+        array_sort(collect_list(struct(col("g"), col("n_g"), col("s_g"),
+          col("q2_g")))).as("gs"))
+        .select(expr("size(gs)").cast("long").as("k"),
+          expr("aggregate(gs, 0L, (a, x) -> a + x.n_g)").as("n"),
+          expr("aggregate(gs, 0L, (a, x) -> a + x.q2_g)").as("q2"),
+          expr("aggregate(gs, cast(0.0 as double), (a, x) -> " +
+            "a + cast(x.s_g * x.s_g as double) / cast(x.n_g as double))")
+            .as("bs"))
+        .select(col("k"), col("n"),
+          ((col("q2").cast("double") - col("bs"))
+            / (col("n") - col("k")).cast("double")).as("msw"))
+      val a = grp.select(col("g").as("g1"), col("n_g").as("n1"),
+        col("s_g").as("s1"))
+      val b = grp.select(col("g").as("g2"), col("n_g").as("n2"),
+        col("s_g").as("s2"))
+      a.join(b, col("g1") < col("g2")).crossJoin(broadcast(one))
+        .select(col("g1"), col("g2"), col("n1"), col("n2"),
+          (col("s1").cast("double") / col("n1").cast("double"))
+            .as("mean1"),
+          (col("s2").cast("double") / col("n2").cast("double"))
+            .as("mean2"),
+          col("msw"))
+        .select(col("g1"), col("g2"), col("n1"), col("n2"),
+          r4d(col("mean1")).as("mean1"), r4d(col("mean2")).as("mean2"),
+          when(col("msw") > 0,
+            r4d(abs(col("mean1") - col("mean2"))
+              / sqrt(col("msw") / lit(2.0)
+                * (lit(1.0) / col("n1").cast("double")
+                  + lit(1.0) / col("n2").cast("double")))))
+            .as("q_stat"))
+        .orderBy("g1", "g2")
+    }),
+
+    // MCNEMAR PAIRED TEST (§2.93) — did detector B actually improve
+    // on detector A? The paired comparison on the SAME items (the
+    // only valid way to compare two models evaluated on one test
+    // set): only the discordant counts b = A-only-correct and
+    // c = B-only-correct carry signal, and the continuity-corrected
+    // χ² = (|b−c|−1)²/(b+c) is exact-integer arithmetic into ONE
+    // division. Fixture: two deterministic correctness patterns with
+    // genuine discordance (hash-residue accuracy ~80% vs ~70%).
+    // Shape: one O(rows) map-side classify + global count reduce.
+    "eval_mcnemar" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"),
+          col("n_chars"))
+        .withColumn("a_ok", (col("doc_id") * 7 + col("n_chars")) % 10 < 8)
+        .withColumn("b_ok", (col("doc_id") * 13 + col("n_chars")) % 10 < 7)
+      d.agg(count(lit(1)).as("n"),
+          count_if(col("a_ok") && col("b_ok")).as("n11"),
+          count_if(col("a_ok") && !col("b_ok")).as("n10"),
+          count_if(!col("a_ok") && col("b_ok")).as("n01"),
+          count_if(!col("a_ok") && !col("b_ok")).as("n00"))
+        .select(col("n"), col("n11"), col("n10"), col("n01"), col("n00"),
+          when(col("n10") + col("n01") > 0,
+            r4d(((abs(col("n10") - col("n01")) - 1)
+              * (abs(col("n10") - col("n01")) - 1)).cast("double")
+              / (col("n10") + col("n01")).cast("double"))).as("chi2"))
+    }),
+
+    // CAPTURE-RECAPTURE ABUNDANCE (§2.94) — the Chapman-corrected
+    // Lincoln-Petersen estimator: two survey passes over one
+    // population (even vs odd survey days), N̂ = (n₁+1)(n₂+1)/(m+1)−1
+    // from the pass-1 count, pass-2 count, and the resight overlap m
+    // — THE mark-recapture abundance figure a wildlife survey program
+    // exists to produce. Exactness: n₁/n₂/m are exact distinct
+    // counts (one per-individual flag reduce — no count-distinct
+    // shuffle trio), and both N̂ and its variance are RATIONAL in
+    // them: one decimal(38,0) product ratio each ((n₁+1)(n₂+1)
+    // (n₁−m)(n₂−m) stays < 10¹⁷ on the bounded id space), sqrt only
+    // at the reported se edge. Shape: O(rows) reduce to ≤|ids| flag
+    // rows, then a 1-row fold.
+    "agg_capture_recapture" -> ((s, dir) => {
+      val D0 = "decimal(38,0)"
+      val ind = events(s, dir).select(
+          ((col("user_id") * 997 + col("event_id") * 31) % 11520)
+            .as("animal"),
+          (epochDay("ts") % 2 === 0).as("p1"))
+        .groupBy("animal")
+        .agg(max(col("p1")).as("in1"), max(!col("p1")).as("in2"))
+      val m = ind.agg(count_if(col("in1")).as("n1"),
+        count_if(col("in2")).as("n2"),
+        count_if(col("in1") && col("in2")).as("m"))
+      val nhat = (col("n1") + 1).cast(D0) * (col("n2") + 1)
+      val varNum = (col("n1") + 1).cast(D0) * (col("n2") + 1) *
+        (col("n1") - col("m")) * (col("n2") - col("m"))
+      val varDen = (col("m") + 1).cast(D0) * (col("m") + 1) *
+        (col("m") + 2)
+      m.select(col("n1"), col("n2"), col("m"),
+        r4d(nhat.cast("double") / (col("m") + 1).cast("double")
+          - lit(1.0)).as("n_hat"),
+        r4d(sqrt(varNum.cast("double") / varDen.cast("double")))
+          .as("se"))
     }))
 
   val oracle: Map[String, String] = Map(
@@ -951,5 +1325,295 @@ object StatQueries {
          |      / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
          |        * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) * 10000)
          |      / 10000 + 0.0 END AS r
-         |FROM m ORDER BY lag""".stripMargin)
+         |FROM m ORDER BY lag""".stripMargin,
+    // Same 5-bucket annotator fixture; marginal products summed in
+    // DECIMAL(38,0) to mirror Spark's fold, cast back at the edge.
+    "eval_cohen_kappa" ->
+      """WITH d AS (SELECT doc_id,
+        |    CAST(n_chars % 5 AS BIGINT) AS la FROM documents),
+        |ab AS (SELECT doc_id, la,
+        |    CASE WHEN doc_id % 7 = 0 THEN (la + 1 + doc_id % 3) % 5
+        |      ELSE la END AS lb
+        |  FROM d),
+        |ma AS (SELECT la, count(*) AS ra FROM ab GROUP BY la),
+        |mb AS (SELECT lb, count(*) AS rb FROM ab GROUP BY lb),
+        |pe AS (SELECT CAST(sum(CAST(ra AS DECIMAL(38,0)) * rb)
+        |    AS DECIMAL(38,0)) AS pe_num
+        |  FROM ma JOIN mb ON ma.la = mb.lb),
+        |tot AS (SELECT count(*) AS n,
+        |    count(*) FILTER (WHERE la = lb) AS n_agree FROM ab)
+        |SELECT n, n_agree, CAST(pe_num AS BIGINT) AS pe_num,
+        |  ROUND(CAST(n_agree AS DOUBLE) / CAST(n AS DOUBLE) * 10000)
+        |    / 10000 + 0.0 AS po,
+        |  ROUND(CAST(pe_num AS DOUBLE)
+        |    / CAST(CAST(n AS DECIMAL(38,0)) * n AS DOUBLE) * 10000)
+        |    / 10000 + 0.0 AS pe,
+        |  CASE WHEN CAST(n AS DECIMAL(38,0)) * n - pe_num > 0 THEN
+        |    ROUND(CAST(CAST(n AS DECIMAL(38,0)) * n_agree - pe_num
+        |        AS DOUBLE)
+        |      / CAST(CAST(n AS DECIMAL(38,0)) * n - pe_num AS DOUBLE)
+        |      * 10000) / 10000 + 0.0 END AS kappa
+        |FROM tot CROSS JOIN pe""".stripMargin,
+    // Same spine + pair-join device as Kendall; every count/cube an
+    // exact BIGINT, the continuity-corrected z operand-order pinned.
+    "ts_mann_kendall" ->
+      s"""WITH e AS (SELECT event_type, ${sqlEpochDay("ts")} AS day
+         |  FROM events),
+         |b AS (SELECT min(day) AS lo, max(day) AS hi FROM e),
+         |spine AS (SELECT unnest(range(lo, hi + 1)) AS day FROM b),
+         |d0 AS (SELECT day,
+         |    count(*) FILTER (WHERE event_type = 'purchase') AS cy
+         |  FROM e GROUP BY day),
+         |d AS (SELECT s.day, COALESCE(cy, 0) AS v
+         |  FROM spine s LEFT JOIN d0 USING (day)),
+         |sa AS (SELECT CAST(count(*) FILTER (WHERE b2.v > a.v)
+         |      - count(*) FILTER (WHERE b2.v < a.v) AS BIGINT) AS s_stat
+         |  FROM d a JOIN d b2 ON a.day < b2.day),
+         |nn AS (SELECT count(*) AS n FROM d),
+         |tg AS (SELECT v, count(*) AS t FROM d GROUP BY v
+         |  HAVING count(*) > 1),
+         |ties AS (SELECT COALESCE(CAST(sum(t * (t - 1) * (2 * t + 5))
+         |      AS BIGINT), 0) AS tie_term FROM tg),
+         |m AS (SELECT n, s_stat, tie_term,
+         |    n * (n - 1) * (2 * n + 5) - tie_term AS var18
+         |  FROM nn CROSS JOIN sa CROSS JOIN ties)
+         |SELECT n, s_stat, tie_term, var18,
+         |  CASE WHEN var18 > 0 AND s_stat <> 0 THEN
+         |    ROUND((CAST(s_stat AS DOUBLE)
+         |        - CASE WHEN s_stat > 0 THEN 1.0 ELSE -1.0 END)
+         |      / sqrt(CAST(var18 AS DOUBLE) / 18.0) * 10000) / 10000
+         |      + 0.0
+         |  WHEN var18 > 0 THEN 0.0 END AS z
+         |FROM m""".stripMargin,
+    // Group medians are exact PERCENTILE_DISC order statistics on the
+    // integer grid; the F over |q − med| reuses the ANOVA fold.
+    "agg_levene_test" ->
+      """WITH li AS (SELECT l_returnflag AS g,
+        |    CAST(round(l_quantity) AS BIGINT) AS q FROM lineitem),
+        |med AS (SELECT g, CAST(percentile_disc(0.5)
+        |      WITHIN GROUP (ORDER BY q) AS BIGINT) AS med
+        |  FROM li GROUP BY g),
+        |z AS (SELECT li.g, abs(q - med) AS z
+        |  FROM li JOIN med USING (g)),
+        |grp AS (SELECT g, count(*) AS n_g,
+        |    CAST(sum(z) AS BIGINT) AS s_g,
+        |    CAST(sum(z * z) AS BIGINT) AS q2_g
+        |  FROM z GROUP BY 1),
+        |one AS (SELECT list_sort(list({'g': g, 'n_g': n_g, 's_g': s_g,
+        |      'q2_g': q2_g})) AS gs FROM grp),
+        |m AS (SELECT CAST(len(gs) AS BIGINT) AS k,
+        |    CAST(list_aggregate(list_transform(gs, x -> x.n_g), 'sum')
+        |      AS BIGINT) AS n,
+        |    CAST(list_aggregate(list_transform(gs, x -> x.s_g), 'sum')
+        |      AS BIGINT) AS s,
+        |    CAST(list_aggregate(list_transform(gs, x -> x.q2_g), 'sum')
+        |      AS BIGINT) AS q2,
+        |    list_aggregate(list_transform(gs,
+        |      x -> CAST(x.s_g * x.s_g AS DOUBLE)
+        |        / CAST(x.n_g AS DOUBLE)), 'sum') AS bs
+        |  FROM one),
+        |f AS (SELECT k, n,
+        |    bs - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+        |      / CAST(n AS DOUBLE) AS ssb,
+        |    CAST(q2 AS DOUBLE) - bs AS ssw
+        |  FROM m)
+        |SELECT k, n,
+        |  ROUND(ssb * 10000) / 10000 AS ss_between,
+        |  ROUND(ssw * 10000) / 10000 AS ss_within,
+        |  CASE WHEN k > 1 AND n > k AND ssw > 0 THEN
+        |    ROUND((ssb / CAST(k - 1 AS DOUBLE))
+        |      / (ssw / CAST(n - k AS DOUBLE)) * 10000) / 10000
+        |  END AS w_stat
+        |FROM f""".stripMargin,
+    // Chi² total folded over the (type, dow)-sorted per-cell
+    // contributions (each IEEE-identical cross-engine); V's sqrt on
+    // pinned operands.
+    "agg_cramers_v" ->
+      s"""WITH cells AS (SELECT event_type,
+         |    (${sqlEpochDay("ts")}) % 7 AS dw, count(*) AS obs
+         |  FROM events GROUP BY 1, 2),
+         |tot AS (SELECT event_type, dw, obs,
+         |    CAST(sum(obs) OVER (PARTITION BY event_type) AS BIGINT) AS r,
+         |    CAST(sum(obs) OVER (PARTITION BY dw) AS BIGINT) AS c,
+         |    CAST(sum(obs) OVER () AS BIGINT) AS n
+         |  FROM cells),
+         |ct AS (SELECT event_type, dw, obs, r, c, n,
+         |    (CAST(obs AS DOUBLE) - CAST(r * c AS DOUBLE)
+         |        / CAST(n AS DOUBLE))
+         |      * (CAST(obs AS DOUBLE) - CAST(r * c AS DOUBLE)
+         |        / CAST(n AS DOUBLE))
+         |      / (CAST(r * c AS DOUBLE) / CAST(n AS DOUBLE)) AS contrib
+         |  FROM tot),
+         |m AS (SELECT count(*) AS n_cells, max(n) AS n,
+         |    CAST(count(DISTINCT event_type) AS BIGINT) AS r_cat,
+         |    CAST(count(DISTINCT dw) AS BIGINT) AS c_cat,
+         |    list_aggregate(list_transform(
+         |      list_sort(list({'event_type': event_type, 'dw': dw,
+         |        'contrib': contrib})), x -> x.contrib), 'sum') AS chi2
+         |  FROM ct)
+         |SELECT n_cells, n, r_cat, c_cat,
+         |  (r_cat - 1) * (c_cat - 1) AS dof,
+         |  ROUND(chi2 * 10000) / 10000 + 0.0 AS chi2,
+         |  CASE WHEN n > 0 AND least(r_cat, c_cat) > 1 THEN
+         |    ROUND(sqrt(chi2 / CAST(n * least(r_cat - 1, c_cat - 1)
+         |      AS DOUBLE)) * 10000) / 10000 + 0.0 END AS v
+         |FROM m""".stripMargin,
+    // n²-scaled centered products keep every autocovariance an exact
+    // integer (HUGEINT here, decimal(38,0) on the Spark side); the
+    // cumulative Q folds over the lag-ordered 7-row window.
+    "ts_ljung_box" ->
+      s"""WITH e AS (SELECT event_type, ${sqlEpochDay("ts")} AS day
+         |  FROM events),
+         |b AS (SELECT min(day) AS lo, max(day) AS hi FROM e),
+         |spine AS (SELECT unnest(range(lo, hi + 1)) AS day FROM b),
+         |d0 AS (SELECT day,
+         |    count(*) FILTER (WHERE event_type = 'purchase') AS cy
+         |  FROM e GROUP BY day),
+         |d AS (SELECT s.day, COALESCE(cy, 0) AS v
+         |  FROM spine s LEFT JOIN d0 USING (day)),
+         |m0 AS (SELECT count(*) AS n, CAST(sum(v) AS BIGINT) AS sv
+         |  FROM d),
+         |cen AS (SELECT day, n, sv, n * v - sv AS c
+         |  FROM d CROSS JOIN m0),
+         |den AS (SELECT max(n) AS n,
+         |    CAST(sum(CAST(c AS HUGEINT) * c) AS HUGEINT) AS den
+         |  FROM cen),
+         |lags AS (SELECT unnest(range(1, 8)) AS lag),
+         |nums AS (SELECT l.lag,
+         |    CAST(sum(CAST(x.c AS HUGEINT) * y.c) AS HUGEINT) AS num
+         |  FROM cen x CROSS JOIN lags l
+         |  JOIN cen y ON y.day = x.day + l.lag
+         |  GROUP BY l.lag),
+         |rr AS (SELECT lag, n,
+         |    CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS r
+         |  FROM nums CROSS JOIN den),
+         |qq AS (SELECT lag, n, r,
+         |    CAST(n * (n + 2) AS DOUBLE)
+         |      * sum(r * r / CAST(n - lag AS DOUBLE))
+         |        OVER (ORDER BY lag
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS q_cum
+         |  FROM rr)
+         |SELECT lag, n, ROUND(r * 10000) / 10000 + 0.0 AS r,
+         |  ROUND(q_cum * 10000) / 10000 + 0.0 AS q_cum
+         |FROM qq ORDER BY lag""".stripMargin,
+    // Fully rational: the equality-pattern trick collapses Σn², and
+    // kappa clears to one division of HUGEINT-exact operands.
+    "eval_fleiss_kappa" ->
+      """WITH d AS (SELECT doc_id,
+        |    CAST(n_chars % 5 AS BIGINT) AS la FROM documents),
+        |abc AS (SELECT doc_id, la,
+        |    CASE WHEN doc_id % 7 = 0 THEN (la + 1 + doc_id % 3) % 5
+        |      ELSE la END AS lb,
+        |    CASE WHEN doc_id % 11 = 0 THEN (la + 2 + doc_id % 2) % 5
+        |      ELSE la END AS lc
+        |  FROM d),
+        |pat AS (SELECT doc_id, la, lb, lc,
+        |    CASE WHEN la = lb AND lb = lc THEN 9
+        |      WHEN la <> lb AND lb <> lc AND la <> lc THEN 3
+        |      ELSE 5 END AS sq
+        |  FROM abc),
+        |items AS (SELECT count(*) AS n_items,
+        |    count(*) FILTER (WHERE sq = 9) AS n_all3,
+        |    count(*) FILTER (WHERE sq = 5) AS n_two,
+        |    count(*) FILTER (WHERE sq = 3) AS n_dist,
+        |    CAST(sum(sq) AS HUGEINT) AS ssq
+        |  FROM pat),
+        |lab AS (SELECT unnest([la, lb, lc]) AS lab FROM abc),
+        |marg AS (SELECT CAST(sum(CAST(ck AS HUGEINT) * ck) AS HUGEINT)
+        |      AS sum_ck2
+        |  FROM (SELECT lab, count(*) AS ck FROM lab GROUP BY lab)),
+        |m AS (SELECT n_items, n_all3, n_two, n_dist,
+        |    CAST(n_items AS HUGEINT) * 3 AS nr, ssq, sum_ck2
+        |  FROM items CROSS JOIN marg)
+        |SELECT n_items, n_all3, n_two, n_dist,
+        |  ROUND(CAST(ssq - nr AS DOUBLE) / CAST(nr * 2 AS DOUBLE)
+        |    * 10000) / 10000 + 0.0 AS p_bar,
+        |  ROUND(CAST(sum_ck2 AS DOUBLE) / CAST(nr * nr AS DOUBLE)
+        |    * 10000) / 10000 + 0.0 AS p_e,
+        |  CASE WHEN nr * nr - sum_ck2 > 0 THEN
+        |    ROUND(CAST((ssq - nr) * nr * nr - sum_ck2 * nr * 2
+        |        AS DOUBLE)
+        |      / CAST((nr * 2) * (nr * nr - sum_ck2) AS DOUBLE)
+        |      * 10000) / 10000 + 0.0 END AS kappa
+        |FROM m""".stripMargin,
+    // MSW via the ANOVA sorted fold; per-pair means/se/q spelled
+    // operand-for-operand.
+    "agg_tukey_hsd" ->
+      """WITH li AS (SELECT l_returnflag AS g,
+        |    CAST(round(l_quantity) AS BIGINT) AS q FROM lineitem),
+        |grp AS (SELECT g, count(*) AS n_g,
+        |    CAST(sum(q) AS BIGINT) AS s_g,
+        |    CAST(sum(q * q) AS BIGINT) AS q2_g
+        |  FROM li GROUP BY 1),
+        |one0 AS (SELECT list_sort(list({'g': g, 'n_g': n_g, 's_g': s_g,
+        |      'q2_g': q2_g})) AS gs FROM grp),
+        |one AS (SELECT CAST(len(gs) AS BIGINT) AS k,
+        |    CAST(list_aggregate(list_transform(gs, x -> x.n_g), 'sum')
+        |      AS BIGINT) AS n,
+        |    CAST(list_aggregate(list_transform(gs, x -> x.q2_g), 'sum')
+        |      AS BIGINT) AS q2,
+        |    list_aggregate(list_transform(gs,
+        |      x -> CAST(x.s_g * x.s_g AS DOUBLE)
+        |        / CAST(x.n_g AS DOUBLE)), 'sum') AS bs
+        |  FROM one0),
+        |mw AS (SELECT k, n,
+        |    (CAST(q2 AS DOUBLE) - bs) / CAST(n - k AS DOUBLE) AS msw
+        |  FROM one),
+        |pr AS (SELECT a.g AS g1, b.g AS g2, a.n_g AS n1, b.n_g AS n2,
+        |    CAST(a.s_g AS DOUBLE) / CAST(a.n_g AS DOUBLE) AS mean1,
+        |    CAST(b.s_g AS DOUBLE) / CAST(b.n_g AS DOUBLE) AS mean2,
+        |    msw
+        |  FROM grp a JOIN grp b ON a.g < b.g CROSS JOIN mw)
+        |SELECT g1, g2, n1, n2,
+        |  ROUND(mean1 * 10000) / 10000 + 0.0 AS mean1,
+        |  ROUND(mean2 * 10000) / 10000 + 0.0 AS mean2,
+        |  CASE WHEN msw > 0 THEN
+        |    ROUND(abs(mean1 - mean2)
+        |      / sqrt(msw / 2.0 * (1.0 / CAST(n1 AS DOUBLE)
+        |        + 1.0 / CAST(n2 AS DOUBLE))) * 10000) / 10000 + 0.0
+        |  END AS q_stat
+        |FROM pr ORDER BY g1, g2""".stripMargin,
+    // Discordant-only exact-integer χ² with continuity correction.
+    "eval_mcnemar" ->
+      """WITH d AS (SELECT doc_id, n_chars,
+        |    (doc_id * 7 + n_chars) % 10 < 8 AS a_ok,
+        |    (doc_id * 13 + n_chars) % 10 < 7 AS b_ok
+        |  FROM documents),
+        |m AS (SELECT count(*) AS n,
+        |    count(*) FILTER (WHERE a_ok AND b_ok) AS n11,
+        |    count(*) FILTER (WHERE a_ok AND NOT b_ok) AS n10,
+        |    count(*) FILTER (WHERE NOT a_ok AND b_ok) AS n01,
+        |    count(*) FILTER (WHERE NOT a_ok AND NOT b_ok) AS n00
+        |  FROM d)
+        |SELECT n, n11, n10, n01, n00,
+        |  CASE WHEN n10 + n01 > 0 THEN
+        |    ROUND(CAST((abs(n10 - n01) - 1) * (abs(n10 - n01) - 1)
+        |        AS DOUBLE)
+        |      / CAST(n10 + n01 AS DOUBLE) * 10000) / 10000 + 0.0
+        |  END AS chi2
+        |FROM m""".stripMargin,
+    // Per-individual flag reduce, then Chapman's rational estimator
+    // and variance in HUGEINT products.
+    "agg_capture_recapture" ->
+      s"""WITH r AS (SELECT
+         |    (user_id * 997 + event_id * 31) % 11520 AS animal,
+         |    (${sqlEpochDay("ts")}) % 2 = 0 AS p1
+         |  FROM events),
+         |ind AS (SELECT animal, bool_or(p1) AS in1,
+         |    bool_or(NOT p1) AS in2
+         |  FROM r GROUP BY animal),
+         |m AS (SELECT count(*) FILTER (WHERE in1) AS n1,
+         |    count(*) FILTER (WHERE in2) AS n2,
+         |    count(*) FILTER (WHERE in1 AND in2) AS m
+         |  FROM ind)
+         |SELECT n1, n2, m,
+         |  ROUND((CAST(CAST(n1 + 1 AS HUGEINT) * (n2 + 1) AS DOUBLE)
+         |      / CAST(m + 1 AS DOUBLE) - 1.0) * 10000) / 10000 + 0.0
+         |    AS n_hat,
+         |  ROUND(sqrt(CAST(CAST(n1 + 1 AS HUGEINT) * (n2 + 1)
+         |        * (n1 - m) * (n2 - m) AS DOUBLE)
+         |      / CAST(CAST(m + 1 AS HUGEINT) * (m + 1) * (m + 2)
+         |        AS DOUBLE)) * 10000) / 10000 + 0.0 AS se
+         |FROM m""".stripMargin)
 }

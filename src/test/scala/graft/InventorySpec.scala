@@ -320,10 +320,26 @@ class InventorySpec extends SparkSpec {
     "agg_anova_oneway", "ts_cross_corr", "eval_det_match",
     // §2.89 round-11 eighth wave: BM25 retrieval, chip crops,
     // curriculum ordering
-    "text_bm25", "multimodal_crop_chips", "pipeline_curriculum")
+    "text_bm25", "multimodal_crop_chips", "pipeline_curriculum",
+    // §2.90 round-11 ninth wave: Cohen's kappa, anchor-box assignment,
+    // 11-point interpolated detection AP
+    "eval_cohen_kappa", "multimodal_anchor_assign", "eval_det_ap",
+    // §2.91 round-11 tenth wave: Mann-Kendall trend, Brown-Forsythe
+    // variance homogeneity, Cramér's V effect size
+    "ts_mann_kendall", "agg_levene_test", "agg_cramers_v",
+    // §2.92 round-11 eleventh wave: Ljung-Box whiteness, SAHI tile
+    // re-projection, Fleiss' kappa
+    "ts_ljung_box", "multimodal_tile_remap", "eval_fleiss_kappa",
+    // §2.93 round-11 twelfth wave: Tukey HSD, McNemar paired test,
+    // Getis-Ord Gi* hotspots
+    "agg_tukey_hsd", "eval_mcnemar", "geo_hotspot_gi",
+    // §2.94 round-11 thirteenth wave: capture-recapture abundance,
+    // count-concordance CCC, class-balanced undersampling
+    "agg_capture_recapture", "eval_count_ccc",
+    "sample_balanced_undersample")
 
-  test("declared queries cover SURVEY §2 + §2.12-89 exactly (383 keys)") {
-    assert(inventory.size == 383)
+  test("declared queries cover SURVEY §2 + §2.12-94 exactly (398 keys)") {
+    assert(inventory.size == 398)
     val declared = SparkEntry.queries.keySet
     val missing = inventory -- declared
     val extra = declared -- inventory
