@@ -41,7 +41,13 @@ object ScaleStress {
     "graph_jaccard_linkpred", "graph_adamic_adar",
     "dedup_cluster_canon", "dedup_minhash_lsh", "dedup_near_jaccard",
     "sim_ann_kmeans", "text_bpe_pair_counts",
-    "eval_ndcg_label", "sim_recall_eval", "text_vocab_growth")
+    "eval_ndcg_label", "sim_recall_eval", "text_vocab_growth",
+    // Round-11 waves: the detection matcher (per-image windows + the
+    // bounded score-block window), the Gi* scatter/gather over grid
+    // cells, and the tile-fusion explode — the shapes whose 100 TB
+    // claims are newest.
+    "eval_det_ap", "eval_count_ccc", "geo_hotspot_gi",
+    "multimodal_tile_remap")
   // Keys whose only input is lineitem — copy-scalable (see scaladoc).
   // The embeddings/documents keys are NOT copy-scalable for the same
   // reason the dedup keys aren't (cross-copy duplicate geometry);

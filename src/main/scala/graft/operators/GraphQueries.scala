@@ -322,6 +322,37 @@ object GraphQueries {
         .orderBy("bucket")
     }),
 
+    // AVERAGE NEIGHBOR DEGREE knn(d) (§2.96) — graph_assortativity's
+    // single coefficient says WHETHER hubs attach to hubs; the knn(d)
+    // curve says AT WHICH degrees the mixing turns (the standard
+    // drill-down in network analysis). EXACT: within one degree
+    // bucket every node shares denominator d, so knn(d) =
+    // (Σ_{v:deg=d} Σ_{u∈N(v)} deg(u)) / (d · n_d) — a SINGLE division
+    // of exact decimal(38,0) operands per bucket; no per-node
+    // rational ever floats. Same '0'-prefix Doulion edge sample as
+    // assortativity/modularity. Shape: two degree-keyed equi-joins +
+    // a ≤|distinct degrees|-row reduce — the wedge explosion of the
+    // link-prediction keys never happens here.
+    "graph_avg_neighbor_degree" -> ((s, dir) => {
+      val D0 = "decimal(38,0)"
+      val e = sampledOrientedEdges(s, dir, Some(Seq("0"))).persist()
+      val sym = e.select(col("a").as("v"), col("b").as("u"))
+        .unionAll(e.select(col("b").as("v"), col("a").as("u")))
+      val deg = sym.groupBy("v").agg(count(lit(1)).as("deg"))
+      val sv = sym
+        .join(deg.select(col("v").as("u"), col("deg").as("du")), Seq("u"))
+        .groupBy("v").agg(sum(col("du").cast(D0)).as("s_v"))
+      deg.join(sv, Seq("v"))
+        .groupBy(col("deg").as("degree"))
+        .agg(count(lit(1)).as("n_nodes"),
+          sum(col("s_v")).as("s"))
+        .select(col("degree"), col("n_nodes"),
+          graft.Det.r4d(col("s").cast("double")
+            / (col("degree").cast(D0) * col("n_nodes")).cast("double"))
+            .as("knn"))
+        .orderBy("degree")
+    }),
+
     // JACCARD LINK PREDICTION — score NON-adjacent part pairs by
     // neighbor overlap, J = |N(x)∩N(y)| / |N(x)∪N(y)|: the classic
     // "products likely to be co-purchased next" baseline
@@ -864,6 +895,29 @@ object GraphQueries {
         |    / CAST(m * sxx - sx * sx AS DOUBLE) * 10000) / 10000
         |    + 0.0 AS assortativity
         |FROM mo""".stripMargin,
+    // Same Doulion sample; per-bucket single division on HUGEINT
+    // sums (all nodes in a bucket share denominator d).
+    "graph_avg_neighbor_degree" ->
+      """WITH pp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+        |  FROM lineitem),
+        |ef AS (SELECT DISTINCT x.p AS a, y.p AS b
+        |  FROM pp x JOIN pp y ON x.ok = y.ok AND x.p < y.p),
+        |e AS (SELECT a, b FROM ef
+        |  WHERE substring(md5(CAST(a AS VARCHAR) || '_'
+        |    || CAST(b AS VARCHAR)), 1, 1) = '0'),
+        |sym AS (SELECT a AS v, b AS u FROM e
+        |  UNION ALL SELECT b, a FROM e),
+        |deg AS (SELECT v, count(*) AS deg FROM sym GROUP BY v),
+        |sv AS (SELECT s.v, CAST(sum(d.deg) AS HUGEINT) AS s_v
+        |  FROM sym s JOIN deg d ON s.u = d.v GROUP BY s.v),
+        |g AS (SELECT d.deg AS degree, count(*) AS n_nodes,
+        |    CAST(sum(s_v) AS HUGEINT) AS s
+        |  FROM deg d JOIN sv ON d.v = sv.v GROUP BY d.deg)
+        |SELECT degree, n_nodes,
+        |  ROUND(CAST(s AS DOUBLE)
+        |    / CAST(CAST(degree AS HUGEINT) * n_nodes AS DOUBLE)
+        |    * 10000) / 10000 + 0.0 AS knn
+        |FROM g ORDER BY degree""".stripMargin,
     "graph_label_prop" ->
       (s"$LpaCtes\n" +
         s"""SELECT v AS node, label FROM l$LpaRounds

@@ -941,6 +941,193 @@ object StatQueries {
           - lit(1.0)).as("n_hat"),
         r4d(sqrt(varNum.cast("double") / varDen.cast("double")))
           .as("se"))
+    }),
+
+    // PINBALL (QUANTILE) LOSS (§2.95) — scores a seasonal-naive
+    // quantile forecast (ŷ_t = y_{t−7}) of the daily purchase series
+    // at q ∈ {0.1, 0.5, 0.9}: the loss proper scoring of quantile
+    // forecasts requires (MAE can only rate the median). EXACT by
+    // 10-scaling: 10·pinball = max(q₁₀·d, (q₁₀−10)·d) on the integer
+    // error d = y−ŷ, summed in decimal(38,0); the mean is ONE
+    // division by 10n at the edge. Shape: spine → derived-key
+    // equi-join for the lag (the cross-corr device, no global
+    // window), ×3 quantile explode, 3-row reduce.
+    "ts_pinball_loss" -> ((s, dir) => {
+      val D0 = "decimal(38,0)"
+      val d = dailyXY(s, dir).select(col("day"), col("cy").as("v"))
+      val f = d.select((col("day") + 7).as("day"), col("v").as("fc"))
+      val err = d.join(f, Seq("day"))
+        .select((col("v") - col("fc")).as("e"))
+        .withColumn("q10", explode(array(lit(1L), lit(5L), lit(9L))))
+      err.groupBy("q10")
+        .agg(count(lit(1)).as("n"),
+          sum(greatest(col("q10") * col("e"),
+            (col("q10") - 10) * col("e")).cast(D0)).as("s10"))
+        .select(col("q10"), col("n"),
+          r4d(col("s10").cast("double")
+            / (lit(10L) * col("n")).cast("double")).as("mean_pinball"))
+        .orderBy("q10")
+    }),
+
+    // G-TEST OF INDEPENDENCE (§2.95) — the likelihood-ratio companion
+    // of agg_chi2_independence on the same event-mix × day-of-week
+    // contingency: G = 2·Σ o·ln(o/e) is additive across partitions of
+    // the table (χ² is not), which is why hierarchical log-linear
+    // analyses prefer it. Each cell's o·ln(o/e) is computed from
+    // IDENTICAL operands cross-engine (o exact BIGINT, e = r·c/n one
+    // IEEE division, ln on the same double), and the 35-cell sum —
+    // the one order-sensitive step — folds over the (type, dow)-sorted
+    // contribution list (the Cramér's V device). Zero cells contribute
+    // 0 by the o·ln(o/e) → 0 limit and are absent from the cell table
+    // anyway. Shape: one O(rows) reduce, then a 1-row fold.
+    "agg_g_test" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val cells = events(s, dir)
+        .select(col("event_type"), dow(epochDay("ts")).as("dw"))
+        .groupBy("event_type", "dw").agg(count(lit(1)).as("obs"))
+      val wr = Window.partitionBy("event_type")
+      val wc = Window.partitionBy("dw")
+      val wn = Window.partitionBy()
+      val contrib = cells
+        .withColumn("r", sum(col("obs")).over(wr))
+        .withColumn("c", sum(col("obs")).over(wc))
+        .withColumn("n", sum(col("obs")).over(wn))
+        .withColumn("contrib", col("obs").cast("double")
+          * log(col("obs").cast("double")
+            / ((col("r") * col("c")).cast("double")
+              / col("n").cast("double"))))
+      val folded = contrib.agg(
+        count(lit(1)).as("n_cells"),
+        max(col("n")).as("n"),
+        countDistinct(col("event_type")).as("r_cat"),
+        countDistinct(col("dw")).as("c_cat"),
+        expr("aggregate(array_sort(collect_list(" +
+          "struct(event_type, dw, contrib))), cast(0.0 as double), " +
+          "(a, x) -> a + x.contrib)").as("hg"))
+      folded.select(col("n_cells"), col("n"),
+        ((col("r_cat") - 1) * (col("c_cat") - 1)).as("dof"),
+        r4d(lit(2.0) * col("hg")).as("g_stat"))
+    }),
+
+    // BRIER SCORE + SKILL (§2.95) — mean squared error of the
+    // probability forecast p = value/200 against the purchase
+    // outcome, plus the skill score against the base-rate forecast:
+    // the calibration-bin table (eval_calibration_bins) says WHERE
+    // the model miscalibrates; Brier says HOW MUCH it costs overall.
+    // EXACT: p is the cents-integer vc/20000, so Brier·20000² =
+    // Σ(vc − 20000·y)² is an exact decimal(38,0) sum; the base-rate
+    // Brier r(1−r) = n₊(n−n₊)/n² is rational; score and skill are
+    // each ONE division on exact operands, spelled identically in
+    // both engines. Shape: one O(rows) map-side classify + 1-row
+    // reduce — nothing downstream scales.
+    "eval_brier_score" -> ((s, dir) => {
+      val D0 = "decimal(38,0)"
+      val e = events(s, dir).select(
+        round(least(col("value"), lit(200.0)) * 100).cast("long")
+          .as("vc"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L)
+          .as("y"))
+      val m = e.agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"),
+        sum(((col("vc") - 20000L * col("y"))
+          * (col("vc") - 20000L * col("y"))).cast(D0)).as("se20k"))
+      val brier = col("se20k").cast("double")
+        / (col("n").cast(D0) * 400000000L).cast("double")
+      val base = (col("n_pos").cast(D0) * (col("n") - col("n_pos")))
+        .cast("double") / (col("n").cast(D0) * col("n")).cast("double")
+      m.select(col("n"), col("n_pos"), r4d(brier).as("brier"),
+        r4d(base).as("brier_base"),
+        when(col("n_pos") > 0 && col("n_pos") < col("n"),
+          r4d(lit(1.0) - brier / base)).as("skill"))
+    }),
+
+    // INTERVENTION WELCH TEST (§2.96) — did daily purchase volume
+    // change after the spine's midpoint (the "new sensor / new
+    // policy took effect mid-survey" question)? ab_test_welch's
+    // unequal-variance t, but the arms are TIME halves of the daily
+    // series rather than user-hash arms. Exactness: per-arm moments
+    // (n, Σv, Σv²) are exact decimal(38,0) on integer daily counts,
+    // the split day is integer arithmetic on the spine bounds, and
+    // mean/variance/t/df are spelled operand-for-operand. Shape:
+    // aggregate-first to the spine, 2-row arm reduce, 1-row join.
+    "ts_intervention_welch" -> ((s, dir) => {
+      val D0 = "decimal(38,0)"
+      val d0 = dailyXY(s, dir).select(col("day"), col("cy").as("v"))
+      val bounds = d0.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+        .select(expr("(lo + hi) div 2").as("mid"))
+      val m = d0.crossJoin(broadcast(bounds))
+        .withColumn("arm", when(col("day") < col("mid"), "pre")
+          .otherwise("post"))
+        .groupBy("arm").agg(count(lit(1)).as("n"),
+          sum(col("v").cast(D0)).as("s"),
+          sum((col("v") * col("v")).cast(D0)).as("q2"))
+        .withColumn("nn", col("n").cast("double"))
+        .withColumn("mean", col("s").cast("double") / col("nn"))
+        .withColumn("v",
+          (col("n") * col("q2") - col("s") * col("s")).cast("double")
+            / (col("nn") * (col("nn") - lit(1.0))))
+      val a = m.filter(col("arm") === "pre").select(
+        col("n").as("n_pre"), col("nn").as("nna"),
+        col("mean").as("ma"), col("v").as("va"))
+      val b = m.filter(col("arm") === "post").select(
+        col("n").as("n_post"), col("nn").as("nnb"),
+        col("mean").as("mb"), col("v").as("vb"))
+      a.crossJoin(b)
+        .filter(col("n_pre") > 1 && col("n_post") > 1)
+        .withColumn("sea", col("va") / col("nna"))
+        .withColumn("seb", col("vb") / col("nnb"))
+        .withColumn("se2", col("sea") + col("seb"))
+        .select(col("n_pre"), col("n_post"),
+          r4d(col("ma")).as("mean_pre"), r4d(col("mb")).as("mean_post"),
+          when(col("se2") > 0,
+            r4d((col("ma") - col("mb")) / sqrt(col("se2"))))
+            .as("t_stat"),
+          when(col("se2") > 0, r4d(col("se2") * col("se2")
+            / (col("sea") * col("sea") / (col("nna") - lit(1.0))
+              + col("seb") * col("seb") / (col("nnb") - lit(1.0)))))
+            .as("df_welch"))
+    }),
+
+    // DELETE-1 JACKKNIFE OF THE MEAN (§2.96) — the resampling
+    // companion of agg_bootstrap_ci built for distributed data: k=32
+    // deterministic key-residue buckets, each leave-one-bucket-out
+    // mean m₍ⱼ₎ = (S−sⱼ)/(N−nⱼ) computed from EXACT decimal sums, and
+    // the jackknife variance (k−1)/k · Σ(m₍ⱼ₎−m̄·)² folded over the
+    // bucket-id-sorted 32-row list TWICE (once for m̄·, once for the
+    // squared deviations) so no double sum floats free. Estimates the
+    // se of the mean order total without any per-row randomness.
+    // Shape: one O(rows) reduce to 32 rows, then 1-row folds.
+    "agg_jackknife_variance" -> ((s, dir) => {
+      val D0 = "decimal(38,0)"
+      val o = t(s, dir, "orders").select(
+        (col("o_orderkey") % 32).as("bkt"),
+        round(col("o_totalprice") * 100).cast("long").as("c"))
+      val grp = o.groupBy("bkt").agg(count(lit(1)).as("n_j"),
+        sum(col("c").cast(D0)).as("s_j"))
+      val one = grp.agg(array_sort(collect_list(
+          struct(col("bkt"), col("n_j"), col("s_j")))).as("gs"))
+        .select(col("gs"),
+          expr("size(gs)").cast("long").as("k"),
+          expr("aggregate(gs, 0L, (a, x) -> a + x.n_j)").as("n"),
+          expr("aggregate(gs, cast(0 as decimal(38,0)), " +
+            "(a, x) -> a + x.s_j)").as("s"))
+      val withDot = one.select(col("gs"), col("k"), col("n"), col("s"),
+        expr("""aggregate(gs, cast(0.0 as double), (a, x) ->
+          |a + cast(s - x.s_j as double)
+          |  / cast(n - x.n_j as double))""".stripMargin).as("mdotsum"))
+        .withColumn("mdot", col("mdotsum") / col("k").cast("double"))
+      withDot.select(col("k"), col("n"),
+          r4d(col("s").cast("double") / col("n").cast("double"))
+            .as("mean_cents"),
+          col("mdot"),
+          expr("""aggregate(gs, cast(0.0 as double), (a, x) ->
+            |a + (cast(s - x.s_j as double)
+            |    / cast(n - x.n_j as double) - mdot)
+            |  * (cast(s - x.s_j as double)
+            |    / cast(n - x.n_j as double) - mdot))""".stripMargin)
+            .as("devsum"))
+        .select(col("k"), col("n"), col("mean_cents"),
+          r4d(sqrt((col("k") - 1).cast("double") / col("k").cast("double")
+            * col("devsum"))).as("jk_se_cents"))
     }))
 
   val oracle: Map[String, String] = Map(
@@ -1615,5 +1802,154 @@ object StatQueries {
          |        * (n1 - m) * (n2 - m) AS DOUBLE)
          |      / CAST(CAST(m + 1 AS HUGEINT) * (m + 1) * (m + 2)
          |        AS DOUBLE)) * 10000) / 10000 + 0.0 AS se
-         |FROM m""".stripMargin)
+         |FROM m""".stripMargin,
+    // 10-scaled exact pinball on the integer seasonal-naive error;
+    // HUGEINT sums mirror the decimal(38,0) fold.
+    "ts_pinball_loss" ->
+      s"""WITH e AS (SELECT event_type, ${sqlEpochDay("ts")} AS day
+         |  FROM events),
+         |b AS (SELECT min(day) AS lo, max(day) AS hi FROM e),
+         |spine AS (SELECT unnest(range(lo, hi + 1)) AS day FROM b),
+         |d0 AS (SELECT day,
+         |    count(*) FILTER (WHERE event_type = 'purchase') AS cy
+         |  FROM e GROUP BY day),
+         |d AS (SELECT s.day, COALESCE(cy, 0) AS v
+         |  FROM spine s LEFT JOIN d0 USING (day)),
+         |err AS (SELECT a.v - f.v AS e
+         |  FROM d a JOIN d f ON a.day = f.day + 7),
+         |q AS (SELECT unnest([1, 5, 9]) AS q10),
+         |m AS (SELECT q10, count(*) AS n,
+         |    CAST(sum(greatest(q10 * e, (q10 - 10) * e)) AS HUGEINT)
+         |      AS s10
+         |  FROM err CROSS JOIN q GROUP BY q10)
+         |SELECT CAST(q10 AS BIGINT) AS q10, n,
+         |  ROUND(CAST(s10 AS DOUBLE) / CAST(10 * n AS DOUBLE) * 10000)
+         |    / 10000 + 0.0 AS mean_pinball
+         |FROM m ORDER BY q10""".stripMargin,
+    // Per-cell o·ln(o/e) from identical operands; the sum folds over
+    // the (type, dow)-sorted list exactly as Cramér's V does.
+    "agg_g_test" ->
+      s"""WITH cells AS (SELECT event_type,
+         |    (${sqlEpochDay("ts")}) % 7 AS dw, count(*) AS obs
+         |  FROM events GROUP BY 1, 2),
+         |tot AS (SELECT event_type, dw, obs,
+         |    CAST(sum(obs) OVER (PARTITION BY event_type) AS BIGINT) AS r,
+         |    CAST(sum(obs) OVER (PARTITION BY dw) AS BIGINT) AS c,
+         |    CAST(sum(obs) OVER () AS BIGINT) AS n
+         |  FROM cells),
+         |ct AS (SELECT event_type, dw, obs, r, c, n,
+         |    CAST(obs AS DOUBLE)
+         |      * ln(CAST(obs AS DOUBLE)
+         |        / (CAST(r * c AS DOUBLE) / CAST(n AS DOUBLE)))
+         |      AS contrib
+         |  FROM tot),
+         |m AS (SELECT count(*) AS n_cells, max(n) AS n,
+         |    CAST(count(DISTINCT event_type) AS BIGINT) AS r_cat,
+         |    CAST(count(DISTINCT dw) AS BIGINT) AS c_cat,
+         |    list_aggregate(list_transform(
+         |      list_sort(list({'event_type': event_type, 'dw': dw,
+         |        'contrib': contrib})), x -> x.contrib), 'sum') AS hg
+         |  FROM ct)
+         |SELECT n_cells, n, (r_cat - 1) * (c_cat - 1) AS dof,
+         |  ROUND(2.0 * hg * 10000) / 10000 + 0.0 AS g_stat
+         |FROM m""".stripMargin,
+    // 20000-scaled exact squared error; Brier, base rate, and skill
+    // are three divisions on HUGEINT-exact operands.
+    "eval_brier_score" ->
+      """WITH e AS (SELECT
+        |    CAST(round(least(value, 200.0) * 100) AS BIGINT) AS vc,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        |  FROM events),
+        |m AS (SELECT count(*) AS n, CAST(sum(y) AS BIGINT) AS n_pos,
+        |    CAST(sum(CAST((vc - 20000 * y) AS HUGEINT)
+        |      * (vc - 20000 * y)) AS HUGEINT) AS se20k
+        |  FROM e),
+        |f AS (SELECT n, n_pos,
+        |    CAST(se20k AS DOUBLE)
+        |      / CAST(CAST(n AS HUGEINT) * 400000000 AS DOUBLE) AS brier,
+        |    CAST(CAST(n_pos AS HUGEINT) * (n - n_pos) AS DOUBLE)
+        |      / CAST(CAST(n AS HUGEINT) * n AS DOUBLE) AS base
+        |  FROM m)
+        |SELECT n, n_pos,
+        |  ROUND(brier * 10000) / 10000 + 0.0 AS brier,
+        |  ROUND(base * 10000) / 10000 + 0.0 AS brier_base,
+        |  CASE WHEN n_pos > 0 AND n_pos < n THEN
+        |    ROUND((1.0 - brier / base) * 10000) / 10000 + 0.0
+        |  END AS skill
+        |FROM f""".stripMargin,
+    // Time-split Welch on the shared spine; moments HUGEINT-exact,
+    // mean/var/t/df spelled operand-for-operand with ab_test_welch.
+    "ts_intervention_welch" ->
+      s"""WITH e AS (SELECT event_type, ${sqlEpochDay("ts")} AS day
+         |  FROM events),
+         |b AS (SELECT min(day) AS lo, max(day) AS hi FROM e),
+         |spine AS (SELECT unnest(range(lo, hi + 1)) AS day FROM b),
+         |d0 AS (SELECT day,
+         |    count(*) FILTER (WHERE event_type = 'purchase') AS cy
+         |  FROM e GROUP BY day),
+         |d AS (SELECT s.day, COALESCE(cy, 0) AS v
+         |  FROM spine s LEFT JOIN d0 USING (day)),
+         |b2 AS (SELECT (min(day) + max(day)) // 2 AS mid FROM d),
+         |m AS (SELECT CASE WHEN day < mid THEN 'pre' ELSE 'post' END
+         |      AS arm,
+         |    count(*) AS n, CAST(sum(v) AS HUGEINT) AS s,
+         |    CAST(sum(v * v) AS HUGEINT) AS q2
+         |  FROM d CROSS JOIN b2 GROUP BY 1),
+         |w AS (SELECT arm, n, CAST(n AS DOUBLE) AS nn,
+         |    CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+         |    CAST(n * q2 - s * s AS DOUBLE)
+         |      / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) AS v
+         |  FROM m),
+         |j AS (SELECT a.n AS n_pre, bb.n AS n_post,
+         |    a.nn AS nna, bb.nn AS nnb, a.mean AS ma, bb.mean AS mb,
+         |    a.v / a.nn AS sea, bb.v / bb.nn AS seb,
+         |    a.v / a.nn + bb.v / bb.nn AS se2
+         |  FROM w a CROSS JOIN w bb
+         |  WHERE a.arm = 'pre' AND bb.arm = 'post'
+         |    AND a.n > 1 AND bb.n > 1)
+         |SELECT n_pre, n_post,
+         |  ROUND(ma * 10000) / 10000 + 0.0 AS mean_pre,
+         |  ROUND(mb * 10000) / 10000 + 0.0 AS mean_post,
+         |  CASE WHEN se2 > 0 THEN
+         |    ROUND((ma - mb) / sqrt(se2) * 10000) / 10000 + 0.0
+         |  END AS t_stat,
+         |  CASE WHEN se2 > 0 THEN
+         |    ROUND(se2 * se2 / (sea * sea / (nna - 1.0)
+         |      + seb * seb / (nnb - 1.0)) * 10000) / 10000 + 0.0
+         |  END AS df_welch
+         |FROM j""".stripMargin,
+    // 32 key-residue buckets; both folds ride the bucket-id-sorted
+    // list exactly as the Spark aggregate() lambdas do.
+    "agg_jackknife_variance" ->
+      """WITH o AS (SELECT o_orderkey % 32 AS bkt,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS c
+        |  FROM orders),
+        |grp AS (SELECT bkt, count(*) AS n_j,
+        |    CAST(sum(c) AS HUGEINT) AS s_j
+        |  FROM o GROUP BY bkt),
+        |one AS (SELECT list_sort(list({'bkt': bkt, 'n_j': n_j,
+        |      's_j': s_j})) AS gs,
+        |    CAST(count(*) AS BIGINT) AS k,
+        |    CAST(sum(n_j) AS BIGINT) AS n,
+        |    CAST(sum(s_j) AS HUGEINT) AS s
+        |  FROM grp),
+        |dot AS (SELECT gs, k, n, s,
+        |    list_aggregate(list_transform(gs,
+        |      x -> CAST(s - x.s_j AS DOUBLE)
+        |        / CAST(n - x.n_j AS DOUBLE)), 'sum')
+        |      / CAST(k AS DOUBLE) AS mdot
+        |  FROM one),
+        |dev AS (SELECT k, n, s, mdot,
+        |    list_aggregate(list_transform(gs,
+        |      x -> (CAST(s - x.s_j AS DOUBLE)
+        |          / CAST(n - x.n_j AS DOUBLE) - mdot)
+        |        * (CAST(s - x.s_j AS DOUBLE)
+        |          / CAST(n - x.n_j AS DOUBLE) - mdot)), 'sum') AS devsum
+        |  FROM dot)
+        |SELECT k, n,
+        |  ROUND(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) * 10000) / 10000
+        |    + 0.0 AS mean_cents,
+        |  ROUND(sqrt(CAST(k - 1 AS DOUBLE) / CAST(k AS DOUBLE)
+        |    * devsum) * 10000) / 10000 + 0.0 AS jk_se_cents
+        |FROM dev""".stripMargin)
 }

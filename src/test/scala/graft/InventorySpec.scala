@@ -336,10 +336,13 @@ class InventorySpec extends SparkSpec {
     // §2.94 round-11 thirteenth wave: capture-recapture abundance,
     // count-concordance CCC, class-balanced undersampling
     "agg_capture_recapture", "eval_count_ccc",
-    "sample_balanced_undersample")
+    "sample_balanced_undersample",
+    // §2.95 round-11 fourteenth wave: pinball loss, G-test,
+    // Brier score + skill
+    "ts_pinball_loss", "agg_g_test", "eval_brier_score")
 
-  test("declared queries cover SURVEY §2 + §2.12-94 exactly (398 keys)") {
-    assert(inventory.size == 398)
+  test("declared queries cover SURVEY §2 + §2.12-95 exactly (401 keys)") {
+    assert(inventory.size == 401)
     val declared = SparkEntry.queries.keySet
     val missing = inventory -- declared
     val extra = declared -- inventory

@@ -1280,4 +1280,49 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Window"),
       s"surrogate ranking fell back to a window: ${p.take(2000)}")
   }
+
+  test("anchor assignment folds map-side: no join, no window, one sort exchange") {
+    val p = plan("multimodal_anchor_assign")
+    assert(!p.contains("Join"), s"anchor assign plans a join: ${p.take(1500)}")
+    assert(!p.contains("Window"), s"anchor assign plans a window: ${p.take(1500)}")
+    assert("Exchange".r.findAllIn(p).size == 1, p.take(2000))
+  }
+
+  test("tile re-projection fuses with a per-row predicate: join-free") {
+    val p = plan("multimodal_tile_remap")
+    assert(!p.contains("Join"), s"tile remap plans a join: ${p.take(1500)}")
+    assert("Exchange".r.findAllIn(p).size == 1, p.take(2000))
+  }
+
+  test("capture-recapture is one events scan, join-free to the 1-row fold") {
+    val p = plan("agg_capture_recapture")
+    assert("FileScan parquet".r.findAllIn(p).size == 1,
+      s"events must scan once: ${p.take(2000)}")
+    assert(!p.contains("Join"), s"capture-recapture joins: ${p.take(1500)}")
+  }
+
+  test("detection AP: per-image/box windows only, cartesian-free") {
+    val p = plan("eval_det_ap")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(p.contains("Exchange hashpartitioning(image_id"),
+      s"matcher must shuffle per image: ${p.take(2000)}")
+  }
+
+  test("Gi* hotspots scatter on grid-cell equi-joins, never a nested loop over cells") {
+    val p = plan("geo_hotspot_gi")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(p.contains("Exchange hashpartitioning(cell_lat"),
+      s"scatter/gather must join on cell keys: ${p.take(2000)}")
+  }
+
+  test("balanced undersampling: two lang exchanges (rank window + cap reduce), cap broadcast") {
+    val p = plan("sample_balanced_undersample")
+    // One lang exchange feeds the rank window, one the min-count
+    // reduce (partial-aggregated, ≤|classes| rows through it); the cap
+    // itself reaches the filter as a broadcast, never a shuffle join.
+    assert("Exchange hashpartitioning\\(lang".r.findAllIn(p).size == 2,
+      s"expected the window + cap-reduce lang exchanges: ${p.take(3000)}")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"min-count cap must broadcast: ${p.take(2000)}")
+  }
 }
