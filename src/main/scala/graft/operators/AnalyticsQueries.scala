@@ -1622,6 +1622,29 @@ object AnalyticsQueries {
     // user+week — broadcast-or-shuffle hash, never quadratic), exact
     // counts; the final week's churn is NULL (its successor hasn't
     // happened), never a fake zero.
+    // DAILY MIX ENTROPY (§2.101) — Shannon entropy of each day's
+    // event-type mix: the drift sentinel a pipeline watches next to
+    // volume (volume can hold steady while the MIX collapses to one
+    // type — exactly what a stuck upstream looks like). The
+    // agg_entropy_mix device per day: exact integer counts, entropy =
+    // log2(n) − (1/n)·Σ c·log2(c) folded over the ≤|types| sorted
+    // per-day list. Shape: one (day, type) partial-agg reduce, one
+    // day reduce — day count bounds everything downstream.
+    "ts_entropy_daily" -> ((s, dir) => {
+      val c = events(s, dir)
+        .select(epochDay("ts").as("day"), col("event_type"))
+        .groupBy("day", "event_type").agg(count(lit(1)).as("c"))
+      c.groupBy("day")
+        .agg(sum(col("c")).as("n_events"), count(lit(1)).as("n_types"),
+          array_sort(collect_list(col("c"))).as("cs"))
+        .select(col("day"), col("n_events"), col("n_types"),
+          r4d(log2(col("n_events"))
+            - aggregate(col("cs"), lit(0.0), (acc, x) =>
+                acc + x.cast("double") * log2(x.cast("double")))
+              / col("n_events")).as("entropy_bits"))
+        .orderBy("day")
+    }),
+
     "ts_churn_weekly" -> ((s, dir) => {
       val uw = events(s, dir)
         .select(col("user_id"), (epochDay("ts") / 7).cast("long").as("week"))
@@ -2986,6 +3009,20 @@ object AnalyticsQueries {
     // Same exact-integer moments on the same zero-filled day spine;
     // FILTER counts ≡ the Spark side's conditional sums of the
     // zero-filled per-type series.
+    // Per-day agg_entropy_mix fold; counts exact, log2 terms in
+    // sorted-list order.
+    "ts_entropy_daily" ->
+      s"""WITH c AS (SELECT ${sqlEpochDay("ts")} AS day, event_type,
+         |    count(*) AS c
+         |  FROM events GROUP BY 1, 2),
+         |g AS (SELECT day, CAST(sum(c) AS BIGINT) AS n_events,
+         |    count(*) AS n_types, list_sort(list(c)) AS cs
+         |  FROM c GROUP BY 1)
+         |SELECT day, n_events, n_types,
+         |  ROUND(log2(n_events)
+         |    - list_aggregate(list_transform(cs, x -> x * log2(x)), 'sum')
+         |      / n_events, 4) AS entropy_bits
+         |FROM g ORDER BY day""".stripMargin,
     "ts_churn_weekly" ->
       s"""WITH uw AS (SELECT DISTINCT user_id,
          |    (${sqlEpochDay("ts")}) // 7 AS week FROM events),

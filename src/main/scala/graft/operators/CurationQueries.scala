@@ -60,6 +60,42 @@ object CurationQueries {
         .orderBy("doc_id")
     }),
 
+    // GRADED CONTAMINATION SCORE (§2.98) — text_decontaminate's binary
+    // verdict, graded: the FRACTION of each doc's distinct 5-gram
+    // shingles found in the benchmark set, plus the triage band a
+    // curation queue sorts by (clean / low ≤ 20% / high). A one-hit
+    // quarantine throws away long documents that merely quote one
+    // benchmark sentence; the graded score is what production
+    // decontamination (and its published evaluations) actually
+    // threshold on. The band decision is the INTEGER comparison
+    // 5·n_overlap ≤ n_shingles — no float enters it; the reported
+    // fraction is one division r4d'd. Shape: the same broadcast
+    // benchmark probe as the parent key plus one per-doc shingle
+    // count off the already-exploded shingle stream — two partial
+    // aggs, zero new shuffle shapes.
+    "text_contamination_score" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val sh = shingles(docs, 5).filter(col("doc_id") % 97 =!= 0)
+      val bench = shingles(docs, 5).filter(col("doc_id") % 97 === 0)
+        .select("sh").distinct()
+      val tot = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+      val hits = sh.join(broadcast(bench), Seq("sh"))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
+      docs.filter(col("doc_id") % 97 =!= 0).select("doc_id")
+        .join(tot, Seq("doc_id"), "left")
+        .join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_sh"), lit(0L)).as("n_shingles"),
+          coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
+        .withColumn("contam_frac", when(col("n_shingles") > 0,
+          graft.Det.r4d(col("n_overlap").cast("double")
+            / col("n_shingles").cast("double"))))
+        .withColumn("band", when(col("n_overlap") === 0, "clean")
+          .when(col("n_overlap") * 5 <= col("n_shingles"), "low")
+          .otherwise("high"))
+        .orderBy("doc_id")
+    }),
+
     // Cross-document duplicated-substring stats: an 8-token window that
     // occurs in more than one document marks boilerplate / quotation
     // overlap doc-level dedup cannot see. Emits, per offending doc, the
@@ -608,6 +644,31 @@ object CurationQueries {
         |SELECT d.doc_id, coalesce(n_overlap, 0) AS n_overlap
         |FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) d
         |LEFT JOIN hits USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // Same shingle stream; the band is the integer 5·overlap ≤ total
+    // comparison, the fraction one rounded division.
+    "text_contamination_score" ->
+      """WITH sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(len(toks) - 4), i -> array_to_string(toks[i+1:i+5], ' ')))) AS sh
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+        |  WHERE len(toks) >= 5),
+        |bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 97 = 0),
+        |tot AS (SELECT doc_id, count(*) AS n_sh FROM sh
+        |  WHERE doc_id % 97 <> 0 GROUP BY 1),
+        |hits AS (SELECT doc_id, count(*) AS n_overlap FROM sh JOIN bench USING (sh)
+        |         WHERE doc_id % 97 <> 0 GROUP BY 1),
+        |f AS (SELECT d.doc_id, coalesce(n_sh, 0) AS n_shingles,
+        |    coalesce(n_overlap, 0) AS n_overlap
+        |  FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) d
+        |  LEFT JOIN tot USING (doc_id) LEFT JOIN hits USING (doc_id))
+        |SELECT doc_id, n_shingles, n_overlap,
+        |  CASE WHEN n_shingles > 0 THEN
+        |    ROUND(CAST(n_overlap AS DOUBLE) / CAST(n_shingles AS DOUBLE)
+        |      * 10000) / 10000
+        |  END AS contam_frac,
+        |  CASE WHEN n_overlap = 0 THEN 'clean'
+        |       WHEN n_overlap * 5 <= n_shingles THEN 'low'
+        |       ELSE 'high' END AS band
+        |FROM f ORDER BY doc_id""".stripMargin,
     // The hashed variant's oracle is the SAME windowed CTE: xxhash64 is
     // an internal shuffle key, invisible in the output, and collision-
     // free on the fixture corpus (checked by this very row).

@@ -660,9 +660,54 @@ object EtlQueries {
           max(col("rh")).as("max_hash"))
         .orderBy("o_orderstatus")
     }),
+
+    // FRESHNESS / LAG REPORT (§2.101) — the pipeline-observability
+    // table every warehouse dashboard tops: per source stream (event
+    // type), latest landed day, lag behind the freshest stream, row
+    // count and rows landed on the last day — the "is an upstream
+    // stuck" check run before anything else is trusted. All integer
+    // day arithmetic on the shared epoch-day convention; the global
+    // max is a 1-row broadcast. Shape: one O(rows) partial-agg reduce
+    // to |types| rows (the count_if(day = mx) rides the same pass via
+    // a max-keyed second aggregate), then a broadcast compare.
+    "etl_freshness_report" -> ((s, dir) => {
+      val e = events(s, dir)
+        .select(col("event_type"), epochDay("ts").as("day"))
+      val per = e.groupBy("event_type")
+        .agg(count(lit(1)).as("n_rows"), max(col("day")).as("max_day"))
+      val lastDay = e.join(per.select(col("event_type"),
+          col("max_day").as("md")), Seq("event_type"))
+        .filter(col("day") === col("md"))
+        .groupBy("event_type").agg(count(lit(1)).as("n_last_day"))
+      val glob = per.agg(max(col("max_day")).as("fresh"))
+      per.join(lastDay, Seq("event_type"))
+        .crossJoin(broadcast(glob))
+        .select(col("event_type"), col("n_rows"), col("max_day"),
+          (col("fresh") - col("max_day")).as("lag_days"),
+          col("n_last_day"),
+          (col("fresh") - col("max_day") > 1).as("stale"))
+        .orderBy("event_type")
+    }),
   )
 
   val oracle: Map[String, String] = Map(
+    // Integer day arithmetic throughout; last-day counts join back on
+    // the per-type max.
+    "etl_freshness_report" ->
+      s"""WITH e AS (SELECT event_type, ${graft.Det.sqlEpochDay("ts")}
+         |    AS day FROM events),
+         |per AS (SELECT event_type, count(*) AS n_rows,
+         |    max(day) AS max_day
+         |  FROM e GROUP BY 1),
+         |ld AS (SELECT e.event_type, count(*) AS n_last_day
+         |  FROM e JOIN per USING (event_type)
+         |  WHERE day = max_day GROUP BY 1),
+         |g AS (SELECT max(max_day) AS fresh FROM per)
+         |SELECT event_type, n_rows, max_day,
+         |  fresh - max_day AS lag_days, n_last_day,
+         |  fresh - max_day > 1 AS stale
+         |FROM per JOIN ld USING (event_type) CROSS JOIN g
+         |ORDER BY event_type""".stripMargin,
     // Same pipe-joined integer rendering under md5.
     "etl_table_checksum" ->
       """WITH r AS (SELECT o_orderstatus,

@@ -255,6 +255,55 @@ object GeoQueries {
                   .cast("double") / (col("n") - 1).cast("double")))))
             .as("z_gi"))
         .orderBy("cell_lat", "cell_lon")
+    }),
+
+    // NEAREST-NEIGHBOR DUPLICATE SCREENING (§2.98) — the double-count
+    // QA pass every multi-platform survey runs: for each sighting,
+    // the nearest OTHER sighting in its 3×3 2°-cell neighborhood
+    // (two platforms photographing the same animal produce
+    // near-coincident points). The NN decision is ENTIRELY integer:
+    // coordinates stay in their native grid residues (lat in 1/8°
+    // units × 4 → the common 1/32° unit lon already lives on), so
+    // d² = Δu_lat² + Δu_lon² is an exact BIGINT and the argmin
+    // tie-breaks on candidate event_id via one lexicographic struct
+    // min. Only the REPORTED degree distance takes a sqrt (IEEE
+    // correctly-rounded, not libm) and one division.
+    //
+    // Shape: candidates SCATTER onto their 9 neighbor cells (the
+    // grid_smooth stencil — no self-join on an inequality), probes
+    // equi-join their own cell, and min(struct) is partial-aggregable
+    // so the per-probe reduce combines map-side. Work is O(points ×
+    // avg cell occupancy × 9); at 100 TB you shrink the cell pitch to
+    // hold occupancy constant — the plan shape is unchanged.
+    "geo_nn_screening" -> ((s, dir) => {
+      val pts = events(s, dir).select(col("event_id"), col("user_id"),
+        (col("event_id") % 1440).as("lat8"),
+        ((col("user_id") * 997 + col("event_id") * 31) % 11520)
+          .as("lon32"))
+        .select(col("event_id"), col("user_id"),
+          (col("lat8") * 4).as("ulat"), col("lon32").as("ulon"),
+          expr("lat8 div 16").as("cell_lat"),
+          expr("lon32 div 64").as("cell_lon"))
+      val cand = pts
+        .withColumn("di", explode(sequence(lit(-1L), lit(1L))))
+        .withColumn("dj", explode(sequence(lit(-1L), lit(1L))))
+        .select((col("cell_lat") + col("di")).as("cell_lat"),
+          (col("cell_lon") + col("dj")).as("cell_lon"),
+          col("event_id").as("cand_id"), col("user_id").as("cand_user"),
+          col("ulat").as("clat"), col("ulon").as("clon"))
+      pts.join(cand, Seq("cell_lat", "cell_lon"))
+        .filter(col("event_id") =!= col("cand_id"))
+        .withColumn("d2",
+          (col("ulat") - col("clat")) * (col("ulat") - col("clat"))
+            + (col("ulon") - col("clon")) * (col("ulon") - col("clon")))
+        .groupBy("event_id", "user_id")
+        .agg(min(struct(col("d2"), col("cand_id"), col("cand_user")))
+          .as("nn"))
+        .select(col("event_id"), col("nn.cand_id").as("nn_event_id"),
+          col("nn.d2").as("d2_units"),
+          (col("nn.cand_user") =!= col("user_id")).as("cross_platform"),
+          r4d(sqrt(col("nn.d2").cast("double")) / lit(32.0)).as("nn_deg"))
+        .orderBy("event_id")
     }))
 
   val oracle: Map[String, String] = Map(
@@ -407,5 +456,35 @@ object GeoQueries {
         |          / CAST(n - 1 AS DOUBLE))) * 10000) / 10000 + 0.0
         |  END AS z_gi
         |FROM nb CROSS JOIN g
-        |ORDER BY cell_lat, cell_lon""".stripMargin)
+        |ORDER BY cell_lat, cell_lon""".stripMargin,
+    // Integer-unit NN (exact BIGINT d², (d², id) row_number argmin);
+    // only the reported degree distance divides/sqrts.
+    "geo_nn_screening" ->
+      """WITH p AS (SELECT event_id, user_id,
+        |    (event_id % 1440) * 4 AS ulat,
+        |    (user_id * 997 + event_id * 31) % 11520 AS ulon,
+        |    (event_id % 1440) // 16 AS cell_lat,
+        |    ((user_id * 997 + event_id * 31) % 11520) // 64 AS cell_lon
+        |  FROM events),
+        |cand AS (SELECT p.cell_lat + di AS cell_lat,
+        |    p.cell_lon + dj AS cell_lon,
+        |    event_id AS cand_id, user_id AS cand_user,
+        |    ulat AS clat, ulon AS clon
+        |  FROM p, LATERAL (SELECT unnest(range(-1, 2)) AS di),
+        |    LATERAL (SELECT unnest(range(-1, 2)) AS dj)),
+        |pairs AS (SELECT a.event_id, a.user_id, c.cand_id, c.cand_user,
+        |    (a.ulat - c.clat) * (a.ulat - c.clat)
+        |      + (a.ulon - c.clon) * (a.ulon - c.clon) AS d2
+        |  FROM p a JOIN cand c USING (cell_lat, cell_lon)
+        |  WHERE a.event_id <> c.cand_id),
+        |rk AS (SELECT event_id, user_id, cand_id, cand_user, d2,
+        |    row_number() OVER (PARTITION BY event_id
+        |      ORDER BY d2, cand_id) AS r
+        |  FROM pairs)
+        |SELECT event_id, cand_id AS nn_event_id,
+        |  CAST(d2 AS BIGINT) AS d2_units,
+        |  cand_user <> user_id AS cross_platform,
+        |  ROUND(sqrt(CAST(d2 AS DOUBLE)) / 32.0 * 10000) / 10000
+        |    AS nn_deg
+        |FROM rk WHERE r = 1 ORDER BY event_id""".stripMargin)
 }

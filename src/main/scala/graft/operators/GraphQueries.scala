@@ -333,6 +333,41 @@ object GraphQueries {
     // assortativity/modularity. Shape: two degree-keyed equi-joins +
     // a ≤|distinct degrees|-row reduce — the wedge explosion of the
     // link-prediction keys never happens here.
+    // DEGREE GINI (§2.100) — hub concentration of the co-purchase
+    // graph as one number (the inequality summary of
+    // graph_degree_hist's buckets; assortativity says WHO hubs attach
+    // to, this says how extreme the hubs are). NEVER ranks |V|
+    // globally: the Lorenz sum folds over the DEGREE HISTOGRAM
+    // (≤ O(√E) distinct degree values) — a block of n_d nodes at
+    // degree d spans ranks (cumv−n_d, cumv], so 2·Σ rank·deg =
+    // Σ_d d·n_d·(2·cumv − n_d + 1), every term an exact decimal
+    // integer; G = (2·swc − (n+1)·Σdeg)/(n·Σdeg) is ONE division.
+    // Shape: edge scan → |V| degree reduce → histogram reduce →
+    // bounded window — the degree_hist plan plus one tiny window.
+    "graph_degree_gini" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val D0 = "decimal(38,0)"
+      val e = sampledOrientedEdges(s, dir, None)
+      val deg = e.select(explode(array(col("a"), col("b"))).as("node"))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+      val hist = deg.groupBy("deg").agg(count(lit(1)).as("n_d"))
+      val w = Window.orderBy("deg")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = hist.withColumn("cumv", sum(col("n_d")).over(w)
+        .cast("long"))
+      cum.agg(sum(col("n_d")).cast("long").as("n_nodes"),
+          sum((col("deg") * col("n_d")).cast(D0)).as("sdeg"),
+          sum((col("deg") * col("n_d")).cast(D0)
+            * (lit(2) * col("cumv") - col("n_d") + 1).cast(D0))
+            .as("swc2"))
+        .select(col("n_nodes"), col("sdeg").cast("long").as("sum_deg"),
+          r4d((col("swc2")
+              - (col("n_nodes") + 1).cast(D0) * col("sdeg"))
+              .cast("double")
+            / (col("n_nodes").cast(D0) * col("sdeg")).cast("double"))
+            .as("gini"))
+    }),
+
     "graph_avg_neighbor_degree" -> ((s, dir) => {
       val D0 = "decimal(38,0)"
       val e = sampledOrientedEdges(s, dir, Some(Seq("0"))).persist()
@@ -834,6 +869,29 @@ object GraphQueries {
         |  min(deg) AS min_deg, max(deg) AS max_deg,
         |  CAST(sum(deg) AS BIGINT) AS sum_deg
         |FROM deg GROUP BY 1 ORDER BY bucket""".stripMargin,
+    // Histogram-block Lorenz sum (exact HUGEINT terms), one division.
+    "graph_degree_gini" ->
+      """WITH pp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+        |  FROM lineitem),
+        |e AS (SELECT DISTINCT x.p AS a, y.p AS b
+        |  FROM pp x JOIN pp y ON x.ok = y.ok AND x.p < y.p),
+        |n AS (SELECT a AS node FROM e UNION ALL SELECT b FROM e),
+        |deg AS (SELECT node, count(*) AS deg FROM n GROUP BY 1),
+        |hist AS (SELECT deg, count(*) AS n_d FROM deg GROUP BY 1),
+        |cum AS (SELECT deg, n_d,
+        |    CAST(sum(n_d) OVER (ORDER BY deg
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumv
+        |  FROM hist),
+        |m AS (SELECT CAST(sum(n_d) AS BIGINT) AS n_nodes,
+        |    CAST(sum(CAST(deg * n_d AS HUGEINT)) AS HUGEINT) AS sdeg,
+        |    CAST(sum(CAST(deg * n_d AS HUGEINT)
+        |      * (2 * cumv - n_d + 1)) AS HUGEINT) AS swc2
+        |  FROM cum)
+        |SELECT n_nodes, CAST(sdeg AS BIGINT) AS sum_deg,
+        |  ROUND(CAST(swc2 - (n_nodes + 1) * sdeg AS DOUBLE)
+        |    / CAST(CAST(n_nodes AS HUGEINT) * sdeg AS DOUBLE)
+        |    * 10000) / 10000 + 0.0 AS gini
+        |FROM m""".stripMargin,
     // The same five peel rounds, unrolled as CTEs (the PageRank
     // convention for iterative oracles). Every round CTE is
     // MATERIALIZED: DuckDB inlines plain CTEs at every reference, and

@@ -469,8 +469,10 @@ object PipelineQueries {
     // WRONG; the real sequential fold runs per image via
     // aggregate(array_sort(collect_list(...))) — parallel ACROSS
     // images, sequential WITHIN an image, which is exactly how NMS
-    // distributes at 100 TB (per-image detection counts are bounded
-    // by the detector's own top-k, not the corpus). All coordinates/
+    // distributes at 100 TB: images are keyed p_partkey div 64 (the
+    // eval_det_match convention) so the image COUNT scales with the
+    // corpus while per-image detections stay ≤ 64 — the per-image
+    // fold never grows with data size. All coordinates/
     // scores are exact integers from fixture residues and the IoU >
     // 0.5 decision is the integer comparison 2·inter > union — no
     // float anywhere. Oracle: the same greedy rule as a recursive CTE
@@ -478,7 +480,7 @@ object PipelineQueries {
     // against an independent imperative reference).
     "multimodal_nms" -> ((s, dir) => {
       val det = t(s, dir, "part").select(
-        (col("p_partkey") % 50).as("image_id"),
+        expr("p_partkey div 64").as("image_id"),
         col("p_partkey").as("det_id"),
         ((col("p_partkey") % 7) * 15).as("x1"),
         ((col("p_partkey") % 5) * 20).as("y1"),
@@ -512,6 +514,42 @@ object PipelineQueries {
           col("k.x1").as("x1"), col("k.y1").as("y1"),
           col("k.x2").as("x2"), col("k.y2").as("y2"))
         .orderBy("image_id", "det_id")
+    }),
+
+    // CLASS CO-OCCURRENCE MATRIX (§2.100) — which detection classes
+    // appear together in the same image (seal + pup, vessel + gull):
+    // the label-correlation table every detection-dataset card
+    // reports and every sampler that balances RARE PAIRS consumes.
+    // Detections follow the eval_det_match fixture convention
+    // (image = k div 64, class = k % 5); per-image DISTINCT classes
+    // are ≤ 5, so the within-image pair join is bounded per image and
+    // the wedge volume is images·C(5,2) — linear in the corpus. Lift
+    // = (n_both·N)/(n_a·n_b) divides exact integer products once per
+    // output cell (≤ C(5,2) rows). Shape: distinct-reduce → bounded
+    // self-equi-join on image_id → ≤10-row reduce + two broadcast
+    // marginal joins.
+    "multimodal_class_cooccurrence" -> ((s, dir) => {
+      val det = t(s, dir, "part").select(
+        expr("p_partkey div 64").as("image_id"),
+        (col("p_partkey") % 5).as("cls")).distinct()
+      val tot = det.agg(countDistinct(col("image_id")).as("n_images"))
+      val byCls = det.groupBy("cls").agg(count(lit(1)).as("n_c"))
+      val pairs = det.as("x").join(det.as("y"),
+          col("x.image_id") === col("y.image_id")
+            && col("x.cls") < col("y.cls"))
+        .groupBy(col("x.cls").as("class_a"), col("y.cls").as("class_b"))
+        .agg(count(lit(1)).as("n_both"))
+      pairs
+        .join(broadcast(byCls.select(col("cls").as("class_a"),
+          col("n_c").as("n_a"))), Seq("class_a"))
+        .join(broadcast(byCls.select(col("cls").as("class_b"),
+          col("n_c").as("n_b"))), Seq("class_b"))
+        .crossJoin(broadcast(tot))
+        .select(col("class_a"), col("class_b"), col("n_a"), col("n_b"),
+          col("n_both"),
+          graft.Det.r4d((col("n_both") * col("n_images")).cast("double")
+            / (col("n_a") * col("n_b")).cast("double")).as("lift"))
+        .orderBy("class_a", "class_b")
     }),
 
     // LETTERBOX GEOMETRY (§2.84) — the resize-with-padding plan every
@@ -886,8 +924,15 @@ object PipelineQueries {
         .select(col("image_id"), (col("k") + 100000000L).as("det_id"),
           (col("gx1") + 50).as("px1"), (col("gy1") + 50).as("py1"),
           (col("gx1") + 90).as("px2"), (col("gy1") + 110).as("py2"))
+      // Bound the hash operand BEFORE the Knuth multiply: det_id grows
+      // with the corpus and det_id * 2654435761 would exceed BIGINT
+      // past ~3.4e9 keys — Spark wraps silently to negatives while
+      // DuckDB raises, an engine divergence. pmod keeps the operand
+      // < 1e6 so the product stays exact in both engines forever.
       val pred = jit.unionAll(fp)
-        .withColumn("score", (col("det_id") * 2654435761L) % 1000)
+        .withColumn("score",
+          pmod(pmod(col("det_id"), lit(1000000L)) * 2654435761L,
+            lit(1000L)))
       val pairs = gt.join(pred, Seq("image_id"))
         .withColumn("inter",
           greatest(lit(0L), least(col("gx2"), col("px2"))
@@ -1791,12 +1836,29 @@ object PipelineQueries {
         |    * 10000) / 10000 AS iou,
         |  inter * 2 >= ga * 2 - inter AS matched
         |FROM a ORDER BY p_partkey""".stripMargin,
+    // Distinct (image, class) reduce; lift divides exact products.
+    "multimodal_class_cooccurrence" ->
+      """WITH det AS (SELECT DISTINCT p_partkey // 64 AS image_id,
+        |    p_partkey % 5 AS cls FROM part),
+        |tot AS (SELECT count(DISTINCT image_id) AS n_images FROM det),
+        |byc AS (SELECT cls, count(*) AS n_c FROM det GROUP BY cls),
+        |pairs AS (SELECT x.cls AS class_a, y.cls AS class_b,
+        |    count(*) AS n_both
+        |  FROM det x JOIN det y
+        |    ON x.image_id = y.image_id AND x.cls < y.cls
+        |  GROUP BY 1, 2)
+        |SELECT class_a, class_b, a.n_c AS n_a, b.n_c AS n_b, n_both,
+        |  ROUND(CAST(n_both * n_images AS DOUBLE)
+        |    / CAST(a.n_c * b.n_c AS DOUBLE) * 10000) / 10000 AS lift
+        |FROM pairs JOIN byc a ON a.cls = class_a
+        |JOIN byc b ON b.cls = class_b CROSS JOIN tot
+        |ORDER BY class_a, class_b""".stripMargin,
     // The SAME greedy rule as a recursive CTE: rank detections per
     // image, walk ranks carrying the kept-boxes LIST, suppress when
     // any kept box passes the integer 2·inter > union test.
     "multimodal_nms" ->
       """WITH RECURSIVE det AS (
-        |  SELECT p_partkey % 50 AS image_id, p_partkey AS det_id,
+        |  SELECT p_partkey // 64 AS image_id, p_partkey AS det_id,
         |    (p_partkey % 7) * 15 AS x1, (p_partkey % 5) * 20 AS y1,
         |    (p_partkey % 7) * 15 + 40 + p_size % 10 AS x2,
         |    (p_partkey % 5) * 20 + 60 AS y2,
@@ -1993,7 +2055,8 @@ object PipelineQueries {
         |    gx1 + 50 AS px1, gy1 + 50 AS py1,
         |    gx1 + 90 AS px2, gy1 + 110 AS py2
         |  FROM bb WHERE k % 11 = 0),
-        |pred AS (SELECT *, (det_id * 2654435761) % 1000 AS score
+        |pred AS (SELECT *,
+        |    ((det_id % 1000000) * 2654435761) % 1000 AS score
         |  FROM (SELECT * FROM jit UNION ALL SELECT * FROM fpd)),
         |pr AS (SELECT g.image_id, g.gt_id, p.det_id,
         |    greatest(0, least(g.gx2, p.px2) - greatest(g.gx1, p.px1))

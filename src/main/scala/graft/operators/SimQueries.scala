@@ -384,6 +384,130 @@ object SimQueries {
         .orderBy("label", "pred")
     }),
 
+    // CENTROID SILHOUETTE DISTRIBUTION (§2.98) — the cluster-quality
+    // readout downstream of sim_centroid_classify: per vector, a =
+    // distance to the OWN label centroid, b = distance to the nearest
+    // OTHER centroid, s = (b−a)/max(a,b) ∈ [−1,1] — reported as the
+    // per-label histogram of s in 0.1 buckets (the form a separability
+    // dashboard plots). The full-pairwise silhouette is O(n²) and dead
+    // at scale; the centroid (simplified) silhouette is the standard
+    // large-n substitute and is one map-side pass over a broadcast
+    // |labels|×|dims| table. Determinism: centroids are the exact
+    // decimal(38,12) means of the sibling keys; d² folds in dimension
+    // order (bit-identical both engines — the argmin of the classify
+    // key already stakes its answer on this); sqrt is IEEE
+    // correctly-rounded (not libm), so a, b, s and the bucket floor
+    // are bit-identical — every output cell is an exact count.
+    "sim_silhouette_centroid" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cent = emb
+        .select(col("label"), posexplode(col("embedding")))
+        .groupBy(col("label"), col("pos"))
+        .agg((sum(col("col").cast("double").cast("decimal(38,12)"))
+          .cast("double") / count(lit(1))).as("c"))
+      val carr = cent.groupBy("label")
+        .agg(array_sort(collect_list(struct(col("pos"), col("c"))))
+          .as("ps"))
+        .select(col("label").as("clabel"),
+          expr("transform(ps, p -> p.c)").as("cvec"))
+      val d2 = emb.crossJoin(broadcast(carr))
+        .withColumn("d2", aggregate(
+          zip_with(col("embedding"), col("cvec"),
+            (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
+          lit(0.0), (acc, e) => acc + e))
+      val ab = d2.groupBy("vec_id", "label")
+        .agg(max(when(col("clabel") === col("label"), col("d2")))
+          .as("a2"),
+          min(when(col("clabel") =!= col("label"), col("d2")))
+            .as("b2"))
+        .filter(col("b2").isNotNull)
+        .withColumn("a", sqrt(col("a2")))
+        .withColumn("b", sqrt(col("b2")))
+        .withColumn("sil", when(greatest(col("a"), col("b")) > 0,
+          (col("b") - col("a")) / greatest(col("a"), col("b")))
+          .otherwise(lit(0.0)))
+      ab.groupBy(col("label"),
+          floor(col("sil") * 10).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n_vecs"))
+        .orderBy("label", "bucket")
+    }),
+
+    // MMR DIVERSITY RE-RANKING (§2.101) — maximal marginal relevance
+    // over each probe's top-20 cosine candidates: pick 5 results
+    // greedily by score λ·cos(q,d) − (1−λ)·max_{s∈S} cos(d,s)
+    // (λ = 0.7) — the standard redundancy-killer between retrieval
+    // and the context window of a RAG stack. Greedy selection is
+    // ORDER-DEPENDENT, so the five steps run UNROLLED (the
+    // label-prop/kcore fixed-round convention): each step anti-joins
+    // the picked set, takes the max penalty against picks via the
+    // precomputed bounded pair table (20×20 per probe), and argmaxes
+    // through one (score desc, vec_id) window. All cosines ride the
+    // codegen ArrayDot with IEEE-identical spelling; max/argmax on
+    // bit-identical doubles tie-break on vec_id. Shape: one corpus
+    // scan scores candidates (broadcast probes); everything after the
+    // bounded-heap TopKPerGroup(20) touches ≤ 200 rows per probe —
+    // corpus-size-free.
+    "sim_mmr_rerank" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>")
+          .as("v"))
+      val probes = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("probe_id"), col("v").as("p"))
+      val scored = emb.crossJoin(broadcast(probes))
+        .filter(col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("vec_id"), col("v"),
+          (ArrayDot(col("p"), col("v"))
+            / (sqrt(ArrayDot(col("p"), col("p")))
+              * sqrt(ArrayDot(col("v"), col("v"))))).as("cosq"))
+      val cands = graft.plans.TopKPerGroup(scored, k = 20,
+        partNames = Seq("probe_id"),
+        orderSpec = Seq(("cosq", false), ("vec_id", true)))
+        .persist()
+      val a = cands.select(col("probe_id"), col("vec_id").as("ai"),
+        col("v").as("av"))
+      val b = cands.select(col("probe_id"), col("vec_id").as("bi"),
+        col("v").as("bv"))
+      val pairs = a.join(b, Seq("probe_id"))
+        .filter(col("ai") =!= col("bi"))
+        .select(col("probe_id"), col("ai"), col("bi"),
+          (ArrayDot(col("av"), col("bv"))
+            / (sqrt(ArrayDot(col("av"), col("av")))
+              * sqrt(ArrayDot(col("bv"), col("bv"))))).as("cosab"))
+        .persist()
+      val slim = cands.select(col("probe_id"), col("vec_id"),
+        col("cosq"))
+      val w1 = Window.partitionBy("probe_id")
+        .orderBy(col("cosq").desc, col("vec_id"))
+      val s1 = slim.withColumn("rk", row_number().over(w1))
+        .filter(col("rk") === 1)
+        .select(col("probe_id"), col("vec_id"), lit(1L).as("step"),
+          col("cosq"), (lit(0.7) * col("cosq")).as("mmr"))
+      val steps = (2 to 5).foldLeft(Seq(s1)) { (acc, _) =>
+        val picked = acc.map(_.select(col("probe_id"), col("vec_id")))
+          .reduce(_ unionAll _)
+        val rem = slim.join(picked, Seq("probe_id", "vec_id"),
+          "left_anti")
+        val pen = pairs
+          .join(picked.select(col("probe_id"),
+            col("vec_id").as("bi")), Seq("probe_id", "bi"))
+          .groupBy(col("probe_id"), col("ai").as("vec_id"))
+          .agg(max(col("cosab")).as("pen"))
+        val sc = rem.join(pen, Seq("probe_id", "vec_id"))
+          .withColumn("mmr",
+            lit(0.7) * col("cosq") - lit(0.3) * col("pen"))
+        val wk = Window.partitionBy("probe_id")
+          .orderBy(col("mmr").desc, col("vec_id"))
+        acc :+ sc.withColumn("rk", row_number().over(wk))
+          .filter(col("rk") === 1)
+          .select(col("probe_id"), col("vec_id"),
+            lit(acc.size + 1L).as("step"), col("cosq"), col("mmr"))
+      }
+      steps.reduce(_ unionAll _)
+        .select(col("probe_id"), col("step"), col("vec_id"),
+          r4d(col("cosq")).as("relevance"), r4d(col("mmr")).as("mmr"))
+        .orderBy("probe_id", "step")
+    }),
+
     // INT8 SCALAR QUANTIZATION reconstruction error — the storage-cost
     // lever of every vector index (a 64-dim float corpus drops 4× when
     // codes go int8; whether recall survives is exactly this key's
@@ -685,6 +809,104 @@ object SimQueries {
         |pred AS (SELECT vec_id, label, clabel AS pred FROM r WHERE rk = 1)
         |SELECT label, pred, count(*) AS n FROM pred
         |GROUP BY 1, 2 ORDER BY label, pred""".stripMargin,
+    // The same five greedy steps, unrolled as MATERIALIZED CTEs (the
+    // kcore/label-prop oracle convention); cosines via
+    // list_dot_product with the identical IEEE spelling, mmr computed
+    // once per row and reused for the ordering.
+    "sim_mmr_rerank" -> {
+      val prelude =
+        """WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+          |  FROM embeddings),
+          |sc AS MATERIALIZED (SELECT p.vec_id AS probe_id, e.vec_id,
+          |    list_dot_product(p.v, e.v)
+          |      / (sqrt(list_dot_product(p.v, p.v))
+          |        * sqrt(list_dot_product(e.v, e.v))) AS cosq,
+          |    e.v AS v
+          |  FROM emb e CROSS JOIN (SELECT * FROM emb WHERE vec_id < 10) p
+          |  WHERE e.vec_id <> p.vec_id),
+          |cand AS MATERIALIZED (SELECT probe_id, vec_id, cosq, v FROM (
+          |    SELECT *, row_number() OVER (PARTITION BY probe_id
+          |      ORDER BY cosq DESC, vec_id) AS rk FROM sc)
+          |  WHERE rk <= 20),
+          |pairs AS MATERIALIZED (SELECT a.probe_id, a.vec_id AS ai,
+          |    b.vec_id AS bi,
+          |    list_dot_product(a.v, b.v)
+          |      / (sqrt(list_dot_product(a.v, a.v))
+          |        * sqrt(list_dot_product(b.v, b.v))) AS cosab
+          |  FROM cand a JOIN cand b ON a.probe_id = b.probe_id
+          |    AND a.vec_id <> b.vec_id),
+          |s1 AS MATERIALIZED (SELECT probe_id, vec_id, 1 AS step, cosq,
+          |    0.7 * cosq AS mmr FROM (
+          |    SELECT probe_id, vec_id, cosq,
+          |      row_number() OVER (PARTITION BY probe_id
+          |        ORDER BY cosq DESC, vec_id) AS rk FROM cand)
+          |  WHERE rk = 1),
+          |acc1 AS (SELECT probe_id, vec_id FROM s1)""".stripMargin
+      val rounds = (2 to 5).map { k =>
+        s"""s$k AS MATERIALIZED (SELECT probe_id, vec_id, $k AS step,
+           |    cosq, mmr FROM (
+           |    SELECT probe_id, vec_id, cosq, mmr,
+           |      row_number() OVER (PARTITION BY probe_id
+           |        ORDER BY mmr DESC, vec_id) AS rk
+           |    FROM (
+           |      SELECT r.probe_id, r.vec_id, r.cosq,
+           |        0.7 * r.cosq - 0.3 * p.pen AS mmr
+           |      FROM (SELECT c.* FROM cand c ANTI JOIN acc${k - 1} a
+           |          ON c.probe_id = a.probe_id
+           |          AND c.vec_id = a.vec_id) r
+           |      JOIN (SELECT pr.probe_id, pr.ai AS vec_id,
+           |            max(pr.cosab) AS pen
+           |          FROM pairs pr JOIN acc${k - 1} a
+           |            ON pr.probe_id = a.probe_id
+           |            AND pr.bi = a.vec_id
+           |          GROUP BY 1, 2) p
+           |        ON r.probe_id = p.probe_id
+           |        AND r.vec_id = p.vec_id))
+           |  WHERE rk = 1),
+           |acc$k AS (SELECT * FROM acc${k - 1}
+           |  UNION ALL SELECT probe_id, vec_id FROM s$k)""".stripMargin
+      }.mkString(",\n", ",\n", "")
+      val tail =
+        """
+          |SELECT probe_id, CAST(step AS BIGINT) AS step, vec_id,
+          |  ROUND(cosq * 10000) / 10000 + 0.0 AS relevance,
+          |  ROUND(mmr * 10000) / 10000 + 0.0 AS mmr
+          |FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2
+          |  UNION ALL SELECT * FROM s3 UNION ALL SELECT * FROM s4
+          |  UNION ALL SELECT * FROM s5)
+          |ORDER BY probe_id, step""".stripMargin
+      prelude + rounds + tail
+    },
+    // Same exact centroids + in-order d² folds as the classify
+    // oracle; sqrt is IEEE-exact so the bucket floors agree bitwise.
+    "sim_silhouette_centroid" ->
+      """WITH u AS (SELECT label, unnest(range(len(embedding))) AS pos,
+        |    unnest(embedding) AS x
+        |  FROM embeddings),
+        |cent AS (SELECT label, pos,
+        |    CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE)
+        |      / COUNT(*) AS c
+        |  FROM u GROUP BY 1, 2),
+        |carr AS (SELECT label AS clabel, list(c ORDER BY pos) AS cvec
+        |  FROM cent GROUP BY 1),
+        |sc AS (SELECT e.vec_id, e.label, c.clabel,
+        |    list_aggregate(list_transform(range(1, len(e.embedding) + 1),
+        |      i -> (CAST(e.embedding[i] AS DOUBLE) - c.cvec[i])
+        |        * (CAST(e.embedding[i] AS DOUBLE) - c.cvec[i])), 'sum')
+        |      AS d2
+        |  FROM embeddings e CROSS JOIN carr c),
+        |ab AS (SELECT vec_id, label,
+        |    max(d2) FILTER (WHERE clabel = label) AS a2,
+        |    min(d2) FILTER (WHERE clabel <> label) AS b2
+        |  FROM sc GROUP BY 1, 2),
+        |sil AS (SELECT label,
+        |    CASE WHEN greatest(sqrt(a2), sqrt(b2)) > 0 THEN
+        |      (sqrt(b2) - sqrt(a2)) / greatest(sqrt(a2), sqrt(b2))
+        |    ELSE 0.0 END AS s
+        |  FROM ab WHERE b2 IS NOT NULL)
+        |SELECT label, CAST(floor(s * 10) AS BIGINT) AS bucket,
+        |  count(*) AS n_vecs
+        |FROM sil GROUP BY 1, 2 ORDER BY label, bucket""".stripMargin,
     // Identical IEEE op order; list sums run in list order (the
     // entropy convention), float→double casts exact.
     // Raw dot, no normalization; same -0.0-safe round as the cosine

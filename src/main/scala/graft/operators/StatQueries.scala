@@ -443,9 +443,16 @@ object StatQueries {
       val ci = rep.groupBy("event_type")
         .agg(count(lit(1)).as("n_replicates"),
           array_sort(collect_list(col("mean_b"))).as("ms"))
+        // Order-statistic indices from the SURVIVING replicate count,
+        // not the literals 2/47: a skewed fixture can drop a replicate
+        // via the m > 0 filter, and hardcoded indices would silently
+        // report the wrong (or a null) quantile. ceil(q·n) is the
+        // PERCENTILE_DISC selection rule in both engines.
         .select(col("event_type"), col("n_replicates"),
-          r4d(element_at(col("ms"), 2)).as("ci_lo"),
-          r4d(element_at(col("ms"), 47)).as("ci_hi"))
+          r4d(element_at(col("ms"),
+            ceil(col("n_replicates") * 0.025).cast("int"))).as("ci_lo"),
+          r4d(element_at(col("ms"),
+            ceil(col("n_replicates") * 0.975).cast("int"))).as("ci_hi"))
       full.join(ci, Seq("event_type"))
         .select(col("event_type"), col("n"), col("mean_value"),
           col("n_replicates"), col("ci_lo"), col("ci_hi"))
@@ -1028,10 +1035,10 @@ object StatQueries {
         when(col("event_type") === "purchase", 1L).otherwise(0L)
           .as("y"))
       val m = e.agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"),
-        sum(((col("vc") - 20000L * col("y"))
-          * (col("vc") - 20000L * col("y"))).cast(D0)).as("se20k"))
-      val brier = col("se20k").cast("double")
-        / (col("n").cast(D0) * 400000000L).cast("double")
+        sum(((col("vc") - col("y") * 20000L)
+          * (col("vc") - col("y") * 20000L)).cast(D0)).as("se20k"))
+      val brier = (col("se20k").cast("double")
+        / (col("n").cast(D0) * 400000000L).cast("double"))
       val base = (col("n_pos").cast(D0) * (col("n") - col("n_pos")))
         .cast("double") / (col("n").cast(D0) * col("n")).cast("double")
       m.select(col("n"), col("n_pos"), r4d(brier).as("brier"),
@@ -1128,6 +1135,258 @@ object StatQueries {
         .select(col("k"), col("n"), col("mean_cents"),
           r4d(sqrt((col("k") - 1).cast("double") / col("k").cast("double")
             * col("devsum"))).as("jk_se_cents"))
+    }),
+
+    // LOG LOSS / CROSS-ENTROPY (§2.97) — the proper scoring rule that
+    // PUNISHES overconfidence where Brier merely taxes it (a confident
+    // wrong p=0.999 costs ~7 nats here vs 1.0 there): the metric every
+    // training pipeline monitors. Exactness device: probabilities live
+    // on the bounded CENTS grid (p = vc/20000, vc ∈ 0..20000 clamped
+    // to 1..19999 — the standard eps-clip), so the corpus reduces to
+    // ≤ 2·10⁴ (pc, counts) cells and the ln terms — the only libm —
+    // fold over the pc-SORTED cell list (the agg_geo_harmonic_mean
+    // device), each term spelled n·ln(pc/20000) operand-for-operand.
+    // The base-rate entropy and skill are 1-row arithmetic. Shape: one
+    // O(rows) partial-agg reduce to the bounded grid, then a 1-row
+    // fold — nothing downstream scales with the corpus.
+    "eval_log_loss" -> ((s, dir) => {
+      val e = events(s, dir).select(
+        greatest(lit(1L), least(
+          round(least(col("value"), lit(200.0)) * 100).cast("long"),
+          lit(19999L))).as("pc"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L)
+          .as("y"))
+      val byv = e.groupBy("pc").agg(count(lit(1)).as("n_v"),
+        sum(col("y")).as("p_v"))
+      val cells = byv.select(col("pc"), col("n_v"), col("p_v"),
+        (col("p_v").cast("double")
+            * log(col("pc").cast("double") / lit(20000.0))
+          + (col("n_v") - col("p_v")).cast("double")
+            * log((lit(20000L) - col("pc")).cast("double")
+              / lit(20000.0))).as("contrib"))
+      val m = cells.agg(sum(col("n_v")).cast("long").as("n"),
+        sum(col("p_v")).cast("long").as("n_pos"),
+        expr("aggregate(array_sort(collect_list(struct(pc, contrib)))," +
+          " cast(0.0 as double), (a, x) -> a + x.contrib)").as("ll"))
+      val r = col("n_pos").cast("double") / col("n").cast("double")
+      val base = (col("n_pos").cast("double") * log(r)
+        + (col("n") - col("n_pos")).cast("double") * log(lit(1.0) - r))
+      m.select(col("n"), col("n_pos"),
+        r4d(-col("ll") / col("n").cast("double")).as("log_loss"),
+        when(col("n_pos") > 0 && col("n_pos") < col("n"),
+          r4d(-base / col("n").cast("double"))).as("log_loss_base"),
+        when(col("n_pos") > 0 && col("n_pos") < col("n"),
+          r4d(lit(1.0) - col("ll") / base)).as("skill"))
+    }),
+
+    // EXPECTED CALIBRATION ERROR (§2.97) — eval_calibration_bins's
+    // per-bin gap table collapsed to the two numbers dashboards alarm
+    // on: ECE = Σ_b (n_b/N)·|acc_b − conf_b| and MCE = max_b |gap_b|.
+    // FULLY exact up to the last division: n_b·|acc_b − conf_b| =
+    // |20000·pos_b − Σvc_b| / 20000 on the cents grid, so ECE's
+    // numerator is ONE exact integer sum over 10 bins and ECE is a
+    // single IEEE division; MCE takes the max of 10 identically-
+    // spelled per-bin divisions (max is order-free). No libm at all.
+    // Shape: O(rows) reduce to ≤10 bins, then 1-row arithmetic.
+    "eval_ece" -> ((s, dir) => {
+      val D0 = "decimal(38,0)"
+      val e = events(s, dir).select(
+        least(floor(col("value") / 20).cast("int"), lit(9)).as("bin"),
+        round(least(col("value"), lit(200.0)) * 100).cast("long")
+          .as("vc"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L)
+          .as("y"))
+      val bins = e.groupBy("bin").agg(count(lit(1)).as("n_b"),
+        sum(col("y")).as("pos_b"), sum(col("vc").cast(D0)).as("sv_b"))
+      bins.agg(sum(col("n_b")).cast("long").as("n"),
+          count(lit(1)).as("n_bins"),
+          sum(abs((col("pos_b") * 20000L).cast(D0) - col("sv_b")))
+            .as("devsum"),
+          max(abs((col("pos_b") * 20000L).cast(D0) - col("sv_b"))
+            .cast("double")
+            / (lit(20000.0) * col("n_b").cast("double"))).as("mce"))
+        .select(col("n"), col("n_bins"),
+          r4d(col("devsum").cast("double")
+            / (lit(20000.0) * col("n").cast("double"))).as("ece"),
+          r4d(col("mce")).as("mce"))
+    }),
+
+    // COHEN'S d EFFECT SIZE (§2.97) — the magnitude companion of
+    // ab_test_welch's significance: the same md5 user arms and the
+    // same anchored exact moments, but reporting the POOLED-SD
+    // standardized mean difference (and its small-sample Hedges g
+    // correction) — the number a power analysis or meta-analysis
+    // consumes, where t only says "unlikely under H0". Moments reuse
+    // the welch key's anchor device verbatim (exact decimal Σd, Σd²
+    // per arm); d, sp and g are a handful of IEEE ops spelled
+    // operand-for-operand. Shape: identical to ab_test_welch — two
+    // O(rows) passes to 2·|types| moment rows, then 1-row-per-type
+    // arithmetic.
+    "agg_cohens_d" -> ((s, dir) => {
+      val e = events(s, dir).select(col("event_type"),
+        when(substring(md5(col("user_id").cast("string").cast("binary")),
+          1, 1) < "8", "A").otherwise("B").as("arm"),
+        round(col("value") * 100).cast("long").as("c"))
+      val p1 = e.groupBy("event_type", "arm")
+        .agg(count(lit(1)).as("n"), sum(col("c")).as("s1"))
+        .select(col("event_type"), col("arm"), col("n"),
+          expr("s1 div n").as("a"))
+      val m = e.join(broadcast(p1), Seq("event_type", "arm"))
+        .withColumn("d", col("c") - col("a"))
+        .groupBy("event_type", "arm")
+        .agg(max(col("n")).as("n"), max(col("a")).as("a"),
+          sum(col("d").cast("decimal(38,0)")).as("d1"),
+          sum((col("d") * col("d")).cast("decimal(38,0)")).as("d2"))
+        .withColumn("nn", col("n").cast("double"))
+        .withColumn("mean",
+          col("a").cast("double") + col("d1").cast("double") / col("nn"))
+        .withColumn("v",
+          (col("n") * col("d2") - col("d1") * col("d1")).cast("double")
+            / (col("nn") * (col("nn") - lit(1.0))))
+      val a = m.filter(col("arm") === "A").select(col("event_type"),
+        col("n").as("na"), col("nn").as("nna"), col("mean").as("ma"),
+        col("v").as("va"))
+      val b = m.filter(col("arm") === "B").select(col("event_type"),
+        col("n").as("nb"), col("nn").as("nnb"), col("mean").as("mb"),
+        col("v").as("vb"))
+      a.join(b, Seq("event_type"))
+        .filter(col("na") > 1 && col("nb") > 1)
+        .withColumn("sp2",
+          ((col("nna") - lit(1.0)) * col("va")
+            + (col("nnb") - lit(1.0)) * col("vb"))
+            / (col("nna") + col("nnb") - lit(2.0)))
+        .filter(col("sp2") > 0)
+        .select(col("event_type"), col("na"), col("nb"),
+          r4d(col("ma") / lit(100.0)).as("mean_a"),
+          r4d(col("mb") / lit(100.0)).as("mean_b"),
+          r4d((col("ma") - col("mb")) / sqrt(col("sp2"))).as("cohens_d"),
+          r4d((col("ma") - col("mb")) / sqrt(col("sp2"))
+            * (lit(1.0) - lit(3.0)
+              / (lit(4.0) * (col("nna") + col("nnb")) - lit(9.0))))
+            .as("hedges_g"))
+        .orderBy("event_type")
+    }),
+
+    // CUMULATIVE GAINS / LIFT AT DECILES (§2.99) — the campaign-
+    // targeting readout of the same cents-grid ranking eval_pr_auc
+    // walks: "contact the top k/10 of the population by score — what
+    // fraction of all positives do we capture, and at what lift over
+    // random?" Exactness: the corpus reduces to ≤2·10⁴ score blocks
+    // with exact cumulative integers; each decile CUT is the first
+    // block (descending score) where 10·cumn ≥ k·N — an integer
+    // comparison — selected by one lexicographic struct-min; capture
+    // and lift are single divisions of exact integer PRODUCTS
+    // (cump·N / cumn·n_pos). Shape: O(rows) reduce to the grid, one
+    // driver-scale window, a 10×|blocks| bounded join.
+    "eval_lift_curve" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = events(s, dir).select(
+        round(least(col("value"), lit(200.0)) * 100).cast("long")
+          .as("cents"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L)
+          .as("y"))
+      val byv = e.groupBy("cents").agg(count(lit(1)).as("n_v"),
+        sum(col("y")).as("p_v"))
+      val w = Window.orderBy(col("cents").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = byv
+        .withColumn("cumn", sum(col("n_v")).over(w).cast("long"))
+        .withColumn("cump", sum(col("p_v")).over(w).cast("long"))
+      val glob = byv.agg(sum(col("n_v")).cast("long").as("n"),
+        sum(col("p_v")).cast("long").as("n_pos"))
+      s.range(1, 11).select(col("id").as("k"))
+        .crossJoin(broadcast(glob))
+        .join(cum, col("cumn") * 10 >= col("k") * col("n"))
+        .groupBy("k", "n", "n_pos")
+        .agg(min(struct(col("cumn"), col("cump"), col("cents")))
+          .as("cut"))
+        .select(col("k"), col("cut.cents").as("score_cut"),
+          col("cut.cumn").as("n_at_cut"),
+          col("cut.cump").as("pos_at_cut"),
+          when(col("n_pos") > 0, r4d(col("cut.cump").cast("double")
+            / col("n_pos").cast("double"))).as("capture"),
+          when(col("n_pos") > 0,
+            r4d((col("cut.cump") * col("n")).cast("double")
+              / (col("cut.cumn") * col("n_pos")).cast("double")))
+            .as("lift"))
+        .orderBy("k")
+    }),
+
+    // POISSON RATE RATIO (§2.99) — did the purchase RATE change after
+    // the mid-survey intervention? ts_intervention_welch compares
+    // daily MEANS with a t; when the measure is a raw event count the
+    // canonical comparison is the Poisson rate ratio with the Wald
+    // interval on ln RR (se = √(1/n₁ + 1/n₂) — exposure days enter RR
+    // but not the variance). Counts and day spans are exact integers
+    // off the shared spine; RR = (n₂·d₁)/(n₁·d₂) is one division of
+    // exact products; ln and the z are three libm/IEEE ops on one
+    // row. Shape: aggregate-first to the spine, 2-row reduce.
+    "agg_poisson_rate_ratio" -> ((s, dir) => {
+      val d0 = dailyXY(s, dir).select(col("day"), col("cy").as("v"))
+      val bounds = d0.agg(min(col("day")).as("lo"),
+        max(col("day")).as("hi"))
+        .select(expr("(lo + hi) div 2").as("mid"))
+      val m = d0.crossJoin(broadcast(bounds))
+        .withColumn("arm", when(col("day") < col("mid"), "pre")
+          .otherwise("post"))
+        .groupBy("arm").agg(count(lit(1)).as("d"),
+          sum(col("v")).cast("long").as("n"))
+      val a = m.filter(col("arm") === "pre")
+        .select(col("n").as("n_pre"), col("d").as("days_pre"))
+      val b = m.filter(col("arm") === "post")
+        .select(col("n").as("n_post"), col("d").as("days_post"))
+      val rr = ((col("n_post") * col("days_pre")).cast("double")
+        / (col("n_pre") * col("days_post")).cast("double"))
+      val se = sqrt(lit(1.0) / col("n_pre").cast("double")
+        + lit(1.0) / col("n_post").cast("double"))
+      a.crossJoin(b)
+        .filter(col("n_pre") > 0 && col("n_post") > 0)
+        .select(col("n_pre"), col("days_pre"), col("n_post"),
+          col("days_post"), r4d(rr).as("rate_ratio"),
+          r4d(log(rr) / se).as("z_wald"))
+    }),
+
+    // NEYMAN OPTIMAL ALLOCATION (§2.100) — how to split a fixed
+    // sample budget (B = 10 000) across the event-type strata for a
+    // minimum-variance estimate of mean value: n_h ∝ N_h·s_h — the
+    // survey-sampling design rule (proportional allocation ignores
+    // within-stratum spread; Neyman samples volatile strata harder),
+    // feeding the same md5-hash sampler sample_stratified_hash runs.
+    // Determinism: per-stratum moments are the welch keys' exact
+    // anchored decimals; each N_h·s_h is one sqrt (IEEE-exact) on an
+    // exact-numerator variance; their SUM folds over the
+    // stratum-sorted ≤|types| list (the geo-harmonic-mean device);
+    // share and floor(B·share) are then bit-identical. Shape: one
+    // O(rows) reduce to |types| moment rows, a 1-row fold, broadcast
+    // back — corpus-size-free past the first exchange.
+    "sample_neyman_allocation" -> ((s, dir) => {
+      val D0 = "decimal(38,0)"
+      val e = events(s, dir).select(col("event_type"),
+        round(col("value") * 100).cast("long").as("c"))
+      val p1 = e.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("c")).as("s1"))
+        .select(col("event_type"), col("n"), expr("s1 div n").as("a"))
+      val m = e.join(broadcast(p1), Seq("event_type"))
+        .withColumn("d", col("c") - col("a"))
+        .groupBy("event_type")
+        .agg(max(col("n")).as("n"),
+          sum(col("d").cast(D0)).as("d1"),
+          sum((col("d") * col("d")).cast(D0)).as("d2"))
+        .filter(col("n") > 1)
+        .withColumn("nn", col("n").cast("double"))
+        .withColumn("ns", col("nn") * sqrt(
+          (col("n") * col("d2") - col("d1") * col("d1")).cast("double")
+            / (col("nn") * (col("nn") - lit(1.0)))))
+      val tot = m.agg(expr(
+        "aggregate(array_sort(collect_list(struct(event_type, ns))), " +
+          "cast(0.0 as double), (acc, x) -> acc + x.ns)").as("tot_ns"))
+      m.crossJoin(broadcast(tot))
+        .select(col("event_type"), col("n").as("n_stratum"),
+          r4d(col("ns") / col("nn") / lit(100.0)).as("sd_value"),
+          r4d(col("ns") / col("tot_ns")).as("share"),
+          floor(lit(10000.0) * (col("ns") / col("tot_ns")))
+            .cast("long").as("alloc_n"))
+        .orderBy("event_type")
     }))
 
   val oracle: Map[String, String] = Map(
@@ -1278,8 +1537,10 @@ object StatQueries {
          |    ${sqlAvg("value")} AS mean_value
          |  FROM events GROUP BY 1)
          |SELECT f.event_type, n, mean_value, n_replicates,
-         |  ROUND(ms[2] * 10000) / 10000 AS ci_lo,
-         |  ROUND(ms[47] * 10000) / 10000 AS ci_hi
+         |  ROUND(ms[CAST(ceil(n_replicates * 0.025) AS INT)] * 10000)
+         |    / 10000 AS ci_lo,
+         |  ROUND(ms[CAST(ceil(n_replicates * 0.975) AS INT)] * 10000)
+         |    / 10000 AS ci_hi
          |FROM f JOIN ci USING (event_type)
          |ORDER BY event_type""".stripMargin,
     // PR-AUC: same cents-grid + descending cumulative counts, with
@@ -1951,5 +2212,200 @@ object StatQueries {
         |    + 0.0 AS mean_cents,
         |  ROUND(sqrt(CAST(k - 1 AS DOUBLE) / CAST(k AS DOUBLE)
         |    * devsum) * 10000) / 10000 + 0.0 AS jk_se_cents
-        |FROM dev""".stripMargin)
+        |FROM dev""".stripMargin,
+    // Bounded cents grid + pc-sorted list fold; ln terms spelled
+    // n·ln(CAST(pc AS DOUBLE)/20000.0) operand-for-operand.
+    "eval_log_loss" ->
+      """WITH e AS (SELECT
+        |    greatest(1, least(CAST(round(least(value, 200.0) * 100)
+        |      AS BIGINT), 19999)) AS pc,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        |  FROM events),
+        |byv AS (SELECT pc, count(*) AS n_v,
+        |    CAST(sum(y) AS BIGINT) AS p_v
+        |  FROM e GROUP BY pc),
+        |cells AS (SELECT pc, n_v, p_v,
+        |    CAST(p_v AS DOUBLE) * ln(CAST(pc AS DOUBLE) / 20000.0)
+        |      + CAST(n_v - p_v AS DOUBLE)
+        |        * ln(CAST(20000 - pc AS DOUBLE) / 20000.0) AS contrib
+        |  FROM byv),
+        |m AS (SELECT CAST(sum(n_v) AS BIGINT) AS n,
+        |    CAST(sum(p_v) AS BIGINT) AS n_pos,
+        |    list_aggregate(list_transform(
+        |      list_sort(list({'pc': pc, 'contrib': contrib})),
+        |      x -> x.contrib), 'sum') AS ll
+        |  FROM cells),
+        |f AS (SELECT n, n_pos, ll,
+        |    CAST(n_pos AS DOUBLE)
+        |      * ln(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE))
+        |    + CAST(n - n_pos AS DOUBLE)
+        |      * ln(1.0 - CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE))
+        |      AS base
+        |  FROM m)
+        |SELECT n, n_pos,
+        |  ROUND(-ll / CAST(n AS DOUBLE) * 10000) / 10000 + 0.0
+        |    AS log_loss,
+        |  CASE WHEN n_pos > 0 AND n_pos < n THEN
+        |    ROUND(-base / CAST(n AS DOUBLE) * 10000) / 10000 + 0.0
+        |  END AS log_loss_base,
+        |  CASE WHEN n_pos > 0 AND n_pos < n THEN
+        |    ROUND((1.0 - ll / base) * 10000) / 10000 + 0.0
+        |  END AS skill
+        |FROM f""".stripMargin,
+    // Integer ECE numerator (HUGEINT devsum), one division; MCE max
+    // over 10 identically-spelled per-bin divisions.
+    "eval_ece" ->
+      """WITH e AS (SELECT
+        |    least(CAST(floor(value / 20) AS INT), 9) AS bin,
+        |    CAST(round(least(value, 200.0) * 100) AS BIGINT) AS vc,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        |  FROM events),
+        |bins AS (SELECT bin, count(*) AS n_b,
+        |    CAST(sum(y) AS BIGINT) AS pos_b,
+        |    CAST(sum(vc) AS HUGEINT) AS sv_b
+        |  FROM e GROUP BY bin),
+        |m AS (SELECT CAST(sum(n_b) AS BIGINT) AS n,
+        |    count(*) AS n_bins,
+        |    CAST(sum(abs(CAST(pos_b * 20000 AS HUGEINT) - sv_b))
+        |      AS HUGEINT) AS devsum,
+        |    max(CAST(abs(CAST(pos_b * 20000 AS HUGEINT) - sv_b)
+        |        AS DOUBLE) / (20000.0 * CAST(n_b AS DOUBLE))) AS mce
+        |  FROM bins)
+        |SELECT n, n_bins,
+        |  ROUND(CAST(devsum AS DOUBLE) / (20000.0 * CAST(n AS DOUBLE))
+        |    * 10000) / 10000 + 0.0 AS ece,
+        |  ROUND(mce * 10000) / 10000 + 0.0 AS mce
+        |FROM m""".stripMargin,
+    // The welch oracle's exact anchored moments; d/sp/g spelled
+    // operand-for-operand with the Spark plan.
+    "agg_cohens_d" ->
+      """WITH e AS (SELECT event_type,
+        |    CASE WHEN substring(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8'
+        |      THEN 'A' ELSE 'B' END AS arm,
+        |    CAST(round(value * 100) AS BIGINT) AS c FROM events),
+        |p1 AS (SELECT event_type, arm, count(*) AS n,
+        |    CAST(sum(c) AS BIGINT) // count(*) AS a
+        |  FROM e GROUP BY 1, 2),
+        |m0 AS (SELECT e.event_type, e.arm, n, a,
+        |    CAST(e.c - a AS HUGEINT) AS d
+        |  FROM e JOIN p1 USING (event_type, arm)),
+        |m AS (SELECT event_type, arm, max(n) AS n, max(a) AS a,
+        |    CAST(sum(d) AS HUGEINT) AS d1,
+        |    CAST(sum(d * d) AS HUGEINT) AS d2
+        |  FROM m0 GROUP BY 1, 2),
+        |v AS (SELECT event_type, arm, n, CAST(n AS DOUBLE) AS nn,
+        |    CAST(a AS DOUBLE) + CAST(d1 AS DOUBLE) / CAST(n AS DOUBLE)
+        |      AS mean,
+        |    CAST(n * d2 - d1 * d1 AS DOUBLE)
+        |      / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) AS var
+        |  FROM m),
+        |j AS (SELECT a.event_type, a.n AS na, b.n AS nb,
+        |    a.nn AS nna, b.nn AS nnb, a.mean AS ma, b.mean AS mb,
+        |    ((a.nn - 1.0) * a.var + (b.nn - 1.0) * b.var)
+        |      / (a.nn + b.nn - 2.0) AS sp2
+        |  FROM v a JOIN v b ON a.event_type = b.event_type
+        |  WHERE a.arm = 'A' AND b.arm = 'B' AND a.n > 1 AND b.n > 1)
+        |SELECT event_type, na, nb,
+        |  ROUND(ma / 100.0 * 10000.0) / 10000.0 AS mean_a,
+        |  ROUND(mb / 100.0 * 10000.0) / 10000.0 AS mean_b,
+        |  ROUND((ma - mb) / sqrt(sp2) * 10000.0) / 10000.0 + 0.0
+        |    AS cohens_d,
+        |  ROUND((ma - mb) / sqrt(sp2)
+        |    * (1.0 - 3.0 / (4.0 * (nna + nnb) - 9.0)) * 10000.0)
+        |    / 10000.0 + 0.0 AS hedges_g
+        |FROM j WHERE sp2 > 0 ORDER BY event_type""".stripMargin,
+    // Decile cuts are integer comparisons on the cents-grid
+    // cumulatives; capture/lift divide exact integer products.
+    "eval_lift_curve" ->
+      """WITH e AS (SELECT
+        |    CAST(round(least(value, 200.0) * 100) AS BIGINT) AS cents,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        |  FROM events),
+        |byv AS (SELECT cents, count(*) AS n_v,
+        |    CAST(sum(y) AS BIGINT) AS p_v
+        |  FROM e GROUP BY cents),
+        |cum AS (SELECT cents,
+        |    CAST(sum(n_v) OVER (ORDER BY cents DESC
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumn,
+        |    CAST(sum(p_v) OVER (ORDER BY cents DESC
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cump
+        |  FROM byv),
+        |g AS (SELECT CAST(sum(n_v) AS BIGINT) AS n,
+        |    CAST(sum(p_v) AS BIGINT) AS n_pos FROM byv),
+        |ks AS (SELECT unnest(range(1, 11)) AS k),
+        |cut AS (SELECT k, n, n_pos,
+        |    min(struct_pack(cumn := cumn, cump := cump, cents := cents))
+        |      AS c
+        |  FROM ks CROSS JOIN g JOIN cum ON cumn * 10 >= k * n
+        |  GROUP BY 1, 2, 3)
+        |SELECT CAST(k AS BIGINT) AS k, c.cents AS score_cut,
+        |  c.cumn AS n_at_cut, c.cump AS pos_at_cut,
+        |  CASE WHEN n_pos > 0 THEN
+        |    ROUND(CAST(c.cump AS DOUBLE) / CAST(n_pos AS DOUBLE)
+        |      * 10000) / 10000
+        |  END AS capture,
+        |  CASE WHEN n_pos > 0 THEN
+        |    ROUND(CAST(c.cump * n AS DOUBLE)
+        |      / CAST(c.cumn * n_pos AS DOUBLE) * 10000) / 10000
+        |  END AS lift
+        |FROM cut ORDER BY k""".stripMargin,
+    // Exact counts/day spans off the shared spine; RR one division of
+    // integer products, ln/sqrt/z spelled operand-for-operand.
+    "agg_poisson_rate_ratio" ->
+      s"""WITH e AS (SELECT event_type, ${sqlEpochDay("ts")} AS day
+         |  FROM events),
+         |b AS (SELECT min(day) AS lo, max(day) AS hi FROM e),
+         |spine AS (SELECT unnest(range(lo, hi + 1)) AS day FROM b),
+         |d0 AS (SELECT day,
+         |    count(*) FILTER (WHERE event_type = 'purchase') AS cy
+         |  FROM e GROUP BY day),
+         |d AS (SELECT s.day, COALESCE(cy, 0) AS v
+         |  FROM spine s LEFT JOIN d0 USING (day)),
+         |b2 AS (SELECT (min(day) + max(day)) // 2 AS mid FROM d),
+         |m AS (SELECT CASE WHEN day < mid THEN 'pre' ELSE 'post' END
+         |      AS arm,
+         |    count(*) AS dd, CAST(sum(v) AS BIGINT) AS n
+         |  FROM d CROSS JOIN b2 GROUP BY 1),
+         |j AS (SELECT a.n AS n_pre, a.dd AS days_pre,
+         |    bb.n AS n_post, bb.dd AS days_post
+         |  FROM m a CROSS JOIN m bb
+         |  WHERE a.arm = 'pre' AND bb.arm = 'post'
+         |    AND a.n > 0 AND bb.n > 0)
+         |SELECT n_pre, days_pre, n_post, days_post,
+         |  ROUND(CAST(n_post * days_pre AS DOUBLE)
+         |    / CAST(n_pre * days_post AS DOUBLE) * 10000) / 10000
+         |    AS rate_ratio,
+         |  ROUND(ln(CAST(n_post * days_pre AS DOUBLE)
+         |      / CAST(n_pre * days_post AS DOUBLE))
+         |    / sqrt(1.0 / CAST(n_pre AS DOUBLE)
+         |      + 1.0 / CAST(n_post AS DOUBLE)) * 10000) / 10000 + 0.0
+         |    AS z_wald
+         |FROM j""".stripMargin,
+    // Anchored exact moments per stratum; N_h·s_h summed over the
+    // stratum-sorted list; share/floor bit-identical.
+    "sample_neyman_allocation" ->
+      """WITH e AS (SELECT event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS c FROM events),
+        |p1 AS (SELECT event_type, count(*) AS n,
+        |    CAST(sum(c) AS BIGINT) // count(*) AS a
+        |  FROM e GROUP BY 1),
+        |m0 AS (SELECT e.event_type, n,
+        |    CAST(e.c - a AS HUGEINT) AS d
+        |  FROM e JOIN p1 USING (event_type)),
+        |m AS (SELECT event_type, max(n) AS n,
+        |    CAST(sum(d) AS HUGEINT) AS d1,
+        |    CAST(sum(d * d) AS HUGEINT) AS d2
+        |  FROM m0 GROUP BY 1 HAVING max(n) > 1),
+        |ns AS (SELECT event_type, n, CAST(n AS DOUBLE) AS nn,
+        |    CAST(n AS DOUBLE) * sqrt(CAST(n * d2 - d1 * d1 AS DOUBLE)
+        |      / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) AS ns
+        |  FROM m),
+        |tot AS (SELECT list_aggregate(list_transform(
+        |    list_sort(list({'event_type': event_type, 'ns': ns})),
+        |    x -> x.ns), 'sum') AS tot_ns FROM ns)
+        |SELECT event_type, n AS n_stratum,
+        |  ROUND(ns / nn / 100.0 * 10000) / 10000 AS sd_value,
+        |  ROUND(ns / tot_ns * 10000) / 10000 AS share,
+        |  CAST(floor(10000.0 * (ns / tot_ns)) AS BIGINT) AS alloc_n
+        |FROM ns CROSS JOIN tot ORDER BY event_type""".stripMargin)
 }

@@ -604,6 +604,46 @@ object TextQueries {
             / (col("n_docs") * col("total")).cast("double"))
             .as("dispersion"))
         .orderBy(col("total").desc, col("token"))
+    }),
+
+    // VOCABULARY COVERAGE CURVE (§2.99) — "how much of the corpus do
+    // the top-k word types cover?", the sizing question behind every
+    // vocab/tokenizer budget (a 10k word vocab covering 95% of tokens
+    // says subwording only has to carry the last 5%). NEVER ranks the
+    // vocabulary globally: token counts reduce to the FREQUENCY
+    // HISTOGRAM (c_f types at frequency f — ≤ O(√corpus) rows by
+    // Zipf), the cumulative type/mass counters run over that bounded
+    // table, and each cut k ∈ {10,100,1k,10k} is the first
+    // (descending-frequency) block where cum types ≥ k — the
+    // eval_lift_curve struct-min device. Tie types within a frequency
+    // block are interchangeable, so block-boundary semantics are the
+    // exact answer, not an approximation. Coverage = one division of
+    // exact integers.
+    "text_ngram_coverage_curve" -> ((s, dir) => {
+      val tc = t(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("c"))
+      val hist = tc.groupBy("c").agg(count(lit(1)).as("types"))
+      val w = Window.orderBy(col("c").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = hist
+        .withColumn("cumv", sum(col("types")).over(w).cast("long"))
+        .withColumn("cumm", sum(col("c") * col("types")).over(w)
+          .cast("long"))
+      val glob = hist.agg(sum(col("types")).cast("long").as("vocab"),
+        sum(col("c") * col("types")).cast("long").as("total"))
+      val ks = s.range(1, 5)
+        .select(pow(lit(10.0), col("id")).cast("long").as("k"))
+      ks.crossJoin(broadcast(glob))
+        .join(cum, col("cumv") >= least(col("k"), col("vocab")))
+        .groupBy("k", "vocab", "total")
+        .agg(min(struct(col("cumv"), col("cumm"), col("c"))).as("cut"))
+        .select(col("k"), col("vocab"), col("cut.c").as("freq_cut"),
+          col("cut.cumv").as("types_at_cut"),
+          col("cut.cumm").as("tokens_at_cut"),
+          r4d(col("cut.cumm").cast("double")
+            / col("total").cast("double")).as("coverage"))
+        .orderBy("k")
     })
   )
 
@@ -917,7 +957,33 @@ object TextQueries {
         |  ROUND((log2(t)
         |    - list_aggregate(list_transform(cs, x -> log2(x)), 'sum') / n)
         |    * 10000.0) / 10000.0 AS nll_bits
-        |FROM d, tot ORDER BY doc_id""".stripMargin
+        |FROM d, tot ORDER BY doc_id""".stripMargin,
+    // Frequency-histogram cumulatives + the struct-min cut device;
+    // coverage one division of exact integers.
+    "text_ngram_coverage_curve" ->
+      """WITH tc AS (SELECT token, count(*) AS c
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS token
+        |    FROM documents) GROUP BY token),
+        |hist AS (SELECT c, count(*) AS types FROM tc GROUP BY c),
+        |cum AS (SELECT c,
+        |    CAST(sum(types) OVER (ORDER BY c DESC
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumv,
+        |    CAST(sum(c * types) OVER (ORDER BY c DESC
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumm
+        |  FROM hist),
+        |g AS (SELECT CAST(sum(types) AS BIGINT) AS vocab,
+        |    CAST(sum(c * types) AS BIGINT) AS total FROM hist),
+        |ks AS (SELECT CAST(power(10, unnest(range(1, 5))) AS BIGINT)
+        |    AS k),
+        |cut AS (SELECT k, vocab, total,
+        |    min(struct_pack(cumv := cumv, cumm := cumm, c := c)) AS cc
+        |  FROM ks CROSS JOIN g JOIN cum ON cumv >= least(k, vocab)
+        |  GROUP BY 1, 2, 3)
+        |SELECT k, vocab, cc.c AS freq_cut, cc.cumv AS types_at_cut,
+        |  cc.cumm AS tokens_at_cut,
+        |  ROUND(CAST(cc.cumm AS DOUBLE) / CAST(total AS DOUBLE)
+        |    * 10000) / 10000 AS coverage
+        |FROM cut ORDER BY k""".stripMargin
     // dedup_minhash_lsh: intentionally no oracle (SURVEY §2.11).
   )
 }

@@ -263,7 +263,7 @@ object VersionedTable {
       .map(_.group(1).toLong).toSeq
     ManifestMeta(
       field("\"version\":(\\d+)".r).toLong,
-      field("\"op\":\"(overwrite|append)\"".r),
+      field(s"""\"op\":\"(${Ops.toSeq.sorted.mkString("|")})\"""".r),
       rowCounts.size.toLong, rowCounts.sum)
   }
 

@@ -339,10 +339,32 @@ class InventorySpec extends SparkSpec {
     "sample_balanced_undersample",
     // §2.95 round-11 fourteenth wave: pinball loss, G-test,
     // Brier score + skill
-    "ts_pinball_loss", "agg_g_test", "eval_brier_score")
+    "ts_pinball_loss", "agg_g_test", "eval_brier_score",
+    // §2.96 round-12 first wave: intervention Welch, delete-1
+    // jackknife, average-neighbor-degree curve
+    "ts_intervention_welch", "agg_jackknife_variance",
+    "graph_avg_neighbor_degree",
+    // §2.97 round-12 second wave: cross-entropy, calibration error,
+    // effect size
+    "eval_log_loss", "eval_ece", "agg_cohens_d",
+    // §2.98 round-12 third wave: NN duplicate screening, centroid
+    // silhouette, graded contamination
+    "geo_nn_screening", "sim_silhouette_centroid",
+    "text_contamination_score",
+    // §2.99 round-12 fourth wave: gains/lift deciles, Poisson rate
+    // ratio, vocabulary coverage curve
+    "eval_lift_curve", "agg_poisson_rate_ratio",
+    "text_ngram_coverage_curve",
+    // §2.100 round-12 fifth wave: degree gini, class co-occurrence,
+    // Neyman allocation
+    "graph_degree_gini", "multimodal_class_cooccurrence",
+    "sample_neyman_allocation",
+    // §2.101 round-12 sixth wave: MMR re-ranking, daily mix entropy,
+    // freshness report
+    "sim_mmr_rerank", "ts_entropy_daily", "etl_freshness_report")
 
-  test("declared queries cover SURVEY §2 + §2.12-95 exactly (401 keys)") {
-    assert(inventory.size == 401)
+  test("declared queries cover SURVEY §2 + §2.12-101 exactly (419 keys)") {
+    assert(inventory.size == 419)
     val declared = SparkEntry.queries.keySet
     val missing = inventory -- declared
     val extra = declared -- inventory

@@ -406,6 +406,25 @@ class VersionedTableSpec extends SparkSpec {
     }
   }
 
+  test("history connector reads tables containing an optimize commit") {
+    // Regression: parseManifestMeta's op pattern was hand-listed as
+    // (overwrite|append) while commitIf had started writing
+    // op=optimize — any graft_history scan over an optimized table
+    // threw. The pattern is now built from the Ops set.
+    val root = freshRoot()
+    VersionedTable.commit(spark, root,
+      (1L to 40L).map(i => (i, s"v$i")).toDF("id", "v"), "overwrite")
+    VersionedTable.commit(spark, root,
+      (41L to 50L).map(i => (i, s"v$i")).toDF("id", "v"), "append")
+    VersionedTable.optimize(spark, root, "id", 2)
+    val hist = spark.read
+      .format("graft.sources.HistoryDataSource").load(root)
+      .orderBy("version").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(3)))
+    assert(hist.map(_._2).toSeq == Seq("overwrite", "append", "optimize"))
+    assert(hist.last._3 == 50L, "optimize commit must carry all rows")
+  }
+
   test("declared scan_manifest_prune really skips files at the fixture") {
     // The oracle validates the answer; this pins the I/O invariant —
     // the first-quarter range must touch a strict subset of the 8
