@@ -47,7 +47,14 @@ object ScaleStress {
     // cells, and the tile-fusion explode — the shapes whose 100 TB
     // claims are newest.
     "eval_det_ap", "eval_count_ccc", "geo_hotspot_gi",
-    "multimodal_tile_remap")
+    "multimodal_tile_remap",
+    // Round-12 waves: the MMR greedy unroll (bounded per probe, but
+    // the scan feeds it), the grid-NN scatter join, the Poisson
+    // bootstrap's 48× explode, the centroid-silhouette broadcast
+    // pass, and the three new degree-shaped graph reads.
+    "sim_mmr_rerank", "geo_nn_screening", "agg_bootstrap_ci",
+    "sim_silhouette_centroid", "graph_avg_neighbor_degree",
+    "graph_degree_gini", "graph_rich_club")
   // Keys whose only input is lineitem — copy-scalable (see scaladoc).
   // The embeddings/documents keys are NOT copy-scalable for the same
   // reason the dedup keys aren't (cross-copy duplicate geometry);
@@ -55,7 +62,9 @@ object ScaleStress {
   private val TenXKeys = Seq(
     "graph_pagerank", "graph_bfs_distance", "graph_kcore",
     "graph_triangle_count", "graph_clustering_coeff",
-    "graph_jaccard_linkpred", "graph_adamic_adar")
+    "graph_jaccard_linkpred", "graph_adamic_adar",
+    "graph_avg_neighbor_degree", "graph_degree_gini",
+    "graph_rich_club")
 
   private def timeKey(s: SparkSession, key: String, dir: String): Double = {
     def once(): Double = {

@@ -1622,6 +1622,28 @@ object AnalyticsQueries {
     // user+week — broadcast-or-shuffle hash, never quadratic), exact
     // counts; the final week's churn is NULL (its successor hasn't
     // happened), never a fake zero.
+    // HOUR × DAY-OF-WEEK HEATMAP (§2.103) — the weekly activity
+    // profile ("when does traffic actually happen") every ops
+    // dashboard pins top-left: counts per (epoch-day mod 7, epoch-hour
+    // mod 24) cell with each cell's share of the total — 168 exact
+    // integer cells off the engine-neutral epoch-residue clock (the
+    // dow/hour conventions of agg_chi2 / agg_corr_value_hour), one
+    // division per cell against a broadcast total. One partial-agg
+    // reduce; nothing downstream scales.
+    "ts_hour_dow_heatmap" -> ((s, dir) => {
+      val e = events(s, dir).select(
+        (epochDay("ts") % 7).as("dow"),
+        expr("unix_millis(cast(ts as timestamp)) div 3600000 % 24")
+          .as("hour"))
+      val cells = e.groupBy("dow", "hour").agg(count(lit(1)).as("n"))
+      val tot = cells.agg(sum(col("n")).cast("long").as("total"))
+      cells.crossJoin(broadcast(tot))
+        .select(col("dow"), col("hour"), col("n"),
+          r4d(col("n").cast("double") / col("total").cast("double"))
+            .as("share"))
+        .orderBy("dow", "hour")
+    }),
+
     // DAILY MIX ENTROPY (§2.101) — Shannon entropy of each day's
     // event-type mix: the drift sentinel a pipeline watches next to
     // volume (volume can hold steady while the MIX collapses to one
@@ -3009,6 +3031,17 @@ object AnalyticsQueries {
     // Same exact-integer moments on the same zero-filled day spine;
     // FILTER counts ≡ the Spark side's conditional sums of the
     // zero-filled per-type series.
+    // Epoch-residue dow/hour; exact cells, one division per cell.
+    "ts_hour_dow_heatmap" ->
+      s"""WITH e AS (SELECT (${sqlEpochDay("ts")}) % 7 AS dow,
+         |    epoch_ms(ts) // 3600000 % 24 AS hour FROM events),
+         |cells AS (SELECT dow, hour, count(*) AS n
+         |  FROM e GROUP BY 1, 2),
+         |t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM cells)
+         |SELECT dow, hour, n,
+         |  ROUND(CAST(n AS DOUBLE) / CAST(total AS DOUBLE) * 10000)
+         |    / 10000 AS share
+         |FROM cells CROSS JOIN t ORDER BY dow, hour""".stripMargin,
     // Per-day agg_entropy_mix fold; counts exact, log2 terms in
     // sorted-list order.
     "ts_entropy_daily" ->

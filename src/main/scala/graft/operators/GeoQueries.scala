@@ -257,6 +257,68 @@ object GeoQueries {
         .orderBy("cell_lat", "cell_lon")
     }),
 
+    // GPS TRACK INTERPOLATION (§2.104) — geotag the detections: a
+    // survey camera's frames carry timestamps but no position; the
+    // platform's GPS pings do. For each detection (purchase events),
+    // linearly interpolate the platform position between the
+    // bracketing pings (click events) — the EXIF-time → GPS-track
+    // join every aerial-survey ingest runs. NOT an O(dets × pings)
+    // as-of join: pings and detections union into ONE user-keyed
+    // time-sorted window pass (the win_fill_forward device, run both
+    // directions) — at 100 TB this is a single shuffle on platform
+    // id, state O(1) per row. Exactness: timestamps are integer ms,
+    // ping coordinates exact binary fractions, so the interpolation
+    // weight (ms−pms)/(nms−pms) is one division and lat/lon one
+    // multiply-add each, spelled operand-for-operand; boundary
+    // detections hold the single bracketing ping exactly.
+    "geo_gps_interpolate" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val pts = sightings(s, dir)
+      val e = events(s, dir).select(col("event_id"), col("event_type"))
+      val tagged = pts.join(e, Seq("event_id"))
+        .withColumn("kind",
+          when(col("event_type") === "click", 0L)
+            .when(col("event_type") === "purchase", 1L))
+        .filter(col("kind").isNotNull)
+      val wB = Window.partitionBy("user_id")
+        .orderBy(col("ms"), col("kind"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wF = Window.partitionBy("user_id")
+        .orderBy(col("ms"), col("kind"), col("event_id"))
+        .rowsBetween(1, Window.unboundedFollowing)
+      def pingCol(c: String) = when(col("kind") === 0, col(c))
+      val br = tagged
+        .withColumn("pms", last(pingCol("ms"), ignoreNulls = true).over(wB))
+        .withColumn("plat", last(pingCol("lat"), ignoreNulls = true).over(wB))
+        .withColumn("plon", last(pingCol("lon"), ignoreNulls = true).over(wB))
+        .withColumn("nms", first(pingCol("ms"), ignoreNulls = true).over(wF))
+        .withColumn("nlat", first(pingCol("lat"), ignoreNulls = true).over(wF))
+        .withColumn("nlon", first(pingCol("lon"), ignoreNulls = true).over(wF))
+        .filter(col("kind") === 1)
+      val frac = ((col("ms") - col("pms")).cast("double")
+        / (col("nms") - col("pms")).cast("double"))
+      br.filter(col("pms").isNotNull || col("nms").isNotNull)
+        .select(col("event_id"), col("user_id"), col("ms"),
+          when(col("pms").isNotNull && col("nms").isNotNull
+              && col("nms") > col("pms"),
+            r4d(col("plat") + (col("nlat") - col("plat")) * frac))
+            .when(col("pms").isNotNull && col("nms").isNotNull,
+              r4d(col("plat")))
+            .when(col("pms").isNotNull, r4d(col("plat")))
+            .otherwise(r4d(col("nlat"))).as("lat_i"),
+          when(col("pms").isNotNull && col("nms").isNotNull
+              && col("nms") > col("pms"),
+            r4d(col("plon") + (col("nlon") - col("plon")) * frac))
+            .when(col("pms").isNotNull && col("nms").isNotNull,
+              r4d(col("plon")))
+            .when(col("pms").isNotNull, r4d(col("plon")))
+            .otherwise(r4d(col("nlon"))).as("lon_i"),
+          when(col("pms").isNotNull && col("nms").isNotNull, "interp")
+            .when(col("pms").isNotNull, "hold_prev")
+            .otherwise("hold_next").as("method"))
+        .orderBy("event_id")
+    }),
+
     // NEAREST-NEIGHBOR DUPLICATE SCREENING (§2.98) — the double-count
     // QA pass every multi-platform survey runs: for each sighting,
     // the nearest OTHER sighting in its 3×3 2°-cell neighborhood
@@ -457,6 +519,57 @@ object GeoQueries {
         |  END AS z_gi
         |FROM nb CROSS JOIN g
         |ORDER BY cell_lat, cell_lon""".stripMargin,
+    // Same one-pass bidirectional IGNORE NULLS window device; the
+    // interpolation weight and multiply-adds spelled
+    // operand-for-operand with the Spark plan.
+    "geo_gps_interpolate" ->
+      """WITH p AS (SELECT event_id, user_id, event_type,
+        |    epoch_ms(ts) AS ms,
+        |    CAST(event_id % 1440 AS DOUBLE) / 8 - 90 AS lat,
+        |    CAST((user_id * 997 + event_id * 31) % 11520 AS DOUBLE)
+        |      / 32 - 180 AS lon
+        |  FROM events
+        |  WHERE event_type IN ('click', 'purchase')),
+        |k AS (SELECT *, CASE WHEN event_type = 'click' THEN 0 ELSE 1
+        |    END AS kind FROM p),
+        |w AS (SELECT event_id, user_id, ms, kind,
+        |    last_value(CASE WHEN kind = 0 THEN ms END IGNORE NULLS)
+        |      OVER wb AS pms,
+        |    last_value(CASE WHEN kind = 0 THEN lat END IGNORE NULLS)
+        |      OVER wb AS plat,
+        |    last_value(CASE WHEN kind = 0 THEN lon END IGNORE NULLS)
+        |      OVER wb AS plon,
+        |    first_value(CASE WHEN kind = 0 THEN ms END IGNORE NULLS)
+        |      OVER wf AS nms,
+        |    first_value(CASE WHEN kind = 0 THEN lat END IGNORE NULLS)
+        |      OVER wf AS nlat,
+        |    first_value(CASE WHEN kind = 0 THEN lon END IGNORE NULLS)
+        |      OVER wf AS nlon
+        |  FROM k
+        |  WINDOW wb AS (PARTITION BY user_id
+        |      ORDER BY ms, kind, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |    wf AS (PARTITION BY user_id ORDER BY ms, kind, event_id
+        |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)),
+        |d AS (SELECT * FROM w WHERE kind = 1
+        |  AND (pms IS NOT NULL OR nms IS NOT NULL))
+        |SELECT event_id, user_id, ms,
+        |  ROUND(CASE
+        |    WHEN pms IS NOT NULL AND nms IS NOT NULL AND nms > pms THEN
+        |      plat + (nlat - plat) * (CAST(ms - pms AS DOUBLE)
+        |        / CAST(nms - pms AS DOUBLE))
+        |    WHEN pms IS NOT NULL THEN plat
+        |    ELSE nlat END * 10000) / 10000 + 0.0 AS lat_i,
+        |  ROUND(CASE
+        |    WHEN pms IS NOT NULL AND nms IS NOT NULL AND nms > pms THEN
+        |      plon + (nlon - plon) * (CAST(ms - pms AS DOUBLE)
+        |        / CAST(nms - pms AS DOUBLE))
+        |    WHEN pms IS NOT NULL THEN plon
+        |    ELSE nlon END * 10000) / 10000 + 0.0 AS lon_i,
+        |  CASE WHEN pms IS NOT NULL AND nms IS NOT NULL THEN 'interp'
+        |       WHEN pms IS NOT NULL THEN 'hold_prev'
+        |       ELSE 'hold_next' END AS method
+        |FROM d ORDER BY event_id""".stripMargin,
     // Integer-unit NN (exact BIGINT d², (d², id) row_number argmin);
     // only the reported degree distance divides/sqrts.
     "geo_nn_screening" ->

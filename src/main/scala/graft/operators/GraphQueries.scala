@@ -368,6 +368,41 @@ object GraphQueries {
             .as("gini"))
     }),
 
+    // RICH-CLUB COEFFICIENT (§2.103) — do the hubs form their own
+    // club? φ(k) = 2·E_k / (N_k·(N_k−1)) over the subgraph of nodes
+    // with degree > k, swept at k ∈ {1,2,4,8,16} — the
+    // assortativity/knn(d) family's third face (knn says WHO hubs
+    // attach to on average; φ says how densely the hub set wires to
+    // ITSELF). Same '0'-prefix Doulion edge sample as the other
+    // coefficient keys; N_k/E_k are exact integer counts off two
+    // degree-keyed equi-joins (degrees broadcast to edge endpoints);
+    // φ is one division of exact products per output row (≤5 rows).
+    "graph_rich_club" -> ((s, dir) => {
+      val e = sampledOrientedEdges(s, dir, Some(Seq("0"))).persist()
+      val sym = e.select(col("a").as("v"))
+        .unionAll(e.select(col("b").as("v")))
+      val deg = sym.groupBy("v").agg(count(lit(1)).as("deg"))
+      val ks = s.range(0, 5)
+        .select(expr("shiftleft(1L, cast(id as int))").as("k"))
+      val nk = ks.crossJoin(deg).filter(col("deg") > col("k"))
+        .groupBy("k").agg(count(lit(1)).as("n_k"))
+      val ek = e
+        .join(deg.select(col("v").as("a"), col("deg").as("da")),
+          Seq("a"))
+        .join(deg.select(col("v").as("b"), col("deg").as("db")),
+          Seq("b"))
+        .crossJoin(ks)
+        .filter(col("da") > col("k") && col("db") > col("k"))
+        .groupBy("k").agg(count(lit(1)).as("e_k"))
+      nk.join(ek, Seq("k"), "left")
+        .select(col("k"), col("n_k"),
+          coalesce(col("e_k"), lit(0L)).as("e_k"))
+        .withColumn("phi", when(col("n_k") > 1,
+          r4d((col("e_k") * 2).cast("double")
+            / (col("n_k") * (col("n_k") - 1)).cast("double"))))
+        .orderBy("k")
+    }),
+
     "graph_avg_neighbor_degree" -> ((s, dir) => {
       val D0 = "decimal(38,0)"
       val e = sampledOrientedEdges(s, dir, Some(Seq("0"))).persist()
@@ -955,6 +990,31 @@ object GraphQueries {
         |FROM mo""".stripMargin,
     // Same Doulion sample; per-bucket single division on HUGEINT
     // sums (all nodes in a bucket share denominator d).
+    // Same '0'-prefix sample; N_k/E_k exact counts, φ one division.
+    "graph_rich_club" ->
+      """WITH pp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+        |  FROM lineitem),
+        |ef AS (SELECT DISTINCT x.p AS a, y.p AS b
+        |  FROM pp x JOIN pp y ON x.ok = y.ok AND x.p < y.p),
+        |e AS (SELECT a, b FROM ef
+        |  WHERE substring(md5(CAST(a AS VARCHAR) || '_'
+        |    || CAST(b AS VARCHAR)), 1, 1) = '0'),
+        |sym AS (SELECT a AS v FROM e UNION ALL SELECT b FROM e),
+        |deg AS (SELECT v, count(*) AS deg FROM sym GROUP BY v),
+        |ks AS (SELECT CAST(1 << unnest(range(0, 5)) AS BIGINT) AS k),
+        |nk AS (SELECT ks.k, count(*) AS n_k
+        |  FROM ks JOIN deg ON deg.deg > ks.k GROUP BY ks.k),
+        |ek AS (SELECT ks.k, count(*) AS e_k
+        |  FROM e JOIN deg da ON e.a = da.v
+        |  JOIN deg db ON e.b = db.v
+        |  CROSS JOIN ks
+        |  WHERE da.deg > ks.k AND db.deg > ks.k GROUP BY ks.k)
+        |SELECT k, n_k, COALESCE(e_k, 0) AS e_k,
+        |  CASE WHEN n_k > 1 THEN
+        |    ROUND(CAST(COALESCE(e_k, 0) * 2 AS DOUBLE)
+        |      / CAST(n_k * (n_k - 1) AS DOUBLE) * 10000) / 10000
+        |  END AS phi
+        |FROM nk LEFT JOIN ek USING (k) ORDER BY k""".stripMargin,
     "graph_avg_neighbor_degree" ->
       """WITH pp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
         |  FROM lineitem),

@@ -631,6 +631,84 @@ object PipelineQueries {
     // union test; ranks order by the IEEE-exact iou division (same
     // int operands → same double on both engines) with integer
     // tie-breaks. Two window ranks + one reduce per image.
+    // CORPUS P/R/F1 AT IoU THRESHOLDS (§2.102) — eval_det_match's
+    // per-image table collapsed to the two numbers a model card
+    // quotes, swept at IoU ∈ {0.50, 0.75} (the COCO convention's
+    // loose/strict pair). The threshold test is the exact integer
+    // comparison inter·100 ≥ uni·thr, the mutual-best matching reuses
+    // the det_match windows WITH thr in the partition key (a pair can
+    // match at 0.50 and fail at 0.75 — the sweep re-matches per
+    // threshold), and F1 clears to 2·tp/(n_gt + n_det) — ONE division
+    // of exact integers. Shape: one bounded per-image pair join (the
+    // det fixture's ≤64 boxes/image), thresholds fan the pair table
+    // ×2, then a 2-row reduce.
+    "eval_det_f1_at_iou" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val base = t(s, dir, "part").select(col("p_partkey").as("k"),
+        col("p_size").cast("long").as("sz"),
+        round(col("p_retailprice") * 100).cast("long").as("cents"))
+        .select(col("k"), col("sz"), col("cents"),
+          expr("k div 64").as("image_id"),
+          ((col("k") % 8) * 100).as("gx1"),
+          (expr("(k % 64) div 8") * 100).as("gy1"))
+        .withColumn("gx2", col("gx1") + 40 + col("sz") % 20)
+        .withColumn("gy2", col("gy1") + 60 + col("k") % 13)
+      val gt = base.select(col("image_id"), col("k").as("gt_id"),
+        col("gx1"), col("gy1"), col("gx2"), col("gy2"))
+      val jit = base.filter(col("k") % 13 =!= 0)
+        .withColumn("dx", col("sz") % 9 - 4
+          + when(col("k") % 17 === 0, 30).otherwise(0))
+        .withColumn("dy", col("cents") % 11 - 5)
+        .select(col("image_id"), col("k").as("det_id"),
+          (col("gx1") + col("dx")).as("px1"),
+          (col("gy1") + col("dy")).as("py1"),
+          (col("gx2") + col("dx")).as("px2"),
+          (col("gy2") + col("dy")).as("py2"))
+      val fp = base.filter(col("k") % 11 === 0)
+        .select(col("image_id"), (col("k") + 100000000L).as("det_id"),
+          (col("gx1") + 50).as("px1"), (col("gy1") + 50).as("py1"),
+          (col("gx1") + 90).as("px2"), (col("gy1") + 110).as("py2"))
+      val pred = jit.unionAll(fp)
+      val pairs0 = gt.join(pred, Seq("image_id"))
+        .withColumn("inter",
+          greatest(lit(0L), least(col("gx2"), col("px2"))
+            - greatest(col("gx1"), col("px1")))
+          * greatest(lit(0L), least(col("gy2"), col("py2"))
+            - greatest(col("gy1"), col("py1"))))
+        .withColumn("uni",
+          (col("gx2") - col("gx1")) * (col("gy2") - col("gy1"))
+          + (col("px2") - col("px1")) * (col("py2") - col("py1"))
+          - col("inter"))
+      val pairs = pairs0
+        .withColumn("thr", explode(array(lit(50L), lit(75L))))
+        .filter(col("inter") * 100 >= col("uni") * col("thr"))
+        .withColumn("iou",
+          col("inter").cast("double") / col("uni").cast("double"))
+      val wg = Window.partitionBy("thr", "image_id", "gt_id")
+        .orderBy(col("iou").desc, col("det_id"))
+      val wd = Window.partitionBy("thr", "image_id", "det_id")
+        .orderBy(col("iou").desc, col("gt_id"))
+      val tp = pairs.withColumn("rg", row_number().over(wg))
+        .withColumn("rd", row_number().over(wd))
+        .filter(col("rg") === 1 && col("rd") === 1)
+        .groupBy("thr").agg(count(lit(1)).as("tp"))
+      val ngt = gt.agg(count(lit(1)).as("n_gt"))
+      val ndet = pred.agg(count(lit(1)).as("n_det"))
+      s.range(1, 3).select((col("id") * 25 + 25).as("thr"))
+        .join(tp, Seq("thr"), "left")
+        .crossJoin(broadcast(ngt)).crossJoin(broadcast(ndet))
+        .select(col("thr"), col("n_gt"), col("n_det"),
+          coalesce(col("tp"), lit(0L)).as("tp"))
+        .select(col("thr"), col("n_gt"), col("n_det"), col("tp"),
+          r4d(col("tp").cast("double") / col("n_det").cast("double"))
+            .as("precision"),
+          r4d(col("tp").cast("double") / col("n_gt").cast("double"))
+            .as("recall"),
+          r4d((col("tp") * 2).cast("double")
+            / (col("n_gt") + col("n_det")).cast("double")).as("f1"))
+        .orderBy("thr")
+    }),
+
     "eval_det_match" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val base = t(s, dir, "part").select(col("p_partkey").as("k"),
@@ -1270,6 +1348,38 @@ object PipelineQueries {
           greatest(nTok - 12, lit(0L)).as("n_response_tokens"),
           r4d(greatest(nTok - 12, lit(0L)).cast("double")
             / nTok.cast("double")).as("trainable_frac"))
+        .orderBy("doc_id")
+    }),
+
+    // SFT LOSS-MASK MANIFEST (§2.102) — the span table a trainer
+    // consumes NEXT TO pipeline_chat_format's rendered string: which
+    // token positions (and which character range) of the rendered
+    // "<|user|> … <|assistant|> …" template are trainable (loss on
+    // assistant tokens only, the standard SFT masking rule). Token
+    // layout is 1 user sentinel + p prompt + 1 assistant sentinel +
+    // r response tokens, so the trainable token span is
+    // [p+3, p+2+r] 1-based and the char span starts after
+    // "<|user|> " + instr + " <|assistant|> " — ALL exact integer
+    // length arithmetic on the same split the template itself uses;
+    // docs with no response tokens emit r = 0 and a NULL span. Pure
+    // map-side work below the presentation sort.
+    "pipeline_sft_loss_mask" -> ((s, dir) => {
+      val toks = split(col("text"), " ")
+      val nTok = size(toks).cast("long")
+      val p = least(nTok, lit(12L))
+      val r = greatest(nTok - 12, lit(0L))
+      val instrLen = length(array_join(slice(toks, 1, 12), " "))
+        .cast("long")
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          (p + r + 2).as("n_render_tokens"),
+          p.as("n_prompt_tokens"), r.as("n_response_tokens"),
+          when(r > 0, p + 3).as("mask_tok_start"),
+          when(r > 0, p + 2 + r).as("mask_tok_end"),
+          when(r > 0, lit(9L) + instrLen + 15L + 1L)
+            .as("mask_char_start"),
+          r4d(r.cast("double") / (p + r + 2).cast("double"))
+            .as("trainable_frac"))
         .orderBy("doc_id")
     }),
 
@@ -2161,6 +2271,66 @@ object PipelineQueries {
         |FROM st ORDER BY pos""".stripMargin,
     // Same fixture residues and exact-integer IoU gate; mutual-best
     // via two row_number ranks over the IEEE-exact iou division.
+    // Same fixture boxes; the threshold sweep re-matches per thr via
+    // integer inter·100 ≥ uni·thr; F1 = 2·tp/(n_gt + n_det).
+    "eval_det_f1_at_iou" ->
+      """WITH base AS (SELECT p_partkey AS k,
+        |    CAST(p_size AS BIGINT) AS sz,
+        |    CAST(round(p_retailprice * 100) AS BIGINT) AS cents,
+        |    p_partkey // 64 AS image_id,
+        |    (p_partkey % 8) * 100 AS gx1,
+        |    ((p_partkey % 64) // 8) * 100 AS gy1
+        |  FROM part),
+        |bb AS (SELECT *, gx1 + 40 + sz % 20 AS gx2,
+        |    gy1 + 60 + k % 13 AS gy2 FROM base),
+        |gt AS (SELECT image_id, k AS gt_id, gx1, gy1, gx2, gy2 FROM bb),
+        |jit AS (SELECT image_id, k AS det_id,
+        |    gx1 + sz % 9 - 4 + CASE WHEN k % 17 = 0 THEN 30 ELSE 0 END
+        |      AS px1,
+        |    gy1 + cents % 11 - 5 AS py1,
+        |    gx2 + sz % 9 - 4 + CASE WHEN k % 17 = 0 THEN 30 ELSE 0 END
+        |      AS px2,
+        |    gy2 + cents % 11 - 5 AS py2
+        |  FROM bb WHERE k % 13 <> 0),
+        |fp AS (SELECT image_id, k + 100000000 AS det_id,
+        |    gx1 + 50 AS px1, gy1 + 50 AS py1,
+        |    gx1 + 90 AS px2, gy1 + 110 AS py2
+        |  FROM bb WHERE k % 11 = 0),
+        |pred AS (SELECT * FROM jit UNION ALL SELECT * FROM fp),
+        |pr AS (SELECT g.image_id, g.gt_id, p.det_id,
+        |    greatest(0, least(g.gx2, p.px2) - greatest(g.gx1, p.px1))
+        |      * greatest(0, least(g.gy2, p.py2) - greatest(g.gy1, p.py1))
+        |      AS inter,
+        |    (g.gx2 - g.gx1) * (g.gy2 - g.gy1)
+        |      + (p.px2 - p.px1) * (p.py2 - p.py1) AS areas
+        |  FROM gt g JOIN pred p USING (image_id)),
+        |pairs AS (SELECT thr, image_id, gt_id, det_id,
+        |    CAST(inter AS DOUBLE) / CAST(areas - inter AS DOUBLE) AS iou
+        |  FROM pr, LATERAL (SELECT unnest([50, 75]) AS thr)
+        |  WHERE inter * 100 >= (areas - inter) * thr),
+        |rk AS (SELECT thr, image_id, gt_id, det_id,
+        |    row_number() OVER (PARTITION BY thr, image_id, gt_id
+        |      ORDER BY iou DESC, det_id) AS rg,
+        |    row_number() OVER (PARTITION BY thr, image_id, det_id
+        |      ORDER BY iou DESC, gt_id) AS rd
+        |  FROM pairs),
+        |tp AS (SELECT thr, count(*) AS tp FROM rk
+        |  WHERE rg = 1 AND rd = 1 GROUP BY thr),
+        |ng AS (SELECT count(*) AS n_gt FROM gt),
+        |np AS (SELECT count(*) AS n_det FROM pred),
+        |ks AS (SELECT unnest([50, 75]) AS thr),
+        |j AS (SELECT CAST(ks.thr AS BIGINT) AS thr, n_gt, n_det,
+        |    CAST(COALESCE(tp, 0) AS BIGINT) AS tp
+        |  FROM ks LEFT JOIN tp ON ks.thr = tp.thr
+        |  CROSS JOIN ng CROSS JOIN np)
+        |SELECT thr, n_gt, n_det, tp,
+        |  ROUND(CAST(tp AS DOUBLE) / CAST(n_det AS DOUBLE) * 10000)
+        |    / 10000 AS precision,
+        |  ROUND(CAST(tp AS DOUBLE) / CAST(n_gt AS DOUBLE) * 10000)
+        |    / 10000 AS recall,
+        |  ROUND(CAST(tp * 2 AS DOUBLE) / CAST(n_gt + n_det AS DOUBLE)
+        |    * 10000) / 10000 AS f1
+        |FROM j ORDER BY thr""".stripMargin,
     "eval_det_match" ->
       """WITH base AS (SELECT p_partkey AS k,
         |    CAST(p_size AS BIGINT) AS sz,
@@ -2341,6 +2511,25 @@ object PipelineQueries {
         |    / CAST(len(toks) AS DOUBLE) * 10000) / 10000
         |    AS trainable_frac
         |FROM t ORDER BY doc_id""".stripMargin,
+    // Same 9/15-char sentinel lengths and token layout arithmetic as
+    // the chat-format template; all integers.
+    "pipeline_sft_loss_mask" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |  FROM documents),
+        |m AS (SELECT doc_id,
+        |    CAST(least(len(toks), 12) AS BIGINT) AS p,
+        |    CAST(greatest(len(toks) - 12, 0) AS BIGINT) AS r,
+        |    CAST(length(array_to_string(toks[1:12], ' ')) AS BIGINT)
+        |      AS il
+        |  FROM t)
+        |SELECT doc_id, p + r + 2 AS n_render_tokens,
+        |  p AS n_prompt_tokens, r AS n_response_tokens,
+        |  CASE WHEN r > 0 THEN p + 3 END AS mask_tok_start,
+        |  CASE WHEN r > 0 THEN p + 2 + r END AS mask_tok_end,
+        |  CASE WHEN r > 0 THEN 9 + il + 15 + 1 END AS mask_char_start,
+        |  ROUND(CAST(r AS DOUBLE) / CAST(p + r + 2 AS DOUBLE) * 10000)
+        |    / 10000 AS trainable_frac
+        |FROM m ORDER BY doc_id""".stripMargin,
     // Same hash gate / islands / sentinel numbering; string_agg with
     // ORDER BY pos is DuckDB's ordered-assembly face of the Spark
     // side's sort_array(collect_list).

@@ -459,10 +459,18 @@ object SimQueries {
           (ArrayDot(col("p"), col("v"))
             / (sqrt(ArrayDot(col("p"), col("p")))
               * sqrt(ArrayDot(col("v"), col("v"))))).as("cosq"))
+      // Lineage discipline (the GraphAlgorithms round-6 lesson): the
+      // greedy unroll references each earlier step's frame from TWO
+      // places (the picked-set union AND the output union), so
+      // without truncation the plan tree doubles per step (~16 copies
+      // of the scan DAG by step 5 — measured 29.6 s at sf0.1 from
+      // pure replay/optimizer blowup). Each step is ≤ |probes| rows;
+      // eager localCheckpoint pins it and the whole key drops to scan
+      // cost.
       val cands = graft.plans.TopKPerGroup(scored, k = 20,
         partNames = Seq("probe_id"),
         orderSpec = Seq(("cosq", false), ("vec_id", true)))
-        .persist()
+        .localCheckpoint(true)
       val a = cands.select(col("probe_id"), col("vec_id").as("ai"),
         col("v").as("av"))
       val b = cands.select(col("probe_id"), col("vec_id").as("bi"),
@@ -473,7 +481,7 @@ object SimQueries {
           (ArrayDot(col("av"), col("bv"))
             / (sqrt(ArrayDot(col("av"), col("av")))
               * sqrt(ArrayDot(col("bv"), col("bv"))))).as("cosab"))
-        .persist()
+        .localCheckpoint(true)
       val slim = cands.select(col("probe_id"), col("vec_id"),
         col("cosq"))
       val w1 = Window.partitionBy("probe_id")
@@ -482,6 +490,7 @@ object SimQueries {
         .filter(col("rk") === 1)
         .select(col("probe_id"), col("vec_id"), lit(1L).as("step"),
           col("cosq"), (lit(0.7) * col("cosq")).as("mmr"))
+        .localCheckpoint(true)
       val steps = (2 to 5).foldLeft(Seq(s1)) { (acc, _) =>
         val picked = acc.map(_.select(col("probe_id"), col("vec_id")))
           .reduce(_ unionAll _)
@@ -501,6 +510,7 @@ object SimQueries {
           .filter(col("rk") === 1)
           .select(col("probe_id"), col("vec_id"),
             lit(acc.size + 1L).as("step"), col("cosq"), col("mmr"))
+          .localCheckpoint(true)
       }
       steps.reduce(_ unionAll _)
         .select(col("probe_id"), col("step"), col("vec_id"),

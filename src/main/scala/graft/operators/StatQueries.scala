@@ -1387,6 +1387,82 @@ object StatQueries {
           floor(lit(10000.0) * (col("ns") / col("tot_ns")))
             .cast("long").as("alloc_n"))
         .orderBy("event_type")
+    }),
+
+    // HODGES–LEHMANN LOCATION ESTIMATE (§2.103) — the rank-based
+    // center of the daily purchase series: the median of all Walsh
+    // averages (vᵢ+vⱼ)/2 over day pairs i ≤ j — robust where the mean
+    // is dragged by burst days and more efficient than the plain
+    // median, the standard robust-location companion of ts_theil_sen
+    // (which is HL applied to slopes). ENTIRELY integer until the
+    // final halving: pair sums vᵢ+vⱼ are exact, the median is the
+    // ceil(n/2) order statistic (PERCENTILE_DISC convention) selected
+    // from the sorted pair-sum list, and the estimate is one division
+    // by 2. Shape: aggregate-first to the ~O(days) spine, the O(days²)
+    // pair join (~4·10³ pairs at 90 days) is corpus-size-free.
+    "agg_hodges_lehmann" -> ((s, dir) => {
+      val d = dailyXY(s, dir).select(col("day"), col("cy").as("v"))
+      val pairs = d.as("x").join(d.as("y"),
+          col("x.day") <= col("y.day"))
+        .select((col("x.v") + col("y.v")).as("s2"))
+      pairs.agg(count(lit(1)).as("n_pairs"),
+          array_sort(collect_list(col("s2"))).as("ss"))
+        .select(col("n_pairs"),
+          element_at(col("ss"),
+            ceil(col("n_pairs") * 0.5).cast("int")).as("hl2_units"))
+        .select(col("n_pairs"), col("hl2_units"),
+          r4d(col("hl2_units").cast("double") / lit(2.0)).as("hl"))
+    }),
+
+    // POPULATION STABILITY INDEX (§2.104) — did the value DISTRIBUTION
+    // drift between the two halves of the survey window? PSI =
+    // Σ_bins (p_b − q_b)·ln(p_b/q_b) over the 10 calibration-style
+    // value bins — the score-drift alarm every deployed-model monitor
+    // fires on (text_js_drift watches token mix by SOURCE; PSI
+    // watches a numeric score's shape over TIME). Exactness: bin
+    // counts are exact integers per arm with the 0.5%-floor count
+    // smoothing applied as INTEGER units (counts scaled ×200 so the
+    // floor is the integer max(200·c, n)), each bin term is built
+    // from two exact-ratio divisions + one ln, and the ≤10 terms fold
+    // over the bin-sorted list. Shape: O(rows) reduce to ≤20 (arm,
+    // bin) cells, a 1-row fold.
+    "eval_psi" -> ((s, dir) => {
+      val e = events(s, dir).select(
+        least(floor(col("value") / 20).cast("int"), lit(9)).as("bin"),
+        epochDay("ts").as("day"))
+      val bounds = e.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+        .select(expr("(lo + hi) div 2").as("mid"))
+      val cells = e.crossJoin(broadcast(bounds))
+        .withColumn("arm", when(col("day") < col("mid"), "pre")
+          .otherwise("post"))
+        .groupBy("bin", "arm").agg(count(lit(1)).as("c"))
+      val arms = cells.groupBy("arm").agg(sum(col("c")).cast("long").as("n"))
+      val spine = s.range(0, 10).select(col("id").cast("int").as("bin"))
+        .crossJoin(arms)
+      val filled = spine.join(cells, Seq("bin", "arm"), "left")
+        // 0.5%-floor smoothing in integer units: share = max(200·c, n)
+        // / (200·n) — zero-count bins get exactly 0.5% without a float
+        // epsilon, and the clamp comparison is integer.
+        .select(col("bin"), col("arm"),
+          greatest(col("n"), coalesce(col("c"), lit(0L)) * 200)
+            .as("u200"),
+          (col("n") * 200).as("d200"))
+      val pre = filled.filter(col("arm") === "pre")
+        .select(col("bin"), col("u200").as("pu"), col("d200").as("pd"))
+      val post = filled.filter(col("arm") === "post")
+        .select(col("bin"), col("u200").as("qu"), col("d200").as("qd"))
+      val terms = pre.join(post, Seq("bin"))
+        .select(col("bin"),
+          ((col("pu").cast("double") / col("pd").cast("double")
+            - col("qu").cast("double") / col("qd").cast("double"))
+            * log((col("pu").cast("double") / col("pd").cast("double"))
+              / (col("qu").cast("double") / col("qd").cast("double"))))
+            .as("term"))
+      terms.agg(count(lit(1)).as("n_bins"),
+          expr("aggregate(array_sort(collect_list(struct(bin, term)))," +
+            " cast(0.0 as double), (a, x) -> a + x.term)").as("psi0"))
+        .select(col("n_bins"), r4d(col("psi0")).as("psi"),
+          (col("psi0") > 0.2).as("major_shift"))
     }))
 
   val oracle: Map[String, String] = Map(
@@ -2407,5 +2483,60 @@ object StatQueries {
         |  ROUND(ns / nn / 100.0 * 10000) / 10000 AS sd_value,
         |  ROUND(ns / tot_ns * 10000) / 10000 AS share,
         |  CAST(floor(10000.0 * (ns / tot_ns)) AS BIGINT) AS alloc_n
-        |FROM ns CROSS JOIN tot ORDER BY event_type""".stripMargin)
+        |FROM ns CROSS JOIN tot ORDER BY event_type""".stripMargin,
+    // Integer Walsh-average sums, ceil(n/2) order statistic off the
+    // sorted list, one halving.
+    "agg_hodges_lehmann" ->
+      s"""WITH e AS (SELECT event_type, ${sqlEpochDay("ts")} AS day
+         |  FROM events),
+         |b AS (SELECT min(day) AS lo, max(day) AS hi FROM e),
+         |spine AS (SELECT unnest(range(lo, hi + 1)) AS day FROM b),
+         |d0 AS (SELECT day,
+         |    count(*) FILTER (WHERE event_type = 'purchase') AS cy
+         |  FROM e GROUP BY day),
+         |d AS (SELECT s.day, COALESCE(cy, 0) AS v
+         |  FROM spine s LEFT JOIN d0 USING (day)),
+         |p AS (SELECT CAST(x.v + y.v AS BIGINT) AS s2
+         |  FROM d x JOIN d y ON x.day <= y.day),
+         |m AS (SELECT count(*) AS n_pairs, list_sort(list(s2)) AS ss
+         |  FROM p)
+         |SELECT n_pairs,
+         |  ss[CAST(ceil(n_pairs * 0.5) AS INT)] AS hl2_units,
+         |  ROUND(CAST(ss[CAST(ceil(n_pairs * 0.5) AS INT)] AS DOUBLE)
+         |    / 2.0 * 10000) / 10000 AS hl
+         |FROM m""".stripMargin,
+    // Integer-unit 0.5%-floor smoothing; ≤10 ln terms fold bin-sorted.
+    "eval_psi" ->
+      s"""WITH e AS (SELECT
+         |    least(CAST(floor(value / 20) AS INT), 9) AS bin,
+         |    ${sqlEpochDay("ts")} AS day FROM events),
+         |b2 AS (SELECT (min(day) + max(day)) // 2 AS mid FROM e),
+         |cells AS (SELECT bin,
+         |    CASE WHEN day < mid THEN 'pre' ELSE 'post' END AS arm,
+         |    count(*) AS c
+         |  FROM e CROSS JOIN b2 GROUP BY 1, 2),
+         |arms AS (SELECT arm, CAST(sum(c) AS BIGINT) AS n
+         |  FROM cells GROUP BY 1),
+         |spine AS (SELECT CAST(unnest(range(0, 10)) AS INT) AS bin),
+         |filled AS (SELECT s.bin, a.arm,
+         |    greatest(a.n, COALESCE(c.c, 0) * 200) AS u200,
+         |    a.n * 200 AS d200
+         |  FROM spine s CROSS JOIN arms a
+         |  LEFT JOIN cells c ON c.bin = s.bin AND c.arm = a.arm),
+         |terms AS (SELECT p.bin,
+         |    (CAST(p.u200 AS DOUBLE) / CAST(p.d200 AS DOUBLE)
+         |      - CAST(q.u200 AS DOUBLE) / CAST(q.d200 AS DOUBLE))
+         |    * ln((CAST(p.u200 AS DOUBLE) / CAST(p.d200 AS DOUBLE))
+         |      / (CAST(q.u200 AS DOUBLE) / CAST(q.d200 AS DOUBLE)))
+         |      AS term
+         |  FROM filled p JOIN filled q ON p.bin = q.bin
+         |  WHERE p.arm = 'pre' AND q.arm = 'post'),
+         |m AS (SELECT count(*) AS n_bins,
+         |    list_aggregate(list_transform(
+         |      list_sort(list({'bin': bin, 'term': term})),
+         |      x -> x.term), 'sum') AS psi0
+         |  FROM terms)
+         |SELECT n_bins, ROUND(psi0 * 10000) / 10000 + 0.0 AS psi,
+         |  psi0 > 0.2 AS major_shift
+         |FROM m""".stripMargin)
 }

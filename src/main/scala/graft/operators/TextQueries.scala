@@ -606,6 +606,56 @@ object TextQueries {
         .orderBy(col("total").desc, col("token"))
     }),
 
+    // WORD-LENGTH PROFILE (§2.104) — per-language distribution of
+    // token lengths with each cell's share: the morphology
+    // fingerprint that separates scripts/languages and flags
+    // tokenizer-hostile corpora (a length-30 spike = unsplit
+    // concatenations or URLs) — the cheap companion of
+    // text_tokenizer_fertility. Exact integer cells (langs × ≤ max
+    // word length), one division per cell against the broadcast
+    // per-lang total. One partial-agg reduce; nothing downstream
+    // scales.
+    "text_word_length_profile" -> ((s, dir) => {
+      val cells = t(s, dir, "documents")
+        .select(col("lang"),
+          explode(split(col("text"), " ")).as("token"))
+        .groupBy(col("lang"), length(col("token")).cast("long")
+          .as("wlen"))
+        .agg(count(lit(1)).as("n"))
+      val tot = cells.groupBy("lang")
+        .agg(sum(col("n")).cast("long").as("total"))
+      cells.join(broadcast(tot), Seq("lang"))
+        .select(col("lang"), col("wlen"), col("n"),
+          r4d(col("n").cast("double") / col("total").cast("double"))
+            .as("share"))
+        .orderBy("lang", "wlen")
+    }),
+
+    // CHARACTER ENTROPY (§2.102) — per-document Shannon entropy of
+    // the character distribution: the cheap randomness probe that
+    // separates natural text (~4 bits/char) from base64 blobs,
+    // repeated padding, and binary spill — a standard pre-tokenizer
+    // quality gate next to text_quality_score. The agg_entropy_mix
+    // device per doc: exact per-char counts, entropy = log2(n) −
+    // (1/n)·Σ c·log2(c) folded over the char-count-sorted ≤|alphabet|
+    // list. Shape: one char explode (linear in corpus bytes), one
+    // (doc, char) partial-agg reduce, one doc reduce.
+    "text_char_entropy" -> ((s, dir) => {
+      val c = t(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+        .groupBy("doc_id", "ch").agg(count(lit(1)).as("c"))
+      c.groupBy("doc_id")
+        .agg(sum(col("c")).as("n_chars"),
+          count(lit(1)).as("n_distinct"),
+          array_sort(collect_list(col("c"))).as("cs"))
+        .select(col("doc_id"), col("n_chars"), col("n_distinct"),
+          r4d(log2(col("n_chars"))
+            - aggregate(col("cs"), lit(0.0), (acc, x) =>
+                acc + x.cast("double") * log2(x.cast("double")))
+              / col("n_chars")).as("entropy_bits"))
+        .orderBy("doc_id")
+    }),
+
     // VOCABULARY COVERAGE CURVE (§2.99) — "how much of the corpus do
     // the top-k word types cover?", the sizing question behind every
     // vocab/tokenizer budget (a 10k word vocab covering 95% of tokens
@@ -958,6 +1008,32 @@ object TextQueries {
         |    - list_aggregate(list_transform(cs, x -> log2(x)), 'sum') / n)
         |    * 10000.0) / 10000.0 AS nll_bits
         |FROM d, tot ORDER BY doc_id""".stripMargin,
+    // Exact (lang, length) cells; one division per cell.
+    "text_word_length_profile" ->
+      """WITH cells AS (SELECT lang, CAST(length(token) AS BIGINT)
+        |    AS wlen, count(*) AS n
+        |  FROM (SELECT lang, unnest(string_split(text, ' ')) AS token
+        |    FROM documents) GROUP BY 1, 2),
+        |t AS (SELECT lang, CAST(sum(n) AS BIGINT) AS total
+        |  FROM cells GROUP BY 1)
+        |SELECT lang, wlen, n,
+        |  ROUND(CAST(n AS DOUBLE) / CAST(total AS DOUBLE) * 10000)
+        |    / 10000 AS share
+        |FROM cells JOIN t USING (lang) ORDER BY lang, wlen""".stripMargin,
+    // Per-doc agg_entropy_mix fold over char counts; string_split on
+    // '' yields the char list in both engines.
+    "text_char_entropy" ->
+      """WITH c AS (SELECT doc_id, ch, count(*) AS c FROM (
+        |    SELECT doc_id, unnest(string_split(text, '')) AS ch
+        |    FROM documents) GROUP BY 1, 2),
+        |g AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_chars,
+        |    count(*) AS n_distinct, list_sort(list(c)) AS cs
+        |  FROM c GROUP BY 1)
+        |SELECT doc_id, n_chars, n_distinct,
+        |  ROUND(log2(n_chars)
+        |    - list_aggregate(list_transform(cs, x -> x * log2(x)), 'sum')
+        |      / n_chars, 4) AS entropy_bits
+        |FROM g ORDER BY doc_id""".stripMargin,
     // Frequency-histogram cumulatives + the struct-min cut device;
     // coverage one division of exact integers.
     "text_ngram_coverage_curve" ->

@@ -361,10 +361,20 @@ class InventorySpec extends SparkSpec {
     "sample_neyman_allocation",
     // §2.101 round-12 sixth wave: MMR re-ranking, daily mix entropy,
     // freshness report
-    "sim_mmr_rerank", "ts_entropy_daily", "etl_freshness_report")
+    "sim_mmr_rerank", "ts_entropy_daily", "etl_freshness_report",
+    // §2.102 round-12 seventh wave: detection F1 sweep, SFT loss
+    // mask, char entropy
+    "eval_det_f1_at_iou", "pipeline_sft_loss_mask",
+    "text_char_entropy",
+    // §2.103 round-12 eighth wave: rich club, Hodges–Lehmann,
+    // hour×dow heatmap
+    "graph_rich_club", "agg_hodges_lehmann", "ts_hour_dow_heatmap",
+    // §2.104 round-12 ninth wave: PSI drift, GPS interpolation,
+    // word-length profile
+    "eval_psi", "geo_gps_interpolate", "text_word_length_profile")
 
-  test("declared queries cover SURVEY §2 + §2.12-101 exactly (419 keys)") {
-    assert(inventory.size == 419)
+  test("declared queries cover SURVEY §2 + §2.12-104 exactly (428 keys)") {
+    assert(inventory.size == 428)
     val declared = SparkEntry.queries.keySet
     val missing = inventory -- declared
     val extra = declared -- inventory

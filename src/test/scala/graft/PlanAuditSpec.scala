@@ -1325,4 +1325,36 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
       s"min-count cap must broadcast: ${p.take(2000)}")
   }
+
+  test("grid-NN screening: scatter candidates join on cell keys, never a point-pair nested loop") {
+    val p = plan("geo_nn_screening")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"NN candidates degenerated to a nested loop: ${p.take(2000)}")
+    // Cell keys must be the JOIN keys — as a shuffle-hash/SMJ exchange
+    // at scale or (fixture-size) a broadcast hash join; either way the
+    // hash keys are the cells, never the raw points.
+    assert(p.contains("Exchange hashpartitioning(cell_lat")
+      || "HashJoin \\[cell_lat".r.findFirstIn(p).isDefined,
+      s"candidates must equi-join on cells: ${p.take(2000)}")
+  }
+
+  test("class co-occurrence: within-image equi-join, marginals broadcast") {
+    val p = plan("multimodal_class_cooccurrence")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(p.contains("Exchange hashpartitioning(image_id")
+      || p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin"),
+      s"pair join must key on image_id: ${p.take(2000)}")
+  }
+
+  test("degree gini never sorts |V| globally: the only order-by window runs on the degree histogram") {
+    val p = plan("graph_degree_gini")
+    // The Lorenz fold's window partitions by nothing BUT its input is
+    // the ≤O(√E)-row degree histogram (two aggregates upstream); a
+    // |V|-scale global sort would show a rangepartitioning exchange
+    // feeding the window straight from the node-degree aggregate.
+    assert("Window".r.findAllIn(p).size >= 1, p.take(2000))
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      s"histogram reduce must precede the window: ${p.take(3000)}")
+  }
 }
