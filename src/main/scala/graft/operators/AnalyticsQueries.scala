@@ -1622,6 +1622,33 @@ object AnalyticsQueries {
     // user+week — broadcast-or-shuffle hash, never quadratic), exact
     // counts; the final week's churn is NULL (its successor hasn't
     // happened), never a fake zero.
+    // RECORD-BREAKING DAYS (§2.106) — per event type, how often the
+    // daily volume set a new all-time high, and when it last did: the
+    // "are we still growing" sentinel (a healthy growth series breaks
+    // records ~log(n) times; a record drought dates the plateau).
+    // First observed day counts as a record by convention. All
+    // integer: per-(type, day) counts, one type-keyed running-max
+    // window, exact reduce. Shape: the dow-seasonality plan plus one
+    // window — day count bounds everything past the first exchange.
+    "ts_records_count" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = events(s, dir)
+        .select(col("event_type"), epochDay("ts").as("day"))
+        .groupBy("event_type", "day").agg(count(lit(1)).as("v"))
+      val w = Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      d.withColumn("prevmax", max(col("v")).over(w))
+        .withColumn("rec",
+          (col("prevmax").isNull || col("v") > col("prevmax"))
+            .cast("long"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_days"),
+          sum(col("rec")).cast("long").as("n_records"),
+          max(when(col("rec") === 1, col("day"))).as("last_record_day"),
+          max(col("v")).as("max_daily"))
+        .orderBy("event_type")
+    }),
+
     // HOUR × DAY-OF-WEEK HEATMAP (§2.103) — the weekly activity
     // profile ("when does traffic actually happen") every ops
     // dashboard pins top-left: counts per (epoch-day mod 7, epoch-hour
@@ -3031,6 +3058,25 @@ object AnalyticsQueries {
     // Same exact-integer moments on the same zero-filled day spine;
     // FILTER counts ≡ the Spark side's conditional sums of the
     // zero-filled per-type series.
+    // Same running-max record rule; window max HUGEINT-cast back.
+    "ts_records_count" ->
+      s"""WITH d AS (SELECT event_type, ${sqlEpochDay("ts")} AS day,
+         |    count(*) AS v
+         |  FROM events GROUP BY 1, 2),
+         |r AS (SELECT event_type, day, v,
+         |    max(v) OVER (PARTITION BY event_type ORDER BY day
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         |      AS prevmax
+         |  FROM d),
+         |f AS (SELECT event_type, day, v,
+         |    CASE WHEN prevmax IS NULL OR v > prevmax THEN 1 ELSE 0
+         |    END AS rec
+         |  FROM r)
+         |SELECT event_type, count(*) AS n_days,
+         |  CAST(sum(rec) AS BIGINT) AS n_records,
+         |  max(CASE WHEN rec = 1 THEN day END) AS last_record_day,
+         |  CAST(max(v) AS BIGINT) AS max_daily
+         |FROM f GROUP BY event_type ORDER BY event_type""".stripMargin,
     // Epoch-residue dow/hour; exact cells, one division per cell.
     "ts_hour_dow_heatmap" ->
       s"""WITH e AS (SELECT (${sqlEpochDay("ts")}) % 7 AS dow,

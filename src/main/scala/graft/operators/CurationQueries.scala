@@ -353,6 +353,29 @@ object CurationQueries {
         .orderBy("lang", "rk")
     }),
 
+    // CLASS-BALANCED OVERSAMPLING (§2.106) — the other arm of the
+    // balance pair: replicate each minority-language doc
+    // ceil(max_count/count) times (capped at 8×) instead of throwing
+    // majority data away. Replication is a deterministic integer
+    // explode(sequence(1, k)) — no RNG, replay-stable, and each copy
+    // carries its copy index so downstream shuffles can epoch-vary
+    // augmentation. The factor is integer ceiling arithmetic
+    // ((mx + c − 1) div c) against one broadcast max; output counts
+    // are exact. Shape: one lang reduce, one broadcast, one map-side
+    // explode — the corpus never shuffles.
+    "sample_balanced_oversample" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("lang"))
+      val cnt = d.groupBy("lang").agg(count(lit(1)).as("c"))
+      val mx = cnt.agg(max(col("c")).as("mx"))
+      val factor = cnt.crossJoin(broadcast(mx))
+        .select(col("lang"),
+          least(expr("(mx + c - 1) div c"), lit(8L)).as("k"))
+      d.join(broadcast(factor), Seq("lang"))
+        .select(col("lang"), col("doc_id"), col("k"),
+          explode(expr("sequence(1L, k)")).as("copy_idx"))
+        .orderBy("lang", "doc_id", "copy_idx")
+    }),
+
     // URL canonicalization + dedup — the FIRST dedup pass of every
     // web-corpus pipeline (cheaper than any content hash: two crawls of
     // the same page differ by tracking params, scheme and host case
@@ -734,6 +757,17 @@ object CurationQueries {
         |    PARTITION BY source ORDER BY skey, doc_id) AS rk FROM d)
         |SELECT doc_id, source, CAST(rk AS BIGINT) AS rk
         |FROM r WHERE rk <= 10 ORDER BY source, rk""".stripMargin,
+    // Integer ceiling factor + range explode; exact copy indices.
+    "sample_balanced_oversample" ->
+      """WITH d AS (SELECT doc_id, lang FROM documents),
+        |cnt AS (SELECT lang, count(*) AS c FROM d GROUP BY lang),
+        |mx AS (SELECT max(c) AS mx FROM cnt),
+        |f AS (SELECT lang, least((mx + c - 1) // c, 8) AS k
+        |  FROM cnt CROSS JOIN mx)
+        |SELECT lang, doc_id, CAST(k AS BIGINT) AS k,
+        |  CAST(unnest(range(1, k + 1)) AS BIGINT) AS copy_idx
+        |FROM d JOIN f USING (lang)
+        |ORDER BY lang, doc_id, copy_idx""".stripMargin,
     // Same md5-order rank; the cap is the min per-class count.
     "sample_balanced_undersample" ->
       """WITH d AS (SELECT doc_id, lang,

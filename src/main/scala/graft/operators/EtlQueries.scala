@@ -661,6 +661,75 @@ object EtlQueries {
         .orderBy("o_orderstatus")
     }),
 
+    // JOIN-KEY SKEW REPORT (§2.106) — the pre-flight audit behind
+    // every AQE-skew/salting decision in this repo (join_skew_salted,
+    // join_skew_aqe): for each frequently-joined FK column, the key
+    // cardinality, the hottest key's row count, and the skew factor
+    // max·n_keys/total (1.0 = perfectly uniform) — the number that
+    // says whether a plain shuffle join will straggle at 100 TB. All
+    // exact integers from per-column two-phase counts; one division
+    // per output row (3 rows). Each column pays one partial-agg
+    // exchange over its key.
+    "etl_skew_report" -> ((s, dir) => {
+      def audit(df: DataFrame, cn: String, label: String): DataFrame =
+        df.groupBy(col(cn).as("k")).agg(count(lit(1)).as("c"))
+          .agg(count(lit(1)).as("n_keys"),
+            sum(col("c")).cast("long").as("n_rows"),
+            max(col("c")).as("max_per_key"))
+          .select(lit(label).as("fk"), col("n_keys"), col("n_rows"),
+            col("max_per_key"),
+            r4d((col("max_per_key") * col("n_keys")).cast("double")
+              / col("n_rows").cast("double")).as("skew_factor"))
+      audit(t(s, dir, "lineitem"), "l_orderkey", "lineitem.l_orderkey")
+        .unionAll(audit(t(s, dir, "lineitem"), "l_partkey",
+          "lineitem.l_partkey"))
+        .unionAll(audit(t(s, dir, "orders"), "o_custkey",
+          "orders.o_custkey"))
+        .orderBy("fk")
+    }),
+
+    // COLUMN-LEVEL CHURN REPORT (§2.105) — etl_snapshot_diff names
+    // WHICH rows changed; this aggregates WHICH COLUMNS drive the
+    // churn between the same two snapshots (the first question a
+    // pipeline owner asks when a diff spikes: one volatile column or
+    // real entity turnover?). Same synthetic next-snapshot as the
+    // diff key; one full-outer key join, null-safe per-column
+    // comparisons counted with count_if — all exact integers in a
+    // single 1-row reduce.
+    "etl_column_churn" -> ((s, dir) => {
+      val base = t(s, dir, "customer")
+        .select(col("c_custkey").as("key"), col("c_name").as("name"),
+          col("c_mktsegment").as("seg"), col("c_acctbal").as("bal"))
+      val nw = base.filter(pmod(col("key"), lit(13)) =!= 0)
+        .select(col("key"), col("name"),
+          when(pmod(col("key"), lit(21)) === 0, lit("MOVED"))
+            .otherwise(col("seg")).as("seg"),
+          when(pmod(col("key"), lit(7)) === 0, col("bal") + 100.0)
+            .otherwise(col("bal")).as("bal"))
+        .unionAll(base.filter(pmod(col("key"), lit(11)) === 0)
+          .select((-col("key") - 1).as("key"),
+            concat(lit("new-"), col("key").cast("string")).as("name"),
+            col("seg"), col("bal")))
+      val o = base.select(col("key"), col("name").as("o_name"),
+        col("seg").as("o_seg"), col("bal").as("o_bal"))
+      val n = nw.select(col("key"), col("name").as("n_name"),
+        col("seg").as("n_seg"), col("bal").as("n_bal"))
+      val matched = col("o_name").isNotNull && col("n_name").isNotNull
+      o.join(n, Seq("key"), "full_outer")
+        .agg(count(lit(1)).as("n_keys"),
+          count_if(col("o_name").isNull).as("n_added"),
+          count_if(col("n_name").isNull).as("n_removed"),
+          count_if(matched && !(col("o_name") <=> col("n_name")))
+            .as("chg_name"),
+          count_if(matched && !(col("o_seg") <=> col("n_seg")))
+            .as("chg_seg"),
+          count_if(matched && !(col("o_bal") <=> col("n_bal")))
+            .as("chg_bal"),
+          count_if(matched && (col("o_name") <=> col("n_name"))
+            && (col("o_seg") <=> col("n_seg"))
+            && (col("o_bal") <=> col("n_bal"))).as("n_same"))
+    }),
+
     // FRESHNESS / LAG REPORT (§2.101) — the pipeline-observability
     // table every warehouse dashboard tops: per source stream (event
     // type), latest landed day, lag behind the freshest stream, row
@@ -778,6 +847,59 @@ object EtlQueries {
         |SELECT "check", n_violations, n_rows,
         |  CASE WHEN n_violations = 0 THEN 'pass' ELSE 'fail' END AS status
         |FROM checks CROSS JOIN n ORDER BY "check"""".stripMargin,
+    // Exact per-column counts; one division per row.
+    "etl_skew_report" ->
+      """WITH a AS (SELECT 'lineitem.l_orderkey' AS fk,
+        |    count(*) AS n_keys,
+        |    CAST(sum(c) AS BIGINT) AS n_rows,
+        |    CAST(max(c) AS BIGINT) AS max_per_key
+        |  FROM (SELECT l_orderkey, count(*) AS c FROM lineitem
+        |    GROUP BY 1)),
+        |b AS (SELECT 'lineitem.l_partkey', count(*),
+        |    CAST(sum(c) AS BIGINT), CAST(max(c) AS BIGINT)
+        |  FROM (SELECT l_partkey, count(*) AS c FROM lineitem
+        |    GROUP BY 1)),
+        |c AS (SELECT 'orders.o_custkey', count(*),
+        |    CAST(sum(c) AS BIGINT), CAST(max(c) AS BIGINT)
+        |  FROM (SELECT o_custkey, count(*) AS c FROM orders
+        |    GROUP BY 1)),
+        |u AS (SELECT * FROM a UNION ALL SELECT * FROM b
+        |  UNION ALL SELECT * FROM c)
+        |SELECT fk, n_keys, n_rows, max_per_key,
+        |  ROUND(CAST(max_per_key * n_keys AS DOUBLE)
+        |    / CAST(n_rows AS DOUBLE) * 10000) / 10000 AS skew_factor
+        |FROM u ORDER BY fk""".stripMargin,
+    // Same synthetic snapshot pair; null-safe per-column counters in
+    // one reduce.
+    "etl_column_churn" ->
+      """WITH old AS (SELECT c_custkey AS key, c_name AS name,
+        |    c_mktsegment AS seg, c_acctbal AS bal FROM customer),
+        |nw AS (
+        |  SELECT key, name,
+        |    CASE WHEN key % 21 = 0 THEN 'MOVED' ELSE seg END AS seg,
+        |    CASE WHEN key % 7 = 0 THEN bal + 100.0 ELSE bal END AS bal
+        |  FROM old WHERE key % 13 <> 0
+        |  UNION ALL
+        |  SELECT -key - 1, 'new-' || key, seg, bal FROM old
+        |  WHERE key % 11 = 0),
+        |j AS (SELECT o.name AS o_name, o.seg AS o_seg, o.bal AS o_bal,
+        |    n.name AS n_name, n.seg AS n_seg, n.bal AS n_bal,
+        |    o.name IS NOT NULL AND n.name IS NOT NULL AS m
+        |  FROM old o FULL OUTER JOIN nw n ON o.key = n.key)
+        |SELECT count(*) AS n_keys,
+        |  count(*) FILTER (WHERE o_name IS NULL) AS n_added,
+        |  count(*) FILTER (WHERE n_name IS NULL) AS n_removed,
+        |  count(*) FILTER (WHERE m AND o_name IS DISTINCT FROM n_name)
+        |    AS chg_name,
+        |  count(*) FILTER (WHERE m AND o_seg IS DISTINCT FROM n_seg)
+        |    AS chg_seg,
+        |  count(*) FILTER (WHERE m AND o_bal IS DISTINCT FROM n_bal)
+        |    AS chg_bal,
+        |  count(*) FILTER (WHERE m
+        |    AND o_name IS NOT DISTINCT FROM n_name
+        |    AND o_seg IS NOT DISTINCT FROM n_seg
+        |    AND o_bal IS NOT DISTINCT FROM n_bal) AS n_same
+        |FROM j""".stripMargin,
     "etl_snapshot_diff" ->
       """WITH old AS (SELECT c_custkey AS key, c_name AS name,
         |    c_mktsegment AS seg, c_acctbal AS bal FROM customer),

@@ -368,6 +368,42 @@ object GraphQueries {
             .as("gini"))
     }),
 
+    // EGO-NETWORK DENSITY (§2.107) — for the 10 smallest part ids
+    // present in the sampled graph: how densely is each node's 1-hop
+    // neighborhood wired to ITSELF? φ_ego = 2·e_ego/(n_n·(n_n−1))
+    // over edges among the neighbors (the seed's own spokes
+    // excluded) — the local clustering drill-down the coefficient key
+    // averages away. Never materializes neighbor PAIRS: ego edges
+    // come from joining the EDGE list against the (seed, neighbor)
+    // table on both endpoints — work is O(|E|·avg seeds per edge),
+    // bounded by the seed list. Same '0'-prefix Doulion sample as the
+    // coefficient keys; exact counts, one division per seed.
+    "graph_ego_density" -> ((s, dir) => {
+      val e = sampledOrientedEdges(s, dir, Some(Seq("0")))
+        .localCheckpoint(true)
+      val sym = e.select(col("a").as("v"), col("b").as("u"))
+        .unionAll(e.select(col("b").as("v"), col("a").as("u")))
+      val seeds = sym.select(col("v")).distinct()
+        .orderBy("v").limit(10)
+      val nb = sym.join(broadcast(seeds), Seq("v"))
+        .select(col("v").as("seed"), col("u").as("nbr"))
+        .localCheckpoint(true)
+      val nn = nb.groupBy("seed").agg(count(lit(1)).as("n_nbrs"))
+      val ego = e.select(col("a").as("x"), col("b").as("y"))
+        .join(nb.select(col("seed"), col("nbr").as("x")), Seq("x"))
+        .join(nb.select(col("seed"), col("nbr").as("y")),
+          Seq("seed", "y"))
+        .groupBy("seed").agg(count(lit(1)).as("e_ego"))
+      nn.join(ego, Seq("seed"), "left")
+        .select(col("seed"), col("n_nbrs"),
+          coalesce(col("e_ego"), lit(0L)).as("e_ego"))
+        .withColumn("density", when(col("n_nbrs") > 1,
+          r4d((col("e_ego") * 2).cast("double")
+            / (col("n_nbrs") * (col("n_nbrs") - 1)).cast("double")))
+          .otherwise(lit(0.0)))
+        .orderBy("seed")
+    }),
+
     // RICH-CLUB COEFFICIENT (§2.103) — do the hubs form their own
     // club? φ(k) = 2·E_k / (N_k·(N_k−1)) over the subgraph of nodes
     // with degree > k, swept at k ∈ {1,2,4,8,16} — the
@@ -990,6 +1026,31 @@ object GraphQueries {
         |FROM mo""".stripMargin,
     // Same Doulion sample; per-bucket single division on HUGEINT
     // sums (all nodes in a bucket share denominator d).
+    // Same '0'-prefix sample; ego edges via two endpoint equi-joins.
+    "graph_ego_density" ->
+      """WITH pp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+        |  FROM lineitem),
+        |ef AS (SELECT DISTINCT x.p AS a, y.p AS b
+        |  FROM pp x JOIN pp y ON x.ok = y.ok AND x.p < y.p),
+        |e AS (SELECT a, b FROM ef
+        |  WHERE substring(md5(CAST(a AS VARCHAR) || '_'
+        |    || CAST(b AS VARCHAR)), 1, 1) = '0'),
+        |sym AS (SELECT a AS v, b AS u FROM e
+        |  UNION ALL SELECT b, a FROM e),
+        |seeds AS (SELECT DISTINCT v FROM sym ORDER BY v LIMIT 10),
+        |nb AS (SELECT sym.v AS seed, sym.u AS nbr
+        |  FROM sym JOIN seeds ON sym.v = seeds.v),
+        |nn AS (SELECT seed, count(*) AS n_nbrs FROM nb GROUP BY 1),
+        |ego AS (SELECT na.seed, count(*) AS e_ego
+        |  FROM e JOIN nb na ON e.a = na.nbr
+        |  JOIN nb nbb ON e.b = nbb.nbr AND na.seed = nbb.seed
+        |  GROUP BY 1)
+        |SELECT nn.seed, n_nbrs, COALESCE(e_ego, 0) AS e_ego,
+        |  CASE WHEN n_nbrs > 1 THEN
+        |    ROUND(CAST(COALESCE(e_ego, 0) * 2 AS DOUBLE)
+        |      / CAST(n_nbrs * (n_nbrs - 1) AS DOUBLE) * 10000) / 10000
+        |  ELSE 0.0 END AS density
+        |FROM nn LEFT JOIN ego USING (seed) ORDER BY seed""".stripMargin,
     // Same '0'-prefix sample; N_k/E_k exact counts, φ one division.
     "graph_rich_club" ->
       """WITH pp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p

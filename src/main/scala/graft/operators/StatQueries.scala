@@ -1463,6 +1463,91 @@ object StatQueries {
             " cast(0.0 as double), (a, x) -> a + x.term)").as("psi0"))
         .select(col("n_bins"), r4d(col("psi0")).as("psi"),
           (col("psi0") > 0.2).as("major_shift"))
+    }),
+
+    // HILL TAIL-INDEX ESTIMATOR (§2.105) — how heavy is the value
+    // distribution's upper tail? α̂ = k / Σᵢ ln(xᵢ/x₍k₊₁₎) over the
+    // k = 100 largest observations: the standard power-law tail
+    // diagnostic (α ≤ 2 → infinite variance — means/anova on such a
+    // column are lies; this key is the check that licenses them).
+    // Exactness: the top-(k+1) multiset lives on the exact cents
+    // grid and is order-statistic deterministic (ties at the boundary
+    // share the same cents value, so WHICH duplicate enters cannot
+    // change the multiset); the k ln terms fold over the sorted
+    // collected list; one division. Shape: global top-101 is
+    // TakeOrderedAndProject (bounded heap per partition, no global
+    // sort), then a 1-row fold.
+    "agg_tail_index_hill" -> ((s, dir) => {
+      val top = events(s, dir)
+        .select(round(col("value") * 100).cast("long").as("c"))
+        .filter(col("c") > 0)
+        .orderBy(col("c").desc).limit(101)
+      val m = top.agg(count(lit(1)).as("n_top"),
+        min(col("c")).as("thr"),
+        array_sort(collect_list(col("c"))).as("cs"))
+      m.filter(col("n_top") === 101 && col("thr") > 0)
+        .select(lit(100L).as("k"), col("thr").as("threshold_cents"),
+          expr("""aggregate(slice(cs, 2, 100), cast(0.0 as double),
+            |(a, x) -> a + ln(cast(x as double)
+            |  / cast(element_at(cs, 1) as double)))""".stripMargin)
+            .as("h"))
+        .select(col("k"), col("threshold_cents"),
+          when(col("h") > 0,
+            r4d(lit(100.0) / col("h"))).as("hill_alpha"))
+    }),
+
+    // MARKOV STEADY STATE (§2.105) — where does the event-type chain
+    // settle? path_transitions estimates the per-user transition
+    // matrix; this key row-normalizes it and runs 8 UNROLLED power-
+    // iteration steps from the uniform vector (the label-prop/MMR
+    // fixed-round convention — steady state is the eigenvector the
+    // funnel/journey teams actually quote). The state space is the
+    // ≤|event types| alphabet, so every step is a ≤25-cell join; each
+    // new π[to] folds its ≤5 products over the from-sorted list (both
+    // engines), P's entries are exact-integer ratios, and every step
+    // is eagerly pinned (the MMR lineage lesson). Shape: one corpus
+    // scan for the lag pairs; everything after is alphabet-sized.
+    "agg_markov_steady_state" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ms"), col("event_id"))
+      val trans = events(s, dir)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_millis(col("ts").cast("timestamp")).as("ms"))
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("from"),
+          col("next_type").as("to"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("n_from",
+          sum(col("n")).over(Window.partitionBy(col("from"))))
+        .select(col("from"), col("to"),
+          (col("n").cast("double") / col("n_from").cast("double"))
+            .as("p"))
+        .localCheckpoint(true)
+      val states = trans.select(col("from").as("state"))
+        .unionAll(trans.select(col("to").as("state"))).distinct()
+        .localCheckpoint(true)
+      val nStates = states.count()
+      val pi0 = states.withColumn("v", lit(1.0) / lit(nStates.toDouble))
+      val piN = (1 to 8).foldLeft(pi0) { (pi, _) =>
+        trans.join(pi.withColumnRenamed("state", "from"), Seq("from"))
+          .select(col("to"), col("from"), (col("v") * col("p")).as("t"))
+          .groupBy(col("to").as("state"))
+          .agg(expr("aggregate(array_sort(collect_list(struct(from, t)))," +
+            " cast(0.0 as double), (a, x) -> a + x.t)").as("v"))
+          .localCheckpoint(true)
+      }
+      // Renormalize once at the end: a state with no outgoing rows is
+      // sub-stochastic and leaks mass during the iteration; the
+      // reported vector is the direction, normalized over the
+      // state-sorted fold.
+      val tot = piN.agg(expr(
+        "aggregate(array_sort(collect_list(struct(state, v)))," +
+          " cast(0.0 as double), (a, x) -> a + x.v)").as("tv"))
+      piN.crossJoin(broadcast(tot))
+        .select(col("state"), r4d(col("v") / col("tv")).as("pi"))
+        .orderBy("state")
     }))
 
   val oracle: Map[String, String] = Map(
@@ -2538,5 +2623,61 @@ object StatQueries {
          |  FROM terms)
          |SELECT n_bins, ROUND(psi0 * 10000) / 10000 + 0.0 AS psi,
          |  psi0 > 0.2 AS major_shift
-         |FROM m""".stripMargin)
+         |FROM m""".stripMargin,
+    // Top-(k+1) cents multiset (boundary ties share a value, so the
+    // multiset is deterministic); k ln terms fold sorted.
+    "agg_tail_index_hill" ->
+      """WITH c AS (SELECT CAST(round(value * 100) AS BIGINT) AS c
+        |  FROM events WHERE CAST(round(value * 100) AS BIGINT) > 0),
+        |top AS (SELECT c FROM c ORDER BY c DESC LIMIT 101),
+        |m AS (SELECT count(*) AS n_top, min(c) AS thr,
+        |    list_sort(list(c)) AS cs FROM top),
+        |h AS (SELECT n_top, thr,
+        |    list_aggregate(list_transform(cs[2:101],
+        |      x -> ln(CAST(x AS DOUBLE) / CAST(cs[1] AS DOUBLE))),
+        |      'sum') AS h
+        |  FROM m WHERE n_top = 101 AND thr > 0)
+        |SELECT CAST(100 AS BIGINT) AS k, thr AS threshold_cents,
+        |  CASE WHEN h > 0 THEN ROUND(100.0 / h * 10000) / 10000 + 0.0
+        |  END AS hill_alpha
+        |FROM h""".stripMargin,
+    // The same 8 power-iteration steps unrolled MATERIALIZED; each
+    // step's ≤|alphabet| products fold from-sorted; final renorm over
+    // the state-sorted fold.
+    "agg_markov_steady_state" -> {
+      val prelude =
+        s"""WITH e AS (SELECT user_id, event_id, event_type,
+           |    epoch_ms(ts) AS ms FROM events),
+           |nx AS (SELECT event_type AS f,
+           |    lead(event_type) OVER (PARTITION BY user_id
+           |      ORDER BY ms, event_id) AS t
+           |  FROM e),
+           |tr AS (SELECT f, t, count(*) AS n FROM nx
+           |  WHERE t IS NOT NULL GROUP BY 1, 2),
+           |p AS MATERIALIZED (SELECT f, t,
+           |    CAST(n AS DOUBLE)
+           |      / CAST(sum(n) OVER (PARTITION BY f) AS DOUBLE) AS p
+           |  FROM tr),
+           |states AS MATERIALIZED (SELECT DISTINCT state FROM (
+           |  SELECT f AS state FROM p UNION ALL SELECT t FROM p)),
+           |ns AS (SELECT count(*) AS ns FROM states),
+           |pi0 AS MATERIALIZED (SELECT state, 1.0 / ns AS v
+           |  FROM states CROSS JOIN ns)""".stripMargin
+      val rounds = (1 to 8).map { k =>
+        s"""pi$k AS MATERIALIZED (SELECT p.t AS state,
+           |    list_aggregate(list_transform(
+           |      list_sort(list({'f': p.f, 'x': pi.v * p.p})),
+           |      z -> z.x), 'sum') AS v
+           |  FROM p JOIN pi${k - 1} pi ON p.f = pi.state
+           |  GROUP BY p.t)""".stripMargin
+      }.mkString(",\n", ",\n", "")
+      val tail =
+        """,
+          |tot AS (SELECT list_aggregate(list_transform(
+          |    list_sort(list({'s': state, 'v': v})), z -> z.v), 'sum')
+          |    AS tv FROM pi8)
+          |SELECT state, ROUND(v / tv * 10000) / 10000 + 0.0 AS pi
+          |FROM pi8 CROSS JOIN tot ORDER BY state""".stripMargin
+      prelude + rounds + tail
+    })
 }

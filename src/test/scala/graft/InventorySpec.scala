@@ -371,10 +371,18 @@ class InventorySpec extends SparkSpec {
     "graph_rich_club", "agg_hodges_lehmann", "ts_hour_dow_heatmap",
     // §2.104 round-12 ninth wave: PSI drift, GPS interpolation,
     // word-length profile
-    "eval_psi", "geo_gps_interpolate", "text_word_length_profile")
+    "eval_psi", "geo_gps_interpolate", "text_word_length_profile",
+    // §2.105 round-12 tenth wave: Hill tail index, Markov steady
+    // state, column churn
+    "agg_tail_index_hill", "agg_markov_steady_state",
+    "etl_column_churn",
+    // §2.106 round-12 eleventh wave: balanced oversampling, skew
+    // audit, record-breaking days
+    "sample_balanced_oversample", "etl_skew_report",
+    "ts_records_count")
 
-  test("declared queries cover SURVEY §2 + §2.12-104 exactly (428 keys)") {
-    assert(inventory.size == 428)
+  test("declared queries cover SURVEY §2 + §2.12-106 exactly (434 keys)") {
+    assert(inventory.size == 434)
     val declared = SparkEntry.queries.keySet
     val missing = inventory -- declared
     val extra = declared -- inventory
