@@ -379,10 +379,13 @@ class InventorySpec extends SparkSpec {
     // §2.106 round-12 eleventh wave: balanced oversampling, skew
     // audit, record-breaking days
     "sample_balanced_oversample", "etl_skew_report",
-    "ts_records_count")
+    "ts_records_count",
+    // §2.107 round-13 legalization: ego-network density (implemented
+    // end of round 12, amendment landed round 13)
+    "graph_ego_density")
 
-  test("declared queries cover SURVEY §2 + §2.12-106 exactly (434 keys)") {
-    assert(inventory.size == 434)
+  test("declared queries cover SURVEY §2 + §2.12-107 exactly (435 keys)") {
+    assert(inventory.size == 435)
     val declared = SparkEntry.queries.keySet
     val missing = inventory -- declared
     val extra = declared -- inventory
