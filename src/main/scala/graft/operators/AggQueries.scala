@@ -1305,7 +1305,7 @@ object AggQueries {
         |SELECT user_id, n_events, n_types,
         |  ROUND(log2(n_events)
         |    - list_aggregate(list_transform(cs, x -> x * log2(x)), 'sum')
-        |      / n_events, 4) AS entropy_bits
+        |      / n_events, 4) + 0.0 AS entropy_bits
         |FROM g ORDER BY user_id""".stripMargin,
     // Pure integer HHI; the sums go HUGEINT in DuckDB — CAST before
     // the division keeps // in BIGINT and the output hash-aligned.

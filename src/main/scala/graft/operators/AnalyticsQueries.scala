@@ -3100,7 +3100,7 @@ object AnalyticsQueries {
          |SELECT day, n_events, n_types,
          |  ROUND(log2(n_events)
          |    - list_aggregate(list_transform(cs, x -> x * log2(x)), 'sum')
-         |      / n_events, 4) AS entropy_bits
+         |      / n_events, 4) + 0.0 AS entropy_bits
          |FROM g ORDER BY day""".stripMargin,
     "ts_churn_weekly" ->
       s"""WITH uw AS (SELECT DISTINCT user_id,

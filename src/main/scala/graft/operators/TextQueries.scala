@@ -640,8 +640,14 @@ object TextQueries {
     // (1/n)·Σ c·log2(c) folded over the char-count-sorted ≤|alphabet|
     // list. Shape: one char explode (linear in corpus bytes), one
     // (doc, char) partial-agg reduce, one doc reduce.
+    // Empty docs are excluded on BOTH engines (Spark split("","")
+    // yields [""] while DuckDB string_split yields []); the fixture
+    // corpus is ASCII, where Java's per-code-unit split and DuckDB's
+    // per-UTF-8-character split agree — non-ASCII text would need an
+    // explicit codepoint basis shared by both engines.
     "text_char_entropy" -> ((s, dir) => {
       val c = t(s, dir, "documents")
+        .filter(length(col("text")) > 0)
         .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
         .groupBy("doc_id", "ch").agg(count(lit(1)).as("c"))
       c.groupBy("doc_id")
@@ -1025,14 +1031,14 @@ object TextQueries {
     "text_char_entropy" ->
       """WITH c AS (SELECT doc_id, ch, count(*) AS c FROM (
         |    SELECT doc_id, unnest(string_split(text, '')) AS ch
-        |    FROM documents) GROUP BY 1, 2),
+        |    FROM documents WHERE length(text) > 0) GROUP BY 1, 2),
         |g AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_chars,
         |    count(*) AS n_distinct, list_sort(list(c)) AS cs
         |  FROM c GROUP BY 1)
         |SELECT doc_id, n_chars, n_distinct,
         |  ROUND(log2(n_chars)
         |    - list_aggregate(list_transform(cs, x -> x * log2(x)), 'sum')
-        |      / n_chars, 4) AS entropy_bits
+        |      / n_chars, 4) + 0.0 AS entropy_bits
         |FROM g ORDER BY doc_id""".stripMargin,
     // Frequency-histogram cumulatives + the struct-min cut device;
     // coverage one division of exact integers.
