@@ -54,7 +54,13 @@ object ScaleStress {
     // pass, and the three new degree-shaped graph reads.
     "sim_mmr_rerank", "geo_nn_screening", "agg_bootstrap_ci",
     "sim_silhouette_centroid", "graph_avg_neighbor_degree",
-    "graph_degree_gini", "graph_rich_club")
+    "graph_degree_gini", "graph_rich_club",
+    // Round-13: the four graph heavies that predate the
+    // measure-at-birth discipline (VERDICT r12 item 3) and the §2.107
+    // legalized key, plus the §2.108 wave at birth.
+    "graph_closeness", "graph_modularity", "graph_label_prop",
+    "graph_assortativity", "graph_ego_density",
+    "graph_betweenness", "eval_map_coco", "multimodal_track_stitch")
   // Keys whose only input is lineitem — copy-scalable (see scaladoc).
   // The embeddings/documents keys are NOT copy-scalable for the same
   // reason the dedup keys aren't (cross-copy duplicate geometry);
@@ -64,7 +70,15 @@ object ScaleStress {
     "graph_triangle_count", "graph_clustering_coeff",
     "graph_jaccard_linkpred", "graph_adamic_adar",
     "graph_avg_neighbor_degree", "graph_degree_gini",
-    "graph_rich_club")
+    "graph_rich_club",
+    "graph_closeness", "graph_modularity", "graph_label_prop",
+    "graph_assortativity", "graph_ego_density", "graph_betweenness")
+
+  /** Bench-heavy instrumentation guard input (InventorySpec asserts
+    * every BENCH_FULL top-cost key has a row here — the unmeasured-
+    * heavy misses of rounds 10 and 12 keep recurring because nothing
+    * pinned the rule). */
+  private[graft] val measuredKeys: Set[String] = SfSeriesKeys.toSet
 
   private def timeKey(s: SparkSession, key: String, dir: String): Double = {
     def once(): Double = {
@@ -102,6 +116,11 @@ object ScaleStress {
 
   def main(args: Array[String]): Unit = {
     val outJson = args.headOption.getOrElse("SCALE_STRESS.json")
+    // Optional key filter (local iteration: measure only new keys and
+    // merge rows into the tracked JSON by hand).
+    val only = args.drop(1).toSet
+    val keys =
+      if (only.isEmpty) SfSeriesKeys else SfSeriesKeys.filter(only)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val copies = sys.env.getOrElse("SPARK_GRAFT_SCALE_COPIES", "10").toInt
     val spark = SparkSession.builder()
@@ -122,7 +141,7 @@ object ScaleStress {
     buildTenX(spark, sf01, tenXDir, copies)
 
     val rows = new scala.collection.mutable.ArrayBuffer[String]
-    for (k <- SfSeriesKeys) {
+    for (k <- keys) {
       val tA = timeKey(spark, k, sf001)
       val tB = timeKey(spark, k, sf01)
       val exp = math.log(tB / tA) / math.log(10.0)

@@ -272,6 +272,81 @@ object GraphQueries {
       res
     }),
 
+    // SEED-SAMPLED TRUNCATED BRANDES BETWEENNESS (§2.108) — the one
+    // classic centrality missing next to pagerank/closeness/kcore:
+    // which nodes sit ON the short paths between others? Brandes over
+    // every ~|V|/499 seed at once via graph_closeness's composite-key
+    // (seed, node) BFS — extended to carry σ, the EXACT INTEGER count
+    // of shortest paths (σ(w) = Σ σ over depth-(d−1) predecessors;
+    // frontier rows join edges once per round, new nodes enter by
+    // anti-join). The backward pass is the per-level dependency
+    // accumulation δ(v) = Σ_{w∈succ} σv/σw·(1+δw) unrolled over the 3
+    // truncated depths as two join+reduce stages — and kept
+    // DETERMINISTIC by the adamic-adar device: each term is snapped
+    // to BIGINT 10⁻⁶-units with truncating division (σw ≥ σv for a
+    // succ pair, so every term ≤ 10⁶·(1+δw/10⁶) — no overflow), and
+    // only INTEGERS are ever summed, so shuffle order can't move a
+    // ulp. Per-node bc = Σ over seeds in DECIMAL(38,0) (seed counts
+    // grow with the corpus), one double division at the edge. Edges:
+    // the shared Doulion '0','1' sample (1/8) — betweenness on the
+    // sparsified graph is the estimator, and the sample bounds σ and
+    // the frontier fan-out at any corpus size.
+    "graph_betweenness" -> ((s, dir) => {
+      val half = org.apache.spark.sql.graftshim.dropOriginConstraints(
+        sampledOrientedEdges(s, dir, Some(Seq("0", "1")))
+          .localCheckpoint(true))
+      val ed = half.select(col("a").as("src"), col("b").as("dst"))
+        .unionAll(half.select(col("b").as("src"), col("a").as("dst")))
+        .persist()
+      val seeds = t(s, dir, "lineitem")
+        .select(col("l_partkey").as("node")).distinct()
+        .filter(pmod(col("node"), lit(499)) === 0)
+      var dist = seeds.select(col("node").as("seed"), col("node"),
+        lit(0L).as("dist"), lit(1L).as("sigma")).localCheckpoint(true)
+      for (r <- 1 to BfsRounds) {
+        val contrib = dist.filter(col("dist") === (r - 1).toLong)
+          .join(ed, col("node") === col("src"))
+          .groupBy(col("seed"), col("dst"))
+          .agg(sum(col("sigma")).as("sigma"))
+          .select(col("seed"), col("dst").as("node"),
+            lit(r.toLong).as("dist"), col("sigma"))
+        val fresh = contrib.join(dist.select(col("seed"), col("node")),
+          Seq("seed", "node"), "left_anti")
+        dist = dist.unionAll(fresh).localCheckpoint(true)
+      }
+      def lvl(d: Int) = dist.filter(col("dist") === d.toLong)
+        .select(col("seed"), col("node"), col("sigma"))
+      // δ at depth 3 is 0 (truncation); depth-2 deps from depth-3
+      // successors, then depth-1 deps read them back.
+      val dep2 = lvl(2).as("v")
+        .join(ed, col("v.node") === col("src"))
+        .join(lvl(3).as("w"),
+          col("w.seed") === col("v.seed") && col("w.node") === col("dst"))
+        .groupBy(col("v.seed").as("seed"), col("v.node").as("node"))
+        .agg(sum(expr("(v.sigma * 1000000) div w.sigma")).as("delta"))
+        .localCheckpoint(true)
+      val dep1 = lvl(1).as("v")
+        .join(ed, col("v.node") === col("src"))
+        .join(lvl(2).as("w"),
+          col("w.seed") === col("v.seed") && col("w.node") === col("dst"))
+        .join(dep2.as("dp"),
+          col("dp.seed") === col("w.seed")
+            && col("dp.node") === col("w.node"), "left")
+        .groupBy(col("v.seed").as("seed"), col("v.node").as("node"))
+        .agg(sum(expr(
+          "(v.sigma * (1000000 + coalesce(dp.delta, 0L))) div w.sigma"))
+          .as("delta"))
+      val res = dep1.select(col("node"), col("delta"))
+        .unionAll(dep2.select(col("node"), col("delta")))
+        .groupBy("node")
+        .agg(sum(col("delta").cast("decimal(38,0)")).as("bcd"))
+        .select(col("node"), col("bcd").cast("long").as("bc_scaled"),
+          r4d(col("bcd").cast("double") / lit(1000000.0))
+            .as("betweenness"))
+        .orderBy("node")
+      res
+    }),
+
     // LOCAL CLUSTERING COEFFICIENT — triangles normalized by wedge
     // capacity, cc(v) = 2·T(v)/(deg·(deg−1)): the per-node community
     // density score on top of graph_triangle_count's raw counts (high
@@ -830,6 +905,62 @@ object GraphQueries {
            |    / 6.0 * 10000) / 10000 AS harmonic_3hop
            |FROM d$BfsRounds WHERE dist > 0
            |GROUP BY seed ORDER BY seed""".stripMargin
+    },
+    // Same composite-key BFS unrolled WITH σ (integer shortest-path
+    // counts; new nodes by NOT EXISTS ≡ Spark's anti-join), then the
+    // two dependency stages with the identical 10⁻⁶-unit truncating
+    // per-term division — only integers are summed on both engines.
+    "graph_betweenness" -> {
+      val prelude =
+        """WITH pp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+          |  FROM lineitem),
+          |e0 AS (SELECT DISTINCT x.p AS a, y.p AS b
+          |  FROM pp x JOIN pp y ON x.ok = y.ok AND x.p < y.p),
+          |half AS MATERIALIZED (SELECT a, b FROM e0
+          |  WHERE substring(md5(CAST(a AS VARCHAR) || '_'
+          |    || CAST(b AS VARCHAR)), 1, 1) IN ('0', '1')),
+          |ed AS MATERIALIZED (SELECT a AS src, b AS dst FROM half
+          |  UNION ALL SELECT b, a FROM half),
+          |d0 AS (SELECT p AS seed, p AS node, CAST(0 AS BIGINT) AS dist,
+          |    CAST(1 AS BIGINT) AS sigma
+          |  FROM (SELECT DISTINCT p FROM pp WHERE p % 499 = 0))""".stripMargin
+      val rounds = (1 to BfsRounds).map { i =>
+        s"""c$i AS (SELECT d.seed, ed.dst AS node,
+           |    CAST($i AS BIGINT) AS dist,
+           |    CAST(sum(d.sigma) AS BIGINT) AS sigma
+           |  FROM ed JOIN d${i - 1} d ON ed.src = d.node
+           |  WHERE d.dist = ${i - 1} GROUP BY 1, 2),
+           |d$i AS MATERIALIZED (SELECT * FROM d${i - 1} UNION ALL
+           |  SELECT c.* FROM c$i c WHERE NOT EXISTS (
+           |    SELECT 1 FROM d${i - 1} p
+           |    WHERE p.seed = c.seed AND p.node = c.node))""".stripMargin
+      }.mkString(",\n")
+      s"$prelude,\n$rounds,\n" +
+        s"""lvl1 AS (SELECT seed, node, sigma FROM d$BfsRounds
+           |  WHERE dist = 1),
+           |lvl2 AS (SELECT seed, node, sigma FROM d$BfsRounds
+           |  WHERE dist = 2),
+           |lvl3 AS (SELECT seed, node, sigma FROM d$BfsRounds
+           |  WHERE dist = 3),
+           |dep2 AS MATERIALIZED (SELECT v.seed, v.node,
+           |    CAST(sum((v.sigma * 1000000) // w.sigma) AS BIGINT)
+           |      AS delta
+           |  FROM lvl2 v JOIN ed ON ed.src = v.node
+           |  JOIN lvl3 w ON w.seed = v.seed AND w.node = ed.dst
+           |  GROUP BY 1, 2),
+           |dep1 AS (SELECT v.seed, v.node,
+           |    CAST(sum((v.sigma * (1000000 + coalesce(dp.delta, 0)))
+           |      // w.sigma) AS BIGINT) AS delta
+           |  FROM lvl1 v JOIN ed ON ed.src = v.node
+           |  JOIN lvl2 w ON w.seed = v.seed AND w.node = ed.dst
+           |  LEFT JOIN dep2 dp
+           |    ON dp.seed = w.seed AND dp.node = w.node
+           |  GROUP BY 1, 2)
+           |SELECT node, CAST(sum(delta) AS BIGINT) AS bc_scaled,
+           |  ROUND(CAST(CAST(sum(delta) AS DECIMAL(38,0)) AS DOUBLE)
+           |    / 1000000.0 * 10000) / 10000 + 0.0 AS betweenness
+           |FROM (SELECT * FROM dep1 UNION ALL SELECT * FROM dep2)
+           |GROUP BY node ORDER BY node""".stripMargin
     },
     // Triangle chain + sampled degrees, identical double spelling for
     // the normalization.

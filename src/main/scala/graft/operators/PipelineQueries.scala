@@ -1720,6 +1720,219 @@ object PipelineQueries {
         ((col("cum") - 1) * 4 + 3).as("pos"),
         lit("B").as("grp"), col("doc_id"))
       a.unionByName(b).orderBy("pos")
+    }),
+
+    // COCO-STYLE SUMMARY mAP (§2.108) — the headline number a
+    // detection model card reports: per-class 11-point interpolated
+    // AP at IoU ∈ {0.50, 0.75} (the fixture-appropriate loose/strict
+    // pair), then the mean over classes and thresholds. Composes
+    // eval_det_ap's exact-integer PR machinery (score blocks, cum
+    // BIGINTs, recall gate 10·cum_tp ≥ t·n_gt) with
+    // eval_det_f1_at_iou's integer threshold sweep (inter·100 ≥
+    // uni·thr; matching re-runs PER threshold — a pair can match at
+    // 0.50 and fail 0.75) and makes it CLASS-AWARE: classes come from
+    // k % 5 (consistent between gt and preds by construction), the
+    // candidate join keys on (image, class) — COCO never matches
+    // across classes — and every window adds (thr, cls) to its
+    // partition key. Determinism: the only double SUMS are the
+    // 11-point and 5-class means, both folded over array_sort'ed
+    // bounded lists (the entropy-key device) — order-free because the
+    // sequence is pinned by value. Shape: the corpus reduces to
+    // ≤ 2·5·1000 score blocks before the only cross-image windows;
+    // everything upstream partitions per (thr, cls, image, box).
+    // Output: one row per class (ap50/ap75/row mean) + the cls = −1
+    // summary row whose `map` IS the COCO headline.
+    "eval_map_coco" -> ((s, dir) => {
+      val base = t(s, dir, "part").select(col("p_partkey").as("k"),
+        col("p_size").cast("long").as("sz"),
+        round(col("p_retailprice") * 100).cast("long").as("cents"))
+        .select(col("k"), col("sz"), col("cents"),
+          expr("k div 64").as("image_id"),
+          (col("k") % 5).as("cls"),
+          ((col("k") % 8) * 100).as("gx1"),
+          (expr("(k % 64) div 8") * 100).as("gy1"))
+        .withColumn("gx2", col("gx1") + 40 + col("sz") % 20)
+        .withColumn("gy2", col("gy1") + 60 + col("k") % 13)
+      val gt = base.select(col("image_id"), col("cls"),
+        col("k").as("gt_id"),
+        col("gx1"), col("gy1"), col("gx2"), col("gy2"))
+      val jit = base.filter(col("k") % 13 =!= 0)
+        .withColumn("dx", col("sz") % 9 - 4
+          + when(col("k") % 17 === 0, 30).otherwise(0))
+        .withColumn("dy", col("cents") % 11 - 5)
+        .select(col("image_id"), col("cls"), col("k").as("det_id"),
+          (col("gx1") + col("dx")).as("px1"),
+          (col("gy1") + col("dy")).as("py1"),
+          (col("gx2") + col("dx")).as("px2"),
+          (col("gy2") + col("dy")).as("py2"))
+      val fp = base.filter(col("k") % 11 === 0)
+        .select(col("image_id"), col("cls"),
+          (col("k") + 100000000L).as("det_id"),
+          (col("gx1") + 50).as("px1"), (col("gy1") + 50).as("py1"),
+          (col("gx1") + 90).as("px2"), (col("gy1") + 110).as("py2"))
+      // Same bounded Knuth-hash score as eval_det_ap (pmod BEFORE the
+      // multiply — the round-11 BIGINT-overflow fix).
+      val pred = jit.unionAll(fp)
+        .withColumn("score",
+          pmod(pmod(col("det_id"), lit(1000000L)) * 2654435761L,
+            lit(1000L)))
+      val pairs = gt.join(pred, Seq("image_id", "cls"))
+        .withColumn("inter",
+          greatest(lit(0L), least(col("gx2"), col("px2"))
+            - greatest(col("gx1"), col("px1")))
+          * greatest(lit(0L), least(col("gy2"), col("py2"))
+            - greatest(col("gy1"), col("py1"))))
+        .withColumn("uni",
+          (col("gx2") - col("gx1")) * (col("gy2") - col("gy1"))
+          + (col("px2") - col("px1")) * (col("py2") - col("py1"))
+          - col("inter"))
+        .withColumn("thr", explode(array(lit(50L), lit(75L))))
+        .filter(col("inter") * 100 >= col("uni") * col("thr"))
+        .withColumn("iou",
+          col("inter").cast("double") / col("uni").cast("double"))
+      val wg = Window.partitionBy("thr", "cls", "image_id", "gt_id")
+        .orderBy(col("iou").desc, col("det_id"))
+      val wd = Window.partitionBy("thr", "cls", "image_id", "det_id")
+        .orderBy(col("iou").desc, col("gt_id"))
+      val tpDet = pairs.withColumn("rg", row_number().over(wg))
+        .withColumn("rd", row_number().over(wd))
+        .filter(col("rg") === 1 && col("rd") === 1)
+        .select(col("thr"), col("cls"), col("image_id"), col("det_id"),
+          lit(1L).as("is_tp"))
+      val predT = pred
+        .withColumn("thr", explode(array(lit(50L), lit(75L))))
+      val scored = predT
+        .join(tpDet, Seq("thr", "cls", "image_id", "det_id"), "left")
+        .groupBy("thr", "cls", "score")
+        .agg(count(lit(1)).as("n_det_s"),
+          coalesce(sum(col("is_tp")), lit(0L)).as("n_tp_s"))
+      val wCum = Window.partitionBy("thr", "cls")
+        .orderBy(col("score").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val blocks = scored
+        .withColumn("cum_det", sum(col("n_det_s")).over(wCum))
+        .withColumn("cum_tp", sum(col("n_tp_s")).over(wCum))
+      val nGt = gt.groupBy("cls").agg(count(lit(1)).as("n_gt"))
+      val curve = blocks.join(broadcast(nGt), Seq("cls"))
+        .select(col("thr"), col("cls"), col("n_gt"),
+          col("cum_det"), col("cum_tp"),
+          (col("cum_tp").cast("double") / col("cum_det").cast("double"))
+            .as("prec"))
+      val grid = s.range(0, 5).select(col("id").as("cls"))
+        .crossJoin(s.range(1, 3).select((col("id") * 25 + 25).as("thr")))
+        .crossJoin(s.range(0, 11).select(col("id").as("t10")))
+      val pint = grid.as("g").join(curve.as("c"),
+          col("g.cls") === col("c.cls") && col("g.thr") === col("c.thr")
+            && lit(10L) * col("c.cum_tp") >= col("g.t10") * col("c.n_gt"),
+          "left")
+        .groupBy(col("g.cls").as("cls"), col("g.thr").as("thr"),
+          col("g.t10").as("t10"))
+        .agg(coalesce(max(col("prec")), lit(0.0)).as("p"))
+      val ap = pint.groupBy("cls", "thr")
+        .agg(array_sort(collect_list(col("p"))).as("ps"),
+          count(lit(1)).as("n"))
+        .select(col("cls"), col("thr"),
+          (aggregate(col("ps"), lit(0.0), (a, x) => a + x) / col("n"))
+            .as("ap"))
+      val perCls = ap.groupBy("cls")
+        .agg(max(when(col("thr") === 50, col("ap"))).as("ap50"),
+          max(when(col("thr") === 75, col("ap"))).as("ap75"))
+        .withColumn("apm", (col("ap50") + col("ap75")) / 2)
+      val summary = perCls
+        .agg(array_sort(collect_list(col("ap50"))).as("l50"),
+          array_sort(collect_list(col("ap75"))).as("l75"),
+          array_sort(collect_list(col("apm"))).as("lm"),
+          count(lit(1)).as("n"))
+        .select(lit(-1L).as("cls"),
+          (aggregate(col("l50"), lit(0.0), (a, x) => a + x) / col("n"))
+            .as("ap50"),
+          (aggregate(col("l75"), lit(0.0), (a, x) => a + x) / col("n"))
+            .as("ap75"),
+          (aggregate(col("lm"), lit(0.0), (a, x) => a + x) / col("n"))
+            .as("apm"))
+      perCls.select(col("cls"), col("ap50"), col("ap75"), col("apm"))
+        .unionAll(summary)
+        .select(col("cls"), r4d(col("ap50")).as("ap50"),
+          r4d(col("ap75")).as("ap75"), r4d(col("apm")).as("map"))
+        .orderBy("cls")
+    }),
+
+    // DETECTION TRACK STITCHING (§2.108) — the aerial-survey follow-on
+    // to multimodal_nms: link detections across CONSECUTIVE frames by
+    // IoU-mutual-best matching (exact-integer 2·inter ≥ union gate,
+    // rank-1 in both directions with integer tie-breaks — the
+    // eval_det_match device applied frame-to-frame instead of
+    // gt-to-pred), then label the resulting chains with track ids.
+    // Each detection has ≤ 1 predecessor and ≤ 1 successor by the
+    // one-to-one matching, so tracks are PATHS, and the labeling is 3
+    // rounds of POINTER DOUBLING (root pointer after round r covers
+    // 2^r hops) — not an unbounded fixpoint. The fixture bounds every
+    // chain by construction: detections drop where k % 7 = 0, and
+    // since 64 ≡ 1 (mod 7) each grid cell's stream has a hole at
+    // least every 7 frames → ≤ 5 links per chain < 2³. Frames scale
+    // with the corpus (k div 64) while per-frame detection counts
+    // stay the 8×8-grid constant, so the frame-pair candidate join is
+    // corpus-linear with a ≤ 64² per-pair bound; the doubling rounds
+    // are three O(|dets|) self-equi-joins over an eagerly
+    // checkpointed pointer table (the MMR plan-blowup lesson).
+    "multimodal_track_stitch" -> ((s, dir) => {
+      val det = t(s, dir, "part").select(col("p_partkey").as("k"),
+        col("p_size").cast("long").as("sz"),
+        round(col("p_retailprice") * 100).cast("long").as("cents"))
+        .filter(col("k") % 7 =!= 0)
+        .select(col("k"), expr("k div 64").as("frame"),
+          ((col("k") % 8) * 100 + col("sz") % 9 - 4).as("x1"),
+          (expr("(k % 64) div 8") * 100 + col("cents") % 11 - 5)
+            .as("y1"),
+          col("sz"))
+        .withColumn("x2", col("x1") + 40 + col("sz") % 20)
+        .withColumn("y2", col("y1") + 60 + col("k") % 13)
+        .select(col("k").as("det_id"), col("frame"),
+          col("x1"), col("y1"), col("x2"), col("y2"))
+        .localCheckpoint(true)
+      val pairs = det.as("a").join(det.as("b"),
+          col("a.frame") + 1 === col("b.frame"))
+        .withColumn("inter",
+          greatest(lit(0L), least(col("a.x2"), col("b.x2"))
+            - greatest(col("a.x1"), col("b.x1")))
+          * greatest(lit(0L), least(col("a.y2"), col("b.y2"))
+            - greatest(col("a.y1"), col("b.y1"))))
+        .withColumn("uni",
+          (col("a.x2") - col("a.x1")) * (col("a.y2") - col("a.y1"))
+          + (col("b.x2") - col("b.x1")) * (col("b.y2") - col("b.y1"))
+          - col("inter"))
+        .filter(col("inter") * 2 >= col("uni"))
+        .withColumn("iou",
+          col("inter").cast("double") / col("uni").cast("double"))
+        .select(col("a.det_id").as("ida"), col("b.det_id").as("idb"),
+          col("iou"))
+      val wa = Window.partitionBy("ida")
+        .orderBy(col("iou").desc, col("idb"))
+      val wb = Window.partitionBy("idb")
+        .orderBy(col("iou").desc, col("ida"))
+      val links = pairs.withColumn("ra", row_number().over(wa))
+        .withColumn("rb", row_number().over(wb))
+        .filter(col("ra") === 1 && col("rb") === 1)
+        .select(col("ida"), col("idb"))
+      var ptr = det.select(col("det_id"))
+        .join(links.select(col("idb").as("det_id"), col("ida")),
+          Seq("det_id"), "left")
+        .select(col("det_id"),
+          coalesce(col("ida"), col("det_id")).as("ptr"))
+        .localCheckpoint(true)
+      for (_ <- 1 to 3) {
+        ptr = ptr.as("x").join(ptr.as("y"),
+            col("x.ptr") === col("y.det_id"))
+          .select(col("x.det_id").as("det_id"),
+            col("y.ptr").as("ptr"))
+          .localCheckpoint(true)
+      }
+      ptr.join(det.select(col("det_id"), col("frame")), Seq("det_id"))
+        .groupBy(col("ptr").as("track_id"))
+        .agg(count(lit(1)).as("n_dets"),
+          min(col("frame")).as("frame_first"),
+          max(col("frame")).as("frame_last"))
+        .orderBy("track_id")
     })
   )
 
@@ -2715,7 +2928,156 @@ object PipelineQueries {
         |    / 10000.0 AS jw
         |FROM n a JOIN n b ON a.blk = b.blk AND a.p_name < b.p_name
         |WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.8
-        |ORDER BY name_a, name_b""".stripMargin
+        |ORDER BY name_a, name_b""".stripMargin,
+    // Class-aware det_ap sweep: same fixture CTEs with cls = k % 5,
+    // the matcher keyed (thr, cls, image), and the two double means
+    // folded over list_sort'ed lists (the entropy-key device).
+    "eval_map_coco" ->
+      """WITH base AS (SELECT p_partkey AS k,
+        |    CAST(p_size AS BIGINT) AS sz,
+        |    CAST(round(p_retailprice * 100) AS BIGINT) AS cents,
+        |    p_partkey // 64 AS image_id,
+        |    p_partkey % 5 AS cls,
+        |    (p_partkey % 8) * 100 AS gx1,
+        |    ((p_partkey % 64) // 8) * 100 AS gy1
+        |  FROM part),
+        |bb AS (SELECT *, gx1 + 40 + sz % 20 AS gx2,
+        |    gy1 + 60 + k % 13 AS gy2 FROM base),
+        |gt AS (SELECT image_id, cls, k AS gt_id, gx1, gy1, gx2, gy2
+        |  FROM bb),
+        |jit AS (SELECT image_id, cls, k AS det_id,
+        |    gx1 + sz % 9 - 4 + CASE WHEN k % 17 = 0 THEN 30 ELSE 0 END
+        |      AS px1,
+        |    gy1 + cents % 11 - 5 AS py1,
+        |    gx2 + sz % 9 - 4 + CASE WHEN k % 17 = 0 THEN 30 ELSE 0 END
+        |      AS px2,
+        |    gy2 + cents % 11 - 5 AS py2
+        |  FROM bb WHERE k % 13 <> 0),
+        |fpd AS (SELECT image_id, cls, k + 100000000 AS det_id,
+        |    gx1 + 50 AS px1, gy1 + 50 AS py1,
+        |    gx1 + 90 AS px2, gy1 + 110 AS py2
+        |  FROM bb WHERE k % 11 = 0),
+        |pred AS (SELECT *,
+        |    ((det_id % 1000000) * 2654435761) % 1000 AS score
+        |  FROM (SELECT * FROM jit UNION ALL SELECT * FROM fpd)),
+        |pr AS (SELECT g.image_id, g.cls, g.gt_id, p.det_id,
+        |    greatest(0, least(g.gx2, p.px2) - greatest(g.gx1, p.px1))
+        |      * greatest(0, least(g.gy2, p.py2) - greatest(g.gy1, p.py1))
+        |      AS inter,
+        |    (g.gx2 - g.gx1) * (g.gy2 - g.gy1)
+        |      + (p.px2 - p.px1) * (p.py2 - p.py1) AS areas
+        |  FROM gt g JOIN pred p USING (image_id, cls)),
+        |pairs AS (SELECT thr, image_id, cls, gt_id, det_id,
+        |    CAST(inter AS DOUBLE) / CAST(areas - inter AS DOUBLE) AS iou
+        |  FROM pr, LATERAL (SELECT unnest([50, 75]) AS thr)
+        |  WHERE inter * 100 >= (areas - inter) * thr),
+        |rk AS (SELECT thr, image_id, cls, gt_id, det_id,
+        |    row_number() OVER (PARTITION BY thr, cls, image_id, gt_id
+        |      ORDER BY iou DESC, det_id) AS rg,
+        |    row_number() OVER (PARTITION BY thr, cls, image_id, det_id
+        |      ORDER BY iou DESC, gt_id) AS rd
+        |  FROM pairs),
+        |tp AS (SELECT thr, cls, image_id, det_id FROM rk
+        |  WHERE rg = 1 AND rd = 1),
+        |predt AS (SELECT p.*, thr
+        |  FROM pred p, LATERAL (SELECT unnest([50, 75]) AS thr)),
+        |sc AS (SELECT p.thr, p.cls, score, count(*) AS n_det_s,
+        |    count(t.det_id) AS n_tp_s
+        |  FROM predt p LEFT JOIN tp t
+        |    ON t.thr = p.thr AND t.cls = p.cls
+        |      AND t.image_id = p.image_id AND t.det_id = p.det_id
+        |  GROUP BY 1, 2, 3),
+        |blocks AS (SELECT thr, cls, score,
+        |    CAST(sum(n_det_s) OVER (PARTITION BY thr, cls
+        |      ORDER BY score DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum_det,
+        |    CAST(sum(n_tp_s) OVER (PARTITION BY thr, cls
+        |      ORDER BY score DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum_tp
+        |  FROM sc),
+        |ng AS (SELECT cls, count(*) AS n_gt FROM gt GROUP BY 1),
+        |curve AS (SELECT b.thr, b.cls, ng.n_gt, b.cum_det, b.cum_tp,
+        |    CAST(cum_tp AS DOUBLE) / CAST(cum_det AS DOUBLE) AS prec
+        |  FROM blocks b JOIN ng USING (cls)),
+        |grid AS (SELECT CAST(c AS BIGINT) AS cls,
+        |    CAST(thr AS BIGINT) AS thr, CAST(t AS BIGINT) AS t10
+        |  FROM (SELECT unnest(range(0, 5)) AS c),
+        |    (SELECT unnest([50, 75]) AS thr),
+        |    (SELECT unnest(range(0, 11)) AS t)),
+        |pint AS (SELECT g.cls, g.thr, g.t10,
+        |    coalesce(max(prec), 0.0) AS p
+        |  FROM grid g LEFT JOIN curve c
+        |    ON c.cls = g.cls AND c.thr = g.thr
+        |      AND 10 * c.cum_tp >= g.t10 * c.n_gt
+        |  GROUP BY 1, 2, 3),
+        |ap AS (SELECT cls, thr,
+        |    list_aggregate(list_sort(list(p)), 'sum') / count(*) AS ap
+        |  FROM pint GROUP BY 1, 2),
+        |percls AS (SELECT cls,
+        |    max(CASE WHEN thr = 50 THEN ap END) AS ap50,
+        |    max(CASE WHEN thr = 75 THEN ap END) AS ap75,
+        |    (max(CASE WHEN thr = 50 THEN ap END)
+        |      + max(CASE WHEN thr = 75 THEN ap END)) / 2 AS apm
+        |  FROM ap GROUP BY 1),
+        |summ AS (SELECT CAST(-1 AS BIGINT) AS cls,
+        |    list_aggregate(list_sort(list(ap50)), 'sum') / count(*)
+        |      AS ap50,
+        |    list_aggregate(list_sort(list(ap75)), 'sum') / count(*)
+        |      AS ap75,
+        |    list_aggregate(list_sort(list(apm)), 'sum') / count(*)
+        |      AS apm
+        |  FROM percls)
+        |SELECT cls, ROUND(ap50 * 10000) / 10000 + 0.0 AS ap50,
+        |  ROUND(ap75 * 10000) / 10000 + 0.0 AS ap75,
+        |  ROUND(apm * 10000) / 10000 + 0.0 AS map
+        |FROM (SELECT * FROM percls UNION ALL SELECT * FROM summ)
+        |ORDER BY cls""".stripMargin,
+    // Same frame-pair matcher in SQL; the three pointer doublings are
+    // unrolled self-joins (chains are < 2³ links by the k % 7 holes).
+    "multimodal_track_stitch" ->
+      """WITH d AS (SELECT p_partkey AS k,
+        |    CAST(p_size AS BIGINT) AS sz,
+        |    CAST(round(p_retailprice * 100) AS BIGINT) AS cents
+        |  FROM part WHERE p_partkey % 7 <> 0),
+        |det AS (SELECT k AS det_id, k // 64 AS frame,
+        |    (k % 8) * 100 + sz % 9 - 4 AS x1,
+        |    ((k % 64) // 8) * 100 + cents % 11 - 5 AS y1,
+        |    (k % 8) * 100 + sz % 9 - 4 + 40 + sz % 20 AS x2,
+        |    ((k % 64) // 8) * 100 + cents % 11 - 5 + 60 + k % 13 AS y2
+        |  FROM d),
+        |pr AS (SELECT a.det_id AS ida, b.det_id AS idb,
+        |    greatest(0, least(a.x2, b.x2) - greatest(a.x1, b.x1))
+        |      * greatest(0, least(a.y2, b.y2) - greatest(a.y1, b.y1))
+        |      AS inter,
+        |    (a.x2 - a.x1) * (a.y2 - a.y1)
+        |      + (b.x2 - b.x1) * (b.y2 - b.y1) AS areas
+        |  FROM det a JOIN det b ON a.frame + 1 = b.frame),
+        |pairs AS (SELECT ida, idb,
+        |    CAST(inter AS DOUBLE) / CAST(areas - inter AS DOUBLE) AS iou
+        |  FROM pr WHERE inter * 2 >= areas - inter),
+        |rk AS (SELECT ida, idb,
+        |    row_number() OVER (PARTITION BY ida
+        |      ORDER BY iou DESC, idb) AS ra,
+        |    row_number() OVER (PARTITION BY idb
+        |      ORDER BY iou DESC, ida) AS rb
+        |  FROM pairs),
+        |links AS MATERIALIZED (SELECT ida, idb FROM rk
+        |  WHERE ra = 1 AND rb = 1),
+        |p0 AS MATERIALIZED (SELECT det.det_id,
+        |    coalesce(l.ida, det.det_id) AS ptr
+        |  FROM det LEFT JOIN links l ON l.idb = det.det_id),
+        |p1 AS (SELECT x.det_id, y.ptr FROM p0 x
+        |  JOIN p0 y ON x.ptr = y.det_id),
+        |p2 AS (SELECT x.det_id, y.ptr FROM p1 x
+        |  JOIN p1 y ON x.ptr = y.det_id),
+        |p3 AS (SELECT x.det_id, y.ptr FROM p2 x
+        |  JOIN p2 y ON x.ptr = y.det_id)
+        |SELECT p3.ptr AS track_id, count(*) AS n_dets,
+        |  min(frame) AS frame_first, max(frame) AS frame_last
+        |FROM p3 JOIN det ON det.det_id = p3.det_id
+        |GROUP BY 1 ORDER BY 1""".stripMargin
     // dedup_simhash: engine-pinned xxhash64 → property-tested, no oracle.
   )
 }

@@ -382,10 +382,13 @@ class InventorySpec extends SparkSpec {
     "ts_records_count",
     // §2.107 round-13 legalization: ego-network density (implemented
     // end of round 12, amendment landed round 13)
-    "graph_ego_density")
+    "graph_ego_density",
+    // §2.108 round-13 first wave: COCO mAP, truncated Brandes
+    // betweenness, detection track stitching
+    "eval_map_coco", "graph_betweenness", "multimodal_track_stitch")
 
-  test("declared queries cover SURVEY §2 + §2.12-107 exactly (435 keys)") {
-    assert(inventory.size == 435)
+  test("declared queries cover SURVEY §2 + §2.12-108 exactly (438 keys)") {
+    assert(inventory.size == 438)
     val declared = SparkEntry.queries.keySet
     val missing = inventory -- declared
     val extra = declared -- inventory
@@ -416,5 +419,27 @@ class InventorySpec extends SparkSpec {
     assert(oracleInReadme.contains((oracleCount, oracleCount)),
       s"README oracle-sweep count $oracleInReadme != " +
         s"$oracleCount/$oracleCount actual (update README Status)")
+  }
+
+  // Rounds 10 and 12 both shipped bench-heavy keys with no measured
+  // scale exponent (VERDICT r12 item 3) — nothing pinned the rule, so
+  // pin it: every key in BENCH_FULL.json's top-10 cost must be in
+  // ScaleStress's instrumented set. A new heavy landing unmeasured
+  // goes red here at the next full-suite run.
+  test("every BENCH_FULL top-10 key has a ScaleStress row") {
+    val bench = new String(
+      java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("BENCH_FULL.json")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val qObj = bench.substring(bench.indexOf("\"queries\""))
+    val pair = """"([a-z0-9_]+)":([0-9]+\.?[0-9]*)""".r
+    val times = pair.findAllMatchIn(qObj)
+      .map(m => m.group(1) -> m.group(2).toDouble).toSeq
+    assert(times.size > 100, "BENCH_FULL.json queries map parse failed")
+    val top = times.sortBy(-_._2).take(10).map(_._1)
+    val unmeasured = top.filterNot(ScaleStress.measuredKeys)
+    assert(unmeasured.isEmpty,
+      s"bench top-10 keys with no ScaleStress instrumentation " +
+        s"(add to SfSeriesKeys and measure): $unmeasured")
   }
 }
