@@ -1357,4 +1357,32 @@ class PlanAuditSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).size >= 4,
       s"histogram reduce must precede the window: ${p.take(3000)}")
   }
+
+  test("COCO mAP: class-aware matcher keys (thr, cls, image), per-class partial aggs, no cartesian") {
+    val p = plan("eval_map_coco")
+    // The only crossJoins are the bounded grid builders and the
+    // broadcast per-class gt totals — never the detection tables.
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    // The matcher and score-block windows must partition per
+    // (thr, cls, …): a window missing cls would mix classes.
+    assert(p.contains("Exchange hashpartitioning(thr")
+      || p.contains("Exchange hashpartitioning(cls"),
+      s"windows must shuffle per (thr, cls): ${p.take(3000)}")
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      s"score blocks must reduce partially before the window: ${p.take(3000)}")
+  }
+
+  test("track stitching: frame-pair equi-join + pointer-doubling equi-joins, no nested loop") {
+    val p = plan("multimodal_track_stitch")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"frame-pair candidates degenerated to a nested loop: ${p.take(2000)}")
+  }
+
+  test("betweenness dependency pass: (seed, node) equi-joins only, no cartesian") {
+    val p = plan("graph_betweenness")
+    assert(!p.contains("CartesianProduct")
+      && !p.contains("BroadcastNestedLoopJoin"),
+      s"dependency stages must stay equi-joins: ${p.take(2500)}")
+  }
 }
