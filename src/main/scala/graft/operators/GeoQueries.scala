@@ -366,6 +366,107 @@ object GeoQueries {
           (col("nn.cand_user") =!= col("user_id")).as("cross_platform"),
           r4d(sqrt(col("nn.d2").cast("double")) / lit(32.0)).as("nn_deg"))
         .orderBy("event_id")
+    }),
+
+    // TRACK SINUOSITY (§2.111) — path length over net displacement
+    // per platform: the straightness index movement ecology reads off
+    // every track (≈1 = transit line, ≫1 = area-restricted search).
+    // Path = geo_track_length's leg sum (same haversine, same 4dp
+    // absorption); NET is ONE haversine between the first and last
+    // sighting (exact (ms, event_id)-ordered endpoints via two window
+    // ranks); sinuosity is one division, null when the endpoints
+    // coincide. Shape: one user-keyed exchange serves the lag window
+    // AND both rank endpoints; everything after is a per-user reduce.
+    "geo_sinuosity" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ms", "event_id")
+      val wd = Window.partitionBy("user_id")
+        .orderBy(col("ms").desc, col("event_id").desc)
+      val p = sightings(s, dir)
+      val legs = p
+        .withColumn("plat", lag(col("lat"), 1).over(w))
+        .withColumn("plon", lag(col("lon"), 1).over(w))
+        .filter(col("plat").isNotNull)
+        .withColumn("leg_km",
+          legKm(col("lat"), col("lon"), col("plat"), col("plon")))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_legs"),
+          sum(col("leg_km")).as("path_km0"))
+      val ends = p.withColumn("ra", row_number().over(w))
+        .withColumn("rd", row_number().over(wd))
+      val first = ends.filter(col("ra") === 1)
+        .select(col("user_id"), col("lat").as("flat"),
+          col("lon").as("flon"))
+      val last = ends.filter(col("rd") === 1)
+        .select(col("user_id"), col("lat").as("llat"),
+          col("lon").as("llon"))
+      legs.join(first, Seq("user_id")).join(last, Seq("user_id"))
+        .withColumn("net_km0",
+          legKm(col("llat"), col("llon"), col("flat"), col("flon")))
+        .select(col("user_id"), col("n_legs"),
+          r4d(col("path_km0")).as("track_km"),
+          r4d(col("net_km0")).as("net_km"),
+          when(col("net_km0") > 0,
+            r4d(col("path_km0") / col("net_km0"))).as("sinuosity"))
+        .orderBy("user_id")
+    }),
+
+    // GRID DBSCAN-LITE (§2.111) — density clusters on the survey
+    // grid: CORE cells are those whose sighting count clears 2× the
+    // mean occupancy (data-adaptive, so the Poisson tail separates
+    // signal from the uniform floor), clusters are 8-connected core
+    // cells labeled by FIVE unrolled min-label rounds — the
+    // graph_label_prop contract verbatim: a FIXED-round propagation
+    // is the declared semantic (bit-replayable on any corpus;
+    // converged on the fixture by the cell geometry). The corpus
+    // appears ONLY in the first reduce: clustering runs on the
+    // bounded ≤(90×180)-cell table, adjacency is the 3×3 scatter
+    // stencil (geo_nn_screening's device — an equi-join, never a
+    // cell-pair inequality join). Cell labels are the integer-encoded
+    // cell key, min-folded; cluster ids are therefore stable keys,
+    // not densities.
+    "geo_dbscan_cells" -> ((s, dir) => {
+      val cells = sightings(s, dir)
+        .select(floor(col("lat") / 2).cast("long").as("cla"),
+          floor(col("lon") / 2).cast("long").as("clo"))
+        .groupBy("cla", "clo").agg(count(lit(1)).as("n"))
+        .localCheckpoint(true)
+      val mean = cells.agg((sum(col("n")) * 2).as("num"),
+        count(lit(1)).as("den"))
+      val core = cells.crossJoin(broadcast(mean))
+        .filter(col("n") * col("den") >= col("num"))
+        .select(col("cla"), col("clo"), col("n"),
+          ((col("cla") + 90) * 1000 + col("clo") + 180).as("key"))
+        .localCheckpoint(true)
+      // Adjacency PAIRS among core cells (self included via the
+      // (0,0) stencil element), built once: label flows one hop per
+      // round through min over neighbors' CURRENT labels.
+      val scatter = core
+        .withColumn("di", explode(sequence(lit(-1L), lit(1L))))
+        .withColumn("dj", explode(sequence(lit(-1L), lit(1L))))
+        .select((col("cla") + col("di")).as("cla"),
+          (col("clo") + col("dj")).as("clo"),
+          col("key").as("nb_key"))
+      val adj = core.select(col("cla"), col("clo"), col("key"))
+        .join(scatter, Seq("cla", "clo"))
+        .select(col("key"), col("nb_key"))
+        .localCheckpoint(true)
+      var lbl = core.select(col("key"), col("key").as("lbl"))
+      for (_ <- 1 to 5) {
+        lbl = adj
+          .join(lbl.select(col("key").as("nb_key"), col("lbl")),
+            Seq("nb_key"))
+          .groupBy("key").agg(min(col("lbl")).as("lbl"))
+          .localCheckpoint(true)
+      }
+      lbl.join(core.select(col("key"), col("cla"), col("clo"),
+          col("n")), Seq("key"))
+        .groupBy(col("lbl").as("cluster_id"))
+        .agg(count(lit(1)).as("n_cells"),
+          sum(col("n")).cast("long").as("n_sightings"),
+          min(col("cla")).as("min_cla"), max(col("cla")).as("max_cla"),
+          min(col("clo")).as("min_clo"), max(col("clo")).as("max_clo"))
+        .orderBy("cluster_id")
     }))
 
   val oracle: Map[String, String] = Map(
@@ -599,5 +700,92 @@ object GeoQueries {
         |  cand_user <> user_id AS cross_platform,
         |  ROUND(sqrt(CAST(d2 AS DOUBLE)) / 32.0 * 10000) / 10000
         |    AS nn_deg
-        |FROM rk WHERE r = 1 ORDER BY event_id""".stripMargin)
+        |FROM rk WHERE r = 1 ORDER BY event_id""".stripMargin,
+    // Same leg sum and rank-endpoint net haversine; sinuosity null on
+    // coincident endpoints.
+    "geo_sinuosity" ->
+      """WITH p AS (SELECT event_id, user_id, epoch_ms(ts) AS ms,
+        |    CAST(event_id % 1440 AS DOUBLE) / 8 - 90 AS lat,
+        |    CAST((user_id * 997 + event_id * 31) % 11520 AS DOUBLE)
+        |      / 32 - 180 AS lon
+        |  FROM events),
+        |lg AS (SELECT user_id, lat, lon,
+        |    lag(lat) OVER w AS plat, lag(lon) OVER w AS plon
+        |  FROM p WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)),
+        |k AS (SELECT user_id,
+        |    sin((lat - plat) * pi() / 180 / 2)
+        |      * sin((lat - plat) * pi() / 180 / 2)
+        |    + cos(plat * pi() / 180) * cos(lat * pi() / 180)
+        |      * sin((lon - plon) * pi() / 180 / 2)
+        |      * sin((lon - plon) * pi() / 180 / 2) AS a
+        |  FROM lg WHERE plat IS NOT NULL),
+        |legs AS (SELECT user_id, count(*) AS n_legs,
+        |    sum(2.0 * 6371.0
+        |      * atan2(sqrt(a), sqrt(greatest(0.0, 1.0 - a)))) AS path0
+        |  FROM k GROUP BY user_id),
+        |ends AS (SELECT user_id, lat, lon,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ms, event_id) AS ra,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ms DESC, event_id DESC) AS rd
+        |  FROM p),
+        |fl AS (SELECT f.user_id, f.lat AS flat, f.lon AS flon,
+        |    l.lat AS llat, l.lon AS llon
+        |  FROM (SELECT * FROM ends WHERE ra = 1) f
+        |  JOIN (SELECT * FROM ends WHERE rd = 1) l USING (user_id)),
+        |net AS (SELECT user_id,
+        |    2.0 * 6371.0 * atan2(sqrt(a),
+        |      sqrt(greatest(0.0, 1.0 - a))) AS net0
+        |  FROM (SELECT user_id,
+        |      sin((llat - flat) * pi() / 180 / 2)
+        |        * sin((llat - flat) * pi() / 180 / 2)
+        |      + cos(flat * pi() / 180) * cos(llat * pi() / 180)
+        |        * sin((llon - flon) * pi() / 180 / 2)
+        |        * sin((llon - flon) * pi() / 180 / 2) AS a, user_id
+        |    FROM fl))
+        |SELECT legs.user_id, n_legs,
+        |  ROUND(path0 * 10000) / 10000 AS track_km,
+        |  ROUND(net0 * 10000) / 10000 AS net_km,
+        |  CASE WHEN net0 > 0
+        |    THEN ROUND(path0 / net0 * 10000) / 10000 END AS sinuosity
+        |FROM legs JOIN net ON legs.user_id = net.user_id
+        |ORDER BY legs.user_id""".stripMargin,
+    // Same adaptive core cut and 5 unrolled min-label rounds over the
+    // bounded cell table.
+    "geo_dbscan_cells" -> {
+      val prelude =
+        """WITH p AS (SELECT
+          |    CAST(event_id % 1440 AS DOUBLE) / 8 - 90 AS lat,
+          |    CAST((user_id * 997 + event_id * 31) % 11520 AS DOUBLE)
+          |      / 32 - 180 AS lon
+          |  FROM events),
+          |cells AS (SELECT CAST(floor(lat / 2) AS BIGINT) AS cla,
+          |    CAST(floor(lon / 2) AS BIGINT) AS clo, count(*) AS n
+          |  FROM p GROUP BY 1, 2),
+          |mean AS (SELECT CAST(sum(n) * 2 AS BIGINT) AS num,
+          |    count(*) AS den FROM cells),
+          |core AS MATERIALIZED (SELECT cla, clo, n,
+          |    (cla + 90) * 1000 + clo + 180 AS key
+          |  FROM cells, mean WHERE n * den >= num),
+          |adj AS MATERIALIZED (SELECT c.key, s.nb_key
+          |  FROM core c JOIN (SELECT cla + di AS cla, clo + dj AS clo,
+          |      key AS nb_key
+          |    FROM core,
+          |      (SELECT unnest(range(-1, 2)) AS di),
+          |      (SELECT unnest(range(-1, 2)) AS dj)) s
+          |    ON s.cla = c.cla AND s.clo = c.clo),
+          |l0 AS (SELECT key, key AS lbl FROM core)""".stripMargin
+      val rounds = (1 to 5).map { i =>
+        s"""l$i AS MATERIALIZED (SELECT a.key, min(p.lbl) AS lbl
+           |  FROM adj a JOIN l${i - 1} p ON p.key = a.nb_key
+           |  GROUP BY 1)""".stripMargin
+      }.mkString(",\n")
+      s"$prelude,\n$rounds\n" +
+        """SELECT lbl AS cluster_id, count(*) AS n_cells,
+          |  CAST(sum(n) AS BIGINT) AS n_sightings,
+          |  min(cla) AS min_cla, max(cla) AS max_cla,
+          |  min(clo) AS min_clo, max(clo) AS max_clo
+          |FROM l5 JOIN core USING (key)
+          |GROUP BY lbl ORDER BY cluster_id""".stripMargin
+    })
 }

@@ -1876,65 +1876,140 @@ object PipelineQueries {
     // are three O(|dets|) self-equi-joins over an eagerly
     // checkpointed pointer table (the MMR plan-blowup lesson).
     "multimodal_track_stitch" -> ((s, dir) => {
-      val det = t(s, dir, "part").select(col("p_partkey").as("k"),
-        col("p_size").cast("long").as("sz"),
-        round(col("p_retailprice") * 100).cast("long").as("cents"))
-        .filter(col("k") % 7 =!= 0)
-        .select(col("k"), expr("k div 64").as("frame"),
-          ((col("k") % 8) * 100 + col("sz") % 9 - 4).as("x1"),
-          (expr("(k % 64) div 8") * 100 + col("cents") % 11 - 5)
-            .as("y1"),
-          col("sz"))
-        .withColumn("x2", col("x1") + 40 + col("sz") % 20)
-        .withColumn("y2", col("y1") + 60 + col("k") % 13)
-        .select(col("k").as("det_id"), col("frame"),
-          col("x1"), col("y1"), col("x2"), col("y2"))
-        .localCheckpoint(true)
-      val pairs = det.as("a").join(det.as("b"),
-          col("a.frame") + 1 === col("b.frame"))
-        .withColumn("inter",
-          greatest(lit(0L), least(col("a.x2"), col("b.x2"))
-            - greatest(col("a.x1"), col("b.x1")))
-          * greatest(lit(0L), least(col("a.y2"), col("b.y2"))
-            - greatest(col("a.y1"), col("b.y1"))))
-        .withColumn("uni",
-          (col("a.x2") - col("a.x1")) * (col("a.y2") - col("a.y1"))
-          + (col("b.x2") - col("b.x1")) * (col("b.y2") - col("b.y1"))
-          - col("inter"))
-        .filter(col("inter") * 2 >= col("uni"))
-        .withColumn("iou",
-          col("inter").cast("double") / col("uni").cast("double"))
-        .select(col("a.det_id").as("ida"), col("b.det_id").as("idb"),
-          col("iou"))
-      val wa = Window.partitionBy("ida")
-        .orderBy(col("iou").desc, col("idb"))
-      val wb = Window.partitionBy("idb")
-        .orderBy(col("iou").desc, col("ida"))
-      val links = pairs.withColumn("ra", row_number().over(wa))
-        .withColumn("rb", row_number().over(wb))
-        .filter(col("ra") === 1 && col("rb") === 1)
-        .select(col("ida"), col("idb"))
-      var ptr = det.select(col("det_id"))
-        .join(links.select(col("idb").as("det_id"), col("ida")),
-          Seq("det_id"), "left")
-        .select(col("det_id"),
-          coalesce(col("ida"), col("det_id")).as("ptr"))
-        .localCheckpoint(true)
-      for (_ <- 1 to 3) {
-        ptr = ptr.as("x").join(ptr.as("y"),
-            col("x.ptr") === col("y.det_id"))
-          .select(col("x.det_id").as("det_id"),
-            col("y.ptr").as("ptr"))
-          .localCheckpoint(true)
-      }
+      val (det, _, ptr) = trackTables(s, dir)
       ptr.join(det.select(col("det_id"), col("frame")), Seq("det_id"))
         .groupBy(col("ptr").as("track_id"))
         .agg(count(lit(1)).as("n_dets"),
           min(col("frame")).as("frame_first"),
           max(col("frame")).as("frame_last"))
         .orderBy("track_id")
+    }),
+
+    // TRACK KINEMATICS (§2.111) — the movement summary per stitched
+    // track: per-step centroid displacement (exact integers in
+    // DOUBLED-centroid units, so no halving until the sqrt edge),
+    // path length, max step, net first-to-last displacement, and the
+    // straightness index net/path (1 = beeline, →0 = circling) — what
+    // an aerial-survey behavior screen reads off detector tracks.
+    // Steps per track are ≤ 5 by the stitch fixture bound, so the
+    // per-track sqrt fold is a constant-size sorted list; endpoints
+    // come from two frame-rank windows (frames are unique within a
+    // track by the one-to-one matching). Composes trackTables —
+    // literally the stitch key's det/links/roots.
+    "multimodal_track_speed" -> ((s, dir) => {
+      val (det, links, ptr) = trackTables(s, dir)
+      val steps = links
+        .join(ptr.select(col("det_id").as("ida"),
+          col("ptr").as("track_id")), Seq("ida"))
+        .join(det.select(col("det_id").as("ida"),
+          (col("x1") + col("x2")).as("ax"),
+          (col("y1") + col("y2")).as("ay")), Seq("ida"))
+        .join(det.select(col("det_id").as("idb"),
+          (col("x1") + col("x2")).as("bx"),
+          (col("y1") + col("y2")).as("by")), Seq("idb"))
+        .select(col("track_id"),
+          ((col("bx") - col("ax")) * (col("bx") - col("ax"))
+            + (col("by") - col("ay")) * (col("by") - col("ay")))
+            .as("d4"))
+      val ag = steps.groupBy("track_id")
+        .agg(count(lit(1)).as("n_steps"), max(col("d4")).as("maxd4"),
+          array_sort(collect_list(
+            sqrt(col("d4").cast("double")) / lit(2.0))).as("ss"))
+        .select(col("track_id"), col("n_steps"),
+          aggregate(col("ss"), lit(0.0), (a, x) => a + x)
+            .as("path0"),
+          (sqrt(col("maxd4").cast("double")) / lit(2.0)).as("maxs"))
+      val tr = ptr.join(det, Seq("det_id"))
+        .withColumn("ra", row_number().over(
+          Window.partitionBy("ptr").orderBy("frame")))
+        .withColumn("rd", row_number().over(
+          Window.partitionBy("ptr").orderBy(col("frame").desc)))
+      val fst = tr.filter(col("ra") === 1)
+        .select(col("ptr").as("track_id"),
+          (col("x1") + col("x2")).as("fx"),
+          (col("y1") + col("y2")).as("fy"))
+      val lst = tr.filter(col("rd") === 1)
+        .select(col("ptr").as("track_id"),
+          (col("x1") + col("x2")).as("lx"),
+          (col("y1") + col("y2")).as("ly"))
+      ag.join(fst, Seq("track_id")).join(lst, Seq("track_id"))
+        .withColumn("net0",
+          sqrt(((col("lx") - col("fx")) * (col("lx") - col("fx"))
+            + (col("ly") - col("fy")) * (col("ly") - col("fy")))
+            .cast("double")) / lit(2.0))
+        .select(col("track_id"), col("n_steps"),
+          r4d(col("path0")).as("path_px"),
+          r4d(col("path0") / col("n_steps")).as("mean_step_px"),
+          r4d(col("maxs")).as("max_step_px"),
+          r4d(col("net0")).as("net_px"),
+          when(col("path0") > 0, r4d(col("net0") / col("path0")))
+            .as("straightness"))
+        .orderBy("track_id")
     })
   )
+
+  /** Shared detection/link/root-pointer tables behind the track keys
+    * (§2.108 stitch + §2.111 kinematics): the per-frame grid fixture
+    * with k % 7 holes (chains < 2³ links), the frame-pair IoU
+    * mutual-best matcher, and three pointer-doubling rounds over an
+    * eagerly checkpointed pointer table. Returns (det, links, roots).
+    */
+  private def trackTables(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val det = t(s, dir, "part").select(col("p_partkey").as("k"),
+      col("p_size").cast("long").as("sz"),
+      round(col("p_retailprice") * 100).cast("long").as("cents"))
+      .filter(col("k") % 7 =!= 0)
+      .select(col("k"), expr("k div 64").as("frame"),
+        ((col("k") % 8) * 100 + col("sz") % 9 - 4).as("x1"),
+        (expr("(k % 64) div 8") * 100 + col("cents") % 11 - 5)
+          .as("y1"),
+        col("sz"))
+      .withColumn("x2", col("x1") + 40 + col("sz") % 20)
+      .withColumn("y2", col("y1") + 60 + col("k") % 13)
+      .select(col("k").as("det_id"), col("frame"),
+        col("x1"), col("y1"), col("x2"), col("y2"))
+      .localCheckpoint(true)
+    val pairs = det.as("a").join(det.as("b"),
+        col("a.frame") + 1 === col("b.frame"))
+      .withColumn("inter",
+        greatest(lit(0L), least(col("a.x2"), col("b.x2"))
+          - greatest(col("a.x1"), col("b.x1")))
+        * greatest(lit(0L), least(col("a.y2"), col("b.y2"))
+          - greatest(col("a.y1"), col("b.y1"))))
+      .withColumn("uni",
+        (col("a.x2") - col("a.x1")) * (col("a.y2") - col("a.y1"))
+        + (col("b.x2") - col("b.x1")) * (col("b.y2") - col("b.y1"))
+        - col("inter"))
+      .filter(col("inter") * 2 >= col("uni"))
+      .withColumn("iou",
+        col("inter").cast("double") / col("uni").cast("double"))
+      .select(col("a.det_id").as("ida"), col("b.det_id").as("idb"),
+        col("iou"))
+    val wa = Window.partitionBy("ida")
+      .orderBy(col("iou").desc, col("idb"))
+    val wb = Window.partitionBy("idb")
+      .orderBy(col("iou").desc, col("ida"))
+    val links = pairs.withColumn("ra", row_number().over(wa))
+      .withColumn("rb", row_number().over(wb))
+      .filter(col("ra") === 1 && col("rb") === 1)
+      .select(col("ida"), col("idb"))
+      .localCheckpoint(true)
+    var ptr = det.select(col("det_id"))
+      .join(links.select(col("idb").as("det_id"), col("ida")),
+        Seq("det_id"), "left")
+      .select(col("det_id"),
+        coalesce(col("ida"), col("det_id")).as("ptr"))
+      .localCheckpoint(true)
+    for (_ <- 1 to 3) {
+      ptr = ptr.as("x").join(ptr.as("y"),
+          col("x.ptr") === col("y.det_id"))
+        .select(col("x.det_id").as("det_id"),
+          col("y.ptr").as("ptr"))
+        .localCheckpoint(true)
+    }
+    (det, links, ptr)
+  }
 
   /** IVF candidate-search oracle CTEs (through `cand`), shared with
     * sim_recall_eval's oracle in [[SimQueries]]. */
@@ -3037,47 +3112,91 @@ object PipelineQueries {
     // Same frame-pair matcher in SQL; the three pointer doublings are
     // unrolled self-joins (chains are < 2³ links by the k % 7 holes).
     "multimodal_track_stitch" ->
-      """WITH d AS (SELECT p_partkey AS k,
-        |    CAST(p_size AS BIGINT) AS sz,
-        |    CAST(round(p_retailprice * 100) AS BIGINT) AS cents
-        |  FROM part WHERE p_partkey % 7 <> 0),
-        |det AS (SELECT k AS det_id, k // 64 AS frame,
-        |    (k % 8) * 100 + sz % 9 - 4 AS x1,
-        |    ((k % 64) // 8) * 100 + cents % 11 - 5 AS y1,
-        |    (k % 8) * 100 + sz % 9 - 4 + 40 + sz % 20 AS x2,
-        |    ((k % 64) // 8) * 100 + cents % 11 - 5 + 60 + k % 13 AS y2
-        |  FROM d),
-        |pr AS (SELECT a.det_id AS ida, b.det_id AS idb,
-        |    greatest(0, least(a.x2, b.x2) - greatest(a.x1, b.x1))
-        |      * greatest(0, least(a.y2, b.y2) - greatest(a.y1, b.y1))
-        |      AS inter,
-        |    (a.x2 - a.x1) * (a.y2 - a.y1)
-        |      + (b.x2 - b.x1) * (b.y2 - b.y1) AS areas
-        |  FROM det a JOIN det b ON a.frame + 1 = b.frame),
-        |pairs AS (SELECT ida, idb,
-        |    CAST(inter AS DOUBLE) / CAST(areas - inter AS DOUBLE) AS iou
-        |  FROM pr WHERE inter * 2 >= areas - inter),
-        |rk AS (SELECT ida, idb,
-        |    row_number() OVER (PARTITION BY ida
-        |      ORDER BY iou DESC, idb) AS ra,
-        |    row_number() OVER (PARTITION BY idb
-        |      ORDER BY iou DESC, ida) AS rb
-        |  FROM pairs),
-        |links AS MATERIALIZED (SELECT ida, idb FROM rk
-        |  WHERE ra = 1 AND rb = 1),
-        |p0 AS MATERIALIZED (SELECT det.det_id,
-        |    coalesce(l.ida, det.det_id) AS ptr
-        |  FROM det LEFT JOIN links l ON l.idb = det.det_id),
-        |p1 AS (SELECT x.det_id, y.ptr FROM p0 x
-        |  JOIN p0 y ON x.ptr = y.det_id),
-        |p2 AS (SELECT x.det_id, y.ptr FROM p1 x
-        |  JOIN p1 y ON x.ptr = y.det_id),
-        |p3 AS (SELECT x.det_id, y.ptr FROM p2 x
-        |  JOIN p2 y ON x.ptr = y.det_id)
-        |SELECT p3.ptr AS track_id, count(*) AS n_dets,
-        |  min(frame) AS frame_first, max(frame) AS frame_last
-        |FROM p3 JOIN det ON det.det_id = p3.det_id
-        |GROUP BY 1 ORDER BY 1""".stripMargin
+      s"""WITH $TrackCtes
+         |SELECT p3.ptr AS track_id, count(*) AS n_dets,
+         |  min(frame) AS frame_first, max(frame) AS frame_last
+         |FROM p3 JOIN det ON det.det_id = p3.det_id
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Same track CTEs + the kinematics tail: doubled-centroid integer
+    // displacements, sorted sqrt folds, frame-rank endpoints.
+    "multimodal_track_speed" ->
+      s"""WITH $TrackCtes,
+         |steps AS (SELECT p.ptr AS track_id,
+         |    (b.x1 + b.x2 - a.x1 - a.x2) * (b.x1 + b.x2 - a.x1 - a.x2)
+         |      + (b.y1 + b.y2 - a.y1 - a.y2)
+         |        * (b.y1 + b.y2 - a.y1 - a.y2) AS d4
+         |  FROM links l JOIN p3 p ON p.det_id = l.ida
+         |  JOIN det a ON a.det_id = l.ida
+         |  JOIN det b ON b.det_id = l.idb),
+         |ag AS (SELECT track_id, count(*) AS n_steps,
+         |    list_aggregate(list_sort(
+         |      list(sqrt(CAST(d4 AS DOUBLE)) / 2.0)), 'sum') AS path0,
+         |    sqrt(CAST(max(d4) AS DOUBLE)) / 2.0 AS maxs
+         |  FROM steps GROUP BY 1),
+         |tr AS (SELECT p.ptr, d.frame,
+         |    d.x1 + d.x2 AS cx, d.y1 + d.y2 AS cy,
+         |    row_number() OVER (PARTITION BY p.ptr
+         |      ORDER BY frame) AS ra,
+         |    row_number() OVER (PARTITION BY p.ptr
+         |      ORDER BY frame DESC) AS rd
+         |  FROM p3 p JOIN det d ON d.det_id = p.det_id),
+         |fl AS (SELECT f.ptr AS track_id, f.cx AS fx, f.cy AS fy,
+         |    l.cx AS lx, l.cy AS ly
+         |  FROM (SELECT * FROM tr WHERE ra = 1) f
+         |  JOIN (SELECT * FROM tr WHERE rd = 1) l ON l.ptr = f.ptr)
+         |SELECT ag.track_id, n_steps,
+         |  ROUND(path0 * 10000) / 10000 AS path_px,
+         |  ROUND(path0 / n_steps * 10000) / 10000 AS mean_step_px,
+         |  ROUND(maxs * 10000) / 10000 AS max_step_px,
+         |  ROUND(sqrt(CAST((lx - fx) * (lx - fx)
+         |      + (ly - fy) * (ly - fy) AS DOUBLE)) / 2.0 * 10000)
+         |    / 10000 AS net_px,
+         |  CASE WHEN path0 > 0 THEN
+         |    ROUND(sqrt(CAST((lx - fx) * (lx - fx)
+         |        + (ly - fy) * (ly - fy) AS DOUBLE)) / 2.0 / path0
+         |      * 10000) / 10000 END AS straightness
+         |FROM ag JOIN fl USING (track_id) ORDER BY track_id""".stripMargin
     // dedup_simhash: engine-pinned xxhash64 → property-tested, no oracle.
   )
+
+  /** Shared track-stitching CTE chain (det → matcher → links → three
+    * pointer doublings), mirrored from [[trackTables]]. */
+  private def TrackCtes: String =
+    """d AS (SELECT p_partkey AS k,
+      |    CAST(p_size AS BIGINT) AS sz,
+      |    CAST(round(p_retailprice * 100) AS BIGINT) AS cents
+      |  FROM part WHERE p_partkey % 7 <> 0),
+      |det AS (SELECT k AS det_id, k // 64 AS frame,
+      |    (k % 8) * 100 + sz % 9 - 4 AS x1,
+      |    ((k % 64) // 8) * 100 + cents % 11 - 5 AS y1,
+      |    (k % 8) * 100 + sz % 9 - 4 + 40 + sz % 20 AS x2,
+      |    ((k % 64) // 8) * 100 + cents % 11 - 5 + 60 + k % 13 AS y2
+      |  FROM d),
+      |pr AS (SELECT a.det_id AS ida, b.det_id AS idb,
+      |    greatest(0, least(a.x2, b.x2) - greatest(a.x1, b.x1))
+      |      * greatest(0, least(a.y2, b.y2) - greatest(a.y1, b.y1))
+      |      AS inter,
+      |    (a.x2 - a.x1) * (a.y2 - a.y1)
+      |      + (b.x2 - b.x1) * (b.y2 - b.y1) AS areas
+      |  FROM det a JOIN det b ON a.frame + 1 = b.frame),
+      |pairs AS (SELECT ida, idb,
+      |    CAST(inter AS DOUBLE) / CAST(areas - inter AS DOUBLE) AS iou
+      |  FROM pr WHERE inter * 2 >= areas - inter),
+      |rk AS (SELECT ida, idb,
+      |    row_number() OVER (PARTITION BY ida
+      |      ORDER BY iou DESC, idb) AS ra,
+      |    row_number() OVER (PARTITION BY idb
+      |      ORDER BY iou DESC, ida) AS rb
+      |  FROM pairs),
+      |links AS MATERIALIZED (SELECT ida, idb FROM rk
+      |  WHERE ra = 1 AND rb = 1),
+      |p0 AS MATERIALIZED (SELECT det.det_id,
+      |    coalesce(l.ida, det.det_id) AS ptr
+      |  FROM det LEFT JOIN links l ON l.idb = det.det_id),
+      |p1 AS (SELECT x.det_id, y.ptr FROM p0 x
+      |  JOIN p0 y ON x.ptr = y.det_id),
+      |p2 AS (SELECT x.det_id, y.ptr FROM p1 x
+      |  JOIN p1 y ON x.ptr = y.det_id),
+      |p3 AS MATERIALIZED (SELECT x.det_id, y.ptr FROM p2 x
+      |  JOIN p2 y ON x.ptr = y.det_id)""".stripMargin
 }

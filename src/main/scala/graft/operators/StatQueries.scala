@@ -1548,9 +1548,235 @@ object StatQueries {
       piN.crossJoin(broadcast(tot))
         .select(col("state"), r4d(col("v") / col("tv")).as("pi"))
         .orderBy("state")
+    }),
+
+    // KRIPPENDORFF'S ALPHA, nominal (§2.109) — the agreement
+    // coefficient that handles INCOMPLETE rating designs (any number
+    // of raters per item, unlike Cohen's fixed pair or Fleiss's fixed
+    // m): items = orders, raters = line numbers, labels = return
+    // flags; only items with ≥ 2 ratings are pairable. α = 1 − Do/De
+    // with Do = (1/N)·Σ_u Σ_k n_uk(n_u − n_uk)/(n_u − 1) and
+    // De = Σ_k n_k(N − n_k) / (N(N−1)). Every count is exact; the
+    // only per-item division is snapped to BIGINT 10⁻⁶ units with
+    // truncating div (the adamic-adar device — identical truncation
+    // in both engines, only integers are summed), and the corpus-
+    // scale sums ride DECIMAL(38,0). Shape: one (item, label) reduce,
+    // one item reduce, one ≤|labels| reduce — aggregate-first, no
+    // joins beyond the n_u broadcast-back.
+    "eval_krippendorff_alpha" -> ((s, dir) => {
+      val r = t(s, dir, "lineitem").select(col("l_orderkey").as("ok"),
+        col("l_returnflag").as("lab"))
+      val cells0 = r.groupBy("ok", "lab").agg(count(lit(1)).as("n_uk"))
+      val nu = cells0.groupBy("ok").agg(sum(col("n_uk")).cast("long")
+        .as("n_u")).filter(col("n_u") >= 2)
+      val cells = cells0.join(nu, Seq("ok"))
+      val perItem = cells.groupBy("ok", "n_u")
+        .agg(sum(col("n_uk") * (col("n_u") - col("n_uk"))).as("s_u"))
+        .select(expr("(s_u * 1000000) div (n_u - 1)").as("d6"),
+          col("n_u"))
+      val tot = perItem.agg(
+        sum(col("d6").cast("decimal(38,0)")).as("do6"),
+        sum(col("n_u")).cast("long").as("nvals"),
+        count(lit(1)).as("n_items"))
+      val deNum = cells.groupBy("lab")
+        .agg(sum(col("n_uk")).cast("long").as("n_k"))
+        .crossJoin(broadcast(tot.select(col("nvals").as("nv"))))
+        .agg(sum(col("n_k").cast("decimal(38,0)")
+          * (col("nv") - col("n_k"))).as("de_num"))
+      tot.crossJoin(broadcast(deNum))
+        .select(col("n_items"), col("nvals").as("n_values"),
+          r4d(col("do6").cast("double") / lit(1000000.0)
+            / col("nvals").cast("double")).as("do_rate"),
+          r4d(col("de_num").cast("double")
+            / (col("nvals").cast("double")
+              * (col("nvals") - 1).cast("double"))).as("de_rate"),
+          r4d(lit(1.0)
+            - (col("do6").cast("double") / lit(1000000.0)
+                / col("nvals").cast("double"))
+              / (col("de_num").cast("double")
+                / (col("nvals").cast("double")
+                  * (col("nvals") - 1).cast("double")))).as("alpha"))
+    }),
+
+    // RANK-BIASED OVERLAP @10 (§2.109) — how much do two rankings of
+    // the SAME catalog agree, weighted toward the top (the list-
+    // comparison metric search teams use where Kendall over the full
+    // catalog is noise)? Rankers: parts by total quantity vs by total
+    // discounted revenue (both exact decimal sums), tie-broken by
+    // part key. Truncated RBO = Σ_{d=1..10} (1−p)p^{d−1}·X_d/d at
+    // p = 0.9, computed EXACTLY: X_d is the integer overlap of the
+    // two depth-d prefixes (a ≤10×10 join), and each weight is the
+    // rational 9^{d−1}/10^d inlined as integer literals — never libm
+    // pow, whose rounding is not cross-engine-pinned. The 10 per-depth
+    // doubles fold over a sorted list. Shape: two global top-10s (the
+    // TakeOrderedAndProject pattern) off two partial-agg reduces; the
+    // depth sweep is constant-size.
+    "eval_rbo_overlap" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val li = t(s, dir, "lineitem")
+      def top10(m: DataFrame): DataFrame = {
+        val w = Window.orderBy(col("m").desc, col("pk"))
+        m.orderBy(col("m").desc, col("pk")).limit(10)
+          .withColumn("rk", row_number().over(w))
+          .select(col("pk"), col("rk"))
+      }
+      val a = top10(li.groupBy(col("l_partkey").as("pk"))
+        .agg(sum(col("l_quantity")).as("m")))
+      val b = top10(li.groupBy(col("l_partkey").as("pk"))
+        .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("m")))
+      val inter = a.select(col("pk"), col("rk").as("ra"))
+        .join(b.select(col("pk"), col("rk").as("rb")), Seq("pk"))
+      // d, 9^{d-1}, d·10^d — the exact weight grid.
+      val grid = s.range(1, 11).select(col("id").as("d"))
+        .withColumn("num9", expr(
+          "CASE d WHEN 1 THEN 1L WHEN 2 THEN 9L WHEN 3 THEN 81L" +
+            " WHEN 4 THEN 729L WHEN 5 THEN 6561L WHEN 6 THEN 59049L" +
+            " WHEN 7 THEN 531441L WHEN 8 THEN 4782969L" +
+            " WHEN 9 THEN 43046721L ELSE 387420489L END"))
+        .withColumn("den", col("d") * expr(
+          "CASE d WHEN 1 THEN 10L WHEN 2 THEN 100L WHEN 3 THEN 1000L" +
+            " WHEN 4 THEN 10000L WHEN 5 THEN 100000L" +
+            " WHEN 6 THEN 1000000L WHEN 7 THEN 10000000L" +
+            " WHEN 8 THEN 100000000L WHEN 9 THEN 1000000000L" +
+            " ELSE 10000000000L END"))
+      val xd = grid.join(inter,
+          col("ra") <= col("d") && col("rb") <= col("d"), "left")
+        .groupBy("d", "num9", "den").agg(count(col("pk")).as("x_d"))
+      xd.agg(
+          max(when(col("d") === 10, col("x_d"))).as("overlap_at_10"),
+          array_sort(collect_list(
+            (col("x_d") * col("num9")).cast("double")
+              / col("den").cast("double"))).as("ts"))
+        .select(col("overlap_at_10"),
+          r4d(aggregate(col("ts"), lit(0.0), (acc, x) => acc + x))
+            .as("rbo"))
+    }),
+
+    // KENDALL'S W (§2.109) — concordance among m rankers over n
+    // items: do the event types agree on WHICH hours are busy? Each
+    // type ranks the 24 hours by exact activity count (zero-filled
+    // type×hour spine; strict total order via the hour tie-break, so
+    // no tie-correction term is owed). W = 12·S/(m²(n³−n)) computed
+    // through the doubled deviation 2R_i − m(n+1) so S4 = Σ(2R_i −
+    // m(n+1))² stays an exact integer (S = S4/4 ⇒ W = 3·S4/(m²(n³−n))
+    // — ONE double division of exact integers). Shape: one
+    // (type, hour) reduce off the corpus, windows over the bounded
+    // 24·|types| spine, a 24-row reduce.
+    "agg_kendall_w" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = events(s, dir)
+        .select(col("event_type").as("et"),
+          expr("unix_millis(cast(ts as timestamp)) div 3600000 % 24")
+            .as("hour"))
+      val counts = e.groupBy("et", "hour").agg(count(lit(1)).as("c"))
+      val spine = counts.select(col("et")).distinct()
+        .crossJoin(s.range(0, 24).select(col("id").as("hour")))
+      val ranked = spine.join(counts, Seq("et", "hour"), "left")
+        .select(col("et"), col("hour"),
+          coalesce(col("c"), lit(0L)).as("c"))
+        .withColumn("rk", row_number().over(Window.partitionBy("et")
+          .orderBy(col("c").desc, col("hour"))))
+      val m = ranked.select(col("et")).distinct().count()
+      val ri = ranked.groupBy("hour")
+        .agg(sum(col("rk")).cast("long").as("r_i"))
+      ri.agg(sum((col("r_i") * 2 - lit(m * 25L))
+          * (col("r_i") * 2 - lit(m * 25L))).as("s4"),
+          count(lit(1)).as("n_items"))
+        .select(lit(m).as("m_raters"), col("n_items"), col("s4"),
+          r4d(lit(3.0) * col("s4").cast("double")
+            / lit((m * m * (24L * 24 * 24 - 24)).toDouble)).as("w"))
     }))
 
   val oracle: Map[String, String] = Map(
+    // Same pairable-item filter; the per-item division snapped to
+    // 10⁻⁶-unit BIGINTs (// ≡ Spark div on non-negative operands),
+    // corpus sums as DECIMAL(38,0), the α chain spelled
+    // operand-for-operand.
+    "eval_krippendorff_alpha" ->
+      """WITH cells0 AS (SELECT l_orderkey AS ok, l_returnflag AS lab,
+        |    count(*) AS n_uk FROM lineitem GROUP BY 1, 2),
+        |nu AS (SELECT ok, CAST(sum(n_uk) AS BIGINT) AS n_u
+        |  FROM cells0 GROUP BY 1 HAVING CAST(sum(n_uk) AS BIGINT) >= 2),
+        |cells AS (SELECT c.*, n.n_u FROM cells0 c JOIN nu n USING (ok)),
+        |peritem AS (SELECT ok, n_u,
+        |    (CAST(sum(n_uk * (n_u - n_uk)) AS BIGINT) * 1000000)
+        |      // (n_u - 1) AS d6
+        |  FROM cells GROUP BY 1, 2),
+        |tot AS (SELECT CAST(sum(d6) AS DECIMAL(38,0)) AS do6,
+        |    CAST(sum(n_u) AS BIGINT) AS nvals,
+        |    count(*) AS n_items FROM peritem),
+        |nk AS (SELECT lab, CAST(sum(n_uk) AS BIGINT) AS n_k
+        |  FROM cells GROUP BY 1),
+        |de AS (SELECT CAST(sum(CAST(n_k AS DECIMAL(38,0))
+        |    * (nvals - n_k)) AS DECIMAL(38,0)) AS de_num
+        |  FROM nk CROSS JOIN tot)
+        |SELECT n_items, nvals AS n_values,
+        |  ROUND(CAST(do6 AS DOUBLE) / 1000000.0 / CAST(nvals AS DOUBLE)
+        |    * 10000) / 10000 + 0.0 AS do_rate,
+        |  ROUND(CAST(de_num AS DOUBLE)
+        |    / (CAST(nvals AS DOUBLE) * CAST(nvals - 1 AS DOUBLE))
+        |    * 10000) / 10000 + 0.0 AS de_rate,
+        |  ROUND((1.0
+        |    - (CAST(do6 AS DOUBLE) / 1000000.0 / CAST(nvals AS DOUBLE))
+        |      / (CAST(de_num AS DOUBLE)
+        |        / (CAST(nvals AS DOUBLE) * CAST(nvals - 1 AS DOUBLE))))
+        |    * 10000) / 10000 + 0.0 AS alpha
+        |FROM tot CROSS JOIN de""".stripMargin,
+    // Two exact-decimal top-10s; the weight grid's 9^{d−1} and d·10^d
+    // are inlined integer literals (never libm pow), the 10 per-depth
+    // doubles fold over a sorted list.
+    "eval_rbo_overlap" ->
+      """WITH a0 AS (SELECT l_partkey AS pk, sum(l_quantity) AS m
+        |  FROM lineitem GROUP BY 1 ORDER BY m DESC, pk LIMIT 10),
+        |a AS (SELECT pk, row_number() OVER (ORDER BY m DESC, pk) AS ra
+        |  FROM a0),
+        |b0 AS (SELECT l_partkey AS pk,
+        |    sum(l_extendedprice * (1 - l_discount)) AS m
+        |  FROM lineitem GROUP BY 1 ORDER BY m DESC, pk LIMIT 10),
+        |b AS (SELECT pk, row_number() OVER (ORDER BY m DESC, pk) AS rb
+        |  FROM b0),
+        |inter AS (SELECT a.pk, ra, rb FROM a JOIN b USING (pk)),
+        |grid AS (SELECT CAST(d AS BIGINT) AS d, CAST(n9 AS BIGINT)
+        |    AS num9, CAST(d AS BIGINT) * CAST(p10 AS BIGINT) AS den
+        |  FROM (VALUES (1, 1, 10), (2, 9, 100), (3, 81, 1000),
+        |    (4, 729, 10000), (5, 6561, 100000), (6, 59049, 1000000),
+        |    (7, 531441, 10000000), (8, 4782969, 100000000),
+        |    (9, 43046721, 1000000000),
+        |    (10, 387420489, 10000000000)) t(d, n9, p10)),
+        |xd AS (SELECT g.d, g.num9, g.den, count(i.pk) AS x_d
+        |  FROM grid g LEFT JOIN inter i ON i.ra <= g.d AND i.rb <= g.d
+        |  GROUP BY 1, 2, 3)
+        |SELECT max(CASE WHEN d = 10 THEN x_d END) AS overlap_at_10,
+        |  ROUND(list_aggregate(list_sort(
+        |      list(CAST(x_d * num9 AS DOUBLE) / CAST(den AS DOUBLE))),
+        |      'sum') * 10000) / 10000 + 0.0 AS rbo
+        |FROM xd""".stripMargin,
+    // Zero-filled type×hour spine, strict-order ranks, the doubled
+    // deviation keeps S4 integer; W is one division.
+    "agg_kendall_w" ->
+      """WITH e AS (SELECT event_type AS et,
+        |    epoch_ms(ts) // 3600000 % 24 AS hour FROM events),
+        |counts AS (SELECT et, hour, count(*) AS c FROM e GROUP BY 1, 2),
+        |spine AS (SELECT et, CAST(h AS BIGINT) AS hour
+        |  FROM (SELECT DISTINCT et FROM counts),
+        |    (SELECT unnest(range(24)) AS h)),
+        |ranked AS (SELECT s.et, s.hour, coalesce(c.c, 0) AS c,
+        |    row_number() OVER (PARTITION BY s.et
+        |      ORDER BY coalesce(c.c, 0) DESC, s.hour) AS rk
+        |  FROM spine s LEFT JOIN counts c
+        |    ON c.et = s.et AND c.hour = s.hour),
+        |m AS (SELECT count(DISTINCT et) AS m FROM ranked),
+        |ri AS (SELECT hour, CAST(sum(rk) AS BIGINT) AS r_i
+        |  FROM ranked GROUP BY 1)
+        |SELECT m AS m_raters, count(*) AS n_items,
+        |  CAST(sum((r_i * 2 - m * 25) * (r_i * 2 - m * 25)) AS BIGINT)
+        |    AS s4,
+        |  ROUND(3.0 * CAST(CAST(sum((r_i * 2 - m * 25)
+        |      * (r_i * 2 - m * 25)) AS BIGINT) AS DOUBLE)
+        |    / CAST(m * m * (24 * 24 * 24 - 24) AS DOUBLE)
+        |    * 10000) / 10000 + 0.0 AS w
+        |FROM ri CROSS JOIN m GROUP BY m""".stripMargin,
     "agg_chi2_independence" ->
       s"""WITH cells AS (SELECT event_type,
          |    (${sqlEpochDay("ts")}) % 7 AS dow, count(*) AS obs

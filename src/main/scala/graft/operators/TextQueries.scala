@@ -700,6 +700,145 @@ object TextQueries {
           r4d(col("cut.cumm").cast("double")
             / col("total").cast("double")).as("coverage"))
         .orderBy("k")
+    }),
+
+    // KNESER-NEY BIGRAM PERPLEXITY (§2.110) — the JM key's sibling at
+    // the smoothing real LMs use: absolute discount d = 3/4 with the
+    // CONTINUATION unigram (how many contexts a word follows, not how
+    // often it occurs — the "San Francisco" correction). p(w|v) =
+    // (c(vw) − d)/c(v·) + (d·N₁₊(v·)/c(v·))·(N₁₊(·w)/|bigram types|);
+    // c(vw) ≥ 1 at every scored position so the max(·,0) clamp is
+    // vacuous by construction. Exactness: the discount lives in
+    // quarter-units (4c − 3 over 4·c(v·) — all BIGINTs), every model
+    // count is exact, each position's p is ONE double chain spelled
+    // operand-for-operand in the oracle, and the per-doc fold rides
+    // the sorted-list convention. Scale: all four model tables are
+    // |bigram-type|/|vocab|-bounded (the dictionary trick); per-
+    // position joins shuffle on token keys; the collect_list is
+    // doc-length-bounded.
+    "text_perplexity_kneser_ney" -> ((s, dir) => {
+      val tk = t(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      val seq = tk.withColumn("prev",
+        lag(col("tok"), 1).over(
+          Window.partitionBy("doc_id").orderBy("pos")))
+      val bg = seq.filter(col("prev").isNotNull)
+        .groupBy("prev", "tok").agg(count(lit(1)).as("nb"))
+      val ctx = bg.groupBy("prev")
+        .agg(sum(col("nb")).cast("long").as("np"),
+          count(lit(1)).as("nt"))
+      val cont = bg.groupBy("tok").agg(count(lit(1)).as("ncont"))
+      val nbt = bg.agg(count(lit(1)).as("nbt"))
+      seq.filter(col("prev").isNotNull)
+        .join(bg, Seq("prev", "tok"))
+        .join(ctx, Seq("prev"))
+        .join(cont, Seq("tok"))
+        .crossJoin(broadcast(nbt))
+        .select(col("doc_id"),
+          ((col("nb") * 4 - 3).cast("double")
+              / (col("np") * 4).cast("double")
+            + (col("nt") * 3).cast("double")
+              / (col("np") * 4).cast("double")
+              * (col("ncont").cast("double") / col("nbt").cast("double")))
+            .as("p"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          array_sort(collect_list(col("p"))).as("ps"))
+        .select(col("doc_id"), col("n_bigrams"),
+          r4d((-aggregate(col("ps"), lit(0.0), (acc, x) =>
+              acc + log2(x))) / col("n_bigrams")).as("nll_bits"))
+        .orderBy("doc_id")
+    }),
+
+    // N-GRAM NOVELTY DECAY (§2.110) — what fraction of each corpus
+    // decile's bigram OCCURRENCES are first seen in that decile? The
+    // diminishing-returns curve behind "is more of this source still
+    // worth crawling" (novelty_ratio gives per-doc shingle novelty;
+    // this is the corpus-arrival-order macro curve). Arrival order =
+    // doc_id; decile = (doc_id·10) div (max_id + 1) — exact integer
+    // both engines. first decile per bigram is a MIN over the bigram-
+    // keyed reduce (dictionary-bounded), joined back to the per-
+    // (bigram, decile) occurrence counts; the ratio is one division
+    // of exact counts per output row (10 rows).
+    "text_ngram_novelty_decay" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val mx = docs.agg(max(col("doc_id")).as("mx"))
+      val bgs = docs
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .filter(size(col("toks")) >= 2)
+        .crossJoin(broadcast(mx))
+        .select(expr("(doc_id * 10) div (mx + 1)").as("decile"),
+          explode(expr("transform(sequence(0, size(toks)-2)," +
+            " i -> concat(toks[i], ' ', toks[i+1]))")).as("bg"))
+      val occ = bgs.groupBy("bg", "decile").agg(count(lit(1)).as("n"))
+      val first = occ.groupBy("bg").agg(min(col("decile")).as("fd"))
+      occ.join(first, Seq("bg"))
+        .groupBy("decile")
+        .agg(sum(col("n")).cast("long").as("n_occ"),
+          sum(when(col("decile") === col("fd"), col("n"))
+            .otherwise(lit(0L))).cast("long").as("n_novel"))
+        .select(col("decile"), col("n_occ"), col("n_novel"),
+          r4d(col("n_novel").cast("double") / col("n_occ").cast("double"))
+            .as("novelty"))
+        .orderBy("decile")
+    }),
+
+    // BURROWS' DELTA (§2.110) — the classic stylometric distance
+    // between sources: z-scores of the top-20 function-word rates
+    // (per-mille of each source's tokens), Δ(a,b) = mean |z_a − z_b|.
+    // The source-similarity matrix a contamination/provenance audit
+    // reads next to text_js_drift's divergence (delta weights every
+    // marker word equally — drift weights by mass). Exactness: rates
+    // are one division of exact counts; the cross-source mean/var and
+    // the per-pair |z| means fold over array_sort'ed (key, value)
+    // struct lists (the markov-key device) — sources and the 20-word
+    // marker set are both bounded, so every list is constant-size.
+    // Scale: one token reduce, a top-20 TakeOrdered, then bounded
+    // spine tables only.
+    "text_burrows_delta" -> ((s, dir) => {
+      val tok = t(s, dir, "documents")
+        .select(col("source"), explode(split(col("text"), " ")).as("tk"))
+      val top = tok.groupBy("tk").agg(count(lit(1)).as("cg"))
+        .orderBy(col("cg").desc, col("tk")).limit(20)
+        .select(col("tk"))
+      val ns = tok.groupBy("source").agg(count(lit(1)).as("ns"))
+      val spine = ns.crossJoin(broadcast(top))
+      val cs = tok.join(broadcast(top), Seq("tk"))
+        .groupBy("source", "tk").agg(count(lit(1)).as("c"))
+      val rf = spine.join(cs, Seq("source", "tk"), "left")
+        .select(col("source"), col("tk"),
+          ((coalesce(col("c"), lit(0L)) * 1000).cast("double")
+            / col("ns").cast("double")).as("rf"))
+      val stats = rf.groupBy("tk")
+        .agg(array_sort(collect_list(struct(col("source"), col("rf"))))
+          .as("xs"), count(lit(1)).as("nsrc"))
+        .select(col("tk"), col("nsrc"),
+          (aggregate(col("xs"), lit(0.0), (a, x) => a + x("rf"))
+            / col("nsrc")).as("mean"),
+          aggregate(col("xs"), lit(0.0), (a, x) =>
+            a + x("rf") * x("rf")).as("ss"))
+        .select(col("tk"),
+          col("mean"),
+          sqrt(col("ss") / col("nsrc") - col("mean") * col("mean"))
+            .as("sd"))
+      val z = rf.join(stats, Seq("tk"))
+        .select(col("source"), col("tk"),
+          when(col("sd") > 0, (col("rf") - col("mean")) / col("sd"))
+            .otherwise(lit(0.0)).as("z"))
+      z.as("a").join(z.as("b"),
+          col("a.tk") === col("b.tk")
+            && col("a.source") < col("b.source"))
+        .select(col("a.source").as("source_a"),
+          col("b.source").as("source_b"), col("a.tk").as("tk"),
+          abs(col("a.z") - col("b.z")).as("dz"))
+        .groupBy("source_a", "source_b")
+        .agg(array_sort(collect_list(struct(col("tk"), col("dz"))))
+          .as("ds"), count(lit(1)).as("nw"))
+        .select(col("source_a"), col("source_b"),
+          r4d(aggregate(col("ds"), lit(0.0), (a, x) => a + x("dz"))
+            / col("nw")).as("delta"))
+        .orderBy("source_a", "source_b")
     })
   )
 
@@ -1065,7 +1204,98 @@ object TextQueries {
         |  cc.cumm AS tokens_at_cut,
         |  ROUND(CAST(cc.cumm AS DOUBLE) / CAST(total AS DOUBLE)
         |    * 10000) / 10000 AS coverage
-        |FROM cut ORDER BY k""".stripMargin
+        |FROM cut ORDER BY k""".stripMargin,
+    // Same quarter-unit discount and model tables; per-position p and
+    // the sorted per-doc fold spelled operand-for-operand.
+    "text_perplexity_kneser_ney" ->
+      """WITH tk AS (SELECT doc_id, unnest(range(len(toks))) AS pos,
+        |    unnest(toks) AS tok
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks
+        |    FROM documents)),
+        |seq AS (SELECT doc_id, tok,
+        |    lag(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        |  FROM tk),
+        |bg AS (SELECT prev, tok, count(*) AS nb FROM seq
+        |  WHERE prev IS NOT NULL GROUP BY 1, 2),
+        |ctx AS (SELECT prev, CAST(sum(nb) AS BIGINT) AS np,
+        |    count(*) AS nt FROM bg GROUP BY 1),
+        |cont AS (SELECT tok, count(*) AS ncont FROM bg GROUP BY 1),
+        |nbt AS (SELECT count(*) AS nbt FROM bg),
+        |ps AS (SELECT s.doc_id,
+        |    CAST(b.nb * 4 - 3 AS DOUBLE) / CAST(c.np * 4 AS DOUBLE)
+        |      + CAST(c.nt * 3 AS DOUBLE) / CAST(c.np * 4 AS DOUBLE)
+        |        * (CAST(n.ncont AS DOUBLE) / CAST(nbt.nbt AS DOUBLE))
+        |      AS p
+        |  FROM seq s
+        |  JOIN bg b ON b.prev = s.prev AND b.tok = s.tok
+        |  JOIN ctx c ON c.prev = s.prev
+        |  JOIN cont n ON n.tok = s.tok
+        |  CROSS JOIN nbt
+        |  WHERE s.prev IS NOT NULL)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  ROUND(-list_aggregate(list_transform(list_sort(list(p)),
+        |      x -> log2(x)), 'sum') / count(*) * 10000) / 10000 + 0.0
+        |    AS nll_bits
+        |FROM ps GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // Same integer decile cut and bigram window; ratios of exact
+    // counts.
+    "text_ngram_novelty_decay" ->
+      """WITH mx AS (SELECT max(doc_id) AS mx FROM documents),
+        |bgs AS (SELECT (doc_id * 10) // (mx + 1) AS decile,
+        |    token || ' ' || lead(token) OVER (PARTITION BY doc_id
+        |      ORDER BY pos) AS bg
+        |  FROM (SELECT doc_id, unnest(range(len(toks))) AS pos,
+        |      unnest(toks) AS token
+        |    FROM (SELECT doc_id, string_split(text, ' ') AS toks
+        |      FROM documents WHERE len(string_split(text, ' ')) >= 2))
+        |  CROSS JOIN mx),
+        |occ AS (SELECT bg, decile, count(*) AS n FROM bgs
+        |  WHERE bg IS NOT NULL GROUP BY 1, 2),
+        |fst AS (SELECT bg, min(decile) AS fd FROM occ GROUP BY 1)
+        |SELECT decile, CAST(sum(n) AS BIGINT) AS n_occ,
+        |  CAST(sum(CASE WHEN decile = fd THEN n ELSE 0 END) AS BIGINT)
+        |    AS n_novel,
+        |  ROUND(CAST(CAST(sum(CASE WHEN decile = fd THEN n ELSE 0 END)
+        |      AS BIGINT) AS DOUBLE)
+        |    / CAST(CAST(sum(n) AS BIGINT) AS DOUBLE) * 10000) / 10000
+        |    AS novelty
+        |FROM occ JOIN fst USING (bg)
+        |GROUP BY decile ORDER BY decile""".stripMargin,
+    // Same top-20 marker set, per-mille rates, struct-sorted folds
+    // for mean/var and the per-pair |z| mean (the markov-key device).
+    "text_burrows_delta" ->
+      """WITH tok AS (SELECT source,
+        |    unnest(string_split(text, ' ')) AS tk FROM documents),
+        |top AS (SELECT tk FROM (SELECT tk, count(*) AS cg FROM tok
+        |  GROUP BY 1 ORDER BY cg DESC, tk LIMIT 20)),
+        |ns AS (SELECT source, count(*) AS ns FROM tok GROUP BY 1),
+        |cs AS (SELECT source, tk, count(*) AS c
+        |  FROM tok JOIN top USING (tk) GROUP BY 1, 2),
+        |rf AS (SELECT n.source, t.tk,
+        |    CAST(coalesce(c.c, 0) * 1000 AS DOUBLE)
+        |      / CAST(n.ns AS DOUBLE) AS rf
+        |  FROM ns n CROSS JOIN top t
+        |  LEFT JOIN cs c ON c.source = n.source AND c.tk = t.tk),
+        |st0 AS (SELECT tk, count(*) AS nsrc,
+        |    list_aggregate(list_transform(
+        |      list_sort(list({'s': source, 'r': rf})), z -> z.r),
+        |      'sum') / count(*) AS mean,
+        |    list_aggregate(list_transform(
+        |      list_sort(list({'s': source, 'r': rf})), z -> z.r * z.r),
+        |      'sum') AS ss
+        |  FROM rf GROUP BY tk),
+        |st AS (SELECT tk, mean, sqrt(ss / nsrc - mean * mean) AS sd
+        |  FROM st0),
+        |z AS (SELECT rf.source, rf.tk,
+        |    CASE WHEN sd > 0 THEN (rf - mean) / sd ELSE 0.0 END AS z
+        |  FROM rf JOIN st USING (tk))
+        |SELECT a.source AS source_a, b.source AS source_b,
+        |  ROUND(list_aggregate(list_transform(
+        |      list_sort(list({'t': a.tk, 'd': abs(a.z - b.z)})),
+        |      y -> y.d), 'sum') / count(*) * 10000) / 10000 + 0.0
+        |    AS delta
+        |FROM z a JOIN z b ON a.tk = b.tk AND a.source < b.source
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
     // dedup_minhash_lsh: intentionally no oracle (SURVEY §2.11).
   )
 }

@@ -385,10 +385,19 @@ class InventorySpec extends SparkSpec {
     "graph_ego_density",
     // §2.108 round-13 first wave: COCO mAP, truncated Brandes
     // betweenness, detection track stitching
-    "eval_map_coco", "graph_betweenness", "multimodal_track_stitch")
+    "eval_map_coco", "graph_betweenness", "multimodal_track_stitch",
+    // §2.109 round-13 second wave: Krippendorff alpha, RBO, Kendall W
+    "eval_krippendorff_alpha", "eval_rbo_overlap", "agg_kendall_w",
+    // §2.110 round-13 third wave: KN perplexity, novelty decay,
+    // Burrows delta
+    "text_perplexity_kneser_ney", "text_ngram_novelty_decay",
+    "text_burrows_delta",
+    // §2.111 round-13 fourth wave: sinuosity, grid DBSCAN-lite,
+    // track kinematics
+    "geo_sinuosity", "geo_dbscan_cells", "multimodal_track_speed")
 
-  test("declared queries cover SURVEY §2 + §2.12-108 exactly (438 keys)") {
-    assert(inventory.size == 438)
+  test("declared queries cover SURVEY §2 + §2.12-111 exactly (447 keys)") {
+    assert(inventory.size == 447)
     val declared = SparkEntry.queries.keySet
     val missing = inventory -- declared
     val extra = declared -- inventory
