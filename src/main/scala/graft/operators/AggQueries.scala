@@ -1013,10 +1013,74 @@ object AggQueries {
           r4d(col("n").cast("double") / col("total").cast("double"))
             .as("share"))
         .orderBy("bucket")
+    }),
+
+    // THEIL T INDEX (§2.112) — the entropy-family inequality index
+    // next to agg_gini (Gini weighs rank position; Theil weighs log
+    // share, and decomposes across groups): per nation, T =
+    // Σ (x/S)·ln(x·n/S) over order totals in cents. Determinism: the
+    // share is snapped to BIGINT 10⁻⁹-units with truncating div (the
+    // adamic-adar device — cents·10⁹ stays < 2⁶³ because cents is a
+    // bounded PER-ROW price, not a corpus sum; the nation total S is
+    // the only growing operand, safe to ~9·10¹⁸ cents), ln factors as
+    // log(s9)+log(n)−log(10⁹) so no further product exists, and each
+    // row's term is floor()-snapped to an integer BEFORE the corpus-
+    // scale sum (DECIMAL(38,0)) — shuffle order cannot move a ulp.
+    // Rows whose snapped share is 0 contribute 0 (their true term →
+    // 0). Shape: one orders⋈customer join (nation dim broadcast), one
+    // nation reduce for (S, n) broadcast back, one map-side term
+    // pass, one nation reduce.
+    "agg_theil_index" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .select(col("o_custkey").as("ck"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+        .join(broadcast(t(s, dir, "customer")
+          .select(col("c_custkey").as("ck"),
+            col("c_nationkey").as("nation"))), Seq("ck"))
+      val totals = o.groupBy("nation")
+        .agg(sum(col("cents")).cast("long").as("stot"),
+          count(lit(1)).as("n"))
+      o.join(broadcast(totals), Seq("nation"))
+        .select(col("nation"), col("n"),
+          expr("(cents * 1000000000) div stot").as("s9"))
+        .select(col("nation"),
+          when(col("s9") > 0, floor(col("s9").cast("double")
+            * (log(col("s9").cast("double"))
+              + log(col("n").cast("double"))
+              - log(lit(1.0e9)))).cast("long"))
+            .otherwise(lit(0L)).as("t0"))
+        .groupBy("nation")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("t0").cast("decimal(38,0)")).as("tsum"))
+        .select(col("nation"), col("n_orders"),
+          r4d(col("tsum").cast("double") / lit(1.0e9)).as("theil"))
+        .orderBy("nation")
     })
   )
 
   val oracle: Map[String, String] = Map(
+    // Same 10⁻⁹-unit share snap (// ≡ div on non-negative), factored
+    // ln, floor-snapped integer terms, DECIMAL(38,0) sum.
+    "agg_theil_index" ->
+      """WITH o AS (SELECT o_custkey AS ck,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |j AS (SELECT c.c_nationkey AS nation, o.cents
+        |  FROM o JOIN customer c ON c.c_custkey = o.ck),
+        |tot AS (SELECT nation, CAST(sum(cents) AS BIGINT) AS stot,
+        |    count(*) AS n FROM j GROUP BY 1),
+        |sh AS (SELECT j.nation, t.n,
+        |    (j.cents * 1000000000) // t.stot AS s9
+        |  FROM j JOIN tot t USING (nation)),
+        |tt AS (SELECT nation,
+        |    CASE WHEN s9 > 0 THEN CAST(floor(CAST(s9 AS DOUBLE)
+        |      * (ln(CAST(s9 AS DOUBLE)) + ln(CAST(n AS DOUBLE))
+        |        - ln(1.0e9))) AS BIGINT) ELSE 0 END AS t0
+        |  FROM sh)
+        |SELECT nation, count(*) AS n_orders,
+        |  ROUND(CAST(CAST(sum(t0) AS DECIMAL(38,0)) AS DOUBLE) / 1.0e9
+        |    * 10000) / 10000 + 0.0 AS theil
+        |FROM tt GROUP BY nation ORDER BY nation""".stripMargin,
     // Bit-length bucket via the same bin()-string device; bounds via
     // << on BIGINT, never pow().
     "agg_log2_histogram" ->

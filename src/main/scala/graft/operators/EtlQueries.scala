@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables.{t, events, epochDay}
-import graft.Det.{dsum, r4d, sqlSum}
+import graft.Det.{dsum, r4d, sqlEpochDay, sqlSum}
 
 /** §2.20 ETL mutation & history operators (SURVEY.md, round-5
   * amendment): the two mutation-shaped staples of an ETL engine that
@@ -757,9 +757,72 @@ object EtlQueries {
           (col("fresh") - col("max_day") > 1).as("stale"))
         .orderBy("event_type")
     }),
+
+    // BACKFILL PLAN (§2.112) — the ops table behind every "which
+    // partitions do I re-run?" decision: the expected (type, day)
+    // grid over the global day spine anti-joined against the observed
+    // partitions, reduced to a per-type manifest (expected/present/
+    // missing counts + the missing range). Complements
+    // etl_freshness_report (freshness asks "is the tail current?",
+    // backfill asks "are there HOLES?"). Shape: one distinct over the
+    // corpus, a bounded |types|×|days| spine, an anti join on the
+    // composite key, three bounded reduces — integer day arithmetic
+    // throughout.
+    "etl_backfill_plan" -> ((s, dir) => {
+      val e = events(s, dir)
+        .select(col("event_type"), epochDay("ts").as("day"))
+      val bounds = e.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+      val types = e.select(col("event_type")).distinct()
+      val expected = types.crossJoin(broadcast(bounds))
+        .select(col("event_type"),
+          explode(sequence(col("lo"), col("hi"))).as("day"))
+      val present = e.distinct()
+      val missing = expected
+        .join(present, Seq("event_type", "day"), "left_anti")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_missing"),
+          min(col("day")).as("first_missing_day"),
+          max(col("day")).as("last_missing_day"))
+      expected.groupBy("event_type").agg(count(lit(1)).as("n_expected"))
+        .join(present.groupBy("event_type")
+          .agg(count(lit(1)).as("n_present")), Seq("event_type"), "left")
+        .join(missing, Seq("event_type"), "left")
+        .select(col("event_type"), col("n_expected"),
+          coalesce(col("n_present"), lit(0L)).as("n_present"),
+          coalesce(col("n_missing"), lit(0L)).as("n_missing"),
+          col("first_missing_day"), col("last_missing_day"))
+        .orderBy("event_type")
+    }),
   )
 
   val oracle: Map[String, String] = Map(
+    // Same spine × types grid and NOT EXISTS ≡ anti join; null
+    // first/last range when nothing is missing.
+    "etl_backfill_plan" ->
+      s"""WITH e AS (SELECT event_type, ${sqlEpochDay("ts")} AS day
+         |  FROM events),
+         |b AS (SELECT min(day) AS lo, max(day) AS hi FROM e),
+         |ty AS (SELECT DISTINCT event_type FROM e),
+         |expected AS (SELECT event_type, CAST(d AS BIGINT) AS day
+         |  FROM ty, b, LATERAL (SELECT unnest(range(lo, hi + 1)) AS d)),
+         |present AS (SELECT DISTINCT event_type, day FROM e),
+         |miss AS (SELECT x.event_type, count(*) AS n_missing,
+         |    min(x.day) AS first_missing_day,
+         |    max(x.day) AS last_missing_day
+         |  FROM expected x WHERE NOT EXISTS (SELECT 1 FROM present p
+         |    WHERE p.event_type = x.event_type AND p.day = x.day)
+         |  GROUP BY 1),
+         |ex AS (SELECT event_type, count(*) AS n_expected
+         |  FROM expected GROUP BY 1),
+         |pr AS (SELECT event_type, count(*) AS n_present
+         |  FROM present GROUP BY 1)
+         |SELECT ex.event_type, n_expected,
+         |  coalesce(n_present, 0) AS n_present,
+         |  coalesce(n_missing, 0) AS n_missing,
+         |  first_missing_day, last_missing_day
+         |FROM ex LEFT JOIN pr USING (event_type)
+         |LEFT JOIN miss USING (event_type)
+         |ORDER BY ex.event_type""".stripMargin,
     // Integer day arithmetic throughout; last-day counts join back on
     // the per-type max.
     "etl_freshness_report" ->

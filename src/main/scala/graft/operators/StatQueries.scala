@@ -1686,6 +1686,51 @@ object StatQueries {
         .select(lit(m).as("m_raters"), col("n_items"), col("s4"),
           r4d(lit(3.0) * col("s4").cast("double")
             / lit((m * m * (24L * 24 * 24 - 24)).toDouble)).as("w"))
+    }),
+
+    // WILCOXON SIGNED-RANK (§2.112) — the paired nonparametric test
+    // next to the unpaired rank machinery (auc_rank, hodges_lehmann):
+    // did per-user activity SHIFT between the observation window's
+    // halves? Pairs = (first-half count, second-half count) per user
+    // off one corpus pass against the broadcast integer midpoint
+    // (2·day < lo+hi — exact); zero differences drop per the
+    // classical procedure. Ranks of |d| are EXACT integers via
+    // GlobalRank.runningSum over the (|d|, user) total order — the
+    // two-pass distributed prefix sum, never a single-partition
+    // window — with the strict tie-break documented as the declared
+    // semantic (integer |d| values tie heavily; competition order by
+    // user_id replaces midranks, bit-replayably). W⁺/W⁻ are integer
+    // sums; the normal-approximation z is one double chain at the
+    // edge.
+    "agg_wilcoxon_signed_rank" -> ((s, dir) => {
+      val e = events(s, dir)
+        .select(col("user_id"), epochDay("ts").as("day"))
+      val bounds = e.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+      val d = e.crossJoin(broadcast(bounds))
+        .select(col("user_id"),
+          when(col("day") * 2 < col("lo") + col("hi"), lit(1L))
+            .otherwise(lit(0L)).as("h1"))
+        .groupBy("user_id")
+        .agg(sum(col("h1")).cast("long").as("c1"),
+          sum(lit(1L) - col("h1")).cast("long").as("c2"))
+        .filter(col("c2") =!= col("c1"))
+        .select(col("user_id"), (col("c2") - col("c1")).as("dd"),
+          abs(col("c2") - col("c1")).as("absd"), lit(1L).as("one"))
+      val ranked = graft.plans.GlobalRank.runningSum(
+        d, Seq("absd", "user_id"), "one", "rk")
+      ranked.agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("dd") > 0, col("rk")).otherwise(lit(0L)))
+            .cast("long").as("w_plus"),
+          sum(when(col("dd") < 0, col("rk")).otherwise(lit(0L)))
+            .cast("long").as("w_minus"))
+        .select(col("n_pairs"), col("w_plus"), col("w_minus"),
+          r4d((col("w_plus").cast("double")
+              - col("n_pairs").cast("double")
+                * (col("n_pairs") + 1).cast("double") / lit(4.0))
+            / sqrt(col("n_pairs").cast("double")
+              * (col("n_pairs") + 1).cast("double")
+              * (col("n_pairs") * 2 + 1).cast("double") / lit(24.0)))
+            .as("z"))
     }))
 
   val oracle: Map[String, String] = Map(
@@ -1777,6 +1822,37 @@ object StatQueries {
         |    / CAST(m * m * (24 * 24 * 24 - 24) AS DOUBLE)
         |    * 10000) / 10000 + 0.0 AS w
         |FROM ri CROSS JOIN m GROUP BY m""".stripMargin,
+    // Same exact midpoint split and (|d|, user) competition ranks;
+    // W and the z chain spelled operand-for-operand.
+    "agg_wilcoxon_signed_rank" ->
+      s"""WITH e AS (SELECT user_id, ${sqlEpochDay("ts")} AS day
+         |  FROM events),
+         |b AS (SELECT min(day) AS lo, max(day) AS hi FROM e),
+         |pc AS (SELECT user_id,
+         |    CAST(sum(CASE WHEN day * 2 < lo + hi THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS c1,
+         |    CAST(sum(CASE WHEN day * 2 < lo + hi THEN 0 ELSE 1 END)
+         |      AS BIGINT) AS c2
+         |  FROM e CROSS JOIN b GROUP BY 1),
+         |d AS (SELECT user_id, c2 - c1 AS dd, abs(c2 - c1) AS absd
+         |  FROM pc WHERE c2 <> c1),
+         |r AS (SELECT dd,
+         |    row_number() OVER (ORDER BY absd, user_id) AS rk FROM d),
+         |w AS (SELECT count(*) AS n_pairs,
+         |    CAST(sum(CASE WHEN dd > 0 THEN rk ELSE 0 END) AS BIGINT)
+         |      AS w_plus,
+         |    CAST(sum(CASE WHEN dd < 0 THEN rk ELSE 0 END) AS BIGINT)
+         |      AS w_minus
+         |  FROM r)
+         |SELECT n_pairs, w_plus, w_minus,
+         |  ROUND((CAST(w_plus AS DOUBLE)
+         |      - CAST(n_pairs AS DOUBLE) * CAST(n_pairs + 1 AS DOUBLE)
+         |        / 4.0)
+         |    / sqrt(CAST(n_pairs AS DOUBLE)
+         |      * CAST(n_pairs + 1 AS DOUBLE)
+         |      * CAST(n_pairs * 2 + 1 AS DOUBLE) / 24.0)
+         |    * 10000) / 10000 + 0.0 AS z
+         |FROM w""".stripMargin,
     "agg_chi2_independence" ->
       s"""WITH cells AS (SELECT event_type,
          |    (${sqlEpochDay("ts")}) % 7 AS dow, count(*) AS obs

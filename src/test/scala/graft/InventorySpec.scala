@@ -394,10 +394,13 @@ class InventorySpec extends SparkSpec {
     "text_burrows_delta",
     // §2.111 round-13 fourth wave: sinuosity, grid DBSCAN-lite,
     // track kinematics
-    "geo_sinuosity", "geo_dbscan_cells", "multimodal_track_speed")
+    "geo_sinuosity", "geo_dbscan_cells", "multimodal_track_speed",
+    // §2.112 round-13 fifth wave: Theil index, Wilcoxon signed-rank,
+    // backfill plan
+    "agg_theil_index", "agg_wilcoxon_signed_rank", "etl_backfill_plan")
 
-  test("declared queries cover SURVEY §2 + §2.12-111 exactly (447 keys)") {
-    assert(inventory.size == 447)
+  test("declared queries cover SURVEY §2 + §2.12-112 exactly (450 keys)") {
+    assert(inventory.size == 450)
     val declared = SparkEntry.queries.keySet
     val missing = inventory -- declared
     val extra = declared -- inventory
