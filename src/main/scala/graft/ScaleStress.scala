@@ -60,7 +60,14 @@ object ScaleStress {
     // legalized key, plus the §2.108 wave at birth.
     "graph_closeness", "graph_modularity", "graph_label_prop",
     "graph_assortativity", "graph_ego_density",
-    "graph_betweenness", "eval_map_coco", "multimodal_track_stitch")
+    "graph_betweenness", "eval_map_coco", "multimodal_track_stitch",
+    // Round-13 waves 2-5 at birth: the keys with a corpus-shaped
+    // reduce or a multi-join tail (the bounded-output cheap ones —
+    // kendall_w, rbo — are excluded like the other spine keys).
+    "eval_krippendorff_alpha", "text_perplexity_kneser_ney",
+    "text_ngram_novelty_decay", "text_burrows_delta",
+    "geo_sinuosity", "geo_dbscan_cells", "multimodal_track_speed",
+    "agg_theil_index", "agg_wilcoxon_signed_rank")
   // Keys whose only input is lineitem — copy-scalable (see scaladoc).
   // The embeddings/documents keys are NOT copy-scalable for the same
   // reason the dedup keys aren't (cross-copy duplicate geometry);

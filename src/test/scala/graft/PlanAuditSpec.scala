@@ -1385,4 +1385,39 @@ class PlanAuditSpec extends SparkSpec {
       && !p.contains("BroadcastNestedLoopJoin"),
       s"dependency stages must stay equi-joins: ${p.take(2500)}")
   }
+
+  test("grid DBSCAN: the corpus appears only in the first cell reduce; clustering joins on keys") {
+    val p = plan("geo_dbscan_cells")
+    // The adaptive core cut broadcasts the one-row mean; the label
+    // rounds run against LocalTableScan checkpoints of the bounded
+    // cell tables — a nested loop over cells would mean the stencil
+    // degenerated.
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(p.contains("BroadcastNestedLoopJoin")
+      || p.contains("BroadcastExchange"),
+      s"mean cut must broadcast: ${p.take(2000)}")
+  }
+
+  test("track kinematics: equi-joins over checkpointed track tables, no cartesian") {
+    val p = plan("multimodal_track_speed")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("theil index: nation totals broadcast back, term pass is map-side") {
+    val p = plan("agg_theil_index")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    // customer dim and the 25-row totals both broadcast — the corpus
+    // never shuffles for the share computation.
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"dim + totals must broadcast: ${p.take(2500)}")
+  }
+
+  test("wilcoxon ranks run through GlobalRank's range exchange, not a single-partition window") {
+    val p = plan("agg_wilcoxon_signed_rank")
+    // GlobalRank.runningSum materializes via rangepartitioning; a
+    // global row_number window would plan Exchange SinglePartition
+    // feeding a Window.
+    assert(!p.contains("Window"),
+      s"rank must not be a global window: ${p.take(2500)}")
+  }
 }
