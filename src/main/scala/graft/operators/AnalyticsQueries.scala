@@ -718,6 +718,49 @@ object AnalyticsQueries {
     // order by day) hosts both lag frames, and the pair explode is
     // map-side — the whole key after the pre-agg is calendar-bounded,
     // never corpus-bounded.
+    // DFT PERIODOGRAM (§2.113) — which cycle lengths carry the energy
+    // of each type's daily series? Frequency-domain seasonality, next
+    // to ts_autocorr/ts_dow_seasonality's fixed-lag probes: for k ∈
+    // 1..10 whole cycles over the window, re/im = Σ_t y_t·cos/sin
+    // (2πkt/N), power = (re² + im²)/N. Determinism: angles are
+    // 2π·(k·t)/N with EXACT integer k·t and the 2π literal an exact
+    // power-of-two scaling of the shared closest-double π (Spark's
+    // math.Pi ≡ DuckDB's pi()); cos/sin are the libm surface the geo
+    // keys already rely on; each per-day term is one double product,
+    // and the per-(type, k) sums fold over t-sorted struct lists (the
+    // markov device). Scale: the series is the TIME-bounded zero-
+    // filled day spine — corpus size changes y values, never the fold
+    // length — so the whole frequency sweep is a constant-size tail
+    // on one (type, day) reduce.
+    "ts_periodogram" -> ((s, dir) => {
+      val full = zeroFilledDaily(s, dir)
+      val b = full.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+      val ks = s.range(1, 11).select(col("id").as("k"))
+      val terms = full.crossJoin(broadcast(b)).crossJoin(broadcast(ks))
+        .select(col("event_type"), col("k"),
+          (col("day") - col("lo")).as("t"),
+          (col("hi") - col("lo") + 1).as("nn"), col("y"))
+        .select(col("event_type"), col("k"), col("t"),
+          (col("y").cast("double")
+            * cos(lit(2.0 * math.Pi) * (col("k") * col("t")).cast("double")
+              / col("nn").cast("double"))).as("re_t"),
+          (col("y").cast("double")
+            * sin(lit(2.0 * math.Pi) * (col("k") * col("t")).cast("double")
+              / col("nn").cast("double"))).as("im_t"))
+      terms.groupBy("event_type", "k")
+        .agg(array_sort(collect_list(
+          struct(col("t"), col("re_t"), col("im_t")))).as("xs"),
+          count(lit(1)).as("nd"))
+        .select(col("event_type"), col("k"), col("nd"),
+          aggregate(col("xs"), lit(0.0), (a, x) => a + x("re_t")).as("re0"),
+          aggregate(col("xs"), lit(0.0), (a, x) => a + x("im_t")).as("im0"))
+        .select(col("event_type"), col("k"), col("nd"),
+          r4d(col("re0")).as("re"), r4d(col("im0")).as("im"),
+          r4d((col("re0") * col("re0") + col("im0") * col("im0"))
+            / col("nd")).as("power"))
+        .orderBy("event_type", "k")
+    }),
+
     "ts_autocorr" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val full = zeroFilledDaily(s, dir)
@@ -2767,6 +2810,43 @@ object AnalyticsQueries {
          |FROM w ORDER BY event_type, day""".stripMargin,
     // Same zero-filled spine, same lag frames, same exact moments;
     // HUGEINT mirrors decimal(38), sqrt·sqrt in the same op order.
+    // Same 2π·(k·t)/N angles (pi() ≡ math.Pi, ×2 exact), t-sorted
+    // struct folds for re/im, one power division.
+    "ts_periodogram" ->
+      s"""WITH e AS (SELECT event_type, ${sqlEpochDay("ts")} AS day
+         |  FROM events),
+         |d AS (SELECT event_type, day, count(*) AS y FROM e GROUP BY 1, 2),
+         |b AS (SELECT min(day) AS lo, max(day) AS hi FROM e),
+         |ty AS (SELECT DISTINCT event_type FROM e),
+         |spine AS (SELECT event_type, unnest(range(lo, hi + 1)) AS day
+         |  FROM ty CROSS JOIN b),
+         |fl AS (SELECT s.event_type, s.day, coalesce(y, 0) AS y
+         |  FROM spine s LEFT JOIN d
+         |    ON s.event_type = d.event_type AND s.day = d.day),
+         |terms AS (SELECT f.event_type, CAST(ks.k AS BIGINT) AS k,
+         |    f.day - b.lo AS t,
+         |    CAST(f.y AS DOUBLE) * cos(2.0 * pi()
+         |      * CAST(ks.k * (f.day - b.lo) AS DOUBLE)
+         |      / CAST(b.hi - b.lo + 1 AS DOUBLE)) AS re_t,
+         |    CAST(f.y AS DOUBLE) * sin(2.0 * pi()
+         |      * CAST(ks.k * (f.day - b.lo) AS DOUBLE)
+         |      / CAST(b.hi - b.lo + 1 AS DOUBLE)) AS im_t
+         |  FROM fl f CROSS JOIN b
+         |  CROSS JOIN (SELECT unnest(range(1, 11)) AS k) ks),
+         |ag AS (SELECT event_type, k, count(*) AS nd,
+         |    list_aggregate(list_transform(
+         |      list_sort(list({'t': t, 'r': re_t, 'i': im_t})),
+         |      z -> z.r), 'sum') AS re0,
+         |    list_aggregate(list_transform(
+         |      list_sort(list({'t': t, 'r': re_t, 'i': im_t})),
+         |      z -> z.i), 'sum') AS im0
+         |  FROM terms GROUP BY 1, 2)
+         |SELECT event_type, k, nd,
+         |  ROUND(re0 * 10000) / 10000 + 0.0 AS re,
+         |  ROUND(im0 * 10000) / 10000 + 0.0 AS im,
+         |  ROUND((re0 * re0 + im0 * im0) / nd * 10000) / 10000 + 0.0
+         |    AS power
+         |FROM ag ORDER BY event_type, k""".stripMargin,
     "ts_autocorr" ->
       s"""WITH e AS (SELECT event_type, ${sqlEpochDay("ts")} AS day
          |  FROM events),

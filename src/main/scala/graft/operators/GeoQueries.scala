@@ -467,6 +467,59 @@ object GeoQueries {
           min(col("cla")).as("min_cla"), max(col("cla")).as("max_cla"),
           min(col("clo")).as("min_clo"), max(col("clo")).as("max_clo"))
         .orderBy("cluster_id")
+    }),
+
+    // EMERGING / FADING DENSITY CELLS (§2.113) — the temporal face of
+    // the hotspot map: per grid cell, a density z-score in the
+    // window's FIRST half vs its SECOND half (exact integer midpoint
+    // split, the wilcoxon device), classified emerging / fading /
+    // persistent at |z| ≥ 1.5 — where is survey activity appearing or
+    // disappearing? Exactness: per-half cell counts are integers;
+    // mean/var come from exact (Σn, Σn², |cells|) with the squares in
+    // DECIMAL(38,0) (counts grow with the corpus), sd = sqrt(nc·ss −
+    // s²)/nc and z = (n·nc − s)/nc/sd spelled operand-for-operand.
+    // Shape: one (cell, half) reduce, a 1-row moment broadcast, a
+    // map-side classify — the cell table is domain-bounded.
+    "geo_emerging_cells" -> ((s, dir) => {
+      val p = sightings(s, dir)
+        .select(floor(col("lat") / 2).cast("long").as("cla"),
+          floor(col("lon") / 2).cast("long").as("clo"),
+          expr("ms div 86400000").as("day"))
+      val b = p.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+      val counts = p.crossJoin(broadcast(b))
+        .select(col("cla"), col("clo"),
+          when(col("day") * 2 < col("lo") + col("hi"), lit(1L))
+            .otherwise(lit(0L)).as("h1"))
+        .groupBy("cla", "clo")
+        .agg(sum(col("h1")).cast("long").as("n1"),
+          sum(lit(1L) - col("h1")).cast("long").as("n2"))
+      val st = counts.agg(count(lit(1)).as("nc"),
+        sum(col("n1")).cast("decimal(38,0)").as("s1"),
+        sum(col("n2")).cast("decimal(38,0)").as("s2"),
+        sum(col("n1").cast("decimal(38,0)") * col("n1")).as("ss1"),
+        sum(col("n2").cast("decimal(38,0)") * col("n2")).as("ss2"))
+      counts.crossJoin(broadcast(st))
+        .withColumn("sd1",
+          sqrt((col("nc") * col("ss1") - col("s1") * col("s1"))
+            .cast("double")) / col("nc").cast("double"))
+        .withColumn("sd2",
+          sqrt((col("nc") * col("ss2") - col("s2") * col("s2"))
+            .cast("double")) / col("nc").cast("double"))
+        .withColumn("z1",
+          (col("n1") * col("nc") - col("s1")).cast("double")
+            / col("nc").cast("double") / col("sd1"))
+        .withColumn("z2",
+          (col("n2") * col("nc") - col("s2")).cast("double")
+            / col("nc").cast("double") / col("sd2"))
+        .withColumn("class",
+          when(col("z2") >= 1.5 && col("z1") >= 1.5, "persistent")
+            .when(col("z2") >= 1.5 && col("z1") < 1.5, "emerging")
+            .when(col("z1") >= 1.5 && col("z2") < 1.5, "fading"))
+        .filter(col("class").isNotNull)
+        .select(col("cla"), col("clo"), col("n1"), col("n2"),
+          r4d(col("z1")).as("z1"), r4d(col("z2")).as("z2"),
+          col("class"))
+        .orderBy("cla", "clo")
     }))
 
   val oracle: Map[String, String] = Map(
@@ -787,5 +840,46 @@ object GeoQueries {
           |  min(clo) AS min_clo, max(clo) AS max_clo
           |FROM l5 JOIN core USING (key)
           |GROUP BY lbl ORDER BY cluster_id""".stripMargin
-    })
+    },
+    // Same midpoint split, HUGEINT moments, sd/z chains spelled
+    // operand-for-operand.
+    "geo_emerging_cells" ->
+      """WITH p AS (SELECT
+        |    CAST(floor((CAST(event_id % 1440 AS DOUBLE) / 8 - 90) / 2)
+        |      AS BIGINT) AS cla,
+        |    CAST(floor((CAST((user_id * 997 + event_id * 31) % 11520
+        |      AS DOUBLE) / 32 - 180) / 2) AS BIGINT) AS clo,
+        |    epoch_ms(ts) // 86400000 AS day
+        |  FROM events),
+        |b AS (SELECT min(day) AS lo, max(day) AS hi FROM p),
+        |counts AS (SELECT cla, clo,
+        |    CAST(sum(CASE WHEN day * 2 < lo + hi THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n1,
+        |    CAST(sum(CASE WHEN day * 2 < lo + hi THEN 0 ELSE 1 END)
+        |      AS BIGINT) AS n2
+        |  FROM p CROSS JOIN b GROUP BY 1, 2),
+        |st AS (SELECT count(*) AS nc,
+        |    CAST(sum(n1) AS HUGEINT) AS s1,
+        |    CAST(sum(n2) AS HUGEINT) AS s2,
+        |    CAST(sum(CAST(n1 AS HUGEINT) * n1) AS HUGEINT) AS ss1,
+        |    CAST(sum(CAST(n2 AS HUGEINT) * n2) AS HUGEINT) AS ss2
+        |  FROM counts),
+        |z AS (SELECT cla, clo, n1, n2,
+        |    CAST(n1 * nc - s1 AS DOUBLE) / CAST(nc AS DOUBLE)
+        |      / (sqrt(CAST(nc * ss1 - s1 * s1 AS DOUBLE))
+        |        / CAST(nc AS DOUBLE)) AS z1,
+        |    CAST(n2 * nc - s2 AS DOUBLE) / CAST(nc AS DOUBLE)
+        |      / (sqrt(CAST(nc * ss2 - s2 * s2 AS DOUBLE))
+        |        / CAST(nc AS DOUBLE)) AS z2
+        |  FROM counts CROSS JOIN st),
+        |c AS (SELECT *,
+        |    CASE WHEN z2 >= 1.5 AND z1 >= 1.5 THEN 'persistent'
+        |      WHEN z2 >= 1.5 AND z1 < 1.5 THEN 'emerging'
+        |      WHEN z1 >= 1.5 AND z2 < 1.5 THEN 'fading' END AS class
+        |  FROM z)
+        |SELECT cla, clo, n1, n2,
+        |  ROUND(z1 * 10000) / 10000 + 0.0 AS z1,
+        |  ROUND(z2 * 10000) / 10000 + 0.0 AS z2, class
+        |FROM c WHERE class IS NOT NULL
+        |ORDER BY cla, clo""".stripMargin)
 }

@@ -1702,6 +1702,42 @@ object StatQueries {
     // user_id replaces midranks, bit-replayably). W⁺/W⁻ are integer
     // sums; the normal-approximation z is one double chain at the
     // edge.
+    // SEQUENTIAL SPRT (§2.113) — Wald's sequential probability ratio
+    // test, the machinery behind "can we stop this A/B early?": per
+    // arm (user_id parity), the purchase-rate log-likelihood ratio of
+    // H₁ p=0.20 vs H₀ p=0.15 accumulates day by day, and each day is
+    // classified against the α=β=0.05 boundaries ±ln 19. Exactness:
+    // cumulative trials/conversions are integer window sums over the
+    // per-(arm, day) reduce (bounded table); the LLR is
+    // c·ln(p₁/p₀) + (n−c)·ln((1−p₁)/(1−p₀)) — two libm constants
+    // spelled symbolically in both engines times exact integers, one
+    // chain per row. The decision compares the UNROUNDED llr on both
+    // sides.
+    "ab_sprt_sequential" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = events(s, dir)
+        .select((col("user_id") % 2).as("arm"), epochDay("ts").as("day"),
+          when(col("event_type") === "purchase", lit(1L))
+            .otherwise(lit(0L)).as("conv"))
+      val d = e.groupBy("arm", "day")
+        .agg(count(lit(1)).as("n"), sum(col("conv")).cast("long").as("c"))
+      val w = Window.partitionBy("arm").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      d.withColumn("cn", sum(col("n")).over(w).cast("long"))
+        .withColumn("cc", sum(col("c")).over(w).cast("long"))
+        .withColumn("llr0",
+          col("cc").cast("double") * log(lit(0.2) / lit(0.15))
+            + (col("cn") - col("cc")).cast("double")
+              * log(lit(0.8) / lit(0.85)))
+        .select(col("arm"), col("day"),
+          col("cn").as("cum_trials"), col("cc").as("cum_conv"),
+          r4d(col("llr0")).as("llr"),
+          when(col("llr0") >= log(lit(19.0)), "reject_h0")
+            .when(col("llr0") <= -log(lit(19.0)), "accept_h0")
+            .otherwise("continue").as("decision"))
+        .orderBy("arm", "day")
+    }),
+
     "agg_wilcoxon_signed_rank" -> ((s, dir) => {
       val e = events(s, dir)
         .select(col("user_id"), epochDay("ts").as("day"))
@@ -1822,6 +1858,32 @@ object StatQueries {
         |    / CAST(m * m * (24 * 24 * 24 - 24) AS DOUBLE)
         |    * 10000) / 10000 + 0.0 AS w
         |FROM ri CROSS JOIN m GROUP BY m""".stripMargin,
+    // Same cumulative integer counts; the two ln constants and the
+    // boundary comparison spelled symbolically, unrounded llr on both
+    // sides of the CASE.
+    "ab_sprt_sequential" ->
+      s"""WITH e AS (SELECT user_id % 2 AS arm,
+         |    ${sqlEpochDay("ts")} AS day,
+         |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+         |      AS conv
+         |  FROM events),
+         |d AS (SELECT arm, day, count(*) AS n,
+         |    CAST(sum(conv) AS BIGINT) AS c FROM e GROUP BY 1, 2),
+         |cum AS (SELECT arm, day,
+         |    CAST(sum(n) OVER w AS BIGINT) AS cn,
+         |    CAST(sum(c) OVER w AS BIGINT) AS cc
+         |  FROM d WINDOW w AS (PARTITION BY arm ORDER BY day
+         |    ROWS UNBOUNDED PRECEDING)),
+         |l AS (SELECT arm, day, cn, cc,
+         |    CAST(cc AS DOUBLE) * ln(0.2 / 0.15)
+         |      + CAST(cn - cc AS DOUBLE) * ln(0.8 / 0.85) AS llr0
+         |  FROM cum)
+         |SELECT arm, day, cn AS cum_trials, cc AS cum_conv,
+         |  ROUND(llr0 * 10000) / 10000 + 0.0 AS llr,
+         |  CASE WHEN llr0 >= ln(19.0) THEN 'reject_h0'
+         |    WHEN llr0 <= -ln(19.0) THEN 'accept_h0'
+         |    ELSE 'continue' END AS decision
+         |FROM l ORDER BY arm, day""".stripMargin,
     // Same exact midpoint split and (|d|, user) competition ranks;
     // W and the z chain spelled operand-for-operand.
     "agg_wilcoxon_signed_rank" ->

@@ -397,10 +397,12 @@ class InventorySpec extends SparkSpec {
     "geo_sinuosity", "geo_dbscan_cells", "multimodal_track_speed",
     // §2.112 round-13 fifth wave: Theil index, Wilcoxon signed-rank,
     // backfill plan
-    "agg_theil_index", "agg_wilcoxon_signed_rank", "etl_backfill_plan")
+    "agg_theil_index", "agg_wilcoxon_signed_rank", "etl_backfill_plan",
+    // §2.113 round-13 sixth wave: periodogram, emerging cells, SPRT
+    "ts_periodogram", "geo_emerging_cells", "ab_sprt_sequential")
 
-  test("declared queries cover SURVEY §2 + §2.12-112 exactly (450 keys)") {
-    assert(inventory.size == 450)
+  test("declared queries cover SURVEY §2 + §2.12-113 exactly (453 keys)") {
+    assert(inventory.size == 453)
     val declared = SparkEntry.queries.keySet
     val missing = inventory -- declared
     val extra = declared -- inventory
