@@ -206,6 +206,36 @@ object GraftStreams {
       .select(unix_millis(col("w.start").cast("timestamp")).as("hour_ms"),
         col("event_type"), col("n"))
 
+  /** Static per-(type, hour-of-day) baseline for [[rateAlerts]]:
+    * observed-hour count + total events per slot, computed ONCE from a
+    * batch events table (the deployment shape: yesterday's corpus
+    * builds the baseline, today's stream is judged against it). The
+    * denominator counts OBSERVED hours — an hour with zero events of a
+    * type contributes no row, which biases the mean up (conservative
+    * for alerting) and keeps both engines' arithmetic integer-exact. */
+  def hourlyBaseline(events: DataFrame): DataFrame =
+    events
+      .select(col("event_type"),
+        expr("unix_millis(cast(ts as timestamp)) div 3600000")
+          .as("hour"))
+      .groupBy("event_type", "hour").agg(count(lit(1)).as("n"))
+      .select(col("event_type"), (col("hour") % 24).as("hod"), col("n"))
+      .groupBy("event_type", "hod")
+      .agg(count(lit(1)).as("base_hours"),
+        sum(col("n")).cast("long").as("base_sum"))
+
+  /** Hourly per-type counts flagged against the static [[hourlyBaseline]]
+    * (stream-static join downstream of the windowed agg): alert when
+    * n · base_hours > 3 · base_sum — the integer-exact "3× the mean
+    * hourly rate for this hour-of-day" rule, no division anywhere. */
+  def rateAlerts(events: DataFrame, baseline: DataFrame): DataFrame =
+    hourlyTypeCounts(events)
+      .withColumn("hod", expr("(hour_ms div 3600000) % 24"))
+      .join(baseline, Seq("event_type", "hod"))
+      .select(col("hour_ms"), col("event_type"), col("n"),
+        col("base_hours"), col("base_sum"),
+        (col("n") * col("base_hours") > col("base_sum") * 3).as("alert"))
+
   /** Gap-based sessions per user via the native session_window state
     * (merging windows); emits (user_id, start_ms, end_ms, n_events,
     * sum_value) per closed-or-current session. The watermark is what

@@ -84,6 +84,22 @@ object StreamQueries {
       GraftStreams.sessionFirstTouch(events(s, dir))
         .orderBy("user_id", "start_ms")),
 
+    // RATE ALERTS (§2.114) — the on-call page behind every streaming
+    // pipeline: hourly per-type counts judged against a STATIC
+    // per-(type, hour-of-day) baseline (the stream-static shape —
+    // yesterday's corpus builds the baseline, today's stream is
+    // scored). Batch and streaming run the SAME GraftStreams
+    // .rateAlerts over the same hourlyBaseline (watermark analyzer-
+    // eliminated here); StreamingParitySpec replays the fixture
+    // through a MemoryStream against the identical baseline frame.
+    // The alert is the INTEGER rule n·base_hours > 3·base_sum — 3×
+    // the slot's mean rate with no division anywhere.
+    "stream_rate_alert" -> ((s, dir) => {
+      val base = GraftStreams.hourlyBaseline(events(s, dir))
+      GraftStreams.rateAlerts(events(s, dir), base)
+        .orderBy("hour_ms", "event_type")
+    }),
+
     // HOURLY TOP-K TRENDING — the dashboard composition over a
     // STREAMING aggregate: GraftStreams.hourlyTypeCounts is the
     // watermarked windowed agg (shared declaration — the watermark
@@ -228,6 +244,21 @@ object StreamQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    // Hourly counts vs the observed-hour baseline; the alert rule is
+    // the integer comparison, no division.
+    "stream_rate_alert" ->
+      """WITH h AS (SELECT event_type,
+        |    (epoch_ms(ts) // 3600000) * 3600000 AS hour_ms,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |b AS (SELECT event_type, (hour_ms // 3600000) % 24 AS hod,
+        |    count(*) AS base_hours, CAST(sum(n) AS BIGINT) AS base_sum
+        |  FROM h GROUP BY 1, 2)
+        |SELECT h.hour_ms, h.event_type, h.n, b.base_hours, b.base_sum,
+        |  h.n * b.base_hours > b.base_sum * 3 AS alert
+        |FROM h JOIN b ON b.event_type = h.event_type
+        |  AND b.hod = (h.hour_ms // 3600000) % 24
+        |ORDER BY h.hour_ms, h.event_type""".stripMargin,
     // Global argmax per user ≡ last-write-wins over ts-ordered merges.
     "stream_vtab_merge" ->
       s"""WITH e AS (SELECT user_id, event_type, value, ts, event_id,

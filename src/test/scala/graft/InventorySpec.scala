@@ -399,10 +399,12 @@ class InventorySpec extends SparkSpec {
     // backfill plan
     "agg_theil_index", "agg_wilcoxon_signed_rank", "etl_backfill_plan",
     // §2.113 round-13 sixth wave: periodogram, emerging cells, SPRT
-    "ts_periodogram", "geo_emerging_cells", "ab_sprt_sequential")
+    "ts_periodogram", "geo_emerging_cells", "ab_sprt_sequential",
+    // §2.114 round-13 seventh wave: streaming rate alerts
+    "stream_rate_alert")
 
-  test("declared queries cover SURVEY §2 + §2.12-113 exactly (453 keys)") {
-    assert(inventory.size == 453)
+  test("declared queries cover SURVEY §2 + §2.12-114 exactly (454 keys)") {
+    assert(inventory.size == 454)
     val declared = SparkEntry.queries.keySet
     val missing = inventory -- declared
     val extra = declared -- inventory

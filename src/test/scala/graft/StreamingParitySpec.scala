@@ -133,6 +133,15 @@ class StreamingParitySpec extends SparkSpec {
     assertSameRows(streamed, batch, Seq("day", "n_name"))
   }
 
+  test("rate alerts: stream-static baseline join downstream of the agg == batch declared key") {
+    val base = GraftStreams.hourlyBaseline(Tables.events(spark, sf))
+    val streamed = runStream("ratealert", 4, OutputMode.Complete())(
+      GraftStreams.rateAlerts(_, base))
+    val batch = graft.streaming.StreamQueries
+      .queries("stream_rate_alert")(spark, sf)
+    assertSameRows(streamed, batch, Seq("hour_ms", "event_type"))
+  }
+
   test("file-source replay of events.parquet matches batch tumbling counts") {
     // The file stream source lists a directory; stage the fixture into one.
     val stage = java.nio.file.Files.createTempDirectory("graft_stream_src")
