@@ -768,6 +768,39 @@ object EtlQueries {
     // corpus, a bounded |types|×|days| spine, an anti join on the
     // composite key, three bounded reduces — integer day arithmetic
     // throughout.
+    // SAMPLED STATS COLLECTION (§2.115) — the catalog-statistics
+    // sweep a CBO/quality monitor runs: per profiled column, row
+    // count, exact distinct count, and min/max, over the
+    // deterministic md5 1/16 row sample (the Doulion device applied
+    // to (orderkey, linenumber) — replayable, unlike TABLESAMPLE,
+    // whose RNG no two engines share). ONE scan computes every
+    // column's stats (the multi-distinct Expand shape); the stack()
+    // reshape emits one row per column. Min/max cast to DOUBLE so the
+    // profile table is column-type-agnostic (exact for these decimal
+    // domains).
+    "etl_stats_collect" -> ((s, dir) => {
+      val sm = t(s, dir, "lineitem")
+        .filter(substring(md5(concat(col("l_orderkey").cast("string"),
+          lit("_"), col("l_linenumber").cast("string")).cast("binary")),
+          1, 1) === "0")
+      sm.agg(count(lit(1)).as("n"),
+          countDistinct(col("l_quantity")).as("d1"),
+          min(col("l_quantity")).cast("double").as("mn1"),
+          max(col("l_quantity")).cast("double").as("mx1"),
+          countDistinct(col("l_extendedprice")).as("d2"),
+          min(col("l_extendedprice")).cast("double").as("mn2"),
+          max(col("l_extendedprice")).cast("double").as("mx2"),
+          countDistinct(col("l_discount")).as("d3"),
+          min(col("l_discount")).cast("double").as("mn3"),
+          max(col("l_discount")).cast("double").as("mx3"))
+        .select(expr("stack(3," +
+          " 'l_discount', n, d3, mn3, mx3," +
+          " 'l_extendedprice', n, d2, mn2, mx2," +
+          " 'l_quantity', n, d1, mn1, mx1)" +
+          " AS (column_name, n_rows, n_distinct, min_v, max_v)"))
+        .orderBy("column_name")
+    }),
+
     "etl_backfill_plan" -> ((s, dir) => {
       val e = events(s, dir)
         .select(col("event_type"), epochDay("ts").as("day"))
@@ -796,6 +829,28 @@ object EtlQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // Same md5 sample and one-pass multi-distinct agg; UNION ALL is
+    // the stack() reshape.
+    "etl_stats_collect" ->
+      """WITH sm AS (SELECT * FROM lineitem
+        |  WHERE substring(md5(CAST(l_orderkey AS VARCHAR) || '_'
+        |    || CAST(l_linenumber AS VARCHAR)), 1, 1) = '0'),
+        |a AS (SELECT count(*) AS n,
+        |    count(DISTINCT l_quantity) AS d1,
+        |    CAST(min(l_quantity) AS DOUBLE) AS mn1,
+        |    CAST(max(l_quantity) AS DOUBLE) AS mx1,
+        |    count(DISTINCT l_extendedprice) AS d2,
+        |    CAST(min(l_extendedprice) AS DOUBLE) AS mn2,
+        |    CAST(max(l_extendedprice) AS DOUBLE) AS mx2,
+        |    count(DISTINCT l_discount) AS d3,
+        |    CAST(min(l_discount) AS DOUBLE) AS mn3,
+        |    CAST(max(l_discount) AS DOUBLE) AS mx3
+        |  FROM sm)
+        |SELECT 'l_discount' AS column_name, n AS n_rows,
+        |  d3 AS n_distinct, mn3 AS min_v, mx3 AS max_v FROM a
+        |UNION ALL SELECT 'l_extendedprice', n, d2, mn2, mx2 FROM a
+        |UNION ALL SELECT 'l_quantity', n, d1, mn1, mx1 FROM a
+        |ORDER BY column_name""".stripMargin,
     // Same spine × types grid and NOT EXISTS ≡ anti join; null
     // first/last range when nothing is missing.
     "etl_backfill_plan" ->

@@ -358,6 +358,34 @@ object GraphQueries {
     // p²). Same oriented-wedge counting, same reused distinct-edge
     // subplan; nodes below 2 sampled degrees have no defined cc and
     // drop; triangle-free nodes emit 0 via the left join.
+    // GLOBAL TRANSITIVITY (§2.115) — the graph-level closure ratio
+    // C = 3T/W = Σ_v T(v) / Σ_v C(deg_v, 2): one number where
+    // graph_clustering_coeff emits per-node rows (the two famously
+    // DISAGREE on hub-heavy graphs — transitivity weighs hubs by
+    // their wedge count, the mean coefficient doesn't — which is
+    // exactly why both belong in the surface). Same '0'–'3' Doulion
+    // sample and the same reused triangle-corner subplan; both sums
+    // are exact integers in DECIMAL(38,0) (wedge counts are
+    // deg²-shaped and grow fast), ONE division at the edge.
+    "graph_transitivity_global" -> ((s, dir) => {
+      val e = sampledOrientedEdges(s, dir, Some(Seq("0", "1", "2", "3")))
+        .localCheckpoint(true)
+      val deg = e.select(explode(array(col("a"), col("b"))).as("node"))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+      val tc = triangleCorners(e)
+      deg.join(tc, Seq("node"), "left")
+        .agg(count(lit(1)).as("n_nodes"),
+          sum((col("deg").cast("decimal(38,0)") * (col("deg") - 1) / 2)
+            .cast("decimal(38,0)")).as("wedges"),
+          sum(coalesce(col("n_tri"), lit(0L)).cast("decimal(38,0)"))
+            .as("corners"))
+        .select(col("n_nodes"),
+          col("wedges").cast("long").as("sum_wedges"),
+          col("corners").cast("long").as("sum_corners"),
+          r4d(col("corners").cast("double")
+            / col("wedges").cast("double")).as("transitivity"))
+    }),
+
     "graph_clustering_coeff" -> ((s, dir) => {
       val e = sampledOrientedEdges(s, dir, Some(Seq("0", "1", "2", "3")))
       val deg = e.select(explode(array(col("a"), col("b"))).as("node"))
@@ -962,6 +990,35 @@ object GraphQueries {
            |FROM (SELECT * FROM dep1 UNION ALL SELECT * FROM dep2)
            |GROUP BY node ORDER BY node""".stripMargin
     },
+    // Same triangle chain + sampled degrees; per-node wedges exact
+    // via // 2 (deg·(deg−1) is even), HUGEINT sums, one division.
+    "graph_transitivity_global" ->
+      """WITH pp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+        |  FROM lineitem),
+        |e0 AS (SELECT DISTINCT x.p AS a, y.p AS b
+        |  FROM pp x JOIN pp y ON x.ok = y.ok AND x.p < y.p),
+        |e AS MATERIALIZED (SELECT a, b FROM e0
+        |  WHERE substring(md5(CAST(a AS VARCHAR) || '_'
+        |    || CAST(b AS VARCHAR)), 1, 1) IN ('0', '1', '2', '3')),
+        |deg AS (SELECT node, count(*) AS deg FROM (
+        |  SELECT a AS node FROM e UNION ALL SELECT b FROM e) GROUP BY 1),
+        |tri AS (SELECT e1.a AS a, e1.b AS b, e2.b AS c
+        |  FROM e e1 JOIN e e2 ON e1.b = e2.a
+        |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |nt AS (SELECT node, count(*) AS n_tri FROM (
+        |  SELECT a AS node FROM tri
+        |  UNION ALL SELECT b FROM tri
+        |  UNION ALL SELECT c FROM tri) GROUP BY 1)
+        |SELECT count(*) AS n_nodes,
+        |  CAST(CAST(sum((CAST(deg AS HUGEINT) * (deg - 1)) // 2)
+        |    AS HUGEINT) AS BIGINT) AS sum_wedges,
+        |  CAST(CAST(sum(coalesce(n_tri, 0)) AS HUGEINT) AS BIGINT)
+        |    AS sum_corners,
+        |  ROUND(CAST(CAST(sum(coalesce(n_tri, 0)) AS HUGEINT)
+        |      AS DOUBLE)
+        |    / CAST(CAST(sum((CAST(deg AS HUGEINT) * (deg - 1)) // 2)
+        |      AS HUGEINT) AS DOUBLE) * 10000) / 10000 AS transitivity
+        |FROM deg LEFT JOIN nt USING (node)""".stripMargin,
     // Triangle chain + sampled degrees, identical double spelling for
     // the normalization.
     "graph_clustering_coeff" ->

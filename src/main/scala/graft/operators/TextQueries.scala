@@ -784,6 +784,48 @@ object TextQueries {
         .orderBy("decile")
     }),
 
+    // LOG-ODDS DISTINCTIVE KEYWORDS (§2.115) — Monroe et al.'s
+    // "Fightin' Words": which words are DISTINCTIVE of each source,
+    // with a Dirichlet prior so rare words don't dominate (the flaw
+    // of raw tf-idf contrast)? Candidate set = the global top-50
+    // words (bounded); per (source, word): δ = ln((c_sw+1)/(n_s+K−
+    // c_sw−1)) − ln((c_w+1)/(N+K−c_w−1)), z = δ/√(1/(c_sw+1) +
+    // 1/(c_w+1)), top-5 per source by z. Every operand is an exact
+    // integer; each row is one libm chain spelled operand-for-operand
+    // (sources×50 rows — bounded, so the rank window is constant-
+    // size). Shape: one token reduce, a top-50 TakeOrdered, a
+    // broadcast spine join, map-side chains.
+    "text_odds_ratio_keywords" -> ((s, dir) => {
+      val tok = t(s, dir, "documents")
+        .select(col("source"), explode(split(col("text"), " ")).as("tk"))
+      val gl = tok.groupBy("tk").agg(count(lit(1)).as("cw"))
+      val top = gl.orderBy(col("cw").desc, col("tk")).limit(50)
+      val ns = tok.groupBy("source").agg(count(lit(1)).as("ns"))
+      val nn = tok.agg(count(lit(1)).as("nN"))
+      val cs = tok.join(broadcast(top.select(col("tk"))), Seq("tk"))
+        .groupBy("source", "tk").agg(count(lit(1)).as("csw"))
+      val rows = ns.crossJoin(broadcast(top))
+        .join(cs, Seq("source", "tk"), "left")
+        .crossJoin(broadcast(nn))
+        .select(col("source"), col("tk"),
+          coalesce(col("csw"), lit(0L)).as("csw"),
+          col("ns"), col("cw"), col("nN"))
+        .withColumn("z",
+          (log((col("csw") + 1).cast("double")
+              / (col("ns") + 50 - col("csw") - 1).cast("double"))
+            - log((col("cw") + 1).cast("double")
+              / (col("nN") + 50 - col("cw") - 1).cast("double")))
+          / sqrt(lit(1.0) / (col("csw") + 1).cast("double")
+            + lit(1.0) / (col("cw") + 1).cast("double")))
+      rows.withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("source")
+            .orderBy(col("z").desc, col("tk"))))
+        .filter(col("rk") <= 5)
+        .select(col("source"), col("rk").cast("long").as("rk"),
+          col("tk").as("word"), col("csw"), r4d(col("z")).as("z"))
+        .orderBy("source", "rk")
+    }),
+
     // BURROWS' DELTA (§2.110) — the classic stylometric distance
     // between sources: z-scores of the top-20 function-word rates
     // (per-mille of each source's tokens), Δ(a,b) = mean |z_a − z_b|.
@@ -1261,6 +1303,37 @@ object TextQueries {
         |    AS novelty
         |FROM occ JOIN fst USING (bg)
         |GROUP BY decile ORDER BY decile""".stripMargin,
+    // Same top-50 candidate spine and per-row log-odds chain; ranks
+    // over the bounded (source × 50) table.
+    "text_odds_ratio_keywords" ->
+      """WITH tok AS (SELECT source,
+        |    unnest(string_split(text, ' ')) AS tk FROM documents),
+        |gl AS (SELECT tk, count(*) AS cw FROM tok GROUP BY 1),
+        |top AS (SELECT tk, cw FROM gl ORDER BY cw DESC, tk LIMIT 50),
+        |ns AS (SELECT source, count(*) AS ns FROM tok GROUP BY 1),
+        |nn AS (SELECT count(*) AS nN FROM tok),
+        |cs AS (SELECT source, tk, count(*) AS csw
+        |  FROM tok JOIN (SELECT tk FROM top) USING (tk) GROUP BY 1, 2),
+        |rows0 AS (SELECT n.source, t.tk, coalesce(c.csw, 0) AS csw,
+        |    n.ns, t.cw, nn.nN
+        |  FROM ns n CROSS JOIN top t
+        |  LEFT JOIN cs c ON c.source = n.source AND c.tk = t.tk
+        |  CROSS JOIN nn),
+        |z AS (SELECT source, tk, csw,
+        |    (ln(CAST(csw + 1 AS DOUBLE)
+        |        / CAST(ns + 50 - csw - 1 AS DOUBLE))
+        |      - ln(CAST(cw + 1 AS DOUBLE)
+        |        / CAST(nN + 50 - cw - 1 AS DOUBLE)))
+        |    / sqrt(1.0 / CAST(csw + 1 AS DOUBLE)
+        |      + 1.0 / CAST(cw + 1 AS DOUBLE)) AS z
+        |  FROM rows0),
+        |r AS (SELECT source, tk, csw, z,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY z DESC, tk) AS rk
+        |  FROM z)
+        |SELECT source, rk, tk AS word, csw,
+        |  ROUND(z * 10000) / 10000 + 0.0 AS z
+        |FROM r WHERE rk <= 5 ORDER BY source, rk""".stripMargin,
     // Same top-20 marker set, per-mille rates, struct-sorted folds
     // for mean/var and the per-pair |z| mean (the markov-key device).
     "text_burrows_delta" ->

@@ -401,10 +401,14 @@ class InventorySpec extends SparkSpec {
     // §2.113 round-13 sixth wave: periodogram, emerging cells, SPRT
     "ts_periodogram", "geo_emerging_cells", "ab_sprt_sequential",
     // §2.114 round-13 seventh wave: streaming rate alerts
-    "stream_rate_alert")
+    "stream_rate_alert",
+    // §2.115 round-13 eighth wave: log-odds keywords, transitivity,
+    // stats collection
+    "text_odds_ratio_keywords", "graph_transitivity_global",
+    "etl_stats_collect")
 
-  test("declared queries cover SURVEY §2 + §2.12-114 exactly (454 keys)") {
-    assert(inventory.size == 454)
+  test("declared queries cover SURVEY §2 + §2.12-115 exactly (457 keys)") {
+    assert(inventory.size == 457)
     val declared = SparkEntry.queries.keySet
     val missing = inventory -- declared
     val extra = declared -- inventory
