@@ -718,6 +718,49 @@ object AnalyticsQueries {
     // order by day) hosts both lag frames, and the pair explode is
     // map-side — the whole key after the pre-agg is calendar-bounded,
     // never corpus-bounded.
+    // BINARY-SEGMENTATION CHANGEPOINT (§2.113/116) — the best single
+    // split of the global daily series by SSE gain: argmax_k
+    // S₁²/k + S₂²/(N−k) − S²/N (the variance-reduction objective; the
+    // CUSUM key detects drift direction, this one OPTIMIZES the split
+    // point — binary segmentation's first level). Prefix sums are
+    // exact integer windows over the TIME-bounded day spine; each
+    // candidate's gain is one double chain from DECIMAL(38,0)-squared
+    // exact integers (identical operands → identical doubles, so the
+    // argmax rank is engine-stable, day tie-break). Corpus size only
+    // changes y values — every window here is constant-size.
+    "ts_changepoint_binseg" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = zeroFilledDaily(s, dir)
+        .groupBy("day").agg(sum(col("y")).cast("long").as("y"))
+      val wc = Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = daily
+        .withColumn("s1", sum(col("y")).over(wc).cast("long"))
+        .withColumn("k",
+          row_number().over(Window.orderBy("day")).cast("long"))
+      val tot = cum.agg(max(col("s1")).as("stot"), max(col("k")).as("nn"))
+      val g = cum.crossJoin(broadcast(tot)).filter(col("k") < col("nn"))
+        .withColumn("s2", col("stot") - col("s1"))
+        .withColumn("n2", col("nn") - col("k"))
+        .withColumn("gain",
+          (col("s1").cast("decimal(38,0)") * col("s1")).cast("double")
+              / col("k").cast("double")
+            + (col("s2").cast("decimal(38,0)") * col("s2")).cast("double")
+              / col("n2").cast("double")
+            - (col("stot").cast("decimal(38,0)") * col("stot"))
+              .cast("double") / col("nn").cast("double"))
+      g.withColumn("rk", row_number().over(
+          Window.orderBy(col("gain").desc, col("day"))))
+        .filter(col("rk") === 1)
+        .select(col("day").as("split_day"), col("k").as("n_left"),
+          col("n2").as("n_right"),
+          r4d(col("s1").cast("double") / col("k").cast("double"))
+            .as("mean_left"),
+          r4d(col("s2").cast("double") / col("n2").cast("double"))
+            .as("mean_right"),
+          r4d(col("gain")).as("gain"))
+    }),
+
     // DFT PERIODOGRAM (§2.113) — which cycle lengths carry the energy
     // of each type's daily series? Frequency-domain seasonality, next
     // to ts_autocorr/ts_dow_seasonality's fixed-lag probes: for k ∈
@@ -2810,6 +2853,45 @@ object AnalyticsQueries {
          |FROM w ORDER BY event_type, day""".stripMargin,
     // Same zero-filled spine, same lag frames, same exact moments;
     // HUGEINT mirrors decimal(38), sqrt·sqrt in the same op order.
+    // Same exact prefix sums and HUGEINT-squared gain chain; argmax
+    // rank with the day tie-break.
+    "ts_changepoint_binseg" ->
+      s"""WITH e AS (SELECT event_type, ${sqlEpochDay("ts")} AS day
+         |  FROM events),
+         |d0 AS (SELECT event_type, day, count(*) AS y FROM e
+         |  GROUP BY 1, 2),
+         |b AS (SELECT min(day) AS lo, max(day) AS hi FROM e),
+         |ty AS (SELECT DISTINCT event_type FROM e),
+         |spine AS (SELECT event_type, unnest(range(lo, hi + 1)) AS day
+         |  FROM ty CROSS JOIN b),
+         |fl AS (SELECT s.event_type, s.day, coalesce(y, 0) AS y
+         |  FROM spine s LEFT JOIN d0
+         |    ON s.event_type = d0.event_type AND s.day = d0.day),
+         |daily AS (SELECT day, CAST(sum(y) AS BIGINT) AS y
+         |  FROM fl GROUP BY 1),
+         |cum AS (SELECT day, y,
+         |    CAST(sum(y) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+         |      AS BIGINT) AS s1,
+         |    CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS k
+         |  FROM daily),
+         |tot AS (SELECT max(s1) AS stot, max(k) AS nn FROM cum),
+         |g AS (SELECT day, k, stot - s1 AS s2, nn - k AS n2, s1,
+         |    CAST(CAST(s1 AS HUGEINT) * s1 AS DOUBLE)
+         |        / CAST(k AS DOUBLE)
+         |      + CAST(CAST(stot - s1 AS HUGEINT) * (stot - s1)
+         |        AS DOUBLE) / CAST(nn - k AS DOUBLE)
+         |      - CAST(CAST(stot AS HUGEINT) * stot AS DOUBLE)
+         |        / CAST(nn AS DOUBLE) AS gain
+         |  FROM cum CROSS JOIN tot WHERE k < nn),
+         |r AS (SELECT *, row_number() OVER (ORDER BY gain DESC, day)
+         |    AS rk FROM g)
+         |SELECT day AS split_day, k AS n_left, n2 AS n_right,
+         |  ROUND(CAST(s1 AS DOUBLE) / CAST(k AS DOUBLE) * 10000)
+         |    / 10000 AS mean_left,
+         |  ROUND(CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) * 10000)
+         |    / 10000 AS mean_right,
+         |  ROUND(gain * 10000) / 10000 + 0.0 AS gain
+         |FROM r WHERE rk = 1""".stripMargin,
     // Same 2π·(k·t)/N angles (pi() ≡ math.Pi, ×2 exact), t-sorted
     // struct folds for re/im, one power division.
     "ts_periodogram" ->

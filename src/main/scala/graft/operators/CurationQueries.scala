@@ -38,6 +38,36 @@ object CurationQueries {
           s"i -> concat_ws(' ', slice(toks, i+1, $n))))")).as("sh"))
 
   val queries: Map[String, Q] = Map(
+    // C4-STYLE LINE-LEVEL DEDUP REPORT (§2.116) — the curation stage
+    // between doc-level and substring-span dedup: a "line" here is a
+    // non-overlapping 2-token chunk (the fixture-appropriate
+    // granularity for its periodless word stream; a real corpus feeds
+    // newline lines), and a line is BOILERPLATE when it occurs in ≥ 3
+    // distinct documents — C4's remove-repeated-lines rule as a
+    // per-doc report (line count, boilerplate count, kept fraction).
+    // Shape: a map-side chunk explode, one chunk-keyed doc-distinct
+    // reduce (dictionary-bounded), one join back on chunk, a per-doc
+    // reduce — never doc×doc.
+    "dedup_line_level" -> ((s, dir) => {
+      val ch = t(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .filter(size(col("toks")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(toks) div 2 - 1)," +
+            " i -> concat(toks[2*i], ' ', toks[2*i+1]))")).as("line"))
+      val boiler = ch.groupBy("line")
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .filter(col("nd") >= 3).select(col("line"), lit(1L).as("bp"))
+      ch.join(boiler, Seq("line"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_lines"),
+          coalesce(sum(col("bp")), lit(0L)).as("n_boilerplate"))
+        .select(col("doc_id"), col("n_lines"), col("n_boilerplate"),
+          r4d((col("n_lines") - col("n_boilerplate")).cast("double")
+            / col("n_lines").cast("double")).as("kept_fraction"))
+        .orderBy("doc_id")
+    }),
+
     // Benchmark decontamination verdict: for every non-benchmark doc,
     // how many of its distinct 5-gram shingles appear anywhere in the
     // benchmark set (docs with doc_id % 97 == 0 stand in for an eval
@@ -606,6 +636,26 @@ object CurationQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // Same 2-token chunking (range(len//2) ≡ sequence/div), ≥3-doc
+    // boilerplate rule, one kept-fraction division.
+    "dedup_line_level" ->
+      """WITH ch AS (SELECT doc_id,
+        |    toks[2*i + 1] || ' ' || toks[2*i + 2] AS line
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks
+        |    FROM documents WHERE len(string_split(text, ' ')) >= 2),
+        |    LATERAL (SELECT unnest(range(len(toks) // 2)) AS i)),
+        |boiler AS (SELECT line FROM (
+        |  SELECT line, count(DISTINCT doc_id) AS nd FROM ch GROUP BY 1)
+        |  WHERE nd >= 3)
+        |SELECT doc_id, count(*) AS n_lines,
+        |  CAST(sum(CASE WHEN b.line IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_boilerplate,
+        |  ROUND(CAST(count(*) - sum(CASE WHEN b.line IS NOT NULL
+        |      THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) * 10000) / 10000
+        |    AS kept_fraction
+        |FROM ch LEFT JOIN boiler b USING (line)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // The verdict oracle is the same CTE chain: the langid CTEs are
     // text_langid's verbatim, the quality arithmetic
     // text_quality_score's, the shingle CTEs text_decontaminate's, and

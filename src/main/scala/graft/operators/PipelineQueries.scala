@@ -1875,6 +1875,38 @@ object PipelineQueries {
     // corpus-linear with a ≤ 64² per-pair bound; the doubling rounds
     // are three O(|dets|) self-equi-joins over an eagerly
     // checkpointed pointer table (the MMR plan-blowup lesson).
+    // MOSAIC AUGMENTATION MANIFEST (§2.116) — the YOLO-style 2×2
+    // mosaic builder's bookkeeping: four consecutive images (mosaic =
+    // image div 4, quadrant = image % 4) compose one 800×800 canvas,
+    // each source half-scaled into its quadrant; every gt box is
+    // remapped x' = x div 2 + offx (integer floor scaling — the
+    // letterbox/tiling device), with degenerate boxes (scaled to zero
+    // extent) dropped as real mosaic builders do. Pure map-side
+    // integer geometry below the presentation sort — embarrassingly
+    // parallel; shares eval_det_match's gt fixture so images scale
+    // with the corpus at constant per-image box counts.
+    "multimodal_mosaic_manifest" -> ((s, dir) => {
+      val base = t(s, dir, "part").select(col("p_partkey").as("k"),
+        col("p_size").cast("long").as("sz"))
+        .select(col("k"), expr("k div 64").as("image_id"),
+          ((col("k") % 8) * 100).as("gx1"),
+          (expr("(k % 64) div 8") * 100).as("gy1"), col("sz"))
+        .withColumn("gx2", col("gx1") + 40 + col("sz") % 20)
+        .withColumn("gy2", col("gy1") + 60 + col("k") % 13)
+      base
+        .withColumn("mosaic_id", expr("image_id div 4"))
+        .withColumn("quadrant", col("image_id") % 4)
+        .withColumn("offx", (col("quadrant") % 2) * 400)
+        .withColumn("offy", expr("quadrant div 2") * 400)
+        .select(col("k").as("gt_id"), col("mosaic_id"), col("quadrant"),
+          (expr("gx1 div 2") + col("offx")).as("mx1"),
+          (expr("gy1 div 2") + col("offy")).as("my1"),
+          (expr("gx2 div 2") + col("offx")).as("mx2"),
+          (expr("gy2 div 2") + col("offy")).as("my2"))
+        .filter(col("mx2") > col("mx1") && col("my2") > col("my1"))
+        .orderBy("gt_id")
+    }),
+
     "multimodal_track_stitch" -> ((s, dir) => {
       val (det, _, ptr) = trackTables(s, dir)
       ptr.join(det.select(col("det_id"), col("frame")), Seq("det_id"))
@@ -3109,6 +3141,27 @@ object PipelineQueries {
         |  ROUND(apm * 10000) / 10000 + 0.0 AS map
         |FROM (SELECT * FROM percls UNION ALL SELECT * FROM summ)
         |ORDER BY cls""".stripMargin,
+    // Same integer floor scaling and quadrant offsets; degenerate
+    // boxes dropped identically.
+    "multimodal_mosaic_manifest" ->
+      """WITH base AS (SELECT p_partkey AS k,
+        |    CAST(p_size AS BIGINT) AS sz,
+        |    p_partkey // 64 AS image_id,
+        |    (p_partkey % 8) * 100 AS gx1,
+        |    ((p_partkey % 64) // 8) * 100 AS gy1
+        |  FROM part),
+        |bb AS (SELECT *, gx1 + 40 + sz % 20 AS gx2,
+        |    gy1 + 60 + k % 13 AS gy2 FROM base),
+        |m AS (SELECT k AS gt_id, image_id // 4 AS mosaic_id,
+        |    image_id % 4 AS quadrant,
+        |    gx1 // 2 + (image_id % 4 % 2) * 400 AS mx1,
+        |    gy1 // 2 + (image_id % 4 // 2) * 400 AS my1,
+        |    gx2 // 2 + (image_id % 4 % 2) * 400 AS mx2,
+        |    gy2 // 2 + (image_id % 4 // 2) * 400 AS my2
+        |  FROM bb)
+        |SELECT gt_id, mosaic_id, quadrant, mx1, my1, mx2, my2
+        |FROM m WHERE mx2 > mx1 AND my2 > my1
+        |ORDER BY gt_id""".stripMargin,
     // Same frame-pair matcher in SQL; the three pointer doublings are
     // unrolled self-joins (chains are < 2³ links by the k % 7 holes).
     "multimodal_track_stitch" ->

@@ -405,10 +405,14 @@ class InventorySpec extends SparkSpec {
     // §2.115 round-13 eighth wave: log-odds keywords, transitivity,
     // stats collection
     "text_odds_ratio_keywords", "graph_transitivity_global",
-    "etl_stats_collect")
+    "etl_stats_collect",
+    // §2.116 round-13 ninth wave: binseg changepoint, line dedup,
+    // mosaic manifest
+    "ts_changepoint_binseg", "dedup_line_level",
+    "multimodal_mosaic_manifest")
 
-  test("declared queries cover SURVEY §2 + §2.12-115 exactly (457 keys)") {
-    assert(inventory.size == 457)
+  test("declared queries cover SURVEY §2 + §2.12-116 exactly (460 keys)") {
+    assert(inventory.size == 460)
     val declared = SparkEntry.queries.keySet
     val missing = inventory -- declared
     val extra = declared -- inventory
