@@ -67,7 +67,13 @@ object ScaleStress {
     "eval_krippendorff_alpha", "text_perplexity_kneser_ney",
     "text_ngram_novelty_decay", "text_burrows_delta",
     "geo_sinuosity", "geo_dbscan_cells", "multimodal_track_speed",
-    "agg_theil_index", "agg_wilcoxon_signed_rank")
+    "agg_theil_index", "agg_wilcoxon_signed_rank",
+    // Round-13 waves 6-9 at birth.
+    "ts_periodogram", "geo_emerging_cells", "ab_sprt_sequential",
+    "stream_rate_alert", "text_odds_ratio_keywords",
+    "graph_transitivity_global", "etl_stats_collect",
+    "ts_changepoint_binseg", "dedup_line_level",
+    "multimodal_mosaic_manifest")
   // Keys whose only input is lineitem — copy-scalable (see scaladoc).
   // The embeddings/documents keys are NOT copy-scalable for the same
   // reason the dedup keys aren't (cross-copy duplicate geometry);
@@ -79,7 +85,8 @@ object ScaleStress {
     "graph_avg_neighbor_degree", "graph_degree_gini",
     "graph_rich_club",
     "graph_closeness", "graph_modularity", "graph_label_prop",
-    "graph_assortativity", "graph_ego_density", "graph_betweenness")
+    "graph_assortativity", "graph_ego_density", "graph_betweenness",
+    "graph_transitivity_global")
 
   /** Bench-heavy instrumentation guard input (InventorySpec asserts
     * every BENCH_FULL top-cost key has a row here — the unmeasured-

@@ -718,6 +718,124 @@ object AnalyticsQueries {
     // order by day) hosts both lag frames, and the pair explode is
     // map-side — the whole key after the pre-agg is calendar-bounded,
     // never corpus-bounded.
+    // COHORT RETENTION HALF-LIFE (§2.117) — compress each weekly
+    // cohort's retention curve to the ONE number growth teams track:
+    // fit ln r_w = a − λw over week offsets 1..4 by exact-moment OLS
+    // and report half-life = ln 2 / λ. Retention points are exact
+    // integer ratios (distinct active / cohort size); each point's
+    // log is one libm call on identical operands; the Σln r and
+    // Σw·ln r folds ride w-sorted bounded struct lists (≤ 4 points);
+    // λ's OLS chain is spelled operand-for-operand. Cohorts with < 2
+    // positive points can't support a slope and drop. Shape: one
+    // first-touch reduce, one (cohort, week) distinct reduce — the
+    // cohort_retention plumbing with a constant-size fit on top.
+    "ts_cohort_halflife" -> ((s, dir) => {
+      val e = events(s, dir)
+        .select(col("user_id"), epochDay("ts").as("day"))
+      val cw = e.groupBy("user_id").agg(min(col("day")).as("cd"))
+        .select(col("user_id"), expr("cd div 7").as("cohort_week"))
+      val sizes = cw.groupBy("cohort_week")
+        .agg(countDistinct(col("user_id")).as("n_users"))
+      val pts = e.join(cw, Seq("user_id"))
+        .select(col("cohort_week"), col("user_id"),
+          (expr("day div 7") - col("cohort_week")).as("w"))
+        .filter(col("w") >= 1 && col("w") <= 4)
+        .groupBy("cohort_week", "w")
+        .agg(countDistinct(col("user_id")).as("act"))
+        .join(sizes, Seq("cohort_week"))
+        .select(col("cohort_week"), col("w"),
+          log(col("act").cast("double") / col("n_users").cast("double"))
+            .as("lr"))
+      val fit = pts.groupBy("cohort_week")
+        .agg(count(lit(1)).as("np"),
+          sum(col("w")).cast("long").as("sw"),
+          sum(col("w") * col("w")).cast("long").as("sww"),
+          array_sort(collect_list(struct(col("w"), col("lr"))))
+            .as("xs"))
+        .filter(col("np") >= 2)
+        .select(col("cohort_week"), col("np"), col("sw"), col("sww"),
+          aggregate(col("xs"), lit(0.0), (a, x) => a + x("lr")).as("sl"),
+          aggregate(col("xs"), lit(0.0), (a, x) =>
+            a + x("w").cast("double") * x("lr")).as("swl"))
+      fit.join(sizes, Seq("cohort_week"))
+        .withColumn("lam",
+          -(col("np").cast("double") * col("swl")
+              - col("sw").cast("double") * col("sl"))
+            / (col("np") * col("sww") - col("sw") * col("sw"))
+              .cast("double"))
+        .select(col("cohort_week"), col("n_users"),
+          col("np").as("n_points"), r4d(col("lam")).as("lambda"),
+          when(col("lam") > 0,
+            r4d(log(lit(2.0)) / col("lam"))).as("halflife_weeks"))
+        .orderBy("cohort_week")
+    }),
+
+    // HURST EXPONENT, R/S form (§2.117) — does the daily series have
+    // long memory (H > ½ trends persist, H < ½ mean-reverts, random
+    // walk ½)? Rescaled-range analysis at block sizes n ∈ {4, 8, 16}:
+    // per full block, the range of cumulative deviations scaled to
+    // stay INTEGER (D_j = n·cum_j − (j+1)·S), variance as
+    // n·Σy² − S² in DECIMAL(38,0), so R/S = (maxD − minD)/√var is
+    // one division of exact operands; per-size means fold over
+    // blk-sorted bounded lists, and H = (ln RS₁₆ − ln RS₄)/(2 ln 2) —
+    // the equally-spaced-x OLS slope in closed form. The series is
+    // the time-bounded day spine: corpus size changes y, never the
+    // block structure.
+    "ts_hurst_exponent" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = zeroFilledDaily(s, dir)
+        .groupBy("day").agg(sum(col("y")).cast("long").as("y"))
+      val lo = daily.agg(min(col("day")).as("lo"))
+      val idx = daily.crossJoin(broadcast(lo))
+        .select((col("day") - col("lo")).as("t"), col("y"))
+      val ns = s.range(0, 3)
+        .select(expr("shiftleft(4L, cast(id as int))").as("wsize"))
+      val blocks = idx.crossJoin(broadcast(ns))
+        .select(col("wsize"), expr("t div wsize").as("blk"),
+          (col("t") % col("wsize")).as("j"), col("y"))
+      val full = blocks.groupBy("wsize", "blk")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("y")).cast("long").as("ssum"),
+          sum(col("y").cast("decimal(38,0)") * col("y")).as("syy"))
+        .filter(col("cnt") === col("wsize"))
+      val wcum = Window.partitionBy("wsize", "blk").orderBy("j")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val rs = blocks
+        .join(full.select(col("wsize"), col("blk"), col("ssum"),
+          col("syy")), Seq("wsize", "blk"))
+        .withColumn("cy", sum(col("y")).over(wcum).cast("long"))
+        .withColumn("dj",
+          col("wsize") * col("cy") - (col("j") + 1) * col("ssum"))
+        .groupBy("wsize", "blk", "ssum", "syy")
+        .agg(max(col("dj")).as("mx"), min(col("dj")).as("mn"))
+        .withColumn("var2",
+          col("wsize").cast("decimal(38,0)") * col("syy")
+            - col("ssum").cast("decimal(38,0)") * col("ssum"))
+        .filter(col("var2") > 0)
+        .select(col("wsize"), col("blk"),
+          ((col("mx") - col("mn")).cast("double")
+            / sqrt(col("var2").cast("double"))).as("rsb"))
+      val mrs = rs.groupBy("wsize")
+        .agg(count(lit(1)).as("nb"),
+          array_sort(collect_list(struct(col("blk"), col("rsb"))))
+            .as("xs"))
+        .select(col("wsize"), col("nb"),
+          (aggregate(col("xs"), lit(0.0), (a, x) => a + x("rsb"))
+            / col("nb")).as("mrs"))
+      mrs.agg(
+          max(when(col("wsize") === 4, col("nb"))).as("nb4"),
+          max(when(col("wsize") === 8, col("nb"))).as("nb8"),
+          max(when(col("wsize") === 16, col("nb"))).as("nb16"),
+          max(when(col("wsize") === 4, col("mrs"))).as("rs4"),
+          max(when(col("wsize") === 8, col("mrs"))).as("rs8"),
+          max(when(col("wsize") === 16, col("mrs"))).as("rs16"))
+        .select(col("nb4"), col("nb8"), col("nb16"),
+          r4d(col("rs4")).as("rs4"), r4d(col("rs8")).as("rs8"),
+          r4d(col("rs16")).as("rs16"),
+          r4d((log(col("rs16")) - log(col("rs4")))
+            / (log(lit(2.0)) * 2)).as("hurst"))
+    }),
+
     // BINARY-SEGMENTATION CHANGEPOINT (§2.113/116) — the best single
     // split of the global daily series by SSE gain: argmax_k
     // S₁²/k + S₂²/(N−k) − S²/N (the variance-reduction objective; the
@@ -2853,6 +2971,98 @@ object AnalyticsQueries {
          |FROM w ORDER BY event_type, day""".stripMargin,
     // Same zero-filled spine, same lag frames, same exact moments;
     // HUGEINT mirrors decimal(38), sqrt·sqrt in the same op order.
+    // Same exact retention ratios, w-sorted log folds, OLS chain
+    // spelled operand-for-operand; ln 2 symbolic in both engines.
+    "ts_cohort_halflife" ->
+      s"""WITH e AS (SELECT user_id, ${sqlEpochDay("ts")} AS day
+         |  FROM events),
+         |cw AS (SELECT user_id, min(day) // 7 AS cohort_week
+         |  FROM e GROUP BY 1),
+         |sizes AS (SELECT cohort_week, count(DISTINCT user_id)
+         |    AS n_users FROM cw GROUP BY 1),
+         |pts AS (SELECT c.cohort_week, e.day // 7 - c.cohort_week AS w,
+         |    count(DISTINCT e.user_id) AS act
+         |  FROM e JOIN cw c ON c.user_id = e.user_id
+         |  WHERE e.day // 7 - c.cohort_week BETWEEN 1 AND 4
+         |  GROUP BY 1, 2),
+         |lr AS (SELECT p.cohort_week, p.w,
+         |    ln(CAST(act AS DOUBLE) / CAST(n_users AS DOUBLE)) AS lr
+         |  FROM pts p JOIN sizes USING (cohort_week)),
+         |fit AS (SELECT cohort_week, count(*) AS np,
+         |    CAST(sum(w) AS BIGINT) AS sw,
+         |    CAST(sum(w * w) AS BIGINT) AS sww,
+         |    list_aggregate(list_transform(
+         |      list_sort(list({'w': w, 'l': lr})), z -> z.l), 'sum')
+         |      AS sl,
+         |    list_aggregate(list_transform(
+         |      list_sort(list({'w': w, 'l': lr})),
+         |      z -> CAST(z.w AS DOUBLE) * z.l), 'sum') AS swl
+         |  FROM lr GROUP BY 1 HAVING count(*) >= 2),
+         |lam AS (SELECT cohort_week, np, sw, sww, sl, swl,
+         |    -(CAST(np AS DOUBLE) * swl - CAST(sw AS DOUBLE) * sl)
+         |      / CAST(np * sww - sw * sw AS DOUBLE) AS lam
+         |  FROM fit)
+         |SELECT l.cohort_week, n_users, np AS n_points,
+         |  ROUND(lam * 10000) / 10000 + 0.0 AS lambda,
+         |  CASE WHEN lam > 0
+         |    THEN ROUND(ln(2.0) / lam * 10000) / 10000 END
+         |    AS halflife_weeks
+         |FROM lam l JOIN sizes USING (cohort_week)
+         |ORDER BY l.cohort_week""".stripMargin,
+    // Same integer deviations (n·cum − (j+1)·S), HUGEINT variance,
+    // blk-sorted R/S folds, closed-form slope.
+    "ts_hurst_exponent" ->
+      s"""WITH e AS (SELECT event_type, ${sqlEpochDay("ts")} AS day
+         |  FROM events),
+         |d0 AS (SELECT event_type, day, count(*) AS y FROM e
+         |  GROUP BY 1, 2),
+         |b AS (SELECT min(day) AS lo, max(day) AS hi FROM e),
+         |ty AS (SELECT DISTINCT event_type FROM e),
+         |spine AS (SELECT event_type, unnest(range(lo, hi + 1)) AS day
+         |  FROM ty CROSS JOIN b),
+         |fl AS (SELECT s.event_type, s.day, coalesce(y, 0) AS y
+         |  FROM spine s LEFT JOIN d0
+         |    ON s.event_type = d0.event_type AND s.day = d0.day),
+         |daily AS (SELECT day, CAST(sum(y) AS BIGINT) AS y
+         |  FROM fl GROUP BY 1),
+         |idx AS (SELECT day - lo AS t, y FROM daily CROSS JOIN b),
+         |blocks AS (SELECT CAST(w AS BIGINT) AS wsize, t // w AS blk,
+         |    t % w AS j, y
+         |  FROM idx, (SELECT unnest([4, 8, 16]) AS w)),
+         |fullb AS (SELECT wsize, blk, count(*) AS cnt,
+         |    CAST(sum(y) AS BIGINT) AS ssum,
+         |    CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+         |  FROM blocks GROUP BY 1, 2 HAVING count(*) = wsize),
+         |dev AS (SELECT bl.wsize, bl.blk, f.ssum, f.syy,
+         |    bl.wsize * CAST(sum(bl.y) OVER (PARTITION BY bl.wsize,
+         |      bl.blk ORDER BY bl.j ROWS UNBOUNDED PRECEDING)
+         |      AS BIGINT) - (bl.j + 1) * f.ssum AS dj
+         |  FROM blocks bl JOIN fullb f
+         |    ON f.wsize = bl.wsize AND f.blk = bl.blk),
+         |rsb AS (SELECT wsize, blk,
+         |    CAST(max(dj) - min(dj) AS DOUBLE)
+         |      / sqrt(CAST(wsize * syy - CAST(ssum AS HUGEINT) * ssum
+         |        AS DOUBLE)) AS rsb
+         |  FROM dev GROUP BY wsize, blk, ssum, syy
+         |  HAVING wsize * syy - CAST(ssum AS HUGEINT) * ssum > 0),
+         |mrs AS (SELECT wsize, count(*) AS nb,
+         |    list_aggregate(list_transform(
+         |      list_sort(list({'b': blk, 'r': rsb})), z -> z.r), 'sum')
+         |      / count(*) AS mrs
+         |  FROM rsb GROUP BY 1)
+         |SELECT max(CASE WHEN wsize = 4 THEN nb END) AS nb4,
+         |  max(CASE WHEN wsize = 8 THEN nb END) AS nb8,
+         |  max(CASE WHEN wsize = 16 THEN nb END) AS nb16,
+         |  ROUND(max(CASE WHEN wsize = 4 THEN mrs END) * 10000)
+         |    / 10000 AS rs4,
+         |  ROUND(max(CASE WHEN wsize = 8 THEN mrs END) * 10000)
+         |    / 10000 AS rs8,
+         |  ROUND(max(CASE WHEN wsize = 16 THEN mrs END) * 10000)
+         |    / 10000 AS rs16,
+         |  ROUND((ln(max(CASE WHEN wsize = 16 THEN mrs END))
+         |      - ln(max(CASE WHEN wsize = 4 THEN mrs END)))
+         |    / (ln(2.0) * 2) * 10000) / 10000 + 0.0 AS hurst
+         |FROM mrs""".stripMargin,
     // Same exact prefix sums and HUGEINT-squared gain chain; argmax
     // rank with the day tie-break.
     "ts_changepoint_binseg" ->

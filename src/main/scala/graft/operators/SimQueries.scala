@@ -34,6 +34,66 @@ object SimQueries {
   }
 
   val queries: Map[String, Q] = Map(
+    // ROCCHIO QUERY EXPANSION (§2.117) — the classic relevance-
+    // feedback loop: each probe's query vector is blended with the
+    // CENTROID of its top-5 cosine neighbors (q' = 3/4·q + 1/4·c —
+    // exact binary weights), then re-searched; the output marks which
+    // expanded-top-5 neighbors are NEW vs the original list (the
+    // recall-expansion number an IR evaluation reads). Determinism:
+    // the centroid is an exact DECIMAL(38,12) per-dimension mean (the
+    // IVF-centroid device), q' is one double chain per dimension, and
+    // both searches rank identical doubles with vec_id tie-breaks.
+    // Shape: two broadcast probe passes over the corpus (the
+    // cosinePairs shape twice) + bounded per-probe dimension tables —
+    // nothing probe×corpus beyond the scans.
+    "sim_rocchio_expand" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val probes = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("probe_id"), col("v").as("p"))
+      val scored = emb.crossJoin(broadcast(probes))
+        .filter(col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("vec_id"), col("v"), col("p"),
+          (ArrayDot(col("p"), col("v"))
+            / (sqrt(ArrayDot(col("p"), col("p")))
+              * sqrt(ArrayDot(col("v"), col("v"))))).as("cos"))
+      val w = Window.partitionBy("probe_id")
+        .orderBy(col("cos").desc, col("vec_id"))
+      val top5 = scored.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select(col("probe_id"), col("vec_id"), col("v"))
+        .localCheckpoint(true)
+      val cent = top5
+        .select(col("probe_id"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("probe_id", "pos")
+        .agg((sum(col("x").cast("decimal(38,12)")).cast("double")
+          / count(lit(1))).as("c"))
+      val qdim = probes
+        .select(col("probe_id"), posexplode(col("p")).as(Seq("pos", "q")))
+        .join(cent, Seq("probe_id", "pos"))
+        .select(col("probe_id"), col("pos"),
+          (col("q") * 0.75 + col("c") * 0.25).as("qv"))
+      val qp = qdim.groupBy("probe_id")
+        .agg(array_sort(collect_list(struct(col("pos"), col("qv"))))
+          .as("xs"))
+        .select(col("probe_id"),
+          expr("transform(xs, z -> z.qv)").as("p2"))
+      val re = emb.crossJoin(broadcast(qp))
+        .filter(col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("vec_id"),
+          (ArrayDot(col("p2"), col("v"))
+            / (sqrt(ArrayDot(col("p2"), col("p2")))
+              * sqrt(ArrayDot(col("v"), col("v"))))).as("cos"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+      re.join(top5.select(col("probe_id"), col("vec_id"),
+          lit(1L).as("orig")), Seq("probe_id", "vec_id"), "left")
+        .select(col("probe_id"), col("rk").cast("long").as("rk"),
+          col("vec_id"), r4d(col("cos")).as("cos"),
+          col("orig").isNull.as("is_new"))
+        .orderBy("probe_id", "rk")
+    }),
+
     "sim_cosine_pairs" -> ((s, dir) => {
       cosinePairs(s, dir)
         .select(col("probe_id"), col("vec_id"), r4d(col("cos")).as("cos"))
@@ -609,6 +669,49 @@ object SimQueries {
       |  FROM embeddings e CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 10) p)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // Same two search passes, DECIMAL(38,12) centroid mean (the IVF
+    // device), exact-binary 3/4 + 1/4 blend, multiply-form round.
+    "sim_rocchio_expand" ->
+      """WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |probes AS (SELECT vec_id AS probe_id, v AS p FROM emb
+        |  WHERE vec_id < 10),
+        |scored AS (SELECT p.probe_id, e.vec_id,
+        |    list_dot_product(p.p, e.v)
+        |      / (sqrt(list_dot_product(p.p, p.p))
+        |        * sqrt(list_dot_product(e.v, e.v))) AS cos
+        |  FROM emb e CROSS JOIN probes p WHERE e.vec_id <> p.probe_id),
+        |top5 AS (SELECT probe_id, vec_id FROM (
+        |  SELECT probe_id, vec_id, row_number() OVER (
+        |    PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rk
+        |  FROM scored) WHERE rk <= 5),
+        |cent AS (SELECT probe_id, pos,
+        |    CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE) / count(*)
+        |      AS c
+        |  FROM (SELECT t.probe_id, unnest(range(64)) AS pos,
+        |      unnest(e.v) AS x
+        |    FROM top5 t JOIN emb e ON e.vec_id = t.vec_id)
+        |  GROUP BY 1, 2),
+        |qd AS (SELECT probe_id, pos, q * 0.75 + c * 0.25 AS qv
+        |  FROM (SELECT probe_id, unnest(range(64)) AS pos,
+        |      unnest(p) AS q FROM probes)
+        |  JOIN cent USING (probe_id, pos)),
+        |qp AS (SELECT probe_id, list(qv ORDER BY pos) AS p2
+        |  FROM qd GROUP BY 1),
+        |re AS (SELECT q.probe_id, e.vec_id,
+        |    list_dot_product(q.p2, e.v)
+        |      / (sqrt(list_dot_product(q.p2, q.p2))
+        |        * sqrt(list_dot_product(e.v, e.v))) AS cos
+        |  FROM emb e CROSS JOIN qp q WHERE e.vec_id <> q.probe_id),
+        |rr AS (SELECT probe_id, vec_id, cos, row_number() OVER (
+        |    PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rk
+        |  FROM re)
+        |SELECT rr.probe_id, rr.rk, rr.vec_id,
+        |  ROUND(rr.cos * 10000) / 10000 + 0.0 AS cos,
+        |  t.vec_id IS NULL AS is_new
+        |FROM rr LEFT JOIN top5 t
+        |  ON t.probe_id = rr.probe_id AND t.vec_id = rr.vec_id
+        |WHERE rr.rk <= 5 ORDER BY rr.probe_id, rr.rk""".stripMargin,
     // `ROUND(x,4) + 0.0` normalizes IEEE -0.0 (DuckDB's multiply-form ROUND
     // preserves the sign bit of a tiny negative cosine; Spark's BigDecimal
     // path cannot produce -0.0, and the driver's hash is bit-sensitive).

@@ -409,10 +409,13 @@ class InventorySpec extends SparkSpec {
     // §2.116 round-13 ninth wave: binseg changepoint, line dedup,
     // mosaic manifest
     "ts_changepoint_binseg", "dedup_line_level",
-    "multimodal_mosaic_manifest")
+    "multimodal_mosaic_manifest",
+    // §2.117 round-13 tenth wave: Rocchio expansion, cohort
+    // half-life, Hurst exponent
+    "sim_rocchio_expand", "ts_cohort_halflife", "ts_hurst_exponent")
 
-  test("declared queries cover SURVEY §2 + §2.12-116 exactly (460 keys)") {
-    assert(inventory.size == 460)
+  test("declared queries cover SURVEY §2 + §2.12-117 exactly (463 keys)") {
+    assert(inventory.size == 463)
     val declared = SparkEntry.queries.keySet
     val missing = inventory -- declared
     val extra = declared -- inventory
