@@ -73,7 +73,9 @@ object ScaleStress {
     "stream_rate_alert", "text_odds_ratio_keywords",
     "graph_transitivity_global", "etl_stats_collect",
     "ts_changepoint_binseg", "dedup_line_level",
-    "multimodal_mosaic_manifest")
+    "multimodal_mosaic_manifest",
+    // Round-13 wave 10 at birth.
+    "sim_rocchio_expand", "ts_cohort_halflife", "ts_hurst_exponent")
   // Keys whose only input is lineitem — copy-scalable (see scaladoc).
   // The embeddings/documents keys are NOT copy-scalable for the same
   // reason the dedup keys aren't (cross-copy duplicate geometry);

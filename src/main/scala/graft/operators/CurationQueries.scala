@@ -68,6 +68,39 @@ object CurationQueries {
         .orderBy("doc_id")
     }),
 
+    // ANNOTATION DISAGREEMENT ROUTING (§2.118) — the labeling-ops
+    // table downstream of eval_krippendorff_alpha's corpus-level
+    // answer: per item (same orders/linenumbers/returnflags rating
+    // fixture), the modal label (exact counts, label tie-break via
+    // struct max), the agreement fraction, and the route every
+    // annotation platform implements — unanimous → accept, agreement
+    // < 2/3 → relabel (the INTEGER test 3·n_modal < 2·n_ratings),
+    // else review. One (item, label) reduce + one item reduce;
+    // map-side classify.
+    "pipeline_annotation_routing" -> ((s, dir) => {
+      val cells = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_returnflag").as("lab"))
+        .groupBy("ok", "lab").agg(count(lit(1)).as("n_uk"))
+      cells.groupBy("ok")
+        .agg(sum(col("n_uk")).cast("long").as("n_ratings"),
+          max(struct(col("n_uk"),
+            // invert the label byte order inside the max so count
+            // ties break to the SMALLEST label deterministically
+            expr("-ascii(lab)").as("negl"), col("lab"))).as("m"))
+        .select(col("ok"), col("n_ratings"),
+          col("m.lab").as("modal_label"), col("m.n_uk").as("n_modal"))
+        .withColumn("route",
+          when(col("n_modal") === col("n_ratings"), "accept")
+            .when(col("n_modal") * 3 < col("n_ratings") * 2, "relabel")
+            .otherwise("review"))
+        .select(col("ok"), col("n_ratings"), col("modal_label"),
+          col("n_modal"),
+          r4d(col("n_modal").cast("double")
+            / col("n_ratings").cast("double")).as("agreement"),
+          col("route"))
+        .orderBy("ok")
+    }),
+
     // Benchmark decontamination verdict: for every non-benchmark doc,
     // how many of its distinct 5-gram shingles appear anywhere in the
     // benchmark set (docs with doc_id % 97 == 0 stand in for an eval
@@ -636,6 +669,23 @@ object CurationQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // Same modal pick (rank ≡ the struct-max with inverted label
+    // byte), integer route tests.
+    "pipeline_annotation_routing" ->
+      """WITH cells AS (SELECT l_orderkey AS ok, l_returnflag AS lab,
+        |    count(*) AS n_uk FROM lineitem GROUP BY 1, 2),
+        |tot AS (SELECT ok, CAST(sum(n_uk) AS BIGINT) AS n_ratings
+        |  FROM cells GROUP BY 1),
+        |m AS (SELECT ok, lab AS modal_label, n_uk AS n_modal FROM (
+        |  SELECT ok, lab, n_uk, row_number() OVER (PARTITION BY ok
+        |    ORDER BY n_uk DESC, lab) AS rn FROM cells) WHERE rn = 1)
+        |SELECT t.ok, n_ratings, modal_label, n_modal,
+        |  ROUND(CAST(n_modal AS DOUBLE) / CAST(n_ratings AS DOUBLE)
+        |    * 10000) / 10000 AS agreement,
+        |  CASE WHEN n_modal = n_ratings THEN 'accept'
+        |    WHEN n_modal * 3 < n_ratings * 2 THEN 'relabel'
+        |    ELSE 'review' END AS route
+        |FROM tot t JOIN m USING (ok) ORDER BY t.ok""".stripMargin,
     // Same 2-token chunking (range(len//2) ≡ sequence/div), ≥3-doc
     // boilerplate rule, one kept-fraction division.
     "dedup_line_level" ->

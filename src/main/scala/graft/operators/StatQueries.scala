@@ -1702,6 +1702,81 @@ object StatQueries {
     // user_id replaces midranks, bit-replayably). W⁺/W⁻ are integer
     // sums; the normal-approximation z is one double chain at the
     // edge.
+    // COCHRAN'S Q (§2.118) — the k-related-samples extension of
+    // McNemar: did per-user activity (binary) CHANGE across the
+    // window's first four weeks? Q = (k−1)·Σ_j(k·C_j − T)² /
+    // (k·(k·ΣR_i − ΣR_i²)) — the classical statistic rearranged so
+    // every operand is an exact integer (the doubled-deviation trick
+    // at multiplier k) and the only division is the last one. Shape:
+    // one (user, week) distinct reduce, one user reduce, one ≤4-row
+    // column reduce.
+    "agg_cochran_q" -> ((s, dir) => {
+      // The binary treatment is "user made a HIGH-VALUE purchase
+      // (value > 95) that week" — sparse enough that the denominator
+      // k·ΣR − ΣR² carries variance on the dense fixture (plain
+      // weekly activity is all-ones → D = 0, Q undefined — guarded
+      // below regardless).
+      val e = events(s, dir)
+        .filter(col("event_type") === "purchase" && col("value") > 95)
+        .select(col("user_id"), epochDay("ts").as("day"))
+      val lo = e.agg(min(col("day")).as("lo"))
+      val uw = e.crossJoin(broadcast(lo))
+        .select(col("user_id"),
+          expr("(day - lo) div 7").as("w"))
+        .filter(col("w") >= 0 && col("w") <= 3)
+        .distinct()
+      val ri = uw.groupBy("user_id").agg(count(lit(1)).as("r"))
+      val riAgg = ri.agg(count(lit(1)).as("n_users"),
+        sum(col("r")).cast("long").as("t"),
+        sum(col("r") * col("r")).cast("long").as("rr"))
+      val cj = uw.groupBy("w").agg(count(lit(1)).as("c"))
+      cj.crossJoin(broadcast(riAgg))
+        .select(col("n_users"), col("t"), col("rr"),
+          ((lit(4L) * col("c") - col("t"))
+            * (lit(4L) * col("c") - col("t"))).as("dev2"))
+        .groupBy("n_users", "t", "rr")
+        .agg(sum(col("dev2")).cast("long").as("sdev2"))
+        .select(col("n_users"), col("t"),
+          (lit(4L) * col("t") - col("rr")).as("d_base"),
+          when(lit(4L) * col("t") - col("rr") > 0,
+            r4d(lit(3.0) * col("sdev2").cast("double")
+              / (lit(4.0) * (lit(4L) * col("t") - col("rr"))
+                .cast("double")))).as("q"))
+    }),
+
+    // TWO-PROPORTION Z (§2.118) — the workhorse conversion-rate test
+    // between A/B arms (fixed-horizon companion to ab_sprt_sequential
+    // and the categorical sibling of ab_test_welch): pooled
+    // p̂ = (c₁+c₂)/(n₁+n₂), z = (p̂₁−p̂₂)/√(p̂(1−p̂)(1/n₁+1/n₂)). All
+    // counts exact integers off one corpus reduce; the z is one
+    // double chain spelled operand-for-operand.
+    "agg_two_proportion_z" -> ((s, dir) => {
+      val e = events(s, dir)
+        .select((col("user_id") % 2).as("arm"),
+          when(col("event_type") === "purchase", 1L).otherwise(0L)
+            .as("conv"))
+      val a = e.groupBy("arm")
+        .agg(count(lit(1)).as("n"), sum(col("conv")).cast("long").as("c"))
+      val piv = a.agg(
+        max(when(col("arm") === 0, col("n"))).as("n1"),
+        max(when(col("arm") === 0, col("c"))).as("c1"),
+        max(when(col("arm") === 1, col("n"))).as("n2"),
+        max(when(col("arm") === 1, col("c"))).as("c2"))
+      piv.withColumn("p",
+          (col("c1") + col("c2")).cast("double")
+            / (col("n1") + col("n2")).cast("double"))
+        .select(col("n1"), col("c1"), col("n2"), col("c2"),
+          r4d(col("c1").cast("double") / col("n1").cast("double"))
+            .as("p1"),
+          r4d(col("c2").cast("double") / col("n2").cast("double"))
+            .as("p2"),
+          r4d((col("c1").cast("double") / col("n1").cast("double")
+              - col("c2").cast("double") / col("n2").cast("double"))
+            / sqrt(col("p") * (lit(1.0) - col("p"))
+              * (lit(1.0) / col("n1").cast("double")
+                + lit(1.0) / col("n2").cast("double")))).as("z"))
+    }),
+
     // SEQUENTIAL SPRT (§2.113) — Wald's sequential probability ratio
     // test, the machinery behind "can we stop this A/B early?": per
     // arm (user_id parity), the purchase-rate log-likelihood ratio of
@@ -1858,6 +1933,51 @@ object StatQueries {
         |    / CAST(m * m * (24 * 24 * 24 - 24) AS DOUBLE)
         |    * 10000) / 10000 + 0.0 AS w
         |FROM ri CROSS JOIN m GROUP BY m""".stripMargin,
+    // Same k-multiplied integer deviations and single division.
+    "agg_cochran_q" ->
+      s"""WITH e AS (SELECT user_id, ${sqlEpochDay("ts")} AS day
+         |  FROM events WHERE event_type = 'purchase' AND value > 95),
+         |lo AS (SELECT min(day) AS lo FROM e),
+         |uw AS (SELECT DISTINCT user_id, (day - lo) // 7 AS w
+         |  FROM e CROSS JOIN lo WHERE (day - lo) // 7 BETWEEN 0 AND 3),
+         |ri AS (SELECT user_id, count(*) AS r FROM uw GROUP BY 1),
+         |ra AS (SELECT count(*) AS n_users,
+         |    CAST(sum(r) AS BIGINT) AS t,
+         |    CAST(sum(r * r) AS BIGINT) AS rr FROM ri),
+         |sd AS (SELECT n_users, t, rr,
+         |    CAST(sum((4 * c - t) * (4 * c - t)) AS BIGINT) AS sdev2
+         |  FROM (SELECT w, count(*) AS c FROM uw GROUP BY 1)
+         |  CROSS JOIN ra GROUP BY 1, 2, 3)
+         |SELECT n_users, t, 4 * t - rr AS d_base,
+         |  CASE WHEN 4 * t - rr > 0 THEN
+         |    ROUND(3.0 * CAST(sdev2 AS DOUBLE)
+         |      / (4.0 * CAST(4 * t - rr AS DOUBLE)) * 10000) / 10000
+         |      + 0.0 END AS q
+         |FROM sd""".stripMargin,
+    // Same pooled p̂ and one z chain.
+    "agg_two_proportion_z" ->
+      """WITH e AS (SELECT user_id % 2 AS arm,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+        |      AS conv FROM events),
+        |a AS (SELECT arm, count(*) AS n,
+        |    CAST(sum(conv) AS BIGINT) AS c FROM e GROUP BY 1),
+        |p AS (SELECT max(CASE WHEN arm = 0 THEN n END) AS n1,
+        |    max(CASE WHEN arm = 0 THEN c END) AS c1,
+        |    max(CASE WHEN arm = 1 THEN n END) AS n2,
+        |    max(CASE WHEN arm = 1 THEN c END) AS c2 FROM a),
+        |q AS (SELECT *, CAST(c1 + c2 AS DOUBLE)
+        |    / CAST(n1 + n2 AS DOUBLE) AS p FROM p)
+        |SELECT n1, c1, n2, c2,
+        |  ROUND(CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE) * 10000)
+        |    / 10000 AS p1,
+        |  ROUND(CAST(c2 AS DOUBLE) / CAST(n2 AS DOUBLE) * 10000)
+        |    / 10000 AS p2,
+        |  ROUND((CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+        |      - CAST(c2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+        |    / sqrt(p * (1.0 - p) * (1.0 / CAST(n1 AS DOUBLE)
+        |      + 1.0 / CAST(n2 AS DOUBLE))) * 10000) / 10000 + 0.0
+        |    AS z
+        |FROM q""".stripMargin,
     // Same cumulative integer counts; the two ln constants and the
     // boundary comparison spelled symbolically, unrounded llr on both
     // sides of the CASE.

@@ -412,10 +412,14 @@ class InventorySpec extends SparkSpec {
     "multimodal_mosaic_manifest",
     // §2.117 round-13 tenth wave: Rocchio expansion, cohort
     // half-life, Hurst exponent
-    "sim_rocchio_expand", "ts_cohort_halflife", "ts_hurst_exponent")
+    "sim_rocchio_expand", "ts_cohort_halflife", "ts_hurst_exponent",
+    // §2.118 round-13 eleventh wave: Cochran Q, annotation routing,
+    // two-proportion z
+    "agg_cochran_q", "pipeline_annotation_routing",
+    "agg_two_proportion_z")
 
-  test("declared queries cover SURVEY §2 + §2.12-117 exactly (463 keys)") {
-    assert(inventory.size == 463)
+  test("declared queries cover SURVEY §2 + §2.12-118 exactly (466 keys)") {
+    assert(inventory.size == 466)
     val declared = SparkEntry.queries.keySet
     val missing = inventory -- declared
     val extra = declared -- inventory
