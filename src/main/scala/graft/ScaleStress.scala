@@ -74,8 +74,10 @@ object ScaleStress {
     "graph_transitivity_global", "etl_stats_collect",
     "ts_changepoint_binseg", "dedup_line_level",
     "multimodal_mosaic_manifest",
-    // Round-13 wave 10 at birth.
-    "sim_rocchio_expand", "ts_cohort_halflife", "ts_hurst_exponent")
+    // Round-13 waves 10-11 at birth.
+    "sim_rocchio_expand", "ts_cohort_halflife", "ts_hurst_exponent",
+    "agg_cochran_q", "pipeline_annotation_routing",
+    "agg_two_proportion_z")
   // Keys whose only input is lineitem — copy-scalable (see scaladoc).
   // The embeddings/documents keys are NOT copy-scalable for the same
   // reason the dedup keys aren't (cross-copy duplicate geometry);
