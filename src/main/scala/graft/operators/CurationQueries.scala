@@ -68,6 +68,31 @@ object CurationQueries {
         .orderBy("doc_id")
     }),
 
+    // EFFECTIVE SAMPLE SIZE REPORT (§2.119) — when docs carry
+    // importance weights (here: length — the standard
+    // tokens-per-sample proxy), how much of the corpus do weighted
+    // draws EFFECTIVELY use? ESS = (Σw)²/Σw² per source + the ratio
+    // to n (1 = uniform, →1/n = one doc dominates) — the
+    // degeneracy check every weighted-sampling pipeline (temperature
+    // mix, DoReMi) should report. Integer weights, DECIMAL(38,0)
+    // moments, one division per output row.
+    "sample_ess_report" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("source"), col("n_chars").cast("long").as("w"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("w")).cast("decimal(38,0)").as("sw"),
+          sum(col("w").cast("decimal(38,0)") * col("w")).as("sww"))
+        .select(col("source"), col("n_docs"),
+          col("sw").cast("long").as("sum_w"),
+          r4d((col("sw") * col("sw")).cast("double")
+            / col("sww").cast("double")).as("ess"),
+          r4d((col("sw") * col("sw")).cast("double")
+            / col("sww").cast("double")
+            / col("n_docs").cast("double")).as("ess_ratio"))
+        .orderBy("source")
+    }),
+
     // ANNOTATION DISAGREEMENT ROUTING (§2.118) — the labeling-ops
     // table downstream of eval_krippendorff_alpha's corpus-level
     // answer: per item (same orders/linenumbers/returnflags rating
@@ -669,6 +694,20 @@ object CurationQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // Same integer weights and HUGEINT moments; the ESS chain
+    // operand-for-operand.
+    "sample_ess_report" ->
+      """WITH a AS (SELECT source, count(*) AS n_docs,
+        |    CAST(sum(n_chars) AS HUGEINT) AS sw,
+        |    CAST(sum(CAST(n_chars AS HUGEINT) * n_chars) AS HUGEINT)
+        |      AS sww
+        |  FROM documents GROUP BY 1)
+        |SELECT source, n_docs, CAST(sw AS BIGINT) AS sum_w,
+        |  ROUND(CAST(sw * sw AS DOUBLE) / CAST(sww AS DOUBLE)
+        |    * 10000) / 10000 AS ess,
+        |  ROUND(CAST(sw * sw AS DOUBLE) / CAST(sww AS DOUBLE)
+        |    / CAST(n_docs AS DOUBLE) * 10000) / 10000 AS ess_ratio
+        |FROM a ORDER BY source""".stripMargin,
     // Same modal pick (rank ≡ the struct-max with inverted label
     // byte), integer route tests.
     "pipeline_annotation_routing" ->

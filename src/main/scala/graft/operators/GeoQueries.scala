@@ -469,6 +469,48 @@ object GeoQueries {
         .orderBy("cluster_id")
     }),
 
+    // GAUSSIAN KDE SURFACE (§2.119) — the smoothed density map
+    // (geo_grid_smooth is a box filter; KDE is the publication-grade
+    // kernel): every sighting scatters a Gaussian weight
+    // exp(−d²/2σ²), σ = 2° (64 units of 1/32°), onto its 3×3
+    // neighbor cells, d² the exact INTEGER squared distance from the
+    // point to each cell center in 1/32° units (the geo_nn_screening
+    // coordinate system). Determinism: the only libm call (exp) runs
+    // on an integer-derived double, and each contribution is
+    // floor-snapped to 10⁻⁹ units BEFORE the corpus-scale sum
+    // (DECIMAL(38,0)) — the theil-index device, so shuffle order
+    // cannot move a ulp. Shape: a 9× map-side scatter + one cell
+    // reduce; at 100 TB the pitch shrinks to hold per-cell mass
+    // bounded, plan unchanged.
+    "geo_kde_cells" -> ((s, dir) => {
+      val pts = events(s, dir).select(
+        (col("event_id") % 1440).as("lat8"),
+        ((col("user_id") * 997 + col("event_id") * 31) % 11520)
+          .as("lon32"))
+        .select((col("lat8") * 4).as("ulat"), col("lon32").as("ulon"),
+          expr("lat8 div 16").as("cla"), expr("lon32 div 64").as("clo"))
+      val contrib = pts
+        .withColumn("di", explode(sequence(lit(-1L), lit(1L))))
+        .withColumn("dj", explode(sequence(lit(-1L), lit(1L))))
+        .select((col("cla") + col("di")).as("cell_lat"),
+          (col("clo") + col("dj")).as("cell_lon"),
+          col("ulat"), col("ulon"))
+        .withColumn("d2",
+          (col("ulat") - (col("cell_lat") * 64 + 32))
+            * (col("ulat") - (col("cell_lat") * 64 + 32))
+          + (col("ulon") - (col("cell_lon") * 64 + 32))
+            * (col("ulon") - (col("cell_lon") * 64 + 32)))
+        .withColumn("w9",
+          floor(exp(-col("d2").cast("double") / lit(8192.0))
+            * lit(1.0e9)).cast("long"))
+      contrib.groupBy("cell_lat", "cell_lon")
+        .agg(count(lit(1)).as("n_contrib"),
+          sum(col("w9").cast("decimal(38,0)")).as("k9"))
+        .select(col("cell_lat"), col("cell_lon"), col("n_contrib"),
+          r4d(col("k9").cast("double") / lit(1.0e9)).as("density"))
+        .orderBy("cell_lat", "cell_lon")
+    }),
+
     // EMERGING / FADING DENSITY CELLS (§2.113) — the temporal face of
     // the hotspot map: per grid cell, a density z-score in the
     // window's FIRST half vs its SECOND half (exact integer midpoint
@@ -841,6 +883,28 @@ object GeoQueries {
           |FROM l5 JOIN core USING (key)
           |GROUP BY lbl ORDER BY cluster_id""".stripMargin
     },
+    // Same integer d² to cell centers, floor-snapped 10⁻⁹ weights,
+    // HUGEINT sum.
+    "geo_kde_cells" ->
+      """WITH pts AS (SELECT (event_id % 1440) * 4 AS ulat,
+        |    (user_id * 997 + event_id * 31) % 11520 AS ulon,
+        |    (event_id % 1440) // 16 AS cla,
+        |    ((user_id * 997 + event_id * 31) % 11520) // 64 AS clo
+        |  FROM events),
+        |c AS (SELECT cla + di AS cell_lat, clo + dj AS cell_lon,
+        |    ulat, ulon
+        |  FROM pts, (SELECT unnest(range(-1, 2)) AS di),
+        |    (SELECT unnest(range(-1, 2)) AS dj)),
+        |w AS (SELECT cell_lat, cell_lon,
+        |    CAST(floor(exp(-CAST(
+        |      (ulat - (cell_lat * 64 + 32)) * (ulat - (cell_lat * 64 + 32))
+        |      + (ulon - (cell_lon * 64 + 32)) * (ulon - (cell_lon * 64 + 32))
+        |      AS DOUBLE) / 8192.0) * 1.0e9) AS BIGINT) AS w9
+        |  FROM c)
+        |SELECT cell_lat, cell_lon, count(*) AS n_contrib,
+        |  ROUND(CAST(CAST(sum(w9) AS DECIMAL(38,0)) AS DOUBLE) / 1.0e9
+        |    * 10000) / 10000 AS density
+        |FROM w GROUP BY 1, 2 ORDER BY cell_lat, cell_lon""".stripMargin,
     // Same midpoint split, HUGEINT moments, sd/z chains spelled
     // operand-for-operand.
     "geo_emerging_cells" ->

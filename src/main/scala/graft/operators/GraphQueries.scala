@@ -272,6 +272,47 @@ object GraphQueries {
       res
     }),
 
+    // 3-HOP REACH PROFILE + ECCENTRICITY (§2.119) — per closeness
+    // seed: how many nodes sit at EXACTLY hop 1 / 2 / 3, and the
+    // truncated eccentricity (the deepest occupied hop ≤ 3) — the
+    // ball-growth curve next to graph_closeness's harmonic compress
+    // (same seeds, same full-edge composite-key BFS; a seed's curve
+    // says hub-vs-periphery the single harmonic number hides). Exact
+    // integer conditional counts off the same unrolled rounds.
+    "graph_eccentricity" -> ((s, dir) => {
+      val half = org.apache.spark.sql.graftshim.dropOriginConstraints(
+        sampledOrientedEdges(s, dir, None).localCheckpoint(true))
+      val ed = half.select(col("a").as("src"), col("b").as("dst"))
+        .unionAll(half.select(col("b").as("src"), col("a").as("dst")))
+        .persist()
+      val seeds = t(s, dir, "lineitem")
+        .select(col("l_partkey").as("node")).distinct()
+        .filter(pmod(col("node"), lit(997)) === 0)
+      var dist = seeds.select(col("node").as("seed"), col("node"),
+        lit(0L).as("dist")).localCheckpoint(true)
+      for (r <- 1 to BfsRounds) {
+        val nxt = dist.filter(col("dist") === (r - 1).toLong)
+          .join(ed, col("node") === col("src"))
+          .select(col("seed"), col("dst").as("node"),
+            lit(r.toLong).as("dist"))
+        dist = dist.unionAll(nxt)
+          .groupBy("seed", "node").agg(min(col("dist")).as("dist"))
+          .localCheckpoint(true)
+      }
+      val res = dist.filter(col("dist") > 0)
+        .groupBy("seed")
+        .agg(sum(when(col("dist") === 1, 1L).otherwise(0L))
+            .cast("long").as("n_hop1"),
+          sum(when(col("dist") === 2, 1L).otherwise(0L))
+            .cast("long").as("n_hop2"),
+          sum(when(col("dist") === 3, 1L).otherwise(0L))
+            .cast("long").as("n_hop3"),
+          max(col("dist")).as("ecc3"))
+        .orderBy("seed")
+      ed.unpersist()
+      res
+    }),
+
     // SEED-SAMPLED TRUNCATED BRANDES BETWEENNESS (§2.108) — the one
     // classic centrality missing next to pagerank/closeness/kcore:
     // which nodes sit ON the short paths between others? Brandes over
@@ -931,6 +972,39 @@ object GraphQueries {
         s"""SELECT seed, count(*) AS n_reached,
            |  ROUND(CAST(CAST(sum(6 // dist) AS BIGINT) AS DOUBLE)
            |    / 6.0 * 10000) / 10000 AS harmonic_3hop
+           |FROM d$BfsRounds WHERE dist > 0
+           |GROUP BY seed ORDER BY seed""".stripMargin
+    },
+    // Same unrolled composite-key BFS as closeness; conditional
+    // counts + max per seed.
+    "graph_eccentricity" -> {
+      val prelude =
+        """WITH pp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+          |  FROM lineitem),
+          |half AS (SELECT DISTINCT x.p AS a, y.p AS b
+          |  FROM pp x JOIN pp y ON x.ok = y.ok AND x.p < y.p),
+          |ed AS MATERIALIZED (SELECT a AS src, b AS dst FROM half
+          |  UNION ALL SELECT b, a FROM half),
+          |d0 AS MATERIALIZED (SELECT p AS seed, p AS node,
+          |    CAST(0 AS BIGINT) AS dist
+          |  FROM (SELECT DISTINCT p FROM pp WHERE p % 997 = 0))""".stripMargin
+      val rounds = (1 to BfsRounds).map { i =>
+        s"""d$i AS MATERIALIZED (SELECT seed, node, min(dist) AS dist
+           |  FROM (
+           |    SELECT d.seed, ed.dst AS node, d.dist + 1 AS dist
+           |    FROM ed JOIN d${i - 1} d ON ed.src = d.node
+           |    UNION ALL SELECT seed, node, dist FROM d${i - 1})
+           |  GROUP BY 1, 2)""".stripMargin
+      }.mkString(",\n")
+      s"$prelude,\n$rounds\n" +
+        s"""SELECT seed,
+           |  CAST(sum(CASE WHEN dist = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_hop1,
+           |  CAST(sum(CASE WHEN dist = 2 THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_hop2,
+           |  CAST(sum(CASE WHEN dist = 3 THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_hop3,
+           |  max(dist) AS ecc3
            |FROM d$BfsRounds WHERE dist > 0
            |GROUP BY seed ORDER BY seed""".stripMargin
     },

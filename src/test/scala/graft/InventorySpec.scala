@@ -416,10 +416,13 @@ class InventorySpec extends SparkSpec {
     // §2.118 round-13 eleventh wave: Cochran Q, annotation routing,
     // two-proportion z
     "agg_cochran_q", "pipeline_annotation_routing",
-    "agg_two_proportion_z")
+    "agg_two_proportion_z",
+    // §2.119 round-13 twelfth wave: KDE surface, ESS report,
+    // reach profile
+    "geo_kde_cells", "sample_ess_report", "graph_eccentricity")
 
-  test("declared queries cover SURVEY §2 + §2.12-118 exactly (466 keys)") {
-    assert(inventory.size == 466)
+  test("declared queries cover SURVEY §2 + §2.12-119 exactly (469 keys)") {
+    assert(inventory.size == 469)
     val declared = SparkEntry.queries.keySet
     val missing = inventory -- declared
     val extra = declared -- inventory
