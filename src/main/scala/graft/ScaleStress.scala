@@ -77,7 +77,9 @@ object ScaleStress {
     // Round-13 waves 10-11 at birth.
     "sim_rocchio_expand", "ts_cohort_halflife", "ts_hurst_exponent",
     "agg_cochran_q", "pipeline_annotation_routing",
-    "agg_two_proportion_z")
+    "agg_two_proportion_z",
+    // Round-13 wave 12 at birth.
+    "geo_kde_cells", "sample_ess_report", "graph_eccentricity")
   // Keys whose only input is lineitem — copy-scalable (see scaladoc).
   // The embeddings/documents keys are NOT copy-scalable for the same
   // reason the dedup keys aren't (cross-copy duplicate geometry);
@@ -90,7 +92,7 @@ object ScaleStress {
     "graph_rich_club",
     "graph_closeness", "graph_modularity", "graph_label_prop",
     "graph_assortativity", "graph_ego_density", "graph_betweenness",
-    "graph_transitivity_global")
+    "graph_transitivity_global", "graph_eccentricity")
 
   /** Bench-heavy instrumentation guard input (InventorySpec asserts
     * every BENCH_FULL top-cost key has a row here — the unmeasured-

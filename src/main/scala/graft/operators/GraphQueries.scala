@@ -272,6 +272,42 @@ object GraphQueries {
       res
     }),
 
+    // BIPARTITE DEGREE PROFILE (§2.120) — the ORIGINAL order↔part
+    // incidence graph's two-sided shape (everything else projects it
+    // away): per side, node count, edge count, exact mean degree, p95
+    // (the capq cumulative-histogram device — never a global value
+    // sort), and max. The numbers that decide whether the projected
+    // co-purchase build is even safe (a fat order fans out
+    // quadratically in the projection). One distinct pass, two
+    // degree reduces, histogram tails.
+    "graph_bipartite_profile" -> ((s, dir) => {
+      val pp = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+        .distinct().localCheckpoint(true)
+      def side(keyCol: String, name: String): DataFrame = {
+        val deg = pp.groupBy(keyCol).agg(count(lit(1)).as("deg"))
+        val hist = deg.groupBy("deg").agg(count(lit(1)).as("cnt"))
+        import org.apache.spark.sql.expressions.Window
+        val wcum = Window.orderBy("deg")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val tot = hist.agg(sum(col("cnt")).cast("long").as("n"),
+          sum(col("deg") * col("cnt")).cast("long").as("sdeg"),
+          max(col("deg")).as("mx"))
+        val p95 = hist.withColumn("cum", sum(col("cnt")).over(wcum)
+            .cast("long"))
+          .crossJoin(broadcast(tot))
+          .filter(col("cum") * 20 >= col("n") * 19)
+          .agg(min(col("deg")).as("p95"))
+        tot.crossJoin(broadcast(p95))
+          .select(lit(name).as("side"), col("n").as("n_nodes"),
+            col("sdeg").as("n_edges"),
+            r4d(col("sdeg").cast("double") / col("n").cast("double"))
+              .as("avg_deg"),
+            col("p95").as("p95_deg"), col("mx").as("max_deg"))
+      }
+      side("ok", "order").unionAll(side("p", "part")).orderBy("side")
+    }),
+
     // 3-HOP REACH PROFILE + ECCENTRICITY (§2.119) — per closeness
     // seed: how many nodes sit at EXACTLY hop 1 / 2 / 3, and the
     // truncated eccentricity (the deepest occupied hop ≤ 3) — the
@@ -975,6 +1011,32 @@ object GraphQueries {
            |FROM d$BfsRounds WHERE dist > 0
            |GROUP BY seed ORDER BY seed""".stripMargin
     },
+    // Same two-sided degree reduces; p95 via the integer cumulative
+    // test 20·cum ≥ 19·n.
+    "graph_bipartite_profile" ->
+      """WITH pp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+        |  FROM lineitem),
+        |dok AS (SELECT ok, count(*) AS deg FROM pp GROUP BY 1),
+        |dp AS (SELECT p, count(*) AS deg FROM pp GROUP BY 1),
+        |sok AS (SELECT 'order' AS side, deg FROM dok
+        |  UNION ALL SELECT 'part', deg FROM dp),
+        |hist AS (SELECT side, deg, count(*) AS cnt FROM sok
+        |  GROUP BY 1, 2),
+        |tot AS (SELECT side, CAST(sum(cnt) AS BIGINT) AS n,
+        |    CAST(sum(deg * cnt) AS BIGINT) AS sdeg, max(deg) AS mx
+        |  FROM hist GROUP BY 1),
+        |cum AS (SELECT h.side, h.deg,
+        |    CAST(sum(h.cnt) OVER (PARTITION BY h.side ORDER BY h.deg
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |  FROM hist h),
+        |p95 AS (SELECT c.side, min(c.deg) AS p95
+        |  FROM cum c JOIN tot t ON t.side = c.side
+        |  WHERE c.cum * 20 >= t.n * 19 GROUP BY 1)
+        |SELECT t.side, n AS n_nodes, sdeg AS n_edges,
+        |  ROUND(CAST(sdeg AS DOUBLE) / CAST(n AS DOUBLE) * 10000)
+        |    / 10000 AS avg_deg,
+        |  p95 AS p95_deg, mx AS max_deg
+        |FROM tot t JOIN p95 USING (side) ORDER BY t.side""".stripMargin,
     // Same unrolled composite-key BFS as closeness; conditional
     // counts + max per seed.
     "graph_eccentricity" -> {

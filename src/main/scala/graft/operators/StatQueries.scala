@@ -1702,6 +1702,38 @@ object StatQueries {
     // user_id replaces midranks, bit-replayably). W⁺/W⁻ are integer
     // sums; the normal-approximation z is one double chain at the
     // edge.
+    // PAIRWISE WIN-RATE MATRIX (§2.120) — the LLM-eval staple: for
+    // every pair of "systems" (event types standing in for model
+    // arms), the fraction of SHARED contexts (user, day) where A's
+    // reward beats B's. Per-context reward = max(value) — an
+    // order-free exact reduce, never a float sum; wins/ties/losses
+    // are integer counts off one (context)-keyed equi self-join
+    // (type-pair fan ≤ C(5,2) per context); win rate (2w+t)/2n is
+    // one division. The matrix every A/B/n dashboard draws.
+    "eval_pairwise_winrate" -> ((s, dir) => {
+      val r = events(s, dir)
+        .select(col("user_id"), epochDay("ts").as("day"),
+          col("event_type").as("et"), col("value"))
+        .groupBy("user_id", "day", "et")
+        .agg(max(col("value")).as("rw"))
+      val pairs = r.as("a").join(r.as("b"),
+          col("a.user_id") === col("b.user_id")
+            && col("a.day") === col("b.day")
+            && col("a.et") < col("b.et"))
+        .select(col("a.et").as("type_a"), col("b.et").as("type_b"),
+          when(col("a.rw") > col("b.rw"), 1L).otherwise(0L).as("w"),
+          when(col("a.rw") === col("b.rw"), 1L).otherwise(0L).as("t"))
+      pairs.groupBy("type_a", "type_b")
+        .agg(count(lit(1)).as("n_contexts"),
+          sum(col("w")).cast("long").as("wins_a"),
+          sum(col("t")).cast("long").as("ties"))
+        .select(col("type_a"), col("type_b"), col("n_contexts"),
+          col("wins_a"), col("ties"),
+          r4d((col("wins_a") * 2 + col("ties")).cast("double")
+            / (col("n_contexts") * 2).cast("double")).as("winrate_a"))
+        .orderBy("type_a", "type_b")
+    }),
+
     // COCHRAN'S Q (§2.118) — the k-related-samples extension of
     // McNemar: did per-user activity (binary) CHANGE across the
     // window's first four weeks? Q = (k−1)·Σ_j(k·C_j − T)² /
@@ -1933,6 +1965,24 @@ object StatQueries {
         |    / CAST(m * m * (24 * 24 * 24 - 24) AS DOUBLE)
         |    * 10000) / 10000 + 0.0 AS w
         |FROM ri CROSS JOIN m GROUP BY m""".stripMargin,
+    // Same order-free max reward per context and integer win counts.
+    "eval_pairwise_winrate" ->
+      s"""WITH r AS (SELECT user_id, ${sqlEpochDay("ts")} AS day,
+         |    event_type AS et, max(value) AS rw
+         |  FROM events GROUP BY 1, 2, 3),
+         |p AS (SELECT a.et AS type_a, b.et AS type_b,
+         |    CASE WHEN a.rw > b.rw THEN 1 ELSE 0 END AS w,
+         |    CASE WHEN a.rw = b.rw THEN 1 ELSE 0 END AS t
+         |  FROM r a JOIN r b ON a.user_id = b.user_id
+         |    AND a.day = b.day AND a.et < b.et)
+         |SELECT type_a, type_b, count(*) AS n_contexts,
+         |  CAST(sum(w) AS BIGINT) AS wins_a,
+         |  CAST(sum(t) AS BIGINT) AS ties,
+         |  ROUND(CAST(CAST(sum(w) AS BIGINT) * 2
+         |      + CAST(sum(t) AS BIGINT) AS DOUBLE)
+         |    / CAST(count(*) * 2 AS DOUBLE) * 10000) / 10000
+         |    AS winrate_a
+         |FROM p GROUP BY 1, 2 ORDER BY type_a, type_b""".stripMargin,
     // Same k-multiplied integer deviations and single division.
     "agg_cochran_q" ->
       s"""WITH e AS (SELECT user_id, ${sqlEpochDay("ts")} AS day

@@ -419,10 +419,14 @@ class InventorySpec extends SparkSpec {
     "agg_two_proportion_z",
     // §2.119 round-13 twelfth wave: KDE surface, ESS report,
     // reach profile
-    "geo_kde_cells", "sample_ess_report", "graph_eccentricity")
+    "geo_kde_cells", "sample_ess_report", "graph_eccentricity",
+    // §2.120 round-13 thirteenth wave: hard examples, win rates,
+    // bipartite profile
+    "multimodal_hard_example_mining", "eval_pairwise_winrate",
+    "graph_bipartite_profile")
 
-  test("declared queries cover SURVEY §2 + §2.12-119 exactly (469 keys)") {
-    assert(inventory.size == 469)
+  test("declared queries cover SURVEY §2 + §2.12-120 exactly (472 keys)") {
+    assert(inventory.size == 472)
     val declared = SparkEntry.queries.keySet
     val missing = inventory -- declared
     val extra = declared -- inventory
