@@ -1875,6 +1875,74 @@ object PipelineQueries {
     // corpus-linear with a ≤ 64² per-pair bound; the doubling rounds
     // are three O(|dets|) self-equi-joins over an eagerly
     // checkpointed pointer table (the MMR plan-blowup lesson).
+    // RECALL BY OBJECT SIZE (§2.121) — the COCO small/medium/large
+    // breakdown detection reports owe (small-object recall is where
+    // detectors actually fail): gt boxes bucketed by exact integer
+    // area (< 3000 / < 3800 / rest px² — the fixture-appropriate
+    // tertiles of its [2400, 4248] area range), matched = the same
+    // IoU≥0.5 mutual-best matcher, recall = one division per bucket.
+    "eval_det_recall_by_size" -> ((s, dir) => {
+      val base = t(s, dir, "part").select(col("p_partkey").as("k"),
+        col("p_size").cast("long").as("sz"),
+        round(col("p_retailprice") * 100).cast("long").as("cents"))
+        .select(col("k"), col("sz"), col("cents"),
+          expr("k div 64").as("image_id"),
+          ((col("k") % 8) * 100).as("gx1"),
+          (expr("(k % 64) div 8") * 100).as("gy1"))
+        .withColumn("gx2", col("gx1") + 40 + col("sz") % 20)
+        .withColumn("gy2", col("gy1") + 60 + col("k") % 13)
+      val gt = base.select(col("image_id"), col("k").as("gt_id"),
+        col("gx1"), col("gy1"), col("gx2"), col("gy2"))
+        .withColumn("area",
+          (col("gx2") - col("gx1")) * (col("gy2") - col("gy1")))
+        .withColumn("bucket",
+          when(col("area") < 3000, "small")
+            .when(col("area") < 3800, "medium").otherwise("large"))
+      val jit = base.filter(col("k") % 13 =!= 0)
+        .withColumn("dx", col("sz") % 9 - 4
+          + when(col("k") % 17 === 0, 30).otherwise(0))
+        .withColumn("dy", col("cents") % 11 - 5)
+        .select(col("image_id"), col("k").as("det_id"),
+          (col("gx1") + col("dx")).as("px1"),
+          (col("gy1") + col("dy")).as("py1"),
+          (col("gx2") + col("dx")).as("px2"),
+          (col("gy2") + col("dy")).as("py2"))
+      val fp = base.filter(col("k") % 11 === 0)
+        .select(col("image_id"), (col("k") + 100000000L).as("det_id"),
+          (col("gx1") + 50).as("px1"), (col("gy1") + 50).as("py1"),
+          (col("gx1") + 90).as("px2"), (col("gy1") + 110).as("py2"))
+      val pred = jit.unionAll(fp)
+      val pairs = gt.join(pred, Seq("image_id"))
+        .withColumn("inter",
+          greatest(lit(0L), least(col("gx2"), col("px2"))
+            - greatest(col("gx1"), col("px1")))
+          * greatest(lit(0L), least(col("gy2"), col("py2"))
+            - greatest(col("gy1"), col("py1"))))
+        .withColumn("uni",
+          (col("gx2") - col("gx1")) * (col("gy2") - col("gy1"))
+          + (col("px2") - col("px1")) * (col("py2") - col("py1"))
+          - col("inter"))
+        .filter(col("inter") * 2 >= col("uni"))
+        .withColumn("iou",
+          col("inter").cast("double") / col("uni").cast("double"))
+      val wg = Window.partitionBy("image_id", "gt_id")
+        .orderBy(col("iou").desc, col("det_id"))
+      val wd = Window.partitionBy("image_id", "det_id")
+        .orderBy(col("iou").desc, col("gt_id"))
+      val matched = pairs.withColumn("rg", row_number().over(wg))
+        .withColumn("rd", row_number().over(wd))
+        .filter(col("rg") === 1 && col("rd") === 1)
+        .select(col("image_id"), col("gt_id"), lit(1L).as("m"))
+      gt.join(matched, Seq("image_id", "gt_id"), "left")
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_gt"),
+          coalesce(sum(col("m")), lit(0L)).as("n_matched"))
+        .select(col("bucket"), col("n_gt"), col("n_matched"),
+          r4d(col("n_matched").cast("double") / col("n_gt").cast("double"))
+            .as("recall"))
+        .orderBy("bucket")
+    }),
+
     // HARD-EXAMPLE MINING (§2.120) — the active-learning loop's input:
     // the 10 images where the detector does WORST (lowest per-image
     // F1 off eval_det_match's mutual-best matcher), queued for
@@ -3212,6 +3280,62 @@ object PipelineQueries {
         |  ROUND(apm * 10000) / 10000 + 0.0 AS map
         |FROM (SELECT * FROM percls UNION ALL SELECT * FROM summ)
         |ORDER BY cls""".stripMargin,
+    // Same matcher; exact integer area buckets, one division per
+    // bucket.
+    "eval_det_recall_by_size" ->
+      """WITH base AS (SELECT p_partkey AS k,
+        |    CAST(p_size AS BIGINT) AS sz,
+        |    CAST(round(p_retailprice * 100) AS BIGINT) AS cents,
+        |    p_partkey // 64 AS image_id,
+        |    (p_partkey % 8) * 100 AS gx1,
+        |    ((p_partkey % 64) // 8) * 100 AS gy1
+        |  FROM part),
+        |bb AS (SELECT *, gx1 + 40 + sz % 20 AS gx2,
+        |    gy1 + 60 + k % 13 AS gy2 FROM base),
+        |gt AS (SELECT image_id, k AS gt_id, gx1, gy1, gx2, gy2,
+        |    CASE WHEN (gx2 - gx1) * (gy2 - gy1) < 3000 THEN 'small'
+        |      WHEN (gx2 - gx1) * (gy2 - gy1) < 3800 THEN 'medium'
+        |      ELSE 'large' END AS bucket
+        |  FROM bb),
+        |jit AS (SELECT image_id, k AS det_id,
+        |    gx1 + sz % 9 - 4 + CASE WHEN k % 17 = 0 THEN 30 ELSE 0 END
+        |      AS px1,
+        |    gy1 + cents % 11 - 5 AS py1,
+        |    gx2 + sz % 9 - 4 + CASE WHEN k % 17 = 0 THEN 30 ELSE 0 END
+        |      AS px2,
+        |    gy2 + cents % 11 - 5 AS py2
+        |  FROM bb WHERE k % 13 <> 0),
+        |fpd AS (SELECT image_id, k + 100000000 AS det_id,
+        |    gx1 + 50 AS px1, gy1 + 50 AS py1,
+        |    gx1 + 90 AS px2, gy1 + 110 AS py2
+        |  FROM bb WHERE k % 11 = 0),
+        |pred AS (SELECT * FROM jit UNION ALL SELECT * FROM fpd),
+        |pr AS (SELECT g.image_id, g.gt_id, p.det_id,
+        |    greatest(0, least(g.gx2, p.px2) - greatest(g.gx1, p.px1))
+        |      * greatest(0, least(g.gy2, p.py2) - greatest(g.gy1, p.py1))
+        |      AS inter,
+        |    (g.gx2 - g.gx1) * (g.gy2 - g.gy1)
+        |      + (p.px2 - p.px1) * (p.py2 - p.py1) AS areas
+        |  FROM gt g JOIN pred p USING (image_id)),
+        |pairs AS (SELECT image_id, gt_id, det_id,
+        |    CAST(inter AS DOUBLE) / CAST(areas - inter AS DOUBLE) AS iou
+        |  FROM pr WHERE inter * 2 >= areas - inter),
+        |rk AS (SELECT image_id, gt_id, det_id,
+        |    row_number() OVER (PARTITION BY image_id, gt_id
+        |      ORDER BY iou DESC, det_id) AS rg,
+        |    row_number() OVER (PARTITION BY image_id, det_id
+        |      ORDER BY iou DESC, gt_id) AS rd
+        |  FROM pairs),
+        |mt AS (SELECT image_id, gt_id FROM rk WHERE rg = 1 AND rd = 1)
+        |SELECT bucket, count(*) AS n_gt,
+        |  CAST(sum(CASE WHEN mt.gt_id IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_matched,
+        |  ROUND(CAST(sum(CASE WHEN mt.gt_id IS NOT NULL THEN 1 ELSE 0
+        |      END) AS DOUBLE) / CAST(count(*) AS DOUBLE) * 10000)
+        |    / 10000 AS recall
+        |FROM gt LEFT JOIN mt
+        |  ON mt.image_id = gt.image_id AND mt.gt_id = gt.gt_id
+        |GROUP BY bucket ORDER BY bucket""".stripMargin,
     // Same per-image matcher as eval_det_match; bottom-10 by the
     // identical f1 doubles with the image_id tie-break.
     "multimodal_hard_example_mining" ->

@@ -1702,6 +1702,64 @@ object StatQueries {
     // user_id replaces midranks, bit-replayably). W⁺/W⁻ are integer
     // sums; the normal-approximation z is one double chain at the
     // edge.
+    // DELTA-METHOD RATIO CI (§2.121) — the experimentation trap done
+    // right: a ratio metric (revenue per event) needs the delta
+    // method because users, not events, are the randomization unit.
+    // Per arm: per-user (cents, events) pairs — cents are EXACT
+    // integers (value carries 2dp by fixture construction) — moments
+    // in DECIMAL(38,0), R = Σx/Σy, s² = (Sxx − 2R·Sxy + R²·Syy)/(n−1),
+    // se = √(s²·n)/Σy, CI = R ± 1.96·se, everything after the moments
+    // one double chain per arm. Output in dollars per event.
+    "agg_ratio_metric_ci" -> ((s, dir) => {
+      val u = events(s, dir)
+        .select((col("user_id") % 2).as("arm"), col("user_id"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .groupBy("arm", "user_id")
+        .agg(sum(col("cents")).cast("long").as("x"),
+          count(lit(1)).as("y"))
+      val m = u.groupBy("arm")
+        .agg(count(lit(1)).as("n"),
+          sum(col("x")).cast("decimal(38,0)").as("sx"),
+          sum(col("y")).cast("decimal(38,0)").as("sy"),
+          sum(col("x").cast("decimal(38,0)") * col("x")).as("sxx"),
+          sum(col("y").cast("decimal(38,0)") * col("y")).as("syy"),
+          sum(col("x").cast("decimal(38,0)") * col("y")).as("sxy"))
+      m.withColumn("r", col("sx").cast("double") / col("sy").cast("double"))
+        .withColumn("s2",
+          (col("sxx").cast("double")
+            - lit(2.0) * col("r") * col("sxy").cast("double")
+            + col("r") * col("r") * col("syy").cast("double"))
+          / (col("n") - 1).cast("double"))
+        .withColumn("se",
+          sqrt(col("s2") * col("n").cast("double"))
+            / col("sy").cast("double"))
+        .select(col("arm"), col("n").as("n_users"),
+          r4d(col("r") / 100).as("ratio"),
+          r4d((col("r") - lit(1.96) * col("se")) / 100).as("ci_lo"),
+          r4d((col("r") + lit(1.96) * col("se")) / 100).as("ci_hi"))
+        .orderBy("arm")
+    }),
+
+    // SAMPLE-RATIO-MISMATCH CHECK (§2.121) — the guardrail every
+    // experiment platform runs before reading ANY metric: are the
+    // arms actually 50/50 at the randomization unit (users)? For two
+    // cells with equal expectation the chi² collapses to
+    // (n₀−n₁)²/(n₀+n₁) — exact integers, one division; flagged
+    // against the 1-df 95% critical value on the UNROUNDED statistic.
+    "agg_srm_check" -> ((s, dir) => {
+      val u = events(s, dir)
+        .select(col("user_id"), (col("user_id") % 2).as("arm"))
+        .distinct()
+      u.groupBy("arm").agg(count(lit(1)).as("n"))
+        .agg(max(when(col("arm") === 0, col("n"))).as("n0"),
+          max(when(col("arm") === 1, col("n"))).as("n1"))
+        .withColumn("chi0",
+          ((col("n0") - col("n1")) * (col("n0") - col("n1")))
+            .cast("double") / (col("n0") + col("n1")).cast("double"))
+        .select(col("n0"), col("n1"), r4d(col("chi0")).as("chi2"),
+          (col("chi0") > 3.841458820694124).as("srm"))
+    }),
+
     // PAIRWISE WIN-RATE MATRIX (§2.120) — the LLM-eval staple: for
     // every pair of "systems" (event types standing in for model
     // arms), the fraction of SHARED contexts (user, day) where A's
@@ -1965,6 +2023,50 @@ object StatQueries {
         |    / CAST(m * m * (24 * 24 * 24 - 24) AS DOUBLE)
         |    * 10000) / 10000 + 0.0 AS w
         |FROM ri CROSS JOIN m GROUP BY m""".stripMargin,
+    // Same integer cents moments; the R/s²/se/CI chain spelled
+    // operand-for-operand.
+    "agg_ratio_metric_ci" ->
+      """WITH u AS (SELECT user_id % 2 AS arm, user_id,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |      AS x,
+        |    count(*) AS y
+        |  FROM events GROUP BY 1, 2),
+        |m AS (SELECT arm, count(*) AS n,
+        |    CAST(sum(x) AS HUGEINT) AS sx,
+        |    CAST(sum(y) AS HUGEINT) AS sy,
+        |    CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+        |    CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy,
+        |    CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy
+        |  FROM u GROUP BY 1),
+        |c AS (SELECT arm, n,
+        |    CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE) AS r,
+        |    sxx, syy, sxy, sy FROM m),
+        |d AS (SELECT arm, n, r, sy,
+        |    (CAST(sxx AS DOUBLE) - 2.0 * r * CAST(sxy AS DOUBLE)
+        |      + r * r * CAST(syy AS DOUBLE)) / CAST(n - 1 AS DOUBLE)
+        |      AS s2
+        |  FROM c),
+        |e AS (SELECT arm, n, r,
+        |    sqrt(s2 * CAST(n AS DOUBLE)) / CAST(sy AS DOUBLE) AS se
+        |  FROM d)
+        |SELECT arm, n AS n_users,
+        |  ROUND(r / 100 * 10000) / 10000 AS ratio,
+        |  ROUND((r - 1.96 * se) / 100 * 10000) / 10000 AS ci_lo,
+        |  ROUND((r + 1.96 * se) / 100 * 10000) / 10000 AS ci_hi
+        |FROM e ORDER BY arm""".stripMargin,
+    // Same collapsed two-cell chi² and unrounded flag.
+    "agg_srm_check" ->
+      """WITH u AS (SELECT DISTINCT user_id, user_id % 2 AS arm
+        |  FROM events),
+        |a AS (SELECT arm, count(*) AS n FROM u GROUP BY 1),
+        |p AS (SELECT max(CASE WHEN arm = 0 THEN n END) AS n0,
+        |    max(CASE WHEN arm = 1 THEN n END) AS n1 FROM a),
+        |c AS (SELECT n0, n1,
+        |    CAST((n0 - n1) * (n0 - n1) AS DOUBLE)
+        |      / CAST(n0 + n1 AS DOUBLE) AS chi0 FROM p)
+        |SELECT n0, n1, ROUND(chi0 * 10000) / 10000 AS chi2,
+        |  chi0 > 3.841458820694124 AS srm
+        |FROM c""".stripMargin,
     // Same order-free max reward per context and integer win counts.
     "eval_pairwise_winrate" ->
       s"""WITH r AS (SELECT user_id, ${sqlEpochDay("ts")} AS day,

@@ -423,10 +423,13 @@ class InventorySpec extends SparkSpec {
     // §2.120 round-13 thirteenth wave: hard examples, win rates,
     // bipartite profile
     "multimodal_hard_example_mining", "eval_pairwise_winrate",
-    "graph_bipartite_profile")
+    "graph_bipartite_profile",
+    // §2.121 round-13 fourteenth wave: ratio-metric CI, SRM check,
+    // recall by size
+    "agg_ratio_metric_ci", "agg_srm_check", "eval_det_recall_by_size")
 
-  test("declared queries cover SURVEY §2 + §2.12-120 exactly (472 keys)") {
-    assert(inventory.size == 472)
+  test("declared queries cover SURVEY §2 + §2.12-121 exactly (475 keys)") {
+    assert(inventory.size == 475)
     val declared = SparkEntry.queries.keySet
     val missing = inventory -- declared
     val extra = declared -- inventory
