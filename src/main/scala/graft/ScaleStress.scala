@@ -79,7 +79,11 @@ object ScaleStress {
     "agg_cochran_q", "pipeline_annotation_routing",
     "agg_two_proportion_z",
     // Round-13 wave 12 at birth.
-    "geo_kde_cells", "sample_ess_report", "graph_eccentricity")
+    "geo_kde_cells", "sample_ess_report", "graph_eccentricity",
+    // Round-13 waves 13-14 at birth.
+    "multimodal_hard_example_mining", "eval_pairwise_winrate",
+    "graph_bipartite_profile", "agg_ratio_metric_ci", "agg_srm_check",
+    "eval_det_recall_by_size")
   // Keys whose only input is lineitem — copy-scalable (see scaladoc).
   // The embeddings/documents keys are NOT copy-scalable for the same
   // reason the dedup keys aren't (cross-copy duplicate geometry);
@@ -92,7 +96,8 @@ object ScaleStress {
     "graph_rich_club",
     "graph_closeness", "graph_modularity", "graph_label_prop",
     "graph_assortativity", "graph_ego_density", "graph_betweenness",
-    "graph_transitivity_global", "graph_eccentricity")
+    "graph_transitivity_global", "graph_eccentricity",
+    "graph_bipartite_profile")
 
   /** Bench-heavy instrumentation guard input (InventorySpec asserts
     * every BENCH_FULL top-cost key has a row here — the unmeasured-
