@@ -2051,8 +2051,8 @@ object StatQueries {
         |  FROM d)
         |SELECT arm, n AS n_users,
         |  ROUND(r / 100 * 10000) / 10000 AS ratio,
-        |  ROUND((r - 1.96 * se) / 100 * 10000) / 10000 AS ci_lo,
-        |  ROUND((r + 1.96 * se) / 100 * 10000) / 10000 AS ci_hi
+        |  ROUND((r - 1.96 * se) / 100 * 10000) / 10000 + 0.0 AS ci_lo,
+        |  ROUND((r + 1.96 * se) / 100 * 10000) / 10000 + 0.0 AS ci_hi
         |FROM e ORDER BY arm""".stripMargin,
     // Same collapsed two-cell chi² and unrounded flag.
     "agg_srm_check" ->
