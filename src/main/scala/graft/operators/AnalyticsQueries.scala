@@ -718,6 +718,30 @@ object AnalyticsQueries {
     // order by day) hosts both lag frames, and the pair explode is
     // map-side — the whole key after the pre-agg is calendar-bounded,
     // never corpus-bounded.
+    // DRAWDOWN CURVE (§2.122) — the running-peak shortfall of
+    // cumulative daily revenue (the finance drawdown applied to any
+    // cumulative KPI: "how far below the best-ever are we, day by
+    // day"): cum and peak are integer-cents window sums/maxes over
+    // the TIME-bounded day spine — the whole key is integer-exact,
+    // zero float surface. One corpus reduce to (day, cents), then
+    // constant-size windows.
+    "ts_drawdown_curve" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = events(s, dir)
+        .select(epochDay("ts").as("day"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .groupBy("day").agg(sum(col("cents")).cast("long").as("rev"))
+      val w = Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      daily
+        .withColumn("cum_cents", sum(col("rev")).over(w).cast("long"))
+        .withColumn("peak_cents", max(col("cum_cents")).over(w))
+        .select(col("day"), col("rev").as("day_cents"),
+          col("cum_cents"), col("peak_cents"),
+          (col("peak_cents") - col("cum_cents")).as("drawdown_cents"))
+        .orderBy("day")
+    }),
+
     // COHORT RETENTION HALF-LIFE (§2.117) — compress each weekly
     // cohort's retention curve to the ONE number growth teams track:
     // fit ln r_w = a − λw over week offsets 1..4 by exact-moment OLS
@@ -2971,6 +2995,23 @@ object AnalyticsQueries {
          |FROM w ORDER BY event_type, day""".stripMargin,
     // Same zero-filled spine, same lag frames, same exact moments;
     // HUGEINT mirrors decimal(38), sqrt·sqrt in the same op order.
+    // Pure integer windows; HUGEINT sums cast back.
+    "ts_drawdown_curve" ->
+      s"""WITH d AS (SELECT ${sqlEpochDay("ts")} AS day,
+         |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+         |      AS rev
+         |  FROM events GROUP BY 1),
+         |c AS (SELECT day, rev,
+         |    CAST(sum(rev) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+         |      AS BIGINT) AS cum_cents
+         |  FROM d),
+         |p AS (SELECT day, rev, cum_cents,
+         |    max(cum_cents) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+         |      AS peak_cents
+         |  FROM c)
+         |SELECT day, rev AS day_cents, cum_cents, peak_cents,
+         |  peak_cents - cum_cents AS drawdown_cents
+         |FROM p ORDER BY day""".stripMargin,
     // Same exact retention ratios, w-sorted log folds, OLS chain
     // spelled operand-for-operand; ln 2 symbolic in both engines.
     "ts_cohort_halflife" ->

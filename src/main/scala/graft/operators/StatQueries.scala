@@ -1702,6 +1702,43 @@ object StatQueries {
     // user_id replaces midranks, bit-replayably). W⁺/W⁻ are integer
     // sums; the normal-approximation z is one double chain at the
     // edge.
+    // YOUDEN-J OPTIMAL THRESHOLD (§2.122) — where should the score
+    // cutoff sit? Sweep eval_auc_rank's score blocks descending,
+    // J(t) = TPR − FPR per block from exact cumulative integers, and
+    // take the argmax (identical-double ranking, score tie-break) —
+    // the operating-point picker next to the threshold-free AUC. The
+    // sweep window runs over DISTINCT score values (a domain-bounded
+    // table, not the corpus).
+    "eval_youden_threshold" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val byScore = events(s, dir)
+        .select(col("value"), (col("event_type") === "purchase").as("pos"))
+        .groupBy("value")
+        .agg(count(lit(1)).as("n_v"), count_if(col("pos")).as("p_v"))
+      val tot = byScore.agg(sum(col("p_v")).cast("long").as("np"),
+        sum(col("n_v") - col("p_v")).cast("long").as("nn"))
+      val wd = Window.orderBy(col("value").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = byScore
+        .withColumn("ctp", sum(col("p_v")).over(wd).cast("long"))
+        .withColumn("cfp",
+          sum(col("n_v") - col("p_v")).over(wd).cast("long"))
+        .crossJoin(broadcast(tot))
+        .withColumn("j",
+          col("ctp").cast("double") / col("np").cast("double")
+            - col("cfp").cast("double") / col("nn").cast("double"))
+      cum.withColumn("rk", row_number().over(
+          Window.orderBy(col("j").desc, col("value"))))
+        .filter(col("rk") === 1)
+        .select(col("value").as("threshold"), col("np").as("n_pos"),
+          col("nn").as("n_neg"), col("ctp").as("tp"), col("cfp").as("fp"),
+          r4d(col("ctp").cast("double") / col("np").cast("double"))
+            .as("tpr"),
+          r4d(col("cfp").cast("double") / col("nn").cast("double"))
+            .as("fpr"),
+          r4d(col("j")).as("youden_j"))
+    }),
+
     // DELTA-METHOD RATIO CI (§2.121) — the experimentation trap done
     // right: a ratio metric (revenue per event) needs the delta
     // method because users, not events, are the randomization unit.
@@ -2023,6 +2060,35 @@ object StatQueries {
         |    / CAST(m * m * (24 * 24 * 24 - 24) AS DOUBLE)
         |    * 10000) / 10000 + 0.0 AS w
         |FROM ri CROSS JOIN m GROUP BY m""".stripMargin,
+    // Same score blocks descending; J from exact cumulative
+    // integers, argmax on identical doubles with the score tie-break.
+    "eval_youden_threshold" ->
+      """WITH s AS (SELECT value, count(*) AS n_v,
+        |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS p_v
+        |  FROM events GROUP BY 1),
+        |t AS (SELECT CAST(sum(p_v) AS BIGINT) AS np,
+        |    CAST(sum(n_v - p_v) AS BIGINT) AS nn FROM s),
+        |c AS (SELECT value,
+        |    CAST(sum(p_v) OVER (ORDER BY value DESC
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS ctp,
+        |    CAST(sum(n_v - p_v) OVER (ORDER BY value DESC
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cfp
+        |  FROM s),
+        |j AS (SELECT value, ctp, cfp, np, nn,
+        |    CAST(ctp AS DOUBLE) / CAST(np AS DOUBLE)
+        |      - CAST(cfp AS DOUBLE) / CAST(nn AS DOUBLE) AS j
+        |  FROM c CROSS JOIN t),
+        |r AS (SELECT *, row_number() OVER (ORDER BY j DESC, value)
+        |    AS rk FROM j)
+        |SELECT value AS threshold, np AS n_pos, nn AS n_neg,
+        |  ctp AS tp, cfp AS fp,
+        |  ROUND(CAST(ctp AS DOUBLE) / CAST(np AS DOUBLE) * 10000)
+        |    / 10000 AS tpr,
+        |  ROUND(CAST(cfp AS DOUBLE) / CAST(nn AS DOUBLE) * 10000)
+        |    / 10000 AS fpr,
+        |  ROUND(j * 10000) / 10000 + 0.0 AS youden_j
+        |FROM r WHERE rk = 1""".stripMargin,
     // Same integer cents moments; the R/s²/se/CI chain spelled
     // operand-for-operand.
     "agg_ratio_metric_ci" ->

@@ -784,6 +784,45 @@ object TextQueries {
         .orderBy("decile")
     }),
 
+    // SOURCE-OUTLIER DOCUMENTS (§2.122) — which docs don't BELONG to
+    // their source's topic profile? Per doc, the TF cosine against
+    // its source's token-count centroid: the numerator Σ tf·c_s and
+    // both squared norms are EXACT integer sums over the bounded
+    // vocabulary (order-free by integerness — no fold machinery
+    // needed), cosine is one chain of exact operands, and the
+    // bottom-3 per source (identical-double ranking, doc tie-break)
+    // is the re-crawl/mislabel audit queue. Shape: one (doc, token)
+    // reduce, one (source, token) reduce joined back on token, a
+    // per-doc integer reduce, a bounded rank window.
+    "text_source_outlier_score" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val dt = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          explode(split(col("text"), " ")).as("tk"))
+        .groupBy("doc_id", "source", "tk")
+        .agg(count(lit(1)).as("dt"))
+      val sv = dt.groupBy("source", "tk")
+        .agg(sum(col("dt")).cast("long").as("cs"))
+      val ss = sv.groupBy("source")
+        .agg(sum(col("cs").cast("decimal(38,0)") * col("cs")).as("ss2"))
+      val per = dt.join(sv, Seq("source", "tk"))
+        .groupBy("doc_id", "source")
+        .agg(sum(col("dt").cast("decimal(38,0)") * col("cs")).as("num"),
+          sum(col("dt").cast("decimal(38,0)") * col("dt")).as("dd2"))
+        .join(broadcast(ss), Seq("source"))
+        .select(col("source"), col("doc_id"),
+          (col("num").cast("double")
+            / (sqrt(col("dd2").cast("double"))
+              * sqrt(col("ss2").cast("double")))).as("cos"))
+      per.withColumn("rk", row_number().over(
+          Window.partitionBy("source")
+            .orderBy(col("cos").asc, col("doc_id"))))
+        .filter(col("rk") <= 3)
+        .select(col("source"), col("rk").cast("long").as("rk"),
+          col("doc_id"), r4d(col("cos")).as("cos"))
+        .orderBy("source", "rk")
+    }),
+
     // LOG-ODDS DISTINCTIVE KEYWORDS (§2.115) — Monroe et al.'s
     // "Fightin' Words": which words are DISTINCTIVE of each source,
     // with a Dirichlet prior so rare words don't dominate (the flaw
@@ -1303,6 +1342,35 @@ object TextQueries {
         |    AS novelty
         |FROM occ JOIN fst USING (bg)
         |GROUP BY decile ORDER BY decile""".stripMargin,
+    // Same integer numerator/norms (HUGEINT), one cosine chain,
+    // bottom-3 rank per source.
+    "text_source_outlier_score" ->
+      """WITH dt AS (SELECT doc_id, source, tk, count(*) AS dt
+        |  FROM (SELECT doc_id, source,
+        |      unnest(string_split(text, ' ')) AS tk FROM documents)
+        |  GROUP BY 1, 2, 3),
+        |sv AS (SELECT source, tk, CAST(sum(dt) AS BIGINT) AS cs
+        |  FROM dt GROUP BY 1, 2),
+        |ss AS (SELECT source,
+        |    CAST(sum(CAST(cs AS HUGEINT) * cs) AS HUGEINT) AS ss2
+        |  FROM sv GROUP BY 1),
+        |per AS (SELECT d.source, d.doc_id,
+        |    CAST(sum(CAST(d.dt AS HUGEINT) * v.cs) AS HUGEINT) AS num,
+        |    CAST(sum(CAST(d.dt AS HUGEINT) * d.dt) AS HUGEINT) AS dd2
+        |  FROM dt d JOIN sv v ON v.source = d.source AND v.tk = d.tk
+        |  GROUP BY 1, 2),
+        |cosd AS (SELECT p.source, p.doc_id,
+        |    CAST(num AS DOUBLE)
+        |      / (sqrt(CAST(dd2 AS DOUBLE)) * sqrt(CAST(ss2 AS DOUBLE)))
+        |      AS cos
+        |  FROM per p JOIN ss ON ss.source = p.source),
+        |r AS (SELECT source, doc_id, cos,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY cos, doc_id) AS rk
+        |  FROM cosd)
+        |SELECT source, rk, doc_id,
+        |  ROUND(cos * 10000) / 10000 AS cos
+        |FROM r WHERE rk <= 3 ORDER BY source, rk""".stripMargin,
     // Same top-50 candidate spine and per-row log-odds chain; ranks
     // over the bounded (source × 50) table.
     "text_odds_ratio_keywords" ->

@@ -426,10 +426,14 @@ class InventorySpec extends SparkSpec {
     "graph_bipartite_profile",
     // §2.121 round-13 fourteenth wave: ratio-metric CI, SRM check,
     // recall by size
-    "agg_ratio_metric_ci", "agg_srm_check", "eval_det_recall_by_size")
+    "agg_ratio_metric_ci", "agg_srm_check", "eval_det_recall_by_size",
+    // §2.122 round-13 fifteenth wave: drawdown curve, Youden
+    // threshold, source outliers
+    "ts_drawdown_curve", "eval_youden_threshold",
+    "text_source_outlier_score")
 
-  test("declared queries cover SURVEY §2 + §2.12-121 exactly (475 keys)") {
-    assert(inventory.size == 475)
+  test("declared queries cover SURVEY §2 + §2.12-122 exactly (478 keys)") {
+    assert(inventory.size == 478)
     val declared = SparkEntry.queries.keySet
     val missing = inventory -- declared
     val extra = declared -- inventory
