@@ -83,7 +83,10 @@ object ScaleStress {
     // Round-13 waves 13-14 at birth.
     "multimodal_hard_example_mining", "eval_pairwise_winrate",
     "graph_bipartite_profile", "agg_ratio_metric_ci", "agg_srm_check",
-    "eval_det_recall_by_size")
+    "eval_det_recall_by_size",
+    // Round-13 wave 15 at birth.
+    "ts_drawdown_curve", "eval_youden_threshold",
+    "text_source_outlier_score")
   // Keys whose only input is lineitem — copy-scalable (see scaladoc).
   // The embeddings/documents keys are NOT copy-scalable for the same
   // reason the dedup keys aren't (cross-copy duplicate geometry);
