@@ -1015,6 +1015,37 @@ object AggQueries {
         .orderBy("bucket")
     }),
 
+    // CUMULATIVE MARKET-SHARE CURVE (§2.123) — the Lorenz-by-entity
+    // table behind agg_gini/agg_hhi_share's scalars: nations ranked
+    // by exact revenue cents, each with its share and the running
+    // concentration ("top-k entities own X%"). The window runs over
+    // the BOUNDED entity table (25 nations) after one corpus reduce;
+    // shares are single divisions of exact integers.
+    "agg_cumshare_curve" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val rev = t(s, dir, "orders")
+        .select(col("o_custkey").as("ck"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+        .join(broadcast(t(s, dir, "customer")
+          .select(col("c_custkey").as("ck"),
+            col("c_nationkey").as("nation"))), Seq("ck"))
+        .groupBy("nation")
+        .agg(sum(col("cents")).cast("long").as("rev"))
+      val tot = rev.agg(sum(col("rev")).cast("long").as("trev"))
+      val w = Window.orderBy(col("rev").desc, col("nation"))
+      rev.withColumn("rk", row_number().over(w).cast("long"))
+        .withColumn("cum", sum(col("rev")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("long"))
+        .crossJoin(broadcast(tot))
+        .select(col("rk"), col("nation"), col("rev").as("rev_cents"),
+          r4d(col("rev").cast("double") / col("trev").cast("double"))
+            .as("share"),
+          r4d(col("cum").cast("double") / col("trev").cast("double"))
+            .as("cum_share"))
+        .orderBy("rk")
+    }),
+
     // THEIL T INDEX (§2.112) — the entropy-family inequality index
     // next to agg_gini (Gini weighs rank position; Theil weighs log
     // share, and decomposes across groups): per nation, T =
@@ -1059,6 +1090,26 @@ object AggQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // Bounded entity window, exact cents shares.
+    "agg_cumshare_curve" ->
+      """WITH rev AS (SELECT c.c_nationkey AS nation,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |      AS BIGINT) AS rev
+        |  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        |  GROUP BY 1),
+        |t AS (SELECT CAST(sum(rev) AS BIGINT) AS trev FROM rev),
+        |r AS (SELECT nation, rev,
+        |    CAST(row_number() OVER (ORDER BY rev DESC, nation)
+        |      AS BIGINT) AS rk,
+        |    CAST(sum(rev) OVER (ORDER BY rev DESC, nation
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |  FROM rev)
+        |SELECT rk, nation, rev AS rev_cents,
+        |  ROUND(CAST(rev AS DOUBLE) / CAST(trev AS DOUBLE) * 10000)
+        |    / 10000 AS share,
+        |  ROUND(CAST(cum AS DOUBLE) / CAST(trev AS DOUBLE) * 10000)
+        |    / 10000 AS cum_share
+        |FROM r CROSS JOIN t ORDER BY rk""".stripMargin,
     // Same 10⁻⁹-unit share snap (// ≡ div on non-negative), factored
     // ln, floor-snapped integer terms, DECIMAL(38,0) sum.
     "agg_theil_index" ->

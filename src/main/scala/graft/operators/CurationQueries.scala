@@ -68,6 +68,35 @@ object CurationQueries {
         .orderBy("doc_id")
     }),
 
+    // SYSTEMATIC 1-IN-20 SAMPLE AUDIT (§2.123) — deterministic
+    // systematic sampling through GlobalRank's distributed order
+    // (md5(doc_id) total order, pick rank ≡ 7 mod 20) with the
+    // per-source coverage audit QA wants: achieved rate vs the 1/20
+    // design (systematic sampling guarantees ±1 per stratum ONLY
+    // under stratified ordering — the audit shows the actual spread
+    // under the hash order). No RNG anywhere; GlobalRank is the
+    // two-pass prefix sum, never a single-partition window.
+    "sample_systematic" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          md5(col("doc_id").cast("string").cast("binary")).as("skey"),
+          lit(1L).as("one"))
+      val ranked = graft.plans.GlobalRank.runningSum(
+        d, Seq("skey", "doc_id"), "one", "rk")
+      val tagged = ranked
+        .withColumn("picked", pmod(col("rk"), lit(20L)) === 7)
+      tagged.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("picked"), 1L).otherwise(0L)).cast("long")
+            .as("n_sampled"))
+        .select(col("source"), col("n_docs"), col("n_sampled"),
+          r4d(col("n_sampled").cast("double")
+            / col("n_docs").cast("double")).as("rate"),
+          r4d(col("n_sampled").cast("double")
+            / col("n_docs").cast("double") - lit(0.05)).as("rate_delta"))
+        .orderBy("source")
+    }),
+
     // EFFECTIVE SAMPLE SIZE REPORT (§2.119) — when docs carry
     // importance weights (here: length — the standard
     // tokens-per-sample proxy), how much of the corpus do weighted
@@ -694,6 +723,25 @@ object CurationQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // Same md5 total order (global row_number ≡ GlobalRank's prefix
+    // count), mod-20 pick, exact rate arithmetic.
+    "sample_systematic" ->
+      """WITH d AS (SELECT doc_id, source,
+        |    md5(CAST(doc_id AS VARCHAR)) AS skey FROM documents),
+        |r AS (SELECT doc_id, source,
+        |    CAST(row_number() OVER (ORDER BY skey, doc_id) AS BIGINT)
+        |      AS rk
+        |  FROM d)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN rk % 20 = 7 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_sampled,
+        |  ROUND(CAST(sum(CASE WHEN rk % 20 = 7 THEN 1 ELSE 0 END)
+        |      AS DOUBLE) / CAST(count(*) AS DOUBLE) * 10000) / 10000
+        |    AS rate,
+        |  ROUND((CAST(sum(CASE WHEN rk % 20 = 7 THEN 1 ELSE 0 END)
+        |      AS DOUBLE) / CAST(count(*) AS DOUBLE) - 0.05) * 10000)
+        |    / 10000 + 0.0 AS rate_delta
+        |FROM r GROUP BY source ORDER BY source""".stripMargin,
     // Same integer weights and HUGEINT moments; the ESS chain
     // operand-for-operand.
     "sample_ess_report" ->

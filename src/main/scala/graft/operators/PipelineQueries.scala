@@ -1875,6 +1875,38 @@ object PipelineQueries {
     // corpus-linear with a ≤ 64² per-pair bound; the doubling rounds
     // are three O(|dets|) self-equi-joins over an eagerly
     // checkpointed pointer table (the MMR plan-blowup lesson).
+    // BOX ASPECT-RATIO HISTOGRAM (§2.123) — the anchor-design input
+    // detection training starts from: gt aspect w/h bucketed in
+    // exact PER-MILLE integer units ((w·1000) div h), eight fixed
+    // design bins, counts + share — pure map-side below the 8-row
+    // reduce.
+    "multimodal_box_aspect_hist" -> ((s, dir) => {
+      val base = t(s, dir, "part").select(col("p_partkey").as("k"),
+        col("p_size").cast("long").as("sz"))
+        .select(((col("k") % 8) * 100).as("gx1"),
+          (expr("(k % 64) div 8") * 100).as("gy1"), col("sz"), col("k"))
+        .withColumn("w", lit(40L) + col("sz") % 20)
+        .withColumn("h", lit(60L) + col("k") % 13)
+        .withColumn("ar1000", expr("(w * 1000) div h"))
+        .withColumn("bin",
+          when(col("ar1000") < 550, "a_lt_0.55")
+            .when(col("ar1000") < 650, "b_0.55_0.65")
+            .when(col("ar1000") < 750, "c_0.65_0.75")
+            .when(col("ar1000") < 850, "d_0.75_0.85")
+            .when(col("ar1000") < 950, "e_0.85_0.95")
+            .otherwise("f_ge_0.95"))
+      val tot = base.agg(count(lit(1)).as("n"))
+      base.groupBy("bin").agg(count(lit(1)).as("n_boxes"),
+          min(col("ar1000")).as("min_ar1000"),
+          max(col("ar1000")).as("max_ar1000"))
+        .crossJoin(broadcast(tot))
+        .select(col("bin"), col("n_boxes"), col("min_ar1000"),
+          col("max_ar1000"),
+          r4d(col("n_boxes").cast("double") / col("n").cast("double"))
+            .as("share"))
+        .orderBy("bin")
+    }),
+
     // RECALL BY OBJECT SIZE (§2.121) — the COCO small/medium/large
     // breakdown detection reports owe (small-object recall is where
     // detectors actually fail): gt boxes bucketed by exact integer
@@ -3280,6 +3312,25 @@ object PipelineQueries {
         |  ROUND(apm * 10000) / 10000 + 0.0 AS map
         |FROM (SELECT * FROM percls UNION ALL SELECT * FROM summ)
         |ORDER BY cls""".stripMargin,
+    // Same per-mille integer aspect cut and fixed bins.
+    "multimodal_box_aspect_hist" ->
+      """WITH b AS (SELECT ((40 + CAST(p_size AS BIGINT) % 20) * 1000)
+        |      // (60 + p_partkey % 13) AS ar1000
+        |  FROM part),
+        |c AS (SELECT ar1000,
+        |    CASE WHEN ar1000 < 550 THEN 'a_lt_0.55'
+        |      WHEN ar1000 < 650 THEN 'b_0.55_0.65'
+        |      WHEN ar1000 < 750 THEN 'c_0.65_0.75'
+        |      WHEN ar1000 < 850 THEN 'd_0.75_0.85'
+        |      WHEN ar1000 < 950 THEN 'e_0.85_0.95'
+        |      ELSE 'f_ge_0.95' END AS bin
+        |  FROM b),
+        |t AS (SELECT count(*) AS n FROM c)
+        |SELECT bin, count(*) AS n_boxes,
+        |  min(ar1000) AS min_ar1000, max(ar1000) AS max_ar1000,
+        |  ROUND(CAST(count(*) AS DOUBLE) / CAST(n AS DOUBLE) * 10000)
+        |    / 10000 AS share
+        |FROM c CROSS JOIN t GROUP BY bin, n ORDER BY bin""".stripMargin,
     // Same matcher; exact integer area buckets, one division per
     // bucket.
     "eval_det_recall_by_size" ->

@@ -430,10 +430,14 @@ class InventorySpec extends SparkSpec {
     // §2.122 round-13 fifteenth wave: drawdown curve, Youden
     // threshold, source outliers
     "ts_drawdown_curve", "eval_youden_threshold",
-    "text_source_outlier_score")
+    "text_source_outlier_score",
+    // §2.123 round-13 sixteenth wave: share curve, systematic sample,
+    // aspect histogram
+    "agg_cumshare_curve", "sample_systematic",
+    "multimodal_box_aspect_hist")
 
-  test("declared queries cover SURVEY §2 + §2.12-122 exactly (478 keys)") {
-    assert(inventory.size == 478)
+  test("declared queries cover SURVEY §2 + §2.12-123 exactly (481 keys)") {
+    assert(inventory.size == 481)
     val declared = SparkEntry.queries.keySet
     val missing = inventory -- declared
     val extra = declared -- inventory
