@@ -21,6 +21,33 @@ import graft.functions.WeightedAvg
 object AggQueries {
   type Q = (SparkSession, String) => DataFrame
 
+  /** Per-nation Theil building blocks (n, S_g, snapped T_g·10⁹) —
+    * one corpus pass shared by agg_theil_index and
+    * agg_theil_decomposition; see the index key's scaladoc for the
+    * 10⁻⁹-unit snap determinism argument. */
+  private def theilParts(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .select(col("o_custkey").as("ck"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .join(broadcast(t(s, dir, "customer")
+        .select(col("c_custkey").as("ck"),
+          col("c_nationkey").as("nation"))), Seq("ck"))
+    val totals = o.groupBy("nation")
+      .agg(sum(col("cents")).cast("long").as("stot"),
+        count(lit(1)).as("n"))
+    o.join(broadcast(totals), Seq("nation"))
+      .select(col("nation"), col("n"), col("stot"),
+        expr("(cents * 1000000000) div stot").as("s9"))
+      .select(col("nation"), col("n"), col("stot"),
+        when(col("s9") > 0, floor(col("s9").cast("double")
+          * (log(col("s9").cast("double"))
+            + log(col("n").cast("double"))
+            - log(lit(1.0e9)))).cast("long"))
+          .otherwise(lit(0L)).as("t0"))
+      .groupBy("nation", "n", "stot")
+      .agg(sum(col("t0").cast("decimal(38,0)")).as("tsum"))
+  }
+
   val queries: Map[String, Q] = Map(
     "agg_global" -> ((s, dir) => {
       t(s, dir, "lineitem").agg(
@@ -1061,32 +1088,40 @@ object AggQueries {
     // 0). Shape: one orders⋈customer join (nation dim broadcast), one
     // nation reduce for (S, n) broadcast back, one map-side term
     // pass, one nation reduce.
-    "agg_theil_index" -> ((s, dir) => {
-      val o = t(s, dir, "orders")
-        .select(col("o_custkey").as("ck"),
-          round(col("o_totalprice") * 100).cast("long").as("cents"))
-        .join(broadcast(t(s, dir, "customer")
-          .select(col("c_custkey").as("ck"),
-            col("c_nationkey").as("nation"))), Seq("ck"))
-      val totals = o.groupBy("nation")
-        .agg(sum(col("cents")).cast("long").as("stot"),
-          count(lit(1)).as("n"))
-      o.join(broadcast(totals), Seq("nation"))
-        .select(col("nation"), col("n"),
-          expr("(cents * 1000000000) div stot").as("s9"))
-        .select(col("nation"),
-          when(col("s9") > 0, floor(col("s9").cast("double")
-            * (log(col("s9").cast("double"))
-              + log(col("n").cast("double"))
-              - log(lit(1.0e9)))).cast("long"))
-            .otherwise(lit(0L)).as("t0"))
-        .groupBy("nation")
-        .agg(count(lit(1)).as("n_orders"),
-          sum(col("t0").cast("decimal(38,0)")).as("tsum"))
-        .select(col("nation"), col("n_orders"),
+    "agg_theil_index" -> ((s, dir) =>
+      theilParts(s, dir)
+        .select(col("nation"), col("n").as("n_orders"),
           r4d(col("tsum").cast("double") / lit(1.0e9)).as("theil"))
-        .orderBy("nation")
-    })
+        .orderBy("nation")),
+
+    // THEIL DECOMPOSITION (§2.124) — the property Theil is CHOSEN
+    // for: T_total = T_between + Σ s_g·T_g. Between-group term
+    // B = Σ s_g·ln(s_g·N/n_g) folds over the nation-sorted BOUNDED
+    // group list with ln factored over exact integers (ln S_g − ln S
+    // + ln N − ln n_g — no product can overflow); within = the
+    // share-weighted fold of the per-group snapped T_g from the same
+    // theilParts pass the scalar key uses. One corpus pass total.
+    "agg_theil_decomposition" -> ((s, dir) =>
+      theilParts(s, dir)
+        .agg(count(lit(1)).as("ng"),
+          sum(col("stot")).cast("long").as("sS"),
+          sum(col("n")).cast("long").as("nN"),
+          array_sort(collect_list(struct(col("nation"), col("stot"),
+            col("n"), col("tsum")))).as("xs"))
+        .select(col("ng"),
+          aggregate(col("xs"), lit(0.0), (a, x) =>
+            a + x("stot").cast("double") / col("sS").cast("double")
+              * (log(x("stot").cast("double"))
+                - log(col("sS").cast("double"))
+                + log(col("nN").cast("double"))
+                - log(x("n").cast("double")))).as("b0"),
+          aggregate(col("xs"), lit(0.0), (a, x) =>
+            a + x("stot").cast("double") / col("sS").cast("double")
+              * (x("tsum").cast("double") / lit(1.0e9))).as("w0"))
+        .select(col("ng").as("n_groups"),
+          r4d(col("b0")).as("theil_between"),
+          r4d(col("w0")).as("theil_within"),
+          r4d(col("b0") + col("w0")).as("theil_total")))
   )
 
   val oracle: Map[String, String] = Map(
@@ -1110,6 +1145,48 @@ object AggQueries {
         |  ROUND(CAST(cum AS DOUBLE) / CAST(trev AS DOUBLE) * 10000)
         |    / 10000 AS cum_share
         |FROM r CROSS JOIN t ORDER BY rk""".stripMargin,
+    // Same per-group chain as the index oracle, then the bounded
+    // nation-sorted folds for B and W.
+    "agg_theil_decomposition" ->
+      """WITH o AS (SELECT o_custkey AS ck,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |j AS (SELECT c.c_nationkey AS nation, o.cents
+        |  FROM o JOIN customer c ON c.c_custkey = o.ck),
+        |tot AS (SELECT nation, CAST(sum(cents) AS BIGINT) AS stot,
+        |    count(*) AS n FROM j GROUP BY 1),
+        |sh AS (SELECT j.nation, t.n, t.stot,
+        |    (j.cents * 1000000000) // t.stot AS s9
+        |  FROM j JOIN tot t USING (nation)),
+        |tt AS (SELECT nation, n, stot,
+        |    CASE WHEN s9 > 0 THEN CAST(floor(CAST(s9 AS DOUBLE)
+        |      * (ln(CAST(s9 AS DOUBLE)) + ln(CAST(n AS DOUBLE))
+        |        - ln(1.0e9))) AS BIGINT) ELSE 0 END AS t0
+        |  FROM sh),
+        |pg AS (SELECT nation, n, stot,
+        |    CAST(sum(t0) AS DECIMAL(38,0)) AS tsum
+        |  FROM tt GROUP BY 1, 2, 3),
+        |g AS (SELECT count(*) AS ng,
+        |    CAST(sum(stot) AS BIGINT) AS sS,
+        |    CAST(sum(n) AS BIGINT) AS nN,
+        |    list_sort(list({'k': nation, 's': stot, 'n': n,
+        |      't': tsum})) AS xs
+        |  FROM pg),
+        |f AS (SELECT ng,
+        |    list_aggregate(list_transform(xs, z ->
+        |      CAST(z.s AS DOUBLE) / CAST(sS AS DOUBLE)
+        |        * (ln(CAST(z.s AS DOUBLE)) - ln(CAST(sS AS DOUBLE))
+        |          + ln(CAST(nN AS DOUBLE)) - ln(CAST(z.n AS DOUBLE)))),
+        |      'sum') AS b0,
+        |    list_aggregate(list_transform(xs, z ->
+        |      CAST(z.s AS DOUBLE) / CAST(sS AS DOUBLE)
+        |        * (CAST(z.t AS DOUBLE) / 1.0e9)), 'sum') AS w0
+        |  FROM g)
+        |SELECT ng AS n_groups,
+        |  ROUND(b0 * 10000) / 10000 + 0.0 AS theil_between,
+        |  ROUND(w0 * 10000) / 10000 + 0.0 AS theil_within,
+        |  ROUND((b0 + w0) * 10000) / 10000 + 0.0 AS theil_total
+        |FROM f""".stripMargin,
     // Same 10⁻⁹-unit share snap (// ≡ div on non-negative), factored
     // ln, floor-snapped integer terms, DECIMAL(38,0) sum.
     "agg_theil_index" ->

@@ -68,6 +68,45 @@ object CurationQueries {
         .orderBy("doc_id")
     }),
 
+    // QUALITY-GATE FUNNEL (§2.124) — the curation pipeline's
+    // accounting table: how many docs survive each successive gate
+    // (min chars → min tokens → distinct-token ratio ≥ 0.3, the
+    // integer test 10·distinct ≥ 3·tokens → exact-text dedup among
+    // the survivors). The per-stage flags are one map-side pass; the
+    // dedup stage is a text-keyed rank window over stage-3 survivors
+    // (keyed, never global); the 4-row funnel is a stack() reshape of
+    // two aggregates.
+    "pipeline_quality_gate_funnel" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("n_chars"),
+          size(split(col("text"), " ")).as("ntok"),
+          size(array_distinct(split(col("text"), " "))).as("ndis"))
+        .withColumn("f1", col("n_chars") >= 100)
+        .withColumn("f2", col("n_chars") >= 100 && col("ntok") >= 20)
+        .withColumn("f3", col("n_chars") >= 100 && col("ntok") >= 20
+          && col("ndis") * 10 >= col("ntok") * 3)
+      val c = d.agg(count(lit(1)).as("n0"),
+        sum(when(col("f1"), 1L).otherwise(0L)).cast("long").as("n1"),
+        sum(when(col("f2"), 1L).otherwise(0L)).cast("long").as("n2"),
+        sum(when(col("f3"), 1L).otherwise(0L)).cast("long").as("n3"))
+      val c4 = d.filter(col("f3"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("text").orderBy("doc_id")))
+        .filter(col("rn") === 1).agg(count(lit(1)).as("n4"))
+      c.crossJoin(broadcast(c4))
+        .select(expr("stack(4," +
+          " '1_min_chars', n0, n1," +
+          " '2_min_tokens', n1, n2," +
+          " '3_distinct_ratio', n2, n3," +
+          " '4_exact_dedup', n3, n4)" +
+          " AS (stage, n_in, n_out)"))
+        .select(col("stage"), col("n_in"), col("n_out"),
+          r4d((col("n_in") - col("n_out")).cast("double")
+            / col("n_in").cast("double")).as("drop_rate"))
+        .orderBy("stage")
+    }),
+
     // SYSTEMATIC 1-IN-20 SAMPLE AUDIT (§2.123) — deterministic
     // systematic sampling through GlobalRank's distributed order
     // (md5(doc_id) total order, pick rank ≡ 7 mod 20) with the
@@ -723,6 +762,37 @@ object CurationQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // Same staged integer gates; dedup via first-per-text rank among
+    // stage-3 survivors.
+    "pipeline_quality_gate_funnel" ->
+      """WITH d AS (SELECT doc_id, text, n_chars,
+        |    len(string_split(text, ' ')) AS ntok,
+        |    len(list_distinct(string_split(text, ' '))) AS ndis
+        |  FROM documents),
+        |f AS (SELECT *,
+        |    n_chars >= 100 AS f1,
+        |    n_chars >= 100 AND ntok >= 20 AS f2,
+        |    n_chars >= 100 AND ntok >= 20 AND ndis * 10 >= ntok * 3
+        |      AS f3
+        |  FROM d),
+        |c AS (SELECT count(*) AS n0,
+        |    CAST(sum(CASE WHEN f1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(sum(CASE WHEN f2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        |    CAST(sum(CASE WHEN f3 THEN 1 ELSE 0 END) AS BIGINT) AS n3
+        |  FROM f),
+        |c4 AS (SELECT count(*) AS n4 FROM (
+        |  SELECT text, row_number() OVER (PARTITION BY text
+        |    ORDER BY doc_id) AS rn FROM f WHERE f3) WHERE rn = 1),
+        |st AS (
+        |  SELECT '1_min_chars' AS stage, n0 AS n_in, n1 AS n_out
+        |    FROM c
+        |  UNION ALL SELECT '2_min_tokens', n1, n2 FROM c
+        |  UNION ALL SELECT '3_distinct_ratio', n2, n3 FROM c
+        |  UNION ALL SELECT '4_exact_dedup', n3, n4 FROM c CROSS JOIN c4)
+        |SELECT stage, n_in, n_out,
+        |  ROUND(CAST(n_in - n_out AS DOUBLE) / CAST(n_in AS DOUBLE)
+        |    * 10000) / 10000 AS drop_rate
+        |FROM st ORDER BY stage""".stripMargin,
     // Same md5 total order (global row_number ≡ GlobalRank's prefix
     // count), mod-20 pick, exact rate arithmetic.
     "sample_systematic" ->

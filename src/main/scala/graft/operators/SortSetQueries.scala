@@ -16,6 +16,33 @@ object SortSetQueries {
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
+    // PARETO SKYLINE (§2.124) — the classic "efficient frontier"
+    // operator: parts not weakly dominated on (revenue, quantity)
+    // (a dominates b iff ≥ on both and > on one). Sort-filter
+    // skyline over the GLOBAL (rev desc, qty desc, pk) order — a row
+    // survives iff no strictly-earlier row carries a larger qty — run
+    // through GlobalRank.runningMaxExclusive (two-pass distributed
+    // prefix max: range exchange + O(partitions) boundary maxima),
+    // NEVER a single-partition window. Revenue stays an exact
+    // integer in cent-percent units (price_cents·(100−disc_pct)) so
+    // no rounding-mode fence exists anywhere. Equal (rev, qty) points
+    // don't dominate each other and all survive.
+    "sort_pareto_skyline" -> ((s, dir) => {
+      val pq = t(s, dir, "lineitem")
+        .groupBy(col("l_partkey").as("pk"))
+        .agg(sum(round(col("l_extendedprice") * 100).cast("long")
+            * (lit(100L) - round(col("l_discount") * 100).cast("long")))
+            .cast("long").as("rev"),
+          sum(col("l_quantity")).cast("long").as("qty"))
+        .select(col("pk"), col("rev"), col("qty"),
+          (-col("rev")).as("negrev"), (-col("qty")).as("negqty"))
+      val ranked = graft.plans.GlobalRank.runningMaxExclusive(
+        pq, Seq("negrev", "negqty", "pk"), "qty", "prevmax")
+      ranked.filter(!(col("prevmax") > col("qty")))
+        .select(col("pk"), col("rev").as("rev_centpct"), col("qty"))
+        .orderBy(col("rev").desc, col("pk"))
+    }),
+
     "sort_multikey" -> ((s, dir) => {
       t(s, dir, "orders")
         .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
@@ -116,6 +143,23 @@ object SortSetQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // Exclusive prefix max over the identical unique total order —
+    // the ROWS window form of the two-pass prefix pass.
+    "sort_pareto_skyline" ->
+      """WITH pq AS (SELECT l_partkey AS pk,
+        |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |      * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+        |      AS BIGINT) AS rev,
+        |    CAST(sum(l_quantity) AS BIGINT) AS qty
+        |  FROM lineitem GROUP BY 1),
+        |w AS (SELECT pk, rev, qty,
+        |    max(qty) OVER (ORDER BY rev DESC, qty DESC, pk
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS prevmax
+        |  FROM pq)
+        |SELECT pk, rev AS rev_centpct, qty FROM w
+        |WHERE prevmax IS NULL OR NOT (prevmax > qty)
+        |ORDER BY rev DESC, pk""".stripMargin,
     "sort_multikey" ->
       """SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders
         |ORDER BY o_orderpriority ASC, o_totalprice DESC, o_orderkey ASC""".stripMargin,

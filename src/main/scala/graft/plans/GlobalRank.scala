@@ -162,4 +162,58 @@ object GlobalRank {
     }
     spark.createDataFrame(out, outSchema)
   }
+
+  /** Append `outCol` = EXCLUSIVE running MAX of LONG `valueCol` over
+    * the global `orderCols` ordering (the max over STRICTLY preceding
+    * rows; `Long.MinValue` for the global first row) — the same
+    * two-pass shape as [[runningSum]], i.e. a global
+    * `max() OVER (ORDER BY ... ROWS BETWEEN UNBOUNDED PRECEDING AND 1
+    * PRECEDING)` without the single-partition window. The exclusive
+    * form is what dominance tests (sort-filter SKYLINE: keep a row iff
+    * no strictly-earlier row beats its value) consume directly.
+    * Same unique-total-order and persist-lifetime contracts as
+    * runningSum. */
+  def runningMaxExclusive(df: DataFrame, orderCols: Seq[String],
+      valueCol: String, outCol: String = "prevmax",
+      numPartitions: Int = 0): DataFrame = {
+    require(orderCols.nonEmpty,
+      "runningMaxExclusive needs at least one order column")
+    require(!df.columns.contains(outCol),
+      s"runningMaxExclusive appends column '$outCol' — rename the " +
+        s"input's clashing column first (input: ${df.columns.mkString(", ")})")
+    require(df.schema(valueCol).dataType == LongType,
+      s"exact prefix maxes need a LONG value column, got " +
+        s"${df.schema(valueCol).dataType.simpleString} for '$valueCol'")
+    val spark = df.sparkSession
+    val parts =
+      if (numPartitions > 0) numPartitions
+      else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val vIdx = df.schema.fieldIndex(valueCol)
+    val rangedRdd = df.repartitionByRange(parts, orderCols.map(col): _*)
+      .sortWithinPartitions(orderCols.head, orderCols.tail: _*)
+      .rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val maxes = rangedRdd
+      .mapPartitionsWithIndex((pid, it) =>
+        Iterator((pid, it.foldLeft(Long.MinValue)((acc, r) =>
+          math.max(acc, r.getLong(vIdx))))))
+      .collect().toMap
+    val nParts = rangedRdd.getNumPartitions
+    val offsets = new Array[Long](nParts + 1)
+    offsets(0) = Long.MinValue
+    (0 until nParts).foreach(i =>
+      offsets(i + 1) =
+        math.max(offsets(i), maxes.getOrElse(i, Long.MinValue)))
+    val outSchema = StructType(df.schema.fields :+
+      StructField(outCol, LongType, nullable = false))
+    val bOffsets = spark.sparkContext.broadcast(offsets)
+    val out = rangedRdd.mapPartitionsWithIndex { (pid, rows) =>
+      var acc = bOffsets.value(pid)
+      rows.map { r =>
+        val prev = acc
+        acc = math.max(acc, r.getLong(vIdx))
+        Row.fromSeq(r.toSeq :+ prev)
+      }
+    }
+    spark.createDataFrame(out, outSchema)
+  }
 }

@@ -84,6 +84,27 @@ class GlobalRankSpec extends SparkSpec {
     }
   }
 
+  test("two-pass runningMaxExclusive == window exclusive max, invariant across partitionings") {
+    val docs = Tables.t(spark, sf, "documents")
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n"),
+        md5(col("doc_id").cast("string").cast("binary")).as("skey"))
+    val w = Window.orderBy(col("skey"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val windowed = docs
+      .select(col("doc_id"),
+        coalesce(max(col("n")).over(w), lit(Long.MinValue)).as("pm"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (parts <- Seq(1, 7, 32)) {
+      val twoPass = GlobalRank
+        .runningMaxExclusive(docs, Seq("skey", "doc_id"), "n", "pm",
+          numPartitions = parts)
+        .select(col("doc_id"), col("pm"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(twoPass == windowed, s"prefix maxes diverge at $parts partitions")
+    }
+  }
+
   test("runningSum rejects non-long values and clashing output columns") {
     val df = Tables.t(spark, sf, "documents")
       .select(col("doc_id"), col("n_chars").cast("int").as("v"))

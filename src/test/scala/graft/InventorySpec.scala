@@ -434,10 +434,14 @@ class InventorySpec extends SparkSpec {
     // §2.123 round-13 sixteenth wave: share curve, systematic sample,
     // aspect histogram
     "agg_cumshare_curve", "sample_systematic",
-    "multimodal_box_aspect_hist")
+    "multimodal_box_aspect_hist",
+    // §2.124 round-13 seventeenth wave: Pareto skyline, quality-gate
+    // funnel, Theil decomposition
+    "sort_pareto_skyline", "pipeline_quality_gate_funnel",
+    "agg_theil_decomposition")
 
-  test("declared queries cover SURVEY §2 + §2.12-123 exactly (481 keys)") {
-    assert(inventory.size == 481)
+  test("declared queries cover SURVEY §2 + §2.12-124 exactly (484 keys)") {
+    assert(inventory.size == 484)
     val declared = SparkEntry.queries.keySet
     val missing = inventory -- declared
     val extra = declared -- inventory
