@@ -86,7 +86,11 @@ object ScaleStress {
     "eval_det_recall_by_size",
     // Round-13 wave 15 at birth.
     "ts_drawdown_curve", "eval_youden_threshold",
-    "text_source_outlier_score")
+    "text_source_outlier_score",
+    // Round-13 waves 16-17 at birth.
+    "agg_cumshare_curve", "sample_systematic",
+    "multimodal_box_aspect_hist", "sort_pareto_skyline",
+    "pipeline_quality_gate_funnel", "agg_theil_decomposition")
   // Keys whose only input is lineitem — copy-scalable (see scaladoc).
   // The embeddings/documents keys are NOT copy-scalable for the same
   // reason the dedup keys aren't (cross-copy duplicate geometry);
