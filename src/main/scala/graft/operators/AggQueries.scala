@@ -1042,6 +1042,40 @@ object AggQueries {
         .orderBy("bucket")
     }),
 
+    // LOG-NORMAL FIT (§2.125) — the distributional summary heavy-tail
+    // money data actually follows: per nation, μ and σ of ln(cents)
+    // with the log-median exp(μ) back in cents. Each row's ln is
+    // floor-snapped to 10⁻⁶-unit BIGINTs BEFORE the corpus-scale
+    // moment sums (DECIMAL(38,0) — the theil device: only integers
+    // are ever summed), μ/σ/median are one double chain per nation,
+    // and σ² is clamped at 0 against quantization residue on
+    // degenerate groups.
+    "agg_lognormal_fit" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .select(col("o_custkey").as("ck"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+        .join(broadcast(t(s, dir, "customer")
+          .select(col("c_custkey").as("ck"),
+            col("c_nationkey").as("nation"))), Seq("ck"))
+        .select(col("nation"),
+          floor(log(col("cents").cast("double")) * lit(1.0e6))
+            .cast("long").as("l6"))
+      o.groupBy("nation")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l6").cast("decimal(38,0)")).as("s1"),
+          sum(col("l6").cast("decimal(38,0)") * col("l6")).as("s2"))
+        .withColumn("mu",
+          col("s1").cast("double") / col("n").cast("double") / lit(1.0e6))
+        .withColumn("sig2",
+          col("s2").cast("double") / col("n").cast("double") / lit(1.0e12)
+            - col("mu") * col("mu"))
+        .select(col("nation"), col("n").as("n_orders"),
+          r4d(col("mu")).as("mu"),
+          r4d(sqrt(greatest(lit(0.0), col("sig2")))).as("sigma"),
+          r4d(exp(col("mu"))).as("median_cents"))
+        .orderBy("nation")
+    }),
+
     // CUMULATIVE MARKET-SHARE CURVE (§2.123) — the Lorenz-by-entity
     // table behind agg_gini/agg_hhi_share's scalars: nations ranked
     // by exact revenue cents, each with its share and the running
@@ -1125,6 +1159,28 @@ object AggQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // Same 10⁻⁶-snapped per-row ln, HUGEINT moments, clamped σ².
+    "agg_lognormal_fit" ->
+      """WITH o AS (SELECT c.c_nationkey AS nation,
+        |    CAST(floor(ln(CAST(CAST(round(o_totalprice * 100)
+        |      AS BIGINT) AS DOUBLE)) * 1.0e6) AS BIGINT) AS l6
+        |  FROM orders od JOIN customer c ON c.c_custkey = od.o_custkey),
+        |m AS (SELECT nation, count(*) AS n,
+        |    CAST(sum(l6) AS HUGEINT) AS s1,
+        |    CAST(sum(CAST(l6 AS HUGEINT) * l6) AS HUGEINT) AS s2
+        |  FROM o GROUP BY 1),
+        |d AS (SELECT nation, n,
+        |    CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) / 1.0e6 AS mu,
+        |    CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) / 1.0e12
+        |      - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) / 1.0e6)
+        |        * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) / 1.0e6)
+        |      AS sig2
+        |  FROM m)
+        |SELECT nation, n AS n_orders,
+        |  ROUND(mu * 10000) / 10000 AS mu,
+        |  ROUND(sqrt(greatest(0.0, sig2)) * 10000) / 10000 AS sigma,
+        |  ROUND(exp(mu) * 10000) / 10000 AS median_cents
+        |FROM d ORDER BY nation""".stripMargin,
     // Bounded entity window, exact cents shares.
     "agg_cumshare_curve" ->
       """WITH rev AS (SELECT c.c_nationkey AS nation,

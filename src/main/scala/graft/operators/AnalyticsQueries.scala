@@ -718,6 +718,39 @@ object AnalyticsQueries {
     // order by day) hosts both lag frames, and the pair explode is
     // map-side — the whole key after the pre-agg is calendar-bounded,
     // never corpus-bounded.
+    // EVENT-SPACING CV (§2.125) — is the arrival process bursty or
+    // regular? Per type, the coefficient of variation of WITHIN-DAY
+    // inter-event gaps (CV ≈ 1 Poisson, > 1 bursty, < 1 regular — the
+    // point-process face of text_token_burstiness). Gaps are exact
+    // integer ms off a (type, day)-partitioned lag window — per-day
+    // partitions stay bounded at any corpus size where a per-type
+    // global ordering would not — moments ride DECIMAL(38,0), and
+    // CV = √(nΣg² − (Σg)²)/Σg is one chain of exact operands.
+    "ts_event_spacing_cv" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = events(s, dir).select(col("event_type"),
+        epochDay("ts").as("day"),
+        unix_millis(col("ts").cast("timestamp")).as("ms"),
+        col("event_id"))
+      val w = Window.partitionBy("event_type", "day")
+        .orderBy("ms", "event_id")
+      val gaps = e.withColumn("pms", lag(col("ms"), 1).over(w))
+        .filter(col("pms").isNotNull)
+        .select(col("event_type"), (col("ms") - col("pms")).as("g"))
+      gaps.groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("g")).cast("decimal(38,0)").as("sg"),
+          sum(col("g").cast("decimal(38,0)") * col("g")).as("sgg"))
+        .select(col("event_type"), col("n").as("n_gaps"),
+          r4d(col("sg").cast("double") / col("n").cast("double"))
+            .as("mean_ms"),
+          r4d(sqrt(greatest(lit(0.0),
+              (col("n") * col("sgg") - col("sg") * col("sg"))
+                .cast("double")))
+            / col("sg").cast("double")).as("cv"))
+        .orderBy("event_type")
+    }),
+
     // DRAWDOWN CURVE (§2.122) — the running-peak shortfall of
     // cumulative daily revenue (the finance drawdown applied to any
     // cumulative KPI: "how far below the best-ever are we, day by
@@ -2995,6 +3028,25 @@ object AnalyticsQueries {
          |FROM w ORDER BY event_type, day""".stripMargin,
     // Same zero-filled spine, same lag frames, same exact moments;
     // HUGEINT mirrors decimal(38), sqrt·sqrt in the same op order.
+    // Same (type, day)-partitioned gaps, HUGEINT moments, one CV
+    // chain.
+    "ts_event_spacing_cv" ->
+      s"""WITH e AS (SELECT event_type, ${sqlEpochDay("ts")} AS day,
+         |    epoch_ms(ts) AS ms, event_id FROM events),
+         |g AS (SELECT event_type, ms - lag(ms) OVER (
+         |    PARTITION BY event_type, day ORDER BY ms, event_id) AS g
+         |  FROM e),
+         |f AS (SELECT event_type, g FROM g WHERE g IS NOT NULL),
+         |m AS (SELECT event_type, count(*) AS n,
+         |    CAST(sum(g) AS HUGEINT) AS sg,
+         |    CAST(sum(CAST(g AS HUGEINT) * g) AS HUGEINT) AS sgg
+         |  FROM f GROUP BY 1)
+         |SELECT event_type, n AS n_gaps,
+         |  ROUND(CAST(sg AS DOUBLE) / CAST(n AS DOUBLE) * 10000)
+         |    / 10000 AS mean_ms,
+         |  ROUND(sqrt(greatest(0.0, CAST(n * sgg - sg * sg AS DOUBLE)))
+         |    / CAST(sg AS DOUBLE) * 10000) / 10000 AS cv
+         |FROM m ORDER BY event_type""".stripMargin,
     // Pure integer windows; HUGEINT sums cast back.
     "ts_drawdown_curve" ->
       s"""WITH d AS (SELECT ${sqlEpochDay("ts")} AS day,

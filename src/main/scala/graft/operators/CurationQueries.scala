@@ -68,6 +68,39 @@ object CurationQueries {
         .orderBy("doc_id")
     }),
 
+    // CROSS-SOURCE DUPLICATE MATRIX (§2.125) — who copies from whom?
+    // Duplicate groups keyed by the LEADING-BIGRAM prefix fingerprint
+    // (the cheap crawler-side proxy; the fixture has no verbatim dup
+    // texts, so exact-md5 groups would be vacuous — a real corpus
+    // swaps the group key for the full-content hash with zero plan
+    // change), groups ≥ 2 reduced to per-(group, source) COUNTS
+    // first, so the source-pair contribution is the closed form
+    // n_a·n_b (C(n,2) on the diagonal) — the pair count without EVER
+    // materializing member pairs (a viral doc duplicated 10⁶ times
+    // costs one count row per source, not 10¹² pairs). All integer.
+    "dedup_cross_source_matrix" -> ((s, dir) => {
+      val g = t(s, dir, "documents")
+        .select(expr(
+          "array_join(slice(split(text, ' '), 1, 2), ' ')").as("grp"),
+          col("source"))
+        .groupBy("grp", "source").agg(count(lit(1)).as("n"))
+      val sized = g.withColumn("gt", sum(col("n")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("grp")))
+        .filter(col("gt") >= 2)
+      val pairs = sized.as("a").join(sized.as("b"),
+          col("a.grp") === col("b.grp")
+            && col("a.source") <= col("b.source"))
+        .select(col("a.source").as("source_a"),
+          col("b.source").as("source_b"),
+          when(col("a.source") === col("b.source"),
+            expr("a.n * (a.n - 1) div 2"))
+            .otherwise(col("a.n") * col("b.n")).as("np"))
+      pairs.groupBy("source_a", "source_b")
+        .agg(sum(col("np")).cast("long").as("n_dup_pairs"))
+        .filter(col("n_dup_pairs") > 0)
+        .orderBy("source_a", "source_b")
+    }),
+
     // QUALITY-GATE FUNNEL (§2.124) — the curation pipeline's
     // accounting table: how many docs survive each successive gate
     // (min chars → min tokens → distinct-token ratio ≥ 0.3, the
@@ -762,6 +795,23 @@ object CurationQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // Same leading-bigram group key and closed-form pair counts.
+    "dedup_cross_source_matrix" ->
+      """WITH g AS (SELECT array_to_string(string_split(text, ' ')[1:2],
+        |      ' ') AS grp, source, count(*) AS n
+        |  FROM documents GROUP BY 1, 2),
+        |sized AS (SELECT g.*,
+        |    CAST(sum(n) OVER (PARTITION BY grp) AS BIGINT) AS gt
+        |  FROM g),
+        |f AS (SELECT * FROM sized WHERE gt >= 2),
+        |p AS (SELECT a.source AS source_a, b.source AS source_b,
+        |    CASE WHEN a.source = b.source THEN a.n * (a.n - 1) // 2
+        |      ELSE a.n * b.n END AS np
+        |  FROM f a JOIN f b ON a.grp = b.grp AND a.source <= b.source)
+        |SELECT source_a, source_b, CAST(sum(np) AS BIGINT)
+        |    AS n_dup_pairs
+        |FROM p GROUP BY 1, 2 HAVING CAST(sum(np) AS BIGINT) > 0
+        |ORDER BY source_a, source_b""".stripMargin,
     // Same staged integer gates; dedup via first-per-text rank among
     // stage-3 survivors.
     "pipeline_quality_gate_funnel" ->

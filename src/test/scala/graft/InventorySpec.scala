@@ -438,10 +438,14 @@ class InventorySpec extends SparkSpec {
     // §2.124 round-13 seventeenth wave: Pareto skyline, quality-gate
     // funnel, Theil decomposition
     "sort_pareto_skyline", "pipeline_quality_gate_funnel",
-    "agg_theil_decomposition")
+    "agg_theil_decomposition",
+    // §2.125 round-13 eighteenth wave: lognormal fit, cross-source
+    // dup matrix, spacing CV
+    "agg_lognormal_fit", "dedup_cross_source_matrix",
+    "ts_event_spacing_cv")
 
-  test("declared queries cover SURVEY §2 + §2.12-124 exactly (484 keys)") {
-    assert(inventory.size == 484)
+  test("declared queries cover SURVEY §2 + §2.12-125 exactly (487 keys)") {
+    assert(inventory.size == 487)
     val declared = SparkEntry.queries.keySet
     val missing = inventory -- declared
     val extra = declared -- inventory
