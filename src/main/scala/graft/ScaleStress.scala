@@ -90,7 +90,10 @@ object ScaleStress {
     // Round-13 waves 16-17 at birth.
     "agg_cumshare_curve", "sample_systematic",
     "multimodal_box_aspect_hist", "sort_pareto_skyline",
-    "pipeline_quality_gate_funnel", "agg_theil_decomposition")
+    "pipeline_quality_gate_funnel", "agg_theil_decomposition",
+    // Round-13 wave 18 at birth.
+    "agg_lognormal_fit", "dedup_cross_source_matrix",
+    "ts_event_spacing_cv")
   // Keys whose only input is lineitem — copy-scalable (see scaladoc).
   // The embeddings/documents keys are NOT copy-scalable for the same
   // reason the dedup keys aren't (cross-copy duplicate geometry);
