@@ -652,6 +652,30 @@ object AggQueries {
         .orderBy("event_type")
     }),
 
+    // TRIMMED MEAN (§2.126) — the winsorized key's DROPPING sibling
+    // (winsorize clamps the tails, trim removes them — the estimator
+    // olympic scoring uses): keep exact ranks (n div 10, n − n div
+    // 10] per type, mean of the survivors as an exact decimal sum ÷
+    // exact count. Same rank window; trim bounds are pure integer
+    // rank tests, so no percentile interpolation exists.
+    "agg_trimmed_mean" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("event_type")).orderBy(
+        col("value"), col("event_id"))
+      val e = events(s, dir)
+        .select(col("event_type"), col("value"), col("event_id"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("n", count(lit(1)).over(
+          Window.partitionBy(col("event_type"))))
+      e.filter(col("rn") > expr("n div 10")
+          && col("rn") <= col("n") - expr("n div 10"))
+        .groupBy("event_type")
+        .agg(max(col("n")).as("n_events"),
+          count(lit(1)).as("n_kept"),
+          davg(col("value")).as("trimmed_mean"))
+        .orderBy("event_type")
+    }),
+
     "agg_mode_per_group" -> ((s, dir) => {
       val c = events(s, dir).groupBy(col("user_id"), col("event_type"))
         .agg(count(lit(1)).as("n"))
@@ -1159,6 +1183,19 @@ object AggQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // Same integer rank trim and exact decimal mean.
+    "agg_trimmed_mean" ->
+      """WITH r AS (SELECT event_type, value,
+        |    CAST(row_number() OVER (PARTITION BY event_type
+        |      ORDER BY value, event_id) AS BIGINT) AS rn,
+        |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT)
+        |      AS n
+        |  FROM events)
+        |SELECT event_type, max(n) AS n_events, count(*) AS n_kept,
+        |  CAST(ROUND(SUM(CAST(value AS DECIMAL(38,6))) / count(*), 4)
+        |    AS DOUBLE) AS trimmed_mean
+        |FROM r WHERE rn > n // 10 AND rn <= n - n // 10
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     // Same 10⁻⁶-snapped per-row ln, HUGEINT moments, clamped σ².
     "agg_lognormal_fit" ->
       """WITH o AS (SELECT c.c_nationkey AS nation,

@@ -108,6 +108,34 @@ object ReshapeQueries {
         .orderBy(col("l_returnflag"))
     }),
 
+    // QUARTILE COEFFICIENT OF DISPERSION (§2.126) — the robust
+    // relative-spread scalar (Q3−Q1)/(Q3+Q1) per nation over order
+    // cents: both quartiles are exact percentile_disc ORDER
+    // STATISTICS (actual data values — integers here), so the QCD is
+    // one division of exact operands; the scale note of the other
+    // exact-percentile keys applies (O(group) state, sketch path =
+    // agg_approx_quantile).
+    "agg_quartile_dispersion" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .select(col("o_custkey").as("ck"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+        .join(broadcast(t(s, dir, "customer")
+          .select(col("c_custkey").as("ck"),
+            col("c_nationkey").as("nation"))), Seq("ck"))
+        .createOrReplaceTempView("orders_qcd")
+      s.sql("""SELECT nation, count(*) AS n,
+        |  percentile_disc(0.25) WITHIN GROUP (ORDER BY cents) AS q1,
+        |  percentile_disc(0.75) WITHIN GROUP (ORDER BY cents) AS q3,
+        |  ROUND(CAST(percentile_disc(0.75) WITHIN GROUP (ORDER BY cents)
+        |      - percentile_disc(0.25) WITHIN GROUP (ORDER BY cents)
+        |      AS DOUBLE)
+        |    / CAST(percentile_disc(0.75) WITHIN GROUP (ORDER BY cents)
+        |      + percentile_disc(0.25) WITHIN GROUP (ORDER BY cents)
+        |      AS DOUBLE) * 10000) / 10000 AS qcd
+        |FROM orders_qcd GROUP BY nation
+        |ORDER BY nation""".stripMargin)
+    }),
+
     // DISCRETE PERCENTILES (§2.80) — PERCENTILE_DISC beside
     // agg_percentiles' interpolated CONT: the inverse-distribution
     // form that returns an ACTUAL data value (the smallest value at
@@ -117,6 +145,7 @@ object ReshapeQueries {
     // so no rounding is needed at all — the cross-engine contract is
     // value identity, not arithmetic agreement. WITHIN GROUP syntax
     // through the pure spark.sql surface.
+
     "agg_percentile_disc" -> ((s, dir) => {
       graft.Tables.events(s, dir).createOrReplaceTempView("events_pd")
       s.sql("""SELECT event_type, count(*) AS n,
@@ -204,6 +233,21 @@ object ReshapeQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // Exact order statistics, one division.
+    "agg_quartile_dispersion" ->
+      """WITH j AS (SELECT c.c_nationkey AS nation,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey)
+        |SELECT nation, count(*) AS n,
+        |  percentile_disc(0.25) WITHIN GROUP (ORDER BY cents) AS q1,
+        |  percentile_disc(0.75) WITHIN GROUP (ORDER BY cents) AS q3,
+        |  ROUND(CAST(percentile_disc(0.75) WITHIN GROUP (ORDER BY cents)
+        |      - percentile_disc(0.25) WITHIN GROUP (ORDER BY cents)
+        |      AS DOUBLE)
+        |    / CAST(percentile_disc(0.75) WITHIN GROUP (ORDER BY cents)
+        |      + percentile_disc(0.25) WITHIN GROUP (ORDER BY cents)
+        |      AS DOUBLE) * 10000) / 10000 AS qcd
+        |FROM j GROUP BY nation ORDER BY nation""".stripMargin,
     // Each cell reuses Det.sqlSum verbatim over a CASE (SUM ignores the
     // NULLs of non-matching rows — identical to FILTER).
     "pivot_wide" ->

@@ -23,6 +23,34 @@ object WindowQueries {
   private val ordSql = "PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey"
 
   val queries: Map[String, Q] = Map(
+    // TIME TO NEXT PURCHASE (§2.126) — after each event, how long
+    // until the user's next purchase? The reversed EXCLUSIVE running
+    // min (ORDER BY ms DESC, id DESC; frame ends 1 PRECEDING) finds
+    // the earliest strictly-later purchase per row in one per-user
+    // window pass — no self-join, no explode — then the per-type
+    // summary takes exact percentile_disc order statistics over the
+    // integer-ms latencies. The window partitions per user (bounded),
+    // the reduce per type.
+    "win_time_to_next_purchase" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ms").desc, col("event_id").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      events(s, dir)
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          unix_millis(col("ts").cast("timestamp")).as("ms"))
+        .withColumn("nxt", min(when(col("event_type") === "purchase",
+          col("ms"))).over(w))
+        .filter(col("nxt").isNotNull)
+        .select(col("event_type"), (col("nxt") - col("ms")).as("lat"))
+        .createOrReplaceTempView("events_ttnp")
+      s.sql("""SELECT event_type, count(*) AS n_with_next,
+        |  percentile_disc(0.5) WITHIN GROUP (ORDER BY lat)
+        |    AS median_ms,
+        |  percentile_disc(0.9) WITHIN GROUP (ORDER BY lat) AS p90_ms
+        |FROM events_ttnp GROUP BY event_type
+        |ORDER BY event_type""".stripMargin)
+    }),
+
     "win_row_number" -> ((s, dir) => {
       t(s, dir, "orders")
         .select(col("o_custkey"), col("o_orderkey"),
@@ -245,6 +273,26 @@ object WindowQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // Same reversed exclusive running min and exact order stats.
+    "win_time_to_next_purchase" ->
+      """WITH e AS (SELECT user_id, event_type, event_id,
+        |    epoch_ms(ts) AS ms FROM events),
+        |x AS (SELECT event_type,
+        |    min(CASE WHEN event_type = 'purchase' THEN ms END)
+        |      OVER (PARTITION BY user_id ORDER BY ms DESC, event_id DESC
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      - ms AS lat0,
+        |    min(CASE WHEN event_type = 'purchase' THEN ms END)
+        |      OVER (PARTITION BY user_id ORDER BY ms DESC, event_id DESC
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS nxt
+        |  FROM e)
+        |SELECT event_type, count(*) AS n_with_next,
+        |  percentile_disc(0.5) WITHIN GROUP (ORDER BY lat0)
+        |    AS median_ms,
+        |  percentile_disc(0.9) WITHIN GROUP (ORDER BY lat0) AS p90_ms
+        |FROM x WHERE nxt IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "win_pattern_match" ->
       """WITH e AS (SELECT user_id, event_id, event_type, epoch_ms(ts) AS ms
         |  FROM events),

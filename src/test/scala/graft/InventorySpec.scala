@@ -442,10 +442,14 @@ class InventorySpec extends SparkSpec {
     // §2.125 round-13 eighteenth wave: lognormal fit, cross-source
     // dup matrix, spacing CV
     "agg_lognormal_fit", "dedup_cross_source_matrix",
-    "ts_event_spacing_cv")
+    "ts_event_spacing_cv",
+    // §2.126 round-13 nineteenth wave: quartile dispersion, next-
+    // purchase latency, trimmed mean
+    "agg_quartile_dispersion", "win_time_to_next_purchase",
+    "agg_trimmed_mean")
 
-  test("declared queries cover SURVEY §2 + §2.12-125 exactly (487 keys)") {
-    assert(inventory.size == 487)
+  test("declared queries cover SURVEY §2 + §2.12-126 exactly (490 keys)") {
+    assert(inventory.size == 490)
     val declared = SparkEntry.queries.keySet
     val missing = inventory -- declared
     val extra = declared -- inventory
