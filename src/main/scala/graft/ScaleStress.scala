@@ -93,7 +93,10 @@ object ScaleStress {
     "pipeline_quality_gate_funnel", "agg_theil_decomposition",
     // Round-13 wave 18 at birth.
     "agg_lognormal_fit", "dedup_cross_source_matrix",
-    "ts_event_spacing_cv")
+    "ts_event_spacing_cv",
+    // Round-13 wave 19 at birth.
+    "agg_quartile_dispersion", "win_time_to_next_purchase",
+    "agg_trimmed_mean")
   // Keys whose only input is lineitem — copy-scalable (see scaladoc).
   // The embeddings/documents keys are NOT copy-scalable for the same
   // reason the dedup keys aren't (cross-copy duplicate geometry);
