@@ -1066,6 +1066,64 @@ object AggQueries {
         .orderBy("bucket")
     }),
 
+    // HOOVER (ROBIN HOOD) INDEX (§2.127) — the share of total revenue
+    // that would have to move to equalize everyone: H = Σ|n·x−S| /
+    // (2·n·S) per nation. FULLY exact: |n·x − S| is an integer per
+    // row (n·x bounded by per-row cents × group count — DECIMAL(38,0)
+    // sums for the corpus-scale reduce), and H is ONE division — the
+    // inequality index with no logs, no snap, no float surface at all
+    // until the final quotient.
+    "agg_hoover_index" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .select(col("o_custkey").as("ck"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+        .join(broadcast(t(s, dir, "customer")
+          .select(col("c_custkey").as("ck"),
+            col("c_nationkey").as("nation"))), Seq("ck"))
+      val totals = o.groupBy("nation")
+        .agg(sum(col("cents")).cast("long").as("stot"),
+          count(lit(1)).as("n"))
+      o.join(broadcast(totals), Seq("nation"))
+        .select(col("nation"), col("n"), col("stot"),
+          abs(col("cents").cast("decimal(38,0)") * col("n")
+            - col("stot")).as("dev"))
+        .groupBy("nation", "n", "stot")
+        .agg(sum(col("dev")).as("sdev"))
+        .select(col("nation"), col("n").as("n_orders"),
+          r4d(col("sdev").cast("double")
+            / (lit(2.0) * col("n").cast("double")
+              * col("stot").cast("double"))).as("hoover"))
+        .orderBy("nation")
+    }),
+
+    // MEAN LOG DEVIATION (§2.127) — Theil L, the generalized-entropy
+    // GE(0) sibling of agg_theil_index's GE(1) (L weights the POOR
+    // tail, T the rich tail — reporting both is the standard
+    // practice): L = ln(S/n) − (1/n)·Σ ln x, with each row's ln
+    // floor-snapped to 10⁻⁶-unit BIGINTs before the DECIMAL(38,0)
+    // sum (the lognormal-fit device) and the closing chain one
+    // spelled expression.
+    "agg_mean_log_deviation" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .select(col("o_custkey").as("ck"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+        .join(broadcast(t(s, dir, "customer")
+          .select(col("c_custkey").as("ck"),
+            col("c_nationkey").as("nation"))), Seq("ck"))
+      o.select(col("nation"), col("cents"),
+          floor(log(col("cents").cast("double")) * lit(1.0e6))
+            .cast("long").as("l6"))
+        .groupBy("nation")
+        .agg(count(lit(1)).as("n"),
+          sum(col("cents")).cast("long").as("stot"),
+          sum(col("l6").cast("decimal(38,0)")).as("s1"))
+        .select(col("nation"), col("n").as("n_orders"),
+          r4d(log(col("stot").cast("double") / col("n").cast("double"))
+            - col("s1").cast("double") / col("n").cast("double")
+              / lit(1.0e6)).as("mld"))
+        .orderBy("nation")
+    }),
+
     // LOG-NORMAL FIT (§2.125) — the distributional summary heavy-tail
     // money data actually follows: per nation, μ and σ of ln(cents)
     // with the log-median exp(μ) back in cents. Each row's ln is
@@ -1196,6 +1254,41 @@ object AggQueries {
         |    AS DOUBLE) AS trimmed_mean
         |FROM r WHERE rn > n // 10 AND rn <= n - n // 10
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // Pure integer deviations, one division.
+    "agg_hoover_index" ->
+      """WITH o AS (SELECT c.c_nationkey AS nation,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders od JOIN customer c ON c.c_custkey = od.o_custkey),
+        |tot AS (SELECT nation, CAST(sum(cents) AS BIGINT) AS stot,
+        |    count(*) AS n FROM o GROUP BY 1),
+        |d AS (SELECT o.nation, t.n, t.stot,
+        |    abs(CAST(o.cents AS HUGEINT) * t.n - t.stot) AS dev
+        |  FROM o JOIN tot t USING (nation)),
+        |m AS (SELECT nation, n, stot,
+        |    CAST(sum(dev) AS HUGEINT) AS sdev FROM d GROUP BY 1, 2, 3)
+        |SELECT nation, n AS n_orders,
+        |  ROUND(CAST(sdev AS DOUBLE)
+        |    / (2.0 * CAST(n AS DOUBLE) * CAST(stot AS DOUBLE))
+        |    * 10000) / 10000 AS hoover
+        |FROM m ORDER BY nation""".stripMargin,
+    // Same snapped per-row ln and one closing chain.
+    "agg_mean_log_deviation" ->
+      """WITH o AS (SELECT c.c_nationkey AS nation,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders od JOIN customer c ON c.c_custkey = od.o_custkey),
+        |l AS (SELECT nation, cents,
+        |    CAST(floor(ln(CAST(cents AS DOUBLE)) * 1.0e6) AS BIGINT)
+        |      AS l6
+        |  FROM o),
+        |m AS (SELECT nation, count(*) AS n,
+        |    CAST(sum(cents) AS BIGINT) AS stot,
+        |    CAST(sum(l6) AS HUGEINT) AS s1
+        |  FROM l GROUP BY 1)
+        |SELECT nation, n AS n_orders,
+        |  ROUND((ln(CAST(stot AS DOUBLE) / CAST(n AS DOUBLE))
+        |    - CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) / 1.0e6)
+        |    * 10000) / 10000 + 0.0 AS mld
+        |FROM m ORDER BY nation""".stripMargin,
     // Same 10⁻⁶-snapped per-row ln, HUGEINT moments, clamped σ².
     "agg_lognormal_fit" ->
       """WITH o AS (SELECT c.c_nationkey AS nation,

@@ -718,6 +718,37 @@ object AnalyticsQueries {
     // order by day) hosts both lag frames, and the pair explode is
     // map-side — the whole key after the pre-agg is calendar-bounded,
     // never corpus-bounded.
+    // TREND R² (§2.127) — how much of the daily series does the
+    // linear trend actually EXPLAIN (agg_trend_slope gives the slope;
+    // without R² a near-zero-signal slope reads as a trend)? From the
+    // same exact integer moments over the time-bounded zero-filled
+    // spine: R² = (nΣxy − ΣxΣy)² / ((nΣxx − (Σx)²)(nΣyy − (Σy)²)) —
+    // DECIMAL(38,0) products, one division per type.
+    "ts_trend_r2" -> ((s, dir) => {
+      val full = zeroFilledDaily(s, dir)
+      val b = full.agg(min(col("day")).as("lo"))
+      full.crossJoin(broadcast(b))
+        .select(col("event_type"), (col("day") - col("lo")).as("x"),
+          col("y"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("x")).cast("decimal(38,0)").as("sx"),
+          sum(col("y")).cast("decimal(38,0)").as("sy"),
+          sum(col("x").cast("decimal(38,0)") * col("x")).as("sxx"),
+          sum(col("y").cast("decimal(38,0)") * col("y")).as("syy"),
+          sum(col("x").cast("decimal(38,0)") * col("y")).as("sxy"))
+        .filter(col("n") * col("sxx") > col("sx") * col("sx")
+          && col("n") * col("syy") > col("sy") * col("sy"))
+        .select(col("event_type"), col("n").as("n_days"),
+          r4d(((col("n") * col("sxy") - col("sx") * col("sy"))
+              * (col("n") * col("sxy") - col("sx") * col("sy")))
+              .cast("double")
+            / ((col("n") * col("sxx") - col("sx") * col("sx"))
+              * (col("n") * col("syy") - col("sy") * col("sy")))
+              .cast("double")).as("r2"))
+        .orderBy("event_type")
+    }),
+
     // EVENT-SPACING CV (§2.125) — is the arrival process bursty or
     // regular? Per type, the coefficient of variation of WITHIN-DAY
     // inter-event gaps (CV ≈ 1 Poisson, > 1 bursty, < 1 regular — the
@@ -3028,6 +3059,36 @@ object AnalyticsQueries {
          |FROM w ORDER BY event_type, day""".stripMargin,
     // Same zero-filled spine, same lag frames, same exact moments;
     // HUGEINT mirrors decimal(38), sqrt·sqrt in the same op order.
+    // Same exact moments off the shared spine CTEs, one division.
+    "ts_trend_r2" ->
+      s"""WITH e AS (SELECT event_type, ${sqlEpochDay("ts")} AS day
+         |  FROM events),
+         |d AS (SELECT event_type, day, count(*) AS y FROM e
+         |  GROUP BY 1, 2),
+         |b AS (SELECT min(day) AS lo, max(day) AS hi FROM e),
+         |ty AS (SELECT DISTINCT event_type FROM e),
+         |spine AS (SELECT event_type, unnest(range(lo, hi + 1)) AS day
+         |  FROM ty CROSS JOIN b),
+         |fl AS (SELECT s.event_type, s.day - b.lo AS x,
+         |    coalesce(y, 0) AS y
+         |  FROM spine s LEFT JOIN d
+         |    ON s.event_type = d.event_type AND s.day = d.day
+         |  CROSS JOIN b),
+         |m AS (SELECT event_type, count(*) AS n,
+         |    CAST(sum(x) AS HUGEINT) AS sx,
+         |    CAST(sum(y) AS HUGEINT) AS sy,
+         |    CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+         |    CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy,
+         |    CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy
+         |  FROM fl GROUP BY 1)
+         |SELECT event_type, n AS n_days,
+         |  ROUND(CAST((n * sxy - sx * sy) * (n * sxy - sx * sy)
+         |      AS DOUBLE)
+         |    / CAST((n * sxx - sx * sx) * (n * syy - sy * sy)
+         |      AS DOUBLE) * 10000) / 10000 AS r2
+         |FROM m
+         |WHERE n * sxx > sx * sx AND n * syy > sy * sy
+         |ORDER BY event_type""".stripMargin,
     // Same (type, day)-partitioned gaps, HUGEINT moments, one CV
     // chain.
     "ts_event_spacing_cv" ->

@@ -446,10 +446,13 @@ class InventorySpec extends SparkSpec {
     // §2.126 round-13 nineteenth wave: quartile dispersion, next-
     // purchase latency, trimmed mean
     "agg_quartile_dispersion", "win_time_to_next_purchase",
-    "agg_trimmed_mean")
+    "agg_trimmed_mean",
+    // §2.127 round-13 twentieth wave: Hoover index, mean log
+    // deviation, trend R²
+    "agg_hoover_index", "agg_mean_log_deviation", "ts_trend_r2")
 
-  test("declared queries cover SURVEY §2 + §2.12-126 exactly (490 keys)") {
-    assert(inventory.size == 490)
+  test("declared queries cover SURVEY §2 + §2.12-127 exactly (493 keys)") {
+    assert(inventory.size == 493)
     val declared = SparkEntry.queries.keySet
     val missing = inventory -- declared
     val extra = declared -- inventory
