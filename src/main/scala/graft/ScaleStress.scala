@@ -96,7 +96,9 @@ object ScaleStress {
     "ts_event_spacing_cv",
     // Round-13 wave 19 at birth.
     "agg_quartile_dispersion", "win_time_to_next_purchase",
-    "agg_trimmed_mean")
+    "agg_trimmed_mean",
+    // Round-13 wave 20 at birth.
+    "agg_hoover_index", "agg_mean_log_deviation", "ts_trend_r2")
   // Keys whose only input is lineitem — copy-scalable (see scaladoc).
   // The embeddings/documents keys are NOT copy-scalable for the same
   // reason the dedup keys aren't (cross-copy duplicate geometry);
