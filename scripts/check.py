@@ -34,6 +34,68 @@ def type_gate(con, name, sql):
             if "HUGEINT" in typ.upper()]
 
 
+def dtype_kind(s: pd.Series) -> str:
+    """Coarse dtype class the driver's hash distinguishes.
+
+    Round-13 shipped two keys where Spark emitted DOUBLE for a value the
+    oracle typed BIGINT (percentile_disc); canon()'s int64/float64
+    coercion plus pandas' cross-type `==` made that invisible locally
+    while the driver's type-sensitive hash failed it. Compare KINDS on
+    the RAW frames before any coercion. Decimal-object columns count as
+    float (both engines surface decimals as exact numerics; the engines
+    agree there and pandas representation differs by reader, not type).
+    """
+    if pd.api.types.is_bool_dtype(s):
+        return "bool"
+    if pd.api.types.is_datetime64_any_dtype(s):
+        return "datetime"
+    if pd.api.types.is_integer_dtype(s):
+        return "int"
+    if pd.api.types.is_float_dtype(s):
+        return "float"
+    if s.dtype == object:
+        import decimal
+        import datetime
+        nn = s.dropna()
+        if len(nn) and all(isinstance(v, decimal.Decimal) for v in nn.head(5)):
+            return "float"
+        # pyarrow surfaces Spark DATE columns as object-of-date while
+        # duckdb fetchdf gives datetime64 — same engine type (DATE on
+        # both sides, 13 rounds of green driver hashes), reader-only
+        # representation difference.
+        if len(nn) and all(isinstance(v, datetime.date) for v in nn.head(5)):
+            return "datetime"
+    return "object"
+
+
+def kind_gate(exp: pd.DataFrame, got: pd.DataFrame):
+    """(col, oracle_kind, spark_kind) for every column whose raw dtype
+    kind differs — run BEFORE canon() so int-vs-float skew is visible."""
+    bad = []
+    for c in sorted(set(exp.columns) & set(got.columns)):
+        # An all-null object column carries no kind evidence (e.g. a
+        # DATE column with zero matches at this SF reads back as
+        # object-of-None); the value compare still covers it.
+        if ((exp[c].dtype == object and exp[c].notna().sum() == 0) or
+                (got[c].dtype == object and got[c].notna().sum() == 0)):
+            continue
+        ek, gk = dtype_kind(exp[c]), dtype_kind(got[c])
+        # NULLs float-ify integer columns in both readers; a float side
+        # whose values are all integral against an int side with NaNs is
+        # reader coercion, not engine skew — but only excuse it when the
+        # column actually contains NULLs.
+        if ek != gk:
+            pair = {ek, gk}
+            if pair == {"int", "float"}:
+                fs = exp[c] if ek == "float" else got[c]
+                if fs.isna().any():
+                    fv = fs.dropna()
+                    if (fv == fv.round()).all():
+                        continue
+            bad.append((c, ek, gk))
+    return bad
+
+
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].reset_index(drop=True)
     for c in df.columns:
@@ -68,7 +130,7 @@ def main():
                       f"(driver hash-diverges; CAST to BIGINT in the oracle)")
                 n_fail += 1
                 continue
-            exp = canon(con.execute(sql).fetchdf())
+            exp_raw = con.execute(sql).fetchdf()
         except Exception as e:
             print(f"FAIL {name}: oracle SQL error: {e}")
             n_fail += 1
@@ -78,7 +140,15 @@ def main():
             print(f"FAIL {name}: no spark output at {outdir}/{name}")
             n_fail += 1
             continue
-        got = canon(pd.read_parquet(f"{outdir}/{name}"))
+        got_raw = pd.read_parquet(f"{outdir}/{name}")
+        kinds = kind_gate(exp_raw, got_raw)
+        if kinds:
+            print(f"FAIL {name}: dtype-kind skew {kinds} "
+                  f"(driver hash is type-sensitive; CAST one side)")
+            n_fail += 1
+            continue
+        exp = canon(exp_raw)
+        got = canon(got_raw)
         if list(exp.columns) != list(got.columns):
             print(f"FAIL {name}: columns exp={list(exp.columns)} got={list(got.columns)}")
             n_fail += 1

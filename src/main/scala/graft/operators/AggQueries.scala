@@ -122,6 +122,38 @@ object AggQueries {
           .as("approx_distinct_docs"))
     }),
 
+    // HLL SET INTERSECTION (§2.129) — the inclusion-exclusion overlap
+    // estimate |A∩B| ≈ est(A) + est(B) − est(A∪B) that completes the
+    // sketch set-algebra next to agg_hll_partitioned_union's union:
+    // how many users both CLICK and PURCHASE, without the exact
+    // distinct-join a 100 TB audience-overlap question can't afford.
+    // Two single-pass sketches (one corpus reduce), union via the
+    // native two-arg hll_union, clamp at 0 (inclusion-exclusion can
+    // go negative at small overlaps — the standard caveat; relative
+    // error grows as the Jaccard shrinks, which is why this is a
+    // sketch key, not a decision procedure). No oracle by the §2.11
+    // sketch contract — PropertySpec pins the estimate against the
+    // exact intersection on the fixture.
+    "agg_hll_intersection" -> ((s, dir) => {
+      val e = events(s, dir)
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(col("event_type"), col("user_id"))
+      val per = e.groupBy("event_type")
+        .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      val a = per.filter(col("event_type") === "click")
+        .select(col("sk").as("ska"))
+      val b = per.filter(col("event_type") === "purchase")
+        .select(col("sk").as("skb"))
+      a.crossJoin(b).select(
+          hll_sketch_estimate(col("ska")).as("est_click"),
+          hll_sketch_estimate(col("skb")).as("est_purchase"),
+          hll_sketch_estimate(hll_union(col("ska"), col("skb")))
+            .as("est_union"))
+        .withColumn("est_intersection",
+          greatest(lit(0L),
+            col("est_click") + col("est_purchase") - col("est_union")))
+    }),
+
     // CORRELATION / COVARIANCE per group — the bivariate member of the
     // §2.4 stats family (agg_stats covers the univariate moments):
     // does event value track hour-of-day, per type. The built-in

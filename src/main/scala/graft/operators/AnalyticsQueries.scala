@@ -2244,6 +2244,63 @@ object AnalyticsQueries {
         .orderBy("event_type", "day")
     }),
 
+    // ADDITIVE HOLT-WINTERS (§2.129) — level + trend + day-of-week
+    // seasonality, the classic triple-exponential recurrence next to
+    // ts_ewma's memoryless smoothing and ts_stl_decompose's
+    // non-recursive decomposition. The declared semantic is a FIXED
+    // 28-day horizon over the zero-filled spine (rows 1-28 of each
+    // type's series): weeks 1-2 initialize (level = week-2 mean,
+    // trend = week-over-week mean delta / 7, seasonals = week-2
+    // deviations), then 14 UNROLLED update steps t = 15..28 — the
+    // same declared-fixed-rounds device as every iterative key.
+    // Exactness: ALL state lives in 10⁻⁶-unit BIGINTs and every
+    // update is integer arithmetic with truncating division
+    // (α = 2/10, β = 1/10, γ = 3/10 spelled as integer
+    // numerators over div 10 — Spark `div` ≡ DuckDB `//` on
+    // negatives too, verified truncation toward zero), so shuffle
+    // order and libm can't move a ulp; the only doubles are the
+    // final ÷10⁶ display conversions, r4d'd. Scale: the corpus
+    // collapses to |types|×28 cells in one exchange; the unrolled
+    // steps are column expressions on a |types|-row frame.
+    "ts_holt_winters" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("event_type").orderBy("day")
+      val d = zeroFilledDaily(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 28)
+      val aggs = (1 to 28).map(i =>
+        max(when(col("rn") === i, col("y"))).cast("long").as(s"y$i"))
+      var cur = d.groupBy("event_type").agg(aggs.head, aggs.tail: _*)
+      val w1 = (1 to 7).map(i => s"y$i").mkString(" + ")
+      val w2 = (8 to 14).map(i => s"y$i").mkString(" + ")
+      cur = cur
+        .withColumn("l14", expr(s"(($w2) * 1000000) div 7"))
+        .withColumn("b14", expr(s"((($w2) - ($w1)) * 1000000) div 49"))
+      for (j <- 8 to 14)
+        cur = cur.withColumn(s"s$j", expr(s"y$j * 1000000 - l14"))
+      for (t <- 15 to 28) {
+        cur = cur
+          .withColumn(s"p$t", expr(s"l${t - 1} + b${t - 1} + s${t - 7}"))
+          .withColumn(s"l$t", expr(
+            s"(2 * (y$t * 1000000 - s${t - 7})" +
+              s" + 8 * (l${t - 1} + b${t - 1})) div 10"))
+          .withColumn(s"b$t", expr(
+            s"((l$t - l${t - 1}) + 9 * b${t - 1}) div 10"))
+          .withColumn(s"s$t", expr(
+            s"(3 * (y$t * 1000000 - l$t) + 7 * s${t - 7}) div 10"))
+      }
+      val stacked = (15 to 28)
+        .map(t => s"${t}L, y$t, p$t, l$t, b$t, s$t").mkString(", ")
+      cur.selectExpr("event_type",
+          s"stack(14, $stacked) AS (step, y, pm, lm, bm, sm)")
+        .select(col("event_type"), col("step"), col("y"),
+          r4d(col("pm").cast("double") / lit(1000000.0)).as("fitted"),
+          r4d(col("lm").cast("double") / lit(1000000.0)).as("level"),
+          r4d(col("bm").cast("double") / lit(1000000.0)).as("trend"),
+          r4d(col("sm").cast("double") / lit(1000000.0)).as("seasonal"))
+        .orderBy("event_type", "step")
+    }),
+
     // STL-STYLE SEASONAL DECOMPOSITION (§2.86) — the classic additive
     // trend/seasonal/residual split of the per-type daily series:
     // trend = centered 7-day moving average, seasonal = per-day-of-week
@@ -2386,6 +2443,62 @@ object AnalyticsQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // Same 28-column pivot and the same 14 unrolled integer steps —
+    // one CTE per step (DuckDB lateral aliases let b_t read l_t);
+    // `//` ≡ Spark `div` on negatives (both truncate toward zero).
+    "ts_holt_winters" -> {
+      val w1 = (1 to 7).map(i => s"y$i").mkString(" + ")
+      val w2 = (8 to 14).map(i => s"y$i").mkString(" + ")
+      val piv = (1 to 28).map(i =>
+        s"CAST(max(CASE WHEN rn = $i THEN y END) AS BIGINT) AS y$i")
+        .mkString(",\n    ")
+      val sInit = (8 to 14).map(j => s"y$j * 1000000 - l14 AS s$j")
+        .mkString(",\n    ")
+      val steps = (15 to 28).map { t =>
+        s"""st$t AS (SELECT *,
+           |    l${t - 1} + b${t - 1} + s${t - 7} AS p$t,
+           |    (2 * (y$t * 1000000 - s${t - 7})
+           |      + 8 * (l${t - 1} + b${t - 1})) // 10 AS l$t,
+           |    ((l$t - l${t - 1}) + 9 * b${t - 1}) // 10 AS b$t,
+           |    (3 * (y$t * 1000000 - l$t) + 7 * s${t - 7}) // 10 AS s$t
+           |  FROM st${t - 1})""".stripMargin
+      }.mkString(",\n")
+      val union = (15 to 28).map(t =>
+        s"SELECT event_type, $t AS step, y$t AS y, p$t AS pm, " +
+          s"l$t AS lm, b$t AS bm, s$t AS sm FROM st28")
+        .mkString("\n  UNION ALL ")
+      s"""WITH e AS (SELECT event_type, ${sqlEpochDay("ts")} AS day
+         |  FROM events),
+         |d AS (SELECT event_type, day, count(*) AS y FROM e GROUP BY 1, 2),
+         |b AS (SELECT min(day) AS lo, max(day) AS hi FROM e),
+         |ty AS (SELECT DISTINCT event_type FROM e),
+         |spine AS (SELECT event_type, unnest(range(lo, hi + 1)) AS day
+         |  FROM ty CROSS JOIN b),
+         |f AS (SELECT s.event_type, s.day, COALESCE(d.y, 0) AS y,
+         |    row_number() OVER (PARTITION BY s.event_type
+         |      ORDER BY s.day) AS rn
+         |  FROM spine s LEFT JOIN d USING (event_type, day)),
+         |piv AS (SELECT event_type,
+         |    $piv
+         |  FROM f WHERE rn <= 28 GROUP BY 1),
+         |st14 AS (SELECT *,
+         |    (($w2) * 1000000) // 7 AS l14,
+         |    ((($w2) - ($w1)) * 1000000) // 49 AS b14,
+         |    $sInit
+         |  FROM piv),
+         |$steps,
+         |u AS ($union)
+         |SELECT event_type, CAST(step AS BIGINT) AS step, y,
+         |  ROUND(CAST(pm AS DOUBLE) / 1000000.0 * 10000) / 10000 + 0.0
+         |    AS fitted,
+         |  ROUND(CAST(lm AS DOUBLE) / 1000000.0 * 10000) / 10000 + 0.0
+         |    AS level,
+         |  ROUND(CAST(bm AS DOUBLE) / 1000000.0 * 10000) / 10000 + 0.0
+         |    AS trend,
+         |  ROUND(CAST(sm AS DOUBLE) / 1000000.0 * 10000) / 10000 + 0.0
+         |    AS seasonal
+         |FROM u ORDER BY event_type, step""".stripMargin
+    },
     "funnel_stages" ->
       """WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ms FROM events),
         |v AS (SELECT user_id, min(ms) AS t FROM e

@@ -148,6 +148,40 @@ object CurationQueries {
     // under stratified ordering — the audit shows the actual spread
     // under the hash order). No RNG anywhere; GlobalRank is the
     // two-pass prefix sum, never a single-partition window.
+    // EXACT-k WEIGHTED SAMPLING WITHOUT REPLACEMENT (§2.129) — the
+    // corpus-mixing primitive sample_weighted_mix's Bernoulli form
+    // only approximates: exactly 20 docs per source, selection
+    // probability increasing in weight (n_chars — the tokens-per-doc
+    // proxy), no replacement, fully deterministic and replay-stable.
+    // Device: PRIORITY SAMPLING (Duffield–Lund–Thorup; the
+    // Efraimidis–Spirakis exponential-key family with the uniform
+    // kept as an INTEGER) — each doc draws u = the first 13 md5 hex
+    // digits of its id as a 52-bit integer uniform, priority
+    // q = u div w (truncating integer division, identical in both
+    // engines — no ln(), no libm, no float ordering anywhere), and
+    // each source keeps its 20 SMALLEST priorities (doc_id
+    // tie-break). The row_number-over-(source) + rk filter shape is
+    // the TopKPushdownRule target, so the plan is the two-phase
+    // bounded-heap TopKPerGroupExec at any corpus size — never a
+    // per-source global sort.
+    "sample_weighted_noreplacement" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          col("n_chars").cast("long").as("w"))
+        .filter(col("w") > 0)
+        .withColumn("u", conv(substring(
+            md5(col("doc_id").cast("string").cast("binary")), 1, 13),
+          16, 10).cast("long"))
+        .withColumn("priority", expr("u div w"))
+      val win = Window.partitionBy("source")
+        .orderBy(col("priority"), col("doc_id"))
+      d.withColumn("rk", row_number().over(win).cast("long"))
+        .filter(col("rk") <= 20)
+        .select(col("source"), col("rk"), col("doc_id"),
+          col("w").as("n_chars"), col("priority"))
+        .orderBy("source", "rk")
+    }),
+
     "sample_systematic" -> ((s, dir) => {
       val d = t(s, dir, "documents")
         .select(col("doc_id"), col("source"),
@@ -198,7 +232,7 @@ object CurationQueries {
     // table downstream of eval_krippendorff_alpha's corpus-level
     // answer: per item (same orders/linenumbers/returnflags rating
     // fixture), the modal label (exact counts, label tie-break via
-    // struct max), the agreement fraction, and the route every
+    // struct min), the agreement fraction, and the route every
     // annotation platform implements — unanimous → accept, agreement
     // < 2/3 → relabel (the INTEGER test 3·n_modal < 2·n_ratings),
     // else review. One (item, label) reduce + one item reduce;
@@ -209,12 +243,14 @@ object CurationQueries {
         .groupBy("ok", "lab").agg(count(lit(1)).as("n_uk"))
       cells.groupBy("ok")
         .agg(sum(col("n_uk")).cast("long").as("n_ratings"),
-          max(struct(col("n_uk"),
-            // invert the label byte order inside the max so count
-            // ties break to the SMALLEST label deterministically
-            expr("-ascii(lab)").as("negl"), col("lab"))).as("m"))
+          // min over (-count, label): highest count first, then the
+          // SMALLEST label under full-string comparison — matches the
+          // oracle's ORDER BY n_uk DESC, lab for any label domain
+          // (ascii() reads only the first byte, so a max-with-negated-
+          // ascii form would misbreak multi-char labels sharing one).
+          min(struct((-col("n_uk")).as("negn"), col("lab"))).as("m"))
         .select(col("ok"), col("n_ratings"),
-          col("m.lab").as("modal_label"), col("m.n_uk").as("n_modal"))
+          col("m.lab").as("modal_label"), (-col("m.negn")).as("n_modal"))
         .withColumn("route",
           when(col("n_modal") === col("n_ratings"), "accept")
             .when(col("n_modal") * 3 < col("n_ratings") * 2, "relabel")
@@ -843,6 +879,22 @@ object CurationQueries {
         |  ROUND(CAST(n_in - n_out AS DOUBLE) / CAST(n_in AS DOUBLE)
         |    * 10000) / 10000 AS drop_rate
         |FROM st ORDER BY stage""".stripMargin,
+    // Same 52-bit md5 integer uniform ('0x' || hex cast ≡ Spark's
+    // conv(hex, 16, 10)), same truncating priority division, same
+    // per-source bottom-20.
+    "sample_weighted_noreplacement" ->
+      """WITH d AS (SELECT doc_id, source,
+        |    CAST(n_chars AS BIGINT) AS w,
+        |    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 13))
+        |      AS BIGINT) AS u
+        |  FROM documents WHERE n_chars > 0),
+        |k AS (SELECT doc_id, source, w, u // w AS priority FROM d),
+        |r AS (SELECT source, doc_id, w, priority,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY priority, doc_id) AS BIGINT) AS rk
+        |  FROM k)
+        |SELECT source, rk, doc_id, w AS n_chars, priority
+        |FROM r WHERE rk <= 20 ORDER BY source, rk""".stripMargin,
     // Same md5 total order (global row_number ≡ GlobalRank's prefix
     // count), mod-20 pick, exact rate arithmetic.
     "sample_systematic" ->

@@ -54,6 +54,34 @@ object GraphQueries {
         col("x.ok") === col("y.ok") && col("x.p") < col("y.p"))
       .select(col("x.p").as("a"), col("y.p").as("b")).distinct()
 
+  /** FIXED deterministic seed budget for the sampled-seed BFS
+    * estimators (closeness, eccentricity, betweenness). Round 13
+    * sampled seeds as a FRACTION of |V| (p % 997 / % 499), so the
+    * composite-key (seed × ball) state grew superlinearly with the
+    * corpus — SCALE_STRESS measured exp_10x ≈ 1.04 on the two
+    * closeness-family keys, the suite's only ≥ linear rows. A
+    * CONSTANT seed count makes the estimator O(ball) at any corpus
+    * size; the trade is estimator variance, not correctness — the
+    * standard pivot-sampling argument (same device as
+    * SimilarityJoin's bounded pivot set). Selection is hash-order
+    * top-k — md5 of the node id, node tie-break — via
+    * orderBy+limit, which Spark plans as TakeOrderedAndProject
+    * (per-partition top-k + driver merge of k·p rows, never a global
+    * sort), replay-stable and engine-neutral (DuckDB: ORDER BY
+    * md5(CAST(p AS VARCHAR)), p LIMIT k). */
+  private val SeedBudget = 16
+  private def hashSeeds(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select(col("l_partkey").as("node")).distinct()
+      .orderBy(md5(col("node").cast("string").cast("binary")),
+        col("node"))
+      .limit(SeedBudget)
+
+  /** The matching DuckDB seed subquery (columns: p). */
+  private val oracleSeeds: String =
+    s"""(SELECT p FROM (SELECT DISTINCT p FROM pp)
+       |    ORDER BY md5(CAST(p AS VARCHAR)), p LIMIT $SeedBudget)""".stripMargin
+
   /** Doulion md5 edge sampling at the given hex-prefix set (Σ 1/16
     * each) — shared by the sampled-graph keys so their "SAME edge
     * set" invariants hold by construction, not by copy. */
@@ -233,7 +261,7 @@ object GraphQueries {
     // the BFS ball (the closeness variant that handles disconnected
     // graphs; truncated at the same 3 rounds as graph_bfs_distance —
     // the unrolled-oracle contract). The BFS state carries a
-    // COMPOSITE (seed, node) key so ALL ~|V|/997 seeds run in ONE
+    // COMPOSITE (seed, node) key so all SeedBudget seeds run in ONE
     // 3-round loop — per round one equi-join frontier expansion + one
     // (seed, node)-keyed min reduce, exactly bfsFullReagg's plan with
     // the seed column riding along (a per-seed driver loop would pay
@@ -247,9 +275,7 @@ object GraphQueries {
       val ed = half.select(col("a").as("src"), col("b").as("dst"))
         .unionAll(half.select(col("b").as("src"), col("a").as("dst")))
         .persist()
-      val seeds = t(s, dir, "lineitem")
-        .select(col("l_partkey").as("node")).distinct()
-        .filter(pmod(col("node"), lit(997)) === 0)
+      val seeds = hashSeeds(s, dir)
       var dist = seeds.select(col("node").as("seed"), col("node"),
         lit(0L).as("dist")).localCheckpoint(true)
       for (r <- 1 to BfsRounds) {
@@ -321,9 +347,7 @@ object GraphQueries {
       val ed = half.select(col("a").as("src"), col("b").as("dst"))
         .unionAll(half.select(col("b").as("src"), col("a").as("dst")))
         .persist()
-      val seeds = t(s, dir, "lineitem")
-        .select(col("l_partkey").as("node")).distinct()
-        .filter(pmod(col("node"), lit(997)) === 0)
+      val seeds = hashSeeds(s, dir)
       var dist = seeds.select(col("node").as("seed"), col("node"),
         lit(0L).as("dist")).localCheckpoint(true)
       for (r <- 1 to BfsRounds) {
@@ -352,7 +376,7 @@ object GraphQueries {
     // SEED-SAMPLED TRUNCATED BRANDES BETWEENNESS (§2.108) — the one
     // classic centrality missing next to pagerank/closeness/kcore:
     // which nodes sit ON the short paths between others? Brandes over
-    // every ~|V|/499 seed at once via graph_closeness's composite-key
+    // all SeedBudget seeds at once via graph_closeness's composite-key
     // (seed, node) BFS — extended to carry σ, the EXACT INTEGER count
     // of shortest paths (σ(w) = Σ σ over depth-(d−1) predecessors;
     // frontier rows join edges once per round, new nodes enter by
@@ -375,9 +399,7 @@ object GraphQueries {
       val ed = half.select(col("a").as("src"), col("b").as("dst"))
         .unionAll(half.select(col("b").as("src"), col("a").as("dst")))
         .persist()
-      val seeds = t(s, dir, "lineitem")
-        .select(col("l_partkey").as("node")).distinct()
-        .filter(pmod(col("node"), lit(499)) === 0)
+      val seeds = hashSeeds(s, dir)
       var dist = seeds.select(col("node").as("seed"), col("node"),
         lit(0L).as("dist"), lit(1L).as("sigma")).localCheckpoint(true)
       for (r <- 1 to BfsRounds) {
@@ -909,6 +931,116 @@ object GraphQueries {
       // the harness's dropLeftoverBlocks sweep reclaims it after the
       // query, same as the other graph keys' loop state.
       out
+    }),
+
+    // STRONGLY CONNECTED COMPONENTS (§2.128) — the one classic
+    // component algorithm the family lacked: undirected CC
+    // (dedup_cluster_canon) ignores direction, but "which event types
+    // cycle into each other" is a DIRECTED question. Graph: the
+    // dominant-transition graph over event types — the relation
+    // agg_markov_steady_state builds, sparsified to edges carrying
+    // AT LEAST THE UNIFORM SHARE of their source's outflow (the
+    // integer test |types|·n ≥ n_from — above-chance transitions;
+    // without a cut the dense fixture is one trivial SCC). Algorithm:
+    // the node domain is BOUNDED (event types), so the corpus
+    // collapses to a |types|² relation in one keyed reduce and the
+    // full transitive closure is affordable by construction — 3
+    // unrolled DOUBLING rounds (reach ∘ reach, diameter 2³ ≥ any
+    // |types| ≤ 8 graph; the declared-semantic fixed-round contract),
+    // then SCC(v) = {w : reach(v,w) ∧ reach(w,v)} via one self-join
+    // of the closure with its transpose and scc_id = min member.
+    // This is the label-intersection form of FW-BW reachability SCC;
+    // on an UNBOUNDED node domain the same queries() shape runs with
+    // the closure replaced by the forward/backward min-label
+    // supersteps of dedup_cluster_canon — the doubling here is the
+    // bounded-domain fast path, not the scale claim.
+    // HITS HUBS & AUTHORITIES (§2.130) — Kleinberg's mutual
+    // reinforcement on the DIRECTED part→supplier supply graph, the
+    // second classic eigenvector-style centrality next to
+    // graph_pagerank (and computed with the same determinism
+    // doctrine: SCALED-LONG scores, integer-only updates). Two
+    // unrolled rounds (the declared-fixed-rounds contract); each
+    // half-step is one edge⋈score equi-join + keyed sum (hub mass
+    // flows to authorities, then back), normalized by the round's
+    // MAX via truncating integer division so scores live in
+    // [0, 10⁶] and no float division ever runs. Raw sums in
+    // DECIMAL(38,0) (degree × 10⁶ is corpus-scale), the normalize is
+    // Spark `div` ≡ DuckDB `//` on non-negative operands. Scale:
+    // the graph is the distinct pair reduce of lineitem; every step
+    // is one shuffle on a node-keyed table.
+    "graph_hits" -> ((s, dir) => {
+      val e = t(s, dir, "lineitem")
+        .select(col("l_partkey").as("p"), col("l_suppkey").as("sp"))
+        .distinct().localCheckpoint(true)
+      var h = e.select(col("p")).distinct()
+        .withColumn("h", lit(1000000L))
+      var a: DataFrame = null
+      for (_ <- 1 to 2) {
+        val araw = e.join(h, Seq("p"))
+          .groupBy("sp")
+          .agg(sum(col("h").cast("decimal(38,0)"))
+            .cast("decimal(38,0)").as("araw"))
+        val amax = araw.agg(max(col("araw")).as("amax"))
+        a = araw.crossJoin(broadcast(amax))
+          .select(col("sp"),
+            expr("CAST((araw * 1000000) div amax AS BIGINT)").as("a"))
+          .localCheckpoint(true)
+        val hraw = e.join(a, Seq("sp"))
+          .groupBy("p")
+          .agg(sum(col("a").cast("decimal(38,0)"))
+            .cast("decimal(38,0)").as("hraw"))
+        val hmax = hraw.agg(max(col("hraw")).as("hmax"))
+        h = hraw.crossJoin(broadcast(hmax))
+          .select(col("p"),
+            expr("CAST((hraw * 1000000) div hmax AS BIGINT)").as("h"))
+          .localCheckpoint(true)
+      }
+      a.select(lit("authority").as("side"), col("sp").as("node"),
+          col("a").as("score6"))
+        .unionAll(h.select(lit("hub").as("side"), col("p").as("node"),
+          col("h").as("score6")))
+        .orderBy("side", "node")
+    }),
+
+    "graph_scc" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ms"), col("event_id"))
+      val trans = graft.Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_millis(col("ts").cast("timestamp")).as("ms"))
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("src"), col("next_type").as("dst"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("n_from",
+          sum(col("n")).over(Window.partitionBy(col("src"))))
+      val nodes = graft.Tables.events(s, dir)
+        .select(col("event_type").as("v")).distinct()
+      val nt = nodes.agg(count(lit(1)).as("ntypes"))
+      val edges = trans.crossJoin(broadcast(nt))
+        .filter(col("n") * col("ntypes") >= col("n_from"))
+        .select(col("src"), col("dst"))
+      var reach = nodes.select(col("v").as("src"), col("v").as("dst"))
+        .unionAll(edges).distinct().localCheckpoint(true)
+      for (_ <- 1 to 3) {
+        reach = reach.unionAll(
+          reach.as("x").join(reach.as("y"),
+              col("x.dst") === col("y.src"))
+            .select(col("x.src").as("src"), col("y.dst").as("dst")))
+          .distinct().localCheckpoint(true)
+      }
+      val scc = reach.as("f")
+        .join(reach.as("b"),
+          col("f.src") === col("b.dst") && col("f.dst") === col("b.src"))
+        .select(col("f.src").as("v"), col("f.dst").as("w"))
+        .groupBy("v").agg(min(col("w")).as("scc_id"))
+      val sizes = scc.groupBy("scc_id")
+        .agg(count(lit(1)).as("scc_size"))
+      scc.join(sizes, Seq("scc_id"))
+        .select(col("v").as("event_type"), col("scc_id"),
+          col("scc_size"))
+        .orderBy("event_type")
     })
   )
 
@@ -995,7 +1127,7 @@ object GraphQueries {
           |  UNION ALL SELECT b, a FROM half),
           |d0 AS MATERIALIZED (SELECT p AS seed, p AS node,
           |    CAST(0 AS BIGINT) AS dist
-          |  FROM (SELECT DISTINCT p FROM pp WHERE p % 997 = 0))""".stripMargin
+          |  FROM """.stripMargin + oracleSeeds + ")"
       val rounds = (1 to BfsRounds).map { i =>
         s"""d$i AS MATERIALIZED (SELECT seed, node, min(dist) AS dist
            |  FROM (
@@ -1049,7 +1181,7 @@ object GraphQueries {
           |  UNION ALL SELECT b, a FROM half),
           |d0 AS MATERIALIZED (SELECT p AS seed, p AS node,
           |    CAST(0 AS BIGINT) AS dist
-          |  FROM (SELECT DISTINCT p FROM pp WHERE p % 997 = 0))""".stripMargin
+          |  FROM """.stripMargin + oracleSeeds + ")"
       val rounds = (1 to BfsRounds).map { i =>
         s"""d$i AS MATERIALIZED (SELECT seed, node, min(dist) AS dist
            |  FROM (
@@ -1087,7 +1219,7 @@ object GraphQueries {
           |  UNION ALL SELECT b, a FROM half),
           |d0 AS (SELECT p AS seed, p AS node, CAST(0 AS BIGINT) AS dist,
           |    CAST(1 AS BIGINT) AS sigma
-          |  FROM (SELECT DISTINCT p FROM pp WHERE p % 499 = 0))""".stripMargin
+          |  FROM """.stripMargin + oracleSeeds + ")"
       val rounds = (1 to BfsRounds).map { i =>
         s"""c$i AS (SELECT d.seed, ed.dst AS node,
            |    CAST($i AS BIGINT) AS dist,
@@ -1447,7 +1579,77 @@ object GraphQueries {
            |    * 10000) / 10000 + 0.0 AS q_contrib
            |FROM dc LEFT JOIN ein ON dc.label = ein.label
            |CROSS JOIN mm
-           |ORDER BY community""".stripMargin)
+           |ORDER BY community""".stripMargin),
+
+    // Same two unrolled reinforcement rounds; HUGEINT raw sums, the
+    // identical max-normalizing truncating division.
+    "graph_hits" -> {
+      val prelude =
+        """WITH e AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS sp
+          |  FROM lineitem),
+          |h0 AS (SELECT DISTINCT p, CAST(1000000 AS BIGINT) AS h
+          |  FROM e)""".stripMargin
+      val rounds = (1 to 2).map { i =>
+        s"""ar$i AS (SELECT sp, CAST(sum(CAST(h AS HUGEINT)) AS HUGEINT)
+           |    AS araw
+           |  FROM e JOIN h${i - 1} USING (p) GROUP BY 1),
+           |am$i AS (SELECT max(araw) AS amax FROM ar$i),
+           |a$i AS MATERIALIZED (SELECT sp,
+           |    CAST((araw * 1000000) // amax AS BIGINT) AS a
+           |  FROM ar$i CROSS JOIN am$i),
+           |hr$i AS (SELECT p, CAST(sum(CAST(a AS HUGEINT)) AS HUGEINT)
+           |    AS hraw
+           |  FROM e JOIN a$i USING (sp) GROUP BY 1),
+           |hm$i AS (SELECT max(hraw) AS hmax FROM hr$i),
+           |h$i AS MATERIALIZED (SELECT p,
+           |    CAST((hraw * 1000000) // hmax AS BIGINT) AS h
+           |  FROM hr$i CROSS JOIN hm$i)""".stripMargin
+      }.mkString(",\n")
+      s"$prelude,\n$rounds\n" +
+        """SELECT side, node, score6 FROM (
+          |  SELECT 'authority' AS side, sp AS node, a AS score6 FROM a2
+          |  UNION ALL SELECT 'hub', p, h FROM h2)
+          |ORDER BY side, node""".stripMargin
+    },
+
+    // Same dominant-transition edges, the same 3 unrolled doubling
+    // rounds of the bounded closure, SCC by closure ∧ transpose.
+    "graph_scc" -> {
+      val prelude =
+        """WITH e AS (SELECT user_id, event_id, event_type,
+          |    epoch_ms(ts) AS ms FROM events),
+          |tr AS (SELECT event_type AS src,
+          |    lead(event_type, 1) OVER (PARTITION BY user_id
+          |      ORDER BY ms, event_id) AS dst
+          |  FROM e),
+          |tc AS (SELECT src, dst, count(*) AS n FROM tr
+          |  WHERE dst IS NOT NULL GROUP BY 1, 2),
+          |tf AS (SELECT src, dst, n,
+          |    sum(n) OVER (PARTITION BY src) AS n_from FROM tc),
+          |nodes AS (SELECT DISTINCT event_type AS v FROM events),
+          |nt AS (SELECT count(*) AS ntypes FROM nodes),
+          |ed AS (SELECT src, dst FROM tf CROSS JOIN nt
+          |  WHERE n * ntypes >= n_from),
+          |r0 AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+          |  SELECT v AS src, v AS dst FROM nodes
+          |  UNION ALL SELECT src, dst FROM ed))""".stripMargin
+      val rounds = (1 to 3).map { i =>
+        s"""r$i AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+           |  SELECT src, dst FROM r${i - 1}
+           |  UNION ALL
+           |  SELECT x.src, y.dst FROM r${i - 1} x
+           |  JOIN r${i - 1} y ON x.dst = y.src))""".stripMargin
+      }.mkString(",\n")
+      s"$prelude,\n$rounds,\n" +
+        """scc AS (SELECT f.src AS v, min(f.dst) AS scc_id
+          |  FROM r3 f JOIN r3 b ON f.src = b.dst AND f.dst = b.src
+          |  GROUP BY 1),
+          |sz AS (SELECT scc_id, count(*) AS scc_size FROM scc
+          |  GROUP BY 1)
+          |SELECT v AS event_type, scc_id, scc_size
+          |FROM scc JOIN sz USING (scc_id)
+          |ORDER BY event_type""".stripMargin
+    }
   )
 
   /** Shared LPA oracle CTEs: the '0'-prefix Doulion edge set, the

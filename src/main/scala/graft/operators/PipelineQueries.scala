@@ -1133,9 +1133,12 @@ object PipelineQueries {
       d.createOrReplaceTempView("curr_docs")
       val cuts = s.sql(
         """SELECT
-          |  percentile_disc(0.25) WITHIN GROUP (ORDER BY n_tokens) AS c1,
-          |  percentile_disc(0.5)  WITHIN GROUP (ORDER BY n_tokens) AS c2,
-          |  percentile_disc(0.75) WITHIN GROUP (ORDER BY n_tokens) AS c3
+          |  CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY n_tokens)
+          |    AS BIGINT) AS c1,
+          |  CAST(percentile_disc(0.5)  WITHIN GROUP (ORDER BY n_tokens)
+          |    AS BIGINT) AS c2,
+          |  CAST(percentile_disc(0.75) WITHIN GROUP (ORDER BY n_tokens)
+          |    AS BIGINT) AS c3
           |FROM curr_docs""".stripMargin)
       val staged = d.crossJoin(broadcast(cuts))
         .select(col("doc_id"), col("n_tokens"),
@@ -1173,6 +1176,32 @@ object PipelineQueries {
     // Retry/replay-deterministic unlike rand(); pure map-side filter, no
     // shuffle below the presentation sort; at 100 TB rates come from a
     // config table instead of a literal CASE (same plan shape).
+    // REPEAT-FACTOR SAMPLING (§2.131) — the LVIS/detectron
+    // class-balanced oversampling schedule: rare categories get
+    // repeat factor r(c) = max(1, √(T/f_c)) with frequency threshold
+    // T = 0.2, common ones stay at 1 — the standard long-tail
+    // rebalance every detection/multilingual pipeline ships.
+    // Category = lang; one reduce + a broadcast scalar total. √ is
+    // IEEE-correctly-rounded (the repo-wide sqrt-over-pow rule), so
+    // the factor chain is deterministic cross-engine; the effective
+    // count is the multiply-form round of n·r.
+    "pipeline_repeat_factor_sampling" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val tot = d.agg(count(lit(1)).as("n_total"))
+      val rf = greatest(lit(1.0),
+        sqrt(lit(0.2) * col("n_total").cast("double")
+          / col("n_docs").cast("double")))
+      d.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+        .crossJoin(broadcast(tot))
+        .select(col("lang"), col("n_docs"),
+          r4d(col("n_docs").cast("double")
+            / col("n_total").cast("double")).as("freq"),
+          r4d(rf).as("repeat_factor"),
+          round(col("n_docs").cast("double") * rf).cast("long")
+            .as("n_effective"))
+        .orderBy("lang")
+    }),
+
     "sample_weighted_mix" -> ((s, dir) => {
       // Tiers: src0-3 at 80% ('cccc'/65536), src4-9 at 50%, rest at 15%.
       val thresh = when(col("source").isin("src0", "src1", "src2", "src3"),
@@ -2933,6 +2962,21 @@ object PipelineQueries {
         |SELECT doc_id, frame_idx, octet_length(encode(fs)) AS frame_len,
         |  md5(fs) AS frame_md5
         |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
+    // Same reduce + scalar total; sqrt chain operand-for-operand.
+    "pipeline_repeat_factor_sampling" ->
+      """WITH tot AS (SELECT count(*) AS n_total FROM documents),
+        |g AS (SELECT lang, count(*) AS n_docs FROM documents
+        |  GROUP BY 1)
+        |SELECT lang, n_docs,
+        |  ROUND(CAST(n_docs AS DOUBLE) / CAST(n_total AS DOUBLE)
+        |    * 10000) / 10000 AS freq,
+        |  ROUND(greatest(1.0, sqrt(0.2 * CAST(n_total AS DOUBLE)
+        |    / CAST(n_docs AS DOUBLE))) * 10000) / 10000
+        |    AS repeat_factor,
+        |  CAST(round(CAST(n_docs AS DOUBLE)
+        |    * greatest(1.0, sqrt(0.2 * CAST(n_total AS DOUBLE)
+        |      / CAST(n_docs AS DOUBLE)))) AS BIGINT) AS n_effective
+        |FROM g CROSS JOIN tot ORDER BY lang""".stripMargin,
     "sample_weighted_mix" ->
       """SELECT doc_id, source FROM documents
         |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < CASE

@@ -124,8 +124,10 @@ object ReshapeQueries {
             col("c_nationkey").as("nation"))), Seq("ck"))
         .createOrReplaceTempView("orders_qcd")
       s.sql("""SELECT nation, count(*) AS n,
-        |  percentile_disc(0.25) WITHIN GROUP (ORDER BY cents) AS q1,
-        |  percentile_disc(0.75) WITHIN GROUP (ORDER BY cents) AS q3,
+        |  CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY cents)
+        |    AS BIGINT) AS q1,
+        |  CAST(percentile_disc(0.75) WITHIN GROUP (ORDER BY cents)
+        |    AS BIGINT) AS q3,
         |  ROUND(CAST(percentile_disc(0.75) WITHIN GROUP (ORDER BY cents)
         |      - percentile_disc(0.25) WITHIN GROUP (ORDER BY cents)
         |      AS DOUBLE)

@@ -331,6 +331,49 @@ object SimQueries {
         .orderBy("probe_id")
     }),
 
+    // EXPECTED RECIPROCAL RANK @10 (§2.131) — the cascade-model
+    // member of the retrieval-eval family: a user scans down, stops
+    // at a satisfying result with probability R_r, so ERR =
+    // Σ_r (1/r)·R_r·Π_{i<r}(1−R_i). With binary labels R ∈ {0, ½},
+    // every term is the DYADIC rational rel_r·2^{−(c_r+1)}/r (c_r =
+    // relevant results above r), so scaling by 2¹⁰·lcm(1..10) =
+    // 1024·2520 makes each summand the EXACT integer
+    // rel·2^(9−c)·(2520 div r) — the eval_ap_retrieval common-
+    // denominator trick with a power-of-two factor riding along.
+    // One integer sum per probe, one IEEE division at the edge.
+    // Same broadcast probe set and bounded per-probe ranking as the
+    // rest of the triad.
+    "eval_err" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"),
+          col("label"))
+      val probes = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("probe_id"), col("v").as("p"),
+          col("label").as("plabel"))
+      val scored = emb.crossJoin(broadcast(probes))
+        .filter(col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("plabel"), col("vec_id"), col("label"),
+          (ArrayDot(col("p"), col("v"))
+            / (sqrt(ArrayDot(col("p"), col("p")))
+              * sqrt(ArrayDot(col("v"), col("v"))))).as("cos"))
+      val w = Window.partitionBy("probe_id")
+        .orderBy(col("cos").desc, col("vec_id"))
+      val wprev = Window.partitionBy("probe_id").orderBy("rk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      scored.withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 10)
+        .withColumn("rel",
+          when(col("label") === col("plabel"), 1L).otherwise(0L))
+        .withColumn("c", coalesce(sum(col("rel")).over(wprev), lit(0L)))
+        .groupBy("probe_id")
+        .agg(sum(col("rel")).cast("long").as("n_rel_top10"),
+          sum(expr("rel * shiftleft(1L, cast(9 - c AS int))" +
+            " * (2520 div rk)")).cast("long").as("errx"))
+        .select(col("probe_id"), col("n_rel_top10"),
+          r4d(col("errx").cast("double") / lit(2580480.0)).as("err"))
+        .orderBy("probe_id")
+    }),
+
     // AVERAGE PRECISION @10 BY LABEL (§2.84) — the third face of the
     // retrieval-eval triad: NDCG grades the whole page with graded
     // discounts, MRR grades the first hit, AP@10 grades EVERY hit by
@@ -798,6 +841,34 @@ object SimQueries {
          |      * 10000) / 10000 END AS ap_at_10
          |FROM pp JOIN lc ON lc.plabel = pp.plabel
          |ORDER BY pp.probe_id""".stripMargin,
+    // Same ranked pairs; the identical integer scaling (1 << (9−c)
+    // ≡ Spark shiftleft, 2520 // rk ≡ div), one division.
+    "eval_err" ->
+      s"""WITH $cosSql,
+         |lab AS (SELECT vec_id, label FROM embeddings),
+         |sc AS (SELECT p.probe_id, pl.label AS plabel, p.vec_id,
+         |    nl.label, p.cos
+         |  FROM pairs p
+         |  JOIN lab pl ON pl.vec_id = p.probe_id
+         |  JOIN lab nl ON nl.vec_id = p.vec_id
+         |  WHERE p.vec_id <> p.probe_id),
+         |rkd AS (SELECT *, CAST(row_number() OVER (
+         |    PARTITION BY probe_id ORDER BY cos DESC, vec_id)
+         |    AS BIGINT) AS rk FROM sc),
+         |top AS (SELECT probe_id,
+         |    CASE WHEN label = plabel THEN 1 ELSE 0 END AS rel, rk
+         |  FROM rkd WHERE rk <= 10),
+         |cc AS (SELECT *, COALESCE(CAST(sum(rel) OVER (
+         |    PARTITION BY probe_id ORDER BY rk
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         |    AS BIGINT), 0) AS c
+         |  FROM top)
+         |SELECT probe_id, CAST(sum(rel) AS BIGINT) AS n_rel_top10,
+         |  ROUND(CAST(CAST(sum(rel * (1 << CAST(9 - c AS INTEGER))
+         |      * (2520 // rk)) AS BIGINT) AS DOUBLE)
+         |    / 2580480.0 * 10000) / 10000 AS err
+         |FROM cc GROUP BY probe_id
+         |ORDER BY probe_id""".stripMargin,
     "eval_mrr_label" ->
       s"""WITH $cosSql,
          |lab AS (SELECT vec_id, label FROM embeddings),

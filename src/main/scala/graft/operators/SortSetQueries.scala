@@ -26,7 +26,13 @@ object SortSetQueries {
     // NEVER a single-partition window. Revenue stays an exact
     // integer in cent-percent units (price_cents·(100−disc_pct)) so
     // no rounding-mode fence exists anywhere. Equal (rev, qty) points
-    // don't dominate each other and all survive.
+    // don't dominate each other and all survive. The prefix max alone
+    // misses one dominance case — a predecessor with EQUAL qty and
+    // strictly greater rev (prevmax == qty passes the filter) — so a
+    // second, partitioned condition closes it: within each qty value
+    // only the max-rev points are non-dominated (any same-qty
+    // lower-rev point is beaten ≥/≥ with > on rev). That max is a
+    // qty-partitioned window (one keyed shuffle, no global order).
     "sort_pareto_skyline" -> ((s, dir) => {
       val pq = t(s, dir, "lineitem")
         .groupBy(col("l_partkey").as("pk"))
@@ -38,7 +44,11 @@ object SortSetQueries {
           (-col("rev")).as("negrev"), (-col("qty")).as("negqty"))
       val ranked = graft.plans.GlobalRank.runningMaxExclusive(
         pq, Seq("negrev", "negqty", "pk"), "qty", "prevmax")
-      ranked.filter(!(col("prevmax") > col("qty")))
+      ranked
+        .withColumn("maxrev_q",
+          max(col("rev")).over(Window.partitionBy(col("qty"))))
+        .filter(!(col("prevmax") > col("qty")) &&
+          col("rev") === col("maxrev_q"))
         .select(col("pk"), col("rev").as("rev_centpct"), col("qty"))
         .orderBy(col("rev").desc, col("pk"))
     }),
@@ -155,10 +165,12 @@ object SortSetQueries {
         |w AS (SELECT pk, rev, qty,
         |    max(qty) OVER (ORDER BY rev DESC, qty DESC, pk
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-        |      AS prevmax
+        |      AS prevmax,
+        |    max(rev) OVER (PARTITION BY qty) AS maxrev_q
         |  FROM pq)
         |SELECT pk, rev AS rev_centpct, qty FROM w
-        |WHERE prevmax IS NULL OR NOT (prevmax > qty)
+        |WHERE (prevmax IS NULL OR NOT (prevmax > qty))
+        |  AND rev = maxrev_q
         |ORDER BY rev DESC, pk""".stripMargin,
     "sort_multikey" ->
       """SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders

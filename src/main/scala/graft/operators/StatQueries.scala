@@ -1856,7 +1856,13 @@ object StatQueries {
       val riAgg = ri.agg(count(lit(1)).as("n_users"),
         sum(col("r")).cast("long").as("t"),
         sum(col("r") * col("r")).cast("long").as("rr"))
-      val cj = uw.groupBy("w").agg(count(lit(1)).as("c"))
+      // Left-join the full four-week spine so a week with ZERO
+      // qualifying users still contributes its (0 − T)² = T² term —
+      // the sum runs over all k columns, present or not.
+      val cj = s.range(0, 4).toDF("w")
+        .join(uw.groupBy("w").agg(count(lit(1)).as("c0")),
+          Seq("w"), "left")
+        .select(col("w"), coalesce(col("c0"), lit(0L)).as("c"))
       cj.crossJoin(broadcast(riAgg))
         .select(col("n_users"), col("t"), col("rr"),
           ((lit(4L) * col("c") - col("t"))
@@ -1869,6 +1875,110 @@ object StatQueries {
             r4d(lit(3.0) * col("sdev2").cast("double")
               / (lit(4.0) * (lit(4L) * col("t") - col("rr"))
                 .cast("double")))).as("q"))
+    }),
+
+    // CUPED ADJUSTMENT (§2.131) — the industry-standard variance
+    // reduction for A/B metrics (Deng et al. 2013): adjust each
+    // user's experiment-period metric Y by their PRE-period covariate
+    // X, Y' = Y − θ(X − X̄), θ = cov(X,Y)/var(X), shrinking metric
+    // variance by ρ² without biasing the treatment delta. Periods:
+    // the integer day-span midpoint (lo + (hi−lo) div 2) splits each
+    // user's purchase cents into X (pre) and Y (post); arms are the
+    // user-parity device shared by the other A/B keys. Exactness:
+    // all five moments exact in DECIMAL(38,0) off one user-grain
+    // reduce; θ and the adjusted means are one double chain at the
+    // edge, spelled operand-for-operand in both engines.
+    "ab_cuped_adjustment" -> ((s, dir) => {
+      val e = events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), epochDay("ts").as("day"),
+          round(col("value") * 100).cast("long").as("cents"))
+      val b = e.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+      val per = e.crossJoin(broadcast(b))
+        .withColumn("mid", expr("lo + (hi - lo) div 2"))
+        .groupBy("user_id")
+        .agg(sum(when(col("day") <= col("mid"), col("cents"))
+            .otherwise(0L)).cast("long").as("x"),
+          sum(when(col("day") > col("mid"), col("cents"))
+            .otherwise(0L)).cast("long").as("y"))
+        .withColumn("arm", col("user_id") % 2)
+      val g = per.agg(count(lit(1)).as("n"),
+        sum(col("x").cast("decimal(38,0)")).as("sx"),
+        sum(col("y").cast("decimal(38,0)")).as("sy"),
+        sum(col("x").cast("decimal(38,0)") * col("x")).as("sxx"),
+        sum(col("x").cast("decimal(38,0)") * col("y")).as("sxy"))
+      val theta =
+        (col("n").cast("decimal(38,0)") * col("sxy")
+          - col("sx") * col("sy")).cast("double") /
+        (col("n").cast("decimal(38,0)") * col("sxx")
+          - col("sx") * col("sx")).cast("double")
+      per.groupBy("arm").agg(count(lit(1)).as("n_users"),
+          sum(col("x").cast("decimal(38,0)")).as("sxa"),
+          sum(col("y").cast("decimal(38,0)")).as("sya"))
+        .crossJoin(broadcast(g))
+        .select(col("arm"), col("n_users"),
+          r4d(col("sya").cast("double") / col("n_users").cast("double"))
+            .as("mean_y"),
+          r4d(col("sya").cast("double") / col("n_users").cast("double")
+            - theta
+              * (col("sxa").cast("double") / col("n_users").cast("double")
+                - col("sx").cast("double") / col("n").cast("double")))
+            .as("mean_y_cuped"),
+          r4d(theta).as("theta"))
+        .orderBy("arm")
+    }),
+
+    // MANN-WHITNEY U (§2.130) — the UNPAIRED rank-sum test beside
+    // agg_wilcoxon_signed_rank's paired form: do the two md5-free
+    // user-parity arms draw purchase values from the same
+    // distribution? Aggregate-first exact ranks: the corpus reduces
+    // to the distinct-cents dictionary with per-arm counts, and each
+    // value's tied-rank contribution is the closed form
+    // n1(v)·(lo + 1 + hi) in DOUBLED-rank units (2·avg tied rank =
+    // (lo+1) + hi, both exact integers off one cumulative count) —
+    // no per-row rank window ever touches the corpus. The cumulative
+    // window runs over the BOUNDED value dictionary (the
+    // bipartite-profile device). Tie-corrected normal z; doubles
+    // only in the final chain, spelled operand-for-operand in both
+    // engines; Σ(t³−t) in DECIMAL(38,0).
+    "agg_mann_whitney_u" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select((col("user_id") % 2).as("arm"),
+          round(col("value") * 100).cast("long").as("cents"))
+      val vc = e.groupBy("cents")
+        .agg(sum(when(col("arm") === 0, 1L).otherwise(0L))
+            .cast("long").as("n1v"),
+          sum(when(col("arm") === 1, 1L).otherwise(0L))
+            .cast("long").as("n2v"))
+        .withColumn("nv", col("n1v") + col("n2v"))
+      val wv = Window.orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val r = vc.withColumn("hi", sum(col("nv")).over(wv))
+      val a = r.agg(
+        sum(col("n1v")).cast("long").as("n1"),
+        sum(col("n2v")).cast("long").as("n2"),
+        sum((col("n1v").cast("decimal(38,0)")
+          * (col("hi") - col("nv") + 1 + col("hi"))))
+          .cast("decimal(38,0)").as("r1x2"),
+        sum(col("nv").cast("decimal(38,0)") * col("nv") * col("nv")
+          - col("nv")).cast("decimal(38,0)").as("tsum"))
+      a.select(col("n1"), col("n2"),
+          ((col("r1x2") - (col("n1").cast("decimal(38,0)")
+            * (col("n1") + 1))).cast("double") / lit(2.0)).as("u1"),
+          col("tsum"))
+        .select(col("n1"), col("n2"), r4d(col("u1")).as("u1"),
+          r4d((col("u1")
+              - col("n1").cast("double") * col("n2").cast("double")
+                / lit(2.0))
+            / sqrt((col("n1").cast("double") * col("n2").cast("double")
+                / lit(12.0))
+              * ((col("n1") + col("n2")).cast("double") + lit(1.0)
+                - col("tsum").cast("double")
+                  / ((col("n1") + col("n2")).cast("double")
+                    * ((col("n1") + col("n2")).cast("double")
+                      - lit(1.0)))))).as("z"))
     }),
 
     // TWO-PROPORTION Z (§2.118) — the workhorse conversion-rate test
@@ -2162,16 +2272,92 @@ object StatQueries {
          |ra AS (SELECT count(*) AS n_users,
          |    CAST(sum(r) AS BIGINT) AS t,
          |    CAST(sum(r * r) AS BIGINT) AS rr FROM ri),
+         |cw AS (SELECT w, count(*) AS c FROM uw GROUP BY 1),
+         |spine AS (SELECT range AS w FROM range(0, 4)),
+         |cj AS (SELECT spine.w, COALESCE(cw.c, 0) AS c
+         |  FROM spine LEFT JOIN cw USING (w)),
          |sd AS (SELECT n_users, t, rr,
          |    CAST(sum((4 * c - t) * (4 * c - t)) AS BIGINT) AS sdev2
-         |  FROM (SELECT w, count(*) AS c FROM uw GROUP BY 1)
-         |  CROSS JOIN ra GROUP BY 1, 2, 3)
+         |  FROM cj CROSS JOIN ra GROUP BY 1, 2, 3)
          |SELECT n_users, t, 4 * t - rr AS d_base,
          |  CASE WHEN 4 * t - rr > 0 THEN
          |    ROUND(3.0 * CAST(sdev2 AS DOUBLE)
          |      / (4.0 * CAST(4 * t - rr AS DOUBLE)) * 10000) / 10000
          |      + 0.0 END AS q
          |FROM sd""".stripMargin,
+    // Same midpoint split, user-grain reduce, HUGEINT moments, and
+    // the identical θ / adjusted-mean double chain.
+    "ab_cuped_adjustment" ->
+      s"""WITH e AS (SELECT user_id, ${sqlEpochDay("ts")} AS day,
+         |    CAST(round(value * 100) AS BIGINT) AS cents
+         |  FROM events WHERE event_type = 'purchase'),
+         |b AS (SELECT min(day) AS lo, max(day) AS hi FROM e),
+         |per AS (SELECT user_id,
+         |    CAST(sum(CASE WHEN day <= lo + (hi - lo) // 2 THEN cents
+         |      ELSE 0 END) AS BIGINT) AS x,
+         |    CAST(sum(CASE WHEN day > lo + (hi - lo) // 2 THEN cents
+         |      ELSE 0 END) AS BIGINT) AS y,
+         |    user_id % 2 AS arm
+         |  FROM e CROSS JOIN b GROUP BY user_id),
+         |g AS (SELECT count(*) AS n,
+         |    CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+         |    CAST(sum(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+         |    CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+         |    CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy
+         |  FROM per),
+         |a AS (SELECT arm, count(*) AS n_users,
+         |    CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS sxa,
+         |    CAST(sum(CAST(y AS HUGEINT)) AS HUGEINT) AS sya
+         |  FROM per GROUP BY 1),
+         |j AS (SELECT *,
+         |    CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS DOUBLE)
+         |      / CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DOUBLE)
+         |      AS theta
+         |  FROM a CROSS JOIN g)
+         |SELECT arm, n_users,
+         |  ROUND(CAST(sya AS DOUBLE) / CAST(n_users AS DOUBLE)
+         |    * 10000) / 10000 AS mean_y,
+         |  ROUND((CAST(sya AS DOUBLE) / CAST(n_users AS DOUBLE)
+         |    - theta * (CAST(sxa AS DOUBLE) / CAST(n_users AS DOUBLE)
+         |      - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))
+         |    * 10000) / 10000 + 0.0 AS mean_y_cuped,
+         |  ROUND(theta * 10000) / 10000 + 0.0 AS theta
+         |FROM j ORDER BY arm""".stripMargin,
+    // Same distinct-cents dictionary, doubled-rank closed form,
+    // HUGEINT moments, the identical final double chain.
+    "agg_mann_whitney_u" ->
+      """WITH e AS (SELECT user_id % 2 AS arm,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase'),
+        |vc AS (SELECT cents,
+        |    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n1v,
+        |    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n2v
+        |  FROM e GROUP BY 1),
+        |v2 AS (SELECT cents, n1v, n2v, n1v + n2v AS nv FROM vc),
+        |r AS (SELECT *, CAST(sum(nv) OVER (ORDER BY cents
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS hi FROM v2),
+        |a AS (SELECT CAST(sum(n1v) AS BIGINT) AS n1,
+        |    CAST(sum(n2v) AS BIGINT) AS n2,
+        |    CAST(sum(CAST(n1v AS HUGEINT) * (hi - nv + 1 + hi))
+        |      AS HUGEINT) AS r1x2,
+        |    CAST(sum(CAST(nv AS HUGEINT) * nv * nv - nv) AS HUGEINT)
+        |      AS tsum
+        |  FROM r),
+        |u AS (SELECT n1, n2,
+        |    CAST(r1x2 - CAST(n1 AS HUGEINT) * (n1 + 1) AS DOUBLE)
+        |      / 2.0 AS u1,
+        |    tsum FROM a)
+        |SELECT n1, n2, ROUND(u1 * 10000) / 10000 AS u1,
+        |  ROUND((u1 - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 2.0)
+        |    / sqrt((CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0)
+        |      * (CAST(n1 + n2 AS DOUBLE) + 1.0
+        |        - CAST(tsum AS DOUBLE)
+        |          / (CAST(n1 + n2 AS DOUBLE)
+        |            * (CAST(n1 + n2 AS DOUBLE) - 1.0))))
+        |    * 10000) / 10000 + 0.0 AS z
+        |FROM u""".stripMargin,
     // Same pooled p̂ and one z chain.
     "agg_two_proportion_z" ->
       """WITH e AS (SELECT user_id % 2 AS arm,

@@ -502,6 +502,29 @@ object TextQueries {
         .orderBy("lang")
     }),
 
+    // YULE'S K (§2.130) — the classic repeat-rate vocabulary-richness
+    // characteristic next to text_hapax_richness's raw type counts:
+    // K = 10⁴·(Σ_m m²·V_m − N)/N², which is 10⁴·(Σ_tokens c² − N)/N²
+    // off the SAME (lang, token) count reduce. K is length-robust
+    // where TTR is not — the standard stylometric scalar. Everything
+    // is exact integers in DECIMAL(38,0) (c² sums are corpus-scale)
+    // until the single double division, r4d.
+    "text_yule_k" -> ((s, dir) => {
+      val tc = t(s, dir, "documents")
+        .select(col("lang"), explode(split(col("text"), " ")).as("token"))
+        .groupBy("lang", "token").agg(count(lit(1)).as("c"))
+      tc.groupBy("lang")
+        .agg(sum(col("c")).cast("decimal(38,0)").as("n"),
+          count(lit(1)).as("vocab"),
+          sum(col("c").cast("decimal(38,0)") * col("c"))
+            .cast("decimal(38,0)").as("m2"))
+        .select(col("lang"), col("n").cast("long").as("n_tokens"),
+          col("vocab"),
+          r4d(lit(10000.0) * (col("m2") - col("n")).cast("double")
+            / (col("n") * col("n")).cast("double")).as("yule_k"))
+        .orderBy("lang")
+    }),
+
     // VOCAB GROWTH / HEAPS CURVE (§2.77) — cumulative vocabulary size
     // at each decile of the doc_id-ordered corpus: the V(N) ∝ N^β
     // curve whose early plateau is the classic duplicate-corpus
@@ -944,6 +967,20 @@ object TextQueries {
         |    * 10000) / 10000 AS type_token_ratio,
         |  ROUND(CAST(count(*) FILTER (WHERE c = 1) AS DOUBLE)
         |    / CAST(count(*) AS DOUBLE) * 10000) / 10000 AS hapax_share
+        |FROM tc GROUP BY lang ORDER BY lang""".stripMargin,
+    // Same count reduce; HUGEINT moments, one double chain.
+    "text_yule_k" ->
+      """WITH tc AS (SELECT lang, token, count(*) AS c
+        |  FROM (SELECT lang, unnest(string_split(text, ' ')) AS token
+        |    FROM documents) GROUP BY 1, 2)
+        |SELECT lang, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |  count(*) AS vocab,
+        |  ROUND(10000.0
+        |    * CAST(CAST(sum(CAST(c AS HUGEINT) * c) AS HUGEINT)
+        |        - CAST(sum(c) AS HUGEINT) AS DOUBLE)
+        |    / CAST(CAST(sum(c) AS HUGEINT) * CAST(sum(c) AS HUGEINT)
+        |        AS DOUBLE)
+        |    * 10000) / 10000 AS yule_k
         |FROM tc GROUP BY lang ORDER BY lang""".stripMargin,
     "text_vocab_growth" ->
       """WITH docs AS (SELECT doc_id,

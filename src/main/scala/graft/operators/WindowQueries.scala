@@ -44,9 +44,10 @@ object WindowQueries {
         .select(col("event_type"), (col("nxt") - col("ms")).as("lat"))
         .createOrReplaceTempView("events_ttnp")
       s.sql("""SELECT event_type, count(*) AS n_with_next,
-        |  percentile_disc(0.5) WITHIN GROUP (ORDER BY lat)
-        |    AS median_ms,
-        |  percentile_disc(0.9) WITHIN GROUP (ORDER BY lat) AS p90_ms
+        |  CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY lat)
+        |    AS BIGINT) AS median_ms,
+        |  CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY lat)
+        |    AS BIGINT) AS p90_ms
         |FROM events_ttnp GROUP BY event_type
         |ORDER BY event_type""".stripMargin)
     }),

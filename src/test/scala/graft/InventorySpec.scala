@@ -449,10 +449,20 @@ class InventorySpec extends SparkSpec {
     "agg_trimmed_mean",
     // §2.127 round-13 twentieth wave: Hoover index, mean log
     // deviation, trend R²
-    "agg_hoover_index", "agg_mean_log_deviation", "ts_trend_r2")
+    "agg_hoover_index", "agg_mean_log_deviation", "ts_trend_r2",
+    // §2.128 round-14 first wave: directed SCC
+    "graph_scc",
+    // §2.129 round-14 second wave: Holt-Winters, weighted sampling
+    // without replacement, HLL intersection
+    "ts_holt_winters", "sample_weighted_noreplacement",
+    "agg_hll_intersection",
+    // §2.130 round-14 third wave: HITS, Mann-Whitney U, Yule's K
+    "graph_hits", "agg_mann_whitney_u", "text_yule_k",
+    // §2.131 round-14 fourth wave: CUPED, ERR, repeat-factor sampling
+    "ab_cuped_adjustment", "eval_err", "pipeline_repeat_factor_sampling")
 
-  test("declared queries cover SURVEY §2 + §2.12-127 exactly (493 keys)") {
-    assert(inventory.size == 493)
+  test("declared queries cover SURVEY §2 + §2.12-131 exactly (503 keys)") {
+    assert(inventory.size == 503)
     val declared = SparkEntry.queries.keySet
     val missing = inventory -- declared
     val extra = declared -- inventory
@@ -505,5 +515,49 @@ class InventorySpec extends SparkSpec {
     assert(unmeasured.isEmpty,
       s"bench top-10 keys with no ScaleStress instrumentation " +
         s"(add to SfSeriesKeys and measure): $unmeasured")
+  }
+
+  // SURVEY §1.3 percentile_disc rule: Spark types the result DOUBLE
+  // while DuckDB preserves the input type, so every SPARK-side
+  // inverse-distribution call over an integer column must carry an
+  // explicit CAST(... AS BIGINT) — round 13 shipped the suite's only
+  // two hash failures from exactly this skew. A grep can't see which
+  // map a literal sits in, so the pin is a whitelist: the exact
+  // per-(file, order-column) counts of UNCAST occurrences that are
+  // legitimately cast-free today (oracle-side integer sites, where
+  // DuckDB's type IS the contract; double-column sites; and inner
+  // operands already inside a CAST(... AS DOUBLE)). Any new uncast
+  // percentile_disc changes a count and goes red here — either cast
+  // it or consciously amend the whitelist with a comment.
+  test("uncast percentile_disc occurrences match the §1.3 whitelist") {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val root = Paths.get("src/main/scala/graft")
+    val call =
+      ("""percentile_disc\(\s*[0-9.]+\s*\)\s*""" +
+        """WITHIN GROUP \(ORDER BY (\w+)""").r
+    val found = Files.walk(root).iterator().asScala
+      .filter(_.toString.endsWith(".scala"))
+      .flatMap { p =>
+        val txt = new String(Files.readAllBytes(p),
+          java.nio.charset.StandardCharsets.UTF_8)
+        // Reconstitute stripMargin literals, then collapse whitespace
+        // so CAST( adjacency survives line breaks.
+        val flat = txt.replaceAll("""\s*\n\s*\|\s*""", " ")
+          .replaceAll("""\s+""", " ")
+        call.findAllMatchIn(flat).flatMap { m =>
+          val pre = flat.substring(math.max(0, m.start - 12), m.start)
+          if (pre.contains("CAST(")) None
+          else Some((p.getFileName.toString, m.group(1)))
+        }
+      }.toSeq.groupBy(identity).map { case (k, v) => k -> v.size }
+    val whitelist = Map(
+      ("PipelineQueries.scala", "n_tokens") -> 3, // oracle cuts (BIGINT native)
+      ("ReshapeQueries.scala", "cents") -> 6,     // oracle q1/q3 + inner CAST-AS-DOUBLE operands
+      ("ReshapeQueries.scala", "value") -> 8,     // double column, both engines
+      ("WindowQueries.scala", "lat0") -> 2)       // oracle median/p90 (BIGINT native)
+    assert(found == whitelist,
+      s"uncast percentile_disc drift — found $found, pinned $whitelist " +
+        "(cast the Spark side AS BIGINT per SURVEY §1.3, or amend)")
   }
 }

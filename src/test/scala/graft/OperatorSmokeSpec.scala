@@ -38,7 +38,11 @@ class OperatorSmokeSpec extends SparkSpec {
       // engine-pinned HLL bytes again (the sliding-WAU reuse);
       // PropertySpec pins est within 5% of the exact declared key per
       // day plus partitioning invariance
-      "agg_wau_hll_sliding"),
+      "agg_wau_hll_sliding",
+      // inclusion-exclusion over the same engine-pinned HLL bytes
+      // (§2.11); PropertySpec pins the base-sketch bands and the
+      // union-relative intersection band
+      "agg_hll_intersection"),
       s"unexpected oracle-less keys: $noOracle")
   }
 

@@ -56,6 +56,27 @@ class PropertySpec extends SparkSpec {
       s"estimate varies with partitioning: $repart vs $union")
   }
 
+  test("HLL intersection: inclusion-exclusion estimate tracks the exact overlap") {
+    val row = SparkEntry.queries("agg_hll_intersection")(spark, sf).head
+    val (estA, estB, estU, estI) =
+      (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3))
+    val e = Tables.events(spark, sf)
+    def users(t: String) = e.filter(col("event_type") === t)
+      .select("user_id").distinct()
+    val exactA = users("click").count().toDouble
+    val exactB = users("purchase").count().toDouble
+    val exactI = users("click").intersect(users("purchase")).count().toDouble
+    // The two base sketches hold the standard ~2% band; the
+    // inclusion-exclusion difference amplifies their absolute errors,
+    // so its band is relative to the UNION size (the standard
+    // sketch-intersection error model), not the intersection.
+    assert(math.abs(estA - exactA) / exactA <= 0.05, s"$estA vs $exactA")
+    assert(math.abs(estB - exactB) / exactB <= 0.05, s"$estB vs $exactB")
+    assert(estI >= 0, "clamp failed")
+    assert(math.abs(estI - exactI) <= 0.10 * estU.toDouble,
+      s"intersection estimate $estI vs exact $exactI (union $estU)")
+  }
+
   test("sketched sliding WAU within 5% of the exact declared key per day") {
     val exact = SparkEntry.queries("agg_wau_sliding_distinct")(spark, sf)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
