@@ -739,6 +739,37 @@ object EtlQueries {
     // max is a 1-row broadcast. Shape: one O(rows) partial-agg reduce
     // to |types| rows (the count_if(day = mx) rides the same pass via
     // a max-keyed second aggregate), then a broadcast compare.
+    // LATE-ARRIVAL REPORT (§2.133) — how out-of-order is each
+    // stream, per event type: within a user's ingest sequence
+    // (event_id is the arrival order), an event is LATE when its
+    // event time sits below the running max of everything already
+    // ingested for that user; lateness = prevmax − ms. The number
+    // that sizes every watermark and every backfill window
+    // (etl_backfill_plan consumes exactly this distribution).
+    // Exact integer milliseconds; ONE user-partitioned exclusive
+    // running-max window; per-type reduce.
+    "etl_late_arrival_report" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      events(s, dir)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_millis(col("ts").cast("timestamp")).as("ms"))
+        .withColumn("prevmax", max(col("ms")).over(w))
+        .withColumn("late_ms",
+          when(col("prevmax") > col("ms"), col("prevmax") - col("ms"))
+            .otherwise(0L))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          count_if(col("late_ms") > 0).as("n_late"),
+          max(col("late_ms")).as("max_late_ms"),
+          sum(col("late_ms")).cast("long").as("sum_late_ms"))
+        .select(col("event_type"), col("n_events"), col("n_late"),
+          r4d(col("n_late").cast("double")
+            / col("n_events").cast("double")).as("late_rate"),
+          col("max_late_ms"), col("sum_late_ms"))
+        .orderBy("event_type")
+    }),
+
     "etl_freshness_report" -> ((s, dir) => {
       val e = events(s, dir)
         .select(col("event_type"), epochDay("ts").as("day"))
@@ -880,6 +911,26 @@ object EtlQueries {
          |ORDER BY ex.event_type""".stripMargin,
     // Integer day arithmetic throughout; last-day counts join back on
     // the per-type max.
+    // Same exclusive running max over the arrival order.
+    "etl_late_arrival_report" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |    epoch_ms(ts) AS ms FROM events),
+        |w AS (SELECT event_type,
+        |    max(ms) OVER (PARTITION BY user_id ORDER BY event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS prevmax,
+        |    ms FROM e),
+        |l AS (SELECT event_type,
+        |    CASE WHEN prevmax > ms THEN prevmax - ms ELSE 0 END
+        |      AS late_ms
+        |  FROM w)
+        |SELECT event_type, count(*) AS n_events,
+        |  count(*) FILTER (WHERE late_ms > 0) AS n_late,
+        |  ROUND(CAST(count(*) FILTER (WHERE late_ms > 0) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) * 10000) / 10000 AS late_rate,
+        |  max(late_ms) AS max_late_ms,
+        |  CAST(sum(late_ms) AS BIGINT) AS sum_late_ms
+        |FROM l GROUP BY event_type ORDER BY event_type""".stripMargin,
     "etl_freshness_report" ->
       s"""WITH e AS (SELECT event_type, ${graft.Det.sqlEpochDay("ts")}
          |    AS day FROM events),

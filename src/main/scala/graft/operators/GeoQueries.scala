@@ -62,6 +62,34 @@ object GeoQueries {
     // who). floor() of exact binary coordinates is engine-exact;
     // per-cell stats are one two-phase agg — map-side partials bound
     // the shuffle by |occupied cells| regardless of corpus size.
+    // CELL DWELL TIME (§2.132) — how long do platforms LINGER per
+    // grid cell, not just how often are they seen (geo_grid_density's
+    // count answers coverage; dwell answers effort): each
+    // consecutive-sighting gap is attributed to the EARLIER fix's
+    // 2°×2° cell (the standard position-hold assumption), summed per
+    // cell. Exact integer millisecond gaps off one user-partitioned
+    // lead window; per-cell reduce bounds the shuffle by occupied
+    // cells; one division for the mean, r4d.
+    "geo_cell_dwell" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ms"), col("event_id"))
+      sightings(s, dir)
+        .withColumn("nxt", lead(col("ms"), 1).over(w))
+        .filter(col("nxt").isNotNull)
+        .select(floor(col("lat") / 2).cast("long").as("cell_lat"),
+          floor(col("lon") / 2).cast("long").as("cell_lon"),
+          (col("nxt") - col("ms")).as("dwell"))
+        .groupBy("cell_lat", "cell_lon")
+        .agg(count(lit(1)).as("n_legs"),
+          sum(col("dwell")).cast("long").as("dwell_ms"))
+        .select(col("cell_lat"), col("cell_lon"), col("n_legs"),
+          col("dwell_ms"),
+          r4d(col("dwell_ms").cast("double")
+            / col("n_legs").cast("double")).as("avg_dwell_ms"))
+        .orderBy("cell_lat", "cell_lon")
+    }),
+
     "geo_grid_density" -> ((s, dir) => {
       sightings(s, dir)
         .select(floor(col("lat") / 2).cast("long").as("cell_lat"),
@@ -565,6 +593,26 @@ object GeoQueries {
     }))
 
   val oracle: Map[String, String] = Map(
+    // Same lead window and earlier-fix cell attribution.
+    "geo_cell_dwell" ->
+      """WITH p AS (SELECT event_id, user_id, epoch_ms(ts) AS ms,
+        |    CAST(event_id % 1440 AS DOUBLE) / 8 - 90 AS lat,
+        |    CAST((user_id * 997 + event_id * 31) % 11520 AS DOUBLE)
+        |      / 32 - 180 AS lon
+        |  FROM events),
+        |lg AS (SELECT *, lead(ms) OVER (PARTITION BY user_id
+        |    ORDER BY ms, event_id) AS nxt FROM p),
+        |d AS (SELECT CAST(floor(lat / 2) AS BIGINT) AS cell_lat,
+        |    CAST(floor(lon / 2) AS BIGINT) AS cell_lon,
+        |    nxt - ms AS dwell
+        |  FROM lg WHERE nxt IS NOT NULL)
+        |SELECT cell_lat, cell_lon, count(*) AS n_legs,
+        |  CAST(sum(dwell) AS BIGINT) AS dwell_ms,
+        |  ROUND(CAST(CAST(sum(dwell) AS BIGINT) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) * 10000) / 10000
+        |    AS avg_dwell_ms
+        |FROM d GROUP BY 1, 2
+        |ORDER BY cell_lat, cell_lon""".stripMargin,
     "geo_grid_density" ->
       """WITH p AS (SELECT
         |    CAST(event_id % 1440 AS DOUBLE) / 8 - 90 AS lat,

@@ -954,6 +954,48 @@ object GraphQueries {
     // the closure replaced by the forward/backward min-label
     // supersteps of dedup_cluster_canon — the doubling here is the
     // bounded-domain fast path, not the scale claim.
+    // KATZ CENTRALITY, 3-TERM (§2.134) — the attenuated-walk-count
+    // centrality completing the centrality family: katz(v) =
+    // Σ_k α^k·(walks of length k ending at v), truncated at k = 3
+    // with α = 1/4 (the declared-fixed-rounds contract; α < 1/λmax
+    // convergence is moot under truncation). Walk counts are EXACT
+    // integers off the shared '0','1' Doulion sample (w1 = degree,
+    // w2 = Σ neighbor degrees — graph_avg_neighbor_degree's sum —
+    // w3 one more gather), and α^k lands as the truncating division
+    // (wk·10⁶) div 4^k, so the score is one integer sum per node —
+    // no float anywhere. Corpus sums in DECIMAL(38,0); the 10⁶
+    // scaling bound (w3·10⁶ < 2⁶³) is the documented long-capacity
+    // caveat shared with the other div-scaled keys.
+    "graph_katz" -> ((s, dir) => {
+      val half = org.apache.spark.sql.graftshim.dropOriginConstraints(
+        sampledOrientedEdges(s, dir, Some(Seq("0", "1")))
+          .localCheckpoint(true))
+      val ed = half.select(col("a").as("src"), col("b").as("dst"))
+        .unionAll(half.select(col("b").as("src"), col("a").as("dst")))
+        .persist()
+      val w1 = ed.groupBy(col("dst").as("node"))
+        .agg(count(lit(1)).as("w1"))
+      val w2 = ed.join(w1.withColumnRenamed("node", "src"), Seq("src"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("w1")).cast("decimal(38,0)").as("w2"))
+      val w3 = ed.join(w2.withColumnRenamed("node", "src"), Seq("src"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("w2")).cast("decimal(38,0)").as("w3"))
+      val out = w1.join(w2, Seq("node")).join(w3, Seq("node"))
+        .select(col("node"), col("w1"),
+          col("w2").cast("long").as("w2l"),
+          col("w3").cast("long").as("w3l"))
+        .select(col("node"), col("w1").as("degree"),
+          (expr("(w1 * 1000000L) div 4")
+            + expr("(w2l * 1000000L) div 16")
+            + expr("(w3l * 1000000L) div 64")).as("katz6"))
+        .select(col("node"), col("degree"), col("katz6"),
+          r4d(col("katz6").cast("double") / lit(1000000.0)).as("katz"))
+        .orderBy("node")
+      ed.unpersist()
+      out
+    }),
+
     // HITS HUBS & AUTHORITIES (§2.130) — Kleinberg's mutual
     // reinforcement on the DIRECTED part→supplier supply graph, the
     // second classic eigenvector-style centrality next to
@@ -1580,6 +1622,38 @@ object GraphQueries {
            |FROM dc LEFT JOIN ein ON dc.label = ein.label
            |CROSS JOIN mm
            |ORDER BY community""".stripMargin),
+
+    // Same Doulion edges, the same three gather stages, identical
+    // truncating α^k divisions.
+    "graph_katz" ->
+      """WITH pp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+        |  FROM lineitem),
+        |e0 AS (SELECT DISTINCT x.p AS a, y.p AS b
+        |  FROM pp x JOIN pp y ON x.ok = y.ok AND x.p < y.p),
+        |half AS MATERIALIZED (SELECT a, b FROM e0
+        |  WHERE substring(md5(CAST(a AS VARCHAR) || '_'
+        |    || CAST(b AS VARCHAR)), 1, 1) IN ('0', '1')),
+        |ed AS MATERIALIZED (SELECT a AS src, b AS dst FROM half
+        |  UNION ALL SELECT b, a FROM half),
+        |w1 AS (SELECT dst AS node, count(*) AS w1 FROM ed GROUP BY 1),
+        |w2 AS (SELECT ed.dst AS node,
+        |    CAST(sum(CAST(w1.w1 AS HUGEINT)) AS HUGEINT) AS w2
+        |  FROM ed JOIN w1 ON w1.node = ed.src GROUP BY 1),
+        |w3 AS (SELECT ed.dst AS node,
+        |    CAST(sum(w2.w2) AS HUGEINT) AS w3
+        |  FROM ed JOIN w2 ON w2.node = ed.src GROUP BY 1),
+        |j AS (SELECT w1.node, w1.w1,
+        |    CAST(w2.w2 AS BIGINT) AS w2l, CAST(w3.w3 AS BIGINT) AS w3l
+        |  FROM w1 JOIN w2 ON w2.node = w1.node
+        |  JOIN w3 ON w3.node = w1.node),
+        |k AS (SELECT node, w1 AS degree,
+        |    (w1 * 1000000) // 4 + (w2l * 1000000) // 16
+        |      + (w3l * 1000000) // 64 AS katz6
+        |  FROM j)
+        |SELECT node, degree, CAST(katz6 AS BIGINT) AS katz6,
+        |  ROUND(CAST(katz6 AS DOUBLE) / 1000000.0 * 10000) / 10000
+        |    AS katz
+        |FROM k ORDER BY node""".stripMargin,
 
     // Same two unrolled reinforcement rounds; HUGEINT raw sums, the
     // identical max-normalizing truncating division.

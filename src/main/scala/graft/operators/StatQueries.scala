@@ -1877,6 +1877,210 @@ object StatQueries {
                 .cast("double")))).as("q"))
     }),
 
+    // FRIEDMAN TEST (§2.134) — the k-related-samples rank test
+    // completing the nonparametric family (Wilcoxon = 2 paired,
+    // Mann-Whitney = 2 unpaired, Kruskal's role here taken by the
+    // BLOCKED design): did weekly purchase spend SHIFT across the
+    // window's first four weeks, ranking weeks WITHIN each user?
+    // Blocks are the full user × 4-week spine (zero-filled — the
+    // cochran lesson: absent weeks are 0-spend observations, not
+    // missing). Tied ranks in DOUBLED units via the exact closed
+    // form 2·avgrank = 2·(#smaller) + (#equal incl self) + 1,
+    // computed by a bounded 4×4 per-user self-join — never a corpus
+    // rank window. Q = 3·ΣR₂ⱼ²/(k(k+1)·n) − 3n(k+1) with R₂ the
+    // doubled column rank sums, exact in DECIMAL(38,0), one double
+    // chain.
+    "agg_friedman_test" -> ((s, dir) => {
+      val e = events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), epochDay("ts").as("day"),
+          round(col("value") * 100).cast("long").as("cents"))
+      val lo = e.agg(min(col("day")).as("lo"))
+      val uw = e.crossJoin(broadcast(lo))
+        .select(col("user_id"), expr("(day - lo) div 7").as("w"),
+          col("cents"))
+        .filter(col("w") >= 0 && col("w") <= 3)
+      val users = uw.select("user_id").distinct()
+      val spine = users.crossJoin(s.range(0, 4).toDF("w"))
+      val cell = spine
+        .join(uw.groupBy("user_id", "w")
+          .agg(sum(col("cents")).cast("long").as("v0")),
+          Seq("user_id", "w"), "left")
+        .select(col("user_id"), col("w"),
+          coalesce(col("v0"), lit(0L)).as("v"))
+        .localCheckpoint(true)
+      val r2 = cell.as("a").join(cell.as("b"), Seq("user_id"))
+        .groupBy(col("user_id"), col("a.w").as("w"))
+        .agg((sum(when(col("b.v") < col("a.v"), 2L).otherwise(0L))
+          + sum(when(col("b.v") === col("a.v"), 1L).otherwise(0L))
+          + 1L).as("r2"))
+      val cols = r2.groupBy("w")
+        .agg(sum(col("r2")).cast("decimal(38,0)").as("rj2"))
+      val n = users.agg(count(lit(1)).as("n"))
+      cols.agg(sum(col("rj2") * col("rj2")).cast("decimal(38,0)")
+          .as("sr2sq"))
+        .crossJoin(broadcast(n))
+        .select(col("n").as("n_users"), lit(4L).as("k"),
+          r4d(lit(3.0) * col("sr2sq").cast("double")
+            / (lit(20.0) * col("n").cast("double"))
+            - lit(15.0) * col("n").cast("double")).as("q"))
+    }),
+
+    // BARTLETT'S TEST (§2.133) — k-group variance homogeneity, the
+    // parametric (normal-theory) sibling of agg_levene_test: χ² =
+    // [(N−k)·ln Sp² − Σ(nᵢ−1)·ln Sᵢ²] / C over purchase cents by
+    // event type. Cross-group sums NEVER add raw doubles: each
+    // group's (nᵢ−1)·ln Sᵢ² is floor-snapped to 10⁻⁶-unit BIGINTs
+    // (the mean-log-deviation convention), each group's SS to
+    // 10⁻³ units, and C's Σ1/(nᵢ−1) is the EXACT integer
+    // 10¹² div (nᵢ−1) — so the only order-free-needed sums are
+    // integer sums, and the remaining ln/divisions are one edge
+    // chain. Variance numerators exact in DECIMAL(38,0).
+    "agg_bartlett_test" -> ((s, dir) => {
+      val e = events(s, dir)
+        .select(col("event_type"),
+          round(col("value") * 100).cast("long").as("cents"))
+      val g = e.groupBy("event_type").agg(count(lit(1)).as("n"),
+          sum(col("cents").cast("decimal(38,0)")).as("sx"),
+          sum(col("cents").cast("decimal(38,0)") * col("cents"))
+            .as("sxx"))
+        .filter(col("n") > 1)
+        .withColumn("vnum",
+          col("n").cast("decimal(38,0)") * col("sxx")
+            - col("sx") * col("sx"))
+        .withColumn("s2d", col("vnum").cast("double")
+          / (col("n").cast("decimal(38,0)") * (col("n") - 1))
+            .cast("double"))
+      val terms = g.select(
+        col("n"),
+        floor((col("n") - 1).cast("double") * log(col("s2d"))
+          * lit(1.0e6)).cast("long").as("lterm6"),
+        floor(col("vnum").cast("double") / col("n").cast("double")
+          * lit(1000.0)).cast("long").as("ssm3"),
+        expr("1000000000000L div (n - 1)").as("q12"))
+      val a = terms.agg(count(lit(1)).as("k"),
+        sum(col("n")).cast("long").as("n_total"),
+        sum(col("lterm6")).cast("long").as("slt6"),
+        sum(col("ssm3")).cast("decimal(38,0)").as("sss3"),
+        sum(col("q12")).cast("long").as("sq12"))
+      a.select(col("k"), col("n_total"), (col("k") - 1).as("df"),
+        r4d((((col("n_total") - col("k")).cast("double")
+            * log(col("sss3").cast("double") / lit(1000.0)
+              / (col("n_total") - col("k")).cast("double")))
+          - col("slt6").cast("double") / lit(1.0e6))
+          / (lit(1.0)
+            + (col("sq12").cast("double") / lit(1.0e12)
+              - lit(1.0) / (col("n_total") - col("k")).cast("double"))
+              / (lit(3.0) * (col("k") - 1).cast("double"))))
+          .as("chi2"))
+    }),
+
+    // PAIRED SIGN TEST (§2.133) — the assumption-free paired
+    // location test under agg_wilcoxon_signed_rank (which needs
+    // symmetric differences; the sign test needs nothing): did each
+    // user's purchase count move pre → post across the integer
+    // day-span midpoint (the CUPED split)? Ties drop per the
+    // classical test; z = (n₊ − n₋)/√(n₊ + n₋) — exact integer
+    // counts, one sqrt at the edge.
+    "agg_sign_test" -> ((s, dir) => {
+      val e = events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), epochDay("ts").as("day"))
+      val b = e.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+      val per = e.crossJoin(broadcast(b))
+        .withColumn("mid", expr("lo + (hi - lo) div 2"))
+        .groupBy("user_id")
+        .agg(count_if(col("day") <= col("mid")).as("pre"),
+          count_if(col("day") > col("mid")).as("post"))
+      val a = per.agg(count(lit(1)).as("n_users"),
+        count_if(col("post") > col("pre")).as("n_plus"),
+        count_if(col("post") < col("pre")).as("n_minus"),
+        count_if(col("post") === col("pre")).as("n_ties"))
+      a.select(col("n_users"), col("n_plus"), col("n_minus"),
+        col("n_ties"),
+        when(col("n_plus") + col("n_minus") > 0,
+          r4d((col("n_plus") - col("n_minus")).cast("double")
+            / sqrt((col("n_plus") + col("n_minus")).cast("double"))))
+          .as("z"))
+    }),
+
+    // TWO-SAMPLE F TEST (§2.132) — the variance-ratio companion to
+    // ab_test_welch's mean test: did a variant change DISPERSION,
+    // not just level? F = s₁²/s₂² between the user-parity arms over
+    // purchase cents. Sample variances from the exact
+    // n·Σx² − (Σx)² numerators in DECIMAL(38,0) (one reduce, no
+    // anchor needed at cents scale ≤ 10¹² rows/arm); the ratio is
+    // one double chain spelled operand-for-operand; degenerate arms
+    // (n ≤ 1 or zero variance in arm 2) emit NULL via the exact
+    // integer test.
+    "agg_f_test_two_sample" -> ((s, dir) => {
+      val e = events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select((col("user_id") % 2).as("arm"),
+          round(col("value") * 100).cast("long").as("cents"))
+      val a = e.groupBy("arm").agg(count(lit(1)).as("n"),
+        sum(col("cents").cast("decimal(38,0)")).as("sx"),
+        sum(col("cents").cast("decimal(38,0)") * col("cents"))
+          .as("sxx"))
+      val piv = a.agg(
+        max(when(col("arm") === 0, col("n"))).as("n1"),
+        max(when(col("arm") === 0, col("sx"))).as("sx1"),
+        max(when(col("arm") === 0, col("sxx"))).as("sxx1"),
+        max(when(col("arm") === 1, col("n"))).as("n2"),
+        max(when(col("arm") === 1, col("sx"))).as("sx2"),
+        max(when(col("arm") === 1, col("sxx"))).as("sxx2"))
+      def vnum(n: String, sx: String, sxx: String) =
+        col(n).cast("decimal(38,0)") * col(sxx) - col(sx) * col(sx)
+      def vden(n: String) =
+        (col(n).cast("decimal(38,0)") * (col(n) - 1))
+      piv.select(col("n1"), col("n2"),
+        when(col("n1") > 1 && col("n2") > 1
+            && vnum("n2", "sx2", "sxx2") > 0,
+          r4d((vnum("n1", "sx1", "sxx1").cast("double")
+              / vden("n1").cast("double"))
+            / (vnum("n2", "sx2", "sxx2").cast("double")
+              / vden("n2").cast("double")))).as("f"))
+    }),
+
+    // MATTHEWS CORRELATION (§2.132) — the single-number
+    // confusion-matrix summary robust to class imbalance, beside
+    // eval_confusion_binary's per-threshold P/R/F1 (F1 ignores TN;
+    // MCC = (TP·TN − FP·FN)/√((TP+FP)(TP+FN)(TN+FP)(TN+FN)) does
+    // not — the metric imbalanced-detection evals should lead with).
+    // Same classifier fixture (value ≥ threshold predicts purchase),
+    // same broadcast threshold spine; the numerator is an exact
+    // DECIMAL(38,0) difference, the four marginals multiply as
+    // doubles in fixed order under one correctly-rounded sqrt.
+    "eval_matthews_corr" -> ((s, dir) => {
+      val e = events(s, dir).select(col("value"),
+        (col("event_type") === "purchase").as("pos"))
+      val thresholds = s.range(1, 10)
+        .select((col("id") * 20).cast("double").as("threshold"))
+      val m = e.crossJoin(broadcast(thresholds))
+        .groupBy("threshold")
+        .agg(count_if(col("pos") && col("value") >= col("threshold"))
+            .as("tp"),
+          count_if(!col("pos") && col("value") >= col("threshold"))
+            .as("fp"),
+          count_if(col("pos") && col("value") < col("threshold"))
+            .as("fn"),
+          count_if(!col("pos") && col("value") < col("threshold"))
+            .as("tn"))
+      val denom =
+        sqrt((col("tp") + col("fp")).cast("double")
+          * (col("tp") + col("fn")).cast("double")
+          * (col("tn") + col("fp")).cast("double")
+          * (col("tn") + col("fn")).cast("double"))
+      m.select(col("threshold"), col("tp"), col("fp"), col("fn"),
+          col("tn"),
+          when((col("tp") + col("fp")) > 0 && (col("tp") + col("fn")) > 0
+              && (col("tn") + col("fp")) > 0 && (col("tn") + col("fn")) > 0,
+            r4d((col("tp").cast("decimal(38,0)") * col("tn")
+                - col("fp").cast("decimal(38,0)") * col("fn"))
+              .cast("double") / denom)).as("mcc"))
+        .orderBy("threshold")
+    }),
+
     // CUPED ADJUSTMENT (§2.131) — the industry-standard variance
     // reduction for A/B metrics (Deng et al. 2013): adjust each
     // user's experiment-period metric Y by their PRE-period covariate
@@ -2285,6 +2489,147 @@ object StatQueries {
          |      / (4.0 * CAST(4 * t - rr AS DOUBLE)) * 10000) / 10000
          |      + 0.0 END AS q
          |FROM sd""".stripMargin,
+    // Same zero-filled user×week spine, the same bounded 4×4
+    // doubled-rank self-join, HUGEINT column sums, one chain.
+    "agg_friedman_test" ->
+      s"""WITH e AS (SELECT user_id, ${sqlEpochDay("ts")} AS day,
+         |    CAST(round(value * 100) AS BIGINT) AS cents
+         |  FROM events WHERE event_type = 'purchase'),
+         |lo AS (SELECT min(day) AS lo FROM e),
+         |uw AS (SELECT user_id, (day - lo) // 7 AS w, cents
+         |  FROM e CROSS JOIN lo WHERE (day - lo) // 7 BETWEEN 0 AND 3),
+         |users AS (SELECT DISTINCT user_id FROM uw),
+         |spine AS (SELECT user_id, range AS w
+         |  FROM users CROSS JOIN range(0, 4)),
+         |cs AS (SELECT user_id, w, CAST(sum(cents) AS BIGINT) AS v0
+         |  FROM uw GROUP BY 1, 2),
+         |cell AS (SELECT s.user_id, s.w, COALESCE(v0, 0) AS v
+         |  FROM spine s LEFT JOIN cs USING (user_id, w)),
+         |r2 AS (SELECT a.user_id, a.w,
+         |    CAST(sum(CASE WHEN b.v < a.v THEN 2 ELSE 0 END)
+         |      + sum(CASE WHEN b.v = a.v THEN 1 ELSE 0 END) + 1
+         |      AS BIGINT) AS r2
+         |  FROM cell a JOIN cell b USING (user_id) GROUP BY 1, 2),
+         |cols AS (SELECT w, CAST(sum(r2) AS HUGEINT) AS rj2
+         |  FROM r2 GROUP BY 1),
+         |nn AS (SELECT count(*) AS n FROM users),
+         |s2 AS (SELECT CAST(sum(rj2 * rj2) AS HUGEINT) AS sr2sq
+         |  FROM cols)
+         |SELECT n AS n_users, CAST(4 AS BIGINT) AS k,
+         |  ROUND((3.0 * CAST(sr2sq AS DOUBLE)
+         |    / (20.0 * CAST(n AS DOUBLE))
+         |    - 15.0 * CAST(n AS DOUBLE)) * 10000) / 10000 + 0.0 AS q
+         |FROM s2 CROSS JOIN nn""".stripMargin,
+    // Same per-group snapped terms (floor·10⁶ ln, floor·10³ SS,
+    // exact 10¹²//(n−1)), the identical edge chain.
+    "agg_bartlett_test" ->
+      """WITH e AS (SELECT event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |g AS (SELECT event_type, count(*) AS n,
+        |    CAST(sum(CAST(cents AS HUGEINT)) AS HUGEINT) AS sx,
+        |    CAST(sum(CAST(cents AS HUGEINT) * cents) AS HUGEINT)
+        |      AS sxx
+        |  FROM e GROUP BY 1 HAVING count(*) > 1),
+        |v AS (SELECT n,
+        |    CAST(n AS HUGEINT) * sxx - sx * sx AS vnum FROM g),
+        |t AS (SELECT n,
+        |    CAST(floor(CAST(n - 1 AS DOUBLE)
+        |      * ln(CAST(vnum AS DOUBLE)
+        |        / CAST(CAST(n AS HUGEINT) * (n - 1) AS DOUBLE))
+        |      * 1000000.0) AS BIGINT) AS lterm6,
+        |    CAST(floor(CAST(vnum AS DOUBLE) / CAST(n AS DOUBLE)
+        |      * 1000.0) AS BIGINT) AS ssm3,
+        |    1000000000000 // (n - 1) AS q12
+        |  FROM v),
+        |a AS (SELECT count(*) AS k, CAST(sum(n) AS BIGINT) AS n_total,
+        |    CAST(sum(lterm6) AS BIGINT) AS slt6,
+        |    CAST(sum(ssm3) AS HUGEINT) AS sss3,
+        |    CAST(sum(q12) AS BIGINT) AS sq12
+        |  FROM t)
+        |SELECT k, n_total, k - 1 AS df,
+        |  ROUND(((CAST(n_total - k AS DOUBLE)
+        |      * ln(CAST(sss3 AS DOUBLE) / 1000.0
+        |        / CAST(n_total - k AS DOUBLE)))
+        |    - CAST(slt6 AS DOUBLE) / 1000000.0)
+        |    / (1.0 + (CAST(sq12 AS DOUBLE) / 1000000000000.0
+        |      - 1.0 / CAST(n_total - k AS DOUBLE))
+        |      / (3.0 * CAST(k - 1 AS DOUBLE)))
+        |    * 10000) / 10000 + 0.0 AS chi2
+        |FROM a""".stripMargin,
+    // Same midpoint split and integer counts; one sqrt.
+    "agg_sign_test" ->
+      s"""WITH e AS (SELECT user_id, ${sqlEpochDay("ts")} AS day
+         |  FROM events WHERE event_type = 'purchase'),
+         |b AS (SELECT min(day) AS lo, max(day) AS hi FROM e),
+         |per AS (SELECT user_id,
+         |    count(*) FILTER (WHERE day <= lo + (hi - lo) // 2)
+         |      AS pre,
+         |    count(*) FILTER (WHERE day > lo + (hi - lo) // 2)
+         |      AS post
+         |  FROM e CROSS JOIN b GROUP BY user_id),
+         |a AS (SELECT count(*) AS n_users,
+         |    count(*) FILTER (WHERE post > pre) AS n_plus,
+         |    count(*) FILTER (WHERE post < pre) AS n_minus,
+         |    count(*) FILTER (WHERE post = pre) AS n_ties
+         |  FROM per)
+         |SELECT n_users, n_plus, n_minus, n_ties,
+         |  CASE WHEN n_plus + n_minus > 0 THEN
+         |    ROUND(CAST(n_plus - n_minus AS DOUBLE)
+         |      / sqrt(CAST(n_plus + n_minus AS DOUBLE))
+         |      * 10000) / 10000 + 0.0 END AS z
+         |FROM a""".stripMargin,
+    // Same arm moments (HUGEINT), identical ratio chain, identical
+    // degenerate-arm NULL rule.
+    "agg_f_test_two_sample" ->
+      """WITH e AS (SELECT user_id % 2 AS arm,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase'),
+        |a AS (SELECT arm, count(*) AS n,
+        |    CAST(sum(CAST(cents AS HUGEINT)) AS HUGEINT) AS sx,
+        |    CAST(sum(CAST(cents AS HUGEINT) * cents) AS HUGEINT)
+        |      AS sxx
+        |  FROM e GROUP BY 1),
+        |p AS (SELECT max(CASE WHEN arm = 0 THEN n END) AS n1,
+        |    max(CASE WHEN arm = 0 THEN sx END) AS sx1,
+        |    max(CASE WHEN arm = 0 THEN sxx END) AS sxx1,
+        |    max(CASE WHEN arm = 1 THEN n END) AS n2,
+        |    max(CASE WHEN arm = 1 THEN sx END) AS sx2,
+        |    max(CASE WHEN arm = 1 THEN sxx END) AS sxx2
+        |  FROM a)
+        |SELECT n1, n2,
+        |  CASE WHEN n1 > 1 AND n2 > 1
+        |      AND CAST(n2 AS HUGEINT) * sxx2 - sx2 * sx2 > 0 THEN
+        |    ROUND((CAST(CAST(n1 AS HUGEINT) * sxx1 - sx1 * sx1
+        |        AS DOUBLE)
+        |      / CAST(CAST(n1 AS HUGEINT) * (n1 - 1) AS DOUBLE))
+        |    / (CAST(CAST(n2 AS HUGEINT) * sxx2 - sx2 * sx2 AS DOUBLE)
+        |      / CAST(CAST(n2 AS HUGEINT) * (n2 - 1) AS DOUBLE))
+        |    * 10000) / 10000 END AS f
+        |FROM p""".stripMargin,
+    // Same confusion counts; exact HUGEINT numerator, the identical
+    // fixed-order marginal product under one sqrt.
+    "eval_matthews_corr" ->
+      """WITH e AS (SELECT value,
+        |    event_type = 'purchase' AS pos FROM events),
+        |th AS (SELECT CAST(range * 20 AS DOUBLE) AS threshold
+        |  FROM range(1, 10)),
+        |m AS (SELECT threshold,
+        |    count(*) FILTER (WHERE pos AND value >= threshold) AS tp,
+        |    count(*) FILTER (WHERE NOT pos AND value >= threshold)
+        |      AS fp,
+        |    count(*) FILTER (WHERE pos AND value < threshold) AS fn,
+        |    count(*) FILTER (WHERE NOT pos AND value < threshold)
+        |      AS tn
+        |  FROM e CROSS JOIN th GROUP BY 1)
+        |SELECT threshold, tp, fp, fn, tn,
+        |  CASE WHEN tp + fp > 0 AND tp + fn > 0 AND tn + fp > 0
+        |      AND tn + fn > 0 THEN
+        |    ROUND(CAST(CAST(tp AS HUGEINT) * tn
+        |        - CAST(fp AS HUGEINT) * fn AS DOUBLE)
+        |      / sqrt(CAST(tp + fp AS DOUBLE) * CAST(tp + fn AS DOUBLE)
+        |        * CAST(tn + fp AS DOUBLE) * CAST(tn + fn AS DOUBLE))
+        |      * 10000) / 10000 + 0.0 END AS mcc
+        |FROM m ORDER BY threshold""".stripMargin,
     // Same midpoint split, user-grain reduce, HUGEINT moments, and
     // the identical θ / adjusted-mean double chain.
     "ab_cuped_adjustment" ->

@@ -502,6 +502,28 @@ object TextQueries {
         .orderBy("lang")
     }),
 
+    // LEXICAL DENSITY (§2.134) — the content-word share per lang:
+    // 1 − stopwords/tokens over a FIXED 20-word function-word list
+    // (the classic readability/quality covariate next to
+    // text_quality_score's stopword RATIO feature — this one is the
+    // standalone per-language profile). Exact integer counts, one
+    // division; the lowercase comparison and the literal list are
+    // spelled identically in both engines.
+    "text_lexical_density" -> ((s, dir) => {
+      val stop = Seq("the", "a", "an", "and", "or", "of", "to", "in",
+        "is", "it", "that", "for", "on", "with", "as", "was", "at",
+        "by", "be", "this")
+      t(s, dir, "documents")
+        .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_tokens"),
+          count_if(lower(col("tok")).isin(stop: _*)).as("n_stop"))
+        .select(col("lang"), col("n_tokens"), col("n_stop"),
+          r4d(lit(1.0) - col("n_stop").cast("double")
+            / col("n_tokens").cast("double")).as("lexical_density"))
+        .orderBy("lang")
+    }),
+
     // YULE'S K (§2.130) — the classic repeat-rate vocabulary-richness
     // characteristic next to text_hapax_richness's raw type counts:
     // K = 10⁴·(Σ_m m²·V_m − N)/N², which is 10⁴·(Σ_tokens c² − N)/N²
@@ -968,6 +990,22 @@ object TextQueries {
         |  ROUND(CAST(count(*) FILTER (WHERE c = 1) AS DOUBLE)
         |    / CAST(count(*) AS DOUBLE) * 10000) / 10000 AS hapax_share
         |FROM tc GROUP BY lang ORDER BY lang""".stripMargin,
+    // Same fixed list, same counts, one division.
+    "text_lexical_density" ->
+      """WITH tk AS (SELECT lang,
+        |    unnest(string_split(text, ' ')) AS tok FROM documents)
+        |SELECT lang, count(*) AS n_tokens,
+        |  count(*) FILTER (WHERE lower(tok) IN ('the', 'a', 'an',
+        |    'and', 'or', 'of', 'to', 'in', 'is', 'it', 'that', 'for',
+        |    'on', 'with', 'as', 'was', 'at', 'by', 'be', 'this'))
+        |    AS n_stop,
+        |  ROUND((1.0 - CAST(count(*) FILTER (WHERE lower(tok) IN
+        |    ('the', 'a', 'an', 'and', 'or', 'of', 'to', 'in', 'is',
+        |     'it', 'that', 'for', 'on', 'with', 'as', 'was', 'at',
+        |     'by', 'be', 'this')) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE)) * 10000) / 10000
+        |    AS lexical_density
+        |FROM tk GROUP BY lang ORDER BY lang""".stripMargin,
     // Same count reduce; HUGEINT moments, one double chain.
     "text_yule_k" ->
       """WITH tc AS (SELECT lang, token, count(*) AS c

@@ -459,10 +459,16 @@ class InventorySpec extends SparkSpec {
     // §2.130 round-14 third wave: HITS, Mann-Whitney U, Yule's K
     "graph_hits", "agg_mann_whitney_u", "text_yule_k",
     // §2.131 round-14 fourth wave: CUPED, ERR, repeat-factor sampling
-    "ab_cuped_adjustment", "eval_err", "pipeline_repeat_factor_sampling")
+    "ab_cuped_adjustment", "eval_err", "pipeline_repeat_factor_sampling",
+    // §2.132 round-14 fifth wave: F test, MCC, cell dwell
+    "agg_f_test_two_sample", "eval_matthews_corr", "geo_cell_dwell",
+    // §2.133 round-14 sixth wave: Bartlett, sign test, late arrivals
+    "agg_bartlett_test", "agg_sign_test", "etl_late_arrival_report",
+    // §2.134 round-14 seventh wave: Friedman, lexical density, Katz
+    "agg_friedman_test", "text_lexical_density", "graph_katz")
 
-  test("declared queries cover SURVEY §2 + §2.12-131 exactly (503 keys)") {
-    assert(inventory.size == 503)
+  test("declared queries cover SURVEY §2 + §2.12-134 exactly (512 keys)") {
+    assert(inventory.size == 512)
     val declared = SparkEntry.queries.keySet
     val missing = inventory -- declared
     val extra = declared -- inventory
