@@ -59,6 +59,82 @@ object AnalyticsQueries {
         coalesce(col("y"), lit(0L)).as("y"))
   }
 
+  /** The ts_holt_winters state machine: one row per event_type with
+    * the 28-day pivot y1..y28 and the unrolled 10⁻⁶-unit BIGINT
+    * level/trend/seasonal/prediction columns l14..l28, b14..b28,
+    * s8..s28, p15..p28 (integer-only updates, truncating div — see
+    * the key's scaladoc). Shared by ts_holt_winters (the component
+    * dump) and ts_hw_backtest (the one-step-ahead error summary). */
+  private def holtWintersWide(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("event_type").orderBy("day")
+    val d = zeroFilledDaily(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 28)
+    val aggs = (1 to 28).map(i =>
+      max(when(col("rn") === i, col("y"))).cast("long").as(s"y$i"))
+    var cur = d.groupBy("event_type").agg(aggs.head, aggs.tail: _*)
+    val w1 = (1 to 7).map(i => s"y$i").mkString(" + ")
+    val w2 = (8 to 14).map(i => s"y$i").mkString(" + ")
+    cur = cur
+      .withColumn("l14", expr(s"(($w2) * 1000000) div 7"))
+      .withColumn("b14", expr(s"((($w2) - ($w1)) * 1000000) div 49"))
+    for (j <- 8 to 14)
+      cur = cur.withColumn(s"s$j", expr(s"y$j * 1000000 - l14"))
+    for (t <- 15 to 28) {
+      cur = cur
+        .withColumn(s"p$t", expr(s"l${t - 1} + b${t - 1} + s${t - 7}"))
+        .withColumn(s"l$t", expr(
+          s"(2 * (y$t * 1000000 - s${t - 7})" +
+            s" + 8 * (l${t - 1} + b${t - 1})) div 10"))
+        .withColumn(s"b$t", expr(
+          s"((l$t - l${t - 1}) + 9 * b${t - 1}) div 10"))
+        .withColumn(s"s$t", expr(
+          s"(3 * (y$t * 1000000 - l$t) + 7 * s${t - 7}) div 10"))
+    }
+    cur
+  }
+
+  /** The matching DuckDB CTE chain ending at st28 (same columns). */
+  private def holtWintersOracleCtes: String = {
+    val w1 = (1 to 7).map(i => s"y$i").mkString(" + ")
+    val w2 = (8 to 14).map(i => s"y$i").mkString(" + ")
+    val piv = (1 to 28).map(i =>
+      s"CAST(max(CASE WHEN rn = $i THEN y END) AS BIGINT) AS y$i")
+      .mkString(",\n    ")
+    val sInit = (8 to 14).map(j => s"y$j * 1000000 - l14 AS s$j")
+      .mkString(",\n    ")
+    val steps = (15 to 28).map { t =>
+      s"""st$t AS (SELECT *,
+         |    l${t - 1} + b${t - 1} + s${t - 7} AS p$t,
+         |    (2 * (y$t * 1000000 - s${t - 7})
+         |      + 8 * (l${t - 1} + b${t - 1})) // 10 AS l$t,
+         |    ((l$t - l${t - 1}) + 9 * b${t - 1}) // 10 AS b$t,
+         |    (3 * (y$t * 1000000 - l$t) + 7 * s${t - 7}) // 10 AS s$t
+         |  FROM st${t - 1})""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT event_type, ${sqlEpochDay("ts")} AS day
+       |  FROM events),
+       |d AS (SELECT event_type, day, count(*) AS y FROM e GROUP BY 1, 2),
+       |b AS (SELECT min(day) AS lo, max(day) AS hi FROM e),
+       |ty AS (SELECT DISTINCT event_type FROM e),
+       |spine AS (SELECT event_type, unnest(range(lo, hi + 1)) AS day
+       |  FROM ty CROSS JOIN b),
+       |f AS (SELECT s.event_type, s.day, COALESCE(d.y, 0) AS y,
+       |    row_number() OVER (PARTITION BY s.event_type
+       |      ORDER BY s.day) AS rn
+       |  FROM spine s LEFT JOIN d USING (event_type, day)),
+       |piv AS (SELECT event_type,
+       |    $piv
+       |  FROM f WHERE rn <= 28 GROUP BY 1),
+       |st14 AS (SELECT *,
+       |    (($w2) * 1000000) // 7 AS l14,
+       |    ((($w2) - ($w1)) * 1000000) // 49 AS b14,
+       |    $sInit
+       |  FROM piv),
+       |$steps""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     // Ordered conversion funnel view → click → purchase: a user counts
     // for stage k only with a stage-k event strictly after their first
@@ -2262,33 +2338,32 @@ object AnalyticsQueries {
     // final ÷10⁶ display conversions, r4d'd. Scale: the corpus
     // collapses to |types|×28 cells in one exchange; the unrolled
     // steps are column expressions on a |types|-row frame.
+    // HOLT-WINTERS BACKTEST (§2.136) — how good were the 14
+    // one-step-ahead predictions the ts_holt_winters recurrence made?
+    // MAE and WAPE per type, both EXACT integer arithmetic end to
+    // end: each step's error |y_t·10⁶ − p_t| is a BIGINT (the
+    // prediction is already in micro-units), so the sums need no
+    // snap and WAPE is one integer-over-integer division. The model
+    // evaluation loop (fit key + error key) every forecasting
+    // pipeline runs, closed over the same declared state machine —
+    // literally the same helper builds both plans.
+    "ts_hw_backtest" -> ((s, dir) => {
+      val cur = holtWintersWide(s, dir)
+      val errSum = (15 to 28)
+        .map(t => s"abs(y$t * 1000000 - p$t)").mkString(" + ")
+      val ySum = (15 to 28).map(t => s"y$t").mkString(" + ")
+      cur.select(col("event_type"),
+          expr(s"$errSum").as("err6"), expr(s"$ySum").as("ytot"))
+        .select(col("event_type"), lit(14L).as("n_steps"),
+          r4d(col("err6").cast("double") / lit(14.0) / lit(1000000.0))
+            .as("mae"),
+          r4d(col("err6").cast("double")
+            / (col("ytot") * 1000000L).cast("double")).as("wape"))
+        .orderBy("event_type")
+    }),
+
     "ts_holt_winters" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy("event_type").orderBy("day")
-      val d = zeroFilledDaily(s, dir)
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= 28)
-      val aggs = (1 to 28).map(i =>
-        max(when(col("rn") === i, col("y"))).cast("long").as(s"y$i"))
-      var cur = d.groupBy("event_type").agg(aggs.head, aggs.tail: _*)
-      val w1 = (1 to 7).map(i => s"y$i").mkString(" + ")
-      val w2 = (8 to 14).map(i => s"y$i").mkString(" + ")
-      cur = cur
-        .withColumn("l14", expr(s"(($w2) * 1000000) div 7"))
-        .withColumn("b14", expr(s"((($w2) - ($w1)) * 1000000) div 49"))
-      for (j <- 8 to 14)
-        cur = cur.withColumn(s"s$j", expr(s"y$j * 1000000 - l14"))
-      for (t <- 15 to 28) {
-        cur = cur
-          .withColumn(s"p$t", expr(s"l${t - 1} + b${t - 1} + s${t - 7}"))
-          .withColumn(s"l$t", expr(
-            s"(2 * (y$t * 1000000 - s${t - 7})" +
-              s" + 8 * (l${t - 1} + b${t - 1})) div 10"))
-          .withColumn(s"b$t", expr(
-            s"((l$t - l${t - 1}) + 9 * b${t - 1}) div 10"))
-          .withColumn(s"s$t", expr(
-            s"(3 * (y$t * 1000000 - l$t) + 7 * s${t - 7}) div 10"))
-      }
+      val cur = holtWintersWide(s, dir)
       val stacked = (15 to 28)
         .map(t => s"${t}L, y$t, p$t, l$t, b$t, s$t").mkString(", ")
       cur.selectExpr("event_type",
@@ -2339,6 +2414,61 @@ object AnalyticsQueries {
           r4d((col("detr7").cast("double") - col("seasonal7")) / lit(7.0))
             .as("residual"))
         .orderBy("event_type", "day")
+    }),
+
+    // SEASONAL / TREND STRENGTH (§2.135) — the Hyndman feasts-style
+    // scalars on top of ts_stl_decompose's components: F_seasonal =
+    // max(0, 1 − Var(resid)/Var(detrended)) and F_trend =
+    // max(0, 1 − Var(resid)/Var(deseasonalized)) per type — the two
+    // numbers a forecasting router reads before picking a model.
+    // Same 1/7-unit integer pipeline as STL (trend7 = 7-day window
+    // SUM, detr7 = 7y − trend7 exact); the residual and the
+    // deseasonalized series subtract the per-(type,dow) seasonal
+    // mean (one exact division per bounded cell), so those two are
+    // snapped to milli-units (floor·10³ of the identical IEEE chain)
+    // before their DECIMAL(38,0) variance moments — no raw-double
+    // sum anywhere. Complete-window days only, the STL edge rule.
+    "ts_seasonal_strength" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w7 = Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(-3, 3)
+      val d = zeroFilledDaily(s, dir)
+        .withColumn("nwin", count(lit(1)).over(w7))
+        .withColumn("trend7",
+          when(col("nwin") === 7, sum(col("y")).over(w7)))
+        .withColumn("dow", col("day") % 7)
+        .withColumn("detr7", lit(7) * col("y") - col("trend7"))
+        .filter(col("detr7").isNotNull)
+      val seasonal = d.groupBy("event_type", "dow")
+        .agg((sum(col("detr7")).cast("double")
+          / count(lit(1)).cast("double")).as("seasonal7"))
+      val x = d.join(broadcast(seasonal), Seq("event_type", "dow"))
+        .select(col("event_type"), col("detr7"),
+          floor((col("detr7").cast("double") - col("seasonal7"))
+            * lit(1000.0)).cast("long").as("res3"),
+          floor((lit(7.0) * col("y").cast("double") - col("seasonal7"))
+            * lit(1000.0)).cast("long").as("des3"))
+      def varTerm(c: String) =
+        (count(lit(1)).cast("decimal(38,0)")
+          * sum(col(c).cast("decimal(38,0)") * col(c))
+          - sum(col(c).cast("decimal(38,0)"))
+            * sum(col(c).cast("decimal(38,0)"))).cast("double")
+      x.groupBy("event_type")
+        .agg(count(lit(1)).as("n_days"),
+          varTerm("res3").as("vres"),
+          varTerm("des3").as("vdes"),
+          (count(lit(1)).cast("decimal(38,0)")
+            * sum((col("detr7") * 1000).cast("decimal(38,0)")
+              * (col("detr7") * 1000))
+            - sum((col("detr7") * 1000).cast("decimal(38,0)"))
+              * sum((col("detr7") * 1000).cast("decimal(38,0)")))
+            .cast("double").as("vdet"))
+        .select(col("event_type"), col("n_days"),
+          r4d(greatest(lit(0.0),
+            lit(1.0) - col("vres") / col("vdet"))).as("f_seasonal"),
+          r4d(greatest(lit(0.0),
+            lit(1.0) - col("vres") / col("vdes"))).as("f_trend"))
+        .orderBy("event_type")
     }),
 
     // ANSI FILTER-CLAUSE AGGREGATES + bool_and/bool_or — the
@@ -2443,50 +2573,86 @@ object AnalyticsQueries {
   )
 
   val oracle: Map[String, String] = Map(
-    // Same 28-column pivot and the same 14 unrolled integer steps —
-    // one CTE per step (DuckDB lateral aliases let b_t read l_t);
-    // `//` ≡ Spark `div` on negatives (both truncate toward zero).
-    "ts_holt_winters" -> {
-      val w1 = (1 to 7).map(i => s"y$i").mkString(" + ")
-      val w2 = (8 to 14).map(i => s"y$i").mkString(" + ")
-      val piv = (1 to 28).map(i =>
-        s"CAST(max(CASE WHEN rn = $i THEN y END) AS BIGINT) AS y$i")
-        .mkString(",\n    ")
-      val sInit = (8 to 14).map(j => s"y$j * 1000000 - l14 AS s$j")
-        .mkString(",\n    ")
-      val steps = (15 to 28).map { t =>
-        s"""st$t AS (SELECT *,
-           |    l${t - 1} + b${t - 1} + s${t - 7} AS p$t,
-           |    (2 * (y$t * 1000000 - s${t - 7})
-           |      + 8 * (l${t - 1} + b${t - 1})) // 10 AS l$t,
-           |    ((l$t - l${t - 1}) + 9 * b${t - 1}) // 10 AS b$t,
-           |    (3 * (y$t * 1000000 - l$t) + 7 * s${t - 7}) // 10 AS s$t
-           |  FROM st${t - 1})""".stripMargin
-      }.mkString(",\n")
-      val union = (15 to 28).map(t =>
-        s"SELECT event_type, $t AS step, y$t AS y, p$t AS pm, " +
-          s"l$t AS lm, b$t AS bm, s$t AS sm FROM st28")
-        .mkString("\n  UNION ALL ")
+    // Same STL integer pipeline, same milli-unit snaps, same
+    // n·Σx²−(Σx)² variance terms.
+    "ts_seasonal_strength" ->
       s"""WITH e AS (SELECT event_type, ${sqlEpochDay("ts")} AS day
          |  FROM events),
-         |d AS (SELECT event_type, day, count(*) AS y FROM e GROUP BY 1, 2),
+         |d0 AS (SELECT event_type, day, count(*) AS y FROM e
+         |  GROUP BY 1, 2),
          |b AS (SELECT min(day) AS lo, max(day) AS hi FROM e),
          |ty AS (SELECT DISTINCT event_type FROM e),
          |spine AS (SELECT event_type, unnest(range(lo, hi + 1)) AS day
          |  FROM ty CROSS JOIN b),
-         |f AS (SELECT s.event_type, s.day, COALESCE(d.y, 0) AS y,
-         |    row_number() OVER (PARTITION BY s.event_type
-         |      ORDER BY s.day) AS rn
-         |  FROM spine s LEFT JOIN d USING (event_type, day)),
-         |piv AS (SELECT event_type,
-         |    $piv
-         |  FROM f WHERE rn <= 28 GROUP BY 1),
-         |st14 AS (SELECT *,
-         |    (($w2) * 1000000) // 7 AS l14,
-         |    ((($w2) - ($w1)) * 1000000) // 49 AS b14,
-         |    $sInit
-         |  FROM piv),
-         |$steps,
+         |f AS (SELECT s.event_type, s.day, COALESCE(d0.y, 0) AS y
+         |  FROM spine s LEFT JOIN d0 USING (event_type, day)),
+         |t AS (SELECT event_type, day, y,
+         |    count(*) OVER w AS nwin, CAST(sum(y) OVER w AS BIGINT)
+         |      AS trend7, day % 7 AS dow
+         |  FROM f WINDOW w AS (PARTITION BY event_type ORDER BY day
+         |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+         |dd AS (SELECT event_type, day, y, dow,
+         |    7 * y - trend7 AS detr7
+         |  FROM t WHERE nwin = 7),
+         |se AS (SELECT event_type, dow,
+         |    CAST(CAST(sum(detr7) AS BIGINT) AS DOUBLE)
+         |      / CAST(count(*) AS DOUBLE) AS seasonal7
+         |  FROM dd GROUP BY 1, 2),
+         |x AS (SELECT dd.event_type, detr7,
+         |    CAST(floor((CAST(detr7 AS DOUBLE) - seasonal7) * 1000.0)
+         |      AS BIGINT) AS res3,
+         |    CAST(floor((7.0 * CAST(y AS DOUBLE) - seasonal7)
+         |      * 1000.0) AS BIGINT) AS des3
+         |  FROM dd JOIN se USING (event_type, dow)),
+         |a AS (SELECT event_type, count(*) AS n_days,
+         |    CAST(CAST(count(*) AS HUGEINT)
+         |        * sum(CAST(res3 AS HUGEINT) * res3)
+         |      - sum(CAST(res3 AS HUGEINT))
+         |        * sum(CAST(res3 AS HUGEINT)) AS DOUBLE) AS vres,
+         |    CAST(CAST(count(*) AS HUGEINT)
+         |        * sum(CAST(des3 AS HUGEINT) * des3)
+         |      - sum(CAST(des3 AS HUGEINT))
+         |        * sum(CAST(des3 AS HUGEINT)) AS DOUBLE) AS vdes,
+         |    CAST(CAST(count(*) AS HUGEINT)
+         |        * sum(CAST(detr7 * 1000 AS HUGEINT)
+         |          * (detr7 * 1000))
+         |      - sum(CAST(detr7 * 1000 AS HUGEINT))
+         |        * sum(CAST(detr7 * 1000 AS HUGEINT)) AS DOUBLE)
+         |      AS vdet
+         |  FROM x GROUP BY 1)
+         |SELECT event_type, n_days,
+         |  ROUND(greatest(0.0, 1.0 - vres / vdet) * 10000) / 10000
+         |    AS f_seasonal,
+         |  ROUND(greatest(0.0, 1.0 - vres / vdes) * 10000) / 10000
+         |    AS f_trend
+         |FROM a ORDER BY event_type""".stripMargin,
+    // Same 28-column pivot and the same 14 unrolled integer steps —
+    // one CTE per step (DuckDB lateral aliases let b_t read l_t);
+    // `//` ≡ Spark `div` on negatives (both truncate toward zero).
+    // Same st28 chain; the error/total sums are the same integer
+    // expressions.
+    "ts_hw_backtest" -> {
+      val errSum = (15 to 28)
+        .map(t => s"abs(y$t * 1000000 - p$t)").mkString("\n  + ")
+      val ySum = (15 to 28).map(t => s"y$t").mkString(" + ")
+      s"""$holtWintersOracleCtes,
+         |u AS (SELECT event_type,
+         |    CAST($errSum AS BIGINT) AS err6,
+         |    CAST($ySum AS BIGINT) AS ytot
+         |  FROM st28)
+         |SELECT event_type, CAST(14 AS BIGINT) AS n_steps,
+         |  ROUND(CAST(err6 AS DOUBLE) / 14.0 / 1000000.0 * 10000)
+         |    / 10000 AS mae,
+         |  ROUND(CAST(err6 AS DOUBLE) / CAST(ytot * 1000000 AS DOUBLE)
+         |    * 10000) / 10000 AS wape
+         |FROM u ORDER BY event_type""".stripMargin
+    },
+    "ts_holt_winters" -> {
+      val union = (15 to 28).map(t =>
+        s"SELECT event_type, $t AS step, y$t AS y, p$t AS pm, " +
+          s"l$t AS lm, b$t AS bm, s$t AS sm FROM st28")
+        .mkString("\n  UNION ALL ")
+      s"""$holtWintersOracleCtes,
          |u AS ($union)
          |SELECT event_type, CAST(step AS BIGINT) AS step, y,
          |  ROUND(CAST(pm AS DOUBLE) / 1000000.0 * 10000) / 10000 + 0.0

@@ -954,6 +954,42 @@ object GraphQueries {
     // the closure replaced by the forward/backward min-label
     // supersteps of dedup_cluster_canon — the doubling here is the
     // bounded-domain fast path, not the scale claim.
+    // EDGE RECIPROCITY (§2.135) — the directed-graph scalar next to
+    // graph_scc: of the dominant-transition edges (same uniform-share
+    // cut, self-loops excluded), what fraction have their REVERSE
+    // also present? The mutuality number that separates a feed-back
+    // event loop from a one-way funnel. The graph is the bounded
+    // |types|² relation; reciprocity = |E ∩ Eᵀ|/|E| via one
+    // self-join, exact integer counts, one division.
+    "graph_reciprocity" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ms"), col("event_id"))
+      val trans = graft.Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_millis(col("ts").cast("timestamp")).as("ms"))
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("src"), col("next_type").as("dst"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("n_from",
+          sum(col("n")).over(Window.partitionBy(col("src"))))
+      val nt = graft.Tables.events(s, dir)
+        .select(col("event_type")).distinct()
+        .agg(count(lit(1)).as("ntypes"))
+      val edges = trans.crossJoin(broadcast(nt))
+        .filter(col("n") * col("ntypes") >= col("n_from")
+          && col("src") =!= col("dst"))
+        .select(col("src"), col("dst")).localCheckpoint(true)
+      val recip = edges.as("e").join(edges.as("r"),
+        col("e.src") === col("r.dst") && col("e.dst") === col("r.src"))
+      edges.agg(count(lit(1)).as("n_edges"))
+        .crossJoin(recip.agg(count(lit(1)).as("n_reciprocal")))
+        .select(col("n_edges"), col("n_reciprocal"),
+          r4d(col("n_reciprocal").cast("double")
+            / col("n_edges").cast("double")).as("reciprocity"))
+    }),
+
     // KATZ CENTRALITY, 3-TERM (§2.134) — the attenuated-walk-count
     // centrality completing the centrality family: katz(v) =
     // Σ_k α^k·(walks of length k ending at v), truncated at k = 3
@@ -1622,6 +1658,31 @@ object GraphQueries {
            |FROM dc LEFT JOIN ein ON dc.label = ein.label
            |CROSS JOIN mm
            |ORDER BY community""".stripMargin),
+
+    // Same dominant-transition cut minus self-loops; E ∩ Eᵀ by one
+    // self-join.
+    "graph_reciprocity" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |    epoch_ms(ts) AS ms FROM events),
+        |tr AS (SELECT event_type AS src,
+        |    lead(event_type, 1) OVER (PARTITION BY user_id
+        |      ORDER BY ms, event_id) AS dst
+        |  FROM e),
+        |tc AS (SELECT src, dst, count(*) AS n FROM tr
+        |  WHERE dst IS NOT NULL GROUP BY 1, 2),
+        |tf AS (SELECT src, dst, n,
+        |    sum(n) OVER (PARTITION BY src) AS n_from FROM tc),
+        |nt AS (SELECT count(*) AS ntypes FROM
+        |  (SELECT DISTINCT event_type FROM events)),
+        |ed AS (SELECT src, dst FROM tf CROSS JOIN nt
+        |  WHERE n * ntypes >= n_from AND src <> dst),
+        |ne AS (SELECT count(*) AS n_edges FROM ed),
+        |nr AS (SELECT count(*) AS n_reciprocal
+        |  FROM ed e JOIN ed r ON e.src = r.dst AND e.dst = r.src)
+        |SELECT n_edges, n_reciprocal,
+        |  ROUND(CAST(n_reciprocal AS DOUBLE) / CAST(n_edges AS DOUBLE)
+        |    * 10000) / 10000 AS reciprocity
+        |FROM ne CROSS JOIN nr""".stripMargin,
 
     // Same Doulion edges, the same three gather stages, identical
     // truncating α^k divisions.

@@ -462,6 +462,53 @@ object SimQueries {
     // |labels| rows of arrays; scoring is one map-side pass over the
     // vector table (the IVF routing shape), and the confusion output
     // is |labels|² rows.
+    // TOP-K CLASSIFICATION ACCURACY (§2.136) — the standard
+    // image-net-style top-1/top-3 readout over the SAME centroid
+    // classifier sim_centroid_classify declares (the confusion
+    // matrix says WHERE it errs; this says how often the truth is
+    // at least NEAR the top): rank the label centroids per vector
+    // by the identical bit-stable d² fold, flag the truth at rank 1
+    // and within rank ≤ 3. Exact counts per label, two divisions.
+    "eval_topk_accuracy" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cent = emb
+        .select(col("label"), posexplode(col("embedding")))
+        .groupBy(col("label"), col("pos"))
+        .agg((sum(col("col").cast("double").cast("decimal(38,12)"))
+          .cast("double") / count(lit(1))).as("c"))
+      val carr = cent.groupBy("label")
+        .agg(array_sort(collect_list(struct(col("pos"), col("c"))))
+          .as("ps"))
+        .select(col("label").as("clabel"),
+          expr("transform(ps, p -> p.c)").as("cvec"))
+      val scored = emb.crossJoin(broadcast(carr))
+        .withColumn("d2", aggregate(
+          zip_with(col("embedding"), col("cvec"),
+            (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
+          lit(0.0), (acc, e) => acc + e))
+      val w = Window.partitionBy("vec_id")
+        .orderBy(col("d2"), col("clabel"))
+      scored.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .groupBy("vec_id", "label")
+        .agg(max(when(col("rk") === 1
+            && col("clabel") === col("label"), 1L).otherwise(0L))
+            .as("hit1"),
+          max(when(col("clabel") === col("label"), 1L).otherwise(0L))
+            .as("hit3"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(col("hit1")).cast("long").as("n_top1"),
+          sum(col("hit3")).cast("long").as("n_top3"))
+        .select(col("label"), col("n_vecs"), col("n_top1"),
+          col("n_top3"),
+          r4d(col("n_top1").cast("double") / col("n_vecs").cast("double"))
+            .as("top1_acc"),
+          r4d(col("n_top3").cast("double") / col("n_vecs").cast("double"))
+            .as("top3_acc"))
+        .orderBy("label")
+    }),
+
     "sim_centroid_classify" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val cent = emb
@@ -970,6 +1017,42 @@ object SimQueries {
     // Parallel unnests zip positionally (the centroid key's device);
     // per-dim squares fold in index order; argmin via row_number with
     // the same (d2, label) tie order.
+    // Same centroids, same fold, same per-vector ranking; top-1 and
+    // top-3 flags reduce per label.
+    "eval_topk_accuracy" ->
+      """WITH u AS (SELECT label, unnest(range(len(embedding))) AS pos,
+        |    unnest(embedding) AS x
+        |  FROM embeddings),
+        |cent AS (SELECT label, pos,
+        |    CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE)
+        |      / COUNT(*) AS c
+        |  FROM u GROUP BY 1, 2),
+        |carr AS (SELECT label AS clabel, list(c ORDER BY pos) AS cvec
+        |  FROM cent GROUP BY 1),
+        |sc AS (SELECT e.vec_id, e.label, c.clabel,
+        |    list_aggregate(list_transform(range(1, len(e.embedding) + 1),
+        |      i -> (CAST(e.embedding[i] AS DOUBLE) - c.cvec[i])
+        |        * (CAST(e.embedding[i] AS DOUBLE) - c.cvec[i])), 'sum')
+        |      AS d2
+        |  FROM embeddings e CROSS JOIN carr c),
+        |r AS (SELECT vec_id, label, clabel,
+        |    row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY d2, clabel) AS rk
+        |  FROM sc),
+        |h AS (SELECT vec_id, label,
+        |    CAST(max(CASE WHEN rk = 1 AND clabel = label THEN 1
+        |      ELSE 0 END) AS BIGINT) AS hit1,
+        |    CAST(max(CASE WHEN clabel = label THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS hit3
+        |  FROM r WHERE rk <= 3 GROUP BY 1, 2)
+        |SELECT label, count(*) AS n_vecs,
+        |  CAST(sum(hit1) AS BIGINT) AS n_top1,
+        |  CAST(sum(hit3) AS BIGINT) AS n_top3,
+        |  ROUND(CAST(CAST(sum(hit1) AS BIGINT) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) * 10000) / 10000 AS top1_acc,
+        |  ROUND(CAST(CAST(sum(hit3) AS BIGINT) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) * 10000) / 10000 AS top3_acc
+        |FROM h GROUP BY label ORDER BY label""".stripMargin,
     "sim_centroid_classify" ->
       """WITH u AS (SELECT label, unnest(range(len(embedding))) AS pos,
         |    unnest(embedding) AS x

@@ -1877,6 +1877,56 @@ object StatQueries {
                 .cast("double")))).as("q"))
     }),
 
+    // KRUSKAL-WALLIS H (§2.135) — the k-group UNPAIRED rank test
+    // that rounds out the nonparametric family (one-way ANOVA on
+    // ranks): do the five event types draw value cents from one
+    // distribution? Same aggregate-first device as agg_mann_whitney_u
+    // scaled to k groups: the corpus reduces to the (cents, type)
+    // count table, value-level lo/hi come from ONE cumulative pass
+    // over the bounded distinct-cents dictionary, and each group's
+    // DOUBLED rank sum is Σ cnt·(lo+1+hi) exact in DECIMAL(38,0).
+    // The cross-group Σ R²ⱼ/nⱼ is snapped per group (floor of the
+    // identical IEEE chain — deterministic, capacity documented) so
+    // only integers are ever summed; tie correction Σ(t³−t) exact in
+    // decimals; H and the corrected H are one edge chain.
+    "agg_kruskal_wallis" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = events(s, dir)
+        .select(col("event_type"),
+          round(col("value") * 100).cast("long").as("cents"))
+      val gv = e.groupBy("cents", "event_type")
+        .agg(count(lit(1)).as("cnt"))
+      val nv = gv.groupBy("cents").agg(sum(col("cnt")).as("nv"))
+      val wv = Window.orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val vt = nv.withColumn("hi", sum(col("nv")).over(wv))
+        .withColumn("lo", col("hi") - col("nv"))
+      val grp = gv.join(vt, Seq("cents"))
+        .groupBy("event_type")
+        .agg(sum(col("cnt")).cast("long").as("nj"),
+          sum(col("cnt").cast("decimal(38,0)")
+            * (col("lo") + 1 + col("hi"))).cast("decimal(38,0)")
+            .as("r2j"))
+      val terms = grp.select(col("nj"),
+        floor(col("r2j").cast("double") * col("r2j").cast("double")
+          / col("nj").cast("double")).cast("long").as("t0"))
+      val ties = vt.agg(sum(col("nv").cast("decimal(38,0)")
+        * col("nv") * col("nv") - col("nv")).cast("decimal(38,0)")
+        .as("tsum"))
+      val a = terms.agg(count(lit(1)).as("k"),
+        sum(col("nj")).cast("long").as("n"),
+        sum(col("t0")).cast("decimal(38,0)").as("st"))
+      a.crossJoin(broadcast(ties))
+        .select(col("k"), col("n"), (col("k") - 1).as("df"),
+          r4d((lit(3.0) * col("st").cast("double")
+            / (col("n").cast("double")
+              * (col("n").cast("double") + lit(1.0)))
+            - lit(3.0) * (col("n").cast("double") + lit(1.0)))
+            / (lit(1.0) - col("tsum").cast("double")
+              / (col("n").cast("decimal(38,0)") * col("n") * col("n")
+                - col("n")).cast("double"))).as("h"))
+    }),
+
     // FRIEDMAN TEST (§2.134) — the k-related-samples rank test
     // completing the nonparametric family (Wilcoxon = 2 paired,
     // Mann-Whitney = 2 unpaired, Kruskal's role here taken by the
@@ -2040,6 +2090,53 @@ object StatQueries {
               / vden("n1").cast("double"))
             / (vnum("n2", "sx2", "sxx2").cast("double")
               / vden("n2").cast("double")))).as("f"))
+    }),
+
+    // DECISION-STUMP SPLIT FINDER (§2.136) — the CART primitive:
+    // which threshold on value best separates purchases, by weighted
+    // Gini impurity G = 1 − [(tp²+fp²)/n_L + (fn²+tn²)/n_R]/N?
+    // Every feature-importance and tree-induction pass runs exactly
+    // this scan. Same confusion fixture and broadcast threshold
+    // spine as eval_confusion_binary; squared counts exact in
+    // DECIMAL(38,0), two spelled divisions per row, empty sides
+    // contribute 0, best row = min Gini with lowest-threshold
+    // tie-break via two broadcast scalar reductions.
+    "eval_stump_split" -> ((s, dir) => {
+      val e = events(s, dir).select(col("value"),
+        (col("event_type") === "purchase").as("pos"))
+      val thresholds = s.range(1, 10)
+        .select((col("id") * 20).cast("double").as("threshold"))
+      val m = e.crossJoin(broadcast(thresholds))
+        .groupBy("threshold")
+        .agg(count_if(col("pos") && col("value") >= col("threshold"))
+            .as("tp"),
+          count_if(!col("pos") && col("value") >= col("threshold"))
+            .as("fp"),
+          count_if(col("pos") && col("value") < col("threshold"))
+            .as("fn"),
+          count_if(!col("pos") && col("value") < col("threshold"))
+            .as("tn"))
+      def sq(c: String) = col(c).cast("decimal(38,0)") * col(c)
+      val g = m.withColumn("n_left", col("tp") + col("fp"))
+        .withColumn("n_right", col("fn") + col("tn"))
+        .withColumn("gd", lit(1.0)
+          - (when(col("n_left") > 0,
+              (sq("tp") + sq("fp")).cast("double")
+                / col("n_left").cast("double")).otherwise(lit(0.0))
+            + when(col("n_right") > 0,
+              (sq("fn") + sq("tn")).cast("double")
+                / col("n_right").cast("double")).otherwise(lit(0.0)))
+            / (col("n_left") + col("n_right")).cast("double"))
+        .localCheckpoint(true)
+      val mn = g.agg(min(col("gd")).as("mg"))
+      val bt = g.crossJoin(broadcast(mn))
+        .filter(col("gd") === col("mg"))
+        .agg(min(col("threshold")).as("bt"))
+      g.crossJoin(broadcast(bt))
+        .select(col("threshold"), col("n_left"), col("n_right"),
+          r4d(col("gd")).as("gini"),
+          (col("threshold") === col("bt")).as("is_best"))
+        .orderBy("threshold")
     }),
 
     // MATTHEWS CORRELATION (§2.132) — the single-number
@@ -2489,6 +2586,40 @@ object StatQueries {
          |      / (4.0 * CAST(4 * t - rr AS DOUBLE)) * 10000) / 10000
          |      + 0.0 END AS q
          |FROM sd""".stripMargin,
+    // Same dictionary cumulative pass, doubled rank sums, snapped
+    // per-group terms, identical tie-corrected chain.
+    "agg_kruskal_wallis" ->
+      """WITH e AS (SELECT event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |gv AS (SELECT cents, event_type, count(*) AS cnt
+        |  FROM e GROUP BY 1, 2),
+        |nv AS (SELECT cents, CAST(sum(cnt) AS BIGINT) AS nv
+        |  FROM gv GROUP BY 1),
+        |vt AS (SELECT cents, nv,
+        |    CAST(sum(nv) OVER (ORDER BY cents
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS hi
+        |  FROM nv),
+        |v2 AS (SELECT cents, nv, hi, hi - nv AS lo FROM vt),
+        |grp AS (SELECT event_type, CAST(sum(cnt) AS BIGINT) AS nj,
+        |    CAST(sum(CAST(cnt AS HUGEINT) * (lo + 1 + hi))
+        |      AS HUGEINT) AS r2j
+        |  FROM gv JOIN v2 USING (cents) GROUP BY 1),
+        |terms AS (SELECT nj,
+        |    CAST(floor(CAST(r2j AS DOUBLE) * CAST(r2j AS DOUBLE)
+        |      / CAST(nj AS DOUBLE)) AS BIGINT) AS t0
+        |  FROM grp),
+        |ties AS (SELECT CAST(sum(CAST(nv AS HUGEINT) * nv * nv - nv)
+        |    AS HUGEINT) AS tsum FROM v2),
+        |a AS (SELECT count(*) AS k, CAST(sum(nj) AS BIGINT) AS n,
+        |    CAST(sum(t0) AS HUGEINT) AS st FROM terms)
+        |SELECT k, n, k - 1 AS df,
+        |  ROUND((3.0 * CAST(st AS DOUBLE)
+        |    / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0))
+        |    - 3.0 * (CAST(n AS DOUBLE) + 1.0))
+        |    / (1.0 - CAST(tsum AS DOUBLE)
+        |      / CAST(CAST(n AS HUGEINT) * n * n - n AS DOUBLE))
+        |    * 10000) / 10000 + 0.0 AS h
+        |FROM a CROSS JOIN ties""".stripMargin,
     // Same zero-filled user×week spine, the same bounded 4×4
     // doubled-rank self-join, HUGEINT column sums, one chain.
     "agg_friedman_test" ->
@@ -2606,6 +2737,39 @@ object StatQueries {
         |      / CAST(CAST(n2 AS HUGEINT) * (n2 - 1) AS DOUBLE))
         |    * 10000) / 10000 END AS f
         |FROM p""".stripMargin,
+    // Same confusion spine, HUGEINT squared counts, identical Gini
+    // chain, identical min + lowest-threshold tie-break.
+    "eval_stump_split" ->
+      """WITH e AS (SELECT value,
+        |    event_type = 'purchase' AS pos FROM events),
+        |th AS (SELECT CAST(range * 20 AS DOUBLE) AS threshold
+        |  FROM range(1, 10)),
+        |m AS (SELECT threshold,
+        |    count(*) FILTER (WHERE pos AND value >= threshold) AS tp,
+        |    count(*) FILTER (WHERE NOT pos AND value >= threshold)
+        |      AS fp,
+        |    count(*) FILTER (WHERE pos AND value < threshold) AS fn,
+        |    count(*) FILTER (WHERE NOT pos AND value < threshold)
+        |      AS tn
+        |  FROM e CROSS JOIN th GROUP BY 1),
+        |g AS (SELECT threshold, tp + fp AS n_left, fn + tn AS n_right,
+        |    1.0 - (CASE WHEN tp + fp > 0 THEN
+        |        CAST(CAST(tp AS HUGEINT) * tp
+        |          + CAST(fp AS HUGEINT) * fp AS DOUBLE)
+        |          / CAST(tp + fp AS DOUBLE) ELSE 0.0 END
+        |      + CASE WHEN fn + tn > 0 THEN
+        |        CAST(CAST(fn AS HUGEINT) * fn
+        |          + CAST(tn AS HUGEINT) * tn AS DOUBLE)
+        |          / CAST(fn + tn AS DOUBLE) ELSE 0.0 END)
+        |      / CAST(tp + fp + fn + tn AS DOUBLE) AS gd
+        |  FROM m),
+        |mn AS (SELECT min(gd) AS mg FROM g),
+        |bt AS (SELECT min(threshold) AS bt FROM g CROSS JOIN mn
+        |  WHERE gd = mg)
+        |SELECT threshold, n_left, n_right,
+        |  ROUND(gd * 10000) / 10000 AS gini,
+        |  threshold = bt AS is_best
+        |FROM g CROSS JOIN bt ORDER BY threshold""".stripMargin,
     // Same confusion counts; exact HUGEINT numerator, the identical
     // fixed-order marginal product under one sqrt.
     "eval_matthews_corr" ->

@@ -465,10 +465,16 @@ class InventorySpec extends SparkSpec {
     // §2.133 round-14 sixth wave: Bartlett, sign test, late arrivals
     "agg_bartlett_test", "agg_sign_test", "etl_late_arrival_report",
     // §2.134 round-14 seventh wave: Friedman, lexical density, Katz
-    "agg_friedman_test", "text_lexical_density", "graph_katz")
+    "agg_friedman_test", "text_lexical_density", "graph_katz",
+    // §2.135 round-14 eighth wave: Kruskal-Wallis, seasonal strength,
+    // reciprocity
+    "agg_kruskal_wallis", "ts_seasonal_strength", "graph_reciprocity",
+    // §2.136 round-14 ninth wave: HW backtest, top-k accuracy,
+    // stump split
+    "ts_hw_backtest", "eval_topk_accuracy", "eval_stump_split")
 
-  test("declared queries cover SURVEY §2 + §2.12-134 exactly (512 keys)") {
-    assert(inventory.size == 512)
+  test("declared queries cover SURVEY §2 + §2.12-136 exactly (518 keys)") {
+    assert(inventory.size == 518)
     val declared = SparkEntry.queries.keySet
     val missing = inventory -- declared
     val extra = declared -- inventory
