@@ -98,7 +98,12 @@ object ScaleStress {
     "agg_quartile_dispersion", "win_time_to_next_purchase",
     "agg_trimmed_mean",
     // Round-13 wave 20 at birth.
-    "agg_hoover_index", "agg_mean_log_deviation", "ts_trend_r2")
+    "agg_hoover_index", "agg_mean_log_deviation", "ts_trend_r2",
+    // Round-14 at birth: the new graph walks/reinforcement, the
+    // corpus-wide rank/bigram reducers, and the centroid ranking.
+    "graph_katz", "graph_hits", "graph_scc", "agg_kruskal_wallis",
+    "text_bigram_overlap", "eval_topk_accuracy", "sim_dim_variance",
+    "agg_logrank_test", "ts_holt_winters")
   // Keys whose only input is lineitem — copy-scalable (see scaladoc).
   // The embeddings/documents keys are NOT copy-scalable for the same
   // reason the dedup keys aren't (cross-copy duplicate geometry);
@@ -112,7 +117,7 @@ object ScaleStress {
     "graph_closeness", "graph_modularity", "graph_label_prop",
     "graph_assortativity", "graph_ego_density", "graph_betweenness",
     "graph_transitivity_global", "graph_eccentricity",
-    "graph_bipartite_profile")
+    "graph_bipartite_profile", "graph_katz", "graph_hits")
 
   /** Bench-heavy instrumentation guard input (InventorySpec asserts
     * every BENCH_FULL top-cost key has a row here — the unmeasured-

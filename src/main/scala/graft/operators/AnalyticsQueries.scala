@@ -2416,6 +2416,80 @@ object AnalyticsQueries {
         .orderBy("event_type", "day")
     }),
 
+    // DURBIN-WATSON (§2.138) — are the daily-trend residuals
+    // autocorrelated (the assumption check behind agg_trend_slope's
+    // OLS and every "is this trend real" read)? DW =
+    // Σ(e_t − e_{t−1})²/Σe_t², and the statistic is SCALE-INVARIANT
+    // in the residuals — so instead of dividing by the slope's
+    // denominator, each residual is multiplied through by it:
+    // E_t = n·Sxx·y_t − Sxx·Σy − n·Sxy·x_t + Sxy·Σx (centered
+    // moments, ALL exact integers in DECIMAL(38,0)), and DW is one
+    // division of two exact integer sums — no float anywhere before
+    // the edge. Day spine zero-filled; lag via ONE per-type window.
+    "ts_durbin_watson" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = zeroFilledDaily(s, dir)
+      val m = d.groupBy("event_type").agg(
+        count(lit(1)).as("n"),
+        sum(col("day").cast("decimal(38,0)")).as("sx"),
+        sum(col("y").cast("decimal(38,0)")).as("sy"),
+        sum(col("day").cast("decimal(38,0)") * col("day")).as("sxx"),
+        sum(col("day").cast("decimal(38,0)") * col("y")).as("sxy"))
+        .withColumn("cxx", col("n").cast("decimal(38,0)") * col("sxx")
+          - col("sx") * col("sx"))
+        .withColumn("cxy", col("n").cast("decimal(38,0)") * col("sxy")
+          - col("sx") * col("sy"))
+      val e = d.join(m, Seq("event_type"))
+        .select(col("event_type"), col("day"),
+          (col("n").cast("decimal(38,0)") * col("cxx") * col("y")
+            - col("cxx") * col("sy")
+            - col("n").cast("decimal(38,0)") * col("cxy") * col("day")
+            + col("cxy") * col("sx")).as("et"))
+      val w = Window.partitionBy("event_type").orderBy("day")
+      e.withColumn("ep", lag(col("et"), 1).over(w))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_days"),
+          sum(col("et") * col("et")).as("see"),
+          sum(when(col("ep").isNotNull,
+            (col("et") - col("ep")) * (col("et") - col("ep")))
+            .otherwise(lit(0).cast("decimal(38,0)"))).as("sd"))
+        .select(col("event_type"), col("n_days"),
+          r4d(col("sd").cast("double") / col("see").cast("double"))
+            .as("dw"))
+        .orderBy("event_type")
+    }),
+
+    // DAY-OF-WEEK UNIFORMITY χ² (§2.138) — is traffic actually
+    // seasonal by weekday, as a TEST rather than ts_dow_seasonality's
+    // profile? χ² against uniform E = N/7 rearranged to the
+    // all-integer form Σ(7·O_d − N)²/(7N) (the agg_cochran_q
+    // doubled-deviation trick at multiplier 7), over the full 7-day
+    // spine so an empty weekday still contributes. One reduce, one
+    // division.
+    "ts_dow_uniformity_chi2" -> ((s, dir) => {
+      val d = events(s, dir)
+        .select(col("event_type"), (epochDay("ts") % 7).as("dow"))
+        .groupBy("event_type", "dow").agg(count(lit(1)).as("o"))
+      val spine = events(s, dir).select("event_type").distinct()
+        .crossJoin(s.range(0, 7).toDF("dow"))
+      val cell = spine.join(d, Seq("event_type", "dow"), "left")
+        .select(col("event_type"), col("dow"),
+          coalesce(col("o"), lit(0L)).as("o"))
+      val tot = cell.groupBy("event_type")
+        .agg(sum(col("o")).cast("long").as("ntot"))
+      cell.join(tot, Seq("event_type"))
+        .select(col("event_type"), col("ntot"),
+          ((lit(7L) * col("o") - col("ntot")).cast("decimal(38,0)")
+            * (lit(7L) * col("o") - col("ntot"))).as("dev2"))
+        .groupBy("event_type", "ntot")
+        .agg(sum(col("dev2")).cast("decimal(38,0)").as("sdev2"))
+        .select(col("event_type"), col("ntot").as("n_events"),
+          lit(6L).as("df"),
+          r4d(col("sdev2").cast("double")
+            / (lit(7.0) * col("ntot").cast("double"))).as("chi2"))
+        .orderBy("event_type")
+    }),
+
     // SEASONAL / TREND STRENGTH (§2.135) — the Hyndman feasts-style
     // scalars on top of ts_stl_decompose's components: F_seasonal =
     // max(0, 1 − Var(resid)/Var(detrended)) and F_trend =
@@ -2573,6 +2647,63 @@ object AnalyticsQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // Same multiplied-through integer residuals (scale cancels in
+    // DW), HUGEINT sums, one division.
+    "ts_durbin_watson" ->
+      s"""WITH e AS (SELECT event_type, ${sqlEpochDay("ts")} AS day
+         |  FROM events),
+         |d0 AS (SELECT event_type, day, count(*) AS y FROM e
+         |  GROUP BY 1, 2),
+         |b AS (SELECT min(day) AS lo, max(day) AS hi FROM e),
+         |ty AS (SELECT DISTINCT event_type FROM e),
+         |spine AS (SELECT event_type, unnest(range(lo, hi + 1)) AS day
+         |  FROM ty CROSS JOIN b),
+         |f AS (SELECT s.event_type, s.day, COALESCE(d0.y, 0) AS y
+         |  FROM spine s LEFT JOIN d0 USING (event_type, day)),
+         |m AS (SELECT event_type, count(*) AS n,
+         |    CAST(sum(CAST(day AS HUGEINT)) AS HUGEINT) AS sx,
+         |    CAST(sum(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+         |    CAST(sum(CAST(day AS HUGEINT) * day) AS HUGEINT) AS sxx,
+         |    CAST(sum(CAST(day AS HUGEINT) * y) AS HUGEINT) AS sxy
+         |  FROM f GROUP BY 1),
+         |m2 AS (SELECT *, CAST(n AS HUGEINT) * sxx - sx * sx AS cxx,
+         |    CAST(n AS HUGEINT) * sxy - sx * sy AS cxy FROM m),
+         |ee AS (SELECT f.event_type, f.day,
+         |    CAST(n AS HUGEINT) * cxx * y - cxx * sy
+         |      - CAST(n AS HUGEINT) * cxy * day + cxy * sx AS et
+         |  FROM f JOIN m2 USING (event_type)),
+         |lg AS (SELECT event_type, et, lag(et) OVER (
+         |    PARTITION BY event_type ORDER BY day) AS ep FROM ee),
+         |a AS (SELECT event_type, count(*) AS n_days,
+         |    CAST(sum(et * et) AS HUGEINT) AS see,
+         |    CAST(sum(CASE WHEN ep IS NOT NULL
+         |      THEN (et - ep) * (et - ep) ELSE 0 END) AS HUGEINT)
+         |      AS sd
+         |  FROM lg GROUP BY 1)
+         |SELECT event_type, n_days,
+         |  ROUND(CAST(sd AS DOUBLE) / CAST(see AS DOUBLE) * 10000)
+         |    / 10000 AS dw
+         |FROM a ORDER BY event_type""".stripMargin,
+    // Same 7-day spine and doubled-deviation integers.
+    "ts_dow_uniformity_chi2" ->
+      s"""WITH d AS (SELECT event_type, ${sqlEpochDay("ts")} % 7
+         |    AS dow, count(*) AS o
+         |  FROM events GROUP BY 1, 2),
+         |ty AS (SELECT DISTINCT event_type FROM events),
+         |spine AS (SELECT event_type, range AS dow
+         |  FROM ty CROSS JOIN range(0, 7)),
+         |cell AS (SELECT s.event_type, s.dow, COALESCE(o, 0) AS o
+         |  FROM spine s LEFT JOIN d USING (event_type, dow)),
+         |tot AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS ntot
+         |  FROM cell GROUP BY 1),
+         |a AS (SELECT cell.event_type, ntot,
+         |    CAST(sum(CAST(7 * o - ntot AS HUGEINT) * (7 * o - ntot))
+         |      AS HUGEINT) AS sdev2
+         |  FROM cell JOIN tot USING (event_type) GROUP BY 1, 2)
+         |SELECT event_type, ntot AS n_events, CAST(6 AS BIGINT) AS df,
+         |  ROUND(CAST(sdev2 AS DOUBLE) / (7.0 * CAST(ntot AS DOUBLE))
+         |    * 10000) / 10000 AS chi2
+         |FROM a ORDER BY event_type""".stripMargin,
     // Same STL integer pipeline, same milli-unit snaps, same
     // n·Σx²−(Σx)² variance terms.
     "ts_seasonal_strength" ->

@@ -62,6 +62,44 @@ object GeoQueries {
     // who). floor() of exact binary coordinates is engine-exact;
     // per-cell stats are one two-phase agg — map-side partials bound
     // the shuffle by |occupied cells| regardless of corpus size.
+    // HEADING SECTOR HISTOGRAM (§2.140) — which way do tracks move:
+    // consecutive-fix displacement vectors classified into the eight
+    // 45° compass octants WITHOUT atan2 — the octant is decided by
+    // sign tests and |dx| vs |dy| comparisons on the exact binary
+    // grid coordinates, so no libm enters the bucketing at all (the
+    // sinuosity key's haversine needs trig; a HISTOGRAM does not).
+    // One spelled CASE cascade, identical text in both engines;
+    // zero-displacement legs drop. Per-user lead window, one reduce.
+    "geo_heading_sectors" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ms"), col("event_id"))
+      val legs = sightings(s, dir)
+        .withColumn("nlat", lead(col("lat"), 1).over(w))
+        .withColumn("nlon", lead(col("lon"), 1).over(w))
+        .filter(col("nlat").isNotNull)
+        .select((col("nlon") - col("lon")).as("dx"),
+          (col("nlat") - col("lat")).as("dy"))
+        .filter(!(col("dx") === 0.0 && col("dy") === 0.0))
+      val sector = expr("""CASE
+        WHEN dy > 0 AND dx >= 0 AND dy >= dx THEN 'NNE'
+        WHEN dx > 0 AND dy >= 0 THEN 'ENE'
+        WHEN dx > 0 AND dx >= -dy THEN 'ESE'
+        WHEN dx >= 0 AND dy < 0 THEN 'SSE'
+        WHEN dy < 0 AND -dy >= -dx THEN 'SSW'
+        WHEN dx < 0 AND dy <= 0 THEN 'WSW'
+        WHEN dx < 0 AND -dx >= dy THEN 'WNW'
+        ELSE 'NNW' END""")
+      val h = legs.select(sector.as("sector"))
+        .groupBy("sector").agg(count(lit(1)).as("n_legs"))
+      val tot = h.agg(sum(col("n_legs")).cast("long").as("ntot"))
+      h.crossJoin(broadcast(tot))
+        .select(col("sector"), col("n_legs"),
+          r4d(col("n_legs").cast("double") / col("ntot").cast("double"))
+            .as("share"))
+        .orderBy("sector")
+    }),
+
     // CELL DWELL TIME (§2.132) — how long do platforms LINGER per
     // grid cell, not just how often are they seen (geo_grid_density's
     // count answers coverage; dwell answers effort): each
@@ -593,6 +631,36 @@ object GeoQueries {
     }))
 
   val oracle: Map[String, String] = Map(
+    // Same exact-comparison CASE cascade (no trig).
+    "geo_heading_sectors" ->
+      """WITH p AS (SELECT event_id, user_id, epoch_ms(ts) AS ms,
+        |    CAST(event_id % 1440 AS DOUBLE) / 8 - 90 AS lat,
+        |    CAST((user_id * 997 + event_id * 31) % 11520 AS DOUBLE)
+        |      / 32 - 180 AS lon
+        |  FROM events),
+        |lg AS (SELECT lat, lon,
+        |    lead(lat) OVER w AS nlat, lead(lon) OVER w AS nlon
+        |  FROM p WINDOW w AS (PARTITION BY user_id
+        |    ORDER BY ms, event_id)),
+        |d AS (SELECT nlon - lon AS dx, nlat - lat AS dy FROM lg
+        |  WHERE nlat IS NOT NULL
+        |    AND NOT (nlon - lon = 0.0 AND nlat - lat = 0.0)),
+        |s AS (SELECT CASE
+        |    WHEN dy > 0 AND dx >= 0 AND dy >= dx THEN 'NNE'
+        |    WHEN dx > 0 AND dy >= 0 THEN 'ENE'
+        |    WHEN dx > 0 AND dx >= -dy THEN 'ESE'
+        |    WHEN dx >= 0 AND dy < 0 THEN 'SSE'
+        |    WHEN dy < 0 AND -dy >= -dx THEN 'SSW'
+        |    WHEN dx < 0 AND dy <= 0 THEN 'WSW'
+        |    WHEN dx < 0 AND -dx >= dy THEN 'WNW'
+        |    ELSE 'NNW' END AS sector
+        |  FROM d),
+        |h AS (SELECT sector, count(*) AS n_legs FROM s GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_legs) AS BIGINT) AS ntot FROM h)
+        |SELECT sector, n_legs,
+        |  ROUND(CAST(n_legs AS DOUBLE) / CAST(ntot AS DOUBLE)
+        |    * 10000) / 10000 AS share
+        |FROM h CROSS JOIN t ORDER BY sector""".stripMargin,
     // Same lead window and earlier-fix cell attribution.
     "geo_cell_dwell" ->
       """WITH p AS (SELECT event_id, user_id, epoch_ms(ts) AS ms,

@@ -1176,6 +1176,38 @@ object PipelineQueries {
     // Retry/replay-deterministic unlike rand(); pure map-side filter, no
     // shuffle below the presentation sort; at 100 TB rates come from a
     // config table instead of a literal CASE (same plan shape).
+    // HORIZONTAL/VERTICAL FLIP MANIFESTS (§2.139) — the cheapest and
+    // most universal detection augmentation, as coordinate
+    // bookkeeping: on the shared 1280×900 canvas the ground-truth
+    // boxes of the multimodal_bbox_iou fixture flip to
+    // (W−x2, W−x1) / (H−y2, H−y1). All exact integers; the width/
+    // height/area invariants ride along as checked columns (an
+    // augmentation manifest that silently distorts boxes poisons
+    // training — the invariant IS the product). Pure map work, zero
+    // shuffles before the output sort.
+    "multimodal_flip_boxes" -> ((s, dir) => {
+      val p = t(s, dir, "part").select(col("p_partkey"),
+        col("p_size").cast("long").as("sz"))
+        .withColumn("gx1", (col("p_partkey") % 50) * 20)
+        .withColumn("gy1", (col("p_partkey") % 31) * 25)
+        .withColumn("gx2", col("gx1") + 40 + col("sz"))
+        .withColumn("gy2", col("gy1") + 60)
+      p.select(col("p_partkey"),
+          col("gx1"), col("gy1"), col("gx2"), col("gy2"),
+          (lit(1280L) - col("gx2")).as("hx1"),
+          (lit(1280L) - col("gx1")).as("hx2"),
+          (lit(900L) - col("gy2")).as("vy1"),
+          (lit(900L) - col("gy1")).as("vy2"))
+        .withColumn("w_preserved",
+          col("hx2") - col("hx1") === col("gx2") - col("gx1"))
+        .withColumn("h_preserved",
+          col("vy2") - col("vy1") === col("gy2") - col("gy1"))
+        .withColumn("in_canvas",
+          col("hx1") >= 0 && col("hx2") <= 1280
+            && col("vy1") >= 0 && col("vy2") <= 900)
+        .orderBy("p_partkey")
+    }),
+
     // REPEAT-FACTOR SAMPLING (§2.131) — the LVIS/detectron
     // class-balanced oversampling schedule: rare categories get
     // repeat factor r(c) = max(1, √(T/f_c)) with frequency threshold
@@ -2962,6 +2994,21 @@ object PipelineQueries {
         |SELECT doc_id, frame_idx, octet_length(encode(fs)) AS frame_len,
         |  md5(fs) AS frame_md5
         |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
+    // Same integer flips and invariant columns.
+    "multimodal_flip_boxes" ->
+      """WITH p AS (SELECT p_partkey, CAST(p_size AS BIGINT) AS sz,
+        |    (p_partkey % 50) * 20 AS gx1, (p_partkey % 31) * 25 AS gy1
+        |  FROM part),
+        |b AS (SELECT p_partkey, gx1, gy1,
+        |    gx1 + 40 + sz AS gx2, gy1 + 60 AS gy2 FROM p)
+        |SELECT p_partkey, gx1, gy1, gx2, gy2,
+        |  1280 - gx2 AS hx1, 1280 - gx1 AS hx2,
+        |  900 - gy2 AS vy1, 900 - gy1 AS vy2,
+        |  (1280 - gx1) - (1280 - gx2) = gx2 - gx1 AS w_preserved,
+        |  (900 - gy1) - (900 - gy2) = gy2 - gy1 AS h_preserved,
+        |  1280 - gx2 >= 0 AND 1280 - gx1 <= 1280
+        |    AND 900 - gy2 >= 0 AND 900 - gy1 <= 900 AS in_canvas
+        |FROM b ORDER BY p_partkey""".stripMargin,
     // Same reduce + scalar total; sqrt chain operand-for-operand.
     "pipeline_repeat_factor_sampling" ->
       """WITH tot AS (SELECT count(*) AS n_total FROM documents),

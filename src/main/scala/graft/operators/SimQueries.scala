@@ -462,6 +462,34 @@ object SimQueries {
     // |labels| rows of arrays; scoring is one map-side pass over the
     // vector table (the IVF routing shape), and the confusion output
     // is |labels|² rows.
+    // PER-DIMENSION VARIANCE PROFILE (§2.138) — which embedding
+    // dimensions carry signal: mean and variance per coordinate,
+    // the PCA-lite diagnostic behind Matryoshka-prefix decisions
+    // (sim_prefix_dim_recall measures a 16-dim prefix; this says
+    // whether 16 was the right number). Floats are floor-snapped to
+    // micro-unit BIGINTs per value, so both moments are EXACT
+    // DECIMAL(38,0) integer sums at any corpus size; two divisions
+    // per dimension at the edge. One posexplode + one reduce,
+    // shuffle bounded by |dims|.
+    "sim_dim_variance" -> ((s, dir) => {
+      val u = t(s, dir, "embeddings")
+        .select(posexplode(col("embedding")))
+        .select(col("pos"),
+          floor(col("col").cast("double") * lit(1.0e6)).cast("long")
+            .as("xi"))
+      u.groupBy("pos").agg(count(lit(1)).as("n"),
+          sum(col("xi").cast("decimal(38,0)")).as("sx"),
+          sum(col("xi").cast("decimal(38,0)") * col("xi")).as("sxx"))
+        .select(col("pos").cast("long").as("dim"), col("n"),
+          r4d(col("sx").cast("double") / col("n").cast("double")
+            / lit(1.0e6)).as("mean"),
+          r4d((col("n").cast("decimal(38,0)") * col("sxx")
+              - col("sx") * col("sx")).cast("double")
+            / (col("n").cast("decimal(38,0)") * col("n")).cast("double")
+            / lit(1.0e12)).as("variance"))
+        .orderBy("dim")
+    }),
+
     // TOP-K CLASSIFICATION ACCURACY (§2.136) — the standard
     // image-net-style top-1/top-3 readout over the SAME centroid
     // classifier sim_centroid_classify declares (the confusion
@@ -1017,6 +1045,23 @@ object SimQueries {
     // Parallel unnests zip positionally (the centroid key's device);
     // per-dim squares fold in index order; argmin via row_number with
     // the same (d2, label) tie order.
+    // Same micro-snap, HUGEINT moments, identical edge divisions.
+    "sim_dim_variance" ->
+      """WITH u AS (SELECT unnest(range(len(embedding))) AS pos,
+        |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0)
+        |      AS BIGINT) AS xi
+        |  FROM embeddings),
+        |a AS (SELECT pos, count(*) AS n,
+        |    CAST(sum(CAST(xi AS HUGEINT)) AS HUGEINT) AS sx,
+        |    CAST(sum(CAST(xi AS HUGEINT) * xi) AS HUGEINT) AS sxx
+        |  FROM u GROUP BY 1)
+        |SELECT CAST(pos AS BIGINT) AS dim, n,
+        |  ROUND(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0
+        |    * 10000) / 10000 + 0.0 AS mean,
+        |  ROUND(CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DOUBLE)
+        |    / CAST(CAST(n AS HUGEINT) * n AS DOUBLE) / 1.0e12
+        |    * 10000) / 10000 AS variance
+        |FROM a ORDER BY dim""".stripMargin,
     // Same centroids, same fold, same per-vector ranking; top-1 and
     // top-3 flags reduce per label.
     "eval_topk_accuracy" ->

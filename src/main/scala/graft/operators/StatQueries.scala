@@ -1877,6 +1877,149 @@ object StatQueries {
                 .cast("double")))).as("q"))
     }),
 
+    // LOG-RANK TEST (§2.137) — the standard censoring-aware
+    // comparison of two survival curves (agg_survival_curve draws
+    // them; this says whether the arms DIFFER): time-to-first-
+    // purchase from each user's first event, censored at the window
+    // edge, user-parity arms. At each event time the O−E and
+    // variance terms are rationals over bounded integers, so each is
+    // floor-snapped to 10⁻⁶-unit BIGINTs (identical IEEE chain both
+    // engines) and only integers are summed across the BOUNDED
+    // distinct-time spine; χ² = (ΣO−ΣE)²/ΣV is one edge chain.
+    // At-risk counts come from exclusive cumulative removals over
+    // the spine — no per-user scan per time point.
+    "agg_logrank_test" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = events(s, dir)
+        .select(col("user_id"), col("event_type"),
+          epochDay("ts").as("day"))
+      val fe = ev.groupBy("user_id").agg(min(col("day")).as("fe"))
+      val fp = ev.filter(col("event_type") === "purchase")
+        .groupBy("user_id").agg(min(col("day")).as("fp"))
+      val mx = ev.agg(max(col("day")).as("maxd"))
+      val u = fe.join(fp, Seq("user_id"), "left")
+        .crossJoin(broadcast(mx))
+        .select((col("user_id") % 2).as("arm"),
+          when(col("fp").isNotNull, col("fp") - col("fe"))
+            .otherwise(col("maxd") - col("fe")).as("tte"),
+          when(col("fp").isNotNull, 1L).otherwise(0L).as("ev"))
+      val rem = u.groupBy("arm", "tte").agg(count(lit(1)).as("nrem"),
+        sum(col("ev")).cast("long").as("d"))
+      val spine = u.select("tte").distinct()
+        .crossJoin(s.range(0, 2).toDF("arm"))
+      val cell = spine.join(rem, Seq("arm", "tte"), "left")
+        .select(col("arm"), col("tte"),
+          coalesce(col("nrem"), lit(0L)).as("nrem"),
+          coalesce(col("d"), lit(0L)).as("d"))
+      val wcum = Window.partitionBy("arm").orderBy("tte")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val na = u.groupBy("arm").agg(count(lit(1)).as("ntot"))
+      val risk = cell
+        .withColumn("cumrem",
+          coalesce(sum(col("nrem")).over(wcum), lit(0L)))
+        .join(na, Seq("arm"))
+        .withColumn("natrisk", col("ntot") - col("cumrem"))
+      val tt = risk.groupBy("tte").agg(
+          max(when(col("arm") === 0, col("d"))).as("d0"),
+          max(when(col("arm") === 1, col("d"))).as("d1"),
+          max(when(col("arm") === 0, col("natrisk"))).as("n0"),
+          max(when(col("arm") === 1, col("natrisk"))).as("n1"))
+        .withColumn("d", col("d0") + col("d1"))
+        .withColumn("n", col("n0") + col("n1"))
+        .filter(col("d") > 0 && col("n") > 1)
+      val terms = tt.select(col("d0"), col("d1"),
+        floor(col("d").cast("double") * col("n0").cast("double")
+          / col("n").cast("double") * lit(1.0e6)).cast("long")
+          .as("e6"),
+        floor(col("d").cast("double")
+          * (col("n0").cast("double") / col("n").cast("double"))
+          * (col("n1").cast("double") / col("n").cast("double"))
+          * ((col("n") - col("d")).cast("double")
+            / (col("n") - 1).cast("double"))
+          * lit(1.0e6)).cast("long").as("v6"))
+      val ag = terms.agg(sum(col("d0")).cast("long").as("o0"),
+        sum(col("d1")).cast("long").as("o1"),
+        sum(col("e6")).cast("long").as("se6"),
+        sum(col("v6")).cast("long").as("sv6"))
+      val nap = na.agg(
+        max(when(col("arm") === 0, col("ntot"))).as("n_arm0"),
+        max(when(col("arm") === 1, col("ntot"))).as("n_arm1"))
+      ag.crossJoin(broadcast(nap))
+        .select(col("n_arm0"), col("n_arm1"),
+          col("o0").as("events0"), col("o1").as("events1"),
+          r4d((col("o0").cast("double")
+              - col("se6").cast("double") / lit(1.0e6))
+            * (col("o0").cast("double")
+              - col("se6").cast("double") / lit(1.0e6))
+            / (col("sv6").cast("double") / lit(1.0e6))).as("chi2"))
+    }),
+
+    // ODDS RATIO + WOOLF CI (§2.140) — the effect-size companion to
+    // agg_two_proportion_z's significance answer: OR = ad/bc between
+    // the user-parity arms' conversion 2×2, with the Woolf interval
+    // exp(ln OR ± 1.96·√(1/a+1/b+1/c+1/d)). Counts exact off one
+    // reduce; ln/exp run once each at the single-row edge under r4d
+    // (the mean-log-deviation edge convention — per-row libm never
+    // sums). Any empty cell → NULL (the classical undefined case).
+    "ab_odds_ratio_ci" -> ((s, dir) => {
+      val e = events(s, dir)
+        .groupBy((col("user_id") % 2).as("arm"), col("user_id"))
+        .agg(max(when(col("event_type") === "purchase", 1L)
+          .otherwise(0L)).as("conv"))
+      val piv = e.groupBy("arm")
+        .agg(count_if(col("conv") === 1).as("c"),
+          count_if(col("conv") === 0).as("nc"))
+        .agg(max(when(col("arm") === 0, col("c"))).as("a"),
+          max(when(col("arm") === 0, col("nc"))).as("b"),
+          max(when(col("arm") === 1, col("c"))).as("cc"),
+          max(when(col("arm") === 1, col("nc"))).as("d"))
+      val or = (col("a").cast("double") * col("d").cast("double")) /
+        (col("b").cast("double") * col("cc").cast("double"))
+      val se = sqrt(lit(1.0) / col("a").cast("double")
+        + lit(1.0) / col("b").cast("double")
+        + lit(1.0) / col("cc").cast("double")
+        + lit(1.0) / col("d").cast("double"))
+      val ok = col("a") > 0 && col("b") > 0 && col("cc") > 0 &&
+        col("d") > 0
+      piv.select(col("a"), col("b"), col("cc").as("c"), col("d"),
+        when(ok, r4d(or)).as("odds_ratio"),
+        when(ok, r4d(exp(log(or) - lit(1.96) * se))).as("ci_lo"),
+        when(ok, r4d(exp(log(or) + lit(1.96) * se))).as("ci_hi"))
+    }),
+
+    // POWER / SAMPLE-SIZE (§2.137) — the question every experiment
+    // review asks first: at the OBSERVED arm conversion rates, how
+    // many users per arm would a two-proportion test need for 80%
+    // power at α = 0.05? n = (z_α·√(2p̄q̄) + z_β·√(p₁q₁+p₂q₂))²/δ²
+    // with the z constants spelled as the literals 1.96 and 0.84 in
+    // BOTH engines (the SPRT ln-constant convention). Exact counts
+    // from one reduce; the chain is doubles at the edge; δ = 0 →
+    // NULL.
+    "ab_power_sample_size" -> ((s, dir) => {
+      val e = events(s, dir)
+        .select((col("user_id") % 2).as("arm"),
+          when(col("event_type") === "purchase", 1L).otherwise(0L)
+            .as("conv"))
+      val a = e.groupBy("arm")
+        .agg(count(lit(1)).as("n"), sum(col("conv")).cast("long").as("c"))
+      val piv = a.agg(
+        max(when(col("arm") === 0, col("n"))).as("n1"),
+        max(when(col("arm") === 0, col("c"))).as("c1"),
+        max(when(col("arm") === 1, col("n"))).as("n2"),
+        max(when(col("arm") === 1, col("c"))).as("c2"))
+      val p1 = col("c1").cast("double") / col("n1").cast("double")
+      val p2 = col("c2").cast("double") / col("n2").cast("double")
+      val pb = (col("c1") + col("c2")).cast("double") /
+        (col("n1") + col("n2")).cast("double")
+      val num = lit(1.96) * sqrt(lit(2.0) * pb * (lit(1.0) - pb)) +
+        lit(0.84) * sqrt(p1 * (lit(1.0) - p1) + p2 * (lit(1.0) - p2))
+      piv.select(r4d(p1).as("p1"), r4d(p2).as("p2"),
+        r4d(p1 - p2).as("delta"),
+        when(p1 - p2 =!= 0.0,
+          ceil(num * num / ((p1 - p2) * (p1 - p2))).cast("long"))
+          .as("n_per_arm"))
+    }),
+
     // KRUSKAL-WALLIS H (§2.135) — the k-group UNPAIRED rank test
     // that rounds out the nonparametric family (one-way ANOVA on
     // ranks): do the five event types draw value cents from one
@@ -2586,6 +2729,119 @@ object StatQueries {
          |      / (4.0 * CAST(4 * t - rr AS DOUBLE)) * 10000) / 10000
          |      + 0.0 END AS q
          |FROM sd""".stripMargin,
+    // Same spine, exclusive cumulative removals, snapped per-time
+    // terms, identical χ² chain.
+    "agg_logrank_test" ->
+      s"""WITH ev AS (SELECT user_id, event_type,
+         |    ${sqlEpochDay("ts")} AS day FROM events),
+         |fe AS (SELECT user_id, min(day) AS fe FROM ev GROUP BY 1),
+         |fp AS (SELECT user_id, min(day) AS fp FROM ev
+         |  WHERE event_type = 'purchase' GROUP BY 1),
+         |mx AS (SELECT max(day) AS maxd FROM ev),
+         |u AS (SELECT fe.user_id % 2 AS arm,
+         |    CASE WHEN fp IS NOT NULL THEN fp - fe
+         |      ELSE maxd - fe END AS tte,
+         |    CASE WHEN fp IS NOT NULL THEN 1 ELSE 0 END AS ev
+         |  FROM fe LEFT JOIN fp USING (user_id) CROSS JOIN mx),
+         |rem AS (SELECT arm, tte, count(*) AS nrem,
+         |    CAST(sum(ev) AS BIGINT) AS d FROM u GROUP BY 1, 2),
+         |spine AS (SELECT tte, range AS arm FROM
+         |  (SELECT DISTINCT tte FROM u) CROSS JOIN range(0, 2)),
+         |cell AS (SELECT s.arm, s.tte, COALESCE(nrem, 0) AS nrem,
+         |    COALESCE(d, 0) AS d
+         |  FROM spine s LEFT JOIN rem USING (arm, tte)),
+         |na AS (SELECT arm, count(*) AS ntot FROM u GROUP BY 1),
+         |risk AS (SELECT cell.arm, tte, d,
+         |    ntot - COALESCE(CAST(sum(nrem) OVER (PARTITION BY cell.arm
+         |      ORDER BY tte ROWS BETWEEN UNBOUNDED PRECEDING
+         |      AND 1 PRECEDING) AS BIGINT), 0) AS natrisk
+         |  FROM cell JOIN na ON na.arm = cell.arm),
+         |tt AS (SELECT tte,
+         |    max(CASE WHEN arm = 0 THEN d END) AS d0,
+         |    max(CASE WHEN arm = 1 THEN d END) AS d1,
+         |    max(CASE WHEN arm = 0 THEN natrisk END) AS n0,
+         |    max(CASE WHEN arm = 1 THEN natrisk END) AS n1
+         |  FROM risk GROUP BY 1),
+         |t2 AS (SELECT *, d0 + d1 AS d, n0 + n1 AS n FROM tt
+         |  WHERE d0 + d1 > 0 AND n0 + n1 > 1),
+         |terms AS (SELECT d0, d1,
+         |    CAST(floor(CAST(d AS DOUBLE) * CAST(n0 AS DOUBLE)
+         |      / CAST(n AS DOUBLE) * 1000000.0) AS BIGINT) AS e6,
+         |    CAST(floor(CAST(d AS DOUBLE)
+         |      * (CAST(n0 AS DOUBLE) / CAST(n AS DOUBLE))
+         |      * (CAST(n1 AS DOUBLE) / CAST(n AS DOUBLE))
+         |      * (CAST(n - d AS DOUBLE) / CAST(n - 1 AS DOUBLE))
+         |      * 1000000.0) AS BIGINT) AS v6
+         |  FROM t2),
+         |ag AS (SELECT CAST(sum(d0) AS BIGINT) AS o0,
+         |    CAST(sum(d1) AS BIGINT) AS o1,
+         |    CAST(sum(e6) AS BIGINT) AS se6,
+         |    CAST(sum(v6) AS BIGINT) AS sv6 FROM terms),
+         |nap AS (SELECT max(CASE WHEN arm = 0 THEN ntot END) AS n_arm0,
+         |    max(CASE WHEN arm = 1 THEN ntot END) AS n_arm1 FROM na)
+         |SELECT n_arm0, n_arm1, o0 AS events0, o1 AS events1,
+         |  ROUND((CAST(o0 AS DOUBLE) - CAST(se6 AS DOUBLE) / 1000000.0)
+         |    * (CAST(o0 AS DOUBLE) - CAST(se6 AS DOUBLE) / 1000000.0)
+         |    / (CAST(sv6 AS DOUBLE) / 1000000.0)
+         |    * 10000) / 10000 AS chi2
+         |FROM ag CROSS JOIN nap""".stripMargin,
+    // Same user-grain 2×2, identical edge ln/exp chain.
+    "ab_odds_ratio_ci" ->
+      """WITH u AS (SELECT user_id % 2 AS arm,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS conv
+        |  FROM events GROUP BY user_id, arm),
+        |g AS (SELECT arm, count(*) FILTER (WHERE conv = 1) AS c,
+        |    count(*) FILTER (WHERE conv = 0) AS nc FROM u GROUP BY 1),
+        |p AS (SELECT max(CASE WHEN arm = 0 THEN c END) AS a,
+        |    max(CASE WHEN arm = 0 THEN nc END) AS b,
+        |    max(CASE WHEN arm = 1 THEN c END) AS cc,
+        |    max(CASE WHEN arm = 1 THEN nc END) AS d FROM g),
+        |q AS (SELECT *,
+        |    (CAST(a AS DOUBLE) * CAST(d AS DOUBLE))
+        |      / (CAST(b AS DOUBLE) * CAST(cc AS DOUBLE)) AS orr,
+        |    sqrt(1.0 / CAST(a AS DOUBLE) + 1.0 / CAST(b AS DOUBLE)
+        |      + 1.0 / CAST(cc AS DOUBLE) + 1.0 / CAST(d AS DOUBLE))
+        |      AS se
+        |  FROM p)
+        |SELECT a, b, cc AS c, d,
+        |  CASE WHEN a > 0 AND b > 0 AND cc > 0 AND d > 0 THEN
+        |    ROUND(orr * 10000) / 10000 END AS odds_ratio,
+        |  CASE WHEN a > 0 AND b > 0 AND cc > 0 AND d > 0 THEN
+        |    ROUND(exp(ln(orr) - 1.96 * se) * 10000) / 10000 END
+        |    AS ci_lo,
+        |  CASE WHEN a > 0 AND b > 0 AND cc > 0 AND d > 0 THEN
+        |    ROUND(exp(ln(orr) + 1.96 * se) * 10000) / 10000 END
+        |    AS ci_hi
+        |FROM q""".stripMargin,
+    // Same pivoted counts; the 1.96/0.84 literals and the identical
+    // chain; δ = 0 → NULL.
+    "ab_power_sample_size" ->
+      """WITH e AS (SELECT user_id % 2 AS arm,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+        |      AS conv FROM events),
+        |a AS (SELECT arm, count(*) AS n,
+        |    CAST(sum(conv) AS BIGINT) AS c FROM e GROUP BY 1),
+        |p AS (SELECT max(CASE WHEN arm = 0 THEN n END) AS n1,
+        |    max(CASE WHEN arm = 0 THEN c END) AS c1,
+        |    max(CASE WHEN arm = 1 THEN n END) AS n2,
+        |    max(CASE WHEN arm = 1 THEN c END) AS c2 FROM a),
+        |q AS (SELECT *,
+        |    CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS p1,
+        |    CAST(c2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS p2,
+        |    CAST(c1 + c2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE) AS pb
+        |  FROM p),
+        |r AS (SELECT *,
+        |    1.96 * sqrt(2.0 * pb * (1.0 - pb))
+        |      + 0.84 * sqrt(p1 * (1.0 - p1) + p2 * (1.0 - p2)) AS num
+        |  FROM q)
+        |SELECT ROUND(p1 * 10000) / 10000 AS p1,
+        |  ROUND(p2 * 10000) / 10000 AS p2,
+        |  ROUND((p1 - p2) * 10000) / 10000 + 0.0 AS delta,
+        |  CASE WHEN p1 - p2 <> 0.0 THEN
+        |    CAST(ceil(num * num / ((p1 - p2) * (p1 - p2))) AS BIGINT)
+        |    END AS n_per_arm
+        |FROM r""".stripMargin,
     // Same dictionary cumulative pass, doubled rank sums, snapped
     // per-group terms, identical tie-corrected chain.
     "agg_kruskal_wallis" ->

@@ -502,6 +502,153 @@ object TextQueries {
         .orderBy("lang")
     }),
 
+    // CHARACTER-CLASS PROFILE (§2.140) — per lang, the share of
+    // letters / digits / spaces / other in the raw text, measured
+    // WITHOUT exploding characters: each class count is
+    // len(text) − len(regexp_replace(text, class, '')) — map-side
+    // string work, one reduce, exact integers (the RE2-safe character
+    // classes behave identically in both engines). The
+    // encoding-mix fingerprint that catches scraped-binary and
+    // wrong-charset sources before tokenization does.
+    "text_script_profile" -> ((s, dir) => {
+      def classLen(re: String) =
+        (length(col("text"))
+          - length(regexp_replace(col("text"), re, ""))).cast("long")
+      t(s, dir, "documents")
+        .select(col("lang"), length(col("text")).cast("long").as("n"),
+          classLen("[a-zA-Z]").as("n_alpha"),
+          classLen("[0-9]").as("n_digit"),
+          classLen(" ").as("n_space"))
+        .groupBy("lang")
+        .agg(sum(col("n")).cast("long").as("n_chars"),
+          sum(col("n_alpha")).cast("long").as("n_alpha"),
+          sum(col("n_digit")).cast("long").as("n_digit"),
+          sum(col("n_space")).cast("long").as("n_space"))
+        .select(col("lang"), col("n_chars"),
+          r4d(col("n_alpha").cast("double") / col("n_chars").cast("double"))
+            .as("alpha_share"),
+          r4d(col("n_digit").cast("double") / col("n_chars").cast("double"))
+            .as("digit_share"),
+          r4d(col("n_space").cast("double") / col("n_chars").cast("double"))
+            .as("space_share"),
+          r4d((col("n_chars") - col("n_alpha") - col("n_digit")
+            - col("n_space")).cast("double")
+            / col("n_chars").cast("double")).as("other_share"))
+        .orderBy("lang")
+    }),
+
+    // CHAO1 RICHNESS ESTIMATOR (§2.139) — how many word types does
+    // each language REALLY have, including the ones the sample
+    // missed? The classic abundance-based estimator off
+    // text_hapax_richness's own counts: Chao1 = V + h(h−1)/(2(d+1))
+    // (bias-corrected form — defined even at zero doubletons).
+    // Exact integers except the single division; the species-richness
+    // read every corpus-coverage plan starts from.
+    "text_chao1_richness" -> ((s, dir) => {
+      val tc = t(s, dir, "documents")
+        .select(col("lang"), explode(split(col("text"), " ")).as("token"))
+        .groupBy("lang", "token").agg(count(lit(1)).as("c"))
+      tc.groupBy("lang")
+        .agg(count(lit(1)).as("vocab"),
+          count_if(col("c") === 1).as("hapax"),
+          count_if(col("c") === 2).as("dis"))
+        .select(col("lang"), col("vocab"), col("hapax"), col("dis"),
+          r4d(col("vocab").cast("double")
+            + (col("hapax") * (col("hapax") - 1)).cast("double")
+              / (lit(2.0) * (col("dis") + 1).cast("double")))
+            .as("chao1"))
+        .orderBy("lang")
+    }),
+
+    // RAKE KEYWORDS (§2.139) — Rapid Automatic Keyword Extraction,
+    // the classic unsupervised keyphrase miner: candidate phrases
+    // are maximal stopword-free token runs (the gaps-and-islands
+    // device per doc: island id = running stopword count), each
+    // word scores deg/freq (deg = Σ length of phrases containing
+    // it), a phrase scores the sum of its words. Exactness: the
+    // word score is snapped to the exact integer (deg·10⁶) div freq,
+    // so phrase scores are INTEGER sums — order-free — and the
+    // global top-20 is orderBy+limit (TakeOrderedAndProject).
+    // Shape: two bounded reduces over (word) and (phrase), windows
+    // per doc only.
+    "text_rake_keywords" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val stop = Seq("the", "a", "an", "and", "or", "of", "to", "in",
+        "is", "it", "that", "for", "on", "with", "as", "was", "at",
+        "by", "be", "this")
+      val tk = t(s, dir, "documents")
+        .select(col("doc_id"), posexplode(split(col("text"), " ")))
+        .select(col("doc_id"), col("pos"), lower(col("col")).as("tok"))
+        .withColumn("isstop", col("tok").isin(stop: _*))
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val isl = tk.withColumn("island",
+          sum(when(col("isstop"), 1L).otherwise(0L)).over(w))
+        .filter(!col("isstop"))
+        .localCheckpoint(true)
+      // Phrase instances: island words joined back in pos order.
+      val phr = isl.groupBy("doc_id", "island")
+        .agg(array_join(expr(
+          "transform(array_sort(collect_list(struct(pos, tok)))," +
+            " p -> p.tok)"), " ").as("phrase"),
+          count(lit(1)).as("plen"))
+      // Word statistics over ALL phrase instances: freq = occurrences,
+      // deg = Σ length of the containing phrases.
+      val wscore = isl.join(phr, Seq("doc_id", "island"))
+        .groupBy("tok")
+        .agg(count(lit(1)).as("freq"),
+          sum(col("plen")).cast("long").as("deg"))
+        .select(col("tok"), expr("(deg * 1000000L) div freq").as("score6"))
+      // A phrase TYPE's score depends only on its words: score the
+      // distinct phrase strings.
+      val ptypes = phr.groupBy("phrase")
+        .agg(count(lit(1)).as("n_occurrences"))
+      ptypes
+        .select(col("phrase"), col("n_occurrences"),
+          posexplode(split(col("phrase"), " ")))
+        .join(wscore, col("col") === col("tok"))
+        .groupBy("phrase", "n_occurrences")
+        .agg(sum(col("score6")).cast("long").as("score6"))
+        .orderBy(col("score6").desc, col("n_occurrences").desc,
+          col("phrase"))
+        .limit(20)
+        .select(col("phrase"), col("n_occurrences"), col("score6"),
+          r4d(col("score6").cast("double") / lit(1000000.0))
+            .as("rake_score"))
+    }),
+
+    // CROSS-SOURCE BIGRAM OVERLAP (§2.137) — how much of each
+    // source's bigram MASS is shared with the rest of the corpus:
+    // overlap = Σ_g min(c_src, c_rest) / Σ_g c_src (the clipped-count
+    // modified precision at the heart of BLEU, aimed at the
+    // source-vs-rest split) — low overlap = distinctive source, high
+    // = redundant with the pool; the diversity-budget signal a
+    // mixture designer reads next to dedup_cross_source_matrix's
+    // doc-level dups. Aggregate-first and ALL integers: one
+    // (gram, source) count reduce, gram totals by a second reduce,
+    // c_rest = total − c_src, one division per source.
+    "text_bigram_overlap" -> ((s, dir) => {
+      val bg = t(s, dir, "documents")
+        .select(col("source"), split(col("text"), " ").as("toks"))
+        .filter(size(col("toks")) >= 2)
+        .select(col("source"), explode(expr(
+          "transform(sequence(0, size(toks)-2)," +
+            " i -> concat(toks[i], ' ', toks[i+1]))")).as("bigram"))
+        .groupBy("source", "bigram").agg(count(lit(1)).as("c"))
+      val tot = bg.groupBy("bigram")
+        .agg(sum(col("c")).cast("long").as("ctot"))
+      bg.join(tot, Seq("bigram"))
+        .select(col("source"), col("c"),
+          least(col("c"), col("ctot") - col("c")).as("cmin"))
+        .groupBy("source")
+        .agg(sum(col("c")).cast("long").as("n_bigrams"),
+          sum(col("cmin")).cast("long").as("n_shared"))
+        .select(col("source"), col("n_bigrams"), col("n_shared"),
+          r4d(col("n_shared").cast("double")
+            / col("n_bigrams").cast("double")).as("overlap"))
+        .orderBy("source")
+    }),
+
     // LEXICAL DENSITY (§2.134) — the content-word share per lang:
     // 1 − stopwords/tokens over a FIXED 20-word function-word list
     // (the classic readability/quality covariate next to
@@ -990,6 +1137,107 @@ object TextQueries {
         |  ROUND(CAST(count(*) FILTER (WHERE c = 1) AS DOUBLE)
         |    / CAST(count(*) AS DOUBLE) * 10000) / 10000 AS hapax_share
         |FROM tc GROUP BY lang ORDER BY lang""".stripMargin,
+    // Same length-difference counting (identical RE2-safe classes).
+    "text_script_profile" ->
+      """WITH d AS (SELECT lang, CAST(len(text) AS BIGINT) AS n,
+        |    CAST(len(text) - len(regexp_replace(text, '[a-zA-Z]', '',
+        |      'g')) AS BIGINT) AS n_alpha,
+        |    CAST(len(text) - len(regexp_replace(text, '[0-9]', '',
+        |      'g')) AS BIGINT) AS n_digit,
+        |    CAST(len(text) - len(regexp_replace(text, ' ', '',
+        |      'g')) AS BIGINT) AS n_space
+        |  FROM documents),
+        |a AS (SELECT lang, CAST(sum(n) AS BIGINT) AS n_chars,
+        |    CAST(sum(n_alpha) AS BIGINT) AS n_alpha,
+        |    CAST(sum(n_digit) AS BIGINT) AS n_digit,
+        |    CAST(sum(n_space) AS BIGINT) AS n_space
+        |  FROM d GROUP BY 1)
+        |SELECT lang, n_chars,
+        |  ROUND(CAST(n_alpha AS DOUBLE) / CAST(n_chars AS DOUBLE)
+        |    * 10000) / 10000 AS alpha_share,
+        |  ROUND(CAST(n_digit AS DOUBLE) / CAST(n_chars AS DOUBLE)
+        |    * 10000) / 10000 AS digit_share,
+        |  ROUND(CAST(n_space AS DOUBLE) / CAST(n_chars AS DOUBLE)
+        |    * 10000) / 10000 AS space_share,
+        |  ROUND(CAST(n_chars - n_alpha - n_digit - n_space AS DOUBLE)
+        |    / CAST(n_chars AS DOUBLE) * 10000) / 10000
+        |    AS other_share
+        |FROM a ORDER BY lang""".stripMargin,
+    // Same counts, same bias-corrected form.
+    "text_chao1_richness" ->
+      """WITH tc AS (SELECT lang, token, count(*) AS c
+        |  FROM (SELECT lang, unnest(string_split(text, ' ')) AS token
+        |    FROM documents) GROUP BY 1, 2)
+        |SELECT lang, count(*) AS vocab,
+        |  count(*) FILTER (WHERE c = 1) AS hapax,
+        |  count(*) FILTER (WHERE c = 2) AS dis,
+        |  ROUND((CAST(count(*) AS DOUBLE)
+        |    + CAST(count(*) FILTER (WHERE c = 1)
+        |        * (count(*) FILTER (WHERE c = 1) - 1) AS DOUBLE)
+        |      / (2.0 * CAST(count(*) FILTER (WHERE c = 2) + 1
+        |        AS DOUBLE))) * 10000) / 10000 AS chao1
+        |FROM tc GROUP BY lang ORDER BY lang""".stripMargin,
+    // Same islands, same snapped word scores, same integer phrase
+    // sums and ordered LIMIT.
+    "text_rake_keywords" ->
+      """WITH tk AS (SELECT doc_id, pos, lower(token) AS tok FROM (
+        |    SELECT doc_id, unnest(range(len(toks))) AS pos,
+        |      unnest(toks) AS token
+        |    FROM (SELECT doc_id, string_split(text, ' ') AS toks
+        |      FROM documents))),
+        |t2 AS (SELECT *, tok IN ('the', 'a', 'an', 'and', 'or', 'of',
+        |    'to', 'in', 'is', 'it', 'that', 'for', 'on', 'with',
+        |    'as', 'was', 'at', 'by', 'be', 'this') AS isstop
+        |  FROM tk),
+        |t3 AS (SELECT doc_id, pos, tok, isstop,
+        |    CAST(sum(CASE WHEN isstop THEN 1 ELSE 0 END) OVER (
+        |      PARTITION BY doc_id ORDER BY pos
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS island
+        |  FROM t2),
+        |isl AS (SELECT doc_id, pos, tok, island FROM t3
+        |  WHERE NOT isstop),
+        |phr AS (SELECT doc_id, island,
+        |    string_agg(tok, ' ' ORDER BY pos) AS phrase,
+        |    count(*) AS plen
+        |  FROM isl GROUP BY 1, 2),
+        |ws AS (SELECT tok,
+        |    (CAST(sum(plen) AS BIGINT) * 1000000) // count(*)
+        |      AS score6
+        |  FROM isl JOIN phr USING (doc_id, island) GROUP BY tok),
+        |pt AS (SELECT phrase, count(*) AS n_occurrences FROM phr
+        |  GROUP BY 1),
+        |px AS (SELECT phrase, n_occurrences,
+        |    unnest(string_split(phrase, ' ')) AS wtok FROM pt),
+        |ps AS (SELECT phrase, n_occurrences,
+        |    CAST(sum(score6) AS BIGINT) AS score6
+        |  FROM px JOIN ws ON ws.tok = px.wtok GROUP BY 1, 2)
+        |SELECT phrase, n_occurrences, score6,
+        |  ROUND(CAST(score6 AS DOUBLE) / 1000000.0 * 10000) / 10000
+        |    AS rake_score
+        |FROM ps ORDER BY score6 DESC, n_occurrences DESC, phrase
+        |LIMIT 20""".stripMargin,
+    // Same per-doc bigrams (lead ≡ the transform window), same
+    // clipped-count integers.
+    "text_bigram_overlap" ->
+      """WITH bg AS (SELECT source, bigram, count(*) AS c FROM (
+        |    SELECT source, token || ' ' || lead(token)
+        |      OVER (PARTITION BY doc_id ORDER BY pos) AS bigram
+        |    FROM (SELECT doc_id, source,
+        |        unnest(range(len(toks))) AS pos,
+        |        unnest(toks) AS token
+        |      FROM (SELECT doc_id, source, string_split(text, ' ')
+        |        AS toks FROM documents)))
+        |  WHERE bigram IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT bigram, CAST(sum(c) AS BIGINT) AS ctot
+        |  FROM bg GROUP BY 1),
+        |j AS (SELECT source, c, least(c, ctot - c) AS cmin
+        |  FROM bg JOIN tot USING (bigram))
+        |SELECT source, CAST(sum(c) AS BIGINT) AS n_bigrams,
+        |  CAST(sum(cmin) AS BIGINT) AS n_shared,
+        |  ROUND(CAST(CAST(sum(cmin) AS BIGINT) AS DOUBLE)
+        |    / CAST(CAST(sum(c) AS BIGINT) AS DOUBLE) * 10000) / 10000
+        |    AS overlap
+        |FROM j GROUP BY source ORDER BY source""".stripMargin,
     // Same fixed list, same counts, one division.
     "text_lexical_density" ->
       """WITH tk AS (SELECT lang,

@@ -471,10 +471,21 @@ class InventorySpec extends SparkSpec {
     "agg_kruskal_wallis", "ts_seasonal_strength", "graph_reciprocity",
     // §2.136 round-14 ninth wave: HW backtest, top-k accuracy,
     // stump split
-    "ts_hw_backtest", "eval_topk_accuracy", "eval_stump_split")
+    "ts_hw_backtest", "eval_topk_accuracy", "eval_stump_split",
+    // §2.137 round-14 tenth wave: bigram overlap, log-rank, power
+    "text_bigram_overlap", "agg_logrank_test", "ab_power_sample_size",
+    // §2.138 round-14 eleventh wave: Durbin-Watson, DOW chi2,
+    // dim variance
+    "ts_durbin_watson", "ts_dow_uniformity_chi2", "sim_dim_variance",
+    // §2.139 round-14 twelfth wave: Chao1, RAKE, flip manifests
+    "text_chao1_richness", "text_rake_keywords",
+    "multimodal_flip_boxes",
+    // §2.140 round-14 thirteenth wave: script profile, heading
+    // sectors, odds ratio
+    "text_script_profile", "geo_heading_sectors", "ab_odds_ratio_ci")
 
-  test("declared queries cover SURVEY §2 + §2.12-136 exactly (518 keys)") {
-    assert(inventory.size == 518)
+  test("declared queries cover SURVEY §2 + §2.12-140 exactly (530 keys)") {
+    assert(inventory.size == 530)
     val declared = SparkEntry.queries.keySet
     val missing = inventory -- declared
     val extra = declared -- inventory

@@ -83,6 +83,15 @@ class PlanAuditSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p.take(2000))
   }
 
+  test("sample_weighted_noreplacement: priority bottom-k runs through TopKPerGroup, no Window") {
+    // The key's scaladoc claims the row_number-over-(source) + rk ≤ 20
+    // shape is the TopKPushdownRule target — pin it: two-phase
+    // TopKPerGroup instances, no surviving Window/WindowGroupLimit.
+    val p = plan("sample_weighted_noreplacement")
+    assert("TopKPerGroup 20".r.findAllIn(p).size == 2, p.take(2000))
+    assert(!p.contains("WindowGroupLimit"), p.take(2000))
+  }
+
   test("win_percent_cume executes without any Window operator") {
     // The two-pass GlobalRank operator replaces Window.orderBy(price),
     // whose empty partition spec funnels EVERY row through one task.
