@@ -739,6 +739,31 @@ object EtlQueries {
     // max is a 1-row broadcast. Shape: one O(rows) partial-agg reduce
     // to |types| rows (the count_if(day = mx) rides the same pass via
     // a max-keyed second aggregate), then a broadcast compare.
+    // RETENTION-POLICY PLAN (§2.141) — the deletion dry run every
+    // governed table needs next to etl_backfill_plan's ingestion
+    // twin: per event-day partition, its age against a 60-day
+    // retention window, the expired flag, and the cumulative row
+    // count a sweep in day order would delete. The corpus reduces to
+    // the bounded day table in one exchange; the cumulative runs
+    // over that table only. Exact integers throughout.
+    "etl_retention_plan" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = events(s, dir).select(epochDay("ts").as("day"))
+        .groupBy("day").agg(count(lit(1)).as("n_events"))
+      val mx = d.agg(max(col("day")).as("maxd"))
+      val w = Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      d.crossJoin(broadcast(mx))
+        .withColumn("age_days", col("maxd") - col("day"))
+        .withColumn("expired", col("age_days") > 60)
+        .withColumn("cum_deletable",
+          sum(when(col("age_days") > 60, col("n_events"))
+            .otherwise(0L)).over(w).cast("long"))
+        .select(col("day"), col("n_events"), col("age_days"),
+          col("expired"), col("cum_deletable"))
+        .orderBy("day")
+    }),
+
     // LATE-ARRIVAL REPORT (§2.133) — how out-of-order is each
     // stream, per event type: within a user's ingest sequence
     // (event_id is the arrival order), an event is LATE when its
@@ -911,6 +936,18 @@ object EtlQueries {
          |ORDER BY ex.event_type""".stripMargin,
     // Integer day arithmetic throughout; last-day counts join back on
     // the per-type max.
+    // Same bounded day table, cumulative in day order.
+    "etl_retention_plan" ->
+      s"""WITH d AS (SELECT ${sqlEpochDay("ts")} AS day,
+         |    count(*) AS n_events FROM events GROUP BY 1),
+         |m AS (SELECT max(day) AS maxd FROM d),
+         |a AS (SELECT day, n_events, maxd - day AS age_days
+         |  FROM d CROSS JOIN m)
+         |SELECT day, n_events, age_days, age_days > 60 AS expired,
+         |  CAST(sum(CASE WHEN age_days > 60 THEN n_events ELSE 0 END)
+         |    OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         |    AS cum_deletable
+         |FROM a ORDER BY day""".stripMargin,
     // Same exclusive running max over the arrival order.
     "etl_late_arrival_report" ->
       """WITH e AS (SELECT user_id, event_id, event_type,

@@ -62,6 +62,28 @@ object GeoQueries {
     // who). floor() of exact binary coordinates is engine-exact;
     // per-cell stats are one two-phase agg — map-side partials bound
     // the shuffle by |occupied cells| regardless of corpus size.
+    // TRACK BOUNDING BOX (§2.141) — per platform: the lat/lon
+    // envelope, fix count, and the box "area" in square degrees —
+    // the cheap spatial-extent summary a survey planner reads before
+    // any expensive hull/track geometry (and the pre-filter for
+    // range-partitioned spatial joins). The fixture grid coordinates
+    // are exact binary fractions, so min/max/differences/products
+    // are all EXACT doubles — no rounding fence anywhere except the
+    // output r4d.
+    "geo_track_bbox" -> ((s, dir) => {
+      sightings(s, dir)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_fixes"),
+          min(col("lat")).as("lat_min"), max(col("lat")).as("lat_max"),
+          min(col("lon")).as("lon_min"), max(col("lon")).as("lon_max"))
+        .select(col("user_id"), col("n_fixes"),
+          col("lat_min"), col("lat_max"), col("lon_min"),
+          col("lon_max"),
+          r4d((col("lat_max") - col("lat_min"))
+            * (col("lon_max") - col("lon_min"))).as("bbox_deg2"))
+        .orderBy("user_id")
+    }),
+
     // HEADING SECTOR HISTOGRAM (§2.140) — which way do tracks move:
     // consecutive-fix displacement vectors classified into the eight
     // 45° compass octants WITHOUT atan2 — the octant is decided by
@@ -631,6 +653,19 @@ object GeoQueries {
     }))
 
   val oracle: Map[String, String] = Map(
+    // Same exact min/max envelope and product.
+    "geo_track_bbox" ->
+      """WITH p AS (SELECT user_id,
+        |    CAST(event_id % 1440 AS DOUBLE) / 8 - 90 AS lat,
+        |    CAST((user_id * 997 + event_id * 31) % 11520 AS DOUBLE)
+        |      / 32 - 180 AS lon
+        |  FROM events)
+        |SELECT user_id, count(*) AS n_fixes,
+        |  min(lat) AS lat_min, max(lat) AS lat_max,
+        |  min(lon) AS lon_min, max(lon) AS lon_max,
+        |  ROUND((max(lat) - min(lat)) * (max(lon) - min(lon))
+        |    * 10000) / 10000 AS bbox_deg2
+        |FROM p GROUP BY user_id ORDER BY user_id""".stripMargin,
     // Same exact-comparison CASE cascade (no trig).
     "geo_heading_sectors" ->
       """WITH p AS (SELECT event_id, user_id, epoch_ms(ts) AS ms,

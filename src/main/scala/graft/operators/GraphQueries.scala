@@ -954,6 +954,37 @@ object GraphQueries {
     // the closure replaced by the forward/backward min-label
     // supersteps of dedup_cluster_canon — the doubling here is the
     // bounded-domain fast path, not the scale claim.
+    // TWO-HOP REACH (§2.142) — the friend-of-friend audience size:
+    // per node, the EXACT distinct count of nodes within ≤ 2 hops
+    // (self excluded) on the shared '0'-prefix Doulion sample — the
+    // number a notification-fanout or contact-tracing plan reads,
+    // and the denominator quality signal behind
+    // graph_jaccard_linkpred's candidate generation. Shape: one
+    // edge⋈edge equi-join (deg² rows on the 1/16 sample — the
+    // bounded-fanout argument the adamic-adar key documents), union
+    // the 1-hop pairs, distinct, count — all keyed reduces.
+    "graph_two_hop_reach" -> ((s, dir) => {
+      val half = sampledOrientedEdges(s, dir, Some(Seq("0")))
+        .localCheckpoint(true)
+      val ed = half.select(col("a").as("src"), col("b").as("dst"))
+        .unionAll(half.select(col("b").as("src"), col("a").as("dst")))
+        .persist()
+      val two = ed.as("x").join(ed.as("y"),
+          col("x.dst") === col("y.src"))
+        .select(col("x.src").as("src"), col("y.dst").as("dst"))
+        .filter(col("src") =!= col("dst"))
+      val reach = ed.unionAll(two).distinct()
+      val deg = ed.groupBy("src").agg(count(lit(1)).as("n_1hop"))
+      val out = reach.groupBy("src").agg(count(lit(1)).as("n_2hop"))
+        .join(deg, Seq("src"))
+        .select(col("src").as("node"), col("n_1hop"), col("n_2hop"),
+          r4d(col("n_2hop").cast("double")
+            / col("n_1hop").cast("double")).as("expansion"))
+        .orderBy("node")
+      ed.unpersist()
+      out
+    }),
+
     // EDGE RECIPROCITY (§2.135) — the directed-graph scalar next to
     // graph_scc: of the dominant-transition edges (same uniform-share
     // cut, self-loops excluded), what fraction have their REVERSE
@@ -1658,6 +1689,29 @@ object GraphQueries {
            |FROM dc LEFT JOIN ein ON dc.label = ein.label
            |CROSS JOIN mm
            |ORDER BY community""".stripMargin),
+
+    // Same '0'-sample join-union-distinct reach.
+    "graph_two_hop_reach" ->
+      """WITH pp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+        |  FROM lineitem),
+        |e0 AS (SELECT DISTINCT x.p AS a, y.p AS b
+        |  FROM pp x JOIN pp y ON x.ok = y.ok AND x.p < y.p),
+        |half AS MATERIALIZED (SELECT a, b FROM e0
+        |  WHERE substring(md5(CAST(a AS VARCHAR) || '_'
+        |    || CAST(b AS VARCHAR)), 1, 1) = '0'),
+        |ed AS MATERIALIZED (SELECT a AS src, b AS dst FROM half
+        |  UNION ALL SELECT b, a FROM half),
+        |two AS (SELECT x.src, y.dst FROM ed x JOIN ed y
+        |  ON x.dst = y.src WHERE x.src <> y.dst),
+        |reach AS (SELECT DISTINCT src, dst FROM
+        |  (SELECT src, dst FROM ed UNION ALL SELECT src, dst FROM two)),
+        |deg AS (SELECT src, count(*) AS n_1hop FROM ed GROUP BY 1),
+        |r AS (SELECT src, count(*) AS n_2hop FROM reach GROUP BY 1)
+        |SELECT r.src AS node, n_1hop, n_2hop,
+        |  ROUND(CAST(n_2hop AS DOUBLE) / CAST(n_1hop AS DOUBLE)
+        |    * 10000) / 10000 AS expansion
+        |FROM r JOIN deg ON deg.src = r.src
+        |ORDER BY node""".stripMargin,
 
     // Same dominant-transition cut minus self-loops; E ∩ Eᵀ by one
     // self-join.

@@ -1176,6 +1176,47 @@ object PipelineQueries {
     // Retry/replay-deterministic unlike rand(); pure map-side filter, no
     // shuffle below the presentation sort; at 100 TB rates come from a
     // config table instead of a literal CASE (same plan shape).
+    // BOX CLIPPING REPORT (§2.142) — the sanity pass after any
+    // jittered/augmented box lands: clip predicted boxes (the
+    // bbox_iou fixture's jittered predictions, which CAN leave the
+    // canvas) to the 1280×900 frame, flag what changed, and report
+    // the area kept — degenerate boxes (zero area after clip) are
+    // the rows a training manifest must drop. Exact integer
+    // coordinates and areas; one division r4d'd; pure map work.
+    "multimodal_box_clip" -> ((s, dir) => {
+      val p = t(s, dir, "part").select(col("p_partkey"),
+        col("p_size").cast("long").as("sz"),
+        (round(col("p_retailprice") * 100).cast("long") % 11 - 5)
+          .as("dy"),
+        (col("p_size").cast("long") % 9 - 4).as("dx"))
+      val boxed = p
+        .withColumn("gx1", (col("p_partkey") % 50) * 20)
+        .withColumn("gy1", (col("p_partkey") % 31) * 25)
+        .withColumn("px1", col("gx1") + col("dx"))
+        .withColumn("py1", col("gy1") + col("dy"))
+        .withColumn("px2", col("gx1") + 40 + col("sz") + col("dx"))
+        .withColumn("py2", col("gy1") + 60 + col("dy"))
+      boxed
+        .withColumn("cx1", greatest(lit(0L), col("px1")))
+        .withColumn("cy1", greatest(lit(0L), col("py1")))
+        .withColumn("cx2", least(lit(1280L), col("px2")))
+        .withColumn("cy2", least(lit(900L), col("py2")))
+        .withColumn("area0",
+          (col("px2") - col("px1")) * (col("py2") - col("py1")))
+        .withColumn("area1",
+          greatest(lit(0L), col("cx2") - col("cx1"))
+            * greatest(lit(0L), col("cy2") - col("cy1")))
+        .select(col("p_partkey"), col("cx1"), col("cy1"), col("cx2"),
+          col("cy2"),
+          (col("cx1") =!= col("px1") || col("cy1") =!= col("py1")
+            || col("cx2") =!= col("px2") || col("cy2") =!= col("py2"))
+            .as("clipped"),
+          (col("area1") === 0L).as("degenerate"),
+          r4d(col("area1").cast("double") / col("area0").cast("double"))
+            .as("area_kept"))
+        .orderBy("p_partkey")
+    }),
+
     // HORIZONTAL/VERTICAL FLIP MANIFESTS (§2.139) — the cheapest and
     // most universal detection augmentation, as coordinate
     // bookkeeping: on the shared 1280×900 canvas the ground-truth
@@ -2994,6 +3035,33 @@ object PipelineQueries {
         |SELECT doc_id, frame_idx, octet_length(encode(fs)) AS frame_len,
         |  md5(fs) AS frame_md5
         |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
+    // Same integer clip, flags, and area ratio.
+    "multimodal_box_clip" ->
+      """WITH p AS (SELECT p_partkey, CAST(p_size AS BIGINT) AS sz,
+        |    CAST(round(p_retailprice * 100) AS BIGINT) % 11 - 5 AS dy,
+        |    CAST(p_size AS BIGINT) % 9 - 4 AS dx
+        |  FROM part),
+        |b AS (SELECT p_partkey,
+        |    (p_partkey % 50) * 20 + dx AS px1,
+        |    (p_partkey % 31) * 25 + dy AS py1,
+        |    (p_partkey % 50) * 20 + 40 + sz + dx AS px2,
+        |    (p_partkey % 31) * 25 + 60 + dy AS py2
+        |  FROM p),
+        |c AS (SELECT p_partkey, px1, py1, px2, py2,
+        |    greatest(0, px1) AS cx1, greatest(0, py1) AS cy1,
+        |    least(1280, px2) AS cx2, least(900, py2) AS cy2,
+        |    (px2 - px1) * (py2 - py1) AS area0
+        |  FROM b),
+        |d AS (SELECT *,
+        |    greatest(0, cx2 - cx1) * greatest(0, cy2 - cy1) AS area1
+        |  FROM c)
+        |SELECT p_partkey, cx1, cy1, cx2, cy2,
+        |  cx1 <> px1 OR cy1 <> py1 OR cx2 <> px2 OR cy2 <> py2
+        |    AS clipped,
+        |  area1 = 0 AS degenerate,
+        |  ROUND(CAST(area1 AS DOUBLE) / CAST(area0 AS DOUBLE)
+        |    * 10000) / 10000 AS area_kept
+        |FROM d ORDER BY p_partkey""".stripMargin,
     // Same integer flips and invariant columns.
     "multimodal_flip_boxes" ->
       """WITH p AS (SELECT p_partkey, CAST(p_size AS BIGINT) AS sz,

@@ -462,6 +462,53 @@ object SimQueries {
     // |labels| rows of arrays; scoring is one map-side pass over the
     // vector table (the IVF routing shape), and the confusion output
     // is |labels|² rows.
+    // PREFIX-RECALL CURVE (§2.142) — sim_prefix_dim_recall at ONE k
+    // answers "is the 16-dim prefix good enough at 10"; the CURVE
+    // answers where it breaks: recall@k of the 16-dim prefix ranking
+    // against the full ranking for k ∈ {1, 5, 10, 20}, averaged over
+    // probes. Both rankings are exact per-probe top-20 (bounded
+    // windows over the broadcast probe set); each k's hit count is
+    // the conditional sum [rk_full ≤ k ∧ rk_prefix ≤ k] off ONE
+    // joined table and a 4-row k spine — exact integers, one
+    // division per k.
+    "sim_recall_curve" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val probes = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("probe_id"), col("v").as("p"),
+          expr("slice(v, 1, 16)").as("p16"))
+      val scored = emb.crossJoin(broadcast(probes))
+        .filter(col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("vec_id"),
+          (ArrayDot(col("p"), col("v"))
+            / (sqrt(ArrayDot(col("p"), col("p")))
+              * sqrt(ArrayDot(col("v"), col("v"))))).as("cosf"),
+          (ArrayDot(col("p16"), expr("slice(v, 1, 16)"))
+            / (sqrt(ArrayDot(col("p16"), col("p16")))
+              * sqrt(ArrayDot(expr("slice(v, 1, 16)"),
+                expr("slice(v, 1, 16)"))))).as("cosp"))
+      val wf = Window.partitionBy("probe_id")
+        .orderBy(col("cosf").desc, col("vec_id"))
+      val wp = Window.partitionBy("probe_id")
+        .orderBy(col("cosp").desc, col("vec_id"))
+      val rk = scored
+        .withColumn("rkf", row_number().over(wf).cast("long"))
+        .withColumn("rkp", row_number().over(wp).cast("long"))
+        .filter(col("rkf") <= 20 || col("rkp") <= 20)
+      val np = probes.count()
+      val ks = s.createDataFrame(Seq(1L, 5L, 10L, 20L).map(Tuple1(_)))
+        .toDF("k")
+      rk.crossJoin(broadcast(ks))
+        .groupBy("k")
+        .agg(sum(when(col("rkf") <= col("k")
+          && col("rkp") <= col("k"), 1L).otherwise(0L))
+          .cast("long").as("n_hits"))
+        .select(col("k"), col("n_hits"),
+          r4d(col("n_hits").cast("double")
+            / (col("k") * lit(np)).cast("double")).as("recall"))
+        .orderBy("k")
+    }),
+
     // PER-DIMENSION VARIANCE PROFILE (§2.138) — which embedding
     // dimensions carry signal: mean and variance per coordinate,
     // the PCA-lite diagnostic behind Matryoshka-prefix decisions
@@ -1045,6 +1092,42 @@ object SimQueries {
     // Parallel unnests zip positionally (the centroid key's device);
     // per-dim squares fold in index order; argmin via row_number with
     // the same (d2, label) tie order.
+    // Same two rankings (full vs [1:16] prefix), same conditional
+    // hit counts over the 4-row k spine.
+    "sim_recall_curve" ->
+      """WITH pr AS (SELECT vec_id AS probe_id,
+        |    CAST(embedding AS DOUBLE[]) AS p,
+        |    CAST(embedding AS DOUBLE[])[1:16] AS p16
+        |  FROM embeddings WHERE vec_id < 10),
+        |sc AS (SELECT pr.probe_id, e.vec_id,
+        |    list_dot_product(p, CAST(e.embedding AS DOUBLE[]))
+        |      / (sqrt(list_dot_product(p, p))
+        |       * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+        |           CAST(e.embedding AS DOUBLE[])))) AS cosf,
+        |    list_dot_product(p16, CAST(e.embedding AS DOUBLE[])[1:16])
+        |      / (sqrt(list_dot_product(p16, p16))
+        |       * sqrt(list_dot_product(
+        |           CAST(e.embedding AS DOUBLE[])[1:16],
+        |           CAST(e.embedding AS DOUBLE[])[1:16]))) AS cosp
+        |  FROM embeddings e CROSS JOIN pr
+        |  WHERE e.vec_id <> pr.probe_id),
+        |rk AS (SELECT probe_id, vec_id,
+        |    CAST(row_number() OVER (PARTITION BY probe_id
+        |      ORDER BY cosf DESC, vec_id) AS BIGINT) AS rkf,
+        |    CAST(row_number() OVER (PARTITION BY probe_id
+        |      ORDER BY cosp DESC, vec_id) AS BIGINT) AS rkp
+        |  FROM sc),
+        |np AS (SELECT count(*) AS np FROM pr),
+        |ks AS (SELECT CAST(unnest([1, 5, 10, 20]) AS BIGINT) AS k),
+        |h AS (SELECT k,
+        |    CAST(sum(CASE WHEN rkf <= k AND rkp <= k THEN 1 ELSE 0
+        |      END) AS BIGINT) AS n_hits
+        |  FROM rk CROSS JOIN ks
+        |  WHERE rkf <= 20 OR rkp <= 20 GROUP BY 1)
+        |SELECT k, n_hits,
+        |  ROUND(CAST(n_hits AS DOUBLE) / CAST(k * np AS DOUBLE)
+        |    * 10000) / 10000 AS recall
+        |FROM h CROSS JOIN np ORDER BY k""".stripMargin,
     // Same micro-snap, HUGEINT moments, identical edge divisions.
     "sim_dim_variance" ->
       """WITH u AS (SELECT unnest(range(len(embedding))) AS pos,

@@ -1954,6 +1954,51 @@ object StatQueries {
             / (col("sv6").cast("double") / lit(1.0e6))).as("chi2"))
     }),
 
+    // REGRESSION METRICS, HOUR-MODEL (§2.141) — the regression-eval
+    // face the metric family lacked (AUC/F1/ECE grade classifiers;
+    // nothing graded a VALUE predictor): evaluate the per-hour-mean
+    // model ŷ = mean(value | hour) with MAE/RMSE/R². Exactness: the
+    // group-mean model's SSE has the closed form Σ_h (nQ_h − S_h²)/n_h
+    // and the MAE numerator Σ|n_h·y − S_h| is an exact per-row
+    // integer — each hour's term carries ONE truncating division
+    // (quantization ≤ 1 cent²/hour, deterministic both engines), so
+    // the cross-hour sums are integer sums; the three metrics are
+    // one edge chain. Two corpus passes (moments, then |residual|
+    // against the broadcast 24-row model).
+    "eval_regression_hour_model" -> ((s, dir) => {
+      val e = events(s, dir)
+        .select(expr("unix_millis(cast(ts as timestamp))" +
+          " div 3600000 % 24").as("hour"),
+          round(col("value") * 100).cast("long").as("cents"))
+      val hr = e.groupBy("hour").agg(count(lit(1)).as("n"),
+        sum(col("cents").cast("decimal(38,0)")).as("s"),
+        sum(col("cents").cast("decimal(38,0)") * col("cents")).as("q"))
+      val madnum = e.join(broadcast(hr), Seq("hour"))
+        .groupBy("hour")
+        .agg(sum(abs(col("n").cast("decimal(38,0)") * col("cents")
+          - col("s"))).cast("decimal(38,0)").as("mn"))
+      val terms = hr.join(madnum, Seq("hour"))
+        .select(col("n"),
+          expr("CAST((n * q - s * s) div n AS BIGINT)").as("sse0"),
+          expr("CAST(mn div n AS BIGINT)").as("mad0"))
+      val g = terms.agg(sum(col("n")).cast("long").as("nn"),
+        sum(col("sse0")).cast("decimal(38,0)").as("sse"),
+        sum(col("mad0")).cast("decimal(38,0)").as("mad"))
+      val tot = e.agg(count(lit(1)).as("n2"),
+        sum(col("cents").cast("decimal(38,0)")).as("st"),
+        sum(col("cents").cast("decimal(38,0)") * col("cents"))
+          .as("qt"))
+      g.crossJoin(broadcast(tot))
+        .select(col("nn").as("n_events"),
+          r4d(col("mad").cast("double") / col("nn").cast("double"))
+            .as("mae_cents"),
+          r4d(sqrt(col("sse").cast("double") / col("nn").cast("double")))
+            .as("rmse_cents"),
+          r4d(lit(1.0) - col("sse").cast("double")
+            / expr("CAST((n2 * qt - st * st) div n2 AS BIGINT)")
+              .cast("double")).as("r2"))
+    }),
+
     // ODDS RATIO + WOOLF CI (§2.140) — the effect-size companion to
     // agg_two_proportion_z's significance answer: OR = ad/bc between
     // the user-parity arms' conversion 2×2, with the Woolf interval
@@ -2785,6 +2830,42 @@ object StatQueries {
          |    / (CAST(sv6 AS DOUBLE) / 1000000.0)
          |    * 10000) / 10000 AS chi2
          |FROM ag CROSS JOIN nap""".stripMargin,
+    // Same closed-form SSE/MAE terms with the identical truncating
+    // divisions, HUGEINT moments, one edge chain.
+    "eval_regression_hour_model" ->
+      """WITH e AS (SELECT epoch_ms(ts) // 3600000 % 24 AS hour,
+        |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |hr AS (SELECT hour, count(*) AS n,
+        |    CAST(sum(CAST(cents AS HUGEINT)) AS HUGEINT) AS s,
+        |    CAST(sum(CAST(cents AS HUGEINT) * cents) AS HUGEINT)
+        |      AS q
+        |  FROM e GROUP BY 1),
+        |madnum AS (SELECT e.hour,
+        |    CAST(sum(abs(CAST(n AS HUGEINT) * cents - s)) AS HUGEINT)
+        |      AS mn
+        |  FROM e JOIN hr ON hr.hour = e.hour GROUP BY 1),
+        |terms AS (SELECT n,
+        |    CAST((CAST(n AS HUGEINT) * q - s * s) // n AS BIGINT)
+        |      AS sse0,
+        |    CAST(mn // n AS BIGINT) AS mad0
+        |  FROM hr JOIN madnum USING (hour)),
+        |g AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+        |    CAST(sum(sse0) AS HUGEINT) AS sse,
+        |    CAST(sum(mad0) AS HUGEINT) AS mad FROM terms),
+        |tot AS (SELECT count(*) AS n2,
+        |    CAST(sum(CAST(cents AS HUGEINT)) AS HUGEINT) AS st,
+        |    CAST(sum(CAST(cents AS HUGEINT) * cents) AS HUGEINT)
+        |      AS qt
+        |  FROM e)
+        |SELECT nn AS n_events,
+        |  ROUND(CAST(mad AS DOUBLE) / CAST(nn AS DOUBLE) * 10000)
+        |    / 10000 AS mae_cents,
+        |  ROUND(sqrt(CAST(sse AS DOUBLE) / CAST(nn AS DOUBLE))
+        |    * 10000) / 10000 AS rmse_cents,
+        |  ROUND((1.0 - CAST(sse AS DOUBLE)
+        |    / CAST(CAST((CAST(n2 AS HUGEINT) * qt - st * st) // n2
+        |      AS BIGINT) AS DOUBLE)) * 10000) / 10000 + 0.0 AS r2
+        |FROM g CROSS JOIN tot""".stripMargin,
     // Same user-grain 2×2, identical edge ln/exp chain.
     "ab_odds_ratio_ci" ->
       """WITH u AS (SELECT user_id % 2 AS arm,

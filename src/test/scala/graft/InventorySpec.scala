@@ -482,10 +482,17 @@ class InventorySpec extends SparkSpec {
     "multimodal_flip_boxes",
     // §2.140 round-14 thirteenth wave: script profile, heading
     // sectors, odds ratio
-    "text_script_profile", "geo_heading_sectors", "ab_odds_ratio_ci")
+    "text_script_profile", "geo_heading_sectors", "ab_odds_ratio_ci",
+    // §2.141 round-14 fourteenth wave: track bbox, regression
+    // metrics, retention plan
+    "geo_track_bbox", "eval_regression_hour_model",
+    "etl_retention_plan",
+    // §2.142 round-14 fifteenth wave: box clip, recall curve,
+    // two-hop reach
+    "multimodal_box_clip", "sim_recall_curve", "graph_two_hop_reach")
 
-  test("declared queries cover SURVEY §2 + §2.12-140 exactly (530 keys)") {
-    assert(inventory.size == 530)
+  test("declared queries cover SURVEY §2 + §2.12-142 exactly (536 keys)") {
+    assert(inventory.size == 536)
     val declared = SparkEntry.queries.keySet
     val missing = inventory -- declared
     val extra = declared -- inventory
