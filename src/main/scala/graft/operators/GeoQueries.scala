@@ -62,6 +62,33 @@ object GeoQueries {
     // who). floor() of exact binary coordinates is engine-exact;
     // per-cell stats are one two-phase agg — map-side partials bound
     // the shuffle by |occupied cells| regardless of corpus size.
+    // CO-LOCATION PAIRS (§2.144) — which platform pairs keep turning
+    // up in the SAME 2°×2° cell on the SAME day: the contact-graph /
+    // joint-survey primitive. The join is BLOCKED by (cell, day) —
+    // pairs only form inside a block, never across the corpus (the
+    // spatial-join analogue of the dedup keys' banding; a fat cell
+    // costs its own occupancy², bounded by cell granularity). Pairs
+    // counted on the DISTINCT per-day presence table, threshold ≥ 2
+    // shared cell-days, exact integers.
+    "geo_colocation_pairs" -> ((s, dir) => {
+      val pres = sightings(s, dir)
+        .select(col("user_id"),
+          floor(col("lat") / 2).cast("long").as("cell_lat"),
+          floor(col("lon") / 2).cast("long").as("cell_lon"),
+          expr("ms div 86400000").as("day"))
+        .distinct().localCheckpoint(true)
+      pres.as("a").join(pres.as("b"),
+          col("a.cell_lat") === col("b.cell_lat")
+            && col("a.cell_lon") === col("b.cell_lon")
+            && col("a.day") === col("b.day")
+            && col("a.user_id") < col("b.user_id"))
+        .groupBy(col("a.user_id").as("user_a"),
+          col("b.user_id").as("user_b"))
+        .agg(count(lit(1)).as("n_shared_cell_days"))
+        .filter(col("n_shared_cell_days") >= 2)
+        .orderBy("user_a", "user_b")
+    }),
+
     // TRACK BOUNDING BOX (§2.141) — per platform: the lat/lon
     // envelope, fix count, and the box "area" in square degrees —
     // the cheap spatial-extent summary a survey planner reads before
@@ -653,6 +680,23 @@ object GeoQueries {
     }))
 
   val oracle: Map[String, String] = Map(
+    // Same (cell, day)-blocked pair join on the distinct presence
+    // table.
+    "geo_colocation_pairs" ->
+      """WITH p AS (SELECT DISTINCT user_id,
+        |    CAST(floor((CAST(event_id % 1440 AS DOUBLE) / 8 - 90) / 2)
+        |      AS BIGINT) AS cell_lat,
+        |    CAST(floor((CAST((user_id * 997 + event_id * 31) % 11520
+        |      AS DOUBLE) / 32 - 180) / 2) AS BIGINT) AS cell_lon,
+        |    epoch_ms(ts) // 86400000 AS day
+        |  FROM events)
+        |SELECT a.user_id AS user_a, b.user_id AS user_b,
+        |  count(*) AS n_shared_cell_days
+        |FROM p a JOIN p b ON a.cell_lat = b.cell_lat
+        |  AND a.cell_lon = b.cell_lon AND a.day = b.day
+        |  AND a.user_id < b.user_id
+        |GROUP BY 1, 2 HAVING count(*) >= 2
+        |ORDER BY user_a, user_b""".stripMargin,
     // Same exact min/max envelope and product.
     "geo_track_bbox" ->
       """WITH p AS (SELECT user_id,

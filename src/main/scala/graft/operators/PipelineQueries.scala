@@ -1176,6 +1176,52 @@ object PipelineQueries {
     // Retry/replay-deterministic unlike rand(); pure map-side filter, no
     // shuffle below the presentation sort; at 100 TB rates come from a
     // config table instead of a literal CASE (same plan shape).
+    // BEST-OF-N CURVE (§2.143) — the BoN selection statistic RLHF
+    // serving stacks live by: if each user's first n purchase values
+    // are "n sampled candidates", what does the expected MAX do as n
+    // doubles? Users with ≥ 8 purchases form the complete design;
+    // best-of-n is a conditional max over the per-user (ms,
+    // event_id)-ranked prefix, means reduce per n, and the lift
+    // column divides by the n = 1 mean (a 4-row broadcast). Exact
+    // integer cents until the two edge divisions.
+    "pipeline_best_of_n" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ms"), col("event_id"))
+      val e = graft.Tables.events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"),
+          unix_millis(col("ts").cast("timestamp")).as("ms"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .withColumn("rn", row_number().over(w))
+      val eligible = e.groupBy("user_id")
+        .agg(count(lit(1)).as("np")).filter(col("np") >= 8)
+        .select("user_id")
+      val per = e.join(eligible, Seq("user_id"))
+        .groupBy("user_id")
+        .agg(max(when(col("rn") <= 1, col("cents"))).as("b1"),
+          max(when(col("rn") <= 2, col("cents"))).as("b2"),
+          max(when(col("rn") <= 4, col("cents"))).as("b4"),
+          max(when(col("rn") <= 8, col("cents"))).as("b8"))
+      val agg = per.agg(count(lit(1)).as("n_users"),
+        sum(col("b1")).cast("long").as("s1"),
+        sum(col("b2")).cast("long").as("s2"),
+        sum(col("b4")).cast("long").as("s4"),
+        sum(col("b8")).cast("long").as("s8"))
+      val stacked = agg.selectExpr("n_users",
+        "stack(4, 1L, s1, 2L, s2, 4L, s4, 8L, s8) AS (n, s)")
+      val base = agg.select(
+        (col("s1").cast("double") / col("n_users").cast("double"))
+          .as("base"))
+      stacked.crossJoin(broadcast(base))
+        .select(col("n"), col("n_users"),
+          r4d(col("s").cast("double") / col("n_users").cast("double"))
+            .as("mean_best_cents"),
+          r4d(col("s").cast("double") / col("n_users").cast("double")
+            / col("base")).as("lift_vs_1"))
+        .orderBy("n")
+    }),
+
     // BOX CLIPPING REPORT (§2.142) — the sanity pass after any
     // jittered/augmented box lands: clip predicted boxes (the
     // bbox_iou fixture's jittered predictions, which CAN leave the
@@ -3035,6 +3081,38 @@ object PipelineQueries {
         |SELECT doc_id, frame_idx, octet_length(encode(fs)) AS frame_len,
         |  md5(fs) AS frame_md5
         |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
+    // Same ranked prefix maxima, the identical stacked means and
+    // base-divided lift.
+    "pipeline_best_of_n" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ms,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase'),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+        |    ORDER BY ms, event_id) AS rn FROM e),
+        |el AS (SELECT user_id FROM e GROUP BY 1 HAVING count(*) >= 8),
+        |per AS (SELECT r.user_id,
+        |    max(CASE WHEN rn <= 1 THEN cents END) AS b1,
+        |    max(CASE WHEN rn <= 2 THEN cents END) AS b2,
+        |    max(CASE WHEN rn <= 4 THEN cents END) AS b4,
+        |    max(CASE WHEN rn <= 8 THEN cents END) AS b8
+        |  FROM r JOIN el USING (user_id) GROUP BY 1),
+        |a AS (SELECT count(*) AS n_users,
+        |    CAST(sum(b1) AS BIGINT) AS s1,
+        |    CAST(sum(b2) AS BIGINT) AS s2,
+        |    CAST(sum(b4) AS BIGINT) AS s4,
+        |    CAST(sum(b8) AS BIGINT) AS s8 FROM per),
+        |u AS (SELECT n_users, 1 AS n, s1 AS s FROM a
+        |  UNION ALL SELECT n_users, 2, s2 FROM a
+        |  UNION ALL SELECT n_users, 4, s4 FROM a
+        |  UNION ALL SELECT n_users, 8, s8 FROM a),
+        |b AS (SELECT CAST(s1 AS DOUBLE) / CAST(n_users AS DOUBLE)
+        |    AS base FROM a)
+        |SELECT CAST(n AS BIGINT) AS n, n_users,
+        |  ROUND(CAST(s AS DOUBLE) / CAST(n_users AS DOUBLE) * 10000)
+        |    / 10000 AS mean_best_cents,
+        |  ROUND(CAST(s AS DOUBLE) / CAST(n_users AS DOUBLE) / base
+        |    * 10000) / 10000 AS lift_vs_1
+        |FROM u CROSS JOIN b ORDER BY n""".stripMargin,
     // Same integer clip, flags, and area ratio.
     "multimodal_box_clip" ->
       """WITH p AS (SELECT p_partkey, CAST(p_size AS BIGINT) AS sz,

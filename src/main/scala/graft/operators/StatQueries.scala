@@ -1954,6 +1954,85 @@ object StatQueries {
             / (col("sv6").cast("double") / lit(1.0e6))).as("chi2"))
     }),
 
+    // MOOD'S MEDIAN TEST (§2.144) — the coarsest, most
+    // outlier-proof k-group location test (counts above/below the
+    // GRAND median per event type, then the 2×k χ²): the member
+    // that stays valid when even Kruskal-Wallis's rank assumptions
+    // wobble. The grand median is a percentile_disc order statistic
+    // over cents (CAST AS BIGINT per the §1.3 rule); the χ² with
+    // E = rowtot·coltot/N is assembled from exact integers with the
+    // per-cell term floor-snapped to 10⁻⁶ before the cross-cell sum
+    // (2k bounded cells). Ties at the median go BELOW (≤ median),
+    // the classical convention, identically on both sides.
+    "agg_median_test" -> ((s, dir) => {
+      val e = events(s, dir)
+        .select(col("event_type"),
+          round(col("value") * 100).cast("long").as("cents"))
+      e.createOrReplaceTempView("mt_e")
+      val med = s.sql("""SELECT CAST(percentile_disc(0.5)
+        | WITHIN GROUP (ORDER BY cents) AS BIGINT) AS med
+        |FROM mt_e""".stripMargin)
+      val cell = e.crossJoin(broadcast(med))
+        .groupBy("event_type")
+        .agg(count_if(col("cents") > col("med")).as("n_above"),
+          count_if(col("cents") <= col("med")).as("n_below"))
+      val tot = cell.agg(sum(col("n_above")).cast("long").as("ta"),
+        sum(col("n_below")).cast("long").as("tb"))
+      val terms = cell.crossJoin(broadcast(tot))
+        .withColumn("nn", col("ta") + col("tb"))
+        .select(col("event_type"), col("n_above"), col("n_below"),
+          (floor((col("n_above").cast("double")
+            - (col("n_above") + col("n_below")).cast("double")
+              * col("ta").cast("double") / col("nn").cast("double"))
+            * (col("n_above").cast("double")
+              - (col("n_above") + col("n_below")).cast("double")
+                * col("ta").cast("double") / col("nn").cast("double"))
+            / ((col("n_above") + col("n_below")).cast("double")
+              * col("ta").cast("double") / col("nn").cast("double"))
+            * lit(1.0e6))
+            + floor((col("n_below").cast("double")
+              - (col("n_above") + col("n_below")).cast("double")
+                * col("tb").cast("double") / col("nn").cast("double"))
+              * (col("n_below").cast("double")
+                - (col("n_above") + col("n_below")).cast("double")
+                  * col("tb").cast("double") / col("nn").cast("double"))
+              / ((col("n_above") + col("n_below")).cast("double")
+                * col("tb").cast("double") / col("nn").cast("double"))
+              * lit(1.0e6))).cast("long").as("t6"))
+      val k = terms.agg(count(lit(1)).as("k"),
+        sum(col("t6")).cast("long").as("st6"))
+      k.select(col("k"), (col("k") - 1).as("df"),
+        r4d(col("st6").cast("double") / lit(1.0e6)).as("chi2"))
+    }),
+
+    // ONE-SAMPLE T (§2.143) — the simplest member the test family
+    // skipped: is mean purchase value different from the spelled
+    // reference μ₀ = 10000 cents, per event type? t =
+    // (x̄−μ₀)/(s/√n) from the exact n·Σx²−(Σx)² DECIMAL(38,0)
+    // numerators; one double chain per group, degenerate groups →
+    // NULL by the exact integer variance test.
+    "agg_ttest_one_sample" -> ((s, dir) => {
+      val e = events(s, dir)
+        .select(col("event_type"),
+          round(col("value") * 100).cast("long").as("cents"))
+      val g = e.groupBy("event_type").agg(count(lit(1)).as("n"),
+        sum(col("cents").cast("decimal(38,0)")).as("sx"),
+        sum(col("cents").cast("decimal(38,0)") * col("cents"))
+          .as("sxx"))
+      val vnum = (col("n").cast("decimal(38,0)") * col("sxx")) -
+        (col("sx") * col("sx"))
+      val vden = col("n").cast("decimal(38,0)") * (col("n") - 1)
+      g.select(col("event_type"), col("n"),
+          r4d(col("sx").cast("double") / col("n").cast("double"))
+            .as("mean_cents"),
+          when(col("n") > 1 && vnum > 0,
+            r4d((col("sx").cast("double") / col("n").cast("double")
+                - lit(10000.0))
+              / sqrt(vnum.cast("double") / vden.cast("double")
+                / col("n").cast("double")))).as("t"))
+        .orderBy("event_type")
+    }),
+
     // REGRESSION METRICS, HOUR-MODEL (§2.141) — the regression-eval
     // face the metric family lacked (AUC/F1/ECE grade classifiers;
     // nothing graded a VALUE predictor): evaluate the per-hour-mean
@@ -2830,6 +2909,63 @@ object StatQueries {
          |    / (CAST(sv6 AS DOUBLE) / 1000000.0)
          |    * 10000) / 10000 AS chi2
          |FROM ag CROSS JOIN nap""".stripMargin,
+    // Same BIGINT-cast median, ties-below, snapped per-cell terms.
+    "agg_median_test" ->
+      """WITH e AS (SELECT event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |m AS (SELECT CAST(percentile_disc(0.5)
+        |    WITHIN GROUP (ORDER BY cents) AS BIGINT) AS med FROM e),
+        |cell AS (SELECT event_type,
+        |    count(*) FILTER (WHERE cents > med) AS n_above,
+        |    count(*) FILTER (WHERE cents <= med) AS n_below
+        |  FROM e CROSS JOIN m GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_above) AS BIGINT) AS ta,
+        |    CAST(sum(n_below) AS BIGINT) AS tb FROM cell),
+        |terms AS (SELECT event_type,
+        |    CAST(floor((CAST(n_above AS DOUBLE)
+        |      - CAST(n_above + n_below AS DOUBLE)
+        |        * CAST(ta AS DOUBLE) / CAST(ta + tb AS DOUBLE))
+        |      * (CAST(n_above AS DOUBLE)
+        |        - CAST(n_above + n_below AS DOUBLE)
+        |          * CAST(ta AS DOUBLE) / CAST(ta + tb AS DOUBLE))
+        |      / (CAST(n_above + n_below AS DOUBLE)
+        |        * CAST(ta AS DOUBLE) / CAST(ta + tb AS DOUBLE))
+        |      * 1.0e6)
+        |    + floor((CAST(n_below AS DOUBLE)
+        |      - CAST(n_above + n_below AS DOUBLE)
+        |        * CAST(tb AS DOUBLE) / CAST(ta + tb AS DOUBLE))
+        |      * (CAST(n_below AS DOUBLE)
+        |        - CAST(n_above + n_below AS DOUBLE)
+        |          * CAST(tb AS DOUBLE) / CAST(ta + tb AS DOUBLE))
+        |      / (CAST(n_above + n_below AS DOUBLE)
+        |        * CAST(tb AS DOUBLE) / CAST(ta + tb AS DOUBLE))
+        |      * 1.0e6) AS BIGINT) AS t6
+        |  FROM cell CROSS JOIN tot)
+        |SELECT count(*) AS k, count(*) - 1 AS df,
+        |  ROUND(CAST(CAST(sum(t6) AS BIGINT) AS DOUBLE) / 1.0e6
+        |    * 10000) / 10000 AS chi2
+        |FROM terms""".stripMargin,
+    // Same moments, the 10000 literal, identical chain.
+    "agg_ttest_one_sample" ->
+      """WITH e AS (SELECT event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |g AS (SELECT event_type, count(*) AS n,
+        |    CAST(sum(CAST(cents AS HUGEINT)) AS HUGEINT) AS sx,
+        |    CAST(sum(CAST(cents AS HUGEINT) * cents) AS HUGEINT)
+        |      AS sxx
+        |  FROM e GROUP BY 1)
+        |SELECT event_type, n,
+        |  ROUND(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) * 10000)
+        |    / 10000 AS mean_cents,
+        |  CASE WHEN n > 1 AND CAST(n AS HUGEINT) * sxx - sx * sx > 0
+        |    THEN ROUND((CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)
+        |        - 10000.0)
+        |      / sqrt(CAST(CAST(n AS HUGEINT) * sxx - sx * sx
+        |          AS DOUBLE)
+        |        / CAST(CAST(n AS HUGEINT) * (n - 1) AS DOUBLE)
+        |        / CAST(n AS DOUBLE))
+        |      * 10000) / 10000 + 0.0 END AS t
+        |FROM g ORDER BY event_type""".stripMargin,
     // Same closed-form SSE/MAE terms with the identical truncating
     // divisions, HUGEINT moments, one edge chain.
     "eval_regression_hour_model" ->

@@ -502,6 +502,37 @@ object TextQueries {
         .orderBy("lang")
     }),
 
+    // CROSS-LANGUAGE VOCAB JACCARD (§2.143) — pairwise vocabulary
+    // overlap between languages: |V_a ∩ V_b| / |V_a ∪ V_b| for each
+    // of the C(langs, 2) pairs — the cross-lingual-leakage /
+    // shared-script signal a mixture designer reads next to
+    // text_bigram_overlap's mass overlap (types vs tokens). The
+    // intersection comes from ONE self-join of the (lang, token)
+    // DISTINCT table on token (bounded by vocab, not corpus); union
+    // by inclusion-exclusion. Exact integers, one division.
+    "text_vocab_jaccard_pairs" -> ((s, dir) => {
+      val v = t(s, dir, "documents")
+        .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+        .distinct().localCheckpoint(true)
+      val sizes = v.groupBy("lang").agg(count(lit(1)).as("nv"))
+      val inter = v.as("a").join(v.as("b"),
+          col("a.tok") === col("b.tok")
+            && col("a.lang") < col("b.lang"))
+        .groupBy(col("a.lang").as("lang_a"), col("b.lang").as("lang_b"))
+        .agg(count(lit(1)).as("n_inter"))
+      inter
+        .join(sizes.withColumnRenamed("lang", "lang_a")
+          .withColumnRenamed("nv", "nva"), Seq("lang_a"))
+        .join(sizes.withColumnRenamed("lang", "lang_b")
+          .withColumnRenamed("nv", "nvb"), Seq("lang_b"))
+        .select(col("lang_a"), col("lang_b"), col("nva"), col("nvb"),
+          col("n_inter"),
+          r4d(col("n_inter").cast("double")
+            / (col("nva") + col("nvb") - col("n_inter")).cast("double"))
+            .as("jaccard"))
+        .orderBy("lang_a", "lang_b")
+    }),
+
     // CHARACTER-CLASS PROFILE (§2.140) — per lang, the share of
     // letters / digits / spaces / other in the raw text, measured
     // WITHOUT exploding characters: each class count is
@@ -1137,6 +1168,23 @@ object TextQueries {
         |  ROUND(CAST(count(*) FILTER (WHERE c = 1) AS DOUBLE)
         |    / CAST(count(*) AS DOUBLE) * 10000) / 10000 AS hapax_share
         |FROM tc GROUP BY lang ORDER BY lang""".stripMargin,
+    // Same distinct self-join and inclusion-exclusion union.
+    "text_vocab_jaccard_pairs" ->
+      """WITH v AS (SELECT DISTINCT lang, tok FROM (
+        |    SELECT lang, unnest(string_split(text, ' ')) AS tok
+        |    FROM documents)),
+        |sz AS (SELECT lang, count(*) AS nv FROM v GROUP BY 1),
+        |i AS (SELECT a.lang AS lang_a, b.lang AS lang_b,
+        |    count(*) AS n_inter
+        |  FROM v a JOIN v b ON a.tok = b.tok AND a.lang < b.lang
+        |  GROUP BY 1, 2)
+        |SELECT lang_a, lang_b, sa.nv AS nva, sb.nv AS nvb, n_inter,
+        |  ROUND(CAST(n_inter AS DOUBLE)
+        |    / CAST(sa.nv + sb.nv - n_inter AS DOUBLE) * 10000)
+        |    / 10000 AS jaccard
+        |FROM i JOIN sz sa ON sa.lang = i.lang_a
+        |JOIN sz sb ON sb.lang = i.lang_b
+        |ORDER BY lang_a, lang_b""".stripMargin,
     // Same length-difference counting (identical RE2-safe classes).
     "text_script_profile" ->
       """WITH d AS (SELECT lang, CAST(len(text) AS BIGINT) AS n,

@@ -489,10 +489,16 @@ class InventorySpec extends SparkSpec {
     "etl_retention_plan",
     // §2.142 round-14 fifteenth wave: box clip, recall curve,
     // two-hop reach
-    "multimodal_box_clip", "sim_recall_curve", "graph_two_hop_reach")
+    "multimodal_box_clip", "sim_recall_curve", "graph_two_hop_reach",
+    // §2.143 round-14 sixteenth wave: one-sample t, vocab Jaccard,
+    // best-of-n
+    "agg_ttest_one_sample", "text_vocab_jaccard_pairs",
+    "pipeline_best_of_n",
+    // §2.144 round-14 seventeenth wave: median test, co-location
+    "agg_median_test", "geo_colocation_pairs")
 
-  test("declared queries cover SURVEY §2 + §2.12-142 exactly (536 keys)") {
-    assert(inventory.size == 536)
+  test("declared queries cover SURVEY §2 + §2.12-144 exactly (541 keys)") {
+    assert(inventory.size == 541)
     val declared = SparkEntry.queries.keySet
     val missing = inventory -- declared
     val extra = declared -- inventory
