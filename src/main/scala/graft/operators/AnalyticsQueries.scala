@@ -2416,6 +2416,45 @@ object AnalyticsQueries {
         .orderBy("event_type", "day")
     }),
 
+    // SHEWHART I-MR CONTROL LIMITS (§2.145) — the SPC individuals
+    // chart on daily volume per type: center = mean, limits =
+    // center ± 2.66·(mean moving range) (the classical d2-based
+    // constant, spelled as the 2.66 literal in both engines), plus
+    // the count of out-of-control days. The moving-range sum is an
+    // exact integer off one lag window over the zero-filled spine;
+    // center/limits are one double chain per type; the violation
+    // count compares exact integer days against the identical
+    // limits. The drift alarm every ops dashboard should derive,
+    // not eyeball.
+    "ts_control_limits" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("event_type").orderBy("day")
+      val d = zeroFilledDaily(s, dir)
+        .withColumn("py", lag(col("y"), 1).over(w))
+      val g = d.groupBy("event_type").agg(
+        count(lit(1)).as("n_days"),
+        sum(col("y")).cast("long").as("sy"),
+        sum(when(col("py").isNotNull, abs(col("y") - col("py")))
+          .otherwise(0L)).cast("long").as("smr"),
+        count_if(col("py").isNotNull).as("nmr"))
+      val center = col("sy").cast("double") / col("n_days").cast("double")
+      val mrbar = col("smr").cast("double") / col("nmr").cast("double")
+      val lims = g.select(col("event_type"), col("n_days"),
+        center.as("center"),
+        (center + lit(2.66) * mrbar).as("ucl"),
+        greatest(lit(0.0), center - lit(2.66) * mrbar).as("lcl"))
+        .localCheckpoint(true)
+      d.join(broadcast(lims), Seq("event_type"))
+        .groupBy(col("event_type"), col("n_days"), col("center"),
+          col("ucl"), col("lcl"))
+        .agg(count_if(col("y").cast("double") > col("ucl")
+          || col("y").cast("double") < col("lcl")).as("n_violations"))
+        .select(col("event_type"), col("n_days"),
+          r4d(col("center")).as("center"), r4d(col("ucl")).as("ucl"),
+          r4d(col("lcl")).as("lcl"), col("n_violations"))
+        .orderBy("event_type")
+    }),
+
     // DURBIN-WATSON (§2.138) — are the daily-trend residuals
     // autocorrelated (the assumption check behind agg_trend_slope's
     // OLS and every "is this trend real" read)? DW =
@@ -2647,6 +2686,45 @@ object AnalyticsQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // Same spine, exact MR sum, the 2.66 literal, identical limits
+    // and violation comparison.
+    "ts_control_limits" ->
+      s"""WITH e AS (SELECT event_type, ${sqlEpochDay("ts")} AS day
+         |  FROM events),
+         |d0 AS (SELECT event_type, day, count(*) AS y FROM e
+         |  GROUP BY 1, 2),
+         |b AS (SELECT min(day) AS lo, max(day) AS hi FROM e),
+         |ty AS (SELECT DISTINCT event_type FROM e),
+         |spine AS (SELECT event_type, unnest(range(lo, hi + 1)) AS day
+         |  FROM ty CROSS JOIN b),
+         |f AS (SELECT s.event_type, s.day, COALESCE(d0.y, 0) AS y
+         |  FROM spine s LEFT JOIN d0 USING (event_type, day)),
+         |l AS (SELECT *, lag(y) OVER (PARTITION BY event_type
+         |    ORDER BY day) AS py FROM f),
+         |g AS (SELECT event_type, count(*) AS n_days,
+         |    CAST(sum(y) AS BIGINT) AS sy,
+         |    CAST(sum(CASE WHEN py IS NOT NULL THEN abs(y - py)
+         |      ELSE 0 END) AS BIGINT) AS smr,
+         |    count(*) FILTER (WHERE py IS NOT NULL) AS nmr
+         |  FROM l GROUP BY 1),
+         |lim AS (SELECT event_type, n_days,
+         |    CAST(sy AS DOUBLE) / CAST(n_days AS DOUBLE) AS center,
+         |    CAST(sy AS DOUBLE) / CAST(n_days AS DOUBLE)
+         |      + 2.66 * (CAST(smr AS DOUBLE) / CAST(nmr AS DOUBLE))
+         |      AS ucl,
+         |    greatest(0.0, CAST(sy AS DOUBLE) / CAST(n_days AS DOUBLE)
+         |      - 2.66 * (CAST(smr AS DOUBLE) / CAST(nmr AS DOUBLE)))
+         |      AS lcl
+         |  FROM g)
+         |SELECT f.event_type, n_days,
+         |  ROUND(center * 10000) / 10000 AS center,
+         |  ROUND(ucl * 10000) / 10000 AS ucl,
+         |  ROUND(lcl * 10000) / 10000 AS lcl,
+         |  count(*) FILTER (WHERE CAST(y AS DOUBLE) > ucl
+         |    OR CAST(y AS DOUBLE) < lcl) AS n_violations
+         |FROM f JOIN lim USING (event_type)
+         |GROUP BY 1, 2, center, ucl, lcl
+         |ORDER BY event_type""".stripMargin,
     // Same multiplied-through integer residuals (scale cancels in
     // DW), HUGEINT sums, one division.
     "ts_durbin_watson" ->

@@ -148,6 +148,25 @@ object CurationQueries {
     // under stratified ordering — the audit shows the actual spread
     // under the hash order). No RNG anywhere; GlobalRank is the
     // two-pass prefix sum, never a single-partition window.
+    // PREFIX DUPLICATE GROUPS (§2.147) — templated-page detection:
+    // docs sharing their first 64 characters are near-certainly the
+    // same boilerplate with different tails (the C4/CCNet prefix
+    // heuristic; full near-dup runs the MinHash path — this is the
+    // cheap first screen). One substring + one reduce; groups of
+    // ≥ 2 reported with their source spread and the min-doc_id
+    // canonical (the cluster-canon survivor convention).
+    "dedup_prefix_groups" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(substring(col("text"), 1, 64).as("prefix"),
+          col("doc_id"), col("source"))
+        .groupBy("prefix")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("source")).as("n_sources"),
+          min(col("doc_id")).as("canonical_doc"))
+        .filter(col("n_docs") >= 2)
+        .orderBy(col("n_docs").desc, col("prefix"))
+    }),
+
     // EXACT-k WEIGHTED SAMPLING WITHOUT REPLACEMENT (§2.129) — the
     // corpus-mixing primitive sample_weighted_mix's Bernoulli form
     // only approximates: exactly 20 docs per source, selection
@@ -879,6 +898,13 @@ object CurationQueries {
         |  ROUND(CAST(n_in - n_out AS DOUBLE) / CAST(n_in AS DOUBLE)
         |    * 10000) / 10000 AS drop_rate
         |FROM st ORDER BY stage""".stripMargin,
+    // Same 64-char substring grouping and survivor convention.
+    "dedup_prefix_groups" ->
+      """SELECT substring(text, 1, 64) AS prefix, count(*) AS n_docs,
+        |  count(DISTINCT source) AS n_sources,
+        |  min(doc_id) AS canonical_doc
+        |FROM documents GROUP BY 1 HAVING count(*) >= 2
+        |ORDER BY n_docs DESC, prefix""".stripMargin,
     // Same 52-bit md5 integer uniform ('0x' || hex cast ≡ Spark's
     // conv(hex, 16, 10)), same truncating priority division, same
     // per-source bottom-20.

@@ -739,6 +739,34 @@ object EtlQueries {
     // max is a 1-row broadcast. Shape: one O(rows) partial-agg reduce
     // to |types| rows (the count_if(day = mx) rides the same pass via
     // a max-keyed second aggregate), then a broadcast compare.
+    // WATERMARK RECOMMENDATION (§2.145) — the decision
+    // etl_late_arrival_report's distribution exists to feed: per
+    // event type, the p99 lateness (an exact percentile_disc order
+    // statistic over integer milliseconds — CAST AS BIGINT per the
+    // §1.3 rule) and the recommended watermark = that p99 rounded UP
+    // to whole minutes (ceil on the exact integer via the
+    // (x + 59999) div 60000 form — no float). The number every
+    // withWatermark() call should be derived from, not guessed.
+    "etl_watermark_recommendation" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      events(s, dir)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_millis(col("ts").cast("timestamp")).as("ms"))
+        .withColumn("prevmax", max(col("ms")).over(w))
+        .withColumn("late_ms",
+          when(col("prevmax") > col("ms"), col("prevmax") - col("ms"))
+            .otherwise(0L))
+        .createOrReplaceTempView("wm_late")
+      s.sql("""SELECT event_type, count(*) AS n_events,
+        |  CAST(percentile_disc(0.99) WITHIN GROUP (ORDER BY late_ms)
+        |    AS BIGINT) AS p99_late_ms,
+        |  (CAST(percentile_disc(0.99) WITHIN GROUP (ORDER BY late_ms)
+        |    AS BIGINT) + 59999) div 60000 AS watermark_minutes
+        |FROM wm_late GROUP BY event_type
+        |ORDER BY event_type""".stripMargin)
+    }),
+
     // RETENTION-POLICY PLAN (§2.141) — the deletion dry run every
     // governed table needs next to etl_backfill_plan's ingestion
     // twin: per event-day partition, its age against a 60-day
@@ -936,6 +964,25 @@ object EtlQueries {
          |ORDER BY ex.event_type""".stripMargin,
     // Integer day arithmetic throughout; last-day counts join back on
     // the per-type max.
+    // Same lateness window, BIGINT-cast p99, integer ceil-minutes.
+    "etl_watermark_recommendation" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |    epoch_ms(ts) AS ms FROM events),
+        |w AS (SELECT event_type,
+        |    max(ms) OVER (PARTITION BY user_id ORDER BY event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS prevmax,
+        |    ms FROM e),
+        |l AS (SELECT event_type,
+        |    CASE WHEN prevmax > ms THEN prevmax - ms ELSE 0 END
+        |      AS late_ms
+        |  FROM w)
+        |SELECT event_type, count(*) AS n_events,
+        |  CAST(percentile_disc(0.99) WITHIN GROUP (ORDER BY late_ms)
+        |    AS BIGINT) AS p99_late_ms,
+        |  (CAST(percentile_disc(0.99) WITHIN GROUP (ORDER BY late_ms)
+        |    AS BIGINT) + 59999) // 60000 AS watermark_minutes
+        |FROM l GROUP BY event_type ORDER BY event_type""".stripMargin,
     // Same bounded day table, cumulative in day order.
     "etl_retention_plan" ->
       s"""WITH d AS (SELECT ${sqlEpochDay("ts")} AS day,

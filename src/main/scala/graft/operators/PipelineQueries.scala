@@ -1176,6 +1176,62 @@ object PipelineQueries {
     // Retry/replay-deterministic unlike rand(); pure map-side filter, no
     // shuffle below the presentation sort; at 100 TB rates come from a
     // config table instead of a literal CASE (same plan shape).
+    // DOC-LENGTH PERCENTILES (§2.147) — per source: p50/p90/max
+    // character length as exact percentile_disc order statistics
+    // (BIGINT-cast per the §1.3 rule) — the capacity numbers
+    // sequence-packing and context-budget decisions read, at the
+    // SOURCE grain pipeline_length_bucketing's global buckets don't
+    // give. One reduce.
+    "pipeline_doc_length_percentiles" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("source"), col("n_chars").cast("long").as("nc"))
+        .createOrReplaceTempView("dlp_docs")
+      s.sql("""SELECT source, count(*) AS n_docs,
+        |  CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY nc)
+        |    AS BIGINT) AS p50_chars,
+        |  CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY nc)
+        |    AS BIGINT) AS p90_chars,
+        |  max(nc) AS max_chars
+        |FROM dlp_docs GROUP BY source ORDER BY source""".stripMargin)
+    }),
+
+    // CENTER-CROP MANIFEST (§2.147) — the classification-pipeline
+    // crop next to the detection keys' tiling/letterbox: a 512×512
+    // window centered on the 1280×900 canvas ([384, 194] offset),
+    // ground-truth boxes remapped into crop coordinates, clipped,
+    // and flagged kept/partial/dropped by their surviving area (the
+    // label-filtering rule every crop augmentation needs: a box
+    // mostly outside the crop must not keep its label). Exact
+    // integers; the kept test is the integer comparison
+    // 2·area_in ≥ area (≥ half survives).
+    "multimodal_center_crop" -> ((s, dir) => {
+      val p = t(s, dir, "part").select(col("p_partkey"),
+        col("p_size").cast("long").as("sz"))
+        .withColumn("gx1", (col("p_partkey") % 50) * 20)
+        .withColumn("gy1", (col("p_partkey") % 31) * 25)
+        .withColumn("gx2", col("gx1") + 40 + col("sz"))
+        .withColumn("gy2", col("gy1") + 60)
+      p.withColumn("cx1", greatest(lit(384L), col("gx1")) - 384L)
+        .withColumn("cy1", greatest(lit(194L), col("gy1")) - 194L)
+        .withColumn("cx2", least(lit(896L), col("gx2")) - 384L)
+        .withColumn("cy2", least(lit(706L), col("gy2")) - 194L)
+        .withColumn("area",
+          (col("gx2") - col("gx1")) * (col("gy2") - col("gy1")))
+        .withColumn("area_in",
+          greatest(lit(0L), col("cx2") - col("cx1"))
+            * greatest(lit(0L), col("cy2") - col("cy1")))
+        .select(col("p_partkey"),
+          greatest(lit(0L), col("cx1")).as("cx1"),
+          greatest(lit(0L), col("cy1")).as("cy1"),
+          greatest(lit(0L), col("cx2")).as("cx2"),
+          greatest(lit(0L), col("cy2")).as("cy2"),
+          col("area"), col("area_in"),
+          when(col("area_in") === 0L, "dropped")
+            .when(col("area_in") * 2 >= col("area"), "kept")
+            .otherwise("partial").as("status"))
+        .orderBy("p_partkey")
+    }),
+
     // BEST-OF-N CURVE (§2.143) — the BoN selection statistic RLHF
     // serving stacks live by: if each user's first n purchase values
     // are "n sampled candidates", what does the expected MAX do as n
@@ -3081,6 +3137,40 @@ object PipelineQueries {
         |SELECT doc_id, frame_idx, octet_length(encode(fs)) AS frame_len,
         |  md5(fs) AS frame_md5
         |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
+    // Same BIGINT-cast order statistics.
+    "pipeline_doc_length_percentiles" ->
+      """SELECT source, count(*) AS n_docs,
+        |  CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY n_chars)
+        |    AS BIGINT) AS p50_chars,
+        |  CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY n_chars)
+        |    AS BIGINT) AS p90_chars,
+        |  CAST(max(n_chars) AS BIGINT) AS max_chars
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    // Same crop window, integer remap/clamp, 2·area_in ≥ area rule.
+    "multimodal_center_crop" ->
+      """WITH p AS (SELECT p_partkey, CAST(p_size AS BIGINT) AS sz,
+        |    (p_partkey % 50) * 20 AS gx1, (p_partkey % 31) * 25 AS gy1
+        |  FROM part),
+        |b AS (SELECT p_partkey, gx1, gy1,
+        |    gx1 + 40 + sz AS gx2, gy1 + 60 AS gy2 FROM p),
+        |c AS (SELECT p_partkey, gx1, gy1, gx2, gy2,
+        |    greatest(384, gx1) - 384 AS cx1,
+        |    greatest(194, gy1) - 194 AS cy1,
+        |    least(896, gx2) - 384 AS cx2,
+        |    least(706, gy2) - 194 AS cy2,
+        |    (gx2 - gx1) * (gy2 - gy1) AS area
+        |  FROM b),
+        |d AS (SELECT *,
+        |    greatest(0, cx2 - cx1) * greatest(0, cy2 - cy1) AS area_in
+        |  FROM c)
+        |SELECT p_partkey,
+        |  greatest(0, cx1) AS cx1, greatest(0, cy1) AS cy1,
+        |  greatest(0, cx2) AS cx2, greatest(0, cy2) AS cy2,
+        |  area, area_in,
+        |  CASE WHEN area_in = 0 THEN 'dropped'
+        |    WHEN area_in * 2 >= area THEN 'kept'
+        |    ELSE 'partial' END AS status
+        |FROM d ORDER BY p_partkey""".stripMargin,
     // Same ranked prefix maxima, the identical stacked means and
     // base-divided lift.
     "pipeline_best_of_n" ->

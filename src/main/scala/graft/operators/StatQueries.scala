@@ -1954,6 +1954,120 @@ object StatQueries {
             / (col("sv6").cast("double") / lit(1.0e6))).as("chi2"))
     }),
 
+    // PARTIAL CORRELATION (§2.146) — does value track hour AFTER
+    // controlling for weekday: r_xy·z = (r_xy − r_xz·r_zy)/
+    // √((1−r_xz²)(1−r_zy²)) from the three pairwise Pearson r's —
+    // the confounder-aware companion to agg_corr_value_hour. All
+    // nine moments are exact DECIMAL(38,0) integers off ONE corpus
+    // reduce (x = cents, y = hour, z = dow — all integers); the
+    // three r's and the partial are one spelled double chain.
+    "agg_partial_corr" -> ((s, dir) => {
+      val e = events(s, dir).select(
+        round(col("value") * 100).cast("long").as("x"),
+        expr("unix_millis(cast(ts as timestamp)) div 3600000 % 24")
+          .as("y"),
+        (epochDay("ts") % 7).as("z"))
+      def d(c: String) = col(c).cast("decimal(38,0)")
+      val m = e.agg(count(lit(1)).as("n"),
+        sum(d("x")).as("sx"), sum(d("y")).as("sy"), sum(d("z")).as("sz"),
+        sum(d("x") * col("x")).as("sxx"),
+        sum(d("y") * col("y")).as("syy"),
+        sum(d("z") * col("z")).as("szz"),
+        sum(d("x") * col("y")).as("sxy"),
+        sum(d("x") * col("z")).as("sxz"),
+        sum(d("y") * col("z")).as("syz"))
+      def r(sab: String, sa: String, sb: String, saa: String,
+          sbb: String) =
+        ((col("n").cast("decimal(38,0)") * col(sab))
+          - (col(sa) * col(sb))).cast("double") /
+          sqrt(((col("n").cast("decimal(38,0)") * col(saa))
+            - (col(sa) * col(sa))).cast("double")
+            * ((col("n").cast("decimal(38,0)") * col(sbb))
+              - (col(sb) * col(sb))).cast("double"))
+      val rxy = r("sxy", "sx", "sy", "sxx", "syy")
+      val rxz = r("sxz", "sx", "sz", "sxx", "szz")
+      val rzy = r("syz", "sy", "sz", "syy", "szz")
+      m.select(col("n").as("n_events"),
+        r4d(rxy).as("r_xy"), r4d(rxz).as("r_xz"), r4d(rzy).as("r_zy"),
+        r4d((rxy - rxz * rzy)
+          / sqrt((lit(1.0) - rxz * rxz) * (lit(1.0) - rzy * rzy)))
+          .as("r_xy_given_z"))
+    }),
+
+    // CONDITIONAL ENTROPY / INFORMATION GAIN (§2.146) — how much
+    // does knowing the weekday tell you about the event-type mix:
+    // IG = H(type) − H(type|dow). Probabilities are exact rationals
+    // over the BOUNDED |types|×7 cell table; each p·ln p term is
+    // floor-snapped to 10⁻⁹ nats (the mld ln convention) before the
+    // ≤42-term integer sums, so no raw-double sum exists; the two
+    // entropies and the gain are one edge chain.
+    "agg_entropy_conditional" -> ((s, dir) => {
+      val e = events(s, dir)
+        .select(col("event_type"), (epochDay("ts") % 7).as("dow"))
+      val cell = e.groupBy("event_type", "dow")
+        .agg(count(lit(1)).as("c"))
+      val nTot = cell.agg(sum(col("c")).cast("long").as("nn"))
+      // H(type): marginal counts; term = −(ct/N)·ln(ct/N).
+      val ht = cell.groupBy("event_type")
+        .agg(sum(col("c")).cast("long").as("ct"))
+        .crossJoin(broadcast(nTot))
+        .select(floor(-(col("ct").cast("double")
+          / col("nn").cast("double"))
+          * log(col("ct").cast("double") / col("nn").cast("double"))
+          * lit(1.0e9)).cast("long").as("t9"))
+        .agg(sum(col("t9")).cast("long").as("h9"))
+        .select(col("h9").as("ht9"))
+      // H(type|dow) = Σ_d (nd/N)·H(type|d) = Σ_cells −(c/N)·ln(c/nd).
+      val nd = cell.groupBy("dow").agg(sum(col("c")).cast("long").as("cd"))
+      val hc = cell.join(nd, Seq("dow")).crossJoin(broadcast(nTot))
+        .select(floor(-(col("c").cast("double")
+          / col("nn").cast("double"))
+          * log(col("c").cast("double") / col("cd").cast("double"))
+          * lit(1.0e9)).cast("long").as("t9"))
+        .agg(sum(col("t9")).cast("long").as("hc9"))
+      ht.crossJoin(hc)
+        .select(r4d(col("ht9").cast("double") / lit(1.0e9)).as("h_type"),
+          r4d(col("hc9").cast("double") / lit(1.0e9)).as("h_type_given_dow"),
+          r4d((col("ht9") - col("hc9")).cast("double") / lit(1.0e9))
+            .as("info_gain"))
+    }),
+
+    // COCHRAN-ARMITAGE TREND (§2.145) — does conversion rate TREND
+    // across an ORDERED factor (weekday 0..6), which the unordered
+    // χ² can't see? T = Σsᵢ(aᵢ − nᵢ·A/N) with scores sᵢ = i;
+    // z = T/√(p̄(1−p̄)·(Σnᵢsᵢ² − (Σnᵢsᵢ)²/N)). All moments exact
+    // integers off one (dow)-reduce; the variance's inner term is
+    // assembled in DECIMAL(38,0) as N·Σns² − (Σns)² over N, one
+    // truncating division, and the z is one edge chain.
+    "ab_cochran_armitage_trend" -> ((s, dir) => {
+      val e = events(s, dir)
+        .select((epochDay("ts") % 7).as("sc"),
+          when(col("event_type") === "purchase", 1L).otherwise(0L)
+            .as("conv"))
+      val g = e.groupBy("sc").agg(count(lit(1)).as("n"),
+        sum(col("conv")).cast("long").as("a"))
+      val m = g.agg(sum(col("n")).cast("long").as("nn"),
+        sum(col("a")).cast("long").as("aa"),
+        sum(col("sc").cast("decimal(38,0)") * col("a"))
+          .cast("decimal(38,0)").as("sa"),
+        sum(col("sc").cast("decimal(38,0)") * col("n"))
+          .cast("decimal(38,0)").as("sn"),
+        sum(col("sc").cast("decimal(38,0)") * col("sc") * col("n"))
+          .cast("decimal(38,0)").as("sn2"))
+      // T·N = N·Σs·a − A·Σs·n (exact); var inner = Σns² − (Σns)²/N
+      // → N·inner = N·Σns² − (Σns)² (exact).
+      m.select(col("nn").as("n_events"), col("aa").as("n_conv"),
+        r4d(((col("nn").cast("decimal(38,0)") * col("sa")
+            - col("aa").cast("decimal(38,0)") * col("sn"))
+          .cast("double") / col("nn").cast("double"))
+          / sqrt((col("aa").cast("double") / col("nn").cast("double"))
+            * (lit(1.0) - col("aa").cast("double")
+              / col("nn").cast("double"))
+            * ((col("nn").cast("decimal(38,0)") * col("sn2")
+              - col("sn") * col("sn")).cast("double")
+              / col("nn").cast("double")))).as("z"))
+    }),
+
     // MOOD'S MEDIAN TEST (§2.144) — the coarsest, most
     // outlier-proof k-group location test (counts above/below the
     // GRAND median per event type, then the 2×k χ²): the member
@@ -2909,6 +3023,100 @@ object StatQueries {
          |    / (CAST(sv6 AS DOUBLE) / 1000000.0)
          |    * 10000) / 10000 AS chi2
          |FROM ag CROSS JOIN nap""".stripMargin,
+    // Same nine HUGEINT moments, the identical three-r chain.
+    "agg_partial_corr" ->
+      s"""WITH e AS (SELECT CAST(round(value * 100) AS BIGINT) AS x,
+         |    epoch_ms(ts) // 3600000 % 24 AS y,
+         |    ${sqlEpochDay("ts")} % 7 AS z FROM events),
+         |m AS (SELECT count(*) AS n,
+         |    CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+         |    CAST(sum(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+         |    CAST(sum(CAST(z AS HUGEINT)) AS HUGEINT) AS sz,
+         |    CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+         |    CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy,
+         |    CAST(sum(CAST(z AS HUGEINT) * z) AS HUGEINT) AS szz,
+         |    CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+         |    CAST(sum(CAST(x AS HUGEINT) * z) AS HUGEINT) AS sxz,
+         |    CAST(sum(CAST(y AS HUGEINT) * z) AS HUGEINT) AS syz
+         |  FROM e),
+         |r AS (SELECT n,
+         |    CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS DOUBLE)
+         |      / sqrt(CAST(CAST(n AS HUGEINT) * sxx - sx * sx
+         |          AS DOUBLE)
+         |        * CAST(CAST(n AS HUGEINT) * syy - sy * sy AS DOUBLE))
+         |      AS rxy,
+         |    CAST(CAST(n AS HUGEINT) * sxz - sx * sz AS DOUBLE)
+         |      / sqrt(CAST(CAST(n AS HUGEINT) * sxx - sx * sx
+         |          AS DOUBLE)
+         |        * CAST(CAST(n AS HUGEINT) * szz - sz * sz AS DOUBLE))
+         |      AS rxz,
+         |    CAST(CAST(n AS HUGEINT) * syz - sy * sz AS DOUBLE)
+         |      / sqrt(CAST(CAST(n AS HUGEINT) * syy - sy * sy
+         |          AS DOUBLE)
+         |        * CAST(CAST(n AS HUGEINT) * szz - sz * sz AS DOUBLE))
+         |      AS rzy
+         |  FROM m)
+         |SELECT n AS n_events,
+         |  ROUND(rxy * 10000) / 10000 + 0.0 AS r_xy,
+         |  ROUND(rxz * 10000) / 10000 + 0.0 AS r_xz,
+         |  ROUND(rzy * 10000) / 10000 + 0.0 AS r_zy,
+         |  ROUND((rxy - rxz * rzy)
+         |    / sqrt((1.0 - rxz * rxz) * (1.0 - rzy * rzy))
+         |    * 10000) / 10000 + 0.0 AS r_xy_given_z
+         |FROM r""".stripMargin,
+    // Same bounded cells, the same 10⁻⁹-snapped p·ln p terms.
+    "agg_entropy_conditional" ->
+      s"""WITH e AS (SELECT event_type, ${sqlEpochDay("ts")} % 7
+         |    AS dow FROM events),
+         |cell AS (SELECT event_type, dow, count(*) AS c
+         |  FROM e GROUP BY 1, 2),
+         |nt AS (SELECT CAST(sum(c) AS BIGINT) AS nn FROM cell),
+         |ht AS (SELECT CAST(sum(t9) AS BIGINT) AS ht9 FROM (
+         |  SELECT CAST(floor(-(CAST(ct AS DOUBLE)
+         |      / CAST(nn AS DOUBLE))
+         |    * ln(CAST(ct AS DOUBLE) / CAST(nn AS DOUBLE))
+         |    * 1.0e9) AS BIGINT) AS t9
+         |  FROM (SELECT event_type, CAST(sum(c) AS BIGINT) AS ct
+         |    FROM cell GROUP BY 1) CROSS JOIN nt)),
+         |nd AS (SELECT dow, CAST(sum(c) AS BIGINT) AS cd FROM cell
+         |  GROUP BY 1),
+         |hc AS (SELECT CAST(sum(t9) AS BIGINT) AS hc9 FROM (
+         |  SELECT CAST(floor(-(CAST(c AS DOUBLE)
+         |      / CAST(nn AS DOUBLE))
+         |    * ln(CAST(c AS DOUBLE) / CAST(cd AS DOUBLE))
+         |    * 1.0e9) AS BIGINT) AS t9
+         |  FROM cell JOIN nd USING (dow) CROSS JOIN nt))
+         |SELECT ROUND(CAST(ht9 AS DOUBLE) / 1.0e9 * 10000) / 10000
+         |    AS h_type,
+         |  ROUND(CAST(hc9 AS DOUBLE) / 1.0e9 * 10000) / 10000
+         |    AS h_type_given_dow,
+         |  ROUND(CAST(ht9 - hc9 AS DOUBLE) / 1.0e9 * 10000) / 10000
+         |    + 0.0 AS info_gain
+         |FROM ht CROSS JOIN hc""".stripMargin,
+    // Same dow scores and exact moment assembly, identical chain.
+    "ab_cochran_armitage_trend" ->
+      s"""WITH e AS (SELECT ${sqlEpochDay("ts")} % 7 AS sc,
+         |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+         |      AS conv FROM events),
+         |g AS (SELECT sc, count(*) AS n,
+         |    CAST(sum(conv) AS BIGINT) AS a FROM e GROUP BY 1),
+         |m AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+         |    CAST(sum(a) AS BIGINT) AS aa,
+         |    CAST(sum(CAST(sc AS HUGEINT) * a) AS HUGEINT) AS sa,
+         |    CAST(sum(CAST(sc AS HUGEINT) * n) AS HUGEINT) AS sn,
+         |    CAST(sum(CAST(sc AS HUGEINT) * sc * n) AS HUGEINT)
+         |      AS sn2
+         |  FROM g)
+         |SELECT nn AS n_events, aa AS n_conv,
+         |  ROUND((CAST(CAST(nn AS HUGEINT) * sa
+         |      - CAST(aa AS HUGEINT) * sn AS DOUBLE)
+         |      / CAST(nn AS DOUBLE))
+         |    / sqrt((CAST(aa AS DOUBLE) / CAST(nn AS DOUBLE))
+         |      * (1.0 - CAST(aa AS DOUBLE) / CAST(nn AS DOUBLE))
+         |      * (CAST(CAST(nn AS HUGEINT) * sn2 - sn * sn AS DOUBLE)
+         |        / CAST(nn AS DOUBLE)))
+         |    * 10000) / 10000 + 0.0 AS z
+         |FROM m""".stripMargin,
     // Same BIGINT-cast median, ties-below, snapped per-cell terms.
     "agg_median_test" ->
       """WITH e AS (SELECT event_type,

@@ -502,6 +502,30 @@ object TextQueries {
         .orderBy("lang")
     }),
 
+    // NUMERIC-TOKEN PROFILE (§2.146) — per lang: how much of the
+    // token stream is pure digits, and how long the numbers run —
+    // the table-scrape / boilerplate signal quality filters read
+    // (prose runs ~2-5% numeric; scraped tables and logs spike).
+    // One anchored RE2-safe regexp per token, exact integer counts
+    // and lengths, one reduce.
+    "text_numeric_token_stats" -> ((s, dir) => {
+      val tk = t(s, dir, "documents")
+        .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+        .withColumn("isnum", col("tok").rlike("^[0-9]+$"))
+      tk.groupBy("lang")
+        .agg(count(lit(1)).as("n_tokens"),
+          count_if(col("isnum")).as("n_numeric"),
+          sum(when(col("isnum"), length(col("tok")).cast("long"))
+            .otherwise(0L)).cast("long").as("digits_total"),
+          max(when(col("isnum"), length(col("tok")).cast("long")))
+            .as("max_digits"))
+        .select(col("lang"), col("n_tokens"), col("n_numeric"),
+          r4d(col("n_numeric").cast("double")
+            / col("n_tokens").cast("double")).as("numeric_share"),
+          col("digits_total"), col("max_digits"))
+        .orderBy("lang")
+    }),
+
     // CROSS-LANGUAGE VOCAB JACCARD (§2.143) — pairwise vocabulary
     // overlap between languages: |V_a ∩ V_b| / |V_a ∪ V_b| for each
     // of the C(langs, 2) pairs — the cross-lingual-leakage /
@@ -1168,6 +1192,22 @@ object TextQueries {
         |  ROUND(CAST(count(*) FILTER (WHERE c = 1) AS DOUBLE)
         |    / CAST(count(*) AS DOUBLE) * 10000) / 10000 AS hapax_share
         |FROM tc GROUP BY lang ORDER BY lang""".stripMargin,
+    // Same anchored class, exact counts and lengths.
+    "text_numeric_token_stats" ->
+      """WITH tk AS (SELECT lang,
+        |    unnest(string_split(text, ' ')) AS tok FROM documents),
+        |f AS (SELECT lang, tok,
+        |    regexp_matches(tok, '^[0-9]+$') AS isnum FROM tk)
+        |SELECT lang, count(*) AS n_tokens,
+        |  count(*) FILTER (WHERE isnum) AS n_numeric,
+        |  ROUND(CAST(count(*) FILTER (WHERE isnum) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) * 10000) / 10000
+        |    AS numeric_share,
+        |  CAST(sum(CASE WHEN isnum THEN len(tok) ELSE 0 END)
+        |    AS BIGINT) AS digits_total,
+        |  max(CASE WHEN isnum THEN CAST(len(tok) AS BIGINT) END)
+        |    AS max_digits
+        |FROM f GROUP BY lang ORDER BY lang""".stripMargin,
     // Same distinct self-join and inclusion-exclusion union.
     "text_vocab_jaccard_pairs" ->
       """WITH v AS (SELECT DISTINCT lang, tok FROM (

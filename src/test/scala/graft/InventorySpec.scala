@@ -495,10 +495,22 @@ class InventorySpec extends SparkSpec {
     "agg_ttest_one_sample", "text_vocab_jaccard_pairs",
     "pipeline_best_of_n",
     // §2.144 round-14 seventeenth wave: median test, co-location
-    "agg_median_test", "geo_colocation_pairs")
+    "agg_median_test", "geo_colocation_pairs",
+    // §2.145 round-14 eighteenth wave: CA trend, watermark rec,
+    // control limits
+    "ab_cochran_armitage_trend", "etl_watermark_recommendation",
+    "ts_control_limits",
+    // §2.146 round-14 nineteenth wave: partial corr, conditional
+    // entropy, numeric tokens
+    "agg_partial_corr", "agg_entropy_conditional",
+    "text_numeric_token_stats",
+    // §2.147 round-14 twentieth wave: center crop, prefix groups,
+    // length percentiles
+    "multimodal_center_crop", "dedup_prefix_groups",
+    "pipeline_doc_length_percentiles")
 
-  test("declared queries cover SURVEY §2 + §2.12-144 exactly (541 keys)") {
-    assert(inventory.size == 541)
+  test("declared queries cover SURVEY §2 + §2.12-147 exactly (550 keys)") {
+    assert(inventory.size == 550)
     val declared = SparkEntry.queries.keySet
     val missing = inventory -- declared
     val extra = declared -- inventory
