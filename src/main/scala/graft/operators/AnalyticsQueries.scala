@@ -2416,6 +2416,39 @@ object AnalyticsQueries {
         .orderBy("event_type", "day")
     }),
 
+    // WEEKEND EFFECT (§2.148) — the scalar the dow-seasonality
+    // PROFILE keys imply but never state: weekend vs weekday mean
+    // daily volume per type, as a ratio and a difference. Weekend =
+    // epoch-day ≡ 2, 3 (mod 7) — Saturday/Sunday under the 1970
+    // Thursday origin, spelled identically in both engines. Exact
+    // integer volume and day counts off the zero-filled spine; two
+    // divisions and their ratio at the edge.
+    "ts_weekend_effect" -> ((s, dir) => {
+      val d = zeroFilledDaily(s, dir)
+        .withColumn("wk", (col("day") % 7).isin(2L, 3L))
+      d.groupBy("event_type")
+        .agg(count_if(col("wk")).as("n_weekend_days"),
+          count_if(!col("wk")).as("n_weekday_days"),
+          sum(when(col("wk"), col("y")).otherwise(0L)).cast("long")
+            .as("y_weekend"),
+          sum(when(!col("wk"), col("y")).otherwise(0L)).cast("long")
+            .as("y_weekday"))
+        .select(col("event_type"),
+          r4d(col("y_weekend").cast("double")
+            / col("n_weekend_days").cast("double")).as("weekend_mean"),
+          r4d(col("y_weekday").cast("double")
+            / col("n_weekday_days").cast("double")).as("weekday_mean"),
+          r4d((col("y_weekend").cast("double")
+            / col("n_weekend_days").cast("double"))
+            / (col("y_weekday").cast("double")
+              / col("n_weekday_days").cast("double"))).as("ratio"),
+          r4d(col("y_weekend").cast("double")
+            / col("n_weekend_days").cast("double")
+            - col("y_weekday").cast("double")
+              / col("n_weekday_days").cast("double")).as("diff"))
+        .orderBy("event_type")
+    }),
+
     // SHEWHART I-MR CONTROL LIMITS (§2.145) — the SPC individuals
     // chart on daily volume per type: center = mean, limits =
     // center ± 2.66·(mean moving range) (the classical d2-based
@@ -2686,6 +2719,39 @@ object AnalyticsQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // Same spine, same mod-7 weekend set, identical edge chain.
+    "ts_weekend_effect" ->
+      s"""WITH e AS (SELECT event_type, ${sqlEpochDay("ts")} AS day
+         |  FROM events),
+         |d0 AS (SELECT event_type, day, count(*) AS y FROM e
+         |  GROUP BY 1, 2),
+         |b AS (SELECT min(day) AS lo, max(day) AS hi FROM e),
+         |ty AS (SELECT DISTINCT event_type FROM e),
+         |spine AS (SELECT event_type, unnest(range(lo, hi + 1)) AS day
+         |  FROM ty CROSS JOIN b),
+         |f AS (SELECT s.event_type, s.day, COALESCE(d0.y, 0) AS y,
+         |    s.day % 7 IN (2, 3) AS wk
+         |  FROM spine s LEFT JOIN d0 USING (event_type, day)),
+         |g AS (SELECT event_type,
+         |    count(*) FILTER (WHERE wk) AS nwe,
+         |    count(*) FILTER (WHERE NOT wk) AS nwd,
+         |    CAST(sum(CASE WHEN wk THEN y ELSE 0 END) AS BIGINT)
+         |      AS ywe,
+         |    CAST(sum(CASE WHEN NOT wk THEN y ELSE 0 END) AS BIGINT)
+         |      AS ywd
+         |  FROM f GROUP BY 1)
+         |SELECT event_type,
+         |  ROUND(CAST(ywe AS DOUBLE) / CAST(nwe AS DOUBLE) * 10000)
+         |    / 10000 AS weekend_mean,
+         |  ROUND(CAST(ywd AS DOUBLE) / CAST(nwd AS DOUBLE) * 10000)
+         |    / 10000 AS weekday_mean,
+         |  ROUND((CAST(ywe AS DOUBLE) / CAST(nwe AS DOUBLE))
+         |    / (CAST(ywd AS DOUBLE) / CAST(nwd AS DOUBLE)) * 10000)
+         |    / 10000 AS ratio,
+         |  ROUND((CAST(ywe AS DOUBLE) / CAST(nwe AS DOUBLE)
+         |    - CAST(ywd AS DOUBLE) / CAST(nwd AS DOUBLE)) * 10000)
+         |    / 10000 + 0.0 AS diff
+         |FROM g ORDER BY event_type""".stripMargin,
     // Same spine, exact MR sum, the 2.66 literal, identical limits
     // and violation comparison.
     "ts_control_limits" ->

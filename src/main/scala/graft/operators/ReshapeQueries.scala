@@ -138,6 +138,43 @@ object ReshapeQueries {
         |ORDER BY nation""".stripMargin)
     }),
 
+    // BOWLEY QUARTILE SKEWNESS (§2.148) — the robust skewness
+    // (Q₃ + Q₁ − 2·Q₂)/(Q₃ − Q₁) per nation over order cents,
+    // completing the robust-shape family next to
+    // agg_quartile_dispersion's spread: moment skewness chases
+    // outliers, Bowley's is bounded in [−1, 1] and exact here —
+    // all three quartiles are BIGINT-cast percentile_disc order
+    // statistics (§1.3 rule), one division.
+    "agg_quartile_skewness" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .select(col("o_custkey").as("ck"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+        .join(broadcast(t(s, dir, "customer")
+          .select(col("c_custkey").as("ck"),
+            col("c_nationkey").as("nation"))), Seq("ck"))
+        .createOrReplaceTempView("orders_qsk")
+      s.sql("""SELECT nation, count(*) AS n,
+        |  CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY cents)
+        |    AS BIGINT) AS q1,
+        |  CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY cents)
+        |    AS BIGINT) AS q2,
+        |  CAST(percentile_disc(0.75) WITHIN GROUP (ORDER BY cents)
+        |    AS BIGINT) AS q3,
+        |  ROUND(CAST(CAST(percentile_disc(0.75) WITHIN GROUP
+        |        (ORDER BY cents) AS BIGINT)
+        |      + CAST(percentile_disc(0.25) WITHIN GROUP
+        |        (ORDER BY cents) AS BIGINT)
+        |      - 2 * CAST(percentile_disc(0.5) WITHIN GROUP
+        |        (ORDER BY cents) AS BIGINT) AS DOUBLE)
+        |    / CAST(CAST(percentile_disc(0.75) WITHIN GROUP
+        |        (ORDER BY cents) AS BIGINT)
+        |      - CAST(percentile_disc(0.25) WITHIN GROUP
+        |        (ORDER BY cents) AS BIGINT) AS DOUBLE)
+        |    * 10000) / 10000 + 0.0 AS bowley_skew
+        |FROM orders_qsk GROUP BY nation
+        |ORDER BY nation""".stripMargin)
+    }),
+
     // DISCRETE PERCENTILES (§2.80) — PERCENTILE_DISC beside
     // agg_percentiles' interpolated CONT: the inverse-distribution
     // form that returns an ACTUAL data value (the smallest value at
@@ -235,6 +272,30 @@ object ReshapeQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // Same BIGINT-cast quartiles, one division.
+    "agg_quartile_skewness" ->
+      """WITH j AS (SELECT c.c_nationkey AS nation,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey)
+        |SELECT nation, count(*) AS n,
+        |  CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY cents)
+        |    AS BIGINT) AS q1,
+        |  CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY cents)
+        |    AS BIGINT) AS q2,
+        |  CAST(percentile_disc(0.75) WITHIN GROUP (ORDER BY cents)
+        |    AS BIGINT) AS q3,
+        |  ROUND(CAST(CAST(percentile_disc(0.75) WITHIN GROUP
+        |        (ORDER BY cents) AS BIGINT)
+        |      + CAST(percentile_disc(0.25) WITHIN GROUP
+        |        (ORDER BY cents) AS BIGINT)
+        |      - 2 * CAST(percentile_disc(0.5) WITHIN GROUP
+        |        (ORDER BY cents) AS BIGINT) AS DOUBLE)
+        |    / CAST(CAST(percentile_disc(0.75) WITHIN GROUP
+        |        (ORDER BY cents) AS BIGINT)
+        |      - CAST(percentile_disc(0.25) WITHIN GROUP
+        |        (ORDER BY cents) AS BIGINT) AS DOUBLE)
+        |    * 10000) / 10000 + 0.0 AS bowley_skew
+        |FROM j GROUP BY nation ORDER BY nation""".stripMargin,
     // Exact order statistics, one division.
     "agg_quartile_dispersion" ->
       """WITH j AS (SELECT c.c_nationkey AS nation,

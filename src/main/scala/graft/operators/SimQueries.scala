@@ -462,6 +462,34 @@ object SimQueries {
     // |labels| rows of arrays; scoring is one map-side pass over the
     // vector table (the IVF routing shape), and the confusion output
     // is |labels|² rows.
+    // NORM DISTRIBUTION (§2.148) — per-label L2 norm statistics of
+    // the embeddings: unnormalized-embedding drift between labels is
+    // the classic silent killer of dot-product retrieval (MIPS
+    // favors long vectors; sim_mips_topk's results are only
+    // comparable if norms are), so the norm profile belongs next to
+    // the dim-variance diagnostic. Norm = one correctly-rounded sqrt
+    // over the deterministic dot fold, floor-snapped to micro-units
+    // before the DECIMAL(38,0) moment sums; min/max exact on the
+    // snapped integers.
+    "sim_norm_distribution" -> ((s, dir) => {
+      val n6 = floor(sqrt(ArrayDot(col("v"), col("v"))) * lit(1.0e6))
+        .cast("long")
+      t(s, dir, "embeddings")
+        .select(col("label"),
+          col("embedding").cast("array<double>").as("v"))
+        .select(col("label"), n6.as("n6"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(col("n6").cast("decimal(38,0)")).as("s6"),
+          min(col("n6")).as("min6"), max(col("n6")).as("max6"))
+        .select(col("label"), col("n_vecs"),
+          r4d(col("s6").cast("double") / col("n_vecs").cast("double")
+            / lit(1.0e6)).as("mean_norm"),
+          r4d(col("min6").cast("double") / lit(1.0e6)).as("min_norm"),
+          r4d(col("max6").cast("double") / lit(1.0e6)).as("max_norm"))
+        .orderBy("label")
+    }),
+
     // PREFIX-RECALL CURVE (§2.142) — sim_prefix_dim_recall at ONE k
     // answers "is the 16-dim prefix good enough at 10"; the CURVE
     // answers where it breaks: recall@k of the 16-dim prefix ranking
@@ -1092,6 +1120,27 @@ object SimQueries {
     // Parallel unnests zip positionally (the centroid key's device);
     // per-dim squares fold in index order; argmin via row_number with
     // the same (d2, label) tie order.
+    // Same snapped norms (list_dot_product fold ≡ ArrayDot), HUGEINT
+    // sum, identical edge divisions.
+    "sim_norm_distribution" ->
+      """WITH n AS (SELECT label,
+        |    CAST(floor(sqrt(list_dot_product(
+        |        CAST(embedding AS DOUBLE[]),
+        |        CAST(embedding AS DOUBLE[]))) * 1000000.0) AS BIGINT)
+        |      AS n6
+        |  FROM embeddings),
+        |a AS (SELECT label, count(*) AS n_vecs,
+        |    CAST(sum(CAST(n6 AS HUGEINT)) AS HUGEINT) AS s6,
+        |    min(n6) AS min6, max(n6) AS max6
+        |  FROM n GROUP BY 1)
+        |SELECT label, n_vecs,
+        |  ROUND(CAST(s6 AS DOUBLE) / CAST(n_vecs AS DOUBLE)
+        |    / 1000000.0 * 10000) / 10000 AS mean_norm,
+        |  ROUND(CAST(min6 AS DOUBLE) / 1000000.0 * 10000) / 10000
+        |    AS min_norm,
+        |  ROUND(CAST(max6 AS DOUBLE) / 1000000.0 * 10000) / 10000
+        |    AS max_norm
+        |FROM a ORDER BY label""".stripMargin,
     // Same two rankings (full vs [1:16] prefix), same conditional
     // hit counts over the 4-row k spine.
     "sim_recall_curve" ->

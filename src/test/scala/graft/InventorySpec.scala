@@ -507,10 +507,14 @@ class InventorySpec extends SparkSpec {
     // §2.147 round-14 twentieth wave: center crop, prefix groups,
     // length percentiles
     "multimodal_center_crop", "dedup_prefix_groups",
-    "pipeline_doc_length_percentiles")
+    "pipeline_doc_length_percentiles",
+    // §2.148 round-14 twenty-first wave: Bowley skew, weekend
+    // effect, norm profile
+    "agg_quartile_skewness", "ts_weekend_effect",
+    "sim_norm_distribution")
 
-  test("declared queries cover SURVEY §2 + §2.12-147 exactly (550 keys)") {
-    assert(inventory.size == 550)
+  test("declared queries cover SURVEY §2 + §2.12-148 exactly (553 keys)") {
+    assert(inventory.size == 553)
     val declared = SparkEntry.queries.keySet
     val missing = inventory -- declared
     val extra = declared -- inventory
