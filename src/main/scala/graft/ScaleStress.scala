@@ -103,7 +103,9 @@ object ScaleStress {
     // corpus-wide rank/bigram reducers, and the centroid ranking.
     "graph_katz", "graph_hits", "graph_scc", "agg_kruskal_wallis",
     "text_bigram_overlap", "eval_topk_accuracy", "sim_dim_variance",
-    "agg_logrank_test", "ts_holt_winters")
+    "agg_logrank_test", "ts_holt_winters",
+    // Round-15 at birth: the restart-walk superstep key.
+    "graph_ppr")
   // Keys whose only input is lineitem — copy-scalable (see scaladoc).
   // The embeddings/documents keys are NOT copy-scalable for the same
   // reason the dedup keys aren't (cross-copy duplicate geometry);
@@ -117,7 +119,8 @@ object ScaleStress {
     "graph_closeness", "graph_modularity", "graph_label_prop",
     "graph_assortativity", "graph_ego_density", "graph_betweenness",
     "graph_transitivity_global", "graph_eccentricity",
-    "graph_bipartite_profile", "graph_katz", "graph_hits")
+    "graph_bipartite_profile", "graph_katz", "graph_hits",
+    "graph_ppr")
 
   /** Bench-heavy instrumentation guard input (InventorySpec asserts
     * every BENCH_FULL top-cost key has a row here — the unmeasured-

@@ -154,6 +154,38 @@ object AggQueries {
             col("est_click") + col("est_purchase") - col("est_union")))
     }),
 
+    // HLL SET DIFFERENCE (§2.150) — est(A∖B) = est(A∪B) − est(B),
+    // clamped at 0: completes the sketch set-algebra
+    // (union → intersection → difference) started by
+    // agg_hll_partitioned_union and agg_hll_intersection. |A∖B| =
+    // |A∪B| − |B| EXACTLY, so unlike the intersection's
+    // inclusion-exclusion this difference subtracts only TWO
+    // estimates (one fewer error term — the tighter member of the
+    // algebra); the clamp covers the residual case where est(B)
+    // overshoots est(A∪B) at tiny differences. Audience question:
+    // how many users click but never purchase. Same two single-pass
+    // sketches, no corpus re-scan. No oracle by the §2.11 sketch
+    // contract — PropertySpec pins the estimate against the exact
+    // set difference on the fixture.
+    "agg_hll_difference" -> ((s, dir) => {
+      val e = events(s, dir)
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(col("event_type"), col("user_id"))
+      val per = e.groupBy("event_type")
+        .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      val a = per.filter(col("event_type") === "click")
+        .select(col("sk").as("ska"))
+      val b = per.filter(col("event_type") === "purchase")
+        .select(col("sk").as("skb"))
+      a.crossJoin(b).select(
+          hll_sketch_estimate(col("ska")).as("est_click"),
+          hll_sketch_estimate(col("skb")).as("est_purchase"),
+          hll_sketch_estimate(hll_union(col("ska"), col("skb")))
+            .as("est_union"))
+        .withColumn("est_click_only",
+          greatest(lit(0L), col("est_union") - col("est_purchase")))
+    }),
+
     // CORRELATION / COVARIANCE per group — the bivariate member of the
     // §2.4 stats family (agg_stats covers the univariate moments):
     // does event value track hour-of-day, per type. The built-in
@@ -891,6 +923,104 @@ object AggQueries {
           r4d(col("m3") / (col("m2") * sqrt(col("m2")))).as("skewness"),
           r4d(col("m4") / (col("m2") * col("m2")) - lit(3.0))
             .as("kurtosis_excess"))
+        .orderBy("event_type")
+    }),
+
+    // CR4 CONCENTRATION RATIO (§2.157) — the market-concentration
+    // scalar next to agg_hhi_share's HHI (antitrust reads CR4 first:
+    // the top-4 revenue share per nation's supplier market). Exact
+    // integer cents end to end: per-(nation, supplier) revenue is
+    // one partial-agg reduce, the top-4 cut is a bounded window
+    // under the (revenue desc, suppkey) total order, both shares one
+    // division each. Dimension joins broadcast.
+    "agg_cr4_concentration" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val rev = t(s, dir, "lineitem")
+        .select(col("l_suppkey"),
+          round(col("l_extendedprice") * 100).cast("long").as("cents"))
+        .groupBy("l_suppkey").agg(sum(col("cents")).as("rev"))
+        .join(broadcast(t(s, dir, "supplier")
+          .select(col("s_suppkey").as("l_suppkey"), col("s_nationkey"))),
+          Seq("l_suppkey"))
+        .join(broadcast(t(s, dir, "nation")
+          .select(col("n_nationkey").as("s_nationkey"), col("n_name"))),
+          Seq("s_nationkey"))
+      val w = Window.partitionBy("n_name")
+        .orderBy(col("rev").desc, col("l_suppkey"))
+      rev.withColumn("rk", row_number().over(w))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n_suppliers"),
+          sum(col("rev")).as("total_cents"),
+          sum(when(col("rk") <= 4, col("rev")).otherwise(0L))
+            .as("top4_cents"),
+          sum(when(col("rk") === 1, col("rev")).otherwise(0L))
+            .as("top1_cents"))
+        .select(col("n_name"), col("n_suppliers"), col("total_cents"),
+          r4d(col("top4_cents").cast("double")
+            / col("total_cents").cast("double")).as("cr4"),
+          r4d(col("top1_cents").cast("double")
+            / col("total_cents").cast("double")).as("cr1"))
+        .orderBy("n_name")
+    }),
+
+    // JARQUE-BERA NORMALITY TEST (§2.150) — the omnibus moment test
+    // the skew/kurtosis PROFILE key implies but never decides:
+    // JB = n/6·(S² + K²/4) over the same anchored decimal-EXACT
+    // central moments (integer-anchor two-pass, Σd^k in
+    // decimal(38,0), doubles only at the final ratios — the
+    // agg_skew_kurtosis device verbatim, see that key's scaladoc for
+    // the exactness argument). p ≈ exp(−JB/2), the χ²(2) survival
+    // function in closed form (no incomplete-gamma series needed at
+    // df = 2); exp is the one libm call, at the display edge under
+    // r4d like the perplexity keys' logs. Scale: two corpus passes
+    // (anchor, then moments), both partial-aggregating on
+    // event_type.
+    "agg_jarque_bera" -> ((s, dir) => {
+      val e = events(s, dir).select(col("event_type"),
+        round(col("value") * 100).cast("long").as("c"))
+      val s1 = e.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("c")).as("s1"))
+        .select(col("event_type"), col("n"), col("s1"),
+          expr("s1 div n").as("a"))
+      val d = e.join(broadcast(s1), Seq("event_type"))
+        .withColumn("sp", abs(col("c") - col("a")).cast("double"))
+        .withColumn("nchk", graft.Det.checkedN(col("n"),
+          col("sp") < lit(55000.0),
+          "agg_jarque_bera: anchored spread exceeds the long-exact " +
+            "d^4 range — widen to decimal powers"))
+        .withColumn("d", col("c") - col("a"))
+      val m = d.groupBy(col("event_type"))
+        .agg(max(col("nchk")).as("n"),
+          sum(col("d").cast("decimal(38,0)")).as("sd1"),
+          sum((col("d") * col("d")).cast("decimal(38,0)")).as("sd2"),
+          sum((col("d") * col("d") * col("d")).cast("decimal(38,0)"))
+            .as("sd3"),
+          sum((col("d") * col("d") * col("d") * col("d"))
+            .cast("decimal(38,0)")).as("sd4"))
+        .withColumn("nn", col("n").cast("double"))
+        .withColumn("dl", col("sd1").cast("double") / col("nn"))
+        .withColumn("m2", col("sd2").cast("double") / col("nn")
+          - col("dl") * col("dl"))
+        .withColumn("m3", col("sd3").cast("double") / col("nn")
+          - lit(3.0) * col("dl") * (col("sd2").cast("double") / col("nn"))
+          + lit(2.0) * col("dl") * col("dl") * col("dl"))
+        .withColumn("m4", col("sd4").cast("double") / col("nn")
+          - lit(4.0) * col("dl") * (col("sd3").cast("double") / col("nn"))
+          + lit(6.0) * col("dl") * col("dl")
+            * (col("sd2").cast("double") / col("nn"))
+          - lit(3.0) * col("dl") * col("dl") * col("dl") * col("dl"))
+        .withColumn("sk", col("m3") / (col("m2") * sqrt(col("m2"))))
+        .withColumn("ku",
+          col("m4") / (col("m2") * col("m2")) - lit(3.0))
+        .withColumn("jb", col("nn") / lit(6.0)
+          * (col("sk") * col("sk")
+            + col("ku") * col("ku") / lit(4.0)))
+      m.filter(col("n") > 2 &&
+          col("n") * col("sd2") > col("sd1") * col("sd1"))
+        .select(col("event_type"), col("n"),
+          r4d(col("jb")).as("jb_stat"),
+          r4d(exp(col("jb") / lit(-2.0))).as("p_approx"),
+          (col("jb") > lit(5.991)).as("reject_normal_5pct"))
         .orderBy("event_type")
     }),
 
@@ -1779,6 +1909,66 @@ object AggQueries {
         |  ROUND((m4 / (m2 * m2) - 3.0) * 10000.0) / 10000.0 + 0.0
         |    AS kurtosis_excess
         |FROM g WHERE n > 2 AND n * sd2 > sd1 * sd1
+        |ORDER BY event_type""".stripMargin,
+    // Same exact cents, bounded top-4 window, one division each.
+    "agg_cr4_concentration" ->
+      """WITH rev AS (SELECT l_suppkey,
+        |    CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+        |      AS BIGINT) AS rev
+        |  FROM lineitem GROUP BY 1),
+        |j AS (SELECT n.n_name, r.l_suppkey, r.rev
+        |  FROM rev r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+        |  JOIN nation n ON n.n_nationkey = s.s_nationkey),
+        |rk AS (SELECT n_name, rev,
+        |    row_number() OVER (PARTITION BY n_name
+        |      ORDER BY rev DESC, l_suppkey) AS rk
+        |  FROM j)
+        |SELECT n_name, count(*) AS n_suppliers,
+        |  CAST(sum(rev) AS BIGINT) AS total_cents,
+        |  ROUND(CAST(sum(CASE WHEN rk <= 4 THEN rev ELSE 0 END)
+        |      AS DOUBLE)
+        |    / CAST(sum(rev) AS DOUBLE) * 10000) / 10000 AS cr4,
+        |  ROUND(CAST(sum(CASE WHEN rk = 1 THEN rev ELSE 0 END)
+        |      AS DOUBLE)
+        |    / CAST(sum(rev) AS DOUBLE) * 10000) / 10000 AS cr1
+        |FROM rk GROUP BY n_name ORDER BY n_name""".stripMargin,
+    // Same anchored-moment chain; the JB combination and the exp edge
+    // in the identical op order.
+    "agg_jarque_bera" ->
+      """WITH e AS (SELECT event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS c FROM events),
+        |s AS (SELECT event_type, count(*) AS n,
+        |    CAST(sum(c) AS BIGINT) AS s1 FROM e GROUP BY 1),
+        |sa AS (SELECT *, s1 // n AS a FROM s),
+        |d AS (SELECT e.event_type, n, CAST(e.c - a AS HUGEINT) AS d
+        |  FROM e JOIN sa USING (event_type)),
+        |m AS (SELECT event_type, max(n) AS n,
+        |    CAST(sum(d) AS HUGEINT) AS sd1,
+        |    CAST(sum(d * d) AS HUGEINT) AS sd2,
+        |    CAST(sum(d * d * d) AS HUGEINT) AS sd3,
+        |    CAST(sum(d * d * d * d) AS HUGEINT) AS sd4
+        |  FROM d GROUP BY 1),
+        |f AS (SELECT event_type, n, sd1, sd2,
+        |    CAST(n AS DOUBLE) AS nn,
+        |    CAST(sd1 AS DOUBLE) / CAST(n AS DOUBLE) AS dl,
+        |    CAST(sd2 AS DOUBLE) / CAST(n AS DOUBLE) AS r2,
+        |    CAST(sd3 AS DOUBLE) / CAST(n AS DOUBLE) AS r3,
+        |    CAST(sd4 AS DOUBLE) / CAST(n AS DOUBLE) AS r4 FROM m),
+        |g AS (SELECT event_type, n, sd1, sd2, nn,
+        |    r2 - dl * dl AS m2,
+        |    r3 - 3.0 * dl * r2 + 2.0 * dl * dl * dl AS m3,
+        |    r4 - 4.0 * dl * r3 + 6.0 * dl * dl * r2
+        |      - 3.0 * dl * dl * dl * dl AS m4 FROM f),
+        |h AS (SELECT event_type, n, sd1, sd2, nn,
+        |    m3 / (m2 * sqrt(m2)) AS sk,
+        |    m4 / (m2 * m2) - 3.0 AS ku FROM g),
+        |j AS (SELECT event_type, n, sd1, sd2,
+        |    nn / 6.0 * (sk * sk + ku * ku / 4.0) AS jb FROM h)
+        |SELECT event_type, n,
+        |  ROUND(jb * 10000.0) / 10000.0 + 0.0 AS jb_stat,
+        |  ROUND(exp(jb / -2.0) * 10000.0) / 10000.0 + 0.0 AS p_approx,
+        |  jb > 5.991 AS reject_normal_5pct
+        |FROM j WHERE n > 2 AND n * sd2 > sd1 * sd1
         |ORDER BY event_type""".stripMargin,
     // Same sorted-rank identity; HUGEINT mirrors the decimal(38) sums,
     // and the tie-block argument makes the (c, user_id) rank order

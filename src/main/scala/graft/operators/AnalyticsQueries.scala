@@ -95,6 +95,26 @@ object AnalyticsQueries {
     cur
   }
 
+  /** ts_kalman_smooth's gain schedule K6(t) = ⌊K_t·10⁶⌋, t = 2..28 —
+    * DATA-INDEPENDENT, so it is computed ONCE here in exact BigInt
+    * rationals and lands as integer literals in BOTH engines' plans
+    * (no float division ever runs inside either query). Local-level
+    * model with q/r = 1/4 and diffuse-ish start P₁/r = 1: predict
+    * p⁺ = p + 1/4, gain K = p⁺/(p⁺+1), update p' = K (the local-level
+    * identity). K converges to (√17−1)/8 ≈ 0.39039 within ~6 steps;
+    * the floor to 10⁻⁶ is part of the declared contract, not error. */
+  private val kalmanGains: Map[Int, Long] = {
+    var num = BigInt(1); var den = BigInt(1)
+    (2 to 28).map { t =>
+      val pn = 4 * num + den
+      val pd = 4 * den
+      val kn = pn; val kd = pn + pd
+      val g = kn.gcd(kd)
+      num = kn / g; den = kd / g
+      t -> ((kn * 1000000) / kd).toLong
+    }.toMap
+  }
+
   /** The matching DuckDB CTE chain ending at st28 (same columns). */
   private def holtWintersOracleCtes: String = {
     val w1 = (1 to 7).map(i => s"y$i").mkString(" + ")
@@ -1084,6 +1104,59 @@ object AnalyticsQueries {
           r4d((col("re0") * col("re0") + col("im0") * col("im0"))
             / col("nd")).as("power"))
         .orderBy("event_type", "k")
+    }),
+
+    // SPECTRAL ENTROPY (§2.155) — how concentrated is each type's
+    // daily rhythm: Shannon entropy of the normalized k = 1..10
+    // periodogram powers, over log₂10 so 1.0 = white noise and → 0 =
+    // a single dominant cycle. The regularity scalar the
+    // ts_periodogram TABLE implies but never states (and the
+    // ts_seasonal_strength companion that doesn't presuppose WHICH
+    // period). Same DFT term construction; every float reduce is an
+    // ORDERED fold (array_sort + aggregate — the periodogram
+    // device), so shuffle order can't move a ulp; power ratios and
+    // logs at the edge, r4d.
+    "ts_spectral_entropy" -> ((s, dir) => {
+      val full = zeroFilledDaily(s, dir)
+      val b = full.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+      val ks = s.range(1, 11).select(col("id").as("k"))
+      val terms = full.crossJoin(broadcast(b)).crossJoin(broadcast(ks))
+        .select(col("event_type"), col("k"),
+          (col("day") - col("lo")).as("t"),
+          (col("hi") - col("lo") + 1).as("nn"), col("y"))
+        .select(col("event_type"), col("k"), col("t"),
+          (col("y").cast("double")
+            * cos(lit(2.0 * math.Pi) * (col("k") * col("t")).cast("double")
+              / col("nn").cast("double"))).as("re_t"),
+          (col("y").cast("double")
+            * sin(lit(2.0 * math.Pi) * (col("k") * col("t")).cast("double")
+              / col("nn").cast("double"))).as("im_t"))
+      val pw = terms.groupBy("event_type", "k")
+        .agg(array_sort(collect_list(
+          struct(col("t"), col("re_t"), col("im_t")))).as("xs"),
+          count(lit(1)).as("nd"))
+        .select(col("event_type"), col("k"),
+          ((aggregate(col("xs"), lit(0.0), (a, x) => a + x("re_t"))
+            * aggregate(col("xs"), lit(0.0), (a, x) => a + x("re_t"))
+            + aggregate(col("xs"), lit(0.0), (a, x) => a + x("im_t"))
+              * aggregate(col("xs"), lit(0.0), (a, x) => a + x("im_t")))
+            / col("nd").cast("double")).as("power"))
+      pw.groupBy("event_type")
+        .agg(array_sort(collect_list(struct(col("k"), col("power"))))
+          .as("ps"))
+        .select(col("event_type"),
+          aggregate(col("ps"), lit(0.0), (a, x) => a + x("power"))
+            .as("ptot"), col("ps"))
+        .select(col("event_type"),
+          // log₂10 spelled as a shared literal (the SPRT ln-constant
+          // convention) — a libm log2(10) could differ in the last
+          // ulp between engines.
+          r4d(aggregate(col("ps"), lit(0.0), (a, x) =>
+            a - when(x("power") > 0,
+              x("power") / col("ptot")
+                * log2(x("power") / col("ptot"))).otherwise(0.0))
+            / lit(3.321928094887362)).as("spectral_entropy"))
+        .orderBy("event_type")
     }),
 
     "ts_autocorr" -> ((s, dir) => {
@@ -2376,6 +2449,216 @@ object AnalyticsQueries {
         .orderBy("event_type", "step")
     }),
 
+    // 1-D KALMAN SMOOTH (§2.149) — the local-level state-space filter
+    // over the zero-filled daily spine: the classic remaining smoother
+    // next to ts_ewma (fixed memory) and ts_holt_winters (fixed
+    // trend/seasonal structure) — its gain ADAPTS to accumulated
+    // state uncertainty instead of being a constant. Declared
+    // semantic: the first 28 spine days per type (the holt_winters
+    // horizon); l₁ = y₁, then 27 unrolled updates
+    // l_t = l_{t-1} + K6_t·(y_t·10⁶ − l_{t-1}) div 10⁶ where the
+    // gain schedule K6_t is data-independent (local-level model,
+    // q/r = 1/4) and PRECOMPUTED as integer constants in
+    // [[kalmanGains]] — so ALL state lives in 10⁻⁶-unit BIGINTs and
+    // no float division runs in either engine (the ts_holt_winters
+    // device verbatim). Innovations (one-step-ahead residuals) are
+    // emitted for the anomaly keys to consume. Scale: the corpus
+    // collapses to |types|×28 cells in one exchange; the unrolled
+    // steps are column expressions on a |types|-row frame.
+    "ts_kalman_smooth" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("event_type").orderBy("day")
+      val d = zeroFilledDaily(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 28)
+      val aggs = (1 to 28).map(i =>
+        max(when(col("rn") === i, col("y"))).cast("long").as(s"y$i"))
+      var cur = d.groupBy("event_type").agg(aggs.head, aggs.tail: _*)
+        .withColumn("l1", expr("y1 * 1000000"))
+      for (t <- 2 to 28) {
+        val k = kalmanGains(t)
+        cur = cur
+          .withColumn(s"i$t", expr(s"y$t * 1000000 - l${t - 1}"))
+          .withColumn(s"l$t",
+            expr(s"l${t - 1} + (${k}L * i$t) div 1000000"))
+      }
+      val stacked = (2 to 28)
+        .map(t => s"${t}L, y$t, i$t, l$t, ${kalmanGains(t)}L")
+        .mkString(", ")
+      cur.selectExpr("event_type",
+          s"stack(27, $stacked) AS (step, y, im, lm, k6)")
+        .select(col("event_type"), col("step"), col("y"),
+          r4d(col("lm").cast("double") / lit(1000000.0)).as("level"),
+          r4d(col("im").cast("double") / lit(1000000.0)).as("innovation"),
+          r4d(col("k6").cast("double") / lit(1000000.0)).as("gain"))
+        .orderBy("event_type", "step")
+    }),
+
+    // PARTIAL AUTOCORRELATION, LAGS 1-3 (§2.152) — the AR-order
+    // diagnostic ts_autocorr's raw ρₖ can't give (ρ₂ confounds the
+    // direct lag-2 effect with ρ₁ twice-applied; PACF removes the
+    // intermediate lags): Durbin-Levinson unrolled to order 3 in
+    // closed form — φ₁₁ = ρ₁, φ₂₂ = (ρ₂−ρ₁²)/(1−ρ₁²),
+    // φ₃₃ = (ρ₃ − a₂₁ρ₂ − φ₂₂ρ₁)/(1 − a₂₁ρ₁ − φ₂₂ρ₂) with
+    // a₂₁ = ρ₁(1−φ₂₂). ρₖ is the ts_autocorr pair-Pearson estimator
+    // (exact decimal moment sums; doubles only in the final ratios),
+    // kept UNROUNDED through the recursion, both engines spelling the
+    // identical expression tree. Scale: the corpus collapses to
+    // |types|×|days|; the 3 lags ride one window node; the recursion
+    // is scalar arithmetic on a |types|-row frame.
+    "ts_pacf" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val full = zeroFilledDaily(s, dir)
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      val pairs = full
+        .select(col("event_type"), col("y"),
+          lag(col("y"), 1).over(w).as("k1"),
+          lag(col("y"), 2).over(w).as("k2"),
+          lag(col("y"), 3).over(w).as("k3"))
+        .select(col("event_type"), explode(array(
+          struct(lit(1L).as("lag_k"), col("k1").as("x"), col("y").as("yv")),
+          struct(lit(2L).as("lag_k"), col("k2").as("x"), col("y").as("yv")),
+          struct(lit(3L).as("lag_k"), col("k3").as("x"), col("y").as("yv"))))
+          .as("p"))
+        .select(col("event_type"), col("p.lag_k").as("lag_k"),
+          col("p.x").as("x"), col("p.yv").as("yy"))
+        .filter(col("x").isNotNull)
+      val rho = pairs.groupBy("event_type", "lag_k")
+        .agg(count(lit(1)).as("n"),
+          sum(col("x").cast("decimal(38,0)")).as("sx"),
+          sum(col("yy").cast("decimal(38,0)")).as("sy"),
+          sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"),
+          sum((col("yy") * col("yy")).cast("decimal(38,0)")).as("syy"),
+          sum((col("x") * col("yy")).cast("decimal(38,0)")).as("sxy"))
+        .filter(col("n") > 1 &&
+          col("n") * col("sxx") > col("sx") * col("sx") &&
+          col("n") * col("syy") > col("sy") * col("sy"))
+        .select(col("event_type"), col("lag_k"),
+          ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+            / (sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+              .cast("double"))
+              * sqrt((col("n") * col("syy") - col("sy") * col("sy"))
+                .cast("double")))).as("rho"))
+      val piv = rho.groupBy("event_type")
+        .agg(max(when(col("lag_k") === 1, col("rho"))).as("r1"),
+          max(when(col("lag_k") === 2, col("rho"))).as("r2"),
+          max(when(col("lag_k") === 3, col("rho"))).as("r3"))
+        .filter(col("r1").isNotNull && col("r2").isNotNull
+          && col("r3").isNotNull)
+      piv
+        .withColumn("p22", (col("r2") - col("r1") * col("r1"))
+          / (lit(1.0) - col("r1") * col("r1")))
+        .withColumn("a21", col("r1") * (lit(1.0) - col("p22")))
+        .withColumn("p33",
+          (col("r3") - col("a21") * col("r2") - col("p22") * col("r1"))
+            / (lit(1.0) - col("a21") * col("r1")
+              - col("p22") * col("r2")))
+        .select(col("event_type"), r4d(col("r1")).as("pacf_1"),
+          r4d(col("p22")).as("pacf_2"), r4d(col("p33")).as("pacf_3"))
+        .orderBy("event_type")
+    }),
+
+    // TURNING-POINTS RANDOMNESS TEST (§2.152) — count strict local
+    // peaks and troughs of the per-type daily series and compare to
+    // the iid expectation E[T] = 2(n−2)/3, Var[T] = (16n−29)/90 (the
+    // classic nonparametric trend/oscillation screen; too FEW
+    // turning points ⇒ trend, too MANY ⇒ alternation). Strict
+    // inequalities on exact integer y (ties produce neither), so the
+    // count is exact; the expectation/z are two divisions and a sqrt
+    // at the edge. One lag/lead window pass over the spine.
+    "ts_turning_points" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      val d = zeroFilledDaily(s, dir)
+        .withColumn("py", lag(col("y"), 1).over(w))
+        .withColumn("ny", lead(col("y"), 1).over(w))
+      d.groupBy("event_type")
+        .agg(count(lit(1)).as("n_days"),
+          count_if(col("py").isNotNull && col("ny").isNotNull
+            && col("y") > col("py") && col("y") > col("ny"))
+            .as("n_peaks"),
+          count_if(col("py").isNotNull && col("ny").isNotNull
+            && col("y") < col("py") && col("y") < col("ny"))
+            .as("n_troughs"))
+        .select(col("event_type"), col("n_days"), col("n_peaks"),
+          col("n_troughs"),
+          (col("n_peaks") + col("n_troughs")).as("n_turning"),
+          r4d(lit(2.0) * (col("n_days") - 2).cast("double") / lit(3.0))
+            .as("expected"),
+          r4d(((col("n_peaks") + col("n_troughs")).cast("double")
+            - lit(2.0) * (col("n_days") - 2).cast("double") / lit(3.0))
+            / sqrt((lit(16.0) * col("n_days").cast("double") - lit(29.0))
+              / lit(90.0))).as("z"))
+        .orderBy("event_type")
+    }),
+
+    // ZERO-RUN PROFILE (§2.152) — the sparsity/outage shape of each
+    // type's daily series: how many quiet days, in how many
+    // consecutive RUNS, and the longest one — the gaps-and-islands
+    // device (day − row_number is constant within a run) applied to
+    // the zero-filled spine, which is what makes "quiet day" well
+    // defined at all. Exact integers; one window + two reduces.
+    "ts_zero_run_profile" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      val full = zeroFilledDaily(s, dir).localCheckpoint(true)
+      val runs = full.filter(col("y") === 0)
+        .withColumn("grp", col("day") - row_number().over(w))
+        .groupBy("event_type", "grp")
+        .agg(count(lit(1)).as("run_len"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_runs"),
+          sum(col("run_len")).as("n_zero_days"),
+          max(col("run_len")).as("max_run"))
+      val tot = full.groupBy("event_type")
+        .agg(count(lit(1)).as("n_days"))
+      tot.join(runs, Seq("event_type"), "left")
+        .select(col("event_type"), col("n_days"),
+          coalesce(col("n_zero_days"), lit(0L)).as("n_zero_days"),
+          coalesce(col("n_runs"), lit(0L)).as("n_runs"),
+          coalesce(col("max_run"), lit(0L)).as("max_run"),
+          r4d(coalesce(col("n_zero_days"), lit(0L)).cast("double")
+            / col("n_days").cast("double")).as("zero_share"))
+        .orderBy("event_type")
+    }),
+
+    // FREQUENT ORDERED EPISODES (§2.149) — support counts for ordered
+    // length-3 event-type episodes with BOUNDED GAPS (each hop skips
+    // at most one intervening event): the funnel-mining primitive
+    // between path_trigrams_topk's strictly-adjacent n-grams and
+    // funnel_conversion_window's single hand-declared pattern. The
+    // four (d₁, d₂) ∈ {1,2}² lead offsets enumerate every qualifying
+    // index triple (i, i+d₁, i+d₁+d₂) EXACTLY once, so support is
+    // exact, not sampled. Aggregate-first: one user-partitioned
+    // window pass (4 leads ride one window node) + a map-side 4-way
+    // struct explode, reduced to the |types|³-bounded episode table —
+    // the corpus never pairs with itself.
+    "path_frequent_episodes" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ms"), col("event_id"))
+      val e = events(s, dir)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_millis(col("ts").cast("timestamp")).as("ms"))
+        .withColumn("l1", lead(col("event_type"), 1).over(w))
+        .withColumn("l2", lead(col("event_type"), 2).over(w))
+        .withColumn("l3", lead(col("event_type"), 3).over(w))
+        .withColumn("l4", lead(col("event_type"), 4).over(w))
+      val tr = (c2: String, c3: String) =>
+        struct(col("event_type").as("t1"), col(c2).as("t2"),
+          col(c3).as("t3"))
+      e.select(col("user_id"), explode(array(
+            tr("l1", "l2"), tr("l1", "l3"), tr("l2", "l3"),
+            tr("l2", "l4"))).as("ep"))
+        .select(col("user_id"), col("ep.t1").as("t1"),
+          col("ep.t2").as("t2"), col("ep.t3").as("t3"))
+        .filter(col("t2").isNotNull && col("t3").isNotNull)
+        .groupBy("t1", "t2", "t3")
+        .agg(count(lit(1)).as("n_occurrences"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy("t1", "t2", "t3")
+    }),
+
     // STL-STYLE SEASONAL DECOMPOSITION (§2.86) — the classic additive
     // trend/seasonal/residual split of the per-type daily series:
     // trend = centered 7-day moving average, seasonal = per-day-of-week
@@ -2940,6 +3223,67 @@ object AnalyticsQueries {
          |    AS seasonal
          |FROM u ORDER BY event_type, step""".stripMargin
     },
+    // Same spine/pivot prelude as Holt-Winters; the gain literals come
+    // from the SAME kalmanGains schedule, so the two engines cannot
+    // disagree on a constant.
+    "ts_kalman_smooth" -> {
+      val piv = (1 to 28).map(i =>
+        s"CAST(max(CASE WHEN rn = $i THEN y END) AS BIGINT) AS y$i")
+        .mkString(",\n    ")
+      val steps = (2 to 28).map { t =>
+        s"""k$t AS (SELECT *, y$t * 1000000 - l${t - 1} AS i$t,
+           |    l${t - 1} + (${kalmanGains(t)} * i$t) // 1000000 AS l$t
+           |  FROM k${t - 1})""".stripMargin
+      }.mkString(",\n")
+      val union = (2 to 28).map(t =>
+        s"SELECT event_type, $t AS step, y$t AS y, i$t AS im, " +
+          s"l$t AS lm, ${kalmanGains(t)} AS k6 FROM k28")
+        .mkString("\n  UNION ALL ")
+      s"""WITH e AS (SELECT event_type, ${sqlEpochDay("ts")} AS day
+         |  FROM events),
+         |d AS (SELECT event_type, day, count(*) AS y FROM e
+         |  GROUP BY 1, 2),
+         |b AS (SELECT min(day) AS lo, max(day) AS hi FROM e),
+         |ty AS (SELECT DISTINCT event_type FROM e),
+         |spine AS (SELECT event_type, unnest(range(lo, hi + 1)) AS day
+         |  FROM ty CROSS JOIN b),
+         |f AS (SELECT s.event_type, s.day, COALESCE(d.y, 0) AS y,
+         |    row_number() OVER (PARTITION BY s.event_type
+         |      ORDER BY s.day) AS rn
+         |  FROM spine s LEFT JOIN d USING (event_type, day)),
+         |piv AS (SELECT event_type,
+         |    $piv
+         |  FROM f WHERE rn <= 28 GROUP BY 1),
+         |k1 AS (SELECT *, y1 * 1000000 AS l1 FROM piv),
+         |$steps,
+         |u AS ($union)
+         |SELECT event_type, CAST(step AS BIGINT) AS step, y,
+         |  ROUND(CAST(lm AS DOUBLE) / 1000000.0 * 10000) / 10000 + 0.0
+         |    AS level,
+         |  ROUND(CAST(im AS DOUBLE) / 1000000.0 * 10000) / 10000 + 0.0
+         |    AS innovation,
+         |  ROUND(CAST(k6 AS DOUBLE) / 1000000.0 * 10000) / 10000 + 0.0
+         |    AS gain
+         |FROM u ORDER BY event_type, step""".stripMargin
+    },
+    "path_frequent_episodes" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |    epoch_ms(ts) AS ms FROM events),
+        |l AS (SELECT user_id, event_type AS t,
+        |    lead(event_type, 1) OVER w AS l1,
+        |    lead(event_type, 2) OVER w AS l2,
+        |    lead(event_type, 3) OVER w AS l3,
+        |    lead(event_type, 4) OVER w AS l4
+        |  FROM e WINDOW w AS (PARTITION BY user_id
+        |    ORDER BY ms, event_id)),
+        |x AS (SELECT user_id, t AS t1, l1 AS t2, l2 AS t3 FROM l
+        |  UNION ALL SELECT user_id, t, l1, l3 FROM l
+        |  UNION ALL SELECT user_id, t, l2, l3 FROM l
+        |  UNION ALL SELECT user_id, t, l2, l4 FROM l)
+        |SELECT t1, t2, t3, count(*) AS n_occurrences,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM x WHERE t2 IS NOT NULL AND t3 IS NOT NULL
+        |GROUP BY 1, 2, 3 ORDER BY t1, t2, t3""".stripMargin,
     "funnel_stages" ->
       """WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ms FROM events),
         |v AS (SELECT user_id, min(ms) AS t FROM e
@@ -3847,6 +4191,52 @@ object AnalyticsQueries {
          |  ROUND((re0 * re0 + im0 * im0) / nd * 10000) / 10000 + 0.0
          |    AS power
          |FROM ag ORDER BY event_type, k""".stripMargin,
+    // Same DFT chain; the entropy fold over the k-sorted power list
+    // and the shared log₂10 literal.
+    "ts_spectral_entropy" ->
+      s"""WITH e AS (SELECT event_type, ${sqlEpochDay("ts")} AS day
+         |  FROM events),
+         |d AS (SELECT event_type, day, count(*) AS y FROM e GROUP BY 1, 2),
+         |b AS (SELECT min(day) AS lo, max(day) AS hi FROM e),
+         |ty AS (SELECT DISTINCT event_type FROM e),
+         |spine AS (SELECT event_type, unnest(range(lo, hi + 1)) AS day
+         |  FROM ty CROSS JOIN b),
+         |fl AS (SELECT s.event_type, s.day, coalesce(y, 0) AS y
+         |  FROM spine s LEFT JOIN d
+         |    ON s.event_type = d.event_type AND s.day = d.day),
+         |terms AS (SELECT f.event_type, CAST(ks.k AS BIGINT) AS k,
+         |    f.day - b.lo AS t,
+         |    CAST(f.y AS DOUBLE) * cos(2.0 * pi()
+         |      * CAST(ks.k * (f.day - b.lo) AS DOUBLE)
+         |      / CAST(b.hi - b.lo + 1 AS DOUBLE)) AS re_t,
+         |    CAST(f.y AS DOUBLE) * sin(2.0 * pi()
+         |      * CAST(ks.k * (f.day - b.lo) AS DOUBLE)
+         |      / CAST(b.hi - b.lo + 1 AS DOUBLE)) AS im_t
+         |  FROM fl f CROSS JOIN b
+         |  CROSS JOIN (SELECT unnest(range(1, 11)) AS k) ks),
+         |ag AS (SELECT event_type, k, count(*) AS nd,
+         |    list_aggregate(list_transform(
+         |      list_sort(list({'t': t, 'r': re_t, 'i': im_t})),
+         |      z -> z.r), 'sum') AS re0,
+         |    list_aggregate(list_transform(
+         |      list_sort(list({'t': t, 'r': re_t, 'i': im_t})),
+         |      z -> z.i), 'sum') AS im0
+         |  FROM terms GROUP BY 1, 2),
+         |pw AS (SELECT event_type, k,
+         |    (re0 * re0 + im0 * im0) / nd AS power FROM ag),
+         |l AS (SELECT event_type,
+         |    list_transform(list_sort(list({'k': k, 'p': power})),
+         |      z -> z.p) AS ps
+         |  FROM pw GROUP BY 1),
+         |t2 AS (SELECT event_type, ps,
+         |    list_aggregate(ps, 'sum') AS ptot FROM l)
+         |SELECT event_type,
+         |  ROUND(list_aggregate(list_transform(ps,
+         |      p -> CASE WHEN p > 0 THEN
+         |        -(p / ptot * log2(p / ptot)) ELSE 0.0 END), 'sum')
+         |    / 3.321928094887362 * 10000) / 10000 + 0.0
+         |    AS spectral_entropy
+         |FROM t2 ORDER BY event_type""".stripMargin,
     "ts_autocorr" ->
       s"""WITH e AS (SELECT event_type, ${sqlEpochDay("ts")} AS day
          |  FROM events),
@@ -3880,6 +4270,125 @@ object AnalyticsQueries {
          |    * 10000.0) / 10000.0 AS acf
          |FROM m WHERE n > 1 AND n * sxx > sx * sx AND n * syy > sy * sy
          |ORDER BY event_type, lag_k""".stripMargin,
+    // Same pair-Pearson ρ chain at lags 1-3, the identical unrolled
+    // Durbin-Levinson scalars (kept unrounded through the recursion).
+    "ts_pacf" ->
+      s"""WITH e AS (SELECT event_type, ${sqlEpochDay("ts")} AS day
+         |  FROM events),
+         |d AS (SELECT event_type, day, count(*) AS y FROM e GROUP BY 1, 2),
+         |b AS (SELECT min(day) AS lo, max(day) AS hi FROM e),
+         |ty AS (SELECT DISTINCT event_type FROM e),
+         |spine AS (SELECT event_type, unnest(range(lo, hi + 1)) AS day
+         |  FROM ty CROSS JOIN b),
+         |fl AS (SELECT s.event_type, s.day, coalesce(y, 0) AS y
+         |  FROM spine s LEFT JOIN d
+         |    ON s.event_type = d.event_type AND s.day = d.day),
+         |l AS (SELECT event_type, y,
+         |    lag(y, 1) OVER (PARTITION BY event_type ORDER BY day) AS k1,
+         |    lag(y, 2) OVER (PARTITION BY event_type ORDER BY day) AS k2,
+         |    lag(y, 3) OVER (PARTITION BY event_type ORDER BY day) AS k3
+         |  FROM fl),
+         |p AS (SELECT event_type, CAST(1 AS BIGINT) AS lag_k,
+         |    k1 AS x, y AS yy FROM l WHERE k1 IS NOT NULL
+         |  UNION ALL SELECT event_type, CAST(2 AS BIGINT), k2, y
+         |    FROM l WHERE k2 IS NOT NULL
+         |  UNION ALL SELECT event_type, CAST(3 AS BIGINT), k3, y
+         |    FROM l WHERE k3 IS NOT NULL),
+         |m AS (SELECT event_type, lag_k, count(*) AS n,
+         |    CAST(sum(x) AS HUGEINT) AS sx,
+         |    CAST(sum(yy) AS HUGEINT) AS sy,
+         |    CAST(sum(x * x) AS HUGEINT) AS sxx,
+         |    CAST(sum(yy * yy) AS HUGEINT) AS syy,
+         |    CAST(sum(x * yy) AS HUGEINT) AS sxy
+         |  FROM p GROUP BY 1, 2),
+         |r AS (SELECT event_type, lag_k,
+         |    CAST(n * sxy - sx * sy AS DOUBLE)
+         |      / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+         |        * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS rho
+         |  FROM m WHERE n > 1 AND n * sxx > sx * sx
+         |    AND n * syy > sy * sy),
+         |piv AS (SELECT event_type,
+         |    max(CASE WHEN lag_k = 1 THEN rho END) AS r1,
+         |    max(CASE WHEN lag_k = 2 THEN rho END) AS r2,
+         |    max(CASE WHEN lag_k = 3 THEN rho END) AS r3
+         |  FROM r GROUP BY 1),
+         |s2 AS (SELECT event_type, r1, r2, r3,
+         |    (r2 - r1 * r1) / (1.0 - r1 * r1) AS p22 FROM piv
+         |  WHERE r1 IS NOT NULL AND r2 IS NOT NULL AND r3 IS NOT NULL),
+         |s3 AS (SELECT event_type, r1, r2, r3, p22,
+         |    r1 * (1.0 - p22) AS a21 FROM s2)
+         |SELECT event_type,
+         |  ROUND(r1 * 10000.0) / 10000.0 + 0.0 AS pacf_1,
+         |  ROUND(p22 * 10000.0) / 10000.0 + 0.0 AS pacf_2,
+         |  ROUND((r3 - a21 * r2 - p22 * r1)
+         |    / (1.0 - a21 * r1 - p22 * r2) * 10000.0) / 10000.0 + 0.0
+         |    AS pacf_3
+         |FROM s3 ORDER BY event_type""".stripMargin,
+    // Same strict peak/trough counts off the spine; identical
+    // expectation/variance edge.
+    "ts_turning_points" ->
+      s"""WITH e AS (SELECT event_type, ${sqlEpochDay("ts")} AS day
+         |  FROM events),
+         |d AS (SELECT event_type, day, count(*) AS y FROM e GROUP BY 1, 2),
+         |b AS (SELECT min(day) AS lo, max(day) AS hi FROM e),
+         |ty AS (SELECT DISTINCT event_type FROM e),
+         |spine AS (SELECT event_type, unnest(range(lo, hi + 1)) AS day
+         |  FROM ty CROSS JOIN b),
+         |fl AS (SELECT s.event_type, s.day, coalesce(y, 0) AS y
+         |  FROM spine s LEFT JOIN d
+         |    ON s.event_type = d.event_type AND s.day = d.day),
+         |l AS (SELECT event_type, y,
+         |    lag(y) OVER (PARTITION BY event_type ORDER BY day) AS py,
+         |    lead(y) OVER (PARTITION BY event_type ORDER BY day) AS ny
+         |  FROM fl),
+         |a AS (SELECT event_type, count(*) AS n_days,
+         |    count(*) FILTER (WHERE py IS NOT NULL AND ny IS NOT NULL
+         |      AND y > py AND y > ny) AS n_peaks,
+         |    count(*) FILTER (WHERE py IS NOT NULL AND ny IS NOT NULL
+         |      AND y < py AND y < ny) AS n_troughs
+         |  FROM l GROUP BY 1)
+         |SELECT event_type, n_days, n_peaks, n_troughs,
+         |  n_peaks + n_troughs AS n_turning,
+         |  ROUND(2.0 * CAST(n_days - 2 AS DOUBLE) / 3.0 * 10000.0)
+         |    / 10000.0 + 0.0 AS expected,
+         |  ROUND((CAST(n_peaks + n_troughs AS DOUBLE)
+         |    - 2.0 * CAST(n_days - 2 AS DOUBLE) / 3.0)
+         |    / sqrt((16.0 * CAST(n_days AS DOUBLE) - 29.0) / 90.0)
+         |    * 10000.0) / 10000.0 + 0.0 AS z
+         |FROM a ORDER BY event_type""".stripMargin,
+    // Same gaps-and-islands grouping of the spine's zero days.
+    "ts_zero_run_profile" ->
+      s"""WITH e AS (SELECT event_type, ${sqlEpochDay("ts")} AS day
+         |  FROM events),
+         |d AS (SELECT event_type, day, count(*) AS y FROM e GROUP BY 1, 2),
+         |b AS (SELECT min(day) AS lo, max(day) AS hi FROM e),
+         |ty AS (SELECT DISTINCT event_type FROM e),
+         |spine AS (SELECT event_type, unnest(range(lo, hi + 1)) AS day
+         |  FROM ty CROSS JOIN b),
+         |fl AS (SELECT s.event_type, s.day, coalesce(y, 0) AS y
+         |  FROM spine s LEFT JOIN d
+         |    ON s.event_type = d.event_type AND s.day = d.day),
+         |z AS (SELECT event_type, day,
+         |    day - row_number() OVER (PARTITION BY event_type
+         |      ORDER BY day) AS grp
+         |  FROM fl WHERE y = 0),
+         |rl AS (SELECT event_type, grp, count(*) AS run_len
+         |  FROM z GROUP BY 1, 2),
+         |runs AS (SELECT event_type, count(*) AS n_runs,
+         |    CAST(sum(run_len) AS BIGINT) AS n_zero_days,
+         |    max(run_len) AS max_run
+         |  FROM rl GROUP BY 1),
+         |tot AS (SELECT event_type, count(*) AS n_days FROM fl
+         |  GROUP BY 1)
+         |SELECT t.event_type, t.n_days,
+         |  COALESCE(r.n_zero_days, 0) AS n_zero_days,
+         |  COALESCE(r.n_runs, 0) AS n_runs,
+         |  COALESCE(r.max_run, 0) AS max_run,
+         |  ROUND(CAST(COALESCE(r.n_zero_days, 0) AS DOUBLE)
+         |    / CAST(t.n_days AS DOUBLE) * 10000) / 10000 + 0.0
+         |    AS zero_share
+         |FROM tot t LEFT JOIN runs r ON r.event_type = t.event_type
+         |ORDER BY t.event_type""".stripMargin,
     // The funnel_stages CTE chain with deadlines: each stage's min is
     // taken over events inside the window opened by the previous
     // stage's qualifying minimum — dependent joins, same semantics as

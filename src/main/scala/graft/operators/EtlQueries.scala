@@ -661,6 +661,45 @@ object EtlQueries {
         .orderBy("o_orderstatus")
     }),
 
+    // PRIMARY-KEY UNIQUENESS AUDIT (§2.153) — the first constraint
+    // every warehouse load validates and the one etl_dq_report's
+    // column profile doesn't state: per table, are the declared keys
+    // actually unique (row count vs distinct-key count, duplicated
+    // keys, excess rows). Covers every fixture table including
+    // lineitem's COMPOSITE (orderkey, linenumber) key. Each table
+    // pays one two-phase count(distinct) exchange; the result is 8
+    // rows — the shape that stays 8 rows at 100 TB.
+    "etl_pk_uniqueness_audit" -> ((s, dir) => {
+      def audit(name: String, df: DataFrame, key: Seq[String])
+          : DataFrame = {
+        val k = concat_ws("|", key.map(col): _*)
+        df.select(k.as("k"))
+          .groupBy("k").agg(count(lit(1)).as("c"))
+          .agg(sum(col("c")).as("n_rows"),
+            count(lit(1)).as("n_keys"),
+            count_if(col("c") > 1).as("n_dup_keys"),
+            sum(when(col("c") > 1, col("c") - 1).otherwise(0L))
+              .as("n_excess_rows"))
+          .select(lit(name).as("table_name"), col("n_rows"),
+            col("n_keys"), col("n_dup_keys"), col("n_excess_rows"),
+            (col("n_dup_keys") === 0).as("is_unique"))
+      }
+      audit("customer", t(s, dir, "customer"), Seq("c_custkey"))
+        .unionAll(audit("documents", t(s, dir, "documents"),
+          Seq("doc_id")))
+        .unionAll(audit("embeddings", t(s, dir, "embeddings"),
+          Seq("vec_id")))
+        .unionAll(audit("events", events(s, dir), Seq("event_id")))
+        .unionAll(audit("lineitem", t(s, dir, "lineitem"),
+          Seq("l_orderkey", "l_linenumber")))
+        .unionAll(audit("orders", t(s, dir, "orders"),
+          Seq("o_orderkey")))
+        .unionAll(audit("part", t(s, dir, "part"), Seq("p_partkey")))
+        .unionAll(audit("supplier", t(s, dir, "supplier"),
+          Seq("s_suppkey")))
+        .orderBy("table_name")
+    }),
+
     // JOIN-KEY SKEW REPORT (§2.106) — the pre-flight audit behind
     // every AQE-skew/salting decision in this repo (join_skew_salted,
     // join_skew_aqe): for each frequently-joined FK column, the key
@@ -1040,6 +1079,29 @@ object EtlQueries {
         |  count(DISTINCT rh) AS n_distinct,
         |  min(rh) AS min_hash, max(rh) AS max_hash
         |FROM r GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // Same per-table key-group chain; one SELECT per fixture table.
+    "etl_pk_uniqueness_audit" -> {
+      def one(name: String, table: String, key: String): String =
+        s"""SELECT '$name' AS table_name,
+           |  CAST(sum(c) AS BIGINT) AS n_rows,
+           |  count(*) AS n_keys,
+           |  count(*) FILTER (WHERE c > 1) AS n_dup_keys,
+           |  CAST(sum(CASE WHEN c > 1 THEN c - 1 ELSE 0 END) AS BIGINT)
+           |    AS n_excess_rows,
+           |  count(*) FILTER (WHERE c > 1) = 0 AS is_unique
+           |FROM (SELECT concat_ws('|', $key) AS k, count(*) AS c
+           |  FROM $table GROUP BY 1)""".stripMargin
+      Seq(
+        one("customer", "customer", "c_custkey"),
+        one("documents", "documents", "doc_id"),
+        one("embeddings", "embeddings", "vec_id"),
+        one("events", "events", "event_id"),
+        one("lineitem", "lineitem", "l_orderkey, l_linenumber"),
+        one("orders", "orders", "o_orderkey"),
+        one("part", "part", "p_partkey"),
+        one("supplier", "supplier", "s_suppkey"))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY table_name")
+    },
     "etl_fk_containment" ->
       """WITH u AS (
         |  SELECT 'lineitem.l_orderkey->orders.o_orderkey' AS pair, k,

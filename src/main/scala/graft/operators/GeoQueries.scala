@@ -111,6 +111,194 @@ object GeoQueries {
         .orderBy("user_id")
     }),
 
+    // STEP-LENGTH PERCENTILES (§2.157) — the movement-scale profile
+    // per platform: median / p90 / max consecutive-fix displacement
+    // in degrees (the number that separates loiterers from transit
+    // flights, and the bandwidth input for geo_gps_interpolate's
+    // gap policy). Steps are computed on the integer grid (exact
+    // deltas, power-of-two /1024, /64 conversions, one
+    // correctly-rounded sqrt each — the hull key's edge-length
+    // formula), identically in both engines, so PERCENTILE_DISC
+    // picks the SAME element: order statistics on a double column
+    // are engine-safe when every value is bit-identical (SURVEY
+    // §1.3's double-column class). One user-keyed window + one
+    // reduce.
+    "geo_step_length_percentiles" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ms"), col("event_id"))
+      graft.Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"),
+          unix_millis(col("ts").cast("timestamp")).as("ms"),
+          ((col("user_id") * 997 + col("event_id") * 31) % 11520)
+            .as("x"),
+          (col("event_id") % 1440).as("y"))
+        .withColumn("nx", lead(col("x"), 1).over(w))
+        .withColumn("ny", lead(col("y"), 1).over(w))
+        .filter(col("nx").isNotNull)
+        .select(col("user_id"),
+          sqrt(((col("nx") - col("x")) * (col("nx") - col("x")))
+            .cast("double") / lit(1024.0)
+            + ((col("ny") - col("y")) * (col("ny") - col("y")))
+              .cast("double") / lit(64.0)).as("step"))
+        .createOrReplaceTempView("slp_steps")
+      s.sql("""SELECT user_id, count(*) AS n_steps,
+        |  ROUND(percentile_disc(0.5) WITHIN GROUP (ORDER BY step)
+        |    * 10000) / 10000 AS p50_step_deg,
+        |  ROUND(percentile_disc(0.9) WITHIN GROUP (ORDER BY step)
+        |    * 10000) / 10000 AS p90_step_deg,
+        |  ROUND(max(step) * 10000) / 10000 AS max_step_deg
+        |FROM slp_steps GROUP BY user_id ORDER BY user_id""".stripMargin)
+    }),
+
+    // RADIUS OF GYRATION (§2.151) — the standard mobility-science
+    // track-extent scalar (González et al., Nature 2008): rg =
+    // √(mean squared displacement from the VISIT-WEIGHTED centroid),
+    // per platform. Complements the hull (geometric envelope) with
+    // the mass-weighted spread — a platform that mostly loiters has
+    // tiny rg inside a huge hull. Exactness: on the integer fixture
+    // grid the centered second moment n·Σx² − (Σx)² is an EXACT
+    // integer (< 2⁵³, double-exact) per axis; the per-axis /1024,
+    // /64 grid→degree conversions are power-of-two-exact, and the
+    // only libm is one correctly-rounded sqrt at the edge. ONE
+    // partial-aggregating reduce per user — the cheapest possible
+    // shape, no window, no join.
+    "geo_radius_of_gyration" -> ((s, dir) => {
+      graft.Tables.events(s, dir)
+        .select(col("user_id"),
+          ((col("user_id") * 997 + col("event_id") * 31) % 11520)
+            .as("x"),
+          (col("event_id") % 1440).as("y"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+        .select(col("user_id"), col("n").as("n_fixes"),
+          r4d(col("sy").cast("double") / col("n").cast("double")
+            / lit(8.0) - lit(90.0)).as("centroid_lat"),
+          r4d(col("sx").cast("double") / col("n").cast("double")
+            / lit(32.0) - lit(180.0)).as("centroid_lon"),
+          r4d(sqrt(
+            (col("n") * col("sxx") - col("sx") * col("sx"))
+              .cast("double")
+              / (col("n") * col("n")).cast("double") / lit(1024.0)
+            + (col("n") * col("syy") - col("sy") * col("sy"))
+              .cast("double")
+              / (col("n") * col("n")).cast("double") / lit(64.0)))
+            .as("rg_deg"))
+        .orderBy("user_id")
+    }),
+
+    // PER-TRACK CONVEX HULL (§2.150) — hull vertex count, area and
+    // perimeter per platform: the real spatial-extent statistic
+    // surveys use (geo_track_bbox's envelope overstates extent for
+    // any diagonal track). The algorithm is the slope-extremum hull
+    // characterization, chosen over monotone chain because it is a
+    // JOIN+AGGREGATE, not a stack: on the per-x upper candidates
+    // (max y per x), a point is an upper-hull vertex iff
+    // min_{left j} slope(j,i) ≥ max_{right k} slope(i,k) — the
+    // betweenness lemma (p above segment jk ⟺ slope(j,p) ≥
+    // slope(p,k)) quantified over both sides collapses to two slope
+    // extrema; endpoints (an empty side) pass vacuously via NULL.
+    // Lower hull is the mirrored test on per-x min-y candidates.
+    //
+    // Exactness: everything runs on the INTEGER fixture grid
+    // (x = (user·997 + event·31) mod 11520, y = event mod 1440 —
+    // the sightings lat/lon before their affine display transform,
+    // which hulls are invariant to up to the final /32, /8 scaling).
+    // Slopes are one IEEE division of integer dy/dx: distinct
+    // rationals p/q, |q| < 11520 differ by ≥ 1/11520² ≈ 7.5e-9
+    // while double rounding error at |slope| ≤ 1439 is ≤ 2e-13, so
+    // slope comparisons are EXACT and equal rationals round to equal
+    // doubles — no libm, no tie ambiguity. Area is the integer
+    // trapezoid (shoelace) sum of upper minus lower chains (one /512
+    // power-of-two-exact division at the edge); perimeter micro-snaps
+    // each edge's correctly-rounded sqrt length to 10⁻⁶ BIGINTs
+    // before summing (order-independent), with the two vertical end
+    // walls exact integers (10⁶/8 = 125000). Scale: the quadratic
+    // slope test is BLOCKED per user (bounded per-track fix sets —
+    // the geo_colocation_pairs cost class); everything else is
+    // one window pass + keyed reduces.
+    "geo_convex_hull_area" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val p = graft.Tables.events(s, dir)
+        .select(col("user_id"),
+          ((col("user_id") * 997 + col("event_id") * 31) % 11520)
+            .as("x"),
+          (col("event_id") % 1440).as("y"))
+        .distinct().localCheckpoint(true)
+      val hi = p.groupBy("user_id", "x").agg(max(col("y")).as("y"))
+      val lo = p.groupBy("user_id", "x").agg(min(col("y")).as("y"))
+      def chain(cand: DataFrame, upper: Boolean): DataFrame = {
+        val c = cand.localCheckpoint(true)
+        val sl = (col("b.y") - col("a.y")).cast("double") /
+          (col("b.x") - col("a.x")).cast("double")
+        val g = c.as("a").join(c.as("b"),
+            col("a.user_id") === col("b.user_id")
+              && col("a.x") =!= col("b.x"), "left")
+          .groupBy(col("a.user_id").as("user_id"),
+            col("a.x").as("x"), col("a.y").as("y"))
+          .agg(
+            min(when(col("b.x") < col("a.x"), sl)).as("lsl_min"),
+            max(when(col("b.x") < col("a.x"), sl)).as("lsl_max"),
+            max(when(col("b.x") > col("a.x"), sl)).as("rsl_max"),
+            min(when(col("b.x") > col("a.x"), sl)).as("rsl_min"))
+        val keep =
+          if (upper) col("lsl_min").isNull || col("rsl_max").isNull ||
+            col("lsl_min") >= col("rsl_max")
+          else col("lsl_max").isNull || col("rsl_min").isNull ||
+            col("lsl_max") <= col("rsl_min")
+        g.filter(keep).select(col("user_id"), col("x"), col("y"))
+      }
+      val up = chain(hi, upper = true)
+      val dn = chain(lo, upper = false)
+      val w = Window.partitionBy("user_id").orderBy("x")
+      def edges(ch: DataFrame): DataFrame = ch
+        .withColumn("nx", lead(col("x"), 1).over(w))
+        .withColumn("ny", lead(col("y"), 1).over(w))
+        .filter(col("nx").isNotNull)
+        .select(col("user_id"),
+          ((col("nx") - col("x")) * (col("y") + col("ny"))).as("a2"),
+          round(sqrt(
+            ((col("nx") - col("x")) * (col("nx") - col("x")))
+              .cast("double") / lit(1024.0)
+              + ((col("ny") - col("y")) * (col("ny") - col("y")))
+                .cast("double") / lit(64.0)) * lit(1000000.0))
+            .cast("long").as("len6"))
+        .groupBy("user_id")
+        .agg(sum(col("a2")).as("a2"), sum(col("len6")).as("len6"))
+      val ue = edges(up)
+      val le = edges(dn)
+      val vt = hi.withColumnRenamed("y", "yhi")
+        .join(lo.withColumnRenamed("y", "ylo"), Seq("user_id", "x"))
+      val bd = vt.groupBy("user_id")
+        .agg(min(col("x")).as("x0"), max(col("x")).as("x1"))
+      val vl = vt.join(bd, Seq("user_id"))
+        .groupBy("user_id")
+        .agg(sum(
+          when(col("x") === col("x0"),
+            (col("yhi") - col("ylo")) * 125000L).otherwise(0L)
+          + when(col("x") === col("x1"),
+            (col("yhi") - col("ylo")) * 125000L).otherwise(0L))
+          .as("vlen6"))
+      val hv = up.unionAll(dn).distinct()
+        .groupBy("user_id").agg(count(lit(1)).as("n_hull_vertices"))
+      hv.join(ue.select(col("user_id"), col("a2").as("ua2"),
+            col("len6").as("ulen6")), Seq("user_id"), "left")
+        .join(le.select(col("user_id"), col("a2").as("la2"),
+          col("len6").as("llen6")), Seq("user_id"), "left")
+        .join(vl, Seq("user_id"))
+        .select(col("user_id"), col("n_hull_vertices"),
+          r4d((coalesce(col("ua2"), lit(0L))
+            - coalesce(col("la2"), lit(0L))).cast("double")
+            / lit(512.0)).as("hull_deg2"),
+          r4d((coalesce(col("ulen6"), lit(0L))
+            + coalesce(col("llen6"), lit(0L)) + col("vlen6"))
+            .cast("double") / lit(1000000.0)).as("hull_perimeter_deg"))
+        .orderBy("user_id")
+    }),
+
     // HEADING SECTOR HISTOGRAM (§2.140) — which way do tracks move:
     // consecutive-fix displacement vectors classified into the eight
     // 45° compass octants WITHOUT atan2 — the octant is decided by
@@ -698,6 +886,129 @@ object GeoQueries {
         |GROUP BY 1, 2 HAVING count(*) >= 2
         |ORDER BY user_a, user_b""".stripMargin,
     // Same exact min/max envelope and product.
+    // Same integer-grid steps; percentile_disc picks the same
+    // bit-identical double element.
+    "geo_step_length_percentiles" ->
+      """WITH p AS (SELECT user_id, event_id, epoch_ms(ts) AS ms,
+        |    (user_id * 997 + event_id * 31) % 11520 AS x,
+        |    event_id % 1440 AS y FROM events),
+        |l AS (SELECT user_id, x, y,
+        |    lead(x) OVER w AS nx, lead(y) OVER w AS ny
+        |  FROM p WINDOW w AS (PARTITION BY user_id
+        |    ORDER BY ms, event_id)),
+        |st AS (SELECT user_id,
+        |    sqrt(CAST((nx - x) * (nx - x) AS DOUBLE) / 1024.0
+        |      + CAST((ny - y) * (ny - y) AS DOUBLE) / 64.0) AS step
+        |  FROM l WHERE nx IS NOT NULL)
+        |SELECT user_id, count(*) AS n_steps,
+        |  ROUND(percentile_disc(0.5) WITHIN GROUP (ORDER BY step)
+        |    * 10000) / 10000 + 0.0 AS p50_step_deg,
+        |  ROUND(percentile_disc(0.9) WITHIN GROUP (ORDER BY step)
+        |    * 10000) / 10000 + 0.0 AS p90_step_deg,
+        |  ROUND(max(step) * 10000) / 10000 + 0.0 AS max_step_deg
+        |FROM st GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // Same exact centered second moments on the integer grid; the
+    // identical sqrt edge.
+    "geo_radius_of_gyration" ->
+      """WITH p AS (SELECT user_id,
+        |    (user_id * 997 + event_id * 31) % 11520 AS x,
+        |    event_id % 1440 AS y FROM events),
+        |a AS (SELECT user_id, count(*) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx,
+        |    CAST(sum(y * y) AS BIGINT) AS syy
+        |  FROM p GROUP BY 1)
+        |SELECT user_id, n AS n_fixes,
+        |  ROUND((CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) / 8.0 - 90.0)
+        |    * 10000) / 10000 + 0.0 AS centroid_lat,
+        |  ROUND((CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) / 32.0 - 180.0)
+        |    * 10000) / 10000 + 0.0 AS centroid_lon,
+        |  ROUND(sqrt(
+        |    CAST(n * sxx - sx * sx AS DOUBLE)
+        |      / CAST(n * n AS DOUBLE) / 1024.0
+        |    + CAST(n * syy - sy * sy AS DOUBLE)
+        |      / CAST(n * n AS DOUBLE) / 64.0) * 10000) / 10000
+        |    AS rg_deg
+        |FROM a ORDER BY user_id""".stripMargin,
+    // Same slope-extremum hull test on the same integer grid; LEFT
+    // self-join per user, HUGEINT casts on the BIGINT sums, identical
+    // micro-snapped edge lengths and /512 area edge.
+    "geo_convex_hull_area" ->
+      """WITH p AS (SELECT DISTINCT user_id,
+        |    (user_id * 997 + event_id * 31) % 11520 AS x,
+        |    event_id % 1440 AS y FROM events),
+        |hi AS (SELECT user_id, x, max(y) AS y FROM p GROUP BY 1, 2),
+        |lo AS (SELECT user_id, x, min(y) AS y FROM p GROUP BY 1, 2),
+        |uj AS (SELECT a.user_id, a.x, a.y,
+        |    min(CASE WHEN b.x < a.x THEN
+        |      CAST(b.y - a.y AS DOUBLE) / CAST(b.x - a.x AS DOUBLE)
+        |      END) AS lsl_min,
+        |    max(CASE WHEN b.x > a.x THEN
+        |      CAST(b.y - a.y AS DOUBLE) / CAST(b.x - a.x AS DOUBLE)
+        |      END) AS rsl_max
+        |  FROM hi a LEFT JOIN hi b
+        |    ON a.user_id = b.user_id AND a.x <> b.x
+        |  GROUP BY 1, 2, 3),
+        |up AS (SELECT user_id, x, y FROM uj
+        |  WHERE lsl_min IS NULL OR rsl_max IS NULL
+        |    OR lsl_min >= rsl_max),
+        |lj AS (SELECT a.user_id, a.x, a.y,
+        |    max(CASE WHEN b.x < a.x THEN
+        |      CAST(b.y - a.y AS DOUBLE) / CAST(b.x - a.x AS DOUBLE)
+        |      END) AS lsl_max,
+        |    min(CASE WHEN b.x > a.x THEN
+        |      CAST(b.y - a.y AS DOUBLE) / CAST(b.x - a.x AS DOUBLE)
+        |      END) AS rsl_min
+        |  FROM lo a LEFT JOIN lo b
+        |    ON a.user_id = b.user_id AND a.x <> b.x
+        |  GROUP BY 1, 2, 3),
+        |dn AS (SELECT user_id, x, y FROM lj
+        |  WHERE lsl_max IS NULL OR rsl_min IS NULL
+        |    OR lsl_max <= rsl_min),
+        |ue0 AS (SELECT user_id, x, y, lead(x) OVER w AS nx,
+        |    lead(y) OVER w AS ny FROM up
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY x)),
+        |ue AS (SELECT user_id,
+        |    CAST(sum((nx - x) * (y + ny)) AS BIGINT) AS ua2,
+        |    CAST(sum(CAST(ROUND(sqrt(
+        |      CAST((nx - x) * (nx - x) AS DOUBLE) / 1024.0
+        |      + CAST((ny - y) * (ny - y) AS DOUBLE) / 64.0)
+        |      * 1000000.0) AS BIGINT)) AS BIGINT) AS ulen6
+        |  FROM ue0 WHERE nx IS NOT NULL GROUP BY 1),
+        |le0 AS (SELECT user_id, x, y, lead(x) OVER w AS nx,
+        |    lead(y) OVER w AS ny FROM dn
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY x)),
+        |le AS (SELECT user_id,
+        |    CAST(sum((nx - x) * (y + ny)) AS BIGINT) AS la2,
+        |    CAST(sum(CAST(ROUND(sqrt(
+        |      CAST((nx - x) * (nx - x) AS DOUBLE) / 1024.0
+        |      + CAST((ny - y) * (ny - y) AS DOUBLE) / 64.0)
+        |      * 1000000.0) AS BIGINT)) AS BIGINT) AS llen6
+        |  FROM le0 WHERE nx IS NOT NULL GROUP BY 1),
+        |vt AS (SELECT h.user_id, h.x, h.y - l.y AS dy
+        |  FROM hi h JOIN lo l USING (user_id, x)),
+        |bd AS (SELECT user_id, min(x) AS x0, max(x) AS x1
+        |  FROM vt GROUP BY 1),
+        |vl AS (SELECT v.user_id,
+        |    CAST(sum(CASE WHEN v.x = b.x0 THEN v.dy * 125000
+        |        ELSE 0 END
+        |      + CASE WHEN v.x = b.x1 THEN v.dy * 125000
+        |        ELSE 0 END) AS BIGINT) AS vlen6
+        |  FROM vt v JOIN bd b ON v.user_id = b.user_id GROUP BY 1),
+        |hv AS (SELECT user_id, count(*) AS n_hull_vertices FROM
+        |    (SELECT DISTINCT user_id, x, y FROM
+        |      (SELECT * FROM up UNION ALL SELECT * FROM dn))
+        |  GROUP BY 1)
+        |SELECT hv.user_id, hv.n_hull_vertices,
+        |  ROUND(CAST(COALESCE(ue.ua2, 0) - COALESCE(le.la2, 0)
+        |      AS DOUBLE) / 512.0 * 10000) / 10000 + 0.0 AS hull_deg2,
+        |  ROUND(CAST(COALESCE(ue.ulen6, 0) + COALESCE(le.llen6, 0)
+        |      + vl.vlen6 AS DOUBLE) / 1000000.0 * 10000) / 10000 + 0.0
+        |    AS hull_perimeter_deg
+        |FROM hv LEFT JOIN ue ON ue.user_id = hv.user_id
+        |LEFT JOIN le ON le.user_id = hv.user_id
+        |JOIN vl ON vl.user_id = hv.user_id
+        |ORDER BY hv.user_id""".stripMargin,
     "geo_track_bbox" ->
       """WITH p AS (SELECT user_id,
         |    CAST(event_id % 1440 AS DOUBLE) / 8 - 90 AS lat,

@@ -1111,6 +1111,51 @@ object GraphQueries {
         .orderBy("side", "node")
     }),
 
+    // PERSONALIZED PAGERANK (§2.149) — random-walk-with-restart from
+    // the deterministic md5-order SeedBudget seed set (the §2.128
+    // device): the "related items for THESE nodes" recommender
+    // primitive global graph_pagerank can't answer (its stationary
+    // mass is seed-independent). Same integer doctrine verbatim:
+    // ranks are SCALED LONGS, each of the 3 unrolled supersteps is
+    // one edge⋈rank equi-join + one dst-keyed sum, and the update is
+    // `restart + 85·Σ(rank div deg) div 100` where the restart mass
+    // 150000 lands ONLY on seeds (a full-outer join with the seed
+    // table keeps seeds alive even when isolated in the sampled
+    // graph). Non-seed nodes keep pure decayed walk mass; rank-0
+    // rows are pruned from the propagation join (rank > 0), so the
+    // per-round shuffle follows the REACHED ball, not |V| — the
+    // frontier-bounded shape that matters when the 100 TB graph's
+    // diameter dwarfs the walk horizon. Graph: the '0','1'-Doulion
+    // co-purchase sample, both directions (the graph_katz edge set).
+    "graph_ppr" -> ((s, dir) => {
+      val half = org.apache.spark.sql.graftshim.dropOriginConstraints(
+        sampledOrientedEdges(s, dir, Some(Seq("0", "1")))
+          .localCheckpoint(true))
+      val ed = half.select(col("a").as("src"), col("b").as("dst"))
+        .unionAll(half.select(col("b").as("src"), col("a").as("dst")))
+      val deg = ed.groupBy("src").agg(count(lit(1)).as("deg"))
+      val edd = ed.join(deg, Seq("src")).persist()
+      val seeds = hashSeeds(s, dir).localCheckpoint(true)
+      var r = seeds.select(col("node"), lit(1000000L).as("rank"))
+        .localCheckpoint(true)
+      for (_ <- 1 to 3) {
+        val sc = edd
+          .join(r.filter(col("rank") > 0), col("src") === col("node"))
+          .select(col("dst"), expr("rank div deg").as("c"))
+          .groupBy("dst").agg(sum(col("c")).as("sc"))
+          .select(col("dst").as("node"), col("sc"))
+        r = sc.join(seeds.select(col("node"), lit(1L).as("is_seed")),
+            Seq("node"), "full_outer")
+          .select(col("node"),
+            (when(col("is_seed").isNotNull, lit(150000L))
+              .otherwise(lit(0L))
+              + expr("85 * coalesce(sc, 0L) div 100")).as("rank"))
+          .localCheckpoint(true)
+      }
+      edd.unpersist()
+      r.orderBy("node")
+    }),
+
     "graph_scc" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy(col("user_id"))
@@ -1769,6 +1814,41 @@ object GraphQueries {
         |  ROUND(CAST(katz6 AS DOUBLE) / 1000000.0 * 10000) / 10000
         |    AS katz
         |FROM k ORDER BY node""".stripMargin,
+
+    // Same 3 unrolled restart supersteps; CAST AS BIGINT on the sum
+    // (an uncast SUM(BIGINT) is HUGEINT), the identical rank>0 prune
+    // and full-outer seed keep-alive.
+    "graph_ppr" -> {
+      val prelude =
+        s"""WITH pp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+           |  FROM lineitem),
+           |e0 AS (SELECT DISTINCT x.p AS a, y.p AS b
+           |  FROM pp x JOIN pp y ON x.ok = y.ok AND x.p < y.p),
+           |half AS MATERIALIZED (SELECT a, b FROM e0
+           |  WHERE substring(md5(CAST(a AS VARCHAR) || '_'
+           |    || CAST(b AS VARCHAR)), 1, 1) IN ('0', '1')),
+           |ed AS MATERIALIZED (SELECT a AS src, b AS dst FROM half
+           |  UNION ALL SELECT b, a FROM half),
+           |deg AS (SELECT src, count(*) AS deg FROM ed GROUP BY 1),
+           |seeds AS (SELECT node FROM
+           |    (SELECT DISTINCT l_partkey AS node FROM lineitem)
+           |  ORDER BY md5(CAST(node AS VARCHAR)), node
+           |  LIMIT $SeedBudget),
+           |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank
+           |  FROM seeds)""".stripMargin
+      val steps = (1 to 3).map { i =>
+        s"""r$i AS (SELECT COALESCE(m.node, sd.node) AS node,
+           |    CAST(CASE WHEN sd.node IS NULL THEN 0 ELSE 150000 END
+           |      + 85 * COALESCE(m.sc, 0) // 100 AS BIGINT) AS rank
+           |  FROM (SELECT e.dst AS node,
+           |      CAST(sum(r.rank // d.deg) AS BIGINT) AS sc
+           |    FROM ed e JOIN deg d ON e.src = d.src
+           |    JOIN r${i - 1} r ON e.src = r.node AND r.rank > 0
+           |    GROUP BY 1) m
+           |  FULL OUTER JOIN seeds sd ON m.node = sd.node)""".stripMargin
+      }.mkString(",\n")
+      s"$prelude,\n$steps\nSELECT node, rank FROM r3 ORDER BY node"
+    },
 
     // Same two unrolled reinforcement rounds; HUGEINT raw sums, the
     // identical max-normalizing truncating division.

@@ -1113,6 +1113,30 @@ object PipelineQueries {
         .orderBy("gt_id")
     }),
 
+    // ANCHOR COVERAGE (§2.157) — the per-anchor summary of
+    // multimodal_anchor_assign's per-box table: how many GT boxes
+    // each anchor shape wins, how many at IoU ≥ 0.5, and the mean
+    // best-IoU — the "is the anchor set right for this dataset"
+    // readout detector configs are tuned by. Calls the SAME declared
+    // assignment (runtime map lookup), so the two keys cannot
+    // disagree; mean IoU sums the 4dp values EXACTLY via the
+    // DECIMAL(38,6) dsum device (no float-order ambiguity), one
+    // division at the edge.
+    "multimodal_anchor_coverage" -> ((s, dir) => {
+      queries("multimodal_anchor_assign")(s, dir)
+        .groupBy("anchor_id", "anchor_w", "anchor_h")
+        .agg(count(lit(1)).as("n_gt"),
+          count_if(col("positive")).as("n_positive"),
+          sum(col("iou").cast("decimal(38,6)")).as("siou"))
+        .select(col("anchor_id"), col("anchor_w"), col("anchor_h"),
+          col("n_gt"), col("n_positive"),
+          r4d(col("n_positive").cast("double")
+            / col("n_gt").cast("double")).as("share_positive"),
+          r4d(col("siou").cast("double") / col("n_gt").cast("double"))
+            .as("mean_iou"))
+        .orderBy("anchor_id")
+    }),
+
     // CURRICULUM ORDERING (§2.89) — the staged training schedule
     // curriculum-learning loaders consume: difficulty = exact token
     // count, stage = quartile of difficulty (cuts are exact
@@ -1193,6 +1217,96 @@ object PipelineQueries {
         |    AS BIGINT) AS p90_chars,
         |  max(nc) AS max_chars
         |FROM dlp_docs GROUP BY source ORDER BY source""".stripMargin)
+    }),
+
+    // CORPUS FINGERPRINT (§2.156) — a per-source content-addressed
+    // signature that is ORDER-INDEPENDENT and MERGEABLE: doc count,
+    // char volume, the bit_xor of each doc's 52-bit md5(text)
+    // integer, and the min/max doc digests. Two shards' fingerprints
+    // combine by (+, +, xor, min, max) — the property that lets a
+    // 100 TB pipeline verify a copy/migration per partition and fold
+    // upward without any global sort (the etl_table_checksum idea,
+    // made commutative). Any single-document change flips the xor
+    // with probability 1 − 2⁻⁵²; the (count, xor, min, max) tuple is
+    // the standard cheap reconciliation vector.
+    "pipeline_corpus_fingerprint" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("source"), col("n_chars").cast("long").as("nc"),
+          md5(col("text").cast("binary")).as("h"))
+        .withColumn("h52", conv(substring(col("h"), 1, 13), 16, 10)
+          .cast("long"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("nc")).as("total_chars"),
+          expr("bit_xor(h52)").as("xor52"),
+          min(col("h")).as("min_digest"),
+          max(col("h")).as("max_digest"))
+        .orderBy("source")
+    }),
+
+    // FEATURE STANDARDIZATION (§2.156) — the per-group z-score
+    // transform every tabular training pipeline applies before
+    // gradient descent: z = (x − μ_g)/σ_g with μ, σ from the
+    // decimal-EXACT per-type cent moments (the agg_stats device:
+    // order-independent sums, doubles only at the per-row edge).
+    // The stats table is |types| rows and BROADCASTS back onto the
+    // stream — a map-side transform at any corpus size, the shape a
+    // window-function spelling would serialize per partition.
+    // Degenerate groups (σ = 0 by the exact n·Σx² > (Σx)² test)
+    // emit NULL, never a fake 0/0.
+    "pipeline_feature_standardize" -> ((s, dir) => {
+      val e = graft.Tables.events(s, dir)
+        .select(col("event_id"), col("event_type"),
+        col("value"), round(col("value") * 100).cast("long").as("c"))
+      val m = e.groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("c").cast("decimal(38,0)")).as("s1"),
+          sum((col("c") * col("c")).cast("decimal(38,0)")).as("s2"))
+      e.join(broadcast(m), Seq("event_type"))
+        .select(col("event_id"), col("event_type"), col("value"),
+          when(col("n") > 1
+            && col("n") * col("s2") > col("s1") * col("s1"),
+            r4d((col("c").cast("double")
+              - col("s1").cast("double") / col("n").cast("double"))
+              / sqrt((col("n") * col("s2") - col("s1") * col("s1"))
+                .cast("double")
+                / (col("n") * col("n")).cast("double")))).as("z"))
+        .orderBy("event_id")
+    }),
+
+    // CONTEXT-WINDOW FIT (§2.155) — per source: what share of
+    // documents fits each standard context budget (512 / 1024 /
+    // 2048 / 4096 whitespace tokens — the same token convention as
+    // every text key), and how many tokens a hard 512 truncation
+    // would discard (the data-loss number that decides between
+    // truncate / chunk / drop). Exact integer counts off one
+    // map-side length projection + one reduce; the percentile key
+    // gives the distribution, this gives the DECISIONS.
+    "pipeline_context_window_fit" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("source"),
+          size(split(col("text"), " ")).cast("long").as("n"))
+      d.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n")).as("total_tokens"),
+          count_if(col("n") <= 512).as("fit_512"),
+          count_if(col("n") <= 1024).as("fit_1024"),
+          count_if(col("n") <= 2048).as("fit_2048"),
+          count_if(col("n") <= 4096).as("fit_4096"),
+          sum(greatest(col("n") - 512, lit(0L))).as("trunc_512"))
+        .select(col("source"), col("n_docs"), col("total_tokens"),
+          r4d(col("fit_512").cast("double")
+            / col("n_docs").cast("double")).as("share_fit_512"),
+          r4d(col("fit_1024").cast("double")
+            / col("n_docs").cast("double")).as("share_fit_1024"),
+          r4d(col("fit_2048").cast("double")
+            / col("n_docs").cast("double")).as("share_fit_2048"),
+          r4d(col("fit_4096").cast("double")
+            / col("n_docs").cast("double")).as("share_fit_4096"),
+          col("trunc_512").as("tokens_lost_512"),
+          r4d(col("trunc_512").cast("double")
+            / col("total_tokens").cast("double")).as("loss_share_512"))
+        .orderBy("source")
     }),
 
     // CENTER-CROP MANIFEST (§2.147) — the classification-pipeline
@@ -2442,6 +2556,43 @@ object PipelineQueries {
       |  FROM toplab JOIN embeddings e ON toplab.label = e.label
       |  WHERE e.vec_id <> probe_id)""".stripMargin
 
+  /** multimodal_anchor_assign's full oracle SQL — shared verbatim by
+    * the assign key and multimodal_anchor_coverage's per-anchor
+    * reduction so the two cannot disagree on an assignment. */
+  private val anchorAssignOracle: String =
+    """WITH base AS (SELECT p_partkey AS k,
+      |    CAST(p_size AS BIGINT) AS sz,
+      |    p_partkey // 64 AS image_id,
+      |    (p_partkey % 8) * 100 AS gx1,
+      |    ((p_partkey % 64) // 8) * 100 AS gy1
+      |  FROM part),
+      |bb AS (SELECT *, gx1 + 40 + sz % 20 AS gx2,
+      |    gy1 + 60 + k % 13 AS gy2,
+      |    gx1 + 50 AS cx, gy1 + 50 AS cy FROM base),
+      |an AS (SELECT CAST(aid AS BIGINT) AS aid,
+      |    CAST(aw AS BIGINT) AS aw, CAST(ah AS BIGINT) AS ah
+      |  FROM (VALUES (0, 32, 32), (1, 64, 64), (2, 96, 96),
+      |    (3, 32, 64), (4, 64, 32), (5, 48, 96)) t(aid, aw, ah)),
+      |cand AS (SELECT b.k AS gt_id, b.image_id, a.aid, a.aw, a.ah,
+      |    greatest(0, least(b.gx2, b.cx + a.aw // 2)
+      |      - greatest(b.gx1, b.cx - a.aw // 2))
+      |    * greatest(0, least(b.gy2, b.cy + a.ah // 2)
+      |      - greatest(b.gy1, b.cy - a.ah // 2)) AS inter,
+      |    (b.gx2 - b.gx1) * (b.gy2 - b.gy1) + a.aw * a.ah AS areas
+      |  FROM bb b CROSS JOIN an a),
+      |rk AS (SELECT gt_id, image_id, aid, aw, ah, inter,
+      |    areas - inter AS uni,
+      |    row_number() OVER (PARTITION BY gt_id
+      |      ORDER BY (inter * 1099511627776) // (areas - inter) DESC,
+      |        aid) AS r
+      |  FROM cand)
+      |SELECT gt_id, image_id, aid AS anchor_id, aw AS anchor_w,
+      |  ah AS anchor_h,
+      |  ROUND(CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE) * 10000)
+      |    / 10000 + 0.0 AS iou,
+      |  inter * 2 >= uni AS positive
+      |FROM rk WHERE r = 1 ORDER BY gt_id""".stripMargin
+
   val oracle: Map[String, String] = Map(
     // Same binary-string power-of-two spelling; HUGEINT sums cast.
     "pipeline_length_bucketing" ->
@@ -2908,39 +3059,20 @@ object PipelineQueries {
     // Same gt fixture + cell-centered anchor menu; the winner rank
     // reproduces Spark's ⌊inter·2⁴⁰/union⌋ exact-integer key (`//`
     // truncation equals Spark's div on the non-negative domain).
-    "multimodal_anchor_assign" ->
-      """WITH base AS (SELECT p_partkey AS k,
-        |    CAST(p_size AS BIGINT) AS sz,
-        |    p_partkey // 64 AS image_id,
-        |    (p_partkey % 8) * 100 AS gx1,
-        |    ((p_partkey % 64) // 8) * 100 AS gy1
-        |  FROM part),
-        |bb AS (SELECT *, gx1 + 40 + sz % 20 AS gx2,
-        |    gy1 + 60 + k % 13 AS gy2,
-        |    gx1 + 50 AS cx, gy1 + 50 AS cy FROM base),
-        |an AS (SELECT CAST(aid AS BIGINT) AS aid,
-        |    CAST(aw AS BIGINT) AS aw, CAST(ah AS BIGINT) AS ah
-        |  FROM (VALUES (0, 32, 32), (1, 64, 64), (2, 96, 96),
-        |    (3, 32, 64), (4, 64, 32), (5, 48, 96)) t(aid, aw, ah)),
-        |cand AS (SELECT b.k AS gt_id, b.image_id, a.aid, a.aw, a.ah,
-        |    greatest(0, least(b.gx2, b.cx + a.aw // 2)
-        |      - greatest(b.gx1, b.cx - a.aw // 2))
-        |    * greatest(0, least(b.gy2, b.cy + a.ah // 2)
-        |      - greatest(b.gy1, b.cy - a.ah // 2)) AS inter,
-        |    (b.gx2 - b.gx1) * (b.gy2 - b.gy1) + a.aw * a.ah AS areas
-        |  FROM bb b CROSS JOIN an a),
-        |rk AS (SELECT gt_id, image_id, aid, aw, ah, inter,
-        |    areas - inter AS uni,
-        |    row_number() OVER (PARTITION BY gt_id
-        |      ORDER BY (inter * 1099511627776) // (areas - inter) DESC,
-        |        aid) AS r
-        |  FROM cand)
-        |SELECT gt_id, image_id, aid AS anchor_id, aw AS anchor_w,
-        |  ah AS anchor_h,
-        |  ROUND(CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE) * 10000)
-        |    / 10000 + 0.0 AS iou,
-        |  inter * 2 >= uni AS positive
-        |FROM rk WHERE r = 1 ORDER BY gt_id""".stripMargin,
+    "multimodal_anchor_assign" -> anchorAssignOracle,
+    // The same assignment chain as a subquery, reduced per anchor;
+    // mean IoU via the exact DECIMAL(38,6) sum of 4dp values (the
+    // dsum device — no float-order ambiguity).
+    "multimodal_anchor_coverage" ->
+      s"""SELECT anchor_id, anchor_w, anchor_h, count(*) AS n_gt,
+         |  count(*) FILTER (WHERE positive) AS n_positive,
+         |  ROUND(CAST(count(*) FILTER (WHERE positive) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE) * 10000) / 10000
+         |    AS share_positive,
+         |  ROUND(CAST(sum(CAST(iou AS DECIMAL(38,6))) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE) * 10000) / 10000 AS mean_iou
+         |FROM ($anchorAssignOracle)
+         |GROUP BY 1, 2, 3 ORDER BY anchor_id""".stripMargin,
     // Quartile cuts via the same PERCENTILE_DISC order statistics;
     // the stage/hash/doc total order is engine-neutral (fixed-width
     // lowercase hex), so row_number IS GlobalRank's running count.
@@ -3146,6 +3278,61 @@ object PipelineQueries {
         |    AS BIGINT) AS p90_chars,
         |  CAST(max(n_chars) AS BIGINT) AS max_chars
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    // Same 52-bit md5 integers ('0x' cast ≡ conv), commutative
+    // (count, sum, xor, min, max) vector.
+    "pipeline_corpus_fingerprint" ->
+      """WITH d AS (SELECT source, CAST(n_chars AS BIGINT) AS nc,
+        |    md5(text) AS h FROM documents),
+        |x AS (SELECT source, nc, h,
+        |    CAST(('0x' || substring(h, 1, 13)) AS BIGINT) AS h52
+        |  FROM d)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(nc) AS BIGINT) AS total_chars,
+        |  bit_xor(h52) AS xor52,
+        |  min(h) AS min_digest, max(h) AS max_digest
+        |FROM x GROUP BY source ORDER BY source""".stripMargin,
+    // Same decimal-exact per-type moments broadcast back; identical
+    // population-σ z edge and degenerate-group NULL.
+    "pipeline_feature_standardize" ->
+      """WITH e AS (SELECT event_id, event_type, value,
+        |    CAST(round(value * 100) AS BIGINT) AS c FROM events),
+        |m AS (SELECT event_type, count(*) AS n,
+        |    CAST(sum(c) AS HUGEINT) AS s1,
+        |    CAST(sum(c * c) AS HUGEINT) AS s2 FROM e GROUP BY 1)
+        |SELECT event_id, e.event_type, value,
+        |  CASE WHEN n > 1 AND n * s2 > s1 * s1 THEN
+        |    ROUND((CAST(c AS DOUBLE)
+        |        - CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+        |      / sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)
+        |        / CAST(n * n AS DOUBLE)) * 10000) / 10000 END AS z
+        |FROM e JOIN m USING (event_type) ORDER BY event_id""".stripMargin,
+    // Same whitespace token counts, budgets, and truncation loss.
+    "pipeline_context_window_fit" ->
+      """WITH d AS (SELECT source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+        |  FROM documents),
+        |a AS (SELECT source, count(*) AS n_docs,
+        |    CAST(sum(n) AS BIGINT) AS total_tokens,
+        |    count(*) FILTER (WHERE n <= 512) AS fit_512,
+        |    count(*) FILTER (WHERE n <= 1024) AS fit_1024,
+        |    count(*) FILTER (WHERE n <= 2048) AS fit_2048,
+        |    count(*) FILTER (WHERE n <= 4096) AS fit_4096,
+        |    CAST(sum(greatest(n - 512, 0)) AS BIGINT) AS trunc_512
+        |  FROM d GROUP BY 1)
+        |SELECT source, n_docs, total_tokens,
+        |  ROUND(CAST(fit_512 AS DOUBLE) / CAST(n_docs AS DOUBLE)
+        |    * 10000) / 10000 AS share_fit_512,
+        |  ROUND(CAST(fit_1024 AS DOUBLE) / CAST(n_docs AS DOUBLE)
+        |    * 10000) / 10000 AS share_fit_1024,
+        |  ROUND(CAST(fit_2048 AS DOUBLE) / CAST(n_docs AS DOUBLE)
+        |    * 10000) / 10000 AS share_fit_2048,
+        |  ROUND(CAST(fit_4096 AS DOUBLE) / CAST(n_docs AS DOUBLE)
+        |    * 10000) / 10000 AS share_fit_4096,
+        |  trunc_512 AS tokens_lost_512,
+        |  ROUND(CAST(trunc_512 AS DOUBLE)
+        |    / CAST(total_tokens AS DOUBLE) * 10000) / 10000
+        |    AS loss_share_512
+        |FROM a ORDER BY source""".stripMargin,
     // Same crop window, integer remap/clamp, 2·area_in ≥ area rule.
     "multimodal_center_crop" ->
       """WITH p AS (SELECT p_partkey, CAST(p_size AS BIGINT) AS sz,

@@ -33,6 +33,36 @@ object SimQueries {
           .as("cos"))
   }
 
+  /** The centroid-classifier confusion matrix (label, pred, n) —
+    * decimal(38,12)-exact per-label centroids folded in dimension
+    * order, bit-stable d² argmin (ties to the smaller label). Shared
+    * by sim_centroid_classify (the matrix itself) and
+    * eval_per_class_prf (its per-class P/R/F1 reduction) so the two
+    * keys cannot disagree on a prediction. */
+  private def centroidConfusion(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val cent = emb
+      .select(col("label"), posexplode(col("embedding")))
+      .groupBy(col("label"), col("pos"))
+      .agg((sum(col("col").cast("double").cast("decimal(38,12)"))
+        .cast("double") / count(lit(1))).as("c"))
+    val carr = cent.groupBy("label")
+      .agg(array_sort(collect_list(struct(col("pos"), col("c"))))
+        .as("ps"))
+      .select(col("label").as("clabel"),
+        expr("transform(ps, p -> p.c)").as("cvec"))
+    emb.crossJoin(broadcast(carr))
+      .withColumn("d2", aggregate(
+        zip_with(col("embedding"), col("cvec"),
+          (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
+        lit(0.0), (acc, e) => acc + e))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(min_by(col("clabel"), struct(col("d2"), col("clabel")))
+        .as("pred"))
+      .groupBy(col("label"), col("pred"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   val queries: Map[String, Q] = Map(
     // ROCCHIO QUERY EXPANSION (§2.117) — the classic relevance-
     // feedback loop: each probe's query vector is blended with the
@@ -490,6 +520,77 @@ object SimQueries {
         .orderBy("label")
     }),
 
+    // INTRA-LABEL DIVERSITY (§2.151) — mean PAIRWISE dot product
+    // within each label WITHOUT forming pairs: the polarization
+    // identity Σ_{i≠j} ⟨vᵢ,vⱼ⟩ = ‖Σᵢvᵢ‖² − Σᵢ‖vᵢ‖² turns the
+    // O(n²·d) pairwise reduce into TWO LINEAR passes (per-dimension
+    // component sums, then one 64-row fold per label) — the cluster
+    // cohesion / mode-collapse diagnostic that stays O(n·d) at
+    // 100 TB where sim_cosine_pairs' blocked join cannot. Exactness:
+    // components micro-snap to 10⁻⁶ BIGINTs FIRST (the declared
+    // grid), so every sum/square is exact integer arithmetic in
+    // decimal(38,0)/HUGEINT — order-independent, engine-identical;
+    // one double division at the edge, in 10⁻¹² dot units.
+    "sim_intra_label_diversity" -> ((s, dir) => {
+      val u = t(s, dir, "embeddings")
+        .select(col("label"), posexplode(col("embedding")))
+        .select(col("label"), col("pos"),
+          floor(col("col").cast("double") * lit(1.0e6)).cast("long")
+            .as("xi"))
+      val byDim = u.groupBy("label", "pos")
+        .agg(sum(col("xi").cast("decimal(38,0)")).as("sd"),
+          sum(col("xi").cast("decimal(38,0)") * col("xi")).as("qd"))
+      val per = byDim.groupBy("label")
+        .agg(sum(col("sd") * col("sd")).as("ssq"),
+          sum(col("qd")).as("qq"))
+      val n = t(s, dir, "embeddings")
+        .groupBy("label").agg(count(lit(1)).as("n_vecs"))
+      n.join(per, Seq("label"))
+        .filter(col("n_vecs") > 1)
+        .select(col("label"), col("n_vecs"),
+          r4d((col("ssq") - col("qq")).cast("double")
+            / (col("n_vecs") * (col("n_vecs") - 1)).cast("double")
+            / lit(1.0e12)).as("mean_pairwise_dot"))
+        .orderBy("label")
+    }),
+
+    // TRIPLET VIOLATION / 1-NN ERROR RATE (§2.155) — for each
+    // deterministic anchor (vec_id < 20), is the nearest OTHER-label
+    // vector closer than the nearest SAME-label vector? A violated
+    // triplet (a, nearest-pos, nearest-neg) ⟺ a 1-NN
+    // leave-one-out misclassification — the metric-learning health
+    // check next to eval_topk_accuracy's centroid view (centroids
+    // blur multi-modal classes; 1-NN doesn't). The bounded anchor
+    // set broadcasts; d² is the classify key's bit-stable
+    // dimension-order fold; two conditional mins per anchor, exact
+    // counts per label.
+    "sim_triplet_violation_rate" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"), col("embedding"))
+      val anchors = emb.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("aid"), col("label").as("alabel"),
+          col("embedding").as("av"))
+      val d2 = emb.crossJoin(broadcast(anchors))
+        .filter(col("vec_id") =!= col("aid"))
+        .withColumn("d2", aggregate(
+          zip_with(col("embedding"), col("av"),
+            (x, c) => (x.cast("double") - c.cast("double"))
+              * (x.cast("double") - c.cast("double"))),
+          lit(0.0), (acc, e) => acc + e))
+      d2.groupBy("aid", "alabel")
+        .agg(min(when(col("label") === col("alabel"), col("d2")))
+          .as("d_same"),
+          min(when(col("label") =!= col("alabel"), col("d2")))
+            .as("d_other"))
+        .groupBy(col("alabel").as("label"))
+        .agg(count(lit(1)).as("n_anchors"),
+          count_if(col("d_other") < col("d_same")).as("n_violations"))
+        .select(col("label"), col("n_anchors"), col("n_violations"),
+          r4d(col("n_violations").cast("double")
+            / col("n_anchors").cast("double")).as("violation_rate"))
+        .orderBy("label")
+    }),
+
     // PREFIX-RECALL CURVE (§2.142) — sim_prefix_dim_recall at ONE k
     // answers "is the 16-dim prefix good enough at 10"; the CURVE
     // answers where it breaks: recall@k of the 16-dim prefix ranking
@@ -612,29 +713,47 @@ object SimQueries {
         .orderBy("label")
     }),
 
-    "sim_centroid_classify" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      val cent = emb
-        .select(col("label"), posexplode(col("embedding")))
-        .groupBy(col("label"), col("pos"))
-        .agg((sum(col("col").cast("double").cast("decimal(38,12)"))
-          .cast("double") / count(lit(1))).as("c"))
-      val carr = cent.groupBy("label")
-        .agg(array_sort(collect_list(struct(col("pos"), col("c"))))
-          .as("ps"))
-        .select(col("label").as("clabel"),
-          expr("transform(ps, p -> p.c)").as("cvec"))
-      emb.crossJoin(broadcast(carr))
-        .withColumn("d2", aggregate(
-          zip_with(col("embedding"), col("cvec"),
-            (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
-          lit(0.0), (acc, e) => acc + e))
-        .groupBy(col("vec_id"), col("label"))
-        .agg(min_by(col("clabel"), struct(col("d2"), col("clabel")))
-          .as("pred"))
-        .groupBy(col("label"), col("pred"))
-        .agg(count(lit(1)).as("n"))
-        .orderBy("label", "pred")
+    "sim_centroid_classify" -> ((s, dir) =>
+      centroidConfusion(s, dir).orderBy("label", "pred")),
+
+    // PER-CLASS PRECISION / RECALL / F1 (§2.154) — the multiclass
+    // readout the confusion MATRIX (sim_centroid_classify) and the
+    // top-k ACCURACY (eval_topk_accuracy) bracket but never state:
+    // per class, TP / FP / FN off the same bit-stable centroid
+    // confusion, precision = TP/ŷ-total, recall = TP/y-total, F1 =
+    // 2TP/(2TP+FP+FN) — every value an exact integer or a single
+    // rational division, so no macro-averaging float-sum ambiguity
+    // enters the table (macro-F1 is the reader's one-line mean over
+    // this ≤|labels|-row output). Degenerate classes (never
+    // predicted) emit NULL precision, not a fake 0.
+    "eval_per_class_prf" -> ((s, dir) => {
+      val conf = centroidConfusion(s, dir).localCheckpoint(true)
+      val byLabel = conf.groupBy("label")
+        .agg(sum(col("n")).as("label_total"))
+      val byPred = conf.groupBy("pred")
+        .agg(sum(col("n")).as("pred_total"))
+        .withColumnRenamed("pred", "label")
+      val tp = conf.filter(col("label") === col("pred"))
+        .select(col("label"), col("n").as("tp"))
+      byLabel.join(tp, Seq("label"), "left")
+        .join(byPred, Seq("label"), "left")
+        .select(col("label"),
+          coalesce(col("tp"), lit(0L)).as("tp"),
+          (coalesce(col("pred_total"), lit(0L))
+            - coalesce(col("tp"), lit(0L))).as("fp"),
+          (col("label_total") - coalesce(col("tp"), lit(0L))).as("fn"))
+        .select(col("label"), col("tp"), col("fp"), col("fn"),
+          when(col("tp") + col("fp") > 0,
+            r4d(col("tp").cast("double")
+              / (col("tp") + col("fp")).cast("double"))).as("precision"),
+          when(col("tp") + col("fn") > 0,
+            r4d(col("tp").cast("double")
+              / (col("tp") + col("fn")).cast("double"))).as("recall"),
+          when(lit(2L) * col("tp") + col("fp") + col("fn") > 0,
+            r4d((lit(2L) * col("tp")).cast("double")
+              / (lit(2L) * col("tp") + col("fp") + col("fn"))
+                .cast("double"))).as("f1"))
+        .orderBy("label")
     }),
 
     // CENTROID SILHOUETTE DISTRIBUTION (§2.98) — the cluster-quality
@@ -1141,6 +1260,28 @@ object SimQueries {
         |  ROUND(CAST(max6 AS DOUBLE) / 1000000.0 * 10000) / 10000
         |    AS max_norm
         |FROM a ORDER BY label""".stripMargin,
+    // Same micro-snapped polarization identity; HUGEINT holds the
+    // squared component sums exactly.
+    "sim_intra_label_diversity" ->
+      """WITH u AS (SELECT label,
+        |    unnest(range(len(embedding))) AS pos,
+        |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0)
+        |      AS BIGINT) AS xi
+        |  FROM embeddings),
+        |d AS (SELECT label, pos,
+        |    CAST(sum(CAST(xi AS HUGEINT)) AS HUGEINT) AS sd,
+        |    CAST(sum(CAST(xi AS HUGEINT) * xi) AS HUGEINT) AS qd
+        |  FROM u GROUP BY 1, 2),
+        |p AS (SELECT label, CAST(sum(sd * sd) AS HUGEINT) AS ssq,
+        |    CAST(sum(qd) AS HUGEINT) AS qq FROM d GROUP BY 1),
+        |n AS (SELECT label, count(*) AS n_vecs FROM embeddings
+        |  GROUP BY 1)
+        |SELECT n.label, n.n_vecs,
+        |  ROUND(CAST(p.ssq - p.qq AS DOUBLE)
+        |    / CAST(n.n_vecs * (n.n_vecs - 1) AS DOUBLE) / 1.0e12
+        |    * 10000) / 10000 AS mean_pairwise_dot
+        |FROM n JOIN p USING (label) WHERE n.n_vecs > 1
+        |ORDER BY label""".stripMargin,
     // Same two rankings (full vs [1:16] prefix), same conditional
     // hit counts over the 4-row k spine.
     "sim_recall_curve" ->
@@ -1253,6 +1394,73 @@ object SimQueries {
         |pred AS (SELECT vec_id, label, clabel AS pred FROM r WHERE rk = 1)
         |SELECT label, pred, count(*) AS n FROM pred
         |GROUP BY 1, 2 ORDER BY label, pred""".stripMargin,
+    // Same bounded-anchor d² folds and conditional mins.
+    "sim_triplet_violation_rate" ->
+      """WITH a AS (SELECT vec_id AS aid, label AS alabel,
+        |    CAST(embedding AS DOUBLE[]) AS av FROM embeddings
+        |  WHERE vec_id < 20),
+        |d AS (SELECT e.vec_id, e.label, a.aid, a.alabel,
+        |    list_aggregate(list_transform(range(1, len(e.embedding) + 1),
+        |      i -> (CAST(e.embedding[i] AS DOUBLE) - a.av[i])
+        |        * (CAST(e.embedding[i] AS DOUBLE) - a.av[i])), 'sum')
+        |      AS d2
+        |  FROM embeddings e CROSS JOIN a WHERE e.vec_id <> a.aid),
+        |p AS (SELECT aid, alabel,
+        |    min(CASE WHEN label = alabel THEN d2 END) AS d_same,
+        |    min(CASE WHEN label <> alabel THEN d2 END) AS d_other
+        |  FROM d GROUP BY 1, 2)
+        |SELECT alabel AS label, count(*) AS n_anchors,
+        |  count(*) FILTER (WHERE d_other < d_same) AS n_violations,
+        |  ROUND(CAST(count(*) FILTER (WHERE d_other < d_same) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) * 10000) / 10000
+        |    AS violation_rate
+        |FROM p GROUP BY 1 ORDER BY label""".stripMargin,
+    // Same confusion chain; per-class P/R/F1 as single rationals.
+    "eval_per_class_prf" ->
+      """WITH u AS (SELECT label, unnest(range(len(embedding))) AS pos,
+        |    unnest(embedding) AS x
+        |  FROM embeddings),
+        |cent AS (SELECT label, pos,
+        |    CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE)
+        |      / COUNT(*) AS c
+        |  FROM u GROUP BY 1, 2),
+        |carr AS (SELECT label AS clabel, list(c ORDER BY pos) AS cvec
+        |  FROM cent GROUP BY 1),
+        |sc AS (SELECT e.vec_id, e.label, c.clabel,
+        |    list_aggregate(list_transform(range(1, len(e.embedding) + 1),
+        |      i -> (CAST(e.embedding[i] AS DOUBLE) - c.cvec[i])
+        |        * (CAST(e.embedding[i] AS DOUBLE) - c.cvec[i])), 'sum')
+        |      AS d2
+        |  FROM embeddings e CROSS JOIN carr c),
+        |r AS (SELECT vec_id, label, clabel,
+        |    row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY d2, clabel) AS rk
+        |  FROM sc),
+        |pred AS (SELECT vec_id, label, clabel AS pred FROM r WHERE rk = 1),
+        |conf AS (SELECT label, pred, count(*) AS n FROM pred
+        |  GROUP BY 1, 2),
+        |bl AS (SELECT label, CAST(sum(n) AS BIGINT) AS label_total
+        |  FROM conf GROUP BY 1),
+        |bp AS (SELECT pred AS label, CAST(sum(n) AS BIGINT)
+        |    AS pred_total FROM conf GROUP BY 1),
+        |tp AS (SELECT label, n AS tp FROM conf WHERE label = pred),
+        |j AS (SELECT bl.label,
+        |    COALESCE(tp.tp, 0) AS tp,
+        |    COALESCE(bp.pred_total, 0) - COALESCE(tp.tp, 0) AS fp,
+        |    bl.label_total - COALESCE(tp.tp, 0) AS fn
+        |  FROM bl LEFT JOIN tp ON tp.label = bl.label
+        |  LEFT JOIN bp ON bp.label = bl.label)
+        |SELECT label, tp, fp, fn,
+        |  CASE WHEN tp + fp > 0 THEN ROUND(CAST(tp AS DOUBLE)
+        |    / CAST(tp + fp AS DOUBLE) * 10000) / 10000 END
+        |    AS precision,
+        |  CASE WHEN tp + fn > 0 THEN ROUND(CAST(tp AS DOUBLE)
+        |    / CAST(tp + fn AS DOUBLE) * 10000) / 10000 END AS recall,
+        |  CASE WHEN 2 * tp + fp + fn > 0 THEN
+        |    ROUND(CAST(2 * tp AS DOUBLE)
+        |      / CAST(2 * tp + fp + fn AS DOUBLE) * 10000) / 10000 END
+        |    AS f1
+        |FROM j ORDER BY label""".stripMargin,
     // The same five greedy steps, unrolled as MATERIALIZED CTEs (the
     // kcore/label-prop oracle convention); cosines via
     // list_dot_product with the identical IEEE spelling, mmr computed

@@ -2225,6 +2225,72 @@ object StatQueries {
         when(ok, r4d(exp(log(or) + lit(1.96) * se))).as("ci_hi"))
     }),
 
+    // RELATIVE RISK + CI (§2.154) — the epidemiology-convention
+    // effect size next to ab_odds_ratio_ci's odds ratio (RR is what
+    // product reviews actually mean by "x% more likely to convert";
+    // OR only approximates it when conversion is rare): RR =
+    // (a/(a+b)) / (c/(c+d)) over the same deterministic user_id%2
+    // arms and per-user conversion flags, with the standard
+    // log-normal CI exp(ln RR ± 1.96·√(1/a − 1/(a+b) + 1/c −
+    // 1/(c+d))). Exact counts from one reduce; doubles at the edge;
+    // degenerate cells → NULL.
+    "ab_relative_risk_ci" -> ((s, dir) => {
+      val e = events(s, dir)
+        .groupBy((col("user_id") % 2).as("arm"), col("user_id"))
+        .agg(max(when(col("event_type") === "purchase", 1L)
+          .otherwise(0L)).as("conv"))
+      val piv = e.groupBy("arm")
+        .agg(count_if(col("conv") === 1).as("c"),
+          count_if(col("conv") === 0).as("nc"))
+        .agg(max(when(col("arm") === 0, col("c"))).as("a"),
+          max(when(col("arm") === 0, col("nc"))).as("b"),
+          max(when(col("arm") === 1, col("c"))).as("cc"),
+          max(when(col("arm") === 1, col("nc"))).as("d"))
+      val n1 = col("a") + col("b")
+      val n2 = col("cc") + col("d")
+      val rr = (col("a").cast("double") / n1.cast("double")) /
+        (col("cc").cast("double") / n2.cast("double"))
+      val se = sqrt(lit(1.0) / col("a").cast("double")
+        - lit(1.0) / n1.cast("double")
+        + lit(1.0) / col("cc").cast("double")
+        - lit(1.0) / n2.cast("double"))
+      val ok = col("a") > 0 && col("cc") > 0
+      piv.select(col("a"), col("b"), col("cc").as("c"), col("d"),
+        when(ok, r4d(rr)).as("relative_risk"),
+        when(ok, r4d(exp(log(rr) - lit(1.96) * se))).as("ci_lo"),
+        when(ok, r4d(exp(log(rr) + lit(1.96) * se))).as("ci_hi"))
+    }),
+
+    // COHEN'S H (§2.154) — the arcsine-stabilized effect size for two
+    // proportions: h = 2·asin(√p₁) − 2·asin(√p₂) (unlike the raw
+    // difference, equally detectable at any baseline rate — the
+    // number power calculators standardize on, companion to
+    // ab_power_sample_size). Same deterministic arms; exact counts;
+    // asin/sqrt at the display edge only, spelled operand-for-operand
+    // with the oracle; the conventional small/medium/large read at
+    // |h| = 0.2/0.5/0.8.
+    "ab_cohens_h" -> ((s, dir) => {
+      val e = events(s, dir)
+        .groupBy((col("user_id") % 2).as("arm"), col("user_id"))
+        .agg(max(when(col("event_type") === "purchase", 1L)
+          .otherwise(0L)).as("conv"))
+      val piv = e.groupBy("arm")
+        .agg(count(lit(1)).as("n"), sum(col("conv")).as("c"))
+        .agg(max(when(col("arm") === 0, col("n"))).as("n1"),
+          max(when(col("arm") === 0, col("c"))).as("c1"),
+          max(when(col("arm") === 1, col("n"))).as("n2"),
+          max(when(col("arm") === 1, col("c"))).as("c2"))
+      val p1 = col("c1").cast("double") / col("n1").cast("double")
+      val p2 = col("c2").cast("double") / col("n2").cast("double")
+      val h = lit(2.0) * asin(sqrt(p1)) - lit(2.0) * asin(sqrt(p2))
+      piv.select(col("n1"), col("c1"), col("n2"), col("c2"),
+        r4d(p1).as("p1"), r4d(p2).as("p2"), r4d(h).as("cohens_h"),
+        when(abs(h) < 0.2, lit("negligible"))
+          .when(abs(h) < 0.5, lit("small"))
+          .when(abs(h) < 0.8, lit("medium"))
+          .otherwise(lit("large")).as("magnitude"))
+    }),
+
     // POWER / SAMPLE-SIZE (§2.137) — the question every experiment
     // review asks first: at the OBSERVED arm conversion rates, how
     // many users per arm would a two-proportion test need for 80%
@@ -3239,6 +3305,63 @@ object StatQueries {
         |    ROUND(exp(ln(orr) + 1.96 * se) * 10000) / 10000 END
         |    AS ci_hi
         |FROM q""".stripMargin,
+    // Same pivoted counts; the log-normal RR interval in the
+    // identical op order.
+    "ab_relative_risk_ci" ->
+      """WITH u AS (SELECT user_id % 2 AS arm,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS conv
+        |  FROM events GROUP BY user_id, arm),
+        |g AS (SELECT arm, count(*) FILTER (WHERE conv = 1) AS c,
+        |    count(*) FILTER (WHERE conv = 0) AS nc FROM u GROUP BY 1),
+        |p AS (SELECT max(CASE WHEN arm = 0 THEN c END) AS a,
+        |    max(CASE WHEN arm = 0 THEN nc END) AS b,
+        |    max(CASE WHEN arm = 1 THEN c END) AS cc,
+        |    max(CASE WHEN arm = 1 THEN nc END) AS d FROM g),
+        |q AS (SELECT *,
+        |    (CAST(a AS DOUBLE) / CAST(a + b AS DOUBLE))
+        |      / (CAST(cc AS DOUBLE) / CAST(cc + d AS DOUBLE)) AS rr,
+        |    sqrt(1.0 / CAST(a AS DOUBLE) - 1.0 / CAST(a + b AS DOUBLE)
+        |      + 1.0 / CAST(cc AS DOUBLE)
+        |      - 1.0 / CAST(cc + d AS DOUBLE)) AS se
+        |  FROM p)
+        |SELECT a, b, cc AS c, d,
+        |  CASE WHEN a > 0 AND cc > 0 THEN
+        |    ROUND(rr * 10000) / 10000 END AS relative_risk,
+        |  CASE WHEN a > 0 AND cc > 0 THEN
+        |    ROUND(exp(ln(rr) - 1.96 * se) * 10000) / 10000 END
+        |    AS ci_lo,
+        |  CASE WHEN a > 0 AND cc > 0 THEN
+        |    ROUND(exp(ln(rr) + 1.96 * se) * 10000) / 10000 END
+        |    AS ci_hi
+        |FROM q""".stripMargin,
+    // Same arms; asin/sqrt spelled operand-for-operand; identical
+    // magnitude cuts.
+    "ab_cohens_h" ->
+      """WITH u AS (SELECT user_id % 2 AS arm,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS conv
+        |  FROM events GROUP BY user_id, arm),
+        |g AS (SELECT arm, count(*) AS n,
+        |    CAST(sum(conv) AS BIGINT) AS c FROM u GROUP BY 1),
+        |p AS (SELECT max(CASE WHEN arm = 0 THEN n END) AS n1,
+        |    max(CASE WHEN arm = 0 THEN c END) AS c1,
+        |    max(CASE WHEN arm = 1 THEN n END) AS n2,
+        |    max(CASE WHEN arm = 1 THEN c END) AS c2 FROM g),
+        |q AS (SELECT *,
+        |    CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS p1,
+        |    CAST(c2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS p2 FROM p),
+        |h AS (SELECT *, 2.0 * asin(sqrt(p1)) - 2.0 * asin(sqrt(p2))
+        |    AS ch FROM q)
+        |SELECT n1, c1, n2, c2,
+        |  ROUND(p1 * 10000) / 10000 + 0.0 AS p1,
+        |  ROUND(p2 * 10000) / 10000 + 0.0 AS p2,
+        |  ROUND(ch * 10000) / 10000 + 0.0 AS cohens_h,
+        |  CASE WHEN abs(ch) < 0.2 THEN 'negligible'
+        |    WHEN abs(ch) < 0.5 THEN 'small'
+        |    WHEN abs(ch) < 0.8 THEN 'medium'
+        |    ELSE 'large' END AS magnitude
+        |FROM h""".stripMargin,
     // Same pivoted counts; the 1.96/0.84 literals and the identical
     // chain; δ = 0 → NULL.
     "ab_power_sample_size" ->

@@ -174,6 +174,62 @@ object TextQueries {
     "dedup_near_jaccard" -> ((s, dir) =>
       exactJaccard(s, dir, 1000, 0.8).orderBy("doc_i", "doc_j")),
 
+    // DUPLICATE-CLUSTER SIZE HISTOGRAM (§2.153) — the corpus-health
+    // readout over dedup_exact_text's clusters: how many clusters of
+    // each size, and what share of the corpus sits in them (a corpus
+    // that is 40% size-≥10 clusters needs dedup BEFORE training; one
+    // that is 98% singletons doesn't). Same token-set md5 canonical
+    // key as the dedup key (order/multiplicity-insensitive),
+    // INCLUDING singletons — they are the denominator. Two keyed
+    // reduces; the histogram is ≤ max-cluster-size rows.
+    "dedup_cluster_size_hist" -> ((s, dir) => {
+      val cl = t(s, dir, "documents")
+        .select(col("doc_id"),
+          md5(concat_ws(" ",
+            array_sort(array_distinct(split(col("text"), " ")))))
+            .as("h"))
+        .groupBy("h").agg(count(lit(1)).as("sz"))
+      val tot = cl.agg(sum(col("sz")).as("n_docs_total"))
+      cl.groupBy(col("sz").as("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"))
+        .crossJoin(broadcast(tot))
+        .select(col("cluster_size"), col("n_clusters"),
+          (col("cluster_size") * col("n_clusters")).as("n_docs"),
+          r4d((col("cluster_size") * col("n_clusters")).cast("double")
+            / col("n_docs_total").cast("double")).as("share_of_corpus"))
+        .orderBy("cluster_size")
+    }),
+
+    // KL DIVERGENCE PER SOURCE (§2.153) — the asymmetric companion of
+    // text_js_drift's symmetric JS: KL(source ‖ corpus) in bits —
+    // "how many extra bits to encode this source with the corpus
+    // code" — the source-skew ranking signal mixture tuning reads
+    // (JS saturates at 1; KL keeps separating heavy drifters). q > 0
+    // for every source token by construction (source ⊂ corpus), so
+    // no smoothing term is needed. Counts exact; the log2 terms are
+    // irrational and sum in double like the js/perplexity keys,
+    // r4d at the edge.
+    "text_kl_divergence" -> ((s, dir) => {
+      val tok = t(s, dir, "documents")
+        .select(col("source"), explode(split(col("text"), " ")).as("token"))
+      val glob = tok.groupBy("token").agg(count(lit(1)).as("cg"))
+      val nGlob = tok.agg(count(lit(1)).as("ng"))
+      val src = tok.groupBy("source", "token").agg(count(lit(1)).as("cs"))
+      val nSrc = tok.groupBy("source").agg(count(lit(1)).as("ns"))
+      src.join(broadcast(glob), Seq("token"))
+        .join(broadcast(nSrc), Seq("source"))
+        .crossJoin(broadcast(nGlob))
+        .select(col("source"), col("ns"),
+          (col("cs").cast("double") / col("ns").cast("double")).as("p"),
+          (col("cg").cast("double") / col("ng").cast("double")).as("q"))
+        .groupBy("source")
+        .agg(first(col("ns")).as("n_tokens"),
+          sum(col("p") * log2(col("p") / col("q"))).as("kl"))
+        .select(col("source"), col("n_tokens"),
+          r4d(col("kl")).as("kl_bits"))
+        .orderBy("source")
+    }),
+
     // The survivor-selection half of a dedup pipeline: connected
     // components over the J ≥ 0.8 pair graph, canonical doc = min id in
     // the component. Runs through the shared ConnectedComponents
@@ -499,6 +555,60 @@ object TextQueries {
             .as("type_token_ratio"),
           r4d(col("hapax").cast("double") / col("vocab").cast("double"))
             .as("hapax_share"))
+        .orderBy("lang")
+    }),
+
+    // LEADING-TOKEN PROFILE (§2.156) — the top-3 document-INITIAL
+    // tokens per source with their share: the boilerplate-header
+    // detector (scraped corpora where many docs open with the same
+    // navigation/disclaimer token need a header-strip pass before
+    // training; prose doesn't). First token is a map-side projection
+    // (split[0]); counts partial-aggregate to ≤ |sources|×|vocab|
+    // rows; the top-3 is a bounded window under the (n desc, token)
+    // total order.
+    "text_leading_token_profile" -> ((s, dir) => {
+      val ft = t(s, dir, "documents")
+        .select(col("source"),
+          split(col("text"), " ").getItem(0).as("tok"))
+      val cnt = ft.groupBy("source", "tok")
+        .agg(count(lit(1)).as("n"))
+      val tot = ft.groupBy("source").agg(count(lit(1)).as("n_docs"))
+      val w = Window.partitionBy("source")
+        .orderBy(col("n").desc, col("tok"))
+      cnt.withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 3)
+        .join(broadcast(tot), Seq("source"))
+        .select(col("source"), col("rk"),
+          col("tok").as("leading_token"),
+          col("n").as("n_docs_starting"),
+          r4d(col("n").cast("double") / col("n_docs").cast("double"))
+            .as("share"))
+        .orderBy("source", "rk")
+    }),
+
+    // SIMPSON DIVERSITY (§2.151) — the repeat-probability member of
+    // the lexical-diversity family (hapax/TTR count the tail; Yule's
+    // K squares frequencies; Simpson's D is the exact probability two
+    // random token DRAWS without replacement coincide): D =
+    // Σ c·(c−1) / (N·(N−1)) per lang, an EXACT rational of integer
+    // counts — one division at the edge, plus the inverse-Simpson
+    // "effective vocabulary" (guarded when every token is hapax).
+    // Scale: one (lang, token) partial-agg reduce, then a |langs|
+    // reduce — the hapax key's exact shape.
+    "text_simpson_diversity" -> ((s, dir) => {
+      val tc = t(s, dir, "documents")
+        .select(col("lang"), explode(split(col("text"), " ")).as("token"))
+        .groupBy("lang", "token").agg(count(lit(1)).as("c"))
+      tc.groupBy("lang")
+        .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("vocab"),
+          sum(col("c") * (col("c") - 1)).as("coll"))
+        .select(col("lang"), col("n_tokens"), col("vocab"),
+          r4d(col("coll").cast("double")
+            / (col("n_tokens") * (col("n_tokens") - 1)).cast("double"))
+            .as("simpson_d"),
+          when(col("coll") > 0,
+            r4d((col("n_tokens") * (col("n_tokens") - 1)).cast("double")
+              / col("coll").cast("double"))).as("inv_simpson"))
         .orderBy("lang")
     }),
 
@@ -1192,6 +1302,73 @@ object TextQueries {
         |  ROUND(CAST(count(*) FILTER (WHERE c = 1) AS DOUBLE)
         |    / CAST(count(*) AS DOUBLE) * 10000) / 10000 AS hapax_share
         |FROM tc GROUP BY lang ORDER BY lang""".stripMargin,
+    // Same first-token projection and bounded top-3 window.
+    "text_leading_token_profile" ->
+      """WITH ft AS (SELECT source,
+        |    string_split(text, ' ')[1] AS tok FROM documents),
+        |cnt AS (SELECT source, tok, count(*) AS n FROM ft
+        |  GROUP BY 1, 2),
+        |tot AS (SELECT source, count(*) AS n_docs FROM ft GROUP BY 1),
+        |r AS (SELECT source, tok, n,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY n DESC, tok) AS BIGINT) AS rk
+        |  FROM cnt)
+        |SELECT r.source, r.rk, r.tok AS leading_token,
+        |  r.n AS n_docs_starting,
+        |  ROUND(CAST(r.n AS DOUBLE) / CAST(t.n_docs AS DOUBLE)
+        |    * 10000) / 10000 AS share
+        |FROM r JOIN tot t ON t.source = r.source
+        |WHERE r.rk <= 3 ORDER BY r.source, r.rk""".stripMargin,
+    // Same canonical token-set md5 key including singletons.
+    "dedup_cluster_size_hist" ->
+      """WITH cl AS (SELECT md5(array_to_string(list_sort(
+        |      list_distinct(string_split(text, ' '))), ' ')) AS h,
+        |    count(*) AS sz
+        |  FROM documents GROUP BY 1),
+        |t AS (SELECT CAST(sum(sz) AS BIGINT) AS n_docs_total FROM cl)
+        |SELECT sz AS cluster_size, count(*) AS n_clusters,
+        |  CAST(sz * count(*) AS BIGINT) AS n_docs,
+        |  ROUND(CAST(sz * count(*) AS DOUBLE)
+        |    / CAST(n_docs_total AS DOUBLE) * 10000) / 10000
+        |    AS share_of_corpus
+        |FROM cl CROSS JOIN t GROUP BY sz, n_docs_total
+        |ORDER BY cluster_size""".stripMargin,
+    // Same exact count ratios; identical log2 edge.
+    "text_kl_divergence" ->
+      """WITH tok AS (SELECT source,
+        |    unnest(string_split(text, ' ')) AS token FROM documents),
+        |g AS (SELECT token, count(*) AS cg FROM tok GROUP BY 1),
+        |ng AS (SELECT count(*) AS ng FROM tok),
+        |s AS (SELECT source, token, count(*) AS cs FROM tok
+        |  GROUP BY 1, 2),
+        |ns AS (SELECT source, count(*) AS ns FROM tok GROUP BY 1),
+        |j AS (SELECT s.source, ns.ns,
+        |    CAST(s.cs AS DOUBLE) / CAST(ns.ns AS DOUBLE) AS p,
+        |    CAST(g.cg AS DOUBLE) / CAST(ng.ng AS DOUBLE) AS q
+        |  FROM s JOIN g USING (token) JOIN ns USING (source)
+        |  CROSS JOIN ng)
+        |SELECT source, CAST(max(ns) AS BIGINT) AS n_tokens,
+        |  ROUND(sum(p * log2(p / q)) * 10000) / 10000 + 0.0 AS kl_bits
+        |FROM j GROUP BY source ORDER BY source""".stripMargin,
+    // Same exact collision rational; HUGEINT sums cast back, the
+    // identical hapax-corpus guard.
+    "text_simpson_diversity" ->
+      """WITH tc AS (SELECT lang, token, count(*) AS c
+        |  FROM (SELECT lang, unnest(string_split(text, ' ')) AS token
+        |    FROM documents) GROUP BY 1, 2),
+        |a AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |    count(*) AS vocab,
+        |    CAST(sum(c * (c - 1)) AS BIGINT) AS coll
+        |  FROM tc GROUP BY 1)
+        |SELECT lang, n_tokens, vocab,
+        |  ROUND(CAST(coll AS DOUBLE)
+        |    / CAST(n_tokens * (n_tokens - 1) AS DOUBLE) * 10000) / 10000
+        |    AS simpson_d,
+        |  CASE WHEN coll > 0 THEN
+        |    ROUND(CAST(n_tokens * (n_tokens - 1) AS DOUBLE)
+        |      / CAST(coll AS DOUBLE) * 10000) / 10000 END
+        |    AS inv_simpson
+        |FROM a ORDER BY lang""".stripMargin,
     // Same anchored class, exact counts and lengths.
     "text_numeric_token_stats" ->
       """WITH tk AS (SELECT lang,

@@ -511,10 +511,40 @@ class InventorySpec extends SparkSpec {
     // §2.148 round-14 twenty-first wave: Bowley skew, weekend
     // effect, norm profile
     "agg_quartile_skewness", "ts_weekend_effect",
-    "sim_norm_distribution")
+    "sim_norm_distribution",
+    // §2.149 round-15 first wave: personalized PageRank, Kalman
+    // smooth, frequent episodes
+    "graph_ppr", "ts_kalman_smooth", "path_frequent_episodes",
+    // §2.150 round-15 second wave: convex hull, HLL difference,
+    // Jarque-Bera
+    "geo_convex_hull_area", "agg_hll_difference", "agg_jarque_bera",
+    // §2.151 round-15 third wave: radius of gyration, Simpson
+    // diversity, intra-label diversity
+    "geo_radius_of_gyration", "text_simpson_diversity",
+    "sim_intra_label_diversity",
+    // §2.152 round-15 fourth wave: PACF, turning points, zero runs
+    "ts_pacf", "ts_turning_points", "ts_zero_run_profile",
+    // §2.153 round-15 fifth wave: cluster-size histogram, KL
+    // divergence, PK uniqueness audit
+    "dedup_cluster_size_hist", "text_kl_divergence",
+    "etl_pk_uniqueness_audit",
+    // §2.154 round-15 sixth wave: relative risk, Cohen's h,
+    // per-class PRF
+    "ab_relative_risk_ci", "ab_cohens_h", "eval_per_class_prf",
+    // §2.155 round-15 seventh wave: spectral entropy, triplet
+    // violations, context-window fit
+    "ts_spectral_entropy", "sim_triplet_violation_rate",
+    "pipeline_context_window_fit",
+    // §2.156 round-15 eighth wave: corpus fingerprint, feature
+    // standardize, leading tokens
+    "pipeline_corpus_fingerprint", "pipeline_feature_standardize",
+    "text_leading_token_profile",
+    // §2.157 round-15 ninth wave: anchor coverage, step lengths, CR4
+    "multimodal_anchor_coverage", "geo_step_length_percentiles",
+    "agg_cr4_concentration")
 
-  test("declared queries cover SURVEY §2 + §2.12-148 exactly (553 keys)") {
-    assert(inventory.size == 553)
+  test("declared queries cover SURVEY §2 + §2.12-157 exactly (580 keys)") {
+    assert(inventory.size == 580)
     val declared = SparkEntry.queries.keySet
     val missing = inventory -- declared
     val extra = declared -- inventory
@@ -607,7 +637,8 @@ class InventorySpec extends SparkSpec {
       ("PipelineQueries.scala", "n_tokens") -> 3, // oracle cuts (BIGINT native)
       ("ReshapeQueries.scala", "cents") -> 6,     // oracle q1/q3 + inner CAST-AS-DOUBLE operands
       ("ReshapeQueries.scala", "value") -> 8,     // double column, both engines
-      ("WindowQueries.scala", "lat0") -> 2)       // oracle median/p90 (BIGINT native)
+      ("WindowQueries.scala", "lat0") -> 2,       // oracle median/p90 (BIGINT native)
+      ("GeoQueries.scala", "step") -> 4)          // double column, both engines (§2.157)
     assert(found == whitelist,
       s"uncast percentile_disc drift — found $found, pinned $whitelist " +
         "(cast the Spark side AS BIGINT per SURVEY §1.3, or amend)")

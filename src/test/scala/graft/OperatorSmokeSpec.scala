@@ -42,7 +42,11 @@ class OperatorSmokeSpec extends SparkSpec {
       // inclusion-exclusion over the same engine-pinned HLL bytes
       // (§2.11); PropertySpec pins the base-sketch bands and the
       // union-relative intersection band
-      "agg_hll_intersection"),
+      "agg_hll_intersection",
+      // est(A∪B) − est(B) over the same engine-pinned HLL bytes
+      // (§2.11, round 15); PropertySpec pins the base-sketch band,
+      // the clamp, and the union-relative difference band
+      "agg_hll_difference"),
       s"unexpected oracle-less keys: $noOracle")
   }
 

@@ -77,6 +77,24 @@ class PropertySpec extends SparkSpec {
       s"intersection estimate $estI vs exact $exactI (union $estU)")
   }
 
+  test("HLL difference: union-minus-B estimate tracks the exact set difference") {
+    val row = SparkEntry.queries("agg_hll_difference")(spark, sf).head
+    val (estA, estB, estU, estD) =
+      (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3))
+    val e = Tables.events(spark, sf)
+    def users(t: String) = e.filter(col("event_type") === t)
+      .select("user_id").distinct()
+    val exactA = users("click").count().toDouble
+    val exactD = users("click").except(users("purchase")).count().toDouble
+    // Same error model as the intersection: the difference of two
+    // estimates carries both absolute errors, so the band is relative
+    // to the UNION size; the base sketch must hold its own ~2% band.
+    assert(math.abs(estA - exactA) / exactA <= 0.05, s"$estA vs $exactA")
+    assert(estD >= 0, "clamp failed")
+    assert(math.abs(estD - exactD) <= 0.10 * estU.toDouble,
+      s"difference estimate $estD vs exact $exactD (union $estU)")
+  }
+
   test("sketched sliding WAU within 5% of the exact declared key per day") {
     val exact = SparkEntry.queries("agg_wau_sliding_distinct")(spark, sf)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
