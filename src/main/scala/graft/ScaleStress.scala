@@ -104,8 +104,10 @@ object ScaleStress {
     "graph_katz", "graph_hits", "graph_scc", "agg_kruskal_wallis",
     "text_bigram_overlap", "eval_topk_accuracy", "sim_dim_variance",
     "agg_logrank_test", "ts_holt_winters",
-    // Round-15 at birth: the restart-walk superstep key.
-    "graph_ppr")
+    // Round-15 at birth: the restart-walk superstep key, the
+    // per-user blocked hull self-join, and the 28-step unrolled
+    // Kalman pivot.
+    "graph_ppr", "geo_convex_hull_area", "ts_kalman_smooth")
   // Keys whose only input is lineitem — copy-scalable (see scaladoc).
   // The embeddings/documents keys are NOT copy-scalable for the same
   // reason the dedup keys aren't (cross-copy duplicate geometry);
