@@ -926,6 +926,35 @@ object AggQueries {
         .orderBy("event_type")
     }),
 
+    // CVaR / EXPECTED SHORTFALL (§2.158) — the tail-risk scalar
+    // beyond the VaR cut the percentile keys stop at: per order
+    // priority, the 95th-percentile order value (VaR, an exact
+    // BIGINT order statistic per SURVEY §1.3) and the MEAN of the
+    // orders strictly beyond it (CVaR) — what the tail costs when it
+    // hits, the number capacity/fraud reviews act on. Exact integer
+    // cents end to end; the per-group cut broadcasts back; one
+    // division at the edge; an all-ties-at-the-cut group (empty
+    // strict tail) emits NULL, never 0/0.
+    "agg_cvar_tail_mean" -> ((s, dir) => {
+      t(s, dir, "orders").select(col("o_orderpriority"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+        .createOrReplaceTempView("cvar_orders")
+      s.sql("""WITH p AS (SELECT o_orderpriority,
+        |    CAST(percentile_disc(0.95) WITHIN GROUP (ORDER BY cents)
+        |      AS BIGINT) AS var95
+        |  FROM cvar_orders GROUP BY 1)
+        |SELECT c.o_orderpriority, count(*) AS n_orders,
+        |  max(p.var95) AS var95_cents,
+        |  count_if(c.cents > p.var95) AS n_tail,
+        |  CASE WHEN count_if(c.cents > p.var95) > 0 THEN
+        |    ROUND(CAST(sum(CASE WHEN c.cents > p.var95 THEN c.cents
+        |        END) AS DOUBLE)
+        |      / CAST(count_if(c.cents > p.var95) AS DOUBLE) / 100.0
+        |      * 10000) / 10000 END AS cvar95_dollars
+        |FROM cvar_orders c JOIN p USING (o_orderpriority)
+        |GROUP BY 1 ORDER BY 1""".stripMargin)
+    }),
+
     // CR4 CONCENTRATION RATIO (§2.157) — the market-concentration
     // scalar next to agg_hhi_share's HHI (antitrust reads CR4 first:
     // the top-4 revenue share per nation's supplier market). Exact
@@ -1910,6 +1939,27 @@ object AggQueries {
         |    AS kurtosis_excess
         |FROM g WHERE n > 2 AND n * sd2 > sd1 * sd1
         |ORDER BY event_type""".stripMargin,
+    // Same exact order statistic (CAST both sides per §1.3), strict
+    // tail, one division; FILTER spells count_if.
+    "agg_cvar_tail_mean" ->
+      """WITH o AS (SELECT o_orderpriority,
+        |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+        |  FROM orders),
+        |p AS (SELECT o_orderpriority,
+        |    CAST(percentile_disc(0.95) WITHIN GROUP (ORDER BY cents)
+        |      AS BIGINT) AS var95
+        |  FROM o GROUP BY 1)
+        |SELECT o.o_orderpriority, count(*) AS n_orders,
+        |  max(p.var95) AS var95_cents,
+        |  count(*) FILTER (WHERE o.cents > p.var95) AS n_tail,
+        |  CASE WHEN count(*) FILTER (WHERE o.cents > p.var95) > 0 THEN
+        |    ROUND(CAST(sum(CASE WHEN o.cents > p.var95 THEN o.cents
+        |        END) AS DOUBLE)
+        |      / CAST(count(*) FILTER (WHERE o.cents > p.var95)
+        |        AS DOUBLE) / 100.0 * 10000) / 10000 END
+        |    AS cvar95_dollars
+        |FROM o JOIN p USING (o_orderpriority)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // Same exact cents, bounded top-4 window, one division each.
     "agg_cr4_concentration" ->
       """WITH rev AS (SELECT l_suppkey,

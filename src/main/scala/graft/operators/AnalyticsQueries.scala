@@ -1106,6 +1106,42 @@ object AnalyticsQueries {
         .orderBy("event_type", "k")
     }),
 
+    // GUMBEL BLOCK MAXIMA (§2.158) — extreme-value capacity
+    // planning: weekly maxima of the daily volume per type, a
+    // method-of-moments Gumbel fit (scale = σ·√6/π, loc = μ − γ·σ —
+    // both constants spelled as shared literals), and the 4-week
+    // return level loc − scale·ln(−ln(0.75)) — "the daily peak to
+    // provision for per month". Block maxima are exact integers off
+    // the spine; μ and σ come from exact decimal moments; the only
+    // libm is sqrt/ln at the edge, identical both engines, r4d.
+    "ts_gumbel_block_maxima" -> ((s, dir) => {
+      val wk = zeroFilledDaily(s, dir)
+        .select(col("event_type"), expr("day div 7").as("week"),
+          col("y"))
+        .groupBy("event_type", "week").agg(max(col("y")).as("m"))
+      val a = wk.groupBy("event_type")
+        .agg(count(lit(1)).as("n_blocks"),
+          sum(col("m").cast("decimal(38,0)")).as("s1"),
+          sum((col("m") * col("m")).cast("decimal(38,0)")).as("s2"),
+          max(col("m")).as("max_weekly"))
+        .filter(col("n_blocks") > 1 &&
+          col("n_blocks").cast("decimal(38,0)") * col("s2")
+            > col("s1") * col("s1"))
+      val mu = col("s1").cast("double") / col("n_blocks").cast("double")
+      val sd = sqrt((col("n_blocks").cast("decimal(38,0)") * col("s2")
+        - col("s1") * col("s1")).cast("double")
+        / (col("n_blocks") * col("n_blocks")).cast("double"))
+      a.withColumn("scale", sd * lit(0.7796968012336609))
+        .withColumn("loc", mu - lit(0.5772156649015329) * col("scale"))
+        .select(col("event_type"), col("n_blocks"), col("max_weekly"),
+          r4d(mu).as("mean_weekly_max"),
+          r4d(col("loc")).as("gumbel_loc"),
+          r4d(col("scale")).as("gumbel_scale"),
+          r4d(col("loc") - col("scale") * log(-log(lit(0.75))))
+            .as("return_level_4wk"))
+        .orderBy("event_type")
+    }),
+
     // SPECTRAL ENTROPY (§2.155) — how concentrated is each type's
     // daily rhythm: Shannon entropy of the normalized k = 1..10
     // periodogram powers, over log₂10 so 1.0 = white noise and → 0 =
@@ -4191,6 +4227,42 @@ object AnalyticsQueries {
          |  ROUND((re0 * re0 + im0 * im0) / nd * 10000) / 10000 + 0.0
          |    AS power
          |FROM ag ORDER BY event_type, k""".stripMargin,
+    // Same spine block maxima, decimal moments, shared √6/π and γ
+    // literals, identical ln edge.
+    "ts_gumbel_block_maxima" ->
+      s"""WITH e AS (SELECT event_type, ${sqlEpochDay("ts")} AS day
+         |  FROM events),
+         |d AS (SELECT event_type, day, count(*) AS y FROM e GROUP BY 1, 2),
+         |b AS (SELECT min(day) AS lo, max(day) AS hi FROM e),
+         |ty AS (SELECT DISTINCT event_type FROM e),
+         |spine AS (SELECT event_type, unnest(range(lo, hi + 1)) AS day
+         |  FROM ty CROSS JOIN b),
+         |fl AS (SELECT s.event_type, s.day, coalesce(y, 0) AS y
+         |  FROM spine s LEFT JOIN d
+         |    ON s.event_type = d.event_type AND s.day = d.day),
+         |wk AS (SELECT event_type, day // 7 AS week, max(y) AS m
+         |  FROM fl GROUP BY 1, 2),
+         |a AS (SELECT event_type, count(*) AS n_blocks,
+         |    CAST(sum(m) AS HUGEINT) AS s1,
+         |    CAST(sum(CAST(m AS HUGEINT) * m) AS HUGEINT) AS s2,
+         |    max(m) AS max_weekly
+         |  FROM wk GROUP BY 1),
+         |f AS (SELECT event_type, n_blocks, max_weekly,
+         |    CAST(s1 AS DOUBLE) / CAST(n_blocks AS DOUBLE) AS mu,
+         |    sqrt(CAST(CAST(n_blocks AS HUGEINT) * s2 - s1 * s1
+         |        AS DOUBLE)
+         |      / CAST(n_blocks * n_blocks AS DOUBLE)) AS sd
+         |  FROM a WHERE n_blocks > 1
+         |    AND CAST(n_blocks AS HUGEINT) * s2 > s1 * s1),
+         |g AS (SELECT *, sd * 0.7796968012336609 AS scale FROM f),
+         |h AS (SELECT *, mu - 0.5772156649015329 * scale AS loc FROM g)
+         |SELECT event_type, n_blocks, max_weekly,
+         |  ROUND(mu * 10000) / 10000 + 0.0 AS mean_weekly_max,
+         |  ROUND(loc * 10000) / 10000 + 0.0 AS gumbel_loc,
+         |  ROUND(scale * 10000) / 10000 + 0.0 AS gumbel_scale,
+         |  ROUND((loc - scale * ln(-ln(0.75))) * 10000) / 10000 + 0.0
+         |    AS return_level_4wk
+         |FROM h ORDER BY event_type""".stripMargin,
     // Same DFT chain; the entropy fold over the k-sorted power list
     // and the shared log₂10 literal.
     "ts_spectral_entropy" ->

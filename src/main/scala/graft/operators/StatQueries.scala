@@ -2225,6 +2225,59 @@ object StatQueries {
         when(ok, r4d(exp(log(or) + lit(1.96) * se))).as("ci_hi"))
     }),
 
+    // DIFFERENCE-IN-DIFFERENCES (§2.158) — the workhorse
+    // quasi-experimental estimator the A/B family can't cover when
+    // assignment isn't randomized at exposure time: per-user event
+    // volume in the pre/post halves of the corpus calendar
+    // (intervention day = integer midpoint, deterministic), treatment
+    // = the user_id % 2 arm convention, effect = (T,post − T,pre) −
+    // (C,post − C,pre) in mean events per user-period. Cell means
+    // come from exact integer sums over the |users|×2 cell table
+    // (every user contributes to both periods, zero-filled, so the
+    // panel is balanced by construction); doubles only in the four
+    // means and their combination, spelled identically.
+    "ab_diff_in_diff" -> ((s, dir) => {
+      val e = events(s, dir)
+        .select(col("user_id"), epochDay("ts").as("day"))
+      val b = e.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+        .select(expr("(lo + hi) div 2").as("mid"))
+      val cells = e.crossJoin(broadcast(b))
+        .select(col("user_id"), (col("user_id") % 2).as("arm"),
+          when(col("day") > col("mid"), lit("post")).otherwise(lit("pre"))
+            .as("period"))
+        .groupBy("user_id", "arm", "period")
+        .agg(count(lit(1)).as("c"))
+      val users = e.select(col("user_id"),
+        (col("user_id") % 2).as("arm")).distinct()
+      val spine = users.crossJoin(
+        s.range(2).select(when(col("id") === 0, lit("pre"))
+          .otherwise(lit("post")).as("period")))
+      val panel = spine.join(cells, Seq("user_id", "arm", "period"),
+          "left")
+        .select(col("arm"), col("period"),
+          coalesce(col("c"), lit(0L)).as("c"))
+      val m = panel.groupBy("arm", "period")
+        .agg(count(lit(1)).as("n"), sum(col("c")).as("sc"))
+        .select(col("arm"), col("period"),
+          (col("sc").cast("double") / col("n").cast("double")).as("mu"))
+      val piv = m.groupBy()
+        .agg(
+          max(when(col("arm") === 1 && col("period") === "pre",
+            col("mu"))).as("t_pre"),
+          max(when(col("arm") === 1 && col("period") === "post",
+            col("mu"))).as("t_post"),
+          max(when(col("arm") === 0 && col("period") === "pre",
+            col("mu"))).as("c_pre"),
+          max(when(col("arm") === 0 && col("period") === "post",
+            col("mu"))).as("c_post"))
+      piv.select(r4d(col("t_pre")).as("treat_pre"),
+        r4d(col("t_post")).as("treat_post"),
+        r4d(col("c_pre")).as("control_pre"),
+        r4d(col("c_post")).as("control_post"),
+        r4d((col("t_post") - col("t_pre"))
+          - (col("c_post") - col("c_pre"))).as("did_effect"))
+    }),
+
     // RELATIVE RISK + CI (§2.154) — the epidemiology-convention
     // effect size next to ab_odds_ratio_ci's odds ratio (RR is what
     // product reviews actually mean by "x% more likely to convert";
@@ -3305,6 +3358,42 @@ object StatQueries {
         |    ROUND(exp(ln(orr) + 1.96 * se) * 10000) / 10000 END
         |    AS ci_hi
         |FROM q""".stripMargin,
+    // Same balanced user-period panel off the integer-midpoint
+    // split; identical four means and combination.
+    "ab_diff_in_diff" ->
+      s"""WITH e AS (SELECT user_id, ${sqlEpochDay("ts")} AS day
+         |  FROM events),
+         |b AS (SELECT (min(day) + max(day)) // 2 AS mid FROM e),
+         |cells AS (SELECT user_id, user_id % 2 AS arm,
+         |    CASE WHEN day > mid THEN 'post' ELSE 'pre' END AS period,
+         |    count(*) AS c
+         |  FROM e CROSS JOIN b GROUP BY 1, 2, 3),
+         |users AS (SELECT DISTINCT user_id, user_id % 2 AS arm FROM e),
+         |spine AS (SELECT user_id, arm, period FROM users
+         |  CROSS JOIN (SELECT unnest(['pre', 'post']) AS period)),
+         |panel AS (SELECT s.arm, s.period, COALESCE(c.c, 0) AS c
+         |  FROM spine s LEFT JOIN cells c
+         |    ON c.user_id = s.user_id AND c.arm = s.arm
+         |    AND c.period = s.period),
+         |m AS (SELECT arm, period,
+         |    CAST(sum(c) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mu
+         |  FROM panel GROUP BY 1, 2),
+         |piv AS (SELECT
+         |    max(CASE WHEN arm = 1 AND period = 'pre' THEN mu END)
+         |      AS t_pre,
+         |    max(CASE WHEN arm = 1 AND period = 'post' THEN mu END)
+         |      AS t_post,
+         |    max(CASE WHEN arm = 0 AND period = 'pre' THEN mu END)
+         |      AS c_pre,
+         |    max(CASE WHEN arm = 0 AND period = 'post' THEN mu END)
+         |      AS c_post FROM m)
+         |SELECT ROUND(t_pre * 10000) / 10000 + 0.0 AS treat_pre,
+         |  ROUND(t_post * 10000) / 10000 + 0.0 AS treat_post,
+         |  ROUND(c_pre * 10000) / 10000 + 0.0 AS control_pre,
+         |  ROUND(c_post * 10000) / 10000 + 0.0 AS control_post,
+         |  ROUND(((t_post - t_pre) - (c_post - c_pre)) * 10000)
+         |    / 10000 + 0.0 AS did_effect
+         |FROM piv""".stripMargin,
     // Same pivoted counts; the log-normal RR interval in the
     // identical op order.
     "ab_relative_risk_ci" ->

@@ -541,10 +541,12 @@ class InventorySpec extends SparkSpec {
     "text_leading_token_profile",
     // §2.157 round-15 ninth wave: anchor coverage, step lengths, CR4
     "multimodal_anchor_coverage", "geo_step_length_percentiles",
-    "agg_cr4_concentration")
+    "agg_cr4_concentration",
+    // §2.158 round-15 tenth wave: diff-in-diff, CVaR, Gumbel maxima
+    "ab_diff_in_diff", "agg_cvar_tail_mean", "ts_gumbel_block_maxima")
 
-  test("declared queries cover SURVEY §2 + §2.12-157 exactly (580 keys)") {
-    assert(inventory.size == 580)
+  test("declared queries cover SURVEY §2 + §2.12-158 exactly (583 keys)") {
+    assert(inventory.size == 583)
     val declared = SparkEntry.queries.keySet
     val missing = inventory -- declared
     val extra = declared -- inventory
