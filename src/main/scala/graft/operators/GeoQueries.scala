@@ -111,6 +111,58 @@ object GeoQueries {
         .orderBy("user_id")
     }),
 
+    // BEARING-CHANGE STATS (§2.159) — how much do tracks TURN:
+    // consecutive displacement-vector pairs per platform, the turn
+    // classified by the EXACT integer dot-product sign S = dx·ndx +
+    // 16·dy·ndy (the degree-space dot times 1024 — the 16 re-weights
+    // the 1/8° y-grid against the 1/32° x-grid; sharp turn ⟺ S < 0,
+    // no trig, no sqrt in the decision), plus the mean turn cosine
+    // micro-snapped to 10⁻⁶ BIGINTs before summing
+    // (order-independent; the sqrt pair is correctly-rounded IEEE).
+    // Zero-displacement legs drop BEFORE pairing — they have no
+    // bearing. The directional-persistence covariate next to
+    // geo_sinuosity's path-ratio and geo_heading_sectors' octants.
+    "geo_bearing_change_stats" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ms"), col("event_id"))
+      val legs = graft.Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"),
+          unix_millis(col("ts").cast("timestamp")).as("ms"),
+          ((col("user_id") * 997 + col("event_id") * 31) % 11520)
+            .as("x"),
+          (col("event_id") % 1440).as("y"))
+        .withColumn("dx", lead(col("x"), 1).over(w) - col("x"))
+        .withColumn("dy", lead(col("y"), 1).over(w) - col("y"))
+        .filter(col("dx").isNotNull
+          && !(col("dx") === 0 && col("dy") === 0))
+      val pairs = legs
+        .withColumn("ndx", lead(col("dx"), 1).over(w))
+        .withColumn("ndy", lead(col("dy"), 1).over(w))
+        .filter(col("ndx").isNotNull)
+        .select(col("user_id"),
+          (col("dx") * col("ndx") + lit(16L) * col("dy") * col("ndy"))
+            .as("s"),
+          round(
+            (col("dx") * col("ndx") + lit(16L) * col("dy") * col("ndy"))
+              .cast("double")
+              / (sqrt((col("dx") * col("dx")
+                  + lit(16L) * col("dy") * col("dy")).cast("double"))
+                * sqrt((col("ndx") * col("ndx")
+                  + lit(16L) * col("ndy") * col("ndy")).cast("double")))
+              * lit(1000000.0)).cast("long").as("c6"))
+      pairs.groupBy("user_id")
+        .agg(count(lit(1)).as("n_turns"),
+          count_if(col("s") < 0).as("n_sharp"),
+          sum(col("c6")).as("sc6"))
+        .select(col("user_id"), col("n_turns"), col("n_sharp"),
+          r4d(col("n_sharp").cast("double")
+            / col("n_turns").cast("double")).as("share_sharp"),
+          r4d(col("sc6").cast("double") / col("n_turns").cast("double")
+            / lit(1000000.0)).as("mean_turn_cos"))
+        .orderBy("user_id")
+    }),
+
     // STEP-LENGTH PERCENTILES (§2.157) — the movement-scale profile
     // per platform: median / p90 / max consecutive-fix displacement
     // in degrees (the number that separates loiterers from transit
@@ -886,6 +938,38 @@ object GeoQueries {
         |GROUP BY 1, 2 HAVING count(*) >= 2
         |ORDER BY user_a, user_b""".stripMargin,
     // Same exact min/max envelope and product.
+    // Same integer dot sign, micro-snapped cosine, zero-leg drop
+    // before pairing.
+    "geo_bearing_change_stats" ->
+      """WITH p AS (SELECT user_id, event_id, epoch_ms(ts) AS ms,
+        |    (user_id * 997 + event_id * 31) % 11520 AS x,
+        |    event_id % 1440 AS y FROM events),
+        |l0 AS (SELECT user_id, ms, event_id,
+        |    lead(x) OVER w - x AS dx, lead(y) OVER w - y AS dy
+        |  FROM p WINDOW w AS (PARTITION BY user_id
+        |    ORDER BY ms, event_id)),
+        |legs AS (SELECT * FROM l0 WHERE dx IS NOT NULL
+        |  AND NOT (dx = 0 AND dy = 0)),
+        |pr AS (SELECT user_id, dx, dy,
+        |    lead(dx) OVER w AS ndx, lead(dy) OVER w AS ndy
+        |  FROM legs WINDOW w AS (PARTITION BY user_id
+        |    ORDER BY ms, event_id)),
+        |t AS (SELECT user_id,
+        |    dx * ndx + 16 * dy * ndy AS s,
+        |    CAST(round(CAST(dx * ndx + 16 * dy * ndy AS DOUBLE)
+        |      / (sqrt(CAST(dx * dx + 16 * dy * dy AS DOUBLE))
+        |        * sqrt(CAST(ndx * ndx + 16 * ndy * ndy AS DOUBLE)))
+        |      * 1000000.0) AS BIGINT) AS c6
+        |  FROM pr WHERE ndx IS NOT NULL)
+        |SELECT user_id, count(*) AS n_turns,
+        |  count(*) FILTER (WHERE s < 0) AS n_sharp,
+        |  ROUND(CAST(count(*) FILTER (WHERE s < 0) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) * 10000) / 10000
+        |    AS share_sharp,
+        |  ROUND(CAST(CAST(sum(c6) AS BIGINT) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) / 1000000.0 * 10000) / 10000
+        |    AS mean_turn_cos
+        |FROM t GROUP BY user_id ORDER BY user_id""".stripMargin,
     // Same integer-grid steps; percentile_disc picks the same
     // bit-identical double element.
     "geo_step_length_percentiles" ->

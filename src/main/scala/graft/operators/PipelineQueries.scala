@@ -1113,6 +1113,43 @@ object PipelineQueries {
         .orderBy("gt_id")
     }),
 
+    // SCALE-JITTER MANIFEST (§2.159) — the third classic
+    // detection augmentation next to flip (§2.139) and center-crop
+    // (§2.147): a deterministic per-image zoom from {3/4, 1, 5/4}
+    // (image_id mod 3), boxes scaled about the canvas origin in
+    // EXACT integer arithmetic ((coord·num) div den — the rational-
+    // scale device that keeps the manifest replayable), clipped to
+    // the 1280×900 canvas, and label-kept iff ≥ half the scaled box
+    // survives (the center-crop rule). Pure map-side; zero shuffles.
+    "multimodal_scale_jitter_manifest" -> ((s, dir) => {
+      val p = t(s, dir, "part").select(col("p_partkey"),
+          col("p_size").cast("long").as("sz"))
+        .withColumn("image_id", expr("p_partkey div 64"))
+        .withColumn("gx1", (col("p_partkey") % 50) * 20)
+        .withColumn("gy1", (col("p_partkey") % 31) * 25)
+        .withColumn("gx2", col("gx1") + 40 + col("sz"))
+        .withColumn("gy2", col("gy1") + 60)
+        .withColumn("num", when(col("image_id") % 3 === 0, lit(3L))
+          .when(col("image_id") % 3 === 1, lit(4L)).otherwise(lit(5L)))
+        .withColumn("den", lit(4L))
+        .withColumn("sx1", expr("(gx1 * num) div den"))
+        .withColumn("sy1", expr("(gy1 * num) div den"))
+        .withColumn("sx2", expr("(gx2 * num) div den"))
+        .withColumn("sy2", expr("(gy2 * num) div den"))
+        .withColumn("cx1", least(col("sx1"), lit(1280L)))
+        .withColumn("cy1", least(col("sy1"), lit(900L)))
+        .withColumn("cx2", least(col("sx2"), lit(1280L)))
+        .withColumn("cy2", least(col("sy2"), lit(900L)))
+      p.select(col("p_partkey").as("gt_id"), col("image_id"),
+          col("num").as("scale_num"), col("den").as("scale_den"),
+          col("cx1"), col("cy1"), col("cx2"), col("cy2"),
+          (lit(2L) * (col("cx2") - col("cx1"))
+            * (col("cy2") - col("cy1"))
+            >= (col("sx2") - col("sx1")) * (col("sy2") - col("sy1")))
+            .as("kept"))
+        .orderBy("gt_id")
+    }),
+
     // ANCHOR COVERAGE (§2.157) — the per-anchor summary of
     // multimodal_anchor_assign's per-box table: how many GT boxes
     // each anchor shape wins, how many at IoU ≥ 0.5, and the mean
@@ -3278,6 +3315,29 @@ object PipelineQueries {
         |    AS BIGINT) AS p90_chars,
         |  CAST(max(n_chars) AS BIGINT) AS max_chars
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    // Same rational integer scaling, clip, and ≥-half keep rule.
+    "multimodal_scale_jitter_manifest" ->
+      """WITH p AS (SELECT p_partkey, CAST(p_size AS BIGINT) AS sz,
+        |    p_partkey // 64 AS image_id,
+        |    (p_partkey % 50) * 20 AS gx1, (p_partkey % 31) * 25 AS gy1
+        |  FROM part),
+        |b AS (SELECT *, gx1 + 40 + sz AS gx2, gy1 + 60 AS gy2,
+        |    CASE WHEN image_id % 3 = 0 THEN 3
+        |      WHEN image_id % 3 = 1 THEN 4 ELSE 5 END AS num,
+        |    4 AS den FROM p),
+        |sc AS (SELECT *, (gx1 * num) // den AS sx1,
+        |    (gy1 * num) // den AS sy1, (gx2 * num) // den AS sx2,
+        |    (gy2 * num) // den AS sy2 FROM b),
+        |cl AS (SELECT *, least(sx1, 1280) AS cx1,
+        |    least(sy1, 900) AS cy1, least(sx2, 1280) AS cx2,
+        |    least(sy2, 900) AS cy2 FROM sc)
+        |SELECT p_partkey AS gt_id, image_id,
+        |  CAST(num AS BIGINT) AS scale_num,
+        |  CAST(den AS BIGINT) AS scale_den,
+        |  cx1, cy1, cx2, cy2,
+        |  2 * (cx2 - cx1) * (cy2 - cy1)
+        |    >= (sx2 - sx1) * (sy2 - sy1) AS kept
+        |FROM cl ORDER BY gt_id""".stripMargin,
     // Same 52-bit md5 integers ('0x' cast ≡ conv), commutative
     // (count, sum, xor, min, max) vector.
     "pipeline_corpus_fingerprint" ->

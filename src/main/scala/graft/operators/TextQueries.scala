@@ -814,6 +814,47 @@ object TextQueries {
         .orderBy("source")
     }),
 
+    // SELF-BLEU-LITE (§2.159) — the synthetic-corpus diversity
+    // audit: per source, the micro-averaged share of each document's
+    // DISTINCT bigrams (the BLEU clip-at-1 convention) that also
+    // appear in at least one OTHER document of the same source —
+    // high self-overlap ⇒ mode-collapsed generation or boilerplate;
+    // plus the share of documents whose own overlap is ≥ ½ (an exact
+    // 2·matched ≥ total integer test, no per-doc float mean whose
+    // sum order could wobble). df ≥ 2 on the per-doc-distinct
+    // (source, bigram) table IS "appears in another doc", since each
+    // doc contributes each bigram once. Two keyed reduces.
+    "text_self_bleu_lite" -> ((s, dir) => {
+      val db = t(s, dir, "documents")
+        .select(col("source"), col("doc_id"),
+          split(col("text"), " ").as("toks"))
+        .filter(size(col("toks")) >= 2)
+        .select(col("source"), col("doc_id"), explode(expr(
+          "transform(sequence(0, size(toks)-2)," +
+            " i -> concat(toks[i], ' ', toks[i+1]))")).as("bigram"))
+        .distinct()
+      val df = db.groupBy("source", "bigram")
+        .agg(count(lit(1)).as("df"))
+      val per = db.join(df, Seq("source", "bigram"))
+        .groupBy("source", "doc_id")
+        .agg(count(lit(1)).as("nb"),
+          count_if(col("df") >= 2).as("nm"))
+      per.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("nb")).as("n_distinct_bigrams"),
+          sum(col("nm")).as("n_matched"),
+          count_if(col("nm") * 2 >= col("nb"))
+            .as("n_docs_high_overlap"))
+        .select(col("source"), col("n_docs"),
+          col("n_distinct_bigrams"), col("n_matched"),
+          r4d(col("n_matched").cast("double")
+            / col("n_distinct_bigrams").cast("double"))
+            .as("self_bleu2_micro"),
+          r4d(col("n_docs_high_overlap").cast("double")
+            / col("n_docs").cast("double")).as("share_high_overlap"))
+        .orderBy("source")
+    }),
+
     // LEXICAL DENSITY (§2.134) — the content-word share per lang:
     // 1 − stopwords/tokens over a FIXED 20-word function-word list
     // (the classic readability/quality covariate next to
@@ -1503,6 +1544,35 @@ object TextQueries {
         |    / CAST(CAST(sum(c) AS BIGINT) AS DOUBLE) * 10000) / 10000
         |    AS overlap
         |FROM j GROUP BY source ORDER BY source""".stripMargin,
+    // Same per-doc-distinct bigram table (lead-window spelling), the
+    // identical df ≥ 2 match and exact ≥ ½ test.
+    "text_self_bleu_lite" ->
+      """WITH db AS (SELECT DISTINCT source, doc_id, bigram FROM (
+        |    SELECT source, doc_id, token || ' ' || lead(token)
+        |      OVER (PARTITION BY doc_id ORDER BY pos) AS bigram
+        |    FROM (SELECT doc_id, source,
+        |        unnest(range(len(toks))) AS pos,
+        |        unnest(toks) AS token
+        |      FROM (SELECT doc_id, source, string_split(text, ' ')
+        |        AS toks FROM documents)))
+        |  WHERE bigram IS NOT NULL),
+        |df AS (SELECT source, bigram, count(*) AS df FROM db
+        |  GROUP BY 1, 2),
+        |per AS (SELECT d.source, d.doc_id, count(*) AS nb,
+        |    count(*) FILTER (WHERE f.df >= 2) AS nm
+        |  FROM db d JOIN df f
+        |    ON f.source = d.source AND f.bigram = d.bigram
+        |  GROUP BY 1, 2)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(nb) AS BIGINT) AS n_distinct_bigrams,
+        |  CAST(sum(nm) AS BIGINT) AS n_matched,
+        |  ROUND(CAST(CAST(sum(nm) AS BIGINT) AS DOUBLE)
+        |    / CAST(CAST(sum(nb) AS BIGINT) AS DOUBLE) * 10000) / 10000
+        |    AS self_bleu2_micro,
+        |  ROUND(CAST(count(*) FILTER (WHERE nm * 2 >= nb) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) * 10000) / 10000
+        |    AS share_high_overlap
+        |FROM per GROUP BY source ORDER BY source""".stripMargin,
     // Same fixed list, same counts, one division.
     "text_lexical_density" ->
       """WITH tk AS (SELECT lang,

@@ -543,10 +543,14 @@ class InventorySpec extends SparkSpec {
     "multimodal_anchor_coverage", "geo_step_length_percentiles",
     "agg_cr4_concentration",
     // §2.158 round-15 tenth wave: diff-in-diff, CVaR, Gumbel maxima
-    "ab_diff_in_diff", "agg_cvar_tail_mean", "ts_gumbel_block_maxima")
+    "ab_diff_in_diff", "agg_cvar_tail_mean", "ts_gumbel_block_maxima",
+    // §2.159 round-15 eleventh wave: self-BLEU, bearing changes,
+    // scale jitter
+    "text_self_bleu_lite", "geo_bearing_change_stats",
+    "multimodal_scale_jitter_manifest")
 
-  test("declared queries cover SURVEY §2 + §2.12-158 exactly (583 keys)") {
-    assert(inventory.size == 583)
+  test("declared queries cover SURVEY §2 + §2.12-159 exactly (586 keys)") {
+    assert(inventory.size == 586)
     val declared = SparkEntry.queries.keySet
     val missing = inventory -- declared
     val extra = declared -- inventory
