@@ -2225,6 +2225,81 @@ object StatQueries {
         when(ok, r4d(exp(log(or) + lit(1.96) * se))).as("ci_hi"))
     }),
 
+    // NEGATIVE-BINOMIAL FIT (§2.160) — count models: per event type,
+    // the method-of-moments NB fit of per-user event counts over the
+    // ZERO-FILLED user panel (users who never did the thing are the
+    // point of overdispersion modeling): dispersion D = σ²/μ, and
+    // for D > 1 the NB parameters r = μ²/(σ² − μ), p = μ/σ² — the
+    // "is Poisson wrong here" answer that decides rate-limit and
+    // anomaly thresholds. μ, σ² from exact decimal moments
+    // (population form); under-dispersed types emit NULL r/p by the
+    // exact integer test n·Σc² − S² ≤ n·S.
+    "agg_negative_binomial_fit" -> ((s, dir) => {
+      val e = events(s, dir).select(col("user_id"), col("event_type"))
+      val panel = e.select(col("user_id")).distinct()
+        .crossJoin(e.select(col("event_type")).distinct())
+        .join(e.groupBy("user_id", "event_type")
+          .agg(count(lit(1)).as("c")),
+          Seq("user_id", "event_type"), "left")
+        .select(col("event_type"), coalesce(col("c"), lit(0L)).as("c"))
+      val a = panel.groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("c").cast("decimal(38,0)")).as("s1"),
+          sum((col("c") * col("c")).cast("decimal(38,0)")).as("s2"))
+      val mu = col("s1").cast("double") / col("n").cast("double")
+      val v = ((col("n").cast("decimal(38,0)") * col("s2")
+        - col("s1") * col("s1")).cast("double")
+        / (col("n") * col("n")).cast("double"))
+      val over = (col("n").cast("decimal(38,0)") * col("s2")
+        - col("s1") * col("s1")) > (col("n").cast("decimal(38,0)")
+        * col("s1"))
+      a.filter(col("n") > 1 && col("s1") > 0)
+        .select(col("event_type"), col("n").as("n_users"),
+          r4d(mu).as("mean_per_user"),
+          r4d(v).as("var_per_user"),
+          r4d(v / mu).as("dispersion"),
+          when(over, r4d(mu * mu / (v - mu))).as("nb_r"),
+          when(over, r4d(mu / v)).as("nb_p"))
+        .orderBy("event_type")
+    }),
+
+    // CALIBRATION SLOPE / INTERCEPT (§2.160) — the two-parameter
+    // linear recalibration summary next to eval_calibration_bins'
+    // per-bin table and eval_ece's scalar: OLS of the binary outcome
+    // on the predicted probability (value/200, the bins key's
+    // mapping) — slope 1, intercept 0 ⟺ calibrated; slope < 1 ⟺
+    // overconfident. Closed form from exact decimal moments on the
+    // integer cents grid (Σxy = Σ_{pos} x is an exact integer sum);
+    // the /200 mapping folds into the slope at the edge.
+    "eval_calibration_slope" -> ((s, dir) => {
+      val e = events(s, dir).select(
+        least(round(col("value") * 100).cast("long"), lit(20000L))
+          .as("x"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L)
+          .as("y"))
+      val a = e.groupBy()
+        .agg(count(lit(1)).as("n"),
+          sum(col("x").cast("decimal(38,0)")).as("sx"),
+          sum(col("y").cast("decimal(38,0)")).as("sy"),
+          sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"),
+          sum((col("x") * col("y")).cast("decimal(38,0)")).as("sxy"))
+      val num = (col("n").cast("decimal(38,0)") * col("sxy")
+        - col("sx") * col("sy")).cast("double")
+      val den = (col("n").cast("decimal(38,0)") * col("sxx")
+        - col("sx") * col("sx")).cast("double")
+      a.filter(col("n") > 1
+          && col("n").cast("decimal(38,0)") * col("sxx")
+            > col("sx") * col("sx"))
+        .select(col("n"),
+          r4d(num / den * lit(20000.0)).as("calibration_slope"),
+          r4d(col("sy").cast("double") / col("n").cast("double")
+            - num / den
+              * (col("sx").cast("double") / col("n").cast("double")))
+            .as("calibration_intercept"),
+          r4d(col("sy").cast("double") / col("n").cast("double"))
+            .as("base_rate"))
+    }),
+
     // DIFFERENCE-IN-DIFFERENCES (§2.158) — the workhorse
     // quasi-experimental estimator the A/B family can't cover when
     // assignment isn't randomized at exposure time: per-user event
@@ -3358,6 +3433,62 @@ object StatQueries {
         |    ROUND(exp(ln(orr) + 1.96 * se) * 10000) / 10000 END
         |    AS ci_hi
         |FROM q""".stripMargin,
+    // Same zero-filled panel, decimal moments, exact overdispersion
+    // test.
+    "agg_negative_binomial_fit" ->
+      """WITH e AS (SELECT user_id, event_type FROM events),
+        |cnt AS (SELECT user_id, event_type, count(*) AS c FROM e
+        |  GROUP BY 1, 2),
+        |panel AS (SELECT t.event_type, COALESCE(c.c, 0) AS c
+        |  FROM (SELECT DISTINCT user_id FROM e) u
+        |  CROSS JOIN (SELECT DISTINCT event_type FROM e) t
+        |  LEFT JOIN cnt c
+        |    ON c.user_id = u.user_id AND c.event_type = t.event_type),
+        |a AS (SELECT event_type, count(*) AS n,
+        |    CAST(sum(c) AS HUGEINT) AS s1,
+        |    CAST(sum(CAST(c AS HUGEINT) * c) AS HUGEINT) AS s2
+        |  FROM panel GROUP BY 1),
+        |f AS (SELECT event_type, n, s1, s2,
+        |    CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+        |    CAST(CAST(n AS HUGEINT) * s2 - s1 * s1 AS DOUBLE)
+        |      / CAST(n * n AS DOUBLE) AS v
+        |  FROM a WHERE n > 1 AND s1 > 0)
+        |SELECT event_type, n AS n_users,
+        |  ROUND(mu * 10000) / 10000 + 0.0 AS mean_per_user,
+        |  ROUND(v * 10000) / 10000 + 0.0 AS var_per_user,
+        |  ROUND(v / mu * 10000) / 10000 + 0.0 AS dispersion,
+        |  CASE WHEN CAST(n AS HUGEINT) * s2 - s1 * s1
+        |      > CAST(n AS HUGEINT) * s1 THEN
+        |    ROUND(mu * mu / (v - mu) * 10000) / 10000 END AS nb_r,
+        |  CASE WHEN CAST(n AS HUGEINT) * s2 - s1 * s1
+        |      > CAST(n AS HUGEINT) * s1 THEN
+        |    ROUND(mu / v * 10000) / 10000 END AS nb_p
+        |FROM f ORDER BY event_type""".stripMargin,
+    // Same exact moment OLS on the cents grid; identical /200 fold.
+    "eval_calibration_slope" ->
+      """WITH e AS (SELECT
+        |    least(CAST(round(value * 100) AS BIGINT), 20000) AS x,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        |  FROM events),
+        |a AS (SELECT count(*) AS n,
+        |    CAST(sum(x) AS HUGEINT) AS sx,
+        |    CAST(sum(y) AS HUGEINT) AS sy,
+        |    CAST(sum(x * x) AS HUGEINT) AS sxx,
+        |    CAST(sum(x * y) AS HUGEINT) AS sxy
+        |  FROM e),
+        |f AS (SELECT n, sx, sy, sxx, sxy,
+        |    CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS DOUBLE) AS num,
+        |    CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DOUBLE) AS den
+        |  FROM a WHERE n > 1 AND CAST(n AS HUGEINT) * sxx > sx * sx)
+        |SELECT n,
+        |  ROUND(num / den * 20000.0 * 10000) / 10000 + 0.0
+        |    AS calibration_slope,
+        |  ROUND((CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)
+        |    - num / den * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))
+        |    * 10000) / 10000 + 0.0 AS calibration_intercept,
+        |  ROUND(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) * 10000)
+        |    / 10000 + 0.0 AS base_rate
+        |FROM f""".stripMargin,
     // Same balanced user-period panel off the integer-midpoint
     // split; identical four means and combination.
     "ab_diff_in_diff" ->

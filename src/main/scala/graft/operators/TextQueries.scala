@@ -814,6 +814,43 @@ object TextQueries {
         .orderBy("source")
     }),
 
+    // INTRA-DOC N-GRAM DUPLICATION (§2.160) — the C4/MassiveText
+    // "repeated 8-gram" quality signal at the CHARACTER of this
+    // corpus' token stream: per doc, 1 − distinct/total over the
+    // sliding 8-token windows; reported per source as the
+    // micro-averaged dup share (exact integer ratio, no per-doc
+    // float mean) plus the share of docs with ANY internal repeat
+    // (distinct < total — an exact test). Docs under 8 tokens have
+    // no windows and drop from the gram counts but are reported in
+    // n_docs_short. One explode + two keyed reduces.
+    "text_intradoc_ngram_dup" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("source"), col("doc_id"),
+          split(col("text"), " ").as("toks"))
+      val grams = d.filter(size(col("toks")) >= 8)
+        .select(col("source"), col("doc_id"), explode(expr(
+          "transform(sequence(0, size(toks)-8)," +
+            " i -> array_join(slice(toks, i+1, 8), ' '))")).as("g"))
+      val per = grams.groupBy("source", "doc_id")
+        .agg(count(lit(1)).as("ng"),
+          countDistinct(col("g")).as("nd"))
+      val shorts = d.groupBy("source")
+        .agg(count_if(size(col("toks")) < 8).as("n_docs_short"))
+      per.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("ng")).as("n_grams"),
+          sum(col("nd")).as("n_distinct"),
+          count_if(col("nd") < col("ng")).as("n_docs_with_repeat"))
+        .join(shorts, Seq("source"))
+        .select(col("source"), col("n_docs"), col("n_docs_short"),
+          col("n_grams"),
+          r4d(lit(1.0) - col("n_distinct").cast("double")
+            / col("n_grams").cast("double")).as("dup_share"),
+          r4d(col("n_docs_with_repeat").cast("double")
+            / col("n_docs").cast("double")).as("share_docs_repeat"))
+        .orderBy("source")
+    }),
+
     // SELF-BLEU-LITE (§2.159) — the synthetic-corpus diversity
     // audit: per source, the micro-averaged share of each document's
     // DISTINCT bigrams (the BLEU clip-at-1 convention) that also
@@ -1544,6 +1581,33 @@ object TextQueries {
         |    / CAST(CAST(sum(c) AS BIGINT) AS DOUBLE) * 10000) / 10000
         |    AS overlap
         |FROM j GROUP BY source ORDER BY source""".stripMargin,
+    // Same 8-token windows (inclusive list slice), exact ratios.
+    "text_intradoc_ngram_dup" ->
+      """WITH d AS (SELECT source, doc_id,
+        |    string_split(text, ' ') AS toks FROM documents),
+        |grams AS (SELECT source, doc_id,
+        |    unnest(list_transform(range(len(toks) - 7),
+        |      i -> array_to_string(toks[i + 1:i + 8], ' '))) AS g
+        |  FROM d WHERE len(toks) >= 8),
+        |per AS (SELECT source, doc_id, count(*) AS ng,
+        |    count(DISTINCT g) AS nd FROM grams GROUP BY 1, 2),
+        |shorts AS (SELECT source,
+        |    count(*) FILTER (WHERE len(toks) < 8) AS n_docs_short
+        |  FROM d GROUP BY 1),
+        |a AS (SELECT source, count(*) AS n_docs,
+        |    CAST(sum(ng) AS BIGINT) AS n_grams,
+        |    CAST(sum(nd) AS BIGINT) AS n_distinct,
+        |    count(*) FILTER (WHERE nd < ng) AS n_docs_with_repeat
+        |  FROM per GROUP BY 1)
+        |SELECT a.source, a.n_docs, s.n_docs_short, a.n_grams,
+        |  ROUND((1.0 - CAST(a.n_distinct AS DOUBLE)
+        |    / CAST(a.n_grams AS DOUBLE)) * 10000) / 10000 + 0.0
+        |    AS dup_share,
+        |  ROUND(CAST(a.n_docs_with_repeat AS DOUBLE)
+        |    / CAST(a.n_docs AS DOUBLE) * 10000) / 10000 + 0.0
+        |    AS share_docs_repeat
+        |FROM a JOIN shorts s ON s.source = a.source
+        |ORDER BY a.source""".stripMargin,
     // Same per-doc-distinct bigram table (lead-window spelling), the
     // identical df ≥ 2 match and exact ≥ ½ test.
     "text_self_bleu_lite" ->

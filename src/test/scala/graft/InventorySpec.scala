@@ -547,10 +547,14 @@ class InventorySpec extends SparkSpec {
     // §2.159 round-15 eleventh wave: self-BLEU, bearing changes,
     // scale jitter
     "text_self_bleu_lite", "geo_bearing_change_stats",
-    "multimodal_scale_jitter_manifest")
+    "multimodal_scale_jitter_manifest",
+    // §2.160 round-15 twelfth wave: NB fit, calibration slope,
+    // intra-doc dup
+    "agg_negative_binomial_fit", "eval_calibration_slope",
+    "text_intradoc_ngram_dup")
 
-  test("declared queries cover SURVEY §2 + §2.12-159 exactly (586 keys)") {
-    assert(inventory.size == 586)
+  test("declared queries cover SURVEY §2 + §2.12-160 exactly (589 keys)") {
+    assert(inventory.size == 589)
     val declared = SparkEntry.queries.keySet
     val missing = inventory -- declared
     val extra = declared -- inventory
