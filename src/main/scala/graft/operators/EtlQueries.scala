@@ -661,6 +661,33 @@ object EtlQueries {
         .orderBy("o_orderstatus")
     }),
 
+    // ORDER→SHIP LATENCY (§2.161) — the fulfilment-lead-time profile
+    // per order priority: days from order date to the FIRST shipped
+    // line (mean + p50/p90 order statistics + max). Exact integer
+    // epoch-day differences; the per-order first-ship is one keyed
+    // min reduce; percentiles are §1.3-cast BIGINT order statistics.
+    // The ops dashboard every warehouse runs, and the natural
+    // latency companion of etl_late_arrival_report's ingest view.
+    "etl_order_to_ship_latency" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(col("o_orderkey"),
+        col("o_orderpriority"), epochDay("o_orderdate").as("od"))
+      val l = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey").as("o_orderkey"))
+        .agg(min(epochDay("l_shipdate")).as("sd"))
+      o.join(l, Seq("o_orderkey"))
+        .select(col("o_orderpriority"), (col("sd") - col("od")).as("lat"))
+        .createOrReplaceTempView("osl_lat")
+      s.sql("""SELECT o_orderpriority, count(*) AS n_orders,
+        |  ROUND(CAST(sum(lat) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |    * 10000) / 10000 AS mean_days,
+        |  CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY lat)
+        |    AS BIGINT) AS p50_days,
+        |  CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY lat)
+        |    AS BIGINT) AS p90_days,
+        |  max(lat) AS max_days
+        |FROM osl_lat GROUP BY 1 ORDER BY 1""".stripMargin)
+    }),
+
     // PRIMARY-KEY UNIQUENESS AUDIT (§2.153) — the first constraint
     // every warehouse load validates and the one etl_dq_report's
     // column profile doesn't state: per table, are the declared keys
@@ -1079,6 +1106,24 @@ object EtlQueries {
         |  count(DISTINCT rh) AS n_distinct,
         |  min(rh) AS min_hash, max(rh) AS max_hash
         |FROM r GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // Same epoch-day latency chain; identical order statistics.
+    "etl_order_to_ship_latency" ->
+      """WITH o AS (SELECT o_orderkey, o_orderpriority,
+        |    epoch_ms(o_orderdate) // 86400000 AS od FROM orders),
+        |l AS (SELECT l_orderkey AS o_orderkey,
+        |    min(epoch_ms(l_shipdate) // 86400000) AS sd
+        |  FROM lineitem GROUP BY 1),
+        |j AS (SELECT o.o_orderpriority, sd - od AS lat
+        |  FROM o JOIN l USING (o_orderkey))
+        |SELECT o_orderpriority, count(*) AS n_orders,
+        |  ROUND(CAST(sum(lat) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |    * 10000) / 10000 + 0.0 AS mean_days,
+        |  CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY lat)
+        |    AS BIGINT) AS p50_days,
+        |  CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY lat)
+        |    AS BIGINT) AS p90_days,
+        |  max(lat) AS max_days
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
     // Same per-table key-group chain; one SELECT per fixture table.
     "etl_pk_uniqueness_audit" -> {
       def one(name: String, table: String, key: String): String =

@@ -150,6 +150,25 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // LANGID CONFUSION (§2.161) — the (declared lang × predicted
+    // lang) confusion matrix over the SAME NB argmax as text_langid
+    // (shared langidPred helper, shared oracle subquery): which
+    // language pairs the classifier mixes up, with per-lang shares —
+    // the routing-error readout a multilingual pipeline review reads
+    // before trusting per-language buckets. Exact counts; one
+    // window share per row.
+    "text_langid_confusion" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val conf = langidPred(t(s, dir, "documents"))
+        .groupBy("lang", "pred_lang")
+        .agg(count(lit(1)).as("n_docs"))
+      conf.withColumn("share_of_lang",
+          r4d(col("n_docs").cast("double")
+            / sum(col("n_docs")).over(Window.partitionBy("lang"))
+              .cast("double")))
+        .orderBy("lang", "pred_lang")
+    }),
+
     // Composite quality score: length, stopword ratio, lexical diversity.
     "text_quality_score" -> ((s, dir) => {
       val toks = split(col("text"), " ")
@@ -2593,6 +2612,30 @@ object PipelineQueries {
       |  FROM toplab JOIN embeddings e ON toplab.label = e.label
       |  WHERE e.vec_id <> probe_id)""".stripMargin
 
+  /** text_langid's full oracle SQL (add-1-smoothed unigram NB argmax
+    * in DECIMAL(38,8) log space) — shared verbatim by the langid key
+    * and text_langid_confusion's (lang, pred) reduction so the two
+    * cannot disagree on a prediction. */
+  private val langidOracle: String =
+    """WITH tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token FROM documents),
+      |lt AS (SELECT lang AS p_lang, token, count(*) AS ct FROM tok GROUP BY 1, 2),
+      |tot AS (SELECT lang AS p_lang, count(*) AS tot FROM tok GROUP BY 1),
+      |v AS (SELECT count(DISTINCT token) AS v FROM tok),
+      |prof AS (SELECT l.p_lang, tkn.token,
+      |    CAST(ln(CAST(COALESCE(ct, 0) + 1 AS DOUBLE) / (tot + v)) AS DECIMAL(38,8)) AS lnp
+      |  FROM (SELECT DISTINCT token FROM tok) tkn
+      |  CROSS JOIN (SELECT DISTINCT lang AS p_lang FROM documents) l
+      |  JOIN tot ON tot.p_lang = l.p_lang CROSS JOIN v
+      |  LEFT JOIN lt ON lt.p_lang = l.p_lang AND lt.token = tkn.token),
+      |scored AS (SELECT doc_id, lang, p_lang, SUM(lnp) AS score
+      |  FROM tok JOIN prof ON tok.token = prof.token GROUP BY 1, 2, 3)
+      |SELECT doc_id, lang, p_lang AS pred_lang,
+      |  CASE WHEN lang = p_lang THEN 1 ELSE 0 END AS correct,
+      |  ROUND(CAST(score AS DOUBLE), 4) AS score
+      |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+      |    ORDER BY score DESC, p_lang) AS rn FROM scored)
+      |WHERE rn = 1 ORDER BY doc_id""".stripMargin
+
   /** multimodal_anchor_assign's full oracle SQL — shared verbatim by
     * the assign key and multimodal_anchor_coverage's per-anchor
     * reduction so the two cannot disagree on an assignment. */
@@ -2695,25 +2738,16 @@ object PipelineQueries {
         |UNION ALL
         |SELECT CAST(4 * j + 3 AS BIGINT), 'B', doc_id FROM b
         |ORDER BY pos""".stripMargin,
-    "text_langid" ->
-      """WITH tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token FROM documents),
-        |lt AS (SELECT lang AS p_lang, token, count(*) AS ct FROM tok GROUP BY 1, 2),
-        |tot AS (SELECT lang AS p_lang, count(*) AS tot FROM tok GROUP BY 1),
-        |v AS (SELECT count(DISTINCT token) AS v FROM tok),
-        |prof AS (SELECT l.p_lang, tkn.token,
-        |    CAST(ln(CAST(COALESCE(ct, 0) + 1 AS DOUBLE) / (tot + v)) AS DECIMAL(38,8)) AS lnp
-        |  FROM (SELECT DISTINCT token FROM tok) tkn
-        |  CROSS JOIN (SELECT DISTINCT lang AS p_lang FROM documents) l
-        |  JOIN tot ON tot.p_lang = l.p_lang CROSS JOIN v
-        |  LEFT JOIN lt ON lt.p_lang = l.p_lang AND lt.token = tkn.token),
-        |scored AS (SELECT doc_id, lang, p_lang, SUM(lnp) AS score
-        |  FROM tok JOIN prof ON tok.token = prof.token GROUP BY 1, 2, 3)
-        |SELECT doc_id, lang, p_lang AS pred_lang,
-        |  CASE WHEN lang = p_lang THEN 1 ELSE 0 END AS correct,
-        |  ROUND(CAST(score AS DOUBLE), 4) AS score
-        |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
-        |    ORDER BY score DESC, p_lang) AS rn FROM scored)
-        |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "text_langid" -> langidOracle,
+    // Same scored argmax as a subquery, reduced to the (lang, pred)
+    // confusion with per-lang shares.
+    "text_langid_confusion" ->
+      s"""SELECT lang, pred_lang, count(*) AS n_docs,
+         |  ROUND(CAST(count(*) AS DOUBLE)
+         |    / CAST(sum(count(*)) OVER (PARTITION BY lang) AS DOUBLE)
+         |    * 10000) / 10000 AS share_of_lang
+         |FROM ($langidOracle)
+         |GROUP BY 1, 2 ORDER BY lang, pred_lang""".stripMargin,
     "text_quality_score" ->
       """SELECT doc_id,
         |  len(toks) AS n_tokens, len(list_distinct(toks)) AS n_distinct,

@@ -520,6 +520,50 @@ object SimQueries {
         .orderBy("label")
     }),
 
+    // CENTROID DRIFT (§2.161) — the embedding-version drift monitor:
+    // split each label's vectors into two deterministic pseudo-
+    // batches (vec_id parity — stand-ins for "last week's embeddings
+    // vs this week's"), compute both decimal(38,12)-exact centroids
+    // (the classify device), and report the per-label L2 shift and
+    // the worst single dimension — the re-index / re-calibrate
+    // trigger every vector store watches. The difference fold runs
+    // in dimension order (zip over pos-sorted arrays), max is
+    // order-free, sqrt at the edge.
+    "sim_centroid_drift" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .withColumn("half", (col("vec_id") % 2).cast("long"))
+      val cent = emb
+        .select(col("label"), col("half"), posexplode(col("embedding")))
+        .groupBy("label", "half", "pos")
+        .agg((sum(col("col").cast("double").cast("decimal(38,12)"))
+          .cast("double") / count(lit(1))).as("c"))
+      val arr = cent.groupBy("label", "half")
+        .agg(array_sort(collect_list(struct(col("pos"), col("c"))))
+          .as("ps"))
+        .select(col("label"), col("half"),
+          expr("transform(ps, p -> p.c)").as("cv"))
+      val n = emb.groupBy("label", "half").agg(count(lit(1)).as("n"))
+      val a = arr.filter(col("half") === 0)
+        .select(col("label"), col("cv").as("ca"))
+        .join(n.filter(col("half") === 0)
+          .select(col("label"), col("n").as("n_even")), Seq("label"))
+      val b = arr.filter(col("half") === 1)
+        .select(col("label"), col("cv").as("cb"))
+        .join(n.filter(col("half") === 1)
+          .select(col("label"), col("n").as("n_odd")), Seq("label"))
+      a.join(b, Seq("label"))
+        .withColumn("d2", aggregate(
+          zip_with(col("ca"), col("cb"), (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, e) => acc + e))
+        .withColumn("dmax", aggregate(
+          zip_with(col("ca"), col("cb"), (x, y) => abs(x - y)),
+          lit(0.0), (acc, e) => greatest(acc, e)))
+        .select(col("label"), col("n_even"), col("n_odd"),
+          r4d(sqrt(col("d2"))).as("l2_shift"),
+          r4d(col("dmax")).as("max_dim_shift"))
+        .orderBy("label")
+    }),
+
     // INTRA-LABEL DIVERSITY (§2.151) — mean PAIRWISE dot product
     // within each label WITHOUT forming pairs: the polarization
     // identity Σ_{i≠j} ⟨vᵢ,vⱼ⟩ = ‖Σᵢvᵢ‖² − Σᵢ‖vᵢ‖² turns the
@@ -1260,6 +1304,38 @@ object SimQueries {
         |  ROUND(CAST(max6 AS DOUBLE) / 1000000.0 * 10000) / 10000
         |    AS max_norm
         |FROM a ORDER BY label""".stripMargin,
+    // Same parity split, decimal(38,12) centroids, pos-ordered
+    // difference fold, order-free max.
+    "sim_centroid_drift" ->
+      """WITH u AS (SELECT label, vec_id % 2 AS half,
+        |    unnest(range(len(embedding))) AS pos,
+        |    unnest(embedding) AS x
+        |  FROM embeddings),
+        |cent AS (SELECT label, half, pos,
+        |    CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(38,12)))
+        |      AS DOUBLE) / COUNT(*) AS c
+        |  FROM u GROUP BY 1, 2, 3),
+        |arr AS (SELECT label, half, list(c ORDER BY pos) AS cv
+        |  FROM cent GROUP BY 1, 2),
+        |n AS (SELECT label, vec_id % 2 AS half, count(*) AS n
+        |  FROM embeddings GROUP BY 1, 2),
+        |a AS (SELECT arr.label, arr.cv AS ca, n.n AS n_even
+        |  FROM arr JOIN n ON n.label = arr.label AND n.half = arr.half
+        |  WHERE arr.half = 0),
+        |b AS (SELECT arr.label, arr.cv AS cb, n.n AS n_odd
+        |  FROM arr JOIN n ON n.label = arr.label AND n.half = arr.half
+        |  WHERE arr.half = 1),
+        |j AS (SELECT a.label, a.n_even, b.n_odd,
+        |    list_aggregate(list_transform(range(1, len(a.ca) + 1),
+        |      i -> (a.ca[i] - b.cb[i]) * (a.ca[i] - b.cb[i])), 'sum')
+        |      AS d2,
+        |    list_aggregate(list_transform(range(1, len(a.ca) + 1),
+        |      i -> abs(a.ca[i] - b.cb[i])), 'max') AS dmax
+        |  FROM a JOIN b ON b.label = a.label)
+        |SELECT label, n_even, n_odd,
+        |  ROUND(sqrt(d2) * 10000) / 10000 + 0.0 AS l2_shift,
+        |  ROUND(dmax * 10000) / 10000 + 0.0 AS max_dim_shift
+        |FROM j ORDER BY label""".stripMargin,
     // Same micro-snapped polarization identity; HUGEINT holds the
     // squared component sums exactly.
     "sim_intra_label_diversity" ->

@@ -551,10 +551,14 @@ class InventorySpec extends SparkSpec {
     // §2.160 round-15 twelfth wave: NB fit, calibration slope,
     // intra-doc dup
     "agg_negative_binomial_fit", "eval_calibration_slope",
-    "text_intradoc_ngram_dup")
+    "text_intradoc_ngram_dup",
+    // §2.161 round-15 thirteenth wave: centroid drift, ship latency,
+    // langid confusion
+    "sim_centroid_drift", "etl_order_to_ship_latency",
+    "text_langid_confusion")
 
-  test("declared queries cover SURVEY §2 + §2.12-160 exactly (589 keys)") {
-    assert(inventory.size == 589)
+  test("declared queries cover SURVEY §2 + §2.12-161 exactly (592 keys)") {
+    assert(inventory.size == 592)
     val declared = SparkEntry.queries.keySet
     val missing = inventory -- declared
     val extra = declared -- inventory
