@@ -1106,6 +1106,29 @@ object AnalyticsQueries {
         .orderBy("event_type", "k")
     }),
 
+    // DAILY VALUE PERCENTILE BANDS (§2.162) — the p50/p90 band chart
+    // every latency/value monitoring dashboard draws: per (type,
+    // day), the median and 90th percentile of event value as exact
+    // BIGINT cent order statistics (§1.3-cast both sides) plus the
+    // exact mean. Corpus collapses to |types|×|days| percentile
+    // groups in one exchange — the partial-agg shape that holds at
+    // any scale.
+    "ts_daily_value_percentiles" -> ((s, dir) => {
+      events(s, dir).select(col("event_type"),
+          epochDay("ts").as("day"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .createOrReplaceTempView("dvp_events")
+      s.sql("""SELECT event_type, day, count(*) AS n,
+        |  ROUND(CAST(sum(cents) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |    / 100.0 * 10000) / 10000 AS mean_value,
+        |  CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY cents)
+        |    AS BIGINT) AS p50_cents,
+        |  CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY cents)
+        |    AS BIGINT) AS p90_cents
+        |FROM dvp_events GROUP BY 1, 2
+        |ORDER BY event_type, day""".stripMargin)
+    }),
+
     // GUMBEL BLOCK MAXIMA (§2.158) — extreme-value capacity
     // planning: weekly maxima of the daily volume per type, a
     // method-of-moments Gumbel fit (scale = σ·√6/π, loc = μ − γ·σ —
@@ -4227,6 +4250,20 @@ object AnalyticsQueries {
          |  ROUND((re0 * re0 + im0 * im0) / nd * 10000) / 10000 + 0.0
          |    AS power
          |FROM ag ORDER BY event_type, k""".stripMargin,
+    // Same per-(type, day) order statistics and exact mean.
+    "ts_daily_value_percentiles" ->
+      s"""WITH e AS (SELECT event_type, ${sqlEpochDay("ts")} AS day,
+         |    CAST(round(value * 100) AS BIGINT) AS cents FROM events)
+         |SELECT event_type, day, count(*) AS n,
+         |  ROUND(CAST(CAST(sum(cents) AS BIGINT) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE) / 100.0 * 10000) / 10000 + 0.0
+         |    AS mean_value,
+         |  CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY cents)
+         |    AS BIGINT) AS p50_cents,
+         |  CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY cents)
+         |    AS BIGINT) AS p90_cents
+         |FROM e GROUP BY 1, 2
+         |ORDER BY event_type, day""".stripMargin,
     // Same spine block maxima, decimal moments, shared √6/π and γ
     // literals, identical ln edge.
     "ts_gumbel_block_maxima" ->

@@ -2263,6 +2263,49 @@ object StatQueries {
         .orderBy("event_type")
     }),
 
+    // THRESHOLD SWEEP (§2.162) — the operating-point table between
+    // eval_youden_threshold's single optimum and eval_pr_auc's
+    // integral: precision / recall / F1 / accuracy at the five
+    // standard cutoffs {0.1, 0.3, 0.5, 0.7, 0.9} of the value/200
+    // score — what a reviewer actually reads to PICK a production
+    // threshold. Thresholds ride a broadcast 5-row spine; all
+    // confusion cells are exact integers off one pass; each metric
+    // is one rational division (empty denominators → NULL).
+    "eval_threshold_sweep" -> ((s, dir) => {
+      val e = events(s, dir).select(
+        least(round(col("value") * 100).cast("long"), lit(20000L))
+          .as("x"),
+        (col("event_type") === "purchase").as("pos"))
+      val th = s.range(5)
+        .select((col("id") * 4000L + 2000L).as("thr_cents"))
+      e.crossJoin(broadcast(th))
+        .groupBy("thr_cents")
+        .agg(count(lit(1)).as("n"),
+          count_if(col("pos") && col("x") >= col("thr_cents"))
+            .as("tp"),
+          count_if(!col("pos") && col("x") >= col("thr_cents"))
+            .as("fp"),
+          count_if(col("pos") && col("x") < col("thr_cents"))
+            .as("fn"),
+          count_if(!col("pos") && col("x") < col("thr_cents"))
+            .as("tn"))
+        .select(col("thr_cents"), col("tp"), col("fp"), col("fn"),
+          col("tn"),
+          when(col("tp") + col("fp") > 0,
+            r4d(col("tp").cast("double")
+              / (col("tp") + col("fp")).cast("double"))).as("precision"),
+          when(col("tp") + col("fn") > 0,
+            r4d(col("tp").cast("double")
+              / (col("tp") + col("fn")).cast("double"))).as("recall"),
+          when(lit(2L) * col("tp") + col("fp") + col("fn") > 0,
+            r4d((lit(2L) * col("tp")).cast("double")
+              / (lit(2L) * col("tp") + col("fp") + col("fn"))
+                .cast("double"))).as("f1"),
+          r4d((col("tp") + col("tn")).cast("double")
+            / col("n").cast("double")).as("accuracy"))
+        .orderBy("thr_cents")
+    }),
+
     // CALIBRATION SLOPE / INTERCEPT (§2.160) — the two-parameter
     // linear recalibration summary next to eval_calibration_bins'
     // per-bin table and eval_ece's scalar: OLS of the binary outcome
@@ -3464,6 +3507,32 @@ object StatQueries {
         |      > CAST(n AS HUGEINT) * s1 THEN
         |    ROUND(mu / v * 10000) / 10000 END AS nb_p
         |FROM f ORDER BY event_type""".stripMargin,
+    // Same 5-row threshold spine and exact confusion cells.
+    "eval_threshold_sweep" ->
+      """WITH e AS (SELECT
+        |    least(CAST(round(value * 100) AS BIGINT), 20000) AS x,
+        |    event_type = 'purchase' AS pos FROM events),
+        |th AS (SELECT CAST(i * 4000 + 2000 AS BIGINT) AS thr_cents
+        |  FROM (SELECT unnest(range(5)) AS i)),
+        |a AS (SELECT thr_cents, count(*) AS n,
+        |    count(*) FILTER (WHERE pos AND x >= thr_cents) AS tp,
+        |    count(*) FILTER (WHERE NOT pos AND x >= thr_cents) AS fp,
+        |    count(*) FILTER (WHERE pos AND x < thr_cents) AS fn,
+        |    count(*) FILTER (WHERE NOT pos AND x < thr_cents) AS tn
+        |  FROM e CROSS JOIN th GROUP BY 1)
+        |SELECT thr_cents, tp, fp, fn, tn,
+        |  CASE WHEN tp + fp > 0 THEN ROUND(CAST(tp AS DOUBLE)
+        |    / CAST(tp + fp AS DOUBLE) * 10000) / 10000 END
+        |    AS precision,
+        |  CASE WHEN tp + fn > 0 THEN ROUND(CAST(tp AS DOUBLE)
+        |    / CAST(tp + fn AS DOUBLE) * 10000) / 10000 END AS recall,
+        |  CASE WHEN 2 * tp + fp + fn > 0 THEN
+        |    ROUND(CAST(2 * tp AS DOUBLE)
+        |      / CAST(2 * tp + fp + fn AS DOUBLE) * 10000) / 10000 END
+        |    AS f1,
+        |  ROUND(CAST(tp + tn AS DOUBLE) / CAST(n AS DOUBLE) * 10000)
+        |    / 10000 AS accuracy
+        |FROM a ORDER BY thr_cents""".stripMargin,
     // Same exact moment OLS on the cents grid; identical /200 fold.
     "eval_calibration_slope" ->
       """WITH e AS (SELECT

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.Tables.{t, events}
+import graft.Tables.{t, events, epochDay}
 import graft.Det._
 
 /** §2.5 Window functions (SURVEY.md). Every window is PARTITION BY + a
@@ -50,6 +50,34 @@ object WindowQueries {
         |    AS BIGINT) AS p90_ms
         |FROM events_ttnp GROUP BY event_type
         |ORDER BY event_type""".stripMargin)
+    }),
+
+    // REORDER GAP (§2.162) — repeat-purchase cadence: the
+    // day-granular gap between each customer's consecutive ORDERS
+    // (win_time_to_next_purchase profiles the event stream; this
+    // profiles the order book), summarized as the global gap
+    // distribution — repeat-customer count, mean, §1.3-cast p50/p90
+    // order statistics, max. One customer-partitioned lag window,
+    // exact integer epoch-day gaps.
+    "win_reorder_gap_stats" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("od"), col("o_orderkey"))
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          epochDay("o_orderdate").as("od"))
+        .withColumn("gap", col("od") - lag(col("od"), 1).over(w))
+        .filter(col("gap").isNotNull)
+        .createOrReplaceTempView("wrg_gaps")
+      s.sql("""SELECT count(DISTINCT o_custkey) AS n_repeat_customers,
+        |  count(*) AS n_gaps,
+        |  ROUND(CAST(sum(gap) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |    * 10000) / 10000 AS mean_gap_days,
+        |  CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY gap)
+        |    AS BIGINT) AS p50_gap_days,
+        |  CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY gap)
+        |    AS BIGINT) AS p90_gap_days,
+        |  max(gap) AS max_gap_days
+        |FROM wrg_gaps""".stripMargin)
     }),
 
     "win_row_number" -> ((s, dir) => {
@@ -274,6 +302,25 @@ object WindowQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // Same lag-window gaps, same order statistics.
+    "win_reorder_gap_stats" ->
+      """WITH o AS (SELECT o_custkey, o_orderkey,
+        |    epoch_ms(o_orderdate) // 86400000 AS od FROM orders),
+        |g AS (SELECT o_custkey,
+        |    od - lag(od) OVER (PARTITION BY o_custkey
+        |      ORDER BY od, o_orderkey) AS gap
+        |  FROM o)
+        |SELECT count(DISTINCT o_custkey) AS n_repeat_customers,
+        |  count(*) AS n_gaps,
+        |  ROUND(CAST(CAST(sum(gap) AS BIGINT) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) * 10000) / 10000 + 0.0
+        |    AS mean_gap_days,
+        |  CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY gap)
+        |    AS BIGINT) AS p50_gap_days,
+        |  CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY gap)
+        |    AS BIGINT) AS p90_gap_days,
+        |  max(gap) AS max_gap_days
+        |FROM g WHERE gap IS NOT NULL""".stripMargin,
     // Same reversed exclusive running min and exact order stats.
     "win_time_to_next_purchase" ->
       """WITH e AS (SELECT user_id, event_type, event_id,

@@ -555,10 +555,14 @@ class InventorySpec extends SparkSpec {
     // §2.161 round-15 thirteenth wave: centroid drift, ship latency,
     // langid confusion
     "sim_centroid_drift", "etl_order_to_ship_latency",
-    "text_langid_confusion")
+    "text_langid_confusion",
+    // §2.162 round-15 fourteenth wave: value bands, threshold sweep,
+    // reorder gaps
+    "ts_daily_value_percentiles", "eval_threshold_sweep",
+    "win_reorder_gap_stats")
 
-  test("declared queries cover SURVEY §2 + §2.12-161 exactly (592 keys)") {
-    assert(inventory.size == 592)
+  test("declared queries cover SURVEY §2 + §2.12-162 exactly (595 keys)") {
+    assert(inventory.size == 595)
     val declared = SparkEntry.queries.keySet
     val missing = inventory -- declared
     val extra = declared -- inventory
