@@ -111,6 +111,40 @@ object GeoQueries {
         .orderBy("user_id")
     }),
 
+    // CELL FLOWS (§2.163) — the migration-corridor readout: counts
+    // of consecutive-fix transitions BETWEEN distinct 2°×2° cells
+    // (within-cell dwell is geo_cell_dwell's job), top-20 corridors
+    // under the (n desc, cells) total order with corpus share. One
+    // user-keyed lead window; the flow table partial-aggregates to
+    // ≤ occupied-cell-pairs rows before the bounded global sort.
+    "geo_cell_flows" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ms"), col("event_id"))
+      val f = sightings(s, dir)
+        .select(col("user_id"), col("ms"), col("event_id"),
+          floor(col("lat") / 2).cast("long").as("cla"),
+          floor(col("lon") / 2).cast("long").as("clo"))
+        .withColumn("nla", lead(col("cla"), 1).over(w))
+        .withColumn("nlo", lead(col("clo"), 1).over(w))
+        .filter(col("nla").isNotNull
+          && (col("nla") =!= col("cla") || col("nlo") =!= col("clo")))
+      val flows = f.groupBy(col("cla").as("from_lat"),
+          col("clo").as("from_lon"), col("nla").as("to_lat"),
+          col("nlo").as("to_lon"))
+        .agg(count(lit(1)).as("n_transitions"))
+      val tot = flows.agg(sum(col("n_transitions")).cast("long")
+        .as("ntot"))
+      flows.crossJoin(broadcast(tot))
+        .orderBy(col("n_transitions").desc, col("from_lat"),
+          col("from_lon"), col("to_lat"), col("to_lon"))
+        .limit(20)
+        .select(col("from_lat"), col("from_lon"), col("to_lat"),
+          col("to_lon"), col("n_transitions"),
+          r4d(col("n_transitions").cast("double")
+            / col("ntot").cast("double")).as("share"))
+    }),
+
     // BEARING-CHANGE STATS (§2.159) — how much do tracks TURN:
     // consecutive displacement-vector pairs per platform, the turn
     // classified by the EXACT integer dot-product sign S = dx·ndx +
@@ -938,6 +972,30 @@ object GeoQueries {
         |GROUP BY 1, 2 HAVING count(*) >= 2
         |ORDER BY user_a, user_b""".stripMargin,
     // Same exact min/max envelope and product.
+    // Same lead-window transitions, bounded top-20 total order.
+    "geo_cell_flows" ->
+      """WITH p AS (SELECT user_id, event_id, epoch_ms(ts) AS ms,
+        |    CAST(floor((CAST(event_id % 1440 AS DOUBLE) / 8 - 90) / 2)
+        |      AS BIGINT) AS cla,
+        |    CAST(floor((CAST((user_id * 997 + event_id * 31) % 11520
+        |      AS DOUBLE) / 32 - 180) / 2) AS BIGINT) AS clo
+        |  FROM events),
+        |l AS (SELECT user_id, cla, clo,
+        |    lead(cla) OVER w AS nla, lead(clo) OVER w AS nlo
+        |  FROM p WINDOW w AS (PARTITION BY user_id
+        |    ORDER BY ms, event_id)),
+        |f AS (SELECT cla AS from_lat, clo AS from_lon,
+        |    nla AS to_lat, nlo AS to_lon, count(*) AS n_transitions
+        |  FROM l WHERE nla IS NOT NULL
+        |    AND (nla <> cla OR nlo <> clo)
+        |  GROUP BY 1, 2, 3, 4),
+        |t AS (SELECT CAST(sum(n_transitions) AS BIGINT) AS ntot FROM f)
+        |SELECT from_lat, from_lon, to_lat, to_lon, n_transitions,
+        |  ROUND(CAST(n_transitions AS DOUBLE) / CAST(ntot AS DOUBLE)
+        |    * 10000) / 10000 AS share
+        |FROM f CROSS JOIN t
+        |ORDER BY n_transitions DESC, from_lat, from_lon, to_lat,
+        |  to_lon LIMIT 20""".stripMargin,
     // Same integer dot sign, micro-snapped cosine, zero-leg drop
     // before pairing.
     "geo_bearing_change_stats" ->

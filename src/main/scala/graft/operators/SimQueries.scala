@@ -520,6 +520,66 @@ object SimQueries {
         .orderBy("label")
     }),
 
+    // NDCG@k CURVE (§2.163) — eval_ndcg_label at the four standard
+    // cutoffs k ∈ {1, 3, 5, 10} instead of one: where does ranking
+    // quality fall off (the ANN-tuning companion of
+    // sim_recall_curve, on the graded-relevance axis). Same integer
+    // DCG weight units (round(10¹²/log₂(rk+1)) — exact BIGINT sums,
+    // no float DCG), same label-count ideal; per (probe, k) rows so
+    // every value is an exact rational — no cross-probe float mean.
+    "eval_ndcg_curve" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"),
+          col("embedding").cast("array<double>").as("v"), col("label"))
+      val probes = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("probe_id"), col("v").as("p"),
+          col("label").as("plabel"))
+      val scored = emb.crossJoin(broadcast(probes))
+        .filter(col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("plabel"), col("vec_id"),
+          col("label"),
+          (ArrayDot(col("p"), col("v"))
+            / (sqrt(ArrayDot(col("p"), col("p")))
+              * sqrt(ArrayDot(col("v"), col("v"))))).as("cos"))
+      val top = graft.plans.TopKPerGroup(scored, k = 10,
+        partNames = Seq("probe_id"),
+        orderSpec = Seq(("cos", false), ("vec_id", true)))
+      val w = Window.partitionBy("probe_id")
+        .orderBy(col("cos").desc, col("vec_id"))
+      val wtab = s.range(1, 11).select(col("id").as("rk"),
+          round(lit(1e12) / log2(col("id").cast("double") + 1))
+            .cast("long").as("wu"))
+        .withColumn("cumw", sum(col("wu")).over(
+          org.apache.spark.sql.expressions.Window.orderBy("rk")
+            .rowsBetween(org.apache.spark.sql.expressions.Window
+              .unboundedPreceding,
+              org.apache.spark.sql.expressions.Window.currentRow)))
+      val ks = s.range(4).select(
+        when(col("id") === 0, 1L).when(col("id") === 1, 3L)
+          .when(col("id") === 2, 5L).otherwise(10L).as("k"))
+      val ranked = top
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .join(broadcast(wtab.select("rk", "wu")), Seq("rk"))
+        .crossJoin(broadcast(ks))
+        .filter(col("rk") <= col("k"))
+      val perProbe = ranked.groupBy("probe_id", "k")
+        .agg(first(col("plabel")).as("plabel"),
+          count_if(col("label") === col("plabel")).as("rel_in_topk"),
+          sum(when(col("label") === col("plabel"), col("wu"))
+            .otherwise(0L)).as("dcg_units"))
+      val labelCnt = emb.groupBy(col("label").as("plabel"))
+        .agg(count(lit(1)).as("n_label"))
+      perProbe
+        .join(broadcast(labelCnt), Seq("plabel"))
+        .withColumn("ideal_k", least(col("k"), col("n_label") - 1))
+        .join(broadcast(wtab.select(col("rk").as("ideal_k"),
+          col("cumw").as("idcg_units"))), Seq("ideal_k"))
+        .select(col("probe_id"), col("k"), col("rel_in_topk"),
+          r4d(col("dcg_units").cast("double")
+            / col("idcg_units").cast("double")).as("ndcg_at_k"))
+        .orderBy("probe_id", "k")
+    }),
+
     // CENTROID DRIFT (§2.161) — the embedding-version drift monitor:
     // split each label's vectors into two deterministic pseudo-
     // batches (vec_id parity — stand-ins for "last week's embeddings
@@ -1118,6 +1178,44 @@ object SimQueries {
          |FROM pp JOIN lc ON lc.plabel = pp.plabel
          |JOIN wt w2 ON w2.rk = least(10, n_label - 1)
          |ORDER BY pp.probe_id""".stripMargin,
+    // Same ranked grid and integer weight units, k-spine cross join,
+    // exact per-(probe, k) rationals.
+    "eval_ndcg_curve" ->
+      s"""WITH $cosSql,
+         |lab AS (SELECT vec_id, label FROM embeddings),
+         |sc AS (SELECT p.probe_id, pl.label AS plabel, p.vec_id,
+         |    nl.label, p.cos
+         |  FROM pairs p
+         |  JOIN lab pl ON pl.vec_id = p.probe_id
+         |  JOIN lab nl ON nl.vec_id = p.vec_id
+         |  WHERE p.vec_id <> p.probe_id),
+         |rkd AS (SELECT *, row_number() OVER (PARTITION BY probe_id
+         |    ORDER BY cos DESC, vec_id) AS rk FROM sc),
+         |wt AS (SELECT i AS rk,
+         |    CAST(ROUND(1e12 / log2(CAST(i AS DOUBLE) + 1)) AS BIGINT)
+         |      AS wu,
+         |    CAST(sum(CAST(ROUND(1e12 / log2(CAST(i AS DOUBLE) + 1))
+         |      AS BIGINT)) OVER (ORDER BY i ROWS UNBOUNDED PRECEDING)
+         |      AS BIGINT) AS cumw
+         |  FROM (SELECT unnest(range(1, 11)) AS i)),
+         |ks AS (SELECT unnest([1, 3, 5, 10]) AS k),
+         |tp AS (SELECT r.probe_id, r.plabel, r.label, w.wu,
+         |    CAST(ks.k AS BIGINT) AS k
+         |  FROM rkd r JOIN wt w ON r.rk = w.rk CROSS JOIN ks
+         |  WHERE r.rk <= 10 AND r.rk <= ks.k),
+         |pp AS (SELECT probe_id, k, max(plabel) AS plabel,
+         |    count(*) FILTER (WHERE label = plabel) AS rel_in_topk,
+         |    CAST(sum(CASE WHEN label = plabel THEN wu ELSE 0 END)
+         |      AS BIGINT) AS dcg_units
+         |  FROM tp GROUP BY 1, 2),
+         |lc AS (SELECT label AS plabel, count(*) AS n_label
+         |  FROM lab GROUP BY 1)
+         |SELECT pp.probe_id, pp.k, rel_in_topk,
+         |  ROUND(CAST(dcg_units AS DOUBLE) / CAST(w2.cumw AS DOUBLE)
+         |    * 10000) / 10000 + 0.0 AS ndcg_at_k
+         |FROM pp JOIN lc ON lc.plabel = pp.plabel
+         |JOIN wt w2 ON w2.rk = least(pp.k, n_label - 1)
+         |ORDER BY pp.probe_id, pp.k""".stripMargin,
     // Same ranked grid as NDCG; the 2520-unit summands make ap_units
     // an exact BIGINT (CAST — the HUGEINT lesson), one division at
     // the edge.

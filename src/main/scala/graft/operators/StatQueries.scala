@@ -2263,47 +2263,77 @@ object StatQueries {
         .orderBy("event_type")
     }),
 
-    // THRESHOLD SWEEP (§2.162) — the operating-point table between
-    // eval_youden_threshold's single optimum and eval_pr_auc's
-    // integral: precision / recall / F1 / accuracy at the five
-    // standard cutoffs {0.1, 0.3, 0.5, 0.7, 0.9} of the value/200
-    // score — what a reviewer actually reads to PICK a production
-    // threshold. Thresholds ride a broadcast 5-row spine; all
-    // confusion cells are exact integers off one pass; each metric
-    // is one rational division (empty denominators → NULL).
-    "eval_threshold_sweep" -> ((s, dir) => {
+    // BENFORD FIRST-TWO DIGITS (§2.163) — the forensic-accounting
+    // second pass: the two-leading-digit law P(d) = log₁₀(1 + 1/d),
+    // d ∈ 10..99, over order cents — far more sensitive to invented
+    // numbers than the first digit alone (the standard escalation
+    // when agg_benford_digits looks borderline). Exact integer digit
+    // extraction (string prefix of the cent value ≥ 10), one reduce,
+    // a 90-row output joined to a generated digit spine so absent
+    // digits report 0, not a missing row.
+    "agg_benford_first_two" -> ((s, dir) => {
+      val d = t(s, dir, "orders")
+        .select(round(col("o_totalprice") * 100).cast("long").as("c"))
+        .filter(col("c") >= 10)
+        .select(substring(col("c").cast("string"), 1, 2).cast("long")
+          .as("d2"))
+        .groupBy("d2").agg(count(lit(1)).as("n"))
+      val spine = s.range(10, 100).select(col("id").as("d2"))
+      val tot = d.agg(sum(col("n")).cast("long").as("ntot"))
+      spine.join(d, Seq("d2"), "left")
+        .crossJoin(broadcast(tot))
+        .select(col("d2"), coalesce(col("n"), lit(0L)).as("n"),
+          r4d(coalesce(col("n"), lit(0L)).cast("double")
+            / col("ntot").cast("double")).as("share"),
+          r4d(log10(lit(1.0) + lit(1.0) / col("d2").cast("double")))
+            .as("benford"),
+          r4d(coalesce(col("n"), lit(0L)).cast("double")
+            / col("ntot").cast("double")
+            - log10(lit(1.0) + lit(1.0) / col("d2").cast("double")))
+            .as("excess"))
+        .orderBy("d2")
+    }),
+
+    // F1-OPTIMAL THRESHOLD (§2.162) — the F1-argmax operating point
+    // over the FULL distinct-score grid: eval_youden_threshold picks
+    // the J = TPR − FPR optimum (balanced-error), this picks the
+    // precision/recall harmonic optimum — the cut an imbalanced
+    // alerting pipeline actually deploys, and a grid scan rather
+    // than eval_confusion_binary's 9-point table. Confusion cells
+    // come from cumulative window counts over the per-cent
+    // aggregation (one exchange, ≤ |distinct cents| rows); F1 per
+    // cut is one rational of exact integers; the argmax takes the
+    // (f1 desc, threshold asc) total order — F1 values are
+    // identical doubles in both engines, so the winner row is too.
+    "eval_f1_optimal_threshold" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
       val e = events(s, dir).select(
-        least(round(col("value") * 100).cast("long"), lit(20000L))
-          .as("x"),
+        round(col("value") * 100).cast("long").as("c"),
         (col("event_type") === "purchase").as("pos"))
-      val th = s.range(5)
-        .select((col("id") * 4000L + 2000L).as("thr_cents"))
-      e.crossJoin(broadcast(th))
-        .groupBy("thr_cents")
-        .agg(count(lit(1)).as("n"),
-          count_if(col("pos") && col("x") >= col("thr_cents"))
-            .as("tp"),
-          count_if(!col("pos") && col("x") >= col("thr_cents"))
-            .as("fp"),
-          count_if(col("pos") && col("x") < col("thr_cents"))
-            .as("fn"),
-          count_if(!col("pos") && col("x") < col("thr_cents"))
-            .as("tn"))
+      val byC = e.groupBy("c")
+        .agg(count_if(col("pos")).as("np"),
+          count_if(!col("pos")).as("nn"))
+      val wd = Window.orderBy(col("c").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = byC
+        .withColumn("tp", sum(col("np")).over(wd))
+        .withColumn("fp", sum(col("nn")).over(wd))
+      val tot = e.agg(count_if(col("pos")).as("ptot"))
+      val f1 = cum.crossJoin(broadcast(tot))
+        .select(col("c").as("thr_cents"), col("tp"), col("fp"),
+          (col("ptot") - col("tp")).as("fn"),
+          ((lit(2L) * col("tp")).cast("double")
+            / (lit(2L) * col("tp") + col("fp") + col("ptot")
+              - col("tp")).cast("double")).as("f1"))
+      val w = Window.orderBy(col("f1").desc, col("thr_cents"))
+      f1.withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
         .select(col("thr_cents"), col("tp"), col("fp"), col("fn"),
-          col("tn"),
-          when(col("tp") + col("fp") > 0,
-            r4d(col("tp").cast("double")
-              / (col("tp") + col("fp")).cast("double"))).as("precision"),
-          when(col("tp") + col("fn") > 0,
-            r4d(col("tp").cast("double")
-              / (col("tp") + col("fn")).cast("double"))).as("recall"),
-          when(lit(2L) * col("tp") + col("fp") + col("fn") > 0,
-            r4d((lit(2L) * col("tp")).cast("double")
-              / (lit(2L) * col("tp") + col("fp") + col("fn"))
-                .cast("double"))).as("f1"),
-          r4d((col("tp") + col("tn")).cast("double")
-            / col("n").cast("double")).as("accuracy"))
-        .orderBy("thr_cents")
+          r4d(col("tp").cast("double")
+            / (col("tp") + col("fp")).cast("double")).as("precision"),
+          r4d(col("tp").cast("double")
+            / (col("tp") + col("fn")).cast("double")).as("recall"),
+          r4d(col("f1")).as("f1_max"))
     }),
 
     // CALIBRATION SLOPE / INTERCEPT (§2.160) — the two-parameter
@@ -3507,32 +3537,52 @@ object StatQueries {
         |      > CAST(n AS HUGEINT) * s1 THEN
         |    ROUND(mu / v * 10000) / 10000 END AS nb_p
         |FROM f ORDER BY event_type""".stripMargin,
-    // Same 5-row threshold spine and exact confusion cells.
-    "eval_threshold_sweep" ->
-      """WITH e AS (SELECT
-        |    least(CAST(round(value * 100) AS BIGINT), 20000) AS x,
+    // Same two-digit prefix, digit spine, identical log10 edge.
+    "agg_benford_first_two" ->
+      """WITH c AS (SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT)
+        |    AS c FROM orders),
+        |d AS (SELECT CAST(substring(CAST(c AS VARCHAR), 1, 2)
+        |    AS BIGINT) AS d2, count(*) AS n
+        |  FROM c WHERE c >= 10 GROUP BY 1),
+        |spine AS (SELECT unnest(range(10, 100)) AS d2),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS ntot FROM d)
+        |SELECT s.d2, COALESCE(d.n, 0) AS n,
+        |  ROUND(CAST(COALESCE(d.n, 0) AS DOUBLE)
+        |    / CAST(ntot AS DOUBLE) * 10000) / 10000 AS share,
+        |  ROUND(log10(1.0 + 1.0 / CAST(s.d2 AS DOUBLE)) * 10000)
+        |    / 10000 + 0.0 AS benford,
+        |  ROUND((CAST(COALESCE(d.n, 0) AS DOUBLE)
+        |    / CAST(ntot AS DOUBLE)
+        |    - log10(1.0 + 1.0 / CAST(s.d2 AS DOUBLE))) * 10000)
+        |    / 10000 + 0.0 AS excess
+        |FROM spine s LEFT JOIN d ON d.d2 = s.d2 CROSS JOIN t
+        |ORDER BY s.d2""".stripMargin,
+    // Same per-cent cumulative cells and (f1 desc, cut) argmax.
+    "eval_f1_optimal_threshold" ->
+      """WITH e AS (SELECT CAST(round(value * 100) AS BIGINT) AS c,
         |    event_type = 'purchase' AS pos FROM events),
-        |th AS (SELECT CAST(i * 4000 + 2000 AS BIGINT) AS thr_cents
-        |  FROM (SELECT unnest(range(5)) AS i)),
-        |a AS (SELECT thr_cents, count(*) AS n,
-        |    count(*) FILTER (WHERE pos AND x >= thr_cents) AS tp,
-        |    count(*) FILTER (WHERE NOT pos AND x >= thr_cents) AS fp,
-        |    count(*) FILTER (WHERE pos AND x < thr_cents) AS fn,
-        |    count(*) FILTER (WHERE NOT pos AND x < thr_cents) AS tn
-        |  FROM e CROSS JOIN th GROUP BY 1)
-        |SELECT thr_cents, tp, fp, fn, tn,
-        |  CASE WHEN tp + fp > 0 THEN ROUND(CAST(tp AS DOUBLE)
-        |    / CAST(tp + fp AS DOUBLE) * 10000) / 10000 END
-        |    AS precision,
-        |  CASE WHEN tp + fn > 0 THEN ROUND(CAST(tp AS DOUBLE)
-        |    / CAST(tp + fn AS DOUBLE) * 10000) / 10000 END AS recall,
-        |  CASE WHEN 2 * tp + fp + fn > 0 THEN
-        |    ROUND(CAST(2 * tp AS DOUBLE)
-        |      / CAST(2 * tp + fp + fn AS DOUBLE) * 10000) / 10000 END
-        |    AS f1,
-        |  ROUND(CAST(tp + tn AS DOUBLE) / CAST(n AS DOUBLE) * 10000)
-        |    / 10000 AS accuracy
-        |FROM a ORDER BY thr_cents""".stripMargin,
+        |byc AS (SELECT c, count(*) FILTER (WHERE pos) AS np,
+        |    count(*) FILTER (WHERE NOT pos) AS nn FROM e GROUP BY 1),
+        |tot AS (SELECT count(*) FILTER (WHERE pos) AS ptot FROM e),
+        |cum AS (SELECT c AS thr_cents,
+        |    CAST(sum(np) OVER (ORDER BY c DESC
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS tp,
+        |    CAST(sum(nn) OVER (ORDER BY c DESC
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS fp
+        |  FROM byc),
+        |f AS (SELECT thr_cents, tp, fp, ptot - tp AS fn,
+        |    CAST(2 * tp AS DOUBLE)
+        |      / CAST(2 * tp + fp + ptot - tp AS DOUBLE) AS f1
+        |  FROM cum CROSS JOIN tot),
+        |r AS (SELECT *, row_number() OVER (ORDER BY f1 DESC,
+        |    thr_cents) AS rk FROM f)
+        |SELECT thr_cents, tp, fp, fn,
+        |  ROUND(CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) * 10000)
+        |    / 10000 AS precision,
+        |  ROUND(CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) * 10000)
+        |    / 10000 AS recall,
+        |  ROUND(f1 * 10000) / 10000 + 0.0 AS f1_max
+        |FROM r WHERE rk = 1""".stripMargin,
     // Same exact moment OLS on the cents grid; identical /200 fold.
     "eval_calibration_slope" ->
       """WITH e AS (SELECT

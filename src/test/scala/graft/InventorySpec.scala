@@ -556,13 +556,16 @@ class InventorySpec extends SparkSpec {
     // langid confusion
     "sim_centroid_drift", "etl_order_to_ship_latency",
     "text_langid_confusion",
-    // §2.162 round-15 fourteenth wave: value bands, threshold sweep,
+    // §2.162 round-15 fourteenth wave: value bands, F1-optimal threshold,
     // reorder gaps
-    "ts_daily_value_percentiles", "eval_threshold_sweep",
-    "win_reorder_gap_stats")
+    "ts_daily_value_percentiles", "eval_f1_optimal_threshold",
+    "win_reorder_gap_stats",
+    // §2.163 round-15 fifteenth wave: NDCG curve, cell flows,
+    // two-digit Benford
+    "eval_ndcg_curve", "geo_cell_flows", "agg_benford_first_two")
 
-  test("declared queries cover SURVEY §2 + §2.12-162 exactly (595 keys)") {
-    assert(inventory.size == 595)
+  test("declared queries cover SURVEY §2 + §2.12-163 exactly (598 keys)") {
+    assert(inventory.size == 598)
     val declared = SparkEntry.queries.keySet
     val missing = inventory -- declared
     val extra = declared -- inventory
