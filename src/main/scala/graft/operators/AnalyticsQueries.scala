@@ -1106,6 +1106,47 @@ object AnalyticsQueries {
         .orderBy("event_type", "k")
     }),
 
+    // GROWTH STREAKS (§2.164) — momentum runs on the daily spine:
+    // the longest run of strictly-increasing days and of strictly-
+    // decreasing days per type (win_streak_longest profiles USER
+    // activity; this profiles the series itself — the "N green days
+    // in a row" alarm). Strict integer comparisons off one lag
+    // window, then the gaps-and-islands grouping (day − row_number
+    // constant within a run) on each flag. Exact counts.
+    "ts_growth_streaks" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      val d = zeroFilledDaily(s, dir)
+        .withColumn("py", lag(col("y"), 1).over(w))
+        .filter(col("py").isNotNull)
+        .localCheckpoint(true)
+      def longest(flag: org.apache.spark.sql.Column): DataFrame = d
+        .filter(flag)
+        .withColumn("grp", col("day") - row_number().over(w))
+        .groupBy("event_type", "grp")
+        .agg(count(lit(1)).as("len"))
+        .groupBy("event_type")
+        .agg(max(col("len")).as("longest"),
+          sum(col("len")).as("ndays"))
+      val up = longest(col("y") > col("py"))
+        .select(col("event_type"), col("longest").as("longest_up_run"),
+          col("ndays").as("n_up_days"))
+      val dn = longest(col("y") < col("py"))
+        .select(col("event_type"),
+          col("longest").as("longest_down_run"),
+          col("ndays").as("n_down_days"))
+      val tot = d.groupBy("event_type").agg(count(lit(1)).as("n_days"))
+      tot.join(up, Seq("event_type"), "left")
+        .join(dn, Seq("event_type"), "left")
+        .select(col("event_type"), col("n_days"),
+          coalesce(col("n_up_days"), lit(0L)).as("n_up_days"),
+          coalesce(col("longest_up_run"), lit(0L)).as("longest_up_run"),
+          coalesce(col("n_down_days"), lit(0L)).as("n_down_days"),
+          coalesce(col("longest_down_run"), lit(0L))
+            .as("longest_down_run"))
+        .orderBy("event_type")
+    }),
+
     // DAILY VALUE PERCENTILE BANDS (§2.162) — the p50/p90 band chart
     // every latency/value monitoring dashboard draws: per (type,
     // day), the median and 90th percentile of event value as exact
@@ -4250,6 +4291,45 @@ object AnalyticsQueries {
          |  ROUND((re0 * re0 + im0 * im0) / nd * 10000) / 10000 + 0.0
          |    AS power
          |FROM ag ORDER BY event_type, k""".stripMargin,
+    // Same lag flags and gaps-and-islands runs on the spine.
+    "ts_growth_streaks" ->
+      s"""WITH e AS (SELECT event_type, ${sqlEpochDay("ts")} AS day
+         |  FROM events),
+         |d0 AS (SELECT event_type, day, count(*) AS y FROM e
+         |  GROUP BY 1, 2),
+         |b AS (SELECT min(day) AS lo, max(day) AS hi FROM e),
+         |ty AS (SELECT DISTINCT event_type FROM e),
+         |spine AS (SELECT event_type, unnest(range(lo, hi + 1)) AS day
+         |  FROM ty CROSS JOIN b),
+         |fl AS (SELECT s.event_type, s.day, coalesce(y, 0) AS y
+         |  FROM spine s LEFT JOIN d0
+         |    ON d0.event_type = s.event_type AND d0.day = s.day),
+         |l AS (SELECT event_type, day, y,
+         |    lag(y) OVER (PARTITION BY event_type ORDER BY day) AS py
+         |  FROM fl),
+         |d AS (SELECT * FROM l WHERE py IS NOT NULL),
+         |upr AS (SELECT event_type, max(len) AS longest_up_run,
+         |    CAST(sum(len) AS BIGINT) AS n_up_days FROM (
+         |  SELECT event_type, grp, count(*) AS len FROM (
+         |    SELECT event_type, day - row_number()
+         |      OVER (PARTITION BY event_type ORDER BY day) AS grp
+         |    FROM d WHERE y > py) GROUP BY 1, 2) GROUP BY 1),
+         |dnr AS (SELECT event_type, max(len) AS longest_down_run,
+         |    CAST(sum(len) AS BIGINT) AS n_down_days FROM (
+         |  SELECT event_type, grp, count(*) AS len FROM (
+         |    SELECT event_type, day - row_number()
+         |      OVER (PARTITION BY event_type ORDER BY day) AS grp
+         |    FROM d WHERE y < py) GROUP BY 1, 2) GROUP BY 1),
+         |tot AS (SELECT event_type, count(*) AS n_days FROM d
+         |  GROUP BY 1)
+         |SELECT t.event_type, t.n_days,
+         |  COALESCE(u.n_up_days, 0) AS n_up_days,
+         |  COALESCE(u.longest_up_run, 0) AS longest_up_run,
+         |  COALESCE(dn.n_down_days, 0) AS n_down_days,
+         |  COALESCE(dn.longest_down_run, 0) AS longest_down_run
+         |FROM tot t LEFT JOIN upr u ON u.event_type = t.event_type
+         |LEFT JOIN dnr dn ON dn.event_type = t.event_type
+         |ORDER BY t.event_type""".stripMargin,
     // Same per-(type, day) order statistics and exact mean.
     "ts_daily_value_percentiles" ->
       s"""WITH e AS (SELECT event_type, ${sqlEpochDay("ts")} AS day,

@@ -524,6 +524,27 @@ object GraphQueries {
         .orderBy("bucket")
     }),
 
+    // TOP HUBS (§2.164) — the named-node readout graph_degree_hist's
+    // buckets anonymize: the 10 highest-degree parts of the
+    // co-purchase graph with their endpoint share — the "which SKUs
+    // anchor the catalog" list merchandising actually reads (and the
+    // skew-handling watchlist for the join keys). Same unsampled
+    // oriented edge set as the histogram; the top-10 is a bounded
+    // ordered limit under the (deg desc, node) total order; share =
+    // deg/2|E| exact integers, one division.
+    "graph_top_hubs" -> ((s, dir) => {
+      val e = sampledOrientedEdges(s, dir, None)
+      val deg = e.select(explode(array(col("a"), col("b"))).as("node"))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+      val tot = deg.agg(sum(col("deg")).cast("long").as("endpoints"))
+      deg.crossJoin(broadcast(tot))
+        .orderBy(col("deg").desc, col("node"))
+        .limit(10)
+        .select(col("node"), col("deg"),
+          r4d(col("deg").cast("double") / col("endpoints").cast("double"))
+            .as("endpoint_share"))
+    }),
+
     // AVERAGE NEIGHBOR DEGREE knn(d) (§2.96) — graph_assortativity's
     // single coefficient says WHETHER hubs attach to hubs; the knn(d)
     // curve says AT WHICH degrees the mixing turns (the standard
@@ -1550,6 +1571,20 @@ object GraphQueries {
         |  min(deg) AS min_deg, max(deg) AS max_deg,
         |  CAST(sum(deg) AS BIGINT) AS sum_deg
         |FROM deg GROUP BY 1 ORDER BY bucket""".stripMargin,
+    // Same unsampled degree table; bounded top-10 total order.
+    "graph_top_hubs" ->
+      """WITH pp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+        |  FROM lineitem),
+        |e AS (SELECT DISTINCT x.p AS a, y.p AS b
+        |  FROM pp x JOIN pp y ON x.ok = y.ok AND x.p < y.p),
+        |n AS (SELECT a AS node FROM e UNION ALL SELECT b FROM e),
+        |deg AS (SELECT node, count(*) AS deg FROM n GROUP BY 1),
+        |t AS (SELECT CAST(sum(deg) AS BIGINT) AS endpoints FROM deg)
+        |SELECT node, deg,
+        |  ROUND(CAST(deg AS DOUBLE) / CAST(endpoints AS DOUBLE)
+        |    * 10000) / 10000 AS endpoint_share
+        |FROM deg CROSS JOIN t
+        |ORDER BY deg DESC, node LIMIT 10""".stripMargin,
     // Histogram-block Lorenz sum (exact HUGEINT terms), one division.
     "graph_degree_gini" ->
       """WITH pp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p

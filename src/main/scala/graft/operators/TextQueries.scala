@@ -814,6 +814,51 @@ object TextQueries {
         .orderBy("source")
     }),
 
+    // BIGRAM ENTROPY RATE (§2.164) — the conditional entropy
+    // H(W₂|W₁) per lang in bits/token: how predictable is the next
+    // token given the current one — the single-scalar language-
+    // complexity readout next to the perplexity keys' per-doc tables
+    // (H = log₂ of the bigram-model perplexity of the corpus
+    // itself). Terms −(c₁₂/N)·log₂(c₁₂/c₁) are computed per distinct
+    // bigram from exact integer counts and reduced by an ORDERED
+    // fold over the (w₁, w₂)-sorted term list (the periodogram
+    // device — no shuffle-order float sum), so both engines fold the
+    // identical sequence; 2^H at the edge.
+    "text_ngram_entropy_rate" -> ((s, dir) => {
+      val bg = t(s, dir, "documents")
+        .select(col("lang"), col("doc_id"),
+          split(col("text"), " ").as("toks"))
+        .filter(size(col("toks")) >= 2)
+        .select(col("lang"), explode(expr(
+          "transform(sequence(0, size(toks)-2)," +
+            " i -> struct(toks[i] AS w1, toks[i+1] AS w2))")).as("b"))
+        .select(col("lang"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      val c12 = bg.groupBy("lang", "w1", "w2")
+        .agg(count(lit(1)).as("n"))
+      val c1 = c12.groupBy("lang", "w1").agg(sum(col("n")).as("c1"))
+      val nb = c12.groupBy("lang").agg(sum(col("n")).as("nb"),
+        count(lit(1)).as("vocab_bigrams"))
+      val terms = c12.join(c1, Seq("lang", "w1"))
+        .join(nb, Seq("lang"))
+        .select(col("lang"), col("w1"), col("w2"), col("nb"),
+          col("vocab_bigrams"),
+          (col("n").cast("double") / col("nb").cast("double")
+            * log2(col("n").cast("double") / col("c1").cast("double")))
+            .as("tt"))
+      terms.groupBy("lang")
+        .agg(first(col("nb")).as("n_bigrams"),
+          first(col("vocab_bigrams")).as("vocab_bigrams"),
+          array_sort(collect_list(struct(col("w1"), col("w2"),
+            col("tt")))).as("xs"))
+        .select(col("lang"), col("n_bigrams"), col("vocab_bigrams"),
+          aggregate(col("xs"), lit(0.0), (a, x) => a - x("tt"))
+            .as("h"))
+        .select(col("lang"), col("n_bigrams"), col("vocab_bigrams"),
+          r4d(col("h")).as("entropy_rate_bits"),
+          r4d(pow(lit(2.0), col("h"))).as("perplexity_rate"))
+        .orderBy("lang")
+    }),
+
     // INTRA-DOC N-GRAM DUPLICATION (§2.160) — the C4/MassiveText
     // "repeated 8-gram" quality signal at the CHARACTER of this
     // corpus' token stream: per doc, 1 − distinct/total over the
@@ -1581,6 +1626,39 @@ object TextQueries {
         |    / CAST(CAST(sum(c) AS BIGINT) AS DOUBLE) * 10000) / 10000
         |    AS overlap
         |FROM j GROUP BY source ORDER BY source""".stripMargin,
+    // Same exact bigram counts; the identical (w1, w2)-ordered term
+    // fold and 2^H edge.
+    "text_ngram_entropy_rate" ->
+      """WITH bg AS (SELECT lang, w1, lead(w1)
+        |    OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+        |  FROM (SELECT doc_id, lang,
+        |      unnest(range(len(toks))) AS pos,
+        |      unnest(toks) AS w1
+        |    FROM (SELECT doc_id, lang, string_split(text, ' ')
+        |      AS toks FROM documents))),
+        |c12 AS (SELECT lang, w1, w2, count(*) AS n FROM bg
+        |  WHERE w2 IS NOT NULL GROUP BY 1, 2, 3),
+        |c1 AS (SELECT lang, w1, CAST(sum(n) AS BIGINT) AS c1
+        |  FROM c12 GROUP BY 1, 2),
+        |nb AS (SELECT lang, CAST(sum(n) AS BIGINT) AS nb,
+        |    count(*) AS vocab_bigrams FROM c12 GROUP BY 1),
+        |terms AS (SELECT c12.lang, nb.nb, nb.vocab_bigrams,
+        |    {'w1': c12.w1, 'w2': c12.w2,
+        |     't': CAST(c12.n AS DOUBLE) / CAST(nb.nb AS DOUBLE)
+        |       * log2(CAST(c12.n AS DOUBLE) / CAST(c1.c1 AS DOUBLE))}
+        |      AS x
+        |  FROM c12 JOIN c1 ON c1.lang = c12.lang AND c1.w1 = c12.w1
+        |  JOIN nb ON nb.lang = c12.lang),
+        |h AS (SELECT lang, max(nb) AS n_bigrams,
+        |    max(vocab_bigrams) AS vocab_bigrams,
+        |    -list_aggregate(list_transform(list_sort(list(x)),
+        |      z -> z.t), 'sum') AS h
+        |  FROM terms GROUP BY 1)
+        |SELECT lang, n_bigrams, vocab_bigrams,
+        |  ROUND(h * 10000) / 10000 + 0.0 AS entropy_rate_bits,
+        |  ROUND(pow(2.0, h) * 10000) / 10000 + 0.0
+        |    AS perplexity_rate
+        |FROM h ORDER BY lang""".stripMargin,
     // Same 8-token windows (inclusive list slice), exact ratios.
     "text_intradoc_ngram_dup" ->
       """WITH d AS (SELECT source, doc_id,

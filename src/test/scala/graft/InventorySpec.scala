@@ -562,10 +562,13 @@ class InventorySpec extends SparkSpec {
     "win_reorder_gap_stats",
     // §2.163 round-15 fifteenth wave: NDCG curve, cell flows,
     // two-digit Benford
-    "eval_ndcg_curve", "geo_cell_flows", "agg_benford_first_two")
+    "eval_ndcg_curve", "geo_cell_flows", "agg_benford_first_two",
+    // §2.164 round-15 sixteenth wave: growth streaks, top hubs,
+    // entropy rate
+    "ts_growth_streaks", "graph_top_hubs", "text_ngram_entropy_rate")
 
-  test("declared queries cover SURVEY §2 + §2.12-163 exactly (598 keys)") {
-    assert(inventory.size == 598)
+  test("declared queries cover SURVEY §2 + §2.12-164 exactly (601 keys)") {
+    assert(inventory.size == 601)
     val declared = SparkEntry.queries.keySet
     val missing = inventory -- declared
     val extra = declared -- inventory
