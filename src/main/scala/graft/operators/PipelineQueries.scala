@@ -1132,6 +1132,28 @@ object PipelineQueries {
         .orderBy("gt_id")
     }),
 
+    // BOXES PER IMAGE (§2.165) — the first histogram every detection
+    // dataset card shows: how many GT boxes per image, as an exact
+    // count histogram plus the mean — the crowding profile that
+    // decides NMS thresholds and per-image box caps. Same part-box
+    // image grouping (image_id = key div 64); two keyed reduces.
+    "multimodal_boxes_per_image" -> ((s, dir) => {
+      val per = t(s, dir, "part")
+        .select(expr("p_partkey div 64").as("image_id"))
+        .groupBy("image_id").agg(count(lit(1)).as("nb"))
+      val tot = per.agg(count(lit(1)).as("n_images"),
+        sum(col("nb")).as("n_boxes"))
+      per.groupBy(col("nb").as("boxes_per_image"))
+        .agg(count(lit(1)).as("n_images_at"))
+        .crossJoin(broadcast(tot))
+        .select(col("boxes_per_image"), col("n_images_at"),
+          r4d(col("n_images_at").cast("double")
+            / col("n_images").cast("double")).as("share_of_images"),
+          r4d(col("n_boxes").cast("double")
+            / col("n_images").cast("double")).as("mean_boxes_per_image"))
+        .orderBy("boxes_per_image")
+    }),
+
     // SCALE-JITTER MANIFEST (§2.159) — the third classic
     // detection augmentation next to flip (§2.139) and center-crop
     // (§2.147): a deterministic per-image zoom from {3/4, 1, 5/4}
@@ -3349,6 +3371,19 @@ object PipelineQueries {
         |    AS BIGINT) AS p90_chars,
         |  CAST(max(n_chars) AS BIGINT) AS max_chars
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    // Same image grouping and exact histogram.
+    "multimodal_boxes_per_image" ->
+      """WITH per AS (SELECT p_partkey // 64 AS image_id,
+        |    count(*) AS nb FROM part GROUP BY 1),
+        |t AS (SELECT count(*) AS n_images,
+        |    CAST(sum(nb) AS BIGINT) AS n_boxes FROM per)
+        |SELECT nb AS boxes_per_image, count(*) AS n_images_at,
+        |  ROUND(CAST(count(*) AS DOUBLE) / CAST(n_images AS DOUBLE)
+        |    * 10000) / 10000 AS share_of_images,
+        |  ROUND(CAST(n_boxes AS DOUBLE) / CAST(n_images AS DOUBLE)
+        |    * 10000) / 10000 AS mean_boxes_per_image
+        |FROM per CROSS JOIN t GROUP BY nb, n_images, n_boxes
+        |ORDER BY boxes_per_image""".stripMargin,
     // Same rational integer scaling, clip, and ≥-half keep rule.
     "multimodal_scale_jitter_manifest" ->
       """WITH p AS (SELECT p_partkey, CAST(p_size AS BIGINT) AS sz,

@@ -520,6 +520,45 @@ object SimQueries {
         .orderBy("label")
     }),
 
+    // NORM OUTLIERS (§2.165) — the actionable list behind
+    // sim_norm_distribution's per-label profile: the 10 vectors
+    // whose L2 norm deviates most from their label's mean (in σ
+    // units), flagged is_outlier at the conventional |z| > 2 — the
+    // truncated/corrupted/unnormalized-ingest suspects a vector-
+    // store audit inspects first (a top-k, not a filter, so a clean
+    // corpus still reports its most-deviant candidates). Norms
+    // micro-snap to 10⁻⁶ BIGINTs (the shared grid), μ/σ from exact
+    // integer moments broadcast back, the (|z| desc, vec_id) order
+    // total on identical doubles.
+    "sim_norm_outliers" -> ((s, dir) => {
+      val n6c = floor(sqrt(ArrayDot(col("v"), col("v"))) * lit(1.0e6))
+        .cast("long")
+      val v = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"),
+          col("embedding").cast("array<double>").as("v"))
+        .select(col("vec_id"), col("label"), n6c.as("n6"))
+      val m = v.groupBy("label")
+        .agg(count(lit(1)).as("n"),
+          sum(col("n6").cast("decimal(38,0)")).as("s1"),
+          sum(col("n6").cast("decimal(38,0)") * col("n6")).as("s2"))
+        .filter(col("n") > 1 &&
+          col("n").cast("decimal(38,0)") * col("s2")
+            > col("s1") * col("s1"))
+      val mu = col("s1").cast("double") / col("n").cast("double")
+      val sd = sqrt((col("n").cast("decimal(38,0)") * col("s2")
+        - col("s1") * col("s1")).cast("double")
+        / (col("n") * col("n")).cast("double"))
+      v.join(broadcast(m), Seq("label"))
+        .withColumn("z", (col("n6").cast("double") - mu) / sd)
+        .orderBy(abs(col("z")).desc, col("vec_id"))
+        .limit(10)
+        .select(col("label"), col("vec_id"),
+          r4d(col("n6").cast("double") / lit(1.0e6)).as("norm"),
+          r4d(col("z")).as("z"),
+          (abs(col("z")) > 2.0).as("is_outlier"))
+        .orderBy("label", "vec_id")
+    }),
+
     // NDCG@k CURVE (§2.163) — eval_ndcg_label at the four standard
     // cutoffs k ∈ {1, 3, 5, 10} instead of one: where does ranking
     // quality fall off (the ANN-tuning companion of
@@ -1402,6 +1441,34 @@ object SimQueries {
         |  ROUND(CAST(max6 AS DOUBLE) / 1000000.0 * 10000) / 10000
         |    AS max_norm
         |FROM a ORDER BY label""".stripMargin,
+    // Same micro-snapped norms, exact moments, identical |z| > 2 cut.
+    "sim_norm_outliers" ->
+      """WITH v AS (SELECT vec_id, label,
+        |    CAST(floor(sqrt(list_dot_product(
+        |        CAST(embedding AS DOUBLE[]),
+        |        CAST(embedding AS DOUBLE[]))) * 1000000.0) AS BIGINT)
+        |      AS n6
+        |  FROM embeddings),
+        |m AS (SELECT label, count(*) AS n,
+        |    CAST(sum(CAST(n6 AS HUGEINT)) AS HUGEINT) AS s1,
+        |    CAST(sum(CAST(n6 AS HUGEINT) * n6) AS HUGEINT) AS s2
+        |  FROM v GROUP BY 1),
+        |f AS (SELECT label, n, s1, s2,
+        |    CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+        |    sqrt(CAST(CAST(n AS HUGEINT) * s2 - s1 * s1 AS DOUBLE)
+        |      / CAST(n * n AS DOUBLE)) AS sd
+        |  FROM m WHERE n > 1 AND CAST(n AS HUGEINT) * s2 > s1 * s1),
+        |z AS (SELECT v.label, v.vec_id, v.n6,
+        |    (CAST(v.n6 AS DOUBLE) - f.mu) / f.sd AS z
+        |  FROM v JOIN f ON f.label = v.label),
+        |top AS (SELECT * FROM z ORDER BY abs(z) DESC, vec_id
+        |  LIMIT 10)
+        |SELECT label, vec_id,
+        |  ROUND(CAST(n6 AS DOUBLE) / 1000000.0 * 10000) / 10000
+        |    AS norm,
+        |  ROUND(z * 10000) / 10000 + 0.0 AS z,
+        |  abs(z) > 2.0 AS is_outlier
+        |FROM top ORDER BY label, vec_id""".stripMargin,
     // Same parity split, decimal(38,12) centroids, pos-ordered
     // difference fold, order-free max.
     "sim_centroid_drift" ->

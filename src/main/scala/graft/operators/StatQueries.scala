@@ -53,6 +53,24 @@ object StatQueries {
         coalesce(col("cy0"), lit(0L)).as("cy"))
   }
 
+  /** Zero-filled (event_type, day, y) spine — the AnalyticsQueries
+    * zeroFilledDaily contract re-stated here for the stat keys that
+    * stratify the per-type calendar (seasonal Mann-Kendall). */
+  private def zeroFilledDailyEvents(s: SparkSession,
+      dir: String): DataFrame = {
+    val e = events(s, dir)
+      .select(col("event_type"), epochDay("ts").as("day"))
+    val d = e.groupBy("event_type", "day").agg(count(lit(1)).as("y"))
+    val spine = e.select("event_type").distinct()
+      .crossJoin(broadcast(
+        e.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))))
+      .select(col("event_type"),
+        explode(sequence(col("lo"), col("hi"))).as("day"))
+    spine.join(d, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day"),
+        coalesce(col("y"), lit(0L)).as("y"))
+  }
+
   val queries: Map[String, Q] = Map(
     // CHI-SQUARE INDEPENDENCE (§2.74) — is event mix independent of
     // day-of-week? The workhorse categorical test, emitted as the
@@ -650,6 +668,53 @@ object StatQueries {
               - when(col("s_stat") > 0, lit(1.0)).otherwise(lit(-1.0)))
               / sqrt(col("var18").cast("double") / lit(18.0))))
             .otherwise(when(col("var18") > 0, lit(0.0))).as("z"))
+    }),
+
+    // SEASONAL MANN-KENDALL (§2.165) — the trend test a weekly-
+    // seasonal series actually needs (plain ts_mann_kendall reads
+    // day-of-week structure as noise or fake trend): Kendall pairs
+    // form only WITHIN each (type, day-of-week) stratum, S and the
+    // tie-corrected variance sum across strata, one continuity-
+    // corrected z per type. Pairs are blocked per (type, dow) —
+    // quadratic only in days/7, bounded by the calendar horizon,
+    // never the corpus. Exact integer S and Var·18; doubles at the
+    // z edge.
+    "ts_seasonal_mann_kendall" -> ((s, dir) => {
+      val d = zeroFilledDailyEvents(s, dir)
+        .withColumn("dow", col("day") % 7)
+      val a = d.select(col("event_type"), col("dow"),
+        col("day").as("d1"), col("y").as("v1"))
+      val b = d.select(col("event_type"), col("dow"),
+        col("day").as("d2"), col("y").as("v2"))
+      val sAgg = a.join(b, Seq("event_type", "dow"))
+        .filter(col("d1") < col("d2"))
+        .groupBy("event_type")
+        .agg((count_if(col("v2") > col("v1"))
+          - count_if(col("v2") < col("v1"))).as("s_stat"))
+      val varAgg = d.groupBy("event_type", "dow")
+        .agg(count(lit(1)).as("nd"))
+        .join(d.groupBy("event_type", "dow", "y")
+            .agg(count(lit(1)).as("t"))
+          .filter(col("t") > 1)
+          .groupBy("event_type", "dow")
+          .agg(sum(col("t") * (col("t") - 1)
+            * (lit(2L) * col("t") + 5)).as("tie_term")),
+          Seq("event_type", "dow"), "left")
+        .select(col("event_type"),
+          (col("nd") * (col("nd") - 1) * (lit(2L) * col("nd") + 5)
+            - coalesce(col("tie_term"), lit(0L))).as("v18d"))
+        .groupBy("event_type")
+        .agg(sum(col("v18d")).as("var18"))
+      val nn = d.groupBy("event_type").agg(count(lit(1)).as("n_days"))
+      nn.join(sAgg, Seq("event_type")).join(varAgg, Seq("event_type"))
+        .select(col("event_type"), col("n_days"), col("s_stat"),
+          col("var18"),
+          when(col("var18") > 0 && col("s_stat") =!= 0,
+            r4d((col("s_stat").cast("double")
+              - when(col("s_stat") > 0, lit(1.0)).otherwise(lit(-1.0)))
+              / sqrt(col("var18").cast("double") / lit(18.0))))
+            .otherwise(when(col("var18") > 0, lit(0.0))).as("z"))
+        .orderBy("event_type")
     }),
 
     // BROWN-FORSYTHE LEVENE TEST (§2.91) — do the return-flag groups
@@ -3537,6 +3602,52 @@ object StatQueries {
         |      > CAST(n AS HUGEINT) * s1 THEN
         |    ROUND(mu / v * 10000) / 10000 END AS nb_p
         |FROM f ORDER BY event_type""".stripMargin,
+    // Same dow-stratified pairs, tie-corrected variance sum, and
+    // continuity-corrected z.
+    "ts_seasonal_mann_kendall" ->
+      s"""WITH e AS (SELECT event_type, ${sqlEpochDay("ts")} AS day
+         |  FROM events),
+         |d0 AS (SELECT event_type, day, count(*) AS y FROM e
+         |  GROUP BY 1, 2),
+         |b AS (SELECT min(day) AS lo, max(day) AS hi FROM e),
+         |ty AS (SELECT DISTINCT event_type FROM e),
+         |spine AS (SELECT event_type, unnest(range(lo, hi + 1)) AS day
+         |  FROM ty CROSS JOIN b),
+         |fl AS (SELECT s.event_type, s.day, s.day % 7 AS dow,
+         |    coalesce(y, 0) AS y
+         |  FROM spine s LEFT JOIN d0
+         |    ON d0.event_type = s.event_type AND d0.day = s.day),
+         |sa AS (SELECT a.event_type,
+         |    CAST(count(*) FILTER (WHERE b2.y > a.y) AS BIGINT)
+         |      - CAST(count(*) FILTER (WHERE b2.y < a.y) AS BIGINT)
+         |      AS s_stat
+         |  FROM fl a JOIN fl b2 ON b2.event_type = a.event_type
+         |    AND b2.dow = a.dow AND a.day < b2.day
+         |  GROUP BY 1),
+         |nd AS (SELECT event_type, dow, count(*) AS nd FROM fl
+         |  GROUP BY 1, 2),
+         |tt AS (SELECT event_type, dow,
+         |    CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
+         |  FROM (SELECT event_type, dow, y, count(*) AS t FROM fl
+         |    GROUP BY 1, 2, 3) WHERE t > 1 GROUP BY 1, 2),
+         |va AS (SELECT n.event_type,
+         |    CAST(sum(n.nd * (n.nd - 1) * (2 * n.nd + 5)
+         |      - COALESCE(t.tie_term, 0)) AS BIGINT) AS var18
+         |  FROM nd n LEFT JOIN tt t
+         |    ON t.event_type = n.event_type AND t.dow = n.dow
+         |  GROUP BY 1),
+         |nn AS (SELECT event_type, count(*) AS n_days FROM fl
+         |  GROUP BY 1)
+         |SELECT nn.event_type, nn.n_days, sa.s_stat, va.var18,
+         |  CASE WHEN va.var18 > 0 AND sa.s_stat <> 0 THEN
+         |    ROUND((CAST(sa.s_stat AS DOUBLE)
+         |      - CASE WHEN sa.s_stat > 0 THEN 1.0 ELSE -1.0 END)
+         |      / sqrt(CAST(va.var18 AS DOUBLE) / 18.0) * 10000)
+         |      / 10000
+         |  WHEN va.var18 > 0 THEN 0.0 END AS z
+         |FROM nn JOIN sa ON sa.event_type = nn.event_type
+         |JOIN va ON va.event_type = nn.event_type
+         |ORDER BY nn.event_type""".stripMargin,
     // Same two-digit prefix, digit spine, identical log10 edge.
     "agg_benford_first_two" ->
       """WITH c AS (SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT)

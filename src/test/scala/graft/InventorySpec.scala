@@ -565,10 +565,14 @@ class InventorySpec extends SparkSpec {
     "eval_ndcg_curve", "geo_cell_flows", "agg_benford_first_two",
     // §2.164 round-15 sixteenth wave: growth streaks, top hubs,
     // entropy rate
-    "ts_growth_streaks", "graph_top_hubs", "text_ngram_entropy_rate")
+    "ts_growth_streaks", "graph_top_hubs", "text_ngram_entropy_rate",
+    // §2.165 round-15 seventeenth wave: seasonal MK, boxes/image,
+    // norm outliers
+    "ts_seasonal_mann_kendall", "multimodal_boxes_per_image",
+    "sim_norm_outliers")
 
-  test("declared queries cover SURVEY §2 + §2.12-164 exactly (601 keys)") {
-    assert(inventory.size == 601)
+  test("declared queries cover SURVEY §2 + §2.12-165 exactly (604 keys)") {
+    assert(inventory.size == 604)
     val declared = SparkEntry.queries.keySet
     val missing = inventory -- declared
     val extra = declared -- inventory
