@@ -1106,6 +1106,31 @@ object AnalyticsQueries {
         .orderBy("event_type", "k")
     }),
 
+    // MONTHLY SEASONAL INDEX (§2.166) — the retail-calendar
+    // normalizer: per calendar month (1-12), order revenue as a
+    // share of the monthly MEAN (index 1.0 = average month) — the
+    // divisor every month-over-month comparison needs before it
+    // means anything. Exact integer cents per month; the 12-row mean
+    // is itself an exact rational (total/12 in the index denominator
+    // via cents·12 cross-multiplication — no float mean enters);
+    // one reduce.
+    "ts_monthly_seasonal_index" -> ((s, dir) => {
+      val m = t(s, dir, "orders")
+        .select(month(col("o_orderdate").cast("date")).cast("long")
+          .as("m"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+        .groupBy("m")
+        .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("rev"))
+      val tot = m.agg(sum(col("rev")).as("rev_total"),
+        count(lit(1)).as("n_months"))
+      m.crossJoin(broadcast(tot))
+        .select(col("m").as("month"), col("n_orders"),
+          col("rev").as("rev_cents"),
+          r4d((col("rev") * col("n_months")).cast("double")
+            / col("rev_total").cast("double")).as("seasonal_index"))
+        .orderBy("month")
+    }),
+
     // GROWTH STREAKS (§2.164) — momentum runs on the daily spine:
     // the longest run of strictly-increasing days and of strictly-
     // decreasing days per type (win_streak_longest profiles USER
@@ -4291,6 +4316,20 @@ object AnalyticsQueries {
          |  ROUND((re0 * re0 + im0 * im0) / nd * 10000) / 10000 + 0.0
          |    AS power
          |FROM ag ORDER BY event_type, k""".stripMargin,
+    // Same exact cents and cross-multiplied index.
+    "ts_monthly_seasonal_index" ->
+      """WITH m AS (SELECT CAST(month(o_orderdate) AS BIGINT) AS m,
+        |    count(*) AS n_orders,
+        |    CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+        |      AS BIGINT) AS rev
+        |  FROM orders GROUP BY 1),
+        |t AS (SELECT CAST(sum(rev) AS BIGINT) AS rev_total,
+        |    count(*) AS n_months FROM m)
+        |SELECT m AS month, n_orders, rev AS rev_cents,
+        |  ROUND(CAST(rev * n_months AS DOUBLE)
+        |    / CAST(rev_total AS DOUBLE) * 10000) / 10000
+        |    AS seasonal_index
+        |FROM m CROSS JOIN t ORDER BY month""".stripMargin,
     // Same lag flags and gaps-and-islands runs on the spine.
     "ts_growth_streaks" ->
       s"""WITH e AS (SELECT event_type, ${sqlEpochDay("ts")} AS day

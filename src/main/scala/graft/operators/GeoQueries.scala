@@ -111,6 +111,37 @@ object GeoQueries {
         .orderBy("user_id")
     }),
 
+    // ANCHOR CELL (§2.166) — each platform's modal 2°×2° cell (the
+    // "home range center" / staging-area primitive of mobility
+    // analysis): the argmax cell under the (n desc, cell) total
+    // order, its share of the platform's fixes, and the distinct-
+    // cell count (range breadth). Exact integers, one keyed reduce +
+    // one bounded per-user top-1 window.
+    "geo_anchor_cell" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val cells = sightings(s, dir)
+        .select(col("user_id"),
+          floor(col("lat") / 2).cast("long").as("cla"),
+          floor(col("lon") / 2).cast("long").as("clo"))
+        .groupBy("user_id", "cla", "clo")
+        .agg(count(lit(1)).as("n"))
+      val tot = cells.groupBy("user_id")
+        .agg(sum(col("n")).as("n_fixes"),
+          count(lit(1)).as("n_cells"))
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("n").desc, col("cla"), col("clo"))
+      cells.withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .join(tot, Seq("user_id"))
+        .select(col("user_id"), col("cla").as("anchor_cell_lat"),
+          col("clo").as("anchor_cell_lon"),
+          col("n").as("n_fixes_at_anchor"), col("n_fixes"),
+          col("n_cells"),
+          r4d(col("n").cast("double") / col("n_fixes").cast("double"))
+            .as("anchor_share"))
+        .orderBy("user_id")
+    }),
+
     // CELL FLOWS (§2.163) — the migration-corridor readout: counts
     // of consecutive-fix transitions BETWEEN distinct 2°×2° cells
     // (within-cell dwell is geo_cell_dwell's job), top-20 corridors
@@ -972,6 +1003,27 @@ object GeoQueries {
         |GROUP BY 1, 2 HAVING count(*) >= 2
         |ORDER BY user_a, user_b""".stripMargin,
     // Same exact min/max envelope and product.
+    // Same modal-cell argmax under the identical total order.
+    "geo_anchor_cell" ->
+      """WITH p AS (SELECT user_id,
+        |    CAST(floor((CAST(event_id % 1440 AS DOUBLE) / 8 - 90) / 2)
+        |      AS BIGINT) AS cla,
+        |    CAST(floor((CAST((user_id * 997 + event_id * 31) % 11520
+        |      AS DOUBLE) / 32 - 180) / 2) AS BIGINT) AS clo
+        |  FROM events),
+        |cells AS (SELECT user_id, cla, clo, count(*) AS n FROM p
+        |  GROUP BY 1, 2, 3),
+        |tot AS (SELECT user_id, CAST(sum(n) AS BIGINT) AS n_fixes,
+        |    count(*) AS n_cells FROM cells GROUP BY 1),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY user_id
+        |    ORDER BY n DESC, cla, clo) AS rk FROM cells)
+        |SELECT r.user_id, r.cla AS anchor_cell_lat,
+        |  r.clo AS anchor_cell_lon, r.n AS n_fixes_at_anchor,
+        |  t.n_fixes, t.n_cells,
+        |  ROUND(CAST(r.n AS DOUBLE) / CAST(t.n_fixes AS DOUBLE)
+        |    * 10000) / 10000 AS anchor_share
+        |FROM rk r JOIN tot t ON t.user_id = r.user_id
+        |WHERE r.rk = 1 ORDER BY r.user_id""".stripMargin,
     // Same lead-window transitions, bounded top-20 total order.
     "geo_cell_flows" ->
       """WITH p AS (SELECT user_id, event_id, epoch_ms(ts) AS ms,

@@ -1132,6 +1132,40 @@ object PipelineQueries {
         .orderBy("gt_id")
     }),
 
+    // EXACT VECTOR DEDUP REPORT (§2.166) — bitwise-duplicate
+    // embeddings (the double-ingest / constant-output failure the
+    // cosine keys can't see because duplicates have cosine 1.0 with
+    // EVERYTHING similar): signature = md5 of the micro-snapped
+    // component string (the shared 10⁻⁶ grid, engine-identical), one
+    // reduce to the signature table, reported as the corpus-level
+    // audit row — vector count, distinct signatures, duplicated
+    // vectors, biggest cluster, and how many clusters MIX labels
+    // (a labeling-error bell). Always one row; a clean corpus
+    // reports zeros.
+    "dedup_vector_exact" -> ((s, dir) => {
+      val sig = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"),
+          md5(expr("array_join(transform(" +
+            "cast(embedding as array<double>)," +
+            " x -> cast(floor(x * 1000000.0) as string)), ',')")
+            .cast("binary")).as("h"))
+      val cl = sig.groupBy("h")
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("label")).as("n_labels"))
+      cl.agg(sum(col("n")).as("n_vectors"),
+          count(lit(1)).as("n_signatures"),
+          sum(when(col("n") > 1, col("n")).otherwise(0L))
+            .as("n_dup_vectors"),
+          max(col("n")).as("max_cluster"),
+          count_if(col("n") > 1 && col("n_labels") > 1)
+            .as("n_mixed_label_clusters"))
+        .select(col("n_vectors"), col("n_signatures"),
+          col("n_dup_vectors"), col("max_cluster"),
+          col("n_mixed_label_clusters"),
+          r4d(col("n_dup_vectors").cast("double")
+            / col("n_vectors").cast("double")).as("dup_share"))
+    }),
+
     // BOXES PER IMAGE (§2.165) — the first histogram every detection
     // dataset card shows: how many GT boxes per image, as an exact
     // count histogram plus the mean — the crowding profile that
@@ -3371,6 +3405,27 @@ object PipelineQueries {
         |    AS BIGINT) AS p90_chars,
         |  CAST(max(n_chars) AS BIGINT) AS max_chars
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    // Same micro-snapped signature string and corpus audit row.
+    "dedup_vector_exact" ->
+      """WITH sig AS (SELECT vec_id, label,
+        |    md5(array_to_string(list_transform(
+        |      CAST(embedding AS DOUBLE[]),
+        |      x -> CAST(CAST(floor(x * 1000000.0) AS BIGINT)
+        |        AS VARCHAR)), ',')) AS h
+        |  FROM embeddings),
+        |cl AS (SELECT h, count(*) AS n,
+        |    count(DISTINCT label) AS n_labels FROM sig GROUP BY 1)
+        |SELECT CAST(sum(n) AS BIGINT) AS n_vectors,
+        |  count(*) AS n_signatures,
+        |  CAST(sum(CASE WHEN n > 1 THEN n ELSE 0 END) AS BIGINT)
+        |    AS n_dup_vectors,
+        |  max(n) AS max_cluster,
+        |  count(*) FILTER (WHERE n > 1 AND n_labels > 1)
+        |    AS n_mixed_label_clusters,
+        |  ROUND(CAST(sum(CASE WHEN n > 1 THEN n ELSE 0 END)
+        |      AS DOUBLE)
+        |    / CAST(sum(n) AS DOUBLE) * 10000) / 10000 AS dup_share
+        |FROM cl""".stripMargin,
     // Same image grouping and exact histogram.
     "multimodal_boxes_per_image" ->
       """WITH per AS (SELECT p_partkey // 64 AS image_id,

@@ -569,10 +569,14 @@ class InventorySpec extends SparkSpec {
     // §2.165 round-15 seventeenth wave: seasonal MK, boxes/image,
     // norm outliers
     "ts_seasonal_mann_kendall", "multimodal_boxes_per_image",
-    "sim_norm_outliers")
+    "sim_norm_outliers",
+    // §2.166 round-15 eighteenth wave: anchor cell, monthly index,
+    // exact vector dedup
+    "geo_anchor_cell", "ts_monthly_seasonal_index",
+    "dedup_vector_exact")
 
-  test("declared queries cover SURVEY §2 + §2.12-165 exactly (604 keys)") {
-    assert(inventory.size == 604)
+  test("declared queries cover SURVEY §2 + §2.12-166 exactly (607 keys)") {
+    assert(inventory.size == 607)
     val declared = SparkEntry.queries.keySet
     val missing = inventory -- declared
     val extra = declared -- inventory
