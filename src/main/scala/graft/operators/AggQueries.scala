@@ -926,6 +926,45 @@ object AggQueries {
         .orderBy("event_type")
     }),
 
+    // EMPIRICAL-BAYES SHRUNK RATES (§2.167) — the small-sample fix
+    // for every per-segment rate leaderboard: a nation with 3
+    // customers and 3 buyers is NOT a 100% market. Each nation's
+    // customer→buyer conversion shrinks toward the POOLED rate with
+    // k = 50 pseudo-observations (the fixed-prior-strength contract;
+    // a MoM beta fit is a tuning loop, not a query):
+    // shrunk = (c + k·μ)/(n + k). Exact integer counts; μ is one
+    // pooled rational; the shrink is one double chain spelled
+    // identically. Emits raw vs shrunk and the rank-relevant
+    // movement, the thing shrinkage exists to fix.
+    "agg_eb_shrunk_rates" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"))
+      val buyers = t(s, dir, "orders")
+        .select(col("o_custkey").as("c_custkey")).distinct()
+        .withColumn("b", lit(1L))
+      val byNat = cust.join(buyers, Seq("c_custkey"), "left")
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n_customers"),
+          sum(coalesce(col("b"), lit(0L))).as("n_buyers"))
+        .join(broadcast(t(s, dir, "nation")
+          .select(col("n_nationkey").as("c_nationkey"), col("n_name"))),
+          Seq("c_nationkey"))
+      val pooled = byNat.agg(sum(col("n_buyers")).as("ctot"),
+        sum(col("n_customers")).as("ntot"))
+      byNat.crossJoin(broadcast(pooled))
+        .select(col("n_name"), col("n_customers"), col("n_buyers"),
+          r4d(col("n_buyers").cast("double")
+            / col("n_customers").cast("double")).as("raw_rate"),
+          r4d((col("n_buyers").cast("double")
+            + lit(50.0) * (col("ctot").cast("double")
+              / col("ntot").cast("double")))
+            / (col("n_customers").cast("double") + lit(50.0)))
+            .as("shrunk_rate"),
+          r4d(col("ctot").cast("double") / col("ntot").cast("double"))
+            .as("pooled_rate"))
+        .orderBy("n_name")
+    }),
+
     // CVaR / EXPECTED SHORTFALL (§2.158) — the tail-risk scalar
     // beyond the VaR cut the percentile keys stop at: per order
     // priority, the 95th-percentile order value (VaR, an exact
@@ -1939,6 +1978,30 @@ object AggQueries {
         |    AS kurtosis_excess
         |FROM g WHERE n > 2 AND n * sd2 > sd1 * sd1
         |ORDER BY event_type""".stripMargin,
+    // Same pooled prior, k = 50 pseudo-counts, identical chain.
+    "agg_eb_shrunk_rates" ->
+      """WITH b AS (SELECT DISTINCT o_custkey AS c_custkey
+        |  FROM orders),
+        |n AS (SELECT c.c_nationkey, count(*) AS n_customers,
+        |    count(b.c_custkey) AS n_buyers
+        |  FROM customer c LEFT JOIN b USING (c_custkey)
+        |  GROUP BY 1),
+        |j AS (SELECT na.n_name, n.n_customers, n.n_buyers
+        |  FROM n JOIN nation na ON na.n_nationkey = n.c_nationkey),
+        |p AS (SELECT CAST(sum(n_buyers) AS BIGINT) AS ctot,
+        |    CAST(sum(n_customers) AS BIGINT) AS ntot FROM j)
+        |SELECT n_name, n_customers, CAST(n_buyers AS BIGINT)
+        |    AS n_buyers,
+        |  ROUND(CAST(n_buyers AS DOUBLE)
+        |    / CAST(n_customers AS DOUBLE) * 10000) / 10000
+        |    AS raw_rate,
+        |  ROUND((CAST(n_buyers AS DOUBLE)
+        |    + 50.0 * (CAST(ctot AS DOUBLE) / CAST(ntot AS DOUBLE)))
+        |    / (CAST(n_customers AS DOUBLE) + 50.0) * 10000) / 10000
+        |    AS shrunk_rate,
+        |  ROUND(CAST(ctot AS DOUBLE) / CAST(ntot AS DOUBLE) * 10000)
+        |    / 10000 AS pooled_rate
+        |FROM j CROSS JOIN p ORDER BY n_name""".stripMargin,
     // Same exact order statistic (CAST both sides per §1.3), strict
     // tail, one division; FILTER spells count_if.
     "agg_cvar_tail_mean" ->

@@ -1106,6 +1106,32 @@ object AnalyticsQueries {
         .orderBy("event_type", "k")
     }),
 
+    // DONCHIAN CHANNEL (§2.167) — the rolling 7-day min/max envelope
+    // with breakout flags: the simplest regime monitor (a day
+    // strictly above the PRIOR week's high is an upside breakout —
+    // the alert rule ops channels actually run). Exact integer
+    // window extrema over the spine, EXCLUSIVE frame (-7..-1) so
+    // today never contains itself; edge days with a short window
+    // emit NULL channel, never a fake bound.
+    "ts_donchian_channel" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        .rowsBetween(-7, -1)
+      zeroFilledDaily(s, dir)
+        .withColumn("nwin", count(lit(1)).over(w))
+        .withColumn("ch_hi",
+          when(col("nwin") === 7, max(col("y")).over(w)))
+        .withColumn("ch_lo",
+          when(col("nwin") === 7, min(col("y")).over(w)))
+        .select(col("event_type"), col("day"), col("y"),
+          col("ch_lo"), col("ch_hi"),
+          (col("ch_hi").isNotNull && col("y") > col("ch_hi"))
+            .as("breakout_up"),
+          (col("ch_lo").isNotNull && col("y") < col("ch_lo"))
+            .as("breakout_down"))
+        .orderBy("event_type", "day")
+    }),
+
     // MONTHLY SEASONAL INDEX (§2.166) — the retail-calendar
     // normalizer: per calendar month (1-12), order revenue as a
     // share of the monthly MEAN (index 1.0 = average month) — the
@@ -4316,6 +4342,30 @@ object AnalyticsQueries {
          |  ROUND((re0 * re0 + im0 * im0) / nd * 10000) / 10000 + 0.0
          |    AS power
          |FROM ag ORDER BY event_type, k""".stripMargin,
+    // Same exclusive 7-day frame extrema and strict breakout tests.
+    "ts_donchian_channel" ->
+      s"""WITH e AS (SELECT event_type, ${sqlEpochDay("ts")} AS day
+         |  FROM events),
+         |d AS (SELECT event_type, day, count(*) AS y FROM e
+         |  GROUP BY 1, 2),
+         |b AS (SELECT min(day) AS lo, max(day) AS hi FROM e),
+         |ty AS (SELECT DISTINCT event_type FROM e),
+         |spine AS (SELECT event_type, unnest(range(lo, hi + 1)) AS day
+         |  FROM ty CROSS JOIN b),
+         |fl AS (SELECT s.event_type, s.day, coalesce(y, 0) AS y
+         |  FROM spine s LEFT JOIN d
+         |    ON d.event_type = s.event_type AND d.day = s.day),
+         |w AS (SELECT event_type, day, y,
+         |    count(*) OVER wf AS nwin,
+         |    max(y) OVER wf AS mx, min(y) OVER wf AS mn
+         |  FROM fl WINDOW wf AS (PARTITION BY event_type ORDER BY day
+         |    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+         |SELECT event_type, day, y,
+         |  CASE WHEN nwin = 7 THEN mn END AS ch_lo,
+         |  CASE WHEN nwin = 7 THEN mx END AS ch_hi,
+         |  nwin = 7 AND y > mx AS breakout_up,
+         |  nwin = 7 AND y < mn AS breakout_down
+         |FROM w ORDER BY event_type, day""".stripMargin,
     // Same exact cents and cross-multiplied index.
     "ts_monthly_seasonal_index" ->
       """WITH m AS (SELECT CAST(month(o_orderdate) AS BIGINT) AS m,

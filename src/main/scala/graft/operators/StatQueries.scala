@@ -2359,6 +2359,42 @@ object StatQueries {
         .orderBy("d2")
     }),
 
+    // SELECTIVE RISK / COVERAGE (§2.167) — the abstention curve
+    // every human-in-the-loop deployment tunes: predict only when
+    // the score is CONFIDENT (|p − ½| > δ, predicting positive when
+    // p > ½), abstain otherwise; report coverage and the error rate
+    // AMONG predictions at δ ∈ {0.1, 0.2, 0.3, 0.4} — the
+    // risk-coverage trade-off (El-Yaniv & Wiener's selective risk),
+    // which no single-threshold key expresses (confidence is
+    // two-sided). Exact integer cells on the cents grid (|2c − N|
+    // > 2δN cross-multiplied — no float confidence), one pass over
+    // a broadcast 4-row δ spine.
+    "eval_selective_risk" -> ((s, dir) => {
+      val e = events(s, dir).select(
+        least(round(col("value") * 100).cast("long"), lit(20000L))
+          .as("c"),
+        (col("event_type") === "purchase").as("pos"))
+      val ds = s.range(1, 5).select((col("id") * 2000L).as("d2"))
+      e.crossJoin(broadcast(ds))
+        .withColumn("covered",
+          abs(lit(2L) * col("c") - lit(20000L)) > lit(2L) * col("d2"))
+        .withColumn("pred_pos", col("c") > lit(10000L))
+        .groupBy("d2")
+        .agg(count(lit(1)).as("n"),
+          count_if(col("covered")).as("n_covered"),
+          count_if(col("covered")
+            && (col("pred_pos") =!= col("pos"))).as("n_errors"))
+        .select(r4d(col("d2").cast("double") / lit(20000.0))
+            .as("delta"),
+          col("n"), col("n_covered"), col("n_errors"),
+          r4d(col("n_covered").cast("double") / col("n").cast("double"))
+            .as("coverage"),
+          when(col("n_covered") > 0,
+            r4d(col("n_errors").cast("double")
+              / col("n_covered").cast("double"))).as("selective_risk"))
+        .orderBy("delta")
+    }),
+
     // F1-OPTIMAL THRESHOLD (§2.162) — the F1-argmax operating point
     // over the FULL distinct-score grid: eval_youden_threshold picks
     // the J = TPR − FPR optimum (balanced-error), this picks the
@@ -3668,6 +3704,29 @@ object StatQueries {
         |    / 10000 + 0.0 AS excess
         |FROM spine s LEFT JOIN d ON d.d2 = s.d2 CROSS JOIN t
         |ORDER BY s.d2""".stripMargin,
+    // Same cross-multiplied two-sided confidence cells and δ spine.
+    "eval_selective_risk" ->
+      """WITH e AS (SELECT
+        |    least(CAST(round(value * 100) AS BIGINT), 20000) AS c,
+        |    event_type = 'purchase' AS pos FROM events),
+        |ds AS (SELECT CAST(i * 2000 AS BIGINT) AS d2
+        |  FROM (SELECT unnest(range(1, 5)) AS i)),
+        |a AS (SELECT d2, count(*) AS n,
+        |    count(*) FILTER (WHERE abs(2 * c - 20000) > 2 * d2)
+        |      AS n_covered,
+        |    count(*) FILTER (WHERE abs(2 * c - 20000) > 2 * d2
+        |      AND (c > 10000) <> pos) AS n_errors
+        |  FROM e CROSS JOIN ds GROUP BY 1)
+        |SELECT ROUND(CAST(d2 AS DOUBLE) / 20000.0 * 10000) / 10000
+        |    AS delta,
+        |  n, n_covered, n_errors,
+        |  ROUND(CAST(n_covered AS DOUBLE) / CAST(n AS DOUBLE)
+        |    * 10000) / 10000 AS coverage,
+        |  CASE WHEN n_covered > 0 THEN
+        |    ROUND(CAST(n_errors AS DOUBLE)
+        |      / CAST(n_covered AS DOUBLE) * 10000) / 10000 END
+        |    AS selective_risk
+        |FROM a ORDER BY delta""".stripMargin,
     // Same per-cent cumulative cells and (f1 desc, cut) argmax.
     "eval_f1_optimal_threshold" ->
       """WITH e AS (SELECT CAST(round(value * 100) AS BIGINT) AS c,

@@ -573,10 +573,14 @@ class InventorySpec extends SparkSpec {
     // §2.166 round-15 eighteenth wave: anchor cell, monthly index,
     // exact vector dedup
     "geo_anchor_cell", "ts_monthly_seasonal_index",
-    "dedup_vector_exact")
+    "dedup_vector_exact",
+    // §2.167 round-15 nineteenth wave: EB shrinkage, Donchian
+    // channel, selective risk
+    "agg_eb_shrunk_rates", "ts_donchian_channel",
+    "eval_selective_risk")
 
-  test("declared queries cover SURVEY §2 + §2.12-166 exactly (607 keys)") {
-    assert(inventory.size == 607)
+  test("declared queries cover SURVEY §2 + §2.12-167 exactly (610 keys)") {
+    assert(inventory.size == 610)
     val declared = SparkEntry.queries.keySet
     val missing = inventory -- declared
     val extra = declared -- inventory
