@@ -1106,6 +1106,43 @@ object AnalyticsQueries {
         .orderBy("event_type", "k")
     }),
 
+    // VALUE-BAND MIGRATION (§2.168) — the LTV movement matrix: each
+    // customer's order spend in the first vs second half of the
+    // calendar (integer-midpoint split), bucketed into log₂ dollar
+    // bands ('none' for a silent half), counted as a (band_from,
+    // band_to) transition matrix — the upgrade/churn flow a revenue
+    // review reads. Exact integer cents and band arithmetic
+    // (length(bin(dollars + 1)) — the log2-bucket device); two keyed
+    // reduces over the |customers|-row panel.
+    "agg_value_band_migration" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(col("o_custkey"),
+        epochDay("o_orderdate").as("day"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val b = o.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+        .select(expr("(lo + hi) div 2").as("mid"))
+      val halves = o.crossJoin(broadcast(b))
+        .groupBy("o_custkey")
+        .agg(sum(when(col("day") <= col("mid"), col("cents"))
+          .otherwise(0L)).as("c1"),
+          sum(when(col("day") > col("mid"), col("cents"))
+            .otherwise(0L)).as("c2"))
+      val banded = halves
+        .withColumn("band_from", when(col("c1") === 0, lit("none"))
+          .otherwise(concat(lit("b"),
+            (length(bin(expr("c1 div 100 + 1"))) - 1).cast("string"))))
+        .withColumn("band_to", when(col("c2") === 0, lit("none"))
+          .otherwise(concat(lit("b"),
+            (length(bin(expr("c2 div 100 + 1"))) - 1).cast("string"))))
+      val m = banded.groupBy("band_from", "band_to")
+        .agg(count(lit(1)).as("n_customers"))
+      val tot = m.agg(sum(col("n_customers")).cast("long").as("ntot"))
+      m.crossJoin(broadcast(tot))
+        .select(col("band_from"), col("band_to"), col("n_customers"),
+          r4d(col("n_customers").cast("double")
+            / col("ntot").cast("double")).as("share"))
+        .orderBy("band_from", "band_to")
+    }),
+
     // DONCHIAN CHANNEL (§2.167) — the rolling 7-day min/max envelope
     // with breakout flags: the simplest regime monitor (a day
     // strictly above the PRIOR week's high is an upside breakout —
@@ -4342,6 +4379,34 @@ object AnalyticsQueries {
          |  ROUND((re0 * re0 + im0 * im0) / nd * 10000) / 10000 + 0.0
          |    AS power
          |FROM ag ORDER BY event_type, k""".stripMargin,
+    // Same midpoint split, log2 dollar bands, transition reduce.
+    "agg_value_band_migration" ->
+      s"""WITH o AS (SELECT o_custkey,
+         |    ${sqlEpochDay("o_orderdate")} AS day,
+         |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+         |  FROM orders),
+         |b AS (SELECT (min(day) + max(day)) // 2 AS mid FROM o),
+         |h AS (SELECT o_custkey,
+         |    CAST(sum(CASE WHEN day <= mid THEN cents ELSE 0 END)
+         |      AS BIGINT) AS c1,
+         |    CAST(sum(CASE WHEN day > mid THEN cents ELSE 0 END)
+         |      AS BIGINT) AS c2
+         |  FROM o CROSS JOIN b GROUP BY 1),
+         |bd AS (SELECT
+         |    CASE WHEN c1 = 0 THEN 'none' ELSE 'b' ||
+         |      CAST(length(bin(c1 // 100 + 1)) - 1 AS VARCHAR) END
+         |      AS band_from,
+         |    CASE WHEN c2 = 0 THEN 'none' ELSE 'b' ||
+         |      CAST(length(bin(c2 // 100 + 1)) - 1 AS VARCHAR) END
+         |      AS band_to
+         |  FROM h),
+         |m AS (SELECT band_from, band_to, count(*) AS n_customers
+         |  FROM bd GROUP BY 1, 2),
+         |t AS (SELECT CAST(sum(n_customers) AS BIGINT) AS ntot FROM m)
+         |SELECT band_from, band_to, n_customers,
+         |  ROUND(CAST(n_customers AS DOUBLE) / CAST(ntot AS DOUBLE)
+         |    * 10000) / 10000 AS share
+         |FROM m CROSS JOIN t ORDER BY band_from, band_to""".stripMargin,
     // Same exclusive 7-day frame extrema and strict breakout tests.
     "ts_donchian_channel" ->
       s"""WITH e AS (SELECT event_type, ${sqlEpochDay("ts")} AS day

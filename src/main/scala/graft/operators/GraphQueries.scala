@@ -524,6 +524,36 @@ object GraphQueries {
         .orderBy("bucket")
     }),
 
+    // MUTUAL BEST PAIRS (§2.168) — the reciprocal-recommendation
+    // audit over graph_also_bought_topk's ranking: part pairs that
+    // are each other's #1 co-purchase (mutual-best links are the
+    // high-precision "bundle" candidates; one-directional tops are
+    // not). Top-1 per part under the (n_co desc, other) total order,
+    // one self-join on the ≤|parts|-row top-1 table, a < b
+    // canonicalization. Exact counts end to end.
+    "graph_mutual_best_pairs" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val co = partSetsByOrder(s, dir)
+        .select(explode(col("ps")).as("part"), col("ps"))
+        .select(col("part"), explode(col("ps")).as("other"))
+        .filter(col("part") =!= col("other"))
+        .groupBy(col("part"), col("other"))
+        .agg(count(lit(1)).as("n_co"))
+      val w = Window.partitionBy(col("part"))
+        .orderBy(col("n_co").desc, col("other"))
+      val top1 = co.withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("part"), col("other"), col("n_co"))
+        .localCheckpoint(true)
+      top1.as("x").join(top1.as("y"),
+          col("x.other") === col("y.part")
+            && col("y.other") === col("x.part")
+            && col("x.part") < col("y.part"))
+        .select(col("x.part").as("part_a"),
+          col("x.other").as("part_b"), col("x.n_co").as("n_co"))
+        .orderBy("part_a")
+    }),
+
     // TOP HUBS (§2.164) — the named-node readout graph_degree_hist's
     // buckets anonymize: the 10 highest-degree parts of the
     // co-purchase graph with their endpoint share — the "which SKUs
@@ -1571,6 +1601,21 @@ object GraphQueries {
         |  min(deg) AS min_deg, max(deg) AS max_deg,
         |  CAST(sum(deg) AS BIGINT) AS sum_deg
         |FROM deg GROUP BY 1 ORDER BY bucket""".stripMargin,
+    // Same top-1 ranking and reciprocal self-join.
+    "graph_mutual_best_pairs" ->
+      """WITH pp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+        |  FROM lineitem),
+        |co AS (SELECT x.p AS part, y.p AS other, count(*) AS n_co
+        |  FROM pp x JOIN pp y ON x.ok = y.ok AND x.p <> y.p
+        |  GROUP BY 1, 2),
+        |t1 AS (SELECT part, other, n_co FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY part
+        |    ORDER BY n_co DESC, other) AS rk FROM co) WHERE rk = 1)
+        |SELECT x.part AS part_a, x.other AS part_b, x.n_co
+        |FROM t1 x JOIN t1 y
+        |  ON x.other = y.part AND y.other = x.part
+        |  AND x.part < y.part
+        |ORDER BY part_a""".stripMargin,
     // Same unsampled degree table; bounded top-10 total order.
     "graph_top_hubs" ->
       """WITH pp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p

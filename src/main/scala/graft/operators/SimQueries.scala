@@ -520,6 +520,52 @@ object SimQueries {
         .orderBy("label")
     }),
 
+    // CLASSIFY MARGIN (§2.168) — the confidence profile of the
+    // centroid classifier: per vector, the d² gap between the
+    // second-best and best centroid (the decision margin); per
+    // label: mean margin (micro-snapped to 10⁻⁶ BIGINTs before
+    // summing — order-independent) and the share of AMBIGUOUS
+    // vectors (margin < 0.01, the near-boundary cases a routing
+    // pipeline sends to review). The 10-centroid distance list per
+    // vector is bounded and sorts by the bit-stable (d², label)
+    // order the classify key's argmin already stakes on.
+    "sim_classify_margin" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cent = emb
+        .select(col("label"), posexplode(col("embedding")))
+        .groupBy(col("label"), col("pos"))
+        .agg((sum(col("col").cast("double").cast("decimal(38,12)"))
+          .cast("double") / count(lit(1))).as("c"))
+      val carr = cent.groupBy("label")
+        .agg(array_sort(collect_list(struct(col("pos"), col("c"))))
+          .as("ps"))
+        .select(col("label").as("clabel"),
+          expr("transform(ps, p -> p.c)").as("cvec"))
+      val d2 = emb.crossJoin(broadcast(carr))
+        .withColumn("d2", aggregate(
+          zip_with(col("embedding"), col("cvec"),
+            (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
+          lit(0.0), (acc, e) => acc + e))
+        .groupBy(col("vec_id"), col("label"))
+        .agg(array_sort(collect_list(struct(col("d2"), col("clabel"))))
+          .as("ds"))
+        .select(col("vec_id"), col("label"),
+          floor((element_at(col("ds"), 2)("d2")
+            - element_at(col("ds"), 1)("d2")) * lit(1.0e6))
+            .cast("long").as("m6"))
+      d2.groupBy("label")
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(col("m6").cast("decimal(38,0)")).as("sm6"),
+          count_if(col("m6") < 10000L).as("n_ambiguous"))
+        .select(col("label"), col("n_vecs"),
+          r4d(col("sm6").cast("double") / col("n_vecs").cast("double")
+            / lit(1.0e6)).as("mean_margin"),
+          col("n_ambiguous"),
+          r4d(col("n_ambiguous").cast("double")
+            / col("n_vecs").cast("double")).as("share_ambiguous"))
+        .orderBy("label")
+    }),
+
     // NORM OUTLIERS (§2.165) — the actionable list behind
     // sim_norm_distribution's per-label profile: the 10 vectors
     // whose L2 norm deviates most from their label's mean (in σ
@@ -1441,6 +1487,39 @@ object SimQueries {
         |  ROUND(CAST(max6 AS DOUBLE) / 1000000.0 * 10000) / 10000
         |    AS max_norm
         |FROM a ORDER BY label""".stripMargin,
+    // Same centroid folds; the (d², label)-sorted margin and
+    // identical micro-snap.
+    "sim_classify_margin" ->
+      """WITH u AS (SELECT label, unnest(range(len(embedding))) AS pos,
+        |    unnest(embedding) AS x
+        |  FROM embeddings),
+        |cent AS (SELECT label, pos,
+        |    CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE)
+        |      / COUNT(*) AS c
+        |  FROM u GROUP BY 1, 2),
+        |carr AS (SELECT label AS clabel, list(c ORDER BY pos) AS cvec
+        |  FROM cent GROUP BY 1),
+        |sc AS (SELECT e.vec_id, e.label,
+        |    {'d': list_aggregate(list_transform(
+        |      range(1, len(e.embedding) + 1),
+        |      i -> (CAST(e.embedding[i] AS DOUBLE) - c.cvec[i])
+        |        * (CAST(e.embedding[i] AS DOUBLE) - c.cvec[i])),
+        |      'sum'), 'c': c.clabel} AS dc
+        |  FROM embeddings e CROSS JOIN carr c),
+        |m AS (SELECT vec_id, label,
+        |    CAST(floor((list_sort(list(dc))[2].d
+        |      - list_sort(list(dc))[1].d) * 1000000.0) AS BIGINT)
+        |      AS m6
+        |  FROM sc GROUP BY 1, 2)
+        |SELECT label, count(*) AS n_vecs,
+        |  ROUND(CAST(CAST(sum(m6) AS BIGINT) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) / 1000000.0 * 10000) / 10000
+        |    AS mean_margin,
+        |  count(*) FILTER (WHERE m6 < 10000) AS n_ambiguous,
+        |  ROUND(CAST(count(*) FILTER (WHERE m6 < 10000) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) * 10000) / 10000
+        |    AS share_ambiguous
+        |FROM m GROUP BY label ORDER BY label""".stripMargin,
     // Same micro-snapped norms, exact moments, identical |z| > 2 cut.
     "sim_norm_outliers" ->
       """WITH v AS (SELECT vec_id, label,

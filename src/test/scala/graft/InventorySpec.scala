@@ -577,10 +577,14 @@ class InventorySpec extends SparkSpec {
     // §2.167 round-15 nineteenth wave: EB shrinkage, Donchian
     // channel, selective risk
     "agg_eb_shrunk_rates", "ts_donchian_channel",
-    "eval_selective_risk")
+    "eval_selective_risk",
+    // §2.168 round-15 twentieth wave: mutual best pairs, band
+    // migration, classify margin
+    "graph_mutual_best_pairs", "agg_value_band_migration",
+    "sim_classify_margin")
 
-  test("declared queries cover SURVEY §2 + §2.12-167 exactly (610 keys)") {
-    assert(inventory.size == 610)
+  test("declared queries cover SURVEY §2 + §2.12-168 exactly (613 keys)") {
+    assert(inventory.size == 613)
     val declared = SparkEntry.queries.keySet
     val missing = inventory -- declared
     val extra = declared -- inventory
