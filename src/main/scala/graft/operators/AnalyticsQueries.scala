@@ -1169,6 +1169,42 @@ object AnalyticsQueries {
         .orderBy("event_type", "day")
     }),
 
+    // SMA CROSSOVER (§2.169) — the classic golden/death-cross change
+    // detector on daily order revenue: days where the trailing 7-day
+    // SMA crosses the trailing 28-day SMA (both full-window, rows
+    // convention over present order days). Both SMAs are exact
+    // integer-cent sums, and because 28 = 4·7 the comparison
+    // cross-multiplies to sign(4·s7 − s28) on exact BIGINTs — no
+    // float mean is ever compared, so the cross days are
+    // engine-exact; doubles appear only in the two reported SMA
+    // readouts. One reduce to the bounded daily series + two windows.
+    "ts_sma_crossover" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = t(s, dir, "orders")
+        .select(epochDay("o_orderdate").as("day"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+        .groupBy("day").agg(sum(col("cents")).as("rev"))
+      val wd = Window.orderBy(col("day"))
+      daily
+        .withColumn("rn", row_number().over(wd))
+        .withColumn("s7", sum(col("rev")).over(wd.rowsBetween(-6, 0)))
+        .withColumn("s28",
+          sum(col("rev")).over(wd.rowsBetween(-27, 0)))
+        .filter(col("rn") >= 28)
+        .withColumn("sgn",
+          when(col("s7") * 4 > col("s28"), lit(1L))
+            .when(col("s7") * 4 < col("s28"), lit(-1L))
+            .otherwise(lit(0L)))
+        .withColumn("psgn", lag(col("sgn"), 1).over(wd))
+        .filter(col("psgn").isNotNull && col("sgn") =!= col("psgn"))
+        .select(col("day"),
+          r4d(col("s7").cast("double") / 700.0).as("sma7"),
+          r4d(col("s28").cast("double") / 2800.0).as("sma28"),
+          when(col("sgn") > col("psgn"), lit("golden"))
+            .otherwise(lit("death")).as("direction"))
+        .orderBy("day")
+    }),
+
     // MONTHLY SEASONAL INDEX (§2.166) — the retail-calendar
     // normalizer: per calendar month (1-12), order revenue as a
     // share of the monthly MEAN (index 1.0 = average month) — the
@@ -4431,6 +4467,34 @@ object AnalyticsQueries {
          |  nwin = 7 AND y > mx AS breakout_up,
          |  nwin = 7 AND y < mn AS breakout_down
          |FROM w ORDER BY event_type, day""".stripMargin,
+    // Same exact-cent windows and 4·s7 vs s28 integer sign compare.
+    "ts_sma_crossover" ->
+      """WITH d AS (SELECT epoch_ms(o_orderdate) // 86400000 AS day,
+        |    CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+        |      AS BIGINT) AS rev
+        |  FROM orders GROUP BY 1),
+        |w AS (SELECT day,
+        |    row_number() OVER (ORDER BY day) AS rn,
+        |    CAST(sum(rev) OVER (ORDER BY day
+        |      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS s7,
+        |    CAST(sum(rev) OVER (ORDER BY day
+        |      ROWS BETWEEN 27 PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS s28
+        |  FROM d),
+        |sg AS (SELECT day, s7, s28,
+        |    CASE WHEN 4 * s7 > s28 THEN 1
+        |      WHEN 4 * s7 < s28 THEN -1 ELSE 0 END AS sgn
+        |  FROM w WHERE rn >= 28),
+        |x AS (SELECT *, lag(sgn) OVER (ORDER BY day) AS psgn FROM sg)
+        |SELECT day,
+        |  ROUND(CAST(s7 AS DOUBLE) / 700.0 * 10000) / 10000 AS sma7,
+        |  ROUND(CAST(s28 AS DOUBLE) / 2800.0 * 10000) / 10000
+        |    AS sma28,
+        |  CASE WHEN sgn > psgn THEN 'golden' ELSE 'death' END
+        |    AS direction
+        |FROM x WHERE psgn IS NOT NULL AND sgn <> psgn
+        |ORDER BY day""".stripMargin,
     // Same exact cents and cross-multiplied index.
     "ts_monthly_seasonal_index" ->
       """WITH m AS (SELECT CAST(month(o_orderdate) AS BIGINT) AS m,

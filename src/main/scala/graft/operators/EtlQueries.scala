@@ -593,6 +593,47 @@ object EtlQueries {
     // side collapses to its distinct set FIRST (partial-agg
     // exchanges); the intersection is a semi join of slim key sets —
     // never a row-level join.
+    // FANOUT AUDIT (§2.171) — the join-explosion risk report: per FK
+    // relationship, children-per-parent statistics INCLUDING
+    // childless parents (the left-join-vs-inner row-count delta a
+    // pipeline must know before choosing join type), max fanout (the
+    // skew bound AQE will face), and the count of parents above 2×
+    // the mean fanout — tested by exact integer cross-multiplication
+    // (c·n_parents > 2·n_children), no float enters the flag. Each
+    // relationship is one child-side keyed count + one slim left
+    // join; output is 3 rows.
+    "etl_fanout_audit" -> ((s, dir) => {
+      def audit(rel: String, parent: DataFrame,
+          child: DataFrame): DataFrame = {
+        val cnt = child.toDF("k").groupBy("k")
+          .agg(count(lit(1)).as("c"))
+        val j = parent.toDF("k").join(cnt, Seq("k"), "left")
+          .select(coalesce(col("c"), lit(0L)).as("c"))
+        val tot = j.agg(count(lit(1)).as("np"),
+          count_if(col("c") === 0).as("nzero"),
+          sum(col("c")).as("nc"), max(col("c")).as("mx"))
+        val over = j.crossJoin(broadcast(tot))
+          .agg(count_if(col("c") * col("np") > lit(2) * col("nc"))
+            .as("n_over_2x"))
+        tot.crossJoin(over).select(lit(rel).as("relationship"),
+          col("np").as("n_parents"), col("nzero").as("n_childless"),
+          col("nc").as("n_children"), col("mx").as("max_fanout"),
+          r4d(col("nc").cast("double") / col("np").cast("double"))
+            .as("mean_fanout"),
+          col("n_over_2x"))
+      }
+      audit("customer->orders",
+          t(s, dir, "customer").select("c_custkey"),
+          t(s, dir, "orders").select("o_custkey"))
+        .unionByName(audit("orders->lineitem",
+          t(s, dir, "orders").select("o_orderkey"),
+          t(s, dir, "lineitem").select("l_orderkey")))
+        .unionByName(audit("part->lineitem",
+          t(s, dir, "part").select("p_partkey"),
+          t(s, dir, "lineitem").select("l_partkey")))
+        .orderBy("relationship")
+    }),
+
     "etl_fk_containment" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
       def side(pair: String, isChild: Boolean, keys: DataFrame) =
@@ -1146,6 +1187,36 @@ object EtlQueries {
         one("part", "part", "p_partkey"),
         one("supplier", "supplier", "s_suppkey"))
         .mkString("", "\nUNION ALL\n", "\nORDER BY table_name")
+    },
+    // Same childless-inclusive counts and exact 2×-mean
+    // cross-multiplication.
+    "etl_fanout_audit" -> {
+      def one(rel: String, pt: String, pk: String, ct: String,
+          fk: String) =
+        s"""SELECT '$rel' AS relationship, a.n_parents, a.n_childless,
+           |  a.n_children, a.max_fanout,
+           |  ROUND(CAST(a.n_children AS DOUBLE)
+           |    / CAST(a.n_parents AS DOUBLE) * 10000) / 10000
+           |    AS mean_fanout,
+           |  (SELECT count(*) FROM (SELECT count(c2.$fk) AS c
+           |      FROM $pt p2 LEFT JOIN $ct c2 ON c2.$fk = p2.$pk
+           |      GROUP BY p2.$pk) j2
+           |    WHERE j2.c * a.n_parents > 2 * a.n_children)
+           |    AS n_over_2x
+           |FROM (SELECT count(*) AS n_parents,
+           |    count(*) FILTER (WHERE c = 0) AS n_childless,
+           |    CAST(sum(c) AS BIGINT) AS n_children,
+           |    max(c) AS max_fanout
+           |  FROM (SELECT count(c.$fk) AS c FROM $pt p
+           |    LEFT JOIN $ct c ON c.$fk = p.$pk
+           |    GROUP BY p.$pk)) a""".stripMargin
+      Seq(one("customer->orders", "customer", "c_custkey",
+          "orders", "o_custkey"),
+        one("orders->lineitem", "orders", "o_orderkey",
+          "lineitem", "l_orderkey"),
+        one("part->lineitem", "part", "p_partkey",
+          "lineitem", "l_partkey"))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY relationship")
     },
     "etl_fk_containment" ->
       """WITH u AS (

@@ -142,6 +142,40 @@ object GeoQueries {
         .orderBy("user_id")
     }),
 
+    // VISIT ENTROPY (§2.169) — per-platform Shannon entropy over its
+    // 2°×2° cell-visit distribution plus the log2(n_cells)-normalized
+    // form in [0,1] — the mobility-predictability statistic (the
+    // Song-et-al. predictability bound starts from exactly this
+    // number): 0 = always the same cell, 1 = uniform over the visited
+    // range. Exact integer counts; floats appear only in the in-order
+    // c·log2(c) fold over the sorted bounded per-user count list and
+    // two divisions (the ts_entropy_daily device). One keyed reduce +
+    // one per-user fold — no pair or cell-grid enumeration, so the
+    // shape is corpus-linear at any scale.
+    "geo_visit_entropy" -> ((s, dir) => {
+      val plogp = (cs: org.apache.spark.sql.Column) =>
+        aggregate(cs, lit(0.0), (acc, x) =>
+          acc + x.cast("double") * log2(x.cast("double")))
+      val cells = sightings(s, dir)
+        .select(col("user_id"),
+          floor(col("lat") / 2).cast("long").as("cla"),
+          floor(col("lon") / 2).cast("long").as("clo"))
+        .groupBy("user_id", "cla", "clo")
+        .agg(count(lit(1)).as("c"))
+      cells.groupBy("user_id")
+        .agg(sum(col("c")).as("n_fixes"), count(lit(1)).as("n_cells"),
+          array_sort(collect_list(col("c"))).as("cs"))
+        .select(col("user_id"), col("n_fixes"), col("n_cells"),
+          r4d(log2(col("n_fixes")) - plogp(col("cs")) / col("n_fixes"))
+            .as("entropy_bits"),
+          when(col("n_cells") > 1,
+            r4d((log2(col("n_fixes"))
+              - plogp(col("cs")) / col("n_fixes"))
+              / log2(col("n_cells"))))
+            .otherwise(lit(0.0)).as("entropy_norm"))
+        .orderBy("user_id")
+    }),
+
     // CELL FLOWS (§2.163) — the migration-corridor readout: counts
     // of consecutive-fix transitions BETWEEN distinct 2°×2° cells
     // (within-cell dwell is geo_cell_dwell's job), top-20 corridors
@@ -174,6 +208,49 @@ object GeoQueries {
           col("to_lon"), col("n_transitions"),
           r4d(col("n_transitions").cast("double")
             / col("ntot").cast("double")).as("share"))
+    }),
+
+    // FLOW ASYMMETRY (§2.170) — the directional companion to
+    // geo_cell_flows, at the REGIONAL 20°×20° grid (corridors need
+    // recurrence; the fine 2° grid is the flows key's job): for each
+    // unordered cell pair with ≥3 observed transitions, how one-way
+    // is the corridor? asymmetry = (n_ab − n_ba)/(n_ab + n_ba) ∈
+    // [−1, 1] (±1 = strictly one-way — the migration-vs-commute
+    // discriminator). Same single lead window as the flows key;
+    // transitions canonicalize map-side to the lexicographic (a < b)
+    // pair before ONE keyed reduce, so the shape stays
+    // corpus-linear; counts exact, one rounded division.
+    "geo_flow_asymmetry" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ms"), col("event_id"))
+      val f = sightings(s, dir)
+        .select(col("user_id"), col("ms"), col("event_id"),
+          floor(col("lat") / 20).cast("long").as("cla"),
+          floor(col("lon") / 20).cast("long").as("clo"))
+        .withColumn("nla", lead(col("cla"), 1).over(w))
+        .withColumn("nlo", lead(col("clo"), 1).over(w))
+        .filter(col("nla").isNotNull
+          && (col("nla") =!= col("cla") || col("nlo") =!= col("clo")))
+      val canon = col("cla") < col("nla") ||
+        (col("cla") === col("nla") && col("clo") < col("nlo"))
+      f.select(
+          when(canon, col("cla")).otherwise(col("nla")).as("a_lat"),
+          when(canon, col("clo")).otherwise(col("nlo")).as("a_lon"),
+          when(canon, col("nla")).otherwise(col("cla")).as("b_lat"),
+          when(canon, col("nlo")).otherwise(col("clo")).as("b_lon"),
+          when(canon, lit(1L)).otherwise(lit(0L)).as("fw"))
+        .groupBy("a_lat", "a_lon", "b_lat", "b_lon")
+        .agg(sum(col("fw")).as("n_ab"),
+          sum(lit(1L) - col("fw")).as("n_ba"))
+        .filter(col("n_ab") + col("n_ba") >= 3)
+        .select(col("a_lat"), col("a_lon"), col("b_lat"), col("b_lon"),
+          col("n_ab"), col("n_ba"),
+          (col("n_ab") + col("n_ba")).as("n_total"),
+          r4d((col("n_ab") - col("n_ba")).cast("double")
+            / (col("n_ab") + col("n_ba")).cast("double"))
+            .as("asymmetry"))
+        .orderBy("a_lat", "a_lon", "b_lat", "b_lon")
     }),
 
     // BEARING-CHANGE STATS (§2.159) — how much do tracks TURN:
@@ -1002,6 +1079,67 @@ object GeoQueries {
         |  AND a.user_id < b.user_id
         |GROUP BY 1, 2 HAVING count(*) >= 2
         |ORDER BY user_a, user_b""".stripMargin,
+    // Same lead-window transitions; same lexicographic pair
+    // canonicalization and exact directional counts.
+    "geo_flow_asymmetry" ->
+      """WITH p AS (SELECT user_id, event_id, epoch_ms(ts) AS ms,
+        |    CAST(floor((CAST(event_id % 1440 AS DOUBLE) / 8 - 90) / 20)
+        |      AS BIGINT) AS cla,
+        |    CAST(floor((CAST((user_id * 997 + event_id * 31) % 11520
+        |      AS DOUBLE) / 32 - 180) / 20) AS BIGINT) AS clo
+        |  FROM events),
+        |l AS (SELECT *, lead(cla) OVER w AS nla, lead(clo) OVER w
+        |    AS nlo
+        |  FROM p WINDOW w AS (PARTITION BY user_id
+        |    ORDER BY ms, event_id)),
+        |f AS (SELECT * FROM l WHERE nla IS NOT NULL
+        |  AND (nla <> cla OR nlo <> clo)),
+        |c AS (SELECT
+        |    CASE WHEN cla < nla OR (cla = nla AND clo < nlo)
+        |      THEN cla ELSE nla END AS a_lat,
+        |    CASE WHEN cla < nla OR (cla = nla AND clo < nlo)
+        |      THEN clo ELSE nlo END AS a_lon,
+        |    CASE WHEN cla < nla OR (cla = nla AND clo < nlo)
+        |      THEN nla ELSE cla END AS b_lat,
+        |    CASE WHEN cla < nla OR (cla = nla AND clo < nlo)
+        |      THEN nlo ELSE clo END AS b_lon,
+        |    CASE WHEN cla < nla OR (cla = nla AND clo < nlo)
+        |      THEN 1 ELSE 0 END AS fw
+        |  FROM f),
+        |g AS (SELECT a_lat, a_lon, b_lat, b_lon,
+        |    CAST(sum(fw) AS BIGINT) AS n_ab,
+        |    CAST(sum(1 - fw) AS BIGINT) AS n_ba
+        |  FROM c GROUP BY 1, 2, 3, 4)
+        |SELECT a_lat, a_lon, b_lat, b_lon, n_ab, n_ba,
+        |  n_ab + n_ba AS n_total,
+        |  ROUND(CAST(n_ab - n_ba AS DOUBLE)
+        |    / CAST(n_ab + n_ba AS DOUBLE) * 10000) / 10000
+        |    AS asymmetry
+        |FROM g WHERE n_ab + n_ba >= 3
+        |ORDER BY a_lat, a_lon, b_lat, b_lon""".stripMargin,
+    // Same per-user cell counts; same sorted-list c·log2(c) fold.
+    "geo_visit_entropy" ->
+      """WITH p AS (SELECT user_id,
+        |    CAST(floor((CAST(event_id % 1440 AS DOUBLE) / 8 - 90) / 2)
+        |      AS BIGINT) AS cla,
+        |    CAST(floor((CAST((user_id * 997 + event_id * 31) % 11520
+        |      AS DOUBLE) / 32 - 180) / 2) AS BIGINT) AS clo
+        |  FROM events),
+        |cells AS (SELECT user_id, cla, clo, count(*) AS c FROM p
+        |  GROUP BY 1, 2, 3),
+        |g AS (SELECT user_id, CAST(sum(c) AS BIGINT) AS n_fixes,
+        |    count(*) AS n_cells, list_sort(list(c)) AS cs
+        |  FROM cells GROUP BY 1)
+        |SELECT user_id, n_fixes, n_cells,
+        |  ROUND((log2(n_fixes)
+        |    - list_aggregate(list_transform(cs, x -> x * log2(x)),
+        |        'sum') / n_fixes) * 10000) / 10000 AS entropy_bits,
+        |  CASE WHEN n_cells > 1 THEN
+        |    ROUND((log2(n_fixes)
+        |      - list_aggregate(list_transform(cs, x -> x * log2(x)),
+        |          'sum') / n_fixes) / log2(n_cells) * 10000) / 10000
+        |  ELSE 0.0 END AS entropy_norm
+        |FROM g ORDER BY user_id""".stripMargin,
     // Same exact min/max envelope and product.
     // Same modal-cell argmax under the identical total order.
     "geo_anchor_cell" ->

@@ -554,6 +554,55 @@ object GraphQueries {
         .orderBy("part_a")
     }),
 
+    // DEEPWALK CORPUS (§2.171) — the random-walk sentence generator
+    // behind DeepWalk/node2vec-style graph embeddings, made
+    // replay-deterministic: from EVERY node of the co-purchase
+    // graph, 2 walks of 2 steps each, the step choice driven by the
+    // 52-bit md5 integer uniform (the §2.129 device) over the
+    // node's md5-ranked adjacency list — no RNG state, so backfills
+    // and retries emit byte-identical corpora. Shape: one bounded
+    // window to index adjacency + two equi-joins (frontier ⋈ adj),
+    // walk count is 2·|nodes| — corpus-linear, no materialized
+    // walk×walk anything.
+    "graph_deepwalk_corpus" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val co = partSetsByOrder(s, dir)
+        .select(explode(col("ps")).as("part"), col("ps"))
+        .select(col("part"), explode(col("ps")).as("other"))
+        .filter(col("part") =!= col("other"))
+        .distinct()
+      val wadj = Window.partitionBy(col("part"))
+        .orderBy(md5(concat(col("part").cast("string"), lit(":"),
+          col("other").cast("string")).cast("binary")), col("other"))
+      val adj = co.withColumn("idx",
+        row_number().over(wadj).cast("long"))
+      val deg = co.groupBy("part").agg(count(lit(1)).as("deg"))
+      def u(node: org.apache.spark.sql.Column,
+          seed: org.apache.spark.sql.Column, step: Int) =
+        conv(substring(md5(concat(node.cast("string"), lit(":"),
+          seed.cast("string"), lit(s":$step")).cast("binary")),
+          1, 13), 16, 10).cast("long")
+      val w0 = deg
+        .select(col("part").as("n0"), col("deg").as("d0"),
+          explode(array(lit(1L), lit(2L))).as("walk_no"))
+        .withColumn("i1",
+          pmod(u(col("n0"), col("walk_no"), 1), col("d0")) + 1)
+      val s1 = w0.join(adj,
+          col("part") === col("n0") && col("idx") === col("i1"))
+        .select(col("n0"), col("walk_no"), col("other").as("n1"))
+      val s2 = s1
+        .join(deg.select(col("part").as("n1"), col("deg").as("d1")),
+          Seq("n1"))
+        .withColumn("i2",
+          pmod(u(col("n1"), col("walk_no"), 2), col("d1")) + 1)
+        .join(adj.select(col("part").as("n1"),
+            col("idx").as("idx2"), col("other").as("n2")),
+          Seq("n1"))
+        .filter(col("idx2") === col("i2"))
+      s2.select(col("n0"), col("walk_no"), col("n1"), col("n2"))
+        .orderBy("n0", "walk_no")
+    }),
+
     // TOP HUBS (§2.164) — the named-node readout graph_degree_hist's
     // buckets anonymize: the 10 highest-degree parts of the
     // co-purchase graph with their endpoint share — the "which SKUs
@@ -1601,6 +1650,35 @@ object GraphQueries {
         |  min(deg) AS min_deg, max(deg) AS max_deg,
         |  CAST(sum(deg) AS BIGINT) AS sum_deg
         |FROM deg GROUP BY 1 ORDER BY bucket""".stripMargin,
+    // Same md5-ranked adjacency, 52-bit integer uniforms
+    // ('0x'||hex ≡ conv(hex,16,10)), and two unrolled step joins.
+    "graph_deepwalk_corpus" ->
+      """WITH pp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+        |  FROM lineitem),
+        |co AS (SELECT DISTINCT x.p AS part, y.p AS other
+        |  FROM pp x JOIN pp y ON x.ok = y.ok AND x.p <> y.p),
+        |adj AS (SELECT part, other,
+        |    CAST(row_number() OVER (PARTITION BY part
+        |      ORDER BY md5(CAST(part AS VARCHAR) || ':'
+        |        || CAST(other AS VARCHAR)), other) AS BIGINT) AS idx
+        |  FROM co),
+        |deg AS (SELECT part, count(*) AS deg FROM co GROUP BY 1),
+        |w0 AS (SELECT part AS n0, deg AS d0, walk_no,
+        |    CAST(('0x' || substring(md5(CAST(part AS VARCHAR) || ':'
+        |      || CAST(walk_no AS VARCHAR) || ':1'), 1, 13))
+        |      AS BIGINT) % deg + 1 AS i1
+        |  FROM deg CROSS JOIN
+        |    (SELECT unnest([CAST(1 AS BIGINT), 2]) AS walk_no)),
+        |s1 AS (SELECT w0.n0, w0.walk_no, a.other AS n1
+        |  FROM w0 JOIN adj a ON a.part = w0.n0 AND a.idx = w0.i1),
+        |s1d AS (SELECT s1.*, d.deg AS d1,
+        |    CAST(('0x' || substring(md5(CAST(s1.n1 AS VARCHAR) || ':'
+        |      || CAST(s1.walk_no AS VARCHAR) || ':2'), 1, 13))
+        |      AS BIGINT) % d.deg + 1 AS i2
+        |  FROM s1 JOIN deg d ON d.part = s1.n1)
+        |SELECT s.n0, s.walk_no, s.n1, a.other AS n2
+        |FROM s1d s JOIN adj a ON a.part = s.n1 AND a.idx = s.i2
+        |ORDER BY n0, walk_no""".stripMargin,
     // Same top-1 ranking and reciprocal self-join.
     "graph_mutual_best_pairs" ->
       """WITH pp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p

@@ -2508,6 +2508,55 @@ object PipelineQueries {
         .orderBy("gt_id")
     }),
 
+    // CUTMIX MANIFEST (§2.170) — the remaining staple of the
+    // augmentation-manifest family (flip/crop/jitter/mosaic ship
+    // already): pair every 800×800 canvas with a donor image (next
+    // image id, cyclic — deterministic, no RNG), cut a hashed-integer
+    // patch rectangle, report λ = 1 − patch/canvas area (the label
+    // mixing weight) and how many donor GT boxes survive (doubled-
+    // coordinate centers strictly inside the patch — exact integer
+    // test, the flip/clip convention). Planning-only like its
+    // siblings: pure map-side arithmetic on the bounded image table +
+    // one broadcast count join; pixels stay in the decode stubs.
+    "multimodal_cutmix_manifest" -> ((s, dir) => {
+      val base = t(s, dir, "part").select(col("p_partkey").as("k"),
+        col("p_size").cast("long").as("sz"))
+        .select(col("k"), expr("k div 64").as("image_id"),
+          ((col("k") % 8) * 100).as("gx1"),
+          (expr("(k % 64) div 8") * 100).as("gy1"), col("sz"))
+        .withColumn("gx2", col("gx1") + 40 + col("sz") % 20)
+        .withColumn("gy2", col("gy1") + 60 + col("k") % 13)
+      val imgs = base.select(col("image_id")).distinct()
+      val n = imgs.agg(count(lit(1)).as("n_images"))
+      val man = imgs.crossJoin(broadcast(n))
+        .select(col("image_id"),
+          ((col("image_id") + 1) % col("n_images")).as("donor_id"))
+        .withColumn("px1", (col("image_id") * 37) % 400)
+        .withColumn("py1", (col("image_id") * 53) % 400)
+        .withColumn("px2", col("px1") + 200 + col("image_id") % 200)
+        .withColumn("py2",
+          col("py1") + 200 + (col("image_id") * 7) % 200)
+      val donor = base.select(col("image_id").as("donor_id"),
+        (col("gx1") + col("gx2")).as("cx2"),
+        (col("gy1") + col("gy2")).as("cy2"))
+      man.join(donor, Seq("donor_id"), "left")
+        .withColumn("inpatch",
+          when(col("cx2") >= col("px1") * 2
+            && col("cx2") < col("px2") * 2
+            && col("cy2") >= col("py1") * 2
+            && col("cy2") < col("py2") * 2, lit(1L))
+            .otherwise(lit(0L)))
+        .groupBy("image_id", "donor_id", "px1", "py1", "px2", "py2")
+        .agg(sum(col("inpatch")).as("n_donor_boxes_kept"))
+        .select(col("image_id"), col("donor_id"), col("px1"),
+          col("py1"), col("px2"), col("py2"),
+          r4d(lit(1.0) - (col("px2") - col("px1")).cast("double")
+            * (col("py2") - col("py1")).cast("double")
+            / lit(640000.0)).as("lam"),
+          col("n_donor_boxes_kept"))
+        .orderBy("image_id")
+    }),
+
     "multimodal_track_stitch" -> ((s, dir) => {
       val (det, _, ptr) = trackTables(s, dir)
       ptr.join(det.select(col("det_id"), col("frame")), Seq("det_id"))
@@ -4164,6 +4213,39 @@ object PipelineQueries {
         |SELECT gt_id, mosaic_id, quadrant, mx1, my1, mx2, my2
         |FROM m WHERE mx2 > mx1 AND my2 > my1
         |ORDER BY gt_id""".stripMargin,
+    // Same base grid; same cyclic donor pairing, hashed patch, and
+    // strict doubled-center containment.
+    "multimodal_cutmix_manifest" ->
+      """WITH base AS (SELECT p_partkey AS k,
+        |    CAST(p_size AS BIGINT) AS sz,
+        |    p_partkey // 64 AS image_id,
+        |    (p_partkey % 8) * 100 AS gx1,
+        |    ((p_partkey % 64) // 8) * 100 AS gy1
+        |  FROM part),
+        |bb AS (SELECT *, gx1 + 40 + sz % 20 AS gx2,
+        |    gy1 + 60 + k % 13 AS gy2 FROM base),
+        |imgs AS (SELECT DISTINCT image_id FROM base),
+        |n AS (SELECT count(*) AS n_images FROM imgs),
+        |man AS (SELECT image_id,
+        |    (image_id + 1) % n_images AS donor_id,
+        |    (image_id * 37) % 400 AS px1,
+        |    (image_id * 53) % 400 AS py1,
+        |    (image_id * 37) % 400 + 200 + image_id % 200 AS px2,
+        |    (image_id * 53) % 400 + 200 + (image_id * 7) % 200 AS py2
+        |  FROM imgs CROSS JOIN n),
+        |donor AS (SELECT image_id AS donor_id, gx1 + gx2 AS cx2,
+        |    gy1 + gy2 AS cy2 FROM bb),
+        |j AS (SELECT m.*, CASE WHEN d.cx2 >= m.px1 * 2
+        |      AND d.cx2 < m.px2 * 2 AND d.cy2 >= m.py1 * 2
+        |      AND d.cy2 < m.py2 * 2 THEN 1 ELSE 0 END AS inpatch
+        |  FROM man m LEFT JOIN donor d ON d.donor_id = m.donor_id)
+        |SELECT image_id, donor_id, px1, py1, px2, py2,
+        |  ROUND((1.0 - CAST(px2 - px1 AS DOUBLE)
+        |    * CAST(py2 - py1 AS DOUBLE) / 640000.0) * 10000) / 10000
+        |    AS lam,
+        |  CAST(sum(inpatch) AS BIGINT) AS n_donor_boxes_kept
+        |FROM j GROUP BY 1, 2, 3, 4, 5, 6
+        |ORDER BY image_id""".stripMargin,
     // Same frame-pair matcher in SQL; the three pointer doublings are
     // unrolled self-joins (chains are < 2³ links by the k % 7 holes).
     "multimodal_track_stitch" ->

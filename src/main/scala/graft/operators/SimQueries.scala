@@ -566,6 +566,41 @@ object SimQueries {
         .orderBy("label")
     }),
 
+    // LABEL EXEMPLARS (§2.169) — prototype picking: the 3 vectors
+    // closest (squared L2) to their OWN label centroid — the "show
+    // me what this class looks like" readout every labeling audit
+    // and few-shot-prompt builder starts from (a medoid
+    // approximation at centroid cost: one broadcast equi-join on
+    // label, no pair enumeration). Centroids are the classify keys'
+    // exact decimal(38,12) means divided once to doubles; d² folds
+    // in dimension order on the same bit-stable device; top-3 under
+    // the (d², vec_id) total order via a per-label bounded window.
+    "sim_label_exemplars" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cent = emb
+        .select(col("label"), posexplode(col("embedding")))
+        .groupBy(col("label"), col("pos"))
+        .agg((sum(col("col").cast("double").cast("decimal(38,12)"))
+          .cast("double") / count(lit(1))).as("c"))
+      val carr = cent.groupBy("label")
+        .agg(array_sort(collect_list(struct(col("pos"), col("c"))))
+          .as("ps"))
+        .select(col("label"),
+          expr("transform(ps, p -> p.c)").as("cvec"))
+      val w = Window.partitionBy(col("label"))
+        .orderBy(col("d2"), col("vec_id"))
+      emb.join(broadcast(carr), Seq("label"))
+        .withColumn("d2", aggregate(
+          zip_with(col("embedding"), col("cvec"),
+            (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
+          lit(0.0), (acc, e) => acc + e))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("label"), col("rk").cast("long").as("rk"),
+          col("vec_id"), r4d(col("d2")).as("d2"))
+        .orderBy("label", "rk")
+    }),
+
     // NORM OUTLIERS (§2.165) — the actionable list behind
     // sim_norm_distribution's per-label profile: the 10 vectors
     // whose L2 norm deviates most from their label's mean (in σ
@@ -1520,6 +1555,29 @@ object SimQueries {
         |    / CAST(count(*) AS DOUBLE) * 10000) / 10000
         |    AS share_ambiguous
         |FROM m GROUP BY label ORDER BY label""".stripMargin,
+    // Same exact centroids and in-order d² fold; same (d², vec_id)
+    // rank.
+    "sim_label_exemplars" ->
+      """WITH u AS (SELECT label, unnest(range(len(embedding))) AS pos,
+        |    unnest(embedding) AS x
+        |  FROM embeddings),
+        |cent AS (SELECT label, pos,
+        |    CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE)
+        |      / COUNT(*) AS c
+        |  FROM u GROUP BY 1, 2),
+        |carr AS (SELECT label, list(c ORDER BY pos) AS cvec
+        |  FROM cent GROUP BY 1),
+        |d AS (SELECT e.vec_id, e.label,
+        |    list_aggregate(list_transform(
+        |      range(1, len(e.embedding) + 1),
+        |      i -> (CAST(e.embedding[i] AS DOUBLE) - c.cvec[i])
+        |        * (CAST(e.embedding[i] AS DOUBLE) - c.cvec[i])),
+        |      'sum') AS d2
+        |  FROM embeddings e JOIN carr c ON c.label = e.label),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY label
+        |    ORDER BY d2, vec_id) AS rk FROM d)
+        |SELECT label, rk, vec_id, ROUND(d2 * 10000) / 10000 AS d2
+        |FROM rk WHERE rk <= 3 ORDER BY label, rk""".stripMargin,
     // Same micro-snapped norms, exact moments, identical |z| > 2 cut.
     "sim_norm_outliers" ->
       """WITH v AS (SELECT vec_id, label,

@@ -174,6 +174,39 @@ object TextQueries {
     "dedup_near_jaccard" -> ((s, dir) =>
       exactJaccard(s, dir, 1000, 0.8).orderBy("doc_i", "doc_j")),
 
+    // DEDUP TIER REPORT (§2.170) — the three-tier duplicate audit a
+    // corpus card needs BEFORE choosing a dedup strategy: per source,
+    // distinct counts at each canonicalization tier — raw string
+    // (exact dups), sorted token multiset (reorder-only dups: same
+    // words, same multiplicities, different order), sorted distinct
+    // token set (multiplicity-only dups — dedup_exact_text's key).
+    // The tier deltas quantify how much each cheaper pass would
+    // remove. Exact integers; canonicalization is map-side string
+    // work; one reduce with three distinct-aggregates over the
+    // bounded source grid.
+    "dedup_tier_report" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("source"), col("text"),
+          concat_ws(" ", array_sort(split(col("text"), " ")))
+            .as("bag"),
+          concat_ws(" ",
+            array_sort(array_distinct(split(col("text"), " "))))
+            .as("tokset"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("text")).as("n_unique_texts"),
+          countDistinct(col("bag")).as("n_unique_bags"),
+          countDistinct(col("tokset")).as("n_unique_sets"))
+        .select(col("source"), col("n_docs"), col("n_unique_texts"),
+          col("n_unique_bags"), col("n_unique_sets"),
+          (col("n_docs") - col("n_unique_texts")).as("n_exact_dups"),
+          (col("n_unique_texts") - col("n_unique_bags"))
+            .as("n_reorder_dups"),
+          (col("n_unique_bags") - col("n_unique_sets"))
+            .as("n_multiplicity_dups"))
+        .orderBy("source")
+    }),
+
     // DUPLICATE-CLUSTER SIZE HISTOGRAM (§2.153) — the corpus-health
     // readout over dedup_exact_text's clusters: how many clusters of
     // each size, and what share of the corpus sits in them (a corpus
@@ -893,6 +926,46 @@ object TextQueries {
             / col("n_grams").cast("double")).as("dup_share"),
           r4d(col("n_docs_with_repeat").cast("double")
             / col("n_docs").cast("double")).as("share_docs_repeat"))
+        .orderBy("source")
+    }),
+
+    // CROSS-DOC NGRAM SHARE (§2.171) — the per-source duplication
+    // pressure metric (the RefinedWeb/FineWeb "duplicated n-gram
+    // fraction" audit): micro-averaged share of each document's
+    // DISTINCT 8-grams that appear in ≥2 documents corpus-wide,
+    // plus the count of majority-shared docs (2·shared ≥ distinct —
+    // exact integer test, no float enters the flag). Distinct from
+    // text_intradoc_ngram_dup (WITHIN-doc repetition) and the
+    // dedup_substring_spans pair lists (WHICH docs collide): this is
+    // the corpus-card number. Shape: explode → distinct → one
+    // gram-keyed reduce for df + one join back — corpus-linear.
+    "text_crossdoc_ngram_share" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("source"), col("doc_id"),
+          split(col("text"), " ").as("toks"))
+      val grams = d.filter(size(col("toks")) >= 8)
+        .select(col("source"), col("doc_id"), explode(expr(
+          "transform(sequence(0, size(toks)-8)," +
+            " i -> array_join(slice(toks, i+1, 8), ' '))")).as("g"))
+        .distinct()
+      val df = grams.groupBy("g")
+        .agg(countDistinct(col("doc_id")).as("gdocs"))
+      val per = grams.join(df, Seq("g"))
+        .groupBy("source", "doc_id")
+        .agg(count(lit(1)).as("nd"),
+          count_if(col("gdocs") >= 2).as("nshared"))
+      per.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("nd")).as("n_distinct_grams"),
+          sum(col("nshared")).as("n_shared_grams"),
+          count_if(col("nshared") * 2 >= col("nd"))
+            .as("n_docs_majority_shared"))
+        .select(col("source"), col("n_docs"), col("n_distinct_grams"),
+          col("n_shared_grams"),
+          r4d(col("n_shared_grams").cast("double")
+            / col("n_distinct_grams").cast("double"))
+            .as("share_shared"),
+          col("n_docs_majority_shared"))
         .orderBy("source")
     }),
 
@@ -1686,6 +1759,29 @@ object TextQueries {
         |    AS share_docs_repeat
         |FROM a JOIN shorts s ON s.source = a.source
         |ORDER BY a.source""".stripMargin,
+    // Same per-doc-distinct 8-gram table, df ≥ 2 match, and exact
+    // 2·shared ≥ distinct majority test.
+    "text_crossdoc_ngram_share" ->
+      """WITH d AS (SELECT source, doc_id,
+        |    string_split(text, ' ') AS toks FROM documents),
+        |grams AS (SELECT DISTINCT source, doc_id,
+        |    unnest(list_transform(range(len(toks) - 7),
+        |      i -> array_to_string(toks[i + 1:i + 8], ' '))) AS g
+        |  FROM d WHERE len(toks) >= 8),
+        |df AS (SELECT g, count(DISTINCT doc_id) AS gdocs FROM grams
+        |  GROUP BY 1),
+        |per AS (SELECT source, doc_id, count(*) AS nd,
+        |    count(*) FILTER (WHERE gdocs >= 2) AS nshared
+        |  FROM grams JOIN df USING (g) GROUP BY 1, 2)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(nd) AS BIGINT) AS n_distinct_grams,
+        |  CAST(sum(nshared) AS BIGINT) AS n_shared_grams,
+        |  ROUND(CAST(sum(nshared) AS DOUBLE)
+        |    / CAST(sum(nd) AS DOUBLE) * 10000) / 10000 + 0.0
+        |    AS share_shared,
+        |  count(*) FILTER (WHERE nshared * 2 >= nd)
+        |    AS n_docs_majority_shared
+        |FROM per GROUP BY source ORDER BY source""".stripMargin,
     // Same per-doc-distinct bigram table (lead-window spelling), the
     // identical df ≥ 2 match and exact ≥ ½ test.
     "text_self_bleu_lite" ->
@@ -1876,6 +1972,25 @@ object TextQueries {
         |    md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS h
         |  FROM documents)
         |GROUP BY h HAVING count(*) > 1 ORDER BY h""".stripMargin,
+    // Same three canonicalization tiers and distinct counts.
+    "dedup_tier_report" ->
+      """WITH c AS (SELECT source, text,
+        |    array_to_string(list_sort(string_split(text, ' ')), ' ')
+        |      AS bag,
+        |    array_to_string(list_sort(list_distinct(
+        |      string_split(text, ' '))), ' ') AS tokset
+        |  FROM documents),
+        |g AS (SELECT source, count(*) AS n_docs,
+        |    count(DISTINCT text) AS n_unique_texts,
+        |    count(DISTINCT bag) AS n_unique_bags,
+        |    count(DISTINCT tokset) AS n_unique_sets
+        |  FROM c GROUP BY 1)
+        |SELECT source, n_docs, n_unique_texts, n_unique_bags,
+        |  n_unique_sets,
+        |  n_docs - n_unique_texts AS n_exact_dups,
+        |  n_unique_texts - n_unique_bags AS n_reorder_dups,
+        |  n_unique_bags - n_unique_sets AS n_multiplicity_dups
+        |FROM g ORDER BY source""".stripMargin,
     "dedup_near_jaccard" ->
       s"""WITH $tokCte
          |SELECT i AS doc_i, j AS doc_j, ROUND(jac, 4) AS jac FROM (

@@ -581,10 +581,21 @@ class InventorySpec extends SparkSpec {
     // §2.168 round-15 twentieth wave: mutual best pairs, band
     // migration, classify margin
     "graph_mutual_best_pairs", "agg_value_band_migration",
-    "sim_classify_margin")
+    "sim_classify_margin",
+    // §2.169 round-15 twenty-first wave: visit entropy, SMA
+    // crossover, label exemplars
+    "geo_visit_entropy", "ts_sma_crossover", "sim_label_exemplars",
+    // §2.170 round-15 twenty-second wave: flow asymmetry, cutmix
+    // manifest, dedup tier report
+    "geo_flow_asymmetry", "multimodal_cutmix_manifest",
+    "dedup_tier_report",
+    // §2.171 round-15 twenty-third wave: deepwalk corpus, cross-doc
+    // ngram share, fanout audit
+    "graph_deepwalk_corpus", "text_crossdoc_ngram_share",
+    "etl_fanout_audit")
 
-  test("declared queries cover SURVEY §2 + §2.12-168 exactly (613 keys)") {
-    assert(inventory.size == 613)
+  test("declared queries cover SURVEY §2 + §2.12-171 exactly (622 keys)") {
+    assert(inventory.size == 622)
     val declared = SparkEntry.queries.keySet
     val missing = inventory -- declared
     val extra = declared -- inventory
