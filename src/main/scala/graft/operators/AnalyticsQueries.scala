@@ -1169,6 +1169,85 @@ object AnalyticsQueries {
         .orderBy("event_type", "day")
     }),
 
+    // ASSOCIATION-RULES LIFT (§2.172) — market-basket mining on the
+    // behavioral stream: baskets are user-days, items are event
+    // types; for each type pair (a < b), support, directional
+    // confidence and lift = n_ab·N/(n_a·n_b) — the "users who X also
+    // Y" primitive behind cross-sell and feature-adoption reports.
+    // The pair join explodes WITHIN baskets only (≤ |types| items per
+    // basket — bounded fanout, corpus-linear rows); singles and the
+    // basket total are broadcast scalars; lift cross-multiplies exact
+    // integers before its one rounded division.
+    "agg_assoc_rules_lift" -> ((s, dir) => {
+      val b = events(s, dir)
+        .select(col("user_id"), epochDay("ts").as("day"),
+          col("event_type"))
+        .distinct()
+      val nb = b.select("user_id", "day").distinct()
+        .agg(count(lit(1)).as("n_baskets"))
+      val singles = b.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_single"))
+      val pairs = b.as("x").join(b.as("y"),
+          col("x.user_id") === col("y.user_id")
+            && col("x.day") === col("y.day")
+            && col("x.event_type") < col("y.event_type"))
+        .groupBy(col("x.event_type").as("a"),
+          col("y.event_type").as("b"))
+        .agg(count(lit(1)).as("n_ab"))
+      pairs
+        .join(broadcast(singles.select(col("event_type").as("a"),
+          col("n_single").as("n_a"))), Seq("a"))
+        .join(broadcast(singles.select(col("event_type").as("b"),
+          col("n_single").as("n_b"))), Seq("b"))
+        .crossJoin(broadcast(nb))
+        .select(col("a"), col("b"), col("n_ab"), col("n_a"),
+          col("n_b"),
+          r4d(col("n_ab").cast("double")
+            / col("n_baskets").cast("double")).as("support"),
+          r4d(col("n_ab").cast("double")
+            / col("n_a").cast("double")).as("confidence_a_b"),
+          r4d((col("n_ab") * col("n_baskets")).cast("double")
+            / (col("n_a") * col("n_b")).cast("double")).as("lift"))
+        .orderBy("a", "b")
+    }),
+
+    // SEGMENTED REGRESSION (§2.172) — interrupted-time-series slope
+    // analysis: split the zero-filled daily spine at the integer-
+    // midpoint day and fit exact-moment OLS slopes to each half (the
+    // agg_trend_slope device, decimal(38,0) sums, one double
+    // division each); slope_change is the trend-break readout that
+    // complements ts_level_shift (mean break) and ab_diff_in_diff
+    // (level×group). Two filtered reduces over the bounded spine.
+    "ts_segmented_regression" -> ((s, dir) => {
+      val d = zeroFilledDaily(s, dir)
+      val bounds = d.agg(min(col("day")).as("lo"),
+        max(col("day")).as("hi"))
+      val seg = d.crossJoin(broadcast(bounds))
+        .withColumn("post", col("day") > expr("(lo + hi) div 2"))
+      def withSlope(f: DataFrame, nn: String, sl: String) =
+        f.groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(col("day").cast("decimal(38,0)")).as("sx"),
+            sum(col("y").cast("decimal(38,0)")).as("sy"),
+            sum((col("day") * col("day")).cast("decimal(38,0)"))
+              .as("sxx"),
+            sum((col("day") * col("y")).cast("decimal(38,0)"))
+              .as("sxy"))
+          .select(col("event_type"), col("n").as(nn),
+            ((col("n") * col("sxy") - col("sx") * col("sy"))
+              .cast("double")
+              / (col("n") * col("sxx") - col("sx") * col("sx"))
+                .cast("double")).as(sl))
+      withSlope(seg.filter(!col("post")), "n_pre", "bpre")
+        .join(withSlope(seg.filter(col("post")), "n_post", "bpost"),
+          Seq("event_type"))
+        .select(col("event_type"), col("n_pre"), col("n_post"),
+          r4d(col("bpre")).as("slope_pre"),
+          r4d(col("bpost")).as("slope_post"),
+          r4d(col("bpost") - col("bpre")).as("slope_change"))
+        .orderBy("event_type")
+    }),
+
     // SMA CROSSOVER (§2.169) — the classic golden/death-cross change
     // detector on daily order revenue: days where the trailing 7-day
     // SMA crosses the trailing 28-day SMA (both full-window, rows
@@ -4467,6 +4546,69 @@ object AnalyticsQueries {
          |  nwin = 7 AND y > mx AS breakout_up,
          |  nwin = 7 AND y < mn AS breakout_down
          |FROM w ORDER BY event_type, day""".stripMargin,
+    // Same user-day baskets, within-basket pair join, and exact
+    // cross-multiplied lift.
+    "agg_assoc_rules_lift" ->
+      s"""WITH b AS (SELECT DISTINCT user_id,
+         |    ${sqlEpochDay("ts")} AS day, event_type FROM events),
+         |nb AS (SELECT count(*) AS n_baskets FROM
+         |  (SELECT DISTINCT user_id, day FROM b)),
+         |s AS (SELECT event_type, count(*) AS n_single FROM b
+         |  GROUP BY 1),
+         |p AS (SELECT x.event_type AS a, y.event_type AS b,
+         |    count(*) AS n_ab
+         |  FROM b x JOIN b y ON x.user_id = y.user_id
+         |    AND x.day = y.day AND x.event_type < y.event_type
+         |  GROUP BY 1, 2)
+         |SELECT p.a, p.b, p.n_ab, sa.n_single AS n_a,
+         |  sb.n_single AS n_b,
+         |  ROUND(CAST(p.n_ab AS DOUBLE)
+         |    / CAST(nb.n_baskets AS DOUBLE) * 10000) / 10000
+         |    AS support,
+         |  ROUND(CAST(p.n_ab AS DOUBLE)
+         |    / CAST(sa.n_single AS DOUBLE) * 10000) / 10000
+         |    AS confidence_a_b,
+         |  ROUND(CAST(p.n_ab * nb.n_baskets AS DOUBLE)
+         |    / CAST(sa.n_single * sb.n_single AS DOUBLE) * 10000)
+         |    / 10000 AS lift
+         |FROM p JOIN s sa ON sa.event_type = p.a
+         |  JOIN s sb ON sb.event_type = p.b
+         |  CROSS JOIN nb ORDER BY a, b""".stripMargin,
+    // Same zero-filled spine, integer-midpoint split, and exact
+    // HUGEINT moment slopes.
+    "ts_segmented_regression" ->
+      s"""WITH e AS (SELECT event_type, ${sqlEpochDay("ts")} AS day
+         |  FROM events),
+         |d0 AS (SELECT event_type, day, count(*) AS y FROM e
+         |  GROUP BY 1, 2),
+         |bd AS (SELECT min(day) AS lo, max(day) AS hi FROM e),
+         |ty AS (SELECT DISTINCT event_type FROM e),
+         |spine AS (SELECT event_type, unnest(range(lo, hi + 1)) AS day
+         |  FROM ty CROSS JOIN bd),
+         |fl AS (SELECT s.event_type, s.day, coalesce(y, 0) AS y,
+         |    s.day > (bd.lo + bd.hi) // 2 AS post
+         |  FROM spine s LEFT JOIN d0
+         |    ON d0.event_type = s.event_type AND d0.day = s.day
+         |  CROSS JOIN bd),
+         |m AS (SELECT event_type, post, count(*) AS n,
+         |    CAST(sum(day) AS HUGEINT) AS sx,
+         |    CAST(sum(y) AS HUGEINT) AS sy,
+         |    CAST(sum(day * day) AS HUGEINT) AS sxx,
+         |    CAST(sum(day * y) AS HUGEINT) AS sxy
+         |  FROM fl GROUP BY 1, 2),
+         |sl AS (SELECT event_type, post, n,
+         |    CAST(n * sxy - sx * sy AS DOUBLE)
+         |      / CAST(n * sxx - sx * sx AS DOUBLE) AS b
+         |  FROM m)
+         |SELECT pre.event_type, pre.n AS n_pre, post.n AS n_post,
+         |  ROUND(pre.b * 10000) / 10000 + 0.0 AS slope_pre,
+         |  ROUND(post.b * 10000) / 10000 + 0.0 AS slope_post,
+         |  ROUND((post.b - pre.b) * 10000) / 10000 + 0.0
+         |    AS slope_change
+         |FROM sl pre JOIN sl post
+         |  ON pre.event_type = post.event_type
+         |  AND NOT pre.post AND post.post
+         |ORDER BY pre.event_type""".stripMargin,
     // Same exact-cent windows and 4·s7 vs s28 integer sign compare.
     "ts_sma_crossover" ->
       """WITH d AS (SELECT epoch_ms(o_orderdate) // 86400000 AS day,

@@ -554,6 +554,53 @@ object GraphQueries {
         .orderBy("part_a")
     }),
 
+    // EDGE EMBEDDEDNESS (§2.173) — Granovetter's weak-tie profile:
+    // per co-purchase edge, the count of common neighbors of its
+    // endpoints (the edge's triangle support), histogrammed into
+    // power-of-two-ish buckets with shares — the structural-cohesion
+    // readout between graph_clustering_coeff (per-node) and
+    // graph_transitivity_global (one number). Embeddedness-0 edges
+    // are local bridges (this fixture has none — the dense-graph
+    // reading the bucket 0 row makes checkable). The common-neighbor
+    // join is the standard bounded triangle enumeration the
+    // clustering keys already stake; exact integers throughout.
+    "graph_edge_embeddedness" -> ((s, dir) => {
+      val co = partSetsByOrder(s, dir)
+        .select(explode(col("ps")).as("a"), col("ps"))
+        .select(col("a"), explode(col("ps")).as("b"))
+        .filter(col("a") < col("b"))
+        .distinct()
+      val adj = co.select(col("a").as("x"), col("b").as("y"))
+        .union(co.select(col("b").as("x"), col("a").as("y")))
+      val cn = co.as("e")
+        .join(adj.as("n1"), col("n1.x") === col("e.a"))
+        .join(adj.as("n2"), col("n2.x") === col("e.b")
+          && col("n2.y") === col("n1.y"))
+        .groupBy(col("e.a").as("a"), col("e.b").as("b"))
+        .agg(count(lit(1)).as("c"))
+      val bucketed = co.join(cn, Seq("a", "b"), "left")
+        .select(coalesce(col("c"), lit(0L)).as("c"))
+        .select(when(col("c") <= 2, col("c"))
+          .when(col("c") <= 4, 3L).when(col("c") <= 8, 4L)
+          .when(col("c") <= 16, 5L).otherwise(6L).as("bucket_id"))
+        .groupBy("bucket_id").agg(count(lit(1)).as("n_edges"))
+      bucketed
+        .crossJoin(broadcast(bucketed
+          .agg(sum(col("n_edges")).cast("long").as("tot"))))
+        .select(col("bucket_id"),
+          when(col("bucket_id") === 0, "0")
+            .when(col("bucket_id") === 1, "1")
+            .when(col("bucket_id") === 2, "2")
+            .when(col("bucket_id") === 3, "3-4")
+            .when(col("bucket_id") === 4, "5-8")
+            .when(col("bucket_id") === 5, "9-16")
+            .otherwise("17+").as("embeddedness"),
+          col("n_edges"),
+          r4d(col("n_edges").cast("double")
+            / col("tot").cast("double")).as("share"))
+        .orderBy("bucket_id")
+    }),
+
     // DEEPWALK CORPUS (§2.171) — the random-walk sentence generator
     // behind DeepWalk/node2vec-style graph embeddings, made
     // replay-deterministic: from EVERY node of the co-purchase
@@ -1650,6 +1697,34 @@ object GraphQueries {
         |  min(deg) AS min_deg, max(deg) AS max_deg,
         |  CAST(sum(deg) AS BIGINT) AS sum_deg
         |FROM deg GROUP BY 1 ORDER BY bucket""".stripMargin,
+    // Same a<b distinct edges, symmetric adjacency, and bucket map.
+    "graph_edge_embeddedness" ->
+      """WITH pp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+        |  FROM lineitem),
+        |co AS (SELECT DISTINCT x.p AS a, y.p AS b
+        |  FROM pp x JOIN pp y ON x.ok = y.ok AND x.p < y.p),
+        |adj AS (SELECT a AS x, b AS y FROM co
+        |  UNION ALL SELECT b, a FROM co),
+        |cn AS (SELECT e.a, e.b, count(*) AS c FROM co e
+        |  JOIN adj n1 ON n1.x = e.a
+        |  JOIN adj n2 ON n2.x = e.b AND n2.y = n1.y
+        |  GROUP BY 1, 2),
+        |ec AS (SELECT coalesce(cn.c, 0) AS c FROM co
+        |  LEFT JOIN cn ON cn.a = co.a AND cn.b = co.b),
+        |bk AS (SELECT CASE WHEN c <= 2 THEN c WHEN c <= 4 THEN 3
+        |    WHEN c <= 8 THEN 4 WHEN c <= 16 THEN 5 ELSE 6 END
+        |    AS bucket_id FROM ec),
+        |g AS (SELECT bucket_id, count(*) AS n_edges FROM bk
+        |  GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_edges) AS BIGINT) AS tot FROM g)
+        |SELECT bucket_id,
+        |  CASE bucket_id WHEN 0 THEN '0' WHEN 1 THEN '1'
+        |    WHEN 2 THEN '2' WHEN 3 THEN '3-4' WHEN 4 THEN '5-8'
+        |    WHEN 5 THEN '9-16' ELSE '17+' END AS embeddedness,
+        |  n_edges,
+        |  ROUND(CAST(n_edges AS DOUBLE) / CAST(tot AS DOUBLE)
+        |    * 10000) / 10000 AS share
+        |FROM g CROSS JOIN t ORDER BY bucket_id""".stripMargin,
     // Same md5-ranked adjacency, 52-bit integer uniforms
     // ('0x'||hex ≡ conv(hex,16,10)), and two unrolled step joins.
     "graph_deepwalk_corpus" ->

@@ -2508,6 +2508,54 @@ object PipelineQueries {
         .orderBy("gt_id")
     }),
 
+    // OCCLUSION PAIRS (§2.173) — the box-level crowding profile
+    // detection curricula need (crowded scenes are where NMS and
+    // anchor assignment break): within-image GT box pairs on a
+    // deliberately dense integer grid (20 px x-pitch under 50-90 px
+    // widths — overlaps are the norm, unlike the sparse mosaic
+    // grid), strict-positive intersection tested in exact integers,
+    // counted per canonical class pair. The pair join explodes
+    // WITHIN images only (≤25 boxes ⇒ ≤300 pairs per image — the
+    // bounded-fanout shape); one keyed reduce to the 5×5 class grid.
+    "multimodal_occlusion_pairs" -> ((s, dir) => {
+      val base = t(s, dir, "part").select(col("p_partkey").as("k"),
+        col("p_size").cast("long").as("sz"))
+        .select(col("k"), expr("k div 25").as("image_id"),
+          (col("k") % 5).as("cls"),
+          ((col("k") % 25) * 20).as("gx1"),
+          ((col("k") % 7) * 30).as("gy1"), col("sz"))
+        .withColumn("gx2", col("gx1") + 50 + col("sz") % 40)
+        .withColumn("gy2", col("gy1") + 45 + col("k") % 20)
+      // Self-join through renamed column sets so every reference is
+      // unambiguous by name.
+      val lhs = base.select(col("image_id"), col("k").as("ka"),
+        col("cls").as("ca"), col("gx1").as("ax1"),
+        col("gy1").as("ay1"), col("gx2").as("ax2"),
+        col("gy2").as("ay2"))
+      val rhs = base.select(col("image_id"), col("k").as("kb"),
+        col("cls").as("cb"), col("gx1").as("bx1"),
+        col("gy1").as("by1"), col("gx2").as("bx2"),
+        col("gy2").as("by2"))
+      val pairs = lhs.join(rhs, Seq("image_id"))
+        .filter(col("ka") < col("kb"))
+      val iw = least(col("ax2"), col("bx2")) -
+        greatest(col("ax1"), col("bx1"))
+      val ih = least(col("ay2"), col("by2")) -
+        greatest(col("ay1"), col("by1"))
+      pairs.select(
+          least(col("ca"), col("cb")).as("cls_a"),
+          greatest(col("ca"), col("cb")).as("cls_b"),
+          (iw > 0 && ih > 0).cast("long").as("ov"))
+        .groupBy("cls_a", "cls_b")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("ov")).as("n_overlapping"))
+        .select(col("cls_a"), col("cls_b"), col("n_pairs"),
+          col("n_overlapping"),
+          r4d(col("n_overlapping").cast("double")
+            / col("n_pairs").cast("double")).as("overlap_share"))
+        .orderBy("cls_a", "cls_b")
+    }),
+
     // CUTMIX MANIFEST (§2.170) — the remaining staple of the
     // augmentation-manifest family (flip/crop/jitter/mosaic ship
     // already): pair every 800×800 canvas with a donor image (next
@@ -4213,6 +4261,30 @@ object PipelineQueries {
         |SELECT gt_id, mosaic_id, quadrant, mx1, my1, mx2, my2
         |FROM m WHERE mx2 > mx1 AND my2 > my1
         |ORDER BY gt_id""".stripMargin,
+    // Same dense grid, strict-positive integer intersection, and
+    // canonical class pairs.
+    "multimodal_occlusion_pairs" ->
+      """WITH base AS (SELECT p_partkey AS k,
+        |    CAST(p_size AS BIGINT) AS sz,
+        |    p_partkey // 25 AS image_id,
+        |    p_partkey % 5 AS cls,
+        |    (p_partkey % 25) * 20 AS gx1,
+        |    (p_partkey % 7) * 30 AS gy1
+        |  FROM part),
+        |bb AS (SELECT *, gx1 + 50 + sz % 40 AS gx2,
+        |    gy1 + 45 + k % 20 AS gy2 FROM base),
+        |p AS (SELECT least(a.cls, b.cls) AS cls_a,
+        |    greatest(a.cls, b.cls) AS cls_b,
+        |    CASE WHEN least(a.gx2, b.gx2) - greatest(a.gx1, b.gx1) > 0
+        |      AND least(a.gy2, b.gy2) - greatest(a.gy1, b.gy1) > 0
+        |      THEN 1 ELSE 0 END AS ov
+        |  FROM bb a JOIN bb b ON a.image_id = b.image_id
+        |    AND a.k < b.k)
+        |SELECT cls_a, cls_b, count(*) AS n_pairs,
+        |  CAST(sum(ov) AS BIGINT) AS n_overlapping,
+        |  ROUND(CAST(sum(ov) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |    * 10000) / 10000 AS overlap_share
+        |FROM p GROUP BY 1, 2 ORDER BY cls_a, cls_b""".stripMargin,
     // Same base grid; same cyclic donor pairing, hashed patch, and
     // strict doubled-center containment.
     "multimodal_cutmix_manifest" ->

@@ -566,6 +566,46 @@ object SimQueries {
         .orderBy("label")
     }),
 
+    // LOO 1-NN ACCURACY (§2.172) — the intrinsic-separability
+    // benchmark: for a deterministic 100-anchor panel (md5 hash
+    // order — replay-stable, the §2.128 budget device), find each
+    // anchor's nearest OTHER vector (squared L2, (d², vec_id) total
+    // order) and score leave-one-out label agreement per label. The
+    // honest "are these embeddings linearly usable" number next to
+    // the centroid classifier's (which assumes unimodal classes).
+    // Scale: anchors broadcast; ONE corpus scan scores 100·n pairs
+    // map-side into a bounded per-anchor top-1 — never corpus×corpus.
+    "sim_loo_knn_accuracy" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"),
+          col("embedding").cast("array<double>").as("v"))
+      val anchors = emb
+        .select(col("vec_id").as("aid"), col("label").as("alabel"),
+          col("v").as("av"),
+          md5(col("vec_id").cast("string").cast("binary")).as("h"))
+        .orderBy(col("h"), col("aid")).limit(100)
+        .select(col("aid"), col("alabel"), col("av"))
+      val scored = emb.crossJoin(broadcast(anchors))
+        .filter(col("vec_id") =!= col("aid"))
+        .select(col("aid"), col("alabel"), col("vec_id"),
+          col("label"),
+          aggregate(zip_with(col("av"), col("v"),
+            (a, x) => (a - x) * (a - x)),
+            lit(0.0), (acc, e) => acc + e).as("d2"))
+      val top = graft.plans.TopKPerGroup(scored, k = 1,
+        partNames = Seq("aid"),
+        orderSpec = Seq(("d2", true), ("vec_id", true)))
+      top.select(col("alabel"),
+          (col("label") === col("alabel")).cast("long").as("ok"))
+        .groupBy(col("alabel").as("label"))
+        .agg(count(lit(1)).as("n_anchors"),
+          sum(col("ok")).as("n_correct"))
+        .select(col("label"), col("n_anchors"), col("n_correct"),
+          r4d(col("n_correct").cast("double")
+            / col("n_anchors").cast("double")).as("accuracy"))
+        .orderBy("label")
+    }),
+
     // LABEL EXEMPLARS (§2.169) — prototype picking: the 3 vectors
     // closest (squared L2) to their OWN label centroid — the "show
     // me what this class looks like" readout every labeling audit
@@ -1555,6 +1595,29 @@ object SimQueries {
         |    / CAST(count(*) AS DOUBLE) * 10000) / 10000
         |    AS share_ambiguous
         |FROM m GROUP BY label ORDER BY label""".stripMargin,
+    // Same md5-ordered 100-anchor panel, in-order d² fold, and
+    // (d², vec_id) top-1.
+    "sim_loo_knn_accuracy" ->
+      """WITH a AS (SELECT vec_id AS aid, label AS alabel,
+        |    CAST(embedding AS DOUBLE[]) AS av
+        |  FROM embeddings
+        |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 100),
+        |sc AS (SELECT a.aid, a.alabel, e.vec_id, e.label,
+        |    list_aggregate(list_transform(
+        |      range(1, len(e.embedding) + 1),
+        |      i -> (a.av[i] - CAST(e.embedding[i] AS DOUBLE))
+        |        * (a.av[i] - CAST(e.embedding[i] AS DOUBLE))),
+        |      'sum') AS d2
+        |  FROM embeddings e CROSS JOIN a WHERE e.vec_id <> a.aid),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY aid
+        |    ORDER BY d2, vec_id) AS rk FROM sc)
+        |SELECT alabel AS label, count(*) AS n_anchors,
+        |  CAST(sum(CASE WHEN label = alabel THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_correct,
+        |  ROUND(CAST(sum(CASE WHEN label = alabel THEN 1 ELSE 0 END)
+        |      AS DOUBLE) / CAST(count(*) AS DOUBLE) * 10000) / 10000
+        |    AS accuracy
+        |FROM rk WHERE rk = 1 GROUP BY alabel ORDER BY label""".stripMargin,
     // Same exact centroids and in-order d² fold; same (d², vec_id)
     // rank.
     "sim_label_exemplars" ->

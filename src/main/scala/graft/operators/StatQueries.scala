@@ -634,6 +634,39 @@ object StatQueries {
           .as("kappa"))
     }),
 
+    // WEIGHTED KAPPA (§2.173) — linear-weighted Cohen's kappa, the
+    // ordinal-rating agreement standard (disagreeing by one grade ≠
+    // disagreeing by four): κ_w = 1 − n·Σ|i−j|·O_ij / Σ|i−j|·r_i·c_j
+    // over the same deterministic 5-grade rater pair as
+    // eval_cohen_kappa (which treats all disagreements equally).
+    // Every sum is an exact decimal(38,0) integer — the single
+    // division is the last step; the expected-disagreement grid is
+    // the bounded 5×5 marginal cross join.
+    "eval_weighted_kappa" -> ((s, dir) => {
+      val D0 = "decimal(38,0)"
+      val d = t(s, dir, "documents").select(col("doc_id"),
+          (col("n_chars") % 5).cast("long").as("la"))
+        .withColumn("lb", when(col("doc_id") % 7 === 0,
+          (col("la") + 1 + col("doc_id") % 3) % 5)
+          .otherwise(col("la")))
+      val svo = d.groupBy("la", "lb").agg(count(lit(1)).as("o"))
+        .agg(sum((abs(col("la") - col("lb")) * col("o")).cast(D0))
+          .as("svo"))
+      val ma = d.groupBy("la").agg(count(lit(1)).as("ra"))
+      val mb = d.groupBy("lb").agg(count(lit(1)).as("rb"))
+      val sve = ma.crossJoin(mb)
+        .agg(sum(abs(col("la") - col("lb")).cast(D0)
+          * col("ra") * col("rb")).as("sve"))
+      d.agg(count(lit(1)).as("n")).crossJoin(svo).crossJoin(sve)
+        .select(col("n"),
+          col("svo").cast("long").as("sum_weighted_obs"),
+          col("sve").cast("long").as("sum_weighted_exp"),
+          when(col("sve") > 0,
+            r4d(lit(1.0) - (col("n").cast(D0) * col("svo"))
+              .cast("double") / col("sve").cast("double")))
+            .as("kappa_w"))
+    }),
+
     // MANN-KENDALL TREND TEST (§2.91) — is the daily purchase series
     // monotonically trending? The nonparametric trend screen
     // monitoring stacks run before fitting any slope (agg_trend_slope
@@ -4647,6 +4680,31 @@ object StatQueries {
          |FROM m ORDER BY lag""".stripMargin,
     // Same 5-bucket annotator fixture; marginal products summed in
     // DECIMAL(38,0) to mirror Spark's fold, cast back at the edge.
+    // Same 5-grade rater pair; exact DECIMAL(38,0) weighted sums,
+    // one final division.
+    "eval_weighted_kappa" ->
+      """WITH d AS (SELECT doc_id,
+        |    CAST(n_chars % 5 AS BIGINT) AS la FROM documents),
+        |ab AS (SELECT doc_id, la,
+        |    CASE WHEN doc_id % 7 = 0 THEN (la + 1 + doc_id % 3) % 5
+        |      ELSE la END AS lb
+        |  FROM d),
+        |svo AS (SELECT CAST(sum(CAST(abs(la - lb) * o
+        |      AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS svo
+        |  FROM (SELECT la, lb, count(*) AS o FROM ab GROUP BY 1, 2)),
+        |ma AS (SELECT la, count(*) AS ra FROM ab GROUP BY la),
+        |mb AS (SELECT lb, count(*) AS rb FROM ab GROUP BY lb),
+        |sve AS (SELECT CAST(sum(CAST(abs(la - lb) AS DECIMAL(38,0))
+        |      * ra * rb) AS DECIMAL(38,0)) AS sve
+        |  FROM ma CROSS JOIN mb),
+        |tot AS (SELECT count(*) AS n FROM ab)
+        |SELECT n, CAST(svo AS BIGINT) AS sum_weighted_obs,
+        |  CAST(sve AS BIGINT) AS sum_weighted_exp,
+        |  CASE WHEN sve > 0 THEN
+        |    ROUND((1.0 - CAST(CAST(n AS DECIMAL(38,0)) * svo
+        |        AS DOUBLE) / CAST(sve AS DOUBLE)) * 10000) / 10000
+        |      + 0.0 END AS kappa_w
+        |FROM tot CROSS JOIN svo CROSS JOIN sve""".stripMargin,
     "eval_cohen_kappa" ->
       """WITH d AS (SELECT doc_id,
         |    CAST(n_chars % 5 AS BIGINT) AS la FROM documents),

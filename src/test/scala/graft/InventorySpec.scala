@@ -592,10 +592,18 @@ class InventorySpec extends SparkSpec {
     // §2.171 round-15 twenty-third wave: deepwalk corpus, cross-doc
     // ngram share, fanout audit
     "graph_deepwalk_corpus", "text_crossdoc_ngram_share",
-    "etl_fanout_audit")
+    "etl_fanout_audit",
+    // §2.172 round-15 twenty-fourth wave: association rules,
+    // segmented regression, LOO 1-NN accuracy
+    "agg_assoc_rules_lift", "ts_segmented_regression",
+    "sim_loo_knn_accuracy",
+    // §2.173 round-15 twenty-fifth wave: weighted kappa, occlusion
+    // pairs, edge embeddedness
+    "eval_weighted_kappa", "multimodal_occlusion_pairs",
+    "graph_edge_embeddedness")
 
-  test("declared queries cover SURVEY §2 + §2.12-171 exactly (622 keys)") {
-    assert(inventory.size == 622)
+  test("declared queries cover SURVEY §2 + §2.12-173 exactly (628 keys)") {
+    assert(inventory.size == 628)
     val declared = SparkEntry.queries.keySet
     val missing = inventory -- declared
     val extra = declared -- inventory
