@@ -1169,6 +1169,87 @@ object AnalyticsQueries {
         .orderBy("event_type", "day")
     }),
 
+    // VARIANCE RATIO (§2.177) — the Lo-MacKinlay random-walk test on
+    // daily order revenue: VR(7) = Var(7-day differences)/(7·Var(1-
+    // day differences)) — VR ≈ 1 random walk, > 1 trending, < 1
+    // mean-reverting; the regime diagnostic next to ts_hurst_exponent
+    // (which estimates the same thing through R/S). Differences are
+    // exact cent integers off two lag windows; both variances stay in
+    // decimal(38,0) cross-multiplied form so ONE division runs, and
+    // the regime flag compares exact integers — no float enters it.
+    "ts_variance_ratio" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val D0 = "decimal(38,0)"
+      val daily = t(s, dir, "orders")
+        .select(epochDay("o_orderdate").as("day"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+        .groupBy("day").agg(sum(col("cents")).as("rev"))
+      val wd = Window.orderBy(col("day"))
+      val d = daily
+        .withColumn("d1", col("rev") - lag(col("rev"), 1).over(wd))
+        .withColumn("d7", col("rev") - lag(col("rev"), 7).over(wd))
+      val m1 = d.filter(col("d1").isNotNull)
+        .agg(count(lit(1)).as("n1"),
+          sum(col("d1").cast(D0)).as("s1"),
+          sum(col("d1").cast(D0) * col("d1")).as("s11"))
+      val m7 = d.filter(col("d7").isNotNull)
+        .agg(count(lit(1)).as("n7"),
+          sum(col("d7").cast(D0)).as("s7"),
+          sum(col("d7").cast(D0) * col("d7")).as("s77"))
+      m1.crossJoin(m7)
+        .select(col("n1"), col("n7"),
+          r4d((col("n1").cast(D0) * col("n1")
+            * (col("n7").cast(D0) * col("s77") - col("s7") * col("s7")))
+            .cast("double")
+            / (lit(7).cast(D0) * col("n7") * col("n7")
+              * (col("n1").cast(D0) * col("s11") - col("s1") * col("s1")))
+              .cast("double")).as("variance_ratio"),
+          when(col("n1").cast(D0) * col("n1")
+              * (col("n7").cast(D0) * col("s77") - col("s7") * col("s7"))
+              > lit(7).cast(D0) * col("n7") * col("n7")
+              * (col("n1").cast(D0) * col("s11") - col("s1") * col("s1")),
+            lit("trending")).otherwise(lit("mean_reverting"))
+            .as("regime"))
+    }),
+
+    // MARKOV ENTROPY RATE (§2.177) — how predictable is the next
+    // event given the current one: the empirical conditional entropy
+    // H(next | current) of the user-journey transition chain =
+    // (Σᵢ nᵢ·log2 nᵢ − Σᵢⱼ nᵢⱼ·log2 nᵢⱼ)/N in bits, plus the
+    // log2(|states|)-normalized form — the sequence-compressibility
+    // number behind agg_markov_steady_state's matrix. Counts exact;
+    // the two c·log2(c) folds run over SORTED bounded |types|²
+    // lists (the shared entropy device); one division each.
+    "ts_markov_entropy_rate" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ms"), col("event_id"))
+      val tr = events(s, dir)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_millis(col("ts").cast("timestamp")).as("ms"))
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("from"),
+          col("next_type").as("to"))
+        .agg(count(lit(1)).as("n"))
+      val plogp = (cs: org.apache.spark.sql.Column) =>
+        aggregate(cs, lit(0.0), (acc, x) =>
+          acc + x.cast("double") * log2(x.cast("double")))
+      val cells = tr.agg(sum(col("n")).as("nn"),
+        array_sort(collect_list(col("n"))).as("cs"))
+      val froms = tr.groupBy("from").agg(sum(col("n")).as("nf"))
+        .agg(count(lit(1)).as("n_states"),
+          array_sort(collect_list(col("nf"))).as("fs"))
+      cells.crossJoin(froms)
+        .select(col("nn").as("n_transitions"), col("n_states"),
+          r4d((plogp(col("fs")) - plogp(col("cs"))) / col("nn"))
+            .as("entropy_rate_bits"),
+          when(col("n_states") > 1,
+            r4d(((plogp(col("fs")) - plogp(col("cs"))) / col("nn"))
+              / log2(col("n_states")))).otherwise(lit(0.0))
+            .as("entropy_norm"))
+    }),
+
     // ASSOCIATION-RULES LIFT (§2.172) — market-basket mining on the
     // behavioral stream: baskets are user-days, items are event
     // types; for each type pair (a < b), support, directional
@@ -4546,6 +4627,65 @@ object AnalyticsQueries {
          |  nwin = 7 AND y > mx AS breakout_up,
          |  nwin = 7 AND y < mn AS breakout_down
          |FROM w ORDER BY event_type, day""".stripMargin,
+    // Same exact-cent lag differences and cross-multiplied HUGEINT
+    // variance ratio; same exact regime compare.
+    "ts_variance_ratio" ->
+      """WITH d AS (SELECT epoch_ms(o_orderdate) // 86400000 AS day,
+        |    CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+        |      AS BIGINT) AS rev
+        |  FROM orders GROUP BY 1),
+        |l AS (SELECT rev - lag(rev, 1) OVER (ORDER BY day) AS d1,
+        |    rev - lag(rev, 7) OVER (ORDER BY day) AS d7
+        |  FROM d),
+        |m1 AS (SELECT count(*) AS n1,
+        |    CAST(sum(CAST(d1 AS HUGEINT)) AS HUGEINT) AS s1,
+        |    CAST(sum(CAST(d1 AS HUGEINT) * d1) AS HUGEINT) AS s11
+        |  FROM l WHERE d1 IS NOT NULL),
+        |m7 AS (SELECT count(*) AS n7,
+        |    CAST(sum(CAST(d7 AS HUGEINT)) AS HUGEINT) AS s7,
+        |    CAST(sum(CAST(d7 AS HUGEINT) * d7) AS HUGEINT) AS s77
+        |  FROM l WHERE d7 IS NOT NULL)
+        |SELECT n1, n7,
+        |  ROUND(CAST(CAST(n1 AS HUGEINT) * n1
+        |      * (CAST(n7 AS HUGEINT) * s77 - s7 * s7) AS DOUBLE)
+        |    / CAST(7 * CAST(n7 AS HUGEINT) * n7
+        |      * (CAST(n1 AS HUGEINT) * s11 - s1 * s1) AS DOUBLE)
+        |    * 10000) / 10000 AS variance_ratio,
+        |  CASE WHEN CAST(n1 AS HUGEINT) * n1
+        |      * (CAST(n7 AS HUGEINT) * s77 - s7 * s7)
+        |      > 7 * CAST(n7 AS HUGEINT) * n7
+        |      * (CAST(n1 AS HUGEINT) * s11 - s1 * s1)
+        |    THEN 'trending' ELSE 'mean_reverting' END AS regime
+        |FROM m1 CROSS JOIN m7""".stripMargin,
+    // Same transition counts; same two sorted c·log2(c) folds.
+    "ts_markov_entropy_rate" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |    epoch_ms(ts) AS ms FROM events),
+        |l AS (SELECT event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ms, event_id) AS next_type FROM e),
+        |tr AS (SELECT event_type AS f, next_type AS t, count(*) AS n
+        |  FROM l WHERE next_type IS NOT NULL GROUP BY 1, 2),
+        |cells AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+        |    list_sort(list(n)) AS cs FROM tr),
+        |froms AS (SELECT count(*) AS n_states,
+        |    list_sort(list(nf)) AS fs FROM
+        |    (SELECT f, CAST(sum(n) AS BIGINT) AS nf FROM tr
+        |      GROUP BY 1))
+        |SELECT nn AS n_transitions, n_states,
+        |  ROUND((list_aggregate(list_transform(fs, x -> x * log2(x)),
+        |      'sum')
+        |    - list_aggregate(list_transform(cs, x -> x * log2(x)),
+        |      'sum')) / nn * 10000) / 10000 + 0.0
+        |    AS entropy_rate_bits,
+        |  CASE WHEN n_states > 1 THEN
+        |    ROUND((list_aggregate(list_transform(fs,
+        |        x -> x * log2(x)), 'sum')
+        |      - list_aggregate(list_transform(cs,
+        |        x -> x * log2(x)), 'sum')) / nn / log2(n_states)
+        |      * 10000) / 10000 + 0.0
+        |  ELSE 0.0 END AS entropy_norm
+        |FROM cells CROSS JOIN froms""".stripMargin,
     // Same user-day baskets, within-basket pair join, and exact
     // cross-multiplied lift.
     "agg_assoc_rules_lift" ->

@@ -593,6 +593,33 @@ object EtlQueries {
     // side collapses to its distinct set FIRST (partial-agg
     // exchanges); the intersection is a semi join of slim key sets —
     // never a row-level join.
+    // COLUMN CARDINALITY PROFILE (§2.174) — the per-column profiling
+    // pass storage engines run before choosing encodings: for each
+    // lineitem column, distinct-value count, modal-value frequency,
+    // and the dictionary-encoding advice flag (n_distinct ≤ 1% of
+    // rows — exact integer cross-multiplication, the parquet
+    // dictionary heuristic). Each column is ONE pruned single-column
+    // scan + keyed reduce (never a stringified unpivot — no cross-
+    // engine format surface); the union is |columns|-bounded.
+    "etl_column_cardinality" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      def arm(c: String): DataFrame =
+        li.groupBy(col(c)).agg(count(lit(1)).as("n"))
+          .agg(count(lit(1)).as("n_distinct"),
+            sum(col("n")).as("n_rows"), max(col("n")).as("top1_n"))
+          .select(lit(c).as("column_name"), col("n_rows"),
+            col("n_distinct"), col("top1_n"),
+            r4d(col("top1_n").cast("double")
+              / col("n_rows").cast("double")).as("top1_share"),
+            (col("n_distinct") * 100 <= col("n_rows"))
+              .as("dict_advice"))
+      Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+          "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+          "l_returnflag", "l_linestatus")
+        .map(arm).reduce(_.unionByName(_))
+        .orderBy("column_name")
+    }),
+
     // FANOUT AUDIT (§2.171) — the join-explosion risk report: per FK
     // relationship, children-per-parent statistics INCLUDING
     // childless parents (the left-join-vs-inner row-count delta a
@@ -1187,6 +1214,24 @@ object EtlQueries {
         one("part", "part", "p_partkey"),
         one("supplier", "supplier", "s_suppkey"))
         .mkString("", "\nUNION ALL\n", "\nORDER BY table_name")
+    },
+    // Same per-column keyed reduces and exact 1% cross-multiplied
+    // dictionary advice.
+    "etl_column_cardinality" -> {
+      def arm(c: String) =
+        s"""SELECT '$c' AS column_name,
+           |  CAST(sum(n) AS BIGINT) AS n_rows,
+           |  count(*) AS n_distinct, max(n) AS top1_n,
+           |  ROUND(CAST(max(n) AS DOUBLE)
+           |    / CAST(sum(n) AS DOUBLE) * 10000) / 10000
+           |    AS top1_share,
+           |  count(*) * 100 <= CAST(sum(n) AS BIGINT) AS dict_advice
+           |FROM (SELECT count(*) AS n FROM lineitem
+           |  GROUP BY $c)""".stripMargin
+      Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+          "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+          "l_returnflag", "l_linestatus")
+        .map(arm).mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
     },
     // Same childless-inclusive counts and exact 2×-mean
     // cross-multiplication.

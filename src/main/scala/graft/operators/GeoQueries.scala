@@ -142,6 +142,44 @@ object GeoQueries {
         .orderBy("user_id")
     }),
 
+    // HOME-WORK VECTOR (§2.175) — the commute-pair readout on top of
+    // geo_anchor_cell's modal cell: each platform's top-2 2°×2°
+    // cells under the (n desc, cell) total order — "home" and
+    // "work" in mobility-science terms — with their fix counts and
+    // the exact Chebyshev cell distance between them (the commute
+    // range in cells; platforms with <2 visited cells drop out).
+    // One keyed reduce + one bounded per-user top-2 window + a
+    // conditional-struct pivot — no joins between users.
+    "geo_home_work_vector" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val cells = sightings(s, dir)
+        .select(col("user_id"),
+          floor(col("lat") / 2).cast("long").as("cla"),
+          floor(col("lon") / 2).cast("long").as("clo"))
+        .groupBy("user_id", "cla", "clo")
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("n").desc, col("cla"), col("clo"))
+      cells.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 2)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_top"),
+          max(when(col("rk") === 1,
+            struct(col("cla"), col("clo"), col("n")))).as("h"),
+          max(when(col("rk") === 2,
+            struct(col("cla"), col("clo"), col("n")))).as("v"))
+        .filter(col("n_top") === 2)
+        .select(col("user_id"),
+          col("h")("cla").as("home_lat"), col("h")("clo").as("home_lon"),
+          col("h")("n").as("n_home"),
+          col("v")("cla").as("work_lat"), col("v")("clo").as("work_lon"),
+          col("v")("n").as("n_work"),
+          greatest(abs(col("h")("cla") - col("v")("cla")),
+            abs(col("h")("clo") - col("v")("clo")))
+            .as("cell_distance"))
+        .orderBy("user_id")
+    }),
+
     // VISIT ENTROPY (§2.169) — per-platform Shannon entropy over its
     // 2°×2° cell-visit distribution plus the log2(n_cells)-normalized
     // form in [0,1] — the mobility-predictability statistic (the
@@ -1079,6 +1117,29 @@ object GeoQueries {
         |  AND a.user_id < b.user_id
         |GROUP BY 1, 2 HAVING count(*) >= 2
         |ORDER BY user_a, user_b""".stripMargin,
+    // Same per-user cell counts and top-2 total order; exact
+    // Chebyshev distance.
+    "geo_home_work_vector" ->
+      """WITH p AS (SELECT user_id,
+        |    CAST(floor((CAST(event_id % 1440 AS DOUBLE) / 8 - 90) / 2)
+        |      AS BIGINT) AS cla,
+        |    CAST(floor((CAST((user_id * 997 + event_id * 31) % 11520
+        |      AS DOUBLE) / 32 - 180) / 2) AS BIGINT) AS clo
+        |  FROM events),
+        |cells AS (SELECT user_id, cla, clo, count(*) AS n FROM p
+        |  GROUP BY 1, 2, 3),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY user_id
+        |    ORDER BY n DESC, cla, clo) AS rk FROM cells),
+        |h AS (SELECT user_id, cla AS home_lat, clo AS home_lon,
+        |    n AS n_home FROM rk WHERE rk = 1),
+        |v AS (SELECT user_id, cla AS work_lat, clo AS work_lon,
+        |    n AS n_work FROM rk WHERE rk = 2)
+        |SELECT h.user_id, home_lat, home_lon, n_home,
+        |  work_lat, work_lon, n_work,
+        |  greatest(abs(home_lat - work_lat), abs(home_lon - work_lon))
+        |    AS cell_distance
+        |FROM h JOIN v ON v.user_id = h.user_id
+        |ORDER BY h.user_id""".stripMargin,
     // Same lead-window transitions; same lexicographic pair
     // canonicalization and exact directional counts.
     "geo_flow_asymmetry" ->

@@ -554,6 +554,80 @@ object GraphQueries {
         .orderBy("part_a")
     }),
 
+    // ATTRIBUTE ASSORTATIVITY (§2.176) — Newman's discrete
+    // assortativity coefficient over part TYPE at co-purchase edge
+    // endpoints: do customers bundle within a category (r → 1) or
+    // across (r < 0)? The categorical sibling of the degree-based
+    // graph_assortativity. Mixing counts are directed half-edges
+    // (each a<b edge contributes both orientations, so the matrix is
+    // symmetric by construction); r = (M·tr − Σaᵢ²)/(M² − Σaᵢ²) in
+    // exact decimal(38,0) integers with ONE final division. Two
+    // broadcast-sized type joins + reduces over the |types|² grid.
+    "graph_attribute_assortativity" -> ((s, dir) => {
+      val D0 = "decimal(38,0)"
+      val co = partSetsByOrder(s, dir)
+        .select(explode(col("ps")).as("a"), col("ps"))
+        .select(col("a"), explode(col("ps")).as("b"))
+        .filter(col("a") < col("b"))
+        .distinct()
+      val typ = t(s, dir, "part")
+        .select(col("p_partkey"), col("p_type"))
+      val e2 = co
+        .join(broadcast(typ.select(col("p_partkey").as("a"),
+          col("p_type").as("ta"))), Seq("a"))
+        .join(broadcast(typ.select(col("p_partkey").as("b"),
+          col("p_type").as("tb"))), Seq("b"))
+      val dir2 = e2.select(col("ta").as("ti"), col("tb").as("tj"))
+        .union(e2.select(col("tb").as("ti"), col("ta").as("tj")))
+      val nij = dir2.groupBy("ti", "tj")
+        .agg(count(lit(1)).as("nij"))
+      val tr = nij.filter(col("ti") === col("tj"))
+        .agg(coalesce(sum(col("nij")), lit(0L)).as("tr"))
+      val sa2 = nij.groupBy("ti").agg(sum(col("nij")).as("ai"))
+        .agg(sum(col("ai").cast(D0) * col("ai")).as("sa2"))
+      val m = dir2.agg(count(lit(1)).as("m"))
+      m.crossJoin(tr).crossJoin(sa2)
+        .select(expr("m div 2").as("n_edges"),
+          r4d(col("tr").cast("double") / col("m").cast("double"))
+            .as("same_type_share"),
+          r4d((col("m").cast(D0) * col("tr") - col("sa2"))
+            .cast("double")
+            / (col("m").cast(D0) * col("m") - col("sa2"))
+              .cast("double")).as("assortativity_r"))
+    }),
+
+    // CLUSTERING-BY-DEGREE (§2.174) — the c(k) curve: mean local
+    // clustering coefficient per log₂-degree bucket — hierarchical-
+    // modularity diagnostics read its slope (flat ⇒ random-graph-
+    // like, falling ⇒ hub-and-spoke hierarchy). Composes
+    // graph_clustering_coeff's per-node (deg, n_tri) on the SAME
+    // sampled oriented edge set; per-node coefficients micro-snap to
+    // 10⁻⁶ BIGINTs before the decimal bucket sums (order-
+    // independent), the bucket from the bit-length device (no float
+    // log). One extra keyed reduce over the per-node table.
+    "graph_clustering_by_degree" -> ((s, dir) => {
+      val e = sampledOrientedEdges(s, dir, Some(Seq("0", "1", "2", "3")))
+      val deg = e.select(explode(array(col("a"), col("b"))).as("node"))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+      val per = deg.join(triangleCorners(e), Seq("node"), "left")
+        .filter(col("deg") >= 2)
+        .select(col("deg"),
+          floor(lit(2.0e6)
+            * coalesce(col("n_tri"), lit(0L)).cast("double")
+            / (col("deg").cast("double")
+              * (col("deg").cast("double") - lit(1.0))))
+            .cast("long").as("c6"))
+      per.select((length(bin(col("deg"))) - 1).cast("long")
+          .as("bucket"), col("c6"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_nodes"),
+          sum(col("c6").cast("decimal(38,0)")).as("s6"))
+        .select(col("bucket"), col("n_nodes"),
+          r4d(col("s6").cast("double") / col("n_nodes").cast("double")
+            / lit(1.0e6)).as("mean_coeff"))
+        .orderBy("bucket")
+    }),
+
     // EDGE EMBEDDEDNESS (§2.173) — Granovetter's weak-tie profile:
     // per co-purchase edge, the count of common neighbors of its
     // endpoints (the edge's triangle support), histogrammed into
@@ -1697,6 +1771,66 @@ object GraphQueries {
         |  min(deg) AS min_deg, max(deg) AS max_deg,
         |  CAST(sum(deg) AS BIGINT) AS sum_deg
         |FROM deg GROUP BY 1 ORDER BY bucket""".stripMargin,
+    // Same directed half-edge mixing counts and exact decimal r.
+    "graph_attribute_assortativity" ->
+      """WITH pp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+        |  FROM lineitem),
+        |co AS (SELECT DISTINCT x.p AS a, y.p AS b
+        |  FROM pp x JOIN pp y ON x.ok = y.ok AND x.p < y.p),
+        |e2 AS (SELECT ta.p_type AS ta, tb.p_type AS tb
+        |  FROM co JOIN part ta ON ta.p_partkey = co.a
+        |  JOIN part tb ON tb.p_partkey = co.b),
+        |d2 AS (SELECT ta AS ti, tb AS tj FROM e2
+        |  UNION ALL SELECT tb, ta FROM e2),
+        |nij AS (SELECT ti, tj, count(*) AS nij FROM d2 GROUP BY 1, 2),
+        |tr AS (SELECT coalesce(CAST(sum(nij) AS BIGINT), 0) AS tr
+        |  FROM nij WHERE ti = tj),
+        |sa2 AS (SELECT CAST(sum(CAST(ai AS DECIMAL(38,0)) * ai)
+        |    AS DECIMAL(38,0)) AS sa2
+        |  FROM (SELECT ti, CAST(sum(nij) AS BIGINT) AS ai FROM nij
+        |    GROUP BY 1)),
+        |m AS (SELECT count(*) AS m FROM d2)
+        |SELECT m // 2 AS n_edges,
+        |  ROUND(CAST(tr AS DOUBLE) / CAST(m AS DOUBLE) * 10000)
+        |    / 10000 AS same_type_share,
+        |  ROUND(CAST(CAST(m AS DECIMAL(38,0)) * tr - sa2 AS DOUBLE)
+        |    / CAST(CAST(m AS DECIMAL(38,0)) * m - sa2 AS DOUBLE)
+        |    * 10000) / 10000 + 0.0 AS assortativity_r
+        |FROM m CROSS JOIN tr CROSS JOIN sa2""".stripMargin,
+    // Same sampled edges/degrees/triangles as the per-node key; same
+    // micro-snapped coefficients and bit-length buckets.
+    "graph_clustering_by_degree" ->
+      """WITH pp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+        |  FROM lineitem),
+        |e0 AS (SELECT DISTINCT x.p AS a, y.p AS b
+        |  FROM pp x JOIN pp y ON x.ok = y.ok AND x.p < y.p),
+        |e AS MATERIALIZED (SELECT a, b FROM e0
+        |  WHERE substring(md5(CAST(a AS VARCHAR) || '_'
+        |    || CAST(b AS VARCHAR)), 1, 1) IN ('0', '1', '2', '3')),
+        |deg AS (SELECT node, count(*) AS deg FROM (
+        |  SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+        |  GROUP BY 1),
+        |tri AS (SELECT e1.a AS a, e1.b AS b, e2.b AS c
+        |  FROM e e1 JOIN e e2 ON e1.b = e2.a
+        |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |nt AS (SELECT node, count(*) AS n_tri FROM (
+        |  SELECT a AS node FROM tri
+        |  UNION ALL SELECT b FROM tri
+        |  UNION ALL SELECT c FROM tri) GROUP BY 1),
+        |per AS (SELECT deg,
+        |    CAST(floor(2000000.0 * CAST(coalesce(n_tri, 0) AS DOUBLE)
+        |      / (CAST(deg AS DOUBLE) * (CAST(deg AS DOUBLE) - 1.0)))
+        |      AS BIGINT) AS c6
+        |  FROM deg LEFT JOIN nt ON deg.node = nt.node
+        |  WHERE deg >= 2),
+        |g AS (SELECT CAST(length(bin(deg)) - 1 AS BIGINT) AS bucket,
+        |    count(*) AS n_nodes,
+        |    CAST(sum(CAST(c6 AS HUGEINT)) AS HUGEINT) AS s6
+        |  FROM per GROUP BY 1)
+        |SELECT bucket, n_nodes,
+        |  ROUND(CAST(s6 AS DOUBLE) / CAST(n_nodes AS DOUBLE)
+        |    / 1000000.0 * 10000) / 10000 AS mean_coeff
+        |FROM g ORDER BY bucket""".stripMargin,
     // Same a<b distinct edges, symmetric adjacency, and bucket map.
     "graph_edge_embeddedness" ->
       """WITH pp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p

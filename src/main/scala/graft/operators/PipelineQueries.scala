@@ -1987,6 +1987,37 @@ object PipelineQueries {
         .orderBy("lang", "source")
     }),
 
+    // DPO MARGIN STATS (§2.174) — the preference-data quality audit
+    // over pipeline_preference_pairs' strata: per source, the
+    // chosen-vs-rejected quality margin distribution — mean margin
+    // and the share of near-tie pairs (margin < 0.05), the pairs a
+    // DPO/RLHF run should drop or re-judge because the preference
+    // signal is noise. Margins land on the proven 4dp round grid
+    // FIRST (round(q·10⁴) exact integers — the r4d grain the parent
+    // key already pins cross-engine), then all stats are exact
+    // integer sums with one final division each.
+    "pipeline_dpo_margin_stats" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        col("lang"), col("source"), qualityExpr(col("text")).as("q"))
+      val strata = d.groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(max(col("q")) * 10000).cast("long").as("cq4"),
+          round(min(col("q")) * 10000).cast("long").as("rq4"))
+        .filter(col("n_docs") >= 2)
+        .select(col("source"), (col("cq4") - col("rq4")).as("g4"))
+      strata.groupBy("source")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("g4").cast("decimal(38,0)")).as("sg4"),
+          count_if(col("g4") < 500L).as("n_near_ties"))
+        .select(col("source"), col("n_pairs"),
+          r4d(col("sg4").cast("double") / col("n_pairs").cast("double")
+            / lit(1.0e4)).as("mean_margin"),
+          col("n_near_ties"),
+          r4d(col("n_near_ties").cast("double")
+            / col("n_pairs").cast("double")).as("share_near_ties"))
+        .orderBy("source")
+    }),
+
     // SHARD BALANCE AUDIT — token mass per hash shard and its ratio to
     // the ideal even split: the pre-flight check before a distributed
     // tokenization/training run commits to a sharding (a 1.3× hot
@@ -2506,6 +2537,67 @@ object PipelineQueries {
           (expr("gy2 div 2") + col("offy")).as("my2"))
         .filter(col("mx2") > col("mx1") && col("my2") > col("my1"))
         .orderBy("gt_id")
+    }),
+
+    // DEDUP TOKEN SAVINGS (§2.176) — the number a dedup proposal
+    // leads with: per source, total whitespace tokens, tokens
+    // sitting in NON-canonical members of exact-duplicate groups
+    // (the set-signature groups dedup_exact_text keys on; canonical
+    // = min doc_id), and the savings share a dedup pass would
+    // reclaim. Exact integer token sums; one group reduce + one
+    // keyed reduce — corpus-linear.
+    "pipeline_dedup_token_savings" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("source"), col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("ntok"),
+          md5(concat_ws(" ",
+            array_sort(array_distinct(split(col("text"), " ")))))
+            .as("h"))
+      val canon = d.groupBy("h")
+        .agg(min(col("doc_id")).as("canon_doc"))
+      d.join(canon, Seq("h"))
+        .select(col("source"), col("ntok"),
+          (col("doc_id") =!= col("canon_doc")).cast("long")
+            .as("is_dup"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("ntok")).as("n_tokens"),
+          sum(col("is_dup")).as("n_dup_docs"),
+          sum(col("ntok") * col("is_dup")).as("n_dup_tokens"))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          col("n_dup_docs"), col("n_dup_tokens"),
+          r4d(col("n_dup_tokens").cast("double")
+            / col("n_tokens").cast("double")).as("savings_share"))
+        .orderBy("source")
+    }),
+
+    // CLASS BALANCE WEIGHTS (§2.175) — the loss-weighting table a
+    // detector/classifier trainer derives before the first epoch:
+    // per GT class, box count and share, inverse-frequency weight
+    // N/(K·n_c), and median-frequency weight median(n)/n_c (the
+    // SegNet convention that tempers inv-freq's rare-class blowups).
+    // Image-level resampling is pipeline_repeat_factor_sampling's
+    // job; this is the per-CLASS loss side. Exact integers; the
+    // 5-class median is the sorted-list middle element (bounded);
+    // two rounded divisions per row.
+    "multimodal_class_balance_weights" -> ((s, dir) => {
+      val counts = t(s, dir, "part")
+        .select((col("p_partkey") % 5).as("cls"))
+        .groupBy("cls").agg(count(lit(1)).as("n_boxes"))
+      val tot = counts.agg(sum(col("n_boxes")).as("n_total"),
+        count(lit(1)).as("k"),
+        element_at(array_sort(collect_list(col("n_boxes"))), 3)
+          .as("median_n"))
+      counts.crossJoin(broadcast(tot))
+        .select(col("cls"), col("n_boxes"),
+          r4d(col("n_boxes").cast("double")
+            / col("n_total").cast("double")).as("share"),
+          r4d(col("n_total").cast("double")
+            / (col("k") * col("n_boxes")).cast("double"))
+            .as("w_invfreq"),
+          r4d(col("median_n").cast("double")
+            / col("n_boxes").cast("double")).as("w_medianfreq"))
+        .orderBy("cls")
     }),
 
     // OCCLUSION PAIRS (§2.173) — the box-level crowding profile
@@ -3937,6 +4029,32 @@ object PipelineQueries {
         |  ROUND(cq - rq, 4) AS q_gap
         |FROM c JOIN j USING (lang, source)
         |WHERE n_docs >= 2 ORDER BY lang, source""".stripMargin,
+    // Same quality CTE; margins on the shared 4dp integer grid.
+    "pipeline_dpo_margin_stats" ->
+      """WITH q AS (SELECT doc_id, lang, source,
+        |    0.4 * least(1.0, nt / 50.0) + 0.3 * (1.0 - nstop / nt)
+        |      + 0.3 * (nd / nt) AS q
+        |  FROM (SELECT doc_id, lang, source,
+        |      CAST(len(toks) AS DOUBLE) AS nt,
+        |      CAST(len(list_filter(toks,
+        |        t -> t IN ('the','a','of','to','and','in'))) AS DOUBLE)
+        |        AS nstop,
+        |      CAST(len(list_distinct(toks)) AS DOUBLE) AS nd
+        |    FROM (SELECT doc_id, lang, source,
+        |        string_split(text, ' ') AS toks FROM documents))),
+        |st AS (SELECT lang, source, count(*) AS n_docs,
+        |    CAST(round(max(q) * 10000) AS BIGINT)
+        |      - CAST(round(min(q) * 10000) AS BIGINT) AS g4
+        |  FROM q GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT source, count(*) AS n_pairs,
+        |  ROUND(CAST(sum(CAST(g4 AS HUGEINT)) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) / 10000.0 * 10000) / 10000
+        |    AS mean_margin,
+        |  count(*) FILTER (WHERE g4 < 500) AS n_near_ties,
+        |  ROUND(CAST(count(*) FILTER (WHERE g4 < 500) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) * 10000) / 10000
+        |    AS share_near_ties
+        |FROM st GROUP BY source ORDER BY source""".stripMargin,
     "pipeline_shard_balance" ->
       """WITH d AS (SELECT CASE
         |    WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '2' THEN 0
@@ -4261,6 +4379,43 @@ object PipelineQueries {
         |SELECT gt_id, mosaic_id, quadrant, mx1, my1, mx2, my2
         |FROM m WHERE mx2 > mx1 AND my2 > my1
         |ORDER BY gt_id""".stripMargin,
+    // Same set-signature groups and exact token sums.
+    "pipeline_dedup_token_savings" ->
+      """WITH d AS (SELECT source, doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok,
+        |    md5(array_to_string(list_sort(list_distinct(
+        |      string_split(text, ' '))), ' ')) AS h
+        |  FROM documents),
+        |c AS (SELECT h, min(doc_id) AS canon_doc FROM d GROUP BY 1),
+        |j AS (SELECT source, ntok,
+        |    CASE WHEN d.doc_id <> c.canon_doc THEN 1 ELSE 0 END
+        |      AS is_dup
+        |  FROM d JOIN c USING (h))
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(ntok) AS BIGINT) AS n_tokens,
+        |  CAST(sum(is_dup) AS BIGINT) AS n_dup_docs,
+        |  CAST(sum(ntok * is_dup) AS BIGINT) AS n_dup_tokens,
+        |  ROUND(CAST(sum(ntok * is_dup) AS DOUBLE)
+        |    / CAST(sum(ntok) AS DOUBLE) * 10000) / 10000
+        |    AS savings_share
+        |FROM j GROUP BY source ORDER BY source""".stripMargin,
+    // Same class counts; the 5-class median is the sorted middle
+    // element in both engines.
+    "multimodal_class_balance_weights" ->
+      """WITH c AS (SELECT p_partkey % 5 AS cls, count(*) AS n_boxes
+        |  FROM part GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_boxes) AS BIGINT) AS n_total,
+        |    count(*) AS k,
+        |    list_sort(list(n_boxes))[3] AS median_n FROM c)
+        |SELECT cls, n_boxes,
+        |  ROUND(CAST(n_boxes AS DOUBLE) / CAST(n_total AS DOUBLE)
+        |    * 10000) / 10000 AS share,
+        |  ROUND(CAST(n_total AS DOUBLE)
+        |    / CAST(k * n_boxes AS DOUBLE) * 10000) / 10000
+        |    AS w_invfreq,
+        |  ROUND(CAST(median_n AS DOUBLE) / CAST(n_boxes AS DOUBLE)
+        |    * 10000) / 10000 AS w_medianfreq
+        |FROM c CROSS JOIN t ORDER BY cls""".stripMargin,
     // Same dense grid, strict-positive integer intersection, and
     // canonical class pairs.
     "multimodal_occlusion_pairs" ->

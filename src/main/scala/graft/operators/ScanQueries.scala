@@ -333,6 +333,36 @@ object ScanQueries {
     // the same amortized cost model as the bucketed tables. Correctness
     // is layout-independent by construction: the oracle runs the same
     // box on the unsorted original.
+    // PARQUET BLOOM FILTER (§2.177) — the point-lookup storage
+    // feature zorder/partition pruning don't cover: write lineitem
+    // with a parquet bloom filter on l_partkey (row-group-level
+    // membership, the layout for needle-in-haystack equality scans
+    // where min/max stats are useless because every row group spans
+    // the full key range), then read back through an equality
+    // predicate. The oracle reads the SAME predicate off the
+    // original table, so the bloom path must be exactly
+    // false-positive-transparent. Write-once scratch layout like the
+    // zorder key.
+    "scan_parquet_bloom_filter" -> ((s, dir) => {
+      val bdir = s"${scratch(s, dir)}/bloom_li"
+      writeOnce(bdir) {
+        t(s, dir, "lineitem")
+          .select("l_orderkey", "l_partkey", "l_quantity",
+            "l_extendedprice")
+          .write.mode("overwrite")
+          .option("parquet.bloom.filter.enabled#l_partkey", "true")
+          .option("parquet.bloom.filter.expected.ndv#l_partkey",
+            "20000")
+          .parquet(bdir)
+      }
+      s.read.parquet(bdir)
+        .filter(col("l_partkey") === 42)
+        .groupBy("l_partkey")
+        .agg(count(lit(1)).as("n_rows"),
+          graft.Det.dsum(col("l_extendedprice")).as("sum_price"))
+        .orderBy("l_partkey")
+    }),
+
     "scan_zorder_prune" -> ((s, dir) => {
       val zdir = s"${scratch(s, dir)}/zorder_li"
       writeOnce(zdir) {
@@ -932,6 +962,13 @@ object ScanQueries {
          |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "scan_schema_prune" ->
       "SELECT l_orderkey, l_linenumber FROM lineitem ORDER BY l_orderkey, l_linenumber",
+    // Bloom filters must be false-positive-transparent: the same
+    // equality predicate over the original table.
+    "scan_parquet_bloom_filter" ->
+      s"""SELECT l_partkey, count(*) AS n_rows,
+         |  ${sqlSum("l_extendedprice")} AS sum_price
+         |FROM lineitem WHERE l_partkey = 42
+         |GROUP BY 1 ORDER BY l_partkey""".stripMargin,
     // Layout-independent by construction: the same box over the
     // unsorted original must equal the z-ordered read-back.
     "scan_zorder_prune" ->

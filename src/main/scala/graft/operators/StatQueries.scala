@@ -1895,6 +1895,30 @@ object StatQueries {
           (col("chi0") > 3.841458820694124).as("srm"))
     }),
 
+    // SRM DAILY DRIFT (§2.175) — ramp monitoring for the experiment
+    // gate: agg_srm_check's sample-ratio test evaluated PER DAY over
+    // daily-active users, so a mid-flight assignment bug (cache
+    // poisoning, bot influx on one arm) surfaces the day it starts
+    // instead of diluted into the cumulative test. The 3σ flag is
+    // exact-integer: |n₀ − n/2| > 1.5√n ⟺ (2n₀ − n)² > 9n — no
+    // float enters the decision. One distinct + one keyed reduce.
+    "ab_srm_daily_drift" -> ((s, dir) => {
+      val u = events(s, dir)
+        .select(epochDay("ts").as("day"), col("user_id"),
+          (col("user_id") % 2).as("arm"))
+        .distinct()
+      u.groupBy("day")
+        .agg(count(lit(1)).as("n"),
+          count_if(col("arm") === 0).as("n0"))
+        .select(col("day"), col("n"), col("n0"),
+          r4d(col("n0").cast("double") / col("n").cast("double"))
+            .as("share_arm0"),
+          ((lit(2) * col("n0") - col("n"))
+            * (lit(2) * col("n0") - col("n"))
+            > lit(9) * col("n")).as("srm_flag"))
+        .orderBy("day")
+    }),
+
     // PAIRWISE WIN-RATE MATRIX (§2.120) — the LLM-eval staple: for
     // every pair of "systems" (event types standing in for model
     // arms), the fraction of SHARED contexts (user, day) where A's
@@ -3314,6 +3338,18 @@ object StatQueries {
         |  ROUND((r + 1.96 * se) / 100 * 10000) / 10000 + 0.0 AS ci_hi
         |FROM e ORDER BY arm""".stripMargin,
     // Same collapsed two-cell chi² and unrounded flag.
+    // Same daily-distinct users and exact (2n₀−n)² > 9n flag.
+    "ab_srm_daily_drift" ->
+      s"""WITH u AS (SELECT DISTINCT ${sqlEpochDay("ts")} AS day,
+         |    user_id, user_id % 2 AS arm FROM events),
+         |g AS (SELECT day, count(*) AS n,
+         |    count(*) FILTER (WHERE arm = 0) AS n0
+         |  FROM u GROUP BY 1)
+         |SELECT day, n, n0,
+         |  ROUND(CAST(n0 AS DOUBLE) / CAST(n AS DOUBLE) * 10000)
+         |    / 10000 AS share_arm0,
+         |  (2 * n0 - n) * (2 * n0 - n) > 9 * n AS srm_flag
+         |FROM g ORDER BY day""".stripMargin,
     "agg_srm_check" ->
       """WITH u AS (SELECT DISTINCT user_id, user_id % 2 AS arm
         |  FROM events),

@@ -929,6 +929,39 @@ object TextQueries {
         .orderBy("source")
     }),
 
+    // LANG-SOURCE MIX (§2.176) — the multilingual corpus card per
+    // source: language count, modal language + its share (argmax
+    // under the (n desc, lang) total order), and the language
+    // entropy in bits (sorted-count c·log2(c) fold — the shared
+    // entropy device). The LABELED-lang counterpart to text_langid's
+    // predictions and text_script_profile's codepoint view; one
+    // keyed reduce + one bounded per-source fold.
+    "text_lang_source_mix" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val c = t(s, dir, "documents")
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("source")
+        .orderBy(col("n").desc, col("lang"))
+      val top = c.withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("source"), col("lang").as("top_lang"),
+          col("n").as("top_n"))
+      c.groupBy("source")
+        .agg(sum(col("n")).as("n_docs"), count(lit(1)).as("n_langs"),
+          array_sort(collect_list(col("n"))).as("cs"))
+        .join(top, Seq("source"))
+        .select(col("source"), col("n_docs"), col("n_langs"),
+          col("top_lang"),
+          r4d(col("top_n").cast("double")
+            / col("n_docs").cast("double")).as("top_share"),
+          r4d(log2(col("n_docs"))
+            - aggregate(col("cs"), lit(0.0), (acc, x) =>
+                acc + x.cast("double") * log2(x.cast("double")))
+              / col("n_docs")).as("lang_entropy_bits"))
+        .orderBy("source")
+    }),
+
     // CROSS-DOC NGRAM SHARE (§2.171) — the per-source duplication
     // pressure metric (the RefinedWeb/FineWeb "duplicated n-gram
     // fraction" audit): micro-averaged share of each document's
@@ -1759,6 +1792,26 @@ object TextQueries {
         |    AS share_docs_repeat
         |FROM a JOIN shorts s ON s.source = a.source
         |ORDER BY a.source""".stripMargin,
+    // Same lang counts, argmax order, and sorted-count entropy fold.
+    "text_lang_source_mix" ->
+      """WITH c AS (SELECT source, lang, count(*) AS n FROM documents
+        |  GROUP BY 1, 2),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY source
+        |    ORDER BY n DESC, lang) AS rk FROM c),
+        |top AS (SELECT source, lang AS top_lang, n AS top_n FROM rk
+        |  WHERE rk = 1),
+        |g AS (SELECT source, CAST(sum(n) AS BIGINT) AS n_docs,
+        |    count(*) AS n_langs, list_sort(list(n)) AS cs
+        |  FROM c GROUP BY 1)
+        |SELECT g.source, n_docs, n_langs, top_lang,
+        |  ROUND(CAST(top_n AS DOUBLE) / CAST(n_docs AS DOUBLE)
+        |    * 10000) / 10000 AS top_share,
+        |  ROUND((log2(n_docs)
+        |    - list_aggregate(list_transform(cs, x -> x * log2(x)),
+        |        'sum') / n_docs) * 10000) / 10000 + 0.0
+        |    AS lang_entropy_bits
+        |FROM g JOIN top ON top.source = g.source
+        |ORDER BY g.source""".stripMargin,
     // Same per-doc-distinct 8-gram table, df ≥ 2 match, and exact
     // 2·shared ≥ distinct majority test.
     "text_crossdoc_ngram_share" ->

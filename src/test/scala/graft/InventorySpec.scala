@@ -600,10 +600,26 @@ class InventorySpec extends SparkSpec {
     // §2.173 round-15 twenty-fifth wave: weighted kappa, occlusion
     // pairs, edge embeddedness
     "eval_weighted_kappa", "multimodal_occlusion_pairs",
-    "graph_edge_embeddedness")
+    "graph_edge_embeddedness",
+    // §2.174 round-15 twenty-sixth wave: c(k) curve, column
+    // cardinality, DPO margins
+    "graph_clustering_by_degree", "etl_column_cardinality",
+    "pipeline_dpo_margin_stats",
+    // §2.175 round-15 twenty-seventh wave: daily SRM drift, class
+    // balance weights, home-work vector
+    "ab_srm_daily_drift", "multimodal_class_balance_weights",
+    "geo_home_work_vector",
+    // §2.176 round-15 twenty-eighth wave: dedup token savings,
+    // attribute assortativity, lang-source mix
+    "pipeline_dedup_token_savings", "graph_attribute_assortativity",
+    "text_lang_source_mix",
+    // §2.177 round-15 twenty-ninth wave: variance ratio, Markov
+    // entropy rate, parquet bloom filter
+    "ts_variance_ratio", "ts_markov_entropy_rate",
+    "scan_parquet_bloom_filter")
 
-  test("declared queries cover SURVEY §2 + §2.12-173 exactly (628 keys)") {
-    assert(inventory.size == 628)
+  test("declared queries cover SURVEY §2 + §2.12-177 exactly (640 keys)") {
+    assert(inventory.size == 640)
     val declared = SparkEntry.queries.keySet
     val missing = inventory -- declared
     val extra = declared -- inventory
