@@ -107,7 +107,13 @@ object ScaleStress {
     // Round-15 at birth: the restart-walk superstep key, the
     // per-user blocked hull self-join, and the 28-step unrolled
     // Kalman pivot.
-    "graph_ppr", "geo_convex_hull_area", "ts_kalman_smooth")
+    "graph_ppr", "geo_convex_hull_area", "ts_kalman_smooth",
+    // Round-15 waves 21+ at birth: the deterministic-walk corpus,
+    // the (sampled) edge-embeddedness triangle profile, the c(k)
+    // reduce over the same subgraph, and the type-mixing reduce.
+    "graph_deepwalk_corpus", "graph_edge_embeddedness",
+    "graph_clustering_by_degree", "graph_attribute_assortativity",
+    "sim_loo_knn_accuracy", "text_crossdoc_ngram_share")
   // Keys whose only input is lineitem — copy-scalable (see scaladoc).
   // The embeddings/documents keys are NOT copy-scalable for the same
   // reason the dedup keys aren't (cross-copy duplicate geometry);
@@ -122,7 +128,8 @@ object ScaleStress {
     "graph_assortativity", "graph_ego_density", "graph_betweenness",
     "graph_transitivity_global", "graph_eccentricity",
     "graph_bipartite_profile", "graph_katz", "graph_hits",
-    "graph_ppr")
+    "graph_ppr", "graph_deepwalk_corpus", "graph_edge_embeddedness",
+    "graph_clustering_by_degree")
 
   /** Bench-heavy instrumentation guard input (InventorySpec asserts
     * every BENCH_FULL top-cost key has a row here — the unmeasured-

@@ -317,6 +317,110 @@ object AnalyticsQueries {
         .orderBy("event_id")
     }),
 
+    // FUNNEL STAGE SIGNIFICANCE (§2.180) — is the click→purchase
+    // drop-off WORSE than view→click, or just noisier? The pooled
+    // two-proportion χ² between the two consecutive conversion rates
+    // of funnel_stages' pipeline, with numerator and denominator
+    // kept as exact decimal integers (z² = (x₁n₂−x₂n₁)²(n₁+n₂) /
+    // (n₁n₂(x₁+x₂)(n₁+n₂−x₁−x₂))) — one double division at the
+    // end, the srm_check-style 3.84 compare on identical doubles.
+    // Tells the growth team which stage transition to fix FIRST.
+    "funnel_stage_significance" -> ((s, dir) => {
+      val D0 = "decimal(38,0)"
+      val e = events(s, dir).select(col("user_id"), col("event_type"),
+        unix_millis(col("ts").cast("timestamp")).as("ms"))
+      val v = e.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("ms")).as("t"))
+      val c = stage(e, "click", v)
+      val p = stage(e, "purchase", c)
+      v.agg(count(lit(1)).as("n_view"))
+        .crossJoin(c.agg(count(lit(1)).as("n_click")))
+        .crossJoin(p.agg(count(lit(1)).as("n_purchase")))
+        .select(col("n_view"), col("n_click"), col("n_purchase"),
+          r4d(col("n_click").cast("double")
+            / col("n_view").cast("double")).as("rate_view_click"),
+          r4d(col("n_purchase").cast("double")
+            / col("n_click").cast("double")).as("rate_click_purchase"),
+          {
+            val num = (col("n_click").cast(D0) * col("n_click")
+              - col("n_purchase").cast(D0) * col("n_view"))
+            val x12 = col("n_click") + col("n_purchase")
+            val den = col("n_view").cast(D0) * col("n_click") *
+              x12 * (col("n_view") + col("n_click") - x12)
+            val z2 = (num * num * (col("n_view") + col("n_click")))
+              .cast("double") / den.cast("double")
+            when(den > 0, r4d(z2)).as("z2")
+          },
+          {
+            val num = (col("n_click").cast(D0) * col("n_click")
+              - col("n_purchase").cast(D0) * col("n_view"))
+            val x12 = col("n_click") + col("n_purchase")
+            val den = col("n_view").cast(D0) * col("n_click") *
+              x12 * (col("n_view") + col("n_click") - x12)
+            val z2 = (num * num * (col("n_view") + col("n_click")))
+              .cast("double") / den.cast("double")
+            when(den > 0, z2 > 3.841458820694124)
+              .as("rates_differ")
+          })
+    }),
+
+    // POSITION-BASED ATTRIBUTION (§2.179) — the U-shaped (40/20/40)
+    // multi-touch model between attribution_first_touch's single
+    // credit and a full data-driven model: each purchase's session
+    // touches collapse to ordered-DISTINCT channels (first
+    // occurrence order), then credit 40% first / 40% last / 20%
+    // split over middles. The event-type vocabulary bounds channels
+    // at 4, so the weight table is the COMPLETE integer when-table
+    // in 10⁻⁴ units — credits stay exact integers until one final
+    // division. Session device shared with first-touch; the
+    // purchase⋈touch join is session-bounded.
+    "attribution_position_based" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ms"), col("event_id"))
+      val run = w.rowsBetween(Window.unboundedPreceding,
+        Window.currentRow)
+      val e = events(s, dir)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_millis(col("ts").cast("timestamp")).as("ms"))
+        .withColumn("prev_ms", lag(col("ms"), 1).over(w))
+        .withColumn("new_s", when(col("prev_ms").isNull ||
+          col("ms") - col("prev_ms") > 1800000L, 1L).otherwise(0L))
+        .withColumn("session_id", sum(col("new_s")).over(run))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("pu"), col("session_id").as("ps"),
+          col("ms").as("pms"), col("event_id").as("pid"))
+      val touches = e.filter(col("event_type") =!= "purchase")
+        .select(col("user_id").as("pu"), col("session_id").as("ps"),
+          col("event_type").as("channel"), col("ms").as("tms"),
+          col("event_id").as("tid"))
+      val firsts = purchases.join(touches, Seq("pu", "ps"))
+        .filter(col("tms") < col("pms")
+          || (col("tms") === col("pms") && col("tid") < col("pid")))
+        .groupBy(col("pid"), col("channel"))
+        .agg(min(col("tms")).as("fms"), min(col("tid")).as("ftid"))
+      val wp = Window.partitionBy("pid")
+        .orderBy(col("fms"), col("ftid"))
+      val credit = firsts
+        .withColumn("pos", row_number().over(wp).cast("long"))
+        .withColumn("n",
+          count(lit(1)).over(Window.partitionBy("pid")))
+        .withColumn("cr",
+          when(col("n") === 1, 10000L)
+            .when(col("n") === 2, 5000L)
+            .when(col("n") === 3,
+              when(col("pos") === 2, 2000L).otherwise(4000L))
+            .otherwise(when(col("pos") === 1
+              || col("pos") === col("n"), 4000L).otherwise(1000L)))
+      credit.groupBy(col("channel"))
+        .agg(count(lit(1)).as("n_touch_paths"),
+          sum(col("cr")).as("crs"))
+        .select(col("channel"), col("n_touch_paths"),
+          r4d(col("crs").cast("double") / lit(10000.0))
+            .as("credit"))
+        .orderBy("channel")
+    }),
+
     // TPC-H Q3 (shipping priority) through the PURE SQL surface —
     // `spark.sql` over `parquet.`path`` direct queries, no DataFrame
     // combinators and no temp-view registration (view names would
@@ -4627,6 +4731,79 @@ object AnalyticsQueries {
          |  nwin = 7 AND y > mx AS breakout_up,
          |  nwin = 7 AND y < mn AS breakout_down
          |FROM w ORDER BY event_type, day""".stripMargin,
+    // Same stage CTEs; same exact cross-multiplied χ² and double
+    // threshold compare.
+    "funnel_stage_significance" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ms
+        |  FROM events),
+        |v AS (SELECT user_id, min(ms) AS t FROM e
+        |      WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(ms) AS t FROM e
+        |      JOIN v USING (user_id)
+        |      WHERE event_type = 'click' AND e.ms > v.t GROUP BY 1),
+        |p AS (SELECT e.user_id, min(ms) AS t FROM e
+        |      JOIN c USING (user_id)
+        |      WHERE event_type = 'purchase' AND e.ms > c.t
+        |      GROUP BY 1),
+        |n AS (SELECT (SELECT count(*) FROM v) AS n_view,
+        |    (SELECT count(*) FROM c) AS n_click,
+        |    (SELECT count(*) FROM p) AS n_purchase),
+        |z AS (SELECT *,
+        |    CAST(n_click AS HUGEINT) * n_click
+        |      - CAST(n_purchase AS HUGEINT) * n_view AS num,
+        |    CAST(n_view AS HUGEINT) * n_click
+        |      * (n_click + n_purchase)
+        |      * (n_view + n_click - n_click - n_purchase) AS den
+        |  FROM n)
+        |SELECT n_view, n_click, n_purchase,
+        |  ROUND(CAST(n_click AS DOUBLE) / CAST(n_view AS DOUBLE)
+        |    * 10000) / 10000 AS rate_view_click,
+        |  ROUND(CAST(n_purchase AS DOUBLE) / CAST(n_click AS DOUBLE)
+        |    * 10000) / 10000 AS rate_click_purchase,
+        |  CASE WHEN den > 0 THEN
+        |    ROUND(CAST(num * num * (n_view + n_click) AS DOUBLE)
+        |      / CAST(den AS DOUBLE) * 10000) / 10000 END AS z2,
+        |  CASE WHEN den > 0 THEN
+        |    CAST(num * num * (n_view + n_click) AS DOUBLE)
+        |      / CAST(den AS DOUBLE) > 3.841458820694124 END
+        |    AS rates_differ
+        |FROM z""".stripMargin,
+    // Same session device, first-occurrence channel order, and
+    // complete integer weight table.
+    "attribution_position_based" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |    epoch_ms(ts) AS ms FROM events),
+        |l AS (SELECT *, lag(ms) OVER w AS prev_ms FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)),
+        |ns AS (SELECT *, CASE WHEN prev_ms IS NULL
+        |    OR ms - prev_ms > 1800000 THEN 1 ELSE 0 END AS new_s
+        |  FROM l),
+        |sess AS (SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id
+        |    ORDER BY ms, event_id ROWS UNBOUNDED PRECEDING)
+        |    AS BIGINT) AS session_id FROM ns),
+        |p AS (SELECT user_id AS pu, session_id AS ps, ms AS pms,
+        |    event_id AS pid FROM sess WHERE event_type = 'purchase'),
+        |t AS (SELECT user_id AS pu, session_id AS ps,
+        |    event_type AS channel, ms AS tms, event_id AS tid
+        |  FROM sess WHERE event_type <> 'purchase'),
+        |f AS (SELECT pid, channel, min(tms) AS fms,
+        |    min(tid) AS ftid
+        |  FROM p JOIN t USING (pu, ps)
+        |  WHERE tms < pms OR (tms = pms AND tid < pid)
+        |  GROUP BY 1, 2),
+        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY pid
+        |      ORDER BY fms, ftid) AS BIGINT) AS pos,
+        |    count(*) OVER (PARTITION BY pid) AS n FROM f),
+        |c AS (SELECT channel, CASE WHEN n = 1 THEN 10000
+        |    WHEN n = 2 THEN 5000
+        |    WHEN n = 3 THEN (CASE WHEN pos = 2 THEN 2000
+        |      ELSE 4000 END)
+        |    ELSE (CASE WHEN pos = 1 OR pos = n THEN 4000
+        |      ELSE 1000 END) END AS cr FROM r)
+        |SELECT channel, count(*) AS n_touch_paths,
+        |  ROUND(CAST(sum(cr) AS DOUBLE) / 10000.0 * 10000) / 10000
+        |    AS credit
+        |FROM c GROUP BY 1 ORDER BY channel""".stripMargin,
     // Same exact-cent lag differences and cross-multiplied HUGEINT
     // variance ratio; same exact regime compare.
     "ts_variance_ratio" ->

@@ -142,6 +142,88 @@ object GeoQueries {
         .orderBy("user_id")
     }),
 
+    // STANDARD DEVIATIONAL ELLIPSE (§2.180) — the classic
+    // activity-space / home-range summary wildlife and mobility
+    // surveys publish: per platform, the mean center, the ellipse
+    // semi-axes (sqrt of the covariance eigenvalues) and the
+    // orientation of the first principal axis in degrees. The
+    // 1/8°//1/32° fixture grid is decimal-exact, so every moment sum
+    // and eigen-numerator is EXACT decimal arithmetic; doubles enter
+    // only at the final sqrt/atan2 (the legKm-precedent pair, both
+    // correctly-rounded on this domain). One keyed reduce.
+    "geo_std_ellipse" -> ((s, dir) => {
+      val D = "decimal(38,6)"
+      val m = sightings(s, dir)
+        .select(col("user_id"), col("lat").cast(D).as("y"),
+          col("lon").cast(D).as("x"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"),
+          sum(col("x") * col("y")).as("sxy"))
+        .filter(col("n") > 1)
+      val n2 = (col("n").cast("decimal(38,0)") * col("n"))
+        .cast("double")
+      val vx = (col("n") * col("sxx") - col("sx") * col("sx"))
+        .cast("double") / n2
+      val vy = (col("n") * col("syy") - col("sy") * col("sy"))
+        .cast("double") / n2
+      val cv = (col("n") * col("sxy") - col("sx") * col("sy"))
+        .cast("double") / n2
+      val half = (vx + vy) / 2
+      val root = sqrt((vx - vy) * (vx - vy) / 4 + cv * cv)
+      m.select(col("user_id"), col("n").as("n_fixes"),
+          r4d(col("sy").cast("double") / col("n").cast("double"))
+            .as("center_lat"),
+          r4d(col("sx").cast("double") / col("n").cast("double"))
+            .as("center_lon"),
+          r4d(sqrt(half + root)).as("semi_major_deg"),
+          r4d(sqrt(greatest(lit(0.0), half - root)))
+            .as("semi_minor_deg"),
+          r4d(atan2(lit(2.0) * cv, vx - vy) / 2
+            * lit(180.0) / lit(math.Pi)).as("orientation_deg"))
+        .orderBy("user_id")
+    }),
+
+    // REVISIT INTERVALS (§2.179) — site-fidelity timing: per
+    // platform, the gaps between consecutive fixes at its ANCHOR
+    // (modal) cell — n_visits, mean gap (telescoping-exact:
+    // Σgaps = last−first ms), and max gap in hours. The recurrence
+    // statistic behind geo_anchor_cell's share number (a high share
+    // with long gaps = seasonal site; short gaps = roost). One
+    // anchor top-1 window + one per-user lag window, exact ms
+    // integers until the final hour divisions.
+    "geo_revisit_intervals" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val pts = sightings(s, dir)
+        .select(col("user_id"), col("ms"), col("event_id"),
+          floor(col("lat") / 2).cast("long").as("cla"),
+          floor(col("lon") / 2).cast("long").as("clo"))
+      val cells = pts.groupBy("user_id", "cla", "clo")
+        .agg(count(lit(1)).as("n"))
+      val wA = Window.partitionBy("user_id")
+        .orderBy(col("n").desc, col("cla"), col("clo"))
+      val anchor = cells.withColumn("rk", row_number().over(wA))
+        .filter(col("rk") === 1)
+        .select(col("user_id"), col("cla"), col("clo"))
+      val wv = Window.partitionBy("user_id")
+        .orderBy(col("ms"), col("event_id"))
+      pts.join(anchor, Seq("user_id", "cla", "clo"))
+        .withColumn("pms", lag(col("ms"), 1).over(wv))
+        .filter(col("pms").isNotNull)
+        .select(col("user_id"), (col("ms") - col("pms")).as("gap"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_gaps"), sum(col("gap")).as("sg"),
+          max(col("gap")).as("mx"))
+        .select(col("user_id"), (col("n_gaps") + 1).as("n_visits"),
+          r4d(col("sg").cast("double") / col("n_gaps").cast("double")
+            / lit(3600000.0)).as("mean_gap_hours"),
+          r4d(col("mx").cast("double") / lit(3600000.0))
+            .as("max_gap_hours"))
+        .orderBy("user_id")
+    }),
+
     // HOME-WORK VECTOR (§2.175) — the commute-pair readout on top of
     // geo_anchor_cell's modal cell: each platform's top-2 2°×2°
     // cells under the (n desc, cell) total order — "home" and
@@ -1117,6 +1199,68 @@ object GeoQueries {
         |  AND a.user_id < b.user_id
         |GROUP BY 1, 2 HAVING count(*) >= 2
         |ORDER BY user_a, user_b""".stripMargin,
+    // Same decimal-exact moments; sqrt/atan2 on identical doubles.
+    "geo_std_ellipse" ->
+      """WITH p AS (SELECT user_id,
+        |    CAST(CAST((user_id * 997 + event_id * 31) % 11520
+        |      AS DOUBLE) / 32 - 180 AS DECIMAL(38,6)) AS x,
+        |    CAST(CAST(event_id % 1440 AS DOUBLE) / 8 - 90
+        |      AS DECIMAL(38,6)) AS y
+        |  FROM events),
+        |m AS (SELECT user_id, count(*) AS n,
+        |    sum(x) AS sx, sum(y) AS sy,
+        |    sum(x * x) AS sxx, sum(y * y) AS syy,
+        |    sum(x * y) AS sxy
+        |  FROM p GROUP BY 1 HAVING count(*) > 1),
+        |v AS (SELECT user_id, n, sx, sy,
+        |    CAST(n * sxx - sx * sx AS DOUBLE)
+        |      / CAST(CAST(n AS HUGEINT) * n AS DOUBLE) AS vx,
+        |    CAST(n * syy - sy * sy AS DOUBLE)
+        |      / CAST(CAST(n AS HUGEINT) * n AS DOUBLE) AS vy,
+        |    CAST(n * sxy - sx * sy AS DOUBLE)
+        |      / CAST(CAST(n AS HUGEINT) * n AS DOUBLE) AS cv
+        |  FROM m)
+        |SELECT user_id, n AS n_fixes,
+        |  ROUND(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) * 10000)
+        |    / 10000 AS center_lat,
+        |  ROUND(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) * 10000)
+        |    / 10000 AS center_lon,
+        |  ROUND(sqrt((vx + vy) / 2
+        |    + sqrt((vx - vy) * (vx - vy) / 4 + cv * cv)) * 10000)
+        |    / 10000 AS semi_major_deg,
+        |  ROUND(sqrt(greatest(0.0, (vx + vy) / 2
+        |    - sqrt((vx - vy) * (vx - vy) / 4 + cv * cv))) * 10000)
+        |    / 10000 AS semi_minor_deg,
+        |  ROUND(atan2(2.0 * cv, vx - vy) / 2 * 180.0 / pi()
+        |    * 10000) / 10000 + 0.0 AS orientation_deg
+        |FROM v ORDER BY user_id""".stripMargin,
+    // Same anchor top-1 and per-user lag gaps; exact ms integers.
+    "geo_revisit_intervals" ->
+      """WITH p AS (SELECT user_id, event_id, epoch_ms(ts) AS ms,
+        |    CAST(floor((CAST(event_id % 1440 AS DOUBLE) / 8 - 90) / 2)
+        |      AS BIGINT) AS cla,
+        |    CAST(floor((CAST((user_id * 997 + event_id * 31) % 11520
+        |      AS DOUBLE) / 32 - 180) / 2) AS BIGINT) AS clo
+        |  FROM events),
+        |cells AS (SELECT user_id, cla, clo, count(*) AS n FROM p
+        |  GROUP BY 1, 2, 3),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY user_id
+        |    ORDER BY n DESC, cla, clo) AS rk FROM cells),
+        |a AS (SELECT user_id, cla, clo FROM rk WHERE rk = 1),
+        |v AS (SELECT p.user_id, p.ms,
+        |    lag(p.ms) OVER (PARTITION BY p.user_id
+        |      ORDER BY p.ms, p.event_id) AS pms
+        |  FROM p JOIN a ON a.user_id = p.user_id
+        |    AND a.cla = p.cla AND a.clo = p.clo),
+        |g AS (SELECT user_id, ms - pms AS gap FROM v
+        |  WHERE pms IS NOT NULL)
+        |SELECT user_id, count(*) + 1 AS n_visits,
+        |  ROUND(CAST(sum(CAST(gap AS HUGEINT)) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) / 3600000.0 * 10000) / 10000
+        |    AS mean_gap_hours,
+        |  ROUND(CAST(max(gap) AS DOUBLE) / 3600000.0 * 10000)
+        |    / 10000 AS max_gap_hours
+        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
     // Same per-user cell counts and top-2 total order; exact
     // Chebyshev distance.
     "geo_home_work_vector" ->

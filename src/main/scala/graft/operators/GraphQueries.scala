@@ -635,23 +635,40 @@ object GraphQueries {
     // readout between graph_clustering_coeff (per-node) and
     // graph_transitivity_global (one number). Embeddedness-0 edges
     // are local bridges (this fixture has none — the dense-graph
-    // reading the bucket 0 row makes checkable). The common-neighbor
-    // join is the standard bounded triangle enumeration the
-    // clustering keys already stake; exact integers throughout.
+    // reading the bucket 0 row makes checkable). Runs on the SAME
+    // doulion-sampled subgraph as the clustering keys (the full
+    // co-purchase edge set benched 25 s at sf0.1 — the triangle
+    // enumeration's wedge mass scales ~cubically in edge density, so
+    // the 1/4 edge sample is the doctrine here exactly as it is for
+    // clustering_coeff); exact integers throughout.
     "graph_edge_embeddedness" -> ((s, dir) => {
-      val co = partSetsByOrder(s, dir)
-        .select(explode(col("ps")).as("a"), col("ps"))
-        .select(col("a"), explode(col("ps")).as("b"))
-        .filter(col("a") < col("b"))
-        .distinct()
-      val adj = co.select(col("a").as("x"), col("b").as("y"))
-        .union(co.select(col("b").as("x"), col("a").as("y")))
-      val cn = co.as("e")
-        .join(adj.as("n1"), col("n1.x") === col("e.a"))
-        .join(adj.as("n2"), col("n2.x") === col("e.b")
-          && col("n2.y") === col("n1.y"))
-        .groupBy(col("e.a").as("a"), col("e.b").as("b"))
-        .agg(count(lit(1)).as("c"))
+      // Eager checkpoint: co feeds FOUR plan branches (three
+      // triangle legs + the left-join spine); materializing once
+      // keeps the expensive order-set build single-execution.
+      val co = sampledOrientedEdges(s, dir,
+        Some(Seq("0", "1", "2", "3"))).localCheckpoint(true)
+      // Per-edge triangle support via the ORIENTED a<b<c wedge +
+      // closing-edge probe (each triangle enumerated once, wedge
+      // mass bounded by oriented out-degree — the triangle_count
+      // shape), NOT a symmetric-adjacency intersection join: the
+      // naive form's Σdeg² hub blowup measured exp_10x 1.081 before
+      // this rewrite; the oriented form sits at the family's ~0.5.
+      val e1 = co.select(col("a").as("x1"), col("b").as("y1"))
+      val e2 = co.select(col("a").as("x2"), col("b").as("y2"))
+      val e3 = co.select(col("a").as("x3"), col("b").as("y3"))
+      val tris = e1.join(e2, col("y1") === col("x2"))
+        .join(e3, col("x3") === col("x1") && col("y3") === col("y2"))
+        .select(col("x1").as("ta"), col("y1").as("tb"),
+          col("y2").as("tc"))
+      // One explode, not a 3-way union of selects: a union would
+      // duplicate (and re-execute) the triangle join per branch —
+      // measured 3× the whole-key cost before this form.
+      val cn = tris.select(explode(array(
+          struct(col("ta").as("a"), col("tb").as("b")),
+          struct(col("ta").as("a"), col("tc").as("b")),
+          struct(col("tb").as("a"), col("tc").as("b")))).as("e"))
+        .select(col("e.a").as("a"), col("e.b").as("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("c"))
       val bucketed = co.join(cn, Seq("a", "b"), "left")
         .select(coalesce(col("c"), lit(0L)).as("c"))
         .select(when(col("c") <= 2, col("c"))
@@ -1831,18 +1848,24 @@ object GraphQueries {
         |  ROUND(CAST(s6 AS DOUBLE) / CAST(n_nodes AS DOUBLE)
         |    / 1000000.0 * 10000) / 10000 AS mean_coeff
         |FROM g ORDER BY bucket""".stripMargin,
-    // Same a<b distinct edges, symmetric adjacency, and bucket map.
+    // Same sampled a<b edges as the clustering keys, symmetric
+    // adjacency, and bucket map.
     "graph_edge_embeddedness" ->
       """WITH pp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
         |  FROM lineitem),
-        |co AS (SELECT DISTINCT x.p AS a, y.p AS b
+        |e0 AS (SELECT DISTINCT x.p AS a, y.p AS b
         |  FROM pp x JOIN pp y ON x.ok = y.ok AND x.p < y.p),
-        |adj AS (SELECT a AS x, b AS y FROM co
-        |  UNION ALL SELECT b, a FROM co),
-        |cn AS (SELECT e.a, e.b, count(*) AS c FROM co e
-        |  JOIN adj n1 ON n1.x = e.a
-        |  JOIN adj n2 ON n2.x = e.b AND n2.y = n1.y
-        |  GROUP BY 1, 2),
+        |co AS MATERIALIZED (SELECT a, b FROM e0
+        |  WHERE substring(md5(CAST(a AS VARCHAR) || '_'
+        |    || CAST(b AS VARCHAR)), 1, 1) IN ('0', '1', '2', '3')),
+        |tri AS MATERIALIZED (SELECT e1.a AS ta, e1.b AS tb,
+        |    e2.b AS tc
+        |  FROM co e1 JOIN co e2 ON e1.b = e2.a
+        |  JOIN co e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |cn AS (SELECT a, b, count(*) AS c FROM (
+        |  SELECT ta AS a, tb AS b FROM tri
+        |  UNION ALL SELECT ta, tc FROM tri
+        |  UNION ALL SELECT tb, tc FROM tri) GROUP BY 1, 2),
         |ec AS (SELECT coalesce(cn.c, 0) AS c FROM co
         |  LEFT JOIN cn ON cn.a = co.a AND cn.b = co.b),
         |bk AS (SELECT CASE WHEN c <= 2 THEN c WHEN c <= 4 THEN 3

@@ -1987,6 +1987,43 @@ object PipelineQueries {
         .orderBy("lang", "source")
     }),
 
+    // LENGTH BIAS AUDIT (§2.179) — the classic RLHF pathology check
+    // on pipeline_preference_pairs' strata: is "chosen" just
+    // "longer"? Per source: share of pairs where the chosen doc has
+    // more tokens than the rejected one, plus the exact mean token
+    // gap — a share near 1 means the quality signal is a length
+    // proxy and the reward model will learn verbosity. Chosen/
+    // rejected ride the SAME (q, −doc_id) struct extremes as the
+    // parent key (so the two keys cannot disagree on the pair), with
+    // token counts carried through the struct; all stats exact
+    // integers until one division each.
+    "pipeline_length_bias_audit" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        col("lang"), col("source"),
+        qualityExpr(col("text")).as("q"),
+        size(split(col("text"), " ")).cast("long").as("ntok"))
+      val strata = d.groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          max(struct(col("q"), -col("doc_id"), col("ntok")))
+            .getField("ntok").as("cn"),
+          min(struct(col("q"), -col("doc_id"), col("ntok")))
+            .getField("ntok").as("rn"))
+        .filter(col("n_docs") >= 2)
+        .select(col("source"), col("cn"), col("rn"))
+      strata.groupBy("source")
+        .agg(count(lit(1)).as("n_pairs"),
+          count_if(col("cn") > col("rn")).as("n_chosen_longer"),
+          sum((col("cn") - col("rn")).cast("decimal(38,0)"))
+            .as("gap_sum"))
+        .select(col("source"), col("n_pairs"),
+          col("n_chosen_longer"),
+          r4d(col("n_chosen_longer").cast("double")
+            / col("n_pairs").cast("double")).as("share_longer"),
+          r4d(col("gap_sum").cast("double")
+            / col("n_pairs").cast("double")).as("mean_token_gap"))
+        .orderBy("source")
+    }),
+
     // DPO MARGIN STATS (§2.174) — the preference-data quality audit
     // over pipeline_preference_pairs' strata: per source, the
     // chosen-vs-rejected quality margin distribution — mean margin
@@ -4029,6 +4066,43 @@ object PipelineQueries {
         |  ROUND(cq - rq, 4) AS q_gap
         |FROM c JOIN j USING (lang, source)
         |WHERE n_docs >= 2 ORDER BY lang, source""".stripMargin,
+    // Same quality CTE and (q desc/asc, doc_id) extremes with token
+    // counts carried; exact integer gaps.
+    "pipeline_length_bias_audit" ->
+      """WITH q AS (SELECT doc_id, lang, source,
+        |    0.4 * least(1.0, nt / 50.0) + 0.3 * (1.0 - nstop / nt)
+        |      + 0.3 * (nd / nt) AS q,
+        |    CAST(nt AS BIGINT) AS ntok
+        |  FROM (SELECT doc_id, lang, source,
+        |      CAST(len(toks) AS DOUBLE) AS nt,
+        |      CAST(len(list_filter(toks,
+        |        t -> t IN ('the','a','of','to','and','in'))) AS DOUBLE)
+        |        AS nstop,
+        |      CAST(len(list_distinct(toks)) AS DOUBLE) AS nd
+        |    FROM (SELECT doc_id, lang, source,
+        |        string_split(text, ' ') AS toks FROM documents))),
+        |r AS (SELECT *,
+        |  row_number() OVER (PARTITION BY lang, source
+        |    ORDER BY q DESC, doc_id) AS rc,
+        |  row_number() OVER (PARTITION BY lang, source
+        |    ORDER BY q ASC, doc_id DESC) AS rr,
+        |  count(*) OVER (PARTITION BY lang, source) AS n_docs
+        |  FROM q),
+        |st AS (SELECT c.source, c.ntok AS cn, j.ntok AS rn
+        |  FROM (SELECT lang, source, ntok FROM r
+        |    WHERE rc = 1 AND n_docs >= 2) c
+        |  JOIN (SELECT lang, source, ntok FROM r
+        |    WHERE rr = 1 AND n_docs >= 2) j
+        |    USING (lang, source))
+        |SELECT source, count(*) AS n_pairs,
+        |  count(*) FILTER (WHERE cn > rn) AS n_chosen_longer,
+        |  ROUND(CAST(count(*) FILTER (WHERE cn > rn) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) * 10000) / 10000
+        |    AS share_longer,
+        |  ROUND(CAST(sum(CAST(cn - rn AS HUGEINT)) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) * 10000) / 10000
+        |    AS mean_token_gap
+        |FROM st GROUP BY source ORDER BY source""".stripMargin,
     // Same quality CTE; margins on the shared 4dp integer grid.
     "pipeline_dpo_margin_stats" ->
       """WITH q AS (SELECT doc_id, lang, source,

@@ -566,6 +566,49 @@ object SimQueries {
         .orderBy("label")
     }),
 
+    // DIM CORRELATION PAIRS (§2.178) — the redundancy companion to
+    // sim_dim_variance's per-dimension spread: Pearson correlation
+    // between embedding dimensions (first 16 dims — the bounded
+    // 120-pair grid), top-10 by |r| — strongly correlated dims mean
+    // the representation wastes capacity and PCA/whitening will pay.
+    // Values micro-snap to 10⁻⁶ integers FIRST, so every moment sum
+    // is an exact decimal and the only floats are the final
+    // correlation divisions; pair expansion is map-side (explode of
+    // a per-row 120-struct list — no self-join), then one keyed
+    // reduce over the bounded pair grid.
+    "sim_dim_correlation_pairs" -> ((s, dir) => {
+      val D0 = "decimal(38,0)"
+      val a6 = expr("transform(slice(embedding, 1, 16)," +
+        " x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS LONG))")
+      val pairs = t(s, dir, "embeddings")
+        .select(a6.as("a"))
+        .select(explode(expr(
+          "flatten(transform(sequence(0, 14), i ->" +
+            " transform(sequence(i + 1, 15), j ->" +
+            " struct(i AS pi, j AS pj," +
+            " a[i] AS xi, a[j] AS xj))))")).as("p"))
+        .select(col("p.pi").cast("long").as("pi"),
+          col("p.pj").cast("long").as("pj"),
+          col("p.xi").as("xi"), col("p.xj").as("xj"))
+      val m = pairs.groupBy("pi", "pj")
+        .agg(count(lit(1)).as("n"),
+          sum(col("xi").cast(D0)).as("si"),
+          sum(col("xj").cast(D0)).as("sj"),
+          sum(col("xi").cast(D0) * col("xi")).as("sii"),
+          sum(col("xj").cast(D0) * col("xj")).as("sjj"),
+          sum(col("xi").cast(D0) * col("xj")).as("sij"))
+      m.select(col("pi"), col("pj"),
+          r4d((col("n").cast(D0) * col("sij") - col("si") * col("sj"))
+            .cast("double")
+            / (sqrt((col("n").cast(D0) * col("sii")
+              - col("si") * col("si")).cast("double"))
+              * sqrt((col("n").cast(D0) * col("sjj")
+                - col("sj") * col("sj")).cast("double"))))
+            .as("corr"))
+        .orderBy(abs(col("corr")).desc, col("pi"), col("pj"))
+        .limit(10)
+    }),
+
     // LOO 1-NN ACCURACY (§2.172) — the intrinsic-separability
     // benchmark: for a deterministic 100-anchor panel (md5 hash
     // order — replay-stable, the §2.128 budget device), find each
@@ -1595,6 +1638,37 @@ object SimQueries {
         |    / CAST(count(*) AS DOUBLE) * 10000) / 10000
         |    AS share_ambiguous
         |FROM m GROUP BY label ORDER BY label""".stripMargin,
+    // Same micro-snapped values, exact HUGEINT moments, identical
+    // (|corr| desc, pi, pj) top-10 on the rounded value.
+    "sim_dim_correlation_pairs" ->
+      """WITH a AS (SELECT list_transform(
+        |    CAST(embedding[1:16] AS DOUBLE[]),
+        |    x -> CAST(floor(x * 1000000.0) AS BIGINT)) AS a
+        |  FROM embeddings),
+        |u AS (SELECT unnest(flatten(list_transform(range(0, 15),
+        |    i -> list_transform(range(i + 1, 16), j ->
+        |      {'pi': i, 'pj': j, 'xi': a[i + 1], 'xj': a[j + 1]}))))
+        |    AS p
+        |  FROM a),
+        |x AS (SELECT CAST(p.pi AS BIGINT) AS pi,
+        |    CAST(p.pj AS BIGINT) AS pj, p.xi AS xi, p.xj AS xj
+        |  FROM u),
+        |m AS (SELECT pi, pj, count(*) AS n,
+        |    CAST(sum(CAST(xi AS HUGEINT)) AS HUGEINT) AS si,
+        |    CAST(sum(CAST(xj AS HUGEINT)) AS HUGEINT) AS sj,
+        |    CAST(sum(CAST(xi AS HUGEINT) * xi) AS HUGEINT) AS sii,
+        |    CAST(sum(CAST(xj AS HUGEINT) * xj) AS HUGEINT) AS sjj,
+        |    CAST(sum(CAST(xi AS HUGEINT) * xj) AS HUGEINT) AS sij
+        |  FROM x GROUP BY 1, 2),
+        |c AS (SELECT pi, pj,
+        |    ROUND(CAST(CAST(n AS HUGEINT) * sij - si * sj AS DOUBLE)
+        |      / (sqrt(CAST(CAST(n AS HUGEINT) * sii - si * si
+        |          AS DOUBLE))
+        |        * sqrt(CAST(CAST(n AS HUGEINT) * sjj - sj * sj
+        |          AS DOUBLE))) * 10000) / 10000 + 0.0 AS corr
+        |  FROM m)
+        |SELECT pi, pj, corr FROM c
+        |ORDER BY abs(corr) DESC, pi, pj LIMIT 10""".stripMargin,
     // Same md5-ordered 100-anchor panel, in-order d² fold, and
     // (d², vec_id) top-1.
     "sim_loo_knn_accuracy" ->

@@ -2463,6 +2463,78 @@ object StatQueries {
     // cut is one rational of exact integers; the argmax takes the
     // (f1 desc, threshold asc) total order — F1 values are
     // identical doubles in both engines, so the winner row is too.
+    // RESIDUAL PROFILE BY HOUR (§2.178) — the heteroscedasticity
+    // readout behind eval_regression_hour_model's pooled MAE/RMSE:
+    // the hour-mean model's per-hour error profile, so a monitoring
+    // stack sees WHICH hours the model is noisy in (pooled metrics
+    // hide a 3 am error spike). Same exact decimal(38,0) integer
+    // moments per hour — n·q − s² and Σ|n·c − s| stay integers until
+    // the final divisions; one broadcast join + two keyed reduces.
+    "eval_residual_profile_by_hour" -> ((s, dir) => {
+      val e = events(s, dir)
+        .select(expr("unix_millis(cast(ts as timestamp))" +
+          " div 3600000 % 24").as("hour"),
+          round(col("value") * 100).cast("long").as("cents"))
+      val hr = e.groupBy("hour").agg(count(lit(1)).as("n"),
+        sum(col("cents").cast("decimal(38,0)")).as("s"),
+        sum(col("cents").cast("decimal(38,0)") * col("cents")).as("q"))
+      val madnum = e.join(broadcast(hr), Seq("hour"))
+        .groupBy("hour")
+        .agg(sum(abs(col("n").cast("decimal(38,0)") * col("cents")
+          - col("s"))).cast("decimal(38,0)").as("mn"))
+      hr.join(madnum, Seq("hour"))
+        .select(col("hour"), col("n"),
+          r4d(col("mn").cast("double")
+            / (col("n").cast("double") * col("n").cast("double")))
+            .as("mae_cents"),
+          r4d(sqrt((col("n").cast("decimal(38,0)") * col("q")
+            - col("s") * col("s")).cast("double")
+            / (col("n").cast("double") * col("n").cast("double"))))
+            .as("rmse_cents"))
+        .orderBy("hour")
+    }),
+
+    // THRESHOLD STABILITY (§2.178) — does the F1-optimal threshold
+    // survive a data split? eval_f1_optimal_threshold's argmax sweep
+    // run independently on the user_id-parity halves; a large gap
+    // between the two optima means the "optimal" threshold is noise
+    // (the threshold-overfit check every deployment gate needs).
+    // Same bounded cumulative sweep per half; the gap is an exact
+    // integer cent difference.
+    "eval_threshold_stability" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      def best(half: DataFrame, thr: String, f1n: String) = {
+        val byC = half.groupBy("c")
+          .agg(count_if(col("pos")).as("np"),
+            count_if(!col("pos")).as("nn"))
+        val wd = Window.orderBy(col("c").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cum = byC
+          .withColumn("tp", sum(col("np")).over(wd))
+          .withColumn("fp", sum(col("nn")).over(wd))
+        val tot = half.agg(count_if(col("pos")).as("ptot"))
+        val f1 = cum.crossJoin(broadcast(tot))
+          .select(col("c"),
+            ((lit(2L) * col("tp")).cast("double")
+              / (lit(2L) * col("tp") + col("fp") + col("ptot")
+                - col("tp")).cast("double")).as("f1"))
+        val w = Window.orderBy(col("f1").desc, col("c"))
+        f1.withColumn("rk", row_number().over(w))
+          .filter(col("rk") === 1)
+          .select(col("c").as(thr), r4d(col("f1")).as(f1n))
+      }
+      val e = events(s, dir).select(
+        round(col("value") * 100).cast("long").as("c"),
+        (col("event_type") === "purchase").as("pos"),
+        (col("user_id") % 2).as("half"))
+      best(e.filter(col("half") === 0), "thr_even", "f1_even")
+        .crossJoin(best(e.filter(col("half") === 1),
+          "thr_odd", "f1_odd"))
+        .select(col("thr_even"), col("f1_even"), col("thr_odd"),
+          col("f1_odd"),
+          abs(col("thr_even") - col("thr_odd")).as("thr_gap_cents"))
+    }),
+
     "eval_f1_optimal_threshold" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val e = events(s, dir).select(
@@ -3797,6 +3869,73 @@ object StatQueries {
         |    AS selective_risk
         |FROM a ORDER BY delta""".stripMargin,
     // Same per-cent cumulative cells and (f1 desc, cut) argmax.
+    // Same per-hour exact integer moments; per-hour divisions only.
+    "eval_residual_profile_by_hour" ->
+      """WITH e AS (SELECT
+        |    epoch_ms(ts) // 3600000 % 24 AS hour,
+        |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |hr AS (SELECT hour, count(*) AS n,
+        |    CAST(sum(CAST(cents AS HUGEINT)) AS HUGEINT) AS s,
+        |    CAST(sum(CAST(cents AS HUGEINT) * cents) AS HUGEINT)
+        |      AS q
+        |  FROM e GROUP BY 1),
+        |mn AS (SELECT e.hour,
+        |    CAST(sum(abs(CAST(hr.n AS HUGEINT) * e.cents - hr.s))
+        |      AS HUGEINT) AS mn
+        |  FROM e JOIN hr ON hr.hour = e.hour GROUP BY 1)
+        |SELECT hr.hour, n,
+        |  ROUND(CAST(mn AS DOUBLE)
+        |    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) * 10000)
+        |    / 10000 AS mae_cents,
+        |  ROUND(sqrt(CAST(CAST(n AS HUGEINT) * q - s * s AS DOUBLE)
+        |    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) * 10000)
+        |    / 10000 AS rmse_cents
+        |FROM hr JOIN mn ON mn.hour = hr.hour
+        |ORDER BY hr.hour""".stripMargin,
+    // Same per-half cumulative sweeps and (f1 desc, c) argmax; gap
+    // exact.
+    "eval_threshold_stability" ->
+      """WITH e AS (SELECT CAST(round(value * 100) AS BIGINT) AS c,
+        |    event_type = 'purchase' AS pos, user_id % 2 AS half
+        |  FROM events),
+        |byc0 AS (SELECT c, count(*) FILTER (WHERE pos) AS np,
+        |    count(*) FILTER (WHERE NOT pos) AS nn FROM e
+        |  WHERE half = 0 GROUP BY 1),
+        |tot0 AS (SELECT count(*) FILTER (WHERE pos) AS ptot FROM e
+        |  WHERE half = 0),
+        |cum0 AS (SELECT c,
+        |    CAST(sum(np) OVER (ORDER BY c DESC
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS tp,
+        |    CAST(sum(nn) OVER (ORDER BY c DESC
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS fp
+        |  FROM byc0),
+        |f0 AS (SELECT c, CAST(2 * tp AS DOUBLE)
+        |    / CAST(2 * tp + fp + ptot - tp AS DOUBLE) AS f1
+        |  FROM cum0 CROSS JOIN tot0),
+        |r0 AS (SELECT c AS thr_even,
+        |    ROUND(f1 * 10000) / 10000 + 0.0 AS f1_even,
+        |    row_number() OVER (ORDER BY f1 DESC, c) AS rk FROM f0),
+        |byc1 AS (SELECT c, count(*) FILTER (WHERE pos) AS np,
+        |    count(*) FILTER (WHERE NOT pos) AS nn FROM e
+        |  WHERE half = 1 GROUP BY 1),
+        |tot1 AS (SELECT count(*) FILTER (WHERE pos) AS ptot FROM e
+        |  WHERE half = 1),
+        |cum1 AS (SELECT c,
+        |    CAST(sum(np) OVER (ORDER BY c DESC
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS tp,
+        |    CAST(sum(nn) OVER (ORDER BY c DESC
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS fp
+        |  FROM byc1),
+        |f1h AS (SELECT c, CAST(2 * tp AS DOUBLE)
+        |    / CAST(2 * tp + fp + ptot - tp AS DOUBLE) AS f1
+        |  FROM cum1 CROSS JOIN tot1),
+        |r1 AS (SELECT c AS thr_odd,
+        |    ROUND(f1 * 10000) / 10000 + 0.0 AS f1_odd,
+        |    row_number() OVER (ORDER BY f1 DESC, c) AS rk FROM f1h)
+        |SELECT thr_even, f1_even, thr_odd, f1_odd,
+        |  abs(thr_even - thr_odd) AS thr_gap_cents
+        |FROM r0 CROSS JOIN r1
+        |WHERE r0.rk = 1 AND r1.rk = 1""".stripMargin,
     "eval_f1_optimal_threshold" ->
       """WITH e AS (SELECT CAST(round(value * 100) AS BIGINT) AS c,
         |    event_type = 'purchase' AS pos FROM events),

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables.t
 import graft.Det.r4d
+import graft.functions.ArrayDot
 
 /** §2.9 Text analysis & deduplication (SURVEY.md) — the LLM-data-pipeline
   * operators over `documents`.
@@ -929,6 +930,47 @@ object TextQueries {
         .orderBy("source")
     }),
 
+    // SOURCE TF-IDF COSINE (§2.180) — frequency-weighted source
+    // similarity: each source becomes a dense tf·idf vector over the
+    // GLOBAL sorted vocabulary (tf = occurrence counts, idf =
+    // ln(n_docs/df) — so it weights by how much sources USE shared
+    // words, where text_vocab_jaccard_pairs only asks whether they
+    // share them), then cosine over every source pair. Vectors fold
+    // in vocabulary order through the codegen ArrayDot; the pair
+    // grid is the bounded |sources|² — never doc×doc.
+    "text_source_tfidf_cosine" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(col("source"), col("doc_id"),
+          explode(split(col("text"), " ")).as("tok"))
+      val ndocs = t(s, dir, "documents").agg(count(lit(1)).as("nd"))
+      val df = toks.select(col("tok"), col("doc_id")).distinct()
+        .groupBy("tok").agg(count(lit(1)).as("dfc"))
+      val tf = toks.groupBy("source", "tok")
+        .agg(count(lit(1)).as("tfc"))
+      val grid = tf.select("source").distinct()
+        .crossJoin(broadcast(df))
+        .join(tf, Seq("source", "tok"), "left")
+        .crossJoin(broadcast(ndocs))
+        .select(col("source"), col("tok"),
+          (coalesce(col("tfc"), lit(0L)).cast("double")
+            * log(col("nd").cast("double")
+              / col("dfc").cast("double"))).as("w"))
+      val vecs = grid.groupBy("source")
+        .agg(expr("transform(array_sort(collect_list(" +
+          "struct(tok, w))), p -> p.w)").as("v"))
+      val lhs = vecs.select(col("source").as("source_a"),
+        col("v").as("va"))
+      val rhs = vecs.select(col("source").as("source_b"),
+        col("v").as("vb"))
+      lhs.join(rhs, col("source_a") < col("source_b"))
+        .select(col("source_a"), col("source_b"),
+          r4d(ArrayDot(col("va"), col("vb"))
+            / (sqrt(ArrayDot(col("va"), col("va")))
+              * sqrt(ArrayDot(col("vb"), col("vb")))))
+            .as("cosine"))
+        .orderBy("source_a", "source_b")
+    }),
+
     // LANG-SOURCE MIX (§2.176) — the multilingual corpus card per
     // source: language count, modal language + its share (argmax
     // under the (n desc, lang) total order), and the language
@@ -1792,6 +1834,33 @@ object TextQueries {
         |    AS share_docs_repeat
         |FROM a JOIN shorts s ON s.source = a.source
         |ORDER BY a.source""".stripMargin,
+    // Same dense vocabulary-ordered vectors; list_dot_product ≡ the
+    // ArrayDot fold (the sim_norm precedent).
+    "text_source_tfidf_cosine" ->
+      """WITH toks AS (SELECT source, doc_id,
+        |    unnest(string_split(text, ' ')) AS tok FROM documents),
+        |nd AS (SELECT count(*) AS nd FROM documents),
+        |df AS (SELECT tok, count(DISTINCT doc_id) AS dfc FROM toks
+        |  GROUP BY 1),
+        |tf AS (SELECT source, tok, count(*) AS tfc FROM toks
+        |  GROUP BY 1, 2),
+        |grid AS (SELECT s.source, d.tok,
+        |    coalesce(tfc, 0)
+        |      * ln(CAST(nd AS DOUBLE) / CAST(dfc AS DOUBLE)) AS w
+        |  FROM (SELECT DISTINCT source FROM tf) s
+        |  CROSS JOIN df d
+        |  LEFT JOIN tf ON tf.source = s.source AND tf.tok = d.tok
+        |  CROSS JOIN nd),
+        |vecs AS (SELECT source, list_transform(
+        |    list_sort(list({'tok': tok, 'w': w})), p -> p.w) AS v
+        |  FROM grid GROUP BY 1)
+        |SELECT a.source AS source_a, b.source AS source_b,
+        |  ROUND(list_dot_product(a.v, b.v)
+        |    / (sqrt(list_dot_product(a.v, a.v))
+        |      * sqrt(list_dot_product(b.v, b.v))) * 10000) / 10000
+        |    AS cosine
+        |FROM vecs a JOIN vecs b ON a.source < b.source
+        |ORDER BY source_a, source_b""".stripMargin,
     // Same lang counts, argmax order, and sorted-count entropy fold.
     "text_lang_source_mix" ->
       """WITH c AS (SELECT source, lang, count(*) AS n FROM documents

@@ -616,10 +616,22 @@ class InventorySpec extends SparkSpec {
     // §2.177 round-15 twenty-ninth wave: variance ratio, Markov
     // entropy rate, parquet bloom filter
     "ts_variance_ratio", "ts_markov_entropy_rate",
-    "scan_parquet_bloom_filter")
+    "scan_parquet_bloom_filter",
+    // §2.178 round-15 thirtieth wave: residual profile, threshold
+    // stability, dim correlation
+    "eval_residual_profile_by_hour", "eval_threshold_stability",
+    "sim_dim_correlation_pairs",
+    // §2.179 round-15 thirty-first wave: position attribution,
+    // length bias, revisit intervals
+    "attribution_position_based", "pipeline_length_bias_audit",
+    "geo_revisit_intervals",
+    // §2.180 round-15 thirty-second wave: funnel significance,
+    // standard deviational ellipse, source tf-idf cosine
+    "funnel_stage_significance", "geo_std_ellipse",
+    "text_source_tfidf_cosine")
 
-  test("declared queries cover SURVEY §2 + §2.12-177 exactly (640 keys)") {
-    assert(inventory.size == 640)
+  test("declared queries cover SURVEY §2 + §2.12-180 exactly (649 keys)") {
+    assert(inventory.size == 649)
     val declared = SparkEntry.queries.keySet
     val missing = inventory -- declared
     val extra = declared -- inventory
