@@ -1273,6 +1273,46 @@ object AnalyticsQueries {
         .orderBy("event_type", "day")
     }),
 
+    // PEAK HOUR STABILITY (§2.182) — capacity planning's first
+    // question: is the busiest hour the SAME every week, or does it
+    // wander? Per event type: each week's argmax hour (under the
+    // (n desc, hour) total order), the modal peak hour across weeks,
+    // and the share of weeks agreeing with it — a share near 1 means
+    // a static staffing/scaling schedule works. Exact counts, two
+    // bounded argmax windows.
+    "ts_peak_hour_stability" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = events(s, dir)
+        .select(col("event_type"),
+          expr("unix_millis(cast(ts as timestamp))" +
+            " div 86400000 div 7").as("week"),
+          expr("unix_millis(cast(ts as timestamp))" +
+            " div 3600000 % 24").as("hour"))
+        .groupBy("event_type", "week", "hour")
+        .agg(count(lit(1)).as("n"))
+      val ww = Window.partitionBy("event_type", "week")
+        .orderBy(col("n").desc, col("hour"))
+      val peaks = e.withColumn("rk", row_number().over(ww))
+        .filter(col("rk") === 1)
+        .select(col("event_type"), col("week"),
+          col("hour").as("peak_hour"))
+      val wc = peaks.groupBy("event_type", "peak_hour")
+        .agg(count(lit(1)).as("nw"))
+      val wm = Window.partitionBy("event_type")
+        .orderBy(col("nw").desc, col("peak_hour"))
+      val modal = wc.withColumn("rk", row_number().over(wm))
+        .filter(col("rk") === 1)
+        .select(col("event_type"), col("peak_hour").as("modal_hour"),
+          col("nw").as("n_weeks_at_modal"))
+      peaks.groupBy("event_type").agg(count(lit(1)).as("n_weeks"))
+        .join(modal, Seq("event_type"))
+        .select(col("event_type"), col("n_weeks"), col("modal_hour"),
+          col("n_weeks_at_modal"),
+          r4d(col("n_weeks_at_modal").cast("double")
+            / col("n_weeks").cast("double")).as("stability"))
+        .orderBy("event_type")
+    }),
+
     // VARIANCE RATIO (§2.177) — the Lo-MacKinlay random-walk test on
     // daily order revenue: VR(7) = Var(7-day differences)/(7·Var(1-
     // day differences)) — VR ≈ 1 random walk, > 1 trending, < 1
@@ -4731,6 +4771,29 @@ object AnalyticsQueries {
          |  nwin = 7 AND y > mx AS breakout_up,
          |  nwin = 7 AND y < mn AS breakout_down
          |FROM w ORDER BY event_type, day""".stripMargin,
+    // Same weekly argmax and modal-hour total orders.
+    "ts_peak_hour_stability" ->
+      """WITH e AS (SELECT event_type,
+        |    epoch_ms(ts) // 86400000 // 7 AS week,
+        |    epoch_ms(ts) // 3600000 % 24 AS hour, count(*) AS n
+        |  FROM events GROUP BY 1, 2, 3),
+        |pk AS (SELECT event_type, week, hour AS peak_hour FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY event_type, week
+        |    ORDER BY n DESC, hour) AS rk FROM e) WHERE rk = 1),
+        |wc AS (SELECT event_type, peak_hour, count(*) AS nw FROM pk
+        |  GROUP BY 1, 2),
+        |md AS (SELECT event_type, peak_hour AS modal_hour,
+        |    nw AS n_weeks_at_modal FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY event_type
+        |    ORDER BY nw DESC, peak_hour) AS rk FROM wc)
+        |  WHERE rk = 1),
+        |tw AS (SELECT event_type, count(*) AS n_weeks FROM pk
+        |  GROUP BY 1)
+        |SELECT tw.event_type, n_weeks, modal_hour, n_weeks_at_modal,
+        |  ROUND(CAST(n_weeks_at_modal AS DOUBLE)
+        |    / CAST(n_weeks AS DOUBLE) * 10000) / 10000 AS stability
+        |FROM tw JOIN md ON md.event_type = tw.event_type
+        |ORDER BY tw.event_type""".stripMargin,
     // Same stage CTEs; same exact cross-multiplied χ² and double
     // threshold compare.
     "funnel_stage_significance" ->

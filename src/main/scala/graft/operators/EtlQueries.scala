@@ -593,6 +593,42 @@ object EtlQueries {
     // side collapses to its distinct set FIRST (partial-agg
     // exchanges); the intersection is a semi join of slim key sets —
     // never a row-level join.
+    // TEMPORAL INTEGRITY AUDIT (§2.181) — the cross-table ordering
+    // constraint dq_report's single-table ranges can't see: a line
+    // item must not ship BEFORE its order was placed. Per constraint:
+    // rows checked, violations, violation share, and the worst
+    // (most negative) lead in days — plus two single-table
+    // positivity constraints as calibration rows (their violation
+    // counts pin the harness against an always-zero report reading
+    // as vacuous). Exact day integers; the join rides the l_orderkey
+    // FK (the co-partitioned join every engine already optimizes).
+    "etl_temporal_integrity_audit" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val ship = li.select(col("l_orderkey"),
+          epochDay("l_shipdate").as("sd"))
+        .join(o.select(col("o_orderkey").as("l_orderkey"),
+          epochDay("o_orderdate").as("od")), Seq("l_orderkey"))
+        .select((col("sd") - col("od")).as("lead"))
+      def row(name: String, checked: DataFrame) =
+        checked.agg(count(lit(1)).as("n_rows"),
+            count_if(col("lead") < 0).as("n_violations"),
+            min(col("lead")).as("min_lead_days"))
+          .select(lit(name).as("constraint_name"), col("n_rows"),
+            col("n_violations"),
+            r4d(col("n_violations").cast("double")
+              / col("n_rows").cast("double")).as("violation_share"),
+            col("min_lead_days"))
+      row("lineitem.ship_after_order", ship)
+        .unionByName(row("lineitem.quantity_positive",
+          li.select(when(col("l_quantity") > 0, 1L).otherwise(-1L)
+            .as("lead"))))
+        .unionByName(row("orders.totalprice_positive",
+          o.select(when(col("o_totalprice") > 0, 1L).otherwise(-1L)
+            .as("lead"))))
+        .orderBy("constraint_name")
+    }),
+
     // COLUMN CARDINALITY PROFILE (§2.174) — the per-column profiling
     // pass storage engines run before choosing encodings: for each
     // lineitem column, distinct-value count, modal-value frequency,
@@ -1214,6 +1250,30 @@ object EtlQueries {
         one("part", "part", "p_partkey"),
         one("supplier", "supplier", "s_suppkey"))
         .mkString("", "\nUNION ALL\n", "\nORDER BY table_name")
+    },
+    // Same FK day-lead join and positivity sentinels.
+    "etl_temporal_integrity_audit" -> {
+      def row(name: String, leadSel: String) =
+        s"""SELECT '$name' AS constraint_name, count(*) AS n_rows,
+           |  count(*) FILTER (WHERE lead < 0) AS n_violations,
+           |  ROUND(CAST(count(*) FILTER (WHERE lead < 0) AS DOUBLE)
+           |    / CAST(count(*) AS DOUBLE) * 10000) / 10000
+           |    AS violation_share,
+           |  min(lead) AS min_lead_days
+           |FROM ($leadSel)""".stripMargin
+      Seq(
+        row("lineitem.ship_after_order",
+          """SELECT epoch_ms(l_shipdate) // 86400000
+            |    - epoch_ms(o_orderdate) // 86400000 AS lead
+            |  FROM lineitem JOIN orders
+            |    ON o_orderkey = l_orderkey""".stripMargin),
+        row("lineitem.quantity_positive",
+          """SELECT CASE WHEN l_quantity > 0 THEN 1 ELSE -1 END
+            |    AS lead FROM lineitem""".stripMargin),
+        row("orders.totalprice_positive",
+          """SELECT CASE WHEN o_totalprice > 0 THEN 1 ELSE -1 END
+            |    AS lead FROM orders""".stripMargin))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY constraint_name")
     },
     // Same per-column keyed reduces and exact 1% cross-multiplied
     // dictionary advice.

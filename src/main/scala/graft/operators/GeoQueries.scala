@@ -142,6 +142,34 @@ object GeoQueries {
         .orderBy("user_id")
     }),
 
+    // DAILY RANGE PROFILE (§2.181) — how far does a platform roam in
+    // a day: per user-day, the Chebyshev span over the fine
+    // (1/8°, 1/32°)-grid coordinates DOUBLED to exact integers
+    // (2·lat grid units, so no fraction ever enters); per user the
+    // mean and max daily span plus active-day count. Distinguishes
+    // the long-haul migrant (high max, low mean) from the wide-
+    // ranging forager (high mean) — the daily-mobility figure next
+    // to radius of gyration's all-time one. Two keyed reduces.
+    "geo_daily_range_profile" -> ((s, dir) => {
+      val day = sightings(s, dir)
+        .select(col("user_id"), expr("ms div 86400000").as("day"),
+          (col("lat") * 8).cast("long").as("ly"),
+          (col("lon") * 32).cast("long").as("lx"))
+        .groupBy("user_id", "day")
+        .agg(greatest(
+          (max(col("ly")) - min(col("ly"))) * 4,
+          max(col("lx")) - min(col("lx"))).as("span32"))
+      day.groupBy("user_id")
+        .agg(count(lit(1)).as("n_days"),
+          sum(col("span32")).as("ss"), max(col("span32")).as("mx"))
+        .select(col("user_id"), col("n_days"),
+          r4d(col("ss").cast("double") / col("n_days").cast("double")
+            / lit(32.0)).as("mean_daily_range_deg"),
+          r4d(col("mx").cast("double") / lit(32.0))
+            .as("max_daily_range_deg"))
+        .orderBy("user_id")
+    }),
+
     // STANDARD DEVIATIONAL ELLIPSE (§2.180) — the classic
     // activity-space / home-range summary wildlife and mobility
     // surveys publish: per platform, the mean center, the ellipse
@@ -1199,6 +1227,24 @@ object GeoQueries {
         |  AND a.user_id < b.user_id
         |GROUP BY 1, 2 HAVING count(*) >= 2
         |ORDER BY user_a, user_b""".stripMargin,
+    // Same doubled-integer grid spans and exact Chebyshev max.
+    "geo_daily_range_profile" ->
+      """WITH p AS (SELECT user_id,
+        |    epoch_ms(ts) // 86400000 AS day,
+        |    CAST(event_id % 1440 AS BIGINT) - 720 AS ly,
+        |    CAST((user_id * 997 + event_id * 31) % 11520 AS BIGINT)
+        |      - 5760 AS lx
+        |  FROM events),
+        |d AS (SELECT user_id, day,
+        |    greatest((max(ly) - min(ly)) * 4, max(lx) - min(lx))
+        |      AS span32
+        |  FROM p GROUP BY 1, 2)
+        |SELECT user_id, count(*) AS n_days,
+        |  ROUND(CAST(sum(span32) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |    / 32.0 * 10000) / 10000 AS mean_daily_range_deg,
+        |  ROUND(CAST(max(span32) AS DOUBLE) / 32.0 * 10000) / 10000
+        |    AS max_daily_range_deg
+        |FROM d GROUP BY user_id ORDER BY user_id""".stripMargin,
     // Same decimal-exact moments; sqrt/atan2 on identical doubles.
     "geo_std_ellipse" ->
       """WITH p AS (SELECT user_id,

@@ -554,6 +554,47 @@ object GraphQueries {
         .orderBy("part_a")
     }),
 
+    // BRAND CONDUCTANCE (§2.182) — community quality WITHOUT
+    // iteration: treat part BRAND as the community assignment and
+    // measure each brand's conductance φ = cut/min(vol, 2m−vol) over
+    // the co-purchase graph — the "is this attribute a real
+    // community" check that complements modularity (global score)
+    // and attribute assortativity (type mixing) with a per-community
+    // readout. Exact integer cut/volume counts off two broadcast
+    // label joins; one |brands|-bounded reduce, one division.
+    "graph_brand_conductance" -> ((s, dir) => {
+      val co = partSetsByOrder(s, dir)
+        .select(explode(col("ps")).as("a"), col("ps"))
+        .select(col("a"), explode(col("ps")).as("b"))
+        .filter(col("a") < col("b"))
+        .distinct()
+      val brand = t(s, dir, "part")
+        .select(col("p_partkey"), col("p_brand"))
+      val e2 = co
+        .join(broadcast(brand.select(col("p_partkey").as("a"),
+          col("p_brand").as("ba"))), Seq("a"))
+        .join(broadcast(brand.select(col("p_partkey").as("b"),
+          col("p_brand").as("bb"))), Seq("b"))
+      val m = e2.agg(count(lit(1)).as("m"))
+      val per = e2.select(explode(array(
+          struct(col("ba").as("brand"),
+            (col("ba") === col("bb")).cast("long").as("internal")),
+          struct(col("bb").as("brand"),
+            (col("ba") === col("bb")).cast("long").as("internal"))))
+          .as("x"))
+        .select(col("x.brand").as("brand"),
+          col("x.internal").as("internal"))
+        .groupBy("brand")
+        .agg(count(lit(1)).as("vol"),
+          sum(lit(1L) - col("internal")).as("cut"))
+      per.crossJoin(broadcast(m))
+        .select(col("brand"), col("vol"), col("cut"),
+          r4d(col("cut").cast("double")
+            / least(col("vol"), lit(2L) * col("m") - col("vol"))
+              .cast("double")).as("conductance"))
+        .orderBy("brand")
+    }),
+
     // ATTRIBUTE ASSORTATIVITY (§2.176) — Newman's discrete
     // assortativity coefficient over part TYPE at co-purchase edge
     // endpoints: do customers bundle within a category (r → 1) or
@@ -1788,6 +1829,28 @@ object GraphQueries {
         |  min(deg) AS min_deg, max(deg) AS max_deg,
         |  CAST(sum(deg) AS BIGINT) AS sum_deg
         |FROM deg GROUP BY 1 ORDER BY bucket""".stripMargin,
+    // Same endpoint-exploded volumes and exact cut counts.
+    "graph_brand_conductance" ->
+      """WITH pp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+        |  FROM lineitem),
+        |co AS (SELECT DISTINCT x.p AS a, y.p AS b
+        |  FROM pp x JOIN pp y ON x.ok = y.ok AND x.p < y.p),
+        |e2 AS MATERIALIZED (SELECT ba.p_brand AS ba, bb.p_brand AS bb
+        |  FROM co JOIN part ba ON ba.p_partkey = co.a
+        |  JOIN part bb ON bb.p_partkey = co.b),
+        |m AS (SELECT count(*) AS m FROM e2),
+        |x AS (SELECT ba AS brand,
+        |    CASE WHEN ba = bb THEN 1 ELSE 0 END AS internal FROM e2
+        |  UNION ALL SELECT bb,
+        |    CASE WHEN ba = bb THEN 1 ELSE 0 END FROM e2),
+        |per AS (SELECT brand, count(*) AS vol,
+        |    CAST(sum(1 - internal) AS BIGINT) AS cut
+        |  FROM x GROUP BY 1)
+        |SELECT brand, vol, cut,
+        |  ROUND(CAST(cut AS DOUBLE)
+        |    / CAST(least(vol, 2 * m - vol) AS DOUBLE) * 10000)
+        |    / 10000 AS conductance
+        |FROM per CROSS JOIN m ORDER BY brand""".stripMargin,
     // Same directed half-edge mixing counts and exact decimal r.
     "graph_attribute_assortativity" ->
       """WITH pp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p

@@ -2463,6 +2463,40 @@ object StatQueries {
     // cut is one rational of exact integers; the argmax takes the
     // (f1 desc, threshold asc) total order — F1 values are
     // identical doubles in both engines, so the winner row is too.
+    // DISTRIBUTION OVERLAP (§2.181) — the overlap coefficient
+    // OVL = Σ min(p_i, q_i) between the purchase and non-purchase
+    // score histograms (20 fixed bins, the hist_values device):
+    // the separability number that complements AUC (rank-based) and
+    // KS (max gap) with the literal shared probability mass — 1 =
+    // indistinguishable, 0 = separable. Bin mins cross-multiply to
+    // exact decimal integers (min(c₁ᵢn₂, c₂ᵢn₁)) so ONE division
+    // runs at the edge; two keyed reduces over the bounded bin grid.
+    "eval_distribution_overlap" -> ((s, dir) => {
+      val D0 = "decimal(38,0)"
+      val e = events(s, dir).select(
+        least(greatest(floor(col("value") / 10.0), lit(0.0)),
+          lit(19.0)).cast("long").as("bucket"),
+        (col("event_type") === "purchase").as("pos"))
+      val b = e.groupBy("bucket")
+        .agg(count_if(col("pos")).as("c1"),
+          count_if(!col("pos")).as("c2"))
+      val tot = e.agg(count_if(col("pos")).as("n1"),
+        count_if(!col("pos")).as("n2"))
+      b.crossJoin(broadcast(tot))
+        .select(least(col("c1").cast(D0) * col("n2"),
+          col("c2").cast(D0) * col("n1")).as("m"),
+          col("n1"), col("n2"))
+        .groupBy("n1", "n2")
+        .agg(sum(col("m")).as("sm"))
+        .select(col("n1").as("n_pos"), col("n2").as("n_neg"),
+          r4d(col("sm").cast("double")
+            / (col("n1").cast(D0) * col("n2")).cast("double"))
+            .as("overlap"),
+          r4d(lit(1.0) - col("sm").cast("double")
+            / (col("n1").cast(D0) * col("n2")).cast("double"))
+            .as("separation"))
+    }),
+
     // RESIDUAL PROFILE BY HOUR (§2.178) — the heteroscedasticity
     // readout behind eval_regression_hour_model's pooled MAE/RMSE:
     // the hour-mean model's per-hour error profile, so a monitoring
@@ -2492,6 +2526,42 @@ object StatQueries {
             / (col("n").cast("double") * col("n").cast("double"))))
             .as("rmse_cents"))
         .orderBy("hour")
+    }),
+
+    // PRECISION AT RECALL TARGET (§2.182) — the deployment
+    // operating-point picker: among thresholds whose recall is at
+    // least 80% (exact integer test 5·tp ≥ 4·p_total — no float in
+    // the constraint), the one with maximum precision (argmax under
+    // the exact cross-multiplied precision order, ties to the lower
+    // threshold). The recall-floor counterpart of
+    // eval_f1_optimal_threshold (joint max) and eval_youden_threshold
+    // (rate gap); same bounded cumulative sweep.
+    "eval_precision_at_recall" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = events(s, dir).select(
+        round(col("value") * 100).cast("long").as("c"),
+        (col("event_type") === "purchase").as("pos"))
+      val byC = e.groupBy("c")
+        .agg(count_if(col("pos")).as("np"),
+          count_if(!col("pos")).as("nn"))
+      val wd = Window.orderBy(col("c").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = byC
+        .withColumn("tp", sum(col("np")).over(wd))
+        .withColumn("fp", sum(col("nn")).over(wd))
+      val tot = e.agg(count_if(col("pos")).as("ptot"))
+      val ok = cum.crossJoin(broadcast(tot))
+        .filter(col("tp") * 5 >= col("ptot") * 4)
+        .withColumn("prec", col("tp").cast("double")
+          / (col("tp") + col("fp")).cast("double"))
+      val w = Window.orderBy(col("prec").desc, col("c"))
+      ok.withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("c").as("thr_cents"), col("tp"), col("fp"),
+          (col("ptot") - col("tp")).as("fn"),
+          r4d(col("prec")).as("precision"),
+          r4d(col("tp").cast("double") / col("ptot").cast("double"))
+            .as("recall"))
     }),
 
     // THRESHOLD STABILITY (§2.178) — does the F1-optimal threshold
@@ -3869,6 +3939,30 @@ object StatQueries {
         |    AS selective_risk
         |FROM a ORDER BY delta""".stripMargin,
     // Same per-cent cumulative cells and (f1 desc, cut) argmax.
+    // Same fixed bins and exact cross-multiplied bin minima.
+    "eval_distribution_overlap" ->
+      """WITH e AS (SELECT
+        |    CAST(least(greatest(floor(value / 10.0), 0), 19)
+        |      AS BIGINT) AS bucket,
+        |    event_type = 'purchase' AS pos FROM events),
+        |b AS (SELECT bucket,
+        |    count(*) FILTER (WHERE pos) AS c1,
+        |    count(*) FILTER (WHERE NOT pos) AS c2
+        |  FROM e GROUP BY 1),
+        |t AS (SELECT count(*) FILTER (WHERE pos) AS n1,
+        |    count(*) FILTER (WHERE NOT pos) AS n2 FROM e),
+        |m AS (SELECT n1, n2,
+        |    CAST(sum(least(CAST(c1 AS HUGEINT) * n2,
+        |      CAST(c2 AS HUGEINT) * n1)) AS HUGEINT) AS sm
+        |  FROM b CROSS JOIN t GROUP BY 1, 2)
+        |SELECT n1 AS n_pos, n2 AS n_neg,
+        |  ROUND(CAST(sm AS DOUBLE)
+        |    / CAST(CAST(n1 AS HUGEINT) * n2 AS DOUBLE) * 10000)
+        |    / 10000 AS overlap,
+        |  ROUND((1.0 - CAST(sm AS DOUBLE)
+        |    / CAST(CAST(n1 AS HUGEINT) * n2 AS DOUBLE)) * 10000)
+        |    / 10000 AS separation
+        |FROM m""".stripMargin,
     // Same per-hour exact integer moments; per-hour divisions only.
     "eval_residual_profile_by_hour" ->
       """WITH e AS (SELECT
@@ -3892,6 +3986,30 @@ object StatQueries {
         |    / 10000 AS rmse_cents
         |FROM hr JOIN mn ON mn.hour = hr.hour
         |ORDER BY hr.hour""".stripMargin,
+    // Same cumulative sweep, exact 5·tp ≥ 4·ptot recall floor, and
+    // (precision desc, c) argmax.
+    "eval_precision_at_recall" ->
+      """WITH e AS (SELECT CAST(round(value * 100) AS BIGINT) AS c,
+        |    event_type = 'purchase' AS pos FROM events),
+        |byc AS (SELECT c, count(*) FILTER (WHERE pos) AS np,
+        |    count(*) FILTER (WHERE NOT pos) AS nn FROM e GROUP BY 1),
+        |tot AS (SELECT count(*) FILTER (WHERE pos) AS ptot FROM e),
+        |cum AS (SELECT c,
+        |    CAST(sum(np) OVER (ORDER BY c DESC
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS tp,
+        |    CAST(sum(nn) OVER (ORDER BY c DESC
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS fp
+        |  FROM byc),
+        |ok AS (SELECT c, tp, fp, ptot,
+        |    CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) AS prec
+        |  FROM cum CROSS JOIN tot WHERE tp * 5 >= ptot * 4),
+        |r AS (SELECT *, row_number() OVER (ORDER BY prec DESC, c)
+        |    AS rk FROM ok)
+        |SELECT c AS thr_cents, tp, fp, ptot - tp AS fn,
+        |  ROUND(prec * 10000) / 10000 AS precision,
+        |  ROUND(CAST(tp AS DOUBLE) / CAST(ptot AS DOUBLE) * 10000)
+        |    / 10000 AS recall
+        |FROM r WHERE rk = 1""".stripMargin,
     // Same per-half cumulative sweeps and (f1 desc, c) argmax; gap
     // exact.
     "eval_threshold_stability" ->

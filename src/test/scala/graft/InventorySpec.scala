@@ -628,10 +628,18 @@ class InventorySpec extends SparkSpec {
     // §2.180 round-15 thirty-second wave: funnel significance,
     // standard deviational ellipse, source tf-idf cosine
     "funnel_stage_significance", "geo_std_ellipse",
-    "text_source_tfidf_cosine")
+    "text_source_tfidf_cosine",
+    // §2.181 round-15 thirty-third wave: temporal integrity, daily
+    // range, distribution overlap
+    "etl_temporal_integrity_audit", "geo_daily_range_profile",
+    "eval_distribution_overlap",
+    // §2.182 round-15 thirty-fourth wave: brand conductance, peak
+    // stability, precision at recall
+    "graph_brand_conductance", "ts_peak_hour_stability",
+    "eval_precision_at_recall")
 
-  test("declared queries cover SURVEY §2 + §2.12-180 exactly (649 keys)") {
-    assert(inventory.size == 649)
+  test("declared queries cover SURVEY §2 + §2.12-182 exactly (655 keys)") {
+    assert(inventory.size == 655)
     val declared = SparkEntry.queries.keySet
     val missing = inventory -- declared
     val extra = declared -- inventory
