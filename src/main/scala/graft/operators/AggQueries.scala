@@ -1256,6 +1256,79 @@ object AggQueries {
     // exchanges collapse the corpus to |distinct sizes| rows; the
     // total rides a broadcast 1-row cross join (never a global
     // window); one double share at the edge.
+    // LORENZ ASYMMETRY (§2.184) — WHERE the inequality sits: two
+    // distributions with the same Gini differ in whether the
+    // concentration comes from a few giants (S > 1) or many
+    // paupers (S < 1); S = F(μ) + L(μ) — the unit share below the
+    // mean plus the value share below the mean, evaluated per event
+    // type over per-user value sums in exact cents. Both shares use
+    // cross-multiplied integer compares against the mean (cᵢ·n vs
+    // total — no float mean is materialized); two divisions at the
+    // edge. The companion readout to agg_gini.
+    "agg_lorenz_asymmetry" -> ((s, dir) => {
+      val D0 = "decimal(38,0)"
+      val u = events(s, dir)
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("c"))
+      val tot = u.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("c").cast(D0)).as("s"))
+      u.join(broadcast(tot), Seq("event_type"))
+        .select(col("event_type"), col("n"), col("s"),
+          (col("c").cast(D0) * col("n") < col("s")).cast("long")
+            .as("below"),
+          when(col("c").cast(D0) * col("n") < col("s"), col("c"))
+            .otherwise(0L).cast(D0).as("cbelow"))
+        .groupBy("event_type")
+        .agg(max(col("n")).as("n_users"),
+          max(col("s")).as("total_cents"),
+          sum(col("below")).as("n_below"),
+          sum(col("cbelow")).as("s_below"))
+        .select(col("event_type"), col("n_users"),
+          col("total_cents").cast("long").as("total_cents"),
+          r4d(col("n_below").cast("double")
+            / col("n_users").cast("double")
+            + col("s_below").cast("double")
+              / col("total_cents").cast("double")).as("lorenz_s"))
+        .orderBy("event_type")
+    }),
+
+    // LOG-LOG ELASTICITY (§2.183) — the demand-curve slope pricing
+    // teams fit first: OLS of ln(quantity) on ln(unit price) across
+    // line items (elasticity < 0 = normal demand; the fixture's
+    // independence makes ~0 the expected read — the estimator, not
+    // the economics, is the contract). Both logs micro-snap to
+    // 10⁻⁶-unit integers FIRST (ln sums are order-dependent in
+    // doubles; snapped integers restore exact decimal moments — the
+    // shared device), slope from one cross-multiplied division; the
+    // 10⁻⁶ scales cancel in the slope. One reduce.
+    "agg_log_log_elasticity" -> ((s, dir) => {
+      val D0 = "decimal(38,0)"
+      val d = t(s, dir, "lineitem")
+        .filter(col("l_quantity") > 0 && col("l_extendedprice") > 0)
+        .select(
+          floor(log(col("l_extendedprice") / col("l_quantity"))
+            * lit(1.0e6)).cast("long").as("x6"),
+          floor(log(col("l_quantity")) * lit(1.0e6)).cast("long")
+            .as("y6"))
+      d.agg(count(lit(1)).as("n"),
+          sum(col("x6").cast(D0)).as("sx"),
+          sum(col("y6").cast(D0)).as("sy"),
+          sum(col("x6").cast(D0) * col("x6")).as("sxx"),
+          sum(col("x6").cast(D0) * col("y6")).as("sxy"))
+        .select(col("n").as("n_lines"),
+          r4d((col("n") * col("sxy") - col("sx") * col("sy"))
+            .cast("double")
+            / (col("n") * col("sxx") - col("sx") * col("sx"))
+              .cast("double")).as("elasticity"),
+          r4d((col("sy").cast("double")
+            - (col("n") * col("sxy") - col("sx") * col("sy"))
+              .cast("double")
+              / (col("n") * col("sxx") - col("sx") * col("sx"))
+                .cast("double") * col("sx").cast("double"))
+            / col("n").cast("double") / lit(1.0e6))
+            .as("intercept_ln_qty"))
+    }),
+
     "agg_basket_size_dist" -> ((s, dir) => {
       val d = t(s, dir, "lineitem")
         .groupBy(col("l_orderkey")).agg(count(lit(1)).as("basket"))
@@ -2162,6 +2235,54 @@ object AggQueries {
         |  ROUND(CAST(n_users_80 AS DOUBLE) / CAST(n_users AS DOUBLE)
         |    * 10000.0) / 10000.0 AS user_share_80
         |FROM g ORDER BY event_type""".stripMargin,
+    // Same exact-cent user sums and cross-multiplied below-mean
+    // tests.
+    "agg_lorenz_asymmetry" ->
+      """WITH u AS (SELECT event_type, user_id,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |      AS c
+        |  FROM events GROUP BY 1, 2),
+        |t AS (SELECT event_type, count(*) AS n,
+        |    CAST(sum(CAST(c AS HUGEINT)) AS HUGEINT) AS s
+        |  FROM u GROUP BY 1),
+        |j AS (SELECT u.event_type, t.n, t.s,
+        |    CASE WHEN CAST(c AS HUGEINT) * n < s THEN 1 ELSE 0 END
+        |      AS below,
+        |    CASE WHEN CAST(c AS HUGEINT) * n < s THEN c ELSE 0 END
+        |      AS cbelow
+        |  FROM u JOIN t ON t.event_type = u.event_type)
+        |SELECT event_type, max(n) AS n_users,
+        |  CAST(max(s) AS BIGINT) AS total_cents,
+        |  ROUND((CAST(sum(below) AS DOUBLE) / CAST(max(n) AS DOUBLE)
+        |    + CAST(sum(CAST(cbelow AS HUGEINT)) AS DOUBLE)
+        |      / CAST(max(s) AS DOUBLE)) * 10000) / 10000
+        |    AS lorenz_s
+        |FROM j GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // Same micro-snapped log integers and exact HUGEINT moments.
+    "agg_log_log_elasticity" ->
+      """WITH d AS (SELECT
+        |    CAST(floor(ln(l_extendedprice / l_quantity) * 1000000.0)
+        |      AS BIGINT) AS x6,
+        |    CAST(floor(ln(l_quantity) * 1000000.0) AS BIGINT) AS y6
+        |  FROM lineitem
+        |  WHERE l_quantity > 0 AND l_extendedprice > 0),
+        |m AS (SELECT count(*) AS n,
+        |    CAST(sum(CAST(x6 AS HUGEINT)) AS HUGEINT) AS sx,
+        |    CAST(sum(CAST(y6 AS HUGEINT)) AS HUGEINT) AS sy,
+        |    CAST(sum(CAST(x6 AS HUGEINT) * x6) AS HUGEINT) AS sxx,
+        |    CAST(sum(CAST(x6 AS HUGEINT) * y6) AS HUGEINT) AS sxy
+        |  FROM d)
+        |SELECT n AS n_lines,
+        |  ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+        |    / CAST(n * sxx - sx * sx AS DOUBLE) * 10000) / 10000
+        |    + 0.0 AS elasticity,
+        |  ROUND((CAST(sy AS DOUBLE)
+        |    - CAST(n * sxy - sx * sy AS DOUBLE)
+        |      / CAST(n * sxx - sx * sx AS DOUBLE)
+        |      * CAST(sx AS DOUBLE))
+        |    / CAST(n AS DOUBLE) / 1000000.0 * 10000) / 10000 + 0.0
+        |    AS intercept_ln_qty
+        |FROM m""".stripMargin,
     "agg_basket_size_dist" ->
       """WITH b AS (SELECT l_orderkey, count(*) AS basket
         |  FROM lineitem GROUP BY 1),

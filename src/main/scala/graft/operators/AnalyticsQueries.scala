@@ -1273,6 +1273,32 @@ object AnalyticsQueries {
         .orderBy("event_type", "day")
     }),
 
+    // PEAK-TO-MEAN RATIO (§2.184) — the capacity-headroom factor:
+    // per event type over the zero-filled daily spine, peak day
+    // volume over mean daily volume (provision for peak, pay for
+    // mean — this ratio IS the overprovision bill). The ratio
+    // cross-multiplies to max·n/sum on exact integers before ONE
+    // rounded division; peak day reported under the (y desc, day)
+    // total order.
+    "ts_peak_to_mean_ratio" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = zeroFilledDaily(s, dir)
+      val w = Window.partitionBy("event_type")
+        .orderBy(col("y").desc, col("day"))
+      val peak = d.withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("event_type"), col("day").as("peak_day"),
+          col("y").as("peak_count"))
+      d.groupBy("event_type")
+        .agg(count(lit(1)).as("n_days"), sum(col("y")).as("s"))
+        .join(peak, Seq("event_type"))
+        .select(col("event_type"), col("n_days"), col("peak_day"),
+          col("peak_count"),
+          r4d((col("peak_count") * col("n_days")).cast("double")
+            / col("s").cast("double")).as("peak_to_mean"))
+        .orderBy("event_type")
+    }),
+
     // PEAK HOUR STABILITY (§2.182) — capacity planning's first
     // question: is the busiest hour the SAME every week, or does it
     // wander? Per event type: each week's argmax hour (under the
@@ -4771,6 +4797,31 @@ object AnalyticsQueries {
          |  nwin = 7 AND y > mx AS breakout_up,
          |  nwin = 7 AND y < mn AS breakout_down
          |FROM w ORDER BY event_type, day""".stripMargin,
+    // Same zero-filled spine, argmax order, and cross-multiplied
+    // ratio.
+    "ts_peak_to_mean_ratio" ->
+      s"""WITH e AS (SELECT event_type, ${sqlEpochDay("ts")} AS day
+         |  FROM events),
+         |d0 AS (SELECT event_type, day, count(*) AS y FROM e
+         |  GROUP BY 1, 2),
+         |bd AS (SELECT min(day) AS lo, max(day) AS hi FROM e),
+         |ty AS (SELECT DISTINCT event_type FROM e),
+         |spine AS (SELECT event_type, unnest(range(lo, hi + 1)) AS day
+         |  FROM ty CROSS JOIN bd),
+         |fl AS (SELECT s.event_type, s.day, coalesce(y, 0) AS y
+         |  FROM spine s LEFT JOIN d0
+         |    ON d0.event_type = s.event_type AND d0.day = s.day),
+         |pk AS (SELECT event_type, day AS peak_day,
+         |    y AS peak_count FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY event_type
+         |    ORDER BY y DESC, day) AS rk FROM fl) WHERE rk = 1),
+         |g AS (SELECT event_type, count(*) AS n_days,
+         |    CAST(sum(y) AS BIGINT) AS s FROM fl GROUP BY 1)
+         |SELECT g.event_type, n_days, peak_day, peak_count,
+         |  ROUND(CAST(peak_count * n_days AS DOUBLE)
+         |    / CAST(s AS DOUBLE) * 10000) / 10000 AS peak_to_mean
+         |FROM g JOIN pk ON pk.event_type = g.event_type
+         |ORDER BY g.event_type""".stripMargin,
     // Same weekly argmax and modal-hour total orders.
     "ts_peak_hour_stability" ->
       """WITH e AS (SELECT event_type,

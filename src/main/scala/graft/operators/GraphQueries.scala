@@ -554,6 +554,40 @@ object GraphQueries {
         .orderBy("part_a")
     }),
 
+    // SUPPLIER PROJECTION (§2.183) — the one-mode projection of the
+    // part↔supplier bipartite graph graph_bipartite_profile
+    // describes: the top-20 supplier pairs by shared distinct parts,
+    // with the Jaccard overlap of their catalogs — the
+    // "interchangeable vendor" readout procurement risk reviews
+    // want. Aggregate-first: the distinct (supplier, part) table
+    // pairs WITHIN part only (bounded by per-part supplier counts),
+    // one keyed reduce, two broadcast degree joins, a bounded top-20
+    // total order.
+    "graph_supplier_projection" -> ((s, dir) => {
+      val sp = t(s, dir, "lineitem")
+        .select(col("l_suppkey").as("sk"), col("l_partkey").as("p"))
+        .distinct()
+      val lhs = sp.select(col("p"), col("sk").as("sa"))
+      val rhs = sp.select(col("p"), col("sk").as("sb"))
+      val pairs = lhs.join(rhs, Seq("p"))
+        .filter(col("sa") < col("sb"))
+        .groupBy("sa", "sb").agg(count(lit(1)).as("n_shared"))
+      val deg = sp.groupBy("sk").agg(count(lit(1)).as("d"))
+      pairs
+        .join(broadcast(deg.select(col("sk").as("sa"),
+          col("d").as("da"))), Seq("sa"))
+        .join(broadcast(deg.select(col("sk").as("sb"),
+          col("d").as("db"))), Seq("sb"))
+        .orderBy(col("n_shared").desc, col("sa"), col("sb"))
+        .limit(20)
+        .select(col("sa").as("supplier_a"), col("sb").as("supplier_b"),
+          col("n_shared"), col("da").as("n_parts_a"),
+          col("db").as("n_parts_b"),
+          r4d(col("n_shared").cast("double")
+            / (col("da") + col("db") - col("n_shared"))
+              .cast("double")).as("jaccard"))
+    }),
+
     // BRAND CONDUCTANCE (§2.182) — community quality WITHOUT
     // iteration: treat part BRAND as the community assignment and
     // measure each brand's conductance φ = cut/min(vol, 2m−vol) over
@@ -1829,6 +1863,22 @@ object GraphQueries {
         |  min(deg) AS min_deg, max(deg) AS max_deg,
         |  CAST(sum(deg) AS BIGINT) AS sum_deg
         |FROM deg GROUP BY 1 ORDER BY bucket""".stripMargin,
+    // Same within-part pair reduce and bounded top-20 order.
+    "graph_supplier_projection" ->
+      """WITH sp AS (SELECT DISTINCT l_suppkey AS sk, l_partkey AS p
+        |  FROM lineitem),
+        |pairs AS (SELECT a.sk AS sa, b.sk AS sb, count(*) AS n_shared
+        |  FROM sp a JOIN sp b ON a.p = b.p AND a.sk < b.sk
+        |  GROUP BY 1, 2),
+        |deg AS (SELECT sk, count(*) AS d FROM sp GROUP BY 1)
+        |SELECT sa AS supplier_a, sb AS supplier_b, n_shared,
+        |  da.d AS n_parts_a, db.d AS n_parts_b,
+        |  ROUND(CAST(n_shared AS DOUBLE)
+        |    / CAST(da.d + db.d - n_shared AS DOUBLE) * 10000)
+        |    / 10000 AS jaccard
+        |FROM pairs JOIN deg da ON da.sk = sa
+        |  JOIN deg db ON db.sk = sb
+        |ORDER BY n_shared DESC, sa, sb LIMIT 20""".stripMargin,
     // Same endpoint-exploded volumes and exact cut counts.
     "graph_brand_conductance" ->
       """WITH pp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p

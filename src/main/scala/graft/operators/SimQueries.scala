@@ -609,6 +609,44 @@ object SimQueries {
         .limit(10)
     }),
 
+    // HUBNESS PROFILE (§2.184) — the high-dimensional ANN pathology
+    // check: some vectors ("hubs") appear in everyone's top-k and
+    // poison retrieval diversity. Over the md5-ordered 100-anchor
+    // panel (the LOO key's device), take each anchor's top-5
+    // nearest others and report the 10 most-retrieved vectors with
+    // their share of all 500 retrieval slots — a share far above
+    // 5/n means hubness is real and the index needs norm/centering
+    // work. One corpus scan into bounded per-anchor heaps.
+    "sim_hubness_profile" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"),
+          col("embedding").cast("array<double>").as("v"))
+      val anchors = emb
+        .select(col("vec_id").as("aid"), col("v").as("av"),
+          md5(col("vec_id").cast("string").cast("binary")).as("h"))
+        .orderBy(col("h"), col("aid")).limit(100)
+        .select(col("aid"), col("av"))
+      val scored = emb.crossJoin(broadcast(anchors))
+        .filter(col("vec_id") =!= col("aid"))
+        .select(col("aid"), col("vec_id"), col("label"),
+          aggregate(zip_with(col("av"), col("v"),
+            (a, x) => (a - x) * (a - x)),
+            lit(0.0), (acc, e) => acc + e).as("d2"))
+      val top = graft.plans.TopKPerGroup(scored, k = 5,
+        partNames = Seq("aid"),
+        orderSpec = Seq(("d2", true), ("vec_id", true)))
+      val counts = top.groupBy(col("vec_id"), col("label"))
+        .agg(count(lit(1)).as("n_retrievals"))
+      val tot = counts.agg(sum(col("n_retrievals")).cast("long")
+        .as("slots"))
+      counts.crossJoin(broadcast(tot))
+        .orderBy(col("n_retrievals").desc, col("vec_id"))
+        .limit(10)
+        .select(col("vec_id"), col("label"), col("n_retrievals"),
+          r4d(col("n_retrievals").cast("double")
+            / col("slots").cast("double")).as("slot_share"))
+    }),
+
     // LOO 1-NN ACCURACY (§2.172) — the intrinsic-separability
     // benchmark: for a deterministic 100-anchor panel (md5 hash
     // order — replay-stable, the §2.128 budget device), find each
@@ -1669,6 +1707,31 @@ object SimQueries {
         |  FROM m)
         |SELECT pi, pj, corr FROM c
         |ORDER BY abs(corr) DESC, pi, pj LIMIT 10""".stripMargin,
+    // Same anchor panel and per-anchor (d², vec_id) top-5; bounded
+    // top-10 hub order.
+    "sim_hubness_profile" ->
+      """WITH a AS (SELECT vec_id AS aid,
+        |    CAST(embedding AS DOUBLE[]) AS av
+        |  FROM embeddings
+        |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 100),
+        |sc AS (SELECT a.aid, e.vec_id, e.label,
+        |    list_aggregate(list_transform(
+        |      range(1, len(e.embedding) + 1),
+        |      i -> (a.av[i] - CAST(e.embedding[i] AS DOUBLE))
+        |        * (a.av[i] - CAST(e.embedding[i] AS DOUBLE))),
+        |      'sum') AS d2
+        |  FROM embeddings e CROSS JOIN a WHERE e.vec_id <> a.aid),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY aid
+        |    ORDER BY d2, vec_id) AS rk FROM sc),
+        |c AS (SELECT vec_id, label, count(*) AS n_retrievals
+        |  FROM rk WHERE rk <= 5 GROUP BY 1, 2),
+        |t AS (SELECT CAST(sum(n_retrievals) AS BIGINT) AS slots
+        |  FROM c)
+        |SELECT vec_id, label, n_retrievals,
+        |  ROUND(CAST(n_retrievals AS DOUBLE) / CAST(slots AS DOUBLE)
+        |    * 10000) / 10000 AS slot_share
+        |FROM c CROSS JOIN t
+        |ORDER BY n_retrievals DESC, vec_id LIMIT 10""".stripMargin,
     // Same md5-ordered 100-anchor panel, in-order d² fold, and
     // (d², vec_id) top-1.
     "sim_loo_knn_accuracy" ->

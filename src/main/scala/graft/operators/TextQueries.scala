@@ -175,6 +175,45 @@ object TextQueries {
     "dedup_near_jaccard" -> ((s, dir) =>
       exactJaccard(s, dir, 1000, 0.8).orderBy("doc_i", "doc_j")),
 
+    // SORTED-NEIGHBORHOOD DEDUP (§2.183) — the classic SNM blocking
+    // method the LSH keys don't cover: sort the corpus ONCE by a
+    // compact blocking key (first 32 chars of the sorted-distinct-
+    // token signature — near-dups share early vocabulary, so they
+    // sort adjacently), slide a w=5 window over the global rank, and
+    // exact-verify token-set Jaccard ≥ 0.7 only on in-window pairs.
+    // Candidates are ≤ 4·n by construction (data-independent, the
+    // SNM guarantee), vs LSH's threshold-dependent bound — the
+    // method of choice when near-dup similarity is high and sortable.
+    // Global rank via GlobalRank's distributed prefix sums (no
+    // single-partition window); probes explode map-side.
+    "dedup_sorted_neighborhood" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"),
+          array_sort(array_distinct(split(col("text"), " ")))
+            .as("toks"))
+        .withColumn("skey",
+          substring(concat_ws(" ", col("toks")), 1, 32))
+        .withColumn("one", lit(1L))
+      val ranked = graft.plans.GlobalRank.runningSum(
+        d, Seq("skey", "doc_id"), "one", "rn")
+      val probes = ranked.select(col("rn"), col("doc_id"),
+          col("toks"))
+        .withColumn("prn", explode(expr("sequence(rn + 1, rn + 4)")))
+      val cand = probes.join(
+        ranked.select(col("rn").as("prn"), col("doc_id").as("dj0"),
+          col("toks").as("toksj")), Seq("prn"))
+      cand.select(
+          least(col("doc_id"), col("dj0")).as("doc_i"),
+          greatest(col("doc_id"), col("dj0")).as("doc_j"),
+          (size(array_intersect(col("toks"), col("toksj")))
+            .cast("double")
+            / size(array_union(col("toks"), col("toksj")))
+              .cast("double")).as("jac"))
+        .filter(col("jac") >= 0.7)
+        .select(col("doc_i"), col("doc_j"), r4d(col("jac")).as("jac"))
+        .orderBy("doc_i", "doc_j")
+    }),
+
     // DEDUP TIER REPORT (§2.170) — the three-tier duplicate audit a
     // corpus card needs BEFORE choosing a dedup strategy: per source,
     // distinct counts at each canonicalization tier — raw string
@@ -2094,6 +2133,27 @@ object TextQueries {
         |    md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS h
         |  FROM documents)
         |GROUP BY h HAVING count(*) > 1 ORDER BY h""".stripMargin,
+    // Same blocking key, rank window, and exact set Jaccard.
+    "dedup_sorted_neighborhood" ->
+      """WITH d AS (SELECT doc_id,
+        |    list_sort(list_distinct(string_split(text, ' ')))
+        |      AS toks FROM documents),
+        |k AS (SELECT doc_id, toks,
+        |    substring(array_to_string(toks, ' '), 1, 32) AS skey
+        |  FROM d),
+        |r AS (SELECT *, CAST(row_number() OVER (ORDER BY skey,
+        |    doc_id) AS BIGINT) AS rn FROM k),
+        |c AS (SELECT a.doc_id AS di0, b.doc_id AS dj0,
+        |    a.toks AS ta, b.toks AS tb
+        |  FROM r a JOIN r b ON b.rn BETWEEN a.rn + 1 AND a.rn + 4),
+        |j AS (SELECT least(di0, dj0) AS doc_i,
+        |    greatest(di0, dj0) AS doc_j,
+        |    CAST(len(list_intersect(ta, tb)) AS DOUBLE)
+        |      / CAST(len(list_distinct(list_concat(ta, tb)))
+        |        AS DOUBLE) AS jac
+        |  FROM c)
+        |SELECT doc_i, doc_j, ROUND(jac * 10000) / 10000 AS jac
+        |FROM j WHERE jac >= 0.7 ORDER BY doc_i, doc_j""".stripMargin,
     // Same three canonicalization tiers and distinct counts.
     "dedup_tier_report" ->
       """WITH c AS (SELECT source, text,

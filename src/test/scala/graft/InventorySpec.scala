@@ -636,10 +636,18 @@ class InventorySpec extends SparkSpec {
     // §2.182 round-15 thirty-fourth wave: brand conductance, peak
     // stability, precision at recall
     "graph_brand_conductance", "ts_peak_hour_stability",
-    "eval_precision_at_recall")
+    "eval_precision_at_recall",
+    // §2.183 round-15 thirty-fifth wave: sorted-neighborhood dedup,
+    // log-log elasticity, supplier projection
+    "dedup_sorted_neighborhood", "agg_log_log_elasticity",
+    "graph_supplier_projection",
+    // §2.184 round-15 thirty-sixth wave: Lorenz asymmetry, hubness
+    // profile, peak-to-mean ratio
+    "agg_lorenz_asymmetry", "sim_hubness_profile",
+    "ts_peak_to_mean_ratio")
 
-  test("declared queries cover SURVEY §2 + §2.12-182 exactly (655 keys)") {
-    assert(inventory.size == 655)
+  test("declared queries cover SURVEY §2 + §2.12-184 exactly (661 keys)") {
+    assert(inventory.size == 661)
     val declared = SparkEntry.queries.keySet
     val missing = inventory -- declared
     val extra = declared -- inventory
