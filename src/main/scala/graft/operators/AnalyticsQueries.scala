@@ -1273,6 +1273,44 @@ object AnalyticsQueries {
         .orderBy("event_type", "day")
     }),
 
+    // TYPE MIX DRIFT (§2.186) — the composition monitor: per day,
+    // the χ² of that day's event-type mix against the corpus-wide
+    // mix (zero-filled over the type grid, so a silently MISSING
+    // type is drift too), flagged at the df=4 95% critical value.
+    // Catches "clicks collapsed but volume held" — the class of
+    // incident a per-type volume alert misses. Per-cell terms are
+    // exact decimal cross-multiplications divided once each, summed
+    // in sorted type order (the bounded-fold device); the flag is
+    // the srm-style compare on identical doubles.
+    "ts_type_mix_drift" -> ((s, dir) => {
+      val D0 = "decimal(38,0)"
+      val e = events(s, dir)
+        .select(epochDay("ts").as("day"), col("event_type"))
+      val tot = e.agg(count(lit(1)).as("nn"))
+      val byT = e.groupBy("event_type").agg(count(lit(1)).as("nt"))
+      val byD = e.groupBy("day").agg(count(lit(1)).as("nd"))
+      val obs = e.groupBy("day", "event_type")
+        .agg(count(lit(1)).as("o"))
+      val num = (coalesce(col("o"), lit(0L)).cast(D0) * col("nn")
+        - col("nd").cast(D0) * col("nt"))
+      val cells = byD.crossJoin(broadcast(byT))
+        .join(obs, Seq("day", "event_type"), "left")
+        .crossJoin(broadcast(tot))
+        .select(col("day"), col("nd"),
+          struct(col("event_type"),
+            ((num * num).cast("double")
+              / (col("nd").cast(D0) * col("nt") * col("nn"))
+                .cast("double")).as("t")).as("st"))
+      cells.groupBy("day")
+        .agg(max(col("nd")).as("n_events"),
+          aggregate(array_sort(collect_list(col("st"))), lit(0.0),
+            (acc, x) => acc + x("t")).as("chi2r"))
+        .select(col("day"), col("n_events"),
+          r4d(col("chi2r")).as("chi2"),
+          (col("chi2r") > 9.487729036781154).as("mix_drift"))
+        .orderBy("day")
+    }),
+
     // PEAK-TO-MEAN RATIO (§2.184) — the capacity-headroom factor:
     // per event type over the zero-filled daily spine, peak day
     // volume over mean daily volume (provision for peak, pay for
@@ -1860,6 +1898,48 @@ object AnalyticsQueries {
           r4d(col("n_survivors").cast("double")
             / col("n_users").cast("double")).as("survival"))
         .orderBy("k")
+    }),
+
+    // MEDIAN SURVIVAL TIME (§2.186) — the one-row readout clinicians
+    // and retention teams quote from agg_survival_curve's table: the
+    // first lifespan day where ≤ half the cohort survives (exact
+    // integer test 2·n_survivors ≤ n_users — the curve's rationals
+    // never leave integers), plus the survival shares at the 7/14/28
+    // day horizons. Same lifespan histogram + suffix-sum spine as
+    // the parent key; three bounded lookups and one threshold scan.
+    "agg_median_survival_time" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val lif = events(s, dir)
+        .select(col("user_id"), epochDay("ts").as("day"))
+        .groupBy("user_id")
+        .agg((max(col("day")) - min(col("day"))).as("lifespan"))
+      val hist = lif.groupBy("lifespan").agg(count(lit(1)).as("c"))
+      val bounds = lif.agg(max(col("lifespan")).as("mx"),
+        count(lit(1)).as("n_users"))
+      val spine = bounds.select(col("n_users"),
+        explode(sequence(lit(0L), col("mx"))).as("k"))
+      val wsuf = Window.orderBy(col("k").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val surv = spine
+        .join(hist, col("k") === col("lifespan"), "left")
+        .select(col("n_users"), col("k"),
+          coalesce(col("c"), lit(0L)).as("c"))
+        .withColumn("ns", sum(col("c")).over(wsuf))
+        .localCheckpoint(true)
+      val med = surv.filter(col("ns") * 2 <= col("n_users"))
+        .agg(min(col("k")).as("median_lifespan_days"))
+      def at(h: Int, nm: String) =
+        surv.filter(col("k") === h).agg(max(col("ns")).as(nm))
+      bounds.select(col("n_users")).crossJoin(med)
+        .crossJoin(at(7, "ns7")).crossJoin(at(14, "ns14"))
+        .crossJoin(at(28, "ns28"))
+        .select(col("n_users"), col("median_lifespan_days"),
+          r4d(coalesce(col("ns7"), lit(0L)).cast("double")
+            / col("n_users").cast("double")).as("s7"),
+          r4d(coalesce(col("ns14"), lit(0L)).cast("double")
+            / col("n_users").cast("double")).as("s14"),
+          r4d(coalesce(col("ns28"), lit(0L)).cast("double")
+            / col("n_users").cast("double")).as("s28"))
     }),
 
     // DORMANCY BUCKETS — users by days since last activity in weekly
@@ -4161,6 +4241,37 @@ object AnalyticsQueries {
         |  CASE WHEN prev_week = week - 1 THEN prev_rnk - rnk END
         |    AS rank_delta
         |FROM l WHERE rnk <= 20 ORDER BY week, rnk""".stripMargin,
+    // Same lifespan spine and suffix sums; exact 2·ns ≤ n test.
+    "agg_median_survival_time" ->
+      s"""WITH lif AS (SELECT user_id,
+         |    max(${sqlEpochDay("ts")}) - min(${sqlEpochDay("ts")})
+         |      AS lifespan
+         |  FROM events GROUP BY 1),
+         |h AS (SELECT lifespan, count(*) AS c FROM lif GROUP BY 1),
+         |b AS (SELECT max(lifespan) AS mx, count(*) AS n_users
+         |  FROM lif),
+         |spine AS (SELECT n_users, unnest(range(0, mx + 1)) AS k
+         |  FROM b),
+         |j AS (SELECT n_users, k, coalesce(c, 0) AS c
+         |  FROM spine LEFT JOIN h ON k = lifespan),
+         |s AS (SELECT n_users, k,
+         |    CAST(sum(c) OVER (ORDER BY k DESC
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS ns
+         |  FROM j),
+         |med AS (SELECT min(k) AS median_lifespan_days FROM s
+         |  WHERE ns * 2 <= n_users),
+         |a7 AS (SELECT max(ns) AS ns7 FROM s WHERE k = 7),
+         |a14 AS (SELECT max(ns) AS ns14 FROM s WHERE k = 14),
+         |a28 AS (SELECT max(ns) AS ns28 FROM s WHERE k = 28)
+         |SELECT n_users, median_lifespan_days,
+         |  ROUND(CAST(coalesce(ns7, 0) AS DOUBLE)
+         |    / CAST(n_users AS DOUBLE) * 10000) / 10000 AS s7,
+         |  ROUND(CAST(coalesce(ns14, 0) AS DOUBLE)
+         |    / CAST(n_users AS DOUBLE) * 10000) / 10000 AS s14,
+         |  ROUND(CAST(coalesce(ns28, 0) AS DOUBLE)
+         |    / CAST(n_users AS DOUBLE) * 10000) / 10000 AS s28
+         |FROM b CROSS JOIN med CROSS JOIN a7 CROSS JOIN a14
+         |  CROSS JOIN a28""".stripMargin,
     "agg_survival_curve" ->
       s"""WITH lif AS (SELECT user_id,
          |    max(${sqlEpochDay("ts")}) - min(${sqlEpochDay("ts")})
@@ -4797,6 +4908,36 @@ object AnalyticsQueries {
          |  nwin = 7 AND y > mx AS breakout_up,
          |  nwin = 7 AND y < mn AS breakout_down
          |FROM w ORDER BY event_type, day""".stripMargin,
+    // Same zero-filled type grid, per-cell exact terms, sorted fold,
+    // and double-threshold flag.
+    "ts_type_mix_drift" ->
+      s"""WITH e AS (SELECT ${sqlEpochDay("ts")} AS day, event_type
+         |  FROM events),
+         |t AS (SELECT count(*) AS nn FROM e),
+         |bt AS (SELECT event_type, count(*) AS nt FROM e GROUP BY 1),
+         |bd AS (SELECT day, count(*) AS nd FROM e GROUP BY 1),
+         |o AS (SELECT day, event_type, count(*) AS o FROM e
+         |  GROUP BY 1, 2),
+         |cells AS (SELECT bd.day, bd.nd,
+         |    {'event_type': bt.event_type,
+         |     't': CAST((coalesce(o.o, 0) * CAST(nn AS HUGEINT)
+         |         - CAST(bd.nd AS HUGEINT) * bt.nt)
+         |       * (coalesce(o.o, 0) * CAST(nn AS HUGEINT)
+         |         - CAST(bd.nd AS HUGEINT) * bt.nt) AS DOUBLE)
+         |       / CAST(CAST(bd.nd AS HUGEINT) * bt.nt * nn
+         |         AS DOUBLE)} AS st
+         |  FROM bd CROSS JOIN bt
+         |  LEFT JOIN o ON o.day = bd.day
+         |    AND o.event_type = bt.event_type
+         |  CROSS JOIN t),
+         |g AS (SELECT day, max(nd) AS n_events,
+         |    list_aggregate(list_transform(list_sort(list(st)),
+         |      x -> x.t), 'sum') AS chi2r
+         |  FROM cells GROUP BY 1)
+         |SELECT day, n_events,
+         |  ROUND(chi2r * 10000) / 10000 AS chi2,
+         |  chi2r > 9.487729036781154 AS mix_drift
+         |FROM g ORDER BY day""".stripMargin,
     // Same zero-filled spine, argmax order, and cross-multiplied
     // ratio.
     "ts_peak_to_mean_ratio" ->

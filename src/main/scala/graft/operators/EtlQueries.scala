@@ -593,6 +593,31 @@ object EtlQueries {
     // side collapses to its distinct set FIRST (partial-agg
     // exchanges); the intersection is a semi join of slim key sets —
     // never a row-level join.
+    // MONTHLY PARTITION CHECKSUMS (§2.185) — etl_table_checksum's
+    // device on the TIME axis: per order month, row count, distinct
+    // row-hash count, and the min/max row hashes — the
+    // per-partition reconciliation manifest an incremental sync
+    // diffs against the source to find WHICH month drifted, instead
+    // of re-scanning the table. Hash inputs are the canonical
+    // pipe-joined column encoding with cents-exact price; one keyed
+    // reduce over the bounded month grid.
+    "etl_partition_checksum_monthly" -> ((s, dir) => {
+      val rh = md5(concat_ws("|",
+        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        round(col("o_totalprice") * 100).cast("long"))
+        .cast("binary"))
+      t(s, dir, "orders")
+        .select((year(col("o_orderdate").cast("date")) * 100
+          + month(col("o_orderdate").cast("date"))).cast("long")
+          .as("month_key"), rh.as("rh"))
+        .groupBy("month_key")
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("rh")).as("n_distinct"),
+          min(col("rh")).as("min_hash"),
+          max(col("rh")).as("max_hash"))
+        .orderBy("month_key")
+    }),
+
     // TEMPORAL INTEGRITY AUDIT (§2.181) — the cross-table ordering
     // constraint dq_report's single-table ranges can't see: a line
     // item must not ship BEFORE its order was placed. Per constraint:
@@ -1201,6 +1226,19 @@ object EtlQueries {
          |FROM per JOIN ld USING (event_type) CROSS JOIN g
          |ORDER BY event_type""".stripMargin,
     // Same pipe-joined integer rendering under md5.
+    // Same canonical row-hash encoding keyed by order month.
+    "etl_partition_checksum_monthly" ->
+      """WITH r AS (SELECT
+        |    CAST(year(o_orderdate) * 100 + month(o_orderdate)
+        |      AS BIGINT) AS month_key,
+        |    md5(o_orderkey || '|' || o_custkey || '|' || o_orderstatus
+        |      || '|' || CAST(round(o_totalprice * 100, 0) AS BIGINT))
+        |      AS rh
+        |  FROM orders)
+        |SELECT month_key, count(*) AS n_rows,
+        |  count(DISTINCT rh) AS n_distinct,
+        |  min(rh) AS min_hash, max(rh) AS max_hash
+        |FROM r GROUP BY month_key ORDER BY month_key""".stripMargin,
     "etl_table_checksum" ->
       """WITH r AS (SELECT o_orderstatus,
         |    md5(o_orderkey || '|' || o_custkey || '|' || o_orderstatus

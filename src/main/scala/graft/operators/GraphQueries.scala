@@ -554,6 +554,42 @@ object GraphQueries {
         .orderBy("part_a")
     }),
 
+    // DEGREE-SALES CORRELATION (§2.185) — do hub products sell?
+    // Pearson correlation between a part's co-purchase degree and
+    // its total quantity sold — the "network position vs revenue"
+    // number a merchandising team uses to decide whether bundle
+    // placement (degree) is worth buying. Degrees and quantity cents
+    // are exact integers, so every moment is an exact decimal and
+    // ONE division runs; the join is part-keyed between two partial
+    // aggregates.
+    "graph_degree_sales_corr" -> ((s, dir) => {
+      val D0 = "decimal(38,0)"
+      val deg = partSetsByOrder(s, dir)
+        .select(explode(col("ps")).as("part"), col("ps"))
+        .select(col("part"), explode(col("ps")).as("other"))
+        .filter(col("part") =!= col("other"))
+        .distinct()
+        .groupBy("part").agg(count(lit(1)).as("deg"))
+      val sales = t(s, dir, "lineitem")
+        .groupBy(col("l_partkey").as("part"))
+        .agg(sum(round(col("l_quantity") * 100).cast("long"))
+          .as("qc"))
+      val j = deg.join(sales, Seq("part"))
+      j.agg(count(lit(1)).as("n"),
+          sum(col("deg").cast(D0)).as("sx"),
+          sum(col("qc").cast(D0)).as("sy"),
+          sum(col("deg").cast(D0) * col("deg")).as("sxx"),
+          sum(col("qc").cast(D0) * col("qc")).as("syy"),
+          sum(col("deg").cast(D0) * col("qc")).as("sxy"))
+        .select(col("n").as("n_parts"),
+          r4d((col("n") * col("sxy") - col("sx") * col("sy"))
+            .cast("double")
+            / (sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+              .cast("double"))
+              * sqrt((col("n") * col("syy") - col("sy") * col("sy"))
+                .cast("double")))).as("degree_sales_corr"))
+    }),
+
     // SUPPLIER PROJECTION (§2.183) — the one-mode projection of the
     // part↔supplier bipartite graph graph_bipartite_profile
     // describes: the top-20 supplier pairs by shared distinct parts,
@@ -1863,6 +1899,32 @@ object GraphQueries {
         |  min(deg) AS min_deg, max(deg) AS max_deg,
         |  CAST(sum(deg) AS BIGINT) AS sum_deg
         |FROM deg GROUP BY 1 ORDER BY bucket""".stripMargin,
+    // Same unsampled degrees, exact quantity cents, HUGEINT
+    // moments.
+    "graph_degree_sales_corr" ->
+      """WITH pp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+        |  FROM lineitem),
+        |deg AS (SELECT part, count(*) AS deg FROM (
+        |  SELECT DISTINCT x.p AS part, y.p AS other
+        |  FROM pp x JOIN pp y ON x.ok = y.ok AND x.p <> y.p)
+        |  GROUP BY 1),
+        |sales AS (SELECT l_partkey AS part,
+        |    CAST(sum(CAST(round(l_quantity * 100) AS BIGINT))
+        |      AS BIGINT) AS qc
+        |  FROM lineitem GROUP BY 1),
+        |m AS (SELECT count(*) AS n,
+        |    CAST(sum(CAST(deg AS HUGEINT)) AS HUGEINT) AS sx,
+        |    CAST(sum(CAST(qc AS HUGEINT)) AS HUGEINT) AS sy,
+        |    CAST(sum(CAST(deg AS HUGEINT) * deg) AS HUGEINT) AS sxx,
+        |    CAST(sum(CAST(qc AS HUGEINT) * qc) AS HUGEINT) AS syy,
+        |    CAST(sum(CAST(deg AS HUGEINT) * qc) AS HUGEINT) AS sxy
+        |  FROM deg JOIN sales USING (part))
+        |SELECT n AS n_parts,
+        |  ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+        |    / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+        |      * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) * 10000)
+        |    / 10000 + 0.0 AS degree_sales_corr
+        |FROM m""".stripMargin,
     // Same within-part pair reduce and bounded top-20 order.
     "graph_supplier_projection" ->
       """WITH sp AS (SELECT DISTINCT l_suppkey AS sk, l_partkey AS p

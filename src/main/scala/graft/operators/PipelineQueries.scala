@@ -1554,6 +1554,35 @@ object PipelineQueries {
     // augmentation manifest that silently distorts boxes poisons
     // training — the invariant IS the product). Pure map work, zero
     // shuffles before the output sort.
+    // ROTATE BOXES (§2.186) — the 90°-clockwise rotation manifest
+    // completing the flip/crop/jitter/cutmix/mosaic augmentation
+    // family: on the 1280×900 canvas, (x, y) → (900 − y, x), so the
+    // rotated box is (900 − gy2, gx1, 900 − gy1, gx2) on the
+    // 900×1280 rotated canvas. Exact integer arithmetic with the
+    // dimension-swap invariants (rotated width = original height)
+    // emitted as checkable flags, the flip key's convention.
+    "multimodal_rotate_boxes" -> ((s, dir) => {
+      val p = t(s, dir, "part").select(col("p_partkey"),
+        col("p_size").cast("long").as("sz"))
+        .withColumn("gx1", (col("p_partkey") % 50) * 20)
+        .withColumn("gy1", (col("p_partkey") % 31) * 25)
+        .withColumn("gx2", col("gx1") + 40 + col("sz"))
+        .withColumn("gy2", col("gy1") + 60)
+      p.select(col("p_partkey"),
+          col("gx1"), col("gy1"), col("gx2"), col("gy2"),
+          (lit(900L) - col("gy2")).as("rx1"),
+          col("gx1").as("ry1"),
+          (lit(900L) - col("gy1")).as("rx2"),
+          col("gx2").as("ry2"))
+        .withColumn("dims_swapped",
+          col("rx2") - col("rx1") === col("gy2") - col("gy1") &&
+            col("ry2") - col("ry1") === col("gx2") - col("gx1"))
+        .withColumn("in_canvas",
+          col("rx1") >= 0 && col("rx2") <= 900 &&
+            col("ry1") >= 0 && col("ry2") <= 1280)
+        .orderBy("p_partkey")
+    }),
+
     "multimodal_flip_boxes" -> ((s, dir) => {
       val p = t(s, dir, "part").select(col("p_partkey"),
         col("p_size").cast("long").as("sz"))
@@ -3828,6 +3857,21 @@ object PipelineQueries {
         |    * 10000) / 10000 AS area_kept
         |FROM d ORDER BY p_partkey""".stripMargin,
     // Same integer flips and invariant columns.
+    // Same exact rotation map and swap/canvas invariants.
+    "multimodal_rotate_boxes" ->
+      """WITH p AS (SELECT p_partkey, CAST(p_size AS BIGINT) AS sz,
+        |    (p_partkey % 50) * 20 AS gx1, (p_partkey % 31) * 25 AS gy1
+        |  FROM part),
+        |b AS (SELECT p_partkey, gx1, gy1,
+        |    gx1 + 40 + sz AS gx2, gy1 + 60 AS gy2 FROM p)
+        |SELECT p_partkey, gx1, gy1, gx2, gy2,
+        |  900 - gy2 AS rx1, gx1 AS ry1, 900 - gy1 AS rx2,
+        |  gx2 AS ry2,
+        |  (900 - gy1) - (900 - gy2) = gy2 - gy1
+        |    AND gx2 - gx1 = gx2 - gx1 AS dims_swapped,
+        |  900 - gy2 >= 0 AND 900 - gy1 <= 900 AND gx1 >= 0
+        |    AND gx2 <= 1280 AS in_canvas
+        |FROM b ORDER BY p_partkey""".stripMargin,
     "multimodal_flip_boxes" ->
       """WITH p AS (SELECT p_partkey, CAST(p_size AS BIGINT) AS sz,
         |    (p_partkey % 50) * 20 AS gx1, (p_partkey % 31) * 25 AS gy1

@@ -609,6 +609,57 @@ object SimQueries {
         .limit(10)
     }),
 
+    // FIRST-HIT RANK HISTOGRAM (§2.185) — the distribution behind
+    // MRR's single number: per anchor of the shared 100-anchor
+    // panel, the rank of the first SAME-LABEL neighbor under the
+    // (d², vec_id) total order, histogrammed into {1, 2, 3, 4-5,
+    // 6-10, 11+} buckets — "truth at rank 1 half the time, beyond
+    // 10 a quarter of the time" is what the retrieval team actually
+    // needs to hear. One corpus scan + one per-anchor rank window.
+    "eval_first_hit_rank_hist" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"),
+          col("embedding").cast("array<double>").as("v"))
+      val anchors = emb
+        .select(col("vec_id").as("aid"), col("label").as("alabel"),
+          col("v").as("av"),
+          md5(col("vec_id").cast("string").cast("binary")).as("h"))
+        .orderBy(col("h"), col("aid")).limit(100)
+        .select(col("aid"), col("alabel"), col("av"))
+      val scored = emb.crossJoin(broadcast(anchors))
+        .filter(col("vec_id") =!= col("aid"))
+        .select(col("aid"), col("alabel"), col("vec_id"),
+          col("label"),
+          aggregate(zip_with(col("av"), col("v"),
+            (a, x) => (a - x) * (a - x)),
+            lit(0.0), (acc, e) => acc + e).as("d2"))
+      val w = Window.partitionBy("aid")
+        .orderBy(col("d2"), col("vec_id"))
+      val fr = scored
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("label") === col("alabel"))
+        .groupBy("aid").agg(min(col("rk")).as("fr"))
+      val bucketed = fr.select(
+        when(col("fr") <= 3, col("fr"))
+          .when(col("fr") <= 5, 4L)
+          .when(col("fr") <= 10, 5L).otherwise(6L).as("bucket_id"))
+        .groupBy("bucket_id").agg(count(lit(1)).as("n_anchors"))
+      bucketed
+        .crossJoin(broadcast(bucketed
+          .agg(sum(col("n_anchors")).cast("long").as("tot"))))
+        .select(col("bucket_id"),
+          when(col("bucket_id") === 1, "1")
+            .when(col("bucket_id") === 2, "2")
+            .when(col("bucket_id") === 3, "3")
+            .when(col("bucket_id") === 4, "4-5")
+            .when(col("bucket_id") === 5, "6-10")
+            .otherwise("11+").as("first_hit_rank"),
+          col("n_anchors"),
+          r4d(col("n_anchors").cast("double")
+            / col("tot").cast("double")).as("share"))
+        .orderBy("bucket_id")
+    }),
+
     // HUBNESS PROFILE (§2.184) — the high-dimensional ANN pathology
     // check: some vectors ("hubs") appear in everyone's top-k and
     // poison retrieval diversity. Over the md5-ordered 100-anchor
@@ -1707,6 +1758,36 @@ object SimQueries {
         |  FROM m)
         |SELECT pi, pj, corr FROM c
         |ORDER BY abs(corr) DESC, pi, pj LIMIT 10""".stripMargin,
+    // Same panel, full per-anchor rank, and bucket map.
+    "eval_first_hit_rank_hist" ->
+      """WITH a AS (SELECT vec_id AS aid, label AS alabel,
+        |    CAST(embedding AS DOUBLE[]) AS av
+        |  FROM embeddings
+        |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 100),
+        |sc AS (SELECT a.aid, a.alabel, e.vec_id, e.label,
+        |    list_aggregate(list_transform(
+        |      range(1, len(e.embedding) + 1),
+        |      i -> (a.av[i] - CAST(e.embedding[i] AS DOUBLE))
+        |        * (a.av[i] - CAST(e.embedding[i] AS DOUBLE))),
+        |      'sum') AS d2
+        |  FROM embeddings e CROSS JOIN a WHERE e.vec_id <> a.aid),
+        |rk AS (SELECT *, CAST(row_number() OVER (PARTITION BY aid
+        |    ORDER BY d2, vec_id) AS BIGINT) AS rk FROM sc),
+        |fr AS (SELECT aid, min(rk) AS fr FROM rk
+        |  WHERE label = alabel GROUP BY 1),
+        |bk AS (SELECT CASE WHEN fr <= 3 THEN fr WHEN fr <= 5 THEN 4
+        |    WHEN fr <= 10 THEN 5 ELSE 6 END AS bucket_id FROM fr),
+        |g AS (SELECT bucket_id, count(*) AS n_anchors FROM bk
+        |  GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_anchors) AS BIGINT) AS tot FROM g)
+        |SELECT bucket_id,
+        |  CASE bucket_id WHEN 1 THEN '1' WHEN 2 THEN '2'
+        |    WHEN 3 THEN '3' WHEN 4 THEN '4-5' WHEN 5 THEN '6-10'
+        |    ELSE '11+' END AS first_hit_rank,
+        |  n_anchors,
+        |  ROUND(CAST(n_anchors AS DOUBLE) / CAST(tot AS DOUBLE)
+        |    * 10000) / 10000 AS share
+        |FROM g CROSS JOIN t ORDER BY bucket_id""".stripMargin,
     // Same anchor panel and per-anchor (d², vec_id) top-5; bounded
     // top-10 hub order.
     "sim_hubness_profile" ->

@@ -644,10 +644,18 @@ class InventorySpec extends SparkSpec {
     // §2.184 round-15 thirty-sixth wave: Lorenz asymmetry, hubness
     // profile, peak-to-mean ratio
     "agg_lorenz_asymmetry", "sim_hubness_profile",
-    "ts_peak_to_mean_ratio")
+    "ts_peak_to_mean_ratio",
+    // §2.185 round-15 thirty-seventh wave: first-hit rank histogram,
+    // degree-sales correlation, monthly checksums
+    "eval_first_hit_rank_hist", "graph_degree_sales_corr",
+    "etl_partition_checksum_monthly",
+    // §2.186 round-15 thirty-eighth wave: median survival, type mix
+    // drift, rotate boxes
+    "agg_median_survival_time", "ts_type_mix_drift",
+    "multimodal_rotate_boxes")
 
-  test("declared queries cover SURVEY §2 + §2.12-184 exactly (661 keys)") {
-    assert(inventory.size == 661)
+  test("declared queries cover SURVEY §2 + §2.12-186 exactly (667 keys)") {
+    assert(inventory.size == 667)
     val declared = SparkEntry.queries.keySet
     val missing = inventory -- declared
     val extra = declared -- inventory
