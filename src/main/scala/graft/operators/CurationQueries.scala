@@ -155,6 +155,27 @@ object CurationQueries {
     // cheap first screen). One substring + one reduce; groups of
     // ≥ 2 reported with their source spread and the min-doc_id
     // canonical (the cluster-canon survivor convention).
+    // SUFFIX GROUPS (§2.187) — the FOOTER-boilerplate companion to
+    // dedup_prefix_groups: documents sharing their last 16
+    // characters (signatures, licenses, nav footers — the classic
+    // tail boilerplate a prefix pass misses), grouped on one reduce
+    // over the suffix key with the same survivor convention. The
+    // suffix is taken with substring arithmetic both engines spell
+    // identically (length − 63, floored at 1 for short docs).
+    "dedup_suffix_groups" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(expr(
+          "substring(text, greatest(length(text) - 15, 1), 16)")
+          .as("suffix"),
+          col("doc_id"), col("source"))
+        .groupBy("suffix")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("source")).as("n_sources"),
+          min(col("doc_id")).as("canonical_doc"))
+        .filter(col("n_docs") >= 2)
+        .orderBy(col("n_docs").desc, col("suffix"))
+    }),
+
     "dedup_prefix_groups" -> ((s, dir) => {
       t(s, dir, "documents")
         .select(substring(col("text"), 1, 64).as("prefix"),
@@ -898,6 +919,14 @@ object CurationQueries {
         |  ROUND(CAST(n_in - n_out AS DOUBLE) / CAST(n_in AS DOUBLE)
         |    * 10000) / 10000 AS drop_rate
         |FROM st ORDER BY stage""".stripMargin,
+    // Same floored suffix arithmetic and survivor convention.
+    "dedup_suffix_groups" ->
+      """SELECT substring(text, greatest(length(text) - 15, 1), 16)
+        |    AS suffix,
+        |  count(*) AS n_docs, count(DISTINCT source) AS n_sources,
+        |  min(doc_id) AS canonical_doc
+        |FROM documents GROUP BY 1 HAVING count(*) >= 2
+        |ORDER BY n_docs DESC, suffix""".stripMargin,
     // Same 64-char substring grouping and survivor convention.
     "dedup_prefix_groups" ->
       """SELECT substring(text, 1, 64) AS prefix, count(*) AS n_docs,

@@ -593,6 +593,32 @@ object EtlQueries {
     // side collapses to its distinct set FIRST (partial-agg
     // exchanges); the intersection is a semi join of slim key sets —
     // never a row-level join.
+    // SLA ATTAINMENT (§2.188) — the fulfilment promise scoreboard:
+    // per order priority, the share of orders whose FIRST line
+    // shipped within 30 days of ordering (exact integer day lead ≤
+    // 30 — no float in the test), plus the violation count. The
+    // management-facing reduction of etl_order_to_ship_latency's
+    // percentile profile. One keyed min + one FK join + one reduce.
+    "etl_sla_attainment" -> ((s, dir) => {
+      val firstShip = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(min(epochDay("l_shipdate")).as("sd"))
+      t(s, dir, "orders")
+        .select(col("o_orderkey").as("l_orderkey"),
+          col("o_orderpriority"), epochDay("o_orderdate").as("od"))
+        .join(firstShip, Seq("l_orderkey"))
+        .select(col("o_orderpriority"),
+          ((col("sd") - col("od")) <= 30).cast("long").as("ok"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"), sum(col("ok")).as("n_met"))
+        .select(col("o_orderpriority"), col("n_orders"),
+          col("n_met"), (col("n_orders") - col("n_met"))
+            .as("n_violations"),
+          r4d(col("n_met").cast("double")
+            / col("n_orders").cast("double")).as("attainment"))
+        .orderBy("o_orderpriority")
+    }),
+
     // MONTHLY PARTITION CHECKSUMS (§2.185) — etl_table_checksum's
     // device on the TIME axis: per order month, row count, distinct
     // row-hash count, and the min/max row hashes — the
@@ -1226,6 +1252,21 @@ object EtlQueries {
          |FROM per JOIN ld USING (event_type) CROSS JOIN g
          |ORDER BY event_type""".stripMargin,
     // Same pipe-joined integer rendering under md5.
+    // Same first-ship day lead and exact 30-day test.
+    "etl_sla_attainment" ->
+      """WITH fs AS (SELECT l_orderkey,
+        |    min(epoch_ms(l_shipdate) // 86400000) AS sd
+        |  FROM lineitem GROUP BY 1),
+        |j AS (SELECT o_orderpriority,
+        |    CASE WHEN sd - epoch_ms(o_orderdate) // 86400000 <= 30
+        |      THEN 1 ELSE 0 END AS ok
+        |  FROM orders JOIN fs ON fs.l_orderkey = o_orderkey)
+        |SELECT o_orderpriority, count(*) AS n_orders,
+        |  CAST(sum(ok) AS BIGINT) AS n_met,
+        |  count(*) - CAST(sum(ok) AS BIGINT) AS n_violations,
+        |  ROUND(CAST(sum(ok) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |    * 10000) / 10000 AS attainment
+        |FROM j GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
     // Same canonical row-hash encoding keyed by order month.
     "etl_partition_checksum_monthly" ->
       """WITH r AS (SELECT

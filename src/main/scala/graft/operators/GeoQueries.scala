@@ -358,6 +358,45 @@ object GeoQueries {
             / col("ntot").cast("double")).as("share"))
     }),
 
+    // CELL TRANSITION ENTROPY (§2.188) — spatial predictability per
+    // PLACE (the Markov-entropy-rate device on the regional 20°
+    // grid): for each origin cell with ≥5 outgoing transitions, the
+    // Shannon entropy of its next-cell distribution in bits plus the
+    // normalized form — 0 = a pure corridor (one destination), 1 =
+    // a dispersal hub. Same lead window as the flow keys; exact
+    // counts, one sorted bounded c·log2(c) fold per origin cell.
+    "geo_cell_transition_entropy" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ms"), col("event_id"))
+      val f = sightings(s, dir)
+        .select(col("user_id"), col("ms"), col("event_id"),
+          floor(col("lat") / 20).cast("long").as("cla"),
+          floor(col("lon") / 20).cast("long").as("clo"))
+        .withColumn("nla", lead(col("cla"), 1).over(w))
+        .withColumn("nlo", lead(col("clo"), 1).over(w))
+        .filter(col("nla").isNotNull
+          && (col("nla") =!= col("cla") || col("nlo") =!= col("clo")))
+      val plogp = (cs: org.apache.spark.sql.Column) =>
+        aggregate(cs, lit(0.0), (acc, x) =>
+          acc + x.cast("double") * log2(x.cast("double")))
+      f.groupBy(col("cla"), col("clo"), col("nla"), col("nlo"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("cla").as("cell_lat"), col("clo").as("cell_lon"))
+        .agg(sum(col("c")).as("n_out"), count(lit(1)).as("n_dest"),
+          array_sort(collect_list(col("c"))).as("cs"))
+        .filter(col("n_out") >= 5)
+        .select(col("cell_lat"), col("cell_lon"), col("n_out"),
+          col("n_dest"),
+          r4d(log2(col("n_out")) - plogp(col("cs")) / col("n_out"))
+            .as("entropy_bits"),
+          when(col("n_dest") > 1,
+            r4d((log2(col("n_out")) - plogp(col("cs"))
+              / col("n_out")) / log2(col("n_dest"))))
+            .otherwise(lit(0.0)).as("entropy_norm"))
+        .orderBy("cell_lat", "cell_lon")
+    }),
+
     // FLOW ASYMMETRY (§2.170) — the directional companion to
     // geo_cell_flows, at the REGIONAL 20°×20° grid (corridors need
     // recurrence; the fine 2° grid is the flows key's job): for each
@@ -1330,6 +1369,36 @@ object GeoQueries {
         |    AS cell_distance
         |FROM h JOIN v ON v.user_id = h.user_id
         |ORDER BY h.user_id""".stripMargin,
+    // Same 20° lead-window transitions; same sorted c·log2(c) fold.
+    "geo_cell_transition_entropy" ->
+      """WITH p AS (SELECT user_id, event_id, epoch_ms(ts) AS ms,
+        |    CAST(floor((CAST(event_id % 1440 AS DOUBLE) / 8 - 90)
+        |      / 20) AS BIGINT) AS cla,
+        |    CAST(floor((CAST((user_id * 997 + event_id * 31) % 11520
+        |      AS DOUBLE) / 32 - 180) / 20) AS BIGINT) AS clo
+        |  FROM events),
+        |l AS (SELECT *, lead(cla) OVER w AS nla, lead(clo) OVER w
+        |    AS nlo
+        |  FROM p WINDOW w AS (PARTITION BY user_id
+        |    ORDER BY ms, event_id)),
+        |f AS (SELECT * FROM l WHERE nla IS NOT NULL
+        |  AND (nla <> cla OR nlo <> clo)),
+        |tr AS (SELECT cla, clo, nla, nlo, count(*) AS c FROM f
+        |  GROUP BY 1, 2, 3, 4),
+        |g AS (SELECT cla AS cell_lat, clo AS cell_lon,
+        |    CAST(sum(c) AS BIGINT) AS n_out, count(*) AS n_dest,
+        |    list_sort(list(c)) AS cs
+        |  FROM tr GROUP BY 1, 2 HAVING CAST(sum(c) AS BIGINT) >= 5)
+        |SELECT cell_lat, cell_lon, n_out, n_dest,
+        |  ROUND((log2(n_out)
+        |    - list_aggregate(list_transform(cs, x -> x * log2(x)),
+        |        'sum') / n_out) * 10000) / 10000 AS entropy_bits,
+        |  CASE WHEN n_dest > 1 THEN
+        |    ROUND((log2(n_out)
+        |      - list_aggregate(list_transform(cs, x -> x * log2(x)),
+        |          'sum') / n_out) / log2(n_dest) * 10000) / 10000
+        |  ELSE 0.0 END AS entropy_norm
+        |FROM g ORDER BY cell_lat, cell_lon""".stripMargin,
     // Same lead-window transitions; same lexicographic pair
     // canonicalization and exact directional counts.
     "geo_flow_asymmetry" ->

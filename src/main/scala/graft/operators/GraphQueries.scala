@@ -554,6 +554,45 @@ object GraphQueries {
         .orderBy("part_a")
     }),
 
+    // SIZE ASSORTATIVITY (§2.187) — the NUMERIC-attribute mixing
+    // coefficient completing the trio (degree assortativity §2.x,
+    // categorical type assortativity §2.176): Pearson correlation of
+    // p_size across co-purchase edge endpoints, computed over BOTH
+    // orientations so the statistic is symmetric by construction.
+    // Sizes are exact integers — exact decimal moments, one
+    // division. Do customers buy similar-sized parts together?
+    "graph_size_assortativity" -> ((s, dir) => {
+      val D0 = "decimal(38,0)"
+      val co = partSetsByOrder(s, dir)
+        .select(explode(col("ps")).as("a"), col("ps"))
+        .select(col("a"), explode(col("ps")).as("b"))
+        .filter(col("a") < col("b"))
+        .distinct()
+      val sz = t(s, dir, "part")
+        .select(col("p_partkey"), col("p_size").cast("long")
+          .as("psz"))
+      val e2 = co
+        .join(broadcast(sz.select(col("p_partkey").as("a"),
+          col("psz").as("za"))), Seq("a"))
+        .join(broadcast(sz.select(col("p_partkey").as("b"),
+          col("psz").as("zb"))), Seq("b"))
+      val both = e2.select(col("za").as("x"), col("zb").as("y"))
+        .union(e2.select(col("zb").as("x"), col("za").as("y")))
+      both.agg(count(lit(1)).as("n"),
+          sum(col("x").cast(D0)).as("sx"),
+          sum(col("y").cast(D0)).as("sy"),
+          sum(col("x").cast(D0) * col("x")).as("sxx"),
+          sum(col("y").cast(D0) * col("y")).as("syy"),
+          sum(col("x").cast(D0) * col("y")).as("sxy"))
+        .select(expr("n div 2").as("n_edges"),
+          r4d((col("n") * col("sxy") - col("sx") * col("sy"))
+            .cast("double")
+            / (sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+              .cast("double"))
+              * sqrt((col("n") * col("syy") - col("sy") * col("sy"))
+                .cast("double")))).as("size_assortativity"))
+    }),
+
     // DEGREE-SALES CORRELATION (§2.185) — do hub products sell?
     // Pearson correlation between a part's co-purchase degree and
     // its total quantity sold — the "network position vs revenue"
@@ -1899,6 +1938,30 @@ object GraphQueries {
         |  min(deg) AS min_deg, max(deg) AS max_deg,
         |  CAST(sum(deg) AS BIGINT) AS sum_deg
         |FROM deg GROUP BY 1 ORDER BY bucket""".stripMargin,
+    // Same symmetric both-orientation moments in HUGEINT.
+    "graph_size_assortativity" ->
+      """WITH pp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+        |  FROM lineitem),
+        |co AS (SELECT DISTINCT x.p AS a, y.p AS b
+        |  FROM pp x JOIN pp y ON x.ok = y.ok AND x.p < y.p),
+        |e2 AS MATERIALIZED (SELECT pa.p_size AS za, pb.p_size AS zb
+        |  FROM co JOIN part pa ON pa.p_partkey = co.a
+        |  JOIN part pb ON pb.p_partkey = co.b),
+        |bo AS (SELECT za AS x, zb AS y FROM e2
+        |  UNION ALL SELECT zb, za FROM e2),
+        |m AS (SELECT count(*) AS n,
+        |    CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+        |    CAST(sum(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+        |    CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+        |    CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy,
+        |    CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy
+        |  FROM bo)
+        |SELECT n // 2 AS n_edges,
+        |  ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+        |    / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+        |      * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) * 10000)
+        |    / 10000 + 0.0 AS size_assortativity
+        |FROM m""".stripMargin,
     // Same unsampled degrees, exact quantity cents, HUGEINT
     // moments.
     "graph_degree_sales_corr" ->

@@ -1717,6 +1717,41 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // PACK FILL REPORT (§2.187) — the packing-quality number behind
+    // pipeline_pack_sequences' manifest: per bin (2048-token budget,
+    // same greedy stream), the token fill; reported as bin count,
+    // mean fill ratio, and how many bins OVERFLOW the budget
+    // (a doc whose start lands near a bin edge spills past it — the
+    // overflow rate is what decides whether the packer needs
+    // doc-splitting). Exact integer token sums; the ratios
+    // cross-multiply before their one division each.
+    "pipeline_pack_fill_report" -> ((s, dir) => {
+      val budget = 2048L
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"),
+          md5(col("doc_id").cast("string").cast("binary")).as("skey"))
+      val packed = graft.plans.GlobalRank.runningSum(
+          docs, Seq("skey", "doc_id"), "n_tokens", "cum")
+        .select(col("n_tokens"),
+          expr(s"(cum - n_tokens) div ${budget}L").as("bin"))
+      val fills = packed.groupBy("bin")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("fill"))
+      fills.agg(count(lit(1)).as("n_bins"),
+          sum(col("n_docs")).cast("long").as("n_docs"),
+          sum(col("fill")).cast("long").as("total_tokens"),
+          count_if(col("fill") > budget).as("n_overflow"),
+          max(col("fill")).as("max_fill"))
+        .select(col("n_bins"), col("n_docs"), col("total_tokens"),
+          col("n_overflow"), col("max_fill"),
+          r4d(col("total_tokens").cast("double")
+            / (col("n_bins") * lit(budget)).cast("double"))
+            .as("mean_fill_ratio"),
+          r4d(col("n_overflow").cast("double")
+            / col("n_bins").cast("double")).as("overflow_rate"))
+    }),
+
     // RAG chunking — overlapping fixed-size token windows (size 32,
     // stride 24, so consecutive chunks share 8 tokens), the retrieval-
     // corpus prep step next to pack_sequences' training prep: packing
@@ -3918,6 +3953,31 @@ object PipelineQueries {
         |ORDER BY name_a, name_b""".stripMargin,
     // The packing oracle is the single-window form the two-pass
     // runningSum must equal: one global cumsum over (skey, doc_id).
+    // Same packing stream; exact fill sums and cross-multiplied
+    // ratios.
+    "pipeline_pack_fill_report" ->
+      """WITH d AS (SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    md5(CAST(doc_id AS VARCHAR)) AS skey FROM documents),
+        |c AS (SELECT n_tokens,
+        |    CAST(sum(n_tokens) OVER (ORDER BY skey, doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM d),
+        |f AS (SELECT (cum - n_tokens) // 2048 AS bin,
+        |    count(*) AS n_docs,
+        |    CAST(sum(n_tokens) AS BIGINT) AS fill
+        |  FROM c GROUP BY 1)
+        |SELECT count(*) AS n_bins,
+        |  CAST(sum(n_docs) AS BIGINT) AS n_docs,
+        |  CAST(sum(fill) AS BIGINT) AS total_tokens,
+        |  count(*) FILTER (WHERE fill > 2048) AS n_overflow,
+        |  max(fill) AS max_fill,
+        |  ROUND(CAST(sum(fill) AS DOUBLE)
+        |    / CAST(count(*) * 2048 AS DOUBLE) * 10000) / 10000
+        |    AS mean_fill_ratio,
+        |  ROUND(CAST(count(*) FILTER (WHERE fill > 2048) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) * 10000) / 10000
+        |    AS overflow_rate
+        |FROM f""".stripMargin,
     "pipeline_pack_sequences" ->
       """WITH d AS (SELECT doc_id,
         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,

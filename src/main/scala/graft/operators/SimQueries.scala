@@ -609,6 +609,52 @@ object SimQueries {
         .limit(10)
     }),
 
+    // INTRINSIC DIMENSION (§2.188) — the Levina–Bickel MLE over the
+    // 100-anchor panel: per anchor, id = 8 / Σⱼ ln(d²₅/d²ⱼ) from its
+    // top-5 squared distances (the d² spelling halves nothing — the
+    // 2s fold into the 8), then the panel mean. An ID far below the
+    // ambient 64 says the embeddings live on a low-dimensional
+    // manifold and aggressive PQ/dim-reduction is safe — the
+    // actionable summary behind sim_dim_variance's per-dim table.
+    // Per-anchor folds run over the sorted bounded 5-list;
+    // per-anchor ids micro-snap to 10⁻⁶ integers before the exact
+    // decimal mean. Degenerate anchors (zero or all-equal
+    // distances) drop out by exact compare.
+    "sim_intrinsic_dimension" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"),
+          col("embedding").cast("array<double>").as("v"))
+      val anchors = emb
+        .select(col("vec_id").as("aid"), col("v").as("av"),
+          md5(col("vec_id").cast("string").cast("binary")).as("h"))
+        .orderBy(col("h"), col("aid")).limit(100)
+        .select(col("aid"), col("av"))
+      val scored = emb.crossJoin(broadcast(anchors))
+        .filter(col("vec_id") =!= col("aid"))
+        .select(col("aid"), col("vec_id"),
+          aggregate(zip_with(col("av"), col("v"),
+            (a, x) => (a - x) * (a - x)),
+            lit(0.0), (acc, e) => acc + e).as("d2"))
+      val top = graft.plans.TopKPerGroup(scored, k = 5,
+        partNames = Seq("aid"),
+        orderSpec = Seq(("d2", true), ("vec_id", true)))
+      val per = top.groupBy("aid")
+        .agg(array_sort(collect_list(col("d2"))).as("ds"))
+        .filter(size(col("ds")) === 5
+          && element_at(col("ds"), 1) > 0
+          && element_at(col("ds"), 5) > element_at(col("ds"), 1))
+        .select(floor(lit(8.0e6)
+          / aggregate(expr("slice(ds, 1, 4)"), lit(0.0),
+            (acc, x) => acc + log(element_at(col("ds"), 5) / x)))
+          .cast("long").as("id6"))
+      per.agg(count(lit(1)).as("n_anchors"),
+          sum(col("id6").cast("decimal(38,0)")).as("s6"))
+        .select(col("n_anchors"),
+          r4d(col("s6").cast("double")
+            / col("n_anchors").cast("double") / lit(1.0e6))
+            .as("mean_intrinsic_dim"))
+    }),
+
     // FIRST-HIT RANK HISTOGRAM (§2.185) — the distribution behind
     // MRR's single number: per anchor of the shared 100-anchor
     // panel, the rank of the first SAME-LABEL neighbor under the
@@ -1758,6 +1804,34 @@ object SimQueries {
         |  FROM m)
         |SELECT pi, pj, corr FROM c
         |ORDER BY abs(corr) DESC, pi, pj LIMIT 10""".stripMargin,
+    // Same panel and top-5; same ln fold over the sorted 5-list and
+    // micro-snapped mean.
+    "sim_intrinsic_dimension" ->
+      """WITH a AS (SELECT vec_id AS aid,
+        |    CAST(embedding AS DOUBLE[]) AS av
+        |  FROM embeddings
+        |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 100),
+        |sc AS (SELECT a.aid, e.vec_id,
+        |    list_aggregate(list_transform(
+        |      range(1, len(e.embedding) + 1),
+        |      i -> (a.av[i] - CAST(e.embedding[i] AS DOUBLE))
+        |        * (a.av[i] - CAST(e.embedding[i] AS DOUBLE))),
+        |      'sum') AS d2
+        |  FROM embeddings e CROSS JOIN a WHERE e.vec_id <> a.aid),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY aid
+        |    ORDER BY d2, vec_id) AS rk FROM sc),
+        |per AS (SELECT aid, list_sort(list(d2)) AS ds FROM rk
+        |  WHERE rk <= 5 GROUP BY 1),
+        |ok AS (SELECT CAST(floor(8000000.0
+        |    / list_aggregate(list_transform(ds[1:4],
+        |        x -> ln(ds[5] / x)), 'sum')) AS BIGINT) AS id6
+        |  FROM per WHERE len(ds) = 5 AND ds[1] > 0
+        |    AND ds[5] > ds[1])
+        |SELECT count(*) AS n_anchors,
+        |  ROUND(CAST(sum(CAST(id6 AS HUGEINT)) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) / 1000000.0 * 10000) / 10000
+        |    AS mean_intrinsic_dim
+        |FROM ok""".stripMargin,
     // Same panel, full per-anchor rank, and bucket map.
     "eval_first_hit_rank_hist" ->
       """WITH a AS (SELECT vec_id AS aid, label AS alabel,

@@ -652,10 +652,18 @@ class InventorySpec extends SparkSpec {
     // §2.186 round-15 thirty-eighth wave: median survival, type mix
     // drift, rotate boxes
     "agg_median_survival_time", "ts_type_mix_drift",
-    "multimodal_rotate_boxes")
+    "multimodal_rotate_boxes",
+    // §2.187 round-15 thirty-ninth wave: suffix groups, size
+    // assortativity, pack fill report
+    "dedup_suffix_groups", "graph_size_assortativity",
+    "pipeline_pack_fill_report",
+    // §2.188 round-15 fortieth wave: transition entropy, intrinsic
+    // dimension, SLA attainment
+    "geo_cell_transition_entropy", "sim_intrinsic_dimension",
+    "etl_sla_attainment")
 
-  test("declared queries cover SURVEY §2 + §2.12-186 exactly (667 keys)") {
-    assert(inventory.size == 667)
+  test("declared queries cover SURVEY §2 + §2.12-188 exactly (673 keys)") {
+    assert(inventory.size == 673)
     val declared = SparkEntry.queries.keySet
     val missing = inventory -- declared
     val extra = declared -- inventory
