@@ -2049,6 +2049,32 @@ object AnalyticsQueries {
     // rewrite to a semi join, pinned — naive per-row execution of the
     // subquery is the quadratic trap). NOT EXISTS rides the same plan
     // as anti; one key covers the EXISTS side.
+    // SCALAR-AGG SUBQUERY THRESHOLDS (§2.189) — uncorrelated scalar
+    // subqueries as inline expression operands (the SQL surface next
+    // to EXISTS/IN; Spark does not implement quantified > ALL/ANY,
+    // so the equivalent max/min scalar forms ARE the idiom):
+    // customers above every per-status mean order value
+    // (> the max of the three) and above at least one (> the min),
+    // counted in one pass. The subquery means are exact-cent sums
+    // divided once — bit-identical doubles at each compare.
+    "sql_scalar_subquery_thresholds" -> ((s, dir) => {
+      s.sql(s"""SELECT
+        |  count(*) AS n_customers,
+        |  count_if(c_acctbal > (
+        |    SELECT max(m) FROM (
+        |      SELECT CAST(sum(CAST(round(o_totalprice * 100)
+        |          AS BIGINT)) AS DOUBLE) / count(*) / 100 AS m
+        |      FROM parquet.`$dir/orders.parquet`
+        |      GROUP BY o_orderstatus))) AS n_above_all,
+        |  count_if(c_acctbal > (
+        |    SELECT min(m) FROM (
+        |      SELECT CAST(sum(CAST(round(o_totalprice * 100)
+        |          AS BIGINT)) AS DOUBLE) / count(*) / 100 AS m
+        |      FROM parquet.`$dir/orders.parquet`
+        |      GROUP BY o_orderstatus))) AS n_above_any
+        |FROM parquet.`$dir/customer.parquet`""".stripMargin)
+    }),
+
     "sql_exists_correlated" -> ((s, dir) => {
       s.sql(s"""SELECT c_custkey, c_name
         |FROM parquet.`$dir/customer.parquet`
@@ -4357,6 +4383,20 @@ object AnalyticsQueries {
          |JOIN part ON l_partkey = p_partkey
          |WHERE l_shipdate >= DATE '1996-09-01'
          |  AND l_shipdate < DATE '1996-10-01')""".stripMargin,
+    // Same exact-cent subquery means; identical scalar compares.
+    "sql_scalar_subquery_thresholds" ->
+      """SELECT count(*) AS n_customers,
+        |  count(*) FILTER (WHERE c_acctbal > (
+        |    SELECT max(m) FROM (
+        |      SELECT CAST(sum(CAST(round(o_totalprice * 100, 0)
+        |          AS BIGINT)) AS DOUBLE) / count(*) / 100 AS m
+        |      FROM orders GROUP BY o_orderstatus))) AS n_above_all,
+        |  count(*) FILTER (WHERE c_acctbal > (
+        |    SELECT min(m) FROM (
+        |      SELECT CAST(sum(CAST(round(o_totalprice * 100, 0)
+        |          AS BIGINT)) AS DOUBLE) / count(*) / 100 AS m
+        |      FROM orders GROUP BY o_orderstatus))) AS n_above_any
+        |FROM customer""".stripMargin,
     "sql_exists_correlated" ->
       """SELECT c_custkey, c_name
         |FROM customer

@@ -142,6 +142,27 @@ object GeoQueries {
         .orderBy("user_id")
     }),
 
+    // DIURNALITY (§2.189) — the day/night activity split ecology
+    // reads first: per platform, fixes in the 06:00–17:59 UTC band
+    // vs the rest, and the diurnality index (n_day − n_night)/n ∈
+    // [−1, 1] (+1 strictly diurnal, −1 strictly nocturnal). Exact
+    // integer hour tests and counts; one keyed reduce.
+    "geo_diurnality" -> ((s, dir) => {
+      sightings(s, dir)
+        .select(col("user_id"),
+          (expr("ms div 3600000 % 24").between(6, 17)).cast("long")
+            .as("isday"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_fixes"),
+          sum(col("isday")).as("n_day"))
+        .select(col("user_id"), col("n_fixes"), col("n_day"),
+          (col("n_fixes") - col("n_day")).as("n_night"),
+          r4d((lit(2L) * col("n_day") - col("n_fixes"))
+            .cast("double") / col("n_fixes").cast("double"))
+            .as("diurnality"))
+        .orderBy("user_id")
+    }),
+
     // DAILY RANGE PROFILE (§2.181) — how far does a platform roam in
     // a day: per user-day, the Chebyshev span over the fine
     // (1/8°, 1/32°)-grid coordinates DOUBLED to exact integers
@@ -1266,6 +1287,19 @@ object GeoQueries {
         |  AND a.user_id < b.user_id
         |GROUP BY 1, 2 HAVING count(*) >= 2
         |ORDER BY user_a, user_b""".stripMargin,
+    // Same exact hour-band test; (2·n_day − n)/n in one division.
+    "geo_diurnality" ->
+      """WITH p AS (SELECT user_id,
+        |    CASE WHEN epoch_ms(ts) // 3600000 % 24 BETWEEN 6 AND 17
+        |      THEN 1 ELSE 0 END AS isday
+        |  FROM events)
+        |SELECT user_id, count(*) AS n_fixes,
+        |  CAST(sum(isday) AS BIGINT) AS n_day,
+        |  count(*) - CAST(sum(isday) AS BIGINT) AS n_night,
+        |  ROUND(CAST(2 * sum(isday) - count(*) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) * 10000) / 10000
+        |    AS diurnality
+        |FROM p GROUP BY user_id ORDER BY user_id""".stripMargin,
     // Same doubled-integer grid spans and exact Chebyshev max.
     "geo_daily_range_profile" ->
       """WITH p AS (SELECT user_id,

@@ -609,6 +609,45 @@ object SimQueries {
         .limit(10)
     }),
 
+    // MACRO/MICRO F1 (§2.189) — the two-row summary every multiclass
+    // eval quotes above eval_per_class_prf's table: micro-F1 (= the
+    // trace share — accuracy, for single-label multiclass) and
+    // macro-F1 (the unweighted per-class mean that surfaces
+    // minority-class failure). Shares the SAME confusion matrix as
+    // the per-class key so the summaries cannot disagree with the
+    // table; per-class F1 rationals micro-snap to 10⁻⁶ integers
+    // before the bounded decimal mean.
+    "eval_macro_micro_f1" -> ((s, dir) => {
+      val conf = centroidConfusion(s, dir).localCheckpoint(true)
+      val byLabel = conf.groupBy("label")
+        .agg(sum(col("n")).as("lt"))
+      val byPred = conf.groupBy("pred").agg(sum(col("n")).as("pt"))
+        .withColumnRenamed("pred", "label")
+      val tp = conf.filter(col("label") === col("pred"))
+        .select(col("label"), col("n").as("tp"))
+      val per = byLabel.join(tp, Seq("label"), "left")
+        .join(byPred, Seq("label"), "left")
+        .select(col("label"), coalesce(col("tp"), lit(0L)).as("tp"),
+          (coalesce(col("pt"), lit(0L))
+            - coalesce(col("tp"), lit(0L))).as("fp"),
+          (col("lt") - coalesce(col("tp"), lit(0L))).as("fn"))
+        .select(col("tp"),
+          floor((lit(2L) * col("tp")).cast("double")
+            / (lit(2L) * col("tp") + col("fp") + col("fn"))
+              .cast("double") * lit(1.0e6)).cast("long").as("f16"))
+      val tot = conf.agg(sum(col("n")).as("nn"))
+      per.agg(count(lit(1)).as("n_classes"),
+          sum(col("tp")).as("stp"),
+          sum(col("f16").cast("decimal(38,0)")).as("sf6"))
+        .crossJoin(broadcast(tot))
+        .select(col("n_classes"), col("nn").as("n_vectors"),
+          r4d(col("stp").cast("double") / col("nn").cast("double"))
+            .as("micro_f1"),
+          r4d(col("sf6").cast("double")
+            / col("n_classes").cast("double") / lit(1.0e6))
+            .as("macro_f1"))
+    }),
+
     // INTRINSIC DIMENSION (§2.188) — the Levina–Bickel MLE over the
     // 100-anchor panel: per anchor, id = 8 / Σⱼ ln(d²₅/d²ⱼ) from its
     // top-5 squared distances (the d² spelling halves nothing — the
@@ -2149,6 +2188,53 @@ object SimQueries {
         |    AS violation_rate
         |FROM p GROUP BY 1 ORDER BY label""".stripMargin,
     // Same confusion chain; per-class P/R/F1 as single rationals.
+    // Same confusion CTEs; micro = trace share, macro = snapped
+    // per-class F1 mean.
+    "eval_macro_micro_f1" ->
+      """WITH u AS (SELECT label, unnest(range(len(embedding))) AS pos,
+        |    unnest(embedding) AS x
+        |  FROM embeddings),
+        |cent AS (SELECT label, pos,
+        |    CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE)
+        |      / COUNT(*) AS c
+        |  FROM u GROUP BY 1, 2),
+        |carr AS (SELECT label AS clabel, list(c ORDER BY pos) AS cvec
+        |  FROM cent GROUP BY 1),
+        |sc AS (SELECT e.vec_id, e.label, c.clabel,
+        |    list_aggregate(list_transform(range(1, len(e.embedding) + 1),
+        |      i -> (CAST(e.embedding[i] AS DOUBLE) - c.cvec[i])
+        |        * (CAST(e.embedding[i] AS DOUBLE) - c.cvec[i])), 'sum')
+        |      AS d2
+        |  FROM embeddings e CROSS JOIN carr c),
+        |r AS (SELECT vec_id, label, clabel,
+        |    row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY d2, clabel) AS rk
+        |  FROM sc),
+        |pred AS (SELECT vec_id, label, clabel AS pred FROM r
+        |  WHERE rk = 1),
+        |conf AS (SELECT label, pred, count(*) AS n FROM pred
+        |  GROUP BY 1, 2),
+        |bl AS (SELECT label, CAST(sum(n) AS BIGINT) AS lt FROM conf
+        |  GROUP BY 1),
+        |bp AS (SELECT pred AS label, CAST(sum(n) AS BIGINT) AS pt
+        |  FROM conf GROUP BY 1),
+        |tp AS (SELECT label, n AS tp FROM conf WHERE label = pred),
+        |per AS (SELECT COALESCE(tp.tp, 0) AS tp,
+        |    CAST(floor(CAST(2 * COALESCE(tp.tp, 0) AS DOUBLE)
+        |      / CAST(2 * COALESCE(tp.tp, 0)
+        |        + COALESCE(bp.pt, 0) - COALESCE(tp.tp, 0)
+        |        + bl.lt - COALESCE(tp.tp, 0) AS DOUBLE)
+        |      * 1000000.0) AS BIGINT) AS f16
+        |  FROM bl LEFT JOIN tp ON tp.label = bl.label
+        |  LEFT JOIN bp ON bp.label = bl.label),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM conf)
+        |SELECT count(*) AS n_classes, nn AS n_vectors,
+        |  ROUND(CAST(sum(tp) AS DOUBLE) / CAST(nn AS DOUBLE)
+        |    * 10000) / 10000 AS micro_f1,
+        |  ROUND(CAST(sum(CAST(f16 AS HUGEINT)) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) / 1000000.0 * 10000) / 10000
+        |    AS macro_f1
+        |FROM per CROSS JOIN t GROUP BY nn""".stripMargin,
     "eval_per_class_prf" ->
       """WITH u AS (SELECT label, unnest(range(len(embedding))) AS pos,
         |    unnest(embedding) AS x

@@ -660,10 +660,14 @@ class InventorySpec extends SparkSpec {
     // §2.188 round-15 fortieth wave: transition entropy, intrinsic
     // dimension, SLA attainment
     "geo_cell_transition_entropy", "sim_intrinsic_dimension",
-    "etl_sla_attainment")
+    "etl_sla_attainment",
+    // §2.189 round-15 forty-first wave: macro/micro F1, ANY/ALL
+    // subqueries, diurnality
+    "eval_macro_micro_f1", "sql_scalar_subquery_thresholds",
+    "geo_diurnality")
 
-  test("declared queries cover SURVEY §2 + §2.12-188 exactly (673 keys)") {
-    assert(inventory.size == 673)
+  test("declared queries cover SURVEY §2 + §2.12-189 exactly (676 keys)") {
+    assert(inventory.size == 676)
     val declared = SparkEntry.queries.keySet
     val missing = inventory -- declared
     val extra = declared -- inventory
