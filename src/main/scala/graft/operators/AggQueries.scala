@@ -1256,6 +1256,33 @@ object AggQueries {
     // exchanges collapse the corpus to |distinct sizes| rows; the
     // total rides a broadcast 1-row cross join (never a global
     // window); one double share at the edge.
+    // RECENCY-WEIGHTED VALUE (§2.191) — the exponential-decay user
+    // score RFM's hard recency buckets approximate: each event's
+    // cents weigh 1/2^(age_weeks), age measured from the corpus max
+    // day. The 30-day span bounds the exponent at 4, so the weight
+    // table {16, 8, 4, 2, 1} in SIXTEENTHS is exact integers end to
+    // end — no float decay ever runs. Top-20 under the (score desc,
+    // user) total order.
+    "agg_recency_weighted_value" -> ((s, dir) => {
+      val e = events(s, dir)
+        .select(col("user_id"), epochDay("ts").as("day"),
+          round(col("value") * 100).cast("long").as("cents"))
+      val mx = e.agg(max(col("day")).as("mxd"))
+      val k = least(expr("(mxd - day) div 7"), lit(4L))
+      val w = when(k === 0, 16L).when(k === 1, 8L)
+        .when(k === 2, 4L).when(k === 3, 2L).otherwise(1L)
+      e.crossJoin(broadcast(mx))
+        .select(col("user_id"), (col("cents") * w).as("w16"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("w16")).as("score16"))
+        .orderBy(col("score16").desc, col("user_id"))
+        .limit(20)
+        .select(col("user_id"), col("n_events"),
+          r4d(col("score16").cast("double") / lit(1600.0))
+            .as("decayed_value"))
+    }),
+
     // LORENZ ASYMMETRY (§2.184) — WHERE the inequality sits: two
     // distributions with the same Gini differ in whether the
     // concentration comes from a few giants (S > 1) or many
@@ -2235,6 +2262,25 @@ object AggQueries {
         |  ROUND(CAST(n_users_80 AS DOUBLE) / CAST(n_users AS DOUBLE)
         |    * 10000.0) / 10000.0 AS user_share_80
         |FROM g ORDER BY event_type""".stripMargin,
+    // Same exact sixteenths weight table and (score desc, user)
+    // top-20.
+    "agg_recency_weighted_value" ->
+      s"""WITH e AS (SELECT user_id, ${sqlEpochDay("ts")} AS day,
+         |    CAST(round(value * 100) AS BIGINT) AS cents
+         |  FROM events),
+         |mx AS (SELECT max(day) AS mxd FROM e),
+         |w AS (SELECT user_id, cents *
+         |    (CASE least((mxd - day) // 7, 4)
+         |      WHEN 0 THEN 16 WHEN 1 THEN 8 WHEN 2 THEN 4
+         |      WHEN 3 THEN 2 ELSE 1 END) AS w16
+         |  FROM e CROSS JOIN mx),
+         |g AS (SELECT user_id, count(*) AS n_events,
+         |    CAST(sum(w16) AS BIGINT) AS score16
+         |  FROM w GROUP BY 1)
+         |SELECT user_id, n_events,
+         |  ROUND(CAST(score16 AS DOUBLE) / 1600.0 * 10000) / 10000
+         |    AS decayed_value
+         |FROM g ORDER BY score16 DESC, user_id LIMIT 20""".stripMargin,
     // Same exact-cent user sums and cross-multiplied below-mean
     // tests.
     "agg_lorenz_asymmetry" ->

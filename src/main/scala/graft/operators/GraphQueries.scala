@@ -663,6 +663,42 @@ object GraphQueries {
               .cast("double")).as("jaccard"))
     }),
 
+    // BRAND MODULARITY (§2.190) — Newman's Q for the brand partition
+    // in ONE exact division: Q = (4m·Σᵢ intᵢ − Σᵢ volᵢ²)/(4m²)
+    // (intᵢ = internal edges of brand i, volᵢ = its degree volume,
+    // m = total edges) — the global companion to the per-brand
+    // conductance table and the no-iteration benchmark
+    // graph_modularity's label-prop partition should beat. Exact
+    // decimal integers end to end.
+    "graph_brand_modularity" -> ((s, dir) => {
+      val D0 = "decimal(38,0)"
+      val co = partSetsByOrder(s, dir)
+        .select(explode(col("ps")).as("a"), col("ps"))
+        .select(col("a"), explode(col("ps")).as("b"))
+        .filter(col("a") < col("b"))
+        .distinct()
+      val brand = t(s, dir, "part")
+        .select(col("p_partkey"), col("p_brand"))
+      val e2 = co
+        .join(broadcast(brand.select(col("p_partkey").as("a"),
+          col("p_brand").as("ba"))), Seq("a"))
+        .join(broadcast(brand.select(col("p_partkey").as("b"),
+          col("p_brand").as("bb"))), Seq("b"))
+      val m = e2.agg(count(lit(1)).as("m"),
+        count_if(col("ba") === col("bb")).as("si"))
+      val vols = e2.select(explode(array(col("ba"), col("bb")))
+          .as("brand"))
+        .groupBy("brand").agg(count(lit(1)).as("vol"))
+        .agg(sum(col("vol").cast(D0) * col("vol")).as("sv2"),
+          count(lit(1)).as("n_brands"))
+      m.crossJoin(vols)
+        .select(col("m").as("n_edges"), col("n_brands"),
+          r4d((lit(4).cast(D0) * col("m") * col("si") - col("sv2"))
+            .cast("double")
+            / (lit(4).cast(D0) * col("m") * col("m"))
+              .cast("double")).as("brand_modularity"))
+    }),
+
     // BRAND CONDUCTANCE (§2.182) — community quality WITHOUT
     // iteration: treat part BRAND as the community assignment and
     // measure each brand's conductance φ = cut/min(vol, 2m−vol) over
@@ -2004,6 +2040,27 @@ object GraphQueries {
         |FROM pairs JOIN deg da ON da.sk = sa
         |  JOIN deg db ON db.sk = sb
         |ORDER BY n_shared DESC, sa, sb LIMIT 20""".stripMargin,
+    // Same internal counts and endpoint volumes; one exact division.
+    "graph_brand_modularity" ->
+      """WITH pp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+        |  FROM lineitem),
+        |co AS (SELECT DISTINCT x.p AS a, y.p AS b
+        |  FROM pp x JOIN pp y ON x.ok = y.ok AND x.p < y.p),
+        |e2 AS MATERIALIZED (SELECT ba.p_brand AS ba, bb.p_brand AS bb
+        |  FROM co JOIN part ba ON ba.p_partkey = co.a
+        |  JOIN part bb ON bb.p_partkey = co.b),
+        |m AS (SELECT count(*) AS m,
+        |    count(*) FILTER (WHERE ba = bb) AS si FROM e2),
+        |v AS (SELECT brand, count(*) AS vol FROM (
+        |  SELECT ba AS brand FROM e2
+        |  UNION ALL SELECT bb FROM e2) GROUP BY 1),
+        |sv AS (SELECT CAST(sum(CAST(vol AS HUGEINT) * vol)
+        |    AS HUGEINT) AS sv2, count(*) AS n_brands FROM v)
+        |SELECT m AS n_edges, n_brands,
+        |  ROUND(CAST(4 * CAST(m AS HUGEINT) * si - sv2 AS DOUBLE)
+        |    / CAST(4 * CAST(m AS HUGEINT) * m AS DOUBLE) * 10000)
+        |    / 10000 + 0.0 AS brand_modularity
+        |FROM m CROSS JOIN sv""".stripMargin,
     // Same endpoint-exploded volumes and exact cut counts.
     "graph_brand_conductance" ->
       """WITH pp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p

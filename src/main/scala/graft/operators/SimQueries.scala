@@ -609,6 +609,32 @@ object SimQueries {
         .limit(10)
     }),
 
+    // ORDINAL ERROR COST (§2.191) — severity-weighted error over
+    // the shared centroid confusion: when labels are ordinal,
+    // predicting 9 for a 0 is worse than predicting 1 — expected
+    // cost E|label − pred|, total cost, and the single worst
+    // off-diagonal confusion cell (the pair to fix first). Exact
+    // integer costs, one division, one bounded argmax.
+    "eval_ordinal_error_cost" -> ((s, dir) => {
+      val conf = centroidConfusion(s, dir).localCheckpoint(true)
+      val tot = conf.agg(sum(col("n")).as("nn"),
+        sum((abs(col("label") - col("pred")) * col("n"))
+          .cast("decimal(38,0)")).as("cost"))
+      val w = Window.orderBy(col("n").desc, col("label"),
+        col("pred"))
+      val worst = conf.filter(col("label") =!= col("pred"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("label").as("worst_label"),
+          col("pred").as("worst_pred"), col("n").as("worst_n"))
+      tot.crossJoin(worst)
+        .select(col("nn").as("n_vectors"),
+          col("cost").cast("long").as("total_cost"),
+          r4d(col("cost").cast("double") / col("nn").cast("double"))
+            .as("mean_cost"),
+          col("worst_label"), col("worst_pred"), col("worst_n"))
+    }),
+
     // MACRO/MICRO F1 (§2.189) — the two-row summary every multiclass
     // eval quotes above eval_per_class_prf's table: micro-F1 (= the
     // trace share — accuracy, for single-label multiclass) and
@@ -2188,6 +2214,43 @@ object SimQueries {
         |    AS violation_rate
         |FROM p GROUP BY 1 ORDER BY label""".stripMargin,
     // Same confusion chain; per-class P/R/F1 as single rationals.
+    // Same confusion CTEs; exact |label−pred| costs and (n desc,
+    // label, pred) worst cell.
+    "eval_ordinal_error_cost" ->
+      """WITH u AS (SELECT label, unnest(range(len(embedding))) AS pos,
+        |    unnest(embedding) AS x
+        |  FROM embeddings),
+        |cent AS (SELECT label, pos,
+        |    CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE)
+        |      / COUNT(*) AS c
+        |  FROM u GROUP BY 1, 2),
+        |carr AS (SELECT label AS clabel, list(c ORDER BY pos) AS cvec
+        |  FROM cent GROUP BY 1),
+        |sc AS (SELECT e.vec_id, e.label, c.clabel,
+        |    list_aggregate(list_transform(range(1, len(e.embedding) + 1),
+        |      i -> (CAST(e.embedding[i] AS DOUBLE) - c.cvec[i])
+        |        * (CAST(e.embedding[i] AS DOUBLE) - c.cvec[i])), 'sum')
+        |      AS d2
+        |  FROM embeddings e CROSS JOIN carr c),
+        |r AS (SELECT vec_id, label, clabel,
+        |    row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY d2, clabel) AS rk
+        |  FROM sc),
+        |conf AS (SELECT label, clabel AS pred, count(*) AS n FROM r
+        |  WHERE rk = 1 GROUP BY 1, 2),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+        |    CAST(sum(CAST(abs(label - pred) AS HUGEINT) * n)
+        |      AS HUGEINT) AS cost FROM conf),
+        |wst AS (SELECT label AS worst_label, pred AS worst_pred,
+        |    n AS worst_n FROM (
+        |  SELECT *, row_number() OVER (ORDER BY n DESC, label, pred)
+        |      AS rk
+        |  FROM conf WHERE label <> pred) WHERE rk = 1)
+        |SELECT nn AS n_vectors, CAST(cost AS BIGINT) AS total_cost,
+        |  ROUND(CAST(cost AS DOUBLE) / CAST(nn AS DOUBLE) * 10000)
+        |    / 10000 AS mean_cost,
+        |  worst_label, worst_pred, worst_n
+        |FROM tot CROSS JOIN wst""".stripMargin,
     // Same confusion CTEs; micro = trace share, macro = snapped
     // per-class F1 mean.
     "eval_macro_micro_f1" ->

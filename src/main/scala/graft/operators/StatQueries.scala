@@ -1125,6 +1125,64 @@ object StatQueries {
     // each ONE division on exact operands, spelled identically in
     // both engines. Shape: one O(rows) map-side classify + 1-row
     // reduce — nothing downstream scales.
+    // BRIER DECOMPOSITION (§2.191) — Murphy's three-way split of
+    // the Brier score over the 20-bin forecast grid: reliability
+    // (miscalibration cost), resolution (discrimination gain), and
+    // uncertainty (the data's own entropy term), with binned_brier =
+    // REL − RES + UNC as the identity readout. Tells a forecast
+    // team whether to spend on calibration (REL) or on features
+    // (RES). Per-bin terms are squared exact integer cross-
+    // multiplications divided once each; the 20-term sums fold in
+    // bin order (the bounded-fold device); UNC is exact.
+    "eval_brier_decomposition" -> ((s, dir) => {
+      val D0 = "decimal(38,0)"
+      val e = events(s, dir).select(
+        round(least(col("value"), lit(200.0)) * 100).cast("long")
+          .as("vc"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L)
+          .as("y"))
+        .select(least(expr("vc div 1000"), lit(19L)).as("b"),
+          col("vc"), col("y"))
+      val bins = e.groupBy("b")
+        .agg(count(lit(1)).as("nb"), sum(col("vc")).as("sb"),
+          sum(col("y")).as("kb"))
+      val tot = e.agg(count(lit(1)).as("nn"), sum(col("y")).as("kk"))
+      val terms = bins.crossJoin(broadcast(tot))
+        .select(col("nn"), col("kk"),
+          struct(col("b"),
+            (((col("sb").cast(D0) - lit(20000).cast(D0) * col("kb"))
+              * (col("sb").cast(D0) - lit(20000).cast(D0) * col("kb")))
+              .cast("double")
+              / (lit(400000000L).cast(D0) * col("nb"))
+                .cast("double")).as("rel"),
+            (((col("kb").cast(D0) * col("nn")
+              - col("nb").cast(D0) * col("kk"))
+              * (col("kb").cast(D0) * col("nn")
+                - col("nb").cast(D0) * col("kk"))).cast("double")
+              / (col("nb").cast(D0) * col("nn") * col("nn"))
+                .cast("double")).as("res")).as("st"))
+      terms.groupBy("nn", "kk")
+        .agg(aggregate(array_sort(collect_list(col("st"))), lit(0.0),
+            (acc, x) => acc + x("rel")).as("relsum"),
+          aggregate(array_sort(collect_list(col("st"))), lit(0.0),
+            (acc, x) => acc + x("res")).as("ressum"))
+        .select(col("nn").as("n"), col("kk").as("n_pos"),
+          r4d(col("relsum") / col("nn").cast("double"))
+            .as("reliability"),
+          r4d(col("ressum") / col("nn").cast("double"))
+            .as("resolution"),
+          r4d((col("kk").cast(D0) * (col("nn") - col("kk")))
+            .cast("double")
+            / (col("nn").cast(D0) * col("nn")).cast("double"))
+            .as("uncertainty"),
+          r4d(col("relsum") / col("nn").cast("double")
+            - col("ressum") / col("nn").cast("double")
+            + (col("kk").cast(D0) * (col("nn") - col("kk")))
+              .cast("double")
+              / (col("nn").cast(D0) * col("nn")).cast("double"))
+            .as("binned_brier"))
+    }),
+
     "eval_brier_score" -> ((s, dir) => {
       val D0 = "decimal(38,0)"
       val e = events(s, dir).select(
@@ -5338,6 +5396,46 @@ object StatQueries {
          |FROM m""".stripMargin,
     // 20000-scaled exact squared error; Brier, base rate, and skill
     // are three divisions on HUGEINT-exact operands.
+    // Same 20-bin grid, exact cross-multiplied per-bin terms, sorted
+    // folds, exact UNC.
+    "eval_brier_decomposition" ->
+      """WITH e AS (SELECT
+        |    least(CAST(round(least(value, 200.0) * 100) AS BIGINT)
+        |      // 1000, 19) AS b,
+        |    CAST(round(least(value, 200.0) * 100) AS BIGINT) AS vc,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        |  FROM events),
+        |bins AS (SELECT b, count(*) AS nb,
+        |    CAST(sum(vc) AS HUGEINT) AS sb,
+        |    CAST(sum(y) AS HUGEINT) AS kb
+        |  FROM e GROUP BY 1),
+        |t AS (SELECT count(*) AS nn, CAST(sum(y) AS BIGINT) AS kk
+        |  FROM e),
+        |terms AS (SELECT nn, kk, {'b': b,
+        |    'rel': CAST((sb - 20000 * kb) * (sb - 20000 * kb)
+        |        AS DOUBLE)
+        |      / CAST(400000000 * CAST(nb AS HUGEINT) AS DOUBLE),
+        |    'res': CAST((kb * nn - CAST(nb AS HUGEINT) * kk)
+        |        * (kb * nn - CAST(nb AS HUGEINT) * kk) AS DOUBLE)
+        |      / CAST(CAST(nb AS HUGEINT) * nn * nn AS DOUBLE)} AS st
+        |  FROM bins CROSS JOIN t),
+        |g AS (SELECT nn, kk,
+        |    list_aggregate(list_transform(list_sort(list(st)),
+        |      x -> x.rel), 'sum') AS relsum,
+        |    list_aggregate(list_transform(list_sort(list(st)),
+        |      x -> x.res), 'sum') AS ressum
+        |  FROM terms GROUP BY 1, 2)
+        |SELECT nn AS n, kk AS n_pos,
+        |  ROUND(relsum / nn * 10000) / 10000 AS reliability,
+        |  ROUND(ressum / nn * 10000) / 10000 AS resolution,
+        |  ROUND(CAST(CAST(kk AS HUGEINT) * (nn - kk) AS DOUBLE)
+        |    / CAST(CAST(nn AS HUGEINT) * nn AS DOUBLE) * 10000)
+        |    / 10000 AS uncertainty,
+        |  ROUND((relsum / nn - ressum / nn
+        |    + CAST(CAST(kk AS HUGEINT) * (nn - kk) AS DOUBLE)
+        |      / CAST(CAST(nn AS HUGEINT) * nn AS DOUBLE)) * 10000)
+        |    / 10000 AS binned_brier
+        |FROM g""".stripMargin,
     "eval_brier_score" ->
       """WITH e AS (SELECT
         |    CAST(round(least(value, 200.0) * 100) AS BIGINT) AS vc,

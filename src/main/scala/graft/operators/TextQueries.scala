@@ -175,6 +175,25 @@ object TextQueries {
     "dedup_near_jaccard" -> ((s, dir) =>
       exactJaccard(s, dir, 1000, 0.8).orderBy("doc_i", "doc_j")),
 
+    // SIMILARITY HISTOGRAM (§2.190) — the threshold-tuning view over
+    // the exact near-dup pair table: Jaccard similarities of all
+    // capped exact pairs ≥ 0.7, banded into 0.05-wide buckets
+    // (floor(jac·20) — exact on the rational grid both engines
+    // compute identically). A mass piled at 0.70-0.75 means the
+    // threshold sits mid-cluster and should move; mass at 0.95+
+    // means near-identical boilerplate. One reduce over the pair
+    // table.
+    "dedup_similarity_histogram" -> ((s, dir) => {
+      exactJaccard(s, dir, 1000, 0.7)
+        .select(least(floor(col("jac") * 20).cast("long"), lit(19L))
+          .as("band"))
+        .groupBy("band").agg(count(lit(1)).as("n_pairs"))
+        .select(col("band"),
+          r4d(col("band").cast("double") / 20.0).as("band_lo"),
+          col("n_pairs"))
+        .orderBy("band")
+    }),
+
     // SORTED-NEIGHBORHOOD DEDUP (§2.183) — the classic SNM blocking
     // method the LSH keys don't cover: sort the corpus ONCE by a
     // compact blocking key (first 32 chars of the sorted-distinct-
@@ -967,6 +986,35 @@ object TextQueries {
           r4d(col("n_docs_with_repeat").cast("double")
             / col("n_docs").cast("double")).as("share_docs_repeat"))
         .orderBy("source")
+    }),
+
+    // QUALITY-LENGTH CORRELATION (§2.190) — the corpus-wide version
+    // of the pairwise length-bias audit: Pearson correlation between
+    // the quality score and token count across ALL documents. A
+    // strong positive value warns every quality-ranked selection
+    // (preference pairs, curricula, quality gates) that it is
+    // implicitly selecting for length. Quality snaps to the proven
+    // 4dp integer grid, token counts are exact — integer moments,
+    // one division.
+    "text_quality_length_corr" -> ((s, dir) => {
+      val D0 = "decimal(38,0)"
+      val d = t(s, dir, "documents").select(
+        round(graft.operators.PipelineQueries
+          .qualityExpr(col("text")) * 10000).cast("long").as("q4"),
+        size(split(col("text"), " ")).cast("long").as("ntok"))
+      d.agg(count(lit(1)).as("n"),
+          sum(col("q4").cast(D0)).as("sx"),
+          sum(col("ntok").cast(D0)).as("sy"),
+          sum(col("q4").cast(D0) * col("q4")).as("sxx"),
+          sum(col("ntok").cast(D0) * col("ntok")).as("syy"),
+          sum(col("q4").cast(D0) * col("ntok")).as("sxy"))
+        .select(col("n").as("n_docs"),
+          r4d((col("n") * col("sxy") - col("sx") * col("sy"))
+            .cast("double")
+            / (sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+              .cast("double"))
+              * sqrt((col("n") * col("syy") - col("sy") * col("sy"))
+                .cast("double")))).as("quality_length_corr"))
     }),
 
     // SOURCE TF-IDF COSINE (§2.180) — frequency-weighted source
@@ -1873,6 +1921,34 @@ object TextQueries {
         |    AS share_docs_repeat
         |FROM a JOIN shorts s ON s.source = a.source
         |ORDER BY a.source""".stripMargin,
+    // Same quality CTE on the 4dp grid; exact HUGEINT moments.
+    "text_quality_length_corr" ->
+      """WITH q AS (SELECT
+        |    CAST(round((0.4 * least(1.0, nt / 50.0)
+        |      + 0.3 * (1.0 - nstop / nt) + 0.3 * (nd / nt))
+        |      * 10000) AS BIGINT) AS q4,
+        |    CAST(nt AS BIGINT) AS ntok
+        |  FROM (SELECT CAST(len(toks) AS DOUBLE) AS nt,
+        |      CAST(len(list_filter(toks,
+        |        t -> t IN ('the','a','of','to','and','in'))) AS DOUBLE)
+        |        AS nstop,
+        |      CAST(len(list_distinct(toks)) AS DOUBLE) AS nd
+        |    FROM (SELECT string_split(text, ' ') AS toks
+        |      FROM documents))),
+        |m AS (SELECT count(*) AS n,
+        |    CAST(sum(CAST(q4 AS HUGEINT)) AS HUGEINT) AS sx,
+        |    CAST(sum(CAST(ntok AS HUGEINT)) AS HUGEINT) AS sy,
+        |    CAST(sum(CAST(q4 AS HUGEINT) * q4) AS HUGEINT) AS sxx,
+        |    CAST(sum(CAST(ntok AS HUGEINT) * ntok) AS HUGEINT)
+        |      AS syy,
+        |    CAST(sum(CAST(q4 AS HUGEINT) * ntok) AS HUGEINT) AS sxy
+        |  FROM q)
+        |SELECT n AS n_docs,
+        |  ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+        |    / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+        |      * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) * 10000)
+        |    / 10000 + 0.0 AS quality_length_corr
+        |FROM m""".stripMargin,
     // Same dense vocabulary-ordered vectors; list_dot_product ≡ the
     // ArrayDot fold (the sim_norm precedent).
     "text_source_tfidf_cosine" ->
@@ -2173,6 +2249,20 @@ object TextQueries {
         |  n_unique_texts - n_unique_bags AS n_reorder_dups,
         |  n_unique_bags - n_unique_sets AS n_multiplicity_dups
         |FROM g ORDER BY source""".stripMargin,
+    // Same exact pair table at 0.7; floor(jac·20) band, clamped.
+    "dedup_similarity_histogram" ->
+      s"""WITH $tokCte,
+         |p AS (SELECT CAST(c AS DOUBLE) / (sa.sz + sb.sz - c) AS jac
+         |  FROM inter JOIN sizes sa ON i = sa.doc_id
+         |  JOIN sizes sb ON j = sb.doc_id),
+         |b AS (SELECT least(CAST(floor(jac * 20) AS BIGINT), 19)
+         |    AS band
+         |  FROM p WHERE jac >= 0.7)
+         |SELECT band,
+         |  ROUND(CAST(band AS DOUBLE) / 20.0 * 10000) / 10000
+         |    AS band_lo,
+         |  count(*) AS n_pairs
+         |FROM b GROUP BY band ORDER BY band""".stripMargin,
     "dedup_near_jaccard" ->
       s"""WITH $tokCte
          |SELECT i AS doc_i, j AS doc_j, ROUND(jac, 4) AS jac FROM (

@@ -664,10 +664,18 @@ class InventorySpec extends SparkSpec {
     // §2.189 round-15 forty-first wave: macro/micro F1, ANY/ALL
     // subqueries, diurnality
     "eval_macro_micro_f1", "sql_scalar_subquery_thresholds",
-    "geo_diurnality")
+    "geo_diurnality",
+    // §2.190 round-15 forty-second wave: similarity histogram, brand
+    // modularity, quality-length correlation
+    "dedup_similarity_histogram", "graph_brand_modularity",
+    "text_quality_length_corr",
+    // §2.191 round-15 forty-third wave: recency-weighted value,
+    // Brier decomposition, ordinal error cost
+    "agg_recency_weighted_value", "eval_brier_decomposition",
+    "eval_ordinal_error_cost")
 
-  test("declared queries cover SURVEY §2 + §2.12-189 exactly (676 keys)") {
-    assert(inventory.size == 676)
+  test("declared queries cover SURVEY §2 + §2.12-191 exactly (682 keys)") {
+    assert(inventory.size == 682)
     val declared = SparkEntry.queries.keySet
     val missing = inventory -- declared
     val extra = declared -- inventory
