@@ -1256,6 +1256,61 @@ object AggQueries {
     // exchanges collapse the corpus to |distinct sizes| rows; the
     // total rides a broadcast 1-row cross join (never a global
     // window); one double share at the edge.
+    // REPEAT PURCHASE RATE (§2.193) — the retention KPI every
+    // commerce dashboard leads with: of users who purchased at all,
+    // what share purchased again, and how many purchases the average
+    // purchaser makes. Exact integer counts off one user-keyed
+    // reduce; two divisions.
+    "agg_repeat_purchase_rate" -> ((s, dir) => {
+      val p = events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .groupBy("user_id").agg(count(lit(1)).as("np"))
+      p.agg(count(lit(1)).as("n_purchasers"),
+          count_if(col("np") >= 2).as("n_repeat"),
+          sum(col("np")).as("n_purchases"))
+        .select(col("n_purchasers"), col("n_repeat"),
+          col("n_purchases"),
+          r4d(col("n_repeat").cast("double")
+            / col("n_purchasers").cast("double")).as("repeat_rate"),
+          r4d(col("n_purchases").cast("double")
+            / col("n_purchasers").cast("double"))
+            .as("purchases_per_purchaser"))
+    }),
+
+    // BASKET BRAND ENTROPY (§2.193) — how diverse is the average
+    // order: per order, the Shannon entropy of its line items' brand
+    // mix (sorted bounded fold — the shared entropy device), then
+    // micro-snapped to 10⁻⁶ integers for the exact corpus mean,
+    // plus the share of single-brand orders (exact integer test).
+    // The assortment-vs-loyalty basket diagnostic.
+    "agg_basket_brand_entropy" -> ((s, dir) => {
+      val plogp = (cs: org.apache.spark.sql.Column) =>
+        aggregate(cs, lit(0.0), (acc, x) =>
+          acc + x.cast("double") * log2(x.cast("double")))
+      val b = t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part")
+          .select(col("p_partkey").as("l_partkey"), col("p_brand"))),
+          Seq("l_partkey"))
+        .groupBy(col("l_orderkey"), col("p_brand"))
+        .agg(count(lit(1)).as("c"))
+      val per = b.groupBy("l_orderkey")
+        .agg(sum(col("c")).as("n"), count(lit(1)).as("nb"),
+          array_sort(collect_list(col("c"))).as("cs"))
+        .select(
+          floor((log2(col("n")) - plogp(col("cs")) / col("n"))
+            * lit(1.0e6)).cast("long").as("e6"),
+          (col("nb") === 1).cast("long").as("single"))
+      per.agg(count(lit(1)).as("n_orders"),
+          sum(col("e6").cast("decimal(38,0)")).as("s6"),
+          sum(col("single")).as("n_single"))
+        .select(col("n_orders"),
+          r4d(col("s6").cast("double") / col("n_orders").cast("double")
+            / lit(1.0e6)).as("mean_brand_entropy_bits"),
+          col("n_single"),
+          r4d(col("n_single").cast("double")
+            / col("n_orders").cast("double")).as("single_brand_share"))
+    }),
+
     // RECENCY-WEIGHTED VALUE (§2.191) — the exponential-decay user
     // score RFM's hard recency buckets approximate: each event's
     // cents weigh 1/2^(age_weeks), age measured from the corpus max
@@ -2262,6 +2317,41 @@ object AggQueries {
         |  ROUND(CAST(n_users_80 AS DOUBLE) / CAST(n_users AS DOUBLE)
         |    * 10000.0) / 10000.0 AS user_share_80
         |FROM g ORDER BY event_type""".stripMargin,
+    // Same user-keyed purchase counts; exact repeat test.
+    "agg_repeat_purchase_rate" ->
+      """WITH p AS (SELECT user_id, count(*) AS np FROM events
+        |  WHERE event_type = 'purchase' GROUP BY 1)
+        |SELECT count(*) AS n_purchasers,
+        |  count(*) FILTER (WHERE np >= 2) AS n_repeat,
+        |  CAST(sum(np) AS BIGINT) AS n_purchases,
+        |  ROUND(CAST(count(*) FILTER (WHERE np >= 2) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) * 10000) / 10000
+        |    AS repeat_rate,
+        |  ROUND(CAST(sum(np) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |    * 10000) / 10000 AS purchases_per_purchaser
+        |FROM p""".stripMargin,
+    // Same per-order brand counts, sorted entropy fold, snapped
+    // mean.
+    "agg_basket_brand_entropy" ->
+      """WITH b AS (SELECT l_orderkey, p_brand, count(*) AS c
+        |  FROM lineitem JOIN part ON p_partkey = l_partkey
+        |  GROUP BY 1, 2),
+        |per AS (SELECT l_orderkey, CAST(sum(c) AS BIGINT) AS n,
+        |    count(*) AS nb, list_sort(list(c)) AS cs
+        |  FROM b GROUP BY 1),
+        |e AS (SELECT CAST(floor((log2(n)
+        |      - list_aggregate(list_transform(cs, x -> x * log2(x)),
+        |        'sum') / n) * 1000000.0) AS BIGINT) AS e6,
+        |    CASE WHEN nb = 1 THEN 1 ELSE 0 END AS single
+        |  FROM per)
+        |SELECT count(*) AS n_orders,
+        |  ROUND(CAST(sum(CAST(e6 AS HUGEINT)) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) / 1000000.0 * 10000) / 10000
+        |    AS mean_brand_entropy_bits,
+        |  CAST(sum(single) AS BIGINT) AS n_single,
+        |  ROUND(CAST(sum(single) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |    * 10000) / 10000 AS single_brand_share
+        |FROM e""".stripMargin,
     // Same exact sixteenths weight table and (score desc, user)
     // top-20.
     "agg_recency_weighted_value" ->

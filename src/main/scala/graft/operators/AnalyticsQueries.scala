@@ -1273,6 +1273,62 @@ object AnalyticsQueries {
         .orderBy("event_type", "day")
     }),
 
+    // ROLLING SHARPE (§2.193) — the trend signal-to-noise ratio on
+    // daily revenue changes: over each full trailing 28-day window
+    // of exact-cent 1-day differences, mean/σ (population) spelled
+    // s·√n / √(n·q − s²) so every input to the two sqrts is an exact
+    // decimal integer — the regime-quality number next to
+    // ts_variance_ratio's single split. Two windows over the
+    // bounded daily series.
+    "ts_rolling_sharpe" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val D0 = "decimal(38,0)"
+      val daily = t(s, dir, "orders")
+        .select(epochDay("o_orderdate").as("day"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+        .groupBy("day").agg(sum(col("cents")).as("rev"))
+      val wd = Window.orderBy(col("day"))
+      val d = daily
+        .withColumn("d1", col("rev") - lag(col("rev"), 1).over(wd))
+        .filter(col("d1").isNotNull)
+      val w28 = Window.orderBy(col("day")).rowsBetween(-27, 0)
+      d.withColumn("nw", count(lit(1)).over(w28))
+        .withColumn("s", sum(col("d1").cast(D0)).over(w28))
+        .withColumn("q",
+          sum((col("d1") * col("d1")).cast(D0)).over(w28))
+        .filter(col("nw") === 28)
+        .filter(col("nw").cast(D0) * col("q") > col("s") * col("s"))
+        .select(col("day"),
+          r4d(col("s").cast("double")
+            * sqrt(col("nw").cast("double"))
+            / sqrt((col("nw").cast(D0) * col("q")
+              - col("s") * col("s")).cast("double")))
+            .as("rolling_sharpe"))
+        .orderBy("day")
+    }),
+
+    // DAILY VWAP (§2.192) — the volume-weighted average price per
+    // ship day over line items: Σ(extended price)/Σ(quantity) with
+    // both sums in exact cents — the fills-weighted price benchmark
+    // finance and procurement quote (a plain AVG over-weights small
+    // lots). One keyed reduce; one division per day.
+    "ts_vwap_daily" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .select(epochDay("l_shipdate").as("day"),
+          round(col("l_extendedprice") * 100).cast("long")
+            .as("pc"),
+          round(col("l_quantity") * 100).cast("long").as("qc"))
+        .groupBy("day")
+        .agg(count(lit(1)).as("n_lines"),
+          sum(col("pc")).as("sp"), sum(col("qc")).as("sq"))
+        .filter(col("sq") > 0)
+        .select(col("day"), col("n_lines"),
+          col("sq").as("volume_centiunits"),
+          r4d(col("sp").cast("double") / col("sq").cast("double"))
+            .as("vwap"))
+        .orderBy("day")
+    }),
+
     // TYPE MIX DRIFT (§2.186) — the composition monitor: per day,
     // the χ² of that day's event-type mix against the corpus-wide
     // mix (zero-filled over the type grid, so a silently MISSING
@@ -4948,6 +5004,43 @@ object AnalyticsQueries {
          |  nwin = 7 AND y > mx AS breakout_up,
          |  nwin = 7 AND y < mn AS breakout_down
          |FROM w ORDER BY event_type, day""".stripMargin,
+    // Same exact-cent differences and windowed HUGEINT moments.
+    "ts_rolling_sharpe" ->
+      """WITH d0 AS (SELECT epoch_ms(o_orderdate) // 86400000 AS day,
+        |    CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+        |      AS BIGINT) AS rev
+        |  FROM orders GROUP BY 1),
+        |l AS (SELECT day, rev - lag(rev, 1) OVER (ORDER BY day)
+        |    AS d1 FROM d0),
+        |f AS (SELECT day, d1 FROM l WHERE d1 IS NOT NULL),
+        |w AS (SELECT day,
+        |    count(*) OVER wf AS nw,
+        |    CAST(sum(CAST(d1 AS HUGEINT)) OVER wf AS HUGEINT) AS s,
+        |    CAST(sum(CAST(d1 AS HUGEINT) * d1) OVER wf AS HUGEINT)
+        |      AS q
+        |  FROM f WINDOW wf AS (ORDER BY day
+        |    ROWS BETWEEN 27 PRECEDING AND CURRENT ROW))
+        |SELECT day,
+        |  ROUND(CAST(s AS DOUBLE) * sqrt(CAST(nw AS DOUBLE))
+        |    / sqrt(CAST(CAST(nw AS HUGEINT) * q - s * s AS DOUBLE))
+        |    * 10000) / 10000 + 0.0 AS rolling_sharpe
+        |FROM w WHERE nw = 28
+        |  AND CAST(nw AS HUGEINT) * q > s * s
+        |ORDER BY day""".stripMargin,
+    // Same exact cent sums; one division per day.
+    "ts_vwap_daily" ->
+      """WITH d AS (SELECT epoch_ms(l_shipdate) // 86400000 AS day,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS pc,
+        |    CAST(round(l_quantity * 100) AS BIGINT) AS qc
+        |  FROM lineitem),
+        |g AS (SELECT day, count(*) AS n_lines,
+        |    CAST(sum(pc) AS BIGINT) AS sp,
+        |    CAST(sum(qc) AS BIGINT) AS sq
+        |  FROM d GROUP BY 1)
+        |SELECT day, n_lines, sq AS volume_centiunits,
+        |  ROUND(CAST(sp AS DOUBLE) / CAST(sq AS DOUBLE) * 10000)
+        |    / 10000 AS vwap
+        |FROM g WHERE sq > 0 ORDER BY day""".stripMargin,
     // Same zero-filled type grid, per-cell exact terms, sorted fold,
     // and double-threshold flag.
     "ts_type_mix_drift" ->

@@ -593,6 +593,38 @@ object EtlQueries {
     // side collapses to its distinct set FIRST (partial-agg
     // exchanges); the intersection is a semi join of slim key sets —
     // never a row-level join.
+    // PARTITION VOLUME ANOMALY (§2.192) — the ingest-volume monitor
+    // on the month axis: per order month, row count flagged against
+    // the median ± 3·MAD band, with BOTH the median and the MAD
+    // taken as sorted-list middle elements over the bounded month
+    // grid — exact integers end to end, no float robust statistics.
+    // The "did May silently half-load" check a mean/σ monitor
+    // misses when the outlier itself pollutes the mean.
+    "etl_partition_volume_anomaly" -> ((s, dir) => {
+      val m = t(s, dir, "orders")
+        .select((year(col("o_orderdate").cast("date")) * 100
+          + month(col("o_orderdate").cast("date"))).cast("long")
+          .as("month_key"))
+        .groupBy("month_key").agg(count(lit(1)).as("n_rows"))
+      val med = m.agg(
+        element_at(array_sort(collect_list(col("n_rows"))),
+          (count(lit(1)) / 2 + 1).cast("int")).as("med"),
+        count(lit(1)).as("n_months"))
+      val mad = m.crossJoin(broadcast(med))
+        .select(abs(col("n_rows") - col("med")).as("dev"),
+          col("med"), col("n_months"))
+        .agg(element_at(array_sort(collect_list(col("dev"))),
+          (count(lit(1)) / 2 + 1).cast("int")).as("mad"),
+          max(col("med")).as("med"),
+          max(col("n_months")).as("n_months"))
+      m.crossJoin(broadcast(mad))
+        .select(col("month_key"), col("n_rows"), col("med"),
+          col("mad"),
+          (abs(col("n_rows") - col("med")) > lit(3L) * col("mad"))
+            .as("is_anomaly"))
+        .orderBy("month_key")
+    }),
+
     // SLA ATTAINMENT (§2.188) — the fulfilment promise scoreboard:
     // per order priority, the share of orders whose FIRST line
     // shipped within 30 days of ordering (exact integer day lead ≤
@@ -1252,6 +1284,23 @@ object EtlQueries {
          |FROM per JOIN ld USING (event_type) CROSS JOIN g
          |ORDER BY event_type""".stripMargin,
     // Same pipe-joined integer rendering under md5.
+    // Same sorted-middle median/MAD and exact 3·MAD band.
+    "etl_partition_volume_anomaly" ->
+      """WITH m AS (SELECT CAST(year(o_orderdate) * 100
+        |      + month(o_orderdate) AS BIGINT) AS month_key,
+        |    count(*) AS n_rows
+        |  FROM orders GROUP BY 1),
+        |med AS (SELECT
+        |    list_sort(list(n_rows))[count(*) // 2 + 1] AS med,
+        |    count(*) AS n_months FROM m),
+        |mad AS (SELECT
+        |    list_sort(list(dev))[count(*) // 2 + 1] AS mad,
+        |    max(med) AS med, max(n_months) AS n_months
+        |  FROM (SELECT abs(n_rows - med) AS dev, med, n_months
+        |    FROM m CROSS JOIN med))
+        |SELECT month_key, n_rows, med, mad,
+        |  abs(n_rows - med) > 3 * mad AS is_anomaly
+        |FROM m CROSS JOIN mad ORDER BY month_key""".stripMargin,
     // Same first-ship day lead and exact 30-day test.
     "etl_sla_attainment" ->
       """WITH fs AS (SELECT l_orderkey,

@@ -988,6 +988,33 @@ object TextQueries {
         .orderBy("source")
     }),
 
+    // RARE TOKEN SHARE (§2.192) — per source, the share of token
+    // OCCURRENCES whose corpus-wide frequency is below 10 (the
+    // rare/OOV mass) plus the distinct rare-type count — the
+    // tokenizer-stress and misspelling-pressure corpus card (a
+    // source full of rare tokens inflates vocabulary and fertility).
+    // One vocab-keyed reduce for corpus frequencies + one broadcast
+    // join back; exact integers and one division.
+    "text_rare_token_share" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(col("source"),
+          explode(split(col("text"), " ")).as("tok"))
+      val freq = toks.groupBy("tok").agg(count(lit(1)).as("cf"))
+      toks.join(broadcast(freq), Seq("tok"))
+        .select(col("source"),
+          (col("cf") < 10).cast("long").as("rare"), col("tok"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(col("rare")).as("n_rare"),
+          countDistinct(when(col("rare") === 1, col("tok")))
+            .as("n_rare_types"))
+        .select(col("source"), col("n_tokens"), col("n_rare"),
+          col("n_rare_types"),
+          r4d(col("n_rare").cast("double")
+            / col("n_tokens").cast("double")).as("rare_share"))
+        .orderBy("source")
+    }),
+
     // QUALITY-LENGTH CORRELATION (§2.190) — the corpus-wide version
     // of the pairwise length-bias audit: Pearson correlation between
     // the quality score and token count across ALL documents. A
@@ -1921,6 +1948,21 @@ object TextQueries {
         |    AS share_docs_repeat
         |FROM a JOIN shorts s ON s.source = a.source
         |ORDER BY a.source""".stripMargin,
+    // Same corpus frequencies and exact < 10 rare test.
+    "text_rare_token_share" ->
+      """WITH toks AS (SELECT source,
+        |    unnest(string_split(text, ' ')) AS tok FROM documents),
+        |f AS (SELECT tok, count(*) AS cf FROM toks GROUP BY 1),
+        |j AS (SELECT source, toks.tok,
+        |    CASE WHEN cf < 10 THEN 1 ELSE 0 END AS rare
+        |  FROM toks JOIN f ON f.tok = toks.tok)
+        |SELECT source, count(*) AS n_tokens,
+        |  CAST(sum(rare) AS BIGINT) AS n_rare,
+        |  count(DISTINCT CASE WHEN rare = 1 THEN tok END)
+        |    AS n_rare_types,
+        |  ROUND(CAST(sum(rare) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |    * 10000) / 10000 AS rare_share
+        |FROM j GROUP BY source ORDER BY source""".stripMargin,
     // Same quality CTE on the 4dp grid; exact HUGEINT moments.
     "text_quality_length_corr" ->
       """WITH q AS (SELECT

@@ -672,10 +672,18 @@ class InventorySpec extends SparkSpec {
     // §2.191 round-15 forty-third wave: recency-weighted value,
     // Brier decomposition, ordinal error cost
     "agg_recency_weighted_value", "eval_brier_decomposition",
-    "eval_ordinal_error_cost")
+    "eval_ordinal_error_cost",
+    // §2.192 round-15 forty-fourth wave: volume anomaly, rare
+    // tokens, VWAP
+    "etl_partition_volume_anomaly", "text_rare_token_share",
+    "ts_vwap_daily",
+    // §2.193 round-15 forty-fifth wave: repeat purchase rate, basket
+    // brand entropy, rolling Sharpe
+    "agg_repeat_purchase_rate", "agg_basket_brand_entropy",
+    "ts_rolling_sharpe")
 
-  test("declared queries cover SURVEY §2 + §2.12-191 exactly (682 keys)") {
-    assert(inventory.size == 682)
+  test("declared queries cover SURVEY §2 + §2.12-193 exactly (688 keys)") {
+    assert(inventory.size == 688)
     val declared = SparkEntry.queries.keySet
     val missing = inventory -- declared
     val extra = declared -- inventory
