@@ -113,7 +113,13 @@ object ScaleStress {
     // reduce over the same subgraph, and the type-mixing reduce.
     "graph_deepwalk_corpus", "graph_edge_embeddedness",
     "graph_clustering_by_degree", "graph_attribute_assortativity",
-    "sim_loo_knn_accuracy", "text_crossdoc_ngram_share")
+    "sim_loo_knn_accuracy", "text_crossdoc_ngram_share",
+    // Round-15 waves 30+ at birth: the full-rank panel scan, the
+    // within-part supplier pair reduce, and the remaining
+    // anchor-panel keys.
+    "eval_first_hit_rank_hist", "graph_supplier_projection",
+    "sim_hubness_profile", "sim_intrinsic_dimension",
+    "dedup_sorted_neighborhood", "dedup_similarity_histogram")
   // Keys whose only input is lineitem — copy-scalable (see scaladoc).
   // The embeddings/documents keys are NOT copy-scalable for the same
   // reason the dedup keys aren't (cross-copy duplicate geometry);
