@@ -1256,6 +1256,72 @@ object AggQueries {
     // exchanges collapse the corpus to |distinct sizes| rows; the
     // total rides a broadcast 1-row cross join (never a global
     // window); one double share at the edge.
+    // PRICE DISPERSION TOP-K (§2.194) — the pricing-consistency
+    // audit: per part, the coefficient of variation of its realized
+    // unit price (extended price / quantity, micro-snapped to 10⁻⁴
+    // integers) across line items; the 20 most-dispersed parts are
+    // where discount leakage or data errors live. Exact integer
+    // moments per part, CV = √(n·q − s²)/s spelled on exact decimal
+    // inputs, bounded top-20 total order.
+    "agg_price_dispersion_topk" -> ((s, dir) => {
+      val D0 = "decimal(38,0)"
+      val d = t(s, dir, "lineitem")
+        .filter(col("l_quantity") > 0)
+        .select(col("l_partkey"),
+          floor(col("l_extendedprice") / col("l_quantity")
+            * lit(1.0e4)).cast("long").as("p4"))
+      val m = d.groupBy("l_partkey")
+        .agg(count(lit(1)).as("n"),
+          sum(col("p4").cast(D0)).as("s"),
+          sum(col("p4").cast(D0) * col("p4")).as("q"))
+        .filter(col("n") >= 5 && col("s") > 0)
+      m.select(col("l_partkey"), col("n").as("n_lines"),
+          r4d(col("s").cast("double") / col("n").cast("double")
+            / lit(1.0e4)).as("mean_unit_price"),
+          r4d(sqrt((col("n").cast(D0) * col("q")
+            - col("s") * col("s")).cast("double"))
+            / col("s").cast("double")).as("price_cv"))
+        .orderBy(col("price_cv").desc, col("l_partkey"))
+        .limit(20)
+    }),
+
+    // ABC CLASSIFICATION (§2.194) — the inventory-analytics staple:
+    // parts ranked by revenue, classified A (first 80% of cumulative
+    // revenue), B (to 95%), C (rest) — with the class boundaries
+    // tested by exact integer cross-multiplication against the cent
+    // total (20·cum ≤ 16·total, 20·cum ≤ 19·total — no float
+    // share). Per class: part count, revenue share. Rank via
+    // GlobalRank's distributed prefix sums, classification map-side.
+    "agg_abc_classification" -> ((s, dir) => {
+      val D0 = "decimal(38,0)"
+      val rev = t(s, dir, "lineitem")
+        .groupBy(col("l_partkey"))
+        .agg(sum(round(col("l_extendedprice") * 100).cast("long"))
+          .as("cents"))
+        .select(col("l_partkey"), col("cents"),
+          (lit(Long.MaxValue) - col("cents")).as("inv"))
+      val ranked = graft.plans.GlobalRank.runningSum(
+        rev, Seq("inv", "l_partkey"), "cents", "cum")
+      val tot = rev.agg(sum(col("cents").cast(D0)).as("total"))
+      ranked.crossJoin(broadcast(tot))
+        .select(col("cents"),
+          when(lit(20).cast(D0) * col("cum")
+            <= lit(16).cast(D0) * col("total"), "A")
+            .when(lit(20).cast(D0) * col("cum")
+              <= lit(19).cast(D0) * col("total"), "B")
+            .otherwise("C").as("abc_class"),
+          col("total"))
+        .groupBy("abc_class")
+        .agg(count(lit(1)).as("n_parts"),
+          sum(col("cents").cast(D0)).as("class_cents"),
+          max(col("total")).as("total"))
+        .select(col("abc_class"), col("n_parts"),
+          col("class_cents").cast("long").as("revenue_cents"),
+          r4d(col("class_cents").cast("double")
+            / col("total").cast("double")).as("revenue_share"))
+        .orderBy("abc_class")
+    }),
+
     // REPEAT PURCHASE RATE (§2.193) — the retention KPI every
     // commerce dashboard leads with: of users who purchased at all,
     // what share purchased again, and how many purchases the average
@@ -2317,6 +2383,52 @@ object AggQueries {
         |  ROUND(CAST(n_users_80 AS DOUBLE) / CAST(n_users AS DOUBLE)
         |    * 10000.0) / 10000.0 AS user_share_80
         |FROM g ORDER BY event_type""".stripMargin,
+    // Same snapped unit prices, exact per-part moments, bounded
+    // top-20.
+    "agg_price_dispersion_topk" ->
+      """WITH d AS (SELECT l_partkey,
+        |    CAST(floor(l_extendedprice / l_quantity * 10000.0)
+        |      AS BIGINT) AS p4
+        |  FROM lineitem WHERE l_quantity > 0),
+        |m AS (SELECT l_partkey, count(*) AS n,
+        |    CAST(sum(CAST(p4 AS HUGEINT)) AS HUGEINT) AS s,
+        |    CAST(sum(CAST(p4 AS HUGEINT) * p4) AS HUGEINT) AS q
+        |  FROM d GROUP BY 1 HAVING count(*) >= 5
+        |    AND CAST(sum(CAST(p4 AS HUGEINT)) AS HUGEINT) > 0)
+        |SELECT l_partkey, n AS n_lines,
+        |  ROUND(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 10000.0
+        |    * 10000) / 10000 AS mean_unit_price,
+        |  ROUND(sqrt(CAST(CAST(n AS HUGEINT) * q - s * s AS DOUBLE))
+        |    / CAST(s AS DOUBLE) * 10000) / 10000 AS price_cv
+        |FROM m
+        |ORDER BY ROUND(sqrt(CAST(CAST(n AS HUGEINT) * q - s * s
+        |    AS DOUBLE)) / CAST(s AS DOUBLE) * 10000) / 10000 DESC,
+        |  l_partkey
+        |LIMIT 20""".stripMargin,
+    // Same descending-revenue prefix sums and exact 20·cum
+    // boundary tests.
+    "agg_abc_classification" ->
+      """WITH rev AS (SELECT l_partkey,
+        |    CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+        |      AS BIGINT) AS cents
+        |  FROM lineitem GROUP BY 1),
+        |r AS (SELECT *, CAST(sum(cents) OVER (ORDER BY cents DESC,
+        |      l_partkey ROWS UNBOUNDED PRECEDING) AS HUGEINT) AS cum
+        |  FROM rev),
+        |t AS (SELECT CAST(sum(CAST(cents AS HUGEINT)) AS HUGEINT)
+        |    AS total FROM rev),
+        |c AS (SELECT cents,
+        |    CASE WHEN 20 * cum <= 16 * total THEN 'A'
+        |      WHEN 20 * cum <= 19 * total THEN 'B' ELSE 'C' END
+        |      AS abc_class, total
+        |  FROM r CROSS JOIN t)
+        |SELECT abc_class, count(*) AS n_parts,
+        |  CAST(sum(CAST(cents AS HUGEINT)) AS BIGINT)
+        |    AS revenue_cents,
+        |  ROUND(CAST(sum(CAST(cents AS HUGEINT)) AS DOUBLE)
+        |    / CAST(max(total) AS DOUBLE) * 10000) / 10000
+        |    AS revenue_share
+        |FROM c GROUP BY 1 ORDER BY abc_class""".stripMargin,
     // Same user-keyed purchase counts; exact repeat test.
     "agg_repeat_purchase_rate" ->
       """WITH p AS (SELECT user_id, count(*) AS np FROM events

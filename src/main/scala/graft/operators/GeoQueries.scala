@@ -142,6 +142,48 @@ object GeoQueries {
         .orderBy("user_id")
     }),
 
+    // WEEKLY CENTROID DRIFT (§2.194) — migration detection: per
+    // platform, the week-over-week displacement of its activity
+    // centroid (decimal-exact weekly centers on the binary grid,
+    // one correctly-rounded sqrt per consecutive week pair), each
+    // displacement micro-snapped to 10⁻⁶ integers before the exact
+    // per-user total — total drift far above the daily range means
+    // directed movement, not foraging. One keyed reduce + one
+    // per-user lag window over the bounded week spine.
+    "geo_weekly_centroid_drift" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val D = "decimal(38,6)"
+      val wc = sightings(s, dir)
+        .select(col("user_id"), expr("ms div 604800000").as("week"),
+          col("lat").cast(D).as("y"), col("lon").cast(D).as("x"))
+        .groupBy("user_id", "week")
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"))
+        .select(col("user_id"), col("week"),
+          (col("sx").cast("double") / col("n").cast("double"))
+            .as("cx"),
+          (col("sy").cast("double") / col("n").cast("double"))
+            .as("cy"))
+      val w = Window.partitionBy("user_id").orderBy(col("week"))
+      wc.withColumn("px", lag(col("cx"), 1).over(w))
+        .withColumn("py", lag(col("cy"), 1).over(w))
+        .filter(col("px").isNotNull)
+        .select(col("user_id"),
+          floor(sqrt((col("cx") - col("px")) * (col("cx") - col("px"))
+            + (col("cy") - col("py")) * (col("cy") - col("py")))
+            * lit(1.0e6)).cast("long").as("d6"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_moves"),
+          sum(col("d6").cast("decimal(38,0)")).as("s6"),
+          max(col("d6")).as("mx6"))
+        .select(col("user_id"), (col("n_moves") + 1).as("n_weeks"),
+          r4d(col("s6").cast("double") / lit(1.0e6))
+            .as("total_drift_deg"),
+          r4d(col("mx6").cast("double") / lit(1.0e6))
+            .as("max_weekly_drift_deg"))
+        .orderBy("user_id")
+    }),
+
     // DIURNALITY (§2.189) — the day/night activity split ecology
     // reads first: per platform, fixes in the 06:00–17:59 UTC band
     // vs the rest, and the diurnality index (n_day − n_night)/n ∈
@@ -1287,6 +1329,33 @@ object GeoQueries {
         |  AND a.user_id < b.user_id
         |GROUP BY 1, 2 HAVING count(*) >= 2
         |ORDER BY user_a, user_b""".stripMargin,
+    // Same decimal weekly centroids, snapped displacements, exact
+    // totals.
+    "geo_weekly_centroid_drift" ->
+      """WITH p AS (SELECT user_id,
+        |    epoch_ms(ts) // 604800000 AS week,
+        |    CAST(CAST((user_id * 997 + event_id * 31) % 11520
+        |      AS DOUBLE) / 32 - 180 AS DECIMAL(38,6)) AS x,
+        |    CAST(CAST(event_id % 1440 AS DOUBLE) / 8 - 90
+        |      AS DECIMAL(38,6)) AS y
+        |  FROM events),
+        |wc AS (SELECT user_id, week,
+        |    CAST(sum(x) AS DOUBLE) / count(*) AS cx,
+        |    CAST(sum(y) AS DOUBLE) / count(*) AS cy
+        |  FROM p GROUP BY 1, 2),
+        |l AS (SELECT user_id, cx, cy,
+        |    lag(cx) OVER w AS px, lag(cy) OVER w AS py
+        |  FROM wc WINDOW w AS (PARTITION BY user_id ORDER BY week)),
+        |d AS (SELECT user_id,
+        |    CAST(floor(sqrt((cx - px) * (cx - px)
+        |      + (cy - py) * (cy - py)) * 1000000.0) AS BIGINT) AS d6
+        |  FROM l WHERE px IS NOT NULL)
+        |SELECT user_id, count(*) + 1 AS n_weeks,
+        |  ROUND(CAST(sum(CAST(d6 AS HUGEINT)) AS DOUBLE)
+        |    / 1000000.0 * 10000) / 10000 AS total_drift_deg,
+        |  ROUND(CAST(max(d6) AS DOUBLE) / 1000000.0 * 10000) / 10000
+        |    AS max_weekly_drift_deg
+        |FROM d GROUP BY user_id ORDER BY user_id""".stripMargin,
     // Same exact hour-band test; (2·n_day − n)/n in one division.
     "geo_diurnality" ->
       """WITH p AS (SELECT user_id,

@@ -680,10 +680,14 @@ class InventorySpec extends SparkSpec {
     // §2.193 round-15 forty-fifth wave: repeat purchase rate, basket
     // brand entropy, rolling Sharpe
     "agg_repeat_purchase_rate", "agg_basket_brand_entropy",
-    "ts_rolling_sharpe")
+    "ts_rolling_sharpe",
+    // §2.194 round-15 forty-sixth wave: price dispersion, ABC
+    // classification, weekly centroid drift
+    "agg_price_dispersion_topk", "agg_abc_classification",
+    "geo_weekly_centroid_drift")
 
-  test("declared queries cover SURVEY §2 + §2.12-193 exactly (688 keys)") {
-    assert(inventory.size == 688)
+  test("declared queries cover SURVEY §2 + §2.12-194 exactly (691 keys)") {
+    assert(inventory.size == 691)
     val declared = SparkEntry.queries.keySet
     val missing = inventory -- declared
     val extra = declared -- inventory
