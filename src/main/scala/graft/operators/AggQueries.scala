@@ -1256,6 +1256,29 @@ object AggQueries {
     // exchanges collapse the corpus to |distinct sizes| rows; the
     // total rides a broadcast 1-row cross join (never a global
     // window); one double share at the edge.
+    // DISCOUNT BAND PROFILE (§2.195) — does deeper discounting move
+    // volume: per discount level (the 2dp column is an exact integer
+    // percent grid), line count, mean quantity, and mean extended
+    // price — the elasticity-adjacent table a pricing review reads
+    // before the log-log fit. Exact cents/centi-units, one keyed
+    // reduce over the bounded discount grid, two divisions per row.
+    "agg_discount_band_profile" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .select(round(col("l_discount") * 100).cast("long")
+          .as("discount_pct"),
+          round(col("l_quantity") * 100).cast("long").as("qc"),
+          round(col("l_extendedprice") * 100).cast("long").as("pc"))
+        .groupBy("discount_pct")
+        .agg(count(lit(1)).as("n_lines"),
+          sum(col("qc")).as("sq"), sum(col("pc")).as("sp"))
+        .select(col("discount_pct"), col("n_lines"),
+          r4d(col("sq").cast("double") / col("n_lines").cast("double")
+            / lit(100.0)).as("mean_quantity"),
+          r4d(col("sp").cast("double") / col("n_lines").cast("double")
+            / lit(100.0)).as("mean_extended_price"))
+        .orderBy("discount_pct")
+    }),
+
     // PRICE DISPERSION TOP-K (§2.194) — the pricing-consistency
     // audit: per part, the coefficient of variation of its realized
     // unit price (extended price / quantity, micro-snapped to 10⁻⁴
@@ -2383,6 +2406,20 @@ object AggQueries {
         |  ROUND(CAST(n_users_80 AS DOUBLE) / CAST(n_users AS DOUBLE)
         |    * 10000.0) / 10000.0 AS user_share_80
         |FROM g ORDER BY event_type""".stripMargin,
+    // Same exact percent grid and cent sums.
+    "agg_discount_band_profile" ->
+      """WITH d AS (SELECT
+        |    CAST(round(l_discount * 100, 0) AS BIGINT)
+        |      AS discount_pct,
+        |    CAST(round(l_quantity * 100, 0) AS BIGINT) AS qc,
+        |    CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS pc
+        |  FROM lineitem)
+        |SELECT discount_pct, count(*) AS n_lines,
+        |  ROUND(CAST(sum(qc) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |    / 100.0 * 10000) / 10000 AS mean_quantity,
+        |  ROUND(CAST(sum(pc) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |    / 100.0 * 10000) / 10000 AS mean_extended_price
+        |FROM d GROUP BY 1 ORDER BY discount_pct""".stripMargin,
     // Same snapped unit prices, exact per-part moments, bounded
     // top-20.
     "agg_price_dispersion_topk" ->

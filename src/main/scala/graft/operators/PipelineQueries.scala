@@ -2640,6 +2640,35 @@ object PipelineQueries {
         .orderBy("gt_id")
     }),
 
+    // TEMPERATURE SWEEP (§2.195) — the mixing-weight tuning table
+    // behind sample_temperature_mix's single fixed τ: per source,
+    // the normalized weight n^τ/Σn^τ at τ ∈ {0.25, 0.5, 1.0} side
+    // by side, so the mixture designer SEES how hard each
+    // temperature flattens the source skew before committing. The τ
+    // grid is sqrt-composable (√√n, √n, n — correctly-rounded ops
+    // only, no pow); denominators fold over the SORTED bounded
+    // source-count list (the shared fold device).
+    "pipeline_temperature_sweep" -> ((s, dir) => {
+      val n = t(s, dir, "documents")
+        .groupBy("source").agg(count(lit(1)).as("nd"))
+      val tot = n.agg(array_sort(collect_list(col("nd"))).as("ns"))
+        .select(
+          aggregate(col("ns"), lit(0.0), (a, x) =>
+            a + sqrt(sqrt(x.cast("double")))).as("s25"),
+          aggregate(col("ns"), lit(0.0), (a, x) =>
+            a + sqrt(x.cast("double"))).as("s50"),
+          aggregate(col("ns"), lit(0.0), (a, x) =>
+            a + x.cast("double")).as("s100"))
+      n.crossJoin(broadcast(tot))
+        .select(col("source"), col("nd").as("n_docs"),
+          r4d(sqrt(sqrt(col("nd").cast("double"))) / col("s25"))
+            .as("w_tau025"),
+          r4d(sqrt(col("nd").cast("double")) / col("s50"))
+            .as("w_tau05"),
+          r4d(col("nd").cast("double") / col("s100")).as("w_tau1"))
+        .orderBy("source")
+    }),
+
     // DEDUP TOKEN SAVINGS (§2.176) — the number a dedup proposal
     // leads with: per source, total whitespace tokens, tokens
     // sitting in NON-canonical members of exact-duplicate groups
@@ -4557,6 +4586,23 @@ object PipelineQueries {
         |SELECT gt_id, mosaic_id, quadrant, mx1, my1, mx2, my2
         |FROM m WHERE mx2 > mx1 AND my2 > my1
         |ORDER BY gt_id""".stripMargin,
+    // Same sqrt-composable grid and sorted denominator folds.
+    "pipeline_temperature_sweep" ->
+      """WITH n AS (SELECT source, count(*) AS nd FROM documents
+        |  GROUP BY 1),
+        |t AS (SELECT
+        |    list_aggregate(list_transform(list_sort(list(nd)),
+        |      x -> sqrt(sqrt(x))), 'sum') AS s25,
+        |    list_aggregate(list_transform(list_sort(list(nd)),
+        |      x -> sqrt(x)), 'sum') AS s50,
+        |    list_aggregate(list_transform(list_sort(list(nd)),
+        |      x -> CAST(x AS DOUBLE)), 'sum') AS s100
+        |  FROM n)
+        |SELECT source, nd AS n_docs,
+        |  ROUND(sqrt(sqrt(nd)) / s25 * 10000) / 10000 AS w_tau025,
+        |  ROUND(sqrt(nd) / s50 * 10000) / 10000 AS w_tau05,
+        |  ROUND(nd / s100 * 10000) / 10000 AS w_tau1
+        |FROM n CROSS JOIN t ORDER BY source""".stripMargin,
     // Same set-signature groups and exact token sums.
     "pipeline_dedup_token_savings" ->
       """WITH d AS (SELECT source, doc_id,

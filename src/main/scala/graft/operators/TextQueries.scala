@@ -175,6 +175,36 @@ object TextQueries {
     "dedup_near_jaccard" -> ((s, dir) =>
       exactJaccard(s, dir, 1000, 0.8).orderBy("doc_i", "doc_j")),
 
+    // DEDUP RATE BY LENGTH (§2.195) — are duplicates a short-doc
+    // phenomenon? Per token-length band (20-token bins, clamped),
+    // the share of documents that are NON-canonical members of an
+    // exact set-signature duplicate group (the dedup_exact_text
+    // key). Short-doc-concentrated dup mass argues for a length
+    // floor before the expensive near-dup pass. Exact integers,
+    // one group reduce + one keyed reduce.
+    "dedup_rate_by_length" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("ntok"),
+          md5(concat_ws(" ",
+            array_sort(array_distinct(split(col("text"), " ")))))
+            .as("h"))
+      val canon = d.groupBy("h")
+        .agg(min(col("doc_id")).as("canon_doc"))
+      d.join(canon, Seq("h"))
+        .select(least(expr("ntok div 20"), lit(4L)).as("band"),
+          (col("doc_id") =!= col("canon_doc")).cast("long")
+            .as("is_dup"))
+        .groupBy("band")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("is_dup")).as("n_dups"))
+        .select(col("band"), (col("band") * 20).as("band_lo_tokens"),
+          col("n_docs"), col("n_dups"),
+          r4d(col("n_dups").cast("double")
+            / col("n_docs").cast("double")).as("dup_share"))
+        .orderBy("band")
+    }),
+
     // SIMILARITY HISTOGRAM (§2.190) — the threshold-tuning view over
     // the exact near-dup pair table: Jaccard similarities of all
     // capped exact pairs ≥ 0.7, banded into 0.05-wide buckets
@@ -2291,6 +2321,23 @@ object TextQueries {
         |  n_unique_texts - n_unique_bags AS n_reorder_dups,
         |  n_unique_bags - n_unique_sets AS n_multiplicity_dups
         |FROM g ORDER BY source""".stripMargin,
+    // Same set-signature groups; same 20-token clamped bands.
+    "dedup_rate_by_length" ->
+      """WITH d AS (SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok,
+        |    md5(array_to_string(list_sort(list_distinct(
+        |      string_split(text, ' '))), ' ')) AS h
+        |  FROM documents),
+        |c AS (SELECT h, min(doc_id) AS canon_doc FROM d GROUP BY 1),
+        |j AS (SELECT least(ntok // 20, 4) AS band,
+        |    CASE WHEN d.doc_id <> c.canon_doc THEN 1 ELSE 0 END
+        |      AS is_dup
+        |  FROM d JOIN c USING (h))
+        |SELECT band, band * 20 AS band_lo_tokens,
+        |  count(*) AS n_docs, CAST(sum(is_dup) AS BIGINT) AS n_dups,
+        |  ROUND(CAST(sum(is_dup) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |    * 10000) / 10000 AS dup_share
+        |FROM j GROUP BY band ORDER BY band""".stripMargin,
     // Same exact pair table at 0.7; floor(jac·20) band, clamped.
     "dedup_similarity_histogram" ->
       s"""WITH $tokCte,

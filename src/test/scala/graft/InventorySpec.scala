@@ -684,10 +684,14 @@ class InventorySpec extends SparkSpec {
     // §2.194 round-15 forty-sixth wave: price dispersion, ABC
     // classification, weekly centroid drift
     "agg_price_dispersion_topk", "agg_abc_classification",
-    "geo_weekly_centroid_drift")
+    "geo_weekly_centroid_drift",
+    // §2.195 round-15 forty-seventh wave: discount bands,
+    // temperature sweep, dedup rate by length
+    "agg_discount_band_profile", "pipeline_temperature_sweep",
+    "dedup_rate_by_length")
 
-  test("declared queries cover SURVEY §2 + §2.12-194 exactly (691 keys)") {
-    assert(inventory.size == 691)
+  test("declared queries cover SURVEY §2 + §2.12-195 exactly (694 keys)") {
+    assert(inventory.size == 694)
     val declared = SparkEntry.queries.keySet
     val missing = inventory -- declared
     val extra = declared -- inventory
