@@ -1273,6 +1273,34 @@ object AnalyticsQueries {
         .orderBy("event_type", "day")
     }),
 
+    // DISPERSION INDEX (§2.196) — the Fano factor variance/mean of
+    // daily counts per event type over the zero-filled spine: ≈1 is
+    // Poisson arrivals, ≫1 is bursty/clustered traffic — the
+    // one-number overdispersion screen in front of
+    // agg_negative_binomial_fit's full model. Exact decimal moments,
+    // cross-multiplied to ONE division (D = (n·q − s²)/(n·s)); the
+    // Poisson flag compares exact integers (the same cross-mult with
+    // 2× bands).
+    "ts_dispersion_index" -> ((s, dir) => {
+      val D0 = "decimal(38,0)"
+      val d = zeroFilledDaily(s, dir)
+      d.groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("y").cast(D0)).as("s"),
+          sum((col("y") * col("y")).cast(D0)).as("q"))
+        .filter(col("s") > 0)
+        .select(col("event_type"), col("n").as("n_days"),
+          col("s").cast("long").as("n_events"),
+          r4d((col("n").cast(D0) * col("q") - col("s") * col("s"))
+            .cast("double")
+            / (col("n").cast(D0) * col("s")).cast("double"))
+            .as("dispersion_index"),
+          (col("n").cast(D0) * col("q") - col("s") * col("s")
+            > lit(2).cast(D0) * col("n") * col("s"))
+            .as("overdispersed"))
+        .orderBy("event_type")
+    }),
+
     // ROLLING SHARPE (§2.193) — the trend signal-to-noise ratio on
     // daily revenue changes: over each full trailing 28-day window
     // of exact-cent 1-day differences, mean/σ (population) spelled
@@ -5004,6 +5032,32 @@ object AnalyticsQueries {
          |  nwin = 7 AND y > mx AS breakout_up,
          |  nwin = 7 AND y < mn AS breakout_down
          |FROM w ORDER BY event_type, day""".stripMargin,
+    // Same zero-filled spine, exact moments, one division, exact 2×
+    // overdispersion band.
+    "ts_dispersion_index" ->
+      s"""WITH e AS (SELECT event_type, ${sqlEpochDay("ts")} AS day
+         |  FROM events),
+         |d0 AS (SELECT event_type, day, count(*) AS y FROM e
+         |  GROUP BY 1, 2),
+         |bd AS (SELECT min(day) AS lo, max(day) AS hi FROM e),
+         |ty AS (SELECT DISTINCT event_type FROM e),
+         |spine AS (SELECT event_type, unnest(range(lo, hi + 1)) AS day
+         |  FROM ty CROSS JOIN bd),
+         |fl AS (SELECT s.event_type, s.day, coalesce(y, 0) AS y
+         |  FROM spine s LEFT JOIN d0
+         |    ON d0.event_type = s.event_type AND d0.day = s.day),
+         |m AS (SELECT event_type, count(*) AS n,
+         |    CAST(sum(y) AS HUGEINT) AS s,
+         |    CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS q
+         |  FROM fl GROUP BY 1)
+         |SELECT event_type, n AS n_days, CAST(s AS BIGINT)
+         |    AS n_events,
+         |  ROUND(CAST(CAST(n AS HUGEINT) * q - s * s AS DOUBLE)
+         |    / CAST(CAST(n AS HUGEINT) * s AS DOUBLE) * 10000)
+         |    / 10000 AS dispersion_index,
+         |  CAST(n AS HUGEINT) * q - s * s
+         |    > 2 * CAST(n AS HUGEINT) * s AS overdispersed
+         |FROM m WHERE s > 0 ORDER BY event_type""".stripMargin,
     // Same exact-cent differences and windowed HUGEINT moments.
     "ts_rolling_sharpe" ->
       """WITH d0 AS (SELECT epoch_ms(o_orderdate) // 86400000 AS day,

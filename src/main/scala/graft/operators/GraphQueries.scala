@@ -663,6 +663,43 @@ object GraphQueries {
               .cast("double")).as("jaccard"))
     }),
 
+    // CROSS-BRAND PARTS (§2.196) — the gateway products: the 20
+    // parts whose co-purchase edges most often cross brand lines
+    // (high cross share on a meaningful degree) — where cross-sell
+    // placement actually works, the actionable list under the
+    // aggregate assortativity/conductance numbers. Exact integer
+    // edge counts from the endpoint-exploded brand-labeled edge
+    // table; (share desc on the rounded value, part) total order.
+    "graph_cross_brand_parts" -> ((s, dir) => {
+      val co = partSetsByOrder(s, dir)
+        .select(explode(col("ps")).as("a"), col("ps"))
+        .select(col("a"), explode(col("ps")).as("b"))
+        .filter(col("a") < col("b"))
+        .distinct()
+      val brand = t(s, dir, "part")
+        .select(col("p_partkey"), col("p_brand"))
+      val e2 = co
+        .join(broadcast(brand.select(col("p_partkey").as("a"),
+          col("p_brand").as("ba"))), Seq("a"))
+        .join(broadcast(brand.select(col("p_partkey").as("b"),
+          col("p_brand").as("bb"))), Seq("b"))
+      val per = e2.select(explode(array(
+          struct(col("a").as("part"),
+            (col("ba") =!= col("bb")).cast("long").as("x")),
+          struct(col("b").as("part"),
+            (col("ba") =!= col("bb")).cast("long").as("x"))))
+          .as("s"))
+        .select(col("s.part").as("part"), col("s.x").as("x"))
+        .groupBy("part")
+        .agg(count(lit(1)).as("deg"), sum(col("x")).as("n_cross"))
+        .filter(col("deg") >= 10)
+      per.select(col("part"), col("deg"), col("n_cross"),
+          r4d(col("n_cross").cast("double") / col("deg").cast("double"))
+            .as("cross_share"))
+        .orderBy(col("cross_share").desc, col("part"))
+        .limit(20)
+    }),
+
     // BRAND MODULARITY (§2.190) — Newman's Q for the brand partition
     // in ONE exact division: Q = (4m·Σᵢ intᵢ − Σᵢ volᵢ²)/(4m²)
     // (intᵢ = internal edges of brand i, volᵢ = its degree volume,
@@ -2040,6 +2077,29 @@ object GraphQueries {
         |FROM pairs JOIN deg da ON da.sk = sa
         |  JOIN deg db ON db.sk = sb
         |ORDER BY n_shared DESC, sa, sb LIMIT 20""".stripMargin,
+    // Same endpoint-exploded cross flags; same rounded-share order.
+    "graph_cross_brand_parts" ->
+      """WITH pp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+        |  FROM lineitem),
+        |co AS (SELECT DISTINCT x.p AS a, y.p AS b
+        |  FROM pp x JOIN pp y ON x.ok = y.ok AND x.p < y.p),
+        |e2 AS MATERIALIZED (SELECT co.a, co.b,
+        |    ba.p_brand AS bda, bb.p_brand AS bdb
+        |  FROM co JOIN part ba ON ba.p_partkey = co.a
+        |  JOIN part bb ON bb.p_partkey = co.b),
+        |x AS (SELECT a AS part,
+        |    CASE WHEN bda <> bdb THEN 1 ELSE 0 END AS x FROM e2
+        |  UNION ALL SELECT b,
+        |    CASE WHEN bda <> bdb THEN 1 ELSE 0 END FROM e2),
+        |per AS (SELECT part, count(*) AS deg,
+        |    CAST(sum(x) AS BIGINT) AS n_cross
+        |  FROM x GROUP BY 1 HAVING count(*) >= 10)
+        |SELECT part, deg, n_cross,
+        |  ROUND(CAST(n_cross AS DOUBLE) / CAST(deg AS DOUBLE)
+        |    * 10000) / 10000 AS cross_share
+        |FROM per
+        |ORDER BY ROUND(CAST(n_cross AS DOUBLE) / CAST(deg AS DOUBLE)
+        |  * 10000) / 10000 DESC, part LIMIT 20""".stripMargin,
     // Same internal counts and endpoint volumes; one exact division.
     "graph_brand_modularity" ->
       """WITH pp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p

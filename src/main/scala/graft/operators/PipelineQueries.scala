@@ -1554,6 +1554,33 @@ object PipelineQueries {
     // augmentation manifest that silently distorts boxes poisons
     // training — the invariant IS the product). Pure map work, zero
     // shuffles before the output sort.
+    // CENTER HEATMAP (§2.196) — the spatial-prior audit: GT box
+    // centers binned to a 100-px grid over the 1280×900 canvas with
+    // per-cell shares — center mass piled in a band means the
+    // detector will learn a position prior and fail off-center (the
+    // figure every detection dataset card shows). Doubled-integer
+    // centers, exact 200-unit cell division, one keyed reduce.
+    "multimodal_center_heatmap" -> ((s, dir) => {
+      val p = t(s, dir, "part").select(col("p_partkey"),
+        col("p_size").cast("long").as("sz"))
+        .withColumn("gx1", (col("p_partkey") % 50) * 20)
+        .withColumn("gy1", (col("p_partkey") % 31) * 25)
+        .withColumn("gx2", col("gx1") + 40 + col("sz"))
+        .withColumn("gy2", col("gy1") + 60)
+      val cells = p.select(
+          expr("(gx1 + gx2) div 200").as("cell_x"),
+          expr("(gy1 + gy2) div 200").as("cell_y"))
+        .groupBy("cell_x", "cell_y")
+        .agg(count(lit(1)).as("n_boxes"))
+      cells
+        .crossJoin(broadcast(cells
+          .agg(sum(col("n_boxes")).cast("long").as("tot"))))
+        .select(col("cell_x"), col("cell_y"), col("n_boxes"),
+          r4d(col("n_boxes").cast("double") / col("tot").cast("double"))
+            .as("share"))
+        .orderBy("cell_x", "cell_y")
+    }),
+
     // ROTATE BOXES (§2.186) — the 90°-clockwise rotation manifest
     // completing the flip/crop/jitter/cutmix/mosaic augmentation
     // family: on the 1280×900 canvas, (x, y) → (900 − y, x), so the
@@ -3921,6 +3948,21 @@ object PipelineQueries {
         |    * 10000) / 10000 AS area_kept
         |FROM d ORDER BY p_partkey""".stripMargin,
     // Same integer flips and invariant columns.
+    // Same doubled centers and exact 200-unit cells.
+    "multimodal_center_heatmap" ->
+      """WITH p AS (SELECT p_partkey, CAST(p_size AS BIGINT) AS sz,
+        |    (p_partkey % 50) * 20 AS gx1, (p_partkey % 31) * 25 AS gy1
+        |  FROM part),
+        |b AS (SELECT gx1, gy1, gx1 + 40 + sz AS gx2,
+        |    gy1 + 60 AS gy2 FROM p),
+        |c AS (SELECT (gx1 + gx2) // 200 AS cell_x,
+        |    (gy1 + gy2) // 200 AS cell_y, count(*) AS n_boxes
+        |  FROM b GROUP BY 1, 2),
+        |t AS (SELECT CAST(sum(n_boxes) AS BIGINT) AS tot FROM c)
+        |SELECT cell_x, cell_y, n_boxes,
+        |  ROUND(CAST(n_boxes AS DOUBLE) / CAST(tot AS DOUBLE)
+        |    * 10000) / 10000 AS share
+        |FROM c CROSS JOIN t ORDER BY cell_x, cell_y""".stripMargin,
     // Same exact rotation map and swap/canvas invariants.
     "multimodal_rotate_boxes" ->
       """WITH p AS (SELECT p_partkey, CAST(p_size AS BIGINT) AS sz,

@@ -688,10 +688,14 @@ class InventorySpec extends SparkSpec {
     // §2.195 round-15 forty-seventh wave: discount bands,
     // temperature sweep, dedup rate by length
     "agg_discount_band_profile", "pipeline_temperature_sweep",
-    "dedup_rate_by_length")
+    "dedup_rate_by_length",
+    // §2.196 round-15 forty-eighth wave: cross-brand parts,
+    // dispersion index, center heatmap
+    "graph_cross_brand_parts", "ts_dispersion_index",
+    "multimodal_center_heatmap")
 
-  test("declared queries cover SURVEY §2 + §2.12-195 exactly (694 keys)") {
-    assert(inventory.size == 694)
+  test("declared queries cover SURVEY §2 + §2.12-196 exactly (697 keys)") {
+    assert(inventory.size == 697)
     val declared = SparkEntry.queries.keySet
     val missing = inventory -- declared
     val extra = declared -- inventory
