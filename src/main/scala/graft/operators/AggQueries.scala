@@ -1256,6 +1256,43 @@ object AggQueries {
     // exchanges collapse the corpus to |distinct sizes| rows; the
     // total rides a broadcast 1-row cross join (never a global
     // window); one double share at the edge.
+    // EARLY VALUE → LTV CORRELATION (§2.197) — the growth team's
+    // early-signal question: does a user's FIRST WEEK of value
+    // predict their lifetime value? Pearson between week-1 cents
+    // (the 7 days from each user's own first event) and total cents
+    // across users — exact integer moments, one division — plus the
+    // exact aggregate share of value landing in week one. A high
+    // correlation legitimizes early-LTV bidding; a low one says
+    // wait for more signal.
+    "agg_early_value_ltv_corr" -> ((s, dir) => {
+      val D0 = "decimal(38,0)"
+      val e = events(s, dir)
+        .select(col("user_id"), epochDay("ts").as("day"),
+          round(col("value") * 100).cast("long").as("cents"))
+      val per = e.groupBy("user_id")
+        .agg(min(col("day")).as("f"), sum(col("cents")).as("vt"))
+      val v1 = e.join(per.select(col("user_id"), col("f")),
+          Seq("user_id"))
+        .filter(col("day") <= col("f") + 6)
+        .groupBy("user_id").agg(sum(col("cents")).as("v1"))
+      val j = per.join(v1, Seq("user_id"))
+      j.agg(count(lit(1)).as("n"),
+          sum(col("v1").cast(D0)).as("sx"),
+          sum(col("vt").cast(D0)).as("sy"),
+          sum(col("v1").cast(D0) * col("v1")).as("sxx"),
+          sum(col("vt").cast(D0) * col("vt")).as("syy"),
+          sum(col("v1").cast(D0) * col("vt")).as("sxy"))
+        .select(col("n").as("n_users"),
+          r4d((col("n") * col("sxy") - col("sx") * col("sy"))
+            .cast("double")
+            / (sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+              .cast("double"))
+              * sqrt((col("n") * col("syy") - col("sy") * col("sy"))
+                .cast("double")))).as("week1_ltv_corr"),
+          r4d(col("sx").cast("double") / col("sy").cast("double"))
+            .as("week1_value_share"))
+    }),
+
     // DISCOUNT BAND PROFILE (§2.195) — does deeper discounting move
     // volume: per discount level (the 2dp column is an exact integer
     // percent grid), line count, mean quantity, and mean extended
@@ -2406,6 +2443,31 @@ object AggQueries {
         |  ROUND(CAST(n_users_80 AS DOUBLE) / CAST(n_users AS DOUBLE)
         |    * 10000.0) / 10000.0 AS user_share_80
         |FROM g ORDER BY event_type""".stripMargin,
+    // Same per-user first-week window and exact HUGEINT moments.
+    "agg_early_value_ltv_corr" ->
+      s"""WITH e AS (SELECT user_id, ${sqlEpochDay("ts")} AS day,
+         |    CAST(round(value * 100) AS BIGINT) AS cents
+         |  FROM events),
+         |per AS (SELECT user_id, min(day) AS f,
+         |    CAST(sum(cents) AS BIGINT) AS vt FROM e GROUP BY 1),
+         |v1 AS (SELECT e.user_id, CAST(sum(cents) AS BIGINT) AS v1
+         |  FROM e JOIN per ON per.user_id = e.user_id
+         |  WHERE e.day <= per.f + 6 GROUP BY 1),
+         |m AS (SELECT count(*) AS n,
+         |    CAST(sum(CAST(v1 AS HUGEINT)) AS HUGEINT) AS sx,
+         |    CAST(sum(CAST(vt AS HUGEINT)) AS HUGEINT) AS sy,
+         |    CAST(sum(CAST(v1 AS HUGEINT) * v1) AS HUGEINT) AS sxx,
+         |    CAST(sum(CAST(vt AS HUGEINT) * vt) AS HUGEINT) AS syy,
+         |    CAST(sum(CAST(v1 AS HUGEINT) * vt) AS HUGEINT) AS sxy
+         |  FROM per JOIN v1 USING (user_id))
+         |SELECT n AS n_users,
+         |  ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+         |    / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+         |      * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) * 10000)
+         |    / 10000 + 0.0 AS week1_ltv_corr,
+         |  ROUND(CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE) * 10000)
+         |    / 10000 AS week1_value_share
+         |FROM m""".stripMargin,
     // Same exact percent grid and cent sums.
     "agg_discount_band_profile" ->
       """WITH d AS (SELECT

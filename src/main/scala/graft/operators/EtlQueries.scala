@@ -593,6 +593,29 @@ object EtlQueries {
     // side collapses to its distinct set FIRST (partial-agg
     // exchanges); the intersection is a semi join of slim key sets —
     // never a row-level join.
+    // COMPOSITE PK AUDIT (§2.197) — uniqueness over MULTI-column
+    // keys, which the single-key audit can't see: the
+    // (l_orderkey, l_linenumber) composite that is lineitem's real
+    // primary key, alongside two single-key calibration rows. Per
+    // key: rows, distinct tuples, duplicate rows, and the exact
+    // is_unique verdict. Distinct-count reduces only.
+    "etl_composite_pk_audit" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      def row(name: String, d: DataFrame, n: org.apache.spark.sql.Column) =
+        d.agg(count(lit(1)).as("n_rows"), n.as("n_distinct"))
+          .select(lit(name).as("key_name"), col("n_rows"),
+            col("n_distinct"),
+            (col("n_rows") - col("n_distinct")).as("n_dup_rows"),
+            (col("n_rows") === col("n_distinct")).as("is_unique"))
+      row("lineitem(l_orderkey,l_linenumber)", li,
+          countDistinct(col("l_orderkey"), col("l_linenumber")))
+        .unionByName(row("lineitem(l_orderkey)", li,
+          countDistinct(col("l_orderkey"))))
+        .unionByName(row("events(event_id)", events(s, dir),
+          countDistinct(col("event_id"))))
+        .orderBy("key_name")
+    }),
+
     // PARTITION VOLUME ANOMALY (§2.192) — the ingest-volume monitor
     // on the month axis: per order month, row count flagged against
     // the median ± 3·MAD band, with BOTH the median and the MAD
@@ -1284,6 +1307,29 @@ object EtlQueries {
          |FROM per JOIN ld USING (event_type) CROSS JOIN g
          |ORDER BY event_type""".stripMargin,
     // Same pipe-joined integer rendering under md5.
+    // Same multi-column distinct counts and exact verdicts.
+    "etl_composite_pk_audit" ->
+      """SELECT * FROM (
+        |SELECT 'lineitem(l_orderkey,l_linenumber)' AS key_name,
+        |  count(*) AS n_rows,
+        |  count(DISTINCT (l_orderkey, l_linenumber)) AS n_distinct,
+        |  count(*) - count(DISTINCT (l_orderkey, l_linenumber))
+        |    AS n_dup_rows,
+        |  count(*) = count(DISTINCT (l_orderkey, l_linenumber))
+        |    AS is_unique
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'lineitem(l_orderkey)', count(*),
+        |  count(DISTINCT l_orderkey),
+        |  count(*) - count(DISTINCT l_orderkey),
+        |  count(*) = count(DISTINCT l_orderkey)
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'events(event_id)', count(*),
+        |  count(DISTINCT event_id),
+        |  count(*) - count(DISTINCT event_id),
+        |  count(*) = count(DISTINCT event_id)
+        |FROM events) ORDER BY key_name""".stripMargin,
     // Same sorted-middle median/MAD and exact 3·MAD band.
     "etl_partition_volume_anomaly" ->
       """WITH m AS (SELECT CAST(year(o_orderdate) * 100

@@ -214,6 +214,39 @@ object StatQueries {
     // over the |distinct scores| table (driver-scale here; the
     // distributed form is pack_sequences' two-pass prefix sum), one
     // global fold.
+    // AUC STABILITY (§2.197) — eval_threshold_stability's split-half
+    // device applied to AUC: the doubled-rank AUC computed
+    // independently on the user-parity halves plus the absolute gap.
+    // A large gap means the ranking quality itself is noise, not
+    // just the operating threshold. Rank sums stay exact integers
+    // per half (the parent key's device); three rounded outputs.
+    "eval_auc_stability" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      def auc(half: DataFrame, nm: String) = {
+        val byScore = half.groupBy("value")
+          .agg(count(lit(1)).as("n_v"), count_if(col("pos")).as("p_v"))
+        val w = Window.orderBy("value")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        byScore.withColumn("cum", sum(col("n_v")).over(w))
+          .withColumn("dr", lit(2) * col("cum") - col("n_v") + 1)
+          .agg(sum(col("p_v")).as("np"),
+            sum(col("n_v") - col("p_v")).as("nn"),
+            sum(col("p_v") * col("dr")).as("sdr"))
+          .select(((col("sdr") - col("np") * (col("np") + 1))
+            .cast("double")
+            / (lit(2) * col("np") * col("nn")).cast("double"))
+            .as(nm))
+      }
+      val e = events(s, dir).select(col("value"),
+        (col("event_type") === "purchase").as("pos"),
+        (col("user_id") % 2).as("half"))
+      auc(e.filter(col("half") === 0), "a0")
+        .crossJoin(auc(e.filter(col("half") === 1), "a1"))
+        .select(r4d(col("a0")).as("auc_even"),
+          r4d(col("a1")).as("auc_odd"),
+          r4d(abs(col("a0") - col("a1"))).as("auc_gap"))
+    }),
+
     "eval_auc_rank" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val byScore = events(s, dir)
@@ -4729,6 +4762,37 @@ object StatQueries {
         |    / CAST(tp + fp + fn + tn AS DOUBLE) * 10000) / 10000 + 0.0
         |    AS accuracy
         |FROM r ORDER BY threshold""".stripMargin,
+    // Same doubled-rank AUC per user-parity half; exact rank sums.
+    "eval_auc_stability" ->
+      """WITH e AS (SELECT value,
+        |    event_type = 'purchase' AS pos, user_id % 2 AS half
+        |  FROM events),
+        |b0 AS (SELECT value, count(*) AS n_v,
+        |    count(*) FILTER (WHERE pos) AS p_v FROM e
+        |  WHERE half = 0 GROUP BY value),
+        |r0 AS (SELECT n_v, p_v, CAST(sum(n_v) OVER (ORDER BY value
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM b0),
+        |m0 AS (SELECT CAST(sum(p_v) AS BIGINT) AS np,
+        |    CAST(sum(n_v - p_v) AS BIGINT) AS nn,
+        |    CAST(sum(p_v * (2 * cum - n_v + 1)) AS BIGINT) AS sdr
+        |  FROM r0),
+        |a0 AS (SELECT CAST(sdr - np * (np + 1) AS DOUBLE)
+        |    / CAST(2 * np * nn AS DOUBLE) AS a0 FROM m0),
+        |b1 AS (SELECT value, count(*) AS n_v,
+        |    count(*) FILTER (WHERE pos) AS p_v FROM e
+        |  WHERE half = 1 GROUP BY value),
+        |r1 AS (SELECT n_v, p_v, CAST(sum(n_v) OVER (ORDER BY value
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM b1),
+        |m1 AS (SELECT CAST(sum(p_v) AS BIGINT) AS np,
+        |    CAST(sum(n_v - p_v) AS BIGINT) AS nn,
+        |    CAST(sum(p_v * (2 * cum - n_v + 1)) AS BIGINT) AS sdr
+        |  FROM r1),
+        |a1 AS (SELECT CAST(sdr - np * (np + 1) AS DOUBLE)
+        |    / CAST(2 * np * nn AS DOUBLE) AS a1 FROM m1)
+        |SELECT ROUND(a0 * 10000) / 10000 AS auc_even,
+        |  ROUND(a1 * 10000) / 10000 AS auc_odd,
+        |  ROUND(abs(a0 - a1) * 10000) / 10000 AS auc_gap
+        |FROM a0 CROSS JOIN a1""".stripMargin,
     "eval_auc_rank" ->
       """WITH bys AS (SELECT value, count(*) AS n_v,
         |    count(*) FILTER (WHERE event_type = 'purchase') AS p_v

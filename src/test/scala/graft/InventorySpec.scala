@@ -692,10 +692,14 @@ class InventorySpec extends SparkSpec {
     // §2.196 round-15 forty-eighth wave: cross-brand parts,
     // dispersion index, center heatmap
     "graph_cross_brand_parts", "ts_dispersion_index",
-    "multimodal_center_heatmap")
+    "multimodal_center_heatmap",
+    // §2.197 round-15 forty-ninth wave: AUC stability, early LTV
+    // correlation, composite PK audit
+    "eval_auc_stability", "agg_early_value_ltv_corr",
+    "etl_composite_pk_audit")
 
-  test("declared queries cover SURVEY §2 + §2.12-196 exactly (697 keys)") {
-    assert(inventory.size == 697)
+  test("declared queries cover SURVEY §2 + §2.12-197 exactly (700 keys)") {
+    assert(inventory.size == 700)
     val declared = SparkEntry.queries.keySet
     val missing = inventory -- declared
     val extra = declared -- inventory
