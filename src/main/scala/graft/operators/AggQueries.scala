@@ -1256,6 +1256,26 @@ object AggQueries {
     // exchanges collapse the corpus to |distinct sizes| rows; the
     // total rides a broadcast 1-row cross join (never a global
     // window); one double share at the edge.
+    // HOUR VALUE PROFILE (§2.198) — the daypart curve behind
+    // agg_corr_value_hour's single coefficient: per UTC hour, event
+    // count and exact-cent mean value — the readable table a revenue
+    // ops review actually looks at (the correlation says IF value
+    // varies with hour; this says WHEN). One keyed reduce over the
+    // 24-row grid.
+    "agg_hour_value_profile" -> ((s, dir) => {
+      events(s, dir)
+        .select(expr("unix_millis(cast(ts as timestamp))" +
+          " div 3600000 % 24").as("hour"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .groupBy("hour")
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("cents")).as("sc"))
+        .select(col("hour"), col("n_events"),
+          r4d(col("sc").cast("double") / col("n_events").cast("double")
+            / lit(100.0)).as("mean_value"))
+        .orderBy("hour")
+    }),
+
     // EARLY VALUE → LTV CORRELATION (§2.197) — the growth team's
     // early-signal question: does a user's FIRST WEEK of value
     // predict their lifetime value? Pearson between week-1 cents
@@ -2443,6 +2463,14 @@ object AggQueries {
         |  ROUND(CAST(n_users_80 AS DOUBLE) / CAST(n_users AS DOUBLE)
         |    * 10000.0) / 10000.0 AS user_share_80
         |FROM g ORDER BY event_type""".stripMargin,
+    // Same hour grid and exact cent sums.
+    "agg_hour_value_profile" ->
+      """WITH e AS (SELECT epoch_ms(ts) // 3600000 % 24 AS hour,
+        |    CAST(round(value * 100) AS BIGINT) AS cents FROM events)
+        |SELECT hour, count(*) AS n_events,
+        |  ROUND(CAST(sum(cents) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |    / 100.0 * 10000) / 10000 AS mean_value
+        |FROM e GROUP BY 1 ORDER BY hour""".stripMargin,
     // Same per-user first-week window and exact HUGEINT moments.
     "agg_early_value_ltv_corr" ->
       s"""WITH e AS (SELECT user_id, ${sqlEpochDay("ts")} AS day,

@@ -1273,6 +1273,32 @@ object AnalyticsQueries {
         .orderBy("event_type", "day")
     }),
 
+    // TREND ACCELERATION (§2.198) — is growth speeding up or just
+    // continuing: per event type, the mean SECOND difference of the
+    // zero-filled daily series (exact integer d², decimal sum, one
+    // division) and the share of accelerating days — the convexity
+    // readout above ts_growth_rates' first differences. One window,
+    // one reduce.
+    "ts_trend_acceleration" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val D0 = "decimal(38,0)"
+      val w = Window.partitionBy("event_type").orderBy(col("day"))
+      val d = zeroFilledDaily(s, dir)
+        .withColumn("d1", col("y") - lag(col("y"), 1).over(w))
+        .withColumn("d2", col("d1") - lag(col("d1"), 1).over(w))
+        .filter(col("d2").isNotNull)
+      d.groupBy("event_type")
+        .agg(count(lit(1)).as("n_days"),
+          sum(col("d2").cast(D0)).as("s2"),
+          count_if(col("d2") > 0).as("n_accel"))
+        .select(col("event_type"), col("n_days"),
+          r4d(col("s2").cast("double") / col("n_days").cast("double"))
+            .as("mean_accel"),
+          r4d(col("n_accel").cast("double")
+            / col("n_days").cast("double")).as("accel_share"))
+        .orderBy("event_type")
+    }),
+
     // DISPERSION INDEX (§2.196) — the Fano factor variance/mean of
     // daily counts per event type over the zero-filled spine: ≈1 is
     // Poisson arrivals, ≫1 is bursty/clustered traffic — the
@@ -5032,6 +5058,36 @@ object AnalyticsQueries {
          |  nwin = 7 AND y > mx AS breakout_up,
          |  nwin = 7 AND y < mn AS breakout_down
          |FROM w ORDER BY event_type, day""".stripMargin,
+    // Same spine and exact second differences.
+    "ts_trend_acceleration" ->
+      s"""WITH e AS (SELECT event_type, ${sqlEpochDay("ts")} AS day
+         |  FROM events),
+         |d0 AS (SELECT event_type, day, count(*) AS y FROM e
+         |  GROUP BY 1, 2),
+         |bd AS (SELECT min(day) AS lo, max(day) AS hi FROM e),
+         |ty AS (SELECT DISTINCT event_type FROM e),
+         |spine AS (SELECT event_type, unnest(range(lo, hi + 1)) AS day
+         |  FROM ty CROSS JOIN bd),
+         |fl AS (SELECT s.event_type, s.day, coalesce(y, 0) AS y
+         |  FROM spine s LEFT JOIN d0
+         |    ON d0.event_type = s.event_type AND d0.day = s.day),
+         |l1 AS (SELECT event_type, day,
+         |    y - lag(y) OVER w AS d1
+         |  FROM fl WINDOW w AS (PARTITION BY event_type
+         |    ORDER BY day)),
+         |l2 AS (SELECT event_type,
+         |    d1 - lag(d1) OVER w AS d2
+         |  FROM l1 WINDOW w AS (PARTITION BY event_type
+         |    ORDER BY day))
+         |SELECT event_type, count(*) AS n_days,
+         |  ROUND(CAST(sum(CAST(d2 AS HUGEINT)) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE) * 10000) / 10000 + 0.0
+         |    AS mean_accel,
+         |  ROUND(CAST(count(*) FILTER (WHERE d2 > 0) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE) * 10000) / 10000
+         |    AS accel_share
+         |FROM l2 WHERE d2 IS NOT NULL
+         |GROUP BY event_type ORDER BY event_type""".stripMargin,
     // Same zero-filled spine, exact moments, one division, exact 2×
     // overdispersion band.
     "ts_dispersion_index" ->

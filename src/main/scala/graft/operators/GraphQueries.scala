@@ -663,6 +663,44 @@ object GraphQueries {
               .cast("double")).as("jaccard"))
     }),
 
+    // BRAND PAIR LIFT (§2.198) — market-basket association at the
+    // BRAND level (agg_assoc_rules_lift's device on the order⋈brand
+    // basket): top-20 brand pairs by lift (n_ab ≥ 5), the
+    // co-merchandising table one level above part-level mutual
+    // pairs. Within-basket pair fanout is bounded by per-order
+    // distinct brands; lift cross-multiplies exact integers before
+    // its one division; (lift rounded desc, pair) total order.
+    "graph_brand_pair_lift" -> ((s, dir) => {
+      val b = t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part")
+          .select(col("p_partkey").as("l_partkey"), col("p_brand"))),
+          Seq("l_partkey"))
+        .select(col("l_orderkey").as("ok"), col("p_brand"))
+        .distinct()
+      val nb = b.select("ok").distinct()
+        .agg(count(lit(1)).as("n_baskets"))
+      val singles = b.groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_single"))
+      val lhs = b.select(col("ok"), col("p_brand").as("ba"))
+      val rhs = b.select(col("ok"), col("p_brand").as("bb"))
+      val pairs = lhs.join(rhs, Seq("ok"))
+        .filter(col("ba") < col("bb"))
+        .groupBy("ba", "bb").agg(count(lit(1)).as("n_ab"))
+        .filter(col("n_ab") >= 5)
+      pairs
+        .join(broadcast(singles.select(col("p_brand").as("ba"),
+          col("n_single").as("n_a"))), Seq("ba"))
+        .join(broadcast(singles.select(col("p_brand").as("bb"),
+          col("n_single").as("n_b"))), Seq("bb"))
+        .crossJoin(broadcast(nb))
+        .select(col("ba").as("brand_a"), col("bb").as("brand_b"),
+          col("n_ab"),
+          r4d((col("n_ab") * col("n_baskets")).cast("double")
+            / (col("n_a") * col("n_b")).cast("double")).as("lift"))
+        .orderBy(col("lift").desc, col("brand_a"), col("brand_b"))
+        .limit(20)
+    }),
+
     // CROSS-BRAND PARTS (§2.196) — the gateway products: the 20
     // parts whose co-purchase edges most often cross brand lines
     // (high cross share on a meaningful degree) — where cross-sell
@@ -2077,6 +2115,28 @@ object GraphQueries {
         |FROM pairs JOIN deg da ON da.sk = sa
         |  JOIN deg db ON db.sk = sb
         |ORDER BY n_shared DESC, sa, sb LIMIT 20""".stripMargin,
+    // Same order⋈brand baskets and cross-multiplied lift; same
+    // rounded-lift order.
+    "graph_brand_pair_lift" ->
+      """WITH b AS (SELECT DISTINCT l_orderkey AS ok, p_brand
+        |  FROM lineitem JOIN part ON p_partkey = l_partkey),
+        |nb AS (SELECT count(*) AS n_baskets FROM
+        |  (SELECT DISTINCT ok FROM b)),
+        |s AS (SELECT p_brand, count(*) AS n_single FROM b
+        |  GROUP BY 1),
+        |p AS (SELECT x.p_brand AS ba, y.p_brand AS bb,
+        |    count(*) AS n_ab
+        |  FROM b x JOIN b y ON x.ok = y.ok AND x.p_brand < y.p_brand
+        |  GROUP BY 1, 2 HAVING count(*) >= 5)
+        |SELECT ba AS brand_a, bb AS brand_b, n_ab,
+        |  ROUND(CAST(n_ab * n_baskets AS DOUBLE)
+        |    / CAST(sa.n_single * sb.n_single AS DOUBLE) * 10000)
+        |    / 10000 AS lift
+        |FROM p JOIN s sa ON sa.p_brand = ba
+        |  JOIN s sb ON sb.p_brand = bb CROSS JOIN nb
+        |ORDER BY ROUND(CAST(n_ab * n_baskets AS DOUBLE)
+        |  / CAST(sa.n_single * sb.n_single AS DOUBLE) * 10000)
+        |  / 10000 DESC, brand_a, brand_b LIMIT 20""".stripMargin,
     // Same endpoint-exploded cross flags; same rounded-share order.
     "graph_cross_brand_parts" ->
       """WITH pp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p

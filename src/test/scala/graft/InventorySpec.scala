@@ -696,10 +696,14 @@ class InventorySpec extends SparkSpec {
     // §2.197 round-15 forty-ninth wave: AUC stability, early LTV
     // correlation, composite PK audit
     "eval_auc_stability", "agg_early_value_ltv_corr",
-    "etl_composite_pk_audit")
+    "etl_composite_pk_audit",
+    // §2.198 round-15 fiftieth wave: trend acceleration, hour value
+    // profile, brand pair lift
+    "ts_trend_acceleration", "agg_hour_value_profile",
+    "graph_brand_pair_lift")
 
-  test("declared queries cover SURVEY §2 + §2.12-197 exactly (700 keys)") {
-    assert(inventory.size == 700)
+  test("declared queries cover SURVEY §2 + §2.12-198 exactly (703 keys)") {
+    assert(inventory.size == 703)
     val declared = SparkEntry.queries.keySet
     val missing = inventory -- declared
     val extra = declared -- inventory
