@@ -119,7 +119,12 @@ object ScaleStress {
     // anchor-panel keys.
     "eval_first_hit_rank_hist", "graph_supplier_projection",
     "sim_hubness_profile", "sim_intrinsic_dimension",
-    "dedup_sorted_neighborhood", "dedup_similarity_histogram")
+    "dedup_sorted_neighborhood", "dedup_similarity_histogram",
+    // Round-16: the driver's r15 BENCH_FULL pushed the single-parse
+    // variant extract into the bench top-10 (a 7.5× drift outlier on
+    // byte-identical code — VERDICT r15); instrument it so the
+    // top-10 guard holds whichever way the drift adjudicates.
+    "json_variant_extract")
   // Keys whose only input is lineitem — copy-scalable (see scaladoc).
   // The embeddings/documents keys are NOT copy-scalable for the same
   // reason the dedup keys aren't (cross-copy duplicate geometry);

@@ -325,6 +325,14 @@ object AnalyticsQueries {
     // (n₁n₂(x₁+x₂)(n₁+n₂−x₁−x₂))) — one double division at the
     // end, the srm_check-style 3.84 compare on identical doubles.
     // Tells the growth team which stage transition to fix FIRST.
+    // CAVEAT (ADVICE r15): the two funnel rates are NESTED — the
+    // click cohort is both the numerator of rate₁ and the
+    // denominator of rate₂ — so the independent-samples pooled χ²
+    // assumption doesn't hold and 3.841 is NOT a calibrated 5%
+    // cutoff here. z² is served as a deterministic HEURISTIC ranking
+    // score for "which transition is more out of line", not a
+    // significance test; a calibrated test would compare the
+    // transitions on independent user cohorts.
     "funnel_stage_significance" -> ((s, dir) => {
       val D0 = "decimal(38,0)"
       val e = events(s, dir).select(col("user_id"), col("event_type"),
@@ -369,11 +377,13 @@ object AnalyticsQueries {
     // credit and a full data-driven model: each purchase's session
     // touches collapse to ordered-DISTINCT channels (first
     // occurrence order), then credit 40% first / 40% last / 20%
-    // split over middles. The event-type vocabulary bounds channels
-    // at 4, so the weight table is the COMPLETE integer when-table
-    // in 10⁻⁴ units — credits stay exact integers until one final
-    // division. Session device shared with first-touch; the
-    // purchase⋈touch join is session-bounded.
+    // split over middles. Credits are exact integers in 10⁻⁴ units:
+    // the middle share is 2000 DIV (n−2) with the integer remainder
+    // assigned to the FIRST middle position, so every path sums to
+    // exactly 10000 for ANY channel count (the round-15 when-table
+    // only summed to 10000 at n = 4 — a silent 110% mint had a 6th
+    // event type ever landed; ADVICE r15). Session device shared
+    // with first-touch; the purchase⋈touch join is session-bounded.
     "attribution_position_based" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy(col("user_id"))
@@ -408,10 +418,11 @@ object AnalyticsQueries {
         .withColumn("cr",
           when(col("n") === 1, 10000L)
             .when(col("n") === 2, 5000L)
-            .when(col("n") === 3,
-              when(col("pos") === 2, 2000L).otherwise(4000L))
             .otherwise(when(col("pos") === 1
-              || col("pos") === col("n"), 4000L).otherwise(1000L)))
+              || col("pos") === col("n"), 4000L)
+              .otherwise((lit(2000L) / (col("n") - 2)).cast("long")
+                + when(col("pos") === 2,
+                  lit(2000L) % (col("n") - 2)).otherwise(0L))))
       credit.groupBy(col("channel"))
         .agg(count(lit(1)).as("n_touch_paths"),
           sum(col("cr")).as("crs"))
@@ -5294,10 +5305,10 @@ object AnalyticsQueries {
         |    count(*) OVER (PARTITION BY pid) AS n FROM f),
         |c AS (SELECT channel, CASE WHEN n = 1 THEN 10000
         |    WHEN n = 2 THEN 5000
-        |    WHEN n = 3 THEN (CASE WHEN pos = 2 THEN 2000
-        |      ELSE 4000 END)
         |    ELSE (CASE WHEN pos = 1 OR pos = n THEN 4000
-        |      ELSE 1000 END) END AS cr FROM r)
+        |      ELSE 2000 // (n - 2)
+        |        + (CASE WHEN pos = 2 THEN 2000 % (n - 2)
+        |          ELSE 0 END) END) END AS cr FROM r)
         |SELECT channel, count(*) AS n_touch_paths,
         |  ROUND(CAST(sum(cr) AS DOUBLE) / 10000.0 * 10000) / 10000
         |    AS credit

@@ -98,34 +98,46 @@ object ConnectedComponents {
     def materialize(df: DataFrame): DataFrame =
       if (s.sparkContext.getCheckpointDir.isDefined) df.checkpoint(true)
       else df.localCheckpoint(true)
-    // Min-label sum decreases monotonically; fixpoint ⇔ sum unchanged.
-    def labelSum(df: DataFrame): Long =
-      df.agg(coalesce(sum(col("canon")), lit(0L))).head().getLong(0)
     var labels = materialize(seed.repartition(nParts, col("doc_id")))
-    var prevSum = labelSum(labels)
     var converged = false
     var iter = 0
     while (!converged && iter < 50) {
+      // Round-16: the convergence probe is decoupled from the step.
+      // Min-labels only ever decrease, so the fixpoint test is "does
+      // ANY node see a neighbor label below its own" — a limit(1)
+      // count over the improving rows. The final (always-run)
+      // verification round therefore costs one early-out semi-join
+      // instead of the full jump-join + checkpoint write + sum it
+      // paid before; nbrMin is persisted per round so non-converged
+      // rounds don't recompute it for the step.
       val nbrMin = edges.join(labels, edges("ej") === labels("doc_id"))
         .groupBy(edges("ei").as("nid")).agg(min(col("canon")).as("nc"))
-      val stepped = labels.join(nbrMin, labels("doc_id") === nbrMin("nid"), "left")
-        .select(labels("doc_id"),
-          least(col("canon"), coalesce(col("nc"), col("canon"))).as("canon"))
-      // Pointer jumping: canon := canon's canon — O(log diameter) rounds.
-      // `stepped` is deliberately NOT materialized: recomputing it twice
-      // inside the fused round job beats a second job per round.
-      val jump = stepped.select(col("doc_id").as("jd"), col("canon").as("jc"))
-      val next = materialize(stepped
-        .join(jump, stepped("canon") === jump("jd"), "left")
-        .select(stepped("doc_id"),
-          least(stepped("canon"), coalesce(col("jc"), stepped("canon"))).as("canon")))
-      val curSum = labelSum(next)
-      // Release the PREVIOUS round's pinned blocks — without this the
-      // loop holds one full labels copy per superstep until driver GC.
-      org.apache.spark.sql.graftshim.unpersistCheckpoint(labels)
-      converged = curSum == prevSum
-      prevSum = curSum
-      labels = next
+        .persist()
+      val improving = labels
+        .join(nbrMin, labels("doc_id") === nbrMin("nid"))
+        .filter(col("nc") < col("canon")).limit(1).count()
+      if (improving == 0L) {
+        nbrMin.unpersist()
+        converged = true
+      } else {
+        val stepped = labels.join(nbrMin, labels("doc_id") === nbrMin("nid"), "left")
+          .select(labels("doc_id"),
+            least(col("canon"), coalesce(col("nc"), col("canon"))).as("canon"))
+        // Pointer jumping: canon := canon's canon — O(log diameter)
+        // rounds. `stepped` is deliberately NOT materialized:
+        // recomputing it twice inside the fused round job beats a
+        // second job per round.
+        val jump = stepped.select(col("doc_id").as("jd"), col("canon").as("jc"))
+        val next = materialize(stepped
+          .join(jump, stepped("canon") === jump("jd"), "left")
+          .select(stepped("doc_id"),
+            least(stepped("canon"), coalesce(col("jc"), stepped("canon"))).as("canon")))
+        // Release the PREVIOUS round's pinned blocks — without this the
+        // loop holds one full labels copy per superstep until driver GC.
+        org.apache.spark.sql.graftshim.unpersistCheckpoint(labels)
+        nbrMin.unpersist()
+        labels = next
+      }
       iter += 1
     }
     edges.unpersist()

@@ -161,7 +161,9 @@ object CurationQueries {
     // tail boilerplate a prefix pass misses), grouped on one reduce
     // over the suffix key with the same survivor convention. The
     // suffix is taken with substring arithmetic both engines spell
-    // identically (length − 63, floored at 1 for short docs).
+    // identically (length − 15, floored at 1 for short docs — a
+    // 16-char suffix; the prefix key's 64-char width stays with the
+    // prefix, where template heads are long).
     "dedup_suffix_groups" -> ((s, dir) => {
       t(s, dir, "documents")
         .select(expr(
