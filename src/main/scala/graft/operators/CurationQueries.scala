@@ -38,6 +38,111 @@ object CurationQueries {
           s"i -> concat_ws(' ', slice(toks, i+1, $n))))")).as("sh"))
 
   val queries: Map[String, Q] = Map(
+    // PER-SOURCE BOILERPLATE-LINE REMOVAL REPORT (§2.199) — the
+    // CCNet/RefinedWeb boilerplate screen as a SOURCE-scoped pass
+    // (dedup_line_level is the corpus-wide per-doc C4 report; real
+    // crawl boilerplate — nav bars, footers — repeats within a
+    // site/source, so the frequency table is keyed (source, line)):
+    // a "line" is a non-overlapping 4-token chunk (the fixture's
+    // periodless word stream stands in for newline lines), a line is
+    // boilerplate when it appears in ≥ 2 distinct docs of its source,
+    // and the report gives the char share a rewrite would remove.
+    // Shape: map-side chunk explode → ONE (source, line)-keyed
+    // doc-distinct count (the inverted index — no all-pairs), then a
+    // 20-row source rollup + broadcast doc-count join. At 100 TB the
+    // line table is the only corpus-sized shuffle and it carries slim
+    // (source, line-hash)-sized rows; the removal itself (filter docs'
+    // chunks against the broadcast per-source boiler set) reuses the
+    // same table.
+    "text_boilerplate_lines" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val lines = docs.select(col("doc_id"), col("source"),
+        explode(expr(
+          "transform(sequence(0, cast(ceil(size(split(text, ' ')) / 4.0)" +
+            " as int) - 1), " +
+            "i -> array_join(slice(split(text, ' '), i * 4 + 1, 4), ' '))"))
+          .as("line"))
+      val g = lines.groupBy("source", "line")
+        .agg(countDistinct(col("doc_id")).as("df"),
+          count(lit(1)).as("n_inst"))
+      val per = g.groupBy("source").agg(
+        count(lit(1)).as("n_distinct_lines"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_boiler_lines"),
+        sum(when(col("df") >= 2,
+          length(col("line")).cast("long") * col("n_inst"))
+          .otherwise(0L)).as("rc"),
+        sum(length(col("line")).cast("long") * col("n_inst")).as("tc"))
+      per.join(broadcast(docs.groupBy("source")
+          .agg(count(lit(1)).as("n_docs"))), Seq("source"))
+        .select(col("source"), col("n_docs"), col("n_distinct_lines"),
+          col("n_boiler_lines"),
+          r4d(col("rc").cast("double") / col("tc").cast("double"))
+            .as("removed_char_share"))
+        .orderBy("source")
+    }),
+
+    // LEXICON BLOCKLIST SCORING (§2.200) — the toxicity/blocklist
+    // screen of a curation funnel: a small severity lexicon (here a
+    // deterministic stand-in over the fixture vocabulary — a real
+    // deployment drops in its own term table) broadcasts to every
+    // scan task; per doc: hit instances, hit rate, a severity score
+    // (Σ severity over hit instances) and the gate bucket the
+    // curation verdict consumes. Map-side token explode + broadcast
+    // lexicon join + one doc_id reduce — no corpus-sized shuffle
+    // beyond the doc rollup, the standard 100 TB shape.
+    "text_blocklist_score" -> ((s, dir) => {
+      import s.implicits._
+      val lex = Seq(("slow", 5L), ("dup", 5L), ("big", 2L),
+        ("small", 1L), ("fast", 1L)).toDF("token", "sev")
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      val hits = toks.join(broadcast(lex), Seq("token"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("h"), sum(col("sev")).as("sc"))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        .join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"),
+          coalesce(col("h"), lit(0L)).as("n_hits"),
+          r4d(coalesce(col("h"), lit(0L)).cast("double")
+            / col("n_tokens").cast("double")).as("hit_rate"),
+          coalesce(col("sc"), lit(0L)).as("severity_score"))
+        .withColumn("bucket",
+          when(col("severity_score") >= 25, "block")
+            .when(col("severity_score") >= 10, "review")
+            .when(col("severity_score") >= 1, "flag")
+            .otherwise("clean"))
+        .orderBy("doc_id")
+    }),
+
+    // LICENSE-MARKER DETECTION (§2.201) — the license-mix report a
+    // dataset card needs: a deterministic marker table (stand-in
+    // tokens over the fixture vocabulary; a real deployment matches
+    // SPDX / license-boilerplate regexes) classifies each doc by its
+    // highest-priority marker (restricted > permissive > none), then
+    // a per-source mix rollup with shares. Marker tests are map-side
+    // array_contains on the token split — literal-folded, no join at
+    // all below the 20×3-row rollup; feeds pipeline_dataset_card's
+    // per-source card.
+    "text_license_tags" -> ((s, dir) => {
+      val toks = split(col("text"), " ")
+      val docs = t(s, dir, "documents").select(col("source"),
+        when(array_contains(toks, "customer")
+          || array_contains(toks, "key"), "restricted")
+          .when(array_contains(toks, "spark")
+            || array_contains(toks, "stream"), "permissive")
+          .otherwise("none").as("license"))
+      val mix = docs.groupBy("source", "license")
+        .agg(count(lit(1)).as("n_docs"))
+      mix.join(broadcast(docs.groupBy("source")
+          .agg(count(lit(1)).as("n_src"))), Seq("source"))
+        .select(col("source"), col("license"), col("n_docs"),
+          r4d(col("n_docs").cast("double") / col("n_src").cast("double"))
+            .as("share"))
+        .orderBy("source", "license")
+    }),
+
     // C4-STYLE LINE-LEVEL DEDUP REPORT (§2.116) — the curation stage
     // between doc-level and substring-span dedup: a "line" here is a
     // non-overlapping 2-token chunk (the fixture-appropriate
@@ -873,6 +978,72 @@ object CurationQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // Same 4-token chunking (DuckDB 1-based inclusive list slice ==
+    // Spark slice(start, 4)), same df ≥ 2 rule, same char accounting.
+    "text_boilerplate_lines" ->
+      """WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS toks
+        |  FROM documents),
+        |nd AS (SELECT source, count(*) AS n_docs FROM d GROUP BY 1),
+        |ln AS (SELECT doc_id, source,
+        |    unnest(range(0, CAST(ceil(len(toks) / 4.0) AS BIGINT))) AS i,
+        |    toks FROM d),
+        |l2 AS (SELECT doc_id, source,
+        |    array_to_string(toks[i*4+1:i*4+4], ' ') AS line FROM ln),
+        |g AS (SELECT source, line, count(DISTINCT doc_id) AS df,
+        |    count(*) AS n_inst, CAST(length(line) AS BIGINT) AS ll
+        |  FROM l2 GROUP BY 1, 2),
+        |p AS (SELECT source, count(*) AS n_distinct_lines,
+        |    CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_boiler_lines,
+        |    CAST(sum(CASE WHEN df >= 2 THEN ll * n_inst ELSE 0 END)
+        |      AS BIGINT) AS rc,
+        |    CAST(sum(ll * n_inst) AS BIGINT) AS tc
+        |  FROM g GROUP BY 1)
+        |SELECT p.source, nd.n_docs, n_distinct_lines, n_boiler_lines,
+        |  ROUND(CAST(rc AS DOUBLE) / CAST(tc AS DOUBLE) * 10000) / 10000
+        |    AS removed_char_share
+        |FROM p JOIN nd USING (source) ORDER BY source""".stripMargin,
+    // Same literal lexicon, instance counts, and bucket thresholds.
+    "text_blocklist_score" ->
+      """WITH lex AS (SELECT * FROM (VALUES ('slow', 5), ('dup', 5),
+        |    ('big', 2), ('small', 1), ('fast', 1)) AS v(token, sev)),
+        |tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |h AS (SELECT doc_id, count(*) AS h,
+        |    CAST(sum(sev) AS BIGINT) AS sc
+        |  FROM tk JOIN lex USING (token) GROUP BY 1),
+        |d AS (SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents)
+        |SELECT d.doc_id, n_tokens,
+        |  coalesce(h, 0) AS n_hits,
+        |  ROUND(CAST(coalesce(h, 0) AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+        |    * 10000) / 10000 AS hit_rate,
+        |  coalesce(sc, 0) AS severity_score,
+        |  CASE WHEN coalesce(sc, 0) >= 25 THEN 'block'
+        |    WHEN coalesce(sc, 0) >= 10 THEN 'review'
+        |    WHEN coalesce(sc, 0) >= 1 THEN 'flag'
+        |    ELSE 'clean' END AS bucket
+        |FROM d LEFT JOIN h USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // Same marker table and restricted > permissive priority.
+    "text_license_tags" ->
+      """WITH d AS (SELECT source,
+        |    CASE WHEN list_contains(string_split(text, ' '), 'customer')
+        |        OR list_contains(string_split(text, ' '), 'key')
+        |      THEN 'restricted'
+        |      WHEN list_contains(string_split(text, ' '), 'spark')
+        |        OR list_contains(string_split(text, ' '), 'stream')
+        |      THEN 'permissive'
+        |      ELSE 'none' END AS license
+        |  FROM documents),
+        |m AS (SELECT source, license, count(*) AS n_docs FROM d
+        |  GROUP BY 1, 2),
+        |nd AS (SELECT source, count(*) AS n_src FROM d GROUP BY 1)
+        |SELECT m.source, license, m.n_docs,
+        |  ROUND(CAST(m.n_docs AS DOUBLE) / CAST(n_src AS DOUBLE)
+        |    * 10000) / 10000 AS share
+        |FROM m JOIN nd USING (source)
+        |ORDER BY source, license""".stripMargin,
     // Same leading-bigram group key and closed-form pair counts.
     "dedup_cross_source_matrix" ->
       """WITH g AS (SELECT array_to_string(string_split(text, ' ')[1:2],

@@ -700,10 +700,14 @@ class InventorySpec extends SparkSpec {
     // §2.198 round-15 fiftieth wave: trend acceleration, hour value
     // profile, brand pair lift
     "ts_trend_acceleration", "agg_hour_value_profile",
-    "graph_brand_pair_lift")
+    "graph_brand_pair_lift",
+    // §2.199-201 round-16 curation wave: per-source boilerplate-line
+    // removal, lexicon blocklist scoring, license-marker detection
+    "text_boilerplate_lines", "text_blocklist_score",
+    "text_license_tags")
 
-  test("declared queries cover SURVEY §2 + §2.12-198 exactly (703 keys)") {
-    assert(inventory.size == 703)
+  test("declared queries cover SURVEY §2 + §2.12-201 exactly (706 keys)") {
+    assert(inventory.size == 706)
     val declared = SparkEntry.queries.keySet
     val missing = inventory -- declared
     val extra = declared -- inventory
