@@ -166,6 +166,173 @@ object ImageIoDecoder {
   }
 }
 
+/** Per-channel pixel statistics — what [[PpmBmpDecoder.channelStats]]
+  * produces: the decoded raster's true dims plus exact per-channel
+  * sums (means derive downstream; sums stay exact integers through
+  * any later rollup). */
+case class ChannelStats(doc_id: Long, width: Long, height: Long,
+    n_pixels: Long, sum_r: Long, sum_g: Long, sum_b: Long)
+
+/** REAL from-scratch image parser — no codec library, not even
+  * javax.imageio (the [[ImageIoDecoder]] path): a hand-written binary
+  * reader for the two simplest lossless raster containers,
+  *
+  *  - **PPM/PGM** (P6 binary RGB / P5 binary grayscale): header magic,
+  *    whitespace + `#`-comment skipping per the netpbm grammar, maxval
+  *    ≤ 255, then `w·h·3` (or `w·h`) raw sample bytes;
+  *  - **BMP** (BITMAPINFOHEADER, uncompressed 24 bpp): little-endian
+  *    header fields, BGR sample order, 4-byte row padding, bottom-up
+  *    (positive height) or top-down (negative) row order.
+  *
+  * Both decodes are exact by spec, so every derived number is
+  * deterministic across JVMs/executors — the same contract gate
+  * ImageIoDecoder enforces by magic bytes. Malformed bytes raise with
+  * the doc_id (loud, attributable; a silent skip would drift corpus
+  * counts from manifests). Grayscale fills r = g = b.
+  *
+  * Scale note: single forward pass over the byte array, O(1) extra
+  * memory (three running sums) — no raster materialization at all,
+  * which is what lets the 100 TB blob column stream through
+  * [[MediaPipeline.decodeChannelStats]]'s partition batches. */
+class PpmBmpDecoder extends MediaDecoder {
+
+  override def features(r: MediaRow): MediaFeatures = {
+    // Rolling checksum over row-major packed-RGB pixels — same hash
+    // family as the stub/ImageIo paths.
+    var cs = 0L
+    val (w, h) = foreachPixel(r) { (rr, gg, bb) =>
+      cs = ((cs * 31 + ((rr.toLong << 16) | (gg.toLong << 8) | bb.toLong))
+        & 0xffffffffL)
+    }
+    MediaFeatures(r.doc_id, r.bytes.length.toLong, cs,
+      (w / 16) * (h / 16))
+  }
+
+  /** Exact per-channel sums from one streaming decode pass. */
+  def channelStats(r: MediaRow): ChannelStats = {
+    var sr = 0L; var sg = 0L; var sb = 0L; var n = 0L
+    val (w, h) = foreachPixel(r) { (rr, gg, bb) =>
+      sr += rr; sg += gg; sb += bb; n += 1
+    }
+    ChannelStats(r.doc_id, w, h, n, sr, sg, sb)
+  }
+
+  /** Parse dispatch + pixel visitor: calls `f` once per pixel in
+    * row-major DISPLAY order with (r, g, b); returns (width, height).
+    * One shared implementation serves the checksum and stats passes. */
+  private def foreachPixel(row: MediaRow)(
+      f: (Int, Int, Int) => Unit): (Long, Long) = {
+    val b = row.bytes
+    require(b.length >= 2, s"doc ${row.doc_id}: not an image (too short)")
+    if (b(0) == 'P' && (b(1) == '5' || b(1) == '6')) {
+      val rgb = b(1) == '6'
+      var pos = 2
+      def skipWs(): Unit = {
+        var go = true
+        while (go && pos < b.length) {
+          val c = b(pos)
+          if (c == '#') { while (pos < b.length && b(pos) != '\n') pos += 1 }
+          else if (c == ' ' || c == '\t' || c == '\n' || c == '\r') pos += 1
+          else go = false
+        }
+      }
+      def int(): Int = {
+        skipWs()
+        require(pos < b.length && b(pos) >= '0' && b(pos) <= '9',
+          s"doc ${row.doc_id}: malformed PPM header")
+        var v = 0
+        while (pos < b.length && b(pos) >= '0' && b(pos) <= '9') {
+          v = v * 10 + (b(pos) - '0'); pos += 1
+        }
+        v
+      }
+      val w = int(); val h = int(); val maxv = int()
+      require(w > 0 && h > 0, s"doc ${row.doc_id}: bad PPM dims $w x $h")
+      require(maxv > 0 && maxv <= 255,
+        s"doc ${row.doc_id}: PPM maxval $maxv unsupported (need <= 255)")
+      // Exactly ONE whitespace byte separates header from samples.
+      pos += 1
+      val need = w.toLong * h * (if (rgb) 3 else 1)
+      require(b.length - pos >= need,
+        s"doc ${row.doc_id}: truncated PPM (${b.length - pos} of $need sample bytes)")
+      var i = 0L
+      while (i < w.toLong * h) {
+        if (rgb) {
+          val o = pos + (i * 3).toInt
+          f(b(o) & 0xff, b(o + 1) & 0xff, b(o + 2) & 0xff)
+        } else {
+          val v = b(pos + i.toInt) & 0xff
+          f(v, v, v)
+        }
+        i += 1
+      }
+      (w.toLong, h.toLong)
+    } else if (b(0) == 'B' && b(1) == 'M') {
+      def le32(o: Int): Int =
+        (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
+          ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+      def le16(o: Int): Int = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+      require(b.length >= 54, s"doc ${row.doc_id}: truncated BMP header")
+      val dataOff = le32(10)
+      val hdrSize = le32(14)
+      require(hdrSize >= 40, s"doc ${row.doc_id}: BMP core-header unsupported")
+      val w = le32(18)
+      val hRaw = le32(22)
+      val topDown = hRaw < 0
+      val h = math.abs(hRaw)
+      require(le16(26) == 1, s"doc ${row.doc_id}: BMP planes != 1")
+      require(le16(28) == 24,
+        s"doc ${row.doc_id}: only 24 bpp uncompressed BMP supported")
+      require(le32(30) == 0, s"doc ${row.doc_id}: compressed BMP unsupported")
+      require(w > 0 && h > 0, s"doc ${row.doc_id}: bad BMP dims $w x $hRaw")
+      val stride = (w * 3 + 3) & ~3 // rows pad to 4-byte boundaries
+      require(b.length - dataOff >= stride.toLong * h,
+        s"doc ${row.doc_id}: truncated BMP pixel array")
+      var y = 0
+      while (y < h) {
+        val srcRow = if (topDown) y else h - 1 - y // display order
+        var x = 0
+        val base = dataOff + srcRow * stride
+        while (x < w) {
+          val o = base + x * 3 // BGR on disk
+          f(b(o + 2) & 0xff, b(o + 1) & 0xff, b(o) & 0xff)
+          x += 1
+        }
+        y += 1
+      }
+      (w.toLong, h.toLong)
+    } else {
+      throw new IllegalArgumentException(
+        s"doc ${row.doc_id}: unknown container (not P5/P6 PPM or BMP)")
+    }
+  }
+}
+
+object Ppm {
+  /** Deterministic synthetic P6 image: pixel i (row-major) has
+    * r = (3·seed + 7i) mod 256, g = (aux + 11i) mod 256,
+    * b = (5i + 13) mod 256 — closed forms a SQL oracle reproduces
+    * analytically, so a parser bug (header, interleave, padding)
+    * surfaces as a channel-mean mismatch. */
+  def synthesize(seed: Long, aux: Long, width: Int, height: Int): Array[Byte] = {
+    require(width > 0 && height > 0)
+    val header = s"P6\n# synthetic $seed\n$width $height\n255\n"
+      .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    val out = new Array[Byte](header.length + width * height * 3)
+    System.arraycopy(header, 0, out, 0, header.length)
+    var i = 0L
+    val n = width.toLong * height
+    while (i < n) {
+      val o = header.length + (i * 3).toInt
+      out(o) = ((3 * seed + 7 * i) % 256).toByte
+      out(o + 1) = ((aux + 11 * i) % 256).toByte
+      out(o + 2) = ((5 * i + 13) % 256).toByte
+      i += 1
+    }
+    out
+  }
+}
+
 /** Multimodal binary-column plumbing (§2.12): typed media rows through a
   * partition-batched decode. */
 object MediaPipeline {
@@ -203,6 +370,25 @@ object MediaPipeline {
       val ctx = org.apache.spark.TaskContext.get()
       if (ctx != null) ctx.addTaskCompletionListener[Unit](_ => decoder.close())
       rows.map(decoder.features)
+    }
+  }
+
+  /** Channel statistics with the same one-init-per-partition streamed
+    * lifecycle as [[decodeFeatures]] — the decode pass a multimodal
+    * curation pipeline runs to compute normalization stats / flag
+    * degenerate images without ever materializing rasters. */
+  def decodeChannelStats(media: Dataset[MediaRow],
+      decoder: PpmBmpDecoder = new PpmBmpDecoder,
+      parallelism: Int = 0): Dataset[ChannelStats] = {
+    implicit val enc = Encoders.product[ChannelStats]
+    val part =
+      if (parallelism > 0) media.repartition(parallelism, col("doc_id"))
+      else media
+    part.mapPartitions { rows =>
+      decoder.open()
+      val ctx = org.apache.spark.TaskContext.get()
+      if (ctx != null) ctx.addTaskCompletionListener[Unit](_ => decoder.close())
+      rows.map(decoder.channelStats)
     }
   }
 

@@ -454,6 +454,36 @@ object PipelineQueries {
         .orderBy("probe_id")
     }),
 
+    // REAL DECODE STATS (§2.202) — the from-scratch PpmBmpDecoder
+    // (hand-written P5/P6 netpbm + 24 bpp BMP binary parser — no
+    // codec library, not even javax.imageio) run over synthesized
+    // deterministic P6 bytes whose pixels follow closed-form
+    // congruences, so the DuckDB oracle reproduces the per-channel
+    // means ANALYTICALLY: any parser defect (header grammar,
+    // interleave, row order, padding) surfaces as a mean mismatch.
+    // Streamed partition-batched decode (one init per partition, O(1)
+    // memory per item — no raster materialization), the exact shape a
+    // 100 TB blob column needs.
+    "multimodal_decode_stats" -> ((s, dir) => {
+      import s.implicits._
+      val rows = t(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+        .map { case (id, nc) =>
+          val w = (nc % 16 + 2).toInt
+          val h = (id % 8 + 2).toInt
+          graft.multimodal.MediaRow(id,
+            graft.multimodal.Ppm.synthesize(id, nc, w, h), w, h)
+        }
+      graft.multimodal.MediaPipeline.decodeChannelStats(rows)
+        .toDF()
+        .select(col("doc_id"), col("width"), col("height"),
+          col("n_pixels"),
+          r4d(col("sum_r").cast("double") / col("n_pixels")).as("mean_r"),
+          r4d(col("sum_g").cast("double") / col("n_pixels")).as("mean_g"),
+          r4d(col("sum_b").cast("double") / col("n_pixels")).as("mean_b"))
+        .orderBy("doc_id")
+    }),
+
     // Multimodal binary-column plumbing: opaque bytes + typed metadata.
     // The real decode (image/audio libs absent here) is a deterministic
     // stub; the Spark-side schema/derivations are real. See
@@ -3153,6 +3183,25 @@ object PipelineQueries {
       """SELECT vec_id AS probe_id, CAST(5 AS BIGINT) AS n_neighbors,
         |  TRUE AS recall_at5_ge_04
         |FROM embeddings WHERE vec_id < 10 ORDER BY probe_id""".stripMargin,
+    // The synthetic P6 pixels follow closed-form congruences, so the
+    // channel means the hand-written parser must produce are computed
+    // analytically here — same per-pixel formulas, exact integer sums.
+    "multimodal_decode_stats" ->
+      """WITH d AS (SELECT doc_id, n_chars, n_chars % 16 + 2 AS w,
+        |    doc_id % 8 + 2 AS h FROM documents),
+        |px AS (SELECT doc_id, w, h, n_chars,
+        |    unnest(range(0, w * h)) AS i FROM d),
+        |st AS (SELECT doc_id, CAST(w AS BIGINT) AS width,
+        |    CAST(h AS BIGINT) AS height, count(*) AS n_pixels,
+        |    CAST(sum((3 * doc_id + 7 * i) % 256) AS BIGINT) AS sr,
+        |    CAST(sum((n_chars + 11 * i) % 256) AS BIGINT) AS sg,
+        |    CAST(sum((5 * i + 13) % 256) AS BIGINT) AS sb
+        |  FROM px GROUP BY 1, 2, 3)
+        |SELECT doc_id, width, height, n_pixels,
+        |  ROUND(CAST(sr AS DOUBLE) / n_pixels * 10000) / 10000 AS mean_r,
+        |  ROUND(CAST(sg AS DOUBLE) / n_pixels * 10000) / 10000 AS mean_g,
+        |  ROUND(CAST(sb AS DOUBLE) / n_pixels * 10000) / 10000 AS mean_b
+        |FROM st ORDER BY doc_id""".stripMargin,
     // Same binary-string power-of-two spelling; HUGEINT sums cast.
     "pipeline_length_bucketing" ->
       """WITH d AS (SELECT doc_id,

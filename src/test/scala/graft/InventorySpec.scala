@@ -704,10 +704,12 @@ class InventorySpec extends SparkSpec {
     // §2.199-201 round-16 curation wave: per-source boilerplate-line
     // removal, lexicon blocklist scoring, license-marker detection
     "text_boilerplate_lines", "text_blocklist_score",
-    "text_license_tags")
+    "text_license_tags",
+    // §2.202 round-16: real from-scratch PPM/BMP decode stats
+    "multimodal_decode_stats")
 
-  test("declared queries cover SURVEY §2 + §2.12-201 exactly (706 keys)") {
-    assert(inventory.size == 706)
+  test("declared queries cover SURVEY §2 + §2.12-202 exactly (707 keys)") {
+    assert(inventory.size == 707)
     val declared = SparkEntry.queries.keySet
     val missing = inventory -- declared
     val extra = declared -- inventory

@@ -156,4 +156,103 @@ class MultimodalSpec extends SparkSpec {
     assert(err.getMessage.contains("42") &&
       err.getMessage.contains("lossless"))
   }
+
+  // ---- round-16: the from-scratch PpmBmpDecoder (no codec library) ----
+
+  test("PPM parser: header grammar (comments/whitespace), exact channel sums") {
+    import graft.multimodal.{PpmBmpDecoder, Ppm}
+    val dec = new PpmBmpDecoder
+    // Hand-built 2x2 P6 with a comment and mixed whitespace: pixels
+    // (r,g,b) = (1,2,3) (4,5,6) (7,8,9) (10,11,12).
+    val hdr = "P6 # wide\n# a comment line\n 2\t2\n255\n"
+      .getBytes("US-ASCII")
+    val px = Array[Byte](1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12)
+    val st = dec.channelStats(MediaRow(1L, hdr ++ px, 2, 2))
+    assert((st.width, st.height, st.n_pixels) == (2L, 2L, 4L))
+    assert((st.sum_r, st.sum_g, st.sum_b) == (22L, 26L, 30L))
+    // P5 grayscale fills r = g = b.
+    val g5 = "P5\n3 1\n255\n".getBytes("US-ASCII") ++ Array[Byte](10, 20, 30)
+    val sg = dec.channelStats(MediaRow(2L, g5, 3, 1))
+    assert(sg.n_pixels == 3 && sg.sum_r == 60 && sg.sum_g == 60 && sg.sum_b == 60)
+    // Synthesized bytes decode back to the generating congruences.
+    val syn = dec.channelStats(MediaRow(9L, Ppm.synthesize(9L, 5L, 4, 3), 4, 3))
+    val n = 12
+    val expR = (0 until n).map(i => (3 * 9 + 7 * i) % 256).sum
+    val expG = (0 until n).map(i => (5 + 11 * i) % 256).sum
+    val expB = (0 until n).map(i => (5 * i + 13) % 256).sum
+    assert((syn.sum_r, syn.sum_g, syn.sum_b) == (expR.toLong, expG.toLong, expB.toLong))
+  }
+
+  test("BMP parser: 24bpp row padding + bottom-up order, parity with PPM pixels") {
+    import graft.multimodal.PpmBmpDecoder
+    val dec = new PpmBmpDecoder
+    // Hand-built 3x2 24bpp BMP, bottom-up, stride 12 (9 data + 3 pad).
+    // Display rows: top = (1,2,3)(4,5,6)(7,8,9), bottom = (10,11,12)...
+    def bmp(topDown: Boolean): Array[Byte] = {
+      val w = 3; val h = 2; val stride = 12
+      val out = new Array[Byte](54 + stride * h)
+      out(0) = 'B'; out(1) = 'M'
+      def le32(o: Int, v: Int): Unit = { out(o) = v.toByte
+        out(o + 1) = (v >> 8).toByte; out(o + 2) = (v >> 16).toByte
+        out(o + 3) = (v >> 24).toByte }
+      le32(2, out.length); le32(10, 54); le32(14, 40); le32(18, w)
+      le32(22, if (topDown) -h else h)
+      out(26) = 1; out(28) = 24; le32(30, 0)
+      val rows = Seq( // display order, (r,g,b) per pixel
+        Seq((1, 2, 3), (4, 5, 6), (7, 8, 9)),
+        Seq((10, 11, 12), (13, 14, 15), (16, 17, 18)))
+      for ((row, y) <- rows.zipWithIndex; (px, x) <- row.zipWithIndex) {
+        val srcRow = if (topDown) y else h - 1 - y
+        val o = 54 + srcRow * stride + x * 3
+        out(o) = px._3.toByte; out(o + 1) = px._2.toByte // BGR
+        out(o + 2) = px._1.toByte
+      }
+      out
+    }
+    for (td <- Seq(false, true)) {
+      val st = dec.channelStats(MediaRow(3L, bmp(td), 3, 2))
+      assert((st.width, st.height, st.n_pixels) == (3L, 2L, 6L))
+      assert((st.sum_r, st.sum_g, st.sum_b) == (51L, 57L, 63L),
+        s"topDown=$td channel sums wrong: $st")
+    }
+  }
+
+  test("PpmBmp decoder: malformed bytes fail loudly with the doc_id") {
+    import graft.multimodal.PpmBmpDecoder
+    val dec = new PpmBmpDecoder
+    val truncated = "P6\n4 4\n255\n".getBytes("US-ASCII") ++ Array[Byte](1, 2)
+    val e1 = intercept[Exception] {
+      dec.channelStats(MediaRow(77L, truncated, 4, 4)) }
+    assert(e1.getMessage.contains("77") && e1.getMessage.contains("truncated"))
+    val unknown = Array[Byte]('X', 'Y', 'Z')
+    val e2 = intercept[Exception] {
+      dec.channelStats(MediaRow(78L, unknown, 1, 1)) }
+    assert(e2.getMessage.contains("78"))
+    val maxval = "P6\n1 1\n65535\n".getBytes("US-ASCII") ++ Array[Byte](0, 0)
+    val e3 = intercept[Exception] {
+      dec.channelStats(MediaRow(79L, maxval, 1, 1)) }
+    assert(e3.getMessage.contains("79") && e3.getMessage.contains("maxval"))
+  }
+
+  test("decodeChannelStats: partition-batched end-to-end over synthesized PPMs") {
+    import graft.multimodal.{MediaPipeline, MediaRow, Ppm}
+    import spark.implicits._
+    val rows = Tables.t(spark, sf, "documents")
+      .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+      .map { case (id, nc) =>
+        MediaRow(id, Ppm.synthesize(id, nc, (nc % 16 + 2).toInt,
+          (id % 8 + 2).toInt), (nc % 16 + 2).toInt, (id % 8 + 2).toInt) }
+    val st = MediaPipeline.decodeChannelStats(rows, parallelism = 4)
+    assert(st.rdd.getNumPartitions == 4)
+    val out = st.toDF().orderBy("doc_id").collect()
+    assert(out.length == 500)
+    // Spot-check one doc against the closed forms.
+    val r0 = out.head
+    val (id, nc) = (r0.getLong(0),
+      Tables.t(spark, sf, "documents").filter(col("doc_id") === r0.getLong(0))
+        .head.getAs[Long]("n_chars"))
+    val n = ((nc % 16 + 2) * (id % 8 + 2)).toInt
+    assert(r0.getLong(3) == n)
+    assert(r0.getLong(4) == (0 until n).map(i => (3 * id + 7 * i) % 256).sum)
+  }
 }
