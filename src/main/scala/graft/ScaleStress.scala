@@ -124,7 +124,10 @@ object ScaleStress {
     // variant extract into the bench top-10 (a 7.5× drift outlier on
     // byte-identical code — VERDICT r15); instrument it so the
     // top-10 guard holds whichever way the drift adjudicates.
-    "json_variant_extract")
+    "json_variant_extract",
+    // Round-16 at birth: the minhash→CC→pack composite (two corpus
+    // scans + edge-sized iterative stages + the two-pass prefix sum).
+    "pipeline_dedup_pack_e2e")
   // Keys whose only input is lineitem — copy-scalable (see scaladoc).
   // The embeddings/documents keys are NOT copy-scalable for the same
   // reason the dedup keys aren't (cross-copy duplicate geometry);

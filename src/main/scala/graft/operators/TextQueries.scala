@@ -175,6 +175,46 @@ object TextQueries {
     "dedup_near_jaccard" -> ((s, dir) =>
       exactJaccard(s, dir, 1000, 0.8).orderBy("doc_i", "doc_j")),
 
+    // END-TO-END DEDUP→PACK PIPELINE (§2.203) — the whole curation
+    // chain a pretraining pipeline runs between raw corpus and
+    // training sequences, composed in ONE declared plan from the
+    // engine's own operators: MinHash-LSH near-dup pairs
+    // (SimilarityJoin.minhash, output == the exact J ≥ 0.8 table) →
+    // connected-component survivor selection (ConnectedComponents
+    // .canonLabels, canonical = min doc_id) → fixed-budget sequence
+    // packing of the SURVIVORS (GlobalRank.runningSum — the two-pass
+    // range-exchange prefix sum, never a single-partition window).
+    // Shuffle economy at 100 TB: the corpus is scanned once for
+    // signatures and once for token counts; the pair/label stages
+    // shuffle only edge-sized data (|pairs| ≪ |docs|), the survivor
+    // join is doc_id-keyed, and the pack's prefix sum is the same
+    // two-pass exchange the standalone pack key pays — nothing
+    // re-shuffles the full token stream. Oracle: exact-Jaccard pairs
+    // + recursive-CTE components + the same window prefix sum.
+    "pipeline_dedup_pack_e2e" -> ((s, dir) => {
+      val budget = 2048L
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 1000)
+        .select(col("doc_id"),
+          array_distinct(split(col("text"), " ")).as("toks"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      val pairs = SimilarityJoin.minhash(
+          docs.select(col("doc_id"), col("toks")),
+          "doc_id", "toks", threshold = 0.8, numHashes = 32, bands = 16)
+        .select(col("doc_i"), col("doc_j"))
+      val labels = ConnectedComponents.canonLabels(
+        docs.select(col("doc_id")), pairs)
+      val survivors = docs.join(labels, Seq("doc_id"))
+        .filter(col("canon") === col("doc_id"))
+        .select(col("doc_id"), col("n_tokens"),
+          md5(col("doc_id").cast("string").cast("binary")).as("skey"))
+      graft.plans.GlobalRank.runningSum(
+          survivors, Seq("skey", "doc_id"), "n_tokens", "cum")
+        .select(col("doc_id"), col("n_tokens"),
+          (col("cum") - col("n_tokens")).as("start_off"),
+          expr(s"(cum - n_tokens) div ${budget}L").as("bin"))
+        .orderBy("doc_id")
+    }),
+
     // DEDUP RATE BY LENGTH (§2.195) — are duplicates a short-doc
     // phenomenon? Per token-length band (20-token bins, clamped),
     // the share of documents that are NON-canonical members of an
@@ -2372,6 +2412,33 @@ object TextQueries {
          |  SELECT i, j, CAST(c AS DOUBLE) / (sa.sz + sb.sz - c) AS jac
          |  FROM inter JOIN sizes sa ON i = sa.doc_id JOIN sizes sb ON j = sb.doc_id)
          |WHERE jac >= 0.8 ORDER BY doc_i, doc_j""".stripMargin,
+    // Exact pairs → recursive-CTE components → survivors → the same
+    // ORDER BY (skey, doc_id) prefix-sum pack window.
+    "pipeline_dedup_pack_e2e" ->
+      s"""WITH RECURSIVE $tokCte,
+         |p AS (SELECT i, j FROM (
+         |    SELECT i, j, CAST(c AS DOUBLE) / (sa.sz + sb.sz - c) AS jac
+         |    FROM inter JOIN sizes sa ON i = sa.doc_id JOIN sizes sb ON j = sb.doc_id)
+         |  WHERE jac >= 0.8),
+         |edges AS (SELECT i, j FROM p UNION ALL SELECT j AS i, i AS j FROM p),
+         |reach(doc, lab) AS (
+         |  SELECT doc_id, doc_id FROM (SELECT DISTINCT doc_id FROM documents
+         |                              WHERE doc_id < 1000)
+         |  UNION
+         |  SELECT e.j, r.lab FROM reach r JOIN edges e ON e.i = r.doc),
+         |canon AS (SELECT doc AS doc_id, min(lab) AS canon FROM reach
+         |  GROUP BY doc),
+         |surv AS (SELECT d.doc_id,
+         |    CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+         |    md5(CAST(d.doc_id AS VARCHAR)) AS skey
+         |  FROM documents d JOIN canon c ON d.doc_id = c.doc_id
+         |  WHERE c.canon = d.doc_id AND d.doc_id < 1000),
+         |c2 AS (SELECT doc_id, n_tokens,
+         |    CAST(sum(n_tokens) OVER (ORDER BY skey, doc_id
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM surv)
+         |SELECT doc_id, n_tokens, cum - n_tokens AS start_off,
+         |  (cum - n_tokens) // 2048 AS bin
+         |FROM c2 ORDER BY doc_id""".stripMargin,
     // Connected components as a recursive label-reachability CTE:
     // reach(doc, lab) = transitive closure of "lab reaches doc" over the
     // undirected pair graph; canon = min reachable label.

@@ -706,10 +706,12 @@ class InventorySpec extends SparkSpec {
     "text_boilerplate_lines", "text_blocklist_score",
     "text_license_tags",
     // §2.202 round-16: real from-scratch PPM/BMP decode stats
-    "multimodal_decode_stats")
+    "multimodal_decode_stats",
+    // §2.203 round-16: end-to-end dedup -> canon -> pack chain
+    "pipeline_dedup_pack_e2e")
 
-  test("declared queries cover SURVEY §2 + §2.12-202 exactly (707 keys)") {
-    assert(inventory.size == 707)
+  test("declared queries cover SURVEY §2 + §2.12-203 exactly (708 keys)") {
+    assert(inventory.size == 708)
     val declared = SparkEntry.queries.keySet
     val missing = inventory -- declared
     val extra = declared -- inventory
