@@ -201,6 +201,31 @@ object ScanQueries {
   }
 
   val queries: Map[String, Q] = Map(
+    // HIDDEN FILE-METADATA COLUMNS (§2.204) — the `_metadata` struct
+    // every file source exposes (file_name/path/size/modification
+    // time, block start/length): the per-file audit a lake-layout
+    // job runs WITHOUT a separate filesystem listing pass — row
+    // counts and key ranges attributed to their physical file, the
+    // input to compaction planning and corrupt-file triage. Reading
+    // `_metadata.file_name` costs nothing extra (constant-folded per
+    // split, no data columns touched beyond the audited ones); at
+    // 100 TB the same query over a multi-thousand-file table is the
+    // manifest reconciliation pass. Size/mtime are environment-
+    // dependent so only the NAME is driver-checked; the DuckDB
+    // oracle reads its own filename pseudo-column and takes the
+    // basename.
+    "scan_metadata_file_audit" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .select(col("_metadata.file_name").as("file_name"),
+          col("l_orderkey"))
+        .groupBy("file_name")
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("l_orderkey")).as("n_orders"),
+          min(col("l_orderkey")).as("min_orderkey"),
+          max(col("l_orderkey")).as("max_orderkey"))
+        .orderBy("file_name")
+    }),
+
     "scan_parquet" -> ((s, dir) => {
       t(s, dir, "lineitem")
         .select(liCols.map(col) :+ col("l_shipdate").cast("date").as("l_shipdate"): _*)
@@ -936,6 +961,17 @@ object ScanQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // The fixture layout is exactly one file per table, so the file
+    // name Spark's `_metadata.file_name` must surface is the known
+    // literal — asserting it pins the hidden-column read against the
+    // physical layout (the driver's view hides DuckDB's own filename
+    // pseudo-column, and the name is deterministic anyway).
+    "scan_metadata_file_audit" ->
+      """SELECT 'lineitem.parquet' AS file_name, count(*) AS n_rows,
+        |  count(DISTINCT l_orderkey) AS n_orders,
+        |  min(l_orderkey) AS min_orderkey,
+        |  max(l_orderkey) AS max_orderkey
+        |FROM lineitem""".stripMargin,
     // The gnarly field is fixture-derivable; single backslash-quote in
     // the SQL literal renders the embedded double quotes.
     "scan_csv_quoted_roundtrip" ->

@@ -708,10 +708,12 @@ class InventorySpec extends SparkSpec {
     // §2.202 round-16: real from-scratch PPM/BMP decode stats
     "multimodal_decode_stats",
     // §2.203 round-16: end-to-end dedup -> canon -> pack chain
-    "pipeline_dedup_pack_e2e")
+    "pipeline_dedup_pack_e2e",
+    // §2.204 round-16: hidden _metadata file-audit columns
+    "scan_metadata_file_audit")
 
-  test("declared queries cover SURVEY §2 + §2.12-203 exactly (708 keys)") {
-    assert(inventory.size == 708)
+  test("declared queries cover SURVEY §2 + §2.12-204 exactly (709 keys)") {
+    assert(inventory.size == 709)
     val declared = SparkEntry.queries.keySet
     val missing = inventory -- declared
     val extra = declared -- inventory
