@@ -127,7 +127,12 @@ object ScaleStress {
     "json_variant_extract",
     // Round-16 at birth: the minhash→CC→pack composite (two corpus
     // scans + edge-sized iterative stages + the two-pass prefix sum).
-    "pipeline_dedup_pack_e2e")
+    "pipeline_dedup_pack_e2e",
+    // Round-16 enrollment made these heavier by design (self-check
+    // halves); instrument them so a drifted round can't push an
+    // unmeasured key into the bench top-10 (the r15 red-test class).
+    "dedup_simhash", "sim_ann_kmeans", "multimodal_decode_stats",
+    "text_boilerplate_lines")
   // Keys whose only input is lineitem — copy-scalable (see scaladoc).
   // The embeddings/documents keys are NOT copy-scalable for the same
   // reason the dedup keys aren't (cross-copy duplicate geometry);
