@@ -26,6 +26,37 @@ object EtlQueries {
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
+    // OBSERVED DATA-QUALITY METRICS (§2.205) — Spark's Observation /
+    // CollectMetrics machinery: metrics piggyback on a production
+    // pass over the data (one CollectMetrics node in the plan, partial
+    // aggregation map-side — NO second scan, no separate DQ job),
+    // delivered to the driver through the observation listener. The
+    // declared key runs the observed pass at plan-construction time
+    // (the countmin/KMeans bounded-driver-state precedent) and
+    // returns the metric row itself, so the DuckDB oracle verifies
+    // the values that traveled the LISTENER path — a wrong partial
+    // merge or a dropped metric hash-fails. At 100 TB this is how DQ
+    // gates run free on top of an existing job instead of doubling
+    // the scan.
+    "etl_observe_metrics" -> ((s, dir) => {
+      import s.implicits._
+      val obs = org.apache.spark.sql.Observation()
+      t(s, dir, "lineitem").observe(obs,
+          count(lit(1)).as("n_rows"),
+          sum(when(col("l_discount") > 0.06, 1L).otherwise(0L))
+            .as("n_high_discount"),
+          count(when(col("l_quantity").isNull, 1L)).as("n_null_qty"),
+          min(col("l_shipdate").cast("date")).cast("string")
+            .as("min_shipdate"))
+        .count()
+      val m = obs.get
+      Seq((m("n_rows").asInstanceOf[Long],
+          m("n_high_discount").asInstanceOf[Long],
+          m("n_null_qty").asInstanceOf[Long],
+          m("min_shipdate").asInstanceOf[String]))
+        .toDF("n_rows", "n_high_discount", "n_null_qty", "min_shipdate")
+    }),
+
     // MERGE INTO semantics without a table format: base = customer,
     // updates = per-customer order spend where 10% of keys are remapped
     // to ids OUTSIDE the base domain (the INSERT branch — order keys
@@ -1189,6 +1220,15 @@ object EtlQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // Same aggregates computed directly — verifying the values that
+    // traveled Spark's observation-listener path.
+    "etl_observe_metrics" ->
+      """SELECT count(*) AS n_rows,
+        |  CAST(sum(CASE WHEN l_discount > 0.06 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_high_discount,
+        |  count(CASE WHEN l_quantity IS NULL THEN 1 END) AS n_null_qty,
+        |  CAST(CAST(min(l_shipdate) AS DATE) AS VARCHAR) AS min_shipdate
+        |FROM lineitem""".stripMargin,
     // Same md5 sample and one-pass multi-distinct agg; UNION ALL is
     // the stack() reshape.
     "etl_stats_collect" ->

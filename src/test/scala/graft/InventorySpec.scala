@@ -710,10 +710,12 @@ class InventorySpec extends SparkSpec {
     // §2.203 round-16: end-to-end dedup -> canon -> pack chain
     "pipeline_dedup_pack_e2e",
     // §2.204 round-16: hidden _metadata file-audit columns
-    "scan_metadata_file_audit")
+    "scan_metadata_file_audit",
+    // §2.205 round-16: Observation/CollectMetrics DQ machinery
+    "etl_observe_metrics")
 
-  test("declared queries cover SURVEY §2 + §2.12-204 exactly (709 keys)") {
-    assert(inventory.size == 709)
+  test("declared queries cover SURVEY §2 + §2.12-205 exactly (710 keys)") {
+    assert(inventory.size == 710)
     val declared = SparkEntry.queries.keySet
     val missing = inventory -- declared
     val extra = declared -- inventory
