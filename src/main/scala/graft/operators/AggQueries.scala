@@ -466,6 +466,22 @@ object AggQueries {
     }),
 
     // Per-order sorted list of linenumbers, stringified deterministically.
+    // LISTAGG / STRING_AGG (§2.207) — the SQL:2016 ordered string
+    // aggregation Spark 4 added (WITHIN GROUP (ORDER BY …) with
+    // DISTINCT): the label-concatenation readout every report layer
+    // asks for, deterministic because the order clause totally
+    // orders the DISTINCT inputs. Output stays bounded (≤5 segments
+    // per nation); the agg is the standard two-phase shape.
+    "agg_string_agg" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .createOrReplaceTempView("cust_sagg16")
+      s.sql("""SELECT c_nationkey, count(*) AS n_cust,
+        |  string_agg(DISTINCT c_mktsegment, ',')
+        |    WITHIN GROUP (ORDER BY c_mktsegment) AS segments
+        |FROM cust_sagg16 GROUP BY c_nationkey
+        |ORDER BY c_nationkey""".stripMargin)
+    }),
+
     "agg_collect_sorted" -> ((s, dir) => {
       t(s, dir, "lineitem")
         .groupBy(col("l_orderkey"))
@@ -1851,6 +1867,13 @@ object AggQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // Same ordered DISTINCT string aggregation.
+    "agg_string_agg" ->
+      """SELECT c_nationkey, count(*) AS n_cust,
+        |  string_agg(DISTINCT c_mktsegment, ',' ORDER BY c_mktsegment)
+        |    AS segments
+        |FROM customer GROUP BY c_nationkey
+        |ORDER BY c_nationkey""".stripMargin,
     // Round-16 sketch-enrollment oracles: the sketch keys' driver-
     // checked outputs are exact values + in-band booleans computed
     // Spark-side, so the oracle recomputes the exacts and asserts the

@@ -712,10 +712,12 @@ class InventorySpec extends SparkSpec {
     // §2.204 round-16: hidden _metadata file-audit columns
     "scan_metadata_file_audit",
     // §2.205 round-16: Observation/CollectMetrics DQ machinery
-    "etl_observe_metrics")
+    "etl_observe_metrics",
+    // §2.206 round-16: listagg/string_agg ordered aggregation
+    "agg_string_agg")
 
-  test("declared queries cover SURVEY §2 + §2.12-205 exactly (710 keys)") {
-    assert(inventory.size == 710)
+  test("declared queries cover SURVEY §2 + §2.12-206 exactly (711 keys)") {
+    assert(inventory.size == 711)
     val declared = SparkEntry.queries.keySet
     val missing = inventory -- declared
     val extra = declared -- inventory
