@@ -132,7 +132,13 @@ object ScaleStress {
     // halves); instrument them so a drifted round can't push an
     // unmeasured key into the bench top-10 (the r15 red-test class).
     "dedup_simhash", "sim_ann_kmeans", "multimodal_decode_stats",
-    "text_boilerplate_lines")
+    "text_boilerplate_lines",
+    // Round-17 at birth: the incremental-index dedup (two corpus
+    // sign passes + the index join + exact verify), the zipf salted
+    // join (fact-sized md5 synth + two grouped reduces), and the PNG
+    // encode/decode pass (per-doc ImageIO encode is the cost).
+    "dedup_incremental_index", "join_skew_salted_spread",
+    "multimodal_png_decode")
   // Keys whose only input is lineitem — copy-scalable (see scaladoc).
   // The embeddings/documents keys are NOT copy-scalable for the same
   // reason the dedup keys aren't (cross-copy duplicate geometry);

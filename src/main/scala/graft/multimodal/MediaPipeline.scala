@@ -28,6 +28,15 @@ trait MediaDecoder extends Serializable {
   def close(): Unit = ()
 }
 
+/** Decoders that can additionally emit exact per-channel pixel sums in
+  * one decode pass — the face [[MediaPipeline.decodeChannelStats]]
+  * batches. Both real decoders implement it: the hand-written
+  * [[PpmBmpDecoder]] (streaming, no raster) and the JDK-codec
+  * [[ImageIoDecoder]] (PNG/BMP/GIF through javax.imageio). */
+trait ChannelStatsDecoder extends MediaDecoder {
+  def channelStats(row: MediaRow): ChannelStats
+}
+
 /** Frame-extraction contract (video/audio): same per-partition lifecycle
   * as [[MediaDecoder]]; `frames` must return a LAZY iterator so a long
   * medium never materializes all its frames at once. */
@@ -90,7 +99,7 @@ object StubDecoder extends MediaDecoder {
   * per ROW-STRIP, not per pixel (the per-pixel accessor pays a color
   * model dispatch per call), strip-sized buffer — O(width) extra memory
   * per item regardless of height. */
-class ImageIoDecoder extends MediaDecoder {
+class ImageIoDecoder extends ChannelStatsDecoder {
   override def open(): Unit =
     // No file-backed scratch cache: decode fully in memory (the bytes
     // already are), and nothing to clean on close.
@@ -127,6 +136,35 @@ class ImageIoDecoder extends MediaDecoder {
     }
     MediaFeatures(r.doc_id, r.bytes.length.toLong, cs,
       (w.toLong / 16) * (h.toLong / 16))
+  }
+
+  /** Exact per-channel sums from the decoded raster — same row-strip
+    * bulk read as [[features]] (O(width) memory), same lossless-only
+    * container gate, so the sums are deterministic across executors. */
+  override def channelStats(r: MediaRow): ChannelStats = {
+    require(ImageIoDecoder.isLosslessContainer(r.bytes),
+      s"doc ${r.doc_id}: container is not a lossless format " +
+        "(PNG/BMP/GIF) — decode would not be deterministic across executors")
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(r.bytes))
+    require(img != null,
+      s"doc ${r.doc_id}: bytes are not a decodable image")
+    val w = img.getWidth
+    val h = img.getHeight
+    val strip = new Array[Int](w)
+    var sr = 0L; var sg = 0L; var sb = 0L
+    var y = 0
+    while (y < h) {
+      img.getRGB(0, y, w, 1, strip, 0, w)
+      var x = 0
+      while (x < w) {
+        val p = strip(x)
+        sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+        x += 1
+      }
+      y += 1
+    }
+    ChannelStats(r.doc_id, w.toLong, h.toLong, w.toLong * h, sr, sg, sb)
   }
 }
 
@@ -194,7 +232,7 @@ case class ChannelStats(doc_id: Long, width: Long, height: Long,
   * memory (three running sums) — no raster materialization at all,
   * which is what lets the 100 TB blob column stream through
   * [[MediaPipeline.decodeChannelStats]]'s partition batches. */
-class PpmBmpDecoder extends MediaDecoder {
+class PpmBmpDecoder extends ChannelStatsDecoder {
 
   override def features(r: MediaRow): MediaFeatures = {
     // Rolling checksum over row-major packed-RGB pixels — same hash
@@ -209,7 +247,7 @@ class PpmBmpDecoder extends MediaDecoder {
   }
 
   /** Exact per-channel sums from one streaming decode pass. */
-  def channelStats(r: MediaRow): ChannelStats = {
+  override def channelStats(r: MediaRow): ChannelStats = {
     var sr = 0L; var sg = 0L; var sb = 0L; var n = 0L
     val (w, h) = foreachPixel(r) { (rr, gg, bb) =>
       sr += rr; sg += gg; sb += bb; n += 1
@@ -250,7 +288,13 @@ class PpmBmpDecoder extends MediaDecoder {
       require(w > 0 && h > 0, s"doc ${row.doc_id}: bad PPM dims $w x $h")
       require(maxv > 0 && maxv <= 255,
         s"doc ${row.doc_id}: PPM maxval $maxv unsupported (need <= 255)")
-      // Exactly ONE whitespace byte separates header from samples.
+      // Exactly ONE whitespace byte separates header from samples — and
+      // it must actually BE whitespace: skipping junk here would shift
+      // sample alignment by a byte and decode silently wrong, breaking
+      // the loud/attributable malformed-input contract.
+      require(pos < b.length && (b(pos) == ' ' || b(pos) == '\t'
+          || b(pos) == '\n' || b(pos) == '\r'),
+        s"doc ${row.doc_id}: malformed PPM header (no whitespace after maxval)")
       pos += 1
       val need = w.toLong * h * (if (rgb) 3 else 1)
       require(b.length - pos >= need,
@@ -285,6 +329,16 @@ class PpmBmpDecoder extends MediaDecoder {
         s"doc ${row.doc_id}: only 24 bpp uncompressed BMP supported")
       require(le32(30) == 0, s"doc ${row.doc_id}: compressed BMP unsupported")
       require(w > 0 && h > 0, s"doc ${row.doc_id}: bad BMP dims $w x $hRaw")
+      // A width big enough to overflow w*3+3 in Int would wrap stride
+      // negative/small and defeat the size check below.
+      require(w <= (Int.MaxValue - 3) / 3,
+        s"doc ${row.doc_id}: BMP width $w overflows stride arithmetic")
+      // dataOff is attacker/corruption-controlled: a negative or
+      // in-header value makes `b.length - dataOff` MORE permissive, then
+      // pixel reads either throw a bare AIOOBE (no doc_id) or silently
+      // decode header bytes as pixels.
+      require(dataOff >= 54 && dataOff <= b.length,
+        s"doc ${row.doc_id}: bad BMP pixel-array offset $dataOff")
       val stride = (w * 3 + 3) & ~3 // rows pad to 4-byte boundaries
       require(b.length - dataOff >= stride.toLong * h,
         s"doc ${row.doc_id}: truncated BMP pixel array")
@@ -378,7 +432,7 @@ object MediaPipeline {
     * curation pipeline runs to compute normalization stats / flag
     * degenerate images without ever materializing rasters. */
   def decodeChannelStats(media: Dataset[MediaRow],
-      decoder: PpmBmpDecoder = new PpmBmpDecoder,
+      decoder: ChannelStatsDecoder = new PpmBmpDecoder,
       parallelism: Int = 0): Dataset[ChannelStats] = {
     implicit val enc = Encoders.product[ChannelStats]
     val part =

@@ -499,6 +499,61 @@ object JoinQueries {
         |              ELSE o_custkey END
         |  FROM $ords WHERE o_totalprice > 400000)
         |ORDER BY scenario""".stripMargin)
+    }),
+
+    // HOT-KEY SALTED JOIN (§2.208) — Skew.saltedJoin demonstrated on a
+    // synthesized zipf-ish distribution: the §2.129 md5-uniform device
+    // sends HALF of lineitem to one hot key (k = 0) and spreads the
+    // rest over 100 cold keys — the one-customer-is-half-the-traffic
+    // shape where AQE's skew splitting does NOT help a shuffled hash
+    // join's single flooded reducer. The fact side salts by the
+    // high-cardinality uniform u (hash(u) % 8), the dim replicates 8×,
+    // and the join key widens to (k, salt): the hot key's reducer load
+    // drops 1 task → 8 tasks.
+    //
+    // Output is per-k: the salted join's exact aggregate (n_rows and
+    // the dim-weighted quantity sum — the DuckDB oracle recomputes both
+    // from the same md5 congruence, so ANY salting bug that duplicates
+    // or drops rows is a hash fail), plus the flattening audit as a
+    // self-check boolean: per-(k, salt) row counts — the reducer-task
+    // loads under the (k, salt) shuffle — must stay ≤ n/8 + 4·√n
+    // (+small floor). The bound is the binomial concentration form:
+    // per-bucket sd is ~0.33·√n, and the worst bucket across 100 cold
+    // keys × 8 buckets reaches ~3.5 sd (measured 61 vs ideal 37 at
+    // sf0.01), so a fixed multiplicative slack is wrong in BOTH
+    // directions — too tight for 30-row cold keys, vacuous for the
+    // hot key. As n grows the bound → (1+ε)·n/8: asymptotically the
+    // ideal split, i.e. the flattening claim tightens exactly where
+    // skew matters. Big keys must also touch all 8 buckets. SkewSpec
+    // pins the plain-vs-salted max-task-load ratio; ScaleStress
+    // carries the SF exponent.
+    "join_skew_salted_spread" -> ((s, dir) => {
+      val buckets = 8
+      val fact = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+        .withColumn("u", conv(substring(md5(concat(
+            col("l_orderkey").cast("string"), lit(":"),
+            col("l_linenumber").cast("string")).cast("binary")), 1, 13),
+          16, 10).cast("long"))
+        .withColumn("k", when(pmod(col("u"), lit(2L)) === 0L, lit(0L))
+          .otherwise(pmod(expr("u div 2"), lit(100L)) + 1L))
+      val dim = s.range(0, 101)
+        .select(col("id").as("k"), (col("id") * 7 + 3).as("dim_w"))
+      val joined = Skew.saltedJoin(fact, dim, "k", saltBy = col("u"),
+          buckets = buckets)
+        .groupBy("k").agg(count(lit(1)).as("n_rows"),
+          dsum(col("l_quantity") * col("dim_w")).as("wsum"))
+      val spread = fact
+        .withColumn("salt", pmod(hash(col("u")), lit(buckets)))
+        .groupBy("k", "salt").agg(count(lit(1)).as("c"))
+        .groupBy("k").agg(max("c").as("maxb"), sum("c").as("n"),
+          count(lit(1)).as("nb"))
+        .select(col("k"),
+          (col("maxb") <= ceil(col("n").cast("double") / buckets
+              + lit(4.0) * sqrt(col("n").cast("double"))) + lit(8L)
+            && (col("n") < 200 || col("nb") === buckets))
+            .as("salt_spread_ok"))
+      joined.join(spread, Seq("k")).orderBy("k")
     })
   )
 
@@ -514,6 +569,24 @@ object JoinQueries {
          |WHERE l_partkey IN (SELECT p_partkey FROM part
          |                    WHERE p_brand = 'Brand#4')
          |GROUP BY l_partkey ORDER BY l_partkey""".stripMargin,
+    // The salt is an internal rewrite, invisible in the output: the
+    // oracle recomputes the zipf key from the same md5 congruence
+    // ('0x'||hex cast ≡ Spark's conv(hex,16,10)) and the exact per-k
+    // aggregates — a salting bug that duplicated or dropped rows is a
+    // hash fail. The flattening audit (murmur3 bucket spread, not
+    // SQL-expressible) ships as the self-check boolean asserted TRUE.
+    "join_skew_salted_spread" ->
+      s"""WITH f AS (SELECT l_quantity,
+         |    CAST(('0x' || substring(md5(CAST(l_orderkey AS VARCHAR)
+         |      || ':' || CAST(l_linenumber AS VARCHAR)), 1, 13))
+         |      AS BIGINT) AS u
+         |  FROM lineitem),
+         |kk AS (SELECT CASE WHEN u % 2 = 0 THEN 0
+         |    ELSE (u // 2) % 100 + 1 END AS k, l_quantity FROM f)
+         |SELECT k, count(*) AS n_rows,
+         |  ${sqlSum("l_quantity * (k * 7 + 3)")} AS wsum,
+         |  TRUE AS salt_spread_ok
+         |FROM kk GROUP BY k ORDER BY k""".stripMargin,
     // Parenthesized VALUES — DuckDB's required spelling of the clause.
     "sql_values_inline" ->
       """SELECT m.descr AS flag_descr, count(*) AS n,

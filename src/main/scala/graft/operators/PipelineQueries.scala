@@ -139,6 +139,60 @@ object PipelineQueries {
       lit(0.3) * (lit(1.0) - nStop / nt) + lit(0.3) * (nd / nt)
   }
 
+  /** The sim_ann_kmeans plan with the RAW corpus-level recall@5 column
+    * `r` still attached (the declared key bands it to ≥ 0.4; this raw
+    * face is what KMeansSpec reports via info() so a band flip is
+    * attributable to a number, not just a hash mismatch). Columns:
+    * (probe_id, n_neighbors, h, r). */
+  private[graft] def simAnnRecallRaw(s: SparkSession, dir: String): DataFrame = {
+    val vecs = t(s, dir, "embeddings")
+      .select(col("vec_id").as("id"),
+        col("embedding").cast("array<double>").as("v"))
+    val cents = kmeansFits.computeIfAbsent(dir,
+      _ => KMeans.fit(vecs, k = 8, iters = 5))
+    val assigned = KMeans.assign(vecs, cents)
+      .select(col("id").as("vec_id"), col("c"), col("v"))
+    val probes = vecs.filter(col("id") < 10)
+      .select(col("id").as("probe_id"), col("v").as("p"),
+        explode(KMeans.nearestK(cents, col("v"), 2)).as("c"))
+    val wK = Window.partitionBy("probe_id")
+      .orderBy(col("cos").desc, col("vec_id"))
+    val ann = probes.join(assigned, Seq("c"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("cos", ArrayDot(col("p"), col("v"))
+        / (sqrt(ArrayDot(col("p"), col("p"))) * sqrt(ArrayDot(col("v"), col("v")))))
+      .withColumn("rk", row_number().over(wK)).filter(col("rk") <= 5)
+      .select(col("probe_id"), col("vec_id"))
+    // Exact kNN over the full corpus for the same probes — the
+    // standard ANN-recall eval pass, spelled as the SAME c-keyed
+    // equi-join with nprobe widened to all 8 cells (every vector
+    // lives in exactly one cell, so each (probe, vector) pair
+    // arrives exactly once and the plan stays equi-join-only).
+    val exact = vecs.filter(col("id") < 10)
+      .select(col("id").as("probe_id"), col("v").as("p"),
+        explode(KMeans.nearestK(cents, col("v"), 8)).as("c"))
+      .join(assigned, Seq("c"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("cos", ArrayDot(col("p"), col("v"))
+        / (sqrt(ArrayDot(col("p"), col("p"))) * sqrt(ArrayDot(col("v"), col("v")))))
+      .withColumn("rk", row_number().over(wK)).filter(col("rk") <= 5)
+      .select(col("probe_id"), col("vec_id"))
+    val annCnt = ann.groupBy("probe_id")
+      .agg(count(lit(1)).as("n_neighbors"))
+    val hits = ann.intersect(exact).groupBy("probe_id")
+      .agg(count(lit(1)).as("h"))
+    // Corpus-level recall via an empty-partition window over the
+    // 10-row per-probe frame (a literal-key re-join would fold to
+    // BNLJ and trip the no-cartesian ANN plan pin; 10 rows through
+    // one window task is free).
+    val wAll = Window.partitionBy()
+    annCnt.join(hits, Seq("probe_id"), "left")
+      .select(col("probe_id"), col("n_neighbors"),
+        coalesce(col("h"), lit(0L)).as("h"))
+      .withColumn("r", sum(col("h")).over(wAll).cast("double")
+        / (count(lit(1)).over(wAll) * lit(5)))
+  }
+
   val queries: Map[String, Q] = Map(
     // Naive-Bayes language ID over the shared prediction core (scale
     // notes on langidPred above).
@@ -286,6 +340,13 @@ object PipelineQueries {
         .select(col("doc_i"), col("doc_j"))
       val sigs = simhashSigs(docs).collect()
         .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      // Structural bound on the driver-side O(cap²) reference loop: the
+      // declared corpus cap (doc_id < 1000) keeps this ≤ 1000 today;
+      // fail loudly if the cap ever widens rather than quietly going
+      // quadratic on the driver.
+      require(sigs.length <= 1024,
+        s"dedup_simhash parity audit: ${sigs.length} signatures exceed " +
+          "the 1024 driver-side reference bound — re-scope the corpus cap")
       val ref = for {
         ii <- sigs.indices.iterator
         jj <- (ii + 1) until sigs.length
@@ -296,14 +357,23 @@ object PipelineQueries {
       // One TAGGED global aggregate instead of a 1-row ⋈ 1-row
       // combine (Catalyst folds a literal equi key away and plans
       // BNLJ, tripping the no-O(n²)-join dedup pin in PlanAuditSpec):
-      // doc rows and symmetric-difference rows union into one frame,
-      // conditional sums split them back out.
+      // doc rows, symmetric-difference rows, and the raw banded/ref
+      // pair rows union into one frame; conditional sums split them
+      // back out. EXCEPT alone is SET equality — a regression that
+      // duplicated banded pairs would slip through it — so the boolean
+      // also pins cardinality (banded count == reference count, and the
+      // reference is dup-free by construction: strictly increasing
+      // (ii, jj) index pairs), which together make it MULTISET parity.
       val tagged = docs.select(lit("d").as("tag"))
         .union(banded.except(refDf).union(refDf.except(banded))
           .select(lit("m").as("tag")))
+        .union(banded.select(lit("b").as("tag")))
+        .union(refDf.select(lit("r").as("tag")))
       tagged.agg(
         sum(when(col("tag") === "d", 1L).otherwise(0L)).as("n_docs"),
-        (sum(when(col("tag") === "m", 1L).otherwise(0L)) === 0L)
+        (sum(when(col("tag") === "m", 1L).otherwise(0L)) === 0L &&
+          sum(when(col("tag") === "b", 1L).otherwise(0L)) ===
+            sum(when(col("tag") === "r", 1L).otherwise(0L)))
           .as("banded_equals_allpairs"))
     }),
 
@@ -402,57 +472,18 @@ object PipelineQueries {
     // 0.4 (measured 0.62/0.58/0.46 by SF — KMeansSpec pins the same
     // floor and determinism; the neighbor-list face stays public
     // through this same plan minus the audit reduce).
-    "sim_ann_kmeans" -> ((s, dir) => {
-      val vecs = t(s, dir, "embeddings")
-        .select(col("vec_id").as("id"),
-          col("embedding").cast("array<double>").as("v"))
-      val cents = kmeansFits.computeIfAbsent(dir,
-        _ => KMeans.fit(vecs, k = 8, iters = 5))
-      val assigned = KMeans.assign(vecs, cents)
-        .select(col("id").as("vec_id"), col("c"), col("v"))
-      val probes = vecs.filter(col("id") < 10)
-        .select(col("id").as("probe_id"), col("v").as("p"),
-          explode(KMeans.nearestK(cents, col("v"), 2)).as("c"))
-      val wK = Window.partitionBy("probe_id")
-        .orderBy(col("cos").desc, col("vec_id"))
-      val ann = probes.join(assigned, Seq("c"))
-        .filter(col("vec_id") =!= col("probe_id"))
-        .withColumn("cos", ArrayDot(col("p"), col("v"))
-          / (sqrt(ArrayDot(col("p"), col("p"))) * sqrt(ArrayDot(col("v"), col("v")))))
-        .withColumn("rk", row_number().over(wK)).filter(col("rk") <= 5)
-        .select(col("probe_id"), col("vec_id"))
-      // Exact kNN over the full corpus for the same probes — the
-      // standard ANN-recall eval pass, spelled as the SAME c-keyed
-      // equi-join with nprobe widened to all 8 cells (every vector
-      // lives in exactly one cell, so each (probe, vector) pair
-      // arrives exactly once and the plan stays equi-join-only).
-      val exact = vecs.filter(col("id") < 10)
-        .select(col("id").as("probe_id"), col("v").as("p"),
-          explode(KMeans.nearestK(cents, col("v"), 8)).as("c"))
-        .join(assigned, Seq("c"))
-        .filter(col("vec_id") =!= col("probe_id"))
-        .withColumn("cos", ArrayDot(col("p"), col("v"))
-          / (sqrt(ArrayDot(col("p"), col("p"))) * sqrt(ArrayDot(col("v"), col("v")))))
-        .withColumn("rk", row_number().over(wK)).filter(col("rk") <= 5)
-        .select(col("probe_id"), col("vec_id"))
-      val annCnt = ann.groupBy("probe_id")
-        .agg(count(lit(1)).as("n_neighbors"))
-      val hits = ann.intersect(exact).groupBy("probe_id")
-        .agg(count(lit(1)).as("h"))
-      // Corpus-level recall via an empty-partition window over the
-      // 10-row per-probe frame (a literal-key re-join would fold to
-      // BNLJ and trip the no-cartesian ANN plan pin; 10 rows through
-      // one window task is free).
-      val wAll = Window.partitionBy()
-      annCnt.join(hits, Seq("probe_id"), "left")
-        .select(col("probe_id"), col("n_neighbors"),
-          coalesce(col("h"), lit(0L)).as("h"))
-        .withColumn("r", sum(col("h")).over(wAll).cast("double")
-          / (count(lit(1)).over(wAll) * lit(5)))
+    // Measured margin at the 0.40 floor (documented per the r16
+    // advice): raw recall@5 reads 0.46 at sf0.1 and stays ≥ 0.44 at
+    // sf0.01 on the frozen fixtures — deterministic, but a fixture /
+    // seed / centroid-init change could flip the band. The RAW recall
+    // stays inspectable through simAnnRecallRaw (KMeansSpec reports it
+    // via info() — the non-hashed diagnostic channel), so a future
+    // hash-fail on this key is attributable at a glance.
+    "sim_ann_kmeans" -> ((s, dir) =>
+      simAnnRecallRaw(s, dir)
         .select(col("probe_id"), col("n_neighbors"),
           (col("r") >= 0.4).as("recall_at5_ge_04"))
-        .orderBy("probe_id")
-    }),
+        .orderBy("probe_id")),
 
     // REAL DECODE STATS (§2.202) — the from-scratch PpmBmpDecoder
     // (hand-written P5/P6 netpbm + 24 bpp BMP binary parser — no
@@ -475,6 +506,39 @@ object PipelineQueries {
             graft.multimodal.Ppm.synthesize(id, nc, w, h), w, h)
         }
       graft.multimodal.MediaPipeline.decodeChannelStats(rows)
+        .toDF()
+        .select(col("doc_id"), col("width"), col("height"),
+          col("n_pixels"),
+          r4d(col("sum_r").cast("double") / col("n_pixels")).as("mean_r"),
+          r4d(col("sum_g").cast("double") / col("n_pixels")).as("mean_g"),
+          r4d(col("sum_b").cast("double") / col("n_pixels")).as("mean_b"))
+        .orderBy("doc_id")
+    }),
+
+    // REAL PNG DECODE (§2.209) — the JDK's own ImageIO PNG codec run
+    // end-to-end behind the same ChannelStatsDecoder contract as the
+    // hand-written parser: deterministic PNGs are ENCODED scratch-side
+    // per document (ImageIO.write of the seed-keyed gradient raster),
+    // then DECODED in the partition-batched stats pass. PNG is
+    // lossless, so the decoded raster equals the written pixels
+    // exactly and the DuckDB oracle reproduces the per-channel means
+    // analytically from the same congruence v = seed·1103515245 +
+    // 65537·x + 257·y (r/g/b = byte lanes of v & 0xffffff) — an
+    // encode/decode defect anywhere (color model, byte order, row
+    // order) is a mean mismatch. With multimodal_decode_stats this
+    // makes BOTH MediaDecoder implementations real and exercised.
+    "multimodal_png_decode" -> ((s, dir) => {
+      import s.implicits._
+      val rows = t(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+        .map { case (id, nc) =>
+          val w = (nc % 16 + 2).toInt
+          val h = (id % 8 + 2).toInt
+          graft.multimodal.MediaRow(id,
+            graft.multimodal.ImageIoDecoder.syntheticPng(id, w, h), w, h)
+        }
+      graft.multimodal.MediaPipeline.decodeChannelStats(rows,
+          decoder = new graft.multimodal.ImageIoDecoder)
         .toDF()
         .select(col("doc_id"), col("width"), col("height"),
           col("n_pixels"),
@@ -3197,6 +3261,30 @@ object PipelineQueries {
         |    CAST(sum((n_chars + 11 * i) % 256) AS BIGINT) AS sg,
         |    CAST(sum((5 * i + 13) % 256) AS BIGINT) AS sb
         |  FROM px GROUP BY 1, 2, 3)
+        |SELECT doc_id, width, height, n_pixels,
+        |  ROUND(CAST(sr AS DOUBLE) / n_pixels * 10000) / 10000 AS mean_r,
+        |  ROUND(CAST(sg AS DOUBLE) / n_pixels * 10000) / 10000 AS mean_g,
+        |  ROUND(CAST(sb AS DOUBLE) / n_pixels * 10000) / 10000 AS mean_b
+        |FROM st ORDER BY doc_id""".stripMargin,
+    // PNG is lossless, so the decoded raster equals the written
+    // gradient exactly: the oracle reproduces the per-channel means
+    // analytically from v = doc_id·1103515245 + 65537·x + 257·y with
+    // r/g/b the byte lanes of v & 0xffffff (row-major i = y·w + x).
+    "multimodal_png_decode" ->
+      """WITH d AS (SELECT doc_id, n_chars % 16 + 2 AS w,
+        |    doc_id % 8 + 2 AS h FROM documents),
+        |px AS (SELECT doc_id, w, h,
+        |    unnest(range(0, w * h)) AS i FROM d),
+        |vv AS (SELECT doc_id, w, h,
+        |    (doc_id * 1103515245 + (i % w) * 65537 + (i // w) * 257)
+        |      & 16777215 AS v
+        |  FROM px),
+        |st AS (SELECT doc_id, CAST(w AS BIGINT) AS width,
+        |    CAST(h AS BIGINT) AS height, count(*) AS n_pixels,
+        |    CAST(sum((v >> 16) & 255) AS BIGINT) AS sr,
+        |    CAST(sum((v >> 8) & 255) AS BIGINT) AS sg,
+        |    CAST(sum(v & 255) AS BIGINT) AS sb
+        |  FROM vv GROUP BY 1, 2, 3)
         |SELECT doc_id, width, height, n_pixels,
         |  ROUND(CAST(sr AS DOUBLE) / n_pixels * 10000) / 10000 AS mean_r,
         |  ROUND(CAST(sg AS DOUBLE) / n_pixels * 10000) / 10000 AS mean_g,

@@ -108,12 +108,7 @@ object SimilarityJoin {
     val r = numHashes / bands
     val sig = nonEmptyDocs(in).select(col("doc_id"),
       graft.functions.MinHashSig(col("toks"), numHashes).as("sig"))
-    // Band key = murmur3 of the band's r-slice (array hash). Collisions
-    // only ADD candidates (removed by verification/est); equal slices
-    // always collide, so banding recall is unaffected by the hash.
-    val bandCols = sig.select(col("doc_id"),
-      posexplode(bandKeysExpr("sig", bands, r)))
-      .select(col("doc_id"), col("pos").as("band"), col("col").as("bh"))
+    val bandCols = bandTriples(sig, bands, r)
     val cand = bandCols.select(col("band"), col("bh"), col("doc_id").as("i"))
       .join(bandCols.select(col("band"), col("bh"), col("doc_id").as("j")),
         Seq("band", "bh"))
@@ -370,6 +365,33 @@ object SimilarityJoin {
     * non-empty array_sort'ed arrays — non-empty keeps the denominator
     * ≥ 1, so no ANSI 0/0 (callers route through [[nonEmptyDocs]] or
     * aggregate from token rows, which cannot produce empty arrays). */
+  /** The PERSISTABLE LSH index face: the narrow (doc_id, band, bh)
+    * triples the banded candidate join shuffles — exactly what an
+    * incremental dedup pipeline stores between crawls (a VersionedTable
+    * / parquet table keyed by (band, bh)), so a NEW shard is signed
+    * alone and joined against the stored index instead of re-signing
+    * the whole corpus. `dedup_incremental_index` is the declared key;
+    * DedupScaleSpec pins incremental ≡ full-recompute parity. Input:
+    * (doc_id, toks); empty-token docs are excluded like every
+    * similarity surface here.
+    *
+    * Band key = murmur3 of the band's r-slice (array hash). Collisions
+    * only ADD candidates (removed by exact verification); equal slices
+    * always collide, so banding recall is unaffected by the hash. */
+  def minhashBandIndex(in: DataFrame, numHashes: Int = 32,
+      bands: Int = 16): DataFrame = {
+    require(numHashes > 0 && bands > 0 && numHashes % bands == 0,
+      s"numHashes ($numHashes) must be a positive multiple of bands ($bands)")
+    val r = numHashes / bands
+    val sig = nonEmptyDocs(in).select(col("doc_id"),
+      graft.functions.MinHashSig(col("toks"), numHashes).as("sig"))
+    bandTriples(sig, bands, r)
+  }
+
+  private def bandTriples(sig: DataFrame, bands: Int, r: Int): DataFrame =
+    sig.select(col("doc_id"), posexplode(bandKeysExpr("sig", bands, r)))
+      .select(col("doc_id"), col("pos").as("band"), col("col").as("bh"))
+
   private[graft] def verify(cand: DataFrame, sorted: DataFrame,
       threshold: Double): DataFrame =
     cand

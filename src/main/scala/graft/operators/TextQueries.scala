@@ -428,6 +428,67 @@ object TextQueries {
         .orderBy("doc_i", "doc_j")
     }),
 
+    // INCREMENTAL CORPUS-INDEX DEDUP (§2.207) — the between-crawls form
+    // of dedup_minhash_lsh: the already-crawled corpus' LSH band index
+    // (SimilarityJoin.minhashBandIndex's narrow (doc_id, band, bh)
+    // triples) and its already-found pair table PERSIST as
+    // VersionedTable commits; a new crawl shard (doc_id % 10 = 0 here)
+    // is signed ALONE and equi-joined against the stored index, new
+    // candidates are exact-verified against token sets, and the output
+    // unions stored pairs + new pairs. That is the 100 TB deployment
+    // shape: per-crawl cost is O(|delta| · bands) signing + one
+    // index-keyed join, NOT a corpus re-sign — the index table is the
+    // state, snapshot-isolated and time-travelable like any
+    // VersionedTable. Equals the batch path on the union (banding
+    // recall ≈ 1 at J ≥ 0.8 as for dedup_minhash_lsh), so the exact
+    // all-pairs DuckDB oracle applies verbatim; DedupScaleSpec pins
+    // incremental ≡ full-recompute row parity.
+    //
+    // Idempotent scratch builds (bench runs keys repeatedly): base
+    // state builds once per application; the delta append commits only
+    // while the index is still at v0, so reruns read the same v1.
+    "dedup_incremental_index" -> ((s, dir) => {
+      import graft.sources.VersionedTable
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 1000)
+        .select(col("doc_id"),
+          array_distinct(split(col("text"), " ")).as("toks"))
+      val base = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+      val delta = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+      val root = s"${ScanQueries.scratch(s, dir)}/incr_dedup"
+      val idxRoot = s"$root/band_index"
+      val pairRoot = s"$root/base_pairs"
+      if (VersionedTable.latestVersion(idxRoot) < 0
+          || VersionedTable.latestVersion(pairRoot) < 0) {
+        ScanQueries.deleteRecursively(new java.io.File(root))
+        VersionedTable.commit(s, idxRoot,
+          SimilarityJoin.minhashBandIndex(base), "overwrite")
+        VersionedTable.commit(s, pairRoot,
+          SimilarityJoin.minhash(base, "doc_id", "toks",
+            threshold = 0.8, numHashes = 32, bands = 16), "overwrite")
+      }
+      // The incremental step: sign ONLY the delta shard, append it to
+      // the index (first run), then candidates = delta ⋈ index. The
+      // appended index contains the delta too, so delta-delta pairs
+      // surface through the same single join (i ≠ j + least/greatest
+      // + distinct normalizes both orientations).
+      val deltaIdx = SimilarityJoin.minhashBandIndex(delta)
+      if (VersionedTable.latestVersion(idxRoot) == 0L)
+        VersionedTable.commit(s, idxRoot, deltaIdx, "append")
+      val index = VersionedTable.readLatest(s, idxRoot)
+      val cand = deltaIdx.select(col("band"), col("bh"), col("doc_id").as("a"))
+        .join(index.select(col("band"), col("bh"), col("doc_id").as("b")),
+          Seq("band", "bh"))
+        .filter(col("a") =!= col("b"))
+        .select(least(col("a"), col("b")).as("i"),
+          greatest(col("a"), col("b")).as("j"))
+        .distinct()
+      val newPairs = SimilarityJoin.verify(cand,
+        docs.select(col("doc_id"), array_sort(col("toks")).as("toks")), 0.8)
+      VersionedTable.readLatest(s, pairRoot)
+        .unionByName(newPairs)
+        .orderBy("doc_i", "doc_j")
+    }),
+
     // BPE PAIR COUNTS — the inner loop of byte-pair-encoding tokenizer
     // training: the corpus-weighted frequency of every adjacent
     // character pair, whose argmax is the first merge rule. The scale
@@ -2407,6 +2468,15 @@ object TextQueries {
     // PropertySpec pins the same equality) — the exact oracle applies
     // verbatim, and a recall miss would surface as a missing row.
     "dedup_minhash_lsh" ->
+      s"""WITH $tokCte
+         |SELECT i AS doc_i, j AS doc_j, ROUND(jac, 4) AS jac FROM (
+         |  SELECT i, j, CAST(c AS DOUBLE) / (sa.sz + sb.sz - c) AS jac
+         |  FROM inter JOIN sizes sa ON i = sa.doc_id JOIN sizes sb ON j = sb.doc_id)
+         |WHERE jac >= 0.8 ORDER BY doc_i, doc_j""".stripMargin,
+    // Incremental index ≡ batch on the union (stored base pairs +
+    // delta-joined new pairs cover every pair of the full corpus), so
+    // the SAME exact all-pairs Jaccard oracle applies verbatim.
+    "dedup_incremental_index" ->
       s"""WITH $tokCte
          |SELECT i AS doc_i, j AS doc_j, ROUND(jac, 4) AS jac FROM (
          |  SELECT i, j, CAST(c AS DOUBLE) / (sa.sz + sb.sz - c) AS jac

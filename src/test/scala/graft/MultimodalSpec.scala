@@ -138,6 +138,33 @@ class MultimodalSpec extends SparkSpec {
     assert(err.getMessage != null)
   }
 
+  test("ImageIoDecoder.channelStats: PNG roundtrip sums match the gradient closed form") {
+    // The §2.209 key's engine half in isolation: encode the seed-keyed
+    // gradient to PNG, decode through the new channelStats face, and
+    // check per-channel sums against the congruence computed
+    // independently here — any color-model or byte-lane mix-up is a
+    // sum mismatch.
+    val dec = new graft.multimodal.ImageIoDecoder
+    for ((id, w, h) <- Seq((5L, 9, 4), (6L, 17, 2), (7L, 3, 8))) {
+      val st = dec.channelStats(MediaRow(id,
+        graft.multimodal.ImageIoDecoder.syntheticPng(id, w, h), 1, 1))
+      var sr = 0L; var sg = 0L; var sb = 0L
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = (id * 1103515245L + x * 65537L + y * 257L) & 0xffffff
+        sr += (v >> 16) & 0xff; sg += (v >> 8) & 0xff; sb += v & 0xff
+      }
+      assert((st.width, st.height, st.n_pixels) == (w.toLong, h.toLong, w.toLong * h),
+        s"doc $id dims: $st")
+      assert((st.sum_r, st.sum_g, st.sum_b) == (sr, sg, sb),
+        s"doc $id channel sums: $st != ($sr,$sg,$sb)")
+    }
+    // Lossy containers stay rejected on this face too.
+    val jpegish = Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte, 0xe0.toByte, 0, 0)
+    val e = intercept[IllegalArgumentException] {
+      dec.channelStats(MediaRow(8L, jpegish, 1, 1)) }
+    assert(e.getMessage.contains("8") && e.getMessage.contains("lossless"))
+  }
+
   test("lossy containers are rejected before decode (checksum determinism gate)") {
     // Round-9 advice fix: JPEG decode is implementation-defined across
     // JRE/libjpeg builds, so the same bytes could checksum differently
@@ -232,6 +259,36 @@ class MultimodalSpec extends SparkSpec {
     val e3 = intercept[Exception] {
       dec.channelStats(MediaRow(79L, maxval, 1, 1)) }
     assert(e3.getMessage.contains("79") && e3.getMessage.contains("maxval"))
+    // Junk (non-whitespace) after maxval: without the whitespace gate
+    // this shifted sample alignment by one byte and decoded silently
+    // wrong — must raise with the doc_id instead (r16 advice).
+    val junkSep = "P6\n1 1\n255X".getBytes("US-ASCII") ++
+      Array[Byte](10, 20, 30, 40)
+    val e4 = intercept[Exception] {
+      dec.channelStats(MediaRow(80L, junkSep, 1, 1)) }
+    assert(e4.getMessage.contains("80")
+      && e4.getMessage.contains("whitespace after maxval"), e4.getMessage)
+    // BMP with a corrupt pixel-array offset: a negative or in-header
+    // dataOff made the truncation check MORE permissive and then either
+    // threw a bare AIOOBE or silently decoded header bytes as pixels —
+    // must raise with the doc_id (r16 advice).
+    def badOffBmp(dataOff: Int): Array[Byte] = {
+      val out = new Array[Byte](54 + 16)
+      out(0) = 'B'; out(1) = 'M'
+      def le32(o: Int, v: Int): Unit = { out(o) = v.toByte
+        out(o + 1) = (v >> 8).toByte; out(o + 2) = (v >> 16).toByte
+        out(o + 3) = (v >> 24).toByte }
+      le32(2, out.length); le32(10, dataOff); le32(14, 40); le32(18, 2)
+      le32(22, 2); out(26) = 1; out(28) = 24; le32(30, 0)
+      out
+    }
+    for (off <- Seq(-8, 0, 20)) {
+      val e5 = intercept[Exception] {
+        dec.channelStats(MediaRow(81L, badOffBmp(off), 2, 2)) }
+      assert(e5.getMessage.contains("81")
+        && e5.getMessage.contains("pixel-array offset"),
+        s"off=$off: ${e5.getMessage}")
+    }
   }
 
   test("decodeChannelStats: partition-batched end-to-end over synthesized PPMs") {

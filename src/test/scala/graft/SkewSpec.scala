@@ -58,4 +58,37 @@ class SkewSpec extends SparkSpec {
       .select("s").distinct().count()
     assert(nSalts == 8, s"expected 8 salt values, got $nSalts")
   }
+
+  test("declared zipf workload: salted max reducer load drops ~buckets-fold") {
+    // The §2.208 flattening claim measured directly on the declared
+    // key's zipf synth: a (k)-keyed shuffle puts the hot key's FULL
+    // row count on one reducer; the (k, salt)-keyed shuffle must cut
+    // that max task load by close to the bucket count (8). Group
+    // counts are the reducer loads — same proxy the key's in-band
+    // audit boolean uses.
+    import graft.Tables.t
+    val buckets = 8
+    val fact = t(spark, sf, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"))
+      .withColumn("u", conv(substring(md5(concat(
+          col("l_orderkey").cast("string"), lit(":"),
+          col("l_linenumber").cast("string")).cast("binary")), 1, 13),
+        16, 10).cast("long"))
+      .withColumn("k", when(pmod(col("u"), lit(2L)) === 0L, lit(0L))
+        .otherwise(pmod(expr("u div 2"), lit(100L)) + 1L))
+    val plainMax = fact.groupBy("k").count()
+      .agg(max("count")).head().getLong(0)
+    val saltedMax = fact
+      .withColumn("salt", pmod(hash(col("u")), lit(buckets)))
+      .groupBy("k", "salt").count()
+      .agg(max("count")).head().getLong(0)
+    val ratio = plainMax.toDouble / saltedMax
+    info(s"max reducer load: plain=$plainMax salted=$saltedMax " +
+      f"(flattening ratio $ratio%.2f, buckets=$buckets)")
+    // ≥ 6 of the ideal 8×: binomial spread costs a little; anything
+    // under this means the salt stopped spreading the hot key.
+    assert(ratio >= 6.0,
+      f"salted join flattening ratio $ratio%.2f < 6.0 " +
+        s"(plain=$plainMax salted=$saltedMax)")
+  }
 }
