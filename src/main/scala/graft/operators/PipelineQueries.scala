@@ -354,26 +354,27 @@ object PipelineQueries {
       } yield (sigs(ii)._1, sigs(jj)._1)
       import s.implicits._
       val refDf = ref.toSeq.toDF("doc_i", "doc_j")
-      // One TAGGED global aggregate instead of a 1-row ⋈ 1-row
-      // combine (Catalyst folds a literal equi key away and plans
-      // BNLJ, tripping the no-O(n²)-join dedup pin in PlanAuditSpec):
-      // doc rows, symmetric-difference rows, and the raw banded/ref
-      // pair rows union into one frame; conditional sums split them
-      // back out. EXCEPT alone is SET equality — a regression that
-      // duplicated banded pairs would slip through it — so the boolean
-      // also pins cardinality (banded count == reference count, and the
-      // reference is dup-free by construction: strictly increasing
-      // (ii, jj) index pairs), which together make it MULTISET parity.
+      // MULTISET parity in ONE banded evaluation: per-(doc_i, doc_j)
+      // signed counts (+1 banded, −1 reference) reduce on the pair key;
+      // any nonzero residue = a missing, extra, OR duplicated pair —
+      // strictly stronger than EXCEPT (set semantics would let a
+      // regression that duplicates banded pairs slip through), and one
+      // scan of the banded join instead of the three an EXCEPT×2 +
+      // count-compare spelling costs. The doc rows union in tagged
+      // (not a 1-row ⋈ 1-row combine — Catalyst folds a literal equi
+      // key away and plans BNLJ, tripping the no-O(n²)-join dedup pin
+      // in PlanAuditSpec).
+      val pairDiff = banded.select(col("doc_i"), col("doc_j"),
+          lit(1L).as("d"))
+        .unionAll(refDf.select(col("doc_i"), col("doc_j"),
+          lit(-1L).as("d")))
+        .groupBy("doc_i", "doc_j").agg(sum(col("d")).as("diff"))
+        .filter(col("diff") =!= 0L)
       val tagged = docs.select(lit("d").as("tag"))
-        .union(banded.except(refDf).union(refDf.except(banded))
-          .select(lit("m").as("tag")))
-        .union(banded.select(lit("b").as("tag")))
-        .union(refDf.select(lit("r").as("tag")))
+        .union(pairDiff.select(lit("m").as("tag")))
       tagged.agg(
         sum(when(col("tag") === "d", 1L).otherwise(0L)).as("n_docs"),
-        (sum(when(col("tag") === "m", 1L).otherwise(0L)) === 0L &&
-          sum(when(col("tag") === "b", 1L).otherwise(0L)) ===
-            sum(when(col("tag") === "r", 1L).otherwise(0L)))
+        (sum(when(col("tag") === "m", 1L).otherwise(0L)) === 0L)
           .as("banded_equals_allpairs"))
     }),
 

@@ -158,6 +158,45 @@ class StreamingParitySpec extends SparkSpec {
       StreamQueriesRef.tumbling(spark, sf), Seq("day", "event_type"))
   }
 
+  test("StreamSource seam: Kafka-shaped record decode == file replay == batch") {
+    // The bus-adapter contract pinned with zero bus infrastructure
+    // (round-16 verdict item 6): records staged in the EXACT shape
+    // Spark's Kafka source emits, decoded by the seam's own transform.
+    import graft.streaming.{KafkaShapedSource, ParquetDirSource, StreamSource}
+    val stage = java.nio.file.Files.createTempDirectory("graft_bus_src")
+    StreamSource.toBusRecords(Tables.events(spark, sf))
+      .coalesce(1).write.mode("append").parquet(stage.toString)
+    def run(src: graft.streaming.StreamSource, name: String) = {
+      val q = GraftStreams.tumblingCounts(src.events(spark))
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Complete()).start()
+      q.processAllAvailable(); q.stop()
+      spark.table(name)
+    }
+    val bus = run(new KafkaShapedSource(stage.toString), "bustumble")
+    assertSameRows(bus, StreamQueriesRef.tumbling(spark, sf),
+      Seq("day", "event_type"))
+    // The file-replay source behind the SAME trait face agrees.
+    val fstage = java.nio.file.Files.createTempDirectory("graft_file_src2")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      fstage.resolve("events.parquet"))
+    val file = run(new ParquetDirSource(fstage.toString), "filetumble2")
+    assertSameRows(file, bus, Seq("day", "event_type"))
+    // A corrupt payload on the bus is dropped by the decode's
+    // null-event_id gate (dead-letter semantics), never poisoning the
+    // keyed aggregation downstream.
+    spark.sql("""SELECT CAST('junk' AS BINARY) AS key,
+        CAST('this is not json' AS BINARY) AS value,
+        'events' AS topic, CAST(0 AS INT) AS partition,
+        CAST(-1 AS LONG) AS offset,
+        CAST('2024-01-05' AS TIMESTAMP) AS bus_ts""")
+      .write.mode("append").parquet(stage.toString)
+    val busDirty = run(new KafkaShapedSource(stage.toString), "bustumble2")
+    assertSameRows(busDirty, StreamQueriesRef.tumbling(spark, sf),
+      Seq("day", "event_type"))
+  }
+
   test("explicit tsIsNanos overrides the empty-dir probe (the checkpoint-restart escape hatch)") {
     // The eventsFromParquetDir scaladoc's CHECKPOINT/RESTART
     // IMPLICATION, driven for real: the stream is constructed while
