@@ -138,7 +138,8 @@ object ScaleStress {
     // join (fact-sized md5 synth + two grouped reduces), and the PNG
     // encode/decode pass (per-doc ImageIO encode is the cost).
     "dedup_incremental_index", "join_skew_salted_spread",
-    "multimodal_png_decode")
+    "multimodal_png_decode", "sim_ann_persisted_ivf",
+    "stream_bus_decode")
   // Keys whose only input is lineitem — copy-scalable (see scaladoc).
   // The embeddings/documents keys are NOT copy-scalable for the same
   // reason the dedup keys aren't (cross-copy duplicate geometry);

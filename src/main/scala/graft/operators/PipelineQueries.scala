@@ -486,6 +486,97 @@ object PipelineQueries {
           (col("r") >= 0.4).as("recall_at5_ge_04"))
         .orderBy("probe_id")),
 
+    // PERSISTED IVF INDEX + MANIFEST-PRUNED PROBE READS (§2.210) — the
+    // disk-level form of sim_ann_kmeans: the IVF index IS a storage
+    // layout. Cell assignments commit to a VersionedTable, OPTIMIZE
+    // range-clusters the files on the cell id (tight per-file min/max
+    // in the manifest), and a probe's candidate read goes through
+    // prunedRead — only the files whose recorded range covers the
+    // probe's nprobe cells are OPENED. At 100 TB that is the real IVF
+    // win: a query touches nprobe/k of the corpus' FILES, not just
+    // nprobe/k of its rows after a full scan. Probe→cell and cell→file
+    // maps are bounded driver metadata (10 probes × nprobe 2; manifest
+    // ranges read no data), the same bounded-metadata class as
+    // KMeans.fit's centroid literals.
+    //
+    // Self-checking output (the neighbor choice is engine-pinned):
+    // per-probe audit rows with three in-band booleans the oracle
+    // asserts literally — exactly k=5 neighbors, the disk path's
+    // neighbors MULTISET-EQUAL to the in-memory IVF path (signed-count
+    // diff; a stale or corrupt index row breaks it — parquet double
+    // roundtrip is exact, so any mismatch is real), and files_pruned
+    // (this probe's cells needed strictly fewer than all index files —
+    // FALSE if manifest stats ever stop being recorded, because
+    // prunedRead then keeps every file conservatively).
+    "sim_ann_persisted_ivf" -> ((s, dir) => {
+      import graft.sources.VersionedTable
+      val vecs = t(s, dir, "embeddings")
+        .select(col("vec_id").as("id"),
+          col("embedding").cast("array<double>").as("v"))
+      val cents = kmeansFits.computeIfAbsent(dir,
+        _ => KMeans.fit(vecs, k = 8, iters = 5))
+      val root = s"${ScanQueries.scratch(s, dir)}/ivf_index"
+      // Build-once: v0 = assignments, v1 = optimize (range-clustered
+      // by cell). Deterministic content (Lloyd fit is dir-cached).
+      if (VersionedTable.latestVersion(root) != 1L) {
+        ScanQueries.deleteRecursively(new java.io.File(root))
+        VersionedTable.commit(s, root,
+          KMeans.assign(vecs, cents)
+            .select(col("id").as("vec_id"), col("c"), col("v")),
+          "overwrite", statsCols = Seq("c"))
+        VersionedTable.optimize(s, root, "c", targetFiles = 8)
+      }
+      val v1 = VersionedTable.latestVersion(root)
+      val probes = vecs.filter(col("id") < 10)
+        .select(col("id").as("probe_id"), col("v").as("p"),
+          explode(KMeans.nearestK(cents, col("v"), 2)).as("c"))
+      val probeCells = probes.select(col("probe_id"), col("c"))
+        .collect().map(r => (r.getLong(0), r.getInt(1)))
+      val ranges = VersionedTable.fileRangesFor(s, root, v1, "c")
+      val totalFiles = ranges.size
+      val cellFiles: Map[Int, Set[String]] =
+        probeCells.map(_._2).distinct.map { cell =>
+          cell -> ranges.collect {
+            case (p, mn, mx) if mx >= cell && mn <= cell => p
+          }.toSet
+        }.toMap
+      import s.implicits._
+      val prunedDf = probeCells.groupBy(_._1).toSeq.map { case (pid, cs) =>
+        (pid, cs.map(_._2).toSet.flatMap(cellFiles).size < totalFiles)
+      }.toDF("probe_id", "files_pruned")
+      val cand = cellFiles.keys.toSeq.sorted
+        .map(cell =>
+          VersionedTable.prunedRead(s, root, v1, "c", cell, cell)._1)
+        .reduce(_ unionByName _)
+      val wK = Window.partitionBy("probe_id")
+        .orderBy(col("cos").desc, col("vec_id"))
+      def top5(candidates: DataFrame) = probes.join(candidates, Seq("c"))
+        .filter(col("vec_id") =!= col("probe_id"))
+        .withColumn("cos", ArrayDot(col("p"), col("v"))
+          / (sqrt(ArrayDot(col("p"), col("p")))
+            * sqrt(ArrayDot(col("v"), col("v")))))
+        .withColumn("rk", row_number().over(wK)).filter(col("rk") <= 5)
+        .select(col("probe_id"), col("vec_id"))
+      val annDisk = top5(cand)
+      val annMem = top5(KMeans.assign(vecs, cents)
+        .select(col("id").as("vec_id"), col("c"), col("v")))
+      // Signed-count multiset diff, one reduce (the dedup_simhash
+      // audit device).
+      val mismatch = annDisk.withColumn("d", lit(1L))
+        .unionAll(annMem.withColumn("d", lit(-1L)))
+        .groupBy("probe_id", "vec_id").agg(sum(col("d")).as("dd"))
+        .filter(col("dd") =!= 0L)
+        .groupBy("probe_id").agg(count(lit(1)).as("nm"))
+      annDisk.groupBy("probe_id")
+        .agg(count(lit(1)).as("n_neighbors"))
+        .join(mismatch, Seq("probe_id"), "left")
+        .join(broadcast(prunedDf), Seq("probe_id"))
+        .select(col("probe_id"), col("n_neighbors"),
+          (coalesce(col("nm"), lit(0L)) === 0L).as("matches_inmemory_ivf"),
+          col("files_pruned"))
+        .orderBy("probe_id")
+    }),
+
     // REAL DECODE STATS (§2.202) — the from-scratch PpmBmpDecoder
     // (hand-written P5/P6 netpbm + 24 bpp BMP binary parser — no
     // codec library, not even javax.imageio) run over synthesized
@@ -3247,6 +3338,12 @@ object PipelineQueries {
     "sim_ann_kmeans" ->
       """SELECT vec_id AS probe_id, CAST(5 AS BIGINT) AS n_neighbors,
         |  TRUE AS recall_at5_ge_04
+        |FROM embeddings WHERE vec_id < 10 ORDER BY probe_id""".stripMargin,
+    // Per-probe audit row; both integrity booleans asserted literal
+    // TRUE (disk-path ≡ memory-path neighbors, manifest pruning bit).
+    "sim_ann_persisted_ivf" ->
+      """SELECT vec_id AS probe_id, CAST(5 AS BIGINT) AS n_neighbors,
+        |  TRUE AS matches_inmemory_ivf, TRUE AS files_pruned
         |FROM embeddings WHERE vec_id < 10 ORDER BY probe_id""".stripMargin,
     // The synthetic P6 pixels follow closed-form congruences, so the
     // channel means the hand-written parser must produce are computed

@@ -35,6 +35,29 @@ object StreamQueries {
       GraftStreams.tumblingCounts(events(s, dir))
         .orderBy("day", "event_type")),
 
+    // BUS-DECODE PARITY (§2.211) — the Kafka-adapter decode declared
+    // as an oracle-checked key: events re-published in the bus record
+    // shape (StreamSource.toBusRecords → staged parquet, the write a
+    // backfill job does when re-publishing history), read back and
+    // DECODED by the exact transform the KafkaShapedSource stream
+    // applies (shared StreamSource.decodeBusRecords), then the
+    // canonical tumbling count. The oracle aggregates the events
+    // TABLE directly, so any encode/decode defect — JSON double
+    // roundtrip, epoch-ms truncation, payload schema drift, a
+    // corrupt-row gate that drops good rows — is a hash fail.
+    // Build-once staging (the _SUCCESS marker discipline of
+    // ScanQueries.writeOnce; keys run sequentially per application).
+    "stream_bus_decode" -> ((s, dir) => {
+      import graft.operators.ScanQueries
+      val stage = s"${ScanQueries.scratch(s, dir)}/bus_records"
+      if (!new java.io.File(stage, "_SUCCESS").exists())
+        StreamSource.toBusRecords(events(s, dir))
+          .write.mode("overwrite").parquet(stage)
+      GraftStreams.tumblingCounts(StreamSource.decodeBusRecords(
+          s.read.schema(StreamSource.BusRecordSchema).parquet(stage)))
+        .orderBy("day", "event_type")
+    }),
+
     // STREAM-STATIC broadcast enrichment (the deploy-anywhere
     // streaming pattern: facts stream, dimensions are a table) — the
     // batch face of GraftStreams.enrichedTumblingCounts; the
@@ -271,6 +294,13 @@ object StreamQueries {
          |SELECT user_id, last_day, last_type, last_value
          |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin,
     "stream_tumbling_counts" ->
+      s"""SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+         |count(*) AS n, ${sqlSum("value")} AS sum_value
+         |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
+    // The bus roundtrip is invisible in the output: decode(encode(x))
+    // must equal reading the table — the oracle IS the direct table
+    // aggregate.
+    "stream_bus_decode" ->
       s"""SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
          |count(*) AS n, ${sqlSum("value")} AS sum_value
          |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,

@@ -54,6 +54,26 @@ object StreamSource {
     "event_id LONG, ts_ms LONG, user_id LONG, " +
       "event_type STRING, value DOUBLE, props STRING"
 
+  /** DECODE bus records (the [[BusRecordSchema]] column shape) into the
+    * canonical events frame — the adapter transform itself, shared by
+    * the streaming [[KafkaShapedSource]] and the batch-declared
+    * `stream_bus_decode` key (same bytes → same rows whichever engine
+    * mode replays them). Corrupt payloads surface as NULL event_ids
+    * (from_json's PERMISSIVE contract) and are dropped here — the
+    * dead-letter branch of a production adapter; silently passing
+    * nulls downstream would poison every keyed state store. */
+  def decodeBusRecords(records: DataFrame): DataFrame =
+    records
+      .select(from_json(col("value").cast("string"),
+        org.apache.spark.sql.types.StructType.fromDDL(PayloadSchema)).as("e"))
+      .filter(col("e.event_id").isNotNull)
+      .select(col("e.event_id").as("event_id"),
+        timestamp_millis(col("e.ts_ms")).as("ts"),
+        col("e.user_id").as("user_id"),
+        col("e.event_type").as("event_type"),
+        col("e.value").as("value"),
+        col("e.props").as("props"))
+
   /** ENCODE a batch events frame (Tables.events shape: ts timestamp-like)
     * into bus records — the test fake's producer half, and the shape a
     * replay/backfill job writes when re-publishing history to the bus.
@@ -92,21 +112,9 @@ class ParquetDirSource(dir: String, tsIsNanos: Option[Boolean] = None)
   * adapter would absorb; silently passing nulls downstream would
   * poison every keyed state store. */
 class KafkaShapedSource(dir: String) extends StreamSource {
-  override def events(spark: SparkSession): DataFrame = {
-    val records = spark.readStream
+  override def events(spark: SparkSession): DataFrame =
+    StreamSource.decodeBusRecords(spark.readStream
       .schema(StreamSource.BusRecordSchema)
       .option("maxFilesPerTrigger", "1")
-      .parquet(dir)
-    records
-      .select(from_json(col("value").cast("string"),
-        org.apache.spark.sql.types.StructType.fromDDL(
-          StreamSource.PayloadSchema)).as("e"))
-      .filter(col("e.event_id").isNotNull)
-      .select(col("e.event_id").as("event_id"),
-        timestamp_millis(col("e.ts_ms")).as("ts"),
-        col("e.user_id").as("user_id"),
-        col("e.event_type").as("event_type"),
-        col("e.value").as("value"),
-        col("e.props").as("props"))
-  }
+      .parquet(dir))
 }

@@ -722,10 +722,15 @@ class InventorySpec extends SparkSpec {
     // spread audit
     "join_skew_salted_spread",
     // §2.209 round-17: real PNG encode/decode through ImageIoDecoder
-    "multimodal_png_decode")
+    "multimodal_png_decode",
+    // §2.210 round-17: persisted IVF index with manifest-pruned reads
+    "sim_ann_persisted_ivf",
+    // §2.211 round-17: bus-record decode parity (the Kafka-adapter
+    // transform, batch-declared)
+    "stream_bus_decode")
 
-  test("declared queries cover SURVEY §2 + §2.12-209 exactly (714 keys)") {
-    assert(inventory.size == 714)
+  test("declared queries cover SURVEY §2 + §2.12-211 exactly (716 keys)") {
+    assert(inventory.size == 716)
     val declared = SparkEntry.queries.keySet
     val missing = inventory -- declared
     val extra = declared -- inventory

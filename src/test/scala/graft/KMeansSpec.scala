@@ -140,6 +140,25 @@ class KMeansSpec extends SparkSpec {
     assert(a.toSeq == b.toSeq, "sim_ann_kmeans not replay-deterministic")
   }
 
+  test("persisted IVF: disk-pruned probe reads == in-memory IVF, pruning real") {
+    // The §2.210 key end-to-end: per-probe audit rows, both integrity
+    // booleans TRUE (disk-path neighbors ≡ memory-path; manifest
+    // pruning actually skipped files), and replay-deterministic
+    // across runs (second run takes the already-committed branch).
+    val q = graft.operators.PipelineQueries.queries("sim_ann_persisted_ivf")
+    val a = q(spark, sf).collect()
+    assert(a.length == 10, s"expected 10 probe rows, got ${a.length}")
+    a.foreach { r =>
+      assert(r.getAs[Long]("n_neighbors") == 5L, s"row $r")
+      assert(r.getAs[Boolean]("matches_inmemory_ivf"),
+        s"disk-path neighbors diverged from the in-memory IVF: $r")
+      assert(r.getAs[Boolean]("files_pruned"),
+        s"manifest pruning read every index file: $r")
+    }
+    val b = q(spark, sf).collect()
+    assert(a.toSeq == b.toSeq, "persisted IVF not replay-deterministic")
+  }
+
   test("PQ: Lloyd-refined per-subspace codebooks never lose to the anchor codebook") {
     // The declared sim_pq_error key uses the 16 anchor vectors as
     // each subspace's codebook (oracle-expressible); the production
