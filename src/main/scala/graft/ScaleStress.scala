@@ -139,7 +139,7 @@ object ScaleStress {
     // encode/decode pass (per-doc ImageIO encode is the cost).
     "dedup_incremental_index", "join_skew_salted_spread",
     "multimodal_png_decode", "sim_ann_persisted_ivf",
-    "stream_bus_decode")
+    "stream_bus_decode", "dedup_incremental_cluster")
   // Keys whose only input is lineitem — copy-scalable (see scaladoc).
   // The embeddings/documents keys are NOT copy-scalable for the same
   // reason the dedup keys aren't (cross-copy duplicate geometry);

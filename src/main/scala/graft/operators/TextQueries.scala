@@ -21,6 +21,71 @@ import graft.functions.ArrayDot
 object TextQueries {
   type Q = (SparkSession, String) => DataFrame
 
+  /** The incremental-dedup family's corpus (cap 1000, distinct tokens). */
+  private def incrDocs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").filter(col("doc_id") < 1000)
+      .select(col("doc_id"),
+        array_distinct(split(col("text"), " ")).as("toks"))
+
+  /** Build-once persisted state for the incremental dedup family
+    * (§2.207/§2.212): the already-crawled base corpus' (doc_id % 10
+    * ≠ 0) LSH band index, exact pair table, and canon labels — three
+    * VersionedTables under one scratch root. Returns (idxRoot,
+    * pairRoot, labelRoot). Idempotent: a complete state is reused, a
+    * partial one (crashed build) is dropped and rebuilt whole. */
+  private def incrDedupState(s: SparkSession, dir: String)
+      : (String, String, String) = {
+    import graft.sources.VersionedTable
+    val root = s"${ScanQueries.scratch(s, dir)}/incr_dedup"
+    val idxRoot = s"$root/band_index"
+    val pairRoot = s"$root/base_pairs"
+    val labelRoot = s"$root/base_labels"
+    if (VersionedTable.latestVersion(idxRoot) < 0
+        || VersionedTable.latestVersion(pairRoot) < 0
+        || VersionedTable.latestVersion(labelRoot) < 0) {
+      ScanQueries.deleteRecursively(new java.io.File(root))
+      val base = incrDocs(s, dir)
+        .filter(pmod(col("doc_id"), lit(10)) =!= 0)
+      VersionedTable.commit(s, idxRoot,
+        SimilarityJoin.minhashBandIndex(base), "overwrite")
+      VersionedTable.commit(s, pairRoot,
+        SimilarityJoin.minhash(base, "doc_id", "toks",
+          threshold = 0.8, numHashes = 32, bands = 16), "overwrite")
+      VersionedTable.commit(s, labelRoot,
+        ConnectedComponents.canonLabels(base.select(col("doc_id")),
+          VersionedTable.readLatest(s, pairRoot)
+            .select(col("doc_i"), col("doc_j"))), "overwrite")
+    }
+    (idxRoot, pairRoot, labelRoot)
+  }
+
+  /** The incremental step shared by §2.207/§2.212: sign ONLY the new
+    * crawl shard (doc_id % 10 = 0), append its triples to the stored
+    * index (first run only — idempotent), equi-join delta triples
+    * against the index (the appended index contains the delta too, so
+    * delta-delta pairs surface through the same single join; i ≠ j +
+    * least/greatest + distinct normalizes both orientations), and
+    * exact-verify candidates against token sets. */
+  private def incrDeltaPairs(s: SparkSession, dir: String,
+      idxRoot: String): DataFrame = {
+    import graft.sources.VersionedTable
+    val docs = incrDocs(s, dir)
+    val delta = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+    val deltaIdx = SimilarityJoin.minhashBandIndex(delta)
+    if (VersionedTable.latestVersion(idxRoot) == 0L)
+      VersionedTable.commit(s, idxRoot, deltaIdx, "append")
+    val index = VersionedTable.readLatest(s, idxRoot)
+    val cand = deltaIdx.select(col("band"), col("bh"), col("doc_id").as("a"))
+      .join(index.select(col("band"), col("bh"), col("doc_id").as("b")),
+        Seq("band", "bh"))
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("i"),
+        greatest(col("a"), col("b")).as("j"))
+      .distinct()
+    SimilarityJoin.verify(cand,
+      docs.select(col("doc_id"), array_sort(col("toks")).as("toks")), 0.8)
+  }
+
   /** Exact pairwise token-set Jaccard for doc_id < `cap`, threshold `th`. */
   private def exactJaccard(s: SparkSession, dir: String, cap: Int, th: Double): DataFrame =
     Jaccard.pairs(
@@ -449,44 +514,37 @@ object TextQueries {
     // while the index is still at v0, so reruns read the same v1.
     "dedup_incremental_index" -> ((s, dir) => {
       import graft.sources.VersionedTable
-      val docs = t(s, dir, "documents").filter(col("doc_id") < 1000)
-        .select(col("doc_id"),
-          array_distinct(split(col("text"), " ")).as("toks"))
-      val base = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
-      val delta = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
-      val root = s"${ScanQueries.scratch(s, dir)}/incr_dedup"
-      val idxRoot = s"$root/band_index"
-      val pairRoot = s"$root/base_pairs"
-      if (VersionedTable.latestVersion(idxRoot) < 0
-          || VersionedTable.latestVersion(pairRoot) < 0) {
-        ScanQueries.deleteRecursively(new java.io.File(root))
-        VersionedTable.commit(s, idxRoot,
-          SimilarityJoin.minhashBandIndex(base), "overwrite")
-        VersionedTable.commit(s, pairRoot,
-          SimilarityJoin.minhash(base, "doc_id", "toks",
-            threshold = 0.8, numHashes = 32, bands = 16), "overwrite")
-      }
-      // The incremental step: sign ONLY the delta shard, append it to
-      // the index (first run), then candidates = delta ⋈ index. The
-      // appended index contains the delta too, so delta-delta pairs
-      // surface through the same single join (i ≠ j + least/greatest
-      // + distinct normalizes both orientations).
-      val deltaIdx = SimilarityJoin.minhashBandIndex(delta)
-      if (VersionedTable.latestVersion(idxRoot) == 0L)
-        VersionedTable.commit(s, idxRoot, deltaIdx, "append")
-      val index = VersionedTable.readLatest(s, idxRoot)
-      val cand = deltaIdx.select(col("band"), col("bh"), col("doc_id").as("a"))
-        .join(index.select(col("band"), col("bh"), col("doc_id").as("b")),
-          Seq("band", "bh"))
-        .filter(col("a") =!= col("b"))
-        .select(least(col("a"), col("b")).as("i"),
-          greatest(col("a"), col("b")).as("j"))
-        .distinct()
-      val newPairs = SimilarityJoin.verify(cand,
-        docs.select(col("doc_id"), array_sort(col("toks")).as("toks")), 0.8)
+      val (idxRoot, pairRoot, _) = incrDedupState(s, dir)
       VersionedTable.readLatest(s, pairRoot)
-        .unionByName(newPairs)
+        .unionByName(incrDeltaPairs(s, dir, idxRoot))
         .orderBy("doc_i", "doc_j")
+    }),
+
+    // INCREMENTAL CLUSTER MAINTENANCE (§2.212) — the step AFTER
+    // incremental pair discovery: the base corpus' canon labels (its
+    // connected components) persist as a VersionedTable; a new crawl
+    // merges in WITHOUT re-clustering the corpus by running CC over
+    // the stored labels' STAR EDGES (doc → canon, one edge per
+    // non-root doc — connectivity-equivalent to the full base pair
+    // set) plus only the delta's new pairs. Edge count drops from
+    // O(base pairs) to O(base docs + delta pairs), and pointer
+    // jumping from a star forest converges in ~1 round instead of
+    // O(component diameter) — the two costs that matter when the
+    // stored corpus is 100 TB and the crawl is 0.1%. Output ≡ the
+    // full recompute (DedupScaleSpec-pinned), so the recursive-CTE
+    // oracle of dedup_cluster_canon applies verbatim.
+    "dedup_incremental_cluster" -> ((s, dir) => {
+      import graft.sources.VersionedTable
+      val (idxRoot, _, labelRoot) = incrDedupState(s, dir)
+      val starEdges = VersionedTable.readLatest(s, labelRoot)
+        .filter(col("doc_id") =!= col("canon"))
+        .select(col("doc_id"), col("canon"))
+      val deltaEdges = incrDeltaPairs(s, dir, idxRoot)
+        .select(col("doc_i"), col("doc_j"))
+      ConnectedComponents.canonLabels(
+          incrDocs(s, dir).select(col("doc_id")),
+          starEdges.unionByName(deltaEdges.toDF("doc_id", "canon")))
+        .orderBy("doc_id")
     }),
 
     // BPE PAIR COUNTS — the inner loop of byte-pair-encoding tokenizer
@@ -2513,6 +2571,22 @@ object TextQueries {
     // reach(doc, lab) = transitive closure of "lab reaches doc" over the
     // undirected pair graph; canon = min reachable label.
     "dedup_cluster_canon" ->
+      s"""WITH RECURSIVE $tokCte,
+         |p AS (SELECT i, j FROM (
+         |    SELECT i, j, CAST(c AS DOUBLE) / (sa.sz + sb.sz - c) AS jac
+         |    FROM inter JOIN sizes sa ON i = sa.doc_id JOIN sizes sb ON j = sb.doc_id)
+         |  WHERE jac >= 0.8),
+         |edges AS (SELECT i, j FROM p UNION ALL SELECT j AS i, i AS j FROM p),
+         |reach(doc, lab) AS (
+         |  SELECT doc_id, doc_id FROM (SELECT DISTINCT doc_id FROM documents
+         |                              WHERE doc_id < 1000)
+         |  UNION
+         |  SELECT e.j, r.lab FROM reach r JOIN edges e ON e.i = r.doc)
+         |SELECT doc AS doc_id, min(lab) AS canon FROM reach
+         |GROUP BY doc ORDER BY doc_id""".stripMargin,
+    // Incremental star-edge merge ≡ the full recompute, so the SAME
+    // recursive label-reachability canon applies verbatim.
+    "dedup_incremental_cluster" ->
       s"""WITH RECURSIVE $tokCte,
          |p AS (SELECT i, j FROM (
          |    SELECT i, j, CAST(c AS DOUBLE) / (sa.sz + sb.sz - c) AS jac

@@ -176,4 +176,25 @@ class DedupScaleSpec extends SparkSpec {
       SparkEntry.queries("dedup_incremental_index")(spark, sf))
     assert(again == incremental, "incremental dedup not replay-stable")
   }
+
+  test("incremental cluster maintenance == full CC recompute on the union") {
+    // The §2.212 contract: CC over stored-label STAR edges + delta
+    // pairs must label every doc exactly as a full recompute over the
+    // union's complete pair set — star edges are connectivity-
+    // equivalent to the base pair set by union-find invariant.
+    def labels(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    val incremental = labels(
+      SparkEntry.queries("dedup_incremental_cluster")(spark, sf))
+    val docs = Tables.t(spark, sf, "documents").filter(col("doc_id") < 1000)
+      .select(col("doc_id"),
+        array_distinct(split(col("text"), " ")).as("toks"))
+    val full = labels(graft.operators.ConnectedComponents.canonLabels(
+      docs.select(col("doc_id")),
+      graft.operators.SimilarityJoin.minhash(docs, "doc_id", "toks",
+        threshold = 0.8, numHashes = 32, bands = 16)
+        .select(col("doc_i"), col("doc_j"))))
+    assert(incremental == full,
+      s"incremental=${incremental.size} full=${full.size} label rows")
+  }
 }

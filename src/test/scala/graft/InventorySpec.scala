@@ -727,10 +727,13 @@ class InventorySpec extends SparkSpec {
     "sim_ann_persisted_ivf",
     // §2.211 round-17: bus-record decode parity (the Kafka-adapter
     // transform, batch-declared)
-    "stream_bus_decode")
+    "stream_bus_decode",
+    // §2.212 round-17: incremental cluster maintenance over stored
+    // canon-label star edges
+    "dedup_incremental_cluster")
 
-  test("declared queries cover SURVEY §2 + §2.12-211 exactly (716 keys)") {
-    assert(inventory.size == 716)
+  test("declared queries cover SURVEY §2 + §2.12-212 exactly (717 keys)") {
+    assert(inventory.size == 717)
     val declared = SparkEntry.queries.keySet
     val missing = inventory -- declared
     val extra = declared -- inventory
