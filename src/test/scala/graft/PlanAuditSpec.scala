@@ -56,13 +56,25 @@ class PlanAuditSpec extends SparkSpec {
 
   test("dedup candidate generation is banded: no O(n²) join in any dedup plan") {
     // The round-1 all-pairs forms planned BroadcastNestedLoopJoin; the
-    // banded/LSH rewrites must keep every join an equi-join.
+    // banded/LSH rewrites must keep every join an equi-join. The two
+    // round-17 incremental keys join delta signatures against the
+    // STORED band index / stored labels — same equi-only contract.
     for (q <- Seq("dedup_simhash", "dedup_embedding_cosine",
-      "dedup_minhash_lsh", "dedup_near_jaccard", "dedup_ngram_jaccard")) {
+      "dedup_minhash_lsh", "dedup_near_jaccard", "dedup_ngram_jaccard",
+      "dedup_incremental_index", "dedup_incremental_cluster")) {
       val p = plan(q)
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q has a nested-loop join")
       assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
     }
+  }
+
+  test("salted-join spread key: equi-joins only, salt widens the join key") {
+    // The §2.208 key's plan claim: the salted join stays a keyed
+    // equi-join on (k, __graft_salt) — never a nested loop — and the
+    // zipf synth + audit never cartesian.
+    val p = plan("join_skew_salted_spread")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
   }
 
   test("topk_per_group and sim_knn_topk execute through TopKPerGroupExec") {
