@@ -91,4 +91,46 @@ class SkewSpec extends SparkSpec {
       f"salted join flattening ratio $ratio%.2f < 6.0 " +
         s"(plain=$plainMax salted=$saltedMax)")
   }
+
+  test("zipf workload across SFs: plain hot-reducer load grows, salted stays ~flat per bucket") {
+    // The scale half of the §2.208 evidence: the UNSALTED hot key's
+    // single reducer carries a load that grows linearly with the
+    // corpus, while the salted max-bucket load stays within the
+    // binomial envelope of n/8 at every SF — i.e. salting converts a
+    // scaling hot spot into a constant-factor overhead.
+    import graft.Tables.t
+    val buckets = 8
+    def loads(dir: String): (Long, Long) = {
+      val fact = t(spark, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"))
+        .withColumn("u", conv(substring(md5(concat(
+            col("l_orderkey").cast("string"), lit(":"),
+            col("l_linenumber").cast("string")).cast("binary")), 1, 13),
+          16, 10).cast("long"))
+        .withColumn("k", when(pmod(col("u"), lit(2L)) === 0L, lit(0L))
+          .otherwise(pmod(expr("u div 2"), lit(100L)) + 1L))
+        .filter(col("k") === 0L)
+      val n = fact.count()
+      val saltedMax = fact
+        .withColumn("salt", pmod(hash(col("u")), lit(buckets)))
+        .groupBy("salt").count().agg(max("count")).head().getLong(0)
+      (n, saltedMax)
+    }
+    val (n1, s1) = loads(sf)
+    val (n2, s2) = loads("/root/testdata/sf0.01")
+    info(s"hot-key reducer loads: sf0.001 plain=$n1 saltedMax=$s1; " +
+      s"sf0.01 plain=$n2 saltedMax=$s2")
+    assert(n2 > 5 * n1, s"plain hot load did not grow with SF: $n1 -> $n2")
+    def envelope(n: Long) = n.toDouble / buckets + 4.0 * math.sqrt(n.toDouble)
+    assert(s1 <= envelope(n1), s"sf0.001 salted max $s1 > envelope ${envelope(n1)}")
+    assert(s2 <= envelope(n2), s"sf0.01 salted max $s2 > envelope ${envelope(n2)}")
+    // Relative overhead vs the ideal n/8 split SHRINKS as n grows
+    // (binomial concentration): the bigger the hot key, the closer
+    // salting gets to a perfect split.
+    val over1 = s1.toDouble / (n1.toDouble / buckets)
+    val over2 = s2.toDouble / (n2.toDouble / buckets)
+    info(f"salted max/ideal: sf0.001 $over1%.3f, sf0.01 $over2%.3f")
+    assert(over2 <= over1 + 0.02,
+      f"salted overhead grew with SF: $over1%.3f -> $over2%.3f")
+  }
 }
