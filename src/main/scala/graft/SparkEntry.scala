@@ -19,7 +19,7 @@ object SparkEntry {
       PipelineQueries.queries ++ ReshapeQueries.queries ++
       CurationQueries.queries ++ AnalyticsQueries.queries ++
       EtlQueries.queries ++ GraphQueries.queries ++ TpchQueries.queries ++
-      StatQueries.queries ++ GeoQueries.queries
+      StatQueries.queries ++ GeoQueries.queries ++ LakehouseQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -30,5 +30,5 @@ object SparkEntry {
       PipelineQueries.oracle ++ ReshapeQueries.oracle ++
       CurationQueries.oracle ++ AnalyticsQueries.oracle ++
       EtlQueries.oracle ++ GraphQueries.oracle ++ TpchQueries.oracle ++
-      StatQueries.oracle ++ GeoQueries.oracle
+      StatQueries.oracle ++ GeoQueries.oracle ++ LakehouseQueries.oracle
 }

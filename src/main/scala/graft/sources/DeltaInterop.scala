@@ -1,0 +1,247 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Reader (and a minimal fixture-building writer) for the Delta Lake
+  * TABLE-DIRECTORY convention — the published `delta.io` PROTOCOL.md,
+  * implemented from the spec, NOT from the delta-io library (which is
+  * not on this classpath). The point is INTEROP: a table some other
+  * engine's writer maintains is readable here without that engine.
+  *
+  * Layout read:
+  *   - data files: parquet anywhere under the table root, referenced by
+  *     RELATIVE path; identity-partition columns are OMITTED from the
+  *     file bytes and carried in `add.partitionValues` (the reader must
+  *     re-attach them — a reader that just globs parquet silently drops
+  *     the partition columns AND resurrects removed files).
+  *   - `_delta_log/<v (20-digit zero-padded)>.json`: one commit per
+  *     version, JSON LINES, one action object per line (`protocol` /
+  *     `metaData` / `add` / `remove`).
+  *   - `_delta_log/<v>.checkpoint.parquet`: the full action state as of
+  *     v (live `add` rows + `remove` tombstones), so replay is
+  *     O(commits since checkpoint), not O(all commits).
+  *   - `_delta_log/_last_checkpoint`: JSON pointer `{"version": v}` to
+  *     the newest checkpoint.
+  *
+  * Snapshot reconstruction (PROTOCOL.md "Action Reconciliation"):
+  * start from the newest checkpoint state when one exists (else from
+  * nothing, requiring commit 0 to be present), apply the strictly
+  * contiguous commit suffix in version order; the LAST action for a
+  * path wins — live iff it is an `add`. Both guards are loud: a gap in
+  * the suffix or a vacuumed log head without a checkpoint is an
+  * unreadable table, not an empty one.
+  *
+  * 100 TB shape: the log is BOUNDED METADATA (file-level actions, the
+  * same class as [[VersionedTable]] manifests — thousands of rows per
+  * commit, not data-proportional), so the reconciliation runs as one
+  * small Spark job over checkpoint+suffix and the live file list
+  * collects O(files) to the driver, exactly like every production Delta
+  * reader's snapshot phase. Data bytes are only ever touched by the
+  * final distributed parquet scan over live files, and
+  * [[snapshotFiles]] exposes `partitionValues` so callers prune
+  * partitions BEFORE any parquet footer is opened.
+  */
+object DeltaInterop {
+
+  private def pad(v: Long): String = f"$v%020d"
+  private def logDir(root: String): String = s"$root/_delta_log"
+
+  /** Action schema for commit-line JSON: the add/remove subset snapshot
+    * reconstruction needs. `protocol`/`metaData` lines parse to
+    * all-null structs under this schema and drop out at the path
+    * filter. Checkpoint parquet carries the same two struct columns. */
+  private val actionSchema = StructType(Seq(
+    StructField("add", StructType(Seq(
+      StructField("path", StringType),
+      StructField("partitionValues", MapType(StringType, StringType)),
+      StructField("size", LongType),
+      StructField("dataChange", BooleanType)))),
+    StructField("remove", StructType(Seq(
+      StructField("path", StringType),
+      StructField("dataChange", BooleanType))))))
+
+  /** Version named by `_last_checkpoint`, or None on a young table. */
+  private[graft] def lastCheckpoint(root: String): Option[Long] = {
+    val f = java.nio.file.Paths.get(logDir(root), "_last_checkpoint")
+    if (!java.nio.file.Files.exists(f)) None
+    else "\"version\"\\s*:\\s*(\\d+)".r
+      .findFirstMatchIn(java.nio.file.Files.readString(f))
+      .map(_.group(1).toLong)
+  }
+
+  /** One reconciliation for both faces (latest-snapshot read and
+    * checkpoint construction): actions from `ckpt` (when given) plus
+    * the commit versions in `tail`, last action per path wins.
+    * Returns every path's final state: (relative path, live?,
+    * partitionValues). */
+  private def reconcile(spark: SparkSession, root: String,
+      ckpt: Option[Long], tail: Seq[Long]): Seq[(String, Boolean, Map[String, String])] = {
+    val ckptDf = ckpt.map { c =>
+      spark.read.parquet(s"${logDir(root)}/${pad(c)}.checkpoint.parquet")
+        .select(col("add"), col("remove"), lit(c).as("version"))
+    }
+    val tailDf = Option.when(tail.nonEmpty) {
+      spark.read.schema(actionSchema)
+        .json(tail.map(v => s"${logDir(root)}/${pad(v)}.json"): _*)
+        .withColumn("version", regexp_extract(col("_metadata.file_name"),
+          "^(\\d{20})\\.json$", 1).cast("long"))
+    }
+    val acts = (ckptDf.toSeq ++ tailDf.toSeq).reduce(_ unionByName _)
+      .select(coalesce(col("add.path"), col("remove.path")).as("path"),
+        col("add.path").isNotNull.as("is_add"),
+        col("add.partitionValues").as("pv"), col("version"))
+      .filter(col("path").isNotNull)
+    // Protocol invariant (holds for spec-conforming writers): a path is
+    // never added AND removed at the same version, so max_by needs no
+    // tie-break. Live file lists are bounded metadata — this collect is
+    // the same O(files) driver state every Delta reader's snapshot
+    // phase holds.
+    acts.groupBy("path")
+      .agg(max_by(struct(col("is_add"), col("pv")), col("version")).as("last"))
+      .select(col("path"), col("last.is_add").as("is_add"),
+        col("last.pv").as("pv"))
+      .collect().toSeq
+      .map(r => (r.getString(0), r.getBoolean(1),
+        Option(r.getMap[String, String](2)).map(_.toMap).getOrElse(Map.empty)))
+      .sortBy(_._1)
+  }
+
+  /** Live data files of the LATEST snapshot: (relative path,
+    * partitionValues), from the newest checkpoint + the commit suffix
+    * after it. Loud on a gapped suffix or a vacuumed-head log with no
+    * checkpoint. */
+  def snapshotFiles(spark: SparkSession, root: String): Seq[(String, Map[String, String])] = {
+    val dir = new java.io.File(logDir(root))
+    require(dir.isDirectory, s"not a Delta table (no _delta_log): $root")
+    val commitRe = "^(\\d{20})\\.json$".r
+    val versions = dir.listFiles.toSeq.map(_.getName)
+      .collect { case commitRe(v) => v.toLong }.sorted
+    val ckpt = lastCheckpoint(root)
+    val tail = versions.filter(v => ckpt.forall(_ < v))
+    ckpt match {
+      case None =>
+        require(versions.headOption.contains(0L) &&
+            versions == (0L until versions.size.toLong),
+          s"unreadable Delta log at $root: no checkpoint and commits " +
+            s"$versions do not start contiguously at 0 (vacuumed head?)")
+      case Some(c) =>
+        require(tail == (c + 1 to c + tail.size),
+          s"unreadable Delta log at $root: gap in commit suffix $tail " +
+            s"after checkpoint $c")
+    }
+    reconcile(spark, root, ckpt, tail)
+      .collect { case (p, true, pv) => (p, pv) }
+  }
+
+  /** Read the latest snapshot, re-attaching identity-partition columns
+    * from `partitionValues` (data files omit them, per the protocol).
+    * `prune` sees each file's partitionValues BEFORE any parquet read —
+    * partition pruning at the metadata level, the 100 TB idiom. Files
+    * are grouped by partition tuple (one scan per live partition value,
+    * unioned) so the attachment is a constant-folded literal column,
+    * not a join. */
+  def readSnapshot(spark: SparkSession, root: String,
+      prune: Map[String, String] => Boolean = _ => true): DataFrame = {
+    val files = snapshotFiles(spark, root).filter(f => prune(f._2))
+    require(files.nonEmpty, s"no live files selected from $root")
+    files.groupBy(_._2).toSeq.sortBy(_._1.toSeq.sorted.mkString(","))
+      .map { case (pv, group) =>
+        pv.toSeq.sortBy(_._1).foldLeft(
+          spark.read.parquet(group.map(g => s"$root/${g._1}"): _*)) {
+          case (df, (k, v)) => df.withColumn(k, lit(v))
+        }
+      }.reduce(_ unionByName _)
+  }
+
+  // ------------------------------------------------------------------
+  // Writer face — enough of the convention to BUILD conforming tables
+  // (fixture construction and the spec's negative cases). Hand-rolled
+  // JSON with full string escaping; commit files are written whole.
+  // ------------------------------------------------------------------
+
+  private def esc(s: String): String = s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
+
+  def addAction(path: String, pv: Map[String, String], size: Long): String = {
+    val pvj = pv.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }.mkString(",")
+    s"""{"add":{"path":"${esc(path)}","partitionValues":{$pvj},""" +
+      s""""size":$size,"dataChange":true}}"""
+  }
+
+  def removeAction(path: String): String =
+    s"""{"remove":{"path":"${esc(path)}","dataChange":true}}"""
+
+  def protocolAction: String =
+    """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
+
+  def metaDataAction(id: String, partitionCols: Seq[String]): String = {
+    val pc = partitionCols.map(c => s""""${esc(c)}"""").mkString(",")
+    s"""{"metaData":{"id":"${esc(id)}","format":{"provider":"parquet"},""" +
+      s""""partitionColumns":[$pc]}}"""
+  }
+
+  def writeCommit(root: String, v: Long, actions: Seq[String]): Unit = {
+    val dir = java.nio.file.Paths.get(logDir(root))
+    java.nio.file.Files.createDirectories(dir)
+    java.nio.file.Files.writeString(dir.resolve(s"${pad(v)}.json"),
+      actions.mkString("", "\n", "\n"))
+  }
+
+  /** Materialize the state as of version `v` (all commits 0..v must
+    * still be present) as `<v>.checkpoint.parquet` + `_last_checkpoint`.
+    * Tombstones for removed paths are carried so later readers can
+    * reconcile against post-checkpoint commits correctly. */
+  def writeCheckpoint(spark: SparkSession, root: String, v: Long): Unit = {
+    val state = reconcile(spark, root, None, 0L to v)
+    val rows = state.map {
+      case (p, true, pv) => org.apache.spark.sql.Row(
+        org.apache.spark.sql.Row(p, pv, 0L, true), null)
+      case (p, false, _) => org.apache.spark.sql.Row(
+        null, org.apache.spark.sql.Row(p, true))
+    }
+    val tmp = s"${logDir(root)}/.ckpt_tmp_$v"
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), actionSchema)
+      .coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .getOrElse(sys.error(s"checkpoint write produced no part file in $tmp"))
+    java.nio.file.Files.move(part.toPath,
+      java.nio.file.Paths.get(logDir(root), s"${pad(v)}.checkpoint.parquet"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    ScanSupport.deleteDir(new java.io.File(tmp))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(logDir(root), "_last_checkpoint"),
+      s"""{"version":$v,"size":${rows.size}}""")
+  }
+
+  /** Log cleanup (what `VACUUM`'s metadata phase does): drop commit
+    * JSONs strictly below `before` — legal only once a checkpoint ≥
+    * before−1 exists, which the reader's contiguity guard enforces. */
+  def cleanLog(root: String, before: Long): Unit = {
+    val commitRe = "^(\\d{20})\\.json$".r
+    new java.io.File(logDir(root)).listFiles.toSeq.foreach { f =>
+      f.getName match {
+        case commitRe(v) if v.toLong < before => f.delete(): Unit
+        case _ => ()
+      }
+    }
+  }
+}
+
+/** Tiny shared fs helper for the foreign-layout writers (kept out of
+  * the operator files so sources/ has no operators dependency). */
+private[graft] object ScanSupport {
+  def deleteDir(f: java.io.File): Unit = {
+    val kids = f.listFiles()
+    if (kids != null) kids.foreach(deleteDir)
+    f.delete(): Unit
+  }
+}

@@ -730,10 +730,13 @@ class InventorySpec extends SparkSpec {
     "stream_bus_decode",
     // §2.212 round-17: incremental cluster maintenance over stored
     // canon-label star edges
-    "dedup_incremental_cluster")
+    "dedup_incremental_cluster",
+    // §2.213 round-17: foreign Delta-log interop (checkpoint replay,
+    // vacuumed head, partition-value reattachment)
+    "scan_delta_log_interop")
 
-  test("declared queries cover SURVEY §2 + §2.12-212 exactly (717 keys)") {
-    assert(inventory.size == 717)
+  test("declared queries cover SURVEY §2 + §2.12-213 exactly (718 keys)") {
+    assert(inventory.size == 718)
     val declared = SparkEntry.queries.keySet
     val missing = inventory -- declared
     val extra = declared -- inventory

@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.DeltaInterop
+import graft.operators.LakehouseQueries
+
+/** Contract locks for the foreign-lakehouse interop machinery
+  * (SURVEY §2.213+): the Delta-convention reader's checkpoint replay,
+  * partition-value reattachment, metadata-level pruning, and the loud
+  * failure modes an interop reader must NOT paper over.
+  */
+class LakehouseInteropSpec extends SparkSpec {
+
+  private def freshRoot(name: String): String = {
+    val r = s"/tmp/graft_test_delta/${spark.sparkContext.applicationId}/$name"
+    graft.sources.ScanSupport.deleteDir(new java.io.File(r))
+    new java.io.File(r).mkdirs()
+    r
+  }
+
+  /** A 2-partition table with one remove: v0 adds p=a (ids 0-4) and
+    * p=b (ids 5-9); v1 removes p=b and adds p=c (ids 10-12). */
+  private def tinyTable(root: String): Unit = {
+    import spark.implicits._
+    def stage(sub: String, lo: Int, hi: Int): String = {
+      (lo until hi).toDF("id").coalesce(1)
+        .write.mode("overwrite").parquet(s"$root/$sub")
+      val part = new java.io.File(s"$root/$sub").listFiles
+        .find(_.getName.endsWith(".parquet")).get.getName
+      s"$sub/$part"
+    }
+    val fa = stage("pa", 0, 5)
+    val fb = stage("pb", 5, 10)
+    DeltaInterop.writeCommit(root, 0L, Seq(
+      DeltaInterop.protocolAction,
+      DeltaInterop.metaDataAction("tiny", Seq("p")),
+      DeltaInterop.addAction(fa, Map("p" -> "a"), 0L),
+      DeltaInterop.addAction(fb, Map("p" -> "b"), 0L)))
+    val fc = stage("pc", 10, 13)
+    DeltaInterop.writeCommit(root, 1L, Seq(
+      DeltaInterop.removeAction(fb),
+      DeltaInterop.addAction(fc, Map("p" -> "c"), 0L)))
+  }
+
+  test("snapshot reconciliation: remove tombstones win, adds survive") {
+    val root = freshRoot("basic")
+    tinyTable(root)
+    val files = DeltaInterop.snapshotFiles(spark, root)
+    assert(files.size == 2)
+    assert(files.map(_._2("p")).sorted == Seq("a", "c"))
+    val ids = DeltaInterop.readSnapshot(spark, root)
+      .select("id").collect().map(_.getInt(0)).sorted
+    assert(ids.toSeq == (0 until 5) ++ (10 until 13))
+  }
+
+  test("partition columns come from partitionValues, pruning is pre-scan") {
+    val root = freshRoot("prune")
+    tinyTable(root)
+    // The partition column exists ONLY via reattachment (data files
+    // carry just `id`), and a pv-prune selects files before any read.
+    val snap = DeltaInterop.readSnapshot(spark, root)
+    assert(snap.columns.sorted.toSeq == Seq("id", "p"))
+    val onlyA = DeltaInterop.readSnapshot(spark, root,
+      prune = pv => pv.get("p").contains("a"))
+    assert(onlyA.count() == 5)
+    assert(onlyA.select("p").distinct().collect().map(_.getString(0)).toSeq
+      == Seq("a"))
+  }
+
+  test("checkpoint + vacuumed log head: replay starts at the checkpoint") {
+    val root = freshRoot("ckpt")
+    tinyTable(root)
+    DeltaInterop.writeCheckpoint(spark, root, 1L)
+    DeltaInterop.cleanLog(root, before = 2L)
+    // Commits 0 and 1 are gone; only the checkpoint carries the state.
+    assert(!new java.io.File(s"$root/_delta_log/${"0" * 20}.json").exists())
+    assert(DeltaInterop.lastCheckpoint(root).contains(1L))
+    val files = DeltaInterop.snapshotFiles(spark, root)
+    assert(files.map(_._2("p")).sorted == Seq("a", "c"))
+    // A post-checkpoint commit still applies on top of checkpoint state.
+    val fcName = new java.io.File(s"$root/pc").listFiles
+      .find(_.getName.endsWith(".parquet")).get.getName
+    DeltaInterop.writeCommit(root, 2L, Seq(
+      DeltaInterop.removeAction(s"pc/$fcName")))
+    val after = DeltaInterop.snapshotFiles(spark, root)
+    assert(after.map(_._2("p")) == Seq("a"))
+    // Checkpoint tombstones hold: pb stays dead even though the
+    // checkpoint is the only record of its removal.
+    val ids = DeltaInterop.readSnapshot(spark, root)
+      .select("id").collect().map(_.getInt(0)).sorted
+    assert(ids.toSeq == (0 until 5))
+  }
+
+  test("unreadable logs fail loudly: vacuumed head without checkpoint, gapped suffix") {
+    val root = freshRoot("vacnockpt")
+    tinyTable(root)
+    new java.io.File(s"$root/_delta_log/${"0" * 20}.json").delete()
+    val e = intercept[IllegalArgumentException] {
+      DeltaInterop.snapshotFiles(spark, root)
+    }
+    assert(e.getMessage.contains("unreadable"))
+
+    val root2 = freshRoot("gap")
+    tinyTable(root2)
+    DeltaInterop.writeCheckpoint(spark, root2, 0L)
+    // Suffix must be contiguous from ckpt+1: drop commit 1, add commit 2.
+    new java.io.File(s"$root2/_delta_log/${"0" * 19}1.json").delete()
+    DeltaInterop.writeCommit(root2, 2L, Seq(
+      DeltaInterop.removeAction("pa/whatever.parquet")))
+    val e2 = intercept[IllegalArgumentException] {
+      DeltaInterop.snapshotFiles(spark, root2)
+    }
+    assert(e2.getMessage.contains("gap"))
+  }
+
+  test("declared key: latest snapshot == A + (R & qty>=25), 2 live files") {
+    val df = LakehouseQueries.queries("scan_delta_log_interop")(spark, sf)
+    val rows = df.collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("A", "R"))
+    val li = Tables.t(spark, sf, "lineitem")
+    val expA = li.filter(col("l_returnflag") === "A").count()
+    val expR = li.filter(col("l_returnflag") === "R" &&
+      col("l_quantity") >= 25).count()
+    assert(rows(0).getLong(1) == expA)
+    assert(rows(1).getLong(1) == expR)
+    assert(rows.forall(_.getInt(3) == 2))
+  }
+}
