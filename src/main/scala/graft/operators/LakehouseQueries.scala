@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables.t
 import graft.Det.{dsum, sqlSum}
-import graft.sources.DeltaInterop
+import graft.sources.{DeletionVectors, DeltaInterop}
 
 /** §2.213+ Foreign table-format interop (SURVEY.md round-17 wave): the
   * storage layouts a 100 TB user's OTHER engines maintain. VersionedTable
@@ -115,6 +115,35 @@ object LakehouseQueries {
           dsum(col("l_extendedprice")).as("sum_price"))
         .withColumn("n_live_files", lit(nLive))
         .orderBy("l_returnflag")
+    }),
+
+    // DELETION VECTORS (§2.214) — row-level DELETE over immutable
+    // parquet: two overlapping deletes append (file, row_index) pairs
+    // to a sidecar (not one data byte rewritten — the spec pins the
+    // data files untouched), the read anti-joins them back out via the
+    // hidden _metadata positions. The predicates are congruences so the
+    // oracle recomputes the exact live set; n_deleted pins the
+    // DEDUPLICATED sidecar (overlap rows are marked twice — a reader
+    // that multiset-joins instead of set-joins still agrees here, but
+    // the spec's disjoint-count lock catches it).
+    "scan_deletion_vectors" -> ((s, dir) => {
+      val root = s"${ScanQueries.scratch(s, dir)}/dv_orders"
+      buildOnce(root) {
+        t(s, dir, "orders").repartition(4, col("o_orderkey"))
+          .write.parquet(DeletionVectors.dataDir(root))
+        DeletionVectors.markDeleted(s, root,
+          pmod(col("o_orderkey"), lit(7L)) === 0L)
+        DeletionVectors.markDeleted(s, root,
+          pmod(col("o_custkey"), lit(11L)) === 0L)
+      }
+      val nDel = DeletionVectors.deletedPositions(s, root)
+        .agg(count(lit(1)).as("n_deleted"))
+      DeletionVectors.readLive(s, root)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_live"),
+          dsum(col("o_totalprice")).as("sum_price"))
+        .crossJoin(broadcast(nDel))
+        .orderBy("o_orderpriority")
     })
   )
 
@@ -124,6 +153,16 @@ object LakehouseQueries {
          |  ${sqlSum("l_extendedprice")} AS sum_price, 2 AS n_live_files
          |FROM lineitem
          |WHERE l_returnflag = 'A' OR (l_returnflag = 'R' AND l_quantity >= 25)
-         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "scan_deletion_vectors" ->
+      s"""WITH d AS (SELECT count(*) AS n_deleted FROM orders
+         |  WHERE o_orderkey % 7 = 0 OR o_custkey % 11 = 0)
+         |SELECT o_orderpriority, count(*) AS n_live,
+         |  ${sqlSum("o_totalprice")} AS sum_price, d.n_deleted
+         |FROM orders, d
+         |WHERE NOT (o_orderkey % 7 = 0 OR o_custkey % 11 = 0)
+         |GROUP BY o_orderpriority, d.n_deleted
+         |ORDER BY o_orderpriority""".stripMargin
   )
 }

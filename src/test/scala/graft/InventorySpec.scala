@@ -733,10 +733,13 @@ class InventorySpec extends SparkSpec {
     "dedup_incremental_cluster",
     // §2.213 round-17: foreign Delta-log interop (checkpoint replay,
     // vacuumed head, partition-value reattachment)
-    "scan_delta_log_interop")
+    "scan_delta_log_interop",
+    // §2.214 round-17: deletion-vector row-level deletes over
+    // immutable parquet
+    "scan_deletion_vectors")
 
-  test("declared queries cover SURVEY §2 + §2.12-213 exactly (718 keys)") {
-    assert(inventory.size == 718)
+  test("declared queries cover SURVEY §2 + §2.12-214 exactly (719 keys)") {
+    assert(inventory.size == 719)
     val declared = SparkEntry.queries.keySet
     val missing = inventory -- declared
     val extra = declared -- inventory

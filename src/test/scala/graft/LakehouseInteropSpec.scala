@@ -113,6 +113,49 @@ class LakehouseInteropSpec extends SparkSpec {
     assert(e2.getMessage.contains("gap"))
   }
 
+  // ------------------------------------------------------------------
+  // Deletion vectors
+  // ------------------------------------------------------------------
+
+  test("deletion vectors: DELETE never rewrites data files; reads are exact") {
+    import graft.sources.DeletionVectors
+    import spark.implicits._
+    val root = s"/tmp/graft_test_delta/${spark.sparkContext.applicationId}/dv"
+    graft.sources.ScanSupport.deleteDir(new java.io.File(root))
+    (0 until 100).map(i => (i.toLong, s"v$i")).toDF("id", "s")
+      .repartition(3, col("id"))
+      .write.parquet(DeletionVectors.dataDir(root))
+    def dataState() = new java.io.File(DeletionVectors.dataDir(root))
+      .listFiles.filter(_.getName.endsWith(".parquet"))
+      .map(f => (f.getName, f.length, f.lastModified)).sortBy(_._1).toSeq
+    val before = dataState()
+    DeletionVectors.markDeleted(spark, root, col("id") % 7 === 0)
+    DeletionVectors.markDeleted(spark, root, col("id") % 11 === 0)
+    // Not one data byte moved: same files, sizes, mtimes.
+    assert(dataState() == before)
+    val live = DeletionVectors.readLive(spark, root)
+      .select("id").collect().map(_.getLong(0)).sorted
+    assert(live.toSeq == (0L until 100L).filter(i => i % 7 != 0 && i % 11 != 0))
+    // Set semantics: id=77 matched BOTH predicates (two sidecar marks),
+    // the deduplicated audit face counts it once.
+    val marked = DeletionVectors.deletedPositions(spark, root).count()
+    assert(marked == (0L until 100L).count(i => i % 7 == 0 || i % 11 == 0))
+  }
+
+  test("deletion vectors: live read is one scan + broadcast anti-join") {
+    import graft.sources.DeletionVectors
+    import spark.implicits._
+    val root = s"/tmp/graft_test_delta/${spark.sparkContext.applicationId}/dvplan"
+    graft.sources.ScanSupport.deleteDir(new java.io.File(root))
+    (0 until 10).toDF("id").write.parquet(DeletionVectors.dataDir(root))
+    DeletionVectors.markDeleted(spark, root, col("id") === 3)
+    val plan = DeletionVectors.readLive(spark, root)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"expected broadcast anti-join, got:\n$plan")
+    assert(!plan.contains("SortMergeJoin"))
+  }
+
   test("declared key: latest snapshot == A + (R & qty>=25), 2 live files") {
     val df = LakehouseQueries.queries("scan_delta_log_interop")(spark, sf)
     val rows = df.collect()
