@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables.t
 import graft.Det.{dsum, sqlSum}
-import graft.sources.{DeletionVectors, DeltaInterop}
+import graft.sources.{DeletionVectors, DeltaInterop, IcebergInterop}
 
 /** §2.213+ Foreign table-format interop (SURVEY.md round-17 wave): the
   * storage layouts a 100 TB user's OTHER engines maintain. VersionedTable
@@ -96,6 +96,47 @@ object LakehouseQueries {
     root
   }
 
+  /** The Iceberg-shaped orders table: partition = bucket(o_orderkey, 4)
+    * (a DERIVED transform — data files keep full table schema, the
+    * bucket lives only in metadata, per the Iceberg spec). Snapshot 101
+    * loads even-custkey orders as 4 bucket files under 2 manifests
+    * (buckets 0-1 and 2-3, each with its partition range summary);
+    * snapshot 202 appends the odd-custkey rows as 4 more files under 2
+    * NEW manifests and a new manifest list that REUSES snapshot 101's
+    * manifest files verbatim (append = O(new) metadata). */
+  private def icebergOrdersTable(s: SparkSession, dir: String): String = {
+    val root = s"${ScanQueries.scratch(s, dir)}/iceberg_orders"
+    buildOnce(root) {
+      val o = t(s, dir, "orders")
+      def manifest(name: String, parity: Long, buckets: Seq[Long]) = {
+        val entries = buckets.map { b =>
+          val rel = stageFile(root, s"data/p${parity}_b$b",
+            o.filter(pmod(col("o_custkey"), lit(2L)) === parity &&
+              pmod(col("o_orderkey"), lit(4L)) === b))
+          IcebergInterop.ManifestEntry(status = 1, filePath = rel,
+            recordCount = s.read.parquet(s"$root/$rel").count(), partition = b)
+        }
+        IcebergInterop.ManifestFile(
+          IcebergInterop.writeManifest(root, name, entries),
+          entries.size, buckets.min, buckets.max)
+      }
+      val m1 = manifest("manifest-1", 0L, Seq(0L, 1L))
+      val m2 = manifest("manifest-2", 0L, Seq(2L, 3L))
+      val list1 = IcebergInterop.writeManifestList(root, 101L, Seq(m1, m2))
+      val snap1 = IcebergInterop.Snapshot(101L, None, list1)
+      IcebergInterop.writeMetadata(root, 1, 101L, Seq(snap1))
+      val m3 = manifest("manifest-3", 1L, Seq(0L, 1L))
+      val m4 = manifest("manifest-4", 1L, Seq(2L, 3L))
+      // Manifest reuse: the new list references m1/m2 unchanged
+      // (added_files_count 0 — they carry no files new to 202).
+      val list2 = IcebergInterop.writeManifestList(root, 202L, Seq(
+        m1.copy(addedFilesCount = 0), m2.copy(addedFilesCount = 0), m3, m4))
+      val snap2 = IcebergInterop.Snapshot(202L, Some(101L), list2)
+      IcebergInterop.writeMetadata(root, 2, 202L, Seq(snap1, snap2))
+    }
+    root
+  }
+
   val queries: Map[String, Q] = Map(
     // DELTA LOG INTEROP (§2.213) — read a Delta-convention table
     // (checkpoint + vacuumed log head + post-checkpoint commit +
@@ -144,6 +185,29 @@ object LakehouseQueries {
           dsum(col("o_totalprice")).as("sum_price"))
         .crossJoin(broadcast(nDel))
         .orderBy("o_orderpriority")
+    }),
+
+    // ICEBERG-SHAPED SNAPSHOT INTEROP (§2.215) — two-level metadata
+    // planning over real Avro manifests: the CURRENT snapshot (an
+    // append lineage: 101 = even custkeys, 202 reuses 101's manifests
+    // and adds the odd ones) read with bucket predicate {0,1}, which
+    // prunes the two (2,3)-range manifests at the MANIFEST LIST level
+    // (never opened) and plans exactly 4 of 8 files. Both prune
+    // counters ride in-band; the aggregate pins that the planned files
+    // reconstruct precisely orders with o_orderkey%4 IN (0,1) — a
+    // missed manifest loses rows, a resurrected snapshot-101-only read
+    // loses the odd custkeys, a wrong range summary over-prunes.
+    "scan_iceberg_snapshot_interop" -> ((s, dir) => {
+      val root = icebergOrdersTable(s, dir)
+      val (files, prunedManifests) =
+        IcebergInterop.planFiles(root, None, Some(Set(0L, 1L)))
+      s.read.parquet(files.map(e => s"$root/${e.filePath}"): _*)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice")).as("sum_price"))
+        .withColumn("n_files_read", lit(files.size))
+        .withColumn("n_manifests_pruned", lit(prunedManifests))
+        .orderBy("o_orderstatus")
     })
   )
 
@@ -163,6 +227,13 @@ object LakehouseQueries {
          |FROM orders, d
          |WHERE NOT (o_orderkey % 7 = 0 OR o_custkey % 11 = 0)
          |GROUP BY o_orderpriority, d.n_deleted
-         |ORDER BY o_orderpriority""".stripMargin
+         |ORDER BY o_orderpriority""".stripMargin,
+
+    "scan_iceberg_snapshot_interop" ->
+      s"""SELECT o_orderstatus, count(*) AS n_orders,
+         |  ${sqlSum("o_totalprice")} AS sum_price,
+         |  4 AS n_files_read, 2 AS n_manifests_pruned
+         |FROM orders WHERE o_orderkey % 4 IN (0, 1)
+         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
   )
 }

@@ -1,0 +1,210 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import org.apache.avro.Schema
+import org.apache.avro.file.{DataFileReader, DataFileWriter}
+import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+
+/** Reader (and a minimal fixture-building writer) for the ICEBERG-SHAPED
+  * two-level metadata layout — the published Apache Iceberg table spec's
+  * structure (iceberg.apache.org/spec), built from the spec with the
+  * real serialization stack (table metadata = JSON, manifest lists and
+  * manifests = AVRO container files via the Apache Avro library on this
+  * classpath; the iceberg-core library is not). Field set is the
+  * simplified subset the planning flow needs — same LAYERING, not
+  * byte-compatible with iceberg-core (which pins exact Avro field ids):
+  *
+  *   metadata/version-hint.text          → newest metadata version N
+  *   metadata/v<N>.metadata.json         → snapshots + current-snapshot-id
+  *   metadata/snap-<id>.avro             → manifest list: one record per
+  *       manifest with its partition-value RANGE summary
+  *   metadata/manifest-<k>.avro          → data-file entries: path,
+  *       record_count, partition value
+  *   data files: parquet, referenced by relative path
+  *
+  * Why two levels: at 100 TB a snapshot has thousands of manifests and
+  * millions of files — scan planning must prune WHOLE MANIFESTS from the
+  * manifest list's partition summaries before ever opening them, then
+  * prune files inside the survivors, and only then open parquet footers.
+  * That is exactly [[planFiles]]: both prune levels are metadata-only,
+  * driver-side over bounded Avro files (the same place iceberg-core
+  * plans), and data bytes are touched only by the final distributed scan.
+  *
+  * Snapshot semantics: appends write NEW manifest files and a NEW
+  * manifest list that REFERENCES the prior snapshot's manifests
+  * unchanged (manifest reuse — an append is O(new files) metadata, not
+  * O(table)); every snapshot stays readable by id (time travel), with
+  * `parent-snapshot-id` carrying lineage.
+  */
+object IcebergInterop {
+
+  private def metaDir(root: String): String = s"$root/metadata"
+
+  private val manifestEntrySchema: Schema = new Schema.Parser().parse(
+    """{"type":"record","name":"manifest_entry","fields":[
+      |{"name":"status","type":"int"},
+      |{"name":"file_path","type":"string"},
+      |{"name":"record_count","type":"long"},
+      |{"name":"partition","type":"long"}]}""".stripMargin)
+
+  private val manifestFileSchema: Schema = new Schema.Parser().parse(
+    """{"type":"record","name":"manifest_file","fields":[
+      |{"name":"manifest_path","type":"string"},
+      |{"name":"added_files_count","type":"int"},
+      |{"name":"partition_lo","type":"long"},
+      |{"name":"partition_hi","type":"long"}]}""".stripMargin)
+
+  /** One data-file entry inside a manifest. `status` 1 = added by this
+    * snapshot, 0 = existing (carried over). `partition` is the file's
+    * identity-partition value (single LONG partition field — the subset
+    * shape). */
+  case class ManifestEntry(status: Int, filePath: String,
+      recordCount: Long, partition: Long)
+
+  /** One manifest reference inside a manifest list, with the partition
+    * RANGE summary planning prunes on. */
+  case class ManifestFile(manifestPath: String, addedFilesCount: Int,
+      partitionLo: Long, partitionHi: Long)
+
+  case class Snapshot(snapshotId: Long, parentSnapshotId: Option[Long],
+      manifestList: String)
+
+  // ------------------------------------------------------------------
+  // Avro faces (driver-side, bounded metadata — the same place
+  // iceberg-core does its planning I/O).
+  // ------------------------------------------------------------------
+
+  private def writeAvro(path: String, schema: Schema,
+      recs: Seq[GenericRecord]): Unit = {
+    val f = new java.io.File(path)
+    f.getParentFile.mkdirs()
+    val w = new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](schema))
+    try { w.create(schema, f); recs.foreach(w.append) } finally w.close()
+  }
+
+  private def readAvro(path: String): Seq[GenericRecord] = {
+    val r = new DataFileReader[GenericRecord](new java.io.File(path),
+      new GenericDatumReader[GenericRecord]())
+    try {
+      val b = Seq.newBuilder[GenericRecord]
+      while (r.hasNext) b += r.next()
+      b.result()
+    } finally r.close()
+  }
+
+  def writeManifest(root: String, name: String,
+      entries: Seq[ManifestEntry]): String = {
+    val rel = s"metadata/$name.avro"
+    writeAvro(s"$root/$rel", manifestEntrySchema, entries.map { e =>
+      val r = new GenericData.Record(manifestEntrySchema)
+      r.put("status", e.status)
+      r.put("file_path", e.filePath)
+      r.put("record_count", e.recordCount)
+      r.put("partition", e.partition)
+      r
+    })
+    rel
+  }
+
+  def writeManifestList(root: String, snapshotId: Long,
+      manifests: Seq[ManifestFile]): String = {
+    val rel = s"metadata/snap-$snapshotId.avro"
+    writeAvro(s"$root/$rel", manifestFileSchema, manifests.map { m =>
+      val r = new GenericData.Record(manifestFileSchema)
+      r.put("manifest_path", m.manifestPath)
+      r.put("added_files_count", m.addedFilesCount)
+      r.put("partition_lo", m.partitionLo)
+      r.put("partition_hi", m.partitionHi)
+      r
+    })
+    rel
+  }
+
+  def readManifestList(root: String, rel: String): Seq[ManifestFile] =
+    readAvro(s"$root/$rel").map(r => ManifestFile(
+      r.get("manifest_path").toString,
+      r.get("added_files_count").asInstanceOf[Int],
+      r.get("partition_lo").asInstanceOf[Long],
+      r.get("partition_hi").asInstanceOf[Long]))
+
+  def readManifest(root: String, rel: String): Seq[ManifestEntry] =
+    readAvro(s"$root/$rel").map(r => ManifestEntry(
+      r.get("status").asInstanceOf[Int],
+      r.get("file_path").toString,
+      r.get("record_count").asInstanceOf[Long],
+      r.get("partition").asInstanceOf[Long]))
+
+  // ------------------------------------------------------------------
+  // Table metadata JSON + version hint.
+  // ------------------------------------------------------------------
+
+  def writeMetadata(root: String, version: Int, current: Long,
+      snapshots: Seq[Snapshot]): Unit = {
+    val snapsJson = snapshots.map { s =>
+      val parent = s.parentSnapshotId
+        .map(p => s""""parent-snapshot-id":$p,""").getOrElse("")
+      s"""{"snapshot-id":${s.snapshotId},$parent""" +
+        s""""manifest-list":"${s.manifestList}"}"""
+    }.mkString("[", ",", "]")
+    val dir = java.nio.file.Paths.get(metaDir(root))
+    java.nio.file.Files.createDirectories(dir)
+    java.nio.file.Files.writeString(dir.resolve(s"v$version.metadata.json"),
+      s"""{"format-version":2,"current-snapshot-id":$current,""" +
+        s""""snapshots":$snapsJson}""")
+    java.nio.file.Files.writeString(dir.resolve("version-hint.text"),
+      version.toString)
+  }
+
+  /** Current table metadata via the version hint (the HadoopTables
+    * latest-metadata convention). Jackson (Spark's bundled JSON stack)
+    * parses the nested document. */
+  def readMetadata(root: String): (Long, Seq[Snapshot]) = {
+    val hint = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(metaDir(root), "version-hint.text")).trim.toInt
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+      java.nio.file.Files.readString(
+        java.nio.file.Paths.get(metaDir(root), s"v$hint.metadata.json")))
+    val snaps = (0 until node.get("snapshots").size()).map { i =>
+      val s = node.get("snapshots").get(i)
+      Snapshot(s.get("snapshot-id").asLong(),
+        Option(s.get("parent-snapshot-id")).map(_.asLong()),
+        s.get("manifest-list").asText())
+    }
+    (node.get("current-snapshot-id").asLong(), snaps)
+  }
+
+  // ------------------------------------------------------------------
+  // Scan planning + read.
+  // ------------------------------------------------------------------
+
+  /** Two-level pruned file planning for `snapshotId` (None = current):
+    * manifests whose [partition_lo, partition_hi] misses `wanted` are
+    * never OPENED (level 1); surviving manifests' entries are then
+    * file-pruned on exact partition values (level 2). Returns the live
+    * entries plus how many manifests the summary prune skipped. */
+  def planFiles(root: String, snapshotId: Option[Long],
+      wanted: Option[Set[Long]]): (Seq[ManifestEntry], Int) = {
+    val (current, snaps) = readMetadata(root)
+    val id = snapshotId.getOrElse(current)
+    val snap = snaps.find(_.snapshotId == id)
+      .getOrElse(sys.error(s"unknown snapshot $id at $root"))
+    val manifests = readManifestList(root, snap.manifestList)
+    val (kept, pruned) = manifests.partition { m =>
+      wanted.forall(w => w.exists(b => b >= m.partitionLo && b <= m.partitionHi))
+    }
+    val files = kept.flatMap(m => readManifest(root, m.manifestPath))
+      .filter(e => wanted.forall(_.contains(e.partition)))
+    (files, pruned.size)
+  }
+
+  /** Distributed read of the planned files. */
+  def readSnapshot(spark: SparkSession, root: String,
+      snapshotId: Option[Long] = None,
+      wanted: Option[Set[Long]] = None): DataFrame = {
+    val (files, _) = planFiles(root, snapshotId, wanted)
+    require(files.nonEmpty, s"no files planned from $root")
+    spark.read.parquet(files.map(e => s"$root/${e.filePath}"): _*)
+  }
+}

@@ -736,10 +736,12 @@ class InventorySpec extends SparkSpec {
     "scan_delta_log_interop",
     // §2.214 round-17: deletion-vector row-level deletes over
     // immutable parquet
-    "scan_deletion_vectors")
+    "scan_deletion_vectors",
+    // §2.215 round-17: Iceberg-shaped two-level Avro manifest planning
+    "scan_iceberg_snapshot_interop")
 
-  test("declared queries cover SURVEY §2 + §2.12-214 exactly (719 keys)") {
-    assert(inventory.size == 719)
+  test("declared queries cover SURVEY §2 + §2.12-215 exactly (720 keys)") {
+    assert(inventory.size == 720)
     val declared = SparkEntry.queries.keySet
     val missing = inventory -- declared
     val extra = declared -- inventory

@@ -156,6 +156,73 @@ class LakehouseInteropSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"))
   }
 
+  // ------------------------------------------------------------------
+  // Iceberg-shaped two-level metadata
+  // ------------------------------------------------------------------
+
+  test("iceberg shape: avro manifests roundtrip and plan two-level prunes") {
+    import graft.sources.IcebergInterop
+    import IcebergInterop.{ManifestEntry, ManifestFile, Snapshot}
+    import spark.implicits._
+    val root = s"/tmp/graft_test_delta/${spark.sparkContext.applicationId}/ice"
+    graft.sources.ScanSupport.deleteDir(new java.io.File(root))
+    // Four 1-file "partitions" 0..3 under two manifests with range
+    // summaries [0,1] and [2,3].
+    def stage(b: Long): ManifestEntry = {
+      val sub = s"data/b$b"
+      Seq(b * 10, b * 10 + 1).toDF("v").coalesce(1)
+        .write.parquet(s"$root/$sub")
+      val part = new java.io.File(s"$root/$sub").listFiles
+        .find(_.getName.endsWith(".parquet")).get.getName
+      ManifestEntry(1, s"$sub/$part", 2L, b)
+    }
+    val m1 = ManifestFile(IcebergInterop.writeManifest(root, "manifest-1",
+      Seq(stage(0L), stage(1L))), 2, 0L, 1L)
+    val m2 = ManifestFile(IcebergInterop.writeManifest(root, "manifest-2",
+      Seq(stage(2L), stage(3L))), 2, 2L, 3L)
+    val list = IcebergInterop.writeManifestList(root, 7L, Seq(m1, m2))
+    IcebergInterop.writeMetadata(root, 1, 7L, Seq(Snapshot(7L, None, list)))
+    // Avro roundtrip is exact.
+    assert(IcebergInterop.readManifestList(root, list) == Seq(m1, m2))
+    assert(IcebergInterop.readManifest(root, m1.manifestPath).map(_.partition)
+      == Seq(0L, 1L))
+    // Level-1 prune: wanting only bucket 2 never opens manifest-1 …
+    val (files, pruned) = IcebergInterop.planFiles(root, None, Some(Set(2L)))
+    assert(pruned == 1)
+    // … and level-2 prunes bucket 3 out of the surviving manifest.
+    assert(files.map(_.partition) == Seq(2L))
+    val vals = IcebergInterop.readSnapshot(spark, root, None, Some(Set(2L)))
+      .collect().map(_.getLong(0)).sorted
+    assert(vals.toSeq == Seq(20L, 21L))
+  }
+
+  test("iceberg shape: append reuses prior manifests; snapshots stay readable") {
+    import graft.operators.LakehouseQueries
+    import graft.sources.IcebergInterop
+    // Build the declared key's table, then inspect its metadata.
+    LakehouseQueries.queries("scan_iceberg_snapshot_interop")(spark, sf)
+      .collect()
+    val root =
+      s"${graft.operators.ScanQueries.scratch(spark, sf)}/iceberg_orders"
+    val (current, snaps) = IcebergInterop.readMetadata(root)
+    assert(current == 202L)
+    assert(snaps.map(_.snapshotId) == Seq(101L, 202L))
+    assert(snaps(1).parentSnapshotId.contains(101L))
+    // Manifest REUSE: snapshot 202's list carries 101's manifest files
+    // verbatim (append = O(new) metadata, not O(table)).
+    val l1 = IcebergInterop.readManifestList(root, snaps(0).manifestList)
+    val l2 = IcebergInterop.readManifestList(root, snaps(1).manifestList)
+    assert(l1.map(_.manifestPath).toSet.subsetOf(l2.map(_.manifestPath).toSet))
+    assert(l2.size == 4)
+    // Time travel: snapshot 101 is exactly the even-custkey half.
+    val orders = Tables.t(spark, sf, "orders")
+    val evens = orders.filter(col("o_custkey") % 2 === 0).count()
+    assert(IcebergInterop.readSnapshot(spark, root, Some(101L), None).count()
+      == evens)
+    assert(IcebergInterop.readSnapshot(spark, root, None, None).count()
+      == orders.count())
+  }
+
   test("declared key: latest snapshot == A + (R & qty>=25), 2 live files") {
     val df = LakehouseQueries.queries("scan_delta_log_interop")(spark, sf)
     val rows = df.collect()
