@@ -139,7 +139,13 @@ object ScaleStress {
     // encode/decode pass (per-doc ImageIO encode is the cost).
     "dedup_incremental_index", "join_skew_salted_spread",
     "multimodal_png_decode", "sim_ann_persisted_ivf",
-    "stream_bus_decode", "dedup_incremental_cluster")
+    "stream_bus_decode", "dedup_incremental_cluster",
+    // Round-17 lakehouse-interop wave at birth: the Delta build+replay
+    // (per-partition staging scans dominate; the log is bounded
+    // metadata), the DV stage + two mark passes + anti-join read, and
+    // the Iceberg 8-file staging + two-level planning.
+    "scan_delta_log_interop", "scan_deletion_vectors",
+    "scan_iceberg_snapshot_interop")
   // Keys whose only input is lineitem — copy-scalable (see scaladoc).
   // The embeddings/documents keys are NOT copy-scalable for the same
   // reason the dedup keys aren't (cross-copy duplicate geometry);
