@@ -145,7 +145,14 @@ object ScaleStress {
     // metadata), the DV stage + two mark passes + anti-join read, and
     // the Iceberg 8-file staging + two-level planning.
     "scan_delta_log_interop", "scan_deletion_vectors",
-    "scan_iceberg_snapshot_interop")
+    "scan_iceberg_snapshot_interop",
+    // Round-17 lakehouse wave 2 at birth: time travel replays two
+    // as-of snapshots (two bounded reconciliations + two grouped
+    // scans), the change feed scans only the diffed files (4 of 10),
+    // and the MOR key stages 4 data + 4 delete files then anti-joins
+    // the planned half.
+    "scan_delta_time_travel_interop", "etl_delta_change_feed",
+    "scan_iceberg_position_deletes")
   // Keys whose only input is lineitem — copy-scalable (see scaladoc).
   // The embeddings/documents keys are NOT copy-scalable for the same
   // reason the dedup keys aren't (cross-copy duplicate geometry);

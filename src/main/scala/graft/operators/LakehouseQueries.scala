@@ -137,6 +137,106 @@ object LakehouseQueries {
     root
   }
 
+  /** The Delta-convention lineitem table the CHANGE-FEED key diffs: the
+    * same partitioned layout as [[deltaLineitemTable]] but with the
+    * FULL commit history retained (no checkpoint, no log cleanup — a
+    * CDC consumer needs every version in its window addressable):
+    *   v0  add  A, N, R             (initial load)
+    *   v1  remove R, add R'         (DELETE rewrite: keep qty ≥ 25)
+    *   v2  remove N                 (full-partition delete)
+    *   v3  add  N2                  (re-ingest N, qty ≥ 45 only)
+    */
+  private def deltaCdfTable(s: SparkSession, dir: String): String = {
+    val root = s"${ScanQueries.scratch(s, dir)}/delta_cdf"
+    buildOnce(root) {
+      val li = t(s, dir, "lineitem")
+        .select("l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag")
+      def pv(f: String) = Map("l_returnflag" -> f)
+      def flagFile(sub: String, f: String, extra: org.apache.spark.sql.Column) =
+        stageFile(root, sub,
+          li.filter(col("l_returnflag") === f && extra).drop("l_returnflag"))
+      val adds0 = Seq("A", "N", "R").map { f =>
+        DeltaInterop.addAction(flagFile(s"flag_$f", f, lit(true)), pv(f), 0L)
+      }
+      DeltaInterop.writeCommit(root, 0L,
+        DeltaInterop.protocolAction +:
+          DeltaInterop.metaDataAction("graft-delta-cdf", Seq("l_returnflag")) +:
+          adds0)
+      def staged(sub: String) = new java.io.File(s"$root/$sub").listFiles
+        .find(_.getName.startsWith("part-")).get.getName
+      DeltaInterop.writeCommit(root, 1L, Seq(
+        DeltaInterop.removeAction(s"flag_R/${staged("flag_R")}"),
+        DeltaInterop.addAction(
+          flagFile("flag_R2", "R", col("l_quantity") >= 25), pv("R"), 0L)))
+      DeltaInterop.writeCommit(root, 2L, Seq(
+        DeltaInterop.removeAction(s"flag_N/${staged("flag_N")}")))
+      DeltaInterop.writeCommit(root, 3L, Seq(
+        DeltaInterop.addAction(
+          flagFile("flag_N2", "N", col("l_quantity") >= 45), pv("N"), 0L)))
+    }
+    root
+  }
+
+  /** The Iceberg-shaped MERGE-ON-READ orders table: snapshot 101 loads
+    * all orders as 4 bucket(o_orderkey, 4) files under 2 data
+    * manifests; snapshot 202 is a row-level DELETE (o_custkey ≡ 0 mod
+    * 13) committed as position-delete files — one per bucket, under 2
+    * DELETE manifests (content = 1) with the same partition-range
+    * summaries — while the data manifests carry over verbatim. Not one
+    * data byte rewritten; the delete cost is O(deleted positions). */
+  private def icebergMorTable(s: SparkSession, dir: String): String = {
+    val root = s"${ScanQueries.scratch(s, dir)}/iceberg_mor"
+    buildOnce(root) {
+      val o = t(s, dir, "orders")
+      val dataRel = (0L to 3L).map { b =>
+        b -> stageFile(root, s"data/b$b",
+          o.filter(pmod(col("o_orderkey"), lit(4L)) === b))
+      }.toMap
+      def dataManifest(name: String, buckets: Seq[Long]) = {
+        val entries = buckets.map { b =>
+          IcebergInterop.ManifestEntry(status = 1, filePath = dataRel(b),
+            recordCount = s.read.parquet(s"$root/${dataRel(b)}").count(),
+            partition = b)
+        }
+        IcebergInterop.ManifestFile(
+          IcebergInterop.writeManifest(root, name, entries),
+          entries.size, buckets.min, buckets.max)
+      }
+      val m1 = dataManifest("manifest-d1", Seq(0L, 1L))
+      val m2 = dataManifest("manifest-d2", Seq(2L, 3L))
+      val list1 = IcebergInterop.writeManifestList(root, 101L, Seq(m1, m2))
+      IcebergInterop.writeMetadata(root, 1, 101L,
+        Seq(IcebergInterop.Snapshot(101L, None, list1)))
+      // Position-delete files: (file_path, pos) addressed by the SAME
+      // hidden-_metadata coordinates the read side reconstructs — the
+      // marking scan reads each staged file at its read-path name, so
+      // recorded file_path values match the scan's _metadata.file_path.
+      def deleteManifest(name: String, buckets: Seq[Long]) = {
+        val entries = buckets.map { b =>
+          val marks = s.read.parquet(s"$root/${dataRel(b)}")
+            .filter(pmod(col("o_custkey"), lit(13L)) === 0L)
+            .select(col("_metadata.file_path").as("file_path"),
+              col("_metadata.row_index").as("pos"))
+          val rel = stageFile(root, s"deletes/b$b", marks)
+          IcebergInterop.ManifestEntry(status = 1, filePath = rel,
+            recordCount = s.read.parquet(s"$root/$rel").count(),
+            partition = b)
+        }
+        IcebergInterop.ManifestFile(
+          IcebergInterop.writeManifest(root, name, entries),
+          entries.size, buckets.min, buckets.max, content = 1)
+      }
+      val d1 = deleteManifest("manifest-del1", Seq(0L, 1L))
+      val d2 = deleteManifest("manifest-del2", Seq(2L, 3L))
+      val list2 = IcebergInterop.writeManifestList(root, 202L, Seq(
+        m1.copy(addedFilesCount = 0), m2.copy(addedFilesCount = 0), d1, d2))
+      IcebergInterop.writeMetadata(root, 2, 202L, Seq(
+        IcebergInterop.Snapshot(101L, None, list1),
+        IcebergInterop.Snapshot(202L, Some(101L), list2)))
+    }
+    root
+  }
+
   val queries: Map[String, Q] = Map(
     // DELTA LOG INTEROP (§2.213) — read a Delta-convention table
     // (checkpoint + vacuumed log head + post-checkpoint commit +
@@ -208,6 +308,78 @@ object LakehouseQueries {
         .withColumn("n_files_read", lit(files.size))
         .withColumn("n_manifests_pruned", lit(prunedManifests))
         .orderBy("o_orderstatus")
+    }),
+
+    // DELTA TIME TRAVEL (§2.216) — AS-OF-version reads on the SAME
+    // foreign table the latest-snapshot key reads, including its
+    // vacuumed head: version 1 is reconstructible ONLY from the
+    // checkpoint (its commits are gone), version 2 = checkpoint + the
+    // suffix commit. Serving v1 without the checkpoint, or silently
+    // substituting another snapshot for an unreadable one, both
+    // hash-fail (v1 still contains the full N partition; v2 doesn't).
+    "scan_delta_time_travel_interop" -> ((s, dir) => {
+      val root = deltaLineitemTable(s, dir)
+      Seq(1, 2).map { v =>
+        DeltaInterop.readSnapshot(s, root, asOf = Some(v.toLong))
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n_rows"),
+            dsum(col("l_extendedprice")).as("sum_price"))
+          .withColumn("version", lit(v))
+      }.reduce(_ unionByName _).orderBy("version", "l_returnflag")
+    }),
+
+    // DELTA CHANGE DATA FEED (§2.217) — CDC between versions computed
+    // from the LOG's file diff, not a data diff: the two windows scan
+    // only the 2 files each that changed (R→R' in 0→1, N→N2 in 1→3);
+    // the A partition — the bulk of the table — is never read, which
+    // is the whole 100 TB point. Added files emit their rows as
+    // inserts, removed files as deletes; a reader that diffs data
+    // instead of the log gets the same rows but pays a full scan, a
+    // reader that misses a remove under-reports deletes and hash-fails.
+    "etl_delta_change_feed" -> ((s, dir) => {
+      val root = deltaCdfTable(s, dir)
+      def window(fromV: Int, toV: Int): DataFrame = {
+        val (added, removed) =
+          DeltaInterop.changedFiles(s, root, fromV.toLong, toV.toLong)
+        DeltaInterop.readFiles(s, root, added)
+          .withColumn("change_type", lit("insert"))
+          .unionByName(DeltaInterop.readFiles(s, root, removed)
+            .withColumn("change_type", lit("delete")))
+          .groupBy("change_type", "l_returnflag")
+          .agg(count(lit(1)).as("n_rows"), dsum(col("l_quantity")).as("sum_qty"))
+          .withColumn("from_v", lit(fromV)).withColumn("to_v", lit(toV))
+          .withColumn("n_files_scanned", lit(added.size + removed.size))
+      }
+      window(0, 1).unionByName(window(1, 3))
+        .orderBy("from_v", "change_type")
+    }),
+
+    // ICEBERG POSITION DELETES (§2.218) — merge-on-read under the
+    // two-level planning: snapshot 202 layers per-bucket position-
+    // delete files (content=1 manifests) over snapshot 101's untouched
+    // data files; the bucket-{0,1} read prunes one DATA and one DELETE
+    // manifest unopened, applies exactly the 2 surviving delete files
+    // via broadcast anti-join on (_metadata.file_path, row_index), and
+    // aggregates the live rows. Skipping the delete application
+    // resurrects the marked rows; applying ALL deletes instead of the
+    // planned subset still agrees on values but the n_delete_files pin
+    // catches the plan; wrong positional addressing deletes the wrong
+    // rows — all hash-fail.
+    "scan_iceberg_position_deletes" -> ((s, dir) => {
+      val root = icebergMorTable(s, dir)
+      val plan = IcebergInterop.planScan(root, None, Some(Set(0L, 1L)))
+      val nDel = s.read
+        .parquet(plan.deleteFiles.map(e => s"$root/${e.filePath}"): _*)
+        .distinct().agg(count(lit(1)).as("n_deleted"))
+      IcebergInterop.readSnapshotLive(s, root, None, Some(Set(0L, 1L)))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_live"),
+          dsum(col("o_totalprice")).as("sum_price"))
+        .withColumn("n_files_read", lit(plan.dataFiles.size))
+        .withColumn("n_delete_files", lit(plan.deleteFiles.size))
+        .withColumn("n_manifests_pruned", lit(plan.prunedManifests))
+        .crossJoin(broadcast(nDel))
+        .orderBy("o_orderpriority")
     })
   )
 
@@ -234,6 +406,52 @@ object LakehouseQueries {
          |  ${sqlSum("o_totalprice")} AS sum_price,
          |  4 AS n_files_read, 2 AS n_manifests_pruned
          |FROM orders WHERE o_orderkey % 4 IN (0, 1)
-         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "scan_delta_time_travel_interop" ->
+      s"""SELECT l_returnflag, count(*) AS n_rows,
+         |  ${sqlSum("l_extendedprice")} AS sum_price, 1 AS version
+         |FROM lineitem
+         |WHERE l_returnflag IN ('A', 'N')
+         |   OR (l_returnflag = 'R' AND l_quantity >= 25)
+         |GROUP BY l_returnflag
+         |UNION ALL
+         |SELECT l_returnflag, count(*) AS n_rows,
+         |  ${sqlSum("l_extendedprice")} AS sum_price, 2 AS version
+         |FROM lineitem
+         |WHERE l_returnflag = 'A' OR (l_returnflag = 'R' AND l_quantity >= 25)
+         |GROUP BY l_returnflag
+         |ORDER BY version, l_returnflag""".stripMargin,
+
+    "etl_delta_change_feed" ->
+      s"""SELECT 'delete' AS change_type, 'R' AS l_returnflag,
+         |  count(*) AS n_rows, ${sqlSum("l_quantity")} AS sum_qty,
+         |  0 AS from_v, 1 AS to_v, 2 AS n_files_scanned
+         |FROM lineitem WHERE l_returnflag = 'R'
+         |UNION ALL
+         |SELECT 'insert', 'R', count(*), ${sqlSum("l_quantity")},
+         |  0, 1, 2
+         |FROM lineitem WHERE l_returnflag = 'R' AND l_quantity >= 25
+         |UNION ALL
+         |SELECT 'delete', 'N', count(*), ${sqlSum("l_quantity")},
+         |  1, 3, 2
+         |FROM lineitem WHERE l_returnflag = 'N'
+         |UNION ALL
+         |SELECT 'insert', 'N', count(*), ${sqlSum("l_quantity")},
+         |  1, 3, 2
+         |FROM lineitem WHERE l_returnflag = 'N' AND l_quantity >= 45
+         |ORDER BY from_v, change_type""".stripMargin,
+
+    "scan_iceberg_position_deletes" ->
+      s"""WITH d AS (SELECT count(*) AS n_deleted FROM orders
+         |  WHERE o_orderkey % 4 IN (0, 1) AND o_custkey % 13 = 0)
+         |SELECT o_orderpriority, count(*) AS n_live,
+         |  ${sqlSum("o_totalprice")} AS sum_price,
+         |  2 AS n_files_read, 2 AS n_delete_files, 2 AS n_manifests_pruned,
+         |  d.n_deleted
+         |FROM orders, d
+         |WHERE o_orderkey % 4 IN (0, 1) AND NOT o_custkey % 13 = 0
+         |GROUP BY o_orderpriority, d.n_deleted
+         |ORDER BY o_orderpriority""".stripMargin
   )
 }

@@ -108,44 +108,100 @@ object DeltaInterop {
       .sortBy(_._1)
   }
 
+  /** Checkpoint versions present on disk (not just the one
+    * `_last_checkpoint` names — TIME TRAVEL needs the newest checkpoint
+    * ≤ the target version, which may be an older one). */
+  private[graft] def checkpointVersions(root: String): Seq[Long] = {
+    val re = "^(\\d{20})\\.checkpoint\\.parquet$".r
+    Option(new java.io.File(logDir(root)).listFiles).toSeq.flatten
+      .map(_.getName).collect { case re(v) => v.toLong }.sorted
+  }
+
   /** Live data files of the LATEST snapshot: (relative path,
     * partitionValues), from the newest checkpoint + the commit suffix
     * after it. Loud on a gapped suffix or a vacuumed-head log with no
     * checkpoint. */
-  def snapshotFiles(spark: SparkSession, root: String): Seq[(String, Map[String, String])] = {
+  def snapshotFiles(spark: SparkSession, root: String): Seq[(String, Map[String, String])] =
+    snapshotFilesAt(spark, root, None)
+
+  /** Live data files AS OF version `asOf` (None = latest) — Delta time
+    * travel. Replay is bounded exactly as for the latest snapshot: the
+    * newest checkpoint ≤ asOf plus the commit suffix (ckpt, asOf]. The
+    * guards stay loud PER TARGET VERSION: a version past the log's head
+    * doesn't exist; a version whose history was vacuumed away and
+    * pre-dates every surviving checkpoint is unreadable — an interop
+    * reader must say so, not silently serve a different snapshot. */
+  def snapshotFilesAt(spark: SparkSession, root: String,
+      asOf: Option[Long]): Seq[(String, Map[String, String])] = {
     val dir = new java.io.File(logDir(root))
     require(dir.isDirectory, s"not a Delta table (no _delta_log): $root")
     val commitRe = "^(\\d{20})\\.json$".r
     val versions = dir.listFiles.toSeq.map(_.getName)
       .collect { case commitRe(v) => v.toLong }.sorted
-    val ckpt = lastCheckpoint(root)
-    val tail = versions.filter(v => ckpt.forall(_ < v))
+    val ckpts = checkpointVersions(root)
+    val head = (versions ++ ckpts).maxOption
+      .getOrElse(sys.error(s"empty Delta log at $root"))
+    val v = asOf.getOrElse(head)
+    require(v >= 0 && v <= head,
+      s"version $v does not exist at $root (log head is $head)")
+    val ckpt = ckpts.filter(_ <= v).lastOption
+    val tail = versions.filter(x => ckpt.forall(_ < x) && x <= v)
     ckpt match {
       case None =>
-        require(versions.headOption.contains(0L) &&
-            versions == (0L until versions.size.toLong),
-          s"unreadable Delta log at $root: no checkpoint and commits " +
-            s"$versions do not start contiguously at 0 (vacuumed head?)")
+        require(tail == (0L to v),
+          s"unreadable Delta snapshot $v at $root: no checkpoint <= $v " +
+            s"and commits $tail are not contiguously 0..$v (vacuumed head?)")
       case Some(c) =>
-        require(tail == (c + 1 to c + tail.size),
-          s"unreadable Delta log at $root: gap in commit suffix $tail " +
-            s"after checkpoint $c")
+        require(tail == (c + 1 to v),
+          s"unreadable Delta snapshot $v at $root: gap in commit suffix " +
+            s"$tail after checkpoint $c")
     }
     reconcile(spark, root, ckpt, tail)
       .collect { case (p, true, pv) => (p, pv) }
   }
 
-  /** Read the latest snapshot, re-attaching identity-partition columns
-    * from `partitionValues` (data files omit them, per the protocol).
-    * `prune` sees each file's partitionValues BEFORE any parquet read —
-    * partition pruning at the metadata level, the 100 TB idiom. Files
-    * are grouped by partition tuple (one scan per live partition value,
-    * unioned) so the attachment is a constant-folded literal column,
-    * not a join. */
+  /** CHANGE DATA FEED at the file level: (added, removed) data files
+    * between snapshot `fromV` (exclusive) and `toV` (inclusive), each
+    * with its partitionValues. For add/remove-only logs (loads, DELETEs,
+    * rewrites — no in-file updates) the change rows between two
+    * versions are EXACTLY the rows of these files: added files carry
+    * inserts, removed files carry deletes, and every file live in both
+    * snapshots is untouched. That set difference is the 100 TB CDC win:
+    * a consumer scans O(changed files), never the unchanged partitions
+    * — the log, bounded metadata, names them without any data diff. */
+  def changedFiles(spark: SparkSession, root: String, fromV: Long,
+      toV: Long): (Seq[(String, Map[String, String])], Seq[(String, Map[String, String])]) = {
+    require(fromV < toV, s"empty change window [$fromV, $toV]")
+    val before = snapshotFilesAt(spark, root, Some(fromV))
+    val after = snapshotFilesAt(spark, root, Some(toV))
+    val beforePaths = before.map(_._1).toSet
+    val afterPaths = after.map(_._1).toSet
+    (after.filterNot(f => beforePaths(f._1)),
+      before.filterNot(f => afterPaths(f._1)))
+  }
+
+  /** Read a snapshot (latest, or AS OF `asOf`), re-attaching
+    * identity-partition columns from `partitionValues` (data files omit
+    * them, per the protocol). `prune` sees each file's partitionValues
+    * BEFORE any parquet read — partition pruning at the metadata level,
+    * the 100 TB idiom. Files are grouped by partition tuple (one scan
+    * per live partition value, unioned) so the attachment is a
+    * constant-folded literal column, not a join. */
   def readSnapshot(spark: SparkSession, root: String,
-      prune: Map[String, String] => Boolean = _ => true): DataFrame = {
-    val files = snapshotFiles(spark, root).filter(f => prune(f._2))
+      prune: Map[String, String] => Boolean = _ => true,
+      asOf: Option[Long] = None): DataFrame = {
+    val files = snapshotFilesAt(spark, root, asOf).filter(f => prune(f._2))
     require(files.nonEmpty, s"no live files selected from $root")
+    readFiles(spark, root, files)
+  }
+
+  /** Distributed scan of an explicit (relative path, partitionValues)
+    * file set with partition columns re-attached — the shared read face
+    * under [[readSnapshot]] and the change-feed consumers (which scan
+    * [[changedFiles]] lists, not whole snapshots). */
+  def readFiles(spark: SparkSession, root: String,
+      files: Seq[(String, Map[String, String])]): DataFrame = {
+    require(files.nonEmpty, s"empty file set for $root")
     files.groupBy(_._2).toSeq.sortBy(_._1.toSeq.sorted.mkString(","))
       .map { case (pv, group) =>
         pv.toSeq.sortBy(_._1).foldLeft(

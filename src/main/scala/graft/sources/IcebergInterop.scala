@@ -51,6 +51,7 @@ object IcebergInterop {
   private val manifestFileSchema: Schema = new Schema.Parser().parse(
     """{"type":"record","name":"manifest_file","fields":[
       |{"name":"manifest_path","type":"string"},
+      |{"name":"content","type":"int","default":0},
       |{"name":"added_files_count","type":"int"},
       |{"name":"partition_lo","type":"long"},
       |{"name":"partition_hi","type":"long"}]}""".stripMargin)
@@ -63,9 +64,12 @@ object IcebergInterop {
       recordCount: Long, partition: Long)
 
   /** One manifest reference inside a manifest list, with the partition
-    * RANGE summary planning prunes on. */
+    * RANGE summary planning prunes on. `content` is the Iceberg v2
+    * manifest content type: 0 = data files, 1 = delete files (position
+    * deletes) — ONE list carries both kinds, and planning prunes both
+    * by the same partition summaries. */
   case class ManifestFile(manifestPath: String, addedFilesCount: Int,
-      partitionLo: Long, partitionHi: Long)
+      partitionLo: Long, partitionHi: Long, content: Int = 0)
 
   case class Snapshot(snapshotId: Long, parentSnapshotId: Option[Long],
       manifestList: String)
@@ -114,6 +118,7 @@ object IcebergInterop {
     writeAvro(s"$root/$rel", manifestFileSchema, manifests.map { m =>
       val r = new GenericData.Record(manifestFileSchema)
       r.put("manifest_path", m.manifestPath)
+      r.put("content", m.content)
       r.put("added_files_count", m.addedFilesCount)
       r.put("partition_lo", m.partitionLo)
       r.put("partition_hi", m.partitionHi)
@@ -127,7 +132,10 @@ object IcebergInterop {
       r.get("manifest_path").toString,
       r.get("added_files_count").asInstanceOf[Int],
       r.get("partition_lo").asInstanceOf[Long],
-      r.get("partition_hi").asInstanceOf[Long]))
+      r.get("partition_hi").asInstanceOf[Long],
+      // Pre-`content` manifest lists (this module's own older fixtures)
+      // read as data manifests — the Avro default.
+      Option(r.get("content")).map(_.asInstanceOf[Int]).getOrElse(0)))
 
   def readManifest(root: String, rel: String): Seq[ManifestEntry] =
     readAvro(s"$root/$rel").map(r => ManifestEntry(
@@ -179,13 +187,23 @@ object IcebergInterop {
   // Scan planning + read.
   // ------------------------------------------------------------------
 
-  /** Two-level pruned file planning for `snapshotId` (None = current):
+  /** A planned scan: the surviving data-file entries, the surviving
+    * position-delete file entries that must be applied to them
+    * (merge-on-read), and how many manifests (of EITHER content type)
+    * the manifest-list summary prune never opened. */
+  case class ScanPlan(dataFiles: Seq[ManifestEntry],
+      deleteFiles: Seq[ManifestEntry], prunedManifests: Int)
+
+  /** Two-level pruned scan planning for `snapshotId` (None = current):
     * manifests whose [partition_lo, partition_hi] misses `wanted` are
     * never OPENED (level 1); surviving manifests' entries are then
-    * file-pruned on exact partition values (level 2). Returns the live
-    * entries plus how many manifests the summary prune skipped. */
-  def planFiles(root: String, snapshotId: Option[Long],
-      wanted: Option[Set[Long]]): (Seq[ManifestEntry], Int) = {
+    * file-pruned on exact partition values (level 2). Data and delete
+    * manifests prune by the SAME summaries — a position-delete file
+    * scoped to pruned partitions is skipped with its data files, so
+    * merge-on-read costs O(selected ∪ their deletes), never
+    * O(all deletes). */
+  def planScan(root: String, snapshotId: Option[Long],
+      wanted: Option[Set[Long]]): ScanPlan = {
     val (current, snaps) = readMetadata(root)
     val id = snapshotId.getOrElse(current)
     val snap = snaps.find(_.snapshotId == id)
@@ -194,17 +212,57 @@ object IcebergInterop {
     val (kept, pruned) = manifests.partition { m =>
       wanted.forall(w => w.exists(b => b >= m.partitionLo && b <= m.partitionHi))
     }
-    val files = kept.flatMap(m => readManifest(root, m.manifestPath))
+    def entries(content: Int) = kept.filter(_.content == content)
+      .flatMap(m => readManifest(root, m.manifestPath))
       .filter(e => wanted.forall(_.contains(e.partition)))
-    (files, pruned.size)
+    ScanPlan(entries(0), entries(1), pruned.size)
   }
 
-  /** Distributed read of the planned files. */
+  /** Data-file planning only (the append-lineage face — tables with no
+    * delete manifests). Returns the live entries plus the prune count. */
+  def planFiles(root: String, snapshotId: Option[Long],
+      wanted: Option[Set[Long]]): (Seq[ManifestEntry], Int) = {
+    val plan = planScan(root, snapshotId, wanted)
+    (plan.dataFiles, plan.prunedManifests)
+  }
+
+  /** Distributed read of the planned data files (copy-on-write face:
+    * any delete manifests in the snapshot are NOT applied here). */
   def readSnapshot(spark: SparkSession, root: String,
       snapshotId: Option[Long] = None,
       wanted: Option[Set[Long]] = None): DataFrame = {
     val (files, _) = planFiles(root, snapshotId, wanted)
     require(files.nonEmpty, s"no files planned from $root")
     spark.read.parquet(files.map(e => s"$root/${e.filePath}"): _*)
+  }
+
+  /** MERGE-ON-READ: the planned data files minus the planned position
+    * deletes. Delete files are parquet of (file_path, pos) — the
+    * Iceberg position-delete convention: `file_path` is the FULL path
+    * of the data file the delete applies to (matched against the scan's
+    * `_metadata.file_path`), `pos` the physical row index in it. The
+    * anti-join broadcasts (deletes are O(deleted rows), metadata-small
+    * next to data) so the data side stays one shuffle-free scan —
+    * exactly the [[DeletionVectors]] dataflow under the Iceberg layout. */
+  def readSnapshotLive(spark: SparkSession, root: String,
+      snapshotId: Option[Long] = None,
+      wanted: Option[Set[Long]] = None): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val plan = planScan(root, snapshotId, wanted)
+    require(plan.dataFiles.nonEmpty, s"no files planned from $root")
+    val data = spark.read
+      .parquet(plan.dataFiles.map(e => s"$root/${e.filePath}"): _*)
+      .withColumn("_ice_file", col("_metadata.file_path"))
+      .withColumn("_ice_pos", col("_metadata.row_index"))
+    val out =
+      if (plan.deleteFiles.isEmpty) data
+      else {
+        val dels = spark.read
+          .parquet(plan.deleteFiles.map(e => s"$root/${e.filePath}"): _*)
+          .select(col("file_path").as("_ice_file"), col("pos").as("_ice_pos"))
+          .distinct()
+        data.join(broadcast(dels), Seq("_ice_file", "_ice_pos"), "left_anti")
+      }
+    out.drop("_ice_file", "_ice_pos")
   }
 }

@@ -738,10 +738,17 @@ class InventorySpec extends SparkSpec {
     // immutable parquet
     "scan_deletion_vectors",
     // §2.215 round-17: Iceberg-shaped two-level Avro manifest planning
-    "scan_iceberg_snapshot_interop")
+    "scan_iceberg_snapshot_interop",
+    // §2.216 round-17: Delta as-of-version time travel (checkpoint-
+    // bounded replay per target version)
+    "scan_delta_time_travel_interop",
+    // §2.217 round-17: change data feed from the log's file diff
+    "etl_delta_change_feed",
+    // §2.218 round-17: Iceberg merge-on-read position deletes
+    "scan_iceberg_position_deletes")
 
-  test("declared queries cover SURVEY §2 + §2.12-215 exactly (720 keys)") {
-    assert(inventory.size == 720)
+  test("declared queries cover SURVEY §2 + §2.12-218 exactly (723 keys)") {
+    assert(inventory.size == 723)
     val declared = SparkEntry.queries.keySet
     val missing = inventory -- declared
     val extra = declared -- inventory

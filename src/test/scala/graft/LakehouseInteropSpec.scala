@@ -223,6 +223,86 @@ class LakehouseInteropSpec extends SparkSpec {
       == orders.count())
   }
 
+  // ------------------------------------------------------------------
+  // Time travel + change feed (§2.216-217)
+  // ------------------------------------------------------------------
+
+  test("time travel: as-of replay is checkpoint-bounded and loud per version") {
+    val root = freshRoot("ttravel")
+    tinyTable(root)
+    def pvsAt(v: Long) =
+      DeltaInterop.snapshotFilesAt(spark, root, Some(v)).map(_._2("p")).sorted
+    assert(pvsAt(0L) == Seq("a", "b"))
+    assert(pvsAt(1L) == Seq("a", "c"))
+    // A version past the head does not exist.
+    val e0 = intercept[IllegalArgumentException] {
+      DeltaInterop.snapshotFilesAt(spark, root, Some(99L))
+    }
+    assert(e0.getMessage.contains("does not exist"))
+    // Vacuum the head behind a checkpoint at 1: v1 stays readable
+    // FROM THE CHECKPOINT, v0 is gone and must fail loudly — not
+    // silently serve some other snapshot.
+    DeltaInterop.writeCheckpoint(spark, root, 1L)
+    DeltaInterop.cleanLog(root, before = 2L)
+    assert(pvsAt(1L) == Seq("a", "c"))
+    val e1 = intercept[IllegalArgumentException] {
+      DeltaInterop.snapshotFilesAt(spark, root, Some(0L))
+    }
+    assert(e1.getMessage.contains("unreadable"))
+  }
+
+  test("change feed: the file diff names exactly the changed files") {
+    val root = freshRoot("cdf")
+    tinyTable(root)
+    // v0 -> v1: pb removed, pc added; pa (the unchanged bulk) is in
+    // NEITHER list — a CDC consumer never scans it.
+    val (added, removed) = DeltaInterop.changedFiles(spark, root, 0L, 1L)
+    assert(added.map(_._2("p")) == Seq("c"))
+    assert(removed.map(_._2("p")) == Seq("b"))
+    // readFiles re-attaches partition values on the diffed scans.
+    val ins = DeltaInterop.readFiles(spark, root, added)
+    assert(ins.count() == 3 && ins.select("p").distinct()
+      .collect().map(_.getString(0)).toSeq == Seq("c"))
+    val e = intercept[IllegalArgumentException] {
+      DeltaInterop.changedFiles(spark, root, 1L, 1L)
+    }
+    assert(e.getMessage.contains("empty change window"))
+  }
+
+  // ------------------------------------------------------------------
+  // Iceberg merge-on-read position deletes (§2.218)
+  // ------------------------------------------------------------------
+
+  test("iceberg MOR: delete manifests prune with data, deletes apply exactly") {
+    import graft.sources.IcebergInterop
+    // Build the declared key's table, then inspect plan + semantics.
+    LakehouseQueries.queries("scan_iceberg_position_deletes")(spark, sf)
+      .collect()
+    val root =
+      s"${graft.operators.ScanQueries.scratch(spark, sf)}/iceberg_mor"
+    // The current snapshot's list carries 2 data + 2 delete manifests;
+    // a bucket-{0,1} plan prunes one of EACH unopened.
+    val (_, snaps) = IcebergInterop.readMetadata(root)
+    val l2 = IcebergInterop.readManifestList(root, snaps(1).manifestList)
+    assert(l2.map(_.content).sorted == Seq(0, 0, 1, 1))
+    val plan = IcebergInterop.planScan(root, None, Some(Set(0L, 1L)))
+    assert(plan.dataFiles.size == 2 && plan.deleteFiles.size == 2 &&
+      plan.prunedManifests == 2)
+    // Snapshot 101 (pre-delete) still reads the FULL table — the
+    // delete snapshot rewrote no data file (MOR, not COW).
+    val orders = Tables.t(spark, sf, "orders")
+    assert(IcebergInterop.readSnapshot(spark, root, Some(101L), None).count()
+      == orders.count())
+    // Live read == the congruence filter, and the anti-join broadcasts.
+    val live = IcebergInterop.readSnapshotLive(spark, root, None, None)
+    assert(live.count() ==
+      orders.filter(col("o_custkey") % 13 =!= 0).count())
+    val planStr = live.queryExecution.executedPlan.toString
+    assert(planStr.contains("BroadcastHashJoin") &&
+      planStr.contains("LeftAnti") && !planStr.contains("SortMergeJoin"),
+      s"expected broadcast anti-join, got:\n$planStr")
+  }
+
   test("declared key: latest snapshot == A + (R & qty>=25), 2 live files") {
     val df = LakehouseQueries.queries("scan_delta_log_interop")(spark, sf)
     val rows = df.collect()
