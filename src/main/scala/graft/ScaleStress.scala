@@ -152,7 +152,11 @@ object ScaleStress {
     // and the MOR key stages 4 data + 4 delete files then anti-joins
     // the planned half.
     "scan_delta_time_travel_interop", "etl_delta_change_feed",
-    "scan_iceberg_position_deletes")
+    "scan_iceberg_position_deletes",
+    // Round-17 lakehouse wave 3 at birth: the incremental view
+    // (bootstrap scan + two O(changed-files) delta folds) and the
+    // stats-skipping key (8-band staging; the measured read plans 2).
+    "etl_incremental_view_cdf", "scan_delta_stats_skipping")
   // Keys whose only input is lineitem — copy-scalable (see scaladoc).
   // The embeddings/documents keys are NOT copy-scalable for the same
   // reason the dedup keys aren't (cross-copy duplicate geometry);

@@ -237,6 +237,35 @@ object LakehouseQueries {
     root
   }
 
+  /** The Delta-convention orders table the DATA-SKIPPING key plans:
+    * 8 files range-banded on o_orderkey (band width W = max/8 + 1),
+    * each add action carrying the protocol's per-file stats JSON
+    * (numRecords + o_orderkey min/max). Unpartitioned — the skip comes
+    * from STATS, not partition values. */
+  private def deltaStatsTable(s: SparkSession, dir: String): String = {
+    val root = s"${ScanQueries.scratch(s, dir)}/delta_stats"
+    buildOnce(root) {
+      val o = t(s, dir, "orders")
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+      val maxKey = o.agg(max("o_orderkey")).head.getLong(0)
+      val w = maxKey / 8 + 1
+      val adds = (0L to 7L).map { b =>
+        val rel = stageFile(root, s"band_$b", o.filter(
+          col("o_orderkey") >= b * w && col("o_orderkey") < (b + 1) * w))
+        val st = s.read.parquet(s"$root/$rel")
+          .agg(count(lit(1)), min("o_orderkey"), max("o_orderkey")).head
+        require(st.getLong(0) > 0, s"band $b empty (fixture invariant)")
+        DeltaInterop.addAction(rel, Map.empty, 0L,
+          Some(DeltaInterop.statsJson(st.getLong(0), "o_orderkey",
+            st.getLong(1), st.getLong(2))))
+      }
+      DeltaInterop.writeCommit(root, 0L,
+        DeltaInterop.protocolAction +:
+          DeltaInterop.metaDataAction("graft-delta-stats", Seq.empty) +: adds)
+    }
+    root
+  }
+
   val queries: Map[String, Q] = Map(
     // DELTA LOG INTEROP (§2.213) — read a Delta-convention table
     // (checkpoint + vacuumed log head + post-checkpoint commit +
@@ -380,6 +409,70 @@ object LakehouseQueries {
         .withColumn("n_manifests_pruned", lit(plan.prunedManifests))
         .crossJoin(broadcast(nDel))
         .orderBy("o_orderpriority")
+    }),
+
+    // INCREMENTAL VIEW MAINTENANCE FROM THE CHANGE FEED (§2.219) —
+    // the step after CDC: a per-flag aggregate VIEW is bootstrapped
+    // once from snapshot 0, then rolled forward through windows 0→1
+    // and 1→3 by aggregating ONLY the diffed files (sign +1 for added,
+    // −1 for removed) and folding the signed deltas into the view.
+    // After bootstrap no unchanged file is ever re-read — maintenance
+    // is O(changes), the materialized-view idiom at 100 TB. Both
+    // maintained states are pinned against the oracle recomputing them
+    // directly; a sign error, a missed remove, or a double-applied
+    // window all hash-fail.
+    "etl_incremental_view_cdf" -> ((s, dir) => {
+      val root = deltaCdfTable(s, dir)
+      val view0 = DeltaInterop.readSnapshot(s, root, asOf = Some(0L))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_rows"), dsum(col("l_quantity")).as("sum_qty"))
+      def step(view: DataFrame, fromV: Int, toV: Int): DataFrame = {
+        val (added, removed) =
+          DeltaInterop.changedFiles(s, root, fromV.toLong, toV.toLong)
+        val delta = DeltaInterop.readFiles(s, root, added)
+          .withColumn("sign", lit(1L))
+          .unionByName(DeltaInterop.readFiles(s, root, removed)
+            .withColumn("sign", lit(-1L)))
+          .groupBy("l_returnflag")
+          .agg(sum(col("sign")).as("n_rows"),
+            dsum(col("sign") * col("l_quantity")).as("sum_qty"))
+        view.unionByName(delta).groupBy("l_returnflag")
+          .agg(sum(col("n_rows")).as("n_rows"),
+            dsum(col("sum_qty")).as("sum_qty"))
+          .filter(col("n_rows") > 0) // fully-deleted groups drop out
+      }
+      val v1 = step(view0, 0, 1)
+      val v3 = step(v1, 1, 3)
+      v1.withColumn("version", lit(1))
+        .unionByName(v3.withColumn("version", lit(3)))
+        .orderBy("version", "l_returnflag")
+    }),
+
+    // DATA SKIPPING FROM LOG STATS (§2.220) — the protocol's per-file
+    // `add.stats` (numRecords + per-column min/max) planned WITHOUT
+    // opening one parquet footer: the key-range predicate [0, 2W)
+    // admits exactly the 2 low bands of 8, the stats rule out the
+    // other 6, and even the threshold itself (W = max/8 + 1) is
+    // derived from the log's maxValues — the whole plan is metadata.
+    // The residual filter confirms on the scanned rows (stats ADMIT,
+    // predicates decide), so a wrong skip loses rows and hash-fails,
+    // a lax skip changes the in-band file counts.
+    "scan_delta_stats_skipping" -> ((s, dir) => {
+      val root = deltaStatsTable(s, dir)
+      val files = DeltaInterop.snapshotFilesWithStats(s, root)
+      val maxKey = files.flatMap(_._3)
+        .map(st => DeltaInterop.parseStats(st)._2("o_orderkey")._2).max.toLong
+      val hi = 2 * (maxKey / 8 + 1) - 1
+      val (kept, skipped) =
+        DeltaInterop.planSkip(s, root, "o_orderkey", 0.0, hi.toDouble)
+      DeltaInterop.readFiles(s, root, kept)
+        .filter(col("o_orderkey") <= hi)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice")).as("sum_price"))
+        .withColumn("n_files_planned", lit(kept.size))
+        .withColumn("n_files_skipped", lit(skipped))
+        .orderBy("o_orderpriority")
     })
   )
 
@@ -452,6 +545,32 @@ object LakehouseQueries {
          |FROM orders, d
          |WHERE o_orderkey % 4 IN (0, 1) AND NOT o_custkey % 13 = 0
          |GROUP BY o_orderpriority, d.n_deleted
-         |ORDER BY o_orderpriority""".stripMargin
+         |ORDER BY o_orderpriority""".stripMargin,
+
+    "etl_incremental_view_cdf" ->
+      s"""SELECT l_returnflag, count(*) AS n_rows,
+         |  ${sqlSum("l_quantity")} AS sum_qty, 1 AS version
+         |FROM lineitem
+         |WHERE l_returnflag IN ('A', 'N')
+         |   OR (l_returnflag = 'R' AND l_quantity >= 25)
+         |GROUP BY l_returnflag
+         |UNION ALL
+         |SELECT l_returnflag, count(*) AS n_rows,
+         |  ${sqlSum("l_quantity")} AS sum_qty, 3 AS version
+         |FROM lineitem
+         |WHERE l_returnflag = 'A'
+         |   OR (l_returnflag = 'R' AND l_quantity >= 25)
+         |   OR (l_returnflag = 'N' AND l_quantity >= 45)
+         |GROUP BY l_returnflag
+         |ORDER BY version, l_returnflag""".stripMargin,
+
+    "scan_delta_stats_skipping" ->
+      s"""WITH m AS (SELECT max(o_orderkey) // 8 + 1 AS w FROM orders)
+         |SELECT o_orderpriority, count(*) AS n_orders,
+         |  ${sqlSum("o_totalprice")} AS sum_price,
+         |  2 AS n_files_planned, 6 AS n_files_skipped
+         |FROM orders, m
+         |WHERE o_orderkey <= 2 * m.w - 1
+         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
   )
 }

@@ -57,7 +57,8 @@ object DeltaInterop {
       StructField("path", StringType),
       StructField("partitionValues", MapType(StringType, StringType)),
       StructField("size", LongType),
-      StructField("dataChange", BooleanType)))),
+      StructField("dataChange", BooleanType),
+      StructField("stats", StringType)))),
     StructField("remove", StructType(Seq(
       StructField("path", StringType),
       StructField("dataChange", BooleanType))))))
@@ -75,9 +76,10 @@ object DeltaInterop {
     * checkpoint construction): actions from `ckpt` (when given) plus
     * the commit versions in `tail`, last action per path wins.
     * Returns every path's final state: (relative path, live?,
-    * partitionValues). */
+    * partitionValues, per-file stats JSON when the writer recorded
+    * one). */
   private def reconcile(spark: SparkSession, root: String,
-      ckpt: Option[Long], tail: Seq[Long]): Seq[(String, Boolean, Map[String, String])] = {
+      ckpt: Option[Long], tail: Seq[Long]): Seq[(String, Boolean, Map[String, String], Option[String])] = {
     val ckptDf = ckpt.map { c =>
       spark.read.parquet(s"${logDir(root)}/${pad(c)}.checkpoint.parquet")
         .select(col("add"), col("remove"), lit(c).as("version"))
@@ -91,7 +93,8 @@ object DeltaInterop {
     val acts = (ckptDf.toSeq ++ tailDf.toSeq).reduce(_ unionByName _)
       .select(coalesce(col("add.path"), col("remove.path")).as("path"),
         col("add.path").isNotNull.as("is_add"),
-        col("add.partitionValues").as("pv"), col("version"))
+        col("add.partitionValues").as("pv"),
+        col("add.stats").as("stats"), col("version"))
       .filter(col("path").isNotNull)
     // Protocol invariant (holds for spec-conforming writers): a path is
     // never added AND removed at the same version, so max_by needs no
@@ -99,12 +102,14 @@ object DeltaInterop {
     // the same O(files) driver state every Delta reader's snapshot
     // phase holds.
     acts.groupBy("path")
-      .agg(max_by(struct(col("is_add"), col("pv")), col("version")).as("last"))
+      .agg(max_by(struct(col("is_add"), col("pv"), col("stats")),
+        col("version")).as("last"))
       .select(col("path"), col("last.is_add").as("is_add"),
-        col("last.pv").as("pv"))
+        col("last.pv").as("pv"), col("last.stats").as("stats"))
       .collect().toSeq
       .map(r => (r.getString(0), r.getBoolean(1),
-        Option(r.getMap[String, String](2)).map(_.toMap).getOrElse(Map.empty)))
+        Option(r.getMap[String, String](2)).map(_.toMap).getOrElse(Map.empty),
+        Option(r.getString(3))))
       .sortBy(_._1)
   }
 
@@ -132,7 +137,16 @@ object DeltaInterop {
     * pre-dates every surviving checkpoint is unreadable — an interop
     * reader must say so, not silently serve a different snapshot. */
   def snapshotFilesAt(spark: SparkSession, root: String,
-      asOf: Option[Long]): Seq[(String, Map[String, String])] = {
+      asOf: Option[Long]): Seq[(String, Map[String, String])] =
+    snapshotFilesWithStats(spark, root, asOf).map(f => (f._1, f._2))
+
+  /** Live data files AS OF `asOf` with each file's per-file stats JSON
+    * (the protocol's `add.stats`: numRecords + per-column min/max) —
+    * the primary replay face; [[snapshotFilesAt]] drops the stats. The
+    * stats live in the LOG, so range planning over them is
+    * metadata-only, zero parquet footers opened. */
+  def snapshotFilesWithStats(spark: SparkSession, root: String,
+      asOf: Option[Long] = None): Seq[(String, Map[String, String], Option[String])] = {
     val dir = new java.io.File(logDir(root))
     require(dir.isDirectory, s"not a Delta table (no _delta_log): $root")
     val commitRe = "^(\\d{20})\\.json$".r
@@ -157,7 +171,46 @@ object DeltaInterop {
             s"$tail after checkpoint $c")
     }
     reconcile(spark, root, ckpt, tail)
-      .collect { case (p, true, pv) => (p, pv) }
+      .collect { case (p, true, pv, st) => (p, pv, st) }
+  }
+
+  /** Parse a protocol stats JSON into (numRecords, per-column
+    * (min, max)) for the numeric columns it records. */
+  def parseStats(json: String): (Long, Map[String, (Double, Double)]) = {
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+    def bounds(field: String): Map[String, Double] = {
+      val n = node.get(field)
+      if (n == null) Map.empty
+      else {
+        val it = n.fieldNames()
+        val b = Map.newBuilder[String, Double]
+        while (it.hasNext) { val k = it.next(); b += k -> n.get(k).asDouble() }
+        b.result()
+      }
+    }
+    val mins = bounds("minValues"); val maxs = bounds("maxValues")
+    (Option(node.get("numRecords")).map(_.asLong()).getOrElse(-1L),
+      mins.keySet.intersect(maxs.keySet)
+        .map(k => k -> (mins(k), maxs(k))).toMap)
+  }
+
+  /** DATA SKIPPING from log stats: the live files of `asOf` whose
+    * recorded [min, max] of `column` overlaps [lo, hi], plus how many
+    * the stats ruled out WITHOUT opening them. Files with no recorded
+    * stats for `column` are conservatively kept — stats ADMIT, the
+    * caller's residual predicate confirms, so skipping can only save
+    * I/O, never change the answer. */
+  def planSkip(spark: SparkSession, root: String, column: String,
+      lo: Double, hi: Double, asOf: Option[Long] = None): (Seq[(String, Map[String, String])], Int) = {
+    require(lo <= hi, s"empty range [$lo, $hi]")
+    val files = snapshotFilesWithStats(spark, root, asOf)
+    val (kept, skipped) = files.partition { case (_, _, st) =>
+      st.flatMap(s => parseStats(s)._2.get(column)) match {
+        case Some((mn, mx)) => mx >= lo && mn <= hi
+        case None => true
+      }
+    }
+    (kept.map(f => (f._1, f._2)), skipped.size)
   }
 
   /** CHANGE DATA FEED at the file level: (added, removed) data files
@@ -224,12 +277,21 @@ object DeltaInterop {
     case c => c.toString
   }
 
-  def addAction(path: String, pv: Map[String, String], size: Long): String = {
+  def addAction(path: String, pv: Map[String, String], size: Long,
+      stats: Option[String] = None): String = {
     val pvj = pv.toSeq.sortBy(_._1)
       .map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }.mkString(",")
+    val statsj = stats.map(s => s""","stats":"${esc(s)}"""").getOrElse("")
     s"""{"add":{"path":"${esc(path)}","partitionValues":{$pvj},""" +
-      s""""size":$size,"dataChange":true}}"""
+      s""""size":$size,"dataChange":true$statsj}}"""
   }
+
+  /** The protocol's per-file stats payload (numRecords + single-column
+    * min/max) as the JSON string `addAction` embeds. */
+  def statsJson(numRecords: Long, column: String, min: Long,
+      max: Long): String =
+    s"""{"numRecords":$numRecords,"minValues":{"$column":$min},""" +
+      s""""maxValues":{"$column":$max}}"""
 
   def removeAction(path: String): String =
     s"""{"remove":{"path":"${esc(path)}","dataChange":true}}"""
@@ -257,9 +319,9 @@ object DeltaInterop {
   def writeCheckpoint(spark: SparkSession, root: String, v: Long): Unit = {
     val state = reconcile(spark, root, None, 0L to v)
     val rows = state.map {
-      case (p, true, pv) => org.apache.spark.sql.Row(
-        org.apache.spark.sql.Row(p, pv, 0L, true), null)
-      case (p, false, _) => org.apache.spark.sql.Row(
+      case (p, true, pv, st) => org.apache.spark.sql.Row(
+        org.apache.spark.sql.Row(p, pv, 0L, true, st.orNull), null)
+      case (p, false, _, _) => org.apache.spark.sql.Row(
         null, org.apache.spark.sql.Row(p, true))
     }
     val tmp = s"${logDir(root)}/.ckpt_tmp_$v"

@@ -745,10 +745,15 @@ class InventorySpec extends SparkSpec {
     // §2.217 round-17: change data feed from the log's file diff
     "etl_delta_change_feed",
     // §2.218 round-17: Iceberg merge-on-read position deletes
-    "scan_iceberg_position_deletes")
+    "scan_iceberg_position_deletes",
+    // §2.219 round-17: incremental view maintenance from the change
+    // feed (signed-delta folding, O(changes) after bootstrap)
+    "etl_incremental_view_cdf",
+    // §2.220 round-17: data skipping from the log's per-file stats
+    "scan_delta_stats_skipping")
 
-  test("declared queries cover SURVEY §2 + §2.12-218 exactly (723 keys)") {
-    assert(inventory.size == 723)
+  test("declared queries cover SURVEY §2 + §2.12-220 exactly (725 keys)") {
+    assert(inventory.size == 725)
     val declared = SparkEntry.queries.keySet
     val missing = inventory -- declared
     val extra = declared -- inventory

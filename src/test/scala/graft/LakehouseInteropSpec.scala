@@ -269,6 +269,59 @@ class LakehouseInteropSpec extends SparkSpec {
     assert(e.getMessage.contains("empty change window"))
   }
 
+  test("log stats: parse, skip-plan, and survive checkpoint roundtrip") {
+    import spark.implicits._
+    val root = freshRoot("stats")
+    def stage(sub: String, lo: Int, hi: Int): String = {
+      (lo until hi).toDF("id").coalesce(1)
+        .write.mode("overwrite").parquet(s"$root/$sub")
+      val part = new java.io.File(s"$root/$sub").listFiles
+        .find(_.getName.endsWith(".parquet")).get.getName
+      s"$sub/$part"
+    }
+    val f1 = stage("lo", 0, 50)
+    val f2 = stage("hi", 50, 100)
+    DeltaInterop.writeCommit(root, 0L, Seq(
+      DeltaInterop.protocolAction,
+      DeltaInterop.metaDataAction("stats", Seq.empty),
+      DeltaInterop.addAction(f1, Map.empty, 0L,
+        Some(DeltaInterop.statsJson(50, "id", 0, 49))),
+      DeltaInterop.addAction(f2, Map.empty, 0L,
+        Some(DeltaInterop.statsJson(50, "id", 50, 99)))))
+    val (n, b) = DeltaInterop.parseStats(
+      DeltaInterop.statsJson(50, "id", 0, 49))
+    assert(n == 50 && b("id") == ((0.0, 49.0)))
+    // A [0, 30] plan keeps lo, skips hi — without opening either.
+    val (kept, skipped) = DeltaInterop.planSkip(spark, root, "id", 0, 30)
+    assert(kept.map(_._1) == Seq(f1) && skipped == 1)
+    // Stats for an unrecorded column keep everything (admit-only).
+    val (all, none) = DeltaInterop.planSkip(spark, root, "other", 0, 1)
+    assert(all.size == 2 && none == 0)
+    // Stats survive the checkpoint parquet roundtrip: after vacuuming
+    // the commits, the checkpoint is the only stats carrier.
+    DeltaInterop.writeCheckpoint(spark, root, 0L)
+    DeltaInterop.cleanLog(root, before = 1L)
+    val (kept2, skipped2) = DeltaInterop.planSkip(spark, root, "id", 0, 30)
+    assert(kept2.map(_._1) == Seq(f1) && skipped2 == 1)
+  }
+
+  test("incremental view == direct aggregate at every maintained version") {
+    // The declared key's v1/v3 view states must equal recomputing the
+    // aggregates from the time-travel snapshots directly.
+    val rows = LakehouseQueries.queries("etl_incremental_view_cdf")(spark, sf)
+      .collect()
+    val root =
+      s"${graft.operators.ScanQueries.scratch(spark, sf)}/delta_cdf"
+    for (v <- Seq(1, 3)) {
+      val direct = DeltaInterop.readSnapshot(spark, root, asOf = Some(v.toLong))
+        .groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val maintained = rows.filter(_.getInt(3) == v)
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(maintained == direct, s"view at v$v diverged from direct")
+    }
+  }
+
   // ------------------------------------------------------------------
   // Iceberg merge-on-read position deletes (§2.218)
   // ------------------------------------------------------------------
