@@ -156,7 +156,11 @@ object ScaleStress {
     // Round-17 lakehouse wave 3 at birth: the incremental view
     // (bootstrap scan + two O(changed-files) delta folds) and the
     // stats-skipping key (8-band staging; the measured read plans 2).
-    "etl_incremental_view_cdf", "scan_delta_stats_skipping")
+    "etl_incremental_view_cdf", "scan_delta_stats_skipping",
+    // Round-17 lakehouse wave 4 at birth: the evolved read (two
+    // generation scans + projection) and the post-expiration full read
+    // (8 files; expiration itself is build-time metadata).
+    "scan_delta_schema_evolution_interop", "scan_iceberg_expire_snapshots")
   // Keys whose only input is lineitem — copy-scalable (see scaladoc).
   // The embeddings/documents keys are NOT copy-scalable for the same
   // reason the dedup keys aren't (cross-copy duplicate geometry);

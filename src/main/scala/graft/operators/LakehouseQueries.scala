@@ -106,7 +106,16 @@ object LakehouseQueries {
     * manifest files verbatim (append = O(new) metadata). */
   private def icebergOrdersTable(s: SparkSession, dir: String): String = {
     val root = s"${ScanQueries.scratch(s, dir)}/iceberg_orders"
-    buildOnce(root) {
+    buildOnce(root)(buildIcebergLineage(s, dir, root))
+    root
+  }
+
+  /** The 101→202 append lineage shared by the snapshot-interop and
+    * expiration fixtures (separate roots — expiration MUTATES table
+    * metadata, and the interop key's history must stay intact). */
+  private def buildIcebergLineage(s: SparkSession, dir: String,
+      root: String): Unit = {
+    {
       val o = t(s, dir, "orders")
       def manifest(name: String, parity: Long, buckets: Seq[Long]) = {
         val entries = buckets.map { b =>
@@ -133,6 +142,48 @@ object LakehouseQueries {
         m1.copy(addedFilesCount = 0), m2.copy(addedFilesCount = 0), m3, m4))
       val snap2 = IcebergInterop.Snapshot(202L, Some(101L), list2)
       IcebergInterop.writeMetadata(root, 2, 202L, Seq(snap1, snap2))
+    }
+  }
+
+  /** The lineage above with snapshot 101 EXPIRED: its manifest list is
+    * deleted and the hint moves to metadata v3, but every manifest
+    * lives on (202's list references them all — reference counting is
+    * what keeps expiration from corrupting descendants). The build
+    * requires the (1 list, 0 manifests) GC outcome loudly. */
+  private def icebergExpireTable(s: SparkSession, dir: String): String = {
+    val root = s"${ScanQueries.scratch(s, dir)}/iceberg_expire"
+    buildOnce(root) {
+      buildIcebergLineage(s, dir, root)
+      val (lists, orphans) = IcebergInterop.expireSnapshots(root, Set(101L))
+      require(lists == 1 && orphans == 0,
+        s"expire invariant: expected (1 list, 0 orphans), got ($lists, $orphans)")
+    }
+    root
+  }
+
+  /** The Delta-convention table the SCHEMA-EVOLUTION key reads:
+    * generation 1 (commit 0) declares and writes a 3-column schema;
+    * generation 2 (commit 1) evolves the declared schema by appending
+    * l_extendedprice and writes 4-column files — the gen-1 file is
+    * never rewritten. Rows split by l_linenumber so the oracle can
+    * reconstruct which generation carries which rows. */
+  private def deltaEvoTable(s: SparkSession, dir: String): String = {
+    val root = s"${ScanQueries.scratch(s, dir)}/delta_evo"
+    buildOnce(root) {
+      val li = t(s, dir, "lineitem")
+      val gen1 = li.filter(col("l_linenumber") === 1)
+        .select("l_orderkey", "l_returnflag", "l_quantity")
+      val gen2 = li.filter(col("l_linenumber") >= 2)
+        .select("l_orderkey", "l_returnflag", "l_quantity", "l_extendedprice")
+      DeltaInterop.writeCommit(root, 0L, Seq(
+        DeltaInterop.protocolAction,
+        DeltaInterop.metaDataAction("graft-delta-evo", Seq.empty,
+          Some(gen1.schema.json)),
+        DeltaInterop.addAction(stageFile(root, "gen1", gen1), Map.empty, 0L)))
+      DeltaInterop.writeCommit(root, 1L, Seq(
+        DeltaInterop.metaDataAction("graft-delta-evo", Seq.empty,
+          Some(gen2.schema.json)),
+        DeltaInterop.addAction(stageFile(root, "gen2", gen2), Map.empty, 0L)))
     }
     root
   }
@@ -473,6 +524,47 @@ object LakehouseQueries {
         .withColumn("n_files_planned", lit(kept.size))
         .withColumn("n_files_skipped", lit(skipped))
         .orderBy("o_orderpriority")
+    }),
+
+    // SCHEMA EVOLUTION INTEROP (§2.221) — the reader's projection
+    // obligation when a foreign writer evolved the schema: gen-1 files
+    // predate l_extendedprice and are never rewritten; the read
+    // projects them into the log's CURRENT schemaString with typed
+    // nulls. Dropping the projection breaks the union (mismatched
+    // file schemas); reading everything under the old schema loses the
+    // column; the per-flag null-count pins exactly which rows came
+    // from the pre-evolution generation.
+    "scan_delta_schema_evolution_interop" -> ((s, dir) => {
+      val root = deltaEvoTable(s, dir)
+      DeltaInterop.readSnapshotEvolved(s, root)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_rows"),
+          dsum(col("l_quantity")).as("sum_qty"),
+          count(when(col("l_extendedprice").isNull, 1)).as("n_pre_evolution"),
+          dsum(col("l_extendedprice")).as("sum_price"))
+        .orderBy("l_returnflag")
+    }),
+
+    // ICEBERG SNAPSHOT EXPIRATION (§2.222) — metadata GC with
+    // reference counting: expiring 101 deletes ITS manifest list and
+    // moves the hint, but every manifest survives because 202 still
+    // references them (manifest reuse means naive expiration would
+    // corrupt the descendant). The read proves 202 is intact (full
+    // orders) and the on-disk audit counts ride in-band: 1 snapshot,
+    // 1 list, all 4 manifests.
+    "scan_iceberg_expire_snapshots" -> ((s, dir) => {
+      val root = icebergExpireTable(s, dir)
+      val (_, snaps) = IcebergInterop.readMetadata(root)
+      val meta = new java.io.File(s"$root/metadata").listFiles.map(_.getName)
+      IcebergInterop.readSnapshot(s, root, None, None)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice")).as("sum_price"))
+        .withColumn("n_snapshots", lit(snaps.size))
+        .withColumn("n_lists_on_disk", lit(meta.count(_.startsWith("snap-"))))
+        .withColumn("n_manifests_on_disk",
+          lit(meta.count(_.startsWith("manifest-"))))
+        .orderBy("o_orderstatus")
     })
   )
 
@@ -571,6 +663,20 @@ object LakehouseQueries {
          |  2 AS n_files_planned, 6 AS n_files_skipped
          |FROM orders, m
          |WHERE o_orderkey <= 2 * m.w - 1
-         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "scan_delta_schema_evolution_interop" ->
+      s"""SELECT l_returnflag, count(*) AS n_rows,
+         |  ${sqlSum("l_quantity")} AS sum_qty,
+         |  count(CASE WHEN l_linenumber = 1 THEN 1 END) AS n_pre_evolution,
+         |  ${sqlSum("CASE WHEN l_linenumber >= 2 THEN l_extendedprice END")}
+         |    AS sum_price
+         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "scan_iceberg_expire_snapshots" ->
+      s"""SELECT o_orderstatus, count(*) AS n_orders,
+         |  ${sqlSum("o_totalprice")} AS sum_price,
+         |  1 AS n_snapshots, 1 AS n_lists_on_disk, 4 AS n_manifests_on_disk
+         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
   )
 }

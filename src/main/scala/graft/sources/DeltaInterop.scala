@@ -299,10 +299,70 @@ object DeltaInterop {
   def protocolAction: String =
     """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
 
-  def metaDataAction(id: String, partitionCols: Seq[String]): String = {
+  def metaDataAction(id: String, partitionCols: Seq[String],
+      schemaJson: Option[String] = None): String = {
     val pc = partitionCols.map(c => s""""${esc(c)}"""").mkString(",")
+    val sj = schemaJson.map(s => s""","schemaString":"${esc(s)}"""").getOrElse("")
     s"""{"metaData":{"id":"${esc(id)}","format":{"provider":"parquet"},""" +
-      s""""partitionColumns":[$pc]}}"""
+      s""""partitionColumns":[$pc]$sj}}"""
+  }
+
+  /** The newest `metaData.schemaString` at or before `asOf` — SCHEMA
+    * EVOLUTION state. The protocol evolves a table's schema by writing
+    * a new metaData action; data files written under OLDER schemas are
+    * never rewritten, so the reader owes the projection. Driver-side
+    * Jackson scan of the commit JSONs, newest first — bounded metadata
+    * (metaData actions are rare and tiny). */
+  def latestSchemaJson(root: String, asOf: Option[Long] = None): Option[String] = {
+    val commitRe = "^(\\d{20})\\.json$".r
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    Option(new java.io.File(logDir(root)).listFiles).toSeq.flatten
+      .map(_.getName).collect { case commitRe(v) => v.toLong }
+      .filter(v => asOf.forall(v <= _)).sorted.reverse.iterator
+      .flatMap { v =>
+        java.nio.file.Files.readString(
+            java.nio.file.Paths.get(logDir(root), s"${pad(v)}.json"))
+          .linesIterator.flatMap { line =>
+            val node = om.readTree(line)
+            Option(node.get("metaData"))
+              .flatMap(m => Option(m.get("schemaString"))).map(_.asText())
+          }
+      }.nextOption()
+  }
+
+  /** SCHEMA-EVOLUTION read: every live file projects into the log's
+    * CURRENT schema — columns a file predates materialize as typed
+    * nulls, columns are cast and ordered per the declaration. The data
+    * bytes of pre-evolution files are untouched (that is the point:
+    * adding a column to a 100 TB table costs one metadata action, zero
+    * file rewrites) and partition columns still attach from
+    * partitionValues first. */
+  def readSnapshotEvolved(spark: SparkSession, root: String,
+      asOf: Option[Long] = None): DataFrame = {
+    val schemaJson = latestSchemaJson(root, asOf).getOrElse(
+      sys.error(s"no metaData.schemaString in the log at $root"))
+    val schema = org.apache.spark.sql.types.DataType.fromJson(schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val files = snapshotFilesAt(spark, root, asOf)
+    require(files.nonEmpty, s"no live files selected from $root")
+    files.groupBy(_._2).toSeq.sortBy(_._1.toSeq.sorted.mkString(","))
+      .map { case (pv, group) =>
+        // The declared schema is passed to the reader EXPLICITLY — the
+        // parquet source then fills columns a file predates with nulls
+        // PER FILE. (Relying on inference instead would sample one
+        // file's footer for the whole multi-file scan and silently
+        // drop or blank the evolved column for the rest.) Partition
+        // columns attach from partitionValues, never from file bytes.
+        val dataSchema = org.apache.spark.sql.types.StructType(
+          schema.fields.filterNot(f => pv.contains(f.name)))
+        val withPv = pv.toSeq.sortBy(_._1).foldLeft(
+          spark.read.schema(dataSchema)
+            .parquet(group.map(g => s"$root/${g._1}"): _*)) {
+          case (df, (k, v)) => df.withColumn(k, lit(v))
+        }
+        withPv.select(schema.fields.toSeq.map(f =>
+          col(f.name).cast(f.dataType).as(f.name)): _*)
+      }.reduce(_ unionByName _)
   }
 
   def writeCommit(root: String, v: Long, actions: Seq[String]): Unit = {

@@ -165,6 +165,39 @@ object IcebergInterop {
       version.toString)
   }
 
+  /** SNAPSHOT EXPIRATION — the metadata-level GC every production
+    * table runs: drop `expire` from the snapshot list (a NEW metadata
+    * version; old metadata files stay, the hint moves), delete the
+    * expired snapshots' manifest LISTS, and delete only the manifests
+    * no surviving snapshot references (reference-counted — manifest
+    * REUSE means an expired snapshot's manifests usually live on under
+    * its descendants, and deleting them would corrupt every later
+    * snapshot). Data files are untouched here (file-level GC is a
+    * separate orphan sweep, [[VersionedTable.vacuum]]'s concern).
+    * Returns (manifest lists deleted, orphan manifests deleted). */
+  def expireSnapshots(root: String, expire: Set[Long]): (Int, Int) = {
+    val hint = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(metaDir(root), "version-hint.text")).trim.toInt
+    val (current, snaps) = readMetadata(root)
+    require(!expire.contains(current),
+      s"cannot expire the current snapshot $current at $root")
+    val (dead, kept) = snaps.partition(s => expire.contains(s.snapshotId))
+    val keptRefs = kept
+      .flatMap(s => readManifestList(root, s.manifestList))
+      .map(_.manifestPath).toSet
+    val orphans = dead
+      .flatMap(s => readManifestList(root, s.manifestList))
+      .map(_.manifestPath).toSet -- keptRefs
+    writeMetadata(root, hint + 1, current, kept)
+    dead.foreach(s =>
+      java.nio.file.Files.deleteIfExists(
+        java.nio.file.Paths.get(root, s.manifestList)): Unit)
+    orphans.foreach(m =>
+      java.nio.file.Files.deleteIfExists(
+        java.nio.file.Paths.get(root, m)): Unit)
+    (dead.size, orphans.size)
+  }
+
   /** Current table metadata via the version hint (the HadoopTables
     * latest-metadata convention). Jackson (Spark's bundled JSON stack)
     * parses the nested document. */

@@ -750,10 +750,15 @@ class InventorySpec extends SparkSpec {
     // feed (signed-delta folding, O(changes) after bootstrap)
     "etl_incremental_view_cdf",
     // §2.220 round-17: data skipping from the log's per-file stats
-    "scan_delta_stats_skipping")
+    "scan_delta_stats_skipping",
+    // §2.221 round-17: schema-evolution projection (schemaString wins,
+    // pre-evolution files project with typed nulls)
+    "scan_delta_schema_evolution_interop",
+    // §2.222 round-17: reference-counted snapshot expiration
+    "scan_iceberg_expire_snapshots")
 
-  test("declared queries cover SURVEY §2 + §2.12-220 exactly (725 keys)") {
-    assert(inventory.size == 725)
+  test("declared queries cover SURVEY §2 + §2.12-222 exactly (727 keys)") {
+    assert(inventory.size == 727)
     val declared = SparkEntry.queries.keySet
     val missing = inventory -- declared
     val extra = declared -- inventory

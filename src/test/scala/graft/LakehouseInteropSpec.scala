@@ -322,6 +322,85 @@ class LakehouseInteropSpec extends SparkSpec {
     }
   }
 
+  test("schema evolution: newest schemaString wins, old files project as nulls") {
+    import spark.implicits._
+    val root = freshRoot("evo")
+    def stage(sub: String, df: org.apache.spark.sql.DataFrame): String = {
+      df.coalesce(1).write.mode("overwrite").parquet(s"$root/$sub")
+      val part = new java.io.File(s"$root/$sub").listFiles
+        .find(_.getName.endsWith(".parquet")).get.getName
+      s"$sub/$part"
+    }
+    val g1 = (0 until 5).toDF("id")
+    val g2 = (5 until 8).map(i => (i, i * 10.0)).toDF("id", "v")
+    DeltaInterop.writeCommit(root, 0L, Seq(
+      DeltaInterop.protocolAction,
+      DeltaInterop.metaDataAction("evo", Seq.empty, Some(g1.schema.json)),
+      DeltaInterop.addAction(stage("g1", g1), Map.empty, 0L)))
+    DeltaInterop.writeCommit(root, 1L, Seq(
+      DeltaInterop.metaDataAction("evo", Seq.empty, Some(g2.schema.json)),
+      DeltaInterop.addAction(stage("g2", g2), Map.empty, 0L)))
+    // Newest declaration wins; as-of v0 sees the ORIGINAL declaration.
+    assert(DeltaInterop.latestSchemaJson(root).contains(g2.schema.json))
+    assert(DeltaInterop.latestSchemaJson(root, Some(0L))
+      .contains(g1.schema.json))
+    val evolved = DeltaInterop.readSnapshotEvolved(spark, root)
+    assert(evolved.columns.toSeq == Seq("id", "v"))
+    val rows = evolved.collect().map(r =>
+      (r.getInt(0), if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .sortBy(_._1)
+    assert(rows.take(5).forall(_._2.isEmpty)) // pre-evolution rows
+    assert(rows.drop(5).map(_._2.get).toSeq == Seq(50.0, 60.0, 70.0))
+    // Time travel composes: the v0 snapshot under the v0 schema.
+    assert(DeltaInterop.readSnapshotEvolved(spark, root, Some(0L))
+      .columns.toSeq == Seq("id"))
+  }
+
+  test("snapshot expiration is reference-counted; descendants stay intact") {
+    import graft.sources.IcebergInterop
+    import IcebergInterop.{ManifestEntry, ManifestFile, Snapshot}
+    import spark.implicits._
+    val root = s"/tmp/graft_test_delta/${spark.sparkContext.applicationId}/exp"
+    graft.sources.ScanSupport.deleteDir(new java.io.File(root))
+    def stage(b: Long): ManifestEntry = {
+      Seq(b).toDF("v").coalesce(1).write.parquet(s"$root/data/b$b")
+      val part = new java.io.File(s"$root/data/b$b").listFiles
+        .find(_.getName.endsWith(".parquet")).get.getName
+      ManifestEntry(1, s"data/b$b/$part", 1L, b)
+    }
+    // Snapshot 1 carries m1; snapshot 2 REUSES m1 and adds m2; snapshot
+    // 1 also carries an m0 nothing else references (a true orphan).
+    val m0 = ManifestFile(IcebergInterop.writeManifest(root, "manifest-o",
+      Seq(stage(9L))), 1, 9L, 9L)
+    val m1 = ManifestFile(IcebergInterop.writeManifest(root, "manifest-a",
+      Seq(stage(0L))), 1, 0L, 0L)
+    val m2 = ManifestFile(IcebergInterop.writeManifest(root, "manifest-b",
+      Seq(stage(1L))), 1, 1L, 1L)
+    val l1 = IcebergInterop.writeManifestList(root, 1L, Seq(m0, m1))
+    val l2 = IcebergInterop.writeManifestList(root, 2L,
+      Seq(m1.copy(addedFilesCount = 0), m2))
+    IcebergInterop.writeMetadata(root, 2, 2L, Seq(
+      Snapshot(1L, None, l1), Snapshot(2L, Some(1L), l2)))
+    // Expiring the current snapshot is refused.
+    val e = intercept[IllegalArgumentException] {
+      IcebergInterop.expireSnapshots(root, Set(2L))
+    }
+    assert(e.getMessage.contains("current"))
+    val (lists, orphans) = IcebergInterop.expireSnapshots(root, Set(1L))
+    assert(lists == 1 && orphans == 1) // l1 gone, m0 swept, m1 SURVIVES
+    assert(!new java.io.File(s"$root/$l1").exists())
+    assert(new java.io.File(s"$root/${m1.manifestPath}").exists())
+    val (current, snaps) = IcebergInterop.readMetadata(root)
+    assert(current == 2L && snaps.map(_.snapshotId) == Seq(2L))
+    // The descendant still reads exactly its files.
+    assert(IcebergInterop.readSnapshot(spark, root, None, None)
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(0L, 1L))
+    // The expired id fails loudly.
+    intercept[RuntimeException] {
+      IcebergInterop.readSnapshot(spark, root, Some(1L), None)
+    }
+  }
+
   // ------------------------------------------------------------------
   // Iceberg merge-on-read position deletes (§2.218)
   // ------------------------------------------------------------------
