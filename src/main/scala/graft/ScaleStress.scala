@@ -160,7 +160,10 @@ object ScaleStress {
     // Round-17 lakehouse wave 4 at birth: the evolved read (two
     // generation scans + projection) and the post-expiration full read
     // (8 files; expiration itself is build-time metadata).
-    "scan_delta_schema_evolution_interop", "scan_iceberg_expire_snapshots")
+    "scan_delta_schema_evolution_interop", "scan_iceberg_expire_snapshots",
+    // Round-17 lakehouse wave 5 at birth: the per-commit change walk
+    // (bounded metadata) + one scan of the single true-change file.
+    "etl_delta_cdf_compaction_aware")
   // Keys whose only input is lineitem — copy-scalable (see scaladoc).
   // The embeddings/documents keys are NOT copy-scalable for the same
   // reason the dedup keys aren't (cross-copy duplicate geometry);

@@ -317,6 +317,37 @@ object LakehouseQueries {
     root
   }
 
+  /** The Delta-convention table the compaction-aware CDF key walks:
+    *   v0  add f1 (l_linenumber = 1), f2 (= 2)   [dataChange = true]
+    *   v1  OPTIMIZE: remove f1, f2; add c1 = f1 ∪ f2   [ALL false]
+    *   v2  add f3 (l_linenumber = 3)             [dataChange = true]
+    * Same rows before and after v1 — the compaction is pure layout. */
+  private def deltaCompactTable(s: SparkSession, dir: String): String = {
+    val root = s"${ScanQueries.scratch(s, dir)}/delta_compact"
+    buildOnce(root) {
+      val li = t(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
+      def gen(sub: String, cond: org.apache.spark.sql.Column) =
+        stageFile(root, sub, li.filter(cond))
+      val f1 = gen("f1", col("l_linenumber") === 1)
+      val f2 = gen("f2", col("l_linenumber") === 2)
+      DeltaInterop.writeCommit(root, 0L, Seq(
+        DeltaInterop.protocolAction,
+        DeltaInterop.metaDataAction("graft-delta-compact", Seq.empty),
+        DeltaInterop.addAction(f1, Map.empty, 0L),
+        DeltaInterop.addAction(f2, Map.empty, 0L)))
+      val c1 = gen("c1", col("l_linenumber") <= 2)
+      DeltaInterop.writeCommit(root, 1L, Seq(
+        DeltaInterop.removeAction(f1, dataChange = false),
+        DeltaInterop.removeAction(f2, dataChange = false),
+        DeltaInterop.addAction(c1, Map.empty, 0L, dataChange = false)))
+      val f3 = gen("f3", col("l_linenumber") === 3)
+      DeltaInterop.writeCommit(root, 2L, Seq(
+        DeltaInterop.addAction(f3, Map.empty, 0L)))
+    }
+    root
+  }
+
   val queries: Map[String, Q] = Map(
     // DELTA LOG INTEROP (§2.213) — read a Delta-convention table
     // (checkpoint + vacuumed log head + post-checkpoint commit +
@@ -565,6 +596,34 @@ object LakehouseQueries {
         .withColumn("n_manifests_on_disk",
           lit(meta.count(_.startsWith("manifest-"))))
         .orderBy("o_orderstatus")
+    }),
+
+    // COMPACTION-AWARE CHANGE FEED (§2.223) — the dataChange=false
+    // reader obligation: window (0, 2] spans an OPTIMIZE that rewrote
+    // both v0 files into one (same rows, new layout). The per-commit
+    // walk (changeActions) emits ONLY the v2 append; the naive
+    // snapshot diff would churn 4 files of spurious deletes+inserts,
+    // and that gap rides in-band as n_files_churned_by_compaction.
+    // Emitting the compaction's files as changes would add every
+    // pre-v1 row to the feed and hash-fail; missing the v2 append
+    // loses the insert rows.
+    "etl_delta_cdf_compaction_aware" -> ((s, dir) => {
+      val root = deltaCompactTable(s, dir)
+      val changes = DeltaInterop.changeActions(s, root, 0L, 2L)
+      val (nAdd, nRem) = DeltaInterop.changedFiles(s, root, 0L, 2L)
+      val churn = nAdd.size + nRem.size - changes.size
+      val inserts = changes.filter(_._4).map(c => (c._2, c._3))
+      // This window's true change set is insert-only (the compaction
+      // contributes nothing); a delete branch would mirror readFiles
+      // over the dataChange=true removes, exactly as in
+      // etl_delta_change_feed.
+      DeltaInterop.readFiles(s, root, inserts)
+        .withColumn("change_type", lit("insert"))
+        .groupBy("change_type", "l_returnflag")
+        .agg(count(lit(1)).as("n_rows"), dsum(col("l_quantity")).as("sum_qty"))
+        .withColumn("n_change_files", lit(changes.size))
+        .withColumn("n_files_churned_by_compaction", lit(churn))
+        .orderBy("l_returnflag")
     })
   )
 
@@ -677,6 +736,13 @@ object LakehouseQueries {
       s"""SELECT o_orderstatus, count(*) AS n_orders,
          |  ${sqlSum("o_totalprice")} AS sum_price,
          |  1 AS n_snapshots, 1 AS n_lists_on_disk, 4 AS n_manifests_on_disk
-         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "etl_delta_cdf_compaction_aware" ->
+      s"""SELECT 'insert' AS change_type, l_returnflag,
+         |  count(*) AS n_rows, ${sqlSum("l_quantity")} AS sum_qty,
+         |  1 AS n_change_files, 3 AS n_files_churned_by_compaction
+         |FROM lineitem WHERE l_linenumber = 3
+         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
   )
 }

@@ -233,6 +233,56 @@ object DeltaInterop {
       before.filterNot(f => afterPaths(f._1)))
   }
 
+  /** COMPACTION-AWARE change actions for the window (fromV, toV]: one
+    * (version, path, partitionValues, isAdd) row per add/remove with
+    * `dataChange = true`, walked commit by commit. This is the
+    * protocol's CDC contract that [[changedFiles]]' snapshot diff
+    * cannot honor: a compaction (OPTIMIZE) rewrites files with
+    * `dataChange = false` — same rows, new layout — and a consumer
+    * diffing snapshots would emit that churn as massive spurious
+    * deletes + inserts. The per-commit walk skips false actions
+    * entirely, and still reads a TRUE-added file's rows even if a
+    * later compaction removed the file (remove actions are logical;
+    * the bytes live until vacuum). Requires every commit in the window
+    * present — loud otherwise (a CDC consumer must not fabricate a
+    * window it cannot prove). */
+  def changeActions(spark: SparkSession, root: String, fromV: Long,
+      toV: Long): Seq[(Long, String, Map[String, String], Boolean)] = {
+    require(fromV < toV, s"empty change window [$fromV, $toV]")
+    val need = (fromV + 1) to toV
+    need.foreach { v =>
+      require(java.nio.file.Files.exists(
+          java.nio.file.Paths.get(logDir(root), s"${pad(v)}.json")),
+        s"change window ($fromV, $toV] needs commit $v at $root " +
+          "(vacuumed? CDC cannot replay it)")
+    }
+    spark.read.schema(StructType(Seq(
+        StructField("add", StructType(Seq(
+          StructField("path", StringType),
+          StructField("partitionValues", MapType(StringType, StringType)),
+          StructField("dataChange", BooleanType)))),
+        StructField("remove", StructType(Seq(
+          StructField("path", StringType),
+          StructField("partitionValues", MapType(StringType, StringType)),
+          StructField("dataChange", BooleanType)))))))
+      .json(need.map(v => s"${logDir(root)}/${pad(v)}.json"): _*)
+      .withColumn("version", regexp_extract(col("_metadata.file_name"),
+        "^(\\d{20})\\.json$", 1).cast("long"))
+      .select(col("version"),
+        coalesce(col("add.path"), col("remove.path")).as("path"),
+        coalesce(col("add.partitionValues"), col("remove.partitionValues"))
+          .as("pv"),
+        col("add.path").isNotNull.as("is_add"),
+        coalesce(col("add.dataChange"), col("remove.dataChange"))
+          .as("data_change"))
+      .filter(col("path").isNotNull && col("data_change"))
+      .collect().toSeq
+      .map(r => (r.getLong(0), r.getString(1),
+        Option(r.getMap[String, String](2)).map(_.toMap).getOrElse(Map.empty),
+        r.getBoolean(3)))
+      .sortBy(t => (t._1, t._2))
+  }
+
   /** Read a snapshot (latest, or AS OF `asOf`), re-attaching
     * identity-partition columns from `partitionValues` (data files omit
     * them, per the protocol). `prune` sees each file's partitionValues
@@ -278,12 +328,12 @@ object DeltaInterop {
   }
 
   def addAction(path: String, pv: Map[String, String], size: Long,
-      stats: Option[String] = None): String = {
+      stats: Option[String] = None, dataChange: Boolean = true): String = {
     val pvj = pv.toSeq.sortBy(_._1)
       .map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }.mkString(",")
     val statsj = stats.map(s => s""","stats":"${esc(s)}"""").getOrElse("")
     s"""{"add":{"path":"${esc(path)}","partitionValues":{$pvj},""" +
-      s""""size":$size,"dataChange":true$statsj}}"""
+      s""""size":$size,"dataChange":$dataChange$statsj}}"""
   }
 
   /** The protocol's per-file stats payload (numRecords + single-column
@@ -293,8 +343,8 @@ object DeltaInterop {
     s"""{"numRecords":$numRecords,"minValues":{"$column":$min},""" +
       s""""maxValues":{"$column":$max}}"""
 
-  def removeAction(path: String): String =
-    s"""{"remove":{"path":"${esc(path)}","dataChange":true}}"""
+  def removeAction(path: String, dataChange: Boolean = true): String =
+    s"""{"remove":{"path":"${esc(path)}","dataChange":$dataChange}}"""
 
   def protocolAction: String =
     """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""

@@ -755,10 +755,12 @@ class InventorySpec extends SparkSpec {
     // pre-evolution files project with typed nulls)
     "scan_delta_schema_evolution_interop",
     // §2.222 round-17: reference-counted snapshot expiration
-    "scan_iceberg_expire_snapshots")
+    "scan_iceberg_expire_snapshots",
+    // §2.223 round-17: dataChange=false-aware change feed
+    "etl_delta_cdf_compaction_aware")
 
-  test("declared queries cover SURVEY §2 + §2.12-222 exactly (727 keys)") {
-    assert(inventory.size == 727)
+  test("declared queries cover SURVEY §2 + §2.12-223 exactly (728 keys)") {
+    assert(inventory.size == 728)
     val declared = SparkEntry.queries.keySet
     val missing = inventory -- declared
     val extra = declared -- inventory

@@ -401,6 +401,51 @@ class LakehouseInteropSpec extends SparkSpec {
     }
   }
 
+  test("change actions skip dataChange=false; snapshot diff does not") {
+    import spark.implicits._
+    val root = freshRoot("compact")
+    def stage(sub: String, lo: Int, hi: Int): String = {
+      (lo until hi).toDF("id").coalesce(1)
+        .write.mode("overwrite").parquet(s"$root/$sub")
+      val part = new java.io.File(s"$root/$sub").listFiles
+        .find(_.getName.endsWith(".parquet")).get.getName
+      s"$sub/$part"
+    }
+    val f1 = stage("f1", 0, 5)
+    val f2 = stage("f2", 5, 10)
+    DeltaInterop.writeCommit(root, 0L, Seq(
+      DeltaInterop.protocolAction,
+      DeltaInterop.metaDataAction("cmp", Seq.empty),
+      DeltaInterop.addAction(f1, Map.empty, 0L),
+      DeltaInterop.addAction(f2, Map.empty, 0L)))
+    val c1 = stage("c1", 0, 10)
+    DeltaInterop.writeCommit(root, 1L, Seq(
+      DeltaInterop.removeAction(f1, dataChange = false),
+      DeltaInterop.removeAction(f2, dataChange = false),
+      DeltaInterop.addAction(c1, Map.empty, 0L, dataChange = false)))
+    // The compaction window carries NO change actions …
+    assert(DeltaInterop.changeActions(spark, root, 0L, 1L).isEmpty)
+    // … while the snapshot diff reports the full layout churn.
+    val (a, r) = DeltaInterop.changedFiles(spark, root, 0L, 1L)
+    assert(a.size == 1 && r.size == 2)
+    // Rows are untouched across the compaction.
+    assert(DeltaInterop.readSnapshot(spark, root)
+      .collect().map(_.getInt(0)).sorted.toSeq == (0 until 10))
+    // A true append after the compaction IS a change action — and the
+    // walk refuses a window whose commits were vacuumed.
+    val f3 = stage("f3", 10, 12)
+    DeltaInterop.writeCommit(root, 2L, Seq(
+      DeltaInterop.addAction(f3, Map.empty, 0L)))
+    val acts = DeltaInterop.changeActions(spark, root, 0L, 2L)
+    assert(acts.map(t => (t._1, t._2, t._4)) == Seq((2L, f3, true)))
+    DeltaInterop.writeCheckpoint(spark, root, 2L)
+    DeltaInterop.cleanLog(root, before = 2L)
+    val e = intercept[IllegalArgumentException] {
+      DeltaInterop.changeActions(spark, root, 0L, 2L)
+    }
+    assert(e.getMessage.contains("needs commit"))
+  }
+
   // ------------------------------------------------------------------
   // Iceberg merge-on-read position deletes (§2.218)
   // ------------------------------------------------------------------
