@@ -33,6 +33,28 @@ object Tables {
   def epochDay(colName: String): Column =
     expr(s"unix_millis(cast(`$colName` as timestamp)) div 86400000")
 
+  /** Scale-adaptive fan-out after a narrow-parallelism scan (guide §2.5
+    * "input skew: one huge unsplittable file … repartition immediately
+    * after the read"). The driver fixtures are ONE parquet file with ONE
+    * row group per table, so a scan — and everything Spark fuses into
+    * its stage: explodes, the md5-uniform device, tokenizers, partial
+    * aggregates — runs on a single task regardless of core count. When
+    * the observed scan parallelism is below the session's default
+    * parallelism, redistribute by the given key (hash repartition — no
+    * sort-before-repartition cost, and a downstream shuffle on the same
+    * key is satisfied by this exchange instead of adding its own) or
+    * round-robin when no natural key exists. At production scale (files
+    * ≥ cores × row groups) the condition fails and this is a NO-OP — the
+    * observed-parallelism test, not a tuned constant, carries the scale
+    * adaptivity; the fanned shuffle is the projected narrow columns
+    * only, a few MB at fixture scale. */
+  def fanout(df: DataFrame, by: Column*): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) {
+      if (by.isEmpty) df.repartition(p) else df.repartition(p, by: _*)
+    } else df
+  }
+
   /** `events.ts` has shipped in two parquet encodings across fixture
     * generations: TIMESTAMP(NANOS) (which Spark 4 refuses to read
     * natively — read as raw nanos under the legacy conf and

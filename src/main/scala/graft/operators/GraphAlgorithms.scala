@@ -139,7 +139,16 @@ object GraphAlgorithms {
       untilFixpoint: Boolean = false): (DataFrame, Int) = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    val ed = edges.join(deg, Seq("src")).persist()
+    // Round-17: the edge cache is hash-partitioned AND sorted on the
+    // per-superstep join key BEFORE it is persisted, so every round's
+    // edge⋈ranks sort-merge join reads it with NO exchange and NO sort
+    // — only the (small) ranks side shuffles per round (guide §2.4
+    // "two operations keyed the same way share one exchange"). The
+    // one-time repartition replaces `iters` per-round re-shuffles of
+    // the whole edge table.
+    val ed = edges.join(deg, Seq("src"))
+      .repartition(col("src")).sortWithinPartitions("src")
+      .persist()
     var ranks = materialize(s, deg.select(col("src").as("node"),
       lit(1000000L).as("rank")))
     var rounds = 0
@@ -196,23 +205,33 @@ object GraphAlgorithms {
   def labelPropagation(s: SparkSession, edges: DataFrame, rounds: Int,
       untilFixpoint: Boolean = false): (DataFrame, Int) = {
     require(rounds >= 1)
-    import org.apache.spark.sql.expressions.Window
+    // Round-17: neighbor table pre-partitioned + sorted on the join key
+    // (the labels side joins on "n" every round) — same one-exchange-
+    // for-the-loop rationale as pageRank's edge cache.
     val nb = edges.select(col("a").as("v"), col("b").as("n"))
       .unionAll(edges.select(col("b").as("v"), col("a").as("n")))
+      .repartition(col("n")).sortWithinPartitions("n")
       .persist()
     var labels = materialize(s,
       nb.select(col("v")).distinct().select(col("v"), col("v").as("label")))
     var r = 0
     var stable = false
     while (r < rounds && !stable) {
-      val w = Window.partitionBy(col("v"))
-        .orderBy(col("c").desc, col("label"))
+      // Round-17: the most-frequent-min-tie-break label is an ARGMAX —
+      // max_by over the total order (c, -label) picks highest count,
+      // then lowest label, exactly row_number()=1 under
+      // (c desc, label asc) — but partial-aggregates map-side, so the
+      // second exchange carries ≤ one row per (v × partition) and the
+      // per-partition window SORT disappears. (c, -label) is unique
+      // within each v group (labels are distinct rows), so the argmax
+      // is deterministic; labels are non-negative node ids, so -label
+      // cannot overflow.
       val next = materialize(s,
         nb.join(labels.withColumnRenamed("v", "n"), Seq("n"))
           .groupBy(col("v"), col("label")).agg(count(lit(1)).as("c"))
-          .withColumn("rk", row_number().over(w))
-          .filter(col("rk") === 1)
-          .select(col("v"), col("label")))
+          .groupBy(col("v"))
+          .agg(max_by(col("label"), struct(col("c"), -col("label")))
+            .as("label")))
       if (untilFixpoint)
         stable = next.join(labels, Seq("v", "label"), "left_anti")
           .isEmpty

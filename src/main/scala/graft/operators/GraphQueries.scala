@@ -42,8 +42,9 @@ object GraphQueries {
   /** Distinct (order, part) incidence pairs — the bipartite base of
     * every co-purchase graph key. */
   private def orderParts(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "lineitem")
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+    graft.Tables.fanout(t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p")),
+        col("ok"), col("p"))
       .distinct()
 
   /** Oriented (a < b) distinct co-purchase edges — ONE definition so
@@ -71,8 +72,9 @@ object GraphQueries {
     * md5(CAST(p AS VARCHAR)), p LIMIT k). */
   private val SeedBudget = 16
   private def hashSeeds(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "lineitem")
-      .select(col("l_partkey").as("node")).distinct()
+    graft.Tables.fanout(t(s, dir, "lineitem")
+        .select(col("l_partkey").as("node")), col("node"))
+      .distinct()
       .orderBy(md5(col("node").cast("string").cast("binary")),
         col("node"))
       .limit(SeedBudget)
@@ -96,8 +98,9 @@ object GraphQueries {
     * distinct-then-self-join spelling, which pays a distinct exchange
     * on (ok, p) AND a re-exchange on ok AND the join build. */
   private def partSetsByOrder(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "lineitem")
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+    graft.Tables.fanout(t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p")),
+        col("ok"))
       .groupBy("ok").agg(sort_array(collect_set(col("p"))).as("ps"))
       .filter(size(col("ps")) >= 2)
 
@@ -150,8 +153,9 @@ object GraphQueries {
       // here — the unrolled-oracle contract; the convergence read is
       // the public untilFixpoint face, pinned ≡ this prefix in
       // GraphAlgorithmsSpec.
-      val pairs = t(s, dir, "lineitem")
-        .select(col("l_partkey"), col("l_suppkey")).distinct()
+      val pairs = graft.Tables.fanout(t(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey")),
+        col("l_partkey"), col("l_suppkey")).distinct()
       val edges = pairs
         .select((col("l_partkey") * 2).as("src"),
           (col("l_suppkey") * 2 + 1).as("dst"))
@@ -246,11 +250,17 @@ object GraphQueries {
       // right cost model, not just a workaround.
       val half = org.apache.spark.sql.graftshim.dropOriginConstraints(
         sampledOrientedEdges(s, dir, None).localCheckpoint(true))
+      // Round-17: pre-partition + sort the loop-invariant edge cache on
+      // the per-round join key so each BFS round's frontier⋈edges
+      // sort-merge join reads it exchange-free and sort-free; only the
+      // (small) frontier side shuffles per round (guide §2.4).
       val ed = half.select(col("a").as("src"), col("b").as("dst"))
         .unionAll(half.select(col("b").as("src"), col("a").as("dst")))
+        .repartition(col("src")).sortWithinPartitions("src")
         .persist()
-      val seeds = t(s, dir, "lineitem")
-        .select(col("l_partkey").as("node")).distinct()
+      val seeds = graft.Tables.fanout(t(s, dir, "lineitem")
+          .select(col("l_partkey").as("node")), col("node"))
+        .distinct()
         .filter(pmod(col("node"), lit(97)) === 0)
       val dist = GraphAlgorithms.bfsFullReagg(s, ed, seeds, BfsRounds)
       ed.unpersist()
@@ -272,8 +282,13 @@ object GraphQueries {
     "graph_closeness" -> ((s, dir) => {
       val half = org.apache.spark.sql.graftshim.dropOriginConstraints(
         sampledOrientedEdges(s, dir, None).localCheckpoint(true))
+      // Round-17: pre-partition + sort the loop-invariant edge cache on
+      // the per-round join key so each BFS round's frontier⋈edges
+      // sort-merge join reads it exchange-free and sort-free; only the
+      // (small) frontier side shuffles per round (guide §2.4).
       val ed = half.select(col("a").as("src"), col("b").as("dst"))
         .unionAll(half.select(col("b").as("src"), col("a").as("dst")))
+        .repartition(col("src")).sortWithinPartitions("src")
         .persist()
       val seeds = hashSeeds(s, dir)
       var dist = seeds.select(col("node").as("seed"), col("node"),
@@ -307,9 +322,9 @@ object GraphQueries {
     // quadratically in the projection). One distinct pass, two
     // degree reduces, histogram tails.
     "graph_bipartite_profile" -> ((s, dir) => {
-      val pp = t(s, dir, "lineitem")
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
-        .distinct().localCheckpoint(true)
+      val pp = graft.Tables.fanout(t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p")),
+        col("ok"), col("p")).distinct().localCheckpoint(true)
       def side(keyCol: String, name: String): DataFrame = {
         val deg = pp.groupBy(keyCol).agg(count(lit(1)).as("deg"))
         val hist = deg.groupBy("deg").agg(count(lit(1)).as("cnt"))
@@ -344,8 +359,13 @@ object GraphQueries {
     "graph_eccentricity" -> ((s, dir) => {
       val half = org.apache.spark.sql.graftshim.dropOriginConstraints(
         sampledOrientedEdges(s, dir, None).localCheckpoint(true))
+      // Round-17: pre-partition + sort the loop-invariant edge cache on
+      // the per-round join key so each BFS round's frontier⋈edges
+      // sort-merge join reads it exchange-free and sort-free; only the
+      // (small) frontier side shuffles per round (guide §2.4).
       val ed = half.select(col("a").as("src"), col("b").as("dst"))
         .unionAll(half.select(col("b").as("src"), col("a").as("dst")))
+        .repartition(col("src")).sortWithinPartitions("src")
         .persist()
       val seeds = hashSeeds(s, dir)
       var dist = seeds.select(col("node").as("seed"), col("node"),
@@ -396,8 +416,13 @@ object GraphQueries {
       val half = org.apache.spark.sql.graftshim.dropOriginConstraints(
         sampledOrientedEdges(s, dir, Some(Seq("0", "1")))
           .localCheckpoint(true))
+      // Round-17: pre-partition + sort the loop-invariant edge cache on
+      // the per-round join key so each BFS round's frontier⋈edges
+      // sort-merge join reads it exchange-free and sort-free; only the
+      // (small) frontier side shuffles per round (guide §2.4).
       val ed = half.select(col("a").as("src"), col("b").as("dst"))
         .unionAll(half.select(col("b").as("src"), col("a").as("dst")))
+        .repartition(col("src")).sortWithinPartitions("src")
         .persist()
       val seeds = hashSeeds(s, dir)
       var dist = seeds.select(col("node").as("seed"), col("node"),
@@ -609,7 +634,8 @@ object GraphQueries {
         .filter(col("part") =!= col("other"))
         .distinct()
         .groupBy("part").agg(count(lit(1)).as("deg"))
-      val sales = t(s, dir, "lineitem")
+      val sales = graft.Tables.fanout(t(s, dir, "lineitem")
+          .select(col("l_partkey"), col("l_quantity")), col("l_partkey"))
         .groupBy(col("l_partkey").as("part"))
         .agg(sum(round(col("l_quantity") * 100).cast("long"))
           .as("qc"))
@@ -639,9 +665,9 @@ object GraphQueries {
     // one keyed reduce, two broadcast degree joins, a bounded top-20
     // total order.
     "graph_supplier_projection" -> ((s, dir) => {
-      val sp = t(s, dir, "lineitem")
-        .select(col("l_suppkey").as("sk"), col("l_partkey").as("p"))
-        .distinct()
+      val sp = graft.Tables.fanout(t(s, dir, "lineitem")
+        .select(col("l_suppkey").as("sk"), col("l_partkey").as("p")),
+        col("sk"), col("p")).distinct()
       val lhs = sp.select(col("p"), col("sk").as("sa"))
       val rhs = sp.select(col("p"), col("sk").as("sb"))
       val pairs = lhs.join(rhs, Seq("p"))
@@ -671,11 +697,12 @@ object GraphQueries {
     // distinct brands; lift cross-multiplies exact integers before
     // its one division; (lift rounded desc, pair) total order.
     "graph_brand_pair_lift" -> ((s, dir) => {
-      val b = t(s, dir, "lineitem")
+      val b = graft.Tables.fanout(t(s, dir, "lineitem")
         .join(broadcast(t(s, dir, "part")
           .select(col("p_partkey").as("l_partkey"), col("p_brand"))),
           Seq("l_partkey"))
-        .select(col("l_orderkey").as("ok"), col("p_brand"))
+        .select(col("l_orderkey").as("ok"), col("p_brand")),
+        col("ok"), col("p_brand"))
         .distinct()
       val nb = b.select("ok").distinct()
         .agg(count(lit(1)).as("n_baskets"))
@@ -1465,8 +1492,13 @@ object GraphQueries {
     "graph_two_hop_reach" -> ((s, dir) => {
       val half = sampledOrientedEdges(s, dir, Some(Seq("0")))
         .localCheckpoint(true)
+      // Round-17: the cache is read three ways keyed on src (wedge
+      // probe side, 1-hop degree, reach reduce) — pre-partition + sort
+      // once so those legs read it exchange-free (guide §2.4); only the
+      // wedge x-leg (keyed by dst) still shuffles.
       val ed = half.select(col("a").as("src"), col("b").as("dst"))
         .unionAll(half.select(col("b").as("src"), col("a").as("dst")))
+        .repartition(col("src")).sortWithinPartitions("src")
         .persist()
       val two = ed.as("x").join(ed.as("y"),
           col("x.dst") === col("y.src"))
@@ -1536,8 +1568,13 @@ object GraphQueries {
       val half = org.apache.spark.sql.graftshim.dropOriginConstraints(
         sampledOrientedEdges(s, dir, Some(Seq("0", "1")))
           .localCheckpoint(true))
+      // Round-17: the w2/w3 gathers both join this cache on src —
+      // pre-partition + sort once so both joins read it exchange-free
+      // and sort-free (guide §2.4); only the small per-step score
+      // tables shuffle.
       val ed = half.select(col("a").as("src"), col("b").as("dst"))
         .unionAll(half.select(col("b").as("src"), col("a").as("dst")))
+        .repartition(col("src")).sortWithinPartitions("src")
         .persist()
       val w1 = ed.groupBy(col("dst").as("node"))
         .agg(count(lit(1)).as("w1"))
@@ -1577,9 +1614,9 @@ object GraphQueries {
     // the graph is the distinct pair reduce of lineitem; every step
     // is one shuffle on a node-keyed table.
     "graph_hits" -> ((s, dir) => {
-      val e = t(s, dir, "lineitem")
-        .select(col("l_partkey").as("p"), col("l_suppkey").as("sp"))
-        .distinct().localCheckpoint(true)
+      val e = graft.Tables.fanout(t(s, dir, "lineitem")
+        .select(col("l_partkey").as("p"), col("l_suppkey").as("sp")),
+        col("p"), col("sp")).distinct().localCheckpoint(true)
       var h = e.select(col("p")).distinct()
         .withColumn("h", lit(1000000L))
       var a: DataFrame = null
@@ -1633,7 +1670,12 @@ object GraphQueries {
       val ed = half.select(col("a").as("src"), col("b").as("dst"))
         .unionAll(half.select(col("b").as("src"), col("a").as("dst")))
       val deg = ed.groupBy("src").agg(count(lit(1)).as("deg"))
-      val edd = ed.join(deg, Seq("src")).persist()
+      // Round-17: loop-invariant cache pre-partitioned + sorted on the
+      // per-round join key (guide §2.4) — only the rank table shuffles
+      // per round.
+      val edd = ed.join(deg, Seq("src"))
+        .repartition(col("src")).sortWithinPartitions("src")
+        .persist()
       val seeds = hashSeeds(s, dir).localCheckpoint(true)
       var r = seeds.select(col("node"), lit(1000000L).as("rank"))
         .localCheckpoint(true)

@@ -472,8 +472,11 @@ object StatQueries {
     // and select identically; r4d only at the CI edge.
     "agg_bootstrap_ci" -> ((s, dir) => {
       val B = 48
-      val e = events(s, dir)
-        .select(col("event_id"), col("event_type"), col("value"))
+      // fanout BEFORE the ×B explode: the B·|events| md5 draws otherwise
+      // fuse into the single-row-group scan task (round-17, guide §2.5).
+      val e = graft.Tables.fanout(events(s, dir)
+          .select(col("event_id"), col("event_type"), col("value")),
+          col("event_id"))
         .withColumn("b", explode(sequence(lit(1), lit(B))))
       val h4 = substring(md5(concat(col("event_id").cast("string"),
         lit(":"), col("b").cast("string")).cast("binary")), 1, 4)
