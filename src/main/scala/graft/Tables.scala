@@ -55,6 +55,20 @@ object Tables {
     } else df
   }
 
+  /** `documents` with scan-stage fan-out (round-17): tokenization,
+    * shingling and hashing otherwise fuse into the single-row-group scan
+    * task and run serially at any core count. Keyed by doc_id so a
+    * downstream doc-keyed shuffle reuses the exchange; a pushed-down
+    * doc_id filter still lands at the scan (PushDownPredicates moves
+    * deterministic filters below RepartitionByExpression). */
+  def docs(spark: SparkSession, dir: String): DataFrame =
+    fanout(t(spark, dir, "documents"), col("doc_id"))
+
+  /** `embeddings` with the same scan-stage fan-out: per-vector math is
+    * the heavy map-side work here. */
+  def embs(spark: SparkSession, dir: String): DataFrame =
+    fanout(t(spark, dir, "embeddings"), col("vec_id"))
+
   /** `events.ts` has shipped in two parquet encodings across fixture
     * generations: TIMESTAMP(NANOS) (which Spark 4 refuses to read
     * natively — read as raw nanos under the legacy conf and

@@ -676,10 +676,11 @@ object AggQueries {
     // UNIQUE key order, fully deterministic, and the window input is
     // |distinct prices| per flag, not |rows|.
     "agg_weighted_median" -> ((s, dir) => {
-      val d = t(s, dir, "lineitem")
+      val d = graft.Tables.fanout(t(s, dir, "lineitem")
         .select(col("l_returnflag"),
           col("l_extendedprice").as("price"),
-          col("l_quantity").cast("long").as("q"))
+          col("l_quantity").cast("long").as("q")),
+        col("l_returnflag"), col("price"))
         .groupBy(col("l_returnflag"), col("price"))
         .agg(sum(col("q")).as("w"))
       val wc = Window.partitionBy(col("l_returnflag")).orderBy(col("price"))
@@ -756,10 +757,11 @@ object AggQueries {
     // the three thresholds are conditional mins over it, so adding
     // quartiles costs zero extra shuffles.
     "agg_weighted_percentiles" -> ((s, dir) => {
-      val d = t(s, dir, "lineitem")
+      val d = graft.Tables.fanout(t(s, dir, "lineitem")
         .select(col("l_returnflag"),
           col("l_extendedprice").as("price"),
-          col("l_quantity").cast("long").as("q"))
+          col("l_quantity").cast("long").as("q")),
+        col("l_returnflag"), col("price"))
         .groupBy(col("l_returnflag"), col("price"))
         .agg(sum(col("q")).as("w"))
       val wc = Window.partitionBy(col("l_returnflag")).orderBy(col("price"))

@@ -34,7 +34,9 @@ object SortSetQueries {
     // lower-rev point is beaten ≥/≥ with > on rev). That max is a
     // qty-partitioned window (one keyed shuffle, no global order).
     "sort_pareto_skyline" -> ((s, dir) => {
-      val pq = t(s, dir, "lineitem")
+      val pq = graft.Tables.fanout(t(s, dir, "lineitem")
+          .select(col("l_partkey"), col("l_extendedprice"),
+            col("l_discount"), col("l_quantity")), col("l_partkey"))
         .groupBy(col("l_partkey").as("pk"))
         .agg(sum(round(col("l_extendedprice") * 100).cast("long")
             * (lit(100L) - round(col("l_discount") * 100).cast("long")))

@@ -1756,8 +1756,13 @@ object StatQueries {
     // one item reduce, one ≤|labels| reduce — aggregate-first, no
     // joins beyond the n_u broadcast-back.
     "eval_krippendorff_alpha" -> ((s, dir) => {
-      val r = t(s, dir, "lineitem").select(col("l_orderkey").as("ok"),
-        col("l_returnflag").as("lab"))
+      // Round-17 fanout: cells0 feeds two branches (nu + cells), so the
+      // scan-fused partial agg ran twice on the single-row-group scan
+      // task; the keyed fanout exchange parallelizes it AND the two
+      // branches share it via ReusedExchange.
+      val r = graft.Tables.fanout(
+        t(s, dir, "lineitem").select(col("l_orderkey").as("ok"),
+          col("l_returnflag").as("lab")), col("ok"), col("lab"))
       val cells0 = r.groupBy("ok", "lab").agg(count(lit(1)).as("n_uk"))
       val nu = cells0.groupBy("ok").agg(sum(col("n_uk")).cast("long")
         .as("n_u")).filter(col("n_u") >= 2)
