@@ -50,7 +50,26 @@ object Tables {
     * only, a few MB at fixture scale. */
   def fanout(df: DataFrame, by: Column*): DataFrame = {
     val p = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < p) {
+    // Cheap spread test: a file-backed leaf smaller than p × the 4 MB
+    // openCostInBytes split floor cannot scan with ≥ p tasks. Read off
+    // the ANALYZED plan only — an earlier draft asked the physical plan
+    // (df.rdd.getNumPartitions), which forces optimization + physical
+    // planning per call per bench pass and cost more than the fanout
+    // won on sub-second keys. Non-file leaves (LocalRelation,
+    // checkpointed LogicalRDD) never spread — their parallelism was
+    // already chosen by whoever materialized them.
+    val floorBytes = p.toLong * 4L * 1024 * 1024
+    val leaves = df.queryExecution.analyzed.collectLeaves()
+    val small = leaves.nonEmpty && leaves.forall {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation match {
+          case f: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            f.location.sizeInBytes < floorBytes
+          case _ => false
+        }
+      case _ => false
+    }
+    if (small) {
       if (by.isEmpty) df.repartition(p) else df.repartition(p, by: _*)
     } else df
   }

@@ -371,7 +371,11 @@ object AggQueries {
     // covers the user domain at every SF with headroom; out-of-domain
     // keys fail loudly rather than degrade to approximate.
     "agg_bitmap_distinct" -> ((s, dir) => {
-      events(s, dir)
+      // Round-17 fanout by user_id (high-card): partial bitmaps build
+      // 32-way instead of inside the single scan task; merge cost is a
+      // handful of bitmap unions per type.
+      graft.Tables.fanout(events(s, dir)
+          .select(col("event_type"), col("user_id")), col("user_id"))
         .groupBy(col("event_type"))
         .agg(graft.functions.BitmapDistinctAgg(col("user_id"), 1 << 20)
           .as("n_users"),
@@ -676,11 +680,10 @@ object AggQueries {
     // UNIQUE key order, fully deterministic, and the window input is
     // |distinct prices| per flag, not |rows|.
     "agg_weighted_median" -> ((s, dir) => {
-      val d = graft.Tables.fanout(t(s, dir, "lineitem")
+      val d = t(s, dir, "lineitem")
         .select(col("l_returnflag"),
           col("l_extendedprice").as("price"),
-          col("l_quantity").cast("long").as("q")),
-        col("l_returnflag"), col("price"))
+          col("l_quantity").cast("long").as("q"))
         .groupBy(col("l_returnflag"), col("price"))
         .agg(sum(col("q")).as("w"))
       val wc = Window.partitionBy(col("l_returnflag")).orderBy(col("price"))
@@ -757,11 +760,10 @@ object AggQueries {
     // the three thresholds are conditional mins over it, so adding
     // quartiles costs zero extra shuffles.
     "agg_weighted_percentiles" -> ((s, dir) => {
-      val d = graft.Tables.fanout(t(s, dir, "lineitem")
+      val d = t(s, dir, "lineitem")
         .select(col("l_returnflag"),
           col("l_extendedprice").as("price"),
-          col("l_quantity").cast("long").as("q")),
-        col("l_returnflag"), col("price"))
+          col("l_quantity").cast("long").as("q"))
         .groupBy(col("l_returnflag"), col("price"))
         .agg(sum(col("q")).as("w"))
       val wc = Window.partitionBy(col("l_returnflag")).orderBy(col("price"))
@@ -1254,7 +1256,10 @@ object AggQueries {
     // of IEEE-identical double ops, r4d at the edge. Degenerate arms
     // (n ≤ 1 or zero variance, by the exact integer test) drop.
     "ab_test_welch" -> ((s, dir) => {
-      val e = events(s, dir).select(col("event_type"),
+      val e = graft.Tables.fanout(events(s, dir)
+          .select(col("event_type"), col("user_id"), col("value")),
+          col("user_id"))
+        .select(col("event_type"),
         when(substring(md5(col("user_id").cast("string").cast("binary")),
           1, 1) < "8", "A").otherwise("B").as("arm"),
         round(col("value") * 100).cast("long").as("c"))
@@ -1471,7 +1476,9 @@ object AggQueries {
     // GlobalRank's distributed prefix sums, classification map-side.
     "agg_abc_classification" -> ((s, dir) => {
       val D0 = "decimal(38,0)"
-      val rev = t(s, dir, "lineitem")
+      val rev = graft.Tables.fanout(t(s, dir, "lineitem")
+          .select(col("l_partkey"), col("l_extendedprice")),
+          col("l_partkey"))
         .groupBy(col("l_partkey"))
         .agg(sum(round(col("l_extendedprice") * 100).cast("long"))
           .as("cents"))

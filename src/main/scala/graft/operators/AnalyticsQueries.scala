@@ -1589,9 +1589,10 @@ object AnalyticsQueries {
     // basket total are broadcast scalars; lift cross-multiplies exact
     // integers before its one rounded division.
     "agg_assoc_rules_lift" -> ((s, dir) => {
-      val b = events(s, dir)
+      val b = graft.Tables.fanout(events(s, dir)
         .select(col("user_id"), epochDay("ts").as("day"),
-          col("event_type"))
+          col("event_type")),
+        col("user_id"), col("day"), col("event_type"))
         .distinct()
       val nb = b.select("user_id", "day").distinct()
         .agg(count(lit(1)).as("n_baskets"))
@@ -1968,11 +1969,12 @@ object AnalyticsQueries {
     // each over the |weeks|×|parts| pre-agg, never raw lineitem.
     "topk_rank_delta" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val wk = t(s, dir, "lineitem")
+      val wk = graft.Tables.fanout(t(s, dir, "lineitem")
         .select(col("l_partkey").as("part"),
           expr("unix_millis(cast(l_shipdate as timestamp)) div 86400000" +
             " div 7").as("week"),
-          round(col("l_extendedprice") * 100).cast("long").as("cents"))
+          round(col("l_extendedprice") * 100).cast("long").as("cents")),
+        col("week"), col("part"))
         .groupBy("week", "part").agg(sum(col("cents")).as("rev"))
       val rw = Window.partitionBy(col("week"))
         .orderBy(col("rev").desc, col("part"))

@@ -55,7 +55,7 @@ object CurationQueries {
     // chunks against the broadcast per-source boiler set) reuses the
     // same table.
     "text_boilerplate_lines" -> ((s, dir) => {
-      val docs = graft.Tables.docs(s, dir)
+      val docs = t(s, dir, "documents")
       val lines = docs.select(col("doc_id"), col("source"),
         explode(expr(
           "transform(sequence(0, cast(ceil(size(split(text, ' ')) / 4.0)" +
@@ -94,12 +94,12 @@ object CurationQueries {
       import s.implicits._
       val lex = Seq(("slow", 5L), ("dup", 5L), ("big", 2L),
         ("small", 1L), ("fast", 1L)).toDF("token", "sev")
-      val toks = graft.Tables.docs(s, dir)
+      val toks = t(s, dir, "documents")
         .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
       val hits = toks.join(broadcast(lex), Seq("token"))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("h"), sum(col("sev")).as("sc"))
-      graft.Tables.docs(s, dir)
+      t(s, dir, "documents")
         .select(col("doc_id"),
           size(split(col("text"), " ")).cast("long").as("n_tokens"))
         .join(hits, Seq("doc_id"), "left")
@@ -127,7 +127,7 @@ object CurationQueries {
     // per-source card.
     "text_license_tags" -> ((s, dir) => {
       val toks = split(col("text"), " ")
-      val docs = graft.Tables.docs(s, dir).select(col("source"),
+      val docs = t(s, dir, "documents").select(col("source"),
         when(array_contains(toks, "customer")
           || array_contains(toks, "key"), "restricted")
           .when(array_contains(toks, "spark")
@@ -154,7 +154,7 @@ object CurationQueries {
     // reduce (dictionary-bounded), one join back on chunk, a per-doc
     // reduce — never doc×doc.
     "dedup_line_level" -> ((s, dir) => {
-      val ch = graft.Tables.docs(s, dir)
+      val ch = t(s, dir, "documents")
         .select(col("doc_id"), split(col("text"), " ").as("toks"))
         .filter(size(col("toks")) >= 2)
         .select(col("doc_id"), explode(expr(
@@ -184,7 +184,7 @@ object CurationQueries {
     // materializing member pairs (a viral doc duplicated 10⁶ times
     // costs one count row per source, not 10¹² pairs). All integer.
     "dedup_cross_source_matrix" -> ((s, dir) => {
-      val g = graft.Tables.docs(s, dir)
+      val g = t(s, dir, "documents")
         .select(expr(
           "array_join(slice(split(text, ' '), 1, 2), ' ')").as("grp"),
           col("source"))
@@ -216,7 +216,7 @@ object CurationQueries {
     // two aggregates.
     "pipeline_quality_gate_funnel" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val d = graft.Tables.docs(s, dir)
+      val d = t(s, dir, "documents")
         .select(col("doc_id"), col("text"), col("n_chars"),
           size(split(col("text"), " ")).as("ntok"),
           size(array_distinct(split(col("text"), " "))).as("ndis"))
@@ -270,7 +270,7 @@ object CurationQueries {
     // 16-char suffix; the prefix key's 64-char width stays with the
     // prefix, where template heads are long).
     "dedup_suffix_groups" -> ((s, dir) => {
-      graft.Tables.docs(s, dir)
+      t(s, dir, "documents")
         .select(expr(
           "substring(text, greatest(length(text) - 15, 1), 16)")
           .as("suffix"),
@@ -284,7 +284,7 @@ object CurationQueries {
     }),
 
     "dedup_prefix_groups" -> ((s, dir) => {
-      graft.Tables.docs(s, dir)
+      t(s, dir, "documents")
         .select(substring(col("text"), 1, 64).as("prefix"),
           col("doc_id"), col("source"))
         .groupBy("prefix")
@@ -312,7 +312,7 @@ object CurationQueries {
     // bounded-heap TopKPerGroupExec at any corpus size — never a
     // per-source global sort.
     "sample_weighted_noreplacement" -> ((s, dir) => {
-      val d = graft.Tables.docs(s, dir)
+      val d = t(s, dir, "documents")
         .select(col("doc_id"), col("source"),
           col("n_chars").cast("long").as("w"))
         .filter(col("w") > 0)
@@ -330,7 +330,7 @@ object CurationQueries {
     }),
 
     "sample_systematic" -> ((s, dir) => {
-      val d = graft.Tables.docs(s, dir)
+      val d = t(s, dir, "documents")
         .select(col("doc_id"), col("source"),
           md5(col("doc_id").cast("string").cast("binary")).as("skey"),
           lit(1L).as("one"))
@@ -359,7 +359,7 @@ object CurationQueries {
     // mix, DoReMi) should report. Integer weights, DECIMAL(38,0)
     // moments, one division per output row.
     "sample_ess_report" -> ((s, dir) => {
-      graft.Tables.docs(s, dir)
+      t(s, dir, "documents")
         .select(col("source"), col("n_chars").cast("long").as("w"))
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"),
@@ -419,7 +419,7 @@ object CurationQueries {
     // set, so contamination discovery is map-side; the left join that
     // attaches zeros is doc_id-keyed.
     "text_decontaminate" -> ((s, dir) => {
-      val docs = graft.Tables.docs(s, dir)
+      val docs = t(s, dir, "documents")
       val sh = shingles(docs, 5)
       val bench = sh.filter(col("doc_id") % 97 === 0).select("sh").distinct()
       val hits = sh.filter(col("doc_id") % 97 =!= 0)
@@ -446,7 +446,7 @@ object CurationQueries {
     // count off the already-exploded shingle stream — two partial
     // aggs, zero new shuffle shapes.
     "text_contamination_score" -> ((s, dir) => {
-      val docs = graft.Tables.docs(s, dir)
+      val docs = t(s, dir, "documents")
       val sh = shingles(docs, 5).filter(col("doc_id") % 97 =!= 0)
       val bench = shingles(docs, 5).filter(col("doc_id") % 97 === 0)
         .select("sh").distinct()
@@ -515,7 +515,7 @@ object CurationQueries {
     // join tree pathology, the whole thing is one linear plan over the
     // documents scan.
     "pipeline_curation_verdict" -> ((s, dir) => {
-      val docs = graft.Tables.docs(s, dir)
+      val docs = t(s, dir, "documents")
       val isBench = col("doc_id") % 97 === 0
       val corpus = docs.filter(!isBench)
       val wDup = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
@@ -584,7 +584,7 @@ object CurationQueries {
     // the spans keys. Docs under 8 tokens and clean docs pass through
     // with n_removed = 0.
     "dedup_substring_removal" -> ((s, dir) => {
-      val toks = graft.Tables.docs(s, dir)
+      val toks = t(s, dir, "documents")
         .select(col("doc_id"), split(col("text"), " ").as("toks"))
       val w = toks.filter(size(col("toks")) >= 8)
         .select(col("doc_id"), posexplode(expr(
@@ -635,7 +635,7 @@ object CurationQueries {
         when(col("doc_id") % 11 === 0, concat(lit(" call +1-555-"),
           lpad(pmod(col("doc_id"), lit(1000)).cast("string"), 3, "0"),
           lit("-0199"))).otherwise(""))
-      graft.Tables.docs(s, dir)
+      t(s, dir, "documents")
         .select(col("doc_id"), aug.as("text"))
         .select(col("doc_id"),
           regexp_count(col("text"), lit(email)).cast("long").as("n_email"),
@@ -658,7 +658,7 @@ object CurationQueries {
     // per-doc, no shuffle before the presentation sort; at 100 TB this
     // runs in the scan stage like the other quality signals.
     "text_repetition_filter" -> ((s, dir) => {
-      val base = graft.Tables.docs(s, dir)
+      val base = t(s, dir, "documents")
         .select(col("doc_id"), split(col("text"), " ").as("toks"))
         .filter(size(col("toks")) >= 2)
         .select(col("doc_id"),
@@ -689,7 +689,7 @@ object CurationQueries {
     "sample_domain_cap" -> ((s, dir) => {
       val w = Window.partitionBy(col("source"))
         .orderBy(col("skey"), col("doc_id"))
-      graft.Tables.docs(s, dir)
+      t(s, dir, "documents")
         .select(col("doc_id"), col("source"),
           md5(col("doc_id").cast("string").cast("binary")).as("skey"))
         .withColumn("rk", row_number().over(w).cast("long"))
@@ -711,7 +711,7 @@ object CurationQueries {
     // class bounds a partition exactly as sample_domain_cap's cap
     // window does). No global window, no second pass over the corpus.
     "sample_balanced_undersample" -> ((s, dir) => {
-      val d = graft.Tables.docs(s, dir)
+      val d = t(s, dir, "documents")
         .select(col("doc_id"), col("lang"),
           md5(col("doc_id").cast("string").cast("binary")).as("skey"))
       val mcnt = d.groupBy("lang").agg(count(lit(1)).as("c"))
@@ -736,7 +736,7 @@ object CurationQueries {
     // are exact. Shape: one lang reduce, one broadcast, one map-side
     // explode — the corpus never shuffles.
     "sample_balanced_oversample" -> ((s, dir) => {
-      val d = graft.Tables.docs(s, dir).select(col("doc_id"), col("lang"))
+      val d = t(s, dir, "documents").select(col("doc_id"), col("lang"))
       val cnt = d.groupBy("lang").agg(count(lit(1)).as("c"))
       val mx = cnt.agg(max(col("c")).as("mx"))
       val factor = cnt.crossJoin(broadcast(mx))
@@ -822,7 +822,7 @@ object CurationQueries {
     // then one doc_id-keyed join back. Docs under 5 tokens have no
     // shingles → NULL novelty, spelled identically in both engines.
     "text_novelty_ratio" -> ((s, dir) => {
-      val docs = graft.Tables.docs(s, dir)
+      val docs = t(s, dir, "documents")
       val sh = shingles(docs, 5)
       val fd = sh.groupBy("sh").agg(min(col("doc_id")).as("first_doc"))
       val per = sh.join(fd, Seq("sh"))
@@ -871,7 +871,7 @@ object CurationQueries {
           .otherwise(tk))
       val nPii = size(filter(toks, tk =>
         regexp_like(tk, lit(email)) || regexp_like(tk, lit(phone))))
-      graft.Tables.docs(s, dir)
+      t(s, dir, "documents")
         .select(d.as("doc_id"), aug.as("text"))
         .select(col("doc_id"), nPii.cast("long").as("n_pseudo"),
           array_join(out, " ").as("pseudo_text"))
@@ -891,7 +891,7 @@ object CurationQueries {
     // engines, r4d at the edge. One narrow aggregate per source plus
     // a broadcast scalar join — O(sources) state, never row-bound.
     "sample_mixture_weights" -> ((s, dir) => {
-      val per = graft.Tables.docs(s, dir)
+      val per = t(s, dir, "documents")
         .select(col("source"),
           size(split(col("text"), " ")).cast("long").as("ntok"))
         .groupBy("source")
@@ -918,7 +918,7 @@ object CurationQueries {
     // the oracle is exact. All-integer outputs except the one r4d
     // ratio.
     "dedup_survivorship_report" -> ((s, dir) => {
-      val g = graft.Tables.docs(s, dir)
+      val g = t(s, dir, "documents")
         .select(col("source"), col("text"),
           size(split(col("text"), " ")).cast("long").as("ntok"))
         .groupBy(col("source"), col("text"))
@@ -937,7 +937,7 @@ object CurationQueries {
     }),
 
     "sample_temperature_mix" -> ((s, dir) => {
-      val docs = graft.Tables.docs(s, dir)
+      val docs = t(s, dir, "documents")
       val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
       val tot = counts.agg(sum(col("n")).as("nn"),
         sum(sqrt(col("n").cast("double")).cast("decimal(38,8)")).as("ss"))
@@ -963,7 +963,7 @@ object CurationQueries {
     // two-shuffle expand, everything else partial-aggregates); the
     // whole 100 TB card costs a single scan.
     "pipeline_dataset_card" -> ((s, dir) => {
-      graft.Tables.docs(s, dir)
+      t(s, dir, "documents")
         .select(col("source"), col("lang"),
           size(split(col("text"), " ")).cast("long").as("n_tok"),
           md5(col("text").cast("binary")).as("h"))

@@ -27,17 +27,11 @@ object GeoQueries {
     * grid, lon ∈ [−180, 180) on a 1/32° grid — both exact binary
     * fractions of integer residues. */
   private def sightings(s: SparkSession, dir: String): DataFrame =
-    // Round-17 fanout: the coordinate synthesis + downstream haversine
-    // math otherwise fuse into the single-row-group events scan task.
-    // Keyed by user_id so the track keys' first user-partitioned window
-    // rides this exchange instead of adding its own.
-    graft.Tables.fanout(
-      events(s, dir).select(col("event_id"), col("user_id"),
-        unix_millis(col("ts").cast("timestamp")).as("ms"),
-        ((col("event_id") % 1440).cast("double") / 8 - 90).as("lat"),
-        ((col("user_id") * 997 + col("event_id") * 31) % 11520)
-          .cast("double").divide(32).minus(180).as("lon")),
-      col("user_id"))
+    events(s, dir).select(col("event_id"), col("user_id"),
+      unix_millis(col("ts").cast("timestamp")).as("ms"),
+      ((col("event_id") % 1440).cast("double") / 8 - 90).as("lat"),
+      ((col("user_id") * 997 + col("event_id") * 31) % 11520)
+        .cast("double").divide(32).minus(180).as("lon"))
 
   /** One haversine leg in km, shared by the track keys. Radian
     * conversion spelled (x · π) / 180 / 2 operand-for-operand with
@@ -614,11 +608,11 @@ object GeoQueries {
     // partial-aggregating reduce per user — the cheapest possible
     // shape, no window, no join.
     "geo_radius_of_gyration" -> ((s, dir) => {
-      graft.Tables.fanout(graft.Tables.events(s, dir)
+      graft.Tables.events(s, dir)
         .select(col("user_id"),
           ((col("user_id") * 997 + col("event_id") * 31) % 11520)
             .as("x"),
-          (col("event_id") % 1440).as("y")), col("user_id"))
+          (col("event_id") % 1440).as("y"))
         .groupBy("user_id")
         .agg(count(lit(1)).as("n"),
           sum(col("x")).as("sx"), sum(col("y")).as("sy"),
@@ -672,12 +666,12 @@ object GeoQueries {
     // one window pass + keyed reduces.
     "geo_convex_hull_area" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val p = graft.Tables.fanout(graft.Tables.events(s, dir)
+      val p = graft.Tables.events(s, dir)
         .select(col("user_id"),
           ((col("user_id") * 997 + col("event_id") * 31) % 11520)
             .as("x"),
-          (col("event_id") % 1440).as("y")), col("user_id"), col("x"),
-        col("y")).distinct().localCheckpoint(true)
+          (col("event_id") % 1440).as("y"))
+        .distinct().localCheckpoint(true)
       val hi = p.groupBy("user_id", "x").agg(max(col("y")).as("y"))
       val lo = p.groupBy("user_id", "x").agg(min(col("y")).as("y"))
       def chain(cand: DataFrame, upper: Boolean): DataFrame = {
@@ -1237,10 +1231,10 @@ object GeoQueries {
     // reduce; at 100 TB the pitch shrinks to hold per-cell mass
     // bounded, plan unchanged.
     "geo_kde_cells" -> ((s, dir) => {
-      val pts = graft.Tables.fanout(events(s, dir).select(
+      val pts = events(s, dir).select(
         (col("event_id") % 1440).as("lat8"),
         ((col("user_id") * 997 + col("event_id") * 31) % 11520)
-          .as("lon32")), col("lat8"), col("lon32"))
+          .as("lon32"))
         .select((col("lat8") * 4).as("ulat"), col("lon32").as("ulon"),
           expr("lat8 div 16").as("cla"), expr("lon32 div 64").as("clo"))
       val contrib = pts

@@ -322,9 +322,9 @@ object GraphQueries {
     // quadratically in the projection). One distinct pass, two
     // degree reduces, histogram tails.
     "graph_bipartite_profile" -> ((s, dir) => {
-      val pp = graft.Tables.fanout(t(s, dir, "lineitem")
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p")),
-        col("ok"), col("p")).distinct().localCheckpoint(true)
+      val pp = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+        .distinct().localCheckpoint(true)
       def side(keyCol: String, name: String): DataFrame = {
         val deg = pp.groupBy(keyCol).agg(count(lit(1)).as("deg"))
         val hist = deg.groupBy("deg").agg(count(lit(1)).as("cnt"))

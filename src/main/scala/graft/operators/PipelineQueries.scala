@@ -197,7 +197,7 @@ object PipelineQueries {
     // Naive-Bayes language ID over the shared prediction core (scale
     // notes on langidPred above).
     "text_langid" -> ((s, dir) => {
-      langidPred(graft.Tables.docs(s, dir))
+      langidPred(t(s, dir, "documents"))
         .select(col("doc_id"), col("lang"), col("pred_lang"),
           when(col("lang") === col("pred_lang"), 1L).otherwise(0L).as("correct"),
           r4d(col("score").cast("double")).as("score"))
@@ -213,7 +213,7 @@ object PipelineQueries {
     // window share per row.
     "text_langid_confusion" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val conf = langidPred(graft.Tables.docs(s, dir))
+      val conf = langidPred(t(s, dir, "documents"))
         .groupBy("lang", "pred_lang")
         .agg(count(lit(1)).as("n_docs"))
       conf.withColumn("share_of_lang",
@@ -231,7 +231,7 @@ object PipelineQueries {
       val nd = size(array_distinct(toks)).cast("double")
       val stopRatio = nStop / nt
       val diversity = nd / nt
-      graft.Tables.docs(s, dir).select(
+      t(s, dir, "documents").select(
         col("doc_id"),
         nt.cast("long").as("n_tokens"),
         nd.cast("long").as("n_distinct"),
@@ -244,7 +244,7 @@ object PipelineQueries {
     // Token counting: whitespace, regex word-piece-ish, and a bytes/3.5
     // BPE-budget estimate.
     "text_token_count_bpe" -> ((s, dir) => {
-      graft.Tables.docs(s, dir).select(
+      t(s, dir, "documents").select(
         col("doc_id"),
         size(split(col("text"), " ")).cast("long").as("n_ws"),
         expr("regexp_count(text, '[a-z]+')").cast("long").as("n_re"),
@@ -255,7 +255,7 @@ object PipelineQueries {
     // Content fingerprint: md5 over normalized tokens + 3-gram shingle
     // stats (the shingle set is the input to minhash-style sketches).
     "text_fingerprint" -> ((s, dir) => {
-      graft.Tables.docs(s, dir)
+      t(s, dir, "documents")
         .select(col("doc_id"), split(col("text"), " ").as("toks"))
         .filter(size(col("toks")) >= 3)
         .select(col("doc_id"),
@@ -271,7 +271,7 @@ object PipelineQueries {
     // Near-dup on 3-gram shingle Jaccard (more discriminative than
     // unigram sets); same inverted-index shape as dedup_near_jaccard.
     "dedup_ngram_jaccard" -> ((s, dir) => {
-      val sh = graft.Tables.docs(s, dir).filter(col("doc_id") < 1000)
+      val sh = t(s, dir, "documents").filter(col("doc_id") < 1000)
         .select(col("doc_id"), split(col("text"), " ").as("toks"))
         .filter(size(col("toks")) >= 3)
         .select(col("doc_id"), explode(expr(
@@ -293,7 +293,7 @@ object PipelineQueries {
     // (SimilarityJoin) with exact containment verified per candidate —
     // same plan family, asymmetric verify.
     "dedup_containment" -> ((s, dir) => {
-      val sh = graft.Tables.docs(s, dir).filter(col("doc_id") < 1000)
+      val sh = t(s, dir, "documents").filter(col("doc_id") < 1000)
         .select(col("doc_id"), split(col("text"), " ").as("toks"))
         .filter(size(col("toks")) >= 3)
         .select(col("doc_id"), explode(expr(
@@ -393,7 +393,7 @@ object PipelineQueries {
       // exact-dot verify (the normalization is mirrored in the oracle
       // SQL so both engines run the identical float sequence).
       SimilarityJoin.embeddingCosine(
-          graft.Tables.embs(s, dir).filter(col("vec_id") < 1000),
+          t(s, dir, "embeddings").filter(col("vec_id") < 1000),
           "vec_id", "embedding", threshold = 0.35)
         .select(col("vec_i").as("i"), col("vec_j").as("j"), col("cos"))
         .orderBy("i", "j")
@@ -413,7 +413,7 @@ object PipelineQueries {
     // scale path on isotropic data — is bounded on THIS table.
     "dedup_embedding_cosine_tight" -> ((s, dir) => {
       SimilarityJoin.embeddingCosine(
-          graft.Tables.embs(s, dir).filter(col("vec_id") < 1000),
+          t(s, dir, "embeddings").filter(col("vec_id") < 1000),
           "vec_id", "embedding", threshold = 0.5)
         .select(col("vec_i").as("i"), col("vec_j").as("j"), col("cos"))
         .orderBy("i", "j")
@@ -425,7 +425,7 @@ object PipelineQueries {
     // table pre-partitioned by cluster → each probe touches nprobe
     // partitions instead of a full scan.
     "sim_ann_ivf" -> ((s, dir) => {
-      val emb = graft.Tables.embs(s, dir)
+      val emb = t(s, dir, "embeddings")
       val cent = emb.select(col("label"), posexplode(col("embedding")))
         .groupBy("label", "pos")
         .agg((sum(col("col").cast("double").cast("decimal(38,12)")).cast("double")
@@ -510,7 +510,7 @@ object PipelineQueries {
     // prunedRead then keeps every file conservatively).
     "sim_ann_persisted_ivf" -> ((s, dir) => {
       import graft.sources.VersionedTable
-      val vecs = graft.Tables.embs(s, dir)
+      val vecs = t(s, dir, "embeddings")
         .select(col("vec_id").as("id"),
           col("embedding").cast("array<double>").as("v"))
       val cents = kmeansFits.computeIfAbsent(dir,
@@ -589,7 +589,7 @@ object PipelineQueries {
     // 100 TB blob column needs.
     "multimodal_decode_stats" -> ((s, dir) => {
       import s.implicits._
-      val rows = graft.Tables.docs(s, dir)
+      val rows = t(s, dir, "documents")
         .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
         .map { case (id, nc) =>
           val w = (nc % 16 + 2).toInt
@@ -621,7 +621,7 @@ object PipelineQueries {
     // makes BOTH MediaDecoder implementations real and exercised.
     "multimodal_png_decode" -> ((s, dir) => {
       import s.implicits._
-      val rows = graft.Tables.docs(s, dir)
+      val rows = t(s, dir, "documents")
         .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
         .map { case (id, nc) =>
           val w = (nc % 16 + 2).toInt
@@ -646,7 +646,7 @@ object PipelineQueries {
     // MultimodalSpec for the mapPartitions batch-decode pipeline.
     "multimodal_stub" -> ((s, dir) => {
       val bytes = encode(col("text"), "utf-8")
-      graft.Tables.docs(s, dir).select(
+      t(s, dir, "documents").select(
         col("doc_id"),
         length(bytes).cast("long").as("byte_len"),
         (pmod(col("n_chars"), lit(640)) + 1).as("width"),
@@ -667,7 +667,7 @@ object PipelineQueries {
     // against the oracle. Expand is map-side — no shuffle below the
     // presentation sort.
     "multimodal_frame_sample" -> ((s, dir) => {
-      graft.Tables.docs(s, dir)
+      t(s, dir, "documents")
         .select(col("doc_id"), col("text"), explode(expr(
           "filter(sequence(0, cast(ceil(length(text) / 64.0) as int) - 1)," +
             " i -> i % 2 = 0)")).as("frame_idx"))
@@ -837,7 +837,7 @@ object PipelineQueries {
     // map-side work below the presentation sort (the bbox_iou shape):
     // embarrassingly parallel at any corpus size.
     "multimodal_letterbox" -> ((s, dir) => {
-      val m = graft.Tables.docs(s, dir).select(col("doc_id"),
+      val m = t(s, dir, "documents").select(col("doc_id"),
         ((col("n_chars") % 640) + 1).cast("long").as("width"),
         ((col("doc_id") % 480) + 1).cast("long").as("height"))
       val mx = greatest(col("width"), col("height"))
@@ -868,7 +868,7 @@ object PipelineQueries {
     // decoder fans out over, one executor per tile, skew capped at
     // tile granularity.
     "multimodal_tiling" -> ((s, dir) => {
-      val m = graft.Tables.docs(s, dir).select(col("doc_id"),
+      val m = t(s, dir, "documents").select(col("doc_id"),
         ((col("n_chars") % 640) + 1).cast("long").as("width"),
         ((col("doc_id") % 480) + 1).cast("long").as("height"))
       m.withColumn("nx",
@@ -1397,7 +1397,7 @@ object PipelineQueries {
     // (a labeling-error bell). Always one row; a clean corpus
     // reports zeros.
     "dedup_vector_exact" -> ((s, dir) => {
-      val sig = graft.Tables.embs(s, dir)
+      val sig = t(s, dir, "embeddings")
         .select(col("vec_id"), col("label"),
           md5(expr("array_join(transform(" +
             "cast(embedding as array<double>)," +
@@ -1517,7 +1517,7 @@ object PipelineQueries {
     // efficiency) and epoch_shuffle (flat order): this is the
     // easy-to-hard schedule.
     "pipeline_curriculum" -> ((s, dir) => {
-      val d = graft.Tables.docs(s, dir)
+      val d = t(s, dir, "documents")
         .select(col("doc_id"),
           size(split(col("text"), " ")).cast("long").as("n_tokens"))
       d.createOrReplaceTempView("curr_docs")
@@ -1573,7 +1573,7 @@ object PipelineQueries {
     // SOURCE grain pipeline_length_bucketing's global buckets don't
     // give. One reduce.
     "pipeline_doc_length_percentiles" -> ((s, dir) => {
-      graft.Tables.docs(s, dir)
+      t(s, dir, "documents")
         .select(col("source"), col("n_chars").cast("long").as("nc"))
         .createOrReplaceTempView("dlp_docs")
       s.sql("""SELECT source, count(*) AS n_docs,
@@ -1596,7 +1596,7 @@ object PipelineQueries {
     // with probability 1 − 2⁻⁵²; the (count, xor, min, max) tuple is
     // the standard cheap reconciliation vector.
     "pipeline_corpus_fingerprint" -> ((s, dir) => {
-      graft.Tables.docs(s, dir)
+      t(s, dir, "documents")
         .select(col("source"), col("n_chars").cast("long").as("nc"),
           md5(col("text").cast("binary")).as("h"))
         .withColumn("h52", conv(substring(col("h"), 1, 13), 16, 10)
@@ -1649,7 +1649,7 @@ object PipelineQueries {
     // map-side length projection + one reduce; the percentile key
     // gives the distribution, this gives the DECISIONS.
     "pipeline_context_window_fit" -> ((s, dir) => {
-      val d = graft.Tables.docs(s, dir)
+      val d = t(s, dir, "documents")
         .select(col("source"),
           size(split(col("text"), " ")).cast("long").as("n"))
       d.groupBy("source")
@@ -1897,7 +1897,7 @@ object PipelineQueries {
     // the factor chain is deterministic cross-engine; the effective
     // count is the multiply-form round of n·r.
     "pipeline_repeat_factor_sampling" -> ((s, dir) => {
-      val d = graft.Tables.docs(s, dir)
+      val d = t(s, dir, "documents")
       val tot = d.agg(count(lit(1)).as("n_total"))
       val rf = greatest(lit(1.0),
         sqrt(lit(0.2) * col("n_total").cast("double")
@@ -1920,7 +1920,7 @@ object PipelineQueries {
         .when(col("source").isin("src4", "src5", "src6", "src7", "src8",
           "src9"), lit("8000"))
         .otherwise(lit("2666"))
-      graft.Tables.docs(s, dir)
+      t(s, dir, "documents")
         .withColumn("hkey",
           substring(md5(col("doc_id").cast("string").cast("binary")), 1, 4))
         .filter(col("hkey") < thresh)
@@ -1986,7 +1986,7 @@ object PipelineQueries {
     // context length.
     "pipeline_pack_sequences" -> ((s, dir) => {
       val budget = 2048L
-      val docs = graft.Tables.docs(s, dir)
+      val docs = t(s, dir, "documents")
         .select(col("doc_id"),
           size(split(col("text"), " ")).cast("long").as("n_tokens"),
           md5(col("doc_id").cast("string").cast("binary")).as("skey"))
@@ -2008,7 +2008,7 @@ object PipelineQueries {
     // cross-multiply before their one division each.
     "pipeline_pack_fill_report" -> ((s, dir) => {
       val budget = 2048L
-      val docs = graft.Tables.docs(s, dir)
+      val docs = t(s, dir, "documents")
         .select(col("doc_id"),
           size(split(col("text"), " ")).cast("long").as("n_tokens"),
           md5(col("doc_id").cast("string").cast("binary")).as("skey"))
@@ -2044,7 +2044,7 @@ object PipelineQueries {
     // chunk keeps its natural short length (n_chunk_tokens < 32)
     // rather than padding — padding is the embedder's concern.
     "pipeline_rag_chunking" -> ((s, dir) => {
-      graft.Tables.docs(s, dir)
+      t(s, dir, "documents")
         .select(col("doc_id"), split(col("text"), " ").as("toks"))
         .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"),
           explode(expr("sequence(0, size(toks) - 1, 24)")).as("start"),
@@ -2083,7 +2083,7 @@ object PipelineQueries {
     "pipeline_reward_normalize" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val g = Window.partitionBy(col("grp"))
-      graft.Tables.docs(s, dir)
+      t(s, dir, "documents")
         .select(col("doc_id"), expr("doc_id div 4").as("grp"),
           col("n_chars").as("reward"))
         .withColumn("n", count(lit(1)).over(g))
@@ -2115,7 +2115,7 @@ object PipelineQueries {
         expr("slice(split(text, ' '), 13, greatest(size(split(text, ' ')) - 12, 0))"),
         " ")
       val nTok = size(toks).cast("long")
-      graft.Tables.docs(s, dir)
+      t(s, dir, "documents")
         .select(col("doc_id"),
           concat(lit("<|user|> "), instr, lit(" <|assistant|> "), resp)
             .as("rendered"),
@@ -2145,7 +2145,7 @@ object PipelineQueries {
       val r = greatest(nTok - 12, lit(0L))
       val instrLen = length(array_join(slice(toks, 1, 12), " "))
         .cast("long")
-      graft.Tables.docs(s, dir)
+      t(s, dir, "documents")
         .select(col("doc_id"),
           (p + r + 2).as("n_render_tokens"),
           p.as("n_prompt_tokens"), r.as("n_response_tokens"),
@@ -2171,7 +2171,7 @@ object PipelineQueries {
     // results. Scale: token rows shuffle once on doc_id; windows are
     // O(doc length) per doc; no corpus-global state at all.
     "pipeline_span_corruption" -> ((s, dir) => {
-      val docs = graft.Tables.docs(s, dir)
+      val docs = t(s, dir, "documents")
       val toks = docs.select(col("doc_id"),
         posexplode(split(col("text"), " ")).as(Seq("pos", "tk")))
       val flagged = toks.withColumn("m",
@@ -2222,7 +2222,7 @@ object PipelineQueries {
     "pipeline_train_test_split" -> ((s, dir) => {
       val h = substring(md5(col("doc_id").cast("string").cast("binary")),
         1, 2)
-      graft.Tables.docs(s, dir)
+      t(s, dir, "documents")
         .withColumn("split", when(h < "cc", "train")
           .when(h < "e6", "val").otherwise("test"))
         .groupBy("split", "lang")
@@ -2272,7 +2272,7 @@ object PipelineQueries {
     // reassembly is one doc_id exchange: collect (pos, id) structs,
     // array_sort, join to a string.
     "pipeline_vocab_encode" -> ((s, dir) => {
-      val toks = graft.Tables.docs(s, dir)
+      val toks = t(s, dir, "documents")
         .select(col("doc_id"),
           posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
       val counts = toks.groupBy("word").agg(count(lit(1)).as("n"))
@@ -2343,7 +2343,7 @@ object PipelineQueries {
     // token counts carried through the struct; all stats exact
     // integers until one division each.
     "pipeline_length_bias_audit" -> ((s, dir) => {
-      val d = graft.Tables.docs(s, dir).select(col("doc_id"),
+      val d = t(s, dir, "documents").select(col("doc_id"),
         col("lang"), col("source"),
         qualityExpr(col("text")).as("q"),
         size(split(col("text"), " ")).cast("long").as("ntok"))
@@ -2379,7 +2379,7 @@ object PipelineQueries {
     // key already pins cross-engine), then all stats are exact
     // integer sums with one final division each.
     "pipeline_dpo_margin_stats" -> ((s, dir) => {
-      val d = graft.Tables.docs(s, dir).select(col("doc_id"),
+      val d = t(s, dir, "documents").select(col("doc_id"),
         col("lang"), col("source"), qualityExpr(col("text")).as("q"))
       val strata = d.groupBy(col("lang"), col("source"))
         .agg(count(lit(1)).as("n_docs"),
@@ -2414,7 +2414,7 @@ object PipelineQueries {
       val shard = when(h < "2", 0L).when(h < "4", 1L).when(h < "6", 2L)
         .when(h < "8", 3L).when(h < "a", 4L).when(h < "c", 5L)
         .when(h < "e", 6L).otherwise(7L)
-      val g = graft.Tables.docs(s, dir)
+      val g = t(s, dir, "documents")
         .select(shard.as("shard"),
           size(split(col("text"), " ")).cast("long").as("nt"))
         .groupBy("shard")
@@ -2479,7 +2479,7 @@ object PipelineQueries {
     // projection, ≤ ~15 output groups — the cheapest possible profile,
     // same cost model as hist_values.
     "pipeline_length_bucketing" -> ((s, dir) => {
-      val d = graft.Tables.docs(s, dir)
+      val d = t(s, dir, "documents")
         .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n"))
       d.withColumn("p",
           expr("cast(pow(2, length(bin(n)) - 1) as bigint)"))
@@ -2495,7 +2495,7 @@ object PipelineQueries {
     }),
 
     "pipeline_token_budget_trim" -> ((s, dir) => {
-      val d = graft.Tables.docs(s, dir)
+      val d = t(s, dir, "documents")
         .select(col("doc_id"),
           size(split(col("text"), " ")).cast("long").as("n_tokens"),
           qualityExpr(col("text")).as("q"))
@@ -2523,7 +2523,7 @@ object PipelineQueries {
     // order, so within-epoch position = global_rank − (epoch−1)·N
     // with N a 1-row broadcast.
     "pipeline_epoch_shuffle" -> ((s, dir) => {
-      val docs = graft.Tables.docs(s, dir).select(col("doc_id"))
+      val docs = t(s, dir, "documents").select(col("doc_id"))
       val epochs = docs.sparkSession.range(1, 3)
         .select(col("id").as("epoch"))
       val keyed = docs.crossJoin(broadcast(epochs))
@@ -2549,7 +2549,7 @@ object PipelineQueries {
     // sample_weighted_mix (which docs) — this fixes the ORDER.
     // Per-source indices via GlobalRank prefix sums, no global window.
     "pipeline_interleave_datasets" -> ((s, dir) => {
-      val d = graft.Tables.docs(s, dir)
+      val d = t(s, dir, "documents")
         .select(col("doc_id"), col("source"),
           (substring(col("source"), 4, 10).cast("int") % 2).as("par"),
           lit(1L).as("one"))
@@ -2930,7 +2930,7 @@ object PipelineQueries {
     // only, no pow); denominators fold over the SORTED bounded
     // source-count list (the shared fold device).
     "pipeline_temperature_sweep" -> ((s, dir) => {
-      val n = graft.Tables.docs(s, dir)
+      val n = t(s, dir, "documents")
         .groupBy("source").agg(count(lit(1)).as("nd"))
       val tot = n.agg(array_sort(collect_list(col("nd"))).as("ns"))
         .select(
@@ -2958,7 +2958,7 @@ object PipelineQueries {
     // reclaim. Exact integer token sums; one group reduce + one
     // keyed reduce — corpus-linear.
     "pipeline_dedup_token_savings" -> ((s, dir) => {
-      val d = graft.Tables.docs(s, dir)
+      val d = t(s, dir, "documents")
         .select(col("source"), col("doc_id"),
           size(split(col("text"), " ")).cast("long").as("ntok"),
           md5(concat_ws(" ",

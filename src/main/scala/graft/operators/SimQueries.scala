@@ -22,7 +22,7 @@ object SimQueries {
 
   /** (probe_id, vec_id, cos) for probes vec_id < 10 against all vectors. */
   private def cosinePairs(s: SparkSession, dir: String): DataFrame = {
-    val emb = graft.Tables.embs(s, dir)
+    val emb = t(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
     val probes = emb.filter(col("vec_id") < 10)
       .select(col("vec_id").as("probe_id"), col("v").as("p"))
@@ -40,7 +40,7 @@ object SimQueries {
     * eval_per_class_prf (its per-class P/R/F1 reduction) so the two
     * keys cannot disagree on a prediction. */
   private def centroidConfusion(s: SparkSession, dir: String): DataFrame = {
-    val emb = graft.Tables.embs(s, dir)
+    val emb = t(s, dir, "embeddings")
     val cent = emb
       .select(col("label"), posexplode(col("embedding")))
       .groupBy(col("label"), col("pos"))
@@ -77,7 +77,7 @@ object SimQueries {
     // cosinePairs shape twice) + bounded per-probe dimension tables —
     // nothing probe×corpus beyond the scans.
     "sim_rocchio_expand" -> ((s, dir) => {
-      val emb = graft.Tables.embs(s, dir)
+      val emb = t(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       val probes = emb.filter(col("vec_id") < 10)
         .select(col("vec_id").as("probe_id"), col("v").as("p"))
@@ -160,7 +160,7 @@ object SimQueries {
     // classic MIPS-to-cosine reductions (norm-augmented dimension)
     // stay unnecessary while the probe side broadcasts.
     "sim_mips_topk" -> ((s, dir) => {
-      val emb = graft.Tables.embs(s, dir)
+      val emb = t(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       val probes = emb.filter(col("vec_id") < 10)
         .select(col("vec_id").as("probe_id"), col("v").as("p"))
@@ -188,7 +188,7 @@ object SimQueries {
     // BEFORE scoring ships into the bounded TopKPerGroup heap (≤3
     // rows per probe × partition into the exchange). Ties → vec_id.
     "sim_hard_negative_mine" -> ((s, dir) => {
-      val emb = graft.Tables.embs(s, dir)
+      val emb = t(s, dir, "embeddings")
         .select(col("vec_id"), col("label"),
           col("embedding").cast("array<double>").as("v"))
       val probes = emb.filter(col("vec_id") < 10)
@@ -219,7 +219,7 @@ object SimQueries {
     // vectors only). Same broadcast-probe scan shape twice; the
     // 5-row-per-probe set join is metadata-sized.
     "sim_prefix_dim_recall" -> ((s, dir) => {
-      val emb = graft.Tables.embs(s, dir)
+      val emb = t(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"),
           slice(col("embedding").cast("array<double>"), 1, 16).as("v16"))
       val probes = emb.filter(col("vec_id") < 10)
@@ -283,7 +283,7 @@ object SimQueries {
     // one corpus scan through the bounded TopKPerGroup heap; the
     // label-count table reduces map-side.
     "eval_ndcg_label" -> ((s, dir) => {
-      val emb = graft.Tables.embs(s, dir)
+      val emb = t(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"),
           col("label"))
       val probes = emb.filter(col("vec_id") < 10)
@@ -337,7 +337,7 @@ object SimQueries {
     // probe; rr = one exact integer reciprocal, r4d'd. NDCG grades
     // the whole page; MRR grades the first hit — both faces declared.
     "eval_mrr_label" -> ((s, dir) => {
-      val emb = graft.Tables.embs(s, dir)
+      val emb = t(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"),
           col("label"))
       val probes = emb.filter(col("vec_id") < 10)
@@ -374,7 +374,7 @@ object SimQueries {
     // Same broadcast probe set and bounded per-probe ranking as the
     // rest of the triad.
     "eval_err" -> ((s, dir) => {
-      val emb = graft.Tables.embs(s, dir)
+      val emb = t(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"),
           col("label"))
       val probes = emb.filter(col("vec_id") < 10)
@@ -417,7 +417,7 @@ object SimQueries {
     // bounded-heap TopKPerGroup(10) per probe, a 10-row window per
     // probe, broadcast label counts.
     "eval_ap_retrieval" -> ((s, dir) => {
-      val emb = graft.Tables.embs(s, dir)
+      val emb = t(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"),
           col("label"))
       val probes = emb.filter(col("vec_id") < 10)
@@ -458,7 +458,7 @@ object SimQueries {
     // Per-label elementwise mean of the first 8 dims (exact decimal sums
     // at scale 12 — lossless for float inputs, order-independent).
     "sim_centroid_per_label" -> ((s, dir) => {
-      graft.Tables.embs(s, dir)
+      t(s, dir, "embeddings")
         .select(col("label"), posexplode(slice(col("embedding"), 1, 8)))
         .groupBy(col("label"), col("pos"))
         .agg(r4d(sum(col("col").cast("double").cast("decimal(38,12)"))
@@ -470,7 +470,7 @@ object SimQueries {
     // The "multimodal columns" surface: text metadata + vector in one row.
     "multimodal_join" -> ((s, dir) => {
       t(s, dir, "documents")
-        .join(graft.Tables.embs(s, dir), col("doc_id") === col("vec_id"))
+        .join(t(s, dir, "embeddings"), col("doc_id") === col("vec_id"))
         .groupBy(col("lang"), col("label")).agg(count(lit(1)).as("n"))
         .orderBy("lang", "label")
     }),
@@ -504,7 +504,7 @@ object SimQueries {
     "sim_norm_distribution" -> ((s, dir) => {
       val n6 = floor(sqrt(ArrayDot(col("v"), col("v"))) * lit(1.0e6))
         .cast("long")
-      graft.Tables.embs(s, dir)
+      t(s, dir, "embeddings")
         .select(col("label"),
           col("embedding").cast("array<double>").as("v"))
         .select(col("label"), n6.as("n6"))
@@ -530,7 +530,7 @@ object SimQueries {
     // vector is bounded and sorts by the bit-stable (d², label)
     // order the classify key's argmin already stakes on.
     "sim_classify_margin" -> ((s, dir) => {
-      val emb = graft.Tables.embs(s, dir)
+      val emb = t(s, dir, "embeddings")
       val cent = emb
         .select(col("label"), posexplode(col("embedding")))
         .groupBy(col("label"), col("pos"))
@@ -580,7 +580,7 @@ object SimQueries {
       val D0 = "decimal(38,0)"
       val a6 = expr("transform(slice(embedding, 1, 16)," +
         " x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS LONG))")
-      val pairs = graft.Tables.embs(s, dir)
+      val pairs = t(s, dir, "embeddings")
         .select(a6.as("a"))
         .select(explode(expr(
           "flatten(transform(sequence(0, 14), i ->" +
@@ -859,7 +859,7 @@ object SimQueries {
     // in dimension order on the same bit-stable device; top-3 under
     // the (d², vec_id) total order via a per-label bounded window.
     "sim_label_exemplars" -> ((s, dir) => {
-      val emb = graft.Tables.embs(s, dir)
+      val emb = t(s, dir, "embeddings")
       val cent = emb
         .select(col("label"), posexplode(col("embedding")))
         .groupBy(col("label"), col("pos"))
@@ -897,7 +897,7 @@ object SimQueries {
     "sim_norm_outliers" -> ((s, dir) => {
       val n6c = floor(sqrt(ArrayDot(col("v"), col("v"))) * lit(1.0e6))
         .cast("long")
-      val v = graft.Tables.embs(s, dir)
+      val v = t(s, dir, "embeddings")
         .select(col("vec_id"), col("label"),
           col("embedding").cast("array<double>").as("v"))
         .select(col("vec_id"), col("label"), n6c.as("n6"))
@@ -931,7 +931,7 @@ object SimQueries {
     // no float DCG), same label-count ideal; per (probe, k) rows so
     // every value is an exact rational — no cross-probe float mean.
     "eval_ndcg_curve" -> ((s, dir) => {
-      val emb = graft.Tables.embs(s, dir)
+      val emb = t(s, dir, "embeddings")
         .select(col("vec_id"),
           col("embedding").cast("array<double>").as("v"), col("label"))
       val probes = emb.filter(col("vec_id") < 10)
@@ -993,7 +993,7 @@ object SimQueries {
     // in dimension order (zip over pos-sorted arrays), max is
     // order-free, sqrt at the edge.
     "sim_centroid_drift" -> ((s, dir) => {
-      val emb = graft.Tables.embs(s, dir)
+      val emb = t(s, dir, "embeddings")
         .withColumn("half", (col("vec_id") % 2).cast("long"))
       val cent = emb
         .select(col("label"), col("half"), posexplode(col("embedding")))
@@ -1039,7 +1039,7 @@ object SimQueries {
     // decimal(38,0)/HUGEINT — order-independent, engine-identical;
     // one double division at the edge, in 10⁻¹² dot units.
     "sim_intra_label_diversity" -> ((s, dir) => {
-      val u = graft.Tables.embs(s, dir)
+      val u = t(s, dir, "embeddings")
         .select(col("label"), posexplode(col("embedding")))
         .select(col("label"), col("pos"),
           floor(col("col").cast("double") * lit(1.0e6)).cast("long")
@@ -1050,7 +1050,7 @@ object SimQueries {
       val per = byDim.groupBy("label")
         .agg(sum(col("sd") * col("sd")).as("ssq"),
           sum(col("qd")).as("qq"))
-      val n = graft.Tables.embs(s, dir)
+      val n = t(s, dir, "embeddings")
         .groupBy("label").agg(count(lit(1)).as("n_vecs"))
       n.join(per, Seq("label"))
         .filter(col("n_vecs") > 1)
@@ -1072,7 +1072,7 @@ object SimQueries {
     // dimension-order fold; two conditional mins per anchor, exact
     // counts per label.
     "sim_triplet_violation_rate" -> ((s, dir) => {
-      val emb = graft.Tables.embs(s, dir)
+      val emb = t(s, dir, "embeddings")
         .select(col("vec_id"), col("label"), col("embedding"))
       val anchors = emb.filter(col("vec_id") < 20)
         .select(col("vec_id").as("aid"), col("label").as("alabel"),
@@ -1108,7 +1108,7 @@ object SimQueries {
     // joined table and a 4-row k spine — exact integers, one
     // division per k.
     "sim_recall_curve" -> ((s, dir) => {
-      val emb = graft.Tables.embs(s, dir)
+      val emb = t(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       val probes = emb.filter(col("vec_id") < 10)
         .select(col("vec_id").as("probe_id"), col("v").as("p"),
@@ -1155,7 +1155,7 @@ object SimQueries {
     // per dimension at the edge. One posexplode + one reduce,
     // shuffle bounded by |dims|.
     "sim_dim_variance" -> ((s, dir) => {
-      val u = graft.Tables.embs(s, dir)
+      val u = t(s, dir, "embeddings")
         .select(posexplode(col("embedding")))
         .select(col("pos"),
           floor(col("col").cast("double") * lit(1.0e6)).cast("long")
@@ -1181,7 +1181,7 @@ object SimQueries {
     // by the identical bit-stable d² fold, flag the truth at rank 1
     // and within rank ≤ 3. Exact counts per label, two divisions.
     "eval_topk_accuracy" -> ((s, dir) => {
-      val emb = graft.Tables.embs(s, dir)
+      val emb = t(s, dir, "embeddings")
       val cent = emb
         .select(col("label"), posexplode(col("embedding")))
         .groupBy(col("label"), col("pos"))
@@ -1278,7 +1278,7 @@ object SimQueries {
     // correctly-rounded (not libm), so a, b, s and the bucket floor
     // are bit-identical — every output cell is an exact count.
     "sim_silhouette_centroid" -> ((s, dir) => {
-      val emb = graft.Tables.embs(s, dir)
+      val emb = t(s, dir, "embeddings")
       val cent = emb
         .select(col("label"), posexplode(col("embedding")))
         .groupBy(col("label"), col("pos"))
@@ -1327,7 +1327,7 @@ object SimQueries {
     // bounded-heap TopKPerGroup(20) touches ≤ 200 rows per probe —
     // corpus-size-free.
     "sim_mmr_rerank" -> ((s, dir) => {
-      val emb = graft.Tables.embs(s, dir)
+      val emb = t(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding").cast("array<double>")
           .as("v"))
       val probes = emb.filter(col("vec_id") < 10)
@@ -1437,7 +1437,7 @@ object SimQueries {
     // the 4-row-per-vector argmin window — at 100 TB this is the
     // standard massive-encode shape (IVF-PQ's encode half).
     "sim_pq_error" -> ((s, dir) => {
-      val v = graft.Tables.embs(s, dir)
+      val v = t(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
       val sub = v.select(col("vec_id"),
           explode(array((0 until 4).map(j =>

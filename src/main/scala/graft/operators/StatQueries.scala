@@ -1415,7 +1415,10 @@ object StatQueries {
     // O(rows) passes to 2·|types| moment rows, then 1-row-per-type
     // arithmetic.
     "agg_cohens_d" -> ((s, dir) => {
-      val e = events(s, dir).select(col("event_type"),
+      val e = graft.Tables.fanout(events(s, dir)
+          .select(col("event_type"), col("user_id"), col("value")),
+          col("user_id"))
+        .select(col("event_type"),
         when(substring(md5(col("user_id").cast("string").cast("binary")),
           1, 1) < "8", "A").otherwise("B").as("arm"),
         round(col("value") * 100).cast("long").as("c"))
@@ -1756,13 +1759,8 @@ object StatQueries {
     // one item reduce, one ≤|labels| reduce — aggregate-first, no
     // joins beyond the n_u broadcast-back.
     "eval_krippendorff_alpha" -> ((s, dir) => {
-      // Round-17 fanout: cells0 feeds two branches (nu + cells), so the
-      // scan-fused partial agg ran twice on the single-row-group scan
-      // task; the keyed fanout exchange parallelizes it AND the two
-      // branches share it via ReusedExchange.
-      val r = graft.Tables.fanout(
-        t(s, dir, "lineitem").select(col("l_orderkey").as("ok"),
-          col("l_returnflag").as("lab")), col("ok"), col("lab"))
+      val r = t(s, dir, "lineitem").select(col("l_orderkey").as("ok"),
+        col("l_returnflag").as("lab"))
       val cells0 = r.groupBy("ok", "lab").agg(count(lit(1)).as("n_uk"))
       val nu = cells0.groupBy("ok").agg(sum(col("n_uk")).cast("long")
         .as("n_u")).filter(col("n_u") >= 2)

@@ -23,7 +23,7 @@ object TextQueries {
 
   /** The incremental-dedup family's corpus (cap 1000, distinct tokens). */
   private def incrDocs(s: SparkSession, dir: String): DataFrame =
-    graft.Tables.docs(s, dir).filter(col("doc_id") < 1000)
+    t(s, dir, "documents").filter(col("doc_id") < 1000)
       .select(col("doc_id"),
         array_distinct(split(col("text"), " ")).as("toks"))
 
@@ -95,14 +95,14 @@ object TextQueries {
 
   val queries: Map[String, Q] = Map(
     "text_token_counts" -> ((s, dir) => {
-      graft.Tables.docs(s, dir)
+      t(s, dir, "documents")
         .select(explode(split(col("text"), " ")).as("token"))
         .groupBy("token").agg(count(lit(1)).as("n"))
         .orderBy("token")
     }),
 
     "text_doc_stats" -> ((s, dir) => {
-      graft.Tables.docs(s, dir)
+      t(s, dir, "documents")
         .groupBy("lang")
         .agg(count(lit(1)).as("n_docs"),
           r4d(sum(col("n_chars")).cast("double") / count(lit(1))).as("avg_chars"),
@@ -120,7 +120,7 @@ object TextQueries {
     // 100 TB this is one narrow-shuffle pass regardless of corpus
     // size. The doc-count denominator is a one-row broadcast agg.
     "text_heavy_hitters" -> ((s, dir) => {
-      val docs = graft.Tables.docs(s, dir)
+      val docs = t(s, dir, "documents")
       val nDocs = docs.agg(count(lit(1)).as("n_docs"))
       docs.select(col("doc_id"),
           explode(array_distinct(split(col("text"), " "))).as("token"))
@@ -134,7 +134,7 @@ object TextQueries {
 
     // Bigrams via an index-HOF over the token array — no per-doc shuffle.
     "text_ngrams" -> ((s, dir) => {
-      graft.Tables.docs(s, dir)
+      t(s, dir, "documents")
         .select(split(col("text"), " ").as("toks"))
         .filter(size(col("toks")) >= 2)
         .select(explode(expr(
@@ -145,7 +145,7 @@ object TextQueries {
     }),
 
     "text_tf" -> ((s, dir) => {
-      val cnt = graft.Tables.docs(s, dir)
+      val cnt = t(s, dir, "documents")
         .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
         .groupBy("doc_id", "token").agg(count(lit(1)).as("cnt"))
       cnt.withColumn("total", sum(col("cnt")).over(Window.partitionBy("doc_id")))
@@ -159,7 +159,7 @@ object TextQueries {
     // heap ships one row per (doc × partition) into the exchange, and
     // with k=1 each group's surviving row IS rank 1 — no window pass.
     "text_tfidf_topterm" -> ((s, dir) => {
-      val docs = graft.Tables.docs(s, dir)
+      val docs = t(s, dir, "documents")
       val cnt = docs
         .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
         .groupBy("doc_id", "token").agg(count(lit(1)).as("cnt"))
@@ -193,7 +193,7 @@ object TextQueries {
     // only the reported value.
     "text_bm25" -> ((s, dir) => {
       val qterms = Seq("merge", "window", "spark")
-      val tok = graft.Tables.docs(s, dir)
+      val tok = t(s, dir, "documents")
         .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
       val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
       val tfd = tok.filter(col("token").isin(qterms: _*))
@@ -227,7 +227,7 @@ object TextQueries {
     // raw corpus has zero byte-identical dups; normalization finds real
     // content-equal groups).
     "dedup_exact_text" -> ((s, dir) => {
-      graft.Tables.docs(s, dir)
+      t(s, dir, "documents")
         .select(col("doc_id"),
           md5(concat_ws(" ", array_sort(array_distinct(split(col("text"), " ")))))
             .as("h"))
@@ -288,7 +288,7 @@ object TextQueries {
     // floor before the expensive near-dup pass. Exact integers,
     // one group reduce + one keyed reduce.
     "dedup_rate_by_length" -> ((s, dir) => {
-      val d = graft.Tables.docs(s, dir)
+      val d = t(s, dir, "documents")
         .select(col("doc_id"),
           size(split(col("text"), " ")).cast("long").as("ntok"),
           md5(concat_ws(" ",
@@ -341,7 +341,7 @@ object TextQueries {
     // Global rank via GlobalRank's distributed prefix sums (no
     // single-partition window); probes explode map-side.
     "dedup_sorted_neighborhood" -> ((s, dir) => {
-      val d = graft.Tables.docs(s, dir)
+      val d = t(s, dir, "documents")
         .select(col("doc_id"),
           array_sort(array_distinct(split(col("text"), " ")))
             .as("toks"))
@@ -379,7 +379,7 @@ object TextQueries {
     // work; one reduce with three distinct-aggregates over the
     // bounded source grid.
     "dedup_tier_report" -> ((s, dir) => {
-      graft.Tables.docs(s, dir)
+      t(s, dir, "documents")
         .select(col("source"), col("text"),
           concat_ws(" ", array_sort(split(col("text"), " ")))
             .as("bag"),
@@ -410,7 +410,7 @@ object TextQueries {
     // INCLUDING singletons — they are the denominator. Two keyed
     // reduces; the histogram is ≤ max-cluster-size rows.
     "dedup_cluster_size_hist" -> ((s, dir) => {
-      val cl = graft.Tables.docs(s, dir)
+      val cl = t(s, dir, "documents")
         .select(col("doc_id"),
           md5(concat_ws(" ",
             array_sort(array_distinct(split(col("text"), " ")))))
@@ -437,7 +437,7 @@ object TextQueries {
     // irrational and sum in double like the js/perplexity keys,
     // r4d at the edge.
     "text_kl_divergence" -> ((s, dir) => {
-      val tok = graft.Tables.docs(s, dir)
+      val tok = t(s, dir, "documents")
         .select(col("source"), explode(split(col("text"), " ")).as("token"))
       val glob = tok.groupBy("token").agg(count(lit(1)).as("cg"))
       val nGlob = tok.agg(count(lit(1)).as("ng"))
@@ -467,7 +467,7 @@ object TextQueries {
     // supersteps are single-task and the fixpoint arrives in one
     // verification round.
     "dedup_cluster_canon" -> ((s, dir) => {
-      val docs = graft.Tables.docs(s, dir).filter(col("doc_id") < 1000)
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 1000)
         .select(col("doc_id"))
       val pairs = exactJaccard(s, dir, 1000, 0.8)
         .select(col("doc_i"), col("doc_j"))
@@ -560,7 +560,7 @@ object TextQueries {
     // device); full total order (n desc, pair) — no limit, the pair
     // alphabet is bounded.
     "text_bpe_pair_counts" -> ((s, dir) => {
-      val wc = graft.Tables.docs(s, dir)
+      val wc = t(s, dir, "documents")
         .select(explode(split(col("text"), " ")).as("word"))
         .filter(length(col("word")) >= 2)
         .groupBy("word").agg(count(lit(1)).as("wn"))
@@ -627,7 +627,7 @@ object TextQueries {
     // TakeOrderedAndProject top-1000, and a 1000-row tail.
     "text_zipf_slope" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val top = graft.Tables.docs(s, dir)
+      val top = t(s, dir, "documents")
         .select(explode(split(col("text"), " ")).as("token"))
         .groupBy("token").agg(count(lit(1)).as("c"))
         .orderBy(col("c").desc, col("token")).limit(1000)
@@ -705,7 +705,7 @@ object TextQueries {
     // marginals are two more partial-agg collapses of the SAME bigram
     // table; the joins are slim key-keyed. T is a 1-row broadcast.
     "text_cooccurrence_pmi" -> ((s, dir) => {
-      val bi = graft.Tables.docs(s, dir)
+      val bi = t(s, dir, "documents")
         .select(split(col("text"), " ").as("toks"))
         .filter(size(col("toks")) >= 2)
         .select(explode(expr(
@@ -767,7 +767,7 @@ object TextQueries {
     // per-position joins broadcast once the model fits, and the
     // per-doc collect_list is doc-length-bounded like every text key.
     "text_perplexity_bigram" -> ((s, dir) => {
-      val tk = graft.Tables.docs(s, dir)
+      val tk = t(s, dir, "documents")
         .select(col("doc_id"),
           posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
       val seq = tk.withColumn("prev",
@@ -797,7 +797,7 @@ object TextQueries {
     }),
 
     "text_perplexity_unigram" -> ((s, dir) => {
-      val toks = graft.Tables.docs(s, dir)
+      val toks = t(s, dir, "documents")
         .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       val vocab = toks.groupBy("tok").agg(count(lit(1)).as("cf"))
       val total = toks.agg(count(lit(1)).as("t"))
@@ -824,7 +824,7 @@ object TextQueries {
     // (lang, token) two-phase agg → one |vocab|-row reduce per lang.
     // All exact integers; two divisions r4d'd.
     "text_hapax_richness" -> ((s, dir) => {
-      val tc = graft.Tables.docs(s, dir)
+      val tc = t(s, dir, "documents")
         .select(col("lang"), explode(split(col("text"), " ")).as("token"))
         .groupBy("lang", "token").agg(count(lit(1)).as("c"))
       tc.groupBy("lang")
@@ -850,7 +850,7 @@ object TextQueries {
     // rows; the top-3 is a bounded window under the (n desc, token)
     // total order.
     "text_leading_token_profile" -> ((s, dir) => {
-      val ft = graft.Tables.docs(s, dir)
+      val ft = t(s, dir, "documents")
         .select(col("source"),
           split(col("text"), " ").getItem(0).as("tok"))
       val cnt = ft.groupBy("source", "tok")
@@ -879,7 +879,7 @@ object TextQueries {
     // Scale: one (lang, token) partial-agg reduce, then a |langs|
     // reduce — the hapax key's exact shape.
     "text_simpson_diversity" -> ((s, dir) => {
-      val tc = graft.Tables.docs(s, dir)
+      val tc = t(s, dir, "documents")
         .select(col("lang"), explode(split(col("text"), " ")).as("token"))
         .groupBy("lang", "token").agg(count(lit(1)).as("c"))
       tc.groupBy("lang")
@@ -902,7 +902,7 @@ object TextQueries {
     // One anchored RE2-safe regexp per token, exact integer counts
     // and lengths, one reduce.
     "text_numeric_token_stats" -> ((s, dir) => {
-      val tk = graft.Tables.docs(s, dir)
+      val tk = t(s, dir, "documents")
         .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
         .withColumn("isnum", col("tok").rlike("^[0-9]+$"))
       tk.groupBy("lang")
@@ -928,7 +928,7 @@ object TextQueries {
     // DISTINCT table on token (bounded by vocab, not corpus); union
     // by inclusion-exclusion. Exact integers, one division.
     "text_vocab_jaccard_pairs" -> ((s, dir) => {
-      val v = graft.Tables.docs(s, dir)
+      val v = t(s, dir, "documents")
         .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
         .distinct().localCheckpoint(true)
       val sizes = v.groupBy("lang").agg(count(lit(1)).as("nv"))
@@ -962,7 +962,7 @@ object TextQueries {
       def classLen(re: String) =
         (length(col("text"))
           - length(regexp_replace(col("text"), re, ""))).cast("long")
-      graft.Tables.docs(s, dir)
+      t(s, dir, "documents")
         .select(col("lang"), length(col("text")).cast("long").as("n"),
           classLen("[a-zA-Z]").as("n_alpha"),
           classLen("[0-9]").as("n_digit"),
@@ -993,7 +993,7 @@ object TextQueries {
     // Exact integers except the single division; the species-richness
     // read every corpus-coverage plan starts from.
     "text_chao1_richness" -> ((s, dir) => {
-      val tc = graft.Tables.docs(s, dir)
+      val tc = t(s, dir, "documents")
         .select(col("lang"), explode(split(col("text"), " ")).as("token"))
         .groupBy("lang", "token").agg(count(lit(1)).as("c"))
       tc.groupBy("lang")
@@ -1024,7 +1024,7 @@ object TextQueries {
       val stop = Seq("the", "a", "an", "and", "or", "of", "to", "in",
         "is", "it", "that", "for", "on", "with", "as", "was", "at",
         "by", "be", "this")
-      val tk = graft.Tables.docs(s, dir)
+      val tk = t(s, dir, "documents")
         .select(col("doc_id"), posexplode(split(col("text"), " ")))
         .select(col("doc_id"), col("pos"), lower(col("col")).as("tok"))
         .withColumn("isstop", col("tok").isin(stop: _*))
@@ -1076,7 +1076,7 @@ object TextQueries {
     // (gram, source) count reduce, gram totals by a second reduce,
     // c_rest = total − c_src, one division per source.
     "text_bigram_overlap" -> ((s, dir) => {
-      val bg = graft.Tables.docs(s, dir)
+      val bg = t(s, dir, "documents")
         .select(col("source"), split(col("text"), " ").as("toks"))
         .filter(size(col("toks")) >= 2)
         .select(col("source"), explode(expr(
@@ -1108,7 +1108,7 @@ object TextQueries {
     // device — no shuffle-order float sum), so both engines fold the
     // identical sequence; 2^H at the edge.
     "text_ngram_entropy_rate" -> ((s, dir) => {
-      val bg = graft.Tables.docs(s, dir)
+      val bg = t(s, dir, "documents")
         .select(col("lang"), col("doc_id"),
           split(col("text"), " ").as("toks"))
         .filter(size(col("toks")) >= 2)
@@ -1152,7 +1152,7 @@ object TextQueries {
     // no windows and drop from the gram counts but are reported in
     // n_docs_short. One explode + two keyed reduces.
     "text_intradoc_ngram_dup" -> ((s, dir) => {
-      val d = graft.Tables.docs(s, dir)
+      val d = t(s, dir, "documents")
         .select(col("source"), col("doc_id"),
           split(col("text"), " ").as("toks"))
       val grams = d.filter(size(col("toks")) >= 8)
@@ -1187,7 +1187,7 @@ object TextQueries {
     // One vocab-keyed reduce for corpus frequencies + one broadcast
     // join back; exact integers and one division.
     "text_rare_token_share" -> ((s, dir) => {
-      val toks = graft.Tables.docs(s, dir)
+      val toks = t(s, dir, "documents")
         .select(col("source"),
           explode(split(col("text"), " ")).as("tok"))
       val freq = toks.groupBy("tok").agg(count(lit(1)).as("cf"))
@@ -1216,7 +1216,7 @@ object TextQueries {
     // one division.
     "text_quality_length_corr" -> ((s, dir) => {
       val D0 = "decimal(38,0)"
-      val d = graft.Tables.docs(s, dir).select(
+      val d = t(s, dir, "documents").select(
         round(graft.operators.PipelineQueries
           .qualityExpr(col("text")) * 10000).cast("long").as("q4"),
         size(split(col("text"), " ")).cast("long").as("ntok"))
@@ -1244,10 +1244,10 @@ object TextQueries {
     // in vocabulary order through the codegen ArrayDot; the pair
     // grid is the bounded |sources|² — never doc×doc.
     "text_source_tfidf_cosine" -> ((s, dir) => {
-      val toks = graft.Tables.docs(s, dir)
+      val toks = t(s, dir, "documents")
         .select(col("source"), col("doc_id"),
           explode(split(col("text"), " ")).as("tok"))
-      val ndocs = graft.Tables.docs(s, dir).agg(count(lit(1)).as("nd"))
+      val ndocs = t(s, dir, "documents").agg(count(lit(1)).as("nd"))
       val df = toks.select(col("tok"), col("doc_id")).distinct()
         .groupBy("tok").agg(count(lit(1)).as("dfc"))
       val tf = toks.groupBy("source", "tok")
@@ -1285,7 +1285,7 @@ object TextQueries {
     // keyed reduce + one bounded per-source fold.
     "text_lang_source_mix" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val c = graft.Tables.docs(s, dir)
+      val c = t(s, dir, "documents")
         .groupBy(col("source"), col("lang"))
         .agg(count(lit(1)).as("n"))
       val w = Window.partitionBy("source")
@@ -1360,7 +1360,7 @@ object TextQueries {
     // (source, bigram) table IS "appears in another doc", since each
     // doc contributes each bigram once. Two keyed reduces.
     "text_self_bleu_lite" -> ((s, dir) => {
-      val db = graft.Tables.docs(s, dir)
+      val db = t(s, dir, "documents")
         .select(col("source"), col("doc_id"),
           split(col("text"), " ").as("toks"))
         .filter(size(col("toks")) >= 2)
@@ -1401,7 +1401,7 @@ object TextQueries {
       val stop = Seq("the", "a", "an", "and", "or", "of", "to", "in",
         "is", "it", "that", "for", "on", "with", "as", "was", "at",
         "by", "be", "this")
-      graft.Tables.docs(s, dir)
+      t(s, dir, "documents")
         .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
         .groupBy("lang")
         .agg(count(lit(1)).as("n_tokens"),
@@ -1420,7 +1420,7 @@ object TextQueries {
     // is exact integers in DECIMAL(38,0) (c² sums are corpus-scale)
     // until the single double division, r4d.
     "text_yule_k" -> ((s, dir) => {
-      val tc = graft.Tables.docs(s, dir)
+      val tc = t(s, dir, "documents")
         .select(col("lang"), explode(split(col("text"), " ")).as("token"))
         .groupBy("lang", "token").agg(count(lit(1)).as("c"))
       tc.groupBy("lang")
@@ -1448,7 +1448,7 @@ object TextQueries {
     // distributed prefix sum pack_sequences uses.
     "text_vocab_growth" -> ((s, dir) => {
       val w = Window.orderBy("doc_id")
-      val docs = graft.Tables.docs(s, dir)
+      val docs = t(s, dir, "documents")
         .select(col("doc_id"), split(col("text"), " ").as("toks"))
         .withColumn("rn", row_number().over(w).cast("long"))
         .withColumn("tcount", size(col("toks")).cast("long"))
@@ -1485,7 +1485,7 @@ object TextQueries {
     // counts; the per-term log₂ sum is order-tolerant at 4dp (the
     // entropy-key precedent).
     "text_js_drift" -> ((s, dir) => {
-      val tok = graft.Tables.docs(s, dir)
+      val tok = t(s, dir, "documents")
         .select(col("source"), explode(split(col("text"), " ")).as("token"))
       val glob = tok.groupBy("token").agg(count(lit(1)).as("cg"))
       val nGlob = tok.agg(count(lit(1)).as("ng"))
@@ -1520,7 +1520,7 @@ object TextQueries {
     // floating step is one division. Two-phase aggs end to end; the
     // top-20 pick is a 20-row ordered limit off the term totals.
     "text_token_burstiness" -> ((s, dir) => {
-      val docs = graft.Tables.docs(s, dir)
+      val docs = t(s, dir, "documents")
       val nDocs = docs.agg(count(lit(1)).as("n_docs"))
       val perDoc = docs
         .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
@@ -1549,7 +1549,7 @@ object TextQueries {
     // per-lang total. One partial-agg reduce; nothing downstream
     // scales.
     "text_word_length_profile" -> ((s, dir) => {
-      val cells = graft.Tables.docs(s, dir)
+      val cells = t(s, dir, "documents")
         .select(col("lang"),
           explode(split(col("text"), " ")).as("token"))
         .groupBy(col("lang"), length(col("token")).cast("long")
@@ -1579,7 +1579,7 @@ object TextQueries {
     // per-UTF-8-character split agree — non-ASCII text would need an
     // explicit codepoint basis shared by both engines.
     "text_char_entropy" -> ((s, dir) => {
-      val c = graft.Tables.docs(s, dir)
+      val c = t(s, dir, "documents")
         .filter(length(col("text")) > 0)
         .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
         .groupBy("doc_id", "ch").agg(count(lit(1)).as("c"))
@@ -1609,7 +1609,7 @@ object TextQueries {
     // exact answer, not an approximation. Coverage = one division of
     // exact integers.
     "text_ngram_coverage_curve" -> ((s, dir) => {
-      val tc = graft.Tables.docs(s, dir)
+      val tc = t(s, dir, "documents")
         .select(explode(split(col("text"), " ")).as("token"))
         .groupBy("token").agg(count(lit(1)).as("c"))
       val hist = tc.groupBy("c").agg(count(lit(1)).as("types"))
@@ -1650,7 +1650,7 @@ object TextQueries {
     // position joins shuffle on token keys; the collect_list is
     // doc-length-bounded.
     "text_perplexity_kneser_ney" -> ((s, dir) => {
-      val tk = graft.Tables.docs(s, dir)
+      val tk = t(s, dir, "documents")
         .select(col("doc_id"),
           posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
       val seq = tk.withColumn("prev",
@@ -1695,7 +1695,7 @@ object TextQueries {
     // (bigram, decile) occurrence counts; the ratio is one division
     // of exact counts per output row (10 rows).
     "text_ngram_novelty_decay" -> ((s, dir) => {
-      val docs = graft.Tables.docs(s, dir)
+      val docs = t(s, dir, "documents")
       val mx = docs.agg(max(col("doc_id")).as("mx"))
       val bgs = docs
         .select(col("doc_id"), split(col("text"), " ").as("toks"))
@@ -1729,7 +1729,7 @@ object TextQueries {
     // per-doc integer reduce, a bounded rank window.
     "text_source_outlier_score" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val dt = graft.Tables.docs(s, dir)
+      val dt = t(s, dir, "documents")
         .select(col("doc_id"), col("source"),
           explode(split(col("text"), " ")).as("tk"))
         .groupBy("doc_id", "source", "tk")
@@ -1768,7 +1768,7 @@ object TextQueries {
     // size). Shape: one token reduce, a top-50 TakeOrdered, a
     // broadcast spine join, map-side chains.
     "text_odds_ratio_keywords" -> ((s, dir) => {
-      val tok = graft.Tables.docs(s, dir)
+      val tok = t(s, dir, "documents")
         .select(col("source"), explode(split(col("text"), " ")).as("tk"))
       val gl = tok.groupBy("tk").agg(count(lit(1)).as("cw"))
       val top = gl.orderBy(col("cw").desc, col("tk")).limit(50)
@@ -1811,7 +1811,7 @@ object TextQueries {
     // Scale: one token reduce, a top-20 TakeOrdered, then bounded
     // spine tables only.
     "text_burrows_delta" -> ((s, dir) => {
-      val tok = graft.Tables.docs(s, dir)
+      val tok = t(s, dir, "documents")
         .select(col("source"), explode(split(col("text"), " ")).as("tk"))
       val top = tok.groupBy("tk").agg(count(lit(1)).as("cg"))
         .orderBy(col("cg").desc, col("tk")).limit(20)
