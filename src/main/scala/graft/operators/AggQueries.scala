@@ -371,11 +371,7 @@ object AggQueries {
     // covers the user domain at every SF with headroom; out-of-domain
     // keys fail loudly rather than degrade to approximate.
     "agg_bitmap_distinct" -> ((s, dir) => {
-      // Round-17 fanout by user_id (high-card): partial bitmaps build
-      // 32-way instead of inside the single scan task; merge cost is a
-      // handful of bitmap unions per type.
-      graft.Tables.fanout(events(s, dir)
-          .select(col("event_type"), col("user_id")), col("user_id"))
+      events(s, dir)
         .groupBy(col("event_type"))
         .agg(graft.functions.BitmapDistinctAgg(col("user_id"), 1 << 20)
           .as("n_users"),
@@ -1256,10 +1252,7 @@ object AggQueries {
     // of IEEE-identical double ops, r4d at the edge. Degenerate arms
     // (n ≤ 1 or zero variance, by the exact integer test) drop.
     "ab_test_welch" -> ((s, dir) => {
-      val e = graft.Tables.fanout(events(s, dir)
-          .select(col("event_type"), col("user_id"), col("value")),
-          col("user_id"))
-        .select(col("event_type"),
+      val e = events(s, dir).select(col("event_type"),
         when(substring(md5(col("user_id").cast("string").cast("binary")),
           1, 1) < "8", "A").otherwise("B").as("arm"),
         round(col("value") * 100).cast("long").as("c"))
@@ -1476,9 +1469,7 @@ object AggQueries {
     // GlobalRank's distributed prefix sums, classification map-side.
     "agg_abc_classification" -> ((s, dir) => {
       val D0 = "decimal(38,0)"
-      val rev = graft.Tables.fanout(t(s, dir, "lineitem")
-          .select(col("l_partkey"), col("l_extendedprice")),
-          col("l_partkey"))
+      val rev = t(s, dir, "lineitem")
         .groupBy(col("l_partkey"))
         .agg(sum(round(col("l_extendedprice") * 100).cast("long"))
           .as("cents"))

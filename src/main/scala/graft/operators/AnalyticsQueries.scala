@@ -73,26 +73,54 @@ object AnalyticsQueries {
       .filter(col("rn") <= 28)
     val aggs = (1 to 28).map(i =>
       max(when(col("rn") === i, col("y"))).cast("long").as(s"y$i"))
-    var cur = d.groupBy("event_type").agg(aggs.head, aggs.tail: _*)
+    val cur = d.groupBy("event_type").agg(aggs.head, aggs.tail: _*)
     val w1 = (1 to 7).map(i => s"y$i").mkString(" + ")
     val w2 = (8 to 14).map(i => s"y$i").mkString(" + ")
-    cur = cur
-      .withColumn("l14", expr(s"(($w2) * 1000000) div 7"))
-      .withColumn("b14", expr(s"((($w2) - ($w1)) * 1000000) div 49"))
-    for (j <- 8 to 14)
-      cur = cur.withColumn(s"s$j", expr(s"y$j * 1000000 - l14"))
-    for (t <- 15 to 28) {
-      cur = cur
-        .withColumn(s"p$t", expr(s"l${t - 1} + b${t - 1} + s${t - 7}"))
-        .withColumn(s"l$t", expr(
-          s"(2 * (y$t * 1000000 - s${t - 7})" +
-            s" + 8 * (l${t - 1} + b${t - 1})) div 10"))
-        .withColumn(s"b$t", expr(
-          s"((l$t - l${t - 1}) + 9 * b${t - 1}) div 10"))
-        .withColumn(s"s$t", expr(
-          s"(3 * (y$t * 1000000 - l$t) + 7 * s${t - 7}) div 10"))
-    }
+    // Round-17: the 14 recurrence steps ran as ~70 chained withColumn
+    // layers (quadratic analyzer cost — the ts_kalman_smooth story,
+    // measured there: 2.05 s → 0.56 s isolated after the fold rewrite).
+    // The identical integer recurrence as ONE aggregate() fold; the
+    // state struct carries the l/b histories and the s seasonal lags
+    // (l14/b14/s_{t-7} all sit at index t-14 of their arrays), and the
+    // within-step l_t reuse is inlined (same truncating-div integer
+    // expression, so every emitted value is bit-identical). The wide
+    // y/p/l/b/s column interface the two consumer keys read is
+    // reconstructed from the fold arrays in one projection.
+    val init = (8 to 14).map(j => s"y$j * 1000000 - l14").mkString(", ")
+    val lt = "(2 * (element_at(ys, t) * 1000000L" +
+      " - element_at(st.ss, t - 14))" +
+      " + 8 * (element_at(st.ls, t - 14)" +
+      " + element_at(st.bs, t - 14))) div 10"
+    val fold =
+      s"""aggregate(sequence(15, 28),
+         |  named_struct('ls', array(l14), 'bs', array(b14),
+         |    'ss', ss0, 'ps', CAST(array() AS ARRAY<BIGINT>)),
+         |  (st, t) -> named_struct(
+         |    'ls', array_append(st.ls, $lt),
+         |    'bs', array_append(st.bs,
+         |      ((($lt) - element_at(st.ls, t - 14))
+         |        + 9 * element_at(st.bs, t - 14)) div 10),
+         |    'ss', array_append(st.ss,
+         |      (3 * (element_at(ys, t) * 1000000L - ($lt))
+         |        + 7 * element_at(st.ss, t - 14)) div 10),
+         |    'ps', array_append(st.ps,
+         |      element_at(st.ls, t - 14) + element_at(st.bs, t - 14)
+         |        + element_at(st.ss, t - 14)))
+         |) AS hw""".stripMargin
+    val wide =
+      Seq("event_type") ++ (1 to 28).map(i => s"y$i") ++
+        (14 to 28).map(t => s"element_at(hw.ls, ${t - 13}) AS l$t") ++
+        (14 to 28).map(t => s"element_at(hw.bs, ${t - 13}) AS b$t") ++
+        (8 to 28).map(j => s"element_at(hw.ss, ${j - 7}) AS s$j") ++
+        (15 to 28).map(t => s"element_at(hw.ps, ${t - 14}) AS p$t")
     cur
+      .selectExpr((Seq("*",
+        s"(($w2) * 1000000) div 7 AS l14",
+        s"((($w2) - ($w1)) * 1000000) div 49 AS b14")): _*)
+      .selectExpr("*", s"array($init) AS ss0",
+        s"array(${(1 to 28).map(i => s"y$i").mkString(", ")}) AS ys")
+      .selectExpr("*", fold)
+      .selectExpr(wide: _*)
   }
 
   /** ts_kalman_smooth's gain schedule K6(t) = ⌊K_t·10⁶⌋, t = 2..28 —
@@ -1589,10 +1617,9 @@ object AnalyticsQueries {
     // basket total are broadcast scalars; lift cross-multiplies exact
     // integers before its one rounded division.
     "agg_assoc_rules_lift" -> ((s, dir) => {
-      val b = graft.Tables.fanout(events(s, dir)
+      val b = events(s, dir)
         .select(col("user_id"), epochDay("ts").as("day"),
-          col("event_type")),
-        col("user_id"), col("day"), col("event_type"))
+          col("event_type"))
         .distinct()
       val nb = b.select("user_id", "day").distinct()
         .agg(count(lit(1)).as("n_baskets"))
@@ -1969,12 +1996,11 @@ object AnalyticsQueries {
     // each over the |weeks|×|parts| pre-agg, never raw lineitem.
     "topk_rank_delta" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val wk = graft.Tables.fanout(t(s, dir, "lineitem")
+      val wk = t(s, dir, "lineitem")
         .select(col("l_partkey").as("part"),
           expr("unix_millis(cast(l_shipdate as timestamp)) div 86400000" +
             " div 7").as("week"),
-          round(col("l_extendedprice") * 100).cast("long").as("cents")),
-        col("week"), col("part"))
+          round(col("l_extendedprice") * 100).cast("long").as("cents"))
         .groupBy("week", "part").agg(sum(col("cents")).as("rev"))
       val rw = Window.partitionBy(col("week"))
         .orderBy(col("rev").desc, col("part"))
@@ -3256,20 +3282,38 @@ object AnalyticsQueries {
         .filter(col("rn") <= 28)
       val aggs = (1 to 28).map(i =>
         max(when(col("rn") === i, col("y"))).cast("long").as(s"y$i"))
-      var cur = d.groupBy("event_type").agg(aggs.head, aggs.tail: _*)
-        .withColumn("l1", expr("y1 * 1000000"))
-      for (t <- 2 to 28) {
-        val k = kalmanGains(t)
-        cur = cur
-          .withColumn(s"i$t", expr(s"y$t * 1000000 - l${t - 1}"))
-          .withColumn(s"l$t",
-            expr(s"l${t - 1} + (${k}L * i$t) div 1000000"))
-      }
-      val stacked = (2 to 28)
-        .map(t => s"${t}L, y$t, i$t, l$t, ${kalmanGains(t)}L")
-        .mkString(", ")
-      cur.selectExpr("event_type",
-          s"stack(27, $stacked) AS (step, y, im, lm, k6)")
+      val cur = d.groupBy("event_type").agg(aggs.head, aggs.tail: _*)
+      // Round-17: the 27 recurrence steps ran as 54 chained withColumn
+      // layers — Catalyst re-analyzes the whole growing projection per
+      // layer (quadratic driver cost: ~2 s of planning for 0.45 s of
+      // jobs, and a 25 s cold codegen of the unrolled projection).
+      // Same integer recurrence as ONE aggregate() fold over the
+      // packed y array: l_t = l_{t-1} + K6_t·(y_t·10⁶ − l_{t-1}) div
+      // 10⁶ with the same precomputed gains, so every emitted value is
+      // bit-identical; innovations are recovered afterwards as
+      // i_t = y_t·10⁶ − l_{t−1} (the same expression the chain used).
+      val ksLit = (2 to 28).map(t => s"${kalmanGains(t)}L").mkString(", ")
+      val ysLit = (1 to 28).map(i => s"y$i").mkString(", ")
+      cur
+        .selectExpr("event_type", s"array($ysLit) AS ys")
+        .selectExpr("event_type", "ys", s"array($ksLit) AS ks")
+        .selectExpr("event_type", "ys", "ks",
+          """aggregate(sequence(2, 28),
+            |  array(element_at(ys, 1) * 1000000L),
+            |  (ls, t) -> array_append(ls,
+            |    element_at(ls, t - 1)
+            |      + (element_at(ks, t - 1)
+            |         * (element_at(ys, t) * 1000000L
+            |            - element_at(ls, t - 1))) div 1000000L)
+            |) AS ls""".stripMargin)
+        .selectExpr("event_type", "ys", "ks", "ls",
+          "explode(sequence(2, 28)) AS step")
+        .selectExpr("event_type", "CAST(step AS BIGINT) AS step",
+          "element_at(ys, step) AS y",
+          "element_at(ys, step) * 1000000L" +
+            " - element_at(ls, step - 1) AS im",
+          "element_at(ls, step) AS lm",
+          "element_at(ks, step - 1) AS k6")
         .select(col("event_type"), col("step"), col("y"),
           r4d(col("lm").cast("double") / lit(1000000.0)).as("level"),
           r4d(col("im").cast("double") / lit(1000000.0)).as("innovation"),

@@ -484,13 +484,7 @@ object EtlQueries {
     // O(partitions) offsets to the driver, map-side add). The fact
     // count rides along from the same reduce.
     "etl_surrogate_keys" -> ((s, dir) => {
-      // Round-17 fanout: (part, supp) groups are near-unique, so the
-      // scan-fused partial agg compressed nothing and ran on the single
-      // scan task; the keyed fanout parallelizes it and feeds the same
-      // exchange the agg needs.
-      val pairs = graft.Tables.fanout(t(s, dir, "lineitem")
-          .select(col("l_partkey"), col("l_suppkey")),
-          col("l_partkey"), col("l_suppkey"))
+      val pairs = t(s, dir, "lineitem")
         .groupBy(col("l_partkey"), col("l_suppkey"))
         .agg(count(lit(1)).as("n_facts"))
         .withColumn("one", lit(1L))

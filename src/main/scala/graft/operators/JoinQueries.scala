@@ -529,14 +529,8 @@ object JoinQueries {
     // carries the SF exponent.
     "join_skew_salted_spread" -> ((s, dir) => {
       val buckets = 8
-      // Round-17 fanout: the per-row md5-uniform draw otherwise fuses
-      // into the single-row-group scan task — and BOTH plan branches
-      // (salted join + spread audit) recompute it there; the keyed
-      // fanout exchange parallelizes the hashing and is shared by the
-      // two branches via ReusedExchange.
-      val fact = graft.Tables.fanout(t(s, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity")),
-        col("l_orderkey"), col("l_linenumber"))
+      val fact = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
         .withColumn("u", conv(substring(md5(concat(
             col("l_orderkey").cast("string"), lit(":"),
             col("l_linenumber").cast("string")).cast("binary")), 1, 13),

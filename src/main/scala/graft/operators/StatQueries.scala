@@ -1415,10 +1415,7 @@ object StatQueries {
     // O(rows) passes to 2·|types| moment rows, then 1-row-per-type
     // arithmetic.
     "agg_cohens_d" -> ((s, dir) => {
-      val e = graft.Tables.fanout(events(s, dir)
-          .select(col("event_type"), col("user_id"), col("value")),
-          col("user_id"))
-        .select(col("event_type"),
+      val e = events(s, dir).select(col("event_type"),
         when(substring(md5(col("user_id").cast("string").cast("binary")),
           1, 1) < "8", "A").otherwise("B").as("arm"),
         round(col("value") * 100).cast("long").as("c"))
@@ -1725,13 +1722,18 @@ object StatQueries {
         .localCheckpoint(true)
       val nStates = states.count()
       val pi0 = states.withColumn("v", lit(1.0) / lit(nStates.toDouble))
-      val piN = (1 to 8).foldLeft(pi0) { (pi, _) =>
-        trans.join(pi.withColumnRenamed("state", "from"), Seq("from"))
+      // Round-17: checkpoint every SECOND step — pi is referenced once
+      // per step, so two un-truncated layers keep the plan bounded
+      // (alphabet-sized frames; the cost here is jobs and per-step
+      // planning, not data) while halving the materialization jobs.
+      val piN = (1 to 8).foldLeft(pi0) { (pi, i) =>
+        val next = trans
+          .join(pi.withColumnRenamed("state", "from"), Seq("from"))
           .select(col("to"), col("from"), (col("v") * col("p")).as("t"))
           .groupBy(col("to").as("state"))
           .agg(expr("aggregate(array_sort(collect_list(struct(from, t)))," +
             " cast(0.0 as double), (a, x) -> a + x.t)").as("v"))
-          .localCheckpoint(true)
+        if (i % 2 == 0) next.localCheckpoint(true) else next
       }
       // Renormalize once at the end: a state with no outgoing rows is
       // sub-stochastic and leaks mass during the iteration; the
