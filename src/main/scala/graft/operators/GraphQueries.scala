@@ -42,9 +42,8 @@ object GraphQueries {
   /** Distinct (order, part) incidence pairs — the bipartite base of
     * every co-purchase graph key. */
   private def orderParts(s: SparkSession, dir: String): DataFrame =
-    graft.Tables.fanout(t(s, dir, "lineitem")
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p")),
-        col("ok"), col("p"))
+    t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
       .distinct()
 
   /** Oriented (a < b) distinct co-purchase edges — ONE definition so
@@ -72,9 +71,8 @@ object GraphQueries {
     * md5(CAST(p AS VARCHAR)), p LIMIT k). */
   private val SeedBudget = 16
   private def hashSeeds(s: SparkSession, dir: String): DataFrame =
-    graft.Tables.fanout(t(s, dir, "lineitem")
-        .select(col("l_partkey").as("node")), col("node"))
-      .distinct()
+    t(s, dir, "lineitem")
+      .select(col("l_partkey").as("node")).distinct()
       .orderBy(md5(col("node").cast("string").cast("binary")),
         col("node"))
       .limit(SeedBudget)
@@ -153,9 +151,8 @@ object GraphQueries {
       // here — the unrolled-oracle contract; the convergence read is
       // the public untilFixpoint face, pinned ≡ this prefix in
       // GraphAlgorithmsSpec.
-      val pairs = graft.Tables.fanout(t(s, dir, "lineitem")
-        .select(col("l_partkey"), col("l_suppkey")),
-        col("l_partkey"), col("l_suppkey")).distinct()
+      val pairs = t(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey")).distinct()
       val edges = pairs
         .select((col("l_partkey") * 2).as("src"),
           (col("l_suppkey") * 2 + 1).as("dst"))
@@ -258,9 +255,8 @@ object GraphQueries {
         .unionAll(half.select(col("b").as("src"), col("a").as("dst")))
         .repartition(col("src")).sortWithinPartitions("src")
         .persist()
-      val seeds = graft.Tables.fanout(t(s, dir, "lineitem")
-          .select(col("l_partkey").as("node")), col("node"))
-        .distinct()
+      val seeds = t(s, dir, "lineitem")
+        .select(col("l_partkey").as("node")).distinct()
         .filter(pmod(col("node"), lit(97)) === 0)
       val dist = GraphAlgorithms.bfsFullReagg(s, ed, seeds, BfsRounds)
       ed.unpersist()
@@ -697,12 +693,11 @@ object GraphQueries {
     // distinct brands; lift cross-multiplies exact integers before
     // its one division; (lift rounded desc, pair) total order.
     "graph_brand_pair_lift" -> ((s, dir) => {
-      val b = graft.Tables.fanout(t(s, dir, "lineitem")
+      val b = t(s, dir, "lineitem")
         .join(broadcast(t(s, dir, "part")
           .select(col("p_partkey").as("l_partkey"), col("p_brand"))),
           Seq("l_partkey"))
-        .select(col("l_orderkey").as("ok"), col("p_brand")),
-        col("ok"), col("p_brand"))
+        .select(col("l_orderkey").as("ok"), col("p_brand"))
         .distinct()
       val nb = b.select("ok").distinct()
         .agg(count(lit(1)).as("n_baskets"))
@@ -1614,9 +1609,9 @@ object GraphQueries {
     // the graph is the distinct pair reduce of lineitem; every step
     // is one shuffle on a node-keyed table.
     "graph_hits" -> ((s, dir) => {
-      val e = graft.Tables.fanout(t(s, dir, "lineitem")
-        .select(col("l_partkey").as("p"), col("l_suppkey").as("sp")),
-        col("p"), col("sp")).distinct().localCheckpoint(true)
+      val e = t(s, dir, "lineitem")
+        .select(col("l_partkey").as("p"), col("l_suppkey").as("sp"))
+        .distinct().localCheckpoint(true)
       var h = e.select(col("p")).distinct()
         .withColumn("h", lit(1000000L))
       var a: DataFrame = null
