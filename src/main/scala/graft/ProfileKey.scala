@@ -20,6 +20,7 @@ object ProfileKey {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     GraftSession.ensureCheckpointDir(spark)
+    GraftSession.applyRuntimeTuning(spark)
     graft.plans.TopKPushdown.install(spark)
     spark.range(1000000).selectExpr("sum(id)").collect()
     SparkEntry.entry(spark).count()

@@ -153,13 +153,36 @@ object GraphAlgorithms {
       lit(1000000L).as("rank")))
     var rounds = 0
     var converged = false
+    // One superstep as a pure plan transform: the update references its
+    // input exactly ONCE (join → partial agg → project), so chaining k
+    // steps before a materialize is a LINEAR plan — no subtree
+    // duplication, no recompute.
+    def step(r: DataFrame): DataFrame = ed
+      .join(r, col("src") === col("node"))
+      .select(col("dst"), expr("rank div deg").as("c"))
+      .groupBy(col("dst")).agg(sum(col("c")).as("sc"))
+      .select(col("dst").as("node"),
+        (lit(150000L) + expr("85 * sc div 100")).as("rank"))
+    if (!untilFixpoint) {
+      // Round-18 (round-17 verdict #1 "fewer actions per round"): the
+      // FIXED-ROUND face batches TWO supersteps per eager checkpoint —
+      // half the checkpoint writes, read-backs and job launches, whose
+      // fixed cost (not data) dominated the loop at fixture scale.
+      // Identical integer arithmetic, so the final table is
+      // bit-identical; the fixpoint face below keeps one materialize
+      // per round because the moved-count must observe every round.
+      while (rounds < iters) {
+        val k = math.min(2, iters - rounds)
+        val next = materialize(s, (1 to k).foldLeft(ranks)((r, _) => step(r)))
+        release(ranks)
+        ranks = next
+        rounds += k
+      }
+      ed.unpersist()
+      return (ranks, rounds)
+    }
     while (rounds < iters && !converged) {
-      val next = materialize(s, ed
-        .join(ranks, col("src") === col("node"))
-        .select(col("dst"), expr("rank div deg").as("c"))
-        .groupBy(col("dst")).agg(sum(col("c")).as("sc"))
-        .select(col("dst").as("node"),
-          (lit(150000L) + expr("85 * sc div 100")).as("rank")))
+      val next = materialize(s, step(ranks))
       if (untilFixpoint) {
         // One long to the driver: count of moved ranks. The node SET
         // is stable after round 1 (every node has in-degree ≥ 1 in
@@ -216,22 +239,39 @@ object GraphAlgorithms {
       nb.select(col("v")).distinct().select(col("v"), col("v").as("label")))
     var r = 0
     var stable = false
+    // Round-17: the most-frequent-min-tie-break label is an ARGMAX —
+    // max_by over the total order (c, -label) picks highest count,
+    // then lowest label, exactly row_number()=1 under
+    // (c desc, label asc) — but partial-aggregates map-side, so the
+    // second exchange carries ≤ one row per (v × partition) and the
+    // per-partition window SORT disappears. (c, -label) is unique
+    // within each v group (labels are distinct rows), so the argmax
+    // is deterministic; labels are non-negative node ids, so -label
+    // cannot overflow.
+    def step(l: DataFrame): DataFrame =
+      nb.join(l.withColumnRenamed("v", "n"), Seq("n"))
+        .groupBy(col("v"), col("label")).agg(count(lit(1)).as("c"))
+        .groupBy(col("v"))
+        .agg(max_by(col("label"), struct(col("c"), -col("label")))
+          .as("label"))
+    if (!untilFixpoint) {
+      // Round-18 (verdict #1): the fixed-round face batches TWO
+      // supersteps per eager checkpoint — the step is a linear plan in
+      // its input (one join, two aggs), so fusing two halves the
+      // checkpoint/job fixed cost without any recompute. Bit-identical
+      // labels; the fixpoint face needs per-round state, unchanged.
+      while (r < rounds) {
+        val k = math.min(2, rounds - r)
+        val next = materialize(s, (1 to k).foldLeft(labels)((l, _) => step(l)))
+        release(labels)
+        labels = next
+        r += k
+      }
+      nb.unpersist()
+      return (labels, r)
+    }
     while (r < rounds && !stable) {
-      // Round-17: the most-frequent-min-tie-break label is an ARGMAX —
-      // max_by over the total order (c, -label) picks highest count,
-      // then lowest label, exactly row_number()=1 under
-      // (c desc, label asc) — but partial-aggregates map-side, so the
-      // second exchange carries ≤ one row per (v × partition) and the
-      // per-partition window SORT disappears. (c, -label) is unique
-      // within each v group (labels are distinct rows), so the argmax
-      // is deterministic; labels are non-negative node ids, so -label
-      // cannot overflow.
-      val next = materialize(s,
-        nb.join(labels.withColumnRenamed("v", "n"), Seq("n"))
-          .groupBy(col("v"), col("label")).agg(count(lit(1)).as("c"))
-          .groupBy(col("v"))
-          .agg(max_by(col("label"), struct(col("c"), -col("label")))
-            .as("label")))
+      val next = materialize(s, step(labels))
       if (untilFixpoint)
         stable = next.join(labels, Seq("v", "label"), "left_anti")
           .isEmpty

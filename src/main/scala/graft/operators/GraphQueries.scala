@@ -142,6 +142,29 @@ object GraphQueries {
   private val LpaRounds = 5
   private val BfsRounds = 3
 
+  /** Both-direction (src, dst) edge cache for the per-round BFS-family
+    * joins, hash-partitioned AND sorted on the per-round join key
+    * before the persist (the round-17 §2.4 one-exchange-for-the-loop
+    * device). Round-18 restructure: the two directions come from ONE
+    * map-side explode of (a,b)/(b,a) structs instead of a
+    * localCheckpoint of the oriented edges + a UNION of two reads —
+    * the oriented-edge subplan is referenced exactly once, so the
+    * extra materialization (checkpoint write + two cache reads) and
+    * the union disappear; rows are identical. No Union of
+    * generator-lineage legs remains, so the round-13 constraint-rewrite
+    * shim is unnecessary on this path (the loop-side union joins a
+    * checkpointed state table whose legs share no generator
+    * attributes). */
+  private def bothDirEdgeCache(s: SparkSession, dir: String,
+      prefixes: Option[Seq[String]]): DataFrame =
+    sampledOrientedEdges(s, dir, prefixes)
+      .select(explode(array(
+        struct(col("a").as("src"), col("b").as("dst")),
+        struct(col("b").as("src"), col("a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .repartition(col("src")).sortWithinPartitions("src")
+      .persist()
+
   val queries: Map[String, Q] = Map(
     "graph_pagerank" -> ((s, dir) => {
       // The loop lives in GraphAlgorithms.pageRank (one cached
@@ -238,23 +261,11 @@ object GraphQueries {
       // 100 TB graph) is the public scale path, pinned ≡ this form in
       // GraphAlgorithmsSpec. Fixed 3 rounds — the unrolled-oracle
       // contract.
-      // localCheckpoint truncates the explode-derived lineage BEFORE
-      // the direction-union: Union constraint rewriting trips over
-      // generator attributes shared across both legs when the union
-      // later joins the checkpointed distance table (Catalyst
-      // "key not found" in rewriteConstraints) — and the loop re-reads
-      // the edges every round anyway, so eager materialization is the
-      // right cost model, not just a workaround.
-      val half = org.apache.spark.sql.graftshim.dropOriginConstraints(
-        sampledOrientedEdges(s, dir, None).localCheckpoint(true))
-      // Round-17: pre-partition + sort the loop-invariant edge cache on
-      // the per-round join key so each BFS round's frontier⋈edges
-      // sort-merge join reads it exchange-free and sort-free; only the
-      // (small) frontier side shuffles per round (guide §2.4).
-      val ed = half.select(col("a").as("src"), col("b").as("dst"))
-        .unionAll(half.select(col("b").as("src"), col("a").as("dst")))
-        .repartition(col("src")).sortWithinPartitions("src")
-        .persist()
+      // Round-18: one-pass both-direction edge cache (see
+      // bothDirEdgeCache) — drops the round-13 localCheckpoint +
+      // direction-union (one materialization fewer; the constraint
+      // shim is moot without a generator-lineage Union).
+      val ed = bothDirEdgeCache(s, dir, None)
       val seeds = t(s, dir, "lineitem")
         .select(col("l_partkey").as("node")).distinct()
         .filter(pmod(col("node"), lit(97)) === 0)
@@ -276,16 +287,9 @@ object GraphQueries {
     // so 1/d in SIXTHS (6 div d ∈ {6,3,2}) is an exact integer sum;
     // one division at the edge.
     "graph_closeness" -> ((s, dir) => {
-      val half = org.apache.spark.sql.graftshim.dropOriginConstraints(
-        sampledOrientedEdges(s, dir, None).localCheckpoint(true))
-      // Round-17: pre-partition + sort the loop-invariant edge cache on
-      // the per-round join key so each BFS round's frontier⋈edges
-      // sort-merge join reads it exchange-free and sort-free; only the
-      // (small) frontier side shuffles per round (guide §2.4).
-      val ed = half.select(col("a").as("src"), col("b").as("dst"))
-        .unionAll(half.select(col("b").as("src"), col("a").as("dst")))
-        .repartition(col("src")).sortWithinPartitions("src")
-        .persist()
+      // Round-18: one-pass both-direction edge cache (bothDirEdgeCache)
+      // replaces the localCheckpoint + direction-union build.
+      val ed = bothDirEdgeCache(s, dir, None)
       val seeds = hashSeeds(s, dir)
       var dist = seeds.select(col("node").as("seed"), col("node"),
         lit(0L).as("dist")).localCheckpoint(true)
@@ -353,16 +357,9 @@ object GraphQueries {
     // says hub-vs-periphery the single harmonic number hides). Exact
     // integer conditional counts off the same unrolled rounds.
     "graph_eccentricity" -> ((s, dir) => {
-      val half = org.apache.spark.sql.graftshim.dropOriginConstraints(
-        sampledOrientedEdges(s, dir, None).localCheckpoint(true))
-      // Round-17: pre-partition + sort the loop-invariant edge cache on
-      // the per-round join key so each BFS round's frontier⋈edges
-      // sort-merge join reads it exchange-free and sort-free; only the
-      // (small) frontier side shuffles per round (guide §2.4).
-      val ed = half.select(col("a").as("src"), col("b").as("dst"))
-        .unionAll(half.select(col("b").as("src"), col("a").as("dst")))
-        .repartition(col("src")).sortWithinPartitions("src")
-        .persist()
+      // Round-18: one-pass both-direction edge cache (bothDirEdgeCache)
+      // replaces the localCheckpoint + direction-union build.
+      val ed = bothDirEdgeCache(s, dir, None)
       val seeds = hashSeeds(s, dir)
       var dist = seeds.select(col("node").as("seed"), col("node"),
         lit(0L).as("dist")).localCheckpoint(true)
@@ -409,17 +406,9 @@ object GraphQueries {
     // sparsified graph is the estimator, and the sample bounds σ and
     // the frontier fan-out at any corpus size.
     "graph_betweenness" -> ((s, dir) => {
-      val half = org.apache.spark.sql.graftshim.dropOriginConstraints(
-        sampledOrientedEdges(s, dir, Some(Seq("0", "1")))
-          .localCheckpoint(true))
-      // Round-17: pre-partition + sort the loop-invariant edge cache on
-      // the per-round join key so each BFS round's frontier⋈edges
-      // sort-merge join reads it exchange-free and sort-free; only the
-      // (small) frontier side shuffles per round (guide §2.4).
-      val ed = half.select(col("a").as("src"), col("b").as("dst"))
-        .unionAll(half.select(col("b").as("src"), col("a").as("dst")))
-        .repartition(col("src")).sortWithinPartitions("src")
-        .persist()
+      // Round-18: one-pass both-direction edge cache (bothDirEdgeCache)
+      // replaces the localCheckpoint + direction-union build.
+      val ed = bothDirEdgeCache(s, dir, Some(Seq("0", "1")))
       val seeds = hashSeeds(s, dir)
       var dist = seeds.select(col("node").as("seed"), col("node"),
         lit(0L).as("dist"), lit(1L).as("sigma")).localCheckpoint(true)
@@ -630,8 +619,11 @@ object GraphQueries {
         .filter(col("part") =!= col("other"))
         .distinct()
         .groupBy("part").agg(count(lit(1)).as("deg"))
-      val sales = graft.Tables.fanout(t(s, dir, "lineitem")
-          .select(col("l_partkey"), col("l_quantity")), col("l_partkey"))
+      // Round-18: fanout REVERTED (round-17 verdict #4) — light
+      // scan-fused work, the extra exchange cost more than the spread
+      // won (0.97 → 1.39 s driver-to-driver with it kept).
+      val sales = t(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_quantity"))
         .groupBy(col("l_partkey").as("part"))
         .agg(sum(round(col("l_quantity") * 100).cast("long"))
           .as("qc"))
@@ -1011,15 +1003,20 @@ object GraphQueries {
       val s1 = w0.join(adj,
           col("part") === col("n0") && col("idx") === col("i1"))
         .select(col("n0"), col("walk_no"), col("other").as("n1"))
+      // Round-18 (guide §3): step 2 used to join adjacency on n1 ALONE
+      // and filter idx2 === i2 afterwards — a fan-out join producing
+      // deg(n1) rows per walk before keeping exactly one. The index is
+      // known BEFORE the join, so (n1, i2) is an equi-join key pair —
+      // the join now emits exactly the chosen neighbor, matching step
+      // 1's shape. Identical rows ((part, idx) is unique in adj).
       val s2 = s1
         .join(deg.select(col("part").as("n1"), col("deg").as("d1")),
           Seq("n1"))
         .withColumn("i2",
           pmod(u(col("n1"), col("walk_no"), 2), col("d1")) + 1)
-        .join(adj.select(col("part").as("n1"),
+        .join(adj.select(col("part").as("n1b"),
             col("idx").as("idx2"), col("other").as("n2")),
-          Seq("n1"))
-        .filter(col("idx2") === col("i2"))
+          col("n1") === col("n1b") && col("idx2") === col("i2"))
       s2.select(col("n0"), col("walk_no"), col("n1"), col("n2"))
         .orderBy("n0", "walk_no")
     }),
@@ -1386,22 +1383,27 @@ object GraphQueries {
     // division in both engines. Cost: one self-join of the edge list
     // against the O(nodes) degree table — linear in edges.
     "graph_assortativity" -> ((s, dir) => {
+      // Round-18 (guide §1.2 "don't compute things twice"): the
+      // both-orderings union used to run the e⋈deg⋈deg chain TWICE —
+      // one chain per ordering — doubling the two degree joins and the
+      // edge scan. Both orderings' moments are symmetric functions of
+      // one joined row: m = 2n, Σx = Σ(da+db), Σxy = 2Σda·db,
+      // Σx² = Σ(da²+db²) — every sum an exact integer in decimal(38,0),
+      // so the output is bit-identical to the union form (oracle
+      // unchanged). ONE join chain, ONE pass, no union.
       val e = sampledOrientedEdges(s, dir, Some(Seq("0"))).persist()
       val deg = e.select(col("a").as("v"))
         .unionAll(e.select(col("b").as("v")))
         .groupBy("v").agg(count(lit(1)).as("deg"))
-      val pairs = e
+      val j = e
         .join(deg.select(col("v").as("a"), col("deg").as("da")), Seq("a"))
         .join(deg.select(col("v").as("b"), col("deg").as("db")), Seq("b"))
-        .select(col("da").as("x"), col("db").as("y"))
-        .unionAll(e
-          .join(deg.select(col("v").as("a"), col("deg").as("da")), Seq("a"))
-          .join(deg.select(col("v").as("b"), col("deg").as("db")), Seq("b"))
-          .select(col("db").as("x"), col("da").as("y")))
-      pairs.agg(count(lit(1)).as("m"),
-          sum(col("x").cast("decimal(38,0)")).as("sx"),
-          sum((col("x") * col("y")).cast("decimal(38,0)")).as("sxy"),
-          sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"))
+      j.agg(count(lit(1)).as("n"),
+          sum((col("da") + col("db")).cast("decimal(38,0)")).as("sx"),
+          sum((col("da") * col("db") * 2).cast("decimal(38,0)")).as("sxy"),
+          sum((col("da") * col("da") + col("db") * col("db"))
+            .cast("decimal(38,0)")).as("sxx"))
+        .select((col("n") * 2).as("m"), col("sx"), col("sxy"), col("sxx"))
         .select(col("m"),
           graft.Det.r4d(
             (col("m") * col("sxy") - col("sx") * col("sx")).cast("double")
@@ -1485,16 +1487,12 @@ object GraphQueries {
     // bounded-fanout argument the adamic-adar key documents), union
     // the 1-hop pairs, distinct, count — all keyed reduces.
     "graph_two_hop_reach" -> ((s, dir) => {
-      val half = sampledOrientedEdges(s, dir, Some(Seq("0")))
-        .localCheckpoint(true)
       // Round-17: the cache is read three ways keyed on src (wedge
       // probe side, 1-hop degree, reach reduce) — pre-partition + sort
       // once so those legs read it exchange-free (guide §2.4); only the
-      // wedge x-leg (keyed by dst) still shuffles.
-      val ed = half.select(col("a").as("src"), col("b").as("dst"))
-        .unionAll(half.select(col("b").as("src"), col("a").as("dst")))
-        .repartition(col("src")).sortWithinPartitions("src")
-        .persist()
+      // wedge x-leg (keyed by dst) still shuffles. Round-18: one-pass
+      // both-direction build (bothDirEdgeCache).
+      val ed = bothDirEdgeCache(s, dir, Some(Seq("0")))
       val two = ed.as("x").join(ed.as("y"),
           col("x.dst") === col("y.src"))
         .select(col("x.src").as("src"), col("y.dst").as("dst"))
@@ -1560,17 +1558,12 @@ object GraphQueries {
     // scaling bound (w3·10⁶ < 2⁶³) is the documented long-capacity
     // caveat shared with the other div-scaled keys.
     "graph_katz" -> ((s, dir) => {
-      val half = org.apache.spark.sql.graftshim.dropOriginConstraints(
-        sampledOrientedEdges(s, dir, Some(Seq("0", "1")))
-          .localCheckpoint(true))
       // Round-17: the w2/w3 gathers both join this cache on src —
       // pre-partition + sort once so both joins read it exchange-free
       // and sort-free (guide §2.4); only the small per-step score
-      // tables shuffle.
-      val ed = half.select(col("a").as("src"), col("b").as("dst"))
-        .unionAll(half.select(col("b").as("src"), col("a").as("dst")))
-        .repartition(col("src")).sortWithinPartitions("src")
-        .persist()
+      // tables shuffle. Round-18: one-pass both-direction build
+      // (bothDirEdgeCache).
+      val ed = bothDirEdgeCache(s, dir, Some(Seq("0", "1")))
       val w1 = ed.groupBy(col("dst").as("node"))
         .agg(count(lit(1)).as("w1"))
       val w2 = ed.join(w1.withColumnRenamed("node", "src"), Seq("src"))
@@ -1659,18 +1652,16 @@ object GraphQueries {
     // diameter dwarfs the walk horizon. Graph: the '0','1'-Doulion
     // co-purchase sample, both directions (the graph_katz edge set).
     "graph_ppr" -> ((s, dir) => {
-      val half = org.apache.spark.sql.graftshim.dropOriginConstraints(
-        sampledOrientedEdges(s, dir, Some(Seq("0", "1")))
-          .localCheckpoint(true))
-      val ed = half.select(col("a").as("src"), col("b").as("dst"))
-        .unionAll(half.select(col("b").as("src"), col("a").as("dst")))
-      val deg = ed.groupBy("src").agg(count(lit(1)).as("deg"))
       // Round-17: loop-invariant cache pre-partitioned + sorted on the
       // per-round join key (guide §2.4) — only the rank table shuffles
-      // per round.
-      val edd = ed.join(deg, Seq("src"))
-        .repartition(col("src")).sortWithinPartitions("src")
-        .persist()
+      // per round. Round-18: one-pass both-direction build
+      // (bothDirEdgeCache), and the out-degree comes from a
+      // count-over-window PARTITIONED on the cache's own (src)
+      // partitioning+order — no exchange, no sort, no second persisted
+      // copy; the per-round window is a linear scan of the cache.
+      val ed = bothDirEdgeCache(s, dir, Some(Seq("0", "1")))
+      val edd = ed.withColumn("deg", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("src"))))
       val seeds = hashSeeds(s, dir).localCheckpoint(true)
       var r = seeds.select(col("node"), lit(1000000L).as("rank"))
         .localCheckpoint(true)
@@ -1688,7 +1679,7 @@ object GraphQueries {
               + expr("85 * coalesce(sc, 0L) div 100")).as("rank"))
           .localCheckpoint(true)
       }
-      edd.unpersist()
+      ed.unpersist()
       r.orderBy("node")
     }),
 

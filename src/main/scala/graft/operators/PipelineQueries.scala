@@ -78,14 +78,29 @@ object PipelineQueries {
       s"named_struct('ck', $k, 'kv', ${blocks(i)} * 64L + ${blocks(j)})" }
     // Only (doc_id, sim, combo, key) longs cross the shuffle; sims ride
     // along so the verify needs no re-join against the signature table.
+    //
+    // Round-18 (round-17 verdict #6, guide §2.3 "aggregate before you
+    // shuffle"): pairs come from per-bucket SORTED LISTS — one
+    // groupBy(ck, kv) shuffle of the 66×|docs| keyed stream, then a
+    // map-side double explode — instead of the keyed self-join, which
+    // shuffled the same stream TWICE (build + probe sides) and then
+    // shuffled the pair output again for the distinct. Same candidate
+    // set bit-for-bit: a bucket of n docs yields exactly its C(n,2)
+    // i<j pairs either way (doc_ids are distinct within a bucket, so
+    // the sorted-list slice orientation ≡ the i<j filter).
     val keyed = sh.select(col("doc_id"), col("sim"),
         explode(expr(s"array(${keys.mkString(", ")})")).as("k"))
       .select(col("doc_id"), col("sim"), col("k.ck").as("ck"), col("k.kv").as("kv"))
-    keyed.select(col("ck"), col("kv"), col("doc_id").as("i"), col("sim").as("si"))
-      .join(keyed.select(col("ck"), col("kv"), col("doc_id").as("j"), col("sim").as("sj")),
-        Seq("ck", "kv"))
-      .filter(col("i") < col("j"))
-      .select("i", "j", "si", "sj").distinct()
+    keyed.groupBy(col("ck"), col("kv"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("sim"))))
+        .as("ds"))
+      .filter(size(col("ds")) >= 2)
+      .select(posexplode(col("ds")).as(Seq("p", "x")), col("ds"))
+      .select(col("x"),
+        explode(expr("slice(ds, p + 2, size(ds))")).as("y"))
+      .select(col("x.doc_id").as("i"), col("y.doc_id").as("j"),
+        col("x.sim").as("si"), col("y.sim").as("sj"))
+      .distinct()
   }
 
   /** Naive-Bayes language-prediction core shared by `text_langid` and

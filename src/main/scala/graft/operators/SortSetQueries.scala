@@ -34,9 +34,13 @@ object SortSetQueries {
     // lower-rev point is beaten ≥/≥ with > on rev). That max is a
     // qty-partitioned window (one keyed shuffle, no global order).
     "sort_pareto_skyline" -> ((s, dir) => {
-      val pq = graft.Tables.fanout(t(s, dir, "lineitem")
-          .select(col("l_partkey"), col("l_extendedprice"),
-            col("l_discount"), col("l_quantity")), col("l_partkey"))
+      // Round-18: fanout REVERTED (round-17 verdict #4) — the scan-fused
+      // map work here is a light project into a partial agg, below the
+      // measured ~1 s pay-off floor for an extra exchange + AQE stage;
+      // the kept fanout read 1.20 → 1.75 s driver-to-driver.
+      val pq = t(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_extendedprice"),
+          col("l_discount"), col("l_quantity"))
         .groupBy(col("l_partkey").as("pk"))
         .agg(sum(round(col("l_extendedprice") * 100).cast("long")
             * (lit(100L) - round(col("l_discount") * 100).cast("long")))

@@ -221,13 +221,15 @@ object StatQueries {
     // just the operating threshold. Rank sums stay exact integers
     // per half (the parent key's device); three rounded outputs.
     "eval_auc_stability" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
+      // Round-18 (verdict #5, guide §2): the cumulative rank sweep ran
+      // as an UNPARTITIONED window over the distinct-value table — one
+      // task sorting |distinct doubles| rows, which approaches the row
+      // count at 100 TB. Same prefix sum via GlobalRank.runningSum
+      // (range exchange + O(partitions) offsets), identical integers.
       def auc(half: DataFrame, nm: String) = {
         val byScore = half.groupBy("value")
           .agg(count(lit(1)).as("n_v"), count_if(col("pos")).as("p_v"))
-        val w = Window.orderBy("value")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        byScore.withColumn("cum", sum(col("n_v")).over(w))
+        graft.plans.GlobalRank.runningSum(byScore, Seq("value"), "n_v", "cum")
           .withColumn("dr", lit(2) * col("cum") - col("n_v") + 1)
           .agg(sum(col("p_v")).as("np"),
             sum(col("n_v") - col("p_v")).as("nn"),
@@ -248,15 +250,15 @@ object StatQueries {
     }),
 
     "eval_auc_rank" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
+      // Round-18 (verdict #5): distributed prefix sum instead of the
+      // single-partition window over the distinct-score table — see
+      // eval_auc_stability.
       val byScore = events(s, dir)
         .select(col("value"), (col("event_type") === "purchase").as("pos"))
         .groupBy("value")
         .agg(count(lit(1)).as("n_v"), count_if(col("pos")).as("p_v"))
-      val w = Window.orderBy("value")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val ranked = byScore
-        .withColumn("cum", sum(col("n_v")).over(w))
+      val ranked = graft.plans.GlobalRank
+        .runningSum(byScore, Seq("value"), "n_v", "cum")
         .withColumn("dr", lit(2) * col("cum") - col("n_v") + 1)
       ranked.agg(
           sum(col("p_v")).as("n_pos"),
@@ -309,19 +311,19 @@ object StatQueries {
     // (per-term IEEE divisions, libm-free). One /n_pos at the edge,
     // r4d'd.
     "eval_pr_auc" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
+      // Round-18 (verdict #5): both cumulative counts in ONE
+      // distributed prefix pass over the negated-cents total order
+      // (descending score ≡ ascending -cents), replacing the
+      // single-partition window — see eval_auc_stability.
       val byScore = events(s, dir)
         .select(round(col("value") * 100).cast("long").as("cents"),
           (col("event_type") === "purchase").as("pos"))
         .groupBy("cents")
         .agg(count(lit(1)).as("n_v"), count_if(col("pos")).as("p_v"))
-      val w = Window.orderBy(col("cents").desc)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val cum = byScore
-        .withColumn("cumn", sum(col("n_v")).over(w))
-        .withColumn("cump", sum(col("p_v")).over(w))
-        .select((-col("cents")).as("nscore"), col("p_v"),
-          col("cump"), col("cumn"))
+      val cum = graft.plans.GlobalRank.runningSums(
+          byScore.withColumn("nscore", -col("cents")),
+          Seq("nscore"), Seq("n_v", "p_v"), Seq("cumn", "cump"))
+        .select(col("nscore"), col("p_v"), col("cump"), col("cumn"))
       cum.agg(
           sum(col("p_v")).as("n_pos"),
           array_sort(collect_list(struct(col("nscore"), col("p_v"),
@@ -344,21 +346,22 @@ object StatQueries {
     // the |distinct values| grid (driver-scale here; distributed =
     // the two-pass prefix sum), one global max.
     "agg_ks_test" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
+      // Round-18 (verdict #5): both cumulative counts via ONE
+      // distributed prefix pass (see eval_auc_stability); the totals
+      // n1/n2 are the final cumulative values, i.e. max(c1)/max(c2)
+      // over the non-negative count sums — the partitionBy()-less
+      // whole-table window is gone with the ordered one.
       val e = events(s, dir)
         .filter(col("event_type").isin("click", "purchase"))
         .select(col("value"),
           (col("event_type") === "click").as("isx"))
       val byV = e.groupBy("value")
         .agg(count_if(col("isx")).as("a"), count_if(!col("isx")).as("b"))
-      val w = Window.orderBy("value")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val cum = byV
-        .withColumn("c1", sum(col("a")).over(w))
-        .withColumn("c2", sum(col("b")).over(w))
-        .withColumn("n1", sum(col("a")).over(Window.partitionBy()))
-        .withColumn("n2", sum(col("b")).over(Window.partitionBy()))
-      cum.agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
+      val cum = graft.plans.GlobalRank.runningSums(byV, Seq("value"),
+        Seq("a", "b"), Seq("c1", "c2"))
+      val tot = cum.agg(max(col("c1")).as("n1"), max(col("c2")).as("n2"))
+      cum.crossJoin(broadcast(tot))
+        .agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
           max(abs(col("c1") * col("n2") - col("c2") * col("n1")))
             .as("dnum"))
         .select(col("n1"), col("n2"),
@@ -1907,26 +1910,28 @@ object StatQueries {
     // sweep window runs over DISTINCT score values (a domain-bounded
     // table, not the corpus).
     "eval_youden_threshold" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
+      // Round-18 (verdict #5): both cumulative counts via ONE
+      // distributed prefix pass over -value (descending sweep), and
+      // the argmax via orderBy+limit(1) — TakeOrderedAndProject
+      // (per-partition top-1 + driver merge), never a row_number over
+      // an unpartitioned window. Same total order (j desc, value asc),
+      // so the winner row is identical.
       val byScore = events(s, dir)
         .select(col("value"), (col("event_type") === "purchase").as("pos"))
         .groupBy("value")
         .agg(count(lit(1)).as("n_v"), count_if(col("pos")).as("p_v"))
       val tot = byScore.agg(sum(col("p_v")).cast("long").as("np"),
         sum(col("n_v") - col("p_v")).cast("long").as("nn"))
-      val wd = Window.orderBy(col("value").desc)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val cum = byScore
-        .withColumn("ctp", sum(col("p_v")).over(wd).cast("long"))
-        .withColumn("cfp",
-          sum(col("n_v") - col("p_v")).over(wd).cast("long"))
+      val cum = graft.plans.GlobalRank.runningSums(
+          byScore.withColumn("negv", -col("value"))
+            .withColumn("q_v", col("n_v") - col("p_v")),
+          Seq("negv"), Seq("p_v", "q_v"), Seq("ctp", "cfp"))
         .crossJoin(broadcast(tot))
         .withColumn("j",
           col("ctp").cast("double") / col("np").cast("double")
             - col("cfp").cast("double") / col("nn").cast("double"))
-      cum.withColumn("rk", row_number().over(
-          Window.orderBy(col("j").desc, col("value"))))
-        .filter(col("rk") === 1)
+      cum.orderBy(col("j").desc, col("value"))
+        .limit(1)
         .select(col("value").as("threshold"), col("np").as("n_pos"),
           col("nn").as("n_neg"), col("ctp").as("tp"), col("cfp").as("fp"),
           r4d(col("ctp").cast("double") / col("np").cast("double"))
@@ -2643,19 +2648,18 @@ object StatQueries {
       val byC = e.groupBy("c")
         .agg(count_if(col("pos")).as("np"),
           count_if(!col("pos")).as("nn"))
-      val wd = Window.orderBy(col("c").desc)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val cum = byC
-        .withColumn("tp", sum(col("np")).over(wd))
-        .withColumn("fp", sum(col("nn")).over(wd))
+      // Round-18 (verdict #5): distributed prefix sums + TakeOrdered
+      // argmax — see eval_youden_threshold.
+      val cum = graft.plans.GlobalRank.runningSums(
+        byC.withColumn("negc", -col("c")),
+        Seq("negc"), Seq("np", "nn"), Seq("tp", "fp"))
       val tot = e.agg(count_if(col("pos")).as("ptot"))
       val ok = cum.crossJoin(broadcast(tot))
         .filter(col("tp") * 5 >= col("ptot") * 4)
         .withColumn("prec", col("tp").cast("double")
           / (col("tp") + col("fp")).cast("double"))
-      val w = Window.orderBy(col("prec").desc, col("c"))
-      ok.withColumn("rk", row_number().over(w))
-        .filter(col("rk") === 1)
+      ok.orderBy(col("prec").desc, col("c"))
+        .limit(1)
         .select(col("c").as("thr_cents"), col("tp"), col("fp"),
           (col("ptot") - col("tp")).as("fn"),
           r4d(col("prec")).as("precision"),
@@ -2676,20 +2680,19 @@ object StatQueries {
         val byC = half.groupBy("c")
           .agg(count_if(col("pos")).as("np"),
             count_if(!col("pos")).as("nn"))
-        val wd = Window.orderBy(col("c").desc)
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val cum = byC
-          .withColumn("tp", sum(col("np")).over(wd))
-          .withColumn("fp", sum(col("nn")).over(wd))
+        // Round-18 (verdict #5): distributed prefix sums + TakeOrdered
+        // argmax — see eval_youden_threshold.
+        val cum = graft.plans.GlobalRank.runningSums(
+          byC.withColumn("negc", -col("c")),
+          Seq("negc"), Seq("np", "nn"), Seq("tp", "fp"))
         val tot = half.agg(count_if(col("pos")).as("ptot"))
         val f1 = cum.crossJoin(broadcast(tot))
           .select(col("c"),
             ((lit(2L) * col("tp")).cast("double")
               / (lit(2L) * col("tp") + col("fp") + col("ptot")
                 - col("tp")).cast("double")).as("f1"))
-        val w = Window.orderBy(col("f1").desc, col("c"))
-        f1.withColumn("rk", row_number().over(w))
-          .filter(col("rk") === 1)
+        f1.orderBy(col("f1").desc, col("c"))
+          .limit(1)
           .select(col("c").as(thr), r4d(col("f1")).as(f1n))
       }
       val e = events(s, dir).select(
@@ -2705,18 +2708,17 @@ object StatQueries {
     }),
 
     "eval_f1_optimal_threshold" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val e = events(s, dir).select(
         round(col("value") * 100).cast("long").as("c"),
         (col("event_type") === "purchase").as("pos"))
       val byC = e.groupBy("c")
         .agg(count_if(col("pos")).as("np"),
           count_if(!col("pos")).as("nn"))
-      val wd = Window.orderBy(col("c").desc)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val cum = byC
-        .withColumn("tp", sum(col("np")).over(wd))
-        .withColumn("fp", sum(col("nn")).over(wd))
+      // Round-18 (verdict #5): distributed prefix sums + TakeOrdered
+      // argmax — see eval_youden_threshold.
+      val cum = graft.plans.GlobalRank.runningSums(
+        byC.withColumn("negc", -col("c")),
+        Seq("negc"), Seq("np", "nn"), Seq("tp", "fp"))
       val tot = e.agg(count_if(col("pos")).as("ptot"))
       val f1 = cum.crossJoin(broadcast(tot))
         .select(col("c").as("thr_cents"), col("tp"), col("fp"),
@@ -2724,9 +2726,8 @@ object StatQueries {
           ((lit(2L) * col("tp")).cast("double")
             / (lit(2L) * col("tp") + col("fp") + col("ptot")
               - col("tp")).cast("double")).as("f1"))
-      val w = Window.orderBy(col("f1").desc, col("thr_cents"))
-      f1.withColumn("rk", row_number().over(w))
-        .filter(col("rk") === 1)
+      f1.orderBy(col("f1").desc, col("thr_cents"))
+        .limit(1)
         .select(col("thr_cents"), col("tp"), col("fp"), col("fn"),
           r4d(col("tp").cast("double")
             / (col("tp") + col("fp")).cast("double")).as("precision"),
@@ -2944,9 +2945,9 @@ object StatQueries {
       val gv = e.groupBy("cents", "event_type")
         .agg(count(lit(1)).as("cnt"))
       val nv = gv.groupBy("cents").agg(sum(col("cnt")).as("nv"))
-      val wv = Window.orderBy("cents")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val vt = nv.withColumn("hi", sum(col("nv")).over(wv))
+      // Round-18 (verdict #5): distributed prefix sum over the
+      // distinct-cents dictionary — see eval_auc_stability.
+      val vt = graft.plans.GlobalRank.runningSum(nv, Seq("cents"), "nv", "hi")
         .withColumn("lo", col("hi") - col("nv"))
       val grp = gv.join(vt, Seq("cents"))
         .groupBy("event_type")

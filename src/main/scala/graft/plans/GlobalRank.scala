@@ -163,6 +163,66 @@ object GlobalRank {
     spark.createDataFrame(out, outSchema)
   }
 
+  /** Multi-column [[runningSum]]: append one INCLUSIVE running-sum
+    * column per LONG `valueCols` entry over the global `orderCols`
+    * ordering, in ONE range exchange + ONE offsets pass (round-18 —
+    * the eval/stat cumulative sweeps need two or three prefix sums
+    * over the same distinct-value grid, and per-column runningSum
+    * calls would pay the exchange per column). Same unique-total-order
+    * and persist-lifetime contracts as runningSum. */
+  def runningSums(df: DataFrame, orderCols: Seq[String],
+      valueCols: Seq[String], outCols: Seq[String],
+      numPartitions: Int = 0): DataFrame = {
+    require(orderCols.nonEmpty, "runningSums needs at least one order column")
+    require(valueCols.nonEmpty && valueCols.size == outCols.size,
+      s"valueCols/outCols must pair up, got $valueCols vs $outCols")
+    outCols.foreach(c => require(!df.columns.contains(c),
+      s"runningSums appends column '$c' — rename the input's clashing " +
+        s"column first (input: ${df.columns.mkString(", ")})"))
+    valueCols.foreach(c => require(df.schema(c).dataType == LongType,
+      s"exact prefix sums need LONG value columns, got " +
+        s"${df.schema(c).dataType.simpleString} for '$c'"))
+    val spark = df.sparkSession
+    val parts =
+      if (numPartitions > 0) numPartitions
+      else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val vIdx = valueCols.map(df.schema.fieldIndex).toArray
+    val k = vIdx.length
+    val rangedRdd = df.repartitionByRange(parts, orderCols.map(col): _*)
+      .sortWithinPartitions(orderCols.head, orderCols.tail: _*)
+      .rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sums = rangedRdd
+      .mapPartitionsWithIndex { (pid, it) =>
+        val acc = new Array[Long](k)
+        it.foreach { r =>
+          var c = 0
+          while (c < k) { acc(c) += r.getLong(vIdx(c)); c += 1 }
+        }
+        Iterator((pid, acc))
+      }
+      .collect().toMap
+    val nParts = rangedRdd.getNumPartitions
+    val offsets = Array.ofDim[Long](nParts + 1, k)
+    (0 until nParts).foreach { i =>
+      val s = sums.getOrElse(i, new Array[Long](k))
+      var c = 0
+      while (c < k) { offsets(i + 1)(c) = offsets(i)(c) + s(c); c += 1 }
+    }
+    val outSchema = StructType(df.schema.fields ++
+      outCols.map(c => StructField(c, LongType, nullable = false)))
+    val bOffsets = spark.sparkContext.broadcast(offsets)
+    val out = rangedRdd.mapPartitionsWithIndex { (pid, rows) =>
+      val acc = bOffsets.value(pid).clone()
+      rows.map { r =>
+        var c = 0
+        while (c < k) { acc(c) += r.getLong(vIdx(c)); c += 1 }
+        // snapshot: acc mutates across rows, and a Row must not alias it
+        Row.fromSeq(r.toSeq ++ acc.clone().toSeq)
+      }
+    }
+    spark.createDataFrame(out, outSchema)
+  }
+
   /** Append `outCol` = EXCLUSIVE running MAX of LONG `valueCol` over
     * the global `orderCols` ordering (the max over STRICTLY preceding
     * rows; `Long.MinValue` for the global first row) — the same

@@ -105,6 +105,27 @@ class GlobalRankSpec extends SparkSpec {
     }
   }
 
+  test("two-pass runningSums (multi-column) == window cumsums, invariant across partitionings") {
+    val docs = Tables.t(spark, sf, "documents")
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n"),
+        col("n_chars").cast("long").as("m"),
+        md5(col("doc_id").cast("string").cast("binary")).as("skey"))
+    val w = Window.orderBy(col("skey"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val windowed = docs.select(col("doc_id"),
+        sum(col("n")).over(w).as("cn"), sum(col("m")).over(w).as("cm"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    for (parts <- Seq(1, 7, 32)) {
+      val twoPass = GlobalRank
+        .runningSums(docs, Seq("skey", "doc_id"), Seq("n", "m"),
+          Seq("cn", "cm"), numPartitions = parts)
+        .select(col("doc_id"), col("cn"), col("cm"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(twoPass == windowed, s"multi prefix sums diverge at $parts partitions")
+    }
+  }
+
   test("runningSum rejects non-long values and clashing output columns") {
     val df = Tables.t(spark, sf, "documents")
       .select(col("doc_id"), col("n_chars").cast("int").as("v"))
